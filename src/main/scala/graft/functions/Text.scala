@@ -1,0 +1,137 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis building blocks for large-corpus pipelines:
+  * tokenization, shingling, quality signals, language-ID scoring,
+  * fingerprinting. All Catalyst built-ins / higher-order functions —
+  * codegen-friendly, no UDFs, no shuffles — so they run at full scan
+  * speed over 100 TB and every one has an exact DuckDB-SQL mirror
+  * (given in each method's doc) for the correctness oracle.
+  */
+object Text {
+
+  /** Whitespace tokens. DuckDB: regexp_split_to_array(trim(x), '\s+') */
+  def wsTokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Word-ish tokens (BPE-style pre-tokenization: letter/digit runs).
+    * DuckDB: regexp_split_to_array(lower(trim(x)), '[^a-z0-9]+')
+    */
+  def wordTokens(c: Column): Column = split(lower(trim(c)), "[^a-z0-9]+")
+
+  def tokenCount(c: Column): Column = size(wsTokens(c))
+
+  /** Character k-shingles as an array; a string shorter than k yields
+    * the single shingle = the string itself.
+    * DuckDB: CASE WHEN length(x) >= k
+    *   THEN list_transform(range(0, length(x)-k+1), i -> substr(x, i+1, k))
+    *   ELSE [x] END
+    */
+  def shingles(c: Column, k: Int): Column =
+    when(length(c) >= k,
+      transform(sequence(lit(0), length(c) - k), i => substring_index_at(c, i, k)))
+      .otherwise(array(c))
+
+  private def substring_index_at(c: Column, i: Column, k: Int): Column =
+    c.substr(i + 1, lit(k))
+
+  /** Count of non-overlapping occurrences of literal `marker`.
+    * DuckDB: (length(x) - length(replace(x, m, ''))) // length(m)
+    */
+  def occurrences(c: Column, marker: String): Column =
+    ((length(c) - length(regexp_replace(c, java.util.regex.Pattern.quote(marker), ""))) / marker.length).cast("int")
+
+  /** Ratio of characters in a literal char class, rounded.
+    * DuckDB mirror uses the same regex class.
+    */
+  def charClassRatio(c: Column, regexClass: String): Column =
+    round(
+      (length(c) - length(regexp_replace(c, regexClass, ""))).cast("double") /
+        greatest(length(c), lit(1)).cast("double"),
+      4)
+
+  def punctRatio(c: Column): Column = charClassRatio(c, "[.,;:!?]")
+  def digitRatio(c: Column): Column = charClassRatio(c, "[0-9]")
+
+  /** Default English-ish stopword list used by quality scoring. */
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  /** Fraction of whitespace tokens that are stopwords.
+    * DuckDB: len(list_filter(regexp_split_to_array(trim(x),'\s+'),
+    *   t -> t IN (...))) / greatest(len(...), 1)
+    */
+  def stopwordRatio(c: Column): Column = {
+    val toks = wsTokens(c)
+    round(
+      size(filter(toks, t => t.isin(Stopwords.map(lit): _*))).cast("double") /
+        greatest(size(toks), lit(1)).cast("double"),
+      4)
+  }
+
+  /** Mean whitespace-token length.
+    * DuckDB: round(list_sum(list_transform(toks, t -> length(t)))
+    *   / greatest(len(toks),1), 4)
+    */
+  def meanTokenLen(c: Column): Column = {
+    val toks = wsTokens(c)
+    round(
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+        greatest(size(toks), lit(1)).cast("double"),
+      4)
+  }
+
+  /** Composite quality score in [0,1]: rewards mid-length docs and
+    * low punct/digit noise, light stopword presence. Deterministic
+    * arithmetic over the ratios above (rounded inputs → stable).
+    */
+  def qualityScore(c: Column): Column = {
+    val lenScore = least(length(c).cast("double") / lit(500.0), lit(1.0))
+    val noise    = punctRatio(c) + digitRatio(c)
+    val stop     = stopwordRatio(c)
+    round(
+      lit(0.4) * lenScore +
+        lit(0.3) * (lit(1.0) - least(noise * 5.0, lit(1.0))) +
+        lit(0.3) * least(stop * 5.0, lit(1.0)),
+      4)
+  }
+
+  /** Marker n-grams per language for the frequency-vote language ID.
+    * Chosen to be discriminative function words incl. spaces.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " and ", " of "),
+    "de" -> Seq(" der ", " und ", " ist "),
+    "fr" -> Seq(" le ", " et ", " les "),
+    "es" -> Seq(" el ", " y ", " los ")
+  )
+
+  /** Language-ID: per-language marker-occurrence score; argmax with
+    * first-listed-language tie-break (ties resolved in declaration
+    * order, so "en" wins all-zero docs). Pure string arithmetic —
+    * identical in the DuckDB oracle.
+    */
+  def langScores(c: Column): Seq[(String, Column)] = {
+    val padded = concat(lit(" "), lower(c), lit(" "))
+    LangMarkers.map { case (lang, ms) =>
+      lang -> ms.map(m => occurrences(padded, m)).reduce(_ + _)
+    }
+  }
+
+  def langId(c: Column): Column = {
+    val scores = langScores(c)
+    // fold: keep current winner unless a later language strictly beats it
+    scores.tail.foldLeft((lit(scores.head._1), scores.head._2)) {
+      case ((bestLang, bestScore), (lang, score)) =>
+        (when(score > bestScore, lit(lang)).otherwise(bestLang),
+         when(score > bestScore, score).otherwise(bestScore))
+    }._1
+  }
+
+  /** Content fingerprint: md5 of case/whitespace-normalized text.
+    * DuckDB: md5(regexp_replace(lower(trim(x)), '\s+', ' ', 'g'))
+    */
+  def fingerprint(c: Column): Column =
+    md5(regexp_replace(lower(trim(c)), "\\s+", " "))
+}

@@ -1,0 +1,94 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: images/audio/video ride through the
+  * engine as opaque `binary` columns plus a typed metadata struct.
+  * The *decode* step is environment-dependent (codec libraries are
+  * not present in this container) and is stubbed behind
+  * [[StubDecoders]] with a deterministic fake, but the Spark-side
+  * plumbing — schema, batched per-partition execution, feature
+  * schema — is real: swap the stub for a JNI/codec call and nothing
+  * else changes.
+  */
+object Multimodal {
+
+  /** Canonical metadata struct carried beside a binary payload. */
+  val MediaMetaType: StructType = StructType(Seq(
+    StructField("media_type", StringType),   // "image" | "audio" | "video"
+    StructField("format", StringType),       // "png", "wav", ...
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("duration_ms", LongType)
+  ))
+
+  val FeatureType: StructType = StructType(Seq(
+    StructField("n_bytes", LongType),
+    StructField("digest", StringType),
+    StructField("feature", ArrayType(FloatType))
+  ))
+
+  /** Wrap a string column as a binary payload (UTF-8) with metadata —
+    * lets the full pipeline be exercised on the text corpus.
+    */
+  def asBinaryPayload(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("payload", encode(col(textCol), "UTF-8"))
+      .withColumn("meta",
+        struct(
+          lit("image").as("media_type"),
+          lit("raw").as("format"),
+          lit(null).cast(IntegerType).as("width"),
+          lit(null).cast(IntegerType).as("height"),
+          lit(null).cast(LongType).as("duration_ms")))
+
+  /** Columnar (codegen'd) feature extraction over the payload —
+    * byte length and md5 digest are real; suitable as the oracle-
+    * checkable part of the pipeline.
+    */
+  def payloadStats(df: DataFrame, payloadCol: String = "payload"): DataFrame =
+    df.withColumn("n_bytes", octet_length(col(payloadCol)).cast(LongType))
+      .withColumn("digest", md5(hex(col(payloadCol)))) // hex is uppercase in Spark and DuckDB alike
+
+  /** Batched per-partition "decode + featurize" — the seam where a
+    * real decoder plugs in. Runs as `mapPartitions` so a native codec
+    * can amortize initialization per batch, mirroring the
+    * mapInPandas batching pattern.
+    */
+  def decodeFeatures(df: DataFrame, payloadCol: String, dim: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    val inSchema = df.schema
+    val payloadIdx = inSchema.fieldIndex(payloadCol)
+    val outSchema = StructType(inSchema.fields :+ StructField("decoded", FeatureType))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val out: Dataset[Row] = df.mapPartitions { rows =>
+      // per-partition decoder init happens here (stub: none needed)
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](payloadIdx)
+        val (nBytes, digest, feat) = StubDecoders.decode(bytes, dim)
+        Row.fromSeq(r.toSeq :+ Row(nBytes, digest, feat))
+      }
+    }(enc)
+    out
+  }
+}
+
+/** Deterministic fake decoders standing in for image/audio codecs
+  * (STUB — the container has no codec libraries; see Multimodal doc).
+  */
+object StubDecoders {
+  /** "Decode" = byte stats + a deterministic pseudo-feature vector
+    * derived from byte content (stable across runs/engines).
+    */
+  def decode(bytes: Array[Byte], dim: Int): (Long, String, Seq[Float]) = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val digest = md.digest(if (bytes == null) Array.emptyByteArray else bytes)
+    val hexStr = digest.map("%02x".format(_)).mkString
+    val feat = (0 until dim).map { i =>
+      // bytes of the digest, scaled to [0,1) — a stand-in embedding
+      ((digest(i % digest.length) & 0xff).toFloat / 256.0f)
+    }
+    (if (bytes == null) 0L else bytes.length.toLong, hexStr, feat)
+  }
+}

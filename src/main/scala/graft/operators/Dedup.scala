@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large corpora.
+  *
+  * Everything here is a single hash-shuffle on the dedup key with
+  * map-side partial aggregation — the shape that survives a 100 TB
+  * corpus on a 1000-executor cluster. No global sorts, no windows over
+  * the whole table, no driver-side collection.
+  */
+object Dedup {
+
+  /** Keep-first dedup by key (reference `unique_columns` semantics,
+    * deltalake_table.py:construct_df). With an order column the kept
+    * row is the per-key minimizer via `min_by(struct(*), ord)`;
+    * without, an arbitrary-but-deterministic row (min over the row
+    * struct itself). One shuffle, partial-agg friendly; no window
+    * sort.
+    */
+  def keepFirst(df: DataFrame, keys: Seq[String], order: Option[String] = None): DataFrame = {
+    val allCols = df.columns.toSeq
+    // Suffix the full row struct so the ordering is total even when the
+    // order column has ties — otherwise the kept row is nondeterministic.
+    val ord: Column = order
+      .map(o => struct((col(o) +: allCols.map(col)): _*))
+      .getOrElse(struct(allCols.map(col): _*))
+    df.groupBy(keys.map(col): _*)
+      .agg(min_by(struct(allCols.map(col): _*), ord).as("_row"))
+      .select(allCols.map(c => col(s"_row.$c").as(c)): _*)
+  }
+
+  /** Exact content dedup: group by md5 of a normalized content column,
+    * keep the row with the smallest id. md5 is identical across
+    * engines, so this is oracle-checkable.
+    */
+  def exactByContent(df: DataFrame, contentCol: String, idCol: String): DataFrame = {
+    val fp = md5(trim(lower(col(contentCol))))
+    val allCols = df.columns.toSeq
+    df.withColumn("_fp", fp)
+      .groupBy(col("_fp"))
+      .agg(min_by(struct(allCols.map(col): _*), col(idCol)).as("_row"))
+      .select(allCols.map(c => col(s"_row.$c").as(c)): _*)
+  }
+}

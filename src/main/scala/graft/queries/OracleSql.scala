@@ -1,0 +1,349 @@
+package graft.queries
+
+import graft.functions.{PortableHash, Text}
+import Num.Sql.{d4, dsum, davg}
+
+/** DuckDB oracle SQL for every oracle-checked query.
+  *
+  * Where a query involves hashing or marker tables, the SQL is
+  * *generated* from the same Scala constants the Spark side uses
+  * (PortableHash coefficients, Text.LangMarkers, Text.Stopwords), so
+  * the two sides cannot drift.
+  */
+object OracleSql {
+
+  // minhash configuration (must precede the `pipeline` val initializer)
+  private final val K = 5
+  private final val NumHashes = 8
+  private final val Bands = 4
+
+  // ---------- shared fragments ----------
+
+  /** 5-char shingle list of a text expression (mirrors Text.shingles). */
+  def shinglesSql(x: String, k: Int): String =
+    s"CASE WHEN length($x) >= $k THEN list_transform(range(0, length($x)-${k - 1}), i -> substr($x, i+1, $k)) ELSE [$x] END"
+
+  /** mirrors PortableHash.md5Mod over a shingle list. */
+  def shingleHashesSql(shs: String): String =
+    s"list_transform($shs, s -> ${PortableHash.Sql.md5Mod("s")})"
+
+  def minhashSql(hs: String, j: Int): String =
+    s"list_min(list_transform($hs, h -> ${PortableHash.Sql.affine("h", j)}))"
+
+  /** Whitespace tokens (mirrors Text.wsTokens). */
+  def wsTokensSql(x: String): String =
+    s"regexp_split_to_array(trim($x), '\\s+')"
+
+  def wordTokensSql(x: String): String =
+    s"regexp_split_to_array(lower(trim($x)), '[^a-z0-9]+')"
+
+  /** Literal-marker occurrence count (mirrors Text.occurrences). */
+  def occSql(x: String, m: String): String =
+    s"((length($x) - length(replace($x, '$m', ''))) // ${m.length})"
+
+  val relational: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${dsum(d4("l_quantity"))} AS sum_qty,
+         |  ${dsum(d4("l_extendedprice"))} AS sum_base_price,
+         |  ${dsum(s"${d4("l_extendedprice")} * (1 - ${d4("l_discount")})")} AS sum_disc_price,
+         |  ${dsum(s"${d4("l_extendedprice")} * (1 - ${d4("l_discount")}) * (1 + ${d4("l_tax")})")} AS sum_charge,
+         |  ${davg(d4("l_quantity"))} AS avg_qty,
+         |  ${davg(d4("l_extendedprice"))} AS avg_price,
+         |  count(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q03_shipping_priority" ->
+      s"""SELECT l_orderkey,
+         |  ${dsum(s"${d4("l_extendedprice")} * (1 - ${d4("l_discount")})")} AS revenue,
+         |  o_orderdate, o_orderpriority
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON o_orderkey = l_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1996-03-15 00:00:00'
+         |  AND l_shipdate  > TIMESTAMP '1996-03-15 00:00:00'
+         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         |ORDER BY revenue DESC, l_orderkey
+         |LIMIT 10""".stripMargin,
+
+    "q05_local_supplier" ->
+      s"""SELECT n_name,
+         |  ${dsum(s"${d4("l_extendedprice")} * (1 - ${d4("l_discount")})")} AS revenue
+         |FROM customer, orders, lineitem, supplier, nation, region
+         |WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
+         |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+         |  AND r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+         |GROUP BY n_name
+         |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q06_forecast_revenue" ->
+      s"""SELECT ${dsum(s"${d4("l_extendedprice")} * ${d4("l_discount")}")} AS revenue,
+         |  count(*) AS n_rows
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+         |  AND l_discount BETWEEN 0.05 AND 0.07
+         |  AND l_quantity < 24""".stripMargin,
+
+    "q_filter_cmp" ->
+      s"""SELECT l_linestatus, count(*) AS n_rows, ${dsum(d4("l_quantity"))} AS sum_qty
+         |FROM lineitem
+         |WHERE l_quantity < 10 AND l_discount >= 0.05 AND l_returnflag != 'A'
+         |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "q_filter_in" ->
+      s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n_rows,
+         |  ${dsum(d4("o_totalprice"))} AS sum_price
+         |FROM orders
+         |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH') AND o_orderstatus NOT IN ('F')
+         |GROUP BY o_orderstatus, o_orderpriority
+         |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+
+    "q_filter_contains" ->
+      s"""SELECT p_brand, count(*) AS n_parts, ${dsum(d4("p_retailprice"))} AS sum_price
+         |FROM part WHERE p_type LIKE '%ECO%'
+         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q_filter_dnf" ->
+      s"""SELECT o_orderstatus, count(*) AS n_rows, ${dsum(d4("o_totalprice"))} AS sum_price
+         |FROM orders
+         |WHERE (o_orderstatus = 'F' AND o_totalprice > 100000)
+         |   OR (o_orderpriority = '1-URGENT' AND o_totalprice < 50000)
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_filter_includes" ->
+      s"""SELECT doc_id, n_chars FROM documents
+         |WHERE list_contains(${wsTokensSql("text")}, 'spark')
+         |  AND (list_contains(${wsTokensSql("text")}, 'vector')
+         |    OR list_contains(${wsTokensSql("text")}, 'stream'))
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_table_projection" ->
+      s"""SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+         |WHERE c_acctbal > 9000 ORDER BY c_custkey""".stripMargin,
+
+    "q_topk_per_group" ->
+      s"""SELECT p_brand, rank, p_partkey, p_retailprice FROM (
+         |  SELECT p_brand, p_partkey, p_retailprice,
+         |    row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rank
+         |  FROM part) WHERE rank <= 3
+         |ORDER BY p_brand, rank""".stripMargin,
+
+    "q_running_sum" ->
+      s"""SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
+         |  round(CAST(sum(${d4("l_quantity")}) OVER (
+         |    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 4) AS run_qty
+         |FROM lineitem WHERE l_suppkey <= 5
+         |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin,
+
+    "q_agg_stats" ->
+      s"""SELECT o_orderpriority, count(*) AS n_orders,
+         |  count(DISTINCT o_custkey) AS n_customers,
+         |  round(min(o_totalprice), 4) AS min_price,
+         |  round(max(o_totalprice), 4) AS max_price,
+         |  ${davg(d4("o_totalprice"))} AS avg_price
+         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_semi_anti" ->
+      s"""SELECT 'has_orders' AS cohort, c_mktsegment, count(*) AS n_customers
+         |FROM customer c WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+         |GROUP BY c_mktsegment
+         |UNION ALL
+         |SELECT 'no_orders' AS cohort, c_mktsegment, count(*) AS n_customers
+         |FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+         |GROUP BY c_mktsegment
+         |ORDER BY cohort, c_mktsegment""".stripMargin,
+
+    "q_dedup_unique" ->
+      s"""SELECT l_returnflag, count(*) AS n_rows, ${dsum(d4("l_quantity"))} AS sum_qty
+         |FROM (
+         |  SELECT * FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY l_orderkey ORDER BY
+         |      l_linenumber, l_orderkey, l_partkey, l_suppkey, l_quantity,
+         |      l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate) AS rn
+         |    FROM lineitem) WHERE rn = 1)
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_schema_normalize" ->
+      s"""SELECT c_mktsegment, count(*) AS n_rows,
+         |  count(CAST(NULL AS VARCHAR)) AS n_phone,
+         |  round(CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE), 4) AS sum_acctbal
+         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+  )
+
+  // ---------- pipeline ----------
+
+  private val fingerprintSql =
+    "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+
+  val pipeline: Map[String, String] = Map(
+    "q_sessionize" ->
+      s"""WITH flagged AS (
+         |  SELECT user_id, ts, value,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+         |         THEN 1 ELSE 0 END AS brk
+         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+         |), sessions AS (
+         |  SELECT user_id, ts, value,
+         |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+         |  FROM flagged)
+         |SELECT user_id, session_seq,
+         |  epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us,
+         |  count(*) AS n_events,
+         |  round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_value
+         |FROM sessions GROUP BY user_id, session_seq
+         |ORDER BY user_id, session_seq""".stripMargin,
+
+    "q_event_buckets" ->
+      s"""SELECT epoch_us(date_trunc('hour', ts)) AS bucket_us, event_type,
+         |  count(*) AS n_events, ${dsum(d4("value"))} AS sum_value
+         |FROM events GROUP BY 1, 2 ORDER BY bucket_us, event_type""".stripMargin,
+
+    "q_dedup_exact" ->
+      s"""SELECT lang, count(*) AS n_unique_docs FROM (
+         |  SELECT * FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY md5(trim(lower(text))) ORDER BY doc_id) AS rn
+         |    FROM documents) WHERE rn = 1)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_fingerprint" ->
+      s"""SELECT doc_id, $fingerprintSql AS fp,
+         |  len(${wsTokensSql("text")}) AS n_tokens,
+         |  length(text) AS len_chars
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_token_count" ->
+      s"""SELECT source, count(*) AS n_docs,
+         |  sum(len(${wsTokensSql("text")})) AS ws_tokens,
+         |  sum(len(${wordTokensSql("text")})) AS word_tokens,
+         |  sum(length(text)) AS total_chars
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_text_stats" -> textStatsSql,
+    "q_lang_id" -> langIdSql,
+    "q_minhash" -> minhashQuerySql,
+    "q_minhash_pairs" -> minhashPairsSql,
+    "q_knn_brute" -> knnBruteSql,
+    "q_binary_features" ->
+      s"""SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         |  md5(hex(encode(text))) AS digest
+         |FROM documents ORDER BY doc_id""".stripMargin
+  )
+
+  /** Ratio fragments mirroring Text.punctRatio / stopwordRatio /
+    * meanTokenLen / qualityScore exactly (incl. rounding points).
+    */
+  private def punctSql(x: String) =
+    s"round((length($x) - length(regexp_replace($x, '[.,;:!?]', '', 'g'))) / greatest(length($x), 1), 4)"
+  private def digitSql(x: String) =
+    s"round((length($x) - length(regexp_replace($x, '[0-9]', '', 'g'))) / greatest(length($x), 1), 4)"
+  private def stopSql(x: String) = {
+    val list = Text.Stopwords.map(w => s"'$w'").mkString(", ")
+    s"round(len(list_filter(${wsTokensSql(x)}, t -> t IN ($list))) / greatest(len(${wsTokensSql(x)}), 1), 4)"
+  }
+  private def mtlSql(x: String) =
+    s"round(list_sum(list_transform(${wsTokensSql(x)}, t -> length(t))) / greatest(len(${wsTokensSql(x)}), 1), 4)"
+  private def qualitySql(x: String) =
+    s"""round(0.4 * least(length($x) / 500.0, 1.0)
+       | + 0.3 * (1.0 - least((${punctSql(x)} + ${digitSql(x)}) * 5.0, 1.0))
+       | + 0.3 * least(${stopSql(x)} * 5.0, 1.0), 4)""".stripMargin.replace("\n", " ")
+
+  private def decAvg(x: String) =
+    s"round(CAST(sum(CAST($x AS DECIMAL(8,4))) AS DOUBLE) / count(*), 4)"
+
+  private def textStatsSql: String =
+    s"""SELECT lang, count(*) AS n_docs,
+       |  ${decAvg(punctSql("text"))} AS avg_punct,
+       |  ${decAvg(stopSql("text"))} AS avg_stopword,
+       |  ${decAvg(mtlSql("text"))} AS avg_token_len,
+       |  ${decAvg(qualitySql("text"))} AS avg_quality
+       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  private def langIdSql: String = {
+    val padded = "(' ' || lower(text) || ' ')"
+    val scores = Text.LangMarkers.map { case (lang, ms) =>
+      lang -> ms.map(m => occSql("p", m)).mkString(" + ")
+    }
+    val scoreCols = scores.map { case (l, e) => s"$e AS s_$l" }.mkString(",\n    ")
+    val gm = s"greatest(${scores.map(s => s"s_${s._1}").mkString(", ")})"
+    val caseExpr = scores.init
+      .map { case (l, _) => s"WHEN s_$l = $gm THEN '$l'" }
+      .mkString("CASE ", " ", s" ELSE '${scores.last._1}' END")
+    s"""WITH scored AS (
+       |  SELECT lang, $scoreCols
+       |  FROM (SELECT lang, $padded AS p FROM documents))
+       |SELECT lang, $caseExpr AS predicted, count(*) AS n_docs
+       |FROM scored GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin
+  }
+
+  private def sigSelect: String = {
+    val sigs = (0 until NumHashes)
+      .map(j => s"${minhashSql("hs", j)} AS sig_$j")
+      .mkString(",\n    ")
+    s"""WITH sh AS (
+       |  SELECT doc_id, text, ${shinglesSql("text", K)} AS shs FROM documents),
+       |hashed AS (
+       |  SELECT doc_id, text, shs, ${shingleHashesSql("shs")} AS hs FROM sh),
+       |sig AS (
+       |  SELECT doc_id, text, shs,
+       |    $sigs
+       |  FROM hashed)""".stripMargin
+  }
+
+  private def minhashQuerySql: String =
+    s"""$sigSelect
+       |SELECT doc_id, ${(0 until NumHashes).map(j => s"sig_$j").mkString(", ")}
+       |FROM sig ORDER BY doc_id""".stripMargin
+
+  private def minhashPairsSql: String = {
+    val rows = NumHashes / Bands
+    val bandSelects = (0 until Bands).map { b =>
+      val sigs = (b * rows until (b + 1) * rows).map(j => s"sig_$j").mkString(", ")
+      s"SELECT doc_id, shset, $b AS band, md5(concat_ws('|', $sigs)) AS bh FROM sigd"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""$sigSelect,
+       |sigd AS (SELECT *, list_distinct(shs) AS shset FROM sig),
+       |banded AS (
+       |  $bandSelects
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       |verified AS (
+       |  SELECT a_id, b_id,
+       |    round(len(list_intersect(sa.shset, sb.shset)) /
+       |      (len(sa.shset) + len(sb.shset) - len(list_intersect(sa.shset, sb.shset))), 4) AS jaccard
+       |  FROM cand
+       |  JOIN sigd sa ON sa.doc_id = a_id
+       |  JOIN sigd sb ON sb.doc_id = b_id)
+       |SELECT a_id, b_id, jaccard FROM verified WHERE jaccard >= 0.5
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
+  private def knnBruteSql: String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
+       |scored AS (
+       |  SELECT q.query_id, c.vec_id AS neighbor_id,
+       |    round(list_cosine_similarity(q.qv::DOUBLE[], c.embedding::DOUBLE[]), 4) AS sim
+       |  FROM q CROSS JOIN embeddings c
+       |  WHERE q.query_id != c.vec_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, sim,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+
+  val all: Map[String, String] = relational ++ pipeline
+}

@@ -1,0 +1,146 @@
+package graft.queries
+
+import graft.functions.Text
+import graft.multimodal.Multimodal
+import graft.operators.{Dedup, NearDup, Sessionize, Similarity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Num.{d4, dsum}
+
+/** LLM-pipeline query inventory (SURVEY.md §2 P1–P13, E8–E9, E12–E13). */
+object PipelineQueries {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.table(s, dir, n)
+
+  /** E8: gap-based sessionization of the event log (30-min gap).
+    * Timestamps exported as epoch micros (engine-neutral).
+    */
+  def qSessionize(s: SparkSession, dir: String): DataFrame =
+    Sessionize.rollup(t(s, dir, "events"), "user_id", "ts", "value", gapSeconds = 1800)
+      .withColumn("start_us", unix_micros(col("session_start")))
+      .withColumn("end_us", unix_micros(col("session_end")))
+      .select("user_id", "session_seq", "start_us", "end_us", "n_events", "sum_value")
+      .orderBy("user_id", "session_seq")
+
+  /** E9: tumbling-hour event aggregation. */
+  def qEventBuckets(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("bucket_us", unix_micros(date_trunc("hour", col("ts"))))
+      .groupBy(col("bucket_us"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(d4(col("value"))).as("sum_value"))
+      .orderBy("bucket_us", "event_type")
+
+  /** P1: exact content dedup — survivors per language. */
+  def qDedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactByContent(t(s, dir, "documents"), "text", "doc_id")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_unique_docs"))
+      .orderBy("lang")
+
+  /** P12 + P11: per-document fingerprint and token/char counts. */
+  def qFingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        Text.fingerprint(col("text")).as("fp"),
+        Text.tokenCount(col("text")).as("n_tokens"),
+        length(col("text")).as("len_chars"))
+      .orderBy("doc_id")
+
+  /** P11: corpus token accounting by source. */
+  def qTokenCount(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(
+        col("source"),
+        size(Text.wsTokens(col("text"))).as("n_ws"),
+        size(Text.wordTokens(col("text"))).as("n_words"),
+        length(col("text")).as("n_ch"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_ws")).as("ws_tokens"),
+        sum(col("n_words")).as("word_tokens"),
+        sum(col("n_ch")).as("total_chars"))
+      .orderBy("source")
+
+  /** P10: quality signals aggregated per language. Ratios are rounded
+    * per-doc then summed as decimals (order-independent).
+    */
+  def qTextStats(s: SparkSession, dir: String): DataFrame = {
+    val d8 = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(8, 4))
+    t(s, dir, "documents")
+      .select(
+        col("lang"),
+        Text.punctRatio(col("text")).as("punct"),
+        Text.stopwordRatio(col("text")).as("stop"),
+        Text.meanTokenLen(col("text")).as("mtl"),
+        Text.qualityScore(col("text")).as("q"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(sum(d8(col("punct"))).cast(DoubleType) / count(lit(1)), 4).as("avg_punct"),
+        round(sum(d8(col("stop"))).cast(DoubleType) / count(lit(1)), 4).as("avg_stopword"),
+        round(sum(d8(col("mtl"))).cast(DoubleType) / count(lit(1)), 4).as("avg_token_len"),
+        round(sum(d8(col("q"))).cast(DoubleType) / count(lit(1)), 4).as("avg_quality"))
+      .orderBy("lang")
+  }
+
+  /** P9: heuristic language ID — confusion counts vs the labeled lang. */
+  def qLangId(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("lang"), Text.langId(col("text")).as("predicted"))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "predicted")
+
+  /** P3: MinHash signatures (8 hashes over 5-char shingles). */
+  def qMinhash(s: SparkSession, dir: String): DataFrame =
+    NearDup.minhashSignatures(t(s, dir, "documents"), "text", k = 5, numHashes = 8)
+      .select((col("doc_id") +: (0 until 8).map(j => col(NearDup.sigCol(j)))): _*)
+      .orderBy("doc_id")
+
+  /** P4+P5: LSH-banded near-duplicate pairs with exact Jaccard verify. */
+  def qMinhashPairs(s: SparkSession, dir: String): DataFrame =
+    NearDup.minhashPairs(
+      t(s, dir, "documents"), "doc_id", "text",
+      k = 5, numHashes = 8, bands = 4, threshold = 0.5)
+      .orderBy("a_id", "b_id")
+
+  /** P6: SimHash values + hamming-near pairs within small buckets are
+    * covered in tests; this exports the per-doc simhash (16-bit).
+    */
+  def qSimhash(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), NearDup.simhash(col("text"), bits = 16).as("simhash"))
+      .orderBy("doc_id")
+
+  /** P7: brute-force cosine top-5 for query vectors (vec_id < 20). */
+  def qKnnBrute(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.bruteForceTopK(
+      corpus = emb, queries = emb.where(col("vec_id") < 20),
+      idCol = "vec_id", vecCol = "embedding", k = 5)
+      .orderBy("query_id", "rank")
+  }
+
+  /** P8: IVF-bucketed ANN — deterministic centroids (vec_id % 100 == 0),
+    * top-3 within bucket for query vectors vec_id < 20.
+    */
+  def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding", stride = 100)
+    Similarity.ivfTopK(assigned, "vec_id", "embedding",
+      queryIds = emb.where(col("vec_id") < 20).select("vec_id"), k = 3)
+      .orderBy("query_id", "rank")
+  }
+
+  /** P13: multimodal payload plumbing — oracle-checkable byte stats
+    * over the binary payload column.
+    */
+  def qBinaryFeatures(s: SparkSession, dir: String): DataFrame =
+    Multimodal.payloadStats(Multimodal.asBinaryPayload(t(s, dir, "documents"), "text"))
+      .withColumn("digest", col("digest"))
+      .select(col("doc_id"), col("n_bytes"), col("digest"))
+      .orderBy("doc_id")
+}

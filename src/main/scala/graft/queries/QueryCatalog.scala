@@ -1,0 +1,56 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The full query inventory: name → implementation (+ optional DuckDB
+  * oracle in [[OracleSql]], headline flag for the benchmark set).
+  */
+object QueryCatalog {
+
+  type QueryFn = (SparkSession, String) => DataFrame
+
+  final case class Entry(name: String, fn: QueryFn, headline: Boolean = false)
+
+  val entries: Seq[Entry] = Seq(
+    Entry("q01_pricing_summary", RelationalQueries.q01PricingSummary, headline = true),
+    Entry("q03_shipping_priority", RelationalQueries.q03ShippingPriority, headline = true),
+    Entry("q05_local_supplier", RelationalQueries.q05LocalSupplier, headline = true),
+    Entry("q06_forecast_revenue", RelationalQueries.q06ForecastRevenue, headline = true),
+    Entry("q_filter_cmp", RelationalQueries.qFilterCmp),
+    Entry("q_filter_in", RelationalQueries.qFilterIn),
+    Entry("q_filter_contains", RelationalQueries.qFilterContains),
+    Entry("q_filter_dnf", RelationalQueries.qFilterDnf),
+    Entry("q_filter_includes", RelationalQueries.qFilterIncludes),
+    Entry("q_table_projection", RelationalQueries.qTableProjection),
+    Entry("q_topk_per_group", RelationalQueries.qTopkPerGroup),
+    Entry("q_running_sum", RelationalQueries.qRunningSum),
+    Entry("q_agg_stats", RelationalQueries.qAggStats),
+    Entry("q_semi_anti", RelationalQueries.qSemiAnti),
+    Entry("q_dedup_unique", RelationalQueries.qDedupUnique, headline = true),
+    Entry("q_schema_normalize", RelationalQueries.qSchemaNormalize),
+    Entry("q_sessionize", PipelineQueries.qSessionize, headline = true),
+    Entry("q_event_buckets", PipelineQueries.qEventBuckets),
+    Entry("q_dedup_exact", PipelineQueries.qDedupExact, headline = true),
+    Entry("q_fingerprint", PipelineQueries.qFingerprint),
+    Entry("q_token_count", PipelineQueries.qTokenCount, headline = true),
+    Entry("q_text_stats", PipelineQueries.qTextStats),
+    Entry("q_lang_id", PipelineQueries.qLangId),
+    Entry("q_minhash", PipelineQueries.qMinhash, headline = true),
+    Entry("q_minhash_pairs", PipelineQueries.qMinhashPairs, headline = true),
+    Entry("q_simhash", PipelineQueries.qSimhash),
+    Entry("q_knn_brute", PipelineQueries.qKnnBrute, headline = true),
+    Entry("q_ann_ivf", PipelineQueries.qAnnIvf),
+    Entry("q_binary_features", PipelineQueries.qBinaryFeatures)
+  )
+
+  def queries: Map[String, QueryFn] =
+    entries.map(e => e.name -> e.fn).toMap
+
+  def headlineNames: Seq[String] = entries.filter(_.headline).map(_.name)
+
+  /** Oracle SQL for every query that has one (others get the driver's
+    * rows-only check).
+    */
+  def oracles: Map[String, String] =
+    OracleSql.all.view.filterKeys(queries.contains).toMap
+}

@@ -1,0 +1,236 @@
+package graft.queries
+
+import graft.core.Filter
+import graft.tables.{LakehouseTable, ReadArgs}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Num.{d4, dsum, davg}
+
+/** Relational query inventory (SURVEY.md §2 E1–E11, R1–R10).
+  *
+  * Every query is declarative DataFrame code — Catalyst pushes the
+  * filters/projections into the parquet scans, AQE handles shuffle
+  * sizing. Joins against dimension tables are broadcast explicitly.
+  * Each query has an exactly-mirrored DuckDB oracle in
+  * [[QueryCatalog]].
+  */
+object RelationalQueries {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.table(s, dir, n)
+
+  /** TPC-H Q1-style pricing summary (flagship). */
+  def q01PricingSummary(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    li.filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(d4(col("l_quantity"))).as("sum_qty"),
+        dsum(d4(col("l_extendedprice"))).as("sum_base_price"),
+        dsum(d4(col("l_extendedprice")) * (lit(1) - d4(col("l_discount")))).as("sum_disc_price"),
+        dsum(d4(col("l_extendedprice")) * (lit(1) - d4(col("l_discount")))
+          * (lit(1) + d4(col("l_tax")))).as("sum_charge"),
+        davg(d4(col("l_quantity"))).as("avg_qty"),
+        davg(d4(col("l_extendedprice"))).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** TPC-H Q3-style shipping priority: 3-way join, agg, top-10. */
+  def q03ShippingPriority(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val ord  = t(s, dir, "orders").filter(col("o_orderdate") < to_timestamp(lit("1996-03-15 00:00:00")))
+    val li   = t(s, dir, "lineitem").filter(col("l_shipdate") > to_timestamp(lit("1996-03-15 00:00:00")))
+    broadcast(cust)
+      .join(ord, col("c_custkey") === col("o_custkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(dsum(d4(col("l_extendedprice")) * (lit(1) - d4(col("l_discount")))).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+      .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+  }
+
+  /** TPC-H Q5-style: 6-way join with broadcast dims, revenue by nation. */
+  def q05LocalSupplier(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+        col("o_orderdate") < to_timestamp(lit("1997-01-01 00:00:00")))
+    val li   = t(s, dir, "lineitem")
+    val supp = t(s, dir, "supplier")
+    val nat  = t(s, dir, "nation")
+    val reg  = t(s, dir, "region").filter(col("r_name") === "ASIA")
+    ord
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(dsum(d4(col("l_extendedprice")) * (lit(1) - d4(col("l_discount")))).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** TPC-H Q6-style: tight scan-filter-aggregate (pushdown showcase). */
+  def q06ForecastRevenue(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(
+        col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+          col("l_shipdate") < to_timestamp(lit("1997-01-01 00:00:00")) &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(
+        dsum(d4(col("l_extendedprice")) * d4(col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_rows"))
+
+  /** R1: comparison operators through the Filter algebra + ParquetTable. */
+  def qFilterCmp(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "lineitem",
+        ReadArgs.where(
+          Filter("l_quantity", "<", 10),
+          Filter("l_discount", ">=", 0.05),
+          Filter("l_returnflag", "!=", "A")))
+      .groupBy(col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"), dsum(d4(col("l_quantity"))).as("sum_qty"))
+      .orderBy("l_linestatus")
+
+  /** R2: in / not in through the Filter algebra. */
+  def qFilterIn(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "orders",
+        ReadArgs.where(
+          Filter("o_orderpriority", "in", Seq("1-URGENT", "2-HIGH")),
+          Filter("o_orderstatus", "not in", Seq("F"))))
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_rows"), dsum(d4(col("o_totalprice"))).as("sum_price"))
+      .orderBy("o_orderstatus", "o_orderpriority")
+
+  /** R3: string contains through the Filter algebra. */
+  def qFilterContains(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "part", ReadArgs.where(Filter("p_type", "contains", "ECO")))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_parts"), dsum(d4(col("p_retailprice"))).as("sum_price"))
+      .orderBy("p_brand")
+
+  /** R5: DNF (OR of ANDs) through the Filter algebra. */
+  def qFilterDnf(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "orders",
+        ReadArgs.dnf(Seq(
+          Seq(Filter("o_orderstatus", "=", "F"), Filter("o_totalprice", ">", 100000.0)),
+          Seq(Filter("o_orderpriority", "=", "1-URGENT"), Filter("o_totalprice", "<", 50000.0)))))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"), dsum(d4(col("o_totalprice"))).as("sum_price"))
+      .orderBy("o_orderstatus")
+
+  /** R4: includes / includes-any on an array column (ws tokens). */
+  def qFilterIncludes(s: SparkSession, dir: String): DataFrame = {
+    import graft.core.{Filters, Filter => F}
+    val docs = t(s, dir, "documents")
+      .withColumn("toks", graft.functions.Text.wsTokens(col("text")))
+    val pred = Filters.toColumn(Filters.normalize(Seq(
+      F("toks", "includes", "spark"),
+      F("toks", "includes any", Seq("vector", "stream"))))).get
+    docs.filter(pred).select(col("doc_id"), col("n_chars")).orderBy("doc_id")
+  }
+
+  /** Column pruning + range filter via the table API (R6 surface). */
+  def qTableProjection(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "customer",
+        ReadArgs.where(Filter("c_acctbal", ">", 9000.0))
+          .copy(columns = Some(Seq("c_custkey", "c_acctbal", "c_mktsegment"))))
+      .orderBy("c_custkey")
+
+  /** E6: top-3 per group via window rank. */
+  def qTopkPerGroup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("p_brand").orderBy(col("p_retailprice").desc, col("p_partkey"))
+    t(s, dir, "part")
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select("p_brand", "rank", "p_partkey", "p_retailprice")
+      .orderBy("p_brand", "rank")
+  }
+
+  /** E7: running revenue per supplier (bounded to 5 suppliers). */
+  def qRunningSum(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "lineitem")
+      .where(col("l_suppkey") <= 5)
+      .withColumn("run_qty", round(sum(d4(col("l_quantity"))).over(w).cast(DoubleType), 4))
+      .select("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber", "run_qty")
+      .orderBy("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber")
+  }
+
+  /** E2: aggregate stats incl. exact distinct counts. */
+  def qAggStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_customers"),
+        round(min(col("o_totalprice")), 4).as("min_price"),
+        round(max(col("o_totalprice")), 4).as("max_price"),
+        davg(d4(col("o_totalprice"))).as("avg_price"))
+      .orderBy("o_orderpriority")
+
+  /** E5: semi + anti join (customers with vs without orders). */
+  def qSemiAnti(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    val ord  = t(s, dir, "orders")
+    val withOrders = cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_customers"))
+      .withColumn("cohort", lit("has_orders"))
+    val withoutOrders = cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_customers"))
+      .withColumn("cohort", lit("no_orders"))
+    withOrders.unionByName(withoutOrders)
+      .select("cohort", "c_mktsegment", "n_customers")
+      .orderBy("cohort", "c_mktsegment")
+  }
+
+  private def lineitemSchema: StructType = StructType(Seq(
+    StructField("l_orderkey", LongType), StructField("l_partkey", LongType),
+    StructField("l_suppkey", LongType), StructField("l_linenumber", IntegerType),
+    StructField("l_quantity", DoubleType), StructField("l_extendedprice", DoubleType),
+    StructField("l_discount", DoubleType), StructField("l_tax", DoubleType),
+    StructField("l_returnflag", StringType), StructField("l_linestatus", StringType),
+    StructField("l_shipdate", TimestampType)))
+
+  /** R10: keep-first dedup via LakehouseTable unique_columns. */
+  def qDedupUnique(s: SparkSession, dir: String): DataFrame = {
+    val tbl = new LakehouseTable(
+      name = "lineitem_first_line",
+      uri = s"$dir/lineitem.parquet",
+      schema = lineitemSchema,
+      uniqueColumns = Some(Seq("l_orderkey")),
+      orderColumn = Some("l_linenumber"))
+    tbl(s, ReadArgs.empty)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"), dsum(d4(col("l_quantity"))).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  /** R9: schema normalization — declared column missing from the file
+    * comes back as typed null; declared casts applied.
+    */
+  def qSchemaNormalize(s: SparkSession, dir: String): DataFrame = {
+    val declared = StructType(Seq(
+      StructField("c_custkey", LongType),
+      StructField("c_name", StringType),
+      StructField("c_nationkey", IntegerType),
+      StructField("c_acctbal", DecimalType(12, 2)),
+      StructField("c_mktsegment", StringType),
+      StructField("c_phone", StringType) // not in the file -> null
+    ))
+    val tbl = new LakehouseTable("customer_norm", s"$dir/customer.parquet", declared)
+    tbl(s, ReadArgs.empty)
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("c_phone")).as("n_phone"),
+        round(sum(col("c_acctbal")).cast(DoubleType), 4).as("sum_acctbal"))
+      .orderBy("c_mktsegment")
+  }
+}

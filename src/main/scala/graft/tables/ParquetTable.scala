@@ -1,0 +1,228 @@
+package graft.tables
+
+import graft.core._
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DataType
+
+/** Partition column declaration, analog of the reference's
+  * `Partition(column, col_type)` (datarepo/core/tables/util.py:41-43).
+  */
+final case class Partition(column: String, dataType: DataType)
+
+/** Physical layout of partition directories
+  * (util.py:PartitioningScheme):
+  *  - Directory: `uri/5956/2024-03-24`
+  *  - Hive:      `uri/implant_id=5956/date=2024-03-24`
+  */
+sealed trait PartitioningScheme
+object PartitioningScheme {
+  case object Directory extends PartitioningScheme
+  case object Hive      extends PartitioningScheme
+}
+
+/** Parquet-backed table with partition-prefix pushdown.
+  *
+  * Re-expresses `ParquetTable` (datarepo/core/tables/parquet_table.py:
+  * 152-424) Spark-first. The reference's key optimization — building
+  * the longest URI prefix from equality filters so the object-store
+  * List() call is narrow (parquet_table.py:_build_uri_from_filters) —
+  * is kept: we walk the ordered partitions and, while every DNF
+  * conjunction pins the partition with exactly one equality filter
+  * (all agreeing), we extend the read path. Pinned partition columns
+  * are re-attached as typed literal columns. For the Hive layout the
+  * remaining partition columns come back via Spark's built-in
+  * partition discovery, and any remaining filters on them are pruned
+  * by Catalyst at *planning* time (never a full-data scan). For the
+  * Directory layout (no `col=` names in the path), remaining
+  * partition levels are enumerated via the filesystem, pruned
+  * driver-side against the filters — the same listing pyarrow would
+  * do, minus the pruned-out subtrees — and read as a union of
+  * leaf scans with literal partition columns.
+  */
+class ParquetTable(
+    val name: String,
+    val uri: String,
+    val partitioning: Seq[Partition],
+    val partitioningScheme: PartitioningScheme = PartitioningScheme.Hive,
+    description: String = "",
+    docsFilters: Seq[Filter] = Seq.empty,
+    docsColumns: Option[Seq[String]] = None,
+    val parquetFileName: String = "df.parquet"
+) extends TableProtocol {
+
+  override val tableMetadata: TableMetadata =
+    TableMetadata("PARQUET", description, docsFilters, docsColumns)
+
+  /** Result of prefix construction: read root, partitions not pinned,
+    * residual filters, and the pinned (applied) equality filters.
+    */
+  final case class PrefixPlan(
+      prefix: String,
+      remaining: Seq[Partition],
+      residual: Filters.Normalized,
+      applied: Seq[Filter]
+  )
+
+  /** Longest-prefix construction from equality filters; mirrors
+    * parquet_table.py:_build_uri_from_filters including the
+    * trailing-slash-exactness concern (we match directories exactly,
+    * not string prefixes).
+    */
+  def buildPrefix(filters: Filters.Normalized): PrefixPlan = {
+    if (filters.isEmpty || partitioning.isEmpty)
+      return PrefixPlan(uri, partitioning, filters, Seq.empty)
+
+    var prefix = uri
+    var residual: Seq[scala.collection.mutable.Buffer[Filter]] =
+      filters.map(_.toBuffer)
+    val applied = scala.collection.mutable.Buffer.empty[Filter]
+    var remaining = partitioning
+
+    var continue = true
+    while (continue && remaining.nonEmpty) {
+      val part = remaining.head
+      val perConj = residual.map(conj => exactlyOneEquality(part, conj.toSeq))
+      if (perConj.isEmpty || perConj.exists(_.isEmpty) ||
+          !perConj.forall(_ == perConj.head)) {
+        continue = false
+      } else {
+        val f = perConj.head.get
+        val component = partitioningScheme match {
+          case PartitioningScheme.Directory => f.value.toString
+          case PartitioningScheme.Hive      => s"${part.column}=${f.value}"
+        }
+        prefix = s"${prefix.stripSuffix("/")}/$component"
+        residual.foreach(conj => conj -= f)
+        applied += f
+        remaining = remaining.tail
+      }
+    }
+    PrefixPlan(prefix, remaining, residual.map(_.toSeq).filter(_.nonEmpty), applied.toSeq)
+  }
+
+  /** Exactly-one-strict-equality check per partition per conjunction
+    * (util.py:exactly_one_equality_filter).
+    */
+  private def exactlyOneEquality(part: Partition, conj: Seq[Filter]): Option[Filter] = {
+    val onCol = conj.filter(_.column == part.column)
+    onCol match {
+      case Seq(f) if f.op == FilterOp.Eq => Some(f)
+      case _                             => None
+    }
+  }
+
+  override def apply(spark: SparkSession, args: ReadArgs): DataFrame = {
+    val plan = buildPrefix(args.filters)
+
+    var df: DataFrame = partitioningScheme match {
+      case PartitioningScheme.Hive =>
+        // basePath keeps pinned partition columns out of the data;
+        // remaining ones are discovered and pruned by Catalyst.
+        if (plan.remaining.nonEmpty)
+          spark.read.option("basePath", plan.prefix).parquet(plan.prefix)
+        else
+          spark.read.parquet(plan.prefix)
+      case PartitioningScheme.Directory =>
+        readDirectoryLayout(spark, plan)
+    }
+
+    // Hive partition-type inference may differ from the declaration —
+    // cast discovered partition columns to their declared types.
+    if (partitioningScheme == PartitioningScheme.Hive) {
+      val present = df.columns.toSet
+      plan.remaining.filter(p => present.contains(p.column)).foreach { p =>
+        df = df.withColumn(p.column, col(p.column).cast(p.dataType))
+      }
+    }
+
+    // Re-attach pinned partition columns as typed literals
+    // (parquet_table.py:316-330).
+    plan.applied.foreach { f =>
+      val t = partitioning.find(_.column == f.column).get.dataType
+      df = df.withColumn(f.column, lit(f.value).cast(t))
+    }
+
+    Filters.toColumn(plan.residual).foreach(pred => df = df.filter(pred))
+    args.columns.foreach(cols => df = df.select(cols.map(col): _*))
+    df
+  }
+
+  /** Directory layout: enumerate remaining partition levels, prune
+    * against remaining filters driver-side (this is partition pruning
+    * on path metadata, not data), then union leaf scans annotated
+    * with their partition values.
+    */
+  private def readDirectoryLayout(spark: SparkSession, plan: PrefixPlan): DataFrame = {
+    if (plan.remaining.isEmpty) return spark.read.parquet(plan.prefix)
+
+    val fs = new Path(plan.prefix).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // Enumerate leaves: (path, partitionValues aligned with plan.remaining)
+    def expand(p: Path, levels: Seq[Partition]): Seq[(Path, Seq[String])] =
+      levels match {
+        case Nil => Seq((p, Seq.empty))
+        case _ +: rest =>
+          fs.listStatus(p).toSeq.filter(_.isDirectory).flatMap { st =>
+            expand(st.getPath, rest).map { case (leaf, vs) =>
+              (leaf, st.getPath.getName +: vs)
+            }
+          }
+      }
+
+    val leaves = expand(new Path(plan.prefix), plan.remaining)
+
+    // Prune leaves whose partition values cannot satisfy the residual
+    // filters (only equality/in filters on partition cols are used for
+    // pruning; the full residual predicate is still applied on data).
+    val partCols = plan.remaining.map(_.column)
+    def mayMatch(values: Seq[String]): Boolean = {
+      val byCol = partCols.zip(values).toMap
+      plan.residual.isEmpty || plan.residual.exists { conj =>
+        conj.forall { f =>
+          byCol.get(f.column) match {
+            case None => true
+            case Some(v) =>
+              f.op match {
+                case FilterOp.Eq    => v == f.value.toString
+                case FilterOp.Neq   => v != f.value.toString
+                case FilterOp.In    => f.value.asInstanceOf[Iterable[Any]].exists(_.toString == v)
+                case FilterOp.NotIn => !f.value.asInstanceOf[Iterable[Any]].exists(_.toString == v)
+                case _              => true // range ops on strings: don't prune
+              }
+          }
+        }
+      }
+    }
+
+    val kept = leaves.filter { case (_, vs) => mayMatch(vs) }
+    require(kept.nonEmpty, s"No partitions of $name match the given filters under ${plan.prefix}")
+
+    kept
+      .map { case (leaf, vs) =>
+        var d = spark.read.parquet(leaf.toString)
+        partCols.zip(vs).zip(plan.remaining).foreach { case ((c, v), p) =>
+          d = d.withColumn(c, lit(v).cast(p.dataType))
+        }
+        d
+      }
+      .reduce(_.unionByName(_))
+  }
+
+  /** Fully-pinned leaf file path (parquet_table.py:build_file_fragment). */
+  def buildFileFragment(filters: Seq[Filter]): String = {
+    val plan = buildPrefix(Filters.normalize(filters))
+    if (plan.remaining.nonEmpty)
+      throw new IllegalArgumentException(
+        s"Not enough partitions specified, missing: ${plan.remaining.map(_.column)}")
+    s"${plan.prefix.stripSuffix("/")}/$parquetFileName"
+  }
+
+  override def getSchema(spark: SparkSession): TableSchema = {
+    val partitions = docsFilters.map(f =>
+      TablePartition(f.column, f.value.getClass.getSimpleName, f.value))
+    val df = apply(spark, ReadArgs(filters = Filters.normalize(docsFilters)))
+    TableSchema(partitions, TableSchema.columnsOf(df.schema))
+  }
+}
