@@ -1,0 +1,53 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column, text: String): Any =
+    Seq(text).toDF("t").select(c.as("r")).head().get(0)
+
+  test("whitespace and word tokenization") {
+    assert(one(size(Text.wsTokens(col("t"))), "a  b\tc") == 3)
+    assert(one(size(Text.wordTokens(col("t"))), "a-b c") == 3)
+    assert(one(Text.tokenCount(col("t")), " x y ") == 2)
+  }
+
+  test("shingles: k-grams and short-string fallback") {
+    assert(one(Text.shingles(col("t"), 3), "abcd") == Seq("abc", "bcd"))
+    assert(one(Text.shingles(col("t"), 5), "ab") == Seq("ab"))
+  }
+
+  test("occurrences counts non-overlapping literals") {
+    assert(one(Text.occurrences(col("t"), " the "), " the cat the the ") == 2)
+  }
+
+  test("ratios are rounded and division-safe") {
+    assert(one(Text.punctRatio(col("t")), "a,b.c") == 0.4)
+    assert(one(Text.digitRatio(col("t")), "a1b2") == 0.5)
+    assert(one(Text.stopwordRatio(col("t")), "the cat sat") == 0.3333)
+    assert(one(Text.meanTokenLen(col("t")), "ab abcd") == 3.0)
+  }
+
+  test("quality score stays in [0,1]") {
+    val scores = Seq("", "the a of and in is", "x" * 600, "hello world this is fine")
+      .toDF("t").select(Text.qualityScore(col("t")).as("q")).as[Double].collect()
+    assert(scores.forall(s => s >= 0.0 && s <= 1.0))
+  }
+
+  test("langId picks the marker-richest language, first-listed wins ties") {
+    assert(one(Text.langId(col("t")), "the cat and the dog of it") == "en")
+    assert(one(Text.langId(col("t")), "der Hund und die Katze ist gut") == "de")
+    assert(one(Text.langId(col("t")), "le chat et les chiens") == "fr")
+    assert(one(Text.langId(col("t")), "el perro y los gatos") == "es")
+    assert(one(Text.langId(col("t")), "nothing matches here") == "en") // all-zero tie
+  }
+
+  test("fingerprint normalizes case and whitespace") {
+    val fp1 = one(Text.fingerprint(col("t")), "  Hello   World ")
+    val fp2 = one(Text.fingerprint(col("t")), "hello world")
+    assert(fp1 == fp2)
+  }
+}

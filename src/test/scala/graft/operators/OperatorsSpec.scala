@@ -1,0 +1,136 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.{PortableHash, Vectors}
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("keepFirst keeps the per-key minimizer of the order column") {
+    val df = Seq(("k1", 2, "b"), ("k1", 1, "a"), ("k2", 5, "c")).toDF("k", "ord", "payload")
+    val got = Dedup.keepFirst(df, Seq("k"), Some("ord"))
+      .select("k", "payload").as[(String, String)].collect().toMap
+    assert(got == Map("k1" -> "a", "k2" -> "c"))
+  }
+
+  test("keepFirst is deterministic under order-column ties") {
+    val df = Seq(("k", 1, "z"), ("k", 1, "a")).toDF("k", "ord", "payload")
+    val got = Dedup.keepFirst(df, Seq("k"), Some("ord")).select("payload").as[String].head()
+    assert(got == "a") // ties broken by full-row order
+  }
+
+  test("exactByContent dedups on normalized text, keeps min id") {
+    val df = Seq((1L, "Hello  "), (2L, "  hello"), (3L, "other")).toDF("id", "text")
+    val got = Dedup.exactByContent(df, "text", "id").select("id").as[Long].collect().toSeq.sorted
+    assert(got == Seq(1L, 3L))
+  }
+}
+
+class NearDupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("portable md5 hash matches the DuckDB construction") {
+    // DuckDB: SELECT CAST('0x'||substr(md5('hello'),1,12) AS BIGINT) % 2147483647
+    //         -> then affine j=0: (1000003*h + 12345) % p = 1980483631
+    val h = Seq("hello").toDF("t")
+      .select(PortableHash.affine(PortableHash.md5Mod(col("t")), 0).as("h"))
+      .as[Long].head()
+    assert(h == 1980483631L)
+  }
+
+  test("identical docs share all minhash signatures; disjoint docs do not") {
+    val df = Seq((1L, "the quick brown fox jumps"), (2L, "the quick brown fox jumps"),
+      (3L, "zzzz yyyy xxxx wwww vvvv")).toDF("doc_id", "text")
+    val sigs = NearDup.minhashSignatures(df, "text", k = 5, numHashes = 8)
+      .select("doc_id", "sig_0", "sig_3", "sig_7").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(3L))
+  }
+
+  test("minhashPairs finds exact duplicates with jaccard 1.0") {
+    val df = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely different content with nothing shared")).toDF("doc_id", "text")
+    val pairs = NearDup.minhashPairs(df, "doc_id", "text", threshold = 0.9)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(pairs == Seq((1L, 2L, 1.0)))
+  }
+
+  test("ngramJaccard: identity 1, disjoint 0") {
+    val df = Seq(("same text", "same text"), ("aaaaaa", "zzzzzz")).toDF("a", "b")
+    val got = df.select(NearDup.ngramJaccard(col("a"), col("b")).as("j")).as[Double].collect().toSeq
+    assert(got == Seq(1.0, 0.0))
+  }
+
+  test("simhash: identical inputs equal, hamming distance sane") {
+    val df = Seq((1L, "spark rules ok"), (2L, "spark rules ok"), (3L, "other words here"))
+      .toDF("id", "t")
+    val sh = df.select(col("id"), NearDup.simhash(col("t")).as("s"))
+    val m = sh.as[(Long, Long)].collect().toMap
+    assert(m(1L) == m(2L))
+    assert(m(1L) >= 0 && m(1L) < (1L << 16))
+    val hd = sh.as("a").crossJoin(sh.as("b"))
+      .where(col("a.id") === 1 && col("b.id") === 3)
+      .select(NearDup.hammingDistance(col("a.s"), col("b.s")).as("d")).as[Int].head()
+    assert(hd > 0 && hd <= 16)
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.9f, 0.1f)),
+    (2L, Seq(0.0f, 1.0f)), (100L, Seq(-1.0f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("vector math: cosine of identical vectors is 1") {
+    val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f, 3.0f))).toDF("a", "b")
+    assert(df.select(Vectors.cosine(col("a"), col("b"))).as[Double].head() == 1.0)
+    assert(df.select(Vectors.l2sq(col("a"), col("b"))).as[Double].head() == 0.0)
+  }
+
+  test("bruteForceTopK ranks by similarity with id tie-break, excludes self") {
+    val got = Similarity.bruteForceTopK(vecs, vecs.where(col("vec_id") === 0),
+      "vec_id", "embedding", k = 3)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(got == Seq(1L, 2L, 100L)) // 0.9939 > 0.0 > -1.0
+  }
+
+  test("ivfAssign buckets every vector to a deterministic centroid") {
+    val assigned = Similarity.ivfAssign(vecs, "vec_id", "embedding", stride = 100)
+    assert(assigned.count() == 4)
+    val m = assigned.select("vec_id", "centroid_id").as[(Long, Long)].collect().toMap
+    assert(m(0L) == 0L && m(1L) == 0L && m(100L) == 100L)
+    assert(Set(0L, 100L).contains(m(2L))) // orthogonal to both -> tie broken by centroid id
+    assert(m(2L) == 0L)
+  }
+
+  test("ivfTopK searches only within the query's bucket") {
+    val assigned = Similarity.ivfAssign(vecs, "vec_id", "embedding", stride = 100)
+    val res = Similarity.ivfTopK(assigned, "vec_id", "embedding",
+      vecs.where(col("vec_id") === 0).select("vec_id"), k = 5)
+    val neighbors = res.select("neighbor_id").as[Long].collect().toSet
+    assert(!neighbors.contains(100L)) // different bucket
+    assert(neighbors.contains(1L))
+  }
+}
+
+class SessionizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sessions split on gaps larger than the threshold") {
+    val t0 = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    def ts(sec: Long) = java.sql.Timestamp.from(t0.plusSeconds(sec))
+    val ev = Seq(
+      (1L, ts(0), 1.0), (1L, ts(60), 2.0), (1L, ts(5000), 3.0), // gap > 1800s
+      (2L, ts(0), 5.0)
+    ).toDF("user_id", "ts", "value")
+    val got = Sessionize.rollup(ev, "user_id", "ts", "value", gapSeconds = 1800)
+      .select("user_id", "session_seq", "n_events", "sum_value")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got == Set((1L, 1L, 2L, 3.0), (1L, 2L, 1L, 3.0), (2L, 1L, 1L, 5.0)))
+  }
+}
