@@ -16,10 +16,15 @@ object PortableHash {
   val Prime: Long = 2147483647L
 
   /** Deterministic affine-hash coefficients; seed j uses
-    * (A(j), B(j)). Fixed constants so Spark and oracle SQL agree.
+    * (A(j), B(j)) = (A0 + dA·j, B0 + dB·j). Fixed constants so Spark
+    * and oracle SQL agree, and linear in j so a dynamic-j expression
+    * (one pass over the data computing every seed) produces bit-equal
+    * values to the per-seed constants.
     */
-  def coeffA(j: Int): Long = 1000003L + 2L * j * 65537L
-  def coeffB(j: Int): Long = 12345L + 7919L * j
+  val A0 = 1000003L; val DA = 131074L
+  val B0 = 12345L; val DB = 7919L
+  def coeffA(j: Int): Long = A0 + DA * j
+  def coeffB(j: Int): Long = B0 + DB * j
 
   /** 48-bit integer digest of a string column:
     * first 12 hex chars of md5 → int64 (always positive).

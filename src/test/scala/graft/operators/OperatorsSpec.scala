@@ -39,6 +39,13 @@ class NearDupSpec extends SparkSpec {
     assert(h == 1980483631L)
   }
 
+  test("native MinHashSigs expression matches the declarative formulation") {
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet").limit(100)
+    val fast = NearDup.minhashSignatures(docs, "text").select("doc_id", "sig_0", "sig_1", "sig_7")
+    val slow = NearDup.minhashSignaturesDeclarative(docs, "text").select("doc_id", "sig_0", "sig_1", "sig_7")
+    assert(fast.exceptAll(slow).isEmpty && slow.exceptAll(fast).isEmpty)
+  }
+
   test("identical docs share all minhash signatures; disjoint docs do not") {
     val df = Seq((1L, "the quick brown fox jumps"), (2L, "the quick brown fox jumps"),
       (3L, "zzzz yyyy xxxx wwww vvvv")).toDF("doc_id", "text")
