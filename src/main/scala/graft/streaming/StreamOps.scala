@@ -1,0 +1,109 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.DecimalType
+
+/** Structured Streaming operators mirroring the batch semantics of
+  * graft.operators (E14 in SURVEY.md §2).
+  *
+  * Every transform here takes a DataFrame that may be a streaming or a
+  * batch frame — the plan is identical, which is how the engine keeps
+  * one definition of "sessionization" or "windowed rollup" across the
+  * lake and the live stream. State management (watermarks, session
+  * windows, mapGroupsWithState) follows Spark's event-time model:
+  * watermark bounds state size, so a 1000-executor cluster ingesting
+  * an unbounded stream holds only the open windows.
+  */
+object StreamOps {
+
+  /** Event-time tumbling/sliding windowed rollup with a watermark.
+    * Late data beyond `watermarkDelay` is dropped (state stays
+    * bounded); exact decimal sums as in the batch q_event_buckets.
+    */
+  def windowedRollup(
+      events: DataFrame,
+      tsCol: String,
+      keyCol: String,
+      valueCol: String,
+      windowDuration: String,
+      watermarkDelay: String = "10 minutes",
+      slideDuration: Option[String] = None
+  ): DataFrame = {
+    val w = slideDuration
+      .map(s => window(col(tsCol), windowDuration, s))
+      .getOrElse(window(col(tsCol), windowDuration))
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(w.as("w"), col(keyCol))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col(valueCol).cast(DecimalType(18, 4))).cast("double"), 4).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col(keyCol), col("n_events"), col("sum_value"))
+  }
+
+  /** Gap-based sessionization on a stream via Spark's native
+    * session_window — the streaming analog of
+    * graft.operators.Sessionize (same gap semantics; session bounds
+    * close `gap` after the last event once the watermark passes).
+    */
+  def sessionRollup(
+      events: DataFrame,
+      tsCol: String,
+      userCol: String,
+      valueCol: String,
+      gap: String,
+      watermarkDelay: String = "10 minutes"
+  ): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(session_window(col(tsCol), gap).as("s"), col(userCol))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col(valueCol).cast(DecimalType(18, 4))).cast("double"), 4).as("sum_value"))
+      .select(col("s.start").as("session_start"), col("s.end").as("session_end"),
+        col(userCol), col("n_events"), col("sum_value"))
+
+  final case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class UserRunning(user_id: Long, n_events: Long, sum_value: Double)
+
+  /** Custom keyed state: running per-user totals via
+    * mapGroupsWithState (the escape hatch for state machines the
+    * built-in windows can't express). Pass an idle timeout in
+    * production so inactive users are evicted and state stays bounded;
+    * None keeps state forever (fine for tests / bounded key spaces).
+    */
+  def runningTotals(
+      events: Dataset[UserEvent],
+      idleTimeout: Option[String] = Some("1 hour")
+  ): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    val timeoutConf = idleTimeout
+      .map(_ => GroupStateTimeout.ProcessingTimeTimeout)
+      .getOrElse(GroupStateTimeout.NoTimeout)
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(timeoutConf) {
+        (userId: Long, batch: Iterator[UserEvent], state: GroupState[UserRunning]) =>
+          if (state.hasTimedOut) {
+            val last = state.get
+            state.remove()
+            last
+          } else {
+            val prev = state.getOption.getOrElse(UserRunning(userId, 0L, 0.0))
+            val (n, s) = batch.foldLeft((prev.n_events, prev.sum_value)) {
+              case ((cn, cs), e) => (cn + 1, cs + e.value)
+            }
+            val next = UserRunning(userId, n, math.rint(s * 10000) / 10000)
+            state.update(next)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            next
+          }
+      }
+  }
+
+  /** Default streaming sink config for append-mode windowed outputs. */
+  def defaultOutputMode: OutputMode = OutputMode.Update()
+}
