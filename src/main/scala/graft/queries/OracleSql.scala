@@ -194,8 +194,8 @@ object OracleSql {
          |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
          |), sessions AS (
          |  SELECT user_id, ts, value,
-         |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+         |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
          |  FROM flagged)
          |SELECT user_id, session_seq,
          |  epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us,
@@ -225,9 +225,9 @@ object OracleSql {
 
     "q_token_count" ->
       s"""SELECT source, count(*) AS n_docs,
-         |  sum(len(${wsTokensSql("text")})) AS ws_tokens,
-         |  sum(len(${wordTokensSql("text")})) AS word_tokens,
-         |  sum(length(text)) AS total_chars
+         |  CAST(sum(len(${wsTokensSql("text")})) AS BIGINT) AS ws_tokens,
+         |  CAST(sum(len(${wordTokensSql("text")})) AS BIGINT) AS word_tokens,
+         |  CAST(sum(length(text)) AS BIGINT) AS total_chars
          |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "q_text_stats" -> textStatsSql,
@@ -345,5 +345,119 @@ object OracleSql {
        |SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin
 
-  val all: Map[String, String] = relational ++ pipeline
+  // ---------- wave 2 ----------
+
+  val wave2: Map[String, String] = Map(
+    "q_asof_join" ->
+      s"""WITH purchases AS (
+         |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+         |hourly AS (
+         |  SELECT user_id, date_trunc('hour', ts) AS hts, count(*) AS hourly_events
+         |  FROM events GROUP BY 1, 2)
+         |SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+         |  epoch_us(h.hts) AS hour_us, h.hourly_events
+         |FROM purchases p ASOF JOIN hourly h
+         |  ON p.user_id = h.user_id AND p.ts >= h.hts
+         |ORDER BY p.event_id""".stripMargin,
+
+    "q_rollup" ->
+      s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+         |  ${dsum(d4("o_totalprice"))} AS sum_price
+         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q_quantiles" ->
+      s"""SELECT o_orderpriority,
+         |  round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+         |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+         |  round(quantile_cont(o_totalprice, 0.75), 4) AS p75
+         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_json_extract" ->
+      s"""SELECT event_type,
+         |  count(json_extract_string(props, '$$.k')) AS n_with_k,
+         |  CAST(sum(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+         |  min(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS min_k,
+         |  max(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS max_k
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_string_funcs" ->
+      s"""SELECT c_custkey, upper(c_name) AS uname, substr(c_name, 1, 8) AS prefix,
+         |  length(c_name) AS name_len, reverse(c_name) AS rname,
+         |  concat_ws('-', c_mktsegment, c_name) AS tagged,
+         |  lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded
+         |FROM customer WHERE c_custkey <= 100 ORDER BY c_custkey""".stripMargin,
+
+    "q_date_funcs" ->
+      s"""SELECT year(o_orderdate) AS yr, quarter(o_orderdate) AS qtr,
+         |  count(*) AS n_orders,
+         |  min(datediff('day', DATE '1995-01-01', o_orderdate)) AS min_days,
+         |  max(datediff('day', DATE '1995-01-01', o_orderdate)) AS max_days
+         |FROM orders GROUP BY 1, 2 ORDER BY yr, qtr""".stripMargin,
+
+    "q_conditional_agg" ->
+      s"""SELECT l_returnflag,
+         |  count(CASE WHEN l_quantity > 40 THEN 1 END) AS n_large,
+         |  count(CASE WHEN l_discount >= 0.05 THEN 1 END) AS n_discounted,
+         |  ${dsum(s"CASE WHEN l_returnflag = 'R' THEN ${d4("l_extendedprice")} ELSE CAST(0 AS DECIMAL(12,4)) END")} AS returned_value
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_set_ops" ->
+      s"""WITH b95 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+         |b96 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+         |SELECT 'both_years' AS cohort,
+         |  (SELECT count(*) FROM (SELECT * FROM b95 INTERSECT SELECT * FROM b96)) AS n_customers
+         |UNION ALL SELECT 'either_year',
+         |  (SELECT count(*) FROM (SELECT * FROM b95 UNION SELECT * FROM b96))
+         |UNION ALL SELECT 'only_1995',
+         |  (SELECT count(*) FROM (SELECT * FROM b95 EXCEPT SELECT * FROM b96))
+         |ORDER BY cohort""".stripMargin,
+
+    "q_window_funcs" ->
+      s"""SELECT o_custkey, o_orderkey,
+         |  row_number() OVER w AS rn,
+         |  lag(o_orderkey, 1) OVER w AS prev_order,
+         |  lead(o_orderkey, 1) OVER w AS next_order,
+         |  ntile(4) OVER w AS quartile,
+         |  round(percent_rank() OVER w, 4) AS pct_rank,
+         |  round(cume_dist() OVER w, 4) AS cdist
+         |FROM orders WHERE o_custkey <= 20
+         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         |ORDER BY o_custkey, rn""".stripMargin,
+
+    "q_pivot" ->
+      s"""SELECT o_orderpriority,
+         |  count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+         |  count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+         |  count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_sql_interface" ->
+      s"""SELECT o_orderpriority, count(*) AS n_orders
+         |FROM orders o
+         |WHERE EXISTS (
+         |  SELECT 1 FROM lineitem l
+         |  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 49)
+         |GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_collect_sorted" ->
+      s"""SELECT o_orderpriority,
+         |  array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
+         |  count(DISTINCT o_orderstatus) AS n_statuses
+         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_vector_stats" ->
+      s"""WITH n AS (
+         |  SELECT label,
+         |    round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 4) AS nrm
+         |  FROM embeddings)
+         |SELECT label, count(*) AS n_vecs,
+         |  round(CAST(sum(CAST(nrm AS DECIMAL(12,4))) AS DOUBLE) / count(*), 4) AS avg_norm,
+         |  round(min(nrm), 4) AS min_norm,
+         |  round(max(nrm), 4) AS max_norm
+         |FROM n GROUP BY label ORDER BY label""".stripMargin
+  )
+
+  val all: Map[String, String] = relational ++ pipeline ++ wave2
 }

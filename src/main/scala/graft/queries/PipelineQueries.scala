@@ -44,8 +44,8 @@ object PipelineQueries {
       .select(
         col("doc_id"),
         Text.fingerprint(col("text")).as("fp"),
-        Text.tokenCount(col("text")).as("n_tokens"),
-        length(col("text")).as("len_chars"))
+        Text.tokenCount(col("text")).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("len_chars"))
       .orderBy("doc_id")
 
   /** P11: corpus token accounting by source. */
@@ -121,6 +121,7 @@ object PipelineQueries {
     Similarity.bruteForceTopK(
       corpus = emb, queries = emb.where(col("vec_id") < 20),
       idCol = "vec_id", vecCol = "embedding", k = 5)
+      .withColumn("rank", col("rank").cast("long"))
       .orderBy("query_id", "rank")
   }
 

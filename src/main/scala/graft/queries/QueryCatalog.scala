@@ -40,7 +40,20 @@ object QueryCatalog {
     Entry("q_simhash", PipelineQueries.qSimhash),
     Entry("q_knn_brute", PipelineQueries.qKnnBrute, headline = true),
     Entry("q_ann_ivf", PipelineQueries.qAnnIvf),
-    Entry("q_binary_features", PipelineQueries.qBinaryFeatures)
+    Entry("q_binary_features", PipelineQueries.qBinaryFeatures),
+    Entry("q_asof_join", Wave2Queries.qAsofJoin, headline = true),
+    Entry("q_rollup", Wave2Queries.qRollup),
+    Entry("q_quantiles", Wave2Queries.qQuantiles),
+    Entry("q_json_extract", Wave2Queries.qJsonExtract),
+    Entry("q_string_funcs", Wave2Queries.qStringFuncs),
+    Entry("q_date_funcs", Wave2Queries.qDateFuncs),
+    Entry("q_conditional_agg", Wave2Queries.qConditionalAgg),
+    Entry("q_set_ops", Wave2Queries.qSetOps),
+    Entry("q_window_funcs", Wave2Queries.qWindowFuncs),
+    Entry("q_pivot", Wave2Queries.qPivot),
+    Entry("q_sql_interface", Wave2Queries.qSqlInterface),
+    Entry("q_collect_sorted", Wave2Queries.qCollectSorted),
+    Entry("q_vector_stats", Wave2Queries.qVectorStats)
   )
 
   def queries: Map[String, QueryFn] =

@@ -145,7 +145,7 @@ object RelationalQueries {
   def qTopkPerGroup(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("p_brand").orderBy(col("p_retailprice").desc, col("p_partkey"))
     t(s, dir, "part")
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(w).cast(LongType)) // BIGINT like the oracle's row_number
       .where(col("rank") <= 3)
       .select("p_brand", "rank", "p_partkey", "p_retailprice")
       .orderBy("p_brand", "rank")
