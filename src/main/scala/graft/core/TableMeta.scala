@@ -2,6 +2,16 @@ package graft.core
 
 import org.apache.spark.sql.types.StructType
 
+/** Read-only-API exposure options, mirroring RoapiOptions /
+  * DeltaRoapiOptions (datarepo/core/tables/util.py:17-29).
+  */
+final case class RoapiOptions(
+    useMemoryTable: Boolean = false,
+    disable: Boolean = false,
+    overrideName: Option[String] = None,
+    reloadIntervalSeconds: Option[Int] = None
+)
+
 /** Documentation/metadata surface, mirroring the reference's
   * TableMetadata / TableSchema / TableColumn / TablePartition
   * (datarepo/core/tables/metadata.py:9-56).
@@ -14,7 +24,8 @@ final case class TableMetadata(
     latencyInfo: Option[String] = None,
     exampleNotebook: Option[String] = None,
     dataInput: Option[String] = None,
-    isDeprecated: Boolean = false
+    isDeprecated: Boolean = false,
+    roapiOpts: Option[RoapiOptions] = None
 )
 
 final case class TablePartition(columnName: String, typeAnnotation: String, value: Any)

@@ -1,0 +1,65 @@
+package graft
+
+import graft.queries.{QueryCatalog, Tables}
+import graft.tables.{Partition, ParquetTable, PartitioningScheme, ReadArgs}
+import graft.core.Filter
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+
+/** Physical-plan assertions backing SURVEY.md §5's scale claims:
+  * filters reach the parquet scan, projections prune the read schema,
+  * partition filters prune files before reading, small dims broadcast.
+  */
+class PlanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filters and column pruning are pushed into the parquet scan") {
+    val df = Tables.table(spark, sf("sf0.001"), "lineitem",
+        ReadArgs.where(Filter("l_quantity", "<", 10.0))
+          .copy(columns = Some(Seq("l_orderkey", "l_quantity"))))
+    val plan = planOf(df)
+    assert(plan.contains("PushedFilters:") && plan.contains("LessThan(l_quantity,10.0)"),
+      s"filter not pushed:\n$plan")
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"projection not pruned:\n$plan")
+  }
+
+  test("hive partition filters prune files before the scan") {
+    val base = tempDir("prune").toString
+    for (p <- 1 to 4)
+      Seq((p, s"v$p")).toDF("v", "payload").coalesce(1)
+        .write.mode("overwrite").parquet(s"$base/part=$p")
+    val t = new ParquetTable("t", base,
+      partitioning = Seq(Partition("part", IntegerType)),
+      partitioningScheme = PartitioningScheme.Hive)
+    val pruned = t(spark, ReadArgs.where(Filter("part", "=", 3)))
+    assert(pruned.inputFiles.length == 1, "expected exactly one partition file after pruning")
+    assert(pruned.select("v").as[Int].collect().toSeq == Seq(3))
+  }
+
+  test("q05 broadcasts dimension tables") {
+    val plan = planOf(QueryCatalog.queries("q05_local_supplier")(spark, sf("sf0.001")))
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in q05:\n$plan")
+  }
+
+  test("q06 stays inside whole-stage codegen") {
+    val df = QueryCatalog.queries("q06_forecast_revenue")(spark, sf("sf0.001"))
+    val codegen = df.queryExecution
+      .explainString(org.apache.spark.sql.execution.CodegenMode)
+    assert(codegen.contains("WholeStageCodegen subtree"), s"no codegen span in q06:\n$codegen")
+    assert(planOf(df).contains("PushedFilters:"), "q06 filters not pushed")
+  }
+
+  test("exact dedup does a map-side partial aggregation (one row per key shuffles)") {
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val plan = planOf(graft.operators.Dedup.exactByContent(docs, "text", "doc_id"))
+    // min_by(struct) plans as SortAggregate (struct buffer), but the
+    // partial/final pair is what bounds the shuffle at scale
+    assert(plan.contains("partial_min_by"), s"expected map-side combine:\n$plan")
+    assert("Exchange".r.findAllIn(plan).length == 1, s"expected exactly one shuffle:\n$plan")
+  }
+}

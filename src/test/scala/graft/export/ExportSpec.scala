@@ -1,0 +1,80 @@
+package graft.export
+
+import graft.SparkSpec
+import graft.catalog.{Catalog, MapDatabase}
+import graft.core.{Filter, RoapiOptions, TableMetadata}
+import graft.tables._
+import org.apache.spark.sql.types._
+
+class ExportSpec extends SparkSpec {
+
+  private def hiveTable = new ParquetTable(
+    "spikes", "s3://bucket/spikes",
+    partitioning = Seq(Partition("implant_id", IntegerType), Partition("date", StringType)),
+    partitioningScheme = PartitioningScheme.Hive,
+    description = "binned spikes",
+    docsFilters = Seq(Filter("implant_id", "=", 5956), Filter("date", "=", "2024-03-24")))
+
+  private def dirTable = new ParquetTable(
+    "raw", "s3://bucket/raw",
+    partitioning = Seq(Partition("implant_id", IntegerType)),
+    partitioningScheme = PartitioningScheme.Directory)
+
+  private def lakeTable = new LakehouseTable(
+    "sessions", "s3://bucket/sessions",
+    StructType(Seq(StructField("id", LongType))))
+
+  private def sqlTable = new SqlTable(
+    "metrics", StructType(Seq(StructField("v", LongType))),
+    SqlTableConfig(host = "ch.example", database = "db"))
+
+  test("roapi export: hive parquet with partition columns + schema fragment") {
+    val cfg = RoapiExport.exportToRoapiTable("db_spikes", hiveTable).get.render
+    assert(cfg.contains(""""name":"db_spikes""""))
+    assert(cfg.contains(""""format":"parquet""""))
+    assert(cfg.contains(""""partition_columns":[{"name":"implant_id","data_type":"Int64"},{"name":"date","data_type":"Date32"}]"""))
+    assert(cfg.contains(""""schema_from_files":["s3://bucket/spikes/implant_id=5956/date=2024-03-24/df.parquet"]"""))
+  }
+
+  test("roapi export: directory-partitioned parquet unsupported; lakehouse -> delta; sql -> clickhouse") {
+    assert(RoapiExport.exportToRoapiTable("x", dirTable).isEmpty)
+    val delta = RoapiExport.exportToRoapiTable("db_sessions", lakeTable).get.render
+    assert(delta.contains(""""format":"delta""""))
+    assert(delta.contains(""""reload_interval":{"secs":60,"nanos":0}""")) // delta default
+    val ch = RoapiExport.exportToRoapiTable("db_metrics", sqlTable).get.render
+    assert(ch.contains(""""format":"clickhouse""""))
+    assert(ch.contains(""""uri":"clickhouse://ch.example:8443/db""""))
+  }
+
+  test("roapi export: disabled tables and whole-catalog export") {
+    val disabled = new LakehouseTable(
+      "hidden", "s3://b/h", StructType(Seq(StructField("id", LongType)))) {
+      override val tableMetadata: TableMetadata =
+        TableMetadata("DELTA_LAKE", roapiOpts = Some(RoapiOptions(disable = true)))
+    }
+    assert(RoapiExport.exportToRoapiTable("x", disabled).isEmpty)
+
+    val cat = new Catalog(Map("db" -> new MapDatabase(Map(
+      "spikes" -> hiveTable, "sessions" -> lakeTable, "hidden" -> disabled))))
+    val names = RoapiExport.exportToRoapiTables(cat).map(_.render)
+    assert(names.size == 2)
+  }
+
+  test("web export serializes catalog -> databases -> tables with schemas") {
+    import spark.implicits._
+    val dir = tempDir("web").toString + "/t"
+    Seq((1L, "a")).toDF("id", "name").write.mode("overwrite").parquet(dir)
+    val table = new ParquetTable("t", dir, partitioning = Seq.empty, description = "demo")
+    val cat = new Catalog(Map("main" -> new MapDatabase(Map("t" -> table))),
+      packageName = Some("graft_demo"))
+
+    val json = WebExport.exportCatalog("cat", cat, spark).render
+    assert(json.contains(""""name":"cat""""))
+    assert(json.contains(""""package_name":"graft_demo""""))
+    assert(json.contains(""""column":"id","type":"bigint""""))
+    assert(json.contains(""""table_type":"PARQUET""""))
+
+    val out = WebExport.writeDataJson(Seq("cat" -> cat), tempDir("site").toString, spark)
+    assert(java.nio.file.Files.readString(out).startsWith("""{"catalogs":["""))
+  }
+}

@@ -1,0 +1,41 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(sec: Long): java.sql.Timestamp =
+    java.sql.Timestamp.from(java.time.Instant.parse("2024-01-01T00:00:00Z").plusSeconds(sec))
+
+  test("asOfBackward picks the latest right row at or before each left ts") {
+    val quotes = Seq(
+      (1L, ts(0), 100.0), (1L, ts(100), 101.0), (1L, ts(200), 102.0),
+      (2L, ts(50), 50.0)
+    ).toDF("key", "qts", "price")
+    val trades = Seq(
+      (1L, ts(100), "exact-match"),   // right row at the same ts matches
+      (1L, ts(150), "between"),       // matches the 100s quote
+      (1L, ts(999), "after-all"),     // matches the 200s quote
+      (2L, ts(10), "before-any")      // no quote yet -> null
+    ).toDF("key", "tts", "label")
+
+    val got = AsOfJoin.asOfBackward(trades, quotes,
+      keys = Seq("key"), leftTs = "tts", rightTs = "qts", rightPayload = Seq("price"))
+      .select("label", "asof_price").as[(String, Option[Double])].collect().toMap
+
+    assert(got("exact-match").contains(101.0))
+    assert(got("between").contains(101.0))
+    assert(got("after-all").contains(102.0))
+    assert(got("before-any").isEmpty)
+  }
+
+  test("keys never match across groups") {
+    val right = Seq((1L, ts(0), 1.0)).toDF("key", "qts", "v")
+    val left  = Seq((2L, ts(100), "x")).toDF("key", "tts", "tag")
+    val got = AsOfJoin.asOfBackward(left, right, Seq("key"), "tts", "qts", Seq("v"))
+      .select("asof_v").as[Option[Double]].head()
+    assert(got.isEmpty)
+  }
+}
