@@ -59,4 +59,14 @@ class Catalog(
   }
 
   def dbs: Seq[String] = dbMap.keys.toSeq.sorted
+
+  /** Register every table as a `<db>_<table>` temp view so the whole
+    * catalog is queryable through `spark.sql` (the engine's SQL
+    * front door; lazily planned, so unused views cost nothing).
+    */
+  def registerAllViews(spark: SparkSession): Unit =
+    for {
+      dbName <- dbs
+      (tblName, _) <- db(dbName).getTables(showDeprecated = true)
+    } db(dbName).table(tblName, spark).createOrReplaceTempView(s"${dbName}_$tblName")
 }

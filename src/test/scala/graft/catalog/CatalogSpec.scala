@@ -48,6 +48,12 @@ class CatalogSpec extends SparkSpec {
     assert(df2.select("tag").as[String].head() == "local")
   }
 
+  test("registerAllViews exposes the catalog through spark.sql") {
+    catalog.registerAllViews(spark)
+    assert(spark.sql("SELECT v FROM db1_t2").as[Int].head() == 2)
+    assert(spark.sql("SELECT v FROM db1_old").as[Int].head() == 3)
+  }
+
   test("function table schema introspection") {
     val ts = mkTable(7).getSchema(spark)
     assert(ts.columns.map(_.column) == Seq("v", "tag"))

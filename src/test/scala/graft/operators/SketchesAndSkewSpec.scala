@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("approx distinct stays within the configured error of exact") {
+    val df = spark.read.parquet(sf("sf0.01") + "/orders.parquet")
+    val row = Sketches.profile(df, "o_orderstatus", "o_custkey", "o_totalprice")
+      .select("approx_distinct", "exact_distinct").as[(Long, Long)].collect()
+    row.foreach { case (approx, exact) =>
+      assert(math.abs(approx - exact).toDouble / exact < 0.15,
+        s"approx $approx too far from exact $exact")
+    }
+  }
+
+  test("approx median lands between min and max") {
+    val df = Seq.tabulate(1000)(i => ("g", i.toLong, i.toDouble)).toDF("g", "id", "v")
+    val m = Sketches.profile(df, "g", "id", "v").select("approx_median").as[Double].head()
+    assert(m >= 400 && m <= 600)
+  }
+}
+
+class SkewJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted join returns exactly the plain-join result") {
+    // one pathologically hot key (90% of rows) + normal keys
+    val left = (Seq.fill(900)(("hot", "l")) ++ (1 to 100).map(i => (s"k$i", "l")))
+      .zipWithIndex.map { case ((k, t), i) => (k, s"$t$i") }.toDF("key", "lpay")
+    val right = (Seq(("hot", 1.0)) ++ (1 to 100).map(i => (s"k$i", i.toDouble)))
+      .toDF("key", "rpay")
+
+    val plain = left.join(right, "key").select("key", "lpay", "rpay")
+    val salted = SkewJoin.saltedInnerJoin(left, right, "key", saltFactor = 8)
+
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+}
+
+class ExtensionsSpec extends SparkSpec {
+
+  test("graft expressions are callable from SQL after registration") {
+    graft.GraftExtensions.register(spark)
+    spark.read.parquet(sf("sf0.001") + "/documents.parquet").limit(5)
+      .createOrReplaceTempView("ext_docs")
+    val rows = spark.sql(
+      """SELECT doc_id,
+        |  element_at(graft_minhash(text, 5, 8), 1) AS sig0,
+        |  size(graft_shingle_hashset(text, 5)) AS n_shingles,
+        |  graft_sorted_intersect_count(
+        |    graft_shingle_hashset(text, 5), graft_shingle_hashset(text, 5)) AS self_inter
+        |FROM ext_docs""".stripMargin).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("sig0") >= 0)
+      assert(r.getAs[Int]("n_shingles") == r.getAs[Int]("self_inter")) // |A ∩ A| = |A|
+    }
+  }
+}
