@@ -62,37 +62,43 @@ object Text {
     * DuckDB: len(list_filter(regexp_split_to_array(trim(x),'\s+'),
     *   t -> t IN (...))) / greatest(len(...), 1)
     */
-  def stopwordRatio(c: Column): Column = {
-    val toks = wsTokens(c)
+  def stopwordRatio(c: Column): Column = stopwordRatioOf(wsTokens(c))
+
+  /** Variant over a precomputed token array — materialize the tokens
+    * as a column once and feed every ratio from it (HOF splits don't
+    * get common-subexpression-eliminated, so sharing matters).
+    */
+  def stopwordRatioOf(toks: Column): Column =
     round(
       size(filter(toks, t => t.isin(Stopwords.map(lit): _*))).cast("double") /
         greatest(size(toks), lit(1)).cast("double"),
       4)
-  }
 
   /** Mean whitespace-token length.
     * DuckDB: round(list_sum(list_transform(toks, t -> length(t)))
     *   / greatest(len(toks),1), 4)
     */
-  def meanTokenLen(c: Column): Column = {
-    val toks = wsTokens(c)
+  def meanTokenLen(c: Column): Column = meanTokenLenOf(wsTokens(c))
+
+  def meanTokenLenOf(toks: Column): Column =
     round(
       aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
         greatest(size(toks), lit(1)).cast("double"),
       4)
-  }
 
   /** Composite quality score in [0,1]: rewards mid-length docs and
     * low punct/digit noise, light stopword presence. Deterministic
     * arithmetic over the ratios above (rounded inputs → stable).
     */
-  def qualityScore(c: Column): Column = {
+  def qualityScore(c: Column): Column =
+    qualityScoreOf(c, punctRatio(c), digitRatio(c), stopwordRatio(c))
+
+  /** Quality score from precomputed (rounded) component ratios. */
+  def qualityScoreOf(c: Column, punct: Column, digit: Column, stop: Column): Column = {
     val lenScore = least(length(c).cast("double") / lit(500.0), lit(1.0))
-    val noise    = punctRatio(c) + digitRatio(c)
-    val stop     = stopwordRatio(c)
     round(
       lit(0.4) * lenScore +
-        lit(0.3) * (lit(1.0) - least(noise * 5.0, lit(1.0))) +
+        lit(0.3) * (lit(1.0) - least((punct + digit) * 5.0, lit(1.0))) +
         lit(0.3) * least(stop * 5.0, lit(1.0)),
       4)
   }

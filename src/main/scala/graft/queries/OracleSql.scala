@@ -235,6 +235,8 @@ object OracleSql {
     "q_minhash" -> minhashQuerySql,
     "q_minhash_pairs" -> minhashPairsSql,
     "q_knn_brute" -> knnBruteSql,
+    "q_ann_ivf" -> annIvfSql,
+    "q_simhash" -> simhashSql,
     "q_binary_features" ->
       s"""SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
          |  md5(hex(encode(text))) AS digest
@@ -329,6 +331,52 @@ object OracleSql {
        |  JOIN sigd sb ON sb.doc_id = b_id)
        |SELECT a_id, b_id, jaccard FROM verified WHERE jaccard >= 0.5
        |ORDER BY a_id, b_id""".stripMargin
+  }
+
+  /** Mirrors Similarity.ivfAssign + ivfTopK exactly: deterministic
+    * seed centroids (vec_id % 100 == 0), rounded-L2 argmin assignment
+    * with centroid-id tie-break, in-bucket rounded-cosine top-3.
+    */
+  private def annIvfSql: String = {
+    val l2 = "round(list_sum(list_transform(range(1, len(e.embedding)+1), " +
+      "i -> (e.embedding[i]::DOUBLE - c.cv[i]::DOUBLE) * (e.embedding[i]::DOUBLE - c.cv[i]::DOUBLE))), 4)"
+    s"""WITH cents AS (
+       |  SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings WHERE vec_id % 100 = 0),
+       |dists AS (
+       |  SELECT e.vec_id, e.embedding, c.centroid_id, $l2 AS d2
+       |  FROM embeddings e CROSS JOIN cents c),
+       |assigned AS (
+       |  SELECT vec_id, embedding, centroid_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, centroid_id) AS rn
+       |    FROM dists) WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id, embedding AS qv, centroid_id
+       |      FROM assigned WHERE vec_id < 20),
+       |scored AS (
+       |  SELECT q.query_id, a.vec_id AS neighbor_id,
+       |    round(list_cosine_similarity(q.qv::DOUBLE[], a.embedding::DOUBLE[]), 4) AS sim
+       |  FROM q JOIN assigned a USING (centroid_id)
+       |  WHERE a.vec_id != q.query_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, sim,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Mirrors NearDup.simhash: 16-bit bit-majority over md5-derived
+    * 48-bit token hashes ((h // 2^i) % 2 == floor-shift bit test).
+    */
+  private def simhashSql: String = {
+    val bits = 16
+    val hs = s"list_transform(${wsTokensSql("text")}, t -> ${PortableHash.Sql.md5Long("t")})"
+    val terms = (0 until bits).map { i =>
+      val p = 1L << i
+      s"(CASE WHEN list_sum(list_transform(hs, x -> CASE WHEN (x // $p) % 2 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH h AS (SELECT doc_id, $hs AS hs FROM documents)
+       |SELECT doc_id, CAST($terms AS BIGINT) AS simhash
+       |FROM h ORDER BY doc_id""".stripMargin
   }
 
   private def knnBruteSql: String =

@@ -69,13 +69,17 @@ object PipelineQueries {
     */
   def qTextStats(s: SparkSession, dir: String): DataFrame = {
     val d8 = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(8, 4))
+    // tokens + component ratios materialized once and shared (HOF
+    // splits are interpreted per element — recomputation is the cost)
     t(s, dir, "documents")
-      .select(
-        col("lang"),
-        Text.punctRatio(col("text")).as("punct"),
-        Text.stopwordRatio(col("text")).as("stop"),
-        Text.meanTokenLen(col("text")).as("mtl"),
-        Text.qualityScore(col("text")).as("q"))
+      .withColumn("toks", Text.wsTokens(col("text")))
+      .withColumn("punct", Text.punctRatio(col("text")))
+      .withColumn("digit", Text.digitRatio(col("text")))
+      .withColumn("stop", Text.stopwordRatioOf(col("toks")))
+      .withColumn("mtl", Text.meanTokenLenOf(col("toks")))
+      .withColumn("q",
+        Text.qualityScoreOf(col("text"), col("punct"), col("digit"), col("stop")))
+      .select(col("lang"), col("punct"), col("stop"), col("mtl"), col("q"))
       .groupBy(col("lang"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -133,6 +137,7 @@ object PipelineQueries {
     val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding", stride = 100)
     Similarity.ivfTopK(assigned, "vec_id", "embedding",
       queryIds = emb.where(col("vec_id") < 20).select("vec_id"), k = 3)
+      .withColumn("rank", col("rank").cast("long"))
       .orderBy("query_id", "rank")
   }
 
