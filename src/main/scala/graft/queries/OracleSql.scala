@@ -237,6 +237,9 @@ object OracleSql {
     "q_knn_brute" -> knnBruteSql,
     "q_ann_ivf" -> annIvfSql,
     "q_simhash" -> simhashSql,
+    "q_sample" -> sampleSql,
+    "q_split" -> splitSql,
+    "q_stratified" -> stratifiedSql,
     "q_binary_features" ->
       s"""SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
          |  md5(hex(encode(text))) AS digest
@@ -377,6 +380,37 @@ object OracleSql {
     s"""WITH h AS (SELECT doc_id, $hs AS hs FROM documents)
        |SELECT doc_id, CAST($terms AS BIGINT) AS simhash
        |FROM h ORDER BY doc_id""".stripMargin
+  }
+
+  /** Mirrors Sampling.hashBucket: md5-gated uniform bucket in [0,1). */
+  private def bucketSql(salt: String, idExpr: String): String =
+    s"(${PortableHash.Sql.md5Mod(s"'$salt' || '|' || CAST($idExpr AS VARCHAR)")} / ${PortableHash.Prime}.0)"
+
+  private def sampleSql: String =
+    s"""SELECT lang, count(*) AS n_docs, min(doc_id) AS min_id, max(doc_id) AS max_id
+       |FROM documents WHERE ${bucketSql("sample", "doc_id")} < 0.2
+       |GROUP BY lang ORDER BY lang""".stripMargin
+
+  private def splitSql: String = {
+    // identical cumulative-boundary doubles as Sampling.splitLabel
+    val weights = PipelineQueries.SplitWeights
+    val cumulative = weights.scanLeft(0.0)(_ + _._2).tail
+    val cases = weights.zip(cumulative).init
+      .map { case ((name, _), upper) => s"WHEN b < $upper THEN '$name'" }
+      .mkString("CASE ", " ", s" ELSE '${weights.last._1}' END")
+    s"""WITH b AS (SELECT lang, ${bucketSql("split", "doc_id")} AS b FROM documents)
+       |SELECT $cases AS split, lang, count(*) AS n_docs
+       |FROM b GROUP BY split, lang ORDER BY split, lang""".stripMargin
+  }
+
+  private def stratifiedSql: String = {
+    // mirrors Sampling.stratifiedSample's foldLeft nesting order
+    val rate = PipelineQueries.MixRates.foldLeft("0.5") { case (acc, (g, r)) =>
+      s"CASE WHEN source = '$g' THEN $r ELSE $acc END"
+    }
+    s"""SELECT source, count(*) AS n_docs FROM documents
+       |WHERE ${bucketSql("mix", "doc_id")} < $rate
+       |GROUP BY source ORDER BY source""".stripMargin
   }
 
   private def knnBruteSql: String =

@@ -11,6 +11,12 @@ import Num.{d4, dsum}
 /** LLM-pipeline query inventory (SURVEY.md §2 P1–P13, E8–E9, E12–E13). */
 object PipelineQueries {
 
+  /** Shared with the oracle generator so boundary doubles are identical. */
+  val SplitWeights: Seq[(String, Double)] =
+    Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+  val MixRates: Map[String, Double] =
+    Map("src1" -> 1.0, "src2" -> 0.25, "src3" -> 0.1)
+
   private def t(s: SparkSession, dir: String, n: String) = Tables.table(s, dir, n)
 
   /** E8: gap-based sessionization of the event log (30-min gap).
@@ -140,6 +146,34 @@ object PipelineQueries {
       .withColumn("rank", col("rank").cast("long"))
       .orderBy("query_id", "rank")
   }
+
+  /** Deterministic hash-gated Bernoulli sample (engine-portable,
+    * scan-only — no RNG, no shuffle).
+    */
+  def qSample(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .where(graft.operators.Sampling.sampledBy(col("doc_id"), 0.2))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      .orderBy("lang")
+
+  /** Deterministic train/val/test split assignment. */
+  def qSplit(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("split", graft.operators.Sampling.splitLabel(col("doc_id"),
+        PipelineQueries.SplitWeights))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("split", "lang")
+
+  /** Domain mixing: per-source deterministic sampling rates. */
+  def qStratified(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.stratifiedSample(
+      t(s, dir, "documents"), "doc_id", "source",
+      rates = PipelineQueries.MixRates, defaultRate = 0.5)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("source")
 
   /** P13: multimodal payload plumbing — oracle-checkable byte stats
     * over the binary payload column.

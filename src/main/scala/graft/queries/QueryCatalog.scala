@@ -41,6 +41,9 @@ object QueryCatalog {
     Entry("q_knn_brute", PipelineQueries.qKnnBrute, headline = true),
     Entry("q_ann_ivf", PipelineQueries.qAnnIvf),
     Entry("q_binary_features", PipelineQueries.qBinaryFeatures),
+    Entry("q_sample", PipelineQueries.qSample),
+    Entry("q_split", PipelineQueries.qSplit),
+    Entry("q_stratified", PipelineQueries.qStratified),
     Entry("q_asof_join", Wave2Queries.qAsofJoin, headline = true),
     Entry("q_rollup", Wave2Queries.qRollup),
     Entry("q_quantiles", Wave2Queries.qQuantiles),
