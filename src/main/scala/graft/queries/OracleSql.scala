@@ -237,6 +237,27 @@ object OracleSql {
     "q_knn_brute" -> knnBruteSql,
     "q_ann_ivf" -> annIvfSql,
     "q_simhash" -> simhashSql,
+    "q_range_join" ->
+      s"""WITH flagged AS (
+         |  SELECT user_id, ts,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+         |         THEN 1 ELSE 0 END AS brk
+         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+         |), sessions AS (
+         |  SELECT user_id, ts,
+         |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+         |  FROM flagged
+         |), bounds AS (
+         |  SELECT user_id, session_seq, min(ts) AS s, max(ts) AS e
+         |  FROM sessions GROUP BY user_id, session_seq)
+         |SELECT b.user_id, b.session_seq, count(*) AS n_matched
+         |FROM bounds b JOIN events ev
+         |  ON ev.user_id = b.user_id AND ev.ts BETWEEN b.s AND b.e
+         |GROUP BY b.user_id, b.session_seq
+         |ORDER BY b.user_id, b.session_seq""".stripMargin,
+
     "q_sample" -> sampleSql,
     "q_split" -> splitSql,
     "q_stratified" -> stratifiedSql,

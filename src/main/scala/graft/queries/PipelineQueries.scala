@@ -147,6 +147,25 @@ object PipelineQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Range join: events bucket-joined back into their session
+    * intervals — every event lands in exactly its own session, so the
+    * per-session match counts reproduce the sessionization rollup.
+    */
+  def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val sessions = graft.operators.Sessionize
+      .rollup(ev, "user_id", "ts", "value", gapSeconds = 1800)
+      .select(col("user_id"), col("session_seq"), col("session_start"), col("session_end"))
+    graft.operators.RangeJoin.pointInInterval(
+      ev.select(col("user_id"), col("ts"), col("event_id")), sessions,
+      key = "user_id", tsCol = "ts",
+      startCol = "session_start", endCol = "session_end",
+      bucketWidthUs = 1800L * 1000000L)
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_matched"))
+      .orderBy("user_id", "session_seq")
+  }
+
   /** Deterministic hash-gated Bernoulli sample (engine-portable,
     * scan-only — no RNG, no shuffle).
     */

@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(sec: Long): java.sql.Timestamp =
+    java.sql.Timestamp.from(java.time.Instant.parse("2024-01-01T00:00:00Z").plusSeconds(sec))
+
+  test("bucketized range join equals the naive range predicate") {
+    val points = Seq((1L, ts(10), "a"), (1L, ts(500), "b"), (1L, ts(9999), "c"),
+      (2L, ts(100), "d")).toDF("key", "ts", "tag")
+    val intervals = Seq((1L, ts(0), ts(600), "i1"), (1L, ts(9000), ts(10000), "i2"),
+      (2L, ts(5000), ts(6000), "i3")).toDF("key", "s", "e", "ival")
+
+    val bucketized = RangeJoin.pointInInterval(points, intervals, "key", "ts", "s", "e",
+      bucketWidthUs = 300L * 1000000)
+      .select("tag", "ival").as[(String, String)].collect().toSet
+    val naive = points.join(intervals, Seq("key"))
+      .where(col("ts") >= col("s") && col("ts") <= col("e"))
+      .select("tag", "ival").as[(String, String)].collect().toSet
+
+    assert(bucketized == naive)
+    assert(bucketized == Set(("a", "i1"), ("b", "i1"), ("c", "i2")))
+  }
+
+  test("interval boundaries are inclusive") {
+    val points = Seq((1L, ts(100), "edge")).toDF("key", "ts", "tag")
+    val intervals = Seq((1L, ts(100), ts(100), "i")).toDF("key", "s", "e", "ival")
+    val got = RangeJoin.pointInInterval(points, intervals, "key", "ts", "s", "e", 1000000L)
+    assert(got.count() == 1)
+  }
+}
+
+class MaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("compaction collapses small files and preserves the data") {
+    val dir = tempDir("compact").toString + "/t"
+    val df = (1L to 10000L).map(i => (i, s"payload-$i")).toDF("id", "payload")
+    df.repartition(40).write.mode("overwrite").parquet(dir)
+
+    val before = spark.read.parquet(dir)
+    val sumBefore = before.agg(sum("id")).as[Long].head()
+
+    val result = Maintenance.compactParquet(spark, dir, targetFileBytes = 64L * 1024 * 1024)
+    assert(result.filesBefore == 40)
+    assert(result.filesAfter < 40)
+
+    val after = spark.read.parquet(dir)
+    assert(after.count() == 10000)
+    assert(after.agg(sum("id")).as[Long].head() == sumBefore)
+  }
+}
+
+class HllMergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("HLL sketches merge: union of per-group sketches ~= global distinct") {
+    val df = spark.read.parquet(sf("sf0.01") + "/orders.parquet")
+    // two-level rollup: sketch per status, then union to a global estimate
+    val perStatus = df.groupBy("o_orderstatus")
+      .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
+    val merged = perStatus.agg(
+      hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .as[Long].head()
+    val exact = df.select(countDistinct("o_custkey")).as[Long].head()
+    assert(math.abs(merged - exact).toDouble / exact < 0.05,
+      s"merged estimate $merged vs exact $exact")
+  }
+}
