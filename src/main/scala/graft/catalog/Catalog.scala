@@ -27,6 +27,24 @@ class MapDatabase(all: Map[String, TableProtocol]) extends Database {
     else all.filterNot(_._2.tableMetadata.isDeprecated)
 }
 
+/** Database discovered by reflection over an object's members — the
+  * Scala analog of ModuleDatabase (catalog.py:ModuleDatabase), where a
+  * Python module's attributes become the table namespace. Any no-arg
+  * method (incl. `val`s) returning a TableProtocol on the container
+  * object is a table.
+  */
+class ReflectionDatabase(container: AnyRef) extends Database {
+  override def getTables(showDeprecated: Boolean): Map[String, TableProtocol] = {
+    val all = container.getClass.getMethods.toSeq
+      .filter(m => m.getParameterCount == 0 &&
+        classOf[TableProtocol].isAssignableFrom(m.getReturnType))
+      .map(m => m.getName -> m.invoke(container).asInstanceOf[TableProtocol])
+      .toMap
+    if (showDeprecated) all
+    else all.filterNot(_._2.tableMetadata.isDeprecated)
+  }
+}
+
 /** Wrapper applying global read args to every table call
   * (catalog.py:DatabaseWithGlobalArgs).
   */

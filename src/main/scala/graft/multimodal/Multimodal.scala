@@ -51,6 +51,27 @@ object Multimodal {
     df.withColumn("n_bytes", octet_length(col(payloadCol)).cast(LongType))
       .withColumn("digest", md5(hex(col(payloadCol)))) // hex is uppercase in Spark and DuckDB alike
 
+  /** Frame sampling: slice the payload into `n` evenly-spaced byte
+    * windows (array of binary "frames"). Pure columnar arithmetic —
+    * with a real container format the slicing offsets would come from
+    * the codec, but the schema/fan-out shape (one row → n frames) is
+    * exactly what a video pipeline needs and is what's exercised here.
+    */
+  def frameSample(df: DataFrame, payloadCol: String, n: Int): DataFrame = {
+    val len = octet_length(col(payloadCol))
+    val step = greatest(len.divide(n).cast(IntegerType), lit(1))
+    df.withColumn("frames",
+      transform(sequence(lit(0), lit(n - 1)), i =>
+        col(payloadCol).substr(i * step + 1, step)))
+  }
+
+  /** "Resize" stub: truncate/pad the payload to a fixed byte budget —
+    * stands in for image resizing (deterministic; the real operation
+    * swaps in at the same column-in/column-out seam).
+    */
+  def resizeStub(df: DataFrame, payloadCol: String, targetBytes: Int): DataFrame =
+    df.withColumn(payloadCol, col(payloadCol).substr(lit(1), lit(targetBytes)))
+
   /** Batched per-partition "decode + featurize" — the seam where a
     * real decoder plugs in. Runs as `mapPartitions` so a native codec
     * can amortize initialization per batch, mirroring the

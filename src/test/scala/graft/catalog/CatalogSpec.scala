@@ -48,6 +48,20 @@ class CatalogSpec extends SparkSpec {
     assert(df2.select("tag").as[String].head() == "local")
   }
 
+  test("ReflectionDatabase discovers table members like ModuleDatabase") {
+    object MyTables {
+      val live: graft.tables.TableProtocol = mkTable(10)
+      def computed: graft.tables.TableProtocol = mkTable(20)
+      val retired: graft.tables.TableProtocol = mkTable(30, deprecated = true)
+      def notATable: Int = 42
+    }
+    val db = new ReflectionDatabase(MyTables)
+    assert(db.tables() == Seq("computed", "live"))
+    assert(db.tables(showDeprecated = true) == Seq("computed", "live", "retired"))
+    assert(db.table("live", spark).select("v").as[Int].head() == 10)
+    intercept[NoSuchElementException] { db.table("notATable", spark) }
+  }
+
   test("registerAllViews exposes the catalog through spark.sql") {
     catalog.registerAllViews(spark)
     assert(spark.sql("SELECT v FROM db1_t2").as[Int].head() == 2)

@@ -17,6 +17,22 @@ class MultimodalSpec extends SparkSpec {
     assert(stats == Map(1L -> 11L, 2L -> 0L))
   }
 
+  test("frame sampling slices the payload into n windows") {
+    val df = Multimodal.frameSample(
+      Multimodal.asBinaryPayload(Seq((1L, "abcdefghij")).toDF("doc_id", "text"), "text"),
+      "payload", n = 5)
+    val frames = df.select("frames").head().getAs[scala.collection.Seq[Array[Byte]]](0)
+    assert(frames.size == 5)
+    assert(frames.map(new String(_, "UTF-8")).mkString == "abcdefghij")
+  }
+
+  test("resize stub truncates to the byte budget") {
+    val df = Multimodal.resizeStub(
+      Multimodal.asBinaryPayload(Seq((1L, "abcdefghij")).toDF("doc_id", "text"), "text"),
+      "payload", targetBytes = 4)
+    assert(new String(df.select("payload").head().getAs[Array[Byte]](0), "UTF-8") == "abcd")
+  }
+
   test("stubbed decode runs batched per partition with a stable feature") {
     val df = Multimodal.decodeFeatures(
       Multimodal.asBinaryPayload(docs, "text"), "payload", dim = 4)
