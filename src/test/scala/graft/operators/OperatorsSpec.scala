@@ -93,6 +93,20 @@ class SimilaritySpec extends SparkSpec {
     (2L, Seq(0.0f, 1.0f)), (100L, Seq(-1.0f, 0.0f))
   ).toDF("vec_id", "embedding")
 
+  test("native cosine/l2sq match the declarative HOF formulation on real data") {
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet").limit(50)
+    val pairs = emb.select(col("vec_id").as("a_id"), col("embedding").as("a"))
+      .crossJoin(emb.select(col("vec_id").as("b_id"), col("embedding").as("b")))
+      .limit(500)
+    val diff = pairs.select(
+      Vectors.cosine(col("a"), col("b")).as("fast"),
+      Vectors.cosineDeclarative(col("a"), col("b")).as("slow"),
+      Vectors.l2sq(col("a"), col("b")).as("fastd"),
+      Vectors.l2sqDeclarative(col("a"), col("b")).as("slowd"))
+      .where(col("fast") =!= col("slow") || col("fastd") =!= col("slowd"))
+    assert(diff.count() == 0)
+  }
+
   test("vector math: cosine of identical vectors is 1") {
     val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f, 3.0f))).toDF("a", "b")
     assert(df.select(Vectors.cosine(col("a"), col("b"))).as[Double].head() == 1.0)
