@@ -140,4 +140,34 @@ object Text {
     */
   def fingerprint(c: Column): Column =
     md5(regexp_replace(lower(trim(c)), "\\s+", " "))
+
+  /** Lexical diversity: distinct tokens / tokens (repetitive boiler-
+    * plate scores low). DuckDB: round(len(list_distinct(toks)) /
+    * greatest(len(toks),1), 4)
+    */
+  def uniqueTokenRatio(toks: Column): Column =
+    round(
+      size(array_distinct(toks)).cast("double") /
+        greatest(size(toks), lit(1)).cast("double"),
+      4)
+
+  /** Most-frequent-token share: occurrences of the modal token over
+    * all tokens — a high value flags degenerate repetition. Computed
+    * as a per-row HOF fold; DuckDB mirror sorts and counts the same
+    * way (see OracleSql.q_repetition).
+    */
+  def topTokenShare(toks: Column): Column = {
+    val sorted = sort_array(toks)
+    // longest run in the sorted token array == max frequency
+    val runs = aggregate(
+      sorted,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, t) => {
+        val run = when(t === acc.getField("prev"), acc.getField("run") + 1L).otherwise(1L)
+        struct(t.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    round(runs.cast("double") / greatest(size(toks), lit(1)).cast("double"), 4)
+  }
 }

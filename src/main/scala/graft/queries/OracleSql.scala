@@ -237,6 +237,19 @@ object OracleSql {
     "q_knn_brute" -> knnBruteSql,
     "q_ann_ivf" -> annIvfSql,
     "q_simhash" -> simhashSql,
+    "q_repetition" -> {
+      val toks = wsTokensSql("text")
+      val uniq = s"round(len(list_distinct(toks)) / greatest(len(toks), 1), 4)"
+      // modal-token count == max per-distinct-token frequency
+      val top = s"round(list_max(list_transform(list_distinct(toks), t -> len(list_filter(toks, x -> x = t)))) / greatest(len(toks), 1), 4)"
+      s"""WITH tk AS (SELECT source, $toks AS toks FROM documents),
+         |m AS (SELECT source, $uniq AS uniq, $top AS top FROM tk)
+         |SELECT source, count(*) AS n_docs,
+         |  ${decAvg("uniq")} AS avg_unique_ratio,
+         |  ${decAvg("top")} AS avg_top_share
+         |FROM m GROUP BY source ORDER BY source""".stripMargin
+    },
+
     "q_range_join" ->
       s"""WITH flagged AS (
          |  SELECT user_id, ts,

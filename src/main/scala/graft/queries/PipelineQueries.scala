@@ -147,6 +147,25 @@ object PipelineQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Repetition/diversity metrics: lexical diversity and modal-token
+    * share per source (boilerplate and degenerate-repetition flags).
+    */
+  def qRepetition(s: SparkSession, dir: String): DataFrame = {
+    val d8 = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(8, 4))
+    t(s, dir, "documents")
+      .withColumn("toks", Text.wsTokens(col("text")))
+      .select(
+        col("source"),
+        Text.uniqueTokenRatio(col("toks")).as("uniq"),
+        Text.topTokenShare(col("toks")).as("top"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(sum(d8(col("uniq"))).cast(DoubleType) / count(lit(1)), 4).as("avg_unique_ratio"),
+        round(sum(d8(col("top"))).cast(DoubleType) / count(lit(1)), 4).as("avg_top_share"))
+      .orderBy("source")
+  }
+
   /** Range join: events bucket-joined back into their session
     * intervals — every event lands in exactly its own session, so the
     * per-session match counts reproduce the sessionization rollup.

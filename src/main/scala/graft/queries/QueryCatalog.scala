@@ -41,6 +41,7 @@ object QueryCatalog {
     Entry("q_knn_brute", PipelineQueries.qKnnBrute, headline = true),
     Entry("q_ann_ivf", PipelineQueries.qAnnIvf),
     Entry("q_binary_features", PipelineQueries.qBinaryFeatures),
+    Entry("q_repetition", PipelineQueries.qRepetition),
     Entry("q_range_join", PipelineQueries.qRangeJoin, headline = true),
     Entry("q_sample", PipelineQueries.qSample),
     Entry("q_split", PipelineQueries.qSplit),

@@ -79,6 +79,14 @@ object Profile {
     val pairs = NearDup.minhashPairs(docs, "doc_id", "text")
     time("minhashPairs full") { println("pairs=" + pairs.count()) }
 
+    // cold-vs-warm per headline query: how much of the bench time is
+    // one-off planning/listing vs repeatable execution
+    for (name <- Seq("q03_shipping_priority", "q_dedup_unique", "q_dedup_exact", "q_sessionize")) {
+      val fn = graft.queries.QueryCatalog.queries(name)
+      time(s"$name cold") { fn(spark, sfDir).count() }
+      time(s"$name warm") { fn(spark, sfDir).count() }
+    }
+
     spark.stop()
   }
 }

@@ -45,6 +45,15 @@ class TextSpec extends SparkSpec {
     assert(one(Text.langId(col("t")), "nothing matches here") == "en") // all-zero tie
   }
 
+  test("repetition metrics: diversity and modal-token share") {
+    def m(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column, s: String) =
+      one(f(Text.wsTokens(col("t"))), s)
+    assert(m(Text.uniqueTokenRatio, "a b c d") == 1.0)
+    assert(m(Text.uniqueTokenRatio, "a a a a") == 0.25)
+    assert(m(Text.topTokenShare, "a a a b") == 0.75)
+    assert(m(Text.topTokenShare, "a b c d") == 0.25)
+  }
+
   test("fingerprint normalizes case and whitespace") {
     val fp1 = one(Text.fingerprint(col("t")), "  Hello   World ")
     val fp2 = one(Text.fingerprint(col("t")), "hello world")
