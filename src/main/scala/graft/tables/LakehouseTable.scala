@@ -47,7 +47,17 @@ class LakehouseTable(
   val PredicateKey = "predicate"
 
   override def apply(spark: SparkSession, args: ReadArgs): DataFrame = {
-    var df = spark.read.parquet(uri)
+    // An empty/fileless location yields an empty frame with the
+    // declared schema (deltalake_table.py:_empty_normalized_df) rather
+    // than a schema-inference failure.
+    var df =
+      try spark.read.parquet(uri)
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "UNABLE_TO_INFER_SCHEMA" ||
+              e.getCondition == "PATH_NOT_FOUND" =>
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      }
     df = SchemaNormalize.normalize(df, schema)
 
     // Predicate pushdown: either the DNF filter algebra or a raw SQL

@@ -57,6 +57,14 @@ class LakehouseTableSpec extends SparkSpec {
     assert(viaSql.select("seq").as[Long].collect().toSeq == Seq(2L))
   }
 
+  test("empty/fileless location yields an empty frame with the declared schema") {
+    val empty = tempDir("lake-empty").toString + "/none"
+    val t = new LakehouseTable("t", empty, declared)
+    val df = t(spark, ReadArgs.empty)
+    assert(df.columns.toSeq == declared.fieldNames.toSeq)
+    assert(df.count() == 0)
+  }
+
   test("column selection still dedups on unique columns first") {
     val t = new LakehouseTable("t", writeRaw(), declared,
       uniqueColumns = Some(Seq("z")), orderColumn = Some("seq"))
