@@ -172,6 +172,16 @@ object OracleSql {
          |    FROM lineitem) WHERE rn = 1)
          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
+    "q_upsert_merge" ->
+      s"""SELECT o_orderstatus, count(*) AS n_rows, ${dsum(d4("o_totalprice"))} AS sum_price
+         |FROM (
+         |  SELECT * FROM orders WHERE o_orderkey % 10 != 0
+         |  UNION ALL
+         |  SELECT o_orderkey, o_custkey, o_orderstatus,
+         |    o_totalprice + 1000 AS o_totalprice, o_orderdate, o_orderpriority
+         |  FROM orders WHERE o_orderkey % 10 = 0)
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
     "q_schema_normalize" ->
       s"""SELECT c_mktsegment, count(*) AS n_rows,
          |  count(CAST(NULL AS VARCHAR)) AS n_phone,

@@ -27,6 +27,7 @@ object QueryCatalog {
     Entry("q_agg_stats", RelationalQueries.qAggStats),
     Entry("q_semi_anti", RelationalQueries.qSemiAnti),
     Entry("q_dedup_unique", RelationalQueries.qDedupUnique, headline = true),
+    Entry("q_upsert_merge", RelationalQueries.qUpsertMerge, headline = true),
     Entry("q_schema_normalize", RelationalQueries.qSchemaNormalize),
     Entry("q_sessionize", PipelineQueries.qSessionize, headline = true),
     Entry("q_event_buckets", PipelineQueries.qEventBuckets),

@@ -212,6 +212,21 @@ object RelationalQueries {
       .orderBy("l_returnflag")
   }
 
+  /** MERGE/upsert: last-writer-wins key resolution (engine-level
+    * lakehouse MERGE). Updates bump quantity for every 10th order;
+    * the merged table must reflect exactly the replaced rows.
+    */
+  def qUpsertMerge(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders")
+    val updates = base
+      .where(col("o_orderkey") % 10 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000)
+    graft.operators.Upsert.merge(base, updates, keys = Seq("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"), dsum(d4(col("o_totalprice"))).as("sum_price"))
+      .orderBy("o_orderstatus")
+  }
+
   /** R9: schema normalization — declared column missing from the file
     * comes back as typed null; declared casts applied.
     */
