@@ -26,8 +26,11 @@ object Dedup {
     val ord: Column = order
       .map(o => struct((col(o) +: allCols.map(col)): _*))
       .getOrElse(struct(allCols.map(col): _*))
+    // graft's ExtremumBy instead of min_by: same semantics, but
+    // ObjectHashAggregate-eligible (min_by's struct buffer forces a
+    // SortAggregate — a per-partition sort this operator doesn't need)
     df.groupBy(keys.map(col): _*)
-      .agg(min_by(struct(allCols.map(col): _*), ord).as("_row"))
+      .agg(graft.functions.ExtremumBy.minBy(struct(allCols.map(col): _*), ord).as("_row"))
       .select(allCols.map(c => col(s"_row.$c").as(c)): _*)
   }
 
@@ -40,7 +43,7 @@ object Dedup {
     val allCols = df.columns.toSeq
     df.withColumn("_fp", fp)
       .groupBy(col("_fp"))
-      .agg(min_by(struct(allCols.map(col): _*), col(idCol)).as("_row"))
+      .agg(graft.functions.ExtremumBy.minBy(struct(allCols.map(col): _*), col(idCol)).as("_row"))
       .select(allCols.map(c => col(s"_row.$c").as(c)): _*)
   }
 }

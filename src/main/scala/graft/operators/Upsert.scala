@@ -29,7 +29,7 @@ object Upsert {
     val ord = struct((col("_v") +: cols.map(col)): _*)
     val picked = tagged
       .groupBy(keys.map(col): _*)
-      .agg(max_by(struct(cols.map(col): _*), ord).as("_row"))
+      .agg(graft.functions.ExtremumBy.maxBy(struct(cols.map(col): _*), ord).as("_row"))
       .select(cols.map(c => col(s"_row.$c").as(c)): _*)
     picked
   }

@@ -54,12 +54,15 @@ class PlanSpec extends SparkSpec {
     assert(planOf(df).contains("PushedFilters:"), "q06 filters not pushed")
   }
 
-  test("exact dedup does a map-side partial aggregation (one row per key shuffles)") {
+  test("exact dedup hash-aggregates with map-side combine (no sort, one shuffle)") {
     val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
     val plan = planOf(graft.operators.Dedup.exactByContent(docs, "text", "doc_id"))
-    // min_by(struct) plans as SortAggregate (struct buffer), but the
-    // partial/final pair is what bounds the shuffle at scale
-    assert(plan.contains("partial_min_by"), s"expected map-side combine:\n$plan")
+    // graft's ExtremumBy is a TypedImperativeAggregate, so the planner
+    // uses ObjectHashAggregate with a partial/final pair — no sort,
+    // one row per key crossing the single shuffle
+    assert(plan.contains("ObjectHashAggregate"), s"expected object hash agg:\n$plan")
+    assert(plan.contains("partial_graft_min_by"), s"expected map-side combine:\n$plan")
+    assert(!plan.contains("SortAggregate"), s"should not sort:\n$plan")
     assert("Exchange".r.findAllIn(plan).length == 1, s"expected exactly one shuffle:\n$plan")
   }
 }
