@@ -156,6 +156,51 @@ object NearDup {
       .select("a_id", "b_id", "jaccard")
   }
 
+  /** Connected components over a near-duplicate pair graph: every doc
+    * in a cluster gets the cluster's minimum doc id as its label —
+    * the standard final stage of corpus dedup (keep one doc per
+    * cluster, drop the rest).
+    *
+    * Iterative min-label propagation (the large-graph CC algorithm):
+    * each round every node adopts the minimum label among itself and
+    * its neighbors; converges in O(diameter) rounds. Near-dup graphs
+    * are overwhelmingly tiny cliques/chains, so this is 2-4 rounds in
+    * practice. Each round is one shuffle join + one aggregation; the
+    * driver only checks a convergence count. Labels are persisted per
+    * round and unpersisted after — no lineage blowup.
+    */
+  def dupClusters(pairs: DataFrame, aCol: String, bCol: String, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("s"), col(bCol).as("t"))
+      .unionByName(pairs.select(col(bCol).as("s"), col(aCol).as("t")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    var labels = edges.select(col("s").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "s").withColumnRenamed("comp", "srcComp"), "s")
+        .groupBy(col("t").as("id"))
+        .agg(min(col("srcComp")).as("nbrComp"))
+      val next = labels
+        .join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nbrComp"), col("comp"))).as("comp"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = next.as("n").join(labels.as("l"), "id")
+        .where(col("n.comp") =!= col("l.comp")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id"), col("comp").as("cluster_id"))
+  }
+
   /** Exact n-gram Jaccard similarity between two text columns. */
   def ngramJaccard(a: Column, b: Column, k: Int = 5): Column = {
     val sa = array_distinct(Text.shingles(a, k))

@@ -244,6 +244,7 @@ object OracleSql {
     "q_lang_id" -> langIdSql,
     "q_minhash" -> minhashQuerySql,
     "q_minhash_pairs" -> minhashPairsSql,
+    "q_dup_clusters" -> dupClustersSql,
     "q_knn_brute" -> knnBruteSql,
     "q_ann_ivf" -> annIvfSql,
     "q_simhash" -> simhashSql,
@@ -336,11 +337,13 @@ object OracleSql {
        |FROM scored GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin
   }
 
-  private def sigSelect: String = {
+  private def sigSelect: String = sigSelect(false)
+
+  private def sigSelect(recursive: Boolean): String = {
     val sigs = (0 until NumHashes)
       .map(j => s"${minhashSql("hs", j)} AS sig_$j")
       .mkString(",\n    ")
-    s"""WITH sh AS (
+    s"""WITH ${if (recursive) "RECURSIVE " else ""}sh AS (
        |  SELECT doc_id, text, ${shinglesSql("text", K)} AS shs FROM documents),
        |hashed AS (
        |  SELECT doc_id, text, shs, ${shingleHashesSql("shs")} AS hs FROM sh),
@@ -355,13 +358,14 @@ object OracleSql {
        |SELECT doc_id, ${(0 until NumHashes).map(j => s"sig_$j").mkString(", ")}
        |FROM sig ORDER BY doc_id""".stripMargin
 
-  private def minhashPairsSql: String = {
+  /** The shared CTE chain ending in `verified(a_id, b_id, jaccard)`. */
+  private def minhashPairsCtes(recursive: Boolean): String = {
     val rows = NumHashes / Bands
     val bandSelects = (0 until Bands).map { b =>
       val sigs = (b * rows until (b + 1) * rows).map(j => s"sig_$j").mkString(", ")
       s"SELECT doc_id, shset, $b AS band, md5(concat_ws('|', $sigs)) AS bh FROM sigd"
     }.mkString("\n  UNION ALL\n  ")
-    s"""$sigSelect,
+    s"""${sigSelect(recursive)},
        |sigd AS (SELECT *, list_sort(list_distinct(hs)) AS shset FROM sig),
        |banded AS (
        |  $bandSelects
@@ -375,10 +379,29 @@ object OracleSql {
        |      (len(sa.shset) + len(sb.shset) - len(list_intersect(sa.shset, sb.shset))), 4) AS jaccard
        |  FROM cand
        |  JOIN sigd sa ON sa.doc_id = a_id
-       |  JOIN sigd sb ON sb.doc_id = b_id)
+       |  JOIN sigd sb ON sb.doc_id = b_id)""".stripMargin
+  }
+
+  private def minhashPairsSql: String =
+    s"""${minhashPairsCtes(false)}
        |SELECT a_id, b_id, jaccard FROM verified WHERE jaccard >= 0.5
        |ORDER BY a_id, b_id""".stripMargin
-  }
+
+  /** Connected components of the ≥0.5-Jaccard pair graph via a
+    * recursive transitive-closure CTE, labeling each doc with the
+    * minimum reachable doc id (mirrors NearDup.dupClusters).
+    */
+  private def dupClustersSql: String =
+    s"""${minhashPairsCtes(true)},
+       |pairs AS (SELECT a_id, b_id FROM verified WHERE jaccard >= 0.5),
+       |e AS (SELECT a_id AS s, b_id AS t FROM pairs
+       |      UNION SELECT b_id, a_id FROM pairs),
+       |reach AS (
+       |  SELECT s, t FROM e
+       |  UNION
+       |  SELECT r.s, e2.t FROM reach r JOIN e e2 ON r.t = e2.s)
+       |SELECT s AS id, least(s, min(t)) AS cluster_id
+       |FROM reach GROUP BY s ORDER BY id""".stripMargin
 
   /** Mirrors Similarity.ivfAssign + ivfTopK exactly: deterministic
     * seed centroids (vec_id % 100 == 0), rounded-L2 argmin assignment

@@ -117,6 +117,16 @@ object PipelineQueries {
       k = 5, numHashes = 8, bands = 2, threshold = 0.5)
       .orderBy("a_id", "b_id")
 
+  /** Dedup clustering: connected components of the near-dup pair
+    * graph; each doc labeled with its cluster's min doc id.
+    */
+  def qDupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = NearDup.minhashPairs(
+      t(s, dir, "documents"), "doc_id", "text",
+      k = 5, numHashes = 8, bands = 2, threshold = 0.5)
+    NearDup.dupClusters(pairs, "a_id", "b_id").orderBy("id")
+  }
+
   /** P6: SimHash values + hamming-near pairs within small buckets are
     * covered in tests; this exports the per-doc simhash (16-bit).
     */

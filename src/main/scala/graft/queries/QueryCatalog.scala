@@ -38,6 +38,7 @@ object QueryCatalog {
     Entry("q_lang_id", PipelineQueries.qLangId),
     Entry("q_minhash", PipelineQueries.qMinhash, headline = true),
     Entry("q_minhash_pairs", PipelineQueries.qMinhashPairs, headline = true),
+    Entry("q_dup_clusters", PipelineQueries.qDupClusters),
     Entry("q_simhash", PipelineQueries.qSimhash),
     Entry("q_knn_brute", PipelineQueries.qKnnBrute, headline = true),
     Entry("q_ann_ivf", PipelineQueries.qAnnIvf),

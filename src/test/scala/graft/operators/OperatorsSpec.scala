@@ -65,6 +65,14 @@ class NearDupSpec extends SparkSpec {
     assert(pairs == Seq((1L, 2L, 1.0)))
   }
 
+  test("dupClusters labels every connected doc with the cluster minimum") {
+    // graph: 1-2, 2-3 (chain), 10-11 (pair), 20 isolated (not in pairs)
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
+    val got = NearDup.dupClusters(pairs, "a_id", "b_id")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("ngramJaccard: identity 1, disjoint 0") {
     val df = Seq(("same text", "same text"), ("aaaaaa", "zzzzzz")).toDF("a", "b")
     val got = df.select(NearDup.ngramJaccard(col("a"), col("b")).as("j")).as[Double].collect().toSeq
