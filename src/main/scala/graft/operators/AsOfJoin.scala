@@ -63,6 +63,50 @@ object AsOfJoin {
     matched.select(outCols: _*)
   }
 
+  /** Forward as-of: the *earliest* right row with `right.ts >= left.ts`
+    * — same single-shuffle shape, with the window looking forward and
+    * right rows sorting after left rows at equal timestamps (so an
+    * exactly-simultaneous right row still matches).
+    */
+  def asOfForward(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      rightPayload: Seq[String]
+  ): DataFrame = {
+    val leftCols = left.columns.toSeq
+
+    val l = left
+      .withColumn("_ts", col(leftTs))
+      .withColumn("_side", lit(0))
+      .withColumn("_rpay", lit(null).cast(payloadType(right, rightTs, rightPayload)))
+    val r = right
+      .withColumn("_ts", col(rightTs))
+      .withColumn("_side", lit(1))
+      .withColumn("_rpay", payloadStruct(rightTs, rightPayload))
+      .select((keys ++ Seq("_ts", "_side", "_rpay")).map(col): _*)
+
+    val lSlim = l.select((leftCols ++ Seq("_ts", "_side", "_rpay")).map(col): _*)
+    val unioned = lSlim.unionByName(r.select(lSlim.columns.map(c =>
+      if (r.columns.contains(c)) col(c) else lit(null).cast(lSlim.schema(c).dataType).as(c)): _*))
+
+    val w = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col("_ts").asc, col("_side").asc, col("_rpay").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    val matched = unioned
+      .withColumn("_match", first(col("_rpay"), ignoreNulls = true).over(w))
+      .where(col("_side") === 0)
+
+    val outCols = leftCols.map(col) ++
+      Seq(col(s"_match.$rightTs").as(s"asof_$rightTs")) ++
+      rightPayload.map(p => col(s"_match.$p").as(s"asof_$p"))
+    matched.select(outCols: _*)
+  }
+
   private def payloadStruct(rightTs: String, payload: Seq[String]): Column =
     struct((rightTs +: payload).map(col): _*)
 

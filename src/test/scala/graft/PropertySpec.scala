@@ -1,0 +1,61 @@
+package graft
+
+import graft.core.{Filter, Filters}
+import graft.functions.{PortableHash, Text, TextHashExpressions}
+import graft.operators.Sampling
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+/** Property-based invariants over random inputs (ScalaCheck driving
+  * real Spark evaluation in small batches).
+  */
+object GraftProperties extends Properties("graft") {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  override def overrideParameters(p: org.scalacheck.Test.Parameters) =
+    p.withMinSuccessfulTests(10)
+
+  private val word = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+
+  property("eq/neq filters partition any dataset") =
+    forAll(Gen.nonEmptyListOf(Gen.chooseNum(-50, 50)), Gen.chooseNum(-50, 50)) {
+      (xs: List[Int], pivot: Int) =>
+        val df = xs.toDF("x")
+        val eq = df.filter(Filters.toColumn(Filter("x", "=", pivot))).count()
+        val ne = df.filter(Filters.toColumn(Filter("x", "!=", pivot))).count()
+        eq + ne == xs.size
+    }
+
+  property("shingle count is max(1, len - k + 1)") =
+    forAll(word, Gen.chooseNum(1, 8)) { (s: String, k: Int) =>
+      val n = Seq(s).toDF("t").select(size(Text.shingles(col("t"), k))).as[Int].head()
+      n == math.max(1, s.length - k + 1)
+    }
+
+  property("portable hash stays within [0, Prime)") =
+    forAll(Gen.nonEmptyListOf(word)) { (ws: List[String]) =>
+      val hs = ws.toDF("t").select(PortableHash.md5Mod(col("t"))).as[Long].collect()
+      hs.forall(h => h >= 0 && h < PortableHash.Prime)
+    }
+
+  property("sorted intersect count equals set-intersection cardinality") = {
+    val sortedArr = Gen.listOf(Gen.chooseNum(0L, 30L)).map(_.distinct.sorted)
+    forAll(sortedArr, sortedArr) { (a: List[Long], b: List[Long]) =>
+      val got = Seq((a, b)).toDF("a", "b")
+        .select(TextHashExpressions.sortedIntersectCount(col("a"), col("b")))
+        .as[Int].head()
+      got == (a.toSet & b.toSet).size
+    }
+  }
+
+  property("split labels cover every row exactly once for any weight mix") =
+    forAll(Gen.chooseNum(0.1, 0.9)) { (w: Double) =>
+      val splits = Seq("a" -> w, "b" -> (1.0 - w))
+      val labeled = (1L to 200L).toDF("id")
+        .withColumn("s", Sampling.splitLabel(col("id"), splits))
+      labeled.where(col("s").isin("a", "b")).count() == 200
+    }
+}

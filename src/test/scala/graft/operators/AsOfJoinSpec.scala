@@ -31,6 +31,19 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got("before-any").isEmpty)
   }
 
+  test("asOfForward picks the earliest right row at or after each left ts") {
+    val quotes = Seq((1L, ts(100), 101.0), (1L, ts(200), 102.0)).toDF("key", "qts", "price")
+    val trades = Seq(
+      (1L, ts(100), "exact"), (1L, ts(150), "between"), (1L, ts(999), "after-all")
+    ).toDF("key", "tts", "label")
+    val got = AsOfJoin.asOfForward(trades, quotes,
+      Seq("key"), "tts", "qts", Seq("price"))
+      .select("label", "asof_price").as[(String, Option[Double])].collect().toMap
+    assert(got("exact").contains(101.0))
+    assert(got("between").contains(102.0))
+    assert(got("after-all").isEmpty)
+  }
+
   test("keys never match across groups") {
     val right = Seq((1L, ts(0), 1.0)).toDF("key", "qts", "v")
     val left  = Seq((2L, ts(100), "x")).toDF("key", "tts", "tag")
