@@ -1,0 +1,55 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** Write-side layout helpers: codify the three storage layouts the
+  * read path exploits (partition pruning, bucket co-location, sane
+  * file sizes). At 100 TB the write layout IS the query plan of every
+  * future read — these helpers make the right layout the easy path.
+  */
+object Sinks {
+
+  /** Hive-partitioned parquet: downstream filters on the partition
+    * columns prune whole directories at planning time.
+    */
+  def writePartitioned(
+      df: DataFrame,
+      path: String,
+      partitionCols: Seq[String],
+      mode: SaveMode = SaveMode.Overwrite
+  ): Unit =
+    df.write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
+
+  /** Bucketed + sorted table: equi-joins and aggregations on the
+    * bucket key run without a shuffle (see StorageLayoutSpec).
+    * Bucketing requires the table catalog, hence saveAsTable.
+    */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      bucketCols: Seq[String],
+      numBuckets: Int,
+      mode: SaveMode = SaveMode.Overwrite
+  ): Unit =
+    df.write.mode(mode)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(table)
+
+  /** Size-targeted parquet: estimates the row byte-width from a
+    * sample-free logical-plan stats pass and repartitions so output
+    * files land near `targetFileBytes` (the write-time counterpart of
+    * Maintenance.compactParquet).
+    */
+  def writeSized(
+      df: DataFrame,
+      path: String,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      mode: SaveMode = SaveMode.Overwrite
+  ): Unit = {
+    val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val parts = math.max(1,
+      (estBytes / BigInt(targetFileBytes)).toInt.min(100000))
+    df.repartition(parts).write.mode(mode).parquet(path)
+  }
+}
