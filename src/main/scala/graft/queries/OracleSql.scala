@@ -509,6 +509,18 @@ object OracleSql {
          |  ON p.user_id = h.user_id AND p.ts >= h.hts
          |ORDER BY p.event_id""".stripMargin,
 
+    "q_asof_forward" ->
+      s"""WITH purchases AS (
+         |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+         |hourly AS (
+         |  SELECT user_id, date_trunc('hour', ts) AS hts, count(*) AS hourly_events
+         |  FROM events GROUP BY 1, 2)
+         |SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+         |  epoch_us(h.hts) AS hour_us, h.hourly_events
+         |FROM purchases p ASOF JOIN hourly h
+         |  ON p.user_id = h.user_id AND p.ts <= h.hts
+         |ORDER BY p.event_id""".stripMargin,
+
     "q_rollup" ->
       s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
          |  ${dsum(d4("o_totalprice"))} AS sum_price

@@ -49,6 +49,7 @@ object QueryCatalog {
     Entry("q_split", PipelineQueries.qSplit),
     Entry("q_stratified", PipelineQueries.qStratified),
     Entry("q_asof_join", Wave2Queries.qAsofJoin, headline = true),
+    Entry("q_asof_forward", Wave2Queries.qAsofForward),
     Entry("q_rollup", Wave2Queries.qRollup),
     Entry("q_quantiles", Wave2Queries.qQuantiles),
     Entry("q_json_extract", Wave2Queries.qJsonExtract),

@@ -37,6 +37,29 @@ object Wave2Queries {
       .orderBy("event_id")
   }
 
+  /** Forward as-of: each purchase matched to the earliest hourly
+    * rollup at or after it (inner semantics to mirror ASOF JOIN).
+    */
+  def qAsofForward(s: SparkSession, dir: String): DataFrame = {
+    val events = t(s, dir, "events")
+    val purchases = events
+      .where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val hourly = events
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hts"))
+      .agg(count(lit(1)).as("hourly_events"))
+    AsOfJoin.asOfForward(purchases, hourly,
+      keys = Seq("user_id"), leftTs = "ts", rightTs = "hts",
+      rightPayload = Seq("hourly_events"))
+      .where(col("asof_hts").isNotNull)
+      .select(
+        col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        unix_micros(col("asof_hts")).as("hour_us"),
+        col("asof_hourly_events").as("hourly_events"))
+      .orderBy("event_id")
+  }
+
   /** OLAP rollup (hierarchical grouping sets). */
   def qRollup(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
