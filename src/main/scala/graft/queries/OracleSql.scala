@@ -136,6 +136,13 @@ object OracleSql {
          |  FROM part) WHERE rank <= 3
          |ORDER BY p_brand, rank""".stripMargin,
 
+    "q_topk_agg" -> // identical semantics to q_topk_per_group, different operator
+      s"""SELECT p_brand, rank, p_partkey, p_retailprice FROM (
+         |  SELECT p_brand, p_partkey, p_retailprice,
+         |    row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rank
+         |  FROM part) WHERE rank <= 3
+         |ORDER BY p_brand, rank""".stripMargin,
+
     "q_running_sum" ->
       s"""SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
          |  round(CAST(sum(${d4("l_quantity")}) OVER (

@@ -151,6 +151,17 @@ object RelationalQueries {
       .orderBy("p_brand", "rank")
   }
 
+  /** Same result as q_topk_per_group through the bounded-heap TopK
+    * aggregate instead of a window sort (scale path: k rows per group
+    * cross the shuffle, no partition sort).
+    */
+  def qTopkAgg(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TopK.perGroup(
+      t(s, dir, "part"), Seq("p_brand"),
+      ord = struct(negate(col("p_retailprice")), col("p_partkey")), k = 3)
+      .select("p_brand", "rank", "p_partkey", "p_retailprice")
+      .orderBy("p_brand", "rank")
+
   /** E7: running revenue per supplier (bounded to 5 suppliers). */
   def qRunningSum(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("l_suppkey")

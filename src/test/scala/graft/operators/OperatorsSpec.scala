@@ -7,6 +7,18 @@ import org.apache.spark.sql.functions._
 class DedupSpec extends SparkSpec {
   import spark.implicits._
 
+  test("TopK.perGroup equals the window row_number formulation") {
+    val df = spark.read.parquet(sf("sf0.001") + "/part.parquet")
+    val viaAgg = TopK.perGroup(df, Seq("p_brand"),
+      org.apache.spark.sql.functions.struct(negate(col("p_retailprice")), col("p_partkey")), 3)
+      .select("p_brand", "rank", "p_partkey")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("p_brand").orderBy(col("p_retailprice").desc, col("p_partkey"))
+    val viaWindow = df.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= 3).select("p_brand", "rank", "p_partkey")
+    assert(viaAgg.exceptAll(viaWindow).isEmpty && viaWindow.exceptAll(viaAgg).isEmpty)
+  }
+
   test("keepFirst keeps the per-key minimizer of the order column") {
     val df = Seq(("k1", 2, "b"), ("k1", 1, "a"), ("k2", 5, "c")).toDF("k", "ord", "payload")
     val got = Dedup.keepFirst(df, Seq("k"), Some("ord"))
