@@ -1,0 +1,130 @@
+package graft.plans
+
+import graft.functions.TopKRows
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+/** Optimizer rule: `row_number() OVER (PARTITION BY p ORDER BY o) <= k`
+  * filtered directly above its Window becomes a bounded-heap TopK
+  * aggregate + explode.
+  *
+  * The window formulation shuffles *and sorts* every partition to
+  * number rows it mostly discards; the rewrite ships at most k rows
+  * per group through the shuffle and sorts nothing (see
+  * graft.operators.TopK). The rule matches only the exact
+  * Filter(rn <= lit, Window(single row_number alias)) shape with a
+  * non-empty partition spec, so any query it touches is semantically
+  * identical by construction; output attribute ids are preserved, so
+  * parent operators resolve unchanged.
+  *
+  * Opt-in: inject with
+  * `spark.experimental.extraOptimizations ++= Seq(RowNumberTopKRewrite)`
+  * (or via a SparkSessionExtensions build); not registered by default.
+  */
+object RowNumberTopKRewrite extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond,
+          w @ Window(Seq(alias @ Alias(WindowExpression(_: RowNumber,
+            WindowSpecDefinition(partitionSpec, orderSpec, _)), _)), _, _, child, _))
+        if partitionSpec.nonEmpty =>
+      extractLimit(cond, alias.toAttribute) match {
+        case Some(k) if k > 0 && k <= 10000 =>
+          rewrite(f, w, alias, partitionSpec, orderSpec, child, k)
+        case _ => f
+      }
+  }
+
+  /** cond must be exactly `rnAttr <= k` / `rnAttr < k` / `k >= rnAttr`. */
+  private def extractLimit(cond: Expression, rn: Attribute): Option[Int] = cond match {
+    case LessThanOrEqual(a: Attribute, IntegerLiteral(k)) if a.semanticEquals(rn) => Some(k)
+    case LessThan(a: Attribute, IntegerLiteral(k)) if a.semanticEquals(rn)        => Some(k - 1)
+    case GreaterThanOrEqual(IntegerLiteral(k), a: Attribute) if a.semanticEquals(rn) => Some(k)
+    case _ => None
+  }
+
+  private def rewrite(
+      f: Filter,
+      w: Window,
+      rnAlias: Alias,
+      partitionSpec: Seq[Expression],
+      orderSpec: Seq[SortOrder],
+      child: LogicalPlan,
+      k: Int
+  ): LogicalPlan = {
+    val childOut = child.output
+
+    // priority struct: ascending fields; descending sort columns are
+    // only safe to invert for orderable-but-negatable types, so keep
+    // full generality by sorting on (flip via reverse ordering) —
+    // encode each SortOrder as-is when ascending; bail out on any
+    // descending non-numeric (conservative).
+    val ordFields: Option[Seq[Expression]] = {
+      val converted = orderSpec.map { so =>
+        so.direction match {
+          case Ascending => Some(so.child)
+          case Descending =>
+            so.child.dataType match {
+              case _: org.apache.spark.sql.types.NumericType => Some(UnaryMinus(so.child))
+              case _ => None
+            }
+        }
+      }
+      if (converted.exists(_.isEmpty)) None else Some(converted.flatten)
+    }
+
+    ordFields match {
+      case None => f // unsupported ordering shape: leave untouched
+      case Some(ordExprs) =>
+        // total order: sort keys then the full row as tie-break
+        val ord = CreateStruct(ordExprs ++ childOut)
+        val value = CreateStruct(childOut)
+        val topK = TopKRows(value, ord, k).toAggregateExpression()
+        val topAlias = Alias(topK, "_graft_top")()
+
+        val groupAliases = partitionSpec.zipWithIndex.map {
+          case (a: Attribute, _) => a
+          case (e, i)            => Alias(e, s"_graft_g$i")()
+        }
+        val agg = Aggregate(
+          groupAliases.map(_.toAttribute),
+          (groupAliases.map(_.toAttribute) :+ topAlias).map(_.asInstanceOf[NamedExpression]),
+          Project((child.output ++ groupAliases.collect { case a: Alias => a }).distinct, child))
+
+        val posAttr = AttributeReference("pos", IntegerType, nullable = false)()
+        val rowAttr = AttributeReference("col", value.dataType, nullable = false)()
+        val gen = Generate(
+          PosExplode(topAlias.toAttribute),
+          unrequiredChildIndex = Seq(agg.output.indexOf(topAlias.toAttribute)),
+          outer = false,
+          qualifier = None,
+          generatorOutput = Seq(posAttr, rowAttr),
+          child = agg)
+
+        // reproduce the original output attributes (same exprIds)
+        val restored: Seq[NamedExpression] = f.output.map { out =>
+          if (out.exprId == rnAlias.toAttribute.exprId) {
+            val rank = Cast(Add(posAttr, Literal(1)), rnAlias.dataType)
+            Alias(rank, out.name)(exprId = out.exprId)
+          } else {
+            val idx = childOut.indexWhere(_.exprId == out.exprId)
+            if (idx >= 0)
+              Alias(GetStructField(rowAttr, idx, Some(childOut(idx).name)), out.name)(exprId = out.exprId)
+            else out // partition key attr flows through the aggregate
+          }
+        }
+        Project(restored, gen)
+    }
+  }
+
+  private object IntegerLiteral {
+    def unapply(e: Expression): Option[Int] = e match {
+      case Literal(v: Int, IntegerType) => Some(v)
+      case Literal(v: Long, LongType) if v <= Int.MaxValue => Some(v.toInt)
+      case _ => None
+    }
+  }
+}
