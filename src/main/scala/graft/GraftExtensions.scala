@@ -16,10 +16,14 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   * or call [[GraftExtensions.register]] on an existing session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.definitions.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // window-top-k → bounded-heap aggregate rewrite (conservative
+    // matching; see graft.plans.RowNumberTopKRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.RowNumberTopKRewrite)
+  }
 }
 
 object GraftExtensions {
