@@ -8,18 +8,22 @@ import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types._
 
-/** Keep-one-row-per-key aggregate: the row whose `ord` is the
-  * minimum (or maximum) of the group.
+/** Keep-one-row-per-key aggregate: the row minimizing (or maximizing)
+  * `(ord, value)` lexicographically — i.e. ordered by `ord` with the
+  * full row as tie-break, which makes the result total-order
+  * deterministic without the caller having to build a combined
+  * ordering struct.
   *
-  * Functionally equal to Spark's `min_by`/`max_by`, but as a
-  * TypedImperativeAggregate with a mutable byte buffer it is eligible
-  * for ObjectHashAggregateExec — `min_by` is declarative with a
-  * struct buffer, which forces SortAggregate (sort every partition by
-  * the group key before aggregating). For the dedup/merge operators
-  * that keep one row per key over the whole corpus, dropping that
-  * per-partition sort is the difference between hash-agg scan speed
-  * and sort-bound CPU at 100 TB. Partial/final merge semantics are
-  * preserved, so only one row per key ever crosses the shuffle.
+  * Two properties matter at corpus scale:
+  *  - As a TypedImperativeAggregate with a byte buffer it is eligible
+  *    for ObjectHashAggregateExec — `min_by` is declarative with a
+  *    struct buffer, which forces SortAggregate (a per-partition sort
+  *    this operator doesn't need). Partial/final merge is preserved,
+  *    so one row per key crosses the shuffle.
+  *  - Ordering evaluation is progressive: only the (cheap, usually
+  *    single-column) `ord` is evaluated per input row; the full row
+  *    struct is constructed only when a row actually improves on — or
+  *    ties — the incumbent, which is O(k·groups), not O(rows).
   */
 case class ExtremumBy(
     value: Expression,
@@ -34,8 +38,10 @@ case class ExtremumBy(
   override def dataType: DataType = value.dataType
   override def prettyName: String = if (isMin) "graft_min_by" else "graft_max_by"
 
-  @transient private lazy val ordering =
+  @transient private lazy val ordOrdering =
     TypeUtils.getInterpretedOrdering(ord.dataType)
+  @transient private lazy val valueOrdering =
+    TypeUtils.getInterpretedOrdering(value.dataType)
 
   private def pairSchema = StructType(Seq(
     StructField("o", ord.dataType), StructField("v", value.dataType)))
@@ -48,26 +54,43 @@ case class ExtremumBy(
   override def update(buf: ExtremumBy.Buffer, input: InternalRow): ExtremumBy.Buffer = {
     val o = ord.eval(input)
     if (o != null) {
-      if (buf.pair == null || better(o, buf.pair.get(0, ord.dataType))) {
-        val v = value.eval(input)
-        buf.pair = pairProjection(new GenericInternalRow(Array[Any](o, v))).copy()
+      if (buf.pair == null) {
+        buf.pair = pairProjection(new GenericInternalRow(Array[Any](o, value.eval(input)))).copy()
+      } else {
+        val c = ordOrdering.compare(o, buf.pair.get(0, ord.dataType))
+        val primaryBetter = if (isMin) c < 0 else c > 0
+        if (primaryBetter) {
+          buf.pair = pairProjection(new GenericInternalRow(Array[Any](o, value.eval(input)))).copy()
+        } else if (c == 0) {
+          // tie on ord: the full row decides (rare path — only here is
+          // the candidate row struct materialized)
+          val v = value.eval(input)
+          val cv = valueOrdering.compare(v, buf.pair.get(1, value.dataType))
+          if (if (isMin) cv < 0 else cv > 0) {
+            buf.pair = pairProjection(new GenericInternalRow(Array[Any](o, v))).copy()
+          }
+        }
       }
     }
     buf
   }
 
   override def merge(buf: ExtremumBy.Buffer, other: ExtremumBy.Buffer): ExtremumBy.Buffer = {
-    if (other.pair != null &&
-        (buf.pair == null ||
-          better(other.pair.get(0, ord.dataType), buf.pair.get(0, ord.dataType)))) {
-      buf.pair = other.pair
+    if (other.pair != null) {
+      if (buf.pair == null) buf.pair = other.pair
+      else {
+        val c = ordOrdering.compare(other.pair.get(0, ord.dataType), buf.pair.get(0, ord.dataType))
+        val better =
+          if (c != 0) { if (isMin) c < 0 else c > 0 }
+          else {
+            val cv = valueOrdering.compare(
+              other.pair.get(1, value.dataType), buf.pair.get(1, value.dataType))
+            if (isMin) cv < 0 else cv > 0
+          }
+        if (better) buf.pair = other.pair
+      }
     }
     buf
-  }
-
-  private def better(candidate: Any, incumbent: Any): Boolean = {
-    val c = ordering.compare(candidate, incumbent)
-    if (isMin) c < 0 else c > 0
   }
 
   override def eval(buf: ExtremumBy.Buffer): Any =
@@ -96,6 +119,10 @@ object ExtremumBy {
   /** Mutable holder for the current best (ord, value) UnsafeRow pair. */
   final class Buffer(var pair: UnsafeRow)
 
+  /** Row minimizing (ord, row) — `ord` should be the cheap primary
+    * ordering (single column / small struct); the row itself breaks
+    * ties deterministically.
+    */
   def minBy(value: Column, ord: Column): Column =
     Bridge.column(
       ExtremumBy(Bridge.expression(value), Bridge.expression(ord), isMin = true)

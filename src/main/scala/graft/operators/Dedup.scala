@@ -21,14 +21,14 @@ object Dedup {
     */
   def keepFirst(df: DataFrame, keys: Seq[String], order: Option[String] = None): DataFrame = {
     val allCols = df.columns.toSeq
-    // Suffix the full row struct so the ordering is total even when the
-    // order column has ties — otherwise the kept row is nondeterministic.
-    val ord: Column = order
-      .map(o => struct((col(o) +: allCols.map(col)): _*))
-      .getOrElse(struct(allCols.map(col): _*))
-    // graft's ExtremumBy instead of min_by: same semantics, but
-    // ObjectHashAggregate-eligible (min_by's struct buffer forces a
-    // SortAggregate — a per-partition sort this operator doesn't need)
+    // ExtremumBy orders by (ord, row): the cheap order column decides,
+    // and the full row breaks ties — a total order, so the kept row is
+    // deterministic; without an order column the row itself is the
+    // order. ObjectHashAggregate-eligible (min_by's struct buffer
+    // forces a SortAggregate — a per-partition sort this operator
+    // doesn't need), and the row struct is only materialized when a
+    // row improves on the incumbent.
+    val ord: Column = order.map(col).getOrElse(lit(0))
     df.groupBy(keys.map(col): _*)
       .agg(graft.functions.ExtremumBy.minBy(struct(allCols.map(col): _*), ord).as("_row"))
       .select(allCols.map(c => col(s"_row.$c").as(c)): _*)

@@ -24,12 +24,11 @@ object Upsert {
     val cols = base.columns.toSeq
     val tagged = base.withColumn("_v", lit(0))
       .unionByName(updates.select(cols.map(col): _*).withColumn("_v", lit(1)))
-    // version ordinal first, full row as suffix: total order, so the
-    // result is deterministic even if `updates` carries duplicate keys
-    val ord = struct((col("_v") +: cols.map(col)): _*)
+    // ExtremumBy orders by (version, full row): deterministic even if
+    // `updates` carries duplicate keys
     val picked = tagged
       .groupBy(keys.map(col): _*)
-      .agg(graft.functions.ExtremumBy.maxBy(struct(cols.map(col): _*), ord).as("_row"))
+      .agg(graft.functions.ExtremumBy.maxBy(struct(cols.map(col): _*), col("_v")).as("_row"))
       .select(cols.map(c => col(s"_row.$c").as(c)): _*)
     picked
   }
