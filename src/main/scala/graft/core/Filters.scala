@@ -94,9 +94,15 @@ object Filters {
   def conjunctionColumn(fs: Seq[Filter]): Option[Column] =
     fs.map(toColumn).reduceOption(_ && _)
 
-  /** Full DNF → Column. None when no filters at all. */
+  /** Full DNF → Column. None when no filters at all. An *empty
+    * conjunction* inside the DNF means TRUE (consistent with toSql,
+    * which renders it as "true") — dropping it would silently discard
+    * rows matched by that disjunct. Note the reference's
+    * _filters_to_expr drops such conjunctions; we diverge on purpose.
+    */
   def toColumn(filters: Normalized): Option[Column] =
-    filters.flatMap(conjunctionColumn).reduceOption(_ || _)
+    if (filters.isEmpty) None
+    else Some(filters.map(fs => conjunctionColumn(fs).getOrElse(lit(true))).reduce(_ || _))
 
   /** DNF → ANSI SQL predicate ("true" when empty), same output grammar
     * as the reference's filters_to_sql_predicate (util.py:152-295).

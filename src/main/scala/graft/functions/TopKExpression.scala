@@ -31,7 +31,11 @@ case class TopKRows(
 
   override def children: Seq[Expression] = Seq(value, ord)
   override def nullable: Boolean = false
-  override def dataType: DataType = ArrayType(value.dataType, containsNull = false)
+  // a nullable value expression can store nulls in the buffer, which
+  // then surface as null array elements — declare that honestly (the
+  // TopK rewrite path passes a non-null CreateStruct, so it still gets
+  // containsNull = false).
+  override def dataType: DataType = ArrayType(value.dataType, containsNull = value.nullable)
   override def prettyName: String = "graft_top_k"
 
   @transient private lazy val ordering = TypeUtils.getInterpretedOrdering(ord.dataType)

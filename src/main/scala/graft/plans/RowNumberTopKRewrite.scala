@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{IntegerType, LongType}
+import org.apache.spark.sql.types._
 
 /** Optimizer rule: `row_number() OVER (PARTITION BY p ORDER BY o) <= k`
   * filtered directly above its Window becomes a bounded-heap TopK
@@ -57,23 +57,26 @@ object RowNumberTopKRewrite extends Rule[LogicalPlan] {
   ): LogicalPlan = {
     val childOut = child.output
 
-    // priority struct: ascending fields; descending sort columns are
-    // only safe to invert for orderable-but-negatable types, so keep
-    // full generality by sorting on (flip via reverse ordering) —
-    // encode each SortOrder as-is when ascending; bail out on any
-    // descending non-numeric (conservative).
+    // The TopKRows buffer compares its priority struct with Spark's
+    // interpreted struct ordering: field-by-field ASCENDING with nulls
+    // FIRST and NaN greatest. Each SortOrder must therefore be encoded
+    // into fields that reproduce its exact direction AND null ordering
+    // under those semantics, or the rule must bail out (the window
+    // path stays correct, just slower):
+    //  - nullable key: prepend an explicit null-rank flag so NULLS
+    //    FIRST/LAST is honored (a naive UnaryMinus would promote nulls
+    //    of a DESC NULLS LAST key to rank 1..k);
+    //  - DESC integral: BitwiseNot, which reverses two's-complement
+    //    order with no overflow (UnaryMinus wraps on MinValue / throws
+    //    under ANSI);
+    //  - DESC decimal: negation (Decimal(p,s) range is symmetric, so
+    //    it cannot overflow);
+    //  - DESC float/double: NaN-rank flag (NaN is the DESC maximum)
+    //    then negation of the finite values;
+    //  - anything else descending (strings, dates, ...): bail out.
     val ordFields: Option[Seq[Expression]] = {
-      val converted = orderSpec.map { so =>
-        so.direction match {
-          case Ascending => Some(so.child)
-          case Descending =>
-            so.child.dataType match {
-              case _: org.apache.spark.sql.types.NumericType => Some(UnaryMinus(so.child))
-              case _ => None
-            }
-        }
-      }
-      if (converted.exists(_.isEmpty)) None else Some(converted.flatten)
+      val converted = orderSpec.map(encodeSortOrder)
+      if (converted.exists(_.isEmpty)) None else Some(converted.flatten.flatten)
     }
 
     ordFields match {
@@ -117,6 +120,45 @@ object RowNumberTopKRewrite extends Rule[LogicalPlan] {
           }
         }
         Project(restored, gen)
+    }
+  }
+
+  /** Encode one SortOrder as struct fields whose ascending/nulls-first
+    * comparison equals the requested ordering; None = not encodable.
+    */
+  private def encodeSortOrder(so: SortOrder): Option[Seq[Expression]] = {
+    val c = so.child
+    // rank field placed before the key: nulls get rank 0 (sort first)
+    // or 1 (sort last) per the SortOrder's null ordering.
+    def nullRank: Expression = {
+      val (nullV, otherV) = if (so.nullOrdering == NullsFirst) (0, 1) else (1, 0)
+      If(IsNull(c), Literal(nullV), Literal(otherV))
+    }
+    def withNullRank(fields: Seq[Expression]): Seq[Expression] =
+      if (c.nullable) nullRank +: fields else fields
+
+    so.direction match {
+      case Ascending =>
+        // ascending struct comparison is natively nulls-first
+        if (!c.nullable || so.nullOrdering == NullsFirst) Some(Seq(c))
+        else Some(Seq(nullRank, c))
+      case Descending =>
+        val inverted: Option[Seq[Expression]] = c.dataType match {
+          case ByteType | ShortType | IntegerType | LongType =>
+            Some(Seq(BitwiseNot(c)))
+          case _: DecimalType =>
+            Some(Seq(UnaryMinus(c, failOnError = false)))
+          case FloatType | DoubleType =>
+            // DESC places NaN first (it is the floating maximum); the
+            // ascending buffer places NaN last, so rank NaN explicitly
+            // before negating the finite values (negation reverses
+            // order exactly for non-NaN IEEE values; +-0.0 compare
+            // equal in Spark's ordering).
+            Some(Seq(If(IsNaN(c), Literal(0), Literal(1)),
+                     UnaryMinus(c, failOnError = false)))
+          case _ => None
+        }
+        inverted.map(withNullRank)
     }
   }
 

@@ -99,7 +99,15 @@ class ParquetTable(
         remaining = remaining.tail
       }
     }
-    PrefixPlan(prefix, remaining, residual.map(_.toSeq).filter(_.nonEmpty), applied.toSeq)
+    // A conjunction left empty here is TRUE for every row under the
+    // pinned prefix (all of its filters were consumed by pinning, or
+    // it was empty to begin with) — it makes the whole residual
+    // disjunction TRUE, so no residual filter may be applied at all.
+    // (Stripping just the empty conjunction, as the reference does,
+    // would silently drop rows matched by that disjunct.)
+    val residualSeqs = residual.map(_.toSeq)
+    val residualDnf = if (residualSeqs.exists(_.isEmpty)) Seq.empty else residualSeqs
+    PrefixPlan(prefix, remaining, residualDnf, applied.toSeq)
   }
 
   /** Exactly-one-strict-equality check per partition per conjunction

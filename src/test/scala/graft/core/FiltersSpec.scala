@@ -52,6 +52,16 @@ class FiltersSpec extends SparkSpec {
     assert(Filters.toColumn(Filters.normalize(Seq.empty)).isEmpty)
   }
 
+  test("empty conjunction inside a DNF means TRUE, not dropped") {
+    // [[<empty>], [name=beta]] — the empty conjunction matches every
+    // row, so the whole disjunction is TRUE. (The reference's
+    // _filters_to_expr drops the empty conjunction, silently losing
+    // those rows; we diverge on purpose — see Filters.toColumn.)
+    val dnf: Filters.Normalized = Seq(Seq.empty, Seq(Filter("name", "=", "beta")))
+    val got = df.filter(Filters.toColumn(dnf).get).select("id").as[Long].collect().toSeq.sorted
+    assert(got == Seq(1L, 2L, 3L, 4L))
+  }
+
   test("toSql mirrors the reference grammar") {
     val schema = StructType(Seq(
       StructField("a", IntegerType), StructField("s", StringType),

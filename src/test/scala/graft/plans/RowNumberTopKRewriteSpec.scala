@@ -37,6 +37,63 @@ class RowNumberTopKRewriteSpec extends SparkSpec {
     }
   }
 
+  // null / NaN / MinValue torture set: every encodable ordering shape
+  // must fire the rewrite AND agree exactly with the window baseline.
+  private def tortureDf = {
+    val rows = Seq[(String, java.lang.Long, java.lang.Double, Int)](
+      ("a", Long.MinValue, 1.0, 1),
+      ("a", Long.MaxValue, Double.NaN, 2),
+      ("a", null, 2.5, 3),
+      ("a", 0L, null, 4),
+      ("a", -5L, Double.NegativeInfinity, 5),
+      ("a", null, Double.NaN, 6),
+      ("b", 7L, 0.0, 7),
+      ("b", Long.MinValue, -0.0, 8),
+      ("b", null, Double.PositiveInfinity, 9),
+      ("b", -1L, null, 10),
+      ("b", Long.MinValue + 1, 3.14, 11)
+    )
+    rows.toDF("p", "lkey", "dkey", "id")
+  }
+
+  private def checkOrdering(orderCols: org.apache.spark.sql.Column*): Unit = {
+    def run = {
+      val w = Window.partitionBy("p").orderBy(orderCols: _*)
+      tortureDf.withColumn("rn", row_number().over(w)).where(col("rn") <= 3)
+    }
+    val baseline = run.collect().map(r => (r.getString(0), r.getInt(3), r.getInt(4))).toSet
+    withRule {
+      val df = run
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("graft_top_k"), s"rule did not fire for $orderCols:\n$optimized")
+      val got = df.collect().map(r => (r.getString(0), r.getInt(3), r.getInt(4))).toSet
+      assert(got == baseline, s"mismatch for $orderCols:\ngot      $got\nexpected $baseline")
+    }
+  }
+
+  test("desc long key with nulls and MinValue (NULLS LAST default)") {
+    checkOrdering(col("lkey").desc, col("id"))
+  }
+
+  test("desc long key, explicit NULLS FIRST") {
+    checkOrdering(col("lkey").desc_nulls_first, col("id"))
+  }
+
+  test("asc long key with nulls, default NULLS FIRST and explicit NULLS LAST") {
+    checkOrdering(col("lkey").asc, col("id"))
+    checkOrdering(col("lkey").asc_nulls_last, col("id"))
+  }
+
+  test("desc double key with NaN, nulls, signed zeros, infinities") {
+    checkOrdering(col("dkey").desc, col("id"))
+    checkOrdering(col("dkey").desc_nulls_first, col("id"))
+    checkOrdering(col("dkey").asc_nulls_last, col("id"))
+  }
+
+  test("mixed multi-key ordering (desc nullable double, asc nullable long)") {
+    checkOrdering(col("dkey").desc, col("lkey").asc_nulls_last, col("id"))
+  }
+
   test("leaves non-matching window queries untouched") {
     withRule {
       // rank() instead of row_number -> no rewrite

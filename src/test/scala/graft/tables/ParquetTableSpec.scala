@@ -79,6 +79,22 @@ class ParquetTableSpec extends SparkSpec {
     assert(df.count() == 8)
   }
 
+  test("conjunction fully consumed by pinning makes the residual TRUE") {
+    val base = writePartitioned(PartitioningScheme.Hive)
+    val t = table(base, PartitioningScheme.Hive)
+    // Both conjunctions pin implant_id=11; the first is then fully
+    // consumed, so it matches EVERY row under the pinned prefix — the
+    // residual disjunction is TRUE and reading > 200 must NOT be
+    // applied (it would silently drop the first disjunct's rows).
+    val dnf = Seq(
+      Seq(Filter("implant_id", "=", 11)),
+      Seq(Filter("implant_id", "=", 11), Filter("reading", ">", 200)))
+    val plan = t.buildPrefix(dnf)
+    assert(plan.prefix == s"$base/implant_id=11")
+    assert(plan.residual.isEmpty, s"residual should be empty (TRUE), got ${plan.residual}")
+    assert(t(spark, ReadArgs.dnf(dnf)).count() == 4)
+  }
+
   test("column pruning") {
     val base = writePartitioned(PartitioningScheme.Hive)
     val t = table(base, PartitioningScheme.Hive)
