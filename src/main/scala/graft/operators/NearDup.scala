@@ -19,6 +19,35 @@ object NearDup {
 
   def sigCol(j: Int): String = s"sig_$j"
 
+  /** Operator-internal persisted frames that outlive their call (the
+    * LSH band/shingle-set indexes, the final CC labels). Spark's
+    * CacheManager dedupes identical plans, so repeated calls over the
+    * same inputs reuse one copy — but *different* inputs would
+    * accumulate blocks for the session's lifetime. Every such frame is
+    * registered here; [[releaseCaches]] drops them all (safe at any
+    * time — an unpersisted frame silently recomputes), and the
+    * registry is capped so unattended long-running sessions evict the
+    * oldest index instead of growing without bound.
+    */
+  private val MaxCachedFrames = 8
+  private val cachedFrames = scala.collection.mutable.Queue.empty[DataFrame]
+
+  private def registerCache(df: DataFrame): DataFrame = synchronized {
+    cachedFrames.enqueue(df)
+    while (cachedFrames.size > MaxCachedFrames)
+      cachedFrames.dequeue().unpersist(blocking = false)
+    df
+  }
+
+  /** Unpersist every operator-internal cached frame registered by
+    * [[minhashPairs]] / [[dupClusters]]. Call when done with a batch of
+    * near-dup work; subsequent use of previously returned DataFrames
+    * stays correct (they recompute).
+    */
+  def releaseCaches(): Unit = synchronized {
+    cachedFrames.dequeueAll(_ => true).foreach(_.unpersist(blocking = false))
+  }
+
   /** Append `numHashes` MinHash signature columns computed over char
     * `k`-shingles of `textCol`. Duplicate shingles don't affect a min,
     * so no distinct pass is needed.
@@ -122,6 +151,7 @@ object NearDup {
       .select(col("_id"), explode(col("_bands")).as("_b"))
       .select(col("_id"), col("_b.band").as("band"), col("_b.bh").as("bh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    registerCache(banded)
 
     val candidates = banded.as("a")
       .join(banded.as("b"), Seq("band", "bh"))
@@ -140,6 +170,7 @@ object NearDup {
       col(idCol).as("_sid"),
       graft.functions.TextHashExpressions.shingleHashSet(col(textCol), k).as("_sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    registerCache(shsets)
 
     val withSets = candidates
       .join(shsets, col("a_id") === col("_sid"))
@@ -198,6 +229,7 @@ object NearDup {
       iter += 1
     }
     edges.unpersist()
+    registerCache(labels) // final labels frame stays persisted until released
     labels.select(col("id"), col("comp").as("cluster_id"))
   }
 

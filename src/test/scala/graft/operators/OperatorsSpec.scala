@@ -77,6 +77,24 @@ class NearDupSpec extends SparkSpec {
     assert(pairs == Seq((1L, 2L, 1.0)))
   }
 
+  test("releaseCaches unpersists the operator-internal index frames") {
+    val df = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    // delta-based so concurrently-running suites' caches don't interfere
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    NearDup.minhashPairs(df, "doc_id", "text").count() // materialize → banded+shsets cached
+    val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(added.nonEmpty)
+    NearDup.releaseCaches()
+    // unpersist(blocking=false) is async on the block level but the
+    // RDD is deregistered synchronously
+    assert((spark.sparkContext.getPersistentRDDs.keySet & added).isEmpty)
+    // previously returned frames still work (recompute)
+    val pairs = NearDup.minhashPairs(df, "doc_id", "text").as[(Long, Long, Double)].collect().toSeq
+    assert(pairs == Seq((1L, 2L, 1.0)))
+    NearDup.releaseCaches()
+  }
+
   test("dupClusters labels every connected doc with the cluster minimum") {
     // graph: 1-2, 2-3 (chain), 10-11 (pair), 20 isolated (not in pairs)
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")

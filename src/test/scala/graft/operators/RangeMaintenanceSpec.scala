@@ -52,6 +52,33 @@ class MaintenanceSpec extends SparkSpec {
     val after = spark.read.parquet(dir)
     assert(after.count() == 10000)
     assert(after.agg(sum("id")).as[Long].head() == sumBefore)
+    // verified backup is cleaned up after the swap
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + "._compact_old")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + "._compact_tmp")))
+  }
+
+  test("compaction verifies before swapping; live data survives a bad rewrite") {
+    val dir = tempDir("compact-bad").toString + "/t"
+    val df = (1L to 100L).map(i => (i, s"p-$i")).toDF("id", "payload")
+    df.repartition(4).write.mode("overwrite").parquet(dir)
+
+    // a row-dropping rewrite must be caught by the verify gate BEFORE
+    // the live directory is touched
+    intercept[IllegalStateException] {
+      Maintenance.compactParquet(spark, dir, rewrite = _.where(col("id") > 50))
+    }
+    assert(spark.read.parquet(dir).count() == 100) // live data untouched
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + "._compact_tmp")))
+
+    // a row-preserving clustering rewrite passes
+    val result = Maintenance.compactParquet(spark, dir,
+      rewrite = _.sortWithinPartitions("id"))
+    assert(result.filesAfter == 1)
+    assert(spark.read.parquet(dir).count() == 100)
   }
 }
 
