@@ -627,5 +627,22 @@ object OracleSql {
          |FROM n GROUP BY label ORDER BY label""".stripMargin
   )
 
-  val all: Map[String, String] = relational ++ pipeline ++ wave2
+  // ---------- wave 3 (round 2) ----------
+
+  val wave3: Map[String, String] = Map(
+    // the Spark side reads a delta table built as: full nation, then
+    // DELETE WHERE n_regionkey = 0 — so the oracle is the equivalent
+    // SELECT over the source nation table
+    "q_delta_read" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |WHERE n_regionkey <> 0 AND n_nationkey >= 5
+        |ORDER BY n_nationkey""".stripMargin,
+
+    // versionAsOf 0 predates the DELETE: full nation
+    "q_delta_time_travel" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |ORDER BY n_nationkey""".stripMargin
+  )
+
+  val all: Map[String, String] = relational ++ pipeline ++ wave2 ++ wave3
 }

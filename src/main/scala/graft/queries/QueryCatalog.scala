@@ -62,7 +62,9 @@ object QueryCatalog {
     Entry("q_pivot", Wave2Queries.qPivot),
     Entry("q_sql_interface", Wave2Queries.qSqlInterface),
     Entry("q_collect_sorted", Wave2Queries.qCollectSorted),
-    Entry("q_vector_stats", Wave2Queries.qVectorStats)
+    Entry("q_vector_stats", Wave2Queries.qVectorStats),
+    Entry("q_delta_read", Wave3Queries.qDeltaRead),
+    Entry("q_delta_time_travel", Wave3Queries.qDeltaTimeTravel)
   )
 
   def queries: Map[String, QueryFn] =

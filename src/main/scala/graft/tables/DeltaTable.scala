@@ -1,0 +1,229 @@
+package graft.tables
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import graft.core._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Delta-format table: transaction-log replay + file skipping +
+  * the reference's DeltalakeTable dataframe semantics (schema
+  * normalization, keep-first dedup, computed columns, raw-SQL
+  * predicate) — deltalake_table.py:69-304, with `versionAsOf` time
+  * travel mirroring `delta_table(version=...)`
+  * (deltalake_table.py:286-300).
+  *
+  * Scale shape: the log replay and file-level pruning happen on the
+  * driver over log metadata only (exactly what delta-rs does); data
+  * files are opened only after partition-value pruning AND min/max
+  * stats skipping. Surviving files are read as one parquet scan per
+  * distinct partition-value tuple (partition columns re-attached as
+  * typed literals — they are not stored in the data files), unioned;
+  * each scan still gets Catalyst's filter/projection pushdown.
+  */
+class DeltaTable(
+    val name: String,
+    val uri: String,
+    description: String = "",
+    docsFilters: Seq[Filter] = Seq.empty,
+    val uniqueColumns: Option[Seq[String]] = None,
+    val orderColumn: Option[String] = None,
+    val extraCols: Seq[(Column, String, String)] = Seq.empty,
+    val statsCols: Seq[String] = Seq.empty
+) extends TableProtocol {
+
+  override val tableMetadata: TableMetadata =
+    TableMetadata("DELTA_LAKE", description, docsFilters)
+
+  val PredicateKey = "predicate"
+  /** args.extra key for time travel (Long/Int/String version). */
+  val VersionKey = "versionAsOf"
+
+  override def apply(spark: SparkSession, args: ReadArgs): DataFrame = {
+    val version = args.extra.get(VersionKey).map {
+      case v: Long   => v
+      case v: Int    => v.toLong
+      case v: String => v.toLong
+      case other     => throw new IllegalArgumentException(s"bad $VersionKey: $other")
+    }
+    val snap = DeltaLog.snapshot(spark, uri, version)
+    val schema = snap.schema
+    val partCols = snap.metadata.partitionColumns
+
+    val survivors = snap.files.filter(f =>
+      DeltaFileSkipping.mayMatch(f, args.filters, schema, partCols))
+
+    var df =
+      if (survivors.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else {
+        val dataSchema = StructType(schema.fields.filterNot(f => partCols.contains(f.name)))
+        val groups = survivors.groupBy(_.partitionValues)
+        groups.map { case (pv, files) =>
+          val paths = files.map(f => s"${uri.stripSuffix("/")}/${f.path}")
+          var part = spark.read.schema(dataSchema).parquet(paths: _*)
+          partCols.foreach { c =>
+            val t = schema(c).dataType
+            part = part.withColumn(c,
+              pv.get(c).flatten.map(v => lit(v).cast(t)).getOrElse(lit(null).cast(t)))
+          }
+          part.select(schema.fieldNames.map(col).toSeq: _*)
+        }.reduce(_.unionByName(_))
+      }
+
+    // Residual predicate on data (file skipping is only a may-match
+    // prefilter; the exact predicate always applies).
+    args.extra.get(PredicateKey) match {
+      case Some(sql: String) => df = df.where(expr(sql))
+      case _                 => Filters.toColumn(args.filters).foreach(p => df = df.filter(p))
+    }
+
+    extraCols.foreach { case (c, alias, _) => df = df.withColumn(alias, c) }
+    uniqueColumns.filter(_.nonEmpty).foreach { keys =>
+      df = graft.operators.Dedup.keepFirst(df, keys, orderColumn)
+    }
+    args.columns.foreach(cols => df = df.select(cols.map(col): _*))
+    df
+  }
+
+  override def getSchema(spark: SparkSession): TableSchema = {
+    val snap = DeltaLog.snapshot(spark, uri)
+    val partitions = snap.metadata.partitionColumns.map(c =>
+      TablePartition(c, snap.schema(c).dataType.simpleString, ""))
+    val cols = TableSchema.columnsOf(snap.schema, statsCols.toSet) ++
+      extraCols.map { case (_, alias, t) => TableColumn(alias, t, readonly = true) }
+    TableSchema(partitions, cols)
+  }
+}
+
+/** File-level pruning over the replayed `add` list: partition-value
+  * pruning (exact, on the partitionValues strings cast per the table
+  * schema) and min/max stats skipping from the per-file `stats` JSON.
+  * Both are MAY-MATCH tests — a kept file can still contain zero
+  * matching rows; the exact predicate is always re-applied on data.
+  * DNF semantics: a file survives if ANY conjunction may match; an
+  * empty conjunction means TRUE (consistent with Filters.toColumn).
+  */
+object DeltaFileSkipping {
+
+  private val mapper = new ObjectMapper()
+
+  def mayMatch(
+      file: DeltaLog.AddFile,
+      filters: Filters.Normalized,
+      schema: StructType,
+      partCols: Seq[String]
+  ): Boolean = {
+    if (filters.isEmpty) return true
+    lazy val stats = file.stats.flatMap(s =>
+      try Option(mapper.readTree(s)) catch { case _: Exception => None })
+    filters.exists(conj => conj.forall(f => filterMayMatch(file, f, schema, partCols, stats)))
+  }
+
+  private def filterMayMatch(
+      file: DeltaLog.AddFile,
+      f: Filter,
+      schema: StructType,
+      partCols: Seq[String],
+      stats: => Option[JsonNode]
+  ): Boolean = {
+    val dt = schema.fields.find(_.name == f.column).map(_.dataType)
+    if (dt.isEmpty) return true // unknown column: never prune here
+    if (partCols.contains(f.column))
+      file.partitionValues.get(f.column) match {
+        case None     => true // no value recorded in the log: don't prune
+        case Some(pv) => partitionMayMatch(pv, f, dt.get)
+      }
+    else
+      stats.forall(s => statsMayMatch(s, f, dt.get))
+  }
+
+  /** Exact evaluation on a single partition value. A None value means
+    * every row of the file has SQL NULL in the column — all of the
+    * reference's operators are null-rejecting (NULL op x is never
+    * TRUE), so the file is prunable for any filter on that column.
+    */
+  private def partitionMayMatch(pv: Option[String], f: Filter, dt: DataType): Boolean =
+    (pv, f.op) match {
+      case (None, _) => false
+      case (Some(v), op) =>
+        val cmp = compare(v, f.value, dt)
+        op match {
+          case FilterOp.Eq  => cmp.forall(_ == 0)
+          case FilterOp.Neq => cmp.forall(_ != 0)
+          case FilterOp.Lt  => cmp.forall(_ < 0)
+          case FilterOp.Le  => cmp.forall(_ <= 0)
+          case FilterOp.Gt  => cmp.forall(_ > 0)
+          case FilterOp.Ge  => cmp.forall(_ >= 0)
+          case FilterOp.In =>
+            values(f.value).exists(x => compare(v, x, dt).forall(_ == 0))
+          case FilterOp.NotIn =>
+            values(f.value).forall(x => compare(v, x, dt).forall(_ != 0))
+          case FilterOp.Contains if dt == StringType => v.contains(f.value.toString)
+          case _ => true // includes*: not applicable to partition scalars
+        }
+    }
+
+  private def statsMayMatch(stats: JsonNode, f: Filter, dt: DataType): Boolean = {
+    val numRecords = Option(stats.get("numRecords")).map(_.asLong())
+    val nullCount = Option(stats.path("nullCount").get(f.column)).map(_.asLong())
+    val minN = Option(stats.path("minValues").get(f.column)).filterNot(_.isNull)
+    val maxN = Option(stats.path("maxValues").get(f.column)).filterNot(_.isNull)
+
+    // all-null file: no comparison can hold
+    val allNull = (for { n <- numRecords; nc <- nullCount } yield nc >= n).getOrElse(false)
+    f.op match {
+      case FilterOp.Eq | FilterOp.Lt | FilterOp.Le | FilterOp.Gt | FilterOp.Ge | FilterOp.In
+          if allNull => false
+      case FilterOp.Eq =>
+        inRange(f.value, minN, maxN, dt)
+      case FilterOp.In =>
+        values(f.value).exists(v => inRange(v, minN, maxN, dt))
+      case FilterOp.Lt => // need some row < v  ⇔  min < v
+        minN.flatMap(m => compareNode(m, f.value, dt)).forall(_ < 0)
+      case FilterOp.Le =>
+        minN.flatMap(m => compareNode(m, f.value, dt)).forall(_ <= 0)
+      case FilterOp.Gt => // need some row > v  ⇔  max > v
+        maxN.flatMap(m => compareNode(m, f.value, dt)).forall(_ > 0)
+      case FilterOp.Ge =>
+        maxN.flatMap(m => compareNode(m, f.value, dt)).forall(_ >= 0)
+      case FilterOp.Neq =>
+        // only skippable when every row equals v: min == max == v, no nulls
+        !(nullCount.contains(0L) &&
+          minN.flatMap(m => compareNode(m, f.value, dt)).contains(0) &&
+          maxN.flatMap(m => compareNode(m, f.value, dt)).contains(0))
+      case FilterOp.NotIn =>
+        !(nullCount.contains(0L) && values(f.value).exists(v =>
+          minN.flatMap(m => compareNode(m, v, dt)).contains(0) &&
+            maxN.flatMap(m => compareNode(m, v, dt)).contains(0)))
+      case _ => true // contains/includes: no stats semantics
+    }
+  }
+
+  private def inRange(v: Any, minN: Option[JsonNode], maxN: Option[JsonNode], dt: DataType): Boolean =
+    minN.flatMap(m => compareNode(m, v, dt)).forall(_ <= 0) &&
+      maxN.flatMap(m => compareNode(m, v, dt)).forall(_ >= 0)
+
+  /** compare(stat/partition value, filter value) sign; None = not
+    * comparable (never prune on it).
+    */
+  private def compareNode(node: JsonNode, fv: Any, dt: DataType): Option[Int] =
+    compare(node.asText(), fv, dt)
+
+  private def compare(sv: String, fv: Any, dt: DataType): Option[Int] =
+    try dt match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType |
+          _: DecimalType =>
+        Some(BigDecimal(sv).compare(BigDecimal(fv.toString)))
+      case StringType => Some(sv.compareTo(fv.toString))
+      case DateType   => Some(sv.compareTo(fv.toString)) // ISO dates compare lexically
+      case _          => None // timestamps/booleans/complex: don't prune
+    } catch { case _: NumberFormatException => None }
+
+  private def values(v: Any): Seq[Any] = v match {
+    case xs: Seq[_]      => xs
+    case xs: Array[_]    => xs.toSeq
+    case xs: Iterable[_] => xs.toSeq
+    case other           => Seq(other)
+  }
+}

@@ -1,0 +1,384 @@
+package graft.tables
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.ObjectNode
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Delta-format writes: append / overwrite commits and checkpoints,
+  * from the public protocol spec (github.com/delta-io/delta
+  * PROTOCOL.md). Gives the engine the write half of the reference's
+  * Delta surface (its tables are produced by delta-rs writers;
+  * deltalake_table.py only reads).
+  *
+  * Commit protocol: data files are staged inside the table directory
+  * (same filesystem → rename is a move, not a copy), then a single
+  * JSON commit `_delta_log/%020d.json` is created with
+  * create-if-absent semantics — on HDFS/local this IS the atomic
+  * put-if-absent the protocol requires; two racing writers get one
+  * winner and one retry at the next version. Per-file stats
+  * (numRecords, min/max, nullCount) are computed in ONE Spark job
+  * over the staged files (grouped by input file name), so file
+  * skipping works on read ([[DeltaFileSkipping]]).
+  *
+  * Not implemented (documented, loud failures elsewhere): deletion
+  * vectors, column mapping, multi-part checkpoints.
+  */
+object DeltaWrite {
+
+  private val mapper = new ObjectMapper()
+
+  final case class CommitResult(version: Long, filesAdded: Int, filesRemoved: Int)
+
+  /** Append `df` to (or create) the delta table at `tablePath`. */
+  def append(
+      spark: SparkSession,
+      df: DataFrame,
+      tablePath: String,
+      partitionBy: Seq[String] = Seq.empty
+  ): CommitResult = commit(spark, df, tablePath, partitionBy, overwrite = false)
+
+  /** Replace the table's entire contents with `df`. */
+  def overwrite(
+      spark: SparkSession,
+      df: DataFrame,
+      tablePath: String,
+      partitionBy: Seq[String] = Seq.empty
+  ): CommitResult = commit(spark, df, tablePath, partitionBy, overwrite = true)
+
+  /** Format-level DELETE: files that cannot contain matching rows are
+    * untouched; files that may are rewritten without the matching rows
+    * (remove + add in one commit) — the standard copy-on-write delete.
+    * File skipping bounds the rewrite to the affected partitions/files.
+    */
+  def deleteWhere(
+      spark: SparkSession,
+      tablePath: String,
+      filters: graft.core.Filters.Normalized
+  ): CommitResult = {
+    import graft.core.Filters
+    val snap = DeltaLog.snapshot(spark, tablePath)
+    val schema = snap.schema
+    val partCols = snap.metadata.partitionColumns
+    val predicate = Filters.toColumn(filters).getOrElse(lit(true))
+
+    val candidates = snap.files.filter(f =>
+      DeltaFileSkipping.mayMatch(f, filters, schema, partCols))
+    if (candidates.isEmpty)
+      return CommitResult(snap.version, 0, 0)
+
+    // surviving rows of the candidate files (partition cols re-attached
+    // so they land back in the rewritten files' partition paths)
+    val dataSchema = StructType(schema.fields.filterNot(f => partCols.contains(f.name)))
+    val kept = candidates.groupBy(_.partitionValues).map { case (pv, files) =>
+      val paths = files.map(f => s"${tablePath.stripSuffix("/")}/${f.path}")
+      var part = spark.read.schema(dataSchema).parquet(paths: _*)
+      partCols.foreach { c =>
+        val t = schema(c).dataType
+        part = part.withColumn(c,
+          pv.get(c).flatten.map(v => lit(v).cast(t)).getOrElse(lit(null).cast(t)))
+      }
+      part.select(schema.fieldNames.map(col).toSeq: _*)
+    }.reduce(_.unionByName(_))
+      // DELETE removes rows where the predicate IS TRUE; rows where it
+      // evaluates to NULL are kept (plain !predicate would drop them)
+      .filter(!coalesce(predicate, lit(false)))
+
+    val adds = stageFiles(spark, kept, tablePath, partCols)
+    commitLoop(spark, tablePath, adds, candidates.map(_.path),
+      schema.json, partCols, overwrite = false)
+  }
+
+  private def commit(
+      spark: SparkSession,
+      df: DataFrame,
+      tablePath: String,
+      partitionBy: Seq[String],
+      overwrite: Boolean
+  ): CommitResult = {
+    val adds = stageFiles(spark, df, tablePath, partitionBy)
+    commitLoop(spark, tablePath, adds, Seq.empty, df.schema.json, partitionBy, overwrite)
+  }
+
+  private final case class StagedAdd(
+      rel: String,
+      pv: Map[String, Option[String]],
+      size: Long,
+      stats: Option[String])
+
+  /** Stage `df` as parquet files inside the table directory and move
+    * them into place; returns the add-action payloads (with per-file
+    * stats computed in one job over the staging dir).
+    */
+  private def stageFiles(
+      spark: SparkSession,
+      df: DataFrame,
+      tablePath: String,
+      partitionBy: Seq[String]
+  ): Seq[StagedAdd] = {
+    val table = new Path(tablePath)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(DeltaLog.logDir(tablePath))
+
+    val stagingName = s"_staging_${java.util.UUID.randomUUID().toString.take(8)}"
+    val staging = new Path(table, stagingName)
+    val writer =
+      if (partitionBy.nonEmpty) df.write.partitionBy(partitionBy: _*) else df.write
+    writer.mode(SaveMode.Overwrite).parquet(staging.toString)
+
+    // an all-rows-deleted rewrite stages zero files
+    val staged = listFilesRecursively(fs, staging)
+
+    // per-file stats (partition columns excluded — their values live in
+    // partitionValues, not stats)
+    val statsCols = df.schema.fields.filterNot(f => partitionBy.contains(f.name))
+    val statsByFile: Map[String, String] =
+      if (staged.isEmpty) Map.empty else computeStats(spark, staging.toString, statsCols)
+
+    val adds = staged.map { file =>
+      val rel = relativize(staging, file)
+      val dest = new Path(table, rel)
+      fs.mkdirs(dest.getParent)
+      if (!fs.rename(file, dest))
+        throw new IllegalStateException(s"could not move staged file $file to $dest")
+      val pv = partitionValuesFromPath(rel, partitionBy)
+      val size = fs.getFileStatus(dest).getLen
+      StagedAdd(rel, pv, size, statsByFile.getByRel(rel))
+    }
+    fs.delete(staging, true)
+    adds
+  }
+
+  private def commitLoop(
+      spark: SparkSession,
+      tablePath: String,
+      adds: Seq[StagedAdd],
+      explicitRemoves: Seq[String],
+      schemaJson: String,
+      partitionBy: Seq[String],
+      overwrite: Boolean
+  ): CommitResult = {
+    val fs = DeltaLog.logDir(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var attempt = 0
+    while (true) {
+      val current = DeltaLog.latestVersion(spark, tablePath)
+      val version = current.map(_ + 1).getOrElse(0L)
+      val snapOpt = current.map(_ => DeltaLog.snapshot(spark, tablePath))
+      val needMeta = snapOpt.forall(s =>
+        s.metadata.schemaString != schemaJson || s.metadata.partitionColumns != partitionBy)
+      val removes: Seq[String] =
+        if (overwrite) snapOpt.map(_.files.map(_.path)).getOrElse(Seq.empty)
+        else explicitRemoves
+
+      val sb = new StringBuilder
+      if (current.isEmpty)
+        sb.append("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""").append('\n')
+      if (needMeta) {
+        val m = mapper.createObjectNode()
+        m.put("id", java.util.UUID.randomUUID().toString)
+        m.putObject("format").put("provider", "parquet").putObject("options")
+        m.put("schemaString", schemaJson)
+        val pc = m.putArray("partitionColumns")
+        partitionBy.foreach(pc.add)
+        m.putObject("configuration")
+        m.put("createdTime", System.currentTimeMillis())
+        sb.append(s"""{"metaData":${mapper.writeValueAsString(m)}}""").append('\n')
+      }
+      removes.foreach { p =>
+        val r = mapper.createObjectNode()
+        r.put("path", p)
+        r.put("deletionTimestamp", System.currentTimeMillis())
+        r.put("dataChange", true)
+        sb.append(s"""{"remove":${mapper.writeValueAsString(r)}}""").append('\n')
+      }
+      adds.foreach { add =>
+        val a = mapper.createObjectNode()
+        a.put("path", add.rel)
+        val pvNode = a.putObject("partitionValues")
+        add.pv.foreach { case (k, v) =>
+          v match { case Some(s) => pvNode.put(k, s); case None => pvNode.putNull(k) }
+        }
+        a.put("size", add.size)
+        a.put("modificationTime", System.currentTimeMillis())
+        a.put("dataChange", true)
+        add.stats.foreach(s => a.put("stats", s))
+        sb.append(s"""{"add":${mapper.writeValueAsString(a)}}""").append('\n')
+      }
+
+      val commitPath = new Path(DeltaLog.logDir(tablePath), f"$version%020d.json")
+      try {
+        val out = fs.create(commitPath, false) // put-if-absent
+        try out.write(sb.toString.getBytes("UTF-8"))
+        finally out.close()
+        return CommitResult(version, adds.size, removes.size)
+      } catch {
+        case _: java.io.IOException if attempt < 10 =>
+          attempt += 1 // lost the race: recompute version and retry
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Write a checkpoint of the current snapshot
+    * (`%020d.checkpoint.parquet` + `_last_checkpoint`), allowing
+    * readers to replay O(commits since checkpoint) instead of the full
+    * history, and the aged JSON prefix to be cleaned up.
+    */
+  def checkpoint(spark: SparkSession, tablePath: String): Long = {
+    import spark.implicits._
+    val snap = DeltaLog.snapshot(spark, tablePath)
+    val fs = DeltaLog.logDir(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    val rows: Seq[CpRow] =
+      CpRow(protocol = Some(CpProtocol(1, 2))) +:
+        CpRow(metaData = Some(CpMeta(
+          java.util.UUID.randomUUID().toString, CpFormat("parquet", Map.empty),
+          snap.metadata.schemaString, snap.metadata.partitionColumns,
+          Map.empty[String, String]))) +:
+        snap.files.map(f => CpRow(add = Some(CpAdd(
+          f.path,
+          // protocol: null partition value → null map value
+          f.partitionValues.map { case (k, v) => k -> v.orNull },
+          f.size, 0L, dataChange = false, f.stats.orNull))))
+
+    val tmp = new Path(DeltaLog.logDir(tablePath), s"_cp_tmp_${snap.version}")
+    rows.toDS().repartition(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val part = listFilesRecursively(fs, tmp)
+      .find(_.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException("checkpoint write produced no parquet file"))
+    val cpPath = new Path(DeltaLog.logDir(tablePath), f"${snap.version}%020d.checkpoint.parquet")
+    fs.delete(cpPath, false)
+    if (!fs.rename(part, cpPath))
+      throw new IllegalStateException(s"could not move checkpoint into place at $cpPath")
+    fs.delete(tmp, true)
+
+    val lc = new Path(DeltaLog.logDir(tablePath), "_last_checkpoint")
+    val out = fs.create(lc, true)
+    try out.write(s"""{"version":${snap.version},"size":${rows.size}}""".getBytes("UTF-8"))
+    finally out.close()
+    snap.version
+  }
+
+  /** One aggregation job over the staged files: group by file name,
+    * min/max/nullCount per leaf column of a stats-friendly type.
+    */
+  private def computeStats(
+      spark: SparkSession,
+      stagingDir: String,
+      fields: Seq[StructField]
+  ): Map[String, String] = {
+    val statable = fields.filter(f => f.dataType match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType |
+          StringType | DateType | TimestampType | BooleanType | _: DecimalType => true
+      case _ => false
+    })
+    val aggs =
+      Seq(count(lit(1)).as("_nr")) ++
+        statable.flatMap { f =>
+          Seq(
+            min(col(f.name)).as(s"_min_${f.name}"),
+            max(col(f.name)).as(s"_max_${f.name}"),
+            sum(when(col(f.name).isNull, 1L).otherwise(0L)).as(s"_nc_${f.name}"))
+        }
+    val statRows = spark.read.parquet(stagingDir)
+      .groupBy(input_file_name().as("_file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+
+    statRows.map { r =>
+      val fileUri = r.getAs[String]("_file")
+      val fileName = new Path(new java.net.URI(fileUri)).getName
+      val node = mapper.createObjectNode()
+      node.put("numRecords", r.getAs[Long]("_nr"))
+      val minV = node.putObject("minValues")
+      val maxV = node.putObject("maxValues")
+      val nullC = node.putObject("nullCount")
+      statable.foreach { f =>
+        putStat(minV, f, r.getAs[Any](s"_min_${f.name}"))
+        putStat(maxV, f, r.getAs[Any](s"_max_${f.name}"))
+        nullC.put(f.name, r.getAs[Long](s"_nc_${f.name}"))
+      }
+      fileName -> mapper.writeValueAsString(node)
+    }.toMap
+  }
+
+  private def putStat(node: ObjectNode, f: StructField, v: Any): Unit = v match {
+    case null                 => ()
+    case b: Byte              => node.put(f.name, b.toInt)
+    case s: Short             => node.put(f.name, s.toInt)
+    case i: Int               => node.put(f.name, i)
+    case l: Long              => node.put(f.name, l)
+    case fl: Float            => node.put(f.name, fl)
+    case d: Double            => node.put(f.name, d)
+    case d: java.math.BigDecimal => node.put(f.name, d)
+    case b: Boolean           => node.put(f.name, b)
+    case other                => node.put(f.name, other.toString) // string/date/timestamp
+  }
+
+  /** Stats are keyed by bare file name during the one-job computation;
+    * rel paths from partitioned layouts end in that name.
+    */
+  private implicit class StatsLookup(m: Map[String, String]) {
+    def getByRel(rel: String): Option[String] = m.get(new Path(rel).getName)
+  }
+
+  private def listFilesRecursively(fs: FileSystem, dir: Path): Seq[Path] = {
+    val it = fs.listFiles(dir, true)
+    val buf = scala.collection.mutable.Buffer.empty[Path]
+    while (it.hasNext) {
+      val s = it.next()
+      if (s.isFile && s.getPath.getName.endsWith(".parquet")) buf += s.getPath
+    }
+    buf.toSeq
+  }
+
+  private def relativize(base: Path, file: Path): String = {
+    val b = base.toUri.getPath.stripSuffix("/")
+    val f = file.toUri.getPath
+    require(f.startsWith(b + "/"), s"$file not under $base")
+    f.drop(b.length + 1)
+  }
+
+  /** Hive-style `col=value` segments → partitionValues; the
+    * `__HIVE_DEFAULT_PARTITION__` sentinel and %-escapes decoded per
+    * Spark's writer conventions.
+    */
+  private def partitionValuesFromPath(
+      rel: String,
+      partitionBy: Seq[String]
+  ): Map[String, Option[String]] = {
+    val segs = rel.split('/').dropRight(1)
+    val fromPath = segs.flatMap { s =>
+      s.split("=", 2) match {
+        case Array(k, v) =>
+          val dec = java.net.URLDecoder.decode(v, "UTF-8")
+          Some(k -> (if (dec == "__HIVE_DEFAULT_PARTITION__") None else Some(dec)))
+        case _ => None
+      }
+    }.toMap
+    partitionBy.map(c => c -> fromPath.getOrElse(c, None)).toMap
+  }
+}
+
+// Minimal checkpoint action rows (the columns every reader needs).
+private[tables] final case class CpProtocol(minReaderVersion: Int, minWriterVersion: Int)
+private[tables] final case class CpFormat(provider: String, options: Map[String, String])
+private[tables] final case class CpMeta(
+    id: String,
+    format: CpFormat,
+    schemaString: String,
+    partitionColumns: Seq[String],
+    configuration: Map[String, String])
+private[tables] final case class CpAdd(
+    path: String,
+    partitionValues: Map[String, String],
+    size: Long,
+    modificationTime: Long,
+    dataChange: Boolean,
+    stats: String)
+private[tables] final case class CpRow(
+    add: Option[CpAdd] = None,
+    metaData: Option[CpMeta] = None,
+    protocol: Option[CpProtocol] = None)

@@ -1,0 +1,268 @@
+package graft.tables
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import graft.SparkSpec
+import graft.core.Filter
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class DeltaSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val mapper = new ObjectMapper()
+
+  private def fs(dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Write `df` as a single parquet file at tableDir/relPath. */
+  private def putFile(df: DataFrame, tableDir: String, relPath: String): Long = {
+    val tmp = tempDir("deltafile").toString + "/out"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val f = fs(tmp)
+    val part = f.listStatus(new Path(tmp)).map(_.getPath)
+      .find(_.getName.endsWith(".parquet")).get
+    val dest = new Path(tableDir, relPath)
+    f.mkdirs(dest.getParent)
+    f.rename(part, dest)
+    f.getFileStatus(dest).getLen
+  }
+
+  private def putCommit(tableDir: String, version: Long, lines: Seq[String]): Unit = {
+    val dir = new Path(tableDir, "_delta_log")
+    val f = fs(tableDir)
+    f.mkdirs(dir)
+    val out = f.create(new Path(dir, f"$version%020d.json"), true)
+    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def metaDataJson(schema: StructType, partitionColumns: Seq[String]): String = {
+    val m = mapper.createObjectNode()
+    m.put("id", "11111111-2222-3333-4444-555555555555")
+    m.putObject("format").put("provider", "parquet")
+    m.put("schemaString", schema.json)
+    val pc = m.putArray("partitionColumns")
+    partitionColumns.foreach(pc.add)
+    m.putObject("configuration")
+    s"""{"metaData":${mapper.writeValueAsString(m)}}"""
+  }
+
+  private def addJson(path: String, pv: Map[String, String], size: Long,
+                      stats: Option[String] = None): String = {
+    val a = mapper.createObjectNode()
+    a.put("path", path)
+    val p = a.putObject("partitionValues")
+    pv.foreach { case (k, v) => p.put(k, v) }
+    a.put("size", size)
+    a.put("modificationTime", 0L)
+    a.put("dataChange", true)
+    stats.foreach(s => a.put("stats", s))
+    s"""{"add":${mapper.writeValueAsString(a)}}"""
+  }
+
+  private def removeJson(path: String): String =
+    s"""{"remove":{"path":"$path","deletionTimestamp":0,"dataChange":true}}"""
+
+  // ---------------------------------------------------------------
+  // hand-authored log: tests the FORMAT (what delta-rs would write),
+  // not our writer's dialect
+  // ---------------------------------------------------------------
+
+  private def handAuthoredTable(): String = {
+    val dir = tempDir("delta-hand").toString + "/t"
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType),
+      StructField("part", IntegerType)))
+    val dataSchema = Seq("id", "v")
+    val s0 = putFile(Seq((1L, "a"), (2L, "b")).toDF(dataSchema: _*), dir, "part=0/f0.parquet")
+    val s1 = putFile(Seq((3L, "c")).toDF(dataSchema: _*), dir, "part=1/f1.parquet")
+    val s2 = putFile(Seq((4L, "d")).toDF(dataSchema: _*), dir, "part=1/f2.parquet")
+
+    putCommit(dir, 0, Seq(
+      """{"commitInfo":{"operation":"WRITE"}}""",
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      metaDataJson(schema, Seq("part")),
+      addJson("part=0/f0.parquet", Map("part" -> "0"), s0,
+        Some("""{"numRecords":2,"minValues":{"id":1,"v":"a"},"maxValues":{"id":2,"v":"b"},"nullCount":{"id":0,"v":0}}""")),
+      addJson("part=1/f1.parquet", Map("part" -> "1"), s1,
+        Some("""{"numRecords":1,"minValues":{"id":3,"v":"c"},"maxValues":{"id":3,"v":"c"},"nullCount":{"id":0,"v":0}}"""))))
+    // v1: replace f1 with f2 inside part=1
+    putCommit(dir, 1, Seq(
+      removeJson("part=1/f1.parquet"),
+      addJson("part=1/f2.parquet", Map("part" -> "1"), s2,
+        Some("""{"numRecords":1,"minValues":{"id":4,"v":"d"},"maxValues":{"id":4,"v":"d"},"nullCount":{"id":0,"v":0}}"""))))
+    dir
+  }
+
+  test("replay: latest snapshot applies adds and removes in order") {
+    val dir = handAuthoredTable()
+    val t = new DeltaTable("t", dir)
+    val got = t(spark).select("id", "v", "part").as[(Long, String, Int)].collect().toSet
+    assert(got == Set((1L, "a", 0), (2L, "b", 0), (4L, "d", 1)))
+  }
+
+  test("time travel: versionAsOf=0 sees the pre-remove state") {
+    val dir = handAuthoredTable()
+    val t = new DeltaTable("t", dir)
+    val got = t(spark, ReadArgs(extra = Map(t.VersionKey -> 0L)))
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(1L, 2L, 3L))
+  }
+
+  test("partition pruning: only matching files are opened") {
+    val dir = handAuthoredTable()
+    val t = new DeltaTable("t", dir)
+    val df = t(spark, ReadArgs.where(Filter("part", "=", 0)))
+    assert(df.inputFiles.forall(_.contains("part=0")), df.inputFiles.mkString(","))
+    assert(df.select("id").as[Long].collect().toSet == Set(1L, 2L))
+  }
+
+  test("stats skipping: min/max prunes files; result still exact") {
+    val dir = handAuthoredTable()
+    val t = new DeltaTable("t", dir)
+    val df = t(spark, ReadArgs.where(Filter("id", ">=", 4L)))
+    assert(df.inputFiles.length == 1 && df.inputFiles.head.contains("f2"),
+      df.inputFiles.mkString(","))
+    assert(df.select("v").as[String].collect().toSeq == Seq("d"))
+    // DNF: either branch keeps its files
+    val dnf = t(spark, ReadArgs.dnf(Seq(
+      Seq(Filter("id", "=", 1L)), Seq(Filter("id", "=", 4L)))))
+    assert(dnf.inputFiles.length == 2)
+    assert(dnf.select("id").as[Long].collect().toSet == Set(1L, 4L))
+  }
+
+  test("unsupported protocol is refused loudly") {
+    val dir = tempDir("delta-proto").toString + "/t"
+    val schema = StructType(Seq(StructField("id", LongType)))
+    val size = putFile(Seq(Tuple1(1L)).toDF("id"), dir, "f.parquet")
+    putCommit(dir, 0, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"]}}""",
+      metaDataJson(schema, Seq.empty),
+      addJson("f.parquet", Map.empty, size)))
+    intercept[IllegalArgumentException] { new DeltaTable("t", dir)(spark) }
+  }
+
+  test("schema evolution: old files yield typed nulls for new columns") {
+    val dir = tempDir("delta-evo").toString + "/t"
+    val v0Schema = StructType(Seq(StructField("id", LongType)))
+    val v1Schema = StructType(Seq(StructField("id", LongType), StructField("extra", StringType)))
+    val s0 = putFile(Seq(Tuple1(1L)).toDF("id"), dir, "f0.parquet")
+    val s1 = putFile(Seq((2L, "x")).toDF("id", "extra"), dir, "f1.parquet")
+    putCommit(dir, 0, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      metaDataJson(v0Schema, Seq.empty),
+      addJson("f0.parquet", Map.empty, s0)))
+    putCommit(dir, 1, Seq(
+      metaDataJson(v1Schema, Seq.empty),
+      addJson("f1.parquet", Map.empty, s1)))
+    val got = new DeltaTable("t", dir)(spark)
+      .select("id", "extra").as[(Long, Option[String])].collect().toSet
+    assert(got == Set((1L, None), (2L, Some("x"))))
+  }
+
+  // ---------------------------------------------------------------
+  // writer round-trips
+  // ---------------------------------------------------------------
+
+  test("append/overwrite round-trip with per-commit versions") {
+    val dir = tempDir("delta-rt").toString + "/t"
+    val d1 = Seq((1L, "a", 0), (2L, "b", 1)).toDF("id", "v", "part")
+    val d2 = Seq((3L, "c", 1)).toDF("id", "v", "part")
+
+    val r1 = DeltaWrite.append(spark, d1, dir, partitionBy = Seq("part"))
+    assert(r1.version == 0 && r1.filesAdded == 2)
+    val r2 = DeltaWrite.append(spark, d2, dir, partitionBy = Seq("part"))
+    assert(r2.version == 1)
+
+    val t = new DeltaTable("t", dir)
+    assert(t(spark).count() == 3)
+    assert(t(spark, ReadArgs(extra = Map(t.VersionKey -> 0L))).count() == 2)
+
+    val r3 = DeltaWrite.overwrite(spark, Seq((9L, "z", 7)).toDF("id", "v", "part"),
+      dir, partitionBy = Seq("part"))
+    assert(r3.version == 2 && r3.filesRemoved == 3)
+    val after = t(spark).select("id", "v", "part").as[(Long, String, Int)].collect().toSet
+    assert(after == Set((9L, "z", 7)))
+    // time travel still sees the pre-overwrite data
+    assert(t(spark, ReadArgs(extra = Map(t.VersionKey -> 1L))).count() == 3)
+  }
+
+  test("writer stats enable file skipping on read") {
+    val dir = tempDir("delta-stats").toString + "/t"
+    // two appends → two files with disjoint id ranges
+    DeltaWrite.append(spark, Seq((1L, "lo"), (2L, "lo")).toDF("id", "v"), dir)
+    DeltaWrite.append(spark, Seq((100L, "hi")).toDF("id", "v"), dir)
+    val t = new DeltaTable("t", dir)
+    val df = t(spark, ReadArgs.where(Filter("id", ">", 50L)))
+    assert(df.inputFiles.length == 1, df.inputFiles.mkString(","))
+    assert(df.select("v").as[String].collect().toSeq == Seq("hi"))
+  }
+
+  test("checkpoint replaces the JSON prefix") {
+    val dir = tempDir("delta-cp").toString + "/t"
+    DeltaWrite.append(spark, Seq((1L, "a")).toDF("id", "v"), dir)
+    DeltaWrite.append(spark, Seq((2L, "b")).toDF("id", "v"), dir)
+    val cpV = DeltaWrite.checkpoint(spark, dir)
+    assert(cpV == 1)
+    DeltaWrite.append(spark, Seq((3L, "c")).toDF("id", "v"), dir)
+
+    // simulate log cleanup: delete the JSON commits covered by the
+    // checkpoint — replay must come from checkpoint + later JSON only
+    val f = fs(dir)
+    (0L to cpV).foreach(v =>
+      f.delete(new Path(dir + "/_delta_log", f"$v%020d.json"), false))
+    val got = new DeltaTable("t", dir)(spark).select("id").as[Long].collect().toSet
+    assert(got == Set(1L, 2L, 3L))
+  }
+
+  test("delta table with lakehouse semantics: dedup + extra cols + predicate") {
+    val dir = tempDir("delta-sem").toString + "/t"
+    DeltaWrite.append(spark,
+      Seq((1L, "first", 1), (1L, "second", 2), (2L, "only", 1)).toDF("id", "v", "ord"), dir)
+    val t = new DeltaTable("t", dir,
+      uniqueColumns = Some(Seq("id")), orderColumn = Some("ord"),
+      extraCols = Seq((length(col("v")).cast("int"), "v_len", "int")))
+    val got = t(spark).select("id", "v", "v_len").as[(Long, String, Int)].collect().toSet
+    assert(got == Set((1L, "first", 5), (2L, "only", 4)))
+    val pred = t(spark, ReadArgs(extra = Map(t.PredicateKey -> "id = 2")))
+    assert(pred.select("v").as[String].collect().toSeq == Seq("only"))
+  }
+
+  test("deleteWhere rewrites only affected files; NULL predicate rows survive") {
+    val dir = tempDir("delta-del").toString + "/t"
+    DeltaWrite.append(spark,
+      Seq((1L, Some("keep"), 0), (2L, Some("drop"), 0), (3L, None, 0)).toDF("id", "v", "part"),
+      dir, partitionBy = Seq("part"))
+    DeltaWrite.append(spark,
+      Seq((4L, Some("keep"), 1)).toDF("id", "v", "part"), dir, partitionBy = Seq("part"))
+
+    import graft.core.{Filter => F, Filters}
+    val r = DeltaWrite.deleteWhere(spark, dir, Filters.normalize(Seq(F("v", "=", "drop"))))
+    assert(r.filesRemoved == 1, s"only part=0's file may be rewritten, got $r") // part=1 untouched
+    val t = new DeltaTable("t", dir)
+    val got = t(spark).select("id").as[Long].collect().toSet
+    assert(got == Set(1L, 3L, 4L)) // id=3 has v=NULL: 'v = drop' is NULL → row kept
+
+    // partition-pruned delete: no candidate files → no-op commit
+    val before = DeltaLog.latestVersion(spark, dir).get
+    val r2 = DeltaWrite.deleteWhere(spark, dir, Filters.normalize(Seq(F("part", "=", 99))))
+    assert(r2.filesAdded == 0 && r2.filesRemoved == 0)
+    assert(DeltaLog.latestVersion(spark, dir).get == before)
+  }
+
+  test("null partition values prune for every operator") {
+    val dir = tempDir("delta-nullpart").toString + "/t"
+    val df = Seq((1L, Some("x")), (2L, None)).toDF("id", "part")
+    DeltaWrite.append(spark, df, dir, partitionBy = Seq("part"))
+    val t = new DeltaTable("t", dir)
+    assert(t(spark).count() == 2)
+    val eq = t(spark, ReadArgs.where(Filter("part", "=", "x")))
+    assert(eq.inputFiles.length == 1)
+    assert(eq.select("id").as[Long].collect().toSeq == Seq(1L))
+    val neq = t(spark, ReadArgs.where(Filter("part", "!=", "zzz")))
+    assert(neq.inputFiles.length == 1) // null-partition file pruned: NULL != x is not TRUE
+    assert(neq.select("id").as[Long].collect().toSeq == Seq(1L))
+  }
+}
