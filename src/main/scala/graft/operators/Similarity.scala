@@ -4,6 +4,7 @@ import graft.functions.Vectors
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Approximate / exact nearest-neighbor search over an embedding
   * column (`array<float>`).
@@ -67,6 +68,128 @@ object Similarity {
       .where(col("_rn") === 1)
       .drop("_cent", "_d2", "_rn")
   }
+
+  /** Deterministic Lloyd k-means for a real IVF index (SURVEY §7 r2:
+    * replaces the modulo-seed centroids as the scale path; ivfAssign
+    * stays as the SQL-expressible oracle formulation).
+    *
+    * Determinism, run to run AND partitioning-independent:
+    *  - init = deterministic farthest-point traversal (k-center
+    *    greedy): seed 1 is the lowest-id vector, each next seed
+    *    maximizes the rounded min-distance to the chosen seeds with
+    *    an id tie-break — no RNG, and unlike lowest-k-ids it cannot
+    *    start with all seeds inside one cluster (which Lloyd can
+    *    never recover from);
+    *  - assignment = argmin over rounded L2 with centroid-id
+    *    tie-break;
+    *  - update = per-dimension mean via exact DECIMAL sums (order-
+    *    independent), so shuffles can't change the result;
+    *  - fixed iteration count (no data-dependent stop).
+    *
+    * Scale shape per iteration: one broadcast of k·dim doubles, one
+    * scan computing each row's nearest centroid (native one-pass
+    * VecL2Sq), one partial-aggregated groupBy((cid, dim)) of k·dim
+    * groups collected to the driver. No corpus materialization, no
+    * growing lineage (each iteration re-plans from the source scan
+    * with new literal centroids).
+    */
+  def kmeansCentroids(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      maxIter: Int = 5
+  ): Seq[(Long, Seq[Double])] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    // farthest-point init: one TakeOrdered scan per seed
+    val first = corpus.select(col(idCol).cast("long"), col(vecCol))
+      .orderBy(col(idCol))
+      .limit(1)
+      .as[(Long, Seq[Float])]
+      .collect()
+      .head._2.map(_.toDouble).toSeq
+    val seeds = scala.collection.mutable.Buffer[Seq[Double]](first)
+    while (seeds.size < k) {
+      val dist = nearestExpr(seeds.toSeq.zipWithIndex.map { case (v, i) => (i.toLong, v) }, vecCol)
+        .getField("d")
+      val next = corpus.select(col(idCol).cast("long"), col(vecCol), dist.as("_d"))
+        .orderBy(col("_d").desc, col(idCol))
+        .limit(1)
+        .as[(Long, Seq[Float], Double)]
+        .collect()
+        .head._2.map(_.toDouble).toSeq
+      seeds += next
+    }
+    var centroids: Seq[(Long, Seq[Double])] =
+      seeds.toSeq.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+
+    (1 to maxIter).foreach { _ =>
+      val assigned = assignNearest(corpus, vecCol, centroids)
+      val sums = assigned
+        .select(col("centroid_id"), posexplode(col(vecCol)).as(Seq("_pos", "_v")))
+        .groupBy("centroid_id", "_pos")
+        .agg(
+          sum(col("_v").cast(DecimalType(28, 10))).as("_s"),
+          count(lit(1)).as("_n"))
+        .as[(Long, Int, java.math.BigDecimal, Long)]
+        .collect()
+      val byCid = sums.groupBy(_._1)
+      centroids = centroids.map { case (cid, old) =>
+        byCid.get(cid) match {
+          case Some(rows) =>
+            val mean = rows.sortBy(_._2).map { case (_, _, s, n) =>
+              (BigDecimal(s) / n).toDouble
+            }.toSeq
+            (cid, mean)
+          case None => (cid, old) // empty cluster keeps its centroid
+        }
+      }
+    }
+    centroids
+  }
+
+  /** Corpus + `centroid_id` of the nearest learned centroid — write
+    * this out partitioned/bucketed by `centroid_id` and searches
+    * become pruned single-bucket scans.
+    */
+  def kmeansIvfAssign(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      maxIter: Int = 5
+  ): DataFrame =
+    assignNearest(corpus, vecCol, kmeansCentroids(corpus, idCol, vecCol, k, maxIter))
+
+  /** One scan: nearest centroid per row via a broadcast join + partial
+    * min_by aggregation... no — cheaper: k is small, so the argmin is
+    * computed per row against a literal centroid matrix (pure scan
+    * work, zero shuffle).
+    */
+  private def assignNearest(
+      corpus: DataFrame,
+      vecCol: String,
+      centroids: Seq[(Long, Seq[Double])]
+  ): DataFrame =
+    corpus.withColumn("centroid_id", nearestExpr(centroids, vecCol).getField("cid"))
+
+  /** Per-row argmin over a literal centroid matrix: fold over the
+    * centroid structs keeping struct(best_d2, best_cid). Rounded
+    * distance + cid tie-break = engine- and partitioning-stable.
+    */
+  private def nearestExpr(centroids: Seq[(Long, Seq[Double])], vecCol: String) =
+    aggregate(
+      array(centroids.sortBy(_._1).map { case (cid, v) =>
+        struct(lit(cid).as("cid"), array(v.map(lit): _*).as("c"))
+      }: _*),
+      struct(lit(Double.MaxValue).as("d"), lit(-1L).as("cid")),
+      (acc, cs) => {
+        val d = round(graft.functions.VectorExpressions.l2sq(cs.getField("c"), col(vecCol)), 4)
+        when(d < acc.getField("d"), struct(d.as("d"), cs.getField("cid").as("cid")))
+          .otherwise(acc)
+      })
 
   /** IVF search: queries are assigned to their centroid, then ranked
     * only against corpus vectors in the same bucket.

@@ -64,7 +64,9 @@ object QueryCatalog {
     Entry("q_collect_sorted", Wave2Queries.qCollectSorted),
     Entry("q_vector_stats", Wave2Queries.qVectorStats),
     Entry("q_delta_read", Wave3Queries.qDeltaRead),
-    Entry("q_delta_time_travel", Wave3Queries.qDeltaTimeTravel)
+    Entry("q_delta_time_travel", Wave3Queries.qDeltaTimeTravel),
+    Entry("q_ann_kmeans", Wave3Queries.qAnnKmeans),
+    Entry("q_bpe_tokens", Wave3Queries.qBpeTokens)
   )
 
   def queries: Map[String, QueryFn] =

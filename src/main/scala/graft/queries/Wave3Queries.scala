@@ -49,4 +49,40 @@ object Wave3Queries {
       extra = Map(table.VersionKey -> 0L)))
       .orderBy("n_nationkey")
   }
+
+  /** BPE tokenization with a merge table learned from the corpus
+    * itself (distinct-word frequency table, deterministic tie-breaks).
+    * Rows-only (greedy merge application isn't SQL-expressible); the
+    * learner is verified against a driver-side reference
+    * implementation in BpeSpec.
+    */
+  def qBpeTokens(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.table(s, dir, "documents")
+    val merges = graft.functions.Bpe.learn(docs, "text", numMerges = 20)
+    docs
+      .select(col("source"),
+        graft.functions.Bpe.tokenCount(col("text"), merges).cast("long").as("n_tok"),
+        length(col("text")).cast("long").as("n_chars"))
+      .groupBy("source")
+      .agg(
+        sum(col("n_tok")).as("total_tokens"),
+        round(sum(col("n_chars")).cast("double") / sum(col("n_tok")), 4)
+          .as("chars_per_token"))
+      .orderBy("source")
+  }
+
+  /** Learned-index ANN: Lloyd k-means IVF (deterministic farthest-
+    * point init, exact-decimal centroid updates) + in-bucket search.
+    * Rows-only (Lloyd iterations aren't SQL-expressible); semantic
+    * invariants are asserted in SimilaritySpec.
+    */
+  def qAnnKmeans(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.table(s, dir, "embeddings")
+    val assigned = graft.operators.Similarity.kmeansIvfAssign(
+      emb, "vec_id", "embedding", k = 8, maxIter = 3)
+    graft.operators.Similarity.ivfTopK(assigned, "vec_id", "embedding",
+      queryIds = emb.where(col("vec_id") < 10).select("vec_id"), k = 3)
+      .withColumn("rank", col("rank").cast("long"))
+      .orderBy("query_id", "rank")
+  }
 }

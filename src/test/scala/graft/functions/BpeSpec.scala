@@ -1,0 +1,69 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  // the classic BPE teaching corpus
+  private val wordFreqs = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+
+  private def corpusDf = {
+    val docs = wordFreqs.toSeq.sortBy(_._1).map { case (w, f) =>
+      Seq.fill(f.toInt)(w).mkString(" ")
+    }
+    docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+  }
+
+  test("local reference learner: classic corpus merges") {
+    val merges = Bpe.learnLocal(wordFreqs, 4)
+    // es/est dominate (newest 6 + widest 3 = 9); lexical tie-breaks
+    assert(merges.head == ("e", "s"))
+    assert(merges(1) == ("es", "t"))
+    assert(merges.size == 4)
+  }
+
+  test("distributed learner matches the local reference exactly") {
+    val got = Bpe.learn(corpusDf, "text", 6)
+    val want = Bpe.learnLocal(wordFreqs, 6)
+    assert(got == want, s"distributed $got vs local $want")
+    // partitioning-invariant
+    val got2 = Bpe.learn(corpusDf.repartition(5), "text", 6)
+    assert(got2 == want)
+  }
+
+  test("encode: concatenated word tokens reconstruct each word") {
+    val merges = Bpe.learn(corpusDf, "text", 6)
+    val words = Seq("lowest", "newer", "wide", "unseen", "low").toDF("w")
+    val got = words.select(col("w"), array_join(Bpe.encode(col("w"), merges), "").as("r"))
+      .as[(String, String)].collect()
+    got.foreach { case (w, r) => assert(r == w, s"round-trip broke: $w -> $r") }
+  }
+
+  test("encode applies merges greedily by rank") {
+    val merges = Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w"))
+    val got = Seq("newest", "low", "lowest").toDF("w")
+      .select(Bpe.encode(col("w"), merges).as("t")).as[Seq[String]].collect()
+    assert(got(0) == Seq("n", "e", "w", "est"))
+    assert(got(1) == Seq("low"))
+    assert(got(2) == Seq("low", "est"))
+    // empty merge table → plain characters
+    val chars = Seq("ab c").toDF("w")
+      .select(Bpe.encode(col("w"), Seq.empty).as("t")).as[Seq[String]].head()
+    assert(chars == Seq("a", "b", "c"))
+  }
+
+  test("tokenCount shrinks as merges are learned") {
+    val none = corpusDf.select(sum(Bpe.tokenCount(col("text"), Seq.empty))).as[Long].head()
+    val merges = Bpe.learn(corpusDf, "text", 6)
+    val learned = corpusDf.select(sum(Bpe.tokenCount(col("text"), merges))).as[Long].head()
+    assert(learned < none, s"$learned !< $none")
+  }
+
+  test("learner stops when no pair repeats") {
+    val df = Seq((1L, "ab cd")).toDF("id", "text")
+    val merges = Bpe.learn(df, "text", 10)
+    assert(merges.isEmpty) // every pair occurs once
+  }
+}

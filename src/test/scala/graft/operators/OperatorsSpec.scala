@@ -175,6 +175,67 @@ class SimilaritySpec extends SparkSpec {
     assert(!neighbors.contains(100L)) // different bucket
     assert(neighbors.contains(1L))
   }
+
+  // three well-separated 2-d blobs, 5 points each
+  private def blobs = {
+    val centers = Seq((0f, 0f), (10f, 10f), (-10f, 10f))
+    val pts = for {
+      (c, b) <- centers.zipWithIndex
+      i <- 0 until 5
+    } yield ((b * 5 + i).toLong, Seq(c._1 + i * 0.1f, c._2 - i * 0.1f), b)
+    pts.toDF("vec_id", "embedding", "blob")
+  }
+
+  test("kmeans separates well-separated blobs and is deterministic") {
+    val a1 = Similarity.kmeansIvfAssign(blobs, "vec_id", "embedding", k = 3, maxIter = 5)
+      .select("vec_id", "centroid_id").as[(Long, Long)].collect().toMap
+    // every blob lands in exactly one cluster
+    val blobToCids = blobs.select("vec_id", "blob").as[(Long, Int)].collect()
+      .groupBy(_._2).view.mapValues(_.map(p => a1(p._1)).toSet).toMap
+    assert(blobToCids.values.forall(_.size == 1), s"split blob: $blobToCids")
+    assert(blobToCids.values.flatten.toSet.size == 3, s"merged blobs: $blobToCids")
+
+    // bit-identical across a rerun AND a different input partitioning
+    val a2 = Similarity.kmeansIvfAssign(blobs.repartition(7), "vec_id", "embedding", 3, 5)
+      .select("vec_id", "centroid_id").as[(Long, Long)].collect().toMap
+    assert(a1 == a2)
+    val c1 = Similarity.kmeansCentroids(blobs, "vec_id", "embedding", 3, 5)
+    val c2 = Similarity.kmeansCentroids(blobs.repartition(5), "vec_id", "embedding", 3, 5)
+    assert(c1 == c2)
+  }
+
+  test("kmeans iterations do not increase within-cluster distance") {
+    def inertia(maxIter: Int): Double = {
+      val cents = Similarity.kmeansCentroids(blobs, "vec_id", "embedding", 3, maxIter)
+        .toMap.view.mapValues(v => array(v.map(lit): _*)).toMap
+      val assigned = Similarity.kmeansIvfAssign(blobs, "vec_id", "embedding", 3, maxIter)
+      cents.map { case (cid, c) =>
+        assigned.where(col("centroid_id") === cid)
+          .select(sum(Vectors.l2sq(col("embedding"), c)).as("s"))
+          .as[Option[Double]].head().getOrElse(0.0)
+      }.sum
+    }
+    val i1 = inertia(1)
+    val i5 = inertia(5)
+    assert(i5 <= i1 + 1e-9, s"inertia grew: $i1 -> $i5")
+  }
+
+  test("kmeans keeps the previous centroid for an empty cluster") {
+    // k=3 over 2 distinct points: one centroid can never win a point
+    val tiny = Seq((0L, Seq(0f, 0f)), (1L, Seq(0f, 0f)), (2L, Seq(5f, 5f)))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(tiny, "vec_id", "embedding", k = 3, maxIter = 3)
+    assert(cents.size == 3)
+    assert(cents.map(_._1).toSet == Set(0L, 1L, 2L))
+  }
+
+  test("ivfTopK works over a kmeans-built index") {
+    val assigned = Similarity.kmeansIvfAssign(blobs, "vec_id", "embedding", 3, 5)
+    val res = Similarity.ivfTopK(assigned, "vec_id", "embedding",
+      blobs.where(col("vec_id") === 0).select("vec_id"), k = 3)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(res == Set(1L, 2L, 3L)) // same-blob neighbors only
+  }
 }
 
 class SessionizeSpec extends SparkSpec {
