@@ -5,6 +5,15 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs the headline queries (SURVEY.md §6) against
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query seconds.
+  *
+  * A query that throws is recorded in an `"errors"` object (name →
+  * message) and forces a nonzero exit — a broken query can never
+  * *improve* the bench total by timing its own failure.
+  *
+  * The `q_topk_window_ruleoff` / `q_topk_window_ruleon` pair runs the
+  * same window-formulated top-k query with
+  * [[graft.plans.RowNumberTopKRewrite]] disabled vs enabled,
+  * demonstrating the E37 rewrite's payoff on the big fact table.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -21,26 +30,62 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     // JVM/Spark warmup on the smallest SF so measured times reflect the
-    // query, not first-run codegen/classloading.
+    // query, not first-run codegen/classloading. Warmup failures are
+    // ignored (the measured run of the same query will surface them).
     try QueryCatalog.queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001").count()
     catch { case _: Throwable => () }
+
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
 
     // two measured runs per query, report the best: steady-state cost
     // (first-run whole-stage-codegen compilation is JVM warmup, not
     // query cost)
-    val names = QueryCatalog.headlineNames
-    val results = names.map { name =>
-      val fn = QueryCatalog.queries(name)
-      val times = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+    def measure(name: String)(run: => Unit): Unit =
+      try {
+        val times = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          run
+          (System.nanoTime() - t0) / 1e9
+        }
+        results(name) = times.min
+      } catch {
+        case e: Throwable =>
+          errors(name) = jsonSafe(s"${e.getClass.getSimpleName}: ${e.getMessage}")
       }
-      name -> times.min
+
+    QueryCatalog.headlineNames.foreach { name =>
+      val fn = QueryCatalog.queries(name)
+      measure(name) { fn(spark, sfDir).count(); () }
     }
+
+    // E37 on/off pair (not part of the headline total: it is a plan
+    // demonstration, and ruleoff would double-count the window cost)
+    val topk = QueryCatalog.queries("q_topk_window")
+    val rule = graft.plans.RowNumberTopKRewrite
+    val saved = spark.experimental.extraOptimizations
+    try {
+      spark.experimental.extraOptimizations = saved.filterNot(_ == rule)
+      measure("q_topk_window_ruleoff") { topk(spark, sfDir).count(); () }
+      spark.experimental.extraOptimizations = saved.filterNot(_ == rule) :+ rule
+      measure("q_topk_window_ruleon") { topk(spark, sfDir).count(); () }
+    } finally spark.experimental.extraOptimizations = saved
+
+    val headline = results.view.filterKeys(QueryCatalog.headlineNames.contains)
+    val total = headline.values.sum
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errJson =
+      if (errors.isEmpty) ""
+      else errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+        .mkString(""","errors":{""", ",", "}")
+    val status = if (errors.isEmpty) "ok" else "fail"
+    println(s"""{"metric":"total","value":$total,"unit":"sec","status":"$status","queries":$qs$errJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
+
+  private def jsonSafe(s: String): String =
+    Option(s).getOrElse("null")
+      .replace("\\", "\\\\").replace("\"", "\\\"")
+      .replaceAll("[\\r\\n\\t]", " ").take(300)
 }

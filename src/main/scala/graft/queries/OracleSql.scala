@@ -143,6 +143,14 @@ object OracleSql {
          |  FROM part) WHERE rank <= 3
          |ORDER BY p_brand, rank""".stripMargin,
 
+    "q_topk_window" ->
+      s"""SELECT l_partkey, rank, l_orderkey, l_extendedprice FROM (
+         |  SELECT l_partkey, l_orderkey, l_extendedprice,
+         |    row_number() OVER (PARTITION BY l_partkey
+         |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rank
+         |  FROM lineitem) WHERE rank <= 2
+         |ORDER BY l_partkey, rank""".stripMargin,
+
     "q_running_sum" ->
       s"""SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
          |  round(CAST(sum(${d4("l_quantity")}) OVER (

@@ -24,6 +24,7 @@ object QueryCatalog {
     Entry("q_table_projection", RelationalQueries.qTableProjection),
     Entry("q_topk_per_group", RelationalQueries.qTopkPerGroup),
     Entry("q_topk_agg", RelationalQueries.qTopkAgg),
+    Entry("q_topk_window", RelationalQueries.qTopkWindow),
     Entry("q_running_sum", RelationalQueries.qRunningSum),
     Entry("q_agg_stats", RelationalQueries.qAggStats),
     Entry("q_semi_anti", RelationalQueries.qSemiAnti),

@@ -151,6 +151,22 @@ object RelationalQueries {
       .orderBy("p_brand", "rank")
   }
 
+  /** Window-formulated top-2 per part key over the big fact table.
+    * This is the E37 demonstration query: the benchmark runs it twice,
+    * with [[graft.plans.RowNumberTopKRewrite]] off (full window
+    * shuffle+sort of every lineitem row) and on (bounded-heap TopK
+    * aggregate, ≤2 rows per key cross the shuffle), same source plan.
+    */
+  def qTopkWindow(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_partkey")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+    t(s, dir, "lineitem")
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .where(col("rank") <= 2)
+      .select("l_partkey", "rank", "l_orderkey", "l_extendedprice")
+      .orderBy("l_partkey", "rank")
+  }
+
   /** Same result as q_topk_per_group through the bounded-heap TopK
     * aggregate instead of a window sort (scale path: k rows per group
     * cross the shuffle, no partition sort).

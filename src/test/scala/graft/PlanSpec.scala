@@ -65,4 +65,17 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortAggregate"), s"should not sort:\n$plan")
     assert("Exchange".r.findAllIn(plan).length == 1, s"expected exactly one shuffle:\n$plan")
   }
+
+  test("q_topk_window rewrites to the TopK aggregate when the E37 rule is on") {
+    val rule = graft.plans.RowNumberTopKRewrite
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ rule
+    try {
+      val df = QueryCatalog.queries("q_topk_window")(spark, sf("sf0.001"))
+      val opt = df.queryExecution.optimizedPlan.toString
+      assert(opt.contains("graft_top_k"), s"rewrite did not fire:\n$opt")
+      assert(!opt.contains("Window ["), s"window survived the rewrite:\n$opt")
+    } finally spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ == rule)
+  }
 }
