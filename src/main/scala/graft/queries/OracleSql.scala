@@ -649,7 +649,16 @@ object OracleSql {
     // versionAsOf 0 predates the DELETE: full nation
     "q_delta_time_travel" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
-        |ORDER BY n_nationkey""".stripMargin
+        |ORDER BY n_nationkey""".stripMargin,
+
+    // Spark side reads a delta table built as: full customer, then a
+    // merge-on-read DELETE WHERE c_acctbal < 0 via deletion vectors
+    // (no file rewritten — rows masked by a row-index bitmap at scan).
+    // IS NOT TRUE mirrors DELETE semantics: NULL-predicate rows survive.
+    "q_delta_dv" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE c_mktsegment = 'BUILDING' AND (c_acctbal < 0) IS NOT TRUE
+        |ORDER BY c_custkey""".stripMargin
   )
 
   val all: Map[String, String] = relational ++ pipeline ++ wave2 ++ wave3

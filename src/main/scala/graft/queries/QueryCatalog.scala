@@ -66,6 +66,7 @@ object QueryCatalog {
     Entry("q_vector_stats", Wave2Queries.qVectorStats),
     Entry("q_delta_read", Wave3Queries.qDeltaRead),
     Entry("q_delta_time_travel", Wave3Queries.qDeltaTimeTravel),
+    Entry("q_delta_dv", Wave3Queries.qDeltaDv),
     Entry("q_ann_kmeans", Wave3Queries.qAnnKmeans),
     Entry("q_bpe_tokens", Wave3Queries.qBpeTokens)
   )

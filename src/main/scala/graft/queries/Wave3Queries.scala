@@ -41,6 +41,29 @@ object Wave3Queries {
       .orderBy("n_nationkey")
   }
 
+  /** Merge-on-read DELETE via deletion vectors: customer appended
+    * partitioned by c_mktsegment, then `DELETE WHERE c_acctbal < 0`
+    * written as row-index bitmaps (no file rewritten). The read
+    * composes partition pruning with the DV scan-time anti-filter.
+    */
+  def qDeltaDv(s: SparkSession, dir: String): DataFrame = {
+    val table = new DeltaTable("customer_dv", customerDvDelta(s, dir))
+    table(s, ReadArgs(
+      filters = Filters.normalize(Seq(Filter("c_mktsegment", "=", "BUILDING"))),
+      columns = Some(Seq("c_custkey", "c_name", "c_acctbal"))))
+      .orderBy("c_custkey")
+  }
+
+  private def customerDvDelta(s: SparkSession, dir: String): String =
+    builtTables.getOrElseUpdate(dir + "#dv", {
+      val path = java.nio.file.Files.createTempDirectory("graft_delta_cust").toString + "/customer"
+      val cust = t(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+      DeltaWrite.append(s, cust, path, partitionBy = Seq("c_mktsegment"))
+      DeltaWrite.deleteWhereDv(s, path, Filters.normalize(Seq(Filter("c_acctbal", "<", 0.0))))
+      path
+    })
+
   /** Time travel: version 0 predates the DELETE and sees full nation. */
   def qDeltaTimeTravel(s: SparkSession, dir: String): DataFrame = {
     val table = new DeltaTable("nation_delta", nationDelta(s, dir))

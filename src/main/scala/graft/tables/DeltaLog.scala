@@ -35,14 +35,21 @@ object DeltaLog {
 
   /** An active data file from the replayed log. `partitionValues` maps
     * partition column → string value (None encodes a null partition
-    * value, per the protocol).
+    * value, per the protocol). `dv` is the file's deletion vector, if
+    * any ([[DeletionVectors]]).
     */
   final case class AddFile(
       path: String,
       partitionValues: Map[String, Option[String]],
       size: Long,
-      stats: Option[String]
+      stats: Option[String],
+      dv: Option[DeletionVectors.DvDescriptor] = None
   )
+
+  /** Reader-protocol table features this implementation supports
+    * (minReaderVersion 3 gates on them).
+    */
+  val SupportedReaderFeatures: Set[String] = Set("deletionVectors")
 
   final case class Metadata(schemaString: String, partitionColumns: Seq[String]) {
     lazy val schema: StructType = DataType.fromJson(schemaString).asInstanceOf[StructType]
@@ -98,6 +105,24 @@ object DeltaLog {
     cpVersion.foreach { v =>
       val cp = spark.read.parquet(cps(v).toString)
       val cols = cp.columns.toSet
+      if (cols.contains("protocol")) {
+        cp.select("protocol").where("protocol IS NOT NULL").collect().foreach { r =>
+          val p = r.getStruct(0)
+          val minReader = p.getAs[Int]("minReaderVersion")
+          if (minReader >= 3) {
+            require(minReader == 3,
+              s"unsupported Delta reader protocol version $minReader in $tablePath checkpoint")
+            val features =
+              if (p.schema.fieldNames.contains("readerFeatures"))
+                Option(p.getAs[scala.collection.Seq[String]]("readerFeatures"))
+                  .map(_.toSet).getOrElse(Set.empty[String])
+              else Set.empty[String]
+            val unsupported = features -- SupportedReaderFeatures
+            require(unsupported.isEmpty,
+              s"unsupported Delta reader features $unsupported in $tablePath checkpoint")
+          }
+        }
+      }
       if (cols.contains("metaData")) {
         cp.select("metaData").where("metaData IS NOT NULL").collect().foreach { r =>
           val m = r.getStruct(0)
@@ -112,9 +137,23 @@ object DeltaLog {
           val a = r.getStruct(0)
           val pv = Option(a.getAs[scala.collection.Map[String, String]]("partitionValues"))
             .map(_.toMap.map { case (k, v) => k -> Option(v) }).getOrElse(Map.empty[String, Option[String]])
+          val dv =
+            if (!a.schema.fieldNames.contains("deletionVector")) None
+            else Option(a.getAs[org.apache.spark.sql.Row]("deletionVector")).map { d =>
+              DeletionVectors.DvDescriptor(
+                d.getAs[String]("storageType"),
+                d.getAs[String]("pathOrInlineDv"),
+                Option(d.getAs[Any]("offset")).map {
+                  case l: Long => l
+                  case i: Int  => i.toLong
+                },
+                d.getAs[Int]("sizeInBytes"),
+                d.getAs[Long]("cardinality"))
+            }
           val add = AddFile(
             decodePath(a.getAs[String]("path")), pv, a.getAs[Long]("size"),
-            if (a.schema.fieldNames.contains("stats")) Option(a.getAs[String]("stats")) else None)
+            if (a.schema.fieldNames.contains("stats")) Option(a.getAs[String]("stats")) else None,
+            dv)
           active += add.path -> add
         }
       }
@@ -134,12 +173,20 @@ object DeltaLog {
           if (node.has("protocol")) {
             val pr = node.get("protocol")
             val minReader = pr.path("minReaderVersion").asInt(1)
-            // reader versions 1-2 are plain parquet + log; 3+ gates on
-            // table features we don't implement (deletion vectors,
-            // column mapping, v2 checkpoints) — refuse rather than
-            // silently return wrong rows.
-            require(minReader <= 2,
-              s"unsupported Delta reader protocol version $minReader in $tablePath: $pr")
+            // reader versions 1-2 are plain parquet + log; version 3
+            // gates on explicit table features — read only when every
+            // listed feature is implemented (deletionVectors), refuse
+            // otherwise (column mapping, v2 checkpoints, ...) rather
+            // than silently return wrong rows.
+            if (minReader >= 3) {
+              require(minReader == 3,
+                s"unsupported Delta reader protocol version $minReader in $tablePath: $pr")
+              val features = Option(pr.get("readerFeatures"))
+                .map(_.elements().asScala.map(_.asText()).toSet).getOrElse(Set.empty[String])
+              val unsupported = features -- SupportedReaderFeatures
+              require(unsupported.isEmpty,
+                s"unsupported Delta reader features $unsupported in $tablePath")
+            }
           }
           if (node.has("metaData")) {
             val m = node.get("metaData")
@@ -152,17 +199,18 @@ object DeltaLog {
           }
           if (node.has("add")) {
             val a = node.get("add")
-            require(!a.has("deletionVector") || a.get("deletionVector").isNull,
-              s"deletion vectors are not supported (file ${a.get("path")})")
             val pv = Option(a.get("partitionValues")).map { o =>
               o.fields().asScala.map { e =>
                 e.getKey -> (if (e.getValue.isNull) None else Some(e.getValue.asText()))
               }.toMap
             }.getOrElse(Map.empty[String, Option[String]])
+            val dv = Option(a.get("deletionVector")).filterNot(_.isNull)
+              .map(DeletionVectors.parseDescriptor)
             val add = AddFile(
               decodePath(a.get("path").asText()), pv,
               Option(a.get("size")).map(_.asLong()).getOrElse(0L),
-              Option(a.get("stats")).filterNot(_.isNull).map(_.asText()))
+              Option(a.get("stats")).filterNot(_.isNull).map(_.asText()),
+              dv)
             active += add.path -> add
           }
           if (node.has("remove")) {

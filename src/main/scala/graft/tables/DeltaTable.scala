@@ -53,23 +53,7 @@ class DeltaTable(
     val survivors = snap.files.filter(f =>
       DeltaFileSkipping.mayMatch(f, args.filters, schema, partCols))
 
-    var df =
-      if (survivors.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else {
-        val dataSchema = StructType(schema.fields.filterNot(f => partCols.contains(f.name)))
-        val groups = survivors.groupBy(_.partitionValues)
-        groups.map { case (pv, files) =>
-          val paths = files.map(f => s"${uri.stripSuffix("/")}/${f.path}")
-          var part = spark.read.schema(dataSchema).parquet(paths: _*)
-          partCols.foreach { c =>
-            val t = schema(c).dataType
-            part = part.withColumn(c,
-              pv.get(c).flatten.map(v => lit(v).cast(t)).getOrElse(lit(null).cast(t)))
-          }
-          part.select(schema.fieldNames.map(col).toSeq: _*)
-        }.reduce(_.unionByName(_))
-      }
+    var df = DeltaRead.readFiles(spark, uri, schema, partCols, survivors)
 
     // Residual predicate on data (file skipping is only a may-match
     // prefilter; the exact predicate always applies).
@@ -93,6 +77,65 @@ class DeltaTable(
     val cols = TableSchema.columnsOf(snap.schema, statsCols.toSet) ++
       extraCols.map { case (_, alias, t) => TableColumn(alias, t, readonly = true) }
     TableSchema(partitions, cols)
+  }
+}
+
+/** Shared scan path over replayed `add` files — used by DeltaTable
+  * reads AND DeltaWrite's copy-on-write rewrite (so a rewrite of a
+  * DV-bearing file cannot resurrect its deleted rows).
+  *
+  * One parquet scan per distinct partition-value tuple (partition
+  * columns are not stored in the data files — they are re-attached as
+  * typed literals), DV-bearing files split into their own scan where
+  * the deletion bitmap is applied as a `_metadata.row_index`
+  * anti-filter inside the scan: no join, no shuffle. Bitmaps are
+  * driver-loaded metadata (like the stats JSON) and ship to tasks in
+  * the filter expression.
+  */
+private[tables] object DeltaRead {
+
+  def readFiles(
+      spark: SparkSession,
+      tableUri: String,
+      schema: StructType,
+      partCols: Seq[String],
+      files: Seq[DeltaLog.AddFile]
+  ): DataFrame = {
+    if (files.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val dataSchema = StructType(schema.fields.filterNot(f => partCols.contains(f.name)))
+    val base = tableUri.stripSuffix("/")
+
+    files.groupBy(_.partitionValues).map { case (pv, group) =>
+      val (dvFiles, plainFiles) = group.partition(_.dv.exists(_.cardinality > 0))
+      val scans = Seq.newBuilder[DataFrame]
+      if (plainFiles.nonEmpty)
+        scans += spark.read.schema(dataSchema)
+          .parquet(plainFiles.map(f => s"$base/${f.path}"): _*)
+      if (dvFiles.nonEmpty) {
+        val fs = new org.apache.hadoop.fs.Path(base)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val dvBytes: Map[String, Array[Byte]] = dvFiles.map { f =>
+          DvDeleted.normalizePath(s"$base/${f.path}") -> f.dv.get.readData(fs, base)
+        }.toMap
+        val deleted = org.apache.spark.sql.graftbridge.Bridge.column(DvDeleted(
+          org.apache.spark.sql.graftbridge.Bridge.expression(col("_metadata.file_path")),
+          org.apache.spark.sql.graftbridge.Bridge.expression(col("_metadata.row_index")),
+          dvBytes))
+        scans += spark.read.schema(dataSchema)
+          .parquet(dvFiles.map(f => s"$base/${f.path}"): _*)
+          .where(!deleted)
+          .select(dataSchema.fieldNames.map(col).toSeq: _*)
+      }
+      var part = scans.result().reduce(_.unionByName(_))
+      partCols.foreach { c =>
+        val t = schema(c).dataType
+        part = part.withColumn(c,
+          pv.get(c).flatten.map(v => lit(v).cast(t)).getOrElse(lit(null).cast(t)))
+      }
+      part.select(schema.fieldNames.map(col).toSeq: _*)
+    }.reduce(_.unionByName(_))
   }
 }
 

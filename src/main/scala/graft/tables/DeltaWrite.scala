@@ -70,18 +70,9 @@ object DeltaWrite {
       return CommitResult(snap.version, 0, 0)
 
     // surviving rows of the candidate files (partition cols re-attached
-    // so they land back in the rewritten files' partition paths)
-    val dataSchema = StructType(schema.fields.filterNot(f => partCols.contains(f.name)))
-    val kept = candidates.groupBy(_.partitionValues).map { case (pv, files) =>
-      val paths = files.map(f => s"${tablePath.stripSuffix("/")}/${f.path}")
-      var part = spark.read.schema(dataSchema).parquet(paths: _*)
-      partCols.foreach { c =>
-        val t = schema(c).dataType
-        part = part.withColumn(c,
-          pv.get(c).flatten.map(v => lit(v).cast(t)).getOrElse(lit(null).cast(t)))
-      }
-      part.select(schema.fieldNames.map(col).toSeq: _*)
-    }.reduce(_.unionByName(_))
+    // so they land back in the rewritten files' partition paths; DVs
+    // applied by the shared scan path so deleted rows stay deleted)
+    val kept = DeltaRead.readFiles(spark, tablePath, schema, partCols, candidates)
       // DELETE removes rows where the predicate IS TRUE; rows where it
       // evaluates to NULL are kept (plain !predicate would drop them)
       .filter(!coalesce(predicate, lit(false)))
@@ -106,7 +97,87 @@ object DeltaWrite {
       rel: String,
       pv: Map[String, Option[String]],
       size: Long,
-      stats: Option[String])
+      stats: Option[String],
+      dv: Option[DeletionVectors.DvDescriptor] = None)
+
+  /** Merge-on-read DELETE: instead of rewriting files, write a
+    * deletion-vector bitmap of the matching physical row indexes per
+    * file and re-add each affected file with its DV — the 100 TB
+    * DELETE shape (bytes written ∝ deleted-row COUNT, not ∝ the size
+    * of files containing them). Existing DVs are unioned in. The
+    * commit upgrades the table protocol to reader 3 / writer 7 with
+    * the `deletionVectors` feature, per the public protocol.
+    */
+  def deleteWhereDv(
+      spark: SparkSession,
+      tablePath: String,
+      filters: graft.core.Filters.Normalized
+  ): CommitResult = {
+    import graft.core.Filters
+    val snap = DeltaLog.snapshot(spark, tablePath)
+    val schema = snap.schema
+    val partCols = snap.metadata.partitionColumns
+    val predicate = Filters.toColumn(filters).getOrElse(lit(true))
+
+    val candidates = snap.files.filter(f =>
+      DeltaFileSkipping.mayMatch(f, filters, schema, partCols))
+    if (candidates.isEmpty) return CommitResult(snap.version, 0, 0)
+
+    val base = tablePath.stripSuffix("/")
+    val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // keyed by scheme-stripped absolute path (bare names collide: one
+    // partitioned write emits the same part-file name per partition dir)
+    val byPath = candidates.map(f =>
+      DvDeleted.normalizePath(s"$base/${f.path}") -> f).toMap
+
+    // one job: matching (file, row_index) pairs, grouped per file.
+    // Driver memory ∝ newly-deleted rows (the same bound every DV
+    // writer has — the bitmaps must be assembled somewhere before the
+    // single tiny .bin file is written).
+    val dataSchema = StructType(schema.fields.filterNot(f => partCols.contains(f.name)))
+    val matched: Array[(String, Array[Long])] =
+      candidates.groupBy(_.partitionValues).map { case (pv, files) =>
+        var part = spark.read.schema(dataSchema)
+          .parquet(files.map(f => s"$base/${f.path}"): _*)
+          .withColumn("__graft_file", col("_metadata.file_path"))
+          .withColumn("__graft_row", col("_metadata.row_index"))
+        partCols.foreach { c =>
+          val t = schema(c).dataType
+          part = part.withColumn(c,
+            pv.get(c).flatten.map(v => lit(v).cast(t)).getOrElse(lit(null).cast(t)))
+        }
+        part.filter(coalesce(predicate, lit(false)))
+          .select(col("__graft_file"), col("__graft_row"))
+      }.reduce(_.unionByName(_))
+        .groupBy(col("__graft_file"))
+        .agg(sort_array(collect_list(col("__graft_row"))).as("rows"))
+        .collect()
+        .map(r => (DvDeleted.normalizePath(r.getString(0)), r.getSeq[Long](1).toArray))
+
+    if (matched.isEmpty) return CommitResult(snap.version, 0, 0)
+
+    // union with any pre-existing DV of the same file
+    val bitmaps: Seq[(String, RoaringBitmapArray)] = matched.toSeq.map {
+      case (key, rows) =>
+        val old = byPath(key).dv.map(_.readData(fs, base))
+          .map(RoaringBitmapArray.deserialize).map(_.toArray).getOrElse(Array.empty[Long])
+        val union = (old ++ rows).distinct.sorted
+        key -> RoaringBitmapArray.fromSorted(union)
+    }
+
+    val descriptors = DeletionVectors.writeDvFile(fs, base, bitmaps)
+    val adds = bitmaps.map { case (key, _) =>
+      val f = byPath(key)
+      StagedAdd(f.path, f.partitionValues, f.size, f.stats, Some(descriptors(key)))
+    }
+    commitLoop(spark, tablePath, adds, adds.map(_.rel),
+      schema.json, partCols, overwrite = false,
+      extraActions = Seq(DvProtocolAction))
+  }
+
+  private val DvProtocolAction =
+    """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+      """"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}"""
 
   /** Stage `df` as parquet files inside the table directory and move
     * them into place; returns the add-action payloads (with per-file
@@ -158,7 +229,8 @@ object DeltaWrite {
       explicitRemoves: Seq[String],
       schemaJson: String,
       partitionBy: Seq[String],
-      overwrite: Boolean
+      overwrite: Boolean,
+      extraActions: Seq[String] = Seq.empty
   ): CommitResult = {
     val fs = DeltaLog.logDir(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     var attempt = 0
@@ -175,6 +247,7 @@ object DeltaWrite {
       val sb = new StringBuilder
       if (current.isEmpty)
         sb.append("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""").append('\n')
+      extraActions.foreach(a => sb.append(a).append('\n'))
       if (needMeta) {
         val m = mapper.createObjectNode()
         m.put("id", java.util.UUID.randomUUID().toString)
@@ -204,6 +277,14 @@ object DeltaWrite {
         a.put("modificationTime", System.currentTimeMillis())
         a.put("dataChange", true)
         add.stats.foreach(s => a.put("stats", s))
+        add.dv.foreach { d =>
+          val dn = a.putObject("deletionVector")
+          dn.put("storageType", d.storageType)
+          dn.put("pathOrInlineDv", d.pathOrInlineDv)
+          d.offset.foreach(o => dn.put("offset", o))
+          dn.put("sizeInBytes", d.sizeInBytes)
+          dn.put("cardinality", d.cardinality)
+        }
         sb.append(s"""{"add":${mapper.writeValueAsString(a)}}""").append('\n')
       }
 
@@ -231,8 +312,14 @@ object DeltaWrite {
     val snap = DeltaLog.snapshot(spark, tablePath)
     val fs = DeltaLog.logDir(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+    // a table with any DV-bearing file must checkpoint the feature
+    // protocol, or replay-from-checkpoint would claim reader v1
+    val hasDv = snap.files.exists(_.dv.isDefined)
+    val protocol =
+      if (hasDv) CpProtocol(3, 7, Some(Seq("deletionVectors")), Some(Seq("deletionVectors")))
+      else CpProtocol(1, 2, None, None)
     val rows: Seq[CpRow] =
-      CpRow(protocol = Some(CpProtocol(1, 2))) +:
+      CpRow(protocol = Some(protocol)) +:
         CpRow(metaData = Some(CpMeta(
           java.util.UUID.randomUUID().toString, CpFormat("parquet", Map.empty),
           snap.metadata.schemaString, snap.metadata.partitionColumns,
@@ -241,7 +328,9 @@ object DeltaWrite {
           f.path,
           // protocol: null partition value → null map value
           f.partitionValues.map { case (k, v) => k -> v.orNull },
-          f.size, 0L, dataChange = false, f.stats.orNull))))
+          f.size, 0L, dataChange = false, f.stats.orNull,
+          f.dv.map(d => CpDv(
+            d.storageType, d.pathOrInlineDv, d.offset, d.sizeInBytes, d.cardinality))))))
 
     val tmp = new Path(DeltaLog.logDir(tablePath), s"_cp_tmp_${snap.version}")
     rows.toDS().repartition(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
@@ -363,7 +452,11 @@ object DeltaWrite {
 }
 
 // Minimal checkpoint action rows (the columns every reader needs).
-private[tables] final case class CpProtocol(minReaderVersion: Int, minWriterVersion: Int)
+private[tables] final case class CpProtocol(
+    minReaderVersion: Int,
+    minWriterVersion: Int,
+    readerFeatures: Option[Seq[String]],
+    writerFeatures: Option[Seq[String]])
 private[tables] final case class CpFormat(provider: String, options: Map[String, String])
 private[tables] final case class CpMeta(
     id: String,
@@ -371,13 +464,20 @@ private[tables] final case class CpMeta(
     schemaString: String,
     partitionColumns: Seq[String],
     configuration: Map[String, String])
+private[tables] final case class CpDv(
+    storageType: String,
+    pathOrInlineDv: String,
+    offset: Option[Long],
+    sizeInBytes: Int,
+    cardinality: Long)
 private[tables] final case class CpAdd(
     path: String,
     partitionValues: Map[String, String],
     size: Long,
     modificationTime: Long,
     dataChange: Boolean,
-    stats: String)
+    stats: String,
+    deletionVector: Option[CpDv] = None)
 private[tables] final case class CpRow(
     add: Option[CpAdd] = None,
     metaData: Option[CpMeta] = None,

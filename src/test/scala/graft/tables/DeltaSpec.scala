@@ -137,8 +137,9 @@ class DeltaSpec extends SparkSpec {
     val dir = tempDir("delta-proto").toString + "/t"
     val schema = StructType(Seq(StructField("id", LongType)))
     val size = putFile(Seq(Tuple1(1L)).toDF("id"), dir, "f.parquet")
+    // deletionVectors alone is supported now; v2Checkpoint is not
     putCommit(dir, 0, Seq(
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"]}}""",
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors","v2Checkpoint"]}}""",
       metaDataJson(schema, Seq.empty),
       addJson("f.parquet", Map.empty, size)))
     intercept[IllegalArgumentException] { new DeltaTable("t", dir)(spark) }
