@@ -63,15 +63,44 @@ object DeltaLog {
 
   private val JsonCommit = raw"(\d{20})\.json".r
   private val CheckpointFile = raw"(\d{20})\.checkpoint\.parquet".r
+  private val MultiPartCheckpointFile = raw"(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet".r
 
   def logDir(tablePath: String): Path = new Path(tablePath, "_delta_log")
+
+  /** All file paths of a checkpoint at `version` with `parts` parts
+    * (classic single-file name for parts=1, `%020d.checkpoint.%010d.
+    * %010d.parquet` otherwise, per the protocol).
+    */
+  def checkpointPaths(tablePath: String, version: Long, parts: Int): Seq[Path] =
+    if (parts <= 1) Seq(new Path(logDir(tablePath), f"$version%020d.checkpoint.parquet"))
+    else (1 to parts).map(i =>
+      new Path(logDir(tablePath), f"$version%020d.checkpoint.$i%010d.$parts%010d.parquet"))
+
+  /** `_last_checkpoint` hint: (version, parts). Invalid/corrupt files
+    * degrade to a directory listing, never to an error.
+    */
+  private def readLastCheckpoint(fs: FileSystem, tablePath: String): Option[(Long, Int)] = {
+    val p = new Path(logDir(tablePath), "_last_checkpoint")
+    try {
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val text =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        val node = mapper.readTree(text)
+        Some((node.get("version").asLong(),
+          Option(node.get("parts")).filterNot(_.isNull).map(_.asInt()).getOrElse(1)))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
 
   def isDeltaTable(spark: SparkSession, tablePath: String): Boolean = {
     val dir = logDir(tablePath)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.exists(dir) && fs.listStatus(dir).exists(s => s.getPath.getName match {
-      case JsonCommit(_) | CheckpointFile(_) => true
-      case _                                 => false
+      case JsonCommit(_) | CheckpointFile(_) | MultiPartCheckpointFile(_, _, _) => true
+      case _                                                                   => false
     })
   }
 
@@ -93,17 +122,40 @@ object DeltaLog {
     val fs = logDir(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val (jsons, cps) = listLog(spark, tablePath)
     val known = jsons.keySet ++ cps.keySet
-    require(known.nonEmpty, s"$tablePath has no Delta log")
+    if (known.isEmpty) {
+      // distinguish "nothing here" from "the only checkpoint is
+      // unusable" (e.g. a multi-part set missing parts after the JSON
+      // prefix was aged out)
+      readLastCheckpoint(fs, tablePath) match {
+        case Some((v, parts)) => throw new IllegalArgumentException(
+          s"$tablePath: _last_checkpoint names checkpoint version $v ($parts part(s)) " +
+            "but its files are missing or incomplete, and no JSON commits remain")
+        case None => throw new IllegalArgumentException(s"$tablePath has no Delta log")
+      }
+    }
     val target = versionAsOf.getOrElse(known.max)
     require(known.exists(_ <= target), s"version $target predates the log in $tablePath")
 
     val active = mutable.LinkedHashMap.empty[String, AddFile]
     var meta: Option[Metadata] = None
 
-    // checkpoint base (if any at or below target)
-    val cpVersion = cps.keySet.filter(_ <= target).maxOption
-    cpVersion.foreach { v =>
-      val cp = spark.read.parquet(cps(v).toString)
+    // checkpoint base: the `_last_checkpoint` hint names the newest
+    // checkpoint without a listing scan (and is how aged-out logs are
+    // meant to be entered); take the newer of the hint and the listing,
+    // capped at the target version
+    val lcChoice: Option[(Long, Seq[Path])] =
+      readLastCheckpoint(fs, tablePath).flatMap { case (v, parts) =>
+        val paths = checkpointPaths(tablePath, v, parts)
+        if (v <= target && paths.forall(fs.exists)) Some(v -> paths) else None
+      }
+    val listChoice: Option[(Long, Seq[Path])] =
+      cps.view.filterKeys(_ <= target).toSeq.maxByOption(_._1)
+    val cpChoice: Option[(Long, Seq[Path])] =
+      (lcChoice.toSeq ++ listChoice.toSeq).maxByOption(_._1)
+
+    val cpVersion = cpChoice.map(_._1)
+    cpChoice.foreach { case (_, paths) =>
+      val cp = spark.read.parquet(paths.map(_.toString): _*)
       val cols = cp.columns.toSet
       if (cols.contains("protocol")) {
         cp.select("protocol").where("protocol IS NOT NULL").collect().foreach { r =>
@@ -160,8 +212,17 @@ object DeltaLog {
       // removes in a checkpoint are vacuum tombstones — not active state
     }
 
-    // JSON replay after the checkpoint
+    // JSON replay after the checkpoint. Every version is one JSON
+    // commit — a hole in (checkpointVersion, target] means the log
+    // prefix was aged out without a usable checkpoint covering it
+    // (e.g. an incomplete multi-part set): replaying across it would
+    // silently drop files, so refuse loudly instead.
     val replayFrom = cpVersion.map(_ + 1L).getOrElse(0L)
+    val missing = (replayFrom to target).filterNot(jsons.contains)
+    require(missing.isEmpty,
+      s"Delta log of $tablePath has no commits for versions " +
+        s"${missing.mkString(", ")} and no complete checkpoint covers them " +
+        "(aged-out prefix or incomplete multi-part checkpoint)")
     (replayFrom to target).foreach { v =>
       jsons.get(v).foreach { p =>
         val in = fs.open(p)
@@ -232,10 +293,14 @@ object DeltaLog {
     try java.net.URI.create(p).getPath
     catch { case _: IllegalArgumentException => p }
 
+  /** (json commits by version, COMPLETE checkpoints by version — a
+    * multi-part set missing any of its declared parts is treated as
+    * absent, exactly like a checkpoint a writer is still writing).
+    */
   private def listLog(
       spark: SparkSession,
       tablePath: String
-  ): (Map[Long, Path], Map[Long, Path]) = {
+  ): (Map[Long, Path], Map[Long, Seq[Path]]) = {
     val dir = logDir(tablePath)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir)) return (Map.empty, Map.empty)
@@ -244,10 +309,22 @@ object DeltaLog {
       case JsonCommit(v) => Some(v.toLong -> p)
       case _             => None
     }).toMap
-    val cps = entries.flatMap(p => p.getName match {
+    val singles = entries.flatMap(p => p.getName match {
       case CheckpointFile(v) => Some(v.toLong -> p)
       case _                 => None
     }).toMap
+    // multi-part: (version, declaredParts) → partIndex → path
+    val multiGroups = entries.flatMap(p => p.getName match {
+      case MultiPartCheckpointFile(v, i, n) => Some(((v.toLong, n.toInt), i.toInt, p))
+      case _                                => None
+    }).groupBy(_._1)
+    val completeMultis: Map[Long, Seq[Path]] = multiGroups.collect {
+      case ((v, n), parts) if parts.map(_._2).toSet == (1 to n).toSet =>
+        v -> parts.sortBy(_._2).map(_._3).toSeq
+    }
+    // a complete single-file checkpoint wins over a multi-part set at
+    // the same version (either is valid; one file is one read)
+    val cps = completeMultis ++ singles.map { case (v, p) => v -> Seq(p) }
     (jsons, cps)
   }
 

@@ -306,8 +306,14 @@ object DeltaWrite {
     * (`%020d.checkpoint.parquet` + `_last_checkpoint`), allowing
     * readers to replay O(commits since checkpoint) instead of the full
     * history, and the aged JSON prefix to be cleaned up.
+    *
+    * `parts > 1` writes a multi-part checkpoint
+    * (`%020d.checkpoint.%010d.%010d.parquet`, actions distributed
+    * round-robin — the protocol permits any distribution) with
+    * `"parts"` recorded in `_last_checkpoint`; the shape huge tables
+    * use so no single checkpoint file becomes a write/read bottleneck.
     */
-  def checkpoint(spark: SparkSession, tablePath: String): Long = {
+  def checkpoint(spark: SparkSession, tablePath: String, parts: Int = 1): Long = {
     import spark.implicits._
     val snap = DeltaLog.snapshot(spark, tablePath)
     val fs = DeltaLog.logDir(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -332,20 +338,32 @@ object DeltaWrite {
           f.dv.map(d => CpDv(
             d.storageType, d.pathOrInlineDv, d.offset, d.sizeInBytes, d.cardinality))))))
 
-    val tmp = new Path(DeltaLog.logDir(tablePath), s"_cp_tmp_${snap.version}")
-    rows.toDS().repartition(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    val part = listFilesRecursively(fs, tmp)
-      .find(_.getName.endsWith(".parquet"))
-      .getOrElse(throw new IllegalStateException("checkpoint write produced no parquet file"))
-    val cpPath = new Path(DeltaLog.logDir(tablePath), f"${snap.version}%020d.checkpoint.parquet")
-    fs.delete(cpPath, false)
-    if (!fs.rename(part, cpPath))
-      throw new IllegalStateException(s"could not move checkpoint into place at $cpPath")
-    fs.delete(tmp, true)
+    val destPaths = DeltaLog.checkpointPaths(tablePath, snap.version, parts)
+    val groups: Seq[Seq[CpRow]] =
+      if (parts <= 1) Seq(rows)
+      else {
+        val g = Array.fill(parts)(Seq.newBuilder[CpRow])
+        rows.zipWithIndex.foreach { case (r, i) => g(i % parts) += r }
+        g.toSeq.map(_.result())
+      }
 
+    groups.zip(destPaths).zipWithIndex.foreach { case ((group, cpPath), i) =>
+      val tmp = new Path(DeltaLog.logDir(tablePath), s"_cp_tmp_${snap.version}_$i")
+      group.toDS().repartition(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      val part = listFilesRecursively(fs, tmp)
+        .find(_.getName.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException("checkpoint write produced no parquet file"))
+      fs.delete(cpPath, false)
+      if (!fs.rename(part, cpPath))
+        throw new IllegalStateException(s"could not move checkpoint into place at $cpPath")
+      fs.delete(tmp, true)
+    }
+
+    val partsField = if (parts <= 1) "" else s""","parts":$parts"""
     val lc = new Path(DeltaLog.logDir(tablePath), "_last_checkpoint")
     val out = fs.create(lc, true)
-    try out.write(s"""{"version":${snap.version},"size":${rows.size}}""".getBytes("UTF-8"))
+    try out.write(
+      s"""{"version":${snap.version},"size":${rows.size}$partsField}""".getBytes("UTF-8"))
     finally out.close()
     snap.version
   }

@@ -218,6 +218,54 @@ class DeltaSpec extends SparkSpec {
     assert(got == Set(1L, 2L, 3L))
   }
 
+  test("multi-part checkpoint + _last_checkpoint replay an aged-out JSON prefix") {
+    val dir = tempDir("delta-mp").toString + "/t"
+    DeltaWrite.append(spark, (1 to 50).map(i => (i.toLong, s"v$i")).toDF("id", "v"), dir)
+    DeltaWrite.append(spark, (51 to 60).map(i => (i.toLong, s"v$i")).toDF("id", "v"), dir)
+    val cpV = DeltaWrite.checkpoint(spark, dir, parts = 3)
+    val logDir = new Path(dir, "_delta_log")
+    val f = fs(dir)
+    assert(f.listStatus(logDir).count(
+      _.getPath.getName.matches(raw"\d{20}\.checkpoint\.\d{10}\.\d{10}\.parquet")) == 3)
+
+    (0L to cpV).foreach(v => f.delete(new Path(logDir, f"$v%020d.json"), false))
+    DeltaWrite.append(spark, (61 to 65).map(i => (i.toLong, s"v$i")).toDF("id", "v"), dir)
+
+    // _last_checkpoint path
+    assert(new DeltaTable("t", dir)(spark).count() == 65)
+    // listing fallback: same result without the hint file
+    f.delete(new Path(logDir, "_last_checkpoint"), false)
+    assert(new DeltaTable("t", dir)(spark).count() == 65)
+  }
+
+  test("incomplete multi-part checkpoint over an aged prefix is refused, not misread") {
+    val dir = tempDir("delta-mpbad").toString + "/t"
+    DeltaWrite.append(spark, (1 to 20).map(i => (i.toLong, s"v$i")).toDF("id", "v"), dir)
+    DeltaWrite.append(spark, (21 to 30).map(i => (i.toLong, s"v$i")).toDF("id", "v"), dir)
+    val cpV = DeltaWrite.checkpoint(spark, dir, parts = 3)
+    val logDir = new Path(dir, "_delta_log")
+    val f = fs(dir)
+    (0L to cpV).foreach(v => f.delete(new Path(logDir, f"$v%020d.json"), false))
+    // lose one part of the set: the checkpoint is unusable, and the
+    // JSON prefix it replaced is gone → loud refusal, never a partial
+    // file list
+    val part2 = f.listStatus(logDir).map(_.getPath)
+      .find(_.getName.matches(raw"\d{20}\.checkpoint\.0000000002\.\d{10}\.parquet")).get
+    f.delete(part2, false)
+    val e = intercept[IllegalArgumentException] { new DeltaTable("t", dir)(spark) }
+    assert(e.getMessage.contains("missing or incomplete"))
+  }
+
+  test("a hole in the JSON log is refused, not silently skipped") {
+    val dir = tempDir("delta-gap").toString + "/t"
+    DeltaWrite.append(spark, Seq((1L, "a")).toDF("id", "v"), dir)
+    DeltaWrite.append(spark, Seq((2L, "b")).toDF("id", "v"), dir)
+    DeltaWrite.append(spark, Seq((3L, "c")).toDF("id", "v"), dir)
+    fs(dir).delete(new Path(dir + "/_delta_log", f"${1L}%020d.json"), false)
+    val e = intercept[IllegalArgumentException] { new DeltaTable("t", dir)(spark) }
+    assert(e.getMessage.contains("no commits"))
+  }
+
   test("delta table with lakehouse semantics: dedup + extra cols + predicate") {
     val dir = tempDir("delta-sem").toString + "/t"
     DeltaWrite.append(spark,
