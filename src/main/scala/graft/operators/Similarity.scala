@@ -74,12 +74,18 @@ object Similarity {
     * stays as the SQL-expressible oracle formulation).
     *
     * Determinism, run to run AND partitioning-independent:
-    *  - init = deterministic farthest-point traversal (k-center
-    *    greedy): seed 1 is the lowest-id vector, each next seed
-    *    maximizes the rounded min-distance to the chosen seeds with
-    *    an id tie-break — no RNG, and unlike lowest-k-ids it cannot
-    *    start with all seeds inside one cluster (which Lloyd can
-    *    never recover from);
+    *  - init = ONE deterministic hash-sample scan (md5-gated like
+    *    [[Sampling]], so the sample is partitioning- and engine-
+    *    stable) targeting `initOversample`·k candidates, then a
+    *    DRIVER-side farthest-point (k-center greedy) traversal over
+    *    the sample: seed 1 is the lowest-id candidate, each next seed
+    *    maximizes min-distance to the chosen seeds with an id
+    *    tie-break — no RNG, and unlike lowest-k-ids it cannot start
+    *    with all seeds inside one cluster (which Lloyd can never
+    *    recover from). Init cost is O(1) Spark jobs (a count + one
+    *    sample collect) regardless of k — the r2 version ran one
+    *    full-corpus TakeOrdered PER SEED, which is 4096 corpus scans
+    *    at a realistic k;
     *  - assignment = argmin over rounded L2 with centroid-id
     *    tie-break;
     *  - update = per-dimension mean via exact DECIMAL sums (order-
@@ -98,32 +104,50 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int,
-      maxIter: Int = 5
+      maxIter: Int = 5,
+      initOversample: Int = 4
   ): Seq[(Long, Seq[Double])] = {
     val spark = corpus.sparkSession
     import spark.implicits._
 
-    // farthest-point init: one TakeOrdered scan per seed
-    val first = corpus.select(col(idCol).cast("long"), col(vecCol))
-      .orderBy(col(idCol))
-      .limit(1)
-      .as[(Long, Seq[Float])]
-      .collect()
-      .head._2.map(_.toDouble).toSeq
-    val seeds = scala.collection.mutable.Buffer[Seq[Double]](first)
-    while (seeds.size < k) {
-      val dist = nearestExpr(seeds.toSeq.zipWithIndex.map { case (v, i) => (i.toLong, v) }, vecCol)
-        .getField("d")
-      val next = corpus.select(col(idCol).cast("long"), col(vecCol), dist.as("_d"))
-        .orderBy(col("_d").desc, col(idCol))
-        .limit(1)
-        .as[(Long, Seq[Float], Double)]
+    // ---- init: one hash-sample pass + driver k-center greedy ----
+    val n = corpus.count()
+    require(n > 0, "kmeansCentroids on an empty corpus")
+    def collectSample(fraction: Double): Array[(Long, Array[Double])] =
+      corpus.select(col(idCol).cast("long"), col(vecCol))
+        .where(
+          if (fraction >= 1.0) lit(true)
+          else Sampling.sampledBy(col(idCol), fraction, salt = "kmeans-init"))
+        .as[(Long, Seq[Float])]
         .collect()
-        .head._2.map(_.toDouble).toSeq
+        .map { case (id, v) => (id, v.map(_.toDouble).toArray) }
+        .sortBy(_._1)
+    val target = initOversample.toLong * k
+    var sample = collectSample(target.toDouble / n)
+    // degenerate corpus / unlucky hash margin: fall back to everything
+    if (sample.length < k) sample = collectSample(1.0)
+
+    val seeds = scala.collection.mutable.Buffer[Array[Double]](sample.head._2)
+    // min squared distance from each candidate to the chosen seed set
+    val minD = sample.map(p => l2sqLocal(p._2, seeds.head))
+    while (seeds.size < math.min(k, sample.length)) {
+      var best = 0
+      var i = 1
+      while (i < sample.length) {
+        if (minD(i) > minD(best)) best = i // ids ascending → ties keep lowest id
+        i += 1
+      }
+      val next = sample(best)._2
       seeds += next
+      i = 0
+      while (i < sample.length) {
+        val d = l2sqLocal(sample(i)._2, next)
+        if (d < minD(i)) minD(i) = d
+        i += 1
+      }
     }
     var centroids: Seq[(Long, Seq[Double])] =
-      seeds.toSeq.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      seeds.toSeq.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
 
     (1 to maxIter).foreach { _ =>
       val assigned = assignNearest(corpus, vecCol, centroids)
@@ -148,6 +172,13 @@ object Similarity {
       }
     }
     centroids
+  }
+
+  private def l2sqLocal(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
   }
 
   /** Corpus + `centroid_id` of the nearest learned centroid — write

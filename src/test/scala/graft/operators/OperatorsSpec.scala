@@ -229,6 +229,24 @@ class SimilaritySpec extends SparkSpec {
     assert(cents.map(_._1).toSet == Set(0L, 1L, 2L))
   }
 
+  test("kmeans init is O(1) Spark jobs regardless of k") {
+    // the r2 init ran one full-corpus TakeOrdered PER SEED; the
+    // hash-sample + driver k-center init must not scale jobs with k
+    def jobs(k: Int): Int = {
+      val group = s"kmeans-init-jobs-$k"
+      spark.sparkContext.setJobGroup(group, group, interruptOnCancel = false)
+      try Similarity.kmeansCentroids(blobs, "vec_id", "embedding", k, maxIter = 0)
+      finally spark.sparkContext.clearJobGroup()
+      // statusTracker is listener-fed; give it a beat to settle
+      Thread.sleep(500)
+      spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+    }
+    val j3 = jobs(3)
+    val j6 = jobs(6)
+    assert(j3 == j6, s"init job count depends on k: $j3 (k=3) vs $j6 (k=6)")
+    assert(j3 <= 4, s"init should be ~a count + one sample collect, saw $j3 jobs")
+  }
+
   test("ivfTopK works over a kmeans-built index") {
     val assigned = Similarity.kmeansIvfAssign(blobs, "vec_id", "embedding", 3, 5)
     val res = Similarity.ivfTopK(assigned, "vec_id", "embedding",
