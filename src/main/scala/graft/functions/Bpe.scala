@@ -30,31 +30,52 @@ object Bpe {
 
   type Merges = Seq[(String, String)]
 
-  /** Learn `numMerges` merges from the corpus text column. */
-  def learn(df: DataFrame, textCol: String, numMerges: Int): Merges = {
+  /** Learn `numMerges` merges from the corpus text column.
+    *
+    * The distinct-word table's ROW count never changes while learning
+    * (merge rounds rewrite token arrays, not rows), so the execution
+    * path is decided up front from one count: a vocabulary at or
+    * under `localVocabThreshold` is collected once and learned
+    * locally — 2 Spark jobs TOTAL instead of 2 per merge round (a
+    * realistic 32k-merge vocab was ~64k sequential jobs on the old
+    * path). The distributed loop remains for vocabularies beyond the
+    * threshold (a corpus so large its vocab doesn't fit the driver);
+    * both paths produce identical merges (equality-tested in BpeSpec).
+    */
+  def learn(
+      df: DataFrame,
+      textCol: String,
+      numMerges: Int,
+      localVocabThreshold: Long = 250000L
+  ): Merges = {
     val spark = df.sparkSession
     import spark.implicits._
 
-    // Each round rebuilds `words` from the previous round's frame;
-    // without truncation the nested InMemoryRelation plan strings grow
-    // super-linearly with rounds and OOM the driver around ~20 merges.
-    // Rebasing on the materialized RDD keeps the logical plan a
-    // constant-size LogicalRDD regardless of round count (the RDD
-    // lineage still chains, so block loss on a real cluster recomputes
-    // through prior rounds — acceptable for a vocab-sized table).
-    def truncated(d: DataFrame): DataFrame =
-      spark.createDataFrame(d.rdd, d.schema)
-
-    // distinct-word frequency table, chars as initial symbols
-    var words = df
+    // distinct-word frequency table
+    val wordFreq = df
       .select(explode(Text.wsTokens(col(textCol))).as("w"))
       .where(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("freq"))
+
+    val vocab = wordFreq.count()
+    if (vocab <= localVocabThreshold)
+      return learnLocal(wordFreq.as[(String, Long)].collect().toMap, numMerges)
+
+    // Each round rebuilds `words` from the previous round's frame.
+    // Eager localCheckpoint truncates BOTH the logical plan and the
+    // RDD lineage each round — without it the nested plan strings OOM
+    // the driver around ~20 merges, and even with a plan-only rebase
+    // the chained RDD lineage overflows task-deserialization stacks
+    // around ~150 rounds. (Tradeoff: checkpoint blocks are not
+    // recomputable after executor loss; a reliable checkpoint dir is
+    // the production alternative for the huge-vocab path.)
+
+    // chars as initial symbols
+    var words = wordFreq
       // Spark's split keeps the trailing empty match (limit -1
       // semantics), so strip empties or "" becomes a symbol
       .select(array_remove(split(col("w"), "(?!^)"), "").as("toks"), col("freq"))
-      .persist()
-    words.count()
+      .localCheckpoint()
 
     val merges = scala.collection.mutable.Buffer.empty[(String, String)]
     var exhausted = false
@@ -72,10 +93,9 @@ object Bpe {
       top.headOption.filter(_._3 >= 2) match {
         case Some((a, b, _)) =>
           merges += ((a, b))
-          val next = truncated(words
-            .select(mergePair(col("toks"), a, b).as("toks"), col("freq")))
-            .persist()
-          next.count()
+          val next = words
+            .select(mergePair(col("toks"), a, b).as("toks"), col("freq"))
+            .localCheckpoint() // eager: materializes + truncates lineage
           words.unpersist()
           words = next
         case None => exhausted = true // no pair occurs twice: nothing left to learn

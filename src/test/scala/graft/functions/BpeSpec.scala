@@ -33,6 +33,31 @@ class BpeSpec extends SparkSpec {
     assert(got2 == want)
   }
 
+  test("distributed == local at 200 merges; default path is O(1) jobs") {
+    // deterministic synthetic corpus with a deep merge hierarchy
+    val rng = new scala.util.Random(42)
+    val alphabet = "abcdef"
+    val words = Seq.fill(500)(
+      (1 to (10 + rng.nextInt(5))).map(_ => alphabet(rng.nextInt(alphabet.length))).mkString)
+    val df = words.grouped(20).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq.toDF("id", "text")
+
+    // force the distributed loop (threshold 0) vs the local handoff
+    val distributed = Bpe.learn(df, "text", 200, localVocabThreshold = 0L)
+    val group = "bpe-local-path"
+    spark.sparkContext.setJobGroup(group, group, interruptOnCancel = false)
+    val local =
+      try Bpe.learn(df, "text", 200)
+      finally spark.sparkContext.clearJobGroup()
+    assert(distributed.size == 200, s"corpus exhausted at ${distributed.size} merges")
+    assert(distributed == local)
+
+    Thread.sleep(500)
+    val jobs = spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+    // count + collect (+ AQE stage jobs) — the point is ≪ 2·merges=400
+    assert(jobs <= 6, s"local-handoff path should be O(1) jobs for 200 merges, saw $jobs")
+  }
+
   test("encode: concatenated word tokens reconstruct each word") {
     val merges = Bpe.learn(corpusDf, "text", 6)
     val words = Seq("lowest", "newer", "wide", "unseen", "low").toDF("w")
