@@ -104,6 +104,57 @@ object StreamOps {
       }
   }
 
+  /** Watermarked stream-stream equi-join with an event-time range:
+    * a right event matches a left event with the same key when
+    * `rightTs ∈ [leftTs, leftTs + within]` (the ad-impression→click
+    * shape). Both sides carry watermarks and the join carries the time
+    * constraint, which is exactly what lets Spark bound the join state
+    * on an unbounded stream: buffered rows older than
+    * watermark − within are evicted. `joinType` inner or left_outer
+    * (outer rows emit once the watermark proves no match can arrive).
+    * Works identically on batch frames (same plan — the agreement is
+    * spec-tested).
+    */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftTs: String,
+      rightTs: String,
+      within: String,
+      watermarkDelay: String = "10 minutes",
+      joinType: String = "inner"
+  ): DataFrame = {
+    require(leftTs != rightTs,
+      "rename the two event-time columns distinctly before joining")
+    val rKey = s"__${keyCol}_r"
+    val l = left.withWatermark(leftTs, watermarkDelay)
+    val r = right.withWatermark(rightTs, watermarkDelay).withColumnRenamed(keyCol, rKey)
+    l.join(r,
+        col(keyCol) === col(rKey) &&
+          col(rightTs) >= col(leftTs) &&
+          col(rightTs) <= col(leftTs) + expr(s"INTERVAL $within"),
+        joinType)
+      .drop(rKey)
+  }
+
+  /** Streaming deduplication: drop events whose key combination was
+    * already seen within the watermark horizon
+    * (`dropDuplicatesWithinWatermark` — state holds one entry per key
+    * seen in the horizon and is evicted as the watermark advances, so
+    * an unbounded stream keeps bounded dedup state; plain
+    * dropDuplicates on a stream would grow state forever).
+    */
+  def dedupWithinWatermark(
+      events: DataFrame,
+      tsCol: String,
+      keyCols: Seq[String],
+      watermarkDelay: String = "10 minutes"
+  ): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Default streaming sink config for append-mode windowed outputs. */
   def defaultOutputMode: OutputMode = OutputMode.Update()
 }

@@ -67,6 +67,91 @@ class StreamOpsSpec extends SparkSpec {
     assert(viaWindow == viaBatch)
   }
 
+  test("stream-stream interval join matches clicks to impressions") {
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[(Long, java.sql.Timestamp)]
+    val clicks = MemoryStream[(Long, java.sql.Timestamp)]
+    val joined = StreamOps.intervalJoin(
+      imps.toDF().toDF("ad_id", "imp_ts"),
+      clicks.toDF().toDF("ad_id", "click_ts"),
+      keyCol = "ad_id", leftTs = "imp_ts", rightTs = "click_ts",
+      within = "1 hour")
+    val q = joined.select("ad_id", "imp_ts", "click_ts")
+      .writeStream.format("memory").queryName("ssj").outputMode(OutputMode.Append()).start()
+    try {
+      imps.addData((1L, ts(0)), (2L, ts(0)), (3L, ts(0)))
+      clicks.addData(
+        (1L, ts(600)),   // within the hour → match
+        (2L, ts(7200)),  // 2h later → no match
+        (4L, ts(60)))    // no impression → no match
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT ad_id FROM ssj").as[Long].collect().toSeq
+      assert(rows == Seq(1L))
+    } finally q.stop()
+  }
+
+  test("left-outer stream-stream join emits unmatched rows after the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[(Long, java.sql.Timestamp)]
+    val clicks = MemoryStream[(Long, java.sql.Timestamp)]
+    val joined = StreamOps.intervalJoin(
+      imps.toDF().toDF("ad_id", "imp_ts"),
+      clicks.toDF().toDF("ad_id", "click_ts"),
+      keyCol = "ad_id", leftTs = "imp_ts", rightTs = "click_ts",
+      within = "10 minutes", watermarkDelay = "1 minute", joinType = "left_outer")
+    val q = joined.select("ad_id", "click_ts")
+      .writeStream.format("memory").queryName("ssjo").outputMode(OutputMode.Append()).start()
+    try {
+      imps.addData((1L, ts(0)), (2L, ts(0)))
+      clicks.addData((1L, ts(60)))
+      q.processAllAvailable()
+      // push both watermarks far past imp_ts + within + delay so the
+      // unmatched impression (ad 2) is provably unjoinable
+      imps.addData((9L, ts(10000)))
+      clicks.addData((9L, ts(10000)))
+      q.processAllAvailable()
+      imps.addData((10L, ts(20000)))
+      clicks.addData((10L, ts(20000)))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT ad_id, click_ts FROM ssjo")
+        .as[(Long, Option[java.sql.Timestamp])].collect().toMap
+      assert(rows(1L).contains(ts(60)))
+      assert(rows.contains(2L) && rows(2L).isEmpty, s"unmatched row missing: $rows")
+    } finally q.stop()
+  }
+
+  test("batch and streaming interval join agree on the same data") {
+    val impsB = Seq((1L, ts(0)), (2L, ts(0)), (3L, ts(0))).toDF("ad_id", "imp_ts")
+    val clicksB = Seq((1L, ts(600)), (2L, ts(7200)), (4L, ts(60))).toDF("ad_id", "click_ts")
+    val viaJoin = StreamOps.intervalJoin(impsB, clicksB,
+        "ad_id", "imp_ts", "click_ts", within = "1 hour")
+      .select("ad_id").as[Long].collect().toSeq
+    assert(viaJoin == Seq(1L))
+  }
+
+  test("dedupWithinWatermark drops repeats, keeps state bounded by the horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val df = input.toDF().toDF("event_id", "ts", "payload")
+    val q = StreamOps.dedupWithinWatermark(df, "ts", Seq("event_id"),
+        watermarkDelay = "5 minutes")
+      .writeStream.format("memory").queryName("ddw").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((1L, ts(0), "a"), (1L, ts(1), "a-dup"), (2L, ts(2), "b"))
+      q.processAllAvailable()
+      input.addData((1L, ts(5), "a-dup2")) // still within horizon → dropped
+      q.processAllAvailable()
+      // advance the watermark far past the horizon, then repeat key 1:
+      // its dedup state has been evicted, so the event is NEW
+      input.addData((99L, ts(100000), "advance"))
+      q.processAllAvailable()
+      input.addData((1L, ts(100001), "a-again"))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT payload FROM ddw").as[String].collect().toSet
+      assert(rows == Set("a", "b", "advance", "a-again"), s"got $rows")
+    } finally q.stop()
+  }
+
   test("runningTotals keeps per-user state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[StreamOps.UserEvent]
