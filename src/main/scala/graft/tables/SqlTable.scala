@@ -14,7 +14,12 @@ final case class SqlTableConfig(
     username: Option[String] = None,
     password: Option[String] = None,
     database: String = "default",
-    jdbcUrl: Option[String] = None
+    jdbcUrl: Option[String] = None,
+    /** identifier quoting of the remote dialect: backtick for
+      * ClickHouse/MySQL (the reference's target), `"` for
+      * ANSI/Derby/Postgres.
+      */
+    identifierQuote: String = "`"
 ) {
   def uri: String = (username, password) match {
     case (Some(u), Some(p)) => s"clickhouse://$u:$p@$host:$port/$database"
@@ -46,13 +51,16 @@ class SqlTable(
     * invalid columns are dropped from selection; filters become an
     * OR-of-AND WHERE clause.
     */
+  private def q(ident: String): String =
+    s"${config.identifierQuote}$ident${config.identifierQuote}"
+
   def buildQuery(
       filters: Filters.Normalized = Seq.empty,
       columns: Option[Seq[String]] = None
   ): String = {
     val valid = columns.map(_.filter(schema.fieldNames.contains))
     val columnExpr = valid match {
-      case Some(cs) if cs.nonEmpty => cs.map(c => s"`$c`").mkString(", ")
+      case Some(cs) if cs.nonEmpty => cs.map(q).mkString(", ")
       case _                       => "*"
     }
     val whereClause =
@@ -65,22 +73,22 @@ class SqlTable(
           .mkString(" OR ")
         s"WHERE $dnf"
       }
-    s"SELECT $columnExpr FROM `${config.database}`.`$name` $whereClause".trim
+    s"SELECT $columnExpr FROM ${q(config.database)}.${q(name)} $whereClause".trim
   }
 
   private def filterSql(f: Filter): String = f.op match {
-    case FilterOp.Eq  => s"`${f.column}` = ${fmt(f.value)}"
-    case FilterOp.Neq => s"`${f.column}` != ${fmt(f.value)}"
-    case FilterOp.Gt  => s"`${f.column}` > ${fmt(f.value)}"
-    case FilterOp.Lt  => s"`${f.column}` < ${fmt(f.value)}"
-    case FilterOp.Ge  => s"`${f.column}` >= ${fmt(f.value)}"
-    case FilterOp.Le  => s"`${f.column}` <= ${fmt(f.value)}"
+    case FilterOp.Eq  => s"${q(f.column)} = ${fmt(f.value)}"
+    case FilterOp.Neq => s"${q(f.column)} != ${fmt(f.value)}"
+    case FilterOp.Gt  => s"${q(f.column)} > ${fmt(f.value)}"
+    case FilterOp.Lt  => s"${q(f.column)} < ${fmt(f.value)}"
+    case FilterOp.Ge  => s"${q(f.column)} >= ${fmt(f.value)}"
+    case FilterOp.Le  => s"${q(f.column)} <= ${fmt(f.value)}"
     case FilterOp.In =>
-      s"`${f.column}` IN (${f.value.asInstanceOf[Iterable[Any]].map(fmt).mkString(", ")})"
+      s"${q(f.column)} IN (${f.value.asInstanceOf[Iterable[Any]].map(fmt).mkString(", ")})"
     case FilterOp.NotIn =>
-      s"`${f.column}` NOT IN (${f.value.asInstanceOf[Iterable[Any]].map(fmt).mkString(", ")})"
+      s"${q(f.column)} NOT IN (${f.value.asInstanceOf[Iterable[Any]].map(fmt).mkString(", ")})"
     case FilterOp.Contains | FilterOp.Includes | FilterOp.IncludesAny | FilterOp.IncludesAll =>
-      s"`${f.column}` LIKE ${fmt(f.value)}"
+      s"${q(f.column)} LIKE ${fmt(f.value)}"
   }
 
   /** SQL value formatting (util.py:format_value_for_sql). */

@@ -45,3 +45,48 @@ class SqlTableSpec extends AnyFunSuite {
     assert(q.contains("'o''clock'"))
   }
 }
+
+/** End-to-end: buildQuery output executed by a real JDBC engine
+  * (embedded Derby, on Spark's classpath) through the same
+  * `spark.read.format("jdbc").option("query", ...)` path a ClickHouse
+  * deployment would use — only the jdbcUrl and identifier quote
+  * differ.
+  */
+class SqlTableJdbcSpec extends graft.SparkSpec {
+  import graft.core.{Filter, Filters}
+  import org.apache.spark.sql.types._
+
+  test("filtered+projected read executes over a live JDBC engine") {
+    val url = "jdbc:derby:memory:graftsql;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("""CREATE TABLE "items" ("id" INT, "name" VARCHAR(20), "price" DOUBLE)""")
+      st.execute(
+        """INSERT INTO "items" VALUES (1,'apple',1.5),(2,'banana',0.5),(3,'cherry',3.0)""")
+      st.close()
+    } finally conn.close()
+
+    val schema = StructType(Seq(
+      StructField("id", IntegerType), StructField("name", StringType),
+      StructField("price", DoubleType)))
+    val table = new SqlTable("items", schema,
+      SqlTableConfig(host = "localhost", database = "APP",
+        jdbcUrl = Some(url), identifierQuote = "\""))
+
+    val df = table(spark, ReadArgs(
+      filters = Filters.normalize(Seq(Filter("price", ">", 1.0))),
+      columns = Some(Seq("id", "name"))))
+    assert(df.columns.toSeq == Seq("id", "name"))
+    import spark.implicits._
+    assert(df.as[(Int, String)].collect().sortBy(_._1).toSeq ==
+      Seq((1, "apple"), (3, "cherry")))
+
+    // DNF with IN + string filter through the same path
+    val df2 = table(spark, ReadArgs(
+      filters = Filters.normalizeDnf(Seq(
+        Seq(Filter("id", "in", Seq(2, 3))),
+        Seq(Filter("name", "=", "apple"))))))
+    assert(df2.count() == 3)
+  }
+}
