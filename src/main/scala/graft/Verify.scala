@@ -38,6 +38,9 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // headline set for tools/baseline.py (BASELINE.md generation)
+    Files.writeString(Paths.get(s"$outDir/headlines.json"),
+      graft.queries.QueryCatalog.headlineNames.map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }
