@@ -1,0 +1,184 @@
+package graft.export
+
+import graft.catalog.Catalog
+import org.apache.spark.sql.SparkSession
+
+import java.nio.file.{Files, Path, Paths}
+
+/** Full static catalog site — the re-expression of the reference's
+  * `export_and_generate_site` (export/web.py:119-150), which writes
+  * `data.json` and copies a precompiled JS bundle
+  * (static_site/build.py:56). Instead of a prebuilt npm artifact this
+  * emits a self-contained, dependency-free site: the same `data.json`
+  * payload ([[WebExport]]) plus an `index.html` whose embedded
+  * renderer gives the browsing essentials of the reference site —
+  * catalog → database → table navigation, column/partition schema
+  * tables, docs metadata, client-side table search.
+  */
+object StaticSite {
+
+  /** Write `data.json`, `index.html`, `styles.css` into `outputDir`;
+    * returns the index path. The site is fully static — serve the
+    * directory with any file server (the renderer fetches data.json,
+    * so a bare file:// open is blocked by browser CORS rules — same
+    * constraint as the reference's vite bundle).
+    */
+  def generate(
+      catalogs: Seq[(String, Catalog)],
+      outputDir: String,
+      spark: SparkSession
+  ): Path = {
+    WebExport.writeDataJson(catalogs, outputDir, spark)
+    val dir = Paths.get(outputDir)
+    Files.writeString(dir.resolve("styles.css"), Css)
+    val index = dir.resolve("index.html")
+    Files.writeString(index, IndexHtml)
+    index
+  }
+
+  // The renderer walks exactly the data.json schema WebExport emits:
+  // {catalogs: [{name, databases: [{name, tables: [{name, columns,
+  // partitions, table_type, description, ...}]}]}]}.
+  private val IndexHtml: String =
+    """<!doctype html>
+      |<html lang="en">
+      |<head>
+      |<meta charset="utf-8"/>
+      |<meta name="viewport" content="width=device-width, initial-scale=1"/>
+      |<title>Data Catalog</title>
+      |<link rel="stylesheet" href="styles.css"/>
+      |</head>
+      |<body>
+      |<div id="app">
+      |  <aside id="nav">
+      |    <h1>Data Catalog</h1>
+      |    <input id="search" type="search" placeholder="filter tables&hellip;" autocomplete="off"/>
+      |    <nav id="tree"></nav>
+      |  </aside>
+      |  <main id="detail"><p class="hint">Select a table.</p></main>
+      |</div>
+      |<script>
+      |"use strict";
+      |function el(tag, cls, text) {
+      |  var e = document.createElement(tag);
+      |  if (cls) e.className = cls;
+      |  if (text !== undefined && text !== null) e.textContent = String(text);
+      |  return e;
+      |}
+      |function renderTable(cat, db, t) {
+      |  var d = document.getElementById("detail");
+      |  d.innerHTML = "";
+      |  var head = el("div", "t-head");
+      |  head.appendChild(el("h2", null, cat + "." + db + "." + t.name));
+      |  head.appendChild(el("span", "badge", t.table_type));
+      |  d.appendChild(head);
+      |  if (t.description) d.appendChild(el("p", "desc", t.description));
+      |  if (t.latency_info) d.appendChild(el("p", "meta", "Latency: " + t.latency_info));
+      |  if (t.data_input) d.appendChild(el("p", "meta", "Input: " + t.data_input));
+      |  if (t.partitions && t.partitions.length) {
+      |    d.appendChild(el("h3", null, "Partitions"));
+      |    var pt = el("table", "schema");
+      |    var ph = el("tr"); ["column", "type"].forEach(function (h) { ph.appendChild(el("th", null, h)); });
+      |    pt.appendChild(ph);
+      |    t.partitions.forEach(function (p) {
+      |      var r = el("tr");
+      |      r.appendChild(el("td", null, p.column_name));
+      |      r.appendChild(el("td", null, p.type_annotation));
+      |      pt.appendChild(r);
+      |    });
+      |    d.appendChild(pt);
+      |  }
+      |  d.appendChild(el("h3", null, "Columns"));
+      |  var ct = el("table", "schema");
+      |  var ch = el("tr");
+      |  ["column", "type", "flags"].forEach(function (h) { ch.appendChild(el("th", null, h)); });
+      |  ct.appendChild(ch);
+      |  (t.columns || []).forEach(function (c) {
+      |    var r = el("tr");
+      |    r.appendChild(el("td", null, c.column));
+      |    r.appendChild(el("td", "type", c.type));
+      |    var flags = [];
+      |    if (c.readonly) flags.push("readonly");
+      |    if (c.filter_only) flags.push("filter-only");
+      |    if (c.has_stats) flags.push("stats");
+      |    r.appendChild(el("td", "flags", flags.join(", ")));
+      |    ct.appendChild(r);
+      |  });
+      |  d.appendChild(ct);
+      |}
+      |function buildTree(data, filter) {
+      |  var tree = document.getElementById("tree");
+      |  tree.innerHTML = "";
+      |  (data.catalogs || []).forEach(function (cat) {
+      |    var catEl = el("div", "cat");
+      |    catEl.appendChild(el("div", "cat-name", cat.name));
+      |    (cat.databases || []).forEach(function (db) {
+      |      var dbEl = el("div", "db");
+      |      dbEl.appendChild(el("div", "db-name", db.name));
+      |      var any = false;
+      |      (db.tables || []).forEach(function (t) {
+      |        if (filter && t.name.toLowerCase().indexOf(filter) < 0) return;
+      |        any = true;
+      |        var a = el("a", "tbl", t.name);
+      |        a.href = "#" + cat.name + "." + db.name + "." + t.name;
+      |        a.onclick = function () { renderTable(cat.name, db.name, t); };
+      |        dbEl.appendChild(a);
+      |      });
+      |      if (any || !filter) catEl.appendChild(dbEl);
+      |    });
+      |    tree.appendChild(catEl);
+      |  });
+      |}
+      |fetch("data.json").then(function (r) { return r.json(); }).then(function (data) {
+      |  buildTree(data, "");
+      |  document.getElementById("search").addEventListener("input", function (e) {
+      |    buildTree(data, e.target.value.toLowerCase());
+      |  });
+      |  var h = decodeURIComponent(location.hash.slice(1));
+      |  if (h) {
+      |    var parts = h.split(".");
+      |    (data.catalogs || []).forEach(function (cat) {
+      |      if (cat.name !== parts[0]) return;
+      |      (cat.databases || []).forEach(function (db) {
+      |        if (db.name !== parts[1]) return;
+      |        (db.tables || []).forEach(function (t) {
+      |          if (t.name === parts[2]) renderTable(cat.name, db.name, t);
+      |        });
+      |      });
+      |    });
+      |  }
+      |});
+      |</script>
+      |</body>
+      |</html>
+      |""".stripMargin
+
+  private val Css: String =
+    """:root { --fg: #1a1a1a; --muted: #666; --line: #e2e2e2; --accent: #0b5fff; }
+      |* { box-sizing: border-box; }
+      |body { margin: 0; font: 14px/1.5 system-ui, sans-serif; color: var(--fg); }
+      |#app { display: flex; min-height: 100vh; }
+      |#nav { width: 280px; border-right: 1px solid var(--line); padding: 16px; }
+      |#nav h1 { font-size: 16px; margin: 0 0 12px; }
+      |#search { width: 100%; padding: 6px 8px; margin-bottom: 12px; }
+      |.cat-name { font-weight: 600; margin-top: 10px; }
+      |.db { margin-left: 8px; }
+      |.db-name { color: var(--muted); margin-top: 6px; }
+      |a.tbl { display: block; margin-left: 12px; padding: 2px 4px; color: var(--accent);
+      |        text-decoration: none; border-radius: 4px; }
+      |a.tbl:hover { background: #f0f4ff; }
+      |main { flex: 1; padding: 24px; }
+      |.t-head { display: flex; align-items: center; gap: 10px; }
+      |.badge { background: #eef; border: 1px solid var(--line); border-radius: 10px;
+      |         padding: 1px 10px; font-size: 12px; }
+      |.desc { color: var(--muted); }
+      |.meta { font-size: 13px; color: var(--muted); margin: 2px 0; }
+      |table.schema { border-collapse: collapse; margin-top: 8px; }
+      |table.schema th, table.schema td { border: 1px solid var(--line);
+      |  padding: 4px 10px; text-align: left; }
+      |table.schema th { background: #fafafa; }
+      |td.type { font-family: ui-monospace, monospace; font-size: 13px; }
+      |td.flags { color: var(--muted); font-size: 12px; }
+      |.hint { color: var(--muted); }
+      |""".stripMargin
+}

@@ -77,4 +77,36 @@ class ExportSpec extends SparkSpec {
     val out = WebExport.writeDataJson(Seq("cat" -> cat), tempDir("site").toString, spark)
     assert(java.nio.file.Files.readString(out).startsWith("""{"catalogs":["""))
   }
+
+  test("static site: full generation from getSchema (golden structure)") {
+    import spark.implicits._
+    val dir = tempDir("ssite-data").toString + "/t"
+    Seq((1L, "a", 2.0)).toDF("id", "name", "score").write.mode("overwrite").parquet(dir)
+    val table = new ParquetTable("metrics", dir,
+      partitioning = Seq.empty, description = "demo metrics")
+    val cat = new Catalog(Map("main" -> new MapDatabase(Map("metrics" -> table))),
+      packageName = Some("graft_demo"))
+
+    val siteDir = tempDir("ssite").toString
+    val index = StaticSite.generate(Seq("cat" -> cat), siteDir, spark)
+
+    // the complete site: payload + renderer + styles, nothing else needed
+    val files = new java.io.File(siteDir).list().toSet
+    assert(files == Set("data.json", "index.html", "styles.css"))
+
+    val html = java.nio.file.Files.readString(index)
+    // golden structural markers: the renderer walks the exact data.json
+    // schema WebExport emits
+    Seq("fetch(\"data.json\")", "renderTable", "buildTree",
+        "t.partitions", "t.columns", "c.filter_only", "c.has_stats",
+        "id=\"search\"", "styles.css")
+      .foreach(m => assert(html.contains(m), s"index.html lost marker: $m"))
+
+    val data = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(siteDir, "data.json"))
+    Seq(""""catalogs":[""", """"name":"cat"""", """"databases":[""",
+        """"tables":[""", """"name":"metrics"""",
+        """"column":"score","type":"double"""", """"table_type":"PARQUET"""")
+      .foreach(m => assert(data.contains(m), s"data.json lost marker: $m"))
+  }
 }
