@@ -3,7 +3,7 @@ package graft.tables
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
 
 import scala.collection.mutable
 
@@ -47,13 +47,63 @@ object DeltaLog {
   )
 
   /** Reader-protocol table features this implementation supports
-    * (minReaderVersion 3 gates on them).
+    * (minReaderVersion 3 gates on them). columnMapping is supported in
+    * "name" mode only — "id" mode is refused at metaData parse time.
     */
-  val SupportedReaderFeatures: Set[String] = Set("deletionVectors")
+  val SupportedReaderFeatures: Set[String] = Set("deletionVectors", "columnMapping")
 
-  final case class Metadata(schemaString: String, partitionColumns: Seq[String]) {
+  final case class Metadata(
+      schemaString: String,
+      partitionColumns: Seq[String],
+      configuration: Map[String, String] = Map.empty
+  ) {
     lazy val schema: StructType = DataType.fromJson(schemaString).asInstanceOf[StructType]
+
+    /** `delta.columnMapping.mode`: "none" (physical = logical) or
+      * "name" (parquet files + partitionValues + stats use per-field
+      * physical names from the schema metadata). "id" mode is refused
+      * at parse time.
+      */
+    def columnMappingMode: String =
+      configuration.getOrElse("delta.columnMapping.mode", "none") match {
+        case "" => "none"
+        case m  => m
+      }
+    def isColumnMapped: Boolean = columnMappingMode == "name"
+
+    /** Physical name of a top-level logical column (identity without
+      * column mapping).
+      */
+    def physicalName(logical: String): String =
+      if (!isColumnMapped) logical
+      else schema.fields.find(_.name == logical) match {
+        case Some(f) if f.metadata.contains(PhysicalNameKey) =>
+          f.metadata.getString(PhysicalNameKey)
+        case _ => logical
+      }
+
+    /** The schema as stored in the parquet files: every (nested) field
+      * renamed to its physical name.
+      */
+    lazy val physicalSchema: StructType =
+      if (!isColumnMapped) schema
+      else toPhysical(schema).asInstanceOf[StructType]
+
+    private def toPhysical(dt: DataType): DataType = dt match {
+      case s: StructType => StructType(s.fields.map { f =>
+        val name =
+          if (f.metadata.contains(PhysicalNameKey)) f.metadata.getString(PhysicalNameKey)
+          else f.name
+        f.copy(name = name, dataType = toPhysical(f.dataType))
+      })
+      case a: ArrayType => a.copy(elementType = toPhysical(a.elementType))
+      case m: MapType =>
+        m.copy(keyType = toPhysical(m.keyType), valueType = toPhysical(m.valueType))
+      case other => other
+    }
   }
+
+  val PhysicalNameKey = "delta.columnMapping.physicalName"
 
   final case class Snapshot(version: Long, metadata: Metadata, files: Seq[AddFile]) {
     def schema: StructType = metadata.schema
@@ -178,10 +228,18 @@ object DeltaLog {
       if (cols.contains("metaData")) {
         cp.select("metaData").where("metaData IS NOT NULL").collect().foreach { r =>
           val m = r.getStruct(0)
-          meta = Some(Metadata(
+          val conf =
+            if (!m.schema.fieldNames.contains("configuration")) Map.empty[String, String]
+            else Option(m.getAs[scala.collection.Map[String, String]]("configuration"))
+              .map(_.toMap).getOrElse(Map.empty[String, String])
+          val md = Metadata(
             m.getAs[String]("schemaString"),
             Option(m.getAs[scala.collection.Seq[String]]("partitionColumns"))
-              .map(_.toSeq).getOrElse(Seq.empty)))
+              .map(_.toSeq).getOrElse(Seq.empty),
+            conf)
+          require(md.columnMappingMode == "none" || md.columnMappingMode == "name",
+            s"Delta column mapping mode '${md.columnMappingMode}' is not supported in $tablePath")
+          meta = Some(md)
         }
       }
       if (cols.contains("add")) {
@@ -251,12 +309,18 @@ object DeltaLog {
           }
           if (node.has("metaData")) {
             val m = node.get("metaData")
-            val cmMode = m.path("configuration").path("delta.columnMapping.mode").asText("none")
-            require(cmMode == "none" || cmMode == "",
-              s"Delta column mapping mode '$cmMode' is not supported in $tablePath")
+            val conf = Option(m.get("configuration")).map { o =>
+              o.fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+            }.getOrElse(Map.empty[String, String])
             val parts = Option(m.get("partitionColumns"))
               .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq.empty)
-            meta = Some(Metadata(m.get("schemaString").asText(), parts))
+            val md = Metadata(m.get("schemaString").asText(), parts, conf)
+            // "name" mapping is handled (physical names from schema
+            // metadata); "id" (parquet field-id matching) is not —
+            // refuse rather than misread
+            require(md.columnMappingMode == "none" || md.columnMappingMode == "name",
+              s"Delta column mapping mode '${md.columnMappingMode}' is not supported in $tablePath")
+            meta = Some(md)
           }
           if (node.has("add")) {
             val a = node.get("add")

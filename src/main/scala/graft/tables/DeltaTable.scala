@@ -51,9 +51,9 @@ class DeltaTable(
     val partCols = snap.metadata.partitionColumns
 
     val survivors = snap.files.filter(f =>
-      DeltaFileSkipping.mayMatch(f, args.filters, schema, partCols))
+      DeltaFileSkipping.mayMatch(f, args.filters, snap.metadata))
 
-    var df = DeltaRead.readFiles(spark, uri, schema, partCols, survivors)
+    var df = DeltaRead.readFiles(spark, uri, snap.metadata, survivors)
 
     // Residual predicate on data (file skipping is only a may-match
     // prefilter; the exact predicate always applies).
@@ -97,22 +97,37 @@ private[tables] object DeltaRead {
   def readFiles(
       spark: SparkSession,
       tableUri: String,
-      schema: StructType,
-      partCols: Seq[String],
+      meta: DeltaLog.Metadata,
       files: Seq[DeltaLog.AddFile]
   ): DataFrame = {
+    val schema = meta.schema
+    val partCols = meta.partitionColumns
     if (files.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    val dataSchema = StructType(schema.fields.filterNot(f => partCols.contains(f.name)))
+    // files store PHYSICAL column names under column mapping; read
+    // physically, rename to the logical schema after the scan
+    val physPart = partCols.map(meta.physicalName).toSet
+    val physDataSchema = StructType(
+      meta.physicalSchema.fields.filterNot(f => physPart.contains(f.name)))
+    val logDataFields = schema.fields.filterNot(f => partCols.contains(f.name))
     val base = tableUri.stripSuffix("/")
+
+    // physical → logical: alias top-level names, cast nested structs
+    // (cast renames struct fields positionally — the physical and
+    // logical trees are shape-identical by construction)
+    def toLogical(df: DataFrame): DataFrame =
+      if (!meta.isColumnMapped) df
+      else df.select(logDataFields.zip(physDataSchema.fields).map {
+        case (lf, pf) => col(pf.name).cast(lf.dataType).as(lf.name)
+      }.toSeq: _*)
 
     files.groupBy(_.partitionValues).map { case (pv, group) =>
       val (dvFiles, plainFiles) = group.partition(_.dv.exists(_.cardinality > 0))
       val scans = Seq.newBuilder[DataFrame]
       if (plainFiles.nonEmpty)
-        scans += spark.read.schema(dataSchema)
-          .parquet(plainFiles.map(f => s"$base/${f.path}"): _*)
+        scans += toLogical(spark.read.schema(physDataSchema)
+          .parquet(plainFiles.map(f => s"$base/${f.path}"): _*))
       if (dvFiles.nonEmpty) {
         val fs = new org.apache.hadoop.fs.Path(base)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -123,16 +138,18 @@ private[tables] object DeltaRead {
           org.apache.spark.sql.graftbridge.Bridge.expression(col("_metadata.file_path")),
           org.apache.spark.sql.graftbridge.Bridge.expression(col("_metadata.row_index")),
           dvBytes))
-        scans += spark.read.schema(dataSchema)
+        scans += toLogical(spark.read.schema(physDataSchema)
           .parquet(dvFiles.map(f => s"$base/${f.path}"): _*)
           .where(!deleted)
-          .select(dataSchema.fieldNames.map(col).toSeq: _*)
+          .select(physDataSchema.fieldNames.map(col).toSeq: _*))
       }
       var part = scans.result().reduce(_.unionByName(_))
       partCols.foreach { c =>
         val t = schema(c).dataType
+        // partitionValues are keyed by physical name under mapping
         part = part.withColumn(c,
-          pv.get(c).flatten.map(v => lit(v).cast(t)).getOrElse(lit(null).cast(t)))
+          pv.get(meta.physicalName(c)).flatten
+            .map(v => lit(v).cast(t)).getOrElse(lit(null).cast(t)))
       }
       part.select(schema.fieldNames.map(col).toSeq: _*)
     }.reduce(_.unionByName(_))
@@ -154,31 +171,31 @@ object DeltaFileSkipping {
   def mayMatch(
       file: DeltaLog.AddFile,
       filters: Filters.Normalized,
-      schema: StructType,
-      partCols: Seq[String]
+      meta: DeltaLog.Metadata
   ): Boolean = {
     if (filters.isEmpty) return true
     lazy val stats = file.stats.flatMap(s =>
       try Option(mapper.readTree(s)) catch { case _: Exception => None })
-    filters.exists(conj => conj.forall(f => filterMayMatch(file, f, schema, partCols, stats)))
+    filters.exists(conj => conj.forall(f => filterMayMatch(file, f, meta, stats)))
   }
 
   private def filterMayMatch(
       file: DeltaLog.AddFile,
       f: Filter,
-      schema: StructType,
-      partCols: Seq[String],
+      meta: DeltaLog.Metadata,
       stats: => Option[JsonNode]
   ): Boolean = {
-    val dt = schema.fields.find(_.name == f.column).map(_.dataType)
+    val dt = meta.schema.fields.find(_.name == f.column).map(_.dataType)
     if (dt.isEmpty) return true // unknown column: never prune here
-    if (partCols.contains(f.column))
-      file.partitionValues.get(f.column) match {
+    // partitionValues and stats are keyed by PHYSICAL column name
+    val phys = meta.physicalName(f.column)
+    if (meta.partitionColumns.contains(f.column))
+      file.partitionValues.get(phys) match {
         case None     => true // no value recorded in the log: don't prune
         case Some(pv) => partitionMayMatch(pv, f, dt.get)
       }
     else
-      stats.forall(s => statsMayMatch(s, f, dt.get))
+      stats.forall(s => statsMayMatch(s, f.copy(column = phys), dt.get))
   }
 
   /** Exact evaluation on a single partition value. A None value means

@@ -64,15 +64,17 @@ object DeltaWrite {
     val partCols = snap.metadata.partitionColumns
     val predicate = Filters.toColumn(filters).getOrElse(lit(true))
 
+    require(!snap.metadata.isColumnMapped,
+      s"writes to column-mapped Delta tables are not supported ($tablePath)")
     val candidates = snap.files.filter(f =>
-      DeltaFileSkipping.mayMatch(f, filters, schema, partCols))
+      DeltaFileSkipping.mayMatch(f, filters, snap.metadata))
     if (candidates.isEmpty)
       return CommitResult(snap.version, 0, 0)
 
     // surviving rows of the candidate files (partition cols re-attached
     // so they land back in the rewritten files' partition paths; DVs
     // applied by the shared scan path so deleted rows stay deleted)
-    val kept = DeltaRead.readFiles(spark, tablePath, schema, partCols, candidates)
+    val kept = DeltaRead.readFiles(spark, tablePath, snap.metadata, candidates)
       // DELETE removes rows where the predicate IS TRUE; rows where it
       // evaluates to NULL are kept (plain !predicate would drop them)
       .filter(!coalesce(predicate, lit(false)))
@@ -119,8 +121,10 @@ object DeltaWrite {
     val partCols = snap.metadata.partitionColumns
     val predicate = Filters.toColumn(filters).getOrElse(lit(true))
 
+    require(!snap.metadata.isColumnMapped,
+      s"writes to column-mapped Delta tables are not supported ($tablePath)")
     val candidates = snap.files.filter(f =>
-      DeltaFileSkipping.mayMatch(f, filters, schema, partCols))
+      DeltaFileSkipping.mayMatch(f, filters, snap.metadata))
     if (candidates.isEmpty) return CommitResult(snap.version, 0, 0)
 
     val base = tablePath.stripSuffix("/")
@@ -238,6 +242,8 @@ object DeltaWrite {
       val current = DeltaLog.latestVersion(spark, tablePath)
       val version = current.map(_ + 1).getOrElse(0L)
       val snapOpt = current.map(_ => DeltaLog.snapshot(spark, tablePath))
+      snapOpt.foreach(s => require(!s.metadata.isColumnMapped,
+        s"writes to column-mapped Delta tables are not supported ($tablePath)"))
       val needMeta = snapOpt.forall(s =>
         s.metadata.schemaString != schemaJson || s.metadata.partitionColumns != partitionBy)
       val removes: Seq[String] =
@@ -329,7 +335,10 @@ object DeltaWrite {
         CpRow(metaData = Some(CpMeta(
           java.util.UUID.randomUUID().toString, CpFormat("parquet", Map.empty),
           snap.metadata.schemaString, snap.metadata.partitionColumns,
-          Map.empty[String, String]))) +:
+          // carry table configuration (column mapping mode etc.)
+          // through the checkpoint, or replay-from-checkpoint would
+          // misread a mapped table as unmapped
+          snap.metadata.configuration))) +:
         snap.files.map(f => CpRow(add = Some(CpAdd(
           f.path,
           // protocol: null partition value → null map value

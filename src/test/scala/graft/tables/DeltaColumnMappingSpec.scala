@@ -1,0 +1,186 @@
+package graft.tables
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import graft.SparkSpec
+import graft.core.{Filter, Filters}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Column mapping mode "name" (public PROTOCOL.md "Column Mapping"):
+  * parquet files, partitionValues and stats use per-field physical
+  * names (`delta.columnMapping.physicalName` in the schema metadata);
+  * readers expose logical names. The reference reads such tables
+  * transparently via delta-rs. "id" mode and writes to mapped tables
+  * are refused loudly.
+  */
+class DeltaColumnMappingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val mapper = new ObjectMapper()
+
+  private def fs(dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def putFile(df: DataFrame, tableDir: String, relPath: String): Long = {
+    val tmp = tempDir("cmfile").toString + "/out"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val f = fs(tmp)
+    val part = f.listStatus(new Path(tmp)).map(_.getPath)
+      .find(_.getName.endsWith(".parquet")).get
+    val dest = new Path(tableDir, relPath)
+    f.mkdirs(dest.getParent)
+    f.rename(part, dest)
+    f.getFileStatus(dest).getLen
+  }
+
+  private def putCommit(tableDir: String, version: Long, lines: Seq[String]): Unit = {
+    val dir = new Path(tableDir, "_delta_log")
+    val f = fs(tableDir)
+    f.mkdirs(dir)
+    val out = f.create(new Path(dir, f"$version%020d.json"), true)
+    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def mapped(name: String, dt: DataType, id: Int, phys: String): StructField =
+    StructField(name, dt, nullable = true,
+      metadata = new MetadataBuilder()
+        .putLong("delta.columnMapping.id", id.toLong)
+        .putString(DeltaLog.PhysicalNameKey, phys)
+        .build())
+
+  private def metaDataJson(
+      schema: StructType, partitionColumns: Seq[String], mode: String): String = {
+    val m = mapper.createObjectNode()
+    m.put("id", "11111111-2222-3333-4444-555555555555")
+    m.putObject("format").put("provider", "parquet")
+    m.put("schemaString", schema.json)
+    val pc = m.putArray("partitionColumns")
+    partitionColumns.foreach(pc.add)
+    m.putObject("configuration")
+      .put("delta.columnMapping.mode", mode)
+      .put("delta.columnMapping.maxColumnId", "10")
+    s"""{"metaData":${mapper.writeValueAsString(m)}}"""
+  }
+
+  private def addJson(path: String, pv: Map[String, String], size: Long,
+                      stats: Option[String] = None): String = {
+    val a = mapper.createObjectNode()
+    a.put("path", path)
+    val p = a.putObject("partitionValues")
+    pv.foreach { case (k, v) => p.put(k, v) }
+    a.put("size", size)
+    a.put("modificationTime", 0L)
+    a.put("dataChange", true)
+    stats.foreach(s => a.put("stats", s))
+    s"""{"add":${mapper.writeValueAsString(a)}}"""
+  }
+
+  // logical: id bigint, v string, s struct<x bigint>, part int (partition)
+  private val logicalSchema = StructType(Seq(
+    mapped("id", LongType, 1, "col-01"),
+    mapped("v", StringType, 2, "col-02"),
+    mapped("s", StructType(Seq(mapped("x", LongType, 5, "col-05"))), 4, "col-04"),
+    mapped("part", IntegerType, 3, "col-03")))
+
+  private def dataDf(rows: Seq[(Long, String, Long)]): DataFrame =
+    rows.map { case (i, v, x) => (i, v, Tuple1(x)) }
+      .toDF("col-01", "col-02", "col-04")
+      .withColumn("col-04", col("col-04").cast("struct<`col-05`:bigint>"))
+
+  private def mappedTable(): String = {
+    val dir = tempDir("delta-cm").toString + "/t"
+    val s0 = putFile(dataDf(Seq((1L, "a", 10L), (2L, "b", 20L))), dir, "part=0/f0.parquet")
+    val s1 = putFile(dataDf(Seq((11L, "c", 30L))), dir, "part=1/f1.parquet")
+    val s2 = putFile(dataDf(Seq((21L, "d", 40L))), dir, "part=1/f2.parquet")
+    putCommit(dir, 0, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      metaDataJson(logicalSchema, Seq("part"), "name"),
+      addJson("part=0/f0.parquet", Map("col-03" -> "0"), s0,
+        Some("""{"numRecords":2,"minValues":{"col-01":1},"maxValues":{"col-01":2},"nullCount":{"col-01":0}}""")),
+      addJson("part=1/f1.parquet", Map("col-03" -> "1"), s1,
+        Some("""{"numRecords":1,"minValues":{"col-01":11},"maxValues":{"col-01":11},"nullCount":{"col-01":0}}""")),
+      addJson("part=1/f2.parquet", Map("col-03" -> "1"), s2,
+        Some("""{"numRecords":1,"minValues":{"col-01":21},"maxValues":{"col-01":21},"nullCount":{"col-01":0}}"""))))
+    dir
+  }
+
+  test("mapped table reads with logical names, nested fields included") {
+    val t = new DeltaTable("t", mappedTable())
+    val df = t(spark, ReadArgs())
+    assert(df.columns.toSeq == Seq("id", "v", "s", "part"))
+    val got = df.select(col("id"), col("v"), col("s.x"), col("part"))
+      .as[(Long, String, Long, Int)].collect().toSet
+    assert(got == Set((1L, "a", 10L, 0), (2L, "b", 20L, 0),
+      (11L, "c", 30L, 1), (21L, "d", 40L, 1)))
+  }
+
+  test("partition pruning and stats skipping key by physical names") {
+    val t = new DeltaTable("t", mappedTable())
+    // partition filter on the LOGICAL name prunes to the part=1 files
+    val p = t(spark, ReadArgs(filters = Filters.normalize(Seq(Filter("part", "=", 1)))))
+    assert(p.inputFiles.length == 2, s"partition pruning failed: ${p.inputFiles.toSeq}")
+    // stats filter on id (physical col-01 in minValues/maxValues)
+    val s = t(spark, ReadArgs(filters = Filters.normalize(Seq(Filter("id", ">=", 21)))))
+    assert(s.inputFiles.length == 1, s"stats skipping failed: ${s.inputFiles.toSeq}")
+    assert(s.select("id").as[Long].collect().toSeq == Seq(21L))
+  }
+
+  test("deletion vector on a mapped file composes") {
+    val dir = tempDir("delta-cmdv").toString + "/t"
+    val size = putFile(dataDf(Seq((1L, "a", 1L), (2L, "b", 2L), (3L, "c", 3L))),
+      dir, "part=0/f0.parquet")
+    val bm = RoaringBitmapArray.fromSorted(Array(1L)) // physical row 1 → id 2
+    val data = bm.serialize
+    val a = mapper.createObjectNode()
+    a.put("path", "part=0/f0.parquet")
+    a.putObject("partitionValues").put("col-03", "0")
+    a.put("size", size)
+    a.put("modificationTime", 0L)
+    a.put("dataChange", true)
+    val dv = a.putObject("deletionVector")
+    dv.put("storageType", "i")
+    dv.put("pathOrInlineDv", DeletionVectors.Z85.encode(data))
+    dv.put("sizeInBytes", data.length)
+    dv.put("cardinality", 1L)
+    putCommit(dir, 0, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors","columnMapping"],"writerFeatures":["deletionVectors","columnMapping"]}}""",
+      metaDataJson(logicalSchema, Seq("part"), "name"),
+      s"""{"add":${mapper.writeValueAsString(a)}}"""))
+    val t = new DeltaTable("t", dir)
+    assert(t(spark, ReadArgs()).select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+  }
+
+  test("checkpoint carries the mapping configuration through replay") {
+    val dir = mappedTable()
+    val cpV = DeltaWrite.checkpoint(spark, dir)
+    (0L to cpV).foreach(v =>
+      fs(dir).delete(new Path(dir + "/_delta_log", f"$v%020d.json"), false))
+    val t = new DeltaTable("t", dir)
+    val got = t(spark, ReadArgs()).select("id").as[Long].collect().sorted.toSeq
+    assert(got == Seq(1L, 2L, 11L, 21L))
+  }
+
+  test("id mode and writes to mapped tables are refused loudly") {
+    val dir = tempDir("delta-cmid").toString + "/t"
+    val size = putFile(dataDf(Seq((1L, "a", 1L))), dir, "f0.parquet")
+    putCommit(dir, 0, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      metaDataJson(logicalSchema, Seq.empty, "id"),
+      addJson("f0.parquet", Map.empty, size)))
+    val e = intercept[IllegalArgumentException] { DeltaLog.snapshot(spark, dir) }
+    assert(e.getMessage.contains("column mapping mode 'id'"))
+
+    val mdir = mappedTable()
+    val w = intercept[IllegalArgumentException] {
+      DeltaWrite.append(spark, Seq((99L, "z")).toDF("id", "v"), mdir)
+    }
+    assert(w.getMessage.contains("column-mapped"))
+    val d = intercept[IllegalArgumentException] {
+      DeltaWrite.deleteWhereDv(spark, mdir, Filters.normalize(Seq(Filter("id", "=", 1L))))
+    }
+    assert(d.getMessage.contains("column-mapped"))
+  }
+}
