@@ -49,8 +49,11 @@ object DeltaLog {
   /** Reader-protocol table features this implementation supports
     * (minReaderVersion 3 gates on them). columnMapping is supported in
     * "name" mode only — "id" mode is refused at metaData parse time.
+    * timestampNtz maps directly onto Spark's native TimestampNTZType
+    * (schemaString `timestamp_ntz` parses through DataType.fromJson).
     */
-  val SupportedReaderFeatures: Set[String] = Set("deletionVectors", "columnMapping")
+  val SupportedReaderFeatures: Set[String] =
+    Set("deletionVectors", "columnMapping", "timestampNtz")
 
   final case class Metadata(
       schemaString: String,

@@ -183,6 +183,83 @@ object DeltaWrite {
     """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
       """"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}"""
 
+  /** OPTIMIZE: bin-pack each partition's small files (and any
+    * DV-bearing file, whose deletes get materialized — the DV is
+    * purged) into fresh files via one remove+add commit. Only
+    * partitions with something to gain are rewritten; big clean files
+    * are untouched. The standard small-file compaction every
+    * streaming-ingest table needs — at 100 TB the rewrite is bounded
+    * by the small-file fraction, not the table size.
+    */
+  def optimize(
+      spark: SparkSession,
+      tablePath: String,
+      smallFileBytes: Long = 64L << 20
+  ): CommitResult = {
+    val snap = DeltaLog.snapshot(spark, tablePath)
+    require(!snap.metadata.isColumnMapped,
+      s"writes to column-mapped Delta tables are not supported ($tablePath)")
+    val partCols = snap.metadata.partitionColumns
+
+    val candidates = snap.files.groupBy(_.partitionValues).values.flatMap { fs =>
+      val rewritable = fs.filter(f =>
+        f.size < smallFileBytes || f.dv.exists(_.cardinality > 0))
+      // rewriting a lone small file with no DV buys nothing
+      if (rewritable.size > 1 || rewritable.exists(_.dv.exists(_.cardinality > 0)))
+        rewritable
+      else Seq.empty
+    }.toSeq
+    if (candidates.isEmpty) return CommitResult(snap.version, 0, 0)
+
+    var kept = DeltaRead.readFiles(spark, tablePath, snap.metadata, candidates)
+    // one output file per partition dir (the compaction goal); for an
+    // unpartitioned table aim at the size target instead
+    kept =
+      if (partCols.nonEmpty) kept.repartition(partCols.map(col): _*)
+      else kept.coalesce(
+        math.max(1, (candidates.map(_.size).sum / math.max(1L, smallFileBytes)).toInt))
+    val adds = stageFiles(spark, kept, tablePath, partCols)
+    commitLoop(spark, tablePath, adds, candidates.map(_.path),
+      snap.metadata.schemaString, partCols, overwrite = false)
+  }
+
+  /** VACUUM: physically delete data files (and DV files) under the
+    * table that are no longer referenced by the CURRENT snapshot and
+    * are older than `retentionMs`. Returns the number of deleted
+    * files. Time travel to versions whose files were vacuumed stops
+    * working — the same contract as every Delta implementation; the
+    * retention window is the guard (default 7 days).
+    */
+  def vacuum(
+      spark: SparkSession,
+      tablePath: String,
+      retentionMs: Long = 7L * 24 * 3600 * 1000
+  ): Int = {
+    val snap = DeltaLog.snapshot(spark, tablePath)
+    val base = tablePath.stripSuffix("/")
+    val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    val active: Set[String] =
+      snap.files.map(f => new Path(base, f.path).toUri.getPath).toSet ++
+        snap.files.flatMap(_.dv.flatMap(_.filePath(base)))
+          .map(_.toUri.getPath).toSet
+
+    val cutoff = System.currentTimeMillis() - retentionMs
+    val it = fs.listFiles(new Path(base), true)
+    var deleted = 0
+    while (it.hasNext) {
+      val s = it.next()
+      val p = s.getPath
+      val inLog = p.toString.contains("_delta_log")
+      val isData = s.isFile && !inLog &&
+        (p.getName.endsWith(".parquet") || p.getName.endsWith(".bin"))
+      if (isData && !active.contains(p.toUri.getPath) && s.getModificationTime < cutoff) {
+        if (fs.delete(p, false)) deleted += 1
+      }
+    }
+    deleted
+  }
+
   /** Stage `df` as parquet files inside the table directory and move
     * them into place; returns the add-action payloads (with per-file
     * stats computed in one job over the staging dir).

@@ -266,6 +266,59 @@ class DeltaSpec extends SparkSpec {
     assert(e.getMessage.contains("no commits"))
   }
 
+  test("optimize compacts small files, materializes DV deletes; vacuum reclaims") {
+    val dir = tempDir("delta-opt").toString + "/t"
+    // three small appends → three files per partition value
+    (0 until 3).foreach { i =>
+      DeltaWrite.append(spark,
+        (1 to 10).map(j => ((i * 10 + j).toLong, s"v$i-$j", i % 2)).toDF("id", "v", "p"),
+        dir, partitionBy = Seq("p"))
+    }
+    DeltaWrite.deleteWhereDv(spark, dir,
+      graft.core.Filters.normalize(Seq(graft.core.Filter("id", "<=", 5L))))
+    val preOptVersion = DeltaLog.latestVersion(spark, dir).get
+    val preFiles = DeltaLog.snapshot(spark, dir).files.size
+    assert(preFiles >= 6, s"fixture should have many small files, got $preFiles")
+    val expected = new DeltaTable("t", dir)(spark)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(expected.size == 25)
+
+    val res = DeltaWrite.optimize(spark, dir)
+    assert(res.filesRemoved == preFiles && res.filesAdded == 2,
+      s"expected $preFiles small files -> 2 (one per partition), got $res")
+    val snap = DeltaLog.snapshot(spark, dir)
+    assert(snap.files.forall(_.dv.isEmpty), "optimize must purge DVs")
+    val got = new DeltaTable("t", dir)(spark).select("id").as[Long].collect().sorted.toSeq
+    assert(got == expected)
+    // pre-optimize version still readable (old files remain on disk)
+    val tt = new DeltaTable("t", dir)
+    assert(tt(spark, ReadArgs(extra = Map(tt.VersionKey -> preOptVersion)))
+      .count() == 25)
+
+    // vacuum with zero retention reclaims the replaced files + old DV
+    val deleted = DeltaWrite.vacuum(spark, dir, retentionMs = 0L)
+    assert(deleted >= preFiles, s"expected >=$preFiles reclaimed files, got $deleted")
+    assert(new DeltaTable("t", dir)(spark).select("id").as[Long].collect().sorted.toSeq
+      == expected, "current snapshot must survive vacuum")
+  }
+
+  test("timestampNtz reader feature is accepted and reads natively") {
+    val dir = tempDir("delta-ntz").toString + "/t"
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("ts", TimestampNTZType)))
+    val df = Seq(
+      (1L, java.time.LocalDateTime.parse("2024-06-01T12:30:00")),
+      (2L, java.time.LocalDateTime.parse("2024-06-02T01:00:00"))).toDF("id", "ts")
+    val size = putFile(df, dir, "f0.parquet")
+    putCommit(dir, 0, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["timestampNtz"],"writerFeatures":["timestampNtz"]}}""",
+      metaDataJson(schema, Seq.empty),
+      addJson("f0.parquet", Map.empty, size)))
+    val got = new DeltaTable("t", dir)(spark)
+    assert(got.schema("ts").dataType == TimestampNTZType)
+    assert(got.count() == 2)
+  }
+
   test("delta table with lakehouse semantics: dedup + extra cols + predicate") {
     val dir = tempDir("delta-sem").toString + "/t"
     DeltaWrite.append(spark,
