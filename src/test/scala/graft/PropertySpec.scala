@@ -20,6 +20,22 @@ object GraftProperties extends Properties("graft") {
 
   private val word = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
 
+  property("RoaringBitmapArray round-trips arbitrary row-index sets") =
+    forAll(Gen.listOf(Gen.frequency(
+      8 -> Gen.chooseNum(0L, 5000L),          // dense low range
+      2 -> Gen.chooseNum(0L, 200000L),        // several 16-bit keys
+      1 -> Gen.chooseNum(0L, 1L << 34)))) {   // multiple 32-bit bitmaps
+      (ixs: List[Long]) =>
+        import graft.tables.RoaringBitmapArray
+        val sorted = ixs.distinct.sorted.toArray
+        val bm = RoaringBitmapArray.fromSorted(sorted)
+        val back = RoaringBitmapArray.deserialize(bm.serialize)
+        back.cardinality == sorted.length &&
+          back.toArray.toSeq == sorted.toSeq &&
+          sorted.forall(back.contains) &&
+          !back.contains(if (sorted.isEmpty) 7L else sorted.max + 1)
+    }
+
   property("eq/neq filters partition any dataset") =
     forAll(Gen.nonEmptyListOf(Gen.chooseNum(-50, 50)), Gen.chooseNum(-50, 50)) {
       (xs: List[Int], pivot: Int) =>

@@ -72,6 +72,29 @@ class DeletionVectorSpec extends SparkSpec {
     assert(parsed.cardinality == 6)
   }
 
+  test("run cookie with >=4 containers includes an offset header (decode path)") {
+    // 4 run containers on keys 0..3, each runs [10,12]; with the
+    // SERIAL_COOKIE (12347) and size >= 4 the offset header is present
+    // and must be consumed before the container bodies
+    val size = 4
+    val bm = ByteBuffer.allocate(4 + 1 + size * 4 + size * 4 + size * (2 + 4))
+      .order(ByteOrder.LITTLE_ENDIAN)
+    bm.putInt(12347 | ((size - 1) << 16))
+    bm.put(0x0f.toByte) // all four are run containers
+    (0 until size).foreach { k => bm.putShort(k.toShort); bm.putShort(2) } // card-1 = 2
+    val headerLen = 4 + 1 + size * 4 + size * 4
+    (0 until size).foreach(i => bm.putInt(headerLen + i * 6)) // offsets
+    (0 until size).foreach { _ => bm.putShort(1); bm.putShort(10); bm.putShort(2) }
+    val arr = ByteBuffer.allocate(12 + bm.position()).order(ByteOrder.LITTLE_ENDIAN)
+    arr.putInt(RoaringBitmapArray.Magic).putLong(1L).put(bm.array(), 0, bm.position())
+    val parsed = RoaringBitmapArray.deserialize(arr.array())
+    (0 until size).foreach { k =>
+      (10 to 12).foreach(v => assert(parsed.contains((k.toLong << 16) + v)))
+      assert(!parsed.contains((k.toLong << 16) + 13))
+    }
+    assert(parsed.cardinality == size * 3)
+  }
+
   // ---------------- hand-authored log (the FORMAT, not our writer) ----------------
 
   /** 4-row single file table whose add carries an INLINE dv deleting
