@@ -210,6 +210,40 @@ object OracleSql {
     "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
 
   val pipeline: Map[String, String] = Map(
+    "q_passage_dedup" ->
+      s"""WITH tok AS (SELECT doc_id, source, ${wsTokensSql("text")} AS toks FROM documents),
+         |chunks AS (
+         |  SELECT doc_id, source,
+         |    unnest(CASE WHEN len(toks) >= 8
+         |      THEN list_transform(range(0, len(toks) // 8),
+         |           i -> array_to_string(toks[(i*8+1):(i*8+8)], ' '))
+         |      ELSE CAST([] AS VARCHAR[]) END) AS chunk
+         |  FROM tok),
+         |cnt AS (SELECT chunk, count(*) AS c FROM chunks GROUP BY chunk)
+         |SELECT source,
+         |  CAST(count(*) AS BIGINT) AS n_chunks,
+         |  CAST(sum(CASE WHEN cnt.c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks
+         |FROM chunks JOIN cnt USING (chunk)
+         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_contamination" ->
+      s"""WITH tok AS (SELECT doc_id, source, ${wsTokensSql("text")} AS toks FROM documents),
+         |grams AS (
+         |  SELECT doc_id, source,
+         |    unnest(list_transform(range(0, len(toks) - 7),
+         |      i -> ${PortableHash.Sql.md5Mod("array_to_string(toks[(i+1):(i+8)], ' ')")})) AS h
+         |  FROM tok WHERE len(toks) >= 8),
+         |probe AS (SELECT DISTINCT h FROM grams WHERE doc_id % 50 = 0),
+         |perdoc AS (
+         |  SELECT doc_id, any_value(source) AS source,
+         |    CAST(sum(CASE WHEN h IN (SELECT h FROM probe) THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+         |  FROM grams WHERE doc_id % 50 <> 0 GROUP BY doc_id)
+         |SELECT source,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+         |  CAST(sum(n_hits) AS BIGINT) AS gram_hits
+         |FROM perdoc GROUP BY source ORDER BY source""".stripMargin,
+
     "q_sessionize" ->
       s"""WITH flagged AS (
          |  SELECT user_id, ts, value,

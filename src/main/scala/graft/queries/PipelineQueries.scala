@@ -223,6 +223,61 @@ object PipelineQueries {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("source")
 
+  /** P23: passage-level exact dedup — each doc is segmented into
+    * non-overlapping 8-word chunks; a chunk is a duplicate when its
+    * text occurs more than once corpus-wide. Per-source counts.
+    * Scale shape: one shuffle to count chunks, one join back, one
+    * source aggregate — all hash-partitioned on bounded keys, the same
+    * passage-dedup pass a training pipeline runs before training.
+    */
+  def qPassageDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .withColumn("_toks", graft.functions.Text.wsTokens(col("text")))
+    val chunked = docs.select(col("doc_id"), col("source"),
+      explode(when(size(col("_toks")) >= 8,
+        transform(sequence(lit(0), floor(size(col("_toks")) / lit(8)).cast("int") - 1),
+          i => array_join(slice(col("_toks"), i * lit(8) + lit(1), lit(8)), " ")))
+        .otherwise(array().cast("array<string>"))).as("chunk"))
+    val counts = chunked.groupBy(col("chunk")).agg(count(lit(1)).as("_cnt"))
+    chunked.join(counts, Seq("chunk"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("_cnt") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .orderBy("source")
+  }
+
+  /** P24: benchmark decontamination — overlapping word 8-grams of each
+    * corpus doc checked against the gram set of a deterministic probe
+    * ("benchmark") subset (doc_id % 50 == 0). Per-source doc and gram
+    * hit counts. Scale shape: the probe gram set is small by nature
+    * (benchmarks are), so it broadcasts; the corpus is scanned once
+    * and aggregated per doc then per source. Gram identity via the
+    * engine-portable md5 hash (same construction as the oracle).
+    */
+  def qContamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .withColumn("_toks", graft.functions.Text.wsTokens(col("text")))
+    def grams = when(size(col("_toks")) >= 8,
+      transform(sequence(lit(0), size(col("_toks")) - 8),
+        i => graft.functions.PortableHash.md5Mod(
+          array_join(slice(col("_toks"), i + lit(1), lit(8)), " "))))
+      .otherwise(array().cast("array<bigint>"))
+    val probe = docs.where(col("doc_id") % 50 === 0)
+      .select(explode(grams).as("h")).distinct()
+    val perDoc = docs.where(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id"), col("source"), explode(grams).as("h"))
+      .join(broadcast(probe.withColumn("_hit", lit(1))), Seq("h"), "left")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(coalesce(col("_hit"), lit(0))).as("n_hits"))
+    perDoc.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_hits") > 0, 1L).otherwise(0L)).as("n_contaminated"),
+        sum(col("n_hits")).as("gram_hits"))
+      .orderBy("source")
+  }
+
   /** P13: multimodal payload plumbing — oracle-checkable byte stats
     * over the binary payload column.
     */

@@ -46,6 +46,8 @@ object QueryCatalog {
     Entry("q_ann_ivf", PipelineQueries.qAnnIvf),
     Entry("q_binary_features", PipelineQueries.qBinaryFeatures),
     Entry("q_repetition", PipelineQueries.qRepetition),
+    Entry("q_passage_dedup", PipelineQueries.qPassageDedup),
+    Entry("q_contamination", PipelineQueries.qContamination),
     Entry("q_range_join", PipelineQueries.qRangeJoin, headline = true),
     Entry("q_sample", PipelineQueries.qSample),
     Entry("q_split", PipelineQueries.qSplit),

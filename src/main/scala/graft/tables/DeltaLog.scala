@@ -163,6 +163,26 @@ object DeltaLog {
     (jsons.keySet ++ cps.keySet).maxOption
   }
 
+  /** Version active at `tsMillis`: the greatest version whose commit
+    * happened at or before it. Per the protocol, a commit's timestamp
+    * is the modification time of its JSON file (in-commit timestamps
+    * aside). Only versions whose JSON still exists are resolvable —
+    * a timestamp older than the surviving log refuses rather than
+    * guessing.
+    */
+  def versionAtTimestamp(spark: SparkSession, tablePath: String, tsMillis: Long): Long = {
+    val dir = logDir(tablePath)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (jsons, _) = listLog(spark, tablePath)
+    require(jsons.nonEmpty, s"$tablePath has no JSON commits to resolve a timestamp against")
+    val timed = jsons.toSeq.map { case (v, p) => (v, fs.getFileStatus(p).getModificationTime) }
+    val atOrBefore = timed.filter(_._2 <= tsMillis)
+    require(atOrBefore.nonEmpty,
+      s"no commit in $tablePath at or before timestamp $tsMillis " +
+        s"(earliest surviving commit: ${timed.minBy(_._2)._2})")
+    atOrBefore.maxBy(_._1)._1
+  }
+
   /** Replay the log to the requested version (default: latest).
     * Fails loudly on unsupported reader features (deletion vectors,
     * column mapping) rather than returning wrong rows.

@@ -38,14 +38,28 @@ class DeltaTable(
   val PredicateKey = "predicate"
   /** args.extra key for time travel (Long/Int/String version). */
   val VersionKey = "versionAsOf"
+  /** args.extra key for timestamp time travel: epoch millis (Long) or
+    * an ISO-8601 instant string; resolves to the last version
+    * committed at or before it ([[DeltaLog.versionAtTimestamp]]).
+    */
+  val TimestampKey = "timestampAsOf"
 
   override def apply(spark: SparkSession, args: ReadArgs): DataFrame = {
+    require(!(args.extra.contains(VersionKey) && args.extra.contains(TimestampKey)),
+      s"$VersionKey and $TimestampKey are mutually exclusive")
     val version = args.extra.get(VersionKey).map {
       case v: Long   => v
       case v: Int    => v.toLong
       case v: String => v.toLong
       case other     => throw new IllegalArgumentException(s"bad $VersionKey: $other")
-    }
+    }.orElse(args.extra.get(TimestampKey).map { t =>
+      val millis = t match {
+        case ms: Long  => ms
+        case s: String => java.time.Instant.parse(s).toEpochMilli
+        case other     => throw new IllegalArgumentException(s"bad $TimestampKey: $other")
+      }
+      DeltaLog.versionAtTimestamp(spark, uri, millis)
+    })
     val snap = DeltaLog.snapshot(spark, uri, version)
     val schema = snap.schema
     val partCols = snap.metadata.partitionColumns

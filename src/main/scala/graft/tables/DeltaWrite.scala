@@ -183,6 +183,41 @@ object DeltaWrite {
     """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
       """"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}"""
 
+  /** RESTORE: make the table's latest state equal an earlier version
+    * via one metadata-only commit (remove files added since, re-add
+    * files removed since — data files are never copied). Refuses if
+    * any file of the target version no longer exists on disk (vacuumed
+    * past the retention window), rather than committing a state that
+    * cannot be read.
+    */
+  def restore(spark: SparkSession, tablePath: String, version: Long): CommitResult = {
+    val cur = DeltaLog.snapshot(spark, tablePath)
+    val old = DeltaLog.snapshot(spark, tablePath, Some(version))
+    val base = tablePath.stripSuffix("/")
+    val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    val missing = old.files.filterNot(f => fs.exists(new Path(base, f.path)))
+    require(missing.isEmpty,
+      s"cannot restore $tablePath to version $version: " +
+        s"${missing.size} data file(s) were vacuumed (first: ${missing.head.path})")
+
+    val curByPath = cur.files.map(f => f.path -> f).toMap
+    val oldByPath = old.files.map(f => f.path -> f).toMap
+    // re-add anything whose content differs (path present in old but
+    // absent now, or same path with a different DV)
+    val adds = old.files.filter(f => !curByPath.get(f.path).contains(f))
+      .map(f => StagedAdd(f.path, f.partitionValues, f.size, f.stats, f.dv))
+    val removes = cur.files.map(_.path).filterNot(oldByPath.contains)
+    if (adds.isEmpty && removes.isEmpty && cur.metadata == old.metadata)
+      return CommitResult(cur.version, 0, 0)
+    // DV-bearing re-adds need the feature protocol in case the table
+    // was created before DVs appeared
+    val extra = if (adds.exists(_.dv.isDefined)) Seq(DvProtocolAction) else Seq.empty
+    commitLoop(spark, tablePath, adds, removes,
+      old.metadata.schemaString, old.metadata.partitionColumns,
+      overwrite = false, extraActions = extra)
+  }
+
   /** OPTIMIZE: bin-pack each partition's small files (and any
     * DV-bearing file, whose deletes get materialized — the DV is
     * purged) into fresh files via one remove+add commit. Only

@@ -302,6 +302,72 @@ class DeltaSpec extends SparkSpec {
       == expected, "current snapshot must survive vacuum")
   }
 
+  test("timestampAsOf resolves against commit modification times") {
+    val dir = tempDir("delta-tsasof").toString + "/t"
+    DeltaWrite.append(spark, Seq((1L, "a")).toDF("id", "v"), dir)
+    DeltaWrite.append(spark, Seq((2L, "b")).toDF("id", "v"), dir)
+    // pin deterministic commit times instead of sleeping
+    val f = fs(dir)
+    val j0 = new Path(dir + "/_delta_log", f"${0L}%020d.json")
+    val j1 = new Path(dir + "/_delta_log", f"${1L}%020d.json")
+    f.setTimes(j0, 1000000L, -1)
+    f.setTimes(j1, 2000000L, -1)
+
+    val t = new DeltaTable("t", dir)
+    assert(t(spark, ReadArgs(extra = Map(t.TimestampKey -> 1500000L))).count() == 1)
+    assert(t(spark, ReadArgs(extra = Map(t.TimestampKey -> 2000000L))).count() == 2)
+    assert(t(spark, ReadArgs(extra =
+      Map(t.TimestampKey -> "1970-01-01T00:25:00Z"))).count() == 1) // 1.5e6 ms
+    val e = intercept[IllegalArgumentException] {
+      t(spark, ReadArgs(extra = Map(t.TimestampKey -> 999999L))).count()
+    }
+    assert(e.getMessage.contains("no commit"))
+    val both = intercept[IllegalArgumentException] {
+      t(spark, ReadArgs(extra = Map(t.TimestampKey -> 1500000L, t.VersionKey -> 0L)))
+    }
+    assert(both.getMessage.contains("mutually exclusive"))
+  }
+
+  test("restore rewinds deletes via a metadata-only commit") {
+    val dir = tempDir("delta-restore").toString + "/t"
+    DeltaWrite.append(spark,
+      (1 to 30).map(i => (i.toLong, s"v$i")).toDF("id", "v"), dir)
+    DeltaWrite.deleteWhereDv(spark, dir,
+      graft.core.Filters.normalize(Seq(graft.core.Filter("id", "<=", 10L))))
+    DeltaWrite.deleteWhere(spark, dir,
+      graft.core.Filters.normalize(Seq(graft.core.Filter("id", ">", 25L))))
+    assert(new DeltaTable("t", dir)(spark).count() == 15)
+
+    val dataBefore = dataFileSet(dir)
+    val res = DeltaWrite.restore(spark, dir, version = 0L)
+    assert(res.version == 3)
+    assert(dataFileSet(dir) == dataBefore, "restore must not copy/write data files")
+    assert(new DeltaTable("t", dir)(spark).count() == 30)
+    // and the restored state itself is time-travelable history
+    val t = new DeltaTable("t", dir)
+    assert(t(spark, ReadArgs(extra = Map(t.VersionKey -> 2L))).count() == 15)
+
+    // a vacuumed target version refuses
+    DeltaWrite.optimize(spark, dir, smallFileBytes = Long.MaxValue)
+    DeltaWrite.vacuum(spark, dir, retentionMs = 0L)
+    val e = intercept[IllegalArgumentException] {
+      DeltaWrite.restore(spark, dir, version = 0L)
+    }
+    assert(e.getMessage.contains("vacuumed"))
+  }
+
+  private def dataFileSet(dir: String): Set[String] = {
+    val it = fs(dir).listFiles(new Path(dir), true)
+    val out = Set.newBuilder[String]
+    while (it.hasNext) {
+      val s = it.next()
+      if (s.isFile && !s.getPath.toString.contains("_delta_log")
+          && s.getPath.getName.endsWith(".parquet"))
+        out += s.getPath.toString
+    }
+    out.result()
+  }
+
   test("timestampNtz reader feature is accepted and reads natively") {
     val dir = tempDir("delta-ntz").toString + "/t"
     val schema = StructType(Seq(
