@@ -312,9 +312,27 @@ object RoaringBitmapArray {
       containers(i).foreach(low => f((keys(i) << 16) | low))
     }
 
-    /** Standard portable serialization, cookie 12346. */
+    /** Standard portable serialization, cookie 12346. The no-run
+      * cookie admits only array/bitset bodies, so a run container
+      * (possible after deserializing another writer's bitmap) is
+      * converted to its array/bitset equivalent first — writing a run
+      * body under cookie 12346 would corrupt the stream.
+      */
     def serialize: Array[Byte] = {
-      val bodies: Array[Array[Byte]] = containers.map {
+      val normalized: Array[Container] = containers.map {
+        case rc: RunContainer =>
+          val vs = Array.newBuilder[Char]
+          rc.foreach(vs += _)
+          val lows = vs.result()
+          if (lows.length <= ArrayMaxCard) ArrayContainer(lows)
+          else {
+            val words = new Array[Long](1024)
+            lows.foreach(l => words(l >>> 6) |= (1L << (l & 63)))
+            BitsetContainer(words, lows.length)
+          }
+        case other => other
+      }
+      val bodies: Array[Array[Byte]] = normalized.map {
         case ArrayContainer(vs) =>
           val b = ByteBuffer.allocate(vs.length * 2).order(ByteOrder.LITTLE_ENDIAN)
           vs.foreach(v => b.putShort(v.toShort))
@@ -323,13 +341,7 @@ object RoaringBitmapArray {
           val b = ByteBuffer.allocate(8192).order(ByteOrder.LITTLE_ENDIAN)
           words.foreach(b.putLong)
           b.array()
-        case rc: RunContainer => // writer never builds these; spec-complete anyway
-          val b = ByteBuffer.allocate(2 + rc.starts.length * 4).order(ByteOrder.LITTLE_ENDIAN)
-          b.putShort(rc.starts.length.toShort)
-          rc.starts.indices.foreach { i =>
-            b.putShort(rc.starts(i).toShort); b.putShort(rc.lengths(i).toShort)
-          }
-          b.array()
+        case _: RunContainer => throw new IllegalStateException("normalized above")
       }
       val size = keys.length
       val headerLen = 8 + size * 4 + size * 4 // cookie+size, desc pairs, offsets
@@ -339,7 +351,7 @@ object RoaringBitmapArray {
       bb.putInt(size)
       keys.indices.foreach { i =>
         bb.putShort(keys(i).toShort)
-        bb.putShort((containers(i).cardinality - 1).toShort)
+        bb.putShort((normalized(i).cardinality - 1).toShort)
       }
       var off = headerLen
       bodies.foreach { body => bb.putInt(off); off += body.length }

@@ -72,6 +72,32 @@ class DeletionVectorSpec extends SparkSpec {
     assert(parsed.cardinality == 6)
   }
 
+  test("re-serializing a bitmap with run containers normalizes them safely") {
+    // build a run-container bitmap (cookie 12347), then round-trip it
+    // through OUR serializer: runs must convert to array/bitset bodies
+    val bm = ByteBuffer.allocate(4 + 1 + 4 + 2 + 4 + 4).order(ByteOrder.LITTLE_ENDIAN)
+    bm.putInt(12347); bm.put(0x01.toByte)
+    bm.putShort(0); bm.putShort(5)       // key 0, card-1 = 5
+    bm.putShort(1); bm.putShort(10); bm.putShort(5) // one run [10,15]
+    val arr = ByteBuffer.allocate(12 + bm.position()).order(ByteOrder.LITTLE_ENDIAN)
+    arr.putInt(RoaringBitmapArray.Magic).putLong(1L).put(bm.array(), 0, bm.position())
+    val withRuns = RoaringBitmapArray.deserialize(arr.array())
+    val roundTripped = RoaringBitmapArray.deserialize(withRuns.serialize)
+    assert(roundTripped.toArray.toSeq == (10L to 15L))
+  }
+
+  test("uuid DV descriptors with a directory prefix resolve under it") {
+    val uuid = java.util.UUID.fromString("01234567-89ab-cdef-0123-456789abcdef")
+    val bb = ByteBuffer.allocate(16)
+    bb.putLong(uuid.getMostSignificantBits).putLong(uuid.getLeastSignificantBits)
+    val d = DeletionVectors.DvDescriptor(
+      "u", "ab/" + Z85.encode(bb.array()), Some(1L), 10, 1L)
+    assert(d.filePath("/tbl").get.toString == s"/tbl/ab/deletion_vector_$uuid.bin")
+    val bare = DeletionVectors.DvDescriptor(
+      "u", Z85.encode(bb.array()), Some(1L), 10, 1L)
+    assert(bare.filePath("/tbl").get.toString == s"/tbl/deletion_vector_$uuid.bin")
+  }
+
   test("run cookie with >=4 containers includes an offset header (decode path)") {
     // 4 run containers on keys 0..3, each runs [10,12]; with the
     // SERIAL_COOKIE (12347) and size >= 4 the offset header is present
