@@ -68,4 +68,33 @@ class IntegrationSpec extends SparkSpec {
     val site = WebExport.exportCatalog("main", catalog, spark).render
     assert(site.contains("binned spikes") && site.contains("graft_lab"))
   }
+
+  test("a modern Delta table (DVs, checkpoints) plugs into the catalog flow") {
+    import graft.core.Filters
+    val base = tempDir("integration-delta").toString
+    val path = s"$base/readings"
+    DeltaWrite.append(spark,
+      (1 to 40).map(i => (i.toLong, i * 1.5, s"sensor${i % 4}")).toDF("id", "value", "sensor"),
+      path, partitionBy = Seq("sensor"))
+    DeltaWrite.deleteWhereDv(spark, path,
+      Filters.normalize(Seq(Filter("id", ">", 30L))))
+    DeltaWrite.checkpoint(spark, path)
+
+    val readings = new DeltaTable("readings", path, description = "sensor readings")
+    val catalog = new Catalog(Map("iot" -> new MapDatabase(Map("readings" -> readings))))
+
+    // filter-algebra read composes with partition pruning + the DV mask
+    val one = catalog.db("iot").table("readings", spark,
+      ReadArgs.where(Filter("sensor", "=", "sensor1")))
+    assert(one.select("id").as[Long].collect().sorted.toSeq ==
+      (1 to 30).filter(_ % 4 == 1).map(_.toLong))
+
+    // catalog-wide SQL sees the DV-masked state
+    catalog.registerAllViews(spark)
+    assert(spark.sql("SELECT count(*) FROM iot_readings").as[Long].head() == 30)
+
+    // schema introspection / export treats it like any other table
+    val json = WebExport.exportCatalog("main", catalog, spark).render
+    assert(json.contains("sensor readings") && json.contains("\"table_type\":\"DELTA_LAKE\""))
+  }
 }
