@@ -88,10 +88,118 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Shared tokenization for the word-gram expressions: EXACTLY Spark's
+  * `split(trim(text), "\\s+")` — trim strips ASCII spaces only, split
+  * runs with limit -1 (keeps trailing empty matches) — so these
+  * expressions are drop-in equals of the declarative formulation the
+  * oracles were blessed against.
+  */
+private[functions] object WordGrams {
+  def wsTokens(s: String): Array[String] = {
+    var b = 0
+    var e = s.length
+    while (b < e && s.charAt(b) == ' ') b += 1
+    while (e > b && s.charAt(e - 1) == ' ') e -= 1
+    s.substring(b, e).split("\\s+", -1)
+  }
+
+  val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** PortableHash.md5Mod of a string: first 6 md5 bytes % Prime. */
+  def h48(digest: java.security.MessageDigest, s: String): Long = {
+    digest.reset()
+    val d = digest.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var h = 0L
+    var i = 0
+    while (i < 6) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    h % PortableHash.Prime
+  }
+}
+
+/** Portable md5 hashes of the OVERLAPPING word n-grams of a text —
+  * one tokenization + one digest per gram, vs the declarative
+  * `transform(sequence(...), i -> md5Mod(array_join(slice(...))))`
+  * whose lambda interprets per element (the decontamination hot loop
+  * at corpus scale). Equal by construction; equality is spec-tested.
+  */
+case class WordGramHashes(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_word_gram_hashes"
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = WordGrams.wsTokens(input.asInstanceOf[UTF8String].toString)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Long])
+    val digest = WordGrams.md.get()
+    val out = new Array[Long](toks.length - n + 1)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < out.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      out(i) = WordGrams.h48(digest, sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordGramHashes =
+    copy(child = newChild)
+}
+
+/** NON-overlapping n-word chunks of a text (passage segmentation for
+  * passage-level dedup); the native twin of the chunked
+  * `transform(sequence(...), i -> array_join(slice(...)))`.
+  */
+case class WordChunks(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_word_chunks"
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = WordGrams.wsTokens(input.asInstanceOf[UTF8String].toString)
+    val m = toks.length / n
+    val out = new Array[AnyRef](m)
+    val sb = new java.lang.StringBuilder
+    var c = 0
+    while (c < m) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(c * n + j))
+        j += 1
+      }
+      out(c) = UTF8String.fromString(sb.toString)
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordChunks =
+    copy(child = newChild)
+}
+
 object TextHashExpressions {
   def shingleHashSet(text: Column, k: Int): Column =
     Bridge.column(ShingleHashSet(Bridge.expression(text), k))
 
   def sortedIntersectCount(a: Column, b: Column): Column =
     Bridge.column(SortedIntersectCount(Bridge.expression(a), Bridge.expression(b)))
+
+  def wordGramHashes(text: Column, n: Int): Column =
+    Bridge.column(WordGramHashes(Bridge.expression(text), n))
+
+  def wordChunks(text: Column, n: Int): Column =
+    Bridge.column(WordChunks(Bridge.expression(text), n))
 }

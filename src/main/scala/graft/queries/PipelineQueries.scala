@@ -232,12 +232,8 @@ object PipelineQueries {
     */
   def qPassageDedup(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-      .withColumn("_toks", graft.functions.Text.wsTokens(col("text")))
     val chunked = docs.select(col("doc_id"), col("source"),
-      explode(when(size(col("_toks")) >= 8,
-        transform(sequence(lit(0), floor(size(col("_toks")) / lit(8)).cast("int") - 1),
-          i => array_join(slice(col("_toks"), i * lit(8) + lit(1), lit(8)), " ")))
-        .otherwise(array().cast("array<string>"))).as("chunk"))
+      explode(graft.functions.TextHashExpressions.wordChunks(col("text"), 8)).as("chunk"))
     val counts = chunked.groupBy(col("chunk")).agg(count(lit(1)).as("_cnt"))
     chunked.join(counts, Seq("chunk"))
       .groupBy(col("source"))
@@ -257,12 +253,7 @@ object PipelineQueries {
     */
   def qContamination(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-      .withColumn("_toks", graft.functions.Text.wsTokens(col("text")))
-    def grams = when(size(col("_toks")) >= 8,
-      transform(sequence(lit(0), size(col("_toks")) - 8),
-        i => graft.functions.PortableHash.md5Mod(
-          array_join(slice(col("_toks"), i + lit(1), lit(8)), " "))))
-      .otherwise(array().cast("array<bigint>"))
+    def grams = graft.functions.TextHashExpressions.wordGramHashes(col("text"), 8)
     val probe = docs.where(col("doc_id") % 50 === 0)
       .select(explode(grams).as("h")).distinct()
     val perDoc = docs.where(col("doc_id") % 50 =!= 0)

@@ -9,6 +9,36 @@ class TextSpec extends SparkSpec {
   private def one(c: org.apache.spark.sql.Column, text: String): Any =
     Seq(text).toDF("t").select(c.as("r")).head().get(0)
 
+  test("native word-gram/chunk expressions equal the declarative formulation") {
+    // the declarative twins the oracles were blessed against
+    def toks = Text.wsTokens(col("t"))
+    def chunksHof = when(size(toks) >= 8,
+      transform(sequence(lit(0), floor(size(toks) / lit(8)).cast("int") - 1),
+        i => array_join(slice(toks, i * lit(8) + lit(1), lit(8)), " ")))
+      .otherwise(array().cast("array<string>"))
+    def gramsHof = when(size(toks) >= 8,
+      transform(sequence(lit(0), size(toks) - 8),
+        i => PortableHash.md5Mod(array_join(slice(toks, i + lit(1), lit(8)), " "))))
+      .otherwise(array().cast("array<bigint>"))
+
+    val texts =
+      spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+        .select(col("text").as("t")).as[String].collect().toSeq ++
+      Seq("", " ", "a b c", "one two three four five six seven eight",
+        "  padded   run  of nine words here in total ok  ",
+        "tab\tand\nnewline separated words reach the eight count here")
+
+    val df = texts.toDF("t")
+    val native = df.select(
+      TextHashExpressions.wordChunks(col("t"), 8).as("c"),
+      TextHashExpressions.wordGramHashes(col("t"), 8).as("g")).collect()
+    val hof = df.select(chunksHof.as("c"), gramsHof.as("g")).collect()
+    native.zip(hof).zipWithIndex.foreach { case ((n, h), i) =>
+      assert(n.getSeq[String](0) == h.getSeq[String](0), s"chunks differ for: ${texts(i)}")
+      assert(n.getSeq[Long](1) == h.getSeq[Long](1), s"grams differ for: ${texts(i)}")
+    }
+  }
+
   test("whitespace and word tokenization") {
     assert(one(size(Text.wsTokens(col("t"))), "a  b\tc") == 3)
     assert(one(size(Text.wordTokens(col("t"))), "a-b c") == 3)
