@@ -70,11 +70,12 @@ object Bpe {
     // recomputable after executor loss; a reliable checkpoint dir is
     // the production alternative for the huge-vocab path.)
 
-    // chars as initial symbols
+    // code points as initial symbols, via the SAME native expression
+    // encode uses (an empty merge table = split to symbols) — one
+    // shared alphabet for learn/encode/local, and regex splits like
+    // "(?!^)" are code-UNIT-based, which would halve surrogate pairs
     var words = wordFreq
-      // Spark's split keeps the trailing empty match (limit -1
-      // semantics), so strip empties or "" becomes a symbol
-      .select(array_remove(split(col("w"), "(?!^)"), "").as("toks"), col("freq"))
+      .select(encode(col("w"), Seq.empty).as("toks"), col("freq"))
       .localCheckpoint()
 
     val merges = scala.collection.mutable.Buffer.empty[(String, String)]
@@ -131,8 +132,11 @@ object Bpe {
     * distributed learner matches it exactly).
     */
   def learnLocal(wordFreqs: Map[String, Long], numMerges: Int): Merges = {
+    // per code POINT via the same splitter as encode/learn — UTF-16
+    // units would split surrogate pairs (emoji, supplementary CJK)
+    // into different initial symbols and diverge the learned merges
     var words: Map[Vector[String], Long] =
-      wordFreqs.map { case (w, f) => w.toVector.map(_.toString) -> f }
+      wordFreqs.map { case (w, f) => codePointSyms(w).toVector -> f }
     val merges = scala.collection.mutable.Buffer.empty[(String, String)]
     var done = false
     while (merges.size < numMerges && !done) {
@@ -166,9 +170,21 @@ object Bpe {
     out.result()
   }
 
+  /** One symbol per code POINT (surrogate pairs stay whole). */
+  private[functions] def codePointSyms(word: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.result()
+  }
+
   /** Greedy rank-ordered application of a merge table to one word. */
   private[functions] def encodeWord(word: String, ranks: Map[(String, String), Int]): Array[String] = {
-    var toks = word.map(_.toString).toArray
+    var toks = codePointSyms(word)
     var changed = true
     while (changed && toks.length > 1) {
       // find the lowest-rank adjacent pair present

@@ -55,10 +55,28 @@ object DeltaLog {
   val SupportedReaderFeatures: Set[String] =
     Set("deletionVectors", "columnMapping", "timestampNtz")
 
+  /** The table's `protocol` action (latest wins during replay). The
+    * checkpoint writer preserves this verbatim instead of
+    * reconstructing it, so external readers see the table's true
+    * requirements (column mapping, timestampNtz, DVs) after replaying
+    * from a checkpoint.
+    */
+  final case class Protocol(
+      minReaderVersion: Int,
+      minWriterVersion: Int,
+      readerFeatures: Option[Seq[String]],
+      writerFeatures: Option[Seq[String]])
+
+  object Protocol {
+    val Base: Protocol = Protocol(1, 2, None, None)
+  }
+
   final case class Metadata(
       schemaString: String,
       partitionColumns: Seq[String],
-      configuration: Map[String, String] = Map.empty
+      configuration: Map[String, String] = Map.empty,
+      id: String = "",
+      createdTime: Option[Long] = None
   ) {
     lazy val schema: StructType = DataType.fromJson(schemaString).asInstanceOf[StructType]
 
@@ -108,9 +126,27 @@ object DeltaLog {
 
   val PhysicalNameKey = "delta.columnMapping.physicalName"
 
-  final case class Snapshot(version: Long, metadata: Metadata, files: Seq[AddFile]) {
+  final case class Snapshot(
+      version: Long,
+      metadata: Metadata,
+      files: Seq[AddFile],
+      protocol: Protocol = Protocol.Base) {
     def schema: StructType = metadata.schema
   }
+
+  /** A vacuum tombstone: a `remove` action surviving in the log (JSON
+    * commits or checkpoint tombstone rows). `deletionTimestamp` is
+    * when the file stopped being part of the table — the clock the
+    * retention window runs on (NOT the data file's own mtime: a file
+    * written long ago but removed a second ago must survive vacuum for
+    * the full retention so concurrent readers and recent time travel
+    * keep working). `dv` is the deletion vector the removed entry
+    * carried, so the DV file gets the same retention protection.
+    */
+  final case class Tombstone(
+      path: String,
+      deletionTimestamp: Long,
+      dv: Option[DeletionVectors.DvDescriptor])
 
   private val mapper = new ObjectMapper()
 
@@ -211,6 +247,7 @@ object DeltaLog {
 
     val active = mutable.LinkedHashMap.empty[String, AddFile]
     var meta: Option[Metadata] = None
+    var protocol: Protocol = Protocol.Base
 
     // checkpoint base: the `_last_checkpoint` hint names the newest
     // checkpoint without a listing scan (and is how aged-out logs are
@@ -233,33 +270,45 @@ object DeltaLog {
       if (cols.contains("protocol")) {
         cp.select("protocol").where("protocol IS NOT NULL").collect().foreach { r =>
           val p = r.getStruct(0)
+          val names = p.schema.fieldNames
+          def featureSeq(field: String): Option[Seq[String]] =
+            if (!names.contains(field)) None
+            else Option(p.getAs[scala.collection.Seq[String]](field)).map(_.toSeq)
           val minReader = p.getAs[Int]("minReaderVersion")
           if (minReader >= 3) {
             require(minReader == 3,
               s"unsupported Delta reader protocol version $minReader in $tablePath checkpoint")
-            val features =
-              if (p.schema.fieldNames.contains("readerFeatures"))
-                Option(p.getAs[scala.collection.Seq[String]]("readerFeatures"))
-                  .map(_.toSet).getOrElse(Set.empty[String])
-              else Set.empty[String]
+            val features = featureSeq("readerFeatures").map(_.toSet).getOrElse(Set.empty)
             val unsupported = features -- SupportedReaderFeatures
             require(unsupported.isEmpty,
               s"unsupported Delta reader features $unsupported in $tablePath checkpoint")
           }
+          protocol = Protocol(
+            minReader,
+            if (names.contains("minWriterVersion")) p.getAs[Int]("minWriterVersion") else 2,
+            featureSeq("readerFeatures"), featureSeq("writerFeatures"))
         }
       }
       if (cols.contains("metaData")) {
         cp.select("metaData").where("metaData IS NOT NULL").collect().foreach { r =>
           val m = r.getStruct(0)
+          val names = m.schema.fieldNames
           val conf =
-            if (!m.schema.fieldNames.contains("configuration")) Map.empty[String, String]
+            if (!names.contains("configuration")) Map.empty[String, String]
             else Option(m.getAs[scala.collection.Map[String, String]]("configuration"))
               .map(_.toMap).getOrElse(Map.empty[String, String])
           val md = Metadata(
             m.getAs[String]("schemaString"),
             Option(m.getAs[scala.collection.Seq[String]]("partitionColumns"))
               .map(_.toSeq).getOrElse(Seq.empty),
-            conf)
+            conf,
+            id = if (names.contains("id")) Option(m.getAs[String]("id")).getOrElse("") else "",
+            createdTime =
+              if (!names.contains("createdTime")) None
+              else Option(m.getAs[Any]("createdTime")).map {
+                case l: Long => l
+                case i: Int  => i.toLong
+              })
           require(md.columnMappingMode == "none" || md.columnMappingMode == "name",
             s"Delta column mapping mode '${md.columnMappingMode}' is not supported in $tablePath")
           meta = Some(md)
@@ -272,17 +321,7 @@ object DeltaLog {
             .map(_.toMap.map { case (k, v) => k -> Option(v) }).getOrElse(Map.empty[String, Option[String]])
           val dv =
             if (!a.schema.fieldNames.contains("deletionVector")) None
-            else Option(a.getAs[org.apache.spark.sql.Row]("deletionVector")).map { d =>
-              DeletionVectors.DvDescriptor(
-                d.getAs[String]("storageType"),
-                d.getAs[String]("pathOrInlineDv"),
-                Option(d.getAs[Any]("offset")).map {
-                  case l: Long => l
-                  case i: Int  => i.toLong
-                },
-                d.getAs[Int]("sizeInBytes"),
-                d.getAs[Long]("cardinality"))
-            }
+            else Option(a.getAs[org.apache.spark.sql.Row]("deletionVector")).map(dvFromRow)
           val add = AddFile(
             decodePath(a.getAs[String]("path")), pv, a.getAs[Long]("size"),
             if (a.schema.fieldNames.contains("stats")) Option(a.getAs[String]("stats")) else None,
@@ -320,15 +359,20 @@ object DeltaLog {
             // listed feature is implemented (deletionVectors), refuse
             // otherwise (column mapping, v2 checkpoints, ...) rather
             // than silently return wrong rows.
+            def featureSeq(field: String): Option[Seq[String]] =
+              Option(pr.get(field)).filterNot(_.isNull)
+                .map(_.elements().asScala.map(_.asText()).toSeq)
             if (minReader >= 3) {
               require(minReader == 3,
                 s"unsupported Delta reader protocol version $minReader in $tablePath: $pr")
-              val features = Option(pr.get("readerFeatures"))
-                .map(_.elements().asScala.map(_.asText()).toSet).getOrElse(Set.empty[String])
+              val features = featureSeq("readerFeatures").map(_.toSet).getOrElse(Set.empty)
               val unsupported = features -- SupportedReaderFeatures
               require(unsupported.isEmpty,
                 s"unsupported Delta reader features $unsupported in $tablePath")
             }
+            protocol = Protocol(
+              minReader, pr.path("minWriterVersion").asInt(2),
+              featureSeq("readerFeatures"), featureSeq("writerFeatures"))
           }
           if (node.has("metaData")) {
             val m = node.get("metaData")
@@ -337,7 +381,11 @@ object DeltaLog {
             }.getOrElse(Map.empty[String, String])
             val parts = Option(m.get("partitionColumns"))
               .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq.empty)
-            val md = Metadata(m.get("schemaString").asText(), parts, conf)
+            val md = Metadata(
+              m.get("schemaString").asText(), parts, conf,
+              id = Option(m.get("id")).filterNot(_.isNull).map(_.asText()).getOrElse(""),
+              createdTime =
+                Option(m.get("createdTime")).filterNot(_.isNull).map(_.asLong()))
             // "name" mapping is handled (physical names from schema
             // metadata); "id" (parquet field-id matching) is not —
             // refuse rather than misread
@@ -370,7 +418,79 @@ object DeltaLog {
 
     val m = meta.getOrElse(
       throw new IllegalStateException(s"no metaData action found in the log of $tablePath"))
-    Snapshot(target, m, active.values.toSeq)
+    Snapshot(target, m, active.values.toSeq, protocol)
+  }
+
+  /** `deletionVector` struct of a checkpoint add/remove row. */
+  private def dvFromRow(d: org.apache.spark.sql.Row): DeletionVectors.DvDescriptor =
+    DeletionVectors.DvDescriptor(
+      d.getAs[String]("storageType"),
+      d.getAs[String]("pathOrInlineDv"),
+      Option(d.getAs[Any]("offset")).map {
+        case l: Long => l
+        case i: Int  => i.toLong
+      },
+      d.getAs[Int]("sizeInBytes"),
+      d.getAs[Long]("cardinality"))
+
+  /** All vacuum tombstones visible in the log: remove actions from the
+    * surviving JSON commits plus the tombstone rows of the newest
+    * checkpoint (the checkpoint carries unexpired tombstones forward
+    * when the JSON prefix is cleaned up). Distinct (path, dv) pairs —
+    * a file whose DV was replaced twice leaves one tombstone per old
+    * DV, and each DV file needs its own retention clock. A remove
+    * without a `deletionTimestamp` (it is optional in the protocol)
+    * falls back to its commit file's mtime.
+    */
+  def tombstones(spark: SparkSession, tablePath: String): Seq[Tombstone] = {
+    val dir = logDir(tablePath)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (jsons, cps) = listLog(spark, tablePath)
+    val out = mutable.Map.empty[(String, Option[DeletionVectors.DvDescriptor]), Long]
+    def record(path: String, dv: Option[DeletionVectors.DvDescriptor], ts: Long): Unit = {
+      val k = (path, dv)
+      out(k) = math.max(out.getOrElse(k, Long.MinValue), ts)
+    }
+
+    cps.toSeq.maxByOption(_._1).foreach { case (_, paths) =>
+      val cp = spark.read.parquet(paths.map(_.toString): _*)
+      if (cp.columns.contains("remove")) {
+        cp.select("remove").where("remove IS NOT NULL").collect().foreach { r =>
+          val rm = r.getStruct(0)
+          val names = rm.schema.fieldNames
+          val ts =
+            if (!names.contains("deletionTimestamp")) 0L
+            else Option(rm.getAs[Any]("deletionTimestamp")).map {
+              case l: Long => l
+              case i: Int  => i.toLong
+            }.getOrElse(0L)
+          val dv =
+            if (!names.contains("deletionVector")) None
+            else Option(rm.getAs[org.apache.spark.sql.Row]("deletionVector")).map(dvFromRow)
+          record(decodePath(rm.getAs[String]("path")), dv, ts)
+        }
+      }
+    }
+
+    jsons.toSeq.sortBy(_._1).foreach { case (_, p) =>
+      lazy val mtime = fs.getFileStatus(p).getModificationTime
+      val in = fs.open(p)
+      val lines =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+        finally in.close()
+      lines.filter(_.nonEmpty).foreach { line =>
+        val node = mapper.readTree(line)
+        if (node.has("remove")) {
+          val rm = node.get("remove")
+          val ts = Option(rm.get("deletionTimestamp")).filterNot(_.isNull)
+            .map(_.asLong()).getOrElse(mtime)
+          val dv = Option(rm.get("deletionVector")).filterNot(_.isNull)
+            .map(DeletionVectors.parseDescriptor)
+          record(decodePath(rm.get("path").asText()), dv, ts)
+        }
+      }
+    }
+    out.toSeq.map { case ((path, dv), ts) => Tombstone(path, ts, dv) }
   }
 
   /** add/remove paths are percent-encoded relative URIs per the

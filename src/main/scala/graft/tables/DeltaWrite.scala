@@ -80,8 +80,8 @@ object DeltaWrite {
       .filter(!coalesce(predicate, lit(false)))
 
     val adds = stageFiles(spark, kept, tablePath, partCols)
-    commitLoop(spark, tablePath, adds, candidates.map(_.path),
-      schema.json, partCols, overwrite = false)
+    commitLoop(spark, tablePath, adds, candidates,
+      snap.metadata.schemaString, partCols, overwrite = false)
   }
 
   private def commit(
@@ -93,6 +93,32 @@ object DeltaWrite {
   ): CommitResult = {
     val adds = stageFiles(spark, df, tablePath, partitionBy)
     commitLoop(spark, tablePath, adds, Seq.empty, df.schema.json, partitionBy, overwrite)
+  }
+
+  /** Serialize a remove action for `f` (extended file metadata so
+    * readers see partitionValues/size, and the entry's deletion vector
+    * so the DV file inherits the tombstone's retention clock).
+    */
+  private def removeJson(f: DeltaLog.AddFile): String = {
+    val r = mapper.createObjectNode()
+    r.put("path", f.path)
+    r.put("deletionTimestamp", System.currentTimeMillis())
+    r.put("dataChange", true)
+    r.put("extendedFileMetadata", true)
+    val pvNode = r.putObject("partitionValues")
+    f.partitionValues.foreach { case (k, v) =>
+      v match { case Some(s) => pvNode.put(k, s); case None => pvNode.putNull(k) }
+    }
+    r.put("size", f.size)
+    f.dv.foreach { d =>
+      val dn = r.putObject("deletionVector")
+      dn.put("storageType", d.storageType)
+      dn.put("pathOrInlineDv", d.pathOrInlineDv)
+      d.offset.foreach(o => dn.put("offset", o))
+      dn.put("sizeInBytes", d.sizeInBytes)
+      dn.put("cardinality", d.cardinality)
+    }
+    s"""{"remove":${mapper.writeValueAsString(r)}}"""
   }
 
   private final case class StagedAdd(
@@ -174,8 +200,10 @@ object DeltaWrite {
       val f = byPath(key)
       StagedAdd(f.path, f.partitionValues, f.size, f.stats, Some(descriptors(key)))
     }
-    commitLoop(spark, tablePath, adds, adds.map(_.rel),
-      schema.json, partCols, overwrite = false,
+    // removes carry the PRE-update entries (old DV descriptors), so a
+    // replaced DV file gets its own tombstone for vacuum retention
+    commitLoop(spark, tablePath, adds, bitmaps.map { case (key, _) => byPath(key) },
+      snap.metadata.schemaString, partCols, overwrite = false,
       extraActions = Seq(DvProtocolAction))
   }
 
@@ -207,7 +235,7 @@ object DeltaWrite {
     // absent now, or same path with a different DV)
     val adds = old.files.filter(f => !curByPath.get(f.path).contains(f))
       .map(f => StagedAdd(f.path, f.partitionValues, f.size, f.stats, f.dv))
-    val removes = cur.files.map(_.path).filterNot(oldByPath.contains)
+    val removes = cur.files.filterNot(f => oldByPath.contains(f.path))
     if (adds.isEmpty && removes.isEmpty && cur.metadata == old.metadata)
       return CommitResult(cur.version, 0, 0)
     // DV-bearing re-adds need the feature protocol in case the table
@@ -254,16 +282,25 @@ object DeltaWrite {
       else kept.coalesce(
         math.max(1, (candidates.map(_.size).sum / math.max(1L, smallFileBytes)).toInt))
     val adds = stageFiles(spark, kept, tablePath, partCols)
-    commitLoop(spark, tablePath, adds, candidates.map(_.path),
+    commitLoop(spark, tablePath, adds, candidates,
       snap.metadata.schemaString, partCols, overwrite = false)
   }
 
   /** VACUUM: physically delete data files (and DV files) under the
     * table that are no longer referenced by the CURRENT snapshot and
-    * are older than `retentionMs`. Returns the number of deleted
-    * files. Time travel to versions whose files were vacuumed stops
-    * working — the same contract as every Delta implementation; the
-    * retention window is the guard (default 7 days).
+    * whose REMOVAL predates the retention window. Returns the number
+    * of deleted files. Time travel to versions whose files were
+    * vacuumed stops working — the same contract as every Delta
+    * implementation; the retention window is the guard (default 7
+    * days).
+    *
+    * The retention clock is the remove action's `deletionTimestamp`
+    * (the tombstone), NOT the data file's mtime: a file written months
+    * ago but removed from the table a second ago (e.g. by OPTIMIZE)
+    * must survive the full window so concurrent readers of the old
+    * snapshot and time travel to recent versions keep working. Files
+    * with no tombstone at all (crashed staging leftovers the log never
+    * referenced) fall back to their own mtime.
     */
   def vacuum(
       spark: SparkSession,
@@ -279,6 +316,16 @@ object DeltaWrite {
         snap.files.flatMap(_.dv.flatMap(_.filePath(base)))
           .map(_.toUri.getPath).toSet
 
+    // scheme-stripped absolute path → latest removal time (data files
+    // and the DV files their removed entries referenced)
+    val tombstoneAge: Map[String, Long] = DeltaLog.tombstones(spark, tablePath)
+      .flatMap { t =>
+        (Seq(new Path(base, t.path).toUri.getPath) ++
+          t.dv.flatMap(_.filePath(base)).map(_.toUri.getPath).toSeq)
+          .map(_ -> t.deletionTimestamp)
+      }
+      .groupMapReduce(_._1)(_._2)(math.max)
+
     val cutoff = System.currentTimeMillis() - retentionMs
     val it = fs.listFiles(new Path(base), true)
     var deleted = 0
@@ -288,8 +335,13 @@ object DeltaWrite {
       val inLog = p.toString.contains("_delta_log")
       val isData = s.isFile && !inLog &&
         (p.getName.endsWith(".parquet") || p.getName.endsWith(".bin"))
-      if (isData && !active.contains(p.toUri.getPath) && s.getModificationTime < cutoff) {
-        if (fs.delete(p, false)) deleted += 1
+      if (isData && !active.contains(p.toUri.getPath)) {
+        val removedAt = tombstoneAge.get(p.toUri.getPath)
+        val expired = removedAt match {
+          case Some(ts) => ts <= cutoff           // tombstone governs retention
+          case None     => s.getModificationTime <= cutoff // untracked stray file
+        }
+        if (expired && fs.delete(p, false)) deleted += 1
       }
     }
     deleted
@@ -342,7 +394,7 @@ object DeltaWrite {
       spark: SparkSession,
       tablePath: String,
       adds: Seq[StagedAdd],
-      explicitRemoves: Seq[String],
+      explicitRemoves: Seq[DeltaLog.AddFile],
       schemaJson: String,
       partitionBy: Seq[String],
       overwrite: Boolean,
@@ -358,8 +410,8 @@ object DeltaWrite {
         s"writes to column-mapped Delta tables are not supported ($tablePath)"))
       val needMeta = snapOpt.forall(s =>
         s.metadata.schemaString != schemaJson || s.metadata.partitionColumns != partitionBy)
-      val removes: Seq[String] =
-        if (overwrite) snapOpt.map(_.files.map(_.path)).getOrElse(Seq.empty)
+      val removes: Seq[DeltaLog.AddFile] =
+        if (overwrite) snapOpt.map(_.files).getOrElse(Seq.empty)
         else explicitRemoves
 
       val sb = new StringBuilder
@@ -367,23 +419,24 @@ object DeltaWrite {
         sb.append("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""").append('\n')
       extraActions.foreach(a => sb.append(a).append('\n'))
       if (needMeta) {
+        // a schema change is still the SAME table: carry the existing
+        // id, configuration and createdTime forward — a fresh metaData
+        // must not wipe table identity or configuration
+        val prev = snapOpt.map(_.metadata)
         val m = mapper.createObjectNode()
-        m.put("id", java.util.UUID.randomUUID().toString)
+        m.put("id", prev.map(_.id).filter(_.nonEmpty)
+          .getOrElse(java.util.UUID.randomUUID().toString))
         m.putObject("format").put("provider", "parquet").putObject("options")
         m.put("schemaString", schemaJson)
         val pc = m.putArray("partitionColumns")
         partitionBy.foreach(pc.add)
-        m.putObject("configuration")
-        m.put("createdTime", System.currentTimeMillis())
+        val confNode = m.putObject("configuration")
+        prev.foreach(_.configuration.foreach { case (k, v) => confNode.put(k, v) })
+        m.put("createdTime",
+          prev.flatMap(_.createdTime).getOrElse(System.currentTimeMillis()))
         sb.append(s"""{"metaData":${mapper.writeValueAsString(m)}}""").append('\n')
       }
-      removes.foreach { p =>
-        val r = mapper.createObjectNode()
-        r.put("path", p)
-        r.put("deletionTimestamp", System.currentTimeMillis())
-        r.put("dataChange", true)
-        sb.append(s"""{"remove":${mapper.writeValueAsString(r)}}""").append('\n')
-      }
+      removes.foreach(f => sb.append(removeJson(f)).append('\n'))
       adds.foreach { add =>
         val a = mapper.createObjectNode()
         a.put("path", add.rel)
@@ -436,28 +489,60 @@ object DeltaWrite {
     val snap = DeltaLog.snapshot(spark, tablePath)
     val fs = DeltaLog.logDir(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-    // a table with any DV-bearing file must checkpoint the feature
-    // protocol, or replay-from-checkpoint would claim reader v1
+    // preserve the table's ACTUAL latest protocol action — a
+    // column-mapped or timestampNtz table must not be downgraded to
+    // reader 1, and a reader-3 table whose DVs were all purged must
+    // not lose its declared features. Defensive widening only: if a
+    // DV-bearing file somehow exists under a pre-feature protocol,
+    // checkpointing reader v1 would be silently wrong, so add the
+    // feature.
     val hasDv = snap.files.exists(_.dv.isDefined)
+    val sp = snap.protocol
     val protocol =
-      if (hasDv) CpProtocol(3, 7, Some(Seq("deletionVectors")), Some(Seq("deletionVectors")))
-      else CpProtocol(1, 2, None, None)
+      if (hasDv && !(sp.minReaderVersion >= 3 &&
+          sp.readerFeatures.exists(_.contains("deletionVectors"))))
+        CpProtocol(3, 7,
+          Some((sp.readerFeatures.getOrElse(Seq.empty) :+ "deletionVectors").distinct),
+          Some((sp.writerFeatures.getOrElse(Seq.empty) :+ "deletionVectors").distinct))
+      else CpProtocol(sp.minReaderVersion, sp.minWriterVersion,
+        sp.readerFeatures, sp.writerFeatures)
+
+    // carry unexpired tombstones forward: once the JSON prefix is
+    // cleaned up, the checkpoint is the only place vacuum can learn
+    // WHEN a file was removed. Expired ones are dropped (vacuum may
+    // reclaim them at any time; keeping them would grow checkpoints
+    // without bound).
+    val tombstoneCutoff = System.currentTimeMillis() - 7L * 24 * 3600 * 1000
+    val tombstoneRows = DeltaLog.tombstones(spark, tablePath)
+      .filter(_.deletionTimestamp > tombstoneCutoff)
+      .map(t => CpRow(remove = Some(CpRemove(
+        t.path, t.deletionTimestamp, dataChange = false,
+        t.dv.map(d => CpDv(
+          d.storageType, d.pathOrInlineDv, d.offset, d.sizeInBytes, d.cardinality))))))
+
     val rows: Seq[CpRow] =
       CpRow(protocol = Some(protocol)) +:
         CpRow(metaData = Some(CpMeta(
-          java.util.UUID.randomUUID().toString, CpFormat("parquet", Map.empty),
+          // the checkpoint restates the same table: same id, same
+          // createdTime (a random id here would change table identity
+          // for every reader replaying from the checkpoint)
+          if (snap.metadata.id.nonEmpty) snap.metadata.id
+          else java.util.UUID.randomUUID().toString,
+          CpFormat("parquet", Map.empty),
           snap.metadata.schemaString, snap.metadata.partitionColumns,
           // carry table configuration (column mapping mode etc.)
           // through the checkpoint, or replay-from-checkpoint would
           // misread a mapped table as unmapped
-          snap.metadata.configuration))) +:
-        snap.files.map(f => CpRow(add = Some(CpAdd(
+          snap.metadata.configuration,
+          snap.metadata.createdTime))) +:
+        (snap.files.map(f => CpRow(add = Some(CpAdd(
           f.path,
           // protocol: null partition value → null map value
           f.partitionValues.map { case (k, v) => k -> v.orNull },
           f.size, 0L, dataChange = false, f.stats.orNull,
           f.dv.map(d => CpDv(
-            d.storageType, d.pathOrInlineDv, d.offset, d.sizeInBytes, d.cardinality))))))
+            d.storageType, d.pathOrInlineDv, d.offset, d.sizeInBytes, d.cardinality)))))) ++
+          tombstoneRows)
 
     val destPaths = DeltaLog.checkpointPaths(tablePath, snap.version, parts)
     val groups: Seq[Seq[CpRow]] =
@@ -602,7 +687,8 @@ private[tables] final case class CpMeta(
     format: CpFormat,
     schemaString: String,
     partitionColumns: Seq[String],
-    configuration: Map[String, String])
+    configuration: Map[String, String],
+    createdTime: Option[Long] = None)
 private[tables] final case class CpDv(
     storageType: String,
     pathOrInlineDv: String,
@@ -617,7 +703,13 @@ private[tables] final case class CpAdd(
     dataChange: Boolean,
     stats: String,
     deletionVector: Option[CpDv] = None)
+private[tables] final case class CpRemove(
+    path: String,
+    deletionTimestamp: Long,
+    dataChange: Boolean,
+    deletionVector: Option[CpDv] = None)
 private[tables] final case class CpRow(
     add: Option[CpAdd] = None,
     metaData: Option[CpMeta] = None,
-    protocol: Option[CpProtocol] = None)
+    protocol: Option[CpProtocol] = None,
+    remove: Option[CpRemove] = None)

@@ -86,6 +86,20 @@ class BpeSpec extends SparkSpec {
     assert(learned < none, s"$learned !< $none")
   }
 
+  test("local learner splits per code POINT: non-BMP corpora match distributed") {
+    // surrogate-pair characters (emoji, supplementary CJK): a UTF-16
+    // split would break 🙂 into two half-symbols and diverge the paths
+    val freqs = Map("🙂🙂ab" -> 5L, "🙂🙂ac" -> 4L, "𠜎𠜎b" -> 3L, "ab" -> 2L)
+    val docs = freqs.toSeq.sortBy(_._1).map { case (w, f) =>
+      Seq.fill(f.toInt)(w).mkString(" ")
+    }
+    val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val local = Bpe.learnLocal(freqs, 5)
+    val distributed = Bpe.learn(df, "text", 5, localVocabThreshold = 0L)
+    assert(local == distributed, s"local $local vs distributed $distributed")
+    assert(local.head._1 == "🙂", "first merge must start from the full emoji symbol")
+  }
+
   test("learner stops when no pair repeats") {
     val df = Seq((1L, "ab cd")).toDF("id", "text")
     val merges = Bpe.learn(df, "text", 10)

@@ -385,6 +385,102 @@ class DeltaSpec extends SparkSpec {
     assert(got.count() == 2)
   }
 
+  test("vacuum retention runs on the tombstone clock, not file mtime") {
+    val dir = tempDir("delta-vacts").toString + "/t"
+    DeltaWrite.append(spark, (1 to 10).map(i => (i.toLong, s"v$i")).toDF("id", "v"), dir)
+    val before = dataFileSet(dir)
+    // remove every file from the table NOW (all rows match)
+    DeltaWrite.deleteWhere(spark, dir,
+      graft.core.Filters.normalize(Seq(Filter("id", ">", 0L))))
+    // age the orphaned data files far past any retention window: under
+    // an mtime-based vacuum they would be reclaimed immediately
+    val f = fs(dir)
+    before.foreach(p => f.setTimes(new Path(p), 1000L, -1))
+    assert(DeltaWrite.vacuum(spark, dir, retentionMs = 3600L * 1000) == 0,
+      "files removed a moment ago must survive the retention window")
+    val t = new DeltaTable("t", dir)
+    assert(t(spark, ReadArgs(extra = Map(t.VersionKey -> 0L))).count() == 10,
+      "time travel within the retention window must keep working")
+    // expired tombstones reclaim
+    assert(DeltaWrite.vacuum(spark, dir, retentionMs = 0L) >= before.size)
+  }
+
+  test("checkpoint preserves the table's real protocol and identity") {
+    val dir = tempDir("delta-cpproto").toString + "/t"
+    DeltaWrite.append(spark, (1 to 20).map(i => (i.toLong, s"v$i")).toDF("id", "v"), dir)
+    DeltaWrite.deleteWhereDv(spark, dir,
+      graft.core.Filters.normalize(Seq(Filter("id", "<=", 3L)))) // protocol → reader 3
+    DeltaWrite.optimize(spark, dir) // purges every DV; protocol action stays in effect
+    val snap0 = DeltaLog.snapshot(spark, dir)
+    assert(snap0.files.forall(_.dv.isEmpty))
+    assert(snap0.protocol.minReaderVersion == 3)
+    assert(snap0.metadata.id.nonEmpty)
+
+    val cpV = DeltaWrite.checkpoint(spark, dir)
+    // drop the whole JSON prefix: replay must come from the checkpoint
+    val f = fs(dir)
+    (0L to cpV).foreach(v =>
+      f.delete(new Path(dir + "/_delta_log", f"$v%020d.json"), false))
+    val snap1 = DeltaLog.snapshot(spark, dir)
+    assert(snap1.protocol == snap0.protocol,
+      "checkpoint must not downgrade a DV-purged table's protocol")
+    assert(snap1.metadata.id == snap0.metadata.id,
+      "checkpoint must not change table identity")
+    assert(snap1.metadata.createdTime == snap0.metadata.createdTime)
+    assert(new DeltaTable("t", dir)(spark).count() == 17)
+    // tombstones survived into the checkpoint: though every remove
+    // JSON is gone, recently-removed files still get their retention
+    assert(DeltaWrite.vacuum(spark, dir, retentionMs = 3600L * 1000) == 0)
+    assert(DeltaWrite.vacuum(spark, dir, retentionMs = 0L) > 0)
+    assert(new DeltaTable("t", dir)(spark).count() == 17)
+  }
+
+  test("foreign schemaString formatting does not wipe config on a DV delete") {
+    // a table written by another engine: schemaString key order differs
+    // from Spark's own json round-trip, and configuration is non-empty
+    val dir = tempDir("delta-foreignschema").toString + "/t"
+    val schema = StructType(Seq(StructField("id", LongType), StructField("v", StringType)))
+    val size = putFile(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"), dir, "f0.parquet")
+    val foreignSchemaString =
+      """{"fields":[{"metadata":{},"name":"id","nullable":true,"type":"long"},""" +
+        """{"metadata":{},"name":"v","nullable":true,"type":"string"}],"type":"struct"}"""
+    assert(DataType.fromJson(foreignSchemaString).asInstanceOf[StructType].json
+      != foreignSchemaString, "fixture must differ textually from the round-trip")
+    val m = mapper.createObjectNode()
+    m.put("id", "aaaaaaaa-bbbb-cccc-dddd-eeeeeeeeeeee")
+    m.putObject("format").put("provider", "parquet")
+    m.put("schemaString", foreignSchemaString)
+    m.putArray("partitionColumns")
+    m.putObject("configuration").put("delta.appendOnly", "false")
+    m.put("createdTime", 123456789L)
+    putCommit(dir, 0, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":${mapper.writeValueAsString(m)}}""",
+      addJson("f0.parquet", Map.empty, size)))
+
+    DeltaWrite.deleteWhereDv(spark, dir,
+      graft.core.Filters.normalize(Seq(Filter("id", "=", 2L))))
+    val snap = DeltaLog.snapshot(spark, dir)
+    assert(snap.metadata.id == "aaaaaaaa-bbbb-cccc-dddd-eeeeeeeeeeee",
+      "table identity must survive a pure DV delete")
+    assert(snap.metadata.configuration.get("delta.appendOnly").contains("false"),
+      "table configuration must survive a pure DV delete")
+    assert(snap.metadata.createdTime.contains(123456789L))
+    assert(new DeltaTable("t", dir)(spark).as[(Long, String)].collect().toSet
+      == Set((1L, "a"), (3L, "c")))
+  }
+
+  test("schema evolution keeps table id and configuration") {
+    val dir = tempDir("delta-evolveid").toString + "/t"
+    DeltaWrite.append(spark, Seq((1L, "a")).toDF("id", "v"), dir)
+    val id0 = DeltaLog.snapshot(spark, dir).metadata.id
+    assert(id0.nonEmpty)
+    DeltaWrite.append(spark, Seq((2L, "b", 7)).toDF("id", "v", "extra"), dir)
+    val snap = DeltaLog.snapshot(spark, dir)
+    assert(snap.metadata.id == id0, "schema change is the same table")
+    assert(snap.schema.fieldNames.contains("extra"))
+  }
+
   test("delta table with lakehouse semantics: dedup + extra cols + predicate") {
     val dir = tempDir("delta-sem").toString + "/t"
     DeltaWrite.append(spark,
