@@ -47,13 +47,14 @@ object DeltaLog {
   )
 
   /** Reader-protocol table features this implementation supports
-    * (minReaderVersion 3 gates on them). columnMapping is supported in
-    * "name" mode only — "id" mode is refused at metaData parse time.
+    * (minReaderVersion 3 gates on them). columnMapping covers both
+    * "name" mode (physical-name matching) and "id" mode (parquet
+    * field-id matching via Spark's `parquet.field.id` reader).
     * timestampNtz maps directly onto Spark's native TimestampNTZType
     * (schemaString `timestamp_ntz` parses through DataType.fromJson).
     */
   val SupportedReaderFeatures: Set[String] =
-    Set("deletionVectors", "columnMapping", "timestampNtz")
+    Set("deletionVectors", "columnMapping", "timestampNtz", "v2Checkpoints")
 
   /** The table's `protocol` action (latest wins during replay). The
     * checkpoint writer preserves this verbatim instead of
@@ -80,17 +81,21 @@ object DeltaLog {
   ) {
     lazy val schema: StructType = DataType.fromJson(schemaString).asInstanceOf[StructType]
 
-    /** `delta.columnMapping.mode`: "none" (physical = logical) or
+    /** `delta.columnMapping.mode`: "none" (physical = logical),
       * "name" (parquet files + partitionValues + stats use per-field
-      * physical names from the schema metadata). "id" mode is refused
-      * at parse time.
+      * physical names from the schema metadata) or "id" (same
+      * physical-name keying for partitionValues/stats, but parquet
+      * COLUMN matching is by field id — the per-field
+      * `delta.columnMapping.id`, which the protocol requires id-mode
+      * readers to honor because file column names are not guaranteed
+      * stable).
       */
     def columnMappingMode: String =
       configuration.getOrElse("delta.columnMapping.mode", "none") match {
         case "" => "none"
         case m  => m
       }
-    def isColumnMapped: Boolean = columnMappingMode == "name"
+    def isColumnMapped: Boolean = columnMappingMode != "none"
 
     /** Physical name of a top-level logical column (identity without
       * column mapping).
@@ -104,7 +109,9 @@ object DeltaLog {
       }
 
     /** The schema as stored in the parquet files: every (nested) field
-      * renamed to its physical name.
+      * renamed to its physical name; under id mode each field also
+      * carries `parquet.field.id` metadata so Spark's parquet reader
+      * matches columns by field id instead of name.
       */
     lazy val physicalSchema: StructType =
       if (!isColumnMapped) schema
@@ -115,7 +122,12 @@ object DeltaLog {
         val name =
           if (f.metadata.contains(PhysicalNameKey)) f.metadata.getString(PhysicalNameKey)
           else f.name
-        f.copy(name = name, dataType = toPhysical(f.dataType))
+        val md =
+          if (columnMappingMode == "id" && f.metadata.contains(FieldIdKey))
+            new org.apache.spark.sql.types.MetadataBuilder().withMetadata(f.metadata)
+              .putLong(ParquetFieldIdKey, f.metadata.getLong(FieldIdKey)).build()
+          else f.metadata
+        f.copy(name = name, dataType = toPhysical(f.dataType), metadata = md)
       })
       case a: ArrayType => a.copy(elementType = toPhysical(a.elementType))
       case m: MapType =>
@@ -125,6 +137,10 @@ object DeltaLog {
   }
 
   val PhysicalNameKey = "delta.columnMapping.physicalName"
+  /** Per-field column id assigned by id-mode column mapping. */
+  val FieldIdKey = "delta.columnMapping.id"
+  /** Spark's parquet field-id metadata key (ParquetUtils). */
+  val ParquetFieldIdKey = "parquet.field.id"
 
   final case class Snapshot(
       version: Long,
@@ -153,8 +169,16 @@ object DeltaLog {
   private val JsonCommit = raw"(\d{20})\.json".r
   private val CheckpointFile = raw"(\d{20})\.checkpoint\.parquet".r
   private val MultiPartCheckpointFile = raw"(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet".r
+  // v2 checkpoint manifest: UUID-named, parquet or JSON-lines, file
+  // actions inline or deferred to `_delta_log/_sidecars/*.parquet`
+  // (the `v2Checkpoints` table feature). The unique-string segment has
+  // no dots, so it cannot collide with the multi-part pattern.
+  private val V2CheckpointFile = raw"(\d{20})\.checkpoint\.([^.]+)\.(json|parquet)".r
 
   def logDir(tablePath: String): Path = new Path(tablePath, "_delta_log")
+
+  /** Directory for v2-checkpoint sidecar files. */
+  def sidecarDir(tablePath: String): Path = new Path(logDir(tablePath), "_sidecars")
 
   /** All file paths of a checkpoint at `version` with `parts` parts
     * (classic single-file name for parts=1, `%020d.checkpoint.%010d.
@@ -188,8 +212,9 @@ object DeltaLog {
     val dir = logDir(tablePath)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.exists(dir) && fs.listStatus(dir).exists(s => s.getPath.getName match {
-      case JsonCommit(_) | CheckpointFile(_) | MultiPartCheckpointFile(_, _, _) => true
-      case _                                                                   => false
+      case JsonCommit(_) | CheckpointFile(_) | MultiPartCheckpointFile(_, _, _) |
+          V2CheckpointFile(_, _, _) => true
+      case _ => false
     })
   }
 
@@ -264,8 +289,71 @@ object DeltaLog {
       (lcChoice.toSeq ++ listChoice.toSeq).maxByOption(_._1)
 
     val cpVersion = cpChoice.map(_._1)
-    cpChoice.foreach { case (_, paths) =>
-      val cp = spark.read.parquet(paths.map(_.toString): _*)
+    // one JSON action (commit line or v2 JSON-manifest line)
+    def applyJsonAction(node: JsonNode): Unit = {
+      if (node.has("protocol")) {
+        val pr = node.get("protocol")
+        val minReader = pr.path("minReaderVersion").asInt(1)
+        // reader versions 1-2 are plain parquet + log; version 3
+        // gates on explicit table features — read only when every
+        // listed feature is implemented, refuse otherwise rather
+        // than silently return wrong rows.
+        def featureSeq(field: String): Option[Seq[String]] =
+          Option(pr.get(field)).filterNot(_.isNull)
+            .map(_.elements().asScala.map(_.asText()).toSeq)
+        if (minReader >= 3) {
+          require(minReader == 3,
+            s"unsupported Delta reader protocol version $minReader in $tablePath: $pr")
+          val features = featureSeq("readerFeatures").map(_.toSet).getOrElse(Set.empty)
+          val unsupported = features -- SupportedReaderFeatures
+          require(unsupported.isEmpty,
+            s"unsupported Delta reader features $unsupported in $tablePath")
+        }
+        protocol = Protocol(
+          minReader, pr.path("minWriterVersion").asInt(2),
+          featureSeq("readerFeatures"), featureSeq("writerFeatures"))
+      }
+      if (node.has("metaData")) {
+        val m = node.get("metaData")
+        val conf = Option(m.get("configuration")).map { o =>
+          o.fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+        }.getOrElse(Map.empty[String, String])
+        val parts = Option(m.get("partitionColumns"))
+          .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq.empty)
+        val md = Metadata(
+          m.get("schemaString").asText(), parts, conf,
+          id = Option(m.get("id")).filterNot(_.isNull).map(_.asText()).getOrElse(""),
+          createdTime =
+            Option(m.get("createdTime")).filterNot(_.isNull).map(_.asLong()))
+        require(Seq("none", "name", "id").contains(md.columnMappingMode),
+          s"Delta column mapping mode '${md.columnMappingMode}' is not supported in $tablePath")
+        meta = Some(md)
+      }
+      if (node.has("add")) {
+        val a = node.get("add")
+        val pv = Option(a.get("partitionValues")).map { o =>
+          o.fields().asScala.map { e =>
+            e.getKey -> (if (e.getValue.isNull) None else Some(e.getValue.asText()))
+          }.toMap
+        }.getOrElse(Map.empty[String, Option[String]])
+        val dv = Option(a.get("deletionVector")).filterNot(_.isNull)
+          .map(DeletionVectors.parseDescriptor)
+        val add = AddFile(
+          decodePath(a.get("path").asText()), pv,
+          Option(a.get("size")).map(_.asLong()).getOrElse(0L),
+          Option(a.get("stats")).filterNot(_.isNull).map(_.asText()),
+          dv)
+        active += add.path -> add
+      }
+      if (node.has("remove")) {
+        active -= decodePath(node.get("remove").get("path").asText())
+      }
+    }
+
+    // apply the protocol/metaData/add columns of a checkpoint (or
+    // sidecar) dataframe; returns sidecar file names a v2 manifest
+    // defers its file actions to.
+    def applyCheckpointDf(cp: org.apache.spark.sql.DataFrame, cpV: Long): Seq[String] = {
       val cols = cp.columns.toSet
       if (cols.contains("protocol")) {
         cp.select("protocol").where("protocol IS NOT NULL").collect().foreach { r =>
@@ -309,7 +397,7 @@ object DeltaLog {
                 case l: Long => l
                 case i: Int  => i.toLong
               })
-          require(md.columnMappingMode == "none" || md.columnMappingMode == "name",
+          require(Seq("none", "name", "id").contains(md.columnMappingMode),
             s"Delta column mapping mode '${md.columnMappingMode}' is not supported in $tablePath")
           meta = Some(md)
         }
@@ -330,6 +418,47 @@ object DeltaLog {
         }
       }
       // removes in a checkpoint are vacuum tombstones — not active state
+      if (cols.contains("checkpointMetadata")) {
+        cp.select("checkpointMetadata").where("checkpointMetadata IS NOT NULL")
+          .collect().foreach { r =>
+            val v = r.getStruct(0).getAs[Long]("version")
+            require(v == cpV,
+              s"v2 checkpoint in $tablePath declares version $v, expected $cpV")
+          }
+      }
+      if (!cols.contains("sidecar")) Seq.empty
+      else cp.select("sidecar").where("sidecar IS NOT NULL").collect().toSeq
+        .map(_.getStruct(0).getAs[String]("path"))
+    }
+
+    cpChoice.foreach { case (cpV, paths) =>
+      val sidecarNames: Seq[String] =
+        if (paths.size == 1 && paths.head.getName.endsWith(".json")) {
+          // v2 JSON-lines manifest (UUID-named); file actions may be
+          // inline or deferred to sidecars
+          val in = fs.open(paths.head)
+          val lines =
+            try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+            finally in.close()
+          val sc = Seq.newBuilder[String]
+          lines.filter(_.nonEmpty).foreach { line =>
+            val node = mapper.readTree(line)
+            if (node.has("checkpointMetadata")) {
+              val v = node.get("checkpointMetadata").path("version").asLong(-1L)
+              require(v == cpV,
+                s"v2 checkpoint in $tablePath declares version $v, expected $cpV")
+            }
+            if (node.has("sidecar")) sc += node.get("sidecar").get("path").asText()
+            applyJsonAction(node)
+          }
+          sc.result()
+        } else applyCheckpointDf(spark.read.parquet(paths.map(_.toString): _*), cpV)
+      if (sidecarNames.nonEmpty) {
+        val scPaths = sidecarNames.map(n => new Path(sidecarDir(tablePath), n))
+        scPaths.foreach(p => require(fs.exists(p),
+          s"v2 checkpoint of $tablePath references a missing sidecar file: $p"))
+        applyCheckpointDf(spark.read.parquet(scPaths.map(_.toString): _*), cpV)
+      }
     }
 
     // JSON replay after the checkpoint. Every version is one JSON
@@ -349,70 +478,7 @@ object DeltaLog {
         val lines =
           try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
           finally in.close()
-        lines.filter(_.nonEmpty).foreach { line =>
-          val node = mapper.readTree(line)
-          if (node.has("protocol")) {
-            val pr = node.get("protocol")
-            val minReader = pr.path("minReaderVersion").asInt(1)
-            // reader versions 1-2 are plain parquet + log; version 3
-            // gates on explicit table features — read only when every
-            // listed feature is implemented (deletionVectors), refuse
-            // otherwise (column mapping, v2 checkpoints, ...) rather
-            // than silently return wrong rows.
-            def featureSeq(field: String): Option[Seq[String]] =
-              Option(pr.get(field)).filterNot(_.isNull)
-                .map(_.elements().asScala.map(_.asText()).toSeq)
-            if (minReader >= 3) {
-              require(minReader == 3,
-                s"unsupported Delta reader protocol version $minReader in $tablePath: $pr")
-              val features = featureSeq("readerFeatures").map(_.toSet).getOrElse(Set.empty)
-              val unsupported = features -- SupportedReaderFeatures
-              require(unsupported.isEmpty,
-                s"unsupported Delta reader features $unsupported in $tablePath")
-            }
-            protocol = Protocol(
-              minReader, pr.path("minWriterVersion").asInt(2),
-              featureSeq("readerFeatures"), featureSeq("writerFeatures"))
-          }
-          if (node.has("metaData")) {
-            val m = node.get("metaData")
-            val conf = Option(m.get("configuration")).map { o =>
-              o.fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
-            }.getOrElse(Map.empty[String, String])
-            val parts = Option(m.get("partitionColumns"))
-              .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq.empty)
-            val md = Metadata(
-              m.get("schemaString").asText(), parts, conf,
-              id = Option(m.get("id")).filterNot(_.isNull).map(_.asText()).getOrElse(""),
-              createdTime =
-                Option(m.get("createdTime")).filterNot(_.isNull).map(_.asLong()))
-            // "name" mapping is handled (physical names from schema
-            // metadata); "id" (parquet field-id matching) is not —
-            // refuse rather than misread
-            require(md.columnMappingMode == "none" || md.columnMappingMode == "name",
-              s"Delta column mapping mode '${md.columnMappingMode}' is not supported in $tablePath")
-            meta = Some(md)
-          }
-          if (node.has("add")) {
-            val a = node.get("add")
-            val pv = Option(a.get("partitionValues")).map { o =>
-              o.fields().asScala.map { e =>
-                e.getKey -> (if (e.getValue.isNull) None else Some(e.getValue.asText()))
-              }.toMap
-            }.getOrElse(Map.empty[String, Option[String]])
-            val dv = Option(a.get("deletionVector")).filterNot(_.isNull)
-              .map(DeletionVectors.parseDescriptor)
-            val add = AddFile(
-              decodePath(a.get("path").asText()), pv,
-              Option(a.get("size")).map(_.asLong()).getOrElse(0L),
-              Option(a.get("stats")).filterNot(_.isNull).map(_.asText()),
-              dv)
-            active += add.path -> add
-          }
-          if (node.has("remove")) {
-            active -= decodePath(node.get("remove").get("path").asText())
-          }
-        }
+        lines.filter(_.nonEmpty).foreach(line => applyJsonAction(mapper.readTree(line)))
       }
     }
 
@@ -452,8 +518,7 @@ object DeltaLog {
       out(k) = math.max(out.getOrElse(k, Long.MinValue), ts)
     }
 
-    cps.toSeq.maxByOption(_._1).foreach { case (_, paths) =>
-      val cp = spark.read.parquet(paths.map(_.toString): _*)
+    def recordRemovesOf(cp: org.apache.spark.sql.DataFrame): Seq[String] = {
       if (cp.columns.contains("remove")) {
         cp.select("remove").where("remove IS NOT NULL").collect().foreach { r =>
           val rm = r.getStruct(0)
@@ -470,6 +535,38 @@ object DeltaLog {
           record(decodePath(rm.getAs[String]("path")), dv, ts)
         }
       }
+      if (!cp.columns.contains("sidecar")) Seq.empty
+      else cp.select("sidecar").where("sidecar IS NOT NULL").collect().toSeq
+        .map(_.getStruct(0).getAs[String]("path"))
+    }
+
+    cps.toSeq.maxByOption(_._1).foreach { case (_, paths) =>
+      val sidecarNames: Seq[String] =
+        if (paths.size == 1 && paths.head.getName.endsWith(".json")) {
+          // v2 JSON manifest: removes/sidecars from the JSON lines
+          val in = fs.open(paths.head)
+          val lines =
+            try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+            finally in.close()
+          val sc = Seq.newBuilder[String]
+          lines.filter(_.nonEmpty).foreach { line =>
+            val node = mapper.readTree(line)
+            if (node.has("sidecar")) sc += node.get("sidecar").get("path").asText()
+            if (node.has("remove")) {
+              val rm = node.get("remove")
+              val ts = Option(rm.get("deletionTimestamp")).filterNot(_.isNull)
+                .map(_.asLong()).getOrElse(0L)
+              val dv = Option(rm.get("deletionVector")).filterNot(_.isNull)
+                .map(DeletionVectors.parseDescriptor)
+              record(decodePath(rm.get("path").asText()), dv, ts)
+            }
+          }
+          sc.result()
+        } else recordRemovesOf(spark.read.parquet(paths.map(_.toString): _*))
+      val scPaths = sidecarNames.map(n => new Path(sidecarDir(tablePath), n))
+        .filter(fs.exists(_))
+      if (scPaths.nonEmpty)
+        recordRemovesOf(spark.read.parquet(scPaths.map(_.toString): _*))
     }
 
     jsons.toSeq.sortBy(_._1).foreach { case (_, p) =>
@@ -529,9 +626,16 @@ object DeltaLog {
       case ((v, n), parts) if parts.map(_._2).toSet == (1 to n).toSet =>
         v -> parts.sortBy(_._2).map(_._3).toSeq
     }
+    // v2 (UUID-named) checkpoints: each file is a complete manifest;
+    // several writers may leave one each at the same version — any one
+    // is valid, pick deterministically
+    val v2s: Map[Long, Seq[Path]] = entries.flatMap(p => p.getName match {
+      case V2CheckpointFile(v, _, _) => Some(v.toLong -> p)
+      case _                         => None
+    }).groupBy(_._1).map { case (v, ps) => v -> Seq(ps.map(_._2).minBy(_.getName)) }
     // a complete single-file checkpoint wins over a multi-part set at
     // the same version (either is valid; one file is one read)
-    val cps = completeMultis ++ singles.map { case (v, p) => v -> Seq(p) }
+    val cps = completeMultis ++ v2s ++ singles.map { case (v, p) => v -> Seq(p) }
     (jsons, cps)
   }
 

@@ -119,6 +119,12 @@ private[tables] object DeltaRead {
     if (files.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    // id-mode mapping: parquet columns are matched by FIELD ID (the
+    // physicalSchema carries parquet.field.id metadata); the conf only
+    // affects schemas that carry field ids, so enabling it session-wide
+    // is side-effect-free for every other scan
+    if (meta.columnMappingMode == "id")
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     // files store PHYSICAL column names under column mapping; read
     // physically, rename to the logical schema after the scan
     val physPart = partCols.map(meta.physicalName).toSet

@@ -574,6 +574,105 @@ object DeltaWrite {
     snap.version
   }
 
+  /** Write a V2 checkpoint (`v2Checkpoints` table feature): a
+    * UUID-named parquet manifest `%020d.checkpoint.<uuid>.parquet`
+    * holding protocol, metaData, checkpointMetadata and `sidecar`
+    * references, with the file actions split across `sidecars` parquet
+    * files under `_delta_log/_sidecars/` — the shape huge tables use
+    * so no single checkpoint file becomes a read/write bottleneck and
+    * racing writers never clobber each other (unique names). The
+    * manifest's protocol row is widened with the `v2Checkpoints`
+    * reader/writer feature (plus any feature the table already
+    * declares), since replaying from this checkpoint requires it.
+    */
+  def checkpointV2(spark: SparkSession, tablePath: String, sidecars: Int = 2): Long = {
+    import spark.implicits._
+    val snap = DeltaLog.snapshot(spark, tablePath)
+    val fs = DeltaLog.logDir(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    val sp = snap.protocol
+    val hasDv = snap.files.exists(_.dv.isDefined)
+    val needed = Seq("v2Checkpoints") ++
+      (if (hasDv) Seq("deletionVectors") else Seq.empty) ++
+      // legacy reader-2 capability becomes an explicit feature once
+      // the protocol is feature-versioned
+      (if (sp.minReaderVersion == 2) Seq("columnMapping") else Seq.empty)
+    val protocol = CpProtocol(
+      math.max(3, sp.minReaderVersion), math.max(7, sp.minWriterVersion),
+      Some((sp.readerFeatures.getOrElse(Seq.empty) ++ needed).distinct),
+      Some((sp.writerFeatures.getOrElse(Seq.empty) ++ needed).distinct))
+
+    val tombstoneCutoff = System.currentTimeMillis() - 7L * 24 * 3600 * 1000
+    val fileRows: Seq[SidecarFileRow] =
+      snap.files.map(f => SidecarFileRow(add = Some(CpAdd(
+        f.path, f.partitionValues.map { case (k, v) => k -> v.orNull },
+        f.size, 0L, dataChange = false, f.stats.orNull,
+        f.dv.map(d => CpDv(
+          d.storageType, d.pathOrInlineDv, d.offset, d.sizeInBytes, d.cardinality)))))) ++
+        DeltaLog.tombstones(spark, tablePath)
+          .filter(_.deletionTimestamp > tombstoneCutoff)
+          .map(t => SidecarFileRow(remove = Some(CpRemove(
+            t.path, t.deletionTimestamp, dataChange = false,
+            t.dv.map(d => CpDv(
+              d.storageType, d.pathOrInlineDv, d.offset, d.sizeInBytes, d.cardinality))))))
+
+    val n = math.max(1, sidecars)
+    val groups = Array.fill(n)(Seq.newBuilder[SidecarFileRow])
+    fileRows.zipWithIndex.foreach { case (r, i) => groups(i % n) += r }
+    fs.mkdirs(DeltaLog.sidecarDir(tablePath))
+    val sidecarRefs = groups.toSeq.map(_.result()).filter(_.nonEmpty).zipWithIndex
+      .map { case (g, i) =>
+        val name = s"${java.util.UUID.randomUUID()}.parquet"
+        val dest = new Path(DeltaLog.sidecarDir(tablePath), name)
+        writeSingleParquet(spark, g.toDS(), dest, s"_sc_tmp_${snap.version}_$i")
+        val st = fs.getFileStatus(dest)
+        CpSidecar(name, st.getLen, st.getModificationTime)
+      }
+
+    val manifest: Seq[V2ManifestRow] =
+      V2ManifestRow(protocol = Some(protocol)) +:
+        V2ManifestRow(metaData = Some(CpMeta(
+          if (snap.metadata.id.nonEmpty) snap.metadata.id
+          else java.util.UUID.randomUUID().toString,
+          CpFormat("parquet", Map.empty), snap.metadata.schemaString,
+          snap.metadata.partitionColumns, snap.metadata.configuration,
+          snap.metadata.createdTime))) +:
+        V2ManifestRow(checkpointMetadata = Some(CpCkptMeta(snap.version))) +:
+        sidecarRefs.map(s => V2ManifestRow(sidecar = Some(s)))
+
+    val cpName = f"${snap.version}%020d.checkpoint.${java.util.UUID.randomUUID()}.parquet"
+    writeSingleParquet(spark, manifest.toDS(),
+      new Path(DeltaLog.logDir(tablePath), cpName), s"_cp2_tmp_${snap.version}")
+
+    val lc = new Path(DeltaLog.logDir(tablePath), "_last_checkpoint")
+    val out = fs.create(lc, true)
+    try out.write(
+      s"""{"version":${snap.version},"size":${manifest.size + fileRows.size}}"""
+        .getBytes("UTF-8"))
+    finally out.close()
+    snap.version
+  }
+
+  /** Write `ds` as exactly one parquet file at `dest` (tmp dir +
+    * rename; parquet writers emit directories).
+    */
+  private def writeSingleParquet(
+      spark: SparkSession,
+      ds: org.apache.spark.sql.Dataset[_],
+      dest: Path,
+      tmpName: String
+  ): Unit = {
+    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(dest.getParent, tmpName)
+    ds.repartition(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val part = listFilesRecursively(fs, tmp).find(_.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(s"write produced no parquet file for $dest"))
+    fs.delete(dest, false)
+    if (!fs.rename(part, dest))
+      throw new IllegalStateException(s"could not move checkpoint file into place at $dest")
+    fs.delete(tmp, true)
+  }
+
   /** One aggregation job over the staged files: group by file name,
     * min/max/nullCount per leaf column of a stats-friendly type.
     */
@@ -708,6 +807,20 @@ private[tables] final case class CpRemove(
     deletionTimestamp: Long,
     dataChange: Boolean,
     deletionVector: Option[CpDv] = None)
+// V2 checkpoint shapes: UUID-named manifest rows + sidecar file rows.
+private[tables] final case class CpCkptMeta(version: Long)
+private[tables] final case class CpSidecar(
+    path: String,
+    sizeInBytes: Long,
+    modificationTime: Long)
+private[tables] final case class V2ManifestRow(
+    protocol: Option[CpProtocol] = None,
+    metaData: Option[CpMeta] = None,
+    checkpointMetadata: Option[CpCkptMeta] = None,
+    sidecar: Option[CpSidecar] = None)
+private[tables] final case class SidecarFileRow(
+    add: Option[CpAdd] = None,
+    remove: Option[CpRemove] = None)
 private[tables] final case class CpRow(
     add: Option[CpAdd] = None,
     metaData: Option[CpMeta] = None,

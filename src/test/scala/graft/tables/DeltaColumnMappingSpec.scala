@@ -8,12 +8,14 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Column mapping mode "name" (public PROTOCOL.md "Column Mapping"):
-  * parquet files, partitionValues and stats use per-field physical
-  * names (`delta.columnMapping.physicalName` in the schema metadata);
-  * readers expose logical names. The reference reads such tables
-  * transparently via delta-rs. "id" mode and writes to mapped tables
-  * are refused loudly.
+/** Column mapping (public PROTOCOL.md "Column Mapping"): parquet
+  * files, partitionValues and stats use per-field physical names
+  * (`delta.columnMapping.physicalName` in the schema metadata);
+  * readers expose logical names. In "id" mode parquet COLUMNS are
+  * additionally matched by field id (`delta.columnMapping.id` →
+  * `parquet.field.id`), not by name. The reference reads such tables
+  * transparently via delta-rs. Writes to mapped tables are refused
+  * loudly.
   */
 class DeltaColumnMappingSpec extends SparkSpec {
   import spark.implicits._
@@ -163,16 +165,42 @@ class DeltaColumnMappingSpec extends SparkSpec {
     assert(got == Seq(1L, 2L, 11L, 21L))
   }
 
-  test("id mode and writes to mapped tables are refused loudly") {
+  test("id mode reads match parquet columns by FIELD ID, not name") {
     val dir = tempDir("delta-cmid").toString + "/t"
-    val size = putFile(dataDf(Seq((1L, "a", 1L))), dir, "f0.parquet")
+    val idSchema = StructType(Seq(
+      mapped("id", LongType, 1, "col-01"),
+      mapped("v", StringType, 2, "col-02"),
+      mapped("s", StructType(Seq(mapped("x", LongType, 5, "col-05"))), 4, "col-04")))
+    // the FILE's column names differ from the physical names entirely
+    // (the id-mode contract: names are not stable, ids are) — a
+    // name-based read would see nothing
+    def fid(id: Int) = new MetadataBuilder().putLong("parquet.field.id", id.toLong).build()
+    val fileSchema = StructType(Seq(
+      StructField("legacy_id", LongType, nullable = true, fid(1)),
+      StructField("legacy_v", StringType, nullable = true, fid(2)),
+      StructField("legacy_s",
+        StructType(Seq(StructField("legacy_x", LongType, nullable = true, fid(5)))),
+        nullable = true, fid(4))))
+    import org.apache.spark.sql.Row
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(Row(1L, "a", Row(10L)), Row(2L, "b", Row(20L))), fileSchema)
+    val size = putFile(df, dir, "f0.parquet")
     putCommit(dir, 0, Seq(
       """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
-      metaDataJson(logicalSchema, Seq.empty, "id"),
-      addJson("f0.parquet", Map.empty, size)))
-    val e = intercept[IllegalArgumentException] { DeltaLog.snapshot(spark, dir) }
-    assert(e.getMessage.contains("column mapping mode 'id'"))
+      metaDataJson(idSchema, Seq.empty, "id"),
+      addJson("f0.parquet", Map.empty, size,
+        Some("""{"numRecords":2,"minValues":{"col-01":1},"maxValues":{"col-01":2},"nullCount":{"col-01":0}}"""))))
+    val t = new DeltaTable("t", dir)
+    val got = t(spark, ReadArgs()).select(col("id"), col("v"), col("s.x"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == Set((1L, "a", 10L), (2L, "b", 20L)))
+    // stats stay keyed by PHYSICAL name in id mode too
+    val skipped = t(spark, ReadArgs(filters = Filters.normalize(Seq(Filter("id", ">", 5L)))))
+    assert(skipped.count() == 0)
+  }
 
+  test("writes to mapped tables are refused loudly") {
     val mdir = mappedTable()
     val w = intercept[IllegalArgumentException] {
       DeltaWrite.append(spark, Seq((99L, "z")).toDF("id", "v"), mdir)

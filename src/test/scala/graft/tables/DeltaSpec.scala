@@ -470,6 +470,67 @@ class DeltaSpec extends SparkSpec {
       == Set((1L, "a"), (3L, "c")))
   }
 
+  test("v2 checkpoint: manifest + sidecars replay an aged-out JSON prefix") {
+    val dir = tempDir("delta-v2cp").toString + "/t"
+    (0 until 3).foreach { i =>
+      DeltaWrite.append(spark,
+        (1 to 10).map(j => ((i * 10 + j).toLong, s"v$i-$j")).toDF("id", "v"), dir)
+    }
+    DeltaWrite.deleteWhereDv(spark, dir,
+      graft.core.Filters.normalize(Seq(Filter("id", "<=", 5L))))
+    val expected = new DeltaTable("t", dir)(spark)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(expected.size == 25)
+
+    val cpV = DeltaWrite.checkpointV2(spark, dir, sidecars = 2)
+    val f = fs(dir)
+    assert(f.listStatus(DeltaLog.sidecarDir(dir)).count(_.getPath.getName.endsWith(".parquet")) == 2)
+    // drop the whole JSON prefix: replay must come from manifest + sidecars
+    (0L to cpV).foreach(v =>
+      f.delete(new Path(dir + "/_delta_log", f"$v%020d.json"), false))
+    val snap = DeltaLog.snapshot(spark, dir)
+    assert(snap.version == cpV)
+    assert(snap.protocol.readerFeatures.exists(_.contains("v2Checkpoints")))
+    assert(snap.protocol.readerFeatures.exists(_.contains("deletionVectors")),
+      "DV feature must survive the v2 protocol widening")
+    val got = new DeltaTable("t", dir)(spark).select("id").as[Long].collect().sorted.toSeq
+    assert(got == expected)
+    // sidecar tombstones still guard vacuum retention
+    assert(DeltaWrite.vacuum(spark, dir, retentionMs = 3600L * 1000) == 0)
+
+    // a manifest whose sidecar is missing refuses rather than
+    // silently dropping files
+    val sc = f.listStatus(DeltaLog.sidecarDir(dir)).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).minBy(_.getName)
+    f.delete(sc, false)
+    val e = intercept[IllegalArgumentException] { DeltaLog.snapshot(spark, dir) }
+    assert(e.getMessage.contains("sidecar"))
+  }
+
+  test("v2 JSON-lines manifest with inline actions reads") {
+    val dir = tempDir("delta-v2json").toString + "/t"
+    val schema = StructType(Seq(StructField("id", LongType), StructField("v", StringType)))
+    val size = putFile(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir, "f0.parquet")
+    // hand-authored manifest, as a foreign writer would leave it
+    val lines = Seq(
+      """{"checkpointMetadata":{"version":1,"tags":null}}""",
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoints"],"writerFeatures":["v2Checkpoints"]}}""",
+      metaDataJson(schema, Seq.empty),
+      addJson("f0.parquet", Map.empty, size))
+    val f = fs(dir)
+    f.mkdirs(new Path(dir, "_delta_log"))
+    val mf = new Path(dir + "/_delta_log",
+      f"${1L}%020d.checkpoint.80a083e8-7026-4e79-81be-64bd76c43a11.json")
+    val out = f.create(mf, true)
+    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    // no JSON commits at all — the manifest alone carries the state
+    val snap = DeltaLog.snapshot(spark, dir)
+    assert(snap.version == 1L)
+    assert(new DeltaTable("t", dir)(spark).as[(Long, String)].collect().toSet
+      == Set((1L, "a"), (2L, "b")))
+  }
+
   test("schema evolution keeps table id and configuration") {
     val dir = tempDir("delta-evolveid").toString + "/t"
     DeltaWrite.append(spark, Seq((1L, "a")).toDF("id", "v"), dir)
