@@ -244,6 +244,18 @@ object OracleSql {
          |  CAST(sum(n_hits) AS BIGINT) AS gram_hits
          |FROM perdoc GROUP BY source ORDER BY source""".stripMargin,
 
+    "q_quality_rules" -> qualityRulesSql,
+
+    "q_vocab" ->
+      s"""WITH toks AS (
+         |  SELECT unnest(${wordTokensSql("text")}) AS token FROM documents),
+         |v AS (
+         |  SELECT token, count(*) AS freq FROM toks
+         |  WHERE token <> '' GROUP BY token HAVING count(*) >= 5)
+         |SELECT CAST(row_number() OVER (ORDER BY freq DESC, token) AS BIGINT) AS vocab_id,
+         |  token, freq
+         |FROM v ORDER BY vocab_id""".stripMargin,
+
     "q_sessionize" ->
       s"""WITH flagged AS (
          |  SELECT user_id, ts, value,
@@ -360,6 +372,55 @@ object OracleSql {
 
   private def decAvg(x: String) =
     s"round(CAST(sum(CAST($x AS DECIMAL(8,4))) AS DOUBLE) / count(*), 4)"
+
+  /** Mirrors functions/QualityRules — thresholds, stopword list and
+    * bullet markers are spliced from the same Scala constants so the
+    * two sides cannot drift.
+    */
+  private def qualityRulesSql: String = {
+    import graft.functions.QualityRules._
+    val stopList = RequiredStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    val bulletCond =
+      BulletPrefixes.map(p => s"starts_with(trim(l), '$p')").mkString(" OR ")
+    s"""WITH sig AS (
+       |  SELECT source, text,
+       |    ${wsTokensSql("text")} AS toks,
+       |    ${wordTokensSql("text")} AS wtoks,
+       |    string_split(text, chr(10)) AS ls
+       |  FROM documents),
+       |m AS (
+       |  SELECT source,
+       |    CAST(len(toks) AS BIGINT) AS n_words,
+       |    round(list_sum(list_transform(toks, t -> length(t))) / greatest(len(toks), 1), 4) AS mwl,
+       |    round((${occSql("text", "#")} + ${occSql("text", "...")}) / greatest(len(toks), 1), 4) AS symr,
+       |    round(len(list_filter(ls, l -> $bulletCond)) / greatest(len(ls), 1), 4) AS bulr,
+       |    round(len(list_filter(ls, l -> ends_with(rtrim(l), '...'))) / greatest(len(ls), 1), 4) AS ellr,
+       |    round(len(list_filter(toks, t -> regexp_matches(t, '[a-zA-Z]'))) / greatest(len(toks), 1), 4) AS alpr,
+       |    CAST(len(list_intersect(wtoks, $stopList)) AS BIGINT) AS stoph
+       |  FROM sig),
+       |f AS (
+       |  SELECT source, alpr, mwl,
+       |    CASE WHEN n_words < $MinWords OR n_words > $MaxWords THEN 1 ELSE 0 END AS f_words,
+       |    CASE WHEN mwl < $MinMeanWordLen OR mwl > $MaxMeanWordLen THEN 1 ELSE 0 END AS f_mwl,
+       |    CASE WHEN symr > $MaxSymbolRatio THEN 1 ELSE 0 END AS f_symbol,
+       |    CASE WHEN bulr > $MaxBulletRatio THEN 1 ELSE 0 END AS f_bullet,
+       |    CASE WHEN ellr > $MaxEllipsisRatio THEN 1 ELSE 0 END AS f_ellipsis,
+       |    CASE WHEN alpr < $MinAlphaRatio THEN 1 ELSE 0 END AS f_alpha,
+       |    CASE WHEN stoph < $MinStopHits THEN 1 ELSE 0 END AS f_stop
+       |  FROM m)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN f_words + f_mwl + f_symbol + f_bullet + f_ellipsis + f_alpha + f_stop = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       |  CAST(sum(f_words) AS BIGINT) AS f_words,
+       |  CAST(sum(f_mwl) AS BIGINT) AS f_mwl,
+       |  CAST(sum(f_symbol) AS BIGINT) AS f_symbol,
+       |  CAST(sum(f_bullet) AS BIGINT) AS f_bullet,
+       |  CAST(sum(f_ellipsis) AS BIGINT) AS f_ellipsis,
+       |  CAST(sum(f_alpha) AS BIGINT) AS f_alpha,
+       |  CAST(sum(f_stop) AS BIGINT) AS f_stop,
+       |  ${decAvg("alpr")} AS avg_alpha,
+       |  ${decAvg("mwl")} AS avg_mwl
+       |FROM f GROUP BY source ORDER BY source""".stripMargin
+  }
 
   private def textStatsSql: String =
     s"""SELECT lang, count(*) AS n_docs,

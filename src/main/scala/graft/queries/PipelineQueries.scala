@@ -269,6 +269,50 @@ object PipelineQueries {
       .orderBy("source")
   }
 
+  /** P25: Gopher-style quality-rule suite — per-source pass and
+    * per-rule fail counts. One scan, no shuffle beyond the final
+    * bounded per-source aggregate; signals materialized once and
+    * shared (HOF splits are not CSE'd).
+    */
+  def qQualityRules(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.QualityRules
+    val d8 = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(8, 4))
+    val signals = t(s, dir, "documents")
+      .withColumn("toks", Text.wsTokens(col("text")))
+      .withColumn("wtoks", Text.wordTokens(col("text")))
+      .withColumn("ls", QualityRules.lines(col("text")))
+      .withColumn("n_words", size(col("toks")).cast("long"))
+      .withColumn("mwl", Text.meanTokenLenOf(col("toks")))
+      .withColumn("symr", QualityRules.symbolRatio(col("text"), col("toks")))
+      .withColumn("bulr", QualityRules.bulletRatio(col("ls")))
+      .withColumn("ellr", QualityRules.ellipsisRatio(col("ls")))
+      .withColumn("alpr", QualityRules.alphaRatio(col("toks")))
+      .withColumn("stoph", QualityRules.stopHits(col("wtoks")))
+    QualityRules.failFlags(signals)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("pass")).as("n_pass"),
+        sum(col("f_words")).as("f_words"),
+        sum(col("f_mwl")).as("f_mwl"),
+        sum(col("f_symbol")).as("f_symbol"),
+        sum(col("f_bullet")).as("f_bullet"),
+        sum(col("f_ellipsis")).as("f_ellipsis"),
+        sum(col("f_alpha")).as("f_alpha"),
+        sum(col("f_stop")).as("f_stop"),
+        round(sum(d8(col("alpr"))).cast(DoubleType) / count(lit(1)), 4).as("avg_alpha"),
+        round(sum(d8(col("mwl"))).cast(DoubleType) / count(lit(1)), 4).as("avg_mwl"))
+      .orderBy("source")
+  }
+
+  /** P26: ranked vocabulary over the corpus (min frequency 5).
+    * Count shuffle over tokens; ranking only on the bounded vocab.
+    */
+  def qVocab(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Vocab.build(t(s, dir, "documents"), "text", minCount = 5)
+      .select(col("vocab_id"), col("token"), col("freq"))
+      .orderBy("vocab_id")
+
   /** P13: multimodal payload plumbing — oracle-checkable byte stats
     * over the binary payload column.
     */

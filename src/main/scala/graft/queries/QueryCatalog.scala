@@ -48,6 +48,8 @@ object QueryCatalog {
     Entry("q_repetition", PipelineQueries.qRepetition),
     Entry("q_passage_dedup", PipelineQueries.qPassageDedup),
     Entry("q_contamination", PipelineQueries.qContamination),
+    Entry("q_quality_rules", PipelineQueries.qQualityRules),
+    Entry("q_vocab", PipelineQueries.qVocab),
     Entry("q_range_join", PipelineQueries.qRangeJoin, headline = true),
     Entry("q_sample", PipelineQueries.qSample),
     Entry("q_split", PipelineQueries.qSplit),
