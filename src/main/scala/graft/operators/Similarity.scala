@@ -222,6 +222,72 @@ object Similarity {
           .otherwise(acc)
       })
 
+  /** SRP-LSH near-duplicate pairs over an embedding column — the
+    * vector-space analogue of [[NearDup.minhashPairs]]: signed-random-
+    * projection signatures ([[graft.functions.Srp]]), band-bucket
+    * self-join for candidates, exact-cosine verify inside buckets.
+    *
+    * Scale shape: signatures are pure scan work (one native expression
+    * per row); the only corpus-sized shuffle is the band equi-join,
+    * which carries (band, bh, id) only — bounded fan-out, never the
+    * O(n²) all-pairs cross join that brute force needs. Vectors ride
+    * to the *surviving candidates* via two id-equi-joins. The banded
+    * and vector frames are persisted through NearDup's capped cache
+    * registry ([[NearDup.releaseCaches]] frees them).
+    *
+    * A pair with cosine θ collides in one band with probability
+    * (1 − θ/π)^r; bands multiply the chances. The default (nbits=16,
+    * bands=4 → r=4) keeps background (θ≈90°) collisions at ~6%/band
+    * while catching near-parallel vectors with high probability.
+    */
+  def srpPairs(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      nbits: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.4,
+      seed: String = "srp"
+  ): DataFrame = {
+    require(nbits % bands == 0, "bands must divide nbits")
+    require(nbits <= 63, "signature is packed into a long")
+    val rowsPerBand = nbits / bands
+    val matrix = graft.functions.Srp.signMatrix(nbits, dim, seed)
+
+    val banded = corpus
+      .select(
+        col(idCol).as("_id"),
+        graft.functions.Srp.signature(col(vecCol), matrix).as("_sig"))
+      .select(col("_id"), explode(array((0 until bands).map { b =>
+        struct(
+          lit(b).as("band"),
+          graft.functions.Srp.bandValue(col("_sig"), b, rowsPerBand).as("bh"))
+      }: _*)).as("_b"))
+      .select(col("_id"), col("_b.band").as("band"), col("_b.bh").as("bh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    NearDup.registerCache(banded)
+
+    val candidates = banded.as("a")
+      .join(banded.as("b"), Seq("band", "bh"))
+      .where(col("a._id") < col("b._id"))
+      .select(col("a._id").as("a_id"), col("b._id").as("b_id"))
+      .dropDuplicates("a_id", "b_id")
+
+    // vectors attach to surviving candidates only (no broadcast hint:
+    // at corpus scale this stays a shuffle join; AQE upgrades it)
+    val vecs = corpus.select(col(idCol).as("_vid"), col(vecCol).as("_vv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    NearDup.registerCache(vecs)
+
+    candidates
+      .join(vecs, col("a_id") === col("_vid")).withColumnRenamed("_vv", "_av").drop("_vid")
+      .join(vecs, col("b_id") === col("_vid")).withColumnRenamed("_vv", "_bv").drop("_vid")
+      .withColumn("cosine", Vectors.cosine(col("_av"), col("_bv")))
+      .where(col("cosine") >= threshold)
+      .select("a_id", "b_id", "cosine")
+  }
+
   /** IVF search: queries are assigned to their centroid, then ranked
     * only against corpus vectors in the same bucket.
     */

@@ -246,6 +246,8 @@ object OracleSql {
 
     "q_quality_rules" -> qualityRulesSql,
 
+    "q_srp_pairs" -> srpPairsSql,
+
     "q_vocab" ->
       s"""WITH toks AS (
          |  SELECT unnest(${wordTokensSql("text")}) AS token FROM documents),
@@ -420,6 +422,33 @@ object OracleSql {
        |  ${decAvg("alpr")} AS avg_alpha,
        |  ${decAvg("mwl")} AS avg_mwl
        |FROM f GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  /** Mirrors Similarity.srpPairs — the ±1 hyperplane matrix is spliced
+    * from the same Srp.signMatrix call the Spark side uses.
+    */
+  private def srpPairsSql: String = {
+    import graft.functions.Srp
+    val (nbits, bands, dim) = (16, 4, 64)
+    val r = nbits / bands
+    val matrix = Srp.signMatrix(nbits, dim)
+    val bandSelects = (0 until bands).map { b =>
+      s"SELECT id, $b AS band, ${Srp.Sql.bandValue("sig", b, r)} AS bh FROM s"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH e AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+       |s AS (SELECT id, ${Srp.Sql.signature("v", matrix)} AS sig FROM e),
+       |b AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT a.id AS a_id, b2.id AS b_id
+       |  FROM b a JOIN b b2 ON a.band = b2.band AND a.bh = b2.bh AND a.id < b2.id)
+       |SELECT a_id, b_id,
+       |  round(list_cosine_similarity(ea.v::DOUBLE[], eb.v::DOUBLE[]), 4) AS cosine
+       |FROM cand
+       |JOIN e ea ON cand.a_id = ea.id
+       |JOIN e eb ON cand.b_id = eb.id
+       |WHERE round(list_cosine_similarity(ea.v::DOUBLE[], eb.v::DOUBLE[]), 4) >= 0.4
+       |ORDER BY a_id, b_id""".stripMargin
   }
 
   private def textStatsSql: String =

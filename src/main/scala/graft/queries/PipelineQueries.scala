@@ -305,6 +305,16 @@ object PipelineQueries {
       .orderBy("source")
   }
 
+  /** P27: SRP-LSH cosine near-dup pairs over the embeddings table —
+    * hash-verified end-to-end (signatures, banding, candidate join,
+    * exact-cosine verify all mirrored in the oracle SQL).
+    */
+  def qSrpPairs(s: SparkSession, dir: String): DataFrame =
+    Similarity.srpPairs(
+      t(s, dir, "embeddings"), "vec_id", "embedding",
+      dim = 64, nbits = 16, bands = 4, threshold = 0.4)
+      .orderBy("a_id", "b_id")
+
   /** P26: ranked vocabulary over the corpus (min frequency 5).
     * Count shuffle over tokens; ranking only on the bounded vocab.
     */

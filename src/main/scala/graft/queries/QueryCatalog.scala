@@ -50,6 +50,7 @@ object QueryCatalog {
     Entry("q_contamination", PipelineQueries.qContamination),
     Entry("q_quality_rules", PipelineQueries.qQualityRules),
     Entry("q_vocab", PipelineQueries.qVocab),
+    Entry("q_srp_pairs", PipelineQueries.qSrpPairs),
     Entry("q_range_join", PipelineQueries.qRangeJoin, headline = true),
     Entry("q_sample", PipelineQueries.qSample),
     Entry("q_split", PipelineQueries.qSplit),
