@@ -91,8 +91,66 @@ object DeltaWrite {
       partitionBy: Seq[String],
       overwrite: Boolean
   ): CommitResult = {
-    val adds = stageFiles(spark, df, tablePath, partitionBy)
-    commitLoop(spark, tablePath, adds, Seq.empty, df.schema.json, partitionBy, overwrite)
+    val mappedSnap = DeltaLog.latestVersion(spark, tablePath)
+      .map(_ => DeltaLog.snapshot(spark, tablePath))
+      .filter(_.metadata.isColumnMapped)
+    mappedSnap match {
+      case Some(snap) => commitMapped(spark, df, tablePath, snap, partitionBy, overwrite)
+      case None =>
+        val adds = stageFiles(spark, df, tablePath, partitionBy)
+        commitLoop(spark, tablePath, adds, Seq.empty, df.schema.json, partitionBy, overwrite)
+    }
+  }
+
+  /** Append/overwrite into a column-mapped table (name OR id mode):
+    * the incoming frame arrives with LOGICAL column names; data files,
+    * partition directory names, partitionValues keys and stats must
+    * all use the table's PHYSICAL names (and, under id mode, carry
+    * `parquet.field.id` so id-mode readers can match columns). Schema
+    * evolution is refused loudly — evolving a mapped schema means
+    * assigning fresh physical names/ids, which only the table's
+    * managing writer should do.
+    */
+  private def commitMapped(
+      spark: SparkSession,
+      df: DataFrame,
+      tablePath: String,
+      snap: DeltaLog.Snapshot,
+      partitionBy: Seq[String],
+      overwrite: Boolean
+  ): CommitResult = {
+    val meta = snap.metadata
+    require(partitionBy.isEmpty || partitionBy == meta.partitionColumns,
+      s"a column-mapped table's partitioning is fixed by its metadata " +
+        s"(${meta.partitionColumns.mkString(",")}); got ${partitionBy.mkString(",")}")
+    // field ids land in the parquet footers via schema metadata; the
+    // conf is default-true but cheap to pin for id-mode round trips
+    if (meta.columnMappingMode == "id")
+      spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    val physDf = toPhysicalDf(df, meta)
+    val physParts = meta.partitionColumns.map(meta.physicalName)
+    val adds = stageFiles(spark, physDf, tablePath, physParts)
+    commitLoop(spark, tablePath, adds, Seq.empty,
+      meta.schemaString, meta.partitionColumns, overwrite, allowMapped = true)
+  }
+
+  /** Logical → physical frame: columns reordered to the declared
+    * schema, cast to the declared types, then the whole row is cast to
+    * the physical schema (a struct cast renames every nested field
+    * positionally and carries the target type's metadata — including
+    * `parquet.field.id` — into the write schema).
+    */
+  private def toPhysicalDf(df: DataFrame, meta: DeltaLog.Metadata): DataFrame = {
+    val logical = meta.schema
+    require(df.columns.toSet == logical.fieldNames.toSet,
+      s"schema evolution on a column-mapped Delta table is not supported: " +
+        s"table has ${logical.fieldNames.mkString(",")}, frame has ${df.columns.mkString(",")}")
+    val phys = meta.physicalSchema
+    val packed = struct(logical.fields.map(f => col(f.name).cast(f.dataType)).toSeq: _*)
+      .cast(phys).as("_graft_row")
+    df.select(packed)
+      .select(phys.fields.map(pf =>
+        col(s"_graft_row.${pf.name}").as(pf.name, pf.metadata)).toSeq: _*)
   }
 
   /** Serialize a remove action for `f` (extended file metadata so
@@ -398,7 +456,8 @@ object DeltaWrite {
       schemaJson: String,
       partitionBy: Seq[String],
       overwrite: Boolean,
-      extraActions: Seq[String] = Seq.empty
+      extraActions: Seq[String] = Seq.empty,
+      allowMapped: Boolean = false
   ): CommitResult = {
     val fs = DeltaLog.logDir(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     var attempt = 0
@@ -406,8 +465,10 @@ object DeltaWrite {
       val current = DeltaLog.latestVersion(spark, tablePath)
       val version = current.map(_ + 1).getOrElse(0L)
       val snapOpt = current.map(_ => DeltaLog.snapshot(spark, tablePath))
-      snapOpt.foreach(s => require(!s.metadata.isColumnMapped,
-        s"writes to column-mapped Delta tables are not supported ($tablePath)"))
+      // append/overwrite translate to physical names upstream
+      // (commitMapped); every other op still refuses mapped tables
+      snapOpt.foreach(s => require(allowMapped || !s.metadata.isColumnMapped,
+        s"this operation is not supported on column-mapped Delta tables ($tablePath)"))
       val needMeta = snapOpt.forall(s =>
         s.metadata.schemaString != schemaJson || s.metadata.partitionColumns != partitionBy)
       val removes: Seq[DeltaLog.AddFile] =

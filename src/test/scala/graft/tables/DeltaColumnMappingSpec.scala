@@ -200,12 +200,92 @@ class DeltaColumnMappingSpec extends SparkSpec {
     assert(skipped.count() == 0)
   }
 
-  test("writes to mapped tables are refused loudly") {
+  // a LOGICAL-named frame matching the mapped fixture's schema
+  private def logicalDf(rows: Seq[(Long, String, Long, Int)]): DataFrame =
+    rows.map { case (i, v, x, p) => (i, v, Tuple1(x), p) }
+      .toDF("id", "v", "s", "part")
+      .withColumn("s", col("s").cast("struct<x:bigint>"))
+
+  test("append to a name-mapped table writes physical names and reads back") {
+    val dir = mappedTable()
+    val res = DeltaWrite.append(spark, logicalDf(Seq((31L, "e", 50L, 2))), dir)
+    assert(res.version == 1L && res.filesAdded >= 1)
+
+    val snap = DeltaLog.snapshot(spark, dir)
+    // metadata untouched: same schemaString, same mapping config
+    assert(snap.metadata.columnMappingMode == "name")
+    assert(snap.metadata.schemaString == logicalSchema.json)
+    // the new add's partitionValues are keyed by the PHYSICAL name
+    val newAdds = snap.files.filterNot(_.path.startsWith("part="))
+    assert(newAdds.nonEmpty)
+    newAdds.foreach(f => assert(f.partitionValues.keySet == Set("col-03"), f.partitionValues))
+    // and the staged parquet file itself carries physical column names
+    val raw = spark.read.parquet(dir + "/" + newAdds.head.path)
+    assert(raw.columns.toSet == Set("col-01", "col-02", "col-04"))
+
+    val t = new DeltaTable("t", dir)
+    val got = t(spark, ReadArgs()).select(col("id"), col("v"), col("s.x"), col("part"))
+      .as[(Long, String, Long, Int)].collect().toSet
+    assert(got == Set((1L, "a", 10L, 0), (2L, "b", 20L, 0),
+      (11L, "c", 30L, 1), (21L, "d", 40L, 1), (31L, "e", 50L, 2)))
+
+    // stats on the new file key by physical name → skipping still works
+    val skipped = t(spark, ReadArgs(filters = Filters.normalize(Seq(Filter("id", ">=", 31L)))))
+    assert(skipped.inputFiles.length == 1)
+  }
+
+  test("overwrite of a name-mapped table replaces contents, keeps mapping") {
+    val dir = mappedTable()
+    DeltaWrite.overwrite(spark, logicalDf(Seq((100L, "zz", 1L, 9))), dir)
+    val t = new DeltaTable("t", dir)
+    assert(t(spark, ReadArgs()).select("id").as[Long].collect().toSeq == Seq(100L))
+    assert(DeltaLog.snapshot(spark, dir).metadata.isColumnMapped)
+  }
+
+  test("append to an id-mapped table carries parquet field ids") {
+    val dir = tempDir("delta-cmidw").toString + "/t"
+    val idSchema = StructType(Seq(
+      mapped("id", LongType, 1, "col-01"),
+      mapped("v", StringType, 2, "col-02")))
+    def wfid(id: Int) = new MetadataBuilder().putLong("parquet.field.id", id.toLong).build()
+    val f0Schema = StructType(Seq(
+      StructField("col-01", LongType, nullable = true, wfid(1)),
+      StructField("col-02", StringType, nullable = true, wfid(2))))
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    import org.apache.spark.sql.Row
+    val size = putFile(
+      spark.createDataFrame(java.util.Arrays.asList(Row(1L, "a")), f0Schema),
+      dir, "f0.parquet")
+    putCommit(dir, 0, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      metaDataJson(idSchema, Seq.empty, "id"),
+      addJson("f0.parquet", Map.empty, size)))
+
+    DeltaWrite.append(spark, Seq((2L, "b")).toDF("id", "v"), dir)
+    val snap = DeltaLog.snapshot(spark, dir)
+    val newAdd = snap.files.find(_.path != "f0.parquet").get
+    // the written footer must carry field ids: reading the bare file
+    // with fieldId.read enabled and a RENAMED id-keyed schema succeeds
+    def fid(id: Int) = new MetadataBuilder().putLong("parquet.field.id", id.toLong).build()
+    val renamed = StructType(Seq(
+      StructField("anything", LongType, nullable = true, fid(1)),
+      StructField("other", StringType, nullable = true, fid(2))))
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    val viaIds = spark.read.schema(renamed).parquet(dir + "/" + newAdd.path)
+      .as[(Long, String)].collect().toSet
+    assert(viaIds == Set((2L, "b")))
+
+    val t = new DeltaTable("t", dir)
+    assert(t(spark, ReadArgs()).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b")))
+  }
+
+  test("schema evolution and DELETE on mapped tables are refused loudly") {
     val mdir = mappedTable()
     val w = intercept[IllegalArgumentException] {
       DeltaWrite.append(spark, Seq((99L, "z")).toDF("id", "v"), mdir)
     }
-    assert(w.getMessage.contains("column-mapped"))
+    assert(w.getMessage.contains("schema evolution"))
     val d = intercept[IllegalArgumentException] {
       DeltaWrite.deleteWhereDv(spark, mdir, Filters.normalize(Seq(Filter("id", "=", 1L))))
     }
