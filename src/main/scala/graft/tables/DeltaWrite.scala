@@ -344,6 +344,50 @@ object DeltaWrite {
       snap.metadata.schemaString, partCols, overwrite = false)
   }
 
+  /** OPTIMIZE ZORDER BY: rewrite the table (all partitions' files)
+    * with rows clustered along the Morton curve of `zorderBy`, so
+    * per-file min/max stats become selective in EVERY z-ordered
+    * dimension at once and multi-column box filters prune most files
+    * ([[graft.operators.ZOrder]]). One remove+add commit, same
+    * put-if-absent protocol as every other write. Partitioned tables
+    * range-partition on (partition cols, z-value) so each partition's
+    * rows stay contiguous and land in their own files.
+    */
+  def optimizeZorder(
+      spark: SparkSession,
+      tablePath: String,
+      zorderBy: Seq[String],
+      targetFileBytes: Long = 128L << 20,
+      bits: Int = 8
+  ): CommitResult = {
+    val snap = DeltaLog.snapshot(spark, tablePath)
+    require(!snap.metadata.isColumnMapped,
+      s"this operation is not supported on column-mapped Delta tables ($tablePath)")
+    val partCols = snap.metadata.partitionColumns
+    require(zorderBy.nonEmpty, "optimizeZorder needs at least one column")
+    zorderBy.foreach(c => require(snap.schema.fieldNames.contains(c),
+      s"zorder column $c is not in the table schema"))
+    zorderBy.foreach(c => require(!partCols.contains(c),
+      s"zorder column $c is a partition column — already clustered by layout"))
+
+    val candidates = snap.files
+    if (candidates.isEmpty) return CommitResult(snap.version, 0, 0)
+
+    val kept = DeltaRead.readFiles(spark, tablePath, snap.metadata, candidates)
+    val numFiles = math.max(1,
+      math.ceil(candidates.map(_.size).sum.toDouble / targetFileBytes).toInt)
+    val keyed = kept.withColumn("_graft_zval",
+      graft.operators.ZOrder.zvalue(kept, zorderBy, bits))
+    val rangeCols = partCols.map(col) :+ col("_graft_zval")
+    val clustered = keyed
+      .repartitionByRange(numFiles, rangeCols: _*)
+      .sortWithinPartitions(rangeCols: _*)
+      .drop("_graft_zval")
+    val adds = stageFiles(spark, clustered, tablePath, partCols)
+    commitLoop(spark, tablePath, adds, candidates,
+      snap.metadata.schemaString, partCols, overwrite = false)
+  }
+
   /** VACUUM: physically delete data files (and DV files) under the
     * table that are no longer referenced by the CURRENT snapshot and
     * whose REMOVAL predates the retention window. Returns the number
