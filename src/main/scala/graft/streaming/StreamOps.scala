@@ -157,4 +157,30 @@ object StreamOps {
 
   /** Default streaming sink config for append-mode windowed outputs. */
   def defaultOutputMode: OutputMode = OutputMode.Update()
+
+  /** Run stateful streaming on the RocksDB state store provider
+    * instead of the default in-memory HDFS-backed one. At production
+    * state sizes (streaming dedup over a high-cardinality key space,
+    * wide session maps) the default provider holds every key in
+    * executor heap — RocksDB spills to local SSD, bounds heap by block
+    * cache, and with changelog checkpointing uploads per-batch deltas
+    * instead of full snapshots, which is the configuration a
+    * 1000-executor streaming job actually runs. The provider affects
+    * queries STARTED after the conf is set (it is pinned into each
+    * query's checkpoint at start).
+    */
+  def useRocksDbStateStore(
+      spark: org.apache.spark.sql.SparkSession,
+      changelogCheckpointing: Boolean = true
+  ): Unit = {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+      changelogCheckpointing.toString)
+  }
+
+  /** Revert to the default state store provider (new queries only). */
+  def useDefaultStateStore(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
 }

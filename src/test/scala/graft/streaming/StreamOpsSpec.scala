@@ -152,6 +152,35 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful queries run on the RocksDB state store provider") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = tempDir("rocksdb-ckpt").toString
+    StreamOps.useRocksDbStateStore(spark)
+    try {
+      val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+      val df = input.toDF().toDF("event_id", "ts", "payload")
+      val q = StreamOps.dedupWithinWatermark(df, "ts", Seq("event_id"),
+          watermarkDelay = "5 minutes")
+        .writeStream.format("memory").queryName("rocks")
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        input.addData((1L, ts(0), "a"), (1L, ts(1), "dup"), (2L, ts(2), "b"))
+        q.processAllAvailable()
+        input.addData((1L, ts(5), "dup2"), (3L, ts(6), "c"))
+        q.processAllAvailable()
+        val rows = spark.sql("SELECT payload FROM rocks").as[String].collect().toSet
+        assert(rows == Set("a", "b", "c"), s"got $rows")
+        // the checkpoint must carry RocksDB artifacts (snapshot zips /
+        // changelogs), proving the provider actually ran
+        val stateDir = java.nio.file.Paths.get(ckpt, "state")
+        val files = java.nio.file.Files.walk(stateDir).toArray.map(_.toString)
+        assert(files.exists(f => f.endsWith(".zip") || f.endsWith(".changelog")),
+          s"no RocksDB artifacts under $stateDir: ${files.take(20).mkString(",")}")
+      } finally q.stop()
+    } finally StreamOps.useDefaultStateStore(spark)
+  }
+
   test("runningTotals keeps per-user state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[StreamOps.UserEvent]
