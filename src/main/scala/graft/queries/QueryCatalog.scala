@@ -48,8 +48,12 @@ object QueryCatalog {
     Entry("q_repetition", PipelineQueries.qRepetition),
     Entry("q_passage_dedup", PipelineQueries.qPassageDedup),
     Entry("q_contamination", PipelineQueries.qContamination),
-    Entry("q_quality_rules", PipelineQueries.qQualityRules),
+    Entry("q_quality_rules", PipelineQueries.qQualityRules, headline = true),
     Entry("q_vocab", PipelineQueries.qVocab),
+    // not headlined: DuckDB's identical oracle SQL pays ~70 s of
+    // interpreted per-element signature evaluation at sf0.1 (vs ~1 s
+    // for the native expression here) — including it would inflate the
+    // headline ratio with a win the minhash queries already represent
     Entry("q_srp_pairs", PipelineQueries.qSrpPairs),
     Entry("q_range_join", PipelineQueries.qRangeJoin, headline = true),
     Entry("q_sample", PipelineQueries.qSample),
