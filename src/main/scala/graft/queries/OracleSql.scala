@@ -782,7 +782,24 @@ object OracleSql {
     "q_delta_dv" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer
         |WHERE c_mktsegment = 'BUILDING' AND (c_acctbal < 0) IS NOT TRUE
-        |ORDER BY c_custkey""".stripMargin
+        |ORDER BY c_custkey""".stripMargin,
+
+    // Spark side reads the change data feed of a delta table built as:
+    // v0 append (o_orderkey % 4 != 3), v1 enable CDF, v2 append the
+    // rest, v3 DELETE WHERE o_orderstatus = 'F' (cdc files). The
+    // change stream is reconstructed here from the raw source.
+    "q_delta_cdf" ->
+      """WITH ch AS (
+        |  SELECT o_orderkey, 'insert' AS change_type, 0 AS commit_version
+        |  FROM orders WHERE o_orderkey % 4 <> 3
+        |  UNION ALL
+        |  SELECT o_orderkey, 'insert', 2 FROM orders WHERE o_orderkey % 4 = 3
+        |  UNION ALL
+        |  SELECT o_orderkey, 'delete', 3 FROM orders WHERE o_orderstatus = 'F')
+        |SELECT change_type, CAST(commit_version AS BIGINT) AS commit_version,
+        |  count(*) AS n_rows, CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+        |FROM ch GROUP BY 1, 2
+        |ORDER BY commit_version, change_type""".stripMargin
   )
 
   val all: Map[String, String] = relational ++ pipeline ++ wave2 ++ wave3

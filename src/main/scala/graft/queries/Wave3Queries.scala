@@ -64,6 +64,32 @@ object Wave3Queries {
       path
     })
 
+  /** Change data feed: the per-commit change stream of a table built
+    * as append → enable CDF → append → DELETE (cdc files), aggregated
+    * per (change_type, commit_version). Inserts derive from add
+    * actions; the delete's rows come from its `_change_data` files.
+    */
+  def qDeltaCdf(s: SparkSession, dir: String): DataFrame =
+    graft.tables.DeltaChanges.between(s, ordersCdfDelta(s, dir), 0)
+      .groupBy(
+        col(graft.tables.DeltaChanges.ChangeTypeCol).as("change_type"),
+        col(graft.tables.DeltaChanges.CommitVersionCol).as("commit_version"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("o_orderkey")).as("sum_key"))
+      .orderBy("commit_version", "change_type")
+
+  private def ordersCdfDelta(s: SparkSession, dir: String): String =
+    builtTables.getOrElseUpdate(dir + "#cdf", {
+      val path = java.nio.file.Files.createTempDirectory("graft_delta_cdf").toString + "/orders"
+      val orders = t(s, dir, "orders").select("o_orderkey", "o_orderstatus")
+      DeltaWrite.append(s, orders.where(col("o_orderkey") % 4 =!= 3), path)
+      DeltaWrite.setTableProperties(s, path, Map("delta.enableChangeDataFeed" -> "true"))
+      DeltaWrite.append(s, orders.where(col("o_orderkey") % 4 === 3), path)
+      DeltaWrite.deleteWhere(s, path, Filters.normalize(Seq(Filter("o_orderstatus", "=", "F"))))
+      path
+    })
+
   /** Time travel: version 0 predates the DELETE and sees full nation. */
   def qDeltaTimeTravel(s: SparkSession, dir: String): DataFrame = {
     val table = new DeltaTable("nation_delta", nationDelta(s, dir))

@@ -590,6 +590,98 @@ object DeltaLog {
     out.toSeq.map { case ((path, dv), ts) => Tombstone(path, ts, dv) }
   }
 
+  /** A change-data file (`cdc` action): rows this commit
+    * updated/deleted, stored under `_change_data/` with a
+    * `_change_type` column. `dataChange` is always false on cdc
+    * actions (the data files already carry the table state).
+    */
+  final case class CdcFile(
+      path: String,
+      partitionValues: Map[String, Option[String]],
+      size: Long)
+
+  /** Everything the change-data-feed reader needs about one commit:
+    * its cdc files plus the dataChange add/remove actions (removes
+    * carried as AddFile so the removed file can be re-read to derive
+    * delete rows — valid until vacuum reclaims it).
+    */
+  final case class VersionChanges(
+      version: Long,
+      timestamp: Long,
+      cdc: Seq[CdcFile],
+      adds: Seq[AddFile],
+      removes: Seq[AddFile])
+
+  /** Per-version change actions for versions [fromVersion, toVersion],
+    * from the JSON commits (CDF reads need the per-commit action list,
+    * which checkpoints do not preserve — an aged-out prefix refuses
+    * loudly rather than silently skipping versions).
+    */
+  def changeActions(
+      spark: SparkSession,
+      tablePath: String,
+      fromVersion: Long,
+      toVersion: Long
+  ): Seq[VersionChanges] = {
+    require(fromVersion >= 0 && fromVersion <= toVersion,
+      s"invalid change range [$fromVersion, $toVersion]")
+    val dir = logDir(tablePath)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (jsons, _) = listLog(spark, tablePath)
+    val missing = (fromVersion to toVersion).filterNot(jsons.contains)
+    require(missing.isEmpty,
+      s"change data feed of $tablePath cannot replay versions " +
+        s"${missing.mkString(", ")}: their JSON commits are gone (aged-out log)")
+
+    def pvOf(n: JsonNode): Map[String, Option[String]] =
+      Option(n.get("partitionValues")).map { o =>
+        o.fields().asScala.map { e =>
+          e.getKey -> (if (e.getValue.isNull) None else Some(e.getValue.asText()))
+        }.toMap
+      }.getOrElse(Map.empty)
+
+    (fromVersion to toVersion).map { v =>
+      val p = jsons(v)
+      val ts = fs.getFileStatus(p).getModificationTime
+      val in = fs.open(p)
+      val lines =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+        finally in.close()
+      val cdc = Seq.newBuilder[CdcFile]
+      val adds = Seq.newBuilder[AddFile]
+      val removes = Seq.newBuilder[AddFile]
+      lines.filter(_.nonEmpty).foreach { line =>
+        val node = mapper.readTree(line)
+        if (node.has("cdc")) {
+          val c = node.get("cdc")
+          cdc += CdcFile(decodePath(c.get("path").asText()), pvOf(c),
+            Option(c.get("size")).map(_.asLong()).getOrElse(0L))
+        }
+        if (node.has("add")) {
+          val a = node.get("add")
+          if (a.path("dataChange").asBoolean(true))
+            adds += AddFile(
+              decodePath(a.get("path").asText()), pvOf(a),
+              Option(a.get("size")).map(_.asLong()).getOrElse(0L),
+              Option(a.get("stats")).filterNot(_.isNull).map(_.asText()),
+              Option(a.get("deletionVector")).filterNot(_.isNull)
+                .map(DeletionVectors.parseDescriptor))
+        }
+        if (node.has("remove")) {
+          val r = node.get("remove")
+          if (r.path("dataChange").asBoolean(true))
+            removes += AddFile(
+              decodePath(r.get("path").asText()), pvOf(r),
+              Option(r.get("size")).map(_.asLong()).getOrElse(0L),
+              None,
+              Option(r.get("deletionVector")).filterNot(_.isNull)
+                .map(DeletionVectors.parseDescriptor))
+        }
+      }
+      VersionChanges(v, ts, cdc.result(), adds.result(), removes.result())
+    }
+  }
+
   /** add/remove paths are percent-encoded relative URIs per the
     * protocol.
     */

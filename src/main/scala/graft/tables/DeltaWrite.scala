@@ -79,9 +79,16 @@ object DeltaWrite {
       // evaluates to NULL are kept (plain !predicate would drop them)
       .filter(!coalesce(predicate, lit(false)))
 
+    // CDF: record exactly the rows this delete removes
+    val cdcActions =
+      if (cdfEnabled(snap.metadata))
+        stageCdcDeletes(spark, tablePath, snap, candidates, predicate)
+      else Seq.empty
+
     val adds = stageFiles(spark, kept, tablePath, partCols)
     commitLoop(spark, tablePath, adds, candidates,
-      snap.metadata.schemaString, partCols, overwrite = false)
+      snap.metadata.schemaString, partCols, overwrite = false,
+      extraActions = cdcActions)
   }
 
   private def commit(
@@ -186,6 +193,43 @@ object DeltaWrite {
       stats: Option[String],
       dv: Option[DeletionVectors.DvDescriptor] = None)
 
+  private def cdfEnabled(meta: DeltaLog.Metadata): Boolean =
+    meta.configuration.get("delta.enableChangeDataFeed").contains("true")
+
+  /** Serialize a staged change-data file as a `cdc` action. */
+  private def cdcJson(add: StagedAdd): String = {
+    val c = mapper.createObjectNode()
+    c.put("path", add.rel)
+    val pvNode = c.putObject("partitionValues")
+    add.pv.foreach { case (k, v) =>
+      v match { case Some(s) => pvNode.put(k, s); case None => pvNode.putNull(k) }
+    }
+    c.put("size", add.size)
+    c.put("dataChange", false)
+    s"""{"cdc":${mapper.writeValueAsString(c)}}"""
+  }
+
+  /** Stage the predicate-matched (visible) rows of `candidates` as
+    * change-data files under `_change_data/` and return the cdc
+    * actions for the commit. Rows already hidden by existing DVs are
+    * excluded (readFiles applies them), so the change feed records
+    * exactly the rows THIS delete removes.
+    */
+  private def stageCdcDeletes(
+      spark: SparkSession,
+      tablePath: String,
+      snap: DeltaLog.Snapshot,
+      candidates: Seq[DeltaLog.AddFile],
+      predicate: org.apache.spark.sql.Column
+  ): Seq[String] = {
+    val deleted = DeltaRead.readFiles(spark, tablePath, snap.metadata, candidates)
+      .filter(coalesce(predicate, lit(false)))
+      .withColumn(DeltaChanges.ChangeTypeCol, lit("delete"))
+    stageFiles(spark, deleted, tablePath, snap.metadata.partitionColumns,
+      destPrefix = "_change_data/", withStats = false)
+      .map(cdcJson)
+  }
+
   /** Merge-on-read DELETE: instead of rewriting files, write a
     * deletion-vector bitmap of the matching physical row indexes per
     * file and re-add each affected file with its DV — the 100 TB
@@ -258,16 +302,89 @@ object DeltaWrite {
       val f = byPath(key)
       StagedAdd(f.path, f.partitionValues, f.size, f.stats, Some(descriptors(key)))
     }
+    // CDF rows are the VISIBLE matched rows (existing DVs applied) —
+    // staged before the new DVs take effect
+    val cdcActions =
+      if (cdfEnabled(snap.metadata))
+        stageCdcDeletes(spark, tablePath, snap,
+          bitmaps.map { case (key, _) => byPath(key) }, predicate)
+      else Seq.empty
+
     // removes carry the PRE-update entries (old DV descriptors), so a
     // replaced DV file gets its own tombstone for vacuum retention
     commitLoop(spark, tablePath, adds, bitmaps.map { case (key, _) => byPath(key) },
       snap.metadata.schemaString, partCols, overwrite = false,
-      extraActions = Seq(DvProtocolAction))
+      extraActions = Seq(DvProtocolAction) ++ cdcActions)
   }
 
   private val DvProtocolAction =
     """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
       """"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}"""
+
+  /** ALTER TABLE SET TBLPROPERTIES: a metadata-only commit merging
+    * `props` into the table configuration (schema, partitioning and
+    * table identity untouched). Enabling the change data feed also
+    * bumps the writer protocol: legacy writer version 4, or the
+    * `changeDataFeed` writer feature on feature-versioned tables —
+    * per the public protocol's feature table.
+    */
+  def setTableProperties(
+      spark: SparkSession,
+      tablePath: String,
+      props: Map[String, String]
+  ): CommitResult = {
+    val fs = DeltaLog.logDir(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var attempt = 0
+    while (true) {
+      val snap = DeltaLog.snapshot(spark, tablePath)
+      val meta = snap.metadata
+      val newConf = meta.configuration ++ props
+      if (newConf == meta.configuration) return CommitResult(snap.version, 0, 0)
+      val version = snap.version + 1
+
+      val sb = new StringBuilder
+      if (props.get("delta.enableChangeDataFeed").contains("true")) {
+        val pr = snap.protocol
+        def quoted(fs: Seq[String]) = fs.map("\"" + _ + "\"").mkString("[", ",", "]")
+        if (pr.minWriterVersion >= 7) {
+          val wf = (pr.writerFeatures.getOrElse(Seq.empty) :+ "changeDataFeed").distinct
+          if (!pr.writerFeatures.exists(_.contains("changeDataFeed"))) {
+            val rf = pr.readerFeatures
+              .map(f => s""","readerFeatures":${quoted(f)}""").getOrElse("")
+            sb.append(s"""{"protocol":{"minReaderVersion":${pr.minReaderVersion},""" +
+              s""""minWriterVersion":${pr.minWriterVersion}$rf,""" +
+              s""""writerFeatures":${quoted(wf)}}}""").append('\n')
+          }
+        } else if (pr.minWriterVersion < 4) {
+          sb.append(s"""{"protocol":{"minReaderVersion":${pr.minReaderVersion},""" +
+            s""""minWriterVersion":4}}""").append('\n')
+        }
+      }
+      val m = mapper.createObjectNode()
+      m.put("id", Option(meta.id).filter(_.nonEmpty)
+        .getOrElse(java.util.UUID.randomUUID().toString))
+      m.putObject("format").put("provider", "parquet").putObject("options")
+      m.put("schemaString", meta.schemaString)
+      val pc = m.putArray("partitionColumns")
+      meta.partitionColumns.foreach(pc.add)
+      val confNode = m.putObject("configuration")
+      newConf.foreach { case (k, v) => confNode.put(k, v) }
+      m.put("createdTime", meta.createdTime.getOrElse(System.currentTimeMillis()))
+      sb.append(s"""{"metaData":${mapper.writeValueAsString(m)}}""").append('\n')
+
+      val commitPath = new Path(DeltaLog.logDir(tablePath), f"$version%020d.json")
+      try {
+        val out = fs.create(commitPath, false) // put-if-absent
+        try out.write(sb.toString.getBytes("UTF-8"))
+        finally out.close()
+        return CommitResult(version, 0, 0)
+      } catch {
+        case _: java.io.IOException if attempt < 10 =>
+          attempt += 1 // lost the race — re-read and retry
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
 
   /** RESTORE: make the table's latest state equal an earlier version
     * via one metadata-only commit (remove files added since, re-add
@@ -457,7 +574,9 @@ object DeltaWrite {
       spark: SparkSession,
       df: DataFrame,
       tablePath: String,
-      partitionBy: Seq[String]
+      partitionBy: Seq[String],
+      destPrefix: String = "",
+      withStats: Boolean = true
   ): Seq[StagedAdd] = {
     val table = new Path(tablePath)
     val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -473,20 +592,21 @@ object DeltaWrite {
     val staged = listFilesRecursively(fs, staging)
 
     // per-file stats (partition columns excluded — their values live in
-    // partitionValues, not stats)
+    // partitionValues, not stats; change-data files carry none)
     val statsCols = df.schema.fields.filterNot(f => partitionBy.contains(f.name))
     val statsByFile: Map[String, String] =
-      if (staged.isEmpty) Map.empty else computeStats(spark, staging.toString, statsCols)
+      if (staged.isEmpty || !withStats) Map.empty
+      else computeStats(spark, staging.toString, statsCols)
 
     val adds = staged.map { file =>
       val rel = relativize(staging, file)
-      val dest = new Path(table, rel)
+      val dest = new Path(table, destPrefix + rel)
       fs.mkdirs(dest.getParent)
       if (!fs.rename(file, dest))
         throw new IllegalStateException(s"could not move staged file $file to $dest")
       val pv = partitionValuesFromPath(rel, partitionBy)
       val size = fs.getFileStatus(dest).getLen
-      StagedAdd(rel, pv, size, statsByFile.getByRel(rel))
+      StagedAdd(destPrefix + rel, pv, size, statsByFile.getByRel(rel))
     }
     fs.delete(staging, true)
     adds
