@@ -799,7 +799,23 @@ object OracleSql {
         |SELECT change_type, CAST(commit_version AS BIGINT) AS commit_version,
         |  count(*) AS n_rows, CAST(sum(o_orderkey) AS BIGINT) AS sum_key
         |FROM ch GROUP BY 1, 2
-        |ORDER BY commit_version, change_type""".stripMargin
+        |ORDER BY commit_version, change_type""".stripMargin,
+
+    // Spark side reads a delta table after MERGE: updates for keys
+    // %10==0 (+1000 price), inserts with fresh keys for %1000==0.
+    "q_delta_merge" ->
+      s"""WITH merged AS (
+         |  SELECT o_orderkey, o_orderstatus, o_totalprice
+         |  FROM orders WHERE o_orderkey % 10 <> 0
+         |  UNION ALL
+         |  SELECT o_orderkey, o_orderstatus, o_totalprice + 1000
+         |  FROM orders WHERE o_orderkey % 10 = 0
+         |  UNION ALL
+         |  SELECT o_orderkey + 100000000, 'N', o_totalprice
+         |  FROM orders WHERE o_orderkey % 1000 = 0)
+         |SELECT o_orderstatus, count(*) AS n_rows,
+         |  ${dsum(d4("o_totalprice"))} AS sum_price
+         |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
   )
 
   val all: Map[String, String] = relational ++ pipeline ++ wave2 ++ wave3

@@ -77,6 +77,7 @@ object QueryCatalog {
     Entry("q_delta_time_travel", Wave3Queries.qDeltaTimeTravel),
     Entry("q_delta_dv", Wave3Queries.qDeltaDv),
     Entry("q_delta_cdf", Wave3Queries.qDeltaCdf),
+    Entry("q_delta_merge", Wave3Queries.qDeltaMerge),
     Entry("q_ann_kmeans", Wave3Queries.qAnnKmeans),
     Entry("q_bpe_tokens", Wave3Queries.qBpeTokens)
   )

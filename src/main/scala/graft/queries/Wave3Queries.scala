@@ -90,6 +90,38 @@ object Wave3Queries {
       path
     })
 
+  /** Delta-level MERGE: orders upserted with updates (keys %10==0 get
+    * +1000 price) and inserts (fresh keys for %1000==0), then the
+    * final state aggregated per status. File pruning bounds the
+    * rewrite to files overlapping the source key range.
+    */
+  def qDeltaMerge(s: SparkSession, dir: String): DataFrame = {
+    val table = new DeltaTable("orders_merge", ordersMergeDelta(s, dir))
+    table(s, ReadArgs())
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        Num.dsum(Num.d4(col("o_totalprice"))).as("sum_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  private def ordersMergeDelta(s: SparkSession, dir: String): String =
+    builtTables.getOrElseUpdate(dir + "#merge", {
+      val path = java.nio.file.Files.createTempDirectory("graft_delta_merge").toString + "/orders"
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      DeltaWrite.append(s, orders, path)
+      val updates = orders.where(col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000)
+      val inserts = orders.where(col("o_orderkey") % 1000 === 0)
+        .select(
+          (col("o_orderkey") + 100000000L).as("o_orderkey"),
+          lit("N").as("o_orderstatus"),
+          col("o_totalprice"))
+      DeltaWrite.merge(s, path, updates.unionByName(inserts), Seq("o_orderkey"))
+      path
+    })
+
   /** Time travel: version 0 predates the DELETE and sees full nation. */
   def qDeltaTimeTravel(s: SparkSession, dir: String): DataFrame = {
     val table = new DeltaTable("nation_delta", nationDelta(s, dir))

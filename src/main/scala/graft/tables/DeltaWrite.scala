@@ -317,6 +317,90 @@ object DeltaWrite {
       extraActions = Seq(DvProtocolAction) ++ cdcActions)
   }
 
+  /** MERGE (upsert): rows of `source` replace target rows with the
+    * same key; unmatched source rows are inserted. The standard
+    * last-writer-wins MERGE INTO every ingestion pipeline runs.
+    *
+    * Scale shape: only files that MAY hold a matching key are
+    * rewritten (single-column keys prune on per-file min/max stats
+    * against the source key range — one tiny driver-side agg of the
+    * source); the rewrite itself is kept-rows ∪ source, one shuffle
+    * join on the key. Unmatched-file data is never read or written.
+    * `source` must be unique per key (the caller dedupes — at scale
+    * that is one ExtremumBy pass, see operators/Upsert).
+    *
+    * On CDF-enabled tables the commit carries cdc files classifying
+    * every change: `update_preimage`/`update_postimage` for matched
+    * keys, `insert` for new keys — which also disambiguates the
+    * add+remove rewrite for change readers.
+    */
+  def merge(
+      spark: SparkSession,
+      tablePath: String,
+      source: DataFrame,
+      keyCols: Seq[String]
+  ): CommitResult = {
+    require(keyCols.nonEmpty, "merge needs at least one key column")
+    val snap = DeltaLog.snapshot(spark, tablePath)
+    val meta = snap.metadata
+    require(!meta.isColumnMapped,
+      s"this operation is not supported on column-mapped Delta tables ($tablePath)")
+    require(source.columns.toSet == meta.schema.fieldNames.toSet,
+      s"merge source schema ${source.columns.mkString(",")} must match the table " +
+        s"(${meta.schema.fieldNames.mkString(",")})")
+    val partCols = meta.partitionColumns
+    val src = source.select(meta.schema.fieldNames.map(col).toSeq: _*)
+
+    // candidate pruning: single-column keys bound the source key range
+    // once (driver-side min/max) and skip files whose stats exclude it
+    val candidates: Seq[DeltaLog.AddFile] = keyCols match {
+      case Seq(k) =>
+        val r = src.agg(min(col(k)), max(col(k))).head()
+        if (r.isNullAt(0)) return CommitResult(snap.version, 0, 0) // empty source
+        else {
+          import graft.core.{Filter, Filters}
+          val f = Filters.normalize(Seq(
+            Filter(k, ">=", r.get(0)), Filter(k, "<=", r.get(1))))
+          snap.files.filter(f0 => DeltaFileSkipping.mayMatch(f0, f, meta))
+        }
+      case _ => snap.files
+    }
+
+    val target =
+      if (candidates.isEmpty) None
+      else Some(DeltaRead.readFiles(spark, tablePath, meta, candidates))
+    val keySeq = keyCols.toSeq
+
+    // kept = target rows whose key has no replacement; content = kept ∪ source
+    val content = target match {
+      case Some(t) => t.join(src, keySeq, "left_anti").unionByName(src)
+      case None    => src
+    }
+
+    val cdcActions =
+      if (!cdfEnabled(meta)) Seq.empty
+      else {
+        val changeRows = target match {
+          case Some(t) =>
+            val pre = t.join(src, keySeq, "left_semi")
+              .withColumn(DeltaChanges.ChangeTypeCol, lit("update_preimage"))
+            val post = src.join(t, keySeq, "left_semi")
+              .withColumn(DeltaChanges.ChangeTypeCol, lit("update_postimage"))
+            val ins = src.join(t, keySeq, "left_anti")
+              .withColumn(DeltaChanges.ChangeTypeCol, lit("insert"))
+            pre.unionByName(post).unionByName(ins)
+          case None =>
+            src.withColumn(DeltaChanges.ChangeTypeCol, lit("insert"))
+        }
+        stageFiles(spark, changeRows, tablePath, partCols,
+          destPrefix = "_change_data/", withStats = false).map(cdcJson)
+      }
+
+    val adds = stageFiles(spark, content, tablePath, partCols)
+    commitLoop(spark, tablePath, adds, candidates,
+      meta.schemaString, partCols, overwrite = false, extraActions = cdcActions)
+  }
+
   private val DvProtocolAction =
     """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
       """"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}"""
