@@ -248,6 +248,48 @@ object OracleSql {
 
     "q_srp_pairs" -> srpPairsSql,
 
+    "q_redact" -> {
+      import graft.functions.TextClean.{Sql => T}
+      import graft.functions.TextClean.{EmailRe, Ipv4Re, PhoneRe}
+      val txt =
+        """('contact user' || user_id || '@mail.example.com or 10.0.' ||
+          | (user_id % 256) || '.' || (event_id % 256) ||
+          | ' phone 555-' || lpad(CAST(user_id % 1000 AS VARCHAR), 3, '0') ||
+          | '-' || lpad(CAST(event_id % 10000 AS VARCHAR), 4, '0') ||
+          | ' type ' || event_type)""".stripMargin.replace("\n", "")
+      s"""WITH g AS (SELECT event_type, $txt AS txt FROM events),
+         |r AS (SELECT event_type, txt, ${T.redactPii("txt")} AS red FROM g)
+         |SELECT event_type, count(*) AS n_events,
+         |  ${dsumL(T.countMatches("txt", EmailRe))} AS emails,
+         |  ${dsumL(T.countMatches("txt", Ipv4Re))} AS ips,
+         |  ${dsumL(T.countMatches("txt", PhoneRe))} AS phones,
+         |  ${dsumL(T.countMatches("red", EmailRe))} AS residual,
+         |  ${dsumL(PortableHash.Sql.md5Long("red"))} AS digest
+         |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
+    },
+
+    "q_url_extract" -> {
+      import graft.functions.TextClean.{Sql => T}
+      val txt =
+        """('see https://sub' || (user_id % 50) || '.site' || (user_id % 7) ||
+          | '.' || (CASE CAST(user_id % 3 AS INTEGER) WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'net' END) ||
+          | '/p/' || event_id || ' end')""".stripMargin.replace("\n", "")
+      s"""WITH g AS (SELECT ${T.urlHost(txt)} AS host FROM events),
+         |d AS (SELECT host, ${T.domainOf("host")} AS domain FROM g)
+         |SELECT domain, count(*) AS n_urls,
+         |  CAST(count(DISTINCT host) AS BIGINT) AS n_hosts
+         |FROM d GROUP BY domain ORDER BY domain""".stripMargin
+    },
+
+    "q_normalize" -> {
+      import graft.functions.TextClean.{Sql => T}
+      s"""WITH n AS (SELECT source, ${T.normalizeText("text")} AS norm FROM documents)
+         |SELECT source, count(*) AS n_docs,
+         |  ${dsumL("length(norm)")} AS n_chars,
+         |  ${dsumL(PortableHash.Sql.md5Long("norm"))} AS digest
+         |FROM n GROUP BY source ORDER BY source""".stripMargin
+    },
+
     "q_vocab" ->
       s"""WITH toks AS (
          |  SELECT unnest(${wordTokensSql("text")}) AS token FROM documents),
@@ -374,6 +416,9 @@ object OracleSql {
 
   private def decAvg(x: String) =
     s"round(CAST(sum(CAST($x AS DECIMAL(8,4))) AS DOUBLE) / count(*), 4)"
+
+  /** Integer sum as BIGINT (DuckDB sums to HUGEINT/DECIMAL). */
+  private def dsumL(x: String) = s"CAST(sum($x) AS BIGINT)"
 
   /** Mirrors functions/QualityRules — thresholds, stopword list and
     * bullet markers are spliced from the same Scala constants so the

@@ -323,6 +323,74 @@ object PipelineQueries {
       .select(col("vocab_id"), col("token"), col("freq"))
       .orderBy("vocab_id")
 
+  /** P28: PII redaction — emails/IPs/phone numbers replaced with
+    * typed tags. The corpus has no PII, so the query derives realistic
+    * text deterministically FROM the events table (both engines build
+    * the identical strings from the same rows), then redacts and
+    * digests the results. Patterns live in functions/TextClean and are
+    * spliced into the oracle from the same constants.
+    */
+  def qRedact(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{PortableHash, TextClean}
+    val txt = concat(
+      lit("contact user"), col("user_id"), lit("@mail.example.com or 10.0."),
+      col("user_id") % 256, lit("."), col("event_id") % 256,
+      lit(" phone 555-"), lpad((col("user_id") % 1000).cast("string"), 3, "0"),
+      lit("-"), lpad((col("event_id") % 10000).cast("string"), 4, "0"),
+      lit(" type "), col("event_type"))
+    t(s, dir, "events")
+      .withColumn("txt", txt)
+      .withColumn("red", TextClean.redactPii(col("txt")))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(TextClean.countMatches(col("txt"), TextClean.EmailRe)).as("emails"),
+        sum(TextClean.countMatches(col("txt"), TextClean.Ipv4Re)).as("ips"),
+        sum(TextClean.countMatches(col("txt"), TextClean.PhoneRe)).as("phones"),
+        sum(TextClean.countMatches(col("red"), TextClean.EmailRe)).as("residual"),
+        sum(PortableHash.md5Long(col("red"))).as("digest"))
+      .orderBy("event_type")
+  }
+
+  /** P29: URL host + domain extraction with per-domain stats — the
+    * domain-filtering pass of a web-corpus pipeline. URLs derived
+    * deterministically from events (same construction on both sides).
+    */
+  def qUrlExtract(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextClean
+    val tld = element_at(
+      array(lit("com"), lit("org"), lit("net")),
+      ((col("user_id") % 3) + 1).cast("int"))
+    val txt = concat(
+      lit("see https://sub"), col("user_id") % 50,
+      lit(".site"), col("user_id") % 7, lit("."), tld,
+      lit("/p/"), col("event_id"), lit(" end"))
+    t(s, dir, "events")
+      .withColumn("host", TextClean.urlHost(txt))
+      .withColumn("domain", TextClean.domainOf(col("host")))
+      .groupBy(col("domain"))
+      .agg(
+        count(lit(1)).as("n_urls"),
+        countDistinct(col("host")).as("n_hosts"))
+      .orderBy("domain")
+  }
+
+  /** P30: unicode + whitespace normalization (NFC, control strip,
+    * whitespace collapse) — the canonicalization before content
+    * hashing. Digest proves byte-identical output across engines.
+    */
+  def qNormalize(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{PortableHash, TextClean}
+    t(s, dir, "documents")
+      .withColumn("norm", TextClean.normalizeText(col("text")))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(length(col("norm"))).as("n_chars"),
+        sum(PortableHash.md5Long(col("norm"))).as("digest"))
+      .orderBy("source")
+  }
+
   /** P13: multimodal payload plumbing — oracle-checkable byte stats
     * over the binary payload column.
     */

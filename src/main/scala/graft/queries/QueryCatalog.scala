@@ -55,6 +55,9 @@ object QueryCatalog {
     // for the native expression here) — including it would inflate the
     // headline ratio with a win the minhash queries already represent
     Entry("q_srp_pairs", PipelineQueries.qSrpPairs),
+    Entry("q_redact", PipelineQueries.qRedact),
+    Entry("q_url_extract", PipelineQueries.qUrlExtract),
+    Entry("q_normalize", PipelineQueries.qNormalize),
     Entry("q_range_join", PipelineQueries.qRangeJoin, headline = true),
     Entry("q_sample", PipelineQueries.qSample),
     Entry("q_split", PipelineQueries.qSplit),
