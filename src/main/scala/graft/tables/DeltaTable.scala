@@ -106,7 +106,7 @@ class DeltaTable(
   * driver-loaded metadata (like the stats JSON) and ship to tasks in
   * the filter expression.
   */
-private[tables] object DeltaRead {
+private[graft] object DeltaRead {
 
   def readFiles(
       spark: SparkSession,

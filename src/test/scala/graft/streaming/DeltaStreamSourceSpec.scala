@@ -1,0 +1,92 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.core.{Filter, Filters}
+import graft.tables.DeltaWrite
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQueryException, Trigger}
+
+class DeltaStreamSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val fmt = classOf[DeltaStreamSourceProvider].getName
+
+  private def readStream(dir: String, opts: Map[String, String] = Map.empty) = {
+    val r = spark.readStream.format(fmt).option("path", dir)
+    opts.foldLeft(r) { case (b, (k, v)) => b.option(k, v) }.load()
+  }
+
+  test("streams existing versions, then tails new appends incrementally") {
+    val dir = tempDir("delta-src").toString + "/t"
+    DeltaWrite.append(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "grp"), dir)     // v0
+    DeltaWrite.append(spark, Seq((3L, "c")).toDF("id", "grp"), dir)                // v1
+
+    val q = readStream(dir).writeStream
+      .format("memory").queryName("dsrc").outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("SELECT id FROM dsrc").as[Long].collect().sorted.toSeq ==
+        Seq(1L, 2L, 3L))
+
+      DeltaWrite.append(spark, Seq((4L, "d"), (5L, "e")).toDF("id", "grp"), dir)   // v2
+      q.processAllAvailable()
+      assert(spark.sql("SELECT id FROM dsrc").as[Long].collect().sorted.toSeq ==
+        Seq(1L, 2L, 3L, 4L, 5L))
+    } finally q.stop()
+  }
+
+  test("restart from checkpoint resumes after the last committed version") {
+    val dir = tempDir("delta-src-ckpt").toString + "/t"
+    val ckpt = tempDir("delta-src-ckpt-c").toString
+    val out = tempDir("delta-src-ckpt-o").toString
+    DeltaWrite.append(spark, Seq((1L, "a")).toDF("id", "grp"), dir)                // v0
+
+    def run(): Unit = {
+      val q = readStream(dir).writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append()).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    assert(spark.read.parquet(out).select("id").as[Long].collect().toSeq == Seq(1L))
+
+    DeltaWrite.append(spark, Seq((2L, "b")).toDF("id", "grp"), dir)                // v1
+    // same checkpoint: the restarted query emits ONLY the new version
+    run()
+    assert(spark.read.parquet(out).select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L))
+  }
+
+  test("startingVersion skips history") {
+    val dir = tempDir("delta-src-sv").toString + "/t"
+    DeltaWrite.append(spark, Seq((1L, "a")).toDF("id", "grp"), dir)                // v0
+    DeltaWrite.append(spark, Seq((2L, "b")).toDF("id", "grp"), dir)                // v1
+    val q = readStream(dir, Map("startingVersion" -> "1")).writeStream
+      .format("memory").queryName("dsrc_sv").outputMode(OutputMode.Append()).start()
+    try { q.processAllAvailable() } finally q.stop()
+    assert(spark.sql("SELECT id FROM dsrc_sv").as[Long].collect().toSeq == Seq(2L))
+  }
+
+  test("delete-only commits refuse without ignoreDeletes, skip with it") {
+    val dir = tempDir("delta-src-del").toString + "/t"
+    // partitioned by grp so the delete prunes to exactly the 'a'
+    // partition and drops its whole file — a remove-only commit
+    DeltaWrite.append(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "grp").coalesce(1),
+      dir, partitionBy = Seq("grp"))                                               // v0
+    DeltaWrite.deleteWhere(spark, dir, Filters.normalize(Seq(Filter("grp", "=", "a")))) // v1
+
+    val strict = readStream(dir).writeStream
+      .format("memory").queryName("dsrc_strict").outputMode(OutputMode.Append()).start()
+    val e = intercept[StreamingQueryException] {
+      strict.processAllAvailable(); strict.stop()
+    }
+    assert(e.getMessage.contains("ignoreDeletes") ||
+      Option(e.getCause).exists(_.getMessage.contains("ignoreDeletes")), e.getMessage)
+    strict.stop()
+
+    val tolerant = readStream(dir, Map("ignoreDeletes" -> "true")).writeStream
+      .format("memory").queryName("dsrc_tol").outputMode(OutputMode.Append()).start()
+    try { tolerant.processAllAvailable() } finally tolerant.stop()
+    assert(spark.sql("SELECT id FROM dsrc_tol").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L))
+  }
+}
