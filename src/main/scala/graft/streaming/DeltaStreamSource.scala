@@ -6,7 +6,7 @@ import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.sources.StreamSourceProvider
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** Structured Streaming source over a Delta table: the stream is the
   * table's commit log, each micro-batch the dataChange `add` files of
@@ -46,9 +46,19 @@ class DeltaStreamSourceProvider extends StreamSourceProvider {
       sqlContext: SQLContext,
       schema: Option[StructType],
       providerName: String,
-      parameters: Map[String, String]): (String, StructType) =
-    ("graft-delta",
-      DeltaLog.snapshot(sqlContext.sparkSession, pathOf(parameters)).schema)
+      parameters: Map[String, String]): (String, StructType) = {
+    val table = DeltaLog.snapshot(sqlContext.sparkSession, pathOf(parameters)).schema
+    val full =
+      if (!parameters.get("readChangeFeed").exists(_.toBoolean)) table
+      else StructType(table.fields ++ Seq(
+        StructField(graft.tables.DeltaChanges.ChangeTypeCol,
+          org.apache.spark.sql.types.StringType),
+        StructField(graft.tables.DeltaChanges.CommitVersionCol,
+          org.apache.spark.sql.types.LongType),
+        StructField(graft.tables.DeltaChanges.CommitTimestampCol,
+          org.apache.spark.sql.types.TimestampType)))
+    ("graft-delta", full)
+  }
 
   override def createSource(
       sqlContext: SQLContext,
@@ -61,7 +71,8 @@ class DeltaStreamSourceProvider extends StreamSourceProvider {
       pathOf(parameters),
       startingVersion = parameters.get("startingVersion").map(_.toLong).getOrElse(0L),
       ignoreDeletes = parameters.get("ignoreDeletes").exists(_.toBoolean),
-      ignoreChanges = parameters.get("ignoreChanges").exists(_.toBoolean))
+      ignoreChanges = parameters.get("ignoreChanges").exists(_.toBoolean),
+      readChangeFeed = parameters.get("readChangeFeed").exists(_.toBoolean))
 }
 
 class DeltaStreamSource(
@@ -69,13 +80,22 @@ class DeltaStreamSource(
     tablePath: String,
     startingVersion: Long,
     ignoreDeletes: Boolean,
-    ignoreChanges: Boolean
+    ignoreChanges: Boolean,
+    readChangeFeed: Boolean = false
 ) extends Source {
 
   // schema pinned at stream start; a mid-stream metadata change that
   // alters it refuses in getBatch rather than emitting mixed shapes
   private val meta = DeltaLog.snapshot(spark, tablePath).metadata
-  override val schema: StructType = meta.schema
+  override val schema: StructType =
+    if (!readChangeFeed) meta.schema
+    else StructType(meta.schema.fields ++ Seq(
+      org.apache.spark.sql.types.StructField(
+        graft.tables.DeltaChanges.ChangeTypeCol, org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField(
+        graft.tables.DeltaChanges.CommitVersionCol, org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField(
+        graft.tables.DeltaChanges.CommitTimestampCol, org.apache.spark.sql.types.TimestampType)))
 
   private def version(o: Offset): Long = o match {
     case l: LongOffset       => l.offset
@@ -97,6 +117,24 @@ class DeltaStreamSource(
     val cur = DeltaLog.snapshot(spark, tablePath).metadata
     require(cur.schemaString == meta.schemaString,
       s"schema of $tablePath changed mid-stream; restart the query to pick it up")
+
+    if (readChangeFeed) {
+      // CDF mode: change rows per version — deletes/updates arrive as
+      // typed rows instead of refusals
+      val df =
+        if (from > to) None
+        else Some(graft.tables.DeltaChanges.between(spark, tablePath, from, to))
+      return df match {
+        case Some(d) =>
+          val aligned = d.select(schema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*)
+          Bridge.internalCreateDataFrame(
+            spark, aligned.queryExecution.toRdd, schema, isStreaming = true)
+        case None =>
+          Bridge.internalCreateDataFrame(spark,
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.catalyst.InternalRow],
+            schema, isStreaming = true)
+      }
+    }
 
     val adds =
       if (from > to) Seq.empty

@@ -146,7 +146,13 @@ object DeltaLog {
       version: Long,
       metadata: Metadata,
       files: Seq[AddFile],
-      protocol: Protocol = Protocol.Base) {
+      protocol: Protocol = Protocol.Base,
+      /** `txn` (SetTransaction) high-water marks: appId → last
+        * committed transaction version — the protocol's idempotent-
+        * writer mechanism (a streaming sink skips batches it already
+        * committed).
+        */
+      txns: Map[String, Long] = Map.empty) {
     def schema: StructType = metadata.schema
   }
 
@@ -271,6 +277,7 @@ object DeltaLog {
     require(known.exists(_ <= target), s"version $target predates the log in $tablePath")
 
     val active = mutable.LinkedHashMap.empty[String, AddFile]
+    val txns = mutable.Map.empty[String, Long]
     var meta: Option[Metadata] = None
     var protocol: Protocol = Protocol.Base
 
@@ -348,6 +355,12 @@ object DeltaLog {
       if (node.has("remove")) {
         active -= decodePath(node.get("remove").get("path").asText())
       }
+      if (node.has("txn")) {
+        val t = node.get("txn")
+        val appId = t.get("appId").asText()
+        val v = t.get("version").asLong()
+        txns(appId) = math.max(txns.getOrElse(appId, Long.MinValue), v)
+      }
     }
 
     // apply the protocol/metaData/add columns of a checkpoint (or
@@ -418,6 +431,14 @@ object DeltaLog {
         }
       }
       // removes in a checkpoint are vacuum tombstones — not active state
+      if (cols.contains("txn")) {
+        cp.select("txn").where("txn IS NOT NULL").collect().foreach { r =>
+          val t = r.getStruct(0)
+          val appId = t.getAs[String]("appId")
+          val v = t.getAs[Long]("version")
+          txns(appId) = math.max(txns.getOrElse(appId, Long.MinValue), v)
+        }
+      }
       if (cols.contains("checkpointMetadata")) {
         cp.select("checkpointMetadata").where("checkpointMetadata IS NOT NULL")
           .collect().foreach { r =>
@@ -484,7 +505,7 @@ object DeltaLog {
 
     val m = meta.getOrElse(
       throw new IllegalStateException(s"no metaData action found in the log of $tablePath"))
-    Snapshot(target, m, active.values.toSeq, protocol)
+    Snapshot(target, m, active.values.toSeq, protocol, txns.toMap)
   }
 
   /** `deletionVector` struct of a checkpoint add/remove row. */

@@ -32,21 +32,38 @@ object DeltaWrite {
 
   final case class CommitResult(version: Long, filesAdded: Int, filesRemoved: Int)
 
-  /** Append `df` to (or create) the delta table at `tablePath`. */
+  /** Append `df` to (or create) the delta table at `tablePath`.
+    * `txn` (appId → transaction version) commits a SetTransaction
+    * action alongside the data: the protocol's idempotent-writer
+    * mechanism — re-running a batch whose version is already recorded
+    * under the appId can be detected and skipped
+    * (`snapshot.txns`), which is how the streaming sink gets
+    * exactly-once delivery.
+    */
   def append(
       spark: SparkSession,
       df: DataFrame,
       tablePath: String,
-      partitionBy: Seq[String] = Seq.empty
-  ): CommitResult = commit(spark, df, tablePath, partitionBy, overwrite = false)
+      partitionBy: Seq[String] = Seq.empty,
+      txn: Option[(String, Long)] = None
+  ): CommitResult = commit(spark, df, tablePath, partitionBy, overwrite = false, txn)
 
   /** Replace the table's entire contents with `df`. */
   def overwrite(
       spark: SparkSession,
       df: DataFrame,
       tablePath: String,
-      partitionBy: Seq[String] = Seq.empty
-  ): CommitResult = commit(spark, df, tablePath, partitionBy, overwrite = true)
+      partitionBy: Seq[String] = Seq.empty,
+      txn: Option[(String, Long)] = None
+  ): CommitResult = commit(spark, df, tablePath, partitionBy, overwrite = true, txn)
+
+  private def txnJson(appId: String, version: Long): String = {
+    val t = mapper.createObjectNode()
+    t.put("appId", appId)
+    t.put("version", version)
+    t.put("lastUpdated", System.currentTimeMillis())
+    s"""{"txn":${mapper.writeValueAsString(t)}}"""
+  }
 
   /** Format-level DELETE: files that cannot contain matching rows are
     * untouched; files that may are rewritten without the matching rows
@@ -96,16 +113,20 @@ object DeltaWrite {
       df: DataFrame,
       tablePath: String,
       partitionBy: Seq[String],
-      overwrite: Boolean
+      overwrite: Boolean,
+      txn: Option[(String, Long)] = None
   ): CommitResult = {
+    val txnActions = txn.map { case (a, v) => txnJson(a, v) }.toSeq
     val mappedSnap = DeltaLog.latestVersion(spark, tablePath)
       .map(_ => DeltaLog.snapshot(spark, tablePath))
       .filter(_.metadata.isColumnMapped)
     mappedSnap match {
-      case Some(snap) => commitMapped(spark, df, tablePath, snap, partitionBy, overwrite)
+      case Some(snap) =>
+        commitMapped(spark, df, tablePath, snap, partitionBy, overwrite, txnActions)
       case None =>
         val adds = stageFiles(spark, df, tablePath, partitionBy)
-        commitLoop(spark, tablePath, adds, Seq.empty, df.schema.json, partitionBy, overwrite)
+        commitLoop(spark, tablePath, adds, Seq.empty, df.schema.json, partitionBy,
+          overwrite, extraActions = txnActions)
     }
   }
 
@@ -124,7 +145,8 @@ object DeltaWrite {
       tablePath: String,
       snap: DeltaLog.Snapshot,
       partitionBy: Seq[String],
-      overwrite: Boolean
+      overwrite: Boolean,
+      extraActions: Seq[String] = Seq.empty
   ): CommitResult = {
     val meta = snap.metadata
     require(partitionBy.isEmpty || partitionBy == meta.partitionColumns,
@@ -138,7 +160,8 @@ object DeltaWrite {
     val physParts = meta.partitionColumns.map(meta.physicalName)
     val adds = stageFiles(spark, physDf, tablePath, physParts)
     commitLoop(spark, tablePath, adds, Seq.empty,
-      meta.schemaString, meta.partitionColumns, overwrite, allowMapped = true)
+      meta.schemaString, meta.partitionColumns, overwrite,
+      extraActions = extraActions, allowMapped = true)
   }
 
   /** Logical → physical frame: columns reordered to the declared
@@ -851,7 +874,12 @@ object DeltaWrite {
           f.size, 0L, dataChange = false, f.stats.orNull,
           f.dv.map(d => CpDv(
             d.storageType, d.pathOrInlineDv, d.offset, d.sizeInBytes, d.cardinality)))))) ++
-          tombstoneRows)
+          tombstoneRows ++
+          // txn high-water marks survive log cleanup, or idempotent
+          // writers would re-commit old batches after a checkpoint
+          snap.txns.toSeq.sortBy(_._1).map { case (appId, v) =>
+            CpRow(txn = Some(CpTxn(appId, v)))
+          })
 
     val destPaths = DeltaLog.checkpointPaths(tablePath, snap.version, parts)
     val groups: Seq[Seq[CpRow]] =
@@ -1130,8 +1158,10 @@ private[tables] final case class V2ManifestRow(
 private[tables] final case class SidecarFileRow(
     add: Option[CpAdd] = None,
     remove: Option[CpRemove] = None)
+private[tables] final case class CpTxn(appId: String, version: Long)
 private[tables] final case class CpRow(
     add: Option[CpAdd] = None,
     metaData: Option[CpMeta] = None,
     protocol: Option[CpProtocol] = None,
-    remove: Option[CpRemove] = None)
+    remove: Option[CpRemove] = None,
+    txn: Option[CpTxn] = None)
