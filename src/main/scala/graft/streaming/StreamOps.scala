@@ -104,6 +104,29 @@ object StreamOps {
       }
   }
 
+  /** Per-user running totals on the transformWithState API (Spark 4's
+    * arbitrary-state processor model — typed state handles with
+    * per-state TTL, timers, and RocksDB-only execution). Same
+    * semantics as [[runningTotals]]; the agreement between the two
+    * APIs is spec-tested. `ttl` evicts idle users' state without a
+    * timeout dance — the knob that keeps unbounded-key streams
+    * bounded.
+    */
+  def runningTotalsTws(
+      events: Dataset[UserEvent],
+      ttl: Option[java.time.Duration] = None
+  ): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new RunningTotalsProcessor(
+          ttl.map(org.apache.spark.sql.streaming.TTLConfig(_))
+            .getOrElse(org.apache.spark.sql.streaming.TTLConfig.NONE)),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** Watermarked stream-stream equi-join with an event-time range:
     * a right event matches a left event with the same key when
     * `rightTs ∈ [leftTs, leftTs + within]` (the ad-impression→click
@@ -183,4 +206,37 @@ object StreamOps {
   /** Revert to the default state store provider (new queries only). */
   def useDefaultStateStore(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+}
+
+/** transformWithState processor behind [[StreamOps.runningTotalsTws]]:
+  * one ValueState per user, optional TTL eviction.
+  */
+class RunningTotalsProcessor(ttl: org.apache.spark.sql.streaming.TTLConfig)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, StreamOps.UserEvent, StreamOps.UserRunning] {
+
+  @transient private var state:
+    org.apache.spark.sql.streaming.ValueState[StreamOps.UserRunning] = _
+
+  override def init(
+      outputMode: OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    state = getHandle.getValueState[StreamOps.UserRunning](
+      "totals", org.apache.spark.sql.Encoders.product[StreamOps.UserRunning], ttl)
+
+  override def handleInputRows(
+      key: Long,
+      rows: Iterator[StreamOps.UserEvent],
+      timerValues: org.apache.spark.sql.streaming.TimerValues
+  ): Iterator[StreamOps.UserRunning] = {
+    val prev =
+      if (state.exists()) state.get()
+      else StreamOps.UserRunning(key, 0L, 0.0)
+    val (n, s) = rows.foldLeft((prev.n_events, prev.sum_value)) {
+      case ((cn, cs), e) => (cn + 1, cs + e.value)
+    }
+    val next = StreamOps.UserRunning(key, n, math.rint(s * 10000) / 10000)
+    state.update(next)
+    Iterator.single(next)
+  }
 }

@@ -181,6 +181,30 @@ class StreamOpsSpec extends SparkSpec {
     } finally StreamOps.useDefaultStateStore(spark)
   }
 
+  test("transformWithState running totals agree with the mapGroupsWithState API") {
+    implicit val sqlCtx = spark.sqlContext
+    StreamOps.useRocksDbStateStore(spark) // transformWithState requires it
+    try {
+      val input = MemoryStream[StreamOps.UserEvent]
+      val q = StreamOps.runningTotalsTws(input.toDS())
+        .writeStream.format("memory").queryName("tws")
+        .outputMode(OutputMode.Update()).start()
+      try {
+        input.addData(StreamOps.UserEvent(1L, ts(0), 1.0))
+        q.processAllAvailable()
+        input.addData(
+          StreamOps.UserEvent(1L, ts(10), 2.0), StreamOps.UserEvent(2L, ts(11), 7.0))
+        q.processAllAvailable()
+        val last = spark.sql("SELECT user_id, n_events, sum_value FROM tws")
+          .as[(Long, Long, Double)].collect()
+          .groupBy(_._1).map { case (u, rows) => u -> rows.maxBy(_._2) }
+        // identical to what runningTotals (mapGroupsWithState) produces
+        assert(last(1L) == ((1L, 2L, 3.0)))
+        assert(last(2L) == ((2L, 1L, 7.0)))
+      } finally q.stop()
+    } finally StreamOps.useDefaultStateStore(spark)
+  }
+
   test("runningTotals keeps per-user state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[StreamOps.UserEvent]
