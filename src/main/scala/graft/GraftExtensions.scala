@@ -45,7 +45,44 @@ object GraftExtensions {
         ShingleHashSet(exprs.head, intArg(exprs(1), "k"))),
     ("graft_sorted_intersect_count",
       new ExpressionInfo(classOf[SortedIntersectCount].getName, "graft_sorted_intersect_count"),
-      (exprs: Seq[Expression]) => SortedIntersectCount(exprs.head, exprs(1)))
+      (exprs: Seq[Expression]) => SortedIntersectCount(exprs.head, exprs(1))),
+    ("graft_cosine",
+      new ExpressionInfo(classOf[graft.functions.VecCosine].getName, "graft_cosine"),
+      (exprs: Seq[Expression]) => graft.functions.VecCosine(exprs.head, exprs(1))),
+    ("graft_l2sq",
+      new ExpressionInfo(classOf[graft.functions.VecL2Sq].getName, "graft_l2sq"),
+      (exprs: Seq[Expression]) => graft.functions.VecL2Sq(exprs.head, exprs(1))),
+    ("graft_nfc_normalize",
+      new ExpressionInfo(classOf[graft.functions.NfcNormalize].getName, "graft_nfc_normalize"),
+      (exprs: Seq[Expression]) => graft.functions.NfcNormalize(exprs.head)),
+    ("graft_srp_signature",
+      new ExpressionInfo(classOf[graft.functions.SrpSignature].getName, "graft_srp_signature"),
+      // (vec, nbits, dim [, seed]) — the ±1 matrix is derived here so
+      // SQL callers get the same deterministic hyperplanes as the
+      // Scala API
+      (exprs: Seq[Expression]) => {
+        val seed = exprs.lift(3).map {
+          case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
+          case other => throw new IllegalArgumentException(
+            s"seed must be a string literal, got $other")
+        }.getOrElse("srp")
+        graft.functions.SrpSignature(exprs.head,
+          graft.functions.Srp.signMatrix(
+            intArg(exprs(1), "nbits"), intArg(exprs(2), "dim"), seed))
+      }),
+    ("graft_search_sorted",
+      new ExpressionInfo(classOf[graft.operators.SearchSorted].getName, "graft_search_sorted"),
+      // (value, bounds...) — boundaries as double literals
+      (exprs: Seq[Expression]) => graft.operators.SearchSorted(exprs.head,
+        exprs.tail.map {
+          case Literal(d: Double, _) => d
+          case Literal(i: Int, _)    => i.toDouble
+          case Literal(l: Long, _)   => l.toDouble
+          // SQL `1.0` parses as a decimal literal
+          case Literal(d: org.apache.spark.sql.types.Decimal, _) => d.toDouble
+          case other => throw new IllegalArgumentException(
+            s"boundaries must be numeric literals, got $other")
+        }))
   )
 
   /** Imperative registration for an already-built session. */

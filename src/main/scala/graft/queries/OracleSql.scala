@@ -831,8 +831,9 @@ object OracleSql {
 
     // Spark side reads the change data feed of a delta table built as:
     // v0 append (o_orderkey % 4 != 3), v1 enable CDF, v2 append the
-    // rest, v3 DELETE WHERE o_orderstatus = 'F' (cdc files). The
-    // change stream is reconstructed here from the raw source.
+    // rest, v3 DELETE WHERE o_orderstatus = 'F' (cdc files), v4 MERGE
+    // (keys %100==0 → 'U'; deleted-at-v3 keys re-enter as inserts;
+    // shifted %2000==0 keys insert). Reconstructed from the raw source.
     "q_delta_cdf" ->
       """WITH ch AS (
         |  SELECT o_orderkey, 'insert' AS change_type, 0 AS commit_version
@@ -840,7 +841,19 @@ object OracleSql {
         |  UNION ALL
         |  SELECT o_orderkey, 'insert', 2 FROM orders WHERE o_orderkey % 4 = 3
         |  UNION ALL
-        |  SELECT o_orderkey, 'delete', 3 FROM orders WHERE o_orderstatus = 'F')
+        |  SELECT o_orderkey, 'delete', 3 FROM orders WHERE o_orderstatus = 'F'
+        |  UNION ALL
+        |  SELECT o_orderkey, 'update_preimage', 4 FROM orders
+        |  WHERE o_orderkey % 100 = 0 AND o_orderstatus <> 'F'
+        |  UNION ALL
+        |  SELECT o_orderkey, 'update_postimage', 4 FROM orders
+        |  WHERE o_orderkey % 100 = 0 AND o_orderstatus <> 'F'
+        |  UNION ALL
+        |  SELECT o_orderkey, 'insert', 4 FROM orders
+        |  WHERE o_orderkey % 100 = 0 AND o_orderstatus = 'F'
+        |  UNION ALL
+        |  SELECT o_orderkey + 200000000, 'insert', 4 FROM orders
+        |  WHERE o_orderkey % 2000 = 0)
         |SELECT change_type, CAST(commit_version AS BIGINT) AS commit_version,
         |  count(*) AS n_rows, CAST(sum(o_orderkey) AS BIGINT) AS sum_key
         |FROM ch GROUP BY 1, 2

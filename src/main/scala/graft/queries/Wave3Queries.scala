@@ -83,10 +83,18 @@ object Wave3Queries {
     builtTables.getOrElseUpdate(dir + "#cdf", {
       val path = java.nio.file.Files.createTempDirectory("graft_delta_cdf").toString + "/orders"
       val orders = t(s, dir, "orders").select("o_orderkey", "o_orderstatus")
-      DeltaWrite.append(s, orders.where(col("o_orderkey") % 4 =!= 3), path)
-      DeltaWrite.setTableProperties(s, path, Map("delta.enableChangeDataFeed" -> "true"))
-      DeltaWrite.append(s, orders.where(col("o_orderkey") % 4 === 3), path)
-      DeltaWrite.deleteWhere(s, path, Filters.normalize(Seq(Filter("o_orderstatus", "=", "F"))))
+      DeltaWrite.append(s, orders.where(col("o_orderkey") % 4 =!= 3), path)        // v0
+      DeltaWrite.setTableProperties(s, path, Map("delta.enableChangeDataFeed" -> "true")) // v1
+      DeltaWrite.append(s, orders.where(col("o_orderkey") % 4 === 3), path)        // v2
+      DeltaWrite.deleteWhere(s, path, Filters.normalize(Seq(Filter("o_orderstatus", "=", "F")))) // v3
+      // v4 MERGE: keys %100==0 → status 'U' (keys whose rows were
+      // deleted at v3 re-enter as inserts); fresh shifted keys insert
+      val updates = orders.where(col("o_orderkey") % 100 === 0)
+        .select(col("o_orderkey"), lit("U").as("o_orderstatus"))
+      val inserts = orders.where(col("o_orderkey") % 2000 === 0)
+        .select((col("o_orderkey") + 200000000L).as("o_orderkey"),
+          lit("I").as("o_orderstatus"))
+      DeltaWrite.merge(s, path, updates.unionByName(inserts), Seq("o_orderkey"))
       path
     })
 

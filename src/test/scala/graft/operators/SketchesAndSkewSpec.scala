@@ -60,4 +60,34 @@ class ExtensionsSpec extends SparkSpec {
       assert(r.getAs[Int]("n_shingles") == r.getAs[Int]("self_inter")) // |A ∩ A| = |A|
     }
   }
+
+  test("vector/text/zorder expressions are callable from SQL") {
+    graft.GraftExtensions.register(spark)
+    spark.read.parquet(sf("sf0.001") + "/embeddings.parquet").limit(5)
+      .createOrReplaceTempView("ext_emb")
+    val rows = spark.sql(
+      """SELECT vec_id,
+        |  round(graft_cosine(embedding, embedding), 4) AS self_cos,
+        |  graft_l2sq(embedding, embedding) AS self_d2,
+        |  graft_srp_signature(embedding, 16, 64) AS sig,
+        |  graft_search_sorted(CAST(vec_id AS DOUBLE), 1.0, 2.0, 3.0) AS bucket,
+        |  graft_nfc_normalize('café') AS nfc
+        |FROM ext_emb""".stripMargin).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("self_cos") == 1.0)
+      assert(r.getAs[Double]("self_d2") == 0.0)
+      assert(r.getAs[String]("nfc") == "café")
+      assert(r.getAs[Int]("bucket") >= 0 && r.getAs[Int]("bucket") <= 3)
+    }
+    // SQL signature equals the Scala-API signature
+    val viaSql = rows.map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("sig")).toMap
+    val viaApi = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet").limit(5)
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        graft.functions.Srp.signature(
+          org.apache.spark.sql.functions.col("embedding"),
+          graft.functions.Srp.signMatrix(16, 64)).as("sig"))
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("sig")).toMap
+    assert(viaSql == viaApi)
+  }
 }
