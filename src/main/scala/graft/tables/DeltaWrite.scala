@@ -796,6 +796,19 @@ object DeltaWrite {
         val out = fs.create(commitPath, false) // put-if-absent
         try out.write(sb.toString.getBytes("UTF-8"))
         finally out.close()
+        // delta.checkpointInterval (when the table sets it): write a
+        // checkpoint every N commits so log replay stays O(interval)
+        // and the JSON prefix becomes cleanable. Failure to checkpoint
+        // never fails the commit (the data is durable; the next
+        // eligible commit retries).
+        snapOpt.map(_.metadata).orElse(None)
+          .flatMap(_.configuration.get("delta.checkpointInterval"))
+          .flatMap(s => scala.util.Try(s.toLong).toOption)
+          .filter(n => n > 0 && version > 0 && version % n == 0)
+          .foreach { _ =>
+            try checkpoint(spark, tablePath)
+            catch { case scala.util.control.NonFatal(_) => () }
+          }
         return CommitResult(version, adds.size, removes.size)
       } catch {
         case _: java.io.IOException if attempt < 10 =>

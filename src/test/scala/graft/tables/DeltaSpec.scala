@@ -590,4 +590,40 @@ class DeltaSpec extends SparkSpec {
     assert(neq.inputFiles.length == 1) // null-partition file pruned: NULL != x is not TRUE
     assert(neq.select("id").as[Long].collect().toSeq == Seq(1L))
   }
+
+  test("concurrent appends race to distinct versions, no rows lost") {
+    val dir = tempDir("delta-race").toString + "/t"
+    DeltaWrite.append(spark, Seq((0L, "seed")).toDF("id", "tag"), dir)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val writers = (1 to 4).map { i =>
+      Future(DeltaWrite.append(spark, Seq((i.toLong, s"w$i")).toDF("id", "tag"), dir))
+    }
+    val results = Await.result(Future.sequence(writers), 120.seconds)
+    // every writer won a distinct version via put-if-absent + retry
+    assert(results.map(_.version).toSet.size == 4, results.map(_.version))
+    val t = new DeltaTable("t", dir)
+    assert(t(spark).select("id").as[Long].collect().sorted.toSeq == (0L to 4L))
+  }
+
+  test("delta.checkpointInterval writes periodic checkpoints with _last_checkpoint") {
+    val dir = tempDir("delta-ckint").toString + "/t"
+    DeltaWrite.append(spark, Seq((0L, "a")).toDF("id", "tag"), dir)                // v0
+    DeltaWrite.setTableProperties(spark, dir, Map("delta.checkpointInterval" -> "3")) // v1
+    (1 to 5).foreach(i =>
+      DeltaWrite.append(spark, Seq((i.toLong, "x")).toDF("id", "tag"), dir))      // v2..v6
+    val log = new java.io.File(dir, "_delta_log")
+    val cps = log.listFiles().map(_.getName).filter(_.contains("checkpoint")).sorted
+    // versions 3 and 6 are multiples of the interval
+    assert(cps.exists(_.startsWith("00000000000000000003")), cps.toSeq)
+    assert(cps.exists(_.startsWith("00000000000000000006")), cps.toSeq)
+    assert(new java.io.File(log, "_last_checkpoint").exists)
+    // replay works purely from the newest checkpoint once JSON is aged out
+    (0L to 6L).foreach { v =>
+      new java.io.File(log, f"$v%020d.json").delete()
+    }
+    val t = new DeltaTable("t", dir)
+    assert(t(spark).select("id").as[Long].collect().sorted.toSeq == (0L to 5L))
+  }
 }
