@@ -48,4 +48,65 @@ class MultimodalSpec extends SparkSpec {
       .getAs[scala.collection.Seq[Float]](0).toSeq
     assert(again == feature)
   }
+
+  // ---- real header parsing (no codec library involved) ----
+
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(24)
+    b.put(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
+    b.putInt(13).put("IHDR".getBytes("US-ASCII")).putInt(w).putInt(h)
+    b.array()
+  }
+
+  private def jpegBytes(w: Int, h: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(64)
+    bb.put(0xFF.toByte).put(0xD8.toByte)                    // SOI
+    bb.put(0xFF.toByte).put(0xE0.toByte).putShort(16)       // APP0, len 16
+    bb.put(new Array[Byte](14))                             // APP0 body
+    bb.put(0xFF.toByte).put(0xC0.toByte).putShort(11)       // SOF0, len 11
+    bb.put(8.toByte).putShort(h.toShort).putShort(w.toShort)
+    bb.put(3.toByte).put(new Array[Byte](3))
+    java.util.Arrays.copyOf(bb.array(), bb.position())
+  }
+
+  private def gifBytes(w: Int, h: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(16).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("GIF89a".getBytes("US-ASCII")).putShort(w.toShort).putShort(h.toShort)
+    bb.array()
+  }
+
+  private def bmpBytes(w: Int, h: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(32).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).put(new Array[Byte](16)).putInt(w).putInt(-h)
+    bb.array()
+  }
+
+  test("image headers parse format and dimensions from real byte layouts") {
+    val rows = Seq(
+      (1L, pngBytes(640, 480)),
+      (2L, jpegBytes(1920, 1080)),
+      (3L, gifBytes(12, 34)),
+      (4L, bmpBytes(300, 200)),      // top-down BMP: negative stored height
+      (5L, "not an image".getBytes("UTF-8"))
+    ).toDF("id", "payload")
+      .withColumn("meta", ImageHeader.imageMeta(col("payload")))
+      .select(col("id"), col("meta.format"), col("meta.width"), col("meta.height"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.get(2), r.get(3))).toMap
+    assert(rows(1L) == (("png", 640, 480)))
+    assert(rows(2L) == (("jpeg", 1920, 1080)))
+    assert(rows(3L) == (("gif", 12, 34)))
+    assert(rows(4L) == (("bmp", 300, 200)))
+    assert(rows(5L) == ((null, null, null))) // unrecognized → null, never guessed
+  }
+
+  test("truncated or desynchronized headers return null, not garbage") {
+    val bad = Seq(
+      pngBytes(640, 480).take(20),                  // truncated IHDR
+      Array[Byte](0xFF.toByte, 0xD8.toByte, 0x00, 0x01), // JPEG desync
+      Array.empty[Byte])
+    bad.zipWithIndex.foreach { case (b, i) =>
+      assert(ImageHeader.parse(b).isEmpty, s"case $i should refuse")
+    }
+  }
 }
