@@ -48,18 +48,24 @@ object ImageHeader {
     else if (b.length >= 10 && u8(0) == 0xFF && u8(1) == 0xD8) {
       // marker scan for the first SOFn frame header
       var i = 2
-      while (i + 9 < b.length) {
+      while (i + 3 < b.length) {
         if (u8(i) != 0xFF) return None // desynchronized — refuse
         val marker = u8(i + 1)
-        if (marker == 0xD8 || (marker >= 0xD0 && marker <= 0xD7) || marker == 0x01) {
+        if (marker == 0xFF) {
+          i += 1 // fill byte: the next 0xFF starts the real marker
+        } else if (marker == 0xD9) {
+          return None // EOI before any SOF — no dimensions in stream
+        } else if (marker == 0xD8 || (marker >= 0xD0 && marker <= 0xD7) || marker == 0x01) {
           i += 2 // standalone markers carry no length
         } else {
+          if (i + 3 >= b.length) return None
           val len = be16(i + 2)
           if (len < 2) return None
           val isSof = marker >= 0xC0 && marker <= 0xCF &&
             marker != 0xC4 && marker != 0xC8 && marker != 0xCC
           if (isSof) {
-            if (i + 9 >= b.length) return None
+            // dimensions live at bytes i+5..i+8
+            if (i + 9 > b.length) return None
             return Some(("jpeg", be16(i + 7), be16(i + 5)))
           }
           i += 2 + len

@@ -53,13 +53,19 @@ object ZOrder {
     terms.reduce(_ + _)
   }
 
-  /** The z-value column for `cols` of `df` (boundaries computed from
-    * `df` itself).
+  /** The z-value column for `cols` of `df` — ALL columns' boundaries
+    * come from one multi-column approx-quantile pass (per-column calls
+    * would scan the table once per dimension).
     */
-  def zvalue(df: DataFrame, cols: Seq[String], bits: Int = 8): Column =
+  def zvalue(df: DataFrame, cols: Seq[String], bits: Int = 8): Column = {
+    val n = (1 << bits) - 1
+    val probs = (1 to n).map(_.toDouble / (1 << bits)).toArray
+    val allBounds = df.select(cols.map(c => col(c).cast("double").as(c)): _*)
+      .stat.approxQuantile(cols.toArray, probs, 0.001)
     interleave(
-      cols.map(c => bucketOf(col(c), boundaries(df, c, bits))),
+      cols.zip(allBounds).map { case (c, bounds) => bucketOf(col(c), bounds) },
       bits)
+  }
 
   /** Cluster `df` into `numFiles` z-ordered output partitions: range-
     * partition by z-value (so each file owns a contiguous z-range) and

@@ -145,7 +145,8 @@ class DeltaStreamSource(
               "(MERGE/DELETE/OPTIMIZE); set ignoreChanges=true to re-emit " +
               "the rewritten rows, or stream from the change data feed")
         else if (vc.removes.nonEmpty)
-          require(ignoreDeletes,
+          // delta-spark's ignoreChanges subsumes ignoreDeletes
+          require(ignoreDeletes || ignoreChanges,
             s"version ${vc.version} of $tablePath deleted data files; " +
               "set ignoreDeletes=true to skip delete-only commits")
         vc.adds

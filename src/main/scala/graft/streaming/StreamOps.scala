@@ -117,13 +117,18 @@ object StreamOps {
       ttl: Option[java.time.Duration] = None
   ): Dataset[UserRunning] = {
     import events.sparkSession.implicits._
+    // TTL state is only legal under ProcessingTime time mode (Spark
+    // rejects it in TimeMode.None) — the mode follows the knob
+    val timeMode =
+      if (ttl.isDefined) org.apache.spark.sql.streaming.TimeMode.ProcessingTime()
+      else org.apache.spark.sql.streaming.TimeMode.None()
     events
       .groupByKey(_.user_id)
       .transformWithState(
         new RunningTotalsProcessor(
           ttl.map(org.apache.spark.sql.streaming.TTLConfig(_))
             .getOrElse(org.apache.spark.sql.streaming.TTLConfig.NONE)),
-        org.apache.spark.sql.streaming.TimeMode.None(),
+        timeMode,
         OutputMode.Update())
   }
 

@@ -539,17 +539,21 @@ object DeltaLog {
       out(k) = math.max(out.getOrElse(k, Long.MinValue), ts)
     }
 
-    def recordRemovesOf(cp: org.apache.spark.sql.DataFrame): Seq[String] = {
+    def recordRemovesOf(cp: org.apache.spark.sql.DataFrame, fallbackTs: Long): Seq[String] = {
       if (cp.columns.contains("remove")) {
         cp.select("remove").where("remove IS NOT NULL").collect().foreach { r =>
           val rm = r.getStruct(0)
           val names = rm.schema.fieldNames
+          // deletionTimestamp is optional in the protocol; a missing
+          // one must NOT make the tombstone instantly vacuum-eligible
+          // (0L would) — the checkpoint's own mtime is a safe upper
+          // bound of the removal time
           val ts =
-            if (!names.contains("deletionTimestamp")) 0L
+            if (!names.contains("deletionTimestamp")) fallbackTs
             else Option(rm.getAs[Any]("deletionTimestamp")).map {
               case l: Long => l
               case i: Int  => i.toLong
-            }.getOrElse(0L)
+            }.getOrElse(fallbackTs)
           val dv =
             if (!names.contains("deletionVector")) None
             else Option(rm.getAs[org.apache.spark.sql.Row]("deletionVector")).map(dvFromRow)
@@ -562,6 +566,7 @@ object DeltaLog {
     }
 
     cps.toSeq.maxByOption(_._1).foreach { case (_, paths) =>
+      val cpMtime = paths.map(p => fs.getFileStatus(p).getModificationTime).max
       val sidecarNames: Seq[String] =
         if (paths.size == 1 && paths.head.getName.endsWith(".json")) {
           // v2 JSON manifest: removes/sidecars from the JSON lines
@@ -576,18 +581,22 @@ object DeltaLog {
             if (node.has("remove")) {
               val rm = node.get("remove")
               val ts = Option(rm.get("deletionTimestamp")).filterNot(_.isNull)
-                .map(_.asLong()).getOrElse(0L)
+                .map(_.asLong()).getOrElse(cpMtime)
               val dv = Option(rm.get("deletionVector")).filterNot(_.isNull)
                 .map(DeletionVectors.parseDescriptor)
               record(decodePath(rm.get("path").asText()), dv, ts)
             }
           }
           sc.result()
-        } else recordRemovesOf(spark.read.parquet(paths.map(_.toString): _*))
+        } else recordRemovesOf(spark.read.parquet(paths.map(_.toString): _*), cpMtime)
       val scPaths = sidecarNames.map(n => new Path(sidecarDir(tablePath), n))
-        .filter(fs.exists(_))
+      // vacuum decides what to DELETE from this list — a silently
+      // dropped sidecar would hide tombstones and delete live files,
+      // so refuse exactly like snapshot() does
+      scPaths.foreach(p => require(fs.exists(p),
+        s"v2 checkpoint of $tablePath references a missing sidecar file: $p"))
       if (scPaths.nonEmpty)
-        recordRemovesOf(spark.read.parquet(scPaths.map(_.toString): _*))
+        recordRemovesOf(spark.read.parquet(scPaths.map(_.toString): _*), cpMtime)
     }
 
     jsons.toSeq.sortBy(_._1).foreach { case (_, p) =>

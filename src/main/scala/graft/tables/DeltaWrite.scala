@@ -117,16 +117,35 @@ object DeltaWrite {
       txn: Option[(String, Long)] = None
   ): CommitResult = {
     val txnActions = txn.map { case (a, v) => txnJson(a, v) }.toSeq
-    val mappedSnap = DeltaLog.latestVersion(spark, tablePath)
+    val snapOpt = DeltaLog.latestVersion(spark, tablePath)
       .map(_ => DeltaLog.snapshot(spark, tablePath))
-      .filter(_.metadata.isColumnMapped)
-    mappedSnap match {
+    snapOpt.filter(_.metadata.isColumnMapped) match {
       case Some(snap) =>
         commitMapped(spark, df, tablePath, snap, partitionBy, overwrite, txnActions)
       case None =>
+        // a CDF-enabled overwrite is a full data change: old rows leave
+        // as deletes, new rows enter as inserts — without cdc the
+        // remove+add commit would make the feed underivable
+        val cdcActions = snapOpt match {
+          case Some(snap) if overwrite && cdfEnabled(snap.metadata) =>
+            val newRows = df.withColumn(DeltaChanges.ChangeTypeCol, lit("insert"))
+            val changes =
+              if (snap.files.isEmpty) newRows
+              else {
+                require(df.columns.toSet == snap.schema.fieldNames.toSet,
+                  s"CDF-enabled overwrite of $tablePath cannot change the schema " +
+                    "(the change feed needs one row shape)")
+                DeltaRead.readFiles(spark, tablePath, snap.metadata, snap.files)
+                  .withColumn(DeltaChanges.ChangeTypeCol, lit("delete"))
+                  .unionByName(newRows)
+              }
+            stageFiles(spark, changes, tablePath, partitionBy,
+              destPrefix = "_change_data/", withStats = false).map(cdcJson)
+          case _ => Seq.empty
+        }
         val adds = stageFiles(spark, df, tablePath, partitionBy)
         commitLoop(spark, tablePath, adds, Seq.empty, df.schema.json, partitionBy,
-          overwrite, extraActions = txnActions)
+          overwrite, extraActions = txnActions ++ cdcActions, snapHint = snapOpt)
     }
   }
 
@@ -161,7 +180,7 @@ object DeltaWrite {
     val adds = stageFiles(spark, physDf, tablePath, physParts)
     commitLoop(spark, tablePath, adds, Seq.empty,
       meta.schemaString, meta.partitionColumns, overwrite,
-      extraActions = extraActions, allowMapped = true)
+      extraActions = extraActions, allowMapped = true, snapHint = Some(snap))
   }
 
   /** Logical → physical frame: columns reordered to the declared
@@ -187,11 +206,11 @@ object DeltaWrite {
     * readers see partitionValues/size, and the entry's deletion vector
     * so the DV file inherits the tombstone's retention clock).
     */
-  private def removeJson(f: DeltaLog.AddFile): String = {
+  private def removeJson(f: DeltaLog.AddFile, dataChange: Boolean): String = {
     val r = mapper.createObjectNode()
     r.put("path", f.path)
     r.put("deletionTimestamp", System.currentTimeMillis())
-    r.put("dataChange", true)
+    r.put("dataChange", dataChange)
     r.put("extendedFileMetadata", true)
     val pvNode = r.putObject("partitionValues")
     f.partitionValues.foreach { case (k, v) =>
@@ -378,8 +397,10 @@ object DeltaWrite {
     // once (driver-side min/max) and skip files whose stats exclude it
     val candidates: Seq[DeltaLog.AddFile] = keyCols match {
       case Seq(k) =>
-        val r = src.agg(min(col(k)), max(col(k))).head()
-        if (r.isNullAt(0)) return CommitResult(snap.version, 0, 0) // empty source
+        val r = src.agg(min(col(k)), max(col(k)), count(lit(1))).head()
+        if (r.getLong(2) == 0L) return CommitResult(snap.version, 0, 0) // empty source
+        // all-null keys: SQL equality never matches → pure insert
+        else if (r.isNullAt(0)) Seq.empty
         else {
           import graft.core.{Filter, Filters}
           val f = Filters.normalize(Seq(
@@ -565,7 +586,8 @@ object DeltaWrite {
         math.max(1, (candidates.map(_.size).sum / math.max(1L, smallFileBytes)).toInt))
     val adds = stageFiles(spark, kept, tablePath, partCols)
     commitLoop(spark, tablePath, adds, candidates,
-      snap.metadata.schemaString, partCols, overwrite = false)
+      snap.metadata.schemaString, partCols, overwrite = false,
+      dataChange = false)
   }
 
   /** OPTIMIZE ZORDER BY: rewrite the table (all partitions' files)
@@ -609,7 +631,8 @@ object DeltaWrite {
       .drop("_graft_zval")
     val adds = stageFiles(spark, clustered, tablePath, partCols)
     commitLoop(spark, tablePath, adds, candidates,
-      snap.metadata.schemaString, partCols, overwrite = false)
+      snap.metadata.schemaString, partCols, overwrite = false,
+      dataChange = false)
   }
 
   /** VACUUM: physically delete data files (and DV files) under the
@@ -728,14 +751,21 @@ object DeltaWrite {
       partitionBy: Seq[String],
       overwrite: Boolean,
       extraActions: Seq[String] = Seq.empty,
-      allowMapped: Boolean = false
+      allowMapped: Boolean = false,
+      // false for pure rewrites (OPTIMIZE/ZORDER): per the protocol,
+      // readers deriving a change feed skip dataChange=false actions
+      dataChange: Boolean = true,
+      // a snapshot the caller already replayed (first attempt only;
+      // a lost commit race re-reads)
+      snapHint: Option[DeltaLog.Snapshot] = None
   ): CommitResult = {
     val fs = DeltaLog.logDir(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     var attempt = 0
     while (true) {
-      val current = DeltaLog.latestVersion(spark, tablePath)
+      val hinted = if (attempt == 0) snapHint else None
+      val current = hinted.map(_.version).orElse(DeltaLog.latestVersion(spark, tablePath))
       val version = current.map(_ + 1).getOrElse(0L)
-      val snapOpt = current.map(_ => DeltaLog.snapshot(spark, tablePath))
+      val snapOpt = hinted.orElse(current.map(_ => DeltaLog.snapshot(spark, tablePath)))
       // append/overwrite translate to physical names upstream
       // (commitMapped); every other op still refuses mapped tables
       snapOpt.foreach(s => require(allowMapped || !s.metadata.isColumnMapped,
@@ -768,7 +798,7 @@ object DeltaWrite {
           prev.flatMap(_.createdTime).getOrElse(System.currentTimeMillis()))
         sb.append(s"""{"metaData":${mapper.writeValueAsString(m)}}""").append('\n')
       }
-      removes.foreach(f => sb.append(removeJson(f)).append('\n'))
+      removes.foreach(f => sb.append(removeJson(f, dataChange)).append('\n'))
       adds.foreach { add =>
         val a = mapper.createObjectNode()
         a.put("path", add.rel)
@@ -778,7 +808,7 @@ object DeltaWrite {
         }
         a.put("size", add.size)
         a.put("modificationTime", System.currentTimeMillis())
-        a.put("dataChange", true)
+        a.put("dataChange", dataChange)
         add.stats.foreach(s => a.put("stats", s))
         add.dv.foreach { d =>
           val dn = a.putObject("deletionVector")
@@ -801,7 +831,7 @@ object DeltaWrite {
         // and the JSON prefix becomes cleanable. Failure to checkpoint
         // never fails the commit (the data is durable; the next
         // eligible commit retries).
-        snapOpt.map(_.metadata).orElse(None)
+        snapOpt.map(_.metadata)
           .flatMap(_.configuration.get("delta.checkpointInterval"))
           .flatMap(s => scala.util.Try(s.toLong).toOption)
           .filter(n => n > 0 && version > 0 && version % n == 0)
@@ -974,7 +1004,7 @@ object DeltaWrite {
       .map { case (g, i) =>
         val name = s"${java.util.UUID.randomUUID()}.parquet"
         val dest = new Path(DeltaLog.sidecarDir(tablePath), name)
-        writeSingleParquet(spark, g.toDS(), dest, s"_sc_tmp_${snap.version}_$i")
+        writeSingleParquet(spark, g.toDS(), dest, s"_sc_tmp_${java.util.UUID.randomUUID().toString.take(8)}_${snap.version}_$i")
         val st = fs.getFileStatus(dest)
         CpSidecar(name, st.getLen, st.getModificationTime)
       }
@@ -992,7 +1022,8 @@ object DeltaWrite {
 
     val cpName = f"${snap.version}%020d.checkpoint.${java.util.UUID.randomUUID()}.parquet"
     writeSingleParquet(spark, manifest.toDS(),
-      new Path(DeltaLog.logDir(tablePath), cpName), s"_cp2_tmp_${snap.version}")
+      new Path(DeltaLog.logDir(tablePath), cpName),
+      s"_cp2_tmp_${java.util.UUID.randomUUID().toString.take(8)}_${snap.version}")
 
     val lc = new Path(DeltaLog.logDir(tablePath), "_last_checkpoint")
     val out = fs.create(lc, true)

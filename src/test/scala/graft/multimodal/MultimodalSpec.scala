@@ -100,6 +100,26 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(5L) == ((null, null, null))) // unrecognized → null, never guessed
   }
 
+  test("JPEG fill bytes and truncation edges parse per the spec") {
+    // fill byte before the SOF marker: FF FF C0 is legal padding
+    val withFill = {
+      val bb = java.nio.ByteBuffer.allocate(32)
+      bb.put(0xFF.toByte).put(0xD8.toByte)
+      bb.put(0xFF.toByte) // fill
+      bb.put(0xFF.toByte).put(0xC0.toByte).putShort(11)
+      bb.put(8.toByte).putShort(480.toShort).putShort(640.toShort)
+      bb.put(3.toByte).put(new Array[Byte](3))
+      java.util.Arrays.copyOf(bb.array(), bb.position())
+    }
+    assert(ImageHeader.parse(withFill).contains(("jpeg", 640, 480)))
+    // payload ending exactly after the dimension bytes still parses
+    val exact = jpegBytes(100, 50)
+    val sofEnd = exact.length - 4 // strip the component bytes after dims
+    assert(ImageHeader.parse(exact.take(sofEnd)).contains(("jpeg", 100, 50)))
+    // EOI before any SOF refuses
+    assert(ImageHeader.parse(Array(0xFF, 0xD8, 0xFF, 0xD9).map(_.toByte)).isEmpty)
+  }
+
   test("truncated or desynchronized headers return null, not garbage") {
     val bad = Seq(
       pngBytes(640, 480).take(20),                  // truncated IHDR

@@ -66,6 +66,20 @@ class DeltaStreamSourceSpec extends SparkSpec {
     assert(spark.sql("SELECT id FROM dsrc_sv").as[Long].collect().toSeq == Seq(2L))
   }
 
+  test("OPTIMIZE rewrites (dataChange=false) are invisible to the stream") {
+    val dir = tempDir("delta-src-opt").toString + "/t"
+    DeltaWrite.append(spark, Seq((1L, "a")).toDF("id", "grp"), dir)                // v0
+    DeltaWrite.append(spark, Seq((2L, "a")).toDF("id", "grp"), dir)                // v1
+    assert(DeltaWrite.optimize(spark, dir, smallFileBytes = 1L << 30).filesRemoved > 0) // v2
+    DeltaWrite.append(spark, Seq((3L, "a")).toDF("id", "grp"), dir)                // v3
+    // no ignore options needed: the rewrite carries dataChange=false
+    val q = readStream(dir).writeStream.format("memory").queryName("dsrc_opt")
+      .outputMode(OutputMode.Append()).start()
+    try { q.processAllAvailable() } finally q.stop()
+    assert(spark.sql("SELECT id FROM dsrc_opt").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L))
+  }
+
   test("delete-only commits refuse without ignoreDeletes, skip with it") {
     val dir = tempDir("delta-src-del").toString + "/t"
     // partitioned by grp so the delete prunes to exactly the 'a'

@@ -205,6 +205,35 @@ class StreamOpsSpec extends SparkSpec {
     } finally StreamOps.useDefaultStateStore(spark)
   }
 
+  test("transformWithState accepts a TTL (ProcessingTime mode engages)") {
+    implicit val sqlCtx = spark.sqlContext
+    StreamOps.useRocksDbStateStore(spark)
+    try {
+      val input = MemoryStream[StreamOps.UserEvent]
+      input.addData(
+        StreamOps.UserEvent(1L, ts(0), 2.0), StreamOps.UserEvent(1L, ts(5), 3.0))
+      // under ProcessingTime time mode the engine schedules timer
+      // batches continuously, so neither processAllAvailable nor
+      // AvailableNow ever quiesces — poll the sink for the first
+      // processed batch instead
+      val q = StreamOps.runningTotalsTws(input.toDS(),
+          ttl = Some(java.time.Duration.ofHours(1)))
+        .writeStream.format("memory").queryName("twsttl")
+        .outputMode(OutputMode.Update()).start()
+      try {
+        val deadline = System.currentTimeMillis() + 120000
+        def rows() = spark.sql(
+          "SELECT n_events, sum_value FROM twsttl WHERE n_events = 2")
+          .as[(Long, Double)].collect()
+        while (rows().isEmpty && System.currentTimeMillis() < deadline) {
+          q.exception.foreach(throw _)
+          Thread.sleep(200)
+        }
+        assert(rows().headOption.contains((2L, 5.0)), s"got ${rows().toSeq}")
+      } finally q.stop()
+    } finally StreamOps.useDefaultStateStore(spark)
+  }
+
   test("runningTotals keeps per-user state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[StreamOps.UserEvent]

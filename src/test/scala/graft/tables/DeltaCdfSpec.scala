@@ -109,6 +109,32 @@ class DeltaCdfSpec extends SparkSpec {
     assert(changeSet(dir, 2) == Set.empty)
   }
 
+  test("OPTIMIZE commits are dataChange=false and invisible to the feed") {
+    val dir = freshTable(Seq((1L, "a"), (2L, "a"), (3L, "a")))
+    DeltaWrite.setTableProperties(spark, dir,
+      Map("delta.enableChangeDataFeed" -> "true"))                        // v1
+    // several tiny files to compact
+    DeltaWrite.append(spark, Seq((4L, "a")).toDF("id", "grp"), dir)       // v2
+    DeltaWrite.append(spark, Seq((5L, "a")).toDF("id", "grp"), dir)       // v3
+    val res = DeltaWrite.optimize(spark, dir, smallFileBytes = 1L << 30)  // v4 rewrite
+    assert(res.filesRemoved > 0)
+    // the feed replays cleanly across the rewrite and emits nothing for it
+    val got = changeSet(dir, 0)
+    assert(got.forall(_._4 != res.version), s"optimize leaked into the feed: $got")
+    assert(got.count(_._3 == "insert") == 5)
+  }
+
+  test("CDF overwrite records old rows as deletes and new rows as inserts") {
+    val dir = freshTable(Seq((1L, "a"), (2L, "b")))
+    DeltaWrite.setTableProperties(spark, dir,
+      Map("delta.enableChangeDataFeed" -> "true"))                        // v1
+    DeltaWrite.overwrite(spark, Seq((9L, "z")).toDF("id", "grp"), dir)    // v2
+    val got = changeSet(dir, 2)
+    assert(got == Set(
+      (1L, "a", "delete", 2L), (2L, "b", "delete", 2L),
+      (9L, "z", "insert", 2L)), s"got $got")
+  }
+
   test("CDF read requires the table property") {
     val dir = freshTable(Seq((1L, "a")))
     val e = intercept[IllegalArgumentException] {

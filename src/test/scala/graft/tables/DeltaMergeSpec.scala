@@ -81,4 +81,14 @@ class DeltaMergeSpec extends SparkSpec {
       Seq.empty[(Long, String, Double)].toDF("id", "grp", "v"), Seq("id"))
     assert(res.version == 0L && res.filesAdded == 0)
   }
+
+  test("all-null source keys insert (null never equals), consistently with mixed") {
+    val dir = freshTable(Seq((1L, "a", 1.0)))
+    val allNull = Seq((Option.empty[Long], "n", 7.0)).toDF("id", "grp", "v")
+    val r1 = DeltaWrite.merge(spark, dir, allNull, Seq("id"))
+    assert(r1.filesAdded >= 1, "all-null-key source must still insert")
+    val df = new DeltaTable("t", dir)(spark, ReadArgs())
+    assert(df.where("id IS NULL AND grp = 'n'").count() == 1)
+    assert(df.count() == 2)
+  }
 }
