@@ -281,6 +281,23 @@ object OracleSql {
          |FROM d GROUP BY domain ORDER BY domain""".stripMargin
     },
 
+    "q_zorder_hist" -> {
+      import graft.queries.PipelineQueries.{ZQtyBounds, ZPriceBounds}
+      // bucket = number of boundaries <= x (mirrors SearchSorted)
+      def bucket(x: String, bounds: Array[Double]): String =
+        bounds.map(b => s"(CASE WHEN $x >= $b THEN 1 ELSE 0 END)").mkString("(", " + ", ")")
+      // Morton interleave: bit i of column c lands at i*2 + c
+      def interleave(b0: String, b1: String, bits: Int): String =
+        (0 until bits).flatMap { i =>
+          Seq(s"((($b0 >> $i) & 1) << ${i * 2})", s"((($b1 >> $i) & 1) << ${i * 2 + 1})")
+        }.mkString("(", " + ", ")")
+      val z = interleave(
+        bucket("CAST(l_quantity AS DOUBLE)", ZQtyBounds),
+        bucket("CAST(l_extendedprice AS DOUBLE)", ZPriceBounds), bits = 3)
+      s"""SELECT CAST($z AS BIGINT) AS z, count(*) AS n_rows
+         |FROM lineitem GROUP BY 1 ORDER BY z""".stripMargin
+    },
+
     "q_normalize" -> {
       import graft.functions.TextClean.{Sql => T}
       s"""WITH n AS (SELECT source, ${T.normalizeText("text")} AS norm FROM documents)

@@ -391,6 +391,28 @@ object PipelineQueries {
       .orderBy("source")
   }
 
+  /** E40 oracle: z-value histogram of lineitem over (l_quantity,
+    * l_extendedprice) with FIXED literal boundaries (spliced into both
+    * engines), hash-verifying the SearchSorted binning + Morton
+    * interleave arithmetic end-to-end. 3 bits per dimension → 64
+    * buckets.
+    */
+  val ZQtyBounds: Array[Double] = Array(7.0, 14.0, 20.0, 26.0, 32.0, 38.0, 44.0)
+  val ZPriceBounds: Array[Double] =
+    Array(8000.0, 16000.0, 24000.0, 32000.0, 42000.0, 54000.0, 70000.0)
+
+  def qZorderHist(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.ZOrder
+    val z = ZOrder.interleave(Seq(
+      ZOrder.bucketOf(col("l_quantity"), ZQtyBounds),
+      ZOrder.bucketOf(col("l_extendedprice"), ZPriceBounds)), bits = 3)
+    t(s, dir, "lineitem")
+      .withColumn("z", z)
+      .groupBy(col("z"))
+      .agg(count(lit(1)).as("n_rows"))
+      .orderBy("z")
+  }
+
   /** P13: multimodal payload plumbing — oracle-checkable byte stats
     * over the binary payload column.
     */

@@ -58,6 +58,7 @@ object QueryCatalog {
     Entry("q_redact", PipelineQueries.qRedact),
     Entry("q_url_extract", PipelineQueries.qUrlExtract),
     Entry("q_normalize", PipelineQueries.qNormalize),
+    Entry("q_zorder_hist", PipelineQueries.qZorderHist),
     Entry("q_range_join", PipelineQueries.qRangeJoin, headline = true),
     Entry("q_sample", PipelineQueries.qSample),
     Entry("q_split", PipelineQueries.qSplit),
