@@ -28,6 +28,16 @@ import org.apache.spark.sql.types._
   */
 object DeltaWrite {
 
+  /** A snapshot-derived commit lost its optimistic-concurrency race:
+    * the table changed between reading the snapshot and committing.
+    * The operation made no commit; re-run it against the new state.
+    */
+  final class ConcurrentWriteException(msg: String)
+      extends RuntimeException(msg)
+
+  // serializes the local-FS put-if-absent window for in-process writers
+  private val commitFileLock = new Object
+
   private val mapper = new ObjectMapper()
 
   final case class CommitResult(version: Long, filesAdded: Int, filesRemoved: Int)
@@ -502,9 +512,17 @@ object DeltaWrite {
 
       val commitPath = new Path(DeltaLog.logDir(tablePath), f"$version%020d.json")
       try {
-        val out = fs.create(commitPath, false) // put-if-absent
-        try out.write(sb.toString.getBytes("UTF-8"))
-        finally out.close()
+        // put-if-absent. On HDFS/object stores create(overwrite=false)
+        // is atomic; LocalFileSystem's is exists-then-create, so
+        // in-process writers (local[n] — this test/deploy shape) are
+        // additionally serialized by a JVM-wide lock. Cross-process
+        // local-FS writers remain best-effort, as in every Delta
+        // implementation without a locking LogStore.
+        commitFileLock.synchronized {
+          val out = fs.create(commitPath, false)
+          try out.write(sb.toString.getBytes("UTF-8"))
+          finally out.close()
+        }
         return CommitResult(version, 0, 0)
       } catch {
         case _: java.io.IOException if attempt < 10 =>
@@ -757,13 +775,25 @@ object DeltaWrite {
       dataChange: Boolean = true,
       // a snapshot the caller already replayed (first attempt only;
       // a lost commit race re-reads)
-      snapHint: Option[DeltaLog.Snapshot] = None
+      snapHint: Option[DeltaLog.Snapshot] = None,
+      // optimistic-concurrency base: commits whose actions were
+      // DERIVED from a snapshot (rewrites, deletes, merges, cdc) must
+      // not blind-retry onto a table someone else changed — when set,
+      // losing the race throws ConcurrentWriteException instead of
+      // silently committing stale removes/change rows
+      requireBase: Option[Long] = None
   ): CommitResult = {
     val fs = DeltaLog.logDir(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     var attempt = 0
     while (true) {
       val hinted = if (attempt == 0) snapHint else None
       val current = hinted.map(_.version).orElse(DeltaLog.latestVersion(spark, tablePath))
+      requireBase.foreach { base =>
+        if (!current.contains(base))
+          throw new ConcurrentWriteException(
+            s"table $tablePath moved from version $base to ${current.getOrElse(-1L)} " +
+              "while this operation was computing its actions; re-read and retry")
+      }
       val version = current.map(_ + 1).getOrElse(0L)
       val snapOpt = hinted.orElse(current.map(_ => DeltaLog.snapshot(spark, tablePath)))
       // append/overwrite translate to physical names upstream
@@ -823,21 +853,33 @@ object DeltaWrite {
 
       val commitPath = new Path(DeltaLog.logDir(tablePath), f"$version%020d.json")
       try {
-        val out = fs.create(commitPath, false) // put-if-absent
-        try out.write(sb.toString.getBytes("UTF-8"))
-        finally out.close()
+        // put-if-absent. On HDFS/object stores create(overwrite=false)
+        // is atomic; LocalFileSystem's is exists-then-create, so
+        // in-process writers (local[n] — this test/deploy shape) are
+        // additionally serialized by a JVM-wide lock. Cross-process
+        // local-FS writers remain best-effort, as in every Delta
+        // implementation without a locking LogStore.
+        commitFileLock.synchronized {
+          val out = fs.create(commitPath, false)
+          try out.write(sb.toString.getBytes("UTF-8"))
+          finally out.close()
+        }
         // delta.checkpointInterval (when the table sets it): write a
         // checkpoint every N commits so log replay stays O(interval)
-        // and the JSON prefix becomes cleanable. Failure to checkpoint
-        // never fails the commit (the data is durable; the next
-        // eligible commit retries).
+        // and the JSON prefix becomes cleanable. A checkpoint failure
+        // never fails the commit (the data is durable) but IS
+        // surfaced — the next interval multiple tries again.
         snapOpt.map(_.metadata)
           .flatMap(_.configuration.get("delta.checkpointInterval"))
           .flatMap(s => scala.util.Try(s.toLong).toOption)
           .filter(n => n > 0 && version > 0 && version % n == 0)
           .foreach { _ =>
             try checkpoint(spark, tablePath)
-            catch { case scala.util.control.NonFatal(_) => () }
+            catch {
+              case scala.util.control.NonFatal(e) =>
+                System.err.println(
+                  s"[graft] periodic checkpoint of $tablePath at version $version failed: $e")
+            }
           }
         return CommitResult(version, adds.size, removes.size)
       } catch {
