@@ -190,6 +190,109 @@ case class WordChunks(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Portable md5 hash (PortableHash.md5Mod semantics) of the char
+  * k-gram at EVERY position of the text, in position order — the raw
+  * material of substring-level duplicate detection (Lee et al. 2021,
+  * "Deduplicating Training Data Makes Language Models Better", find
+  * repeated spans; cf. reference parquet_table.py's content hashing at
+  * row granularity). Equal by construction to
+  * `list_transform(range(0, length(t)-k+1), i -> md5Mod(substr(t,i+1,k)))`
+  * in the DuckDB oracle; empty when the text is shorter than k.
+  */
+case class CharGramHashes(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_char_gram_hashes"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val n = s.length
+    if (n < k) return new GenericArrayData(Array.empty[Long])
+    val digest = WordGrams.md.get()
+    val out = new Array[Long](n - k + 1)
+    var i = 0
+    while (i + k <= n) {
+      out(i) = WordGrams.h48(digest, s.substring(i, i + k))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CharGramHashes =
+    copy(child = newChild)
+}
+
+/** Winnowing fingerprint selection (Schleimer, Wilkerson, Aiken 2003,
+  * "Winnowing: Local Algorithms for Document Fingerprinting"): over
+  * the k-gram hash sequence, slide a window of `w` grams and select
+  * the minimum hash of each window (rightmost occurrence on ties);
+  * consecutive windows sharing a selection record it once. Guarantees
+  * that any substring match of length ≥ w + k - 1 contributes at
+  * least one shared fingerprint, at expected density 2/(w+1) — the
+  * scale path of substring dedup: instead of shuffling every gram
+  * position of a 100 TB corpus, shuffle only the winnowed ~2/(w+1)
+  * sample with the detection guarantee intact.
+  *
+  * Output: array<struct<pos:int, hash:long>> in position order
+  * (positions are 0-based gram offsets). Texts shorter than k yield
+  * an empty array; gram sequences shorter than w yield the single
+  * global minimum.
+  */
+case class WinnowHashes(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("pos", IntegerType, nullable = false),
+      StructField("hash", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_winnow_hashes"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val n = s.length
+    if (n < k) return new GenericArrayData(Array.empty[AnyRef])
+    val digest = WordGrams.md.get()
+    val m = n - k + 1
+    val hs = new Array[Long](m)
+    var i = 0
+    while (i < m) { hs(i) = WordGrams.h48(digest, s.substring(i, i + k)); i += 1 }
+
+    val sel = new scala.collection.mutable.ArrayBuffer[(Int, Long)]()
+    def rightmostMin(lo: Int, hi: Int): Int = { // inclusive bounds
+      var best = lo
+      var j = lo + 1
+      while (j <= hi) { if (hs(j) <= hs(best)) best = j; j += 1 }
+      best
+    }
+    if (m <= w) {
+      val b = rightmostMin(0, m - 1)
+      sel += ((b, hs(b)))
+    } else {
+      var last = -1
+      var start = 0
+      while (start + w <= m) {
+        val end = start + w - 1
+        val b =
+          if (last >= start) { // previous selection still in window:
+            // only a new strictly-right minimum can displace it
+            if (hs(end) <= hs(last)) rightmostMin(start, end) else last
+          } else rightmostMin(start, end)
+        if (b != last) { sel += ((b, hs(b))); last = b }
+        start += 1
+      }
+    }
+    val rows = sel.map { case (p, h) =>
+      org.apache.spark.sql.catalyst.InternalRow(p, h): AnyRef
+    }.toArray
+    new GenericArrayData(rows)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowHashes =
+    copy(child = newChild)
+}
+
 object TextHashExpressions {
   def shingleHashSet(text: Column, k: Int): Column =
     Bridge.column(ShingleHashSet(Bridge.expression(text), k))
@@ -202,4 +305,10 @@ object TextHashExpressions {
 
   def wordChunks(text: Column, n: Int): Column =
     Bridge.column(WordChunks(Bridge.expression(text), n))
+
+  def charGramHashes(text: Column, k: Int): Column =
+    Bridge.column(CharGramHashes(Bridge.expression(text), k))
+
+  def winnowHashes(text: Column, k: Int, w: Int): Column =
+    Bridge.column(WinnowHashes(Bridge.expression(text), k, w))
 }

@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.functions.TextHashExpressions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Substring-level duplicate detection (the span-granular complement
+  * of document dedup, after Lee et al. 2021, "Deduplicating Training
+  * Data Makes Language Models Better"): find character spans that
+  * recur across documents, either exhaustively (every k-gram
+  * position — the oracle-checkable formulation) or via winnowing
+  * fingerprints (Schleimer et al. 2003 — the 100 TB formulation: the
+  * shuffle carries a ~2/(w+1) sample of positions while any shared
+  * span of length ≥ w + k - 1 is still guaranteed to collide).
+  *
+  * Scale shape: one scan computes gram hashes natively; the only
+  * shuffle is the groupBy on the 48-bit gram hash (map-side partial
+  * agg; a gram is skinny: one long + one count). The join back to
+  * per-document positions reuses the same hash partitioning. Never
+  * all-pairs, never a driver collect.
+  */
+object SubstringDedup {
+
+  /** Per-document duplicated-position stats at fixed gram length k:
+    * how many of the document's k-gram positions carry a gram that
+    * also appears in at least `minDocs` distinct documents.
+    *
+    * Returns (idCol, grpCol, n_pos, n_dup_pos).
+    */
+  def gramDupStats(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      grpCol: String,
+      k: Int,
+      minDocs: Int = 2): DataFrame = {
+    val grams = docs.select(
+      col(idCol), col(grpCol),
+      explode(TextHashExpressions.charGramHashes(col(textCol), k)).as("h"))
+    // distinct docs per gram: two-level exact (gram, doc) distinct then
+    // count — both shuffles are on the skinny hash key
+    val byGram = grams.select(col("h"), col(idCol)).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("_docs"))
+    grams
+      .join(byGram.where(col("_docs") >= minDocs).withColumn("_dup", lit(1L))
+        .select(col("h"), col("_dup")), Seq("h"), "left")
+      .groupBy(col(idCol), col(grpCol))
+      .agg(
+        count(lit(1)).as("n_pos"),
+        sum(coalesce(col("_dup"), lit(0L))).as("n_dup_pos"))
+  }
+
+  /** Winnowed near-dup span candidates: documents are fingerprinted at
+    * density ~2/(w+1) and pairs sharing ≥ `minShared` fingerprints are
+    * emitted with the shared count. Detection guarantee: any common
+    * substring of length ≥ w + k - 1 shares at least one fingerprint.
+    */
+  def winnowedPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      w: Int,
+      minShared: Int = 1): DataFrame = {
+    val fp = docs.select(
+      col(idCol).as("_id"),
+      explode(TextHashExpressions.winnowHashes(col(textCol), k, w)).as("_fp"))
+      .select(col("_id"), col("_fp.hash").as("h")).distinct()
+    fp.as("a").join(fp.as("b"), Seq("h"))
+      .where(col("a._id") < col("b._id"))
+      .groupBy(col("a._id").as("id_a"), col("b._id").as("id_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .where(col("shared_fps") >= minShared)
+  }
+}

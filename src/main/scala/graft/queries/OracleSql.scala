@@ -893,5 +893,109 @@ object OracleSql {
          |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
   )
 
-  val all: Map[String, String] = relational ++ pipeline ++ wave2 ++ wave3
+  // ---------- wave 4 (round 5) ----------
+
+  val wave4: Map[String, String] = {
+    import Wave4Queries.{Bm25, Lm, Substr}
+    val termList = Bm25.Terms.map(t => s"'$t'").mkString(", ")
+    Map(
+      "q_cube" ->
+        s"""SELECT l_returnflag, l_linestatus,
+           |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           |  count(*) AS n_items, ${dsum(d4("l_quantity"))} AS sum_qty
+           |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+           |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+      "q_window_range" ->
+        s"""SELECT o_orderkey, o_custkey, d,
+           |  round(CAST(sum(${d4("o_totalprice")}) OVER w AS DOUBLE), 4) AS trailing_sum,
+           |  count(*) OVER w AS trailing_n
+           |FROM (SELECT o_orderkey, o_custkey, o_totalprice,
+           |        CAST(date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS d
+           |      FROM orders WHERE o_custkey <= 200)
+           |WINDOW w AS (PARTITION BY o_custkey ORDER BY d
+           |             RANGE BETWEEN 90 PRECEDING AND CURRENT ROW)
+           |ORDER BY o_orderkey""".stripMargin,
+
+      // constants (k1, b, terms) spliced from Wave4Queries.Bm25 so the
+      // two sides cannot drift; arithmetic trees mirror the Spark
+      // column expressions operation-for-operation (IEEE-identical)
+      "q_bm25" ->
+        s"""WITH dl AS (
+           |  SELECT doc_id, CAST(len(${wordTokensSql("text")}) AS BIGINT) AS dl,
+           |    ${wordTokensSql("text")} AS toks
+           |  FROM documents
+           |), stats AS (
+           |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, CAST(sum(dl) AS DOUBLE) AS sum_dl FROM dl
+           |), tf AS (
+           |  SELECT doc_id, dl, tok, CAST(count(*) AS DOUBLE) AS tf
+           |  FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM dl)
+           |  WHERE tok IN ($termList)
+           |  GROUP BY doc_id, dl, tok
+           |), df AS (
+           |  SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY tok
+           |), idf AS (
+           |  SELECT tok, round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 6) AS idf
+           |  FROM df CROSS JOIN stats
+           |), scored AS (
+           |  SELECT doc_id,
+           |    CAST(round(idf * (tf * (${Bm25.K1} + 1.0) /
+           |      (tf + ${Bm25.K1} * (1.0 - ${Bm25.B} + ${Bm25.B} * CAST(dl AS DOUBLE) / (sum_dl / n_docs)))), 6)
+           |      AS DECIMAL(18,6)) AS contrib
+           |  FROM tf JOIN idf USING (tok) CROSS JOIN stats
+           |)
+           |SELECT doc_id, round(CAST(sum(contrib) AS DOUBLE), 4) AS score, count(*) AS n_terms
+           |FROM scored GROUP BY doc_id
+           |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+      // p(w2|w1) = (c2+α)/(c1+α·V): exact integer counts, one IEEE
+      // division, rounded per-bigram then decimal-summed — no
+      // transcendentals, bit-stable by construction
+      "q_ngram_lm" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, source, ${wordTokensSql("text")} AS t FROM documents
+           |), uni AS (
+           |  SELECT w, count(*) AS c1 FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+           |), vocab AS (
+           |  SELECT CAST(count(*) AS DOUBLE) AS v FROM uni
+           |), bg AS (
+           |  SELECT doc_id, source, t[i] AS w1, t[i+1] AS w2
+           |  FROM (SELECT doc_id, source, t, unnest(range(1, len(t))) AS i
+           |        FROM toks WHERE len(t) >= 2)
+           |), bgc AS (
+           |  SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2
+           |), scored AS (
+           |  SELECT source,
+           |    CAST(round((CAST(c2 AS DOUBLE) + ${Lm.Alpha}) /
+           |      (CAST(c1 AS DOUBLE) + ${Lm.Alpha} * v), 6) AS DECIMAL(18,6)) AS p6
+           |  FROM bg JOIN bgc USING (w1, w2) JOIN uni ON bg.w1 = uni.w CROSS JOIN vocab
+           |)
+           |SELECT source, count(*) AS n_bigrams,
+           |  round(CAST(sum(p6) AS DOUBLE) / count(*), 6) AS avg_p
+           |FROM scored GROUP BY source ORDER BY source""".stripMargin,
+
+      "q_substr_dedup" -> {
+        val k = Substr.K
+        s"""WITH grams AS (
+           |  SELECT doc_id, source,
+           |    unnest(list_transform(range(0, greatest(length(text) - ${k - 1}, 0)),
+           |                          i -> ${PortableHash.Sql.md5Mod(s"substr(text, i+1, $k)")})) AS h
+           |  FROM documents
+           |), byg AS (
+           |  SELECT h, count(*) AS n_docs_for_gram
+           |  FROM (SELECT DISTINCT h, doc_id FROM grams) GROUP BY h
+           |), perdoc AS (
+           |  SELECT g.doc_id, g.source, count(*) AS n_pos,
+           |    CAST(sum(CASE WHEN byg.n_docs_for_gram >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_pos
+           |  FROM grams g JOIN byg USING (h)
+           |  GROUP BY g.doc_id, g.source
+           |)
+           |SELECT source, count(*) AS n_docs, CAST(sum(n_pos) AS BIGINT) AS n_pos,
+           |  CAST(sum(n_dup_pos) AS BIGINT) AS n_dup_pos
+           |FROM perdoc GROUP BY source ORDER BY source""".stripMargin
+      }
+    )
+  }
+
+  val all: Map[String, String] = relational ++ pipeline ++ wave2 ++ wave3 ++ wave4
 }

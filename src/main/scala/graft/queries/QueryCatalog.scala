@@ -83,7 +83,12 @@ object QueryCatalog {
     Entry("q_delta_cdf", Wave3Queries.qDeltaCdf),
     Entry("q_delta_merge", Wave3Queries.qDeltaMerge),
     Entry("q_ann_kmeans", Wave3Queries.qAnnKmeans),
-    Entry("q_bpe_tokens", Wave3Queries.qBpeTokens)
+    Entry("q_bpe_tokens", Wave3Queries.qBpeTokens),
+    Entry("q_cube", Wave4Queries.qCube),
+    Entry("q_window_range", Wave4Queries.qWindowRange),
+    Entry("q_bm25", Wave4Queries.qBm25),
+    Entry("q_ngram_lm", Wave4Queries.qNgramLm),
+    Entry("q_substr_dedup", Wave4Queries.qSubstrDedup)
   )
 
   def queries: Map[String, QueryFn] =

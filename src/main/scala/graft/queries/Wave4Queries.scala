@@ -1,0 +1,169 @@
+package graft.queries
+
+import graft.functions.Text
+import graft.operators.SubstringDedup
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Num.{d4, dsum}
+
+/** Round-5 query additions: CUBE grouping sets, value-range window
+  * frames, BM25 relevance ranking, a corpus-trained bigram language
+  * model, and substring-level duplicate detection.
+  *
+  * Hash-stability rules are the house rules (SURVEY §4): decimal sums
+  * only, per-term rounding before any cross-row sum, log() confined to
+  * per-term constants rounded at 6 dp before use, deterministic
+  * tie-breaks on every topN.
+  */
+object Wave4Queries {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.table(s, dir, n)
+
+  // ---------- E45: CUBE + grouping_id ----------
+
+  /** Full CUBE over (returnflag, linestatus) with the grouping_id
+    * bitmask distinguishing aggregation levels — the grouping-sets
+    * surface beyond q_rollup's hierarchy.
+    */
+  def qCube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping_id().cast(LongType).as("gid"),
+        count(lit(1)).as("n_items"),
+        dsum(d4(col("l_quantity"))).as("sum_qty"))
+      .orderBy(col("gid"), asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  // ---------- E46: RANGE-frame window ----------
+
+  /** Trailing-90-day revenue per customer: a value-range frame (RANGE
+    * BETWEEN 90 PRECEDING AND CURRENT ROW over epoch days), which
+    * unlike ROWS frames is insensitive to intra-day row order — the
+    * frame is defined by the order value, so ties cannot make the
+    * result nondeterministic.
+    */
+  def qWindowRange(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("d")).rangeBetween(-90, 0)
+    t(s, dir, "orders")
+      .where(col("o_custkey") <= 200)
+      .withColumn("d", datediff(col("o_orderdate"), to_date(lit("1990-01-01"))).cast(LongType))
+      .select(
+        col("o_orderkey"), col("o_custkey"), col("d"),
+        round(sum(d4(col("o_totalprice"))).over(w).cast(DoubleType), 4).as("trailing_sum"),
+        count(lit(1)).over(w).as("trailing_n"))
+      .orderBy("o_orderkey")
+  }
+
+  // ---------- P31: BM25 relevance ranking ----------
+
+  /** BM25 scoring constants, shared verbatim with the oracle SQL. */
+  object Bm25 {
+    val K1 = 1.2
+    val B = 0.75
+    val Terms: Seq[String] = Seq("spark", "hash", "window", "stream", "merge")
+  }
+
+  /** BM25 top-20 documents for a fixed query-term set. Corpus stats
+    * (N, avgdl) ride a broadcast scalar; df comes from the per-term
+    * posting counts; idf is rounded at 6 dp before use so the single
+    * ln() call per TERM (not per row) cannot destabilize the hash; the
+    * per-term contributions are rounded to decimals and decimal-summed
+    * (order-independent). Scale shape: one token explode filtered to
+    * the query terms (a scan predicate), one skinny groupBy — the
+    * whole corpus is never shuffled.
+    */
+  def qBm25(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), Text.wordTokens(col("text")).as("toks"))
+      .withColumn("dl", size(col("toks")).cast(LongType))
+    val stats = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl"))
+    val tf = docs
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
+      .where(col("tok").isin(Bm25.Terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("tok"))
+      .agg(count(lit(1)).cast(DoubleType).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).cast(DoubleType).as("df"))
+    val idf = df.crossJoin(broadcast(stats))
+      .select(col("tok"),
+        round(log((col("n_docs").cast(DoubleType) - col("df") + 0.5) / (col("df") + 0.5) + 1.0), 6).as("idf"))
+    val scored = tf
+      .join(broadcast(idf), Seq("tok"))
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sum_dl").cast(DoubleType) / col("n_docs").cast(DoubleType))
+      .withColumn("tfnorm",
+        col("tf") * lit(Bm25.K1 + 1.0) /
+          (col("tf") + lit(Bm25.K1) * (lit(1.0 - Bm25.B) + lit(Bm25.B) * col("dl").cast(DoubleType) / col("avgdl"))))
+      .withColumn("contrib", round(col("idf") * col("tfnorm"), 6).cast(DecimalType(18, 6)))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("contrib")).cast(DoubleType), 4).as("score"),
+        count(lit(1)).as("n_terms"))
+    scored.orderBy(col("score").desc, col("doc_id")).limit(20)
+  }
+
+  // ---------- P32: bigram language model ----------
+
+  /** Smoothing constant for the bigram LM, shared with the oracle. */
+  object Lm { val Alpha = 0.5 }
+
+  /** Corpus-trained bigram language model, add-alpha smoothed, scoring
+    * every document: p(w2|w1) = (c(w1 w2)+α) / (c(w1)+α·V). All
+    * probabilities are pure IEEE divisions of exact integer counts —
+    * no transcendental calls anywhere — rounded per-bigram at 6 dp and
+    * decimal-summed, so the result is bit-stable across engines by
+    * construction. Per-source aggregate output. Scale shape: the model
+    * IS a dataframe (bigram + unigram count tables, shuffled on the
+    * token key with map-side partial aggregation); scoring re-joins
+    * the corpus bigrams against it on the same key. A 100 TB corpus
+    * trains and scores in three shuffles of token-sized rows.
+    */
+  def qNgramLm(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), Text.wordTokens(col("text")).as("toks"))
+    val uni = toks.select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val bigrams = toks
+      .where(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("source"),
+        explode(expr("transform(sequence(0, size(toks) - 2), i -> struct(toks[i] AS w1, toks[i+1] AS w2))")).as("bg"))
+      .select(col("doc_id"), col("source"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bgCounts = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val scored = bigrams
+      .join(bgCounts, Seq("w1", "w2"))
+      .join(uni.withColumnRenamed("w", "w1"), Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("p",
+        (col("c2").cast(DoubleType) + Lm.Alpha) /
+          (col("c1").cast(DoubleType) + lit(Lm.Alpha) * col("v").cast(DoubleType)))
+      .withColumn("p6", round(col("p"), 6).cast(DecimalType(18, 6)))
+    scored
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(sum(col("p6")).cast(DoubleType) / count(lit(1)), 6).as("avg_p"))
+      .orderBy("source")
+  }
+
+  // ---------- P33: substring-level dedup ----------
+
+  /** Gram length for substring dedup, shared with the oracle. */
+  object Substr { val K = 20 }
+
+  /** Per-source substring-duplication profile: of all character
+    * 20-gram positions, how many carry a gram occurring in ≥2 distinct
+    * documents (recurring spans — boilerplate, templates, copies).
+    */
+  def qSubstrDedup(s: SparkSession, dir: String): DataFrame =
+    SubstringDedup.gramDupStats(
+      t(s, dir, "documents"), "doc_id", "text", "source", Substr.K)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_pos")).as("n_pos"),
+        sum(col("n_dup_pos")).as("n_dup_pos"))
+      .orderBy("source")
+}
