@@ -1,0 +1,329 @@
+package graft.tables
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Delta DDL surface beyond writes: CREATE TABLE (metadata-only v0),
+  * ADD/DROP CONSTRAINT, column RENAME/DROP on column-mapped tables,
+  * and shallow CLONE — all from the public protocol
+  * (delta-io/delta PROTOCOL.md). The reference reads tables produced
+  * by engines with these DDLs (deltalake_table.py via delta-rs); this
+  * gives the engine the authoring half.
+  */
+object DeltaDdl {
+
+  import DeltaWrite.CommitResult
+
+  private val mapper = new ObjectMapper()
+
+  /** Writer-feature names implied by a legacy writer version, per the
+    * protocol's feature table — needed when upgrading a legacy-
+    * versioned table to the versioned-feature form (writer v7).
+    */
+  private[tables] def legacyWriterFeatures(v: Int): Seq[String] = {
+    val ladder = Seq(
+      2 -> Seq("appendOnly", "invariants"),
+      3 -> Seq("checkConstraints"),
+      4 -> Seq("changeDataFeed", "generatedColumns"),
+      5 -> Seq("columnMapping"),
+      6 -> Seq("identityColumns"))
+    ladder.filter(_._1 <= v).flatMap(_._2)
+  }
+
+  private def protocolJson(p: DeltaLog.Protocol): String = {
+    val n = mapper.createObjectNode()
+    n.put("minReaderVersion", p.minReaderVersion)
+    n.put("minWriterVersion", p.minWriterVersion)
+    p.readerFeatures.foreach { fs =>
+      val a = n.putArray("readerFeatures"); fs.foreach(a.add)
+    }
+    p.writerFeatures.foreach { fs =>
+      val a = n.putArray("writerFeatures"); fs.foreach(a.add)
+    }
+    s"""{"protocol":${mapper.writeValueAsString(n)}}"""
+  }
+
+  private def metadataJson(
+      schemaString: String,
+      partitionColumns: Seq[String],
+      configuration: Map[String, String],
+      id: String,
+      createdTime: Long
+  ): String = {
+    val m = mapper.createObjectNode()
+    m.put("id", id)
+    m.putObject("format").put("provider", "parquet").putObject("options")
+    m.put("schemaString", schemaString)
+    val pc = m.putArray("partitionColumns")
+    partitionColumns.foreach(pc.add)
+    val confNode = m.putObject("configuration")
+    configuration.foreach { case (k, v) => confNode.put(k, v) }
+    m.put("createdTime", createdTime)
+    s"""{"metaData":${mapper.writeValueAsString(m)}}"""
+  }
+
+  /** The writer protocol a table with this schema/configuration needs,
+    * in legacy-version form (per the protocol's feature table).
+    */
+  private def requiredProtocol(
+      schema: StructType, configuration: Map[String, String]): DeltaLog.Protocol = {
+    val hasConstraints = configuration.keys.exists(_.startsWith(DeltaPolicy.ConstraintPrefix))
+    val hasGenerated = schema.fields.exists(_.metadata.contains(DeltaPolicy.GenerationExpressionKey))
+    val hasCdf = configuration.get("delta.enableChangeDataFeed").contains("true")
+    val mapped = configuration.get("delta.columnMapping.mode").exists(m => m != "none" && m.nonEmpty)
+    val writer = Seq(
+      2,
+      if (hasConstraints) 3 else 2,
+      if (hasGenerated || hasCdf) 4 else 2,
+      if (mapped) 5 else 2).max
+    val reader = if (mapped) 2 else 1
+    DeltaLog.Protocol(reader, writer, None, None)
+  }
+
+  /** CREATE TABLE: a metadata-only version-0 commit declaring schema,
+    * partitioning and configuration — the way a table with policies
+    * (constraints, generated columns, append-only) comes to exist
+    * before its first row. Field metadata in `schema` (generation
+    * expressions, invariants, mapping names) is preserved verbatim in
+    * the schemaString.
+    */
+  def createTable(
+      spark: SparkSession,
+      tablePath: String,
+      schema: StructType,
+      partitionBy: Seq[String] = Seq.empty,
+      configuration: Map[String, String] = Map.empty
+  ): CommitResult = {
+    require(DeltaLog.latestVersion(spark, tablePath).isEmpty,
+      s"cannot CREATE: $tablePath already has a Delta log")
+    partitionBy.foreach(c => require(schema.fieldNames.contains(c),
+      s"partition column $c is not in the schema"))
+    val actions = Seq(
+      protocolJson(requiredProtocol(schema, configuration)),
+      metadataJson(schema.json, partitionBy, configuration,
+        java.util.UUID.randomUUID().toString, System.currentTimeMillis()))
+    require(DeltaWrite.writeCommitFile(spark, tablePath, 0L, actions),
+      s"lost the version-0 race creating $tablePath")
+    CommitResult(0L, 0, 0)
+  }
+
+  /** Metadata-update retry loop shared by the ALTER operations:
+    * `change` maps the current snapshot to (new metadata fields,
+    * optional protocol action); None aborts as a no-op.
+    */
+  private def alter(
+      spark: SparkSession,
+      tablePath: String
+  )(change: DeltaLog.Snapshot => Option[(String, Seq[String], Map[String, String], Seq[String])])
+  : CommitResult = {
+    var attempt = 0
+    while (attempt < 10) {
+      val snap = DeltaLog.snapshot(spark, tablePath)
+      change(snap) match {
+        case None => return CommitResult(snap.version, 0, 0)
+        case Some((schemaString, partCols, conf, protocolActions)) =>
+          val meta = snap.metadata
+          val actions = protocolActions :+ metadataJson(
+            schemaString, partCols, conf,
+            Option(meta.id).filter(_.nonEmpty)
+              .getOrElse(java.util.UUID.randomUUID().toString),
+            meta.createdTime.getOrElse(System.currentTimeMillis()))
+          if (DeltaWrite.writeCommitFile(spark, tablePath, snap.version + 1, actions))
+            return CommitResult(snap.version + 1, 0, 0)
+          attempt += 1 // lost the race: re-read and retry
+      }
+    }
+    throw new DeltaWrite.ConcurrentWriteException(
+      s"could not commit metadata update to $tablePath after 10 attempts")
+  }
+
+  /** ALTER TABLE ADD CONSTRAINT: validates the EXISTING rows satisfy
+    * the predicate (the protocol's contract — a constrained table
+    * never contains violating rows), then commits
+    * `delta.constraints.<name>` with the writer-protocol bump
+    * (legacy v3, or the `checkConstraints` feature on v7 tables).
+    */
+  def addCheckConstraint(
+      spark: SparkSession,
+      tablePath: String,
+      name: String,
+      sql: String
+  ): CommitResult = {
+    val key = DeltaPolicy.ConstraintPrefix + name
+    // existing data must satisfy the new constraint
+    val snap0 = DeltaLog.snapshot(spark, tablePath)
+    if (snap0.files.nonEmpty) {
+      val violating = DeltaRead.readFiles(spark, tablePath, snap0.metadata, snap0.files)
+        .where(coalesce(expr(sql), lit(true)) === false)
+        .limit(1).count()
+      require(violating == 0L,
+        s"cannot ADD CONSTRAINT $name: existing rows of $tablePath violate ($sql)")
+    }
+    alter(spark, tablePath) { snap =>
+      val meta = snap.metadata
+      require(!meta.configuration.contains(key),
+        s"constraint $name already exists on $tablePath")
+      val pr = snap.protocol
+      val protocolActions =
+        if (pr.minWriterVersion >= 7) {
+          val wf = pr.writerFeatures.getOrElse(Seq.empty)
+          if (wf.contains("checkConstraints")) Seq.empty
+          else Seq(protocolJson(pr.copy(writerFeatures = Some(wf :+ "checkConstraints"))))
+        } else if (pr.minWriterVersion < 3)
+          Seq(protocolJson(pr.copy(minWriterVersion = 3)))
+        else Seq.empty
+      Some((meta.schemaString, meta.partitionColumns,
+        meta.configuration + (key -> sql), protocolActions))
+    }
+  }
+
+  /** ALTER TABLE DROP CONSTRAINT (no protocol change — the table may
+    * still carry other constraints, and downgrades are not a thing).
+    */
+  def dropCheckConstraint(
+      spark: SparkSession,
+      tablePath: String,
+      name: String
+  ): CommitResult = alter(spark, tablePath) { snap =>
+    val key = DeltaPolicy.ConstraintPrefix + name
+    if (!snap.metadata.configuration.contains(key)) None
+    else Some((snap.metadata.schemaString, snap.metadata.partitionColumns,
+      snap.metadata.configuration - key, Seq.empty))
+  }
+
+  /** Does any CHECK constraint or generation expression mention
+    * `column`? (identifier word-match — conservatively refuses).
+    */
+  private def referencedBy(meta: DeltaLog.Metadata, column: String): Seq[String] = {
+    val rx = ("(?i)(?<![A-Za-z0-9_`])" +
+      java.util.regex.Pattern.quote(column) + "(?![A-Za-z0-9_`])").r
+    val cs = DeltaPolicy.constraints(meta).collect {
+      case (n, sql) if rx.findFirstIn(sql).isDefined => s"constraint $n"
+    }
+    val gs = DeltaPolicy.generationExpressions(meta).collect {
+      case (n, sql) if rx.findFirstIn(sql).isDefined => s"generated column $n"
+    }
+    (cs ++ gs).toSeq
+  }
+
+  /** ALTER TABLE RENAME COLUMN — metadata-only, column mapping
+    * required: the logical name changes while the physical name (and
+    * field id) riding the field metadata stay, so no data file is
+    * touched and old files keep matching. Mirrors delta-spark's
+    * requirement that RENAME needs `delta.columnMapping.mode`.
+    */
+  def renameColumn(
+      spark: SparkSession,
+      tablePath: String,
+      from: String,
+      to: String
+  ): CommitResult = alter(spark, tablePath) { snap =>
+    val meta = snap.metadata
+    require(meta.isColumnMapped,
+      s"RENAME COLUMN requires column mapping (delta.columnMapping.mode) on $tablePath")
+    val schema = meta.schema
+    require(schema.fieldNames.contains(from), s"no column $from in $tablePath")
+    require(!schema.fieldNames.contains(to), s"column $to already exists in $tablePath")
+    val refs = referencedBy(meta, from)
+    require(refs.isEmpty,
+      s"cannot rename $from: referenced by ${refs.mkString(", ")}")
+    val newSchema = StructType(schema.fields.map { f =>
+      if (f.name == from) f.copy(name = to) else f
+    })
+    val newParts = meta.partitionColumns.map(c => if (c == from) to else c)
+    Some((newSchema.json, newParts, meta.configuration, Seq.empty))
+  }
+
+  /** ALTER TABLE DROP COLUMN — metadata-only under column mapping:
+    * the field leaves the logical schema; data files keep the
+    * physical column, which readers no longer project. Refused for
+    * partition columns and policy-referenced columns.
+    */
+  def dropColumn(
+      spark: SparkSession,
+      tablePath: String,
+      name: String
+  ): CommitResult = alter(spark, tablePath) { snap =>
+    val meta = snap.metadata
+    require(meta.isColumnMapped,
+      s"DROP COLUMN requires column mapping (delta.columnMapping.mode) on $tablePath")
+    val schema = meta.schema
+    require(schema.fieldNames.contains(name), s"no column $name in $tablePath")
+    require(!meta.partitionColumns.contains(name),
+      s"cannot drop partition column $name of $tablePath")
+    require(schema.fields.length > 1, s"cannot drop the only column of $tablePath")
+    val refs = referencedBy(meta, name)
+    require(refs.isEmpty,
+      s"cannot drop $name: referenced by ${refs.mkString(", ")}")
+    val newSchema = StructType(schema.fields.filterNot(_.name == name))
+    Some((newSchema.json, meta.partitionColumns, meta.configuration, Seq.empty))
+  }
+
+  /** Shallow CLONE: a new table whose version-0 commit references the
+    * source's CURRENT data files by absolute path — zero data copied,
+    * both tables evolve independently afterwards (writes to the clone
+    * stage new files under the clone; removes reference the absolute
+    * paths). Deletion vectors are carried over with their descriptors
+    * rewritten to absolute-path form (`storageType p`) so the clone
+    * reads them from the source directory. The standard caveat
+    * applies and is inherited from the protocol, not this
+    * implementation: VACUUM on the source can invalidate clones.
+    */
+  def cloneShallow(
+      spark: SparkSession,
+      sourcePath: String,
+      targetPath: String
+  ): CommitResult = {
+    require(DeltaLog.latestVersion(spark, targetPath).isEmpty,
+      s"cannot CLONE into $targetPath: it already has a Delta log")
+    val snap = DeltaLog.snapshot(spark, sourcePath)
+    val srcBase = new Path(sourcePath.stripSuffix("/"))
+    val fs = srcBase.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val absBase = fs.makeQualified(srcBase).toUri.getPath
+
+    val adds = snap.files.map { f =>
+      val a = mapper.createObjectNode()
+      a.put("path", DeltaLog.resolvePath(absBase, f.path))
+      val pvNode = a.putObject("partitionValues")
+      f.partitionValues.foreach { case (k, v) =>
+        v match { case Some(s) => pvNode.put(k, s); case None => pvNode.putNull(k) }
+      }
+      a.put("size", f.size)
+      a.put("modificationTime", System.currentTimeMillis())
+      a.put("dataChange", true)
+      f.stats.foreach(s => a.put("stats", s))
+      f.dv.foreach { d =>
+        val dn = a.putObject("deletionVector")
+        d.storageType match {
+          case "i" => // inline: travels with the descriptor
+            dn.put("storageType", "i")
+            dn.put("pathOrInlineDv", d.pathOrInlineDv)
+          case _ => // u/p: pin to the absolute on-disk location
+            dn.put("storageType", "p")
+            dn.put("pathOrInlineDv", d.filePath(absBase).get.toString)
+            d.offset.foreach(o => dn.put("offset", o))
+        }
+        if (d.storageType == "i") d.offset.foreach(o => dn.put("offset", o))
+        dn.put("sizeInBytes", d.sizeInBytes)
+        dn.put("cardinality", d.cardinality)
+      }
+      s"""{"add":${mapper.writeValueAsString(a)}}"""
+    }
+    val ci = mapper.createObjectNode()
+    ci.put("operation", "CLONE")
+    ci.put("timestamp", System.currentTimeMillis())
+    ci.putObject("operationParameters").put("source", absBase)
+    val actions =
+      Seq(protocolJson(snap.protocol),
+        metadataJson(snap.metadata.schemaString, snap.metadata.partitionColumns,
+          snap.metadata.configuration, java.util.UUID.randomUUID().toString,
+          System.currentTimeMillis()),
+        s"""{"commitInfo":${mapper.writeValueAsString(ci)}}""") ++ adds
+    require(DeltaWrite.writeCommitFile(spark, targetPath, 0L, actions),
+      s"lost the version-0 race cloning into $targetPath")
+    CommitResult(0L, adds.size, 0)
+  }
+}

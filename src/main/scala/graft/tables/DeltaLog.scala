@@ -136,6 +136,13 @@ object DeltaLog {
     }
   }
 
+  /** An action's `path` is table-relative OR absolute (the protocol
+    * allows both; shallow clones reference source files absolutely).
+    */
+  def resolvePath(base: String, p: String): String =
+    if (p.startsWith("/") || p.matches("^[A-Za-z][A-Za-z0-9+.-]*:/.*")) p
+    else s"$base/$p"
+
   val PhysicalNameKey = "delta.columnMapping.physicalName"
   /** Per-field column id assigned by id-mode column mapping. */
   val FieldIdKey = "delta.columnMapping.id"

@@ -147,19 +147,20 @@ private[graft] object DeltaRead {
       val scans = Seq.newBuilder[DataFrame]
       if (plainFiles.nonEmpty)
         scans += toLogical(spark.read.schema(physDataSchema)
-          .parquet(plainFiles.map(f => s"$base/${f.path}"): _*))
+          .parquet(plainFiles.map(f => DeltaLog.resolvePath(base, f.path)): _*))
       if (dvFiles.nonEmpty) {
         val fs = new org.apache.hadoop.fs.Path(base)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
         val dvBytes: Map[String, Array[Byte]] = dvFiles.map { f =>
-          DvDeleted.normalizePath(s"$base/${f.path}") -> f.dv.get.readData(fs, base)
+          DvDeleted.normalizePath(DeltaLog.resolvePath(base, f.path)) ->
+            f.dv.get.readData(fs, base)
         }.toMap
         val deleted = org.apache.spark.sql.graftbridge.Bridge.column(DvDeleted(
           org.apache.spark.sql.graftbridge.Bridge.expression(col("_metadata.file_path")),
           org.apache.spark.sql.graftbridge.Bridge.expression(col("_metadata.row_index")),
           dvBytes))
         scans += toLogical(spark.read.schema(physDataSchema)
-          .parquet(dvFiles.map(f => s"$base/${f.path}"): _*)
+          .parquet(dvFiles.map(f => DeltaLog.resolvePath(base, f.path)): _*)
           .where(!deleted)
           .select(physDataSchema.fieldNames.map(col).toSeq: _*))
       }

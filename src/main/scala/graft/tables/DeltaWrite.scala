@@ -42,6 +42,29 @@ object DeltaWrite {
 
   final case class CommitResult(version: Long, filesAdded: Int, filesRemoved: Int)
 
+  /** Atomically create commit file `version` with `actions` (one JSON
+    * action per line). Returns false if the version already exists
+    * (caller lost an optimistic-concurrency race and should re-read
+    * and retry). Shared by the DDL surface ([[DeltaDdl]]).
+    */
+  private[tables] def writeCommitFile(
+      spark: SparkSession,
+      tablePath: String,
+      version: Long,
+      actions: Seq[String]
+  ): Boolean = {
+    val fs = DeltaLog.logDir(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val commitPath = new Path(DeltaLog.logDir(tablePath), f"$version%020d.json")
+    try {
+      commitFileLock.synchronized {
+        val out = fs.create(commitPath, false)
+        try out.write((actions.mkString("\n") + "\n").getBytes("UTF-8"))
+        finally out.close()
+      }
+      true
+    } catch { case _: java.io.IOException => false }
+  }
+
   /** Append `df` to (or create) the delta table at `tablePath`.
     * `txn` (appId → transaction version) commits a SetTransaction
     * action alongside the data: the protocol's idempotent-writer
@@ -91,6 +114,7 @@ object DeltaWrite {
     val partCols = snap.metadata.partitionColumns
     val predicate = Filters.toColumn(filters).getOrElse(lit(true))
 
+    DeltaPolicy.requireNotAppendOnly(snap.metadata, "DELETE", tablePath)
     require(!snap.metadata.isColumnMapped,
       s"writes to column-mapped Delta tables are not supported ($tablePath)")
     val candidates = snap.files.filter(f =>
@@ -129,20 +153,36 @@ object DeltaWrite {
     val txnActions = txn.map { case (a, v) => txnJson(a, v) }.toSeq
     val snapOpt = DeltaLog.latestVersion(spark, tablePath)
       .map(_ => DeltaLog.snapshot(spark, tablePath))
+    // overwriting away existing rows is a data-removing change —
+    // refused on append-only tables (appends to them stay legal)
+    if (overwrite) snapOpt.filter(_.files.nonEmpty).foreach(s =>
+      DeltaPolicy.requireNotAppendOnly(s.metadata, "overwrite", tablePath))
     snapOpt.filter(_.metadata.isColumnMapped) match {
       case Some(snap) =>
-        commitMapped(spark, df, tablePath, snap, partitionBy, overwrite, txnActions)
+        val prepared = DeltaPolicy.prepare(df, snap.metadata, tablePath)
+        commitMapped(spark, prepared, tablePath, snap, partitionBy, overwrite, txnActions)
       case None =>
+        val prepared = snapOpt match {
+          case Some(snap) =>
+            val p = DeltaPolicy.prepare(df, snap.metadata, tablePath)
+            // align to the declared column order (generated columns
+            // materialize at the end of the frame otherwise)
+            if (p.columns.toSet == snap.schema.fieldNames.toSet &&
+              p.columns.toSeq != snap.schema.fieldNames.toSeq)
+              p.select(snap.schema.fieldNames.map(col).toSeq: _*)
+            else p
+          case None => df
+        }
         // a CDF-enabled overwrite is a full data change: old rows leave
         // as deletes, new rows enter as inserts — without cdc the
         // remove+add commit would make the feed underivable
         val cdcActions = snapOpt match {
           case Some(snap) if overwrite && cdfEnabled(snap.metadata) =>
-            val newRows = df.withColumn(DeltaChanges.ChangeTypeCol, lit("insert"))
+            val newRows = prepared.withColumn(DeltaChanges.ChangeTypeCol, lit("insert"))
             val changes =
               if (snap.files.isEmpty) newRows
               else {
-                require(df.columns.toSet == snap.schema.fieldNames.toSet,
+                require(prepared.columns.toSet == snap.schema.fieldNames.toSet,
                   s"CDF-enabled overwrite of $tablePath cannot change the schema " +
                     "(the change feed needs one row shape)")
                 DeltaRead.readFiles(spark, tablePath, snap.metadata, snap.files)
@@ -153,8 +193,17 @@ object DeltaWrite {
               destPrefix = "_change_data/", withStats = false).map(cdcJson)
           case _ => Seq.empty
         }
-        val adds = stageFiles(spark, df, tablePath, partitionBy)
-        commitLoop(spark, tablePath, adds, Seq.empty, df.schema.json, partitionBy,
+        // same logical shape as the declared schema → carry the stored
+        // schemaString forward, preserving field metadata (generation
+        // expressions, invariants) a frame-derived schema JSON lacks
+        val schemaJson = snapOpt match {
+          case Some(s) if s.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+              prepared.schema.fields.map(f => (f.name, f.dataType)).toSeq =>
+            s.metadata.schemaString
+          case _ => prepared.schema.json
+        }
+        val adds = stageFiles(spark, prepared, tablePath, partitionBy)
+        commitLoop(spark, tablePath, adds, Seq.empty, schemaJson, partitionBy,
           overwrite, extraActions = txnActions ++ cdcActions, snapHint = snapOpt)
     }
   }
@@ -301,6 +350,7 @@ object DeltaWrite {
     val partCols = snap.metadata.partitionColumns
     val predicate = Filters.toColumn(filters).getOrElse(lit(true))
 
+    DeltaPolicy.requireNotAppendOnly(snap.metadata, "DELETE", tablePath)
     require(!snap.metadata.isColumnMapped,
       s"writes to column-mapped Delta tables are not supported ($tablePath)")
     val candidates = snap.files.filter(f =>
@@ -395,13 +445,19 @@ object DeltaWrite {
     require(keyCols.nonEmpty, "merge needs at least one key column")
     val snap = DeltaLog.snapshot(spark, tablePath)
     val meta = snap.metadata
+    // MERGE rewrites matched files (data-removing change)
+    DeltaPolicy.requireNotAppendOnly(meta, "MERGE", tablePath)
     require(!meta.isColumnMapped,
       s"this operation is not supported on column-mapped Delta tables ($tablePath)")
     require(source.columns.toSet == meta.schema.fieldNames.toSet,
       s"merge source schema ${source.columns.mkString(",")} must match the table " +
         s"(${meta.schema.fieldNames.mkString(",")})")
     val partCols = meta.partitionColumns
-    val src = source.select(meta.schema.fieldNames.map(col).toSeq: _*)
+    // incoming rows are subject to the table's policies (constraints,
+    // invariants, generated-column validation); surviving target rows
+    // satisfied them when they were written
+    val src = DeltaPolicy.prepare(source, meta, tablePath)
+      .select(meta.schema.fieldNames.map(col).toSeq: _*)
 
     // candidate pruning: single-column keys bound the source key range
     // once (driver-side min/max) and skip files whose stats exclude it
@@ -541,6 +597,8 @@ object DeltaWrite {
     */
   def restore(spark: SparkSession, tablePath: String, version: Long): CommitResult = {
     val cur = DeltaLog.snapshot(spark, tablePath)
+    // restoring to an earlier version removes later data
+    DeltaPolicy.requireNotAppendOnly(cur.metadata, "RESTORE", tablePath)
     val old = DeltaLog.snapshot(spark, tablePath, Some(version))
     val base = tablePath.stripSuffix("/")
     val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -1,0 +1,250 @@
+package graft.tables
+
+import graft.SparkSpec
+import graft.core.{Filter, Filters}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class DeltaDdlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def norm(f: Filter*) = Filters.normalize(f)
+
+  private def readAll(path: String) = {
+    val snap = DeltaLog.snapshot(spark, path)
+    DeltaRead.readFiles(spark, path, snap.metadata, snap.files)
+  }
+
+  // ---------- CHECK constraints ----------
+
+  test("createTable with a constraint refuses violating appends, accepts valid ones") {
+    val path = tempDir("ddl_ck").toString + "/t"
+    DeltaDdl.createTable(spark, path,
+      StructType(Seq(StructField("id", LongType), StructField("qty", LongType))),
+      configuration = Map("delta.constraints.qty_pos" -> "qty > 0"))
+    assert(DeltaLog.snapshot(spark, path).protocol.minWriterVersion >= 3)
+
+    DeltaWrite.append(spark, Seq((1L, 5L), (2L, 7L)).toDF("id", "qty"), path)
+    val e = intercept[IllegalArgumentException] {
+      DeltaWrite.append(spark, Seq((3L, -1L)).toDF("id", "qty"), path)
+    }
+    assert(e.getMessage.contains("qty_pos"))
+    // NULL predicate result satisfies a CHECK constraint (SQL semantics)
+    DeltaWrite.append(spark,
+      Seq((4L, Some(3L)), (5L, None)).toDF("id", "qty"), path)
+    assert(readAll(path).count() === 4)
+  }
+
+  test("addCheckConstraint validates existing rows and bumps the writer protocol") {
+    val path = tempDir("ddl_add").toString + "/t"
+    DeltaWrite.append(spark, Seq((1L, 10L), (2L, 20L)).toDF("id", "qty"), path)
+    assert(DeltaLog.snapshot(spark, path).protocol.minWriterVersion === 2)
+
+    // a constraint the data violates is refused outright
+    val e = intercept[IllegalArgumentException] {
+      DeltaDdl.addCheckConstraint(spark, path, "qty_small", "qty < 15")
+    }
+    assert(e.getMessage.contains("existing rows"))
+    assert(!DeltaLog.snapshot(spark, path).metadata.configuration.contains("delta.constraints.qty_small"))
+
+    DeltaDdl.addCheckConstraint(spark, path, "qty_pos", "qty > 0")
+    val snap = DeltaLog.snapshot(spark, path)
+    assert(snap.metadata.configuration("delta.constraints.qty_pos") === "qty > 0")
+    assert(snap.protocol.minWriterVersion === 3)
+
+    intercept[IllegalArgumentException] {
+      DeltaWrite.append(spark, Seq((3L, 0L)).toDF("id", "qty"), path)
+    }
+    // dropping the constraint re-opens the gate
+    DeltaDdl.dropCheckConstraint(spark, path, "qty_pos")
+    DeltaWrite.append(spark, Seq((3L, 0L)).toDF("id", "qty"), path)
+    assert(readAll(path).count() === 3)
+  }
+
+  test("constraints are enforced on MERGE sources") {
+    val path = tempDir("ddl_merge").toString + "/t"
+    DeltaWrite.append(spark, Seq((1L, 10L)).toDF("id", "qty"), path)
+    DeltaDdl.addCheckConstraint(spark, path, "qty_pos", "qty > 0")
+    intercept[IllegalArgumentException] {
+      DeltaWrite.merge(spark, path, Seq((1L, -5L)).toDF("id", "qty"), Seq("id"))
+    }
+    DeltaWrite.merge(spark, path, Seq((1L, 99L)).toDF("id", "qty"), Seq("id"))
+    assert(readAll(path).select("qty").as[Long].head() === 99L)
+  }
+
+  // ---------- column invariants + NOT NULL ----------
+
+  test("column invariants from field metadata are enforced") {
+    val path = tempDir("ddl_inv").toString + "/t"
+    val md = new MetadataBuilder().putString(
+      "delta.invariants", """{"expression":{"expression":"id >= 0"}}""").build()
+    DeltaDdl.createTable(spark, path,
+      StructType(Seq(StructField("id", LongType, nullable = true, md),
+        StructField("v", StringType))))
+    DeltaWrite.append(spark, Seq((0L, "a"), (7L, "b")).toDF("id", "v"), path)
+    val e = intercept[IllegalArgumentException] {
+      DeltaWrite.append(spark, Seq((-1L, "bad")).toDF("id", "v"), path)
+    }
+    assert(e.getMessage.contains("invariant"))
+    assert(readAll(path).count() === 2)
+  }
+
+  test("NOT NULL columns refuse null values") {
+    val path = tempDir("ddl_nn").toString + "/t"
+    DeltaDdl.createTable(spark, path,
+      StructType(Seq(StructField("id", LongType, nullable = false),
+        StructField("v", StringType))))
+    DeltaWrite.append(spark, Seq((1L, "a")).toDF("id", "v"), path)
+    val e = intercept[IllegalArgumentException] {
+      DeltaWrite.append(spark,
+        Seq((Some(2L), "b"), (None, "null-id")).toDF("id", "v"), path)
+    }
+    assert(e.getMessage.contains("NOT NULL"))
+  }
+
+  // ---------- generated columns ----------
+
+  test("generated columns: computed when absent, validated when present, metadata survives") {
+    val path = tempDir("ddl_gen").toString + "/t"
+    val md = new MetadataBuilder().putString(
+      "delta.generationExpression", "id * 2").build()
+    DeltaDdl.createTable(spark, path,
+      StructType(Seq(
+        StructField("id", LongType),
+        StructField("doubled", LongType, nullable = true, md))))
+    assert(DeltaLog.snapshot(spark, path).protocol.minWriterVersion >= 4)
+
+    // absent → computed
+    DeltaWrite.append(spark, Seq(1L, 2L).toDF("id"), path)
+    val got = readAll(path).orderBy("id").as[(Long, Long)].collect()
+    assert(got === Array((1L, 2L), (2L, 4L)))
+
+    // present and correct → accepted
+    DeltaWrite.append(spark, Seq((5L, 10L)).toDF("id", "doubled"), path)
+    // present and wrong → refused
+    val e = intercept[IllegalArgumentException] {
+      DeltaWrite.append(spark, Seq((6L, 99L)).toDF("id", "doubled"), path)
+    }
+    assert(e.getMessage.contains("generated column"))
+
+    // the generation expression must survive all those appends
+    val meta = DeltaLog.snapshot(spark, path).metadata
+    assert(DeltaPolicy.generationExpressions(meta) === Map("doubled" -> "id * 2"))
+  }
+
+  // ---------- append-only ----------
+
+  test("delta.appendOnly: removes refused, appends and OPTIMIZE legal") {
+    val path = tempDir("ddl_ao").toString + "/t"
+    DeltaDdl.createTable(spark, path,
+      StructType(Seq(StructField("id", LongType), StructField("v", StringType))),
+      configuration = Map("delta.appendOnly" -> "true"))
+    DeltaWrite.append(spark, Seq((1L, "a")).toDF("id", "v"), path)
+    DeltaWrite.append(spark, Seq((2L, "b")).toDF("id", "v"), path)
+
+    intercept[IllegalArgumentException] {
+      DeltaWrite.deleteWhere(spark, path, norm(Filter("id", "=", 1)))
+    }
+    intercept[IllegalArgumentException] {
+      DeltaWrite.deleteWhereDv(spark, path, norm(Filter("id", "=", 1)))
+    }
+    intercept[IllegalArgumentException] {
+      DeltaWrite.overwrite(spark, Seq((9L, "z")).toDF("id", "v"), path)
+    }
+    intercept[IllegalArgumentException] {
+      DeltaWrite.merge(spark, path, Seq((1L, "upd")).toDF("id", "v"), Seq("id"))
+    }
+    intercept[IllegalArgumentException] {
+      DeltaWrite.restore(spark, path, 1L)
+    }
+    // OPTIMIZE is a pure rewrite (dataChange=false) — still legal
+    DeltaWrite.optimize(spark, path)
+    assert(readAll(path).count() === 2)
+  }
+
+  // ---------- rename / drop under column mapping ----------
+
+  private def mappedTable(prefix: String): String = {
+    val path = tempDir(prefix).toString + "/t"
+    def f(name: String, phys: String, id: Int, dt: DataType) =
+      StructField(name, dt, nullable = true, new MetadataBuilder()
+        .putString("delta.columnMapping.physicalName", phys)
+        .putLong("delta.columnMapping.id", id.toLong).build())
+    DeltaDdl.createTable(spark, path,
+      StructType(Seq(f("id", "col-aaa", 1, LongType), f("name", "col-bbb", 2, StringType))),
+      configuration = Map(
+        "delta.columnMapping.mode" -> "name",
+        "delta.columnMapping.maxColumnId" -> "2"))
+    DeltaWrite.append(spark, Seq((1L, "ann"), (2L, "bob")).toDF("id", "name"), path)
+    path
+  }
+
+  test("RENAME COLUMN is metadata-only: physical files keep matching") {
+    val path = mappedTable("ddl_ren")
+    val before = DeltaLog.snapshot(spark, path)
+    DeltaDdl.renameColumn(spark, path, "name", "full_name")
+    val snap = DeltaLog.snapshot(spark, path)
+    assert(snap.files.map(_.path).toSet === before.files.map(_.path).toSet,
+      "no data file may change")
+    assert(snap.schema.fieldNames.toSeq === Seq("id", "full_name"))
+    assert(snap.metadata.physicalName("full_name") === "col-bbb")
+    val got = readAll(path).orderBy("id").as[(Long, String)].collect()
+    assert(got === Array((1L, "ann"), (2L, "bob")))
+    // appends after the rename use the new logical name
+    DeltaWrite.append(spark, Seq((3L, "cyd")).toDF("id", "full_name"), path)
+    assert(readAll(path).where(col("full_name") === "cyd").count() === 1)
+    // renaming onto an existing name refuses
+    intercept[IllegalArgumentException] {
+      DeltaDdl.renameColumn(spark, path, "id", "full_name")
+    }
+  }
+
+  test("DROP COLUMN is metadata-only and refuses partition/referenced columns") {
+    val path = mappedTable("ddl_drop")
+    DeltaDdl.dropColumn(spark, path, "name")
+    val snap = DeltaLog.snapshot(spark, path)
+    assert(snap.schema.fieldNames.toSeq === Seq("id"))
+    assert(readAll(path).columns.toSeq === Seq("id"))
+    assert(readAll(path).orderBy("id").as[Long].collect() === Array(1L, 2L))
+    intercept[IllegalArgumentException] { DeltaDdl.dropColumn(spark, path, "id") }
+
+    // unmapped tables refuse both DDLs
+    val plain = tempDir("ddl_plain").toString + "/t"
+    DeltaWrite.append(spark, Seq((1L, "x")).toDF("id", "v"), plain)
+    intercept[IllegalArgumentException] { DeltaDdl.renameColumn(spark, plain, "v", "w") }
+    intercept[IllegalArgumentException] { DeltaDdl.dropColumn(spark, plain, "v") }
+  }
+
+  // ---------- shallow clone ----------
+
+  test("shallow clone reads the source's files; both sides evolve independently") {
+    val src = tempDir("ddl_clone_src").toString + "/t"
+    DeltaWrite.append(spark, (1L to 10L).toDF("id").withColumn("v", col("id") * 10), src)
+    // carry a deletion vector through the clone
+    DeltaWrite.deleteWhereDv(spark, src, norm(Filter("id", "=", 4)))
+
+    val dst = tempDir("ddl_clone_dst").toString + "/t"
+    DeltaDdl.cloneShallow(spark, src, dst)
+
+    val expected = (1L to 10L).filter(_ != 4L).map(i => (i, i * 10))
+    assert(readAll(dst).orderBy("id").as[(Long, Long)].collect() === expected.toArray)
+
+    // clone-side append is invisible to the source
+    DeltaWrite.append(spark, Seq((100L, 1000L)).toDF("id", "v"), dst)
+    assert(readAll(dst).count() === 10)
+    assert(readAll(src).count() === 9)
+
+    // clone-side DELETE rewrites into the clone, never the source
+    DeltaWrite.deleteWhere(spark, dst, norm(Filter("id", "<=", 2)))
+    assert(readAll(dst).orderBy("id").as[(Long, Long)].collect().head === ((3L, 30L)))
+    assert(readAll(src).count() === 9)
+
+    // vacuuming the clone must not reclaim source-owned files
+    DeltaWrite.vacuum(spark, dst, retentionMs = 0L)
+    assert(readAll(src).count() === 9, "source files survive clone vacuum")
+    assert(readAll(dst).count() === 8)
+
+    // cloning onto an existing table refuses
+    intercept[IllegalArgumentException] { DeltaDdl.cloneShallow(spark, src, dst) }
+  }
+}

@@ -83,7 +83,12 @@ class DeltaMergeSpec extends SparkSpec {
   }
 
   test("all-null source keys insert (null never equals), consistently with mixed") {
-    val dir = freshTable(Seq((1L, "a", 1.0)))
+    // the table must declare id NULLABLE: a primitive-Long frame would
+    // create a NOT NULL column, and the policy layer (correctly)
+    // refuses null keys on such a table
+    val dir = tempDir("delta-merge").toString + "/t"
+    DeltaWrite.append(spark,
+      Seq((Option(1L), "a", 1.0)).toDF("id", "grp", "v"), dir)
     val allNull = Seq((Option.empty[Long], "n", 7.0)).toDF("id", "grp", "v")
     val r1 = DeltaWrite.merge(spark, dir, allNull, Seq("id"))
     assert(r1.filesAdded >= 1, "all-null-key source must still insert")
