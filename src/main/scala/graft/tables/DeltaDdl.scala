@@ -80,7 +80,12 @@ object DeltaDdl {
       if (hasGenerated || hasCdf) 4 else 2,
       if (mapped) 5 else 2).max
     val reader = if (mapped) 2 else 1
-    DeltaLog.Protocol(reader, writer, None, None)
+    // in-commit timestamps exist only as a versioned writer feature:
+    // enabling it at creation puts the protocol in v7 feature form
+    if (configuration.get(DeltaWrite.IctKey).contains("true"))
+      DeltaLog.Protocol(reader, 7, None,
+        Some(legacyWriterFeatures(writer) :+ "inCommitTimestamp"))
+    else DeltaLog.Protocol(reader, writer, None, None)
   }
 
   /** CREATE TABLE: a metadata-only version-0 commit declaring schema,
@@ -101,7 +106,17 @@ object DeltaDdl {
       s"cannot CREATE: $tablePath already has a Delta log")
     partitionBy.foreach(c => require(schema.fieldNames.contains(c),
       s"partition column $c is not in the schema"))
-    val actions = Seq(
+    val ict =
+      if (!configuration.get(DeltaWrite.IctKey).contains("true")) Seq.empty
+      else {
+        val t = System.currentTimeMillis()
+        val ci = mapper.createObjectNode()
+        ci.put("operation", "CREATE TABLE")
+        ci.put("inCommitTimestamp", t)
+        ci.put("timestamp", t)
+        Seq(s"""{"commitInfo":${mapper.writeValueAsString(ci)}}""")
+      }
+    val actions = ict ++ Seq(
       protocolJson(requiredProtocol(schema, configuration)),
       metadataJson(schema.json, partitionBy, configuration,
         java.util.UUID.randomUUID().toString, System.currentTimeMillis()))
@@ -126,7 +141,9 @@ object DeltaDdl {
         case None => return CommitResult(snap.version, 0, 0)
         case Some((schemaString, partCols, conf, protocolActions)) =>
           val meta = snap.metadata
-          val actions = protocolActions :+ metadataJson(
+          val actions = DeltaWrite.ictAction(spark, tablePath, Some(meta),
+            Some(snap.version), "ALTER TABLE").toSeq ++
+            protocolActions :+ metadataJson(
             schemaString, partCols, conf,
             Option(meta.id).filter(_.nonEmpty)
               .getOrElse(java.util.UUID.randomUUID().toString),

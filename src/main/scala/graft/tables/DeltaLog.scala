@@ -237,6 +237,37 @@ object DeltaLog {
     (jsons.keySet ++ cps.keySet).maxOption
   }
 
+  /** `commitInfo.inCommitTimestamp` of a commit JSON, when the commit
+    * carries one (tables with `delta.enableInCommitTimestamps`).
+    */
+  def inCommitTimestampOf(fs: FileSystem, jsonPath: Path): Option[Long] = {
+    val in = fs.open(jsonPath)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    text.linesIterator.flatMap { line =>
+      val node = mapper.readTree(line)
+      Option(node.get("commitInfo"))
+        .flatMap(ci => Option(ci.get("inCommitTimestamp")))
+        .map(_.asLong())
+    }.nextOption()
+  }
+
+  /** The next monotonic in-commit timestamp for a commit at
+    * `prevVersion + 1`: wall clock, but never ≤ the previous commit's
+    * ICT (the protocol requires strictly increasing values).
+    */
+  def nextInCommitTimestamp(
+      spark: SparkSession, tablePath: String, prevVersion: Option[Long]): Long = {
+    val dir = logDir(tablePath)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prev = prevVersion.flatMap { v =>
+      val p = new Path(dir, f"$v%020d.json")
+      if (fs.exists(p)) inCommitTimestampOf(fs, p) else None
+    }
+    math.max(System.currentTimeMillis(), prev.map(_ + 1).getOrElse(Long.MinValue))
+  }
+
   /** Version active at `tsMillis`: the greatest version whose commit
     * happened at or before it. Per the protocol, a commit's timestamp
     * is the modification time of its JSON file (in-commit timestamps
@@ -249,7 +280,12 @@ object DeltaLog {
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val (jsons, _) = listLog(spark, tablePath)
     require(jsons.nonEmpty, s"$tablePath has no JSON commits to resolve a timestamp against")
-    val timed = jsons.toSeq.map { case (v, p) => (v, fs.getFileStatus(p).getModificationTime) }
+    // a commit carrying commitInfo.inCommitTimestamp (the
+    // `inCommitTimestamp` writer feature) is timestamped by that value;
+    // otherwise by its file's modification time, per the protocol
+    val timed = jsons.toSeq.map { case (v, p) =>
+      (v, inCommitTimestampOf(fs, p).getOrElse(fs.getFileStatus(p).getModificationTime))
+    }
     val atOrBefore = timed.filter(_._2 <= tsMillis)
     require(atOrBefore.nonEmpty,
       s"no commit in $tablePath at or before timestamp $tsMillis " +

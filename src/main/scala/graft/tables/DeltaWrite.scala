@@ -297,6 +297,29 @@ object DeltaWrite {
   private def cdfEnabled(meta: DeltaLog.Metadata): Boolean =
     meta.configuration.get("delta.enableChangeDataFeed").contains("true")
 
+  private[tables] val IctKey = "delta.enableInCommitTimestamps"
+
+  /** The commitInfo action carrying this commit's in-commit timestamp,
+    * for tables with the `inCommitTimestamp` feature enabled (the
+    * commit's logical time then comes from the log itself, immune to
+    * file-mtime loss on copy/restore, per the public protocol).
+    */
+  private[tables] def ictAction(
+      spark: SparkSession,
+      tablePath: String,
+      metaOpt: Option[DeltaLog.Metadata],
+      prevVersion: Option[Long],
+      operation: String
+  ): Option[String] =
+    metaOpt.filter(_.configuration.get(IctKey).contains("true")).map { _ =>
+      val ict = DeltaLog.nextInCommitTimestamp(spark, tablePath, prevVersion)
+      val ci = mapper.createObjectNode()
+      ci.put("operation", operation)
+      ci.put("inCommitTimestamp", ict)
+      ci.put("timestamp", ict)
+      s"""{"commitInfo":${mapper.writeValueAsString(ci)}}"""
+    }
+
   /** Serialize a staged change-data file as a `cdc` action. */
   private def cdcJson(add: StagedAdd): String = {
     val c = mapper.createObjectNode()
@@ -532,11 +555,41 @@ object DeltaWrite {
     while (true) {
       val snap = DeltaLog.snapshot(spark, tablePath)
       val meta = snap.metadata
-      val newConf = meta.configuration ++ props
+      var newConf = meta.configuration ++ props
       if (newConf == meta.configuration) return CommitResult(snap.version, 0, 0)
       val version = snap.version + 1
 
       val sb = new StringBuilder
+      // in-commit timestamps: enabling (or having enabled) the feature
+      // stamps this commit; enablement also records the provenance
+      // configs the protocol requires so readers know where the
+      // ICT-timestamped suffix of the history begins
+      val enablingIct = props.get(IctKey).contains("true") &&
+        !meta.configuration.get(IctKey).contains("true")
+      if (enablingIct || meta.configuration.get(IctKey).contains("true")) {
+        val ict = DeltaLog.nextInCommitTimestamp(spark, tablePath, Some(snap.version))
+        val ci = mapper.createObjectNode()
+        ci.put("operation", "SET TBLPROPERTIES")
+        ci.put("inCommitTimestamp", ict)
+        ci.put("timestamp", ict)
+        sb.append(s"""{"commitInfo":${mapper.writeValueAsString(ci)}}""").append('\n')
+        if (enablingIct) {
+          newConf += ("delta.inCommitTimestampEnablementVersion" -> version.toString)
+          newConf += ("delta.inCommitTimestampEnablementTimestamp" -> ict.toString)
+          val pr = snap.protocol
+          def quoted(fs: Seq[String]) = fs.map("\"" + _ + "\"").mkString("[", ",", "]")
+          val wf =
+            if (pr.minWriterVersion >= 7) pr.writerFeatures.getOrElse(Seq.empty)
+            else DeltaDdl.legacyWriterFeatures(pr.minWriterVersion)
+          if (!wf.contains("inCommitTimestamp")) {
+            val rf = pr.readerFeatures
+              .map(f => s""","readerFeatures":${quoted(f)}""").getOrElse("")
+            sb.append(s"""{"protocol":{"minReaderVersion":${pr.minReaderVersion},""" +
+              s""""minWriterVersion":7$rf,""" +
+              s""""writerFeatures":${quoted(wf :+ "inCommitTimestamp")}}}""").append('\n')
+          }
+        }
+      }
       if (props.get("delta.enableChangeDataFeed").contains("true")) {
         val pr = snap.protocol
         def quoted(fs: Seq[String]) = fs.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -865,6 +918,9 @@ object DeltaWrite {
         else explicitRemoves
 
       val sb = new StringBuilder
+      // in-commit timestamp rides first, when the table enables it
+      ictAction(spark, tablePath, snapOpt.map(_.metadata), current, "WRITE")
+        .foreach(a => sb.append(a).append('\n'))
       if (current.isEmpty)
         sb.append("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""").append('\n')
       extraActions.foreach(a => sb.append(a).append('\n'))
