@@ -974,6 +974,20 @@ object OracleSql {
            |  round(CAST(sum(p6) AS DOUBLE) / count(*), 6) AS avg_p
            |FROM scored GROUP BY source ORDER BY source""".stripMargin,
 
+      // the Spark side reads a shallow CLONE edited as: DELETE WHERE
+      // p_partkey < 200, then append of p_partkey >= 1800 shifted by
+      // 1e6 — reconstructed here from the raw part table
+      "q_delta_clone" ->
+        s"""WITH cloned AS (
+           |  SELECT p_partkey, p_brand, p_retailprice FROM part WHERE p_partkey >= 200
+           |  UNION ALL
+           |  SELECT p_partkey + 1000000, p_brand, p_retailprice FROM part
+           |  WHERE p_partkey >= 1800)
+           |SELECT p_brand, count(*) AS n_parts,
+           |  CAST(sum(p_partkey) AS BIGINT) AS sum_key,
+           |  ${dsum(d4("p_retailprice"))} AS sum_price
+           |FROM cloned GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
       "q_substr_dedup" -> {
         val k = Substr.K
         s"""WITH grams AS (

@@ -88,7 +88,8 @@ object QueryCatalog {
     Entry("q_window_range", Wave4Queries.qWindowRange),
     Entry("q_bm25", Wave4Queries.qBm25),
     Entry("q_ngram_lm", Wave4Queries.qNgramLm),
-    Entry("q_substr_dedup", Wave4Queries.qSubstrDedup)
+    Entry("q_substr_dedup", Wave4Queries.qSubstrDedup),
+    Entry("q_delta_clone", Wave4Queries.qDeltaClone)
   )
 
   def queries: Map[String, QueryFn] =

@@ -148,6 +148,50 @@ object Wave4Queries {
       .orderBy("source")
   }
 
+  // ---------- R35 proof: shallow clone end-to-end ----------
+
+  private val cloneTables = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** One (source, clone) pair per (JVM, sf dir): part appended as a
+    * delta table, shallow-cloned, then the CLONE edited — DELETE of
+    * p_partkey < 200 (rewrites into the clone against absolute-path
+    * source files) and an append of shifted copies of p_partkey >=
+    * 1800. The source is untouched throughout.
+    */
+  private def clonedPart(s: SparkSession, dir: String): String =
+    cloneTables.getOrElseUpdate(dir, {
+      import graft.core.{Filter, Filters}
+      import graft.tables.{DeltaDdl, DeltaWrite}
+      val base = java.nio.file.Files.createTempDirectory("graft_delta_clone").toString
+      val src = s"$base/part_src"
+      val dst = s"$base/part_clone"
+      val part = t(s, dir, "part")
+        .select("p_partkey", "p_brand", "p_size", "p_retailprice")
+      DeltaWrite.append(s, part, src)
+      DeltaDdl.cloneShallow(s, src, dst)
+      DeltaWrite.deleteWhere(s, dst,
+        Filters.normalize(Seq(Filter("p_partkey", "<", 200))))
+      DeltaWrite.append(s,
+        part.where(col("p_partkey") >= 1800)
+          .withColumn("p_partkey", col("p_partkey") + 1000000L), dst)
+      dst
+    })
+
+  /** Read the edited shallow clone: per-brand rollup over rows served
+    * from a mix of absolute-path (source-owned) and clone-local files.
+    */
+  def qDeltaClone(s: SparkSession, dir: String): DataFrame = {
+    import graft.tables.{DeltaTable, ReadArgs}
+    val table = new DeltaTable("part_clone", clonedPart(s, dir))
+    table(s, ReadArgs())
+      .groupBy(col("p_brand"))
+      .agg(
+        count(lit(1)).as("n_parts"),
+        sum(col("p_partkey")).as("sum_key"),
+        dsum(d4(col("p_retailprice"))).as("sum_price"))
+      .orderBy("p_brand")
+  }
+
   // ---------- P33: substring-level dedup ----------
 
   /** Gram length for substring dedup, shared with the oracle. */

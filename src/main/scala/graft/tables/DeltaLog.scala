@@ -43,7 +43,11 @@ object DeltaLog {
       partitionValues: Map[String, Option[String]],
       size: Long,
       stats: Option[String],
-      dv: Option[DeletionVectors.DvDescriptor] = None
+      dv: Option[DeletionVectors.DvDescriptor] = None,
+      /** Protocol-optional per-file tags. Used by incremental ZORDER
+        * to mark which clustering spec wrote a file.
+        */
+      tags: Map[String, String] = Map.empty
   )
 
   /** Reader-protocol table features this implementation supports
@@ -388,11 +392,14 @@ object DeltaLog {
         }.getOrElse(Map.empty[String, Option[String]])
         val dv = Option(a.get("deletionVector")).filterNot(_.isNull)
           .map(DeletionVectors.parseDescriptor)
+        val tags = Option(a.get("tags")).filterNot(_.isNull).map { o =>
+          o.fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+        }.getOrElse(Map.empty[String, String])
         val add = AddFile(
           decodePath(a.get("path").asText()), pv,
           Option(a.get("size")).map(_.asLong()).getOrElse(0L),
           Option(a.get("stats")).filterNot(_.isNull).map(_.asText()),
-          dv)
+          dv, tags)
         active += add.path -> add
       }
       if (node.has("remove")) {
@@ -466,10 +473,14 @@ object DeltaLog {
           val dv =
             if (!a.schema.fieldNames.contains("deletionVector")) None
             else Option(a.getAs[org.apache.spark.sql.Row]("deletionVector")).map(dvFromRow)
+          val tags =
+            if (!a.schema.fieldNames.contains("tags")) Map.empty[String, String]
+            else Option(a.getAs[scala.collection.Map[String, String]]("tags"))
+              .map(_.toMap).getOrElse(Map.empty[String, String])
           val add = AddFile(
             decodePath(a.getAs[String]("path")), pv, a.getAs[Long]("size"),
             if (a.schema.fieldNames.contains("stats")) Option(a.getAs[String]("stats")) else None,
-            dv)
+            dv, tags)
           active += add.path -> add
         }
       }

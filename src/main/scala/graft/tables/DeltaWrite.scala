@@ -292,7 +292,8 @@ object DeltaWrite {
       pv: Map[String, Option[String]],
       size: Long,
       stats: Option[String],
-      dv: Option[DeletionVectors.DvDescriptor] = None)
+      dv: Option[DeletionVectors.DvDescriptor] = None,
+      tags: Map[String, String] = Map.empty)
 
   private def cdfEnabled(meta: DeltaLog.Metadata): Boolean =
     meta.configuration.get("delta.enableChangeDataFeed").contains("true")
@@ -666,7 +667,7 @@ object DeltaWrite {
     // re-add anything whose content differs (path present in old but
     // absent now, or same path with a different DV)
     val adds = old.files.filter(f => !curByPath.get(f.path).contains(f))
-      .map(f => StagedAdd(f.path, f.partitionValues, f.size, f.stats, f.dv))
+      .map(f => StagedAdd(f.path, f.partitionValues, f.size, f.stats, f.dv, f.tags))
     val removes = cur.files.filterNot(f => oldByPath.contains(f.path))
     if (adds.isEmpty && removes.isEmpty && cur.metadata == old.metadata)
       return CommitResult(cur.version, 0, 0)
@@ -728,12 +729,25 @@ object DeltaWrite {
     * range-partition on (partition cols, z-value) so each partition's
     * rows stay contiguous and land in their own files.
     */
+  /** Tag marking a file as written by OPTIMIZE ZORDER BY, carrying
+    * the clustering spec (`cols:bits`) so incremental runs know which
+    * files are already clustered under the CURRENT spec.
+    */
+  private[tables] val ZOrderTag = "graft.zorder"
+
   def optimizeZorder(
       spark: SparkSession,
       tablePath: String,
       zorderBy: Seq[String],
       targetFileBytes: Long = 128L << 20,
-      bits: Int = 8
+      bits: Int = 8,
+      // incremental (liquid-clustering-style) mode: only files NOT
+      // yet clustered under this spec (plus DV-bearing ones, whose
+      // stats went stale) are rewritten — the steady-state cost of
+      // keeping a 100 TB ingest table clustered is then proportional
+      // to NEW data, not table size. Already-clustered files keep
+      // their layout; box filters prune across both sets via stats.
+      incremental: Boolean = false
   ): CommitResult = {
     val snap = DeltaLog.snapshot(spark, tablePath)
     require(!snap.metadata.isColumnMapped,
@@ -745,7 +759,11 @@ object DeltaWrite {
     zorderBy.foreach(c => require(!partCols.contains(c),
       s"zorder column $c is a partition column — already clustered by layout"))
 
-    val candidates = snap.files
+    val spec = zorderBy.mkString(",") + ":" + bits
+    val candidates =
+      if (!incremental) snap.files
+      else snap.files.filter(f =>
+        !f.tags.get(ZOrderTag).contains(spec) || f.dv.exists(_.cardinality > 0))
     if (candidates.isEmpty) return CommitResult(snap.version, 0, 0)
 
     val kept = DeltaRead.readFiles(spark, tablePath, snap.metadata, candidates)
@@ -759,6 +777,7 @@ object DeltaWrite {
       .sortWithinPartitions(rangeCols: _*)
       .drop("_graft_zval")
     val adds = stageFiles(spark, clustered, tablePath, partCols)
+      .map(_.copy(tags = Map(ZOrderTag -> spec)))
     commitLoop(spark, tablePath, adds, candidates,
       snap.metadata.schemaString, partCols, overwrite = false,
       dataChange = false)
@@ -954,6 +973,10 @@ object DeltaWrite {
         a.put("modificationTime", System.currentTimeMillis())
         a.put("dataChange", dataChange)
         add.stats.foreach(s => a.put("stats", s))
+        if (add.tags.nonEmpty) {
+          val tn = a.putObject("tags")
+          add.tags.foreach { case (k, v) => tn.put(k, v) }
+        }
         add.dv.foreach { d =>
           val dn = a.putObject("deletionVector")
           dn.put("storageType", d.storageType)
@@ -1072,7 +1095,8 @@ object DeltaWrite {
           f.partitionValues.map { case (k, v) => k -> v.orNull },
           f.size, 0L, dataChange = false, f.stats.orNull,
           f.dv.map(d => CpDv(
-            d.storageType, d.pathOrInlineDv, d.offset, d.sizeInBytes, d.cardinality)))))) ++
+            d.storageType, d.pathOrInlineDv, d.offset, d.sizeInBytes, d.cardinality)),
+          Option(f.tags).filter(_.nonEmpty))))) ++
           tombstoneRows ++
           // txn high-water marks survive log cleanup, or idempotent
           // writers would re-commit old batches after a checkpoint
@@ -1144,7 +1168,8 @@ object DeltaWrite {
         f.path, f.partitionValues.map { case (k, v) => k -> v.orNull },
         f.size, 0L, dataChange = false, f.stats.orNull,
         f.dv.map(d => CpDv(
-          d.storageType, d.pathOrInlineDv, d.offset, d.sizeInBytes, d.cardinality)))))) ++
+          d.storageType, d.pathOrInlineDv, d.offset, d.sizeInBytes, d.cardinality)),
+        Option(f.tags).filter(_.nonEmpty))))) ++
         DeltaLog.tombstones(spark, tablePath)
           .filter(_.deletionTimestamp > tombstoneCutoff)
           .map(t => SidecarFileRow(remove = Some(CpRemove(
@@ -1338,7 +1363,8 @@ private[tables] final case class CpAdd(
     modificationTime: Long,
     dataChange: Boolean,
     stats: String,
-    deletionVector: Option[CpDv] = None)
+    deletionVector: Option[CpDv] = None,
+    tags: Option[Map[String, String]] = None)
 private[tables] final case class CpRemove(
     path: String,
     deletionTimestamp: Long,

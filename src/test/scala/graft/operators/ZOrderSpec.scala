@@ -72,6 +72,62 @@ class ZOrderSpec extends SparkSpec {
       s"z-order should prune the box scan: ${after.inputFiles.length} of ${snap.files.length}")
   }
 
+  test("incremental ZORDER rewrites only unclustered files; tags survive checkpoints") {
+    val dir = tempDir("delta-zi").toString + "/t"
+    def batch(lo: Int, hi: Int) = (lo until hi).map { i =>
+      ((i * 2654435761L) % 1000, (i * 40503L + 7) % 1000)
+    }.toDF("a", "b").repartition(4)
+
+    DeltaWrite.append(spark, batch(0, 10000), dir)
+    DeltaWrite.optimizeZorder(spark, dir, Seq("a", "b"), bits = 6, incremental = true)
+    val clustered1 = DeltaLog.snapshot(spark, dir).files
+    assert(clustered1.forall(_.tags.contains("graft.zorder")),
+      "first incremental run must cluster (and tag) everything")
+
+    // idempotence: nothing left to cluster → no new commit
+    val v1 = DeltaLog.snapshot(spark, dir).version
+    DeltaWrite.optimizeZorder(spark, dir, Seq("a", "b"), bits = 6, incremental = true)
+    assert(DeltaLog.snapshot(spark, dir).version == v1, "no-op must not commit")
+
+    // new ingest arrives unclustered
+    DeltaWrite.append(spark, batch(10000, 20000), dir)
+    val afterIngest = DeltaLog.snapshot(spark, dir).files
+    assert(afterIngest.exists(f => !f.tags.contains("graft.zorder")))
+
+    DeltaWrite.optimizeZorder(spark, dir, Seq("a", "b"), bits = 6, incremental = true)
+    val snap2 = DeltaLog.snapshot(spark, dir)
+    // previously clustered files are untouched — steady-state cost is
+    // proportional to NEW data only
+    val keptPaths = snap2.files.map(_.path).toSet
+    assert(clustered1.forall(f => keptPaths.contains(f.path)),
+      "incremental run must not rewrite already-clustered files")
+    assert(snap2.files.forall(_.tags.contains("graft.zorder")))
+
+    // a different spec invalidates the tags → full rewrite
+    DeltaWrite.optimizeZorder(spark, dir, Seq("b", "a"), bits = 6, incremental = true)
+    val snap3 = DeltaLog.snapshot(spark, dir)
+    assert(snap3.files.forall(_.tags.get("graft.zorder").contains("b,a:6")))
+    assert(!snap3.files.map(_.path).toSet.exists(clustered1.map(_.path).toSet),
+      "spec change must re-cluster everything")
+
+    // tags must survive a checkpoint + aged-out JSON prefix
+    DeltaWrite.checkpoint(spark, dir)
+    val logFs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (0L to DeltaLog.snapshot(spark, dir).version).foreach { v =>
+      logFs.delete(new org.apache.hadoop.fs.Path(
+        DeltaLog.logDir(dir), f"$v%020d.json"), false)
+    }
+    val replayed = DeltaLog.snapshot(spark, dir)
+    assert(replayed.files.nonEmpty &&
+      replayed.files.forall(_.tags.get("graft.zorder").contains("b,a:6")),
+      "checkpoint replay must preserve clustering tags")
+    // …and the incremental run after replay is still a no-op
+    val vCp = replayed.version
+    DeltaWrite.optimizeZorder(spark, dir, Seq("b", "a"), bits = 6, incremental = true)
+    assert(DeltaLog.snapshot(spark, dir).version == vCp)
+  }
+
   test("zorder refuses partition columns and unknown columns") {
     val dir = tempDir("delta-zr").toString + "/t"
     DeltaWrite.append(spark, Seq((1L, "x", 2L)).toDF("id", "p", "v"), dir, partitionBy = Seq("p"))

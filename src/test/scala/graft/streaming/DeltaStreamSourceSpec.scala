@@ -34,6 +34,56 @@ class DeltaStreamSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("Trigger.AvailableNow drains the current log and terminates") {
+    val dir = tempDir("delta-src-an").toString + "/t"
+    DeltaWrite.append(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "grp"), dir)     // v0
+    DeltaWrite.append(spark, Seq((3L, "c")).toDF("id", "grp"), dir)                // v1
+
+    val q = readStream(dir).writeStream
+      .format("memory").queryName("dsrc_an").outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "AvailableNow query must self-terminate")
+    assert(spark.sql("SELECT id FROM dsrc_an").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L))
+
+    // data arriving AFTER the drain is not consumed by the finished run
+    DeltaWrite.append(spark, Seq((4L, "d")).toDF("id", "grp"), dir)                // v2
+    assert(spark.sql("SELECT id FROM dsrc_an").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L))
+  }
+
+  test("foreachBatch: delta→delta pipeline with exactly-once batch markers") {
+    val src = tempDir("delta-src-feb").toString + "/t"
+    val dst = tempDir("delta-dst-feb").toString + "/t"
+    val ckpt = tempDir("delta-feb-ckpt").toString
+    DeltaWrite.append(spark, Seq((1L, 10L), (2L, 20L)).toDF("id", "v"), src)
+
+    def run(): Unit = {
+      val q = readStream(src).writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          // the txn marker makes a replayed batch detectable; a real
+          // resume-after-crash would check snapshot.txns before writing
+          val agg = batch.groupBy("id").sum("v").withColumnRenamed("sum(v)", "v_sum")
+          DeltaWrite.append(spark, agg, dst, txn = Some(("feb-app", batchId)))
+          () // foreachBatch wants Unit
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000))
+    }
+    run()
+    val snap = graft.tables.DeltaLog.snapshot(spark, dst)
+    assert(snap.txns.get("feb-app").contains(0L), "batch marker must be recorded")
+    assert(new graft.tables.DeltaTable("d", dst)(spark, graft.tables.ReadArgs())
+      .orderBy("id").as[(Long, Long)].collect().toSeq == Seq((1L, 10L), (2L, 20L)))
+
+    DeltaWrite.append(spark, Seq((3L, 30L)).toDF("id", "v"), src)
+    run() // restart from the checkpoint: only the new version flows
+    assert(new graft.tables.DeltaTable("d", dst)(spark, graft.tables.ReadArgs())
+      .orderBy("id").as[(Long, Long)].collect().toSeq ==
+      Seq((1L, 10L), (2L, 20L), (3L, 30L)))
+  }
+
   test("restart from checkpoint resumes after the last committed version") {
     val dir = tempDir("delta-src-ckpt").toString + "/t"
     val ckpt = tempDir("delta-src-ckpt-c").toString
