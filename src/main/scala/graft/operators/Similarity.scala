@@ -222,6 +222,47 @@ object Similarity {
           .otherwise(acc)
       })
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * near-duplicate pruning — cluster the embedding space, compare
+    * pairs only WITHIN a cluster, and keep the lowest-id member of
+    * every near-duplicate neighborhood.
+    *
+    * `assigned` must carry a `centroid_id` column: [[ivfAssign]] is
+    * the SQL-expressible oracle form, [[kmeansIvfAssign]] the learned
+    * scale path — the pruning step is identical for either. A row is
+    * dropped iff some lower-id row in the SAME cluster has rounded
+    * cosine ≥ threshold; the min-id row of each neighborhood survives
+    * by construction, so the rule needs no iteration (unlike
+    * connected-components dedup) and one pass suffices.
+    *
+    * Scale shape — the published SemDeDup trick: the quadratic
+    * pairwise term is confined to a cluster (k grows with the corpus,
+    * so cluster size stays bounded), and the only corpus-wide shuffle
+    * is the equi-join on `centroid_id`. Cosines are rounded (4 dp)
+    * before the threshold test, so the keep set is engine- and
+    * partitioning-stable. Returns `assigned` + `kept` (1/0).
+    */
+  def semDedup(
+      assigned: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double
+  ): DataFrame = {
+    val a = assigned.select(
+      col("centroid_id"), col(idCol).as("_a_id"), col(vecCol).as("_av"))
+    val b = assigned.select(
+      col("centroid_id"), col(idCol).as("_b_id"), col(vecCol).as("_bv"))
+    val dropped = a.join(b, Seq("centroid_id"))
+      .where(col("_a_id") < col("_b_id"))
+      .where(Vectors.cosine(col("_av"), col("_bv")) >= threshold)
+      .select(col("_b_id").as(idCol))
+      .distinct()
+    assigned
+      .join(dropped.withColumn("_dropped", lit(1L)), Seq(idCol), "left")
+      .withColumn("kept", when(col("_dropped").isNull, 1L).otherwise(0L))
+      .drop("_dropped")
+  }
+
   /** SRP-LSH near-duplicate pairs over an embedding column — the
     * vector-space analogue of [[NearDup.minhashPairs]]: signed-random-
     * projection signatures ([[graft.functions.Srp]]), band-bucket

@@ -988,6 +988,34 @@ object OracleSql {
            |  ${dsum(d4("p_retailprice"))} AS sum_price
            |FROM cloned GROUP BY p_brand ORDER BY p_brand""".stripMargin,
 
+      // clustering (modulo-seed IVF argmin) and pruning (min-id of
+      // each within-cluster cosine-threshold neighborhood survives)
+      // both reconstructed; threshold/stride spliced from Wave4Queries
+      "q_semdedup" -> {
+        val l2 = "round(list_sum(list_transform(range(1, len(e.embedding)+1), " +
+          "i -> (e.embedding[i]::DOUBLE - c.cv[i]::DOUBLE) * (e.embedding[i]::DOUBLE - c.cv[i]::DOUBLE))), 4)"
+        s"""WITH cents AS (
+           |  SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings
+           |  WHERE vec_id % ${Wave4Queries.Sem.Stride} = 0),
+           |dists AS (
+           |  SELECT e.vec_id, e.embedding, c.centroid_id, $l2 AS d2
+           |  FROM embeddings e CROSS JOIN cents c),
+           |assigned AS (
+           |  SELECT vec_id, embedding, centroid_id FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, centroid_id) AS rn
+           |    FROM dists) WHERE rn = 1),
+           |dropped AS (
+           |  SELECT DISTINCT b.vec_id
+           |  FROM assigned a JOIN assigned b USING (centroid_id)
+           |  WHERE a.vec_id < b.vec_id
+           |    AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4)
+           |          >= ${Wave4Queries.Sem.Threshold})
+           |SELECT a.vec_id, a.centroid_id,
+           |  CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+           |FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+           |ORDER BY a.vec_id""".stripMargin
+      },
+
       "q_substr_dedup" -> {
         val k = Substr.K
         s"""WITH grams AS (

@@ -89,6 +89,7 @@ object QueryCatalog {
     Entry("q_bm25", Wave4Queries.qBm25),
     Entry("q_ngram_lm", Wave4Queries.qNgramLm),
     Entry("q_substr_dedup", Wave4Queries.qSubstrDedup),
+    Entry("q_semdedup", Wave4Queries.qSemDedup),
     Entry("q_delta_clone", Wave4Queries.qDeltaClone)
   )
 

@@ -192,6 +192,28 @@ object Wave4Queries {
       .orderBy("p_brand")
   }
 
+  // ---------- P34: SemDeDup (semantic embedding dedup) ----------
+
+  /** SemDeDup constants, shared verbatim with the oracle SQL. */
+  object Sem { val Stride = 100; val Threshold = 0.38 }
+
+  /** Semantic dedup over the embeddings table: deterministic IVF
+    * cluster assignment (modulo-seed centroids — the SQL-expressible
+    * oracle form of the index; the learned k-means path plugs into the
+    * same pruning step), then within-cluster pairwise cosine with the
+    * min-id-survives rule. Output = every vector with its cluster and
+    * kept flag, so the oracle checks both the clustering and the
+    * pruning decision row-for-row.
+    */
+  def qSemDedup(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val assigned = Similarity.ivfAssign(
+      t(s, dir, "embeddings"), "vec_id", "embedding", Sem.Stride)
+    Similarity.semDedup(assigned, "vec_id", "embedding", Sem.Threshold)
+      .select(col("vec_id"), col("centroid_id"), col("kept"))
+      .orderBy("vec_id")
+  }
+
   // ---------- P33: substring-level dedup ----------
 
   /** Gram length for substring dedup, shared with the oracle. */

@@ -176,6 +176,48 @@ class SimilaritySpec extends SparkSpec {
     assert(neighbors.contains(1L))
   }
 
+  test("semDedup drops the higher-id member of an in-cluster near-dup pair") {
+    val assigned = Similarity.ivfAssign(vecs, "vec_id", "embedding", stride = 100)
+    val kept = Similarity.semDedup(assigned, "vec_id", "embedding", threshold = 0.9)
+      .select("vec_id", "kept").as[(Long, Long)].collect().toMap
+    // cos(0,1)=0.9939 in the same bucket -> 1 dropped, min-id 0 kept;
+    // 2 (orthogonal) and 100 (alone in its bucket) survive
+    assert(kept == Map(0L -> 1L, 1L -> 0L, 2L -> 1L, 100L -> 1L))
+  }
+
+  test("semDedup never compares across clusters") {
+    // 0 and 100 are antipodal (cos = -1) but in different buckets;
+    // with a threshold of -1.0 every IN-cluster pair trips, yet both
+    // bucket minima and the cross-bucket pair survive untouched
+    val assigned = Similarity.ivfAssign(vecs, "vec_id", "embedding", stride = 100)
+    val kept = Similarity.semDedup(assigned, "vec_id", "embedding", threshold = -1.0)
+      .select("vec_id", "kept").as[(Long, Long)].collect().toMap
+    assert(kept == Map(0L -> 1L, 1L -> 0L, 2L -> 0L, 100L -> 1L))
+  }
+
+  test("semDedup keep set is partitioning-invariant and composes with kmeans assignment") {
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    def keepSet(df: org.apache.spark.sql.DataFrame): Set[Long] = {
+      val assigned = Similarity.ivfAssign(df, "vec_id", "embedding", stride = 100)
+      Similarity.semDedup(assigned, "vec_id", "embedding", threshold = 0.38)
+        .where(col("kept") === 1L).select("vec_id").as[Long].collect().toSet
+    }
+    val k1 = keepSet(emb)
+    val k2 = keepSet(emb.repartition(13))
+    assert(k1 == k2)
+    assert(k1.size < 500) // threshold chosen so some rows actually drop
+
+    // the learned-index path plugs into the same pruning step
+    val assigned = Similarity.kmeansIvfAssign(emb, "vec_id", "embedding", k = 5, maxIter = 2)
+    val viaKmeans = Similarity.semDedup(assigned, "vec_id", "embedding", threshold = 0.38)
+    assert(viaKmeans.count() == 500)
+    val perBucketMin = viaKmeans
+      .groupBy("centroid_id").agg(min("vec_id").as("min_id")).as[(Long, Long)].collect().toMap
+    // the lowest id of every cluster survives by construction
+    val keptIds = viaKmeans.where(col("kept") === 1L).select("vec_id").as[Long].collect().toSet
+    assert(perBucketMin.values.forall(keptIds.contains))
+  }
+
   // three well-separated 2-d blobs, 5 points each
   private def blobs = {
     val centers = Seq((0f, 0f), (10f, 10f), (-10f, 10f))
