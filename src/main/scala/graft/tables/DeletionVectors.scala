@@ -4,7 +4,7 @@ import com.fasterxml.jackson.databind.JsonNode
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.types.{BooleanType, DataType}
+import org.apache.spark.sql.types.{BooleanType, DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import java.nio.{ByteBuffer, ByteOrder}
@@ -496,4 +496,50 @@ object DvDeleted {
     */
   def normalizePath(p: String): String =
     new org.apache.hadoop.fs.Path(p).toUri.getPath
+}
+
+/** Per-file long attribute attached at scan time, keyed like
+  * [[DvDeleted]] on the normalized `_metadata.file_path`: resolves to
+  * `attrs(file) + row_index` when `addIndex` (row tracking's fresh
+  * row id = baseRowId + position in file) or the bare `attrs(file)`
+  * otherwise (`defaultRowCommitVersion`). Null for files absent from
+  * the map — files written before row tracking was enabled have no
+  * ids, and surfacing null is honest where inventing ids would not
+  * be. Driver-side metadata in the expression, no join, no shuffle.
+  */
+case class FileLongAttr(
+    file: Expression,
+    rowIndex: Expression,
+    attrs: Map[String, Long],
+    addIndex: Boolean
+) extends BinaryExpression with CodegenFallback {
+
+  override def left: Expression = file
+  override def right: Expression = rowIndex
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_file_long_attr"
+
+  @transient private var lastPath: String = null
+  @transient private var lastAttr: java.lang.Long = null
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val fileAny = file.eval(input)
+    if (fileAny == null) return null
+    val path = fileAny.asInstanceOf[UTF8String].toString
+    if (path != lastPath) {
+      lastPath = path
+      lastAttr = attrs.get(DvDeleted.normalizePath(path))
+        .map(java.lang.Long.valueOf).orNull
+    }
+    if (lastAttr == null) null
+    else if (addIndex) {
+      val idx = rowIndex.eval(input)
+      if (idx == null) null else lastAttr.longValue() + idx.asInstanceOf[Long]
+    } else lastAttr.longValue()
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(file = newLeft, rowIndex = newRight)
 }

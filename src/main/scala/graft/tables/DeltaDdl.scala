@@ -327,18 +327,30 @@ object DeltaDdl {
         dn.put("sizeInBytes", d.sizeInBytes)
         dn.put("cardinality", d.cardinality)
       }
+      // row-tracking ids travel with the files (the clone keeps the
+      // source's domains too, so its high-water mark stays correct)
+      f.baseRowId.foreach(b => a.put("baseRowId", b))
+      f.defaultRowCommitVersion.foreach(v => a.put("defaultRowCommitVersion", v))
       s"""{"add":${mapper.writeValueAsString(a)}}"""
     }
     val ci = mapper.createObjectNode()
     ci.put("operation", "CLONE")
     ci.put("timestamp", System.currentTimeMillis())
     ci.putObject("operationParameters").put("source", absBase)
+    val domainActions = snap.domains.toSeq.sortBy(_._1).map { case (d, c) =>
+      val dn = mapper.createObjectNode()
+      dn.put("domain", d)
+      dn.put("configuration", c)
+      dn.put("removed", false)
+      s"""{"domainMetadata":${mapper.writeValueAsString(dn)}}"""
+    }
     val actions =
       Seq(protocolJson(snap.protocol),
         metadataJson(snap.metadata.schemaString, snap.metadata.partitionColumns,
           snap.metadata.configuration, java.util.UUID.randomUUID().toString,
           System.currentTimeMillis()),
-        s"""{"commitInfo":${mapper.writeValueAsString(ci)}}""") ++ adds
+        s"""{"commitInfo":${mapper.writeValueAsString(ci)}}""") ++
+        domainActions ++ adds
     require(DeltaWrite.writeCommitFile(spark, targetPath, 0L, actions),
       s"lost the version-0 race cloning into $targetPath")
     CommitResult(0L, adds.size, 0)

@@ -47,7 +47,17 @@ object DeltaLog {
       /** Protocol-optional per-file tags. Used by incremental ZORDER
         * to mark which clustering spec wrote a file.
         */
-      tags: Map[String, String] = Map.empty
+      tags: Map[String, String] = Map.empty,
+      /** Row tracking (`rowTracking` writer feature): the fresh row id
+        * of row i of this file is `baseRowId + i`; files written
+        * before the feature was enabled have none (their row ids read
+        * as null).
+        */
+      baseRowId: Option[Long] = None,
+      /** The commit version stamped on this file's rows when the file
+        * was added (row tracking's `row_commit_version`).
+        */
+      defaultRowCommitVersion: Option[Long] = None
   )
 
   /** Reader-protocol table features this implementation supports
@@ -163,9 +173,26 @@ object DeltaLog {
         * writer mechanism (a streaming sink skips batches it already
         * committed).
         */
-      txns: Map[String, Long] = Map.empty) {
+      txns: Map[String, Long] = Map.empty,
+      /** `domainMetadata` actions (writer feature): domain →
+        * configuration JSON, latest per domain wins, `removed`
+        * tombstones drop the domain. System domains (`delta.`-prefixed,
+        * e.g. `delta.rowTracking`'s row-id high-water mark) and user
+        * domains replay identically.
+        */
+      domains: Map[String, String] = Map.empty) {
     def schema: StructType = metadata.schema
+
+    /** Row-id high-water mark from the `delta.rowTracking` domain
+      * (-1 when absent: the next fresh row id is always hwm + 1).
+      */
+    def rowIdHighWaterMark: Long =
+      domains.get(RowTrackingDomain)
+        .map(c => mapper.readTree(c).path("rowIdHighWaterMark").asLong(-1L))
+        .getOrElse(-1L)
   }
+
+  val RowTrackingDomain = "delta.rowTracking"
 
   /** A vacuum tombstone: a `remove` action surviving in the log (JSON
     * commits or checkpoint tombstone rows). `deletionTimestamp` is
@@ -325,6 +352,7 @@ object DeltaLog {
 
     val active = mutable.LinkedHashMap.empty[String, AddFile]
     val txns = mutable.Map.empty[String, Long]
+    val domains = mutable.Map.empty[String, String]
     var meta: Option[Metadata] = None
     var protocol: Protocol = Protocol.Base
 
@@ -399,7 +427,10 @@ object DeltaLog {
           decodePath(a.get("path").asText()), pv,
           Option(a.get("size")).map(_.asLong()).getOrElse(0L),
           Option(a.get("stats")).filterNot(_.isNull).map(_.asText()),
-          dv, tags)
+          dv, tags,
+          baseRowId = Option(a.get("baseRowId")).filterNot(_.isNull).map(_.asLong()),
+          defaultRowCommitVersion =
+            Option(a.get("defaultRowCommitVersion")).filterNot(_.isNull).map(_.asLong()))
         active += add.path -> add
       }
       if (node.has("remove")) {
@@ -410,6 +441,12 @@ object DeltaLog {
         val appId = t.get("appId").asText()
         val v = t.get("version").asLong()
         txns(appId) = math.max(txns.getOrElse(appId, Long.MinValue), v)
+      }
+      if (node.has("domainMetadata")) {
+        val d = node.get("domainMetadata")
+        val domain = d.get("domain").asText()
+        if (d.path("removed").asBoolean(false)) domains -= domain
+        else domains(domain) = d.path("configuration").asText("")
       }
     }
 
@@ -477,12 +514,34 @@ object DeltaLog {
             if (!a.schema.fieldNames.contains("tags")) Map.empty[String, String]
             else Option(a.getAs[scala.collection.Map[String, String]]("tags"))
               .map(_.toMap).getOrElse(Map.empty[String, String])
+          def optLong(field: String): Option[Long] =
+            if (!a.schema.fieldNames.contains(field)) None
+            else Option(a.getAs[Any](field)).map {
+              case l: Long => l
+              case i: Int  => i.toLong
+            }
           val add = AddFile(
             decodePath(a.getAs[String]("path")), pv, a.getAs[Long]("size"),
             if (a.schema.fieldNames.contains("stats")) Option(a.getAs[String]("stats")) else None,
-            dv, tags)
+            dv, tags,
+            baseRowId = optLong("baseRowId"),
+            defaultRowCommitVersion = optLong("defaultRowCommitVersion"))
           active += add.path -> add
         }
+      }
+      if (cols.contains("domainMetadata")) {
+        cp.select("domainMetadata").where("domainMetadata IS NOT NULL")
+          .collect().foreach { r =>
+            val d = r.getStruct(0)
+            // checkpoints only carry live domains (removed ones are
+            // dropped at write, like expired tombstones) but tolerate
+            // a `removed` column written by other engines
+            val removed = d.schema.fieldNames.contains("removed") &&
+              Option(d.getAs[Any]("removed")).exists(_ == true)
+            if (!removed)
+              domains(d.getAs[String]("domain")) =
+                Option(d.getAs[String]("configuration")).getOrElse("")
+          }
       }
       // removes in a checkpoint are vacuum tombstones — not active state
       if (cols.contains("txn")) {
@@ -559,7 +618,7 @@ object DeltaLog {
 
     val m = meta.getOrElse(
       throw new IllegalStateException(s"no metaData action found in the log of $tablePath"))
-    Snapshot(target, m, active.values.toSeq, protocol, txns.toMap)
+    Snapshot(target, m, active.values.toSeq, protocol, txns.toMap, domains.toMap)
   }
 
   /** `deletionVector` struct of a checkpoint add/remove row. */

@@ -43,6 +43,11 @@ class DeltaTable(
     * committed at or before it ([[DeltaLog.versionAtTimestamp]]).
     */
   val TimestampKey = "timestampAsOf"
+  /** args.extra key (Boolean): materialize row tracking's `_row_id` /
+    * `_row_commit_version` columns (null for files written before the
+    * `rowTracking` feature was enabled).
+    */
+  val RowIdsKey = "withRowIds"
 
   override def apply(spark: SparkSession, args: ReadArgs): DataFrame = {
     require(!(args.extra.contains(VersionKey) && args.extra.contains(TimestampKey)),
@@ -67,7 +72,12 @@ class DeltaTable(
     val survivors = snap.files.filter(f =>
       DeltaFileSkipping.mayMatch(f, args.filters, snap.metadata))
 
-    var df = DeltaRead.readFiles(spark, uri, snap.metadata, survivors)
+    val withRowIds = args.extra.get(RowIdsKey).exists {
+      case b: Boolean => b
+      case s: String  => s.toBoolean
+      case other      => throw new IllegalArgumentException(s"bad $RowIdsKey: $other")
+    }
+    var df = DeltaRead.readFiles(spark, uri, snap.metadata, survivors, withRowIds)
 
     // Residual predicate on data (file skipping is only a may-match
     // prefilter; the exact predicate always applies).
@@ -108,17 +118,27 @@ class DeltaTable(
   */
 private[graft] object DeltaRead {
 
+  /** Row-tracking output columns ([[DeltaLog.AddFile.baseRowId]]). */
+  val RowIdCol = "_row_id"
+  val RowCommitVersionCol = "_row_commit_version"
+
   def readFiles(
       spark: SparkSession,
       tableUri: String,
       meta: DeltaLog.Metadata,
-      files: Seq[DeltaLog.AddFile]
+      files: Seq[DeltaLog.AddFile],
+      withRowIds: Boolean = false
   ): DataFrame = {
     val schema = meta.schema
     val partCols = meta.partitionColumns
+    val outSchema =
+      if (!withRowIds) schema
+      else StructType(schema.fields ++ Seq(
+        StructField(RowIdCol, org.apache.spark.sql.types.LongType),
+        StructField(RowCommitVersionCol, org.apache.spark.sql.types.LongType)))
     if (files.isEmpty)
       return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
     // id-mode mapping: parquet columns are matched by FIELD ID (the
     // physicalSchema carries parquet.field.id metadata); the conf only
     // affects schemas that carry field ids, so enabling it session-wide
@@ -138,16 +158,50 @@ private[graft] object DeltaRead {
     // logical trees are shape-identical by construction)
     def toLogical(df: DataFrame): DataFrame =
       if (!meta.isColumnMapped) df
-      else df.select(logDataFields.zip(physDataSchema.fields).map {
-        case (lf, pf) => col(pf.name).cast(lf.dataType).as(lf.name)
-      }.toSeq: _*)
+      else {
+        val extras = df.columns
+          .filter(c => c == RowIdCol || c == RowCommitVersionCol).toSeq.map(col)
+        df.select(logDataFields.zip(physDataSchema.fields).map {
+          case (lf, pf) => col(pf.name).cast(lf.dataType).as(lf.name)
+        }.toSeq ++ extras: _*)
+      }
+
+    // row tracking: per-file baseRowId / defaultRowCommitVersion ride
+    // the scan like the DV bitmaps do — driver metadata resolved
+    // against _metadata.file_path, row id = base + physical row index
+    // (stable under DV deletes by construction; null for pre-feature
+    // files, which have no ids)
+    import org.apache.spark.sql.graftbridge.Bridge
+    val baseIds: Map[String, Long] =
+      if (!withRowIds) Map.empty
+      else files.flatMap(f => f.baseRowId.map(b =>
+        DvDeleted.normalizePath(DeltaLog.resolvePath(base, f.path)) -> b)).toMap
+    val commitVers: Map[String, Long] =
+      if (!withRowIds) Map.empty
+      else files.flatMap(f => f.defaultRowCommitVersion.map(v =>
+        DvDeleted.normalizePath(DeltaLog.resolvePath(base, f.path)) -> v)).toMap
+    def attachRowIds(df: DataFrame): DataFrame =
+      if (!withRowIds) df
+      else df
+        .withColumn(RowIdCol, Bridge.column(FileLongAttr(
+          Bridge.expression(col("_metadata.file_path")),
+          Bridge.expression(col("_metadata.row_index")),
+          baseIds, addIndex = true)))
+        .withColumn(RowCommitVersionCol, Bridge.column(FileLongAttr(
+          Bridge.expression(col("_metadata.file_path")),
+          Bridge.expression(col("_metadata.row_index")),
+          commitVers, addIndex = false)))
+    val dataCols: Seq[String] =
+      physDataSchema.fieldNames.toSeq ++
+        (if (withRowIds) Seq(RowIdCol, RowCommitVersionCol) else Seq.empty)
 
     files.groupBy(_.partitionValues).map { case (pv, group) =>
       val (dvFiles, plainFiles) = group.partition(_.dv.exists(_.cardinality > 0))
       val scans = Seq.newBuilder[DataFrame]
       if (plainFiles.nonEmpty)
-        scans += toLogical(spark.read.schema(physDataSchema)
+        scans += toLogical(attachRowIds(spark.read.schema(physDataSchema)
           .parquet(plainFiles.map(f => DeltaLog.resolvePath(base, f.path)): _*))
+          .select(dataCols.map(col): _*))
       if (dvFiles.nonEmpty) {
         val fs = new org.apache.hadoop.fs.Path(base)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -155,14 +209,14 @@ private[graft] object DeltaRead {
           DvDeleted.normalizePath(DeltaLog.resolvePath(base, f.path)) ->
             f.dv.get.readData(fs, base)
         }.toMap
-        val deleted = org.apache.spark.sql.graftbridge.Bridge.column(DvDeleted(
-          org.apache.spark.sql.graftbridge.Bridge.expression(col("_metadata.file_path")),
-          org.apache.spark.sql.graftbridge.Bridge.expression(col("_metadata.row_index")),
+        val deleted = Bridge.column(DvDeleted(
+          Bridge.expression(col("_metadata.file_path")),
+          Bridge.expression(col("_metadata.row_index")),
           dvBytes))
-        scans += toLogical(spark.read.schema(physDataSchema)
-          .parquet(dvFiles.map(f => DeltaLog.resolvePath(base, f.path)): _*)
+        scans += toLogical(attachRowIds(spark.read.schema(physDataSchema)
+          .parquet(dvFiles.map(f => DeltaLog.resolvePath(base, f.path)): _*))
           .where(!deleted)
-          .select(physDataSchema.fieldNames.map(col).toSeq: _*))
+          .select(dataCols.map(col): _*))
       }
       var part = scans.result().reduce(_.unionByName(_))
       partCols.foreach { c =>
@@ -172,7 +226,7 @@ private[graft] object DeltaRead {
           pv.get(meta.physicalName(c)).flatten
             .map(v => lit(v).cast(t)).getOrElse(lit(null).cast(t)))
       }
-      part.select(schema.fieldNames.map(col).toSeq: _*)
+      part.select(outSchema.fieldNames.map(col).toSeq: _*)
     }.reduce(_.unionByName(_))
   }
 }

@@ -117,6 +117,9 @@ object DeltaWrite {
     DeltaPolicy.requireNotAppendOnly(snap.metadata, "DELETE", tablePath)
     require(!snap.metadata.isColumnMapped,
       s"writes to column-mapped Delta tables are not supported ($tablePath)")
+    require(!rowTrackingEnabled(snap.metadata),
+      s"copy-on-write DELETE would re-mint row ids on $tablePath " +
+        "(delta.enableRowTracking): use deleteWhereDv, which keeps them stable")
     val candidates = snap.files.filter(f =>
       DeltaFileSkipping.mayMatch(f, filters, snap.metadata))
     if (candidates.isEmpty)
@@ -293,7 +296,21 @@ object DeltaWrite {
       size: Long,
       stats: Option[String],
       dv: Option[DeletionVectors.DvDescriptor] = None,
-      tags: Map[String, String] = Map.empty)
+      tags: Map[String, String] = Map.empty,
+      /** Preserved row-tracking ids (re-adds of existing files: DV
+        * deletes, restore). Fresh files get theirs assigned inside
+        * commitLoop, under the commit race.
+        */
+      baseRowId: Option[Long] = None,
+      defaultRowCommitVersion: Option[Long] = None)
+
+  /** `delta.enableRowTracking`: stable per-row ids. Appends and DV
+    * deletes preserve them; copy-on-write rewrites (deleteWhere,
+    * OPTIMIZE, ZORDER, MERGE) would re-mint ids without materializing
+    * the old ones, so they refuse on row-tracked tables.
+    */
+  private[tables] def rowTrackingEnabled(meta: DeltaLog.Metadata): Boolean =
+    meta.configuration.get("delta.enableRowTracking").contains("true")
 
   private def cdfEnabled(meta: DeltaLog.Metadata): Boolean =
     meta.configuration.get("delta.enableChangeDataFeed").contains("true")
@@ -426,7 +443,10 @@ object DeltaWrite {
     val descriptors = DeletionVectors.writeDvFile(fs, base, bitmaps)
     val adds = bitmaps.map { case (key, _) =>
       val f = byPath(key)
-      StagedAdd(f.path, f.partitionValues, f.size, f.stats, Some(descriptors(key)))
+      // DV deletes keep row ids stable: the file (and its baseRowId)
+      // survives, only the bitmap changes
+      StagedAdd(f.path, f.partitionValues, f.size, f.stats, Some(descriptors(key)),
+        f.tags, f.baseRowId, f.defaultRowCommitVersion)
     }
     // CDF rows are the VISIBLE matched rows (existing DVs applied) —
     // staged before the new DVs take effect
@@ -473,6 +493,9 @@ object DeltaWrite {
     DeltaPolicy.requireNotAppendOnly(meta, "MERGE", tablePath)
     require(!meta.isColumnMapped,
       s"this operation is not supported on column-mapped Delta tables ($tablePath)")
+    require(!rowTrackingEnabled(meta),
+      s"MERGE rewrites files and would re-mint row ids on $tablePath " +
+        "(delta.enableRowTracking)")
     require(source.columns.toSet == meta.schema.fieldNames.toSet,
       s"merge source schema ${source.columns.mkString(",")} must match the table " +
         s"(${meta.schema.fieldNames.mkString(",")})")
@@ -608,6 +631,24 @@ object DeltaWrite {
             s""""minWriterVersion":4}}""").append('\n')
         }
       }
+      if (props.get("delta.enableRowTracking").contains("true")) {
+        // rowTracking + its domainMetadata dependency are writer
+        // features (feature protocol only — no legacy version encodes
+        // them); readers ignore them, so minReaderVersion is untouched
+        val pr = snap.protocol
+        def quoted(fs: Seq[String]) = fs.map("\"" + _ + "\"").mkString("[", ",", "]")
+        val have =
+          if (pr.minWriterVersion >= 7) pr.writerFeatures.getOrElse(Seq.empty)
+          else DeltaDdl.legacyWriterFeatures(pr.minWriterVersion)
+        val want = (have ++ Seq("rowTracking", "domainMetadata")).distinct
+        if (want != have || pr.minWriterVersion < 7) {
+          val rf = pr.readerFeatures
+            .map(f => s""","readerFeatures":${quoted(f)}""").getOrElse("")
+          sb.append(s"""{"protocol":{"minReaderVersion":${pr.minReaderVersion},""" +
+            s""""minWriterVersion":7$rf,""" +
+            s""""writerFeatures":${quoted(want)}}}""").append('\n')
+        }
+      }
       val m = mapper.createObjectNode()
       m.put("id", Option(meta.id).filter(_.nonEmpty)
         .getOrElse(java.util.UUID.randomUUID().toString))
@@ -667,7 +708,8 @@ object DeltaWrite {
     // re-add anything whose content differs (path present in old but
     // absent now, or same path with a different DV)
     val adds = old.files.filter(f => !curByPath.get(f.path).contains(f))
-      .map(f => StagedAdd(f.path, f.partitionValues, f.size, f.stats, f.dv, f.tags))
+      .map(f => StagedAdd(f.path, f.partitionValues, f.size, f.stats, f.dv, f.tags,
+        f.baseRowId, f.defaultRowCommitVersion))
     val removes = cur.files.filterNot(f => oldByPath.contains(f.path))
     if (adds.isEmpty && removes.isEmpty && cur.metadata == old.metadata)
       return CommitResult(cur.version, 0, 0)
@@ -695,6 +737,9 @@ object DeltaWrite {
     val snap = DeltaLog.snapshot(spark, tablePath)
     require(!snap.metadata.isColumnMapped,
       s"writes to column-mapped Delta tables are not supported ($tablePath)")
+    require(!rowTrackingEnabled(snap.metadata),
+      s"OPTIMIZE rewrites files and would re-mint row ids on $tablePath " +
+        "(delta.enableRowTracking)")
     val partCols = snap.metadata.partitionColumns
 
     val candidates = snap.files.groupBy(_.partitionValues).values.flatMap { fs =>
@@ -752,6 +797,9 @@ object DeltaWrite {
     val snap = DeltaLog.snapshot(spark, tablePath)
     require(!snap.metadata.isColumnMapped,
       s"this operation is not supported on column-mapped Delta tables ($tablePath)")
+    require(!rowTrackingEnabled(snap.metadata),
+      s"ZORDER rewrites files and would re-mint row ids on $tablePath " +
+        "(delta.enableRowTracking)")
     val partCols = snap.metadata.partitionColumns
     require(zorderBy.nonEmpty, "optimizeZorder needs at least one column")
     zorderBy.foreach(c => require(snap.schema.fieldNames.contains(c),
@@ -961,8 +1009,43 @@ object DeltaWrite {
           prev.flatMap(_.createdTime).getOrElse(System.currentTimeMillis()))
         sb.append(s"""{"metaData":${mapper.writeValueAsString(m)}}""").append('\n')
       }
+      // row tracking: fresh files get contiguous base row ids above
+      // the table's high-water mark; the bumped mark commits in the
+      // SAME version as a domainMetadata action. Runs inside the
+      // commit race — a lost race re-reads the mark and re-assigns.
+      val tracked = snapOpt.exists(s => rowTrackingEnabled(s.metadata))
+      val rowAdds: Seq[StagedAdd] =
+        if (!tracked) adds
+        else {
+          val hwm0 = snapOpt.map(_.rowIdHighWaterMark).getOrElse(-1L)
+          var hwm = hwm0
+          val assigned = adds.map { add =>
+            if (add.baseRowId.isDefined) add // re-add preserves its ids
+            else {
+              val n = add.stats
+                .map(s => mapper.readTree(s).path("numRecords").asLong(-1L))
+                .getOrElse(-1L)
+              require(n >= 0,
+                s"row tracking on $tablePath requires per-file numRecords stats " +
+                  "to assign base row ids")
+              val base = hwm + 1
+              hwm += n
+              add.copy(baseRowId = Some(base), defaultRowCommitVersion = Some(version))
+            }
+          }
+          if (hwm != hwm0) {
+            val dn = mapper.createObjectNode()
+            dn.put("domain", DeltaLog.RowTrackingDomain)
+            dn.put("configuration", s"""{"rowIdHighWaterMark":$hwm}""")
+            dn.put("removed", false)
+            sb.append(s"""{"domainMetadata":${mapper.writeValueAsString(dn)}}""")
+              .append('\n')
+          }
+          assigned
+        }
+
       removes.foreach(f => sb.append(removeJson(f, dataChange)).append('\n'))
-      adds.foreach { add =>
+      rowAdds.foreach { add =>
         val a = mapper.createObjectNode()
         a.put("path", add.rel)
         val pvNode = a.putObject("partitionValues")
@@ -985,6 +1068,8 @@ object DeltaWrite {
           dn.put("sizeInBytes", d.sizeInBytes)
           dn.put("cardinality", d.cardinality)
         }
+        add.baseRowId.foreach(b => a.put("baseRowId", b))
+        add.defaultRowCommitVersion.foreach(v => a.put("defaultRowCommitVersion", v))
         sb.append(s"""{"add":${mapper.writeValueAsString(a)}}""").append('\n')
       }
 
@@ -1096,12 +1181,19 @@ object DeltaWrite {
           f.size, 0L, dataChange = false, f.stats.orNull,
           f.dv.map(d => CpDv(
             d.storageType, d.pathOrInlineDv, d.offset, d.sizeInBytes, d.cardinality)),
-          Option(f.tags).filter(_.nonEmpty))))) ++
+          Option(f.tags).filter(_.nonEmpty),
+          f.baseRowId, f.defaultRowCommitVersion)))) ++
           tombstoneRows ++
           // txn high-water marks survive log cleanup, or idempotent
           // writers would re-commit old batches after a checkpoint
           snap.txns.toSeq.sortBy(_._1).map { case (appId, v) =>
             CpRow(txn = Some(CpTxn(appId, v)))
+          } ++
+          // live domains (row-id high-water mark etc.) must survive
+          // log cleanup like txn marks do; removed domains are gone
+          // from the snapshot and stay gone
+          snap.domains.toSeq.sortBy(_._1).map { case (d, c) =>
+            CpRow(domainMetadata = Some(CpDomain(d, c)))
           })
 
     val destPaths = DeltaLog.checkpointPaths(tablePath, snap.version, parts)
@@ -1169,7 +1261,8 @@ object DeltaWrite {
         f.size, 0L, dataChange = false, f.stats.orNull,
         f.dv.map(d => CpDv(
           d.storageType, d.pathOrInlineDv, d.offset, d.sizeInBytes, d.cardinality)),
-        Option(f.tags).filter(_.nonEmpty))))) ++
+        Option(f.tags).filter(_.nonEmpty),
+        f.baseRowId, f.defaultRowCommitVersion)))) ++
         DeltaLog.tombstones(spark, tablePath)
           .filter(_.deletionTimestamp > tombstoneCutoff)
           .map(t => SidecarFileRow(remove = Some(CpRemove(
@@ -1199,7 +1292,16 @@ object DeltaWrite {
           snap.metadata.partitionColumns, snap.metadata.configuration,
           snap.metadata.createdTime))) +:
         V2ManifestRow(checkpointMetadata = Some(CpCkptMeta(snap.version))) +:
-        sidecarRefs.map(s => V2ManifestRow(sidecar = Some(s)))
+        // non-file actions live in the manifest per the v2 layout
+        // (incl. txn marks — without them a v2 checkpoint after log
+        // cleanup would let idempotent writers re-commit old batches)
+        (snap.domains.toSeq.sortBy(_._1).map { case (d, c) =>
+          V2ManifestRow(domainMetadata = Some(CpDomain(d, c)))
+        } ++
+          snap.txns.toSeq.sortBy(_._1).map { case (appId, v) =>
+            V2ManifestRow(txn = Some(CpTxn(appId, v)))
+          } ++
+          sidecarRefs.map(s => V2ManifestRow(sidecar = Some(s))))
 
     val cpName = f"${snap.version}%020d.checkpoint.${java.util.UUID.randomUUID()}.parquet"
     writeSingleParquet(spark, manifest.toDS(),
@@ -1364,7 +1466,13 @@ private[tables] final case class CpAdd(
     dataChange: Boolean,
     stats: String,
     deletionVector: Option[CpDv] = None,
-    tags: Option[Map[String, String]] = None)
+    tags: Option[Map[String, String]] = None,
+    baseRowId: Option[Long] = None,
+    defaultRowCommitVersion: Option[Long] = None)
+private[tables] final case class CpDomain(
+    domain: String,
+    configuration: String,
+    removed: Boolean = false)
 private[tables] final case class CpRemove(
     path: String,
     deletionTimestamp: Long,
@@ -1380,7 +1488,9 @@ private[tables] final case class V2ManifestRow(
     protocol: Option[CpProtocol] = None,
     metaData: Option[CpMeta] = None,
     checkpointMetadata: Option[CpCkptMeta] = None,
-    sidecar: Option[CpSidecar] = None)
+    sidecar: Option[CpSidecar] = None,
+    domainMetadata: Option[CpDomain] = None,
+    txn: Option[CpTxn] = None)
 private[tables] final case class SidecarFileRow(
     add: Option[CpAdd] = None,
     remove: Option[CpRemove] = None)
@@ -1390,4 +1500,5 @@ private[tables] final case class CpRow(
     metaData: Option[CpMeta] = None,
     protocol: Option[CpProtocol] = None,
     remove: Option[CpRemove] = None,
-    txn: Option[CpTxn] = None)
+    txn: Option[CpTxn] = None,
+    domainMetadata: Option[CpDomain] = None)

@@ -1,0 +1,162 @@
+package graft.tables
+
+import graft.SparkSpec
+import graft.core.Filter
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+
+/** Row tracking (`rowTracking` writer feature) + `domainMetadata`
+  * actions, per the public Delta protocol: every committed file gets
+  * a `baseRowId`, the fresh row id of row i is baseRowId + i, and the
+  * table-wide high-water mark rides the `delta.rowTracking` domain so
+  * concurrent/later writers never reuse ids.
+  */
+class DeltaRowTrackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(dir: String) = new DeltaTable("t", dir)
+
+  private def rowIds(dir: String): Map[Long, (Option[Long], Option[Long])] =
+    t(dir)(spark, ReadArgs(extra = Map(t(dir).RowIdsKey -> true)))
+      .select("id", "_row_id", "_row_commit_version")
+      .collect()
+      .map(r => (r.getLong(0),
+        (Option(r.get(1)).map(_.asInstanceOf[Long]),
+          Option(r.get(2)).map(_.asInstanceOf[Long]))))
+      .toMap
+
+  private def enable(dir: String): Unit =
+    DeltaWrite.setTableProperties(spark, dir, Map("delta.enableRowTracking" -> "true"))
+
+  test("appends assign contiguous base row ids; pre-feature files read null ids") {
+    val dir = tempDir("delta-rt").toString + "/t"
+    DeltaWrite.append(spark, Seq((1L, "before")).toDF("id", "v"), dir)
+    enable(dir)
+    DeltaWrite.append(spark, (10L to 12L).map(i => (i, "a")).toDF("id", "v"), dir)
+    DeltaWrite.append(spark, (20L to 21L).map(i => (i, "b")).toDF("id", "v"), dir)
+
+    val snap = DeltaLog.snapshot(spark, dir)
+    assert(snap.rowIdHighWaterMark == 4L) // 3 + 2 rows assigned
+    assert(snap.protocol.writerFeatures.exists(f =>
+      f.contains("rowTracking") && f.contains("domainMetadata")))
+
+    val ids = rowIds(dir)
+    assert(ids(1L)._1.isEmpty && ids(1L)._2.isEmpty) // pre-feature file
+    val assigned = ids.filterKeys(_ >= 10L).values.map(_._1.get).toSeq.sorted
+    assert(assigned == (0L to 4L))
+    // rows of one commit share its version; the two commits differ
+    val vs = ids.filterKeys(_ >= 10L).toSeq.groupBy(_._2._2.get).view
+      .mapValues(_.map(_._1).toSet).toMap
+    assert(vs.size == 2)
+    assert(vs.values.toSet == Set(Set(10L, 11L, 12L), Set(20L, 21L)))
+  }
+
+  test("DV delete keeps surviving row ids stable; later appends never reuse ids") {
+    val dir = tempDir("delta-rt-dv").toString + "/t"
+    DeltaWrite.append(spark, Seq.empty[(Long, String)].toDF("id", "v"), dir)
+    enable(dir)
+    DeltaWrite.append(spark, (0L to 4L).map(i => (i, "x")).toDF("id", "v"), dir)
+    val before = rowIds(dir)
+
+    DeltaWrite.deleteWhereDv(spark, dir, Seq(Seq(Filter("id", "in", Seq(1L, 3L)))))
+    val after = rowIds(dir)
+    assert(after.keySet == Set(0L, 2L, 4L))
+    after.foreach { case (id, rid) => assert(rid == before(id)) }
+
+    DeltaWrite.append(spark, Seq((9L, "y")).toDF("id", "v"), dir)
+    val ids2 = rowIds(dir)
+    val all = ids2.values.flatMap(_._1).toSeq
+    assert(all.distinct.size == all.size) // no id reused
+    assert(ids2(9L)._1.get > before.values.flatMap(_._1).max)
+  }
+
+  test("high-water mark and row ids survive checkpoint + aged-out JSON prefix") {
+    val dir = tempDir("delta-rt-cp").toString + "/t"
+    DeltaWrite.append(spark, Seq.empty[(Long, String)].toDF("id", "v"), dir)
+    enable(dir)
+    DeltaWrite.append(spark, (0L to 3L).map(i => (i, "x")).toDF("id", "v"), dir)
+    val before = rowIds(dir)
+    val cpV = DeltaWrite.checkpoint(spark, dir)
+    val logDir = new Path(dir + "/_delta_log")
+    val f = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (0L to cpV).foreach(v => f.delete(new Path(logDir, f"$v%020d.json"), false))
+
+    val snap = DeltaLog.snapshot(spark, dir)
+    assert(snap.rowIdHighWaterMark == 3L)
+    assert(rowIds(dir) == before)
+    // and appends on top of the checkpointed mark continue correctly
+    DeltaWrite.append(spark, Seq((8L, "z")).toDF("id", "v"), dir)
+    assert(DeltaLog.snapshot(spark, dir).rowIdHighWaterMark == 4L)
+  }
+
+  test("v2 checkpoint persists domains and txn marks in the manifest") {
+    val dir = tempDir("delta-rt-cp2").toString + "/t"
+    DeltaWrite.append(spark, Seq.empty[(Long, String)].toDF("id", "v"), dir)
+    enable(dir)
+    DeltaWrite.append(spark, (0L to 2L).map(i => (i, "x")).toDF("id", "v"), dir,
+      txn = Some(("app-1", 7L)))
+    val before = rowIds(dir)
+    val cpV = DeltaWrite.checkpointV2(spark, dir)
+    val logDir = new Path(dir + "/_delta_log")
+    val f = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (0L to cpV).foreach(v => f.delete(new Path(logDir, f"$v%020d.json"), false))
+
+    val snap = DeltaLog.snapshot(spark, dir)
+    assert(snap.rowIdHighWaterMark == 2L)
+    assert(snap.txns.get("app-1").contains(7L))
+    assert(rowIds(dir) == before)
+  }
+
+  test("rewriting operations refuse on row-tracked tables instead of re-minting ids") {
+    val dir = tempDir("delta-rt-refuse").toString + "/t"
+    DeltaWrite.append(spark, (0L to 3L).map(i => (i, "x")).toDF("id", "v"), dir)
+    enable(dir)
+    DeltaWrite.append(spark, Seq((9L, "y")).toDF("id", "v"), dir)
+    val e1 = intercept[IllegalArgumentException] {
+      DeltaWrite.deleteWhere(spark, dir, Seq(Seq(Filter("id", "=", 0L))))
+    }
+    assert(e1.getMessage.contains("deleteWhereDv"))
+    intercept[IllegalArgumentException] { DeltaWrite.optimize(spark, dir) }
+    intercept[IllegalArgumentException] {
+      DeltaWrite.optimizeZorder(spark, dir, Seq("id"))
+    }
+  }
+
+  test("domainMetadata replay: latest wins, removed tombstones the domain") {
+    val dir = tempDir("delta-dm").toString + "/t"
+    DeltaWrite.append(spark, Seq((1L, "x")).toDF("id", "v"), dir)
+    val logDir = new Path(dir + "/_delta_log")
+    val f = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def put(version: Long, lines: Seq[String]): Unit = {
+      val out = f.create(new Path(logDir, f"$version%020d.json"), true)
+      try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+      finally out.close()
+    }
+    put(1L, Seq(
+      """{"domainMetadata":{"domain":"user.a","configuration":"{\"k\":1}","removed":false}}""",
+      """{"domainMetadata":{"domain":"user.b","configuration":"{\"k\":2}","removed":false}}"""))
+    put(2L, Seq(
+      """{"domainMetadata":{"domain":"user.a","configuration":"{\"k\":9}","removed":false}}""",
+      """{"domainMetadata":{"domain":"user.b","configuration":"","removed":true}}"""))
+    val snap = DeltaLog.snapshot(spark, dir)
+    assert(snap.domains == Map("user.a" -> """{"k":9}"""))
+    // time travel sees the pre-removal state
+    val old = DeltaLog.snapshot(spark, dir, versionAsOf = Some(1L))
+    assert(old.domains.keySet == Set("user.a", "user.b"))
+  }
+
+  test("shallow clone carries row ids and the high-water-mark domain") {
+    val dir = tempDir("delta-rt-clone").toString + "/src"
+    val dst = tempDir("delta-rt-clone").toString + "/dst"
+    DeltaWrite.append(spark, Seq.empty[(Long, String)].toDF("id", "v"), dir)
+    enable(dir)
+    DeltaWrite.append(spark, (0L to 3L).map(i => (i, "x")).toDF("id", "v"), dir)
+    DeltaDdl.cloneShallow(spark, dir, dst)
+    assert(DeltaLog.snapshot(spark, dst).rowIdHighWaterMark == 3L)
+    assert(rowIds(dst) == rowIds(dir))
+    // appends into the CLONE continue above the inherited mark
+    DeltaWrite.append(spark, Seq((9L, "y")).toDF("id", "v"), dst)
+    val ids = rowIds(dst).values.flatMap(_._1).toSeq
+    assert(ids.distinct.size == ids.size)
+  }
+}
