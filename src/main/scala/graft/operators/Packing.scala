@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Sequence packing for LLM pretraining: documents are concatenated
+  * (in a deterministic order, per stream) into one token stream and
+  * cut into fixed-budget examples — the concat-and-chunk shape
+  * autoregressive training batches use. The packing plan is pure
+  * window arithmetic over integer token counts: one shuffle on the
+  * stream key, no RNG, no iteration, bit-stable across engines (the
+  * DuckDB oracle runs the identical window SQL).
+  *
+  * Each document's span in the stream is [tok_start, tok_start + n);
+  * the examples it lands in are chunk_first..chunk_last (a document
+  * longer than the budget spans several; a document ending exactly on
+  * a boundary does not bleed into the next chunk). At 100 TB the
+  * stream key shards the corpus and each partition's plan is
+  * independent — the window never sees more than one stream.
+  */
+object Packing {
+
+  /** Chunk-assignment plan: adds `tok_start`, `chunk_first`,
+    * `chunk_last`, `crosses_boundary` to `df`.
+    *
+    * @param streamCol  independent packing stream (e.g. source)
+    * @param orderCol   deterministic order within the stream — must be
+    *                   unique per stream or the packing is ambiguous
+    * @param tokenCol   integer token count of the document
+    * @param budget     tokens per packed example
+    */
+  def concatChunks(
+      df: DataFrame,
+      streamCol: String,
+      orderCol: String,
+      tokenCol: String,
+      budget: Long
+  ): DataFrame = {
+    require(budget > 0, "token budget must be positive")
+    val w = Window.partitionBy(col(streamCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = sum(col(tokenCol).cast(LongType)).over(w)
+    val start = (cum - col(tokenCol).cast(LongType)).as("tok_start")
+    df.withColumn("tok_start", start)
+      // integer `div` on both engines: exact, no float rounding
+      .withColumn("chunk_first", expr(s"tok_start div $budget"))
+      .withColumn("chunk_last",
+        expr(s"greatest(tok_start, tok_start + $tokenCol - 1) div $budget"))
+      .withColumn("crosses_boundary", col("chunk_last") > col("chunk_first"))
+  }
+
+  /** Per-stream packing summary: number of documents, total tokens,
+    * packed examples produced, and documents crossing an example
+    * boundary (the fraction a pipeline pads or masks across).
+    */
+  def chunkStats(
+      df: DataFrame,
+      streamCol: String,
+      orderCol: String,
+      tokenCol: String,
+      budget: Long
+  ): DataFrame =
+    concatChunks(df, streamCol, orderCol, tokenCol, budget)
+      .groupBy(col(streamCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col(tokenCol).cast(LongType)).as("n_tokens"),
+        (max(col("chunk_last")) + lit(1L)).as("n_chunks"),
+        sum(when(col("crosses_boundary"), 1L).otherwise(0L)).as("n_boundary_docs"))
+}

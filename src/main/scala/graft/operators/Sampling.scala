@@ -44,6 +44,23 @@ object Sampling {
     }
   }
 
+  /** Per-ROW weighted Bernoulli gate: keep a row with probability
+    * min(1, weight · rate) — quality-weighted sampling, where a
+    * document's keep probability scales with a score column (the
+    * DoReMi/quality-curation shape) instead of a per-group constant.
+    * Same scan-only, engine-portable hash gate as [[sampledBy]]; the
+    * weight must itself be engine-stable arithmetic (integer-derived,
+    * no transcendentals) for the oracle to reproduce the sample
+    * bit-for-bit.
+    */
+  def weightedSample(
+      id: Column,
+      weight: Column,
+      rate: Double,
+      salt: String = "wsample"
+  ): Column =
+    hashBucket(id, salt) < least(lit(1.0), weight * lit(rate))
+
   /** Per-group sampling rates (e.g. domain mixing: keep 100% of a
     * rare source, 10% of a dominant one). Rates are looked up from
     * the group column; missing groups default to `defaultRate`.

@@ -1016,6 +1016,40 @@ object OracleSql {
            |ORDER BY a.vec_id""".stripMargin
       },
 
+      // the whole packing plan is integer window arithmetic — the
+      // oracle reproduces every per-document chunk span exactly
+      "q_seq_pack" -> {
+        val b = Wave4Queries.Pack.Budget
+        s"""WITH d AS (
+           |  SELECT doc_id, source,
+           |    CAST(len(${wordTokensSql("text")}) AS BIGINT) AS n_tokens
+           |  FROM documents
+           |), c AS (
+           |  SELECT doc_id, source, n_tokens,
+           |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS tok_start
+           |  FROM d)
+           |SELECT doc_id, source, n_tokens, tok_start,
+           |  tok_start // $b AS chunk_first,
+           |  greatest(tok_start, tok_start + n_tokens - 1) // $b AS chunk_last
+           |FROM c ORDER BY doc_id""".stripMargin
+      },
+
+      // gate mirrors Sampling.weightedSample operation-for-operation:
+      // bucket < least(1, least(1, n_chars/2000) * rate), pure IEEE
+      // arithmetic on integer-derived values
+      "q_weighted_sample" -> {
+        val r = Wave4Queries.WSample.Rate
+        val n = Wave4Queries.WSample.CharNorm
+        s"""SELECT source, count(*) AS n_docs,
+           |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           |  min(doc_id) AS min_id, max(doc_id) AS max_id
+           |FROM documents
+           |WHERE ${bucketSql("wsample", "doc_id")} <
+           |  least(1.0, least(1.0, CAST(n_chars AS DOUBLE) / $n) * $r)
+           |GROUP BY source ORDER BY source""".stripMargin
+      },
+
       "q_substr_dedup" -> {
         val k = Substr.K
         s"""WITH grams AS (

@@ -90,6 +90,8 @@ object QueryCatalog {
     Entry("q_ngram_lm", Wave4Queries.qNgramLm),
     Entry("q_substr_dedup", Wave4Queries.qSubstrDedup),
     Entry("q_semdedup", Wave4Queries.qSemDedup),
+    Entry("q_seq_pack", Wave4Queries.qSeqPack),
+    Entry("q_weighted_sample", Wave4Queries.qWeightedSample),
     Entry("q_delta_clone", Wave4Queries.qDeltaClone)
   )
 

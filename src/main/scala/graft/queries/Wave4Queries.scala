@@ -214,6 +214,56 @@ object Wave4Queries {
       .orderBy("vec_id")
   }
 
+  // ---------- P35: sequence packing (concat-and-chunk) ----------
+
+  /** Tokens per packed training example, shared with the oracle. */
+  object Pack { val Budget = 512L }
+
+  /** Packing plan for the documents corpus: per-source token streams
+    * ordered by doc_id, cut into 512-token examples. Every document's
+    * chunk span is emitted (pure integer window arithmetic → exact
+    * hash match), so the oracle checks the entire packing plan, not
+    * just counts.
+    */
+  def qSeqPack(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Packing
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(Text.wordTokens(col("text"))).cast(LongType).as("n_tokens"))
+    Packing.concatChunks(docs, "source", "doc_id", "n_tokens", Pack.Budget)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("tok_start"),
+        col("chunk_first"), col("chunk_last"))
+      .orderBy("doc_id")
+  }
+
+  // ---------- P36: quality-weighted sampling ----------
+
+  /** Weighted-sampling constants, shared with the oracle. */
+  object WSample { val Rate = 0.5; val CharNorm = 2000.0 }
+
+  /** Quality-weighted Bernoulli sample: keep probability scales with
+    * document length (min(1, n_chars/2000) — a stand-in for any
+    * engine-stable quality score), gated by the same portable md5
+    * bucket the uniform sampler uses. Summary per source over the
+    * kept set; exact integers only.
+    */
+  def qWeightedSample(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    val docs = t(s, dir, "documents")
+    docs
+      .where(Sampling.weightedSample(
+        col("doc_id"),
+        least(lit(1.0), col("n_chars").cast(DoubleType) / lit(WSample.CharNorm)),
+        WSample.Rate))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars").cast(LongType)).as("sum_chars"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"))
+      .orderBy("source")
+  }
+
   // ---------- P33: substring-level dedup ----------
 
   /** Gram length for substring dedup, shared with the oracle. */

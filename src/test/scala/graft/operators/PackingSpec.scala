@@ -1,0 +1,55 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    // stream a: 300 + 300 + 12 tokens, budget 256
+    ("a", 1L, 300L), ("a", 2L, 300L), ("a", 3L, 12L),
+    // stream b: exact-boundary doc then one more
+    ("b", 1L, 256L), ("b", 2L, 10L)
+  ).toDF("src", "id", "n")
+
+  test("concatChunks assigns exact spans, boundary docs flagged") {
+    val got = Packing.concatChunks(docs, "src", "id", "n", budget = 256L)
+      .select("src", "id", "tok_start", "chunk_first", "chunk_last", "crosses_boundary")
+      .as[(String, Long, Long, Long, Long, Boolean)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    assert(got(("a", 1L)) == ((0L, 0L, 1L, true)))    // 0..299 spans chunks 0-1
+    assert(got(("a", 2L)) == ((300L, 1L, 2L, true)))  // 300..599 spans 1-2
+    assert(got(("a", 3L)) == ((600L, 2L, 2L, false)))
+    // doc ending exactly on the boundary stays in its chunk
+    assert(got(("b", 1L)) == ((0L, 0L, 0L, false)))   // 0..255
+    assert(got(("b", 2L)) == ((256L, 1L, 1L, false)))
+  }
+
+  test("streams pack independently and the plan is partitioning-invariant") {
+    val plan1 = Packing.concatChunks(docs, "src", "id", "n", 256L)
+      .select("src", "id", "tok_start").as[(String, Long, Long)].collect().toSet
+    val plan2 = Packing.concatChunks(docs.repartition(7), "src", "id", "n", 256L)
+      .select("src", "id", "tok_start").as[(String, Long, Long)].collect().toSet
+    assert(plan1 == plan2)
+    // stream b is unaffected by stream a's totals
+    assert(plan1.contains(("b", 1L, 0L)))
+  }
+
+  test("chunkStats counts chunks and boundary docs per stream") {
+    val stats = Packing.chunkStats(docs, "src", "id", "n", 256L)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(stats("a") == ((3L, 612L, 3L, 2L))) // 612 tokens -> chunks 0..2
+    assert(stats("b") == ((2L, 266L, 2L, 0L)))
+  }
+
+  test("a zero-token document occupies no span and never crosses") {
+    val d = Seq(("a", 1L, 0L), ("a", 2L, 5L)).toDF("src", "id", "n")
+    val got = Packing.concatChunks(d, "src", "id", "n", 4L)
+      .select("id", "tok_start", "chunk_first", "chunk_last", "crosses_boundary")
+      .as[(Long, Long, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 0L, 0L, 0L, false)))
+    assert(got(2L) == ((2L, 0L, 0L, 1L, true))) // 0..4 with budget 4 crosses
+  }
+}

@@ -48,4 +48,20 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(counts("g1") / 1000.0 - 0.2) < 0.05)
     assert(!counts.contains("g2"))
   }
+
+  test("weightedSample keep rate scales with the weight column") {
+    val df = (1L to 9000L).map(i => (i, (i % 3).toDouble / 2.0)).toDF("id", "w")
+    val kept = df.where(Sampling.weightedSample(col("id"), col("w"), rate = 1.0))
+      .groupBy("w").count().as[(Double, Long)].collect().toMap
+    assert(!kept.contains(0.0)) // weight 0 -> never kept
+    assert(math.abs(kept(0.5) / 3000.0 - 0.5) < 0.05)
+    assert(kept(1.0) == 3000L) // min(1, w) = 1 -> always kept
+    // deterministic and partitioning-invariant
+    val a = df.where(Sampling.weightedSample(col("id"), col("w"), 0.7))
+      .select("id").as[Long].collect().toSet
+    val b = df.repartition(17)
+      .where(Sampling.weightedSample(col("id"), col("w"), 0.7))
+      .select("id").as[Long].collect().toSet
+    assert(a == b)
+  }
 }
