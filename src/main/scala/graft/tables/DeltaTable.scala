@@ -170,7 +170,10 @@ private[graft] object DeltaRead {
     // the scan like the DV bitmaps do — driver metadata resolved
     // against _metadata.file_path, row id = base + physical row index
     // (stable under DV deletes by construction; null for pre-feature
-    // files, which have no ids)
+    // files, which have no ids). Files REWRITTEN by optimize/delete
+    // carry the original ids in hidden materialized columns (named in
+    // the table config, per the protocol), which take precedence; the
+    // extra fields read as null from files that lack them.
     import org.apache.spark.sql.graftbridge.Bridge
     val baseIds: Map[String, Long] =
       if (!withRowIds) Map.empty
@@ -180,17 +183,31 @@ private[graft] object DeltaRead {
       if (!withRowIds) Map.empty
       else files.flatMap(f => f.defaultRowCommitVersion.map(v =>
         DvDeleted.normalizePath(DeltaLog.resolvePath(base, f.path)) -> v)).toMap
+    val matCols: Seq[String] =
+      if (!withRowIds) Seq.empty
+      else Seq(meta.configuration.get(DeltaWrite.MatRowIdKey),
+        meta.configuration.get(DeltaWrite.MatRcvKey)).flatten
+    val readSchema =
+      if (matCols.isEmpty) physDataSchema
+      else StructType(physDataSchema.fields ++
+        matCols.map(StructField(_, org.apache.spark.sql.types.LongType)))
     def attachRowIds(df: DataFrame): DataFrame =
       if (!withRowIds) df
-      else df
-        .withColumn(RowIdCol, Bridge.column(FileLongAttr(
+      else {
+        val fresh = Bridge.column(FileLongAttr(
           Bridge.expression(col("_metadata.file_path")),
           Bridge.expression(col("_metadata.row_index")),
-          baseIds, addIndex = true)))
-        .withColumn(RowCommitVersionCol, Bridge.column(FileLongAttr(
+          baseIds, addIndex = true))
+        val freshVer = Bridge.column(FileLongAttr(
           Bridge.expression(col("_metadata.file_path")),
           Bridge.expression(col("_metadata.row_index")),
-          commitVers, addIndex = false)))
+          commitVers, addIndex = false))
+        val rid = meta.configuration.get(DeltaWrite.MatRowIdKey)
+          .map(m => coalesce(col(m), fresh)).getOrElse(fresh)
+        val rcv = meta.configuration.get(DeltaWrite.MatRcvKey)
+          .map(m => coalesce(col(m), freshVer)).getOrElse(freshVer)
+        df.withColumn(RowIdCol, rid).withColumn(RowCommitVersionCol, rcv)
+      }
     val dataCols: Seq[String] =
       physDataSchema.fieldNames.toSeq ++
         (if (withRowIds) Seq(RowIdCol, RowCommitVersionCol) else Seq.empty)
@@ -199,7 +216,7 @@ private[graft] object DeltaRead {
       val (dvFiles, plainFiles) = group.partition(_.dv.exists(_.cardinality > 0))
       val scans = Seq.newBuilder[DataFrame]
       if (plainFiles.nonEmpty)
-        scans += toLogical(attachRowIds(spark.read.schema(physDataSchema)
+        scans += toLogical(attachRowIds(spark.read.schema(readSchema)
           .parquet(plainFiles.map(f => DeltaLog.resolvePath(base, f.path)): _*))
           .select(dataCols.map(col): _*))
       if (dvFiles.nonEmpty) {
@@ -213,7 +230,7 @@ private[graft] object DeltaRead {
           Bridge.expression(col("_metadata.file_path")),
           Bridge.expression(col("_metadata.row_index")),
           dvBytes))
-        scans += toLogical(attachRowIds(spark.read.schema(physDataSchema)
+        scans += toLogical(attachRowIds(spark.read.schema(readSchema)
           .parquet(dvFiles.map(f => DeltaLog.resolvePath(base, f.path)): _*))
           .where(!deleted)
           .select(dataCols.map(col): _*))

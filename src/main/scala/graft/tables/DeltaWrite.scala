@@ -103,6 +103,36 @@ object DeltaWrite {
     * (remove + add in one commit) — the standard copy-on-write delete.
     * File skipping bounds the rewrite to the affected partitions/files.
     */
+  /** Rewrite source for a file rewrite: on a row-tracked table the
+    * candidates are read WITH row ids, renamed to the table's
+    * materialized physical columns (config-named, per the protocol)
+    * so the rewritten files preserve the original ids — readers
+    * coalesce materialized-first. Rows from pre-feature files (null
+    * ids) acquire fresh ids on rewrite: backfill-on-rewrite, the
+    * REORG semantic. Returns the frame + the hidden column names to
+    * exclude from per-file stats.
+    */
+  private def readForRewrite(
+      spark: SparkSession,
+      tablePath: String,
+      snap: DeltaLog.Snapshot,
+      candidates: Seq[DeltaLog.AddFile]
+  ): (DataFrame, Set[String]) = {
+    val conf = snap.metadata.configuration
+    if (!rowTrackingEnabled(snap.metadata))
+      (DeltaRead.readFiles(spark, tablePath, snap.metadata, candidates), Set.empty)
+    else {
+      require(conf.contains(MatRowIdKey) && conf.contains(MatRcvKey),
+        s"row-tracked table $tablePath names no materialized row-id columns; " +
+          "refusing to rewrite files (row ids would be re-minted)")
+      val df = DeltaRead
+        .readFiles(spark, tablePath, snap.metadata, candidates, withRowIds = true)
+        .withColumnRenamed(DeltaRead.RowIdCol, conf(MatRowIdKey))
+        .withColumnRenamed(DeltaRead.RowCommitVersionCol, conf(MatRcvKey))
+      (df, Set(conf(MatRowIdKey), conf(MatRcvKey)))
+    }
+  }
+
   def deleteWhere(
       spark: SparkSession,
       tablePath: String,
@@ -117,9 +147,6 @@ object DeltaWrite {
     DeltaPolicy.requireNotAppendOnly(snap.metadata, "DELETE", tablePath)
     require(!snap.metadata.isColumnMapped,
       s"writes to column-mapped Delta tables are not supported ($tablePath)")
-    require(!rowTrackingEnabled(snap.metadata),
-      s"copy-on-write DELETE would re-mint row ids on $tablePath " +
-        "(delta.enableRowTracking): use deleteWhereDv, which keeps them stable")
     val candidates = snap.files.filter(f =>
       DeltaFileSkipping.mayMatch(f, filters, snap.metadata))
     if (candidates.isEmpty)
@@ -127,8 +154,10 @@ object DeltaWrite {
 
     // surviving rows of the candidate files (partition cols re-attached
     // so they land back in the rewritten files' partition paths; DVs
-    // applied by the shared scan path so deleted rows stay deleted)
-    val kept = DeltaRead.readFiles(spark, tablePath, snap.metadata, candidates)
+    // applied by the shared scan path so deleted rows stay deleted;
+    // row-tracked tables keep their ids via materialized columns)
+    val (keptSrc, matEx) = readForRewrite(spark, tablePath, snap, candidates)
+    val kept = keptSrc
       // DELETE removes rows where the predicate IS TRUE; rows where it
       // evaluates to NULL are kept (plain !predicate would drop them)
       .filter(!coalesce(predicate, lit(false)))
@@ -139,7 +168,7 @@ object DeltaWrite {
         stageCdcDeletes(spark, tablePath, snap, candidates, predicate)
       else Seq.empty
 
-    val adds = stageFiles(spark, kept, tablePath, partCols)
+    val adds = stageFiles(spark, kept, tablePath, partCols, statsExclude = matEx)
     commitLoop(spark, tablePath, adds, candidates,
       snap.metadata.schemaString, partCols, overwrite = false,
       extraActions = cdcActions)
@@ -305,12 +334,20 @@ object DeltaWrite {
       defaultRowCommitVersion: Option[Long] = None)
 
   /** `delta.enableRowTracking`: stable per-row ids. Appends and DV
-    * deletes preserve them; copy-on-write rewrites (deleteWhere,
-    * OPTIMIZE, ZORDER, MERGE) would re-mint ids without materializing
-    * the old ones, so they refuse on row-tracked tables.
+    * deletes preserve them via the per-file `baseRowId`; file
+    * rewrites (deleteWhere, OPTIMIZE, ZORDER) MATERIALIZE the old ids
+    * into hidden physical columns (named by the two config keys
+    * below, per the protocol) which readers prefer over
+    * baseRowId + index. MERGE still refuses (update row-id
+    * preservation is not implemented).
     */
   private[tables] def rowTrackingEnabled(meta: DeltaLog.Metadata): Boolean =
     meta.configuration.get("delta.enableRowTracking").contains("true")
+
+  private[tables] val MatRowIdKey =
+    "delta.rowTracking.materializedRowIdColumnName"
+  private[tables] val MatRcvKey =
+    "delta.rowTracking.materializedRowCommitVersionColumnName"
 
   private def cdfEnabled(meta: DeltaLog.Metadata): Boolean =
     meta.configuration.get("delta.enableChangeDataFeed").contains("true")
@@ -632,6 +669,15 @@ object DeltaWrite {
         }
       }
       if (props.get("delta.enableRowTracking").contains("true")) {
+        // enablement also names the materialized-row-id columns file
+        // rewrites preserve ids through (random suffix so they can
+        // never collide with user columns, recorded in config per the
+        // protocol so other engines resolve the same physical names)
+        val suffix = java.util.UUID.randomUUID().toString.take(8)
+        if (!newConf.contains(MatRowIdKey))
+          newConf += (MatRowIdKey -> s"_row_id_$suffix")
+        if (!newConf.contains(MatRcvKey))
+          newConf += (MatRcvKey -> s"_row_commit_version_$suffix")
         // rowTracking + its domainMetadata dependency are writer
         // features (feature protocol only — no legacy version encodes
         // them); readers ignore them, so minReaderVersion is untouched
@@ -737,9 +783,6 @@ object DeltaWrite {
     val snap = DeltaLog.snapshot(spark, tablePath)
     require(!snap.metadata.isColumnMapped,
       s"writes to column-mapped Delta tables are not supported ($tablePath)")
-    require(!rowTrackingEnabled(snap.metadata),
-      s"OPTIMIZE rewrites files and would re-mint row ids on $tablePath " +
-        "(delta.enableRowTracking)")
     val partCols = snap.metadata.partitionColumns
 
     val candidates = snap.files.groupBy(_.partitionValues).values.flatMap { fs =>
@@ -752,14 +795,14 @@ object DeltaWrite {
     }.toSeq
     if (candidates.isEmpty) return CommitResult(snap.version, 0, 0)
 
-    var kept = DeltaRead.readFiles(spark, tablePath, snap.metadata, candidates)
+    var (kept, matEx) = readForRewrite(spark, tablePath, snap, candidates)
     // one output file per partition dir (the compaction goal); for an
     // unpartitioned table aim at the size target instead
     kept =
       if (partCols.nonEmpty) kept.repartition(partCols.map(col): _*)
       else kept.coalesce(
         math.max(1, (candidates.map(_.size).sum / math.max(1L, smallFileBytes)).toInt))
-    val adds = stageFiles(spark, kept, tablePath, partCols)
+    val adds = stageFiles(spark, kept, tablePath, partCols, statsExclude = matEx)
     commitLoop(spark, tablePath, adds, candidates,
       snap.metadata.schemaString, partCols, overwrite = false,
       dataChange = false)
@@ -797,9 +840,6 @@ object DeltaWrite {
     val snap = DeltaLog.snapshot(spark, tablePath)
     require(!snap.metadata.isColumnMapped,
       s"this operation is not supported on column-mapped Delta tables ($tablePath)")
-    require(!rowTrackingEnabled(snap.metadata),
-      s"ZORDER rewrites files and would re-mint row ids on $tablePath " +
-        "(delta.enableRowTracking)")
     val partCols = snap.metadata.partitionColumns
     require(zorderBy.nonEmpty, "optimizeZorder needs at least one column")
     zorderBy.foreach(c => require(snap.schema.fieldNames.contains(c),
@@ -814,7 +854,7 @@ object DeltaWrite {
         !f.tags.get(ZOrderTag).contains(spec) || f.dv.exists(_.cardinality > 0))
     if (candidates.isEmpty) return CommitResult(snap.version, 0, 0)
 
-    val kept = DeltaRead.readFiles(spark, tablePath, snap.metadata, candidates)
+    val (kept, matEx) = readForRewrite(spark, tablePath, snap, candidates)
     val numFiles = math.max(1,
       math.ceil(candidates.map(_.size).sum.toDouble / targetFileBytes).toInt)
     val keyed = kept.withColumn("_graft_zval",
@@ -824,7 +864,7 @@ object DeltaWrite {
       .repartitionByRange(numFiles, rangeCols: _*)
       .sortWithinPartitions(rangeCols: _*)
       .drop("_graft_zval")
-    val adds = stageFiles(spark, clustered, tablePath, partCols)
+    val adds = stageFiles(spark, clustered, tablePath, partCols, statsExclude = matEx)
       .map(_.copy(tags = Map(ZOrderTag -> spec)))
     commitLoop(spark, tablePath, adds, candidates,
       snap.metadata.schemaString, partCols, overwrite = false,
@@ -902,7 +942,10 @@ object DeltaWrite {
       tablePath: String,
       partitionBy: Seq[String],
       destPrefix: String = "",
-      withStats: Boolean = true
+      withStats: Boolean = true,
+      // hidden materialized row-id columns: written to the files but
+      // kept out of the stats JSON (they are not part of the schema)
+      statsExclude: Set[String] = Set.empty
   ): Seq[StagedAdd] = {
     val table = new Path(tablePath)
     val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -919,7 +962,8 @@ object DeltaWrite {
 
     // per-file stats (partition columns excluded — their values live in
     // partitionValues, not stats; change-data files carry none)
-    val statsCols = df.schema.fields.filterNot(f => partitionBy.contains(f.name))
+    val statsCols = df.schema.fields.filterNot(f =>
+      partitionBy.contains(f.name) || statsExclude.contains(f.name))
     val statsByFile: Map[String, String] =
       if (staged.isEmpty || !withStats) Map.empty
       else computeStats(spark, staging.toString, statsCols)

@@ -107,19 +107,59 @@ class DeltaRowTrackingSpec extends SparkSpec {
     assert(rowIds(dir) == before)
   }
 
-  test("rewriting operations refuse on row-tracked tables instead of re-minting ids") {
-    val dir = tempDir("delta-rt-refuse").toString + "/t"
-    DeltaWrite.append(spark, (0L to 3L).map(i => (i, "x")).toDF("id", "v"), dir)
+  test("OPTIMIZE materializes row ids: compaction preserves every id") {
+    val dir = tempDir("delta-rt-opt").toString + "/t"
+    DeltaWrite.append(spark, Seq.empty[(Long, String)].toDF("id", "v"), dir)
     enable(dir)
-    DeltaWrite.append(spark, Seq((9L, "y")).toDF("id", "v"), dir)
-    val e1 = intercept[IllegalArgumentException] {
-      DeltaWrite.deleteWhere(spark, dir, Seq(Seq(Filter("id", "=", 0L))))
-    }
-    assert(e1.getMessage.contains("deleteWhereDv"))
-    intercept[IllegalArgumentException] { DeltaWrite.optimize(spark, dir) }
+    // several small files so compaction has something to do
+    (0 until 4).foreach(i =>
+      DeltaWrite.append(spark,
+        (i * 10L until i * 10L + 3L).map(j => (j, s"f$i")).toDF("id", "v"), dir))
+    val before = rowIds(dir)
+    val res = DeltaWrite.optimize(spark, dir)
+    assert(res.filesAdded > 0, "compaction rewrote nothing")
+    assert(rowIds(dir) == before) // ids survive the rewrite, bit for bit
+    // the rewritten file carries fresh baseRowIds ABOVE the old mark
+    // (materialized values take precedence at read)
+    val snap = DeltaLog.snapshot(spark, dir)
+    assert(snap.rowIdHighWaterMark > 11L)
+    // appends after the rewrite still mint unique ids
+    DeltaWrite.append(spark, Seq((99L, "z")).toDF("id", "v"), dir)
+    val all = rowIds(dir).values.flatMap(_._1).toSeq
+    assert(all.distinct.size == all.size)
+  }
+
+  test("copy-on-write DELETE and ZORDER preserve surviving row ids") {
+    val dir = tempDir("delta-rt-del").toString + "/t"
+    DeltaWrite.append(spark, Seq.empty[(Long, String)].toDF("id", "v"), dir)
+    enable(dir)
+    DeltaWrite.append(spark, (0L to 9L).map(i => (i, "x")).toDF("id", "v"), dir)
+    val before = rowIds(dir)
+    DeltaWrite.deleteWhere(spark, dir, Seq(Seq(Filter("id", "<", 3L))))
+    val after = rowIds(dir)
+    assert(after.keySet == (3L to 9L).toSet)
+    after.foreach { case (id, rid) => assert(rid == before(id)) }
+
+    DeltaWrite.optimizeZorder(spark, dir, Seq("id"), bits = 4)
+    assert(rowIds(dir) == after) // clustering rewrite keeps them too
+
+    // MERGE still refuses: update-preserving ids not implemented
     intercept[IllegalArgumentException] {
-      DeltaWrite.optimizeZorder(spark, dir, Seq("id"))
+      DeltaWrite.merge(spark, dir, Seq((3L, "upd")).toDF("id", "v"), Seq("id"))
     }
+  }
+
+  test("pre-feature rows acquire fresh ids on rewrite (backfill-on-rewrite)") {
+    val dir = tempDir("delta-rt-backfill").toString + "/t"
+    DeltaWrite.append(spark, (0L to 2L).map(i => (i, "old")).toDF("id", "v"), dir)
+    DeltaWrite.append(spark, (10L to 12L).map(i => (i, "old2")).toDF("id", "v"), dir)
+    enable(dir)
+    assert(rowIds(dir).values.forall(_._1.isEmpty)) // nothing assigned yet
+    DeltaWrite.optimize(spark, dir, smallFileBytes = 1L << 20)
+    val ids = rowIds(dir)
+    assert(ids.values.forall(_._1.isDefined), "rewrite backfills ids")
+    val assigned = ids.values.flatMap(_._1).toSeq
+    assert(assigned.distinct.size == assigned.size)
   }
 
   test("domainMetadata replay: latest wins, removed tombstones the domain") {
