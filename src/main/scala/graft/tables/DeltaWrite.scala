@@ -530,9 +530,12 @@ object DeltaWrite {
     DeltaPolicy.requireNotAppendOnly(meta, "MERGE", tablePath)
     require(!meta.isColumnMapped,
       s"this operation is not supported on column-mapped Delta tables ($tablePath)")
-    require(!rowTrackingEnabled(meta),
-      s"MERGE rewrites files and would re-mint row ids on $tablePath " +
-        "(delta.enableRowTracking)")
+    val tracked = rowTrackingEnabled(meta)
+    if (tracked)
+      require(meta.configuration.contains(MatRowIdKey) &&
+        meta.configuration.contains(MatRcvKey),
+        s"row-tracked table $tablePath names no materialized row-id columns; " +
+          "refusing to MERGE (row ids would be re-minted)")
     require(source.columns.toSet == meta.schema.fieldNames.toSet,
       s"merge source schema ${source.columns.mkString(",")} must match the table " +
         s"(${meta.schema.fieldNames.mkString(",")})")
@@ -560,15 +563,39 @@ object DeltaWrite {
       case _ => snap.files
     }
 
-    val target =
+    val targetRaw =
       if (candidates.isEmpty) None
-      else Some(DeltaRead.readFiles(spark, tablePath, meta, candidates))
+      else Some(DeltaRead.readFiles(spark, tablePath, meta, candidates,
+        withRowIds = tracked))
+    // cdc/classification joins see the plain schema (no row-id cols)
+    val target = targetRaw.map(t =>
+      if (tracked) t.drop(DeltaRead.RowIdCol, DeltaRead.RowCommitVersionCol) else t)
     val keySeq = keyCols.toSeq
 
-    // kept = target rows whose key has no replacement; content = kept ∪ source
-    val content = target match {
-      case Some(t) => t.join(src, keySeq, "left_anti").unionByName(src)
-      case None    => src
+    // kept = target rows whose key has no replacement; content = kept ∪ source.
+    // Row tracking: kept rows materialize BOTH old ids; updated rows
+    // materialize the matched key's old row id with a NULL commit
+    // version (readers then pick up the new file's default — exactly
+    // "same row, updated at this version"); inserts materialize
+    // neither and mint fresh ids.
+    val content = (targetRaw, target) match {
+      case (Some(traw), Some(t)) if tracked =>
+        val matId = meta.configuration(MatRowIdKey)
+        val matRcv = meta.configuration(MatRcvKey)
+        val kept = traw.join(src, keySeq, "left_anti")
+          .withColumnRenamed(DeltaRead.RowIdCol, matId)
+          .withColumnRenamed(DeltaRead.RowCommitVersionCol, matRcv)
+        // the old row id each source key replaces (min-id tie-break if
+        // the target held duplicate keys; all-null-id matches behave
+        // as inserts — the backfill semantic)
+        val keyIds = traw
+          .groupBy(keySeq.map(col): _*)
+          .agg(min(col(DeltaRead.RowIdCol)).as(matId))
+        val upserts = src.join(keyIds, keySeq, "left")
+          .withColumn(matRcv, lit(null).cast(org.apache.spark.sql.types.LongType))
+        kept.unionByName(upserts)
+      case (_, Some(t)) => t.join(src, keySeq, "left_anti").unionByName(src)
+      case _            => src
     }
 
     val cdcActions =
@@ -590,7 +617,11 @@ object DeltaWrite {
           destPrefix = "_change_data/", withStats = false).map(cdcJson)
       }
 
-    val adds = stageFiles(spark, content, tablePath, partCols)
+    val matEx: Set[String] =
+      if (tracked && target.isDefined)
+        Set(meta.configuration(MatRowIdKey), meta.configuration(MatRcvKey))
+      else Set.empty
+    val adds = stageFiles(spark, content, tablePath, partCols, statsExclude = matEx)
     commitLoop(spark, tablePath, adds, candidates,
       meta.schemaString, partCols, overwrite = false, extraActions = cdcActions)
   }

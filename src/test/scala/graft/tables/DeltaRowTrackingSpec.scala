@@ -142,11 +142,33 @@ class DeltaRowTrackingSpec extends SparkSpec {
 
     DeltaWrite.optimizeZorder(spark, dir, Seq("id"), bits = 4)
     assert(rowIds(dir) == after) // clustering rewrite keeps them too
+  }
 
-    // MERGE still refuses: update-preserving ids not implemented
-    intercept[IllegalArgumentException] {
-      DeltaWrite.merge(spark, dir, Seq((3L, "upd")).toDF("id", "v"), Seq("id"))
-    }
+  test("MERGE keeps row ids: updates preserve the id with a new commit version") {
+    val dir = tempDir("delta-rt-merge").toString + "/t"
+    DeltaWrite.append(spark, Seq.empty[(Long, String)].toDF("id", "v"), dir)
+    enable(dir)
+    DeltaWrite.append(spark, (0L to 4L).map(i => (i, "old")).toDF("id", "v"), dir)
+    val before = rowIds(dir)
+
+    val res = DeltaWrite.merge(spark, dir,
+      Seq((2L, "upd"), (9L, "new")).toDF("id", "v"), Seq("id"))
+    val after = rowIds(dir)
+    assert(after.keySet == Set(0L, 1L, 2L, 3L, 4L, 9L))
+    // unchanged rows: id AND commit version untouched
+    Seq(0L, 1L, 3L, 4L).foreach(i => assert(after(i) == before(i)))
+    // updated row: same id, commit version = the MERGE's version
+    assert(after(2L)._1 == before(2L)._1)
+    assert(after(2L)._2.contains(res.version))
+    // inserted row: a fresh id, never seen before
+    assert(!before.values.flatMap(_._1).toSet.contains(after(9L)._1.get))
+    val all = after.values.flatMap(_._1).toSeq
+    assert(all.distinct.size == all.size)
+
+    // updated value actually landed
+    val vals = t(dir)(spark, ReadArgs())
+      .select("id", "v").as[(Long, String)].collect().toMap
+    assert(vals(2L) == "upd" && vals(9L) == "new")
   }
 
   test("pre-feature rows acquire fresh ids on rewrite (backfill-on-rewrite)") {
