@@ -988,6 +988,19 @@ object OracleSql {
            |  ${dsum(d4("p_retailprice"))} AS sum_price
            |FROM cloned GROUP BY p_brand ORDER BY p_brand""".stripMargin,
 
+      // reconstructs the Spark side's UPDATE (p_partkey < 500 gets
+      // size+100 / price+10) from the raw part table
+      "q_delta_update" ->
+        s"""WITH updated AS (
+           |  SELECT p_brand,
+           |    CASE WHEN p_partkey < 500 THEN p_size + 100 ELSE p_size END AS p_size,
+           |    CASE WHEN p_partkey < 500 THEN p_retailprice + 10 ELSE p_retailprice END AS p_retailprice
+           |  FROM part)
+           |SELECT p_brand, count(*) AS n_parts,
+           |  CAST(sum(p_size) AS BIGINT) AS sum_size,
+           |  ${dsum(d4("p_retailprice"))} AS sum_price
+           |FROM updated GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
       // clustering (modulo-seed IVF argmin) and pruning (min-id of
       // each within-cluster cosine-threshold neighborhood survives)
       // both reconstructed; threshold/stride spliced from Wave4Queries

@@ -192,6 +192,47 @@ object Wave4Queries {
       .orderBy("p_brand")
   }
 
+  // ---------- R36 proof: UPDATE ... SET end-to-end ----------
+
+  private val updateTables = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** One updated part table per (JVM, sf dir): appended as delta, then
+    * UPDATE p_size = p_size + 100, p_retailprice = p_retailprice + 10
+    * WHERE p_partkey < 500 — the SET sees the old row; the predicate
+    * prunes untouched files by stats.
+    */
+  private def updatedPart(s: SparkSession, dir: String): String =
+    updateTables.getOrElseUpdate(dir, {
+      import graft.core.{Filter, Filters}
+      import graft.tables.DeltaWrite
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_delta_update").toString + "/part"
+      DeltaWrite.append(s,
+        t(s, dir, "part").select("p_partkey", "p_brand", "p_size", "p_retailprice"),
+        path)
+      DeltaWrite.updateWhere(s, path,
+        Filters.normalize(Seq(Filter("p_partkey", "<", 500))),
+        Seq("p_size" -> "p_size + 100",
+          "p_retailprice" -> "p_retailprice + 10"))
+      path
+    })
+
+  /** Read the updated table: per-brand rollup whose sums only match if
+    * exactly the predicate rows were updated with exactly the SET
+    * arithmetic.
+    */
+  def qDeltaUpdate(s: SparkSession, dir: String): DataFrame = {
+    import graft.tables.{DeltaTable, ReadArgs}
+    val table = new DeltaTable("part_updated", updatedPart(s, dir))
+    table(s, ReadArgs())
+      .groupBy(col("p_brand"))
+      .agg(
+        count(lit(1)).as("n_parts"),
+        sum(col("p_size").cast(LongType)).as("sum_size"),
+        dsum(d4(col("p_retailprice"))).as("sum_price"))
+      .orderBy("p_brand")
+  }
+
   // ---------- P34: SemDeDup (semantic embedding dedup) ----------
 
   /** SemDeDup constants, shared verbatim with the oracle SQL. */

@@ -174,6 +174,96 @@ object DeltaWrite {
       extraActions = cdcActions)
   }
 
+  /** UPDATE ... SET: copy-on-write rewrite of the files that may hold
+    * predicate-matching rows, applying the SET expressions (SQL
+    * strings over the OLD row — all assignments see pre-update
+    * values, per SQL UPDATE semantics) to exactly the rows where the
+    * predicate is TRUE. Stats-pruned like DELETE: untouched files are
+    * never rewritten. Table policies (constraints, invariants,
+    * generated-column equations) are validated on the result. On CDF
+    * tables the commit carries update_preimage/update_postimage rows;
+    * on row-tracked tables updated rows keep their row id and pick up
+    * this commit's version (null materialized rcv), untouched rows
+    * keep both.
+    */
+  def updateWhere(
+      spark: SparkSession,
+      tablePath: String,
+      filters: graft.core.Filters.Normalized,
+      set: Seq[(String, String)]
+  ): CommitResult = {
+    import graft.core.Filters
+    require(set.nonEmpty, "UPDATE needs at least one SET assignment")
+    val snap = DeltaLog.snapshot(spark, tablePath)
+    val meta = snap.metadata
+    val schema = snap.schema
+    val partCols = meta.partitionColumns
+    DeltaPolicy.requireNotAppendOnly(meta, "UPDATE", tablePath)
+    require(!meta.isColumnMapped,
+      s"writes to column-mapped Delta tables are not supported ($tablePath)")
+    set.foreach { case (c, _) =>
+      require(schema.fieldNames.contains(c), s"SET column $c is not in the table schema")
+    }
+    require(set.map(_._1).distinct.size == set.size, "duplicate SET column")
+    val setMap = set.toMap
+    val predicate = Filters.toColumn(filters).getOrElse(lit(true))
+    val matched = coalesce(predicate, lit(false))
+
+    val candidates = snap.files.filter(f =>
+      DeltaFileSkipping.mayMatch(f, filters, meta))
+    if (candidates.isEmpty) return CommitResult(snap.version, 0, 0)
+
+    val tracked = rowTrackingEnabled(meta)
+    if (tracked)
+      require(meta.configuration.contains(MatRowIdKey) &&
+        meta.configuration.contains(MatRcvKey),
+        s"row-tracked table $tablePath names no materialized row-id columns; " +
+          "refusing to UPDATE (row ids would be re-minted)")
+    val t = DeltaRead.readFiles(spark, tablePath, meta, candidates, withRowIds = tracked)
+
+    // all SETs evaluate against the OLD row (select, not chained
+    // withColumn, so one assignment cannot see another's result)
+    def updatedCols(src: DataFrame): Seq[org.apache.spark.sql.Column] = schema.fieldNames.toSeq.map { c =>
+      setMap.get(c) match {
+        case Some(sql) =>
+          when(matched, expr(sql).cast(schema(c).dataType)).otherwise(col(c)).as(c)
+        case None => col(c)
+      }
+    }
+    val content0 =
+      if (!tracked) t.select(updatedCols(t): _*)
+      else {
+        val matId = meta.configuration(MatRowIdKey)
+        val matRcv = meta.configuration(MatRcvKey)
+        t.select(updatedCols(t) ++ Seq(
+          col(DeltaRead.RowIdCol).as(matId),
+          // updated rows take this commit's version via the default
+          when(matched, lit(null).cast(org.apache.spark.sql.types.LongType))
+            .otherwise(col(DeltaRead.RowCommitVersionCol)).as(matRcv)): _*)
+      }
+    val content = DeltaPolicy.prepare(content0, meta, tablePath)
+
+    val cdcActions =
+      if (!cdfEnabled(meta)) Seq.empty
+      else {
+        val dataCols = schema.fieldNames.map(col).toSeq
+        val pre = t.where(matched).select(dataCols: _*)
+          .withColumn(DeltaChanges.ChangeTypeCol, lit("update_preimage"))
+        val post = t.where(matched).select(updatedCols(t): _*)
+          .withColumn(DeltaChanges.ChangeTypeCol, lit("update_postimage"))
+        stageFiles(spark, pre.unionByName(post), tablePath, partCols,
+          destPrefix = "_change_data/", withStats = false).map(cdcJson)
+      }
+
+    val matEx: Set[String] =
+      if (tracked) Set(meta.configuration(MatRowIdKey), meta.configuration(MatRcvKey))
+      else Set.empty
+    val adds = stageFiles(spark, content, tablePath, partCols, statsExclude = matEx)
+    commitLoop(spark, tablePath, adds, candidates,
+      meta.schemaString, partCols, overwrite = false, extraActions = cdcActions,
+      requireBase = Some(snap.version))
+  }
+
   private def commit(
       spark: SparkSession,
       df: DataFrame,

@@ -1,0 +1,107 @@
+package graft.tables
+
+import graft.SparkSpec
+import graft.core.{Filter, Filters}
+import org.apache.spark.sql.functions._
+
+/** UPDATE ... SET: copy-on-write rewrite with SQL assignment
+  * expressions over the pre-update row, stats-pruned to the files
+  * that may hold matching rows.
+  */
+class DeltaUpdateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(dir: String) = new DeltaTable("t", dir)
+  private def where(f: Filter*) = Filters.normalize(f)
+
+  test("updates exactly the TRUE-predicate rows; null predicates leave rows alone") {
+    val dir = tempDir("delta-upd").toString + "/t"
+    DeltaWrite.append(spark,
+      Seq((1L, Some(5L), "a"), (2L, None, "b"), (3L, Some(20L), "c"))
+        .toDF("id", "qty", "v"), dir)
+    DeltaWrite.updateWhere(spark, dir,
+      where(Filter("qty", "<", 10L)), Seq("v" -> "'small'"))
+    val got = t(dir)(spark, ReadArgs()).select("id", "v")
+      .as[(Long, String)].collect().toMap
+    // qty IS NULL -> predicate NULL -> untouched (SQL UPDATE semantics)
+    assert(got == Map(1L -> "small", 2L -> "b", 3L -> "c"))
+  }
+
+  test("all SET expressions see the OLD row (swap two columns)") {
+    val dir = tempDir("delta-upd-swap").toString + "/t"
+    DeltaWrite.append(spark, Seq((1L, 10L, 20L)).toDF("id", "a", "b"), dir)
+    DeltaWrite.updateWhere(spark, dir, where(Filter("id", "=", 1L)),
+      Seq("a" -> "b", "b" -> "a"))
+    val r = t(dir)(spark, ReadArgs()).select("a", "b").as[(Long, Long)].head()
+    assert(r == ((20L, 10L)))
+  }
+
+  test("stats pruning: files that cannot match are not rewritten") {
+    val dir = tempDir("delta-upd-prune").toString + "/t"
+    DeltaWrite.append(spark, Seq((1L, "lo")).toDF("id", "v"), dir)
+    DeltaWrite.append(spark, Seq((100L, "hi")).toDF("id", "v"), dir)
+    val res = DeltaWrite.updateWhere(spark, dir,
+      where(Filter("id", ">", 50L)), Seq("v" -> "'HI'"))
+    assert(res.filesRemoved == 1) // only the hi file rewritten
+    val got = t(dir)(spark, ReadArgs()).select("id", "v")
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "lo", 100L -> "HI"))
+  }
+
+  test("CDF tables record update_preimage/update_postimage rows") {
+    val dir = tempDir("delta-upd-cdf").toString + "/t"
+    DeltaWrite.append(spark, Seq((1L, "old"), (2L, "keep")).toDF("id", "v"), dir)
+    DeltaWrite.setTableProperties(spark, dir,
+      Map("delta.enableChangeDataFeed" -> "true"))
+    val res = DeltaWrite.updateWhere(spark, dir,
+      where(Filter("id", "=", 1L)), Seq("v" -> "'new'"))
+    val changes = DeltaChanges.between(spark, dir, res.version, res.version)
+      .select("id", "v", DeltaChanges.ChangeTypeCol)
+      .as[(Long, String, String)].collect().toSet
+    assert(changes == Set(
+      (1L, "old", "update_preimage"), (1L, "new", "update_postimage")))
+  }
+
+  test("an update violating a CHECK constraint refuses and commits nothing") {
+    val dir = tempDir("delta-upd-ck").toString + "/t"
+    DeltaWrite.append(spark, Seq((1L, 5L)).toDF("id", "qty"), dir)
+    DeltaDdl.addCheckConstraint(spark, dir, "qty_pos", "qty > 0")
+    val before = DeltaLog.snapshot(spark, dir).version
+    intercept[IllegalArgumentException] {
+      DeltaWrite.updateWhere(spark, dir,
+        where(Filter("id", "=", 1L)), Seq("qty" -> "-1"))
+    }
+    assert(DeltaLog.snapshot(spark, dir).version == before)
+    assert(t(dir)(spark, ReadArgs()).select("qty").as[Long].head() == 5L)
+  }
+
+  test("row-tracked UPDATE keeps ids; updated rows get the new commit version") {
+    val dir = tempDir("delta-upd-rt").toString + "/t"
+    DeltaWrite.append(spark, Seq.empty[(Long, String)].toDF("id", "v"), dir)
+    DeltaWrite.setTableProperties(spark, dir, Map("delta.enableRowTracking" -> "true"))
+    DeltaWrite.append(spark, (0L to 4L).map(i => (i, "x")).toDF("id", "v"), dir)
+    def ids() = t(dir)(spark, ReadArgs(extra = Map(t(dir).RowIdsKey -> true)))
+      .select("id", "_row_id", "_row_commit_version")
+      .as[(Long, Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val before = ids()
+    val res = DeltaWrite.updateWhere(spark, dir,
+      where(Filter("id", "=", 2L)), Seq("v" -> "'upd'"))
+    val after = ids()
+    Seq(0L, 1L, 3L, 4L).foreach(i => assert(after(i) == before(i)))
+    assert(after(2L)._1 == before(2L)._1)           // same row id
+    assert(after(2L)._2.contains(res.version))      // new commit version
+  }
+
+  test("updating a partition column moves rows to the right partition dir") {
+    val dir = tempDir("delta-upd-part").toString + "/t"
+    DeltaWrite.append(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "part"), dir, partitionBy = Seq("part"))
+    DeltaWrite.updateWhere(spark, dir,
+      where(Filter("id", "=", 1L)), Seq("part" -> "'b'"))
+    val got = t(dir)(spark, ReadArgs.where(Filter("part", "=", "b")))
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(1L, 2L))
+    assert(t(dir)(spark, ReadArgs.where(Filter("part", "=", "a"))).count() == 0)
+  }
+}
