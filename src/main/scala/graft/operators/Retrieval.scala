@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Rank fusion for hybrid retrieval: combine a lexical ranking (BM25)
+  * with a vector ranking (embedding cosine) — the standard two-tower
+  * retrieval shape — without score calibration, via reciprocal-rank
+  * fusion (Cormack, Clarke & Buettcher 2009): each list contributes
+  * 1/(k + rank) for the ids it contains, absent ids contribute
+  * nothing, and the sum orders the fused list.
+  *
+  * Engine-stable by construction: ranks are exact integers, each
+  * reciprocal is rounded (6 dp) BEFORE the cross-list sum, and the
+  * sum is a decimal (order-independent), so the fused ordering cannot
+  * drift between engines or partitionings. Scale shape: each ranking
+  * is already a skinny (id, rank) frame; fusion is one union + one
+  * groupBy on the id — no corpus-sized data moves.
+  */
+object Retrieval {
+
+  /** Fuse rankings (each an (idCol, rankCol) frame, rank 1 = best)
+    * into (id, rrf, n_lists). `k` damps the head of each list.
+    */
+  def rrfFuse(
+      rankings: Seq[DataFrame],
+      idCol: String,
+      rankCol: String,
+      k: Int = 60
+  ): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    rankings
+      .map(_.select(
+        col(idCol),
+        round(lit(1.0) / (lit(k.toDouble) + col(rankCol).cast("double")), 6)
+          .cast(DecimalType(18, 6)).as("_contrib")))
+      .reduce(_.unionByName(_))
+      .groupBy(col(idCol))
+      .agg(
+        round(sum(col("_contrib")).cast("double"), 6).as("rrf"),
+        count(lit(1)).as("n_lists"))
+  }
+}

@@ -898,6 +898,31 @@ object OracleSql {
   val wave4: Map[String, String] = {
     import Wave4Queries.{Bm25, Lm, Substr}
     val termList = Bm25.Terms.map(t => s"'$t'").mkString(", ")
+    // shared by q_bm25 and q_hybrid_search (the lexical tower)
+    val bm25Ctes =
+      s"""dl AS (
+         |  SELECT doc_id, CAST(len(${wordTokensSql("text")}) AS BIGINT) AS dl,
+         |    ${wordTokensSql("text")} AS toks
+         |  FROM documents
+         |), stats AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, CAST(sum(dl) AS DOUBLE) AS sum_dl FROM dl
+         |), tf AS (
+         |  SELECT doc_id, dl, tok, CAST(count(*) AS DOUBLE) AS tf
+         |  FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM dl)
+         |  WHERE tok IN ($termList)
+         |  GROUP BY doc_id, dl, tok
+         |), df AS (
+         |  SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY tok
+         |), idf AS (
+         |  SELECT tok, round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 6) AS idf
+         |  FROM df CROSS JOIN stats
+         |), scored AS (
+         |  SELECT doc_id,
+         |    CAST(round(idf * (tf * (${Bm25.K1} + 1.0) /
+         |      (tf + ${Bm25.K1} * (1.0 - ${Bm25.B} + ${Bm25.B} * CAST(dl AS DOUBLE) / (sum_dl / n_docs)))), 6)
+         |      AS DECIMAL(18,6)) AS contrib
+         |  FROM tf JOIN idf USING (tok) CROSS JOIN stats
+         |)""".stripMargin
     Map(
       "q_cube" ->
         s"""SELECT l_returnflag, l_linestatus,
@@ -921,32 +946,40 @@ object OracleSql {
       // two sides cannot drift; arithmetic trees mirror the Spark
       // column expressions operation-for-operation (IEEE-identical)
       "q_bm25" ->
-        s"""WITH dl AS (
-           |  SELECT doc_id, CAST(len(${wordTokensSql("text")}) AS BIGINT) AS dl,
-           |    ${wordTokensSql("text")} AS toks
-           |  FROM documents
-           |), stats AS (
-           |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, CAST(sum(dl) AS DOUBLE) AS sum_dl FROM dl
-           |), tf AS (
-           |  SELECT doc_id, dl, tok, CAST(count(*) AS DOUBLE) AS tf
-           |  FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM dl)
-           |  WHERE tok IN ($termList)
-           |  GROUP BY doc_id, dl, tok
-           |), df AS (
-           |  SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY tok
-           |), idf AS (
-           |  SELECT tok, round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 6) AS idf
-           |  FROM df CROSS JOIN stats
-           |), scored AS (
-           |  SELECT doc_id,
-           |    CAST(round(idf * (tf * (${Bm25.K1} + 1.0) /
-           |      (tf + ${Bm25.K1} * (1.0 - ${Bm25.B} + ${Bm25.B} * CAST(dl AS DOUBLE) / (sum_dl / n_docs)))), 6)
-           |      AS DECIMAL(18,6)) AS contrib
-           |  FROM tf JOIN idf USING (tok) CROSS JOIN stats
-           |)
+        s"""WITH $bm25Ctes
            |SELECT doc_id, round(CAST(sum(contrib) AS DOUBLE), 4) AS score, count(*) AS n_terms
            |FROM scored GROUP BY doc_id
            |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+      // lexical (BM25) rank ∪ vector (cosine-to-probe) rank, each
+      // reciprocal rounded before the decimal sum — Cormack 2009 RRF
+      "q_hybrid_search" -> {
+        val k = Wave4Queries.Rrf.K
+        s"""WITH $bm25Ctes,
+           |lexs AS (
+           |  SELECT doc_id, round(CAST(sum(contrib) AS DOUBLE), 4) AS score
+           |  FROM scored GROUP BY doc_id),
+           |lex AS (
+           |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+           |  FROM lexs),
+           |probe AS (
+           |  SELECT embedding AS pv FROM embeddings
+           |  WHERE vec_id = ${Wave4Queries.Rrf.Probe}),
+           |vecs AS (
+           |  SELECT vec_id AS doc_id,
+           |    round(list_cosine_similarity(embedding::DOUBLE[], pv::DOUBLE[]), 4) AS sim
+           |  FROM embeddings CROSS JOIN probe),
+           |vec AS (
+           |  SELECT doc_id, row_number() OVER (ORDER BY sim DESC, doc_id) AS rank
+           |  FROM vecs),
+           |contribs AS (
+           |  SELECT doc_id, CAST(round(1.0 / ($k + CAST(rank AS DOUBLE)), 6) AS DECIMAL(18,6)) AS c FROM lex
+           |  UNION ALL
+           |  SELECT doc_id, CAST(round(1.0 / ($k + CAST(rank AS DOUBLE)), 6) AS DECIMAL(18,6)) AS c FROM vec)
+           |SELECT doc_id, round(CAST(sum(c) AS DOUBLE), 6) AS rrf, count(*) AS n_lists
+           |FROM contribs GROUP BY doc_id
+           |ORDER BY rrf DESC, doc_id LIMIT ${Wave4Queries.Rrf.TopN}""".stripMargin
+      },
 
       // p(w2|w1) = (c2+α)/(c1+α·V): exact integer counts, one IEEE
       // division, rounded per-bigram then decimal-summed — no

@@ -87,6 +87,7 @@ object QueryCatalog {
     Entry("q_cube", Wave4Queries.qCube),
     Entry("q_window_range", Wave4Queries.qWindowRange),
     Entry("q_bm25", Wave4Queries.qBm25),
+    Entry("q_hybrid_search", Wave4Queries.qHybridSearch),
     Entry("q_ngram_lm", Wave4Queries.qNgramLm),
     Entry("q_substr_dedup", Wave4Queries.qSubstrDedup),
     Entry("q_semdedup", Wave4Queries.qSemDedup),

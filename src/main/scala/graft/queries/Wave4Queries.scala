@@ -74,7 +74,13 @@ object Wave4Queries {
     * the query terms (a scan predicate), one skinny groupBy — the
     * whole corpus is never shuffled.
     */
-  def qBm25(s: SparkSession, dir: String): DataFrame = {
+  def qBm25(s: SparkSession, dir: String): DataFrame =
+    bm25Scored(s, dir).orderBy(col("score").desc, col("doc_id")).limit(20)
+
+  /** Every document containing ≥1 query term, BM25-scored (the full
+    * ranked list [[qHybridSearch]] fuses).
+    */
+  private def bm25Scored(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
       .select(col("doc_id"), Text.wordTokens(col("text")).as("toks"))
       .withColumn("dl", size(col("toks")).cast(LongType))
@@ -101,7 +107,41 @@ object Wave4Queries {
       .groupBy(col("doc_id"))
       .agg(round(sum(col("contrib")).cast(DoubleType), 4).as("score"),
         count(lit(1)).as("n_terms"))
-    scored.orderBy(col("score").desc, col("doc_id")).limit(20)
+    scored
+  }
+
+  // ---------- P37: hybrid retrieval (RRF fusion) ----------
+
+  /** RRF constants, shared with the oracle. */
+  object Rrf { val K = 60; val Probe = 0L; val TopN = 20 }
+
+  /** Hybrid search over the corpus: the BM25 lexical ranking (docs
+    * holding ≥1 query term) fused with a vector ranking (cosine to
+    * the probe embedding, all vectors) by reciprocal rank. Joining
+    * the two towers on doc_id = vec_id mirrors a real corpus where
+    * both indexes key the same documents.
+    */
+  def qHybridSearch(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Retrieval
+    val wLex = Window.orderBy(col("score").desc, col("doc_id"))
+    val lex = bm25Scored(s, dir)
+      .select(col("doc_id"), col("score"))
+      .withColumn("rank", row_number().over(wLex))
+      .select("doc_id", "rank")
+
+    val e = t(s, dir, "embeddings")
+    val probe = e.where(col("vec_id") === Rrf.Probe)
+      .select(col("embedding").as("_probe"))
+    val wVec = Window.orderBy(col("sim").desc, col("doc_id"))
+    val vec = e.crossJoin(broadcast(probe))
+      .select(col("vec_id").as("doc_id"),
+        graft.functions.Vectors.cosine(col("embedding"), col("_probe")).as("sim"))
+      .withColumn("rank", row_number().over(wVec))
+      .select("doc_id", "rank")
+
+    Retrieval.rrfFuse(Seq(lex, vec), "doc_id", "rank", Rrf.K)
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(Rrf.TopN)
   }
 
   // ---------- P32: bigram language model ----------
