@@ -836,7 +836,7 @@ object DeltaLog {
     * multi-part set missing any of its declared parts is treated as
     * absent, exactly like a checkpoint a writer is still writing).
     */
-  private def listLog(
+  private[tables] def listLog(
       spark: SparkSession,
       tablePath: String
   ): (Map[Long, Path], Map[Long, Seq[Path]]) = {

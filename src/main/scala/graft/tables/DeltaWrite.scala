@@ -1277,6 +1277,33 @@ object DeltaWrite {
     throw new IllegalStateException("unreachable")
   }
 
+  /** Metadata cleanup (`delta.logRetentionDuration` semantics): delete
+    * JSON commits and superseded checkpoints that are (a) at or below
+    * the newest complete checkpoint version — replay never needs them
+    * — AND (b) older than the retention window. Time travel to the
+    * cleaned-up versions stops working (the standard Delta contract);
+    * the newest checkpoint, every commit after it, and
+    * `_last_checkpoint` are never touched, so current reads and the
+    * aged-prefix replay path are unaffected. Returns files deleted.
+    */
+  def cleanupLog(
+      spark: SparkSession,
+      tablePath: String,
+      retentionMs: Long = 30L * 24 * 3600 * 1000
+  ): Int = {
+    val dir = DeltaLog.logDir(tablePath)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (jsons, cps) = DeltaLog.listLog(spark, tablePath)
+    val cpV = cps.keys.maxOption.getOrElse(return 0) // nothing covers a prefix
+    val cutoff = System.currentTimeMillis() - retentionMs
+    def expired(p: Path): Boolean = fs.getFileStatus(p).getModificationTime < cutoff
+    val deletable =
+      jsons.filter { case (v, p) => v <= cpV && expired(p) }.values.toSeq ++
+        cps.filter { case (v, ps) => v < cpV && ps.forall(expired) }.values.flatten
+    deletable.foreach(p => fs.delete(p, false))
+    deletable.size
+  }
+
   /** Write a checkpoint of the current snapshot
     * (`%020d.checkpoint.parquet` + `_last_checkpoint`), allowing
     * readers to replay O(commits since checkpoint) instead of the full

@@ -104,4 +104,32 @@ class DeltaUpdateSpec extends SparkSpec {
     assert(got == Set(1L, 2L))
     assert(t(dir)(spark, ReadArgs.where(Filter("part", "=", "a"))).count() == 0)
   }
+
+  test("cleanupLog deletes only expired commits at or below the newest checkpoint") {
+    val dir = tempDir("delta-cleanup").toString + "/t"
+    (0 until 4).foreach(i =>
+      DeltaWrite.append(spark, Seq((i.toLong, s"v$i")).toDF("id", "v"), dir))
+    // no checkpoint yet -> nothing is cleanable regardless of age
+    assert(DeltaWrite.cleanupLog(spark, dir, retentionMs = 0L) == 0)
+
+    DeltaWrite.checkpoint(spark, dir) // at version 3
+    DeltaWrite.append(spark, Seq((9L, "post")).toDF("id", "v"), dir) // version 4
+    // inside the retention window nothing goes either
+    assert(DeltaWrite.cleanupLog(spark, dir) == 0)
+
+    val n = DeltaWrite.cleanupLog(spark, dir, retentionMs = 0L)
+    assert(n == 4) // commits 0-3; the checkpoint and commit 4 stay
+    // current reads replay checkpoint + post-checkpoint commit
+    val got = t(dir)(spark, ReadArgs()).select("id").as[Long].collect().toSet
+    assert(got == Set(0L, 1L, 2L, 3L, 9L))
+    // time travel into the cleaned prefix refuses loudly, not wrongly
+    intercept[Exception] {
+      t(dir)(spark, ReadArgs(extra = Map(t(dir).VersionKey -> 1L))).count()
+    }
+    // a later checkpoint supersedes the old one, which then expires too
+    DeltaWrite.checkpoint(spark, dir)
+    val n2 = DeltaWrite.cleanupLog(spark, dir, retentionMs = 0L)
+    assert(n2 == 2) // commit 4 + the version-3 checkpoint file
+    assert(t(dir)(spark, ReadArgs()).count() == 5)
+  }
 }
