@@ -143,6 +143,20 @@ object StreamOps {
     * Works identically on batch frames (same plan — the agreement is
     * spec-tested).
     */
+  /** Stream-static enrichment: every micro-batch joins against the
+    * bounded dimension frame (explicitly broadcast — the classic
+    * fact-stream × dim shape; no watermark is needed because the
+    * static side never grows). At scale the dim rides the broadcast
+    * to every executor once per plan, not once per row.
+    */
+  def enrich(
+      stream: DataFrame,
+      dim: DataFrame,
+      keys: Seq[String],
+      joinType: String = "inner"
+  ): DataFrame =
+    stream.join(org.apache.spark.sql.functions.broadcast(dim), keys, joinType)
+
   def intervalJoin(
       left: DataFrame,
       right: DataFrame,

@@ -67,6 +67,24 @@ class StreamOpsSpec extends SparkSpec {
     assert(viaWindow == viaBatch)
   }
 
+  test("stream-static enrichment joins each micro-batch against a broadcast dim") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Double)]
+    val dim = Seq((1L, "emea"), (2L, "apac")).toDF("nation_id", "region")
+    val enriched = StreamOps.enrich(
+      input.toDF().toDF("nation_id", "value"), dim, Seq("nation_id"))
+      .groupBy("region").agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+    val q = enriched.writeStream.format("memory").queryName("enr")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      input.addData((1L, 1.0), (1L, 2.0), (2L, 5.0), (3L, 9.0)) // 3 has no dim row
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT region, n, sum_value FROM enr")
+        .as[(String, Long, Double)].collect().toSet
+      assert(rows == Set(("emea", 2L, 3.0), ("apac", 1L, 5.0)))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches clicks to impressions") {
     implicit val sqlCtx = spark.sqlContext
     val imps = MemoryStream[(Long, java.sql.Timestamp)]
