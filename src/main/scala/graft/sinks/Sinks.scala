@@ -36,6 +36,36 @@ object Sinks {
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .saveAsTable(table)
 
+  /** Deterministic shuffled shards — the export shape a training data
+    * loader consumes: every row lands in shard `md5(salt|id) % n`
+    * (engine- and partitioning-stable, like [[graft.operators
+    * .Sampling]]'s gates), rows within a shard are ordered by the
+    * same hash (a reproducible global shuffle, no RNG), and shards
+    * are written as `shard=N/` partition dirs so a loader can read
+    * any subset. The hash decorrelates neighbors, so each shard is an
+    * unbiased sample of the corpus — what per-worker training streams
+    * need. One shuffle total.
+    */
+  def writeShuffledShards(
+      df: DataFrame,
+      path: String,
+      idCol: String,
+      numShards: Int,
+      salt: String = "shard",
+      mode: SaveMode = SaveMode.Overwrite
+  ): Unit = {
+    require(numShards > 0, "numShards must be positive")
+    import org.apache.spark.sql.functions.{col, concat_ws, lit}
+    val h = graft.functions.PortableHash.md5Mod(
+      concat_ws("|", lit(salt), col(idCol).cast("string")))
+    df.withColumn("shard", (h % numShards).cast("int"))
+      .withColumn("_shuffle_key", h)
+      .repartition(numShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("_shuffle_key"), col(idCol))
+      .drop("_shuffle_key")
+      .write.mode(mode).partitionBy("shard").parquet(path)
+  }
+
   /** Size-targeted parquet: estimates the row byte-width from a
     * sample-free logical-plan stats pass and repartitions so output
     * files land near `targetFileBytes` (the write-time counterpart of
