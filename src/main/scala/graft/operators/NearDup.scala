@@ -32,7 +32,7 @@ object NearDup {
   private val MaxCachedFrames = 8
   private val cachedFrames = scala.collection.mutable.Queue.empty[DataFrame]
 
-  private[operators] def registerCache(df: DataFrame): DataFrame = synchronized {
+  private[graft] def registerCache(df: DataFrame): DataFrame = synchronized {
     cachedFrames.enqueue(df)
     while (cachedFrames.size > MaxCachedFrames)
       cachedFrames.dequeue().unpersist(blocking = false)

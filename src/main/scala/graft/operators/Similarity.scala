@@ -248,16 +248,22 @@ object Similarity {
       vecCol: String,
       threshold: Double
   ): DataFrame = {
-    val a = assigned.select(
+    // the assignment subtree is referenced three times (both self-join
+    // sides + the final join-back); persist it once so the clustering
+    // runs one corpus pass, not three (NearDup's capped registry frees
+    // it via releaseCaches)
+    val once = assigned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    NearDup.registerCache(once)
+    val a = once.select(
       col("centroid_id"), col(idCol).as("_a_id"), col(vecCol).as("_av"))
-    val b = assigned.select(
+    val b = once.select(
       col("centroid_id"), col(idCol).as("_b_id"), col(vecCol).as("_bv"))
     val dropped = a.join(b, Seq("centroid_id"))
       .where(col("_a_id") < col("_b_id"))
       .where(Vectors.cosine(col("_av"), col("_bv")) >= threshold)
       .select(col("_b_id").as(idCol))
       .distinct()
-    assigned
+    once
       .join(dropped.withColumn("_dropped", lit(1L)), Seq(idCol), "left")
       .withColumn("kept", when(col("_dropped").isNull, 1L).otherwise(0L))
       .drop("_dropped")

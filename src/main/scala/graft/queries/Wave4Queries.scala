@@ -81,9 +81,14 @@ object Wave4Queries {
     * ranked list [[qHybridSearch]] fuses).
     */
   private def bm25Scored(s: SparkSession, dir: String): DataFrame = {
+    // the tokenized frame feeds corpus stats AND the posting lists —
+    // persist it so the regex tokenization runs one corpus pass (the
+    // per-token explode below is the expensive part of this query)
     val docs = t(s, dir, "documents")
       .select(col("doc_id"), Text.wordTokens(col("text")).as("toks"))
       .withColumn("dl", size(col("toks")).cast(LongType))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.operators.NearDup.registerCache(docs)
     val stats = docs.agg(
       count(lit(1)).as("n_docs"),
       sum(col("dl")).as("sum_dl"))
