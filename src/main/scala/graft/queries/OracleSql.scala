@@ -1081,6 +1081,17 @@ object OracleSql {
            |FROM c ORDER BY doc_id""".stripMargin
       },
 
+      // the exact shard assignment writeShuffledShards uses, so the
+      // exported layout is provably recomputable from any engine
+      "q_shard_stats" -> {
+        val n = Wave4Queries.Shards.N
+        s"""SELECT CAST(${PortableHash.Sql.md5Mod("'shard' || '|' || CAST(doc_id AS VARCHAR)")} % $n AS INTEGER) AS shard,
+           |  count(*) AS n_docs,
+           |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+           |FROM documents GROUP BY shard ORDER BY shard""".stripMargin
+      },
+
       // gate mirrors Sampling.weightedSample operation-for-operation:
       // bucket < least(1, least(1, n_chars/2000) * rate), pure IEEE
       // arithmetic on integer-derived values

@@ -93,6 +93,7 @@ object QueryCatalog {
     Entry("q_semdedup", Wave4Queries.qSemDedup),
     Entry("q_seq_pack", Wave4Queries.qSeqPack),
     Entry("q_weighted_sample", Wave4Queries.qWeightedSample),
+    Entry("q_shard_stats", Wave4Queries.qShardStats),
     Entry("q_delta_clone", Wave4Queries.qDeltaClone),
     Entry("q_delta_update", Wave4Queries.qDeltaUpdate)
   )

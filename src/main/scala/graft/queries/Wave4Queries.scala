@@ -322,6 +322,27 @@ object Wave4Queries {
       .orderBy("doc_id")
   }
 
+  // ---------- P38 proof: shard assignment profile ----------
+
+  /** Shard-export constants, shared with the oracle. */
+  object Shards { val N = 8 }
+
+  /** Per-shard profile of the documents corpus under the shard
+    * assignment [[graft.sinks.Sinks.writeShuffledShards]] writes:
+    * counts, bytes, and source coverage — the oracle reproducing the
+    * exact assignment proves the exported layout is engine-portable
+    * (a loader in any stack can recompute which shard holds a row).
+    */
+  def qShardStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("shard", graft.sinks.Sinks.shardOf(col("doc_id"), Shards.N))
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars").cast(LongType)).as("sum_chars"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy("shard")
+
   // ---------- P36: quality-weighted sampling ----------
 
   /** Weighted-sampling constants, shared with the oracle. */

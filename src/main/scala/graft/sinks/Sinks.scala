@@ -46,6 +46,17 @@ object Sinks {
     * unbiased sample of the corpus — what per-worker training streams
     * need. One shuffle total.
     */
+  /** The shard a row lands in: md5(salt|id) % numShards — the same
+    * portable hash the samplers use, so any engine (and the DuckDB
+    * oracle) reproduces the assignment bit-for-bit.
+    */
+  def shardOf(id: org.apache.spark.sql.Column, numShards: Int, salt: String = "shard")
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{concat_ws, lit}
+    (graft.functions.PortableHash.md5Mod(
+      concat_ws("|", lit(salt), id.cast("string"))) % numShards).cast("int")
+  }
+
   def writeShuffledShards(
       df: DataFrame,
       path: String,
@@ -58,7 +69,7 @@ object Sinks {
     import org.apache.spark.sql.functions.{col, concat_ws, lit}
     val h = graft.functions.PortableHash.md5Mod(
       concat_ws("|", lit(salt), col(idCol).cast("string")))
-    df.withColumn("shard", (h % numShards).cast("int"))
+    df.withColumn("shard", shardOf(col(idCol), numShards, salt))
       .withColumn("_shuffle_key", h)
       .repartition(numShards, col("shard"))
       .sortWithinPartitions(col("shard"), col("_shuffle_key"), col(idCol))
