@@ -221,4 +221,27 @@ class DeltaRowTrackingSpec extends SparkSpec {
     val ids = rowIds(dst).values.flatMap(_._1).toSeq
     assert(ids.distinct.size == ids.size)
   }
+
+  test("concurrent appends to a row-tracked table mint disjoint id ranges") {
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    val dir = tempDir("delta-rt-race").toString + "/t"
+    DeltaWrite.append(spark, Seq.empty[(Long, String)].toDF("id", "v"), dir)
+    enable(dir)
+    // eight writers race; each loses commits and re-reads the mark —
+    // every re-assignment must still produce globally disjoint ranges
+    val writers = (0 until 8).map { w =>
+      Future(DeltaWrite.append(spark,
+        (0 until 5).map(i => (w * 100L + i, s"w$w")).toDF("id", "v"), dir))
+    }
+    Await.result(Future.sequence(writers), 300.seconds)
+
+    val ids = rowIds(dir)
+    assert(ids.size == 40)
+    val assigned = ids.values.map(_._1.get).toSeq
+    assert(assigned.distinct.size == 40, "row ids collided across racing writers")
+    assert(assigned.sorted == (0L until 40L)) // contiguous, no holes
+    assert(DeltaLog.snapshot(spark, dir).rowIdHighWaterMark == 39L)
+  }
 }
