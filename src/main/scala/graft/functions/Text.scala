@@ -36,6 +36,25 @@ object Text {
   private def substring_index_at(c: Column, i: Column, k: Int): Column =
     c.substr(i + 1, lit(k))
 
+  /** Sliding-window character chunks with overlap (size − stride): the
+    * segmentation an embedding index or RAG pipeline feeds documents
+    * through. Chunk i starts at i·stride (0-based); the last chunk
+    * starts at the smallest multiple of stride covering the tail (and
+    * may be shorter); an empty string yields one empty chunk. Pure
+    * scan arithmetic — chunk COUNT first, then one substring per
+    * chunk.
+    * DuckDB: list_transform(range(0, 1 + (greatest(length(x)-size,0)+stride-1)//stride),
+    *   i -> substr(x, i*stride + 1, size))
+    */
+  def slidingChunks(c: Column, size: Int, stride: Int): Column = {
+    require(size > 0 && stride > 0 && stride <= size,
+      "need 0 < stride <= size (overlap = size - stride)")
+    val n = lit(1) +
+      ((greatest(length(c) - size, lit(0)) + (stride - 1)).cast("long") / stride)
+        .cast("long")
+    transform(sequence(lit(0L), n - 1), i => c.substr((i * stride + 1).cast("int"), lit(size)))
+  }
+
   /** Count of non-overlapping occurrences of literal `marker`.
     * DuckDB: (length(x) - length(replace(x, m, ''))) // length(m)
     */

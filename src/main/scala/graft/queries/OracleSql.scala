@@ -1081,6 +1081,22 @@ object OracleSql {
            |FROM c ORDER BY doc_id""".stripMargin
       },
 
+      // chunk boundaries mirror Text.slidingChunks: starts at
+      // i*stride, count = 1 + ceil(max(len-size,0)/stride)
+      "q_chunks" -> {
+        val sz = Wave4Queries.Chunk.Size
+        val st = Wave4Queries.Chunk.Stride
+        s"""WITH chunks AS (
+           |  SELECT source,
+           |    unnest(list_transform(
+           |      range(0, 1 + (greatest(length(text) - $sz, 0) + ${st - 1}) // $st),
+           |      i -> md5(substr(text, CAST(i * $st + 1 AS INTEGER), $sz)))) AS h
+           |  FROM documents)
+           |SELECT source, count(*) AS n_chunks,
+           |  CAST(count(DISTINCT h) AS BIGINT) AS n_distinct_chunks
+           |FROM chunks GROUP BY source ORDER BY source""".stripMargin
+      },
+
       // the exact shard assignment writeShuffledShards uses, so the
       // exported layout is provably recomputable from any engine
       "q_shard_stats" -> {

@@ -94,6 +94,7 @@ object QueryCatalog {
     Entry("q_seq_pack", Wave4Queries.qSeqPack),
     Entry("q_weighted_sample", Wave4Queries.qWeightedSample),
     Entry("q_shard_stats", Wave4Queries.qShardStats),
+    Entry("q_chunks", Wave4Queries.qChunks),
     Entry("q_delta_clone", Wave4Queries.qDeltaClone),
     Entry("q_delta_update", Wave4Queries.qDeltaUpdate)
   )

@@ -322,6 +322,29 @@ object Wave4Queries {
       .orderBy("doc_id")
   }
 
+  // ---------- P39: sliding-window chunking (overlap) ----------
+
+  /** Chunking constants, shared with the oracle. */
+  object Chunk { val Size = 200; val Stride = 150 }
+
+  /** Overlapping character chunks (RAG / embedding-index
+    * segmentation) over the corpus: per source, how many chunks the
+    * documents cut into and how many are distinct across the corpus
+    * (overlap + boilerplate make repeated chunks — the quantity an
+    * index deduplicates). Chunk content is md5-digested, so the hash
+    * match verifies every chunk boundary byte-for-byte.
+    */
+  def qChunks(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        explode(Text.slidingChunks(col("text"), Chunk.Size, Chunk.Stride)).as("chunk"))
+      .select(col("source"), md5(col("chunk")).as("h"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        countDistinct(col("h")).as("n_distinct_chunks"))
+      .orderBy("source")
+
   // ---------- P38 proof: shard assignment profile ----------
 
   /** Shard-export constants, shared with the oracle. */

@@ -89,4 +89,31 @@ class TextSpec extends SparkSpec {
     val fp2 = one(Text.fingerprint(col("t")), "hello world")
     assert(fp1 == fp2)
   }
+
+  test("slidingChunks: boundaries, tail coverage, overlap, degenerate inputs") {
+    import org.apache.spark.sql.functions._
+    def chunksOf(text: String, size: Int, stride: Int): Seq[String] =
+      Seq(text).toDF("t")
+        .select(Text.slidingChunks(col("t"), size, stride).as("c"))
+        .as[Seq[String]].head()
+    // exact multiple: two full chunks, no phantom tail chunk
+    assert(chunksOf("abcdefgh", 5, 3) == Seq("abcde", "defgh"))
+    // tail covered by the last window (start 6 >= len - size)
+    assert(chunksOf("abcdefghij", 4, 3) == Seq("abcd", "defg", "ghij"))
+    // tail longer than the last full window adds a (shorter) chunk
+    assert(chunksOf("abcdefghijk", 4, 3) == Seq("abcd", "defg", "ghij", "jk"))
+    // shorter than one chunk -> the string itself
+    assert(chunksOf("ab", 5, 3) == Seq("ab"))
+    // empty -> one empty chunk
+    assert(chunksOf("", 5, 3) == Seq(""))
+    // stride == size -> disjoint chunks, every char exactly once
+    val disjoint = chunksOf("abcdefghij", 3, 3)
+    assert(disjoint.mkString == "abcdefghij")
+    // overlap = size - stride chars shared between neighbors
+    val ov = chunksOf("abcdefghij", 4, 2)
+    ov.sliding(2).foreach {
+      case Seq(a, b) => assert(a.takeRight(2) == b.take(2).take(a.takeRight(2).length))
+      case _         =>
+    }
+  }
 }
