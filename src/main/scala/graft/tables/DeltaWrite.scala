@@ -1261,7 +1261,11 @@ object DeltaWrite {
           .flatMap(s => scala.util.Try(s.toLong).toOption)
           .filter(n => n > 0 && version > 0 && version % n == 0)
           .foreach { _ =>
-            try checkpoint(spark, tablePath)
+            // delta.checkpointPolicy=v2 selects the manifest+sidecar
+            // flavor (the huge-table layout); classic is the default
+            val v2 = snapOpt.map(_.metadata)
+              .exists(_.configuration.get("delta.checkpointPolicy").contains("v2"))
+            try if (v2) checkpointV2(spark, tablePath) else checkpoint(spark, tablePath)
             catch {
               case scala.util.control.NonFatal(e) =>
                 System.err.println(

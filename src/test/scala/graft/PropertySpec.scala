@@ -74,4 +74,45 @@ object GraftProperties extends Properties("graft") {
         .withColumn("s", Sampling.splitLabel(col("id"), splits))
       labeled.where(col("s").isin("a", "b")).count() == 200
     }
+
+  property("slidingChunks reconstruct the input when stride == size") =
+    forAll(Gen.alphaNumStr.map(_.take(200)), Gen.chooseNum(1, 12)) { (s: String, size: Int) =>
+      val chunks = Seq(s).toDF("t")
+        .select(Text.slidingChunks(col("t"), size, size).as("c"))
+        .as[Seq[String]].head()
+      chunks.mkString == s
+    }
+
+  property("slidingChunks cover every character and respect the stride grid") =
+    forAll(Gen.alphaNumStr.map(_.take(300)), Gen.chooseNum(2, 20), Gen.chooseNum(1, 20)) {
+      (s: String, size: Int, strideRaw: Int) =>
+        val stride = math.min(strideRaw, size)
+        val chunks = Seq(s).toDF("t")
+          .select(Text.slidingChunks(col("t"), size, stride).as("c"))
+          .as[Seq[String]].head()
+        val starts = chunks.indices.map(_ * stride)
+        val covered = starts.zip(chunks).flatMap { case (st, c) => st until (st + c.length) }
+        chunks.nonEmpty &&
+          chunks.init.forall(_.length == size) &&              // only the tail may be short
+          covered.toSet == s.indices.toSet &&                  // full coverage, no gaps
+          starts.zip(chunks).forall { case (st, c) => s.slice(st, st + c.length) == c }
+    }
+
+  property("concatChunks spans partition the token stream exactly") =
+    forAll(
+      Gen.nonEmptyListOf(Gen.chooseNum(0L, 50L)).map(_.take(40)),
+      Gen.chooseNum(1L, 64L)) { (tokens: List[Long], budget: Long) =>
+      val df = tokens.zipWithIndex.map { case (n, i) => ("s", i.toLong, n) }
+        .toDF("src", "id", "n")
+      val rows = graft.operators.Packing.concatChunks(df, "src", "id", "n", budget)
+        .orderBy("id").select("tok_start", "n", "chunk_first", "chunk_last")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      val cum = tokens.scanLeft(0L)(_ + _)
+      rows.zipWithIndex.forall { case ((start, n, cf, cl), i) =>
+        start == cum(i) &&                                     // spans tile the stream
+          cf == start / budget &&
+          cl == math.max(start, start + n - 1) / budget &&     // end-inclusive chunk
+          cf <= cl
+      }
+    }
 }

@@ -626,4 +626,22 @@ class DeltaSpec extends SparkSpec {
     val t = new DeltaTable("t", dir)
     assert(t(spark).select("id").as[Long].collect().sorted.toSeq == (0L to 5L))
   }
+
+  test("delta.checkpointPolicy=v2 makes periodic checkpoints manifest+sidecar flavored") {
+    val dir = tempDir("delta-ckpol").toString + "/t"
+    DeltaWrite.append(spark, Seq((0L, "a")).toDF("id", "tag"), dir)               // v0
+    DeltaWrite.setTableProperties(spark, dir,
+      Map("delta.checkpointInterval" -> "2", "delta.checkpointPolicy" -> "v2"))   // v1
+    DeltaWrite.append(spark, Seq((1L, "b")).toDF("id", "tag"), dir)               // v2 -> cp
+    val log = new java.io.File(dir, "_delta_log")
+    val cps = log.listFiles().map(_.getName).filter(_.contains("checkpoint"))
+    // UUID-named manifest, not the classic %020d.checkpoint.parquet
+    assert(cps.exists(n => n.startsWith("00000000000000000002.checkpoint.")
+      && n != "00000000000000000002.checkpoint.parquet"), cps.toSeq)
+    assert(new java.io.File(log, "_sidecars").isDirectory)
+    // replay from the v2 checkpoint after aging out the JSON prefix
+    (0L to 2L).foreach(v => new java.io.File(log, f"$v%020d.json").delete())
+    val t = new DeltaTable("t", dir)
+    assert(t(spark).select("id").as[Long].collect().sorted.toSeq == Seq(0L, 1L))
+  }
 }
