@@ -1301,8 +1301,14 @@ object DeltaWrite {
     val cpV = cps.keys.maxOption.getOrElse(return 0) // nothing covers a prefix
     val cutoff = System.currentTimeMillis() - retentionMs
     def expired(p: Path): Boolean = fs.getFileStatus(p).getModificationTime < cutoff
+    // the newest commit always survives: the next writer's in-commit
+    // timestamp reads the previous commit's ICT from it (clock-skew
+    // monotonicity), and timestamp time travel needs ≥1 anchor
+    val newest = jsons.keys.maxOption
     val deletable =
-      jsons.filter { case (v, p) => v <= cpV && expired(p) }.values.toSeq ++
+      jsons.filter { case (v, p) =>
+        v <= cpV && !newest.contains(v) && expired(p)
+      }.values.toSeq ++
         cps.filter { case (v, ps) => v < cpV && ps.forall(expired) }.values.flatten
     deletable.foreach(p => fs.delete(p, false))
     deletable.size

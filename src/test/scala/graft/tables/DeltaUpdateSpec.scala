@@ -126,10 +126,12 @@ class DeltaUpdateSpec extends SparkSpec {
     intercept[Exception] {
       t(dir)(spark, ReadArgs(extra = Map(t(dir).VersionKey -> 1L))).count()
     }
-    // a later checkpoint supersedes the old one, which then expires too
+    // a later checkpoint supersedes the old one, which then expires;
+    // the NEWEST commit always survives (ICT monotonicity anchor)
     DeltaWrite.checkpoint(spark, dir)
     val n2 = DeltaWrite.cleanupLog(spark, dir, retentionMs = 0L)
-    assert(n2 == 2) // commit 4 + the version-3 checkpoint file
+    assert(n2 == 1) // only the version-3 checkpoint file
+    assert(new java.io.File(dir + "/_delta_log", f"${4L}%020d.json").exists)
     assert(t(dir)(spark, ReadArgs()).count() == 5)
   }
 }
