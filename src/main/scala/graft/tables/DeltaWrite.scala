@@ -171,7 +171,7 @@ object DeltaWrite {
     val adds = stageFiles(spark, kept, tablePath, partCols, statsExclude = matEx)
     commitLoop(spark, tablePath, adds, candidates,
       snap.metadata.schemaString, partCols, overwrite = false,
-      extraActions = cdcActions)
+      extraActions = cdcActions, requireBase = Some(snap.version))
   }
 
   /** UPDATE ... SET: copy-on-write rewrite of the files that may hold
@@ -587,7 +587,8 @@ object DeltaWrite {
     // replaced DV file gets its own tombstone for vacuum retention
     commitLoop(spark, tablePath, adds, bitmaps.map { case (key, _) => byPath(key) },
       snap.metadata.schemaString, partCols, overwrite = false,
-      extraActions = Seq(DvProtocolAction) ++ cdcActions)
+      extraActions = Seq(DvProtocolAction) ++ cdcActions,
+      requireBase = Some(snap.version))
   }
 
   /** MERGE (upsert): rows of `source` replace target rows with the
@@ -713,7 +714,8 @@ object DeltaWrite {
       else Set.empty
     val adds = stageFiles(spark, content, tablePath, partCols, statsExclude = matEx)
     commitLoop(spark, tablePath, adds, candidates,
-      meta.schemaString, partCols, overwrite = false, extraActions = cdcActions)
+      meta.schemaString, partCols, overwrite = false, extraActions = cdcActions,
+      requireBase = Some(snap.version))
   }
 
   private val DvProtocolAction =
@@ -885,7 +887,8 @@ object DeltaWrite {
     val extra = if (adds.exists(_.dv.isDefined)) Seq(DvProtocolAction) else Seq.empty
     commitLoop(spark, tablePath, adds, removes,
       old.metadata.schemaString, old.metadata.partitionColumns,
-      overwrite = false, extraActions = extra)
+      overwrite = false, extraActions = extra,
+      requireBase = Some(cur.version))
   }
 
   /** OPTIMIZE: bin-pack each partition's small files (and any
@@ -926,7 +929,7 @@ object DeltaWrite {
     val adds = stageFiles(spark, kept, tablePath, partCols, statsExclude = matEx)
     commitLoop(spark, tablePath, adds, candidates,
       snap.metadata.schemaString, partCols, overwrite = false,
-      dataChange = false)
+      dataChange = false, requireBase = Some(snap.version))
   }
 
   /** OPTIMIZE ZORDER BY: rewrite the table (all partitions' files)
@@ -989,7 +992,7 @@ object DeltaWrite {
       .map(_.copy(tags = Map(ZOrderTag -> spec)))
     commitLoop(spark, tablePath, adds, candidates,
       snap.metadata.schemaString, partCols, overwrite = false,
-      dataChange = false)
+      dataChange = false, requireBase = Some(snap.version))
   }
 
   /** VACUUM: physically delete data files (and DV files) under the

@@ -134,4 +134,28 @@ class DeltaUpdateSpec extends SparkSpec {
     assert(new java.io.File(dir + "/_delta_log", f"${4L}%020d.json").exists)
     assert(t(dir)(spark, ReadArgs()).count() == 5)
   }
+
+  test("snapshot-derived rewrites never lose concurrent appends (refuse or serialize)") {
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.util.Try
+    val dir = tempDir("delta-conc").toString + "/t"
+    (0 until 3).foreach(i =>
+      DeltaWrite.append(spark, Seq((i.toLong, "seed")).toDF("id", "v"), dir))
+    val expected = scala.collection.mutable.Set(0L, 1L, 2L)
+    (0 until 4).foreach { round =>
+      val newId = 100L + round
+      val opt = Future(Try(DeltaWrite.optimize(spark, dir, smallFileBytes = 1L << 20)))
+      val app = Future(DeltaWrite.append(spark, Seq((newId, "race")).toDF("id", "v"), dir))
+      Await.result(app, 120.seconds)
+      val optRes = Await.result(opt, 120.seconds)
+      expected += newId
+      // optimize either committed against an unmoved table or refused
+      // with ConcurrentWriteException — both leave every row intact
+      optRes.failed.foreach(e => assert(e.isInstanceOf[DeltaWrite.ConcurrentWriteException], e))
+      val got = t(dir)(spark, ReadArgs()).select("id").as[Long].collect().toSet
+      assert(got == expected.toSet, s"round $round lost rows")
+    }
+  }
 }
