@@ -1081,6 +1081,49 @@ object OracleSql {
            |FROM c ORDER BY doc_id""".stripMargin
       },
 
+      // the full funnel: quality flags (same CTEs as q_quality_rules)
+      // → min-id-per-content-hash dedup → md5 sample gate
+      "q_curation" -> {
+        import graft.functions.QualityRules._
+        val stopList = RequiredStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+        val bulletCond =
+          BulletPrefixes.map(p => s"starts_with(trim(l), '$p')").mkString(" OR ")
+        s"""WITH sig AS (
+           |  SELECT doc_id, source, text,
+           |    ${wordTokensSql("text")} AS wtoks,
+           |    ${wsTokensSql("text")} AS toks,
+           |    string_split(text, chr(10)) AS ls
+           |  FROM documents),
+           |m AS (
+           |  SELECT doc_id, source, text,
+           |    CAST(len(toks) AS BIGINT) AS n_words,
+           |    round(list_sum(list_transform(toks, t -> length(t))) / greatest(len(toks), 1), 4) AS mwl,
+           |    round((${occSql("text", "#")} + ${occSql("text", "...")}) / greatest(len(toks), 1), 4) AS symr,
+           |    round(len(list_filter(ls, l -> $bulletCond)) / greatest(len(ls), 1), 4) AS bulr,
+           |    round(len(list_filter(ls, l -> ends_with(rtrim(l), '...'))) / greatest(len(ls), 1), 4) AS ellr,
+           |    round(len(list_filter(toks, t -> regexp_matches(t, '[a-zA-Z]'))) / greatest(len(toks), 1), 4) AS alpr,
+           |    CAST(len(list_intersect(wtoks, $stopList)) AS BIGINT) AS stoph
+           |  FROM sig),
+           |passed AS (
+           |  SELECT doc_id, source, text, n_words FROM m
+           |  WHERE n_words >= ${Wave4Queries.Curate.MinWords}
+           |    AND stoph >= ${Wave4Queries.Curate.MinStop}
+           |    AND alpr >= ${Wave4Queries.Curate.MinAlpha}
+           |    AND mwl >= ${Wave4Queries.Curate.MinMwl}
+           |    AND mwl <= ${Wave4Queries.Curate.MaxMwl}),
+           |deduped AS (
+           |  SELECT doc_id, source, n_words FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+           |    FROM passed) WHERE rn = 1),
+           |sampled AS (
+           |  SELECT * FROM deduped
+           |  WHERE ${bucketSql("curate", "doc_id")} < ${Wave4Queries.Curate.Rate})
+           |SELECT source, count(*) AS n_kept,
+           |  CAST(sum(n_words) AS BIGINT) AS sum_words,
+           |  min(doc_id) AS min_id, max(doc_id) AS max_id
+           |FROM sampled GROUP BY source ORDER BY source""".stripMargin
+      },
+
       // chunk boundaries mirror Text.slidingChunks: starts at
       // i*stride, count = 1 + ceil(max(len-size,0)/stride)
       "q_chunks" -> {

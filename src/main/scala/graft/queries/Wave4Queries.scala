@@ -322,6 +322,60 @@ object Wave4Queries {
       .orderBy("doc_id")
   }
 
+  // ---------- P40: end-to-end curation pipeline ----------
+
+  /** Curation-capstone constants, shared with the oracle. The gate is
+    * a corpus-appropriate subset of the Gopher thresholds (this
+    * synthetic corpus never reaches MinStopHits=2, which would zero
+    * the funnel and verify nothing).
+    */
+  object Curate {
+    val Rate = 0.5
+    val MinWords = 50L; val MinStop = 1L
+    val MinAlpha = 0.8; val MinMwl = 3.0; val MaxMwl = 10.0
+  }
+
+  /** The whole curation funnel as ONE verified dataflow: Gopher
+    * quality gate → exact dedup (min-id survives per content hash) →
+    * deterministic Bernoulli sample — the composition a real corpus
+    * intake runs, oracle-checked end-to-end so stage interactions
+    * (not just stages) are verified. Scale shape: two scans' worth of
+    * signal arithmetic, ONE shuffle (the dedup hash), then a pure
+    * gate predicate.
+    */
+  def qCuration(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.QualityRules
+    import graft.operators.Sampling
+    val signals = t(s, dir, "documents")
+      .withColumn("toks", Text.wsTokens(col("text")))
+      .withColumn("wtoks", Text.wordTokens(col("text")))
+      .withColumn("ls", QualityRules.lines(col("text")))
+      .withColumn("n_words", size(col("toks")).cast("long"))
+      .withColumn("mwl", Text.meanTokenLenOf(col("toks")))
+      .withColumn("symr", QualityRules.symbolRatio(col("text"), col("toks")))
+      .withColumn("bulr", QualityRules.bulletRatio(col("ls")))
+      .withColumn("ellr", QualityRules.ellipsisRatio(col("ls")))
+      .withColumn("alpr", QualityRules.alphaRatio(col("toks")))
+      .withColumn("stoph", QualityRules.stopHits(col("wtoks")))
+    val kept = signals
+      .where(col("n_words") >= Curate.MinWords && col("stoph") >= Curate.MinStop &&
+        col("alpr") >= Curate.MinAlpha &&
+        col("mwl") >= Curate.MinMwl && col("mwl") <= Curate.MaxMwl)
+      .select(col("doc_id"), col("source"), col("text"), col("n_words"))
+      .withColumn("h", md5(col("text")))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy(col("h")).orderBy(col("doc_id"))))
+      .where(col("rn") === 1)
+      .where(Sampling.sampledBy(col("doc_id"), Curate.Rate, salt = "curate"))
+    kept.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        sum(col("n_words")).as("sum_words"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"))
+      .orderBy("source")
+  }
+
   // ---------- P39: sliding-window chunking (overlap) ----------
 
   /** Chunking constants, shared with the oracle. */
