@@ -21,6 +21,19 @@ object Sketches {
     approx_count_distinct(c, rsd)
 
   /** Approximate quantiles via percentile_approx. */
+  /** Misra-Gries heavy hitters: the top items of a string column in
+    * ONE bounded-memory pass — every item with frequency > n/(k+1) is
+    * guaranteed in the result, counts under-estimate by at most
+    * n/(k+1) ([[graft.functions.FrequentItemsSketch]]). The exact
+    * groupBy alternative shuffles every distinct item; this shuffles
+    * k counters per partial buffer.
+    */
+  def approxHeavyHitters(c: Column, k: Int): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.FrequentItemsSketch(
+        org.apache.spark.sql.graftbridge.Bridge.expression(c), k)
+        .toAggregateExpression())
+
   def approxQuantile(c: Column, q: Double, accuracy: Int = 10000): Column =
     percentile_approx(c, lit(q), lit(accuracy))
 

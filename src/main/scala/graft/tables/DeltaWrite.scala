@@ -52,17 +52,45 @@ object DeltaWrite {
       tablePath: String,
       version: Long,
       actions: Seq[String]
-  ): Boolean = {
-    val fs = DeltaLog.logDir(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val commitPath = new Path(DeltaLog.logDir(tablePath), f"$version%020d.json")
+  ): Boolean =
     try {
-      commitFileLock.synchronized {
-        val out = fs.create(commitPath, false)
-        try out.write((actions.mkString("\n") + "\n").getBytes("UTF-8"))
-        finally out.close()
-      }
+      putCommitAtomically(spark, tablePath, version,
+        (actions.mkString("\n") + "\n").getBytes("UTF-8"))
       true
     } catch { case _: java.io.IOException => false }
+
+  /** Put-if-absent of a commit file with ATOMIC CONTENT: the actions
+    * are written to a dot-temp file and renamed into place, so a
+    * concurrent reader can never list a partially-written commit
+    * (replaying truncated actions — e.g. a missing domainMetadata —
+    * would silently corrupt derived state like the row-id high-water
+    * mark). Rename is atomic on POSIX; the JVM-wide lock additionally
+    * serializes the exists-check + rename window for in-process
+    * writers (local[n] — this test/deploy shape). Throws IOException
+    * when the version already exists (the caller's retry signal).
+    */
+  private def putCommitAtomically(
+      spark: SparkSession,
+      tablePath: String,
+      version: Long,
+      bytes: Array[Byte]
+  ): Unit = {
+    val logDir = DeltaLog.logDir(tablePath)
+    val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val commitPath = new Path(logDir, f"$version%020d.json")
+    val tmp = new Path(logDir,
+      s"._commit_${java.util.UUID.randomUUID().toString.take(8)}.json.tmp")
+    commitFileLock.synchronized {
+      if (fs.exists(commitPath))
+        throw new java.io.IOException(s"commit $commitPath already exists")
+      val out = fs.create(tmp, false)
+      try out.write(bytes)
+      finally out.close()
+      if (!fs.rename(tmp, commitPath)) {
+        fs.delete(tmp, false)
+        throw new java.io.IOException(s"lost the rename race for $commitPath")
+      }
+    }
   }
 
   /** Append `df` to (or create) the delta table at `tablePath`.
@@ -830,19 +858,12 @@ object DeltaWrite {
       m.put("createdTime", meta.createdTime.getOrElse(System.currentTimeMillis()))
       sb.append(s"""{"metaData":${mapper.writeValueAsString(m)}}""").append('\n')
 
-      val commitPath = new Path(DeltaLog.logDir(tablePath), f"$version%020d.json")
       try {
-        // put-if-absent. On HDFS/object stores create(overwrite=false)
-        // is atomic; LocalFileSystem's is exists-then-create, so
-        // in-process writers (local[n] — this test/deploy shape) are
-        // additionally serialized by a JVM-wide lock. Cross-process
-        // local-FS writers remain best-effort, as in every Delta
-        // implementation without a locking LogStore.
-        commitFileLock.synchronized {
-          val out = fs.create(commitPath, false)
-          try out.write(sb.toString.getBytes("UTF-8"))
-          finally out.close()
-        }
+        // put-if-absent with ATOMIC CONTENT (temp file + rename): a
+        // concurrent reader must never replay a half-written commit.
+        // Cross-process local-FS writers remain best-effort, as in
+        // every Delta implementation without a locking LogStore.
+        putCommitAtomically(spark, tablePath, version, sb.toString.getBytes("UTF-8"))
         return CommitResult(version, 0, 0)
       } catch {
         case _: java.io.IOException if attempt < 10 =>
@@ -1241,19 +1262,12 @@ object DeltaWrite {
         sb.append(s"""{"add":${mapper.writeValueAsString(a)}}""").append('\n')
       }
 
-      val commitPath = new Path(DeltaLog.logDir(tablePath), f"$version%020d.json")
       try {
-        // put-if-absent. On HDFS/object stores create(overwrite=false)
-        // is atomic; LocalFileSystem's is exists-then-create, so
-        // in-process writers (local[n] — this test/deploy shape) are
-        // additionally serialized by a JVM-wide lock. Cross-process
-        // local-FS writers remain best-effort, as in every Delta
-        // implementation without a locking LogStore.
-        commitFileLock.synchronized {
-          val out = fs.create(commitPath, false)
-          try out.write(sb.toString.getBytes("UTF-8"))
-          finally out.close()
-        }
+        // put-if-absent with ATOMIC CONTENT (temp file + rename): a
+        // concurrent reader must never replay a half-written commit.
+        // Cross-process local-FS writers remain best-effort, as in
+        // every Delta implementation without a locking LogStore.
+        putCommitAtomically(spark, tablePath, version, sb.toString.getBytes("UTF-8"))
         // delta.checkpointInterval (when the table sets it): write a
         // checkpoint every N commits so log replay stays O(interval)
         // and the JSON prefix becomes cleanable. A checkpoint failure

@@ -91,3 +91,66 @@ class ExtensionsSpec extends SparkSpec {
     assert(viaSql == viaApi)
   }
 }
+
+class FrequentItemsSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  // skewed stream: two heavy items over a long tail of singletons
+  private def skewed = (
+    Seq.fill(500)("hot") ++ Seq.fill(200)("warm") ++
+      (1 to 300).map(i => s"tail$i")
+  ).zipWithIndex.map { case (v, i) => (i.toLong, v, if (i % 2 == 0) "a" else "b") }
+    .toDF("id", "item", "grp")
+
+  private def hitters(df: org.apache.spark.sql.DataFrame, k: Int): Map[String, (Long, Long)] =
+    df.agg(Sketches.approxHeavyHitters(col("item"), k).as("hh"))
+      .select(explode(col("hh")).as("h"))
+      .select("h.item", "h.est", "h.n")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+
+  test("Misra-Gries finds every item above the n/(k+1) frequency bound") {
+    val k = 20
+    val got = hitters(skewed, k)
+    val n = got.values.head._2
+    assert(n == 1000L)
+    val bound = n / (k + 1) // 47
+    // true counts: hot=500, warm=200 — both far above the bound
+    assert(got.contains("hot") && got.contains("warm"))
+    val exact = Map("hot" -> 500L, "warm" -> 200L)
+    exact.foreach { case (item, ex) =>
+      val est = got(item)._1
+      assert(est <= ex && ex <= est + bound, s"$item est=$est exact=$ex bound=$bound")
+    }
+  }
+
+  test("guarantees hold under any partitioning (merge order may differ)") {
+    val k = 10
+    Seq(skewed, skewed.repartition(13), skewed.repartition(1)).foreach { df =>
+      val got = hitters(df, k)
+      val n = got.values.head._2
+      val bound = n / (k + 1)
+      assert(got.contains("hot") && got.contains("warm"))
+      assert(got.size <= k)
+      assert(got("hot")._1 <= 500L && 500L <= got("hot")._1 + bound)
+    }
+  }
+
+  test("grouped heavy hitters keep per-group bounds") {
+    val k = 8
+    val got = skewed.groupBy("grp")
+      .agg(Sketches.approxHeavyHitters(col("item"), k).as("hh"))
+      .select(col("grp"), explode(col("hh")).as("h"))
+      .select("grp", "h.item", "h.est", "h.n")
+      .as[(String, String, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => r._2 -> ((r._3, r._4))).toMap).toMap
+    Seq("a", "b").foreach { g =>
+      val m = got(g)
+      val n = m.values.head._2
+      assert(n == 500L) // half the rows per group
+      assert(m.contains("hot")) // 250 per group >> bound
+      val est = m("hot")._1
+      assert(est <= 250L && 250L <= est + n / (k + 1))
+    }
+  }
+}
