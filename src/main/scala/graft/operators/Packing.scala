@@ -67,6 +67,8 @@ object Packing {
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col(tokenCol).cast(LongType)).as("n_tokens"),
-        (max(col("chunk_last")) + lit(1L)).as("n_chunks"),
+        // a stream of only zero-token docs packs into ZERO examples
+        when(sum(col(tokenCol).cast(LongType)) > 0, max(col("chunk_last")) + lit(1L))
+          .otherwise(lit(0L)).as("n_chunks"),
         sum(when(col("crosses_boundary"), 1L).otherwise(0L)).as("n_boundary_docs"))
 }

@@ -21,6 +21,9 @@ object Sketches {
     approx_count_distinct(c, rsd)
 
   /** Approximate quantiles via percentile_approx. */
+  def approxQuantile(c: Column, q: Double, accuracy: Int = 10000): Column =
+    percentile_approx(c, lit(q), lit(accuracy))
+
   /** Misra-Gries heavy hitters: the top items of a string column in
     * ONE bounded-memory pass — every item with frequency > n/(k+1) is
     * guaranteed in the result, counts under-estimate by at most
@@ -33,9 +36,6 @@ object Sketches {
       graft.functions.FrequentItemsSketch(
         org.apache.spark.sql.graftbridge.Bridge.expression(c), k)
         .toAggregateExpression())
-
-  def approxQuantile(c: Column, q: Double, accuracy: Int = 10000): Column =
-    percentile_approx(c, lit(q), lit(accuracy))
 
   /** Cardinality + quantile profile of a column per group — one pass,
     * one sketch-carrying shuffle.

@@ -143,20 +143,6 @@ object StreamOps {
     * Works identically on batch frames (same plan — the agreement is
     * spec-tested).
     */
-  /** Stream-static enrichment: every micro-batch joins against the
-    * bounded dimension frame (explicitly broadcast — the classic
-    * fact-stream × dim shape; no watermark is needed because the
-    * static side never grows). At scale the dim rides the broadcast
-    * to every executor once per plan, not once per row.
-    */
-  def enrich(
-      stream: DataFrame,
-      dim: DataFrame,
-      keys: Seq[String],
-      joinType: String = "inner"
-  ): DataFrame =
-    stream.join(org.apache.spark.sql.functions.broadcast(dim), keys, joinType)
-
   def intervalJoin(
       left: DataFrame,
       right: DataFrame,
@@ -198,6 +184,20 @@ object StreamOps {
       .dropDuplicatesWithinWatermark(keyCols)
 
   /** Default streaming sink config for append-mode windowed outputs. */
+  /** Stream-static enrichment: every micro-batch joins against the
+    * bounded dimension frame (explicitly broadcast — the classic
+    * fact-stream × dim shape; no watermark is needed because the
+    * static side never grows). At scale the dim rides the broadcast
+    * to every executor once per plan, not once per row.
+    */
+  def enrich(
+      stream: DataFrame,
+      dim: DataFrame,
+      keys: Seq[String],
+      joinType: String = "inner"
+  ): DataFrame =
+    stream.join(org.apache.spark.sql.functions.broadcast(dim), keys, joinType)
+
   def defaultOutputMode: OutputMode = OutputMode.Update()
 
   /** Run stateful streaming on the RocksDB state store provider

@@ -83,15 +83,43 @@ object DeltaWrite {
     commitFileLock.synchronized {
       if (fs.exists(commitPath))
         throw new java.io.IOException(s"commit $commitPath already exists")
-      val out = fs.create(tmp, false)
-      try out.write(bytes)
-      finally out.close()
-      if (!fs.rename(tmp, commitPath)) {
-        fs.delete(tmp, false)
-        throw new java.io.IOException(s"lost the rename race for $commitPath")
-      }
+      try {
+        val out = fs.create(tmp, false)
+        try out.write(bytes)
+        finally out.close()
+        val localDest = localFile(fs, commitPath)
+        val localTmp = localFile(fs, tmp)
+        (localDest, localTmp) match {
+          case (Some(dest), Some(t)) =>
+            // local FS: link(2) is BOTH content-atomic and put-if-
+            // absent ACROSS processes — it fails loudly if the dest
+            // exists, unlike rename(2), which would silently replace
+            // a racing process's commit
+            try java.nio.file.Files.createLink(dest.toPath, t.toPath)
+            catch {
+              case e: java.nio.file.FileAlreadyExistsException =>
+                throw new java.io.IOException(
+                  s"lost the commit race for $commitPath", e)
+            }
+          case _ =>
+            // non-local FS: rename is content-atomic; cross-process
+            // put-if-absent remains best-effort without a LogStore
+            if (!fs.rename(tmp, commitPath))
+              throw new java.io.IOException(s"lost the rename race for $commitPath")
+        }
+      } finally fs.delete(tmp, false) // harmless if already renamed away
     }
   }
+
+  /** The java.io.File behind `p` when `fs` is a local filesystem. */
+  private def localFile(
+      fs: org.apache.hadoop.fs.FileSystem, p: Path): Option[java.io.File] =
+    fs match {
+      case _: org.apache.hadoop.fs.LocalFileSystem |
+           _: org.apache.hadoop.fs.RawLocalFileSystem =>
+        Some(new java.io.File(p.toUri.getPath))
+      case _ => None
+    }
 
   /** Append `df` to (or create) the delta table at `tablePath`.
     * `txn` (appId → transaction version) commits a SetTransaction
@@ -1322,13 +1350,25 @@ object DeltaWrite {
     // timestamp reads the previous commit's ICT from it (clock-skew
     // monotonicity), and timestamp time travel needs ≥1 anchor
     val newest = jsons.keys.maxOption
+    val oldCps = cps.filter { case (v, ps) => v < cpV && ps.forall(expired) }
+      .values.flatten.toSeq
+    // a superseded V2 manifest owns UUID-named sidecar files nothing
+    // else references — delete them with it or they accumulate forever
+    val sidecars = oldCps.filter(_.getName.contains(".checkpoint."))
+      .filter(_.getName.endsWith(".parquet"))
+      .flatMap { manifest =>
+        scala.util.Try {
+          val df = spark.read.parquet(manifest.toString)
+          if (!df.columns.contains("sidecar")) Seq.empty[Path]
+          else df.select("sidecar.path").where("sidecar IS NOT NULL")
+            .collect().map(r => new Path(DeltaLog.sidecarDir(tablePath), r.getString(0))).toSeq
+        }.getOrElse(Seq.empty)
+      }
     val deletable =
       jsons.filter { case (v, p) =>
         v <= cpV && !newest.contains(v) && expired(p)
-      }.values.toSeq ++
-        cps.filter { case (v, ps) => v < cpV && ps.forall(expired) }.values.flatten
-    deletable.foreach(p => fs.delete(p, false))
-    deletable.size
+      }.values.toSeq ++ oldCps ++ sidecars
+    deletable.count(p => fs.delete(p, false))
   }
 
   /** Write a checkpoint of the current snapshot

@@ -44,6 +44,14 @@ class PackingSpec extends SparkSpec {
     assert(stats("b") == ((2L, 266L, 2L, 0L)))
   }
 
+  test("a stream of only zero-token documents packs into zero examples") {
+    val d = Seq(("a", 1L, 0L), ("a", 2L, 0L), ("b", 1L, 3L)).toDF("src", "id", "n")
+    val stats = Packing.chunkStats(d, "src", "id", "n", 4L)
+      .select("src", "n_chunks").as[(String, Long)].collect().toMap
+    assert(stats("a") == 0L) // nothing to train on
+    assert(stats("b") == 1L)
+  }
+
   test("a zero-token document occupies no span and never crosses") {
     val d = Seq(("a", 1L, 0L), ("a", 2L, 5L)).toDF("src", "id", "n")
     val got = Packing.concatChunks(d, "src", "id", "n", 4L)

@@ -135,6 +135,23 @@ class DeltaUpdateSpec extends SparkSpec {
     assert(t(dir)(spark, ReadArgs()).count() == 5)
   }
 
+  test("cleanupLog reclaims the sidecars of a superseded v2 checkpoint") {
+    val dir = tempDir("delta-cleanup-v2").toString + "/t"
+    DeltaWrite.append(spark, Seq((0L, "a")).toDF("id", "v"), dir)
+    DeltaWrite.checkpointV2(spark, dir)
+    val sidecarDir = new java.io.File(dir + "/_delta_log/_sidecars")
+    val before = sidecarDir.listFiles().count(_.getName.endsWith(".parquet"))
+    assert(before > 0)
+    DeltaWrite.append(spark, Seq((1L, "b")).toDF("id", "v"), dir)
+    DeltaWrite.checkpointV2(spark, dir) // supersedes the first
+    val n = DeltaWrite.cleanupLog(spark, dir, retentionMs = 0L)
+    assert(n > 0)
+    val after = sidecarDir.listFiles().count(_.getName.endsWith(".parquet"))
+    assert(after < before + 2, "superseded sidecars were not reclaimed")
+    // the surviving checkpoint still replays
+    assert(t(dir)(spark, ReadArgs()).count() == 2)
+  }
+
   test("snapshot-derived rewrites never lose concurrent appends (refuse or serialize)") {
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.{Await, Future}
