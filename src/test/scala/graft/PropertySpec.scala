@@ -115,4 +115,29 @@ object GraftProperties extends Properties("graft") {
           cf <= cl
       }
     }
+
+  property("Misra-Gries guarantees hold for arbitrary skewed streams") =
+    forAll(
+      Gen.nonEmptyListOf(Gen.frequency(
+        5 -> Gen.const("hot"),
+        3 -> Gen.oneOf("w1", "w2"),
+        2 -> Gen.chooseNum(1, 50).map(i => s"t$i"))).map(_.take(400)),
+      Gen.chooseNum(2, 12)) { (items: List[String], k: Int) =>
+      import graft.operators.Sketches
+      val df = items.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "item")
+      val got = df
+        .agg(Sketches.approxHeavyHitters(col("item"), k).as("hh"))
+        .select(explode(col("hh")).as("h")).select("h.item", "h.est")
+        .as[(String, Long)].collect().toMap
+      val n = items.size.toLong
+      val bound = n / (k + 1)
+      val exact = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val mustHave = exact.filter(_._2 > bound).keySet
+      mustHave.subsetOf(got.keySet) &&
+        got.size <= k &&
+        got.forall { case (item, est) =>
+          val ex = exact.getOrElse(item, 0L)
+          est <= ex && ex <= est + bound
+        }
+    }
 }

@@ -627,6 +627,35 @@ class DeltaSpec extends SparkSpec {
     assert(t(spark).select("id").as[Long].collect().sorted.toSeq == (0L to 5L))
   }
 
+  test("log replay is robust to protocol-legal oddities and loud on corruption") {
+    import org.apache.hadoop.fs.Path
+    val dir = tempDir("delta-robust").toString + "/t"
+    DeltaWrite.append(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)
+    val logDir = new Path(dir + "/_delta_log")
+    val f = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def put(version: Long, body: String): Unit = {
+      val out = f.create(new Path(logDir, f"$version%020d.json"), true)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+    }
+    // protocol-legal oddities: unknown top-level action, unknown extra
+    // fields on known actions, a remove for a path never added,
+    // a commitInfo-only commit — all must replay cleanly
+    put(1L, Seq(
+      """{"someFutureAction":{"x":1}}""",
+      """{"commitInfo":{"operation":"NOOP"}}""",
+      """{"remove":{"path":"never-added.parquet","dataChange":true}}""",
+      """{"add":{"path":"extra.parquet","partitionValues":{},"size":0,"dataChange":true,"unknownField":7,"stats":null}}"""
+    ).mkString("\n") + "\n")
+    val snap = DeltaLog.snapshot(spark, dir)
+    assert(snap.version == 1L)
+    assert(snap.files.exists(_.path == "extra.parquet"))
+
+    // corruption (a truncated JSON line) refuses loudly, never a
+    // silent partial replay
+    put(2L, """{"add":{"path":"half.parquet","partitionValues""")
+    intercept[Exception] { DeltaLog.snapshot(spark, dir) }
+  }
+
   test("delta.checkpointPolicy=v2 makes periodic checkpoints manifest+sidecar flavored") {
     val dir = tempDir("delta-ckpol").toString + "/t"
     DeltaWrite.append(spark, Seq((0L, "a")).toDF("id", "tag"), dir)               // v0
