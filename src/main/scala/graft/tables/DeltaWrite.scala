@@ -373,11 +373,32 @@ object DeltaWrite {
         }
         // same logical shape as the declared schema → carry the stored
         // schemaString forward, preserving field metadata (generation
-        // expressions, invariants) a frame-derived schema JSON lacks
+        // expressions, invariants) a frame-derived schema JSON lacks.
+        // An APPEND may evolve the schema ADDITIVELY only: dropping or
+        // retyping columns refuses loudly (silently narrowing the
+        // schema would hide existing data), and widening merges the
+        // new fields onto the stored schema so existing field
+        // metadata survives. Overwrite replaces contents, so it may
+        // replace the schema outright.
         val schemaJson = snapOpt match {
           case Some(s) if s.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
               prepared.schema.fields.map(f => (f.name, f.dataType)).toSeq =>
             s.metadata.schemaString
+          case Some(s) if !overwrite =>
+            val table = s.schema
+            val byName = prepared.schema.fields.map(f => f.name -> f).toMap
+            val missing = table.fields.map(_.name).filterNot(byName.contains)
+            require(missing.isEmpty,
+              s"append to $tablePath is missing columns ${missing.mkString(", ")}: " +
+                "appends may ADD columns, never drop them (overwrite replaces the schema)")
+            table.fields.foreach { tf =>
+              require(byName(tf.name).dataType == tf.dataType,
+                s"append to $tablePath changes the type of ${tf.name}: " +
+                  s"${tf.dataType.simpleString} -> ${byName(tf.name).dataType.simpleString}")
+            }
+            val added = prepared.schema.fields
+              .filterNot(f => table.fieldNames.contains(f.name))
+            org.apache.spark.sql.types.StructType(table.fields ++ added).json
           case _ => prepared.schema.json
         }
         val adds = stageFiles(spark, prepared, tablePath, partitionBy)

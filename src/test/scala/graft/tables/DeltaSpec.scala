@@ -627,6 +627,36 @@ class DeltaSpec extends SparkSpec {
     assert(t(spark).select("id").as[Long].collect().sorted.toSeq == (0L to 5L))
   }
 
+  test("appends evolve the schema additively only, preserving field metadata") {
+    val dir = tempDir("delta-addevo").toString + "/t"
+    DeltaWrite.append(spark, Seq((1L, "a")).toDF("id", "v"), dir)
+    DeltaDdl.addCheckConstraint(spark, dir, "id_pos", "id > 0")
+
+    // widening: the new column lands, old rows read it as null, and
+    // the constraint (stored in configuration) still applies
+    DeltaWrite.append(spark, Seq((2L, "b", 7L)).toDF("id", "v", "extra"), dir)
+    val t0 = new DeltaTable("t", dir)
+    val got = t0(spark).select("id", "extra").as[(Long, Option[Long])].collect().toSet
+    assert(got == Set((1L, None), (2L, Some(7L))))
+    intercept[IllegalArgumentException] {
+      DeltaWrite.append(spark, Seq((-5L, "x", 1L)).toDF("id", "v", "extra"), dir)
+    }
+
+    // narrowing refuses loudly instead of hiding columns
+    val e = intercept[IllegalArgumentException] {
+      DeltaWrite.append(spark, Seq(Tuple1(3L)).toDF("id"), dir)
+    }
+    assert(e.getMessage.contains("never drop"))
+    // retyping refuses too
+    intercept[IllegalArgumentException] {
+      DeltaWrite.append(spark,
+        Seq(("3", "c", 1L)).toDF("id", "v", "extra"), dir)
+    }
+    // overwrite may still replace the schema outright
+    DeltaWrite.overwrite(spark, Seq(Tuple1(9L)).toDF("id"), dir)
+    assert(new DeltaTable("t", dir)(spark).columns.toSeq == Seq("id"))
+  }
+
   test("log replay is robust to protocol-legal oddities and loud on corruption") {
     import org.apache.hadoop.fs.Path
     val dir = tempDir("delta-robust").toString + "/t"
