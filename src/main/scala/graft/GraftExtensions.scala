@@ -70,6 +70,14 @@ object GraftExtensions {
           graft.functions.Srp.signMatrix(
             intArg(exprs(1), "nbits"), intArg(exprs(2), "dim"), seed))
       }),
+    ("graft_frequent_items",
+      new ExpressionInfo(
+        classOf[graft.functions.FrequentItemsSketch].getName, "graft_frequent_items"),
+      // aggregate: SELECT graft_frequent_items(item, k) — top items
+      // with the Misra-Gries membership/error guarantees
+      (exprs: Seq[Expression]) =>
+        graft.functions.FrequentItemsSketch(exprs.head, intArg(exprs(1), "k"))
+          .toAggregateExpression()),
     ("graft_search_sorted",
       new ExpressionInfo(classOf[graft.operators.SearchSorted].getName, "graft_search_sorted"),
       // (value, bounds...) — boundaries as double literals

@@ -1385,10 +1385,17 @@ object DeltaWrite {
             .collect().map(r => new Path(DeltaLog.sidecarDir(tablePath), r.getString(0))).toSeq
         }.getOrElse(Seq.empty)
       }
+    // crashed writers can strand ._commit_*.json.tmp files (the
+    // normal path reclaims them in a finally) — sweep old ones here
+    val strandedTmp = fs.listStatus(dir).toSeq
+      .filter(st => st.isFile && st.getPath.getName.startsWith("._commit_") &&
+        st.getPath.getName.endsWith(".json.tmp") &&
+        st.getModificationTime < cutoff)
+      .map(_.getPath)
     val deletable =
       jsons.filter { case (v, p) =>
         v <= cpV && !newest.contains(v) && expired(p)
-      }.values.toSeq ++ oldCps ++ sidecars
+      }.values.toSeq ++ oldCps ++ sidecars ++ strandedTmp
     deletable.count(p => fs.delete(p, false))
   }
 

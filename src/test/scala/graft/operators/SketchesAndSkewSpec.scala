@@ -153,4 +153,13 @@ class FrequentItemsSpec extends graft.SparkSpec {
       assert(est <= 250L && 250L <= est + n / (k + 1))
     }
   }
+
+  test("heavy hitters are callable from SQL after registration") {
+    graft.GraftExtensions.register(spark)
+    skewed.createOrReplaceTempView("hh_input")
+    val got = spark.sql(
+      "SELECT h.item, h.est FROM (SELECT explode(graft_frequent_items(item, 10)) AS h FROM hh_input)")
+      .as[(String, Long)].collect().toMap
+    assert(got.contains("hot") && got.contains("warm"))
+  }
 }
