@@ -961,7 +961,8 @@ object OracleSql {
            |  FROM scored GROUP BY doc_id),
            |lex AS (
            |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
-           |  FROM lexs),
+           |  FROM (SELECT * FROM lexs ORDER BY score DESC, doc_id
+           |        LIMIT ${Wave4Queries.Rrf.ListN})),
            |probe AS (
            |  SELECT embedding AS pv FROM embeddings
            |  WHERE vec_id = ${Wave4Queries.Rrf.Probe}),
@@ -971,7 +972,8 @@ object OracleSql {
            |  FROM embeddings CROSS JOIN probe),
            |vec AS (
            |  SELECT doc_id, row_number() OVER (ORDER BY sim DESC, doc_id) AS rank
-           |  FROM vecs),
+           |  FROM (SELECT * FROM vecs ORDER BY sim DESC, doc_id
+           |        LIMIT ${Wave4Queries.Rrf.ListN})),
            |contribs AS (
            |  SELECT doc_id, CAST(round(1.0 / ($k + CAST(rank AS DOUBLE)), 6) AS DECIMAL(18,6)) AS c FROM lex
            |  UNION ALL

@@ -118,7 +118,7 @@ object Wave4Queries {
   // ---------- P37: hybrid retrieval (RRF fusion) ----------
 
   /** RRF constants, shared with the oracle. */
-  object Rrf { val K = 60; val Probe = 0L; val TopN = 20 }
+  object Rrf { val K = 60; val Probe = 0L; val TopN = 20; val ListN = 100 }
 
   /** Hybrid search over the corpus: the BM25 lexical ranking (docs
     * holding ≥1 query term) fused with a vector ranking (cosine to
@@ -128,9 +128,14 @@ object Wave4Queries {
     */
   def qHybridSearch(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Retrieval
+    // each tower contributes its top-ListN only (the real retrieval
+    // shape): orderBy+limit is a distributed TakeOrdered, so the
+    // corpus is never funneled through a single-partition window —
+    // the rank window then runs over ≤ ListN rows
     val wLex = Window.orderBy(col("score").desc, col("doc_id"))
     val lex = bm25Scored(s, dir)
       .select(col("doc_id"), col("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(Rrf.ListN)
       .withColumn("rank", row_number().over(wLex))
       .select("doc_id", "rank")
 
@@ -141,6 +146,7 @@ object Wave4Queries {
     val vec = e.crossJoin(broadcast(probe))
       .select(col("vec_id").as("doc_id"),
         graft.functions.Vectors.cosine(col("embedding"), col("_probe")).as("sim"))
+      .orderBy(col("sim").desc, col("doc_id")).limit(Rrf.ListN)
       .withColumn("rank", row_number().over(wVec))
       .select("doc_id", "rank")
 
