@@ -367,6 +367,7 @@ object OracleSql {
     "q_minhash" -> minhashQuerySql,
     "q_minhash_pairs" -> minhashPairsSql,
     "q_dup_clusters" -> dupClustersSql,
+    "q_cluster_best" -> clusterBestSql,
     "q_knn_brute" -> knnBruteSql,
     "q_ann_ivf" -> annIvfSql,
     "q_simhash" -> simhashSql,
@@ -603,6 +604,34 @@ object OracleSql {
        |  SELECT r.s, e2.t FROM reach r JOIN e e2 ON r.t = e2.s)
        |SELECT s AS id, least(s, min(t)) AS cluster_id
        |FROM reach GROUP BY s ORDER BY id""".stripMargin
+
+  /** Mirrors Wave4Queries.qClusterBest: the q_dup_clusters component
+    * map, then the longest doc (id tie-break) survives per cluster;
+    * unclustered docs are their own cluster.
+    */
+  private def clusterBestSql: String =
+    s"""${minhashPairsCtes(true)},
+       |pairs AS (SELECT a_id, b_id FROM verified WHERE jaccard >= 0.5),
+       |e AS (SELECT a_id AS s, b_id AS t FROM pairs
+       |      UNION SELECT b_id, a_id FROM pairs),
+       |reach AS (
+       |  SELECT s, t FROM e
+       |  UNION
+       |  SELECT r.s, e2.t FROM reach r JOIN e e2 ON r.t = e2.s),
+       |cmap AS (
+       |  SELECT s AS doc_id, least(s, min(t)) AS cluster_id
+       |  FROM reach GROUP BY s),
+       |kept AS (
+       |  SELECT source, doc_id, n_chars FROM (
+       |    SELECT d.source, d.doc_id, d.n_chars,
+       |      row_number() OVER (
+       |        PARTITION BY coalesce(c.cluster_id, d.doc_id)
+       |        ORDER BY d.n_chars DESC, d.doc_id) AS rn
+       |    FROM documents d LEFT JOIN cmap c USING (doc_id)) WHERE rn = 1)
+       |SELECT source, count(*) AS n_kept,
+       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       |  min(doc_id) AS min_id
+       |FROM kept GROUP BY source ORDER BY source""".stripMargin
 
   /** Mirrors Similarity.ivfAssign + ivfTopK exactly: deterministic
     * seed centroids (vec_id % 100 == 0), rounded-L2 argmin assignment

@@ -96,6 +96,7 @@ object QueryCatalog {
     Entry("q_shard_stats", Wave4Queries.qShardStats),
     Entry("q_chunks", Wave4Queries.qChunks),
     Entry("q_curation", Wave4Queries.qCuration),
+    Entry("q_cluster_best", Wave4Queries.qClusterBest),
     Entry("q_delta_clone", Wave4Queries.qDeltaClone),
     Entry("q_delta_update", Wave4Queries.qDeltaUpdate)
   )

@@ -328,6 +328,37 @@ object Wave4Queries {
       .orderBy("doc_id")
   }
 
+  // ---------- P41: best-representative dedup ----------
+
+  /** Near-dup dedup keeping the HIGHEST-QUALITY member of every
+    * duplicate cluster (longest doc, id tie-break) instead of the
+    * arbitrary min-id — what production pipelines actually keep. The
+    * connected components come from the same MinHash-LSH pair graph
+    * q_dup_clusters verifies; unclustered docs survive as their own
+    * representative. One extra bounded shuffle over cluster members.
+    */
+  def qClusterBest(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.NearDup
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("source"), col("n_chars"))
+    val pairs = NearDup.minhashPairs(
+      t(s, dir, "documents"), "doc_id", "text",
+      k = 5, numHashes = 8, bands = 2, threshold = 0.5)
+    val clusters = NearDup.dupClusters(pairs, "a_id", "b_id")
+      .withColumnRenamed("id", "doc_id")
+    val w = Window.partitionBy(col("cid"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val kept = docs.join(clusters, Seq("doc_id"), "left")
+      .withColumn("cid", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+    kept.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        sum(col("n_chars").cast(LongType)).as("sum_chars"),
+        min(col("doc_id")).as("min_id"))
+      .orderBy("source")
+  }
+
   // ---------- P40: end-to-end curation pipeline ----------
 
   /** Curation-capstone constants, shared with the oracle. The gate is
