@@ -76,7 +76,10 @@ object GraftExtensions {
       // aggregate: SELECT graft_frequent_items(item, k) — top items
       // with the Misra-Gries membership/error guarantees
       (exprs: Seq[Expression]) =>
-        graft.functions.FrequentItemsSketch(exprs.head, intArg(exprs(1), "k"))
+        graft.functions.FrequentItemsSketch(
+          org.apache.spark.sql.catalyst.expressions.Cast(
+            exprs.head, org.apache.spark.sql.types.StringType),
+          intArg(exprs(1), "k"))
           .toAggregateExpression()),
     ("graft_search_sorted",
       new ExpressionInfo(classOf[graft.operators.SearchSorted].getName, "graft_search_sorted"),

@@ -34,6 +34,17 @@ case class FrequentItemsSketch(
 
   require(k > 0, "k must be positive")
 
+  // analysis-time type enforcement: a wrong-typed item column fails
+  // at planning with a named error, not a mid-task ClassCastException
+  // (callers wanting top numeric keys cast to string first; the SQL
+  // builder does so automatically)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"graft_frequent_items needs a STRING item column, " +
+        s"got ${child.dataType.simpleString}")
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(StructType(Seq(

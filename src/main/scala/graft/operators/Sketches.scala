@@ -34,7 +34,7 @@ object Sketches {
   def approxHeavyHitters(c: Column, k: Int): Column =
     org.apache.spark.sql.graftbridge.Bridge.column(
       graft.functions.FrequentItemsSketch(
-        org.apache.spark.sql.graftbridge.Bridge.expression(c), k)
+        org.apache.spark.sql.graftbridge.Bridge.expression(c.cast("string")), k)
         .toAggregateExpression())
 
   /** Cardinality + quantile profile of a column per group — one pass,

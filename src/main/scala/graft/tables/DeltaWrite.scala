@@ -386,24 +386,47 @@ object DeltaWrite {
             s.metadata.schemaString
           case Some(s) if !overwrite =>
             val table = s.schema
-            val byName = prepared.schema.fields.map(f => f.name -> f).toMap
-            val missing = table.fields.map(_.name).filterNot(byName.contains)
+            // Spark resolves columns case-insensitively by default, so
+            // match case-insensitively and refuse case-only mismatches
+            // loudly (silently adding "V" beside "v" would make every
+            // later select of the column ambiguous)
+            val byLower = prepared.schema.fields.map(f => f.name.toLowerCase -> f).toMap
+            val tableLower = table.fields.map(_.name.toLowerCase).toSet
+            val missing = table.fields.map(_.name)
+              .filterNot(n => byLower.contains(n.toLowerCase))
             require(missing.isEmpty,
               s"append to $tablePath is missing columns ${missing.mkString(", ")}: " +
                 "appends may ADD columns, never drop them (overwrite replaces the schema)")
             table.fields.foreach { tf =>
-              require(byName(tf.name).dataType == tf.dataType,
+              val ff = byLower(tf.name.toLowerCase)
+              require(ff.name == tf.name,
+                s"append to $tablePath renames ${tf.name} to ${ff.name} (case-only " +
+                  "differences are refused: Spark resolves names case-insensitively)")
+              require(ff.dataType == tf.dataType,
                 s"append to $tablePath changes the type of ${tf.name}: " +
-                  s"${tf.dataType.simpleString} -> ${byName(tf.name).dataType.simpleString}")
+                  s"${tf.dataType.simpleString} -> ${ff.dataType.simpleString}")
             }
+            // evolved-in columns MUST be nullable: every pre-evolution
+            // row reads them as null, so a frame-declared NOT NULL
+            // would contradict the table's own contents
             val added = prepared.schema.fields
-              .filterNot(f => table.fieldNames.contains(f.name))
+              .filterNot(f => tableLower.contains(f.name.toLowerCase))
+              .map(_.copy(nullable = true))
             org.apache.spark.sql.types.StructType(table.fields ++ added).json
           case _ => prepared.schema.json
         }
         val adds = stageFiles(spark, prepared, tablePath, partitionBy)
+        // a SCHEMA-CHANGING commit derives its metaData from the
+        // snapshot: a blind retry after a lost race would write a
+        // stale schema over a concurrent writer's evolution (silently
+        // dropping their column). Plain same-shape appends keep the
+        // blind retry — their actions are snapshot-independent.
+        val evolving = snapOpt.exists(sn =>
+          sn.metadata.schemaString != schemaJson ||
+            sn.metadata.partitionColumns != partitionBy)
         commitLoop(spark, tablePath, adds, Seq.empty, schemaJson, partitionBy,
-          overwrite, extraActions = txnActions ++ cdcActions, snapHint = snapOpt)
+          overwrite, extraActions = txnActions ++ cdcActions, snapHint = snapOpt,
+          requireBase = if (evolving) snapOpt.map(_.version) else None)
     }
   }
 
@@ -1364,9 +1387,21 @@ object DeltaWrite {
     val dir = DeltaLog.logDir(tablePath)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val (jsons, cps) = DeltaLog.listLog(spark, tablePath)
-    val cpV = cps.keys.maxOption.getOrElse(return 0) // nothing covers a prefix
     val cutoff = System.currentTimeMillis() - retentionMs
     def expired(p: Path): Boolean = fs.getFileStatus(p).getModificationTime < cutoff
+    // crashed writers can strand ._commit_*.json.tmp files (the
+    // normal path reclaims them in a finally) — sweep old ones even
+    // when no checkpoint exists yet
+    val strandedTmp =
+      (if (!fs.exists(dir)) Seq.empty
+       else fs.listStatus(dir).toSeq
+         .filter(st => st.isFile && st.getPath.getName.startsWith("._commit_") &&
+           st.getPath.getName.endsWith(".json.tmp") &&
+           st.getModificationTime < cutoff)
+         .map(_.getPath))
+    val cpV = cps.keys.maxOption.getOrElse {
+      return strandedTmp.count(p => fs.delete(p, false))
+    }
     // the newest commit always survives: the next writer's in-commit
     // timestamp reads the previous commit's ICT from it (clock-skew
     // monotonicity), and timestamp time travel needs ≥1 anchor
@@ -1385,13 +1420,6 @@ object DeltaWrite {
             .collect().map(r => new Path(DeltaLog.sidecarDir(tablePath), r.getString(0))).toSeq
         }.getOrElse(Seq.empty)
       }
-    // crashed writers can strand ._commit_*.json.tmp files (the
-    // normal path reclaims them in a finally) — sweep old ones here
-    val strandedTmp = fs.listStatus(dir).toSeq
-      .filter(st => st.isFile && st.getPath.getName.startsWith("._commit_") &&
-        st.getPath.getName.endsWith(".json.tmp") &&
-        st.getModificationTime < cutoff)
-      .map(_.getPath)
     val deletable =
       jsons.filter { case (v, p) =>
         v <= cpV && !newest.contains(v) && expired(p)

@@ -657,6 +657,28 @@ class DeltaSpec extends SparkSpec {
     assert(new DeltaTable("t", dir)(spark).columns.toSeq == Seq("id"))
   }
 
+  test("evolved-in columns are nullable; case-only renames refuse") {
+    val dir = tempDir("delta-addevo2").toString + "/t"
+    DeltaWrite.append(spark, Seq((1L, "a")).toDF("id", "v"), dir)
+    // the frame declares extra as non-nullable (tuple encoder), but
+    // pre-evolution rows read it as null — the merged schema must
+    // relax it or the table would violate its own NOT NULL contract
+    DeltaWrite.append(spark, Seq((2L, "b", 7L)).toDF("id", "v", "extra"), dir)
+    val snap = DeltaLog.snapshot(spark, dir)
+    assert(snap.schema("extra").nullable, "evolved-in column must be nullable")
+    // ...so a later rewrite touching pre-evolution rows still works
+    DeltaWrite.updateWhere(spark, dir,
+      graft.core.Filters.normalize(Seq(graft.core.Filter("id", "=", 1L))),
+      Seq("v" -> "'upd'"))
+    assert(new DeltaTable("t", dir)(spark).count() == 2)
+
+    // a column differing only in case is a refusal, not a new column
+    val e = intercept[IllegalArgumentException] {
+      DeltaWrite.append(spark, Seq((3L, "c", 1L)).toDF("id", "V", "extra"), dir)
+    }
+    assert(e.getMessage.contains("case"))
+  }
+
   test("log replay is robust to protocol-legal oddities and loud on corruption") {
     import org.apache.hadoop.fs.Path
     val dir = tempDir("delta-robust").toString + "/t"
