@@ -38,6 +38,35 @@ class DeltaStreamSinkSpec extends SparkSpec {
     assert(got == Seq(1L, 2L, 3L))
   }
 
+  test("streaming appends to a row-tracked table mint row ids batch by batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tempDir("delta-sink-rt").toString + "/t"
+    val ckpt = tempDir("delta-sink-rt-c").toString
+    import graft.tables.DeltaWrite
+    DeltaWrite.append(spark, Seq.empty[(Long, String)].toDF("id", "grp"), dir)
+    DeltaWrite.setTableProperties(spark, dir, Map("delta.enableRowTracking" -> "true"))
+
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("id", "grp").writeStream
+      .format(sinkFmt).option("path", dir).option("txnAppId", "rt-app")
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      input.addData((3L, "c"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val t = new graft.tables.DeltaTable("t", dir)
+    val ids = t(spark, graft.tables.ReadArgs(extra = Map(t.RowIdsKey -> true)))
+      .select("id", "_row_id").as[(Long, Option[Long])].collect().toMap
+    assert(ids.keySet == Set(1L, 2L, 3L))
+    val assigned = ids.values.map(_.get).toSeq
+    assert(assigned.sorted == Seq(0L, 1L, 2L)) // contiguous across batches
+    assert(graft.tables.DeltaLog.snapshot(spark, dir).rowIdHighWaterMark == 2L)
+  }
+
   test("a replayed batch id is skipped — exactly-once") {
     val dir = tempDir("delta-sink-once").toString + "/t"
     val sink = new DeltaStreamSink(spark, dir, Seq.empty, "app-x")
