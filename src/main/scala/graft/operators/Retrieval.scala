@@ -28,13 +28,27 @@ object Retrieval {
       idCol: String,
       rankCol: String,
       k: Int = 60
+  ): DataFrame =
+    rrfFuseWeighted(rankings.map(_ -> 1.0), idCol, rankCol, k)
+
+  /** Weighted fusion: each list's reciprocal is scaled by its weight
+    * before the rounded decimal sum — the knob for boosting one
+    * retrieval tower (e.g. lexical 2:1 over vector) without score
+    * calibration. Weights multiply INSIDE the per-list rounding so
+    * the engine-stability argument is unchanged.
+    */
+  def rrfFuseWeighted(
+      rankings: Seq[(DataFrame, Double)],
+      idCol: String,
+      rankCol: String,
+      k: Int = 60
   ): DataFrame = {
     require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
     rankings
-      .map(_.select(
+      .map { case (df, w) => df.select(
         col(idCol),
-        round(lit(1.0) / (lit(k.toDouble) + col(rankCol).cast("double")), 6)
-          .cast(DecimalType(18, 6)).as("_contrib")))
+        round(lit(w) / (lit(k.toDouble) + col(rankCol).cast("double")), 6)
+          .cast(DecimalType(18, 6)).as("_contrib")) }
       .reduce(_.unionByName(_))
       .groupBy(col(idCol))
       .agg(

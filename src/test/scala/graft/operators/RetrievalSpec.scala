@@ -28,4 +28,17 @@ class RetrievalSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(x == y)
   }
+
+  test("weighted fusion boosts the weighted list's ordering") {
+    val lex = Seq((1L, 1), (2L, 2)).toDF("id", "rank")
+    val vec = Seq((2L, 1), (1L, 2)).toDF("id", "rank")
+    // unweighted: perfectly symmetric -> tie
+    val even = Retrieval.rrfFuse(Seq(lex, vec), "id", "rank")
+      .as[(Long, Double, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(even(1L) == even(2L))
+    // lexical tower weighted 2x -> its top item wins
+    val boosted = Retrieval.rrfFuseWeighted(Seq(lex -> 2.0, vec -> 1.0), "id", "rank")
+      .as[(Long, Double, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(boosted(1L) > boosted(2L))
+  }
 }
