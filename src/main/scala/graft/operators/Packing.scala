@@ -67,8 +67,12 @@ object Packing {
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col(tokenCol).cast(LongType)).as("n_tokens"),
-        // a stream of only zero-token docs packs into ZERO examples
-        when(sum(col(tokenCol).cast(LongType)) > 0, max(col("chunk_last")) + lit(1L))
+        // ceil(total/budget) from the total, NOT max(chunk_last)+1: a
+        // zero-token doc whose tok_start lands exactly on a budget
+        // boundary indexes a chunk past the data and would overcount.
+        // A stream of only zero-token docs packs into ZERO examples.
+        when(sum(col(tokenCol).cast(LongType)) > 0,
+          expr(s"(sum(cast($tokenCol as bigint)) - 1L) div $budget + 1L"))
           .otherwise(lit(0L)).as("n_chunks"),
         sum(when(col("crosses_boundary"), 1L).otherwise(0L)).as("n_boundary_docs"))
 }

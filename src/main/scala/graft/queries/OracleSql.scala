@@ -1103,12 +1103,12 @@ object OracleSql {
            |  FROM documents
            |), c AS (
            |  SELECT doc_id, source, n_tokens,
-           |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS tok_start
+           |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS tok_start
            |  FROM d)
            |SELECT doc_id, source, n_tokens, tok_start,
-           |  tok_start // $b AS chunk_first,
-           |  greatest(tok_start, tok_start + n_tokens - 1) // $b AS chunk_last
+           |  CAST(tok_start // $b AS BIGINT) AS chunk_first,
+           |  CAST(greatest(tok_start, tok_start + n_tokens - 1) // $b AS BIGINT) AS chunk_last
            |FROM c ORDER BY doc_id""".stripMargin
       },
 

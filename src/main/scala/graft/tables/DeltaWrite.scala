@@ -23,8 +23,11 @@ import org.apache.spark.sql.types._
   * over the staged files (grouped by input file name), so file
   * skipping works on read ([[DeltaFileSkipping]]).
   *
-  * Not implemented (documented, loud failures elsewhere): deletion
-  * vectors, column mapping, multi-part checkpoints.
+  * The write surface spans append/overwrite (plain and column-mapped,
+  * name and id mode), copy-on-write DELETE/UPDATE/MERGE, DV-writing
+  * merge-on-read DELETE, OPTIMIZE (+ZORDER), VACUUM, RESTORE,
+  * checkpoints (classic, multi-part, v2 manifest+sidecars), CDF, ICT,
+  * domain metadata and row tracking — see the section headers below.
   */
 object DeltaWrite {
 
@@ -1241,6 +1244,17 @@ object DeltaWrite {
         s"this operation is not supported on column-mapped Delta tables ($tablePath)"))
       val needMeta = snapOpt.forall(s =>
         s.metadata.schemaString != schemaJson || s.metadata.partitionColumns != partitionBy)
+      // A blind retry (no concurrency base) is only safe because its
+      // actions are snapshot-independent — which stops being true the
+      // moment it would emit a metaData action: schemaJson was frozen
+      // from the pre-race snapshot, so needMeta flipping true on a
+      // retry means a concurrent writer evolved the schema (or
+      // repartitioned), and re-emitting the frozen metadata would
+      // silently revert their change. Refuse loudly instead.
+      if (attempt > 0 && needMeta && requireBase.isEmpty)
+        throw new ConcurrentWriteException(
+          s"table $tablePath changed its schema or partitioning while this " +
+            "write was retrying a lost commit race; re-read and retry the write")
       val removes: Seq[DeltaLog.AddFile] =
         if (overwrite) snapOpt.map(_.files).getOrElse(Seq.empty)
         else explicitRemoves
@@ -1409,9 +1423,12 @@ object DeltaWrite {
     val oldCps = cps.filter { case (v, ps) => v < cpV && ps.forall(expired) }
       .values.flatten.toSeq
     // a superseded V2 manifest owns UUID-named sidecar files nothing
-    // else references — delete them with it or they accumulate forever
-    val sidecars = oldCps.filter(_.getName.contains(".checkpoint."))
-      .filter(_.getName.endsWith(".parquet"))
+    // else references — delete them with it or they accumulate forever.
+    // Only UUID-named v2 manifests can reference sidecars; classic
+    // %020d.checkpoint.parquet and multi-part %020d.checkpoint.N.M
+    // files never do, so don't pay a Spark read probing them.
+    val v2Manifest = """^\d{20}\.checkpoint\.[0-9a-fA-F]{8}-[0-9a-fA-F-]{27}\.parquet$""".r
+    val sidecars = oldCps.filter(p => v2Manifest.matches(p.getName))
       .flatMap { manifest =>
         scala.util.Try {
           val df = spark.read.parquet(manifest.toString)

@@ -52,6 +52,15 @@ class PackingSpec extends SparkSpec {
     assert(stats("b") == 1L)
   }
 
+  test("trailing zero-token doc on a budget boundary does not inflate n_chunks") {
+    // 8 tokens fill chunks 0..1 exactly (budget 4); the zero-token doc's
+    // tok_start = 8 indexes chunk 2, which holds no data.
+    val d = Seq(("a", 1L, 8L), ("a", 2L, 0L)).toDF("src", "id", "n")
+    val stats = Packing.chunkStats(d, "src", "id", "n", 4L)
+      .select("src", "n_chunks").as[(String, Long)].collect().toMap
+    assert(stats("a") == 2L)
+  }
+
   test("a zero-token document occupies no span and never crosses") {
     val d = Seq(("a", 1L, 0L), ("a", 2L, 5L)).toDF("src", "id", "n")
     val got = Packing.concatChunks(d, "src", "id", "n", 4L)

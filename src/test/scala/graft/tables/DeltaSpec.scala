@@ -607,6 +607,47 @@ class DeltaSpec extends SparkSpec {
     assert(t(spark).select("id").as[Long].collect().sorted.toSeq == (0L to 4L))
   }
 
+  test("a blind-retry append refuses to revert a concurrent schema evolution") {
+    val dir = tempDir("delta-retrymeta").toString + "/t"
+    DeltaWrite.append(spark, Seq((1L, "a")).toDF("id", "v"), dir) // v0
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // same-shape append: snapshot-independent actions, so no
+    // concurrency base — the blind-retry path under test
+    val fut = Future(DeltaWrite.append(spark, Seq((2L, "b")).toDF("id", "v"), dir))
+    // the appender freezes its snapshot BEFORE staging; once the
+    // staging dir exists its schemaJson is locked to the v0 schema
+    val tdir = new java.io.File(dir)
+    val deadline = System.currentTimeMillis() + 30000
+    while (!Option(tdir.listFiles()).exists(_.exists(_.getName.startsWith("_staging_"))) &&
+           System.currentTimeMillis() < deadline) Thread.sleep(5)
+    assert(tdir.listFiles().exists(_.getName.startsWith("_staging_")))
+    // a concurrent writer wins version 1 with a schema evolution
+    // (pure-metadata commit, written raw so it lands in microseconds —
+    // well inside the appender's staging+stats window)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val m = om.createObjectNode()
+    m.put("id", java.util.UUID.randomUUID().toString)
+    m.putObject("format").put("provider", "parquet").putObject("options")
+    m.put("schemaString", Seq.empty[(Long, String, Long)].toDF("id", "v", "w").schema.json)
+    m.putArray("partitionColumns")
+    m.putObject("configuration")
+    m.put("createdTime", 1L)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_delta_log", f"${1L}%020d.json"),
+      (s"""{"metaData":${om.writeValueAsString(m)}}""" + "\n").getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE_NEW)
+    // the appender loses the v1 race; its retry sees the evolved
+    // schema and MUST refuse rather than re-emit the frozen metadata
+    intercept[DeltaWrite.ConcurrentWriteException] {
+      Await.result(fut, 120.seconds)
+    }
+    val t = new DeltaTable("t", dir)
+    assert(t(spark).columns.toSeq == Seq("id", "v", "w")) // evolution survived
+    assert(t(spark).select("id").as[Long].collect().toSeq == Seq(1L)) // no partial commit
+  }
+
   test("delta.checkpointInterval writes periodic checkpoints with _last_checkpoint") {
     val dir = tempDir("delta-ckint").toString + "/t"
     DeltaWrite.append(spark, Seq((0L, "a")).toDF("id", "tag"), dir)                // v0
