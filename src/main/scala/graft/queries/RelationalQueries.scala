@@ -12,9 +12,14 @@ import Num.{d4, dsum, davg}
   *
   * Every query is declarative DataFrame code — Catalyst pushes the
   * filters/projections into the parquet scans, AQE handles shuffle
-  * sizing. Joins against dimension tables are broadcast explicitly.
-  * Each query has an exactly-mirrored DuckDB oracle in
-  * [[QueryCatalog]].
+  * sizing. Only FIXED-cardinality dimensions (nation = 25 rows,
+  * region = 5 rows at every scale factor) carry explicit broadcast
+  * hints; SF-proportional tables (customer, supplier) are left to the
+  * size-gated threshold/AQE decision — at sf0.1 they broadcast anyway,
+  * at 100× they must not (a forced multi-GB broadcast OOMs executors).
+  * PlanSpec asserts the no-SF-proportional-hint invariant across the
+  * whole headline set. Each query has an exactly-mirrored DuckDB
+  * oracle in [[QueryCatalog]].
   */
 object RelationalQueries {
 
@@ -42,7 +47,7 @@ object RelationalQueries {
     val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
     val ord  = t(s, dir, "orders").filter(col("o_orderdate") < to_timestamp(lit("1996-03-15 00:00:00")))
     val li   = t(s, dir, "lineitem").filter(col("l_shipdate") > to_timestamp(lit("1996-03-15 00:00:00")))
-    broadcast(cust)
+    cust
       .join(ord, col("c_custkey") === col("o_custkey"))
       .join(li, col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
@@ -64,8 +69,8 @@ object RelationalQueries {
     val reg  = t(s, dir, "region").filter(col("r_name") === "ASIA")
     ord
       .join(li, col("o_orderkey") === col("l_orderkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey") &&
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(cust, col("o_custkey") === col("c_custkey") &&
         col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))

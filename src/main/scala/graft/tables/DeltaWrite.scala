@@ -635,12 +635,13 @@ object DeltaWrite {
     val byPath = candidates.map(f =>
       DvDeleted.normalizePath(s"$base/${f.path}") -> f).toMap
 
-    // one job: matching (file, row_index) pairs, grouped per file.
-    // Driver memory ∝ newly-deleted rows (the same bound every DV
-    // writer has — the bitmaps must be assembled somewhere before the
-    // single tiny .bin file is written).
+    // one job: matching (file, row_index) pairs are folded into a
+    // compressed roaring bitmap PER FILE on the executors
+    // ([[DvBitmapAgg]]) — the driver collects O(affected files) rows
+    // of (path, dv bytes), never the raw row indexes. A wide DELETE's
+    // driver payload is the same bytes the .bin DV file will hold.
     val dataSchema = StructType(schema.fields.filterNot(f => partCols.contains(f.name)))
-    val matched: Array[(String, Array[Long])] =
+    val matched: Array[(String, Array[Byte])] =
       candidates.groupBy(_.partitionValues).map { case (pv, files) =>
         var part = spark.read.schema(dataSchema)
           .parquet(files.map(f => s"$base/${f.path}"): _*)
@@ -655,19 +656,25 @@ object DeltaWrite {
           .select(col("__graft_file"), col("__graft_row"))
       }.reduce(_.unionByName(_))
         .groupBy(col("__graft_file"))
-        .agg(sort_array(collect_list(col("__graft_row"))).as("rows"))
+        .agg(DvBitmapAgg.bitmap(col("__graft_row")).as("dv"))
+        .select(col("__graft_file"), col("dv.dv"))
         .collect()
-        .map(r => (DvDeleted.normalizePath(r.getString(0)), r.getSeq[Long](1).toArray))
+        .map(r => (DvDeleted.normalizePath(r.getString(0)), r.getAs[Array[Byte]](1)))
 
     if (matched.isEmpty) return CommitResult(snap.version, 0, 0)
 
-    // union with any pre-existing DV of the same file
+    // union with any pre-existing DV of the same file (per-file work,
+    // bounded by that file's row count)
     val bitmaps: Seq[(String, RoaringBitmapArray)] = matched.toSeq.map {
-      case (key, rows) =>
-        val old = byPath(key).dv.map(_.readData(fs, base))
-          .map(RoaringBitmapArray.deserialize).map(_.toArray).getOrElse(Array.empty[Long])
-        val union = (old ++ rows).distinct.sorted
-        key -> RoaringBitmapArray.fromSorted(union)
+      case (key, bytes) =>
+        val fresh = RoaringBitmapArray.deserialize(bytes)
+        val bm = byPath(key).dv.map(_.readData(fs, base)) match {
+          case Some(oldBytes) =>
+            val old = RoaringBitmapArray.deserialize(oldBytes).toArray
+            RoaringBitmapArray.fromSorted((old ++ fresh.toArray).distinct.sorted)
+          case None => fresh
+        }
+        key -> bm
     }
 
     val descriptors = DeletionVectors.writeDvFile(fs, base, bitmaps)

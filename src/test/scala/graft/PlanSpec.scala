@@ -46,6 +46,47 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in q05:\n$plan")
   }
 
+  /** Raw file relations under a broadcast HINT, descending past nodes
+    * whose output cardinality does not scale with the input (aggregate
+    * / limit / literal relation). An explicit hint is unconditional —
+    * unlike the threshold/AQE decision it still fires when the table
+    * is 100× bigger — so a hint over an SF-proportional relation is a
+    * scale-killer even when today's bench likes it.
+    */
+  private def hintedRawScans(df: DataFrame): Seq[String] = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    def leaves(p: LogicalPlan): Seq[String] = p match {
+      case _: Aggregate | _: GlobalLimit | _: LocalLimit | _: LocalRelation => Seq.empty
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths.map(_.getName).toSeq
+        case other => Seq(other.toString)
+      }
+      case other => other.children.flatMap(leaves)
+    }
+    df.queryExecution.analyzed.collect {
+      case h: ResolvedHint if h.hints.strategy.contains(BROADCAST) => leaves(h.child)
+    }.flatten
+  }
+
+  test("no SF-proportional relation is broadcast-hinted across the headline set") {
+    // nation (25 rows) and region (5 rows) are constant-size at every
+    // TPC-H scale factor — the only relations a hint may force.
+    val fixedSize = Set("nation.parquet", "region.parquet")
+    val dir = sf("sf0.001")
+    QueryCatalog.entries.filter(_.headline).foreach { e =>
+      val offenders = hintedRawScans(e.fn(spark, dir)).filterNot(fixedSize)
+      if (e.name == "q_knn_brute")
+        // the hinted kNN query set is embeddings under a LITERAL key
+        // bound (vec_id < 20): 20 rows at any scale factor — bounded
+        assert(offenders.forall(_ == "embeddings.parquet"),
+          s"q_knn_brute hints an unexpected relation: $offenders")
+      else
+        assert(offenders.isEmpty,
+          s"${e.name} broadcast-hints SF-proportional relations: $offenders")
+    }
+  }
+
   test("q06 stays inside whole-stage codegen") {
     val df = QueryCatalog.queries("q06_forecast_revenue")(spark, sf("sf0.001"))
     val codegen = df.queryExecution

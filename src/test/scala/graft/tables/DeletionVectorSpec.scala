@@ -192,6 +192,28 @@ class DeletionVectorSpec extends SparkSpec {
     out.result()
   }
 
+  test("DvBitmapAgg folds row indexes into one bitmap row per file, map-side combined") {
+    // many rows in, O(files) rows out — the executor-side construction
+    // deleteWhereDv collects (driver payload is files × dv bytes, not
+    // deleted rows × 8 bytes)
+    val pairs = (0L until 10000L).map(i => (s"f${i % 3}", i / 3)).toDF("file", "row")
+      .repartition(8)
+    val agged = pairs.groupBy(col("file")).agg(DvBitmapAgg.bitmap(col("row")).as("dv"))
+      .select(col("file"), col("dv.dv").as("bytes"), col("dv.cardinality"))
+    val plan = agged.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), s"expected object hash agg:\n$plan")
+    assert(plan.contains("partial_graft_dv_bitmap"), s"expected map-side combine:\n$plan")
+    val out = agged.collect()
+    assert(out.length == 3)
+    out.foreach { r =>
+      val bm = RoaringBitmapArray.deserialize(r.getAs[Array[Byte]]("bytes"))
+      val expect = (0L until 10000L).filter(i => s"f${i % 3}" == r.getString(0)).map(_ / 3).distinct
+      assert(bm.toArray.toSeq == expect.sorted)
+      assert(r.getAs[Long]("cardinality") == expect.size.toLong)
+      assert(bm.cardinality == expect.size.toLong)
+    }
+  }
+
   test("deleteWhereDv deletes rows without touching any data file") {
     val (dir, df) = sampleTable()
     val before = dataFiles(dir)
