@@ -69,8 +69,12 @@ class DeltaTable(
     val schema = snap.schema
     val partCols = snap.metadata.partitionColumns
 
+    // base-column filters also prune generated-column partitions
+    // ([[GeneratedPruning]]); the exact residual predicate below still
+    // applies to surviving rows
+    val skipFilters = GeneratedPruning.withDerived(spark, args.filters, snap.metadata)
     val survivors = snap.files.filter(f =>
-      DeltaFileSkipping.mayMatch(f, args.filters, snap.metadata))
+      DeltaFileSkipping.mayMatch(f, skipFilters, snap.metadata))
 
     val withRowIds = args.extra.get(RowIdsKey).exists {
       case b: Boolean => b

@@ -206,8 +206,9 @@ object DeltaWrite {
     DeltaPolicy.requireNotAppendOnly(snap.metadata, "DELETE", tablePath)
     require(!snap.metadata.isColumnMapped,
       s"writes to column-mapped Delta tables are not supported ($tablePath)")
+    val skipFilters = GeneratedPruning.withDerived(spark, filters, snap.metadata)
     val candidates = snap.files.filter(f =>
-      DeltaFileSkipping.mayMatch(f, filters, snap.metadata))
+      DeltaFileSkipping.mayMatch(f, skipFilters, snap.metadata))
     if (candidates.isEmpty)
       return CommitResult(snap.version, 0, 0)
 
@@ -269,7 +270,8 @@ object DeltaWrite {
     val matched = coalesce(predicate, lit(false))
 
     val candidates = snap.files.filter(f =>
-      DeltaFileSkipping.mayMatch(f, filters, meta))
+      DeltaFileSkipping.mayMatch(f,
+        GeneratedPruning.withDerived(spark, filters, meta), meta))
     if (candidates.isEmpty) return CommitResult(snap.version, 0, 0)
 
     val tracked = rowTrackingEnabled(meta)
@@ -625,7 +627,8 @@ object DeltaWrite {
     require(!snap.metadata.isColumnMapped,
       s"writes to column-mapped Delta tables are not supported ($tablePath)")
     val candidates = snap.files.filter(f =>
-      DeltaFileSkipping.mayMatch(f, filters, snap.metadata))
+      DeltaFileSkipping.mayMatch(f,
+        GeneratedPruning.withDerived(spark, filters, snap.metadata), snap.metadata))
     if (candidates.isEmpty) return CommitResult(snap.version, 0, 0)
 
     val base = tablePath.stripSuffix("/")

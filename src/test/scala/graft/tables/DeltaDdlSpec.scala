@@ -132,6 +132,101 @@ class DeltaDdlSpec extends SparkSpec {
     assert(DeltaPolicy.generationExpressions(meta) === Map("doubled" -> "id * 2"))
   }
 
+  test("base-column filters prune generated-column partitions (eq, in, range)") {
+    val path = tempDir("ddl_genprune").toString + "/t"
+    val md = new MetadataBuilder().putString(
+      "delta.generationExpression", "CAST(ts AS DATE)").build()
+    DeltaDdl.createTable(spark, path,
+      StructType(Seq(
+        StructField("id", LongType),
+        StructField("ts", TimestampType),
+        StructField("day", DateType, nullable = true, md))),
+      partitionBy = Seq("day"))
+    // three days, one file per partition
+    val rows = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-03-01 10:00:00")),
+      (2L, java.sql.Timestamp.valueOf("2024-03-02 11:00:00")),
+      (3L, java.sql.Timestamp.valueOf("2024-03-03 12:00:00")))
+    DeltaWrite.append(spark, rows.toDF("id", "ts"), path, partitionBy = Seq("day"))
+    val t = new DeltaTable("t", path)
+    val all = t(spark)
+    assert(all.inputFiles.length == 3)
+
+    // equality on the BASE column prunes to the one matching partition
+    val eq = t(spark, ReadArgs.where(
+      Filter("ts", "=", java.sql.Timestamp.valueOf("2024-03-02 11:00:00"))))
+    assert(eq.inputFiles.length == 1, eq.inputFiles.toSeq)
+    assert(eq.select("id").as[Long].collect().toSeq == Seq(2L))
+
+    // IN on the base column prunes to the members' partitions
+    val in = t(spark, ReadArgs.where(Filter("ts", "in", Seq(
+      java.sql.Timestamp.valueOf("2024-03-01 10:00:00"),
+      java.sql.Timestamp.valueOf("2024-03-03 12:00:00")))))
+    assert(in.inputFiles.length == 2, in.inputFiles.toSeq)
+    assert(in.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+
+    // range: CAST AS DATE is monotone, so ts >= v prunes days < day(v);
+    // the boundary day itself must survive (>= widens to day >= date)
+    val ge = t(spark, ReadArgs.where(
+      Filter("ts", ">=", java.sql.Timestamp.valueOf("2024-03-02 00:00:00"))))
+    assert(ge.inputFiles.length == 2, ge.inputFiles.toSeq)
+    assert(ge.select("id").as[Long].collect().sorted.toSeq == Seq(2L, 3L))
+
+    // strict < on a mid-day instant keeps the boundary day's file
+    // (g collapses the day) but the exact predicate still filters rows
+    val lt = t(spark, ReadArgs.where(
+      Filter("ts", "<", java.sql.Timestamp.valueOf("2024-03-02 11:00:00"))))
+    assert(lt.inputFiles.length == 2, lt.inputFiles.toSeq)
+    assert(lt.select("id").as[Long].collect().sorted.toSeq == Seq(1L))
+
+    // != derives nothing: all partitions read, exact rows returned
+    val ne = t(spark, ReadArgs.where(
+      Filter("ts", "!=", java.sql.Timestamp.valueOf("2024-03-02 11:00:00"))))
+    assert(ne.inputFiles.length == 3)
+    assert(ne.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+
+    // DELETE with a base-column filter rewrites only the pruned file set
+    val del = DeltaWrite.deleteWhere(spark, path, Filters.normalize(Seq(
+      Filter("ts", "=", java.sql.Timestamp.valueOf("2024-03-01 10:00:00")))))
+    assert(del.filesRemoved == 1, del)
+    assert(t(spark).select("id").as[Long].collect().sorted.toSeq == Seq(2L, 3L))
+  }
+
+  test("generated substring prefix partitions prune on base equality") {
+    val path = tempDir("ddl_genprefix").toString + "/t"
+    val md = new MetadataBuilder().putString(
+      "delta.generationExpression", "substring(name, 1, 1)").build()
+    DeltaDdl.createTable(spark, path,
+      StructType(Seq(
+        StructField("name", StringType),
+        StructField("pfx", StringType, nullable = true, md))),
+      partitionBy = Seq("pfx"))
+    DeltaWrite.append(spark,
+      Seq("alpha", "beta", "gamma").toDF("name"), path, partitionBy = Seq("pfx"))
+    val t = new DeltaTable("t", path)
+    assert(t(spark).inputFiles.length == 3)
+    val eq = t(spark, ReadArgs.where(Filter("name", "=", "beta")))
+    assert(eq.inputFiles.length == 1, eq.inputFiles.toSeq)
+    assert(eq.select("name").as[String].collect().toSeq == Seq("beta"))
+    // monotone prefix: name >= 'b' prunes the 'a' partition
+    val ge = t(spark, ReadArgs.where(Filter("name", ">=", "b")))
+    assert(ge.inputFiles.length == 2, ge.inputFiles.toSeq)
+    assert(ge.select("name").as[String].collect().sorted.toSeq == Seq("beta", "gamma"))
+
+    // per-file min/max stats on `name` could prune these too — assert
+    // the GENERATED derivation itself produced the partition conjuncts
+    val meta = DeltaLog.snapshot(spark, path).metadata
+    assert(GeneratedPruning.withDerived(spark,
+      Filters.normalize(Seq(Filter("name", "=", "beta"))), meta)
+      == Seq(Seq(Filter("name", "=", "beta"), Filter("pfx", "=", "b"))))
+    assert(GeneratedPruning.withDerived(spark,
+      Filters.normalize(Seq(Filter("name", ">=", "b"))), meta)
+      == Seq(Seq(Filter("name", ">=", "b"), Filter("pfx", ">=", "b"))))
+    assert(GeneratedPruning.withDerived(spark,
+      Filters.normalize(Seq(Filter("name", "<", "c"))), meta)
+      == Seq(Seq(Filter("name", "<", "c"), Filter("pfx", "<=", "c"))))
+  }
+
   // ---------- append-only ----------
 
   test("delta.appendOnly: removes refused, appends and OPTIMIZE legal") {
