@@ -74,11 +74,13 @@ object DeltaDdl {
     val hasGenerated = schema.fields.exists(_.metadata.contains(DeltaPolicy.GenerationExpressionKey))
     val hasCdf = configuration.get("delta.enableChangeDataFeed").contains("true")
     val mapped = configuration.get("delta.columnMapping.mode").exists(m => m != "none" && m.nonEmpty)
+    val hasIdentity = schema.fields.exists(_.metadata.contains(DeltaPolicy.IdentityStartKey))
     val writer = Seq(
       2,
       if (hasConstraints) 3 else 2,
       if (hasGenerated || hasCdf) 4 else 2,
-      if (mapped) 5 else 2).max
+      if (mapped) 5 else 2,
+      if (hasIdentity) 6 else 2).max
     val reader = if (mapped) 2 else 1
     // in-commit timestamps exist only as a versioned writer feature:
     // enabling it at creation puts the protocol in v7 feature form
@@ -95,6 +97,23 @@ object DeltaDdl {
     * expressions, invariants, mapping names) is preserved verbatim in
     * the schemaString.
     */
+  /** Field metadata declaring an identity column (`id BIGINT GENERATED
+    * ALWAYS AS IDENTITY (START WITH s INCREMENT BY st)` in SQL form) —
+    * attach to a LongType field of [[createTable]]'s schema.
+    */
+  def identityMetadata(
+      start: Long = 1L,
+      step: Long = 1L,
+      allowExplicitInsert: Boolean = false
+  ): org.apache.spark.sql.types.Metadata = {
+    require(step != 0L, "identity step must be nonzero")
+    new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong(DeltaPolicy.IdentityStartKey, start)
+      .putLong(DeltaPolicy.IdentityStepKey, step)
+      .putBoolean(DeltaPolicy.IdentityAllowExplicitKey, allowExplicitInsert)
+      .build()
+  }
+
   def createTable(
       spark: SparkSession,
       tablePath: String,
@@ -106,6 +125,15 @@ object DeltaDdl {
       s"cannot CREATE: $tablePath already has a Delta log")
     partitionBy.foreach(c => require(schema.fieldNames.contains(c),
       s"partition column $c is not in the schema"))
+    schema.fields.filter(_.metadata.contains(DeltaPolicy.IdentityStartKey)).foreach { f =>
+      require(f.dataType == org.apache.spark.sql.types.LongType,
+        s"identity column ${f.name} must be BIGINT, got ${f.dataType.simpleString}")
+      require(f.metadata.contains(DeltaPolicy.IdentityStepKey) &&
+        f.metadata.getLong(DeltaPolicy.IdentityStepKey) != 0L,
+        s"identity column ${f.name} needs a nonzero ${DeltaPolicy.IdentityStepKey}")
+      require(!f.metadata.contains(DeltaPolicy.GenerationExpressionKey),
+        s"column ${f.name} cannot be both identity and generated")
+    }
     val ict =
       if (!configuration.get(DeltaWrite.IctKey).contains("true")) Seq.empty
       else {

@@ -36,6 +36,35 @@ private[tables] object DeltaPolicy {
   val ConstraintPrefix = "delta.constraints."
   val AppendOnlyKey = "delta.appendOnly"
 
+  // identity columns (writer v6 / `identityColumns` feature): values
+  // minted by the writer as start + k·step, furthest minted value
+  // tracked in the field's highWaterMark metadata
+  val IdentityStartKey = "delta.identity.start"
+  val IdentityStepKey = "delta.identity.step"
+  val IdentityHwmKey = "delta.identity.highWaterMark"
+  val IdentityAllowExplicitKey = "delta.identity.allowExplicitInsert"
+
+  /** One identity column's declaration (+ current high-water mark). */
+  final case class IdentitySpec(
+      column: String,
+      start: Long,
+      step: Long,
+      highWaterMark: Option[Long],
+      allowExplicitInsert: Boolean)
+
+  def identityColumns(meta: DeltaLog.Metadata): Seq[IdentitySpec] =
+    meta.schema.fields.collect {
+      case f if f.metadata.contains(IdentityStartKey) =>
+        IdentitySpec(
+          f.name,
+          f.metadata.getLong(IdentityStartKey),
+          f.metadata.getLong(IdentityStepKey),
+          if (f.metadata.contains(IdentityHwmKey))
+            Some(f.metadata.getLong(IdentityHwmKey)) else None,
+          f.metadata.contains(IdentityAllowExplicitKey) &&
+            f.metadata.getBoolean(IdentityAllowExplicitKey))
+    }.toSeq
+
   private val mapper = new ObjectMapper()
 
   /** CHECK constraints: name → SQL predicate. */

@@ -265,6 +265,10 @@ object DeltaWrite {
       require(schema.fieldNames.contains(c), s"SET column $c is not in the table schema")
     }
     require(set.map(_._1).distinct.size == set.size, "duplicate SET column")
+    val idCols = DeltaPolicy.identityColumns(meta).map(_.column).toSet
+    set.foreach { case (c, _) =>
+      require(!idCols.contains(c), s"cannot UPDATE identity column $c")
+    }
     val setMap = set.toMap
     val predicate = Filters.toColumn(filters).getOrElse(lit(true))
     val matched = coalesce(predicate, lit(false))
@@ -345,9 +349,12 @@ object DeltaWrite {
         val prepared = DeltaPolicy.prepare(df, snap.metadata, tablePath)
         commitMapped(spark, prepared, tablePath, snap, partitionBy, overwrite, txnActions)
       case None =>
+        val idSpecs = snapOpt.map(s => DeltaPolicy.identityColumns(s.metadata))
+          .getOrElse(Seq.empty)
         val prepared = snapOpt match {
           case Some(snap) =>
-            val p = DeltaPolicy.prepare(df, snap.metadata, tablePath)
+            val p0 = DeltaPolicy.prepare(df, snap.metadata, tablePath)
+            val p = assignIdentity(p0, idSpecs, tablePath)
             // align to the declared column order (generated columns
             // materialize at the end of the frame otherwise)
             if (p.columns.toSet == snap.schema.fieldNames.toSet &&
@@ -355,6 +362,15 @@ object DeltaWrite {
               p.select(snap.schema.fieldNames.map(col).toSeq: _*)
             else p
           case None => df
+        }
+        // an overwrite that replaces the schema would emit a
+        // frame-derived schemaString and silently drop the identity
+        // declaration — refuse
+        snapOpt.foreach { snap =>
+          if (idSpecs.nonEmpty && overwrite)
+            require(prepared.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+              snap.schema.fields.map(f => (f.name, f.dataType)).toSeq,
+              s"overwrite of identity-bearing table $tablePath cannot change the schema")
         }
         // a CDF-enabled overwrite is a full data change: old rows leave
         // as deletes, new rows enter as inserts — without cdc the
@@ -421,18 +437,87 @@ object DeltaWrite {
           case _ => prepared.schema.json
         }
         val adds = stageFiles(spark, prepared, tablePath, partitionBy)
+        // identity high-water marks advance from the staged files'
+        // stats (driver arithmetic over per-file max/min — the same
+        // no-extra-job shape row tracking uses); a bumped mark makes
+        // the commit schema-changing, so it picks up the concurrency
+        // base below and a racing identity writer refuses rather than
+        // minting overlapping values
+        val schemaJsonF = bumpIdentityHwm(schemaJson, idSpecs, adds)
         // a SCHEMA-CHANGING commit derives its metaData from the
         // snapshot: a blind retry after a lost race would write a
         // stale schema over a concurrent writer's evolution (silently
         // dropping their column). Plain same-shape appends keep the
         // blind retry — their actions are snapshot-independent.
         val evolving = snapOpt.exists(sn =>
-          sn.metadata.schemaString != schemaJson ||
+          sn.metadata.schemaString != schemaJsonF ||
             sn.metadata.partitionColumns != partitionBy)
-        commitLoop(spark, tablePath, adds, Seq.empty, schemaJson, partitionBy,
+        commitLoop(spark, tablePath, adds, Seq.empty, schemaJsonF, partitionBy,
           overwrite, extraActions = txnActions ++ cdcActions, snapHint = snapOpt,
           requireBase = if (evolving) snapOpt.map(_.version) else None)
     }
+  }
+
+  /** Mint identity values (writer v6 / `identityColumns`, per the
+    * public protocol): absent identity columns get
+    * `base + step · monotonically_increasing_id()` — every value is a
+    * step-multiple from `start` (base ≡ start mod step by induction),
+    * unique, and beyond the high-water mark; gaps are explicitly legal,
+    * which is what makes assignment a pure scan with no shuffle or
+    * count job. Provided values require `allowExplicitInsert`.
+    */
+  private def assignIdentity(
+      df: DataFrame,
+      specs: Seq[DeltaPolicy.IdentitySpec],
+      tablePath: String
+  ): DataFrame =
+    specs.foldLeft(df) { (d, spec) =>
+      if (d.columns.contains(spec.column)) {
+        require(spec.allowExplicitInsert,
+          s"identity column ${spec.column} of $tablePath is GENERATED ALWAYS " +
+            "(delta.identity.allowExplicitInsert=false): omit it and let the writer " +
+            "assign values")
+        d
+      } else {
+        val base = spec.highWaterMark.map(_ + spec.step).getOrElse(spec.start)
+        d.withColumn(spec.column,
+          lit(base) + lit(spec.step) * monotonically_increasing_id())
+      }
+    }
+
+  /** Advance each identity column's `delta.identity.highWaterMark` to
+    * the furthest value (in step direction) present in the staged
+    * files' stats. Returns the (possibly updated) schema JSON.
+    */
+  private def bumpIdentityHwm(
+      schemaJson: String,
+      specs: Seq[DeltaPolicy.IdentitySpec],
+      adds: Seq[StagedAdd]
+  ): String = {
+    if (specs.isEmpty || adds.isEmpty) return schemaJson
+    var schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    var changed = false
+    specs.foreach { spec =>
+      val statsKey = if (spec.step > 0) "maxValues" else "minValues"
+      val extremes = adds.flatMap(_.stats).flatMap { s =>
+        Option(mapper.readTree(s).path(statsKey).get(spec.column))
+          .filterNot(_.isNull).map(_.asLong())
+      }
+      if (extremes.nonEmpty) {
+        val extreme = if (spec.step > 0) extremes.max else extremes.min
+        val advances = spec.highWaterMark.forall(h =>
+          if (spec.step > 0) extreme > h else extreme < h)
+        if (advances) {
+          changed = true
+          schema = StructType(schema.fields.map { f =>
+            if (f.name != spec.column) f
+            else f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+              .putLong(DeltaPolicy.IdentityHwmKey, extreme).build())
+          })
+        }
+      }
+    }
+    if (changed) schema.json else schemaJson
   }
 
   /** Append/overwrite into a column-mapped table (name OR id mode):
@@ -457,6 +542,8 @@ object DeltaWrite {
     require(partitionBy.isEmpty || partitionBy == meta.partitionColumns,
       s"a column-mapped table's partitioning is fixed by its metadata " +
         s"(${meta.partitionColumns.mkString(",")}); got ${partitionBy.mkString(",")}")
+    require(DeltaPolicy.identityColumns(meta).isEmpty,
+      s"identity columns on column-mapped Delta tables are not supported ($tablePath)")
     // field ids land in the parquet footers via schema metadata; the
     // conf is default-true but cheap to pin for id-mode round trips
     if (meta.columnMappingMode == "id")
@@ -743,6 +830,13 @@ object DeltaWrite {
     require(source.columns.toSet == meta.schema.fieldNames.toSet,
       s"merge source schema ${source.columns.mkString(",")} must match the table " +
         s"(${meta.schema.fieldNames.mkString(",")})")
+    // a merge source carries every column, so identity values arrive
+    // explicit — legal only when the declaration allows it
+    DeltaPolicy.identityColumns(meta).foreach { spec =>
+      require(spec.allowExplicitInsert,
+        s"MERGE into $tablePath provides explicit values for identity column " +
+          s"${spec.column}, which is GENERATED ALWAYS (allowExplicitInsert=false)")
+    }
     val partCols = meta.partitionColumns
     // incoming rows are subject to the table's policies (constraints,
     // invariants, generated-column validation); surviving target rows
@@ -827,7 +921,8 @@ object DeltaWrite {
       else Set.empty
     val adds = stageFiles(spark, content, tablePath, partCols, statsExclude = matEx)
     commitLoop(spark, tablePath, adds, candidates,
-      meta.schemaString, partCols, overwrite = false, extraActions = cdcActions,
+      bumpIdentityHwm(meta.schemaString, DeltaPolicy.identityColumns(meta), adds),
+      partCols, overwrite = false, extraActions = cdcActions,
       requireBase = Some(snap.version))
   }
 
