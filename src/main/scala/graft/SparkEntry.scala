@@ -15,4 +15,12 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = QueryCatalog.oracles
+
+  /** Oracles whose SQL embeds values computed deterministically from
+    * the data at `dir` (learned k-means centroids spliced as a literal
+    * matrix); Verify merges these over [[oracleSql]].
+    */
+  def oracleSqlDynamic(spark: SparkSession, dir: String): Map[String, String] =
+    graft.queries.OracleSql.dynamic(spark, dir)
+      .view.filterKeys(queries.contains).toMap
 }

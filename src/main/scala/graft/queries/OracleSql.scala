@@ -1221,4 +1221,56 @@ object OracleSql {
   }
 
   val all: Map[String, String] = relational ++ pipeline ++ wave2 ++ wave3 ++ wave4
+
+  /** Oracles whose SQL embeds values computed DETERMINISTICALLY from
+    * the data at `dir` — merged over [[all]] by Verify, which knows
+    * the scale-factor directory. The only entry today splices the
+    * learned k-means centroids into the q_ann_kmeans oracle as a
+    * literal matrix: the learner itself is deterministic (hash-sample
+    * init, exact-decimal means, fixed iterations — SimilaritySpec),
+    * so the assignment + in-bucket top-k become SQL-expressible the
+    * same way q_ann_ivf's modulo-seed variant already is.
+    */
+  def dynamic(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String
+  ): Map[String, String] = Map("q_ann_kmeans" -> annKmeansSql(spark, dir))
+
+  private def annKmeansSql(
+      spark: org.apache.spark.sql.SparkSession, dir: String): String = {
+    import Wave3Queries.Ann
+    val cents = graft.operators.Similarity.kmeansCentroids(
+      Tables.table(spark, dir, "embeddings"), "vec_id", "embedding",
+      k = Ann.K, maxIter = Ann.MaxIter)
+    // Double.toString is the shortest round-tripping repr, so DuckDB
+    // parses back the exact same float64 the Spark plan used
+    val rows = cents.sortBy(_._1).map { case (cid, v) =>
+      s"($cid, [${v.map(_.toString).mkString(", ")}]::DOUBLE[])"
+    }.mkString(",\n|    ")
+    val l2 = "round(list_sum(list_transform(range(1, len(e.embedding)+1), " +
+      "i -> (e.embedding[i]::DOUBLE - c.cv[i]) * (e.embedding[i]::DOUBLE - c.cv[i]))), 4)"
+    s"""WITH cents AS (
+       |  SELECT * FROM (VALUES
+       |    $rows) AS t(centroid_id, cv)),
+       |dists AS (
+       |  SELECT e.vec_id, e.embedding, c.centroid_id, $l2 AS d2
+       |  FROM embeddings e CROSS JOIN cents c),
+       |assigned AS (
+       |  SELECT vec_id, embedding, centroid_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, centroid_id) AS rn
+       |    FROM dists) WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id, embedding AS qv, centroid_id
+       |      FROM assigned WHERE vec_id < ${Ann.QueryBound}),
+       |scored AS (
+       |  SELECT q.query_id, a.vec_id AS neighbor_id,
+       |    round(list_cosine_similarity(q.qv::DOUBLE[], a.embedding::DOUBLE[]), 4) AS sim
+       |  FROM q JOIN assigned a USING (centroid_id)
+       |  WHERE a.vec_id != q.query_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, sim,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= ${Ann.TopK}
+       |ORDER BY query_id, rank""".stripMargin
+  }
 }

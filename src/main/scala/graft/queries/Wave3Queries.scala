@@ -160,17 +160,30 @@ object Wave3Queries {
       .orderBy("source")
   }
 
+  /** Shared q_ann_kmeans constants — the dynamic oracle
+    * (OracleSql.dynamic) learns centroids with the same parameters and
+    * splices them into the DuckDB SQL as a literal matrix.
+    */
+  object Ann {
+    val K = 8
+    val MaxIter = 3
+    val QueryBound = 10
+    val TopK = 3
+  }
+
   /** Learned-index ANN: Lloyd k-means IVF (deterministic farthest-
     * point init, exact-decimal centroid updates) + in-bucket search.
-    * Rows-only (Lloyd iterations aren't SQL-expressible); semantic
-    * invariants are asserted in SimilaritySpec.
+    * Oracle-checked via the DYNAMIC oracle: the learner is
+    * deterministic, so its centroids are spliced into the DuckDB SQL
+    * as literals and the assignment + top-k verify end to end
+    * (invariants additionally asserted in SimilaritySpec).
     */
   def qAnnKmeans(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.table(s, dir, "embeddings")
     val assigned = graft.operators.Similarity.kmeansIvfAssign(
-      emb, "vec_id", "embedding", k = 8, maxIter = 3)
+      emb, "vec_id", "embedding", k = Ann.K, maxIter = Ann.MaxIter)
     graft.operators.Similarity.ivfTopK(assigned, "vec_id", "embedding",
-      queryIds = emb.where(col("vec_id") < 10).select("vec_id"), k = 3)
+      queryIds = emb.where(col("vec_id") < Ann.QueryBound).select("vec_id"), k = Ann.TopK)
       .withColumn("rank", col("rank").cast("long"))
       .orderBy("query_id", "rank")
   }
