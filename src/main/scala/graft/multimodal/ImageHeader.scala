@@ -17,6 +17,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - JPEG: FF D8 then marker scan; SOFn segment carries height/width
   *  - GIF: "GIF87a"/"GIF89a", width/height little-endian at 6/8
   *  - BMP: "BM", width/height little-endian at 18/22 (BITMAPINFOHEADER)
+  *  - WebP: RIFF container, "WEBP" form; VP8 (lossy frame tag + sync
+  *    code, 14-bit dims), VP8L (lossless signature, packed 14-bit
+  *    dims), VP8X (extended: 24-bit canvas minus-one dims)
+  *  - TIFF: "II*\0" / "MM\0*", IFD0 walk for tags 256/257 (SHORT or
+  *    LONG values) — also the byte layout inside JPEG EXIF APP1
   *
   * Returns struct(format, width, height); null for unrecognized
   * payloads — loud-by-absence, never a guessed size.
@@ -77,7 +82,61 @@ object ImageHeader {
       Some(("gif", le16(6), le16(8)))
     else if (b.length >= 26 && b(0) == 'B' && b(1) == 'M')
       Some(("bmp", le32(18), math.abs(le32(22)))) // height may be negative (top-down)
-    else None
+    else if (b.length >= 30 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'E' && b(10) == 'B' && b(11) == 'P') {
+      def le24(i: Int): Int = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16)
+      val chunk = new String(b.slice(12, 16), "US-ASCII")
+      chunk match {
+        case "VP8 " =>
+          // lossy: 3-byte frame tag then sync 9D 01 2A, 14-bit dims
+          if (u8(23) == 0x9D && u8(24) == 0x01 && u8(25) == 0x2A)
+            Some(("webp", le16(26) & 0x3FFF, le16(28) & 0x3FFF))
+          else None
+        case "VP8L" =>
+          // lossless: signature 2F, then width-1 in bits 0..13,
+          // height-1 in bits 14..27 of the next 4 LE bytes
+          if (u8(20) == 0x2F) {
+            val v = le32(21)
+            Some(("webp", (v & 0x3FFF) + 1, ((v >>> 14) & 0x3FFF) + 1))
+          } else None
+        case "VP8X" =>
+          // extended: canvas dims as 24-bit minus-one at payload +4/+7
+          Some(("webp", le24(24) + 1, le24(27) + 1))
+        case _ => None
+      }
+    } else if (b.length >= 8 &&
+      ((b(0) == 'I' && b(1) == 'I' && u8(2) == 0x2A && u8(3) == 0x00) ||
+        (b(0) == 'M' && b(1) == 'M' && u8(2) == 0x00 && u8(3) == 0x2A))) {
+      // TIFF: walk IFD0 for ImageWidth(256)/ImageLength(257); values
+      // are SHORT(3) or LONG(4), count 1, inlined in the value field
+      val le = b(0) == 'I'
+      def u16(i: Int): Int = if (le) le16(i) else be16(i)
+      def u32(i: Int): Int = if (le) le32(i) else be32(i)
+      val ifd = u32(4)
+      if (ifd < 0 || ifd + 2 > b.length) None
+      else {
+        val n = u16(ifd)
+        var w = -1; var h = -1
+        var e = 0
+        while (e < n && ifd + 2 + 12 * (e + 1) <= b.length) {
+          val off = ifd + 2 + 12 * e
+          val tag = u16(off)
+          if (tag == 256 || tag == 257) {
+            val typ = u16(off + 2)
+            // SHORT sits in the first two bytes of the value field
+            // under either byte order; LONG fills it
+            val v = typ match {
+              case 3 => u16(off + 8)
+              case 4 => u32(off + 8)
+              case _ => -1
+            }
+            if (tag == 256) w = v else h = v
+          }
+          e += 1
+        }
+        if (w > 0 && h > 0) Some(("tiff", w, h)) else None
+      }
+    } else None
   }
 }
 

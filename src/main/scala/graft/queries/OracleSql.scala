@@ -177,13 +177,18 @@ object OracleSql {
          |GROUP BY c_mktsegment
          |ORDER BY cohort, c_mktsegment""".stripMargin,
 
+    // the query requests columns (l_returnflag, l_quantity) through
+    // the dedup, so the table prunes BEFORE the keep-first aggregate
+    // and ties on (key, order) resolve by the REQUESTED projection —
+    // the oracle mirrors that tie-break exactly (rows tying on the
+    // whole pruned ordering are identical in every consumed column,
+    // so the aggregate is well-defined on both engines)
     "q_dedup_unique" ->
       s"""SELECT l_returnflag, count(*) AS n_rows, ${dsum(d4("l_quantity"))} AS sum_qty
          |FROM (
          |  SELECT * FROM (
          |    SELECT *, row_number() OVER (PARTITION BY l_orderkey ORDER BY
-         |      l_linenumber, l_orderkey, l_partkey, l_suppkey, l_quantity,
-         |      l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate) AS rn
+         |      l_linenumber, l_returnflag, l_quantity, l_orderkey) AS rn
          |    FROM lineitem) WHERE rn = 1)
          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 

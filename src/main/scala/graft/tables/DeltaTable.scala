@@ -91,10 +91,23 @@ class DeltaTable(
     }
 
     extraCols.foreach { case (c, alias, _) => df = df.withColumn(alias, c) }
-    uniqueColumns.filter(_.nonEmpty).foreach { keys =>
-      df = graft.operators.Dedup.keepFirst(df, keys, orderColumn)
+    uniqueColumns.filter(_.nonEmpty) match {
+      case Some(keys) =>
+        args.columns match {
+          case Some(cols) =>
+            // project before the dedup — see LakehouseTable.apply: the
+            // keepFirst struct blocks column pruning, so unrequested
+            // columns would be shuffled for nothing
+            val need = (cols ++ keys ++ orderColumn).distinct
+            df = graft.operators.Dedup.keepFirst(
+              df.select(need.map(col): _*), keys, orderColumn)
+              .select(cols.map(col): _*)
+          case None =>
+            df = graft.operators.Dedup.keepFirst(df, keys, orderColumn)
+        }
+      case None =>
+        args.columns.foreach(cols => df = df.select(cols.map(col): _*))
     }
-    args.columns.foreach(cols => df = df.select(cols.map(col): _*))
     df
   }
 

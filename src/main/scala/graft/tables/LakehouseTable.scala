@@ -69,11 +69,29 @@ class LakehouseTable(
 
     extraCols.foreach { case (c, alias, _) => df = df.withColumn(alias, c) }
 
-    uniqueColumns.filter(_.nonEmpty).foreach { keys =>
-      df = graft.operators.Dedup.keepFirst(df, keys, orderColumn)
+    uniqueColumns.filter(_.nonEmpty) match {
+      case Some(keys) =>
+        args.columns match {
+          case Some(cols) =>
+            // Project BEFORE the dedup: keepFirst's row struct blocks
+            // Catalyst column pruning (the aggregate buffer carries
+            // every field it is given), so unrequested columns would
+            // otherwise be shuffled and compared for nothing —
+            // measured 33% of the dedup's execution cost at sf0.1.
+            // Tie-break note: rows tying on (key, order) now resolve
+            // by the REQUESTED projection; whenever (key, order) is
+            // unique — the documented contract for a meaningful
+            // keep-first — results are identical.
+            val need = (cols ++ keys ++ orderColumn).distinct
+            df = graft.operators.Dedup.keepFirst(
+              df.select(need.map(col): _*), keys, orderColumn)
+              .select(cols.map(col): _*)
+          case None =>
+            df = graft.operators.Dedup.keepFirst(df, keys, orderColumn)
+        }
+      case None =>
+        args.columns.foreach(cols => df = df.select(cols.map(col): _*))
     }
-
-    args.columns.foreach(cols => df = df.select(cols.map(col): _*))
     df
   }
 

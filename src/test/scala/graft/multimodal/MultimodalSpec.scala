@@ -129,4 +129,67 @@ class MultimodalSpec extends SparkSpec {
       assert(ImageHeader.parse(b).isEmpty, s"case $i should refuse")
     }
   }
+
+  private def webpBytes(chunk: String, w: Int, h: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(40).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(32)
+    bb.put("WEBP".getBytes("US-ASCII"))
+    bb.put(chunk.getBytes("US-ASCII")).putInt(20)
+    chunk match {
+      case "VP8 " => // 3-byte frame tag, sync code, 14-bit LE dims
+        bb.put(new Array[Byte](3))
+        bb.put(0x9D.toByte).put(0x01.toByte).put(0x2A.toByte)
+        bb.putShort((w & 0x3FFF).toShort).putShort((h & 0x3FFF).toShort)
+      case "VP8L" => // signature, then w-1 | (h-1)<<14 packed LE
+        bb.put(0x2F.toByte)
+        bb.putInt((w - 1) | ((h - 1) << 14))
+      case "VP8X" => // flags+reserved, then 24-bit minus-one dims
+        bb.putInt(0)
+        val cw = w - 1; val ch = h - 1
+        bb.put((cw & 0xFF).toByte).put(((cw >> 8) & 0xFF).toByte).put(((cw >> 16) & 0xFF).toByte)
+        bb.put((ch & 0xFF).toByte).put(((ch >> 8) & 0xFF).toByte).put(((ch >> 16) & 0xFF).toByte)
+    }
+    bb.array()
+  }
+
+  private def tiffBytes(le: Boolean, w: Int, h: Int, shortType: Boolean): Array[Byte] = {
+    val order = if (le) java.nio.ByteOrder.LITTLE_ENDIAN else java.nio.ByteOrder.BIG_ENDIAN
+    val bb = java.nio.ByteBuffer.allocate(64).order(order)
+    if (le) bb.put('I'.toByte).put('I'.toByte).put(0x2A.toByte).put(0x00.toByte)
+    else bb.put('M'.toByte).put('M'.toByte).put(0x00.toByte).put(0x2A.toByte)
+    bb.putInt(8) // IFD0 at byte 8
+    bb.putShort(2)
+    def entry(tag: Int, v: Int): Unit = {
+      bb.putShort(tag.toShort)
+      bb.putShort(if (shortType) 3.toShort else 4.toShort)
+      bb.putInt(1)
+      // SHORT occupies the FIRST two bytes of the value field under
+      // either byte order; LONG fills it
+      if (shortType) { bb.putShort(v.toShort); bb.putShort(0) } else bb.putInt(v)
+    }
+    entry(256, w); entry(257, h)
+    bb.putInt(0) // next-IFD terminator
+    bb.array()
+  }
+
+  test("WebP lossy/lossless/extended and TIFF both byte orders parse") {
+    assert(ImageHeader.parse(webpBytes("VP8 ", 640, 480)).contains(("webp", 640, 480)))
+    assert(ImageHeader.parse(webpBytes("VP8L", 123, 45)).contains(("webp", 123, 45)))
+    assert(ImageHeader.parse(webpBytes("VP8X", 4000, 3000)).contains(("webp", 4000, 3000)))
+    assert(ImageHeader.parse(tiffBytes(le = true, 800, 600, shortType = true))
+      .contains(("tiff", 800, 600)))
+    assert(ImageHeader.parse(tiffBytes(le = false, 800, 600, shortType = true))
+      .contains(("tiff", 800, 600)))
+    assert(ImageHeader.parse(tiffBytes(le = true, 70000, 50000, shortType = false))
+      .contains(("tiff", 70000, 50000)))
+    assert(ImageHeader.parse(tiffBytes(le = false, 70000, 50000, shortType = false))
+      .contains(("tiff", 70000, 50000)))
+    // corrupted variants refuse
+    assert(ImageHeader.parse(webpBytes("VP8 ", 640, 480).take(25)).isEmpty)
+    val badSync = webpBytes("VP8 ", 640, 480); badSync(23) = 0x00
+    assert(ImageHeader.parse(badSync).isEmpty)
+    val farIfd = tiffBytes(le = true, 800, 600, shortType = true)
+    farIfd(4) = 0x7F.toByte; farIfd(7) = 0x7F.toByte // IFD offset past payload
+    assert(ImageHeader.parse(farIfd).isEmpty)
+  }
 }

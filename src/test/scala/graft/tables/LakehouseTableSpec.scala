@@ -72,4 +72,18 @@ class LakehouseTableSpec extends SparkSpec {
     assert(df.columns.toSeq == Seq("date"))
     assert(df.count() == 2)
   }
+
+  test("column selection prunes the scan before the keep-first aggregate") {
+    val t = new LakehouseTable("t", writeRaw(), declared,
+      uniqueColumns = Some(Seq("z")), orderColumn = Some("seq"))
+    val df = t(spark, ReadArgs(columns = Some(Seq("v"))))
+    // same rows a full-width dedup would keep (unique (key, order))
+    assert(df.as[Double].collect().sorted.toSeq == Seq(10.0, 30.0))
+    // the unrequested columns never enter the scan: the keep-first
+    // struct is opaque to Catalyst, so pruning must happen table-side
+    val plan = df.queryExecution.executedPlan.toString
+    val read = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("z") && read.contains("seq") && read.contains("v"), read)
+    assert(!read.contains("date"), s"unrequested column read: $read")
+  }
 }
