@@ -116,6 +116,69 @@ object GraftProperties extends Properties("graft") {
       }
     }
 
+  // Generated-column pruning SOUNDNESS: a derived partition conjunct
+  // must never reject a row the original predicate accepts — a pruned
+  // file is never read, so an unsound derivation silently loses data.
+  // Checked by evaluating original vs original+derived DNFs with
+  // Spark itself over random data and random filters, for the three
+  // derivation families (date cast, year, string prefix).
+  property("generated-column pruning derives only implied predicates") = {
+    import graft.tables.{DeltaLog, GeneratedPruning}
+    import org.apache.spark.sql.types._
+
+    def meta(baseCol: String, baseType: DataType, partCol: String,
+        partType: DataType, genSql: String): DeltaLog.Metadata = {
+      val md = new MetadataBuilder()
+        .putString("delta.generationExpression", genSql).build()
+      DeltaLog.Metadata(StructType(Seq(
+        StructField(baseCol, baseType),
+        StructField(partCol, partType, nullable = true, md))).json,
+        Seq(partCol))
+    }
+    val tsMeta = meta("ts", TimestampType, "day", DateType, "CAST(ts AS DATE)")
+    val yrMeta = meta("ts", TimestampType, "yr", IntegerType, "year(ts)")
+    val pfxMeta = meta("nm", StringType, "pfx", StringType, "substring(nm, 1, 2)")
+
+    val epoch = Gen.chooseNum(631152000L, 1893456000L) // 1990..2030
+    val opG = Gen.oneOf("=", "!=", "<", "<=", ">", ">=", "in")
+
+    val tsCase = for {
+      data <- Gen.nonEmptyListOf(epoch).map(_.take(40))
+      op <- opG
+      // filter values drawn from the data half the time so equality
+      // and IN actually select rows
+      v <- Gen.frequency(1 -> epoch, 1 -> Gen.oneOf(data))
+      extra <- Gen.listOfN(2, Gen.oneOf(data))
+    } yield (data, op, v, extra)
+
+    forAll(tsCase, Gen.oneOf("day", "yr"), Gen.nonEmptyListOf(word).map(_.take(20))) {
+      case ((data, op, v, extra), shape, words) =>
+        def t(s: Long) = new java.sql.Timestamp(s * 1000L)
+        val m = if (shape == "day") tsMeta else yrMeta
+        val gen = if (shape == "day") "CAST(ts AS DATE)" else "year(ts)"
+        val df = data.map(t).toDF("ts")
+          .withColumn(if (shape == "day") "day" else "yr", expr(gen))
+        val f =
+          if (op == "in") Filter("ts", "in", (v :: extra).map(t))
+          else Filter("ts", op, t(v))
+        val dnf = Filters.normalize(Seq(f))
+        val derived = GeneratedPruning.withDerived(spark, dnf, m)
+        val a = df.filter(Filters.toColumn(dnf).get).count()
+        val b = df.filter(Filters.toColumn(derived).get).count()
+
+        // string-prefix family in the same pass
+        val wdf = words.toDF("nm").withColumn("pfx", expr("substring(nm, 1, 2)"))
+        val wf = Filter("nm", op,
+          if (op == "in") words.take(2) else words.head)
+        val wdnf = Filters.normalize(Seq(wf))
+        val wDerived = GeneratedPruning.withDerived(spark, wdnf, pfxMeta)
+        val wa = wdf.filter(Filters.toColumn(wdnf).get).count()
+        val wb = wdf.filter(Filters.toColumn(wDerived).get).count()
+
+        a == b && wa == wb
+    }
+  }
+
   property("Misra-Gries guarantees hold for arbitrary skewed streams") =
     forAll(
       Gen.nonEmptyListOf(Gen.frequency(
