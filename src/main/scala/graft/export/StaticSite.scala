@@ -13,7 +13,19 @@ import java.nio.file.{Files, Path, Paths}
   * payload ([[WebExport]]) plus an `index.html` whose embedded
   * renderer gives the browsing essentials of the reference site —
   * catalog → database → table navigation, column/partition schema
-  * tables, docs metadata, client-side table search.
+  * tables, docs metadata, and the two interactive features the
+  * reference builds on npm dependencies, re-expressed dependency-free:
+  *  - FUZZY search over databases, tables, columns and partitions
+  *    (subsequence match with word-start/contiguity scoring standing
+  *    in for fuse.js; column/partition hits surface their table,
+  *    annotated with the matching member — static_site/src/lib/
+  *    fuzzy-search.ts behavior),
+  *  - a per-table USAGE SNIPPET with partition-derived example
+  *    filters, syntax-highlighted by a small tokenizer (standing in
+  *    for shiki; static_site/src/lib/codegen.ts behavior) — emitted
+  *    in the Scala `table(spark, ReadArgs.where(Filter(...)))` form
+  *    this engine's API uses, in both Filter-algebra and raw-SQL-
+  *    predicate flavors.
   */
 object StaticSite {
 
@@ -65,6 +77,66 @@ object StaticSite {
       |  if (text !== undefined && text !== null) e.textContent = String(text);
       |  return e;
       |}
+      |// ---- fuzzy subsequence match: every query char must appear in
+      |// order; score rewards word starts and contiguous runs (the
+      |// ranking essentials of the reference's fuse.js index)
+      |function fuzzyScore(query, target) {
+      |  var q = query.toLowerCase(), t = target.toLowerCase();
+      |  var qi = 0, score = 0, run = 0;
+      |  for (var ti = 0; ti < t.length && qi < q.length; ti++) {
+      |    if (t[ti] === q[qi]) {
+      |      run += 1;
+      |      score += run; // contiguous runs compound
+      |      if (ti === 0 || t[ti - 1] === "_" || t[ti - 1] === ".") score += 3;
+      |      qi += 1;
+      |    } else run = 0;
+      |  }
+      |  if (qi < q.length) return -1; // not a subsequence
+      |  return score - 0.01 * t.length; // shorter targets win ties
+      |}
+      |// ---- usage-snippet codegen (reference codegen.ts behavior, in
+      |// this engine's Scala API) + a tiny class-based highlighter
+      |function exampleValue(p) {
+      |  var v = p.value === undefined || p.value === null || p.value === "" ? null : p.value;
+      |  var str = (p.type_annotation || "").toLowerCase().indexOf("str") >= 0;
+      |  if (v === null) return str ? "\"...\"" : "...";
+      |  return str ? "\"" + v + "\"" : String(v);
+      |}
+      |function genCode(cat, db, t, sqlFlavor) {
+      |  var parts = t.partitions || [];
+      |  var lines = ["import graft.core.Filter", "import graft.tables.ReadArgs", ""];
+      |  var call = "val df = catalog(\"" + cat + "\").database(\"" + db + "\")\n" +
+      |    "  .table(\"" + t.name + "\")(spark, ";
+      |  if (!parts.length) {
+      |    lines.push(call + "ReadArgs.empty)");
+      |  } else if (sqlFlavor) {
+      |    var pred = parts.map(function (p) {
+      |      var v = exampleValue(p);
+      |      return p.column_name + " = " + (v[0] === "\"" ? "'" + v.slice(1, -1) + "'" : v);
+      |    }).join(" and ");
+      |    lines.push(call + "ReadArgs(extra = Map(\n    \"predicate\" -> \"" + pred + "\")))");
+      |  } else {
+      |    var fs = parts.map(function (p) {
+      |      return "    Filter(\"" + p.column_name + "\", \"=\", " + exampleValue(p) + ")";
+      |    });
+      |    lines.push(call + "ReadArgs.where(\n" + fs.join(",\n") + "))");
+      |  }
+      |  return lines.join("\n");
+      |}
+      |var ScalaKw = /^(val|import|spark)$/;
+      |function highlight(code) {
+      |  var pre = el("pre", "code");
+      |  code.split(/(\"[^\"]*\"|[A-Za-z_][A-Za-z0-9_]*|\s+|.)/).forEach(function (tok) {
+      |    if (!tok) return;
+      |    var cls = null;
+      |    if (tok[0] === "\"") cls = "s";
+      |    else if (ScalaKw.test(tok)) cls = "k";
+      |    else if (/^[A-Z]/.test(tok)) cls = "t";
+      |    else if (/^[0-9]/.test(tok)) cls = "n";
+      |    pre.appendChild(cls ? el("span", cls, tok) : document.createTextNode(tok));
+      |  });
+      |  return pre;
+      |}
       |function renderTable(cat, db, t) {
       |  var d = document.getElementById("detail");
       |  d.innerHTML = "";
@@ -73,6 +145,12 @@ object StaticSite {
       |  head.appendChild(el("span", "badge", t.table_type));
       |  d.appendChild(head);
       |  if (t.description) d.appendChild(el("p", "desc", t.description));
+      |  d.appendChild(el("h3", null, "Usage"));
+      |  d.appendChild(highlight(genCode(cat, db, t, false)));
+      |  if (t.table_type === "DELTA_LAKE") {
+      |    d.appendChild(el("p", "meta", "SQL-predicate flavor:"));
+      |    d.appendChild(highlight(genCode(cat, db, t, true)));
+      |  }
       |  if (t.latency_info) d.appendChild(el("p", "meta", "Latency: " + t.latency_info));
       |  if (t.data_input) d.appendChild(el("p", "meta", "Input: " + t.data_input));
       |  if (t.partitions && t.partitions.length) {
@@ -106,6 +184,20 @@ object StaticSite {
       |  });
       |  d.appendChild(ct);
       |}
+      |// a table is shown when the query fuzzy-matches db.table OR any
+      |// column/partition name (column hits annotated, like the
+      |// reference's segmented database/table + column/partition index)
+      |function tableMatch(dbName, t, query) {
+      |  if (!query) return { show: true, note: null };
+      |  var best = fuzzyScore(query, dbName + "." + t.name);
+      |  var note = null;
+      |  (t.columns || []).concat(t.partitions || []).forEach(function (c) {
+      |    var n = c.column || c.column_name;
+      |    var s = fuzzyScore(query, n);
+      |    if (s >= 0 && s > best) { best = s; note = n; }
+      |  });
+      |  return { show: best >= 0, note: note };
+      |}
       |function buildTree(data, filter) {
       |  var tree = document.getElementById("tree");
       |  tree.innerHTML = "";
@@ -117,9 +209,11 @@ object StaticSite {
       |      dbEl.appendChild(el("div", "db-name", db.name));
       |      var any = false;
       |      (db.tables || []).forEach(function (t) {
-      |        if (filter && t.name.toLowerCase().indexOf(filter) < 0) return;
+      |        var m = tableMatch(db.name, t, filter);
+      |        if (!m.show) return;
       |        any = true;
       |        var a = el("a", "tbl", t.name);
+      |        if (m.note) a.appendChild(el("span", "col-hit", " · " + m.note));
       |        a.href = "#" + cat.name + "." + db.name + "." + t.name;
       |        a.onclick = function () { renderTable(cat.name, db.name, t); };
       |        dbEl.appendChild(a);
@@ -132,7 +226,7 @@ object StaticSite {
       |fetch("data.json").then(function (r) { return r.json(); }).then(function (data) {
       |  buildTree(data, "");
       |  document.getElementById("search").addEventListener("input", function (e) {
-      |    buildTree(data, e.target.value.toLowerCase());
+      |    buildTree(data, e.target.value.trim());
       |  });
       |  var h = decodeURIComponent(location.hash.slice(1));
       |  if (h) {
@@ -180,5 +274,12 @@ object StaticSite {
       |td.type { font-family: ui-monospace, monospace; font-size: 13px; }
       |td.flags { color: var(--muted); font-size: 12px; }
       |.hint { color: var(--muted); }
+      |.col-hit { color: var(--muted); font-size: 12px; }
+      |pre.code { background: #f6f8fa; border: 1px solid var(--line); border-radius: 6px;
+      |  padding: 10px 12px; font: 13px/1.5 ui-monospace, monospace; overflow-x: auto; }
+      |pre.code .k { color: #cf222e; }
+      |pre.code .s { color: #0a3069; }
+      |pre.code .t { color: #8250df; }
+      |pre.code .n { color: #0550ae; }
       |""".stripMargin
 }

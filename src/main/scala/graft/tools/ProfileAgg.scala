@@ -19,6 +19,7 @@ object ProfileAgg {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -120,6 +121,28 @@ object ProfileAgg {
       lfinish(graft.operators.Dedup.keepFirst(
         li.select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"),
         Seq("l_orderkey"), Some("l_linenumber")))
+    }
+
+    // ---------------- q_range_join decomposition ----------------
+    val ev = graft.queries.Tables.table(spark, sfDir, "events")
+    ev.count()
+    best("rj sessionize only") {
+      graft.operators.Sessionize
+        .rollup(ev, "user_id", "ts", "value", gapSeconds = 1800).count(); ()
+    }
+    best("rj full query (current)") {
+      graft.queries.QueryCatalog.queries("q_range_join")(spark, sfDir).collect(); ()
+    }
+    best("rj equi-join variant (no buckets)") {
+      val sessions = graft.operators.Sessionize
+        .rollup(ev, "user_id", "ts", "value", gapSeconds = 1800)
+        .select(col("user_id"), col("session_seq"), col("session_start"), col("session_end"))
+      ev.select(col("user_id"), col("ts"), col("event_id"))
+        .join(sessions, Seq("user_id"))
+        .where(col("ts") >= col("session_start") && col("ts") <= col("session_end"))
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(count(lit(1)).as("n_matched"))
+        .orderBy("user_id", "session_seq").collect(); ()
     }
 
     spark.stop()

@@ -99,7 +99,10 @@ class ExportSpec extends SparkSpec {
     // schema WebExport emits
     Seq("fetch(\"data.json\")", "renderTable", "buildTree",
         "t.partitions", "t.columns", "c.filter_only", "c.has_stats",
-        "id=\"search\"", "styles.css")
+        "id=\"search\"", "styles.css",
+        // reference-parity interactive features (dependency-free):
+        // fuzzy search over tables+columns, usage-snippet codegen
+        "fuzzyScore", "tableMatch", "genCode", "ReadArgs.where", "highlight")
       .foreach(m => assert(html.contains(m), s"index.html lost marker: $m"))
 
     val data = java.nio.file.Files.readString(
