@@ -373,6 +373,53 @@ object OracleSql {
     "q_minhash_pairs" -> minhashPairsSql,
     "q_dup_clusters" -> dupClustersSql,
     "q_cluster_best" -> clusterBestSql,
+
+    // int8 quantization: floor — not round — arithmetic, with the
+    // division order written identically on both sides, so codes and
+    // reconstruction errors are bit-stable across engines
+    "q_vec_quant" ->
+      s"""WITH m AS (
+         |  SELECT vec_id, embedding,
+         |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS maxabs
+         |  FROM embeddings),
+         |c AS (
+         |  SELECT vec_id, embedding, maxabs,
+         |    CASE WHEN maxabs > 0
+         |      THEN list_transform(embedding, x -> CAST(floor(x::DOUBLE * 127.0 / maxabs) AS BIGINT))
+         |      ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS codes
+         |  FROM m)
+         |SELECT vec_id, round(maxabs, 4) AS maxabs,
+         |  CAST(list_sum(codes) AS BIGINT) AS code_sum,
+         |  CAST(list_min(codes) AS BIGINT) AS code_min,
+         |  CAST(list_max(codes) AS BIGINT) AS code_max,
+         |  round(list_max(list_transform(range(1, len(embedding)+1),
+         |    i -> abs(embedding[i]::DOUBLE - codes[i] * (maxabs / 127.0)))), 4) AS max_err
+         |FROM c ORDER BY vec_id""".stripMargin,
+
+    // n-gram novelty: distinct grams per doc, global first-doc per
+    // gram, per-source novel fraction (same gram ids as the
+    // decontamination oracle: md5Mod of space-joined ws tokens)
+    "q_gram_novelty" -> {
+      val n = Wave4Queries.Novel.N
+      s"""WITH tok AS (SELECT doc_id, source, ${wsTokensSql("text")} AS toks FROM documents),
+         |grams AS (
+         |  SELECT DISTINCT doc_id, source, h FROM (
+         |    SELECT doc_id, source,
+         |      unnest(list_transform(range(0, len(toks) - ${n - 1}),
+         |        i -> ${PortableHash.Sql.md5Mod(s"array_to_string(toks[(i+1):(i+$n)], ' ')")})) AS h
+         |    FROM tok WHERE len(toks) >= $n)),
+         |first AS (SELECT h, min(doc_id) AS first_doc FROM grams GROUP BY h),
+         |perdoc AS (
+         |  SELECT g.doc_id, any_value(g.source) AS source,
+         |    count(*) AS n_grams,
+         |    sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS n_novel
+         |  FROM grams g JOIN first f USING (h) GROUP BY g.doc_id)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_grams) AS BIGINT) AS n_grams,
+         |  CAST(sum(n_novel) AS BIGINT) AS n_novel,
+         |  round(CAST(sum(n_novel) AS DOUBLE) / CAST(sum(n_grams) AS DOUBLE), 4) AS novel_ratio
+         |FROM perdoc GROUP BY source ORDER BY source""".stripMargin
+    },
     "q_knn_brute" -> knnBruteSql,
     "q_ann_ivf" -> annIvfSql,
     "q_simhash" -> simhashSql,

@@ -98,7 +98,9 @@ object QueryCatalog {
     Entry("q_curation", Wave4Queries.qCuration),
     Entry("q_cluster_best", Wave4Queries.qClusterBest),
     Entry("q_delta_clone", Wave4Queries.qDeltaClone),
-    Entry("q_delta_update", Wave4Queries.qDeltaUpdate)
+    Entry("q_delta_update", Wave4Queries.qDeltaUpdate),
+    Entry("q_vec_quant", Wave4Queries.qVecQuant),
+    Entry("q_gram_novelty", Wave4Queries.qGramNovelty)
   )
 
   def queries: Map[String, QueryFn] =

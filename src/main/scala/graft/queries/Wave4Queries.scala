@@ -503,4 +503,27 @@ object Wave4Queries {
         sum(col("n_pos")).as("n_pos"),
         sum(col("n_dup_pos")).as("n_dup_pos"))
       .orderBy("source")
+
+  // ---------- P42: int8 embedding quantization ----------
+
+  /** Per-vector symmetric int8 quantization profile (scan-only, one
+    * pass; floor arithmetic so every column is engine-exact).
+    */
+  def qVecQuant(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Quantize.int8Summary(
+      t(s, dir, "embeddings"), "vec_id", "embedding")
+      .orderBy("vec_id")
+
+  // ---------- P43: n-gram novelty ----------
+
+  /** Gram width for the novelty metric, shared with the oracle. */
+  object Novel { val N = 5 }
+
+  /** Per-source first-seen gram fraction (corpus diversity metric):
+    * native gram-hash pass, one skinny (gram, doc) shuffle, join back.
+    */
+  def qGramNovelty(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Novelty.gramNovelty(
+      t(s, dir, "documents"), "doc_id", "source", "text", Novel.N)
+      .orderBy("source")
 }
