@@ -360,15 +360,8 @@ object DeltaLog {
     // checkpoint without a listing scan (and is how aged-out logs are
     // meant to be entered); take the newer of the hint and the listing,
     // capped at the target version
-    val lcChoice: Option[(Long, Seq[Path])] =
-      readLastCheckpoint(fs, tablePath).flatMap { case (v, parts) =>
-        val paths = checkpointPaths(tablePath, v, parts)
-        if (v <= target && paths.forall(fs.exists)) Some(v -> paths) else None
-      }
-    val listChoice: Option[(Long, Seq[Path])] =
-      cps.view.filterKeys(_ <= target).toSeq.maxByOption(_._1)
     val cpChoice: Option[(Long, Seq[Path])] =
-      (lcChoice.toSeq ++ listChoice.toSeq).maxByOption(_._1)
+      checkpointChoice(fs, tablePath, cps, target)
 
     val cpVersion = cpChoice.map(_._1)
     // one JSON action (commit line or v2 JSON-manifest line)
@@ -831,6 +824,26 @@ object DeltaLog {
   private def decodePath(p: String): String =
     try java.net.URI.create(p).getPath
     catch { case _: IllegalArgumentException => p }
+
+  /** The newest usable checkpoint at or below `target`: the newer of
+    * the `_last_checkpoint` hint and the listing (shared by the
+    * driver-side [[snapshot]] replay and [[filesDataset]]).
+    */
+  private[tables] def checkpointChoice(
+      fs: FileSystem,
+      tablePath: String,
+      cps: Map[Long, Seq[Path]],
+      target: Long
+  ): Option[(Long, Seq[Path])] = {
+    val lcChoice: Option[(Long, Seq[Path])] =
+      readLastCheckpoint(fs, tablePath).flatMap { case (v, parts) =>
+        val paths = checkpointPaths(tablePath, v, parts)
+        if (v <= target && paths.forall(fs.exists)) Some(v -> paths) else None
+      }
+    val listChoice: Option[(Long, Seq[Path])] =
+      cps.view.filterKeys(_ <= target).toSeq.maxByOption(_._1)
+    (lcChoice.toSeq ++ listChoice.toSeq).maxByOption(_._1)
+  }
 
   /** (json commits by version, COMPLETE checkpoints by version — a
     * multi-part set missing any of its declared parts is treated as
