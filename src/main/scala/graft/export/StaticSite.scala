@@ -96,11 +96,23 @@ object StaticSite {
       |}
       |// ---- usage-snippet codegen (reference codegen.ts behavior, in
       |// this engine's Scala API) + a tiny class-based highlighter
-      |function exampleValue(p) {
+      |function rawExample(p) {
       |  var v = p.value === undefined || p.value === null || p.value === "" ? null : p.value;
       |  var str = (p.type_annotation || "").toLowerCase().indexOf("str") >= 0;
-      |  if (v === null) return str ? "\"...\"" : "...";
-      |  return str ? "\"" + v + "\"" : String(v);
+      |  return { v: v, str: str };
+      |}
+      |// each flavor escapes for ITS quoting, so a value holding a quote
+      |// or backslash still renders a copy-paste-valid snippet
+      |function exampleValue(p) {
+      |  var r = rawExample(p);
+      |  if (r.v === null) return r.str ? "\"...\"" : "...";
+      |  if (!r.str) return String(r.v);
+      |  return "\"" + String(r.v).replace(/\\/g, "\\\\").replace(/"/g, "\\\"") + "\"";
+      |}
+      |function sqlExampleValue(p) {
+      |  var r = rawExample(p);
+      |  if (r.v === null) return r.str ? "'...'" : "...";
+      |  return r.str ? "'" + String(r.v).replace(/'/g, "''") + "'" : String(r.v);
       |}
       |function genCode(cat, db, t, sqlFlavor) {
       |  var parts = t.partitions || [];
@@ -111,10 +123,12 @@ object StaticSite {
       |    lines.push(call + "ReadArgs.empty)");
       |  } else if (sqlFlavor) {
       |    var pred = parts.map(function (p) {
-      |      var v = exampleValue(p);
-      |      return p.column_name + " = " + (v[0] === "\"" ? "'" + v.slice(1, -1) + "'" : v);
+      |      return p.column_name + " = " + sqlExampleValue(p);
       |    }).join(" and ");
-      |    lines.push(call + "ReadArgs(extra = Map(\n    \"predicate\" -> \"" + pred + "\")))");
+      |    // the predicate is spliced into a Scala string literal in the
+      |    // snippet, so escape for THAT layer as well
+      |    var scalaPred = pred.replace(/\\/g, "\\\\").replace(/"/g, "\\\"");
+      |    lines.push(call + "ReadArgs(extra = Map(\n    \"predicate\" -> \"" + scalaPred + "\")))");
       |  } else {
       |    var fs = parts.map(function (p) {
       |      return "    Filter(\"" + p.column_name + "\", \"=\", " + exampleValue(p) + ")";

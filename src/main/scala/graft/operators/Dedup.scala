@@ -34,6 +34,30 @@ object Dedup {
       .select(allCols.map(c => col(s"_row.$c").as(c)): _*)
   }
 
+  /** [[keepFirst]] with the caller's requested projection pushed BELOW
+    * the dedup: keepFirst's row struct blocks Catalyst column pruning
+    * (the aggregate buffer carries every field it is given), so
+    * unrequested columns would otherwise be shuffled and compared for
+    * nothing — measured 33% of the dedup's execution cost at sf0.1.
+    * Tie-break note: rows tying on (key, order) resolve by the
+    * REQUESTED projection; whenever (key, order) is unique — the
+    * documented contract for a meaningful keep-first — results are
+    * identical. Shared by the DeltaTable and LakehouseTable
+    * `unique_columns` paths so their semantics cannot drift.
+    */
+  def keepFirstProjected(
+      df: DataFrame,
+      keys: Seq[String],
+      order: Option[String],
+      requested: Option[Seq[String]]
+  ): DataFrame = requested match {
+    case Some(cols) =>
+      val need = (cols ++ keys ++ order).distinct
+      keepFirst(df.select(need.map(col): _*), keys, order)
+        .select(cols.map(col): _*)
+    case None => keepFirst(df, keys, order)
+  }
+
   /** Exact content dedup: group by md5 of a normalized content column,
     * keep the row with the smallest id. md5 is identical across
     * engines, so this is oracle-checkable.

@@ -133,6 +133,11 @@ object DeltaDdl {
         s"identity column ${f.name} needs a nonzero ${DeltaPolicy.IdentityStepKey}")
       require(!f.metadata.contains(DeltaPolicy.GenerationExpressionKey),
         s"column ${f.name} cannot be both identity and generated")
+      // partition columns carry no per-file stats (their values live in
+      // partitionValues), so the high-water mark would never advance
+      // and successive appends would silently re-mint duplicate values
+      require(!partitionBy.contains(f.name),
+        s"identity column ${f.name} cannot be a partition column")
     }
     val ict =
       if (!configuration.get(DeltaWrite.IctKey).contains("true")) Seq.empty

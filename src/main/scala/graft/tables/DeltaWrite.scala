@@ -372,12 +372,23 @@ object DeltaWrite {
               snap.schema.fields.map(f => (f.name, f.dataType)).toSeq,
               s"overwrite of identity-bearing table $tablePath cannot change the schema")
         }
+        val adds = stageFiles(spark, prepared, tablePath, partitionBy)
         // a CDF-enabled overwrite is a full data change: old rows leave
         // as deletes, new rows enter as inserts — without cdc the
-        // remove+add commit would make the feed underivable
+        // remove+add commit would make the feed underivable. Minted
+        // identity values come from a NON-deterministic expression
+        // (monotonically_increasing_id), so the change rows must come
+        // from the staged files themselves — re-evaluating `prepared`
+        // in the cdc job would mint different values than the table
+        // holds (the union stage renumbers partition indexes).
+        val minted = idSpecs.exists(s => !df.columns.contains(s.column))
         val cdcActions = snapOpt match {
           case Some(snap) if overwrite && cdfEnabled(snap.metadata) =>
-            val newRows = prepared.withColumn(DeltaChanges.ChangeTypeCol, lit("insert"))
+            val inserted =
+              if (!minted) prepared
+              else DeltaRead.readFiles(spark, tablePath, snap.metadata,
+                adds.map(a => DeltaLog.AddFile(a.rel, a.pv, a.size, a.stats)))
+            val newRows = inserted.withColumn(DeltaChanges.ChangeTypeCol, lit("insert"))
             val changes =
               if (snap.files.isEmpty) newRows
               else {
@@ -436,7 +447,6 @@ object DeltaWrite {
             org.apache.spark.sql.types.StructType(table.fields ++ added).json
           case _ => prepared.schema.json
         }
-        val adds = stageFiles(spark, prepared, tablePath, partitionBy)
         // identity high-water marks advance from the staged files'
         // stats (driver arithmetic over per-file max/min — the same
         // no-extra-job shape row tracking uses); a bumped mark makes

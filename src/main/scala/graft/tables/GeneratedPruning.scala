@@ -66,7 +66,7 @@ object GeneratedPruning {
   ): Seq[(String, String, String, Boolean)] =
     DeltaPolicy.generationExpressions(meta).toSeq.collect {
       case (p, sql) if meta.partitionColumns.contains(p) && deterministic(sql) =>
-        singleBaseColumn(sql).map(base => (p, base, sql, isMonotone(sql, base)))
+        singleBaseColumn(sql).map(base => (p, base, sql, isMonotone(meta, sql, base)))
     }.flatten
 
   /** The one column `sql` references, if exactly one and it parses.
@@ -96,19 +96,38 @@ object GeneratedPruning {
 
   /** Monotone non-decreasing shapes (base `c`): identity, date
     * truncations, year, string prefix.
+    *
+    * Each shape is monotone only when the BASE column's type orders
+    * the same way the generation expression does. A string-typed base
+    * compares in binary UTF-8 order, which date parsing does NOT
+    * preserve (`'2020-1-5' > '2020-01-09'` lexicographically while
+    * the parsed dates order the other way), and an unparseable string
+    * nulls the partition value while still satisfying the range
+    * predicate — so date shapes require a date/timestamp base, and
+    * prefix shapes (where Spark would implicitly cast an int base to
+    * string, un-ordering `9` vs `10`) require a string base. Identity
+    * is monotone for every type.
     */
-  private def isMonotone(sql: String, c: String): Boolean = {
+  private def isMonotone(meta: DeltaLog.Metadata, sql: String, c: String): Boolean = {
+    import org.apache.spark.sql.types.{DateType, StringType, TimestampNTZType, TimestampType}
     val s = sql.trim
     val q = quoted(c)
-    val shapes = Seq(
-      s"(?i)^`?$q`?$$",
+    val baseType = meta.schema.fields.find(_.name == c).map(_.dataType)
+    val temporalBase =
+      baseType.exists(t => t == DateType || t == TimestampType || t == TimestampNTZType)
+    val stringBase = baseType.contains(StringType)
+    val identityShapes = Seq(s"(?i)^`?$q`?$$")
+    val temporalShapes = Seq(
       s"(?i)^cast\\s*\\(\\s*`?$q`?\\s+as\\s+date\\s*\\)$$",
       s"(?i)^to_date\\s*\\(\\s*`?$q`?\\s*\\)$$",
       s"(?i)^date_trunc\\s*\\(\\s*'[a-z]+'\\s*,\\s*`?$q`?\\s*\\)$$",
-      s"(?i)^year\\s*\\(\\s*`?$q`?\\s*\\)$$",
+      s"(?i)^year\\s*\\(\\s*`?$q`?\\s*\\)$$")
+    val prefixShapes = Seq(
       s"(?i)^substring\\s*\\(\\s*`?$q`?\\s*,\\s*1\\s*,\\s*\\d+\\s*\\)$$",
       s"(?i)^left\\s*\\(\\s*`?$q`?\\s*,\\s*\\d+\\s*\\)$$")
-    shapes.exists(r => s.matches(r))
+    identityShapes.exists(s.matches) ||
+    (temporalBase && temporalShapes.exists(s.matches)) ||
+    (stringBase && prefixShapes.exists(s.matches))
   }
 
   /** Derived partition filters implied by `f` (on the base column)

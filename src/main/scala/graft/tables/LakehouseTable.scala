@@ -71,24 +71,9 @@ class LakehouseTable(
 
     uniqueColumns.filter(_.nonEmpty) match {
       case Some(keys) =>
-        args.columns match {
-          case Some(cols) =>
-            // Project BEFORE the dedup: keepFirst's row struct blocks
-            // Catalyst column pruning (the aggregate buffer carries
-            // every field it is given), so unrequested columns would
-            // otherwise be shuffled and compared for nothing —
-            // measured 33% of the dedup's execution cost at sf0.1.
-            // Tie-break note: rows tying on (key, order) now resolve
-            // by the REQUESTED projection; whenever (key, order) is
-            // unique — the documented contract for a meaningful
-            // keep-first — results are identical.
-            val need = (cols ++ keys ++ orderColumn).distinct
-            df = graft.operators.Dedup.keepFirst(
-              df.select(need.map(col): _*), keys, orderColumn)
-              .select(cols.map(col): _*)
-          case None =>
-            df = graft.operators.Dedup.keepFirst(df, keys, orderColumn)
-        }
+        // projection pushed below the dedup — rationale and tie-break
+        // contract documented on Dedup.keepFirstProjected
+        df = graft.operators.Dedup.keepFirstProjected(df, keys, orderColumn, args.columns)
       case None =>
         args.columns.foreach(cols => df = df.select(cols.map(col): _*))
     }

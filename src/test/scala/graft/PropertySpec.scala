@@ -179,6 +179,48 @@ object GraftProperties extends Properties("graft") {
     }
   }
 
+  // The unsound family: a STRING base under a date-shaped generation
+  // expression. Lexicographic string order does not survive date
+  // parsing ('2020-1-5' > '2020-01-09' as strings, the other way as
+  // dates) and unparseable strings null the partition value, so range
+  // derivation must refuse; equality/IN stay sound for any base type
+  // because generation is deterministic. Adversarial data mixes
+  // canonical dates, loosely-formatted dates, and garbage.
+  property("no range derivation through date shapes over a string base") = {
+    import graft.tables.{DeltaLog, GeneratedPruning}
+    import org.apache.spark.sql.types._
+    val md = new MetadataBuilder()
+      .putString("delta.generationExpression", "to_date(s)").build()
+    val strMeta = DeltaLog.Metadata(StructType(Seq(
+      StructField("s", StringType),
+      StructField("day", DateType, nullable = true, md))).json,
+      Seq("day"))
+    val strVal = Gen.oneOf(
+      Gen.chooseNum(1, 28).map(d => f"2020-01-$d%02d"),
+      Gen.chooseNum(1, 28).map(d => s"2020-1-$d"), // loose format, parses earlier than it sorts
+      Gen.oneOf("zzz-not-a-date", "2020", "x"))
+    forAll(
+      Gen.nonEmptyListOf(strVal).map(_.take(40)),
+      Gen.oneOf("=", "<", "<=", ">", ">=", "in"),
+      strVal) { (data, op, v) =>
+      // try_to_date: a non-ANSI writer (or another engine) leaves a
+      // null partition value for garbage; ANSI to_date would throw
+      // here in the harness rather than model that state
+      val df = data.toDF("s").withColumn("day", expr("try_to_date(s)"))
+      val f =
+        if (op == "in") Filter("s", "in", Seq(v, data.head))
+        else Filter("s", op, v)
+      val dnf = Filters.normalize(Seq(f))
+      val derived = GeneratedPruning.withDerived(spark, dnf, strMeta)
+      val a = df.filter(Filters.toColumn(dnf).get).count()
+      val b = df.filter(Filters.toColumn(derived).get).count()
+      val rangeRefused =
+        !Set("<", "<=", ">", ">=").contains(op) ||
+          derived == dnf // range ops must derive nothing on a string base
+      a == b && rangeRefused
+    }
+  }
+
   property("Misra-Gries guarantees hold for arbitrary skewed streams") =
     forAll(
       Gen.nonEmptyListOf(Gen.frequency(

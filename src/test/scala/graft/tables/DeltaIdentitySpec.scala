@@ -113,6 +113,42 @@ class DeltaIdentitySpec extends SparkSpec {
     assert(all.forall(i => i >= 100 && (i - 100) % 3 == 0), all)
   }
 
+  test("identity column cannot be a partition column") {
+    // partition columns carry no per-file stats, so the hwm would
+    // never advance and every append would re-mint the same values
+    val path = tempDir("ident_part").toString + "/t"
+    val e = intercept[IllegalArgumentException] {
+      DeltaDdl.createTable(spark, path,
+        StructType(Seq(
+          StructField("id", LongType, nullable = true, DeltaDdl.identityMetadata()),
+          StructField("v", StringType))),
+        partitionBy = Seq("id"))
+    }
+    assert(e.getMessage.contains("partition"))
+  }
+
+  test("CDF overwrite carries the same minted identity values as the table") {
+    // the mint expression is non-deterministic, so the change feed's
+    // insert rows must come from the staged files, not a re-evaluation
+    val path = tempDir("ident_cdf").toString + "/t"
+    DeltaDdl.createTable(spark, path,
+      StructType(Seq(
+        StructField("id", LongType, nullable = true, DeltaDdl.identityMetadata()),
+        StructField("v", StringType))),
+      configuration = Map("delta.enableChangeDataFeed" -> "true"))
+    DeltaWrite.append(spark, Seq("a", "b").toDF("v"), path)
+    DeltaWrite.overwrite(spark, (1 to 20).map(i => s"n$i").toDF("v"), path)
+
+    val tableIds = ids(path).sorted
+    val feed = DeltaChanges.between(spark, path, 2L, 2L)
+    val insertIds = feed.filter(col(DeltaChanges.ChangeTypeCol) === "insert")
+      .select("id").as[Long].collect().toSeq.sorted
+    assert(insertIds == tableIds,
+      s"change feed minted $insertIds but the table holds $tableIds")
+    // and the old rows left as deletes
+    assert(feed.filter(col(DeltaChanges.ChangeTypeCol) === "delete").count() == 2)
+  }
+
   test("UPDATE on an identity column refuses; other columns fine") {
     val path = tempDir("ident_upd").toString + "/t"
     mkTable(path)
