@@ -327,11 +327,20 @@ object DeltaLog {
   /** Replay the log to the requested version (default: latest).
     * Fails loudly on unsupported reader features (deletion vectors,
     * column mapping) rather than returning wrong rows.
+    *
+    * `withFiles = false` is the METADATA-ONLY replay: add/remove
+    * actions are skipped entirely — checkpoint parquet reads prune to
+    * the metaData/protocol/txn columns and sidecars (which carry only
+    * file actions per the protocol) are never opened — so driver
+    * memory and collect volume are O(commits + txns), independent of
+    * the table's file count. The scale entry point for 10⁷-file
+    * tables, paired with [[DeltaFilesDataset]] for the file state.
     */
   def snapshot(
       spark: SparkSession,
       tablePath: String,
-      versionAsOf: Option[Long] = None
+      versionAsOf: Option[Long] = None,
+      withFiles: Boolean = true
   ): Snapshot = {
     val fs = logDir(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val (jsons, cps) = listLog(spark, tablePath)
@@ -404,7 +413,7 @@ object DeltaLog {
           s"Delta column mapping mode '${md.columnMappingMode}' is not supported in $tablePath")
         meta = Some(md)
       }
-      if (node.has("add")) {
+      if (withFiles && node.has("add")) {
         val a = node.get("add")
         val pv = Option(a.get("partitionValues")).map { o =>
           o.fields().asScala.map { e =>
@@ -426,7 +435,7 @@ object DeltaLog {
             Option(a.get("defaultRowCommitVersion")).filterNot(_.isNull).map(_.asLong()))
         active += add.path -> add
       }
-      if (node.has("remove")) {
+      if (withFiles && node.has("remove")) {
         active -= decodePath(node.get("remove").get("path").asText())
       }
       if (node.has("txn")) {
@@ -495,7 +504,7 @@ object DeltaLog {
           meta = Some(md)
         }
       }
-      if (cols.contains("add")) {
+      if (withFiles && cols.contains("add")) {
         cp.select("add").where("add IS NOT NULL").collect().foreach { r =>
           val a = r.getStruct(0)
           val pv = Option(a.getAs[scala.collection.Map[String, String]]("partitionValues"))
@@ -580,7 +589,9 @@ object DeltaLog {
           }
           sc.result()
         } else applyCheckpointDf(spark.read.parquet(paths.map(_.toString): _*), cpV)
-      if (sidecarNames.nonEmpty) {
+      // sidecars carry only file actions (per the v2 protocol), so the
+      // metadata-only replay never opens them
+      if (withFiles && sidecarNames.nonEmpty) {
         val scPaths = sidecarNames.map(n => new Path(sidecarDir(tablePath), n))
         scPaths.foreach(p => require(fs.exists(p),
           s"v2 checkpoint of $tablePath references a missing sidecar file: $p"))

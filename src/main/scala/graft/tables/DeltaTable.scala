@@ -48,6 +48,14 @@ class DeltaTable(
     * `rowTracking` feature was enabled).
     */
   val RowIdsKey = "withRowIds"
+  /** args.extra key (Boolean): plan the scan distributedly — file
+    * state reconstruction AND pruning run as Spark jobs
+    * ([[DeltaFilesDataset.prunedFiles]]) and the driver collects only
+    * the SURVIVING files plus O(commits) metadata. Same result rows as
+    * the default driver-side replay (spec-enforced); the right mode
+    * for tables whose file LIST outgrows the driver.
+    */
+  val DistributedPlanningKey = "distributedPlanning"
 
   override def apply(spark: SparkSession, args: ReadArgs): DataFrame = {
     require(!(args.extra.contains(VersionKey) && args.extra.contains(TimestampKey)),
@@ -65,23 +73,36 @@ class DeltaTable(
       }
       DeltaLog.versionAtTimestamp(spark, uri, millis)
     })
-    val snap = DeltaLog.snapshot(spark, uri, version)
-    val schema = snap.schema
-    val partCols = snap.metadata.partitionColumns
-
-    // base-column filters also prune generated-column partitions
-    // ([[GeneratedPruning]]); the exact residual predicate below still
-    // applies to surviving rows
-    val skipFilters = GeneratedPruning.withDerived(spark, args.filters, snap.metadata)
-    val survivors = snap.files.filter(f =>
-      DeltaFileSkipping.mayMatch(f, skipFilters, snap.metadata))
+    val distributedPlanning = args.extra.get(DistributedPlanningKey).exists {
+      case b: Boolean => b
+      case s: String  => s.toBoolean
+      case other => throw new IllegalArgumentException(s"bad $DistributedPlanningKey: $other")
+    }
+    // distributed planning never materializes the full file list on
+    // the driver: metadata-only replay + Spark-side pruning, then
+    // collect only the survivors
+    val (meta, survivors) =
+      if (distributedPlanning)
+        (DeltaLog.snapshot(spark, uri, version, withFiles = false).metadata,
+          DeltaFilesDataset.collectPruned(spark, uri, args.filters, version))
+      else {
+        val snap = DeltaLog.snapshot(spark, uri, version)
+        // base-column filters also prune generated-column partitions
+        // ([[GeneratedPruning]]); the exact residual predicate below
+        // still applies to surviving rows
+        val skipFilters = GeneratedPruning.withDerived(spark, args.filters, snap.metadata)
+        (snap.metadata, snap.files.filter(f =>
+          DeltaFileSkipping.mayMatch(f, skipFilters, snap.metadata)))
+      }
+    val schema = meta.schema
+    val partCols = meta.partitionColumns
 
     val withRowIds = args.extra.get(RowIdsKey).exists {
       case b: Boolean => b
       case s: String  => s.toBoolean
       case other      => throw new IllegalArgumentException(s"bad $RowIdsKey: $other")
     }
-    var df = DeltaRead.readFiles(spark, uri, snap.metadata, survivors, withRowIds)
+    var df = DeltaRead.readFiles(spark, uri, meta, survivors, withRowIds)
 
     // Residual predicate on data (file skipping is only a may-match
     // prefilter; the exact predicate always applies).
@@ -93,18 +114,7 @@ class DeltaTable(
     extraCols.foreach { case (c, alias, _) => df = df.withColumn(alias, c) }
     uniqueColumns.filter(_.nonEmpty) match {
       case Some(keys) =>
-        args.columns match {
-          case Some(cols) =>
-            // project before the dedup — see LakehouseTable.apply: the
-            // keepFirst struct blocks column pruning, so unrequested
-            // columns would be shuffled for nothing
-            val need = (cols ++ keys ++ orderColumn).distinct
-            df = graft.operators.Dedup.keepFirst(
-              df.select(need.map(col): _*), keys, orderColumn)
-              .select(cols.map(col): _*)
-          case None =>
-            df = graft.operators.Dedup.keepFirst(df, keys, orderColumn)
-        }
+        df = graft.operators.Dedup.keepFirstProjected(df, keys, orderColumn, args.columns)
       case None =>
         args.columns.foreach(cols => df = df.select(cols.map(col): _*))
     }

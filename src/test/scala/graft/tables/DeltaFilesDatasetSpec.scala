@@ -106,6 +106,145 @@ class DeltaFilesDatasetSpec extends SparkSpec {
     assertParity(dir)
   }
 
+  test("path decoding parity on adversarial encodings") {
+    // hand-written log: neither reconstruction reads the data files, so
+    // the paths need not exist. Covers an encoded colon in the first
+    // segment (no scheme — decode must not conjure one), a plus sign
+    // (URI path decoding keeps it), a percent-encoded space, an
+    // absolute s3 URI, and a malformed escape (raw fallback).
+    val dir = tempDir("fds-enc").toString + "/t"
+    val log = new java.io.File(dir, "_delta_log")
+    log.mkdirs()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType))).json
+    val meta = s"""{"metaData":{"id":"t-enc","format":{"provider":"parquet","options":{}},"schemaString":${com.fasterxml.jackson.databind.json.JsonMapper.builder.build.writeValueAsString(schema)},"partitionColumns":[],"configuration":{},"createdTime":0}}"""
+    val protocol = """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+    val paths = Seq(
+      "a%3Ab/part-0.parquet",        // encoded colon, first segment
+      "sp+ace/part-1.parquet",       // '+' survives URI path decoding
+      "enc%20oded/part-2.parquet",   // encoded space
+      "s3://bucket/abs/part-3.parquet", // absolute URI: scheme+authority stripped
+      "bad%zzescape.parquet")        // malformed: raw fallback
+    val adds = paths.zipWithIndex.map { case (p, i) =>
+      s"""{"add":{"path":"$p","partitionValues":{},"size":${100 + i},"modificationTime":0,"dataChange":true}}"""
+    }
+    java.nio.file.Files.write(
+      new java.io.File(log, f"${0L}%020d.json").toPath,
+      (Seq(protocol, meta) ++ adds).mkString("", "\n", "\n").getBytes("UTF-8"))
+    assertParity(dir)
+    val got = datasetKeys(dir).map(_._1)
+    assert(got == Set(
+      "a:b/part-0.parquet", "sp+ace/part-1.parquet", "enc oded/part-2.parquet",
+      "/abs/part-3.parquet", "bad%zzescape.parquet"), got)
+  }
+
+  test("distributed pruning parity with driver-side file skipping") {
+    val dir = tempDir("fds-prune").toString + "/t"
+    // partitioned by a string column (incl. an all-NULL partition),
+    // data columns covering the numeric / string / date compare paths,
+    // with per-column nulls so nullCount skipping is exercised
+    def batch(cat: String, base: Long) =
+      Seq.tabulate(20) { j =>
+        val id = base + j
+        (Option(cat).orNull, id,
+          if (j % 7 == 0) null else s"name-${id % 13}",
+          java.sql.Date.valueOf(f"2024-01-${id % 27 + 1}%02d"))
+      }.toDF("cat", "id", "name", "d")
+    Seq("a" -> 0L, "b" -> 100L, "a" -> 200L, null.asInstanceOf[String] -> 300L)
+      .foreach { case (c, b) => DeltaWrite.append(spark, batch(c, b), dir, Seq("cat")) }
+
+    val snap = DeltaLog.snapshot(spark, dir)
+    import graft.core.{Filter, Filters}
+    val cases: Seq[Seq[Filter]] = Seq(
+      Seq(Filter("cat", "=", "a")),
+      Seq(Filter("cat", "!=", "a")),
+      Seq(Filter("cat", "in", Seq("b", "zzz"))),
+      Seq(Filter("cat", "not in", Seq("a", "b"))),
+      Seq(Filter("cat", "contains", "a")),
+      Seq(Filter("id", "=", 105L)),
+      Seq(Filter("id", "<", 50L)),
+      Seq(Filter("id", "<=", 99L)),
+      Seq(Filter("id", ">", 250L)),
+      Seq(Filter("id", ">=", 300L)),
+      Seq(Filter("id", "!=", 0L)),
+      Seq(Filter("id", "in", Seq(5L, 205L))),
+      Seq(Filter("id", "not in", Seq(5L))),
+      Seq(Filter("name", "=", "name-3")),
+      Seq(Filter("name", ">", "name-9")),
+      Seq(Filter("d", "<", "2024-01-05")),
+      Seq(Filter("d", ">=", java.sql.Date.valueOf("2024-01-20"))),
+      Seq(Filter("cat", "=", "a"), Filter("id", ">", 150L)), // conjunction
+      Seq(Filter("nosuch", "=", 1)), // unknown column: never prunes
+      Seq(Filter("id", "=", "garbage"))) // uncomparable value: fails open
+    cases.foreach { conj =>
+      val dnf = Filters.normalize(conj)
+      val driver = snap.files
+        .filter(f => DeltaFileSkipping.mayMatch(f, dnf, snap.metadata))
+        .map(_.path).toSet
+      val dist = DeltaFilesDataset.prunedFiles(spark, dir, dnf)
+        .select("path").collect().map(_.getString(0)).toSet
+      assert(dist == driver,
+        s"pruning mismatch for $conj:\n  only distributed: ${dist -- driver}" +
+          s"\n  only driver: ${driver -- dist}")
+    }
+    // a real disjunction (normalize(Seq) builds one conjunction, so
+    // hand-build the DNF) and pruning effectiveness
+    val dnfOr: Filters.Normalized =
+      Seq(Seq(Filter("cat", "=", "a")), Seq(Filter("id", ">=", 300L)))
+    val driverOr = snap.files
+      .filter(f => DeltaFileSkipping.mayMatch(f, dnfOr, snap.metadata)).map(_.path).toSet
+    val distOr = DeltaFilesDataset.prunedFiles(spark, dir, dnfOr)
+      .select("path").collect().map(_.getString(0)).toSet
+    assert(distOr == driverOr)
+    assert(driverOr.nonEmpty && driverOr.size < snap.files.size,
+      "disjunction case should actually prune")
+    val pruned = DeltaFilesDataset
+      .prunedFiles(spark, dir, Filters.normalize(Seq(Filter("cat", "=", "b"))))
+      .count()
+    assert(pruned < snap.files.size, "partition pruning should drop files")
+  }
+
+  test("metadata-only replay matches the full replay, without the files") {
+    val dir = tempDir("fds-meta").toString + "/t"
+    DeltaDdl.createTable(spark, dir,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("cat",
+          org.apache.spark.sql.types.StringType))),
+      partitionBy = Seq("cat"),
+      configuration = Map("delta.appendOnly" -> "false", "graft.note" -> "x"))
+    DeltaWrite.append(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "cat"), dir,
+      Seq("cat"), txn = Some(("app-1", 7L)))
+    DeltaWrite.checkpoint(spark, dir)
+    DeltaWrite.append(spark, Seq((3L, "c")).toDF("id", "cat"), dir, Seq("cat"))
+
+    val full = DeltaLog.snapshot(spark, dir)
+    val metaOnly = DeltaLog.snapshot(spark, dir, None, withFiles = false)
+    assert(metaOnly.files.isEmpty)
+    assert(metaOnly.version == full.version)
+    assert(metaOnly.metadata == full.metadata)
+    assert(metaOnly.protocol == full.protocol)
+    assert(metaOnly.txns == full.txns)
+    assert(metaOnly.domains == full.domains)
+  }
+
+  test("distributedPlanning read arg returns the same rows as the replay") {
+    val dir = tempDir("fds-dp").toString + "/t"
+    (0 until 3).foreach(i =>
+      DeltaWrite.append(spark,
+        Seq.tabulate(30)(j => (s"p$i", i * 30L + j)).toDF("cat", "id"), dir, Seq("cat")))
+    val t = new DeltaTable("t", dir)
+    import graft.core.Filter
+    val args = ReadArgs.where(Filter("cat", "=", "p1"), Filter("id", "<", 50L))
+    val base = t(spark, args).orderBy("id").collect().toSeq
+    val dp = t(spark, args.copy(extra = args.extra + (t.DistributedPlanningKey -> true)))
+      .orderBy("id").collect().toSeq
+    assert(base == dp)
+    assert(base.nonEmpty)
+  }
+
   test("refuses a log hole exactly like the replay") {
     val dir = tempDir("fds-hole").toString + "/t"
     (0 until 3).foreach(i =>
