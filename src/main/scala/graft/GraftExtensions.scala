@@ -81,6 +81,23 @@ object GraftExtensions {
             exprs.head, org.apache.spark.sql.types.StringType),
           intArg(exprs(1), "k"))
           .toAggregateExpression()),
+    ("graft_bloom_filter",
+      new ExpressionInfo(
+        classOf[graft.functions.BloomFilterAgg].getName, "graft_bloom_filter"),
+      // aggregate: SELECT graft_bloom_filter(key, numBits [, numHashes])
+      // — BINARY Bloom filter of the BIGINT keys (no false negatives)
+      (exprs: Seq[Expression]) =>
+        graft.functions.BloomFilterAgg(exprs.head, intArg(exprs(1), "numBits"),
+          exprs.lift(2).map(intArg(_, "numHashes")).getOrElse(7))
+          .toAggregateExpression()),
+    ("graft_bloom_might_contain",
+      new ExpressionInfo(
+        classOf[graft.functions.BloomMightContain].getName, "graft_bloom_might_contain"),
+      // SQL integer literals arrive as INT — widen the key to BIGINT
+      (exprs: Seq[Expression]) =>
+        graft.functions.BloomMightContain(exprs.head,
+          org.apache.spark.sql.catalyst.expressions.Cast(
+            exprs(1), org.apache.spark.sql.types.LongType))),
     ("graft_search_sorted",
       new ExpressionInfo(classOf[graft.operators.SearchSorted].getName, "graft_search_sorted"),
       // (value, bounds...) — boundaries as double literals

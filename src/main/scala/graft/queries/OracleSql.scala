@@ -249,6 +249,25 @@ object OracleSql {
          |  CAST(sum(n_hits) AS BIGINT) AS gram_hits
          |FROM perdoc GROUP BY source ORDER BY source""".stripMargin,
 
+    "q_decontam_filter" ->
+      s"""WITH tok AS (SELECT doc_id, source, ${wsTokensSql("text")} AS toks FROM documents),
+         |grams AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(0, len(toks) - 7),
+         |      i -> ${PortableHash.Sql.md5Mod("array_to_string(toks[(i+1):(i+8)], ' ')")})) AS h
+         |  FROM tok WHERE len(toks) >= 8),
+         |probe AS (SELECT DISTINCT h FROM grams WHERE doc_id % 50 = 0),
+         |dirty AS (
+         |  SELECT DISTINCT doc_id FROM grams
+         |  WHERE doc_id % 50 <> 0 AND h IN (SELECT h FROM probe))
+         |SELECT source,
+         |  CAST(count(*) AS BIGINT) AS n_clean,
+         |  CAST(sum(CASE WHEN len(toks) >= 8 THEN len(toks) - 7 ELSE 0 END) AS BIGINT)
+         |    AS clean_grams
+         |FROM tok
+         |WHERE doc_id % 50 <> 0 AND doc_id NOT IN (SELECT doc_id FROM dirty)
+         |GROUP BY source ORDER BY source""".stripMargin,
+
     "q_quality_rules" -> qualityRulesSql,
 
     "q_srp_pairs" -> srpPairsSql,

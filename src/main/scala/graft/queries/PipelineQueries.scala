@@ -269,6 +269,36 @@ object PipelineQueries {
       .orderBy("source")
   }
 
+  /** P42: gram-level decontamination FILTER at probe scale — the
+    * surviving corpus after removing every non-probe doc sharing any
+    * word 8-gram with the probe subset, via the two-phase Bloom path
+    * ([[graft.operators.ProbeFilter.bloomJoin]]): the probe gram set
+    * aggregates into a fixed-size broadcast filter (not an exact
+    * broadcast that grows with the benchmark suite), filter-misses
+    * bypass the confirm join entirely, and only the may-hit sliver
+    * shuffles. Result is EXACTLY the exact-join answer (no false
+    * negatives + exact confirm), so it oracle-checks; docs under 8
+    * tokens carry no grams and trivially survive.
+    */
+  def qDecontamFilter(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    def grams = graft.functions.TextHashExpressions.wordGramHashes(col("text"), 8)
+    val probeGrams = docs.where(col("doc_id") % 50 === 0)
+      .select(explode(grams).as("h"))
+    val corpusGrams = docs.where(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id"), explode(grams).as("h"))
+    val contaminated = graft.operators.ProbeFilter
+      .bloomJoin(corpusGrams, probeGrams, "h",
+        graft.operators.ProbeFilter.bitsFor(4096))
+      .select("doc_id").distinct()
+    docs.where(col("doc_id") % 50 =!= 0)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_clean"),
+        sum(size(grams)).cast("long").as("clean_grams"))
+      .orderBy("source")
+  }
+
   /** P25: Gopher-style quality-rule suite — per-source pass and
     * per-rule fail counts. One scan, no shuffle beyond the final
     * bounded per-source aggregate; signals materialized once and

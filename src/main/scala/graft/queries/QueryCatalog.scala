@@ -48,6 +48,7 @@ object QueryCatalog {
     Entry("q_repetition", PipelineQueries.qRepetition),
     Entry("q_passage_dedup", PipelineQueries.qPassageDedup),
     Entry("q_contamination", PipelineQueries.qContamination),
+    Entry("q_decontam_filter", PipelineQueries.qDecontamFilter),
     Entry("q_quality_rules", PipelineQueries.qQualityRules, headline = true),
     Entry("q_vocab", PipelineQueries.qVocab),
     // not headlined: DuckDB's identical oracle SQL pays ~70 s of
