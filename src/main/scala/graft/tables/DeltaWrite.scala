@@ -192,13 +192,35 @@ object DeltaWrite {
     }
   }
 
+  /** Rewrite-candidate files for a predicate: driver-side skipping
+    * over the snapshot's list, or — under `distributedPlanning`, for
+    * tables whose file list outgrows the driver — the Spark-side
+    * pruning of [[DeltaFilesDataset.prunedFiles]], pinned to the
+    * snapshot's version so the optimistic-concurrency base
+    * (`requireBase = snap.version`) still guards the commit.
+    */
+  private def candidateFiles(
+      spark: SparkSession,
+      tablePath: String,
+      filters: graft.core.Filters.Normalized,
+      snap: DeltaLog.Snapshot,
+      distributedPlanning: Boolean
+  ): Seq[DeltaLog.AddFile] =
+    if (distributedPlanning)
+      DeltaFilesDataset.collectPruned(spark, tablePath, filters, Some(snap.version))
+    else {
+      val skipFilters = GeneratedPruning.withDerived(spark, filters, snap.metadata)
+      snap.files.filter(f => DeltaFileSkipping.mayMatch(f, skipFilters, snap.metadata))
+    }
+
   def deleteWhere(
       spark: SparkSession,
       tablePath: String,
-      filters: graft.core.Filters.Normalized
+      filters: graft.core.Filters.Normalized,
+      distributedPlanning: Boolean = false
   ): CommitResult = {
     import graft.core.Filters
-    val snap = DeltaLog.snapshot(spark, tablePath)
+    val snap = DeltaLog.snapshot(spark, tablePath, withFiles = !distributedPlanning)
     val schema = snap.schema
     val partCols = snap.metadata.partitionColumns
     val predicate = Filters.toColumn(filters).getOrElse(lit(true))
@@ -206,9 +228,7 @@ object DeltaWrite {
     DeltaPolicy.requireNotAppendOnly(snap.metadata, "DELETE", tablePath)
     require(!snap.metadata.isColumnMapped,
       s"writes to column-mapped Delta tables are not supported ($tablePath)")
-    val skipFilters = GeneratedPruning.withDerived(spark, filters, snap.metadata)
-    val candidates = snap.files.filter(f =>
-      DeltaFileSkipping.mayMatch(f, skipFilters, snap.metadata))
+    val candidates = candidateFiles(spark, tablePath, filters, snap, distributedPlanning)
     if (candidates.isEmpty)
       return CommitResult(snap.version, 0, 0)
 
@@ -250,11 +270,12 @@ object DeltaWrite {
       spark: SparkSession,
       tablePath: String,
       filters: graft.core.Filters.Normalized,
-      set: Seq[(String, String)]
+      set: Seq[(String, String)],
+      distributedPlanning: Boolean = false
   ): CommitResult = {
     import graft.core.Filters
     require(set.nonEmpty, "UPDATE needs at least one SET assignment")
-    val snap = DeltaLog.snapshot(spark, tablePath)
+    val snap = DeltaLog.snapshot(spark, tablePath, withFiles = !distributedPlanning)
     val meta = snap.metadata
     val schema = snap.schema
     val partCols = meta.partitionColumns
@@ -273,9 +294,7 @@ object DeltaWrite {
     val predicate = Filters.toColumn(filters).getOrElse(lit(true))
     val matched = coalesce(predicate, lit(false))
 
-    val candidates = snap.files.filter(f =>
-      DeltaFileSkipping.mayMatch(f,
-        GeneratedPruning.withDerived(spark, filters, meta), meta))
+    val candidates = candidateFiles(spark, tablePath, filters, snap, distributedPlanning)
     if (candidates.isEmpty) return CommitResult(snap.version, 0, 0)
 
     val tracked = rowTrackingEnabled(meta)
@@ -712,10 +731,11 @@ object DeltaWrite {
   def deleteWhereDv(
       spark: SparkSession,
       tablePath: String,
-      filters: graft.core.Filters.Normalized
+      filters: graft.core.Filters.Normalized,
+      distributedPlanning: Boolean = false
   ): CommitResult = {
     import graft.core.Filters
-    val snap = DeltaLog.snapshot(spark, tablePath)
+    val snap = DeltaLog.snapshot(spark, tablePath, withFiles = !distributedPlanning)
     val schema = snap.schema
     val partCols = snap.metadata.partitionColumns
     val predicate = Filters.toColumn(filters).getOrElse(lit(true))
@@ -723,9 +743,7 @@ object DeltaWrite {
     DeltaPolicy.requireNotAppendOnly(snap.metadata, "DELETE", tablePath)
     require(!snap.metadata.isColumnMapped,
       s"writes to column-mapped Delta tables are not supported ($tablePath)")
-    val candidates = snap.files.filter(f =>
-      DeltaFileSkipping.mayMatch(f,
-        GeneratedPruning.withDerived(spark, filters, snap.metadata), snap.metadata))
+    val candidates = candidateFiles(spark, tablePath, filters, snap, distributedPlanning)
     if (candidates.isEmpty) return CommitResult(snap.version, 0, 0)
 
     val base = tablePath.stripSuffix("/")

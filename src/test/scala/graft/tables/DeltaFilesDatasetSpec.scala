@@ -245,6 +245,40 @@ class DeltaFilesDatasetSpec extends SparkSpec {
     assert(base.nonEmpty)
   }
 
+  test("DELETE/UPDATE/DV-delete under distributed planning match driver planning") {
+    import graft.core.{Filter, Filters}
+    def mk(tag: String): String = {
+      val dir = tempDir(s"fds-wr-$tag").toString + "/t"
+      (0 until 3).foreach(i =>
+        DeltaWrite.append(spark,
+          Seq.tabulate(40)(j => (s"p$i", i * 40L + j)).toDF("cat", "id"), dir, Seq("cat")))
+      dir
+    }
+    def rows(dir: String): Set[(String, Long)] = {
+      val t = new DeltaTable("t", dir)
+      t(spark).select("cat", "id").as[(String, Long)].collect().toSet
+    }
+    val f = Filters.normalize(Seq(Filter("id", "<", 60L)))
+
+    val (d1, d2) = (mk("del"), mk("del2"))
+    DeltaWrite.deleteWhere(spark, d1, f)
+    DeltaWrite.deleteWhere(spark, d2, f, distributedPlanning = true)
+    assert(rows(d1) == rows(d2) && rows(d2).forall(_._2 >= 60L))
+
+    val (u1, u2) = (mk("upd"), mk("upd2"))
+    DeltaWrite.updateWhere(spark, u1, f, Seq("id" -> "id + 1000"))
+    DeltaWrite.updateWhere(spark, u2, f, Seq("id" -> "id + 1000"),
+      distributedPlanning = true)
+    assert(rows(u1) == rows(u2) && rows(u2).count(_._2 >= 1000L) == 60)
+
+    val (v1, v2) = (mk("dv"), mk("dv2"))
+    DeltaWrite.deleteWhereDv(spark, v1, f)
+    DeltaWrite.deleteWhereDv(spark, v2, f, distributedPlanning = true)
+    assert(rows(v1) == rows(v2) && rows(v2).size == 60)
+    // and the DV path really produced deletion vectors, not rewrites
+    assert(DeltaLog.snapshot(spark, v2).files.exists(_.dv.isDefined))
+  }
+
   test("refuses a log hole exactly like the replay") {
     val dir = tempDir("fds-hole").toString + "/t"
     (0 until 3).foreach(i =>
