@@ -140,14 +140,22 @@ object DeltaWrite {
       txn: Option[(String, Long)] = None
   ): CommitResult = commit(spark, df, tablePath, partitionBy, overwrite = false, txn)
 
-  /** Replace the table's entire contents with `df`. */
+  /** Replace the table's entire contents with `df`. `requireBase`
+    * makes the replacement CONDITIONAL on the table still being at
+    * that version (compare-and-swap): a concurrent commit in between
+    * raises [[ConcurrentWriteException]] instead of clobbering state
+    * derived from a stale read — the read-modify-write guard
+    * incremental view refresh builds on.
+    */
   def overwrite(
       spark: SparkSession,
       df: DataFrame,
       tablePath: String,
       partitionBy: Seq[String] = Seq.empty,
-      txn: Option[(String, Long)] = None
-  ): CommitResult = commit(spark, df, tablePath, partitionBy, overwrite = true, txn)
+      txn: Option[(String, Long)] = None,
+      requireBase: Option[Long] = None
+  ): CommitResult =
+    commit(spark, df, tablePath, partitionBy, overwrite = true, txn, requireBase)
 
   private def txnJson(appId: String, version: Long): String = {
     val t = mapper.createObjectNode()
@@ -354,7 +362,8 @@ object DeltaWrite {
       tablePath: String,
       partitionBy: Seq[String],
       overwrite: Boolean,
-      txn: Option[(String, Long)] = None
+      txn: Option[(String, Long)] = None,
+      callerBase: Option[Long] = None
   ): CommitResult = {
     val txnActions = txn.map { case (a, v) => txnJson(a, v) }.toSeq
     val snapOpt = DeltaLog.latestVersion(spark, tablePath)
@@ -366,7 +375,8 @@ object DeltaWrite {
     snapOpt.filter(_.metadata.isColumnMapped) match {
       case Some(snap) =>
         val prepared = DeltaPolicy.prepare(df, snap.metadata, tablePath)
-        commitMapped(spark, prepared, tablePath, snap, partitionBy, overwrite, txnActions)
+        commitMapped(spark, prepared, tablePath, snap, partitionBy, overwrite, txnActions,
+          requireBase = callerBase)
       case None =>
         val idSpecs = snapOpt.map(s => DeltaPolicy.identityColumns(s.metadata))
           .getOrElse(Seq.empty)
@@ -483,7 +493,8 @@ object DeltaWrite {
             sn.metadata.partitionColumns != partitionBy)
         commitLoop(spark, tablePath, adds, Seq.empty, schemaJsonF, partitionBy,
           overwrite, extraActions = txnActions ++ cdcActions, snapHint = snapOpt,
-          requireBase = if (evolving) snapOpt.map(_.version) else None)
+          requireBase =
+            callerBase.orElse(if (evolving) snapOpt.map(_.version) else None))
     }
   }
 
@@ -565,7 +576,8 @@ object DeltaWrite {
       snap: DeltaLog.Snapshot,
       partitionBy: Seq[String],
       overwrite: Boolean,
-      extraActions: Seq[String] = Seq.empty
+      extraActions: Seq[String] = Seq.empty,
+      requireBase: Option[Long] = None
   ): CommitResult = {
     val meta = snap.metadata
     require(partitionBy.isEmpty || partitionBy == meta.partitionColumns,
@@ -582,7 +594,8 @@ object DeltaWrite {
     val adds = stageFiles(spark, physDf, tablePath, physParts)
     commitLoop(spark, tablePath, adds, Seq.empty,
       meta.schemaString, meta.partitionColumns, overwrite,
-      extraActions = extraActions, allowMapped = true, snapHint = Some(snap))
+      extraActions = extraActions, allowMapped = true, snapHint = Some(snap),
+      requireBase = requireBase)
   }
 
   /** Logical → physical frame: columns reordered to the declared
