@@ -990,7 +990,28 @@ object OracleSql {
          |  FROM orders WHERE o_orderkey % 1000 = 0)
          |SELECT o_orderstatus, count(*) AS n_rows,
          |  ${dsum(d4("o_totalprice"))} AS sum_price
-         |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+         |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // Spark side maintains the view INCREMENTALLY from the change
+    // feed (delete F / update O +10 / append %3 as N folded into one
+    // refresh); the oracle recomputes the final state from scratch
+    "q_incr_view" ->
+      s"""WITH base AS (
+         |  SELECT o_orderkey, o_orderstatus,
+         |    ${d4("o_totalprice")} AS price FROM orders),
+         |afterupd AS (
+         |  SELECT o_orderkey, o_orderstatus,
+         |    CASE WHEN o_orderstatus = 'O'
+         |      THEN CAST(price + 10 AS DECIMAL(12,4)) ELSE price END AS price
+         |  FROM base WHERE o_orderstatus <> 'F'),
+         |appended AS (
+         |  SELECT o_orderkey, 'N' AS o_orderstatus, price
+         |  FROM base WHERE o_orderkey % 3 = 0),
+         |finalstate AS (
+         |  SELECT * FROM afterupd UNION ALL SELECT * FROM appended)
+         |SELECT o_orderstatus, count(*) AS n_rows,
+         |  ${dsum("price")} AS sum_price
+         |FROM finalstate GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
   )
 
   // ---------- wave 4 (round 5) ----------

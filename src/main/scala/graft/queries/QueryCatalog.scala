@@ -83,6 +83,7 @@ object QueryCatalog {
     Entry("q_delta_dv", Wave3Queries.qDeltaDv),
     Entry("q_delta_cdf", Wave3Queries.qDeltaCdf),
     Entry("q_delta_merge", Wave3Queries.qDeltaMerge),
+    Entry("q_incr_view", Wave3Queries.qIncrView),
     Entry("q_ann_kmeans", Wave3Queries.qAnnKmeans),
     Entry("q_bpe_tokens", Wave3Queries.qBpeTokens),
     Entry("q_cube", Wave4Queries.qCube),

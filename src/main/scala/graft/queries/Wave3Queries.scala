@@ -130,6 +130,49 @@ object Wave3Queries {
       path
     })
 
+  /** Incremental materialized-view maintenance over the change data
+    * feed: a per-status (count, sum) view initialized from the base,
+    * then kept current through a DELETE, an UPDATE and an append by
+    * ONE refresh that reads only the CDF between the watermark and the
+    * head — never the base table. The oracle recomputes the final
+    * aggregate from scratch, so a hash match proves the signed-delta
+    * algebra (including the fully-deleted 'F' key leaving the view).
+    */
+  def qIncrView(s: SparkSession, dir: String): DataFrame = {
+    val table = new DeltaTable("orders_view", ordersViewDelta(s, dir))
+    table(s, ReadArgs())
+      .select(col("o_orderstatus"), col("n_rows"),
+        round(col("sum_price").cast("double"), 4).as("sum_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  private val ivmKeys = Seq("o_orderstatus")
+  private val ivmSums = Seq(("price", "sum_price"))
+
+  private def ordersViewDelta(s: SparkSession, dir: String): String =
+    builtTables.getOrElseUpdate(dir + "#ivm", {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_delta_ivm").toString
+      val base = tmp + "/base"
+      val view = tmp + "/view"
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          Num.d4(col("o_totalprice")).as("price"))
+      graft.tables.DeltaDdl.createTable(s, base, orders.schema,
+        configuration = Map("delta.enableChangeDataFeed" -> "true"))   // v0
+      DeltaWrite.append(s, orders, base)                                // v1
+      graft.operators.IncrementalView.initialize(s, base, view, ivmKeys, ivmSums)
+      DeltaWrite.deleteWhere(s, base,
+        Filters.normalize(Seq(Filter("o_orderstatus", "=", "F"))))      // v2
+      DeltaWrite.updateWhere(s, base,
+        Filters.normalize(Seq(Filter("o_orderstatus", "=", "O"))),
+        Seq("price" -> "CAST(price + 10 AS DECIMAL(12,4))"))            // v3
+      DeltaWrite.append(s,
+        orders.where(col("o_orderkey") % 3 === 0)
+          .withColumn("o_orderstatus", lit("N")), base)                 // v4
+      graft.operators.IncrementalView.refresh(s, base, view, ivmKeys, ivmSums)
+      view
+    })
+
   /** Time travel: version 0 predates the DELETE and sees full nation. */
   def qDeltaTimeTravel(s: SparkSession, dir: String): DataFrame = {
     val table = new DeltaTable("nation_delta", nationDelta(s, dir))
