@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.core.{Filter, Filters}
 import graft.tables.{DeltaChanges, DeltaLog, DeltaTable, DeltaWrite}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -23,10 +24,11 @@ import org.apache.spark.sql.functions._
   * or re-runs after a crash is a detected no-op — the watermark and
   * the view contents can never diverge because they commit atomically.
   *
-  * Crash-window note: the refresh OVERWRITES the view (correct at any
-  * view size, one commit); a MERGE-shaped variant that touches only
-  * changed keys is the optimization path for views too large to
-  * rewrite, with identical semantics.
+  * Two refresh shapes with identical semantics: [[refresh]]
+  * overwrites the view (correct at any view size, handles nullable
+  * keys); [[refreshMerge]] updates it in place, rewriting only files
+  * that may hold a changed key — the path for views too large to
+  * rewrite per refresh.
   */
 object IncrementalView {
 
@@ -74,15 +76,7 @@ object IncrementalView {
     val head = DeltaLog.snapshot(spark, basePath, withFiles = false).version
     if (head <= last) return last
 
-    val changes = DeltaChanges.between(spark, basePath, last + 1, head)
-    val sign = when(
-      col(DeltaChanges.ChangeTypeCol).isin("insert", "update_postimage"), 1L)
-      .otherwise(-1L)
-    val delta = changes
-      .groupBy(keys.map(col): _*)
-      .agg(sum(sign).as("n_rows"),
-        sums.map { case (v, alias) =>
-          sum(col(v) * sign).as(alias) }: _*)
+    val delta = changesDelta(spark, basePath, last, head, keys, sums)
 
     val current = new DeltaTable("view", viewPath)(spark,
       graft.tables.ReadArgs(extra = Map("versionAsOf" -> viewSnap.version)))
@@ -100,6 +94,80 @@ object IncrementalView {
     head
   }
 
+  /** MERGE-shaped refresh: identical semantics to [[refresh]], but the
+    * view is updated IN PLACE — only view files that may hold a
+    * changed key are rewritten (merge's stats-pruned candidate set),
+    * so refresh cost scales with the CHANGE volume, not the view
+    * size: the scale path for views too large to rewrite per refresh.
+    * The view read feeding the combine is bounded the same way, by a
+    * per-key min/max box filter pushed through Delta file skipping
+    * (one tiny driver-side agg of the delta).
+    *
+    * Exactly-once and race-guarding are unchanged: the merge commit
+    * carries the watermark txn and is compare-and-swapped on the view
+    * version the watermark was read from.
+    *
+    * MERGE keys never match SQL nulls (standard `ON t.k = s.k`
+    * semantics), so this path refuses null group-key values in the
+    * change span — use [[refresh]] for views with nullable keys.
+    */
+  def refreshMerge(
+      spark: SparkSession,
+      basePath: String,
+      viewPath: String,
+      keys: Seq[String],
+      sums: Seq[(String, String)]
+  ): Long = {
+    val viewSnap = DeltaLog.snapshot(spark, viewPath, withFiles = false)
+    val last = viewSnap.txns.getOrElse(AppId,
+      throw new IllegalArgumentException(
+        s"view $viewPath carries no $AppId transaction — initialize it first"))
+    val head = DeltaLog.snapshot(spark, basePath, withFiles = false).version
+    if (head <= last) return last
+
+    val delta = changesDelta(spark, basePath, last, head, keys, sums)
+    // one driver row: change count, per-key bounds, per-key null keys
+    val k = keys.size
+    val aggs =
+      keys.map(c => min(col(c))) ++ keys.map(c => max(col(c))) ++
+        keys.map(c => sum(when(col(c).isNull, 1L).otherwise(0L)))
+    val b = delta.agg(count(lit(1)), aggs: _*).head()
+    // metadata-only commits in the span: contents already current at
+    // `head`; the watermark stays at `last` (a later refresh re-reads
+    // the empty span — O(metadata), never wrong)
+    if (b.getLong(0) == 0L) return last
+    keys.zipWithIndex.foreach { case (c, i) =>
+      require(b.getLong(1 + 2 * k + i) == 0L,
+        s"group key $c takes null values in the change span; MERGE keys " +
+          "cannot match nulls — use refresh (overwrite) for this view")
+    }
+    val bounds = Filters.normalize(keys.zipWithIndex.flatMap { case (c, i) =>
+      Seq(Filter(c, ">=", b.get(1 + i)), Filter(c, "<=", b.get(1 + k + i)))
+    })
+
+    val current = new DeltaTable("view", viewPath)(spark,
+      graft.tables.ReadArgs(filters = bounds,
+        extra = Map("versionAsOf" -> viewSnap.version)))
+    val vTypes = current.schema.fields.map(f => f.name -> f.dataType).toMap
+    val combined = delta.alias("d")
+      .join(current.alias("v"), keys, "left")
+      // a key created AND fully deleted inside the span would
+      // otherwise reach the NOT MATCHED clause and insert a zero row
+      .where(col("v.n_rows").isNotNull || col("d.n_rows") =!= 0L)
+      .select(keys.map(col) ++
+        Seq((coalesce(col("v.n_rows"), lit(0L)) + col("d.n_rows"))
+          .cast(vTypes("n_rows")).as("n_rows")) ++
+        sums.map { case (_, alias) =>
+          (coalesce(col(s"v.$alias"), lit(0)) + col(s"d.$alias"))
+            .cast(vTypes(alias)).as(alias)
+        }: _*)
+
+    DeltaWrite.merge(spark, viewPath, combined, keys,
+      deleteWhenMatched = Some("n_rows = 0"),
+      txn = Some((AppId, head)), requireBase = Some(viewSnap.version))
+    head
+  }
+
   /** The base version the view reflects (its `graft-view` txn). */
   def watermark(spark: SparkSession, viewPath: String): Option[Long] =
     DeltaLog.snapshot(spark, viewPath, withFiles = false).txns.get(AppId)
@@ -112,6 +180,28 @@ object IncrementalView {
       sums: Seq[(String, String)]
   ): DataFrame =
     aggregate(new DeltaTable("base", basePath)(spark), keys, sums)
+
+  /** Signed per-key delta of the base's CDF in `(last, head]`:
+    * insert/update_postimage count +1, delete/update_preimage −1.
+    */
+  private def changesDelta(
+      spark: SparkSession,
+      basePath: String,
+      last: Long,
+      head: Long,
+      keys: Seq[String],
+      sums: Seq[(String, String)]
+  ): DataFrame = {
+    val changes = DeltaChanges.between(spark, basePath, last + 1, head)
+    val sign = when(
+      col(DeltaChanges.ChangeTypeCol).isin("insert", "update_postimage"), 1L)
+      .otherwise(-1L)
+    changes
+      .groupBy(keys.map(col): _*)
+      .agg(sum(sign).as("n_rows"),
+        sums.map { case (v, alias) =>
+          sum(col(v) * sign).as(alias) }: _*)
+  }
 
   private def aggregate(
       base: DataFrame,

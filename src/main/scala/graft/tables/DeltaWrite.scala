@@ -846,17 +846,37 @@ object DeltaWrite {
     *
     * On CDF-enabled tables the commit carries cdc files classifying
     * every change: `update_preimage`/`update_postimage` for matched
-    * keys, `insert` for new keys — which also disambiguates the
-    * add+remove rewrite for change readers.
+    * keys, `insert` for new keys, `delete` for delete-matched keys —
+    * which also disambiguates the add+remove rewrite for change
+    * readers.
+    *
+    * `deleteWhenMatched` adds the standard `WHEN MATCHED AND <cond>
+    * THEN DELETE` clause: a SQL boolean over the source row's columns;
+    * TRUE deletes the matched target row instead of updating it (a
+    * FALSE/NULL condition falls through to the update clause, an
+    * unmatched delete-condition row to the insert clause). `txn`
+    * attaches a SetTransaction marker to the commit (exactly-once
+    * refreshers); `requireBase` makes the whole merge conditional on
+    * the table still being at that version — the read-modify-write
+    * guard incremental view refresh pins its CDF watermark with.
+    * An empty source returns without committing (no txn marker).
     */
   def merge(
       spark: SparkSession,
       tablePath: String,
       source: DataFrame,
-      keyCols: Seq[String]
+      keyCols: Seq[String],
+      deleteWhenMatched: Option[String] = None,
+      txn: Option[(String, Long)] = None,
+      requireBase: Option[Long] = None
   ): CommitResult = {
     require(keyCols.nonEmpty, "merge needs at least one key column")
     val snap = DeltaLog.snapshot(spark, tablePath)
+    requireBase.foreach { base =>
+      if (snap.version != base)
+        throw new ConcurrentWriteException(
+          s"table $tablePath is at version ${snap.version}, caller required $base")
+    }
     val meta = snap.metadata
     // MERGE rewrites matched files (data-removing change)
     DeltaPolicy.requireNotAppendOnly(meta, "MERGE", tablePath)
@@ -884,6 +904,15 @@ object DeltaWrite {
     // satisfied them when they were written
     val src = DeltaPolicy.prepare(source, meta, tablePath)
       .select(meta.schema.fieldNames.map(col).toSeq: _*)
+    // WHEN MATCHED AND <cond> THEN DELETE: the clause fires only when
+    // the condition is TRUE (SQL clause semantics — null falls through
+    // to the update clause). Evaluated over the source row, whose
+    // columns span the full schema. A delete-condition row that
+    // matches no target row follows the standard NOT MATCHED clause
+    // and inserts.
+    val delCond = deleteWhenMatched.map(c => coalesce(expr(c), lit(false)))
+    val upsertSrc = delCond.map(c => src.where(!c)).getOrElse(src)
+    val delSrc = delCond.map(c => src.where(c))
 
     // candidate pruning: single-column keys bound the source key range
     // once (driver-side min/max) and skip files whose stats exclude it
@@ -911,12 +940,23 @@ object DeltaWrite {
       if (tracked) t.drop(DeltaRead.RowIdCol, DeltaRead.RowCommitVersionCol) else t)
     val keySeq = keyCols.toSeq
 
-    // kept = target rows whose key has no replacement; content = kept ∪ source.
+    // rows WRITTEN as new content: updates + inserts. Delete-matched
+    // rows vanish; a delete-condition row without a target match falls
+    // through to the insert clause.
+    val writeSrc = (delSrc, target) match {
+      case (Some(d), Some(t)) => upsertSrc.unionByName(d.join(t, keySeq, "left_anti"))
+      case (Some(d), None)    => upsertSrc.unionByName(d)
+      case _                  => upsertSrc
+    }
+
+    // kept = target rows whose key has no replacement (and was not
+    // delete-matched); content = kept ∪ writeSrc.
     // Row tracking: kept rows materialize BOTH old ids; updated rows
     // materialize the matched key's old row id with a NULL commit
     // version (readers then pick up the new file's default — exactly
     // "same row, updated at this version"); inserts materialize
-    // neither and mint fresh ids.
+    // neither and mint fresh ids (a delete-matched key's id dies with
+    // the row, like copy-on-write DELETE).
     val content = (targetRaw, target) match {
       case (Some(traw), Some(t)) if tracked =>
         val matId = meta.configuration(MatRowIdKey)
@@ -930,11 +970,11 @@ object DeltaWrite {
         val keyIds = traw
           .groupBy(keySeq.map(col): _*)
           .agg(min(col(DeltaRead.RowIdCol)).as(matId))
-        val upserts = src.join(keyIds, keySeq, "left")
+        val upserts = writeSrc.join(keyIds, keySeq, "left")
           .withColumn(matRcv, lit(null).cast(org.apache.spark.sql.types.LongType))
         kept.unionByName(upserts)
-      case (_, Some(t)) => t.join(src, keySeq, "left_anti").unionByName(src)
-      case _            => src
+      case (_, Some(t)) => t.join(src, keySeq, "left_anti").unionByName(writeSrc)
+      case _            => writeSrc
     }
 
     val cdcActions =
@@ -942,15 +982,22 @@ object DeltaWrite {
       else {
         val changeRows = target match {
           case Some(t) =>
-            val pre = t.join(src, keySeq, "left_semi")
+            val pre = t.join(upsertSrc, keySeq, "left_semi")
               .withColumn(DeltaChanges.ChangeTypeCol, lit("update_preimage"))
-            val post = src.join(t, keySeq, "left_semi")
+            val post = upsertSrc.join(t, keySeq, "left_semi")
               .withColumn(DeltaChanges.ChangeTypeCol, lit("update_postimage"))
-            val ins = src.join(t, keySeq, "left_anti")
+            val ins = writeSrc.join(t, keySeq, "left_anti")
               .withColumn(DeltaChanges.ChangeTypeCol, lit("insert"))
-            pre.unionByName(post).unionByName(ins)
+            val withDel = delSrc match {
+              case Some(d) =>
+                val del = t.join(d, keySeq, "left_semi")
+                  .withColumn(DeltaChanges.ChangeTypeCol, lit("delete"))
+                pre.unionByName(post).unionByName(ins).unionByName(del)
+              case None => pre.unionByName(post).unionByName(ins)
+            }
+            withDel
           case None =>
-            src.withColumn(DeltaChanges.ChangeTypeCol, lit("insert"))
+            writeSrc.withColumn(DeltaChanges.ChangeTypeCol, lit("insert"))
         }
         stageFiles(spark, changeRows, tablePath, partCols,
           destPrefix = "_change_data/", withStats = false).map(cdcJson)
@@ -963,7 +1010,8 @@ object DeltaWrite {
     val adds = stageFiles(spark, content, tablePath, partCols, statsExclude = matEx)
     commitLoop(spark, tablePath, adds, candidates,
       bumpIdentityHwm(meta.schemaString, DeltaPolicy.identityColumns(meta), adds),
-      partCols, overwrite = false, extraActions = cdcActions,
+      partCols, overwrite = false,
+      extraActions = txn.map { case (a, v) => txnJson(a, v) }.toSeq ++ cdcActions,
       requireBase = Some(snap.version))
   }
 

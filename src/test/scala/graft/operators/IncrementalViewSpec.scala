@@ -92,6 +92,71 @@ class IncrementalViewSpec extends SparkSpec {
     assert(DeltaLog.snapshot(spark, view, withFiles = false).version == viewVersion)
   }
 
+  test("refreshMerge tracks every mutation kind exactly, in place") {
+    val base = mkBase("mtrack")
+    val view = tempDir("ivm-mtrack-v").toString + "/view"
+    IncrementalView.initialize(spark, base, view, keys, sums)
+
+    DeltaWrite.append(spark,
+      Seq(("c0", 100L, 7L), ("c3", 101L, 9L)).toDF("cat", "id", "v"), base)
+    IncrementalView.refreshMerge(spark, base, view, keys, sums)
+    assert(viewRows(view) == expected(base), "after append")
+
+    DeltaWrite.deleteWhere(spark, base,
+      Filters.normalize(Seq(Filter("cat", "=", "c1"))))
+    IncrementalView.refreshMerge(spark, base, view, keys, sums)
+    val afterDelete = viewRows(view)
+    assert(afterDelete == expected(base), "after delete")
+    assert(!afterDelete.exists(_._1 == "c1"),
+      "emptied key must leave the view via the matched-delete clause")
+
+    DeltaWrite.updateWhere(spark, base,
+      Filters.normalize(Seq(Filter("cat", "=", "c2"))), Seq("v" -> "v + 1"))
+    IncrementalView.refreshMerge(spark, base, view, keys, sums)
+    assert(viewRows(view) == expected(base), "after update")
+
+    // the two refresh shapes interoperate on one view
+    DeltaWrite.append(spark, Seq(("c9", 300L, 3L)).toDF("cat", "id", "v"), base)
+    IncrementalView.refresh(spark, base, view, keys, sums)
+    DeltaWrite.append(spark, Seq(("c9", 301L, 4L)).toDF("cat", "id", "v"), base)
+    val w = IncrementalView.refreshMerge(spark, base, view, keys, sums)
+    assert(viewRows(view) == expected(base), "after mixed refresh shapes")
+    assert(IncrementalView.watermark(spark, view).contains(w))
+
+    // idempotent when current
+    assert(IncrementalView.refreshMerge(spark, base, view, keys, sums) == w)
+  }
+
+  test("refreshMerge drops a key created and fully deleted inside one span") {
+    val base = mkBase("mzero")
+    val view = tempDir("ivm-mzero-v").toString + "/view"
+    IncrementalView.initialize(spark, base, view, keys, sums)
+
+    DeltaWrite.append(spark, Seq(("zz", 500L, 1L)).toDF("cat", "id", "v"), base)
+    DeltaWrite.deleteWhere(spark, base,
+      Filters.normalize(Seq(Filter("cat", "=", "zz"))))
+    IncrementalView.refreshMerge(spark, base, view, keys, sums)
+    val rows = viewRows(view)
+    assert(rows == expected(base))
+    assert(!rows.exists(_._1 == "zz"),
+      "a zero-net new key must not insert via the NOT MATCHED clause")
+  }
+
+  test("refreshMerge refuses null group keys in the change span") {
+    val base = mkBase("mnull")
+    val view = tempDir("ivm-mnull-v").toString + "/view"
+    IncrementalView.initialize(spark, base, view, keys, sums)
+    DeltaWrite.append(spark,
+      Seq((Option.empty[String], 600L, 5L)).toDF("cat", "id", "v"), base)
+    intercept[IllegalArgumentException] {
+      IncrementalView.refreshMerge(spark, base, view, keys, sums)
+    }
+    // the overwrite shape handles the same span fine
+    IncrementalView.refresh(spark, base, view, keys, sums)
+    val t = new graft.tables.DeltaTable("v", view)
+    assert(t(spark).where("cat IS NULL").count() == 1)
+  }
+
   test("a refresh from a stale view read refuses instead of clobbering") {
     val base = mkBase("race")
     val view = tempDir("ivm-race-v").toString + "/view"

@@ -82,6 +82,61 @@ class DeltaMergeSpec extends SparkSpec {
     assert(res.version == 0L && res.filesAdded == 0)
   }
 
+  test("WHEN MATCHED AND cond THEN DELETE: matched-delete, fall-through update, unmatched insert") {
+    val dir = freshTable(Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 3.0)))
+    // v<0 flags deletion: id=1 matched → deleted; id=2 cond false →
+    // updated; id=4 cond true but unmatched → NOT MATCHED insert
+    val res = DeltaWrite.merge(spark, dir,
+      Seq((1L, "a", -1.0), (2L, "a", 20.0), (4L, "b", -4.0)).toDF("id", "grp", "v"),
+      Seq("id"), deleteWhenMatched = Some("v < 0"))
+    assert(res.version == 1L)
+    assert(state(dir) == Set((2L, "a", 20.0), (3L, "b", 3.0), (4L, "b", -4.0)))
+  }
+
+  test("a NULL delete condition falls through to the update clause") {
+    val dir = tempDir("delta-merge").toString + "/t"
+    DeltaWrite.append(spark,
+      Seq((1L, "a", Option(1.0)), (2L, "a", Option(2.0))).toDF("id", "grp", "v"), dir)
+    DeltaWrite.merge(spark, dir,
+      Seq((1L, "a", Option.empty[Double]), (2L, "a", Option(-2.0)))
+        .toDF("id", "grp", "v"),
+      Seq("id"), deleteWhenMatched = Some("v < 0"))
+    val df = new DeltaTable("t", dir)(spark, ReadArgs())
+    // id=1: cond NULL → updated to null v, not deleted; id=2: deleted
+    assert(df.where("id = 1 AND v IS NULL").count() == 1)
+    assert(df.count() == 1)
+  }
+
+  test("matched-delete emits cdc delete rows; txn marker lands in the same commit") {
+    val dir = freshTable(Seq((1L, "a", 1.0), (2L, "b", 2.0)), partitioned = true)
+    DeltaWrite.setTableProperties(spark, dir, Map("delta.enableChangeDataFeed" -> "true"))
+    DeltaWrite.merge(spark, dir,
+      Seq((1L, "a", -1.0), (2L, "b", 20.0), (5L, "a", 50.0)).toDF("id", "grp", "v"),
+      Seq("id"), deleteWhenMatched = Some("v < 0"),
+      txn = Some(("app-x", 42L)))
+    val ch = DeltaChanges.between(spark, dir, 2)
+      .select(col("id"), col("v"), col(DeltaChanges.ChangeTypeCol))
+      .as[(Long, Double, String)].collect().toSet
+    assert(ch == Set(
+      (1L, 1.0, "delete"),
+      (2L, 2.0, "update_preimage"),
+      (2L, 20.0, "update_postimage"),
+      (5L, 50.0, "insert")), s"got $ch")
+    assert(DeltaLog.snapshot(spark, dir, withFiles = false).txns.get("app-x").contains(42L))
+  }
+
+  test("merge requireBase refuses when the table moved past the pinned version") {
+    val dir = freshTable(Seq((1L, "a", 1.0)))
+    val pinned = DeltaLog.snapshot(spark, dir, withFiles = false).version
+    DeltaWrite.append(spark, Seq((9L, "z", 9.0)).toDF("id", "grp", "v"), dir)
+    intercept[DeltaWrite.ConcurrentWriteException] {
+      DeltaWrite.merge(spark, dir,
+        Seq((1L, "a", 10.0)).toDF("id", "grp", "v"), Seq("id"),
+        requireBase = Some(pinned))
+    }
+    assert(state(dir) == Set((1L, "a", 1.0), (9L, "z", 9.0)))
+  }
+
   test("all-null source keys insert (null never equals), consistently with mixed") {
     // the table must declare id NULLABLE: a primitive-Long frame would
     // create a NOT NULL column, and the policy layer (correctly)
