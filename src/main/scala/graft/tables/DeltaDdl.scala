@@ -312,6 +312,111 @@ object DeltaDdl {
     Some((newSchema.json, meta.partitionColumns, meta.configuration, Seq.empty))
   }
 
+  /** The widening matrix ALTER COLUMN TYPE accepts: the public
+    * `typeWidening` feature's conversion table intersected with what
+    * Spark's parquet vectorized reader converts natively
+    * (byte→short→int→long, float→double, byte/short/int→double,
+    * integral→decimal with ≥10/≥20 integral digits, decimal
+    * precision/scale growth — each pair verified against the reader).
+    * Old data files are NEVER rewritten; the scan widens their
+    * narrower physical type to the new logical type natively, and
+    * file-skipping stats compare through BigDecimal, so pruning stays
+    * sound across mixed-width files. date→timestampNTZ is in the
+    * spec but refused here: parquet has no native int32-date →
+    * int64-micros conversion, so honoring it would need a rewrite.
+    */
+  private[tables] def widens(
+      from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    def intRank(d: DataType): Option[Int] = d match {
+      case ByteType => Some(0); case ShortType => Some(1)
+      case IntegerType => Some(2); case LongType => Some(3); case _ => None
+    }
+    (from, to) match {
+      case (f, t) if intRank(f).isDefined && intRank(t).isDefined =>
+        intRank(f).get < intRank(t).get
+      case (ByteType | ShortType | IntegerType, DoubleType) => true
+      case (FloatType, DoubleType)                          => true
+      case (ByteType | ShortType | IntegerType, d: DecimalType) =>
+        d.precision - d.scale >= 10
+      case (LongType, d: DecimalType) => d.precision - d.scale >= 20
+      case (f: DecimalType, t: DecimalType) =>
+        (f.precision, f.scale) != (t.precision, t.scale) &&
+          t.precision - t.scale >= f.precision - f.scale && t.scale >= f.scale
+      case _ => false
+    }
+  }
+
+  /** ALTER TABLE ALTER COLUMN TYPE (widening only) — the
+    * `typeWidening` table feature: a metadata-only commit that swaps
+    * the column's declared type for a wider one and records the
+    * change in `delta.typeChanges` field metadata per the public
+    * spec; the protocol gains the reader+writer feature so engines
+    * that can't widen at scan time refuse instead of misreading.
+    * Appends after the widen must carry the wide type (this engine
+    * refuses narrow frames on append — callers cast up).
+    */
+  def widenColumnType(
+      spark: SparkSession,
+      tablePath: String,
+      column: String,
+      to: org.apache.spark.sql.types.DataType
+  ): CommitResult = alter(spark, tablePath) { snap =>
+    import org.apache.spark.sql.types.{Metadata, MetadataBuilder}
+    val meta = snap.metadata
+    val schema = meta.schema
+    val idx = schema.fieldNames.indexOf(column)
+    require(idx >= 0, s"no column $column in $tablePath")
+    val f = schema.fields(idx)
+    if (f.dataType == to) None // no-op: already that type
+    else {
+    require(widens(f.dataType, to),
+      s"cannot change $column from ${f.dataType.simpleString} to " +
+        s"${to.simpleString}: not a supported widening conversion")
+    require(!meta.partitionColumns.contains(column),
+      s"cannot widen partition column $column of $tablePath " +
+        "(partition values live in the log as strings keyed to the type)")
+    val refs = referencedBy(meta, column)
+    require(refs.isEmpty,
+      s"cannot widen $column: referenced by ${refs.mkString(", ")} " +
+        "(expression result types would shift under the changed input)")
+
+    def deltaName(d: org.apache.spark.sql.types.DataType): String = d match {
+      case dd: org.apache.spark.sql.types.DecimalType =>
+        s"decimal(${dd.precision},${dd.scale})"
+      case other => other.json.stripPrefix("\"").stripSuffix("\"")
+    }
+    val prior: Array[Metadata] =
+      if (f.metadata.contains("delta.typeChanges"))
+        f.metadata.getMetadataArray("delta.typeChanges")
+      else Array.empty
+    val entry = new MetadataBuilder()
+      .putString("fromType", deltaName(f.dataType))
+      .putString("toType", deltaName(to)).build()
+    val widened = f.copy(dataType = to,
+      metadata = new MetadataBuilder().withMetadata(f.metadata)
+        .putMetadataArray("delta.typeChanges", prior :+ entry).build())
+    val newSchema = StructType(schema.fields.updated(idx, widened))
+
+    val pr = snap.protocol
+    val hasFeature = pr.minReaderVersion >= 3 &&
+      pr.readerFeatures.exists(_.contains("typeWidening"))
+    val protocolActions =
+      if (hasFeature) Seq.empty
+      else {
+        val rf = (if (pr.minReaderVersion >= 3) pr.readerFeatures.getOrElse(Seq.empty)
+                  else if (pr.minReaderVersion == 2) Seq("columnMapping")
+                  else Seq.empty) :+ "typeWidening"
+        val wf = (if (pr.minWriterVersion >= 7) pr.writerFeatures.getOrElse(Seq.empty)
+                  else legacyWriterFeatures(pr.minWriterVersion)) :+ "typeWidening"
+        Seq(protocolJson(DeltaLog.Protocol(3, 7,
+          Some(rf.distinct), Some(wf.distinct))))
+      }
+    Some((newSchema.json, meta.partitionColumns, meta.configuration, protocolActions))
+    }
+  }
+
   /** Shallow CLONE: a new table whose version-0 commit references the
     * source's CURRENT data files by absolute path — zero data copied,
     * both tables evolve independently afterwards (writes to the clone

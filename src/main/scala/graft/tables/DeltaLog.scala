@@ -68,7 +68,10 @@ object DeltaLog {
     * (schemaString `timestamp_ntz` parses through DataType.fromJson).
     */
   val SupportedReaderFeatures: Set[String] =
-    Set("deletionVectors", "columnMapping", "timestampNtz", "v2Checkpoints")
+    Set("deletionVectors", "columnMapping", "timestampNtz", "v2Checkpoints",
+      // scan-time widening of narrower physical types is native to
+      // the parquet reader (see DeltaDdl.widens)
+      "typeWidening")
 
   /** The table's `protocol` action (latest wins during replay). The
     * checkpoint writer preserves this verbatim instead of
