@@ -356,6 +356,93 @@ object DeltaWrite {
       requireBase = Some(snap.version))
   }
 
+  /** Predicate-scoped overwrite (the `replaceWhere` surface of the
+    * public delta-spark writer): ONE atomic commit that deletes the
+    * rows matching `filters` and inserts `df` in their place. Files
+    * that cannot hold matching rows are untouched (stats/partition
+    * pruning picks the rewrite candidates, exactly as DELETE);
+    * candidate files keep their non-matching rows via the same
+    * copy-on-write rewrite. Every incoming row must satisfy the
+    * predicate — validated against the STAGED bytes, not a
+    * re-evaluation of `df` (which may be non-deterministic), so the
+    * "replace only WHERE …" contract cannot silently widen; a
+    * violation aborts before the commit (the staged orphans are
+    * uncommitted and swept by VACUUM, the same failure shape as a
+    * lost commit race). Table policies (constraints, invariants,
+    * generated columns) apply to the new rows; identity columns mint
+    * as in append; on CDF tables the commit carries delete rows for
+    * the replaced slice and insert rows for the new data; on
+    * row-tracked tables survivors keep their ids (materialized
+    * columns) while new rows mint fresh ones at commit.
+    */
+  def replaceWhere(
+      spark: SparkSession,
+      df: DataFrame,
+      tablePath: String,
+      filters: graft.core.Filters.Normalized,
+      distributedPlanning: Boolean = false
+  ): CommitResult = {
+    import graft.core.Filters
+    val snap = DeltaLog.snapshot(spark, tablePath, withFiles = !distributedPlanning)
+    val meta = snap.metadata
+    val partCols = meta.partitionColumns
+    val predicate = Filters.toColumn(filters).getOrElse(lit(true))
+
+    DeltaPolicy.requireNotAppendOnly(meta, "replaceWhere", tablePath)
+    require(!meta.isColumnMapped,
+      s"writes to column-mapped Delta tables are not supported ($tablePath)")
+
+    // incoming rows go through the same preparation as append: policy
+    // validation, generated columns, identity minting, declared order
+    val idSpecs = DeltaPolicy.identityColumns(meta)
+    val prepared0 =
+      assignIdentity(DeltaPolicy.prepare(df, meta, tablePath), idSpecs, tablePath)
+    val prepared =
+      if (prepared0.columns.toSet == snap.schema.fieldNames.toSet &&
+        prepared0.columns.toSeq != snap.schema.fieldNames.toSeq)
+        prepared0.select(snap.schema.fieldNames.map(col).toSeq: _*)
+      else prepared0
+    require(prepared.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      snap.schema.fields.map(f => (f.name, f.dataType)).toSeq,
+      s"replaceWhere into $tablePath cannot change the table schema")
+
+    val candidates = candidateFiles(spark, tablePath, filters, snap, distributedPlanning)
+
+    val newAdds = stageFiles(spark, prepared, tablePath, partCols)
+    val stagedNew = DeltaRead.readFiles(spark, tablePath, meta,
+      newAdds.map(a => DeltaLog.AddFile(a.rel, a.pv, a.size, a.stats)))
+    val outside = stagedNew.filter(!coalesce(predicate, lit(false))).limit(1).count()
+    require(outside == 0L,
+      s"replaceWhere into $tablePath: incoming rows fall outside the predicate; " +
+        "every written row must satisfy it")
+
+    // survivors: candidate rows the predicate does NOT delete (rows
+    // where it evaluates NULL survive, as in DELETE)
+    val survivorAdds =
+      if (candidates.isEmpty) Seq.empty
+      else {
+        val (src, matEx) = readForRewrite(spark, tablePath, snap, candidates)
+        stageFiles(spark, src.filter(!coalesce(predicate, lit(false))),
+          tablePath, partCols, statsExclude = matEx)
+      }
+
+    val cdcActions =
+      if (!cdfEnabled(meta)) Seq.empty
+      else {
+        val deletes =
+          if (candidates.isEmpty) Seq.empty
+          else stageCdcDeletes(spark, tablePath, snap, candidates, predicate)
+        val inserts = stagedNew.withColumn(DeltaChanges.ChangeTypeCol, lit("insert"))
+        deletes ++ stageFiles(spark, inserts, tablePath, partCols,
+          destPrefix = "_change_data/", withStats = false).map(cdcJson)
+      }
+
+    val schemaJson = bumpIdentityHwm(meta.schemaString, idSpecs, newAdds)
+    commitLoop(spark, tablePath, newAdds ++ survivorAdds, candidates,
+      schemaJson, partCols, overwrite = false,
+      extraActions = cdcActions, requireBase = Some(snap.version))
+  }
+
   private def commit(
       spark: SparkSession,
       df: DataFrame,

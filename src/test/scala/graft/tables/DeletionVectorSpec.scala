@@ -160,13 +160,13 @@ class DeletionVectorSpec extends SparkSpec {
     val schema = StructType(Seq(StructField("id", LongType)))
     val size = putFile(Seq(Tuple1(1L)).toDF("id"), dir, "f0.parquet")
     putCommit(dir, 0, Seq(
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors","typeWidening"],"writerFeatures":[]}}""",
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors","futureUnknownFeature"],"writerFeatures":[]}}""",
       metaDataJson(schema, Seq.empty),
       s"""{"add":{"path":"f0.parquet","partitionValues":{},"size":$size,"modificationTime":0,"dataChange":true}}"""))
     val e = intercept[IllegalArgumentException] {
       DeltaLog.snapshot(spark, dir)
     }
-    assert(e.getMessage.contains("typeWidening"))
+    assert(e.getMessage.contains("futureUnknownFeature"))
   }
 
   // ---------------- writer end-to-end ----------------
