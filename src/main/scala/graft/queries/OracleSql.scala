@@ -1312,7 +1312,100 @@ object OracleSql {
     )
   }
 
-  val all: Map[String, String] = relational ++ pipeline ++ wave2 ++ wave3 ++ wave4
+  val wave5: Map[String, String] = Map(
+    // final state after the replaceWhere commit: the 1-URGENT slice
+    // swapped for half-price rows (×0.5 — exact in doubles), every
+    // other row untouched
+    "q_replace_where" ->
+      s"""WITH replaced AS (
+         |  SELECT o_orderstatus,
+         |    CASE WHEN o_orderpriority = '1-URGENT'
+         |         THEN o_totalprice * 0.5 ELSE o_totalprice END AS o_totalprice
+         |  FROM orders)
+         |SELECT o_orderstatus, count(*) AS n_orders,
+         |  ${dsum(d4("o_totalprice"))} AS sum_price
+         |FROM replaced GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // the same synthesized nested JSON, extracted with DuckDB's JSON
+    // path functions — proves Spark's variant_get path semantics
+    "q_variant" -> {
+      val js = """('{"user":{"id":' || user_id || ',"seg":"s' || (user_id % 5) ||
+                 | '"},"meta":' || props || '}')""".stripMargin.replace("\n", "")
+      s"""WITH v AS (SELECT
+         |    json_extract_string($js, '$$.user.seg') AS seg,
+         |    CAST(json_extract($js, '$$.user.id') AS BIGINT) AS uid,
+         |    CAST(json_extract($js, '$$.meta.k') AS BIGINT) AS k
+         |  FROM events)
+         |SELECT seg, count(*) AS n_events, CAST(sum(k) AS BIGINT) AS sum_k,
+         |  min(uid) AS min_uid, max(uid) AS max_uid
+         |FROM v GROUP BY seg ORDER BY seg""".stripMargin
+    },
+
+    // lower()-keyed grouping is semantically equal to UTF8_LCASE
+    // grouping on this ASCII domain; n_variants = 2 proves the Spark
+    // side actually merged distinct binary strings
+    "q_collation" ->
+      s"""WITH m AS (
+         |  SELECT CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+         |              ELSE lower(c_mktsegment) END AS seg_case, c_acctbal
+         |  FROM customer)
+         |SELECT min(lower(seg_case)) AS segment, count(*) AS n_customers,
+         |  CAST(count(DISTINCT seg_case) AS BIGINT) AS n_variants,
+         |  ${dsum(d4("c_acctbal"))} AS sum_bal
+         |FROM m GROUP BY lower(seg_case) ORDER BY segment""".stripMargin,
+
+    // bottom-k by the same md5 hash with the same total-order
+    // tie-break; the KMV estimate is pure integer division
+    "q_bottomk_sample" -> {
+      val k = Wave5Queries.BottomK.K
+      val num = (k - 1).toLong * PortableHash.Prime
+      s"""WITH h AS (
+         |  SELECT doc_id, ${PortableHash.Sql.md5Mod("'bk:' || doc_id")} AS h
+         |  FROM documents),
+         |k AS (
+         |  SELECT doc_id, h, CAST(row_number() OVER (ORDER BY h, doc_id) AS BIGINT) AS rk
+         |  FROM h ORDER BY h, doc_id LIMIT $k)
+         |SELECT rk, doc_id, h,
+         |  CAST($num // (max(h) OVER ()) AS BIGINT) AS est_distinct
+         |FROM k ORDER BY rk""".stripMargin
+    },
+
+    // the three PageRank iterations unrolled; every step is the exact
+    // integer arithmetic GraphRank runs (floor division on positive
+    // longs), so the full ranking hash-matches
+    "q_domain_rank" -> {
+      import Wave5Queries.Rank.{Nodes, EdgeMod, DampPct}
+      val base = graft.operators.GraphRank.Base
+      val teleNum = base * (100L - DampPct) / 100L
+      def iter(i: Int): String =
+        s"""c$i AS (
+           |  SELECT e.dst AS node, CAST(sum(r.rank // d.deg) AS BIGINT) AS s
+           |  FROM e JOIN deg d USING (src) JOIN r${i - 1} r ON r.node = e.src
+           |  GROUP BY e.dst),
+           |r$i AS (
+           |  SELECT nodes.node,
+           |    CAST((SELECT $teleNum // n FROM params) +
+           |         ($DampPct * coalesce(c$i.s, 0)) // 100 AS BIGINT) AS rank
+           |  FROM nodes LEFT JOIN c$i ON nodes.node = c$i.node)""".stripMargin
+      s"""WITH e AS (
+         |  SELECT DISTINCT user_id % $Nodes AS src,
+         |    (event_id * 31 + 7) % $Nodes AS dst
+         |  FROM events
+         |  WHERE event_id % $EdgeMod = 0
+         |    AND user_id % $Nodes <> (event_id * 31 + 7) % $Nodes),
+         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |params AS (SELECT count(*) AS n FROM nodes),
+         |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+         |r0 AS (SELECT node, (SELECT $base // n FROM params) AS rank FROM nodes),
+         |${iter(1)},
+         |${iter(2)},
+         |${iter(3)}
+         |SELECT node, rank FROM r3 ORDER BY node""".stripMargin
+    }
+  )
+
+  val all: Map[String, String] =
+    relational ++ pipeline ++ wave2 ++ wave3 ++ wave4 ++ wave5
 
   /** Oracles whose SQL embeds values computed DETERMINISTICALLY from
     * the data at `dir` — merged over [[all]] by Verify, which knows

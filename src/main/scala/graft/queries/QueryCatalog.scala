@@ -102,7 +102,12 @@ object QueryCatalog {
     Entry("q_delta_clone", Wave4Queries.qDeltaClone),
     Entry("q_delta_update", Wave4Queries.qDeltaUpdate),
     Entry("q_vec_quant", Wave4Queries.qVecQuant),
-    Entry("q_gram_novelty", Wave4Queries.qGramNovelty)
+    Entry("q_gram_novelty", Wave4Queries.qGramNovelty),
+    Entry("q_replace_where", Wave5Queries.qReplaceWhere),
+    Entry("q_variant", Wave5Queries.qVariant),
+    Entry("q_collation", Wave5Queries.qCollation),
+    Entry("q_bottomk_sample", Wave5Queries.qBottomkSample),
+    Entry("q_domain_rank", Wave5Queries.qDomainRank)
   )
 
   def queries: Map[String, QueryFn] =

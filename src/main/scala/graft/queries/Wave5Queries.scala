@@ -1,0 +1,172 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Num.{d4, dsum}
+
+/** Round-5 continuation queries: predicate-scoped overwrite
+  * (replaceWhere), semi-structured VARIANT access, collation-aware
+  * grouping, bottom-k hash sampling with a KMV distinct estimate, and
+  * link-graph PageRank — each oracle-checked against DuckDB.
+  *
+  * Hash-stability rules are the house rules (SURVEY §4): integer
+  * arithmetic wherever exactness matters (PageRank runs entirely in
+  * fixed-point longs), decimal sums for money, deterministic
+  * tie-breaks on every ranked output.
+  */
+object Wave5Queries {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.table(s, dir, n)
+
+  // ---------- R41: replaceWhere (predicate-scoped overwrite) ----------
+
+  private val replaceTables = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Build once per sf-dir: a Delta copy of `orders`, then ONE
+    * replaceWhere commit that swaps the 1-URGENT slice for the same
+    * rows at half price (×0.5 — exact in binary doubles, so the
+    * oracle reproduces it bit-for-bit).
+    */
+  private def replacedOrders(s: SparkSession, dir: String): String =
+    replaceTables.getOrElseUpdate(dir, {
+      import graft.core.{Filter, Filters}
+      import graft.tables.DeltaWrite
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_delta_replace").toString + "/orders"
+      val base = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+      DeltaWrite.append(s, base, path)
+      val urgent = base
+        .where(col("o_orderpriority") === "1-URGENT")
+        .withColumn("o_totalprice", col("o_totalprice") * 0.5)
+      DeltaWrite.replaceWhere(s, urgent, path,
+        Filters.normalize(Seq(Filter("o_orderpriority", "=", "1-URGENT"))))
+      path
+    })
+
+  /** Read the replaced table: per-status rollup whose sums only match
+    * if exactly the predicate slice was swapped and everything else
+    * survived untouched.
+    */
+  def qReplaceWhere(s: SparkSession, dir: String): DataFrame = {
+    import graft.tables.{DeltaTable, ReadArgs}
+    val table = new DeltaTable("orders_replaced", replacedOrders(s, dir))
+    table(s, ReadArgs())
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        dsum(d4(col("o_totalprice"))).as("sum_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  // ---------- E51: VARIANT semi-structured access ----------
+
+  /** Nested JSON document synthesized deterministically per event
+    * (the `props` payload embedded under a nested object), shared
+    * verbatim with the oracle SQL.
+    */
+  private def variantJson = concat(
+    lit("{\"user\":{\"id\":"), col("user_id"),
+    lit(",\"seg\":\"s"), col("user_id") % 5,
+    lit("\"},\"meta\":"), col("props"), lit("}"))
+
+  /** Spark 4 VARIANT: `parse_json` once, then typed `variant_get`
+    * path extraction — the open-schema column type a metadata-heavy
+    * training corpus needs (one binary-encoded value per row, no
+    * schema migration to add a field, path access pushed into the
+    * scan). The oracle reproduces the same paths with DuckDB's JSON
+    * functions, proving the variant path semantics.
+    */
+  def qVariant(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("v", parse_json(variantJson))
+      .select(
+        variant_get(col("v"), "$.user.seg", "string").as("seg"),
+        variant_get(col("v"), "$.user.id", "bigint").as("uid"),
+        variant_get(col("v"), "$.meta.k", "bigint").as("k"))
+      .groupBy(col("seg"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("k")).as("sum_k"),
+        min(col("uid")).as("min_uid"),
+        max(col("uid")).as("max_uid"))
+      .orderBy("seg")
+
+  // ---------- E52: collation-aware grouping ----------
+
+  /** Case-insensitive grouping via Spark 4 collations: a case-mixed
+    * segment column grouped under UTF8_LCASE. `n_variants = 2` per
+    * group proves the collation comparator (not a lower() rewrite)
+    * merged distinct binary strings; the oracle's lower()-keyed
+    * grouping is semantically equal for this ASCII domain.
+    */
+  def qCollation(s: SparkSession, dir: String): DataFrame = {
+    val mixed = t(s, dir, "customer")
+      .withColumn("seg_case",
+        when(col("c_custkey") % 2 === 0, upper(col("c_mktsegment")))
+          .otherwise(lower(col("c_mktsegment"))))
+    mixed
+      .groupBy(collate(col("seg_case"), "UTF8_LCASE").as("seg_ci"))
+      .agg(
+        min(lower(col("seg_case"))).as("segment"),
+        count(lit(1)).as("n_customers"),
+        countDistinct(col("seg_case")).as("n_variants"),
+        dsum(d4(col("c_acctbal"))).as("sum_bal"))
+      .drop("seg_ci")
+      .orderBy("segment")
+  }
+
+  // ---------- P45: bottom-k hash sample + KMV distinct estimate ----------
+
+  /** Sample size (shared with the oracle SQL). */
+  object BottomK { val K = 64 }
+
+  /** Deterministic bottom-k-by-hash sample of the documents corpus:
+    * the k smallest md5 hashes form a uniform, MERGEABLE sample (the
+    * union of two partitions' bottom-k is the corpus bottom-k — the
+    * property reservoir sampling lacks), computed map-side by the
+    * bounded-heap TopK aggregate, so the shuffle carries k rows per
+    * partition, never the corpus. The k-th smallest hash doubles as
+    * the KMV distinct-count estimate `(k-1)·M / h_k` — sample and
+    * cardinality sketch from one pass.
+    */
+  def qBottomkSample(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PortableHash
+    import graft.operators.TopK
+    val k = BottomK.K
+    val hashed = t(s, dir, "documents")
+      .select(col("doc_id"),
+        PortableHash.md5Mod(concat(lit("bk:"), col("doc_id"))).as("h"))
+    val kept = TopK.perGroup(hashed, Seq.empty,
+      struct(col("h"), col("doc_id")), k)
+    kept
+      .withColumn("est_distinct",
+        expr(s"${(k - 1).toLong * PortableHash.Prime} div (max(h) over ())"))
+      .select(col("rank").as("rk"), col("doc_id"), col("h"), col("est_distinct"))
+      .orderBy("rk")
+  }
+
+  // ---------- P46: link-graph PageRank (domain authority) ----------
+
+  /** Graph + iteration constants, shared with the oracle SQL. */
+  object Rank {
+    val Nodes = 100L; val EdgeMod = 7L; val Iters = 3; val DampPct = 85L
+  }
+
+  /** Fixed-point PageRank over a deterministic event-derived link
+    * graph (src = user bucket, dst = a hashed event bucket): the
+    * domain-authority prior of web-corpus curation. Integer-only
+    * arithmetic makes every rank bit-exact, so the oracle unrolls the
+    * same three iterations in SQL and hash-matches the full ranking.
+    */
+  def qDomainRank(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.GraphRank
+    val edges = t(s, dir, "events")
+      .where(col("event_id") % Rank.EdgeMod === 0)
+      .select((col("user_id") % Rank.Nodes).as("src"),
+        ((col("event_id") * 31 + 7) % Rank.Nodes).as("dst"))
+    GraphRank.pageRank(edges, "src", "dst", Rank.Iters, Rank.DampPct)
+      .orderBy("node")
+  }
+}
