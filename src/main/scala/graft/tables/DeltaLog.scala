@@ -71,7 +71,10 @@ object DeltaLog {
     Set("deletionVectors", "columnMapping", "timestampNtz", "v2Checkpoints",
       // scan-time widening of narrower physical types is native to
       // the parquet reader (see DeltaDdl.widens)
-      "typeWidening")
+      "typeWidening",
+      // VARIANT columns map onto Spark's native VariantType (binary
+      // metadata+value encoding handled by the parquet reader)
+      "variantType")
 
   /** The table's `protocol` action (latest wins during replay). The
     * checkpoint writer preserves this verbatim instead of

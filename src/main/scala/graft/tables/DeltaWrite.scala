@@ -1544,8 +1544,39 @@ object DeltaWrite {
       // in-commit timestamp rides first, when the table enables it
       ictAction(spark, tablePath, snapOpt.map(_.metadata), current, "WRITE")
         .foreach(a => sb.append(a).append('\n'))
-      if (current.isEmpty)
-        sb.append("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""").append('\n')
+      // type-derived table features (public protocol feature table):
+      // VARIANT columns require `variantType`, TIMESTAMP WITHOUT TIME
+      // ZONE requires `timestampNtz` — both reader+writer features, so
+      // a foreign reader that cannot decode the physical encoding
+      // refuses instead of misreading
+      val typeFeatures = schemaTypeFeatures(schemaJson)
+      def quotedF(fs: Seq[String]) = fs.map("\"" + _ + "\"").mkString("[", ",", "]")
+      if (current.isEmpty) {
+        if (typeFeatures.isEmpty)
+          sb.append("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""").append('\n')
+        else {
+          val wf = (DeltaDdl.legacyWriterFeatures(2) ++ typeFeatures).distinct
+          sb.append(s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+            s""""readerFeatures":${quotedF(typeFeatures)},""" +
+            s""""writerFeatures":${quotedF(wf)}}}""").append('\n')
+        }
+      } else if (needMeta && typeFeatures.nonEmpty) {
+        // schema evolution introduced a feature-gated type onto an
+        // existing table: upgrade the protocol in the SAME commit
+        val pr = snapOpt.get.protocol
+        val haveR =
+          if (pr.minReaderVersion >= 3) pr.readerFeatures.getOrElse(Seq.empty)
+          else if (pr.minReaderVersion >= 2) Seq("columnMapping")
+          else Seq.empty
+        if (!typeFeatures.forall(haveR.contains)) {
+          val haveW =
+            if (pr.minWriterVersion >= 7) pr.writerFeatures.getOrElse(Seq.empty)
+            else DeltaDdl.legacyWriterFeatures(pr.minWriterVersion)
+          sb.append(s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+            s""""readerFeatures":${quotedF((haveR ++ typeFeatures).distinct)},""" +
+            s""""writerFeatures":${quotedF((haveW ++ typeFeatures).distinct)}}}""").append('\n')
+        }
+      }
       extraActions.foreach(a => sb.append(a).append('\n'))
       if (needMeta) {
         // a schema change is still the SAME table: carry the existing
@@ -1953,6 +1984,23 @@ object DeltaWrite {
   /** One aggregation job over the staged files: group by file name,
     * min/max/nullCount per leaf column of a stats-friendly type.
     */
+  /** Reader+writer table features REQUIRED by the schema's types, per
+    * the public protocol's feature table: `variant` → `variantType`,
+    * `timestamp_ntz` → `timestampNtz`. Walked recursively so a
+    * variant nested inside an array/map/struct still gates.
+    */
+  private[tables] def schemaTypeFeatures(schemaJson: String): Seq[String] = {
+    def walk(dt: DataType): Seq[String] = dt match {
+      case s: StructType => s.fields.toSeq.flatMap(f => walk(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => walk(a.elementType)
+      case m: org.apache.spark.sql.types.MapType => walk(m.keyType) ++ walk(m.valueType)
+      case _: org.apache.spark.sql.types.VariantType => Seq("variantType")
+      case org.apache.spark.sql.types.TimestampNTZType => Seq("timestampNtz")
+      case _ => Seq.empty
+    }
+    walk(DataType.fromJson(schemaJson)).distinct
+  }
+
   private def computeStats(
       spark: SparkSession,
       stagingDir: String,
