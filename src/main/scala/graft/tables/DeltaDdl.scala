@@ -244,6 +244,67 @@ object DeltaDdl {
       snap.metadata.configuration - key, Seq.empty))
   }
 
+  /** Clustered tables (the `clustering` writer feature + the
+    * `delta.clustering` system domain, per the public protocol's
+    * Clustered Table section). */
+  val ClusteringDomain = "delta.clustering"
+
+  /** ALTER TABLE CLUSTER BY: record the clustering columns in the
+    * `delta.clustering` domain (configuration
+    * `{"clusteringColumns":[["c1"],["c2"]]}` — column paths, as
+    * delta-spark writes them) and bump the writer protocol with
+    * `clustering` + `domainMetadata`. Data is NOT rewritten here:
+    * `DeltaWrite.optimizeClustered` clusters lazily/incrementally,
+    * keyed off the spec tag, so changing the spec costs nothing until
+    * the next OPTIMIZE — the liquid-clustering surface.
+    */
+  def clusterBy(
+      spark: SparkSession,
+      tablePath: String,
+      cols: Seq[String]
+  ): CommitResult = {
+    require(cols.nonEmpty, "CLUSTER BY needs at least one column")
+    require(cols.size <= 4, "CLUSTER BY supports at most 4 columns")
+    require(cols.distinct.size == cols.size, "duplicate CLUSTER BY column")
+    alter(spark, tablePath) { snap =>
+      val meta = snap.metadata
+      cols.foreach(c => require(snap.schema.fieldNames.contains(c),
+        s"CLUSTER BY column $c is not in the table schema"))
+      cols.foreach(c => require(!meta.partitionColumns.contains(c),
+        s"CLUSTER BY column $c is a partition column — already clustered by layout"))
+      val conf = cols.map(c => s"""["${c}"]""").mkString(
+        """{"clusteringColumns":[""", ",", "]}")
+      if (snap.domains.get(ClusteringDomain).contains(conf)) None
+      else {
+        val pr = snap.protocol
+        val have =
+          if (pr.minWriterVersion >= 7) pr.writerFeatures.getOrElse(Seq.empty)
+          else legacyWriterFeatures(pr.minWriterVersion)
+        val want = (have ++ Seq("clustering", "domainMetadata")).distinct
+        val protocolActions =
+          if (pr.minWriterVersion >= 7 && want.toSet == have.toSet) Seq.empty
+          else Seq(protocolJson(DeltaLog.Protocol(pr.minReaderVersion, 7,
+            pr.readerFeatures, Some(want))))
+        val dn = mapper.createObjectNode()
+        dn.put("domain", ClusteringDomain)
+        dn.put("configuration", conf)
+        dn.put("removed", false)
+        val domainAction = s"""{"domainMetadata":${mapper.writeValueAsString(dn)}}"""
+        Some((meta.schemaString, meta.partitionColumns, meta.configuration,
+          protocolActions :+ domainAction))
+      }
+    }
+  }
+
+  /** The table's declared clustering columns (empty when the table is
+    * not clustered).
+    */
+  def clusteringColumns(snap: DeltaLog.Snapshot): Seq[String] =
+    snap.domains.get(ClusteringDomain).toSeq.flatMap { conf =>
+      val node = mapper.readTree(conf).path("clusteringColumns")
+      (0 until node.size).map(i => node.get(i).get(0).asText)
+    }
+
   /** Does any CHECK constraint or generation expression mention
     * `column`? (identifier word-match — conservatively refuses).
     */

@@ -1324,6 +1324,29 @@ object DeltaWrite {
     */
   private[tables] val ZOrderTag = "graft.zorder"
 
+  /** Parameterless OPTIMIZE of a clustered table: reads the
+    * clustering columns from the `delta.clustering` domain
+    * ([[DeltaDdl.clusterBy]]) and runs INCREMENTAL ZORDER over them —
+    * only files not yet clustered under the current spec (plus
+    * DV-bearing ones) are rewritten, so steady-state maintenance cost
+    * is proportional to NEW data, not table size. Changing the
+    * clustering spec makes every file "unclustered" relative to the
+    * new spec tag, so the next OPTIMIZE migrates lazily — the
+    * liquid-clustering behavior.
+    */
+  def optimizeClustered(
+      spark: SparkSession,
+      tablePath: String,
+      targetFileBytes: Long = 128L << 20,
+      bits: Int = 8
+  ): CommitResult = {
+    val cols = DeltaDdl.clusteringColumns(DeltaLog.snapshot(spark, tablePath, withFiles = false))
+    require(cols.nonEmpty,
+      s"$tablePath is not a clustered table (no delta.clustering domain); " +
+        "use DeltaDdl.clusterBy first or call optimizeZorder with explicit columns")
+    optimizeZorder(spark, tablePath, cols, targetFileBytes, bits, incremental = true)
+  }
+
   def optimizeZorder(
       spark: SparkSession,
       tablePath: String,
