@@ -95,6 +95,55 @@ object Multimodal {
   }
 }
 
+/** Deterministic audio-container payload builders — the stand-in for
+  * real media columns in this codec-less container (same policy as
+  * [[StubDecoders]]): the headers are REAL (byte-exact WAV/FLAC/MP3
+  * layouts that any external parser reads), only the sample data is
+  * absent/zeroed. Lets [[AudioHeader]] be exercised end-to-end in an
+  * oracle-checked distributed query.
+  */
+object SynthAudio {
+  private def le16(v: Int): Array[Byte] =
+    Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+  private def le32(v: Long): Array[Byte] =
+    Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+
+  /** Header-only WAV (PCM16) declaring `secs` seconds of data. */
+  def wav(channels: Int, rate: Int, secs: Int): Array[Byte] = {
+    val byteRate = rate.toLong * channels * 2
+    val fmt = "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(channels) ++
+      le32(rate) ++ le32(byteRate) ++ le16(channels * 2) ++ le16(16)
+    val data = "data".getBytes ++ le32(byteRate * secs)
+    "RIFF".getBytes ++ le32(4 + fmt.length + data.length) ++ "WAVE".getBytes ++
+      fmt ++ data
+  }
+
+  /** fLaC + STREAMINFO for `secs` seconds at `rate`. */
+  def flac(rate: Int, channels: Int, secs: Int): Array[Byte] = {
+    val totalSamples = rate.toLong * secs
+    val si = new Array[Byte](34)
+    si(10) = ((rate >> 12) & 0xFF).toByte
+    si(11) = ((rate >> 4) & 0xFF).toByte
+    si(12) = (((rate & 0x0F) << 4) | (((channels - 1) & 0x07) << 1)).toByte
+    si(13) = ((0x0F << 4) | ((totalSamples >> 32) & 0x0F).toInt).toByte // 16-bit bps
+    si(14) = ((totalSamples >> 24) & 0xFF).toByte
+    si(15) = ((totalSamples >> 16) & 0xFF).toByte
+    si(16) = ((totalSamples >> 8) & 0xFF).toByte
+    si(17) = (totalSamples & 0xFF).toByte
+    "fLaC".getBytes ++ Array[Byte](0, 0, 0, 34) ++ si
+  }
+
+  /** 128 kbps / 44100 Hz MPEG-1 Layer III stream of `secs` seconds
+    * (zero-padded to the exact CBR length: 16000 bytes/s).
+    */
+  def mp3(mono: Boolean, secs: Int): Array[Byte] = {
+    val h = Array(0xFF.toByte, 0xFB.toByte,
+      ((9 << 4) | (0 << 2)).toByte, (if (mono) 0xC0 else 0x00).toByte)
+    h ++ new Array[Byte](16000 * secs - 4)
+  }
+}
+
 /** Deterministic fake decoders standing in for image/audio codecs
   * (STUB — the container has no codec libraries; see Multimodal doc).
   */

@@ -1370,6 +1370,24 @@ object OracleSql {
          |FROM k ORDER BY rk""".stripMargin
     },
 
+    // the audio payloads' parameters are pure row arithmetic; the
+    // Spark side must CONSTRUCT real container bytes and PARSE them
+    // back to these exact values for the hash to match
+    "q_audio_meta" ->
+      s"""SELECT event_id,
+         |  CASE CAST(event_id % 3 AS INTEGER)
+         |    WHEN 0 THEN 'wav' WHEN 1 THEN 'flac' ELSE 'mp3' END AS format,
+         |  CAST(CASE CAST(event_id % 3 AS INTEGER)
+         |    WHEN 0 THEN 8000 * (1 + user_id % 3)
+         |    WHEN 1 THEN 32000 + (user_id % 2) * 16000
+         |    ELSE 44100 END AS BIGINT) AS sample_rate,
+         |  CAST(CASE CAST(event_id % 3 AS INTEGER)
+         |    WHEN 0 THEN 1 + user_id % 2
+         |    WHEN 1 THEN 2
+         |    ELSE CASE WHEN user_id % 2 = 0 THEN 1 ELSE 2 END END AS BIGINT) AS channels,
+         |  CAST(1000 * (1 + user_id % 4) AS BIGINT) AS duration_ms
+         |FROM events WHERE event_id < 600 ORDER BY event_id""".stripMargin,
+
     // the three PageRank iterations unrolled; every step is the exact
     // integer arithmetic GraphRank runs (floor division on positive
     // longs), so the full ranking hash-matches

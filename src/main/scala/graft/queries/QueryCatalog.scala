@@ -107,7 +107,8 @@ object QueryCatalog {
     Entry("q_variant", Wave5Queries.qVariant),
     Entry("q_collation", Wave5Queries.qCollation),
     Entry("q_bottomk_sample", Wave5Queries.qBottomkSample),
-    Entry("q_domain_rank", Wave5Queries.qDomainRank)
+    Entry("q_domain_rank", Wave5Queries.qDomainRank),
+    Entry("q_audio_meta", Wave5Queries.qAudioMeta)
   )
 
   def queries: Map[String, QueryFn] =

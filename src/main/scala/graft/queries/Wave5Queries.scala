@@ -147,6 +147,41 @@ object Wave5Queries {
       .orderBy("rk")
   }
 
+  // ---------- P47: audio container metadata extraction ----------
+
+  /** Deterministic audio payloads (real WAV/FLAC/MP3 header bytes,
+    * parameters derived from the row) parsed back by the native
+    * [[graft.multimodal.AudioHeader]] expression — proving the
+    * construct→parse round-trip over a distributed plan; the oracle
+    * recomputes the parameters from the same arithmetic. Bounded
+    * slice: payload synthesis is the stand-in for a real media
+    * column (codec-less container; see Multimodal docs).
+    */
+  def qAudioMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.multimodal.{AudioHeader, SynthAudio}
+    val rows = t(s, dir, "events")
+      .where(col("event_id") < 600)
+      .select(col("event_id"), col("user_id"))
+      .as[(Long, Long)]
+    val payloads = rows.map { case (eid, uid) =>
+      val secs = 1 + (uid % 4).toInt
+      val bytes = (eid % 3) match {
+        case 0 => SynthAudio.wav(1 + (uid % 2).toInt, 8000 * (1 + (uid % 3).toInt), secs)
+        case 1 => SynthAudio.flac(32000 + (uid % 2).toInt * 16000, 2, secs)
+        case _ => SynthAudio.mp3(mono = uid % 2 == 0, secs)
+      }
+      (eid, bytes)
+    }.toDF("event_id", "payload")
+    payloads
+      .select(col("event_id"), AudioHeader.audioMeta(col("payload")).as("m"))
+      .select(col("event_id"), col("m.format").as("format"),
+        col("m.sample_rate").cast(LongType).as("sample_rate"),
+        col("m.channels").cast(LongType).as("channels"),
+        col("m.duration_ms").as("duration_ms"))
+      .orderBy("event_id")
+  }
+
   // ---------- P46: link-graph PageRank (domain authority) ----------
 
   /** Graph + iteration constants, shared with the oracle SQL. */
