@@ -1,0 +1,203 @@
+package graft.tables
+
+import graft.core.{Filter, FilterOp, Filters}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{
+  And, Attribute, EqualTo, Expression, GreaterThan, GreaterThanOrEqual,
+  In, LessThan, LessThanOrEqual, Literal, Not, Or}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL surface for the Delta write path: the DML/utility statements a
+  * delta-spark user types, routed to this engine's operations on
+  * `delta.`/path`` table references. SELECT statements belong to the
+  * catalog's SQL interface (Catalog.sql, R18); this covers the
+  * mutating side:
+  *
+  * {{{
+  * DELETE FROM delta.`/p` WHERE a = 1 AND b > 2
+  * UPDATE delta.`/p` SET a = a + 1, b = 'x' WHERE c in (1, 2)
+  * MERGE INTO delta.`/p` USING src_view ON key1, key2
+  *   [WHEN MATCHED AND <sql> THEN DELETE]
+  * OPTIMIZE delta.`/p` [ZORDER BY (c1, c2)]
+  * VACUUM delta.`/p` [RETAIN 24 HOURS]
+  * ALTER TABLE delta.`/p` ADD CONSTRAINT nm CHECK (sql)
+  * ALTER TABLE delta.`/p` DROP CONSTRAINT nm
+  * ALTER TABLE delta.`/p` SET TBLPROPERTIES ('k' = 'v', ...)
+  * ALTER TABLE delta.`/p` CLUSTER BY (c1, c2)
+  * RESTORE delta.`/p` TO VERSION AS OF 3
+  * }}}
+  *
+  * WHERE predicates parse through Spark's own SQL parser and convert
+  * to the engine's Filter algebra (DNF of comparisons/IN), so the
+  * same predicate drives file pruning AND row filtering — shapes
+  * outside the algebra refuse loudly rather than silently scanning
+  * everything. MERGE keys are column names (equality merge, LWW
+  * upsert semantics — the engine's merge operator).
+  */
+object DeltaSql {
+
+  private val TableRef = """delta\.`([^`]+)`"""
+
+  /** Execute one statement; returns a one-row frame with the
+    * resulting table version (and counts where the operation reports
+    * them).
+    */
+  def exec(spark: SparkSession, sql: String): DataFrame = {
+    import spark.implicits._
+    val s = sql.trim.stripSuffix(";").trim
+    def result(version: Long, removed: Long = 0L): DataFrame =
+      Seq((version, removed)).toDF("version", "files_removed")
+
+    val delete = s"""(?is)^DELETE\\s+FROM\\s+$TableRef\\s+WHERE\\s+(.+)$$""".r
+    val update = s"""(?is)^UPDATE\\s+$TableRef\\s+SET\\s+(.+?)\\s+WHERE\\s+(.+)$$""".r
+    val merge = (s"""(?is)^MERGE\\s+INTO\\s+$TableRef\\s+USING\\s+(\\w+)\\s+ON\\s+([\\w\\s,]+?)""" +
+      s"""(?:\\s+WHEN\\s+MATCHED\\s+AND\\s+(.+?)\\s+THEN\\s+DELETE)?$$""").r
+    val optimize = s"""(?is)^OPTIMIZE\\s+$TableRef(?:\\s+ZORDER\\s+BY\\s+\\(([^)]+)\\))?$$""".r
+    val vacuum = s"""(?is)^VACUUM\\s+$TableRef(?:\\s+RETAIN\\s+(\\d+)\\s+HOURS)?$$""".r
+    val addCk = (s"""(?is)^ALTER\\s+TABLE\\s+$TableRef\\s+ADD\\s+CONSTRAINT\\s+(\\w+)""" +
+      s"""\\s+CHECK\\s*\\((.+)\\)$$""").r
+    val dropCk = s"""(?is)^ALTER\\s+TABLE\\s+$TableRef\\s+DROP\\s+CONSTRAINT\\s+(\\w+)$$""".r
+    val setProps = (s"""(?is)^ALTER\\s+TABLE\\s+$TableRef\\s+SET\\s+TBLPROPERTIES""" +
+      s"""\\s*\\((.+)\\)$$""").r
+    val clusterBy = s"""(?is)^ALTER\\s+TABLE\\s+$TableRef\\s+CLUSTER\\s+BY\\s+\\(([^)]+)\\)$$""".r
+    val restore = s"""(?is)^RESTORE\\s+$TableRef\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)$$""".r
+
+    s match {
+      case delete(path, where) =>
+        val r = DeltaWrite.deleteWhere(spark, path, parseWhere(spark, where))
+        result(r.version, r.filesRemoved)
+      case update(path, sets, where) =>
+        val r = DeltaWrite.updateWhere(spark, path,
+          parseWhere(spark, where), parseAssignments(sets))
+        result(r.version, r.filesRemoved)
+      case merge(path, view, keys, delPred) =>
+        val r = DeltaWrite.merge(spark, path, spark.table(view),
+          keys.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+          deleteWhenMatched = Option(delPred))
+        result(r.version, r.filesRemoved)
+      case optimize(path, zcols) =>
+        val r = Option(zcols) match {
+          case Some(cs) => DeltaWrite.optimizeZorder(spark, path,
+            cs.split(",").map(_.trim).toSeq)
+          case None => DeltaWrite.optimize(spark, path)
+        }
+        result(r.version, r.filesRemoved)
+      case vacuum(path, hours) =>
+        val retainMs = Option(hours).map(_.toLong * 3600 * 1000)
+          .getOrElse(7L * 24 * 3600 * 1000)
+        val n = DeltaWrite.vacuum(spark, path, retainMs)
+        Seq(n.toLong).toDF("files_deleted")
+      case addCk(path, name, pred) =>
+        result(DeltaDdl.addCheckConstraint(spark, path, name, pred).version)
+      case dropCk(path, name) =>
+        result(DeltaDdl.dropCheckConstraint(spark, path, name).version)
+      case setProps(path, props) =>
+        result(DeltaWrite.setTableProperties(spark, path, parseProps(props)).version)
+      case clusterBy(path, cols) =>
+        result(DeltaDdl.clusterBy(spark, path,
+          cols.split(",").map(_.trim).toSeq).version)
+      case restore(path, v) =>
+        result(DeltaWrite.restore(spark, path, v.toLong).version)
+      case _ =>
+        throw new IllegalArgumentException(
+          s"unsupported statement (see DeltaSql docs for the grammar): $s")
+    }
+  }
+
+  /** `a = 1, b = 'x'` → Seq(("a", "1"), ("b", "'x'")). Splits on
+    * top-level commas only (commas inside parens/quotes survive).
+    */
+  private[tables] def parseAssignments(sets: String): Seq[(String, String)] =
+    splitTop(sets).map { a =>
+      val i = a.indexOf('=')
+      require(i > 0, s"malformed SET assignment: $a")
+      (a.substring(0, i).trim, a.substring(i + 1).trim)
+    }
+
+  /** `'k' = 'v', k2 = v2` → Map. Quotes optional. */
+  private[tables] def parseProps(props: String): Map[String, String] =
+    splitTop(props).map { p =>
+      val i = p.indexOf('=')
+      require(i > 0, s"malformed TBLPROPERTIES entry: $p")
+      def unq(x: String) = x.trim.stripPrefix("'").stripSuffix("'")
+      (unq(p.substring(0, i)), unq(p.substring(i + 1)))
+    }.toMap
+
+  private def splitTop(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0; var inQ = false; var start = 0
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\'' => inQ = !inQ
+        case '(' if !inQ => depth += 1
+        case ')' if !inQ => depth -= 1
+        case ',' if !inQ && depth == 0 =>
+          out += s.substring(start, i); start = i + 1
+        case _ => ()
+      }
+      i += 1
+    }
+    out += s.substring(start)
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Parse a WHERE clause via Spark's SQL parser and convert to the
+    * engine's DNF Filter algebra. Supported shapes: comparisons
+    * between a column and a literal, IN / NOT IN literal lists, AND,
+    * OR (distributed to DNF). Anything else refuses loudly — the
+    * algebra is what drives file pruning, and silently widening a
+    * predicate to "scan everything" would be a scale trap.
+    */
+  private[tables] def parseWhere(spark: SparkSession, where: String): Filters.Normalized = {
+    val e = spark.sessionState.sqlParser.parseExpression(where)
+    toDnf(e)
+  }
+
+  private def toDnf(e: Expression): Filters.Normalized = e match {
+    case Or(l, r) => toDnf(l) ++ toDnf(r)
+    case And(l, r) =>
+      // distribute AND over the two sides' DNF (cross product)
+      for (lc <- toDnf(l); rc <- toDnf(r)) yield lc ++ rc
+    case other => Seq(Seq(toFilter(other)))
+  }
+
+  private def toFilter(e: Expression): Filter = e match {
+    case EqualTo(a, Literal(v, dt)) => Filter(attrName(a), FilterOp.Eq, lit(v, dt))
+    case EqualTo(Literal(v, dt), a) => Filter(attrName(a), FilterOp.Eq, lit(v, dt))
+    case Not(EqualTo(a, Literal(v, dt))) => Filter(attrName(a), FilterOp.Neq, lit(v, dt))
+    case LessThan(a, Literal(v, dt)) => Filter(attrName(a), FilterOp.Lt, lit(v, dt))
+    case LessThan(Literal(v, dt), a) => Filter(attrName(a), FilterOp.Gt, lit(v, dt))
+    case LessThanOrEqual(a, Literal(v, dt)) => Filter(attrName(a), FilterOp.Le, lit(v, dt))
+    case LessThanOrEqual(Literal(v, dt), a) => Filter(attrName(a), FilterOp.Ge, lit(v, dt))
+    case GreaterThan(a, Literal(v, dt)) => Filter(attrName(a), FilterOp.Gt, lit(v, dt))
+    case GreaterThan(Literal(v, dt), a) => Filter(attrName(a), FilterOp.Lt, lit(v, dt))
+    case GreaterThanOrEqual(a, Literal(v, dt)) => Filter(attrName(a), FilterOp.Ge, lit(v, dt))
+    case GreaterThanOrEqual(Literal(v, dt), a) => Filter(attrName(a), FilterOp.Le, lit(v, dt))
+    case In(a, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+      Filter(attrName(a), FilterOp.In,
+        vs.map { case Literal(v, dt) => lit(v, dt) })
+    case Not(In(a, vs)) if vs.forall(_.isInstanceOf[Literal]) =>
+      Filter(attrName(a), FilterOp.NotIn,
+        vs.map { case Literal(v, dt) => lit(v, dt) })
+    case other =>
+      throw new IllegalArgumentException(
+        s"predicate shape not in the filter algebra (use the Scala API for " +
+          s"arbitrary predicates): ${other.sql}")
+  }
+
+  private def attrName(e: Expression): String = e match {
+    case a: UnresolvedAttribute => a.name
+    case a: Attribute => a.name
+    case other => throw new IllegalArgumentException(
+      s"expected a column reference, got: ${other.sql}")
+  }
+
+  /** Catalyst literal → plain Scala value for the Filter algebra. */
+  private def lit(v: Any, dt: org.apache.spark.sql.types.DataType): Any = v match {
+    case u: UTF8String => u.toString
+    case d: org.apache.spark.sql.types.Decimal => d.toBigDecimal
+    case other => other
+  }
+}

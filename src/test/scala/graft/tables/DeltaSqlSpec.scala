@@ -1,0 +1,111 @@
+package graft.tables
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The SQL DML surface: statements route to the engine's Delta
+  * operations, WHERE clauses convert to the pruning-capable Filter
+  * algebra, unsupported shapes refuse loudly.
+  */
+class DeltaSqlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(dir: String) = new DeltaTable("t", dir)
+  private def ref(dir: String) = s"delta.`$dir`"
+
+  test("DELETE routes through deleteWhere with a DNF predicate") {
+    val dir = tempDir("sql-del").toString + "/t"
+    DeltaWrite.append(spark,
+      Seq((1L, "a"), (2L, "b"), (3L, "a"), (4L, "c")).toDF("id", "v"), dir)
+    DeltaSql.exec(spark, s"DELETE FROM ${ref(dir)} WHERE v = 'a' OR id >= 4")
+    val got = t(dir)(spark, ReadArgs()).select("id").as[Long].collect().toSet
+    assert(got == Set(2L))
+  }
+
+  test("UPDATE parses multi-assignment SET with expressions over the old row") {
+    val dir = tempDir("sql-upd").toString + "/t"
+    DeltaWrite.append(spark, Seq((1L, 10L, 20L)).toDF("id", "a", "b"), dir)
+    DeltaSql.exec(spark, s"UPDATE ${ref(dir)} SET a = b, b = a WHERE id = 1")
+    val r = t(dir)(spark, ReadArgs()).select("a", "b").as[(Long, Long)].head()
+    assert(r == ((20L, 10L)))
+  }
+
+  test("MERGE upserts from a registered view; matched-delete clause") {
+    val dir = tempDir("sql-merge").toString + "/t"
+    DeltaWrite.append(spark,
+      Seq((1L, "old"), (2L, "stay"), (3L, "kill")).toDF("id", "v"), dir)
+    Seq((1L, "new"), (3L, "DEL"), (4L, "ins")).toDF("id", "v")
+      .createOrReplaceTempView("merge_src")
+    DeltaSql.exec(spark,
+      s"MERGE INTO ${ref(dir)} USING merge_src ON id " +
+        "WHEN MATCHED AND v = 'DEL' THEN DELETE")
+    val got = t(dir)(spark, ReadArgs()).select("id", "v")
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "new", 2L -> "stay", 4L -> "ins"))
+  }
+
+  test("OPTIMIZE, ZORDER, VACUUM, TBLPROPERTIES, CONSTRAINT, CLUSTER BY, RESTORE all route") {
+    val dir = tempDir("sql-util").toString + "/t"
+    (1 to 4).foreach(i =>
+      DeltaWrite.append(spark, Seq((i.toLong, i * 10L)).toDF("id", "x"), dir))
+
+    val opt = DeltaSql.exec(spark, s"OPTIMIZE ${ref(dir)}")
+    assert(opt.select("files_removed").as[Long].head() == 4L)
+
+    DeltaSql.exec(spark, s"OPTIMIZE ${ref(dir)} ZORDER BY (id, x)")
+    assert(DeltaLog.snapshot(spark, dir).files
+      .forall(_.tags.get(DeltaWrite.ZOrderTag).contains("id,x:8")))
+
+    val vac = DeltaSql.exec(spark, s"VACUUM ${ref(dir)} RETAIN 0 HOURS")
+    assert(vac.select("files_deleted").as[Long].head() >= 4L)
+    assert(t(dir)(spark, ReadArgs()).count() == 4L) // live data intact
+
+    DeltaSql.exec(spark,
+      s"ALTER TABLE ${ref(dir)} SET TBLPROPERTIES ('graft.note' = 'hi')")
+    assert(DeltaLog.snapshot(spark, dir).metadata.configuration
+      .get("graft.note").contains("hi"))
+
+    DeltaSql.exec(spark, s"ALTER TABLE ${ref(dir)} ADD CONSTRAINT xpos CHECK (x > 0)")
+    intercept[IllegalArgumentException] {
+      DeltaWrite.append(spark, Seq((9L, -1L)).toDF("id", "x"), dir)
+    }
+    DeltaSql.exec(spark, s"ALTER TABLE ${ref(dir)} DROP CONSTRAINT xpos")
+
+    DeltaSql.exec(spark, s"ALTER TABLE ${ref(dir)} CLUSTER BY (x)")
+    assert(DeltaDdl.clusteringColumns(DeltaLog.snapshot(spark, dir)) == Seq("x"))
+
+    // RESTORE on an un-vacuumed table (restore refuses once targets
+    // are reclaimed — separate table)
+    val dir2 = tempDir("sql-restore").toString + "/t"
+    DeltaWrite.append(spark, Seq((1L, 1L)).toDF("id", "x"), dir2)
+    DeltaWrite.append(spark, Seq((2L, 2L)).toDF("id", "x"), dir2)
+    DeltaSql.exec(spark, s"RESTORE ${ref(dir2)} TO VERSION AS OF 0")
+    assert(t(dir2)(spark, ReadArgs()).count() == 1L)
+  }
+
+  test("IN / NOT IN and AND-over-OR distribute to DNF") {
+    val dir = tempDir("sql-dnf").toString + "/t"
+    DeltaWrite.append(spark,
+      (1L to 8L).map(i => (i, if (i % 2 == 0) "e" else "o")).toDF("id", "v"), dir)
+    DeltaSql.exec(spark,
+      s"DELETE FROM ${ref(dir)} WHERE id IN (1, 2, 3) AND (v = 'o' OR id = 2)")
+    val got = t(dir)(spark, ReadArgs()).select("id").as[Long].collect().toSet
+    assert(got == Set(4L, 5L, 6L, 7L, 8L))
+  }
+
+  test("predicates outside the filter algebra refuse loudly") {
+    val dir = tempDir("sql-refuse").toString + "/t"
+    DeltaWrite.append(spark, Seq((1L, "a")).toDF("id", "v"), dir)
+    val e1 = intercept[IllegalArgumentException] {
+      DeltaSql.exec(spark, s"DELETE FROM ${ref(dir)} WHERE length(v) > 3")
+    }
+    assert(e1.getMessage.contains("column reference"))
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaSql.exec(spark, s"DELETE FROM ${ref(dir)} WHERE v LIKE 'a%'")
+    }
+    assert(e2.getMessage.contains("filter algebra"))
+    intercept[IllegalArgumentException] {
+      DeltaSql.exec(spark, s"CREATE TABLE ${ref(dir)} (x INT)")
+    }
+  }
+}
