@@ -1456,6 +1456,115 @@ object DeltaWrite {
     deleted
   }
 
+  /** Distributed VACUUM — the 10⁷-file shape of [[vacuum]], where
+    * neither the file LISTING nor the ACTIVE set ever materializes on
+    * the driver:
+    *  - listing: the directory tree is walked on the driver at
+    *    DIRECTORY granularity only (O(partition dirs) memory), then
+    *    each directory's files are listed EXECUTOR-side over a
+    *    parallelized dir dataset;
+    *  - active set: [[DeltaFilesDataset.filesDataset]] (one
+    *    ExtremumBy shuffle, no driver file list) plus per-row DV path
+    *    derivation;
+    *  - tombstones: [[DeltaLog.tombstones]] — O(recent removes), not
+    *    O(table files) (checkpoints carry only UNEXPIRED tombstones
+    *    forward), joined distributed;
+    *  - decision + delete: one anti-join against the active set, a
+    *    left join for tombstone retention, deletes executed
+    *    executor-side per partition. Same semantics as [[vacuum]]
+    *    (spec-enforced parity): tombstone timestamp governs
+    *    retention, untracked strays age by mtime, `_delta_log` and
+    *    non-data files untouched.
+    */
+  def vacuumDistributed(
+      spark: SparkSession,
+      tablePath: String,
+      retentionMs: Long = 7L * 24 * 3600 * 1000
+  ): Long = {
+    import spark.implicits._
+    val base = tablePath.stripSuffix("/")
+    val hadoop = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(base).getFileSystem(hadoop)
+
+    // directory skeleton (BFS, driver): partition dirs only — file
+    // listing happens on executors
+    val dirs = scala.collection.mutable.ArrayBuffer(base)
+    var frontier = Seq(new Path(base))
+    while (frontier.nonEmpty) {
+      frontier = frontier.flatMap { d =>
+        fs.listStatus(d).toSeq
+          .filter(s => s.isDirectory && s.getPath.getName != "_delta_log" &&
+            !s.getPath.getName.startsWith("_staging_"))
+          .map(_.getPath)
+      }
+      dirs ++= frontier.map(_.toString)
+    }
+
+    val conf = new org.apache.spark.util.SerializableConfiguration(hadoop)
+    val bc = spark.sparkContext.broadcast(conf)
+    val listed = spark.createDataset(dirs.toSeq)
+      .repartition(math.min(dirs.size, 64))
+      .mapPartitions { ds =>
+        val c = bc.value.value
+        ds.flatMap { d =>
+          val p = new Path(d)
+          val dfs = p.getFileSystem(c)
+          dfs.listStatus(p).iterator.filter(_.isFile).map { s =>
+            (s.getPath.toUri.getPath, s.getPath.getName, s.getModificationTime)
+          }
+        }
+      }
+      .toDF("abs_path", "name", "mtime")
+      .where(col("name").endsWith(".parquet") || col("name").endsWith(".bin"))
+
+    // active data + DV files, distributed; DV path derivation runs
+    // per row (the same DvDescriptor logic the reader uses)
+    val active = DeltaFilesDataset.filesDataset(spark, tablePath)
+      .select(col("path"),
+        col("deletionVector.storageType"), col("deletionVector.pathOrInlineDv"))
+      .as[(String, Option[String], Option[String])]
+      .flatMap { case (rel, st, pod) =>
+        val dataPath = new Path(base + "/" + rel).toUri.getPath
+        val dvPath = (st, pod) match {
+          // offset/size/cardinality don't participate in path derivation
+          case (Some(s), Some(p)) =>
+            DeletionVectors.DvDescriptor(s, p, None, 0, 0L)
+              .filePath(base).map(_.toUri.getPath)
+          case _ => None
+        }
+        Seq(dataPath) ++ dvPath.toSeq
+      }.toDF("abs_path").distinct()
+
+    // tombstone retention: path -> latest removal timestamp
+    val tombstones = DeltaLog.tombstones(spark, tablePath)
+      .flatMap { t =>
+        (Seq(new Path(base, t.path).toUri.getPath) ++
+          t.dv.flatMap(_.filePath(base)).map(_.toUri.getPath).toSeq)
+          .map(_ -> t.deletionTimestamp)
+      }
+      .groupMapReduce(_._1)(_._2)(math.max).toSeq
+      .toDF("abs_path", "removed_at")
+
+    val cutoff = System.currentTimeMillis() - retentionMs
+    val candidates = listed
+      .join(active, Seq("abs_path"), "left_anti")
+      .join(tombstones, Seq("abs_path"), "left")
+      .where(coalesce(col("removed_at"), col("mtime")) <= cutoff)
+      .select(col("abs_path"))
+
+    // delete executor-side; one FileSystem per partition (the driver
+    // sees only per-partition counts)
+    candidates.as[String].mapPartitions { paths =>
+      val c = bc.value.value
+      var n = 0L
+      paths.foreach { p =>
+        val hp = new Path(p)
+        if (hp.getFileSystem(c).delete(hp, false)) n += 1
+      }
+      Iterator.single(n)
+    }.collect().sum
+  }
+
   /** Stage `df` as parquet files inside the table directory and move
     * them into place; returns the add-action payloads (with per-file
     * stats computed in one job over the staging dir).
