@@ -75,4 +75,60 @@ object GraphRank {
     }
     ranks
   }
+
+  /** Run to convergence instead of a fixed count: iterate until the
+    * largest per-node rank movement is ≤ `tolScaled` ([[Base]]-scaled
+    * fixed-point units) or `maxIterations` is hit. Each step
+    * `localCheckpoint`s the rank frame, so lineage depth stays O(1)
+    * no matter how many iterations run — the shape a hundred-
+    * iteration production loop needs (the fixed-K [[pageRank]] keeps
+    * pure lazy lineage, which is fine for small K but would blow the
+    * optimizer up at depth). The per-step max-delta is one scalar
+    * aggregate — O(1) driver memory. Fixed-point arithmetic makes
+    * convergence itself deterministic: the same graph always stops
+    * after the same number of iterations with bit-identical ranks.
+    */
+  def pageRankConverged(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxIterations: Int = 100,
+      tolScaled: Long = 1000000L, // 1e-6 in rank units
+      dampingPct: Long = 85L
+  ): DataFrame = {
+    require(maxIterations >= 1, "maxIterations must be >= 1")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count()
+    require(n > 0, "pageRank over an empty edge set")
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val teleport = (Base * (100L - dampingPct) / 100L) / n
+
+    var ranks = nodes.withColumn("rank", lit(Base / n)).localCheckpoint()
+    var moved = Long.MaxValue
+    var iter = 0
+    while (iter < maxIterations && moved > tolScaled) {
+      val contrib = e
+        .join(outdeg, "src")
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), expr("rank div deg").as("c"))
+      val sums = contrib.groupBy("node").agg(sum(col("c")).as("s"))
+      val next = nodes.join(sums, Seq("node"), "left")
+        .select(col("node"),
+          (lit(teleport) +
+            expr(s"($dampingPct * coalesce(s, bigint(0))) div 100")).as("rank"))
+        .localCheckpoint() // truncate lineage: O(1) plan depth at any iter count
+      moved = next.join(ranks.withColumnRenamed("rank", "prev"), "node")
+        .agg(max(abs(col("rank") - col("prev")))).head().getLong(0)
+      ranks = next
+      iter += 1
+    }
+    ranks
+  }
 }

@@ -150,7 +150,7 @@ object DeltaSql {
     * algebra is what drives file pruning, and silently widening a
     * predicate to "scan everything" would be a scale trap.
     */
-  private[tables] def parseWhere(spark: SparkSession, where: String): Filters.Normalized = {
+  private[graft] def parseWhere(spark: SparkSession, where: String): Filters.Normalized = {
     val e = spark.sessionState.sqlParser.parseExpression(where)
     toDnf(e)
   }

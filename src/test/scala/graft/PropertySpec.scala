@@ -245,4 +245,43 @@ object GraftProperties extends Properties("graft") {
           est <= ex && ex <= est + bound
         }
     }
+
+  // ---- SQL WHERE ⇄ filter algebra round trip ----
+  // The engine renders its Filter algebra to SQL (Filters.toSql, the
+  // R8 surface) and parses SQL WHERE clauses back into the algebra
+  // (DeltaSql.parseWhere, the E53 surface). The two must be exact
+  // inverses up to predicate equivalence: for random DNF trees and
+  // random data, the round-tripped predicate selects IDENTICAL rows.
+  private val rtSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("a", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("s", org.apache.spark.sql.types.StringType)))
+
+  private val genCmpOp = Gen.oneOf("=", "!=", "<", "<=", ">", ">=")
+  private val genLongFilter = for {
+    op <- genCmpOp; v <- Gen.chooseNum(-5L, 5L)
+  } yield Filter("a", op, v)
+  private val genStrFilter = for {
+    op <- Gen.oneOf("=", "!="); v <- Gen.oneOf("x", "y", "z'q") // quote in value
+  } yield Filter("s", op, v)
+  private val genInFilter = for {
+    op <- Gen.oneOf("in", "not in")
+    vs <- Gen.nonEmptyListOf(Gen.chooseNum(-5L, 5L)).map(_.take(4))
+  } yield Filter("a", op, vs)
+  private val genFilter = Gen.oneOf(genLongFilter, genStrFilter, genInFilter)
+  private val genDnf: Gen[Filters.Normalized] =
+    Gen.nonEmptyListOf(Gen.nonEmptyListOf(genFilter).map(_.take(3)))
+      .map(_.take(3))
+
+  property("WHERE-clause parse inverts Filters.toSql row-for-row") =
+    forAll(genDnf, Gen.listOf(Gen.zip(Gen.chooseNum(-6L, 6L), Gen.oneOf("x", "y", "z'q", "w")))) {
+      (filters: Filters.Normalized, rows: List[(Long, String)]) =>
+        import graft.tables.DeltaSql
+        val sql = Filters.toSql(rtSchema, filters)
+        val parsed = DeltaSql.parseWhere(spark, sql)
+        val df = rows.toDF("a", "s")
+        def sel(f: Filters.Normalized): Set[(Long, String)] =
+          df.filter(Filters.toColumn(f).getOrElse(lit(true)))
+            .as[(Long, String)].collect().toSet
+        sel(parsed) == sel(filters)
+    }
 }

@@ -57,4 +57,21 @@ class GraphRankSpec extends SparkSpec {
     val noisy = ranksOf(Seq((0L, 1L), (0L, 1L), (1L, 0L), (0L, 0L), (1L, 1L)), 2)
     assert(clean == noisy)
   }
+
+  test("converged mode stops at a fixed point and matches the fixed-K result there") {
+    val edges = (0L until 300L).map(i => (i % 17, (i * 5 + 2) % 17))
+    val df = edges.toDF("src", "dst")
+    val conv = GraphRank.pageRankConverged(df, "src", "dst",
+      maxIterations = 200, tolScaled = 0L) // exact fixed point
+      .as[(Long, Long)].collect().toMap
+    // once movement hits zero, one more fixed-K step changes nothing:
+    // feed the converged count via a large K and compare
+    val deep = GraphRank.pageRank(df, "src", "dst", 40)
+      .as[(Long, Long)].collect().toMap
+    assert(conv == deep)
+    // determinism: converging twice gives bit-identical ranks
+    val again = GraphRank.pageRankConverged(df, "src", "dst", 200, 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(again == conv)
+  }
 }
