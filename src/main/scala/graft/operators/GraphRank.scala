@@ -129,6 +129,11 @@ object GraphRank {
       ranks = next
       iter += 1
     }
+    // the result is checkpointed (no lineage into the cached frames),
+    // so the iteration caches can be released here — unlike the lazy
+    // fixed-K path, whose result still references them
+    e.unpersist()
+    nodes.unpersist()
     ranks
   }
 }

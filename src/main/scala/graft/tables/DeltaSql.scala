@@ -80,7 +80,14 @@ object DeltaSql {
         val r = Option(zcols) match {
           case Some(cs) => DeltaWrite.optimizeZorder(spark, path,
             cs.split(",").map(_.trim).toSeq)
-          case None => DeltaWrite.optimize(spark, path)
+          case None =>
+            // delta-spark parity: plain OPTIMIZE on a clustered table
+            // CLUSTERS (incrementally); on an unclustered one it
+            // bin-packs
+            val snap = DeltaLog.snapshot(spark, path, withFiles = false)
+            if (DeltaDdl.clusteringColumns(snap).nonEmpty)
+              DeltaWrite.optimizeClustered(spark, path)
+            else DeltaWrite.optimize(spark, path)
         }
         result(r.version, r.filesRemoved)
       case vacuum(path, hours) =>

@@ -1492,9 +1492,11 @@ object DeltaWrite {
     var frontier = Seq(new Path(base))
     while (frontier.nonEmpty) {
       frontier = frontier.flatMap { d =>
+        // _staging_ dirs stay IN scope: aged orphans from crashed
+        // writes are exactly what vacuum reclaims (mtime retention
+        // protects in-flight staging, as in the driver-side vacuum)
         fs.listStatus(d).toSeq
-          .filter(s => s.isDirectory && s.getPath.getName != "_delta_log" &&
-            !s.getPath.getName.startsWith("_staging_"))
+          .filter(s => s.isDirectory && s.getPath.getName != "_delta_log")
           .map(_.getPath)
       }
       dirs ++= frontier.map(_.toString)

@@ -73,6 +73,10 @@ class DeltaSqlSpec extends SparkSpec {
 
     DeltaSql.exec(spark, s"ALTER TABLE ${ref(dir)} CLUSTER BY (x)")
     assert(DeltaDdl.clusteringColumns(DeltaLog.snapshot(spark, dir)) == Seq("x"))
+    // plain OPTIMIZE now clusters (delta-spark parity on clustered tables)
+    DeltaSql.exec(spark, s"OPTIMIZE ${ref(dir)}")
+    assert(DeltaLog.snapshot(spark, dir).files
+      .forall(_.tags.get(DeltaWrite.ZOrderTag).contains("x:8")))
 
     // RESTORE on an un-vacuumed table (restore refuses once targets
     // are reclaimed — separate table)

@@ -74,6 +74,19 @@ class VacuumDistributedSpec extends SparkSpec {
     assert(t(a)(spark, ReadArgs()).count() == t(b)(spark, ReadArgs()).count())
   }
 
+  test("aged orphan staging files from a crashed write are reclaimed") {
+    val dir = tempDir("dvac-staging").toString + "/t"
+    DeltaWrite.append(spark, Seq((1L, "a")).toDF("id", "v"), dir)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val orphan = new Path(dir, "_staging_deadbeef/part-00000-orphan.parquet")
+    fs.mkdirs(orphan.getParent)
+    val os = fs.create(orphan); os.write(1); os.close()
+    assert(DeltaWrite.vacuumDistributed(spark, dir) == 0L) // in-flight-aged protection
+    assert(DeltaWrite.vacuumDistributed(spark, dir, retentionMs = 0L) == 1L)
+    assert(!fs.exists(orphan))
+    assert(t(dir)(spark, ReadArgs()).count() == 1L)
+  }
+
   test("untracked stray files age by mtime") {
     val dir = tempDir("dvac-stray").toString + "/t"
     DeltaWrite.append(spark, Seq((1L, "a")).toDF("id", "v"), dir)
