@@ -21,6 +21,7 @@ import org.apache.spark.sql.types.{StructField, StructType}
   *   .option("path", tableDir)
   *   .option("startingVersion", "0")   // default 0 (full history)
   *   .option("ignoreDeletes", "true")  // tolerate delete-only commits
+  *   .option("maxFilesPerTrigger", "1000") // backpressure: cap files/batch
   *   .load()
   * }}}
   *
@@ -72,7 +73,8 @@ class DeltaStreamSourceProvider extends StreamSourceProvider {
       startingVersion = parameters.get("startingVersion").map(_.toLong).getOrElse(0L),
       ignoreDeletes = parameters.get("ignoreDeletes").exists(_.toBoolean),
       ignoreChanges = parameters.get("ignoreChanges").exists(_.toBoolean),
-      readChangeFeed = parameters.get("readChangeFeed").exists(_.toBoolean))
+      readChangeFeed = parameters.get("readChangeFeed").exists(_.toBoolean),
+      maxFilesPerTrigger = parameters.get("maxFilesPerTrigger").map(_.toInt))
 }
 
 class DeltaStreamSource(
@@ -81,7 +83,16 @@ class DeltaStreamSource(
     startingVersion: Long,
     ignoreDeletes: Boolean,
     ignoreChanges: Boolean,
-    readChangeFeed: Boolean = false
+    readChangeFeed: Boolean = false,
+    /** Backpressure (delta-spark parity): cap the ADD files admitted
+      * per micro-batch. A stream restarted against a large backlog
+      * then drains it in bounded batches instead of one giant one —
+      * the difference between a smooth catch-up and an executor-OOM
+      * on a 100 TB table. Version-granular: a batch always advances
+      * ≥ 1 version (never stalls), and a single jumbo commit is
+      * admitted whole (commits are the atomicity unit).
+      */
+    maxFilesPerTrigger: Option[Int] = None
 ) extends Source {
 
   // schema pinned at stream start; a mid-stream metadata change that
@@ -103,17 +114,54 @@ class DeltaStreamSource(
     case other               => other.toString.toLong
   }
 
+  /** Last version this source has OFFERED or EMITTED — the base the
+    * rate limit advances from. Seeded by getBatch (the engine replays
+    * the restored batch before asking for a new offset on restart),
+    * so a restarted stream is rate-limited from its checkpoint, not
+    * from zero.
+    */
+  @volatile private var lastSeen: Option[Long] = None
+
   /** Latest version with the table's log as the stream's high-water
     * mark; None until the first commit at/after startingVersion.
+    * Under `maxFilesPerTrigger`, offers the furthest version whose
+    * cumulative add-file count stays within budget (always ≥ 1
+    * version of progress).
     */
-  override def getOffset: Option[Offset] =
-    DeltaLog.latestVersion(spark, tablePath)
-      .filter(_ >= startingVersion)
-      .map(LongOffset(_))
+  override def getOffset: Option[Offset] = {
+    val latest = DeltaLog.latestVersion(spark, tablePath).filter(_ >= startingVersion)
+    val capped = (latest, maxFilesPerTrigger) match {
+      case (Some(l), Some(budget)) =>
+        val from = lastSeen.map(_ + 1).getOrElse(startingVersion)
+        if (from > l) Some(l)
+        else {
+          var admitted = 0
+          var v = from - 1
+          var stop = false
+          val perVersion = DeltaLog.changeActions(spark, tablePath, from, l)
+          perVersion.foreach { vc =>
+            if (!stop) {
+              val n = vc.adds.size
+              // first version always admits (atomicity unit); after
+              // that, stop before the version that busts the budget
+              if (v >= from && admitted + n > budget) stop = true
+              else { admitted += n; v = vc.version }
+            }
+          }
+          Some(math.max(v, from)) // ≥ 1 version even if it alone busts
+        }
+      case (l, _) => l
+    }
+    capped.foreach(c => lastSeen = Some(math.max(c, lastSeen.getOrElse(Long.MinValue))))
+    capped.map(LongOffset(_))
+  }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(version(_) + 1).getOrElse(startingVersion)
     val to = version(end)
+    // seed the rate-limit base on restart (the engine replays the
+    // restored batch before the first getOffset)
+    lastSeen = Some(math.max(to, lastSeen.getOrElse(Long.MinValue)))
     val cur = DeltaLog.snapshot(spark, tablePath).metadata
     require(cur.schemaString == meta.schemaString,
       s"schema of $tablePath changed mid-stream; restart the query to pick it up")

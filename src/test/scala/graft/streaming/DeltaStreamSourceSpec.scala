@@ -153,4 +153,32 @@ class DeltaStreamSourceSpec extends SparkSpec {
     assert(spark.sql("SELECT id FROM dsrc_tol").as[Long].collect().sorted.toSeq ==
       Seq(1L, 2L))
   }
+
+  test("maxFilesPerTrigger drains a backlog in bounded batches, never stalls") {
+    val dir = tempDir("delta-src-rate").toString + "/t"
+    // 4 commits x 2 files each = 8 files of backlog
+    (0 until 4).foreach { i =>
+      DeltaWrite.append(spark,
+        Seq((i * 2L, "a"), (i * 2L + 1L, "b")).toDF("id", "grp").repartition(2), dir)
+    }
+    val q = readStream(dir, Map("maxFilesPerTrigger" -> "2")).writeStream
+      .format("memory").queryName("dsrc_rate").outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      // everything arrives...
+      assert(spark.sql("SELECT id FROM dsrc_rate").as[Long].collect().sorted.toSeq ==
+        (0L to 7L))
+      // ...across >= 4 micro-batches (2 files per trigger = 1 commit each),
+      // not one giant catch-up batch
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      assert(dataBatches >= 4, s"expected >=4 bounded batches, got $dataBatches")
+
+      // steady-state: a jumbo commit (4 files > budget) is admitted whole
+      DeltaWrite.append(spark,
+        (8L to 11L).map((_, "c")).toDF("id", "grp").repartition(4), dir)
+      q.processAllAvailable()
+      assert(spark.sql("SELECT id FROM dsrc_rate").as[Long].collect().sorted.toSeq ==
+        (0L to 11L))
+    } finally q.stop()
+  }
 }
