@@ -74,7 +74,8 @@ class DeltaStreamSourceProvider extends StreamSourceProvider {
       ignoreDeletes = parameters.get("ignoreDeletes").exists(_.toBoolean),
       ignoreChanges = parameters.get("ignoreChanges").exists(_.toBoolean),
       readChangeFeed = parameters.get("readChangeFeed").exists(_.toBoolean),
-      maxFilesPerTrigger = parameters.get("maxFilesPerTrigger").map(_.toInt))
+      maxFilesPerTrigger = parameters.get("maxFilesPerTrigger").map(_.toInt),
+      maxBytesPerTrigger = parameters.get("maxBytesPerTrigger").map(_.toLong))
 }
 
 class DeltaStreamSource(
@@ -92,7 +93,12 @@ class DeltaStreamSource(
       * ≥ 1 version (never stalls), and a single jumbo commit is
       * admitted whole (commits are the atomicity unit).
       */
-    maxFilesPerTrigger: Option[Int] = None
+    maxFilesPerTrigger: Option[Int] = None,
+    /** Byte-denominated companion to maxFilesPerTrigger (sum of
+      * admitted add-file sizes per batch); both may be set — the
+      * tighter bound wins.
+      */
+    maxBytesPerTrigger: Option[Long] = None
 ) extends Source {
 
   // schema pinned at stream start; a mid-stream metadata change that
@@ -130,28 +136,32 @@ class DeltaStreamSource(
     */
   override def getOffset: Option[Offset] = {
     val latest = DeltaLog.latestVersion(spark, tablePath).filter(_ >= startingVersion)
-    val capped = (latest, maxFilesPerTrigger) match {
-      case (Some(l), Some(budget)) =>
+    val capped =
+      if (maxFilesPerTrigger.isEmpty && maxBytesPerTrigger.isEmpty) latest
+      else latest.map { l =>
+        val fileBudget = maxFilesPerTrigger.map(_.toLong).getOrElse(Long.MaxValue)
+        val byteBudget = maxBytesPerTrigger.getOrElse(Long.MaxValue)
         val from = lastSeen.map(_ + 1).getOrElse(startingVersion)
-        if (from > l) Some(l)
+        if (from > l) l
         else {
-          var admitted = 0
+          var files = 0L
+          var bytes = 0L
           var v = from - 1
           var stop = false
-          val perVersion = DeltaLog.changeActions(spark, tablePath, from, l)
-          perVersion.foreach { vc =>
+          DeltaLog.changeActions(spark, tablePath, from, l).foreach { vc =>
             if (!stop) {
-              val n = vc.adds.size
+              val n = vc.adds.size.toLong
+              val b = vc.adds.map(_.size).sum
               // first version always admits (atomicity unit); after
-              // that, stop before the version that busts the budget
-              if (v >= from && admitted + n > budget) stop = true
-              else { admitted += n; v = vc.version }
+              // that, stop before the version that busts either budget
+              if (v >= from && (files + n > fileBudget || bytes + b > byteBudget))
+                stop = true
+              else { files += n; bytes += b; v = vc.version }
             }
           }
-          Some(math.max(v, from)) // ≥ 1 version even if it alone busts
+          math.max(v, from) // ≥ 1 version even if it alone busts
         }
-      case (l, _) => l
-    }
+      }
     capped.foreach(c => lastSeen = Some(math.max(c, lastSeen.getOrElse(Long.MinValue))))
     capped.map(LongOffset(_))
   }

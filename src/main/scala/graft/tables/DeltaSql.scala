@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{
   And, Attribute, EqualTo, Expression, GreaterThan, GreaterThanOrEqual,
   In, LessThan, LessThanOrEqual, Literal, Not, Or}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.functions.col
 import org.apache.spark.unsafe.types.UTF8String
 
 /** SQL surface for the Delta write path: the DML/utility statements a
@@ -26,6 +27,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * ALTER TABLE delta.`/p` SET TBLPROPERTIES ('k' = 'v', ...)
   * ALTER TABLE delta.`/p` CLUSTER BY (c1, c2)
   * RESTORE delta.`/p` TO VERSION AS OF 3
+  * RESTORE delta.`/p` TO TIMESTAMP AS OF '2026-01-01T00:00:00Z'
+  * DESCRIBE DETAIL delta.`/p`
+  * DESCRIBE HISTORY delta.`/p`
+  * SHOW TBLPROPERTIES delta.`/p`
   * }}}
   *
   * WHERE predicates parse through Spark's own SQL parser and convert
@@ -50,6 +55,7 @@ object DeltaSql {
       Seq((version, removed)).toDF("version", "files_removed")
 
     val delete = s"""(?is)^DELETE\\s+FROM\\s+$TableRef\\s+WHERE\\s+(.+)$$""".r
+    val deleteAll = s"""(?is)^DELETE\\s+FROM\\s+$TableRef$$""".r
     val update = s"""(?is)^UPDATE\\s+$TableRef\\s+SET\\s+(.+?)\\s+WHERE\\s+(.+)$$""".r
     val merge = (s"""(?is)^MERGE\\s+INTO\\s+$TableRef\\s+USING\\s+(\\w+)\\s+ON\\s+([\\w\\s,]+?)""" +
       s"""(?:\\s+WHEN\\s+MATCHED\\s+AND\\s+(.+?)\\s+THEN\\s+DELETE)?$$""").r
@@ -62,10 +68,19 @@ object DeltaSql {
       s"""\\s*\\((.+)\\)$$""").r
     val clusterBy = s"""(?is)^ALTER\\s+TABLE\\s+$TableRef\\s+CLUSTER\\s+BY\\s+\\(([^)]+)\\)$$""".r
     val restore = s"""(?is)^RESTORE\\s+$TableRef\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)$$""".r
+    val restoreTs =
+      s"""(?is)^RESTORE\\s+$TableRef\\s+TO\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)'$$""".r
+    val descDetail = s"""(?is)^DESCRIBE\\s+DETAIL\\s+$TableRef$$""".r
+    val descHistory = s"""(?is)^DESCRIBE\\s+HISTORY\\s+$TableRef$$""".r
+    val showProps = s"""(?is)^SHOW\\s+TBLPROPERTIES\\s+$TableRef$$""".r
 
     s match {
       case delete(path, where) =>
         val r = DeltaWrite.deleteWhere(spark, path, parseWhere(spark, where))
+        result(r.version, r.filesRemoved)
+      case deleteAll(path) =>
+        // DELETE without WHERE: every row (empty filter list = true)
+        val r = DeltaWrite.deleteWhere(spark, path, Seq.empty)
         result(r.version, r.filesRemoved)
       case update(path, sets, where) =>
         val r = DeltaWrite.updateWhere(spark, path,
@@ -106,6 +121,34 @@ object DeltaSql {
           cols.split(",").map(_.trim).toSeq).version)
       case restore(path, v) =>
         result(DeltaWrite.restore(spark, path, v.toLong).version)
+      case restoreTs(path, ts) =>
+        val millis = java.time.Instant.parse(ts).toEpochMilli
+        result(DeltaWrite.restore(spark, path,
+          DeltaLog.versionAtTimestamp(spark, path, millis)).version)
+      case descDetail(path) =>
+        val snap = DeltaLog.snapshot(spark, path)
+        Seq((
+          "delta", snap.metadata.id, path, snap.version,
+          snap.files.size.toLong, snap.files.map(_.size).sum,
+          snap.metadata.partitionColumns.mkString(","),
+          DeltaDdl.clusteringColumns(snap).mkString(","),
+          snap.protocol.minReaderVersion.toLong, snap.protocol.minWriterVersion.toLong))
+          .toDF("format", "id", "location", "version", "num_files", "size_bytes",
+            "partition_columns", "clustering_columns",
+            "min_reader_version", "min_writer_version")
+      case descHistory(path) =>
+        // over the available JSON tail (aged-out prefixes have no
+        // per-commit actions to describe)
+        val (jsons, _) = DeltaLog.listLog(spark, path)
+        require(jsons.nonEmpty, s"$path has no Delta log")
+        DeltaLog.changeActions(spark, path, jsons.keySet.min, jsons.keySet.max)
+          .map(vc => (vc.version, new java.sql.Timestamp(vc.timestamp),
+            vc.adds.size.toLong, vc.removes.size.toLong))
+          .toDF("version", "timestamp", "n_added_files", "n_removed_files")
+          .orderBy(col("version").desc)
+      case showProps(path) =>
+        DeltaLog.snapshot(spark, path, withFiles = false)
+          .metadata.configuration.toSeq.sortBy(_._1).toDF("key", "value")
       case _ =>
         throw new IllegalArgumentException(
           s"unsupported statement (see DeltaSql docs for the grammar): $s")

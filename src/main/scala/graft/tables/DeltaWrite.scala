@@ -1265,7 +1265,10 @@ object DeltaWrite {
     commitLoop(spark, tablePath, adds, removes,
       old.metadata.schemaString, old.metadata.partitionColumns,
       overwrite = false, extraActions = extra,
-      requireBase = Some(cur.version))
+      requireBase = Some(cur.version),
+      // RESTORE recreates the old version's whole metadata action —
+      // configuration included (delta-spark RestoreTableCommand parity)
+      configOverride = Some(old.metadata.configuration))
   }
 
   /** OPTIMIZE: bin-pack each partition's small files (and any
@@ -1638,7 +1641,11 @@ object DeltaWrite {
       // not blind-retry onto a table someone else changed — when set,
       // losing the race throws ConcurrentWriteException instead of
       // silently committing stale removes/change rows
-      requireBase: Option[Long] = None
+      requireBase: Option[Long] = None,
+      // RESTORE restores table CONFIGURATION too (delta-spark
+      // RestoreTableCommand restores the whole metadata action);
+      // every other caller carries the current configuration forward
+      configOverride: Option[Map[String, String]] = None
   ): CommitResult = {
     val fs = DeltaLog.logDir(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     var attempt = 0
@@ -1658,7 +1665,8 @@ object DeltaWrite {
       snapOpt.foreach(s => require(allowMapped || !s.metadata.isColumnMapped,
         s"this operation is not supported on column-mapped Delta tables ($tablePath)"))
       val needMeta = snapOpt.forall(s =>
-        s.metadata.schemaString != schemaJson || s.metadata.partitionColumns != partitionBy)
+        s.metadata.schemaString != schemaJson || s.metadata.partitionColumns != partitionBy ||
+          configOverride.exists(_ != s.metadata.configuration))
       // A blind retry (no concurrency base) is only safe because its
       // actions are snapshot-independent — which stops being true the
       // moment it would emit a metaData action: schemaJson was frozen
@@ -1725,7 +1733,8 @@ object DeltaWrite {
         val pc = m.putArray("partitionColumns")
         partitionBy.foreach(pc.add)
         val confNode = m.putObject("configuration")
-        prev.foreach(_.configuration.foreach { case (k, v) => confNode.put(k, v) })
+        configOverride.orElse(prev.map(_.configuration)).getOrElse(Map.empty)
+          .foreach { case (k, v) => confNode.put(k, v) }
         m.put("createdTime",
           prev.flatMap(_.createdTime).getOrElse(System.currentTimeMillis()))
         sb.append(s"""{"metaData":${mapper.writeValueAsString(m)}}""").append('\n')

@@ -181,4 +181,20 @@ class DeltaStreamSourceSpec extends SparkSpec {
         (0L to 11L))
     } finally q.stop()
   }
+
+  test("maxBytesPerTrigger bounds batches by admitted file size") {
+    val dir = tempDir("delta-src-bytes").toString + "/t"
+    (0 until 3).foreach { i =>
+      DeltaWrite.append(spark, Seq((i.toLong, "x" * 100)).toDF("id", "pad"), dir)
+    }
+    // 1-byte budget -> one commit per batch (first version always admits)
+    val q = readStream(dir, Map("maxBytesPerTrigger" -> "1")).writeStream
+      .format("memory").queryName("dsrc_bytes").outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("SELECT id FROM dsrc_bytes").as[Long].collect().sorted.toSeq ==
+        Seq(0L, 1L, 2L))
+      assert(q.recentProgress.count(_.numInputRows > 0) == 3)
+    } finally q.stop()
+  }
 }

@@ -87,6 +87,36 @@ class DeltaSqlSpec extends SparkSpec {
     assert(t(dir2)(spark, ReadArgs()).count() == 1L)
   }
 
+  test("utility statements: DELETE-all, RESTORE TO TIMESTAMP, DESCRIBE, SHOW") {
+    val dir = tempDir("sql-util2").toString + "/t"
+    DeltaWrite.append(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "part"), dir, partitionBy = Seq("part"))
+    Thread.sleep(1100) // distinct commit timestamps (mtime may be second-granular)
+    DeltaWrite.setTableProperties(spark, dir, Map("graft.k" -> "v1"))
+
+    val detail = DeltaSql.exec(spark, s"DESCRIBE DETAIL ${ref(dir)}")
+    val d = detail.select("format", "num_files", "partition_columns")
+      .as[(String, Long, String)].head()
+    assert(d == (("delta", 2L, "part")))
+
+    val hist = DeltaSql.exec(spark, s"DESCRIBE HISTORY ${ref(dir)}")
+      .select("version", "n_added_files").as[(Long, Long)].collect().toMap
+    assert(hist(0L) == 2L && hist.contains(1L))
+
+    val props = DeltaSql.exec(spark, s"SHOW TBLPROPERTIES ${ref(dir)}")
+      .as[(String, String)].collect().toMap
+    assert(props.get("graft.k").contains("v1"))
+
+    // timestamp-based restore back past the property change
+    val t0 = DeltaLog.changeActions(spark, dir, 0, 0).head.timestamp
+    DeltaSql.exec(spark, s"RESTORE ${ref(dir)} TO TIMESTAMP AS OF " +
+      s"'${java.time.Instant.ofEpochMilli(t0)}'")
+    assert(!DeltaLog.snapshot(spark, dir).metadata.configuration.contains("graft.k"))
+
+    DeltaSql.exec(spark, s"DELETE FROM ${ref(dir)}")
+    assert(t(dir)(spark, ReadArgs()).count() == 0L)
+  }
+
   test("IN / NOT IN and AND-over-OR distribute to DNF") {
     val dir = tempDir("sql-dnf").toString + "/t"
     DeltaWrite.append(spark,
