@@ -2104,6 +2104,112 @@ object DeltaWrite {
     snap.version
   }
 
+  /** Distributed V2 checkpoint — the 10⁷-file shape of
+    * [[checkpointV2]]: the snapshot is replayed WITHOUT a driver file
+    * list (`withFiles = false`), sidecar rows come straight from the
+    * distributed file-state DataFrame ([[DeltaFilesDataset]], one
+    * ExtremumBy shuffle), and the sidecar parquet files are written
+    * by the executors — the driver handles only the O(1) manifest,
+    * O(sidecars) renames and the bounded unexpired-tombstone set.
+    * Same layout and replay semantics as [[checkpointV2]]
+    * (parity-asserted by spec).
+    */
+  def checkpointV2Distributed(
+      spark: SparkSession,
+      tablePath: String,
+      sidecars: Int = 8
+  ): Long = {
+    import spark.implicits._
+    val snap = DeltaLog.snapshot(spark, tablePath, withFiles = false)
+    val fs = DeltaLog.logDir(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = DeltaFilesDataset.filesDataset(spark, tablePath)
+
+    val sp = snap.protocol
+    // one scalar job instead of a driver scan of the file list
+    val hasDv = !files.where(col("deletionVector").isNotNull).isEmpty
+    val needed = Seq("v2Checkpoints") ++
+      (if (hasDv) Seq("deletionVectors") else Seq.empty) ++
+      (if (sp.minReaderVersion == 2) Seq("columnMapping") else Seq.empty)
+    val protocol = CpProtocol(
+      math.max(3, sp.minReaderVersion), math.max(7, sp.minWriterVersion),
+      Some((sp.readerFeatures.getOrElse(Seq.empty) ++ needed).distinct),
+      Some((sp.writerFeatures.getOrElse(Seq.empty) ++ needed).distinct))
+
+    val addRows: org.apache.spark.sql.Dataset[SidecarFileRow] = files.map { r =>
+      def optLong(f: String): Option[Long] =
+        if (r.isNullAt(r.fieldIndex(f))) None else Some(r.getAs[Long](f))
+      val dv = Option(r.getAs[org.apache.spark.sql.Row]("deletionVector")).map(d =>
+        CpDv(d.getAs[String]("storageType"), d.getAs[String]("pathOrInlineDv"),
+          Option(d.getAs[Any]("offset")).map(_.asInstanceOf[Long]),
+          d.getAs[Long]("sizeInBytes").toInt, d.getAs[Long]("cardinality")))
+      SidecarFileRow(add = Some(CpAdd(
+        r.getAs[String]("path"),
+        Option(r.getAs[Map[String, String]]("partitionValues"))
+          .map(_.toMap).getOrElse(Map.empty),
+        r.getAs[Long]("size"), 0L, dataChange = false,
+        r.getAs[String]("stats"), dv,
+        Option(r.getAs[Map[String, String]]("tags")).map(_.toMap).filter(_.nonEmpty),
+        optLong("baseRowId"), optLong("defaultRowCommitVersion"))))
+    }
+    val tombstoneCutoff = System.currentTimeMillis() - 7L * 24 * 3600 * 1000
+    val tombRows = DeltaLog.tombstones(spark, tablePath)
+      .filter(_.deletionTimestamp > tombstoneCutoff)
+      .map(t => SidecarFileRow(remove = Some(CpRemove(
+        t.path, t.deletionTimestamp, dataChange = false,
+        t.dv.map(d => CpDv(
+          d.storageType, d.pathOrInlineDv, d.offset, d.sizeInBytes, d.cardinality))))))
+    val combined = addRows.union(tombRows.toDS())
+
+    // executors write the sidecar parts; the driver renames them into
+    // uuid sidecar names (O(sidecars) metadata work)
+    fs.mkdirs(DeltaLog.sidecarDir(tablePath))
+    val tmp = new Path(DeltaLog.sidecarDir(tablePath),
+      s"_scd_tmp_${java.util.UUID.randomUUID().toString.take(8)}_${snap.version}")
+    combined.repartition(math.max(1, sidecars))
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val parts = listFilesRecursively(fs, tmp).filter(_.getName.endsWith(".parquet"))
+    val sidecarRefs = parts.map { p =>
+      val name = s"${java.util.UUID.randomUUID()}.parquet"
+      val dest = new Path(DeltaLog.sidecarDir(tablePath), name)
+      if (!fs.rename(p, dest))
+        throw new IllegalStateException(s"could not move sidecar into place at $dest")
+      val st = fs.getFileStatus(dest)
+      CpSidecar(name, st.getLen, st.getModificationTime)
+    }
+    fs.delete(tmp, true)
+    val nActions = combined.count()
+
+    val manifest: Seq[V2ManifestRow] =
+      V2ManifestRow(protocol = Some(protocol)) +:
+        V2ManifestRow(metaData = Some(CpMeta(
+          if (snap.metadata.id.nonEmpty) snap.metadata.id
+          else java.util.UUID.randomUUID().toString,
+          CpFormat("parquet", Map.empty), snap.metadata.schemaString,
+          snap.metadata.partitionColumns, snap.metadata.configuration,
+          snap.metadata.createdTime))) +:
+        V2ManifestRow(checkpointMetadata = Some(CpCkptMeta(snap.version))) +:
+        (snap.domains.toSeq.sortBy(_._1).map { case (d, c) =>
+          V2ManifestRow(domainMetadata = Some(CpDomain(d, c)))
+        } ++
+          snap.txns.toSeq.sortBy(_._1).map { case (appId, v) =>
+            V2ManifestRow(txn = Some(CpTxn(appId, v)))
+          } ++
+          sidecarRefs.map(s => V2ManifestRow(sidecar = Some(s))))
+
+    val cpName = f"${snap.version}%020d.checkpoint.${java.util.UUID.randomUUID()}.parquet"
+    writeSingleParquet(spark, manifest.toDS(),
+      new Path(DeltaLog.logDir(tablePath), cpName),
+      s"_cp2d_tmp_${java.util.UUID.randomUUID().toString.take(8)}_${snap.version}")
+
+    val lc = new Path(DeltaLog.logDir(tablePath), "_last_checkpoint")
+    val out = fs.create(lc, true)
+    try out.write(
+      s"""{"version":${snap.version},"size":${manifest.size + nActions}}"""
+        .getBytes("UTF-8"))
+    finally out.close()
+    snap.version
+  }
+
   /** Write `ds` as exactly one parquet file at `dest` (tmp dir +
     * rename; parquet writers emit directories).
     */
