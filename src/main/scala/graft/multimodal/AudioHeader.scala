@@ -73,9 +73,17 @@ object AudioHeader {
         } else if (id == "data") {
           dataSize = size
         }
-        // chunks are word-aligned: odd sizes carry a pad byte
-        i += 8 + size.toInt + (size.toInt & 1)
-        if (size < 0 || i < 0) return None // corrupt size — refuse
+        // a body extending past the buffer (truncated prefix OR a
+        // corrupt/adversarial size, incl. ones whose Int truncation is
+        // negative) makes every later chunk unreachable — stop walking
+        // and let the field validation below decide
+        if (size > (b.length - i - 8).toLong) i = b.length
+        else {
+          // chunks are word-aligned: odd sizes carry a pad byte
+          val next = i + 8 + size.toInt + (size.toInt & 1)
+          if (next <= i) return None // no forward progress — corrupt
+          i = next
+        }
       }
       if (channels <= 0 || rate <= 0 || byteRate <= 0 || dataSize < 0) None
       else Some(("wav", rate, channels, dataSize * 1000L / byteRate))

@@ -144,20 +144,24 @@ class DeltaStreamSource(
         val from = lastSeen.map(_ + 1).getOrElse(startingVersion)
         if (from > l) l
         else {
+          // lazy walk: commits parse one version at a time and the
+          // walk stops at the first budget-busting version, so a
+          // restart against a huge backlog does O(admitted) parse
+          // work per trigger, not O(backlog)
           var files = 0L
           var bytes = 0L
           var v = from - 1
+          val it = DeltaLog.changeActionsIter(spark, tablePath, from, l)
           var stop = false
-          DeltaLog.changeActions(spark, tablePath, from, l).foreach { vc =>
-            if (!stop) {
-              val n = vc.adds.size.toLong
-              val b = vc.adds.map(_.size).sum
-              // first version always admits (atomicity unit); after
-              // that, stop before the version that busts either budget
-              if (v >= from && (files + n > fileBudget || bytes + b > byteBudget))
-                stop = true
-              else { files += n; bytes += b; v = vc.version }
-            }
+          while (!stop && it.hasNext) {
+            val vc = it.next()
+            val n = vc.adds.size.toLong
+            val b = vc.adds.map(_.size).sum
+            // first version always admits (atomicity unit); after
+            // that, stop before the version that busts either budget
+            if (v >= from && (files + n > fileBudget || bytes + b > byteBudget))
+              stop = true
+            else { files += n; bytes += b; v = vc.version }
           }
           math.max(v, from) // ≥ 1 version even if it alone busts
         }

@@ -272,8 +272,12 @@ object DeltaDdl {
         s"CLUSTER BY column $c is not in the table schema"))
       cols.foreach(c => require(!meta.partitionColumns.contains(c),
         s"CLUSTER BY column $c is a partition column — already clustered by layout"))
-      val conf = cols.map(c => s"""["${c}"]""").mkString(
-        """{"clusteringColumns":[""", ",", "]}")
+      // serialize via Jackson — a quote/backslash in a column name
+      // must not produce invalid domain JSON
+      val confNode = mapper.createObjectNode()
+      val arr = confNode.putArray("clusteringColumns")
+      cols.foreach(c => arr.addArray().add(c))
+      val conf = mapper.writeValueAsString(confNode)
       if (snap.domains.get(ClusteringDomain).contains(conf)) None
       else {
         val pr = snap.protocol
@@ -302,7 +306,14 @@ object DeltaDdl {
   def clusteringColumns(snap: DeltaLog.Snapshot): Seq[String] =
     snap.domains.get(ClusteringDomain).toSeq.flatMap { conf =>
       val node = mapper.readTree(conf).path("clusteringColumns")
-      (0 until node.size).map(i => node.get(i).get(0).asText)
+      (0 until node.size).map { i =>
+        val path = node.get(i)
+        // the spec allows multi-part column paths; this engine only
+        // writes single-part ones — refuse rather than truncate
+        require(path.size == 1,
+          s"multi-part clustering column path is not supported: $path")
+        path.get(0).asText
+      }
     }
 
   /** Does any CHECK constraint or generation expression mention

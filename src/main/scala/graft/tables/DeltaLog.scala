@@ -652,10 +652,19 @@ object DeltaLog {
     * without a `deletionTimestamp` (it is optional in the protocol)
     * falls back to its commit file's mtime.
     */
-  def tombstones(spark: SparkSession, tablePath: String): Seq[Tombstone] = {
+  def tombstones(
+      spark: SparkSession,
+      tablePath: String,
+      versionAsOf: Option[Long] = None
+  ): Seq[Tombstone] = {
     val dir = logDir(tablePath)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val (jsons, cps) = listLog(spark, tablePath)
+    val (jsonsAll, cpsAll) = listLog(spark, tablePath)
+    // pin to a version so callers (e.g. the distributed checkpoint)
+    // see the same log prefix as the snapshot they paired this with,
+    // even if a concurrent commit lands mid-call
+    val jsons = versionAsOf.fold(jsonsAll)(v => jsonsAll.filter(_._1 <= v))
+    val cps = versionAsOf.fold(cpsAll)(v => cpsAll.filter(_._1 <= v))
     val out = mutable.Map.empty[(String, Option[DeletionVectors.DvDescriptor]), Long]
     def record(path: String, dv: Option[DeletionVectors.DvDescriptor], ts: Long): Unit = {
       val k = (path, dv)
@@ -775,7 +784,21 @@ object DeltaLog {
       tablePath: String,
       fromVersion: Long,
       toVersion: Long
-  ): Seq[VersionChanges] = {
+  ): Seq[VersionChanges] =
+    changeActionsIter(spark, tablePath, fromVersion, toVersion).toVector
+
+  /** Lazy variant of [[changeActions]]: the log is listed (and the
+    * range validated) eagerly, but each version's JSON commit is read
+    * and parsed only when the iterator reaches it. Rate-limited
+    * consumers (the streaming source's budget walk) can stop after a
+    * bounded prefix without paying O(backlog) parse work per trigger.
+    */
+  def changeActionsIter(
+      spark: SparkSession,
+      tablePath: String,
+      fromVersion: Long,
+      toVersion: Long
+  ): Iterator[VersionChanges] = {
     require(fromVersion >= 0 && fromVersion <= toVersion,
       s"invalid change range [$fromVersion, $toVersion]")
     val dir = logDir(tablePath)
@@ -793,7 +816,7 @@ object DeltaLog {
         }.toMap
       }.getOrElse(Map.empty)
 
-    (fromVersion to toVersion).map { v =>
+    (fromVersion to toVersion).iterator.map { v =>
       val p = jsons(v)
       val ts = fs.getFileStatus(p).getModificationTime
       val in = fs.open(p)

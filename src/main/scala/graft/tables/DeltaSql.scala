@@ -170,7 +170,13 @@ object DeltaSql {
     splitTop(props).map { p =>
       val i = p.indexOf('=')
       require(i > 0, s"malformed TBLPROPERTIES entry: $p")
-      def unq(x: String) = x.trim.stripPrefix("'").stripSuffix("'")
+      def unq(x: String) = {
+        val t = x.trim
+        // SQL string literals escape a quote by doubling it
+        if (t.startsWith("'") && t.endsWith("'") && t.length >= 2)
+          t.substring(1, t.length - 1).replace("''", "'")
+        else t
+      }
       (unq(p.substring(0, i)), unq(p.substring(i + 1)))
     }.toMap
 
@@ -180,6 +186,9 @@ object DeltaSql {
     var i = 0
     while (i < s.length) {
       s.charAt(i) match {
+        // inside a quoted run, '' is an escaped quote, not a close+open
+        case '\'' if inQ && i + 1 < s.length && s.charAt(i + 1) == '\'' =>
+          i += 1
         case '\'' => inQ = !inQ
         case '(' if !inQ => depth += 1
         case ')' if !inQ => depth -= 1

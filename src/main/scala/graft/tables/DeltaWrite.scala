@@ -2122,7 +2122,11 @@ object DeltaWrite {
     import spark.implicits._
     val snap = DeltaLog.snapshot(spark, tablePath, withFiles = false)
     val fs = DeltaLog.logDir(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = DeltaFilesDataset.filesDataset(spark, tablePath)
+    // pin the file state AND the tombstone walk to the snapshot's
+    // version: a concurrent commit landing between the snapshot and
+    // these re-listings would otherwise produce a checkpoint whose
+    // manifest claims version N while the sidecars carry N+1's files
+    val files = DeltaFilesDataset.filesDataset(spark, tablePath, versionAsOf = Some(snap.version))
 
     val sp = snap.protocol
     // one scalar job instead of a driver scan of the file list
@@ -2152,7 +2156,7 @@ object DeltaWrite {
         optLong("baseRowId"), optLong("defaultRowCommitVersion"))))
     }
     val tombstoneCutoff = System.currentTimeMillis() - 7L * 24 * 3600 * 1000
-    val tombRows = DeltaLog.tombstones(spark, tablePath)
+    val tombRows = DeltaLog.tombstones(spark, tablePath, versionAsOf = Some(snap.version))
       .filter(_.deletionTimestamp > tombstoneCutoff)
       .map(t => SidecarFileRow(remove = Some(CpRemove(
         t.path, t.deletionTimestamp, dataChange = false,

@@ -96,6 +96,24 @@ class AudioHeaderSpec extends SparkSpec {
     assert(AudioHeader.parse(mp3(9, 3, mono = false, 4000)).isEmpty)
   }
 
+  test("adversarial WAV chunk sizes terminate (no infinite walk)") {
+    // a chunk declaring size 0xFFFFFFF8 (Int truncation -8 would
+    // advance the walk by 0 bytes — the old hang) before fmt/data
+    val evil = "RIFF".getBytes ++ le32(100) ++ "WAVE".getBytes ++
+      "JUNK".getBytes ++ le32(0xFFFFFFF8L) ++ new Array[Byte](64)
+    assert(AudioHeader.parse(evil).isEmpty)
+    // size 0xFFFFFFFF (Int truncation -1, would advance by 8-1+1=8
+    // but skip no body) mid-stream, also unreachable-body → refuse
+    val evil2 = "RIFF".getBytes ++ le32(100) ++ "WAVE".getBytes ++
+      "LIST".getBytes ++ le32(0xFFFFFFFFL) ++ new Array[Byte](64)
+    assert(AudioHeader.parse(evil2).isEmpty)
+    // an in-range but oversized chunk body (claims more bytes than
+    // remain) makes later chunks unreachable → refuse, don't misparse
+    val evil3 = "RIFF".getBytes ++ le32(100) ++ "WAVE".getBytes ++
+      "LIST".getBytes ++ le32(1 << 20) ++ new Array[Byte](16)
+    assert(AudioHeader.parse(evil3).isEmpty)
+  }
+
   test("audioMeta expression extracts the struct in a distributed plan") {
     val rows = Seq(
       (1L, wav(2, 44100, 176400L)),

@@ -74,6 +74,23 @@ class CheckpointDistributedSpec extends SparkSpec {
     assert(ga == gb)
   }
 
+  test("file state and tombstones pin to the checkpointed version") {
+    val dir = tempDir("dcp-pin").toString + "/t"
+    DeltaWrite.append(spark,
+      (1 to 8).map(i => (i.toLong, s"v$i")).toDF("id", "v"), dir)
+    val v0 = DeltaLog.snapshot(spark, dir).version
+    // a later commit both removes files (tombstones) and adds new ones
+    DeltaWrite.deleteWhere(spark, dir,
+      Filters.normalize(Seq(Filter("id", "<=", 4L))))
+    val pinnedFiles = DeltaFilesDataset.filesDataset(spark, dir,
+      versionAsOf = Some(v0)).select("path").as[String].collect().toSet
+    assert(pinnedFiles ==
+      DeltaLog.snapshot(spark, dir, versionAsOf = Some(v0)).files.map(_.path).toSet)
+    // tombstones pinned at v0 must not see the later delete's removes
+    assert(DeltaLog.tombstones(spark, dir, versionAsOf = Some(v0)).isEmpty)
+    assert(DeltaLog.tombstones(spark, dir).nonEmpty)
+  }
+
   test("empty table checkpoints and replays") {
     val dir = tempDir("dcp-empty").toString + "/t"
     DeltaWrite.append(spark, Seq.empty[(Long, String)].toDF("id", "v"), dir)

@@ -142,4 +142,21 @@ class DeltaCdfSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("enableChangeDataFeed"))
   }
+
+  test("changeActionsIter parses commits lazily (bounded prefix work)") {
+    val dir = freshTable(Seq((1L, "a")))
+    DeltaWrite.append(spark, Seq((2L, "b")).toDF("id", "grp"), dir)
+    DeltaWrite.append(spark, Seq((3L, "c")).toDF("id", "grp"), dir)
+    // corrupt the LAST commit: a rate-limited consumer that stops
+    // before it must never parse it
+    val p = new org.apache.hadoop.fs.Path(dir + "/_delta_log", f"${2L}%020d.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write("{not json".getBytes("UTF-8")) finally out.close()
+
+    val it = DeltaLog.changeActionsIter(spark, dir, 0L, 2L)
+    assert(it.next().version == 0L) // fine: version 2 untouched
+    assert(it.next().version == 1L)
+    intercept[Exception] { it.next() } // only reached when consumed
+  }
 }

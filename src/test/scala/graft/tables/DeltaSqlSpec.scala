@@ -127,6 +127,18 @@ class DeltaSqlSpec extends SparkSpec {
     assert(got == Set(4L, 5L, 6L, 7L, 8L))
   }
 
+  test("TBLPROPERTIES values with SQL-escaped quotes parse intact") {
+    val dir = tempDir("sql-esc").toString + "/t"
+    DeltaWrite.append(spark, Seq((1L, 2L)).toDF("id", "x"), dir)
+    // the '' escape and a comma AFTER it must not mis-split or
+    // mis-unquote (the comma sits inside the quoted run)
+    DeltaSql.exec(spark,
+      s"ALTER TABLE ${ref(dir)} SET TBLPROPERTIES ('k' = 'it''s, fine', 'k2' = 'v2')")
+    val conf = DeltaLog.snapshot(spark, dir).metadata.configuration
+    assert(conf.get("k").contains("it's, fine"))
+    assert(conf.get("k2").contains("v2"))
+  }
+
   test("predicates outside the filter algebra refuse loudly") {
     val dir = tempDir("sql-refuse").toString + "/t"
     DeltaWrite.append(spark, Seq((1L, "a")).toDF("id", "v"), dir)
