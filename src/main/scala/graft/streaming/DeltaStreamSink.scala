@@ -59,7 +59,7 @@ class DeltaStreamSink(
     // replayed batch? the log remembers the last committed id per appId
     val lastCommitted =
       if (!DeltaLog.isDeltaTable(spark, tablePath)) None
-      else DeltaLog.snapshot(spark, tablePath).txns.get(txnAppId)
+      else DeltaLog.snapshot(spark, tablePath, withFiles = false).txns.get(txnAppId)
     if (lastCommitted.exists(_ >= batchId)) return
 
     // the incoming frame's plan belongs to the streaming engine and

@@ -48,7 +48,8 @@ class DeltaStreamSourceProvider extends StreamSourceProvider {
       schema: Option[StructType],
       providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
-    val table = DeltaLog.snapshot(sqlContext.sparkSession, pathOf(parameters)).schema
+    val table = DeltaLog.snapshot(
+      sqlContext.sparkSession, pathOf(parameters), withFiles = false).schema
     val full =
       if (!parameters.get("readChangeFeed").exists(_.toBoolean)) table
       else StructType(table.fields ++ Seq(
@@ -103,7 +104,7 @@ class DeltaStreamSource(
 
   // schema pinned at stream start; a mid-stream metadata change that
   // alters it refuses in getBatch rather than emitting mixed shapes
-  private val meta = DeltaLog.snapshot(spark, tablePath).metadata
+  private val meta = DeltaLog.snapshot(spark, tablePath, withFiles = false).metadata
   override val schema: StructType =
     if (!readChangeFeed) meta.schema
     else StructType(meta.schema.fields ++ Seq(
@@ -176,7 +177,7 @@ class DeltaStreamSource(
     // seed the rate-limit base on restart (the engine replays the
     // restored batch before the first getOffset)
     lastSeen = Some(math.max(to, lastSeen.getOrElse(Long.MinValue)))
-    val cur = DeltaLog.snapshot(spark, tablePath).metadata
+    val cur = DeltaLog.snapshot(spark, tablePath, withFiles = false).metadata
     require(cur.schemaString == meta.schemaString,
       s"schema of $tablePath changed mid-stream; restart the query to pick it up")
 

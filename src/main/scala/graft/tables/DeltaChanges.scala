@@ -38,7 +38,7 @@ object DeltaChanges {
       fromVersion: Long,
       toVersion: Long = Long.MaxValue
   ): DataFrame = {
-    val snap = DeltaLog.snapshot(spark, tablePath)
+    val snap = DeltaLog.snapshot(spark, tablePath, withFiles = false)
     val meta = snap.metadata
     require(meta.configuration.get("delta.enableChangeDataFeed").contains("true"),
       s"change data feed is not enabled on $tablePath " +

@@ -258,6 +258,73 @@ object DeltaLog {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** Cheap UPPER-BOUND estimate of the live file count at `versionAsOf`
+    * (default latest), readable WITHOUT materializing any add rows:
+    * the newest usable checkpoint's `_last_checkpoint` `size` (its
+    * total action count bounds its adds) plus the JSON tail's byte
+    * length divided by a conservative floor bytes-per-add-action.
+    * One log-dir listing + one tiny file read — O(commits) driver
+    * work, never O(files). Overestimating is safe: it switches a read
+    * to distributed planning early, never keeps a 10⁷-file table on
+    * the driver path.
+    */
+  def estimateFileCount(
+      spark: SparkSession,
+      tablePath: String,
+      versionAsOf: Option[Long] = None
+  ): Long = {
+    val dir = logDir(tablePath)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return 0L
+    val statuses = fs.listStatus(dir).filter(_.isFile)
+    val jsonSizes: Map[Long, Long] = statuses.flatMap(s => s.getPath.getName match {
+      case JsonCommit(v) => Some(v.toLong -> s.getLen)
+      case _             => None
+    }).toMap
+    val cpVersions = statuses.flatMap(_.getPath.getName match {
+      case CheckpointFile(v)                => Some(v.toLong)
+      case MultiPartCheckpointFile(v, _, _) => Some(v.toLong)
+      case V2CheckpointFile(v, _, _)        => Some(v.toLong)
+      case _                                => None
+    })
+    val known = jsonSizes.keySet ++ cpVersions
+    if (known.isEmpty) return 0L
+    val target = versionAsOf.getOrElse(known.max)
+    val cpV = cpVersions.filter(_ <= target).maxOption
+    // `_last_checkpoint` carries the action count when it matches the
+    // chosen checkpoint version; otherwise fall back to 0 and let the
+    // tail term dominate (a checkpoint without a readable size means
+    // the estimate is weaker, not wrong — the JSON tail since the
+    // checkpoint still bounds post-checkpoint adds)
+    val cpActions: Long = cpV.map { v =>
+      readLastCheckpointSize(fs, tablePath).filter(_._1 == v).map(_._2).getOrElse(0L)
+    }.getOrElse(0L)
+    val tailFrom = cpV.map(_ + 1L).getOrElse(0L)
+    val tailBytes = jsonSizes.collect {
+      case (v, len) if v >= tailFrom && v <= target => len
+    }.sum
+    // an add action with stats serializes to well over 150 bytes; the
+    // floor makes the division an over-count (the safe direction)
+    cpActions + tailBytes / 150
+  }
+
+  private def readLastCheckpointSize(
+      fs: FileSystem, tablePath: String): Option[(Long, Long)] = {
+    val p = new Path(logDir(tablePath), "_last_checkpoint")
+    try {
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val text =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        val node = mapper.readTree(text)
+        Some((node.get("version").asLong(),
+          Option(node.get("size")).filterNot(_.isNull).map(_.asLong()).getOrElse(0L)))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   def isDeltaTable(spark: SparkSession, tablePath: String): Boolean = {
     val dir = logDir(tablePath)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -342,12 +409,19 @@ object DeltaLog {
     * the table's file count. The scale entry point for 10⁷-file
     * tables, paired with [[DeltaFilesDataset]] for the file state.
     */
+  /** Test observability: counts driver-side FULL file-list replays
+    * (`snapshot(withFiles = true)`). Specs assert the auto-gated
+    * distributed read path never bumps it.
+    */
+  private[graft] val driverFileReplays = new java.util.concurrent.atomic.AtomicLong
+
   def snapshot(
       spark: SparkSession,
       tablePath: String,
       versionAsOf: Option[Long] = None,
       withFiles: Boolean = true
   ): Snapshot = {
+    if (withFiles) driverFileReplays.incrementAndGet()
     val fs = logDir(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val (jsons, cps) = listLog(spark, tablePath)
     val known = jsons.keySet ++ cps.keySet

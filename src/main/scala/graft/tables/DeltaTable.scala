@@ -54,6 +54,16 @@ class DeltaTable(
     * the SURVIVING files plus O(commits) metadata. Same result rows as
     * the default driver-side replay (spec-enforced); the right mode
     * for tables whose file LIST outgrows the driver.
+    *
+    * When the key is ABSENT the mode is chosen automatically: a cheap
+    * O(commits) estimate of the live file count
+    * ([[DeltaLog.estimateFileCount]] — `_last_checkpoint` action count
+    * + JSON tail bytes, no add rows materialized) is compared against
+    * [[DeltaTable.AutoDistributedThresholdConf]] (default
+    * [[DeltaTable.DefaultAutoDistributedThreshold]] files). A user
+    * who never heard of the flag gets the distributed path before a
+    * 10⁷-file table can kill the driver; an explicit true/false always
+    * wins.
     */
   val DistributedPlanningKey = "distributedPlanning"
 
@@ -73,10 +83,14 @@ class DeltaTable(
       }
       DeltaLog.versionAtTimestamp(spark, uri, millis)
     })
-    val distributedPlanning = args.extra.get(DistributedPlanningKey).exists {
+    val distributedPlanning = args.extra.get(DistributedPlanningKey).map {
       case b: Boolean => b
       case s: String  => s.toBoolean
       case other => throw new IllegalArgumentException(s"bad $DistributedPlanningKey: $other")
+    }.getOrElse {
+      val threshold = spark.conf.getOption(DeltaTable.AutoDistributedThresholdConf)
+        .map(_.toLong).getOrElse(DeltaTable.DefaultAutoDistributedThreshold)
+      threshold >= 0 && DeltaLog.estimateFileCount(spark, uri, version) >= threshold
     }
     // distributed planning never materializes the full file list on
     // the driver: metadata-only replay + Spark-side pruning, then
@@ -122,13 +136,27 @@ class DeltaTable(
   }
 
   override def getSchema(spark: SparkSession): TableSchema = {
-    val snap = DeltaLog.snapshot(spark, uri)
+    val snap = DeltaLog.snapshot(spark, uri, withFiles = false)
     val partitions = snap.metadata.partitionColumns.map(c =>
       TablePartition(c, snap.schema(c).dataType.simpleString, ""))
     val cols = TableSchema.columnsOf(snap.schema, statsCols.toSet) ++
       extraCols.map { case (_, alias, t) => TableColumn(alias, t, readonly = true) }
     TableSchema(partitions, cols)
   }
+}
+
+object DeltaTable {
+  /** Session conf: live-file-count estimate at which a read with no
+    * explicit `distributedPlanning` arg switches to distributed scan
+    * planning. Set to a negative value to disable the auto-gate.
+    */
+  val AutoDistributedThresholdConf = "spark.graft.delta.autoDistributedPlanningThreshold"
+
+  /** 100k add entries with stats ≈ hundreds of MB of driver heap once
+    * materialized as [[DeltaLog.AddFile]]s — past this, planning the
+    * scan as Spark jobs is the safe default at any executor count.
+    */
+  val DefaultAutoDistributedThreshold = 100000L
 }
 
 /** Shared scan path over replayed `add` files — used by DeltaTable

@@ -245,6 +245,42 @@ class DeltaFilesDatasetSpec extends SparkSpec {
     assert(base.nonEmpty)
   }
 
+  test("auto-gate: large estimated file count plans distributedly with no driver add-collect") {
+    val dir = tempDir("fds-auto").toString + "/t"
+    (0 until 3).foreach(i =>
+      DeltaWrite.append(spark,
+        Seq.tabulate(30)(j => (s"p$i", i * 30L + j)).toDF("cat", "id"), dir, Seq("cat")))
+    DeltaWrite.checkpoint(spark, dir)
+    DeltaWrite.append(spark, Seq(("p1", 999L)).toDF("cat", "id"), dir, Seq("cat"))
+    assert(DeltaLog.estimateFileCount(spark, dir) >= 3L) // cheap gate input
+    val t = new DeltaTable("t", dir)
+    val args = ReadArgs.where(Filter("cat", "=", "p1"), Filter("id", "<", 50L))
+    val expected = t(spark, args).orderBy("id").collect().toSeq
+
+    try {
+      spark.conf.set(DeltaTable.AutoDistributedThresholdConf, "1")
+      val before = DeltaLog.driverFileReplays.get()
+      val got = t(spark, args) // no distributedPlanning arg — the gate decides
+      val planned = DeltaLog.driverFileReplays.get()
+      assert(planned == before,
+        "auto-gated read materialized the file list on the driver")
+      assert(got.orderBy("id").collect().toSeq == expected)
+      // collecting the result must not fall back to a driver replay
+      assert(DeltaLog.driverFileReplays.get() == before)
+
+      // an explicit false overrides the gate even above threshold
+      t(spark, args.copy(extra = args.extra + (t.DistributedPlanningKey -> false)))
+        .collect()
+      assert(DeltaLog.driverFileReplays.get() > before)
+    } finally spark.conf.unset(DeltaTable.AutoDistributedThresholdConf)
+
+    // below the default threshold the driver path is used (cheap for
+    // small tables — no extra Spark jobs for planning)
+    val b2 = DeltaLog.driverFileReplays.get()
+    t(spark, args).collect()
+    assert(DeltaLog.driverFileReplays.get() > b2)
+  }
+
   test("DELETE/UPDATE/DV-delete under distributed planning match driver planning") {
     import graft.core.{Filter, Filters}
     def mk(tag: String): String = {
