@@ -20,9 +20,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftExtensions.definitions.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
-    // window-top-k → bounded-heap aggregate rewrite (conservative
-    // matching; see graft.plans.RowNumberTopKRewrite)
-    ext.injectOptimizerRule(_ => graft.plans.RowNumberTopKRewrite)
+    // The window-top-k → bounded-heap rewrite
+    // (graft.plans.RowNumberTopKRewrite) is deliberately NOT injected
+    // here: Spark 4's InferWindowGroupLimit already bounds the shuffle
+    // to k rows per group ahead of the exchange and stays inside
+    // whole-stage codegen, and it measures ~20% faster than the
+    // interpreted TypedImperativeAggregate heap on the bench pair.
+    // The rule remains available as an explicit opt-in
+    // (spark.experimental.extraOptimizations) for engines without a
+    // group-limit optimization.
   }
 }
 

@@ -33,9 +33,33 @@ object RowNumberTopKRewrite extends Rule[LogicalPlan] {
         if partitionSpec.nonEmpty =>
       extractLimit(cond, alias.toAttribute) match {
         case Some(k) if k > 0 && k <= 10000 =>
-          rewrite(f, w, alias, partitionSpec, orderSpec, child, k)
+          rewrite(f, w, alias, partitionSpec, orderSpec, unwrapGroupLimit(child, partitionSpec, orderSpec, k), k)
         case _ => f
       }
+  }
+
+  /** Spark's own InferWindowGroupLimit runs in the main optimizer
+    * batch — BEFORE user-provided rules — and leaves a
+    * [[WindowGroupLimit]] under the Window. Keeping it under the TopK
+    * aggregate would execute BOTH top-k strategies (the group limit's
+    * full partition sorts + exchange AND the bounded heap): strip it
+    * when it matches the window spec and keeps ≥ k rows per group
+    * (then it only drops rows the heap would drop anyway).
+    */
+  private def unwrapGroupLimit(
+      child: LogicalPlan,
+      partitionSpec: Seq[Expression],
+      orderSpec: Seq[SortOrder],
+      k: Int
+  ): LogicalPlan = child match {
+    case WindowGroupLimit(p2, o2, _: RowNumber, lim, inner)
+        if lim >= k &&
+          p2.length == partitionSpec.length &&
+          p2.zip(partitionSpec).forall { case (a, b) => a.semanticEquals(b) } &&
+          o2.length == orderSpec.length &&
+          o2.zip(orderSpec).forall { case (a, b) => a.semanticEquals(b) } =>
+      inner
+    case other => other
   }
 
   /** cond must be exactly `rnAttr <= k` / `rnAttr < k` / `k >= rnAttr`. */

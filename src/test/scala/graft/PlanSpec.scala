@@ -116,6 +116,11 @@ class PlanSpec extends SparkSpec {
       val opt = df.queryExecution.optimizedPlan.toString
       assert(opt.contains("graft_top_k"), s"rewrite did not fire:\n$opt")
       assert(!opt.contains("Window ["), s"window survived the rewrite:\n$opt")
+      // InferWindowGroupLimit runs before user rules; leaving its
+      // WindowGroupLimit under the heap aggregate would execute BOTH
+      // top-k strategies (the r5 bench regression)
+      assert(!opt.contains("WindowGroupLimit"),
+        s"redundant WindowGroupLimit under the TopK aggregate:\n$opt")
     } finally spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations.filterNot(_ == rule)
   }
