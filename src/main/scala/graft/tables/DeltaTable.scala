@@ -135,6 +135,62 @@ class DeltaTable(
     df
   }
 
+  /** Reference `fetch_df_by_partition` (deltalake_table.py:302-340):
+    * the rows of exactly the partitions matching `partition` — a
+    * conjunction of filters over partition columns only (the
+    * reference's `dt.files(partition_filters=...)` contract; a
+    * non-partition column refuses loudly). Partition-value matching
+    * is exact, so this never opens a non-matching file; missing
+    * partitions yield an EMPTY frame with the normalized schema, not
+    * an error (reference `_empty_normalized_df`). Like the reference,
+    * this is a direct fetch: `uniqueColumns`/`extraCols` query
+    * semantics do not apply.
+    */
+  def byPartitions(
+      spark: SparkSession,
+      partition: Seq[Filter],
+      versionAsOf: Option[Long] = None
+  ): DataFrame = {
+    val snap = DeltaLog.snapshot(spark, uri, versionAsOf)
+    val partCols = snap.metadata.partitionColumns.toSet
+    val bad = partition.map(_.column).distinct.filterNot(partCols.contains)
+    require(bad.isEmpty,
+      s"byPartitions filters must reference partition columns of $name only; " +
+        s"got ${bad.mkString(", ")} (partitions: ${partCols.mkString(", ")})")
+    val norm = Filters.normalize(partition)
+    val survivors = snap.files.filter(f =>
+      DeltaFileSkipping.mayMatch(f, norm, snap.metadata))
+    var df = DeltaRead.readFiles(spark, uri, snap.metadata, survivors)
+    // partition pruning is exact for the algebra's ops, but re-apply
+    // the predicate on rows anyway — belt-and-braces at zero cost
+    // (Catalyst folds a literal-true partition predicate away)
+    Filters.toColumn(norm).foreach(p => df = df.filter(p))
+    df
+  }
+
+  /** Reference `fetch_dfs_by_paths` (deltalake_table.py:343-376)
+    * scoped to this table: read exactly `paths` (absolute or
+    * table-relative) as one frame — schema-normalized, partition
+    * columns re-attached, deletion vectors honored. Paths that are
+    * not live files of the snapshot refuse loudly (reading a
+    * vacuumed/removed file would silently resurrect dead rows).
+    */
+  def byPaths(
+      spark: SparkSession,
+      paths: Seq[String],
+      versionAsOf: Option[Long] = None
+  ): DataFrame = {
+    val snap = DeltaLog.snapshot(spark, uri, versionAsOf)
+    val base = uri.stripSuffix("/") + "/"
+    val rel = paths.map(p => if (p.startsWith(base)) p.substring(base.length) else p)
+    val live = snap.files.map(f => f.path -> f).toMap
+    val missing = rel.filterNot(live.contains)
+    require(missing.isEmpty,
+      s"paths are not live files of $name at version ${snap.version}: " +
+        missing.take(5).mkString(", "))
+    DeltaRead.readFiles(spark, uri, snap.metadata, rel.distinct.map(live))
+  }
+
   override def getSchema(spark: SparkSession): TableSchema = {
     val snap = DeltaLog.snapshot(spark, uri, withFiles = false)
     val partitions = snap.metadata.partitionColumns.map(c =>
