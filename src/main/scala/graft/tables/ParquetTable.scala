@@ -121,8 +121,74 @@ class ParquetTable(
     }
   }
 
-  override def apply(spark: SparkSession, args: ReadArgs): DataFrame = {
+  override def apply(spark: SparkSession, args: ReadArgs): DataFrame =
+    read(spark, args, allowEmpty = false)
+
+  /** Reference `fetch_df_by_partition` (deltalake_table.py:302-340)
+    * for parquet layouts: the rows of exactly the partitions matching
+    * `partition` — a conjunction of filters over DECLARED partition
+    * columns only (anything else refuses loudly). A partition with no
+    * data yields an EMPTY frame with the table's normalized schema,
+    * not an error (reference `_empty_normalized_df`) — the one
+    * behavioral difference from `apply`, which treats a nonexistent
+    * pinned path as a user error.
+    */
+  def byPartitions(spark: SparkSession, partition: Seq[Filter]): DataFrame = {
+    val declared = partitioning.map(_.column).toSet
+    val bad = partition.map(_.column).distinct.filterNot(declared.contains)
+    require(bad.isEmpty,
+      s"byPartitions filters must reference partition columns of $name only; " +
+        s"got ${bad.mkString(", ")} (partitions: ${declared.mkString(", ")})")
+    read(spark, ReadArgs(filters = Filters.normalize(partition)), allowEmpty = true)
+  }
+
+  /** Reference `fetch_dfs_by_paths` (deltalake_table.py:343-376)
+    * scoped to this table: read exactly `paths` (absolute or
+    * table-relative parquet files) as one frame. Partition columns are
+    * re-derived from each file's directory components per the layout
+    * (Hive `col=v` names; Directory positionally) and re-attached as
+    * typed literals; schemas are normalized across files by name with
+    * missing columns null (reference `_normalize_df`).
+    */
+  def byPaths(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    require(paths.nonEmpty, s"byPaths of $name needs at least one path")
+    val base = uri.stripSuffix("/") + "/"
+    val fs = new Path(uri).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val frames = paths.distinct.map { p =>
+      val abs = if (p.startsWith(base)) p else base + p.stripPrefix("/")
+      require(fs.exists(new Path(abs)), s"$abs is not a file of $name")
+      val rel = abs.substring(base.length)
+      val dirs = rel.split('/').dropRight(1).toSeq
+      val values: Seq[(Partition, String)] = partitioningScheme match {
+        case PartitioningScheme.Hive =>
+          dirs.flatMap { seg =>
+            seg.split("=", 2) match {
+              case Array(k, v) => partitioning.find(_.column == k).map(_ -> v)
+              case _           => None
+            }
+          }
+        case PartitioningScheme.Directory => partitioning.zip(dirs)
+      }
+      var d = spark.read.parquet(abs)
+      values.foreach { case (part, v) =>
+        d = d.withColumn(part.column, lit(v).cast(part.dataType))
+      }
+      d
+    }
+    frames.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  private def read(spark: SparkSession, args: ReadArgs, allowEmpty: Boolean): DataFrame = {
     val plan = buildPrefix(args.filters)
+
+    // a fully/partially pinned prefix that does not exist on disk is a
+    // missing partition: byPartitions yields the empty normalized
+    // frame (reference semantics); apply keeps refusing loudly
+    if (allowEmpty) {
+      val fs = new Path(uri).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new Path(plan.prefix)))
+        return emptyNormalized(spark)
+    }
 
     var df: DataFrame = partitioningScheme match {
       case PartitioningScheme.Hive =>
@@ -133,7 +199,13 @@ class ParquetTable(
         else
           spark.read.parquet(plan.prefix)
       case PartitioningScheme.Directory =>
-        readDirectoryLayout(spark, plan)
+        readDirectoryLayout(spark, plan) match {
+          case Some(d) => d
+          case None =>
+            if (allowEmpty) return emptyNormalized(spark)
+            else throw new IllegalArgumentException(
+              s"No partitions of $name match the given filters under ${plan.prefix}")
+        }
     }
 
     // Hive partition-type inference may differ from the declaration —
@@ -162,8 +234,8 @@ class ParquetTable(
     * on path metadata, not data), then union leaf scans annotated
     * with their partition values.
     */
-  private def readDirectoryLayout(spark: SparkSession, plan: PrefixPlan): DataFrame = {
-    if (plan.remaining.isEmpty) return spark.read.parquet(plan.prefix)
+  private def readDirectoryLayout(spark: SparkSession, plan: PrefixPlan): Option[DataFrame] = {
+    if (plan.remaining.isEmpty) return Some(spark.read.parquet(plan.prefix))
 
     val fs = new Path(plan.prefix).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -205,9 +277,9 @@ class ParquetTable(
     }
 
     val kept = leaves.filter { case (_, vs) => mayMatch(vs) }
-    require(kept.nonEmpty, s"No partitions of $name match the given filters under ${plan.prefix}")
+    if (kept.isEmpty) return None
 
-    kept
+    Some(kept
       .map { case (leaf, vs) =>
         var d = spark.read.parquet(leaf.toString)
         partCols.zip(vs).zip(plan.remaining).foreach { case ((c, v), p) =>
@@ -215,8 +287,17 @@ class ParquetTable(
         }
         d
       }
-      .reduce(_.unionByName(_))
+      .reduce(_.unionByName(_)))
   }
+
+  /** Empty frame with the table's normalized schema (reference
+    * `_empty_normalized_df`): the unfiltered read's schema — data
+    * columns plus every partition column at its declared type — with
+    * zero rows (`LIMIT 0` folds to an empty local relation; only
+    * footers are touched for schema).
+    */
+  private def emptyNormalized(spark: SparkSession): DataFrame =
+    read(spark, ReadArgs(), allowEmpty = false).limit(0)
 
   /** Fully-pinned leaf file path (parquet_table.py:build_file_fragment). */
   def buildFileFragment(filters: Seq[Filter]): String = {
