@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.TimeFns.tsUs
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -33,9 +34,9 @@ object RangeJoin {
       endCol: String,
       bucketWidthUs: Long
   ): DataFrame = {
-    val pB = unix_micros(col(tsCol)).divide(bucketWidthUs).cast("long")
-    val iStart = unix_micros(col(startCol)).divide(bucketWidthUs).cast("long")
-    val iEnd = unix_micros(col(endCol)).divide(bucketWidthUs).cast("long")
+    val pB = tsUs(col(tsCol)).divide(bucketWidthUs).cast("long")
+    val iStart = tsUs(col(startCol)).divide(bucketWidthUs).cast("long")
+    val iEnd = tsUs(col(endCol)).divide(bucketWidthUs).cast("long")
 
     val bucketedPoints = points.withColumn("_b", pB)
     val bucketedIntervals = intervals

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.TimeFns.tsUs
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -22,7 +23,7 @@ object Sessionize {
     val byUser = Window.partitionBy(userCol).orderBy(tsCol)
     val prevTs = lag(col(tsCol), 1).over(byUser)
     val isBreak = when(
-      prevTs.isNull.or(unix_micros(col(tsCol)) - unix_micros(prevTs) > gapSeconds * 1000000L),
+      prevTs.isNull.or(tsUs(col(tsCol)) - tsUs(prevTs) > gapSeconds * 1000000L),
       1L).otherwise(0L)
     events
       .withColumn("_brk", isBreak)

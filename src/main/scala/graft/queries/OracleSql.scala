@@ -1427,17 +1427,82 @@ object OracleSql {
 
   /** Oracles whose SQL embeds values computed DETERMINISTICALLY from
     * the data at `dir` — merged over [[all]] by Verify, which knows
-    * the scale-factor directory. The only entry today splices the
-    * learned k-means centroids into the q_ann_kmeans oracle as a
-    * literal matrix: the learner itself is deterministic (hash-sample
-    * init, exact-decimal means, fixed iterations — SimilaritySpec),
-    * so the assignment + in-bucket top-k become SQL-expressible the
-    * same way q_ann_ivf's modulo-seed variant already is.
+    * the scale-factor directory. q_ann_kmeans splices the learned
+    * k-means centroids into its oracle as a literal matrix: the
+    * learner itself is deterministic (hash-sample init, exact-decimal
+    * means, fixed iterations — SimilaritySpec), so the assignment +
+    * in-bucket top-k become SQL-expressible the same way q_ann_ivf's
+    * modulo-seed variant already is. q_bpe_tokens splices the learned
+    * merge table and applies it with a recursive CTE (see
+    * [[bpeTokensSql]]).
     */
   def dynamic(
       spark: org.apache.spark.sql.SparkSession,
       dir: String
-  ): Map[String, String] = Map("q_ann_kmeans" -> annKmeansSql(spark, dir))
+  ): Map[String, String] = Map(
+    "q_ann_kmeans" -> annKmeansSql(spark, dir),
+    "q_bpe_tokens" -> bpeTokensSql(spark, dir))
+
+  /** DuckDB oracle for greedy BPE encoding — SQL-expressible after
+    * all thanks to the components-before-compounds invariant of a
+    * LEARNED merge table: any merge whose component token was produced
+    * by another merge necessarily has a higher rank (the component had
+    * to exist when the pair was counted), so the engine's
+    * lowest-rank-first per-word loop (Bpe.encodeWord) is equivalent to
+    * applying the merges once each, in rank order, replacing every
+    * occurrence — which IS expressible as a 20-step recursive CTE.
+    *
+    * Token-list encoding: each token is wrapped in chr(31) sentinels
+    * and concatenated ("⟨a⟩⟨b⟩" = 0x1f a 0x1f 0x1f b 0x1f), so the
+    * merge rewrite `replace(s, ⟨a⟩⟨b⟩, ⟨ab⟩)` can neither match a
+    * token-content suffix/prefix (content never contains 0x1f) nor
+    * starve an adjacent non-overlapping occurrence (each boundary owns
+    * its own sentinel pair). Token count = sentinels / 2. The CTE runs
+    * over the DISTINCT (source, word) table — the same
+    * vocabulary-not-corpus trick the learner uses — then re-weights by
+    * word frequency.
+    */
+  private def bpeTokensSql(
+      spark: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val merges = graft.functions.Bpe.learn(
+      Tables.table(spark, dir, "documents"), "text", numMerges = 20)
+    require(merges.nonEmpty, "BPE oracle needs a non-empty merge table")
+    def esc(s: String) = s.replace("'", "''")
+    val rows = merges.zipWithIndex.map { case ((a, b), r) =>
+      s"($r, '${esc(a)}', '${esc(b)}')"
+    }.mkString(",\n|    ")
+    val S = "chr(31)"
+    s"""WITH RECURSIVE merges(rank, a, b) AS (VALUES
+       |    $rows),
+       |words AS (
+       |  SELECT d.source, t.w, count(*)::BIGINT AS freq
+       |  FROM documents d, unnest(regexp_split_to_array(d.text, '\\s+')) AS t(w)
+       |  WHERE len(t.w) > 0
+       |  GROUP BY d.source, t.w),
+       |init AS (
+       |  SELECT source, w, freq,
+       |    $S || array_to_string(string_split(w, ''), $S||$S) || $S AS s
+       |  FROM words),
+       |enc AS (
+       |  SELECT 0 AS r, source, w, freq, s FROM init
+       |  UNION ALL
+       |  SELECT e.r + 1, e.source, e.w, e.freq,
+       |         replace(e.s, $S||m.a||$S||$S||m.b||$S, $S||m.a||m.b||$S)
+       |  FROM enc e JOIN merges m ON m.rank = e.r),
+       |counted AS (
+       |  SELECT source, freq, (len(s) - len(replace(s, $S, ''))) / 2 AS n_tok
+       |  FROM enc WHERE r = ${merges.size}),
+       |chars AS (
+       |  SELECT source, sum(len(text))::BIGINT AS n_chars
+       |  FROM documents GROUP BY source),
+       |toks AS (
+       |  SELECT source, sum(n_tok * freq)::BIGINT AS total_tokens
+       |  FROM counted GROUP BY source)
+       |SELECT t.source, t.total_tokens,
+       |  round(c.n_chars::DOUBLE / t.total_tokens, 4) AS chars_per_token
+       |FROM toks t JOIN chars c USING (source)
+       |ORDER BY t.source""".stripMargin
+  }
 
   private def annKmeansSql(
       spark: org.apache.spark.sql.SparkSession, dir: String): String = {

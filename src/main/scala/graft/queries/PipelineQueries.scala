@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.functions.Text
+import graft.functions.TimeFns.tsUs
 import graft.multimodal.Multimodal
 import graft.operators.{Dedup, NearDup, Sessionize, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -24,15 +25,15 @@ object PipelineQueries {
     */
   def qSessionize(s: SparkSession, dir: String): DataFrame =
     Sessionize.rollup(t(s, dir, "events"), "user_id", "ts", "value", gapSeconds = 1800)
-      .withColumn("start_us", unix_micros(col("session_start")))
-      .withColumn("end_us", unix_micros(col("session_end")))
+      .withColumn("start_us", tsUs(col("session_start")))
+      .withColumn("end_us", tsUs(col("session_end")))
       .select("user_id", "session_seq", "start_us", "end_us", "n_events", "sum_value")
       .orderBy("user_id", "session_seq")
 
   /** E9: tumbling-hour event aggregation. */
   def qEventBuckets(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
-      .withColumn("bucket_us", unix_micros(date_trunc("hour", col("ts"))))
+      .withColumn("bucket_us", tsUs(date_trunc("hour", col("ts"))))
       .groupBy(col("bucket_us"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), dsum(d4(col("value"))).as("sum_value"))
       .orderBy("bucket_us", "event_type")

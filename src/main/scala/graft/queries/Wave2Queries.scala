@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.functions.TimeFns.tsUs
 import graft.operators.AsOfJoin
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -31,8 +32,8 @@ object Wave2Queries {
       rightPayload = Seq("hourly_events"))
       .select(
         col("event_id"), col("user_id"),
-        unix_micros(col("ts")).as("ts_us"),
-        unix_micros(col("asof_hts")).as("hour_us"),
+        tsUs(col("ts")).as("ts_us"),
+        tsUs(col("asof_hts")).as("hour_us"),
         col("asof_hourly_events").as("hourly_events"))
       .orderBy("event_id")
   }
@@ -54,8 +55,8 @@ object Wave2Queries {
       .where(col("asof_hts").isNotNull)
       .select(
         col("event_id"), col("user_id"),
-        unix_micros(col("ts")).as("ts_us"),
-        unix_micros(col("asof_hts")).as("hour_us"),
+        tsUs(col("ts")).as("ts_us"),
+        tsUs(col("asof_hts")).as("hour_us"),
         col("asof_hourly_events").as("hourly_events"))
       .orderBy("event_id")
   }

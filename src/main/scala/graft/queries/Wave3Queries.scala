@@ -184,9 +184,12 @@ object Wave3Queries {
 
   /** BPE tokenization with a merge table learned from the corpus
     * itself (distinct-word frequency table, deterministic tie-breaks).
-    * Rows-only (greedy merge application isn't SQL-expressible); the
-    * learner is verified against a driver-side reference
-    * implementation in BpeSpec.
+    * Oracled via a dynamic recursive-CTE DuckDB query
+    * (OracleSql.bpeTokensSql) that replays the learned merges in rank
+    * order — equivalent to the engine's greedy lowest-rank-first loop
+    * because learned merge tables satisfy components-before-compounds.
+    * The learner is additionally verified against a driver-side
+    * reference implementation in BpeSpec.
     */
   def qBpeTokens(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.table(s, dir, "documents")

@@ -415,6 +415,13 @@ object DeltaLog {
     */
   private[graft] val driverFileReplays = new java.util.concurrent.atomic.AtomicLong
 
+  /** Test observability: counts single-job checkpoint metadata folds
+    * (one bump per checkpoint/sidecar dataframe whose metadata columns
+    * were aggregated). Specs assert the metadata-only snapshot does
+    * exactly one fold per checkpoint df and collects exactly one row.
+    */
+  private[graft] val checkpointMetaJobs = new java.util.concurrent.atomic.AtomicLong
+
   def snapshot(
       spark: SparkSession,
       tablePath: String,
@@ -532,58 +539,81 @@ object DeltaLog {
       }
     }
 
+    def applyProtocolRow(p: org.apache.spark.sql.Row): Unit = {
+      val names = p.schema.fieldNames
+      def featureSeq(field: String): Option[Seq[String]] =
+        if (!names.contains(field)) None
+        else Option(p.getAs[scala.collection.Seq[String]](field)).map(_.toSeq)
+      val minReader = p.getAs[Int]("minReaderVersion")
+      if (minReader >= 3) {
+        require(minReader == 3,
+          s"unsupported Delta reader protocol version $minReader in $tablePath checkpoint")
+        val features = featureSeq("readerFeatures").map(_.toSet).getOrElse(Set.empty)
+        val unsupported = features -- SupportedReaderFeatures
+        require(unsupported.isEmpty,
+          s"unsupported Delta reader features $unsupported in $tablePath checkpoint")
+      }
+      protocol = Protocol(
+        minReader,
+        if (names.contains("minWriterVersion")) p.getAs[Int]("minWriterVersion") else 2,
+        featureSeq("readerFeatures"), featureSeq("writerFeatures"))
+    }
+
+    def applyMetadataRow(m: org.apache.spark.sql.Row): Unit = {
+      val names = m.schema.fieldNames
+      val conf =
+        if (!names.contains("configuration")) Map.empty[String, String]
+        else Option(m.getAs[scala.collection.Map[String, String]]("configuration"))
+          .map(_.toMap).getOrElse(Map.empty[String, String])
+      val md = Metadata(
+        m.getAs[String]("schemaString"),
+        Option(m.getAs[scala.collection.Seq[String]]("partitionColumns"))
+          .map(_.toSeq).getOrElse(Seq.empty),
+        conf,
+        id = if (names.contains("id")) Option(m.getAs[String]("id")).getOrElse("") else "",
+        createdTime =
+          if (!names.contains("createdTime")) None
+          else Option(m.getAs[Any]("createdTime")).map {
+            case l: Long => l
+            case i: Int  => i.toLong
+          })
+      require(Seq("none", "name", "id").contains(md.columnMappingMode),
+        s"Delta column mapping mode '${md.columnMappingMode}' is not supported in $tablePath")
+      meta = Some(md)
+    }
+
     // apply the protocol/metaData/add columns of a checkpoint (or
     // sidecar) dataframe; returns sidecar file names a v2 manifest
     // defers its file actions to.
+    //
+    // Metadata is folded in ONE aggregation job: `collect_list` (which
+    // skips null rows) gathers the ≤1-per-checkpoint protocol /
+    // metaData / checkpointMetadata rows and the bounded txn /
+    // domainMetadata / sidecar sets executor-side, and the driver
+    // collects a single row — it never iterates checkpoint rows for
+    // metadata, so the metadata-only replay's driver cost is O(appIds
+    // + domains + sidecars) regardless of table file count or commit
+    // count (this was the last per-action driver loop on the
+    // checkpoint path).
     def applyCheckpointDf(cp: org.apache.spark.sql.DataFrame, cpV: Long): Seq[String] = {
+      import org.apache.spark.sql.functions.{col => fcol, collect_list}
       val cols = cp.columns.toSet
-      if (cols.contains("protocol")) {
-        cp.select("protocol").where("protocol IS NOT NULL").collect().foreach { r =>
-          val p = r.getStruct(0)
-          val names = p.schema.fieldNames
-          def featureSeq(field: String): Option[Seq[String]] =
-            if (!names.contains(field)) None
-            else Option(p.getAs[scala.collection.Seq[String]](field)).map(_.toSeq)
-          val minReader = p.getAs[Int]("minReaderVersion")
-          if (minReader >= 3) {
-            require(minReader == 3,
-              s"unsupported Delta reader protocol version $minReader in $tablePath checkpoint")
-            val features = featureSeq("readerFeatures").map(_.toSet).getOrElse(Set.empty)
-            val unsupported = features -- SupportedReaderFeatures
-            require(unsupported.isEmpty,
-              s"unsupported Delta reader features $unsupported in $tablePath checkpoint")
-          }
-          protocol = Protocol(
-            minReader,
-            if (names.contains("minWriterVersion")) p.getAs[Int]("minWriterVersion") else 2,
-            featureSeq("readerFeatures"), featureSeq("writerFeatures"))
+      val metaCols = Seq("protocol", "metaData", "txn", "domainMetadata",
+        "checkpointMetadata", "sidecar").filter(cols.contains)
+      val folded: Map[String, Seq[org.apache.spark.sql.Row]] =
+        if (metaCols.isEmpty) Map.empty
+        else {
+          checkpointMetaJobs.incrementAndGet()
+          val aggs = metaCols.map(n => collect_list(fcol(n)).as(n))
+          val row = cp.agg(aggs.head, aggs.tail: _*).collect()(0)
+          metaCols.map(n =>
+            n -> row.getAs[scala.collection.Seq[org.apache.spark.sql.Row]](n).toSeq).toMap
         }
-      }
-      if (cols.contains("metaData")) {
-        cp.select("metaData").where("metaData IS NOT NULL").collect().foreach { r =>
-          val m = r.getStruct(0)
-          val names = m.schema.fieldNames
-          val conf =
-            if (!names.contains("configuration")) Map.empty[String, String]
-            else Option(m.getAs[scala.collection.Map[String, String]]("configuration"))
-              .map(_.toMap).getOrElse(Map.empty[String, String])
-          val md = Metadata(
-            m.getAs[String]("schemaString"),
-            Option(m.getAs[scala.collection.Seq[String]]("partitionColumns"))
-              .map(_.toSeq).getOrElse(Seq.empty),
-            conf,
-            id = if (names.contains("id")) Option(m.getAs[String]("id")).getOrElse("") else "",
-            createdTime =
-              if (!names.contains("createdTime")) None
-              else Option(m.getAs[Any]("createdTime")).map {
-                case l: Long => l
-                case i: Int  => i.toLong
-              })
-          require(Seq("none", "name", "id").contains(md.columnMappingMode),
-            s"Delta column mapping mode '${md.columnMappingMode}' is not supported in $tablePath")
-          meta = Some(md)
-        }
-      }
+      def rowsOf(n: String): Seq[org.apache.spark.sql.Row] =
+        folded.getOrElse(n, Seq.empty)
+
+      rowsOf("protocol").foreach(applyProtocolRow)
+      rowsOf("metaData").foreach(applyMetadataRow)
       if (withFiles && cols.contains("add")) {
         cp.select("add").where("add IS NOT NULL").collect().foreach { r =>
           val a = r.getStruct(0)
@@ -611,40 +641,28 @@ object DeltaLog {
           active += add.path -> add
         }
       }
-      if (cols.contains("domainMetadata")) {
-        cp.select("domainMetadata").where("domainMetadata IS NOT NULL")
-          .collect().foreach { r =>
-            val d = r.getStruct(0)
-            // checkpoints only carry live domains (removed ones are
-            // dropped at write, like expired tombstones) but tolerate
-            // a `removed` column written by other engines
-            val removed = d.schema.fieldNames.contains("removed") &&
-              Option(d.getAs[Any]("removed")).exists(_ == true)
-            if (!removed)
-              domains(d.getAs[String]("domain")) =
-                Option(d.getAs[String]("configuration")).getOrElse("")
-          }
+      rowsOf("domainMetadata").foreach { d =>
+        // checkpoints only carry live domains (removed ones are
+        // dropped at write, like expired tombstones) but tolerate
+        // a `removed` column written by other engines
+        val removed = d.schema.fieldNames.contains("removed") &&
+          Option(d.getAs[Any]("removed")).exists(_ == true)
+        if (!removed)
+          domains(d.getAs[String]("domain")) =
+            Option(d.getAs[String]("configuration")).getOrElse("")
       }
       // removes in a checkpoint are vacuum tombstones — not active state
-      if (cols.contains("txn")) {
-        cp.select("txn").where("txn IS NOT NULL").collect().foreach { r =>
-          val t = r.getStruct(0)
-          val appId = t.getAs[String]("appId")
-          val v = t.getAs[Long]("version")
-          txns(appId) = math.max(txns.getOrElse(appId, Long.MinValue), v)
-        }
+      rowsOf("txn").foreach { t =>
+        val appId = t.getAs[String]("appId")
+        val v = t.getAs[Long]("version")
+        txns(appId) = math.max(txns.getOrElse(appId, Long.MinValue), v)
       }
-      if (cols.contains("checkpointMetadata")) {
-        cp.select("checkpointMetadata").where("checkpointMetadata IS NOT NULL")
-          .collect().foreach { r =>
-            val v = r.getStruct(0).getAs[Long]("version")
-            require(v == cpV,
-              s"v2 checkpoint in $tablePath declares version $v, expected $cpV")
-          }
+      rowsOf("checkpointMetadata").foreach { m =>
+        val v = m.getAs[Long]("version")
+        require(v == cpV,
+          s"v2 checkpoint in $tablePath declares version $v, expected $cpV")
       }
-      if (!cols.contains("sidecar")) Seq.empty
-      else cp.select("sidecar").where("sidecar IS NOT NULL").collect().toSeq
-        .map(_.getStruct(0).getAs[String]("path"))
+      rowsOf("sidecar").map(_.getAs[String]("path"))
     }
 
     cpChoice.foreach { case (cpV, paths) =>
