@@ -146,30 +146,61 @@ class ParquetTable(
     * scoped to this table: read exactly `paths` (absolute or
     * table-relative parquet files) as one frame. Partition columns are
     * re-derived from each file's directory components per the layout
-    * (Hive `col=v` names; Directory positionally) and re-attached as
-    * typed literals; schemas are normalized across files by name with
-    * missing columns null (reference `_normalize_df`).
+    * (Hive `col=v` names, path-unescaped the way Spark's own
+    * partition discovery unescapes them; Directory positionally, with
+    * the directory depth required to match the declared partition
+    * count) and re-attached as typed literals; schemas are normalized
+    * across files by name with missing columns null (reference
+    * `_normalize_df`).
+    *
+    * Paths are normalized through Hadoop `Path` before the
+    * under-the-root test, so `file:` spellings and redundant slashes
+    * compare equal; an absolute path outside the table root refuses
+    * loudly instead of being silently concatenated onto the base, and
+    * each path must name an actual FILE — a directory would silently
+    * widen "read exactly these files" to everything under it.
     */
   def byPaths(spark: SparkSession, paths: Seq[String]): DataFrame = {
     require(paths.nonEmpty, s"byPaths of $name needs at least one path")
-    val base = uri.stripSuffix("/") + "/"
     val fs = new Path(uri).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val qBase = fs.makeQualified(new Path(uri))
+    val basePrefix = qBase.toString.stripSuffix("/") + "/"
     val frames = paths.distinct.map { p =>
-      val abs = if (p.startsWith(base)) p else base + p.stripPrefix("/")
-      require(fs.exists(new Path(abs)), s"$abs is not a file of $name")
-      val rel = abs.substring(base.length)
+      val cand = new Path(p)
+      val abs =
+        if (cand.isAbsolute || cand.toUri.getScheme != null) fs.makeQualified(cand)
+        else new Path(qBase, p.stripPrefix("/"))
+      require(abs.toString.startsWith(basePrefix),
+        s"$p resolves to $abs, outside the root of $name ($uri)")
+      val st =
+        try fs.getFileStatus(abs)
+        catch {
+          case _: java.io.FileNotFoundException =>
+            throw new IllegalArgumentException(s"$abs is not a file of $name")
+        }
+      require(st.isFile,
+        s"$abs is a directory, not a file of $name — byPaths reads exactly the named files")
+      val rel = abs.toString.substring(basePrefix.length)
       val dirs = rel.split('/').dropRight(1).toSeq
       val values: Seq[(Partition, String)] = partitioningScheme match {
         case PartitioningScheme.Hive =>
           dirs.flatMap { seg =>
             seg.split("=", 2) match {
-              case Array(k, v) => partitioning.find(_.column == k).map(_ -> v)
-              case _           => None
+              case Array(k, v) =>
+                partitioning.find(_.column == k)
+                  .map(_ -> org.apache.spark.sql.catalyst.catalog
+                    .ExternalCatalogUtils.unescapePathName(v))
+              case _ => None
             }
           }
-        case PartitioningScheme.Directory => partitioning.zip(dirs)
+        case PartitioningScheme.Directory =>
+          require(dirs.length == partitioning.length,
+            s"$abs sits $rel under $name, whose Directory layout declares " +
+              s"${partitioning.length} partition level(s) (${partitioning.map(_.column).mkString(", ")}) " +
+              s"but the path has ${dirs.length}")
+          partitioning.zip(dirs)
       }
-      var d = spark.read.parquet(abs)
+      var d = spark.read.parquet(abs.toString)
       values.foreach { case (part, v) =>
         d = d.withColumn(part.column, lit(v).cast(part.dataType))
       }
@@ -291,13 +322,42 @@ class ParquetTable(
   }
 
   /** Empty frame with the table's normalized schema (reference
-    * `_empty_normalized_df`): the unfiltered read's schema — data
-    * columns plus every partition column at its declared type — with
-    * zero rows (`LIMIT 0` folds to an empty local relation; only
-    * footers are touched for schema).
+    * `_empty_normalized_df`): data columns plus every declared
+    * partition column at its declared type, zero rows.
+    *
+    * The schema comes from ONE leaf file's footer (first file found
+    * walking the layout) plus the declared partitioning — not from an
+    * unfiltered full read, which would fail on a table whose root
+    * exists but holds no partitions yet, and for the Directory layout
+    * would enumerate and union every leaf just to throw the rows away.
+    * A fully-empty table yields its partition columns alone (the only
+    * schema that exists before the first file lands).
     */
-  private def emptyNormalized(spark: SparkSession): DataFrame =
-    read(spark, ReadArgs(), allowEmpty = false).limit(0)
+  private def emptyNormalized(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val fs = new Path(uri).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def firstLeaf(p: Path): Option[Path] = {
+      val sts =
+        try fs.listStatus(p).toSeq
+        catch { case _: java.io.FileNotFoundException => return None }
+      val (dirs, files) = sts.partition(_.isDirectory)
+      files.map(_.getPath).sortBy(_.getName)
+        .find(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        .orElse(dirs.map(_.getPath).sortBy(_.getName).view.flatMap(firstLeaf).headOption)
+    }
+    val dataSchema: StructType = firstLeaf(new Path(uri)) match {
+      case Some(f) => spark.read.parquet(f.toString).schema
+      case None    => new StructType()
+    }
+    val partFields = partitioning
+      .filterNot(p => dataSchema.fieldNames.contains(p.column))
+      .map(p => StructField(p.column, p.dataType))
+    val schema = StructType(dataSchema.fields ++ partFields)
+    require(schema.nonEmpty,
+      s"$name is empty and declares no partitions — no schema to normalize to")
+    spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+  }
 
   /** Fully-pinned leaf file path (parquet_table.py:build_file_fragment). */
   def buildFileFragment(filters: Seq[Filter]): String = {

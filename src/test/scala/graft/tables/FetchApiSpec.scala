@@ -162,4 +162,78 @@ class FetchApiSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("not a file"))
   }
+
+  test("parquet byPaths refuses a directory (reads exactly the named files)") {
+    val (_, t) = parquetFixture(PartitioningScheme.Hive)
+    val e = intercept[IllegalArgumentException] {
+      t.byPaths(spark, Seq("implant_id=11/date=2024-01-01"))
+    }
+    assert(e.getMessage.contains("directory"))
+  }
+
+  test("parquet byPaths refuses an absolute path outside the table root") {
+    val (_, t) = parquetFixture(PartitioningScheme.Hive)
+    val other = tempDir("fetch-other").toString
+    Seq(("x", 1)).toDF("payload", "reading")
+      .coalesce(1).write.mode("overwrite").parquet(other)
+    val leaf = new java.io.File(other).listFiles()
+      .map(_.getName).find(_.endsWith(".parquet")).get
+    val e = intercept[IllegalArgumentException] {
+      t.byPaths(spark, Seq(s"$other/$leaf"))
+    }
+    assert(e.getMessage.contains("outside the root"))
+  }
+
+  test("parquet byPaths accepts a file:-scheme spelling of an in-root path") {
+    val (base, t) = parquetFixture(PartitioningScheme.Hive)
+    val sub = "implant_id=11/date=2024-01-01"
+    val leaf = new java.io.File(s"$base/$sub").listFiles()
+      .map(_.getName).find(_.endsWith(".parquet")).get
+    val df = t.byPaths(spark, Seq(s"file:$base/$sub/$leaf"))
+    assert(df.select("payload").as[String].collect().toSeq == Seq("v-11-2024-01-01"))
+    assert(df.select("implant_id").as[Int].collect().toSeq == Seq(11))
+  }
+
+  test("parquet directory byPaths refuses a depth-mismatched path") {
+    val (base, t) = parquetFixture(PartitioningScheme.Directory)
+    // a file at depth 1 instead of the declared 2 must not silently
+    // zip to wrong partition values
+    Seq(("stray", 0)).toDF("payload", "reading")
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/stray")
+    val leaf = new java.io.File(s"$base/stray").listFiles()
+      .map(_.getName).find(_.endsWith(".parquet")).get
+    val e = intercept[IllegalArgumentException] {
+      t.byPaths(spark, Seq(s"stray/$leaf"))
+    }
+    assert(e.getMessage.contains("partition level"))
+  }
+
+  test("parquet hive byPaths unescapes partition values like Spark discovery") {
+    val base = tempDir("fetch-esc").toString
+    // Spark escapes '/' in a partition VALUE as %2F in the dir name;
+    // apply() reads it back unescaped, and byPaths must agree
+    Seq(("esc", "a/b")).toDF("payload", "k")
+      .coalesce(1).write.partitionBy("k").mode("overwrite").parquet(base)
+    val t = new ParquetTable("t", base,
+      partitioning = Seq(Partition("k", StringType)))
+    val viaApply = t(spark, ReadArgs()).select("k").as[String].collect().toSeq
+    assert(viaApply == Seq("a/b"))
+    val dir = new java.io.File(base).listFiles()
+      .map(_.getName).find(_.startsWith("k=")).get
+    val leaf = new java.io.File(s"$base/$dir").listFiles()
+      .map(_.getName).find(_.endsWith(".parquet")).get
+    val df = t.byPaths(spark, Seq(s"$dir/$leaf"))
+    assert(df.select("k").as[String].collect().toSeq == Seq("a/b"))
+  }
+
+  test("parquet byPartitions on an empty-but-existing table root is empty, not an error") {
+    val base = tempDir("fetch-empty").toString
+    val t = new ParquetTable("t", base,
+      partitioning = Seq(Partition("implant_id", IntegerType), Partition("date", StringType)))
+    val df = t.byPartitions(spark,
+      Seq(Filter("implant_id", "=", 1), Filter("date", "=", "2024-01-01")))
+    assert(df.count() == 0)
+    assert(df.columns.toSet == Set("implant_id", "date"))
+    assert(df.schema("implant_id").dataType == IntegerType)
+  }
 }
