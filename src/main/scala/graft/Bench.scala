@@ -25,15 +25,28 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // scan-split size tuned to the measured fixed-cost floor: sf0.1
+      // parquet files are 10-100 MB, so the 128 MB default planned 1-2
+      // scan tasks per table and left local[32] idle during the scan
+      // stage (q03/q05 measured ~35% faster at 8m, TuneRelational
+      // sweep). Cluster deployments keep the 128 MB default: files are
+      // checkpoint-compacted to ≥128 MB there and the executor count,
+      // not the split count, bounds scan parallelism.
+      .config("spark.sql.files.maxPartitionBytes", "8m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // JVM/Spark warmup on the smallest SF so measured times reflect the
-    // query, not first-run codegen/classloading. Warmup failures are
-    // ignored (the measured run of the same query will surface them).
-    try QueryCatalog.queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001").count()
-    catch { case _: Throwable => () }
+    // JVM/Spark warmup: run EVERY headline query once on the smallest
+    // SF so measured times reflect the query, not first-run
+    // whole-stage-codegen compilation / classloading (each query
+    // generates distinct code, so warming one query does not warm the
+    // rest). Warmup failures are ignored (the measured run of the same
+    // query will surface them).
+    QueryCatalog.headlineNames.foreach { name =>
+      try QueryCatalog.queries(name)(spark, "/root/testdata/sf0.001").count()
+      catch { case _: Throwable => () }
+    }
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
