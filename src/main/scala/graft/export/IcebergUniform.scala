@@ -1,0 +1,410 @@
+package graft.export
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.ObjectNode
+import graft.tables.DeltaLog
+import org.apache.avro.file.{DataFileReader, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.avro.{Schema => AvroSchema}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
+
+/** UniForm-style Iceberg metadata export for a Delta table.
+  *
+  * Re-expresses the public Delta-UniForm idea: the parquet DATA files
+  * are already Iceberg-compatible, so interop needs only Iceberg
+  * METADATA describing the same file set — an Iceberg v2 metadata
+  * JSON, one Avro manifest of the snapshot's live data files, and an
+  * Avro manifest list, laid out under `<table>/metadata/` with a
+  * `version-hint.text` the way Iceberg's filesystem (Hadoop) catalog
+  * expects. An Iceberg reader pointed at the table root then plans
+  * exactly the files the Delta snapshot holds.
+  *
+  * Spark-first mechanics: everything here is checkpoint-bounded
+  * metadata (O(files) driver work on frames the Delta snapshot
+  * already materialized), written with the Avro library Spark ships.
+  * Field ids follow Iceberg's spec-required field-id properties;
+  * column ids reuse Delta column-mapping ids when the table has them
+  * (the UniForm behavior) and are assigned depth-first otherwise.
+  *
+  * Refusals (loud, not lossy): deletion-vector files (Iceberg v2
+  * expresses row-level deletes as delete FILES, not DV bitmaps —
+  * purge DVs first), and files without numRecords stats (Iceberg
+  * requires record_count).
+  */
+object IcebergUniform {
+
+  private val mapper = new ObjectMapper()
+
+  final case class Exported(
+      metadataJson: String,
+      manifestList: String,
+      manifest: String,
+      snapshotId: Long)
+
+  def export(
+      spark: SparkSession,
+      tablePath: String,
+      versionAsOf: Option[Long] = None
+  ): Exported = {
+    val snap = DeltaLog.snapshot(spark, tablePath, versionAsOf)
+    require(snap.files.forall(_.dv.isEmpty),
+      s"$tablePath has deletion vectors; Iceberg export needs a DV purge (rewrite) first")
+    val counts: Seq[Long] = snap.files.map { f =>
+      f.stats.map(s => mapper.readTree(s).path("numRecords").asLong(-1L)).getOrElse(-1L)
+    }
+    require(counts.forall(_ >= 0),
+      s"$tablePath has files without numRecords stats; Iceberg requires record_count")
+
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val metaDir = new Path(tablePath, "metadata")
+    fs.mkdirs(metaDir)
+
+    val snapshotId = snap.version
+    val seqNum = snap.version
+    val uuid = java.util.UUID.randomUUID().toString
+    val nowMs = System.currentTimeMillis()
+
+    // ---- schema with Iceberg field ids -----------------------------
+    val ids = new FieldIds(snap.metadata.schema)
+    val schemaJson = ids.icebergSchemaJson(schemaId = 0)
+
+    // ---- partition spec (identity transforms) ----------------------
+    val partCols = snap.metadata.partitionColumns
+    val partFields = partCols.map(c =>
+      snap.metadata.schema.fields.find(_.name == c)
+        .getOrElse(throw new IllegalArgumentException(
+          s"partition column $c missing from schema of $tablePath")))
+
+    // ---- manifest (one Avro file, all live data files) -------------
+    val manifestPath = new Path(metaDir, s"manifest-$snapshotId-$uuid.avro")
+    val entrySchema = manifestEntrySchema(partFields, ids)
+    locally {
+      val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](entrySchema))
+        .create(entrySchema, fs.create(manifestPath, true))
+      try {
+        val dfSchema = entrySchema.getField("data_file").schema()
+        val pSchema = dfSchema.getField("partition").schema()
+        snap.files.zip(counts).foreach { case (f, n) =>
+          val p = new GenericData.Record(pSchema)
+          partFields.foreach { pf =>
+            val v: Option[String] = f.partitionValues
+              .get(snap.metadata.physicalName(pf.name)).flatten
+              .orElse(f.partitionValues.get(pf.name).flatten)
+            p.put(pf.name, partitionValue(pf.dataType, v))
+          }
+          val df = new GenericData.Record(dfSchema)
+          df.put("content", 0)
+          df.put("file_path", DeltaLog.resolvePath(tablePath, f.path))
+          df.put("file_format", "PARQUET")
+          df.put("partition", p)
+          df.put("record_count", n)
+          df.put("file_size_in_bytes", f.size)
+          val e = new GenericData.Record(entrySchema)
+          e.put("status", 1) // ADDED in this snapshot
+          e.put("snapshot_id", snapshotId)
+          e.put("sequence_number", seqNum)
+          e.put("file_sequence_number", seqNum)
+          e.put("data_file", df)
+          w.append(e)
+        }
+      } finally w.close()
+    }
+    val manifestLen = fs.getFileStatus(manifestPath).getLen
+
+    // ---- manifest list ---------------------------------------------
+    val listPath = new Path(metaDir, s"snap-$snapshotId-$uuid.avro")
+    locally {
+      val s = manifestFileSchema
+      val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](s))
+        .create(s, fs.create(listPath, true))
+      try {
+        val r = new GenericData.Record(s)
+        r.put("manifest_path", manifestPath.toString)
+        r.put("manifest_length", manifestLen)
+        r.put("partition_spec_id", 0)
+        r.put("content", 0) // data
+        r.put("sequence_number", seqNum)
+        r.put("min_sequence_number", seqNum)
+        r.put("added_snapshot_id", snapshotId)
+        r.put("added_files_count", snap.files.size)
+        r.put("existing_files_count", 0)
+        r.put("deleted_files_count", 0)
+        r.put("added_rows_count", counts.sum)
+        r.put("existing_rows_count", 0L)
+        r.put("deleted_rows_count", 0L)
+        w.append(r)
+      } finally w.close()
+    }
+
+    // ---- table metadata JSON ---------------------------------------
+    val root = mapper.createObjectNode()
+    root.put("format-version", 2)
+    root.put("table-uuid",
+      if (snap.metadata.id.nonEmpty) snap.metadata.id else uuid)
+    root.put("location", tablePath)
+    root.put("last-sequence-number", seqNum)
+    root.put("last-updated-ms", nowMs)
+    root.put("last-column-id", ids.lastColumnId)
+    root.put("current-schema-id", 0)
+    root.set[ObjectNode]("schemas",
+      mapper.createArrayNode().add(mapper.readTree(schemaJson)))
+    val spec = mapper.createObjectNode()
+    spec.put("spec-id", 0)
+    val specFields = mapper.createArrayNode()
+    partFields.zipWithIndex.foreach { case (pf, i) =>
+      val n = mapper.createObjectNode()
+      n.put("name", pf.name)
+      n.put("transform", "identity")
+      n.put("source-id", ids.idOf(pf.name))
+      n.put("field-id", 1000 + i)
+      specFields.add(n)
+    }
+    spec.set[ObjectNode]("fields", specFields)
+    root.set[ObjectNode]("partition-specs", mapper.createArrayNode().add(spec))
+    root.put("default-spec-id", 0)
+    root.put("last-partition-id", 1000 + math.max(partFields.size - 1, -1))
+    val order = mapper.createObjectNode()
+    order.put("order-id", 0)
+    order.set[ObjectNode]("fields", mapper.createArrayNode())
+    root.set[ObjectNode]("sort-orders", mapper.createArrayNode().add(order))
+    root.put("default-sort-order-id", 0)
+    root.put("current-snapshot-id", snapshotId)
+    val sn = mapper.createObjectNode()
+    sn.put("snapshot-id", snapshotId)
+    sn.put("sequence-number", seqNum)
+    sn.put("timestamp-ms", nowMs)
+    sn.put("manifest-list", listPath.toString)
+    sn.put("schema-id", 0)
+    val summary = mapper.createObjectNode()
+    summary.put("operation", "append")
+    sn.set[ObjectNode]("summary", summary)
+    root.set[ObjectNode]("snapshots", mapper.createArrayNode().add(sn))
+
+    val metaVersion = snap.version + 1
+    val metaPath = new Path(metaDir, s"v$metaVersion.metadata.json")
+    writeString(fs, metaPath, mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root))
+    writeString(fs, new Path(metaDir, "version-hint.text"), metaVersion.toString)
+
+    Exported(metaPath.toString, listPath.toString, manifestPath.toString, snapshotId)
+  }
+
+  /** Replay exported Iceberg metadata back to its file set —
+    * (file_path, record_count, partition values by column) per live
+    * data file. The independent reader the parity spec drives; uses
+    * only version-hint + metadata JSON + Avro manifests, never the
+    * Delta log.
+    */
+  def replay(
+      spark: SparkSession,
+      tablePath: String
+  ): Seq[(String, Long, Map[String, Any])] = {
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val metaDir = new Path(tablePath, "metadata")
+    val hint = readString(fs, new Path(metaDir, "version-hint.text")).trim
+    val meta = mapper.readTree(readString(fs, new Path(metaDir, s"v$hint.metadata.json")))
+    val snapId = meta.path("current-snapshot-id").asLong()
+    val snapNode = {
+      val it = meta.path("snapshots").elements()
+      var found: Option[com.fasterxml.jackson.databind.JsonNode] = None
+      while (it.hasNext && found.isEmpty) {
+        val n = it.next()
+        if (n.path("snapshot-id").asLong() == snapId) found = Some(n)
+      }
+      found.getOrElse(throw new IllegalArgumentException(
+        s"current-snapshot-id $snapId not in snapshots of $tablePath"))
+    }
+    val manifests = readAvro(fs, new Path(snapNode.path("manifest-list").asText()))
+      .map(_.get("manifest_path").toString)
+    manifests.flatMap { mp =>
+      readAvro(fs, new Path(mp)).collect {
+        case e if e.get("status").asInstanceOf[Int] != 2 => // not DELETED
+          val df = e.get("data_file").asInstanceOf[GenericRecord]
+          val p = df.get("partition").asInstanceOf[GenericRecord]
+          val pv = p.getSchema.getFields.asScalaSeq.map { f =>
+            f.name() -> (p.get(f.name()) match {
+              case u: org.apache.avro.util.Utf8 => u.toString
+              case other                        => other
+            })
+          }.toMap
+          (df.get("file_path").toString,
+            df.get("record_count").asInstanceOf[Long], pv)
+      }
+    }
+  }
+
+  // ------------------------------------------------------ internals
+
+  private implicit class JListOps[A](val l: java.util.List[A]) extends AnyVal {
+    def asScalaSeq: Seq[A] = {
+      val b = Seq.newBuilder[A]
+      l.forEach(a => b += a)
+      b.result()
+    }
+  }
+
+  private def readAvro(fs: FileSystem, p: Path): Seq[GenericRecord] = {
+    val local = java.io.File.createTempFile("iceberg-replay", ".avro")
+    try {
+      val in = fs.open(p)
+      try java.nio.file.Files.copy(in, local.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      finally in.close()
+      val r = new DataFileReader(local, new GenericDatumReader[GenericRecord]())
+      try {
+        val b = Seq.newBuilder[GenericRecord]
+        while (r.hasNext) b += r.next()
+        b.result()
+      } finally r.close()
+    } finally { local.delete(); () }
+  }
+
+  private def writeString(fs: FileSystem, p: Path, s: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(s.getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def readString(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try new String(in.readAllBytes(), "UTF-8")
+    finally in.close()
+  }
+
+  /** Iceberg value for an identity-transform partition field, parsed
+    * from Delta's string-encoded partitionValues.
+    */
+  private def partitionValue(dt: DataType, v: Option[String]): Any = v match {
+    case None => null
+    case Some(s) => dt match {
+      case IntegerType | ShortType | ByteType => s.toInt
+      case LongType                           => s.toLong
+      case StringType                         => s
+      case BooleanType                        => s.toBoolean
+      case DateType => java.time.LocalDate.parse(s).toEpochDay.toInt
+      case other => throw new IllegalArgumentException(
+        s"unsupported Iceberg partition type $other")
+    }
+  }
+
+  private def avroPartitionType(dt: DataType): String = dt match {
+    case IntegerType | ShortType | ByteType | DateType => "int"
+    case LongType                                      => "long"
+    case StringType                                    => "string"
+    case BooleanType                                   => "boolean"
+    case other => throw new IllegalArgumentException(
+      s"unsupported Iceberg partition type $other")
+  }
+
+  /** Avro schema of one manifest entry, with Iceberg's spec field-ids
+    * and a table-specific r102 partition record.
+    */
+  private def manifestEntrySchema(
+      partFields: Seq[StructField], ids: FieldIds): AvroSchema = {
+    val pFields = partFields.map { f =>
+      s"""{"name":${q(f.name)},"type":["null","${avroPartitionType(f.dataType)}"],
+         |"default":null,"field-id":${ids.idOf(f.name)}}""".stripMargin
+    }.mkString(",")
+    val json =
+      s"""{"type":"record","name":"manifest_entry","fields":[
+         |{"name":"status","type":"int","field-id":0},
+         |{"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+         |{"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
+         |{"name":"file_sequence_number","type":["null","long"],"default":null,"field-id":4},
+         |{"name":"data_file","field-id":2,"type":{"type":"record","name":"r2","fields":[
+         |{"name":"content","type":"int","field-id":134},
+         |{"name":"file_path","type":"string","field-id":100},
+         |{"name":"file_format","type":"string","field-id":101},
+         |{"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[$pFields]}},
+         |{"name":"record_count","type":"long","field-id":103},
+         |{"name":"file_size_in_bytes","type":"long","field-id":104}
+         |]}}]}""".stripMargin
+    new AvroSchema.Parser().parse(json)
+  }
+
+  private val manifestFileSchema: AvroSchema = new AvroSchema.Parser().parse(
+    """{"type":"record","name":"manifest_file","fields":[
+      |{"name":"manifest_path","type":"string","field-id":500},
+      |{"name":"manifest_length","type":"long","field-id":501},
+      |{"name":"partition_spec_id","type":"int","field-id":502},
+      |{"name":"content","type":"int","field-id":517},
+      |{"name":"sequence_number","type":"long","field-id":515},
+      |{"name":"min_sequence_number","type":"long","field-id":516},
+      |{"name":"added_snapshot_id","type":"long","field-id":503},
+      |{"name":"added_files_count","type":"int","field-id":504},
+      |{"name":"existing_files_count","type":"int","field-id":505},
+      |{"name":"deleted_files_count","type":"int","field-id":506},
+      |{"name":"added_rows_count","type":"long","field-id":512},
+      |{"name":"existing_rows_count","type":"long","field-id":513},
+      |{"name":"deleted_rows_count","type":"long","field-id":514}
+      |]}""".stripMargin)
+
+  private def q(s: String): String = "\"" + s.replace("\"", "\\\"") + "\""
+
+  /** Depth-first Iceberg field-id assignment over a Spark schema,
+    * reusing Delta column-mapping ids where present (UniForm reuses
+    * them so Iceberg and Delta readers agree on column identity).
+    */
+  private final class FieldIds(schema: StructType) {
+    private var next = 0
+    private val topIds = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+
+    private def alloc(explicit: Option[Long]): Int = {
+      val id = explicit.map(_.toInt).getOrElse(next + 1)
+      next = math.max(next, id)
+      id
+    }
+
+    private def typeJson(dt: DataType): String = dt match {
+      case s: StructType =>
+        val fields = s.fields.map { f =>
+          val id = alloc(
+            if (f.metadata.contains(DeltaLog.FieldIdKey))
+              Some(f.metadata.getLong(DeltaLog.FieldIdKey))
+            else None)
+          s"""{"id":$id,"name":${q(f.name)},"required":${!f.nullable},"type":${typeJson(f.dataType)}}"""
+        }
+        fields.mkString("""{"type":"struct","fields":[""", ",", "]}")
+      case a: ArrayType =>
+        val eid = alloc(None)
+        s"""{"type":"list","element-id":$eid,"element":${typeJson(a.elementType)},"element-required":${!a.containsNull}}"""
+      case m: MapType =>
+        val kid = alloc(None)
+        val vid = alloc(None)
+        s"""{"type":"map","key-id":$kid,"key":${typeJson(m.keyType)},"value-id":$vid,"value":${typeJson(m.valueType)},"value-required":${!m.valueContainsNull}}"""
+      case IntegerType | ShortType | ByteType => "\"int\""
+      case LongType                           => "\"long\""
+      case FloatType                          => "\"float\""
+      case DoubleType                         => "\"double\""
+      case BooleanType                        => "\"boolean\""
+      case StringType                         => "\"string\""
+      case BinaryType                         => "\"binary\""
+      case DateType                           => "\"date\""
+      case TimestampType                      => "\"timestamptz\""
+      case TimestampNTZType                   => "\"timestamp\""
+      case d: DecimalType => s""""decimal(${d.precision}, ${d.scale})""""
+      case other => throw new IllegalArgumentException(
+        s"unsupported Iceberg type $other")
+    }
+
+    // assign top-level ids eagerly so idOf works for partition specs
+    private val bodyJson: String = {
+      val fields = schema.fields.map { f =>
+        val id = alloc(
+          if (f.metadata.contains(DeltaLog.FieldIdKey))
+            Some(f.metadata.getLong(DeltaLog.FieldIdKey))
+          else None)
+        topIds(f.name) = id
+        s"""{"id":$id,"name":${q(f.name)},"required":${!f.nullable},"type":${typeJson(f.dataType)}}"""
+      }
+      fields.mkString(",")
+    }
+
+    def idOf(col: String): Int = topIds(col)
+    def lastColumnId: Int = next
+
+    def icebergSchemaJson(schemaId: Int): String =
+      s"""{"type":"struct","schema-id":$schemaId,"fields":[$bodyJson]}"""
+  }
+}

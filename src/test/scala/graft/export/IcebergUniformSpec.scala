@@ -1,0 +1,97 @@
+package graft.export
+
+import graft.SparkSpec
+import graft.core.{Filter, Filters}
+import graft.tables.{DeltaLog, DeltaWrite}
+
+/** UniForm-style Iceberg export parity: replaying the emitted
+  * metadata (version-hint → metadata JSON → Avro manifest list →
+  * Avro manifests) must yield exactly the Delta snapshot's live file
+  * set — paths, record counts, and identity-partition values — using
+  * only the Iceberg metadata, never the Delta log.
+  */
+class IcebergUniformSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def expectedFiles(dir: String): Set[(String, Long)] = {
+    val snap = DeltaLog.snapshot(spark, dir)
+    snap.files.map { f =>
+      val n = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(f.stats.get).path("numRecords").asLong(-1L)
+      (DeltaLog.resolvePath(dir, f.path), n)
+    }.toSet
+  }
+
+  test("partitioned table round-trips through the Iceberg metadata") {
+    val dir = tempDir("uniform").toString + "/t"
+    DeltaWrite.append(spark,
+      Seq((1L, "a", 0), (2L, "b", 0), (3L, "c", 1)).toDF("id", "v", "part"),
+      dir, partitionBy = Seq("part"))
+    DeltaWrite.append(spark,
+      Seq((4L, "d", 1), (5L, "e", 2)).toDF("id", "v", "part"),
+      dir, partitionBy = Seq("part"))
+    // a delete so the live set differs from ever-added
+    DeltaWrite.deleteWhere(spark, dir, Filters.normalize(Seq(Filter("part", "=", 0))))
+
+    val out = IcebergUniform.export(spark, dir)
+    assert(out.snapshotId == 2L)
+
+    val replayed = IcebergUniform.replay(spark, dir)
+    assert(replayed.map(r => (r._1, r._2)).toSet == expectedFiles(dir))
+    // identity partition values survive, typed
+    val partsByPath = replayed.map(r => r._1 -> r._3("part")).toMap
+    val snapParts = DeltaLog.snapshot(spark, dir).files.map(f =>
+      DeltaLog.resolvePath(dir, f.path) -> f.partitionValues("part").get.toInt).toMap
+    assert(partsByPath == snapParts)
+    assert(!partsByPath.values.exists(_ == 0), "deleted partition must be absent")
+  }
+
+  test("unpartitioned table + time travel export") {
+    val dir = tempDir("uniform-tt").toString + "/t"
+    DeltaWrite.append(spark, Seq((1L, "a")).toDF("id", "v"), dir)
+    DeltaWrite.append(spark, Seq((2L, "b")).toDF("id", "v"), dir)
+
+    IcebergUniform.export(spark, dir, versionAsOf = Some(0L))
+    val v0 = IcebergUniform.replay(spark, dir)
+    assert(v0.map(_._2).sum == 1L) // only version 0's row
+
+    IcebergUniform.export(spark, dir)
+    val head = IcebergUniform.replay(spark, dir)
+    assert(head.map(_._2).sum == 2L)
+    assert(head.map(_._1).toSet ==
+      DeltaLog.snapshot(spark, dir).files
+        .map(f => DeltaLog.resolvePath(dir, f.path)).toSet)
+  }
+
+  test("metadata JSON carries schema field ids and the partition spec") {
+    val dir = tempDir("uniform-meta").toString + "/t"
+    DeltaWrite.append(spark,
+      Seq((1L, "a", 7)).toDF("id", "v", "part"), dir, partitionBy = Seq("part"))
+    val out = IcebergUniform.export(spark, dir)
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(out.metadataJson.stripPrefix("file:"))))
+    assert(m.path("format-version").asInt() == 2)
+    val schema = m.path("schemas").get(0)
+    val names = (0 until schema.path("fields").size())
+      .map(i => schema.path("fields").get(i).path("name").asText())
+    assert(names == Seq("id", "v", "part"))
+    val ids = (0 until schema.path("fields").size())
+      .map(i => schema.path("fields").get(i).path("id").asInt())
+    assert(ids.distinct == ids && ids.forall(_ > 0))
+    val spec = m.path("partition-specs").get(0).path("fields").get(0)
+    assert(spec.path("transform").asText() == "identity")
+    assert(spec.path("source-id").asInt() == ids(names.indexOf("part")))
+  }
+
+  test("deletion-vector tables refuse export") {
+    val dir = tempDir("uniform-dv").toString + "/t"
+    DeltaWrite.append(spark,
+      (1L to 10L).map(i => (i, s"v$i")).toDF("id", "v"), dir)
+    DeltaWrite.deleteWhereDv(spark, dir, Filters.normalize(Seq(Filter("id", "<", 3L))))
+    val e = intercept[IllegalArgumentException] {
+      IcebergUniform.export(spark, dir)
+    }
+    assert(e.getMessage.contains("deletion vectors"))
+  }
+}
