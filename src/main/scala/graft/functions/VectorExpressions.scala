@@ -76,6 +76,36 @@ case class VecL2Sq(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Plain dot product, sequential ascending-index double accumulation —
+  * the exact arithmetic DuckDB's `list_sum(list_transform(...))`
+  * performs, so rounded results hash-match across engines.
+  */
+case class VecDot(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  @transient private lazy val getL = VectorExpressions.elementGetter(left)
+  @transient private lazy val getR = VectorExpressions.elementGetter(right)
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val ys = b.asInstanceOf[ArrayData]
+    val n = math.min(xs.numElements(), ys.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += getL(xs, i) * getR(ys, i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDot =
+    copy(left = l, right = r)
+}
+
 object VectorExpressions {
   /** Element accessor by declared array element type (float or double). */
   private[functions] def elementGetter(e: Expression): (ArrayData, Int) => Double =
@@ -90,4 +120,6 @@ object VectorExpressions {
     Bridge.column(VecCosine(Bridge.expression(a), Bridge.expression(b)))
   def l2sq(a: Column, b: Column): Column =
     Bridge.column(VecL2Sq(Bridge.expression(a), Bridge.expression(b)))
+  def dot(a: Column, b: Column): Column =
+    Bridge.column(VecDot(Bridge.expression(a), Bridge.expression(b)))
 }

@@ -1441,7 +1441,35 @@ object OracleSql {
       dir: String
   ): Map[String, String] = Map(
     "q_ann_kmeans" -> annKmeansSql(spark, dir),
-    "q_bpe_tokens" -> bpeTokensSql(spark, dir))
+    "q_bpe_tokens" -> bpeTokensSql(spark, dir),
+    "q_pca_project" -> pcaProjectSql(spark, dir))
+
+  /** DuckDB oracle for PCA projection: Pca.fit is partitioning- and
+    * run-invariant (exact decimal moments + deterministic Jacobi), so
+    * the learned components splice as literal arrays. Each projection
+    * is `list_sum(v[i]·c[i]) − μ·c` — the SAME ascending-index double
+    * accumulation the engine's VecDot performs, minus the same
+    * driver-precomputed scalar — bit-identical before the shared
+    * round(4). Double literals print via Double.toString (shortest
+    * round-trip), so DuckDB parses back the exact float64.
+    */
+  private def pcaProjectSql(
+      spark: org.apache.spark.sql.SparkSession, dir: String): String = {
+    import Wave5Queries.PcaParams
+    val model = graft.operators.Pca.fit(
+      Tables.table(spark, dir, "embeddings"), "embedding",
+      PcaParams.Dims, PcaParams.K)
+    val projCols = model.components.zipWithIndex.map { case (c, j) =>
+      val lit = c.map(_.toString).mkString("[", ", ", "]")
+      val md = graft.operators.Pca.meanDot(model, j).toString
+      s"""round(list_sum(list_transform(range(1, ${PcaParams.Dims + 1}),
+         |    i -> e.embedding[i]::DOUBLE * ($lit::DOUBLE[])[i])) - ($md), 4) AS p$j""".stripMargin
+    }.mkString(",\n|  ")
+    s"""SELECT e.vec_id, e.label,
+       |  $projCols
+       |FROM embeddings e
+       |ORDER BY e.vec_id""".stripMargin
+  }
 
   /** DuckDB oracle for greedy BPE encoding — SQL-expressible after
     * all thanks to the components-before-compounds invariant of a

@@ -108,7 +108,8 @@ object QueryCatalog {
     Entry("q_collation", Wave5Queries.qCollation),
     Entry("q_bottomk_sample", Wave5Queries.qBottomkSample),
     Entry("q_domain_rank", Wave5Queries.qDomainRank),
-    Entry("q_audio_meta", Wave5Queries.qAudioMeta)
+    Entry("q_audio_meta", Wave5Queries.qAudioMeta),
+    Entry("q_pca_project", Wave5Queries.qPcaProject)
   )
 
   def queries: Map[String, QueryFn] =

@@ -204,4 +204,26 @@ object Wave5Queries {
     GraphRank.pageRank(edges, "src", "dst", Rank.Iters, Rank.DampPct)
       .orderBy("node")
   }
+
+  // ---------- P48: distributed PCA over the embedding corpus ----------
+
+  /** Shared with the dynamic oracle (OracleSql.pcaProjectSql). */
+  object PcaParams { val Dims = 64; val K = 4 }
+
+  /** PCA projection: fit on the corpus (one exact-moments aggregation
+    * + driver-side 64×64 Jacobi — Pca.fit is partitioning- and
+    * run-invariant, so the oracle splices the identical component
+    * matrix), then project every vector onto the top-K components in
+    * a pure scan. The standard embedding-pipeline primitive for
+    * whitening / dimensionality reduction ahead of ANN or clustering.
+    */
+  def qPcaProject(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Pca
+    val emb = t(s, dir, "embeddings")
+    val model = Pca.fit(emb, "embedding", PcaParams.Dims, PcaParams.K)
+    emb.select(
+      (col("vec_id") +: col("label") +:
+        Pca.projections(col("embedding"), model)): _*)
+      .orderBy("vec_id")
+  }
 }
