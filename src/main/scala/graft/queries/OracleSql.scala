@@ -1130,6 +1130,44 @@ object OracleSql {
            |  round(CAST(sum(p6) AS DOUBLE) / count(*), 6) AS avg_p
            |FROM scored GROUP BY source ORDER BY source""".stripMargin,
 
+      // ccnet-style tercile split over the same LM scores; the cut is
+      // ntile over (score desc, doc_id) — a total order both engines
+      // reproduce exactly, unlike interpolated percentile thresholds
+      "q_ppl_buckets" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, source, ${wordTokensSql("text")} AS t FROM documents
+           |), uni AS (
+           |  SELECT w, count(*) AS c1 FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+           |), vocab AS (
+           |  SELECT CAST(count(*) AS DOUBLE) AS v FROM uni
+           |), bg AS (
+           |  SELECT doc_id, source, t[i] AS w1, t[i+1] AS w2
+           |  FROM (SELECT doc_id, source, t, unnest(range(1, len(t))) AS i
+           |        FROM toks WHERE len(t) >= 2)
+           |), bgc AS (
+           |  SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2
+           |), scored AS (
+           |  SELECT doc_id, source,
+           |    CAST(round((CAST(c2 AS DOUBLE) + ${Lm.Alpha}) /
+           |      (CAST(c1 AS DOUBLE) + ${Lm.Alpha} * v), 6) AS DECIMAL(18,6)) AS p6
+           |  FROM bg JOIN bgc USING (w1, w2) JOIN uni ON bg.w1 = uni.w CROSS JOIN vocab
+           |), doc_scores AS (
+           |  SELECT doc_id, source, sum(p6) AS sp6, count(*) AS nbg,
+           |    CAST(sum(p6) AS DOUBLE) / count(*) AS score
+           |  FROM scored GROUP BY doc_id, source
+           |), cut AS (
+           |  SELECT doc_id, source, sp6, nbg,
+           |    ntile(3) OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS tercile
+           |  FROM doc_scores
+           |)
+           |SELECT source,
+           |  CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+           |  count(*) AS n_docs,
+           |  round(CAST(sum(sp6) AS DOUBLE), 6) AS sum_score,
+           |  CAST(sum(nbg) AS BIGINT) AS n_bigrams,
+           |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+           |FROM cut GROUP BY source, bucket ORDER BY source, bucket""".stripMargin,
+
       // the Spark side reads a shallow CLONE edited as: DELETE WHERE
       // p_partkey < 200, then append of p_partkey >= 1800 shifted by
       // 1e6 — reconstructed here from the raw part table

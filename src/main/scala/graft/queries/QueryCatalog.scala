@@ -109,7 +109,8 @@ object QueryCatalog {
     Entry("q_bottomk_sample", Wave5Queries.qBottomkSample),
     Entry("q_domain_rank", Wave5Queries.qDomainRank),
     Entry("q_audio_meta", Wave5Queries.qAudioMeta),
-    Entry("q_pca_project", Wave5Queries.qPcaProject)
+    Entry("q_pca_project", Wave5Queries.qPcaProject),
+    Entry("q_ppl_buckets", Wave4Queries.qPplBuckets)
   )
 
   def queries: Map[String, QueryFn] =

@@ -171,7 +171,18 @@ object Wave4Queries {
     * the corpus bigrams against it on the same key. A 100 TB corpus
     * trains and scores in three shuffles of token-sized rows.
     */
-  def qNgramLm(s: SparkSession, dir: String): DataFrame = {
+  def qNgramLm(s: SparkSession, dir: String): DataFrame =
+    lmScoredBigrams(s, dir)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(sum(col("p6")).cast(DoubleType) / count(lit(1)), 6).as("avg_p"))
+      .orderBy("source")
+
+  /** Per-bigram smoothed probabilities (doc_id, source, p6) — the
+    * shared scoring frame behind q_ngram_lm and q_ppl_buckets.
+    */
+  private[queries] def lmScoredBigrams(s: SparkSession, dir: String): DataFrame = {
     val toks = t(s, dir, "documents")
       .select(col("doc_id"), col("source"), Text.wordTokens(col("text")).as("toks"))
     val uni = toks.select(explode(col("toks")).as("w"))
@@ -183,7 +194,7 @@ object Wave4Queries {
         explode(expr("transform(sequence(0, size(toks) - 2), i -> struct(toks[i] AS w1, toks[i+1] AS w2))")).as("bg"))
       .select(col("doc_id"), col("source"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
     val bgCounts = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
-    val scored = bigrams
+    bigrams
       .join(bgCounts, Seq("w1", "w2"))
       .join(uni.withColumnRenamed("w", "w1"), Seq("w1"))
       .crossJoin(broadcast(vocab))
@@ -191,12 +202,53 @@ object Wave4Queries {
         (col("c2").cast(DoubleType) + Lm.Alpha) /
           (col("c1").cast(DoubleType) + lit(Lm.Alpha) * col("v").cast(DoubleType)))
       .withColumn("p6", round(col("p"), 6).cast(DecimalType(18, 6)))
-    scored
-      .groupBy(col("source"))
+      .select(col("doc_id"), col("source"), col("p6"))
+  }
+
+  // ---------- P49: perplexity-bucket curation split ----------
+
+  /** CCNet-style quality split: score each document with the corpus
+    * bigram LM and cut every source into head/middle/tail terciles.
+    * The cut is RANK-based (ntile over a total order: score desc,
+    * doc_id tie-break), not percentile-threshold-based — interpolated
+    * thresholds can land bit-differently across engines and flip the
+    * boundary document, while ntile over an identical total order is
+    * engine-exact by construction. Per-document scores divide an
+    * exact decimal sum by an exact count, so the order itself is
+    * deterministic. Scale shape: adds one doc-keyed hash aggregate
+    * and one source-partitioned window to the LM's token-keyed
+    * shuffles; nothing corpus-wide materializes on any single node.
+    */
+  def qPplBuckets(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // Cross-engine float discipline: the per-doc ORDERING score is a
+    // raw (unrounded) double quotient of an exact decimal sum by an
+    // exact count — bit-identical in both engines, and ordering needs
+    // no rounding. Outputs expose only grid-exact values (decimal
+    // sums re-rounded at their own scale, the dsum trick) — an
+    // avg-then-round(6) of an arbitrary quotient can land on a
+    // half-boundary where Spark (shortest-repr HALF_UP) and DuckDB
+    // (true binary value) disagree in the last digit.
+    val docScores = lmScoredBigrams(s, dir)
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("p6")).as("sp6"), count(lit(1)).as("nbg"))
+      .withColumn("score", col("sp6").cast(DoubleType) / col("nbg"))
+    val byScore = Window.partitionBy(col("source"))
+      .orderBy(col("score").desc, col("doc_id"))
+    docScores
+      .withColumn("tercile", ntile(3).over(byScore))
+      .withColumn("bucket",
+        when(col("tercile") === 1, "head")
+          .when(col("tercile") === 2, "middle")
+          .otherwise("tail"))
+      .groupBy(col("source"), col("bucket"))
       .agg(
-        count(lit(1)).as("n_bigrams"),
-        round(sum(col("p6")).cast(DoubleType) / count(lit(1)), 6).as("avg_p"))
-      .orderBy("source")
+        count(lit(1)).as("n_docs"),
+        round(sum(col("sp6")).cast(DoubleType), 6).as("sum_score"),
+        sum(col("nbg")).as("n_bigrams"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy("source", "bucket")
   }
 
   // ---------- R35 proof: shallow clone end-to-end ----------
