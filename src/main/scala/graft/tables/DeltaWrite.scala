@@ -453,6 +453,24 @@ object DeltaWrite {
       callerBase: Option[Long] = None
   ): CommitResult = {
     val txnActions = txn.map { case (a, v) => txnJson(a, v) }.toSeq
+    // partition values live in directory names and partitionValues
+    // strings, compared byte-wise by prefix pushdown and file
+    // skipping — collation-aware equality cannot reach them, so a
+    // collated partition column would silently change which rows a
+    // partition filter matches. Refuse loudly.
+    partitionBy.foreach { c =>
+      df.schema.fields.find(_.name == c).foreach { f =>
+        f.dataType match {
+          case st: org.apache.spark.sql.types.StringType
+              if st != org.apache.spark.sql.types.StringType =>
+            throw new IllegalArgumentException(
+              s"partition column $c of $tablePath has a non-default collation " +
+                s"(${st.typeName}); partition values compare as raw bytes — " +
+                "partition on a binary-collated copy instead")
+          case _ => ()
+        }
+      }
+    }
     val snapOpt = DeltaLog.latestVersion(spark, tablePath)
       .map(_ => DeltaLog.snapshot(spark, tablePath))
     // overwriting away existing rows is a data-removing change —
@@ -1692,17 +1710,23 @@ object DeltaWrite {
       // a foreign reader that cannot decode the physical encoding
       // refuses instead of misreading
       val typeFeatures = schemaTypeFeatures(schemaJson)
+      val writerOnly = schemaWriterOnlyFeatures(schemaJson)
       def quotedF(fs: Seq[String]) = fs.map("\"" + _ + "\"").mkString("[", ",", "]")
       if (current.isEmpty) {
-        if (typeFeatures.isEmpty)
+        if (typeFeatures.isEmpty && writerOnly.isEmpty)
           sb.append("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""").append('\n')
-        else {
-          val wf = (DeltaDdl.legacyWriterFeatures(2) ++ typeFeatures).distinct
+        else if (typeFeatures.isEmpty) {
+          // writer-only features (collations): readers stay at v1
+          val wf = (DeltaDdl.legacyWriterFeatures(2) ++ writerOnly).distinct
+          sb.append(s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":7,""" +
+            s""""writerFeatures":${quotedF(wf)}}}""").append('\n')
+        } else {
+          val wf = (DeltaDdl.legacyWriterFeatures(2) ++ typeFeatures ++ writerOnly).distinct
           sb.append(s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
             s""""readerFeatures":${quotedF(typeFeatures)},""" +
             s""""writerFeatures":${quotedF(wf)}}}""").append('\n')
         }
-      } else if (needMeta && typeFeatures.nonEmpty) {
+      } else if (needMeta && (typeFeatures.nonEmpty || writerOnly.nonEmpty)) {
         // schema evolution introduced a feature-gated type onto an
         // existing table: upgrade the protocol in the SAME commit
         val pr = snapOpt.get.protocol
@@ -1710,13 +1734,24 @@ object DeltaWrite {
           if (pr.minReaderVersion >= 3) pr.readerFeatures.getOrElse(Seq.empty)
           else if (pr.minReaderVersion >= 2) Seq("columnMapping")
           else Seq.empty
-        if (!typeFeatures.forall(haveR.contains)) {
-          val haveW =
-            if (pr.minWriterVersion >= 7) pr.writerFeatures.getOrElse(Seq.empty)
-            else DeltaDdl.legacyWriterFeatures(pr.minWriterVersion)
+        val haveW =
+          if (pr.minWriterVersion >= 7) pr.writerFeatures.getOrElse(Seq.empty)
+          else DeltaDdl.legacyWriterFeatures(pr.minWriterVersion)
+        val needReaderUpgrade = !typeFeatures.forall(haveR.contains)
+        val needWriterUpgrade =
+          !(typeFeatures ++ writerOnly).forall(haveW.contains)
+        if (needReaderUpgrade) {
           sb.append(s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
             s""""readerFeatures":${quotedF((haveR ++ typeFeatures).distinct)},""" +
-            s""""writerFeatures":${quotedF((haveW ++ typeFeatures).distinct)}}}""").append('\n')
+            s""""writerFeatures":${quotedF((haveW ++ typeFeatures ++ writerOnly).distinct)}}}""").append('\n')
+        } else if (needWriterUpgrade) {
+          // writer-only upgrade: the reader protocol is NOT raised
+          val rPart =
+            if (pr.minReaderVersion >= 3) s""""readerFeatures":${quotedF(haveR)},"""
+            else ""
+          sb.append(s"""{"protocol":{"minReaderVersion":${pr.minReaderVersion},"minWriterVersion":7,""" +
+            rPart +
+            s""""writerFeatures":${quotedF((haveW ++ typeFeatures ++ writerOnly).distinct)}}}""").append('\n')
         }
       }
       extraActions.foreach(a => sb.append(a).append('\n'))
@@ -2249,6 +2284,28 @@ object DeltaWrite {
       case m: org.apache.spark.sql.types.MapType => walk(m.keyType) ++ walk(m.valueType)
       case _: org.apache.spark.sql.types.VariantType => Seq("variantType")
       case org.apache.spark.sql.types.TimestampNTZType => Seq("timestampNtz")
+      case _ => Seq.empty
+    }
+    walk(DataType.fromJson(schemaJson)).distinct
+  }
+
+  /** WRITER-only features required by the schema's types, per the
+    * public protocol's collated-strings preview: any (nested) string
+    * field with a non-default collation requires `collations-preview`.
+    * It gates WRITERS only — the physical encoding is a plain string,
+    * the collation rides the schema's `__COLLATIONS` field metadata
+    * (the exact shape Spark 4's `StructType.json` emits and
+    * `DataType.fromJson` round-trips), and a reader that predates the
+    * feature just compares binary — so the reader protocol must NOT
+    * be raised.
+    */
+  private[tables] def schemaWriterOnlyFeatures(schemaJson: String): Seq[String] = {
+    import org.apache.spark.sql.types.StringType
+    def walk(dt: DataType): Seq[String] = dt match {
+      case s: StructType => s.fields.toSeq.flatMap(f => walk(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => walk(a.elementType)
+      case m: org.apache.spark.sql.types.MapType => walk(m.keyType) ++ walk(m.valueType)
+      case st: StringType if st != StringType => Seq("collations-preview")
       case _ => Seq.empty
     }
     walk(DataType.fromJson(schemaJson)).distinct
