@@ -79,10 +79,20 @@ object IcebergUniform {
 
     // ---- manifest (one Avro file, all live data files) -------------
     val manifestPath = new Path(metaDir, s"manifest-$snapshotId-$uuid.avro")
-    val entrySchema = manifestEntrySchema(partFields, ids)
+    val specFieldsJson = partFields.zipWithIndex.map { case (pf, i) =>
+      s"""{"name":${q(pf.name)},"transform":"identity","source-id":${ids.idOf(pf.name)},"field-id":${1000 + i}}"""
+    }.mkString("[", ",", "]")
+    val entrySchema = manifestEntrySchema(partFields)
     locally {
       val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](entrySchema))
-        .create(entrySchema, fs.create(manifestPath, true))
+      // Iceberg's ManifestReader requires these file-level properties
+      // to bind the partition struct to the spec
+      w.setMeta("schema", schemaJson)
+      w.setMeta("partition-spec", specFieldsJson)
+      w.setMeta("partition-spec-id", "0")
+      w.setMeta("format-version", "2")
+      w.setMeta("content", "data")
+      w.create(entrySchema, fs.create(manifestPath, true))
       try {
         val dfSchema = entrySchema.getField("data_file").schema()
         val pSchema = dfSchema.getField("partition").schema()
@@ -298,13 +308,15 @@ object IcebergUniform {
   }
 
   /** Avro schema of one manifest entry, with Iceberg's spec field-ids
-    * and a table-specific r102 partition record.
+    * and a table-specific r102 partition record. Partition-struct
+    * field ids are the PARTITION-SPEC ids (1000+i) — the ids an
+    * Iceberg reader binds partition data by — not the source column
+    * ids (those appear only as the spec's source-id).
     */
-  private def manifestEntrySchema(
-      partFields: Seq[StructField], ids: FieldIds): AvroSchema = {
-    val pFields = partFields.map { f =>
+  private def manifestEntrySchema(partFields: Seq[StructField]): AvroSchema = {
+    val pFields = partFields.zipWithIndex.map { case (f, i) =>
       s"""{"name":${q(f.name)},"type":["null","${avroPartitionType(f.dataType)}"],
-         |"default":null,"field-id":${ids.idOf(f.name)}}""".stripMargin
+         |"default":null,"field-id":${1000 + i}}""".stripMargin
     }.mkString(",")
     val json =
       s"""{"type":"record","name":"manifest_entry","fields":[
@@ -347,13 +359,26 @@ object IcebergUniform {
     * them so Iceberg and Delta readers agree on column identity).
     */
   private final class FieldIds(schema: StructType) {
-    private var next = 0
+    // Implicit ids (array elements, map keys/values — which Delta
+    // column mapping never ids) must start ABOVE every explicit id in
+    // the schema, or an element id handed out mid-walk could collide
+    // with a later column's explicit Delta column-mapping id.
+    private def explicitIds(dt: DataType): Seq[Long] = dt match {
+      case s: StructType => s.fields.toSeq.flatMap { f =>
+        (if (f.metadata.contains(DeltaLog.FieldIdKey))
+          Seq(f.metadata.getLong(DeltaLog.FieldIdKey))
+        else Seq.empty) ++ explicitIds(f.dataType)
+      }
+      case a: ArrayType => explicitIds(a.elementType)
+      case m: MapType   => explicitIds(m.keyType) ++ explicitIds(m.valueType)
+      case _            => Seq.empty
+    }
+    private var next = explicitIds(schema).foldLeft(0L)(math.max).toInt
     private val topIds = scala.collection.mutable.LinkedHashMap.empty[String, Int]
 
-    private def alloc(explicit: Option[Long]): Int = {
-      val id = explicit.map(_.toInt).getOrElse(next + 1)
-      next = math.max(next, id)
-      id
+    private def alloc(explicit: Option[Long]): Int = explicit match {
+      case Some(id) => id.toInt // ≤ the pre-scanned max, never collides
+      case None     => next += 1; next
     }
 
     private def typeJson(dt: DataType): String = dt match {

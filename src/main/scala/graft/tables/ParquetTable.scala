@@ -167,9 +167,15 @@ class ParquetTable(
     val basePrefix = qBase.toString.stripSuffix("/") + "/"
     val frames = paths.distinct.map { p =>
       val cand = new Path(p)
+      // Dot-segment normalization BEFORE the prefix test: Hadoop
+      // keeps ".." verbatim in absolute paths, so un-normalized
+      // "root/../elsewhere" would pass a raw startsWith check and
+      // escape the root at the filesystem level. (Relative paths
+      // normalize in the Path(parent, child) constructor already.)
       val abs =
-        if (cand.isAbsolute || cand.toUri.getScheme != null) fs.makeQualified(cand)
-        else new Path(qBase, p.stripPrefix("/"))
+        if (cand.isAbsolute || cand.toUri.getScheme != null)
+          new Path(fs.makeQualified(cand).toUri.normalize())
+        else new Path(qBase, p)
       require(abs.toString.startsWith(basePrefix),
         s"$p resolves to $abs, outside the root of $name ($uri)")
       val st =

@@ -84,6 +84,51 @@ class IcebergUniformSpec extends SparkSpec {
     assert(spec.path("source-id").asInt() == ids(names.indexOf("part")))
   }
 
+  test("manifest binds partition values by partition-spec field ids (1000+i)") {
+    val dir = tempDir("uniform-ids").toString + "/t"
+    DeltaWrite.append(spark,
+      Seq((1L, "a", 3)).toDF("id", "v", "part"), dir, partitionBy = Seq("part"))
+    val out = IcebergUniform.export(spark, dir)
+    val local = new java.io.File(out.manifest.stripPrefix("file:"))
+    val r = new org.apache.avro.file.DataFileReader(local,
+      new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
+    try {
+      // spec binding metadata Iceberg's ManifestReader requires
+      assert(r.getMetaString("partition-spec-id") == "0")
+      assert(r.getMetaString("format-version") == "2")
+      assert(Option(r.getMetaString("schema")).exists(_.contains("\"fields\"")))
+      assert(Option(r.getMetaString("partition-spec")).exists(_.contains("identity")))
+      val pSchema = r.getSchema.getField("data_file").schema()
+        .getField("partition").schema()
+      val fid = pSchema.getFields.get(0).getObjectProp("field-id")
+      assert(fid == Integer.valueOf(1000), s"partition field-id was $fid, not the spec id")
+    } finally r.close()
+  }
+
+  test("column-mapping ids with collection columns export distinct field ids") {
+    import org.apache.spark.sql.types._
+    val dir = tempDir("uniform-cmap").toString + "/t"
+    // Delta ids only STRUCT FIELDS; array elements get implicit ids,
+    // which must not collide with a later column's explicit id
+    val schema = StructType(Seq(
+      StructField("tags", ArrayType(StringType), nullable = true,
+        new MetadataBuilder().putLong(DeltaLog.FieldIdKey, 1L).build()),
+      StructField("owner", StringType, nullable = true,
+        new MetadataBuilder().putLong(DeltaLog.FieldIdKey, 2L).build())))
+    val rows = java.util.Arrays.asList(
+      org.apache.spark.sql.Row(Seq("x", "y"), "alice"))
+    DeltaWrite.append(spark, spark.createDataFrame(rows, schema), dir)
+    val out = IcebergUniform.export(spark, dir)
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(out.metadataJson.stripPrefix("file:"))))
+    val fields = m.path("schemas").get(0).path("fields")
+    assert(fields.get(0).path("id").asInt() == 1)
+    assert(fields.get(1).path("id").asInt() == 2)
+    val elementId = fields.get(0).path("type").path("element-id").asInt()
+    assert(elementId > 2, s"array element-id $elementId collides with explicit column ids")
+  }
+
   test("deletion-vector tables refuse export") {
     val dir = tempDir("uniform-dv").toString + "/t"
     DeltaWrite.append(spark,

@@ -226,6 +226,22 @@ class FetchApiSpec extends SparkSpec {
     assert(df.select("k").as[String].collect().toSeq == Seq("a/b"))
   }
 
+  test("parquet byPaths refuses a dot-segment escape of the table root") {
+    val (base, t) = parquetFixture(PartitioningScheme.Hive)
+    val other = tempDir("fetch-escape").toString
+    Seq(("x", 1)).toDF("payload", "reading")
+      .coalesce(1).write.mode("overwrite").parquet(other)
+    val leaf = new java.io.File(other).listFiles()
+      .map(_.getName).find(_.endsWith(".parquet")).get
+    // "$base/../<other>/<leaf>" string-prefixes the root but resolves
+    // outside it — dot segments must be normalized before the check
+    val sneaky = s"$base/../${new java.io.File(other).getName}/$leaf"
+    val e = intercept[IllegalArgumentException] {
+      t.byPaths(spark, Seq(sneaky))
+    }
+    assert(e.getMessage.contains("outside the root"))
+  }
+
   test("parquet byPartitions on an empty-but-existing table root is empty, not an error") {
     val base = tempDir("fetch-empty").toString
     val t = new ParquetTable("t", base,
