@@ -1457,6 +1457,47 @@ object OracleSql {
          |${iter(2)},
          |${iter(3)}
          |SELECT node, rank FROM r3 ORDER BY node""".stripMargin
+    },
+
+    // MMR unrolled PageRank-style: step N's argmax sees steps 1..N-1
+    // as single-row CTEs. Similarities round to the 1e-4 grid BEFORE
+    // the score arithmetic; the λ and 1−λ multipliers print via
+    // Double.toString so both engines use the identical float64
+    "q_mmr_select" -> {
+      import Wave5Queries.MmrParams
+      val mk = MmrParams.K
+      val lam = MmrParams.Lambda.toString
+      val oneMinus = (1.0 - MmrParams.Lambda).toString
+      def cosTo(p: String) =
+        s"round(list_cosine_similarity(c.v::DOUBLE[], $p.v::DOUBLE[]), 4)"
+      def step(n: Int): String = {
+        val prev = (1 until n).map(i => s"s$i")
+        val ms =
+          if (prev.isEmpty) "0.0"
+          else if (prev.size == 1) cosTo(prev.head)
+          else s"greatest(${prev.map(cosTo).mkString(", ")})"
+        val from = ("rel c" +: prev).mkString(" CROSS JOIN ")
+        val excl =
+          if (prev.isEmpty) "TRUE"
+          else prev.map(p => s"c.vec_id != $p.vec_id").mkString(" AND ")
+        s"""s$n AS (
+           |  SELECT c.vec_id, c.v, c.r, $ms AS ms
+           |  FROM $from WHERE $excl
+           |  ORDER BY $lam * c.r - $oneMinus * ($ms) DESC, c.vec_id
+           |  LIMIT 1)""".stripMargin
+      }
+      val steps = (1 to mk).map(step).mkString(",\n")
+      val out = (1 to mk).map(n =>
+        s"SELECT $n AS rank, vec_id, r AS rel, ms AS max_sim FROM s$n")
+        .mkString("\nUNION ALL\n")
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = ${MmrParams.QueryId}),
+         |rel AS (
+         |  SELECT vec_id, embedding AS v,
+         |    round(list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]), 4) AS r
+         |  FROM embeddings CROSS JOIN q),
+         |$steps
+         |$out
+         |ORDER BY rank""".stripMargin
     }
   )
 

@@ -110,7 +110,8 @@ object QueryCatalog {
     Entry("q_domain_rank", Wave5Queries.qDomainRank),
     Entry("q_audio_meta", Wave5Queries.qAudioMeta),
     Entry("q_pca_project", Wave5Queries.qPcaProject),
-    Entry("q_ppl_buckets", Wave4Queries.qPplBuckets)
+    Entry("q_ppl_buckets", Wave4Queries.qPplBuckets),
+    Entry("q_mmr_select", Wave5Queries.qMmrSelect)
   )
 
   def queries: Map[String, QueryFn] =

@@ -205,6 +205,33 @@ object Wave5Queries {
       .orderBy("node")
   }
 
+  // ---------- P50: MMR diverse top-k selection ----------
+
+  /** Shared with the oracle SQL. `1.0 - Lambda` is emitted into the
+    * SQL via Double.toString so both engines multiply by the IDENTICAL
+    * double (the literal "0.3" parses to a different float64 than
+    * Scala's `1.0 - 0.7`).
+    */
+  object MmrParams { val K = 5; val Lambda = 0.7; val QueryId = 0L }
+
+  /** Diverse top-k: greedy MMR over the embedding corpus against one
+    * query vector (vec_id 0's own embedding). Each selection step is
+    * a distributed argmax with the selected set as literal vectors;
+    * the oracle unrolls the same K steps in SQL (PageRank-style) and
+    * hash-matches the full pick sequence.
+    */
+  def qMmrSelect(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Mmr
+    val emb = t(s, dir, "embeddings")
+    val qv = emb.where(col("vec_id") === MmrParams.QueryId)
+      .select(col("embedding")).head()
+      .getSeq[Float](0).map(_.toDouble).toArray
+    val picked = Mmr.select(emb, "vec_id", "embedding", qv,
+      MmrParams.K, MmrParams.Lambda)
+    import s.implicits._
+    picked.toDF("rank", "vec_id", "rel", "max_sim").orderBy("rank")
+  }
+
   // ---------- P48: distributed PCA over the embedding corpus ----------
 
   /** Shared with the dynamic oracle (OracleSql.pcaProjectSql). */
