@@ -1,10 +1,10 @@
 package graft.export
 
-import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.fasterxml.jackson.databind.node.ObjectNode
-import graft.tables.DeltaLog
-import org.apache.avro.file.{DataFileReader, DataFileWriter}
-import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import graft.tables.{DeltaLog, DvDeleted, IcebergMeta, RoaringBitmapArray}
+import org.apache.avro.file.DataFileWriter
+import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
 import org.apache.avro.{Schema => AvroSchema}
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
@@ -28,10 +28,25 @@ import org.apache.spark.sql.types._
   * column ids reuse Delta column-mapping ids when the table has them
   * (the UniForm behavior) and are assigned depth-first otherwise.
   *
-  * Refusals (loud, not lossy): deletion-vector files (Iceberg v2
-  * expresses row-level deletes as delete FILES, not DV bitmaps —
-  * purge DVs first), and files without numRecords stats (Iceberg
-  * requires record_count).
+  * Deletion vectors TRANSLATE rather than refuse: Iceberg v2
+  * expresses row-level deletes as position delete FILES, so each
+  * DV-bearing data file's bitmap becomes (file_path, pos) rows,
+  * written as parquet per partition tuple (a distributed flatMap
+  * over the bitmap bytes — the bitmap never expands on the driver)
+  * under `_iceberg/deletes/` (underscore-prefixed: invisible to
+  * Delta VACUUM's data-file listing), referenced from a
+  * content=deletes manifest with the same sequence number as the
+  * snapshot's data (Iceberg applies position deletes where delete
+  * seq ≥ data seq).
+  *
+  * Re-exports carry the previous metadata's snapshot history forward
+  * (dedup by snapshot id), so `snapshots` + `snapshot-log` accumulate
+  * and [[graft.tables.IcebergTable]] can time-travel across exports.
+  * Single-schema history: carried snapshots keep schema-id 0 — the
+  * current schema; per-snapshot schema history is not retained.
+  *
+  * Refusal (loud, not lossy): files without numRecords stats
+  * (Iceberg requires record_count).
   */
 object IcebergUniform {
 
@@ -49,8 +64,6 @@ object IcebergUniform {
       versionAsOf: Option[Long] = None
   ): Exported = {
     val snap = DeltaLog.snapshot(spark, tablePath, versionAsOf)
-    require(snap.files.forall(_.dv.isEmpty),
-      s"$tablePath has deletion vectors; Iceberg export needs a DV purge (rewrite) first")
     val counts: Seq[Long] = snap.files.map { f =>
       f.stats.map(s => mapper.readTree(s).path("numRecords").asLong(-1L)).getOrElse(-1L)
     }
@@ -65,6 +78,16 @@ object IcebergUniform {
     val seqNum = snap.version
     val uuid = java.util.UUID.randomUUID().toString
     val nowMs = System.currentTimeMillis()
+
+    // previous export's metadata (if any) for snapshot-history carry
+    val prevMeta: Option[JsonNode] = {
+      val hint = new Path(metaDir, "version-hint.text")
+      if (!fs.exists(hint)) None
+      else try {
+        val v = readString(fs, hint).trim
+        Some(mapper.readTree(readString(fs, new Path(metaDir, s"v$v.metadata.json"))))
+      } catch { case _: Exception => None }
+    }
 
     // ---- schema with Iceberg field ids -----------------------------
     val ids = new FieldIds(snap.metadata.schema)
@@ -123,6 +146,75 @@ object IcebergUniform {
     }
     val manifestLen = fs.getFileStatus(manifestPath).getLen
 
+    // ---- deletion vectors → position delete files ------------------
+    // Each DV bitmap becomes (file_path, pos) parquet rows, one delete
+    // file per partition tuple, expanded EXECUTOR-side (the driver
+    // ships compressed bitmap bytes, never positions).
+    val dvFiles = snap.files.filter(_.dv.exists(_.cardinality > 0))
+    val deleteManifest: Option[(Path, Long, Int, Long)] =
+      if (dvFiles.isEmpty) None
+      else {
+        import spark.implicits._
+        val delRoot = new Path(tablePath, s"_iceberg/deletes/$snapshotId-$uuid")
+        val written: Seq[(Map[String, Option[String]], String, Long, Long)] =
+          dvFiles.groupBy(_.partitionValues).toSeq.zipWithIndex.map {
+            case ((pv, group), gi) =>
+              val pairs = group.map(f => (
+                DeltaLog.resolvePath(tablePath, f.path),
+                f.dv.get.readData(fs, tablePath)))
+              val dir = new Path(delRoot, s"g$gi")
+              spark.createDataset(pairs)
+                .flatMap { case (p, bytes) =>
+                  RoaringBitmapArray.deserialize(bytes).toArray.map(pos => (p, pos))
+                }
+                .toDF("file_path", "pos")
+                .coalesce(1)
+                .write.mode("overwrite").parquet(dir.toString)
+              val pf = fs.listStatus(dir)
+                .find(_.getPath.getName.endsWith(".parquet"))
+                .getOrElse(throw new IllegalStateException(s"no parquet under $dir"))
+              (pv, pf.getPath.toUri.getPath, pf.getLen,
+                group.map(_.dv.get.cardinality).sum)
+          }
+        val delManifestPath = new Path(metaDir, s"delete-manifest-$snapshotId-$uuid.avro")
+        val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](entrySchema))
+        w.setMeta("schema", schemaJson)
+        w.setMeta("partition-spec", specFieldsJson)
+        w.setMeta("partition-spec-id", "0")
+        w.setMeta("format-version", "2")
+        w.setMeta("content", "deletes")
+        w.create(entrySchema, fs.create(delManifestPath, true))
+        try {
+          val dfSchema = entrySchema.getField("data_file").schema()
+          val pSchema = dfSchema.getField("partition").schema()
+          written.foreach { case (pv, path, len, rows) =>
+            val p = new GenericData.Record(pSchema)
+            partFields.foreach { pf =>
+              val v: Option[String] = pv
+                .get(snap.metadata.physicalName(pf.name)).flatten
+                .orElse(pv.get(pf.name).flatten)
+              p.put(pf.name, partitionValue(pf.dataType, v))
+            }
+            val df = new GenericData.Record(dfSchema)
+            df.put("content", 1) // position deletes
+            df.put("file_path", path)
+            df.put("file_format", "PARQUET")
+            df.put("partition", p)
+            df.put("record_count", rows)
+            df.put("file_size_in_bytes", len)
+            val e = new GenericData.Record(entrySchema)
+            e.put("status", 1)
+            e.put("snapshot_id", snapshotId)
+            e.put("sequence_number", seqNum)
+            e.put("file_sequence_number", seqNum)
+            e.put("data_file", df)
+            w.append(e)
+          }
+        } finally w.close()
+        Some((delManifestPath, fs.getFileStatus(delManifestPath).getLen,
+          written.size, written.map(_._4).sum))
+      }
+
     // ---- manifest list ---------------------------------------------
     val listPath = new Path(metaDir, s"snap-$snapshotId-$uuid.avro")
     locally {
@@ -145,6 +237,23 @@ object IcebergUniform {
         r.put("existing_rows_count", 0L)
         r.put("deleted_rows_count", 0L)
         w.append(r)
+        deleteManifest.foreach { case (p, len, nFiles, nRows) =>
+          val d = new GenericData.Record(s)
+          d.put("manifest_path", p.toString)
+          d.put("manifest_length", len)
+          d.put("partition_spec_id", 0)
+          d.put("content", 1) // deletes
+          d.put("sequence_number", seqNum)
+          d.put("min_sequence_number", seqNum)
+          d.put("added_snapshot_id", snapshotId)
+          d.put("added_files_count", nFiles)
+          d.put("existing_files_count", 0)
+          d.put("deleted_files_count", 0)
+          d.put("added_rows_count", nRows)
+          d.put("existing_rows_count", 0L)
+          d.put("deleted_rows_count", 0L)
+          w.append(d)
+        }
       } finally w.close()
     }
 
@@ -154,7 +263,8 @@ object IcebergUniform {
     root.put("table-uuid",
       if (snap.metadata.id.nonEmpty) snap.metadata.id else uuid)
     root.put("location", tablePath)
-    root.put("last-sequence-number", seqNum)
+    root.put("last-sequence-number",
+      math.max(seqNum, prevMeta.map(_.path("last-sequence-number").asLong(0L)).getOrElse(0L)))
     root.put("last-updated-ms", nowMs)
     root.put("last-column-id", ids.lastColumnId)
     root.put("current-schema-id", 0)
@@ -189,8 +299,27 @@ object IcebergUniform {
     sn.put("schema-id", 0)
     val summary = mapper.createObjectNode()
     summary.put("operation", "append")
+    deleteManifest.foreach { case (_, _, nFiles, nRows) =>
+      summary.put("added-delete-files", nFiles.toString)
+      summary.put("added-position-deletes", nRows.toString)
+    }
     sn.set[ObjectNode]("summary", summary)
-    root.set[ObjectNode]("snapshots", mapper.createArrayNode().add(sn))
+    // snapshot history carries forward across exports (dedup by id)
+    val snapshotsArr = mapper.createArrayNode()
+    prevMeta.foreach(pm => IcebergMeta.elements(pm.path("snapshots"))
+      .filter(_.path("snapshot-id").asLong() != snapshotId)
+      .foreach(snapshotsArr.add))
+    snapshotsArr.add(sn)
+    root.set[ObjectNode]("snapshots", snapshotsArr)
+    val logArr = mapper.createArrayNode()
+    prevMeta.foreach(pm => IcebergMeta.elements(pm.path("snapshot-log"))
+      .filter(_.path("snapshot-id").asLong() != snapshotId)
+      .foreach(logArr.add))
+    val logEntry = mapper.createObjectNode()
+    logEntry.put("timestamp-ms", nowMs)
+    logEntry.put("snapshot-id", snapshotId)
+    logArr.add(logEntry)
+    root.set[ObjectNode]("snapshot-log", logArr)
 
     val metaVersion = snap.version + 1
     val metaPath = new Path(metaDir, s"v$metaVersion.metadata.json")
@@ -225,10 +354,12 @@ object IcebergUniform {
       found.getOrElse(throw new IllegalArgumentException(
         s"current-snapshot-id $snapId not in snapshots of $tablePath"))
     }
-    val manifests = readAvro(fs, new Path(snapNode.path("manifest-list").asText()))
+    val manifests = IcebergMeta.readAvro(fs, new Path(snapNode.path("manifest-list").asText()))
+      .filter(m => m.getSchema.getField("content") == null ||
+        m.get("content").asInstanceOf[Int] == 0) // data manifests only
       .map(_.get("manifest_path").toString)
     manifests.flatMap { mp =>
-      readAvro(fs, new Path(mp)).collect {
+      IcebergMeta.readAvro(fs, new Path(mp)).collect {
         case e if e.get("status").asInstanceOf[Int] != 2 => // not DELETED
           val df = e.get("data_file").asInstanceOf[GenericRecord]
           val p = df.get("partition").asInstanceOf[GenericRecord]
@@ -252,22 +383,6 @@ object IcebergUniform {
       l.forEach(a => b += a)
       b.result()
     }
-  }
-
-  private def readAvro(fs: FileSystem, p: Path): Seq[GenericRecord] = {
-    val local = java.io.File.createTempFile("iceberg-replay", ".avro")
-    try {
-      val in = fs.open(p)
-      try java.nio.file.Files.copy(in, local.toPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      finally in.close()
-      val r = new DataFileReader(local, new GenericDatumReader[GenericRecord]())
-      try {
-        val b = Seq.newBuilder[GenericRecord]
-        while (r.hasNext) b += r.next()
-        b.result()
-      } finally r.close()
-    } finally { local.delete(); () }
   }
 
   private def writeString(fs: FileSystem, p: Path, s: String): Unit = {
@@ -313,7 +428,7 @@ object IcebergUniform {
     * Iceberg reader binds partition data by — not the source column
     * ids (those appear only as the spec's source-id).
     */
-  private def manifestEntrySchema(partFields: Seq[StructField]): AvroSchema = {
+  private[graft] def manifestEntrySchema(partFields: Seq[StructField]): AvroSchema = {
     val pFields = partFields.zipWithIndex.map { case (f, i) =>
       s"""{"name":${q(f.name)},"type":["null","${avroPartitionType(f.dataType)}"],
          |"default":null,"field-id":${1000 + i}}""".stripMargin
@@ -330,12 +445,13 @@ object IcebergUniform {
          |{"name":"file_format","type":"string","field-id":101},
          |{"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[$pFields]}},
          |{"name":"record_count","type":"long","field-id":103},
-         |{"name":"file_size_in_bytes","type":"long","field-id":104}
+         |{"name":"file_size_in_bytes","type":"long","field-id":104},
+         |{"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null,"field-id":135}
          |]}}]}""".stripMargin
     new AvroSchema.Parser().parse(json)
   }
 
-  private val manifestFileSchema: AvroSchema = new AvroSchema.Parser().parse(
+  private[graft] val manifestFileSchema: AvroSchema = new AvroSchema.Parser().parse(
     """{"type":"record","name":"manifest_file","fields":[
       |{"name":"manifest_path","type":"string","field-id":500},
       |{"name":"manifest_length","type":"long","field-id":501},

@@ -1498,7 +1498,55 @@ object OracleSql {
          |$steps
          |$out
          |ORDER BY rank""".stripMargin
-    }
+    },
+
+    // DSIR selection: the model (per-bucket Laplace-smoothed
+    // target/raw ratio) and the per-doc score replay the engine's
+    // exact arithmetic — ratios rounded to the 1e-6 grid and fixed as
+    // DECIMAL BEFORE the per-doc sum, ranking on the exact decimal
+    "q_dsir_select" -> {
+      import Wave5Queries.DsirParams
+      val k = DsirParams.K
+      val topN = DsirParams.TopN
+      val targets = DsirParams.Targets.map(s => s"'$s'").mkString(", ")
+      s"""WITH tok AS (SELECT doc_id, source, ${wsTokensSql("text")} AS toks FROM documents),
+         |grams AS (
+         |  SELECT doc_id, source IN ($targets) AS t,
+         |    unnest(list_transform(range(0, len(toks) - 1),
+         |      i -> ${PortableHash.Sql.md5Mod(s"array_to_string(toks[(i+1):(i+2)], ' ')")} % $k)) AS b
+         |  FROM tok WHERE len(toks) >= 2),
+         |model AS (
+         |  SELECT b, sum(CASE WHEN t THEN 1 ELSE 0 END) AS ct,
+         |    sum(CASE WHEN t THEN 0 ELSE 1 END) AS cr
+         |  FROM grams GROUP BY b),
+         |tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM model),
+         |lr AS (
+         |  SELECT b, CAST(round(
+         |    (CAST(ct AS DOUBLE) + 1.0) * (CAST(nr AS DOUBLE) + $k.0) /
+         |    ((CAST(cr AS DOUBLE) + 1.0) * (CAST(nt AS DOUBLE) + $k.0)), 6)
+         |    AS DECIMAL(18,6)) AS lr6
+         |  FROM model CROSS JOIN tot),
+         |pdb AS (SELECT doc_id, b, count(*) AS nb FROM grams GROUP BY doc_id, b),
+         |scored AS (
+         |  SELECT doc_id, sum(nb * lr6) AS sd
+         |  FROM pdb JOIN lr USING (b) GROUP BY doc_id),
+         |ranked AS (
+         |  SELECT doc_id, sd, row_number() OVER (ORDER BY sd DESC, doc_id) AS rank
+         |  FROM scored)
+         |SELECT CAST(rank AS INT) AS rank, doc_id,
+         |  round(CAST(sd AS DOUBLE), 6) AS dsir_score
+         |FROM ranked WHERE rank <= $topN ORDER BY rank""".stripMargin
+    },
+
+    // Native Iceberg read of the UniForm-exported customer copy: the
+    // export stage DV-deleted negative balances (translated to
+    // position delete files), the read filters to one partition — so
+    // the oracle is the equivalent predicate over the source table
+    "q_iceberg_read" ->
+      """SELECT c_custkey, c_name, c_acctbal
+        |FROM customer
+        |WHERE c_mktsegment = 'BUILDING' AND c_acctbal >= 0
+        |ORDER BY c_custkey""".stripMargin
   )
 
   val all: Map[String, String] =

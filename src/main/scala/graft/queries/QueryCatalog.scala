@@ -111,7 +111,9 @@ object QueryCatalog {
     Entry("q_audio_meta", Wave5Queries.qAudioMeta),
     Entry("q_pca_project", Wave5Queries.qPcaProject),
     Entry("q_ppl_buckets", Wave4Queries.qPplBuckets),
-    Entry("q_mmr_select", Wave5Queries.qMmrSelect)
+    Entry("q_mmr_select", Wave5Queries.qMmrSelect),
+    Entry("q_iceberg_read", Wave5Queries.qIcebergRead),
+    Entry("q_dsir_select", Wave5Queries.qDsirSelect)
   )
 
   def queries: Map[String, QueryFn] =

@@ -253,4 +253,65 @@ object Wave5Queries {
         Pca.projections(col("embedding"), model)): _*)
       .orderBy("vec_id")
   }
+
+  // ---------- R49: native Iceberg read (UniForm round-trip) ----------
+
+  private val icebergTables = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Build once per sf-dir: a Delta copy of customer partitioned by
+    * segment, a merge-on-read DV delete, then a UniForm Iceberg
+    * metadata export — so the read below exercises the WHOLE interop
+    * chain: manifest planning, identity partition pruning, and
+    * position-delete anti-join (the DV bitmaps translated to Iceberg
+    * delete files at export).
+    */
+  private def icebergCustomer(s: SparkSession, dir: String): String =
+    icebergTables.getOrElseUpdate(dir, {
+      import graft.core.{Filter, Filters}
+      import graft.tables.DeltaWrite
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_iceberg").toString + "/customer"
+      val cust = t(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+      DeltaWrite.append(s, cust, path, partitionBy = Seq("c_mktsegment"))
+      DeltaWrite.deleteWhereDv(s, path,
+        Filters.normalize(Seq(Filter("c_acctbal", "<", 0.0))))
+      graft.export.IcebergUniform.export(s, path)
+      path
+    })
+
+  // ---------- P51: DSIR importance selection ----------
+
+  /** Shared with the oracle SQL. src0+src1 play the "target" slice
+    * (10% of the corpus); K hashed-bigram buckets; top-N selection.
+    */
+  object DsirParams { val K = 256; val TopN = 50; val Targets = Seq("src0", "src1") }
+
+  /** DSIR-style selection: rank the corpus by hashed-bigram
+    * target-likeness (exact decimal ratio-sum scoring — see
+    * [[graft.operators.Dsir]]) and keep the 50 most target-like
+    * documents. The oracle rebuilds the same model and replays the
+    * same exact arithmetic in SQL.
+    */
+  def qDsirSelect(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.operators.Dsir.select(docs, "doc_id", "text",
+      col("source").isin(DsirParams.Targets: _*), DsirParams.K, DsirParams.TopN)
+      .orderBy("rank")
+  }
+
+  /** Native Iceberg read of the exported table: partition filter
+    * (prunes to the BUILDING manifest entries before any data file
+    * opens) + column selection; the DV-deleted negative balances must
+    * be absent via the position-delete join or the hash mismatches.
+    */
+  def qIcebergRead(s: SparkSession, dir: String): DataFrame = {
+    import graft.core.Filter
+    import graft.tables.{IcebergTable, ReadArgs}
+    val table = new IcebergTable("customer_iceberg", icebergCustomer(s, dir))
+    table(s, ReadArgs(
+      filters = graft.core.Filters.normalize(Seq(Filter("c_mktsegment", "=", "BUILDING"))),
+      columns = Some(Seq("c_custkey", "c_name", "c_acctbal"))))
+      .orderBy("c_custkey")
+  }
 }

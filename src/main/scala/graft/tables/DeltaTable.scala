@@ -405,8 +405,10 @@ object DeltaFileSkipping {
     * every row of the file has SQL NULL in the column — all of the
     * reference's operators are null-rejecting (NULL op x is never
     * TRUE), so the file is prunable for any filter on that column.
+    * Shared with [[IcebergMeta]]'s identity-transform pruning (same
+    * semantics on stringified partition values).
     */
-  private def partitionMayMatch(pv: Option[String], f: Filter, dt: DataType): Boolean =
+  private[tables] def partitionMayMatch(pv: Option[String], f: Filter, dt: DataType): Boolean =
     (pv, f.op) match {
       case (None, _) => false
       case (Some(v), op) =>

@@ -1462,7 +1462,10 @@ object DeltaWrite {
     while (it.hasNext) {
       val s = it.next()
       val p = s.getPath
-      val inLog = p.toString.contains("_delta_log")
+      // _delta_log is the table's own metadata; _iceberg holds the
+      // UniForm export's position-delete files — referenced by Iceberg
+      // manifests, invisible to the Delta log, never vacuum's to take
+      val inLog = p.toString.contains("_delta_log") || p.toString.contains("/_iceberg/")
       val isData = s.isFile && !inLog &&
         (p.getName.endsWith(".parquet") || p.getName.endsWith(".bin"))
       if (isData && !active.contains(p.toUri.getPath)) {
@@ -1515,9 +1518,12 @@ object DeltaWrite {
       frontier = frontier.flatMap { d =>
         // _staging_ dirs stay IN scope: aged orphans from crashed
         // writes are exactly what vacuum reclaims (mtime retention
-        // protects in-flight staging, as in the driver-side vacuum)
+        // protects in-flight staging, as in the driver-side vacuum).
+        // _iceberg (UniForm export's delete files) is out of scope,
+        // like _delta_log — lives outside the Delta log's knowledge.
         fs.listStatus(d).toSeq
-          .filter(s => s.isDirectory && s.getPath.getName != "_delta_log")
+          .filter(s => s.isDirectory && s.getPath.getName != "_delta_log" &&
+            s.getPath.getName != "_iceberg")
           .map(_.getPath)
       }
       dirs ++= frontier.map(_.toString)

@@ -1,0 +1,353 @@
+package graft.tables
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import graft.core.{Filter, Filters}
+import org.apache.avro.file.DataFileReader
+import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.types._
+
+/** Iceberg table-metadata parsing for the filesystem ("Hadoop")
+  * catalog layout, per the public Apache Iceberg table spec (v1/v2):
+  * `metadata/version-hint.text` → `metadata/v<N>.metadata.json` →
+  * Avro manifest list → Avro manifests → data/delete file entries.
+  *
+  * This is the metadata side only — all driver-side, checkpoint-scale
+  * work (a manifest list is O(manifests), a manifest is O(files); at
+  * 100 TB Iceberg's own layout keeps each manifest bounded, and
+  * reading them is the same class of work as a Delta checkpoint
+  * parse). The DATA path stays fully distributed in
+  * [[IcebergTable]].
+  */
+object IcebergMeta {
+
+  private val mapper = new ObjectMapper()
+
+  /** One field of a partition spec. Only `identity` transforms
+    * participate in pruning; any other transform reads as
+    * non-prunable (may-match) — correct, never fast-wrong.
+    */
+  final case class SpecField(name: String, transform: String, sourceId: Int, fieldId: Int)
+
+  final case class SnapshotInfo(
+      id: Long,
+      sequenceNumber: Long,
+      timestampMs: Long,
+      manifestList: String,
+      schemaId: Option[Int])
+
+  /** A planned content file (data or delete) with the metadata the
+    * scan needs. `content`: 0 = data, 1 = position deletes,
+    * 2 = equality deletes. `partition` values are Avro-decoded JVM
+    * values keyed by partition field NAME.
+    */
+  final case class ContentFile(
+      content: Int,
+      path: String,
+      partition: Map[String, Any],
+      recordCount: Long,
+      sequenceNumber: Long,
+      specId: Int,
+      equalityIds: Seq[Int])
+
+  final case class TableMeta(
+      location: String,
+      formatVersion: Int,
+      currentSnapshotId: Option[Long],
+      schema: StructType,
+      schemaFieldIds: Map[Int, String],
+      specs: Map[Int, Seq[SpecField]],
+      defaultSpecId: Int,
+      snapshots: Seq[SnapshotInfo])
+
+  // ---------------------------------------------------- discovery
+
+  /** Current metadata version: `version-hint.text` when present (the
+    * Hadoop-catalog commit protocol), else the highest
+    * `v<N>.metadata.json` in the metadata dir.
+    */
+  def currentVersion(fs: FileSystem, tableRoot: String): Int = {
+    val metaDir = new Path(tableRoot, "metadata")
+    val hint = new Path(metaDir, "version-hint.text")
+    if (fs.exists(hint)) {
+      val in = fs.open(hint)
+      try new String(in.readAllBytes(), "UTF-8").trim.toInt
+      finally in.close()
+    } else {
+      val vs = fs.listStatus(metaDir).map(_.getPath.getName).collect {
+        case VersionedMetadata(n) => n.toInt
+      }
+      require(vs.nonEmpty, s"no v*.metadata.json under $metaDir")
+      vs.max
+    }
+  }
+
+  private val VersionedMetadata = "v(\\d+)\\.metadata\\.json".r
+
+  def load(fs: FileSystem, tableRoot: String): TableMeta = {
+    val v = currentVersion(fs, tableRoot)
+    val p = new Path(new Path(tableRoot, "metadata"), s"v$v.metadata.json")
+    val in = fs.open(p)
+    val root =
+      try mapper.readTree(in)
+      finally in.close()
+    parse(root, tableRoot)
+  }
+
+  private[tables] def parse(root: JsonNode, tableRoot: String): TableMeta = {
+    val formatVersion = root.path("format-version").asInt(1)
+    val schemaNode =
+      if (root.has("schemas")) {
+        val current = root.path("current-schema-id").asInt(0)
+        elements(root.path("schemas"))
+          .find(_.path("schema-id").asInt(-1) == current)
+          .getOrElse(throw new IllegalArgumentException(
+            s"current-schema-id $current not found in schemas"))
+      } else root.path("schema") // v1 layout
+    val (schema, ids) = schemaFromJson(schemaNode)
+    val specs: Map[Int, Seq[SpecField]] =
+      if (root.has("partition-specs"))
+        elements(root.path("partition-specs")).map { s =>
+          s.path("spec-id").asInt(0) -> elements(s.path("fields")).map(f =>
+            SpecField(
+              f.path("name").asText(),
+              f.path("transform").asText(),
+              f.path("source-id").asInt(),
+              f.path("field-id").asInt())).toSeq
+        }.toMap
+      else Map(0 -> Seq.empty)
+    val snapshots = elements(root.path("snapshots")).map { s =>
+      SnapshotInfo(
+        s.path("snapshot-id").asLong(),
+        s.path("sequence-number").asLong(0L),
+        s.path("timestamp-ms").asLong(),
+        s.path("manifest-list").asText(),
+        if (s.has("schema-id")) Some(s.path("schema-id").asInt()) else None)
+    }.toSeq
+    TableMeta(
+      location = if (root.has("location")) root.path("location").asText() else tableRoot,
+      formatVersion = formatVersion,
+      currentSnapshotId =
+        Option(root.path("current-snapshot-id").asLong(-1L)).filter(_ >= 0),
+      schema = schema,
+      schemaFieldIds = ids,
+      specs = specs,
+      defaultSpecId = root.path("default-spec-id").asInt(0),
+      snapshots = snapshots)
+  }
+
+  // ---------------------------------------------------- schema
+
+  /** Iceberg schema JSON → Spark StructType + (field id → column
+    * name) for equality-delete resolution. Field ids are also stashed
+    * in column metadata under [[DeltaLog.FieldIdKey]] so downstream
+    * consumers can round-trip them.
+    */
+  def schemaFromJson(node: JsonNode): (StructType, Map[Int, String]) = {
+    val ids = Map.newBuilder[Int, String]
+    def field(f: JsonNode): StructField = {
+      val name = f.path("name").asText()
+      val id = f.path("id").asInt(-1)
+      if (id >= 0) ids += id -> name
+      StructField(
+        name,
+        dataType(f.path("type")),
+        nullable = !f.path("required").asBoolean(false),
+        metadata =
+          if (id >= 0) new MetadataBuilder().putLong(DeltaLog.FieldIdKey, id.toLong).build()
+          else Metadata.empty)
+    }
+    def dataType(t: JsonNode): DataType =
+      if (t.isTextual) primitive(t.asText())
+      else t.path("type").asText() match {
+        case "struct" => StructType(elements(t.path("fields")).map(field).toArray)
+        case "list" =>
+          ArrayType(dataType(t.path("element")),
+            containsNull = !t.path("element-required").asBoolean(false))
+        case "map" =>
+          MapType(dataType(t.path("key")), dataType(t.path("value")),
+            valueContainsNull = !t.path("value-required").asBoolean(false))
+        case other => throw new IllegalArgumentException(s"unsupported Iceberg type $other")
+      }
+    val top = node.path("fields")
+    require(!top.isMissingNode, "Iceberg schema node has no fields")
+    val st = StructType(elements(top).map(field).toArray)
+    (st, ids.result())
+  }
+
+  private val DecimalRe = "decimal\\(\\s*(\\d+)\\s*,\\s*(\\d+)\\s*\\)".r
+  private val FixedRe = "fixed\\[\\d+\\]".r
+
+  private def primitive(t: String): DataType = t match {
+    case "boolean"       => BooleanType
+    case "int"           => IntegerType
+    case "long"          => LongType
+    case "float"         => FloatType
+    case "double"        => DoubleType
+    case "date"          => DateType
+    case "timestamp"     => TimestampNTZType
+    case "timestamptz"   => TimestampType
+    case "string"        => StringType
+    case "uuid"          => StringType
+    case "binary"        => BinaryType
+    case DecimalRe(p, s) => DecimalType(p.toInt, s.toInt)
+    case FixedRe()       => BinaryType
+    case other => throw new IllegalArgumentException(s"unsupported Iceberg type $other")
+  }
+
+  // ---------------------------------------------------- planning
+
+  /** Select the snapshot to read: explicit id, as-of-timestamp (last
+    * snapshot committed at or before it), or current.
+    */
+  def selectSnapshot(
+      meta: TableMeta,
+      snapshotId: Option[Long],
+      asOfTimestampMs: Option[Long]
+  ): SnapshotInfo = {
+    require(snapshotId.isEmpty || asOfTimestampMs.isEmpty,
+      "snapshotId and asOfTimestampMs are mutually exclusive")
+    snapshotId match {
+      case Some(id) =>
+        meta.snapshots.find(_.id == id).getOrElse(throw new IllegalArgumentException(
+          s"snapshot $id not found (have ${meta.snapshots.map(_.id).mkString(", ")})"))
+      case None =>
+        asOfTimestampMs match {
+          case Some(ts) =>
+            val eligible = meta.snapshots.filter(_.timestampMs <= ts)
+            require(eligible.nonEmpty,
+              s"no snapshot at or before $ts (earliest: ${meta.snapshots.map(_.timestampMs).minOption.getOrElse(-1L)})")
+            eligible.maxBy(_.timestampMs)
+          case None =>
+            val id = meta.currentSnapshotId.getOrElse(
+              throw new IllegalArgumentException("table has no current snapshot"))
+            meta.snapshots.find(_.id == id).getOrElse(throw new IllegalArgumentException(
+              s"current-snapshot-id $id not in snapshots"))
+        }
+    }
+  }
+
+  /** Plan the snapshot's content files: live (non-DELETED-status)
+    * entries of every manifest in its manifest list, with v2 sequence
+    * -number inheritance (a null entry sequence number inherits the
+    * manifest's).
+    */
+  def planFiles(fs: FileSystem, snapshot: SnapshotInfo): Seq[ContentFile] = {
+    readAvro(fs, new Path(snapshot.manifestList)).flatMap { m =>
+      val manifestPath = m.get("manifest_path").toString
+      val manifestSeq = longField(m, "sequence_number").getOrElse(0L)
+      val specId = intField(m, "partition_spec_id").getOrElse(0)
+      readAvro(fs, new Path(manifestPath)).collect {
+        case e if intField(e, "status").getOrElse(0) != 2 =>
+          val df = e.get("data_file").asInstanceOf[GenericRecord]
+          val partition = Option(df.get("partition")) match {
+            case Some(p: GenericRecord) =>
+              p.getSchema.getFields.asScalaSeq.map(f =>
+                f.name() -> avroValue(p.get(f.name()))).toMap
+            case _ => Map.empty[String, Any]
+          }
+          ContentFile(
+            content = intField(df, "content").getOrElse(0),
+            path = df.get("file_path").toString,
+            partition = partition,
+            recordCount = longField(df, "record_count").getOrElse(-1L),
+            sequenceNumber = longField(e, "sequence_number").getOrElse(manifestSeq),
+            specId = specId,
+            equalityIds = fieldOf(df, "equality_ids") match {
+              case Some(l: java.util.List[_]) =>
+                l.asScalaAnySeq.map(v => v.asInstanceOf[Number].intValue())
+              case _ => Seq.empty
+            })
+      }
+    }
+  }
+
+  /** Identity-transform partition pruning with the exact semantics of
+    * [[DeltaFileSkipping]]'s partition matcher (DNF may-match; a file
+    * survives if any conjunction may match; non-identity transforms
+    * and unknown columns never prune).
+    */
+  def identityMayMatch(
+      file: ContentFile,
+      spec: Seq[SpecField],
+      schema: StructType,
+      filters: Filters.Normalized
+  ): Boolean = {
+    if (filters.isEmpty) return true
+    val identity: Map[String, Any] = spec.collect {
+      case sf if sf.transform == "identity" && file.partition.contains(sf.name) =>
+        sf.name -> file.partition(sf.name)
+    }.toMap
+    filters.exists(conj => conj.forall { f =>
+      identity.get(f.column) match {
+        case None => true
+        case Some(v) =>
+          val dt = schema.fields.find(_.name == f.column).map(_.dataType)
+          dt.forall(t => DeltaFileSkipping.partitionMayMatch(stringValue(v, t), f, t))
+      }
+    })
+  }
+
+  /** Avro partition value → the string form [[DeltaFileSkipping]]
+    * compares with (dates arrive as epoch-day ints → ISO).
+    */
+  private def stringValue(v: Any, dt: DataType): Option[String] = v match {
+    case null => None
+    case i: Int if dt == DateType =>
+      Some(java.time.LocalDate.ofEpochDay(i.toLong).toString)
+    case other => Some(other.toString)
+  }
+
+  /** JSON array node → Seq (Jackson's iterator, materialized). */
+  def elements(n: JsonNode): Seq[JsonNode] = {
+    val b = Seq.newBuilder[JsonNode]
+    val it = n.elements()
+    while (it.hasNext) b += it.next()
+    b.result()
+  }
+
+  // ---------------------------------------------------- avro
+
+  def readAvro(fs: FileSystem, p: Path): Seq[GenericRecord] = {
+    val local = java.io.File.createTempFile("iceberg-avro", ".avro")
+    try {
+      val in = fs.open(p)
+      try java.nio.file.Files.copy(in, local.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      finally in.close()
+      val r = new DataFileReader(local, new GenericDatumReader[GenericRecord]())
+      try {
+        val b = Seq.newBuilder[GenericRecord]
+        while (r.hasNext) b += r.next()
+        b.result()
+      } finally r.close()
+    } finally { local.delete(); () }
+  }
+
+  private[tables] def avroValue(v: Any): Any = v match {
+    case u: org.apache.avro.util.Utf8 => u.toString
+    case other                        => other
+  }
+
+  private def fieldOf(r: GenericRecord, name: String): Option[Any] =
+    if (r.getSchema.getField(name) != null) Option(r.get(name)) else None
+
+  private def longField(r: GenericRecord, name: String): Option[Long] =
+    fieldOf(r, name).map(_.asInstanceOf[Number].longValue())
+
+  private def intField(r: GenericRecord, name: String): Option[Int] =
+    fieldOf(r, name).map(_.asInstanceOf[Number].intValue())
+
+  private[tables] implicit class JListOps[A](val l: java.util.List[A]) extends AnyVal {
+    def asScalaSeq: Seq[A] = {
+      val b = Seq.newBuilder[A]
+      l.forEach(a => b += a)
+      b.result()
+    }
+    def asScalaAnySeq: Seq[Any] = {
+      val b = Seq.newBuilder[Any]
+      l.forEach(a => b += a)
+      b.result()
+    }
+  }
+}

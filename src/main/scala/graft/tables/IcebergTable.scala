@@ -1,0 +1,233 @@
+package graft.tables
+
+import graft.core._
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+
+/** Native Iceberg read path (v1/v2, filesystem-catalog layout): the
+  * interop complement of [[graft.export.IcebergUniform]] — a table
+  * whose metadata was written by ANY Iceberg writer reads straight
+  * into a DataFrame with the catalog's filter/column semantics.
+  *
+  * Spark-first shape, mirroring [[DeltaTable]]:
+  *  - metadata (manifest list + manifests) is driver-side,
+  *    bounded work; the data scan is a plain distributed parquet read
+  *    with Catalyst pushdown,
+  *  - identity-transform partition pruning runs on manifest entries
+  *    before any data file opens (exact may-match, shared semantics
+  *    with [[DeltaFileSkipping]]); non-identity transforms
+  *    (bucket/truncate/days/…) never prune — correct, never
+  *    fast-wrong — and the exact predicate is always re-applied on
+  *    rows,
+  *  - v2 merge-on-read DELETES are applied distributedly: position
+  *    delete files anti-join on (file_path, pos) against the scan's
+  *    `_metadata` columns, equality delete files anti-join on their
+  *    equality columns — both gated by Iceberg's sequence-number
+  *    rules (position: delete seq ≥ data seq; equality: delete seq >
+  *    data seq), with per-data-file sequence numbers attached by a
+  *    scan-time [[FileLongAttr]] (driver metadata in the expression,
+  *    no extra shuffle on the data side),
+  *  - partition columns absent from the data files (e.g. files
+  *    exported from a Delta table, which never stores them) are
+  *    re-attached from the manifest's partition tuple via
+  *    `coalesce(col, literal)` per partition group — files that DO
+  *    store them (normal Iceberg writers) win.
+  *
+  * Columns are resolved by NAME; tables whose data files carry only
+  * field-id-renamed physical columns (e.g. exported from a
+  * column-mapped Delta table) are out of scope for this reader.
+  *
+  * Snapshot selection: `extra(SnapshotIdKey)` pins a snapshot id,
+  * `extra(TimestampKey)` reads the last snapshot committed at or
+  * before an epoch-millis instant.
+  */
+class IcebergTable(
+    val name: String,
+    val uri: String,
+    description: String = "",
+    docsFilters: Seq[Filter] = Seq.empty
+) extends TableProtocol {
+
+  override val tableMetadata: TableMetadata =
+    TableMetadata("ICEBERG", description, docsFilters)
+
+  val SnapshotIdKey = "snapshotId"
+  val TimestampKey = "asOfTimestampMs"
+
+  override def apply(spark: SparkSession, args: ReadArgs): DataFrame = {
+    val fs = new Path(uri).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val meta = IcebergMeta.load(fs, uri)
+    val snapshotId = args.extra.get(SnapshotIdKey).map(longArg(SnapshotIdKey))
+    val asOf = args.extra.get(TimestampKey).map(longArg(TimestampKey))
+    val snap = IcebergMeta.selectSnapshot(meta, snapshotId, asOf)
+    val files = IcebergMeta.planFiles(fs, snap)
+    val (deleteFiles, dataFiles) = files.partition(_.content != 0)
+    val pruned = dataFiles.filter(f =>
+      IcebergMeta.identityMayMatch(
+        f, meta.specs.getOrElse(f.specId, Seq.empty), meta.schema, args.filters))
+
+    var df = readData(spark, meta, pruned, withDeletes = deleteFiles.nonEmpty)
+    if (deleteFiles.nonEmpty) {
+      if (pruned.nonEmpty) {
+        df = applyPositionDeletes(spark, df, pruned, deleteFiles.filter(_.content == 1))
+        df = applyEqualityDeletes(spark, df, meta, deleteFiles.filter(_.content == 2))
+      }
+      df = df.select(meta.schema.fieldNames.map(col).toSeq: _*)
+    }
+    Filters.toColumn(args.filters).foreach(p => df = df.filter(p))
+    args.columns.foreach(cols => df = df.select(cols.map(col): _*))
+    df
+  }
+
+  /** One parquet scan per (spec, partition tuple) group so pruned
+    * partition values can re-attach as typed literals; groups union.
+    * With deletes pending, every row also carries its normalized file
+    * path, row index, and data sequence number.
+    */
+  private def readData(
+      spark: SparkSession,
+      meta: IcebergMeta.TableMeta,
+      files: Seq[IcebergMeta.ContentFile],
+      withDeletes: Boolean
+  ): DataFrame = {
+    val schema = meta.schema
+    val helperFields = Seq(
+      StructField(PathCol, StringType), StructField(PosCol, LongType),
+      StructField(SeqCol, LongType))
+    val outSchema =
+      if (!withDeletes) schema else StructType(schema.fields ++ helperFields)
+    if (files.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+
+    val seqByPath: Map[String, Long] = files.map(f =>
+      DvDeleted.normalizePath(f.path) -> f.sequenceNumber).toMap
+
+    files.groupBy(f => (f.specId, f.partition)).map { case ((specId, partition), group) =>
+      var part = spark.read.schema(schema).parquet(group.map(_.path): _*)
+      // identity partition values from the manifest back-fill columns
+      // the data files don't store (stored values win via coalesce)
+      val spec = meta.specs.getOrElse(specId, Seq.empty)
+      spec.filter(_.transform == "identity").foreach { sf =>
+        schema.fields.find(_.name == sf.name).foreach { field =>
+          val v = literalValue(partition.get(sf.name).orNull, field.dataType)
+          part = part.withColumn(sf.name, coalesce(col(sf.name), v))
+        }
+      }
+      if (withDeletes)
+        part = part
+          .withColumn(PathCol, normalizePathCol(col("_metadata.file_path")))
+          .withColumn(PosCol, col("_metadata.row_index"))
+          .withColumn(SeqCol, Bridge.column(FileLongAttr(
+            Bridge.expression(col("_metadata.file_path")),
+            Bridge.expression(col("_metadata.row_index")),
+            seqByPath, addIndex = false)))
+      part.select(outSchema.fieldNames.map(col).toSeq: _*)
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Position delete files are parquet (file_path, pos) at data
+    * scale: applied as a distributed LEFT ANTI join on
+    * (file_path, pos), delete rows pre-gated to `delete seq ≥ data
+    * seq` against the broadcastable (path, seq) file list.
+    */
+  private def applyPositionDeletes(
+      spark: SparkSession,
+      data: DataFrame,
+      dataFiles: Seq[IcebergMeta.ContentFile],
+      posDeletes: Seq[IcebergMeta.ContentFile]
+  ): DataFrame = {
+    if (posDeletes.isEmpty) return data
+    import spark.implicits._
+    val delSchema = StructType(Seq(
+      StructField("file_path", StringType), StructField("pos", LongType)))
+    val dels = posDeletes.map { f =>
+      spark.read.schema(delSchema).parquet(f.path)
+        .withColumn("_del_seq", lit(f.sequenceNumber))
+    }.reduce(_.unionByName(_))
+      .withColumn("file_path", normalizePathCol(col("file_path")))
+    val fileSeq = dataFiles
+      .map(f => (normalizePathStr(f.path), f.sequenceNumber))
+      .toDF("_t_path", "_t_seq")
+    val applicable = dels
+      .join(broadcast(fileSeq),
+        dels("file_path") === col("_t_path") && col("_del_seq") >= col("_t_seq"))
+      .select(col("file_path"), col("pos"))
+    data.join(applicable,
+      data(PathCol) === applicable("file_path") && data(PosCol) === applicable("pos"),
+      "left_anti")
+  }
+
+  /** Equality delete files hold rows of their declared equality
+    * columns: a data row is deleted when an equality row with a
+    * STRICTLY larger sequence number matches null-safely on every
+    * equality column. One anti-join per distinct equality-id set.
+    */
+  private def applyEqualityDeletes(
+      spark: SparkSession,
+      data: DataFrame,
+      meta: IcebergMeta.TableMeta,
+      eqDeletes: Seq[IcebergMeta.ContentFile]
+  ): DataFrame = {
+    if (eqDeletes.isEmpty) return data
+    eqDeletes.groupBy(_.equalityIds).foldLeft(data) { case (df, (ids, files)) =>
+      require(ids.nonEmpty, s"equality delete file ${files.head.path} has no equality ids")
+      val cols = ids.map(id => meta.schemaFieldIds.getOrElse(id,
+        throw new IllegalArgumentException(s"equality field id $id not in schema")))
+      val delSchema = StructType(cols.map(c => meta.schema(c).copy(metadata = Metadata.empty)))
+      val dels = files.map { f =>
+        spark.read.schema(delSchema).parquet(f.path)
+          .withColumn("_del_seq", lit(f.sequenceNumber))
+      }.reduce(_.unionByName(_))
+      val cond = cols.map(c => df(c) <=> dels(c))
+        .reduce(_ && _) && dels("_del_seq") > df(SeqCol)
+      df.join(dels, cond, "left_anti")
+    }
+  }
+
+  override def getSchema(spark: SparkSession): TableSchema = {
+    val fs = new Path(uri).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val meta = IcebergMeta.load(fs, uri)
+    val spec = meta.specs.getOrElse(meta.defaultSpecId, Seq.empty)
+    val partitions = spec.flatMap(sf =>
+      meta.schema.fields.find(_.name == sf.name).map(f =>
+        TablePartition(sf.name, f.dataType.simpleString, "")))
+    TableSchema(partitions, TableSchema.columnsOf(meta.schema, Set.empty))
+  }
+
+  private val PathCol = "_ice_path"
+  private val PosCol = "_ice_pos"
+  private val SeqCol = "_ice_seq"
+
+  /** `file:///tmp/x` / `file:/tmp/x` → `/tmp/x`: one scheme-stripping
+    * rule applied to EVERY path that participates in position-delete
+    * matching (the scan's `_metadata.file_path`, delete-row
+    * `file_path` values, and the driver-side manifest paths via
+    * [[normalizePathStr]]) — a consistent comparison key regardless
+    * of which spelling each writer used.
+    */
+  private def normalizePathCol(c: Column): Column =
+    regexp_replace(c, SchemePattern, "/")
+
+  private def normalizePathStr(p: String): String =
+    p.replaceFirst(SchemePattern, "/")
+
+  private val SchemePattern = "^[A-Za-z][A-Za-z0-9+.\\-]*:/+"
+
+  private def literalValue(v: Any, dt: DataType): Column = v match {
+    case null => lit(null).cast(dt)
+    case i: Int if dt == DateType =>
+      lit(java.time.LocalDate.ofEpochDay(i.toLong).toString).cast(dt)
+    case other => lit(IcebergMeta.avroValue(other)).cast(dt)
+  }
+
+  private def longArg(key: String)(v: Any): Long = v match {
+    case l: Long   => l
+    case i: Int    => i.toLong
+    case s: String => s.toLong
+    case other     => throw new IllegalArgumentException(s"bad $key: $other")
+  }
+}

@@ -129,14 +129,21 @@ class IcebergUniformSpec extends SparkSpec {
     assert(elementId > 2, s"array element-id $elementId collides with explicit column ids")
   }
 
-  test("deletion-vector tables refuse export") {
+  test("deletion-vector tables export position deletes, not a refusal") {
     val dir = tempDir("uniform-dv").toString + "/t"
     DeltaWrite.append(spark,
       (1L to 10L).map(i => (i, s"v$i")).toDF("id", "v"), dir)
     DeltaWrite.deleteWhereDv(spark, dir, Filters.normalize(Seq(Filter("id", "<", 3L))))
-    val e = intercept[IllegalArgumentException] {
-      IcebergUniform.export(spark, dir)
-    }
-    assert(e.getMessage.contains("deletion vectors"))
+    val out = IcebergUniform.export(spark, dir)
+    // replay (data manifests only) still sees the physical file set
+    assert(IcebergUniform.replay(spark, dir).map(_._2).sum == 10L)
+    // the manifest list carries a content=deletes manifest with 2 rows
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val manifests = graft.tables.IcebergMeta.readAvro(fs,
+      new org.apache.hadoop.fs.Path(out.manifestList))
+    val del = manifests.find(_.get("content").asInstanceOf[Int] == 1)
+    assert(del.isDefined, "missing deletes manifest in the manifest list")
+    assert(del.get.get("added_rows_count").asInstanceOf[Long] == 2L)
   }
 }
