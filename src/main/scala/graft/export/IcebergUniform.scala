@@ -400,7 +400,7 @@ object IcebergUniform {
   /** Iceberg value for an identity-transform partition field, parsed
     * from Delta's string-encoded partitionValues.
     */
-  private def partitionValue(dt: DataType, v: Option[String]): Any = v match {
+  private[graft] def partitionValue(dt: DataType, v: Option[String]): Any = v match {
     case None => null
     case Some(s) => dt match {
       case IntegerType | ShortType | ByteType => s.toInt
@@ -474,7 +474,7 @@ object IcebergUniform {
     * reusing Delta column-mapping ids where present (UniForm reuses
     * them so Iceberg and Delta readers agree on column identity).
     */
-  private final class FieldIds(schema: StructType) {
+  private[graft] final class FieldIds(schema: StructType) {
     // Implicit ids (array elements, map keys/values — which Delta
     // column mapping never ids) must start ABOVE every explicit id in
     // the schema, or an element id handed out mid-walk could collide

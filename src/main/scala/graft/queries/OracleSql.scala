@@ -1538,6 +1538,15 @@ object OracleSql {
          |FROM ranked WHERE rank <= $topN ORDER BY rank""".stripMargin
     },
 
+    // Native Iceberg write: nation appended from scratch in two
+    // snapshots (Hadoop-catalog commit protocol), read back with a
+    // partition filter — oracle is the equivalent predicate on source
+    "q_iceberg_write" ->
+      """SELECT n_nationkey, n_name, n_regionkey
+        |FROM nation
+        |WHERE n_regionkey >= 2
+        |ORDER BY n_nationkey""".stripMargin,
+
     // Native Iceberg read of the UniForm-exported customer copy: the
     // export stage DV-deleted negative balances (translated to
     // position delete files), the read filters to one partition — so

@@ -314,4 +314,39 @@ object Wave5Queries {
       columns = Some(Seq("c_custkey", "c_name", "c_acctbal"))))
       .orderBy("c_custkey")
   }
+
+  // ---------- R50: native Iceberg write (append) ----------
+
+  private val icebergWritten = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Build once per sf-dir: a FROM-SCRATCH Iceberg table (no Delta
+    * anywhere) written in two appends via the Hadoop-catalog commit
+    * protocol — nation split into two slices so the read proves
+    * multi-snapshot manifest carry.
+    */
+  private def writtenNation(s: SparkSession, dir: String): String =
+    icebergWritten.getOrElseUpdate(dir, {
+      import graft.tables.IcebergWrite
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_iceberg_w").toString + "/nation"
+      val nation = t(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+      IcebergWrite.append(s, nation.where(col("n_nationkey") < 12),
+        path, Seq("n_regionkey"))
+      IcebergWrite.append(s, nation.where(col("n_nationkey") >= 12), path)
+      path
+    })
+
+  /** Read the natively written two-snapshot table back with a
+    * partition filter: both appends' files must plan (manifest
+    * carry-forward) and the identity pruning must hold.
+    */
+  def qIcebergWrite(s: SparkSession, dir: String): DataFrame = {
+    import graft.core.Filter
+    import graft.tables.{IcebergTable, ReadArgs}
+    val table = new IcebergTable("nation_iceberg", writtenNation(s, dir))
+    table(s, ReadArgs(
+      filters = graft.core.Filters.normalize(Seq(Filter("n_regionkey", ">=", 2)))))
+      .orderBy("n_nationkey")
+  }
 }

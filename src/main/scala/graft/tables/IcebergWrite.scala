@@ -1,0 +1,396 @@
+package graft.tables
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.ObjectNode
+import graft.export.IcebergUniform
+import org.apache.avro.file.DataFileWriter
+import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{col, count, lit}
+import org.apache.spark.sql.types.StructType
+
+/** Native Iceberg APPEND with the Hadoop-catalog commit protocol —
+  * the write half of the interop loop ([[IcebergTable]] reads,
+  * [[graft.export.IcebergUniform]] exports Delta): create or extend
+  * an Iceberg v2 table that any Iceberg reader can plan.
+  *
+  * Commit protocol (the public HadoopTableOperations shape): stage
+  * data + uuid-named Avro manifests, then publish
+  * `v<N+1>.metadata.json` PUT-IF-ABSENT (local FS: link(2), which
+  * fails loudly if a racing writer won) and retry the whole metadata
+  * build on a lost race — the manifest list carries the winner's
+  * snapshot forward, so no commit is ever dropped. `version-hint.text`
+  * is advisory (last-wins, as in Iceberg); the commit loop trusts
+  * only the v*.metadata.json scan.
+  *
+  * Scale shape: one distributed write + ONE job for per-file record
+  * counts (grouped on `_metadata.file_path`); everything else is
+  * O(manifests) driver metadata. Appended files get a fresh sequence
+  * number, so carried-forward position/equality delete manifests
+  * (seq-gated) can never touch the new rows.
+  *
+  * Hive-style layout: partition columns live in directory names, not
+  * the data files (Spark's partitionBy). [[IcebergTable]] re-attaches
+  * them from manifest partition tuples; id-binding readers see them
+  * as identity-transform constants per Iceberg's metadata-column
+  * rules.
+  *
+  * Refusals: a `_delta_log` table is Delta-owned (append with
+  * [[DeltaWrite]] and re-export); schema/partitioning mismatches on
+  * existing tables refuse rather than evolve.
+  */
+object IcebergWrite {
+
+  private val mapper = new ObjectMapper()
+  private val MaxAttempts = 10
+
+  /** Append `df`, creating the table if absent. Returns the committed
+    * snapshot id.
+    */
+  def append(
+      spark: SparkSession,
+      df: DataFrame,
+      tablePath: String,
+      partitionBy: Seq[String] = Seq.empty
+  ): Long = {
+    val table = new Path(tablePath)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(new Path(table, "_delta_log")),
+      s"$tablePath is a Delta table; append via DeltaWrite and IcebergUniform.export")
+    val metaDir = new Path(table, "metadata")
+    fs.mkdirs(metaDir)
+
+    // resolve schema + partitioning against the existing table (if any)
+    val existingV = latestVersionByScan(fs, metaDir)
+    val existing = existingV.map(v => readRoot(fs, metaDir, v))
+    val (schema, partCols) = existing match {
+      case Some(root) =>
+        val meta = IcebergMeta.parse(root, tablePath)
+        val declared = meta.schema.fields.map(f => f.name -> f.dataType.simpleString)
+        val got = df.schema.fields.map(f => f.name -> f.dataType.simpleString)
+        require(declared.toSet == got.toSet,
+          s"schema mismatch appending to $tablePath: table has " +
+            s"${declared.mkString(", ")}; dataframe has ${got.mkString(", ")}")
+        val spec = meta.specs.getOrElse(meta.defaultSpecId, Seq.empty)
+        require(spec.forall(_.transform == "identity"),
+          s"append supports identity partition specs only; $tablePath has " +
+            spec.filterNot(_.transform == "identity").map(_.transform).mkString(", "))
+        val specCols = spec.map(_.name)
+        require(partitionBy.isEmpty || partitionBy == specCols,
+          s"partitionBy ${partitionBy.mkString(",")} != table spec ${specCols.mkString(",")}")
+        (meta.schema, specCols)
+      case None =>
+        (df.schema, partitionBy)
+    }
+    val ordered = df.select(schema.fieldNames.map(col).toSeq: _*)
+
+    // ---- stage data files + per-file record counts (one job) -------
+    val staged = stage(spark, ordered, fs, table, partCols)
+
+    // ---- optimistic commit loop ------------------------------------
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val baseV = latestVersionByScan(fs, metaDir)
+      val baseRoot = baseV.map(v => readRoot(fs, metaDir, v))
+      val uuid = java.util.UUID.randomUUID().toString
+      val nowMs = System.currentTimeMillis()
+      val prevSnapshots = baseRoot.map(r => IcebergMeta.elements(r.path("snapshots")))
+        .getOrElse(Seq.empty)
+      val snapshotId = prevSnapshots.map(_.path("snapshot-id").asLong()).maxOption.getOrElse(0L) + 1
+      val seq = baseRoot.map(_.path("last-sequence-number").asLong(0L)).getOrElse(0L) + 1
+
+      val (schemaJson, specFieldsJson, lastColumnId, specSourceIds) = baseRoot match {
+        case Some(r) =>
+          val schemas = r.path("schemas")
+          val cur = r.path("current-schema-id").asInt(0)
+          val sj = IcebergMeta.elements(schemas)
+            .find(_.path("schema-id").asInt(-1) == cur)
+            .getOrElse(schemas.get(0))
+          val specs = r.path("partition-specs")
+          val spec = IcebergMeta.elements(specs)
+            .find(_.path("spec-id").asInt(0) == r.path("default-spec-id").asInt(0))
+            .getOrElse(specs.get(0))
+          (mapper.writeValueAsString(sj),
+            mapper.writeValueAsString(spec.path("fields")),
+            r.path("last-column-id").asInt(),
+            IcebergMeta.elements(spec.path("fields")).map(f =>
+              f.path("name").asText() -> f.path("source-id").asInt()).toMap)
+        case None =>
+          val ids = new IcebergUniform.FieldIds(schema)
+          val sj = ids.icebergSchemaJson(schemaId = 0)
+          val fieldsJson = partCols.zipWithIndex.map { case (c, i) =>
+            s"""{"name":"$c","transform":"identity","source-id":${ids.idOf(c)},"field-id":${1000 + i}}"""
+          }.mkString("[", ",", "]")
+          (sj, fieldsJson, ids.lastColumnId,
+            partCols.map(c => c -> ids.idOf(c)).toMap)
+      }
+
+      // new data manifest (uuid-named: attempts never collide)
+      val partFields = partCols.map(c => schema.fields.find(_.name == c).get)
+      val entrySchema = IcebergUniform.manifestEntrySchema(partFields)
+      val manifestPath = new Path(metaDir, s"manifest-$snapshotId-$uuid.avro")
+      locally {
+        val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](entrySchema))
+        w.setMeta("schema", schemaJson)
+        w.setMeta("partition-spec", specFieldsJson)
+        w.setMeta("partition-spec-id", "0")
+        w.setMeta("format-version", "2")
+        w.setMeta("content", "data")
+        w.create(entrySchema, fs.create(manifestPath, true))
+        try {
+          val dfSchema = entrySchema.getField("data_file").schema()
+          val pSchema = dfSchema.getField("partition").schema()
+          staged.foreach { sf =>
+            val p = new GenericData.Record(pSchema)
+            partFields.foreach { pf =>
+              p.put(pf.name,
+                IcebergUniform.partitionValue(pf.dataType, sf.partitionValues(pf.name)))
+            }
+            val dfr = new GenericData.Record(dfSchema)
+            dfr.put("content", 0)
+            dfr.put("file_path", sf.path)
+            dfr.put("file_format", "PARQUET")
+            dfr.put("partition", p)
+            dfr.put("record_count", sf.recordCount)
+            dfr.put("file_size_in_bytes", sf.size)
+            val e = new GenericData.Record(entrySchema)
+            e.put("status", 1) // ADDED
+            e.put("snapshot_id", snapshotId)
+            e.put("sequence_number", seq)
+            e.put("file_sequence_number", seq)
+            e.put("data_file", dfr)
+            w.append(e)
+          }
+        } finally w.close()
+      }
+      val manifestLen = fs.getFileStatus(manifestPath).getLen
+
+      // manifest list: the base snapshot's manifests carried verbatim
+      // + the new one
+      val listPath = new Path(metaDir, s"snap-$snapshotId-$uuid.avro")
+      locally {
+        val s = IcebergUniform.manifestFileSchema
+        val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](s))
+          .create(s, fs.create(listPath, true))
+        try {
+          baseRoot.foreach { r =>
+            currentManifestList(fs, r).foreach { prev =>
+              val c = new GenericData.Record(s)
+              s.getFields.forEach(f => c.put(f.name(),
+                if (prev.getSchema.getField(f.name()) != null) prev.get(f.name()) else null))
+              w.append(c)
+            }
+          }
+          val n = new GenericData.Record(s)
+          n.put("manifest_path", manifestPath.toString)
+          n.put("manifest_length", manifestLen)
+          n.put("partition_spec_id", 0)
+          n.put("content", 0)
+          n.put("sequence_number", seq)
+          n.put("min_sequence_number", seq)
+          n.put("added_snapshot_id", snapshotId)
+          n.put("added_files_count", staged.size)
+          n.put("existing_files_count", 0)
+          n.put("deleted_files_count", 0)
+          n.put("added_rows_count", staged.map(_.recordCount).sum)
+          n.put("existing_rows_count", 0L)
+          n.put("deleted_rows_count", 0L)
+          w.append(n)
+        } finally w.close()
+      }
+
+      // metadata JSON: mutate a copy of the base (preserves schemas,
+      // specs, history from ANY previous writer) or build fresh
+      val root: ObjectNode = baseRoot match {
+        case Some(r) => r.deepCopy[ObjectNode]()
+        case None =>
+          val r = mapper.createObjectNode()
+          r.put("format-version", 2)
+          r.put("table-uuid", java.util.UUID.randomUUID().toString)
+          r.put("location", tablePath)
+          r.put("last-column-id", lastColumnId)
+          r.put("current-schema-id", 0)
+          r.set[ObjectNode]("schemas",
+            mapper.createArrayNode().add(mapper.readTree(schemaJson)))
+          val spec = mapper.createObjectNode()
+          spec.put("spec-id", 0)
+          spec.set[ObjectNode]("fields", mapper.readTree(specFieldsJson))
+          r.set[ObjectNode]("partition-specs", mapper.createArrayNode().add(spec))
+          r.put("default-spec-id", 0)
+          r.put("last-partition-id", 1000 + math.max(partCols.size - 1, -1))
+          val order = mapper.createObjectNode()
+          order.put("order-id", 0)
+          order.set[ObjectNode]("fields", mapper.createArrayNode())
+          r.set[ObjectNode]("sort-orders", mapper.createArrayNode().add(order))
+          r.put("default-sort-order-id", 0)
+          r.set[ObjectNode]("snapshots", mapper.createArrayNode())
+          r.set[ObjectNode]("snapshot-log", mapper.createArrayNode())
+          r
+      }
+      if (!root.has("snapshot-log")) root.set[ObjectNode]("snapshot-log", mapper.createArrayNode())
+      root.put("last-updated-ms", nowMs)
+      root.put("last-sequence-number", seq)
+      root.put("current-snapshot-id", snapshotId)
+      val sn = mapper.createObjectNode()
+      sn.put("snapshot-id", snapshotId)
+      sn.put("sequence-number", seq)
+      sn.put("timestamp-ms", nowMs)
+      sn.put("manifest-list", listPath.toString)
+      sn.put("schema-id", root.path("current-schema-id").asInt(0))
+      val summary = mapper.createObjectNode()
+      summary.put("operation", "append")
+      summary.put("added-data-files", staged.size.toString)
+      summary.put("added-records", staged.map(_.recordCount).sum.toString)
+      sn.set[ObjectNode]("summary", summary)
+      root.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("snapshots").add(sn)
+      val logEntry = mapper.createObjectNode()
+      logEntry.put("timestamp-ms", nowMs)
+      logEntry.put("snapshot-id", snapshotId)
+      root.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("snapshot-log").add(logEntry)
+
+      val newV = baseV.getOrElse(0) + 1
+      val target = new Path(metaDir, s"v$newV.metadata.json")
+      if (publishIfAbsent(fs, target,
+        mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))) {
+        val hint = fs.create(new Path(metaDir, "version-hint.text"), true)
+        try hint.write(newV.toString.getBytes("UTF-8")) finally hint.close()
+        return snapshotId
+      }
+      // lost the race: discard this attempt's manifests, re-read, retry
+      fs.delete(manifestPath, false)
+      fs.delete(listPath, false)
+      if (attempt >= MaxAttempts)
+        throw new java.io.IOException(
+          s"could not commit to $tablePath after $MaxAttempts attempts")
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  // ------------------------------------------------------ internals
+
+  private final case class StagedFile(
+      path: String,
+      size: Long,
+      recordCount: Long,
+      partitionValues: Map[String, Option[String]])
+
+  /** Write `df` under a staging dir, compute per-file record counts
+    * in ONE grouped job, then move files under `data/`.
+    */
+  private def stage(
+      spark: SparkSession,
+      df: DataFrame,
+      fs: FileSystem,
+      table: Path,
+      partCols: Seq[String]
+  ): Seq[StagedFile] = {
+    val staging = new Path(table,
+      s"_staging_iceberg_${java.util.UUID.randomUUID().toString.take(8)}")
+    val writer = if (partCols.nonEmpty) df.write.partitionBy(partCols: _*) else df.write
+    writer.mode(SaveMode.Overwrite).parquet(staging.toString)
+
+    val files = listParquet(fs, staging)
+    val counts: Map[String, Long] =
+      if (files.isEmpty) Map.empty
+      else spark.read.parquet(staging.toString)
+        .groupBy(col("_metadata.file_path").as("_p")).agg(count(lit(1)).as("_n"))
+        .collect().map(r => DvDeleted.normalizePath(r.getString(0)) -> r.getLong(1)).toMap
+
+    val out = files.map { f =>
+      val rel = f.toString.stripPrefix(staging.toString).stripPrefix("/")
+      val dest = new Path(table, s"data/$rel")
+      fs.mkdirs(dest.getParent)
+      if (!fs.rename(f, dest))
+        throw new IllegalStateException(s"could not move staged file $f to $dest")
+      StagedFile(
+        dest.toUri.getPath,
+        fs.getFileStatus(dest).getLen,
+        counts.getOrElse(DvDeleted.normalizePath(f.toString), 0L),
+        partitionValuesFromRel(rel, partCols))
+    }
+    fs.delete(staging, true)
+    out
+  }
+
+  private def partitionValuesFromRel(
+      rel: String, partCols: Seq[String]): Map[String, Option[String]] = {
+    val fromPath = rel.split('/').dropRight(1).flatMap { s =>
+      s.split("=", 2) match {
+        case Array(k, v) =>
+          val dec = java.net.URLDecoder.decode(v, "UTF-8")
+          Some(k -> (if (dec == "__HIVE_DEFAULT_PARTITION__") None else Some(dec)))
+        case _ => None
+      }
+    }.toMap
+    partCols.map(c => c -> fromPath.getOrElse(c, None)).toMap
+  }
+
+  private def listParquet(fs: FileSystem, dir: Path): Seq[Path] = {
+    val b = Seq.newBuilder[Path]
+    val it = fs.listFiles(dir, true)
+    while (it.hasNext) {
+      val s = it.next()
+      if (s.isFile && s.getPath.getName.endsWith(".parquet")) b += s.getPath
+    }
+    b.result()
+  }
+
+  /** Highest v<N>.metadata.json by DIRECTORY SCAN — the commit loop
+    * must never trust the advisory (possibly stale) version hint.
+    */
+  private def latestVersionByScan(fs: FileSystem, metaDir: Path): Option[Int] = {
+    if (!fs.exists(metaDir)) return None
+    val vs = fs.listStatus(metaDir).map(_.getPath.getName).collect {
+      case VersionedMetadata(n) => n.toInt
+    }
+    if (vs.isEmpty) None else Some(vs.max)
+  }
+
+  private val VersionedMetadata = "v(\\d+)\\.metadata\\.json".r
+
+  private def readRoot(fs: FileSystem, metaDir: Path, v: Int): JsonNode = {
+    val in = fs.open(new Path(metaDir, s"v$v.metadata.json"))
+    try mapper.readTree(in) finally in.close()
+  }
+
+  /** The base metadata's current snapshot's manifest-list records
+    * (empty when the base has no current snapshot).
+    */
+  private def currentManifestList(fs: FileSystem, root: JsonNode): Seq[GenericRecord] = {
+    val id = root.path("current-snapshot-id").asLong(-1L)
+    if (id < 0) return Seq.empty
+    IcebergMeta.elements(root.path("snapshots"))
+      .find(_.path("snapshot-id").asLong() == id)
+      .map(sn => IcebergMeta.readAvro(fs, new Path(sn.path("manifest-list").asText())))
+      .getOrElse(Seq.empty)
+  }
+
+  /** PUT-IF-ABSENT publish: local FS uses link(2) (content-atomic AND
+    * exclusive across processes); other FSes fall back to rename.
+    * Returns false on a lost race.
+    */
+  private def publishIfAbsent(fs: FileSystem, target: Path, bytes: Array[Byte]): Boolean = {
+    if (fs.exists(target)) return false
+    val tmp = new Path(target.getParent,
+      s"._commit_${java.util.UUID.randomUUID().toString.take(8)}.json.tmp")
+    try {
+      val out = fs.create(tmp, false)
+      try out.write(bytes) finally out.close()
+      fs match {
+        case _: org.apache.hadoop.fs.LocalFileSystem |
+             _: org.apache.hadoop.fs.RawLocalFileSystem =>
+          try {
+            java.nio.file.Files.createLink(
+              new java.io.File(target.toUri.getPath).toPath,
+              new java.io.File(tmp.toUri.getPath).toPath)
+            true
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException => false
+          }
+        case _ => fs.rename(tmp, target)
+      }
+    } finally { fs.delete(tmp, false); () }
+  }
+}

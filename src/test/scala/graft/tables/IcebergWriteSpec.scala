@@ -1,0 +1,86 @@
+package graft.tables
+
+import graft.SparkSpec
+import graft.core.Filter
+import org.apache.hadoop.fs.Path
+
+/** Native Iceberg append: create-then-extend with the Hadoop-catalog
+  * commit protocol, snapshot history, time travel to the first
+  * commit, refusal semantics, and the commit race (two concurrent
+  * writers must BOTH land).
+  */
+class IcebergWriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("append creates the table; second append extends it; time travel sees v1") {
+    val dir = tempDir("icew").toString + "/t"
+    val s1 = IcebergWrite.append(spark,
+      Seq((1L, "a", 0), (2L, "b", 1)).toDF("id", "v", "part"), dir, Seq("part"))
+    val s2 = IcebergWrite.append(spark,
+      Seq((3L, "c", 1)).toDF("id", "v", "part"), dir) // partitioning from spec
+    assert(s1 == 1L && s2 == 2L)
+
+    val t = new IcebergTable("t", dir)
+    assert(t(spark, ReadArgs.empty).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq ==
+      Seq((1L, "a", 0), (2L, "b", 1), (3L, "c", 1)))
+    // identity pruning still works on written tables
+    val p1 = t(spark, ReadArgs.where(Filter("part", "=", 1)))
+    assert(p1.collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
+    // first snapshot via time travel
+    assert(t(spark, ReadArgs(extra = Map(t.SnapshotIdKey -> s1)))
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("appends interleave with exported Delta history refusals and schema checks") {
+    val delta = tempDir("icew-delta").toString + "/t"
+    DeltaWrite.append(spark, Seq((1L, "a")).toDF("id", "v"), delta)
+    val e1 = intercept[IllegalArgumentException] {
+      IcebergWrite.append(spark, Seq((2L, "b")).toDF("id", "v"), delta)
+    }
+    assert(e1.getMessage.contains("Delta table"))
+
+    val dir = tempDir("icew-schema").toString + "/t"
+    IcebergWrite.append(spark, Seq((1L, "a")).toDF("id", "v"), dir)
+    val e2 = intercept[IllegalArgumentException] {
+      IcebergWrite.append(spark, Seq((1, "a")).toDF("id", "v"), dir) // id: int, not long
+    }
+    assert(e2.getMessage.contains("schema mismatch"))
+  }
+
+  test("two racing appends both commit (put-if-absent + retry)") {
+    val dir = tempDir("icew-race").toString + "/t"
+    IcebergWrite.append(spark, Seq((0L, "seed")).toDF("id", "v"), dir)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 2).map { i =>
+      new Thread(() => {
+        try IcebergWrite.append(spark,
+          Seq((i.toLong * 10, s"w$i")).toDF("id", "v"), dir)
+        catch { case t: Throwable => errors.add(t) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errors.isEmpty, s"racing append failed: ${errors.peek()}")
+    val got = new IcebergTable("t", dir)(spark, ReadArgs.empty)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(0L, 10L, 20L))
+    // three snapshots, strictly increasing sequence numbers
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val meta = IcebergMeta.load(fs, dir)
+    assert(meta.snapshots.size == 3)
+    assert(meta.snapshots.map(_.sequenceNumber).sorted == Seq(1L, 2L, 3L))
+  }
+
+  test("a UniForm-exported table stays Delta-owned: IcebergWrite refuses") {
+    val dir = tempDir("icew-dv").toString + "/t"
+    // single-writer-per-format invariant: the Delta log is the source
+    // of truth for exported tables; an Iceberg-side append would fork
+    // the two histories
+    DeltaWrite.append(spark, (1L to 4L).map(i => (i, s"v$i")).toDF("id", "v"), dir)
+    graft.export.IcebergUniform.export(spark, dir)
+    val e = intercept[IllegalArgumentException] {
+      IcebergWrite.append(spark, Seq((9L, "x")).toDF("id", "v"), dir)
+    }
+    assert(e.getMessage.contains("Delta table"))
+  }
+}
