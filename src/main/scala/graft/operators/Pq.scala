@@ -1,0 +1,169 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization for ANN at corpus scale (Jégou et al. 2011,
+  * "Product Quantization for Nearest Neighbor Search", IEEE TPAMI):
+  * split each d-dim vector into `m` contiguous subvectors, learn a
+  * small k-means codebook per subspace, and store each vector as `m`
+  * small codes instead of `d` floats — a 64-dim float32 embedding
+  * (256 B) compresses to m bytes, so a 100 TB embedding corpus's
+  * search structure fits in a fraction of the executors' memory and
+  * the ADC scan reads codes, not vectors.
+  *
+  * Scale shape:
+  *  - training is `m` runs of the deterministic bounded-collect
+  *    k-means in [[Similarity.kmeansCentroids]] (driver holds
+  *    m·ksub·(d/m) doubles — KB, not data);
+  *  - encoding is pure scan work against literal codebook matrices
+  *    (zero shuffle, codegen'd fold per subspace);
+  *  - search is asymmetric distance computation (ADC): each query
+  *    precomputes an m×ksub lookup table of exact
+  *    query-subvector→centroid distances on the driver, and every
+  *    corpus row's approximate distance is `m` array lookups summed —
+  *    no float vector is read at query time.
+  *
+  * Everything downstream of training is deterministic given the data
+  * (hash-sample init, exact-decimal means, rounded argmin with cid
+  * tie-break), so the DuckDB oracle can splice the learned codebooks
+  * and query LUTs as literals and replay encode + ADC end to end.
+  *
+  * The reference has no ANN surface; this extends the engine's IVF /
+  * brute-force ladder (Similarity.scala) with the memory-bound path.
+  */
+object Pq {
+
+  /** Learned PQ model: `m` codebooks of up to `ksub` centroids, each
+    * centroid a (d/m)-dim double vector, cids dense from 0 per
+    * subspace.
+    */
+  final case class Model(dims: Int, m: Int, codebooks: Seq[Seq[(Long, Seq[Double])]]) {
+    require(dims % m == 0, s"dims $dims not divisible by m $m")
+    val subDim: Int = dims / m
+  }
+
+  /** Train one codebook per contiguous subvector slice. Deterministic
+    * and partitioning-invariant (inherits [[Similarity.kmeansCentroids]]'s
+    * guarantees), so two fits over the same data agree bit-for-bit.
+    */
+  def fit(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dims: Int,
+      m: Int,
+      ksub: Int,
+      maxIter: Int = 3
+  ): Model = {
+    require(dims % m == 0, s"dims $dims not divisible by m $m")
+    val d = dims / m
+    val books = (0 until m).map { j =>
+      val sub = corpus.select(col(idCol), slice(col(vecCol), j * d + 1, d).as("_subv"))
+      Similarity.kmeansCentroids(sub, idCol, "_subv", ksub, maxIter)
+    }
+    Model(dims, m, books)
+  }
+
+  /** Corpus + `codesCol`: array<int> of length m, the per-subspace
+    * nearest-centroid ids. Scan-only — the codebooks ride along as
+    * literal matrices, no shuffle, no collect.
+    */
+  def encode(
+      corpus: DataFrame,
+      vecCol: String,
+      model: Model,
+      codesCol: String = "pq_codes"
+  ): DataFrame = {
+    val d = model.subDim
+    val codes = array((0 until model.m).map { j =>
+      Similarity
+        .nearestExpr(model.codebooks(j), slice(col(vecCol), j * d + 1, d))
+        .getField("cid")
+        .cast("int")
+    }: _*)
+    corpus.withColumn(codesCol, codes)
+  }
+
+  /** The m×ksub ADC lookup table for one query vector: exact L2²
+    * between the query's j-th subvector and each centroid of codebook
+    * j, ascending-index double accumulation (the same order the
+    * oracle's `list_sum(list_transform(...))` uses).
+    */
+  def lut(model: Model, query: Seq[Double]): Seq[Seq[Double]] = {
+    require(query.length == model.dims, s"query dim ${query.length} != ${model.dims}")
+    val d = model.subDim
+    (0 until model.m).map { j =>
+      model.codebooks(j).sortBy(_._1).map { case (_, c) =>
+        var s = 0.0
+        var i = 0
+        while (i < d) { val diff = query(j * d + i) - c(i); s += diff * diff; i += 1 }
+        s
+      }
+    }
+  }
+
+  /** Deterministic bounded query collect: vectors of `idCol < bound`,
+    * ascending id, widened to double.
+    */
+  def collectQueries(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      bound: Long
+  ): Seq[(Long, Seq[Double])] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    corpus
+      .where(col(idCol) < bound)
+      .select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Seq[Float])]
+      .collect()
+      .sortBy(_._1)
+      .map { case (id, v) => (id, v.map(_.toDouble).toSeq) }
+      .toSeq
+  }
+
+  /** ADC top-k over the encoded corpus: per (query, row) the
+    * approximate distance is a FIXED-ORDER sum of m literal-table
+    * lookups (`lut[j][code_j]`, j ascending, left-associated — the
+    * exact addition order the oracle's `t0 + t1 + ...` chain uses),
+    * rounded to 4 decimals; ties break on neighbor id. One window
+    * shuffle on query_id ranks the candidates; the corpus vectors are
+    * never touched.
+    */
+  def adcTopK(
+      encoded: DataFrame,
+      idCol: String,
+      codesCol: String,
+      model: Model,
+      queries: Seq[(Long, Seq[Double])],
+      k: Int
+  ): DataFrame = {
+    require(queries.nonEmpty, "adcTopK with no queries")
+    val qlits = queries.sortBy(_._1).map { case (qid, qv) =>
+      struct(
+        lit(qid).as("query_id"),
+        array(lut(model, qv).map(row => array(row.map(lit): _*)): _*).as("lut"))
+    }
+    val exploded = encoded
+      .select(col(idCol).as("neighbor_id"), col(codesCol).as("_codes"))
+      .select(col("neighbor_id"), col("_codes"), explode(array(qlits: _*)).as("_q"))
+      .where(col("_q.query_id") =!= col("neighbor_id"))
+    val adist = round(
+      (0 until model.m)
+        .map(j =>
+          element_at(
+            element_at(col("_q.lut"), j + 1),
+            element_at(col("_codes"), j + 1) + 1))
+        .reduce(_ + _),
+      4)
+    val w = Window.partitionBy("query_id").orderBy(col("adist").asc, col("neighbor_id").asc)
+    exploded
+      .select(col("_q.query_id").as("query_id"), col("neighbor_id"), adist.as("adist"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "adist", "rank")
+  }
+}

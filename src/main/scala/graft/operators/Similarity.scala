@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.Vectors
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -204,20 +204,21 @@ object Similarity {
       vecCol: String,
       centroids: Seq[(Long, Seq[Double])]
   ): DataFrame =
-    corpus.withColumn("centroid_id", nearestExpr(centroids, vecCol).getField("cid"))
+    corpus.withColumn("centroid_id", nearestExpr(centroids, col(vecCol)).getField("cid"))
 
   /** Per-row argmin over a literal centroid matrix: fold over the
     * centroid structs keeping struct(best_d2, best_cid). Rounded
     * distance + cid tie-break = engine- and partitioning-stable.
+    * Shared with [[Pq]], which runs it per subvector slice.
     */
-  private def nearestExpr(centroids: Seq[(Long, Seq[Double])], vecCol: String) =
+  private[operators] def nearestExpr(centroids: Seq[(Long, Seq[Double])], vec: Column) =
     aggregate(
       array(centroids.sortBy(_._1).map { case (cid, v) =>
         struct(lit(cid).as("cid"), array(v.map(lit): _*).as("c"))
       }: _*),
       struct(lit(Double.MaxValue).as("d"), lit(-1L).as("cid")),
       (acc, cs) => {
-        val d = round(graft.functions.VectorExpressions.l2sq(cs.getField("c"), col(vecCol)), 4)
+        val d = round(graft.functions.VectorExpressions.l2sq(cs.getField("c"), vec), 4)
         when(d < acc.getField("d"), struct(d.as("d"), cs.getField("cid").as("cid")))
           .otherwise(acc)
       })

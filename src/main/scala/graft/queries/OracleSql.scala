@@ -1578,7 +1578,8 @@ object OracleSql {
   ): Map[String, String] = Map(
     "q_ann_kmeans" -> annKmeansSql(spark, dir),
     "q_bpe_tokens" -> bpeTokensSql(spark, dir),
-    "q_pca_project" -> pcaProjectSql(spark, dir))
+    "q_pca_project" -> pcaProjectSql(spark, dir),
+    "q_pq_ann" -> pqAnnSql(spark, dir))
 
   /** DuckDB oracle for PCA projection: Pca.fit is partitioning- and
     * run-invariant (exact decimal moments + deterministic Jacobi), so
@@ -1703,6 +1704,73 @@ object OracleSql {
        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
        |  FROM scored)
        |SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= ${Ann.TopK}
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** DuckDB oracle for PQ-ADC ANN: [[graft.operators.Pq]]'s training
+    * is deterministic (it is m runs of the same k-means the kmeans
+    * oracle splices), so the codebooks AND the per-query ADC lookup
+    * tables splice as literals. Encode replays the engine's
+    * rounded-argmin per subspace (same `ORDER BY d2, cid` tie-break);
+    * the approximate distance is the same fixed-order `l0[..] +
+    * l1[..] + ...` chain of identical literal doubles the engine's
+    * left-associated lookup sum computes — bit-identical before the
+    * shared round(4).
+    */
+  private def pqAnnSql(
+      spark: org.apache.spark.sql.SparkSession, dir: String): String = {
+    import Wave6Queries.PqParams
+    import graft.operators.Pq
+    val emb = Tables.table(spark, dir, "embeddings")
+    val model = Pq.fit(emb, "vec_id", "embedding",
+      PqParams.Dims, PqParams.M, PqParams.Ksub, PqParams.MaxIter)
+    val d = model.subDim
+    val bookRows = model.codebooks.zipWithIndex.flatMap { case (book, j) =>
+      book.sortBy(_._1).map { case (cid, v) =>
+        s"($j, $cid, [${v.map(_.toString).mkString(", ")}]::DOUBLE[])"
+      }
+    }.mkString(",\n|    ")
+    val queries = Pq.collectQueries(emb, "vec_id", "embedding", PqParams.QueryBound)
+    val lutCols = (0 until model.m).map(j => s"l$j")
+    val lutRows = queries.sortBy(_._1).map { case (qid, qv) =>
+      val luts = Pq.lut(model, qv).map(row =>
+        s"[${row.map(_.toString).mkString(", ")}]::DOUBLE[]")
+      s"($qid, ${luts.mkString(", ")})"
+    }.mkString(",\n|    ")
+    val codeCols = (0 until model.m)
+      .map(j => s"max(CASE WHEN j = $j THEN code END) AS c$j").mkString(",\n|    ")
+    val adist = (0 until model.m).map(j => s"q.l$j[c.c$j + 1]").mkString(" + ")
+    s"""WITH books AS (
+       |  SELECT * FROM (VALUES
+       |    $bookRows) AS t(j, cid, cv)),
+       |subd AS (
+       |  SELECT e.vec_id, b.j, b.cid,
+       |    round(list_sum(list_transform(range(1, ${d + 1}),
+       |      i -> (e.embedding[b.j * $d + i]::DOUBLE - b.cv[i])
+       |         * (e.embedding[b.j * $d + i]::DOUBLE - b.cv[i]))), 4) AS d2
+       |  FROM embeddings e CROSS JOIN books b),
+       |codes AS (
+       |  SELECT vec_id, j, cid AS code FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, cid) AS rn
+       |    FROM subd) WHERE rn = 1),
+       |codev AS (
+       |  SELECT vec_id,
+       |    $codeCols
+       |  FROM codes GROUP BY vec_id),
+       |luts AS (
+       |  SELECT * FROM (VALUES
+       |    $lutRows) AS t(query_id, ${lutCols.mkString(", ")})),
+       |scored AS (
+       |  SELECT q.query_id, c.vec_id AS neighbor_id,
+       |    round($adist, 4) AS adist
+       |  FROM codev c CROSS JOIN luts q
+       |  WHERE c.vec_id != q.query_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, adist,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, adist, rank FROM ranked
+       |WHERE rank <= ${PqParams.TopK}
        |ORDER BY query_id, rank""".stripMargin
   }
 }
