@@ -1558,8 +1558,36 @@ object OracleSql {
         |ORDER BY c_custkey""".stripMargin
   )
 
+  /** Round-7 static oracles. q_blocklist counts each pattern p as
+    * `(length(text) - length(replace(text, p, ''))) // length(p)` —
+    * DuckDB's non-overlapping occurrence count, which equals the
+    * engine automaton's all-positions count because every pattern in
+    * [[Wave6Queries.BlocklistParams]] is borderless (asserted by
+    * BlocklistSpec), so occurrences cannot overlap.
+    */
+  val wave6: Map[String, String] = {
+    val ps = Wave6Queries.BlocklistParams.Patterns
+    val hitCols = ps.zipWithIndex.map { case (p, i) =>
+      s"(length(text) - length(replace(text, '$p', ''))) // ${p.length} AS h$i"
+    }.mkString(",\n|    ")
+    val total = ps.indices.map(i => s"h$i").mkString(" + ")
+    Map(
+      "q_blocklist" ->
+        s"""WITH h AS (
+           |  SELECT source,
+           |    $hitCols
+           |  FROM documents)
+           |SELECT source, count(*) AS docs,
+           |  CAST(sum(CASE WHEN $total > 0 THEN 1 ELSE 0 END) AS BIGINT) AS flagged_docs,
+           |  CAST(sum($total) AS BIGINT) AS total_hits,
+           |  CAST(sum(h0) AS BIGINT) AS p0_hits,
+           |  CAST(sum(h1) AS BIGINT) AS p1_hits
+           |FROM h GROUP BY source ORDER BY source""".stripMargin
+    )
+  }
+
   val all: Map[String, String] =
-    relational ++ pipeline ++ wave2 ++ wave3 ++ wave4 ++ wave5
+    relational ++ pipeline ++ wave2 ++ wave3 ++ wave4 ++ wave5 ++ wave6
 
   /** Oracles whose SQL embeds values computed DETERMINISTICALLY from
     * the data at `dir` — merged over [[all]] by Verify, which knows

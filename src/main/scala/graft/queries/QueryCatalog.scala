@@ -115,7 +115,8 @@ object QueryCatalog {
     Entry("q_iceberg_read", Wave5Queries.qIcebergRead),
     Entry("q_iceberg_write", Wave5Queries.qIcebergWrite),
     Entry("q_dsir_select", Wave5Queries.qDsirSelect),
-    Entry("q_pq_ann", Wave6Queries.qPqAnn)
+    Entry("q_pq_ann", Wave6Queries.qPqAnn),
+    Entry("q_blocklist", Wave6Queries.qBlocklist)
   )
 
   def queries: Map[String, QueryFn] =

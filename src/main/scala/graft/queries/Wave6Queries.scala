@@ -40,4 +40,41 @@ object Wave6Queries {
     Pq.adcTopK(encoded, "vec_id", "pq_codes", model, queries, TopK)
       .orderBy("query_id", "rank")
   }
+
+  // ---------- P53: multi-pattern blocklist (Aho-Corasick) ----------
+
+  /** The blocklist phrases. Every pattern is BORDERLESS (no proper
+    * prefix that is also a suffix — BlocklistSpec asserts it), so
+    * occurrences cannot overlap and the all-positions automaton count
+    * equals DuckDB's replace-difference count; the oracle relies on
+    * that equivalence.
+    */
+  object BlocklistParams {
+    val Patterns = Seq(
+      "fast table", "big join", "slow filter", "spark merge",
+      "stream batch", "sort hash", "customer query", "window data")
+  }
+
+  /** Blocklist screening per source: ONE automaton pass per document
+    * (instead of one `contains` scan per pattern) yields per-pattern
+    * hit counts; aggregation rolls up flagged docs + hit totals. Pure
+    * scan + one groupBy shuffle on `source`.
+    */
+  def qBlocklist(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.AhoCorasick
+    val docs = t(s, dir, "documents")
+    docs
+      .select(
+        col("source"),
+        AhoCorasick.countMatches(col("text"), BlocklistParams.Patterns).as("_c"))
+      .withColumn("_hits", aggregate(col("_c"), lit(0), (a, x) => a + x))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(when(col("_hits") > 0, 1L).otherwise(0L)).as("flagged_docs"),
+        sum(col("_hits").cast("long")).as("total_hits"),
+        sum(element_at(col("_c"), 1).cast("long")).as("p0_hits"),
+        sum(element_at(col("_c"), 2).cast("long")).as("p1_hits"))
+      .orderBy("source")
+  }
 }
