@@ -187,6 +187,76 @@ object NearDup {
       .select("a_id", "b_id", "jaccard")
   }
 
+  /** Cross-corpus fuzzy decontamination: MinHash-LSH candidate join
+    * between a training corpus and a (benchmark) probe set, verified
+    * with exact shingle-set Jaccard — returns
+    * `(c_id, p_id, jaccard ≥ threshold)`, the corpus documents that
+    * near-duplicate a probe document. The fuzzy complement of
+    * [[ProbeFilter]]'s exact-key decontamination: eval-set phrasing
+    * that survives light edits still gets caught.
+    *
+    * Same shuffle discipline as [[minhashPairs]]: only skinny
+    * `(band, bh, id)` rows ride the bucket join — never all-pairs,
+    * never text — and the shingle sets attach to the surviving
+    * candidates by id-equi-joins. At 100 TB the probe side (a
+    * benchmark suite) is tiny, so its banded relation and shingle
+    * sets broadcast under AQE while the corpus streams through once.
+    */
+  def crossMinhashPairs(
+      corpus: DataFrame,
+      probe: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 5,
+      numHashes: Int = 8,
+      bands: Int = 2,
+      threshold: Double = 0.5
+  ): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+
+    def banded(df: DataFrame): DataFrame = {
+      val b = minhashSignatures(df, textCol, k, numHashes).select(
+        col(idCol).as("_id"),
+        array((0 until bands).map { band =>
+          val sigs = (band * rowsPerBand until (band + 1) * rowsPerBand).map(j => col(sigCol(j)))
+          struct(lit(band).as("band"), bandKey(sigs).as("bh"))
+        }: _*).as("_bands"))
+        .select(col("_id"), explode(col("_bands")).as("_b"))
+        .select(col("_id"), col("_b.band").as("band"), col("_b.bh").as("bh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      registerCache(b)
+      b
+    }
+    def shsets(df: DataFrame): DataFrame = {
+      val s = df.select(
+        col(idCol).as("_sid"),
+        graft.functions.TextHashExpressions.shingleHashSet(col(textCol), k).as("_sh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      registerCache(s)
+      s
+    }
+
+    val candidates = banded(corpus).as("c")
+      .join(banded(probe).as("p"), Seq("band", "bh"))
+      .select(col("c._id").as("c_id"), col("p._id").as("p_id"))
+      .dropDuplicates("c_id", "p_id")
+
+    val withSets = candidates
+      .join(shsets(corpus), col("c_id") === col("_sid"))
+      .withColumnRenamed("_sh", "c_sh").drop("_sid")
+      .join(shsets(probe), col("p_id") === col("_sid"))
+      .withColumnRenamed("_sh", "p_sh").drop("_sid")
+
+    val inter = graft.functions.TextHashExpressions
+      .sortedIntersectCount(col("c_sh"), col("p_sh")).cast("double")
+    val union = (size(col("c_sh")) + size(col("p_sh"))).cast("double") - inter
+    withSets
+      .withColumn("jaccard", round(inter / union, 4))
+      .where(col("jaccard") >= threshold)
+      .select("c_id", "p_id", "jaccard")
+  }
+
   /** Connected components over a near-duplicate pair graph: every doc
     * in a cluster gets the cluster's minimum doc id as its label —
     * the standard final stage of corpus dedup (keep one doc per

@@ -1582,8 +1582,50 @@ object OracleSql {
            |  CAST(sum($total) AS BIGINT) AS total_hits,
            |  CAST(sum(h0) AS BIGINT) AS p0_hits,
            |  CAST(sum(h1) AS BIGINT) AS p1_hits
-           |FROM h GROUP BY source ORDER BY source""".stripMargin
+           |FROM h GROUP BY source ORDER BY source""".stripMargin,
+      "q_fuzzy_decontam" -> fuzzyDecontamSql
     )
+  }
+
+  /** Mirrors NearDup.crossMinhashPairs + Wave6Queries.qFuzzyDecontam:
+    * the standard signature/band CTE chain, corpus↔probe band join
+    * split on the mod-17 slice, exact shingle-set Jaccard verify, per-
+    * source rollup of flagged corpus docs.
+    */
+  private def fuzzyDecontamSql: String = {
+    val rows = NumHashes / Bands
+    val bandSelects = (0 until Bands).map { b =>
+      val sigs = (b * rows until (b + 1) * rows).map(j => s"sig_$j").mkString(", ")
+      s"SELECT doc_id, $b AS band, md5(concat_ws('|', $sigs)) AS bh FROM sigd"
+    }.mkString("\n  UNION ALL\n  ")
+    val m = Wave6Queries.FuzzyDecontamParams.Mod
+    val thr = Wave6Queries.FuzzyDecontamParams.Threshold
+    s"""$sigSelect,
+       |sigd AS (SELECT *, list_sort(list_distinct(hs)) AS shset FROM sig),
+       |banded AS (
+       |  $bandSelects
+       |),
+       |cpairs AS (
+       |  SELECT DISTINCT a.doc_id AS c_id, b.doc_id AS p_id
+       |  FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh
+       |  WHERE a.doc_id % $m != 0 AND b.doc_id % $m = 0),
+       |ver AS (
+       |  SELECT c_id, p_id,
+       |    round(len(list_intersect(sa.shset, sb.shset)) /
+       |      (len(sa.shset) + len(sb.shset) - len(list_intersect(sa.shset, sb.shset))), 4) AS jaccard
+       |  FROM cpairs
+       |  JOIN sigd sa ON sa.doc_id = c_id
+       |  JOIN sigd sb ON sb.doc_id = p_id),
+       |flags AS (
+       |  SELECT c_id, count(*) AS n_p, max(jaccard) AS mj
+       |  FROM ver WHERE jaccard >= $thr GROUP BY c_id)
+       |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN f.c_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+       |  CAST(sum(coalesce(f.n_p, 0)) AS BIGINT) AS n_pairs,
+       |  round(max(coalesce(f.mj, 0.0)), 4) AS max_jaccard
+       |FROM documents d LEFT JOIN flags f ON d.doc_id = f.c_id
+       |WHERE d.doc_id % $m != 0
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
   }
 
   val all: Map[String, String] =

@@ -116,7 +116,8 @@ object QueryCatalog {
     Entry("q_iceberg_write", Wave5Queries.qIcebergWrite),
     Entry("q_dsir_select", Wave5Queries.qDsirSelect),
     Entry("q_pq_ann", Wave6Queries.qPqAnn),
-    Entry("q_blocklist", Wave6Queries.qBlocklist)
+    Entry("q_blocklist", Wave6Queries.qBlocklist),
+    Entry("q_fuzzy_decontam", Wave6Queries.qFuzzyDecontam)
   )
 
   def queries: Map[String, QueryFn] =

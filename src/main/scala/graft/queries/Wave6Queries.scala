@@ -77,4 +77,37 @@ object Wave6Queries {
         sum(element_at(col("_c"), 2).cast("long")).as("p1_hits"))
       .orderBy("source")
   }
+
+  // ---------- P54: cross-corpus fuzzy decontamination ----------
+
+  /** Probe slice = doc_id ≡ 0 (mod 17) plays the benchmark set
+    * (~6% of the corpus); the rest is the training corpus.
+    */
+  object FuzzyDecontamParams { val Mod = 17; val Threshold = 0.5 }
+
+  /** Fuzzy decontamination rollup: corpus docs whose text
+    * near-duplicates (exact shingle Jaccard ≥ 0.5, MinHash-LSH
+    * candidates) any probe doc, per source — flagged doc count, pair
+    * count, and the worst overlap.
+    */
+  def qFuzzyDecontam(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.NearDup
+    import FuzzyDecontamParams._
+    val docs = t(s, dir, "documents")
+    val probe = docs.where(col("doc_id") % Mod === 0)
+    val corpus = docs.where(col("doc_id") % Mod =!= 0)
+    val pairs = NearDup.crossMinhashPairs(
+      corpus, probe, "doc_id", "text", threshold = Threshold)
+    val flagged = pairs.groupBy("c_id")
+      .agg(count(lit(1)).as("_np"), max("jaccard").as("_mj"))
+    corpus.select(col("doc_id").as("c_id"), col("source"))
+      .join(flagged, Seq("c_id"), "left")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("_np").isNotNull, 1L).otherwise(0L)).as("n_contaminated"),
+        sum(coalesce(col("_np"), lit(0L))).as("n_pairs"),
+        round(max(coalesce(col("_mj"), lit(0.0))), 4).as("max_jaccard"))
+      .orderBy("source")
+  }
 }
