@@ -1583,7 +1583,13 @@ object OracleSql {
            |  CAST(sum(h0) AS BIGINT) AS p0_hits,
            |  CAST(sum(h1) AS BIGINT) AS p1_hits
            |FROM h GROUP BY source ORDER BY source""".stripMargin,
-      "q_fuzzy_decontam" -> fuzzyDecontamSql
+      "q_fuzzy_decontam" -> fuzzyDecontamSql,
+      // incremental read of the two-snapshot Iceberg nation table:
+      // the appended slice IS the second append's predicate
+      "q_iceberg_incr" ->
+        """SELECT n_nationkey, n_name, n_regionkey
+          |FROM nation WHERE n_nationkey >= 12
+          |ORDER BY n_nationkey""".stripMargin
     )
   }
 

@@ -324,7 +324,7 @@ object Wave5Queries {
     * protocol — nation split into two slices so the read proves
     * multi-snapshot manifest carry.
     */
-  private def writtenNation(s: SparkSession, dir: String): String =
+  private[queries] def writtenNation(s: SparkSession, dir: String): String =
     icebergWritten.getOrElseUpdate(dir, {
       import graft.tables.IcebergWrite
       val path = java.nio.file.Files

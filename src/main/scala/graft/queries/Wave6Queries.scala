@@ -78,6 +78,27 @@ object Wave6Queries {
       .orderBy("source")
   }
 
+  // ---------- R51: Iceberg incremental snapshot-diff read ----------
+
+  /** Incremental read over the natively written two-snapshot nation
+    * table (Wave5Queries.writtenNation): rows appended between the
+    * first and second snapshot = exactly the second append's slice
+    * (n_nationkey >= 12), which is the oracle's predicate over the
+    * source table. Exercises the manifest file-set diff + the
+    * append-only range validation.
+    */
+  def qIcebergIncr(s: SparkSession, dir: String): DataFrame = {
+    import graft.tables.{IcebergMeta, IcebergTable}
+    import org.apache.hadoop.fs.Path
+    val path = Wave5Queries.writtenNation(s, dir)
+    val fs = new Path(path).getFileSystem(s.sparkContext.hadoopConfiguration)
+    val snaps = IcebergMeta.load(fs, path).snapshots.sortBy(_.sequenceNumber)
+    require(snaps.size == 2, s"expected 2 snapshots, found ${snaps.size}")
+    new IcebergTable("nation_iceberg", path)
+      .incremental(s, snaps.head.id, snaps.last.id)
+      .orderBy("n_nationkey")
+  }
+
   // ---------- P54: cross-corpus fuzzy decontamination ----------
 
   /** Probe slice = doc_id ≡ 0 (mod 17) plays the benchmark set

@@ -34,7 +34,8 @@ object IcebergMeta {
       sequenceNumber: Long,
       timestampMs: Long,
       manifestList: String,
-      schemaId: Option[Int])
+      schemaId: Option[Int],
+      operation: Option[String] = None)
 
   /** A planned content file (data or delete) with the metadata the
     * scan needs. `content`: 0 = data, 1 = position deletes,
@@ -122,7 +123,8 @@ object IcebergMeta {
         s.path("sequence-number").asLong(0L),
         s.path("timestamp-ms").asLong(),
         s.path("manifest-list").asText(),
-        if (s.has("schema-id")) Some(s.path("schema-id").asInt()) else None)
+        if (s.has("schema-id")) Some(s.path("schema-id").asInt()) else None,
+        Option(s.path("summary").path("operation").asText(null)))
     }.toSeq
     TableMeta(
       location = if (root.has("location")) root.path("location").asText() else tableRoot,

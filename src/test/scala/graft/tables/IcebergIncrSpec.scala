@@ -1,0 +1,67 @@
+package graft.tables
+
+import graft.SparkSpec
+import graft.core.{Filter, Filters}
+import org.apache.hadoop.fs.Path
+
+/** Incremental snapshot-diff read: appended-rows semantics over
+  * ranges, empty range, ordering refusal, append-only validation
+  * against a range that adds delete files, and pruning on the diff.
+  */
+class IcebergIncrSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fs(p: String) =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  test("incremental returns exactly the rows appended in the range") {
+    val dir = tempDir("ice-incr").toString + "/t"
+    val s1 = IcebergWrite.append(spark,
+      Seq((1L, "a", 0), (2L, "b", 1)).toDF("id", "v", "part"), dir, Seq("part"))
+    val s2 = IcebergWrite.append(spark, Seq((3L, "c", 0)).toDF("id", "v", "part"), dir)
+    val s3 = IcebergWrite.append(spark, Seq((4L, "d", 1)).toDF("id", "v", "part"), dir)
+    val t = new IcebergTable("t", dir)
+
+    def ids(from: Long, to: Long, args: ReadArgs = ReadArgs()) =
+      t.incremental(spark, from, to, args).collect().map(_.getLong(0)).sorted.toSeq
+
+    assert(ids(s1, s3) == Seq(3L, 4L))
+    assert(ids(s1, s2) == Seq(3L))
+    assert(ids(s2, s3) == Seq(4L))
+    assert(ids(s1, s1) == Seq.empty)
+    // identity partition pruning applies to the diff
+    assert(ids(s1, s3, ReadArgs.where(Filter("part", "=", 1))) == Seq(4L))
+    // column selection
+    assert(t.incremental(spark, s1, s3, ReadArgs(columns = Some(Seq("v"))))
+      .columns.toSeq == Seq("v"))
+    // reversed range refuses
+    val e = intercept[IllegalArgumentException] { ids(s3, s1) }
+    assert(e.getMessage.contains("newer"))
+  }
+
+  test("a range that adds delete files refuses as non-append-only") {
+    val delta = tempDir("ice-incr-dv").toString + "/t"
+    DeltaWrite.append(spark,
+      Seq((1L, 10.0), (2L, -5.0), (3L, 7.0)).toDF("id", "bal"), delta)
+    graft.export.IcebergUniform.export(spark, delta)
+    DeltaWrite.deleteWhereDv(spark, delta,
+      Filters.normalize(Seq(Filter("bal", "<", 0.0))))
+    graft.export.IcebergUniform.export(spark, delta)
+
+    val snaps = IcebergMeta.load(fs(delta), delta).snapshots.sortBy(_.sequenceNumber)
+    assert(snaps.size >= 2, s"expected >=2 exported snapshots, got ${snaps.size}")
+    val t = new IcebergTable("t", delta)
+    val e = intercept[IllegalArgumentException] {
+      t.incremental(spark, snaps.head.id, snaps.last.id).collect()
+    }
+    assert(e.getMessage.contains("not append-only"))
+  }
+
+  test("qIcebergIncr equals the second append's slice on real testdata") {
+    val got = graft.queries.Wave6Queries.qIcebergIncr(spark, sf())
+      .collect().map(_.getInt(0)).toSeq
+    val want = graft.queries.Tables.table(spark, sf(), "nation")
+      .where("n_nationkey >= 12").collect().map(_.getInt(0)).sorted.toSeq
+    assert(got == want && got.nonEmpty)
+  }
+}
