@@ -1593,6 +1593,37 @@ object OracleSql {
     )
   }
 
+  /** DuckDB oracle for temperature mixing: quotas are computed ONCE
+    * (same deterministic driver arithmetic as
+    * [[graft.operators.Mixing.temperatureQuotas]]) and spliced as a
+    * VALUES table; membership replays the same portable md5 ranking
+    * with the same id tie-break.
+    */
+  private def domainMixSql(
+      spark: org.apache.spark.sql.SparkSession, dir: String): String = {
+    import Wave6Queries.MixParams
+    val quotas = graft.operators.Mixing.temperatureQuotas(
+      Tables.table(spark, dir, "documents"), "source",
+      MixParams.Temperature, MixParams.TargetFraction)
+    val qRows = quotas.map(q => s"('${q.domain}', ${q.quota})").mkString(",\n|    ")
+    val order = PortableHash.Sql.md5Mod(
+      s"'${MixParams.Salt}' || '|' || CAST(doc_id AS VARCHAR)")
+    s"""WITH q AS (
+       |  SELECT * FROM (VALUES
+       |    $qRows) AS t(source, quota)),
+       |ranked AS (
+       |  SELECT source, doc_id, n_chars,
+       |    row_number() OVER (PARTITION BY source ORDER BY $order, doc_id) AS rn
+       |  FROM documents),
+       |kept AS (
+       |  SELECT r.source, r.doc_id, r.n_chars
+       |  FROM ranked r JOIN q USING (source) WHERE r.rn <= q.quota)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+       |  CAST(sum(n_chars) AS BIGINT) AS kept_chars,
+       |  min(doc_id) AS min_kept_id
+       |FROM kept GROUP BY source ORDER BY source""".stripMargin
+  }
+
   /** Mirrors NearDup.crossMinhashPairs + Wave6Queries.qFuzzyDecontam:
     * the standard signature/band CTE chain, corpus↔probe band join
     * split on the mod-17 slice, exact shingle-set Jaccard verify, per-
@@ -1655,7 +1686,8 @@ object OracleSql {
     "q_ann_kmeans" -> annKmeansSql(spark, dir),
     "q_bpe_tokens" -> bpeTokensSql(spark, dir),
     "q_pca_project" -> pcaProjectSql(spark, dir),
-    "q_pq_ann" -> pqAnnSql(spark, dir))
+    "q_pq_ann" -> pqAnnSql(spark, dir),
+    "q_domain_mix" -> domainMixSql(spark, dir))
 
   /** DuckDB oracle for PCA projection: Pca.fit is partitioning- and
     * run-invariant (exact decimal moments + deterministic Jacobi), so

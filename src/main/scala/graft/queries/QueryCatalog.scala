@@ -118,7 +118,8 @@ object QueryCatalog {
     Entry("q_pq_ann", Wave6Queries.qPqAnn),
     Entry("q_blocklist", Wave6Queries.qBlocklist),
     Entry("q_fuzzy_decontam", Wave6Queries.qFuzzyDecontam),
-    Entry("q_iceberg_incr", Wave6Queries.qIcebergIncr)
+    Entry("q_iceberg_incr", Wave6Queries.qIcebergIncr),
+    Entry("q_domain_mix", Wave6Queries.qDomainMix)
   )
 
   def queries: Map[String, QueryFn] =

@@ -99,6 +99,34 @@ object Wave6Queries {
       .orderBy("n_nationkey")
   }
 
+  // ---------- P55: temperature-based domain mixing ----------
+
+  /** Shared with the dynamic oracle (OracleSql.domainMixSql), which
+    * recomputes the same deterministic quotas and splices them.
+    */
+  object MixParams {
+    val Temperature = 2.0; val TargetFraction = 0.2; val Salt = "mix"
+  }
+
+  /** Temperature-rebalanced training mix: per-source quotas from the
+    * (n_d/N)^(1/T) mix weights, members = each source's bottom-quota
+    * docs in portable md5 order. Rolled up per source for the hash
+    * compare (quota, kept count, kept chars, first kept id).
+    */
+  def qDomainMix(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Mixing
+    import MixParams._
+    val docs = t(s, dir, "documents")
+    Mixing.temperatureSample(docs, "doc_id", "source",
+      Temperature, TargetFraction, Salt)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_kept"),
+        sum(col("n_chars")).as("kept_chars"),
+        min(col("doc_id")).as("min_kept_id"))
+      .orderBy("source")
+  }
+
   // ---------- P54: cross-corpus fuzzy decontamination ----------
 
   /** Probe slice = doc_id ≡ 0 (mod 17) plays the benchmark set
