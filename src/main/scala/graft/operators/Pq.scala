@@ -125,6 +125,81 @@ object Pq {
       .toSeq
   }
 
+  /** The nprobe nearest coarse centroids for a query vector, under
+    * the SAME rounded-distance + lowest-cid-tie-break order the
+    * row-side argmin ([[Similarity.nearestExpr]]) uses — so the
+    * driver's probe list and the executors' assignments can never
+    * disagree on the metric.
+    */
+  def probeCentroids(
+      coarse: Seq[(Long, Seq[Double])],
+      query: Seq[Double],
+      nprobe: Int
+  ): Seq[Long] =
+    coarse
+      .map { case (cid, c) =>
+        var s = 0.0
+        var i = 0
+        while (i < c.length) { val d = query(i) - c(i); s += d * d; i += 1 }
+        (BigDecimal(s).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble, cid)
+      }
+      .sortBy(identity)
+      .take(nprobe)
+      .map(_._2)
+
+  /** IVF-PQ search (the FAISS `IVFPQ` layout with `by_residual =
+    * false`): the corpus is bucketed by nearest coarse centroid and
+    * stored as PQ codes; a query probes only its `nprobe` nearest
+    * buckets and ranks the candidates by ADC table lookups. The two
+    * halves compound at 100 TB: IVF cuts the candidate set by
+    * ~k/nprobe×, PQ cuts the bytes per candidate by ~64× — the scan
+    * reads a sliver of a compressed index and never touches a float
+    * vector.
+    *
+    * `indexed` must carry `centroid_id` ([[Similarity]] assignment)
+    * and `codesCol` ([[encode]]); write it out partitioned by
+    * `centroid_id` and the probe filter becomes partition pruning.
+    */
+  def ivfPqTopK(
+      indexed: DataFrame,
+      idCol: String,
+      codesCol: String,
+      coarse: Seq[(Long, Seq[Double])],
+      model: Model,
+      queries: Seq[(Long, Seq[Double])],
+      nprobe: Int,
+      k: Int
+  ): DataFrame = {
+    require(queries.nonEmpty, "ivfPqTopK with no queries")
+    val qlits = queries.sortBy(_._1).map { case (qid, qv) =>
+      struct(
+        lit(qid).as("query_id"),
+        array(probeCentroids(coarse, qv, nprobe).map(lit): _*).as("probes"),
+        array(lut(model, qv).map(row => array(row.map(lit): _*)): _*).as("lut"))
+    }
+    val exploded = indexed
+      .select(col(idCol).as("neighbor_id"), col(codesCol).as("_codes"),
+        col("centroid_id"))
+      .select(col("neighbor_id"), col("_codes"), col("centroid_id"),
+        explode(array(qlits: _*)).as("_q"))
+      .where(array_contains(col("_q.probes"), col("centroid_id")) &&
+        col("_q.query_id") =!= col("neighbor_id"))
+    val adist = round(
+      (0 until model.m)
+        .map(j =>
+          element_at(
+            element_at(col("_q.lut"), j + 1),
+            element_at(col("_codes"), j + 1) + 1))
+        .reduce(_ + _),
+      4)
+    val w = Window.partitionBy("query_id").orderBy(col("adist").asc, col("neighbor_id").asc)
+    exploded
+      .select(col("_q.query_id").as("query_id"), col("neighbor_id"), adist.as("adist"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "adist", "rank")
+  }
+
   /** ADC top-k over the encoded corpus: per (query, row) the
     * approximate distance is a FIXED-ORDER sum of m literal-table
     * lookups (`lut[j][code_j]`, j ascending, left-associated — the

@@ -199,7 +199,12 @@ object Similarity {
     * computed per row against a literal centroid matrix (pure scan
     * work, zero shuffle).
     */
-  private def assignNearest(
+  /** Corpus + `centroid_id` of the nearest of the GIVEN centroids —
+    * the assignment half of [[kmeansIvfAssign]] for callers that
+    * already hold a learned centroid set (e.g. the IVF-PQ index
+    * build, which shares one coarse codebook across stages).
+    */
+  def assignNearest(
       corpus: DataFrame,
       vecCol: String,
       centroids: Seq[(Long, Seq[Double])]

@@ -1624,6 +1624,91 @@ object OracleSql {
        |FROM kept GROUP BY source ORDER BY source""".stripMargin
   }
 
+  /** DuckDB oracle for IVF-PQ search: composes the two proven oracle
+    * shapes — the kmeans oracle's literal-centroid assignment CTE and
+    * the PQ oracle's codebook/code/LUT chain — plus per-query probe
+    * lists spliced from the SAME driver computation the engine uses
+    * ([[graft.operators.Pq.probeCentroids]]). Candidates = rows whose
+    * coarse bucket is probed; ranking = the fixed-order ADC sum.
+    */
+  private def ivfPqSql(
+      spark: org.apache.spark.sql.SparkSession, dir: String): String = {
+    import Wave6Queries.IvfPqParams
+    import graft.operators.{Pq, Similarity}
+    val emb = Tables.table(spark, dir, "embeddings")
+    val coarse = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+      k = IvfPqParams.CoarseK, maxIter = IvfPqParams.CoarseIter)
+    val model = Pq.fit(emb, "vec_id", "embedding",
+      IvfPqParams.Dims, IvfPqParams.M, IvfPqParams.Ksub, IvfPqParams.PqIter)
+    val d = model.subDim
+    val queries = Pq.collectQueries(emb, "vec_id", "embedding", IvfPqParams.QueryBound)
+
+    val coarseRows = coarse.sortBy(_._1).map { case (cid, v) =>
+      s"($cid, [${v.map(_.toString).mkString(", ")}]::DOUBLE[])"
+    }.mkString(",\n|    ")
+    val bookRows = model.codebooks.zipWithIndex.flatMap { case (book, j) =>
+      book.sortBy(_._1).map { case (cid, v) =>
+        s"($j, $cid, [${v.map(_.toString).mkString(", ")}]::DOUBLE[])"
+      }
+    }.mkString(",\n|    ")
+    val lutRows = queries.sortBy(_._1).map { case (qid, qv) =>
+      val probes = Pq.probeCentroids(coarse, qv, IvfPqParams.NProbe)
+      val luts = Pq.lut(model, qv).map(row =>
+        s"[${row.map(_.toString).mkString(", ")}]::DOUBLE[]")
+      s"($qid, [${probes.mkString(", ")}]::BIGINT[], ${luts.mkString(", ")})"
+    }.mkString(",\n|    ")
+    val lutCols = (0 until model.m).map(j => s"l$j").mkString(", ")
+    val codeCols = (0 until model.m)
+      .map(j => s"max(CASE WHEN j = $j THEN code END) AS c$j").mkString(",\n|    ")
+    val adist = (0 until model.m).map(j => s"q.l$j[c.c$j + 1]").mkString(" + ")
+    val coarseL2 = "round(list_sum(list_transform(range(1, len(e.embedding)+1), " +
+      "i -> (e.embedding[i]::DOUBLE - cc.cv[i]) * (e.embedding[i]::DOUBLE - cc.cv[i]))), 4)"
+    s"""WITH coarse AS (
+       |  SELECT * FROM (VALUES
+       |    $coarseRows) AS t(centroid_id, cv)),
+       |cdists AS (
+       |  SELECT e.vec_id, cc.centroid_id, $coarseL2 AS d2
+       |  FROM embeddings e CROSS JOIN coarse cc),
+       |assigned AS (
+       |  SELECT vec_id, centroid_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, centroid_id) AS rn
+       |    FROM cdists) WHERE rn = 1),
+       |books AS (
+       |  SELECT * FROM (VALUES
+       |    $bookRows) AS t(j, cid, cv)),
+       |subd AS (
+       |  SELECT e.vec_id, b.j, b.cid,
+       |    round(list_sum(list_transform(range(1, ${d + 1}),
+       |      i -> (e.embedding[b.j * $d + i]::DOUBLE - b.cv[i])
+       |         * (e.embedding[b.j * $d + i]::DOUBLE - b.cv[i]))), 4) AS d2
+       |  FROM embeddings e CROSS JOIN books b),
+       |codes AS (
+       |  SELECT vec_id, j, cid AS code FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, cid) AS rn
+       |    FROM subd) WHERE rn = 1),
+       |codev AS (
+       |  SELECT vec_id,
+       |    $codeCols
+       |  FROM codes GROUP BY vec_id),
+       |luts AS (
+       |  SELECT * FROM (VALUES
+       |    $lutRows) AS t(query_id, probes, $lutCols)),
+       |scored AS (
+       |  SELECT q.query_id, c.vec_id AS neighbor_id,
+       |    round($adist, 4) AS adist
+       |  FROM codev c
+       |  JOIN assigned a ON a.vec_id = c.vec_id
+       |  CROSS JOIN luts q
+       |  WHERE list_contains(q.probes, a.centroid_id) AND c.vec_id != q.query_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, adist,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, adist, rank FROM ranked
+       |WHERE rank <= ${IvfPqParams.TopK}
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Mirrors NearDup.crossMinhashPairs + Wave6Queries.qFuzzyDecontam:
     * the standard signature/band CTE chain, corpus↔probe band join
     * split on the mod-17 slice, exact shingle-set Jaccard verify, per-
@@ -1687,7 +1772,8 @@ object OracleSql {
     "q_bpe_tokens" -> bpeTokensSql(spark, dir),
     "q_pca_project" -> pcaProjectSql(spark, dir),
     "q_pq_ann" -> pqAnnSql(spark, dir),
-    "q_domain_mix" -> domainMixSql(spark, dir))
+    "q_domain_mix" -> domainMixSql(spark, dir),
+    "q_ivfpq" -> ivfPqSql(spark, dir))
 
   /** DuckDB oracle for PCA projection: Pca.fit is partitioning- and
     * run-invariant (exact decimal moments + deterministic Jacobi), so

@@ -119,7 +119,8 @@ object QueryCatalog {
     Entry("q_blocklist", Wave6Queries.qBlocklist),
     Entry("q_fuzzy_decontam", Wave6Queries.qFuzzyDecontam),
     Entry("q_iceberg_incr", Wave6Queries.qIcebergIncr),
-    Entry("q_domain_mix", Wave6Queries.qDomainMix)
+    Entry("q_domain_mix", Wave6Queries.qDomainMix),
+    Entry("q_ivfpq", Wave6Queries.qIvfPq)
   )
 
   def queries: Map[String, QueryFn] =

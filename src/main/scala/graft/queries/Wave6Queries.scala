@@ -99,6 +99,37 @@ object Wave6Queries {
       .orderBy("n_nationkey")
   }
 
+  // ---------- P56: IVF-PQ composite ANN index ----------
+
+  /** Shared with the dynamic oracle (OracleSql.ivfPqSql). */
+  object IvfPqParams {
+    val Dims = 64; val M = 4; val Ksub = 8; val PqIter = 2
+    val CoarseK = 8; val CoarseIter = 2
+    val NProbe = 2; val QueryBound = 5; val TopK = 3
+  }
+
+  /** IVF-PQ search: coarse k-means bucketing + PQ codes, queries probe
+    * their 2 nearest buckets and rank candidates by ADC lookups —
+    * the compressed, pruned index layout a 100 TB embedding corpus
+    * actually serves from. Every stage is deterministic, so the
+    * oracle replays coarse assignment, encode, probe filter, and ADC
+    * from spliced literals.
+    */
+  def qIvfPq(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Pq, Similarity}
+    import IvfPqParams._
+    val emb = t(s, dir, "embeddings")
+    val coarse = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+      k = CoarseK, maxIter = CoarseIter)
+    val model = Pq.fit(emb, "vec_id", "embedding", Dims, M, Ksub, PqIter)
+    val indexed = Pq.encode(
+      Similarity.assignNearest(emb, "embedding", coarse), "embedding", model)
+    val queries = Pq.collectQueries(emb, "vec_id", "embedding", QueryBound)
+    Pq.ivfPqTopK(indexed, "vec_id", "pq_codes", coarse, model,
+      queries, NProbe, TopK)
+      .orderBy("query_id", "rank")
+  }
+
   // ---------- P55: temperature-based domain mixing ----------
 
   /** Shared with the dynamic oracle (OracleSql.domainMixSql), which

@@ -73,6 +73,36 @@ class PqSpec extends SparkSpec {
     assert(l(1).toSet == Set(0.0, 200.0))
   }
 
+  test("probeCentroids orders by rounded distance with cid tie-break") {
+    val coarse = Seq(
+      (0L, Seq(0.0, 0.0)), (1L, Seq(10.0, 0.0)), (2L, Seq(0.0, 10.0)))
+    assert(Pq.probeCentroids(coarse, Seq(1.0, 0.0), 2) == Seq(0L, 1L))
+    // (6,5): d²=61 to both 0 and 2, 41 to 1 → nearest 1, then tie → 0
+    assert(Pq.probeCentroids(coarse, Seq(6.0, 5.0), 3) == Seq(1L, 0L, 2L))
+    assert(Pq.probeCentroids(coarse, Seq(6.0, 5.0), 1) == Seq(1L))
+  }
+
+  test("ivfPqTopK with all buckets probed equals plain ADC; fewer probes restrict candidates") {
+    val m = model
+    val coarse = Seq(
+      (0L, Seq(0.0, 0.0, 10.0, 10.0)), (1L, Seq(6.0, 6.0, 20.0, 20.0)))
+    val indexed = Pq.encode(
+      Similarity.assignNearest(corpus, "embedding", coarse), "embedding", m)
+    val queries = Pq.collectQueries(corpus, "vec_id", "embedding", bound = 1L)
+    val full = Pq.ivfPqTopK(indexed, "vec_id", "pq_codes", coarse, m,
+      queries, nprobe = 2, k = 3)
+      .orderBy("rank").as[(Long, Long, Double, Long)].collect().toSeq
+    val adc = Pq.adcTopK(Pq.encode(corpus, "embedding", m), "vec_id", "pq_codes",
+      m, queries, k = 3)
+      .orderBy("rank").as[(Long, Long, Double, Long)].collect().toSeq
+    assert(full == adc)
+    // nprobe=1: only the query's own bucket (centroid 0 ≡ ids 0,1,4,5)
+    val one = Pq.ivfPqTopK(indexed, "vec_id", "pq_codes", coarse, m,
+      queries, nprobe = 1, k = 3)
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    assert(one.map(_._2).toSet.subsetOf(Set(1L, 4L, 5L)))
+  }
+
   test("qPqAnn is stable across reruns on real testdata") {
     val a = graft.queries.Wave6Queries.qPqAnn(spark, sf()).collect().toSeq
     val b = graft.queries.Wave6Queries.qPqAnn(spark, sf()).collect().toSeq
