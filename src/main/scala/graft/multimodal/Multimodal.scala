@@ -144,6 +144,87 @@ object SynthAudio {
   }
 }
 
+/** Deterministic video-container payload builders (same policy as
+  * [[SynthAudio]]): REAL byte-exact MP4/AVI/MKV header layouts that
+  * any external parser reads; only the media data is absent. Lets
+  * [[VideoHeader]] be exercised end-to-end in an oracle-checked
+  * distributed query.
+  */
+object SynthVideo {
+  private def le16(v: Int): Array[Byte] =
+    Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+  private def le32(v: Long): Array[Byte] =
+    Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+  private def be32(v: Long): Array[Byte] =
+    Array(((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+      ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+
+  private def box(tpe: String, body: Array[Byte]): Array[Byte] =
+    be32(8L + body.length) ++ tpe.getBytes("US-ASCII") ++ body
+
+  /** ftyp + free + moov(mvhd v0 + trak(tkhd v0)) — the `free` box
+    * interposed so parsers must walk, not assume offsets.
+    */
+  def mp4(width: Int, height: Int, timescale: Int, durationTicks: Long): Array[Byte] = {
+    val ftyp = box("ftyp", "isom".getBytes ++ be32(0x200) ++ "isomiso2".getBytes)
+    val mvhd = box("mvhd",
+      be32(0) ++ be32(0) ++ be32(0) ++ be32(timescale) ++ be32(durationTicks) ++
+        be32(0x00010000L) ++ Array.fill[Byte](76)(0))
+    // tkhd body: verflags + 5×u32 + reserved(8) + layer/alt/vol/res +
+    // 36-byte matrix + 16.16 width/height = 84 bytes
+    val tkhd = box("tkhd",
+      be32(0x00000007L) ++ be32(0) ++ be32(0) ++ be32(1) ++ be32(0) ++
+        be32(durationTicks) ++ Array.fill[Byte](8)(0) ++
+        le16(0) ++ le16(0) ++ le16(0) ++ le16(0) ++
+        Array.fill[Byte](36)(0) ++
+        be32(width.toLong << 16) ++ be32(height.toLong << 16))
+    val moov = box("moov", mvhd ++ box("trak", tkhd))
+    ftyp ++ box("free", Array.fill[Byte](12)(0)) ++ moov
+  }
+
+  /** RIFF/AVI with a LIST hdrl carrying the avih main header. */
+  def avi(width: Int, height: Int, usPerFrame: Int, totalFrames: Int): Array[Byte] = {
+    val avih = "avih".getBytes ++ le32(56) ++
+      le32(usPerFrame) ++ le32(0) ++ le32(0) ++ le32(0x10) ++
+      le32(totalFrames) ++ le32(0) ++ le32(1) ++ le32(0) ++
+      le32(width) ++ le32(height) ++ Array.fill[Byte](16)(0)
+    val hdrl = "LIST".getBytes ++ le32(4L + avih.length) ++ "hdrl".getBytes ++ avih
+    val movi = "LIST".getBytes ++ le32(4) ++ "movi".getBytes
+    "RIFF".getBytes ++ le32(4L + hdrl.length + movi.length) ++ "AVI ".getBytes ++
+      hdrl ++ movi
+  }
+
+  private def ebml(id: Long, body: Array[Byte]): Array[Byte] = {
+    // IDs are stored with their marker bits; emit minimal big-endian
+    val idBytes = {
+      var n = 1; while (n < 8 && (id >> (8 * n)) != 0) n += 1
+      (0 until n).reverseIterator.map(k => ((id >> (8 * k)) & 0xFF).toByte).toArray
+    }
+    require(body.length < 0x7F, "synth builder: 1-byte sizes only")
+    idBytes ++ Array((0x80 | body.length).toByte) ++ body
+  }
+  private def ebmlUint(v: Long): Array[Byte] = {
+    var n = 1; while (n < 8 && (v >> (8 * n)) != 0) n += 1
+    (0 until n).reverseIterator.map(k => ((v >> (8 * k)) & 0xFF).toByte).toArray
+  }
+
+  /** Minimal Matroska: EBML header + Segment(Info(TimestampScale,
+    * Duration f64), Tracks(TrackEntry(Video(PixelWidth, PixelHeight)))).
+    */
+  def mkv(width: Int, height: Int, durationMs: Long): Array[Byte] = {
+    val header = ebml(0x1A45DFA3L, ebml(0x4282L, "matroska".getBytes("US-ASCII")))
+    val durBits = java.lang.Double.doubleToLongBits(durationMs.toDouble)
+    val info = ebml(0x1549A966L,
+      ebml(0x2AD7B1L, ebmlUint(1000000L)) ++
+        ebml(0x4489L, (0 until 8).reverseIterator
+          .map(k => ((durBits >> (8 * k)) & 0xFF).toByte).toArray))
+    val video = ebml(0xE0L, ebml(0xB0L, ebmlUint(width)) ++ ebml(0xBAL, ebmlUint(height)))
+    val tracks = ebml(0x1654AE6BL, ebml(0xAEL, ebml(0xD7L, ebmlUint(1)) ++ video))
+    header ++ ebml(0x18538067L, info ++ tracks)
+  }
+}
+
 /** Deterministic fake decoders standing in for image/audio codecs
   * (STUB — the container has no codec libraries; see Multimodal doc).
   */

@@ -1584,6 +1584,26 @@ object OracleSql {
            |  CAST(sum(h1) AS BIGINT) AS p1_hits
            |FROM h GROUP BY source ORDER BY source""".stripMargin,
       "q_fuzzy_decontam" -> fuzzyDecontamSql,
+      // video payload parameters are pure row arithmetic; the Spark
+      // side must CONSTRUCT real MP4/AVI/MKV container bytes and
+      // PARSE them back to these exact values for the hash to match
+      "q_video_meta" ->
+        """SELECT event_id,
+          |  CASE CAST(event_id % 3 AS INTEGER)
+          |    WHEN 0 THEN 'mp4' WHEN 1 THEN 'avi' ELSE 'mkv' END AS format,
+          |  CAST(CASE CAST(event_id % 3 AS INTEGER)
+          |    WHEN 0 THEN 320 + 16 * (user_id % 5)
+          |    WHEN 1 THEN 640
+          |    ELSE 640 + 16 * (user_id % 2) END AS BIGINT) AS width,
+          |  CAST(CASE CAST(event_id % 3 AS INTEGER)
+          |    WHEN 0 THEN 240 + 16 * (user_id % 3)
+          |    WHEN 1 THEN 480
+          |    ELSE 360 + 8 * (user_id % 2) END AS BIGINT) AS height,
+          |  CAST(CASE CAST(event_id % 3 AS INTEGER)
+          |    WHEN 0 THEN 1000 * (1 + user_id % 4)
+          |    WHEN 1 THEN 1000 * (1 + user_id % 4) + 200 * (user_id % 3)
+          |    ELSE 500 * (1 + user_id % 6) END AS BIGINT) AS duration_ms
+          |FROM events WHERE event_id < 600 ORDER BY event_id""".stripMargin,
       // incremental read of the two-snapshot Iceberg nation table:
       // the appended slice IS the second append's predicate
       "q_iceberg_incr" ->

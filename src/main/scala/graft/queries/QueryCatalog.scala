@@ -120,7 +120,8 @@ object QueryCatalog {
     Entry("q_fuzzy_decontam", Wave6Queries.qFuzzyDecontam),
     Entry("q_iceberg_incr", Wave6Queries.qIcebergIncr),
     Entry("q_domain_mix", Wave6Queries.qDomainMix),
-    Entry("q_ivfpq", Wave6Queries.qIvfPq)
+    Entry("q_ivfpq", Wave6Queries.qIvfPq),
+    Entry("q_video_meta", Wave6Queries.qVideoMeta)
   )
 
   def queries: Map[String, QueryFn] =

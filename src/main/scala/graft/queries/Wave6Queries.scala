@@ -165,6 +165,46 @@ object Wave6Queries {
     */
   object FuzzyDecontamParams { val Mod = 17; val Threshold = 0.5 }
 
+  // ---------- P57: video container metadata ----------
+
+  /** Video header metadata over payloads CONSTRUCTED as real MP4/AVI/
+    * MKV container bytes in a distributed plan, then parsed back by
+    * the native [[graft.multimodal.VideoHeader]] expression — the
+    * same construct→parse round-trip discipline as q_audio_meta: the
+    * payload parameters are pure row arithmetic, so the oracle can
+    * state the expected metadata without a codec, and the hash only
+    * matches if the byte layouts written AND the parser are both
+    * correct.
+    */
+  def qVideoMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.multimodal.{SynthVideo, VideoHeader}
+    val rows = t(s, dir, "events")
+      .where(col("event_id") < 600)
+      .select(col("event_id"), col("user_id"))
+      .as[(Long, Long)]
+    val payloads = rows.map { case (eid, uid) =>
+      val bytes = (eid % 3) match {
+        case 0 => SynthVideo.mp4(
+          320 + 16 * (uid % 5).toInt, 240 + 16 * (uid % 3).toInt,
+          1000 * (1 + (uid % 3).toInt), 1000L * (1 + (uid % 3)) * (1 + (uid % 4)))
+        case 1 => SynthVideo.avi(640, 480, 40000,
+          (25 * (1 + (uid % 4)) + 5 * (uid % 3)).toInt)
+        case _ => SynthVideo.mkv(
+          640 + 16 * (uid % 2).toInt, 360 + 8 * (uid % 2).toInt,
+          500L * (1 + (uid % 6)))
+      }
+      (eid, bytes)
+    }.toDF("event_id", "payload")
+    payloads
+      .select(col("event_id"), VideoHeader.videoMeta(col("payload")).as("m"))
+      .select(col("event_id"), col("m.format").as("format"),
+        col("m.width").cast("long").as("width"),
+        col("m.height").cast("long").as("height"),
+        col("m.duration_ms").as("duration_ms"))
+      .orderBy("event_id")
+  }
+
   /** Fuzzy decontamination rollup: corpus docs whose text
     * near-duplicates (exact shingle Jaccard ≥ 0.5, MinHash-LSH
     * candidates) any probe doc, per source — flagged doc count, pair
