@@ -1,0 +1,198 @@
+package graft.tables
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Iceberg table maintenance: snapshot expiration and orphan-file
+  * removal — the Iceberg half of the engine's lakehouse-janitor
+  * surface (Delta's is OPTIMIZE/VACUUM, R28/R45).
+  *
+  * Both operations follow the public Iceberg semantics
+  * (ExpireSnapshots / DeleteOrphanFiles actions):
+  *
+  *  - [[expireSnapshots]] retires old snapshots from the metadata via
+  *    the same PUT-IF-ABSENT versioned-JSON commit loop the writer
+  *    uses (a racing append and an expire can both land; neither is
+  *    dropped), then deletes the files ONLY expired snapshots
+  *    reference: their manifest lists, manifests no retained snapshot
+  *    carries, and — for natively-owned tables — data/delete files
+  *    unreachable from every retained snapshot. On a Delta-owned
+  *    table (UniForm export) data files belong to the DELTA log and
+  *    its VACUUM; expiration prunes Iceberg metadata only.
+  *  - [[removeOrphanFiles]] deletes files under the table location
+  *    that no snapshot references and that are older than the cutoff
+  *    (protecting in-flight writes) — crashed staging dirs, files
+  *    from failed commits.
+  *
+  * Scale shape: reachability is O(metadata) driver work (manifest
+  * lists + manifests — the same bound as every other metadata path
+  * here); the ORPHAN LISTING and both DELETE passes run as Spark
+  * jobs over a parallelized dataset, mirroring the distributed VACUUM
+  * discipline (R45) — the 10⁷-file table where even the file list
+  * outgrows the driver.
+  */
+object IcebergMaintenance {
+
+  private val mapper = new ObjectMapper()
+  private val MaxAttempts = 10
+
+  /** Files a snapshot pins: its manifest list, its manifests, and the
+    * content (data/delete) file paths those manifests carry.
+    */
+  private final case class Reachable(
+      manifestLists: Set[String], manifests: Set[String], contentFiles: Set[String])
+
+  private def reachable(fs: FileSystem, snapshots: Seq[IcebergMeta.SnapshotInfo]): Reachable = {
+    val lists = snapshots.map(_.manifestList).toSet
+    val manifests = snapshots.flatMap { s =>
+      IcebergMeta.readAvro(fs, new Path(s.manifestList)).map(_.get("manifest_path").toString)
+    }.toSet
+    // planFiles resolves partition/seq metadata we don't need, but it
+    // is the one battle-tested manifest reader; reuse it for paths
+    val files = snapshots.flatMap(s => IcebergMeta.planFiles(fs, s).map(_.path)).toSet
+    Reachable(lists, manifests, files)
+  }
+
+  private def distributedDelete(spark: SparkSession, tableRoot: String, paths: Seq[String]): Unit =
+    if (paths.nonEmpty) {
+      val conf = new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration)
+      spark.sparkContext
+        .parallelize(paths, math.max(1, math.min(paths.size, 32)))
+        .foreachPartition { it =>
+          val fs = new Path(tableRoot).getFileSystem(conf.value)
+          it.foreach(p => fs.delete(new Path(p), false))
+        }
+    }
+
+  /** Retire all but the newest `keepLast` snapshots (the current
+    * snapshot is always retained). Returns the expired snapshot ids;
+    * no-op (no new metadata version) when nothing expires.
+    */
+  def expireSnapshots(spark: SparkSession, tablePath: String, keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val table = new Path(tablePath)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val metaDir = new Path(table, "metadata")
+    val deltaOwned = fs.exists(new Path(table, "_delta_log"))
+
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val baseV = IcebergWrite.latestVersionByScan(fs, metaDir)
+        .getOrElse(throw new IllegalArgumentException(s"no Iceberg metadata under $metaDir"))
+      val root = IcebergWrite.readRoot(fs, metaDir, baseV).deepCopy[ObjectNode]()
+      val meta = IcebergMeta.parse(root, tablePath)
+
+      val ordered = meta.snapshots.sortBy(s => (s.timestampMs, s.id))
+      val keepIds = (ordered.takeRight(keepLast).map(_.id) ++ meta.currentSnapshotId).toSet
+      val expired = ordered.filterNot(s => keepIds.contains(s.id))
+      if (expired.isEmpty) return Seq.empty
+      val retained = ordered.filter(s => keepIds.contains(s.id))
+
+      val expiredIds = expired.map(_.id).toSet
+      def prune(field: String, idField: String): Unit = root.path(field) match {
+        case arr: ArrayNode =>
+          val kept = IcebergMeta.elements(arr)
+            .filterNot(n => expiredIds.contains(n.path(idField).asLong()))
+          arr.removeAll()
+          kept.foreach(arr.add)
+        case _ => ()
+      }
+      prune("snapshots", "snapshot-id")
+      prune("snapshot-log", "snapshot-id")
+      root.put("last-updated-ms", System.currentTimeMillis())
+
+      val target = new Path(metaDir, s"v${baseV + 1}.metadata.json")
+      if (IcebergWrite.publishIfAbsent(fs, target,
+        mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))) {
+        val hint = fs.create(new Path(metaDir, "version-hint.text"), true)
+        try hint.write((baseV + 1).toString.getBytes("UTF-8")) finally hint.close()
+
+        // ---- physical cleanup: only what NO retained snapshot pins.
+        // Shared files are the norm (append carries manifests forward)
+        // — the set difference, not the expired set, is what deletes.
+        val live = reachable(fs, retained)
+        val dead = reachable(fs, expired)
+        val deadLists = (dead.manifestLists -- live.manifestLists).toSeq
+        val deadManifests = (dead.manifests -- live.manifests).toSeq
+        val deadContent =
+          if (deltaOwned) Seq.empty // Delta VACUUM owns the data files
+          else (dead.contentFiles -- live.contentFiles).toSeq
+        distributedDelete(spark, tablePath, deadLists ++ deadManifests ++ deadContent)
+        return expired.map(_.id)
+      }
+      if (attempt >= MaxAttempts)
+        throw new java.io.IOException(
+          s"could not commit expire to $tablePath after $MaxAttempts attempts")
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Delete files under the table location that no snapshot of the
+    * CURRENT metadata references and whose modification time is older
+    * than `olderThanMs` (protects in-flight commits and stages).
+    * Metadata versions, manifests and the version hint are always
+    * kept. Returns the deleted paths.
+    *
+    * Refuses Delta-owned tables: there the Delta log is the source of
+    * truth and [[DeltaWrite.vacuum]] is the janitor.
+    */
+  def removeOrphanFiles(spark: SparkSession, tablePath: String, olderThanMs: Long): Seq[String] = {
+    val table = new Path(tablePath)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(new Path(table, "_delta_log")),
+      s"$tablePath is Delta-owned; orphan cleanup belongs to DeltaWrite.vacuum")
+    val metaDir = new Path(table, "metadata")
+    require(fs.exists(metaDir), s"no Iceberg metadata under $metaDir")
+
+    val meta = IcebergMeta.load(fs, tablePath)
+    val live = reachable(fs, meta.snapshots)
+    val metaFiles = fs.listStatus(metaDir).map(_.getPath.toUri.getPath).toSet
+    val keep: Set[String] =
+      live.manifestLists.map(p => new Path(p).toUri.getPath) ++
+        live.manifests.map(p => new Path(p).toUri.getPath) ++
+        live.contentFiles.map(p => new Path(p).toUri.getPath) ++
+        metaFiles
+
+    // candidate dirs driver-side at DIRECTORY granularity (R45's BFS
+    // shape); per-dir file listing + age filter run executor-side
+    val dirs = scala.collection.mutable.ArrayBuffer[String]()
+    def bfs(p: Path): Unit = {
+      dirs += p.toString
+      fs.listStatus(p).foreach { st =>
+        if (st.isDirectory && st.getPath.getName != "metadata") bfs(st.getPath)
+      }
+    }
+    bfs(table)
+
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val keepB = spark.sparkContext.broadcast(keep)
+    val cutoff = olderThanMs
+    val deleted = spark.sparkContext
+      .parallelize(dirs.toSeq, math.max(1, math.min(dirs.size, 32)))
+      .flatMap { d =>
+        val dfs = new Path(d).getFileSystem(conf.value)
+        dfs.listStatus(new Path(d)).iterator
+          .filter(st => st.isFile && st.getModificationTime < cutoff &&
+            !keepB.value.contains(st.getPath.toUri.getPath))
+          .map(_.getPath.toUri.getPath).toSeq
+      }
+      .mapPartitions { it =>
+        val dfs = new Path(tablePath).getFileSystem(conf.value)
+        it.map { p => dfs.delete(new Path(p), false); p }
+      }
+      .collect().toSeq
+
+    // sweep now-empty staging dirs (bounded by the dir list)
+    dirs.toSeq.reverse.foreach { d =>
+      val p = new Path(d)
+      if (p.getName.startsWith("_staging_iceberg_") &&
+        fs.exists(p) && fs.listStatus(p).isEmpty) fs.delete(p, true)
+    }
+    deleted
+  }
+}

@@ -53,6 +53,28 @@ object IcebergWrite {
       df: DataFrame,
       tablePath: String,
       partitionBy: Seq[String] = Seq.empty
+  ): Long = commit(spark, df, tablePath, partitionBy, carryBase = true)
+
+  /** REPLACE the table contents with `df` (Iceberg overwrite
+    * semantics): the new snapshot's manifest list carries ONLY the
+    * new manifest, so a read of it sees just the new rows — previous
+    * files stay referenced by (and readable through) earlier
+    * snapshots until [[IcebergMaintenance.expireSnapshots]] retires
+    * them. Same commit protocol and refusals as [[append]].
+    */
+  def overwrite(
+      spark: SparkSession,
+      df: DataFrame,
+      tablePath: String,
+      partitionBy: Seq[String] = Seq.empty
+  ): Long = commit(spark, df, tablePath, partitionBy, carryBase = false)
+
+  private def commit(
+      spark: SparkSession,
+      df: DataFrame,
+      tablePath: String,
+      partitionBy: Seq[String],
+      carryBase: Boolean
   ): Long = {
     val table = new Path(tablePath)
     val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -175,7 +197,7 @@ object IcebergWrite {
         val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](s))
           .create(s, fs.create(listPath, true))
         try {
-          baseRoot.foreach { r =>
+          if (carryBase) baseRoot.foreach { r =>
             currentManifestList(fs, r).foreach { prev =>
               val c = new GenericData.Record(s)
               s.getFields.forEach(f => c.put(f.name(),
@@ -240,7 +262,7 @@ object IcebergWrite {
       sn.put("manifest-list", listPath.toString)
       sn.put("schema-id", root.path("current-schema-id").asInt(0))
       val summary = mapper.createObjectNode()
-      summary.put("operation", "append")
+      summary.put("operation", if (carryBase) "append" else "overwrite")
       summary.put("added-data-files", staged.size.toString)
       summary.put("added-records", staged.map(_.recordCount).sum.toString)
       sn.set[ObjectNode]("summary", summary)
@@ -340,7 +362,7 @@ object IcebergWrite {
   /** Highest v<N>.metadata.json by DIRECTORY SCAN — the commit loop
     * must never trust the advisory (possibly stale) version hint.
     */
-  private def latestVersionByScan(fs: FileSystem, metaDir: Path): Option[Int] = {
+  private[tables] def latestVersionByScan(fs: FileSystem, metaDir: Path): Option[Int] = {
     if (!fs.exists(metaDir)) return None
     val vs = fs.listStatus(metaDir).map(_.getPath.getName).collect {
       case VersionedMetadata(n) => n.toInt
@@ -350,7 +372,7 @@ object IcebergWrite {
 
   private val VersionedMetadata = "v(\\d+)\\.metadata\\.json".r
 
-  private def readRoot(fs: FileSystem, metaDir: Path, v: Int): JsonNode = {
+  private[tables] def readRoot(fs: FileSystem, metaDir: Path, v: Int): JsonNode = {
     val in = fs.open(new Path(metaDir, s"v$v.metadata.json"))
     try mapper.readTree(in) finally in.close()
   }
@@ -371,7 +393,7 @@ object IcebergWrite {
     * exclusive across processes); other FSes fall back to rename.
     * Returns false on a lost race.
     */
-  private def publishIfAbsent(fs: FileSystem, target: Path, bytes: Array[Byte]): Boolean = {
+  private[tables] def publishIfAbsent(fs: FileSystem, target: Path, bytes: Array[Byte]): Boolean = {
     if (fs.exists(target)) return false
     val tmp = new Path(target.getParent,
       s"._commit_${java.util.UUID.randomUUID().toString.take(8)}.json.tmp")

@@ -1,0 +1,134 @@
+package graft.tables
+
+import graft.SparkSpec
+import org.apache.hadoop.fs.Path
+
+/** Iceberg maintenance: overwrite snapshots, snapshot expiration with
+  * shared-file safety, Delta-owned metadata-only expiration, and
+  * distributed orphan-file removal.
+  */
+class IcebergMaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fsOf(dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def dataFiles(dir: String, s: IcebergMeta.SnapshotInfo): Seq[String] =
+    IcebergMeta.planFiles(fsOf(dir), s).map(_.path)
+
+  test("overwrite replaces contents; old snapshot still time-travels") {
+    val dir = tempDir("icem-ow").toString + "/t"
+    val s1 = IcebergWrite.append(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)
+    val s2 = IcebergWrite.overwrite(spark, Seq((10L, "x")).toDF("id", "v"), dir)
+    val t = new IcebergTable("t", dir)
+    assert(t(spark, ReadArgs.empty).collect().map(_.getLong(0)).sorted.toSeq == Seq(10L))
+    assert(t(spark, ReadArgs(extra = Map(t.SnapshotIdKey -> s1)))
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    val meta = IcebergMeta.load(fsOf(dir), dir)
+    assert(meta.snapshots.map(_.id).sorted == Seq(s1, s2))
+    assert(meta.snapshots.find(_.id == s2).flatMap(_.operation).contains("overwrite"))
+  }
+
+  test("expire after overwrite deletes only the files no retained snapshot pins") {
+    val dir = tempDir("icem-exp").toString + "/t"
+    val s1 = IcebergWrite.append(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)
+    IcebergWrite.overwrite(spark, Seq((10L, "x")).toDF("id", "v"), dir)
+    val fs = fsOf(dir)
+    val metaBefore = IcebergMeta.load(fs, dir)
+    val oldFiles = dataFiles(dir, metaBefore.snapshots.find(_.id == s1).get)
+    val newFiles = dataFiles(dir, metaBefore.snapshots.find(_.id != s1).get)
+    assert(oldFiles.nonEmpty && oldFiles.forall(p => fs.exists(new Path(p))))
+
+    val expired = IcebergMaintenance.expireSnapshots(spark, dir, keepLast = 1)
+    assert(expired == Seq(s1))
+    val meta = IcebergMeta.load(fs, dir)
+    assert(meta.snapshots.map(_.id) == Seq(metaBefore.currentSnapshotId.get))
+    // v1's uniquely-referenced data files + manifests physically gone
+    assert(oldFiles.forall(p => !fs.exists(new Path(p))))
+    assert(!fs.exists(new Path(metaBefore.snapshots.find(_.id == s1).get.manifestList)))
+    // the survivor still reads
+    assert(newFiles.forall(p => fs.exists(new Path(p))))
+    assert(new IcebergTable("t", dir)(spark, ReadArgs.empty)
+      .collect().map(_.getLong(0)).toSeq == Seq(10L))
+    // expiring again is a no-op (no new metadata version)
+    val vBefore = IcebergMeta.currentVersion(fs, dir)
+    assert(IcebergMaintenance.expireSnapshots(spark, dir, keepLast = 1).isEmpty)
+    assert(IcebergMeta.currentVersion(fs, dir) == vBefore)
+  }
+
+  test("expire on an append-only chain never deletes shared data files") {
+    val dir = tempDir("icem-shared").toString + "/t"
+    IcebergWrite.append(spark, Seq((1L, "a")).toDF("id", "v"), dir)
+    IcebergWrite.append(spark, Seq((2L, "b")).toDF("id", "v"), dir)
+    val fs = fsOf(dir)
+    val all = dataFiles(dir, IcebergMeta.load(fs, dir).snapshots.maxBy(_.sequenceNumber))
+    val expired = IcebergMaintenance.expireSnapshots(spark, dir, keepLast = 1)
+    assert(expired.size == 1)
+    // snapshot 2 carries snapshot 1's files forward — all still live
+    assert(all.forall(p => fs.exists(new Path(p))))
+    assert(new IcebergTable("t", dir)(spark, ReadArgs.empty)
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("expire on a Delta-owned export prunes Iceberg metadata but never data") {
+    val dir = tempDir("icem-delta").toString + "/t"
+    DeltaWrite.append(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)
+    graft.export.IcebergUniform.export(spark, dir)
+    DeltaWrite.overwrite(spark, Seq((10L, "x")).toDF("id", "v"), dir)
+    graft.export.IcebergUniform.export(spark, dir)
+    val fs = fsOf(dir)
+    val metaBefore = IcebergMeta.load(fs, dir)
+    assert(metaBefore.snapshots.size == 2)
+    val oldSnap = metaBefore.snapshots.minBy(_.sequenceNumber)
+    val oldDeltaFiles = dataFiles(dir, oldSnap)
+
+    val expired = IcebergMaintenance.expireSnapshots(spark, dir, keepLast = 1)
+    assert(expired == Seq(oldSnap.id))
+    // Delta owns the data: the pre-overwrite parquet survives for
+    // Delta time travel; only the Iceberg manifest list goes
+    assert(oldDeltaFiles.forall(p => fs.exists(new Path(p))))
+    assert(!fs.exists(new Path(oldSnap.manifestList)))
+    // Delta history intact
+    val dt = new DeltaTable("t", dir)
+    val v0 = dt(spark, ReadArgs(extra = Map(dt.VersionKey -> 0L)))
+    assert(v0.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("removeOrphanFiles deletes only unreferenced files older than the cutoff") {
+    val dir = tempDir("icem-orph").toString + "/t"
+    IcebergWrite.append(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)
+    val fs = fsOf(dir)
+    // plant orphans: a stray parquet under data/ and a crashed staging dir
+    val stray = new Path(dir, "data/stray-orphan.parquet")
+    val out = fs.create(stray, true); out.write(Array[Byte](1, 2, 3)); out.close()
+    val staged = new Path(dir, "_staging_iceberg_dead/part-0.parquet")
+    val out2 = fs.create(staged, true); out2.write(Array[Byte](4, 5)); out2.close()
+
+    // cutoff in the past: nothing is old enough → nothing deleted
+    assert(IcebergMaintenance.removeOrphanFiles(spark, dir, olderThanMs = 0L).isEmpty)
+    assert(fs.exists(stray) && fs.exists(staged))
+
+    // cutoff in the future: orphans go, live files stay
+    val deleted = IcebergMaintenance.removeOrphanFiles(
+      spark, dir, olderThanMs = System.currentTimeMillis() + 60000)
+    assert(deleted.toSet ==
+      Set(stray.toUri.getPath, staged.toUri.getPath))
+    assert(!fs.exists(stray) && !fs.exists(staged.getParent))
+    val live = dataFiles(dir, IcebergMeta.load(fs, dir).snapshots.head)
+    assert(live.nonEmpty && live.forall(p => fs.exists(new Path(p))))
+    assert(new IcebergTable("t", dir)(spark, ReadArgs.empty)
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    // second run: nothing left to delete
+    assert(IcebergMaintenance.removeOrphanFiles(
+      spark, dir, olderThanMs = System.currentTimeMillis() + 60000).isEmpty)
+  }
+
+  test("removeOrphanFiles refuses Delta-owned tables") {
+    val dir = tempDir("icem-refuse").toString + "/t"
+    DeltaWrite.append(spark, Seq((1L, "a")).toDF("id", "v"), dir)
+    graft.export.IcebergUniform.export(spark, dir)
+    val e = intercept[IllegalArgumentException] {
+      IcebergMaintenance.removeOrphanFiles(spark, dir, Long.MaxValue)
+    }
+    assert(e.getMessage.contains("Delta-owned"))
+  }
+}
