@@ -1584,6 +1584,14 @@ object OracleSql {
            |  CAST(sum(h1) AS BIGINT) AS p1_hits
            |FROM h GROUP BY source ORDER BY source""".stripMargin,
       "q_fuzzy_decontam" -> fuzzyDecontamSql,
+      // the page chrome (nav/rail/footer, all ≥50% link text) must be
+      // dropped and the escaped article text decoded back verbatim;
+      // the oracle is the whitespace-normalized original text
+      "q_html_extract" ->
+        """SELECT doc_id,
+          |  trim(regexp_replace(text, '[ \t\r\n]+', ' ', 'g')) AS main_text,
+          |  CAST(length(trim(regexp_replace(text, '[ \t\r\n]+', ' ', 'g'))) AS BIGINT) AS n_chars
+          |FROM documents WHERE doc_id < 20 ORDER BY doc_id""".stripMargin,
       // video payload parameters are pure row arithmetic; the Spark
       // side must CONSTRUCT real MP4/AVI/MKV container bytes and
       // PARSE them back to these exact values for the hash to match

@@ -121,7 +121,8 @@ object QueryCatalog {
     Entry("q_iceberg_incr", Wave6Queries.qIcebergIncr),
     Entry("q_domain_mix", Wave6Queries.qDomainMix),
     Entry("q_ivfpq", Wave6Queries.qIvfPq),
-    Entry("q_video_meta", Wave6Queries.qVideoMeta)
+    Entry("q_video_meta", Wave6Queries.qVideoMeta),
+    Entry("q_html_extract", Wave6Queries.qHtmlExtract)
   )
 
   def queries: Map[String, QueryFn] =

@@ -165,6 +165,44 @@ object Wave6Queries {
     */
   object FuzzyDecontamParams { val Mod = 17; val Threshold = 0.5 }
 
+  // ---------- P58: HTML boilerplate removal ----------
+
+  /** Main-content extraction over documents WRAPPED as full HTML
+    * pages in a distributed plan (head script, link-only nav and
+    * footer chrome, the text as the article body) — the construct→
+    * extract round-trip discipline again: the link-density filter
+    * must drop exactly the chrome and the entity escape/decode must
+    * round-trip, or the recovered text won't hash-match the oracle's
+    * whitespace-normalized original.
+    */
+  def qHtmlExtract(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.HtmlText
+    val rows = t(s, dir, "documents")
+      .where(col("doc_id") < 20)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+    val pages = rows.map { case (id, text) =>
+      val esc = text.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      val html =
+        s"""<html><head><title>Doc $id</title><script>var page=$id;</script>
+           |<style>.x{color:red}</style></head>
+           |<body><nav><a href="/">Home</a> <a href="/docs">Docs</a> <a href="/about">About</a></nav>
+           |<!-- chrome above -->
+           |<article><p>$esc</p></article>
+           |<div class="rail"><a href="/r1">Related one</a> <a href="/r2">Related two</a></div>
+           |<footer>&copy; <a href="/terms">Terms</a> <a href="/privacy">Privacy</a></footer>
+           |</body></html>""".stripMargin
+      (id, html)
+    }.toDF("doc_id", "html")
+    pages
+      .select(col("doc_id"),
+        HtmlText.htmlMainText(col("html")).as("main_text"))
+      .select(col("doc_id"), col("main_text"),
+        length(col("main_text")).cast("long").as("n_chars"))
+      .orderBy("doc_id")
+  }
+
   // ---------- P57: video container metadata ----------
 
   /** Video header metadata over payloads CONSTRUCTED as real MP4/AVI/
