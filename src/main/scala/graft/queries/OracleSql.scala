@@ -1584,6 +1584,39 @@ object OracleSql {
            |  CAST(sum(h1) AS BIGINT) AS p1_hits
            |FROM h GROUP BY source ORDER BY source""".stripMargin,
       "q_fuzzy_decontam" -> fuzzyDecontamSql,
+      // same hashed-feature replay as q_dsir_select, but the
+      // coefficients are the spliced model weights and the readout is
+      // the per-source survival of the margin>0 gate
+      "q_quality_classifier" -> {
+        import Wave6Queries.ClassifierParams
+        val k = ClassifierParams.K
+        val values = (0 until k).map(b =>
+          s"($b, CAST(${ClassifierParams.weight(b)} AS DECIMAL(9,4)))").mkString(", ")
+        s"""WITH w(b, w) AS (VALUES $values),
+           |tok AS (
+           |  SELECT doc_id, ${wsTokensSql("text")} AS toks FROM documents
+           |  WHERE trim(text) <> ''),
+           |uni AS (
+           |  SELECT doc_id, unnest(list_transform(range(0, len(toks)),
+           |    i -> ${PortableHash.Sql.md5Mod("toks[i+1]")} % $k)) AS b
+           |  FROM tok WHERE len(toks) >= 1),
+           |bi AS (
+           |  SELECT doc_id, unnest(list_transform(range(0, len(toks) - 1),
+           |    i -> ${PortableHash.Sql.md5Mod("array_to_string(toks[(i+1):(i+2)], ' ')")} % $k)) AS b
+           |  FROM tok WHERE len(toks) >= 2),
+           |g AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+           |pd AS (SELECT doc_id, b, count(*) AS nb FROM g GROUP BY doc_id, b),
+           |m AS (SELECT doc_id, sum(nb * w) AS mm FROM pd JOIN w USING (b) GROUP BY doc_id),
+           |sc AS (
+           |  SELECT d.doc_id, d.source,
+           |    coalesce(m.mm, CAST(0 AS DECIMAL(19,4))) +
+           |      CAST(${ClassifierParams.Bias} AS DECIMAL(9,4)) AS margin
+           |  FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id)
+           |SELECT source, count(*) AS n_docs,
+           |  CAST(sum(CASE WHEN margin > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           |  round(CAST(sum(margin) AS DOUBLE), 4) AS sum_margin
+           |FROM sc GROUP BY source ORDER BY source""".stripMargin
+      },
       // the page chrome (nav/rail/footer, all ≥50% link text) must be
       // dropped and the escaped article text decoded back verbatim;
       // the oracle is the whitespace-normalized original text

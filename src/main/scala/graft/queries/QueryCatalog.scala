@@ -122,7 +122,8 @@ object QueryCatalog {
     Entry("q_domain_mix", Wave6Queries.qDomainMix),
     Entry("q_ivfpq", Wave6Queries.qIvfPq),
     Entry("q_video_meta", Wave6Queries.qVideoMeta),
-    Entry("q_html_extract", Wave6Queries.qHtmlExtract)
+    Entry("q_html_extract", Wave6Queries.qHtmlExtract),
+    Entry("q_quality_classifier", Wave6Queries.qQualityClassifier)
   )
 
   def queries: Map[String, QueryFn] =

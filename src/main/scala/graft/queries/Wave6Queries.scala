@@ -165,6 +165,31 @@ object Wave6Queries {
     */
   object FuzzyDecontamParams { val Mod = 17; val Threshold = 0.5 }
 
+  // ---------- P59: linear quality-classifier inference ----------
+
+  /** The "shipped model": a fixed weight per hash bucket plus a bias.
+    * Deterministic from the constants (a real pipeline loads a
+    * trained blob; the OPERATOR is inference either way) and shared
+    * with the oracle, which splices the same table as VALUES.
+    */
+  object ClassifierParams {
+    val K = 64
+    val Bias = BigDecimal("0.25")
+    def weight(b: Int): BigDecimal = BigDecimal((b * 37 + 11) % 21 - 10) / 10
+    def weights: Seq[BigDecimal] = (0 until K).map(weight)
+  }
+
+  /** fastText-shaped quality gate over the corpus: exact-decimal
+    * margins from hashed unigram+bigram counts × spliced weights,
+    * rolled up to per-source survival. See [[graft.operators.Classifier]].
+    */
+  def qQualityClassifier(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Classifier
+    Classifier.keepRates(
+      t(s, dir, "documents"), "doc_id", "source", "text",
+      ClassifierParams.weights, ClassifierParams.Bias)
+  }
+
   // ---------- P58: HTML boilerplate removal ----------
 
   /** Main-content extraction over documents WRAPPED as full HTML
