@@ -2,7 +2,7 @@ package graft.export
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.fasterxml.jackson.databind.node.ObjectNode
-import graft.tables.{DeltaLog, DvDeleted, IcebergMeta, RoaringBitmapArray}
+import graft.tables.{DeltaLog, DvDeleted, IcebergMeta, IcebergWrite, RoaringBitmapArray}
 import org.apache.avro.file.DataFileWriter
 import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
 import org.apache.avro.{Schema => AvroSchema}
@@ -79,15 +79,17 @@ object IcebergUniform {
     val uuid = java.util.UUID.randomUUID().toString
     val nowMs = System.currentTimeMillis()
 
-    // previous export's metadata (if any) for snapshot-history carry
-    val prevMeta: Option[JsonNode] = {
-      val hint = new Path(metaDir, "version-hint.text")
-      if (!fs.exists(hint)) None
-      else try {
-        val v = readString(fs, hint).trim
-        Some(mapper.readTree(readString(fs, new Path(metaDir, s"v$v.metadata.json"))))
-      } catch { case _: Exception => None }
-    }
+    // previous export's metadata (if any) for snapshot-history carry.
+    // Read the LATEST committed version by directory scan, not the
+    // advisory hint — a concurrent expireSnapshots may have advanced
+    // past the last export's hint, and basing the carry on the stale
+    // hint would resurrect snapshots the expire already deleted files
+    // for (dangling time travel).
+    val prevMeta: Option[JsonNode] =
+      IcebergWrite.latestVersionByScan(fs, metaDir).flatMap { v =>
+        try Some(mapper.readTree(readString(fs, new Path(metaDir, s"v$v.metadata.json"))))
+        catch { case _: Exception => None }
+      }
 
     // ---- schema with Iceberg field ids -----------------------------
     val ids = new FieldIds(snap.metadata.schema)
@@ -321,9 +323,23 @@ object IcebergUniform {
     logArr.add(logEntry)
     root.set[ObjectNode]("snapshot-log", logArr)
 
-    val metaVersion = snap.version + 1
+    // Hadoop-catalog commit: PUT-IF-ABSENT at scanMax+1 (never below
+    // snap.version+1, keeping export versions monotone in the Delta
+    // version), bumping past versions a racing expire/export already
+    // published instead of overwriting a committed metadata file
+    // non-atomically under a hint-following reader.
+    val bytes = mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root)
+    var metaVersion = math.max(snap.version + 1,
+      IcebergWrite.latestVersionByScan(fs, metaDir).map(_.toLong + 1L).getOrElse(0L))
+    var publishAttempts = 0
+    while (!IcebergWrite.publishIfAbsent(
+        fs, new Path(metaDir, s"v$metaVersion.metadata.json"), bytes)) {
+      publishAttempts += 1
+      require(publishAttempts < 1000,
+        s"could not publish Iceberg export metadata under $metaDir")
+      metaVersion += 1
+    }
     val metaPath = new Path(metaDir, s"v$metaVersion.metadata.json")
-    writeString(fs, metaPath, mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root))
     writeString(fs, new Path(metaDir, "version-hint.text"), metaVersion.toString)
 
     Exported(metaPath.toString, listPath.toString, manifestPath.toString, snapshotId)
@@ -341,8 +357,8 @@ object IcebergUniform {
   ): Seq[(String, Long, Map[String, Any])] = {
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val metaDir = new Path(tablePath, "metadata")
-    val hint = readString(fs, new Path(metaDir, "version-hint.text")).trim
-    val meta = mapper.readTree(readString(fs, new Path(metaDir, s"v$hint.metadata.json")))
+    val v = IcebergMeta.currentVersion(fs, tablePath)
+    val meta = mapper.readTree(readString(fs, new Path(metaDir, s"v$v.metadata.json")))
     val snapId = meta.path("current-snapshot-id").asLong()
     val snapNode = {
       val it = meta.path("snapshots").elements()

@@ -252,20 +252,26 @@ object VideoHeader {
     var durationTicks = Double.NaN
     var width = -1
     var height = -1
-    val ok = walkEbml(b, 0, b.length) { (id, s, e) =>
+    // Nested walks must also refuse on corruption — a bad element
+    // INSIDE Segment/Info/Tracks is just as malformed as one at the
+    // top level, so every walk's result folds into `bad`.
+    var bad = false
+    def walk(s: Int, e: Int)(f: (Long, Int, Int) => Unit): Unit =
+      if (!walkEbml(b, s, e)(f)) bad = true
+    walk(0, b.length) { (id, s, e) =>
       if (id == IdSegment) {
-        walkEbml(b, s, e) { (id2, s2, e2) =>
+        walk(s, e) { (id2, s2, e2) =>
           if (id2 == IdInfo) {
-            walkEbml(b, s2, e2) { (id3, s3, e3) =>
+            walk(s2, e2) { (id3, s3, e3) =>
               if (id3 == IdTimestampScale) scaleNs = ebmlUint(b, s3, e3)
               else if (id3 == IdDuration) durationTicks = ebmlFloat(b, s3, e3)
             }
           } else if (id2 == IdTracks) {
-            walkEbml(b, s2, e2) { (id3, s3, e3) =>
+            walk(s2, e2) { (id3, s3, e3) =>
               if (id3 == IdTrackEntry) {
-                walkEbml(b, s3, e3) { (id4, s4, e4) =>
+                walk(s3, e3) { (id4, s4, e4) =>
                   if (id4 == IdVideo && width < 0) {
-                    walkEbml(b, s4, e4) { (id5, s5, e5) =>
+                    walk(s4, e4) { (id5, s5, e5) =>
                       if (id5 == IdPixelWidth) width = ebmlUint(b, s5, e5).toInt
                       else if (id5 == IdPixelHeight) height = ebmlUint(b, s5, e5).toInt
                     }
@@ -277,7 +283,7 @@ object VideoHeader {
         }
       }
     }
-    if (!ok || width <= 0 || height <= 0 || scaleNs <= 0 ||
+    if (bad || width <= 0 || height <= 0 || scaleNs <= 0 ||
       durationTicks.isNaN || durationTicks < 0) None
     else Some(("mkv", width, height, (durationTicks * scaleNs / 1000000.0).toLong))
   }

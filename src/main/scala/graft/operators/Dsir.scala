@@ -50,11 +50,16 @@ object Dsir {
   ): DataFrame = {
     require(buckets > 0, "buckets must be positive")
     val k = buckets
-    val grams = docs.select(
+    // The skinny explode feeds THREE jobs (model, totals, per-doc
+    // profile) — persist it so the dominant cost (corpus text scan +
+    // md5 per bigram) is paid once, not per job. Registered with the
+    // NearDup cache registry so long sessions stay bounded.
+    val grams = NearDup.registerCache(docs.select(
       col(idCol),
       isTarget.as("_t"),
       explode(TextHashExpressions.wordGramHashes(col(textCol), 2)).as("_h"))
       .select(col(idCol), col("_t"), (col("_h") % k).as("_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
     val model = grams.groupBy("_b").agg(
       sum(when(col("_t"), 1L).otherwise(0L)).as("_ct"),

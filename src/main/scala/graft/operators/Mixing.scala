@@ -46,10 +46,15 @@ object Mixing {
   ): Seq[DomainQuota] = {
     require(temperature > 0, "temperature must be positive")
     require(targetFraction > 0 && targetFraction <= 1, "targetFraction in (0, 1]")
-    val counts = docs.groupBy(groupCol).count()
+    // Domains are compared as strings (any groupCol type works) and a
+    // NULL domain gets no quota — an unclassified doc can't be "like"
+    // anything, so it is excluded from both quotas and totals.
+    val counts = docs.groupBy(col(groupCol).cast("string").as("_d")).count()
+      .where(col("_d").isNotNull)
       .collect()
       .map(r => (r.getString(0), r.getLong(1)))
       .sortBy(_._1)
+    if (counts.isEmpty) return Seq.empty
     val total = counts.map(_._2).sum.toDouble
     val powed = counts.map { case (_, n) => math.pow(n / total, 1.0 / temperature) }
     val z = powed.sum
@@ -77,12 +82,15 @@ object Mixing {
       salt: String = "mix"
   ): DataFrame = {
     val quotas = temperatureQuotas(docs, groupCol, temperature, targetFraction)
+    if (quotas.isEmpty) return docs.limit(0)
     val qMap = map(quotas.flatMap(q => Seq(lit(q.domain), lit(q.quota))): _*)
     val w = Window.partitionBy(groupCol)
       .orderBy(mixOrder(col(idCol), salt).asc, col(idCol).asc)
     docs
       .withColumn("_mix_rk", row_number().over(w))
-      .where(col("_mix_rk") <= element_at(qMap, col(groupCol)))
+      // string-cast lookup matches the quota keys; a NULL domain finds
+      // no quota and is excluded
+      .where(col("_mix_rk") <= element_at(qMap, col(groupCol).cast("string")))
       .drop("_mix_rk")
   }
 }

@@ -2387,7 +2387,7 @@ object DeltaWrite {
     buf.toSeq
   }
 
-  private def relativize(base: Path, file: Path): String = {
+  private[tables] def relativize(base: Path, file: Path): String = {
     val b = base.toUri.getPath.stripSuffix("/")
     val f = file.toUri.getPath
     require(f.startsWith(b + "/"), s"$file not under $base")

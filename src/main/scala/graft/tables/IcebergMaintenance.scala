@@ -187,11 +187,18 @@ object IcebergMaintenance {
       }
       .collect().toSeq
 
-    // sweep now-empty staging dirs (bounded by the dir list)
+    // sweep aged staging dirs that hold no files (bounded by the dir
+    // list). "No files" is checked RECURSIVELY — a crashed partitioned
+    // append leaves `_staging_iceberg_x/part=0/` whose direct listing
+    // stays non-empty (the subdir) even after its orphan parquet was
+    // deleted above, so a shallow isEmpty check would keep it forever.
+    // The age guard protects an in-flight write that has made dirs but
+    // not yet written files.
     dirs.toSeq.reverse.foreach { d =>
       val p = new Path(d)
-      if (p.getName.startsWith("_staging_iceberg_") &&
-        fs.exists(p) && fs.listStatus(p).isEmpty) fs.delete(p, true)
+      if (p.getName.startsWith("_staging_iceberg_") && fs.exists(p) &&
+        fs.getFileStatus(p).getModificationTime < cutoff &&
+        !fs.listFiles(p, true).hasNext) fs.delete(p, true)
     }
     deleted
   }

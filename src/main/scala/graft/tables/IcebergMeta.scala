@@ -63,24 +63,32 @@ object IcebergMeta {
 
   // ---------------------------------------------------- discovery
 
-  /** Current metadata version: `version-hint.text` when present (the
-    * Hadoop-catalog commit protocol), else the highest
-    * `v<N>.metadata.json` in the metadata dir.
+  /** Current metadata version: the MAX of `version-hint.text` (when
+    * present) and the highest committed `v<N>.metadata.json` in the
+    * metadata dir. The hint is advisory and last-wins in the Hadoop
+    * catalog — two racing committers can leave it pointing BELOW the
+    * newest committed version, and every committed metadata file is
+    * immutable (put-if-absent), so the directory scan is always safe
+    * to trust and one listStatus is cheap.
     */
   def currentVersion(fs: FileSystem, tableRoot: String): Int = {
     val metaDir = new Path(tableRoot, "metadata")
     val hint = new Path(metaDir, "version-hint.text")
-    if (fs.exists(hint)) {
-      val in = fs.open(hint)
-      try new String(in.readAllBytes(), "UTF-8").trim.toInt
-      finally in.close()
-    } else {
+    val hinted: Option[Int] =
+      if (!fs.exists(hint)) None
+      else {
+        val in = fs.open(hint)
+        try Some(new String(in.readAllBytes(), "UTF-8").trim.toInt)
+        finally in.close()
+      }
+    val scanned: Option[Int] = {
       val vs = fs.listStatus(metaDir).map(_.getPath.getName).collect {
         case VersionedMetadata(n) => n.toInt
       }
-      require(vs.nonEmpty, s"no v*.metadata.json under $metaDir")
-      vs.max
+      if (vs.isEmpty) None else Some(vs.max)
     }
+    (hinted ++ scanned).maxOption.getOrElse(
+      throw new IllegalArgumentException(s"no v*.metadata.json under $metaDir"))
   }
 
   private val VersionedMetadata = "v(\\d+)\\.metadata\\.json".r

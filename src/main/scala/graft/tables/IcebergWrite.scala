@@ -321,7 +321,12 @@ object IcebergWrite {
         .collect().map(r => DvDeleted.normalizePath(r.getString(0)) -> r.getLong(1)).toMap
 
     val out = files.map { f =>
-      val rel = f.toString.stripPrefix(staging.toString).stripPrefix("/")
+      // URI-path relativize, NOT string stripPrefix: listFiles returns
+      // scheme-qualified paths ("file:/...") while `staging` is usually
+      // unqualified, so a raw prefix strip never matches and the
+      // qualified path would leak into the data/ layout (and ':' is
+      // rejected outright in HDFS path components).
+      val rel = DeltaWrite.relativize(staging, f)
       val dest = new Path(table, s"data/$rel")
       fs.mkdirs(dest.getParent)
       if (!fs.rename(f, dest))
@@ -362,7 +367,7 @@ object IcebergWrite {
   /** Highest v<N>.metadata.json by DIRECTORY SCAN — the commit loop
     * must never trust the advisory (possibly stale) version hint.
     */
-  private[tables] def latestVersionByScan(fs: FileSystem, metaDir: Path): Option[Int] = {
+  private[graft] def latestVersionByScan(fs: FileSystem, metaDir: Path): Option[Int] = {
     if (!fs.exists(metaDir)) return None
     val vs = fs.listStatus(metaDir).map(_.getPath.getName).collect {
       case VersionedMetadata(n) => n.toInt
@@ -393,7 +398,7 @@ object IcebergWrite {
     * exclusive across processes); other FSes fall back to rename.
     * Returns false on a lost race.
     */
-  private[tables] def publishIfAbsent(fs: FileSystem, target: Path, bytes: Array[Byte]): Boolean = {
+  private[graft] def publishIfAbsent(fs: FileSystem, target: Path, bytes: Array[Byte]): Boolean = {
     if (fs.exists(target)) return false
     val tmp = new Path(target.getParent,
       s"._commit_${java.util.UUID.randomUUID().toString.take(8)}.json.tmp")

@@ -68,6 +68,36 @@ class VideoHeaderSpec extends SparkSpec {
     assert(VideoHeader.parse(full.take(24)).isEmpty)
   }
 
+  test("MKV: corruption INSIDE the Segment refuses (nested walk result honored)") {
+    def ebml(id: Long, body: Array[Byte]): Array[Byte] = {
+      var n = 1; while (n < 8 && (id >> (8 * n)) != 0) n += 1
+      val idBytes = (0 until n).reverseIterator
+        .map(k => ((id >> (8 * k)) & 0xFF).toByte).toArray
+      idBytes ++ Array((0x80 | body.length).toByte) ++ body
+    }
+    val header = ebml(0x1A45DFA3L, ebml(0x4282L, "matroska".getBytes("US-ASCII")))
+    val durBits = java.lang.Double.doubleToLongBits(1234.0)
+    val info = ebml(0x1549A966L,
+      ebml(0x2AD7B1L, Array(0x0F.toByte, 0x42.toByte, 0x40.toByte)) ++
+        ebml(0x4489L, (0 until 8).reverseIterator
+          .map(k => ((durBits >> (8 * k)) & 0xFF).toByte).toArray))
+    val video = ebml(0xE0L, ebml(0xB0L, Array(0x02.toByte, 0x80.toByte)) ++
+      ebml(0xBAL, Array(0x01.toByte, 0x68.toByte)))
+    val tracks = ebml(0x1654AE6BL, ebml(0xAEL, video))
+    // sanity: the uncorrupted layout parses
+    val good = header ++ ebml(0x18538067L, info ++ tracks)
+    assert(VideoHeader.parse(good) == Some(("mkv", 640, 360, 1234L)))
+    // a trailing element inside Segment claims a 16-byte body but only
+    // 1 byte follows: the Segment's own bounds are consistent, so only
+    // the NESTED walk sees the overrun — the parse must still refuse
+    val corrupt = Array(0xEC.toByte, 0x90.toByte, 0x00.toByte)
+    val evil = header ++ ebml(0x18538067L, info ++ tracks ++ corrupt)
+    assert(VideoHeader.parse(evil).isEmpty)
+    // corruption one level deeper (inside Tracks) also refuses
+    val tracksEvil = ebml(0x1654AE6BL, ebml(0xAEL, video) ++ corrupt)
+    assert(VideoHeader.parse(header ++ ebml(0x18538067L, info ++ tracksEvil)).isEmpty)
+  }
+
   test("adversarial box sizes terminate (no infinite walk)") {
     def be32(v: Long): Array[Byte] =
       Array(((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,

@@ -51,6 +51,31 @@ class MixingSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("non-string domain columns and NULL domains are handled, not crashed") {
+    // integer domain column: quotas key on the string form
+    val intDocs = ((0 until 20).map(i => (i.toLong, 1)) ++
+      (100 until 110).map(i => (i.toLong, 2))).toDF("doc_id", "domain_id")
+    val q = Mixing.temperatureQuotas(intDocs, "domain_id", 1.0, 0.5)
+    assert(q.map(x => x.domain -> x.quota).toMap == Map("1" -> 10L, "2" -> 5L))
+    val kept = Mixing.temperatureSample(intDocs, "doc_id", "domain_id", 1.0, 0.5)
+    assert(kept.count() == 15L)
+
+    // NULL domain: excluded from quotas, totals, and the sample
+    val withNull = (Seq((1L, Some("a")), (2L, Some("a")), (3L, None), (4L, Some("b"))))
+      .toDF("doc_id", "domain")
+    val q2 = Mixing.temperatureQuotas(withNull, "domain", 1.0, 1.0)
+    assert(q2.map(x => x.domain -> x.quota).toMap == Map("a" -> 2L, "b" -> 1L))
+    val kept2 = Mixing.temperatureSample(withNull, "doc_id", "domain", 1.0, 1.0)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept2 == Seq(1L, 2L, 4L))
+
+    // all-null domain: empty quotas, empty sample, same schema
+    val allNull = Seq((1L, Option.empty[String])).toDF("doc_id", "domain")
+    assert(Mixing.temperatureQuotas(allNull, "domain", 1.0, 1.0).isEmpty)
+    val s = Mixing.temperatureSample(allNull, "doc_id", "domain", 1.0, 1.0)
+    assert(s.count() == 0L && s.columns.toSeq == Seq("doc_id", "domain"))
+  }
+
   test("qDomainMix returns per-source rollups on real testdata") {
     val rows = graft.queries.Wave6Queries.qDomainMix(spark, sf()).collect()
     assert(rows.nonEmpty)

@@ -93,6 +93,41 @@ class IcebergMaintenanceSpec extends SparkSpec {
     assert(v0.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("export after expire bumps past the expire's metadata version (no clobber)") {
+    val dir = tempDir("icem-interleave").toString + "/t"
+    DeltaWrite.append(spark, Seq((1L, "a")).toDF("id", "v"), dir)         // Delta v0
+    graft.export.IcebergUniform.export(spark, dir)                        // Iceberg v1
+    DeltaWrite.append(spark, Seq((2L, "b")).toDF("id", "v"), dir)         // Delta v1
+    graft.export.IcebergUniform.export(spark, dir)                        // Iceberg v2
+    val fs = fsOf(dir)
+    IcebergMaintenance.expireSnapshots(spark, dir, keepLast = 1)          // Iceberg v3
+    val metaDir = new Path(dir, "metadata")
+    val expireV = IcebergMeta.currentVersion(fs, dir)
+    val expireBytes = {
+      val in = fs.open(new Path(metaDir, s"v$expireV.metadata.json"))
+      try in.readAllBytes().toSeq finally in.close()
+    }
+
+    DeltaWrite.append(spark, Seq((3L, "c")).toDF("id", "v"), dir)         // Delta v2
+    val ex = graft.export.IcebergUniform.export(spark, dir)
+    // naive versioning would be snap.version+1 = 3 — the expire's file.
+    // The commit must land ABOVE it, leaving the expire bytes intact.
+    val newV = IcebergMeta.currentVersion(fs, dir)
+    assert(newV > expireV, s"export landed at $newV, not past expire's $expireV")
+    val after = {
+      val in = fs.open(new Path(metaDir, s"v$expireV.metadata.json"))
+      try in.readAllBytes().toSeq finally in.close()
+    }
+    assert(after == expireBytes, "export overwrote the expire's committed metadata")
+    // the carry is based on the EXPIRED state: only the retained + new
+    // snapshots remain, and the reader sees all three appends' rows
+    val meta = IcebergMeta.load(fs, dir)
+    assert(meta.snapshots.size == 2)
+    assert(meta.currentSnapshotId.contains(ex.snapshotId))
+    assert(new IcebergTable("t", dir)(spark, ReadArgs.empty)
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("removeOrphanFiles deletes only unreferenced files older than the cutoff") {
     val dir = tempDir("icem-orph").toString + "/t"
     IcebergWrite.append(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)
@@ -102,6 +137,11 @@ class IcebergMaintenanceSpec extends SparkSpec {
     val out = fs.create(stray, true); out.write(Array[Byte](1, 2, 3)); out.close()
     val staged = new Path(dir, "_staging_iceberg_dead/part-0.parquet")
     val out2 = fs.create(staged, true); out2.write(Array[Byte](4, 5)); out2.close()
+    // crashed PARTITIONED staging dir: the orphan file sits in a
+    // subdirectory, so the sweep must check emptiness recursively or
+    // the staging dir survives every run
+    val stagedPart = new Path(dir, "_staging_iceberg_dead2/part=0/part-0.parquet")
+    val out3 = fs.create(stagedPart, true); out3.write(Array[Byte](6)); out3.close()
 
     // cutoff in the past: nothing is old enough → nothing deleted
     assert(IcebergMaintenance.removeOrphanFiles(spark, dir, olderThanMs = 0L).isEmpty)
@@ -111,8 +151,9 @@ class IcebergMaintenanceSpec extends SparkSpec {
     val deleted = IcebergMaintenance.removeOrphanFiles(
       spark, dir, olderThanMs = System.currentTimeMillis() + 60000)
     assert(deleted.toSet ==
-      Set(stray.toUri.getPath, staged.toUri.getPath))
+      Set(stray.toUri.getPath, staged.toUri.getPath, stagedPart.toUri.getPath))
     assert(!fs.exists(stray) && !fs.exists(staged.getParent))
+    assert(!fs.exists(stagedPart.getParent.getParent))
     val live = dataFiles(dir, IcebergMeta.load(fs, dir).snapshots.head)
     assert(live.nonEmpty && live.forall(p => fs.exists(new Path(p))))
     assert(new IcebergTable("t", dir)(spark, ReadArgs.empty)

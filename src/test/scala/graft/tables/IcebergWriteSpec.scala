@@ -32,6 +32,28 @@ class IcebergWriteSpec extends SparkSpec {
       .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("staged files land under data/ in Hive layout (qualified listings relativized)") {
+    val dir = tempDir("icew-layout").toString + "/t"
+    IcebergWrite.append(spark,
+      Seq((1L, "a", 0), (2L, "b", 1)).toDF("id", "v", "part"), dir, Seq("part"))
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val meta = IcebergMeta.load(fs, dir)
+    val files = IcebergMeta.planFiles(fs, meta.snapshots.maxBy(_.id)).map(_.path)
+    assert(files.nonEmpty)
+    files.foreach { p =>
+      // fs.listFiles returns scheme-qualified paths; a raw stripPrefix
+      // against the unqualified staging path would leak "file:/..." and
+      // the staging dir name into the table layout
+      assert(!p.contains("file:"), s"qualified path leaked into layout: $p")
+      assert(!p.contains("_staging"), s"staging dir leaked into layout: $p")
+      val rel = p.stripPrefix(new org.apache.hadoop.fs.Path(dir).toUri.getPath)
+        .stripPrefix("/")
+      assert(rel.matches("data/part=\\d+/[^/]+\\.parquet"), s"unexpected layout: $rel")
+    }
+    // staging dir cleaned up
+    assert(!fs.listStatus(new Path(dir)).exists(_.getPath.getName.startsWith("_staging")))
+  }
+
   test("appends interleave with exported Delta history refusals and schema checks") {
     val delta = tempDir("icew-delta").toString + "/t"
     DeltaWrite.append(spark, Seq((1L, "a")).toDF("id", "v"), delta)
