@@ -1650,7 +1650,20 @@ object OracleSql {
       "q_iceberg_incr" ->
         """SELECT n_nationkey, n_name, n_regionkey
           |FROM nation WHERE n_nationkey >= 12
-          |ORDER BY n_nationkey""".stripMargin
+          |ORDER BY n_nationkey""".stripMargin,
+      // the Spark side EXPORTS the documents as WebDataset tar shards
+      // and recomputes these stats from the IMPORTED tar entries —
+      // the oracle recomputes them straight from the table with the
+      // same md5 shard hash, so the whole tar round trip is on the
+      // hash: assignment, entry count, and payload bytes
+      "q_wds_shards" -> {
+        val n = Wave6Queries.WdsParams.Shards
+        s"""SELECT CAST(${PortableHash.Sql.md5Mod("'shard' || '|' || CAST(doc_id AS VARCHAR)")} % $n AS INTEGER) AS shard,
+           |  count(*) * 2 AS n_entries,
+           |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_keys,
+           |  CAST(sum(octet_length(CAST(text AS BLOB)) + octet_length(CAST(source AS BLOB))) AS BIGINT) AS sum_bytes
+           |FROM documents GROUP BY shard ORDER BY shard""".stripMargin
+      }
     )
   }
 

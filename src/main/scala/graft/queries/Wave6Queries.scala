@@ -293,4 +293,42 @@ object Wave6Queries {
         round(max(coalesce(col("_mj"), lit(0.0))), 4).as("max_jaccard"))
       .orderBy("source")
   }
+
+  // ---------- P60: WebDataset tar shard export/import ----------
+
+  object WdsParams { val Shards = 8 }
+
+  private val wdsWritten = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Export documents once per sfDir as `Shards` deterministic tar
+    * shards (txt + src entries per doc), keyed by the portable
+    * md5 shard hash — see [[graft.sinks.WebDataset]].
+    */
+  private[queries] def writtenWds(s: SparkSession, dir: String): String =
+    wdsWritten.getOrElseUpdate(dir, {
+      import graft.sinks.WebDataset
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_wds").toString + "/docs"
+      WebDataset.writeShards(
+        t(s, dir, "documents").select("doc_id", "text", "source"),
+        path, "doc_id", Seq("txt" -> "text", "src" -> "source"),
+        WdsParams.Shards)
+      path
+    })
+
+  /** Shard-level stats computed FROM THE IMPORTED TARS — the oracle
+    * recomputes them from the documents table with the same md5 shard
+    * hash, so any loss/corruption/misassignment in the tar round trip
+    * hash-mismatches.
+    */
+  def qWdsShards(s: SparkSession, dir: String): DataFrame = {
+    import graft.sinks.WebDataset
+    WebDataset.readShards(s, writtenWds(s, dir))
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_entries"),
+        countDistinct("key").cast("long").as("n_keys"),
+        sum(length(col("payload"))).cast("long").as("sum_bytes"))
+      .orderBy("shard")
+  }
 }
