@@ -1651,6 +1651,17 @@ object OracleSql {
         """SELECT n_nationkey, n_name, n_regionkey
           |FROM nation WHERE n_nationkey >= 12
           |ORDER BY n_nationkey""".stripMargin,
+      // the Spark side bulk-inserts nation as a native Hudi COW table,
+      // UPSERTS (lowercase names for keys < 10 + a synthetic insert),
+      // and snapshot-reads with a partition filter; the oracle replays
+      // the merge relationally
+      "q_hudi_read" ->
+        """SELECT n_nationkey,
+          |  CASE WHEN n_nationkey < 10 THEN lower(n_name) ELSE n_name END AS n_name,
+          |  n_regionkey
+          |FROM nation WHERE n_regionkey >= 2
+          |UNION ALL SELECT 990, 'atlantis', 2
+          |ORDER BY n_nationkey""".stripMargin,
       // the Spark side EXPORTS the documents as WebDataset tar shards
       // and recomputes these stats from the IMPORTED tar entries —
       // the oracle recomputes them straight from the table with the

@@ -124,7 +124,8 @@ object QueryCatalog {
     Entry("q_video_meta", Wave6Queries.qVideoMeta),
     Entry("q_html_extract", Wave6Queries.qHtmlExtract),
     Entry("q_quality_classifier", Wave6Queries.qQualityClassifier),
-    Entry("q_wds_shards", Wave6Queries.qWdsShards)
+    Entry("q_wds_shards", Wave6Queries.qWdsShards),
+    Entry("q_hudi_read", Wave6Queries.qHudiRead)
   )
 
   def queries: Map[String, QueryFn] =

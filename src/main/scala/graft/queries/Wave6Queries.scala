@@ -316,6 +316,44 @@ object Wave6Queries {
       path
     })
 
+  // ---------- R53: native Hudi copy-on-write read/upsert ----------
+
+  private val hudiWritten = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Write nation as a Hudi COW table once per sfDir: bulk insert
+    * partitioned by region, then an UPSERT that lowercases the name
+    * of keys < 10 and inserts a synthetic key 990 — so the snapshot
+    * read exercises merge + rewrite + new-group routing.
+    */
+  private[queries] def writtenHudi(s: SparkSession, dir: String): String =
+    hudiWritten.getOrElseUpdate(dir, {
+      import graft.tables.HudiWrite
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_hudi").toString + "/nation"
+      val nation = t(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+      HudiWrite.bulkInsert(s, nation, path, "n_nationkey", Seq("n_regionkey"))
+      val changes = nation.where(col("n_nationkey") < 10)
+        .withColumn("n_name", lower(col("n_name")))
+        .unionByName(s.createDataFrame(
+          java.util.List.of(org.apache.spark.sql.Row(990, "atlantis", 2)),
+          nation.schema))
+      HudiWrite.upsert(s, changes, path)
+      path
+    })
+
+  /** Post-upsert snapshot with a partition filter: merged values,
+    * the inserted key, and only region ≥ 2 partitions planned.
+    */
+  def qHudiRead(s: SparkSession, dir: String): DataFrame = {
+    import graft.core.Filter
+    import graft.tables.{HudiTable, ReadArgs}
+    val table = new HudiTable("nation_hudi", writtenHudi(s, dir))
+    table(s, ReadArgs(
+      filters = graft.core.Filters.normalize(Seq(Filter("n_regionkey", ">=", 2)))))
+      .orderBy("n_nationkey")
+  }
+
   /** Shard-level stats computed FROM THE IMPORTED TARS — the oracle
     * recomputes them from the documents table with the same md5 shard
     * hash, so any loss/corruption/misassignment in the tar round trip

@@ -1,0 +1,160 @@
+package graft.tables
+
+import graft.core._
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Native Apache Hudi COPY_ON_WRITE snapshot reader — plans file
+  * slices from the `.hoodie/` timeline alone (never a directory
+  * listing: the cloud-storage discipline the format exists for),
+  * then reads them as one distributed parquet scan with Catalyst
+  * pushdown.
+  *
+  *  - Snapshot = latest base file per file group across completed
+  *    commits; `extra(AsOfInstantKey)` time-travels to the slices as
+  *    of an instant (inclusive).
+  *  - Hive-style partition directories are pruned DRIVER-SIDE from
+  *    the commit metadata's partition paths before any file opens:
+  *    equality / IN filters on partition columns drop whole
+  *    partitions (conservative may-match on everything else), and
+  *    Spark's `basePath` discovery re-attaches the partition columns
+  *    for the residual scan.
+  *  - [[incremental]] is the Hudi incremental query: rows whose
+  *    `_hoodie_commit_time` falls in (from, to] over the latest
+  *    slices as of `to` — updates included, exactly-once per key,
+  *    because rewrites preserve untouched rows' commit times
+  *    ([[HudiWrite]]).
+  *
+  * Meta columns are dropped from `apply` output (schema = user data),
+  * and kept by `incremental` callers only internally.
+  */
+class HudiTable(
+    val name: String,
+    val uri: String,
+    description: String = "",
+    docsFilters: Seq[Filter] = Seq.empty
+) extends TableProtocol {
+
+  override val tableMetadata: TableMetadata =
+    TableMetadata("HUDI", description, docsFilters)
+
+  val AsOfInstantKey = "asOfInstant"
+
+  override def apply(spark: SparkSession, args: ReadArgs): DataFrame = {
+    val fs = new Path(uri).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    HudiWrite.readProps(fs, uri) // refuses non-Hudi paths
+    val asOf = args.extra.get(AsOfInstantKey).map(_.toString)
+    val slices = HudiWrite.latestSlices(fs, uri, asOf)
+    var df = read(spark, fs, slices, args)
+      .drop(HudiWrite.CommitTimeCol, HudiWrite.RecordKeyCol)
+    Filters.toColumn(args.filters).foreach(p => df = df.filter(p))
+    args.columns.foreach(cols => df = df.select(cols.map(col): _*))
+    df
+  }
+
+  /** Incremental query: rows committed in `(fromInstant, toInstant]`
+    * (commit-time strings as returned by the writer; `toInstant`
+    * None = latest). Updates surface with their NEW values; the
+    * result keeps `_hoodie_commit_time` so callers can checkpoint.
+    */
+  def incremental(
+      spark: SparkSession,
+      fromInstant: String,
+      toInstant: Option[String] = None,
+      args: ReadArgs = ReadArgs()
+  ): DataFrame = {
+    val fs = new Path(uri).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    HudiWrite.readProps(fs, uri)
+    // only file groups TOUCHED in the range can hold in-range rows:
+    // slices at `to` whose writing instant is > from
+    val all = HudiWrite.latestSlices(fs, uri, toInstant)
+    val touched = all.filter(_.instant > fromInstant)
+    if (touched.isEmpty) {
+      // nothing changed in the range: declared-empty frame with the
+      // table's schema
+      require(all.nonEmpty, s"Hudi table $uri has no completed commits")
+      var empty = HudiWrite.readSlices(spark, uri, all.take(1)).limit(0)
+        .drop(HudiWrite.RecordKeyCol)
+      args.columns.foreach(cols => empty = empty.select(cols.map(col): _*))
+      return empty
+    }
+    var df = read(spark, fs, touched, args)
+      .where(col(HudiWrite.CommitTimeCol) > fromInstant)
+    toInstant.foreach(to => df = df.where(col(HudiWrite.CommitTimeCol) <= to))
+    df = df.drop(HudiWrite.RecordKeyCol)
+    Filters.toColumn(args.filters).foreach(p => df = df.filter(p))
+    args.columns.foreach(cols => df = df.select(cols.map(col): _*))
+    df
+  }
+
+  override def getSchema(spark: SparkSession): TableSchema = {
+    val df = apply(spark, ReadArgs.empty)
+    val fs = new Path(uri).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val partitions = partitionFields(fs).flatMap(c =>
+      df.schema.fields.find(_.name == c).map(f =>
+        TablePartition(c, f.dataType.simpleString, "")))
+    TableSchema(partitions, TableSchema.columnsOf(df.schema))
+  }
+
+  // ------------------------------------------------------ internals
+
+  private def partitionFields(fs: org.apache.hadoop.fs.FileSystem): Seq[String] =
+    HudiWrite.readProps(fs, uri).get("hoodie.table.partition.fields")
+      .filter(_.nonEmpty).map(_.split(",").toSeq).getOrElse(Seq.empty)
+
+  private def read(
+      spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      slices: Seq[HudiWrite.FileSlice],
+      args: ReadArgs
+  ): DataFrame = {
+    val partCols = partitionFields(fs)
+    val pruned = slices.filter(s => mayMatch(s.partition, partCols, args.filters))
+    if (pruned.isEmpty) {
+      // declared-empty frame with the table's real schema: read zero
+      // rows of an arbitrary slice when one exists, else refuse
+      require(slices.nonEmpty, s"Hudi table $uri has no completed commits")
+      return HudiWrite.readSlices(spark, uri, slices.take(1)).limit(0)
+    }
+    HudiWrite.readSlices(spark, uri, pruned)
+  }
+
+  /** Driver-side partition pruning on the hive `k=v` path segments
+    * from the commit metadata: equality and IN filters on partition
+    * columns compare against the RAW segment value string
+    * (conservative: any parse ambiguity keeps the partition; the
+    * exact predicate is re-applied on rows either way).
+    */
+  private def mayMatch(
+      partitionPath: String, partCols: Seq[String],
+      filters: Filters.Normalized): Boolean = {
+    if (partitionPath.isEmpty || partCols.isEmpty) return true
+    val values: Map[String, String] = partitionPath.split('/').flatMap { seg =>
+      seg.split("=", 2) match {
+        case Array(k, v) => Some(k ->
+          java.net.URLDecoder.decode(v, "UTF-8"))
+        case _ => None
+      }
+    }.toMap
+    // DNF: OR over conjunctions; a partition survives if ANY
+    // conjunction may match
+    filters.isEmpty || filters.exists { conj =>
+      conj.forall { f =>
+        values.get(f.column) match {
+          case None => true // not a partition column (or missing) — keep
+          case Some(v) =>
+            f.op match {
+              case FilterOp.Eq => v == String.valueOf(f.value)
+              case FilterOp.In => f.value match {
+                case xs: Iterable[_] => xs.exists(x => String.valueOf(x) == v)
+                case xs: Array[_] => xs.exists(x => String.valueOf(x) == v)
+                case other => String.valueOf(other) == v
+              }
+              case _ => true // conservative may-match
+            }
+        }
+      }
+    }
+  }
+}

@@ -1,0 +1,413 @@
+package graft.tables
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.ObjectNode
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Native Apache Hudi COPY_ON_WRITE writer (public table spec:
+  * hudi.apache.org/tech-specs — `.hoodie/` timeline of instants,
+  * base files named `<fileId>_<writeToken>_<instantTime>.parquet`,
+  * record-key meta columns): the third leg of the lakehouse interop
+  * triad (Delta [[DeltaWrite]], Iceberg [[IcebergWrite]], Hudi).
+  *
+  *  - [[bulkInsert]] creates the table (hoodie.properties) and new
+  *    file groups;
+  *  - [[upsert]] is the Hudi primitive: merge by record key — file
+  *    groups holding matched keys are REWRITTEN at the new instant
+  *    (copy-on-write), the old slice stays readable for time travel,
+  *    unmatched keys open new file groups per partition.
+  *
+  * Rows carry the Hudi meta columns `_hoodie_commit_time` and
+  * `_hoodie_record_key`; untouched rows KEEP their original commit
+  * time through rewrites (the Hudi contract that makes incremental
+  * reads — filter on commit time over the latest slices — return
+  * exactly the changed rows).
+  *
+  * Timeline protocol: `<instant>.commit.requested` → `.inflight` →
+  * `<instant>.commit` (completion marker) published PUT-IF-ABSENT;
+  * a clashing instant re-mints and retries, so two racing writers
+  * never share an instant. The commit JSON carries
+  * `partitionToWriteStats`, and the READER plans file slices from the
+  * timeline alone — no directory listing ([[HudiTable]]).
+  *
+  * Scale shape: ONE staged distributed write per commit (rows routed
+  * to their target file group by a single repartition on fileId); the
+  * upsert's key→file-group index is a distributed join against the
+  * latest slices (keys never collect); driver work is O(file groups)
+  * metadata — the same bound as the Delta/Iceberg paths. Record keys
+  * must be globally unique (the simplification vs Hudi's pluggable
+  * index: a global unique-key index).
+  */
+object HudiWrite {
+
+  private val mapper = new ObjectMapper()
+  val CommitTimeCol = "_hoodie_commit_time"
+  val RecordKeyCol = "_hoodie_record_key"
+  private val WriteToken = "0-0-0"
+
+  /** Create the table if absent and write `df` as new file groups.
+    * Returns the completed instant time.
+    */
+  def bulkInsert(
+      spark: SparkSession,
+      df: DataFrame,
+      tablePath: String,
+      recordKeyCol: String,
+      partitionBy: Seq[String] = Seq.empty
+  ): String = {
+    val (fs, props) = ensureTable(spark, tablePath, recordKeyCol, partitionBy, df)
+    require(props("hoodie.table.recordkey.fields") == recordKeyCol,
+      s"table $tablePath has record key ${props("hoodie.table.recordkey.fields")}, got $recordKeyCol")
+    val instant = mintInstant(fs, new Path(tablePath, ".hoodie"))
+    val prepared = withMeta(df, recordKeyCol, instant)
+    val written = stageByGroup(spark, prepared, fs, tablePath, partitionBy,
+      instant, freshGroupPerLeaf = true)
+    completeCommit(fs, tablePath, instant, "bulkinsert", written)
+    instant
+  }
+
+  /** Merge `df` into the table by record key (COPY_ON_WRITE):
+    * matched keys replace their previous version inside a rewritten
+    * file group; unmatched keys start new file groups in their
+    * partition. Returns the completed instant time.
+    */
+  def upsert(spark: SparkSession, df: DataFrame, tablePath: String): String = {
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val props = readProps(fs, tablePath)
+    val keyCol = props("hoodie.table.recordkey.fields")
+    val partCols = props.get("hoodie.table.partition.fields")
+      .filter(_.nonEmpty).map(_.split(",").toSeq).getOrElse(Seq.empty)
+    require(df.columns.contains(keyCol), s"upsert frame lacks record key column $keyCol")
+
+    val hoodieDir = new Path(tablePath, ".hoodie")
+    val slices = latestSlices(fs, tablePath, None)
+    val instant = mintInstant(fs, hoodieDir)
+
+    if (slices.isEmpty) {
+      val prepared = withMeta(df, keyCol, instant)
+      val written = stageByGroup(spark, prepared, fs, tablePath, partCols,
+        instant, freshGroupPerLeaf = true)
+      completeCommit(fs, tablePath, instant, "upsert", written)
+      return instant
+    }
+
+    // key → file-group index over the latest slices: a COLUMN-PRUNED
+    // distributed scan (record key + file path only; keys never
+    // collect). The path→fileId map is driver metadata
+    // (O(file groups)) shipped as a map literal.
+    val pathToFg = slices.map { s =>
+      normalizeScheme(s"$tablePath/${s.relPath}") -> s.fileId
+    }.toMap
+    val fgOf = element_at(typedLit(pathToFg),
+      regexp_replace(col("_metadata.file_path"), SchemePattern, "/"))
+    val keyIndex = readSlices(spark, tablePath, slices)
+      .select(col(RecordKeyCol), fgOf.as("_fg"))
+
+    val incomingKeys = df.select(col(keyCol).cast("string").as("_k")).distinct()
+    // affected file groups: bounded driver metadata (≤ #file groups)
+    val affected = keyIndex
+      .join(incomingKeys, keyIndex(RecordKeyCol) === incomingKeys("_k"), "leftsemi")
+      .select("_fg").distinct().collect().map(_.getString(0)).toSet
+    // only the affected groups are rewritten (copy-on-write); their
+    // rows are the only existing data read in full
+    val affectedSlices = slices.filter(sl => affected(sl.fileId))
+
+    val incomingPrepared = withMeta(df, keyCol, instant)
+    val dataCols = incomingPrepared.columns.toSeq // meta + data, no _fg
+
+    if (affectedSlices.isEmpty) {
+      // pure insert: no groups rewritten, new groups only
+      val written = stageByGroup(spark, incomingPrepared, fs, tablePath,
+        partCols, instant, freshGroupPerLeaf = true)
+      completeCommit(fs, tablePath, instant, "upsert", written)
+      return instant
+    }
+
+    val affectedDf = readSlices(spark, tablePath, affectedSlices)
+      .withColumn("_fg", fgOf)
+    // a matched key's group is affected by construction, so the
+    // affected groups alone decide matched vs unmatched
+    val matchedKeys = affectedDf.select(col(RecordKeyCol).as("_k")).distinct()
+    val unmatched = incomingPrepared.join(matchedKeys,
+      incomingPrepared(RecordKeyCol) === matchedKeys("_k"), "leftanti")
+    val matchedIncoming = incomingPrepared.join(matchedKeys,
+      incomingPrepared(RecordKeyCol) === matchedKeys("_k"), "leftsemi")
+
+    // new-group minting per partition of unmatched incoming rows:
+    // bounded by #partitions
+    val newGroupByPart: Map[Seq[String], String] =
+      (if (partCols.isEmpty) {
+        if (unmatched.isEmpty) Map.empty
+        else Map(Seq.empty[String] -> java.util.UUID.randomUUID().toString)
+      } else {
+        unmatched.select(partCols.map(c => col(c).cast("string")): _*)
+          .distinct().collect()
+          .map(r => partCols.indices.map(r.getString).toSeq ->
+            java.util.UUID.randomUUID().toString).toMap
+      })
+
+    // survivors of affected groups (keys not being updated) keep
+    // their original commit time; updated + new rows carry `instant`
+    val survivors = affectedDf
+      .join(incomingKeys, affectedDf(RecordKeyCol) === incomingKeys("_k"), "leftanti")
+      .select(dataCols.map(col) :+ col("_fg"): _*)
+    val updatedTarget = {
+      // matched incoming rows adopt their key's existing file group
+      val keyToFg = affectedDf.select(col(RecordKeyCol).as("_k0"), col("_fg"))
+      matchedIncoming.join(keyToFg,
+        matchedIncoming(RecordKeyCol) === col("_k0"))
+        .select(dataCols.map(matchedIncoming(_)) :+ col("_fg"): _*)
+    }
+    val newTarget = {
+      val fgExpr =
+        if (partCols.isEmpty)
+          lit(newGroupByPart.getOrElse(Seq.empty, ""))
+        else
+          element_at(typedLit(newGroupByPart.map { case (k, v) => k.mkString("\u0001") -> v }),
+            concat_ws("\u0001", partCols.map(c => col(c).cast("string")): _*))
+      unmatched.select(dataCols.map(col) :+ fgExpr.as("_fg"): _*)
+    }
+
+    val out = survivors.unionByName(updatedTarget).unionByName(newTarget)
+    val written = stageByGroup(spark, out, fs, tablePath, partCols, instant,
+      freshGroupPerLeaf = false)
+    completeCommit(fs, tablePath, instant, "upsert", written)
+    instant
+  }
+
+  // ------------------------------------------------------ internals
+
+  /** Create `.hoodie/hoodie.properties` if absent; validate the
+    * declared record key / partitioning when present.
+    */
+  private def ensureTable(
+      spark: SparkSession,
+      tablePath: String,
+      recordKeyCol: String,
+      partitionBy: Seq[String],
+      df: DataFrame
+  ): (FileSystem, Map[String, String]) = {
+    require(df.columns.contains(recordKeyCol),
+      s"record key column $recordKeyCol missing from the frame")
+    partitionBy.foreach(c => require(df.columns.contains(c),
+      s"partition column $c missing from the frame"))
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hoodieDir = new Path(tablePath, ".hoodie")
+    val propsPath = new Path(hoodieDir, "hoodie.properties")
+    if (!fs.exists(propsPath)) {
+      fs.mkdirs(hoodieDir)
+      val props = new java.util.Properties()
+      props.setProperty("hoodie.table.name",
+        new Path(tablePath).getName)
+      props.setProperty("hoodie.table.type", "COPY_ON_WRITE")
+      props.setProperty("hoodie.table.version", "6")
+      props.setProperty("hoodie.table.recordkey.fields", recordKeyCol)
+      props.setProperty("hoodie.table.partition.fields", partitionBy.mkString(","))
+      props.setProperty("hoodie.datasource.write.hive_style_partitioning", "true")
+      props.setProperty("hoodie.timeline.layout.version", "1")
+      val out = fs.create(propsPath, false)
+      try props.store(out, "graft") finally out.close()
+    }
+    val props = readProps(fs, tablePath)
+    val declaredParts = props.get("hoodie.table.partition.fields")
+      .filter(_.nonEmpty).map(_.split(",").toSeq).getOrElse(Seq.empty)
+    require(declaredParts == partitionBy,
+      s"table $tablePath is partitioned by ${declaredParts.mkString(",")}, " +
+        s"got ${partitionBy.mkString(",")}")
+    (fs, props)
+  }
+
+  /** `file:///tmp/x` / `file:/tmp/x` → `/tmp/x` — same comparison
+    * rule as [[IcebergTable]]'s position-delete matching.
+    */
+  private[tables] val SchemePattern = "^[A-Za-z][A-Za-z0-9+.\\-]*:/+"
+  private[tables] def normalizeScheme(p: String): String =
+    p.replaceFirst(SchemePattern, "/")
+
+  private[tables] final case class WrittenFile(
+      partition: String, fileId: String, relPath: String, numWrites: Long)
+
+  private[tables] final case class FileSlice(
+      partition: String, fileId: String, instant: String, relPath: String)
+
+  private def withMeta(df: DataFrame, keyCol: String, instant: String): DataFrame = {
+    require(!df.columns.contains(CommitTimeCol),
+      s"input frame already carries $CommitTimeCol")
+    df.select(
+      lit(instant).as(CommitTimeCol) +:
+        col(keyCol).cast("string").as(RecordKeyCol) +:
+        df.columns.map(col).toSeq: _*)
+  }
+
+  /** Stage `df` (which carries `_fg`) partitioned by partition cols,
+    * one reducer per file group, then move each staged leaf to its
+    * Hudi base-file name. Returns the written-file stats for the
+    * commit metadata.
+    */
+  private def stageByGroup(
+      spark: SparkSession,
+      df: DataFrame,
+      fs: FileSystem,
+      tablePath: String,
+      partCols: Seq[String],
+      instant: String,
+      freshGroupPerLeaf: Boolean
+  ): Seq[WrittenFile] = {
+    val table = new Path(tablePath)
+    val staging = new Path(table,
+      s"_staging_hoodie_${java.util.UUID.randomUUID().toString.take(8)}")
+    // fresh mode: each staged leaf FILE becomes a new file group;
+    // grouped mode: rows are routed so each `_fg` leaf dir holds
+    // exactly one file (a group's rows all land in one reducer)
+    val routed = if (freshGroupPerLeaf) df else df.repartition(col("_fg"))
+    val stagePartCols = if (freshGroupPerLeaf) partCols else partCols :+ "_fg"
+    val writer =
+      if (stagePartCols.nonEmpty) routed.write.partitionBy(stagePartCols: _*)
+      else routed.write
+    writer.mode(SaveMode.Overwrite).parquet(staging.toString)
+
+    val counts: Map[String, Long] = spark.read.parquet(staging.toString)
+      .groupBy(col("_metadata.file_path").as("_p")).agg(count(lit(1)).as("_n"))
+      .collect().map(r => DvDeleted.normalizePath(r.getString(0)) -> r.getLong(1)).toMap
+
+    val files = listParquetFiles(fs, staging)
+    val out = files.map { f =>
+      val rel = DeltaWrite.relativize(staging, f)
+      val segs = rel.split('/').toSeq
+      val (partSegs, fileId) =
+        if (freshGroupPerLeaf)
+          (segs.dropRight(1), java.util.UUID.randomUUID().toString)
+        else {
+          val fgSeg = segs(segs.length - 2)
+          require(fgSeg.startsWith("_fg="), s"unexpected staged layout: $rel")
+          (segs.dropRight(2), java.net.URLDecoder.decode(fgSeg.drop(4), "UTF-8"))
+        }
+      val partition = partSegs.mkString("/")
+      val relOut = (partSegs :+ s"${fileId}_${WriteToken}_$instant.parquet").mkString("/")
+      val dest = new Path(table, relOut)
+      fs.mkdirs(dest.getParent)
+      if (!fs.rename(f, dest))
+        throw new IllegalStateException(s"could not move staged file $f to $dest")
+      WrittenFile(partition, fileId, relOut,
+        counts.getOrElse(DvDeleted.normalizePath(f.toString), 0L))
+    }
+    fs.delete(staging, true)
+    out
+  }
+
+  private def listParquetFiles(fs: FileSystem, dir: Path): Seq[Path] = {
+    val it = fs.listFiles(dir, true)
+    val buf = scala.collection.mutable.Buffer.empty[Path]
+    while (it.hasNext) {
+      val s = it.next()
+      if (s.isFile && s.getPath.getName.endsWith(".parquet")) buf += s.getPath
+    }
+    buf.toSeq
+  }
+
+  /** Timeline instants are millisecond timestamps formatted
+    * yyyyMMddHHmmssSSS (the Hudi convention); the `.requested` marker
+    * is published put-if-absent, so clashing writers re-mint.
+    */
+  private def mintInstant(fs: FileSystem, hoodieDir: Path): String = {
+    val fmt = new java.text.SimpleDateFormat("yyyyMMddHHmmssSSS")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val instant = fmt.format(new java.util.Date())
+      val requested = new Path(hoodieDir, s"$instant.commit.requested")
+      if (IcebergWrite.publishIfAbsent(fs, requested, Array.emptyByteArray)) {
+        val inflight = fs.create(new Path(hoodieDir, s"$instant.inflight"), true)
+        inflight.close()
+        return instant
+      }
+      require(attempt < 1000, s"could not mint a unique instant under $hoodieDir")
+      Thread.sleep(1L)
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def completeCommit(
+      fs: FileSystem,
+      tablePath: String,
+      instant: String,
+      operation: String,
+      written: Seq[WrittenFile]
+  ): Unit = {
+    val root = mapper.createObjectNode()
+    root.put("operationType", operation.toUpperCase)
+    val stats = mapper.createObjectNode()
+    written.groupBy(_.partition).foreach { case (part, fls) =>
+      val arr = mapper.createArrayNode()
+      fls.foreach { w =>
+        val n = mapper.createObjectNode()
+        n.put("fileId", w.fileId)
+        n.put("path", w.relPath)
+        n.put("numWrites", w.numWrites)
+        arr.add(n)
+      }
+      stats.set[ObjectNode](part, arr)
+    }
+    root.set[ObjectNode]("partitionToWriteStats", stats)
+    val target = new Path(new Path(tablePath, ".hoodie"), s"$instant.commit")
+    require(IcebergWrite.publishIfAbsent(fs, target,
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root)),
+      s"instant $instant already completed under $tablePath")
+  }
+
+  // ------------------------------------------------- timeline reads
+
+  private[tables] def readProps(fs: FileSystem, tablePath: String): Map[String, String] = {
+    val p = new Path(new Path(tablePath, ".hoodie"), "hoodie.properties")
+    require(fs.exists(p), s"$tablePath is not a Hudi table (no hoodie.properties)")
+    val in = fs.open(p)
+    val props = new java.util.Properties()
+    try props.load(in) finally in.close()
+    import scala.jdk.CollectionConverters._
+    props.asScala.toMap
+  }
+
+  /** Completed instants ≤ `asOf` (all when None), ascending. */
+  private[tables] def completedInstants(
+      fs: FileSystem, tablePath: String, asOf: Option[String]): Seq[String] = {
+    val hoodieDir = new Path(tablePath, ".hoodie")
+    val Commit = "(\\d{17})\\.commit".r
+    fs.listStatus(hoodieDir).toSeq.map(_.getPath.getName).collect {
+      case Commit(i) if asOf.forall(i <= _) => i
+    }.sorted
+  }
+
+  /** Latest file slice per file group from the timeline metadata
+    * alone (no directory listing): for each (partition, fileId) the
+    * base file written at the greatest completed instant ≤ `asOf`.
+    */
+  private[tables] def latestSlices(
+      fs: FileSystem, tablePath: String, asOf: Option[String]): Seq[FileSlice] = {
+    val slices = scala.collection.mutable.Map.empty[(String, String), FileSlice]
+    completedInstants(fs, tablePath, asOf).foreach { instant =>
+      val in = fs.open(new Path(new Path(tablePath, ".hoodie"), s"$instant.commit"))
+      val root = try mapper.readTree(in) finally in.close()
+      val parts = root.path("partitionToWriteStats")
+      parts.fieldNames().forEachRemaining { part =>
+        IcebergMeta.elements(parts.path(part)).foreach { st =>
+          val fileId = st.path("fileId").asText()
+          // ascending instant order: later slices simply replace
+          slices((part, fileId)) = FileSlice(
+            part, fileId, instant, st.path("path").asText())
+        }
+      }
+    }
+    slices.values.toSeq.sortBy(s => (s.partition, s.fileId))
+  }
+
+  private[tables] def readSlices(
+      spark: SparkSession, tablePath: String, slices: Seq[FileSlice]): DataFrame = {
+    require(slices.nonEmpty, "no slices to read")
+    spark.read
+      .option("basePath", tablePath)
+      .parquet(slices.map(s => s"$tablePath/${s.relPath}"): _*)
+  }
+}

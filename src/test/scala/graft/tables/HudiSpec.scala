@@ -1,0 +1,151 @@
+package graft.tables
+
+import graft.SparkSpec
+import graft.core.Filter
+import org.apache.hadoop.fs.Path
+
+/** Native Hudi COPY_ON_WRITE: bulk insert + snapshot read, upsert
+  * merge semantics (rewrite affected file groups, preserve untouched
+  * commit times), time travel, incremental queries, partition
+  * pruning, and the timeline protocol.
+  */
+class HudiSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fsOf(dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  test("bulk insert round-trips; meta columns are dropped; layout is Hudi-named") {
+    val dir = tempDir("hudi-bi").toString + "/t"
+    HudiWrite.bulkInsert(spark,
+      Seq((1L, "a", 0), (2L, "b", 1), (3L, "c", 1)).toDF("id", "v", "part"),
+      dir, "id", Seq("part"))
+    val t = new HudiTable("t", dir)
+    val got = t(spark, ReadArgs.empty).select("id", "v", "part")
+      .as[(Long, String, Int)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, "a", 0), (2L, "b", 1), (3L, "c", 1)))
+    assert(!t(spark, ReadArgs.empty).columns.exists(_.startsWith("_hoodie")))
+    // base files follow <fileId>_<token>_<instant>.parquet under hive dirs
+    val files = t(spark, ReadArgs.empty).inputFiles
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      assert(f.matches(".*/part=\\d+/[0-9a-f-]+_0-0-0_\\d{17}\\.parquet"), f)
+    }
+    // timeline protocol artifacts
+    val hoodie = new Path(dir, ".hoodie")
+    val names = fsOf(dir).listStatus(hoodie).map(_.getPath.getName).toSet
+    assert(names.contains("hoodie.properties"))
+    assert(names.exists(_.endsWith(".commit")))
+    assert(names.exists(_.endsWith(".commit.requested")))
+    assert(names.exists(_.endsWith(".inflight")))
+  }
+
+  test("upsert rewrites only affected groups; update + insert; time travel sees v1") {
+    val dir = tempDir("hudi-up").toString + "/t"
+    val i1 = HudiWrite.bulkInsert(spark,
+      Seq((1L, "a", 0), (2L, "b", 0), (3L, "c", 1)).toDF("id", "v", "part"),
+      dir, "id", Seq("part"))
+    val i2 = HudiWrite.upsert(spark,
+      Seq((2L, "B", 0), (4L, "d", 1)).toDF("id", "v", "part"), dir)
+    assert(i2 > i1)
+
+    val t = new HudiTable("t", dir)
+    val now = t(spark, ReadArgs.empty).select("id", "v")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(now == Seq((1L, "a"), (2L, "B"), (3L, "c"), (4L, "d")))
+    // time travel to the first instant: pre-upsert contents
+    val v1 = t(spark, ReadArgs(extra = Map(t.AsOfInstantKey -> i1)))
+      .select("id", "v").as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(v1 == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+
+    // copy-on-write: part=1's group (id 3) was NOT touched by the
+    // update of id 2 — its base file is still the i1 file
+    val files = t(spark, ReadArgs.empty).inputFiles
+    assert(files.exists(f => f.contains("part=1") && f.contains(s"_$i1.parquet")),
+      s"untouched group should still serve the $i1 slice: ${files.mkString(", ")}")
+    assert(files.exists(f => f.contains("part=0") && f.contains(s"_$i2.parquet")),
+      s"affected group should serve the $i2 slice: ${files.mkString(", ")}")
+  }
+
+  test("incremental returns exactly the changed rows with their new values") {
+    val dir = tempDir("hudi-incr").toString + "/t"
+    val i1 = HudiWrite.bulkInsert(spark,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"), dir, "id")
+    val i2 = HudiWrite.upsert(spark, Seq((2L, "B"), (4L, "d")).toDF("id", "v"), dir)
+    val i3 = HudiWrite.upsert(spark, Seq((5L, "e")).toDF("id", "v"), dir)
+
+    val t = new HudiTable("t", dir)
+    // (i1, i2]: the update and the insert, nothing else — rows 1,3
+    // were rewritten into the new base file but KEPT commit time i1
+    val d12 = t.incremental(spark, i1, Some(i2)).select("id", "v")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(d12 == Seq((2L, "B"), (4L, "d")))
+    // (i1, latest]
+    val d1l = t.incremental(spark, i1).select("id", "v")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(d1l == Seq((2L, "B"), (4L, "d"), (5L, "e")))
+    // (i3, latest]: empty
+    assert(t.incremental(spark, i3).count() == 0L)
+  }
+
+  test("partition pruning plans only matching partitions; exact filter re-applied") {
+    val dir = tempDir("hudi-prune").toString + "/t"
+    HudiWrite.bulkInsert(spark,
+      (0L until 20L).map(i => (i, s"v$i", (i % 4).toInt)).toDF("id", "v", "part"),
+      dir, "id", Seq("part"))
+    val t = new HudiTable("t", dir)
+    val filtered = t(spark, ReadArgs(
+      filters = graft.core.Filters.normalize(Seq(Filter("part", "=", 2)))))
+    assert(filtered.inputFiles.forall(_.contains("part=2")))
+    assert(filtered.select("id").as[Long].collect().sorted.toSeq ==
+      (0L until 20L).filter(_ % 4 == 2))
+    // IN filter prunes to two partitions
+    val in2 = t(spark, ReadArgs(
+      filters = graft.core.Filters.normalize(Seq(Filter("part", "in", Seq(0, 1))))))
+    assert(in2.inputFiles.forall(f => f.contains("part=0") || f.contains("part=1")))
+    assert(in2.count() == 10L)
+    // no match: declared-empty frame, schema intact
+    val none = t(spark, ReadArgs(
+      filters = graft.core.Filters.normalize(Seq(Filter("part", "=", 99)))))
+    assert(none.count() == 0L && none.columns.contains("v"))
+  }
+
+  test("refusals: non-Hudi path, wrong record key, mismatched partitioning") {
+    val dir = tempDir("hudi-ref").toString
+    intercept[IllegalArgumentException] {
+      new HudiTable("t", dir + "/missing")(spark, ReadArgs.empty)
+    }
+    val t = dir + "/t"
+    HudiWrite.bulkInsert(spark, Seq((1L, "a")).toDF("id", "v"), t, "id")
+    intercept[IllegalArgumentException] {
+      HudiWrite.bulkInsert(spark, Seq((2L, "b")).toDF("id", "v"), t, "v")
+    }
+    intercept[IllegalArgumentException] {
+      HudiWrite.bulkInsert(spark,
+        Seq((2L, "b", 1)).toDF("id", "v", "p"), t, "id", Seq("p"))
+    }
+    intercept[IllegalArgumentException] {
+      HudiWrite.upsert(spark, Seq(("x", 1L)).toDF("w", "n"), t)
+    }
+  }
+
+  test("second bulk insert appends new file groups; both commits read") {
+    val dir = tempDir("hudi-bi2").toString + "/t"
+    HudiWrite.bulkInsert(spark, Seq((1L, "a")).toDF("id", "v"), dir, "id")
+    HudiWrite.bulkInsert(spark, Seq((2L, "b")).toDF("id", "v"), dir, "id")
+    val t = new HudiTable("t", dir)
+    assert(t(spark, ReadArgs.empty).select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L))
+    assert(t(spark, ReadArgs.empty).inputFiles.length == 2)
+  }
+
+  test("getSchema reports data columns and partition fields") {
+    val dir = tempDir("hudi-schema").toString + "/t"
+    HudiWrite.bulkInsert(spark,
+      Seq((1L, "a", 3)).toDF("id", "v", "part"), dir, "id", Seq("part"))
+    val schema = new HudiTable("t", dir).getSchema(spark)
+    assert(schema.partitions.map(_.columnName) == Seq("part"))
+    assert(schema.columns.map(_.column).toSet == Set("id", "v", "part"))
+    assert(!schema.columns.exists(_.column.startsWith("_hoodie")))
+  }
+}
