@@ -303,6 +303,37 @@ object NearDup {
     labels.select(col("id"), col("comp").as("cluster_id"))
   }
 
+  /** Soft (probabilistic) near-dup down-sampling — the CCNet/C4-style
+    * alternative to hard keep-one ([[Dedup]] / cluster-best): every
+    * member of a duplicate cluster survives with probability
+    * ~1/|cluster| via the portable md5 gate, so duplicate MASS drops
+    * by the cluster factor while the corpus keeps cluster diversity
+    * (expected one copy per cluster; occasionally 0 or 2 — the
+    * "soft"). Unclustered docs always survive. Membership is EXACT
+    * integer arithmetic — `md5(salt|id) · size < 2³¹−1` — so it is
+    * deterministic under any partitioning and bit-replayable in SQL.
+    *
+    * Scale shape: `clusters` is the skinny (id, cluster_id) frame
+    * from [[dupClusters]]; sizes are one groupBy over THAT map (the
+    * corpus never shuffles), and docs join the size-annotated map
+    * once on id. Schema is preserved — the operator only decides
+    * membership.
+    */
+  def softDedup(
+      docs: DataFrame,
+      idCol: String,
+      clusters: DataFrame,
+      salt: String = "soft"
+  ): DataFrame = {
+    val cmap = clusters.select(col("id").as(idCol), col("cluster_id"))
+    val sizes = cmap.groupBy("cluster_id").agg(count(lit(1)).as("_csz"))
+    val h = PortableHash.md5Mod(
+      concat_ws("|", lit(salt), col(idCol).cast("string")))
+    docs.join(cmap.join(sizes, "cluster_id"), Seq(idCol), "left")
+      .where(h * coalesce(col("_csz"), lit(1L)) < PortableHash.Prime)
+      .drop("cluster_id", "_csz")
+  }
+
   /** Exact n-gram Jaccard similarity between two text columns. */
   def ngramJaccard(a: Column, b: Column, k: Int = 5): Column = {
     val sa = array_distinct(Text.shingles(a, k))

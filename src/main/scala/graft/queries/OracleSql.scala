@@ -392,6 +392,7 @@ object OracleSql {
     "q_minhash_pairs" -> minhashPairsSql,
     "q_dup_clusters" -> dupClustersSql,
     "q_cluster_best" -> clusterBestSql,
+    "q_soft_dedup" -> softDedupSql,
 
     // int8 quantization: floor — not round — arithmetic, with the
     // division order written identically on both sides, so codes and
@@ -699,6 +700,36 @@ object OracleSql {
        |        PARTITION BY coalesce(c.cluster_id, d.doc_id)
        |        ORDER BY d.n_chars DESC, d.doc_id) AS rn
        |    FROM documents d LEFT JOIN cmap c USING (doc_id)) WHERE rn = 1)
+       |SELECT source, count(*) AS n_kept,
+       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       |  min(doc_id) AS min_id
+       |FROM kept GROUP BY source ORDER BY source""".stripMargin
+
+  /** Mirrors NearDup.softDedup over the q_dup_clusters component map:
+    * every cluster member survives iff
+    * `md5('soft'|id) · |cluster| < 2³¹−1` — EXACT integer arithmetic,
+    * no float probability — and unclustered docs always survive.
+    */
+  private def softDedupSql: String =
+    s"""${minhashPairsCtes(true)},
+       |pairs AS (SELECT a_id, b_id FROM verified WHERE jaccard >= 0.5),
+       |e AS (SELECT a_id AS s, b_id AS t FROM pairs
+       |      UNION SELECT b_id, a_id FROM pairs),
+       |reach AS (
+       |  SELECT s, t FROM e
+       |  UNION
+       |  SELECT r.s, e2.t FROM reach r JOIN e e2 ON r.t = e2.s),
+       |cmap AS (
+       |  SELECT s AS doc_id, least(s, min(t)) AS cluster_id
+       |  FROM reach GROUP BY s),
+       |csz AS (SELECT cluster_id, count(*) AS sz FROM cmap GROUP BY cluster_id),
+       |kept AS (
+       |  SELECT d.source, d.doc_id, d.n_chars
+       |  FROM documents d
+       |  LEFT JOIN (SELECT c.doc_id, z.sz FROM cmap c JOIN csz z USING (cluster_id)) m
+       |    USING (doc_id)
+       |  WHERE ${PortableHash.Sql.md5Mod("'soft' || '|' || CAST(d.doc_id AS VARCHAR)")}
+       |    * coalesce(m.sz, 1) < ${PortableHash.Prime})
        |SELECT source, count(*) AS n_kept,
        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
        |  min(doc_id) AS min_id

@@ -125,7 +125,8 @@ object QueryCatalog {
     Entry("q_html_extract", Wave6Queries.qHtmlExtract),
     Entry("q_quality_classifier", Wave6Queries.qQualityClassifier),
     Entry("q_wds_shards", Wave6Queries.qWdsShards),
-    Entry("q_hudi_read", Wave6Queries.qHudiRead)
+    Entry("q_hudi_read", Wave6Queries.qHudiRead),
+    Entry("q_soft_dedup", Wave6Queries.qSoftDedup)
   )
 
   def queries: Map[String, QueryFn] =

@@ -316,6 +316,29 @@ object Wave6Queries {
       path
     })
 
+  // ---------- P61: soft near-dup down-sampling ----------
+
+  /** Per-source rollup after SOFT dedup: the same MinHash-LSH cluster
+    * graph as q_dup_clusters/q_cluster_best, but membership is the
+    * probabilistic 1/|cluster| md5 gate instead of keep-one — see
+    * [[graft.operators.NearDup.softDedup]].
+    */
+  def qSoftDedup(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.NearDup
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("source"), col("n_chars"))
+    val pairs = NearDup.minhashPairs(
+      t(s, dir, "documents"), "doc_id", "text",
+      k = 5, numHashes = 8, bands = 2, threshold = 0.5)
+    val clusters = NearDup.dupClusters(pairs, "a_id", "b_id")
+    NearDup.softDedup(docs, "doc_id", clusters)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        sum(col("n_chars").cast("long")).as("sum_chars"),
+        min(col("doc_id")).as("min_id"))
+      .orderBy("source")
+  }
+
   // ---------- R53: native Hudi copy-on-write read/upsert ----------
 
   private val hudiWritten = scala.collection.concurrent.TrieMap.empty[String, String]

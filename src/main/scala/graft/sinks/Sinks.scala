@@ -93,4 +93,34 @@ object Sinks {
       (estBytes / BigInt(targetFileBytes)).toInt.min(100000))
     df.repartition(parts).write.mode(mode).parquet(path)
   }
+
+  /** Point-lookup-optimized parquet: per-column BLOOM FILTERS in the
+    * file footers (parquet-mr's split-block bloom, the public
+    * `parquet.bloom.filter.*` write options), so an equality probe on
+    * a high-cardinality column (doc id, record key, url hash) skips
+    * whole row groups whose filter says "definitely absent" — the
+    * 100-TB point-lookup path where min/max stats never prune because
+    * ids are uniformly distributed across every file.
+    *
+    * `ndvByColumn` sizes each filter (expected distinct values; too
+    * small inflates false positives, too large wastes footer bytes).
+    * Combine with [[writeShuffledShards]]-style sorting on the probe
+    * column to ALSO get min/max pruning; blooms cover the unsorted
+    * case.
+    */
+  def writeWithBloomFilters(
+      df: DataFrame,
+      path: String,
+      ndvByColumn: Map[String, Long],
+      mode: SaveMode = SaveMode.Overwrite
+  ): Unit = {
+    require(ndvByColumn.nonEmpty, "at least one bloom column required")
+    ndvByColumn.keys.foreach(c => require(df.columns.contains(c),
+      s"bloom column $c missing from the frame"))
+    val w = ndvByColumn.foldLeft(df.write.mode(mode)) { case (wr, (c, ndv)) =>
+      wr.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c", ndv.toString)
+    }
+    w.parquet(path)
+  }
 }

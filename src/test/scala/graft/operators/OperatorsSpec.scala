@@ -103,6 +103,37 @@ class NearDupSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("softDedup keeps by the exact 1/size md5 gate; singletons always survive") {
+    import graft.functions.PortableHash
+    // clusters: {1,2,3} and {10,11}; 20 unclustered
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
+    val clusters = NearDup.dupClusters(pairs, "a_id", "b_id")
+    val docs = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("doc_id")
+      .withColumn("payload", col("doc_id") * 2)
+    val kept = NearDup.softDedup(docs, "doc_id", clusters)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+
+    // recompute membership independently with the same arithmetic
+    def h(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"soft|$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+      java.lang.Long.parseLong(hex, 16) % PortableHash.Prime
+    }
+    val size = Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 10L -> 2L, 11L -> 2L, 20L -> 1L)
+    val want = size.keys.filter(id => h(id) * size(id) < PortableHash.Prime).toSeq.sorted
+    assert(kept == want)
+    assert(kept.contains(20L)) // singleton: gate is h·1 < Prime, always true
+    // schema preserved
+    assert(NearDup.softDedup(docs, "doc_id", clusters).columns.toSeq ==
+      Seq("doc_id", "payload"))
+    // partitioning-invariant
+    val kept2 = NearDup.softDedup(docs.repartition(7), "doc_id", clusters)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept2 == kept)
+    NearDup.releaseCaches()
+  }
+
   test("ngramJaccard: identity 1, disjoint 0") {
     val df = Seq(("same text", "same text"), ("aaaaaa", "zzzzzz")).toDF("a", "b")
     val got = df.select(NearDup.ngramJaccard(col("a"), col("b")).as("j")).as[Double].collect().toSeq
