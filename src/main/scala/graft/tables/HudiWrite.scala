@@ -177,6 +177,66 @@ object HudiWrite {
     instant
   }
 
+  /** Delete records by key (COPY_ON_WRITE): file groups holding
+    * matched keys are rewritten WITHOUT those rows at the new
+    * instant; a group whose every record is deleted is retired via a
+    * `replacecommit` listing it in `partitionToReplaceFileIds` (the
+    * public Hudi action for replaced file groups) so the reader drops
+    * it. Unmatched keys are ignored. Old slices stay time-travelable.
+    * Returns the completed instant time.
+    */
+  def delete(spark: SparkSession, keys: DataFrame, tablePath: String): String = {
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val props = readProps(fs, tablePath)
+    val keyCol = props("hoodie.table.recordkey.fields")
+    val partCols = props.get("hoodie.table.partition.fields")
+      .filter(_.nonEmpty).map(_.split(",").toSeq).getOrElse(Seq.empty)
+    require(keys.columns.length == 1,
+      s"delete takes a single-column key frame, got ${keys.columns.mkString(", ")}")
+
+    val slices = latestSlices(fs, tablePath, None)
+    val instant = mintInstant(fs, new Path(tablePath, ".hoodie"))
+    if (slices.isEmpty) {
+      completeCommit(fs, tablePath, instant, "delete", Seq.empty)
+      return instant
+    }
+
+    val pathToFg = slices.map { s =>
+      normalizeScheme(s"$tablePath/${s.relPath}") -> s.fileId
+    }.toMap
+    val fgOf = element_at(typedLit(pathToFg),
+      regexp_replace(col("_metadata.file_path"), SchemePattern, "/"))
+    val delKeys = keys.select(col(keys.columns.head).cast("string").as("_k")).distinct()
+    val keyIndex = readSlices(spark, tablePath, slices)
+      .select(col(RecordKeyCol), fgOf.as("_fg"))
+    val affected = keyIndex
+      .join(delKeys, keyIndex(RecordKeyCol) === delKeys("_k"), "leftsemi")
+      .select("_fg").distinct().collect().map(_.getString(0)).toSet
+    val affectedSlices = slices.filter(sl => affected(sl.fileId))
+    if (affectedSlices.isEmpty) {
+      completeCommit(fs, tablePath, instant, "delete", Seq.empty)
+      return instant
+    }
+
+    val affectedDf = readSlices(spark, tablePath, affectedSlices)
+      .withColumn("_fg", fgOf)
+    val survivors = affectedDf
+      .join(delKeys, affectedDf(RecordKeyCol) === delKeys("_k"), "leftanti")
+    // an all-rows-deleted commit stages nothing; guard the staged
+    // read (schema inference on an empty dir refuses)
+    val written =
+      if (survivors.isEmpty) Seq.empty[WrittenFile]
+      else stageByGroup(spark, survivors, fs, tablePath, partCols,
+        instant, freshGroupPerLeaf = false)
+    // affected groups with no surviving rows were fully deleted:
+    // retire them via replacecommit
+    val rewritten = written.map(_.fileId).toSet
+    val replaced = affectedSlices.filterNot(sl => rewritten(sl.fileId))
+      .groupBy(_.partition).map { case (part, sls) => part -> sls.map(_.fileId) }
+    completeCommit(fs, tablePath, instant, "delete", written, replaced)
+    instant
+  }
+
   // ------------------------------------------------------ internals
 
   /** Create `.hoodie/hoodie.properties` if absent; validate the
@@ -335,10 +395,20 @@ object HudiWrite {
       tablePath: String,
       instant: String,
       operation: String,
-      written: Seq[WrittenFile]
+      written: Seq[WrittenFile],
+      replaced: Map[String, Seq[String]] = Map.empty
   ): Unit = {
     val root = mapper.createObjectNode()
     root.put("operationType", operation.toUpperCase)
+    if (replaced.nonEmpty) {
+      val rep = mapper.createObjectNode()
+      replaced.foreach { case (part, fids) =>
+        val arr = mapper.createArrayNode()
+        fids.foreach(arr.add)
+        rep.set[ObjectNode](part, arr)
+      }
+      root.set[ObjectNode]("partitionToReplaceFileIds", rep)
+    }
     val stats = mapper.createObjectNode()
     written.groupBy(_.partition).foreach { case (part, fls) =>
       val arr = mapper.createArrayNode()
@@ -352,7 +422,8 @@ object HudiWrite {
       stats.set[ObjectNode](part, arr)
     }
     root.set[ObjectNode]("partitionToWriteStats", stats)
-    val target = new Path(new Path(tablePath, ".hoodie"), s"$instant.commit")
+    val action = if (replaced.nonEmpty) "replacecommit" else "commit"
+    val target = new Path(new Path(tablePath, ".hoodie"), s"$instant.$action")
     require(IcebergWrite.publishIfAbsent(fs, target,
       mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root)),
       s"instant $instant already completed under $tablePath")
@@ -371,13 +442,17 @@ object HudiWrite {
   }
 
   /** Completed instants ≤ `asOf` (all when None), ascending. */
+  /** Completed instants ≤ `asOf` with their action kind: `.commit`
+    * (insert/upsert) or `.replacecommit` (file groups replaced —
+    * delete of whole groups), ascending.
+    */
   private[tables] def completedInstants(
-      fs: FileSystem, tablePath: String, asOf: Option[String]): Seq[String] = {
+      fs: FileSystem, tablePath: String, asOf: Option[String]): Seq[(String, String)] = {
     val hoodieDir = new Path(tablePath, ".hoodie")
-    val Commit = "(\\d{17})\\.commit".r
+    val Commit = "(\\d{17})\\.(commit|replacecommit)".r
     fs.listStatus(hoodieDir).toSeq.map(_.getPath.getName).collect {
-      case Commit(i) if asOf.forall(i <= _) => i
-    }.sorted
+      case Commit(i, action) if asOf.forall(i <= _) => (i, action)
+    }.sortBy(_._1)
   }
 
   /** Latest file slice per file group from the timeline metadata
@@ -387,9 +462,17 @@ object HudiWrite {
   private[tables] def latestSlices(
       fs: FileSystem, tablePath: String, asOf: Option[String]): Seq[FileSlice] = {
     val slices = scala.collection.mutable.Map.empty[(String, String), FileSlice]
-    completedInstants(fs, tablePath, asOf).foreach { instant =>
-      val in = fs.open(new Path(new Path(tablePath, ".hoodie"), s"$instant.commit"))
+    completedInstants(fs, tablePath, asOf).foreach { case (instant, action) =>
+      val in = fs.open(new Path(new Path(tablePath, ".hoodie"), s"$instant.$action"))
       val root = try mapper.readTree(in) finally in.close()
+      // replacecommit: the listed file groups cease to exist at this
+      // instant (all their records were deleted)
+      val replaced = root.path("partitionToReplaceFileIds")
+      replaced.fieldNames().forEachRemaining { part =>
+        IcebergMeta.elements(replaced.path(part)).foreach { fid =>
+          slices.remove((part, fid.asText()))
+        }
+      }
       val parts = root.path("partitionToWriteStats")
       parts.fieldNames().forEachRemaining { part =>
         IcebergMeta.elements(parts.path(part)).foreach { st =>

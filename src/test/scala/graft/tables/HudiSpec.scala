@@ -139,6 +139,45 @@ class HudiSpec extends SparkSpec {
     assert(t(spark, ReadArgs.empty).inputFiles.length == 2)
   }
 
+  test("delete rewrites groups without the keys; full groups retire via replacecommit") {
+    val dir = tempDir("hudi-del").toString + "/t"
+    val i1 = HudiWrite.bulkInsert(spark,
+      Seq((1L, "a", 0), (2L, "b", 0), (3L, "c", 1)).toDF("id", "v", "part"),
+      dir, "id", Seq("part"))
+    // delete 2 (partial: group keeps 1) and 3 (its whole group empties)
+    val i2 = HudiWrite.delete(spark, Seq(2L, 3L).toDF("id"), dir)
+
+    val t = new HudiTable("t", dir)
+    assert(t(spark, ReadArgs.empty).select("id").as[Long].collect().toSeq == Seq(1L))
+    // time travel: pre-delete snapshot intact
+    assert(t(spark, ReadArgs(extra = Map(t.AsOfInstantKey -> i1)))
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    // the emptied group retired via a replacecommit action
+    val names = fsOf(dir).listStatus(new Path(dir, ".hoodie"))
+      .map(_.getPath.getName).toSet
+    assert(names.contains(s"$i2.replacecommit"))
+    assert(!names.contains(s"$i2.commit"))
+    // survivor row kept its ORIGINAL commit time (incremental contract)
+    val keep = HudiWrite.readSlices(spark, dir,
+      HudiWrite.latestSlices(fsOf(dir), dir, None))
+    assert(keep.select(HudiWrite.CommitTimeCol).as[String].collect().toSeq == Seq(i1))
+    // deleting unmatched keys is a no-op commit
+    HudiWrite.delete(spark, Seq(99L).toDF("id"), dir)
+    assert(t(spark, ReadArgs.empty).count() == 1L)
+  }
+
+  test("a Hudi table composes into the catalog and its SQL front door") {
+    import graft.catalog.{Catalog, MapDatabase}
+    val dir = tempDir("hudi-cat").toString + "/t"
+    HudiWrite.bulkInsert(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir, "id")
+    val cat = new Catalog(Map("lake" -> new MapDatabase(Map(
+      "hudi_t" -> new HudiTable("hudi_t", dir)))))
+    cat.registerAllViews(spark)
+    val got = spark.sql("SELECT v FROM lake_hudi_t WHERE id = 2").as[String].collect()
+    assert(got.toSeq == Seq("b"))
+  }
+
   test("getSchema reports data columns and partition fields") {
     val dir = tempDir("hudi-schema").toString + "/t"
     HudiWrite.bulkInsert(spark,
