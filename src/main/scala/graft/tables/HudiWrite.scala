@@ -237,6 +237,47 @@ object HudiWrite {
     instant
   }
 
+  /** Clustering (the Hudi layout-maintenance action): rewrite every
+    * latest file slice into NEW file groups sorted by `sortCols`
+    * (one group per partition), committing a `replacecommit` that
+    * retires all prior groups — point/range scans on the sort columns
+    * then prune via parquet min/max the way OPTIMIZE ZORDER does for
+    * Delta (R28). Row commit times are preserved, so incremental
+    * consumers see no phantom changes from a pure layout rewrite.
+    * Returns the completed instant.
+    */
+  def cluster(
+      spark: SparkSession, tablePath: String, sortCols: Seq[String]): String = {
+    require(sortCols.nonEmpty, "at least one sort column required")
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val props = readProps(fs, tablePath)
+    val partCols = props.get("hoodie.table.partition.fields")
+      .filter(_.nonEmpty).map(_.split(",").toSeq).getOrElse(Seq.empty)
+    val slices = latestSlices(fs, tablePath, None)
+    val instant = mintInstant(fs, new Path(tablePath, ".hoodie"))
+    if (slices.isEmpty) {
+      completeCommit(fs, tablePath, instant, "cluster", Seq.empty)
+      return instant
+    }
+    // one fresh group per partition, rows sorted within it: route by
+    // partition (one reducer each), sort within, stage, retire ALL
+    // previous groups
+    val current = readSlices(spark, tablePath, slices)
+    val routed =
+      if (partCols.isEmpty) current.repartition(1)
+      else current.repartition(partCols.map(col): _*)
+    // partition columns lead the sort so the staged write's own
+    // dynamic-partition ordering requirement is already satisfied and
+    // Spark's writer inserts no tie-reordering sort of its own
+    val sorted = routed.sortWithinPartitions((partCols ++ sortCols).map(col): _*)
+    val written = stageByGroup(spark, sorted, fs, tablePath, partCols,
+      instant, freshGroupPerLeaf = true)
+    val replaced = slices.groupBy(_.partition)
+      .map { case (part, sls) => part -> sls.map(_.fileId) }
+    completeCommit(fs, tablePath, instant, "cluster", written, replaced)
+    instant
+  }
+
   // ------------------------------------------------------ internals
 
   /** Create `.hoodie/hoodie.properties` if absent; validate the

@@ -166,6 +166,32 @@ class HudiSpec extends SparkSpec {
     assert(t(spark, ReadArgs.empty).count() == 1L)
   }
 
+  test("cluster rewrites layout sorted without phantom incremental changes") {
+    val dir = tempDir("hudi-cl").toString + "/t"
+    val i1 = HudiWrite.bulkInsert(spark,
+      Seq((3L, "c", 0), (1L, "a", 0)).toDF("id", "v", "part"), dir, "id", Seq("part"))
+    val i2 = HudiWrite.upsert(spark, Seq((2L, "b", 0)).toDF("id", "v", "part"), dir)
+    val ic = HudiWrite.cluster(spark, dir, Seq("id"))
+
+    val t = new HudiTable("t", dir)
+    // same rows, now served entirely from the clustering instant's files
+    assert(t(spark, ReadArgs.empty).select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L))
+    val files = t(spark, ReadArgs.empty).inputFiles
+    assert(files.length == 1 && files.head.contains(s"_$ic.parquet"))
+    // rows are sorted inside the rewritten file
+    val raw = spark.read.parquet(files.head).select("id").as[Long].collect().toSeq
+    assert(raw == raw.sorted)
+    // commit times preserved: a pure layout rewrite emits NO
+    // incremental changes
+    assert(t.incremental(spark, i2).count() == 0L)
+    assert(t.incremental(spark, i1, Some(i2)).select("id").as[Long].collect().toSeq ==
+      Seq(2L))
+    // pre-cluster snapshot still time-travels
+    assert(t(spark, ReadArgs(extra = Map(t.AsOfInstantKey -> i1)))
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+  }
+
   test("a Hudi table composes into the catalog and its SQL front door") {
     import graft.catalog.{Catalog, MapDatabase}
     val dir = tempDir("hudi-cat").toString + "/t"
