@@ -1693,6 +1693,13 @@ object OracleSql {
           |FROM nation WHERE n_regionkey >= 2
           |UNION ALL SELECT 990, 'atlantis', 2
           |ORDER BY n_nationkey""".stripMargin,
+      // Hudi incremental (bulkInsert, upsert]: exactly the upsert's
+      // changed rows with their new values
+      "q_hudi_incr" ->
+        """SELECT n_nationkey, lower(n_name) AS n_name, n_regionkey
+          |FROM nation WHERE n_nationkey < 10
+          |UNION ALL SELECT 990, 'atlantis', 2
+          |ORDER BY n_nationkey""".stripMargin,
       // the Spark side EXPORTS the documents as WebDataset tar shards
       // and recomputes these stats from the IMPORTED tar entries —
       // the oracle recomputes them straight from the table with the

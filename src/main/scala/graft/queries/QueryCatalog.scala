@@ -126,7 +126,8 @@ object QueryCatalog {
     Entry("q_quality_classifier", Wave6Queries.qQualityClassifier),
     Entry("q_wds_shards", Wave6Queries.qWdsShards),
     Entry("q_hudi_read", Wave6Queries.qHudiRead),
-    Entry("q_soft_dedup", Wave6Queries.qSoftDedup)
+    Entry("q_soft_dedup", Wave6Queries.qSoftDedup),
+    Entry("q_hudi_incr", Wave6Queries.qHudiIncr)
   )
 
   def queries: Map[String, QueryFn] =

@@ -341,28 +341,30 @@ object Wave6Queries {
 
   // ---------- R53: native Hudi copy-on-write read/upsert ----------
 
-  private val hudiWritten = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val hudiWritten =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String, String)]
 
   /** Write nation as a Hudi COW table once per sfDir: bulk insert
     * partitioned by region, then an UPSERT that lowercases the name
     * of keys < 10 and inserts a synthetic key 990 — so the snapshot
-    * read exercises merge + rewrite + new-group routing.
+    * read exercises merge + rewrite + new-group routing. Returns
+    * (path, bulkInsertInstant, upsertInstant).
     */
-  private[queries] def writtenHudi(s: SparkSession, dir: String): String =
+  private[queries] def writtenHudi(s: SparkSession, dir: String): (String, String, String) =
     hudiWritten.getOrElseUpdate(dir, {
       import graft.tables.HudiWrite
       val path = java.nio.file.Files
         .createTempDirectory("graft_hudi").toString + "/nation"
       val nation = t(s, dir, "nation")
         .select("n_nationkey", "n_name", "n_regionkey")
-      HudiWrite.bulkInsert(s, nation, path, "n_nationkey", Seq("n_regionkey"))
+      val i1 = HudiWrite.bulkInsert(s, nation, path, "n_nationkey", Seq("n_regionkey"))
       val changes = nation.where(col("n_nationkey") < 10)
         .withColumn("n_name", lower(col("n_name")))
         .unionByName(s.createDataFrame(
           java.util.List.of(org.apache.spark.sql.Row(990, "atlantis", 2)),
           nation.schema))
-      HudiWrite.upsert(s, changes, path)
-      path
+      val i2 = HudiWrite.upsert(s, changes, path)
+      (path, i1, i2)
     })
 
   /** Post-upsert snapshot with a partition filter: merged values,
@@ -371,9 +373,22 @@ object Wave6Queries {
   def qHudiRead(s: SparkSession, dir: String): DataFrame = {
     import graft.core.Filter
     import graft.tables.{HudiTable, ReadArgs}
-    val table = new HudiTable("nation_hudi", writtenHudi(s, dir))
+    val table = new HudiTable("nation_hudi", writtenHudi(s, dir)._1)
     table(s, ReadArgs(
       filters = graft.core.Filters.normalize(Seq(Filter("n_regionkey", ">=", 2)))))
+      .orderBy("n_nationkey")
+  }
+
+  /** Hudi incremental query over `(bulkInsert, upsert]`: exactly the
+    * upsert's changed rows with their NEW values — the timeline-diff
+    * contract the commit-time preservation exists for.
+    */
+  def qHudiIncr(s: SparkSession, dir: String): DataFrame = {
+    import graft.tables.HudiTable
+    val (path, i1, i2) = writtenHudi(s, dir)
+    new HudiTable("nation_hudi", path)
+      .incremental(s, i1, Some(i2))
+      .select("n_nationkey", "n_name", "n_regionkey")
       .orderBy("n_nationkey")
   }
 
