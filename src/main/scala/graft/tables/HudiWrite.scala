@@ -73,7 +73,10 @@ object HudiWrite {
     * file group; unmatched keys start new file groups in their
     * partition. Returns the completed instant time.
     */
-  def upsert(spark: SparkSession, df: DataFrame, tablePath: String): String = {
+  def upsert(spark: SparkSession, df: DataFrame, tablePath: String): String =
+    retryOnConflict("upsert", tablePath)(upsertOnce(spark, df, tablePath))
+
+  private def upsertOnce(spark: SparkSession, df: DataFrame, tablePath: String): String = {
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val props = readProps(fs, tablePath)
     val keyCol = props("hoodie.table.recordkey.fields")
@@ -82,6 +85,7 @@ object HudiWrite {
     require(df.columns.contains(keyCol), s"upsert frame lacks record key column $keyCol")
 
     val hoodieDir = new Path(tablePath, ".hoodie")
+    val base = completedInstants(fs, tablePath, None).lastOption.map(_._1)
     val slices = latestSlices(fs, tablePath, None)
     val instant = mintInstant(fs, hoodieDir)
 
@@ -173,7 +177,7 @@ object HudiWrite {
     val out = survivors.unionByName(updatedTarget).unionByName(newTarget)
     val written = stageByGroup(spark, out, fs, tablePath, partCols, instant,
       freshGroupPerLeaf = false)
-    completeCommit(fs, tablePath, instant, "upsert", written)
+    completeCommitGuarded(fs, tablePath, base, instant, "upsert", written, Map.empty)
     instant
   }
 
@@ -185,7 +189,10 @@ object HudiWrite {
     * it. Unmatched keys are ignored. Old slices stay time-travelable.
     * Returns the completed instant time.
     */
-  def delete(spark: SparkSession, keys: DataFrame, tablePath: String): String = {
+  def delete(spark: SparkSession, keys: DataFrame, tablePath: String): String =
+    retryOnConflict("delete", tablePath)(deleteOnce(spark, keys, tablePath))
+
+  private def deleteOnce(spark: SparkSession, keys: DataFrame, tablePath: String): String = {
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val props = readProps(fs, tablePath)
     val keyCol = props("hoodie.table.recordkey.fields")
@@ -194,6 +201,7 @@ object HudiWrite {
     require(keys.columns.length == 1,
       s"delete takes a single-column key frame, got ${keys.columns.mkString(", ")}")
 
+    val base = completedInstants(fs, tablePath, None).lastOption.map(_._1)
     val slices = latestSlices(fs, tablePath, None)
     val instant = mintInstant(fs, new Path(tablePath, ".hoodie"))
     if (slices.isEmpty) {
@@ -233,7 +241,7 @@ object HudiWrite {
     val rewritten = written.map(_.fileId).toSet
     val replaced = affectedSlices.filterNot(sl => rewritten(sl.fileId))
       .groupBy(_.partition).map { case (part, sls) => part -> sls.map(_.fileId) }
-    completeCommit(fs, tablePath, instant, "delete", written, replaced)
+    completeCommitGuarded(fs, tablePath, base, instant, "delete", written, replaced)
     instant
   }
 
@@ -247,12 +255,17 @@ object HudiWrite {
     * Returns the completed instant.
     */
   def cluster(
+      spark: SparkSession, tablePath: String, sortCols: Seq[String]): String =
+    retryOnConflict("cluster", tablePath)(clusterOnce(spark, tablePath, sortCols))
+
+  private def clusterOnce(
       spark: SparkSession, tablePath: String, sortCols: Seq[String]): String = {
     require(sortCols.nonEmpty, "at least one sort column required")
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val props = readProps(fs, tablePath)
     val partCols = props.get("hoodie.table.partition.fields")
       .filter(_.nonEmpty).map(_.split(",").toSeq).getOrElse(Seq.empty)
+    val base = completedInstants(fs, tablePath, None).lastOption.map(_._1)
     val slices = latestSlices(fs, tablePath, None)
     val instant = mintInstant(fs, new Path(tablePath, ".hoodie"))
     if (slices.isEmpty) {
@@ -274,8 +287,93 @@ object HudiWrite {
       instant, freshGroupPerLeaf = true)
     val replaced = slices.groupBy(_.partition)
       .map { case (part, sls) => part -> sls.map(_.fileId) }
-    completeCommit(fs, tablePath, instant, "cluster", written, replaced)
+    completeCommitGuarded(fs, tablePath, base, instant, "cluster", written, replaced)
     instant
+  }
+
+  /** Optimistic concurrency (the Hudi OCC shape without a lock
+    * provider): a commit that REWRITES or REPLACES existing file
+    * groups validates, just before publishing its completion marker,
+    * that no commit completed after its base snapshot touched the
+    * same groups — two racing upserts of one group would otherwise
+    * silently drop the earlier writer's changes (the later instant
+    * wins slice selection). On conflict the staged files and timeline
+    * markers roll back and the whole operation replans against the
+    * fresh snapshot. Commits that only CREATE groups (bulk insert,
+    * pure-insert upserts) can't conflict — fresh uuids. The
+    * check-then-publish window is not atomic without a lock service;
+    * like Hudi itself, strict multi-writer safety needs an external
+    * lock, and this detection is the best filesystem-only effort.
+    */
+  private final class HudiConflict(msg: String) extends RuntimeException(msg)
+
+  private def retryOnConflict(op: String, tablePath: String)(body: => String): String = {
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      try return body
+      catch {
+        case e: HudiConflict if attempt < 5 => // replan from the new snapshot
+        case e: HudiConflict =>
+          throw new java.io.IOException(
+            s"$op on $tablePath lost $attempt concurrency races; giving up", e)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** (partition, fileId) pairs touched by commits completed AFTER
+    * `base` — written slices and replaced groups both count.
+    */
+  private def touchedGroupsSince(
+      fs: FileSystem, tablePath: String, base: Option[String]): Set[(String, String)] = {
+    val hoodieDir = new Path(tablePath, ".hoodie")
+    completedInstants(fs, tablePath, None)
+      .filter { case (i, _) => base.forall(i > _) }
+      .flatMap { case (i, action) =>
+        val in = fs.open(new Path(hoodieDir, s"$i.$action"))
+        val root = try mapper.readTree(in) finally in.close()
+        val stats = root.path("partitionToWriteStats")
+        val written = scala.collection.mutable.Buffer.empty[(String, String)]
+        stats.fieldNames().forEachRemaining { part =>
+          IcebergMeta.elements(stats.path(part)).foreach { st =>
+            written += ((part, st.path("fileId").asText()))
+          }
+        }
+        val rep = root.path("partitionToReplaceFileIds")
+        rep.fieldNames().forEachRemaining { part =>
+          IcebergMeta.elements(rep.path(part)).foreach { fid =>
+            written += ((part, fid.asText()))
+          }
+        }
+        written
+      }.toSet
+  }
+
+  private[tables] def completeCommitGuarded(
+      fs: FileSystem,
+      tablePath: String,
+      base: Option[String],
+      instant: String,
+      operation: String,
+      written: Seq[WrittenFile],
+      replaced: Map[String, Seq[String]]
+  ): Unit = {
+    val mine: Set[(String, String)] =
+      written.map(w => (w.partition, w.fileId)).toSet ++
+        replaced.flatMap { case (part, fids) => fids.map((part, _)) }
+    val clash = touchedGroupsSince(fs, tablePath, base) & mine
+    if (clash.nonEmpty) {
+      // roll back: the moved-but-uncommitted base files and this
+      // instant's timeline markers
+      val hoodieDir = new Path(tablePath, ".hoodie")
+      written.foreach(w => fs.delete(new Path(tablePath, w.relPath), false))
+      fs.delete(new Path(hoodieDir, s"$instant.commit.requested"), false)
+      fs.delete(new Path(hoodieDir, s"$instant.inflight"), false)
+      throw new HudiConflict(
+        s"concurrent commit touched ${clash.size} file group(s) of $operation $instant")
+    }
+    completeCommit(fs, tablePath, instant, operation, written, replaced)
   }
 
   // ------------------------------------------------------ internals

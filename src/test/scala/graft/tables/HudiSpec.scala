@@ -204,6 +204,42 @@ class HudiSpec extends SparkSpec {
     assert(got.toSeq == Seq("b"))
   }
 
+  test("a commit racing past its base snapshot on the same file group is refused and rolled back") {
+    val dir = tempDir("hudi-occ").toString + "/t"
+    val i1 = HudiWrite.bulkInsert(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir, "id")
+    val fs = fsOf(dir)
+    // a second writer lands an upsert on the (single) file group
+    HudiWrite.upsert(spark, Seq((2L, "B")).toDF("id", "v"), dir)
+    val g = HudiWrite.latestSlices(fs, dir, None).head
+
+    // first writer, planned against base=i1, tries to publish a
+    // rewrite of the same group: must refuse and roll back its file
+    val fakeRel = s"${g.fileId}_0-0-0_99999999999999999.parquet"
+    val fakePath = new Path(dir, fakeRel)
+    val out = fs.create(fakePath, true); out.write(Array[Byte](1)); out.close()
+    val e = intercept[RuntimeException] {
+      HudiWrite.completeCommitGuarded(fs, dir, Some(i1), "99999999999999999",
+        "upsert", Seq(HudiWrite.WrittenFile(g.partition, g.fileId, fakeRel, 1L)),
+        Map.empty)
+    }
+    assert(e.getMessage.contains("concurrent commit touched"))
+    assert(!fs.exists(fakePath), "conflicting staged file must roll back")
+    assert(!fs.exists(new Path(dir, ".hoodie/99999999999999999.commit")))
+
+    // racing upserts of DIFFERENT keys in the same group: both land
+    // (the loser replans and retries), final state carries both
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val f1 = Future(HudiWrite.upsert(spark, Seq((1L, "A2")).toDF("id", "v"), dir))
+    val f2 = Future(HudiWrite.upsert(spark, Seq((2L, "B2")).toDF("id", "v"), dir))
+    Await.result(f1, 120.seconds); Await.result(f2, 120.seconds)
+    val t = new HudiTable("t", dir)
+    assert(t(spark, ReadArgs.empty).select("id", "v").as[(Long, String)]
+      .collect().sortBy(_._1).toSeq == Seq((1L, "A2"), (2L, "B2")))
+  }
+
   test("getSchema reports data columns and partition fields") {
     val dir = tempDir("hudi-schema").toString + "/t"
     HudiWrite.bulkInsert(spark,
