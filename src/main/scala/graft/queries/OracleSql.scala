@@ -1615,6 +1615,7 @@ object OracleSql {
            |  CAST(sum(h1) AS BIGINT) AS p1_hits
            |FROM h GROUP BY source ORDER BY source""".stripMargin,
       "q_fuzzy_decontam" -> fuzzyDecontamSql,
+      "q_incr_dedup" -> incrDedupSql,
       // same hashed-feature replay as q_dsir_select, but the
       // coefficients are the spliced model weights and the readout is
       // the per-source survival of the margin>0 gate
@@ -1870,6 +1871,48 @@ object OracleSql {
        |  round(max(coalesce(f.mj, 0.0)), 4) AS max_jaccard
        |FROM documents d LEFT JOIN flags f ON d.doc_id = f.c_id
        |WHERE d.doc_id % $m != 0
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
+  }
+
+  /** Mirrors IncrementalNearDup + Wave6Queries.qIncrDedup: the same
+    * signature/band CTE chain, the mod-10 batch probing the indexed
+    * remainder, exact shingle-set Jaccard verify, per-source rollup
+    * of the BATCH docs — the oracle proves the Delta-index-mediated
+    * candidates equal directly-computed ones.
+    */
+  private def incrDedupSql: String = {
+    val rows = NumHashes / Bands
+    val bandSelects = (0 until Bands).map { b =>
+      val sigs = (b * rows until (b + 1) * rows).map(j => s"sig_$j").mkString(", ")
+      s"SELECT doc_id, $b AS band, md5(concat_ws('|', $sigs)) AS bh FROM sigd"
+    }.mkString("\n  UNION ALL\n  ")
+    val m = Wave6Queries.IncrDedupParams.Mod
+    val thr = Wave6Queries.IncrDedupParams.Threshold
+    s"""$sigSelect,
+       |sigd AS (SELECT *, list_sort(list_distinct(hs)) AS shset FROM sig),
+       |banded AS (
+       |  $bandSelects
+       |),
+       |cpairs AS (
+       |  SELECT DISTINCT b.doc_id AS new_id, a.doc_id AS idx_id
+       |  FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh
+       |  WHERE a.doc_id % $m != 0 AND b.doc_id % $m = 0),
+       |ver AS (
+       |  SELECT new_id, idx_id,
+       |    round(len(list_intersect(sa.shset, sb.shset)) /
+       |      (len(sa.shset) + len(sb.shset) - len(list_intersect(sa.shset, sb.shset))), 4) AS jaccard
+       |  FROM cpairs
+       |  JOIN sigd sa ON sa.doc_id = new_id
+       |  JOIN sigd sb ON sb.doc_id = idx_id),
+       |flags AS (
+       |  SELECT new_id, count(*) AS n_p, max(jaccard) AS mj
+       |  FROM ver WHERE jaccard >= $thr GROUP BY new_id)
+       |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN f.new_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       |  CAST(sum(coalesce(f.n_p, 0)) AS BIGINT) AS n_pairs,
+       |  round(max(coalesce(f.mj, 0.0)), 4) AS max_jaccard
+       |FROM documents d LEFT JOIN flags f ON d.doc_id = f.new_id
+       |WHERE d.doc_id % $m = 0
        |GROUP BY d.source ORDER BY d.source""".stripMargin
   }
 

@@ -127,7 +127,8 @@ object QueryCatalog {
     Entry("q_wds_shards", Wave6Queries.qWdsShards),
     Entry("q_hudi_read", Wave6Queries.qHudiRead),
     Entry("q_soft_dedup", Wave6Queries.qSoftDedup),
-    Entry("q_hudi_incr", Wave6Queries.qHudiIncr)
+    Entry("q_hudi_incr", Wave6Queries.qHudiIncr),
+    Entry("q_incr_dedup", Wave6Queries.qIncrDedup)
   )
 
   def queries: Map[String, QueryFn] =

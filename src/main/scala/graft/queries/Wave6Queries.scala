@@ -316,6 +316,53 @@ object Wave6Queries {
       path
     })
 
+  // ---------- P62: incremental near-dup index ----------
+
+  object IncrDedupParams { val Mod = 10; val Threshold = 0.5 }
+
+  private val incrIndexBuilt = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Build the Delta LSH band index once per sfDir over the corpus
+    * slice (doc_id % 10 != 0).
+    */
+  private def builtIncrIndex(s: SparkSession, dir: String): String =
+    incrIndexBuilt.getOrElseUpdate(dir, {
+      import graft.operators.IncrementalNearDup
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_nd_index").toString + "/index"
+      val corpus = t(s, dir, "documents")
+        .where(col("doc_id") % IncrDedupParams.Mod =!= 0)
+      IncrementalNearDup.appendToIndex(s, corpus, "doc_id", "text", path)
+      path
+    })
+
+  /** Incremental batch dedup: the mod-10 batch probes the persistent
+    * Delta band index of the remainder, candidates verify by exact
+    * shingle Jaccard, per-source batch rollup — see
+    * [[graft.operators.IncrementalNearDup]].
+    */
+  def qIncrDedup(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.IncrementalNearDup
+    import IncrDedupParams._
+    val docs = t(s, dir, "documents")
+    val corpus = docs.where(col("doc_id") % Mod =!= 0)
+    val batch = docs.where(col("doc_id") % Mod === 0)
+    val pairs = IncrementalNearDup.check(
+      s, batch, corpus, "doc_id", "text", builtIncrIndex(s, dir),
+      threshold = Threshold)
+    val flagged = pairs.groupBy("new_id")
+      .agg(count(lit(1)).as("_np"), max("jaccard").as("_mj"))
+    batch.select(col("doc_id").as("new_id"), col("source"))
+      .join(flagged, Seq("new_id"), "left")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("_np").isNotNull, 1L).otherwise(0L)).as("n_dup"),
+        sum(coalesce(col("_np"), lit(0L))).as("n_pairs"),
+        round(max(coalesce(col("_mj"), lit(0.0))), 4).as("max_jaccard"))
+      .orderBy("source")
+  }
+
   // ---------- P61: soft near-dup down-sampling ----------
 
   /** Per-source rollup after SOFT dedup: the same MinHash-LSH cluster
