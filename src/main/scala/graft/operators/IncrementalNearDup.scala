@@ -81,6 +81,10 @@ object IncrementalNearDup {
     val candidates = index.as("i")
       .join(probe.as("n"), Seq("band", "bh"))
       .select(col("n.doc_id").as("new_id"), col("i.doc_id").as("idx_id"))
+      // self-pair guard: a batch re-checked after its own append (a
+      // loader retry past the check-then-append checkpoint) must not
+      // report every doc as a jaccard-1.0 duplicate of itself
+      .where(col("new_id") =!= col("idx_id"))
       .dropDuplicates("new_id", "idx_id")
 
     def shsets(df: DataFrame, out: String): DataFrame = df.select(

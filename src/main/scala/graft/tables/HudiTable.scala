@@ -73,8 +73,10 @@ class HudiTable(
     if (touched.isEmpty) {
       // nothing changed in the range: declared-empty frame with the
       // table's schema
-      require(all.nonEmpty, s"Hudi table $uri has no completed commits")
-      var empty = HudiWrite.readSlices(spark, uri, all.take(1)).limit(0)
+      val src = all.headOption.orElse(HudiWrite.allWrittenSlices(fs, uri).headOption)
+        .getOrElse(throw new IllegalArgumentException(
+          s"Hudi table $uri has no completed commits with data"))
+      var empty = HudiWrite.readSlices(spark, uri, Seq(src)).limit(0)
         .drop(HudiWrite.RecordKeyCol)
       args.columns.foreach(cols => empty = empty.select(cols.map(col): _*))
       return empty
@@ -112,13 +114,25 @@ class HudiTable(
     val partCols = partitionFields(fs)
     val pruned = slices.filter(s => mayMatch(s.partition, partCols, args.filters))
     if (pruned.isEmpty) {
-      // declared-empty frame with the table's real schema: read zero
-      // rows of an arbitrary slice when one exists, else refuse
-      require(slices.nonEmpty, s"Hudi table $uri has no completed commits")
-      return HudiWrite.readSlices(spark, uri, slices.take(1)).limit(0)
+      // declared-empty frame with the table's real schema: zero rows
+      // of any live slice — or, when every file group has been
+      // deleted (a fully-emptied table is a legitimate state), zero
+      // rows of any HISTORICAL slice
+      val schemaSource = slices.headOption
+        .orElse(anyHistoricalSlice(fs))
+        .getOrElse(throw new IllegalArgumentException(
+          s"Hudi table $uri has no completed commits with data"))
+      return HudiWrite.readSlices(spark, uri, Seq(schemaSource)).limit(0)
     }
     HudiWrite.readSlices(spark, uri, pruned)
   }
+
+  /** Any base file from any completed commit — schema source for a
+    * table whose live slice set is empty.
+    */
+  private def anyHistoricalSlice(
+      fs: org.apache.hadoop.fs.FileSystem): Option[HudiWrite.FileSlice] =
+    HudiWrite.allWrittenSlices(fs, uri).headOption
 
   /** Driver-side partition pruning on the hive `k=v` path segments
     * from the commit metadata: equality and IN filters on partition

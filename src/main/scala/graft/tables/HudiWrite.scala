@@ -104,8 +104,7 @@ object HudiWrite {
     val pathToFg = slices.map { s =>
       normalizeScheme(s"$tablePath/${s.relPath}") -> s.fileId
     }.toMap
-    val fgOf = element_at(typedLit(pathToFg),
-      regexp_replace(col("_metadata.file_path"), SchemePattern, "/"))
+    val fgOf = element_at(typedLit(pathToFg), normalizePathCol(col("_metadata.file_path")))
     val keyIndex = readSlices(spark, tablePath, slices)
       .select(col(RecordKeyCol), fgOf.as("_fg"))
 
@@ -114,6 +113,9 @@ object HudiWrite {
     val affected = keyIndex
       .join(incomingKeys, keyIndex(RecordKeyCol) === incomingKeys("_k"), "leftsemi")
       .select("_fg").distinct().collect().map(_.getString(0)).toSet
+    require(!affected.contains(null),
+      s"file-group lookup failed to resolve scan paths for $tablePath — " +
+        "path normalization mismatch between tablePath and _metadata.file_path")
     // only the affected groups are rewritten (copy-on-write); their
     // rows are the only existing data read in full
     val affectedSlices = slices.filter(sl => affected(sl.fileId))
@@ -146,9 +148,12 @@ object HudiWrite {
         if (unmatched.isEmpty) Map.empty
         else Map(Seq.empty[String] -> java.util.UUID.randomUUID().toString)
       } else {
+        // NULL partition values render as the \u0000 sentinel on BOTH
+        // sides of the lookup (concat_ws would silently skip nulls)
         unmatched.select(partCols.map(c => col(c).cast("string")): _*)
           .distinct().collect()
-          .map(r => partCols.indices.map(r.getString).toSeq ->
+          .map(r => partCols.indices.map(i =>
+            Option(r.getString(i)).getOrElse("\u0000")).toSeq ->
             java.util.UUID.randomUUID().toString).toMap
       })
 
@@ -170,7 +175,8 @@ object HudiWrite {
           lit(newGroupByPart.getOrElse(Seq.empty, ""))
         else
           element_at(typedLit(newGroupByPart.map { case (k, v) => k.mkString("\u0001") -> v }),
-            concat_ws("\u0001", partCols.map(c => col(c).cast("string")): _*))
+            concat_ws("\u0001", partCols.map(c =>
+              coalesce(col(c).cast("string"), lit("\u0000"))): _*))
       unmatched.select(dataCols.map(col) :+ fgExpr.as("_fg"): _*)
     }
 
@@ -212,14 +218,16 @@ object HudiWrite {
     val pathToFg = slices.map { s =>
       normalizeScheme(s"$tablePath/${s.relPath}") -> s.fileId
     }.toMap
-    val fgOf = element_at(typedLit(pathToFg),
-      regexp_replace(col("_metadata.file_path"), SchemePattern, "/"))
+    val fgOf = element_at(typedLit(pathToFg), normalizePathCol(col("_metadata.file_path")))
     val delKeys = keys.select(col(keys.columns.head).cast("string").as("_k")).distinct()
     val keyIndex = readSlices(spark, tablePath, slices)
       .select(col(RecordKeyCol), fgOf.as("_fg"))
     val affected = keyIndex
       .join(delKeys, keyIndex(RecordKeyCol) === delKeys("_k"), "leftsemi")
       .select("_fg").distinct().collect().map(_.getString(0)).toSet
+    require(!affected.contains(null),
+      s"file-group lookup failed to resolve scan paths for $tablePath — " +
+        "path normalization mismatch between tablePath and _metadata.file_path")
     val affectedSlices = slices.filter(sl => affected(sl.fileId))
     if (affectedSlices.isEmpty) {
       completeCommit(fs, tablePath, instant, "delete", Seq.empty)
@@ -418,12 +426,20 @@ object HudiWrite {
     (fs, props)
   }
 
-  /** `file:///tmp/x` / `file:/tmp/x` → `/tmp/x` — same comparison
-    * rule as [[IcebergTable]]'s position-delete matching.
+  /** One comparison rule for every path that participates in the
+    * key→file-group lookup: scheme AND authority stripped on both the
+    * driver side ([[DvDeleted.normalizePath]] = `Path.toUri.getPath`)
+    * and the scan's `_metadata.file_path` column — a scheme-less
+    * `tablePath` against an authority-rendering filesystem
+    * (`hdfs://nn:8020/...`) must still resolve, or upserts would
+    * silently become duplicate-key inserts.
     */
+  private[tables] val SchemeAuthorityPattern = "^[A-Za-z][A-Za-z0-9+.\\-]*://[^/]*/"
   private[tables] val SchemePattern = "^[A-Za-z][A-Za-z0-9+.\\-]*:/+"
   private[tables] def normalizeScheme(p: String): String =
-    p.replaceFirst(SchemePattern, "/")
+    DvDeleted.normalizePath(p)
+  private[tables] def normalizePathCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(regexp_replace(c, SchemeAuthorityPattern, "/"), SchemePattern, "/")
 
   private[tables] final case class WrittenFile(
       partition: String, fileId: String, relPath: String, numWrites: Long)
@@ -434,6 +450,8 @@ object HudiWrite {
   private def withMeta(df: DataFrame, keyCol: String, instant: String): DataFrame = {
     require(!df.columns.contains(CommitTimeCol),
       s"input frame already carries $CommitTimeCol")
+    require(!df.columns.contains(RecordKeyCol),
+      s"input frame already carries $RecordKeyCol")
     df.select(
       lit(instant).as(CommitTimeCol) +:
         col(keyCol).cast("string").as(RecordKeyCol) +:
@@ -623,6 +641,27 @@ object HudiWrite {
       }
     }
     slices.values.toSeq.sortBy(s => (s.partition, s.fileId))
+  }
+
+  /** EVERY base file any completed commit ever wrote (including
+    * since-replaced ones, ascending instant order) — the schema
+    * fallback for tables whose live slice set is empty.
+    */
+  private[tables] def allWrittenSlices(
+      fs: FileSystem, tablePath: String): Seq[FileSlice] = {
+    val out = scala.collection.mutable.Buffer.empty[FileSlice]
+    completedInstants(fs, tablePath, None).foreach { case (instant, action) =>
+      val in = fs.open(new Path(new Path(tablePath, ".hoodie"), s"$instant.$action"))
+      val root = try mapper.readTree(in) finally in.close()
+      val parts = root.path("partitionToWriteStats")
+      parts.fieldNames().forEachRemaining { part =>
+        IcebergMeta.elements(parts.path(part)).foreach { st =>
+          out += FileSlice(part, st.path("fileId").asText(), instant,
+            st.path("path").asText())
+        }
+      }
+    }
+    out.toSeq
   }
 
   private[tables] def readSlices(

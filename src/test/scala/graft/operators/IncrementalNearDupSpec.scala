@@ -45,6 +45,15 @@ class IncrementalNearDupSpec extends SparkSpec {
     assert(contents(dirSplit) == contents(dirOnce))
   }
 
+  test("re-checking an already-appended batch reports no self-duplicates") {
+    val dir = tempDir("ndidx-self").toString + "/index"
+    val batch = docs(1L -> base, 2L -> "unique cooking text with many words here")
+    IncrementalNearDup.appendToIndex(spark, batch, "doc_id", "text", dir)
+    // loader retry past its checkpoint: same batch checked again
+    val hits = IncrementalNearDup.check(spark, batch, batch, "doc_id", "text", dir)
+    assert(hits.count() == 0L, hits.collect().mkString(", "))
+  }
+
   test("check-then-append: a later batch detects dups of an earlier batch") {
     val dir = tempDir("ndidx-seq").toString + "/index"
     val corpus0 = docs(1L -> "original corpus content about databases and queries and indexes")

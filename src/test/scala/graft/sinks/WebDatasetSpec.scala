@@ -109,6 +109,17 @@ class WebDatasetSpec extends SparkSpec {
     }
   }
 
+  test("partial consumption does not break the import (stream closed at task end)") {
+    val dir = tempDir("wds-partial").toString
+    WebDataset.writeShards(docs, dir, "doc_id", Seq("txt" -> "text"), 2)
+    // limit() stops the iterator mid-archive; the task-completion
+    // listener must close the handle and the rows still be exact
+    val one = WebDataset.readShards(spark, dir).limit(1).collect()
+    assert(one.length == 1)
+    // no in-progress temp files survive a successful write
+    assert(!new java.io.File(dir).listFiles().exists(_.getName.contains("inprogress")))
+  }
+
   test("import handles multi-block payloads and empty shards") {
     val dir = tempDir("wds-big").toString
     val big = Seq((1L, "x" * 1500), (2L, "y" * 513)).toDF("id", "text")

@@ -209,9 +209,11 @@ class HudiSpec extends SparkSpec {
     val i1 = HudiWrite.bulkInsert(spark,
       Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir, "id")
     val fs = fsOf(dir)
-    // a second writer lands an upsert on the (single) file group
+    // a second writer lands an upsert on key 2's file group
     HudiWrite.upsert(spark, Seq((2L, "B")).toDF("id", "v"), dir)
-    val g = HudiWrite.latestSlices(fs, dir, None).head
+    // the slice the upsert REWROTE (bulk insert may have split the
+    // two rows into separate groups — pick by instant, not uuid order)
+    val g = HudiWrite.latestSlices(fs, dir, None).filter(_.instant > i1).head
 
     // first writer, planned against base=i1, tries to publish a
     // rewrite of the same group: must refuse and roll back its file
@@ -238,6 +240,35 @@ class HudiSpec extends SparkSpec {
     val t = new HudiTable("t", dir)
     assert(t(spark, ReadArgs.empty).select("id", "v").as[(Long, String)]
       .collect().sortBy(_._1).toSeq == Seq((1L, "A2"), (2L, "B2")))
+  }
+
+  test("a fully-emptied table stays readable: empty frame, schema intact") {
+    val dir = tempDir("hudi-empty").toString + "/t"
+    val i1 = HudiWrite.bulkInsert(spark, Seq((1L, "a")).toDF("id", "v"), dir, "id")
+    HudiWrite.delete(spark, Seq(1L).toDF("id"), dir)
+    val t = new HudiTable("t", dir)
+    val empty = t(spark, ReadArgs.empty)
+    assert(empty.count() == 0L && empty.columns.toSeq == Seq("id", "v"))
+    assert(t.incremental(spark, i1).count() == 0L)
+    assert(t.getSchema(spark).columns.map(_.column).toSet == Set("id", "v"))
+    // the table comes back to life on a new upsert
+    HudiWrite.upsert(spark, Seq((2L, "b")).toDF("id", "v"), dir)
+    assert(t(spark, ReadArgs.empty).select("id").as[Long].collect().toSeq == Seq(2L))
+  }
+
+  test("upserting rows with NULL partition values routes to a real new group") {
+    val dir = tempDir("hudi-nullpart").toString + "/t"
+    HudiWrite.bulkInsert(spark,
+      Seq((1L, "a", Some(0))).toDF("id", "v", "part"), dir, "id", Seq("part"))
+    HudiWrite.upsert(spark,
+      Seq((2L, "b", Option.empty[Int])).toDF("id", "v", "part"), dir)
+    val t = new HudiTable("t", dir)
+    val got = t(spark, ReadArgs.empty).select("id").as[Long].collect().sorted.toSeq
+    assert(got == Seq(1L, 2L))
+    // the null-partition file group has a minted uuid id, not the
+    // hive default-partition sentinel leaking in as a fileId
+    val slices = HudiWrite.latestSlices(fsOf(dir), dir, None)
+    assert(slices.forall(s => !s.fileId.contains("HIVE_DEFAULT")), slices.toString)
   }
 
   test("getSchema reports data columns and partition fields") {
