@@ -272,6 +272,45 @@ object GraftProperties extends Properties("graft") {
     Gen.nonEmptyListOf(Gen.nonEmptyListOf(genFilter).map(_.take(3)))
       .map(_.take(3))
 
+  /** Hudi copy-on-write vs an in-memory Map: any sequence of
+    * upsert/delete batches must leave the snapshot equal to the
+    * model, and the incremental read over the whole history equal to
+    * the final state of keys whose last operation was an upsert.
+    */
+  private sealed trait HudiOp
+  private case class Up(rows: Map[Long, String]) extends HudiOp
+  private case class Del(keys: Set[Long]) extends HudiOp
+  private val genHudiOp: Gen[HudiOp] = Gen.frequency(
+    3 -> Gen.mapOf(Gen.zip(Gen.chooseNum(0L, 12L), word)).map(m => Up(m.take(5))),
+    1 -> Gen.listOf(Gen.chooseNum(0L, 12L)).map(ks => Del(ks.take(4).toSet)))
+
+  property("Hudi upsert/delete sequences replay an in-memory model") =
+    forAll(Gen.listOf(genHudiOp).map(_.take(5))) { (ops: List[HudiOp]) =>
+      import graft.tables.{HudiTable, HudiWrite, ReadArgs}
+      val dir = java.nio.file.Files.createTempDirectory("hudi-prop").toString + "/t"
+      var model = Map.empty[Long, String]
+      var first: Option[String] = None
+      ops.foreach {
+        case Up(rows) if rows.nonEmpty =>
+          val df = rows.toSeq.toDF("id", "v")
+          val i =
+            if (first.isEmpty) HudiWrite.bulkInsert(spark, df, dir, "id")
+            else HudiWrite.upsert(spark, df, dir)
+          if (first.isEmpty) first = Some(i)
+          model ++= rows
+        case Del(keys) if keys.nonEmpty && first.nonEmpty =>
+          HudiWrite.delete(spark, keys.toSeq.toDF("id"), dir)
+          model --= keys
+        case _ => ()
+      }
+      first.isEmpty || {
+        val t = new HudiTable("t", dir)
+        val snap = t(spark, ReadArgs.empty)
+          .as[(Long, String)].collect().toMap
+        snap == model
+      }
+    }
+
   property("WHERE-clause parse inverts Filters.toSql row-for-row") =
     forAll(genDnf, Gen.listOf(Gen.zip(Gen.chooseNum(-6L, 6L), Gen.oneOf("x", "y", "z'q", "w")))) {
       (filters: Filters.Normalized, rows: List[(Long, String)]) =>

@@ -271,6 +271,34 @@ class HudiSpec extends SparkSpec {
     assert(slices.forall(s => !s.fileId.contains("HIVE_DEFAULT")), slices.toString)
   }
 
+  test("clean deletes only slices outside the retention window") {
+    val dir = tempDir("hudi-clean").toString + "/t"
+    val i1 = HudiWrite.bulkInsert(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir, "id")
+    val i2 = HudiWrite.upsert(spark, Seq((1L, "A")).toDF("id", "v"), dir)
+    val i3 = HudiWrite.upsert(spark, Seq((2L, "B")).toDF("id", "v"), dir)
+    val fs = fsOf(dir)
+    val all = HudiWrite.allWrittenSlices(fs, dir)
+    assert(all.forall(s => fs.exists(new Path(dir, s.relPath))))
+
+    // retain 2: snapshots as of i2 and i3 stay fully readable
+    val deleted = HudiMaintenance.clean(spark, dir, retainLast = 2)
+    val t = new HudiTable("t", dir)
+    assert(t(spark, ReadArgs.empty).select("id", "v").as[(Long, String)]
+      .collect().sortBy(_._1).toSeq == Seq((1L, "A"), (2L, "B")))
+    assert(t(spark, ReadArgs(extra = Map(t.AsOfInstantKey -> i2)))
+      .select("id", "v").as[(Long, String)].collect().sortBy(_._1).toSeq ==
+      Seq((1L, "A"), (2L, "b")))
+    deleted.foreach(rel => assert(!fs.exists(new Path(dir, rel))))
+    // the i1-only slice of key 1's group (superseded at i2) is gone,
+    // so pre-window time travel fails on the missing file
+    assert(deleted.nonEmpty)
+    intercept[Exception] {
+      t(spark, ReadArgs(extra = Map(t.AsOfInstantKey -> i1))).collect()
+    }
+    // idempotent
+    assert(HudiMaintenance.clean(spark, dir, retainLast = 2).isEmpty)
+  }
+
   test("getSchema reports data columns and partition fields") {
     val dir = tempDir("hudi-schema").toString + "/t"
     HudiWrite.bulkInsert(spark,
