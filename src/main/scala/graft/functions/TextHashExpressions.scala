@@ -156,6 +156,30 @@ case class WordGramHashes(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** The words [[WordChunks]] leaves behind — the trailing partial
+  * chunk (fewer than `n` words), joined by single spaces, "" when the
+  * token count divides evenly. `chunks + tail` reconstructs the
+  * whitespace-normalized text exactly, which span-level dedup relies
+  * on ([[graft.operators.SpanDedup]]).
+  */
+case class WordTail(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_word_tail"
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = WordGrams.wsTokens(input.asInstanceOf[UTF8String].toString)
+    val from = (toks.length / n) * n
+    if (from >= toks.length || (toks.length == 1 && toks(0).isEmpty))
+      UTF8String.EMPTY_UTF8
+    else UTF8String.fromString(toks.drop(from).mkString(" "))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordTail =
+    copy(child = newChild)
+}
+
 /** NON-overlapping n-word chunks of a text (passage segmentation for
   * passage-level dedup); the native twin of the chunked
   * `transform(sequence(...), i -> array_join(slice(...)))`.
@@ -305,6 +329,9 @@ object TextHashExpressions {
 
   def wordChunks(text: Column, n: Int): Column =
     Bridge.column(WordChunks(Bridge.expression(text), n))
+
+  def wordTail(text: Column, n: Int): Column =
+    Bridge.column(WordTail(Bridge.expression(text), n))
 
   def charGramHashes(text: Column, k: Int): Column =
     Bridge.column(CharGramHashes(Bridge.expression(text), k))

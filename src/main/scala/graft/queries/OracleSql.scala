@@ -1616,6 +1616,7 @@ object OracleSql {
            |FROM h GROUP BY source ORDER BY source""".stripMargin,
       "q_fuzzy_decontam" -> fuzzyDecontamSql,
       "q_incr_dedup" -> incrDedupSql,
+      "q_span_dedup" -> spanDedupSql,
       // same hashed-feature replay as q_dsir_select, but the
       // coefficients are the spliced model weights and the readout is
       // the per-source survival of the margin>0 gate
@@ -1914,6 +1915,51 @@ object OracleSql {
        |FROM documents d LEFT JOIN flags f ON d.doc_id = f.new_id
        |WHERE d.doc_id % $m = 0
        |GROUP BY d.source ORDER BY d.source""".stripMargin
+  }
+
+  /** Mirrors SpanDedup.removeRepeatedSpans + Wave6Queries.qSpanDedup:
+    * 8-word non-overlapping spans, global first occurrence by
+    * (doc_id, pos), later occurrences dropped, docs WITH drops
+    * rebuilt from surviving spans + the sub-span tail (single-space
+    * joined); untouched docs keep their original text verbatim.
+    */
+  private def spanDedupSql: String = {
+    val n = 8
+    s"""WITH tok AS (
+       |  SELECT doc_id, source, text, ${wsTokensSql("text")} AS toks FROM documents),
+       |base AS (SELECT doc_id, source, text, toks, len(toks) // $n AS m FROM tok),
+       |pos AS (SELECT doc_id, toks, unnest(range(0, m)) AS pos FROM base),
+       |hs AS (
+       |  SELECT doc_id, pos,
+       |    ${PortableHash.Sql.md5Mod(s"array_to_string(toks[(pos*$n+1):(pos*$n+$n)], ' ')")} AS h
+       |  FROM pos),
+       |rk AS (
+       |  SELECT doc_id, pos,
+       |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn,
+       |    count(*) OVER (PARTITION BY h) AS cnt
+       |  FROM hs),
+       |dl AS (
+       |  SELECT doc_id, list_sort(list(pos)) AS dp
+       |  FROM rk WHERE cnt > 1 AND rn > 1 GROUP BY doc_id),
+       |rebuilt AS (
+       |  SELECT b.doc_id, b.source,
+       |    CASE WHEN d.doc_id IS NULL THEN b.text
+       |    -- coalesce: DuckDB's array_to_string([]) is NULL where
+       |    -- Spark's array_join([]) is '' (the every-span-dropped doc)
+       |    ELSE coalesce(array_to_string(list_concat(
+       |      [array_to_string(b.toks[(i*$n+1):(i*$n+$n)], ' ')
+       |        FOR i IN range(0, b.m) IF NOT list_contains(d.dp, i)],
+       |      CASE WHEN b.m*$n < len(b.toks) AND NOT (len(b.toks) = 1 AND b.toks[1] = '')
+       |        THEN [array_to_string(b.toks[(b.m*$n+1):len(b.toks)], ' ')]
+       |        ELSE CAST([] AS VARCHAR[]) END), ' '), '') END AS nt,
+       |    b.text AS orig
+       |  FROM base b LEFT JOIN dl d USING (doc_id))
+       |SELECT source,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN nt != orig THEN 1 ELSE 0 END) AS BIGINT) AS n_modified,
+       |  CAST(sum(length(nt)) AS BIGINT) AS sum_chars,
+       |  CAST(sum(${PortableHash.Sql.md5Mod("nt")}) AS BIGINT) AS text_hash_sum
+       |FROM rebuilt GROUP BY source ORDER BY source""".stripMargin
   }
 
   val all: Map[String, String] =

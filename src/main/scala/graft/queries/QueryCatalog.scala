@@ -128,7 +128,8 @@ object QueryCatalog {
     Entry("q_hudi_read", Wave6Queries.qHudiRead),
     Entry("q_soft_dedup", Wave6Queries.qSoftDedup),
     Entry("q_hudi_incr", Wave6Queries.qHudiIncr),
-    Entry("q_incr_dedup", Wave6Queries.qIncrDedup)
+    Entry("q_incr_dedup", Wave6Queries.qIncrDedup),
+    Entry("q_span_dedup", Wave6Queries.qSpanDedup)
   )
 
   def queries: Map[String, QueryFn] =

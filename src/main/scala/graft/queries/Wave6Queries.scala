@@ -316,6 +316,30 @@ object Wave6Queries {
       path
     })
 
+  // ---------- P63: C4-style global span dedup ----------
+
+  /** Span-dedup the corpus (8-word spans, global first occurrence
+    * wins) and roll up the REBUILT text per source — doc counts,
+    * modified counts, post-dedup chars, and a portable text-hash sum,
+    * so any reconstruction defect (wrong span dropped, tail lost,
+    * wrong winner) hash-mismatches. See [[graft.operators.SpanDedup]].
+    */
+  def qSpanDedup(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PortableHash
+    import graft.operators.SpanDedup
+    val docs = t(s, dir, "documents").select("doc_id", "source", "text")
+    val after = SpanDedup.removeRepeatedSpans(docs, "doc_id", "text", 8)
+    val orig = docs.select(col("doc_id"), col("text").as("_orig"))
+    after.join(orig, "doc_id")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("text") =!= col("_orig"), 1L).otherwise(0L)).as("n_modified"),
+        sum(length(col("text")).cast("long")).as("sum_chars"),
+        sum(PortableHash.md5Mod(col("text"))).as("text_hash_sum"))
+      .orderBy("source")
+  }
+
   // ---------- P62: incremental near-dup index ----------
 
   object IncrDedupParams { val Mod = 10; val Threshold = 0.5 }
