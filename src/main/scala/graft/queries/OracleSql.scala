@@ -1617,6 +1617,15 @@ object OracleSql {
       "q_fuzzy_decontam" -> fuzzyDecontamSql,
       "q_incr_dedup" -> incrDedupSql,
       "q_span_dedup" -> spanDedupSql,
+      // the Spark side converts a hive parquet dir to Delta IN PLACE
+      // (no rewrite) and reads it back through the Delta scanner with
+      // a partition filter; the oracle recomputes from the table
+      "q_convert_delta" ->
+        """SELECT source, count(*) AS n_docs,
+          |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+          |  min(doc_id) AS min_id
+          |FROM documents WHERE source IN ('src3', 'src7', 'src11')
+          |GROUP BY source ORDER BY source""".stripMargin,
       // same hashed-feature replay as q_dsir_select, but the
       // coefficients are the spliced model weights and the readout is
       // the per-source survival of the margin>0 gate

@@ -129,7 +129,8 @@ object QueryCatalog {
     Entry("q_soft_dedup", Wave6Queries.qSoftDedup),
     Entry("q_hudi_incr", Wave6Queries.qHudiIncr),
     Entry("q_incr_dedup", Wave6Queries.qIncrDedup),
-    Entry("q_span_dedup", Wave6Queries.qSpanDedup)
+    Entry("q_span_dedup", Wave6Queries.qSpanDedup),
+    Entry("q_convert_delta", Wave6Queries.qConvertDelta)
   )
 
   def queries: Map[String, QueryFn] =

@@ -316,6 +316,43 @@ object Wave6Queries {
       path
     })
 
+  // ---------- R54: CONVERT TO DELTA ----------
+
+  private val convertWritten = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Write documents as a plain hive-partitioned parquet dir once per
+    * sfDir, then CONVERT it to Delta in place (no rewrite).
+    */
+  private def convertedDocs(s: SparkSession, dir: String): String =
+    convertWritten.getOrElseUpdate(dir, {
+      import graft.tables.DeltaConvert
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_convert").toString + "/docs"
+      t(s, dir, "documents").select("doc_id", "n_chars", "source")
+        .write.partitionBy("source").parquet(path)
+      DeltaConvert.fromParquet(s, path)
+      path
+    })
+
+  /** Read the converted table through the Delta reader with a
+    * partition filter + rollup — proving the conversion's AddFiles,
+    * partition values, and schema all line up with the source rows.
+    */
+  def qConvertDelta(s: SparkSession, dir: String): DataFrame = {
+    import graft.core.Filter
+    import graft.tables.{DeltaTable, ReadArgs}
+    val table = new DeltaTable("docs_converted", convertedDocs(s, dir))
+    table(s, ReadArgs(
+      filters = graft.core.Filters.normalize(Seq(Filter("source", "in",
+        Seq("src3", "src7", "src11"))))))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars").cast("long")).as("sum_chars"),
+        min(col("doc_id")).as("min_id"))
+      .orderBy("source")
+  }
+
   // ---------- P63: C4-style global span dedup ----------
 
   /** Span-dedup the corpus (8-word spans, global first occurrence

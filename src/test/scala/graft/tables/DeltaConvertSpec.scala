@@ -1,0 +1,86 @@
+package graft.tables
+
+import graft.SparkSpec
+import graft.core.Filter
+import org.apache.hadoop.fs.Path
+
+/** CONVERT TO DELTA over existing parquet / Iceberg / Hudi files:
+  * no data rewrite, converted table reads identically, composes with
+  * subsequent Delta writes, and refuses unsound sources.
+  */
+class DeltaConvertSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fsOf(dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  test("parquet dir converts in place: same rows, files untouched, appends compose") {
+    val dir = tempDir("conv-pq").toString + "/t"
+    val df = (0L until 40L).map(i => (i, s"v$i", (i % 3).toInt)).toDF("id", "v", "part")
+    df.write.partitionBy("part").parquet(dir)
+    val fs = fsOf(dir)
+    val before = fs.listFiles(new Path(dir), true)
+    val mtimes = scala.collection.mutable.Map.empty[String, Long]
+    while (before.hasNext) { val s = before.next(); if (s.isFile) mtimes(s.getPath.toString) = s.getModificationTime }
+
+    assert(DeltaConvert.fromParquet(spark, dir) == 0L)
+    val t = new DeltaTable("t", dir)
+    assert(t(spark, ReadArgs.empty).select("id").as[Long].collect().sorted.toSeq ==
+      (0L until 40L))
+    // partition pruning through the converted metadata
+    val p1 = t(spark, ReadArgs(filters = graft.core.Filters.normalize(Seq(Filter("part", "=", 1)))))
+    assert(p1.inputFiles.forall(_.contains("part=1")))
+    assert(p1.count() == 13L)
+    // zero data files rewritten
+    val after = fs.listFiles(new Path(dir), true)
+    while (after.hasNext) {
+      val s = after.next()
+      if (s.isFile && s.getPath.getName.endsWith(".parquet"))
+        assert(mtimes(s.getPath.toString) == s.getModificationTime,
+          s"data file rewritten: ${s.getPath}")
+    }
+    // the converted table is a live Delta table: append + time travel
+    DeltaWrite.append(spark, Seq((100L, "x", 0)).toDF("id", "v", "part"), dir)
+    assert(t(spark, ReadArgs.empty).count() == 41L)
+    assert(t(spark, ReadArgs(extra = Map(t.VersionKey -> 0L))).count() == 40L)
+    // re-converting refuses
+    intercept[IllegalArgumentException] { DeltaConvert.fromParquet(spark, dir) }
+  }
+
+  test("Hudi table converts to its snapshot without the meta columns") {
+    val dir = tempDir("conv-hudi").toString + "/t"
+    HudiWrite.bulkInsert(spark,
+      Seq((1L, "a", 0), (2L, "b", 1)).toDF("id", "v", "part"), dir, "id", Seq("part"))
+    HudiWrite.upsert(spark, Seq((2L, "B", 1), (3L, "c", 0)).toDF("id", "v", "part"), dir)
+    DeltaConvert.fromHudi(spark, dir)
+    val t = new DeltaTable("t", dir)
+    val got = t(spark, ReadArgs.empty)
+    assert(got.columns.toSeq.sorted == Seq("id", "part", "v"))
+    assert(got.select("id", "v").as[(Long, String)].collect().sortBy(_._1).toSeq ==
+      Seq((1L, "a"), (2L, "B"), (3L, "c")))
+  }
+
+  test("Iceberg table converts; delete-file tables refuse") {
+    val dir = tempDir("conv-ice").toString + "/t"
+    IcebergWrite.append(spark,
+      Seq((1L, "a", 0), (2L, "b", 1)).toDF("id", "v", "part"), dir, Seq("part"))
+    IcebergWrite.append(spark, Seq((3L, "c", 1)).toDF("id", "v", "part"), dir)
+    DeltaConvert.fromIceberg(spark, dir)
+    val t = new DeltaTable("t", dir)
+    assert(t(spark, ReadArgs.empty).select("id", "v", "part")
+      .as[(Long, String, Int)].collect().sortBy(_._1).toSeq ==
+      Seq((1L, "a", 0), (2L, "b", 1), (3L, "c", 1)))
+
+    // a DV-carrying Delta table exported to Iceberg has position
+    // deletes: conversion must refuse, not silently resurrect rows
+    val dvDir = tempDir("conv-ice-dv").toString + "/t"
+    DeltaWrite.append(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dvDir)
+    DeltaWrite.deleteWhereDv(spark, dvDir, graft.core.Filters.normalize(Seq(Filter("id", "=", 1))))
+    graft.export.IcebergUniform.export(spark, dvDir)
+    // move the delta log away so the iceberg metadata stands alone
+    val fs = fsOf(dvDir)
+    fs.rename(new Path(dvDir, "_delta_log"), new Path(dvDir, "_delta_log_bak"))
+    val e = intercept[IllegalArgumentException] { DeltaConvert.fromIceberg(spark, dvDir) }
+    assert(e.getMessage.contains("delete files"))
+  }
+}
