@@ -76,6 +76,20 @@ object IncrementalNearDup {
       p: Params = Params(),
       threshold: Double = 0.5
   ): DataFrame = {
+    // a not-yet-created index is an EMPTY index (the first batch of a
+    // streaming pipeline checks before anything was ever appended)
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(indexPath, "_delta_log")))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("new_id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("idx_id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("jaccard",
+            org.apache.spark.sql.types.DoubleType, nullable = true))))
     val index = new DeltaTable("near_dup_index", indexPath)(spark, ReadArgs.empty)
     val probe = banded(batch, idCol, textCol, p)
     val candidates = index.as("i")

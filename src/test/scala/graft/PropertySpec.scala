@@ -284,6 +284,39 @@ object GraftProperties extends Properties("graft") {
     3 -> Gen.mapOf(Gen.zip(Gen.chooseNum(0L, 12L), word)).map(m => Up(m.take(5))),
     1 -> Gen.listOf(Gen.chooseNum(0L, 12L)).map(ks => Del(ks.take(4).toSet)))
 
+  /** WebDataset tar shards: arbitrary binary payloads — including
+    * 0/511/512/513-byte block-boundary sizes — round-trip exactly,
+    * with None payloads skipped.
+    */
+  property("WebDataset tar shards round-trip arbitrary payloads") =
+    forAll(Gen.listOf(Gen.zip(
+      Gen.oneOf(0, 1, 7, 511, 512, 513, 1024),
+      Gen.chooseNum(Long.MinValue, Long.MaxValue),
+      Gen.oneOf(true, false))).map(_.take(6))) {
+      (rows: List[(Int, Long, Boolean)]) =>
+        import graft.sinks.WebDataset
+        val data = rows.zipWithIndex.map { case ((size, seed, some), i) =>
+          val payload =
+            if (!some) None
+            else {
+              val b = new Array[Byte](size)
+              val r = new java.util.Random(seed)
+              r.nextBytes(b)
+              Some(b)
+            }
+          (i.toLong, payload)
+        }
+        val dir = java.nio.file.Files.createTempDirectory("wds-prop").toString
+        WebDataset.writeShards(data.toDF("id", "payload"), dir, "id",
+          Seq("bin" -> "payload"), numShards = 2)
+        val back = WebDataset.readShards(spark, dir)
+          .select(col("key"), col("payload"))
+          .as[(String, Array[Byte])].collect()
+          .map { case (k, p) => k.toLong -> p.toSeq }.toMap
+        val want = data.collect { case (id, Some(p)) => id -> p.toSeq }.toMap
+        back == want
+    }
+
   property("Hudi upsert/delete sequences replay an in-memory model") =
     forAll(Gen.listOf(genHudiOp).map(_.take(5))) { (ops: List[HudiOp]) =>
       import graft.tables.{HudiTable, HudiWrite, ReadArgs}
