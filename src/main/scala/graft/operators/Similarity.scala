@@ -43,6 +43,39 @@ object Similarity {
       .select("query_id", "neighbor_id", "sim", "rank")
   }
 
+  /** Hard-negative mining for contrastive / embedding training
+    * (triplet & InfoNCE training data): for each anchor, the top-k
+    * most SIMILAR corpus vectors carrying a DIFFERENT label — the
+    * near-misses that actually move a metric-learning loss, vs the
+    * easy random negatives that contribute ~zero gradient. Exact
+    * brute-force over a bounded anchor set (the oracle baseline, same
+    * shape as [[bruteForceTopK]]); at corpus scale, run the identical
+    * ranking over [[ivfAssign]]-bucketed candidates so each anchor
+    * scans only its probed buckets.
+    */
+  def hardNegatives(
+      corpus: DataFrame,
+      anchors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int
+  ): DataFrame = {
+    val q = broadcast(anchors.select(
+      col(idCol).as("anchor_id"), col(vecCol).as("_qv"), col(labelCol).as("_ql")))
+    val c = corpus.select(
+      col(idCol).as("negative_id"), col(vecCol).as("_cv"), col(labelCol).as("_cl"))
+    val scored = q
+      .crossJoin(c)
+      .where(col("_ql") =!= col("_cl"))
+      .withColumn("sim", Vectors.cosine(col("_qv"), col("_cv")))
+    val w = Window.partitionBy("anchor_id").orderBy(col("sim").desc, col("negative_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("anchor_id", "negative_id", "sim", "rank")
+  }
+
   /** Deterministic IVF "index": seed centroids are corpus vectors with
     * id % stride == 0; every vector is assigned to its nearest
     * centroid (rounded L2, id tie-break). Returns the corpus with an

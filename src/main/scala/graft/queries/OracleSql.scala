@@ -1620,6 +1620,22 @@ object OracleSql {
       // the Spark side converts a hive parquet dir to Delta IN PLACE
       // (no rewrite) and reads it back through the Delta scanner with
       // a partition filter; the oracle recomputes from the table
+      // hard negatives: the knn-brute shape with a label-difference
+      // constraint — same rounded cosine, same total-order tie-break
+      "q_hard_negatives" ->
+        """WITH q AS (SELECT vec_id AS anchor_id, embedding AS qv, label AS ql
+          |           FROM embeddings WHERE vec_id < 20),
+          |scored AS (
+          |  SELECT q.anchor_id, c.vec_id AS negative_id,
+          |    round(list_cosine_similarity(q.qv::DOUBLE[], c.embedding::DOUBLE[]), 4) AS sim
+          |  FROM q CROSS JOIN embeddings c
+          |  WHERE q.ql != c.label),
+          |ranked AS (
+          |  SELECT anchor_id, negative_id, sim,
+          |    row_number() OVER (PARTITION BY anchor_id ORDER BY sim DESC, negative_id) AS rank
+          |  FROM scored)
+          |SELECT anchor_id, negative_id, sim, rank FROM ranked WHERE rank <= 3
+          |ORDER BY anchor_id, rank""".stripMargin,
       "q_convert_delta" ->
         """SELECT source, count(*) AS n_docs,
           |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,

@@ -130,7 +130,8 @@ object QueryCatalog {
     Entry("q_hudi_incr", Wave6Queries.qHudiIncr),
     Entry("q_incr_dedup", Wave6Queries.qIncrDedup),
     Entry("q_span_dedup", Wave6Queries.qSpanDedup),
-    Entry("q_convert_delta", Wave6Queries.qConvertDelta)
+    Entry("q_convert_delta", Wave6Queries.qConvertDelta),
+    Entry("q_hard_negatives", Wave6Queries.qHardNegatives)
   )
 
   def queries: Map[String, QueryFn] =

@@ -316,6 +316,22 @@ object Wave6Queries {
       path
     })
 
+  // ---------- P64: hard-negative mining ----------
+
+  /** Top-3 hard negatives (most similar, DIFFERENT label) for each of
+    * the first 20 vectors — the contrastive-training pair miner. See
+    * [[graft.operators.Similarity.hardNegatives]].
+    */
+  def qHardNegatives(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val emb = t(s, dir, "embeddings")
+    Similarity.hardNegatives(
+      corpus = emb, anchors = emb.where(col("vec_id") < 20),
+      idCol = "vec_id", vecCol = "embedding", labelCol = "label", k = 3)
+      .withColumn("rank", col("rank").cast("long"))
+      .orderBy("anchor_id", "rank")
+  }
+
   // ---------- R54: CONVERT TO DELTA ----------
 
   private val convertWritten = scala.collection.concurrent.TrieMap.empty[String, String]

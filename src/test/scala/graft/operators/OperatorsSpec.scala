@@ -189,6 +189,20 @@ class SimilaritySpec extends SparkSpec {
     assert(got == Seq(1L, 2L, 100L)) // 0.9939 > 0.0 > -1.0
   }
 
+  test("hardNegatives ranks only different-label vectors, most-similar first") {
+    val labeled = Seq(
+      (0L, Seq(1.0f, 0.0f), 0), (1L, Seq(0.9f, 0.1f), 0), // same label as anchor
+      (2L, Seq(0.8f, 0.2f), 1), (3L, Seq(0.0f, 1.0f), 1),
+      (100L, Seq(-1.0f, 0.0f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(labeled,
+      labeled.where(col("vec_id") === 0), "vec_id", "embedding", "label", k = 3)
+      .orderBy("rank").select("negative_id").as[Long].collect().toSeq
+    // vec 1 (same label, sim 0.99) is EXCLUDED; the hard negative is
+    // the near-miss vec 2, then 3, then the easy 100
+    assert(got == Seq(2L, 3L, 100L))
+  }
+
   test("ivfAssign buckets every vector to a deterministic centroid") {
     val assigned = Similarity.ivfAssign(vecs, "vec_id", "embedding", stride = 100)
     assert(assigned.count() == 4)
