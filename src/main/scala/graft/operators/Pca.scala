@@ -96,6 +96,27 @@ object Pca {
         scale).as(s"p$j")
     }.toSeq
 
+  /** Rounded PCA reconstruction error — the embedding-QC outlier
+    * score (CLIP-style noise filtering: vectors the learned subspace
+    * can't explain are mislabeled/garbage candidates):
+    * `‖v−μ‖² − Σ_j ((v−μ)·c_j)²`, every term the same
+    * ascending-index double accumulation as [[projections]], so the
+    * rounded score replays bit-for-bit in SQL.
+    */
+  def residual(vecCol: Column, model: Model, scale: Int = 4): Column = {
+    val mu = array(model.mean.toSeq.map(lit): _*)
+    val centeredL2 = aggregate(
+      zip_with(vecCol, mu,
+        (x, m) => (x.cast("double") - m) * (x.cast("double") - m)),
+      lit(0.0), (a, x) => a + x)
+    val projSq = model.components.indices.map { j =>
+      val p = VectorExpressions.dot(vecCol,
+        array(model.components(j).toSeq.map(lit): _*)) - lit(meanDot(model, j))
+      p * p
+    }.reduce(_ + _)
+    round(centeredL2 - projSq, scale)
+  }
+
   /** μ·c_j with the same ascending-index double accumulation. */
   def meanDot(model: Model, j: Int): Double = {
     val c = model.components(j)

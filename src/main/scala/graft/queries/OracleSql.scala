@@ -2008,6 +2008,7 @@ object OracleSql {
     "q_ann_kmeans" -> annKmeansSql(spark, dir),
     "q_bpe_tokens" -> bpeTokensSql(spark, dir),
     "q_pca_project" -> pcaProjectSql(spark, dir),
+    "q_emb_outliers" -> embOutliersSql(spark, dir),
     "q_pq_ann" -> pqAnnSql(spark, dir),
     "q_domain_mix" -> domainMixSql(spark, dir),
     "q_ivfpq" -> ivfPqSql(spark, dir))
@@ -2037,6 +2038,43 @@ object OracleSql {
        |  $projCols
        |FROM embeddings e
        |ORDER BY e.vec_id""".stripMargin
+  }
+
+  /** DuckDB oracle for embedding outliers: same spliced model as
+    * q_pca_project; the residual is `‖v−μ‖² − Σ_j p_j²` with every
+    * term the identical ascending-index double accumulation, rounded
+    * once at the end.
+    */
+  private def embOutliersSql(
+      spark: org.apache.spark.sql.SparkSession, dir: String): String = {
+    import Wave5Queries.PcaParams
+    import Wave6Queries.OutlierParams
+    val model = graft.operators.Pca.fit(
+      Tables.table(spark, dir, "embeddings"), "embedding",
+      PcaParams.Dims, PcaParams.K)
+    val muLit = model.mean.map(_.toString).mkString("[", ", ", "]")
+    val centered =
+      s"""list_sum(list_transform(range(1, ${PcaParams.Dims + 1}),
+         |    i -> (e.embedding[i]::DOUBLE - ($muLit::DOUBLE[])[i]) *
+         |         (e.embedding[i]::DOUBLE - ($muLit::DOUBLE[])[i])))""".stripMargin
+    val projSq = model.components.zipWithIndex.map { case (c, j) =>
+      val cl = c.map(_.toString).mkString("[", ", ", "]")
+      val md = graft.operators.Pca.meanDot(model, j).toString
+      val pj = s"""(list_sum(list_transform(range(1, ${PcaParams.Dims + 1}),
+                  |    i -> e.embedding[i]::DOUBLE * ($cl::DOUBLE[])[i])) - ($md))""".stripMargin
+      s"($pj * $pj)"
+    }.mkString(" + ")
+    s"""WITH r AS (
+       |  SELECT e.vec_id, e.label,
+       |    round($centered - ($projSq), 4) AS resid
+       |  FROM embeddings e),
+       |rk AS (
+       |  SELECT label, vec_id, resid,
+       |    row_number() OVER (PARTITION BY label ORDER BY resid DESC, vec_id) AS rank
+       |  FROM r)
+       |SELECT label, CAST(rank AS BIGINT) AS rank, vec_id, resid
+       |FROM rk WHERE rank <= ${OutlierParams.TopK}
+       |ORDER BY label, rank""".stripMargin
   }
 
   /** DuckDB oracle for greedy BPE encoding — SQL-expressible after

@@ -131,7 +131,8 @@ object QueryCatalog {
     Entry("q_incr_dedup", Wave6Queries.qIncrDedup),
     Entry("q_span_dedup", Wave6Queries.qSpanDedup),
     Entry("q_convert_delta", Wave6Queries.qConvertDelta),
-    Entry("q_hard_negatives", Wave6Queries.qHardNegatives)
+    Entry("q_hard_negatives", Wave6Queries.qHardNegatives),
+    Entry("q_emb_outliers", Wave6Queries.qEmbOutliers)
   )
 
   def queries: Map[String, QueryFn] =

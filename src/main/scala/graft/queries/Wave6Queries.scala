@@ -316,6 +316,31 @@ object Wave6Queries {
       path
     })
 
+  // ---------- P65: embedding outlier filtering ----------
+
+  object OutlierParams { val TopK = 2 }
+
+  /** Per-label top-2 PCA-reconstruction-error outliers — the
+    * embedding-QC pass that surfaces mislabeled/garbage vectors
+    * before they poison contrastive training. Reuses the q_pca
+    * model (deterministic fit), so the oracle splices the identical
+    * mean/components.
+    */
+  def qEmbOutliers(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Pca
+    import Wave5Queries.PcaParams
+    import org.apache.spark.sql.expressions.Window
+    val emb = t(s, dir, "embeddings")
+    val model = Pca.fit(emb, "embedding", PcaParams.Dims, PcaParams.K)
+    val w = Window.partitionBy("label")
+      .orderBy(col("resid").desc, col("vec_id"))
+    emb.withColumn("resid", Pca.residual(col("embedding"), model))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= OutlierParams.TopK)
+      .select("label", "rank", "vec_id", "resid")
+      .orderBy("label", "rank")
+  }
+
   // ---------- P64: hard-negative mining ----------
 
   /** Top-3 hard negatives (most similar, DIFFERENT label) for each of

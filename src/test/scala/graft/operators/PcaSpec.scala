@@ -62,6 +62,30 @@ class PcaSpec extends SparkSpec {
     assert(math.abs(m.eigenvalues.sum - totalVar) < 1e-6)
   }
 
+  test("reconstruction residual is ~0 in-subspace and large for an outlier") {
+    // data lives in the (1,1)-diagonal plane; an injected vector far
+    // OFF that plane must dominate the residual ranking
+    val outlier = (999L, Array(0.0f, 0.0f, 50.0f, 50.0f))
+    val withOutlier = (stretched.as[(Long, Array[Float])].collect().toSeq :+ outlier)
+      .toDF("id", "vec")
+    // fit on the CLEAN distribution (the QC flow: a reference model
+    // scores incoming vectors; fitting on contaminated data would let
+    // a lone huge outlier claim its own component)
+    val m = Pca.fit(stretched, "vec", 4, 2)
+    val resid = withOutlier
+      .select(col("id"), Pca.residual(col("vec"), m).as("r"))
+      .as[(Long, Double)].collect().toMap
+    assert(resid(999L) > 100.0, s"outlier residual ${resid(999L)}")
+    // in-plane points reconstruct almost exactly from 2 components
+    val inPlane = resid.view.filterKeys(_ != 999L).values
+    assert(inPlane.forall(_ < resid(999L) / 100))
+    // partitioning-invariant scores
+    val resid2 = withOutlier.repartition(7)
+      .select(col("id"), Pca.residual(col("vec"), m).as("r"))
+      .as[(Long, Double)].collect().toMap
+    assert(resid2 == resid)
+  }
+
   test("projection columns center the data (mean projection ≈ 0)") {
     val m = Pca.fit(stretched, "vec", 4, 2)
     val projected = stretched.select(Pca.projections(col("vec"), m, scale = 6): _*)
