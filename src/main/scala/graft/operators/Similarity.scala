@@ -29,18 +29,35 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int
+  ): DataFrame =
+    rankedBySimilarity(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv")),
+      broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))),
+      keep = col("query_id") =!= col("neighbor_id"),
+      leftId = "query_id", rightId = "neighbor_id", k = k)
+
+  /** One ranking core for every exact-similarity miner (nearest
+    * neighbors, hard negatives): rounded cosine over `_qv`/`_cv`,
+    * rank by sim desc with right-id tie-break — the oracle-replayed
+    * convention lives in exactly one place.
+    */
+  private def rankedBySimilarity(
+      right: DataFrame,
+      leftBroadcast: DataFrame,
+      keep: Column,
+      leftId: String,
+      rightId: String,
+      k: Int
   ): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
-    val scored = q
-      .crossJoin(c)
-      .where(col("query_id") =!= col("neighbor_id"))
+    val scored = leftBroadcast
+      .crossJoin(right)
+      .where(keep)
       .withColumn("sim", Vectors.cosine(col("_qv"), col("_cv")))
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    val w = Window.partitionBy(leftId).orderBy(col("sim").desc, col(rightId))
     scored
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
-      .select("query_id", "neighbor_id", "sim", "rank")
+      .select(leftId, rightId, "sim", "rank")
   }
 
   /** Hard-negative mining for contrastive / embedding training
@@ -60,21 +77,14 @@ object Similarity {
       vecCol: String,
       labelCol: String,
       k: Int
-  ): DataFrame = {
-    val q = broadcast(anchors.select(
-      col(idCol).as("anchor_id"), col(vecCol).as("_qv"), col(labelCol).as("_ql")))
-    val c = corpus.select(
-      col(idCol).as("negative_id"), col(vecCol).as("_cv"), col(labelCol).as("_cl"))
-    val scored = q
-      .crossJoin(c)
-      .where(col("_ql") =!= col("_cl"))
-      .withColumn("sim", Vectors.cosine(col("_qv"), col("_cv")))
-    val w = Window.partitionBy("anchor_id").orderBy(col("sim").desc, col("negative_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("anchor_id", "negative_id", "sim", "rank")
-  }
+  ): DataFrame =
+    rankedBySimilarity(
+      corpus.select(
+        col(idCol).as("negative_id"), col(vecCol).as("_cv"), col(labelCol).as("_cl")),
+      broadcast(anchors.select(
+        col(idCol).as("anchor_id"), col(vecCol).as("_qv"), col(labelCol).as("_ql"))),
+      keep = col("_ql") =!= col("_cl"),
+      leftId = "anchor_id", rightId = "negative_id", k = k)
 
   /** Deterministic IVF "index": seed centroids are corpus vectors with
     * id % stride == 0; every vector is assigned to its nearest

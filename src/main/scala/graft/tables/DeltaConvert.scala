@@ -42,19 +42,18 @@ object DeltaConvert {
     refuseExisting(fs, dir)
     val files = listParquet(fs, new Path(dir))
     require(files.nonEmpty, s"no parquet files under $dir")
-    val rels = files.map(f => DeltaWrite.relativize(new Path(dir), f))
     val partCols: Seq[String] = {
-      val seqs = rels.map(hiveSegments(_).map(_._1))
+      val seqs = files.map(f => hiveSegments(f._1).map(_._1))
       require(seqs.distinct.size == 1,
         s"inconsistent partition depth/columns under $dir: ${seqs.distinct.take(3)}")
       seqs.head
     }
     val schema = spark.read.option("basePath", dir)
-      .parquet(files.map(_.toString): _*).schema
-    val adds = files.zip(rels).map { case (f, rel) =>
+      .parquet(files.map(f => s"$dir/${f._1}"): _*).schema
+    val adds = files.map { case (rel, len) =>
       (rel, hiveSegments(rel).toMap.map { case (k, v) =>
         k -> (if (v == "__HIVE_DEFAULT_PARTITION__") None else Some(v))
-      }, fs.getFileStatus(f).getLen)
+      }, len)
     }
     commitV0(spark, dir, schema.json, partCols, adds)
   }
@@ -76,12 +75,24 @@ object DeltaConvert {
       s"CONVERT supports identity partition transforms only; $dir has " +
         spec.filterNot(_.transform == "identity").map(_.transform).mkString(", "))
     val partCols = spec.map(_.name)
+    val sizes = listParquet(fs, new Path(dir)).toMap
     val adds = files.map { f =>
       val p = new Path(f.path)
       val rel = DeltaWrite.relativize(new Path(dir), p)
-      val pv = partCols.map(c =>
-        c -> f.partition.get(c).flatMap(Option(_)).map(String.valueOf(_))).toMap
-      (rel, pv, fs.getFileStatus(p).getLen)
+      // typed rendering: Iceberg manifests store DATE partitions as
+      // epoch-day ints; Delta partitionValues want the yyyy-MM-dd
+      // string its reader casts back (a raw "18262" would cast NULL)
+      val pv = partCols.map { c =>
+        val dt = meta.schema.fields.find(_.name == c).map(_.dataType)
+        c -> f.partition.get(c).flatMap(Option(_)).map { v =>
+          dt match {
+            case Some(org.apache.spark.sql.types.DateType) =>
+              java.time.LocalDate.ofEpochDay(v.toString.toLong).toString
+            case _ => String.valueOf(v)
+          }
+        }
+      }.toMap
+      (rel, pv, sizes.getOrElse(rel, fs.getFileStatus(p).getLen))
     }
     commitV0(spark, dir, meta.schema.json, partCols, adds)
   }
@@ -102,11 +113,13 @@ object DeltaConvert {
     // user data only: Hudi meta columns stay physical-but-undeclared
     val schema = org.apache.spark.sql.types.StructType(
       full.fields.filterNot(_.name.startsWith("_hoodie_")))
+    val sizes = listParquet(fs, new Path(dir)).toMap
     val adds = slices.map { s =>
       val pv = hiveSegments(s.relPath).toMap.map { case (k, v) =>
         k -> (if (v == "__HIVE_DEFAULT_PARTITION__") None else Some(v))
       }
-      (s.relPath, pv, fs.getFileStatus(new Path(dir, s.relPath)).getLen)
+      (s.relPath, pv, sizes.getOrElse(s.relPath,
+        fs.getFileStatus(new Path(dir, s.relPath)).getLen))
     }
     commitV0(spark, dir, schema.json, partCols, adds)
   }
@@ -120,7 +133,10 @@ object DeltaConvert {
   private def hiveSegments(rel: String): Seq[(String, String)] =
     rel.split('/').dropRight(1).toSeq.flatMap { seg =>
       seg.split("=", 2) match {
-        case Array(k, v) => Some(k -> java.net.URLDecoder.decode(v, "UTF-8"))
+        // unescapePathName is the exact inverse of Spark's writer
+        // escaping; URLDecoder would corrupt literal '+' into a space
+        case Array(k, v) => Some(k -> org.apache.spark.sql.catalyst.catalog
+          .ExternalCatalogUtils.unescapePathName(v))
         case _ => None
       }
     }
@@ -170,15 +186,25 @@ object DeltaConvert {
     0L
   }
 
-  private def listParquet(fs: FileSystem, dir: Path): Seq[Path] = {
+  /** (relativePath, length) of every data parquet under `dir`:
+    * hidden/metadata entries are excluded by their path RELATIVE to
+    * the table root — an underscore-prefixed ANCESTOR of the root
+    * (/data/_shared/t) must not blank the whole listing — and lengths
+    * ride along from the one recursive listing (a per-file
+    * getFileStatus would be millions of sequential driver RPCs on
+    * exactly the migration path this exists for).
+    */
+  private def listParquet(fs: FileSystem, dir: Path): Seq[(String, Long)] = {
     val it = fs.listFiles(dir, true)
-    val buf = scala.collection.mutable.Buffer.empty[Path]
+    val buf = scala.collection.mutable.Buffer.empty[(String, Long)]
     while (it.hasNext) {
       val s = it.next()
       val p = s.getPath
-      if (s.isFile && p.getName.endsWith(".parquet") &&
-        !p.toString.contains("/_") && !p.getName.startsWith(".") &&
-        !p.getName.startsWith("_")) buf += p
+      if (s.isFile && p.getName.endsWith(".parquet")) {
+        val rel = DeltaWrite.relativize(dir, p)
+        if (!rel.split('/').exists(seg => seg.startsWith("_") || seg.startsWith(".")))
+          buf += ((rel, s.getLen))
+      }
     }
     buf.toSeq
   }

@@ -40,8 +40,11 @@ class StreamingDedupPipelineSpec extends SparkSpec {
         val unique = batch.join(dups.select(col("new_id").as("doc_id")).distinct(),
           Seq("doc_id"), "leftanti")
         DeltaWrite.append(batch.sparkSession, unique, sinkDir)
+        // index ONLY what was kept: the corpus lookup is the sink, so
+        // indexing dropped docs would create candidates that can
+        // never verify (and an ever-growing dead index)
         IncrementalNearDup.appendToIndex(
-          batch.sparkSession, batch, "doc_id", "text", indexDir)
+          batch.sparkSession, unique, "doc_id", "text", indexDir)
       }
       .start()
     try {

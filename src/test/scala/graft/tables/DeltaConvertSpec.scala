@@ -60,6 +60,40 @@ class DeltaConvertSpec extends SparkSpec {
       Seq((1L, "a"), (2L, "B"), (3L, "c")))
   }
 
+  test("date-partitioned Iceberg tables convert with calendar values, not epoch days") {
+    val dir = tempDir("conv-ice-date").toString + "/t"
+    val rows = Seq(
+      (1L, "a", java.sql.Date.valueOf("2020-01-01")),
+      (2L, "b", java.sql.Date.valueOf("2021-06-15")))
+    IcebergWrite.append(spark, rows.toDF("id", "v", "d"), dir, Seq("d"))
+    DeltaConvert.fromIceberg(spark, dir)
+    val t = new DeltaTable("t", dir)
+    val got = t(spark, ReadArgs.empty).select("id", "d")
+      .as[(Long, java.sql.Date)].collect().sortBy(_._1).toSeq
+    // epoch-day strings ("18262") would cast to NULL dates here
+    assert(got == rows.map(r => (r._1, r._3)))
+    val p = t(spark, ReadArgs(filters = graft.core.Filters.normalize(
+      Seq(Filter("d", "=", java.sql.Date.valueOf("2020-01-01"))))))
+    assert(p.select("id").as[Long].collect().toSeq == Seq(1L))
+  }
+
+  test("partition values with '+' and underscore-prefixed ancestors convert correctly") {
+    // '+' is NOT escaped by Spark's writer; URLDecoder would turn it
+    // into a space and break both readback and pruning
+    val root = tempDir("conv-esc").toString + "/_shared"
+    val dir = root + "/t"
+    Seq((1L, "a+b"), (2L, "c d")).toDF("id", "part")
+      .write.partitionBy("part").parquet(dir)
+    DeltaConvert.fromParquet(spark, dir) // underscore ANCESTOR must not blank the listing
+    val t = new DeltaTable("t", dir)
+    assert(t(spark, ReadArgs.empty).select("id", "part")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq ==
+      Seq((1L, "a+b"), (2L, "c d")))
+    val p = t(spark, ReadArgs(filters = graft.core.Filters.normalize(
+      Seq(Filter("part", "=", "a+b")))))
+    assert(p.select("id").as[Long].collect().toSeq == Seq(1L))
+  }
+
   test("Iceberg table converts; delete-file tables refuse") {
     val dir = tempDir("conv-ice").toString + "/t"
     IcebergWrite.append(spark,
