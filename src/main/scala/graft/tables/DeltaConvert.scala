@@ -141,7 +141,11 @@ object DeltaConvert {
       }
     }
 
-  /** One grouped job for per-file numRecords, then the v0 commit. */
+  /** One grouped stats job (numRecords + per-column min/max/nullCount,
+    * the same shape [[DeltaWrite]] writes), then the v0 commit — so
+    * file SKIPPING works on converted tables from the first read,
+    * exactly as on natively-written ones.
+    */
   private def commitV0(
       spark: SparkSession,
       dir: String,
@@ -149,10 +153,11 @@ object DeltaConvert {
       partCols: Seq[String],
       adds: Seq[(String, Map[String, Option[String]], Long)]
   ): Long = {
-    val counts: Map[String, Long] = spark.read
-      .parquet(adds.map(a => s"$dir/${a._1}"): _*)
-      .groupBy(col("_metadata.file_path").as("_p")).agg(count(lit(1)).as("_n"))
-      .collect().map(r => DvDeleted.normalizePath(r.getString(0)) -> r.getLong(1)).toMap
+    val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val statsCols = schema.fields.toSeq.filterNot(f => partCols.contains(f.name))
+    val stats: Map[String, String] = DeltaWrite.computeStats(
+      spark, adds.map(a => s"$dir/${a._1}"), statsCols)
 
     val sb = new StringBuilder
     sb.append("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""").append('\n')
@@ -175,9 +180,8 @@ object DeltaConvert {
       a.put("size", size)
       a.put("modificationTime", System.currentTimeMillis())
       a.put("dataChange", true)
-      val n = counts.getOrElse(
-        DvDeleted.normalizePath(s"$dir/$rel"), 0L)
-      a.put("stats", s"""{"numRecords":$n}""")
+      stats.get(new Path(rel).getName)
+        .foreach(st => a.put("stats", st))
       sb.append(s"""{"add":${mapper.writeValueAsString(a)}}""").append('\n')
     }
     require(DeltaWrite.writeCommitFile(spark, dir,

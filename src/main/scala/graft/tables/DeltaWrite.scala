@@ -1628,7 +1628,7 @@ object DeltaWrite {
       partitionBy.contains(f.name) || statsExclude.contains(f.name))
     val statsByFile: Map[String, String] =
       if (staged.isEmpty || !withStats) Map.empty
-      else computeStats(spark, staging.toString, statsCols)
+      else computeStats(spark, Seq(staging.toString), statsCols)
 
     val adds = staged.map { file =>
       val rel = relativize(staging, file)
@@ -2317,9 +2317,9 @@ object DeltaWrite {
     walk(DataType.fromJson(schemaJson)).distinct
   }
 
-  private def computeStats(
+  private[tables] def computeStats(
       spark: SparkSession,
-      stagingDir: String,
+      paths: Seq[String],
       fields: Seq[StructField]
   ): Map[String, String] = {
     val statable = fields.filter(f => f.dataType match {
@@ -2335,7 +2335,7 @@ object DeltaWrite {
             max(col(f.name)).as(s"_max_${f.name}"),
             sum(when(col(f.name).isNull, 1L).otherwise(0L)).as(s"_nc_${f.name}"))
         }
-    val statRows = spark.read.parquet(stagingDir)
+    val statRows = spark.read.parquet(paths: _*)
       .groupBy(input_file_name().as("_file"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()

@@ -47,6 +47,23 @@ class DeltaConvertSpec extends SparkSpec {
     intercept[IllegalArgumentException] { DeltaConvert.fromParquet(spark, dir) }
   }
 
+  test("converted tables carry full stats: file skipping prunes from the first read") {
+    val dir = tempDir("conv-skip").toString + "/t"
+    (0L until 1000L).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartitionByRange(4, $"id")
+      .write.parquet(dir)
+    DeltaConvert.fromParquet(spark, dir)
+    val t = new DeltaTable("t", dir)
+    val all = t(spark, ReadArgs.empty)
+    assert(all.inputFiles.length == 4)
+    // min/max stats from the conversion job must prune 3 of 4 files
+    val narrow = t(spark, ReadArgs(
+      filters = graft.core.Filters.normalize(Seq(Filter("id", "<", 100)))))
+    assert(narrow.inputFiles.length == 1,
+      s"expected stats pruning to 1 file, planned ${narrow.inputFiles.length}")
+    assert(narrow.count() == 100L)
+  }
+
   test("Hudi table converts to its snapshot without the meta columns") {
     val dir = tempDir("conv-hudi").toString + "/t"
     HudiWrite.bulkInsert(spark,
