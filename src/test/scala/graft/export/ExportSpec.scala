@@ -78,6 +78,27 @@ class ExportSpec extends SparkSpec {
     assert(java.nio.file.Files.readString(out).startsWith("""{"catalogs":["""))
   }
 
+  test("web export covers the whole table-format zoo: Hudi + Iceberg alongside parquet") {
+    import spark.implicits._
+    import graft.tables.{HudiTable, HudiWrite, IcebergTable, IcebergWrite}
+    val base = tempDir("web-zoo").toString
+    HudiWrite.bulkInsert(spark,
+      Seq((1L, "a", 0)).toDF("id", "v", "part"), s"$base/h", "id", Seq("part"))
+    IcebergWrite.append(spark,
+      Seq((1L, "x", 7)).toDF("id", "v", "bucket"), s"$base/i", Seq("bucket"))
+    val cat = new Catalog(Map("lake" -> new MapDatabase(Map(
+      "hudi_t" -> new HudiTable("hudi_t", s"$base/h"),
+      "ice_t" -> new IcebergTable("ice_t", s"$base/i")))))
+    val json = WebExport.exportCatalog("cat", cat, spark).render
+    assert(json.contains(""""table_type":"HUDI""""))
+    assert(json.contains(""""table_type":"ICEBERG""""))
+    // partition metadata surfaces for both
+    assert(json.contains(""""column_name":"part"""") ||
+      json.contains(""""column":"part""""))
+    assert(json.contains(""""column_name":"bucket"""") ||
+      json.contains(""""column":"bucket""""))
+  }
+
   test("static site: full generation from getSchema (golden structure)") {
     import spark.implicits._
     val dir = tempDir("ssite-data").toString + "/t"
