@@ -1620,6 +1620,14 @@ object OracleSql {
       // the Spark side converts a hive parquet dir to Delta IN PLACE
       // (no rewrite) and reads it back through the Delta scanner with
       // a partition filter; the oracle recomputes from the table
+      // native Iceberg merge-on-read DELETE: survivors of the
+      // every-third-key position-delete pass
+      "q_iceberg_delete" -> {
+        val keys = Wave6Queries.IcebergDeleteParams.Keys.mkString(", ")
+        s"""SELECT n_nationkey, n_name, n_regionkey
+           |FROM nation WHERE n_nationkey NOT IN ($keys)
+           |ORDER BY n_nationkey""".stripMargin
+      },
       // hard negatives: the knn-brute shape with a label-difference
       // constraint — same rounded cosine, same total-order tie-break
       "q_hard_negatives" ->

@@ -132,7 +132,8 @@ object QueryCatalog {
     Entry("q_span_dedup", Wave6Queries.qSpanDedup),
     Entry("q_convert_delta", Wave6Queries.qConvertDelta),
     Entry("q_hard_negatives", Wave6Queries.qHardNegatives),
-    Entry("q_emb_outliers", Wave6Queries.qEmbOutliers)
+    Entry("q_emb_outliers", Wave6Queries.qEmbOutliers),
+    Entry("q_iceberg_delete", Wave6Queries.qIcebergDelete)
   )
 
   def queries: Map[String, QueryFn] =

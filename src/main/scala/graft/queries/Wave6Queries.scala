@@ -316,6 +316,40 @@ object Wave6Queries {
       path
     })
 
+  // ---------- R55: Iceberg merge-on-read DELETE ----------
+
+  private val icebergDeleted = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  object IcebergDeleteParams {
+    val Keys: Seq[Int] = (0 until 25 by 3) // 0,3,...,24
+  }
+
+  /** Write nation natively, then DELETE every third key as position
+    * deletes (no data rewrite) — see IcebergWrite.deleteWhere.
+    */
+  private def deletedNation(s: SparkSession, dir: String): String =
+    icebergDeleted.getOrElseUpdate(dir, {
+      import graft.core.Filter
+      import graft.tables.IcebergWrite
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_iceberg_del").toString + "/nation"
+      IcebergWrite.append(s,
+        t(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey"),
+        path, Seq("n_regionkey"))
+      IcebergWrite.deleteWhere(s, path, graft.core.Filters.normalize(
+        Seq(Filter("n_nationkey", "in", IcebergDeleteParams.Keys))))
+      path
+    })
+
+  /** Snapshot after the merge-on-read delete: survivors only, served
+    * from the ORIGINAL data files + position deletes.
+    */
+  def qIcebergDelete(s: SparkSession, dir: String): DataFrame = {
+    import graft.tables.{IcebergTable, ReadArgs}
+    new IcebergTable("nation_del", deletedNation(s, dir))(s, ReadArgs.empty)
+      .orderBy("n_nationkey")
+  }
+
   // ---------- P65: embedding outlier filtering ----------
 
   object OutlierParams { val TopK = 2 }

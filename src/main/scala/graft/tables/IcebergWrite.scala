@@ -7,7 +7,7 @@ import org.apache.avro.file.DataFileWriter
 import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{col, count, lit}
+import org.apache.spark.sql.functions.{col, count, element_at, lit, regexp_replace, typedLit}
 import org.apache.spark.sql.types.StructType
 
 /** Native Iceberg APPEND with the Hadoop-catalog commit protocol —
@@ -68,6 +68,206 @@ object IcebergWrite {
       tablePath: String,
       partitionBy: Seq[String] = Seq.empty
   ): Long = commit(spark, df, tablePath, partitionBy, carryBase = false)
+
+  /** Row-level DELETE as merge-on-read POSITION DELETE files (the
+    * Iceberg v2 write path [[IcebergTable]] already reads): matching
+    * rows' (file_path, pos) pairs are computed by ONE distributed
+    * scan of the partition-pruned candidate files, staged as
+    * spec-sorted position-delete parquet (one file per partition
+    * tuple via the same staging the append uses), and committed as a
+    * content=1 manifest at a fresh sequence number — data rewrites
+    * cost nothing, readers apply the deletes where delete seq ≥ data
+    * seq. Snapshot-isolation caveat (as in Iceberg itself without a
+    * lock service): rows appended concurrently with the delete's scan
+    * are not affected even if they match the predicate.
+    *
+    * Returns the committed snapshot id — or the CURRENT snapshot id
+    * unchanged when nothing matches (no empty commits).
+    */
+  def deleteWhere(
+      spark: SparkSession,
+      tablePath: String,
+      filters: graft.core.Filters.Normalized
+  ): Long = {
+    require(filters.nonEmpty, "deleteWhere requires a predicate; use overwrite to replace all rows")
+    val table = new Path(tablePath)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(new Path(table, "_delta_log")),
+      s"$tablePath is a Delta table; delete via DeltaWrite")
+    val metaDir = new Path(table, "metadata")
+    val meta0 = IcebergMeta.load(fs, tablePath)
+    val snap0 = meta0.currentSnapshotId
+      .flatMap(id => meta0.snapshots.find(_.id == id))
+      .getOrElse(throw new IllegalArgumentException(s"$tablePath has no current snapshot"))
+    val spec = meta0.specs.getOrElse(meta0.defaultSpecId, Seq.empty)
+    require(spec.forall(_.transform == "identity"),
+      s"deleteWhere supports identity partition specs only")
+    val partCols = spec.map(_.name)
+    val partFields = partCols.map(c => meta0.schema.fields.find(_.name == c).get)
+
+    val dataFiles = IcebergMeta.planFiles(fs, snap0).filter(_.content == 0)
+    val pruned = dataFiles.filter(f =>
+      IcebergMeta.identityMayMatch(f, spec, meta0.schema, filters))
+    if (pruned.isEmpty) return snap0.id
+
+    // one scan of the candidates: row positions from _metadata;
+    // partition columns re-attached from the manifest tuples (staged
+    // data files never store them)
+    val Scheme = "^[A-Za-z][A-Za-z0-9+.\\-]*:/+"
+    def normPath(p: String): String = p.replaceFirst(Scheme, "/")
+    val base = spark.read.parquet(pruned.map(_.path): _*)
+    var scan = base
+      .withColumn("_del_path", regexp_replace(col("_metadata.file_path"), Scheme, "/"))
+      .withColumn("_del_pos", col("_metadata.row_index"))
+    partFields.foreach { pf =>
+      if (!base.columns.contains(pf.name)) {
+        val m: Map[String, String] = pruned.map { f =>
+          normPath(f.path) -> renderPartition(pf.dataType, f.partition.get(pf.name).orNull)
+        }.toMap
+        scan = scan.withColumn(pf.name,
+          element_at(typedLit(m), col("_del_path")).cast(pf.dataType))
+      }
+    }
+    val pred = graft.core.Filters.toColumn(filters).getOrElse(lit(true))
+    // spec ordering: position delete rows sort by (file_path, pos);
+    // partition columns lead so the staged write's dynamic-partition
+    // ordering requirement is already satisfied
+    val matches = scan.where(pred).select(
+      Seq(col("_del_path").as("file_path"), col("_del_pos").as("pos")) ++
+        partFields.map(pf => col(pf.name)): _*)
+      .sortWithinPartitions(
+        partFields.map(pf => col(pf.name)) ++ Seq(col("file_path"), col("pos")): _*)
+    if (matches.isEmpty) return snap0.id
+
+    val staged = stage(spark, matches, fs, table, partCols)
+
+    // ---- optimistic commit loop (delete manifest + carried base) ---
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val baseV = latestVersionByScan(fs, metaDir)
+      val baseRoot = baseV.map(v => readRoot(fs, metaDir, v))
+        .getOrElse(throw new IllegalStateException(s"metadata vanished under $metaDir"))
+      val uuid = java.util.UUID.randomUUID().toString
+      val nowMs = System.currentTimeMillis()
+      val prevSnapshots = IcebergMeta.elements(baseRoot.path("snapshots"))
+      val snapshotId = prevSnapshots.map(_.path("snapshot-id").asLong()).maxOption.getOrElse(0L) + 1
+      val seq = baseRoot.path("last-sequence-number").asLong(0L) + 1
+
+      val schemas = baseRoot.path("schemas")
+      val cur = baseRoot.path("current-schema-id").asInt(0)
+      val schemaJson = mapper.writeValueAsString(
+        IcebergMeta.elements(schemas).find(_.path("schema-id").asInt(-1) == cur)
+          .getOrElse(schemas.get(0)))
+      val specs = baseRoot.path("partition-specs")
+      val specNode = IcebergMeta.elements(specs)
+        .find(_.path("spec-id").asInt(0) == baseRoot.path("default-spec-id").asInt(0))
+        .getOrElse(specs.get(0))
+      val specFieldsJson = mapper.writeValueAsString(specNode.path("fields"))
+
+      val entrySchema = IcebergUniform.manifestEntrySchema(partFields)
+      val manifestPath = new Path(metaDir, s"delete-manifest-$snapshotId-$uuid.avro")
+      locally {
+        val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](entrySchema))
+        w.setMeta("schema", schemaJson)
+        w.setMeta("partition-spec", specFieldsJson)
+        w.setMeta("partition-spec-id", "0")
+        w.setMeta("format-version", "2")
+        w.setMeta("content", "deletes")
+        w.create(entrySchema, fs.create(manifestPath, true))
+        try {
+          val dfSchema = entrySchema.getField("data_file").schema()
+          val pSchema = dfSchema.getField("partition").schema()
+          staged.foreach { sf =>
+            val p = new GenericData.Record(pSchema)
+            partFields.foreach { pf =>
+              p.put(pf.name,
+                IcebergUniform.partitionValue(pf.dataType, sf.partitionValues(pf.name)))
+            }
+            val dfr = new GenericData.Record(dfSchema)
+            dfr.put("content", 1) // position deletes
+            dfr.put("file_path", sf.path)
+            dfr.put("file_format", "PARQUET")
+            dfr.put("partition", p)
+            dfr.put("record_count", sf.recordCount)
+            dfr.put("file_size_in_bytes", sf.size)
+            val e = new GenericData.Record(entrySchema)
+            e.put("status", 1) // ADDED
+            e.put("snapshot_id", snapshotId)
+            e.put("sequence_number", seq)
+            e.put("file_sequence_number", seq)
+            e.put("data_file", dfr)
+            w.append(e)
+          }
+        } finally w.close()
+      }
+      val manifestLen = fs.getFileStatus(manifestPath).getLen
+
+      val listPath = new Path(metaDir, s"snap-$snapshotId-$uuid.avro")
+      locally {
+        val ls = IcebergUniform.manifestFileSchema
+        val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](ls))
+          .create(ls, fs.create(listPath, true))
+        try {
+          currentManifestList(fs, baseRoot).foreach { prev =>
+            val c = new GenericData.Record(ls)
+            ls.getFields.forEach(f => c.put(f.name(),
+              if (prev.getSchema.getField(f.name()) != null) prev.get(f.name()) else null))
+            w.append(c)
+          }
+          val n = new GenericData.Record(ls)
+          n.put("manifest_path", manifestPath.toString)
+          n.put("manifest_length", manifestLen)
+          n.put("partition_spec_id", 0)
+          n.put("content", 1) // deletes
+          n.put("sequence_number", seq)
+          n.put("min_sequence_number", seq)
+          n.put("added_snapshot_id", snapshotId)
+          n.put("added_files_count", staged.size)
+          n.put("existing_files_count", 0)
+          n.put("deleted_files_count", 0)
+          n.put("added_rows_count", staged.map(_.recordCount).sum)
+          n.put("existing_rows_count", 0L)
+          n.put("deleted_rows_count", 0L)
+          w.append(n)
+        } finally w.close()
+      }
+
+      val root = baseRoot.deepCopy[ObjectNode]()
+      appendSnapshotToRoot(root, snapshotId, seq, nowMs, listPath,
+        operation = "delete",
+        summaryExtras = Seq(
+          "added-delete-files" -> staged.size.toString,
+          "added-position-deletes" -> staged.map(_.recordCount).sum.toString))
+
+      val newV = baseV.getOrElse(0) + 1
+      val target = new Path(metaDir, s"v$newV.metadata.json")
+      if (publishIfAbsent(fs, target,
+        mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))) {
+        val hint = fs.create(new Path(metaDir, "version-hint.text"), true)
+        try hint.write(newV.toString.getBytes("UTF-8")) finally hint.close()
+        return snapshotId
+      }
+      fs.delete(manifestPath, false)
+      fs.delete(listPath, false)
+      if (attempt >= MaxAttempts)
+        throw new java.io.IOException(
+          s"could not commit delete to $tablePath after $MaxAttempts attempts")
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Manifest partition value → the string Spark's partitionBy
+    * renders for the SAME typed value (so staged dirs and
+    * re-derived partition tuples round-trip, dates included).
+    */
+  private def renderPartition(dt: org.apache.spark.sql.types.DataType, v: Any): String =
+    (dt, v) match {
+      case (_, null) => null
+      case (org.apache.spark.sql.types.DateType, n) =>
+        java.time.LocalDate.ofEpochDay(n.toString.toLong).toString
+      case (_, other) => String.valueOf(other)
+    }
 
   private def commit(
       spark: SparkSession,
@@ -251,26 +451,11 @@ object IcebergWrite {
           r.set[ObjectNode]("snapshot-log", mapper.createArrayNode())
           r
       }
-      if (!root.has("snapshot-log")) root.set[ObjectNode]("snapshot-log", mapper.createArrayNode())
-      root.put("last-updated-ms", nowMs)
-      root.put("last-sequence-number", seq)
-      root.put("current-snapshot-id", snapshotId)
-      val sn = mapper.createObjectNode()
-      sn.put("snapshot-id", snapshotId)
-      sn.put("sequence-number", seq)
-      sn.put("timestamp-ms", nowMs)
-      sn.put("manifest-list", listPath.toString)
-      sn.put("schema-id", root.path("current-schema-id").asInt(0))
-      val summary = mapper.createObjectNode()
-      summary.put("operation", if (carryBase) "append" else "overwrite")
-      summary.put("added-data-files", staged.size.toString)
-      summary.put("added-records", staged.map(_.recordCount).sum.toString)
-      sn.set[ObjectNode]("summary", summary)
-      root.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("snapshots").add(sn)
-      val logEntry = mapper.createObjectNode()
-      logEntry.put("timestamp-ms", nowMs)
-      logEntry.put("snapshot-id", snapshotId)
-      root.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("snapshot-log").add(logEntry)
+      appendSnapshotToRoot(root, snapshotId, seq, nowMs, listPath,
+        operation = if (carryBase) "append" else "overwrite",
+        summaryExtras = Seq(
+          "added-data-files" -> staged.size.toString,
+          "added-records" -> staged.map(_.recordCount).sum.toString))
 
       val newV = baseV.getOrElse(0) + 1
       val target = new Path(metaDir, s"v$newV.metadata.json")
@@ -288,6 +473,40 @@ object IcebergWrite {
           s"could not commit to $tablePath after $MaxAttempts attempts")
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  /** Mutate a metadata root in place: bump watermark fields and add
+    * the snapshot + log entry (shared by append/overwrite and
+    * deleteWhere commits).
+    */
+  private def appendSnapshotToRoot(
+      root: ObjectNode,
+      snapshotId: Long,
+      seq: Long,
+      nowMs: Long,
+      listPath: Path,
+      operation: String,
+      summaryExtras: Seq[(String, String)]
+  ): Unit = {
+    if (!root.has("snapshot-log")) root.set[ObjectNode]("snapshot-log", mapper.createArrayNode())
+    root.put("last-updated-ms", nowMs)
+    root.put("last-sequence-number", seq)
+    root.put("current-snapshot-id", snapshotId)
+    val sn = mapper.createObjectNode()
+    sn.put("snapshot-id", snapshotId)
+    sn.put("sequence-number", seq)
+    sn.put("timestamp-ms", nowMs)
+    sn.put("manifest-list", listPath.toString)
+    sn.put("schema-id", root.path("current-schema-id").asInt(0))
+    val summary = mapper.createObjectNode()
+    summary.put("operation", operation)
+    summaryExtras.foreach { case (k, v) => summary.put(k, v) }
+    sn.set[ObjectNode]("summary", summary)
+    root.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("snapshots").add(sn)
+    val logEntry = mapper.createObjectNode()
+    logEntry.put("timestamp-ms", nowMs)
+    logEntry.put("snapshot-id", snapshotId)
+    root.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("snapshot-log").add(logEntry)
   }
 
   // ------------------------------------------------------ internals

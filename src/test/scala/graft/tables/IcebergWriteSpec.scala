@@ -54,6 +54,43 @@ class IcebergWriteSpec extends SparkSpec {
     assert(!fs.listStatus(new Path(dir)).exists(_.getPath.getName.startsWith("_staging")))
   }
 
+  test("deleteWhere writes position deletes the reader applies; time travel intact") {
+    val dir = tempDir("icew-del").toString + "/t"
+    val s1 = IcebergWrite.append(spark,
+      Seq((1L, "a", 0), (2L, "b", 0), (3L, "c", 1), (4L, "d", 1))
+        .toDF("id", "v", "part"), dir, Seq("part"))
+    val s2 = IcebergWrite.deleteWhere(spark, dir,
+      graft.core.Filters.normalize(Seq(Filter("id", "in", Seq(2, 3)))))
+    assert(s2 > s1)
+
+    val t = new IcebergTable("t", dir)
+    assert(t(spark, ReadArgs.empty).collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 4L))
+    // merge-on-read: NO data file rewritten — both partitions still
+    // serve their original files, plus delete files in the plan
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val meta = IcebergMeta.load(fs, dir)
+    val files = IcebergMeta.planFiles(fs, meta.snapshots.maxBy(_.sequenceNumber))
+    assert(files.count(_.content == 0) == files.filter(_.content == 0).map(_.path).distinct.size)
+    assert(files.exists(_.content == 1), "expected a position delete file planned")
+    // pre-delete snapshot still reads all rows
+    assert(t(spark, ReadArgs(extra = Map(t.SnapshotIdKey -> s1)))
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+    // a second delete composes; predicate touching partition col prunes
+    IcebergWrite.deleteWhere(spark, dir,
+      graft.core.Filters.normalize(Seq(Filter("part", "=", 1))))
+    assert(t(spark, ReadArgs.empty).collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // appended rows after a delete are untouched by it
+    IcebergWrite.append(spark, Seq((5L, "e", 0)).toDF("id", "v", "part"), dir)
+    assert(t(spark, ReadArgs.empty).collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 5L))
+    // no-match delete is a no-op (no new snapshot)
+    val before = IcebergMeta.load(fs, dir).snapshots.size
+    IcebergWrite.deleteWhere(spark, dir,
+      graft.core.Filters.normalize(Seq(Filter("id", "=", 999))))
+    assert(IcebergMeta.load(fs, dir).snapshots.size == before)
+  }
+
   test("appends interleave with exported Delta history refusals and schema checks") {
     val delta = tempDir("icew-delta").toString + "/t"
     DeltaWrite.append(spark, Seq((1L, "a")).toDF("id", "v"), delta)
