@@ -67,6 +67,28 @@ object IcebergMaintenance {
         }
     }
 
+  /** Compaction (the public `rewrite_data_files` action): read the
+    * CURRENT snapshot through the reader — position/equality deletes
+    * applied — and overwrite the table with the merged rows, so the
+    * new snapshot carries plain data files and no delete files. The
+    * merge-on-read debt ([[IcebergWrite.deleteWhere]]) is paid here
+    * once, instead of on every read; afterwards
+    * [[expireSnapshots]] reclaims the old files and
+    * [[DeltaConvert.fromIceberg]] (which refuses delete-carrying
+    * snapshots) accepts the table. Returns the committed snapshot id.
+    */
+  def rewriteDataFiles(spark: SparkSession, tablePath: String): Long = {
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val meta = IcebergMeta.load(fs, tablePath)
+    val spec = meta.specs.getOrElse(meta.defaultSpecId, Seq.empty)
+    require(spec.forall(_.transform == "identity"),
+      "rewrite_data_files supports identity partition specs only")
+    val partCols = spec.map(_.name)
+    val current = new IcebergTable("compact", tablePath)(spark, ReadArgs.empty)
+      .select(meta.schema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*)
+    IcebergWrite.overwrite(spark, current, tablePath, partCols)
+  }
+
   /** Retire all but the newest `keepLast` snapshots (the current
     * snapshot is always retained). Returns the expired snapshot ids;
     * no-op (no new metadata version) when nothing expires.

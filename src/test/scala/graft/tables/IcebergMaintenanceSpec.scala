@@ -93,6 +93,30 @@ class IcebergMaintenanceSpec extends SparkSpec {
     assert(v0.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("rewrite_data_files merges position deletes away; table becomes convertible") {
+    val dir = tempDir("icem-rw").toString + "/t"
+    IcebergWrite.append(spark,
+      Seq((1L, "a", 0), (2L, "b", 0), (3L, "c", 1)).toDF("id", "v", "part"),
+      dir, Seq("part"))
+    IcebergWrite.deleteWhere(spark, dir,
+      graft.core.Filters.normalize(Seq(graft.core.Filter("id", "=", 2))))
+    val fs = fsOf(dir)
+    assert(IcebergMeta.planFiles(fs,
+      IcebergMeta.load(fs, dir).snapshots.maxBy(_.sequenceNumber))
+      .exists(_.content == 1))
+
+    IcebergMaintenance.rewriteDataFiles(spark, dir)
+    val after = IcebergMeta.planFiles(fs,
+      IcebergMeta.load(fs, dir).snapshots.maxBy(_.sequenceNumber))
+    assert(after.forall(_.content == 0), "compacted snapshot must carry no delete files")
+    assert(new IcebergTable("t", dir)(spark, ReadArgs.empty)
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+    // the MoR-refusing conversion now accepts the table
+    DeltaConvert.fromIceberg(spark, dir)
+    assert(new DeltaTable("t", dir)(spark, ReadArgs.empty)
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+  }
+
   test("export after expire bumps past the expire's metadata version (no clobber)") {
     val dir = tempDir("icem-interleave").toString + "/t"
     DeltaWrite.append(spark, Seq((1L, "a")).toDF("id", "v"), dir)         // Delta v0
