@@ -180,8 +180,11 @@ object DeltaConvert {
       a.put("size", size)
       a.put("modificationTime", System.currentTimeMillis())
       a.put("dataChange", true)
-      stats.get(new Path(rel).getName)
-        .foreach(st => a.put("stats", st))
+      // zero-row files emit no stats row from the grouped job;
+      // numRecords must still be present (export + row tracking
+      // require it on every AddFile)
+      a.put("stats", stats.getOrElse(
+        DvDeleted.normalizePath(s"$dir/$rel"), """{"numRecords":0}"""))
       sb.append(s"""{"add":${mapper.writeValueAsString(a)}}""").append('\n')
     }
     require(DeltaWrite.writeCommitFile(spark, dir,

@@ -1638,7 +1638,8 @@ object DeltaWrite {
         throw new IllegalStateException(s"could not move staged file $file to $dest")
       val pv = partitionValuesFromPath(rel, partitionBy)
       val size = fs.getFileStatus(dest).getLen
-      StagedAdd(destPrefix + rel, pv, size, statsByFile.getByRel(rel))
+      StagedAdd(destPrefix + rel, pv, size,
+        statsByFile.get(DvDeleted.normalizePath(s"${staging.toString}/$rel")))
     }
     fs.delete(staging, true)
     adds
@@ -2342,7 +2343,11 @@ object DeltaWrite {
 
     statRows.map { r =>
       val fileUri = r.getAs[String]("_file")
-      val fileName = new Path(new java.net.URI(fileUri)).getName
+      // keyed by NORMALIZED FULL PATH: foreign layouts legitimately
+      // reuse basenames across partition dirs (part=0/data_0.parquet,
+      // part=1/data_0.parquet) and a name key would collide, pinning
+      // one file's min/max on both — silent wrong skipping
+      val fileKey = DvDeleted.normalizePath(fileUri)
       val node = mapper.createObjectNode()
       node.put("numRecords", r.getAs[Long]("_nr"))
       val minV = node.putObject("minValues")
@@ -2353,7 +2358,7 @@ object DeltaWrite {
         putStat(maxV, f, r.getAs[Any](s"_max_${f.name}"))
         nullC.put(f.name, r.getAs[Long](s"_nc_${f.name}"))
       }
-      fileName -> mapper.writeValueAsString(node)
+      fileKey -> mapper.writeValueAsString(node)
     }.toMap
   }
 
@@ -2368,13 +2373,6 @@ object DeltaWrite {
     case d: java.math.BigDecimal => node.put(f.name, d)
     case b: Boolean           => node.put(f.name, b)
     case other                => node.put(f.name, other.toString) // string/date/timestamp
-  }
-
-  /** Stats are keyed by bare file name during the one-job computation;
-    * rel paths from partitioned layouts end in that name.
-    */
-  private implicit class StatsLookup(m: Map[String, String]) {
-    def getByRel(rel: String): Option[String] = m.get(new Path(rel).getName)
   }
 
   private def listFilesRecursively(fs: FileSystem, dir: Path): Seq[Path] = {
@@ -2406,7 +2404,7 @@ object DeltaWrite {
     val fromPath = segs.flatMap { s =>
       s.split("=", 2) match {
         case Array(k, v) =>
-          val dec = java.net.URLDecoder.decode(v, "UTF-8")
+          val dec = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(v)
           Some(k -> (if (dec == "__HIVE_DEFAULT_PARTITION__") None else Some(dec)))
         case _ => None
       }

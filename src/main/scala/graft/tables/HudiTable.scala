@@ -147,7 +147,7 @@ class HudiTable(
     val values: Map[String, String] = partitionPath.split('/').flatMap { seg =>
       seg.split("=", 2) match {
         case Array(k, v) => Some(k ->
-          java.net.URLDecoder.decode(v, "UTF-8"))
+          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(v))
         case _ => None
       }
     }.toMap

@@ -499,7 +499,7 @@ object HudiWrite {
         else {
           val fgSeg = segs(segs.length - 2)
           require(fgSeg.startsWith("_fg="), s"unexpected staged layout: $rel")
-          (segs.dropRight(2), java.net.URLDecoder.decode(fgSeg.drop(4), "UTF-8"))
+          (segs.dropRight(2), org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(fgSeg.drop(4)))
         }
       val partition = partSegs.mkString("/")
       val relOut = (partSegs :+ s"${fileId}_${WriteToken}_$instant.parquet").mkString("/")

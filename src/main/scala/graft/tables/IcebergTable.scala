@@ -260,13 +260,9 @@ class IcebergTable(
     * [[normalizePathStr]]) — a consistent comparison key regardless
     * of which spelling each writer used.
     */
-  private def normalizePathCol(c: Column): Column =
-    regexp_replace(c, SchemePattern, "/")
+  private def normalizePathCol(c: Column): Column = PathNorm.normalizeCol(c)
 
-  private def normalizePathStr(p: String): String =
-    p.replaceFirst(SchemePattern, "/")
-
-  private val SchemePattern = "^[A-Za-z][A-Za-z0-9+.\\-]*:/+"
+  private def normalizePathStr(p: String): String = PathNorm.normalize(p)
 
   private def literalValue(v: Any, dt: DataType): Column = v match {
     case null => lit(null).cast(dt)

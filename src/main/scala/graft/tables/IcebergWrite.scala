@@ -111,22 +111,23 @@ object IcebergWrite {
     if (pruned.isEmpty) return snap0.id
 
     // one scan of the candidates: row positions from _metadata;
-    // partition columns re-attached from the manifest tuples (staged
-    // data files never store them)
-    val Scheme = "^[A-Za-z][A-Za-z0-9+.\\-]*:/+"
-    def normPath(p: String): String = p.replaceFirst(Scheme, "/")
+    // partition columns re-attached from the manifest tuples per
+    // file (coalesce: files that STORE the column — foreign writers —
+    // win; graft-staged hive files don't store it, so an
+    // all-or-nothing schema check would null them out in mixed tables)
     val base = spark.read.parquet(pruned.map(_.path): _*)
     var scan = base
-      .withColumn("_del_path", regexp_replace(col("_metadata.file_path"), Scheme, "/"))
+      .withColumn("_del_path", PathNorm.normalizeCol(col("_metadata.file_path")))
       .withColumn("_del_pos", col("_metadata.row_index"))
     partFields.foreach { pf =>
-      if (!base.columns.contains(pf.name)) {
-        val m: Map[String, String] = pruned.map { f =>
-          normPath(f.path) -> renderPartition(pf.dataType, f.partition.get(pf.name).orNull)
-        }.toMap
-        scan = scan.withColumn(pf.name,
-          element_at(typedLit(m), col("_del_path")).cast(pf.dataType))
-      }
+      val m: Map[String, String] = pruned.map { f =>
+        PathNorm.normalize(f.path) -> renderPartition(pf.dataType, f.partition.get(pf.name).orNull)
+      }.toMap
+      val attached = element_at(typedLit(m), col("_del_path")).cast(pf.dataType)
+      scan = scan.withColumn(pf.name,
+        if (base.columns.contains(pf.name))
+          org.apache.spark.sql.functions.coalesce(col(pf.name), attached)
+        else attached)
     }
     val pred = graft.core.Filters.toColumn(filters).getOrElse(lit(true))
     // spec ordering: position delete rows sort by (file_path, pos);
@@ -137,9 +138,15 @@ object IcebergWrite {
         partFields.map(pf => col(pf.name)): _*)
       .sortWithinPartitions(
         partFields.map(pf => col(pf.name)) ++ Seq(col("file_path"), col("pos")): _*)
-    if (matches.isEmpty) return snap0.id
 
+    // ONE distributed scan total: stage directly and decide the
+    // no-op from the staged output (an isEmpty probe would re-run
+    // the predicate scan just to check)
     val staged = stage(spark, matches, fs, table, partCols)
+    if (staged.isEmpty || staged.forall(_.recordCount == 0L)) {
+      staged.foreach(sf => fs.delete(new Path(sf.path), false))
+      return snap0.id
+    }
 
     // ---- optimistic commit loop (delete manifest + carried base) ---
     var attempt = 0
@@ -153,6 +160,25 @@ object IcebergWrite {
       val prevSnapshots = IcebergMeta.elements(baseRoot.path("snapshots"))
       val snapshotId = prevSnapshots.map(_.path("snapshot-id").asLong()).maxOption.getOrElse(0L) + 1
       val seq = baseRoot.path("last-sequence-number").asLong(0L) + 1
+
+      // rebase validation (the RowDelta rule): every data file the
+      // delete rows TARGET must still be live in the base we commit
+      // onto — a concurrent overwrite/compaction that rewrote them
+      // would make this delete a silent no-op that reports success
+      val baseMeta = IcebergMeta.parse(baseRoot, tablePath)
+      val baseSnap = baseMeta.currentSnapshotId
+        .flatMap(id => baseMeta.snapshots.find(_.id == id))
+        .getOrElse(throw new java.util.ConcurrentModificationException(
+          s"$tablePath lost its current snapshot while deleting"))
+      val live = IcebergMeta.planFiles(fs, baseSnap)
+        .filter(_.content == 0).map(f => PathNorm.normalize(f.path)).toSet
+      val vanished = pruned.map(f => PathNorm.normalize(f.path)).filterNot(live)
+      if (vanished.nonEmpty) {
+        staged.foreach(sf => fs.delete(new Path(sf.path), false))
+        throw new java.util.ConcurrentModificationException(
+          s"deleteWhere on $tablePath raced a rewrite of ${vanished.size} " +
+            "candidate file(s); replan against the new snapshot")
+      }
 
       val schemas = baseRoot.path("schemas")
       val cur = baseRoot.path("current-schema-id").asInt(0)
@@ -565,7 +591,7 @@ object IcebergWrite {
     val fromPath = rel.split('/').dropRight(1).flatMap { s =>
       s.split("=", 2) match {
         case Array(k, v) =>
-          val dec = java.net.URLDecoder.decode(v, "UTF-8")
+          val dec = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(v)
           Some(k -> (if (dec == "__HIVE_DEFAULT_PARTITION__") None else Some(dec)))
         case _ => None
       }

@@ -64,6 +64,33 @@ class DeltaConvertSpec extends SparkSpec {
     assert(narrow.count() == 100L)
   }
 
+  test("foreign layouts reusing basenames across partitions keep per-file stats") {
+    // pyarrow/duckdb-style layout: BOTH partitions name their file
+    // data_0.parquet — name-keyed stats would collide and mis-skip
+    val dir = tempDir("conv-basename").toString + "/t"
+    val fs = fsOf(dir)
+    def plant(part: Int, ids: Range): Unit = {
+      val tmp = tempDir(s"conv-bn-$part").toString + "/out"
+      ids.map(i => (i.toLong, s"v$i")).toDF("id", "v").coalesce(1).write.parquet(tmp)
+      val src = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      fs.mkdirs(new Path(dir, s"part=$part"))
+      fs.rename(new Path(src.toString), new Path(dir, s"part=$part/data_0.parquet"))
+    }
+    plant(0, 0 until 10)
+    plant(1, 100 until 110)
+    DeltaConvert.fromParquet(spark, dir)
+    val t = new DeltaTable("t", dir)
+    assert(t(spark, ReadArgs.empty).count() == 20L)
+    // id<50 lives ONLY in part=0's file; colliding stats would either
+    // skip it or fail to skip part=1
+    val narrow = t(spark, ReadArgs(
+      filters = graft.core.Filters.normalize(Seq(Filter("id", "<", 50)))))
+    assert(narrow.count() == 10L)
+    assert(narrow.inputFiles.length == 1, narrow.inputFiles.mkString(", "))
+    assert(narrow.inputFiles.head.contains("part=0"))
+  }
+
   test("Hudi table converts to its snapshot without the meta columns") {
     val dir = tempDir("conv-hudi").toString + "/t"
     HudiWrite.bulkInsert(spark,
