@@ -148,12 +148,9 @@ object IcebergWrite {
       return snap0.id
     }
 
-    // ---- optimistic commit loop (delete manifest + carried base) ---
-    var attempt = 0
-    while (true) {
-      attempt += 1
-      val baseV = latestVersionByScan(fs, metaDir)
-      val baseRoot = baseV.map(v => readRoot(fs, metaDir, v))
+    // ---- optimistic commit (delete manifest + carried base) --------
+    publishLoop(fs, metaDir, tablePath, "delete") { (baseVOpt, baseRootOpt) =>
+      val baseRoot = baseRootOpt
         .getOrElse(throw new IllegalStateException(s"metadata vanished under $metaDir"))
       val uuid = java.util.UUID.randomUUID().toString
       val nowMs = System.currentTimeMillis()
@@ -265,22 +262,8 @@ object IcebergWrite {
         summaryExtras = Seq(
           "added-delete-files" -> staged.size.toString,
           "added-position-deletes" -> staged.map(_.recordCount).sum.toString))
-
-      val newV = baseV.getOrElse(0) + 1
-      val target = new Path(metaDir, s"v$newV.metadata.json")
-      if (publishIfAbsent(fs, target,
-        mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))) {
-        val hint = fs.create(new Path(metaDir, "version-hint.text"), true)
-        try hint.write(newV.toString.getBytes("UTF-8")) finally hint.close()
-        return snapshotId
-      }
-      fs.delete(manifestPath, false)
-      fs.delete(listPath, false)
-      if (attempt >= MaxAttempts)
-        throw new java.io.IOException(
-          s"could not commit delete to $tablePath after $MaxAttempts attempts")
+      (root, Seq(manifestPath, listPath), snapshotId)
     }
-    throw new IllegalStateException("unreachable")
   }
 
   /** Manifest partition value → the string Spark's partitionBy
@@ -336,12 +319,9 @@ object IcebergWrite {
     // ---- stage data files + per-file record counts (one job) -------
     val staged = stage(spark, ordered, fs, table, partCols)
 
-    // ---- optimistic commit loop ------------------------------------
-    var attempt = 0
-    while (true) {
-      attempt += 1
-      val baseV = latestVersionByScan(fs, metaDir)
-      val baseRoot = baseV.map(v => readRoot(fs, metaDir, v))
+    // ---- optimistic commit (shared publish loop) -------------------
+    publishLoop(fs, metaDir, tablePath,
+      if (carryBase) "append" else "overwrite") { (baseVOpt, baseRoot) =>
       val uuid = java.util.UUID.randomUUID().toString
       val nowMs = System.currentTimeMillis()
       val prevSnapshots = baseRoot.map(r => IcebergMeta.elements(r.path("snapshots")))
@@ -482,7 +462,30 @@ object IcebergWrite {
         summaryExtras = Seq(
           "added-data-files" -> staged.size.toString,
           "added-records" -> staged.map(_.recordCount).sum.toString))
+      (root, Seq(manifestPath, listPath), snapshotId)
+    }
+  }
 
+  /** The optimistic Hadoop-catalog publish loop shared by every
+    * snapshot-producing commit (append/overwrite and deleteWhere):
+    * each attempt re-reads the latest committed metadata by scan,
+    * asks `attemptFn` to build the new root (plus the temp manifest
+    * files to discard on a lost race), and publishes put-if-absent at
+    * scanMax+1. `attemptFn` may throw to abort the whole commit (e.g.
+    * rebase validation).
+    */
+  private def publishLoop(
+      fs: FileSystem,
+      metaDir: Path,
+      tablePath: String,
+      what: String
+  )(attemptFn: (Option[Int], Option[JsonNode]) => (ObjectNode, Seq[Path], Long)): Long = {
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val baseV = latestVersionByScan(fs, metaDir)
+      val baseRoot = baseV.map(v => readRoot(fs, metaDir, v))
+      val (root, temps, snapshotId) = attemptFn(baseV, baseRoot)
       val newV = baseV.getOrElse(0) + 1
       val target = new Path(metaDir, s"v$newV.metadata.json")
       if (publishIfAbsent(fs, target,
@@ -491,12 +494,10 @@ object IcebergWrite {
         try hint.write(newV.toString.getBytes("UTF-8")) finally hint.close()
         return snapshotId
       }
-      // lost the race: discard this attempt's manifests, re-read, retry
-      fs.delete(manifestPath, false)
-      fs.delete(listPath, false)
+      temps.foreach(fs.delete(_, false))
       if (attempt >= MaxAttempts)
         throw new java.io.IOException(
-          s"could not commit to $tablePath after $MaxAttempts attempts")
+          s"could not commit $what to $tablePath after $MaxAttempts attempts")
     }
     throw new IllegalStateException("unreachable")
   }
