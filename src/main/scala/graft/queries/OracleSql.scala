@@ -1628,6 +1628,13 @@ object OracleSql {
            |FROM nation WHERE n_nationkey NOT IN ($keys)
            |ORDER BY n_nationkey""".stripMargin
       },
+      // post-compaction snapshot: same survivors as the MoR delete
+      "q_iceberg_compact" -> {
+        val keys = Wave6Queries.IcebergDeleteParams.Keys.mkString(", ")
+        s"""SELECT n_nationkey, n_name, n_regionkey
+           |FROM nation WHERE n_nationkey NOT IN ($keys)
+           |ORDER BY n_nationkey""".stripMargin
+      },
       // hard negatives: the knn-brute shape with a label-difference
       // constraint — same rounded cosine, same total-order tie-break
       "q_hard_negatives" ->

@@ -133,7 +133,8 @@ object QueryCatalog {
     Entry("q_convert_delta", Wave6Queries.qConvertDelta),
     Entry("q_hard_negatives", Wave6Queries.qHardNegatives),
     Entry("q_emb_outliers", Wave6Queries.qEmbOutliers),
-    Entry("q_iceberg_delete", Wave6Queries.qIcebergDelete)
+    Entry("q_iceberg_delete", Wave6Queries.qIcebergDelete),
+    Entry("q_iceberg_compact", Wave6Queries.qIcebergCompact)
   )
 
   def queries: Map[String, QueryFn] =

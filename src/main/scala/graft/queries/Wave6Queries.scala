@@ -350,6 +350,36 @@ object Wave6Queries {
       .orderBy("n_nationkey")
   }
 
+  private val icebergCompacted = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Same delete pipeline, then rewrite_data_files pays the
+    * merge-on-read debt: the compacted snapshot must read identically
+    * while carrying zero delete files.
+    */
+  private def compactedNation(s: SparkSession, dir: String): String =
+    icebergCompacted.getOrElseUpdate(dir, {
+      import graft.core.Filter
+      import graft.tables.{IcebergMaintenance, IcebergWrite}
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_iceberg_comp").toString + "/nation"
+      IcebergWrite.append(s,
+        t(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey"),
+        path, Seq("n_regionkey"))
+      IcebergWrite.deleteWhere(s, path, graft.core.Filters.normalize(
+        Seq(Filter("n_nationkey", "in", IcebergDeleteParams.Keys))))
+      IcebergMaintenance.rewriteDataFiles(s, path)
+      path
+    })
+
+  /** Post-compaction snapshot: identical survivors, merge-on-read
+    * debt paid (the spec separately asserts zero delete files plan).
+    */
+  def qIcebergCompact(s: SparkSession, dir: String): DataFrame = {
+    import graft.tables.{IcebergTable, ReadArgs}
+    new IcebergTable("nation_comp", compactedNation(s, dir))(s, ReadArgs.empty)
+      .orderBy("n_nationkey")
+  }
+
   // ---------- P65: embedding outlier filtering ----------
 
   object OutlierParams { val TopK = 2 }
