@@ -23,9 +23,10 @@ object IcebergMeta {
 
   private val mapper = new ObjectMapper()
 
-  /** One field of a partition spec. Only `identity` transforms
-    * participate in pruning; any other transform reads as
-    * non-prunable (may-match) — correct, never fast-wrong.
+  /** One field of a partition spec. Identity and the spec's
+    * bucket/truncate/time transforms all participate in pruning
+    * (see [[mayMatch]]); unknown transforms read as non-prunable
+    * (may-match) — correct, never fast-wrong.
     */
   final case class SpecField(name: String, transform: String, sourceId: Int, fieldId: Int)
 
@@ -272,28 +273,43 @@ object IcebergMeta {
     }
   }
 
-  /** Identity-transform partition pruning with the exact semantics of
-    * [[DeltaFileSkipping]]'s partition matcher (DNF may-match; a file
-    * survives if any conjunction may match; non-identity transforms
-    * and unknown columns never prune).
+  /** Partition pruning on manifest entries with the exact semantics
+    * of [[DeltaFileSkipping]]'s partition matcher (DNF may-match; a
+    * file survives if any conjunction may match; unknown columns and
+    * unknown transforms never prune). Identity transforms compare the
+    * recorded value directly; `bucket`/`truncate`/`year`/`month`/
+    * `day`/`hour` evaluate the transform on the filter literal via
+    * [[IcebergTransforms]] — equality pruning for bucket, full range
+    * pruning for the order-preserving transforms.
+    *
+    * A spec field's SOURCE column resolves through the spec's
+    * source-id (the partition field name differs from the column for
+    * non-identity transforms, e.g. `ts_day`); when several spec
+    * fields derive from the same column, ALL must may-match.
     */
-  def identityMayMatch(
+  def mayMatch(
       file: ContentFile,
       spec: Seq[SpecField],
-      schema: StructType,
+      meta: TableMeta,
       filters: Filters.Normalized
   ): Boolean = {
     if (filters.isEmpty) return true
-    val identity: Map[String, Any] = spec.collect {
-      case sf if sf.transform == "identity" && file.partition.contains(sf.name) =>
-        sf.name -> file.partition(sf.name)
-    }.toMap
     filters.exists(conj => conj.forall { f =>
-      identity.get(f.column) match {
-        case None => true
-        case Some(v) =>
-          val dt = schema.fields.find(_.name == f.column).map(_.dataType)
-          dt.forall(t => DeltaFileSkipping.partitionMayMatch(stringValue(v, t), f, t))
+      spec.forall { sf =>
+        val source = meta.schemaFieldIds.getOrElse(sf.sourceId, sf.name)
+        if (source != f.column || !file.partition.contains(sf.name)) true
+        else {
+          val v = file.partition(sf.name)
+          val dtOpt = meta.schema.fields.find(_.name == source).map(_.dataType)
+          dtOpt.forall { dt =>
+            IcebergTransforms.parse(sf.transform) match {
+              case Some(IcebergTransforms.Identity) =>
+                DeltaFileSkipping.partitionMayMatch(stringValue(v, dt), f, dt)
+              case Some(t) => IcebergTransforms.mayMatch(t, dt, v, f)
+              case None    => true
+            }
+          }
+        }
       }
     })
   }

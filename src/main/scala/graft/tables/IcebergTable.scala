@@ -16,11 +16,13 @@ import org.apache.spark.sql.types._
   *  - metadata (manifest list + manifests) is driver-side,
   *    bounded work; the data scan is a plain distributed parquet read
   *    with Catalyst pushdown,
-  *  - identity-transform partition pruning runs on manifest entries
-  *    before any data file opens (exact may-match, shared semantics
-  *    with [[DeltaFileSkipping]]); non-identity transforms
-  *    (bucket/truncate/days/…) never prune — correct, never
-  *    fast-wrong — and the exact predicate is always re-applied on
+  *  - partition pruning runs on manifest entries before any data file
+  *    opens (exact may-match, shared semantics with
+  *    [[DeltaFileSkipping]]): identity transforms compare recorded
+  *    values; bucket/truncate/year/month/day/hour evaluate the
+  *    transform on the filter literals ([[IcebergTransforms]]) —
+  *    equality pruning for bucket, range pruning for the ordered
+  *    transforms — and the exact predicate is always re-applied on
   *    rows,
   *  - v2 merge-on-read DELETES are applied distributedly: position
   *    delete files anti-join on (file_path, pos) against the scan's
@@ -66,8 +68,8 @@ class IcebergTable(
     val files = IcebergMeta.planFiles(fs, snap)
     val (deleteFiles, dataFiles) = files.partition(_.content != 0)
     val pruned = dataFiles.filter(f =>
-      IcebergMeta.identityMayMatch(
-        f, meta.specs.getOrElse(f.specId, Seq.empty), meta.schema, args.filters))
+      IcebergMeta.mayMatch(
+        f, meta.specs.getOrElse(f.specId, Seq.empty), meta, args.filters))
 
     var df = readData(spark, meta, pruned, withDeletes = deleteFiles.nonEmpty)
     if (deleteFiles.nonEmpty) {
@@ -125,8 +127,8 @@ class IcebergTable(
 
     val added = toFiles.filter(f => f.content == 0 && !fromData(f.path))
     val pruned = added.filter(f =>
-      IcebergMeta.identityMayMatch(
-        f, meta.specs.getOrElse(f.specId, Seq.empty), meta.schema, args.filters))
+      IcebergMeta.mayMatch(
+        f, meta.specs.getOrElse(f.specId, Seq.empty), meta, args.filters))
     var df = readData(spark, meta, pruned, withDeletes = false)
     Filters.toColumn(args.filters).foreach(p => df = df.filter(p))
     args.columns.foreach(cols => df = df.select(cols.map(col): _*))

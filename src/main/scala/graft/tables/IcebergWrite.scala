@@ -107,7 +107,7 @@ object IcebergWrite {
 
     val dataFiles = IcebergMeta.planFiles(fs, snap0).filter(_.content == 0)
     val pruned = dataFiles.filter(f =>
-      IcebergMeta.identityMayMatch(f, spec, meta0.schema, filters))
+      IcebergMeta.mayMatch(f, spec, meta0, filters))
     if (pruned.isEmpty) return snap0.id
 
     // one scan of the candidates: row positions from _metadata;
