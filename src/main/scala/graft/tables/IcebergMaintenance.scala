@@ -26,33 +26,61 @@ import org.apache.spark.sql.SparkSession
   *    (protecting in-flight writes) — crashed staging dirs, files
   *    from failed commits.
   *
-  * Scale shape: reachability is O(metadata) driver work (manifest
-  * lists + manifests — the same bound as every other metadata path
-  * here); the ORPHAN LISTING and both DELETE passes run as Spark
-  * jobs over a parallelized dataset, mirroring the distributed VACUUM
-  * discipline (R45) — the 10⁷-file table where even the file list
-  * outgrows the driver.
+  * Scale shape: only MANIFEST-level reachability (manifest lists +
+  * manifest paths, O(manifests)) is driver work. CONTENT-file
+  * reachability — O(files), the set that outgrows a driver at 10⁷
+  * files — is a distributed dataset end-to-end: manifest paths
+  * parallelize, executors read the Avro entries, and both expire's
+  * dead-diff and orphan removal's keep-check are anti-diffs
+  * (`except`) between datasets, mirroring the distributed VACUUM
+  * discipline (R45). The orphan LISTING and all DELETE passes are
+  * Spark jobs too; [[IcebergMeta.driverContentFilePlans]] stays flat
+  * across maintenance (spec-asserted).
   */
 object IcebergMaintenance {
 
   private val mapper = new ObjectMapper()
   private val MaxAttempts = 10
 
-  /** Files a snapshot pins: its manifest list, its manifests, and the
-    * content (data/delete) file paths those manifests carry.
+  /** METADATA a snapshot set pins — manifest lists and manifest
+    * paths, O(manifests) driver work. Content-file reachability is
+    * deliberately NOT here: content paths are O(files), not
+    * O(metadata), so they only ever exist as the distributed
+    * [[contentPaths]] dataset (the R45/R39 discipline; Delta's
+    * distributed VACUUM active set is the same shape).
     */
-  private final case class Reachable(
-      manifestLists: Set[String], manifests: Set[String], contentFiles: Set[String])
+  private final case class MetaReachable(manifestLists: Set[String], manifests: Set[String])
 
-  private def reachable(fs: FileSystem, snapshots: Seq[IcebergMeta.SnapshotInfo]): Reachable = {
+  private def metaReachable(
+      fs: FileSystem, snapshots: Seq[IcebergMeta.SnapshotInfo]): MetaReachable = {
     val lists = snapshots.map(_.manifestList).toSet
     val manifests = snapshots.flatMap { s =>
       IcebergMeta.readAvro(fs, new Path(s.manifestList)).map(_.get("manifest_path").toString)
     }.toSet
-    // planFiles resolves partition/seq metadata we don't need, but it
-    // is the one battle-tested manifest reader; reuse it for paths
-    val files = snapshots.flatMap(s => IcebergMeta.planFiles(fs, s).map(_.path)).toSet
-    Reachable(lists, manifests, files)
+    MetaReachable(lists, manifests)
+  }
+
+  /** The content-file paths (URI-path normalized) the given manifests
+    * carry, as a DISTRIBUTED dataset: manifest paths parallelize,
+    * each executor task reads its manifests' Avro entries — at the
+    * 10⁷-file scale the file set never touches the driver
+    * ([[IcebergMeta.driverContentFilePlans]] stays flat; the
+    * maintenance spec asserts it).
+    */
+  private def contentPaths(
+      spark: SparkSession, manifests: Seq[String]): org.apache.spark.sql.Dataset[String] = {
+    import spark.implicits._
+    val distinct = manifests.distinct
+    if (distinct.isEmpty) return spark.emptyDataset[String]
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    spark.sparkContext
+      .parallelize(distinct, math.max(1, math.min(distinct.size, 32)))
+      .flatMap { m =>
+        val p = new Path(m)
+        IcebergMeta.manifestContentPaths(p.getFileSystem(conf.value), p)
+          .map(cp => new Path(cp).toUri.getPath)
+      }.toDS()
   }
 
   private def distributedDelete(spark: SparkSession, tableRoot: String, paths: Seq[String]): Unit =
@@ -136,14 +164,28 @@ object IcebergMaintenance {
         // ---- physical cleanup: only what NO retained snapshot pins.
         // Shared files are the norm (append carries manifests forward)
         // — the set difference, not the expired set, is what deletes.
-        val live = reachable(fs, retained)
-        val dead = reachable(fs, expired)
+        val live = metaReachable(fs, retained)
+        val dead = metaReachable(fs, expired)
         val deadLists = (dead.manifestLists -- live.manifestLists).toSeq
         val deadManifests = (dead.manifests -- live.manifests).toSeq
-        val deadContent =
-          if (deltaOwned) Seq.empty // Delta VACUUM owns the data files
-          else (dead.contentFiles -- live.contentFiles).toSeq
-        distributedDelete(spark, tablePath, deadLists ++ deadManifests ++ deadContent)
+        if (!deltaOwned) { // Delta VACUUM owns a Delta-owned table's data
+          // content diff runs distributed end-to-end: a manifest the
+          // live side shares contributes nothing (all its files are
+          // live), so only dead-ONLY manifests are even read; the
+          // anti-diff against every live manifest's files catches
+          // file-level sharing across rewritten manifests. Content
+          // deletes MUST land before the manifests they were read
+          // from are deleted (except is lazy until foreachPartition).
+          val conf = new org.apache.spark.util.SerializableConfiguration(
+            spark.sparkContext.hadoopConfiguration)
+          contentPaths(spark, deadManifests)
+            .except(contentPaths(spark, live.manifests.toSeq))
+            .foreachPartition { (it: Iterator[String]) =>
+              val dfs = new Path(tablePath).getFileSystem(conf.value)
+              it.foreach(p => dfs.delete(new Path(p), false))
+            }
+        }
+        distributedDelete(spark, tablePath, deadLists ++ deadManifests)
         return expired.map(_.id)
       }
       if (attempt >= MaxAttempts)
@@ -171,12 +213,14 @@ object IcebergMaintenance {
     require(fs.exists(metaDir), s"no Iceberg metadata under $metaDir")
 
     val meta = IcebergMeta.load(fs, tablePath)
-    val live = reachable(fs, meta.snapshots)
+    val live = metaReachable(fs, meta.snapshots)
     val metaFiles = fs.listStatus(metaDir).map(_.getPath.toUri.getPath).toSet
-    val keep: Set[String] =
+    // METADATA keep-set only — O(manifests), broadcastable by design.
+    // Content files are the O(files) side and stay a distributed
+    // anti-join below, never a driver set.
+    val keepMeta: Set[String] =
       live.manifestLists.map(p => new Path(p).toUri.getPath) ++
         live.manifests.map(p => new Path(p).toUri.getPath) ++
-        live.contentFiles.map(p => new Path(p).toUri.getPath) ++
         metaFiles
 
     // candidate dirs driver-side at DIRECTORY granularity (R45's BFS
@@ -192,9 +236,10 @@ object IcebergMaintenance {
 
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
-    val keepB = spark.sparkContext.broadcast(keep)
+    val keepB = spark.sparkContext.broadcast(keepMeta)
     val cutoff = olderThanMs
-    val deleted = spark.sparkContext
+    import spark.implicits._
+    val candidates = spark.sparkContext
       .parallelize(dirs.toSeq, math.max(1, math.min(dirs.size, 32)))
       .flatMap { d =>
         val dfs = new Path(d).getFileSystem(conf.value)
@@ -202,7 +247,11 @@ object IcebergMaintenance {
           .filter(st => st.isFile && st.getModificationTime < cutoff &&
             !keepB.value.contains(st.getPath.toUri.getPath))
           .map(_.getPath.toUri.getPath).toSeq
-      }
+      }.toDS()
+    // referenced content files drop out via distributed anti-diff;
+    // what survives is orphaned by definition (and aged past cutoff)
+    val deleted = candidates
+      .except(contentPaths(spark, live.manifests.toSeq))
       .mapPartitions { it =>
         val dfs = new Path(tablePath).getFileSystem(conf.value)
         it.map { p => dfs.delete(new Path(p), false); p }

@@ -238,12 +238,21 @@ object IcebergMeta {
     }
   }
 
+  /** Counts DRIVER-side content-file materializations ([[planFiles]]
+    * calls): the scan-planning primitive is allowed to pay O(files)
+    * on the driver, maintenance reachability is NOT — its spec
+    * asserts this stays flat across expire/orphan runs (the
+    * driverFileReplays discipline, [[DeltaLog]]:416).
+    */
+  private[graft] val driverContentFilePlans = new java.util.concurrent.atomic.AtomicLong
+
   /** Plan the snapshot's content files: live (non-DELETED-status)
     * entries of every manifest in its manifest list, with v2 sequence
     * -number inheritance (a null entry sequence number inherits the
     * manifest's).
     */
   def planFiles(fs: FileSystem, snapshot: SnapshotInfo): Seq[ContentFile] = {
+    driverContentFilePlans.incrementAndGet()
     readAvro(fs, new Path(snapshot.manifestList)).flatMap { m =>
       val manifestPath = m.get("manifest_path").toString
       val manifestSeq = longField(m, "sequence_number").getOrElse(0L)
@@ -354,6 +363,18 @@ object IcebergMeta {
     case u: org.apache.avro.util.Utf8 => u.toString
     case other                        => other
   }
+
+  /** Content-file paths of one manifest (live entries, the same
+    * status gate as [[planFiles]]) — the EXECUTOR-side reachability
+    * primitive: maintenance parallelizes manifest paths and calls
+    * this per manifest, so no content-file set ever materializes on
+    * the driver (asserted via [[driverContentFilePlans]]).
+    */
+  def manifestContentPaths(fs: FileSystem, manifestPath: Path): Seq[String] =
+    readAvro(fs, manifestPath).collect {
+      case e if intField(e, "status").getOrElse(0) != 2 =>
+        e.get("data_file").asInstanceOf[GenericRecord].get("file_path").toString
+    }
 
   private def fieldOf(r: GenericRecord, name: String): Option[Any] =
     if (r.getSchema.getField(name) != null) Option(r.get(name)) else None

@@ -38,7 +38,12 @@ class IcebergMaintenanceSpec extends SparkSpec {
     val newFiles = dataFiles(dir, metaBefore.snapshots.find(_.id != s1).get)
     assert(oldFiles.nonEmpty && oldFiles.forall(p => fs.exists(new Path(p))))
 
+    // the R45 discipline: expire's content-file reachability must run
+    // as Spark jobs, never as a driver planFiles materialization
+    val plansBefore = IcebergMeta.driverContentFilePlans.get()
     val expired = IcebergMaintenance.expireSnapshots(spark, dir, keepLast = 1)
+    assert(IcebergMeta.driverContentFilePlans.get() == plansBefore,
+      "expireSnapshots materialized content files on the driver")
     assert(expired == Seq(s1))
     val meta = IcebergMeta.load(fs, dir)
     assert(meta.snapshots.map(_.id) == Seq(metaBefore.currentSnapshotId.get))
@@ -171,9 +176,13 @@ class IcebergMaintenanceSpec extends SparkSpec {
     assert(IcebergMaintenance.removeOrphanFiles(spark, dir, olderThanMs = 0L).isEmpty)
     assert(fs.exists(stray) && fs.exists(staged))
 
-    // cutoff in the future: orphans go, live files stay
+    // cutoff in the future: orphans go, live files stay — and the
+    // keep-side content files never materialize on the driver
+    val plansBefore = IcebergMeta.driverContentFilePlans.get()
     val deleted = IcebergMaintenance.removeOrphanFiles(
       spark, dir, olderThanMs = System.currentTimeMillis() + 60000)
+    assert(IcebergMeta.driverContentFilePlans.get() == plansBefore,
+      "removeOrphanFiles materialized content files on the driver")
     assert(deleted.toSet ==
       Set(stray.toUri.getPath, staged.toUri.getPath, stagedPart.toUri.getPath))
     assert(!fs.exists(stray) && !fs.exists(staged.getParent))
