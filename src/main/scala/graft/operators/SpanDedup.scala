@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.{PortableHash, TextHashExpressions}
+import graft.functions.TextHashExpressions
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -20,9 +20,11 @@ import org.apache.spark.sql.functions._
   * winners, one groupBy collecting each doc's DROPPED positions — a
   * list bounded by the doc's span count, usually empty), and the
   * reconstruction is a scan-side HOF over a by-id join of the
-  * drop-lists back to the corpus. Span identity is the portable md5
-  * ([[PortableHash]]), so the whole flow — winner choice included —
-  * replays bit-for-bit in the DuckDB oracle.
+  * drop-lists back to the corpus. Span identity is the FULL 128-bit
+  * md5 hex — a 31-bit reduction would birthday-collide around
+  * 50-100k distinct spans and silently excise unrelated text at
+  * corpus scale — and md5 is engine-portable, so the whole flow,
+  * winner choice included, replays bit-for-bit in the DuckDB oracle.
   *
   * Reconstruction is whitespace-normalizing (tokens rejoin with
   * single spaces) — the usual corpus-prep convention, and the only
@@ -45,7 +47,7 @@ object SpanDedup {
       col(idCol).as("_d"),
       posexplode(TextHashExpressions.wordChunks(col(textCol), n))
         .as(Seq("_pos", "_c")))
-      .select(col("_d"), col("_pos"), PortableHash.md5Mod(col("_c")).as("_h"))
+      .select(col("_d"), col("_pos"), md5(col("_c")).as("_h"))
 
     // global first occurrence per span: min (doc, pos) — deterministic
     val winners = spans.groupBy("_h")

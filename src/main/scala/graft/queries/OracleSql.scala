@@ -1971,7 +1971,7 @@ object OracleSql {
        |pos AS (SELECT doc_id, toks, unnest(range(0, m)) AS pos FROM base),
        |hs AS (
        |  SELECT doc_id, pos,
-       |    ${PortableHash.Sql.md5Mod(s"array_to_string(toks[(pos*$n+1):(pos*$n+$n)], ' ')")} AS h
+       |    md5(array_to_string(toks[(pos*$n+1):(pos*$n+$n)], ' ')) AS h
        |  FROM pos),
        |rk AS (
        |  SELECT doc_id, pos,

@@ -172,7 +172,7 @@ object DeltaConvert {
     sb.append(s"""{"metaData":${mapper.writeValueAsString(m)}}""").append('\n')
     adds.foreach { case (rel, pv, size) =>
       val a = mapper.createObjectNode()
-      a.put("path", rel)
+      a.put("path", DeltaLog.encodePath(rel))
       val pvNode = a.putObject("partitionValues")
       pv.foreach { case (k, v) =>
         v match { case Some(s) => pvNode.put(k, s); case None => pvNode.putNull(k) }
@@ -180,11 +180,18 @@ object DeltaConvert {
       a.put("size", size)
       a.put("modificationTime", System.currentTimeMillis())
       a.put("dataChange", true)
-      // zero-row files emit no stats row from the grouped job;
+      // zero-row files emit no stats row from the grouped job but
       // numRecords must still be present (export + row tracking
-      // require it on every AddFile)
-      a.put("stats", stats.getOrElse(
-        DvDeleted.normalizePath(s"$dir/$rel"), """{"numRecords":0}"""))
+      // require it on every AddFile). A miss is ONLY legal for a
+      // genuinely empty file — re-probe and fail loudly otherwise,
+      // because committing numRecords:0 for live rows corrupts every
+      // stats consumer downstream
+      a.put("stats", stats.getOrElse(DvDeleted.normalizePath(s"$dir/$rel"), {
+        val probed = spark.read.parquet(s"$dir/$rel").count()
+        require(probed == 0L,
+          s"stats lookup missed non-empty file $rel ($probed rows) — path-key bug")
+        """{"numRecords":0}"""
+      }))
       sb.append(s"""{"add":${mapper.writeValueAsString(a)}}""").append('\n')
     }
     require(DeltaWrite.writeCommitFile(spark, dir,

@@ -513,7 +513,7 @@ object DeltaDdl {
 
     val adds = snap.files.map { f =>
       val a = mapper.createObjectNode()
-      a.put("path", DeltaLog.resolvePath(absBase, f.path))
+      a.put("path", DeltaLog.encodePath(DeltaLog.resolvePath(absBase, f.path)))
       val pvNode = a.putObject("partitionValues")
       f.partitionValues.foreach { case (k, v) =>
         v match { case Some(s) => pvNode.put(k, s); case None => pvNode.putNull(k) }

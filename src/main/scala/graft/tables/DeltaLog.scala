@@ -957,6 +957,25 @@ object DeltaLog {
     try java.net.URI.create(p).getPath
     catch { case _: IllegalArgumentException => p }
 
+  /** [[decodePath]]'s exact inverse, applied at EVERY action write
+    * site (commits, cdc, checkpoints): RFC 3986 pchar set kept
+    * literal except ':' (a colon in a relative URI's first segment
+    * would parse as a scheme) — everything else, '%' included,
+    * percent-encodes its UTF-8 bytes. Without this, a Hive-escaped
+    * partition dir like `part=x%3Ay` written raw would DECODE on read
+    * to `part=x:y` and miss the file.
+    */
+  private[tables] def encodePath(p: String): String = {
+    val sb = new StringBuilder(p.length + 8)
+    p.getBytes(java.nio.charset.StandardCharsets.UTF_8).foreach { b =>
+      val c = (b & 0xff).toChar
+      val keep = (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+        (c >= '0' && c <= '9') || "-._~!$&'()*+,;=@/".indexOf(c.toInt) >= 0
+      if (keep) sb.append(c) else sb.append(f"%%${b & 0xff}%02X")
+    }
+    sb.toString
+  }
+
   /** The newest usable checkpoint at or below `target`: the newer of
     * the `_last_checkpoint` hint and the listing (shared by the
     * driver-side [[snapshot]] replay and [[filesDataset]]).

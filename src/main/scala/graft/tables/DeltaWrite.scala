@@ -728,7 +728,7 @@ object DeltaWrite {
     */
   private def removeJson(f: DeltaLog.AddFile, dataChange: Boolean): String = {
     val r = mapper.createObjectNode()
-    r.put("path", f.path)
+    r.put("path", DeltaLog.encodePath(f.path))
     r.put("deletionTimestamp", System.currentTimeMillis())
     r.put("dataChange", dataChange)
     r.put("extendedFileMetadata", true)
@@ -807,7 +807,7 @@ object DeltaWrite {
   /** Serialize a staged change-data file as a `cdc` action. */
   private def cdcJson(add: StagedAdd): String = {
     val c = mapper.createObjectNode()
-    c.put("path", add.rel)
+    c.put("path", DeltaLog.encodePath(add.rel))
     val pvNode = c.putObject("partitionValues")
     add.pv.foreach { case (k, v) =>
       v match { case Some(s) => pvNode.put(k, s); case None => pvNode.putNull(k) }
@@ -1819,7 +1819,7 @@ object DeltaWrite {
       removes.foreach(f => sb.append(removeJson(f, dataChange)).append('\n'))
       rowAdds.foreach { add =>
         val a = mapper.createObjectNode()
-        a.put("path", add.rel)
+        a.put("path", DeltaLog.encodePath(add.rel))
         val pvNode = a.putObject("partitionValues")
         add.pv.foreach { case (k, v) =>
           v match { case Some(s) => pvNode.put(k, s); case None => pvNode.putNull(k) }
@@ -1984,7 +1984,7 @@ object DeltaWrite {
     val tombstoneRows = DeltaLog.tombstones(spark, tablePath)
       .filter(_.deletionTimestamp > tombstoneCutoff)
       .map(t => CpRow(remove = Some(CpRemove(
-        t.path, t.deletionTimestamp, dataChange = false,
+        DeltaLog.encodePath(t.path), t.deletionTimestamp, dataChange = false,
         t.dv.map(d => CpDv(
           d.storageType, d.pathOrInlineDv, d.offset, d.sizeInBytes, d.cardinality))))))
 
@@ -2004,7 +2004,7 @@ object DeltaWrite {
           snap.metadata.configuration,
           snap.metadata.createdTime))) +:
         (snap.files.map(f => CpRow(add = Some(CpAdd(
-          f.path,
+          DeltaLog.encodePath(f.path),
           // protocol: null partition value → null map value
           f.partitionValues.map { case (k, v) => k -> v.orNull },
           f.size, 0L, dataChange = false, f.stats.orNull,
@@ -2086,7 +2086,8 @@ object DeltaWrite {
     val tombstoneCutoff = System.currentTimeMillis() - 7L * 24 * 3600 * 1000
     val fileRows: Seq[SidecarFileRow] =
       snap.files.map(f => SidecarFileRow(add = Some(CpAdd(
-        f.path, f.partitionValues.map { case (k, v) => k -> v.orNull },
+        DeltaLog.encodePath(f.path),
+        f.partitionValues.map { case (k, v) => k -> v.orNull },
         f.size, 0L, dataChange = false, f.stats.orNull,
         f.dv.map(d => CpDv(
           d.storageType, d.pathOrInlineDv, d.offset, d.sizeInBytes, d.cardinality)),
@@ -2095,7 +2096,7 @@ object DeltaWrite {
         DeltaLog.tombstones(spark, tablePath)
           .filter(_.deletionTimestamp > tombstoneCutoff)
           .map(t => SidecarFileRow(remove = Some(CpRemove(
-            t.path, t.deletionTimestamp, dataChange = false,
+            DeltaLog.encodePath(t.path), t.deletionTimestamp, dataChange = false,
             t.dv.map(d => CpDv(
               d.storageType, d.pathOrInlineDv, d.offset, d.sizeInBytes, d.cardinality))))))
 
@@ -2189,7 +2190,7 @@ object DeltaWrite {
           Option(d.getAs[Any]("offset")).map(_.asInstanceOf[Long]),
           d.getAs[Long]("sizeInBytes").toInt, d.getAs[Long]("cardinality")))
       SidecarFileRow(add = Some(CpAdd(
-        r.getAs[String]("path"),
+        DeltaLog.encodePath(r.getAs[String]("path")),
         Option(r.getAs[Map[String, String]]("partitionValues"))
           .map(_.toMap).getOrElse(Map.empty),
         r.getAs[Long]("size"), 0L, dataChange = false,
@@ -2201,7 +2202,7 @@ object DeltaWrite {
     val tombRows = DeltaLog.tombstones(spark, tablePath, versionAsOf = Some(snap.version))
       .filter(_.deletionTimestamp > tombstoneCutoff)
       .map(t => SidecarFileRow(remove = Some(CpRemove(
-        t.path, t.deletionTimestamp, dataChange = false,
+        DeltaLog.encodePath(t.path), t.deletionTimestamp, dataChange = false,
         t.dv.map(d => CpDv(
           d.storageType, d.pathOrInlineDv, d.offset, d.sizeInBytes, d.cardinality))))))
     val combined = addRows.union(tombRows.toDS())
@@ -2346,8 +2347,15 @@ object DeltaWrite {
       // keyed by NORMALIZED FULL PATH: foreign layouts legitimately
       // reuse basenames across partition dirs (part=0/data_0.parquet,
       // part=1/data_0.parquet) and a name key would collide, pinning
-      // one file's min/max on both — silent wrong skipping
-      val fileKey = DvDeleted.normalizePath(fileUri)
+      // one file's min/max on both — silent wrong skipping.
+      // input_file_name() is URI-ENCODED (a Hive-escaped dir like
+      // part=a%3Ab arrives as part=a%253Ab); callers look up with
+      // fs-listed RAW paths, so decode before normalizing or every
+      // special-char partition misses its stats
+      val decoded =
+        try new java.net.URI(fileUri).getPath
+        catch { case _: java.net.URISyntaxException => fileUri }
+      val fileKey = DvDeleted.normalizePath(decoded)
       val node = mapper.createObjectNode()
       node.put("numRecords", r.getAs[Long]("_nr"))
       val minV = node.putObject("minValues")

@@ -7,7 +7,7 @@ import org.apache.avro.file.DataFileWriter
 import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{col, count, element_at, lit, regexp_replace, typedLit}
+import org.apache.spark.sql.functions.{broadcast, col, count, element_at, lit, regexp_replace, typedLit}
 import org.apache.spark.sql.types.StructType
 
 /** Native Iceberg APPEND with the Hadoop-catalog commit protocol —
@@ -90,6 +90,7 @@ object IcebergWrite {
       filters: graft.core.Filters.Normalized
   ): Long = {
     require(filters.nonEmpty, "deleteWhere requires a predicate; use overwrite to replace all rows")
+    import spark.implicits._
     val table = new Path(tablePath)
     val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(!fs.exists(new Path(table, "_delta_log")),
@@ -130,12 +131,22 @@ object IcebergWrite {
         else attached)
     }
     val pred = graft.core.Filters.toColumn(filters).getOrElse(lit(true))
+    // delete rows must record the MANIFEST-spelled data-file path
+    // byte-for-byte: external Iceberg readers compare file_path
+    // exactly, so a scheme-stripped normalization (file:/ → /) would
+    // make them silently skip the deletes on scheme-qualified tables.
+    // The normalized _del_path maps back through a broadcast
+    // (normalized → manifest path) frame — map-side, order-preserving
+    val pathBack = pruned.map(f => (PathNorm.normalize(f.path), f.path))
+      .toDF("_del_path", "_mani_path")
     // spec ordering: position delete rows sort by (file_path, pos);
     // partition columns lead so the staged write's dynamic-partition
     // ordering requirement is already satisfied
-    val matches = scan.where(pred).select(
-      Seq(col("_del_path").as("file_path"), col("_del_pos").as("pos")) ++
-        partFields.map(pf => col(pf.name)): _*)
+    val matches = scan.where(pred)
+      .join(broadcast(pathBack), "_del_path")
+      .select(
+        Seq(col("_mani_path").as("file_path"), col("_del_pos").as("pos")) ++
+          partFields.map(pf => col(pf.name)): _*)
       .sortWithinPartitions(
         partFields.map(pf => col(pf.name)) ++ Seq(col("file_path"), col("pos")): _*)
 

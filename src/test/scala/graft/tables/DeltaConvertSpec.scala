@@ -138,6 +138,30 @@ class DeltaConvertSpec extends SparkSpec {
     assert(p.select("id").as[Long].collect().toSeq == Seq(1L))
   }
 
+  test("special-char partition dirs keep REAL stats, not a numRecords:0 fallback") {
+    // input_file_name() is URI-encoded (space→%20, Hive-escaped ':'
+    // → %253A): before decoding, the stats lookup missed these dirs
+    // and committed numRecords:0 for live rows
+    val dir = tempDir("conv-statkey").toString + "/t"
+    Seq((1L, 10L, "a b"), (2L, 20L, "x:y"), (3L, 30L, "p%q"))
+      .toDF("id", "n", "part").write.partitionBy("part").parquet(dir)
+    DeltaConvert.fromParquet(spark, dir)
+
+    val fs = fsOf(dir)
+    val in = fs.open(new Path(dir, "_delta_log/00000000000000000000.json"))
+    val commit = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    val addStats = commit.linesIterator.filter(_.contains("\"add\"")).toSeq
+    assert(addStats.size == 3)
+    assert(addStats.forall(_.contains("\\\"numRecords\\\":1")),
+      s"every special-char add must carry its real rowcount:\n${addStats.mkString("\n")}")
+    // and min/max landed too: stats skipping prunes to one file
+    val t = new DeltaTable("t", dir)
+    val narrow = t(spark, ReadArgs(filters = graft.core.Filters.normalize(
+      Seq(Filter("n", "=", 20L)))))
+    assert(narrow.inputFiles.length == 1, narrow.inputFiles.mkString(", "))
+    assert(narrow.select("id").as[Long].collect().toSeq == Seq(2L))
+  }
+
   test("Iceberg table converts; delete-file tables refuse") {
     val dir = tempDir("conv-ice").toString + "/t"
     IcebergWrite.append(spark,

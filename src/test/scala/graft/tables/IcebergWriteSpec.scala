@@ -91,6 +91,94 @@ class IcebergWriteSpec extends SparkSpec {
     assert(IcebergMeta.load(fs, dir).snapshots.size == before)
   }
 
+  test("deleteWhere records the manifest-spelled file_path byte-for-byte (scheme-qualified tables)") {
+    // a foreign writer that records scheme-qualified data-file paths:
+    // external readers compare file_path EXACTLY, so the delete rows
+    // must carry the manifest's spelling, not a normalized form
+    val root = tempDir("icew-qual").toString + "/t"
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val metaDir = new Path(root, "metadata")
+    fs.mkdirs(metaDir)
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+      .coalesce(1).write.mode("overwrite").parquet(root + "/data")
+    val st = fs.listStatus(new Path(root, "data"))
+      .find(_.getPath.getName.endsWith(".parquet")).get
+    val qualified = "file:" + st.getPath.toUri.getPath // the foreign spelling
+
+    val entrySchema = graft.export.IcebergUniform.manifestEntrySchema(Seq.empty)
+    val manifestPath = new Path(metaDir, "m-data.avro")
+    locally {
+      val w = new org.apache.avro.file.DataFileWriter(
+        new org.apache.avro.generic.GenericDatumWriter[org.apache.avro.generic.GenericRecord](entrySchema))
+      w.setMeta("format-version", "2"); w.setMeta("content", "data")
+      w.create(entrySchema, fs.create(manifestPath, true))
+      try {
+        val dfSchema = entrySchema.getField("data_file").schema()
+        val d = new org.apache.avro.generic.GenericData.Record(dfSchema)
+        d.put("content", 0)
+        d.put("file_path", qualified)
+        d.put("file_format", "PARQUET")
+        d.put("partition", new org.apache.avro.generic.GenericData.Record(
+          dfSchema.getField("partition").schema()))
+        d.put("record_count", 3L)
+        d.put("file_size_in_bytes", st.getLen)
+        val e = new org.apache.avro.generic.GenericData.Record(entrySchema)
+        e.put("status", 1); e.put("snapshot_id", 1L)
+        e.put("sequence_number", 1L); e.put("file_sequence_number", 1L)
+        e.put("data_file", d)
+        w.append(e)
+      } finally w.close()
+    }
+    val listPath = new Path(metaDir, "snap-1.avro")
+    locally {
+      val s = graft.export.IcebergUniform.manifestFileSchema
+      val w = new org.apache.avro.file.DataFileWriter(
+        new org.apache.avro.generic.GenericDatumWriter[org.apache.avro.generic.GenericRecord](s))
+        .create(s, fs.create(listPath, true))
+      try {
+        val r = new org.apache.avro.generic.GenericData.Record(s)
+        r.put("manifest_path", manifestPath.toString)
+        r.put("manifest_length", fs.getFileStatus(manifestPath).getLen)
+        r.put("partition_spec_id", 0); r.put("content", 0)
+        r.put("sequence_number", 1L); r.put("min_sequence_number", 1L)
+        r.put("added_snapshot_id", 1L); r.put("added_files_count", 1)
+        r.put("existing_files_count", 0); r.put("deleted_files_count", 0)
+        r.put("added_rows_count", 3L); r.put("existing_rows_count", 0L)
+        r.put("deleted_rows_count", 0L)
+        w.append(r)
+      } finally w.close()
+    }
+    val metaJson =
+      s"""{"format-version":2,"table-uuid":"u","location":"$root",
+         |"last-sequence-number":1,"last-updated-ms":1,"last-column-id":2,
+         |"current-schema-id":0,
+         |"schemas":[{"type":"struct","schema-id":0,"fields":[
+         |  {"id":1,"name":"id","required":false,"type":"long"},
+         |  {"id":2,"name":"v","required":false,"type":"string"}]}],
+         |"partition-specs":[{"spec-id":0,"fields":[]}],"default-spec-id":0,
+         |"last-partition-id":999,"current-snapshot-id":1,
+         |"snapshots":[{"snapshot-id":1,"sequence-number":1,"timestamp-ms":1,
+         |  "manifest-list":"$listPath","schema-id":0}]}""".stripMargin
+    val out = fs.create(new Path(metaDir, "v1.metadata.json"), true)
+    out.write(metaJson.getBytes("UTF-8")); out.close()
+
+    IcebergWrite.deleteWhere(spark, root,
+      graft.core.Filters.normalize(Seq(Filter("id", "=", 2))))
+
+    // the staged position-delete parquet carries the qualified spelling
+    val meta = IcebergMeta.load(fs, root)
+    val delFiles = IcebergMeta.planFiles(fs, meta.snapshots.maxBy(_.sequenceNumber))
+      .filter(_.content == 1)
+    assert(delFiles.nonEmpty)
+    val delRows = spark.read.parquet(delFiles.map(_.path): _*)
+      .select("file_path").collect().map(_.getString(0)).toSeq
+    assert(delRows.nonEmpty && delRows.forall(_ == qualified),
+      s"delete rows must byte-match the manifest path $qualified, got $delRows")
+    // and graft's own reader still applies them
+    assert(new IcebergTable("t", root)(spark, ReadArgs.empty)
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+  }
+
   test("appends interleave with exported Delta history refusals and schema checks") {
     val delta = tempDir("icew-delta").toString + "/t"
     DeltaWrite.append(spark, Seq((1L, "a")).toDF("id", "v"), delta)
