@@ -156,6 +156,7 @@ object WebDataset {
         new Iterator[Row] {
           private var nextEntry: Option[(String, Array[Byte])] = None
           private var done = false
+          @annotation.tailrec
           private def advance(): Unit = {
             val header = new Array[Byte](BlockSize)
             var read = 0
@@ -187,7 +188,15 @@ object WebDataset {
               require(n > 0, s"truncated tar padding after $name in $p")
               skipped += n
             }
-            nextEntry = Some((name, payload))
+            // only REGULAR-file entries are samples. Foreign shards
+            // carry PAX headers (typeflag g/x), GNU long names (L/K),
+            // directory entries ('5', or old-format trailing-slash
+            // names) — their payload blocks are consumed above, then
+            // the entry is dropped, not parsed as a sample
+            val typeflag = header(156)
+            val regular = typeflag == '0'.toByte || typeflag == 0.toByte
+            if (regular && !name.endsWith("/")) nextEntry = Some((name, payload))
+            else advance()
           }
           override def hasNext: Boolean = {
             if (nextEntry.isEmpty && !done) advance()

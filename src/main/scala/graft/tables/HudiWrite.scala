@@ -99,14 +99,12 @@ object HudiWrite {
 
     // key → file-group index over the latest slices: a COLUMN-PRUNED
     // distributed scan (record key + file path only; keys never
-    // collect). The path→fileId map is driver metadata
-    // (O(file groups)) shipped as a map literal.
-    val pathToFg = slices.map { s =>
-      normalizeScheme(s"$tablePath/${s.relPath}") -> s.fileId
-    }.toMap
-    val fgOf = element_at(typedLit(pathToFg), normalizePathCol(col("_metadata.file_path")))
-    val keyIndex = readSlices(spark, tablePath, slices)
-      .select(col(RecordKeyCol), fgOf.as("_fg"))
+    // collect). The path→fileId mapping attaches via withFileGroup
+    // (map literal for small tables, broadcast join above the
+    // threshold).
+    val keyIndex = withFileGroup(spark, readSlices(spark, tablePath, slices),
+      slices, tablePath)
+      .select(col(RecordKeyCol), col("_fg"))
 
     val incomingKeys = df.select(col(keyCol).cast("string").as("_k")).distinct()
     // affected file groups: bounded driver metadata (≤ #file groups)
@@ -131,8 +129,8 @@ object HudiWrite {
       return instant
     }
 
-    val affectedDf = readSlices(spark, tablePath, affectedSlices)
-      .withColumn("_fg", fgOf)
+    val affectedDf = withFileGroup(spark,
+      readSlices(spark, tablePath, affectedSlices), affectedSlices, tablePath)
     // a matched key's group is affected by construction, so the
     // affected groups alone decide matched vs unmatched
     val matchedKeys = affectedDf.select(col(RecordKeyCol).as("_k")).distinct()
@@ -215,13 +213,10 @@ object HudiWrite {
       return instant
     }
 
-    val pathToFg = slices.map { s =>
-      normalizeScheme(s"$tablePath/${s.relPath}") -> s.fileId
-    }.toMap
-    val fgOf = element_at(typedLit(pathToFg), normalizePathCol(col("_metadata.file_path")))
     val delKeys = keys.select(col(keys.columns.head).cast("string").as("_k")).distinct()
-    val keyIndex = readSlices(spark, tablePath, slices)
-      .select(col(RecordKeyCol), fgOf.as("_fg"))
+    val keyIndex = withFileGroup(spark, readSlices(spark, tablePath, slices),
+      slices, tablePath)
+      .select(col(RecordKeyCol), col("_fg"))
     val affected = keyIndex
       .join(delKeys, keyIndex(RecordKeyCol) === delKeys("_k"), "leftsemi")
       .select("_fg").distinct().collect().map(_.getString(0)).toSet
@@ -234,8 +229,8 @@ object HudiWrite {
       return instant
     }
 
-    val affectedDf = readSlices(spark, tablePath, affectedSlices)
-      .withColumn("_fg", fgOf)
+    val affectedDf = withFileGroup(spark,
+      readSlices(spark, tablePath, affectedSlices), affectedSlices, tablePath)
     val survivors = affectedDf
       .join(delKeys, affectedDf(RecordKeyCol) === delKeys("_k"), "leftanti")
     // an all-rows-deleted commit stages nothing; guard the staged
@@ -275,7 +270,9 @@ object HudiWrite {
       .filter(_.nonEmpty).map(_.split(",").toSeq).getOrElse(Seq.empty)
     val base = completedInstants(fs, tablePath, None).lastOption.map(_._1)
     val slices = latestSlices(fs, tablePath, None)
-    val instant = mintInstant(fs, new Path(tablePath, ".hoodie"))
+    // clustering always completes as a replacecommit (every prior
+    // group retires), so mint the markers under that name up front
+    val instant = mintInstant(fs, new Path(tablePath, ".hoodie"), "replacecommit")
     if (slices.isEmpty) {
       completeCommit(fs, tablePath, instant, "cluster", Seq.empty)
       return instant
@@ -376,8 +373,7 @@ object HudiWrite {
       // instant's timeline markers
       val hoodieDir = new Path(tablePath, ".hoodie")
       written.foreach(w => fs.delete(new Path(tablePath, w.relPath), false))
-      fs.delete(new Path(hoodieDir, s"$instant.commit.requested"), false)
-      fs.delete(new Path(hoodieDir, s"$instant.inflight"), false)
+      deleteMarkers(fs, hoodieDir, instant)
       throw new HudiConflict(
         s"concurrent commit touched ${clash.size} file group(s) of $operation $instant")
     }
@@ -524,20 +520,37 @@ object HudiWrite {
     buf.toSeq
   }
 
+  /** Upstream marker names: `<instant>.<action>.requested` for every
+    * action; the inflight is the historical extension-less
+    * `<instant>.inflight` for `commit` and `<instant>.<action>
+    * .inflight` otherwise — real Hudi tooling reconciles pending
+    * instants by exactly these names.
+    */
+  private def requestedMarker(hoodieDir: Path, instant: String, action: String): Path =
+    new Path(hoodieDir, s"$instant.$action.requested")
+
+  private def inflightMarker(hoodieDir: Path, instant: String, action: String): Path =
+    if (action == "commit") new Path(hoodieDir, s"$instant.inflight")
+    else new Path(hoodieDir, s"$instant.$action.inflight")
+
   /** Timeline instants are millisecond timestamps formatted
     * yyyyMMddHHmmssSSS (the Hudi convention); the `.requested` marker
     * is published put-if-absent, so clashing writers re-mint.
+    * `action` names the markers (cluster mints `replacecommit`
+    * directly; a delete that ends up retiring groups is re-marked at
+    * completion by [[completeCommit]]).
     */
-  private def mintInstant(fs: FileSystem, hoodieDir: Path): String = {
+  private def mintInstant(
+      fs: FileSystem, hoodieDir: Path, action: String = "commit"): String = {
     val fmt = new java.text.SimpleDateFormat("yyyyMMddHHmmssSSS")
     fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
     var attempt = 0
     while (true) {
       attempt += 1
       val instant = fmt.format(new java.util.Date())
-      val requested = new Path(hoodieDir, s"$instant.commit.requested")
-      if (IcebergWrite.publishIfAbsent(fs, requested, Array.emptyByteArray)) {
-        val inflight = fs.create(new Path(hoodieDir, s"$instant.inflight"), true)
+      if (IcebergWrite.publishIfAbsent(fs,
+        requestedMarker(hoodieDir, instant, action), Array.emptyByteArray)) {
+        val inflight = fs.create(inflightMarker(hoodieDir, instant, action), true)
         inflight.close()
         return instant
       }
@@ -546,6 +559,15 @@ object HudiWrite {
     }
     throw new IllegalStateException("unreachable")
   }
+
+  /** Remove every marker spelling this instant may carry (rollback
+    * path — covers both the minted and any re-marked action name).
+    */
+  private def deleteMarkers(fs: FileSystem, hoodieDir: Path, instant: String): Unit =
+    Seq("commit", "replacecommit").foreach { a =>
+      fs.delete(requestedMarker(hoodieDir, instant, a), false)
+      fs.delete(inflightMarker(hoodieDir, instant, a), false)
+    }
 
   private def completeCommit(
       fs: FileSystem,
@@ -580,6 +602,20 @@ object HudiWrite {
     }
     root.set[ObjectNode]("partitionToWriteStats", stats)
     val action = if (replaced.nonEmpty) "replacecommit" else "commit"
+    // re-mark when the minted action differs from how the op completed
+    // (a delete only learns it retires whole groups at the end):
+    // tooling reconciles requested/inflight by the COMPLETED action's
+    // naming, so a mismatched pair would read as pending forever
+    val hoodieDir = new Path(tablePath, ".hoodie")
+    val other = if (action == "commit") "replacecommit" else "commit"
+    if (!fs.exists(requestedMarker(hoodieDir, instant, action)) &&
+      fs.exists(requestedMarker(hoodieDir, instant, other))) {
+      IcebergWrite.publishIfAbsent(fs,
+        requestedMarker(hoodieDir, instant, action), Array.emptyByteArray)
+      fs.create(inflightMarker(hoodieDir, instant, action), true).close()
+      fs.delete(requestedMarker(hoodieDir, instant, other), false)
+      fs.delete(inflightMarker(hoodieDir, instant, other), false)
+    }
     val target = new Path(new Path(tablePath, ".hoodie"), s"$instant.$action")
     require(IcebergWrite.publishIfAbsent(fs, target,
       mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root)),
@@ -670,5 +706,37 @@ object HudiWrite {
     spark.read
       .option("basePath", tablePath)
       .parquet(slices.map(s => s"$tablePath/${s.relPath}"): _*)
+  }
+
+  /** Above this many file groups the path→fileId mapping stops being
+    * a plan literal: a 10⁵–10⁶-group table would embed an
+    * equally-sized map in EVERY task's serialized plan.
+    */
+  private[tables] val FgLiteralMax = 1000
+
+  /** Attach `_fg` (the owning file-group id) to a slice scan. Small
+    * tables ship the (normalized path → fileId) mapping as a map
+    * literal (no join at all); above [[FgLiteralMax]] groups it
+    * becomes a BROADCAST left join against a (path, fileId) frame —
+    * same null-on-unknown-path semantics, map-side and
+    * order-preserving, without the plan bloat.
+    */
+  private[tables] def withFileGroup(
+      spark: SparkSession,
+      scan: DataFrame,
+      slices: Seq[FileSlice],
+      tablePath: String,
+      literalMax: Int = FgLiteralMax
+  ): DataFrame = {
+    val pairs = slices.map(s => (normalizeScheme(s"$tablePath/${s.relPath}"), s.fileId))
+    val pathCol = normalizePathCol(col("_metadata.file_path"))
+    if (pairs.size <= literalMax)
+      scan.withColumn("_fg", element_at(typedLit(pairs.toMap), pathCol))
+    else {
+      import spark.implicits._
+      scan.withColumn("_fg_path", pathCol)
+        .join(broadcast(pairs.toDF("_fg_path", "_fg")), Seq("_fg_path"), "left")
+        .drop("_fg_path")
+    }
   }
 }

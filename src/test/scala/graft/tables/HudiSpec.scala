@@ -157,6 +157,12 @@ class HudiSpec extends SparkSpec {
       .map(_.getPath.getName).toSet
     assert(names.contains(s"$i2.replacecommit"))
     assert(!names.contains(s"$i2.commit"))
+    // markers re-marked to the COMPLETED action's upstream naming —
+    // a commit-named requested with no .commit completion would read
+    // as a forever-pending instant to real Hudi tooling
+    assert(names.contains(s"$i2.replacecommit.requested"))
+    assert(names.contains(s"$i2.replacecommit.inflight"))
+    assert(!names.contains(s"$i2.commit.requested") && !names.contains(s"$i2.inflight"))
     // survivor row kept its ORIGINAL commit time (incremental contract)
     val keep = HudiWrite.readSlices(spark, dir,
       HudiWrite.latestSlices(fsOf(dir), dir, None))
@@ -190,6 +196,39 @@ class HudiSpec extends SparkSpec {
     // pre-cluster snapshot still time-travels
     assert(t(spark, ReadArgs(extra = Map(t.AsOfInstantKey -> i1)))
       .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    // clustering mints replacecommit-named markers up front
+    val names = fsOf(dir).listStatus(new Path(dir, ".hoodie"))
+      .map(_.getPath.getName).toSet
+    assert(names.contains(s"$ic.replacecommit.requested"))
+    assert(names.contains(s"$ic.replacecommit.inflight"))
+    assert(!names.contains(s"$ic.commit.requested") && !names.contains(s"$ic.inflight"))
+  }
+
+  test("file-group resolution drops the map literal above the broadcast threshold") {
+    val dir = tempDir("hudi-fg").toString + "/t"
+    HudiWrite.bulkInsert(spark,
+      Seq((1L, "a", 0), (2L, "b", 1), (3L, "c", 2)).toDF("id", "v", "part"),
+      dir, "id", Seq("part"))
+    val fs = fsOf(dir)
+    val slices = HudiWrite.latestSlices(fs, dir, None)
+    assert(slices.size == 3)
+    def resolve(literalMax: Int) =
+      HudiWrite.withFileGroup(spark, HudiWrite.readSlices(spark, dir, slices),
+        slices, dir, literalMax = literalMax)
+        .select(org.apache.spark.sql.functions.col(HudiWrite.RecordKeyCol).as("k"),
+          org.apache.spark.sql.functions.col("_fg"))
+    val viaLiteral = resolve(literalMax = 1000)
+    val viaJoin = resolve(literalMax = 1)
+    // same resolution either way
+    assert(viaLiteral.as[(String, String)].collect().toSet ==
+      viaJoin.as[(String, String)].collect().toSet)
+    assert(viaJoin.as[(String, String)].collect().toMap.values.toSet == slices.map(_.fileId).toSet)
+    // above the threshold the serialized plan carries NO path→fg map
+    // literal — the mapping rides a broadcast (path, fileId) frame
+    assert(viaLiteral.queryExecution.optimizedPlan.toString.contains("element_at"))
+    val joinPlan = viaJoin.queryExecution.optimizedPlan.toString
+    assert(!joinPlan.contains("element_at"), joinPlan.take(400))
+    assert(joinPlan.contains("Join"), joinPlan.take(400))
   }
 
   test("a Hudi table composes into the catalog and its SQL front door") {
