@@ -490,6 +490,57 @@ object IcebergUniform {
     * reusing Delta column-mapping ids where present (UniForm reuses
     * them so Iceberg and Delta readers agree on column identity).
     */
+  /** Iceberg primitive type JSON for a Spark type (quoted string),
+    * shared by [[FieldIds]] and the append-evolution renderer.
+    */
+  private[graft] def primitiveJson(dt: DataType): String = dt match {
+    case IntegerType | ShortType | ByteType => "\"int\""
+    case LongType                           => "\"long\""
+    case FloatType                          => "\"float\""
+    case DoubleType                         => "\"double\""
+    case BooleanType                        => "\"boolean\""
+    case StringType                         => "\"string\""
+    case BinaryType                         => "\"binary\""
+    case DateType                           => "\"date\""
+    case TimestampType                      => "\"timestamptz\""
+    case TimestampNTZType                   => "\"timestamp\""
+    case d: DecimalType => s""""decimal(${d.precision}, ${d.scale})""""
+    case other => throw new IllegalArgumentException(
+      s"unsupported Iceberg type $other")
+  }
+
+  /** Render `fields` as Iceberg schema-field JSON objects, allocating
+    * ids sequentially ABOVE `startId` (nested list/map/struct ids
+    * included). Returns (comma-joined field JSONs, last allocated id).
+    * The additive-evolution path of the native append uses this for
+    * the columns the table did not have.
+    */
+  private[graft] def appendFieldsJson(
+      fields: Seq[StructField], startId: Int): (String, Int) = {
+    var next = startId
+    def alloc(): Int = { next += 1; next }
+    def typeJson(dt: DataType): String = dt match {
+      case s: StructType =>
+        s.fields.map { f =>
+          val id = alloc()
+          s"""{"id":$id,"name":${q(f.name)},"required":${!f.nullable},"type":${typeJson(f.dataType)}}"""
+        }.mkString("""{"type":"struct","fields":[""", ",", "]}")
+      case a: ArrayType =>
+        val eid = alloc()
+        s"""{"type":"list","element-id":$eid,"element":${typeJson(a.elementType)},"element-required":${!a.containsNull}}"""
+      case m: MapType =>
+        val kid = alloc()
+        val vid = alloc()
+        s"""{"type":"map","key-id":$kid,"key":${typeJson(m.keyType)},"value-id":$vid,"value":${typeJson(m.valueType)},"value-required":${!m.valueContainsNull}}"""
+      case other => primitiveJson(other)
+    }
+    val out = fields.map { f =>
+      val id = alloc()
+      s"""{"id":$id,"name":${q(f.name)},"required":${!f.nullable},"type":${typeJson(f.dataType)}}"""
+    }.mkString(",")
+    (out, next)
+  }
+
   private[graft] final class FieldIds(schema: StructType) {
     // Implicit ids (array elements, map keys/values — which Delta
     // column mapping never ids) must start ABOVE every explicit id in
@@ -530,19 +581,7 @@ object IcebergUniform {
         val kid = alloc(None)
         val vid = alloc(None)
         s"""{"type":"map","key-id":$kid,"key":${typeJson(m.keyType)},"value-id":$vid,"value":${typeJson(m.valueType)},"value-required":${!m.valueContainsNull}}"""
-      case IntegerType | ShortType | ByteType => "\"int\""
-      case LongType                           => "\"long\""
-      case FloatType                          => "\"float\""
-      case DoubleType                         => "\"double\""
-      case BooleanType                        => "\"boolean\""
-      case StringType                         => "\"string\""
-      case BinaryType                         => "\"binary\""
-      case DateType                           => "\"date\""
-      case TimestampType                      => "\"timestamptz\""
-      case TimestampNTZType                   => "\"timestamp\""
-      case d: DecimalType => s""""decimal(${d.precision}, ${d.scale})""""
-      case other => throw new IllegalArgumentException(
-        s"unsupported Iceberg type $other")
+      case other => primitiveJson(other)
     }
 
     // assign top-level ids eagerly so idOf works for partition specs

@@ -36,9 +36,12 @@ import org.apache.spark.sql.types.StructType
   * as identity-transform constants per Iceberg's metadata-column
   * rules.
   *
-  * Refusals: a `_delta_log` table is Delta-owned (append with
-  * [[DeltaWrite]] and re-export); schema/partitioning mismatches on
-  * existing tables refuse rather than evolve.
+  * Schema evolution is ADDITIVE per the Iceberg spec: appending a
+  * frame with new columns commits a new schema id (old files read
+  * back with typed nulls), int→long / float→double widen, a narrower
+  * frame casts up. Refusals: a `_delta_log` table is Delta-owned
+  * (append with [[DeltaWrite]] and re-export); incompatible column
+  * types, dropped columns, and partition-column widening refuse.
   */
 object IcebergWrite {
 
@@ -303,17 +306,35 @@ object IcebergWrite {
     val metaDir = new Path(table, "metadata")
     fs.mkdirs(metaDir)
 
-    // resolve schema + partitioning against the existing table (if any)
+    // resolve schema + partitioning against the existing table (if
+    // any), with ADDITIVE evolution per the Iceberg spec's
+    // schema-evolution rules: new columns append (fresh field ids, a
+    // new schema id), existing columns may widen int→long /
+    // float→double (readers upcast old files), a NARROWER dataframe
+    // column casts up with no schema change. Everything else refuses.
     val existingV = latestVersionByScan(fs, metaDir)
     val existing = existingV.map(v => readRoot(fs, metaDir, v))
-    val (schema, partCols) = existing match {
+    val (schema, partCols, addedCols, widenedCols) = existing match {
       case Some(root) =>
         val meta = IcebergMeta.parse(root, tablePath)
-        val declared = meta.schema.fields.map(f => f.name -> f.dataType.simpleString)
-        val got = df.schema.fields.map(f => f.name -> f.dataType.simpleString)
-        require(declared.toSet == got.toSet,
-          s"schema mismatch appending to $tablePath: table has " +
-            s"${declared.mkString(", ")}; dataframe has ${got.mkString(", ")}")
+        val byName = df.schema.fields.map(f => f.name -> f).toMap
+        val missing = meta.schema.fieldNames.filterNot(byName.contains)
+        require(missing.isEmpty,
+          s"schema mismatch appending to $tablePath: dataframe lacks ${missing.mkString(", ")}")
+        val widenedB = Map.newBuilder[String, org.apache.spark.sql.types.DataType]
+        val evolvedExisting = meta.schema.fields.map { tf =>
+          val dfT = byName(tf.name).dataType
+          if (dfT == tf.dataType) tf
+          else if (promotes(tf.dataType, dfT)) { widenedB += tf.name -> dfT; tf.copy(dataType = dfT) }
+          else if (promotes(dfT, tf.dataType)) tf // narrower frame casts up
+          else throw new IllegalArgumentException(
+            s"schema mismatch appending to $tablePath: column ${tf.name} is " +
+              s"${tf.dataType.simpleString} in the table, ${dfT.simpleString} in the dataframe")
+        }
+        val added = df.schema.fields
+          .filterNot(f => meta.schema.fieldNames.contains(f.name))
+          .map(_.copy(nullable = true)).toSeq
+        val widened = widenedB.result()
         val spec = meta.specs.getOrElse(meta.defaultSpecId, Seq.empty)
         require(spec.forall(_.transform == "identity"),
           s"append supports identity partition specs only; $tablePath has " +
@@ -321,11 +342,17 @@ object IcebergWrite {
         val specCols = spec.map(_.name)
         require(partitionBy.isEmpty || partitionBy == specCols,
           s"partitionBy ${partitionBy.mkString(",")} != table spec ${specCols.mkString(",")}")
-        (meta.schema, specCols)
+        // manifests carry TYPED partition tuples; widening a partition
+        // source would strand the old tuples' type
+        require(specCols.forall(c => !widened.contains(c)),
+          s"cannot widen partition column(s) ${specCols.filter(widened.contains).mkString(", ")}")
+        (StructType(evolvedExisting ++ added), specCols, added, widened)
       case None =>
-        (df.schema, partitionBy)
+        (df.schema, partitionBy, Seq.empty[org.apache.spark.sql.types.StructField],
+          Map.empty[String, org.apache.spark.sql.types.DataType])
     }
-    val ordered = df.select(schema.fieldNames.map(col).toSeq: _*)
+    val ordered = df.select(
+      schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
 
     // ---- stage data files + per-file record counts (one job) -------
     val staged = stage(spark, ordered, fs, table, partCols)
@@ -340,31 +367,62 @@ object IcebergWrite {
       val snapshotId = prevSnapshots.map(_.path("snapshot-id").asLong()).maxOption.getOrElse(0L) + 1
       val seq = baseRoot.map(_.path("last-sequence-number").asLong(0L)).getOrElse(0L) + 1
 
-      val (schemaJson, specFieldsJson, lastColumnId, specSourceIds) = baseRoot match {
-        case Some(r) =>
-          val schemas = r.path("schemas")
-          val cur = r.path("current-schema-id").asInt(0)
-          val sj = IcebergMeta.elements(schemas)
-            .find(_.path("schema-id").asInt(-1) == cur)
-            .getOrElse(schemas.get(0))
-          val specs = r.path("partition-specs")
-          val spec = IcebergMeta.elements(specs)
-            .find(_.path("spec-id").asInt(0) == r.path("default-spec-id").asInt(0))
-            .getOrElse(specs.get(0))
-          (mapper.writeValueAsString(sj),
-            mapper.writeValueAsString(spec.path("fields")),
-            r.path("last-column-id").asInt(),
-            IcebergMeta.elements(spec.path("fields")).map(f =>
-              f.path("name").asText() -> f.path("source-id").asInt()).toMap)
-        case None =>
-          val ids = new IcebergUniform.FieldIds(schema)
-          val sj = ids.icebergSchemaJson(schemaId = 0)
-          val fieldsJson = partCols.zipWithIndex.map { case (c, i) =>
-            s"""{"name":"$c","transform":"identity","source-id":${ids.idOf(c)},"field-id":${1000 + i}}"""
-          }.mkString("[", ",", "]")
-          (sj, fieldsJson, ids.lastColumnId,
-            partCols.map(c => c -> ids.idOf(c)).toMap)
-      }
+      // evolvedSchema: Some((node json, schema id, last column id))
+      // when this append ADDS or WIDENS columns — recomputed per
+      // attempt against the freshest base so a raced commit's schema
+      // history is preserved
+      val (schemaJson, specFieldsJson, lastColumnId, specSourceIds, evolvedSchema) =
+        baseRoot match {
+          case Some(r) =>
+            val schemas = r.path("schemas")
+            val cur = r.path("current-schema-id").asInt(0)
+            val sj = IcebergMeta.elements(schemas)
+              .find(_.path("schema-id").asInt(-1) == cur)
+              .getOrElse(schemas.get(0))
+            val specs = r.path("partition-specs")
+            val spec = IcebergMeta.elements(specs)
+              .find(_.path("spec-id").asInt(0) == r.path("default-spec-id").asInt(0))
+              .getOrElse(specs.get(0))
+            val baseLast = r.path("last-column-id").asInt()
+            val evolved: Option[(String, Int, Int)] =
+              if (addedCols.isEmpty && widenedCols.isEmpty) None
+              else {
+                val fieldJsons = IcebergMeta.elements(sj.path("fields")).map { f =>
+                  widenedCols.get(f.path("name").asText()) match {
+                    case Some(dt) =>
+                      val o = f.deepCopy[ObjectNode]()
+                      o.set[ObjectNode]("type",
+                        mapper.readTree(IcebergUniform.primitiveJson(dt)))
+                      mapper.writeValueAsString(o)
+                    case None => mapper.writeValueAsString(f)
+                  }
+                }
+                val (addedJson, newLast) =
+                  IcebergUniform.appendFieldsJson(addedCols, baseLast)
+                val sid = IcebergMeta.elements(schemas)
+                  .map(_.path("schema-id").asInt(0)).max + 1
+                val allFields =
+                  (fieldJsons ++ (if (addedJson.isEmpty) Seq.empty else Seq(addedJson)))
+                    .mkString(",")
+                Some((s"""{"type":"struct","schema-id":$sid,"fields":[$allFields]}""",
+                  sid, newLast))
+              }
+            (evolved.map(_._1).getOrElse(mapper.writeValueAsString(sj)),
+              mapper.writeValueAsString(spec.path("fields")),
+              evolved.map(_._3).getOrElse(baseLast),
+              IcebergMeta.elements(spec.path("fields")).map(f =>
+                f.path("name").asText() -> f.path("source-id").asInt()).toMap,
+              evolved)
+          case None =>
+            val ids = new IcebergUniform.FieldIds(schema)
+            val sj = ids.icebergSchemaJson(schemaId = 0)
+            val fieldsJson = partCols.zipWithIndex.map { case (c, i) =>
+              s"""{"name":"$c","transform":"identity","source-id":${ids.idOf(c)},"field-id":${1000 + i}}"""
+            }.mkString("[", ",", "]")
+            (sj, fieldsJson, ids.lastColumnId,
+              partCols.map(c => c -> ids.idOf(c)).toMap,
+              None)
+        }
 
       // new data manifest (uuid-named: attempts never collide)
       val partFields = partCols.map(c => schema.fields.find(_.name == c).get)
@@ -443,7 +501,15 @@ object IcebergWrite {
       // metadata JSON: mutate a copy of the base (preserves schemas,
       // specs, history from ANY previous writer) or build fresh
       val root: ObjectNode = baseRoot match {
-        case Some(r) => r.deepCopy[ObjectNode]()
+        case Some(r) =>
+          val c = r.deepCopy[ObjectNode]()
+          evolvedSchema.foreach { case (nodeJson, sid, last) =>
+            c.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("schemas")
+              .add(mapper.readTree(nodeJson))
+            c.put("current-schema-id", sid)
+            c.put("last-column-id", last)
+          }
+          c
         case None =>
           val r = mapper.createObjectNode()
           r.put("format-version", 2)
@@ -548,6 +614,18 @@ object IcebergWrite {
   }
 
   // ------------------------------------------------------ internals
+
+  /** Spec-legal primitive type promotions (Iceberg schema evolution):
+    * int→long and float→double. Readers upcast old files in the
+    * parquet scan (the same widening Delta R41 leans on).
+    */
+  private def promotes(
+      from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = (from, to) match {
+    case (org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType) => true
+    case (org.apache.spark.sql.types.FloatType, org.apache.spark.sql.types.DoubleType) => true
+    case _ => false
+  }
 
   private final case class StagedFile(
       path: String,

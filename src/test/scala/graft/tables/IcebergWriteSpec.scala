@@ -189,10 +189,57 @@ class IcebergWriteSpec extends SparkSpec {
 
     val dir = tempDir("icew-schema").toString + "/t"
     IcebergWrite.append(spark, Seq((1L, "a")).toDF("id", "v"), dir)
+    // int-into-long casts up (evolution spec); an incompatible type refuses
     val e2 = intercept[IllegalArgumentException] {
-      IcebergWrite.append(spark, Seq((1, "a")).toDF("id", "v"), dir) // id: int, not long
+      IcebergWrite.append(spark, Seq(("x", "a")).toDF("id", "v"), dir) // id: string, not long
     }
     assert(e2.getMessage.contains("schema mismatch"))
+  }
+
+  test("additive schema evolution: new columns append, old files read typed nulls, widening works") {
+    val dir = tempDir("icew-evo").toString + "/t"
+    IcebergWrite.append(spark, Seq((1, "a"), (2, "b")).toDF("id", "v"), dir)
+
+    // add a column: new schema id, old rows surface typed nulls
+    IcebergWrite.append(spark,
+      Seq((3, "c", 3.5)).toDF("id", "v", "score"), dir)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val meta1 = IcebergMeta.load(fs, dir)
+    assert(meta1.schema.fieldNames.toSeq == Seq("id", "v", "score"))
+    val got1 = new IcebergTable("t", dir)(spark, ReadArgs.empty)
+      .orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getString(1), Option(r.get(2)))).toSeq
+    assert(got1 == Seq((1, "a", None), (2, "b", None), (3, "c", Some(3.5))))
+
+    // widen id int→long (a new schema id again); old int files upcast
+    IcebergWrite.append(spark,
+      Seq((4L, "d", Option.empty[Double])).toDF("id", "v", "score"), dir)
+    val meta2 = IcebergMeta.load(fs, dir)
+    assert(meta2.schema("id").dataType == org.apache.spark.sql.types.LongType)
+    val got2 = new IcebergTable("t", dir)(spark, ReadArgs.empty)
+      .orderBy("id").select("id").collect().map(_.getLong(0)).toSeq
+    assert(got2 == Seq(1L, 2L, 3L, 4L))
+    // two evolutions = three schemas in metadata, fresh field id for score
+    val root = IcebergWrite.readRoot(fs, new Path(dir, "metadata"),
+      IcebergMeta.currentVersion(fs, dir))
+    assert(IcebergMeta.elements(root.path("schemas")).size == 3)
+    assert(root.path("last-column-id").asInt() == 3)
+    assert(meta2.schemaFieldIds(3) == "score")
+
+    // a NARROWER frame (int into the now-long id) casts up, no new schema
+    IcebergWrite.append(spark,
+      Seq((5, "e", 1.0)).toDF("id", "v", "score"), dir)
+    assert(IcebergMeta.elements(IcebergWrite.readRoot(fs, new Path(dir, "metadata"),
+      IcebergMeta.currentVersion(fs, dir)).path("schemas")).size == 3)
+    assert(new IcebergTable("t", dir)(spark, ReadArgs.empty).count() == 5)
+
+    // incompatible type and dropped column still refuse
+    intercept[IllegalArgumentException] {
+      IcebergWrite.append(spark, Seq(("x", "a", 1.0)).toDF("id", "v", "score"), dir)
+    }
+    intercept[IllegalArgumentException] {
+      IcebergWrite.append(spark, Seq(Tuple1(9L)).toDF("id"), dir)
+    }
   }
 
   test("two racing appends both commit (put-if-absent + retry)") {
