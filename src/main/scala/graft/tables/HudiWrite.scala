@@ -440,10 +440,15 @@ object HudiWrite {
   private[tables] final case class WrittenFile(
       partition: String, fileId: String, relPath: String, numWrites: Long)
 
+  /** A file group's latest slice: the base file plus the
+    * (deltacommit instant, log path) pairs appended since it —
+    * non-empty only on MERGE_ON_READ tables.
+    */
   private[tables] final case class FileSlice(
-      partition: String, fileId: String, instant: String, relPath: String)
+      partition: String, fileId: String, instant: String, relPath: String,
+      logFiles: Seq[(String, String)] = Seq.empty)
 
-  private def withMeta(df: DataFrame, keyCol: String, instant: String): DataFrame = {
+  private[tables] def withMeta(df: DataFrame, keyCol: String, instant: String): DataFrame = {
     require(!df.columns.contains(CommitTimeCol),
       s"input frame already carries $CommitTimeCol")
     require(!df.columns.contains(RecordKeyCol),
@@ -459,7 +464,7 @@ object HudiWrite {
     * Hudi base-file name. Returns the written-file stats for the
     * commit metadata.
     */
-  private def stageByGroup(
+  private[tables] def stageByGroup(
       spark: SparkSession,
       df: DataFrame,
       fs: FileSystem,
@@ -540,7 +545,7 @@ object HudiWrite {
     * directly; a delete that ends up retiring groups is re-marked at
     * completion by [[completeCommit]]).
     */
-  private def mintInstant(
+  private[tables] def mintInstant(
       fs: FileSystem, hoodieDir: Path, action: String = "commit"): String = {
     val fmt = new java.text.SimpleDateFormat("yyyyMMddHHmmssSSS")
     fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
@@ -564,12 +569,12 @@ object HudiWrite {
     * path — covers both the minted and any re-marked action name).
     */
   private def deleteMarkers(fs: FileSystem, hoodieDir: Path, instant: String): Unit =
-    Seq("commit", "replacecommit").foreach { a =>
+    Seq("commit", "replacecommit", "deltacommit").foreach { a =>
       fs.delete(requestedMarker(hoodieDir, instant, a), false)
       fs.delete(inflightMarker(hoodieDir, instant, a), false)
     }
 
-  private def completeCommit(
+  private[tables] def completeCommit(
       fs: FileSystem,
       tablePath: String,
       instant: String,
@@ -642,7 +647,7 @@ object HudiWrite {
   private[tables] def completedInstants(
       fs: FileSystem, tablePath: String, asOf: Option[String]): Seq[(String, String)] = {
     val hoodieDir = new Path(tablePath, ".hoodie")
-    val Commit = "(\\d{17})\\.(commit|replacecommit)".r
+    val Commit = "(\\d{17})\\.(commit|replacecommit|deltacommit)".r
     fs.listStatus(hoodieDir).toSeq.map(_.getPath.getName).collect {
       case Commit(i, action) if asOf.forall(i <= _) => (i, action)
     }.sortBy(_._1)
@@ -670,9 +675,17 @@ object HudiWrite {
       parts.fieldNames().forEachRemaining { part =>
         IcebergMeta.elements(parts.path(part)).foreach { st =>
           val fileId = st.path("fileId").asText()
-          // ascending instant order: later slices simply replace
-          slices((part, fileId)) = FileSlice(
-            part, fileId, instant, st.path("path").asText())
+          val p = st.path("path").asText()
+          if (action == "deltacommit" && p.contains(".log.")) {
+            // MOR log file: attaches to the group's current base
+            // slice (a later base — compaction — resets the list)
+            val s = slices.getOrElse((part, fileId), throw new IllegalStateException(
+              s"deltacommit $instant logs to unknown file group $fileId in '$part'"))
+            slices((part, fileId)) = s.copy(logFiles = s.logFiles :+ (instant -> p))
+          } else {
+            // ascending instant order: later slices simply replace
+            slices((part, fileId)) = FileSlice(part, fileId, instant, p)
+          }
         }
       }
     }
@@ -692,8 +705,9 @@ object HudiWrite {
       val parts = root.path("partitionToWriteStats")
       parts.fieldNames().forEachRemaining { part =>
         IcebergMeta.elements(parts.path(part)).foreach { st =>
-          out += FileSlice(part, st.path("fileId").asText(), instant,
-            st.path("path").asText())
+          val p = st.path("path").asText()
+          if (!p.contains(".log.")) // base files only — callers parquet-read these
+            out += FileSlice(part, st.path("fileId").asText(), instant, p)
         }
       }
     }
