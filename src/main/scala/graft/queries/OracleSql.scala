@@ -1735,6 +1735,18 @@ object OracleSql {
           |FROM nation WHERE n_regionkey >= 2
           |UNION ALL SELECT 990, 'atlantis', 2
           |ORDER BY n_nationkey""".stripMargin,
+      // the Spark side bulk-inserts nation as a native Hudi
+      // MERGE_ON_READ table, upserts (uppercased _v2 names for keys
+      // >= 15 as LOG files + a synthetic insert), and snapshot-reads
+      // with a partition filter — the read-time base∪log merge must
+      // equal this relational replay
+      "q_hudi_mor" ->
+        """SELECT n_nationkey,
+          |  CASE WHEN n_nationkey >= 15 THEN upper(n_name || '_v2') ELSE n_name END AS n_name,
+          |  n_regionkey
+          |FROM nation WHERE n_regionkey <= 2
+          |UNION ALL SELECT 991, 'lemuria', 1
+          |ORDER BY n_nationkey""".stripMargin,
       // Hudi incremental (bulkInsert, upsert]: exactly the upsert's
       // changed rows with their new values
       "q_hudi_incr" ->

@@ -126,6 +126,7 @@ object QueryCatalog {
     Entry("q_quality_classifier", Wave6Queries.qQualityClassifier),
     Entry("q_wds_shards", Wave6Queries.qWdsShards),
     Entry("q_hudi_read", Wave6Queries.qHudiRead),
+    Entry("q_hudi_mor", Wave6Queries.qHudiMor),
     Entry("q_soft_dedup", Wave6Queries.qSoftDedup),
     Entry("q_hudi_incr", Wave6Queries.qHudiIncr),
     Entry("q_incr_dedup", Wave6Queries.qIncrDedup),

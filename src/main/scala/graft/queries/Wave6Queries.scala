@@ -580,6 +580,47 @@ object Wave6Queries {
       (path, i1, i2)
     })
 
+  private val hudiMorWritten =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+
+  /** Nation bulk-inserted as a native Hudi MERGE_ON_READ table
+    * partitioned by region, then an UPSERT whose updates land as
+    * upstream-format `.log` files (no base rewrite) and whose insert
+    * (key 991) opens a new base group — both in one deltacommit.
+    * Returns (path, upsertInstant).
+    */
+  private[queries] def writtenHudiMor(s: SparkSession, dir: String): (String, String) =
+    hudiMorWritten.getOrElseUpdate(dir, {
+      import graft.tables.HudiWrite
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_hudi_mor").toString + "/nation"
+      val nation = t(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+      HudiWrite.bulkInsert(s, nation, path, "n_nationkey", Seq("n_regionkey"),
+        tableType = "MERGE_ON_READ")
+      val changes = nation.where(col("n_nationkey") >= 15)
+        .withColumn("n_name", upper(concat(col("n_name"), lit("_v2"))))
+        .unionByName(s.createDataFrame(
+          java.util.List.of(org.apache.spark.sql.Row(991, "lemuria", 1)),
+          nation.schema))
+      val i2 = HudiWrite.upsert(s, changes, path)
+      (path, i2)
+    })
+
+  /** MOR snapshot read: latest-per-key over base parquet ∪ Avro log
+    * records, partition-pruned to region ≤ 2 — the merge happens at
+    * READ time (the upsert wrote logs, not base rewrites), which is
+    * exactly what the oracle's relational replay checks.
+    */
+  def qHudiMor(s: SparkSession, dir: String): DataFrame = {
+    import graft.core.Filter
+    import graft.tables.{HudiTable, ReadArgs}
+    val table = new HudiTable("nation_hudi_mor", writtenHudiMor(s, dir)._1)
+    table(s, ReadArgs(
+      filters = graft.core.Filters.normalize(Seq(Filter("n_regionkey", "<=", 2)))))
+      .orderBy("n_nationkey")
+  }
+
   /** Post-upsert snapshot with a partition filter: merged values,
     * the inserted key, and only region ≥ 2 partitions planned.
     */

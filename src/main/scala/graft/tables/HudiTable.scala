@@ -67,9 +67,10 @@ class HudiTable(
     val fs = new Path(uri).getFileSystem(spark.sparkContext.hadoopConfiguration)
     HudiWrite.readProps(fs, uri)
     // only file groups TOUCHED in the range can hold in-range rows:
-    // slices at `to` whose writing instant is > from
+    // slices at `to` whose base OR any attached log was written > from
     val all = HudiWrite.latestSlices(fs, uri, toInstant)
-    val touched = all.filter(_.instant > fromInstant)
+    val touched = all.filter(s =>
+      s.instant > fromInstant || s.logFiles.exists(_._1 > fromInstant))
     if (touched.isEmpty) {
       // nothing changed in the range: declared-empty frame with the
       // table's schema
@@ -124,7 +125,9 @@ class HudiTable(
           s"Hudi table $uri has no completed commits with data"))
       return HudiWrite.readSlices(spark, uri, Seq(schemaSource)).limit(0)
     }
-    HudiWrite.readSlices(spark, uri, pruned)
+    // merged: MOR slices serve latest-per-key over base ∪ logs; COW
+    // slices (no logs) take the plain parquet fast path
+    HudiWrite.readSlicesMerged(spark, uri, pruned)
   }
 
   /** Any base file from any completed commit — schema source for a

@@ -55,18 +55,28 @@ object HudiWrite {
       df: DataFrame,
       tablePath: String,
       recordKeyCol: String,
-      partitionBy: Seq[String] = Seq.empty
+      partitionBy: Seq[String] = Seq.empty,
+      tableType: String = "COPY_ON_WRITE"
   ): String = {
-    val (fs, props) = ensureTable(spark, tablePath, recordKeyCol, partitionBy, df)
+    require(tableType == "COPY_ON_WRITE" || tableType == "MERGE_ON_READ",
+      s"unknown Hudi table type $tableType")
+    val (fs, props) = ensureTable(spark, tablePath, recordKeyCol, partitionBy, df, tableType)
     require(props("hoodie.table.recordkey.fields") == recordKeyCol,
       s"table $tablePath has record key ${props("hoodie.table.recordkey.fields")}, got $recordKeyCol")
-    val instant = mintInstant(fs, new Path(tablePath, ".hoodie"))
+    // a MOR table's ingest commits are deltacommits (base parquet
+    // files for the new groups, logs for updates); COW commits plain
+    val action = if (isMor(props)) "deltacommit" else "commit"
+    val instant = mintInstant(fs, new Path(tablePath, ".hoodie"), action)
     val prepared = withMeta(df, recordKeyCol, instant)
     val written = stageByGroup(spark, prepared, fs, tablePath, partitionBy,
       instant, freshGroupPerLeaf = true)
-    completeCommit(fs, tablePath, instant, "bulkinsert", written)
+    completeCommit(fs, tablePath, instant, "bulkinsert", written,
+      actionOverride = Some(action))
     instant
   }
+
+  private[tables] def isMor(props: Map[String, String]): Boolean =
+    props.get("hoodie.table.type").contains("MERGE_ON_READ")
 
   /** Merge `df` into the table by record key (COPY_ON_WRITE):
     * matched keys replace their previous version inside a rewritten
@@ -79,6 +89,7 @@ object HudiWrite {
   private def upsertOnce(spark: SparkSession, df: DataFrame, tablePath: String): String = {
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val props = readProps(fs, tablePath)
+    if (isMor(props)) return morUpsertOnce(spark, df, tablePath, fs, props)
     val keyCol = props("hoodie.table.recordkey.fields")
     val partCols = props.get("hoodie.table.partition.fields")
       .filter(_.nonEmpty).map(_.split(",").toSeq).getOrElse(Seq.empty)
@@ -102,9 +113,7 @@ object HudiWrite {
     // collect). The path→fileId mapping attaches via withFileGroup
     // (map literal for small tables, broadcast join above the
     // threshold).
-    val keyIndex = withFileGroup(spark, readSlices(spark, tablePath, slices),
-      slices, tablePath)
-      .select(col(RecordKeyCol), col("_fg"))
+    val keyIndex = sliceKeys(spark, tablePath, slices)
 
     val incomingKeys = df.select(col(keyCol).cast("string").as("_k")).distinct()
     // affected file groups: bounded driver metadata (≤ #file groups)
@@ -129,8 +138,7 @@ object HudiWrite {
       return instant
     }
 
-    val affectedDf = withFileGroup(spark,
-      readSlices(spark, tablePath, affectedSlices), affectedSlices, tablePath)
+    val affectedDf = readSlicesMerged(spark, tablePath, affectedSlices, withFg = true)
     // a matched key's group is affected by construction, so the
     // affected groups alone decide matched vs unmatched
     val matchedKeys = affectedDf.select(col(RecordKeyCol).as("_k")).distinct()
@@ -185,6 +193,117 @@ object HudiWrite {
     instant
   }
 
+  /** MERGE_ON_READ upsert: matched keys APPEND to their owning file
+    * group as upstream-format `.log` files (no base rewrite — the
+    * write amortizes to O(delta), the reason MOR exists); unmatched
+    * keys open new base-file groups. Both land in ONE `deltacommit`.
+    * The snapshot reader ([[readSlicesMerged]]) serves latest-per-key
+    * over base ∪ logs until [[compact]] folds the logs down.
+    */
+  private def morUpsertOnce(
+      spark: SparkSession,
+      df: DataFrame,
+      tablePath: String,
+      fs: FileSystem,
+      props: Map[String, String]
+  ): String = {
+    val keyCol = props("hoodie.table.recordkey.fields")
+    val partCols = props.get("hoodie.table.partition.fields")
+      .filter(_.nonEmpty).map(_.split(",").toSeq).getOrElse(Seq.empty)
+    require(df.columns.contains(keyCol), s"upsert frame lacks record key column $keyCol")
+
+    val hoodieDir = new Path(tablePath, ".hoodie")
+    val base = completedInstants(fs, tablePath, None).lastOption.map(_._1)
+    val slices = latestSlices(fs, tablePath, None)
+    val instant = mintInstant(fs, hoodieDir, "deltacommit")
+
+    if (slices.isEmpty) {
+      val prepared = withMeta(df, keyCol, instant)
+      val written = stageByGroup(spark, prepared, fs, tablePath, partCols,
+        instant, freshGroupPerLeaf = true)
+      completeCommit(fs, tablePath, instant, "upsert", written,
+        actionOverride = Some("deltacommit"))
+      return instant
+    }
+
+    // key → owning file group over base AND log records (a key the
+    // last deltacommit inserted via log must route to its group)
+    val keyIndex = sliceKeys(spark, tablePath, slices)
+    val incomingKeys = df.select(col(keyCol).cast("string").as("_k")).distinct()
+    val affected = keyIndex
+      .join(incomingKeys, keyIndex(RecordKeyCol) === incomingKeys("_k"), "leftsemi")
+      .select("_fg").distinct().collect().map(_.getString(0)).toSet
+    require(!affected.contains(null),
+      s"file-group lookup failed to resolve scan paths for $tablePath — " +
+        "path normalization mismatch between tablePath and _metadata.file_path")
+    val affectedSlices = slices.filter(sl => affected(sl.fileId))
+
+    val incomingPrepared = withMeta(df, keyCol, instant)
+    val dataCols = incomingPrepared.columns.toSeq
+
+    if (affectedSlices.isEmpty) {
+      val written = stageByGroup(spark, incomingPrepared, fs, tablePath,
+        partCols, instant, freshGroupPerLeaf = true)
+      completeCommit(fs, tablePath, instant, "upsert", written,
+        actionOverride = Some("deltacommit"))
+      return instant
+    }
+
+    // distinct: a key updated by an earlier log AND present in base
+    // appears twice in the index but owns ONE group
+    val keyToFg = sliceKeys(spark, tablePath, affectedSlices)
+      .select(col(RecordKeyCol).as("_k0"), col("_fg")).distinct()
+    val matchedIncoming = incomingPrepared.join(keyToFg,
+      incomingPrepared(RecordKeyCol) === col("_k0"))
+      .select(dataCols.map(incomingPrepared(_)) :+ col("_fg"): _*)
+    val unmatched = incomingPrepared.join(keyToFg,
+      incomingPrepared(RecordKeyCol) === col("_k0"), "leftanti")
+
+    val logWritten = writeLogFiles(spark, matchedIncoming, tablePath,
+      affectedSlices, instant)
+    val newWritten =
+      if (unmatched.isEmpty) Seq.empty[WrittenFile]
+      else stageByGroup(spark, unmatched, fs, tablePath, partCols,
+        instant, freshGroupPerLeaf = true)
+    completeCommitGuarded(fs, tablePath, base, instant, "upsert",
+      logWritten ++ newWritten, Map.empty, actionOverride = Some("deltacommit"))
+    instant
+  }
+
+  /** Fold every log-bearing file group's slice (base ∪ logs, merged
+    * latest-per-key) into a NEW base file of the SAME file group at a
+    * fresh `commit` instant — the Hudi compaction action. Row commit
+    * times are PRESERVED (the upstream contract: compaction is a pure
+    * layout change, invisible to incremental consumers). Log-free
+    * groups are untouched. Returns the instant, None when there was
+    * nothing to compact.
+    */
+  def compact(spark: SparkSession, tablePath: String): Option[String] = {
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasLogs = latestSlices(fs, tablePath, None).exists(_.logFiles.nonEmpty)
+    if (!hasLogs) None
+    else Some(retryOnConflict("compact", tablePath)(compactOnce(spark, tablePath, fs)))
+  }
+
+  private def compactOnce(
+      spark: SparkSession, tablePath: String, fs: FileSystem): String = {
+    val props = readProps(fs, tablePath)
+    val partCols = props.get("hoodie.table.partition.fields")
+      .filter(_.nonEmpty).map(_.split(",").toSeq).getOrElse(Seq.empty)
+    val base = completedInstants(fs, tablePath, None).lastOption.map(_._1)
+    val logged = latestSlices(fs, tablePath, None).filter(_.logFiles.nonEmpty)
+    val instant = mintInstant(fs, new Path(tablePath, ".hoodie"))
+    if (logged.isEmpty) { // raced away
+      completeCommit(fs, tablePath, instant, "compact", Seq.empty)
+      return instant
+    }
+    val merged = readSlicesMerged(spark, tablePath, logged, withFg = true)
+    val written = stageByGroup(spark, merged, fs, tablePath, partCols,
+      instant, freshGroupPerLeaf = false)
+    completeCommitGuarded(fs, tablePath, base, instant, "compact", written, Map.empty)
+    instant
+  }
+
   /** Delete records by key (COPY_ON_WRITE): file groups holding
     * matched keys are rewritten WITHOUT those rows at the new
     * instant; a group whose every record is deleted is retired via a
@@ -214,9 +333,7 @@ object HudiWrite {
     }
 
     val delKeys = keys.select(col(keys.columns.head).cast("string").as("_k")).distinct()
-    val keyIndex = withFileGroup(spark, readSlices(spark, tablePath, slices),
-      slices, tablePath)
-      .select(col(RecordKeyCol), col("_fg"))
+    val keyIndex = sliceKeys(spark, tablePath, slices)
     val affected = keyIndex
       .join(delKeys, keyIndex(RecordKeyCol) === delKeys("_k"), "leftsemi")
       .select("_fg").distinct().collect().map(_.getString(0)).toSet
@@ -229,8 +346,10 @@ object HudiWrite {
       return instant
     }
 
-    val affectedDf = withFileGroup(spark,
-      readSlices(spark, tablePath, affectedSlices), affectedSlices, tablePath)
+    // merged read: on MOR slices the survivors INCLUDE log-borne
+    // versions (a base-only read would silently resurrect stale rows
+    // and drop log inserts when the rewrite replaces the slice)
+    val affectedDf = readSlicesMerged(spark, tablePath, affectedSlices, withFg = true)
     val survivors = affectedDf
       .join(delKeys, affectedDf(RecordKeyCol) === delKeys("_k"), "leftanti")
     // an all-rows-deleted commit stages nothing; guard the staged
@@ -280,7 +399,9 @@ object HudiWrite {
     // one fresh group per partition, rows sorted within it: route by
     // partition (one reducer each), sort within, stage, retire ALL
     // previous groups
-    val current = readSlices(spark, tablePath, slices)
+    // merged: clustering a MOR table folds its logs into the new
+    // layout (the replacecommit retires every prior group)
+    val current = readSlicesMerged(spark, tablePath, slices)
     val routed =
       if (partCols.isEmpty) current.repartition(1)
       else current.repartition(partCols.map(col): _*)
@@ -362,7 +483,8 @@ object HudiWrite {
       instant: String,
       operation: String,
       written: Seq[WrittenFile],
-      replaced: Map[String, Seq[String]]
+      replaced: Map[String, Seq[String]],
+      actionOverride: Option[String] = None
   ): Unit = {
     val mine: Set[(String, String)] =
       written.map(w => (w.partition, w.fileId)).toSet ++
@@ -377,7 +499,7 @@ object HudiWrite {
       throw new HudiConflict(
         s"concurrent commit touched ${clash.size} file group(s) of $operation $instant")
     }
-    completeCommit(fs, tablePath, instant, operation, written, replaced)
+    completeCommit(fs, tablePath, instant, operation, written, replaced, actionOverride)
   }
 
   // ------------------------------------------------------ internals
@@ -390,7 +512,8 @@ object HudiWrite {
       tablePath: String,
       recordKeyCol: String,
       partitionBy: Seq[String],
-      df: DataFrame
+      df: DataFrame,
+      tableType: String
   ): (FileSystem, Map[String, String]) = {
     require(df.columns.contains(recordKeyCol),
       s"record key column $recordKeyCol missing from the frame")
@@ -404,7 +527,7 @@ object HudiWrite {
       val props = new java.util.Properties()
       props.setProperty("hoodie.table.name",
         new Path(tablePath).getName)
-      props.setProperty("hoodie.table.type", "COPY_ON_WRITE")
+      props.setProperty("hoodie.table.type", tableType)
       props.setProperty("hoodie.table.version", "6")
       props.setProperty("hoodie.table.recordkey.fields", recordKeyCol)
       props.setProperty("hoodie.table.partition.fields", partitionBy.mkString(","))
@@ -545,6 +668,8 @@ object HudiWrite {
     * directly; a delete that ends up retiring groups is re-marked at
     * completion by [[completeCommit]]).
     */
+  private[tables] val TimelineActions = Seq("commit", "deltacommit", "replacecommit")
+
   private[tables] def mintInstant(
       fs: FileSystem, hoodieDir: Path, action: String = "commit"): String = {
     val fmt = new java.text.SimpleDateFormat("yyyyMMddHHmmssSSS")
@@ -555,9 +680,23 @@ object HudiWrite {
       val instant = fmt.format(new java.util.Date())
       if (IcebergWrite.publishIfAbsent(fs,
         requestedMarker(hoodieDir, instant, action), Array.emptyByteArray)) {
-        val inflight = fs.create(inflightMarker(hoodieDir, instant, action), true)
-        inflight.close()
-        return instant
+        // uniqueness must hold ACROSS action spellings: a cluster
+        // (replacecommit.requested) and an ingest (commit.requested)
+        // minting in the same millisecond both win their own
+        // put-if-absent. Publish-then-check, and back off if ANY
+        // rival spelling exists: a writer that proceeds saw no rival
+        // at check time, so every rival published later and — having
+        // published before its own check — WILL see this writer's
+        // marker and roll back. At most one writer keeps an instant
+        // (possibly none; both re-mint a millisecond later).
+        val rivals = TimelineActions.filter(a => a != action &&
+          fs.exists(requestedMarker(hoodieDir, instant, a)))
+        if (rivals.isEmpty) {
+          val inflight = fs.create(inflightMarker(hoodieDir, instant, action), true)
+          inflight.close()
+          return instant
+        }
+        fs.delete(requestedMarker(hoodieDir, instant, action), false)
       }
       require(attempt < 1000, s"could not mint a unique instant under $hoodieDir")
       Thread.sleep(1L)
@@ -580,7 +719,8 @@ object HudiWrite {
       instant: String,
       operation: String,
       written: Seq[WrittenFile],
-      replaced: Map[String, Seq[String]] = Map.empty
+      replaced: Map[String, Seq[String]] = Map.empty,
+      actionOverride: Option[String] = None
   ): Unit = {
     val root = mapper.createObjectNode()
     root.put("operationType", operation.toUpperCase)
@@ -606,20 +746,23 @@ object HudiWrite {
       stats.set[ObjectNode](part, arr)
     }
     root.set[ObjectNode]("partitionToWriteStats", stats)
-    val action = if (replaced.nonEmpty) "replacecommit" else "commit"
+    val action = actionOverride.getOrElse(
+      if (replaced.nonEmpty) "replacecommit" else "commit")
     // re-mark when the minted action differs from how the op completed
     // (a delete only learns it retires whole groups at the end):
     // tooling reconciles requested/inflight by the COMPLETED action's
     // naming, so a mismatched pair would read as pending forever
     val hoodieDir = new Path(tablePath, ".hoodie")
-    val other = if (action == "commit") "replacecommit" else "commit"
-    if (!fs.exists(requestedMarker(hoodieDir, instant, action)) &&
-      fs.exists(requestedMarker(hoodieDir, instant, other))) {
-      IcebergWrite.publishIfAbsent(fs,
-        requestedMarker(hoodieDir, instant, action), Array.emptyByteArray)
-      fs.create(inflightMarker(hoodieDir, instant, action), true).close()
-      fs.delete(requestedMarker(hoodieDir, instant, other), false)
-      fs.delete(inflightMarker(hoodieDir, instant, other), false)
+    if (!fs.exists(requestedMarker(hoodieDir, instant, action))) {
+      TimelineActions.filter(_ != action)
+        .find(a => fs.exists(requestedMarker(hoodieDir, instant, a)))
+        .foreach { other =>
+          IcebergWrite.publishIfAbsent(fs,
+            requestedMarker(hoodieDir, instant, action), Array.emptyByteArray)
+          fs.create(inflightMarker(hoodieDir, instant, action), true).close()
+          fs.delete(requestedMarker(hoodieDir, instant, other), false)
+          fs.delete(inflightMarker(hoodieDir, instant, other), false)
+        }
     }
     val target = new Path(new Path(tablePath, ".hoodie"), s"$instant.$action")
     require(IcebergWrite.publishIfAbsent(fs, target,
@@ -679,8 +822,11 @@ object HudiWrite {
           if (action == "deltacommit" && p.contains(".log.")) {
             // MOR log file: attaches to the group's current base
             // slice (a later base — compaction — resets the list)
-            val s = slices.getOrElse((part, fileId), throw new IllegalStateException(
-              s"deltacommit $instant logs to unknown file group $fileId in '$part'"))
+            val s = slices.getOrElse((part, fileId),
+              throw new UnsupportedOperationException(
+                s"Hudi MERGE_ON_READ log-only file groups are unsupported: deltacommit " +
+                  s"$instant logs to file group $fileId in '$part' which has no base " +
+                  "file (bucket/HBase-index log-only inserts); compact the table first"))
             slices((part, fileId)) = s.copy(logFiles = s.logFiles :+ (instant -> p))
           } else {
             // ascending instant order: later slices simply replace
@@ -720,6 +866,185 @@ object HudiWrite {
     spark.read
       .option("basePath", tablePath)
       .parquet(slices.map(s => s"$tablePath/${s.relPath}"): _*)
+  }
+
+  /** MERGE_ON_READ snapshot read: groups WITHOUT logs stream straight
+    * from parquet (the COW fast path — zero overhead, full Catalyst
+    * pushdown); groups WITH logs union their base scan with the
+    * distributed Avro log parse and keep the latest version per
+    * record key, ordered by (commit time, intra-commit sequence).
+    * Only log-bearing groups pay the per-key shuffle. `withFg`
+    * retains the owning file-group id as `_fg`.
+    */
+  private[tables] def readSlicesMerged(
+      spark: SparkSession,
+      tablePath: String,
+      slices: Seq[FileSlice],
+      withFg: Boolean = false
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (logged, plain) = slices.partition(_.logFiles.nonEmpty)
+    def withGroup(df: DataFrame, sls: Seq[FileSlice]) =
+      if (withFg) withFileGroup(spark, df, sls, tablePath) else df
+    if (logged.isEmpty) return withGroup(readSlices(spark, tablePath, slices), slices)
+
+    val baseScan = readSlices(spark, tablePath, logged)
+    val dataSchema = baseScan.schema
+    val logDf = readLogRows(spark, tablePath, logged, dataSchema)
+    val merged = withFileGroup(spark, baseScan, logged, tablePath)
+      .withColumn("_seq", lit(0L))
+      .unionByName(logDf)
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col(RecordKeyCol))
+          .orderBy(col(CommitTimeCol).desc, col("_seq").desc)))
+      .where(col("_rn") === 1)
+      .drop("_rn", "_seq")
+    val out = if (withFg) merged else merged.drop("_fg")
+    if (plain.isEmpty) out
+    else withGroup(readSlices(spark, tablePath, plain), plain).unionByName(out)
+  }
+
+  /** Distributed parse of the logged slices' `.log` files into rows
+    * of `dataSchema` + `_fg` (owning group) + `_seq` (order within a
+    * commit: log-file ordinal within the slice × 2³² + record index —
+    * later log files of one group carry later instants, so (commit
+    * time, _seq) totally orders a key's versions).
+    */
+  private def readLogRows(
+      spark: SparkSession,
+      tablePath: String,
+      logged: Seq[FileSlice],
+      dataSchema: org.apache.spark.sql.types.StructType
+  ): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val entries: Seq[(String, String, Long)] = logged.flatMap { s =>
+      s.logFiles.zipWithIndex.map { case ((_, rel), i) =>
+        (s.fileId, s"$tablePath/$rel", i.toLong << 32)
+      }
+    }
+    val logSchema = StructType(dataSchema.fields ++
+      Seq(StructField("_fg", StringType), StructField("_seq", LongType)))
+    val rdd = spark.sparkContext
+      .parallelize(entries, math.max(1, math.min(entries.size,
+        spark.sparkContext.defaultParallelism)))
+      .flatMap { case (fg, path, fileBase) =>
+        HudiLog.readRows(conf.value, path, dataSchema).iterator.zipWithIndex.map {
+          case (r, i) =>
+            org.apache.spark.sql.Row.fromSeq(r.toSeq ++ Seq(fg, fileBase + i))
+        }
+      }
+    spark.createDataFrame(rdd, logSchema)
+  }
+
+  /** `(record key, owning file group)` over base files AND log
+    * records — the upsert/delete routing index. The base side is a
+    * column-pruned parquet scan; the log side projects keys out of
+    * the distributed parse. Keys are unique per table, so no merge
+    * is needed to resolve ownership.
+    */
+  private[tables] def sliceKeys(
+      spark: SparkSession, tablePath: String, slices: Seq[FileSlice]): DataFrame = {
+    val baseKeys = withFileGroup(spark, readSlices(spark, tablePath, slices),
+      slices, tablePath)
+      .select(col(RecordKeyCol), col("_fg"))
+    val logged = slices.filter(_.logFiles.nonEmpty)
+    if (logged.isEmpty) baseKeys
+    else {
+      val dataSchema = readSlices(spark, tablePath, logged).schema
+      val logKeys = readLogRows(spark, tablePath, logged, dataSchema)
+        .select(col(RecordKeyCol), col("_fg"))
+      baseKeys.unionByName(logKeys)
+    }
+  }
+
+  /** Records per AVRO_DATA_BLOCK the log writer emits — bounds a
+    * write task's memory to one block.
+    */
+  private[tables] val LogBlockRecords = 10000
+
+  private val LogVersionRe = "\\.log\\.(\\d+)_".r
+
+  private[tables] def nextLogVersion(s: FileSlice): Int =
+    s.logFiles.flatMap { case (_, rel) =>
+      LogVersionRe.findFirstMatchIn(rel).map(_.group(1).toInt)
+    }.maxOption.getOrElse(0) + 1
+
+  /** Write `updates` (meta + data + `_fg`) as ONE upstream-format
+    * log file per affected file group, distributed: rows route to
+    * their group's reducer (hash on `_fg`, sorted within so groups
+    * stream consecutively), each task encodes Avro data blocks of
+    * ≤[[LogBlockRecords]] records straight to the filesystem. Driver
+    * work is O(affected groups) naming metadata.
+    */
+  private def writeLogFiles(
+      spark: SparkSession,
+      updates: DataFrame,
+      tablePath: String,
+      affectedSlices: Seq[FileSlice],
+      instant: String
+  ): Seq[WrittenFile] = {
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val dataSchema = org.apache.spark.sql.types.StructType(
+      updates.schema.fields.filterNot(_.name == "_fg"))
+    val avroJson = HudiLog.avroSchema(dataSchema).toString
+    // fileId → (partition dir, base instant for the name, log version)
+    val naming: Map[String, (String, String, Int)] = affectedSlices.map { s =>
+      s.fileId -> ((s.partition, s.instant, nextLogVersion(s)))
+    }.toMap
+    val namingB = spark.sparkContext.broadcast(naming)
+    val fgIdx = updates.schema.fieldIndex("_fg")
+    val dataIdx = dataSchema.fieldNames.map(updates.schema.fieldIndex).toSeq
+    val table = tablePath
+
+    val written = updates.repartition(col("_fg")).sortWithinPartitions("_fg")
+      .rdd.mapPartitions { it =>
+        val avro = new org.apache.avro.Schema.Parser().parse(avroJson)
+        val out = Seq.newBuilder[(String, String, String, Long)]
+        var curFg: String = null
+        var writer: HudiLog.Writer = null
+        var count = 0L
+        var rel: String = null
+        var part: String = null
+        val buf = scala.collection.mutable.Buffer.empty[org.apache.spark.sql.Row]
+        def flushBlock(): Unit = if (buf.nonEmpty) {
+          writer.append(HudiLog.LogBlock(HudiLog.AvroDataBlock,
+            Map(HudiLog.InstantTimeKey -> instant, HudiLog.SchemaKey -> avroJson),
+            HudiLog.avroContent(buf.iterator, dataSchema, avro)))
+          count += buf.size
+          buf.clear()
+        }
+        def closeGroup(): Unit = if (writer != null) {
+          flushBlock()
+          writer.close()
+          out += ((curFg, part, rel, count))
+          writer = null
+          count = 0L
+        }
+        it.foreach { row =>
+          val fg = row.getString(fgIdx)
+          if (fg != curFg) {
+            closeGroup()
+            curFg = fg
+            val (p, baseInstant, v) = namingB.value(fg)
+            part = p
+            val name = s".${fg}_$baseInstant.log.${v}_$WriteToken"
+            rel = if (p.isEmpty) name else s"$p/$name"
+            val fs = new Path(table).getFileSystem(conf.value)
+            val dest = new Path(table, rel)
+            fs.mkdirs(dest.getParent)
+            writer = new HudiLog.Writer(fs, dest)
+          }
+          buf += org.apache.spark.sql.Row.fromSeq(dataIdx.map(row.get))
+          if (buf.size >= LogBlockRecords) flushBlock()
+        }
+        closeGroup()
+        out.result().iterator
+      }.collect().toSeq
+
+    written.map { case (fg, part, rel, n) => WrittenFile(part, fg, rel, n) }
   }
 
   /** Above this many file groups the path→fileId mapping stops being

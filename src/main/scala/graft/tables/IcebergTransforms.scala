@@ -232,6 +232,25 @@ object IcebergTransforms {
       }
   }
 
+  /** Code-point (= UTF-8 byte) string order — the order Iceberg and
+    * Parquet record string bounds in. Java's `String.compareTo` is
+    * UTF-16 code-UNIT order, which ranks supplementary characters
+    * (surrogate pairs, 0xD800-0xDFFF units) BELOW U+E000..U+FFFF;
+    * pruning with it could drop a file that contains matching rows.
+    */
+  private[tables] def compareCodePoints(a: String, b: String): Int = {
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
+
   /** Whether range filters can prune on `t` (order-preserving). */
   private def ordered(t: Transform): Boolean = t match {
     case Truncate(_) | Year | Month | Day | Hour => true
@@ -247,7 +266,7 @@ object IcebergTransforms {
     (p, tv) match {
       case (pi: Int, l: Long)    => Some(java.lang.Long.compare(pi.toLong, l))
       case (pl: Long, l: Long)   => Some(java.lang.Long.compare(pl, l))
-      case (ps: String, s: String) => Some(ps.compareTo(s))
+      case (ps: String, s: String) => Some(compareCodePoints(ps, s))
       case (pb: java.nio.ByteBuffer, d: java.math.BigDecimal) =>
         val bytes = new Array[Byte](pb.remaining())
         pb.duplicate().get(bytes)

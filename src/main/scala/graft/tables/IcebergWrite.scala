@@ -314,7 +314,7 @@ object IcebergWrite {
     // column casts up with no schema change. Everything else refuses.
     val existingV = latestVersionByScan(fs, metaDir)
     val existing = existingV.map(v => readRoot(fs, metaDir, v))
-    val (schema, partCols, addedCols, widenedCols) = existing match {
+    val (schema, partCols) = existing match {
       case Some(root) =>
         val meta = IcebergMeta.parse(root, tablePath)
         val byName = df.schema.fields.map(f => f.name -> f).toMap
@@ -346,10 +346,9 @@ object IcebergWrite {
         // source would strand the old tuples' type
         require(specCols.forall(c => !widened.contains(c)),
           s"cannot widen partition column(s) ${specCols.filter(widened.contains).mkString(", ")}")
-        (StructType(evolvedExisting ++ added), specCols, added, widened)
+        (StructType(evolvedExisting ++ added), specCols)
       case None =>
-        (df.schema, partitionBy, Seq.empty[org.apache.spark.sql.types.StructField],
-          Map.empty[String, org.apache.spark.sql.types.DataType])
+        (df.schema, partitionBy)
     }
     val ordered = df.select(
       schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
@@ -384,6 +383,36 @@ object IcebergWrite {
               .find(_.path("spec-id").asInt(0) == r.path("default-spec-id").asInt(0))
               .getOrElse(specs.get(0))
             val baseLast = r.path("last-column-id").asInt()
+            // the added/widened diff is recomputed HERE, against the
+            // freshest base of this publish attempt — a racing append
+            // may have already added/widened the same column, and
+            // replaying the pre-loop diff would append a duplicate
+            // field (same name, new id) into the schema history
+            val curByName = IcebergMeta.parse(r, tablePath).schema.fields
+              .map(f => f.name -> f.dataType).toMap
+            val addedCols = schema.fields
+              .filterNot(f => curByName.contains(f.name))
+              .map(_.copy(nullable = true)).toSeq
+            val widenedCols: Map[String, org.apache.spark.sql.types.DataType] =
+              schema.fields.flatMap { f =>
+                curByName.get(f.name) match {
+                  case Some(curT) if curT == f.dataType => None
+                  case Some(curT) if promotes(curT, f.dataType) => Some(f.name -> f.dataType)
+                  case Some(curT) if promotes(f.dataType, curT) => None // raced wider; files upcast
+                  case Some(curT) => throw new IllegalArgumentException(
+                    s"schema mismatch appending to $tablePath: column ${f.name} became " +
+                      s"${curT.simpleString} under a concurrent commit, incompatible with " +
+                      f.dataType.simpleString)
+                  case None => None
+                }
+              }.toMap
+            locally {
+              val specNames = IcebergMeta.elements(spec.path("fields"))
+                .map(_.path("name").asText())
+              require(specNames.forall(c => !widenedCols.contains(c)),
+                s"cannot widen partition column(s) " +
+                  specNames.filter(widenedCols.contains).mkString(", "))
+            }
             val evolved: Option[(String, Int, Int)] =
               if (addedCols.isEmpty && widenedCols.isEmpty) None
               else {
