@@ -52,6 +52,10 @@ object GraftExtensions {
     ("graft_sorted_intersect_count",
       new ExpressionInfo(classOf[SortedIntersectCount].getName, "graft_sorted_intersect_count"),
       (exprs: Seq[Expression]) => SortedIntersectCount(exprs.head, exprs(1))),
+    ("graft_iceberg_bucket",
+      new ExpressionInfo(classOf[graft.functions.IcebergBucket].getName, "graft_iceberg_bucket"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.IcebergBucket(exprs.head, intArg(exprs(1), "n"))),
     ("graft_cosine",
       new ExpressionInfo(classOf[graft.functions.VecCosine].getName, "graft_cosine"),
       (exprs: Seq[Expression]) => graft.functions.VecCosine(exprs.head, exprs(1))),

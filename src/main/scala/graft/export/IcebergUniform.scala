@@ -444,10 +444,19 @@ object IcebergUniform {
     * Iceberg reader binds partition data by — not the source column
     * ids (those appear only as the spec's source-id).
     */
-  private[graft] def manifestEntrySchema(partFields: Seq[StructField]): AvroSchema = {
-    val pFields = partFields.zipWithIndex.map { case (f, i) =>
+  private[graft] def manifestEntrySchema(partFields: Seq[StructField]): AvroSchema =
+    manifestEntrySchema(partFields, partFields.indices.map(1000 + _))
+
+  /** Variant for evolved partition specs, whose field ids continue
+    * from `last-partition-id` instead of restarting at 1000.
+    */
+  private[graft] def manifestEntrySchema(
+      partFields: Seq[StructField], fieldIds: Seq[Int]): AvroSchema = {
+    require(fieldIds.size == partFields.size,
+      s"${fieldIds.size} field ids for ${partFields.size} partition fields")
+    val pFields = partFields.zip(fieldIds).map { case (f, id) =>
       s"""{"name":${q(f.name)},"type":["null","${avroPartitionType(f.dataType)}"],
-         |"default":null,"field-id":${1000 + i}}""".stripMargin
+         |"default":null,"field-id":$id}""".stripMargin
     }.mkString(",")
     val json =
       s"""{"type":"record","name":"manifest_entry","fields":[

@@ -1718,6 +1718,17 @@ object OracleSql {
           |    WHEN 1 THEN 1000 * (1 + user_id % 4) + 200 * (user_id % 3)
           |    ELSE 500 * (1 + user_id % 6) END AS BIGINT) AS duration_ms
           |FROM events WHERE event_id < 600 ORDER BY event_id""".stripMargin,
+      // the Spark side writes events natively as an Iceberg table
+      // partitioned by days(ts) + bucket(16, user_id) and reads it
+      // back day-range + bucket-pruned; the oracle replays the
+      // filter relationally over the source events
+      "q_iceberg_transform" ->
+        """SELECT event_id, user_id, event_type, value
+          |FROM events
+          |WHERE ts >= TIMESTAMP '2024-01-04 00:00:00'
+          |  AND ts < TIMESTAMP '2024-01-06 00:00:00'
+          |  AND user_id = 7
+          |ORDER BY event_id""".stripMargin,
       // incremental read of the two-snapshot Iceberg nation table:
       // the appended slice IS the second append's predicate
       "q_iceberg_incr" ->

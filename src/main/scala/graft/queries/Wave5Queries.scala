@@ -318,6 +318,44 @@ object Wave5Queries {
   // ---------- R50: native Iceberg write (append) ----------
 
   private val icebergWritten = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val icebergTransformWritten =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Events written natively as an Iceberg table under NON-IDENTITY
+    * partition transforms — `days(ts)` + `bucket(16, user_id)`, the
+    * layouts foreign Iceberg lakes actually use — so the gate
+    * exercises transform placement on write AND transform manifest
+    * pruning on read end-to-end.
+    */
+  private[queries] def writtenEventsTransform(s: SparkSession, dir: String): String =
+    icebergTransformWritten.getOrElseUpdate(dir, {
+      import graft.tables.IcebergWrite
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_iceberg_t").toString + "/events"
+      val events = t(s, dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      IcebergWrite.append(s, events, path, Seq("days(ts)", "bucket(16, user_id)"))
+      path
+    })
+
+  /** Day-range + bucket-equality filtered read of the
+    * transform-partitioned table: the day files outside the range and
+    * the 15 non-matching buckets prune at the manifest level before
+    * any data file opens; the oracle replays the filter relationally
+    * over the source events.
+    */
+  def qIcebergTransform(s: SparkSession, dir: String): DataFrame = {
+    import graft.core.Filter
+    import graft.tables.{IcebergTable, ReadArgs}
+    val table = new IcebergTable("events_iceberg_t", writtenEventsTransform(s, dir))
+    table(s, ReadArgs(
+      filters = graft.core.Filters.normalize(Seq(
+        Filter("ts", ">=", "2024-01-04 00:00:00"),
+        Filter("ts", "<", "2024-01-06 00:00:00"),
+        Filter("user_id", "=", 7))),
+      columns = Some(Seq("event_id", "user_id", "event_type", "value"))))
+      .orderBy("event_id")
+  }
 
   /** Build once per sf-dir: a FROM-SCRATCH Iceberg table (no Delta
     * anywhere) written in two appends via the Hadoop-catalog commit

@@ -201,14 +201,16 @@ object IcebergWrite {
         .find(_.path("spec-id").asInt(0) == baseRoot.path("default-spec-id").asInt(0))
         .getOrElse(specs.get(0))
       val specFieldsJson = mapper.writeValueAsString(specNode.path("fields"))
+      val specId = specNode.path("spec-id").asInt(0)
 
-      val entrySchema = IcebergUniform.manifestEntrySchema(partFields)
+      val entrySchema = IcebergUniform.manifestEntrySchema(partFields,
+        IcebergMeta.elements(specNode.path("fields")).map(_.path("field-id").asInt()))
       val manifestPath = new Path(metaDir, s"delete-manifest-$snapshotId-$uuid.avro")
       locally {
         val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](entrySchema))
         w.setMeta("schema", schemaJson)
         w.setMeta("partition-spec", specFieldsJson)
-        w.setMeta("partition-spec-id", "0")
+        w.setMeta("partition-spec-id", specId.toString)
         w.setMeta("format-version", "2")
         w.setMeta("content", "deletes")
         w.create(entrySchema, fs.create(manifestPath, true))
@@ -255,7 +257,7 @@ object IcebergWrite {
           val n = new GenericData.Record(ls)
           n.put("manifest_path", manifestPath.toString)
           n.put("manifest_length", manifestLen)
-          n.put("partition_spec_id", 0)
+          n.put("partition_spec_id", specId)
           n.put("content", 1) // deletes
           n.put("sequence_number", seq)
           n.put("min_sequence_number", seq)
@@ -335,26 +337,47 @@ object IcebergWrite {
           .filterNot(f => meta.schema.fieldNames.contains(f.name))
           .map(_.copy(nullable = true)).toSeq
         val widened = widenedB.result()
-        val spec = meta.specs.getOrElse(meta.defaultSpecId, Seq.empty)
-        require(spec.forall(_.transform == "identity"),
-          s"append supports identity partition specs only; $tablePath has " +
-            spec.filterNot(_.transform == "identity").map(_.transform).mkString(", "))
-        val specCols = spec.map(_.name)
-        require(partitionBy.isEmpty || partitionBy == specCols,
-          s"partitionBy ${partitionBy.mkString(",")} != table spec ${specCols.mkString(",")}")
+        // effective partitioning: the requested spec (spec EVOLUTION
+        // when it differs from the table's — committed as a new spec
+        // id per the public spec's partition-evolution rules), or the
+        // table's current default when none requested
+        val curSpec = meta.specs.getOrElse(meta.defaultSpecId, Seq.empty).map { sf =>
+          ReqSpecField(sf.name, sf.transform,
+            meta.schemaFieldIds.getOrElse(sf.sourceId, sf.name))
+        }
+        val reqSpec = partitionBy.map(parsePartitionField)
+        val effective = if (reqSpec.isEmpty) curSpec else reqSpec
         // manifests carry TYPED partition tuples; widening a partition
         // source would strand the old tuples' type
-        require(specCols.forall(c => !widened.contains(c)),
-          s"cannot widen partition column(s) ${specCols.filter(widened.contains).mkString(", ")}")
-        (StructType(evolvedExisting ++ added), specCols)
+        val srcCols = effective.map(_.sourceCol)
+        require(srcCols.forall(c => !widened.contains(c)),
+          s"cannot widen partition column(s) ${srcCols.filter(widened.contains).mkString(", ")}")
+        (StructType(evolvedExisting ++ added), effective)
       case None =>
-        (df.schema, partitionBy)
+        (df.schema, partitionBy.map(parsePartitionField))
+    }
+    partCols.foreach { f =>
+      require(schema.fieldNames.contains(f.sourceCol),
+        s"partition source column ${f.sourceCol} missing from the schema")
+      if (f.transform != "identity")
+        require(!schema.fieldNames.contains(f.name),
+          s"derived partition field ${f.name} collides with a data column")
     }
     val ordered = df.select(
       schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
 
     // ---- stage data files + per-file record counts (one job) -------
-    val staged = stage(spark, ordered, fs, table, partCols)
+    // non-identity fields stage under a DERIVED column (computed by
+    // the same transform definitions the reader prunes with);
+    // partitionBy strips it from the data files, so only the source
+    // column lands on disk — exactly the upstream layout
+    val stagingDf = partCols.filter(_.transform != "identity").foldLeft(ordered) {
+      (acc, f) => acc.withColumn(f.name,
+        transformColumn(f.transform, schema.fields.find(_.name == f.sourceCol).get))
+    }
+    val partFields = partCols.map(f => org.apache.spark.sql.types.StructField(f.name,
+      transformResultType(f.transform, schema.fields.find(_.name == f.sourceCol).get.dataType)))
+    val staged = stage(spark, stagingDf, fs, table, partCols.map(_.name))
 
     // ---- optimistic commit (shared publish loop) -------------------
     publishLoop(fs, metaDir, tablePath,
@@ -370,7 +393,7 @@ object IcebergWrite {
       // when this append ADDS or WIDENS columns — recomputed per
       // attempt against the freshest base so a raced commit's schema
       // history is preserved
-      val (schemaJson, specFieldsJson, lastColumnId, specSourceIds, evolvedSchema) =
+      val (schemaJson, specFieldsJson, specId, newSpec, manifestFieldIds, lastColumnId, evolvedSchema) =
         baseRoot match {
           case Some(r) =>
             val schemas = r.path("schemas")
@@ -379,9 +402,6 @@ object IcebergWrite {
               .find(_.path("schema-id").asInt(-1) == cur)
               .getOrElse(schemas.get(0))
             val specs = r.path("partition-specs")
-            val spec = IcebergMeta.elements(specs)
-              .find(_.path("spec-id").asInt(0) == r.path("default-spec-id").asInt(0))
-              .getOrElse(specs.get(0))
             val baseLast = r.path("last-column-id").asInt()
             // the added/widened diff is recomputed HERE, against the
             // freshest base of this publish attempt — a racing append
@@ -406,13 +426,9 @@ object IcebergWrite {
                   case None => None
                 }
               }.toMap
-            locally {
-              val specNames = IcebergMeta.elements(spec.path("fields"))
-                .map(_.path("name").asText())
-              require(specNames.forall(c => !widenedCols.contains(c)),
-                s"cannot widen partition column(s) " +
-                  specNames.filter(widenedCols.contains).mkString(", "))
-            }
+            require(partCols.map(_.sourceCol).forall(c => !widenedCols.contains(c)),
+              s"cannot widen partition column(s) " +
+                partCols.map(_.sourceCol).filter(widenedCols.contains).mkString(", "))
             val evolved: Option[(String, Int, Int)] =
               if (addedCols.isEmpty && widenedCols.isEmpty) None
               else {
@@ -436,32 +452,61 @@ object IcebergWrite {
                 Some((s"""{"type":"struct","schema-id":$sid,"fields":[$allFields]}""",
                   sid, newLast))
               }
+            // resolve the effective partitioning against THIS
+            // attempt's specs: reuse a matching spec id (usually the
+            // default), or mint a NEW spec id (partition-spec
+            // evolution) with field-ids continuing last-partition-id
+            val schemaIdsByName: Map[String, Int] =
+              IcebergMeta.elements(sj.path("fields"))
+                .map(f => f.path("name").asText() -> f.path("id").asInt()).toMap
+            val want: Seq[(String, String, Int)] = partCols.map { f =>
+              val sid = schemaIdsByName.getOrElse(f.sourceCol,
+                throw new IllegalArgumentException(
+                  s"cannot partition $tablePath by ${f.sourceCol}: not an existing table column"))
+              (f.name, f.transform, sid)
+            }
+            def triples(sn: JsonNode): Seq[(String, String, Int)] =
+              IcebergMeta.elements(sn.path("fields")).map(f =>
+                (f.path("name").asText(), f.path("transform").asText(),
+                  f.path("source-id").asInt()))
+            val matchedSpec = IcebergMeta.elements(specs).find(sn => triples(sn) == want)
+            val (sid2, newSpecOpt, fids, sfj) = matchedSpec match {
+              case Some(sn) =>
+                (sn.path("spec-id").asInt(0), None,
+                  IcebergMeta.elements(sn.path("fields")).map(_.path("field-id").asInt()),
+                  mapper.writeValueAsString(sn.path("fields")))
+              case None =>
+                val nid = IcebergMeta.elements(specs)
+                  .map(_.path("spec-id").asInt(0)).maxOption.getOrElse(-1) + 1
+                val lastPid = r.path("last-partition-id").asInt(999)
+                val ids = partCols.indices.map(lastPid + 1 + _)
+                val json = want.zip(ids).map { case ((n, t, s), fid) =>
+                  s"""{"name":"$n","transform":"$t","source-id":$s,"field-id":$fid}"""
+                }.mkString("[", ",", "]")
+                (nid, Some((json, ids.maxOption.getOrElse(lastPid))), ids, json)
+            }
             (evolved.map(_._1).getOrElse(mapper.writeValueAsString(sj)),
-              mapper.writeValueAsString(spec.path("fields")),
+              sfj, sid2, newSpecOpt, fids,
               evolved.map(_._3).getOrElse(baseLast),
-              IcebergMeta.elements(spec.path("fields")).map(f =>
-                f.path("name").asText() -> f.path("source-id").asInt()).toMap,
               evolved)
           case None =>
             val ids = new IcebergUniform.FieldIds(schema)
             val sj = ids.icebergSchemaJson(schemaId = 0)
-            val fieldsJson = partCols.zipWithIndex.map { case (c, i) =>
-              s"""{"name":"$c","transform":"identity","source-id":${ids.idOf(c)},"field-id":${1000 + i}}"""
+            val fieldsJson = partCols.zipWithIndex.map { case (f, i) =>
+              s"""{"name":"${f.name}","transform":"${f.transform}","source-id":${ids.idOf(f.sourceCol)},"field-id":${1000 + i}}"""
             }.mkString("[", ",", "]")
-            (sj, fieldsJson, ids.lastColumnId,
-              partCols.map(c => c -> ids.idOf(c)).toMap,
-              None)
+            (sj, fieldsJson, 0, None, partCols.indices.map(1000 + _),
+              ids.lastColumnId, None)
         }
 
       // new data manifest (uuid-named: attempts never collide)
-      val partFields = partCols.map(c => schema.fields.find(_.name == c).get)
-      val entrySchema = IcebergUniform.manifestEntrySchema(partFields)
+      val entrySchema = IcebergUniform.manifestEntrySchema(partFields, manifestFieldIds)
       val manifestPath = new Path(metaDir, s"manifest-$snapshotId-$uuid.avro")
       locally {
         val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](entrySchema))
         w.setMeta("schema", schemaJson)
         w.setMeta("partition-spec", specFieldsJson)
-        w.setMeta("partition-spec-id", "0")
+        w.setMeta("partition-spec-id", specId.toString)
         w.setMeta("format-version", "2")
         w.setMeta("content", "data")
         w.create(entrySchema, fs.create(manifestPath, true))
@@ -512,7 +557,7 @@ object IcebergWrite {
           val n = new GenericData.Record(s)
           n.put("manifest_path", manifestPath.toString)
           n.put("manifest_length", manifestLen)
-          n.put("partition_spec_id", 0)
+          n.put("partition_spec_id", specId)
           n.put("content", 0)
           n.put("sequence_number", seq)
           n.put("min_sequence_number", seq)
@@ -538,6 +583,20 @@ object IcebergWrite {
             c.put("current-schema-id", sid)
             c.put("last-column-id", last)
           }
+          // partition-spec evolution: the new spec id joins the spec
+          // list and becomes the default; older files keep pruning
+          // under their own spec (the reader keys by manifest spec id)
+          newSpec.foreach { case (fieldsJson, maxFieldId) =>
+            val sp = mapper.createObjectNode()
+            sp.put("spec-id", specId)
+            sp.set[ObjectNode]("fields", mapper.readTree(fieldsJson))
+            c.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("partition-specs")
+              .add(sp)
+            c.put("last-partition-id",
+              math.max(c.path("last-partition-id").asInt(999), maxFieldId))
+          }
+          if (c.path("default-spec-id").asInt(0) != specId)
+            c.put("default-spec-id", specId)
           c
         case None =>
           val r = mapper.createObjectNode()
@@ -665,6 +724,85 @@ object IcebergWrite {
   /** Write `df` under a staging dir, compute per-file record counts
     * in ONE grouped job, then move files under `data/`.
     */
+  /** One requested partition field: the Iceberg spec-field `name`
+    * (upstream builder naming — `col`, `col_bucket`, `col_trunc`,
+    * `col_year/_month/_day/_hour`), the spec `transform` string, and
+    * the source column.
+    */
+  private[tables] final case class ReqSpecField(
+      name: String, transform: String, sourceCol: String)
+
+  private val BucketArgRe = """bucket\(\s*(\d+)\s*,\s*([^)\s]+)\s*\)""".r
+  private val TruncArgRe = """truncate\(\s*(\d+)\s*,\s*([^)\s]+)\s*\)""".r
+  private val UnaryArgRe = """(years?|months?|days?|hours?)\(\s*([^)\s]+)\s*\)""".r
+
+  /** Parse one `partitionBy` entry: a bare column name is identity;
+    * `days(ts)`, `bucket(16, id)`, `truncate(4, v)` etc. request the
+    * Iceberg partition transforms.
+    */
+  private[tables] def parsePartitionField(s: String): ReqSpecField = s.trim match {
+    case BucketArgRe(n, c) => ReqSpecField(s"${c}_bucket", s"bucket[$n]", c)
+    case TruncArgRe(w, c)  => ReqSpecField(s"${c}_trunc", s"truncate[$w]", c)
+    case UnaryArgRe(t, c)  =>
+      val canon = t.stripSuffix("s")
+      ReqSpecField(s"${c}_$canon", canon, c)
+    case c => ReqSpecField(c, "identity", c)
+  }
+
+  private val BucketN = "bucket\\[(\\d+)\\]".r
+  private val TruncW = "truncate\\[(\\d+)\\]".r
+
+  /** Manifest partition-tuple type of a transform output. */
+  private[tables] def transformResultType(
+      transform: String,
+      src: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    transform match {
+      case "identity" => src
+      case "day" => DateType
+      case "year" | "month" | "hour" => IntegerType
+      case BucketN(_) => IntegerType
+      case TruncW(_) => src
+      case other => throw new UnsupportedOperationException(
+        s"unsupported partition transform $other for writing")
+    }
+  }
+
+  /** Staging column computing the transform output — the SAME
+    * definitions [[IcebergTransforms]] prunes reads with, expressed
+    * over Spark built-ins (plus the native [[graft.functions
+    * .IcebergBucket]] murmur3 expression), so writer placement and
+    * reader pruning can never disagree.
+    */
+  private[tables] def transformColumn(
+      transform: String,
+      src: org.apache.spark.sql.types.StructField): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{month, pmod, substring, to_date, year}
+    import org.apache.spark.sql.types._
+    val c = col(src.name)
+    (transform, src.dataType) match {
+      case ("identity", _) => c
+      case ("day", DateType) => c
+      case ("day", TimestampType | TimestampNTZType) => to_date(c)
+      case ("year", DateType | TimestampType | TimestampNTZType) =>
+        (year(c) - lit(1970)).cast(IntegerType)
+      case ("month", DateType | TimestampType | TimestampNTZType) =>
+        ((year(c) - lit(1970)) * lit(12) + month(c) - lit(1)).cast(IntegerType)
+      case ("hour", TimestampType | TimestampNTZType) =>
+        // exact long floor-division via pmod (no double rounding)
+        locally {
+          val us = graft.functions.TimeFns.tsUs(c)
+          ((us - pmod(us, lit(3600000000L))) / lit(3600000000L)).cast(IntegerType)
+        }
+      case (BucketN(n), _) => graft.functions.IcebergBucket(c, n.toInt)
+      case (TruncW(w), IntegerType | LongType | ShortType | ByteType) =>
+        (c - pmod(c, lit(w.toLong))).cast(src.dataType)
+      case (TruncW(w), StringType) => substring(c, 1, w.toInt)
+      case (t, dt) => throw new UnsupportedOperationException(
+        s"partition transform $t is unsupported for ${dt.simpleString} column ${src.name} on write")
+    }
+  }
+
   private def stage(
       spark: SparkSession,
       df: DataFrame,
