@@ -787,7 +787,7 @@ object HudiWrite {
     * (insert/upsert) or `.replacecommit` (file groups replaced —
     * delete of whole groups), ascending.
     */
-  private[tables] def completedInstants(
+  private[graft] def completedInstants(
       fs: FileSystem, tablePath: String, asOf: Option[String]): Seq[(String, String)] = {
     val hoodieDir = new Path(tablePath, ".hoodie")
     val Commit = "(\\d{17})\\.(commit|replacecommit|deltacommit)".r

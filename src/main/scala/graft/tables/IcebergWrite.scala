@@ -282,6 +282,160 @@ object IcebergWrite {
     }
   }
 
+  /** Row-level DELETE as EQUALITY DELETE files (Iceberg v2
+    * content=2) — the cheap-delete shape streaming upserts use: no
+    * scan of the existing data at all. `keys` holds the equality
+    * columns (any subset of the table schema); every table row whose
+    * values match ANY key tuple is deleted. Readers apply the delete
+    * to data files with `data seq < delete seq` — exactly the
+    * sequence gating [[IcebergTable.applyEqualityDeletes]] already
+    * implements, so graft round-trips its own deletes and foreign
+    * v2 readers apply them too.
+    *
+    * These are GLOBAL deletes, committed under an UNPARTITIONED spec
+    * (reused if the table has one, otherwise appended to
+    * partition-specs WITHOUT changing the default) per the public
+    * spec's rule that partition-scoped deletes must carry their
+    * spec's partition tuple.
+    *
+    * Scale shape: one distributed write of the key tuples; no data
+    * scan; O(manifests) driver metadata.
+    */
+  def deleteEquality(spark: SparkSession, tablePath: String, keys: DataFrame): Long = {
+    require(keys.columns.nonEmpty, "deleteEquality requires at least one key column")
+    val table = new Path(tablePath)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(new Path(table, "_delta_log")),
+      s"$tablePath is a Delta table; delete via DeltaWrite")
+    val metaDir = new Path(table, "metadata")
+    val meta0 = IcebergMeta.load(fs, tablePath)
+    require(meta0.currentSnapshotId.nonEmpty, s"$tablePath has no current snapshot")
+    val keyCols = keys.columns.toSeq
+    keyCols.foreach(c => require(meta0.schema.fieldNames.contains(c),
+      s"equality column $c is not a column of $tablePath"))
+    val casted = keys.select(keyCols.map(c =>
+      col(c).cast(meta0.schema(c).dataType).as(c)): _*).distinct()
+
+    val staged = stage(spark, casted, fs, table, Seq.empty)
+    if (staged.isEmpty || staged.forall(_.recordCount == 0L)) {
+      staged.foreach(sf => fs.delete(new Path(sf.path), false))
+      return meta0.currentSnapshotId.get
+    }
+
+    publishLoop(fs, metaDir, tablePath, "delete") { (baseVOpt, baseRootOpt) =>
+      val baseRoot = baseRootOpt
+        .getOrElse(throw new IllegalStateException(s"metadata vanished under $metaDir"))
+      val uuid = java.util.UUID.randomUUID().toString
+      val nowMs = System.currentTimeMillis()
+      val prevSnapshots = IcebergMeta.elements(baseRoot.path("snapshots"))
+      val snapshotId = prevSnapshots.map(_.path("snapshot-id").asLong()).maxOption.getOrElse(0L) + 1
+      val seq = baseRoot.path("last-sequence-number").asLong(0L) + 1
+
+      // field ids resolve against THIS attempt's current schema (a
+      // raced schema evolution could renumber nothing, but columns
+      // may have been added; names are the contract)
+      val schemas = baseRoot.path("schemas")
+      val cur = baseRoot.path("current-schema-id").asInt(0)
+      val sj = IcebergMeta.elements(schemas)
+        .find(_.path("schema-id").asInt(-1) == cur).getOrElse(schemas.get(0))
+      val schemaJson = mapper.writeValueAsString(sj)
+      val idsByName = IcebergMeta.elements(sj.path("fields"))
+        .map(f => f.path("name").asText() -> f.path("id").asInt()).toMap
+      val eqIds = keyCols.map(c => idsByName.getOrElse(c,
+        throw new IllegalArgumentException(
+          s"equality column $c vanished from $tablePath under a concurrent commit")))
+
+      // an unpartitioned spec to carry the global deletes: reuse or
+      // append one (the DEFAULT spec stays untouched)
+      val specs = baseRoot.path("partition-specs")
+      val emptySpec = IcebergMeta.elements(specs)
+        .find(sn => IcebergMeta.elements(sn.path("fields")).isEmpty)
+      val specId = emptySpec.map(_.path("spec-id").asInt(0)).getOrElse(
+        IcebergMeta.elements(specs).map(_.path("spec-id").asInt(0)).maxOption.getOrElse(-1) + 1)
+
+      val entrySchema = IcebergUniform.manifestEntrySchema(Seq.empty, Seq.empty)
+      val manifestPath = new Path(metaDir, s"eq-delete-manifest-$snapshotId-$uuid.avro")
+      locally {
+        val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](entrySchema))
+        w.setMeta("schema", schemaJson)
+        w.setMeta("partition-spec", "[]")
+        w.setMeta("partition-spec-id", specId.toString)
+        w.setMeta("format-version", "2")
+        w.setMeta("content", "deletes")
+        w.create(entrySchema, fs.create(manifestPath, true))
+        try {
+          val dfSchema = entrySchema.getField("data_file").schema()
+          val pSchema = dfSchema.getField("partition").schema()
+          staged.foreach { sf =>
+            val dfr = new GenericData.Record(dfSchema)
+            dfr.put("content", 2) // equality deletes
+            dfr.put("file_path", sf.path)
+            dfr.put("file_format", "PARQUET")
+            dfr.put("partition", new GenericData.Record(pSchema))
+            dfr.put("record_count", sf.recordCount)
+            dfr.put("file_size_in_bytes", sf.size)
+            val ids = new java.util.ArrayList[Integer]()
+            eqIds.foreach(i => ids.add(i))
+            dfr.put("equality_ids", ids)
+            val e = new GenericData.Record(entrySchema)
+            e.put("status", 1) // ADDED
+            e.put("snapshot_id", snapshotId)
+            e.put("sequence_number", seq)
+            e.put("file_sequence_number", seq)
+            e.put("data_file", dfr)
+            w.append(e)
+          }
+        } finally w.close()
+      }
+      val manifestLen = fs.getFileStatus(manifestPath).getLen
+
+      val listPath = new Path(metaDir, s"snap-$snapshotId-$uuid.avro")
+      locally {
+        val ls = IcebergUniform.manifestFileSchema
+        val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](ls))
+          .create(ls, fs.create(listPath, true))
+        try {
+          currentManifestList(fs, baseRoot).foreach { prev =>
+            val c = new GenericData.Record(ls)
+            ls.getFields.forEach(f => c.put(f.name(),
+              if (prev.getSchema.getField(f.name()) != null) prev.get(f.name()) else null))
+            w.append(c)
+          }
+          val n = new GenericData.Record(ls)
+          n.put("manifest_path", manifestPath.toString)
+          n.put("manifest_length", manifestLen)
+          n.put("partition_spec_id", specId)
+          n.put("content", 1) // deletes
+          n.put("sequence_number", seq)
+          n.put("min_sequence_number", seq)
+          n.put("added_snapshot_id", snapshotId)
+          n.put("added_files_count", staged.size)
+          n.put("existing_files_count", 0)
+          n.put("deleted_files_count", 0)
+          n.put("added_rows_count", staged.map(_.recordCount).sum)
+          n.put("existing_rows_count", 0L)
+          n.put("deleted_rows_count", 0L)
+          w.append(n)
+        } finally w.close()
+      }
+
+      val root = baseRoot.deepCopy[ObjectNode]()
+      if (emptySpec.isEmpty) {
+        val sp = mapper.createObjectNode()
+        sp.put("spec-id", specId)
+        sp.set[ObjectNode]("fields", mapper.readTree("[]"))
+        root.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("partition-specs")
+          .add(sp)
+      }
+      appendSnapshotToRoot(root, snapshotId, seq, nowMs, listPath,
+        operation = "delete",
+        summaryExtras = Seq(
+          "added-delete-files" -> staged.size.toString,
+          "added-equality-deletes" -> staged.map(_.recordCount).sum.toString))
+      (root, Seq(manifestPath, listPath), snapshotId)
+    }
+  }
+
   /** Manifest partition value → the string Spark's partitionBy
     * renders for the SAME typed value (so staged dirs and
     * re-derived partition tuples round-trip, dates included).
