@@ -81,29 +81,115 @@ object Bpe {
     val merges = scala.collection.mutable.Buffer.empty[(String, String)]
     var exhausted = false
     while (merges.size < numMerges && !exhausted) {
-      // count adjacent symbol pairs, weighted by word frequency
+      // count adjacent symbol pairs, weighted by word frequency — ONE
+      // job per ROUND collects the top-K ranking, and a locally-proved
+      // safe PREFIX of it applies as a batch (O(merges/batch) driver
+      // round-trips instead of O(merges), the fix for the carried
+      // 32k-merges-=-32k-jobs caveat)
       val top = words
         .select(explode(adjacentPairs(col("toks"))).as("p"), col("freq"))
         .groupBy(col("p.a"), col("p.b"))
         .agg(sum(col("freq")).as("n"))
         .orderBy(col("n").desc, col("a"), col("b"))
-        .limit(1)
+        .limit(BatchRankWindow)
         .as[(String, String, Long)]
-        .collect()
+        .collect().toSeq
 
-      top.headOption.filter(_._3 >= 2) match {
-        case Some((a, b, _)) =>
-          merges += ((a, b))
-          val next = words
-            .select(mergePair(col("toks"), a, b).as("toks"), col("freq"))
-            .localCheckpoint() // eager: materializes + truncates lineage
-          words.unpersist()
-          words = next
-        case None => exhausted = true // no pair occurs twice: nothing left to learn
+      val accepted = safeBatchPrefix(top, merges.toSeq, numMerges - merges.size)
+      if (accepted.isEmpty) exhausted = true // no pair occurs twice
+      else {
+        merges ++= accepted
+        val next = words
+          .select(
+            accepted.foldLeft(col("toks")) { case (c, (a, b)) => mergePair(c, a, b) }
+              .as("toks"),
+            col("freq"))
+          .localCheckpoint() // eager: materializes + truncates lineage
+        words.unpersist()
+        words = next
       }
     }
     words.unpersist()
     merges.toSeq
+  }
+
+  /** Candidates ranked per round; bounds the batch (the proof below
+    * needs the K-th count as the floor for unseen pairs).
+    */
+  private[functions] val BatchRankWindow = 64
+
+  /** The longest PREFIX of the ranked candidates that provably
+    * produces the SAME merge sequence as one-at-a-time learning.
+    * Candidate `p_i` is safe after accepting `p_1..p_{i-1}` when:
+    *
+    *  1. its symbols are disjoint from every accepted pair's symbols
+    *     (so its count is untouched by their merges — merging (a,b)
+    *     only changes counts of pairs containing a or b, or pairs
+    *     containing the new symbol),
+    *  2. no accepted concatenation aliases a pre-existing symbol
+    *     (initial symbols are single code points; every multi-point
+    *     symbol came from `merges`, so the check is local) — an alias
+    *     would let an UNSEEN pair's count increase,
+    *  3. `count(p_i)` strictly exceeds every possible post-merge
+    *     count of a pair we cannot see: created pairs (x, ab) are
+    *     bounded by their origin pair (x, a) — ≤ the max count among
+    *     visible pairs sharing a symbol with accepted, or ≤ the K-th
+    *     count if the origin is outside the window. Decreased pairs
+    *     can never overtake `p_i` (they ranked at or below it with
+    *     ties already broken lexically in its favor).
+    *
+    * The batch stops at the first unsafe candidate — skipping it
+    * would diverge, because sequential learning might legitimately
+    * pick it next. Rows with count < 2 never merge (the sequential
+    * stop rule).
+    */
+  private[functions] def safeBatchPrefix(
+      ranked: Seq[(String, String, Long)],
+      priorMerges: Merges,
+      maxAccept: Int
+  ): Merges = {
+    val live = ranked.filter(_._3 >= 2)
+    if (live.isEmpty || maxAccept <= 0) return Seq.empty
+    // floor for pairs outside the ranking window: 0 when we see the
+    // whole distribution (fewer than K candidates survived)
+    val floor = if (ranked.size < BatchRankWindow) 0L else ranked.last._3
+    // every multi-code-point symbol in the vocabulary is the concat
+    // of some prior merge (initial symbols are single code points) —
+    // so symbol existence is checkable locally
+    val priorSymbols = priorMerges.flatMap { case (a, b) => Seq(a, b, a + b) }.toSet
+    val accepted = scala.collection.mutable.Buffer.empty[(String, String)]
+    val acceptedSyms = scala.collection.mutable.Set.empty[String]
+    var stop = false
+    var i = 0
+    while (!stop && i < live.size && accepted.size < maxAccept) {
+      val (a, b, n) = live(i)
+      val disjoint = !acceptedSyms.contains(a) && !acceptedSyms.contains(b)
+      val safeCount = accepted.isEmpty || {
+        // created pairs (x, a_j·b_j) / (a_j·b_j, y) are bounded by
+        // their ORIGIN pair (x, a_j) / (b_j, y); visible origins cap
+        // at sharedMax, unseen ones at the window floor. (A non-self
+        // accepted pair is never its own origin; a self-pair (s,s)
+        // matches the form and is correctly included.)
+        val firsts = accepted.map(_._1).toSet
+        val seconds = accepted.map(_._2).toSet
+        val sharedMax = live.collect {
+          case (x, y, m) if firsts.contains(y) || seconds.contains(x) => m
+        }.maxOption.getOrElse(0L)
+        n > math.max(floor, sharedMax)
+      }
+      if (disjoint && safeCount) {
+        // alias: the new symbol string already exists → counts of
+        // pairs containing it (possibly unseen) can GROW; this
+        // candidate is still the provable sequential pick, but
+        // nothing after it is
+        val alias = priorSymbols.contains(a + b) || acceptedSyms.contains(a + b)
+        accepted += ((a, b))
+        acceptedSyms ++= Seq(a, b, a + b)
+        if (alias) stop = true
+      } else stop = true
+      i += 1
+    }
+    accepted.toSeq
   }
 
   /** Encode text into BPE tokens (array<string>): whitespace-split,

@@ -33,6 +33,32 @@ class BpeSpec extends SparkSpec {
     assert(got2 == want)
   }
 
+  test("batched distributed rounds: provably-safe prefix accepts several merges per job") {
+    // disjoint skewed pairs: the whole prefix is provable in one round
+    val ranked = Seq(("a", "b", 100L), ("c", "d", 60L), ("e", "f", 30L), ("g", "h", 10L))
+    assert(Bpe.safeBatchPrefix(ranked, Seq.empty, 10) == ranked.map(p => (p._1, p._2)))
+    // a candidate sharing a symbol with an accepted merge STOPS the
+    // batch (its count may have changed; sequential might still pick it)
+    val shared = Seq(("a", "b", 100L), ("b", "c", 60L), ("e", "f", 30L))
+    assert(Bpe.safeBatchPrefix(shared, Seq.empty, 10) == Seq(("a", "b")))
+    // a candidate NOT beating the created-pair bound stops the batch:
+    // (x,a) below it is an origin for created pairs (x, ab), so a
+    // tie with it is not provable…
+    val bound = Seq(("a", "b", 100L), ("e", "f", 60L), ("x", "a", 60L))
+    assert(Bpe.safeBatchPrefix(bound, Seq.empty, 10) == Seq(("a", "b")))
+    // …but strictly beating every origin is
+    val bound2 = Seq(("a", "b", 100L), ("e", "f", 60L), ("x", "a", 50L))
+    assert(Bpe.safeBatchPrefix(bound2, Seq.empty, 10) ==
+      Seq(("a", "b"), ("e", "f")))
+    // an aliasing concat (symbol "cd" already exists from a prior
+    // merge) accepts its own provable pick, then stops
+    val alias = Seq(("c", "d", 100L), ("e", "f", 60L))
+    assert(Bpe.safeBatchPrefix(alias, Seq(("c", "d")), 10) == Seq(("c", "d")))
+    // maxAccept caps the batch; count<2 rows never merge
+    assert(Bpe.safeBatchPrefix(ranked, Seq.empty, 2) == Seq(("a", "b"), ("c", "d")))
+    assert(Bpe.safeBatchPrefix(Seq(("a", "b", 1L)), Seq.empty, 10) == Seq.empty)
+  }
+
   test("distributed == local at 200 merges; default path is O(1) jobs") {
     // deterministic synthetic corpus with a deep merge hierarchy
     val rng = new scala.util.Random(42)
