@@ -110,19 +110,11 @@ object HudiWrite {
 
     // key → file-group index over the latest slices: a COLUMN-PRUNED
     // distributed scan (record key + file path only; keys never
-    // collect). The path→fileId mapping attaches via withFileGroup
-    // (map literal for small tables, broadcast join above the
-    // threshold).
-    val keyIndex = sliceKeys(spark, tablePath, slices)
-
+    // collect), range-pruned to the groups whose recorded key
+    // [min,max] overlaps the incoming keys' bounds.
     val incomingKeys = df.select(col(keyCol).cast("string").as("_k")).distinct()
-    // affected file groups: bounded driver metadata (≤ #file groups)
-    val affected = keyIndex
-      .join(incomingKeys, keyIndex(RecordKeyCol) === incomingKeys("_k"), "leftsemi")
-      .select("_fg").distinct().collect().map(_.getString(0)).toSet
-    require(!affected.contains(null),
-      s"file-group lookup failed to resolve scan paths for $tablePath — " +
-        "path normalization mismatch between tablePath and _metadata.file_path")
+    val affected = affectedGroups(spark, tablePath, slices, incomingKeys,
+      keyBounds(df, keyCol))
     // only the affected groups are rewritten (copy-on-write); their
     // rows are the only existing data read in full
     val affectedSlices = slices.filter(sl => affected(sl.fileId))
@@ -227,15 +219,11 @@ object HudiWrite {
     }
 
     // key → owning file group over base AND log records (a key the
-    // last deltacommit inserted via log must route to its group)
-    val keyIndex = sliceKeys(spark, tablePath, slices)
+    // last deltacommit inserted via log must route to its group),
+    // range-pruned against the incoming keys' bounds
     val incomingKeys = df.select(col(keyCol).cast("string").as("_k")).distinct()
-    val affected = keyIndex
-      .join(incomingKeys, keyIndex(RecordKeyCol) === incomingKeys("_k"), "leftsemi")
-      .select("_fg").distinct().collect().map(_.getString(0)).toSet
-    require(!affected.contains(null),
-      s"file-group lookup failed to resolve scan paths for $tablePath — " +
-        "path normalization mismatch between tablePath and _metadata.file_path")
+    val affected = affectedGroups(spark, tablePath, slices, incomingKeys,
+      keyBounds(df, keyCol))
     val affectedSlices = slices.filter(sl => affected(sl.fileId))
 
     val incomingPrepared = withMeta(df, keyCol, instant)
@@ -333,13 +321,8 @@ object HudiWrite {
     }
 
     val delKeys = keys.select(col(keys.columns.head).cast("string").as("_k")).distinct()
-    val keyIndex = sliceKeys(spark, tablePath, slices)
-    val affected = keyIndex
-      .join(delKeys, keyIndex(RecordKeyCol) === delKeys("_k"), "leftsemi")
-      .select("_fg").distinct().collect().map(_.getString(0)).toSet
-    require(!affected.contains(null),
-      s"file-group lookup failed to resolve scan paths for $tablePath — " +
-        "path normalization mismatch between tablePath and _metadata.file_path")
+    val affected = affectedGroups(spark, tablePath, slices, delKeys,
+      keyBounds(keys, keys.columns.head))
     val affectedSlices = slices.filter(sl => affected(sl.fileId))
     if (affectedSlices.isEmpty) {
       completeCommit(fs, tablePath, instant, "delete", Seq.empty)
@@ -561,15 +544,20 @@ object HudiWrite {
     regexp_replace(regexp_replace(c, SchemeAuthorityPattern, "/"), SchemePattern, "/")
 
   private[tables] final case class WrittenFile(
-      partition: String, fileId: String, relPath: String, numWrites: Long)
+      partition: String, fileId: String, relPath: String, numWrites: Long,
+      keyRange: Option[(String, String)] = None)
 
   /** A file group's latest slice: the base file plus the
     * (deltacommit instant, log path) pairs appended since it —
-    * non-empty only on MERGE_ON_READ tables.
+    * non-empty only on MERGE_ON_READ tables. `keyRange` is the
+    * [min,max] record key over base AND logs (None when any
+    * contributing commit lacks the stats — e.g. foreign writers — so
+    * absence can never prune).
     */
   private[tables] final case class FileSlice(
       partition: String, fileId: String, instant: String, relPath: String,
-      logFiles: Seq[(String, String)] = Seq.empty)
+      logFiles: Seq[(String, String)] = Seq.empty,
+      keyRange: Option[(String, String)] = None)
 
   private[tables] def withMeta(df: DataFrame, keyCol: String, instant: String): DataFrame = {
     require(!df.columns.contains(CommitTimeCol),
@@ -609,9 +597,17 @@ object HudiWrite {
       else routed.write
     writer.mode(SaveMode.Overwrite).parquet(staging.toString)
 
-    val counts: Map[String, Long] = spark.read.parquet(staging.toString)
-      .groupBy(col("_metadata.file_path").as("_p")).agg(count(lit(1)).as("_n"))
-      .collect().map(r => DvDeleted.normalizePath(r.getString(0)) -> r.getLong(1)).toMap
+    // per-file count AND record-key range in the same job — the range
+    // feeds the upsert index's group pruning ([[rangePruned]])
+    val counts: Map[String, (Long, Option[(String, String)])] =
+      spark.read.parquet(staging.toString)
+        .groupBy(col("_metadata.file_path").as("_p"))
+        .agg(count(lit(1)).as("_n"),
+          min(col(RecordKeyCol)).as("_kmin"), max(col(RecordKeyCol)).as("_kmax"))
+        .collect().map(r => DvDeleted.normalizePath(r.getString(0)) ->
+          (r.getLong(1),
+            if (r.isNullAt(2) || r.isNullAt(3)) None
+            else Some((r.getString(2), r.getString(3))))).toMap
 
     val files = listParquetFiles(fs, staging)
     val out = files.map { f =>
@@ -631,8 +627,9 @@ object HudiWrite {
       fs.mkdirs(dest.getParent)
       if (!fs.rename(f, dest))
         throw new IllegalStateException(s"could not move staged file $f to $dest")
-      WrittenFile(partition, fileId, relOut,
-        counts.getOrElse(DvDeleted.normalizePath(f.toString), 0L))
+      val (n, range) = counts.getOrElse(DvDeleted.normalizePath(f.toString),
+        (0L, None: Option[(String, String)]))
+      WrittenFile(partition, fileId, relOut, n, range)
     }
     fs.delete(staging, true)
     out
@@ -741,6 +738,13 @@ object HudiWrite {
         n.put("fileId", w.fileId)
         n.put("path", w.relPath)
         n.put("numWrites", w.numWrites)
+        // per-file record-key range (the upstream HoodieWriteStat
+        // minEventTime shape applied to keys): lets upserts prune
+        // whole file groups before the key-index scan
+        w.keyRange.foreach { case (lo, hi) =>
+          n.put("minRecordKey", lo)
+          n.put("maxRecordKey", hi)
+        }
         arr.add(n)
       }
       stats.set[ObjectNode](part, arr)
@@ -819,6 +823,10 @@ object HudiWrite {
         IcebergMeta.elements(parts.path(part)).foreach { st =>
           val fileId = st.path("fileId").asText()
           val p = st.path("path").asText()
+          val range: Option[(String, String)] =
+            if (st.has("minRecordKey") && st.has("maxRecordKey"))
+              Some((st.path("minRecordKey").asText(), st.path("maxRecordKey").asText()))
+            else None
           if (action == "deltacommit" && p.contains(".log.")) {
             // MOR log file: attaches to the group's current base
             // slice (a later base — compaction — resets the list)
@@ -827,10 +835,13 @@ object HudiWrite {
                 s"Hudi MERGE_ON_READ log-only file groups are unsupported: deltacommit " +
                   s"$instant logs to file group $fileId in '$part' which has no base " +
                   "file (bucket/HBase-index log-only inserts); compact the table first"))
-            slices((part, fileId)) = s.copy(logFiles = s.logFiles :+ (instant -> p))
+            slices((part, fileId)) = s.copy(
+              logFiles = s.logFiles :+ (instant -> p),
+              keyRange = unionRange(s.keyRange, range))
           } else {
             // ascending instant order: later slices simply replace
-            slices((part, fileId)) = FileSlice(part, fileId, instant, p)
+            slices((part, fileId)) = FileSlice(part, fileId, instant, p,
+              keyRange = range)
           }
         }
       }
@@ -959,6 +970,67 @@ object HudiWrite {
     }
   }
 
+  /** File groups among `slices` holding any incoming key (`_k`
+    * column): range-prune the slices against the incoming bounds
+    * (groups whose recorded [min,max] cannot hold any incoming key
+    * never scan — the bloom-index shape without a metadata table),
+    * then ONE distributed semi-join over the survivors' key index.
+    */
+  private def affectedGroups(
+      spark: SparkSession,
+      tablePath: String,
+      slices: Seq[FileSlice],
+      incomingKeys: DataFrame,
+      bounds: Option[(String, String)]
+  ): Set[String] = {
+    val indexSlices = bounds
+      .map { case (lo, hi) => rangePruned(slices, lo, hi) }
+      .getOrElse(slices)
+    if (indexSlices.isEmpty) return Set.empty
+    val keyIndex = sliceKeys(spark, tablePath, indexSlices)
+    val affected = keyIndex
+      .join(incomingKeys, keyIndex(RecordKeyCol) === incomingKeys("_k"), "leftsemi")
+      .select("_fg").distinct().collect().map(_.getString(0)).toSet
+    require(!affected.contains(null),
+      s"file-group lookup failed to resolve scan paths for $tablePath — " +
+        "path normalization mismatch between tablePath and _metadata.file_path")
+    affected
+  }
+
+  /** Union of two optional key ranges; None poisons (an
+    * unknown-range contribution may hold any key, so the group can
+    * never be pruned).
+    */
+  private[tables] def unionRange(
+      a: Option[(String, String)], b: Option[(String, String)]): Option[(String, String)] =
+    (a, b) match {
+      case (Some((al, ah)), Some((bl, bh))) =>
+        Some((if (al <= bl) al else bl, if (ah >= bh) ah else bh))
+      case _ => None
+    }
+
+  /** Slices whose key range may intersect `[lo, hi]` — the
+    * bloom-index shape without a metadata table: a narrow-key upsert
+    * or delete only SCANS the groups whose recorded [min,max] record
+    * keys overlap the incoming keys' bounds; rangeless slices
+    * (foreign writers, pre-stats commits) always scan.
+    */
+  private[tables] def rangePruned(
+      slices: Seq[FileSlice], lo: String, hi: String): Seq[FileSlice] =
+    slices.filter(_.keyRange.forall { case (gl, gh) => gl <= hi && lo <= gh })
+
+  /** Incoming keys' [min, max] as strings (None for an empty frame):
+    * one column-pruned job over the DELTA, which is what it saves on
+    * the full table's key-index scan.
+    */
+  private def keyBounds(
+      df: DataFrame, keyCol: String): Option[(String, String)] = {
+    val r = df.agg(
+      min(col(keyCol).cast("string")).as("_lo"),
+      max(col(keyCol).cast("string")).as("_hi")).head()
+    if (r.isNullAt(0) || r.isNullAt(1)) None else Some((r.getString(0), r.getString(1)))
+  }
+
   /** Records per AVRO_DATA_BLOCK the log writer emits — bounds a
     * write task's memory to one block.
     */
@@ -999,13 +1071,16 @@ object HudiWrite {
     val dataIdx = dataSchema.fieldNames.map(updates.schema.fieldIndex).toSeq
     val table = tablePath
 
+    val keyIdx = updates.schema.fieldIndex(RecordKeyCol)
     val written = updates.repartition(col("_fg")).sortWithinPartitions("_fg")
       .rdd.mapPartitions { it =>
         val avro = new org.apache.avro.Schema.Parser().parse(avroJson)
-        val out = Seq.newBuilder[(String, String, String, Long)]
+        val out = Seq.newBuilder[(String, String, String, Long, String, String)]
         var curFg: String = null
         var writer: HudiLog.Writer = null
         var count = 0L
+        var kLo: String = null
+        var kHi: String = null
         var rel: String = null
         var part: String = null
         val buf = scala.collection.mutable.Buffer.empty[org.apache.spark.sql.Row]
@@ -1019,9 +1094,11 @@ object HudiWrite {
         def closeGroup(): Unit = if (writer != null) {
           flushBlock()
           writer.close()
-          out += ((curFg, part, rel, count))
+          out += ((curFg, part, rel, count, kLo, kHi))
           writer = null
           count = 0L
+          kLo = null
+          kHi = null
         }
         it.foreach { row =>
           val fg = row.getString(fgIdx)
@@ -1037,6 +1114,11 @@ object HudiWrite {
             fs.mkdirs(dest.getParent)
             writer = new HudiLog.Writer(fs, dest)
           }
+          val k = row.getString(keyIdx)
+          if (k != null) {
+            if (kLo == null || k < kLo) kLo = k
+            if (kHi == null || k > kHi) kHi = k
+          }
           buf += org.apache.spark.sql.Row.fromSeq(dataIdx.map(row.get))
           if (buf.size >= LogBlockRecords) flushBlock()
         }
@@ -1044,7 +1126,10 @@ object HudiWrite {
         out.result().iterator
       }.collect().toSeq
 
-    written.map { case (fg, part, rel, n) => WrittenFile(part, fg, rel, n) }
+    written.map { case (fg, part, rel, n, lo, hi) =>
+      WrittenFile(part, fg, rel, n,
+        if (lo == null || hi == null) None else Some((lo, hi)))
+    }
   }
 
   /** Above this many file groups the path→fileId mapping stops being
