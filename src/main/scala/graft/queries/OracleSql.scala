@@ -1718,6 +1718,14 @@ object OracleSql {
           |    WHEN 1 THEN 1000 * (1 + user_id % 4) + 200 * (user_id % 3)
           |    ELSE 500 * (1 + user_id % 6) END AS BIGINT) AS duration_ms
           |FROM events WHERE event_id < 600 ORDER BY event_id""".stripMargin,
+      // the Spark side appends nation natively, removes keys ≡ 2
+      // (mod 5) via a scan-free Iceberg EQUALITY DELETE (content=2
+      // manifest), and snapshot-reads — the sequence-gated anti-join
+      // must equal this relational replay
+      "q_iceberg_eqdelete" ->
+        """SELECT n_nationkey, n_name, n_regionkey
+          |FROM nation WHERE n_nationkey % 5 <> 2
+          |ORDER BY n_nationkey""".stripMargin,
       // the Spark side writes events natively as an Iceberg table
       // partitioned by days(ts) + bucket(16, user_id) and reads it
       // back day-range + bucket-pruned; the oracle replays the

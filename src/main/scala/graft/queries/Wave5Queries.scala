@@ -338,6 +338,36 @@ object Wave5Queries {
       path
     })
 
+  private val icebergEqDeleted =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Nation appended natively, then keys ≡ 2 (mod 5) removed by a
+    * scan-free EQUALITY DELETE (content=2 manifest + equality_ids) —
+    * the snapshot read must apply the sequence-gated anti-join.
+    */
+  private[queries] def writtenNationEqDeleted(s: SparkSession, dir: String): String =
+    icebergEqDeleted.getOrElseUpdate(dir, {
+      import graft.tables.IcebergWrite
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_iceberg_eq").toString + "/nation"
+      val nation = t(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+      IcebergWrite.append(s, nation, path, Seq("n_regionkey"))
+      IcebergWrite.deleteEquality(s, path,
+        nation.where(col("n_nationkey") % 5 === 2).select("n_nationkey"))
+      path
+    })
+
+  /** Post-equality-delete snapshot: every surviving row, exactly
+    * once — the oracle replays the delete relationally.
+    */
+  def qIcebergEqDelete(s: SparkSession, dir: String): DataFrame = {
+    import graft.tables.{IcebergTable, ReadArgs}
+    new IcebergTable("nation_iceberg_eq", writtenNationEqDeleted(s, dir))(
+      s, ReadArgs.empty)
+      .orderBy("n_nationkey")
+  }
+
   /** Day-range + bucket-equality filtered read of the
     * transform-partitioned table: the day files outside the range and
     * the 15 non-matching buckets prune at the manifest level before

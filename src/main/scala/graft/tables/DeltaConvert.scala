@@ -97,15 +97,21 @@ object DeltaConvert {
     commitV0(spark, dir, meta.schema.json, partCols, adds)
   }
 
-  /** Convert the latest file slices of a Hudi COPY_ON_WRITE table. */
+  /** Convert the latest file slices of a Hudi table. MERGE_ON_READ
+    * tables convert once their logs are compacted away ([[HudiWrite
+    * .compact]]) — CONVERT is no-copy and Delta cannot read Hudi log
+    * files, so un-compacted slices REFUSE rather than silently
+    * converting the base-only (stale) view.
+    */
   def fromHudi(spark: SparkSession, dir: String): Long = {
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     refuseExisting(fs, dir)
-    val props = HudiWrite.readProps(fs, dir)
-    require(props.get("hoodie.table.type").forall(_ == "COPY_ON_WRITE"),
-      s"$dir is not COPY_ON_WRITE")
+    val props = HudiWrite.readProps(fs, dir) // refuses non-Hudi paths
     val slices = HudiWrite.latestSlices(fs, dir, None)
     require(slices.nonEmpty, s"$dir has no live file slices")
+    require(slices.forall(_.logFiles.isEmpty),
+      s"$dir has un-compacted MERGE_ON_READ log files; run HudiWrite.compact " +
+        "first — CONVERT is no-copy and a base-only conversion would drop the log records")
     val partCols = props.get("hoodie.table.partition.fields")
       .filter(_.nonEmpty).map(_.split(",").toSeq).getOrElse(Seq.empty)
     val full = spark.read.option("basePath", dir)

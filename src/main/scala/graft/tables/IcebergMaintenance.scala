@@ -137,7 +137,10 @@ object IcebergMaintenance {
       val meta = IcebergMeta.parse(root, tablePath)
 
       val ordered = meta.snapshots.sortBy(s => (s.timestampMs, s.id))
-      val keepIds = (ordered.takeRight(keepLast).map(_.id) ++ meta.currentSnapshotId).toSet
+      // ref-pinned snapshots (tags/branches) survive regardless of
+      // the retention count — a tag IS the request to keep it
+      val keepIds = (ordered.takeRight(keepLast).map(_.id) ++
+        meta.currentSnapshotId ++ meta.refs.values.map(_.snapshotId)).toSet
       val expired = ordered.filterNot(s => keepIds.contains(s.id))
       if (expired.isEmpty) return Seq.empty
       val retained = ordered.filter(s => keepIds.contains(s.id))

@@ -52,6 +52,11 @@ object IcebergMeta {
       specId: Int,
       equalityIds: Seq[Int])
 
+  /** A named snapshot reference (the spec's `refs` map): `tag` pins
+    * a snapshot immutably, `branch` names a movable head.
+    */
+  final case class SnapshotRef(snapshotId: Long, refType: String)
+
   final case class TableMeta(
       location: String,
       formatVersion: Int,
@@ -60,7 +65,8 @@ object IcebergMeta {
       schemaFieldIds: Map[Int, String],
       specs: Map[Int, Seq[SpecField]],
       defaultSpecId: Int,
-      snapshots: Seq[SnapshotInfo])
+      snapshots: Seq[SnapshotInfo],
+      refs: Map[String, SnapshotRef] = Map.empty)
 
   // ---------------------------------------------------- discovery
 
@@ -135,6 +141,18 @@ object IcebergMeta {
         if (s.has("schema-id")) Some(s.path("schema-id").asInt()) else None,
         Option(s.path("summary").path("operation").asText(null)))
     }.toSeq
+    val refs: Map[String, SnapshotRef] =
+      if (!root.has("refs")) Map.empty
+      else {
+        val b = Map.newBuilder[String, SnapshotRef]
+        val rn = root.path("refs")
+        rn.fieldNames().forEachRemaining { name =>
+          val n = rn.path(name)
+          b += name -> SnapshotRef(
+            n.path("snapshot-id").asLong(), n.path("type").asText("branch"))
+        }
+        b.result()
+      }
     TableMeta(
       location = if (root.has("location")) root.path("location").asText() else tableRoot,
       formatVersion = formatVersion,
@@ -144,7 +162,8 @@ object IcebergMeta {
       schemaFieldIds = ids,
       specs = specs,
       defaultSpecId = root.path("default-spec-id").asInt(0),
-      snapshots = snapshots)
+      snapshots = snapshots,
+      refs = refs)
   }
 
   // ---------------------------------------------------- schema

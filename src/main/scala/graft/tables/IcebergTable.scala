@@ -59,10 +59,23 @@ class IcebergTable(
   val SnapshotIdKey = "snapshotId"
   val TimestampKey = "asOfTimestampMs"
 
+  /** Named snapshot ref (the spec's `refs` map): `extra(RefKey)` =
+    * a tag or branch name written by [[IcebergWrite.setRef]] or any
+    * foreign Iceberg writer.
+    */
+  val RefKey = "ref"
+
   override def apply(spark: SparkSession, args: ReadArgs): DataFrame = {
     val fs = new Path(uri).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val meta = IcebergMeta.load(fs, uri)
+    val refId: Option[Long] = args.extra.get(RefKey).map { n =>
+      meta.refs.getOrElse(n.toString, throw new IllegalArgumentException(
+        s"ref '$n' not found in $uri (have ${meta.refs.keys.mkString(", ")})")).snapshotId
+    }
+    require(refId.isEmpty || !args.extra.contains(SnapshotIdKey),
+      s"$RefKey and $SnapshotIdKey are mutually exclusive")
     val snapshotId = args.extra.get(SnapshotIdKey).map(longArg(SnapshotIdKey))
+      .orElse(refId)
     val asOf = args.extra.get(TimestampKey).map(longArg(TimestampKey))
     val snap = IcebergMeta.selectSnapshot(meta, snapshotId, asOf)
     val files = IcebergMeta.planFiles(fs, snap)

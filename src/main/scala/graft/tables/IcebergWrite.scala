@@ -436,6 +436,73 @@ object IcebergWrite {
     }
   }
 
+  /** Create or move a named snapshot REF (the public spec's `refs`
+    * map): a `tag` pins a snapshot immutably (audit/reproducibility
+    * — "the exact table the model trained on"), a `branch` names a
+    * movable head. Defaults to the current snapshot.
+    * [[IcebergMaintenance.expireSnapshots]] keeps ref-pinned
+    * snapshots alive regardless of the retention count. Returns the
+    * referenced snapshot id.
+    */
+  def setRef(
+      spark: SparkSession,
+      tablePath: String,
+      name: String,
+      refType: String = "tag",
+      snapshotId: Option[Long] = None
+  ): Long = {
+    require(refType == "tag" || refType == "branch",
+      s"ref type must be tag or branch, got $refType")
+    require(name.nonEmpty, "ref name must be non-empty")
+    val table = new Path(tablePath)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val metaDir = new Path(table, "metadata")
+    publishLoop(fs, metaDir, tablePath, "set-ref") { (baseVOpt, baseRootOpt) =>
+      val baseRoot = baseRootOpt
+        .getOrElse(throw new IllegalStateException(s"no Iceberg metadata under $metaDir"))
+      val meta = IcebergMeta.parse(baseRoot, tablePath)
+      val id = snapshotId.orElse(meta.currentSnapshotId)
+        .getOrElse(throw new IllegalArgumentException(s"$tablePath has no current snapshot"))
+      require(meta.snapshots.exists(_.id == id),
+        s"snapshot $id not found in $tablePath")
+      val root = baseRoot.deepCopy[ObjectNode]()
+      val refsNode = root.path("refs") match {
+        case o: ObjectNode => o
+        case _ =>
+          val o = mapper.createObjectNode()
+          root.set[ObjectNode]("refs", o)
+          o
+      }
+      val entry = mapper.createObjectNode()
+      entry.put("snapshot-id", id)
+      entry.put("type", refType)
+      refsNode.set[ObjectNode](name, entry)
+      root.put("last-updated-ms", System.currentTimeMillis())
+      (root, Seq.empty, id)
+    }
+  }
+
+  /** Remove a named ref; returns the snapshot id it pointed at. */
+  def dropRef(spark: SparkSession, tablePath: String, name: String): Long = {
+    val table = new Path(tablePath)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val metaDir = new Path(table, "metadata")
+    publishLoop(fs, metaDir, tablePath, "drop-ref") { (baseVOpt, baseRootOpt) =>
+      val baseRoot = baseRootOpt
+        .getOrElse(throw new IllegalStateException(s"no Iceberg metadata under $metaDir"))
+      val meta = IcebergMeta.parse(baseRoot, tablePath)
+      val ref = meta.refs.getOrElse(name, throw new IllegalArgumentException(
+        s"ref '$name' not found in $tablePath (have ${meta.refs.keys.mkString(", ")})"))
+      val root = baseRoot.deepCopy[ObjectNode]()
+      root.path("refs") match {
+        case o: ObjectNode => o.remove(name)
+        case _ => ()
+      }
+      root.put("last-updated-ms", System.currentTimeMillis())
+      (root, Seq.empty, ref.snapshotId)
+    }
+  }
+
   /** Manifest partition value → the string Spark's partitionBy
     * renders for the SAME typed value (so staged dirs and
     * re-derived partition tuples round-trip, dates included).

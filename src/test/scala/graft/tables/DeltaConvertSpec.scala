@@ -185,4 +185,20 @@ class DeltaConvertSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException] { DeltaConvert.fromIceberg(spark, dvDir) }
     assert(e.getMessage.contains("delete files"))
   }
+
+  test("MOR Hudi tables refuse while logs are pending; convert after compaction") {
+    val dir = tempDir("conv-hudi-mor").toString + "/t"
+    HudiWrite.bulkInsert(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "v"),
+      dir, "id", tableType = "MERGE_ON_READ")
+    HudiWrite.upsert(spark, Seq((2L, "B2")).toDF("id", "v"), dir)
+    // a base-only conversion would resurrect the stale value of id 2
+    val e = intercept[IllegalArgumentException] { DeltaConvert.fromHudi(spark, dir) }
+    assert(e.getMessage.contains("compact"), e.getMessage)
+
+    assert(HudiWrite.compact(spark, dir).nonEmpty)
+    DeltaConvert.fromHudi(spark, dir)
+    val t = new DeltaTable("t", dir)
+    assert(t(spark, ReadArgs.empty).select("id", "v").as[(Long, String)]
+      .collect().sortBy(_._1).toSeq == Seq((1L, "a"), (2L, "B2")))
+  }
 }

@@ -1,0 +1,72 @@
+package graft.tables
+
+import graft.SparkSpec
+
+/** Named snapshot refs (the spec's `refs` map): tags pin snapshots
+  * through expiration, branches are movable heads, the reader
+  * selects by name.
+  */
+class IcebergRefsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tag a snapshot, read by ref, move and drop") {
+    val root = tempDir("ice-refs").toString + "/t"
+    val s1 = IcebergWrite.append(spark, Seq((1L, "a")).toDF("id", "v"), root)
+    val s2 = IcebergWrite.append(spark, Seq((2L, "b")).toDF("id", "v"), root)
+
+    assert(IcebergWrite.setRef(spark, root, "train-v1", snapshotId = Some(s1)) == s1)
+    // defaulting to the current snapshot; branch type accepted
+    assert(IcebergWrite.setRef(spark, root, "main-line", refType = "branch") == s2)
+
+    val t = new IcebergTable("t", root)
+    assert(t(spark, ReadArgs(extra = Map(t.RefKey -> "train-v1")))
+      .select("id").as[Long].collect().toSeq == Seq(1L))
+    assert(t(spark, ReadArgs(extra = Map(t.RefKey -> "main-line")))
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+
+    // a branch moves; a re-set tag moves too (last write wins)
+    val s3 = IcebergWrite.append(spark, Seq((3L, "c")).toDF("id", "v"), root)
+    IcebergWrite.setRef(spark, root, "main-line", refType = "branch", Some(s3))
+    assert(t(spark, ReadArgs(extra = Map(t.RefKey -> "main-line")))
+      .count() == 3)
+
+    assert(IcebergWrite.dropRef(spark, root, "train-v1") == s1)
+    val e = intercept[IllegalArgumentException] {
+      t(spark, ReadArgs(extra = Map(t.RefKey -> "train-v1"))).collect()
+    }
+    assert(e.getMessage.contains("not found"), e.getMessage)
+    intercept[IllegalArgumentException] {
+      IcebergWrite.dropRef(spark, root, "nope")
+    }
+  }
+
+  test("expiration keeps ref-pinned snapshots alive past the retention count") {
+    val root = tempDir("ice-refs-exp").toString + "/t"
+    val s1 = IcebergWrite.append(spark, Seq((1L, "a")).toDF("id", "v"), root)
+    IcebergWrite.append(spark, Seq((2L, "b")).toDF("id", "v"), root)
+    IcebergWrite.append(spark, Seq((3L, "c")).toDF("id", "v"), root)
+    IcebergWrite.setRef(spark, root, "pinned", snapshotId = Some(s1))
+
+    val expired = IcebergMaintenance.expireSnapshots(spark, root, keepLast = 1)
+    // the middle snapshot expires; s1 survives via the tag
+    assert(expired.nonEmpty && !expired.contains(s1), expired)
+
+    val t = new IcebergTable("t", root)
+    assert(t(spark, ReadArgs(extra = Map(t.RefKey -> "pinned")))
+      .select("id").as[Long].collect().toSeq == Seq(1L))
+    assert(t(spark, ReadArgs.empty).count() == 3)
+  }
+
+  test("ref and snapshotId are mutually exclusive; unknown ref refuses") {
+    val root = tempDir("ice-refs-excl").toString + "/t"
+    val s1 = IcebergWrite.append(spark, Seq((1L, "a")).toDF("id", "v"), root)
+    IcebergWrite.setRef(spark, root, "r1")
+    val t = new IcebergTable("t", root)
+    intercept[IllegalArgumentException] {
+      t(spark, ReadArgs(extra = Map(t.RefKey -> "r1", t.SnapshotIdKey -> s1))).collect()
+    }
+    intercept[IllegalArgumentException] {
+      t(spark, ReadArgs(extra = Map(t.RefKey -> "ghost"))).collect()
+    }
+  }
+}
