@@ -1722,6 +1722,17 @@ object OracleSql {
       // (mod 5) via a scan-free Iceberg EQUALITY DELETE (content=2
       // manifest), and snapshot-reads — the sequence-gated anti-join
       // must equal this relational replay
+      // the Spark side appends nation natively, then commits ONE
+      // atomic equality-upsert snapshot (suffixed names for keys < 8
+      // + a synthetic insert); the snapshot read must serve
+      // latest-per-key, matching this relational merge replay
+      "q_iceberg_upsert" ->
+        """SELECT n_nationkey,
+          |  CASE WHEN n_nationkey < 8 THEN n_name || '_UP' ELSE n_name END AS n_name,
+          |  n_regionkey
+          |FROM nation
+          |UNION ALL SELECT 992, 'mu', 3
+          |ORDER BY n_nationkey""".stripMargin,
       "q_iceberg_eqdelete" ->
         """SELECT n_nationkey, n_name, n_regionkey
           |FROM nation WHERE n_nationkey % 5 <> 2

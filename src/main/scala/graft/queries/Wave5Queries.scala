@@ -358,6 +358,42 @@ object Wave5Queries {
       path
     })
 
+  private val icebergUpserted =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Nation appended natively, then ONE atomic equality-upsert
+    * snapshot (content=2 deletes for the incoming keys + the new
+    * rows, same sequence number): suffixed names for keys < 8 and a
+    * synthetic insert — the Flink-sink streaming upsert shape, no
+    * scan of existing data.
+    */
+  private[queries] def writtenNationUpserted(s: SparkSession, dir: String): String =
+    icebergUpserted.getOrElseUpdate(dir, {
+      import graft.tables.IcebergWrite
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_iceberg_up").toString + "/nation"
+      val nation = t(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+      IcebergWrite.append(s, nation, path, Seq("n_regionkey"))
+      val changes = nation.where(col("n_nationkey") < 8)
+        .withColumn("n_name", concat(col("n_name"), lit("_UP")))
+        .unionByName(s.createDataFrame(
+          java.util.List.of(org.apache.spark.sql.Row(992, "mu", 3)),
+          nation.schema))
+      IcebergWrite.upsertEquality(s, changes, path, Seq("n_nationkey"))
+      path
+    })
+
+  /** Post-upsert snapshot: latest-per-key via the sequence-gated
+    * equality anti-join — the oracle replays the merge relationally.
+    */
+  def qIcebergUpsert(s: SparkSession, dir: String): DataFrame = {
+    import graft.tables.{IcebergTable, ReadArgs}
+    new IcebergTable("nation_iceberg_up", writtenNationUpserted(s, dir))(
+      s, ReadArgs.empty)
+      .orderBy("n_nationkey")
+  }
+
   /** Post-equality-delete snapshot: every surviving row, exactly
     * once — the oracle replays the delete relationally.
     */

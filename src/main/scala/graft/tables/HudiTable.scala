@@ -5,15 +5,19 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Native Apache Hudi COPY_ON_WRITE snapshot reader — plans file
-  * slices from the `.hoodie/` timeline alone (never a directory
-  * listing: the cloud-storage discipline the format exists for),
-  * then reads them as one distributed parquet scan with Catalyst
-  * pushdown.
+/** Native Apache Hudi snapshot reader (COPY_ON_WRITE and
+  * MERGE_ON_READ) — plans file slices from the `.hoodie/` timeline
+  * alone (never a directory listing: the cloud-storage discipline
+  * the format exists for), then reads them as one distributed
+  * parquet scan with Catalyst pushdown; MOR slices with `.log`
+  * files serve latest-per-key over base ∪ logs
+  * ([[HudiWrite.readSlicesMerged]]) while log-free groups keep the
+  * plain-parquet fast path.
   *
-  *  - Snapshot = latest base file per file group across completed
-  *    commits; `extra(AsOfInstantKey)` time-travels to the slices as
-  *    of an instant (inclusive).
+  *  - Snapshot = latest file slice per file group across completed
+  *    commits (base file + any deltacommit logs);
+  *    `extra(AsOfInstantKey)` time-travels to the slices as of an
+  *    instant (inclusive), logs included.
   *  - Hive-style partition directories are pruned DRIVER-SIDE from
   *    the commit metadata's partition paths before any file opens:
   *    equality / IN filters on partition columns drop whole

@@ -331,63 +331,9 @@ object IcebergWrite {
       val snapshotId = prevSnapshots.map(_.path("snapshot-id").asLong()).maxOption.getOrElse(0L) + 1
       val seq = baseRoot.path("last-sequence-number").asLong(0L) + 1
 
-      // field ids resolve against THIS attempt's current schema (a
-      // raced schema evolution could renumber nothing, but columns
-      // may have been added; names are the contract)
-      val schemas = baseRoot.path("schemas")
-      val cur = baseRoot.path("current-schema-id").asInt(0)
-      val sj = IcebergMeta.elements(schemas)
-        .find(_.path("schema-id").asInt(-1) == cur).getOrElse(schemas.get(0))
-      val schemaJson = mapper.writeValueAsString(sj)
-      val idsByName = IcebergMeta.elements(sj.path("fields"))
-        .map(f => f.path("name").asText() -> f.path("id").asInt()).toMap
-      val eqIds = keyCols.map(c => idsByName.getOrElse(c,
-        throw new IllegalArgumentException(
-          s"equality column $c vanished from $tablePath under a concurrent commit")))
-
-      // an unpartitioned spec to carry the global deletes: reuse or
-      // append one (the DEFAULT spec stays untouched)
-      val specs = baseRoot.path("partition-specs")
-      val emptySpec = IcebergMeta.elements(specs)
-        .find(sn => IcebergMeta.elements(sn.path("fields")).isEmpty)
-      val specId = emptySpec.map(_.path("spec-id").asInt(0)).getOrElse(
-        IcebergMeta.elements(specs).map(_.path("spec-id").asInt(0)).maxOption.getOrElse(-1) + 1)
-
-      val entrySchema = IcebergUniform.manifestEntrySchema(Seq.empty, Seq.empty)
-      val manifestPath = new Path(metaDir, s"eq-delete-manifest-$snapshotId-$uuid.avro")
-      locally {
-        val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](entrySchema))
-        w.setMeta("schema", schemaJson)
-        w.setMeta("partition-spec", "[]")
-        w.setMeta("partition-spec-id", specId.toString)
-        w.setMeta("format-version", "2")
-        w.setMeta("content", "deletes")
-        w.create(entrySchema, fs.create(manifestPath, true))
-        try {
-          val dfSchema = entrySchema.getField("data_file").schema()
-          val pSchema = dfSchema.getField("partition").schema()
-          staged.foreach { sf =>
-            val dfr = new GenericData.Record(dfSchema)
-            dfr.put("content", 2) // equality deletes
-            dfr.put("file_path", sf.path)
-            dfr.put("file_format", "PARQUET")
-            dfr.put("partition", new GenericData.Record(pSchema))
-            dfr.put("record_count", sf.recordCount)
-            dfr.put("file_size_in_bytes", sf.size)
-            val ids = new java.util.ArrayList[Integer]()
-            eqIds.foreach(i => ids.add(i))
-            dfr.put("equality_ids", ids)
-            val e = new GenericData.Record(entrySchema)
-            e.put("status", 1) // ADDED
-            e.put("snapshot_id", snapshotId)
-            e.put("sequence_number", seq)
-            e.put("file_sequence_number", seq)
-            e.put("data_file", dfr)
-            w.append(e)
-          }
-        } finally w.close()
-      }
-      val manifestLen = fs.getFileStatus(manifestPath).getLen
+      val (manifestPath, manifestLen, specId, newSpecMinted) =
+        writeEqualityManifest(fs, metaDir, baseRoot, tablePath,
+          snapshotId, seq, uuid, keyCols, staged)
 
       val listPath = new Path(metaDir, s"snap-$snapshotId-$uuid.avro")
       locally {
@@ -420,13 +366,7 @@ object IcebergWrite {
       }
 
       val root = baseRoot.deepCopy[ObjectNode]()
-      if (emptySpec.isEmpty) {
-        val sp = mapper.createObjectNode()
-        sp.put("spec-id", specId)
-        sp.set[ObjectNode]("fields", mapper.readTree("[]"))
-        root.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("partition-specs")
-          .add(sp)
-      }
+      if (newSpecMinted) appendEmptySpec(root, specId)
       appendSnapshotToRoot(root, snapshotId, seq, nowMs, listPath,
         operation = "delete",
         summaryExtras = Seq(
@@ -434,6 +374,113 @@ object IcebergWrite {
           "added-equality-deletes" -> staged.map(_.recordCount).sum.toString))
       (root, Seq(manifestPath, listPath), snapshotId)
     }
+  }
+
+  /** Atomic Iceberg UPSERT — the streaming-sink shape (e.g. the
+    * public Flink Iceberg connector's upsert mode): ONE snapshot
+    * carries BOTH an equality-delete manifest for the incoming rows'
+    * key tuples AND the data manifest with the new rows, at the same
+    * sequence number. Readers gated `delete seq > data seq` apply
+    * the deletes to all PRIOR data and never to the same-commit
+    * inserts, so the table converges to latest-per-key WITHOUT any
+    * scan of existing data — cost ∝ the delta, the property that
+    * makes minute-cadence upserts on a 100 TB table affordable
+    * (compaction pays the read debt down asynchronously, R52).
+    * Creating commit (no previous snapshot) is a plain append.
+    * Returns the committed snapshot id.
+    */
+  def upsertEquality(
+      spark: SparkSession,
+      df: DataFrame,
+      tablePath: String,
+      keyCols: Seq[String]
+  ): Long = {
+    require(keyCols.nonEmpty, "upsertEquality requires at least one key column")
+    keyCols.foreach(c => require(df.columns.contains(c),
+      s"key column $c missing from the frame"))
+    commit(spark, df, tablePath, Seq.empty, carryBase = true,
+      eqDeleteKeys = Some(keyCols))
+  }
+
+  /** Append an UNPARTITIONED spec entry (carrier for global equality
+    * deletes) to a metadata root.
+    */
+  private def appendEmptySpec(root: ObjectNode, specId: Int): Unit = {
+    val sp = mapper.createObjectNode()
+    sp.put("spec-id", specId)
+    sp.set[ObjectNode]("fields", mapper.readTree("[]"))
+    root.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("partition-specs")
+      .add(sp)
+  }
+
+  /** Write a content=2 equality-delete manifest for staged key files
+    * under an unpartitioned spec resolved against `baseRoot` (reused
+    * when one exists, otherwise a fresh id the CALLER must append via
+    * [[appendEmptySpec]]). Field ids resolve by name against the
+    * attempt's current schema. Returns (path, length, specId,
+    * newSpecMinted).
+    */
+  private def writeEqualityManifest(
+      fs: FileSystem,
+      metaDir: Path,
+      baseRoot: JsonNode,
+      tablePath: String,
+      snapshotId: Long,
+      seq: Long,
+      uuid: String,
+      keyCols: Seq[String],
+      staged: Seq[StagedFile]
+  ): (Path, Long, Int, Boolean) = {
+    val schemas = baseRoot.path("schemas")
+    val cur = baseRoot.path("current-schema-id").asInt(0)
+    val sj = IcebergMeta.elements(schemas)
+      .find(_.path("schema-id").asInt(-1) == cur).getOrElse(schemas.get(0))
+    val schemaJson = mapper.writeValueAsString(sj)
+    val idsByName = IcebergMeta.elements(sj.path("fields"))
+      .map(f => f.path("name").asText() -> f.path("id").asInt()).toMap
+    val eqIds = keyCols.map(c => idsByName.getOrElse(c,
+      throw new IllegalArgumentException(
+        s"equality column $c vanished from $tablePath under a concurrent commit")))
+
+    val specs = baseRoot.path("partition-specs")
+    val emptySpec = IcebergMeta.elements(specs)
+      .find(sn => IcebergMeta.elements(sn.path("fields")).isEmpty)
+    val specId = emptySpec.map(_.path("spec-id").asInt(0)).getOrElse(
+      IcebergMeta.elements(specs).map(_.path("spec-id").asInt(0)).maxOption.getOrElse(-1) + 1)
+
+    val entrySchema = IcebergUniform.manifestEntrySchema(Seq.empty, Seq.empty)
+    val manifestPath = new Path(metaDir, s"eq-delete-manifest-$snapshotId-$uuid.avro")
+    val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](entrySchema))
+    w.setMeta("schema", schemaJson)
+    w.setMeta("partition-spec", "[]")
+    w.setMeta("partition-spec-id", specId.toString)
+    w.setMeta("format-version", "2")
+    w.setMeta("content", "deletes")
+    w.create(entrySchema, fs.create(manifestPath, true))
+    try {
+      val dfSchema = entrySchema.getField("data_file").schema()
+      val pSchema = dfSchema.getField("partition").schema()
+      staged.foreach { sf =>
+        val dfr = new GenericData.Record(dfSchema)
+        dfr.put("content", 2) // equality deletes
+        dfr.put("file_path", sf.path)
+        dfr.put("file_format", "PARQUET")
+        dfr.put("partition", new GenericData.Record(pSchema))
+        dfr.put("record_count", sf.recordCount)
+        dfr.put("file_size_in_bytes", sf.size)
+        val ids = new java.util.ArrayList[Integer]()
+        eqIds.foreach(i => ids.add(i))
+        dfr.put("equality_ids", ids)
+        val e = new GenericData.Record(entrySchema)
+        e.put("status", 1) // ADDED
+        e.put("snapshot_id", snapshotId)
+        e.put("sequence_number", seq)
+        e.put("file_sequence_number", seq)
+        e.put("data_file", dfr)
+        w.append(e)
+      }
+    } finally w.close()
+    (manifestPath, fs.getFileStatus(manifestPath).getLen, specId, emptySpec.isEmpty)
   }
 
   /** Create or move a named snapshot REF (the public spec's `refs`
@@ -520,7 +567,8 @@ object IcebergWrite {
       df: DataFrame,
       tablePath: String,
       partitionBy: Seq[String],
-      carryBase: Boolean
+      carryBase: Boolean,
+      eqDeleteKeys: Option[Seq[String]] = None
   ): Long = {
     val table = new Path(tablePath)
     val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -599,6 +647,18 @@ object IcebergWrite {
     val partFields = partCols.map(f => org.apache.spark.sql.types.StructField(f.name,
       transformResultType(f.transform, schema.fields.find(_.name == f.sourceCol).get.dataType)))
     val staged = stage(spark, stagingDf, fs, table, partCols.map(_.name))
+    // upsert mode: the incoming rows' DISTINCT key tuples stage as
+    // equality-delete files (skipped on a creating commit — nothing
+    // prior to delete)
+    val eqStaged: Seq[StagedFile] = eqDeleteKeys match {
+      case Some(cols) if existing.isDefined =>
+        cols.foreach(c => require(schema.fieldNames.contains(c),
+          s"key column $c is not a column of $tablePath"))
+        val keys = df.select(cols.map(c =>
+          col(c).cast(schema(c).dataType).as(c)): _*).distinct()
+        stage(spark, keys, fs, table, Seq.empty)
+      case _ => Seq.empty
+    }
 
     // ---- optimistic commit (shared publish loop) -------------------
     publishLoop(fs, metaDir, tablePath,
@@ -759,6 +819,11 @@ object IcebergWrite {
       }
       val manifestLen = fs.getFileStatus(manifestPath).getLen
 
+      val eqManifest: Option[(Path, Long, Int, Boolean)] =
+        if (eqStaged.isEmpty) None
+        else Some(writeEqualityManifest(fs, metaDir, baseRoot.get, tablePath,
+          snapshotId, seq, uuid, eqDeleteKeys.get, eqStaged))
+
       // manifest list: the base snapshot's manifests carried verbatim
       // + the new one
       val listPath = new Path(metaDir, s"snap-$snapshotId-$uuid.avro")
@@ -790,6 +855,23 @@ object IcebergWrite {
           n.put("existing_rows_count", 0L)
           n.put("deleted_rows_count", 0L)
           w.append(n)
+          eqManifest.foreach { case (p, len, sid, _) =>
+            val d = new GenericData.Record(s)
+            d.put("manifest_path", p.toString)
+            d.put("manifest_length", len)
+            d.put("partition_spec_id", sid)
+            d.put("content", 1) // deletes
+            d.put("sequence_number", seq)
+            d.put("min_sequence_number", seq)
+            d.put("added_snapshot_id", snapshotId)
+            d.put("added_files_count", eqStaged.size)
+            d.put("existing_files_count", 0)
+            d.put("deleted_files_count", 0)
+            d.put("added_rows_count", eqStaged.map(_.recordCount).sum)
+            d.put("existing_rows_count", 0L)
+            d.put("deleted_rows_count", 0L)
+            w.append(d)
+          }
         } finally w.close()
       }
 
@@ -818,6 +900,9 @@ object IcebergWrite {
           }
           if (c.path("default-spec-id").asInt(0) != specId)
             c.put("default-spec-id", specId)
+          eqManifest.foreach { case (_, _, sid, minted) =>
+            if (minted) appendEmptySpec(c, sid)
+          }
           c
         case None =>
           val r = mapper.createObjectNode()
@@ -844,11 +929,16 @@ object IcebergWrite {
           r
       }
       appendSnapshotToRoot(root, snapshotId, seq, nowMs, listPath,
-        operation = if (carryBase) "append" else "overwrite",
+        // an upsert both adds and logically replaces rows: overwrite
+        operation = if (eqStaged.nonEmpty) "overwrite"
+          else if (carryBase) "append" else "overwrite",
         summaryExtras = Seq(
           "added-data-files" -> staged.size.toString,
-          "added-records" -> staged.map(_.recordCount).sum.toString))
-      (root, Seq(manifestPath, listPath), snapshotId)
+          "added-records" -> staged.map(_.recordCount).sum.toString) ++
+          (if (eqStaged.isEmpty) Seq.empty else Seq(
+            "added-delete-files" -> eqStaged.size.toString,
+            "added-equality-deletes" -> eqStaged.map(_.recordCount).sum.toString)))
+      (root, eqManifest.map(_._1).toSeq ++ Seq(manifestPath, listPath), snapshotId)
     }
   }
 

@@ -71,6 +71,42 @@ class IcebergEqualityDeleteSpec extends SparkSpec {
     assert(m.specs.values.count(_.isEmpty) == 1, m.specs)
   }
 
+  test("atomic equality upsert: one snapshot carries deletes + inserts; latest-per-key") {
+    val root = tempDir("ice-equp").toString + "/t"
+    val snap1 = IcebergWrite.append(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), root)
+    val snap2 = IcebergWrite.upsertEquality(spark,
+      Seq((2L, "B2"), (3L, "c")).toDF("id", "v"), root, Seq("id"))
+
+    val t = new IcebergTable("t", root)
+    assert(t(spark, ReadArgs.empty).select("id", "v").as[(Long, String)]
+      .collect().sortBy(_._1).toSeq ==
+      Seq((1L, "a"), (2L, "B2"), (3L, "c")))
+    // exactly ONE new snapshot (delete + insert are atomic), and the
+    // pre-upsert snapshot still serves the old values
+    assert(meta(root).snapshots.map(_.id).sorted == Seq(snap1, snap2))
+    assert(t(spark, ReadArgs(extra = Map(t.SnapshotIdKey -> snap1)))
+      .select("id", "v").as[(Long, String)].collect().sortBy(_._1).toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+
+    // chained upserts converge to latest-per-key
+    IcebergWrite.upsertEquality(spark, Seq((2L, "B3")).toDF("id", "v"), root, Seq("id"))
+    assert(t(spark, ReadArgs.empty).select("id", "v").as[(Long, String)]
+      .collect().sortBy(_._1).toSeq ==
+      Seq((1L, "a"), (2L, "B3"), (3L, "c")))
+
+    // the incremental reader must refuse an upsert range (it is not
+    // append-only)
+    intercept[IllegalArgumentException] {
+      t.incremental(spark, snap1, snap2).collect()
+    }
+
+    // creating commit on an absent table is a plain append
+    val fresh = tempDir("ice-equp-fresh").toString + "/t"
+    IcebergWrite.upsertEquality(spark, Seq((1L, "x")).toDF("id", "v"), fresh, Seq("id"))
+    assert(new IcebergTable("t", fresh)(spark, ReadArgs.empty).count() == 1)
+  }
+
   test("unknown key column and empty key frame refuse / no-op cleanly") {
     val root = tempDir("ice-eqdel-edge").toString + "/t"
     val snap1 = IcebergWrite.append(spark, Seq((1L, "a")).toDF("id", "v"), root)
