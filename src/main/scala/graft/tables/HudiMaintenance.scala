@@ -23,8 +23,10 @@ import org.apache.spark.sql.SparkSession
   */
 object HudiMaintenance {
 
-  /** Delete base files unreachable from the latest `retainLast`
-    * snapshots. Returns the deleted table-relative paths.
+  /** Delete base AND log files unreachable from the latest
+    * `retainLast` snapshots (a compacted MOR group's superseded
+    * `.log` files age out exactly like superseded base files).
+    * Returns the deleted table-relative paths.
     */
   def clean(spark: SparkSession, tablePath: String, retainLast: Int): Seq[String] = {
     require(retainLast >= 1, s"retainLast must be >= 1, got $retainLast")
@@ -34,10 +36,11 @@ object HudiMaintenance {
     if (instants.isEmpty) return Seq.empty
     val retained = instants.takeRight(retainLast)
     val keep: Set[String] = retained
-      .flatMap(i => HudiWrite.latestSlices(fs, tablePath, Some(i)).map(_.relPath))
+      .flatMap(i => HudiWrite.latestSlices(fs, tablePath, Some(i))
+        .flatMap(s => s.relPath +: s.logFiles.map(_._2)))
       .toSet
-    val dead = HudiWrite.allWrittenSlices(fs, tablePath)
-      .map(_.relPath).distinct.filterNot(keep)
+    val dead = HudiWrite.allWrittenPaths(fs, tablePath)
+      .distinct.filterNot(keep)
     if (dead.isEmpty) return Seq.empty
 
     val conf = new org.apache.spark.util.SerializableConfiguration(

@@ -871,6 +871,26 @@ object HudiWrite {
     out.toSeq
   }
 
+  /** EVERY data path any completed commit ever recorded — base
+    * parquet AND `.log` files — in stats order; the cleaner's
+    * candidate universe.
+    */
+  private[tables] def allWrittenPaths(
+      fs: FileSystem, tablePath: String): Seq[String] = {
+    val out = scala.collection.mutable.Buffer.empty[String]
+    completedInstants(fs, tablePath, None).foreach { case (instant, action) =>
+      val in = fs.open(new Path(new Path(tablePath, ".hoodie"), s"$instant.$action"))
+      val root = try mapper.readTree(in) finally in.close()
+      val parts = root.path("partitionToWriteStats")
+      parts.fieldNames().forEachRemaining { part =>
+        IcebergMeta.elements(parts.path(part)).foreach { st =>
+          out += st.path("path").asText()
+        }
+      }
+    }
+    out.toSeq
+  }
+
   private[tables] def readSlices(
       spark: SparkSession, tablePath: String, slices: Seq[FileSlice]): DataFrame = {
     require(slices.nonEmpty, "no slices to read")

@@ -191,6 +191,28 @@ class HudiMorSpec extends SparkSpec {
       got.collect().toSeq + " vs " + want.collect().toSeq)
   }
 
+  test("clean ages out superseded log files after compaction") {
+    val dir = tempDir("hudi-mor-clean").toString + "/t"
+    HudiWrite.bulkInsert(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v").repartition(1), dir, "id",
+      tableType = "MERGE_ON_READ")
+    HudiWrite.upsert(spark, Seq((1L, "A2")).toDF("id", "v"), dir)
+    assert(listAll(dir).exists(_.contains(".log.")))
+    HudiWrite.compact(spark, dir)
+    // logs still reachable from the pre-compaction snapshot: a wide
+    // retention keeps them for time travel
+    assert(HudiMaintenance.clean(spark, dir, retainLast = 10).isEmpty)
+    assert(listAll(dir).exists(_.contains(".log.")))
+    // narrow retention: the superseded log AND the superseded base go
+    val deleted = HudiMaintenance.clean(spark, dir, retainLast = 1)
+    assert(deleted.exists(_.contains(".log.")), deleted)
+    assert(!listAll(dir).exists(_.contains(".log.")))
+    val t = new HudiTable("t", dir)
+    assert(t(spark, ReadArgs.empty).select("id", "v")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq ==
+      Seq((1L, "A2"), (2L, "b")))
+  }
+
   test("foreign delete/command log blocks refuse loudly; log-only groups refuse") {
     val dir = tempDir("hudi-mor-refuse").toString + "/t"
     val i1 = HudiWrite.bulkInsert(spark, Seq((1L, "a")).toDF("id", "v"), dir, "id",
