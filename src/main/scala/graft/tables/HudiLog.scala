@@ -310,7 +310,11 @@ object HudiLog {
     case (DateType, d: java.sql.Date) => d.toLocalDate.toEpochDay.toInt
     case (DateType, d: java.time.LocalDate) => d.toEpochDay.toInt
     case (TimestampType, t: java.sql.Timestamp) =>
-      Math.multiplyExact(t.getTime / 1000, 1000000L) + (t.getNanos / 1000)
+      // floorDiv, not '/': pre-1970 sub-second timestamps truncate
+      // toward zero under '/' and come back one second late
+      Math.addExact(
+        Math.multiplyExact(Math.floorDiv(t.getTime, 1000L), 1000000L),
+        (t.getNanos / 1000).toLong)
     case (TimestampType, t: java.time.Instant) =>
       Math.addExact(Math.multiplyExact(t.getEpochSecond, 1000000L), t.getNano / 1000L)
     case (TimestampNTZType, t: java.time.LocalDateTime) =>

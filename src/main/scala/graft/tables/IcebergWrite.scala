@@ -55,8 +55,9 @@ object IcebergWrite {
       spark: SparkSession,
       df: DataFrame,
       tablePath: String,
-      partitionBy: Seq[String] = Seq.empty
-  ): Long = commit(spark, df, tablePath, partitionBy, carryBase = true)
+      partitionBy: Seq[String] = Seq.empty,
+      txn: Option[(String, Long)] = None
+  ): Long = commit(spark, df, tablePath, partitionBy, carryBase = true, txn = txn)
 
   /** REPLACE the table contents with `df` (Iceberg overwrite
     * semantics): the new snapshot's manifest list carries ONLY the
@@ -393,13 +394,44 @@ object IcebergWrite {
       spark: SparkSession,
       df: DataFrame,
       tablePath: String,
-      keyCols: Seq[String]
+      keyCols: Seq[String],
+      txn: Option[(String, Long)] = None
   ): Long = {
     require(keyCols.nonEmpty, "upsertEquality requires at least one key column")
     keyCols.foreach(c => require(df.columns.contains(c),
       s"key column $c missing from the frame"))
     commit(spark, df, tablePath, Seq.empty, carryBase = true,
-      eqDeleteKeys = Some(keyCols))
+      eqDeleteKeys = Some(keyCols), txn = txn)
+  }
+
+  /** Snapshot-summary keys carrying the streaming sink's idempotence
+    * marker (the Delta SetTransaction shape expressed as summary
+    * properties — any Iceberg reader sees them, nothing else
+    * interprets them).
+    */
+  val TxnAppKey = "graft.txn-app-id"
+  val TxnBatchKey = "graft.txn-batch-id"
+
+  /** Highest batch id any snapshot summary records for `appId` —
+    * None when the table is absent or no snapshot carries the
+    * marker. CAVEAT (as with any summary-borne marker): expiring the
+    * snapshot that holds the newest marker forgets it; keep the
+    * retention window longer than the restart window.
+    */
+  def lastCommittedBatch(
+      spark: SparkSession, tablePath: String, appId: String): Option[Long] = {
+    val table = new Path(tablePath)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val metaDir = new Path(table, "metadata")
+    latestVersionByScan(fs, metaDir).flatMap { v =>
+      val root = readRoot(fs, metaDir, v)
+      IcebergMeta.elements(root.path("snapshots")).flatMap { sn =>
+        val sum = sn.path("summary")
+        if (sum.path(TxnAppKey).asText("") == appId)
+          Some(sum.path(TxnBatchKey).asText("-1").toLong).filter(_ >= 0)
+        else None
+      }.maxOption
+    }
   }
 
   /** Append an UNPARTITIONED spec entry (carrier for global equality
@@ -568,7 +600,8 @@ object IcebergWrite {
       tablePath: String,
       partitionBy: Seq[String],
       carryBase: Boolean,
-      eqDeleteKeys: Option[Seq[String]] = None
+      eqDeleteKeys: Option[Seq[String]] = None,
+      txn: Option[(String, Long)] = None
   ): Long = {
     val table = new Path(tablePath)
     val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -937,7 +970,9 @@ object IcebergWrite {
           "added-records" -> staged.map(_.recordCount).sum.toString) ++
           (if (eqStaged.isEmpty) Seq.empty else Seq(
             "added-delete-files" -> eqStaged.size.toString,
-            "added-equality-deletes" -> eqStaged.map(_.recordCount).sum.toString)))
+            "added-equality-deletes" -> eqStaged.map(_.recordCount).sum.toString)) ++
+          txn.toSeq.flatMap { case (app, id) => Seq(
+            TxnAppKey -> app, TxnBatchKey -> id.toString) })
       (root, eqManifest.map(_._1).toSeq ++ Seq(manifestPath, listPath), snapshotId)
     }
   }

@@ -356,4 +356,60 @@ object GraftProperties extends Properties("graft") {
             .as[(Long, String)].collect().toSet
         sel(parsed) == sel(filters)
     }
+
+  property("Hudi log-file Avro codec round-trips arbitrary typed rows") = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("s", StringType),
+      StructField("n", IntegerType),
+      StructField("d", DoubleType),
+      StructField("b", BooleanType),
+      StructField("dt", DateType),
+      StructField("ts", TimestampType),
+      StructField("dec", DecimalType(10, 2)),
+      StructField("xs", ArrayType(IntegerType)),
+      StructField("kv", MapType(StringType, LongType)),
+      StructField("st", StructType(Seq(
+        StructField("a", IntegerType), StructField("bb", StringType))))))
+    val genRow: Gen[Row] = for {
+      id <- Gen.chooseNum(Long.MinValue / 2, Long.MaxValue / 2)
+      str <- Gen.option(Gen.asciiPrintableStr)
+      n <- Gen.option(Gen.chooseNum(Int.MinValue, Int.MaxValue))
+      d <- Gen.option(Gen.chooseNum(-1e12, 1e12))
+      b <- Gen.option(Gen.oneOf(true, false))
+      days <- Gen.option(Gen.chooseNum(-30000, 60000))
+      us <- Gen.option(Gen.chooseNum(-2000000000000L, 4000000000000000L))
+      unscaled <- Gen.option(Gen.chooseNum(-99999999L, 99999999L))
+      xs <- Gen.option(Gen.listOf(Gen.chooseNum(-100, 100)))
+      kv <- Gen.option(Gen.mapOf(Gen.zip(
+        Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString), Gen.long)))
+      sa <- Gen.option(Gen.chooseNum(-5, 5))
+    } yield Row(
+      id,
+      str.orNull,
+      n.map(Int.box).orNull,
+      d.map(Double.box).orNull,
+      b.map(Boolean.box).orNull,
+      days.map(x => java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(x.toLong))).orNull,
+      us.map { x =>
+        val t = new java.sql.Timestamp(Math.floorDiv(x, 1000000L) * 1000L)
+        t.setNanos((Math.floorMod(x, 1000000L) * 1000L).toInt)
+        t
+      }.orNull,
+      unscaled.map(u => new java.math.BigDecimal(
+        java.math.BigInteger.valueOf(u), 2)).orNull,
+      xs.map(_.toSeq).orNull,
+      kv.orNull,
+      sa.map(a => Row(a, s"v$a")).orNull)
+
+    forAll(Gen.listOf(genRow)) { (rows: List[Row]) =>
+      import graft.tables.HudiLog
+      val avro = HudiLog.avroSchema(schema)
+      val bytes = HudiLog.avroContent(rows.iterator, schema, avro)
+      val back = HudiLog.avroRows(bytes, avro.toString, schema)
+      back.size == rows.size && back.zip(rows).forall { case (g, w) => g == w }
+    }
+  }
 }
