@@ -83,13 +83,21 @@ object HudiWrite {
     * file group; unmatched keys start new file groups in their
     * partition. Returns the completed instant time.
     */
-  def upsert(spark: SparkSession, df: DataFrame, tablePath: String): String =
-    retryOnConflict("upsert", tablePath)(upsertOnce(spark, df, tablePath))
+  def upsert(
+      spark: SparkSession,
+      df: DataFrame,
+      tablePath: String,
+      txn: Option[(String, Long)] = None): String =
+    retryOnConflict("upsert", tablePath)(upsertOnce(spark, df, tablePath, txn))
 
-  private def upsertOnce(spark: SparkSession, df: DataFrame, tablePath: String): String = {
+  private def upsertOnce(
+      spark: SparkSession,
+      df: DataFrame,
+      tablePath: String,
+      txn: Option[(String, Long)]): String = {
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val props = readProps(fs, tablePath)
-    if (isMor(props)) return morUpsertOnce(spark, df, tablePath, fs, props)
+    if (isMor(props)) return morUpsertOnce(spark, df, tablePath, fs, props, txn)
     val keyCol = props("hoodie.table.recordkey.fields")
     val partCols = props.get("hoodie.table.partition.fields")
       .filter(_.nonEmpty).map(_.split(",").toSeq).getOrElse(Seq.empty)
@@ -104,7 +112,8 @@ object HudiWrite {
       val prepared = withMeta(df, keyCol, instant)
       val written = stageByGroup(spark, prepared, fs, tablePath, partCols,
         instant, freshGroupPerLeaf = true)
-      completeCommit(fs, tablePath, instant, "upsert", written)
+      completeCommit(fs, tablePath, instant, "upsert", written,
+        extraMetadata = txnMeta(txn))
       return instant
     }
 
@@ -126,7 +135,8 @@ object HudiWrite {
       // pure insert: no groups rewritten, new groups only
       val written = stageByGroup(spark, incomingPrepared, fs, tablePath,
         partCols, instant, freshGroupPerLeaf = true)
-      completeCommit(fs, tablePath, instant, "upsert", written)
+      completeCommit(fs, tablePath, instant, "upsert", written,
+        extraMetadata = txnMeta(txn))
       return instant
     }
 
@@ -181,7 +191,8 @@ object HudiWrite {
     val out = survivors.unionByName(updatedTarget).unionByName(newTarget)
     val written = stageByGroup(spark, out, fs, tablePath, partCols, instant,
       freshGroupPerLeaf = false)
-    completeCommitGuarded(fs, tablePath, base, instant, "upsert", written, Map.empty)
+    completeCommitGuarded(fs, tablePath, base, instant, "upsert", written, Map.empty,
+      extraMetadata = txnMeta(txn))
     instant
   }
 
@@ -197,7 +208,8 @@ object HudiWrite {
       df: DataFrame,
       tablePath: String,
       fs: FileSystem,
-      props: Map[String, String]
+      props: Map[String, String],
+      txn: Option[(String, Long)]
   ): String = {
     val keyCol = props("hoodie.table.recordkey.fields")
     val partCols = props.get("hoodie.table.partition.fields")
@@ -214,7 +226,7 @@ object HudiWrite {
       val written = stageByGroup(spark, prepared, fs, tablePath, partCols,
         instant, freshGroupPerLeaf = true)
       completeCommit(fs, tablePath, instant, "upsert", written,
-        actionOverride = Some("deltacommit"))
+        actionOverride = Some("deltacommit"), extraMetadata = txnMeta(txn))
       return instant
     }
 
@@ -233,7 +245,7 @@ object HudiWrite {
       val written = stageByGroup(spark, incomingPrepared, fs, tablePath,
         partCols, instant, freshGroupPerLeaf = true)
       completeCommit(fs, tablePath, instant, "upsert", written,
-        actionOverride = Some("deltacommit"))
+        actionOverride = Some("deltacommit"), extraMetadata = txnMeta(txn))
       return instant
     }
 
@@ -254,7 +266,8 @@ object HudiWrite {
       else stageByGroup(spark, unmatched, fs, tablePath, partCols,
         instant, freshGroupPerLeaf = true)
     completeCommitGuarded(fs, tablePath, base, instant, "upsert",
-      logWritten ++ newWritten, Map.empty, actionOverride = Some("deltacommit"))
+      logWritten ++ newWritten, Map.empty, actionOverride = Some("deltacommit"),
+      extraMetadata = txnMeta(txn))
     instant
   }
 
@@ -467,7 +480,8 @@ object HudiWrite {
       operation: String,
       written: Seq[WrittenFile],
       replaced: Map[String, Seq[String]],
-      actionOverride: Option[String] = None
+      actionOverride: Option[String] = None,
+      extraMetadata: Map[String, String] = Map.empty
   ): Unit = {
     val mine: Set[(String, String)] =
       written.map(w => (w.partition, w.fileId)).toSet ++
@@ -482,7 +496,8 @@ object HudiWrite {
       throw new HudiConflict(
         s"concurrent commit touched ${clash.size} file group(s) of $operation $instant")
     }
-    completeCommit(fs, tablePath, instant, operation, written, replaced, actionOverride)
+    completeCommit(fs, tablePath, instant, operation, written, replaced,
+      actionOverride, extraMetadata)
   }
 
   // ------------------------------------------------------ internals
@@ -717,10 +732,18 @@ object HudiWrite {
       operation: String,
       written: Seq[WrittenFile],
       replaced: Map[String, Seq[String]] = Map.empty,
-      actionOverride: Option[String] = None
+      actionOverride: Option[String] = None,
+      extraMetadata: Map[String, String] = Map.empty
   ): Unit = {
     val root = mapper.createObjectNode()
     root.put("operationType", operation.toUpperCase)
+    if (extraMetadata.nonEmpty) {
+      // the upstream commit-JSON carrier for writer checkpoints
+      // (deltastreamer's own checkpoint key lives here)
+      val em = mapper.createObjectNode()
+      extraMetadata.foreach { case (k, v) => em.put(k, v) }
+      root.set[ObjectNode]("extraMetadata", em)
+    }
     if (replaced.nonEmpty) {
       val rep = mapper.createObjectNode()
       replaced.foreach { case (part, fids) =>
@@ -772,6 +795,36 @@ object HudiWrite {
     require(IcebergWrite.publishIfAbsent(fs, target,
       mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root)),
       s"instant $instant already completed under $tablePath")
+  }
+
+  /** Commit extraMetadata keys carrying the streaming sink's
+    * idempotence marker (the upstream deltastreamer-checkpoint
+    * shape: writer state rides the commit JSON's extraMetadata).
+    */
+  val TxnAppKey = "graft.txn-app-id"
+  val TxnBatchKey = "graft.txn-batch-id"
+
+  private def txnMeta(txn: Option[(String, Long)]): Map[String, String] =
+    txn.map { case (app, id) =>
+      Map(TxnAppKey -> app, TxnBatchKey -> id.toString)
+    }.getOrElse(Map.empty)
+
+  /** Highest batch id any completed instant's extraMetadata records
+    * for `appId` — None when the table is absent or unmarked.
+    */
+  def lastCommittedBatch(
+      spark: SparkSession, tablePath: String, appId: String): Option[Long] = {
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(new Path(tablePath, ".hoodie"), "hoodie.properties")))
+      return None
+    completedInstants(fs, tablePath, None).flatMap { case (instant, action) =>
+      val in = fs.open(new Path(new Path(tablePath, ".hoodie"), s"$instant.$action"))
+      val root = try mapper.readTree(in) finally in.close()
+      val em = root.path("extraMetadata")
+      if (em.path(TxnAppKey).asText("") == appId)
+        Some(em.path(TxnBatchKey).asText("-1").toLong).filter(_ >= 0)
+      else None
+    }.maxOption
   }
 
   // ------------------------------------------------- timeline reads
