@@ -36,6 +36,13 @@ class DeltaStreamSinkProvider extends StreamSinkProvider {
       outputMode: OutputMode): Sink = {
     require(outputMode == OutputMode.Append(),
       s"graft delta sink supports Append output mode only, got $outputMode")
+    val mode = parameters.getOrElse("mode", "append")
+    require(mode == "append" || mode == "merge",
+      s"mode must be append or merge, got $mode")
+    val keyCols = parameters.get("keyCols")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)
+    require(mode != "merge" || keyCols.nonEmpty,
+      "merge mode requires option 'keyCols' (comma-separated)")
     new DeltaStreamSink(
       sqlContext.sparkSession,
       parameters.getOrElse("path",
@@ -44,7 +51,8 @@ class DeltaStreamSinkProvider extends StreamSinkProvider {
       parameters.getOrElse("txnAppId",
         throw new IllegalArgumentException(
           "graft delta sink requires option 'txnAppId' (a stable writer id — " +
-            "exactly-once depends on it surviving restarts)")))
+            "exactly-once depends on it surviving restarts)")),
+      mergeKeys = if (mode == "merge") Some(keyCols) else None)
   }
 }
 
@@ -52,7 +60,12 @@ class DeltaStreamSink(
     spark: SparkSession,
     tablePath: String,
     partitionColumns: Seq[String],
-    txnAppId: String
+    txnAppId: String,
+    /** When set, each batch MERGEs by these keys (streaming upsert —
+      * the triad-symmetric mode: Iceberg equality-upserts, Hudi
+      * record-key upserts, Delta MERGE) instead of appending.
+      */
+    mergeKeys: Option[Seq[String]] = None
 ) extends Sink {
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
@@ -67,8 +80,14 @@ class DeltaStreamSink(
     // same move Spark's own file sink makes)
     val batch = Bridge.internalCreateDataFrame(
       spark, data.queryExecution.toRdd, data.schema, isStreaming = false)
-    DeltaWrite.append(spark, batch, tablePath, partitionColumns,
-      txn = Some(txnAppId -> batchId))
+    mergeKeys match {
+      case Some(keys) if DeltaLog.isDeltaTable(spark, tablePath) =>
+        DeltaWrite.merge(spark, tablePath, batch, keys,
+          txn = Some(txnAppId -> batchId))
+      case _ =>
+        DeltaWrite.append(spark, batch, tablePath, partitionColumns,
+          txn = Some(txnAppId -> batchId))
+    }
   }
 
   override def toString: String = s"GraftDeltaSink[$tablePath]"

@@ -85,7 +85,11 @@ object IcebergMeta {
       if (!fs.exists(hint)) None
       else {
         val in = fs.open(hint)
-        try Some(new String(in.readAllBytes(), "UTF-8").trim.toInt)
+        // the hint is rewritten in place (create-truncate-write), so a
+        // concurrent reader can catch it EMPTY or half-written — it is
+        // advisory, so unparseable content falls back to the scan
+        // instead of crashing the read
+        try new String(in.readAllBytes(), "UTF-8").trim.toIntOption
         finally in.close()
       }
     val scanned: Option[Int] = {

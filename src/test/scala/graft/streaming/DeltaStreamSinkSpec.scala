@@ -38,6 +38,32 @@ class DeltaStreamSinkSpec extends SparkSpec {
     assert(got == Seq(1L, 2L, 3L))
   }
 
+  test("merge mode upserts by key with exactly-once batch markers") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tempDir("delta-sink-merge").toString + "/t"
+    val ckpt = tempDir("delta-sink-merge-c").toString
+    DeltaWrite.append(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "grp"), dir)
+
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("id", "grp").writeStream
+      .format(sinkFmt).option("path", dir).option("txnAppId", "merge-app")
+      .option("mode", "merge").option("keyCols", "id")
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((2L, "B2"), (3L, "c"))
+      q.processAllAvailable()
+      input.addData((1L, "A3"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val snap = DeltaLog.snapshot(spark, dir)
+    assert(snap.txns.get("merge-app").exists(_ >= 1L), snap.txns)
+    assert(new graft.tables.DeltaTable("t", dir)(spark, graft.tables.ReadArgs())
+      .orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "A3"), (2L, "B2"), (3L, "c")))
+  }
+
   test("streaming appends to a row-tracked table mint row ids batch by batch") {
     implicit val sqlCtx = spark.sqlContext
     val dir = tempDir("delta-sink-rt").toString + "/t"

@@ -79,6 +79,40 @@ class LakehouseStreamSourcesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cross-format pipeline: delta source feeds the iceberg upsert sink through restarts") {
+    val src = tempDir("xfmt-delta").toString + "/t"
+    val dst = tempDir("xfmt-ice").toString + "/t"
+    val ckpt = tempDir("xfmt-ckpt").toString
+    graft.tables.DeltaWrite.append(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), src)
+
+    def run(): Unit = {
+      val q = spark.readStream
+        .format(classOf[DeltaStreamSourceProvider].getName)
+        .option("path", src).load()
+        .writeStream
+        .format(classOf[IcebergStreamSinkProvider].getName)
+        .option("path", dst).option("txnAppId", "xfmt")
+        .option("mode", "upsert").option("keyCols", "id")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000))
+    }
+    run()
+    val t = new graft.tables.IcebergTable("t", dst)
+    assert(t(spark, graft.tables.ReadArgs.empty)
+      .select("id", "v").as[(Long, String)].collect().sortBy(_._1).toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+
+    // new delta versions flow as upserts: key 2 converges, key 3 lands
+    graft.tables.DeltaWrite.append(spark,
+      Seq((2L, "B2"), (3L, "c")).toDF("id", "v"), src)
+    run()
+    assert(t(spark, graft.tables.ReadArgs.empty)
+      .select("id", "v").as[(Long, String)].collect().sortBy(_._1).toSeq ==
+      Seq((1L, "a"), (2L, "B2"), (3L, "c")))
+  }
+
   test("hudi: checkpoint restart resumes after the committed instant") {
     val dir = tempDir("hudi-stream-ckpt").toString + "/t"
     val ckpt = tempDir("hudi-stream-ckpt-c").toString
