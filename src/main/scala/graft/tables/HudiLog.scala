@@ -34,14 +34,18 @@ import org.apache.spark.sql.types._
   * version, int record count, then per record an int length + Avro
   * binary bytes of the writer schema carried in the `SCHEMA` header.
   *
-  * Foreign blocks this reader does NOT merge — DELETE/COMMAND/CORRUPT
-  * blocks, pre-v2 Avro content — REFUSE loudly instead of silently
-  * dropping changes; a table carrying them must be compacted by its
-  * writer first. Everything else (records wider than the table
-  * schema, e.g. upstream's five `_hoodie_*` meta columns where graft
-  * materializes two) reads by field name.
+  * DELETE_BLOCKs read and write as tombstones via the public
+  * HoodieDeleteRecordList avro model (same framing, content type 1).
+  * Blocks this reader does NOT merge — COMMAND (rollback) blocks,
+  * CORRUPT blocks, pre-v2 content layouts — REFUSE loudly instead of
+  * silently dropping changes; a table carrying them must be
+  * compacted by its writer first. Everything else (records wider
+  * than the table schema, e.g. upstream's five `_hoodie_*` meta
+  * columns where graft materializes two) reads by field name.
   */
 object HudiLog {
+
+  import scala.jdk.CollectionConverters._
 
   val Magic: Array[Byte] = "#HUDI#".getBytes(UTF_8)
   val FormatVersion = 1
@@ -214,10 +218,18 @@ object HudiLog {
     }
   }
 
-  /** One log file → rows of `target`, refusing block kinds whose
-    * silent omission would be a wrong answer.
+  /** One parsed log entry: a full data row, or a delete tombstone
+    * for a record key.
     */
-  def readRows(conf: Configuration, path: String, target: StructType): Seq[Row] = {
+  sealed trait LogEntry
+  final case class DataEntry(row: Row) extends LogEntry
+  final case class DeleteEntry(key: String) extends LogEntry
+
+  /** One log file → entries of `target`, refusing block kinds whose
+    * silent omission would be a wrong answer (rollback command
+    * blocks, corrupt blocks, unknown types).
+    */
+  def readEntries(conf: Configuration, path: String, target: StructType): Seq[LogEntry] = {
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
     readBlocks(fs, p).flatMap { b =>
@@ -226,11 +238,13 @@ object HudiLog {
           val writerSchema = b.header.getOrElse(SchemaKey,
             throw new java.io.IOException(
               s"Hudi avro data block in $path carries no SCHEMA header"))
-          avroRows(b.content, writerSchema, target)
-        case DeleteBlock | CommandBlock =>
+          avroRows(b.content, writerSchema, target).map(DataEntry)
+        case DeleteBlock =>
+          deleteKeys(b.content, path).map(DeleteEntry)
+        case CommandBlock =>
           throw new UnsupportedOperationException(
-            s"Hudi log block type ${b.blockType} (delete/rollback) in $path is " +
-              "unsupported — compact the table with its writer before reading it here")
+            s"Hudi command (rollback) log block in $path is unsupported — " +
+              "compact the table with its writer before reading it here")
         case CorruptBlock =>
           throw new java.io.IOException(s"corrupt Hudi log block in $path")
         case other =>
@@ -238,6 +252,77 @@ object HudiLog {
             s"unknown Hudi log block type $other in $path")
       }
     }
+  }
+
+  // ------------------------------------------------ delete blocks
+
+  /** The public HoodieDeleteRecordList avro model (upstream
+    * hudi-common `HoodieDeleteRecordList.avsc`): a DELETE_BLOCK's
+    * content is `[int content-version][int length][avro binary]` of
+    * this record, mirroring the AVRO_DATA_BLOCK framing.
+    */
+  private val DeleteListSchemaJson =
+    """{"type":"record","name":"HoodieDeleteRecordList",
+      |"namespace":"org.apache.hudi.avro.model","fields":[
+      |{"name":"deleteRecordList","type":{"type":"array","items":
+      |{"type":"record","name":"HoodieDeleteRecord","fields":[
+      |{"name":"recordKey","type":["null","string"],"default":null},
+      |{"name":"partitionPath","type":["null","string"],"default":null},
+      |{"name":"orderingVal","type":["null","string","int","long","float","double","bytes"],"default":null}
+      |]}}}]}""".stripMargin.replace("\n", "")
+
+  @transient private lazy val deleteListSchema: Schema =
+    new Schema.Parser().parse(DeleteListSchemaJson)
+
+  /** Serialize delete tombstones for `keys` (in `partition`) into
+    * DELETE_BLOCK content bytes.
+    */
+  def deleteContent(keys: Seq[String], partition: String): Array[Byte] = {
+    val itemSchema = deleteListSchema.getField("deleteRecordList")
+      .schema().getElementType
+    val list = new java.util.ArrayList[GenericRecord](keys.size)
+    keys.foreach { k =>
+      val r = new GenericData.Record(itemSchema)
+      r.put("recordKey", k)
+      r.put("partitionPath", partition)
+      list.add(r)
+    }
+    val rec = new GenericData.Record(deleteListSchema)
+    rec.put("deleteRecordList", list)
+    val rb = new ByteArrayOutputStream()
+    val enc = EncoderFactory.get().binaryEncoder(rb, null)
+    new GenericDatumWriter[GenericRecord](deleteListSchema).write(rec, enc)
+    enc.flush()
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(AvroContentVersion)
+    out.writeInt(rb.size())
+    rb.writeTo(out)
+    out.flush()
+    bos.toByteArray
+  }
+
+  /** Decode DELETE_BLOCK content into record keys. */
+  def deleteKeys(content: Array[Byte], path: String): Seq[String] = {
+    val in = new DataInputStream(new ByteArrayInputStream(content))
+    val version = in.readInt()
+    if (version < 2)
+      throw new UnsupportedOperationException(
+        s"Hudi delete block content version $version in $path is unsupported " +
+          "(pre-avro kryo layouts) — compact the table with its writer first")
+    val len = in.readInt()
+    val b = new Array[Byte](len)
+    in.readFully(b)
+    val dec = DecoderFactory.get().binaryDecoder(b, null)
+    val rec = new GenericDatumReader[GenericRecord](deleteListSchema).read(null, dec)
+    rec.get("deleteRecordList").asInstanceOf[java.util.Collection[AnyRef]]
+      .asScala.toSeq
+      .map { r =>
+        Option(r.asInstanceOf[GenericRecord].get("recordKey"))
+          .map(_.toString)
+          .getOrElse(throw new java.io.IOException(
+            s"Hudi delete record without a recordKey in $path"))
+      }
   }
 
   // -------------------------------------------- spark <-> avro types
@@ -287,8 +372,6 @@ object HudiLog {
     case other => throw new UnsupportedOperationException(
       s"column type ${other.simpleString} is unsupported in Hudi log files")
   }
-
-  import scala.jdk.CollectionConverters._
 
   private def nonNull(s: Schema): Schema =
     if (s.getType == Schema.Type.UNION)

@@ -271,6 +271,50 @@ object HudiWrite {
     instant
   }
 
+  /** MERGE_ON_READ delete: matched keys append as DELETE_BLOCK
+    * tombstones to their owning group's log (O(delta) write, no base
+    * rewrite); the merged read drops a key whose latest version is a
+    * tombstone, and [[compact]] retires fully-emptied groups. Keys
+    * absent from the table are ignored.
+    */
+  private def morDeleteOnce(
+      spark: SparkSession,
+      keys: DataFrame,
+      tablePath: String,
+      fs: FileSystem,
+      props: Map[String, String]
+  ): String = {
+    require(keys.columns.length == 1,
+      s"delete takes a single-column key frame, got ${keys.columns.mkString(", ")}")
+    val base = completedInstants(fs, tablePath, None).lastOption.map(_._1)
+    val slices = latestSlices(fs, tablePath, None)
+    val instant = mintInstant(fs, new Path(tablePath, ".hoodie"), "deltacommit")
+    if (slices.isEmpty) {
+      completeCommit(fs, tablePath, instant, "delete", Seq.empty,
+        actionOverride = Some("deltacommit"))
+      return instant
+    }
+    val delKeys = keys.select(col(keys.columns.head).cast("string").as("_k")).distinct()
+    val affected = affectedGroups(spark, tablePath, slices, delKeys,
+      keyBounds(keys, keys.columns.head))
+    val affectedSlices = slices.filter(sl => affected(sl.fileId))
+    if (affectedSlices.isEmpty) {
+      completeCommit(fs, tablePath, instant, "delete", Seq.empty,
+        actionOverride = Some("deltacommit"))
+      return instant
+    }
+    // only keys that actually exist tombstone (their owning group is
+    // known); unmatched delete keys are no-ops
+    val keyToFg = sliceKeys(spark, tablePath, affectedSlices)
+      .select(col(RecordKeyCol).as("_k0"), col("_fg")).distinct()
+    val targets = delKeys.join(keyToFg, col("_k") === col("_k0"))
+      .select(col("_k").as(RecordKeyCol), col("_fg"))
+    val written = writeDeleteLogs(spark, targets, tablePath, affectedSlices, instant)
+    completeCommitGuarded(fs, tablePath, base, instant, "delete", written,
+      Map.empty, actionOverride = Some("deltacommit"))
+    instant
+  }
+
   /** Fold every log-bearing file group's slice (base ∪ logs, merged
     * latest-per-key) into a NEW base file of the SAME file group at a
     * fresh `commit` instant — the Hudi compaction action. Row commit
@@ -299,9 +343,16 @@ object HudiWrite {
       return instant
     }
     val merged = readSlicesMerged(spark, tablePath, logged, withFg = true)
-    val written = stageByGroup(spark, merged, fs, tablePath, partCols,
-      instant, freshGroupPerLeaf = false)
-    completeCommitGuarded(fs, tablePath, base, instant, "compact", written, Map.empty)
+    val written =
+      if (merged.isEmpty) Seq.empty[WrittenFile]
+      else stageByGroup(spark, merged, fs, tablePath, partCols,
+        instant, freshGroupPerLeaf = false)
+    // a group whose every record is tombstoned compacts to NOTHING:
+    // retire it via the replacecommit action so the planner drops it
+    val rewritten = written.map(_.fileId).toSet
+    val replaced = logged.filterNot(sl => rewritten(sl.fileId))
+      .groupBy(_.partition).map { case (part, sls) => part -> sls.map(_.fileId) }
+    completeCommitGuarded(fs, tablePath, base, instant, "compact", written, replaced)
     instant
   }
 
@@ -319,6 +370,7 @@ object HudiWrite {
   private def deleteOnce(spark: SparkSession, keys: DataFrame, tablePath: String): String = {
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val props = readProps(fs, tablePath)
+    if (isMor(props)) return morDeleteOnce(spark, keys, tablePath, fs, props)
     val keyCol = props("hoodie.table.recordkey.fields")
     val partCols = props.get("hoodie.table.partition.fields")
       .filter(_.nonEmpty).map(_.split(",").toSeq).getOrElse(Seq.empty)
@@ -977,12 +1029,15 @@ object HudiWrite {
     val logDf = readLogRows(spark, tablePath, logged, dataSchema)
     val merged = withFileGroup(spark, baseScan, logged, tablePath)
       .withColumn("_seq", lit(0L))
+      .withColumn("_del", lit(false))
       .unionByName(logDf)
       .withColumn("_rn", row_number().over(
         Window.partitionBy(col(RecordKeyCol))
           .orderBy(col(CommitTimeCol).desc, col("_seq").desc)))
       .where(col("_rn") === 1)
-      .drop("_rn", "_seq")
+      // a key whose LATEST version is a tombstone is deleted
+      .where(!col("_del"))
+      .drop("_rn", "_seq", "_del")
     val out = if (withFg) merged else merged.drop("_fg")
     if (plain.isEmpty) out
     else withGroup(readSlices(spark, tablePath, plain), plain).unionByName(out)
@@ -1000,23 +1055,34 @@ object HudiWrite {
       logged: Seq[FileSlice],
       dataSchema: org.apache.spark.sql.types.StructType
   ): DataFrame = {
-    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import org.apache.spark.sql.types.{BooleanType, LongType, StringType, StructField, StructType}
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
-    val entries: Seq[(String, String, Long)] = logged.flatMap { s =>
-      s.logFiles.zipWithIndex.map { case ((_, rel), i) =>
-        (s.fileId, s"$tablePath/$rel", i.toLong << 32)
+    val entries: Seq[(String, String, String, Long)] = logged.flatMap { s =>
+      s.logFiles.zipWithIndex.map { case ((instant, rel), i) =>
+        (s.fileId, s"$tablePath/$rel", instant, i.toLong << 32)
       }
     }
-    val logSchema = StructType(dataSchema.fields ++
-      Seq(StructField("_fg", StringType), StructField("_seq", LongType)))
+    val keyIdx = dataSchema.fieldIndex(RecordKeyCol)
+    val timeIdx = dataSchema.fieldIndex(CommitTimeCol)
+    val width = dataSchema.size
+    val logSchema = StructType(dataSchema.fields ++ Seq(
+      StructField("_fg", StringType), StructField("_seq", LongType),
+      StructField("_del", BooleanType, nullable = false)))
     val rdd = spark.sparkContext
       .parallelize(entries, math.max(1, math.min(entries.size,
         spark.sparkContext.defaultParallelism)))
-      .flatMap { case (fg, path, fileBase) =>
-        HudiLog.readRows(conf.value, path, dataSchema).iterator.zipWithIndex.map {
-          case (r, i) =>
-            org.apache.spark.sql.Row.fromSeq(r.toSeq ++ Seq(fg, fileBase + i))
+      .flatMap { case (fg, path, instant, fileBase) =>
+        HudiLog.readEntries(conf.value, path, dataSchema).iterator.zipWithIndex.map {
+          case (HudiLog.DataEntry(r), i) =>
+            org.apache.spark.sql.Row.fromSeq(r.toSeq ++ Seq(fg, fileBase + i, false))
+          case (HudiLog.DeleteEntry(key), i) =>
+            // tombstone: only the key + the deltacommit instant (the
+            // ordering fields the merge needs); data columns null
+            val vals = Array.fill[Any](width)(null)
+            vals(keyIdx) = key
+            vals(timeIdx) = instant
+            org.apache.spark.sql.Row.fromSeq(vals.toSeq ++ Seq(fg, fileBase + i, true))
         }
       }
     spark.createDataFrame(rdd, logSchema)
@@ -1115,6 +1181,86 @@ object HudiWrite {
     s.logFiles.flatMap { case (_, rel) =>
       LogVersionRe.findFirstMatchIn(rel).map(_.group(1).toInt)
     }.maxOption.getOrElse(0) + 1
+
+  /** Write delete tombstones (`targets`: RecordKeyCol + `_fg`) as
+    * ONE upstream-format log file per affected group, each holding
+    * DELETE_BLOCKs of ≤[[LogBlockRecords]] keys — the same
+    * distributed consecutive-group streaming as [[writeLogFiles]].
+    */
+  private def writeDeleteLogs(
+      spark: SparkSession,
+      targets: DataFrame,
+      tablePath: String,
+      affectedSlices: Seq[FileSlice],
+      instant: String
+  ): Seq[WrittenFile] = {
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val naming: Map[String, (String, String, Int)] = affectedSlices.map { sl =>
+      sl.fileId -> ((sl.partition, sl.instant, nextLogVersion(sl)))
+    }.toMap
+    val namingB = spark.sparkContext.broadcast(naming)
+    val table = tablePath
+
+    val written = targets.repartition(col("_fg")).sortWithinPartitions("_fg")
+      .rdd.mapPartitions { it =>
+        val out = Seq.newBuilder[(String, String, String, Long, String, String)]
+        var curFg: String = null
+        var writer: HudiLog.Writer = null
+        var count = 0L
+        var kLo: String = null
+        var kHi: String = null
+        var rel: String = null
+        var part: String = null
+        val buf = scala.collection.mutable.Buffer.empty[String]
+        def flushBlock(): Unit = if (buf.nonEmpty) {
+          writer.append(HudiLog.LogBlock(HudiLog.DeleteBlock,
+            Map(HudiLog.InstantTimeKey -> instant),
+            HudiLog.deleteContent(buf.toSeq, part)))
+          count += buf.size
+          buf.clear()
+        }
+        def closeGroup(): Unit = if (writer != null) {
+          flushBlock()
+          writer.close()
+          out += ((curFg, part, rel, count, kLo, kHi))
+          writer = null
+          count = 0L
+          kLo = null
+          kHi = null
+        }
+        it.foreach { row =>
+          val fg = row.getString(1)
+          if (fg != curFg) {
+            closeGroup()
+            curFg = fg
+            val (p, baseInstant, v) = namingB.value(fg)
+            part = p
+            val name = s".${fg}_$baseInstant.log.${v}_$WriteToken"
+            rel = if (p.isEmpty) name else s"$p/$name"
+            val fs = new Path(table).getFileSystem(conf.value)
+            val dest = new Path(table, rel)
+            fs.mkdirs(dest.getParent)
+            writer = new HudiLog.Writer(fs, dest)
+          }
+          val k = row.getString(0)
+          if (k != null) {
+            if (kLo == null || k < kLo) kLo = k
+            if (kHi == null || k > kHi) kHi = k
+            buf += k
+            if (buf.size >= LogBlockRecords) flushBlock()
+          }
+          ()
+        }
+        closeGroup()
+        out.result().iterator
+      }.collect().toSeq
+
+    written.map { case (fg, part, rel, n, lo, hi) =>
+      WrittenFile(part, fg, rel, n,
+        if (lo == null || hi == null) None else Some((lo, hi)))
+    }
+  }
 
   /** Write `updates` (meta + data + `_fg`) as ONE upstream-format
     * log file per affected file group, distributed: rows route to

@@ -213,19 +213,54 @@ class HudiMorSpec extends SparkSpec {
       Seq((1L, "A2"), (2L, "b")))
   }
 
-  test("foreign delete/command log blocks refuse loudly; log-only groups refuse") {
+  test("MOR delete appends DELETE_BLOCK tombstones; compaction retires emptied groups") {
+    val dir = tempDir("hudi-mor-tomb").toString + "/t"
+    val i1 = HudiWrite.bulkInsert(spark,
+      Seq((1L, "a", 0), (2L, "b", 0), (3L, "c", 1)).toDF("id", "v", "part"),
+      dir, "id", Seq("part"), tableType = "MERGE_ON_READ")
+    def baseFiles() = listAll(dir).count(f =>
+      f.endsWith(".parquet") && !f.contains("_staging"))
+    val basesBefore = baseFiles()
+    HudiWrite.delete(spark, Seq(2L).toDF("id"), dir)
+    val t = new HudiTable("t", dir)
+    // the delete is a LOG tombstone — no base rewrite happened
+    val files1 = listAll(dir)
+    assert(files1.exists(_.contains(".log.")), files1.mkString("\n"))
+    assert(baseFiles() == basesBefore)
+    assert(t(spark, ReadArgs.empty).select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 3L))
+    // time travel to before the delete still sees the key
+    assert(t(spark, ReadArgs(extra = Map(t.AsOfInstantKey -> i1)))
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    // a re-insert AFTER the tombstone wins (later instant)
+    HudiWrite.upsert(spark, Seq((2L, "b2", 0)).toDF("id", "v", "part"), dir)
+    assert(t(spark, ReadArgs.empty).select("id", "v").as[(Long, String)]
+      .collect().sortBy(_._1).toSeq ==
+      Seq((1L, "a"), (2L, "b2"), (3L, "c")))
+    // delete EVERY key of part=0's group, compact: the group retires
+    HudiWrite.delete(spark, Seq(1L, 2L).toDF("id"), dir)
+    val ic = HudiWrite.compact(spark, dir).get
+    assert(t(spark, ReadArgs.empty).select("id").as[Long].collect().toSeq == Seq(3L))
+    val slices = HudiWrite.latestSlices(fsOf(dir), dir, None)
+    assert(slices.size == 1 && slices.head.partition == "part=1", slices)
+    // non-existent keys are no-ops
+    HudiWrite.delete(spark, Seq(99L).toDF("id"), dir)
+    assert(t(spark, ReadArgs.empty).count() == 1)
+  }
+
+  test("foreign command log blocks refuse loudly; log-only groups refuse") {
     val dir = tempDir("hudi-mor-refuse").toString + "/t"
     val i1 = HudiWrite.bulkInsert(spark, Seq((1L, "a")).toDF("id", "v"), dir, "id",
       tableType = "MERGE_ON_READ")
     HudiWrite.upsert(spark, Seq((1L, "A")).toDF("id", "v"), dir)
     val fs = fsOf(dir)
     val log = listAll(dir).find(_.contains(".log.")).get
-    // overwrite the log with a DELETE_BLOCK — reading must refuse,
-    // not silently serve the base-only view
+    // overwrite the log with a COMMAND (rollback) block — reading
+    // must refuse, not silently serve the base-only view
     val blocks = HudiLog.readBlocks(fs, new Path(log))
     fs.delete(new Path(log), false)
     HudiLog.write(fs, new Path(log), Seq(
-      blocks.head.copy(blockType = HudiLog.DeleteBlock)))
+      blocks.head.copy(blockType = HudiLog.CommandBlock)))
     val t = new HudiTable("t", dir)
     val e = intercept[org.apache.spark.SparkException] {
       t(spark, ReadArgs.empty).collect()
