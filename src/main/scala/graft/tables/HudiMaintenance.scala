@@ -23,6 +23,91 @@ import org.apache.spark.sql.SparkSession
   */
 object HudiMaintenance {
 
+  /** Roll back CRASHED writes: timeline markers whose instant never
+    * completed, data files no completed commit references, and
+    * abandoned staging dirs — all older than `olderThanMs` (the age
+    * guard protecting in-flight writers, the Hudi rollback/Iceberg
+    * orphan-removal analog). Crashed writes are INVISIBLE to readers
+    * (slices plan from completed commits only); this bounds the
+    * storage they leak. Returns the deleted table-relative paths.
+    *
+    * Scale shape: candidate dirs BFS driver-side at DIRECTORY
+    * granularity; per-dir listing + age filter run executor-side;
+    * the referenced-file keep-set joins as a DataFrame anti-join
+    * (the R45 discipline — on-disk files never collect).
+    */
+  def rollbackPending(
+      spark: SparkSession, tablePath: String, olderThanMs: Long): Seq[String] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    HudiWrite.readProps(fs, tablePath) // refuses non-Hudi paths
+    val hoodieDir = new Path(tablePath, ".hoodie")
+    val cutoff = System.currentTimeMillis() - olderThanMs
+
+    val timeline = fs.listStatus(hoodieDir)
+    val Completed = "(\\d{17})\\.(commit|replacecommit|deltacommit)".r
+    val Marker = "(\\d{17})\\.(?:[a-z]+\\.)?(?:requested|inflight)".r
+    val done: Set[String] = timeline.map(_.getPath.getName).collect {
+      case Completed(i, _) => i
+    }.toSet
+    // stale pending instants: marked, never completed, old enough
+    val stalePending: Set[String] = timeline.collect {
+      case st if st.getModificationTime < cutoff =>
+        st.getPath.getName match {
+          case Marker(i) if !done.contains(i) => Some(i)
+          case _ => None
+        }
+    }.flatten.toSet
+
+    // abandoned staging dirs go whole
+    val staleStaging = fs.listStatus(new Path(tablePath)).toSeq.filter(st =>
+      st.isDirectory && st.getPath.getName.startsWith("_staging_hoodie_") &&
+        st.getModificationTime < cutoff)
+    staleStaging.foreach(st => fs.delete(st.getPath, true))
+
+    // orphan data files: on-disk, unreferenced by ANY completed
+    // commit, old enough — exactly the crashed writes' moved files
+    val dirs = scala.collection.mutable.ArrayBuffer[String]()
+    def bfs(p: Path): Unit = {
+      dirs += p.toString
+      fs.listStatus(p).foreach { st =>
+        if (st.isDirectory && st.getPath.getName != ".hoodie" &&
+          !st.getPath.getName.startsWith("_staging_hoodie_")) bfs(st.getPath)
+      }
+    }
+    bfs(new Path(tablePath))
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val tableUri = new Path(tablePath).toUri.getPath
+    val onDisk = spark.sparkContext
+      .parallelize(dirs.toSeq, math.max(1, math.min(dirs.size, 32)))
+      .flatMap { d =>
+        val dfs = new Path(d).getFileSystem(conf.value)
+        dfs.listStatus(new Path(d)).iterator
+          .filter(st => st.isFile && st.getModificationTime < cutoff)
+          .map(_.getPath.toUri.getPath)
+          .filter(p => p.endsWith(".parquet") || p.contains(".log."))
+      }.toDF("p")
+    val referenced = HudiWrite.allWrittenPaths(fs, tablePath).distinct
+      .map(rel => s"$tableUri/$rel").toDF("p")
+    val orphans = onDisk.join(referenced, Seq("p"), "left_anti")
+      .as[String].collect().toSeq
+    orphans.foreach(p => fs.delete(new Path(p), false))
+
+    // finally the stale markers themselves
+    timeline.foreach { st =>
+      st.getPath.getName match {
+        case Marker(i) if stalePending.contains(i) => fs.delete(st.getPath, false)
+        case _ => ()
+      }
+    }
+
+    (staleStaging.map(_.getPath.getName) ++
+      orphans.map(_.stripPrefix(s"$tableUri/")) ++
+      stalePending.toSeq.sorted.map(i => s".hoodie/$i.* (markers)")).toSeq
+  }
+
   /** Delete base AND log files unreachable from the latest
     * `retainLast` snapshots (a compacted MOR group's superseded
     * `.log` files age out exactly like superseded base files).

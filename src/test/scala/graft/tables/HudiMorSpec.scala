@@ -248,6 +248,44 @@ class HudiMorSpec extends SparkSpec {
     assert(t(spark, ReadArgs.empty).count() == 1)
   }
 
+  test("rollbackPending removes crashed writes' files and markers, never live data") {
+    val dir = tempDir("hudi-rollback").toString + "/t"
+    val i1 = HudiWrite.bulkInsert(spark,
+      Seq((1L, "a", 0), (2L, "b", 1)).toDF("id", "v", "part"), dir, "id", Seq("part"))
+    val fs = fsOf(dir)
+    val old = System.currentTimeMillis() - 100000
+
+    // simulate a crash AFTER staging moved files but BEFORE completion:
+    // an orphan base file + uncompleted markers, plus a staging dir
+    val ghost = "20200101000000000"
+    val orphan = new Path(dir, s"part=0/deadbeef-0000_0-0-0_$ghost.parquet")
+    fs.create(orphan, true).close()
+    val reqM = new Path(dir, s".hoodie/$ghost.commit.requested")
+    val infM = new Path(dir, s".hoodie/$ghost.inflight")
+    fs.create(reqM, true).close(); fs.create(infM, true).close()
+    val staging = new Path(dir, "_staging_hoodie_dead1234")
+    fs.mkdirs(staging)
+    fs.create(new Path(staging, "junk.parquet"), true).close()
+    Seq(orphan, reqM, infM, staging).foreach(p => fs.setTimes(p, old, old))
+
+    // a FRESH pending instant (an active writer) must survive
+    val fresh = "20990101000000000"
+    fs.create(new Path(dir, s".hoodie/$fresh.commit.requested"), true).close()
+
+    val deleted = HudiMaintenance.rollbackPending(spark, dir, olderThanMs = 50000)
+    assert(deleted.exists(_.contains(ghost)), deleted)
+    assert(!fs.exists(orphan) && !fs.exists(reqM) && !fs.exists(infM) && !fs.exists(staging))
+    assert(fs.exists(new Path(dir, s".hoodie/$fresh.commit.requested")))
+
+    // live data is untouched and still reads
+    val t = new HudiTable("t", dir)
+    assert(t(spark, ReadArgs.empty).select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L))
+    // idempotent
+    assert(HudiMaintenance.rollbackPending(spark, dir, olderThanMs = 50000)
+      .forall(!_.contains(ghost)))
+  }
+
   test("foreign command log blocks refuse loudly; log-only groups refuse") {
     val dir = tempDir("hudi-mor-refuse").toString + "/t"
     val i1 = HudiWrite.bulkInsert(spark, Seq((1L, "a")).toDF("id", "v"), dir, "id",
