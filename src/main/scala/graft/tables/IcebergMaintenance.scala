@@ -42,6 +42,189 @@ object IcebergMaintenance {
   private val mapper = new ObjectMapper()
   private val MaxAttempts = 10
 
+  /** REWRITE MANIFESTS (the public `rewrite_manifests` maintenance
+    * action): consolidate the current snapshot's DATA manifests into
+    * ONE manifest per partition spec — planning cost is O(manifests
+    * opened), and a long append history leaves hundreds of tiny
+    * manifests that dominate it. Entries rewrite as status=EXISTING
+    * with their sequence numbers MATERIALIZED (inherited seqs pinned
+    * before the manifest they inherited from disappears), so
+    * seq-gated position/equality deletes keep applying exactly as
+    * before; delete manifests carry verbatim. Data files are
+    * untouched — this is a metadata-only commit through the same
+    * put-if-absent loop as every writer. Returns the new snapshot
+    * id, or None when there is nothing to consolidate.
+    */
+  def rewriteManifests(spark: SparkSession, tablePath: String): Option[Long] = {
+    val table = new Path(tablePath)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val metaDir = new Path(table, "metadata")
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val baseV = IcebergWrite.latestVersionByScan(fs, metaDir)
+        .getOrElse(throw new IllegalArgumentException(s"no Iceberg metadata under $metaDir"))
+      val root = IcebergWrite.readRoot(fs, metaDir, baseV)
+      val meta = IcebergMeta.parse(root, tablePath)
+      val snap = meta.currentSnapshotId
+        .flatMap(id => meta.snapshots.find(_.id == id))
+        .getOrElse(return None)
+      val listEntries = IcebergMeta.readAvro(fs, new Path(snap.manifestList))
+      def intOf(r: org.apache.avro.generic.GenericRecord, f: String, d: Int): Int =
+        Option(r.get(f)).map(_.asInstanceOf[Number].intValue()).getOrElse(d)
+      def longOf(r: org.apache.avro.generic.GenericRecord, f: String): Option[Long] =
+        Option(r.get(f)).map(_.asInstanceOf[Number].longValue())
+      val (dataManifests, deleteManifests) =
+        listEntries.partition(m => intOf(m, "content", 0) == 0)
+      if (dataManifests.size <= 1) return None
+
+      val uuid = java.util.UUID.randomUUID().toString
+      val nowMs = System.currentTimeMillis()
+      val snapshotId = meta.snapshots.map(_.id).maxOption.getOrElse(0L) + 1
+      val seq = root.path("last-sequence-number").asLong(0L) + 1
+      val specsNode = root.path("partition-specs")
+
+      // one consolidated manifest per spec id
+      val bySpec = dataManifests.groupBy(m => intOf(m, "partition_spec_id", 0))
+      val newManifests = bySpec.toSeq.sortBy(_._1).map { case (specId, group) =>
+        val spec = meta.specs.getOrElse(specId, throw new IllegalArgumentException(
+          s"manifest references unknown partition spec $specId in $tablePath"))
+        val partFields = spec.map { sf =>
+          val srcName = meta.schemaFieldIds.getOrElse(sf.sourceId,
+            throw new IllegalArgumentException(
+              s"spec $specId field ${sf.name} references dropped column id ${sf.sourceId}"))
+          val srcType = meta.schema.fields.find(_.name == srcName).map(_.dataType)
+            .getOrElse(throw new IllegalArgumentException(
+              s"spec $specId source column $srcName missing from the current schema"))
+          org.apache.spark.sql.types.StructField(sf.name,
+            IcebergWrite.transformResultType(sf.transform, srcType))
+        }
+        val specJson = IcebergMeta.elements(specsNode)
+          .find(_.path("spec-id").asInt(0) == specId)
+          .map(sn => mapper.writeValueAsString(sn.path("fields")))
+          .getOrElse("[]")
+        val entrySchema = graft.export.IcebergUniform.manifestEntrySchema(
+          partFields, spec.map(_.fieldId))
+        val outPath = new Path(metaDir, s"manifest-rw-$snapshotId-$specId-$uuid.avro")
+        val w = new org.apache.avro.file.DataFileWriter(
+          new org.apache.avro.generic.GenericDatumWriter[
+            org.apache.avro.generic.GenericRecord](entrySchema))
+        w.setMeta("schema", mapper.writeValueAsString(
+          IcebergMeta.elements(root.path("schemas")).find(
+            _.path("schema-id").asInt(-1) == root.path("current-schema-id").asInt(0))
+            .getOrElse(root.path("schemas").get(0))))
+        w.setMeta("partition-spec", specJson)
+        w.setMeta("partition-spec-id", specId.toString)
+        w.setMeta("format-version", "2")
+        w.setMeta("content", "data")
+        w.create(entrySchema, fs.create(outPath, true))
+        var files = 0L
+        var rows = 0L
+        var minSeq = Long.MaxValue
+        try {
+          val dfSchema = entrySchema.getField("data_file").schema()
+          val pSchema = dfSchema.getField("partition").schema()
+          group.foreach { m =>
+            val mPath = m.get("manifest_path").toString
+            val mSeq = longOf(m, "sequence_number").getOrElse(0L)
+            IcebergMeta.readAvro(fs, new Path(mPath)).foreach { e =>
+              if (intOf(e, "status", 0) != 2) {
+                val df = e.get("data_file")
+                  .asInstanceOf[org.apache.avro.generic.GenericRecord]
+                val eSeq = longOf(e, "sequence_number").getOrElse(mSeq)
+                val fSeq = longOf(e, "file_sequence_number").getOrElse(eSeq)
+                minSeq = math.min(minSeq, eSeq)
+                val p = new org.apache.avro.generic.GenericData.Record(pSchema)
+                Option(df.get("partition")) match {
+                  case Some(src: org.apache.avro.generic.GenericRecord) =>
+                    pSchema.getFields.forEach { f =>
+                      if (src.getSchema.getField(f.name()) != null)
+                        p.put(f.name(), src.get(f.name()))
+                    }
+                  case _ => ()
+                }
+                val dfr = new org.apache.avro.generic.GenericData.Record(dfSchema)
+                dfr.put("content", 0)
+                dfr.put("file_path", df.get("file_path").toString)
+                dfr.put("file_format",
+                  Option(df.get("file_format")).map(_.toString).getOrElse("PARQUET"))
+                dfr.put("partition", p)
+                dfr.put("record_count", longOf(df, "record_count").getOrElse(0L))
+                dfr.put("file_size_in_bytes", longOf(df, "file_size_in_bytes").getOrElse(0L))
+                val ne = new org.apache.avro.generic.GenericData.Record(entrySchema)
+                ne.put("status", 0) // EXISTING
+                ne.put("snapshot_id",
+                  longOf(e, "snapshot_id").getOrElse(snap.id))
+                ne.put("sequence_number", eSeq)
+                ne.put("file_sequence_number", fSeq)
+                ne.put("data_file", dfr)
+                w.append(ne)
+                files += 1
+                rows += longOf(df, "record_count").getOrElse(0L)
+              }
+            }
+          }
+        } finally w.close()
+        (outPath, fs.getFileStatus(outPath).getLen, specId,
+          if (minSeq == Long.MaxValue) seq else minSeq, files, rows)
+      }
+
+      // manifest list: consolidated data manifests + delete manifests
+      val listPath = new Path(metaDir, s"snap-$snapshotId-$uuid.avro")
+      locally {
+        val ls = graft.export.IcebergUniform.manifestFileSchema
+        val w = new org.apache.avro.file.DataFileWriter(
+          new org.apache.avro.generic.GenericDatumWriter[
+            org.apache.avro.generic.GenericRecord](ls)).create(ls, fs.create(listPath, true))
+        try {
+          newManifests.foreach { case (p, len, specId, minSeq, files, rows) =>
+            val n = new org.apache.avro.generic.GenericData.Record(ls)
+            n.put("manifest_path", p.toString)
+            n.put("manifest_length", len)
+            n.put("partition_spec_id", specId)
+            n.put("content", 0)
+            n.put("sequence_number", seq)
+            n.put("min_sequence_number", minSeq)
+            n.put("added_snapshot_id", snapshotId)
+            n.put("added_files_count", 0)
+            n.put("existing_files_count", files.toInt)
+            n.put("deleted_files_count", 0)
+            n.put("added_rows_count", 0L)
+            n.put("existing_rows_count", rows)
+            n.put("deleted_rows_count", 0L)
+            w.append(n)
+          }
+          deleteManifests.foreach { prev =>
+            val c = new org.apache.avro.generic.GenericData.Record(ls)
+            ls.getFields.forEach(f => c.put(f.name(),
+              if (prev.getSchema.getField(f.name()) != null) prev.get(f.name()) else null))
+            w.append(c)
+          }
+        } finally w.close()
+      }
+
+      val root2 = root.deepCopy[ObjectNode]()
+      IcebergWrite.appendSnapshotToRoot(root2, snapshotId, seq, nowMs, listPath,
+        operation = "replace",
+        summaryExtras = Seq(
+          "manifests-replaced" -> dataManifests.size.toString,
+          "manifests-created" -> newManifests.size.toString))
+      val target = new Path(metaDir, s"v${baseV + 1}.metadata.json")
+      if (IcebergWrite.publishIfAbsent(fs, target,
+        mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root2))) {
+        val hint = fs.create(new Path(metaDir, "version-hint.text"), true)
+        try hint.write((baseV + 1).toString.getBytes("UTF-8")) finally hint.close()
+        return Some(snapshotId)
+      }
+      newManifests.foreach(m => fs.delete(m._1, false))
+      fs.delete(listPath, false)
+      if (attempt >= MaxAttempts)
+        throw new java.util.ConcurrentModificationException(
+          s"could not commit rewriteManifests to $tablePath after $MaxAttempts attempts")
+    }
+    None
+  }
+
   /** METADATA a snapshot set pins — manifest lists and manifest
     * paths, O(manifests) driver work. Content-file reachability is
     * deliberately NOT here: content paths are O(files), not

@@ -1017,7 +1017,7 @@ object IcebergWrite {
     * the snapshot + log entry (shared by append/overwrite and
     * deleteWhere commits).
     */
-  private def appendSnapshotToRoot(
+  private[tables] def appendSnapshotToRoot(
       root: ObjectNode,
       snapshotId: Long,
       seq: Long,
