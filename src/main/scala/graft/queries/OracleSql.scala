@@ -1771,11 +1771,13 @@ object OracleSql {
       // with a partition filter — the read-time base∪log merge must
       // equal this relational replay
       "q_hudi_mor" ->
-        """SELECT n_nationkey,
-          |  CASE WHEN n_nationkey >= 15 THEN upper(n_name || '_v2') ELSE n_name END AS n_name,
-          |  n_regionkey
-          |FROM nation WHERE n_regionkey <= 2
-          |UNION ALL SELECT 991, 'lemuria', 1
+        """SELECT * FROM (
+          |  SELECT n_nationkey,
+          |    CASE WHEN n_nationkey >= 15 THEN upper(n_name || '_v2') ELSE n_name END AS n_name,
+          |    n_regionkey
+          |  FROM nation WHERE n_regionkey <= 2
+          |  UNION ALL SELECT 991, 'lemuria', 1
+          |) WHERE n_nationkey NOT IN (3, 17)
           |ORDER BY n_nationkey""".stripMargin,
       // Hudi incremental (bulkInsert, upsert]: exactly the upsert's
       // changed rows with their new values

@@ -604,6 +604,10 @@ object Wave6Queries {
           java.util.List.of(org.apache.spark.sql.Row(991, "lemuria", 1)),
           nation.schema))
       val i2 = HudiWrite.upsert(s, changes, path)
+      // MOR delete: keys 3 and 17 tombstone as DELETE_BLOCK log
+      // entries — the merged read must drop them
+      import s.implicits._
+      HudiWrite.delete(s, Seq(3, 17).toDF("n_nationkey"), path)
       (path, i2)
     })
 
