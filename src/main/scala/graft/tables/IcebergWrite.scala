@@ -998,6 +998,19 @@ object IcebergWrite {
       val baseRoot = baseV.map(v => readRoot(fs, metaDir, v))
       val (root, temps, snapshotId) = attemptFn(baseV, baseRoot)
       val newV = baseV.getOrElse(0) + 1
+      // metadata-log: record the PREVIOUS metadata file per the spec
+      // (foreign readers use it for metadata-version time travel)
+      baseV.foreach { v =>
+        if (!root.has("metadata-log"))
+          root.set[ObjectNode]("metadata-log", mapper.createArrayNode())
+        val entry = mapper.createObjectNode()
+        entry.put("timestamp-ms",
+          baseRoot.map(_.path("last-updated-ms").asLong(0L))
+            .filter(_ > 0).getOrElse(System.currentTimeMillis()))
+        entry.put("metadata-file", new Path(metaDir, s"v$v.metadata.json").toString)
+        root.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("metadata-log")
+          .add(entry)
+      }
       val target = new Path(metaDir, s"v$newV.metadata.json")
       if (publishIfAbsent(fs, target,
         mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))) {

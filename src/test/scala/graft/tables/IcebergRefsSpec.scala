@@ -30,6 +30,20 @@ class IcebergRefsSpec extends SparkSpec {
     assert(t(spark, ReadArgs(extra = Map(t.RefKey -> "main-line")))
       .count() == 3)
 
+    // metadata-log tracks the previous metadata files per the spec
+    locally {
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val v = IcebergMeta.currentVersion(fs, root)
+      val p = new org.apache.hadoop.fs.Path(root, s"metadata/v$v.metadata.json")
+      val in = fs.open(p)
+      val json = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+      val log = IcebergMeta.elements(node.path("metadata-log"))
+      assert(log.size == v - 1, s"metadata-log should track ${v - 1} prior versions")
+      assert(log.last.path("metadata-file").asText().endsWith(s"v${v - 1}.metadata.json"))
+    }
+
     assert(IcebergWrite.dropRef(spark, root, "train-v1") == s1)
     val e = intercept[IllegalArgumentException] {
       t(spark, ReadArgs(extra = Map(t.RefKey -> "train-v1"))).collect()
