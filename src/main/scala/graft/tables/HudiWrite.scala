@@ -249,6 +249,19 @@ object HudiWrite {
       return instant
     }
 
+    // log records decode BY NAME against the base schema at read
+    // time, so a column-set mismatch would silently drop (extra) or
+    // null out (missing) values — refuse loudly instead
+    locally {
+      val tableCols = readSlices(spark, tablePath, affectedSlices.take(1))
+        .schema.fieldNames.toSet
+      val incomingCols = incomingPrepared.columns.toSet
+      require(incomingCols == tableCols,
+        s"MOR upsert frame columns must match the table schema exactly; " +
+          s"extra: ${(incomingCols -- tableCols).mkString(", ")}; " +
+          s"missing: ${(tableCols -- incomingCols).mkString(", ")}")
+    }
+
     // distinct: a key updated by an earlier log AND present in base
     // appears twice in the index but owns ONE group
     val keyToFg = sliceKeys(spark, tablePath, affectedSlices)

@@ -248,6 +248,23 @@ class HudiMorSpec extends SparkSpec {
     assert(t(spark, ReadArgs.empty).count() == 1)
   }
 
+  test("MOR upsert refuses column-set drift (avro-by-name decode would silently lose data)") {
+    val dir = tempDir("hudi-mor-schema").toString + "/t"
+    HudiWrite.bulkInsert(spark, Seq((1L, "a")).toDF("id", "v"), dir, "id",
+      tableType = "MERGE_ON_READ")
+    val extra = intercept[IllegalArgumentException] {
+      HudiWrite.upsert(spark, Seq((1L, "A", 9)).toDF("id", "v", "n"), dir)
+    }
+    assert(extra.getMessage.contains("extra: n"), extra.getMessage)
+    val missing = intercept[IllegalArgumentException] {
+      HudiWrite.upsert(spark, Seq(Tuple1(1L)).toDF("id"), dir)
+    }
+    assert(missing.getMessage.contains("missing: v"), missing.getMessage)
+    // the table is untouched by the refused attempts
+    assert(new HudiTable("t", dir)(spark, ReadArgs.empty)
+      .select("id", "v").as[(Long, String)].collect().toSeq == Seq((1L, "a")))
+  }
+
   test("rollbackPending removes crashed writes' files and markers, never live data") {
     val dir = tempDir("hudi-rollback").toString + "/t"
     val i1 = HudiWrite.bulkInsert(spark,
