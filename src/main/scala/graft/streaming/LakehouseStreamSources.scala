@@ -56,13 +56,20 @@ class IcebergStreamSourceProvider extends StreamSourceProvider {
       providerName: String,
       parameters: Map[String, String]): Source =
     new IcebergStreamSource(sqlContext.sparkSession, pathOf(parameters),
-      maxCommitsPerTrigger = parameters.get("maxCommitsPerTrigger").map(_.toInt))
+      maxCommitsPerTrigger = parameters.get("maxCommitsPerTrigger").map(_.toInt),
+      upsertChanges = parameters.get("upsertChanges").exists(_.toBoolean))
 }
 
 class IcebergStreamSource(
     spark: SparkSession,
     tablePath: String,
-    maxCommitsPerTrigger: Option[Int] = None
+    maxCommitsPerTrigger: Option[Int] = None,
+    /** Tail tables written by equality-UPSERTS: each batch is the
+      * range's added rows with the range's own deletes applied —
+      * latest-per-changed-key, the shape a key-upserting downstream
+      * sink consumes. Overwrite/compaction ranges still refuse.
+      */
+    upsertChanges: Boolean = false
 ) extends Source {
 
   private def fs = new Path(tablePath)
@@ -125,7 +132,8 @@ class IcebergStreamSource(
         if (from.id == to.id)
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], pinned)
-        else table.incremental(spark, from.id, to.id)
+        else table.incremental(spark, from.id, to.id,
+          allowNewDeletes = upsertChanges)
     }
     val aligned = df.select(
       pinned.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*)

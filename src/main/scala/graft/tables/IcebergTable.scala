@@ -118,7 +118,15 @@ class IcebergTable(
       spark: SparkSession,
       fromSnapshotId: Long,
       toSnapshotId: Long,
-      args: ReadArgs = ReadArgs()
+      args: ReadArgs = ReadArgs(),
+      /** Tolerate NEW delete files in the range (the equality-upsert
+        * commit shape): the added data files' rows emit with the
+        * range's own deletes applied, i.e. exactly the LATEST version
+        * of every row that changed — what a key-upserting downstream
+        * consumer needs. Removed data files (overwrites, compaction)
+        * still refuse: their change set cannot be derived from adds.
+        */
+      allowNewDeletes: Boolean = false
   ): DataFrame = {
     val fs = new Path(uri).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val meta = IcebergMeta.load(fs, uri)
@@ -134,15 +142,28 @@ class IcebergTable(
     val fromDeletes = fromFiles.filter(_.content != 0).map(_.path).toSet
     val removedData = fromData -- toFiles.filter(_.content == 0).map(_.path).toSet
     val addedDeletes = toFiles.filter(f => f.content != 0 && !fromDeletes(f.path))
-    require(removedData.isEmpty && addedDeletes.isEmpty,
+    require(removedData.isEmpty,
       s"snapshot range ($fromSnapshotId, $toSnapshotId] is not append-only: " +
-        s"${removedData.size} data file(s) removed, ${addedDeletes.size} delete file(s) added")
+        s"${removedData.size} data file(s) removed (overwrite/compaction)")
+    require(allowNewDeletes || addedDeletes.isEmpty,
+      s"snapshot range ($fromSnapshotId, $toSnapshotId] is not append-only: " +
+        s"${addedDeletes.size} delete file(s) added (upserts/deletes); pass " +
+        "allowNewDeletes=true to read the added rows with the range's deletes applied")
 
     val added = toFiles.filter(f => f.content == 0 && !fromData(f.path))
     val pruned = added.filter(f =>
       IcebergMeta.mayMatch(
         f, meta.specs.getOrElse(f.specId, Seq.empty), meta, args.filters))
-    var df = readData(spark, meta, pruned, withDeletes = false)
+    val withDel = allowNewDeletes && addedDeletes.nonEmpty && pruned.nonEmpty
+    var df = readData(spark, meta, pruned, withDeletes = withDel)
+    if (withDel) {
+      // a row upserted twice WITHIN the range is superseded by the
+      // later commit's equality delete (delete seq > data seq), so
+      // exactly one — the latest — version of each changed key emits
+      df = applyPositionDeletes(spark, df, pruned, addedDeletes.filter(_.content == 1))
+      df = applyEqualityDeletes(spark, df, meta, addedDeletes.filter(_.content == 2))
+      df = df.select(meta.schema.fieldNames.map(col).toSeq: _*)
+    }
     Filters.toColumn(args.filters).foreach(p => df = df.filter(p))
     args.columns.foreach(cols => df = df.select(cols.map(col): _*))
     df

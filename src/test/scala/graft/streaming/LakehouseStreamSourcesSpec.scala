@@ -113,6 +113,35 @@ class LakehouseStreamSourcesSpec extends SparkSpec {
       Seq((1L, "a"), (2L, "B2"), (3L, "c")))
   }
 
+  test("iceberg: upsertChanges mode tails equality-upsert commits as latest-per-changed-key") {
+    val dir = tempDir("ice-stream-up").toString + "/t"
+    val ckpt = tempDir("ice-stream-up-c").toString
+    val out = tempDir("ice-stream-up-o").toString
+    IcebergWrite.append(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)
+
+    def drain(): Unit = {
+      val q = spark.readStream.format(iceFmt).option("path", dir)
+        .option("upsertChanges", "true").load()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000))
+    }
+    drain()
+    assert(spark.read.parquet(out).as[(Long, String)].collect().sorted.toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+
+    // two upsert commits land in ONE catch-up batch: the changed
+    // keys' LATEST values only — the second commit's equality delete
+    // supersedes the first's version of key 3 within the range
+    IcebergWrite.upsertEquality(spark,
+      Seq((2L, "B2"), (3L, "c")).toDF("id", "v"), dir, Seq("id"))
+    IcebergWrite.upsertEquality(spark, Seq((3L, "c3")).toDF("id", "v"), dir, Seq("id"))
+    drain()
+    assert(spark.read.parquet(out).as[(Long, String)].collect().sorted.toSeq ==
+      Seq((1L, "a"), (2L, "B2"), (2L, "b"), (3L, "c3")))
+  }
+
   test("hudi: checkpoint restart resumes after the committed instant") {
     val dir = tempDir("hudi-stream-ckpt").toString + "/t"
     val ckpt = tempDir("hudi-stream-ckpt-c").toString
