@@ -1,6 +1,7 @@
 package graft.tables
 
-import org.apache.hadoop.fs.Path
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 
 /** Hudi table maintenance — the CLEANER (public `hoodie.cleaner`
@@ -22,6 +23,92 @@ import org.apache.spark.sql.SparkSession
   * R45 distributed-VACUUM discipline).
   */
 object HudiMaintenance {
+
+  private val mapper = new ObjectMapper()
+
+  /** SAVEPOINT an instant (the public Hudi savepoint action): a
+    * `<instant>.savepoint` timeline marker that [[clean]] honors —
+    * every file slice reachable AS OF a savepointed instant survives
+    * cleaning regardless of the retention count (the Hudi analog of
+    * an Iceberg tag, R57: "the exact table this model trained on").
+    */
+  def savepoint(spark: SparkSession, tablePath: String, instant: String): Unit = {
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    HudiWrite.readProps(fs, tablePath)
+    require(HudiWrite.completedInstants(fs, tablePath, None).exists(_._1 == instant),
+      s"instant $instant is not a completed commit of $tablePath")
+    val p = new Path(new Path(tablePath, ".hoodie"), s"$instant.savepoint")
+    require(IcebergWrite.publishIfAbsent(fs, p,
+      s"""{"savepointedAt":${System.currentTimeMillis()}}""".getBytes("UTF-8")),
+      s"instant $instant is already savepointed")
+  }
+
+  def deleteSavepoint(spark: SparkSession, tablePath: String, instant: String): Unit = {
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new Path(new Path(tablePath, ".hoodie"), s"$instant.savepoint")
+    require(fs.delete(p, false), s"no savepoint at $instant under $tablePath")
+  }
+
+  private[tables] def savepointedInstants(
+      fs: FileSystem, tablePath: String): Seq[String] = {
+    val Sp = "(\\d{17})\\.savepoint".r
+    fs.listStatus(new Path(tablePath, ".hoodie")).map(_.getPath.getName).collect {
+      case Sp(i) => i
+    }.toSeq.sorted
+  }
+
+  /** RESTORE the table to `instant` (the public Hudi restore action):
+    * every commit completed AFTER it rolls back — its data files
+    * (base and log, from the commit stats) delete, its timeline
+    * entries and markers delete — so the next read serves exactly the
+    * as-of-`instant` snapshot and new commits continue from there.
+    * Refuses when a LATER savepoint exists (delete it first) — the
+    * same guard upstream applies. NOT concurrency-safe: stop writers
+    * first (as in Hudi itself).
+    */
+  def restore(spark: SparkSession, tablePath: String, instant: String): Seq[String] = {
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    HudiWrite.readProps(fs, tablePath)
+    val all = HudiWrite.completedInstants(fs, tablePath, None)
+    require(all.exists(_._1 == instant),
+      s"instant $instant is not a completed commit of $tablePath")
+    require(!savepointedInstants(fs, tablePath).exists(_ > instant),
+      s"a savepoint later than $instant exists; delete it before restoring")
+    val doomed = all.filter(_._1 > instant)
+    if (doomed.isEmpty) return Seq.empty
+    // the target snapshot must still be materialized: a clean() may
+    // have removed its slices (savepoint the instant to protect it)
+    val targetMissing = HudiWrite.latestSlices(fs, tablePath, Some(instant))
+      .flatMap(s => s.relPath +: s.logFiles.map(_._2))
+      .filterNot(rel => fs.exists(new Path(tablePath, rel)))
+    require(targetMissing.isEmpty,
+      s"cannot restore $tablePath to $instant: ${targetMissing.size} of its file(s) " +
+        s"were cleaned (e.g. ${targetMissing.take(2).mkString(", ")}); " +
+        "savepoint instants you may need to restore to")
+
+    val hoodieDir = new Path(tablePath, ".hoodie")
+    val deleted = Seq.newBuilder[String]
+    doomed.foreach { case (i, action) =>
+      // data files first (a crash mid-restore leaves a commit whose
+      // files are partially gone — rerunning restore completes it;
+      // the timeline entry goes LAST so readers never see a completed
+      // commit with missing files only transiently)
+      val in = fs.open(new Path(hoodieDir, s"$i.$action"))
+      val root = try mapper.readTree(in) finally in.close()
+      val parts = root.path("partitionToWriteStats")
+      parts.fieldNames().forEachRemaining { part =>
+        IcebergMeta.elements(parts.path(part)).foreach { st =>
+          val rel = st.path("path").asText()
+          if (fs.delete(new Path(tablePath, rel), false)) deleted += rel
+        }
+      }
+      fs.delete(new Path(hoodieDir, s"$i.$action"), false)
+      Seq(s"$i.$action.requested", s"$i.inflight", s"$i.$action.inflight",
+        s"$i.commit.requested").foreach(n => fs.delete(new Path(hoodieDir, n), false))
+      deleted += s".hoodie/$i.$action"
+    }
+    deleted.result()
+  }
 
   /** Roll back CRASHED writes: timeline markers whose instant never
     * completed, data files no completed commit references, and
@@ -119,7 +206,9 @@ object HudiMaintenance {
     HudiWrite.readProps(fs, tablePath) // refuses non-Hudi paths
     val instants = HudiWrite.completedInstants(fs, tablePath, None).map(_._1)
     if (instants.isEmpty) return Seq.empty
-    val retained = instants.takeRight(retainLast)
+    // savepointed instants survive regardless of the retention count
+    val retained = (instants.takeRight(retainLast) ++
+      savepointedInstants(fs, tablePath)).distinct
     val keep: Set[String] = retained
       .flatMap(i => HudiWrite.latestSlices(fs, tablePath, Some(i))
         .flatMap(s => s.relPath +: s.logFiles.map(_._2)))

@@ -248,6 +248,39 @@ class HudiMorSpec extends SparkSpec {
     assert(t(spark, ReadArgs.empty).count() == 1)
   }
 
+  test("savepoint pins a snapshot through clean; restore rolls the table back") {
+    val dir = tempDir("hudi-sp").toString + "/t"
+    val i1 = HudiWrite.bulkInsert(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v").repartition(1), dir, "id")
+    val i2 = HudiWrite.upsert(spark, Seq((1L, "a2")).toDF("id", "v"), dir)
+    val i3 = HudiWrite.upsert(spark, Seq((2L, "b3")).toDF("id", "v"), dir)
+
+    HudiMaintenance.savepoint(spark, dir, i1)
+    HudiMaintenance.savepoint(spark, dir, i2)
+    intercept[IllegalArgumentException] {
+      HudiMaintenance.savepoint(spark, dir, "19990101000000000")
+    }
+    // clean with retention 1 would normally drop the i1/i2 slices —
+    // the savepoints keep them readable as-of their instants
+    HudiMaintenance.clean(spark, dir, retainLast = 1)
+    val t = new HudiTable("t", dir)
+    assert(t(spark, ReadArgs(extra = Map(t.AsOfInstantKey -> i1)))
+      .select("id", "v").as[(Long, String)].collect().sortBy(_._1).toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+
+    // restore refuses past a later savepoint, then works once dropped
+    intercept[IllegalArgumentException] { HudiMaintenance.restore(spark, dir, i1) }
+    HudiMaintenance.deleteSavepoint(spark, dir, i2)
+    val deleted = HudiMaintenance.restore(spark, dir, i2)
+    assert(deleted.exists(_.contains(i3)), deleted)
+    assert(t(spark, ReadArgs.empty).select("id", "v").as[(Long, String)]
+      .collect().sortBy(_._1).toSeq == Seq((1L, "a2"), (2L, "b")))
+    // the timeline continues: a new upsert lands after the restore
+    HudiWrite.upsert(spark, Seq((2L, "b4")).toDF("id", "v"), dir)
+    assert(t(spark, ReadArgs.empty).select("id", "v").as[(Long, String)]
+      .collect().sortBy(_._1).toSeq == Seq((1L, "a2"), (2L, "b4")))
+  }
+
   test("MOR upsert refuses column-set drift (avro-by-name decode would silently lose data)") {
     val dir = tempDir("hudi-mor-schema").toString + "/t"
     HudiWrite.bulkInsert(spark, Seq((1L, "a")).toDF("id", "v"), dir, "id",
