@@ -87,27 +87,35 @@ object HudiMaintenance {
         "savepoint instants you may need to restore to")
 
     val hoodieDir = new Path(tablePath, ".hoodie")
-    val deleted = Seq.newBuilder[String]
-    doomed.foreach { case (i, action) =>
-      // data files first (a crash mid-restore leaves a commit whose
-      // files are partially gone — rerunning restore completes it;
-      // the timeline entry goes LAST so readers never see a completed
-      // commit with missing files only transiently)
+    // data files first, DISTRIBUTED (a big rolled-back commit can
+    // reference millions of files — R45 discipline); a crash
+    // mid-restore re-runs to completion because the timeline entries
+    // go LAST, so readers never see a completed commit with missing
+    // files more than transiently
+    val rels: Seq[String] = doomed.flatMap { case (i, action) =>
       val in = fs.open(new Path(hoodieDir, s"$i.$action"))
       val root = try mapper.readTree(in) finally in.close()
       val parts = root.path("partitionToWriteStats")
+      val b = Seq.newBuilder[String]
       parts.fieldNames().forEachRemaining { part =>
-        IcebergMeta.elements(parts.path(part)).foreach { st =>
-          val rel = st.path("path").asText()
-          if (fs.delete(new Path(tablePath, rel), false)) deleted += rel
-        }
+        IcebergMeta.elements(parts.path(part)).foreach(st => b += st.path("path").asText())
       }
+      b.result()
+    }
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val deletedFiles = spark.sparkContext
+      .parallelize(rels, math.max(1, math.min(rels.size, 32)))
+      .mapPartitions { it =>
+        val dfs = new Path(tablePath).getFileSystem(conf.value)
+        it.filter(rel => dfs.delete(new Path(tablePath, rel), false))
+      }.collect().toSeq
+    doomed.foreach { case (i, action) =>
       fs.delete(new Path(hoodieDir, s"$i.$action"), false)
       Seq(s"$i.$action.requested", s"$i.inflight", s"$i.$action.inflight",
         s"$i.commit.requested").foreach(n => fs.delete(new Path(hoodieDir, n), false))
-      deleted += s".hoodie/$i.$action"
     }
-    deleted.result()
+    deletedFiles ++ doomed.map { case (i, action) => s".hoodie/$i.$action" }
   }
 
   /** Roll back CRASHED writes: timeline markers whose instant never
