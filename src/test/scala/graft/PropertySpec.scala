@@ -344,6 +344,48 @@ object GraftProperties extends Properties("graft") {
       }
     }
 
+  property("Hudi MOR op sequences (upsert/delete/compact/cluster) replay an in-memory model") = {
+    sealed trait MorOp
+    case class MUp(rows: Map[Long, String]) extends MorOp
+    case class MDel(keys: Set[Long]) extends MorOp
+    case object MCompact extends MorOp
+    case object MCluster extends MorOp
+    val genRows = Gen.mapOf(Gen.zip(Gen.chooseNum(0L, 12L), Gen.alphaLowerStr.map(_.take(4))))
+    val genOp: Gen[MorOp] = Gen.frequency(
+      5 -> genRows.map(MUp),
+      3 -> Gen.containerOf[Set, Long](Gen.chooseNum(0L, 12L)).map(MDel),
+      1 -> Gen.const(MCompact),
+      1 -> Gen.const(MCluster))
+    forAll(Gen.listOf(genOp).map(_.take(6))) { (ops: List[MorOp]) =>
+      import graft.tables.{HudiTable, HudiWrite, ReadArgs}
+      val dir = java.nio.file.Files.createTempDirectory("hudi-mor-prop").toString + "/t"
+      var model = Map.empty[Long, String]
+      var created = false
+      ops.foreach {
+        case MUp(rows) if rows.nonEmpty =>
+          val df = rows.toSeq.toDF("id", "v")
+          if (!created) {
+            HudiWrite.bulkInsert(spark, df, dir, "id", tableType = "MERGE_ON_READ")
+            created = true
+          } else HudiWrite.upsert(spark, df, dir)
+          model ++= rows
+        case MDel(keys) if keys.nonEmpty && created =>
+          HudiWrite.delete(spark, keys.toSeq.toDF("id"), dir)
+          model --= keys
+        case MCompact if created =>
+          HudiWrite.compact(spark, dir)
+        case MCluster if created && model.nonEmpty =>
+          HudiWrite.cluster(spark, dir, Seq("id"))
+        case _ => ()
+      }
+      !created || {
+        val t = new HudiTable("t", dir)
+        val snap = t(spark, ReadArgs.empty).as[(Long, String)].collect().toMap
+        snap == model
+      }
+    }
+  }
+
   property("WHERE-clause parse inverts Filters.toSql row-for-row") =
     forAll(genDnf, Gen.listOf(Gen.zip(Gen.chooseNum(-6L, 6L), Gen.oneOf("x", "y", "z'q", "w")))) {
       (filters: Filters.Normalized, rows: List[(Long, String)]) =>
