@@ -300,6 +300,20 @@ object IcebergMaintenance {
     IcebergWrite.overwrite(spark, current, tablePath, partCols)
   }
 
+  /** Time-based retention (the upstream `expireOlderThan` shape):
+    * retire snapshots whose commit timestamp is before `olderThanMs`,
+    * always keeping the current snapshot and ref-pinned ones.
+    */
+  def expireSnapshotsOlderThan(
+      spark: SparkSession, tablePath: String, olderThanMs: Long): Seq[Long] = {
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val meta = IcebergMeta.load(fs, tablePath)
+    // translate the cutoff into a keep-count: snapshots at/after the
+    // cutoff all survive, so keepLast = their count (≥1 for current)
+    val keep = math.max(1, meta.snapshots.count(_.timestampMs >= olderThanMs))
+    expireSnapshots(spark, tablePath, keep)
+  }
+
   /** Retire all but the newest `keepLast` snapshots (the current
     * snapshot is always retained). Returns the expired snapshot ids;
     * no-op (no new metadata version) when nothing expires.

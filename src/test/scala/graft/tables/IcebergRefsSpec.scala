@@ -71,6 +71,19 @@ class IcebergRefsSpec extends SparkSpec {
     assert(t(spark, ReadArgs.empty).count() == 3)
   }
 
+  test("time-based expiration keeps snapshots at/after the cutoff plus pinned ones") {
+    val root = tempDir("ice-exp-time").toString + "/t"
+    val s1 = IcebergWrite.append(spark, Seq((1L, "a")).toDF("id", "v"), root)
+    Thread.sleep(20)
+    val mid = System.currentTimeMillis()
+    Thread.sleep(20)
+    IcebergWrite.append(spark, Seq((2L, "b")).toDF("id", "v"), root)
+    IcebergWrite.append(spark, Seq((3L, "c")).toDF("id", "v"), root)
+    val expired = IcebergMaintenance.expireSnapshotsOlderThan(spark, root, mid)
+    assert(expired == Seq(s1), expired)
+    assert(new IcebergTable("t", root)(spark, ReadArgs.empty).count() == 3)
+  }
+
   test("ref and snapshotId are mutually exclusive; unknown ref refuses") {
     val root = tempDir("ice-refs-excl").toString + "/t"
     val s1 = IcebergWrite.append(spark, Seq((1L, "a")).toDF("id", "v"), root)
