@@ -690,27 +690,40 @@ object HudiWrite {
             else Some((r.getString(2), r.getString(3))))).toMap
 
     val files = listParquetFiles(fs, staging)
-    val out = files.map { f =>
-      val rel = DeltaWrite.relativize(staging, f)
-      val segs = rel.split('/').toSeq
-      val (partSegs, fileId) =
-        if (freshGroupPerLeaf)
-          (segs.dropRight(1), java.util.UUID.randomUUID().toString)
-        else {
-          val fgSeg = segs(segs.length - 2)
-          require(fgSeg.startsWith("_fg="), s"unexpected staged layout: $rel")
-          (segs.dropRight(2), org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(fgSeg.drop(4)))
-        }
-      val partition = partSegs.mkString("/")
-      val relOut = (partSegs :+ s"${fileId}_${WriteToken}_$instant.parquet").mkString("/")
-      val dest = new Path(table, relOut)
-      fs.mkdirs(dest.getParent)
-      if (!fs.rename(f, dest))
-        throw new IllegalStateException(s"could not move staged file $f to $dest")
-      val (n, range) = counts.getOrElse(DvDeleted.normalizePath(f.toString),
-        (0L, None: Option[(String, String)]))
-      WrittenFile(partition, fileId, relOut, n, range)
+    // a staged file absent from `counts` holds zero rows (every row
+    // maps to some file_path): do NOT mint a file group for it — an
+    // empty, rangeless group would join every future upsert's index
+    // scan and can never be range-pruned. The cross-check below makes
+    // a path-normalization drift (which would ALSO look like "absent
+    // from counts") fail loudly instead of silently dropping data.
+    val out = files.flatMap { f =>
+      counts.get(DvDeleted.normalizePath(f.toString)).map { case (n, range) =>
+        val rel = DeltaWrite.relativize(staging, f)
+        val segs = rel.split('/').toSeq
+        val (partSegs, fileId) =
+          if (freshGroupPerLeaf)
+            (segs.dropRight(1), java.util.UUID.randomUUID().toString)
+          else {
+            val fgSeg = segs(segs.length - 2)
+            require(fgSeg.startsWith("_fg="), s"unexpected staged layout: $rel")
+            (segs.dropRight(2), org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(fgSeg.drop(4)))
+          }
+        val partition = partSegs.mkString("/")
+        val relOut = (partSegs :+ s"${fileId}_${WriteToken}_$instant.parquet").mkString("/")
+        val dest = new Path(table, relOut)
+        fs.mkdirs(dest.getParent)
+        if (!fs.rename(f, dest))
+          throw new IllegalStateException(s"could not move staged file $f to $dest")
+        WrittenFile(partition, fileId, relOut, n, range)
+      }
     }
+    val staged = counts.values.map(_._1).sum
+    val moved = out.map(_.numWrites).sum
+    if (moved != staged)
+      throw new IllegalStateException(
+        s"staged $staged rows but moved files account for $moved — " +
+          s"file_path normalization drift between ${counts.keys.headOption} " +
+          s"and ${files.headOption.map(f => DvDeleted.normalizePath(f.toString))}")
     fs.delete(staging, true)
     out
   }
