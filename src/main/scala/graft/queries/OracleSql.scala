@@ -391,6 +391,9 @@ object OracleSql {
     "q_minhash" -> minhashQuerySql,
     "q_minhash_pairs" -> minhashPairsSql,
     "q_dup_clusters" -> dupClustersSql,
+    // same contract, different algorithm (large-star/small-star) —
+    // the recursive-closure oracle is shared verbatim
+    "q_cc_labels" -> dupClustersSql,
     "q_cluster_best" -> clusterBestSql,
     "q_soft_dedup" -> softDedupSql,
 
@@ -1779,6 +1782,47 @@ object OracleSql {
           |  UNION ALL SELECT 991, 'lemuria', 1
           |) WHERE n_nationkey NOT IN (3, 17)
           |ORDER BY n_nationkey""".stripMargin,
+      // hourly LOCF gap fill (users < 10): simultaneous observations
+      // collapse to max(value); grid instants are epoch-aligned hour
+      // multiples in [first obs (ceil), last obs]; each span
+      // [t, next) contributes exactly its covered instants
+      "q_gap_fill" -> {
+        val st = 3600L * 1000000L
+        s"""WITH obs AS (
+           |  SELECT user_id, epoch_us(ts) AS t, max(value) AS v
+           |  FROM events WHERE user_id < 10 GROUP BY 1, 2),
+           |spans AS (
+           |  SELECT user_id, t, v,
+           |    coalesce(lead(t) OVER (PARTITION BY user_id ORDER BY t),
+           |             max(t) OVER (PARTITION BY user_id) + 1) AS e
+           |  FROM obs),
+           |g AS (
+           |  SELECT user_id, v,
+           |    unnest(generate_series(t + ($st - (t % $st)) % $st,
+           |                           (e - 1) - ((e - 1) % $st),
+           |                           $st)) AS grid_us
+           |  FROM spans
+           |  WHERE t + ($st - (t % $st)) % $st <= (e - 1) - ((e - 1) % $st))
+           |SELECT user_id, grid_us, v AS value
+           |FROM g ORDER BY user_id, grid_us""".stripMargin
+      },
+      // the Spark side copies customer into a native Delta table,
+      // orders into a native Iceberg table (month(o_orderdate)
+      // transform), and nation into a native Hudi table, then joins
+      // the three FORMATS in one plan; the copies are verbatim, so
+      // the oracle is the plain relational join over the raw parquet
+      "q_lakehouse_join" ->
+        s"""SELECT n_name,
+           |  count(*) AS n_orders,
+           |  ${dsum(d4("o_totalprice"))} AS revenue
+           |FROM orders
+           |JOIN customer ON o_custkey = c_custkey
+           |JOIN nation ON c_nationkey = n_nationkey
+           |WHERE c_mktsegment = 'BUILDING'
+           |  AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+           |  AND o_orderdate <  TIMESTAMP '1995-07-01 00:00:00'
+           |GROUP BY n_name
+           |ORDER BY n_name""".stripMargin,
       // Hudi incremental (bulkInsert, upsert]: exactly the upsert's
       // changed rows with their new values
       "q_hudi_incr" ->

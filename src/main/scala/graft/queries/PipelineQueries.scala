@@ -3,7 +3,7 @@ package graft.queries
 import graft.functions.Text
 import graft.functions.TimeFns.tsUs
 import graft.multimodal.Multimodal
-import graft.operators.{Dedup, NearDup, Sessionize, Similarity}
+import graft.operators.{ConnectedComponents, Dedup, NearDup, Sessionize, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -126,6 +126,19 @@ object PipelineQueries {
       t(s, dir, "documents"), "doc_id", "text",
       k = 5, numHashes = 8, bands = 2, threshold = 0.5)
     NearDup.dupClusters(pairs, "a_id", "b_id").orderBy("id")
+  }
+
+  /** P18 scale path: the SAME near-dup pair graph labeled by the
+    * alternating large-star/small-star contraction
+    * ([[graft.operators.ConnectedComponents]]) — identical contract
+    * to [[qDupClusters]] (the oracle is the same recursive CTE), but
+    * O(log n) rounds independent of graph diameter.
+    */
+  def qCcLabels(s: SparkSession, dir: String): DataFrame = {
+    val pairs = NearDup.minhashPairs(
+      t(s, dir, "documents"), "doc_id", "text",
+      k = 5, numHashes = 8, bands = 2, threshold = 0.5)
+    ConnectedComponents.labels(pairs, "a_id", "b_id").orderBy("id")
   }
 
   /** P6: SimHash values + hamming-near pairs within small buckets are

@@ -41,6 +41,7 @@ object QueryCatalog {
     Entry("q_minhash", PipelineQueries.qMinhash, headline = true),
     Entry("q_minhash_pairs", PipelineQueries.qMinhashPairs, headline = true),
     Entry("q_dup_clusters", PipelineQueries.qDupClusters),
+    Entry("q_cc_labels", PipelineQueries.qCcLabels),
     Entry("q_simhash", PipelineQueries.qSimhash),
     Entry("q_knn_brute", PipelineQueries.qKnnBrute, headline = true),
     Entry("q_ann_ivf", PipelineQueries.qAnnIvf),
@@ -130,6 +131,8 @@ object QueryCatalog {
     Entry("q_wds_shards", Wave6Queries.qWdsShards),
     Entry("q_hudi_read", Wave6Queries.qHudiRead),
     Entry("q_hudi_mor", Wave6Queries.qHudiMor),
+    Entry("q_lakehouse_join", Wave6Queries.qLakehouseJoin),
+    Entry("q_gap_fill", Wave6Queries.qGapFill),
     Entry("q_soft_dedup", Wave6Queries.qSoftDedup),
     Entry("q_hudi_incr", Wave6Queries.qHudiIncr),
     Entry("q_incr_dedup", Wave6Queries.qIncrDedup),

@@ -665,4 +665,76 @@ object Wave6Queries {
         sum(length(col("payload"))).cast("long").as("sum_bytes"))
       .orderBy("shard")
   }
+
+  /** E58: regular-grid resample + LOCF gap fill over the event
+    * stream (users < 10, hourly grid) — every hour between a user's
+    * first and last event carries the latest value at-or-before it.
+    * One shuffle; each observation emits only the instants it covers.
+    */
+  def qGapFill(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Resample.gapFill(
+      t(s, dir, "events").where(col("user_id") < 10),
+      "user_id", "ts", "value", stepUs = 3600L * 1000000L)
+      .orderBy("user_id", "grid_us")
+
+  // ---------- E57: cross-format lakehouse federation ----------
+
+  private val lakehouseWritten =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String, String)]
+
+  /** The same business data spread across all three native lakehouse
+    * formats — customer as Delta (hive-partitioned by market segment),
+    * orders as Iceberg under a `month(o_orderdate)` partition
+    * transform, nation as Hudi COW (partitioned by region) — built
+    * once per (JVM, sf dir). Every write is a verbatim copy of its
+    * source table, so the oracle is the plain relational join over
+    * the raw parquet.
+    */
+  private[queries] def writtenLakehouse(
+      s: SparkSession, dir: String): (String, String, String) =
+    lakehouseWritten.getOrElseUpdate(dir, {
+      import graft.tables.{DeltaWrite, HudiWrite, IcebergWrite}
+      val base = java.nio.file.Files.createTempDirectory("graft_lake").toString
+      val cust = t(s, dir, "customer")
+        .select("c_custkey", "c_nationkey", "c_mktsegment")
+      DeltaWrite.append(s, cust, s"$base/customer", partitionBy = Seq("c_mktsegment"))
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      IcebergWrite.append(s, orders, s"$base/orders", Seq("month(o_orderdate)"))
+      val nation = t(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+      HudiWrite.bulkInsert(s, nation, s"$base/nation", "n_nationkey", Seq("n_regionkey"))
+      (s"$base/customer", s"$base/orders", s"$base/nation")
+    })
+
+  /** Federated 3-format join — one query planning a Delta scan
+    * (partition-pruned to the BUILDING segment), an Iceberg scan
+    * (month-transform manifest pruning bounds the 1995-H1 range), and
+    * a broadcast Hudi dimension, composed through the ordinary
+    * DataFrame API because every format is just a TableProtocol.
+    * Revenue per nation, decimal-exact.
+    */
+  def qLakehouseJoin(s: SparkSession, dir: String): DataFrame = {
+    import graft.core.{Filter, Filters}
+    import graft.tables.{DeltaTable, HudiTable, IcebergTable, ReadArgs}
+    import Num.{d4, dsum}
+    val (custPath, ordPath, natPath) = writtenLakehouse(s, dir)
+    val cust = new DeltaTable("customer_delta_fed", custPath)(s, ReadArgs(
+      filters = Filters.normalize(Seq(Filter("c_mktsegment", "=", "BUILDING"))),
+      columns = Some(Seq("c_custkey", "c_nationkey"))))
+    val ord = new IcebergTable("orders_iceberg_fed", ordPath)(s, ReadArgs(
+      filters = Filters.normalize(Seq(
+        Filter("o_orderdate", ">=", "1995-01-01 00:00:00"),
+        Filter("o_orderdate", "<", "1995-07-01 00:00:00"))),
+      columns = Some(Seq("o_orderkey", "o_custkey", "o_totalprice"))))
+    val nat = new HudiTable("nation_hudi_fed", natPath)(s, ReadArgs(
+      columns = Some(Seq("n_nationkey", "n_name"))))
+    ord.join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        dsum(d4(col("o_totalprice"))).as("revenue"))
+      .orderBy("n_name")
+  }
 }
