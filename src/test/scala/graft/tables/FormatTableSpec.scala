@@ -35,4 +35,28 @@ class FormatTableSpec extends SparkSpec {
     val t = new FormatTable("t", dir, "orc", Some(declared))
     assert(t(spark, ReadArgs.empty).count() == 3)
   }
+
+  // this Spark build bundles the Avro FileFormat classes but not the
+  // module's DataSourceRegister service entry, so the provider is
+  // addressed by class name rather than the `avro` short name
+  private val AvroProvider = "org.apache.spark.sql.avro.AvroFileFormat"
+
+  test("avro source round-trips with filters and pruning") {
+    val dir = tempDir("fmt").toString + "/avro"
+    data.write.mode("overwrite").format(AvroProvider).save(dir)
+    val t = new FormatTable("t", dir, AvroProvider, Some(declared))
+    val df = t(spark, ReadArgs.where(Filter("id", "<=", 2L)).copy(columns = Some(Seq("tag"))))
+    assert(df.columns.toSeq == Seq("tag"))
+    assert(df.as[String].collect().toSet == Set("a", "b"))
+  }
+
+  test("xml source round-trips (Spark 4 native XML, rowTag records)") {
+    val dir = tempDir("fmt").toString + "/xml"
+    data.write.mode("overwrite").format("xml")
+      .option("rowTag", "rec").save(dir)
+    val t = new FormatTable("t", dir, "xml", Some(declared), Map("rowTag" -> "rec"))
+    val df = t(spark, ReadArgs.where(Filter("tag", "!=", "b")))
+    assert(df.count() == 2)
+    assert(df.select("id").as[Long].collect().toSet == Set(1L, 3L))
+  }
 }
