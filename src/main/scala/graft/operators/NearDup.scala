@@ -124,6 +124,10 @@ object NearDup {
     * (band, hash, id) — the shingle sets are attached to the deduped
     * candidate pairs afterwards by two id-equi-joins, so large arrays
     * never ride through the bucket shuffle.
+    *
+    * `maxBucket` bounds the quadratic bucket blow-up at corpus scale:
+    * buckets above it emit a linear STAR of candidates around the
+    * bucket's min id instead of all pairs (see the inline note).
     */
   def minhashPairs(
       df: DataFrame,
@@ -132,9 +136,11 @@ object NearDup {
       k: Int = 5,
       numHashes: Int = 8,
       bands: Int = 2,
-      threshold: Double = 0.5
+      threshold: Double = 0.5,
+      maxBucket: Int = Int.MaxValue
   ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
     val rowsPerBand = numHashes / bands
 
     val signed = minhashSignatures(df, textCol, k, numHashes)
@@ -153,11 +159,37 @@ object NearDup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     registerCache(banded)
 
-    val candidates = banded.as("a")
-      .join(banded.as("b"), Seq("band", "bh"))
-      .where(col("a._id") < col("b._id"))
-      .select(col("a._id").as("a_id"), col("b._id").as("b_id"))
-      .dropDuplicates("a_id", "b_id")
+    // hot-bucket guard: a bucket of B members yields B²/2 candidate
+    // pairs — one boilerplate bucket of 10⁶ identical docs at corpus
+    // scale is 5·10¹¹ pairs and a dead executor. Buckets above
+    // `maxBucket` switch from all-pairs to a STAR around the bucket's
+    // min id (B−1 pairs, linear): downstream connected components
+    // still merge everything the star's verified edges connect, so a
+    // bucket of exact/near-exact duplicates — which is what giant
+    // buckets are — keeps its one cluster. The only recall loss is a
+    // member near ANOTHER member but not near the representative.
+    val candidates =
+      if (maxBucket == Int.MaxValue) {
+        banded.as("a")
+          .join(banded.as("b"), Seq("band", "bh"))
+          .where(col("a._id") < col("b._id"))
+          .select(col("a._id").as("a_id"), col("b._id").as("b_id"))
+          .dropDuplicates("a_id", "b_id")
+      } else {
+        val stats = banded.groupBy("band", "bh")
+          .agg(count(lit(1)).as("_n"), min(col("_id")).as("_rep"))
+        val tagged = banded.join(stats, Seq("band", "bh"))
+        val small = tagged.where(col("_n") <= maxBucket)
+        val allPairs = small.as("a")
+          .join(small.select("band", "bh", "_id").as("b"), Seq("band", "bh"))
+          .where(col("a._id") < col("b._id"))
+          .select(col("a._id").as("a_id"), col("b._id").as("b_id"))
+        // oversized buckets: star edges rep→member, one linear pass
+        val starPairs = tagged.where(col("_n") > maxBucket)
+          .where(col("_id") =!= col("_rep"))
+          .select(col("_rep").as("a_id"), col("_id").as("b_id"))
+        allPairs.unionByName(starPairs).dropDuplicates("a_id", "b_id")
+      }
 
     // attach HASHED shingle sets (sorted distinct 48-bit md5 longs) only
     // to surviving candidates; persisted so the two id-joins below

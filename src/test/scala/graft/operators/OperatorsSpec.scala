@@ -95,6 +95,33 @@ class NearDupSpec extends SparkSpec {
     NearDup.releaseCaches()
   }
 
+  test("maxBucket above every bucket size reproduces plain minhashPairs exactly") {
+    val docs = (0L until 12L).map { i =>
+      (i, if (i < 6) s"the quick brown fox jumps over dog $i" else s"unrelated text body $i ${i * 7}")
+    }.toDF("doc_id", "text")
+    val plain = NearDup.minhashPairs(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    val capped = NearDup.minhashPairs(docs, "doc_id", "text", maxBucket = 1000)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(capped == plain)
+    NearDup.releaseCaches()
+  }
+
+  test("oversized buckets star-link linearly and still cluster as one component") {
+    // 40 identical docs: every band bucket has all 40 → all-pairs
+    // would be 780 candidates; the star emits 39
+    val docs = (1L to 40L).map(i => (i, "same boilerplate text repeated everywhere"))
+      .toDF("doc_id", "text")
+    val pairs = NearDup.minhashPairs(docs, "doc_id", "text", maxBucket = 10)
+    val got = pairs.as[(Long, Long, Double)].collect().toSeq
+    assert(got.length == 39, s"expected 39 star edges, got ${got.length}")
+    assert(got.forall { case (a, _, j) => a == 1L && j == 1.0 })
+    val clusters = NearDup.dupClusters(pairs, "a_id", "b_id")
+      .as[(Long, Long)].collect().toMap
+    assert(clusters == (1L to 40L).map(_ -> 1L).toMap)
+    NearDup.releaseCaches()
+  }
+
   test("dupClusters labels every connected doc with the cluster minimum") {
     // graph: 1-2, 2-3 (chain), 10-11 (pair), 20 isolated (not in pairs)
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
