@@ -1782,6 +1782,31 @@ object OracleSql {
           |  UNION ALL SELECT 991, 'lemuria', 1
           |) WHERE n_nationkey NOT IN (3, 17)
           |ORDER BY n_nationkey""".stripMargin,
+      // SCD2 versioned dimension from the event stream: consecutive
+      // same-attribute observations collapse into one version row
+      // with [from, to) validity; (ts, event_id) is the declared
+      // total order; open current version renders -1
+      "q_scd2" ->
+        """WITH o AS (
+          |  SELECT user_id, epoch_us(ts) AS t, event_id, event_type
+          |  FROM events WHERE user_id < 20),
+          |f AS (
+          |  SELECT user_id, t, event_id, event_type,
+          |    CASE WHEN lag(event_type) OVER w IS NULL
+          |           OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+          |  FROM o WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+          |v AS (
+          |  SELECT user_id, t, event_type,
+          |    CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY t, event_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS version
+          |  FROM f),
+          |g AS (
+          |  SELECT user_id, version, min(t) AS eff_from_us, min(event_type) AS event_type
+          |  FROM v GROUP BY 1, 2)
+          |SELECT user_id, event_type, eff_from_us,
+          |  coalesce(lead(eff_from_us) OVER (PARTITION BY user_id ORDER BY version), -1) AS eff_to_us,
+          |  version
+          |FROM g ORDER BY user_id, version""".stripMargin,
       // hourly LOCF gap fill (users < 10): simultaneous observations
       // collapse to max(value); grid instants are epoch-aligned hour
       // multiples in [first obs (ceil), last obs]; each span

@@ -677,6 +677,19 @@ object Wave6Queries {
       "user_id", "ts", "value", stepUs = 3600L * 1000000L)
       .orderBy("user_id", "grid_us")
 
+  /** E59: SCD Type-2 dimension build from the event stream (users
+    * < 20, tracked attribute = event_type, (ts, event_id) total
+    * order): one row per attribute VERSION with [from, to) validity;
+    * the open current version's bound renders as -1 for cross-engine
+    * hash stability.
+    */
+  def qScd2(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Scd2.build(
+      t(s, dir, "events").where(col("user_id") < 20),
+      "user_id", "ts", "event_id", Seq("event_type"))
+      .withColumn("eff_to_us", coalesce(col("eff_to_us"), lit(-1L)))
+      .orderBy("user_id", "version")
+
   // ---------- E57: cross-format lakehouse federation ----------
 
   private val lakehouseWritten =
