@@ -561,6 +561,87 @@ object IcebergWrite {
     }
   }
 
+  /** Append `df` to a named BRANCH (write-audit-publish staging):
+    * the new snapshot bases on and advances only `refs[branch]` —
+    * main's head, history, and every plain read stay untouched until
+    * [[fastForward]] publishes the branch. A missing branch is
+    * created forking from the current head. Read the branch with
+    * `extra(IcebergTable.RefKey -> branch)` for the audit step.
+    * Same staging, schema-evolution, and optimistic-commit machinery
+    * as [[append]].
+    */
+  def appendToBranch(
+      spark: SparkSession,
+      df: DataFrame,
+      tablePath: String,
+      branch: String,
+      partitionBy: Seq[String] = Seq.empty
+  ): Long =
+    commit(spark, df, tablePath, partitionBy, carryBase = true, branch = Some(branch))
+
+  /** Publish a branch (the WAP "publish" step): move main's head to
+    * the branch head, REQUIRING main's current head to be an ancestor
+    * of it (a pure fast-forward — divergent histories refuse rather
+    * than silently dropping main's commits). The branch ref stays;
+    * drop it with [[dropRef]] when done. Returns the published
+    * snapshot id.
+    */
+  def fastForward(spark: SparkSession, tablePath: String, branch: String): Long = {
+    val table = new Path(tablePath)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val metaDir = new Path(table, "metadata")
+    publishLoop(fs, metaDir, tablePath, "fast-forward") { (_, baseRootOpt) =>
+      val baseRoot = baseRootOpt
+        .getOrElse(throw new IllegalStateException(s"no Iceberg metadata under $metaDir"))
+      val meta = IcebergMeta.parse(baseRoot, tablePath)
+      val ref = meta.refs.getOrElse(branch, throw new IllegalArgumentException(
+        s"branch '$branch' not found in $tablePath (have ${meta.refs.keys.mkString(", ")})"))
+      require(ref.refType == "branch",
+        s"ref '$branch' is a ${ref.refType}, not a branch")
+      val target = ref.snapshotId
+      val cur = baseRoot.path("current-snapshot-id").asLong(-1L)
+      if (cur >= 0 && cur != target) {
+        // ancestor walk target → ... → cur via parent-snapshot-id
+        val parents = IcebergMeta.elements(baseRoot.path("snapshots")).map { sn =>
+          sn.path("snapshot-id").asLong() ->
+            (if (sn.has("parent-snapshot-id")) Some(sn.path("parent-snapshot-id").asLong())
+             else None)
+        }.toMap
+        var at = Option(target)
+        var found = false
+        while (at.isDefined && !found) {
+          if (at.contains(cur)) found = true
+          else at = parents.get(at.get).flatten
+        }
+        require(found,
+          s"cannot fast-forward $tablePath to branch '$branch': main's head $cur is not " +
+            s"an ancestor of the branch head $target (histories diverged — rebase the branch)")
+      }
+      val root = baseRoot.deepCopy[ObjectNode]()
+      val nowMs = System.currentTimeMillis()
+      root.put("current-snapshot-id", target)
+      root.put("last-updated-ms", nowMs)
+      root.path("refs") match {
+        case o: ObjectNode if o.has("main") =>
+          val m = mapper.createObjectNode()
+          m.put("snapshot-id", target)
+          m.put("type", "branch")
+          o.set[ObjectNode]("main", m)
+        case _ => ()
+      }
+      if (cur != target) {
+        if (!root.has("snapshot-log"))
+          root.set[ObjectNode]("snapshot-log", mapper.createArrayNode())
+        val logEntry = mapper.createObjectNode()
+        logEntry.put("timestamp-ms", nowMs)
+        logEntry.put("snapshot-id", target)
+        root.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("snapshot-log")
+          .add(logEntry)
+      }
+      (root, Seq.empty, target)
+    }
+  }
+
   /** Remove a named ref; returns the snapshot id it pointed at. */
   def dropRef(spark: SparkSession, tablePath: String, name: String): Long = {
     val table = new Path(tablePath)
@@ -601,12 +682,16 @@ object IcebergWrite {
       partitionBy: Seq[String],
       carryBase: Boolean,
       eqDeleteKeys: Option[Seq[String]] = None,
-      txn: Option[(String, Long)] = None
+      txn: Option[(String, Long)] = None,
+      branch: Option[String] = None
   ): Long = {
     val table = new Path(tablePath)
     val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(!fs.exists(new Path(table, "_delta_log")),
       s"$tablePath is a Delta table; append via DeltaWrite and IcebergUniform.export")
+    require(branch.isEmpty || eqDeleteKeys.isEmpty,
+      "equality upserts to a branch are not supported; append, then fastForward")
+    branch.foreach(b => require(b != "main", "write to main by omitting the branch"))
     val metaDir = new Path(table, "metadata")
     fs.mkdirs(metaDir)
 
@@ -865,8 +950,10 @@ object IcebergWrite {
         val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](s))
           .create(s, fs.create(listPath, true))
         try {
+          // an append bases on the BRANCH head when writing to a
+          // branch (a missing branch forks from the current head)
           if (carryBase) baseRoot.foreach { r =>
-            currentManifestList(fs, r).foreach { prev =>
+            manifestListOf(fs, r, headIdFor(r, branch)).foreach { prev =>
               val c = new GenericData.Record(s)
               s.getFields.forEach(f => c.put(f.name(),
                 if (prev.getSchema.getField(f.name()) != null) prev.get(f.name()) else null))
@@ -972,7 +1059,9 @@ object IcebergWrite {
             "added-delete-files" -> eqStaged.size.toString,
             "added-equality-deletes" -> eqStaged.map(_.recordCount).sum.toString)) ++
           txn.toSeq.flatMap { case (app, id) => Seq(
-            TxnAppKey -> app, TxnBatchKey -> id.toString) })
+            TxnAppKey -> app, TxnBatchKey -> id.toString) },
+        branch = branch,
+        parentId = baseRoot.map(r => headIdFor(r, branch)).filter(_ >= 0))
       (root, eqManifest.map(_._1).toSeq ++ Seq(manifestPath, listPath), snapshotId)
     }
   }
@@ -1037,14 +1126,34 @@ object IcebergWrite {
       nowMs: Long,
       listPath: Path,
       operation: String,
-      summaryExtras: Seq[(String, String)]
+      summaryExtras: Seq[(String, String)],
+      branch: Option[String] = None,
+      parentId: Option[Long] = None
   ): Unit = {
     if (!root.has("snapshot-log")) root.set[ObjectNode]("snapshot-log", mapper.createArrayNode())
     root.put("last-updated-ms", nowMs)
     root.put("last-sequence-number", seq)
-    root.put("current-snapshot-id", snapshotId)
+    branch match {
+      case None =>
+        root.put("current-snapshot-id", snapshotId)
+      case Some(b) =>
+        // branch commit: main's head does not move — only the branch
+        // ref advances (the snapshot stays reachable through it)
+        val refsNode = root.path("refs") match {
+          case o: ObjectNode => o
+          case _ =>
+            val o = mapper.createObjectNode()
+            root.set[ObjectNode]("refs", o)
+            o
+        }
+        val entry = mapper.createObjectNode()
+        entry.put("snapshot-id", snapshotId)
+        entry.put("type", "branch")
+        refsNode.set[ObjectNode](b, entry)
+    }
     val sn = mapper.createObjectNode()
     sn.put("snapshot-id", snapshotId)
+    parentId.foreach(p => sn.put("parent-snapshot-id", p))
     sn.put("sequence-number", seq)
     sn.put("timestamp-ms", nowMs)
     sn.put("manifest-list", listPath.toString)
@@ -1054,10 +1163,14 @@ object IcebergWrite {
     summaryExtras.foreach { case (k, v) => summary.put(k, v) }
     sn.set[ObjectNode]("summary", summary)
     root.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("snapshots").add(sn)
-    val logEntry = mapper.createObjectNode()
-    logEntry.put("timestamp-ms", nowMs)
-    logEntry.put("snapshot-id", snapshotId)
-    root.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("snapshot-log").add(logEntry)
+    // snapshot-log is the history of current-snapshot-id per the
+    // spec — branch commits don't move it, so they don't log
+    if (branch.isEmpty) {
+      val logEntry = mapper.createObjectNode()
+      logEntry.put("timestamp-ms", nowMs)
+      logEntry.put("snapshot-id", snapshotId)
+      root.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("snapshot-log").add(logEntry)
+    }
   }
 
   // ------------------------------------------------------ internals
@@ -1246,13 +1359,31 @@ object IcebergWrite {
   /** The base metadata's current snapshot's manifest-list records
     * (empty when the base has no current snapshot).
     */
-  private def currentManifestList(fs: FileSystem, root: JsonNode): Seq[GenericRecord] = {
-    val id = root.path("current-snapshot-id").asLong(-1L)
+  private def currentManifestList(fs: FileSystem, root: JsonNode): Seq[GenericRecord] =
+    manifestListOf(fs, root, root.path("current-snapshot-id").asLong(-1L))
+
+  private def manifestListOf(fs: FileSystem, root: JsonNode, id: Long): Seq[GenericRecord] = {
     if (id < 0) return Seq.empty
     IcebergMeta.elements(root.path("snapshots"))
       .find(_.path("snapshot-id").asLong() == id)
       .map(sn => IcebergMeta.readAvro(fs, new Path(sn.path("manifest-list").asText())))
       .getOrElse(Seq.empty)
+  }
+
+  /** The snapshot id a commit bases on: the branch head when writing
+    * to an existing branch (refusing tags), else the current (main)
+    * head; a missing branch forks from the current head.
+    */
+  private def headIdFor(root: JsonNode, branch: Option[String]): Long = {
+    val cur = root.path("current-snapshot-id").asLong(-1L)
+    branch match {
+      case Some(b) if root.path("refs").has(b) =>
+        val e = root.path("refs").path(b)
+        require(e.path("type").asText("branch") == "branch",
+          s"ref '$b' is a ${e.path("type").asText()}, not a writable branch")
+        e.path("snapshot-id").asLong()
+      case _ => cur
+    }
   }
 
   /** PUT-IF-ABSENT publish: local FS uses link(2) (content-atomic AND

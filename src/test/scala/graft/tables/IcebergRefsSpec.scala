@@ -84,6 +84,58 @@ class IcebergRefsSpec extends SparkSpec {
     assert(new IcebergTable("t", root)(spark, ReadArgs.empty).count() == 3)
   }
 
+  test("write-audit-publish: branch append stages, fastForward publishes") {
+    val root = tempDir("ice-wap").toString + "/t"
+    IcebergWrite.append(spark, Seq((1L, "a")).toDF("id", "v"), root)
+    val t = new IcebergTable("t", root)
+
+    // stage on a branch: main untouched, branch readable for audit
+    val b1 = IcebergWrite.appendToBranch(
+      spark, Seq((2L, "b")).toDF("id", "v"), root, "audit")
+    assert(t(spark, ReadArgs.empty).count() == 1, "main moved on a branch write")
+    assert(t(spark, ReadArgs(extra = Map(t.RefKey -> "audit")))
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+
+    // a second staged batch chains on the branch
+    IcebergWrite.appendToBranch(spark, Seq((3L, "c")).toDF("id", "v"), root, "audit")
+    assert(t(spark, ReadArgs.empty).count() == 1)
+
+    // publish: main fast-forwards to the branch head
+    IcebergWrite.fastForward(spark, root, "audit")
+    assert(t(spark, ReadArgs.empty)
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+
+    // repeat publish is a no-op-shaped success; tag refuses
+    IcebergWrite.fastForward(spark, root, "audit")
+    IcebergWrite.setRef(spark, root, "pin", refType = "tag", Some(b1))
+    intercept[IllegalArgumentException] {
+      IcebergWrite.fastForward(spark, root, "pin")
+    }
+    assert(IcebergWrite.dropRef(spark, root, "audit") >= 0)
+  }
+
+  test("fastForward refuses diverged histories; branch keeps its own lineage") {
+    val root = tempDir("ice-wap-div").toString + "/t"
+    IcebergWrite.append(spark, Seq((1L, "a")).toDF("id", "v"), root)
+    IcebergWrite.appendToBranch(spark, Seq((2L, "b")).toDF("id", "v"), root, "wip")
+    // main moves independently → branch head no longer descends from it
+    IcebergWrite.append(spark, Seq((9L, "z")).toDF("id", "v"), root)
+    val e = intercept[IllegalArgumentException] {
+      IcebergWrite.fastForward(spark, root, "wip")
+    }
+    assert(e.getMessage.contains("diverged"), e.getMessage)
+    // both lines still read consistently
+    val t = new IcebergTable("t", root)
+    assert(t(spark, ReadArgs.empty)
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 9L))
+    assert(t(spark, ReadArgs(extra = Map(t.RefKey -> "wip")))
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    // branch upserts refuse (append-then-publish is the WAP contract)
+    intercept[IllegalArgumentException] {
+      IcebergWrite.appendToBranch(spark, Seq((5L, "e")).toDF("id", "v"), root, "main")
+    }
+  }
+
   test("ref and snapshotId are mutually exclusive; unknown ref refuses") {
     val root = tempDir("ice-refs-excl").toString + "/t"
     val s1 = IcebergWrite.append(spark, Seq((1L, "a")).toDF("id", "v"), root)
