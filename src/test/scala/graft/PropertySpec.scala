@@ -386,6 +386,64 @@ object GraftProperties extends Properties("graft") {
     }
   }
 
+  property("Iceberg op sequences (append/upsert/eq-delete/compact/expire/WAP) replay a model") = {
+    sealed trait IceOp
+    case class IApp(rows: Map[Long, String]) extends IceOp
+    case class IUp(rows: Map[Long, String]) extends IceOp
+    case class IDel(keys: Set[Long]) extends IceOp
+    case object ICompact extends IceOp
+    case object IExpire extends IceOp
+    case class IWap(rows: Map[Long, String]) extends IceOp
+    val genRows = Gen.mapOf(Gen.zip(Gen.chooseNum(0L, 12L), Gen.alphaLowerStr.map(_.take(4))))
+    val genOp: Gen[IceOp] = Gen.frequency(
+      3 -> genRows.map(IApp),
+      4 -> genRows.map(IUp),
+      3 -> Gen.containerOf[Set, Long](Gen.chooseNum(0L, 12L)).map(IDel),
+      1 -> Gen.const(ICompact),
+      1 -> Gen.const(IExpire),
+      2 -> genRows.map(IWap))
+    forAll(Gen.listOf(genOp).map(_.take(6))) { (ops: List[IceOp]) =>
+      import graft.tables.{IcebergMaintenance, IcebergTable, IcebergWrite, ReadArgs}
+      val dir = java.nio.file.Files.createTempDirectory("ice-prop").toString + "/t"
+      // appends are multiset adds; upserts replace by key — model the
+      // multiset as key → value list (reads compare as a sorted bag)
+      var model = Map.empty[Long, List[String]]
+      var created = false
+      ops.foreach {
+        case IApp(rows) if rows.nonEmpty =>
+          IcebergWrite.append(spark, rows.toSeq.toDF("id", "v"), dir)
+          created = true
+          rows.foreach { case (k, v) => model += k -> (model.getOrElse(k, Nil) :+ v) }
+        case IUp(rows) if rows.nonEmpty =>
+          if (!created) {
+            IcebergWrite.append(spark, rows.toSeq.toDF("id", "v"), dir)
+            created = true
+          } else IcebergWrite.upsertEquality(spark, rows.toSeq.toDF("id", "v"), dir, Seq("id"))
+          rows.foreach { case (k, v) => model += k -> List(v) }
+        case IDel(keys) if keys.nonEmpty && created =>
+          IcebergWrite.deleteEquality(spark, dir, keys.toSeq.toDF("id"))
+          model --= keys
+        case ICompact if created =>
+          IcebergMaintenance.rewriteDataFiles(spark, dir)
+        case IExpire if created =>
+          IcebergMaintenance.expireSnapshots(spark, dir, keepLast = 1)
+        case IWap(rows) if rows.nonEmpty && created =>
+          // stage on a branch, audit-read it, publish, drop the ref
+          IcebergWrite.appendToBranch(spark, rows.toSeq.toDF("id", "v"), dir, "wap")
+          IcebergWrite.fastForward(spark, dir, "wap")
+          IcebergWrite.dropRef(spark, dir, "wap")
+          rows.foreach { case (k, v) => model += k -> (model.getOrElse(k, Nil) :+ v) }
+        case _ => ()
+      }
+      !created || {
+        val snap = new IcebergTable("t", dir)(spark, ReadArgs.empty)
+          .as[(Long, String)].collect().toSeq
+        val got = snap.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+        got == model.view.mapValues(_.sorted).toMap.filter(_._2.nonEmpty)
+      }
+    }
+  }
+
   property("WHERE-clause parse inverts Filters.toSql row-for-row") =
     forAll(genDnf, Gen.listOf(Gen.zip(Gen.chooseNum(-6L, 6L), Gen.oneOf("x", "y", "z'q", "w")))) {
       (filters: Filters.Normalized, rows: List[(Long, String)]) =>
