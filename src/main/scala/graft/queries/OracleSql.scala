@@ -1757,6 +1757,13 @@ object OracleSql {
         """SELECT n_nationkey, n_name, n_regionkey
           |FROM nation WHERE n_nationkey >= 12
           |ORDER BY n_nationkey""".stripMargin,
+      // the Spark side appends region < 3 to main, stages region >= 3
+      // on an Iceberg BRANCH in two commits, and fastForwards main to
+      // the branch head (write-audit-publish); the published snapshot
+      // must be the full union
+      "q_iceberg_wap" ->
+        """SELECT n_nationkey, n_name, n_regionkey
+          |FROM nation ORDER BY n_nationkey""".stripMargin,
       // the Spark side bulk-inserts nation as a native Hudi COW table,
       // UPSERTS (lowercase names for keys < 10 + a synthetic insert),
       // and snapshot-reads with a partition filter; the oracle replays

@@ -117,6 +117,7 @@ object QueryCatalog {
     Entry("q_iceberg_transform", Wave5Queries.qIcebergTransform),
     Entry("q_iceberg_eqdelete", Wave5Queries.qIcebergEqDelete),
     Entry("q_iceberg_upsert", Wave5Queries.qIcebergUpsert),
+    Entry("q_iceberg_wap", Wave5Queries.qIcebergWap),
     Entry("q_iceberg_write", Wave5Queries.qIcebergWrite),
     Entry("q_dsir_select", Wave5Queries.qDsirSelect),
     Entry("q_pq_ann", Wave6Queries.qPqAnn),

@@ -384,6 +384,41 @@ object Wave5Queries {
       path
     })
 
+  private val icebergWap =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Write-audit-publish on a native Iceberg table: region ≥ 3
+    * nations land on an `audit` BRANCH (two staged snapshots — main
+    * reads stay at the base append until publish), then `fastForward`
+    * publishes the branch to main. The final snapshot must equal the
+    * full relational union.
+    */
+  private[queries] def writtenNationWap(s: SparkSession, dir: String): String =
+    icebergWap.getOrElseUpdate(dir, {
+      import graft.tables.IcebergWrite
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_iceberg_wap").toString + "/nation"
+      val nation = t(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+      IcebergWrite.append(s, nation.where(col("n_regionkey") < 3), path, Seq("n_regionkey"))
+      IcebergWrite.appendToBranch(s,
+        nation.where(col("n_regionkey") === 3), path, "audit", Seq("n_regionkey"))
+      IcebergWrite.appendToBranch(s,
+        nation.where(col("n_regionkey") > 3), path, "audit", Seq("n_regionkey"))
+      IcebergWrite.fastForward(s, path, "audit")
+      path
+    })
+
+  /** Post-publish snapshot of the WAP table: the branch's staged
+    * appends visible on main exactly once.
+    */
+  def qIcebergWap(s: SparkSession, dir: String): DataFrame = {
+    import graft.tables.{IcebergTable, ReadArgs}
+    new IcebergTable("nation_iceberg_wap", writtenNationWap(s, dir))(
+      s, ReadArgs.empty)
+      .orderBy("n_nationkey")
+  }
+
   /** Post-upsert snapshot: latest-per-key via the sequence-gated
     * equality anti-join — the oracle replays the merge relationally.
     */
