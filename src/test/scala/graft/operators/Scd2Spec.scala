@@ -38,6 +38,23 @@ class Scd2Spec extends SparkSpec {
       (2, "x", 10L, Some(20L), 1L), (2, "y", 20L, None, 2L)))
   }
 
+  test("the whole build plans ONE shuffle (key partitioning reused end to end)") {
+    // AQE hides the inner plan from collect — build with it off
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = Scd2.build(
+        Seq((1, 10L, 1L, "a"), (1, 20L, 2L, "b"), (2, 30L, 3L, "c"))
+          .toDF("k", "t", "ord", "attr")
+          .withColumn("t", timestamp_micros(col("t"))),
+        "k", "t", "ord", Seq("attr"))
+      val shuffles = df.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(shuffles.length == 1,
+        s"expected one exchange, got ${shuffles.length}:\n${df.queryExecution.executedPlan}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("intervals tile the key's observed span with no gaps or overlaps") {
     val rnd = new scala.util.Random(7)
     val rows = (0 until 300).map(i =>
