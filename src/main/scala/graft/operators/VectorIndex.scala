@@ -1,0 +1,104 @@
+package graft.operators
+
+import graft.tables.{DeltaTable, DeltaWrite, ReadArgs}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persistent PQ ANN index over Delta — the production serving shape
+  * for [[Pq]]: the learned codebooks and the encoded corpus live as
+  * Delta tables, so the index SURVIVES the session, grows by
+  * O(batch) appends as the corpus grows (the [[IncrementalNearDup]]
+  * arrival pattern), and any number of searchers read a consistent
+  * snapshot through the ordinary Delta machinery (time travel,
+  * OPTIMIZE, VACUUM all apply).
+  *
+  * Layout: `<root>/model` — one row per (subspace, centroid id,
+  * centroid vector); `<root>/codes` — (id, pq_codes array<int>), m
+  * bytes-worth per vector instead of d floats. Doubles round-trip
+  * parquet bit-exactly, so a loaded model is IDENTICAL to the fitted
+  * one and search results are reproducible across sessions (the gate
+  * query's DuckDB oracle replays the whole encode+ADC pipeline from
+  * the spliced model).
+  *
+  * Scale shape: create/addBatch are scan-only encodes (codebooks ride
+  * as literals) + one Delta commit; search is the [[Pq.adcTopK]]
+  * lookup-table scan over the codes table — the float corpus is
+  * never read after indexing. Racing `addBatch` loaders both land via
+  * Delta's optimistic commits.
+  */
+object VectorIndex {
+
+  private def modelPath(root: String) = s"$root/model"
+  private def codesPath(root: String) = s"$root/codes"
+
+  /** Fit the PQ model on `corpus`, persist model + codes. Returns the
+    * fitted model (identical to what [[loadModel]] reads back).
+    */
+  def create(
+      spark: SparkSession,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      root: String,
+      dims: Int,
+      m: Int,
+      ksub: Int,
+      maxIter: Int = 3
+  ): Pq.Model = {
+    val model = Pq.fit(corpus, idCol, vecCol, dims, m, ksub, maxIter)
+    import spark.implicits._
+    val rows = model.codebooks.zipWithIndex.flatMap { case (book, j) =>
+      book.map { case (cid, v) => (j, cid, v) }
+    }.toDF("j", "cid", "centroid")
+    DeltaWrite.append(spark, rows, modelPath(root))
+    DeltaWrite.append(spark,
+      Pq.encode(corpus, vecCol, model).select(col(idCol).as("id"), col("pq_codes")),
+      codesPath(root))
+    model
+  }
+
+  /** Encode a new batch with the PERSISTED model and append its codes
+    * — O(batch) work against an ever-growing corpus, never a refit
+    * (the standard IVF/PQ serving contract: the codebooks are frozen
+    * at train time; re-create the index to retrain).
+    */
+  def addBatch(
+      spark: SparkSession,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      root: String
+  ): Unit = {
+    val model = loadModel(spark, root)
+    DeltaWrite.append(spark,
+      Pq.encode(batch, vecCol, model).select(col(idCol).as("id"), col("pq_codes")),
+      codesPath(root))
+  }
+
+  /** Read the codebooks back — bit-identical to the fitted model. */
+  def loadModel(spark: SparkSession, root: String): Pq.Model = {
+    val rows = new DeltaTable("vecindex_model", modelPath(root))(spark, ReadArgs.empty)
+      .select("j", "cid", "centroid")
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toSeq))
+    require(rows.nonEmpty, s"no PQ model rows under ${modelPath(root)}")
+    val m = rows.map(_._1).max + 1
+    val subDim = rows.head._3.length
+    val books = (0 until m).map { j =>
+      rows.filter(_._1 == j).sortBy(_._2).map { case (_, cid, v) => (cid, v) }.toSeq
+    }
+    Pq.Model(m * subDim, m, books)
+  }
+
+  /** ADC top-k over the persisted codes with the persisted model. */
+  def search(
+      spark: SparkSession,
+      root: String,
+      queries: Seq[(Long, Seq[Double])],
+      k: Int
+  ): DataFrame = {
+    val model = loadModel(spark, root)
+    val codes = new DeltaTable("vecindex_codes", codesPath(root))(spark, ReadArgs.empty)
+    Pq.adcTopK(codes, "id", "pq_codes", model, queries, k)
+  }
+}

@@ -2145,6 +2145,9 @@ object OracleSql {
     "q_pca_project" -> pcaProjectSql(spark, dir),
     "q_emb_outliers" -> embOutliersSql(spark, dir),
     "q_pq_ann" -> pqAnnSql(spark, dir),
+    // the persisted-index search replays the identical pipeline: fit
+    // is deterministic and the model round-trips Delta bit-exactly
+    "q_vec_index" -> pqAnnSql(spark, dir),
     "q_domain_mix" -> domainMixSql(spark, dir),
     "q_ivfpq" -> ivfPqSql(spark, dir))
 

@@ -121,6 +121,7 @@ object QueryCatalog {
     Entry("q_iceberg_write", Wave5Queries.qIcebergWrite),
     Entry("q_dsir_select", Wave5Queries.qDsirSelect),
     Entry("q_pq_ann", Wave6Queries.qPqAnn),
+    Entry("q_vec_index", Wave6Queries.qVecIndex),
     Entry("q_blocklist", Wave6Queries.qBlocklist),
     Entry("q_fuzzy_decontam", Wave6Queries.qFuzzyDecontam),
     Entry("q_iceberg_incr", Wave6Queries.qIcebergIncr),

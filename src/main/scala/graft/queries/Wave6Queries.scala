@@ -41,6 +41,29 @@ object Wave6Queries {
       .orderBy("query_id", "rank")
   }
 
+  private val vecIndexBuilt =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** P66: the SAME PQ pipeline as [[qPqAnn]], but the model and the
+    * corpus codes round-trip a PERSISTED Delta index (`VectorIndex`)
+    * and search runs against the loaded copies. Fit determinism +
+    * bit-exact parquet doubles mean the oracle is the identical
+    * spliced-model replay (incremental addBatch is spec-covered).
+    */
+  def qVecIndex(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Pq, VectorIndex}
+    import PqParams._
+    val emb = t(s, dir, "embeddings")
+    val root = vecIndexBuilt.getOrElseUpdate(dir, {
+      val r = java.nio.file.Files.createTempDirectory("graft_vecidx").toString + "/idx"
+      VectorIndex.create(s, emb, "vec_id", "embedding", r, Dims, M, Ksub, MaxIter)
+      r
+    })
+    val queries = Pq.collectQueries(emb, "vec_id", "embedding", QueryBound)
+    VectorIndex.search(s, root, queries, TopK)
+      .orderBy("query_id", "rank")
+  }
+
   // ---------- P53: multi-pattern blocklist (Aho-Corasick) ----------
 
   /** The blocklist phrases. Every pattern is BORDERLESS (no proper

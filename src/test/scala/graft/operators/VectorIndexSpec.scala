@@ -1,0 +1,61 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class VectorIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs(ids: Range, shift: Float = 0.0f) =
+    ids.map(i => (i.toLong, Seq.tabulate(8)(d => (i % 5) * 1.0f + d * 0.25f + shift)))
+      .toDF("vec_id", "embedding")
+
+  test("persisted index searches identically to the in-memory pipeline") {
+    val root = tempDir("vecidx").toString + "/idx"
+    val corpus = vecs(0 until 40)
+    val model = VectorIndex.create(spark, corpus, "vec_id", "embedding",
+      root, dims = 8, m = 4, ksub = 4)
+    val queries = Pq.collectQueries(corpus, "vec_id", "embedding", 3)
+
+    val direct = Pq.adcTopK(Pq.encode(corpus, "embedding", model),
+      "vec_id", "pq_codes", model, queries, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val viaIndex = VectorIndex.search(spark, root, queries, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(viaIndex == direct)
+  }
+
+  test("loadModel round-trips the fitted model bit-exactly") {
+    val root = tempDir("vecidx-m").toString + "/idx"
+    val model = VectorIndex.create(spark, vecs(0 until 30), "vec_id", "embedding",
+      root, dims = 8, m = 2, ksub = 3)
+    assert(VectorIndex.loadModel(spark, root) == model)
+  }
+
+  test("addBatch encodes with the frozen model; new rows become searchable") {
+    val root = tempDir("vecidx-b").toString + "/idx"
+    val base = vecs(0 until 30)
+    val model = VectorIndex.create(spark, base, "vec_id", "embedding",
+      root, dims = 8, m = 4, ksub = 4)
+    // the batch's codes must equal a manual encode with the SAME model
+    // a far cluster: quantizes to the extreme centroids, so a query
+    // there ranks batch rows ahead of every base row
+    val batch = vecs(100 until 110, shift = 50.0f)
+    VectorIndex.addBatch(spark, batch, "vec_id", "embedding", root)
+    val expected = Pq.encode(batch, "embedding", model)
+      .select(col("vec_id"), col("pq_codes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    val stored = new graft.tables.DeltaTable("c", s"$root/codes")(
+      spark, graft.tables.ReadArgs.empty)
+      .where(col("id") >= 100)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    assert(stored == expected)
+    // appended rows are part of the searchable corpus (codes tie with
+    // same-quantization base rows, so assert membership, not rank)
+    val q = Seq((999L, Seq.tabulate(8)(d => ((105 % 5) * 1.0f + d * 0.25f + 50.0f).toDouble)))
+    val got = VectorIndex.search(spark, root, q, 60)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert((100L until 110L).forall(got.contains),
+      s"batch rows missing from search results: ${(100L until 110L).filterNot(got.contains)}")
+  }
+}
