@@ -59,6 +59,52 @@ object IcebergWrite {
       txn: Option[(String, Long)] = None
   ): Long = commit(spark, df, tablePath, partitionBy, carryBase = true, txn = txn)
 
+  /** Import an existing (optionally hive-partitioned) parquet
+    * directory into an Iceberg table IN PLACE — the public
+    * `add_files` migration action: the data files are NOT copied or
+    * rewritten, a new snapshot's manifest simply references them at
+    * their original absolute paths. At lake scale this is the
+    * difference between a metadata-only migration and rewriting
+    * 100 TB. Identity partitioning only (transform layouts need a
+    * rewrite by definition); partition values parse from the hive
+    * path segments; per-file record counts come from ONE grouped
+    * metadata job. Create-or-extend with the same schema rules as
+    * [[append]]. NOTE (as upstream): the files become table-managed —
+    * snapshot expiration may delete them once unreferenced.
+    */
+  def addFiles(
+      spark: SparkSession,
+      srcDir: String,
+      tablePath: String,
+      partitionBy: Seq[String] = Seq.empty
+  ): Long = {
+    partitionBy.foreach(p => require(!p.contains("("),
+      s"addFiles imports the existing layout — identity partitioning only, got $p"))
+    val src = new Path(srcDir)
+    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(src), s"source directory $srcDir not found")
+    require(!fs.exists(new Path(src, "_delta_log")),
+      s"$srcDir is a Delta table; use CONVERT or export, not addFiles")
+    val df = spark.read.parquet(srcDir)
+    partitionBy.foreach(c => require(df.columns.contains(c),
+      s"partition column $c not found in $srcDir (have ${df.columns.mkString(", ")})"))
+    val files = listParquet(fs, src)
+    require(files.nonEmpty, s"no parquet files under $srcDir")
+    val counts: Map[String, Long] = df
+      .groupBy(col("_metadata.file_path").as("_p")).agg(count(lit(1)).as("_n"))
+      .collect().map(r => DvDeleted.normalizePath(r.getString(0)) -> r.getLong(1)).toMap
+    val staged = files.map { f =>
+      val rel = DeltaWrite.relativize(src, f)
+      StagedFile(
+        f.toUri.getPath,
+        fs.getFileStatus(f).getLen,
+        counts.getOrElse(DvDeleted.normalizePath(f.toString), 0L),
+        partitionValuesFromRel(rel, partitionBy))
+    }
+    commit(spark, df, tablePath, partitionBy, carryBase = true,
+      preStaged = Some(staged))
+  }
+
   /** REPLACE the table contents with `df` (Iceberg overwrite
     * semantics): the new snapshot's manifest list carries ONLY the
     * new manifest, so a read of it sees just the new rows — previous
@@ -683,7 +729,8 @@ object IcebergWrite {
       carryBase: Boolean,
       eqDeleteKeys: Option[Seq[String]] = None,
       txn: Option[(String, Long)] = None,
-      branch: Option[String] = None
+      branch: Option[String] = None,
+      preStaged: Option[Seq[StagedFile]] = None
   ): Long = {
     val table = new Path(tablePath)
     val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -764,7 +811,10 @@ object IcebergWrite {
     }
     val partFields = partCols.map(f => org.apache.spark.sql.types.StructField(f.name,
       transformResultType(f.transform, schema.fields.find(_.name == f.sourceCol).get.dataType)))
-    val staged = stage(spark, stagingDf, fs, table, partCols.map(_.name))
+    // add_files import: the files already exist (and stay) outside the
+    // staging flow — the manifest will reference them in place
+    val staged = preStaged.getOrElse(
+      stage(spark, stagingDf, fs, table, partCols.map(_.name)))
     // upsert mode: the incoming rows' DISTINCT key tuples stage as
     // equality-delete files (skipped on a creating commit — nothing
     // prior to delete)
