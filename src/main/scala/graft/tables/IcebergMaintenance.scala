@@ -208,7 +208,8 @@ object IcebergMaintenance {
         operation = "replace",
         summaryExtras = Seq(
           "manifests-replaced" -> dataManifests.size.toString,
-          "manifests-created" -> newManifests.size.toString))
+          "manifests-created" -> newManifests.size.toString),
+        parentId = Option(root.path("current-snapshot-id").asLong(-1L)).filter(_ >= 0))
       val target = new Path(metaDir, s"v${baseV + 1}.metadata.json")
       if (IcebergWrite.publishIfAbsent(fs, target,
         mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root2))) {

@@ -324,7 +324,8 @@ object IcebergWrite {
         operation = "delete",
         summaryExtras = Seq(
           "added-delete-files" -> staged.size.toString,
-          "added-position-deletes" -> staged.map(_.recordCount).sum.toString))
+          "added-position-deletes" -> staged.map(_.recordCount).sum.toString),
+        parentId = Option(baseRoot.path("current-snapshot-id").asLong(-1L)).filter(_ >= 0))
       (root, Seq(manifestPath, listPath), snapshotId)
     }
   }
@@ -418,7 +419,8 @@ object IcebergWrite {
         operation = "delete",
         summaryExtras = Seq(
           "added-delete-files" -> staged.size.toString,
-          "added-equality-deletes" -> staged.map(_.recordCount).sum.toString))
+          "added-equality-deletes" -> staged.map(_.recordCount).sum.toString),
+        parentId = Option(baseRoot.path("current-snapshot-id").asLong(-1L)).filter(_ >= 0))
       (root, Seq(manifestPath, listPath), snapshotId)
     }
   }
