@@ -1,0 +1,63 @@
+package graft.tables
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Hudi timeline inspection — the third leg of the metadata-table
+  * triad (Delta: E53's DESCRIBE HISTORY/DETAIL; Iceberg:
+  * [[IcebergMetaTables]]): the timeline and the current file-slice
+  * layout as ordinary DataFrames.
+  *
+  * Scale shape: the timeline is O(instants) driver parsing of the
+  * commit JSONs — the same metadata every read already loads; the
+  * slice listing reuses the reader's timeline-only planner (no
+  * directory listing) and is O(file groups).
+  */
+object HudiMetaTables {
+
+  private case class InstantRow(
+      instant: String, action: String, n_write_stats: Long,
+      total_records: Long, partitions: Seq[String])
+  private case class SliceRow(
+      partition: String, file_id: String, base_instant: String,
+      base_file: String, n_log_files: Int)
+
+  /** One row per COMPLETED timeline instant with its write summary. */
+  def timeline(spark: SparkSession, tablePath: String): DataFrame = {
+    import spark.implicits._
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    HudiWrite.completedInstants(fs, tablePath, None).map { case (instant, action) =>
+      val in = fs.open(new Path(new Path(tablePath, ".hoodie"), s"$instant.$action"))
+      val root = try mapper.readTree(in) finally in.close()
+      val stats = root.path("partitionToWriteStats")
+      var n = 0L
+      var records = 0L
+      val parts = Seq.newBuilder[String]
+      stats.fieldNames().forEachRemaining { part =>
+        parts += part
+        val arr = stats.path(part)
+        (0 until arr.size()).foreach { i =>
+          n += 1
+          records += arr.get(i).path("numWrites").asLong(0L)
+        }
+      }
+      InstantRow(instant, action, n, records, parts.result().sorted)
+    }.toDF()
+  }
+
+  /** The current (or as-of) file-slice layout: one row per live file
+    * group, with its base file and attached log-file count.
+    */
+  def fileSlices(
+      spark: SparkSession,
+      tablePath: String,
+      asOf: Option[String] = None
+  ): DataFrame = {
+    import spark.implicits._
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    HudiWrite.latestSlices(fs, tablePath, asOf).map { s =>
+      SliceRow(s.partition, s.fileId, s.instant, s.relPath, s.logFiles.size)
+    }.toDF()
+  }
+}
