@@ -39,8 +39,13 @@ object Resample {
       stepUs: Long
   ): DataFrame = {
     require(stepUs > 0, s"stepUs must be positive, got $stepUs")
+    // ONE shuffle: partition by key up front — hashpartitioning(key)
+    // satisfies the (key, ts) tie-collapse aggregate, the lead window,
+    // and the span-max window alike (subset clustering), so none of
+    // them re-exchanges (plan spec asserts it)
     val obs = events
       .select(col(keyCol), TimeFns.tsUs(col(tsCol)).as("_t"), col(valCol).as("_v"))
+      .repartition(col(keyCol))
       .groupBy(col(keyCol), col("_t"))
       .agg(max(col("_v")).as("_v"))
 

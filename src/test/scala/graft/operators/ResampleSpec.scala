@@ -36,6 +36,21 @@ class ResampleSpec extends SparkSpec {
     assert(got == Seq((1, 10L, 1.0), (1, 20L, 2.0)))
   }
 
+  test("gap fill plans ONE shuffle (lead and span-max share the key window)") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = Resample.gapFill(
+        Seq((1, 10L, 1.0), (1, 41L, 2.0)).toDF("k", "t", "v")
+          .withColumn("t", timestamp_micros(col("t"))),
+        "k", "t", "v", Step)
+      val shuffles = df.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(shuffles.length == 1,
+        s"expected one exchange, got ${shuffles.length}:\n${df.queryExecution.executedPlan}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("partitioning-invariant") {
     val rows = (0 until 200).map(i => (i % 3, (i * 7L) % 500L, (i % 11).toDouble))
     val df1 = rows.toDF("k", "t", "v").withColumn("t", timestamp_micros(col("t")))
