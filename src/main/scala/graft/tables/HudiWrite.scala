@@ -438,11 +438,13 @@ object HudiWrite {
     * Returns the completed instant.
     */
   def cluster(
-      spark: SparkSession, tablePath: String, sortCols: Seq[String]): String =
-    retryOnConflict("cluster", tablePath)(clusterOnce(spark, tablePath, sortCols))
+      spark: SparkSession, tablePath: String, sortCols: Seq[String],
+      zorder: Boolean = false): String =
+    retryOnConflict("cluster", tablePath)(clusterOnce(spark, tablePath, sortCols, zorder))
 
   private def clusterOnce(
-      spark: SparkSession, tablePath: String, sortCols: Seq[String]): String = {
+      spark: SparkSession, tablePath: String, sortCols: Seq[String],
+      zorder: Boolean = false): String = {
     require(sortCols.nonEmpty, "at least one sort column required")
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val props = readProps(fs, tablePath)
@@ -468,8 +470,18 @@ object HudiWrite {
       else current.repartition(partCols.map(col): _*)
     // partition columns lead the sort so the staged write's own
     // dynamic-partition ordering requirement is already satisfied and
-    // Spark's writer inserts no tie-reordering sort of its own
-    val sorted = routed.sortWithinPartitions((partCols ++ sortCols).map(col): _*)
+    // Spark's writer inserts no tie-reordering sort of its own.
+    // zorder: rows sort on the Morton curve of the chosen columns
+    // instead of lexicographically — multi-column box filters prune
+    // row groups inside the rewritten base files (the Delta
+    // OPTIMIZE ZORDER analog, same operators/ZOrder machinery)
+    val sorted =
+      if (zorder) {
+        val z = graft.operators.ZOrder.zvalue(current, sortCols)
+        routed.withColumn("_graft_zval", z)
+          .sortWithinPartitions((partCols.map(col) :+ col("_graft_zval")): _*)
+          .drop("_graft_zval")
+      } else routed.sortWithinPartitions((partCols ++ sortCols).map(col): _*)
     val written = stageByGroup(spark, sorted, fs, tablePath, partCols,
       instant, freshGroupPerLeaf = true)
     val replaced = slices.groupBy(_.partition)
