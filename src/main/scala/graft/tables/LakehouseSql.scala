@@ -1,0 +1,115 @@
+package graft.tables
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** SQL front door for the NATIVE Iceberg and Hudi layers — the
+  * `delta.`path`` pattern of [[DeltaSql]] extended to the other two
+  * formats, so the whole lakehouse triad is drivable from SQL
+  * strings:
+  *
+  * {{{
+  * SELECT a, b FROM iceberg.`/p` WHERE a = 1 AND d >= '2024-01-01'
+  * SELECT * FROM hudi.`/p` WHERE part in (1, 2)
+  * DELETE FROM iceberg.`/p` WHERE a = 1        -- position deletes
+  * DELETE FROM hudi.`/p` WHERE a = 1           -- key-indexed delete
+  * DESCRIBE SNAPSHOTS|HISTORY|REFS|FILES iceberg.`/p`
+  * DESCRIBE TIMELINE|SLICES hudi.`/p`
+  * EXPIRE SNAPSHOTS iceberg.`/p` KEEP 3
+  * CLEAN hudi.`/p` KEEP 3
+  * }}}
+  *
+  * The WHERE clause parses through Spark's SQL parser into the
+  * PRUNING-CAPABLE Filter algebra ([[DeltaSql.parseWhere]]) and rides
+  * `ReadArgs.filters`, so a SQL SELECT prunes Iceberg manifests
+  * (transforms included) and Hudi partitions/slices exactly like the
+  * API call — unlike a registered temp view, which can only push
+  * row-group filters. Shapes outside the algebra refuse loudly.
+  * A Hudi DELETE resolves matching record keys with one pruned
+  * snapshot read, then routes through the key-indexed delete.
+  */
+object LakehouseSql {
+
+  private val Ice = """iceberg\.`([^`]+)`"""
+  private val Hud = """hudi\.`([^`]+)`"""
+
+  def exec(spark: SparkSession, sql: String): DataFrame = {
+    import spark.implicits._
+    val s = sql.trim.stripSuffix(";").trim
+
+    val selIce = s"""(?is)^SELECT\\s+(.+?)\\s+FROM\\s+$Ice(?:\\s+WHERE\\s+(.+))?$$""".r
+    val selHud = s"""(?is)^SELECT\\s+(.+?)\\s+FROM\\s+$Hud(?:\\s+WHERE\\s+(.+))?$$""".r
+    val delIce = s"""(?is)^DELETE\\s+FROM\\s+$Ice\\s+WHERE\\s+(.+)$$""".r
+    val delHud = s"""(?is)^DELETE\\s+FROM\\s+$Hud\\s+WHERE\\s+(.+)$$""".r
+    val descIce = s"""(?is)^DESCRIBE\\s+(SNAPSHOTS|HISTORY|REFS|FILES)\\s+$Ice$$""".r
+    val descHud = s"""(?is)^DESCRIBE\\s+(TIMELINE|SLICES)\\s+$Hud$$""".r
+    val expire = s"""(?is)^EXPIRE\\s+SNAPSHOTS\\s+$Ice\\s+KEEP\\s+(\\d+)$$""".r
+    val clean = s"""(?is)^CLEAN\\s+$Hud\\s+KEEP\\s+(\\d+)$$""".r
+
+    def args(cols: String, where: String): ReadArgs = ReadArgs(
+      filters = Option(where).map(w => DeltaSql.parseWhere(spark, w))
+        .getOrElse(Seq.empty),
+      columns = parseCols(cols))
+
+    s match {
+      case selIce(cols, path, where) =>
+        new IcebergTable(name(path), path)(spark, args(cols, where))
+      case selHud(cols, path, where) =>
+        new HudiTable(name(path), path)(spark, args(cols, where))
+      case delIce(path, where) =>
+        val snap = IcebergWrite.deleteWhere(spark, path,
+          DeltaSql.parseWhere(spark, where))
+        Seq(snap).toDF("snapshot_id")
+      case delHud(path, where) =>
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val keyCol = HudiWrite.readProps(fs, path)
+          .getOrElse("hoodie.table.recordkey.fields",
+            throw new IllegalArgumentException(
+              s"$path has no hoodie.table.recordkey.fields"))
+        require(!keyCol.contains(","), s"composite record keys unsupported: $keyCol")
+        val keys = new HudiTable(name(path), path)(spark,
+          ReadArgs(filters = DeltaSql.parseWhere(spark, where)))
+          .select(col(keyCol)).distinct()
+        val instant = HudiWrite.delete(spark, keys, path)
+        Seq(instant).toDF("instant")
+      case descIce(what, path) => what.toUpperCase match {
+        case "SNAPSHOTS" => IcebergMetaTables.snapshots(spark, path)
+        case "HISTORY"   => IcebergMetaTables.history(spark, path)
+        case "REFS"      => IcebergMetaTables.refs(spark, path)
+        case _           => IcebergMetaTables.files(spark, path)
+      }
+      case descHud(what, path) =>
+        if (what.equalsIgnoreCase("TIMELINE")) HudiMetaTables.timeline(spark, path)
+        else HudiMetaTables.fileSlices(spark, path)
+      case expire(path, keep) =>
+        val expired = IcebergMaintenance.expireSnapshots(spark, path, keep.toInt)
+        expired.toDF("expired_snapshot_id")
+      case clean(path, keep) =>
+        val removed = graft.tables.HudiMaintenance.clean(spark, path, keep.toInt)
+        Seq(removed.size.toLong).toDF("files_removed")
+      case _ =>
+        throw new IllegalArgumentException(
+          s"unsupported lakehouse SQL statement: $s (Delta DML belongs to DeltaSql.exec)")
+    }
+  }
+
+  private def name(path: String): String =
+    path.split('/').lastOption.filter(_.nonEmpty).getOrElse("table")
+
+  /** `*` → all columns; else a comma list of bare identifiers (no
+    * expressions — SELECT-list computation belongs to the DataFrame
+    * that a projection feeds, and silently accepting expressions
+    * would skip the pruning contract this front door exists for).
+    */
+  private def parseCols(cols: String): Option[Seq[String]] = {
+    val t = cols.trim
+    if (t == "*") None
+    else {
+      val names = t.split(",").map(_.trim)
+      names.foreach(n => require(n.matches("[A-Za-z_][A-Za-z0-9_]*"),
+        s"only bare column names are supported in the select list, got '$n'"))
+      Some(names.toSeq)
+    }
+  }
+}

@@ -1,0 +1,60 @@
+package graft.tables
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class LakehouseSqlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def data = Seq(
+    (1L, "a", 0), (2L, "b", 0), (3L, "c", 1), (4L, "d", 1), (5L, "e", 2))
+    .toDF("id", "v", "p")
+
+  test("iceberg: SELECT prunes manifests, DELETE routes, DESCRIBE lists") {
+    val root = tempDir("lake-sql-i").toString + "/t"
+    IcebergWrite.append(spark, data, root, Seq("p"))
+
+    val sel = LakehouseSql.exec(spark,
+      s"SELECT id, v FROM iceberg.`$root` WHERE p = 1")
+    assert(sel.columns.toSeq == Seq("id", "v"))
+    assert(sel.select("id").as[Long].collect().sorted.toSeq == Seq(3L, 4L))
+    // the WHERE rides the Filter algebra → only the p=1 file planned
+    assert(sel.inputFiles.nonEmpty && sel.inputFiles.forall(_.contains("p=1")),
+      sel.inputFiles.toSeq)
+
+    LakehouseSql.exec(spark, s"DELETE FROM iceberg.`$root` WHERE id = 3")
+    assert(LakehouseSql.exec(spark, s"SELECT * FROM iceberg.`$root`")
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 4L, 5L))
+
+    assert(LakehouseSql.exec(spark, s"DESCRIBE SNAPSHOTS iceberg.`$root`").count() == 2)
+    assert(LakehouseSql.exec(spark, s"DESCRIBE FILES iceberg.`$root`")
+      .where(col("content") === 1).count() == 1)
+    val expired = LakehouseSql.exec(spark, s"EXPIRE SNAPSHOTS iceberg.`$root` KEEP 1")
+    assert(expired.count() == 1)
+  }
+
+  test("hudi: SELECT with IN filter, key-resolving DELETE, DESCRIBE TIMELINE") {
+    val root = tempDir("lake-sql-h").toString + "/t"
+    HudiWrite.bulkInsert(spark, data, root, "id", Seq("p"))
+
+    val sel = LakehouseSql.exec(spark,
+      s"SELECT id FROM hudi.`$root` WHERE p in (0, 2)")
+    assert(sel.as[Long].collect().sorted.toSeq == Seq(1L, 2L, 5L))
+
+    LakehouseSql.exec(spark, s"DELETE FROM hudi.`$root` WHERE v = 'b'")
+    assert(LakehouseSql.exec(spark, s"SELECT id FROM hudi.`$root`")
+      .as[Long].collect().sorted.toSeq == Seq(1L, 3L, 4L, 5L))
+
+    assert(LakehouseSql.exec(spark, s"DESCRIBE TIMELINE hudi.`$root`").count() == 2)
+    assert(LakehouseSql.exec(spark, s"DESCRIBE SLICES hudi.`$root`").count() >= 3)
+  }
+
+  test("unsupported shapes refuse loudly") {
+    intercept[IllegalArgumentException] {
+      LakehouseSql.exec(spark, "SELECT sum(x) FROM iceberg.`/p`")
+    }
+    intercept[IllegalArgumentException] {
+      LakehouseSql.exec(spark, "TRUNCATE iceberg.`/p`")
+    }
+  }
+}
