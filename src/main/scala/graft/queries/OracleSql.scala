@@ -1838,6 +1838,19 @@ object OracleSql {
            |SELECT user_id, grid_us, v AS value
            |FROM g ORDER BY user_id, grid_us""".stripMargin
       },
+      // the Spark side runs a SQL string through the lakehouse front
+      // door against the native Iceberg orders copy (WHERE → Filter
+      // algebra → month-transform pruning); verbatim copy, so the
+      // oracle is the raw relational aggregate
+      "q_lakehouse_sql" ->
+        s"""SELECT strftime(o_orderdate, '%Y-%m') AS ord_month,
+           |  count(*) AS n_orders,
+           |  ${dsum(d4("o_totalprice"))} AS revenue
+           |FROM orders
+           |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           |  AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+           |GROUP BY ord_month
+           |ORDER BY ord_month""".stripMargin,
       // the Spark side copies customer into a native Delta table,
       // orders into a native Iceberg table (month(o_orderdate)
       // transform), and nation into a native Hudi table, then joins

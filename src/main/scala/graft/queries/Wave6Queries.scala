@@ -743,6 +743,25 @@ object Wave6Queries {
       (s"$base/customer", s"$base/orders", s"$base/nation")
     })
 
+  /** SQL front door over the native Iceberg orders table
+    * (`LakehouseSql.exec`): the WHERE parses into the Filter algebra,
+    * so this SQL string gets the same month-transform manifest
+    * pruning as the API read; per-month order counts + decimal
+    * revenue.
+    */
+  def qLakehouseSql(s: SparkSession, dir: String): DataFrame = {
+    import Num.{d4, dsum}
+    val (_, ordPath, _) = writtenLakehouse(s, dir)
+    graft.tables.LakehouseSql.exec(s,
+      s"SELECT o_orderkey, o_orderdate, o_totalprice FROM iceberg.`$ordPath` " +
+        "WHERE o_orderdate >= '1996-01-01 00:00:00' AND o_orderdate < '1996-04-01 00:00:00'")
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("ord_month"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        dsum(d4(col("o_totalprice"))).as("revenue"))
+      .orderBy("ord_month")
+  }
+
   /** Federated 3-format join — one query planning a Delta scan
     * (partition-pruned to the BUILDING segment), an Iceberg scan
     * (month-transform manifest pruning bounds the 1995-H1 range), and
