@@ -56,8 +56,10 @@ object IcebergWrite {
       df: DataFrame,
       tablePath: String,
       partitionBy: Seq[String] = Seq.empty,
-      txn: Option[(String, Long)] = None
-  ): Long = commit(spark, df, tablePath, partitionBy, carryBase = true, txn = txn)
+      txn: Option[(String, Long)] = None,
+      sortBy: Seq[String] = Seq.empty
+  ): Long = commit(spark, df, tablePath, partitionBy, carryBase = true, txn = txn,
+    sortBy = sortBy)
 
   /** Import an existing (optionally hive-partitioned) parquet
     * directory into an Iceberg table IN PLACE — the public
@@ -732,7 +734,8 @@ object IcebergWrite {
       eqDeleteKeys: Option[Seq[String]] = None,
       txn: Option[(String, Long)] = None,
       branch: Option[String] = None,
-      preStaged: Option[Seq[StagedFile]] = None
+      preStaged: Option[Seq[StagedFile]] = None,
+      sortBy: Seq[String] = Seq.empty
   ): Long = {
     val table = new Path(tablePath)
     val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -802,15 +805,49 @@ object IcebergWrite {
     val ordered = df.select(
       schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
 
+    // effective write sort: an explicit sortBy, else the table's
+    // DECLARED default sort order — upstream writers honor the table
+    // sort order on every append, so once a sort is declared, every
+    // writer produces min/max-tight files without re-passing the flag
+    val effectiveSort: Seq[String] =
+      if (sortBy.nonEmpty) sortBy
+      else existing.toSeq.flatMap { r =>
+        val defId = r.path("default-sort-order-id").asInt(0)
+        if (defId == 0) Seq.empty
+        else {
+          val names = IcebergMeta.parse(r, tablePath).schemaFieldIds
+          IcebergMeta.elements(r.path("sort-orders"))
+            .find(_.path("order-id").asInt(0) == defId).toSeq
+            .flatMap(o => IcebergMeta.elements(o.path("fields")).map { f =>
+              require(f.path("transform").asText("identity") == "identity",
+                s"cannot apply non-identity sort transform " +
+                  s"${f.path("transform").asText()} appending to $tablePath")
+              names.getOrElse(f.path("source-id").asInt(),
+                throw new IllegalArgumentException(
+                  s"sort order $defId references dropped column id " +
+                    f.path("source-id").asInt()))
+            })
+        }
+      }
+    effectiveSort.foreach(c => require(schema.fieldNames.contains(c),
+      s"sort column $c is not a column of $tablePath"))
+
     // ---- stage data files + per-file record counts (one job) -------
     // non-identity fields stage under a DERIVED column (computed by
     // the same transform definitions the reader prunes with);
     // partitionBy strips it from the data files, so only the source
     // column lands on disk — exactly the upstream layout
-    val stagingDf = partCols.filter(_.transform != "identity").foldLeft(ordered) {
+    val derived = partCols.filter(_.transform != "identity").foldLeft(ordered) {
       (acc, f) => acc.withColumn(f.name,
         transformColumn(f.transform, schema.fields.find(_.name == f.sourceCol).get))
     }
+    // partition columns LEAD the sort so the staged write's own
+    // dynamic-partition ordering requirement is already satisfied and
+    // Spark's writer inserts no tie-reordering sort of its own
+    val stagingDf =
+      if (effectiveSort.isEmpty) derived
+      else derived.sortWithinPartitions(
+        (partCols.map(_.name) ++ effectiveSort).distinct.map(col): _*)
     val partFields = partCols.map(f => org.apache.spark.sql.types.StructField(f.name,
       transformResultType(f.transform, schema.fields.find(_.name == f.sourceCol).get.dataType)))
     // add_files import: the files already exist (and stay) outside the
@@ -1100,6 +1137,15 @@ object IcebergWrite {
           r.set[ObjectNode]("snapshot-log", mapper.createArrayNode())
           r
       }
+      // an EXPLICIT sortBy declares (or reuses) a table sort order and
+      // makes it the default — subsequent appends honor it without
+      // the flag (effectiveSort above)
+      if (sortBy.nonEmpty) {
+        val fieldIds = IcebergMeta.parse(root, tablePath).schemaFieldIds
+          .map { case (id, n) => n -> id }
+        ensureSortOrder(root, sortBy, c => fieldIds.getOrElse(c,
+          throw new IllegalArgumentException(s"sort column $c not in $tablePath schema")))
+      }
       appendSnapshotToRoot(root, snapshotId, seq, nowMs, listPath,
         // an upsert both adds and logically replaces rows: overwrite
         operation = if (eqStaged.nonEmpty) "overwrite"
@@ -1165,6 +1211,43 @@ object IcebergWrite {
           s"could not commit $what to $tablePath after $MaxAttempts attempts")
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  /** Find-or-add an identity asc/nulls-first sort order for `cols`
+    * and make it the table default (the public spec's sort-orders
+    * metadata — readers/planners see which files are min/max-tight).
+    */
+  private def ensureSortOrder(
+      root: ObjectNode, cols: Seq[String], fieldIdOf: String => Int): Unit = {
+    val ordersNode = root.path("sort-orders") match {
+      case a: com.fasterxml.jackson.databind.node.ArrayNode => a
+      case _ =>
+        val a = mapper.createArrayNode()
+        root.set[ObjectNode]("sort-orders", a)
+        a
+    }
+    val want = cols.map(fieldIdOf)
+    val matching = IcebergMeta.elements(ordersNode).find { o =>
+      val fs = IcebergMeta.elements(o.path("fields"))
+      fs.size == want.size && fs.zip(want).forall { case (f, id) =>
+        f.path("transform").asText("identity") == "identity" &&
+          f.path("source-id").asInt() == id &&
+          f.path("direction").asText("asc") == "asc"
+      }
+    }
+    val oid = matching.map(_.path("order-id").asInt()).getOrElse {
+      val nid = IcebergMeta.elements(ordersNode)
+        .map(_.path("order-id").asInt(0)).maxOption.getOrElse(-1) + 1
+      val fieldsJson = want.map(id =>
+        s"""{"transform":"identity","source-id":$id,"direction":"asc","null-order":"nulls-first"}""")
+        .mkString("[", ",", "]")
+      val o = mapper.createObjectNode()
+      o.put("order-id", nid)
+      o.set[ObjectNode]("fields", mapper.readTree(fieldsJson))
+      ordersNode.add(o)
+      nid
+    }
+    root.put("default-sort-order-id", oid)
   }
 
   /** Mutate a metadata root in place: bump watermark fields and add
