@@ -31,6 +31,55 @@ object Packing {
     * @param tokenCol   integer token count of the document
     * @param budget     tokens per packed example
     */
+  /** Length-bucketed batch assignment — the padded-batch complement
+    * of [[concatChunks]] (encoder / SFT batches pad every sequence to
+    * the batch max, so batching SIMILAR lengths together is what
+    * keeps the padding waste down): documents bucket by length into
+    * power-of-two bins (`bin` = ceil(log2(len)) over a floor), each
+    * bin's batch capacity is `floor(budget / binCap)` sequences
+    * (binCap = the bin's upper length bound = what every member pads
+    * to), and members fill batches in (len, id) order —
+    * `batch = row_number div capacity`. Fully deterministic integer
+    * arithmetic, so the plan is SQL-replayable; the padded cost of a
+    * batch never exceeds `budget`.
+    *
+    * Adds `bin` (log2 upper bound exponent), `bin_cap`, `batch`
+    * (0-based within the bin), and `padded` (= bin_cap, what the
+    * sequence pads to). One shuffle on `bin`; only skinny
+    * (len, id) columns ride it.
+    */
+  def lengthBucketBatches(
+      df: DataFrame,
+      idCol: String,
+      lenCol: String,
+      budget: Long,
+      minBin: Int = 4
+  ): DataFrame = {
+    require(budget > 0, "token budget must be positive")
+    require(minBin >= 0 && minBin < 63, s"minBin out of range: $minBin")
+    require((1L << minBin) <= budget,
+      s"smallest bin cap ${1L << minBin} exceeds the batch budget $budget")
+    val len = col(lenCol).cast(LongType)
+    // bin = smallest power-of-two exponent with 2^bin >= len, floored
+    // at minBin. ceil(log2(n)) = bit length of n-1, computed EXACTLY
+    // as length(bin(n-1)) — a float log2 could land on either side of
+    // a power-of-two boundary and flip the bin cross-engine
+    val bin = greatest(lit(minBin),
+      length(expr(s"bin(greatest($lenCol, 2) - 1)")).cast("int"))
+    val withBin = df
+      .where(len > 0 && len <= budget)
+      .withColumn("bin", bin)
+      // the pad target; clamped to the budget so capacity >= 1 (a
+      // 100-token budget puts 65..100-token docs in one-per-batch)
+      .withColumn("bin_cap",
+        least(expr("shiftleft(CAST(1 AS BIGINT), bin)").cast(LongType), lit(budget)))
+    withBin
+      .withColumn("batch",
+        expr(s"(row_number() over (partition by bin order by " +
+          s"cast($lenCol as bigint) asc, $idCol asc) - 1) div ($budget div bin_cap)"))
+      .withColumn("padded", col("bin_cap"))
+  }
+
   def concatChunks(
       df: DataFrame,
       streamCol: String,

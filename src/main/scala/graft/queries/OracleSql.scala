@@ -1838,6 +1838,32 @@ object OracleSql {
            |SELECT user_id, grid_us, v AS value
            |FROM g ORDER BY user_id, grid_us""".stripMargin
       },
+      // length-bucketed padded batches: power-of-two bins (exact
+      // integer ceil-log2 via bin-string length), capacity =
+      // budget div bin_cap, batches fill in (len, id) order
+      "q_length_batches" ->
+        """WITH d AS (
+          |  SELECT doc_id, CAST(length(text) AS BIGINT) AS len
+          |  FROM documents WHERE length(text) > 0 AND length(text) <= 4096),
+          |b AS (
+          |  SELECT doc_id, len,
+          |    CAST(greatest(4, length(bin(greatest(len, 2) - 1))) AS INTEGER) AS bin
+          |  FROM d),
+          |c AS (
+          |  SELECT doc_id, len, bin,
+          |    least(CAST(1 AS BIGINT) << bin, 4096) AS bin_cap
+          |  FROM b),
+          |a AS (
+          |  SELECT bin, bin_cap, len,
+          |    (row_number() OVER (PARTITION BY bin ORDER BY len, doc_id) - 1)
+          |      // (4096 // bin_cap) AS batch
+          |  FROM c)
+          |SELECT bin, batch, count(*) AS n_seqs,
+          |  CAST(sum(len) AS BIGINT) AS sum_len,
+          |  CAST(max(len) AS BIGINT) AS max_len,
+          |  CAST(min(bin_cap) AS BIGINT) AS padded
+          |FROM a GROUP BY bin, batch
+          |ORDER BY bin, batch""".stripMargin,
       // the Spark side runs a SQL string through the lakehouse front
       // door against the native Iceberg orders copy (WHERE → Filter
       // algebra → month-transform pruning); verbatim copy, so the

@@ -743,6 +743,25 @@ object Wave6Queries {
       (s"$base/customer", s"$base/orders", s"$base/nation")
     })
 
+  /** P67: length-bucketed padded-batch assignment (char lengths as
+    * the proxy token count, 4096 budget): power-of-two bins, batches
+    * fill in (len, id) order, padded cost per batch never exceeds the
+    * budget. Per-batch rollup hash-checks the whole assignment.
+    */
+  def qLengthBatches(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), length(col("text")).as("len"))
+    graft.operators.Packing.lengthBucketBatches(docs, "doc_id", "len",
+      budget = 4096L, minBin = 4)
+      .groupBy("bin", "batch")
+      .agg(
+        count(lit(1)).as("n_seqs"),
+        sum(col("len")).as("sum_len"),
+        max(col("len")).as("max_len"),
+        min(col("bin_cap")).as("padded"))
+      .orderBy("bin", "batch")
+  }
+
   /** SQL front door over the native Iceberg orders table
     * (`LakehouseSql.exec`): the WHERE parses into the Filter algebra,
     * so this SQL string gets the same month-transform manifest

@@ -69,4 +69,39 @@ class PackingSpec extends SparkSpec {
     assert(got(1L) == ((1L, 0L, 0L, 0L, false)))
     assert(got(2L) == ((2L, 0L, 0L, 1L, true))) // 0..4 with budget 4 crosses
   }
+
+  test("lengthBucketBatches: power-of-two bins, bounded padded cost, (len,id) fill") {
+    val docs = Seq(
+      (1L, 3L), (2L, 4L), (3L, 5L),       // bins: 4 (cap 16), 4 (16), 4? no: len 5 → bin 3→ floored 4
+      (4L, 17L), (5L, 30L), (6L, 33L),    // bin 5 (cap 32), 5, 6 (cap 64)
+      (7L, 100L), (8L, 0L), (9L, 200L)    // bin 7 (cap 100, clamped), dropped, >budget dropped
+    ).toDF("doc_id", "len")
+    val got = Packing.lengthBucketBatches(docs, "doc_id", "len", budget = 100L, minBin = 4)
+      .select("doc_id", "bin", "bin_cap", "batch", "padded")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(!got.contains(8L) && !got.contains(9L))
+    // bin 4 (cap 16, capacity 100 div 16 = 6): docs 1,2,3 in batch 0
+    assert(got(1L) == ((4, 16L, 0L)) && got(2L) == ((4, 16L, 0L)) && got(3L) == ((4, 16L, 0L)))
+    // bin 5 (cap 32, capacity 3): docs 4,5 batch 0
+    assert(got(4L) == ((5, 32L, 0L)) && got(5L) == ((5, 32L, 0L)))
+    // bin 6 (cap 64, capacity 1): doc 6 alone
+    assert(got(6L) == ((6, 64L, 0L)))
+    // bin 7 clamps its cap to the 100 budget
+    assert(got(7L) == ((7, 100L, 0L)))
+    // padded cost of every batch stays within budget
+    val full = Packing.lengthBucketBatches(docs, "doc_id", "len", budget = 100L, minBin = 4)
+    val over = full.groupBy("bin", "batch")
+      .agg(count(lit(1)).as("n"), min("bin_cap").as("cap"))
+      .where(col("n") * col("cap") > 100)
+    assert(over.count() == 0)
+  }
+
+  test("lengthBucketBatches capacity splits batches deterministically") {
+    // lens 65..74 → all bin 7 (cap 128); budget 256 → capacity 2
+    val docs = (1L to 10L).map(i => (i, 64L + i)).toDF("doc_id", "len")
+    val got = Packing.lengthBucketBatches(docs, "doc_id", "len", budget = 256L)
+      .select("doc_id", "batch").as[(Long, Long)].collect().toMap
+    // (len,id) order = id order here; capacity = 256 div 128 = 2
+    (1L to 10L).foreach(i => assert(got(i) == (i - 1) / 2, s"doc $i → ${got(i)}"))
+  }
 }
