@@ -10,6 +10,9 @@ import org.apache.spark.sql.functions.col
   *
   * {{{
   * SELECT a, b FROM iceberg.`/p` WHERE a = 1 AND d >= '2024-01-01'
+  * SELECT * FROM iceberg.`/p` SNAPSHOT AS OF 3 [WHERE ...]
+  * SELECT * FROM iceberg.`/p` REF AS OF 'audit' [WHERE ...]
+  * SELECT * FROM hudi.`/p` AS OF '20260101000000000' [WHERE ...]
   * SELECT * FROM hudi.`/p` WHERE part in (1, 2)
   * DELETE FROM iceberg.`/p` WHERE a = 1        -- position deletes
   * DELETE FROM hudi.`/p` WHERE a = 1           -- key-indexed delete
@@ -37,8 +40,8 @@ object LakehouseSql {
     import spark.implicits._
     val s = sql.trim.stripSuffix(";").trim
 
-    val selIce = s"""(?is)^SELECT\\s+(.+?)\\s+FROM\\s+$Ice(?:\\s+WHERE\\s+(.+))?$$""".r
-    val selHud = s"""(?is)^SELECT\\s+(.+?)\\s+FROM\\s+$Hud(?:\\s+WHERE\\s+(.+))?$$""".r
+    val selIce = s"""(?is)^SELECT\\s+(.+?)\\s+FROM\\s+$Ice(?:\\s+(?:SNAPSHOT|VERSION)\\s+AS\\s+OF\\s+(\\d+)|\\s+REF\\s+AS\\s+OF\\s+'([^']+)')?(?:\\s+WHERE\\s+(.+))?$$""".r
+    val selHud = s"""(?is)^SELECT\\s+(.+?)\\s+FROM\\s+$Hud(?:\\s+AS\\s+OF\\s+'(\\d+)')?(?:\\s+WHERE\\s+(.+))?$$""".r
     val delIce = s"""(?is)^DELETE\\s+FROM\\s+$Ice\\s+WHERE\\s+(.+)$$""".r
     val delHud = s"""(?is)^DELETE\\s+FROM\\s+$Hud\\s+WHERE\\s+(.+)$$""".r
     val descIce = s"""(?is)^DESCRIBE\\s+(SNAPSHOTS|HISTORY|REFS|FILES)\\s+$Ice$$""".r
@@ -52,10 +55,17 @@ object LakehouseSql {
       columns = parseCols(cols))
 
     s match {
-      case selIce(cols, path, where) =>
-        new IcebergTable(name(path), path)(spark, args(cols, where))
-      case selHud(cols, path, where) =>
-        new HudiTable(name(path), path)(spark, args(cols, where))
+      case selIce(cols, path, snap, ref, where) =>
+        val t = new IcebergTable(name(path), path)
+        val extra: Map[String, Any] =
+          Option(snap).map(v => t.SnapshotIdKey -> (v.toLong: Any)).toMap ++
+            Option(ref).map(r => t.RefKey -> (r: Any)).toMap
+        t(spark, args(cols, where).copy(extra = extra))
+      case selHud(cols, path, asOf, where) =>
+        val t = new HudiTable(name(path), path)
+        val extra: Map[String, Any] =
+          Option(asOf).map(i => t.AsOfInstantKey -> (i: Any)).toMap
+        t(spark, args(cols, where).copy(extra = extra))
       case delIce(path, where) =>
         val snap = IcebergWrite.deleteWhere(spark, path,
           DeltaSql.parseWhere(spark, where))

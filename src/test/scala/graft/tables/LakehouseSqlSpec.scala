@@ -26,6 +26,13 @@ class LakehouseSqlSpec extends SparkSpec {
     assert(LakehouseSql.exec(spark, s"SELECT * FROM iceberg.`$root`")
       .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 4L, 5L))
 
+    // time travel: the pre-delete snapshot still shows id 3
+    val snaps = IcebergMetaTables.snapshots(spark, root)
+      .orderBy("snapshot_id").select("snapshot_id").as[Long].collect()
+    assert(LakehouseSql.exec(spark,
+      s"SELECT id FROM iceberg.`$root` SNAPSHOT AS OF ${snaps.head}")
+      .as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+
     assert(LakehouseSql.exec(spark, s"DESCRIBE SNAPSHOTS iceberg.`$root`").count() == 2)
     assert(LakehouseSql.exec(spark, s"DESCRIBE FILES iceberg.`$root`")
       .where(col("content") === 1).count() == 1)
@@ -44,6 +51,13 @@ class LakehouseSqlSpec extends SparkSpec {
     LakehouseSql.exec(spark, s"DELETE FROM hudi.`$root` WHERE v = 'b'")
     assert(LakehouseSql.exec(spark, s"SELECT id FROM hudi.`$root`")
       .as[Long].collect().sorted.toSeq == Seq(1L, 3L, 4L, 5L))
+
+    // time travel to the bulk-insert instant: the delete not yet applied
+    val i1 = HudiMetaTables.timeline(spark, root)
+      .orderBy("instant").select("instant").as[String].head()
+    assert(LakehouseSql.exec(spark,
+      s"SELECT id FROM hudi.`$root` AS OF '$i1'")
+      .as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
 
     assert(LakehouseSql.exec(spark, s"DESCRIBE TIMELINE hudi.`$root`").count() == 2)
     assert(LakehouseSql.exec(spark, s"DESCRIBE SLICES hudi.`$root`").count() >= 3)
