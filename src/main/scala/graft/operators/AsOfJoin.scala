@@ -30,7 +30,8 @@ object AsOfJoin {
       keys: Seq[String],
       leftTs: String,
       rightTs: String,
-      rightPayload: Seq[String]
+      rightPayload: Seq[String],
+      toleranceUs: Option[Long] = None
   ): DataFrame = {
     val leftCols = left.columns.toSeq
 
@@ -57,9 +58,16 @@ object AsOfJoin {
       .withColumn("_match", last(col("_rpay"), ignoreNulls = true).over(w))
       .where(col("_side") === 1)
 
+    // tolerance (the pandas merge_asof shape): a match older than
+    // `toleranceUs` behaves like no match at all — scan-side gate,
+    // the join shape is unchanged
+    val gate = toleranceUs.map(t =>
+      graft.functions.TimeFns.tsUs(col("_ts")) -
+        graft.functions.TimeFns.tsUs(col(s"_match.$rightTs")) <= t)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
     val outCols = leftCols.map(col) ++
-      Seq(col(s"_match.$rightTs").as(s"asof_$rightTs")) ++
-      rightPayload.map(p => col(s"_match.$p").as(s"asof_$p"))
+      Seq(when(gate, col(s"_match.$rightTs")).as(s"asof_$rightTs")) ++
+      rightPayload.map(p => when(gate, col(s"_match.$p")).as(s"asof_$p"))
     matched.select(outCols: _*)
   }
 
@@ -74,7 +82,8 @@ object AsOfJoin {
       keys: Seq[String],
       leftTs: String,
       rightTs: String,
-      rightPayload: Seq[String]
+      rightPayload: Seq[String],
+      toleranceUs: Option[Long] = None
   ): DataFrame = {
     val leftCols = left.columns.toSeq
 
@@ -101,9 +110,13 @@ object AsOfJoin {
       .withColumn("_match", first(col("_rpay"), ignoreNulls = true).over(w))
       .where(col("_side") === 0)
 
+    val gate = toleranceUs.map(t =>
+      graft.functions.TimeFns.tsUs(col(s"_match.$rightTs")) -
+        graft.functions.TimeFns.tsUs(col("_ts")) <= t)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
     val outCols = leftCols.map(col) ++
-      Seq(col(s"_match.$rightTs").as(s"asof_$rightTs")) ++
-      rightPayload.map(p => col(s"_match.$p").as(s"asof_$p"))
+      Seq(when(gate, col(s"_match.$rightTs")).as(s"asof_$rightTs")) ++
+      rightPayload.map(p => when(gate, col(s"_match.$p")).as(s"asof_$p"))
     matched.select(outCols: _*)
   }
 

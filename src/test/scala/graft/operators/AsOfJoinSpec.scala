@@ -51,4 +51,25 @@ class AsOfJoinSpec extends SparkSpec {
       .select("asof_v").as[Option[Double]].head()
     assert(got.isEmpty)
   }
+
+  test("tolerance nulls out matches older than the window (merge_asof shape)") {
+    val right = Seq((1L, ts(0), 1.0), (1L, ts(90), 2.0)).toDF("key", "qts", "v")
+    val left = Seq((1L, ts(30), "near"), (1L, ts(80), "far"), (1L, ts(95), "snap"))
+      .toDF("key", "tts", "tag")
+    val got = AsOfJoin.asOfBackward(left, right, Seq("key"), "tts", "qts", Seq("v"),
+      toleranceUs = Some(40L * 1000000L))
+      .select("tag", "asof_v").as[(String, Option[Double])].collect().toMap
+    assert(got("near").contains(1.0))  // gap 30s <= 40s
+    assert(got("far").isEmpty)         // gap 80s  > 40s → treated as no match
+    assert(got("snap").contains(2.0))  // gap 5s
+  }
+
+  test("forward tolerance symmetric: too-distant future matches drop") {
+    val right = Seq((1L, ts(100), 9.0)).toDF("key", "qts", "v")
+    val left = Seq((1L, ts(90), "near"), (1L, ts(10), "far")).toDF("key", "tts", "tag")
+    val got = AsOfJoin.asOfForward(left, right, Seq("key"), "tts", "qts", Seq("v"),
+      toleranceUs = Some(30L * 1000000L))
+      .select("tag", "asof_v").as[(String, Option[Double])].collect().toMap
+    assert(got("near").contains(9.0) && got("far").isEmpty)
+  }
 }
