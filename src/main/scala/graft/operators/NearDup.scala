@@ -219,6 +219,64 @@ object NearDup {
       .select("a_id", "b_id", "jaccard")
   }
 
+  /** Asymmetric near-duplication by SHINGLE CONTAINMENT —
+    * `|A∩B| / min(|A|, |B|)` — the subset/quote detector Jaccard
+    * misses: a 50-word passage copied verbatim into a 5000-word doc
+    * has tiny Jaccard but containment 1.0. MinHash-LSH banding is the
+    * WRONG index for this (signatures of the small and the large doc
+    * differ almost everywhere), so candidates come from an inverted
+    * RARE-SHINGLE index instead: each doc's shingle-hash set explodes
+    * to skinny (shingle, id) rows, shingles with corpus document
+    * frequency in [2, maxDf] block the join (rare-token blocking, the
+    * clone-detection standard), and candidates verify exactly via the
+    * sorted-set intersect. Declared blocking assumption: a pair
+    * sharing ONLY above-`maxDf` shingles is not reported — the oracle
+    * replays the identical blocking, so the operator's contract is
+    * exact.
+    *
+    * Scale shape: the inverted index carries 48-bit longs + ids; the
+    * df cap bounds every blocking shingle's join fan-out at
+    * maxDf²/2 pairs; text never shuffles (sets attach to surviving
+    * candidates by id).
+    */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 5,
+      threshold: Double = 0.8,
+      maxDf: Int = 20
+  ): DataFrame = {
+    require(maxDf >= 2, s"maxDf must be >= 2, got $maxDf")
+    val shsets = df.select(
+      col(idCol).as("_sid"),
+      graft.functions.TextHashExpressions.shingleHashSet(col(textCol), k).as("_sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    registerCache(shsets)
+
+    val inv = shsets.select(col("_sid"), explode(col("_sh")).as("_g"))
+    val dfreq = inv.groupBy("_g").agg(count(lit(1)).as("_df"))
+      .where(col("_df").between(2, maxDf))
+    val blocked = inv.join(dfreq, "_g").select("_g", "_sid")
+    val candidates = blocked.as("a").join(blocked.as("b"), Seq("_g"))
+      .where(col("a._sid") < col("b._sid"))
+      .select(col("a._sid").as("a_id"), col("b._sid").as("b_id"))
+      .dropDuplicates("a_id", "b_id")
+
+    val withSets = candidates
+      .join(shsets, col("a_id") === col("_sid"))
+      .withColumnRenamed("_sh", "a_sh").drop("_sid")
+      .join(shsets, col("b_id") === col("_sid"))
+      .withColumnRenamed("_sh", "b_sh").drop("_sid")
+    val inter = graft.functions.TextHashExpressions
+      .sortedIntersectCount(col("a_sh"), col("b_sh")).cast("double")
+    withSets
+      .withColumn("containment",
+        round(inter / least(size(col("a_sh")), size(col("b_sh"))).cast("double"), 4))
+      .where(col("containment") >= threshold)
+      .select("a_id", "b_id", "containment")
+  }
+
   /** Cross-corpus fuzzy decontamination: MinHash-LSH candidate join
     * between a training corpus and a (benchmark) probe set, verified
     * with exact shingle-set Jaccard — returns

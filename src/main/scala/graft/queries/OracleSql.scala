@@ -394,6 +394,7 @@ object OracleSql {
     // same contract, different algorithm (large-star/small-star) —
     // the recursive-closure oracle is shared verbatim
     "q_cc_labels" -> dupClustersSql,
+    "q_containment_dups" -> containmentDupsSql,
     "q_cluster_best" -> clusterBestSql,
     "q_soft_dedup" -> softDedupSql,
 
@@ -628,6 +629,33 @@ object OracleSql {
        |  SELECT doc_id, text, shs, hs,
        |    $sigs
        |  FROM hashed)""".stripMargin
+  }
+
+  /** Containment near-dups over the rare-shingle inverted index —
+    * the same shingle-hash sets as the minhash chain, blocked by
+    * corpus document frequency in [2, MaxDf], verified by
+    * `intersect / min(|A|, |B|)`; mirrors NearDup.containmentPairs
+    * exactly (including the declared blocking assumption).
+    */
+  private def containmentDupsSql: String = {
+    import graft.queries.PipelineQueries.ContainParams
+    s"""$sigSelect,
+       |sigd AS (SELECT doc_id, list_sort(list_distinct(hs)) AS shset FROM sig),
+       |inv AS (SELECT doc_id, unnest(shset) AS g FROM sigd),
+       |dfreq AS (SELECT g FROM inv GROUP BY g
+       |          HAVING count(*) BETWEEN 2 AND ${ContainParams.MaxDf}),
+       |blocked AS (SELECT i.doc_id, i.g FROM inv i JOIN dfreq d ON i.g = d.g),
+       |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |         FROM blocked a JOIN blocked b ON a.g = b.g AND a.doc_id < b.doc_id),
+       |ver AS (SELECT a_id, b_id,
+       |    round(len(list_intersect(sa.shset, sb.shset))::DOUBLE /
+       |      least(len(sa.shset), len(sb.shset)), 4) AS containment
+       |  FROM cand
+       |  JOIN sigd sa ON sa.doc_id = a_id
+       |  JOIN sigd sb ON sb.doc_id = b_id)
+       |SELECT a_id, b_id, containment FROM ver
+       |WHERE containment >= ${ContainParams.Threshold}
+       |ORDER BY a_id, b_id""".stripMargin
   }
 
   private def minhashQuerySql: String =

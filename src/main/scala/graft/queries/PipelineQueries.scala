@@ -141,6 +141,19 @@ object PipelineQueries {
     ConnectedComponents.labels(pairs, "a_id", "b_id").orderBy("id")
   }
 
+  /** Shared with the oracle. */
+  object ContainParams { val K = 5; val Threshold = 0.5; val MaxDf = 10 }
+
+  /** P68: asymmetric containment near-dups over the rare-shingle
+    * inverted index — the subset/quote duplication Jaccard misses.
+    */
+  def qContainmentDups(s: SparkSession, dir: String): DataFrame = {
+    import ContainParams._
+    NearDup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
+      k = K, threshold = Threshold, maxDf = MaxDf)
+      .orderBy("a_id", "b_id")
+  }
+
   /** P6: SimHash values + hamming-near pairs within small buckets are
     * covered in tests; this exports the per-doc simhash (16-bit).
     */

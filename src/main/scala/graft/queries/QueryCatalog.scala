@@ -42,6 +42,7 @@ object QueryCatalog {
     Entry("q_minhash_pairs", PipelineQueries.qMinhashPairs, headline = true),
     Entry("q_dup_clusters", PipelineQueries.qDupClusters),
     Entry("q_cc_labels", PipelineQueries.qCcLabels),
+    Entry("q_containment_dups", PipelineQueries.qContainmentDups),
     Entry("q_simhash", PipelineQueries.qSimhash),
     Entry("q_knn_brute", PipelineQueries.qKnnBrute, headline = true),
     Entry("q_ann_ivf", PipelineQueries.qAnnIvf),

@@ -122,6 +122,35 @@ class NearDupSpec extends SparkSpec {
     NearDup.releaseCaches()
   }
 
+  test("containmentPairs catches subset duplication that Jaccard misses") {
+    val passage = "the quick brown fox jumps over the lazy dog again and again"
+    val filler = (0 until 40).map(i => s"unique filler token number $i windmill").mkString(" ")
+    val docs = Seq(
+      (1L, passage),
+      (2L, s"$filler $passage"),
+      (3L, "entirely different content nothing shared at all here")).toDF("doc_id", "text")
+    // Jaccard at 0.5 misses the pair (passage is a sliver of doc 2)
+    assert(NearDup.minhashPairs(docs, "doc_id", "text", threshold = 0.5)
+      .where(col("a_id") === 1 && col("b_id") === 2).count() == 0)
+    val got = NearDup.containmentPairs(docs, "doc_id", "text", threshold = 0.9)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got.map(p => (p._1, p._2)) == Seq((1L, 2L)), got)
+    assert(got.head._3 == 1.0)
+    NearDup.releaseCaches()
+  }
+
+  test("containmentPairs blocking: pairs sharing only super-common shingles drop") {
+    // 25 docs share one passage (df 25 > maxDf 10); tails are runs of
+    // a per-doc letter so no cross-doc tail shingle collides
+    val docs = (1L to 25L).map(i =>
+      (i, s"shared boilerplate passage here ${("" + ('a' + i.toInt).toChar) * 12}"))
+      .toDF("doc_id", "text")
+    val got = NearDup.containmentPairs(docs, "doc_id", "text",
+      threshold = 0.3, maxDf = 10)
+    assert(got.count() == 0, "df-capped shingles must not block pairs")
+    NearDup.releaseCaches()
+  }
+
   test("dupClusters labels every connected doc with the cluster minimum") {
     // graph: 1-2, 2-3 (chain), 10-11 (pair), 20 isolated (not in pairs)
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
