@@ -93,10 +93,12 @@ object ConnectedComponents {
         .localCheckpoint(true)
 
       // fixpoint: both star ops leave a set of minimum-rooted stars
-      // unchanged, so one symmetric set-difference count decides
-      val changed = small.exceptAll(edges).count() + edges.exceptAll(small).count()
+      // unchanged. Both sides are distinct sets, so equal counts plus
+      // an empty one-sided difference proves equality (A⊆B ∧ |A|=|B|)
+      // — one difference job instead of two
+      converged = small.count() == edges.count() &&
+        small.exceptAll(edges).isEmpty
       edges = small
-      converged = changed == 0
       rounds += 1
     }
     if (!converged)

@@ -45,6 +45,13 @@ object VectorIndex {
       ksub: Int,
       maxIter: Int = 3
   ): Pq.Model = {
+    // a second create would APPEND a second model — duplicate (j, cid)
+    // rows silently corrupt the positional LUT indexing downstream, so
+    // an existing index refuses (delete the root to retrain)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(new org.apache.hadoop.fs.Path(modelPath(root), "_delta_log")),
+      s"index already exists at $root — delete it to retrain (codebooks are frozen)")
     val model = Pq.fit(corpus, idCol, vecCol, dims, m, ksub, maxIter)
     import spark.implicits._
     val rows = model.codebooks.zipWithIndex.flatMap { case (book, j) =>

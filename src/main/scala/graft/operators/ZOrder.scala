@@ -58,6 +58,17 @@ object ZOrder {
     * would scan the table once per dimension).
     */
   def zvalue(df: DataFrame, cols: Seq[String], bits: Int = 8): Column = {
+    // the equi-depth bucketing casts to double: a non-numeric column
+    // would bucket every row identically (nulls) and the "clustered"
+    // layout would silently be arbitrary order — refuse instead
+    cols.foreach { c =>
+      val dt = df.schema(c).dataType
+      require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
+        dt == org.apache.spark.sql.types.TimestampType ||
+        dt == org.apache.spark.sql.types.TimestampNTZType,
+        s"z-order column $c is ${dt.simpleString}; only numeric/timestamp " +
+          "columns have a meaningful equi-depth bucketing")
+    }
     val n = (1 << bits) - 1
     val probs = (1 to n).map(_.toDouble / (1 << bits)).toArray
     val allBounds = df.select(cols.map(c => col(c).cast("double").as(c)): _*)

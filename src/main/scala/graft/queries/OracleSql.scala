@@ -1827,8 +1827,9 @@ object OracleSql {
           |  FROM events WHERE user_id < 20),
           |f AS (
           |  SELECT user_id, t, event_id, event_type,
-          |    CASE WHEN lag(event_type) OVER w IS NULL
-          |           OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+          |    CASE WHEN row_number() OVER w = 1
+          |           OR lag(event_type) OVER w IS DISTINCT FROM event_type
+          |         THEN 1 ELSE 0 END AS chg
           |  FROM o WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
           |v AS (
           |  SELECT user_id, t, event_type,
@@ -1859,10 +1860,11 @@ object OracleSql {
            |g AS (
            |  SELECT user_id, v,
            |    unnest(generate_series(t + ($st - (t % $st)) % $st,
-           |                           (e - 1) - ((e - 1) % $st),
+           |                           (e - 1) - (((e - 1) % $st + $st) % $st),
            |                           $st)) AS grid_us
            |  FROM spans
-           |  WHERE t + ($st - (t % $st)) % $st <= (e - 1) - ((e - 1) % $st))
+           |  WHERE t + ($st - (t % $st)) % $st
+           |     <= (e - 1) - (((e - 1) % $st + $st) % $st))
            |SELECT user_id, grid_us, v AS value
            |FROM g ORDER BY user_id, grid_us""".stripMargin
       },

@@ -114,6 +114,30 @@ object IcebergMeta {
     parse(root, tableRoot)
   }
 
+  /** snapshot-id → parent-snapshot-id (None for parentless snapshots
+    * — pre-r9 commits and foreign writers that omit it).
+    */
+  private[tables] def parentMap(root: JsonNode): Map[Long, Option[Long]] =
+    elements(root.path("snapshots")).map { sn =>
+      sn.path("snapshot-id").asLong() ->
+        (if (sn.has("parent-snapshot-id")) Some(sn.path("parent-snapshot-id").asLong())
+         else None)
+    }.toMap
+
+  /** Whether `ancestor` lies on `from`'s parent chain (inclusive).
+    * A chain broken by a parentless snapshot conservatively answers
+    * false.
+    */
+  private[tables] def isAncestor(root: JsonNode, from: Long, ancestor: Long): Boolean = {
+    val parents = parentMap(root)
+    var at = Option(from)
+    while (at.isDefined) {
+      if (at.contains(ancestor)) return true
+      at = parents.get(at.get).flatten
+    }
+    false
+  }
+
   private[tables] def parse(root: JsonNode, tableRoot: String): TableMeta = {
     val formatVersion = root.path("format-version").asInt(1)
     val schemaNode =

@@ -40,11 +40,7 @@ object IcebergMetaTables {
   def snapshots(spark: SparkSession, tablePath: String): DataFrame = {
     import spark.implicits._
     val (_, r) = root(spark, tablePath)
-    val parents = IcebergMeta.elements(r.path("snapshots")).map { sn =>
-      sn.path("snapshot-id").asLong() ->
-        (if (sn.has("parent-snapshot-id")) Some(sn.path("parent-snapshot-id").asLong())
-         else None)
-    }.toMap
+    val parents = IcebergMeta.parentMap(r)
     val ancestors = {
       var at = Option(r.path("current-snapshot-id").asLong(-1L)).filter(_ >= 0)
       val b = Set.newBuilder[Long]

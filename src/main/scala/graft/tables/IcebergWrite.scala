@@ -90,7 +90,13 @@ object IcebergWrite {
     val df = spark.read.parquet(srcDir)
     partitionBy.foreach(c => require(df.columns.contains(c),
       s"partition column $c not found in $srcDir (have ${df.columns.mkString(", ")})"))
-    val files = listParquet(fs, src)
+    // skip hidden/_-prefixed segments (_temporary leftovers, _SUCCESS
+    // dirs): spark.read.parquet excludes them from the counts job, so
+    // importing them would stage phantom files with record_count 0
+    val files = listParquet(fs, src).filter { f =>
+      val rel = DeltaWrite.relativize(src, f)
+      rel.split('/').forall(seg => !seg.startsWith("_") && !seg.startsWith("."))
+    }
     require(files.nonEmpty, s"no parquet files under $srcDir")
     val counts: Map[String, Long] = df
       .groupBy(col("_metadata.file_path").as("_p")).agg(count(lit(1)).as("_n"))
@@ -652,18 +658,7 @@ object IcebergWrite {
       val cur = baseRoot.path("current-snapshot-id").asLong(-1L)
       if (cur >= 0 && cur != target) {
         // ancestor walk target → ... → cur via parent-snapshot-id
-        val parents = IcebergMeta.elements(baseRoot.path("snapshots")).map { sn =>
-          sn.path("snapshot-id").asLong() ->
-            (if (sn.has("parent-snapshot-id")) Some(sn.path("parent-snapshot-id").asLong())
-             else None)
-        }.toMap
-        var at = Option(target)
-        var found = false
-        while (at.isDefined && !found) {
-          if (at.contains(cur)) found = true
-          else at = parents.get(at.get).flatten
-        }
-        require(found,
+        require(IcebergMeta.isAncestor(baseRoot, target, cur),
           s"cannot fast-forward $tablePath to branch '$branch': main's head $cur is not " +
             s"an ancestor of the branch head $target (histories diverged — rebase the branch)")
       }

@@ -36,18 +36,19 @@ object LakehouseSql {
   private val Ice = """iceberg\.`([^`]+)`"""
   private val Hud = """hudi\.`([^`]+)`"""
 
+  private val selIce = s"""(?is)^SELECT\\s+(.+?)\\s+FROM\\s+$Ice(?:\\s+(?:SNAPSHOT|VERSION)\\s+AS\\s+OF\\s+(\\d+)|\\s+REF\\s+AS\\s+OF\\s+'([^']+)')?(?:\\s+WHERE\\s+(.+))?$$""".r
+  private val selHud = s"""(?is)^SELECT\\s+(.+?)\\s+FROM\\s+$Hud(?:\\s+AS\\s+OF\\s+'(\\d+)')?(?:\\s+WHERE\\s+(.+))?$$""".r
+  private val delIce = s"""(?is)^DELETE\\s+FROM\\s+$Ice\\s+WHERE\\s+(.+)$$""".r
+  private val delHud = s"""(?is)^DELETE\\s+FROM\\s+$Hud\\s+WHERE\\s+(.+)$$""".r
+  private val descIce = s"""(?is)^DESCRIBE\\s+(SNAPSHOTS|HISTORY|REFS|FILES)\\s+$Ice$$""".r
+  private val descHud = s"""(?is)^DESCRIBE\\s+(TIMELINE|SLICES)\\s+$Hud$$""".r
+  private val expire = s"""(?is)^EXPIRE\\s+SNAPSHOTS\\s+$Ice\\s+KEEP\\s+(\\d+)$$""".r
+  private val clean = s"""(?is)^CLEAN\\s+$Hud\\s+KEEP\\s+(\\d+)$$""".r
+
   def exec(spark: SparkSession, sql: String): DataFrame = {
     import spark.implicits._
     val s = sql.trim.stripSuffix(";").trim
 
-    val selIce = s"""(?is)^SELECT\\s+(.+?)\\s+FROM\\s+$Ice(?:\\s+(?:SNAPSHOT|VERSION)\\s+AS\\s+OF\\s+(\\d+)|\\s+REF\\s+AS\\s+OF\\s+'([^']+)')?(?:\\s+WHERE\\s+(.+))?$$""".r
-    val selHud = s"""(?is)^SELECT\\s+(.+?)\\s+FROM\\s+$Hud(?:\\s+AS\\s+OF\\s+'(\\d+)')?(?:\\s+WHERE\\s+(.+))?$$""".r
-    val delIce = s"""(?is)^DELETE\\s+FROM\\s+$Ice\\s+WHERE\\s+(.+)$$""".r
-    val delHud = s"""(?is)^DELETE\\s+FROM\\s+$Hud\\s+WHERE\\s+(.+)$$""".r
-    val descIce = s"""(?is)^DESCRIBE\\s+(SNAPSHOTS|HISTORY|REFS|FILES)\\s+$Ice$$""".r
-    val descHud = s"""(?is)^DESCRIBE\\s+(TIMELINE|SLICES)\\s+$Hud$$""".r
-    val expire = s"""(?is)^EXPIRE\\s+SNAPSHOTS\\s+$Ice\\s+KEEP\\s+(\\d+)$$""".r
-    val clean = s"""(?is)^CLEAN\\s+$Hud\\s+KEEP\\s+(\\d+)$$""".r
 
     def args(cols: String, where: String): ReadArgs = ReadArgs(
       filters = Option(where).map(w => DeltaSql.parseWhere(spark, w))
