@@ -15,10 +15,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object HudiMetaTables {
 
-  private case class InstantRow(
+  final case class InstantRow(
       instant: String, action: String, n_write_stats: Long,
       total_records: Long, partitions: Seq[String])
-  private case class SliceRow(
+  final case class SliceRow(
       partition: String, file_id: String, base_instant: String,
       base_file: String, n_log_files: Int)
 

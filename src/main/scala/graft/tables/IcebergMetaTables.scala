@@ -17,13 +17,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object IcebergMetaTables {
 
-  private case class SnapshotRow(
+  final case class SnapshotRow(
       snapshot_id: Long, parent_id: Option[Long], sequence_number: Long,
       committed_at_ms: Long, operation: Option[String], manifest_list: String,
-      is_current_ancestor: Boolean)
-  private case class HistoryRow(made_current_at_ms: Long, snapshot_id: Long)
-  private case class RefRow(name: String, ref_type: String, snapshot_id: Long)
-  private case class FileRow(
+      main_lineage: Boolean)
+  final case class HistoryRow(made_current_at_ms: Long, snapshot_id: Long)
+  final case class RefRow(name: String, ref_type: String, snapshot_id: Long)
+  final case class FileRow(
       content: Int, file_path: String, record_count: Long,
       sequence_number: Long, spec_id: Int, partition: Map[String, String])
 
