@@ -1868,6 +1868,26 @@ object OracleSql {
            |SELECT user_id, grid_us, v AS value
            |FROM g ORDER BY user_id, grid_us""".stripMargin
       },
+      // per-column profile of customer: counts/distincts exact,
+      // float bounds rendered through DECIMAL(18,4) on both engines
+      "q_profile" -> {
+        def colSql(c: String, isFloat: Boolean) = {
+          val mn = if (isFloat) s"CAST(CAST(round(min($c), 4) AS DECIMAL(18,4)) AS VARCHAR)"
+                   else s"CAST(min($c) AS VARCHAR)"
+          val mx = if (isFloat) s"CAST(CAST(round(max($c), 4) AS DECIMAL(18,4)) AS VARCHAR)"
+                   else s"CAST(max($c) AS VARCHAR)"
+          s"""SELECT '$c' AS "column", count(*) AS n_rows,
+             |  count(*) - count($c) AS n_null,
+             |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+             |  $mn AS min_s, $mx AS max_s
+             |FROM customer""".stripMargin
+        }
+        Seq(
+          colSql("c_custkey", false), colSql("c_name", false),
+          colSql("c_mktsegment", false), colSql("c_acctbal", true),
+          colSql("c_nationkey", false))
+          .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+      },
       // length-bucketed padded batches: power-of-two bins (exact
       // integer ceil-log2 via bin-string length), capacity =
       // budget div bin_cap, batches fill in (len, id) order

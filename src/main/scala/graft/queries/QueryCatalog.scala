@@ -137,6 +137,7 @@ object QueryCatalog {
     Entry("q_lakehouse_join", Wave6Queries.qLakehouseJoin),
     Entry("q_lakehouse_sql", Wave6Queries.qLakehouseSql),
     Entry("q_length_batches", Wave6Queries.qLengthBatches),
+    Entry("q_profile", Wave6Queries.qProfile),
     Entry("q_gap_fill", Wave6Queries.qGapFill),
     Entry("q_scd2", Wave6Queries.qScd2),
     Entry("q_soft_dedup", Wave6Queries.qSoftDedup),

@@ -743,6 +743,16 @@ object Wave6Queries {
       (s"$base/customer", s"$base/orders", s"$base/nation")
     })
 
+  /** Catalog table profiling (ANALYZE/SUMMARIZE): per-column
+    * row/null/distinct/min/max over customer in ONE aggregation job;
+    * decimal-rendered float bounds keep the string forms engine-exact.
+    */
+  def qProfile(s: SparkSession, dir: String): DataFrame =
+    graft.catalog.Profile.summarize(
+      t(s, dir, "customer"),
+      Seq("c_custkey", "c_name", "c_mktsegment", "c_acctbal", "c_nationkey"))
+      .orderBy("column")
+
   /** P67: length-bucketed padded-batch assignment (char lengths as
     * the proxy token count, 4096 budget): power-of-two bins, batches
     * fill in (len, id) order, padded cost per batch never exceeds the
