@@ -44,6 +44,9 @@ object LakehouseSql {
   private val descHud = s"""(?is)^DESCRIBE\\s+(TIMELINE|SLICES)\\s+$Hud$$""".r
   private val expire = s"""(?is)^EXPIRE\\s+SNAPSHOTS\\s+$Ice\\s+KEEP\\s+(\\d+)$$""".r
   private val clean = s"""(?is)^CLEAN\\s+$Hud\\s+KEEP\\s+(\\d+)$$""".r
+  private val sumIce = s"""(?is)^SUMMARIZE\\s+$Ice$$""".r
+  private val sumHud = s"""(?is)^SUMMARIZE\\s+$Hud$$""".r
+  private val sumDelta = """(?is)^SUMMARIZE\s+delta\.`([^`]+)`$""".r
 
   def exec(spark: SparkSession, sql: String): DataFrame = {
     import spark.implicits._
@@ -93,6 +96,12 @@ object LakehouseSql {
       case descHud(what, path) =>
         if (what.equalsIgnoreCase("TIMELINE")) HudiMetaTables.timeline(spark, path)
         else HudiMetaTables.fileSlices(spark, path)
+      case sumIce(path) =>
+        summarizeAll(new IcebergTable(name(path), path)(spark, ReadArgs.empty))
+      case sumHud(path) =>
+        summarizeAll(new HudiTable(name(path), path)(spark, ReadArgs.empty))
+      case sumDelta(path) =>
+        summarizeAll(new DeltaTable(name(path), path)(spark, ReadArgs.empty))
       case expire(path, keep) =>
         val expired = IcebergMaintenance.expireSnapshots(spark, path, keep.toInt)
         expired.toDF("expired_snapshot_id")
@@ -103,6 +112,24 @@ object LakehouseSql {
         throw new IllegalArgumentException(
           s"unsupported lakehouse SQL statement: $s (Delta DML belongs to DeltaSql.exec)")
     }
+  }
+
+  /** SUMMARIZE: profile every column with the HLL distinct (no
+    * expand — the table may be huge; exact profiles go through
+    * [[graft.catalog.Profile.summarize]] directly).
+    */
+  private def summarizeAll(df: DataFrame): DataFrame = {
+    // atomic columns only: maps aren't orderable, and min/max of an
+    // array/struct isn't a useful profile stat
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType, NullType}
+    val cols = df.schema.fields.collect {
+      case f if (f.dataType match {
+            case _: ArrayType | _: MapType | _: StructType | NullType => false
+            case _ => true
+          }) => f.name
+    }.toSeq
+    require(cols.nonEmpty, "SUMMARIZE: table has no atomic columns")
+    graft.catalog.Profile.summarize(df, cols, exact = false)
   }
 
   private def name(path: String): String =

@@ -63,6 +63,15 @@ class LakehouseSqlSpec extends SparkSpec {
     assert(LakehouseSql.exec(spark, s"DESCRIBE SLICES hudi.`$root`").count() >= 3)
   }
 
+  test("SUMMARIZE profiles every atomic column of a lakehouse table") {
+    val root = tempDir("lake-sql-s").toString + "/t"
+    IcebergWrite.append(spark, data, root, Seq("p"))
+    val prof = LakehouseSql.exec(spark, s"SUMMARIZE iceberg.`$root`")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(prof.keySet == Set("id", "v", "p"))
+    assert(prof.values.forall(_ == 5L))
+  }
+
   test("unsupported shapes refuse loudly") {
     intercept[IllegalArgumentException] {
       LakehouseSql.exec(spark, "SELECT sum(x) FROM iceberg.`/p`")
