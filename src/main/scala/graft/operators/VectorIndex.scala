@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.core.Filter
 import graft.tables.{DeltaTable, DeltaWrite, ReadArgs}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -43,7 +44,8 @@ object VectorIndex {
       dims: Int,
       m: Int,
       ksub: Int,
-      maxIter: Int = 3
+      maxIter: Int = 3,
+      payload: Seq[String] = Nil
   ): Pq.Model = {
     // a second create would APPEND a second model — duplicate (j, cid)
     // rows silently corrupt the positional LUT indexing downstream, so
@@ -59,7 +61,8 @@ object VectorIndex {
     }.toDF("j", "cid", "centroid")
     DeltaWrite.append(spark, rows, modelPath(root))
     DeltaWrite.append(spark,
-      Pq.encode(corpus, vecCol, model).select(col(idCol).as("id"), col("pq_codes")),
+      Pq.encode(corpus, vecCol, model)
+        .select(col(idCol).as("id") +: col("pq_codes") +: payload.map(col): _*),
       codesPath(root))
     model
   }
@@ -74,11 +77,21 @@ object VectorIndex {
       batch: DataFrame,
       idCol: String,
       vecCol: String,
-      root: String
+      root: String,
+      payload: Seq[String] = Nil
   ): Unit = {
     val model = loadModel(spark, root)
+    // the batch must carry the index's payload columns exactly: Delta
+    // would otherwise null-fill silently and filtered search would
+    // never return these rows under a payload predicate
+    val existing = new DeltaTable("vecindex_codes", codesPath(root))(spark, ReadArgs.empty)
+      .columns.filterNot(Set("id", "pq_codes")).toSet
+    require(existing == payload.toSet,
+      s"payload columns ${payload.mkString("[", ",", "]")} do not match the " +
+        s"index's ${existing.mkString("[", ",", "]")} at $root")
     DeltaWrite.append(spark,
-      Pq.encode(batch, vecCol, model).select(col(idCol).as("id"), col("pq_codes")),
+      Pq.encode(batch, vecCol, model)
+        .select(col(idCol).as("id") +: col("pq_codes") +: payload.map(col): _*),
       codesPath(root))
   }
 
@@ -97,15 +110,25 @@ object VectorIndex {
     Pq.Model(m * subDim, m, books)
   }
 
-  /** ADC top-k over the persisted codes with the persisted model. */
+  /** ADC top-k over the persisted codes with the persisted model.
+    * `where` is a payload predicate in the engine's Filter algebra,
+    * applied as a PRE-filter: the candidate set is restricted before
+    * distance ranking, so exactly k matching neighbors come back
+    * (post-filtering can starve below k). Because it rides ReadArgs
+    * into the Delta read, per-file payload stats skip whole code
+    * files — at 100 TB a selective predicate prunes the ADC scan to
+    * the matching files, not just the matching rows.
+    */
   def search(
       spark: SparkSession,
       root: String,
       queries: Seq[(Long, Seq[Double])],
-      k: Int
+      k: Int,
+      where: Seq[Filter] = Nil
   ): DataFrame = {
     val model = loadModel(spark, root)
-    val codes = new DeltaTable("vecindex_codes", codesPath(root))(spark, ReadArgs.empty)
+    val codes = new DeltaTable("vecindex_codes", codesPath(root))(
+      spark, ReadArgs.where(where: _*))
     Pq.adcTopK(codes, "id", "pq_codes", model, queries, k)
   }
 }

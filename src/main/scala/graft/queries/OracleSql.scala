@@ -460,6 +460,55 @@ object OracleSql {
          |FROM m GROUP BY source ORDER BY source""".stripMargin
     },
 
+    "q_gopher_rep" -> {
+      import graft.functions.Repetition._
+      val toks = wsTokensSql("text")
+      def grams(n: Int) =
+        s"""CASE WHEN len(toks) >= $n THEN list_transform(
+           |generate_series(1, len(toks)-${n - 1}),
+           |i -> array_to_string(toks[i:i+${n - 1}], ' ')) ELSE [] END"""
+          .stripMargin.replace("\n", " ")
+      // count of gram d inside list g
+      def cnt(g: String) = s"len(list_filter($g, x -> x = d))"
+      def dupChars(g: String) =
+        s"""coalesce(list_sum(list_transform(list_distinct($g), d ->
+           |CASE WHEN ${cnt(g)} > 1 THEN ${cnt(g)} * strlen(d) ELSE 0 END)), 0)"""
+          .stripMargin.replace("\n", " ")
+      def maxCnt(g: String) =
+        s"coalesce(list_max(list_transform(list_distinct($g), d -> ${cnt(g)})), 0)"
+      // longest gram achieving the max count (Repetition's tie-break)
+      def topChars(g: String, mx: String) =
+        s"""$mx * coalesce(list_max(list_transform(list_distinct($g), d ->
+           |CASE WHEN ${cnt(g)} = $mx THEN strlen(d) END)), 0)"""
+          .stripMargin.replace("\n", " ")
+      s"""WITH lt AS (SELECT source, $toks AS toks,
+         |    list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+         |                l -> l <> '') AS ls
+         |  FROM documents),
+         |g AS (SELECT source, ls, ${grams(2)} AS g2, ${grams(3)} AS g3,
+         |    strlen(array_to_string(toks, ' ')) AS chars
+         |  FROM lt),
+         |mx AS (SELECT *, ${maxCnt("g2")} AS maxc2, ${maxCnt("g3")} AS maxc3 FROM g),
+         |m AS (SELECT source,
+         |    round((len(ls) - len(list_distinct(ls))) / greatest(len(ls), 1), 4) AS dlf,
+         |    round(${dupChars("ls")} /
+         |      greatest(coalesce(list_sum(list_transform(ls, l -> strlen(l))), 0), 1), 4) AS dlcf,
+         |    round(${topChars("g2", "maxc2")} / greatest(chars, 1), 4) AS t2,
+         |    round(${topChars("g3", "maxc3")} / greatest(chars, 1), 4) AS t3,
+         |    round(${dupChars("g2")} / greatest(chars, 1), 4) AS d2
+         |  FROM mx)
+         |SELECT source, count(*) AS n_docs,
+         |  ${dsumL(s"CASE WHEN dlf > $DupLineFracMax OR dlcf > $DupLineCharFracMax " +
+          s"OR t2 > ${TopNgramCharFracMax(2)} OR t3 > ${TopNgramCharFracMax(3)} " +
+          "THEN 1 ELSE 0 END")} AS n_flagged,
+         |  ${decAvg("dlf")} AS avg_dup_line_frac,
+         |  ${decAvg("dlcf")} AS avg_dup_line_char_frac,
+         |  ${decAvg("t2")} AS avg_top2_char_frac,
+         |  ${decAvg("t3")} AS avg_top3_char_frac,
+         |  ${decAvg("d2")} AS avg_dup2_char_frac
+         |FROM m GROUP BY source ORDER BY source""".stripMargin
+    },
+
     "q_range_join" ->
       s"""WITH flagged AS (
          |  SELECT user_id, ts,
@@ -2237,6 +2286,8 @@ object OracleSql {
     // the persisted-index search replays the identical pipeline: fit
     // is deterministic and the model round-trips Delta bit-exactly
     "q_vec_index" -> pqAnnSql(spark, dir),
+    "q_filtered_ann" -> pqAnnSql(spark, dir,
+      labelEq = Some(Wave6Queries.FilteredAnnLabel)),
     "q_domain_mix" -> domainMixSql(spark, dir),
     "q_ivfpq" -> ivfPqSql(spark, dir))
 
@@ -2414,7 +2465,8 @@ object OracleSql {
     * shared round(4).
     */
   private def pqAnnSql(
-      spark: org.apache.spark.sql.SparkSession, dir: String): String = {
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      labelEq: Option[Int] = None): String = {
     import Wave6Queries.PqParams
     import graft.operators.Pq
     val emb = Tables.table(spark, dir, "embeddings")
@@ -2460,7 +2512,9 @@ object OracleSql {
        |  SELECT q.query_id, c.vec_id AS neighbor_id,
        |    round($adist, 4) AS adist
        |  FROM codev c CROSS JOIN luts q
-       |  WHERE c.vec_id != q.query_id),
+       |  WHERE c.vec_id != q.query_id${labelEq.map(l =>
+            s" AND c.vec_id IN (SELECT vec_id FROM embeddings WHERE label = $l)")
+            .getOrElse("")}),
        |ranked AS (
        |  SELECT query_id, neighbor_id, adist,
        |    row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rank

@@ -203,6 +203,43 @@ object PipelineQueries {
       .orderBy("source")
   }
 
+  /** P69: Gopher repetition filters (Rae et al. 2021 A1.1) — dup-line
+    * fraction + char fraction, top-2/3-gram char coverage, dup-2-gram
+    * char coverage (the corpus' repeats are 2/3-grams; the API serves
+    * the full 2..10 ladder). Flags splice the shared thresholds.
+    * Map-only scan: every metric is a per-row sort+fold expression.
+    */
+  def qGopherRep(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Repetition
+    val d8 = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(8, 4))
+    def avg4(c: String, as: String) =
+      round(sum(d8(col(c))).cast(DoubleType) / count(lit(1)), 4).as(as)
+    t(s, dir, "documents")
+      .withColumn("toks", Text.wsTokens(col("text")))
+      .select(
+        col("source"),
+        Repetition.dupLineFrac(col("text")).as("dlf"),
+        Repetition.dupLineCharFrac(col("text")).as("dlcf"),
+        Repetition.topNgramCharFrac(col("toks"), 2).as("t2"),
+        Repetition.topNgramCharFrac(col("toks"), 3).as("t3"),
+        Repetition.dupNgramCharFrac(col("toks"), 2).as("d2"))
+      .withColumn("flagged",
+        (col("dlf") > Repetition.DupLineFracMax ||
+          col("dlcf") > Repetition.DupLineCharFracMax ||
+          col("t2") > Repetition.TopNgramCharFracMax(2) ||
+          col("t3") > Repetition.TopNgramCharFracMax(3)).cast("long"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("flagged")).as("n_flagged"),
+        avg4("dlf", "avg_dup_line_frac"),
+        avg4("dlcf", "avg_dup_line_char_frac"),
+        avg4("t2", "avg_top2_char_frac"),
+        avg4("t3", "avg_top3_char_frac"),
+        avg4("d2", "avg_dup2_char_frac"))
+      .orderBy("source")
+  }
+
   /** Range join: events bucket-joined back into their session
     * intervals — every event lands in exactly its own session, so the
     * per-session match counts reproduce the sessionization rollup.

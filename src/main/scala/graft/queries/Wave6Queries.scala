@@ -64,6 +64,36 @@ object Wave6Queries {
       .orderBy("query_id", "rank")
   }
 
+  /** The filtered-ANN payload predicate, shared with the oracle. */
+  val FilteredAnnLabel = 7
+
+  private val filteredIdxBuilt =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** E59: METADATA-FILTERED vector search — the [[qVecIndex]] index
+    * built with a `label` payload column beside the codes, searched
+    * under `label = 7` through the engine's Filter algebra. The
+    * predicate PRE-filters the candidate set inside the Delta read
+    * (per-file payload stats skip whole code files), so exactly k
+    * matching neighbors rank — never a post-filter starving below k.
+    */
+  def qFilteredAnn(s: SparkSession, dir: String): DataFrame = {
+    import graft.core.Filter
+    import graft.operators.{Pq, VectorIndex}
+    import PqParams._
+    val emb = t(s, dir, "embeddings")
+    val root = filteredIdxBuilt.getOrElseUpdate(dir, {
+      val r = java.nio.file.Files.createTempDirectory("graft_fannidx").toString + "/idx"
+      VectorIndex.create(s, emb, "vec_id", "embedding", r, Dims, M, Ksub, MaxIter,
+        payload = Seq("label"))
+      r
+    })
+    val queries = Pq.collectQueries(emb, "vec_id", "embedding", QueryBound)
+    VectorIndex.search(s, root, queries, TopK,
+      where = Seq(Filter("label", "=", FilteredAnnLabel)))
+      .orderBy("query_id", "rank")
+  }
+
   // ---------- P53: multi-pattern blocklist (Aho-Corasick) ----------
 
   /** The blocklist phrases. Every pattern is BORDERLESS (no proper

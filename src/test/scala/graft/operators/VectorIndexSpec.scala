@@ -58,4 +58,53 @@ class VectorIndexSpec extends SparkSpec {
     assert((100L until 110L).forall(got.contains),
       s"batch rows missing from search results: ${(100L until 110L).filterNot(got.contains)}")
   }
+
+  test("filtered search pre-filters by payload and prunes code files") {
+    import graft.core.Filter
+    val root = tempDir("vecidx-f").toString + "/idx"
+    val tagged = (0 until 40).map(i =>
+      (i.toLong, Seq.tabulate(8)(d => (i % 5) * 1.0f + d * 0.25f), "evens"))
+      .toDF("vec_id", "embedding", "src")
+    val model = VectorIndex.create(spark, tagged, "vec_id", "embedding",
+      root, dims = 8, m = 4, ksub = 4, payload = Seq("src"))
+    VectorIndex.addBatch(spark,
+      (100 until 120).map(i =>
+        (i.toLong, Seq.tabulate(8)(d => (i % 5) * 1.0f + d * 0.25f), "odds"))
+        .toDF("vec_id", "embedding", "src"),
+      "vec_id", "embedding", root, payload = Seq("src"))
+
+    val queries = Pq.collectQueries(tagged, "vec_id", "embedding", 2)
+    val hits = VectorIndex.search(spark, root, queries, 5,
+      where = Seq(Filter("src", "=", "odds")))
+    // only odds rows rank, and the ranking equals the manual restriction
+    val direct = Pq.adcTopK(
+      new graft.tables.DeltaTable("c", s"$root/codes")(spark, graft.tables.ReadArgs.empty)
+        .where(col("src") === "odds"),
+      "id", "pq_codes", model, queries, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val got = hits.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(got == direct)
+    assert(got.map(_._2).forall(_ >= 100L))
+    // the predicate reaches the Delta read: per-file payload stats
+    // skip the evens file entirely (two appends = two disjoint files)
+    val scanned = VectorIndex.search(spark, root, queries, 5,
+      where = Seq(Filter("src", "=", "odds"))).inputFiles
+    val all = new graft.tables.DeltaTable("c", s"$root/codes")(
+      spark, graft.tables.ReadArgs.empty).inputFiles
+    assert(all.length >= 2 && scanned.length < all.length,
+      s"expected file pruning: scanned ${scanned.length} of ${all.length}")
+  }
+
+  test("addBatch refuses a payload column-set mismatch") {
+    val root = tempDir("vecidx-p").toString + "/idx"
+    val tagged = (0 until 20).map(i =>
+      (i.toLong, Seq.tabulate(8)(d => (i % 5) * 1.0f + d * 0.25f), "a"))
+      .toDF("vec_id", "embedding", "src")
+    VectorIndex.create(spark, tagged, "vec_id", "embedding",
+      root, dims = 8, m = 2, ksub = 3, payload = Seq("src"))
+    intercept[IllegalArgumentException] {
+      VectorIndex.addBatch(spark, vecs(30 until 40), "vec_id", "embedding", root)
+    }
+  }
 }
