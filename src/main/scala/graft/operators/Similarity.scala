@@ -410,4 +410,36 @@ object Similarity {
       .where(col("rank") <= k)
       .select("query_id", "neighbor_id", "sim", "rank")
   }
+
+  /** Recall@k of an approximate neighbor table against the exact one
+    * — the acceptance metric every ANN deployment tracks before
+    * swapping brute force out. Both inputs use this file's result
+    * shape (`query_id`, `neighbor_id`, `rank`); rows ranked past k
+    * are ignored, so a k=5 exact table evaluates a k=3 approx table
+    * at recall@3. Returns one row per query (`n_exact`, `n_hit`,
+    * `recall`) — macro-average downstream if a scalar is wanted.
+    *
+    * Scale shape: only (query_id, neighbor_id) id-pairs shuffle —
+    * O(queries x k) rows regardless of corpus size; the vectors never
+    * move. Queries whose approx set missed entirely still appear
+    * (recall 0), via the left join from the exact side.
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"recallAtK needs k >= 1, got $k")
+    val a = approx.where(col("rank") <= k).select("query_id", "neighbor_id")
+    val e = exact.where(col("rank") <= k).select("query_id", "neighbor_id")
+    val hits = a.join(e, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+    e.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("query_id"), "left")
+      .select(
+        col("query_id"),
+        col("n_exact"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(
+          coalesce(col("n_hit"), lit(0L)).cast("double") /
+            col("n_exact").cast("double"),
+          4).as("recall"))
+      .orderBy("query_id")
+  }
 }

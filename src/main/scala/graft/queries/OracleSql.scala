@@ -446,6 +446,17 @@ object OracleSql {
     },
     "q_knn_brute" -> knnBruteSql,
     "q_ann_ivf" -> annIvfSql,
+    "q_ann_recall" ->
+      s"""WITH approx AS ($annIvfSql),
+         |exact AS ($knnBruteSql),
+         |a AS (SELECT query_id, neighbor_id FROM approx WHERE rank <= 3),
+         |e AS (SELECT query_id, neighbor_id FROM exact WHERE rank <= 3),
+         |h AS (SELECT a.query_id, count(*) AS n_hit
+         |      FROM a JOIN e USING (query_id, neighbor_id) GROUP BY 1),
+         |d AS (SELECT query_id, count(*) AS n_exact FROM e GROUP BY 1)
+         |SELECT d.query_id, d.n_exact, coalesce(h.n_hit, 0) AS n_hit,
+         |  round(coalesce(h.n_hit, 0) / d.n_exact, 4) AS recall
+         |FROM d LEFT JOIN h USING (query_id) ORDER BY d.query_id""".stripMargin,
     "q_simhash" -> simhashSql,
     "q_repetition" -> {
       val toks = wsTokensSql("text")

@@ -184,6 +184,13 @@ object PipelineQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** P70: recall@3 of the IVF search against the brute-force exact
+    * top-k — [[qAnnIvf]] and [[qKnnBrute]] composed through
+    * [[Similarity.recallAtK]]; only id-pairs shuffle.
+    */
+  def qAnnRecall(s: SparkSession, dir: String): DataFrame =
+    Similarity.recallAtK(qAnnIvf(s, dir), qKnnBrute(s, dir), k = 3)
+
   /** Repetition/diversity metrics: lexical diversity and modal-token
     * share per source (boilerplate and degenerate-repetition flags).
     */

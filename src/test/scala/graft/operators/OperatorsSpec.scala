@@ -397,6 +397,26 @@ class SimilaritySpec extends SparkSpec {
       .select("neighbor_id").as[Long].collect().toSet
     assert(res == Set(1L, 2L, 3L)) // same-blob neighbors only
   }
+
+  test("recallAtK: per-query hit counts, zero-hit queries kept, rank>k ignored") {
+    def nbrs(rows: (Long, Long, Long)*) =
+      rows.toDF("query_id", "neighbor_id", "rank")
+    // q1: approx {10,11,12} vs exact {10,12,13} -> 2/3
+    // q2: approx misses entirely -> 0/3
+    // q3: only the rank-4 approx row would hit -> ignored at k=3 -> 1/3
+    val approx = nbrs(
+      (1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L),
+      (2L, 40L, 1L), (2L, 41L, 2L), (2L, 42L, 3L),
+      (3L, 30L, 1L), (3L, 90L, 2L), (3L, 91L, 3L), (3L, 31L, 4L))
+    val exact = nbrs(
+      (1L, 10L, 1L), (1L, 12L, 2L), (1L, 13L, 3L),
+      (2L, 50L, 1L), (2L, 51L, 2L), (2L, 52L, 3L),
+      (3L, 30L, 1L), (3L, 31L, 2L), (3L, 32L, 3L), (3L, 33L, 4L))
+    val got = Similarity.recallAtK(approx, exact, k = 3)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 3L, 2L, 0.6667), (2L, 3L, 0L, 0.0), (3L, 3L, 1L, 0.3333)))
+  }
 }
 
 class SessionizeSpec extends SparkSpec {
@@ -414,4 +434,5 @@ class SessionizeSpec extends SparkSpec {
       .as[(Long, Long, Long, Double)].collect().toSet
     assert(got == Set((1L, 1L, 2L, 3.0), (1L, 2L, 1L, 3.0), (2L, 1L, 1L, 5.0)))
   }
+
 }
