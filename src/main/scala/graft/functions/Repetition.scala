@@ -82,6 +82,17 @@ object Repetition {
       acc => struct(acc.getField("dup").as("dup"),
         acc.getField("cnt").as("cnt"), acc.getField("len").as("len")))
 
+  /** Remove repeated lines, keeping each distinct line's FIRST
+    * occurrence in document order (the RefinedWeb/CCNet line-dedup
+    * transform that strips nav bars and boilerplate rather than
+    * dropping the whole document). Lines are trimmed and empties
+    * dropped (same normalization as the metrics above — declared);
+    * Spark's `array_distinct` preserves first-occurrence order, so
+    * this is one per-row expression, map-only at any scale.
+    */
+  def dropRepeatedLines(text: Column): Column =
+    array_join(array_distinct(lines(text)), "\n")
+
   /** Fraction of lines that duplicate an earlier line. */
   def dupLineFrac(text: Column): Column = {
     val ls = lines(text)

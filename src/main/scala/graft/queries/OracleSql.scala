@@ -446,6 +446,23 @@ object OracleSql {
     },
     "q_knn_brute" -> knnBruteSql,
     "q_ann_ivf" -> annIvfSql,
+    "q_line_dedup" ->
+      s"""WITH d AS (
+         |  SELECT user_id, event_type,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos,
+         |    row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+         |  FROM events),
+         |tot AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_lines
+         |        FROM events GROUP BY user_id),
+         |kept AS (SELECT user_id,
+         |    string_agg(event_type, chr(10) ORDER BY pos) AS ded,
+         |    CAST(count(*) AS BIGINT) AS n_kept
+         |  FROM d WHERE rn = 1 GROUP BY user_id)
+         |SELECT t.user_id, t.n_lines, k.n_kept,
+         |  ${PortableHash.Sql.md5Long("k.ded")} AS digest
+         |FROM tot t JOIN kept k USING (user_id)
+         |ORDER BY t.user_id""".stripMargin,
+
     "q_ann_recall" ->
       s"""WITH approx AS ($annIvfSql),
          |exact AS ($knnBruteSql),

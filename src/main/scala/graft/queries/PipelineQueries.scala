@@ -184,6 +184,34 @@ object PipelineQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** P71: repeated-line REMOVAL (keep-first) — multi-line documents
+    * synthesized from each user's event-type stream (the corpus docs
+    * are single-line, q_redact precedent), deduped with
+    * [[graft.functions.Repetition.dropRepeatedLines]]; per-user line
+    * counts before/after + an md5 digest of the rebuilt text pin the
+    * kept lines AND their order.
+    */
+  def qLineDedup(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{PortableHash, Repetition}
+    t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(
+        tsUs(col("ts")).as("us"), col("event_id"), col("event_type")))).as("ev"))
+      .select(
+        col("user_id"),
+        array_join(transform(col("ev"), e => e.getField("event_type")), "\n").as("txt"))
+      .select(
+        col("user_id"),
+        size(split(col("txt"), "\n")).cast("long").as("n_lines"),
+        Repetition.dropRepeatedLines(col("txt")).as("ded"))
+      .select(
+        col("user_id"),
+        col("n_lines"),
+        size(split(col("ded"), "\n")).cast("long").as("n_kept"),
+        PortableHash.md5Long(col("ded")).as("digest"))
+      .orderBy("user_id")
+  }
+
   /** P70: recall@3 of the IVF search against the brute-force exact
     * top-k — [[qAnnIvf]] and [[qKnnBrute]] composed through
     * [[Similarity.recallAtK]]; only id-pairs shuffle.

@@ -44,6 +44,17 @@ class RepetitionSpec extends SparkSpec {
     assert(evalToks("a b c d", Repetition.dupNgramCharFrac(_, 2)) == 0.0)
   }
 
+  test("dropRepeatedLines keeps first occurrences in document order") {
+    def ded(text: String): String =
+      Seq(text).toDF("text")
+        .select(Repetition.dropRepeatedLines(col("text")).as("d"))
+        .collect()(0).getString(0)
+    assert(ded("b\na\nb\nc\na") == "b\na\nc")
+    // trim + empty-drop normalization applies before dedup
+    assert(ded(" x \n\nx\ny") == "x\ny")
+    assert(ded("") == "")
+  }
+
   test("combined metrics on a mixed document") {
     val text = "a b a b c\nx\nx\na b a b c"
     // 4 lines, 2 distinct -> (4-2)/4 = 0.5; all 20 chars duplicated
