@@ -46,13 +46,16 @@ object Profile {
         case _ => agg.cast(StringType)
       }
 
+    // resolve by exact name (df(c) backtick-interprets; a column
+    // literally named "a.b" must not resolve as a nested field)
+    def qc(c: String) = col(s"`${c.replace("`", "``")}`")
     val aggs = Seq(count(lit(1)).as("__n")) ++ cols.flatMap { c =>
       Seq(
-        count(col(c)).as(s"__cnt_$c"),
-        (if (exact) countDistinct(col(c))
-         else approx_count_distinct(col(c))).as(s"__dst_$c"),
-        rendered(c, min(col(c))).as(s"__min_$c"),
-        rendered(c, max(col(c))).as(s"__max_$c"))
+        count(qc(c)).as(s"__cnt_$c"),
+        (if (exact) countDistinct(qc(c))
+         else approx_count_distinct(qc(c))).as(s"__dst_$c"),
+        rendered(c, min(qc(c))).as(s"__min_$c"),
+        rendered(c, max(qc(c))).as(s"__max_$c"))
     }
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
     val n = row.getAs[Long]("__n")

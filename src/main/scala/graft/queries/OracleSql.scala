@@ -448,14 +448,15 @@ object OracleSql {
     "q_ann_ivf" -> annIvfSql,
     "q_line_dedup" ->
       s"""WITH d AS (
-         |  SELECT user_id, event_type,
+         |  SELECT user_id, trim(event_type) AS et,
          |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos,
-         |    row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
-         |  FROM events),
+         |    row_number() OVER (PARTITION BY user_id, trim(event_type)
+         |                       ORDER BY ts, event_id) AS rn
+         |  FROM events WHERE trim(event_type) <> ''),
          |tot AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_lines
          |        FROM events GROUP BY user_id),
          |kept AS (SELECT user_id,
-         |    string_agg(event_type, chr(10) ORDER BY pos) AS ded,
+         |    string_agg(et, chr(10) ORDER BY pos) AS ded,
          |    CAST(count(*) AS BIGINT) AS n_kept
          |  FROM d WHERE rn = 1 GROUP BY user_id)
          |SELECT t.user_id, t.n_lines, k.n_kept,
@@ -500,27 +501,27 @@ object OracleSql {
       def cnt(g: String) = s"len(list_filter($g, x -> x = d))"
       def dupChars(g: String) =
         s"""coalesce(list_sum(list_transform(list_distinct($g), d ->
-           |CASE WHEN ${cnt(g)} > 1 THEN ${cnt(g)} * strlen(d) ELSE 0 END)), 0)"""
+           |CASE WHEN ${cnt(g)} > 1 THEN ${cnt(g)} * length(d) ELSE 0 END)), 0)"""
           .stripMargin.replace("\n", " ")
       def maxCnt(g: String) =
         s"coalesce(list_max(list_transform(list_distinct($g), d -> ${cnt(g)})), 0)"
       // longest gram achieving the max count (Repetition's tie-break)
       def topChars(g: String, mx: String) =
         s"""$mx * coalesce(list_max(list_transform(list_distinct($g), d ->
-           |CASE WHEN ${cnt(g)} = $mx THEN strlen(d) END)), 0)"""
+           |CASE WHEN ${cnt(g)} = $mx THEN length(d) END)), 0)"""
           .stripMargin.replace("\n", " ")
       s"""WITH lt AS (SELECT source, $toks AS toks,
          |    list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
          |                l -> l <> '') AS ls
          |  FROM documents),
          |g AS (SELECT source, ls, ${grams(2)} AS g2, ${grams(3)} AS g3,
-         |    strlen(array_to_string(toks, ' ')) AS chars
+         |    length(array_to_string(toks, ' ')) AS chars
          |  FROM lt),
          |mx AS (SELECT *, ${maxCnt("g2")} AS maxc2, ${maxCnt("g3")} AS maxc3 FROM g),
          |m AS (SELECT source,
          |    round((len(ls) - len(list_distinct(ls))) / greatest(len(ls), 1), 4) AS dlf,
          |    round(${dupChars("ls")} /
-         |      greatest(coalesce(list_sum(list_transform(ls, l -> strlen(l))), 0), 1), 4) AS dlcf,
+         |      greatest(coalesce(list_sum(list_transform(ls, l -> length(l))), 0), 1), 4) AS dlcf,
          |    round(${topChars("g2", "maxc2")} / greatest(chars, 1), 4) AS t2,
          |    round(${topChars("g3", "maxc3")} / greatest(chars, 1), 4) AS t3,
          |    round(${dupChars("g2")} / greatest(chars, 1), 4) AS d2

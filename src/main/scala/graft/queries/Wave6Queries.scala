@@ -50,27 +50,33 @@ object Wave6Queries {
     * bit-exact parquet doubles mean the oracle is the identical
     * spliced-model replay (incremental addBatch is spec-covered).
     */
+  // one persisted index serves q_vec_index AND q_filtered_ann: the
+  // label payload column never reaches adcTopK, so unfiltered search
+  // results are identical to an unlabeled index
+  private def sharedIndex(s: SparkSession, dir: String): String = {
+    import graft.operators.VectorIndex
+    import PqParams._
+    vecIndexBuilt.getOrElseUpdate(dir, {
+      val r = java.nio.file.Files.createTempDirectory("graft_vecidx").toString + "/idx"
+      VectorIndex.create(s, t(s, dir, "embeddings"), "vec_id", "embedding",
+        r, Dims, M, Ksub, MaxIter, payload = Seq("label"))
+      r
+    })
+  }
+
   def qVecIndex(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.{Pq, VectorIndex}
     import PqParams._
     val emb = t(s, dir, "embeddings")
-    val root = vecIndexBuilt.getOrElseUpdate(dir, {
-      val r = java.nio.file.Files.createTempDirectory("graft_vecidx").toString + "/idx"
-      VectorIndex.create(s, emb, "vec_id", "embedding", r, Dims, M, Ksub, MaxIter)
-      r
-    })
     val queries = Pq.collectQueries(emb, "vec_id", "embedding", QueryBound)
-    VectorIndex.search(s, root, queries, TopK)
+    VectorIndex.search(s, sharedIndex(s, dir), queries, TopK)
       .orderBy("query_id", "rank")
   }
 
   /** The filtered-ANN payload predicate, shared with the oracle. */
   val FilteredAnnLabel = 7
 
-  private val filteredIdxBuilt =
-    scala.collection.concurrent.TrieMap.empty[String, String]
-
-  /** E59: METADATA-FILTERED vector search — the [[qVecIndex]] index
+  /** E60: METADATA-FILTERED vector search — the [[qVecIndex]] index
     * built with a `label` payload column beside the codes, searched
     * under `label = 7` through the engine's Filter algebra. The
     * predicate PRE-filters the candidate set inside the Delta read
@@ -82,14 +88,8 @@ object Wave6Queries {
     import graft.operators.{Pq, VectorIndex}
     import PqParams._
     val emb = t(s, dir, "embeddings")
-    val root = filteredIdxBuilt.getOrElseUpdate(dir, {
-      val r = java.nio.file.Files.createTempDirectory("graft_fannidx").toString + "/idx"
-      VectorIndex.create(s, emb, "vec_id", "embedding", r, Dims, M, Ksub, MaxIter,
-        payload = Seq("label"))
-      r
-    })
     val queries = Pq.collectQueries(emb, "vec_id", "embedding", QueryBound)
-    VectorIndex.search(s, root, queries, TopK,
+    VectorIndex.search(s, sharedIndex(s, dir), queries, TopK,
       where = Seq(Filter("label", "=", FilteredAnnLabel)))
       .orderBy("query_id", "rank")
   }

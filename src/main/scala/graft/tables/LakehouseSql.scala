@@ -121,10 +121,12 @@ object LakehouseSql {
   private def summarizeAll(df: DataFrame): DataFrame = {
     // atomic columns only: maps aren't orderable, and min/max of an
     // array/struct isn't a useful profile stat
-    import org.apache.spark.sql.types.{ArrayType, MapType, StructType, NullType}
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType, NullType, VariantType}
     val cols = df.schema.fields.collect {
       case f if (f.dataType match {
-            case _: ArrayType | _: MapType | _: StructType | NullType => false
+            // variant is atomic but not orderable: min/max would throw
+            case _: ArrayType | _: MapType | _: StructType | NullType |
+                _: VariantType => false
             case _ => true
           }) => f.name
     }.toSeq
