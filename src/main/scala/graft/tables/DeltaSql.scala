@@ -59,7 +59,8 @@ object DeltaSql {
     val update = s"""(?is)^UPDATE\\s+$TableRef\\s+SET\\s+(.+?)\\s+WHERE\\s+(.+)$$""".r
     val merge = (s"""(?is)^MERGE\\s+INTO\\s+$TableRef\\s+USING\\s+(\\w+)\\s+ON\\s+([\\w\\s,]+?)""" +
       s"""(?:\\s+WHEN\\s+MATCHED\\s+AND\\s+(.+?)\\s+THEN\\s+DELETE)?$$""").r
-    val optimize = s"""(?is)^OPTIMIZE\\s+$TableRef(?:\\s+ZORDER\\s+BY\\s+\\(([^)]+)\\))?$$""".r
+    val optimize = (s"""(?is)^OPTIMIZE\\s+$TableRef(?:\\s+WHERE\\s+(.+?))?""" +
+      s"""(?:\\s+ZORDER\\s+BY\\s+\\(([^)]+)\\))?$$""").r
     val vacuum = s"""(?is)^VACUUM\\s+$TableRef(?:\\s+RETAIN\\s+(\\d+)\\s+HOURS)?$$""".r
     val addCk = (s"""(?is)^ALTER\\s+TABLE\\s+$TableRef\\s+ADD\\s+CONSTRAINT\\s+(\\w+)""" +
       s"""\\s+CHECK\\s*\\((.+)\\)$$""").r
@@ -91,18 +92,24 @@ object DeltaSql {
           keys.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
           deleteWhenMatched = Option(delPred))
         result(r.version, r.filesRemoved)
-      case optimize(path, zcols) =>
+      case optimize(path, wherePred, zcols) =>
+        val scoped = Option(wherePred).map(parseWhere(spark, _)).getOrElse(Seq.empty)
         val r = Option(zcols) match {
-          case Some(cs) => DeltaWrite.optimizeZorder(spark, path,
-            cs.split(",").map(_.trim).toSeq)
+          case Some(cs) =>
+            require(scoped.isEmpty,
+              "OPTIMIZE WHERE cannot be combined with ZORDER BY (z-order rewrites globally)")
+            DeltaWrite.optimizeZorder(spark, path,
+              cs.split(",").map(_.trim).toSeq)
           case None =>
             // delta-spark parity: plain OPTIMIZE on a clustered table
             // CLUSTERS (incrementally); on an unclustered one it
             // bin-packs
             val snap = DeltaLog.snapshot(spark, path, withFiles = false)
-            if (DeltaDdl.clusteringColumns(snap).nonEmpty)
+            if (DeltaDdl.clusteringColumns(snap).nonEmpty) {
+              require(scoped.isEmpty,
+                "OPTIMIZE WHERE is not supported on clustered tables")
               DeltaWrite.optimizeClustered(spark, path)
-            else DeltaWrite.optimize(spark, path)
+            } else DeltaWrite.optimize(spark, path, where = scoped)
         }
         result(r.version, r.filesRemoved)
       case vacuum(path, hours) =>

@@ -1300,14 +1300,26 @@ object DeltaWrite {
   def optimize(
       spark: SparkSession,
       tablePath: String,
-      smallFileBytes: Long = 64L << 20
+      smallFileBytes: Long = 64L << 20,
+      where: graft.core.Filters.Normalized = Seq.empty
   ): CommitResult = {
     val snap = DeltaLog.snapshot(spark, tablePath)
     require(!snap.metadata.isColumnMapped,
       s"writes to column-mapped Delta tables are not supported ($tablePath)")
     val partCols = snap.metadata.partitionColumns
 
-    val candidates = snap.files.groupBy(_.partitionValues).values.flatMap { fs =>
+    // OPTIMIZE WHERE scopes the rewrite to matching PARTITIONS (the
+    // upstream contract): a data-column predicate can't scope a
+    // whole-file rewrite, so it refuses rather than over-rewriting.
+    // On partition columns alone, mayMatch is exact, not may-match.
+    val nonPart = where.flatten.map(_.column).distinct.filterNot(partCols.contains)
+    require(nonPart.isEmpty,
+      s"OPTIMIZE WHERE must reference partition columns only; got ${nonPart.mkString(", ")}")
+    val inScope =
+      if (where.isEmpty) snap.files
+      else snap.files.filter(f => DeltaFileSkipping.mayMatch(f, where, snap.metadata))
+
+    val candidates = inScope.groupBy(_.partitionValues).values.flatMap { fs =>
       val rewritable = fs.filter(f =>
         f.size < smallFileBytes || f.dv.exists(_.cardinality > 0))
       // rewriting a lone small file with no DV buys nothing

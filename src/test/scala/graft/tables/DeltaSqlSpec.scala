@@ -44,6 +44,30 @@ class DeltaSqlSpec extends SparkSpec {
     assert(got == Map(1L -> "new", 2L -> "stay", 4L -> "ins"))
   }
 
+  test("OPTIMIZE WHERE compacts only the matching partitions") {
+    val dir = tempDir("sql-optw").toString + "/t"
+    // two appends per partition -> 2 small files in each of a and b
+    (1 to 2).foreach { i =>
+      DeltaWrite.append(spark,
+        Seq((i.toLong, "a"), (i + 10L, "b")).toDF("id", "p"), dir,
+        partitionBy = Seq("p"))
+    }
+    def filesPer(p: String) = DeltaLog.snapshot(spark, dir).files
+      .count(_.partitionValues.get("p").flatten.contains(p))
+    assert(filesPer("a") == 2 && filesPer("b") == 2)
+
+    val r = DeltaSql.exec(spark, s"OPTIMIZE ${ref(dir)} WHERE p = 'a'")
+    assert(r.select("files_removed").as[Long].head() == 2L)
+    assert(filesPer("a") == 1 && filesPer("b") == 2, "only partition a rewrites")
+    val got = t(dir)(spark, ReadArgs()).select("id").as[Long].collect().toSet
+    assert(got == Set(1L, 2L, 11L, 12L))
+
+    // data-column predicates can't scope a whole-file rewrite
+    intercept[IllegalArgumentException] {
+      DeltaSql.exec(spark, s"OPTIMIZE ${ref(dir)} WHERE id = 1")
+    }
+  }
+
   test("OPTIMIZE, ZORDER, VACUUM, TBLPROPERTIES, CONSTRAINT, CLUSTER BY, RESTORE all route") {
     val dir = tempDir("sql-util").toString + "/t"
     (1 to 4).foreach(i =>
