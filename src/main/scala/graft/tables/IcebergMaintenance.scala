@@ -289,7 +289,12 @@ object IcebergMaintenance {
     * [[DeltaConvert.fromIceberg]] (which refuses delete-carrying
     * snapshots) accepts the table. Returns the committed snapshot id.
     */
-  def rewriteDataFiles(spark: SparkSession, tablePath: String): Long = {
+  def rewriteDataFiles(
+      spark: SparkSession,
+      tablePath: String,
+      where: graft.core.Filters.Normalized = Seq.empty
+  ): Long = {
+    if (where.nonEmpty) return scopedRewrite(spark, tablePath, where)
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val meta = IcebergMeta.load(fs, tablePath)
     val spec = meta.specs.getOrElse(meta.defaultSpecId, Seq.empty)
@@ -299,6 +304,286 @@ object IcebergMaintenance {
     val current = new IcebergTable("compact", tablePath)(spark, ReadArgs.empty)
       .select(meta.schema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*)
     IcebergWrite.overwrite(spark, current, tablePath, partCols)
+  }
+
+  /** SCOPED compaction (`rewrite_data_files` with a filter): rewrite
+    * only the data files of PARTITIONS matching `where`, carrying
+    * every other file untouched — at 100 TB you compact yesterday's
+    * partition, not the table (the Delta OPTIMIZE WHERE counterpart).
+    * The filter must reference identity partition columns only, so
+    * file selection is exact, never may-match. Untouched manifests
+    * carry verbatim into the new snapshot's list; manifests that lose
+    * files are rewritten with their kept entries as EXISTING (per-
+    * entry sequence numbers preserved); the compacted rows land as
+    * ADDED entries of one fresh manifest. Declared limits, refused
+    * loudly: a delete-carrying snapshot (run the unscoped rewrite
+    * first — it pays the merge-on-read debt) and multi-spec file
+    * generations.
+    */
+  private def scopedRewrite(
+      spark: SparkSession,
+      tablePath: String,
+      where: graft.core.Filters.Normalized
+  ): Long = {
+    import org.apache.spark.sql.functions._
+    val table = new Path(tablePath)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val metaDir = new Path(table, "metadata")
+    val baseV0 = IcebergWrite.latestVersionByScan(fs, metaDir)
+      .getOrElse(throw new IllegalArgumentException(s"no Iceberg metadata under $metaDir"))
+    val meta0 = IcebergMeta.parse(IcebergWrite.readRoot(fs, metaDir, baseV0), tablePath)
+    val snap0 = meta0.currentSnapshotId
+      .flatMap(id => meta0.snapshots.find(_.id == id))
+      .getOrElse(throw new IllegalArgumentException(s"$tablePath has no current snapshot"))
+    val spec = meta0.specs.getOrElse(meta0.defaultSpecId, Seq.empty)
+    require(spec.nonEmpty && spec.forall(_.transform == "identity"),
+      "scoped rewrite_data_files supports identity partition specs only")
+    val partCols = spec.map(_.name)
+    val bad = where.flatten.map(_.column).distinct.filterNot(partCols.contains)
+    require(bad.isEmpty,
+      s"rewrite filter must reference partition columns only; got ${bad.mkString(", ")}")
+    val partFields = partCols.map(c => meta0.schema.fields.find(_.name == c).getOrElse(
+      throw new IllegalArgumentException(s"partition column $c missing from the schema")))
+
+    val all0 = IcebergMeta.planFiles(fs, snap0)
+    require(!all0.exists(_.content != 0),
+      s"scoped rewrite requires a delete-free snapshot at $tablePath; run " +
+        "rewriteDataFiles without a filter first (it pays the merge-on-read debt)")
+    require(all0.forall(_.specId == meta0.defaultSpecId),
+      "scoped rewrite requires every file under the current partition spec; " +
+        "run the unscoped rewrite to unify spec generations first")
+    val inScope = all0.filter(f => IcebergMeta.mayMatch(f, spec, meta0, where))
+    if (inScope.size <= 1) return snap0.id // already compact in scope
+    val scopePaths = inScope.map(_.path).toSet
+
+    // ---- read in-scope rows once; partition columns re-attached from
+    // the manifest tuples (graft-staged hive files don't store them);
+    // one output file per partition — the compaction goal ----
+    val base = spark.read.parquet(inScope.map(_.path): _*)
+    var rows: org.apache.spark.sql.DataFrame =
+      base.withColumn("_rw_path", PathNorm.normalizeCol(col("_metadata.file_path")))
+    partFields.foreach { pf =>
+      val m: Map[String, String] = inScope.map(f =>
+        PathNorm.normalize(f.path) ->
+          IcebergWrite.renderPartition(pf.dataType, f.partition.get(pf.name).orNull)).toMap
+      val attached = element_at(typedLit(m), col("_rw_path")).cast(pf.dataType)
+      rows = rows.withColumn(pf.name,
+        if (base.columns.contains(pf.name)) coalesce(col(pf.name), attached) else attached)
+    }
+    meta0.schema.fields.foreach { f => // columns added by later schema evolution
+      if (!rows.columns.contains(f.name))
+        rows = rows.withColumn(f.name, org.apache.spark.sql.functions.lit(null).cast(f.dataType))
+    }
+    val stagingDf = rows
+      .select(meta0.schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+      .repartition(partCols.map(col): _*)
+    val staged = IcebergWrite.stage(spark, stagingDf, fs, table, partCols)
+
+    val entryPartFields = spec.map { sf =>
+      val srcName = meta0.schemaFieldIds.getOrElse(sf.sourceId, sf.name)
+      val srcType = meta0.schema.fields.find(_.name == srcName).get.dataType
+      org.apache.spark.sql.types.StructField(sf.name,
+        IcebergWrite.transformResultType(sf.transform, srcType))
+    }
+
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val baseV = IcebergWrite.latestVersionByScan(fs, metaDir)
+        .getOrElse(throw new IllegalArgumentException(s"no Iceberg metadata under $metaDir"))
+      val root = IcebergWrite.readRoot(fs, metaDir, baseV)
+      val meta = IcebergMeta.parse(root, tablePath)
+      val snap = meta.currentSnapshotId
+        .flatMap(id => meta.snapshots.find(_.id == id))
+        .getOrElse(throw new IllegalStateException(s"$tablePath lost its current snapshot"))
+      // the staged rows must still be the truth for the in-scope files:
+      // a concurrent delete/overwrite of any of them voids the plan
+      val cur = IcebergMeta.planFiles(fs, snap)
+      if (cur.exists(_.content != 0) ||
+        !scopePaths.subsetOf(cur.filter(_.content == 0).map(_.path).toSet))
+        throw new java.util.ConcurrentModificationException(
+          s"a concurrent commit changed the in-scope files of $tablePath during the " +
+            "scoped rewrite; re-run rewriteDataFiles")
+
+      val uuid = java.util.UUID.randomUUID().toString
+      val nowMs = System.currentTimeMillis()
+      val snapshotId = meta.snapshots.map(_.id).maxOption.getOrElse(0L) + 1
+      val seq = root.path("last-sequence-number").asLong(0L) + 1
+      val schemaJson = mapper.writeValueAsString(
+        IcebergMeta.elements(root.path("schemas")).find(
+          _.path("schema-id").asInt(-1) == root.path("current-schema-id").asInt(0))
+          .getOrElse(root.path("schemas").get(0)))
+      val specJson = IcebergMeta.elements(root.path("partition-specs"))
+        .find(_.path("spec-id").asInt(0) == meta.defaultSpecId)
+        .map(sn => mapper.writeValueAsString(sn.path("fields")))
+        .getOrElse("[]")
+      val entrySchema = graft.export.IcebergUniform.manifestEntrySchema(
+        entryPartFields, spec.map(_.fieldId))
+      val created = scala.collection.mutable.ListBuffer.empty[Path]
+
+      def newWriter(out: Path) = {
+        val w = new org.apache.avro.file.DataFileWriter(
+          new org.apache.avro.generic.GenericDatumWriter[
+            org.apache.avro.generic.GenericRecord](entrySchema))
+        w.setMeta("schema", schemaJson)
+        w.setMeta("partition-spec", specJson)
+        w.setMeta("partition-spec-id", meta.defaultSpecId.toString)
+        w.setMeta("format-version", "2")
+        w.setMeta("content", "data")
+        w.create(entrySchema, fs.create(out, true))
+        created += out
+        w
+      }
+      val dfSchema = entrySchema.getField("data_file").schema()
+      val pSchema = dfSchema.getField("partition").schema()
+
+      // the compacted rows: one fresh ADDED manifest
+      val addPath = new Path(metaDir, s"manifest-cp-$snapshotId-$uuid.avro")
+      locally {
+        val w = newWriter(addPath)
+        try staged.foreach { sf =>
+          val p = new org.apache.avro.generic.GenericData.Record(pSchema)
+          partFields.foreach(pf => p.put(pf.name,
+            graft.export.IcebergUniform.partitionValue(pf.dataType, sf.partitionValues(pf.name))))
+          val dfr = new org.apache.avro.generic.GenericData.Record(dfSchema)
+          dfr.put("content", 0)
+          dfr.put("file_path", sf.path)
+          dfr.put("file_format", "PARQUET")
+          dfr.put("partition", p)
+          dfr.put("record_count", sf.recordCount)
+          dfr.put("file_size_in_bytes", sf.size)
+          val e = new org.apache.avro.generic.GenericData.Record(entrySchema)
+          e.put("status", 1) // ADDED
+          e.put("snapshot_id", snapshotId)
+          e.put("sequence_number", seq)
+          e.put("file_sequence_number", seq)
+          e.put("data_file", dfr)
+          w.append(e)
+        } finally w.close()
+      }
+
+      def intOf(r: org.apache.avro.generic.GenericRecord, f: String, d: Int): Int =
+        Option(r.get(f)).map(_.asInstanceOf[Number].intValue()).getOrElse(d)
+      def longOf(r: org.apache.avro.generic.GenericRecord, f: String): Option[Long] =
+        Option(r.get(f)).map(_.asInstanceOf[Number].longValue())
+
+      // carried list rows: untouched manifests verbatim; manifests
+      // losing files rewritten with kept entries as EXISTING
+      val listEntries = IcebergMeta.readAvro(fs, new Path(snap.manifestList))
+      val ls = graft.export.IcebergUniform.manifestFileSchema
+      val listPath = new Path(metaDir, s"snap-$snapshotId-$uuid.avro")
+      val lw = new org.apache.avro.file.DataFileWriter(
+        new org.apache.avro.generic.GenericDatumWriter[
+          org.apache.avro.generic.GenericRecord](ls)).create(ls, fs.create(listPath, true))
+      created += listPath
+      try {
+        // the new manifest first
+        locally {
+          val n = new org.apache.avro.generic.GenericData.Record(ls)
+          n.put("manifest_path", addPath.toString)
+          n.put("manifest_length", fs.getFileStatus(addPath).getLen)
+          n.put("partition_spec_id", meta.defaultSpecId)
+          n.put("content", 0)
+          n.put("sequence_number", seq)
+          n.put("min_sequence_number", seq)
+          n.put("added_snapshot_id", snapshotId)
+          n.put("added_files_count", staged.size)
+          n.put("existing_files_count", 0)
+          n.put("deleted_files_count", 0)
+          n.put("added_rows_count", staged.map(_.recordCount).sum)
+          n.put("existing_rows_count", 0L)
+          n.put("deleted_rows_count", 0L)
+          lw.append(n)
+        }
+        listEntries.foreach { m =>
+          val mPath = m.get("manifest_path").toString
+          val mSeq = longOf(m, "sequence_number").getOrElse(0L)
+          val entries = IcebergMeta.readAvro(fs, new Path(mPath))
+            .filter(e => intOf(e, "status", 0) != 2)
+          val (dropped, kept) = entries.partition { e =>
+            val df = e.get("data_file").asInstanceOf[org.apache.avro.generic.GenericRecord]
+            scopePaths.contains(df.get("file_path").toString)
+          }
+          if (dropped.isEmpty) { // untouched: carry verbatim
+            val c = new org.apache.avro.generic.GenericData.Record(ls)
+            ls.getFields.forEach(f => c.put(f.name(),
+              if (m.getSchema.getField(f.name()) != null) m.get(f.name()) else null))
+            lw.append(c)
+          } else if (kept.nonEmpty) { // rewrite with survivors
+            val outPath = new Path(metaDir, s"manifest-cp-keep-$snapshotId-$uuid-${created.size}.avro")
+            val w = newWriter(outPath)
+            var files = 0L; var rowCount = 0L; var minSeq = Long.MaxValue
+            try kept.foreach { e =>
+              val df = e.get("data_file").asInstanceOf[org.apache.avro.generic.GenericRecord]
+              val eSeq = longOf(e, "sequence_number").getOrElse(mSeq)
+              val fSeq = longOf(e, "file_sequence_number").getOrElse(eSeq)
+              minSeq = math.min(minSeq, eSeq)
+              val p = new org.apache.avro.generic.GenericData.Record(pSchema)
+              Option(df.get("partition")) match {
+                case Some(src: org.apache.avro.generic.GenericRecord) =>
+                  pSchema.getFields.forEach { f =>
+                    if (src.getSchema.getField(f.name()) != null)
+                      p.put(f.name(), src.get(f.name()))
+                  }
+                case _ => ()
+              }
+              val dfr = new org.apache.avro.generic.GenericData.Record(dfSchema)
+              dfr.put("content", 0)
+              dfr.put("file_path", df.get("file_path").toString)
+              dfr.put("file_format",
+                Option(df.get("file_format")).map(_.toString).getOrElse("PARQUET"))
+              dfr.put("partition", p)
+              dfr.put("record_count", longOf(df, "record_count").getOrElse(0L))
+              dfr.put("file_size_in_bytes", longOf(df, "file_size_in_bytes").getOrElse(0L))
+              val ne = new org.apache.avro.generic.GenericData.Record(entrySchema)
+              ne.put("status", 0) // EXISTING
+              ne.put("snapshot_id", longOf(e, "snapshot_id").getOrElse(snap.id))
+              ne.put("sequence_number", eSeq)
+              ne.put("file_sequence_number", fSeq)
+              ne.put("data_file", dfr)
+              w.append(ne)
+              files += 1
+              rowCount += longOf(df, "record_count").getOrElse(0L)
+            } finally w.close()
+            val n = new org.apache.avro.generic.GenericData.Record(ls)
+            n.put("manifest_path", outPath.toString)
+            n.put("manifest_length", fs.getFileStatus(outPath).getLen)
+            n.put("partition_spec_id", meta.defaultSpecId)
+            n.put("content", 0)
+            n.put("sequence_number", seq)
+            n.put("min_sequence_number", if (minSeq == Long.MaxValue) seq else minSeq)
+            n.put("added_snapshot_id", snapshotId)
+            n.put("added_files_count", 0)
+            n.put("existing_files_count", files.toInt)
+            n.put("deleted_files_count", 0)
+            n.put("added_rows_count", 0L)
+            n.put("existing_rows_count", rowCount)
+            n.put("deleted_rows_count", 0L)
+            lw.append(n)
+          } // fully-rewritten manifest: simply not carried
+        }
+      } finally lw.close()
+
+      val root2 = root.deepCopy[ObjectNode]()
+      IcebergWrite.appendSnapshotToRoot(root2, snapshotId, seq, nowMs, listPath,
+        operation = "replace",
+        summaryExtras = Seq(
+          "rewritten-data-files" -> scopePaths.size.toString,
+          "added-data-files" -> staged.size.toString),
+        parentId = Option(root.path("current-snapshot-id").asLong(-1L)).filter(_ >= 0))
+      val target = new Path(metaDir, s"v${baseV + 1}.metadata.json")
+      if (IcebergWrite.publishIfAbsent(fs, target,
+        mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root2))) {
+        val hint = fs.create(new Path(metaDir, "version-hint.text"), true)
+        try hint.write((baseV + 1).toString.getBytes("UTF-8")) finally hint.close()
+        return snapshotId
+      }
+      created.foreach(p => fs.delete(p, false))
+      if (attempt >= MaxAttempts)
+        throw new java.util.ConcurrentModificationException(
+          s"could not commit the scoped rewrite to $tablePath after $MaxAttempts attempts")
+    }
+    -1L // unreachable
   }
 
   /** Time-based retention (the upstream `expireOlderThan` shape):

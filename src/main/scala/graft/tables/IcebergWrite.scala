@@ -712,7 +712,7 @@ object IcebergWrite {
     * renders for the SAME typed value (so staged dirs and
     * re-derived partition tuples round-trip, dates included).
     */
-  private def renderPartition(dt: org.apache.spark.sql.types.DataType, v: Any): String =
+  private[tables] def renderPartition(dt: org.apache.spark.sql.types.DataType, v: Any): String =
     (dt, v) match {
       case (_, null) => null
       case (org.apache.spark.sql.types.DateType, n) =>
@@ -1317,7 +1317,7 @@ object IcebergWrite {
     case _ => false
   }
 
-  private final case class StagedFile(
+  private[tables] final case class StagedFile(
       path: String,
       size: Long,
       recordCount: Long,
@@ -1405,7 +1405,7 @@ object IcebergWrite {
     }
   }
 
-  private def stage(
+  private[tables] def stage(
       spark: SparkSession,
       df: DataFrame,
       fs: FileSystem,

@@ -44,6 +44,7 @@ object LakehouseSql {
   private val descHud = s"""(?is)^DESCRIBE\\s+(TIMELINE|SLICES)\\s+$Hud$$""".r
   private val expire = s"""(?is)^EXPIRE\\s+SNAPSHOTS\\s+$Ice\\s+KEEP\\s+(\\d+)$$""".r
   private val clean = s"""(?is)^CLEAN\\s+$Hud\\s+KEEP\\s+(\\d+)$$""".r
+  private val optIce = s"""(?is)^OPTIMIZE\\s+$Ice(?:\\s+WHERE\\s+(.+))?$$""".r
   private val sumIce = s"""(?is)^SUMMARIZE\\s+$Ice$$""".r
   private val sumHud = s"""(?is)^SUMMARIZE\\s+$Hud$$""".r
   private val sumDelta = """(?is)^SUMMARIZE\s+delta\.`([^`]+)`$""".r
@@ -96,6 +97,11 @@ object LakehouseSql {
       case descHud(what, path) =>
         if (what.equalsIgnoreCase("TIMELINE")) HudiMetaTables.timeline(spark, path)
         else HudiMetaTables.fileSlices(spark, path)
+      case optIce(path, wherePred) =>
+        val scoped = Option(wherePred)
+          .map(DeltaSql.parseWhere(spark, _)).getOrElse(Seq.empty)
+        val sid = IcebergMaintenance.rewriteDataFiles(spark, path, scoped)
+        Seq(sid).toDF("snapshot_id")
       case sumIce(path) =>
         summarizeAll(new IcebergTable(name(path), path)(spark, ReadArgs.empty))
       case sumHud(path) =>

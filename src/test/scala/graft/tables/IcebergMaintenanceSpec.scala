@@ -122,6 +122,53 @@ class IcebergMaintenanceSpec extends SparkSpec {
       .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
   }
 
+  test("scoped rewrite compacts only the matching partitions; others carry untouched") {
+    import graft.core.{Filter, Filters}
+    val dir = tempDir("icem-srw").toString + "/t"
+    // two appends -> two small files in each of partitions a and b
+    (1 to 2).foreach { i =>
+      IcebergWrite.append(spark,
+        Seq((i.toLong, "a"), (i + 10L, "b")).toDF("id", "p"), dir, Seq("p"))
+    }
+    val fs = fsOf(dir)
+    def filesOf(p: String): Seq[String] = {
+      val m = IcebergMeta.load(fs, dir)
+      IcebergMeta.planFiles(fs, m.snapshots.maxBy(_.sequenceNumber))
+        .filter(_.partition.get("p").exists(v => String.valueOf(v) == p)).map(_.path)
+    }
+    val bBefore = filesOf("b").sorted
+    assert(filesOf("a").size == 2 && bBefore.size == 2)
+
+    val sid = IcebergMaintenance.rewriteDataFiles(spark, dir,
+      where = Filters.normalize(Seq(Filter("p", "=", "a"))))
+    assert(filesOf("a").size == 1, "partition a compacts to one file")
+    assert(filesOf("b").sorted == bBefore, "partition b's files carry byte-identically")
+    val got = new IcebergTable("t", dir)(spark, ReadArgs.empty)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(1L, 2L, 11L, 12L))
+    // the replace snapshot committed on top of the append chain
+    val meta = IcebergMeta.load(fs, dir)
+    assert(meta.currentSnapshotId.contains(sid))
+    assert(meta.snapshots.find(_.id == sid).flatMap(_.operation).contains("replace"))
+    // partition-filtered reads still prune under the rewritten metadata
+    val onlyA = new IcebergTable("t", dir)(
+      spark, ReadArgs.where(Filter("p", "=", "a")))
+    assert(onlyA.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    assert(onlyA.inputFiles.length == 1)
+
+    // refusals: non-partition filter; delete-carrying snapshot
+    intercept[IllegalArgumentException] {
+      IcebergMaintenance.rewriteDataFiles(spark, dir,
+        where = Filters.normalize(Seq(Filter("id", "=", 1))))
+    }
+    IcebergWrite.deleteWhere(spark, dir,
+      Filters.normalize(Seq(Filter("id", "=", 11))))
+    intercept[IllegalArgumentException] {
+      IcebergMaintenance.rewriteDataFiles(spark, dir,
+        where = Filters.normalize(Seq(Filter("p", "=", "b"))))
+    }
+  }
+
   test("export after expire bumps past the expire's metadata version (no clobber)") {
     val dir = tempDir("icem-interleave").toString + "/t"
     DeltaWrite.append(spark, Seq((1L, "a")).toDF("id", "v"), dir)         // Delta v0

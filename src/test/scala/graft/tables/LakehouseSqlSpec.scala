@@ -72,6 +72,18 @@ class LakehouseSqlSpec extends SparkSpec {
     assert(prof.values.forall(_ == 5L))
   }
 
+  test("OPTIMIZE WHERE routes to the scoped Iceberg rewrite") {
+    val root = tempDir("lake-sql-o").toString + "/t"
+    (1 to 2).foreach(_ => IcebergWrite.append(spark, data, root, Seq("p")))
+    val sid = LakehouseSql.exec(spark, s"OPTIMIZE iceberg.`$root` WHERE p = 1")
+      .collect()(0).getLong(0)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val meta = IcebergMeta.load(fs, root)
+    assert(meta.currentSnapshotId.contains(sid))
+    assert(meta.snapshots.find(_.id == sid).flatMap(_.operation).contains("replace"))
+  }
+
   test("unsupported shapes refuse loudly") {
     intercept[IllegalArgumentException] {
       LakehouseSql.exec(spark, "SELECT sum(x) FROM iceberg.`/p`")
