@@ -437,21 +437,41 @@ object HudiWrite {
     * consumers see no phantom changes from a pure layout rewrite.
     * Returns the completed instant.
     */
+  /** `partitions`: scope the clustering to the given PARTITION PATHS
+    * (relative dirs, e.g. `"p=1"`) — the upstream
+    * `hoodie.clustering.plan.strategy.partition.selected` shape. Only
+    * the selected partitions' file groups rewrite and retire; every
+    * other group carries untouched — at 100 TB you cluster yesterday's
+    * partition, not the table. Unknown paths refuse loudly (a typo
+    * must not silently cluster nothing).
+    */
   def cluster(
       spark: SparkSession, tablePath: String, sortCols: Seq[String],
-      zorder: Boolean = false): String =
-    retryOnConflict("cluster", tablePath)(clusterOnce(spark, tablePath, sortCols, zorder))
+      zorder: Boolean = false, partitions: Option[Seq[String]] = None): String =
+    retryOnConflict("cluster", tablePath)(
+      clusterOnce(spark, tablePath, sortCols, zorder, partitions))
 
   private def clusterOnce(
       spark: SparkSession, tablePath: String, sortCols: Seq[String],
-      zorder: Boolean = false): String = {
+      zorder: Boolean = false, partitions: Option[Seq[String]] = None): String = {
     require(sortCols.nonEmpty, "at least one sort column required")
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val props = readProps(fs, tablePath)
     val partCols = props.get("hoodie.table.partition.fields")
       .filter(_.nonEmpty).map(_.split(",").toSeq).getOrElse(Seq.empty)
     val base = completedInstants(fs, tablePath, None).lastOption.map(_._1)
-    val slices = latestSlices(fs, tablePath, None)
+    val allSlices = latestSlices(fs, tablePath, None)
+    partitions.foreach { sel =>
+      val known = allSlices.map(_.partition).toSet
+      val missing = sel.filterNot(known.contains)
+      require(missing.isEmpty,
+        s"selected partition path(s) not in $tablePath: ${missing.mkString(", ")} " +
+          s"(known: ${known.toSeq.sorted.mkString(", ")})")
+    }
+    val slices = partitions match {
+      case Some(sel) => allSlices.filter(s => sel.contains(s.partition))
+      case None      => allSlices
+    }
     // clustering always completes as a replacecommit (every prior
     // group retires), so mint the markers under that name up front
     val instant = mintInstant(fs, new Path(tablePath, ".hoodie"), "replacecommit")

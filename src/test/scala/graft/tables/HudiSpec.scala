@@ -204,6 +204,31 @@ class HudiSpec extends SparkSpec {
     assert(!names.contains(s"$ic.commit.requested") && !names.contains(s"$ic.inflight"))
   }
 
+  test("partition-scoped cluster rewrites only the selected partition's groups") {
+    val dir = tempDir("hudi-clp").toString + "/t"
+    // two bulk inserts -> two file groups in each of part=0 and part=1
+    HudiWrite.bulkInsert(spark,
+      Seq((3L, "c", 0), (11L, "x", 1)).toDF("id", "v", "part"), dir, "id", Seq("part"))
+    HudiWrite.bulkInsert(spark,
+      Seq((1L, "a", 0), (12L, "y", 1)).toDF("id", "v", "part"), dir, "id", Seq("part"))
+    def groupsOf(p: String): Set[String] =
+      HudiWrite.latestSlices(fsOf(dir), dir, None)
+        .filter(_.partition == p).map(_.fileId).toSet
+    val g1Before = groupsOf("part=1")
+    assert(groupsOf("part=0").size == 2 && g1Before.size == 2)
+
+    HudiWrite.cluster(spark, dir, Seq("id"), partitions = Some(Seq("part=0")))
+    assert(groupsOf("part=0").size == 1, "part=0 clusters to one fresh group")
+    assert(groupsOf("part=1") == g1Before, "part=1's groups carry untouched")
+    assert(new HudiTable("t", dir)(spark, ReadArgs.empty)
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L, 11L, 12L))
+
+    // a typo'd partition path refuses instead of clustering nothing
+    intercept[IllegalArgumentException] {
+      HudiWrite.cluster(spark, dir, Seq("id"), partitions = Some(Seq("part=9")))
+    }
+  }
+
   test("file-group resolution drops the map literal above the broadcast threshold") {
     val dir = tempDir("hudi-fg").toString + "/t"
     HudiWrite.bulkInsert(spark,
