@@ -45,6 +45,8 @@ object LakehouseSql {
   private val expire = s"""(?is)^EXPIRE\\s+SNAPSHOTS\\s+$Ice\\s+KEEP\\s+(\\d+)$$""".r
   private val clean = s"""(?is)^CLEAN\\s+$Hud\\s+KEEP\\s+(\\d+)$$""".r
   private val optIce = s"""(?is)^OPTIMIZE\\s+$Ice(?:\\s+WHERE\\s+(.+))?$$""".r
+  private val cluHud =
+    s"""(?is)^CLUSTER\\s+$Hud\\s+BY\\s+\\(([^)]+)\\)(?:\\s+PARTITIONS\\s+\\(([^)]+)\\))?$$""".r
   private val sumIce = s"""(?is)^SUMMARIZE\\s+$Ice$$""".r
   private val sumHud = s"""(?is)^SUMMARIZE\\s+$Hud$$""".r
   private val sumDelta = """(?is)^SUMMARIZE\s+delta\.`([^`]+)`$""".r
@@ -102,6 +104,12 @@ object LakehouseSql {
           .map(DeltaSql.parseWhere(spark, _)).getOrElse(Seq.empty)
         val sid = IcebergMaintenance.rewriteDataFiles(spark, path, scoped)
         Seq(sid).toDF("snapshot_id")
+      case cluHud(path, cols, parts) =>
+        val sortCols = cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val sel = Option(parts).map(_.split(",").map(
+          _.trim.stripPrefix("'").stripSuffix("'")).filter(_.nonEmpty).toSeq)
+        val instant = HudiWrite.cluster(spark, path, sortCols, partitions = sel)
+        Seq(instant).toDF("instant")
       case sumIce(path) =>
         summarizeAll(new IcebergTable(name(path), path)(spark, ReadArgs.empty))
       case sumHud(path) =>

@@ -84,6 +84,23 @@ class LakehouseSqlSpec extends SparkSpec {
     assert(meta.snapshots.find(_.id == sid).flatMap(_.operation).contains("replace"))
   }
 
+  test("CLUSTER BY routes to Hudi clustering, optionally partition-scoped") {
+    val root = tempDir("lake-sql-c").toString + "/t"
+    HudiWrite.bulkInsert(spark, data, root, "id", Seq("p"))
+    HudiWrite.bulkInsert(spark,
+      Seq((6L, "f", 0), (7L, "g", 1)).toDF("id", "v", "p"), root, "id", Seq("p"))
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def groups(p: String) =
+      HudiWrite.latestSlices(fs, root, None).filter(_.partition == p).map(_.fileId).toSet
+    val g1 = groups("p=1")
+    assert(groups("p=0").size >= 2 && g1.size >= 2)
+    LakehouseSql.exec(spark, s"CLUSTER hudi.`$root` BY (id) PARTITIONS ('p=0')")
+    assert(groups("p=0").size == 1 && groups("p=1") == g1)
+    assert(new HudiTable("t", root)(spark, ReadArgs.empty)
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L))
+  }
+
   test("unsupported shapes refuse loudly") {
     intercept[IllegalArgumentException] {
       LakehouseSql.exec(spark, "SELECT sum(x) FROM iceberg.`/p`")
