@@ -446,6 +446,21 @@ object OracleSql {
     },
     "q_knn_brute" -> knnBruteSql,
     "q_ann_ivf" -> annIvfSql,
+    "q_boilerplate" -> {
+      val toks = wsTokensSql("text")
+      s"""WITH tk AS (SELECT doc_id, $toks AS toks FROM documents),
+         |g AS (SELECT DISTINCT doc_id, gram FROM tk,
+         |  UNNEST(CASE WHEN len(toks) >= 3 THEN list_transform(
+         |    generate_series(1, len(toks)-2),
+         |    i -> array_to_string(toks[i:i+2], ' ')) ELSE [] END) AS u(gram)),
+         |c AS (SELECT gram, CAST(count(*) AS BIGINT) AS n_docs FROM g GROUP BY gram),
+         |r AS (SELECT gram, n_docs,
+         |    row_number() OVER (ORDER BY n_docs DESC, gram) AS rank
+         |  FROM c)
+         |SELECT gram, n_docs, CAST(rank AS BIGINT) AS rank
+         |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin
+    },
+
     "q_line_dedup" ->
       s"""WITH d AS (
          |  SELECT user_id, trim(event_type) AS et,

@@ -212,6 +212,32 @@ object PipelineQueries {
       .orderBy("user_id")
   }
 
+  /** P72: corpus-wide boilerplate mining — the top-20 3-grams by
+    * DOCUMENT FREQUENCY (distinct docs containing the gram), the list
+    * a curation pipeline turns into a blocklist (P54) or a C4-style
+    * span filter. Shuffle carries only distinct (doc, gram) pairs;
+    * ranking ties break on the gram for a total order.
+    */
+  def qBoilerplate(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Repetition
+    val top = t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(Repetition.ngrams(Text.wsTokens(col("text")), 3)).as("gram"))
+      .distinct() // per-doc gram set: document frequency, not term frequency
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("n_docs"))
+      // global top-k as orderBy+limit: Spark plans TakeOrderedAndProject
+      // (per-partition heaps merged on the driver), never a
+      // single-reducer window over every distinct gram
+      .orderBy(col("n_docs").desc, col("gram"))
+      .limit(20)
+    // rank assigned on the 20 surviving rows only
+    top.withColumn("rank",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("n_docs").desc, col("gram"))).cast("long"))
+      .orderBy("rank")
+  }
+
   /** P70: recall@3 of the IVF search against the brute-force exact
     * top-k — [[qAnnIvf]] and [[qKnnBrute]] composed through
     * [[Similarity.recallAtK]]; only id-pairs shuffle.
