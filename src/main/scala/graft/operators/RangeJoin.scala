@@ -47,4 +47,44 @@ object RangeJoin {
       .where(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
       .drop("_b")
   }
+
+  /** INTERVAL-OVERLAP join: rows of `left` and `right` sharing `key`
+    * whose CLOSED numeric intervals `[leftStart, leftEnd]` and
+    * `[rightStart, rightEnd]` intersect (bounds are numeric — convert
+    * timestamps to micros first). Same bucketization as
+    * [[pointInInterval]], with both sides exploded; an overlapping
+    * pair shares every bucket of its intersection, so it is emitted
+    * ONLY from the bucket containing the LATER start — exactly-once
+    * without a post-join dedup shuffle. Bucket indices use floor, so
+    * negative bounds align correctly.
+    */
+  def intervalOverlap(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftStart: String,
+      leftEnd: String,
+      rightStart: String,
+      rightEnd: String,
+      bucketWidth: Long
+  ): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val shared = left.columns.toSet & right.columns.toSet
+    require(shared == Set(key),
+      s"left and right may share only the key column '$key'; shared: ${shared.mkString(", ")}")
+    def bucketsOf(df: DataFrame, s: String, e: String) =
+      df.withColumn("_b", explode(sequence(
+        floor(col(s).cast("double") / bucketWidth).cast("long"),
+        floor(col(e).cast("double") / bucketWidth).cast("long"))))
+    val lb = bucketsOf(left, leftStart, leftEnd)
+    val rb = bucketsOf(right, rightStart, rightEnd)
+    lb.join(rb, Seq(key, "_b"))
+      .where(col(leftStart) <= col(rightEnd) && col(rightStart) <= col(leftEnd))
+      // the intersection's first bucket is common to both sides and
+      // unique per pair: emit there, nowhere else
+      .where(col("_b") ===
+        floor(greatest(col(leftStart), col(rightStart)).cast("double") / bucketWidth)
+          .cast("long"))
+      .drop("_b")
+  }
 }

@@ -553,6 +553,34 @@ object OracleSql {
          |FROM m GROUP BY source ORDER BY source""".stripMargin
     },
 
+    "q_interval_overlap" ->
+      s"""WITH flagged AS (
+         |  SELECT user_id, ts,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+         |         THEN 1 ELSE 0 END AS brk
+         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+         |), sessions AS (
+         |  SELECT user_id, ts,
+         |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+         |  FROM flagged
+         |), bounds AS (
+         |  SELECT user_id, session_seq,
+         |    epoch_us(min(ts)) AS s_start, epoch_us(max(ts)) AS s_end
+         |  FROM sessions GROUP BY user_id, session_seq
+         |), hours AS (
+         |  SELECT DISTINCT user_id,
+         |    (epoch_us(ts) // 3600000000) * 3600000000 AS h_start
+         |  FROM events)
+         |SELECT b.user_id, b.session_seq, CAST(count(*) AS BIGINT) AS n_hours
+         |FROM bounds b JOIN hours h
+         |  ON h.user_id = b.user_id
+         | AND b.s_start <= h.h_start + 3599999999
+         | AND h.h_start <= b.s_end
+         |GROUP BY b.user_id, b.session_seq
+         |ORDER BY b.user_id, b.session_seq""".stripMargin,
+
     "q_range_join" ->
       s"""WITH flagged AS (
          |  SELECT user_id, ts,

@@ -301,6 +301,30 @@ object PipelineQueries {
       .orderBy("source")
   }
 
+  /** E61: interval-OVERLAP join — each session interval joined to the
+    * per-user HOUR-grid intervals it touches (the interval x interval
+    * case [[qRangeJoin]]'s point-in-interval shape can't express).
+    * Bucketed equi-join, one emission per overlapping pair.
+    */
+  def qIntervalOverlap(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val H = 3600L * 1000000L
+    val sessions = Sessionize.rollup(ev, "user_id", "ts", "value", gapSeconds = 1800)
+      .select(col("user_id"), col("session_seq"),
+        tsUs(col("session_start")).as("s_start"),
+        tsUs(col("session_end")).as("s_end"))
+    val hours = ev
+      .select(col("user_id"),
+        (floor(tsUs(col("ts")).cast(DoubleType) / H).cast(LongType) * H).as("h_start"))
+      .distinct()
+      .withColumn("h_end", col("h_start") + (H - 1))
+    graft.operators.RangeJoin.intervalOverlap(sessions, hours, "user_id",
+      "s_start", "s_end", "h_start", "h_end", bucketWidth = H)
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_hours"))
+      .orderBy("user_id", "session_seq")
+  }
+
   /** Range join: events bucket-joined back into their session
     * intervals — every event lands in exactly its own session, so the
     * per-session match counts reproduce the sessionization rollup.

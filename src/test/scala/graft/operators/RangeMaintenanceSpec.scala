@@ -32,6 +32,36 @@ class RangeJoinSpec extends SparkSpec {
     val got = RangeJoin.pointInInterval(points, intervals, "key", "ts", "s", "e", 1000000L)
     assert(got.count() == 1)
   }
+
+  test("intervalOverlap equals the naive overlap predicate, one row per pair") {
+    val left = Seq(
+      (1L, 0L, 250L, "a"),      // spans 3 buckets at width 100
+      (1L, 300L, 310L, "b"),
+      (2L, -150L, -40L, "neg"), // negative bounds: floor alignment
+      (1L, 900L, 950L, "lone")).toDF("key", "ls", "le", "ltag")
+    val right = Seq(
+      (1L, 200L, 400L, "x"),    // overlaps a (200-250) and b fully
+      (1L, 260L, 280L, "y"),    // shares a's bucket 2, no overlap
+      (2L, -60L, 10L, "z")      // overlaps neg at [-60,-40]
+    ).toDF("key", "rs", "re", "rtag")
+
+    val got = RangeJoin.intervalOverlap(left, right, "key",
+      "ls", "le", "rs", "re", bucketWidth = 100L)
+      .select("ltag", "rtag").as[(String, String)].collect().toSeq
+    // exactly once per pair even when the overlap spans several buckets
+    assert(got.sorted == Seq(("a", "x"), ("b", "x"), ("neg", "z")).sorted)
+
+    val naive = left.join(right, Seq("key"))
+      .where(col("ls") <= col("re") && col("rs") <= col("le"))
+      .select("ltag", "rtag").as[(String, String)].collect().toSet
+    assert(got.toSet == naive)
+
+    // shared non-key columns refuse (ambiguous bounds)
+    intercept[IllegalArgumentException] {
+      RangeJoin.intervalOverlap(left, left.withColumnRenamed("ltag", "t2"),
+        "key", "ls", "le", "ls", "le", 100L)
+    }
+  }
 }
 
 class MaintenanceSpec extends SparkSpec {
