@@ -457,6 +457,43 @@ object GraftProperties extends Properties("graft") {
         sel(parsed) == sel(filters)
     }
 
+  property("triad writers round-trip one dataset identically (Delta/Iceberg/Hudi)") = {
+    // the same random typed, partitioned dataset written natively to
+    // all three formats must read back identically through each
+    // native reader — any writer/reader asymmetry (null handling,
+    // partition-value encoding, date rendering) surfaces as a diff
+    val genRow = for {
+      s <- Gen.option(Gen.alphaNumStr.map(_.take(8)))
+      n <- Gen.option(Gen.chooseNum(-1000, 1000))
+      d <- Gen.option(Gen.chooseNum(-1e6, 1e6))
+      days <- Gen.option(Gen.chooseNum(-3000, 30000))
+      p <- Gen.chooseNum(0, 2)
+    } yield (s, n, d, days.map(x => java.sql.Date.valueOf(
+      java.time.LocalDate.ofEpochDay(x.toLong))), p)
+    forAll(Gen.nonEmptyListOf(genRow).map(_.take(20))) { rows =>
+      import graft.tables._
+      val data: Seq[(Long, Option[String], Option[Int], Option[Double], Option[java.sql.Date], Int)] =
+        rows.zipWithIndex.map { case ((s, n, d, dt, p), i) =>
+          (i.toLong, s, n, d, dt, p)
+        }
+      val df = data.toDF("id", "s", "n", "d", "dt", "p")
+      val base = java.nio.file.Files.createTempDirectory("triad-prop").toString
+      DeltaWrite.append(spark, df, s"$base/delta", partitionBy = Seq("p"))
+      IcebergWrite.append(spark, df, s"$base/iceberg", Seq("p"))
+      HudiWrite.bulkInsert(spark, df, s"$base/hudi", "id", Seq("p"))
+      val cols = Seq("id", "s", "n", "d", "dt", "p")
+      def readBack(t: org.apache.spark.sql.DataFrame) =
+        t.select(cols.map(col): _*)
+          .as[(Long, Option[String], Option[Int], Option[Double], Option[java.sql.Date], Int)]
+          .collect().toSet
+      val fromDelta = readBack(new DeltaTable("t", s"$base/delta")(spark, ReadArgs.empty))
+      val fromIce = readBack(new IcebergTable("t", s"$base/iceberg")(spark, ReadArgs.empty))
+      val fromHudi = readBack(new HudiTable("t", s"$base/hudi")(spark, ReadArgs.empty))
+      val expected = data.toSet
+      fromDelta == expected && fromIce == expected && fromHudi == expected
+    }
+  }
+
   property("Hudi log-file Avro codec round-trips arbitrary typed rows") = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
