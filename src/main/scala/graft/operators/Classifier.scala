@@ -93,4 +93,42 @@ object Classifier {
       .map { case (w, b) => (b.toLong, w) }.toDF("_b", "_w")
       .select(col("_b"), col("_w").cast(DecimalType(9, 4)).as("_w"))
   }
+
+  /** Per-class evaluation of a prediction column against gold labels
+    * — the QA harness a quality classifier ships with (precision /
+    * recall / F1 per class, computed from the confusion marginals).
+    * F1 uses the `2·tp / (n_pred + n_gold)` identity, so every metric
+    * is an exact integer ratio — engine-stable under round(4). A
+    * class seen only in gold (never predicted) or only in predictions
+    * still gets a row, via the full outer join of the marginals.
+    *
+    * Scale shape: ONE shuffle of (gold, pred) count pairs — the
+    * confusion matrix, O(classes²) rows regardless of dataset size;
+    * the marginal joins run on that tiny frame.
+    */
+  def evaluate(df: DataFrame, goldCol: String, predCol: String): DataFrame = {
+    val pairs = df
+      .groupBy(col(goldCol).as("gold"), col(predCol).as("pred"))
+      .agg(count(lit(1)).as("n"))
+    val gold = pairs.groupBy(col("gold").as("label")).agg(sum("n").as("n_gold"))
+    val pred = pairs.groupBy(col("pred").as("label")).agg(sum("n").as("n_pred"))
+    val tp = pairs.where(col("gold") === col("pred"))
+      .select(col("gold").as("label"), col("n").as("tp"))
+    gold.join(pred, Seq("label"), "full")
+      .join(tp, Seq("label"), "left")
+      .select(
+        col("label"),
+        coalesce(col("n_gold"), lit(0L)).as("n_gold"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .select(
+        col("label"), col("n_gold"), col("n_pred"), col("tp"),
+        round(col("tp").cast("double") /
+          greatest(col("n_pred"), lit(1L)).cast("double"), 4).as("prec"),
+        round(col("tp").cast("double") /
+          greatest(col("n_gold"), lit(1L)).cast("double"), 4).as("rec"),
+        round((col("tp") * 2L).cast("double") /
+          greatest(col("n_pred") + col("n_gold"), lit(1L)).cast("double"), 4).as("f1"))
+      .orderBy("label")
+  }
 }

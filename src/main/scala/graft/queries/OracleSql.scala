@@ -1812,6 +1812,28 @@ object OracleSql {
       // same hashed-feature replay as q_dsir_select, but the
       // coefficients are the spliced model weights and the readout is
       // the per-source survival of the margin>0 gate
+      "q_cls_eval" ->
+        s"""WITH p AS (
+           |  SELECT label AS gold,
+           |    CASE WHEN ${bucketSql("clseval", "vec_id")} < ${Wave6Queries.ClsEvalAgree}
+           |         THEN label ELSE (label + 1) % 10 END AS pred
+           |  FROM embeddings),
+           |c AS (SELECT gold, pred, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY 1, 2),
+           |g AS (SELECT gold AS label, CAST(sum(n) AS BIGINT) AS n_gold FROM c GROUP BY 1),
+           |q AS (SELECT pred AS label, CAST(sum(n) AS BIGINT) AS n_pred FROM c GROUP BY 1),
+           |t AS (SELECT gold AS label, n AS tp FROM c WHERE gold = pred),
+           |m AS (
+           |  SELECT coalesce(g.label, q.label) AS label,
+           |    coalesce(g.n_gold, 0) AS n_gold,
+           |    coalesce(q.n_pred, 0) AS n_pred
+           |  FROM g FULL OUTER JOIN q ON g.label = q.label)
+           |SELECT m.label, m.n_gold, m.n_pred, coalesce(t.tp, 0) AS tp,
+           |  round(coalesce(t.tp, 0) / greatest(m.n_pred, 1), 4) AS prec,
+           |  round(coalesce(t.tp, 0) / greatest(m.n_gold, 1), 4) AS rec,
+           |  round(coalesce(t.tp, 0) * 2 / greatest(m.n_pred + m.n_gold, 1), 4) AS f1
+           |FROM m LEFT JOIN t ON m.label = t.label
+           |ORDER BY m.label""".stripMargin,
+
       "q_quality_classifier" -> {
         import Wave6Queries.ClassifierParams
         val k = ClassifierParams.K

@@ -243,6 +243,25 @@ object Wave6Queries {
       ClassifierParams.weights, ClassifierParams.Bias)
   }
 
+  /** The synthetic predictor's agreement rate, shared with the oracle. */
+  val ClsEvalAgree = 0.7
+
+  /** P73: per-class precision/recall/F1 ([[Classifier.evaluate]]) —
+    * gold = the embeddings' label column; predictions come from a
+    * DECLARED deterministic predictor (agree with gold at a portable
+    * md5-gated 70%, else the next class) so the gate verifies the
+    * metric arithmetic end-to-end, not a model.
+    */
+  def qClsEval(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Classifier, Sampling}
+    val emb = t(s, dir, "embeddings")
+    val pred = when(
+      Sampling.hashBucket(col("vec_id"), "clseval") < ClsEvalAgree, col("label"))
+      .otherwise((col("label") + 1) % 10)
+    Classifier.evaluate(
+      emb.select(col("label").as("gold"), pred.as("pred")), "gold", "pred")
+  }
+
   // ---------- P58: HTML boilerplate removal ----------
 
   /** Main-content extraction over documents WRAPPED as full HTML

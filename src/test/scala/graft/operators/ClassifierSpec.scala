@@ -42,4 +42,26 @@ class ClassifierSpec extends SparkSpec {
       .as[(Long, BigDecimal)].collect().toMap
     assert(a == b && a.size == 40)
   }
+
+  test("evaluate: per-class P/R/F1 from the confusion marginals (hand case)") {
+    // gold:  a a a b b c      pred:  a a b b c a
+    // a: tp 2, n_gold 3, n_pred 3 -> P 0.6667 R 0.6667 F1 0.6667
+    // b: tp 1, n_gold 2, n_pred 2 -> P 0.5    R 0.5    F1 0.5
+    // c: tp 0, n_gold 1, n_pred 1 -> all 0
+    val df = Seq(("a", "a"), ("a", "a"), ("a", "b"),
+      ("b", "b"), ("b", "c"), ("c", "a")).toDF("gold", "pred")
+    val got = Classifier.evaluate(df, "gold", "pred")
+      .as[(String, Long, Long, Long, Double, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      ("a", 3L, 3L, 2L, 0.6667, 0.6667, 0.6667),
+      ("b", 2L, 2L, 1L, 0.5, 0.5, 0.5),
+      ("c", 1L, 1L, 0L, 0.0, 0.0, 0.0)))
+    // a class only ever predicted (never gold) still gets a row
+    val skew = Classifier.evaluate(
+      Seq(("x", "y")).toDF("gold", "pred"), "gold", "pred")
+      .as[(String, Long, Long, Long, Double, Double, Double)].collect().toSeq
+    assert(skew == Seq(
+      ("x", 1L, 0L, 0L, 0.0, 0.0, 0.0),
+      ("y", 0L, 1L, 0L, 0.0, 0.0, 0.0)))
+  }
 }
