@@ -289,12 +289,21 @@ object IcebergMaintenance {
     * [[DeltaConvert.fromIceberg]] (which refuses delete-carrying
     * snapshots) accepts the table. Returns the committed snapshot id.
     */
+  /** `zorderBy`: rewrite with rows laid on the Morton curve of the
+    * given columns within each partition (the upstream sort-strategy
+    * z-order rewrite; Delta OPTIMIZE ZORDER / Hudi zorder clustering
+    * analog) — per-file min/max stats become selective in every
+    * z-ordered dimension at once. The sort is staged
+    * sortWithinPartitions with partition columns leading, so the
+    * writer inserts no tie-reordering sort of its own.
+    */
   def rewriteDataFiles(
       spark: SparkSession,
       tablePath: String,
-      where: graft.core.Filters.Normalized = Seq.empty
+      where: graft.core.Filters.Normalized = Seq.empty,
+      zorderBy: Seq[String] = Nil
   ): Long = {
-    if (where.nonEmpty) return scopedRewrite(spark, tablePath, where)
+    if (where.nonEmpty) return scopedRewrite(spark, tablePath, where, zorderBy)
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val meta = IcebergMeta.load(fs, tablePath)
     val spec = meta.specs.getOrElse(meta.defaultSpecId, Seq.empty)
@@ -303,7 +312,26 @@ object IcebergMaintenance {
     val partCols = spec.map(_.name)
     val current = new IcebergTable("compact", tablePath)(spark, ReadArgs.empty)
       .select(meta.schema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*)
-    IcebergWrite.overwrite(spark, current, tablePath, partCols)
+    IcebergWrite.overwrite(spark,
+      zorderSorted(current, partCols, zorderBy), tablePath, partCols)
+  }
+
+  /** Rows routed one-reducer-per-partition and z-sorted within it (a
+    * no-op pass-through when no z-order columns are given).
+    */
+  private def zorderSorted(
+      df: org.apache.spark.sql.DataFrame,
+      partCols: Seq[String],
+      zorderBy: Seq[String]
+  ): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    if (zorderBy.isEmpty) return df
+    val routed =
+      if (partCols.isEmpty) df.repartition(1) else df.repartition(partCols.map(col): _*)
+    routed
+      .withColumn("_graft_zval", graft.operators.ZOrder.zvalue(df, zorderBy))
+      .sortWithinPartitions((partCols.map(col) :+ col("_graft_zval")): _*)
+      .drop("_graft_zval")
   }
 
   /** SCOPED compaction (`rewrite_data_files` with a filter): rewrite
@@ -323,7 +351,8 @@ object IcebergMaintenance {
   private def scopedRewrite(
       spark: SparkSession,
       tablePath: String,
-      where: graft.core.Filters.Normalized
+      where: graft.core.Filters.Normalized,
+      zorderBy: Seq[String] = Nil
   ): Long = {
     import org.apache.spark.sql.functions._
     val table = new Path(tablePath)
@@ -374,9 +403,11 @@ object IcebergMaintenance {
       if (!rows.columns.contains(f.name))
         rows = rows.withColumn(f.name, org.apache.spark.sql.functions.lit(null).cast(f.dataType))
     }
-    val stagingDf = rows
-      .select(meta0.schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
-      .repartition(partCols.map(col): _*)
+    val stagingDf = zorderSorted(
+      rows.select(
+        meta0.schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+        .repartition(partCols.map(col): _*),
+      partCols, zorderBy)
     val staged = IcebergWrite.stage(spark, stagingDf, fs, table, partCols)
 
     val entryPartFields = spec.map { sf =>
