@@ -20,8 +20,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * UPDATE delta.`/p` SET a = a + 1, b = 'x' WHERE c in (1, 2)
   * MERGE INTO delta.`/p` USING src_view ON key1, key2
   *   [WHEN MATCHED AND <sql> THEN DELETE]
-  * OPTIMIZE delta.`/p` [ZORDER BY (c1, c2)]
-  * VACUUM delta.`/p` [RETAIN 24 HOURS]
+  * OPTIMIZE delta.`/p` [WHERE <partition-pred>] [ZORDER BY (c1, c2)]
+  * VACUUM delta.`/p` [RETAIN 24 HOURS] [DRY RUN]
   * ALTER TABLE delta.`/p` ADD CONSTRAINT nm CHECK (sql)
   * ALTER TABLE delta.`/p` DROP CONSTRAINT nm
   * ALTER TABLE delta.`/p` SET TBLPROPERTIES ('k' = 'v', ...)
@@ -61,7 +61,8 @@ object DeltaSql {
       s"""(?:\\s+WHEN\\s+MATCHED\\s+AND\\s+(.+?)\\s+THEN\\s+DELETE)?$$""").r
     val optimize = (s"""(?is)^OPTIMIZE\\s+$TableRef(?:\\s+WHERE\\s+(.+?))?""" +
       s"""(?:\\s+ZORDER\\s+BY\\s+\\(([^)]+)\\))?$$""").r
-    val vacuum = s"""(?is)^VACUUM\\s+$TableRef(?:\\s+RETAIN\\s+(\\d+)\\s+HOURS)?$$""".r
+    val vacuum =
+      s"""(?is)^VACUUM\\s+$TableRef(?:\\s+RETAIN\\s+(\\d+)\\s+HOURS)?(\\s+DRY\\s+RUN)?$$""".r
     val addCk = (s"""(?is)^ALTER\\s+TABLE\\s+$TableRef\\s+ADD\\s+CONSTRAINT\\s+(\\w+)""" +
       s"""\\s+CHECK\\s*\\((.+)\\)$$""").r
     val dropCk = s"""(?is)^ALTER\\s+TABLE\\s+$TableRef\\s+DROP\\s+CONSTRAINT\\s+(\\w+)$$""".r
@@ -112,11 +113,11 @@ object DeltaSql {
             } else DeltaWrite.optimize(spark, path, where = scoped)
         }
         result(r.version, r.filesRemoved)
-      case vacuum(path, hours) =>
+      case vacuum(path, hours, dry) =>
         val retainMs = Option(hours).map(_.toLong * 3600 * 1000)
           .getOrElse(7L * 24 * 3600 * 1000)
-        val n = DeltaWrite.vacuum(spark, path, retainMs)
-        Seq(n.toLong).toDF("files_deleted")
+        val n = DeltaWrite.vacuum(spark, path, retainMs, dryRun = dry != null)
+        Seq(n.toLong).toDF(if (dry != null) "files_would_delete" else "files_deleted")
       case addCk(path, name, pred) =>
         result(DeltaDdl.addCheckConstraint(spark, path, name, pred).version)
       case dropCk(path, name) =>

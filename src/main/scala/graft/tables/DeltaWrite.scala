@@ -1447,7 +1447,10 @@ object DeltaWrite {
   def vacuum(
       spark: SparkSession,
       tablePath: String,
-      retentionMs: Long = 7L * 24 * 3600 * 1000
+      retentionMs: Long = 7L * 24 * 3600 * 1000,
+      /** Report what WOULD be deleted without touching anything —
+        * the upstream VACUUM DRY RUN safety valve. */
+      dryRun: Boolean = false
   ): Int = {
     val snap = DeltaLog.snapshot(spark, tablePath)
     val base = tablePath.stripSuffix("/")
@@ -1486,7 +1489,7 @@ object DeltaWrite {
           case Some(ts) => ts <= cutoff           // tombstone governs retention
           case None     => s.getModificationTime <= cutoff // untracked stray file
         }
-        if (expired && fs.delete(p, false)) deleted += 1
+        if (expired && (dryRun || fs.delete(p, false))) deleted += 1
       }
     }
     deleted
@@ -1515,7 +1518,8 @@ object DeltaWrite {
   def vacuumDistributed(
       spark: SparkSession,
       tablePath: String,
-      retentionMs: Long = 7L * 24 * 3600 * 1000
+      retentionMs: Long = 7L * 24 * 3600 * 1000,
+      dryRun: Boolean = false
   ): Long = {
     import spark.implicits._
     val base = tablePath.stripSuffix("/")
@@ -1593,6 +1597,7 @@ object DeltaWrite {
       .where(coalesce(col("removed_at"), col("mtime")) <= cutoff)
       .select(col("abs_path"))
 
+    if (dryRun) return candidates.count()
     // delete executor-side; one FileSystem per partition (the driver
     // sees only per-partition counts)
     candidates.as[String].mapPartitions { paths =>

@@ -80,8 +80,12 @@ class DeltaSqlSpec extends SparkSpec {
     assert(DeltaLog.snapshot(spark, dir).files
       .forall(_.tags.get(DeltaWrite.ZOrderTag).contains("id,x:8")))
 
+    // DRY RUN reports the same candidates without deleting anything
+    val dry = DeltaSql.exec(spark, s"VACUUM ${ref(dir)} RETAIN 0 HOURS DRY RUN")
+      .select("files_would_delete").as[Long].head()
+    assert(dry >= 4L)
     val vac = DeltaSql.exec(spark, s"VACUUM ${ref(dir)} RETAIN 0 HOURS")
-    assert(vac.select("files_deleted").as[Long].head() >= 4L)
+    assert(vac.select("files_deleted").as[Long].head() == dry)
     assert(t(dir)(spark, ReadArgs()).count() == 4L) // live data intact
 
     DeltaSql.exec(spark,

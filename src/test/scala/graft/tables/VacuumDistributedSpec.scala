@@ -44,8 +44,12 @@ class VacuumDistributedSpec extends SparkSpec {
     assert(DeltaWrite.vacuumDistributed(spark, dir) == 0L)
     assert(dataFiles(dir) == before)
 
+    // dry run reports the same candidate count, touches nothing
+    val dry = DeltaWrite.vacuumDistributed(spark, dir, retentionMs = 0L, dryRun = true)
+    assert(dry > 0L && dataFiles(dir) == before)
+
     val n = DeltaWrite.vacuumDistributed(spark, dir, retentionMs = 0L)
-    assert(n > 0L)
+    assert(n == dry)
     val after = dataFiles(dir)
     // every live file (and its DV) survives; reads still work
     val base = dir.stripSuffix("/")
