@@ -208,7 +208,10 @@ object HudiMaintenance {
     * `.log` files age out exactly like superseded base files).
     * Returns the deleted table-relative paths.
     */
-  def clean(spark: SparkSession, tablePath: String, retainLast: Int): Seq[String] = {
+  def clean(
+      spark: SparkSession, tablePath: String, retainLast: Int,
+      /** Report the would-delete relative paths without deleting. */
+      dryRun: Boolean = false): Seq[String] = {
     require(retainLast >= 1, s"retainLast must be >= 1, got $retainLast")
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     HudiWrite.readProps(fs, tablePath) // refuses non-Hudi paths
@@ -224,6 +227,9 @@ object HudiMaintenance {
     val dead = HudiWrite.allWrittenPaths(fs, tablePath)
       .distinct.filterNot(keep)
     if (dead.isEmpty) return Seq.empty
+    // a dry run still reports only files that exist on disk (repeated
+    // cleans converge to empty, like the real pass)
+    if (dryRun) return dead.filter(rel => fs.exists(new Path(tablePath, rel)))
 
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)

@@ -721,7 +721,10 @@ object IcebergMaintenance {
     * Refuses Delta-owned tables: there the Delta log is the source of
     * truth and [[DeltaWrite.vacuum]] is the janitor.
     */
-  def removeOrphanFiles(spark: SparkSession, tablePath: String, olderThanMs: Long): Seq[String] = {
+  def removeOrphanFiles(
+      spark: SparkSession, tablePath: String, olderThanMs: Long,
+      /** Report the orphan paths without deleting anything. */
+      dryRun: Boolean = false): Seq[String] = {
     val table = new Path(tablePath)
     val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(!fs.exists(new Path(table, "_delta_log")),
@@ -767,8 +770,9 @@ object IcebergMaintenance {
       }.toDS()
     // referenced content files drop out via distributed anti-diff;
     // what survives is orphaned by definition (and aged past cutoff)
-    val deleted = candidates
-      .except(contentPaths(spark, live.manifests.toSeq))
+    val orphans = candidates.except(contentPaths(spark, live.manifests.toSeq))
+    if (dryRun) return orphans.collect().toSeq
+    val deleted = orphans
       .mapPartitions { it =>
         val dfs = new Path(tablePath).getFileSystem(conf.value)
         it.map { p => dfs.delete(new Path(p), false); p }

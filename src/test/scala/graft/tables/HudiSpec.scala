@@ -345,7 +345,9 @@ class HudiSpec extends SparkSpec {
     assert(all.forall(s => fs.exists(new Path(dir, s.relPath))))
 
     // retain 2: snapshots as of i2 and i3 stay fully readable
+    val dry = HudiMaintenance.clean(spark, dir, retainLast = 2, dryRun = true)
     val deleted = HudiMaintenance.clean(spark, dir, retainLast = 2)
+    assert(dry.toSet == deleted.toSet)
     val t = new HudiTable("t", dir)
     assert(t(spark, ReadArgs.empty).select("id", "v").as[(Long, String)]
       .collect().sortBy(_._1).toSeq == Seq((1L, "A"), (2L, "B")))

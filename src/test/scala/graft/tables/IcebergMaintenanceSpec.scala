@@ -226,8 +226,13 @@ class IcebergMaintenanceSpec extends SparkSpec {
     // cutoff in the future: orphans go, live files stay — and the
     // keep-side content files never materialize on the driver
     val plansBefore = IcebergMeta.driverContentFilePlans.get()
+    // dry run reports the same orphan set without touching anything
+    val dry = IcebergMaintenance.removeOrphanFiles(
+      spark, dir, olderThanMs = System.currentTimeMillis() + 60000, dryRun = true)
+    assert(fs.exists(stray) && fs.exists(staged) && fs.exists(stagedPart))
     val deleted = IcebergMaintenance.removeOrphanFiles(
       spark, dir, olderThanMs = System.currentTimeMillis() + 60000)
+    assert(dry.toSet == deleted.toSet)
     assert(IcebergMeta.driverContentFilePlans.get() == plansBefore,
       "removeOrphanFiles materialized content files on the driver")
     assert(deleted.toSet ==
