@@ -107,17 +107,24 @@ object Classifier {
     * the marginal joins run on that tiny frame.
     */
   def evaluate(df: DataFrame, goldCol: String, predCol: String): DataFrame = {
+    // null labels (abstentions / missing gold) are a first-class
+    // class: all joins and the agreement test are NULL-SAFE, so one
+    // null row comes back instead of two disjoint half-rows
     val pairs = df
       .groupBy(col(goldCol).as("gold"), col(predCol).as("pred"))
       .agg(count(lit(1)).as("n"))
     val gold = pairs.groupBy(col("gold").as("label")).agg(sum("n").as("n_gold"))
     val pred = pairs.groupBy(col("pred").as("label")).agg(sum("n").as("n_pred"))
-    val tp = pairs.where(col("gold") === col("pred"))
+    val tp = pairs.where(col("gold") <=> col("pred"))
       .select(col("gold").as("label"), col("n").as("tp"))
-    gold.join(pred, Seq("label"), "full")
-      .join(tp, Seq("label"), "left")
+    gold.as("g")
+      .join(pred.as("p"), col("g.label") <=> col("p.label"), "full")
+      .select(coalesce(col("g.label"), col("p.label")).as("label"),
+        col("n_gold"), col("n_pred"))
+      .as("m")
+      .join(tp.as("t"), col("m.label") <=> col("t.label"), "left")
       .select(
-        col("label"),
+        col("m.label").as("label"),
         coalesce(col("n_gold"), lit(0L)).as("n_gold"),
         coalesce(col("n_pred"), lit(0L)).as("n_pred"),
         coalesce(col("tp"), lit(0L)).as("tp"))

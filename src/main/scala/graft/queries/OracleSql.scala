@@ -1809,9 +1809,6 @@ object OracleSql {
           |  min(doc_id) AS min_id
           |FROM documents WHERE source IN ('src3', 'src7', 'src11')
           |GROUP BY source ORDER BY source""".stripMargin,
-      // same hashed-feature replay as q_dsir_select, but the
-      // coefficients are the spliced model weights and the readout is
-      // the per-source survival of the margin>0 gate
       "q_cls_eval" ->
         s"""WITH p AS (
            |  SELECT label AS gold,
@@ -1834,6 +1831,9 @@ object OracleSql {
            |FROM m LEFT JOIN t ON m.label = t.label
            |ORDER BY m.label""".stripMargin,
 
+      // same hashed-feature replay as q_dsir_select, but the
+      // coefficients are the spliced model weights and the readout is
+      // the per-source survival of the margin>0 gate
       "q_quality_classifier" -> {
         import Wave6Queries.ClassifierParams
         val k = ClassifierParams.K

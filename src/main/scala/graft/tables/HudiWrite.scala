@@ -462,6 +462,9 @@ object HudiWrite {
     val base = completedInstants(fs, tablePath, None).lastOption.map(_._1)
     val allSlices = latestSlices(fs, tablePath, None)
     partitions.foreach { sel =>
+      require(sel.nonEmpty,
+        "cluster: PARTITIONS selection is empty — a filtered-to-nothing list " +
+          "would mint a no-op replacecommit instead of clustering")
       val known = allSlices.map(_.partition).toSet
       val missing = sel.filterNot(known.contains)
       require(missing.isEmpty,

@@ -42,6 +42,89 @@ object IcebergMaintenance {
   private val mapper = new ObjectMapper()
   private val MaxAttempts = 10
 
+  private def intOf(r: org.apache.avro.generic.GenericRecord, f: String, d: Int): Int =
+    Option(r.get(f)).map(_.asInstanceOf[Number].intValue()).getOrElse(d)
+  private def longOf(r: org.apache.avro.generic.GenericRecord, f: String): Option[Long] =
+    Option(r.get(f)).map(_.asInstanceOf[Number].longValue())
+
+  /** Copy one live source entry into `w` as status=EXISTING with its
+    * v2 sequence numbers MATERIALIZED (an inherited seq is pinned
+    * before the manifest it inherited from disappears). Shared by
+    * [[rewriteManifests]] and the scoped rewrite — the trickiest
+    * metadata logic in the file lives exactly once. Returns the
+    * entry's (data sequence number, record count) for the list row.
+    */
+  private def writeExistingEntry(
+      w: org.apache.avro.file.DataFileWriter[org.apache.avro.generic.GenericRecord],
+      entrySchema: org.apache.avro.Schema,
+      e: org.apache.avro.generic.GenericRecord,
+      manifestSeq: Long,
+      fallbackSnapshotId: Long): (Long, Long) = {
+    val dfSchema = entrySchema.getField("data_file").schema()
+    val pSchema = dfSchema.getField("partition").schema()
+    val df = e.get("data_file").asInstanceOf[org.apache.avro.generic.GenericRecord]
+    val eSeq = longOf(e, "sequence_number").getOrElse(manifestSeq)
+    val fSeq = longOf(e, "file_sequence_number").getOrElse(eSeq)
+    val part = new org.apache.avro.generic.GenericData.Record(pSchema)
+    Option(df.get("partition")) match {
+      case Some(src: org.apache.avro.generic.GenericRecord) =>
+        pSchema.getFields.forEach { f =>
+          if (src.getSchema.getField(f.name()) != null)
+            part.put(f.name(), src.get(f.name()))
+        }
+      case _ => ()
+    }
+    val dfr = new org.apache.avro.generic.GenericData.Record(dfSchema)
+    dfr.put("content", 0)
+    dfr.put("file_path", df.get("file_path").toString)
+    dfr.put("file_format",
+      Option(df.get("file_format")).map(_.toString).getOrElse("PARQUET"))
+    dfr.put("partition", part)
+    dfr.put("record_count", longOf(df, "record_count").getOrElse(0L))
+    dfr.put("file_size_in_bytes", longOf(df, "file_size_in_bytes").getOrElse(0L))
+    val ne = new org.apache.avro.generic.GenericData.Record(entrySchema)
+    ne.put("status", 0) // EXISTING
+    ne.put("snapshot_id", longOf(e, "snapshot_id").getOrElse(fallbackSnapshotId))
+    ne.put("sequence_number", eSeq)
+    ne.put("file_sequence_number", fSeq)
+    ne.put("data_file", dfr)
+    w.append(ne)
+    (eSeq, longOf(df, "record_count").getOrElse(0L))
+  }
+
+  /** One content=0 manifest-list row. */
+  private def dataListRecord(
+      ls: org.apache.avro.Schema, path: Path, len: Long, specId: Int,
+      seq: Long, minSeq: Long, snapshotId: Long,
+      addedFiles: Int, existingFiles: Int,
+      addedRows: Long, existingRows: Long): org.apache.avro.generic.GenericRecord = {
+    val n = new org.apache.avro.generic.GenericData.Record(ls)
+    n.put("manifest_path", path.toString)
+    n.put("manifest_length", len)
+    n.put("partition_spec_id", specId)
+    n.put("content", 0)
+    n.put("sequence_number", seq)
+    n.put("min_sequence_number", minSeq)
+    n.put("added_snapshot_id", snapshotId)
+    n.put("added_files_count", addedFiles)
+    n.put("existing_files_count", existingFiles)
+    n.put("deleted_files_count", 0)
+    n.put("added_rows_count", addedRows)
+    n.put("existing_rows_count", existingRows)
+    n.put("deleted_rows_count", 0L)
+    n
+  }
+
+  /** Carry a manifest-list row verbatim (schema-field-safe copy). */
+  private def copyListRecord(
+      ls: org.apache.avro.Schema,
+      prev: org.apache.avro.generic.GenericRecord): org.apache.avro.generic.GenericRecord = {
+    val c = new org.apache.avro.generic.GenericData.Record(ls)
+    ls.getFields.forEach(f => c.put(f.name(),
+      if (prev.getSchema.getField(f.name()) != null) prev.get(f.name()) else null))
+    c
+  }
+
   /** REWRITE MANIFESTS (the public `rewrite_manifests` maintenance
     * action): consolidate the current snapshot's DATA manifests into
     * ONE manifest per partition spec — planning cost is O(manifests
@@ -70,10 +153,6 @@ object IcebergMaintenance {
         .flatMap(id => meta.snapshots.find(_.id == id))
         .getOrElse(return None)
       val listEntries = IcebergMeta.readAvro(fs, new Path(snap.manifestList))
-      def intOf(r: org.apache.avro.generic.GenericRecord, f: String, d: Int): Int =
-        Option(r.get(f)).map(_.asInstanceOf[Number].intValue()).getOrElse(d)
-      def longOf(r: org.apache.avro.generic.GenericRecord, f: String): Option[Long] =
-        Option(r.get(f)).map(_.asInstanceOf[Number].longValue())
       val (dataManifests, deleteManifests) =
         listEntries.partition(m => intOf(m, "content", 0) == 0)
       if (dataManifests.size <= 1) return None
@@ -122,45 +201,15 @@ object IcebergMaintenance {
         var rows = 0L
         var minSeq = Long.MaxValue
         try {
-          val dfSchema = entrySchema.getField("data_file").schema()
-          val pSchema = dfSchema.getField("partition").schema()
           group.foreach { m =>
             val mPath = m.get("manifest_path").toString
             val mSeq = longOf(m, "sequence_number").getOrElse(0L)
             IcebergMeta.readAvro(fs, new Path(mPath)).foreach { e =>
               if (intOf(e, "status", 0) != 2) {
-                val df = e.get("data_file")
-                  .asInstanceOf[org.apache.avro.generic.GenericRecord]
-                val eSeq = longOf(e, "sequence_number").getOrElse(mSeq)
-                val fSeq = longOf(e, "file_sequence_number").getOrElse(eSeq)
+                val (eSeq, rc) = writeExistingEntry(w, entrySchema, e, mSeq, snap.id)
                 minSeq = math.min(minSeq, eSeq)
-                val p = new org.apache.avro.generic.GenericData.Record(pSchema)
-                Option(df.get("partition")) match {
-                  case Some(src: org.apache.avro.generic.GenericRecord) =>
-                    pSchema.getFields.forEach { f =>
-                      if (src.getSchema.getField(f.name()) != null)
-                        p.put(f.name(), src.get(f.name()))
-                    }
-                  case _ => ()
-                }
-                val dfr = new org.apache.avro.generic.GenericData.Record(dfSchema)
-                dfr.put("content", 0)
-                dfr.put("file_path", df.get("file_path").toString)
-                dfr.put("file_format",
-                  Option(df.get("file_format")).map(_.toString).getOrElse("PARQUET"))
-                dfr.put("partition", p)
-                dfr.put("record_count", longOf(df, "record_count").getOrElse(0L))
-                dfr.put("file_size_in_bytes", longOf(df, "file_size_in_bytes").getOrElse(0L))
-                val ne = new org.apache.avro.generic.GenericData.Record(entrySchema)
-                ne.put("status", 0) // EXISTING
-                ne.put("snapshot_id",
-                  longOf(e, "snapshot_id").getOrElse(snap.id))
-                ne.put("sequence_number", eSeq)
-                ne.put("file_sequence_number", fSeq)
-                ne.put("data_file", dfr)
-                w.append(ne)
                 files += 1
-                rows += longOf(df, "record_count").getOrElse(0L)
+                rows += rc
               }
             }
           }
@@ -178,28 +227,11 @@ object IcebergMaintenance {
             org.apache.avro.generic.GenericRecord](ls)).create(ls, fs.create(listPath, true))
         try {
           newManifests.foreach { case (p, len, specId, minSeq, files, rows) =>
-            val n = new org.apache.avro.generic.GenericData.Record(ls)
-            n.put("manifest_path", p.toString)
-            n.put("manifest_length", len)
-            n.put("partition_spec_id", specId)
-            n.put("content", 0)
-            n.put("sequence_number", seq)
-            n.put("min_sequence_number", minSeq)
-            n.put("added_snapshot_id", snapshotId)
-            n.put("added_files_count", 0)
-            n.put("existing_files_count", files.toInt)
-            n.put("deleted_files_count", 0)
-            n.put("added_rows_count", 0L)
-            n.put("existing_rows_count", rows)
-            n.put("deleted_rows_count", 0L)
-            w.append(n)
+            w.append(dataListRecord(ls, p, len, specId, seq, minSeq, snapshotId,
+              addedFiles = 0, existingFiles = files.toInt,
+              addedRows = 0L, existingRows = rows))
           }
-          deleteManifests.foreach { prev =>
-            val c = new org.apache.avro.generic.GenericData.Record(ls)
-            ls.getFields.forEach(f => c.put(f.name(),
-              if (prev.getSchema.getField(f.name()) != null) prev.get(f.name()) else null))
-            w.append(c)
-          }
+          deleteManifests.foreach(prev => w.append(copyListRecord(ls, prev)))
         } finally w.close()
       }
 
@@ -382,7 +414,9 @@ object IcebergMaintenance {
       "scoped rewrite requires every file under the current partition spec; " +
         "run the unscoped rewrite to unify spec generations first")
     val inScope = all0.filter(f => IcebergMeta.mayMatch(f, spec, meta0, where))
-    if (inScope.size <= 1) return snap0.id // already compact in scope
+    // a single file is already compact — but a z-order request must
+    // still rewrite it (the layout, not the file count, is the goal)
+    if (inScope.isEmpty || (inScope.size == 1 && zorderBy.isEmpty)) return snap0.id
     val scopePaths = inScope.map(_.path).toSet
 
     // ---- read in-scope rows once; partition columns re-attached from
@@ -427,14 +461,23 @@ object IcebergMaintenance {
       val snap = meta.currentSnapshotId
         .flatMap(id => meta.snapshots.find(_.id == id))
         .getOrElse(throw new IllegalStateException(s"$tablePath lost its current snapshot"))
-      // the staged rows must still be the truth for the in-scope files:
-      // a concurrent delete/overwrite of any of them voids the plan
+      // the staged rows must still be the truth for the in-scope files
+      // (a concurrent delete/overwrite voids the plan) AND the spec
+      // must not have evolved: the staged partition records and field
+      // ids were minted under meta0's spec — stamping them with a new
+      // default-spec-id would bind partition tuples to the wrong spec
       val cur = IcebergMeta.planFiles(fs, snap)
-      if (cur.exists(_.content != 0) ||
-        !scopePaths.subsetOf(cur.filter(_.content == 0).map(_.path).toSet))
+      def abortStale(): Nothing = {
+        staged.foreach(sf => fs.delete(new Path(sf.path), false))
         throw new java.util.ConcurrentModificationException(
-          s"a concurrent commit changed the in-scope files of $tablePath during the " +
-            "scoped rewrite; re-run rewriteDataFiles")
+          s"a concurrent commit changed the in-scope files or partition spec of " +
+            s"$tablePath during the scoped rewrite; re-run rewriteDataFiles")
+      }
+      if (cur.exists(_.content != 0) ||
+        !scopePaths.subsetOf(cur.filter(_.content == 0).map(_.path).toSet) ||
+        meta.defaultSpecId != meta0.defaultSpecId ||
+        meta.specs.getOrElse(meta.defaultSpecId, Seq.empty) != spec)
+        abortStale()
 
       val uuid = java.util.UUID.randomUUID().toString
       val nowMs = System.currentTimeMillis()
@@ -493,11 +536,6 @@ object IcebergMaintenance {
         } finally w.close()
       }
 
-      def intOf(r: org.apache.avro.generic.GenericRecord, f: String, d: Int): Int =
-        Option(r.get(f)).map(_.asInstanceOf[Number].intValue()).getOrElse(d)
-      def longOf(r: org.apache.avro.generic.GenericRecord, f: String): Option[Long] =
-        Option(r.get(f)).map(_.asInstanceOf[Number].longValue())
-
       // carried list rows: untouched manifests verbatim; manifests
       // losing files rewritten with kept entries as EXISTING
       val listEntries = IcebergMeta.readAvro(fs, new Path(snap.manifestList))
@@ -509,23 +547,10 @@ object IcebergMaintenance {
       created += listPath
       try {
         // the new manifest first
-        locally {
-          val n = new org.apache.avro.generic.GenericData.Record(ls)
-          n.put("manifest_path", addPath.toString)
-          n.put("manifest_length", fs.getFileStatus(addPath).getLen)
-          n.put("partition_spec_id", meta.defaultSpecId)
-          n.put("content", 0)
-          n.put("sequence_number", seq)
-          n.put("min_sequence_number", seq)
-          n.put("added_snapshot_id", snapshotId)
-          n.put("added_files_count", staged.size)
-          n.put("existing_files_count", 0)
-          n.put("deleted_files_count", 0)
-          n.put("added_rows_count", staged.map(_.recordCount).sum)
-          n.put("existing_rows_count", 0L)
-          n.put("deleted_rows_count", 0L)
-          lw.append(n)
-        }
+        lw.append(dataListRecord(ls, addPath, fs.getFileStatus(addPath).getLen,
+          meta.defaultSpecId, seq, minSeq = seq, snapshotId,
+          addedFiles = staged.size, existingFiles = 0,
+          addedRows = staged.map(_.recordCount).sum, existingRows = 0L))
         listEntries.foreach { m =>
           val mPath = m.get("manifest_path").toString
           val mSeq = longOf(m, "sequence_number").getOrElse(0L)
@@ -536,61 +561,22 @@ object IcebergMaintenance {
             scopePaths.contains(df.get("file_path").toString)
           }
           if (dropped.isEmpty) { // untouched: carry verbatim
-            val c = new org.apache.avro.generic.GenericData.Record(ls)
-            ls.getFields.forEach(f => c.put(f.name(),
-              if (m.getSchema.getField(f.name()) != null) m.get(f.name()) else null))
-            lw.append(c)
+            lw.append(copyListRecord(ls, m))
           } else if (kept.nonEmpty) { // rewrite with survivors
             val outPath = new Path(metaDir, s"manifest-cp-keep-$snapshotId-$uuid-${created.size}.avro")
             val w = newWriter(outPath)
             var files = 0L; var rowCount = 0L; var minSeq = Long.MaxValue
             try kept.foreach { e =>
-              val df = e.get("data_file").asInstanceOf[org.apache.avro.generic.GenericRecord]
-              val eSeq = longOf(e, "sequence_number").getOrElse(mSeq)
-              val fSeq = longOf(e, "file_sequence_number").getOrElse(eSeq)
+              val (eSeq, rc) = writeExistingEntry(w, entrySchema, e, mSeq, snap.id)
               minSeq = math.min(minSeq, eSeq)
-              val p = new org.apache.avro.generic.GenericData.Record(pSchema)
-              Option(df.get("partition")) match {
-                case Some(src: org.apache.avro.generic.GenericRecord) =>
-                  pSchema.getFields.forEach { f =>
-                    if (src.getSchema.getField(f.name()) != null)
-                      p.put(f.name(), src.get(f.name()))
-                  }
-                case _ => ()
-              }
-              val dfr = new org.apache.avro.generic.GenericData.Record(dfSchema)
-              dfr.put("content", 0)
-              dfr.put("file_path", df.get("file_path").toString)
-              dfr.put("file_format",
-                Option(df.get("file_format")).map(_.toString).getOrElse("PARQUET"))
-              dfr.put("partition", p)
-              dfr.put("record_count", longOf(df, "record_count").getOrElse(0L))
-              dfr.put("file_size_in_bytes", longOf(df, "file_size_in_bytes").getOrElse(0L))
-              val ne = new org.apache.avro.generic.GenericData.Record(entrySchema)
-              ne.put("status", 0) // EXISTING
-              ne.put("snapshot_id", longOf(e, "snapshot_id").getOrElse(snap.id))
-              ne.put("sequence_number", eSeq)
-              ne.put("file_sequence_number", fSeq)
-              ne.put("data_file", dfr)
-              w.append(ne)
               files += 1
-              rowCount += longOf(df, "record_count").getOrElse(0L)
+              rowCount += rc
             } finally w.close()
-            val n = new org.apache.avro.generic.GenericData.Record(ls)
-            n.put("manifest_path", outPath.toString)
-            n.put("manifest_length", fs.getFileStatus(outPath).getLen)
-            n.put("partition_spec_id", meta.defaultSpecId)
-            n.put("content", 0)
-            n.put("sequence_number", seq)
-            n.put("min_sequence_number", if (minSeq == Long.MaxValue) seq else minSeq)
-            n.put("added_snapshot_id", snapshotId)
-            n.put("added_files_count", 0)
-            n.put("existing_files_count", files.toInt)
-            n.put("deleted_files_count", 0)
-            n.put("added_rows_count", 0L)
-            n.put("existing_rows_count", rowCount)
-            n.put("deleted_rows_count", 0L)
-            lw.append(n)
+            lw.append(dataListRecord(ls, outPath, fs.getFileStatus(outPath).getLen,
+              meta.defaultSpecId, seq,
+              minSeq = if (minSeq == Long.MaxValue) seq else minSeq, snapshotId,
+              addedFiles = 0, existingFiles = files.toInt,
+              addedRows = 0L, existingRows = rowCount))
           } // fully-rewritten manifest: simply not carried
         }
       } finally lw.close()
@@ -610,9 +596,11 @@ object IcebergMaintenance {
         return snapshotId
       }
       created.foreach(p => fs.delete(p, false))
-      if (attempt >= MaxAttempts)
+      if (attempt >= MaxAttempts) {
+        staged.foreach(sf => fs.delete(new Path(sf.path), false))
         throw new java.util.ConcurrentModificationException(
           s"could not commit the scoped rewrite to $tablePath after $MaxAttempts attempts")
+      }
     }
     -1L // unreachable
   }

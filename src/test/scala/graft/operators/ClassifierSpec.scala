@@ -63,5 +63,15 @@ class ClassifierSpec extends SparkSpec {
     assert(skew == Seq(
       ("x", 1L, 0L, 0L, 0.0, 0.0, 0.0),
       ("y", 0L, 1L, 0L, 0.0, 0.0, 0.0)))
+    // null labels (abstentions) are ONE first-class row, not two
+    // disjoint half-rows; null<=>null agreements count as tp
+    val nulls = Classifier.evaluate(
+      Seq((Some("a"), Some("a")), (None, Some("a")), (None, None))
+        .toDF("gold", "pred"), "gold", "pred")
+      .as[(Option[String], Long, Long, Long, Double, Double, Double)]
+      .collect().toSeq
+    assert(nulls.toSet == Set(
+      (Some("a"), 1L, 2L, 1L, 0.5, 1.0, 0.6667),
+      (None, 2L, 1L, 1L, 1.0, 0.5, 0.6667)))
   }
 }
