@@ -44,7 +44,8 @@ object LakehouseSql {
   private val descHud = s"""(?is)^DESCRIBE\\s+(TIMELINE|SLICES)\\s+$Hud$$""".r
   private val expire = s"""(?is)^EXPIRE\\s+SNAPSHOTS\\s+$Ice\\s+KEEP\\s+(\\d+)$$""".r
   private val clean = s"""(?is)^CLEAN\\s+$Hud\\s+KEEP\\s+(\\d+)$$""".r
-  private val optIce = s"""(?is)^OPTIMIZE\\s+$Ice(?:\\s+WHERE\\s+(.+))?$$""".r
+  private val optIce = (s"""(?is)^OPTIMIZE\\s+$Ice(?:\\s+WHERE\\s+(.+?))?""" +
+    s"""(?:\\s+ZORDER\\s+BY\\s+\\(([^)]+)\\))?$$""").r
   private val cluHud =
     s"""(?is)^CLUSTER\\s+$Hud\\s+BY\\s+\\(([^)]+)\\)(?:\\s+PARTITIONS\\s+\\(([^)]+)\\))?$$""".r
   private val sumIce = s"""(?is)^SUMMARIZE\\s+$Ice$$""".r
@@ -99,10 +100,12 @@ object LakehouseSql {
       case descHud(what, path) =>
         if (what.equalsIgnoreCase("TIMELINE")) HudiMetaTables.timeline(spark, path)
         else HudiMetaTables.fileSlices(spark, path)
-      case optIce(path, wherePred) =>
+      case optIce(path, wherePred, zcols) =>
         val scoped = Option(wherePred)
           .map(DeltaSql.parseWhere(spark, _)).getOrElse(Seq.empty)
-        val sid = IcebergMaintenance.rewriteDataFiles(spark, path, scoped)
+        val z = Option(zcols).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          .getOrElse(Seq.empty)
+        val sid = IcebergMaintenance.rewriteDataFiles(spark, path, scoped, zorderBy = z)
         Seq(sid).toDF("snapshot_id")
       case cluHud(path, cols, parts) =>
         val sortCols = cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq

@@ -101,6 +101,21 @@ class LakehouseSqlSpec extends SparkSpec {
       .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L))
   }
 
+  test("OPTIMIZE ZORDER BY routes to the z-ordered Iceberg rewrite") {
+    val root = tempDir("lake-sql-z").toString + "/t"
+    val rows = (for { a <- 0 until 8; b <- 0 until 8 }
+      yield ((a * 8 + b).toLong, a, b)).toDF("id", "a", "b")
+    IcebergWrite.append(spark, rows, root)
+    LakehouseSql.exec(spark, s"OPTIMIZE iceberg.`$root` ZORDER BY (a, b)")
+    val read = new IcebergTable("t", root)(spark, ReadArgs.empty)
+    val files = read.inputFiles
+    assert(files.length == 1)
+    val inFile = spark.read.parquet(files.head).coalesce(1)
+    val ab = inFile.select("a", "b").as[(Int, Int)].collect().toSeq
+    assert(ab != ab.sortBy(identity), "ZORDER BY produced a lexicographic layout")
+    assert(read.count() == 64)
+  }
+
   test("unsupported shapes refuse loudly") {
     intercept[IllegalArgumentException] {
       LakehouseSql.exec(spark, "SELECT sum(x) FROM iceberg.`/p`")
