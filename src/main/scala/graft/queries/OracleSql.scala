@@ -1781,6 +1781,13 @@ object OracleSql {
            |ORDER BY n_nationkey""".stripMargin
       },
       // post-compaction snapshot: same survivors as the MoR delete
+      "q_scoped_compact" ->
+        """WITH doubled AS (
+          |  SELECT n_nationkey, n_name, n_regionkey FROM nation
+          |  UNION ALL
+          |  SELECT n_nationkey, n_name, n_regionkey FROM nation)
+          |SELECT n_nationkey, n_name, n_regionkey FROM doubled
+          |ORDER BY n_nationkey""".stripMargin,
       "q_iceberg_compact" -> {
         val keys = Wave6Queries.IcebergDeleteParams.Keys.mkString(", ")
         s"""SELECT n_nationkey, n_name, n_regionkey

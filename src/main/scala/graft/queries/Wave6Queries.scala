@@ -452,6 +452,37 @@ object Wave6Queries {
       .orderBy("n_nationkey")
   }
 
+  private val icebergScoped =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** R52's SCOPED + Z-ORDERED rewrite through the gate: two appends
+    * leave two file generations per region partition; region 2 alone
+    * compacts (z-ordered on the key) and every row of every region —
+    * rewritten or carried — must survive byte-for-value. The suite
+    * separately asserts the untouched partitions' files carry
+    * byte-identically; here the DRIVER's DuckDB oracle pins the
+    * read-after-scoped-rewrite contents.
+    */
+  def qScopedCompact(s: SparkSession, dir: String): DataFrame = {
+    import graft.core.{Filter, Filters}
+    import graft.tables.{IcebergMaintenance, IcebergTable, IcebergWrite, ReadArgs}
+    val path = icebergScoped.getOrElseUpdate(dir, {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_iceberg_scomp").toString + "/nation"
+      (1 to 2).foreach { _ =>
+        IcebergWrite.append(s,
+          t(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey"),
+          p, Seq("n_regionkey"))
+      }
+      IcebergMaintenance.rewriteDataFiles(s, p,
+        where = Filters.normalize(Seq(Filter("n_regionkey", "=", 2))),
+        zorderBy = Seq("n_nationkey"))
+      p
+    })
+    new IcebergTable("nation_scomp", path)(s, ReadArgs.empty)
+      .orderBy("n_nationkey")
+  }
+
   // ---------- P65: embedding outlier filtering ----------
 
   object OutlierParams { val TopK = 2 }
