@@ -60,6 +60,62 @@ object SpanDedup {
       .groupBy(col("_d"))
       .agg(sort_array(collect_list(col("_pos"))).as("_drop"))
 
+    rebuildWithoutPositions(docs, idCol, textCol, n, drops)
+  }
+
+  /** Contamination SPAN EXCISION (P74): cut each document into the
+    * same non-overlapping `spanWords`-word grid and drop every chunk
+    * whose text appears ANYWHERE in the probe (benchmark) corpus —
+    * the probe side hashes its SLIDING n-grams, so alignment of the
+    * copied passage against the grid doesn't matter. The surgical
+    * alternative to whole-document decontamination (P24/P42): a long
+    * web page quoting one benchmark item loses the quote, not the
+    * page. Guarantee (declared): a verbatim benchmark passage of
+    * >= 2·spanWords−1 words always covers at least one full grid
+    * chunk, so it cannot survive intact. Span identity is the full
+    * 128-bit md5 of the chunk text (the P63 discipline — a narrow
+    * hash would excise innocent text at corpus scale).
+    *
+    * Scale shape: the probe span-hash set is BROADCAST (benchmarks
+    * are bounded — MMLU-scale, not corpus-scale); corpus text never
+    * shuffles — only (doc, pos) pairs of dropped chunks do, and the
+    * rebuild is the same scan-side HOF as span dedup.
+    */
+  def exciseProbeSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      probes: DataFrame,
+      probeTextCol: String,
+      spanWords: Int
+  ): DataFrame = {
+    require(spanWords > 0, "spanWords must be positive")
+    val n = spanWords
+    val probeSpans = probes.select(
+      explode(graft.functions.Repetition.ngrams(
+        graft.functions.Text.wsTokens(col(probeTextCol)), n)).as("_g"))
+      .select(md5(col("_g")).as("_h")).distinct()
+    val spans = docs.select(
+      col(idCol).as("_d"),
+      posexplode(TextHashExpressions.wordChunks(col(textCol), n))
+        .as(Seq("_pos", "_c")))
+      .select(col("_d"), col("_pos"), md5(col("_c")).as("_h"))
+    val drops = spans.join(broadcast(probeSpans), "_h")
+      .groupBy(col("_d"))
+      .agg(sort_array(collect_list(col("_pos"))).as("_drop"))
+    rebuildWithoutPositions(docs, idCol, textCol, n, drops)
+  }
+
+  /** Reassemble each document from its surviving grid chunks (+ the
+    * sub-span tail); `drops` = (_d, _drop: sorted dropped positions).
+    */
+  private def rebuildWithoutPositions(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      drops: DataFrame
+  ): DataFrame = {
     val chunks = TextHashExpressions.wordChunks(col(textCol), n)
     val tail = TextHashExpressions.wordTail(col(textCol), n)
     val kept = filter(chunks, (_, i) => !array_contains(col("_drop"), i))

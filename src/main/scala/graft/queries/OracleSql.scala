@@ -1769,6 +1769,7 @@ object OracleSql {
       "q_fuzzy_decontam" -> fuzzyDecontamSql,
       "q_incr_dedup" -> incrDedupSql,
       "q_span_dedup" -> spanDedupSql,
+      "q_span_decontam" -> spanDecontamSql,
       // the Spark side converts a hive parquet dir to Delta IN PLACE
       // (no rewrite) and reads it back through the Delta scanner with
       // a partition filter; the oracle recomputes from the table
@@ -2322,6 +2323,45 @@ object OracleSql {
     * rebuilt from surviving spans + the sub-span tail (single-space
     * joined); untouched docs keep their original text verbatim.
     */
+  private def spanDecontamSql: String = {
+    val n = 4
+    s"""WITH tok AS (
+       |  SELECT doc_id, source, text, ${wsTokensSql("text")} AS toks FROM documents),
+       |probe AS (
+       |  SELECT DISTINCT u.gram FROM tok,
+       |    UNNEST(CASE WHEN len(toks) >= $n THEN list_transform(
+       |      generate_series(1, len(toks)-${n - 1}),
+       |      i -> array_to_string(toks[i:i+${n - 1}], ' ')) ELSE [] END) AS u(gram)
+       |  WHERE doc_id % 50 = 0),
+       |base AS (SELECT doc_id, source, text, toks, len(toks) // $n AS m
+       |         FROM tok WHERE doc_id % 50 <> 0),
+       |pos AS (SELECT doc_id, toks, unnest(range(0, m)) AS pos FROM base),
+       |hs AS (
+       |  SELECT doc_id, pos,
+       |    array_to_string(toks[(pos*$n+1):(pos*$n+$n)], ' ') AS chunk
+       |  FROM pos),
+       |dl AS (
+       |  SELECT doc_id, list_sort(list(pos)) AS dp
+       |  FROM hs JOIN probe ON hs.chunk = probe.gram GROUP BY doc_id),
+       |rebuilt AS (
+       |  SELECT b.doc_id, b.source,
+       |    CASE WHEN d.doc_id IS NULL THEN b.text
+       |    ELSE coalesce(array_to_string(list_concat(
+       |      [array_to_string(b.toks[(i*$n+1):(i*$n+$n)], ' ')
+       |        FOR i IN range(0, b.m) IF NOT list_contains(d.dp, i)],
+       |      CASE WHEN b.m*$n < len(b.toks) AND NOT (len(b.toks) = 1 AND b.toks[1] = '')
+       |        THEN [array_to_string(b.toks[(b.m*$n+1):len(b.toks)], ' ')]
+       |        ELSE CAST([] AS VARCHAR[]) END), ' '), '') END AS nt,
+       |    b.text AS orig
+       |  FROM base b LEFT JOIN dl d USING (doc_id))
+       |SELECT source,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN nt != orig THEN 1 ELSE 0 END) AS BIGINT) AS n_excised,
+       |  CAST(sum(length(nt)) AS BIGINT) AS sum_chars,
+       |  CAST(sum(${PortableHash.Sql.md5Mod("nt")}) AS BIGINT) AS text_hash_sum
+       |FROM rebuilt GROUP BY source ORDER BY source""".stripMargin
+  }
+
   private def spanDedupSql: String = {
     val n = 8
     s"""WITH tok AS (

@@ -585,6 +585,31 @@ object Wave6Queries {
       .orderBy("source")
   }
 
+  /** P74: contamination SPAN EXCISION — benchmark probes = every
+    * 50th doc (the P24 convention); corpus chunks on the 4-word grid
+    * whose text appears among the probes' SLIDING 4-grams are cut
+    * out, the rest of each doc survives (the q_span_dedup readout
+    * shape: modified counts + rebuilt-text hash sum).
+    */
+  def qSpanDecontam(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PortableHash
+    import graft.operators.SpanDedup
+    val docs = t(s, dir, "documents").select("doc_id", "source", "text")
+    val probes = docs.where(col("doc_id") % 50 === 0)
+    val corpus = docs.where(col("doc_id") % 50 =!= 0)
+    val after = SpanDedup.exciseProbeSpans(
+      corpus, "doc_id", "text", probes, "text", spanWords = 4)
+    val orig = corpus.select(col("doc_id"), col("text").as("_orig"))
+    after.join(orig, "doc_id")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("text") =!= col("_orig"), 1L).otherwise(0L)).as("n_excised"),
+        sum(length(col("text")).cast("long")).as("sum_chars"),
+        sum(PortableHash.md5Mod(col("text"))).as("text_hash_sum"))
+      .orderBy("source")
+  }
+
   // ---------- P62: incremental near-dup index ----------
 
   object IncrDedupParams { val Mod = 10; val Threshold = 0.5 }

@@ -58,4 +58,31 @@ class SpanDedupSpec extends SparkSpec {
     assert(a(3L) == s"$span $other")
     assert(a(4L) == "tail") // later occurrence of `other` dropped, tail kept
   }
+
+  test("exciseProbeSpans cuts benchmark passages regardless of grid alignment") {
+    val bench = "what is the capital of france answer paris obviously"
+    val probes = Seq((100L, bench)).toDF("doc_id", "text")
+    // doc 1 quotes the passage OFF-grid (one leading word shifts it);
+    // with n=3 the passage (9 words >= 2*3-1) must still lose chunks
+    val docs = Seq(
+      (1L, s"intro $bench and some trailing words here"),
+      (2L, "completely unrelated content nothing shared at all"),
+      (3L, "tiny")).toDF("doc_id", "text")
+    val out = SpanDedup.exciseProbeSpans(docs, "doc_id", "text",
+      probes, "text", spanWords = 3)
+      .as[(Long, String)].collect().toMap
+    // unrelated/short docs come back byte-identical
+    assert(out(2L) == "completely unrelated content nothing shared at all")
+    assert(out(3L) == "tiny")
+    // the quoting doc lost material and no 3-word window of what
+    // survives is a probe 3-gram... the off-grid residue at the cut
+    // boundaries may keep < 3 consecutive benchmark words only
+    assert(out(1L).length < s"intro $bench and some trailing words here".length)
+    val benchGrams = bench.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val survivorGrams = out(1L).split(" ").sliding(3).map(_.mkString(" ")).toSet
+    // the guarantee is on full GRID chunks: at most boundary residue
+    // (< 2 consecutive chunks' worth) of benchmark text survives
+    assert((survivorGrams & benchGrams).size < benchGrams.size / 2,
+      s"too much benchmark text survived: ${out(1L)}")
+  }
 }
