@@ -44,6 +44,31 @@ object Sampling {
     }
   }
 
+  /** LEAKAGE-SAFE split: assignment keyed on the near-dup CLUSTER
+    * representative instead of the row id, so near-duplicates can
+    * never straddle train/test (the eval-contamination failure mode a
+    * plain per-doc split invites: the model "generalizes" to a test
+    * doc it memorized as a training near-copy). `clusters` is the
+    * (id, cluster_id) map from [[ConnectedComponents.labels]]; docs
+    * absent from it are their own representative, so the assignment
+    * degrades to the plain [[splitLabel]] exactly where no duplicate
+    * exists. One join against the skinny cluster map — O(clustered
+    * docs), broadcastable when dup rates are sane.
+    */
+  def leakageSafeSplit(
+      docs: DataFrame,
+      idCol: String,
+      clusters: DataFrame,
+      splits: Seq[(String, Double)],
+      salt: String = "split"
+  ): DataFrame = {
+    val c = clusters.select(col("id").as("_lsid"), col("cluster_id").as("_lsrep"))
+    docs.join(c, docs(idCol) === col("_lsid"), "left")
+      .withColumn("split",
+        splitLabel(coalesce(col("_lsrep"), col(idCol)), splits, salt))
+      .drop("_lsid", "_lsrep")
+  }
+
   /** Per-ROW weighted Bernoulli gate: keep a row with probability
     * min(1, weight · rate) — quality-weighted sampling, where a
     * document's keep probability scales with a score column (the

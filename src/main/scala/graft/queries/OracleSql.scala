@@ -394,6 +394,7 @@ object OracleSql {
     // same contract, different algorithm (large-star/small-star) —
     // the recursive-closure oracle is shared verbatim
     "q_cc_labels" -> dupClustersSql,
+    "q_leak_split" -> leakSplitSql,
     "q_containment_dups" -> containmentDupsSql,
     "q_cluster_best" -> clusterBestSql,
     "q_soft_dedup" -> softDedupSql,
@@ -817,6 +818,37 @@ object OracleSql {
     * recursive transitive-closure CTE, labeling each doc with the
     * minimum reachable doc id (mirrors NearDup.dupClusters).
     */
+  private def leakSplitSql: String = {
+    // identical cumulative-boundary doubles as Sampling.splitLabel
+    val weights = PipelineQueries.SplitWeights
+    val cumulative = weights.scanLeft(0.0)(_ + _._2).tail
+    val cases = weights.zip(cumulative).init
+      .map { case ((name, _), upper) => s"WHEN b < $upper THEN '$name'" }
+      .mkString("CASE ", " ", s" ELSE '${weights.last._1}' END")
+    s"""${minhashPairsCtes(true)},
+       |pairs AS (SELECT a_id, b_id FROM verified WHERE jaccard >= 0.5),
+       |e AS (SELECT a_id AS s, b_id AS t FROM pairs
+       |      UNION SELECT b_id, a_id FROM pairs),
+       |reach AS (
+       |  SELECT s, t FROM e
+       |  UNION
+       |  SELECT r.s, e2.t FROM reach r JOIN e e2 ON r.t = e2.s),
+       |cmap AS (
+       |  SELECT s AS doc_id, least(s, min(t)) AS cluster_id
+       |  FROM reach GROUP BY s),
+       |rep AS (
+       |  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS rep
+       |  FROM documents d LEFT JOIN cmap c USING (doc_id)),
+       |lab AS (SELECT doc_id, rep, ${bucketSql("split", "rep")} AS b FROM rep),
+       |asg AS (SELECT doc_id, rep, $cases AS split FROM lab),
+       |straddle AS (SELECT CAST(count(*) AS BIGINT) AS n FROM (
+       |  SELECT rep FROM asg GROUP BY rep HAVING count(DISTINCT split) > 1))
+       |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN rep <> doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_clustered,
+       |  (SELECT n FROM straddle) AS n_straddle
+       |FROM asg GROUP BY split ORDER BY split""".stripMargin
+  }
+
   private def dupClustersSql: String =
     s"""${minhashPairsCtes(true)},
        |pairs AS (SELECT a_id, b_id FROM verified WHERE jaccard >= 0.5),

@@ -141,6 +141,35 @@ object PipelineQueries {
     ConnectedComponents.labels(pairs, "a_id", "b_id").orderBy("id")
   }
 
+  /** P75: leakage-safe split over the near-dup cluster map — per
+    * split: doc counts, clustered-doc counts, and the STRADDLE count
+    * (clusters spanning more than one split), which must be zero by
+    * construction and is pinned by the oracle's identical replay.
+    */
+  def qLeakSplit(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    val docs = t(s, dir, "documents")
+    val pairs = NearDup.minhashPairs(docs, "doc_id", "text",
+      k = 5, numHashes = 8, bands = 2, threshold = 0.5)
+    val clusters = ConnectedComponents.labels(pairs, "a_id", "b_id")
+    val asg = Sampling.leakageSafeSplit(
+      docs.select(col("doc_id")), "doc_id", clusters, SplitWeights)
+    val withRep = asg
+      .join(clusters.select(col("id").as("doc_id"), col("cluster_id")),
+        Seq("doc_id"), "left")
+      .withColumn("rep", coalesce(col("cluster_id"), col("doc_id")))
+    // straddle count: a 1-row scalar frame cross-joined onto the rollup
+    val straddle = withRep.groupBy(col("rep"))
+      .agg(countDistinct(col("split")).as("_k"))
+      .agg(sum(when(col("_k") > 1, 1L).otherwise(0L)).as("n_straddle"))
+    withRep.groupBy(col("split"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("rep") =!= col("doc_id"), 1L).otherwise(0L)).as("n_clustered"))
+      .crossJoin(straddle)
+      .orderBy("split")
+  }
+
   /** Shared with the oracle. */
   object ContainParams { val K = 5; val Threshold = 0.5; val MaxDf = 10 }
 

@@ -64,4 +64,24 @@ class SamplingSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet
     assert(a == b)
   }
+
+  test("leakageSafeSplit: cluster members share one split; singletons degrade to splitLabel") {
+    val docs = (1L to 60L).toDF("id")
+    // docs 1..10 form one near-dup cluster with representative 1
+    val clusters = (1L to 10L).map(i => (i, 1L)).toDF("id", "cluster_id")
+    val splits = Seq("train" -> 0.8, "test" -> 0.2)
+    val asg = Sampling.leakageSafeSplit(docs, "id", clusters, splits)
+      .as[(Long, String)].collect().toMap
+    // every cluster member lands where the representative lands
+    val repSplit = docs.where(col("id") === 1L)
+      .select(Sampling.splitLabel(col("id"), splits)).as[String].head()
+    assert((1L to 10L).forall(asg(_) == repSplit))
+    // unclustered docs get exactly the plain per-id assignment
+    val plain = docs.where(col("id") > 10L)
+      .select(col("id"), Sampling.splitLabel(col("id"), splits).as("s"))
+      .as[(Long, String)].collect().toMap
+    assert((11L to 60L).forall(i => asg(i) == plain(i)))
+    // both labels occur (the 50 singletons hash across the boundary)
+    assert(asg.values.toSet == Set("train", "test"))
+  }
 }
