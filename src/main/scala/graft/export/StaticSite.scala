@@ -151,6 +151,45 @@ object StaticSite {
       |  });
       |  return pre;
       |}
+      |// ArrowTypeView re-expressed: parse the Spark type grammar
+      |// (struct<a:t,...>, array<t>, map<k,v>, decimal(p,s), plain) and
+      |// render nested types as an expandable tree instead of one long
+      |// string (static_site/src/components/ArrowTypeView.tsx behavior).
+      |function splitTop(s) {
+      |  var out = [], d = 0, cur = "";
+      |  for (var i = 0; i < s.length; i++) {
+      |    var c = s[i];
+      |    if (c === "<" || c === "(") d++;
+      |    if (c === ">" || c === ")") d--;
+      |    if (c === "," && d === 0) { out.push(cur); cur = ""; } else cur += c;
+      |  }
+      |  if (cur) out.push(cur);
+      |  return out;
+      |}
+      |function typeView(t) {
+      |  t = (t || "").trim();
+      |  var m = t.match(/^(struct|array|map)<(.*)>$/);
+      |  if (!m) return el("span", "ty-leaf", t);
+      |  var box = el("details", "ty-node");
+      |  box.appendChild(el("summary", "ty-kind", m[1]));
+      |  var ul = el("ul", "ty-kids");
+      |  splitTop(m[2]).forEach(function (part, i) {
+      |    var li = el("li");
+      |    if (m[1] === "struct") {
+      |      var k = part.indexOf(":");
+      |      li.appendChild(el("span", "ty-name", part.slice(0, k).trim() + ": "));
+      |      li.appendChild(typeView(part.slice(k + 1)));
+      |    } else if (m[1] === "map") {
+      |      li.appendChild(el("span", "ty-name", i === 0 ? "key: " : "value: "));
+      |      li.appendChild(typeView(part));
+      |    } else {
+      |      li.appendChild(typeView(part));
+      |    }
+      |    ul.appendChild(li);
+      |  });
+      |  box.appendChild(ul);
+      |  return box;
+      |}
       |function renderTable(cat, db, t) {
       |  var d = document.getElementById("detail");
       |  d.innerHTML = "";
@@ -188,7 +227,9 @@ object StaticSite {
       |  (t.columns || []).forEach(function (c) {
       |    var r = el("tr");
       |    r.appendChild(el("td", null, c.column));
-      |    r.appendChild(el("td", "type", c.type));
+      |    var tdT = el("td", "type");
+      |    tdT.appendChild(typeView(c.type));
+      |    r.appendChild(tdT);
       |    var flags = [];
       |    if (c.readonly) flags.push("readonly");
       |    if (c.filter_only) flags.push("filter-only");
@@ -287,6 +328,10 @@ object StaticSite {
       |table.schema th { background: #fafafa; }
       |td.type { font-family: ui-monospace, monospace; font-size: 13px; }
       |td.flags { color: var(--muted); font-size: 12px; }
+      |details.ty-node summary { cursor: pointer; color: #8250df; }
+      |ul.ty-kids { margin: 2px 0 2px 14px; padding: 0; list-style: none; }
+      |.ty-name { color: var(--muted); }
+      |.ty-leaf { color: #0550ae; }
       |.hint { color: var(--muted); }
       |.col-hit { color: var(--muted); font-size: 12px; }
       |pre.code { background: #f6f8fa; border: 1px solid var(--line); border-radius: 6px;

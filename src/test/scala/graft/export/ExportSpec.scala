@@ -122,8 +122,10 @@ class ExportSpec extends SparkSpec {
         "t.partitions", "t.columns", "c.filter_only", "c.has_stats",
         "id=\"search\"", "styles.css",
         // reference-parity interactive features (dependency-free):
-        // fuzzy search over tables+columns, usage-snippet codegen
-        "fuzzyScore", "tableMatch", "genCode", "ReadArgs.where", "highlight")
+        // fuzzy search over tables+columns, usage-snippet codegen,
+        // nested-type tree (ArrowTypeView behavior)
+        "fuzzyScore", "tableMatch", "genCode", "ReadArgs.where", "highlight",
+        "typeView", "splitTop")
       .foreach(m => assert(html.contains(m), s"index.html lost marker: $m"))
 
     val data = java.nio.file.Files.readString(
@@ -132,5 +134,22 @@ class ExportSpec extends SparkSpec {
         """"tables":[""", """"name":"metrics"""",
         """"column":"score","type":"double"""", """"table_type":"PARQUET"""")
       .foreach(m => assert(data.contains(m), s"data.json lost marker: $m"))
+  }
+
+  test("static site: nested types reach data.json for the type-tree renderer") {
+    import spark.implicits._
+    val dir = tempDir("ssite-nested").toString + "/t"
+    Seq((1L, Seq("x"), Map("k" -> 1), (2, "y")))
+      .toDF("id", "tags", "counts", "pair")
+      .write.mode("overwrite").parquet(dir)
+    val cat = new Catalog(Map("main" -> new MapDatabase(Map(
+      "nested" -> new ParquetTable("nested", dir, Seq.empty)))))
+    // fixed dir: re-generated each run, browsable for manual/E2E checks
+    val siteDir = "/tmp/graft_site_e2e"
+    StaticSite.generate(Seq("cat" -> cat), siteDir, spark)
+    val data = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(siteDir, "data.json"))
+    Seq("array<string>", "map<string,int>", "struct<_1:int,_2:string>")
+      .foreach(m => assert(data.contains(m), s"data.json lost nested type: $m"))
   }
 }
