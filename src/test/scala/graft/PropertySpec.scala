@@ -494,6 +494,68 @@ object GraftProperties extends Properties("graft") {
     }
   }
 
+  private val lineText: Gen[String] = Gen.listOf(Gen.frequency(
+    4 -> word, 1 -> Gen.const("\n"))).map(_.mkString(" "))
+
+  property("repetition metrics stay in [0,1] and line dedup is idempotent") =
+    forAll(Gen.listOf(lineText).map(_.take(8))) { (texts: List[String]) =>
+      import graft.functions.{Repetition, Text}
+      texts.isEmpty || {
+        val df = texts.toDF("text")
+          .withColumn("toks", Text.wsTokens(col("text")))
+        val rows = df.select(
+          Repetition.dupLineFrac(col("text")).as("a"),
+          Repetition.dupLineCharFrac(col("text")).as("b"),
+          Repetition.topNgramCharFrac(col("toks"), 2).as("c"),
+          Repetition.dropRepeatedLines(col("text")).as("d"))
+          .collect()
+        // fractions bounded (dup n-gram char frac may exceed 1 by the
+        // declared overlap counting, so it is exempt here)
+        rows.forall(r => Seq(0, 1, 2).forall { i =>
+          val v = r.getDouble(i); v >= 0.0 && v <= 1.0001
+        }) && {
+          // dedup is idempotent and leaves zero duplicate lines
+          val once = rows.map(_.getString(3)).toSeq
+          val again = once.toDF("text").select(
+            Repetition.dropRepeatedLines(col("text")).as("d"),
+            Repetition.dupLineFrac(col("text")).as("f")).collect()
+          once.zip(again).forall { case (o, r2) =>
+            r2.getString(0) == o && r2.getDouble(1) == 0.0
+          }
+        }
+      }
+    }
+
+  property("recallAtK of a table against itself is 1.0 for every query") =
+    forAll(Gen.nonEmptyListOf(Gen.zip(
+      Gen.chooseNum(1L, 5L), Gen.chooseNum(1L, 50L))).map(_.distinct.take(30))) {
+      (pairs: List[(Long, Long)]) =>
+        import graft.operators.Similarity
+        // build a well-formed neighbor table: per query, ranked 1..n
+        val ranked = pairs.groupBy(_._1).toSeq.flatMap { case (q, ns) =>
+          ns.map(_._2).distinct.zipWithIndex.map { case (n, i) =>
+            (q, n, (i + 1).toLong)
+          }
+        }
+        val df = ranked.toDF("query_id", "neighbor_id", "rank")
+        Similarity.recallAtK(df, df, k = 3).collect()
+          .forall(r => r.getDouble(3) == 1.0 && r.getLong(1) == r.getLong(2))
+    }
+
+  property("excising with an unrelated probe corpus changes nothing") =
+    forAll(Gen.nonEmptyListOf(Gen.listOfN(6, word).map(_.mkString(" "))).map(_.take(6))) {
+      (texts: List[String]) =>
+        import graft.operators.SpanDedup
+        val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text")
+        // probe vocabulary is digits-only: disjoint from alpha words
+        val probes = Seq((0L, "11 22 33 44 55 66 77 88")).toDF("doc_id", "text")
+        val out = SpanDedup.exciseProbeSpans(docs, "doc_id", "text",
+          probes, "text", spanWords = 3)
+          .as[(Long, String)].collect().toMap
+        texts.zipWithIndex.forall { case (t, i) => out(i.toLong) == t }
+    }
+
   property("Hudi log-file Avro codec round-trips arbitrary typed rows") = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
