@@ -1025,6 +1025,23 @@ object OracleSql {
          |  ON p.user_id = h.user_id AND p.ts >= h.hts
          |ORDER BY p.event_id""".stripMargin,
 
+    "q_asof_tolerance" -> {
+      val tol = Wave2Queries.AsofToleranceUs
+      s"""WITH purchases AS (
+         |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+         |hourly AS (
+         |  SELECT user_id, date_trunc('hour', ts) AS hts, count(*) AS hourly_events
+         |  FROM events GROUP BY 1, 2)
+         |SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+         |  CASE WHEN epoch_us(p.ts) - epoch_us(h.hts) <= $tol
+         |       THEN epoch_us(h.hts) END AS hour_us,
+         |  CASE WHEN epoch_us(p.ts) - epoch_us(h.hts) <= $tol
+         |       THEN h.hourly_events END AS hourly_events
+         |FROM purchases p ASOF LEFT JOIN hourly h
+         |  ON p.user_id = h.user_id AND p.ts >= h.hts
+         |ORDER BY p.event_id""".stripMargin
+    },
+
     "q_asof_forward" ->
       s"""WITH purchases AS (
          |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),

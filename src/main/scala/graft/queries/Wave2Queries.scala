@@ -38,6 +38,34 @@ object Wave2Queries {
       .orderBy("event_id")
   }
 
+  /** Shared with the oracle: matches farther back than 30 min null. */
+  val AsofToleranceUs: Long = 1800L * 1000000L
+
+  /** E15's merge_asof TOLERANCE through the gate: the [[qAsofJoin]]
+    * join with matches older than 30 minutes nulled out — purchases
+    * in the back half of their hour keep the row, lose the match
+    * (DuckDB mirrors with ASOF LEFT JOIN + the same gate).
+    */
+  def qAsofTolerance(s: SparkSession, dir: String): DataFrame = {
+    val events = t(s, dir, "events")
+    val purchases = events
+      .where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val hourly = events
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hts"))
+      .agg(count(lit(1)).as("hourly_events"))
+    AsOfJoin.asOfBackward(purchases, hourly,
+      keys = Seq("user_id"), leftTs = "ts", rightTs = "hts",
+      rightPayload = Seq("hourly_events"),
+      toleranceUs = Some(AsofToleranceUs))
+      .select(
+        col("event_id"), col("user_id"),
+        tsUs(col("ts")).as("ts_us"),
+        tsUs(col("asof_hts")).as("hour_us"),
+        col("asof_hourly_events").as("hourly_events"))
+      .orderBy("event_id")
+  }
+
   /** Forward as-of: each purchase matched to the earliest hourly
     * rollup at or after it (inner semantics to mirror ASOF JOIN).
     */
