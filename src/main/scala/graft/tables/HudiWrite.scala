@@ -336,20 +336,39 @@ object HudiWrite {
     * groups are untouched. Returns the instant, None when there was
     * nothing to compact.
     */
-  def compact(spark: SparkSession, tablePath: String): Option[String] = {
+  /** `partitions`: scope compaction to the given partition paths
+    * (same contract as [[cluster]]'s selector — unknown paths refuse;
+    * only the selected partitions' logged slices fold into new base
+    * files, everything else carries untouched).
+    */
+  def compact(
+      spark: SparkSession, tablePath: String,
+      partitions: Option[Seq[String]] = None): Option[String] = {
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val hasLogs = latestSlices(fs, tablePath, None).exists(_.logFiles.nonEmpty)
+    partitions.foreach { sel =>
+      require(sel.nonEmpty, "compact: PARTITIONS selection is empty")
+      val known = latestSlices(fs, tablePath, None).map(_.partition).toSet
+      val missing = sel.filterNot(known.contains)
+      require(missing.isEmpty,
+        s"selected partition path(s) not in $tablePath: ${missing.mkString(", ")}")
+    }
+    def inScope(p: String) = partitions.forall(_.contains(p))
+    val hasLogs = latestSlices(fs, tablePath, None)
+      .exists(s => s.logFiles.nonEmpty && inScope(s.partition))
     if (!hasLogs) None
-    else Some(retryOnConflict("compact", tablePath)(compactOnce(spark, tablePath, fs)))
+    else Some(retryOnConflict("compact", tablePath)(
+      compactOnce(spark, tablePath, fs, partitions)))
   }
 
   private def compactOnce(
-      spark: SparkSession, tablePath: String, fs: FileSystem): String = {
+      spark: SparkSession, tablePath: String, fs: FileSystem,
+      partitions: Option[Seq[String]] = None): String = {
     val props = readProps(fs, tablePath)
     val partCols = props.get("hoodie.table.partition.fields")
       .filter(_.nonEmpty).map(_.split(",").toSeq).getOrElse(Seq.empty)
     val base = completedInstants(fs, tablePath, None).lastOption.map(_._1)
-    val logged = latestSlices(fs, tablePath, None).filter(_.logFiles.nonEmpty)
+    val logged = latestSlices(fs, tablePath, None)
+      .filter(s => s.logFiles.nonEmpty && partitions.forall(_.contains(s.partition)))
     val instant = mintInstant(fs, new Path(tablePath, ".hoodie"))
     if (logged.isEmpty) { // raced away
       completeCommit(fs, tablePath, instant, "compact", Seq.empty)

@@ -172,6 +172,32 @@ class HudiMorSpec extends SparkSpec {
     assert(!t(spark, ReadArgs.empty).inputFiles.exists(_.contains(".log.")))
   }
 
+  test("partition-scoped compaction folds only the selected partition's logs") {
+    val dir = tempDir("hudi-mor-pc").toString + "/t"
+    HudiWrite.bulkInsert(spark,
+      Seq((1L, "a", 0), (11L, "x", 1)).toDF("id", "v", "part"), dir, "id",
+      Seq("part"), tableType = "MERGE_ON_READ")
+    // deltacommit upserts leave log files in BOTH partitions
+    HudiWrite.upsert(spark,
+      Seq((1L, "A", 0), (11L, "X", 1)).toDF("id", "v", "part"), dir)
+    val fs = fsOf(dir)
+    def loggedParts = HudiWrite.latestSlices(fs, dir, None)
+      .filter(_.logFiles.nonEmpty).map(_.partition).toSet
+    assert(loggedParts == Set("part=0", "part=1"))
+
+    HudiWrite.compact(spark, dir, partitions = Some(Seq("part=0")))
+    assert(loggedParts == Set("part=1"), "only part=0's logs fold")
+    val t = new HudiTable("t", dir)
+    assert(t(spark, ReadArgs.empty).select("id", "v")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq ==
+      Seq((1L, "A"), (11L, "X")))
+    // unknown path refuses; fully-compacted scope is a no-op None
+    intercept[IllegalArgumentException] {
+      HudiWrite.compact(spark, dir, partitions = Some(Seq("part=9")))
+    }
+    assert(HudiWrite.compact(spark, dir, partitions = Some(Seq("part=0"))).isEmpty)
+  }
+
   test("avro codec round-trips dates, timestamps, decimals, arrays and nulls") {
     val dir = tempDir("hudi-mor-types").toString + "/t"
     val df = spark.sql(
