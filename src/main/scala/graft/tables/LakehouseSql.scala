@@ -46,6 +46,8 @@ object LakehouseSql {
   private val clean = s"""(?is)^CLEAN\\s+$Hud\\s+KEEP\\s+(\\d+)$$""".r
   private val optIce = (s"""(?is)^OPTIMIZE\\s+$Ice(?:\\s+WHERE\\s+(.+?))?""" +
     s"""(?:\\s+ZORDER\\s+BY\\s+\\(([^)]+)\\))?$$""").r
+  private val compHud =
+    s"""(?is)^COMPACT\\s+$Hud(?:\\s+PARTITIONS\\s+\\(([^)]+)\\))?$$""".r
   private val cluHud =
     s"""(?is)^CLUSTER\\s+$Hud\\s+BY\\s+\\(([^)]+)\\)(?:\\s+PARTITIONS\\s+\\(([^)]+)\\))?$$""".r
   private val sumIce = s"""(?is)^SUMMARIZE\\s+$Ice$$""".r
@@ -107,6 +109,11 @@ object LakehouseSql {
           .getOrElse(Seq.empty)
         val sid = IcebergMaintenance.rewriteDataFiles(spark, path, scoped, zorderBy = z)
         Seq(sid).toDF("snapshot_id")
+      case compHud(path, parts) =>
+        val sel = Option(parts).map(_.split(",").map(
+          _.trim.stripPrefix("'").stripSuffix("'")).filter(_.nonEmpty).toSeq)
+        val instant = HudiWrite.compact(spark, path, partitions = sel)
+        Seq(instant.getOrElse("")).toDF("instant") // empty = nothing logged
       case cluHud(path, cols, parts) =>
         val sortCols = cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq
         val sel = Option(parts).map(_.split(",").map(

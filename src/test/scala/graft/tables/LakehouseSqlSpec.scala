@@ -116,6 +116,25 @@ class LakehouseSqlSpec extends SparkSpec {
     assert(read.count() == 64)
   }
 
+  test("COMPACT routes to Hudi MOR compaction with optional partition scope") {
+    val root = tempDir("lake-sql-mc").toString + "/t"
+    HudiWrite.bulkInsert(spark, data, root, "id", Seq("p"),
+      tableType = "MERGE_ON_READ")
+    HudiWrite.upsert(spark,
+      Seq((1L, "A", 0), (3L, "C", 1)).toDF("id", "v", "p"), root)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def loggedParts = HudiWrite.latestSlices(fs, root, None)
+      .filter(_.logFiles.nonEmpty).map(_.partition).toSet
+    assert(loggedParts == Set("p=0", "p=1"))
+    val i = LakehouseSql.exec(spark, s"COMPACT hudi.`$root` PARTITIONS ('p=0')")
+      .collect()(0).getString(0)
+    assert(i.nonEmpty && loggedParts == Set("p=1"))
+    // nothing left to compact there: empty instant comes back
+    assert(LakehouseSql.exec(spark, s"COMPACT hudi.`$root` PARTITIONS ('p=0')")
+      .collect()(0).getString(0).isEmpty)
+  }
+
   test("unsupported shapes refuse loudly") {
     intercept[IllegalArgumentException] {
       LakehouseSql.exec(spark, "SELECT sum(x) FROM iceberg.`/p`")
