@@ -60,13 +60,19 @@ object Sampling {
       idCol: String,
       clusters: DataFrame,
       splits: Seq[(String, Double)],
-      salt: String = "split"
+      salt: String = "split",
+      /** Keep the representative under this column (None = drop). */
+      keepRepAs: Option[String] = None
   ): DataFrame = {
     val c = clusters.select(col("id").as("_lsid"), col("cluster_id").as("_lsrep"))
-    docs.join(c, docs(idCol) === col("_lsid"), "left")
-      .withColumn("split",
-        splitLabel(coalesce(col("_lsrep"), col(idCol)), splits, salt))
-      .drop("_lsid", "_lsrep")
+    val joined = docs.join(c, docs(idCol) === col("_lsid"), "left")
+      .withColumn("_lsrep", coalesce(col("_lsrep"), col(idCol)))
+      .withColumn("split", splitLabel(col("_lsrep"), splits, salt))
+      .drop("_lsid")
+    keepRepAs match {
+      case Some(r) => joined.withColumnRenamed("_lsrep", r)
+      case None    => joined.drop("_lsrep")
+    }
   }
 
   /** Per-ROW weighted Bernoulli gate: keep a row with probability

@@ -818,13 +818,19 @@ object OracleSql {
     * recursive transitive-closure CTE, labeling each doc with the
     * minimum reachable doc id (mirrors NearDup.dupClusters).
     */
-  private def leakSplitSql: String = {
-    // identical cumulative-boundary doubles as Sampling.splitLabel
+  /** The cumulative-boundary CASE mirroring Sampling.splitLabel —
+    * ONE definition shared by every split-assigning oracle.
+    */
+  private def splitCaseSql: String = {
     val weights = PipelineQueries.SplitWeights
     val cumulative = weights.scanLeft(0.0)(_ + _._2).tail
-    val cases = weights.zip(cumulative).init
+    weights.zip(cumulative).init
       .map { case ((name, _), upper) => s"WHEN b < $upper THEN '$name'" }
       .mkString("CASE ", " ", s" ELSE '${weights.last._1}' END")
+  }
+
+  private def leakSplitSql: String = {
+    val cases = splitCaseSql
     s"""${minhashPairsCtes(true)},
        |pairs AS (SELECT a_id, b_id FROM verified WHERE jaccard >= 0.5),
        |e AS (SELECT a_id AS s, b_id AS t FROM pairs
@@ -975,12 +981,7 @@ object OracleSql {
        |GROUP BY lang ORDER BY lang""".stripMargin
 
   private def splitSql: String = {
-    // identical cumulative-boundary doubles as Sampling.splitLabel
-    val weights = PipelineQueries.SplitWeights
-    val cumulative = weights.scanLeft(0.0)(_ + _._2).tail
-    val cases = weights.zip(cumulative).init
-      .map { case ((name, _), upper) => s"WHEN b < $upper THEN '$name'" }
-      .mkString("CASE ", " ", s" ELSE '${weights.last._1}' END")
+    val cases = splitCaseSql
     s"""WITH b AS (SELECT lang, ${bucketSql("split", "doc_id")} AS b FROM documents)
        |SELECT $cases AS split, lang, count(*) AS n_docs
        |FROM b GROUP BY split, lang ORDER BY split, lang""".stripMargin
@@ -1830,7 +1831,6 @@ object OracleSql {
            |FROM nation WHERE n_nationkey NOT IN ($keys)
            |ORDER BY n_nationkey""".stripMargin
       },
-      // post-compaction snapshot: same survivors as the MoR delete
       "q_scoped_compact" ->
         """WITH doubled AS (
           |  SELECT n_nationkey, n_name, n_regionkey FROM nation
@@ -1838,6 +1838,7 @@ object OracleSql {
           |  SELECT n_nationkey, n_name, n_regionkey FROM nation)
           |SELECT n_nationkey, n_name, n_regionkey FROM doubled
           |ORDER BY n_nationkey""".stripMargin,
+      // post-compaction snapshot: same survivors as the MoR delete
       "q_iceberg_compact" -> {
         val keys = Wave6Queries.IcebergDeleteParams.Keys.mkString(", ")
         s"""SELECT n_nationkey, n_name, n_regionkey

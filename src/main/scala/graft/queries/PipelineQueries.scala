@@ -152,12 +152,9 @@ object PipelineQueries {
     val pairs = NearDup.minhashPairs(docs, "doc_id", "text",
       k = 5, numHashes = 8, bands = 2, threshold = 0.5)
     val clusters = ConnectedComponents.labels(pairs, "a_id", "b_id")
-    val asg = Sampling.leakageSafeSplit(
-      docs.select(col("doc_id")), "doc_id", clusters, SplitWeights)
-    val withRep = asg
-      .join(clusters.select(col("id").as("doc_id"), col("cluster_id")),
-        Seq("doc_id"), "left")
-      .withColumn("rep", coalesce(col("cluster_id"), col("doc_id")))
+    val withRep = Sampling.leakageSafeSplit(
+      docs.select(col("doc_id")), "doc_id", clusters, SplitWeights,
+      keepRepAs = Some("rep"))
     // straddle count: a 1-row scalar frame cross-joined onto the rollup
     val straddle = withRep.groupBy(col("rep"))
       .agg(countDistinct(col("split")).as("_k"))

@@ -345,16 +345,16 @@ object HudiWrite {
       spark: SparkSession, tablePath: String,
       partitions: Option[Seq[String]] = None): Option[String] = {
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val slices = latestSlices(fs, tablePath, None) // one timeline read
     partitions.foreach { sel =>
       require(sel.nonEmpty, "compact: PARTITIONS selection is empty")
-      val known = latestSlices(fs, tablePath, None).map(_.partition).toSet
+      val known = slices.map(_.partition).toSet
       val missing = sel.filterNot(known.contains)
       require(missing.isEmpty,
         s"selected partition path(s) not in $tablePath: ${missing.mkString(", ")}")
     }
-    def inScope(p: String) = partitions.forall(_.contains(p))
-    val hasLogs = latestSlices(fs, tablePath, None)
-      .exists(s => s.logFiles.nonEmpty && inScope(s.partition))
+    val hasLogs = slices.exists(s =>
+      s.logFiles.nonEmpty && partitions.forall(_.contains(s.partition)))
     if (!hasLogs) None
     else Some(retryOnConflict("compact", tablePath)(
       compactOnce(spark, tablePath, fs, partitions)))

@@ -106,19 +106,20 @@ object LakehouseSql {
         val scoped = Option(wherePred)
           .map(DeltaSql.parseWhere(spark, _)).getOrElse(Seq.empty)
         val z = Option(zcols).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-          .getOrElse(Seq.empty)
-        val sid = IcebergMaintenance.rewriteDataFiles(spark, path, scoped, zorderBy = z)
+        // a present-but-empty ZORDER BY must not silently bin-pack
+        z.foreach(cols => require(cols.nonEmpty,
+          "OPTIMIZE ... ZORDER BY needs at least one column"))
+        val sid = IcebergMaintenance.rewriteDataFiles(spark, path, scoped,
+          zorderBy = z.getOrElse(Seq.empty))
         Seq(sid).toDF("snapshot_id")
       case compHud(path, parts) =>
-        val sel = Option(parts).map(_.split(",").map(
-          _.trim.stripPrefix("'").stripSuffix("'")).filter(_.nonEmpty).toSeq)
-        val instant = HudiWrite.compact(spark, path, partitions = sel)
+        val instant = HudiWrite.compact(spark, path,
+          partitions = Option(parts).map(parsePartitions))
         Seq(instant.getOrElse("")).toDF("instant") // empty = nothing logged
       case cluHud(path, cols, parts) =>
         val sortCols = cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq
-        val sel = Option(parts).map(_.split(",").map(
-          _.trim.stripPrefix("'").stripSuffix("'")).filter(_.nonEmpty).toSeq)
-        val instant = HudiWrite.cluster(spark, path, sortCols, partitions = sel)
+        val instant = HudiWrite.cluster(spark, path, sortCols,
+          partitions = Option(parts).map(parsePartitions))
         Seq(instant).toDF("instant")
       case sumIce(path) =>
         summarizeAll(new IcebergTable(name(path), path)(spark, ReadArgs.empty))
@@ -157,6 +158,13 @@ object LakehouseSql {
     require(cols.nonEmpty, "SUMMARIZE: table has no atomic columns")
     graft.catalog.Profile.summarize(df, cols, exact = false)
   }
+
+  /** Quoted partition-path list: `'p=0', 'p=1'` (shared by CLUSTER
+    * and COMPACT so the literal grammar can't drift between them).
+    */
+  private def parsePartitions(parts: String): Seq[String] =
+    parts.split(",").map(_.trim.stripPrefix("'").stripSuffix("'"))
+      .filter(_.nonEmpty).toSeq
 
   private def name(path: String): String =
     path.split('/').lastOption.filter(_.nonEmpty).getOrElse("table")

@@ -509,11 +509,15 @@ object GraftProperties extends Properties("graft") {
           Repetition.topNgramCharFrac(col("toks"), 2).as("c"),
           Repetition.dropRepeatedLines(col("text")).as("d"))
           .collect()
-        // fractions bounded (dup n-gram char frac may exceed 1 by the
-        // declared overlap counting, so it is exempt here)
-        rows.forall(r => Seq(0, 1, 2).forall { i =>
-          val v = r.getDouble(i); v >= 0.0 && v <= 1.0001
-        }) && {
+        // line fractions are true ratios in [0,1]; the n-gram char
+        // fractions count overlapping occurrences by declaration
+        // ("a a a" -> top 2-gram covers 6/5 chars) so they are only
+        // bounded below
+        rows.forall { r =>
+          Seq(0, 1).forall { i =>
+            val v = r.getDouble(i); v >= 0.0 && v <= 1.0001
+          } && r.getDouble(2) >= 0.0
+        } && {
           // dedup is idempotent and leaves zero duplicate lines
           val once = rows.map(_.getString(3)).toSeq
           val again = once.toDF("text").select(

@@ -144,8 +144,8 @@ class ExportSpec extends SparkSpec {
       .write.mode("overwrite").parquet(dir)
     val cat = new Catalog(Map("main" -> new MapDatabase(Map(
       "nested" -> new ParquetTable("nested", dir, Seq.empty)))))
-    // fixed dir: re-generated each run, browsable for manual/E2E checks
-    val siteDir = "/tmp/graft_site_e2e"
+    val siteDir = tempDir("ssite-nested-out").toString
+    info(s"nested-type site generated at $siteDir (browsable)")
     StaticSite.generate(Seq("cat" -> cat), siteDir, spark)
     val data = java.nio.file.Files.readString(
       java.nio.file.Paths.get(siteDir, "data.json"))
