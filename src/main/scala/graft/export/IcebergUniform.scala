@@ -471,6 +471,7 @@ object IcebergUniform {
          |{"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[$pFields]}},
          |{"name":"record_count","type":"long","field-id":103},
          |{"name":"file_size_in_bytes","type":"long","field-id":104},
+         |${graft.tables.IcebergStats.manifestFieldsJson},
          |{"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null,"field-id":135}
          |]}}]}""".stripMargin
     new AvroSchema.Parser().parse(json)

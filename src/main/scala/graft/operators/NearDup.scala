@@ -17,6 +17,15 @@ import org.apache.spark.sql.functions._
   */
 object NearDup {
 
+  /** Default [[minhashPairs]] hot-bucket guard: buckets above this
+    * size emit linear star edges instead of all pairs. 10⁴ keeps the
+    * worst single bucket under ~5·10⁷ candidate pairs while being far
+    * above any bucket a non-degenerate corpus produces (the gate
+    * corpus' largest bucket is in the tens), so results are
+    * bit-identical there — the safe path is the default path.
+    */
+  val DefaultMaxBucket: Int = 10000
+
   def sigCol(j: Int): String = s"sig_$j"
 
   /** Operator-internal persisted frames that outlive their call (the
@@ -137,7 +146,12 @@ object NearDup {
       numHashes: Int = 8,
       bands: Int = 2,
       threshold: Double = 0.5,
-      maxBucket: Int = Int.MaxValue
+      /** Hot-bucket guard threshold — ON by default: a 10⁴ bucket is
+        * already 5·10⁷ pairs (seconds of one executor's time), and
+        * anything bigger is boilerplate whose star edges keep the
+        * cluster connected. Pass `Int.MaxValue` to force all-pairs.
+        */
+      maxBucket: Int = DefaultMaxBucket
   ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")

@@ -1788,7 +1788,20 @@ object OracleSql {
       """SELECT c_custkey, c_name, c_acctbal
         |FROM customer
         |WHERE c_mktsegment = 'BUILDING' AND c_acctbal >= 0
-        |ORDER BY c_custkey""".stripMargin
+        |ORDER BY c_custkey""".stripMargin,
+
+    // R49 manifest column-bounds skipping: the engine reads lineitem
+    // through a natively written, orderkey-range-sorted Iceberg table
+    // whose manifests carry per-file lower/upper bounds — values must
+    // equal the plain predicate over the source rows
+    "q_iceberg_stats_prune" ->
+      s"""SELECT l_returnflag, count(*) AS n,
+         |  ${dsum(d4("l_quantity"))} AS sum_qty,
+         |  min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok
+         |FROM lineitem
+         |WHERE l_orderkey < 1200
+         |GROUP BY l_returnflag
+         |ORDER BY l_returnflag""".stripMargin
   )
 
   /** Round-7 static oracles. q_blocklist counts each pattern p as

@@ -488,4 +488,47 @@ object Wave5Queries {
       filters = graft.core.Filters.normalize(Seq(Filter("n_regionkey", ">=", 2)))))
       .orderBy("n_nationkey")
   }
+
+  // ---------- R49: manifest column-bounds file skipping ----------
+
+  private val icebergStatsWritten =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Lineitem written natively as an UNPARTITIONED Iceberg table in
+    * 8 orderkey-ranged sorted files — the layout where partition
+    * pruning can do NOTHING and only the manifests' per-file
+    * lower/upper bounds keep a selective orderkey predicate from
+    * opening all 8 files (IcebergStatsPruneSpec asserts the
+    * inputFiles shape; this gate entry pins the VALUES).
+    */
+  private[queries] def writtenLineitemRanged(s: SparkSession, dir: String): String =
+    icebergStatsWritten.getOrElseUpdate(dir, {
+      import graft.tables.IcebergWrite
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_iceberg_stats").toString + "/lineitem"
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_quantity", "l_returnflag")
+        .repartitionByRange(8, col("l_orderkey"))
+      IcebergWrite.append(s, li, path, sortBy = Seq("l_orderkey"))
+      path
+    })
+
+  /** Bounds-pruned range probe + aggregate: the non-partition
+    * predicate `l_orderkey < 1200` reaches one of the 8 ranged files
+    * via manifest bounds before any parquet opens.
+    */
+  def qIcebergStatsPrune(s: SparkSession, dir: String): DataFrame = {
+    import graft.core.Filter
+    import graft.tables.{IcebergTable, ReadArgs}
+    val table = new IcebergTable("lineitem_iceberg", writtenLineitemRanged(s, dir))
+    table(s, ReadArgs(
+      filters = graft.core.Filters.normalize(Seq(Filter("l_orderkey", "<", 1200L)))))
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(d4(col("l_quantity"))).as("sum_qty"),
+        min(col("l_orderkey")).as("min_ok"),
+        max(col("l_orderkey")).as("max_ok"))
+      .orderBy("l_returnflag")
+  }
 }

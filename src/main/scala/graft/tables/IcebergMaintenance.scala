@@ -82,6 +82,9 @@ object IcebergMaintenance {
     dfr.put("partition", part)
     dfr.put("record_count", longOf(df, "record_count").getOrElse(0L))
     dfr.put("file_size_in_bytes", longOf(df, "file_size_in_bytes").getOrElse(0L))
+    // column bounds survive manifest rewrites — dropping them would
+    // silently disable file skipping for every rewritten file
+    IcebergStats.copyStatsFields(df, dfr, dfSchema)
     val ne = new org.apache.avro.generic.GenericData.Record(entrySchema)
     ne.put("status", 0) // EXISTING
     ne.put("snapshot_id", longOf(e, "snapshot_id").getOrElse(fallbackSnapshotId))
@@ -510,6 +513,10 @@ object IcebergMaintenance {
       }
       val dfSchema = entrySchema.getField("data_file").schema()
       val pSchema = dfSchema.getField("partition").schema()
+      val (committedSchema, idToName) =
+        IcebergMeta.schemaFromJson(mapper.readTree(schemaJson))
+      val fieldIdByName = idToName.map(_.swap)
+      val typeByName = committedSchema.fields.map(f => f.name -> f.dataType).toMap
 
       // the compacted rows: one fresh ADDED manifest
       val addPath = new Path(metaDir, s"manifest-cp-$snapshotId-$uuid.avro")
@@ -526,6 +533,8 @@ object IcebergMaintenance {
           dfr.put("partition", p)
           dfr.put("record_count", sf.recordCount)
           dfr.put("file_size_in_bytes", sf.size)
+          IcebergStats.putStatsFields(dfr, dfSchema, sf.colStats,
+            fieldIdByName, typeByName, sf.recordCount)
           val e = new org.apache.avro.generic.GenericData.Record(entrySchema)
           e.put("status", 1) // ADDED
           e.put("snapshot_id", snapshotId)

@@ -50,7 +50,15 @@ object IcebergMeta {
       recordCount: Long,
       sequenceNumber: Long,
       specId: Int,
-      equalityIds: Seq[Int])
+      equalityIds: Seq[Int],
+      /** Per-field column stats (spec data_file fields 125/128/110/
+        * 109) keyed by schema FIELD ID — empty when the writer
+        * recorded none (fail-open in [[mayMatch]]).
+        */
+      lowerBounds: Map[Int, Array[Byte]] = Map.empty,
+      upperBounds: Map[Int, Array[Byte]] = Map.empty,
+      nullCounts: Map[Int, Long] = Map.empty,
+      valueCounts: Map[Int, Long] = Map.empty)
 
   /** A named snapshot reference (the spec's `refs` map): `tag` pins
     * a snapshot immutably, `branch` names a movable head.
@@ -293,40 +301,71 @@ object IcebergMeta {
     */
   private[graft] val driverContentFilePlans = new java.util.concurrent.atomic.AtomicLong
 
-  /** Plan the snapshot's content files: live (non-DELETED-status)
-    * entries of every manifest in its manifest list, with v2 sequence
-    * -number inheritance (a null entry sequence number inherits the
-    * manifest's).
+  /** One manifest-list row: path, v2 sequence number, spec, and the
+    * list's file counts (what lets the read path ESTIMATE snapshot
+    * file count without opening a single manifest — the distributed-
+    * planning gate, [[IcebergTable]]).
+    */
+  final case class ManifestInfo(
+      path: String,
+      sequenceNumber: Long,
+      specId: Int,
+      addedFiles: Option[Int],
+      existingFiles: Option[Int])
+
+  /** The snapshot's manifest list — O(manifests) driver work. */
+  def manifestInfos(fs: FileSystem, snapshot: SnapshotInfo): Seq[ManifestInfo] =
+    readAvro(fs, new Path(snapshot.manifestList)).map { m =>
+      ManifestInfo(
+        m.get("manifest_path").toString,
+        longField(m, "sequence_number").getOrElse(0L),
+        intField(m, "partition_spec_id").getOrElse(0),
+        intField(m, "added_files_count"),
+        intField(m, "existing_files_count"))
+    }
+
+  /** Live (non-DELETED-status) content files of ONE manifest, with v2
+    * sequence-number inheritance (a null entry sequence number
+    * inherits the manifest's). Executor-safe: the per-manifest
+    * primitive both the driver loop ([[planFiles]]) and the
+    * distributed planner ([[IcebergTable]]) build on.
+    */
+  def contentFilesOfManifest(fs: FileSystem, mi: ManifestInfo): Seq[ContentFile] =
+    readAvro(fs, new Path(mi.path)).collect {
+      case e if intField(e, "status").getOrElse(0) != 2 =>
+        val df = e.get("data_file").asInstanceOf[GenericRecord]
+        val partition = Option(df.get("partition")) match {
+          case Some(p: GenericRecord) =>
+            p.getSchema.getFields.asScalaSeq.map(f =>
+              f.name() -> avroValue(p.get(f.name()))).toMap
+          case _ => Map.empty[String, Any]
+        }
+        ContentFile(
+          content = intField(df, "content").getOrElse(0),
+          path = df.get("file_path").toString,
+          partition = partition,
+          recordCount = longField(df, "record_count").getOrElse(-1L),
+          sequenceNumber = longField(e, "sequence_number").getOrElse(mi.sequenceNumber),
+          specId = mi.specId,
+          equalityIds = fieldOf(df, "equality_ids") match {
+            case Some(l: java.util.List[_]) =>
+              l.asScalaAnySeq.map(v => v.asInstanceOf[Number].intValue())
+            case _ => Seq.empty
+          },
+          lowerBounds = IcebergStats.boundsOf(df, "lower_bounds"),
+          upperBounds = IcebergStats.boundsOf(df, "upper_bounds"),
+          nullCounts = IcebergStats.countsOf(df, "null_value_counts"),
+          valueCounts = IcebergStats.countsOf(df, "value_counts"))
+    }
+
+  /** Plan the snapshot's content files: live entries of every
+    * manifest in its manifest list — the DRIVER-side path (O(files)
+    * on the driver; above [[IcebergTable]]'s file gate planning goes
+    * distributed instead).
     */
   def planFiles(fs: FileSystem, snapshot: SnapshotInfo): Seq[ContentFile] = {
     driverContentFilePlans.incrementAndGet()
-    readAvro(fs, new Path(snapshot.manifestList)).flatMap { m =>
-      val manifestPath = m.get("manifest_path").toString
-      val manifestSeq = longField(m, "sequence_number").getOrElse(0L)
-      val specId = intField(m, "partition_spec_id").getOrElse(0)
-      readAvro(fs, new Path(manifestPath)).collect {
-        case e if intField(e, "status").getOrElse(0) != 2 =>
-          val df = e.get("data_file").asInstanceOf[GenericRecord]
-          val partition = Option(df.get("partition")) match {
-            case Some(p: GenericRecord) =>
-              p.getSchema.getFields.asScalaSeq.map(f =>
-                f.name() -> avroValue(p.get(f.name()))).toMap
-            case _ => Map.empty[String, Any]
-          }
-          ContentFile(
-            content = intField(df, "content").getOrElse(0),
-            path = df.get("file_path").toString,
-            partition = partition,
-            recordCount = longField(df, "record_count").getOrElse(-1L),
-            sequenceNumber = longField(e, "sequence_number").getOrElse(manifestSeq),
-            specId = specId,
-            equalityIds = fieldOf(df, "equality_ids") match {
-              case Some(l: java.util.List[_]) =>
-                l.asScalaAnySeq.map(v => v.asInstanceOf[Number].intValue())
-              case _ => Seq.empty
-            })
-      }
-    }
+    manifestInfos(fs, snapshot).flatMap(contentFilesOfManifest(fs, _))
   }
 
   /** Partition pruning on manifest entries with the exact semantics
@@ -350,8 +389,13 @@ object IcebergMeta {
       filters: Filters.Normalized
   ): Boolean = {
     if (filters.isEmpty) return true
+    // name → (field id, type) once per call, for the stats side
+    lazy val fieldByName: Map[String, (Int, DataType)] =
+      meta.schemaFieldIds.flatMap { case (id, name) =>
+        meta.schema.fields.find(_.name == name).map(f => name -> (id, f.dataType))
+      }
     filters.exists(conj => conj.forall { f =>
-      spec.forall { sf =>
+      val partitionOk = spec.forall { sf =>
         val source = meta.schemaFieldIds.getOrElse(sf.sourceId, sf.name)
         if (source != f.column || !file.partition.contains(sf.name)) true
         else {
@@ -367,6 +411,15 @@ object IcebergMeta {
           }
         }
       }
+      // manifest column bounds (fields 125/128/110/109): prune on any
+      // recorded min/max/null-count evidence — the non-partition
+      // complement of the spec check above, fail-open throughout
+      def statsOk: Boolean = fieldByName.get(f.column).forall { case (id, dt) =>
+        IcebergStats.statsMayMatch(f, dt, id,
+          file.lowerBounds, file.upperBounds, file.nullCounts, file.valueCounts,
+          file.recordCount)
+      }
+      partitionOk && statsOk
     })
   }
 
@@ -408,7 +461,9 @@ object IcebergMeta {
 
   private[tables] def avroValue(v: Any): Any = v match {
     case u: org.apache.avro.util.Utf8 => u.toString
-    case other                        => other
+    case b: java.nio.ByteBuffer => // fixed/binary: Java-serializable form
+      val d = b.duplicate(); val out = new Array[Byte](d.remaining()); d.get(out); out
+    case other => other
   }
 
   /** Content-file paths of one manifest (live entries, the same

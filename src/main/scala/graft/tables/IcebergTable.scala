@@ -65,6 +65,12 @@ class IcebergTable(
     */
   val RefKey = "ref"
 
+  /** Boolean: force scan planning distributed (true) or driver-side
+    * (false); unset = automatic above
+    * [[IcebergTable.AutoDistributedThresholdConf]].
+    */
+  val DistributedPlanningKey = "distributedPlanning"
+
   override def apply(spark: SparkSession, args: ReadArgs): DataFrame = {
     val fs = new Path(uri).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val meta = IcebergMeta.load(fs, uri)
@@ -78,11 +84,7 @@ class IcebergTable(
       .orElse(refId)
     val asOf = args.extra.get(TimestampKey).map(longArg(TimestampKey))
     val snap = IcebergMeta.selectSnapshot(meta, snapshotId, asOf)
-    val files = IcebergMeta.planFiles(fs, snap)
-    val (deleteFiles, dataFiles) = files.partition(_.content != 0)
-    val pruned = dataFiles.filter(f =>
-      IcebergMeta.mayMatch(
-        f, meta.specs.getOrElse(f.specId, Seq.empty), meta, args.filters))
+    val (pruned, deleteFiles) = planPruned(spark, fs, meta, snap, args)
 
     var df = readData(spark, meta, pruned, withDeletes = deleteFiles.nonEmpty)
     if (deleteFiles.nonEmpty) {
@@ -167,6 +169,63 @@ class IcebergTable(
     Filters.toColumn(args.filters).foreach(p => df = df.filter(p))
     args.columns.foreach(cols => df = df.select(cols.map(col): _*))
     df
+  }
+
+  /** Scan planning with the R40 discipline: BELOW the file gate the
+    * driver loops manifests ([[IcebergMeta.planFiles]]); ABOVE it —
+    * where even the content-file LIST outgrows the driver (10⁷ files
+    * is gigabytes of heap) — manifests parallelize across executors,
+    * each task reads its manifest's entries and applies the SAME
+    * [[IcebergMeta.mayMatch]] (partition transforms + column bounds),
+    * and only SURVIVORS return to the driver. The gate reads the
+    * manifest list's added/existing file counts — O(manifests), no
+    * manifest opens — so deciding costs nothing; an explicit
+    * `extra(DistributedPlanningKey)` boolean overrides it either way.
+    * Returns (pruned data files, delete files).
+    */
+  private def planPruned(
+      spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      meta: IcebergMeta.TableMeta,
+      snap: IcebergMeta.SnapshotInfo,
+      args: ReadArgs
+  ): (Seq[IcebergMeta.ContentFile], Seq[IcebergMeta.ContentFile]) = {
+    val infos = IcebergMeta.manifestInfos(fs, snap)
+    val estimated = infos.map(mi =>
+      (mi.addedFiles.getOrElse(0).toLong + mi.existingFiles.getOrElse(0).toLong)).sum
+    val distributed = args.extra.get(DistributedPlanningKey).map {
+      case b: Boolean => b
+      case s: String  => s.toBoolean
+      case other => throw new IllegalArgumentException(
+        s"bad $DistributedPlanningKey: $other")
+    }.getOrElse {
+      val threshold = spark.conf.getOption(IcebergTable.AutoDistributedThresholdConf)
+        .map(_.toLong).getOrElse(IcebergTable.DefaultAutoDistributedThreshold)
+      estimated > threshold
+    }
+    val files: Seq[IcebergMeta.ContentFile] =
+      if (!distributed) IcebergMeta.planFiles(fs, snap)
+      else if (infos.isEmpty) Seq.empty
+      else {
+        val conf = new org.apache.spark.util.SerializableConfiguration(
+          spark.sparkContext.hadoopConfiguration)
+        val metaB = meta
+        val filtersB = args.filters
+        spark.sparkContext
+          .parallelize(infos, math.max(1, math.min(infos.size, 32)))
+          .flatMap { mi =>
+            val efs = new org.apache.hadoop.fs.Path(mi.path).getFileSystem(conf.value)
+            IcebergMeta.contentFilesOfManifest(efs, mi).filter(f =>
+              f.content != 0 || IcebergMeta.mayMatch(
+                f, metaB.specs.getOrElse(f.specId, Seq.empty), metaB, filtersB))
+          }.collect().toSeq
+      }
+    val (deleteFiles, dataFiles) = files.partition(_.content != 0)
+    val prunedData =
+      if (distributed) dataFiles // already pruned executor-side
+      else dataFiles.filter(f => IcebergMeta.mayMatch(
+        f, meta.specs.getOrElse(f.specId, Seq.empty), meta, args.filters))
+    (prunedData, deleteFiles)
   }
 
   /** One parquet scan per (spec, partition tuple) group so pruned
@@ -313,4 +372,17 @@ class IcebergTable(
     case s: String => s.toLong
     case other     => throw new IllegalArgumentException(s"bad $key: $other")
   }
+}
+
+object IcebergTable {
+
+  /** File-count estimate (manifest-list added+existing counts) above
+    * which scan planning goes distributed automatically — same
+    * default as the Delta side
+    * ([[DeltaTable.AutoDistributedThresholdConf]]): below it the
+    * driver loop is faster (no job overhead), above it the driver
+    * must never materialize the content-file list.
+    */
+  val AutoDistributedThresholdConf = "spark.graft.iceberg.autoDistributedPlanningThreshold"
+  val DefaultAutoDistributedThreshold = 100000L
 }

@@ -98,16 +98,27 @@ object IcebergWrite {
       rel.split('/').forall(seg => !seg.startsWith("_") && !seg.startsWith("."))
     }
     require(files.nonEmpty, s"no parquet files under $srcDir")
-    val counts: Map[String, Long] = df
-      .groupBy(col("_metadata.file_path").as("_p")).agg(count(lit(1)).as("_n"))
-      .collect().map(r => DvDeleted.normalizePath(r.getString(0)) -> r.getLong(1)).toMap
+    // counts AND column bounds in the same grouped metadata job, so
+    // in-place imports get file skipping like native appends
+    val dataFields = df.schema.fields.filterNot(f => partitionBy.contains(f.name)).toSeq
+    val aggs = count(lit(1)).as("_n") +: IcebergStats.aggColumns(dataFields)
+    val stats: Map[String, (Long, Map[String, IcebergStats.ColStat])] = df
+      .groupBy(col("_metadata.file_path").as("_p")).agg(aggs.head, aggs.tail: _*)
+      .collect().map { r =>
+        val total = r.getLong(r.fieldIndex("_n"))
+        DvDeleted.normalizePath(r.getString(r.fieldIndex("_p"))) ->
+          (total, IcebergStats.statsOfRow(r, dataFields, total))
+      }.toMap
     val staged = files.map { f =>
       val rel = DeltaWrite.relativize(src, f)
+      val (n, cs) = stats.getOrElse(
+        DvDeleted.normalizePath(f.toString), (0L, Map.empty[String, IcebergStats.ColStat]))
       StagedFile(
         f.toUri.getPath,
         fs.getFileStatus(f).getLen,
-        counts.getOrElse(DvDeleted.normalizePath(f.toString), 0L),
-        partitionValuesFromRel(rel, partitionBy))
+        n,
+        partitionValuesFromRel(rel, partitionBy),
+        colStats = cs)
     }
     commit(spark, df, tablePath, partitionBy, carryBase = true,
       preStaged = Some(staged))
@@ -996,6 +1007,12 @@ object IcebergWrite {
         try {
           val dfSchema = entrySchema.getField("data_file").schema()
           val pSchema = dfSchema.getField("partition").schema()
+          // column ids/types from the COMMITTED schema JSON (covers
+          // both fresh and evolved schemas) for the bounds maps
+          val (committedSchema, idToName) =
+            IcebergMeta.schemaFromJson(mapper.readTree(schemaJson))
+          val fieldIdByName = idToName.map(_.swap)
+          val typeByName = committedSchema.fields.map(f => f.name -> f.dataType).toMap
           staged.foreach { sf =>
             val p = new GenericData.Record(pSchema)
             partFields.foreach { pf =>
@@ -1009,6 +1026,8 @@ object IcebergWrite {
             dfr.put("partition", p)
             dfr.put("record_count", sf.recordCount)
             dfr.put("file_size_in_bytes", sf.size)
+            IcebergStats.putStatsFields(dfr, dfSchema, sf.colStats,
+              fieldIdByName, typeByName, sf.recordCount)
             val e = new GenericData.Record(entrySchema)
             e.put("status", 1) // ADDED
             e.put("snapshot_id", snapshotId)
@@ -1321,7 +1340,12 @@ object IcebergWrite {
       path: String,
       size: Long,
       recordCount: Long,
-      partitionValues: Map[String, Option[String]])
+      partitionValues: Map[String, Option[String]],
+      /** Per-data-column min/max/null-count from the staging job —
+        * becomes the manifest's lower/upper_bounds + null_value_counts
+        * ([[IcebergStats]]); empty for delete-file staging.
+        */
+      colStats: Map[String, IcebergStats.ColStat] = Map.empty)
 
   /** Write `df` under a staging dir, compute per-file record counts
     * in ONE grouped job, then move files under `data/`.
@@ -1418,11 +1442,28 @@ object IcebergWrite {
     writer.mode(SaveMode.Overwrite).parquet(staging.toString)
 
     val files = listParquet(fs, staging)
-    val counts: Map[String, Long] =
+    // ONE grouped job per staging dir computes record counts AND the
+    // per-column min/max/null-counts that become the manifest's
+    // bounds (IcebergStats) — the reader's file-skipping evidence at
+    // zero extra passes. Data columns only (partition values prune
+    // via the partition tuple already); explicit schema so read-back
+    // types are exactly the written frame's.
+    val dataFields = df.schema.fields.filterNot(f => partCols.contains(f.name)).toSeq
+    val stats: Map[String, (Long, Map[String, IcebergStats.ColStat])] =
       if (files.isEmpty) Map.empty
-      else spark.read.parquet(staging.toString)
-        .groupBy(col("_metadata.file_path").as("_p")).agg(count(lit(1)).as("_n"))
-        .collect().map(r => DvDeleted.normalizePath(r.getString(0)) -> r.getLong(1)).toMap
+      else {
+        val aggs = count(lit(1)).as("_n") +: IcebergStats.aggColumns(dataFields)
+        spark.read
+          .schema(org.apache.spark.sql.types.StructType(dataFields))
+          .parquet(staging.toString)
+          .groupBy(col("_metadata.file_path").as("_p"))
+          .agg(aggs.head, aggs.tail: _*)
+          .collect().map { r =>
+            val total = r.getLong(r.fieldIndex("_n"))
+            DvDeleted.normalizePath(r.getString(r.fieldIndex("_p"))) ->
+              (total, IcebergStats.statsOfRow(r, dataFields, total))
+          }.toMap
+      }
 
     val out = files.map { f =>
       // URI-path relativize, NOT string stripPrefix: listFiles returns
@@ -1435,11 +1476,14 @@ object IcebergWrite {
       fs.mkdirs(dest.getParent)
       if (!fs.rename(f, dest))
         throw new IllegalStateException(s"could not move staged file $f to $dest")
+      val (n, cs) = stats.getOrElse(
+        DvDeleted.normalizePath(f.toString), (0L, Map.empty[String, IcebergStats.ColStat]))
       StagedFile(
         dest.toUri.getPath,
         fs.getFileStatus(dest).getLen,
-        counts.getOrElse(DvDeleted.normalizePath(f.toString), 0L),
-        partitionValuesFromRel(rel, partCols))
+        n,
+        partitionValuesFromRel(rel, partCols),
+        colStats = cs)
     }
     fs.delete(staging, true)
     out

@@ -122,6 +122,21 @@ class NearDupSpec extends SparkSpec {
     NearDup.releaseCaches()
   }
 
+  test("DEFAULT maxBucket engages the star guard on a synthetic hot bucket") {
+    // 10001 identical docs exceed DefaultMaxBucket (10000): the default
+    // call must take the star path — 10000 linear edges around id 0 —
+    // instead of the ~5·10⁷ all-pairs candidates a guardless default
+    // would enumerate (which would also time this test out).
+    val n = NearDup.DefaultMaxBucket + 1
+    val docs = spark.range(n.toLong).toDF("doc_id")
+      .withColumn("text", lit("same boilerplate text repeated everywhere"))
+    val pairs = NearDup.minhashPairs(docs, "doc_id", "text")
+    val agg = pairs.agg(count(lit(1)), min(col("a_id")), max(col("a_id")), min(col("jaccard")))
+      .as[(Long, Long, Long, Double)].head()
+    assert(agg == ((n - 1).toLong, 0L, 0L, 1.0), agg)
+    NearDup.releaseCaches()
+  }
+
   test("containmentPairs catches subset duplication that Jaccard misses") {
     val passage = "the quick brown fox jumps over the lazy dog again and again"
     val filler = (0 until 40).map(i => s"unique filler token number $i windmill").mkString(" ")
