@@ -15,7 +15,10 @@ import org.apache.spark.sql.functions._
   *
   * Layout: `<root>/model` — one row per (subspace, centroid id,
   * centroid vector); `<root>/codes` — (id, pq_codes array<int>), m
-  * bytes-worth per vector instead of d floats. Doubles round-trip
+  * bytes-worth per vector instead of d floats; optionally
+  * `<root>/coarse` — the IVF coarse centroids, with the codes table
+  * PARTITIONED by nearest-centroid id so probed searches are pruned
+  * Delta scans (see [[create]]/[[search]]). Doubles round-trip
   * parquet bit-exactly, so a loaded model is IDENTICAL to the fitted
   * one and search results are reproducible across sessions (the gate
   * query's DuckDB oracle replays the whole encode+ADC pipeline from
@@ -31,9 +34,18 @@ object VectorIndex {
 
   private def modelPath(root: String) = s"$root/model"
   private def codesPath(root: String) = s"$root/codes"
+  private def coarsePath(root: String) = s"$root/coarse"
 
   /** Fit the PQ model on `corpus`, persist model + codes. Returns the
     * fitted model (identical to what [[loadModel]] reads back).
+    *
+    * `coarseK > 0` additionally learns an IVF coarse quantizer
+    * ([[Similarity.kmeansCentroids]]), persists it at
+    * `<root>/coarse`, and PARTITIONS the codes table by each row's
+    * nearest-centroid id — so a probed search reads only the
+    * `nprobe` bucket directories through ordinary Delta partition
+    * pruning, never the whole codes table (the FAISS IVFPQ serving
+    * layout, persisted). `coarseK = 0` keeps the flat layout.
     */
   def create(
       spark: SparkSession,
@@ -45,7 +57,9 @@ object VectorIndex {
       m: Int,
       ksub: Int,
       maxIter: Int = 3,
-      payload: Seq[String] = Nil
+      payload: Seq[String] = Nil,
+      coarseK: Int = 0,
+      coarseIter: Int = 5
   ): Pq.Model = {
     // a second create would APPEND a second model — duplicate (j, cid)
     // rows silently corrupt the positional LUT indexing downstream, so
@@ -60,10 +74,19 @@ object VectorIndex {
       book.map { case (cid, v) => (j, cid, v) }
     }.toDF("j", "cid", "centroid")
     DeltaWrite.append(spark, rows, modelPath(root))
-    DeltaWrite.append(spark,
-      Pq.encode(corpus, vecCol, model)
-        .select(col(idCol).as("id") +: col("pq_codes") +: payload.map(col): _*),
-      codesPath(root))
+    if (coarseK > 0) {
+      val coarse = Similarity.kmeansCentroids(corpus, idCol, vecCol, coarseK, coarseIter)
+      DeltaWrite.append(spark, coarse.toDF("cid", "centroid"), coarsePath(root))
+      DeltaWrite.append(spark,
+        Pq.encode(Similarity.assignNearest(corpus, vecCol, coarse), vecCol, model)
+          .select(col(idCol).as("id") +: col("pq_codes") +: col("centroid_id") +:
+            payload.map(col): _*),
+        codesPath(root), partitionBy = Seq("centroid_id"))
+    } else
+      DeltaWrite.append(spark,
+        Pq.encode(corpus, vecCol, model)
+          .select(col(idCol).as("id") +: col("pq_codes") +: payload.map(col): _*),
+        codesPath(root))
     model
   }
 
@@ -85,14 +108,37 @@ object VectorIndex {
     // would otherwise null-fill silently and filtered search would
     // never return these rows under a payload predicate
     val existing = new DeltaTable("vecindex_codes", codesPath(root))(spark, ReadArgs.empty)
-      .columns.filterNot(Set("id", "pq_codes")).toSet
+      .columns.filterNot(Set("id", "pq_codes", "centroid_id")).toSet
     require(existing == payload.toSet,
       s"payload columns ${payload.mkString("[", ",", "]")} do not match the " +
         s"index's ${existing.mkString("[", ",", "]")} at $root")
-    DeltaWrite.append(spark,
-      Pq.encode(batch, vecCol, model)
-        .select(col(idCol).as("id") +: col("pq_codes") +: payload.map(col): _*),
-      codesPath(root))
+    loadCoarse(spark, root) match {
+      case Some(coarse) => // frozen coarse layer: assign, land in-bucket
+        DeltaWrite.append(spark,
+          Pq.encode(Similarity.assignNearest(batch, vecCol, coarse), vecCol, model)
+            .select(col(idCol).as("id") +: col("pq_codes") +: col("centroid_id") +:
+              payload.map(col): _*),
+          codesPath(root), partitionBy = Seq("centroid_id"))
+      case None =>
+        DeltaWrite.append(spark,
+          Pq.encode(batch, vecCol, model)
+            .select(col(idCol).as("id") +: col("pq_codes") +: payload.map(col): _*),
+          codesPath(root))
+    }
+  }
+
+  /** The persisted coarse centroids, or None for a flat index. */
+  def loadCoarse(spark: SparkSession, root: String): Option[Seq[(Long, Seq[Double])]] = {
+    val p = new org.apache.hadoop.fs.Path(coarsePath(root), "_delta_log")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else Some(
+      new DeltaTable("vecindex_coarse", coarsePath(root))(spark, ReadArgs.empty)
+        .select("cid", "centroid")
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+        .sortBy(_._1)
+        .toSeq)
   }
 
   /** Read the codebooks back — bit-identical to the fitted model. */
@@ -124,11 +170,33 @@ object VectorIndex {
       root: String,
       queries: Seq[(Long, Seq[Double])],
       k: Int,
-      where: Seq[Filter] = Nil
+      where: Seq[Filter] = Nil,
+      /** Coarse buckets probed per query (indexes built with
+        * `coarseK > 0`). The UNION of all queries' probe sets becomes
+        * a `centroid_id IN (...)` filter INSIDE the Delta read, so
+        * partition pruning opens only the probed bucket directories
+        * — O(nprobe/K of the corpus) per query instead of a full ADC
+        * scan; per-query probe membership then gates candidate pairs
+        * exactly as the in-session [[Pq.ivfPqTopK]]. `0` = exhaustive
+        * scan (exact ADC ranking, also the only choice on a flat
+        * index — a positive nprobe there refuses loudly).
+        */
+      nprobe: Int = 0
   ): DataFrame = {
     val model = loadModel(spark, root)
-    val codes = new DeltaTable("vecindex_codes", codesPath(root))(
-      spark, ReadArgs.where(where: _*))
-    Pq.adcTopK(codes, "id", "pq_codes", model, queries, k)
+    val coarse = loadCoarse(spark, root)
+    require(nprobe == 0 || coarse.isDefined,
+      s"nprobe=$nprobe needs a coarse layer; $root was created without coarseK")
+    coarse match {
+      case Some(cs) if nprobe > 0 =>
+        val probes = queries.flatMap(q => Pq.probeCentroids(cs, q._2, nprobe)).distinct.sorted
+        val codes = new DeltaTable("vecindex_codes", codesPath(root))(
+          spark, ReadArgs.where(where :+ Filter("centroid_id", "in", probes): _*))
+        Pq.ivfPqTopK(codes, "id", "pq_codes", cs, model, queries, nprobe, k)
+      case _ =>
+        val codes = new DeltaTable("vecindex_codes", codesPath(root))(
+          spark, ReadArgs.where(where: _*))
+        Pq.adcTopK(codes, "id", "pq_codes", model, queries, k)
+    }
   }
 }

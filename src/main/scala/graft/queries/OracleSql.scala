@@ -2493,7 +2493,11 @@ object OracleSql {
     "q_filtered_ann" -> pqAnnSql(spark, dir,
       labelEq = Some(Wave6Queries.FilteredAnnLabel)),
     "q_domain_mix" -> domainMixSql(spark, dir),
-    "q_ivfpq" -> ivfPqSql(spark, dir))
+    "q_ivfpq" -> ivfPqSql(spark, dir),
+    // the persisted IVF-PQ index replays the identical pipeline:
+    // coarse fit + PQ fit are deterministic, the tables round-trip
+    // Delta bit-exactly, and probed search ranks the same candidates
+    "q_ivfpq_persist" -> ivfPqSql(spark, dir))
 
   /** DuckDB oracle for PCA projection: Pca.fit is partitioning- and
     * run-invariant (exact decimal moments + deterministic Jacobi), so

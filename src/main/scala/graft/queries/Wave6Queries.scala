@@ -183,6 +183,31 @@ object Wave6Queries {
       .orderBy("query_id", "rank")
   }
 
+  private val ivfPqIndexBuilt =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** P66 (serving rung): the [[qIvfPq]] pipeline PERSISTED — coarse
+    * centroids, codebooks and bucket-partitioned codes all live as
+    * Delta tables, and search prunes the read to the probed bucket
+    * directories (VectorIndexSpec asserts the inputFiles shape)
+    * before the same ADC ranking. Fit determinism + bit-exact parquet
+    * doubles make the oracle the identical spliced-model replay.
+    */
+  def qIvfPqPersist(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Pq, VectorIndex}
+    import IvfPqParams._
+    val root = ivfPqIndexBuilt.getOrElseUpdate(dir, {
+      val r = java.nio.file.Files.createTempDirectory("graft_ivfpqidx").toString + "/idx"
+      VectorIndex.create(s, t(s, dir, "embeddings"), "vec_id", "embedding",
+        r, Dims, M, Ksub, PqIter, coarseK = CoarseK, coarseIter = CoarseIter)
+      r
+    })
+    val emb = t(s, dir, "embeddings")
+    val queries = Pq.collectQueries(emb, "vec_id", "embedding", QueryBound)
+    VectorIndex.search(s, root, queries, TopK, nprobe = NProbe)
+      .orderBy("query_id", "rank")
+  }
+
   // ---------- P55: temperature-based domain mixing ----------
 
   /** Shared with the dynamic oracle (OracleSql.domainMixSql), which

@@ -107,4 +107,78 @@ class VectorIndexSpec extends SparkSpec {
       VectorIndex.addBatch(spark, vecs(30 until 40), "vec_id", "embedding", root)
     }
   }
+
+  test("coarse index: probed search prunes to bucket directories, matches in-session IVF-PQ") {
+    val root = tempDir("vecidx-ivf").toString + "/idx"
+    val corpus = vecs(0 until 60)
+    val model = VectorIndex.create(spark, corpus, "vec_id", "embedding",
+      root, dims = 8, m = 4, ksub = 4, coarseK = 4, coarseIter = 2)
+    val coarse = VectorIndex.loadCoarse(spark, root).get
+    assert(coarse.size == 4)
+    val queries = Pq.collectQueries(corpus, "vec_id", "embedding", 3)
+
+    val direct = Pq.ivfPqTopK(
+      Pq.encode(Similarity.assignNearest(corpus, "embedding", coarse), "embedding", model),
+      "vec_id", "pq_codes", coarse, model, queries, nprobe = 2, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val probed = VectorIndex.search(spark, root, queries, 5, nprobe = 2)
+    val got = probed.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(got == direct)
+
+    // the probe filter reaches the Delta read as PARTITION pruning:
+    // only the probed centroid_id directories open
+    val expectedBuckets = queries
+      .flatMap(q => Pq.probeCentroids(coarse, q._2, 2)).toSet
+    val opened = probed.inputFiles.toSeq
+    assert(opened.nonEmpty && opened.forall(_.contains("centroid_id=")))
+    val openedBuckets = opened
+      .map(p => p.split("centroid_id=")(1).split("/")(0).toLong).toSet
+    assert(openedBuckets == expectedBuckets,
+      s"opened $openedBuckets, probes $expectedBuckets")
+    val allBuckets = new graft.tables.DeltaTable("c", s"$root/codes")(
+      spark, graft.tables.ReadArgs.empty).inputFiles.length
+    assert(opened.size < allBuckets,
+      s"probing must open fewer files than the full index ($allBuckets)")
+
+    // exhaustive fallback (nprobe=0) still works on a coarse index
+    val flat = VectorIndex.search(spark, root, queries, 5)
+    assert(flat.count() == 3 * 5)
+  }
+
+  test("addBatch lands in coarse buckets; probed search finds the new rows") {
+    val root = tempDir("vecidx-ivfb").toString + "/idx"
+    val base = vecs(0 until 40)
+    VectorIndex.create(spark, base, "vec_id", "embedding",
+      root, dims = 8, m = 4, ksub = 4, coarseK = 4, coarseIter = 2)
+    val coarse = VectorIndex.loadCoarse(spark, root).get
+    val batch = vecs(100 until 105)
+    VectorIndex.addBatch(spark, batch, "vec_id", "embedding", root)
+    // every appended row sits in its assigned bucket directory
+    val assigned = Similarity.assignNearest(batch, "embedding", coarse)
+      .select(col("vec_id"), col("centroid_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val stored = new graft.tables.DeltaTable("c", s"$root/codes")(
+      spark, graft.tables.ReadArgs.empty)
+      .where(col("id") >= 100)
+      .select("id", "centroid_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stored == assigned)
+    // probing a batch vector's own bucket returns it among neighbors
+    val q = Seq((batch.collect().head.getLong(0),
+      batch.collect().head.getSeq[Float](1).map(_.toDouble).toSeq))
+    val hits = VectorIndex.search(spark, root, q, 3, nprobe = 1).collect()
+    assert(hits.nonEmpty)
+  }
+
+  test("nprobe on a flat index refuses loudly") {
+    val root = tempDir("vecidx-np").toString + "/idx"
+    val corpus = vecs(0 until 20)
+    VectorIndex.create(spark, corpus, "vec_id", "embedding", root, dims = 8, m = 2, ksub = 3)
+    val queries = Pq.collectQueries(corpus, "vec_id", "embedding", 2)
+    val e = intercept[IllegalArgumentException] {
+      VectorIndex.search(spark, root, queries, 3, nprobe = 2)
+    }
+    assert(e.getMessage.contains("coarse"))
+  }
 }
