@@ -1978,6 +1978,16 @@ object OracleSql {
           |FROM nation
           |UNION ALL SELECT 992, 'mu', 3
           |ORDER BY n_nationkey""".stripMargin,
+      // SQL-string write pipeline (INSERT INTO iceberg + UPSERT INTO
+      // USING view ON key through LakehouseSql): post-upsert state is
+      // the same relational merge replay as q_iceberg_upsert
+      "q_lakehouse_upsert" ->
+        """SELECT n_nationkey,
+          |  CASE WHEN n_nationkey < 8 THEN n_name || '_SQL' ELSE n_name END AS n_name,
+          |  n_regionkey
+          |FROM nation
+          |UNION ALL SELECT 991, 'sigma', 2
+          |ORDER BY n_nationkey""".stripMargin,
       "q_iceberg_eqdelete" ->
         """SELECT n_nationkey, n_name, n_regionkey
           |FROM nation WHERE n_nationkey % 5 <> 2

@@ -951,4 +951,43 @@ object Wave6Queries {
         dsum(d4(col("o_totalprice"))).as("revenue"))
       .orderBy("n_name")
   }
+
+  private val lakehouseUpserted =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** E53 write-DML parity: a whole write pipeline driven by SQL
+    * STRINGS through [[graft.tables.LakehouseSql]] — `INSERT INTO
+    * iceberg.` creates+populates the table from a SELECT, `UPSERT
+    * INTO ... USING view ON key` commits one atomic equality-upsert
+    * snapshot (suffixed names for keys < 8, one synthetic insert).
+    */
+  private def sqlUpsertedNation(s: SparkSession, dir: String): String =
+    lakehouseUpserted.getOrElseUpdate(dir, {
+      import graft.tables.LakehouseSql
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_lh_upsert").toString + "/nation"
+      val nation = t(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+      nation.createOrReplaceTempView("lh_upsert_src")
+      LakehouseSql.exec(s,
+        s"INSERT INTO iceberg.`$path` " +
+          "SELECT n_nationkey, n_name, n_regionkey FROM lh_upsert_src")
+      nation.where(col("n_nationkey") < 8)
+        .withColumn("n_name", concat(col("n_name"), lit("_SQL")))
+        .unionByName(nation.limit(1).select(
+          lit(991).cast(nation.schema("n_nationkey").dataType).as("n_nationkey"),
+          lit("sigma").as("n_name"),
+          lit(2).cast(nation.schema("n_regionkey").dataType).as("n_regionkey")))
+        .createOrReplaceTempView("lh_upsert_delta")
+      LakehouseSql.exec(s,
+        s"UPSERT INTO iceberg.`$path` USING lh_upsert_delta ON n_nationkey")
+      path
+    })
+
+  /** Read the SQL-upserted table back through the same front door:
+    * latest-per-key rows, the inserted key included.
+    */
+  def qLakehouseUpsert(s: SparkSession, dir: String): DataFrame =
+    graft.tables.LakehouseSql.exec(s,
+      s"SELECT n_nationkey, n_name, n_regionkey FROM iceberg.`${sqlUpsertedNation(s, dir)}`")
+      .orderBy("n_nationkey")
 }

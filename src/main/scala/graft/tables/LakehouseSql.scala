@@ -14,6 +14,12 @@ import org.apache.spark.sql.functions.col
   * SELECT * FROM iceberg.`/p` REF AS OF 'audit' [WHERE ...]
   * SELECT * FROM hudi.`/p` AS OF '20260101000000000' [WHERE ...]
   * SELECT * FROM hudi.`/p` WHERE part in (1, 2)
+  * INSERT INTO iceberg.`/p` SELECT ...         -- native append
+  * INSERT INTO hudi.`/p` SELECT ...            -- bulk insert
+  * UPSERT INTO iceberg.`/p` USING view ON k1, k2 -- atomic equality upsert
+  * MERGE INTO iceberg.`/p` USING view ON k1    -- same (delta-SQL spelling)
+  * UPSERT INTO hudi.`/p` USING view            -- key-merged upsert
+  * MERGE INTO hudi.`/p` USING view             -- same
   * DELETE FROM iceberg.`/p` WHERE a = 1        -- position deletes
   * DELETE FROM hudi.`/p` WHERE a = 1           -- key-indexed delete
   * DESCRIBE SNAPSHOTS|HISTORY|REFS|FILES iceberg.`/p`
@@ -38,6 +44,11 @@ object LakehouseSql {
 
   private val selIce = s"""(?is)^SELECT\\s+(.+?)\\s+FROM\\s+$Ice(?:\\s+(?:SNAPSHOT|VERSION)\\s+AS\\s+OF\\s+(\\d+)|\\s+REF\\s+AS\\s+OF\\s+'([^']+)')?(?:\\s+WHERE\\s+(.+))?$$""".r
   private val selHud = s"""(?is)^SELECT\\s+(.+?)\\s+FROM\\s+$Hud(?:\\s+AS\\s+OF\\s+'(\\d+)')?(?:\\s+WHERE\\s+(.+))?$$""".r
+  private val insIce = s"""(?is)^INSERT\\s+INTO\\s+$Ice\\s+(SELECT\\s.+)$$""".r
+  private val insHud = s"""(?is)^INSERT\\s+INTO\\s+$Hud\\s+(SELECT\\s.+)$$""".r
+  private val upsIce =
+    s"""(?is)^(?:UPSERT|MERGE)\\s+INTO\\s+$Ice\\s+USING\\s+(\\w+)\\s+ON\\s+([\\w\\s,]+)$$""".r
+  private val upsHud = s"""(?is)^(?:UPSERT|MERGE)\\s+INTO\\s+$Hud\\s+USING\\s+(\\w+)$$""".r
   private val delIce = s"""(?is)^DELETE\\s+FROM\\s+$Ice\\s+WHERE\\s+(.+)$$""".r
   private val delHud = s"""(?is)^DELETE\\s+FROM\\s+$Hud\\s+WHERE\\s+(.+)$$""".r
   private val descIce = s"""(?is)^DESCRIBE\\s+(SNAPSHOTS|HISTORY|REFS|FILES)\\s+$Ice$$""".r
@@ -76,6 +87,34 @@ object LakehouseSql {
         val extra: Map[String, Any] =
           Option(asOf).map(i => t.AsOfInstantKey -> (i: Any)).toMap
         t(spark, args(cols, where).copy(extra = extra))
+      case insIce(path, select) =>
+        // the source is ANY Spark SQL SELECT (inner joins, functions,
+        // registered views all fine — it never needs the Filter
+        // algebra: pruning disciplines apply to reads of the TARGET)
+        val snap = IcebergWrite.append(spark, spark.sql(select), path)
+        Seq(snap).toDF("snapshot_id")
+      case insHud(path, select) =>
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val props = HudiWrite.readProps(fs, path)
+        val key = props.getOrElse("hoodie.table.recordkey.fields",
+          throw new IllegalArgumentException(
+            s"INSERT INTO hudi needs an existing table at $path " +
+              "(create one with HudiWrite.bulkInsert — the record key " +
+              "is a table-creation decision, not an insert's)"))
+        require(!key.contains(","), s"composite record keys unsupported: $key")
+        val partCols = props.get("hoodie.table.partition.fields").toSeq
+          .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+        val instant = HudiWrite.bulkInsert(spark, spark.sql(select), path, key,
+          partCols, props.getOrElse("hoodie.table.type", "COPY_ON_WRITE"))
+        Seq(instant).toDF("instant")
+      case upsIce(path, view, keys) =>
+        val keyCols = keys.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val snap = IcebergWrite.upsertEquality(spark, spark.table(view), path, keyCols)
+        Seq(snap).toDF("snapshot_id")
+      case upsHud(path, view) =>
+        val instant = HudiWrite.upsert(spark, spark.table(view), path)
+        Seq(instant).toDF("instant")
       case delIce(path, where) =>
         val snap = IcebergWrite.deleteWhere(spark, path,
           DeltaSql.parseWhere(spark, where))

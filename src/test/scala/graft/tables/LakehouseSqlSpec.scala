@@ -135,6 +135,57 @@ class LakehouseSqlSpec extends SparkSpec {
       .collect()(0).getString(0).isEmpty)
   }
 
+  test("INSERT INTO iceberg creates+appends from a SELECT; UPSERT merges by key") {
+    val root = tempDir("lake-sql-wi").toString + "/t"
+    data.createOrReplaceTempView("lh_spec_src")
+    val snap1 = LakehouseSql.exec(spark,
+      s"INSERT INTO iceberg.`$root` SELECT id, v FROM lh_spec_src WHERE p < 2")
+      .collect()(0).getLong(0)
+    assert(snap1 == 1L)
+    assert(LakehouseSql.exec(spark, s"SELECT id FROM iceberg.`$root`")
+      .as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+    // second INSERT appends
+    LakehouseSql.exec(spark,
+      s"INSERT INTO iceberg.`$root` SELECT id, v FROM lh_spec_src WHERE p = 2")
+    // UPSERT: replace id=1, insert id=9 — one atomic snapshot
+    Seq((1L, "A!"), (9L, "i")).toDF("id", "v")
+      .createOrReplaceTempView("lh_spec_up")
+    LakehouseSql.exec(spark,
+      s"UPSERT INTO iceberg.`$root` USING lh_spec_up ON id")
+    val got = LakehouseSql.exec(spark, s"SELECT id, v FROM iceberg.`$root`")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, "A!"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e"), (9L, "i")))
+    // MERGE spelling routes identically
+    Seq((2L, "B!")).toDF("id", "v").createOrReplaceTempView("lh_spec_up2")
+    LakehouseSql.exec(spark, s"MERGE INTO iceberg.`$root` USING lh_spec_up2 ON id")
+    assert(LakehouseSql.exec(spark, s"SELECT v FROM iceberg.`$root` WHERE id = 2")
+      .as[String].collect().toSeq == Seq("B!"))
+  }
+
+  test("INSERT INTO hudi bulk-inserts with the table's key; UPSERT merges") {
+    val root = tempDir("lake-sql-wh").toString + "/t"
+    HudiWrite.bulkInsert(spark, data, root, "id", Seq("p"))
+    Seq((6L, "f", 2), (7L, "g", 0)).toDF("id", "v", "p")
+      .createOrReplaceTempView("lh_spec_hsrc")
+    val instant = LakehouseSql.exec(spark,
+      s"INSERT INTO hudi.`$root` SELECT id, v, p FROM lh_spec_hsrc")
+      .collect()(0).getString(0)
+    assert(instant.nonEmpty)
+    assert(LakehouseSql.exec(spark, s"SELECT id FROM hudi.`$root`")
+      .as[Long].collect().sorted.toSeq == (1L to 7L))
+    Seq((1L, "A!", 0), (8L, "h", 1)).toDF("id", "v", "p")
+      .createOrReplaceTempView("lh_spec_hup")
+    LakehouseSql.exec(spark, s"UPSERT INTO hudi.`$root` USING lh_spec_hup")
+    val got = LakehouseSql.exec(spark, s"SELECT id, v FROM hudi.`$root`")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(got.map(_._1) == (1L to 8L) && got.head._2 == "A!" && got.last._2 == "h")
+    // INSERT INTO a nonexistent hudi table refuses (key is a creation decision)
+    intercept[IllegalArgumentException] {
+      LakehouseSql.exec(spark,
+        s"INSERT INTO hudi.`${root}_nope` SELECT id, v, p FROM lh_spec_hsrc")
+    }
+  }
+
   test("unsupported shapes refuse loudly") {
     intercept[IllegalArgumentException] {
       LakehouseSql.exec(spark, "SELECT sum(x) FROM iceberg.`/p`")
