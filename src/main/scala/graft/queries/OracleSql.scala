@@ -2032,6 +2032,17 @@ object OracleSql {
       // >= 15 as LOG files + a synthetic insert), and snapshot-reads
       // with a partition filter — the read-time base∪log merge must
       // equal this relational replay
+      // Hudi commit-stats column-range skipping: the engine reads
+      // orders through an unpartitioned 8-group ranged Hudi table —
+      // values must equal the plain predicate over the source rows
+      "q_hudi_stats_prune" ->
+        s"""SELECT o_orderstatus, count(*) AS n,
+           |  ${dsum(d4("o_totalprice"))} AS revenue,
+           |  min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok
+           |FROM orders
+           |WHERE o_orderkey < 1500
+           |GROUP BY o_orderstatus
+           |ORDER BY o_orderstatus""".stripMargin,
       "q_hudi_mor" ->
         """SELECT * FROM (
           |  SELECT n_nationkey,

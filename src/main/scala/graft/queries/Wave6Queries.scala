@@ -778,6 +778,48 @@ object Wave6Queries {
       .orderBy("n_nationkey")
   }
 
+  private val hudiStatsWritten =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Orders bulk-inserted as an UNPARTITIONED Hudi table in 8
+    * orderkey-ranged file groups — partition pruning can do nothing,
+    * so only the commit stats' per-group column ranges keep a
+    * selective orderkey predicate from opening all 8 base files
+    * (HudiColStatsSpec proves the skip by removal; this entry pins
+    * the VALUES).
+    */
+  private[queries] def writtenOrdersRanged(s: SparkSession, dir: String): String =
+    hudiStatsWritten.getOrElseUpdate(dir, {
+      import graft.tables.HudiWrite
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_hudi_stats").toString + "/orders"
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .repartitionByRange(8, col("o_orderkey"))
+      HudiWrite.bulkInsert(s, orders, path, "o_orderkey")
+      path
+    })
+
+  /** Column-range-pruned probe + aggregate over the ranged Hudi
+    * table: `o_orderkey < 1500` reaches one of 8 file groups via the
+    * commit stats before any base file opens.
+    */
+  def qHudiStatsPrune(s: SparkSession, dir: String): DataFrame = {
+    import graft.core.Filter
+    import graft.tables.{HudiTable, ReadArgs}
+    import Num.{d4, dsum}
+    val table = new HudiTable("orders_hudi_ranged", writtenOrdersRanged(s, dir))
+    table(s, ReadArgs(
+      filters = graft.core.Filters.normalize(Seq(Filter("o_orderkey", "<", 1500L)))))
+      .groupBy("o_orderstatus")
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(d4(col("o_totalprice"))).as("revenue"),
+        min(col("o_orderkey")).as("min_ok"),
+        max(col("o_orderkey")).as("max_ok"))
+      .orderBy("o_orderstatus")
+  }
+
   /** Post-upsert snapshot with a partition filter: merged values,
     * the inserted key, and only region ≥ 2 partitions planned.
     */

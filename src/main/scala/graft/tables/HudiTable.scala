@@ -117,7 +117,13 @@ class HudiTable(
       args: ReadArgs
   ): DataFrame = {
     val partCols = partitionFields(fs)
-    val pruned = slices.filter(s => mayMatch(s.partition, partCols, args.filters))
+    // partition-path pruning + per-slice data-column range skipping
+    // (the r9 key-range commit stats generalized): a selective data
+    // predicate opens only the file groups whose recorded [min,max]
+    // may hold matches — stats-less slices always read
+    val pruned = slices.filter(s =>
+      mayMatch(s.partition, partCols, args.filters) &&
+        HudiWrite.colStatsMayMatch(s.colStats, args.filters))
     if (pruned.isEmpty) {
       // declared-empty frame with the table's real schema: zero rows
       // of any live slice — or, when every file group has been

@@ -677,21 +677,44 @@ object HudiWrite {
   private[tables] def normalizePathCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     regexp_replace(regexp_replace(c, SchemeAuthorityPattern, "/"), SchemePattern, "/")
 
+  /** Per-column [min,max] of one written file (the r9 record-key
+    * range generalized to DATA columns — the upstream col-stats
+    * metadata-table idea carried in the commit JSON our timeline
+    * already replays). `isNumeric` tags how the endpoints compare:
+    * BigDecimal for numeric columns, code-point order for
+    * strings/dates (dates render ISO, so lexical = chronological).
+    * Only min/max are recorded — null counts are NOT sound to union
+    * under MOR key-replacement, and a range is: merged rows ⊆
+    * base ∪ log rows, so the union range always contains them.
+    */
+  private[tables] final case class ColRange(
+      isNumeric: Boolean, min: String, max: String)
+
   private[tables] final case class WrittenFile(
       partition: String, fileId: String, relPath: String, numWrites: Long,
-      keyRange: Option[(String, String)] = None)
+      keyRange: Option[(String, String)] = None,
+      /** None = writer recorded nothing (foreign/pre-stats commits —
+        * drops the whole slice's stats); Some(m) = m covers every
+        * eligible column with a non-null value in this file, so a
+        * column ABSENT from a present map means all-null here and the
+        * other contributors' ranges stay sound. Some(empty) is how a
+        * delete log says "adds no values".
+        */
+      colStats: Option[Map[String, ColRange]] = None)
 
   /** A file group's latest slice: the base file plus the
     * (deltacommit instant, log path) pairs appended since it —
     * non-empty only on MERGE_ON_READ tables. `keyRange` is the
     * [min,max] record key over base AND logs (None when any
     * contributing commit lacks the stats — e.g. foreign writers — so
-    * absence can never prune).
+    * absence can never prune); `colStats` the per-data-column union
+    * ranges under the same absence rule, applied per column.
     */
   private[tables] final case class FileSlice(
       partition: String, fileId: String, instant: String, relPath: String,
       logFiles: Seq[(String, String)] = Seq.empty,
-      keyRange: Option[(String, String)] = None)
+      keyRange: Option[(String, String)] = None,
+      colStats: Option[Map[String, ColRange]] = None)
 
   private[tables] def withMeta(df: DataFrame, keyCol: String, instant: String): DataFrame = {
     require(!df.columns.contains(CommitTimeCol),
@@ -731,17 +754,39 @@ object HudiWrite {
       else routed.write
     writer.mode(SaveMode.Overwrite).parquet(staging.toString)
 
-    // per-file count AND record-key range in the same job — the range
-    // feeds the upsert index's group pruning ([[rangePruned]])
-    val counts: Map[String, (Long, Option[(String, String)])] =
+    // per-file count, record-key range AND per-data-column min/max in
+    // the same job — the key range feeds the upsert index's group
+    // pruning ([[rangePruned]]), the column ranges the read path's
+    // data-predicate slice skipping ([[colStatsMayMatch]])
+    val statFields = df.schema.fields
+      .filterNot(f => stagePartCols.contains(f.name) ||
+        f.name == CommitTimeCol || f.name == RecordKeyCol)
+      .filter(f => colRangeKind(f.dataType).isDefined)
+      .toSeq
+    val statAggs = statFields.flatMap { f =>
+      val c = col("`" + f.name + "`")
+      Seq(min(c).as(s"_lo_${f.name}"), max(c).as(s"_hi_${f.name}"))
+    }
+    val baseAggs = Seq(count(lit(1)).as("_n"),
+      min(col(RecordKeyCol)).as("_kmin"), max(col(RecordKeyCol)).as("_kmax"))
+    val aggs = baseAggs ++ statAggs
+    val counts: Map[String, (Long, Option[(String, String)], Map[String, ColRange])] =
       spark.read.parquet(staging.toString)
         .groupBy(col("_metadata.file_path").as("_p"))
-        .agg(count(lit(1)).as("_n"),
-          min(col(RecordKeyCol)).as("_kmin"), max(col(RecordKeyCol)).as("_kmax"))
-        .collect().map(r => DvDeleted.normalizePath(r.getString(0)) ->
-          (r.getLong(1),
-            if (r.isNullAt(2) || r.isNullAt(3)) None
-            else Some((r.getString(2), r.getString(3))))).toMap
+        .agg(aggs.head, aggs.tail: _*)
+        .collect().map { r =>
+          val ranges = statFields.flatMap { f =>
+            val lo = r.get(r.fieldIndex(s"_lo_${f.name}"))
+            val hi = r.get(r.fieldIndex(s"_hi_${f.name}"))
+            colRangeOf(f.dataType, lo, hi).map(f.name -> _)
+          }.toMap
+          DvDeleted.normalizePath(r.getString(0)) ->
+            ((r.getLong(r.fieldIndex("_n")),
+              if (r.isNullAt(r.fieldIndex("_kmin")) || r.isNullAt(r.fieldIndex("_kmax"))) None
+              else Some((r.getString(r.fieldIndex("_kmin")),
+                r.getString(r.fieldIndex("_kmax")))),
+              ranges))
+        }.toMap
 
     val files = listParquetFiles(fs, staging)
     // a staged file absent from `counts` holds zero rows (every row
@@ -751,7 +796,7 @@ object HudiWrite {
     // a path-normalization drift (which would ALSO look like "absent
     // from counts") fail loudly instead of silently dropping data.
     val out = files.flatMap { f =>
-      counts.get(DvDeleted.normalizePath(f.toString)).map { case (n, range) =>
+      counts.get(DvDeleted.normalizePath(f.toString)).map { case (n, range, ranges) =>
         val rel = DeltaWrite.relativize(staging, f)
         val segs = rel.split('/').toSeq
         val (partSegs, fileId) =
@@ -768,7 +813,7 @@ object HudiWrite {
         fs.mkdirs(dest.getParent)
         if (!fs.rename(f, dest))
           throw new IllegalStateException(s"could not move staged file $f to $dest")
-        WrittenFile(partition, fileId, relOut, n, range)
+        WrittenFile(partition, fileId, relOut, n, range, Some(ranges))
       }
     }
     val staged = counts.values.map(_._1).sum
@@ -900,6 +945,23 @@ object HudiWrite {
           n.put("minRecordKey", lo)
           n.put("maxRecordKey", hi)
         }
+        // per-data-column [min,max]: the read path's slice skipping
+        // (an EMPTY present object is meaningful: "adds no values")
+        w.colStats.foreach { m =>
+          val cs = mapper.createObjectNode()
+          m.toSeq.sortBy(_._1).foreach { case (c, r) =>
+            val o = mapper.createObjectNode()
+            if (r.isNumeric) {
+              o.put("min", new java.math.BigDecimal(r.min))
+              o.put("max", new java.math.BigDecimal(r.max))
+            } else {
+              o.put("min", r.min)
+              o.put("max", r.max)
+            }
+            cs.set[ObjectNode](c, o)
+          }
+          n.set[ObjectNode]("columnStats", cs)
+        }
         arr.add(n)
       }
       stats.set[ObjectNode](part, arr)
@@ -1012,6 +1074,19 @@ object HudiWrite {
             if (st.has("minRecordKey") && st.has("maxRecordKey"))
               Some((st.path("minRecordKey").asText(), st.path("maxRecordKey").asText()))
             else None
+          val ranges: Option[Map[String, ColRange]] =
+            if (!st.has("columnStats")) None
+            else Some {
+              val b = Map.newBuilder[String, ColRange]
+              val cs = st.path("columnStats")
+              cs.fieldNames().forEachRemaining { c =>
+                val o = cs.path(c)
+                if (o.has("min") && o.has("max"))
+                  b += c -> ColRange(o.path("min").isNumber,
+                    o.path("min").asText(), o.path("max").asText())
+              }
+              b.result()
+            }
           if (action == "deltacommit" && p.contains(".log.")) {
             // MOR log file: attaches to the group's current base
             // slice (a later base — compaction — resets the list)
@@ -1022,11 +1097,12 @@ object HudiWrite {
                   "file (bucket/HBase-index log-only inserts); compact the table first"))
             slices((part, fileId)) = s.copy(
               logFiles = s.logFiles :+ (instant -> p),
-              keyRange = unionRange(s.keyRange, range))
+              keyRange = unionRange(s.keyRange, range),
+              colStats = unionColStats(s.colStats, ranges))
           } else {
             // ascending instant order: later slices simply replace
             slices((part, fileId)) = FileSlice(part, fileId, instant, p,
-              keyRange = range)
+              keyRange = range, colStats = ranges)
           }
         }
       }
@@ -1228,6 +1304,110 @@ object HudiWrite {
       case _ => None
     }
 
+  // -------------------------------------------- column statistics
+
+  /** Whether (and how) a column type participates in [[ColRange]]
+    * stats: Some(true) = numeric compare, Some(false) = code-point
+    * compare (strings; dates render ISO so lexical = chronological),
+    * None = not tracked (timestamps, booleans, nested).
+    */
+  private[tables] def colRangeKind(
+      dt: org.apache.spark.sql.types.DataType): Option[Boolean] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType |
+          _: DecimalType => Some(true)
+      case StringType | DateType => Some(false)
+      case _ => None
+    }
+  }
+
+  /** Render one file's (min, max) agg values as a [[ColRange]]. None
+    * for all-null files or un-normalizable endpoints (NaN) — absence
+    * never prunes.
+    */
+  private[tables] def colRangeOf(
+      dt: org.apache.spark.sql.types.DataType, lo: Any, hi: Any): Option[ColRange] =
+    colRangeKind(dt).flatMap { numeric =>
+      if (lo == null || hi == null) None
+      else if (numeric)
+        try Some(ColRange(isNumeric = true,
+          BigDecimal(lo.toString).toString, BigDecimal(hi.toString).toString))
+        catch { case _: NumberFormatException => None } // NaN/Inf endpoints
+      else Some(ColRange(isNumeric = false, lo.toString, hi.toString))
+    }
+
+  /** Per-column union for MOR slices: merged rows ⊆ base ∪ log rows,
+    * so each column's union range contains them. None on either side
+    * (a contributor recorded nothing) poisons the slice; within two
+    * PRESENT maps a column on one side only keeps that range (the
+    * other contributor was all-null in it — see [[WrittenFile]]), and
+    * a kind clash drops just that column.
+    */
+  private[tables] def unionColStats(
+      a: Option[Map[String, ColRange]],
+      b: Option[Map[String, ColRange]]): Option[Map[String, ColRange]] =
+    (a, b) match {
+      case (Some(x), Some(y)) => Some(
+        (x.keySet ++ y.keySet).flatMap { c =>
+          (x.get(c), y.get(c)) match {
+            case (Some(p), Some(q)) =>
+              if (p.isNumeric != q.isNumeric) None
+              else Some(c -> ColRange(p.isNumeric,
+                if (cmpBound(p, p.min, q.min) <= 0) p.min else q.min,
+                if (cmpBound(p, p.max, q.max) >= 0) p.max else q.max))
+            case (only, other) => (only orElse other).map(c -> _)
+          }
+        }.toMap)
+      case _ => None
+    }
+
+  private def cmpBound(r: ColRange, a: String, b: String): Int =
+    if (r.isNumeric) BigDecimal(a).compare(BigDecimal(b))
+    else IcebergStats.codePointCompare(a, b)
+
+  /** DNF may-match of the Filter algebra against a slice's recorded
+    * column ranges — [[DeltaFileSkipping]] semantics restricted to
+    * what a sound MOR range can answer (no null counts: Neq/NotIn/
+    * Contains never prune). Untracked columns fail open.
+    */
+  private[tables] def colStatsMayMatch(
+      stats: Option[Map[String, ColRange]],
+      filters: graft.core.Filters.Normalized): Boolean = stats match {
+    case None => true
+    case Some(m) =>
+      filters.isEmpty ||
+        filters.exists(conj => conj.forall(f => rangeMayMatch(m.get(f.column), f)))
+  }
+
+  private def rangeMayMatch(r: Option[ColRange], f: graft.core.Filter): Boolean = r match {
+    case None => true
+    case Some(cr) =>
+      import graft.core.FilterOp
+      def cmp(bound: String, v: Any): Option[Int] =
+        try Some(
+          if (cr.isNumeric) BigDecimal(bound).compare(BigDecimal(v.toString))
+          else IcebergStats.codePointCompare(bound, v.toString))
+        catch { case _: NumberFormatException => None }
+      def inRange(v: Any): Boolean =
+        cmp(cr.min, v).forall(_ <= 0) && cmp(cr.max, v).forall(_ >= 0)
+      def values(v: Any): Seq[Any] = v match {
+        case xs: Seq[_]      => xs
+        case xs: Array[_]    => xs.toSeq
+        case xs: Iterable[_] => xs.toSeq
+        case other           => Seq(other)
+      }
+      f.op match {
+        case FilterOp.Eq => inRange(f.value)
+        case FilterOp.In => values(f.value).exists(inRange)
+        case FilterOp.Lt => cmp(cr.min, f.value).forall(_ < 0)
+        case FilterOp.Le => cmp(cr.min, f.value).forall(_ <= 0)
+        case FilterOp.Gt => cmp(cr.max, f.value).forall(_ > 0)
+        case FilterOp.Ge => cmp(cr.max, f.value).forall(_ >= 0)
+        case _ => true
+      }
+  }
+
   /** Slices whose key range may intersect `[lo, hi]` — the
     * bloom-index shape without a metadata table: a narrow-key upsert
     * or delete only SCANS the groups whose recorded [min,max] record
@@ -1338,7 +1518,10 @@ object HudiWrite {
 
     written.map { case (fg, part, rel, n, lo, hi) =>
       WrittenFile(part, fg, rel, n,
-        if (lo == null || hi == null) None else Some((lo, hi)))
+        if (lo == null || hi == null) None else Some((lo, hi)),
+        // a delete log ADDS no values: present-empty stats keep the
+        // base ranges sound (merged rows shrink, never grow)
+        colStats = Some(Map.empty))
     }
   }
 
@@ -1425,9 +1608,32 @@ object HudiWrite {
         out.result().iterator
       }.collect().toSeq
 
+    // per-column ranges of the log's ADDED rows — one grouped job
+    // over the update set (small next to the log write itself), so
+    // MOR slices keep data-column skipping after upserts
+    val statFields = dataSchema.fields
+      .filterNot(f => f.name == CommitTimeCol || f.name == RecordKeyCol)
+      .filter(f => colRangeKind(f.dataType).isDefined).toSeq
+    val logRanges: Map[String, Map[String, ColRange]] =
+      if (statFields.isEmpty) Map.empty
+      else {
+        val aggs = statFields.flatMap { f =>
+          val c = col("`" + f.name + "`")
+          Seq(min(c).as(s"_lo_${f.name}"), max(c).as(s"_hi_${f.name}"))
+        }
+        updates.groupBy(col("_fg")).agg(aggs.head, aggs.tail: _*)
+          .collect().map { r =>
+            r.getString(0) -> statFields.flatMap { f =>
+              colRangeOf(f.dataType,
+                r.get(r.fieldIndex(s"_lo_${f.name}")),
+                r.get(r.fieldIndex(s"_hi_${f.name}"))).map(f.name -> _)
+            }.toMap
+          }.toMap
+      }
     written.map { case (fg, part, rel, n, lo, hi) =>
       WrittenFile(part, fg, rel, n,
-        if (lo == null || hi == null) None else Some((lo, hi)))
+        if (lo == null || hi == null) None else Some((lo, hi)),
+        colStats = Some(logRanges.getOrElse(fg, Map.empty)))
     }
   }
 
