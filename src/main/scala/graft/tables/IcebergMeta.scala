@@ -58,7 +58,19 @@ object IcebergMeta {
       lowerBounds: Map[Int, Array[Byte]] = Map.empty,
       upperBounds: Map[Int, Array[Byte]] = Map.empty,
       nullCounts: Map[Int, Long] = Map.empty,
-      valueCounts: Map[Int, Long] = Map.empty)
+      valueCounts: Map[Int, Long] = Map.empty,
+      fileFormat: String = "PARQUET",
+      /** v3 deletion-vector fields: a position-delete entry whose
+        * format is PUFFIN (or that carries these) is a DV the v2
+        * reader must refuse, never misread.
+        */
+      referencedDataFile: Option[String] = None,
+      contentOffset: Option[Long] = None) {
+
+    /** A v3 Puffin-stored deletion vector (spec fields 143–145). */
+    def isDeletionVector: Boolean =
+      fileFormat == "PUFFIN" || contentOffset.isDefined
+  }
 
   /** A named snapshot reference (the spec's `refs` map): `tag` pins
     * a snapshot immutably, `branch` names a movable head.
@@ -215,6 +227,14 @@ object IcebergMeta {
       val name = f.path("name").asText()
       val id = f.path("id").asInt(-1)
       if (id >= 0) ids += id -> name
+      // v3 default values: files written BEFORE the column existed
+      // must read the declared default — silently reading null would
+      // be wrong data, so refuse until defaults are implemented
+      if (f.has("initial-default"))
+        throw new UnsupportedOperationException(
+          s"column '$name' declares a v3 initial-default value " +
+            s"(${f.path("initial-default")}); this reader would " +
+            "misread pre-evolution files as null — unsupported")
       StructField(
         name,
         dataType(f.path("type")),
@@ -355,7 +375,15 @@ object IcebergMeta {
           lowerBounds = IcebergStats.boundsOf(df, "lower_bounds"),
           upperBounds = IcebergStats.boundsOf(df, "upper_bounds"),
           nullCounts = IcebergStats.countsOf(df, "null_value_counts"),
-          valueCounts = IcebergStats.countsOf(df, "value_counts"))
+          valueCounts = IcebergStats.countsOf(df, "value_counts"),
+          fileFormat = Option(df.get("file_format")).map(_.toString.toUpperCase)
+            .getOrElse("PARQUET"),
+          // v3 deletion-vector markers (data_file fields 143/144/145):
+          // their PRESENCE is what the reader refuses on — never a
+          // silent parquet read of a Puffin file
+          referencedDataFile =
+            fieldOf(df, "referenced_data_file").map(_.toString),
+          contentOffset = longField(df, "content_offset"))
     }
 
   /** Plan the snapshot's content files: live entries of every

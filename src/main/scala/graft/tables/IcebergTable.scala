@@ -85,6 +85,7 @@ class IcebergTable(
     val asOf = args.extra.get(TimestampKey).map(longArg(TimestampKey))
     val snap = IcebergMeta.selectSnapshot(meta, snapshotId, asOf)
     val (pruned, deleteFiles) = planPruned(spark, fs, meta, snap, args)
+    refuseDeletionVectors(meta, deleteFiles)
 
     var df = readData(spark, meta, pruned, withDeletes = deleteFiles.nonEmpty)
     if (deleteFiles.nonEmpty) {
@@ -152,6 +153,7 @@ class IcebergTable(
         s"${addedDeletes.size} delete file(s) added (upserts/deletes); pass " +
         "allowNewDeletes=true to read the added rows with the range's deletes applied")
 
+    refuseDeletionVectors(meta, addedDeletes)
     val added = toFiles.filter(f => f.content == 0 && !fromData(f.path))
     val pruned = added.filter(f =>
       IcebergMeta.mayMatch(
@@ -169,6 +171,25 @@ class IcebergTable(
     Filters.toColumn(args.filters).foreach(p => df = df.filter(p))
     args.columns.foreach(cols => df = df.select(cols.map(col): _*))
     df
+  }
+
+  /** v3 Puffin-stored deletion vectors (the v3 spec's replacement
+    * for position-delete FILES, data_file fields 143–145): this
+    * reader applies v2 position/equality deletes only — a DV-bearing
+    * snapshot refuses LOUDLY with the version named instead of
+    * parquet-reading a Puffin file into garbage. Plain v3 tables
+    * (no DVs, no initial-defaults) read fine.
+    */
+  private def refuseDeletionVectors(
+      meta: IcebergMeta.TableMeta,
+      deleteFiles: Seq[IcebergMeta.ContentFile]): Unit = {
+    val dvs = deleteFiles.filter(_.isDeletionVector)
+    if (dvs.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"$uri (format-version ${meta.formatVersion}) carries ${dvs.size} " +
+          "Puffin deletion vector(s) (Iceberg v3); this reader applies v2 " +
+          "position/equality deletes only — rewrite_data_files with a v2 " +
+          s"writer first (e.g. ${dvs.head.path})")
   }
 
   /** Scan planning with the R40 discipline: BELOW the file gate the

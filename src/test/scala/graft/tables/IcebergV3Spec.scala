@@ -1,0 +1,158 @@
+package graft.tables
+
+import graft.SparkSpec
+import graft.export.IcebergUniform
+import org.apache.avro.{Schema => AvroSchema}
+import org.apache.avro.file.DataFileWriter
+import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+import org.apache.hadoop.fs.Path
+
+/** Iceberg v3 ecosystem honesty: plain v3 tables read; snapshots
+  * carrying Puffin DELETION VECTORS (spec fields 143–145) refuse
+  * LOUDLY with the version named (this reader applies v2 deletes
+  * only — misreading a Puffin file as parquet would be silent
+  * garbage); v3 column `initial-default` values refuse too (reading
+  * pre-evolution files as null would be wrong data).
+  */
+class IcebergV3Spec extends SparkSpec {
+  import spark.implicits._
+
+  /** Entry schema with the v3 DV fields a foreign writer would add. */
+  private val v3EntrySchema: AvroSchema = new AvroSchema.Parser().parse(
+    """{"type":"record","name":"manifest_entry","fields":[
+      |{"name":"status","type":"int","field-id":0},
+      |{"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+      |{"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
+      |{"name":"file_sequence_number","type":["null","long"],"default":null,"field-id":4},
+      |{"name":"data_file","field-id":2,"type":{"type":"record","name":"r2","fields":[
+      |{"name":"content","type":"int","field-id":134},
+      |{"name":"file_path","type":"string","field-id":100},
+      |{"name":"file_format","type":"string","field-id":101},
+      |{"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[]}},
+      |{"name":"record_count","type":"long","field-id":103},
+      |{"name":"file_size_in_bytes","type":"long","field-id":104},
+      |{"name":"referenced_data_file","type":["null","string"],"default":null,"field-id":143},
+      |{"name":"content_offset","type":["null","long"],"default":null,"field-id":144},
+      |{"name":"content_size_in_bytes","type":["null","long"],"default":null,"field-id":145}
+      |]}}]}""".stripMargin)
+
+  /** Build a v3 table: one parquet data file, optionally one
+    * Puffin-DV delete entry referencing it.
+    */
+  private def buildV3(root: String, withDv: Boolean,
+      schemaFieldsJson: String = defaultFields): Unit = {
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val metaDir = new Path(root, "metadata")
+    fs.mkdirs(metaDir)
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+      .coalesce(1).write.mode("overwrite").parquet(root + "/data")
+    val dataFile = fs.listStatus(new Path(root + "/data"))
+      .find(_.getPath.getName.endsWith(".parquet")).get
+    val puffin = new Path(root, "deletes/dv.puffin")
+    if (withDv) {
+      fs.mkdirs(puffin.getParent)
+      val o = fs.create(puffin, true)
+      o.write("PFA1not-actually-parquet".getBytes("UTF-8")); o.close()
+    }
+
+    val mPath = new Path(metaDir, "m1.avro")
+    locally {
+      val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](v3EntrySchema))
+      w.setMeta("format-version", "2")
+      w.create(v3EntrySchema, fs.create(mPath, true))
+      val dfSchema = v3EntrySchema.getField("data_file").schema()
+      def entry(path: String, content: Int, dv: Boolean): GenericRecord = {
+        val d = new GenericData.Record(dfSchema)
+        d.put("content", content)
+        d.put("file_path", path)
+        d.put("file_format", if (dv) "PUFFIN" else "PARQUET")
+        d.put("partition", new GenericData.Record(dfSchema.getField("partition").schema()))
+        d.put("record_count", 3L)
+        d.put("file_size_in_bytes", 10L)
+        if (dv) {
+          d.put("referenced_data_file", dataFile.getPath.toUri.getPath)
+          d.put("content_offset", 4L)
+          d.put("content_size_in_bytes", 20L)
+        }
+        val e = new GenericData.Record(v3EntrySchema)
+        e.put("status", 1)
+        e.put("snapshot_id", 1L)
+        e.put("sequence_number", 1L)
+        e.put("file_sequence_number", 1L)
+        e.put("data_file", d)
+        e
+      }
+      try {
+        w.append(entry(dataFile.getPath.toUri.getPath, 0, dv = false))
+        if (withDv) w.append(entry(puffin.toUri.getPath, 1, dv = true))
+      } finally w.close()
+    }
+    val listPath = new Path(metaDir, "snap-1.avro")
+    locally {
+      val s = IcebergUniform.manifestFileSchema
+      val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](s))
+        .create(s, fs.create(listPath, true))
+      val r = new GenericData.Record(s)
+      r.put("manifest_path", mPath.toString)
+      r.put("manifest_length", fs.getFileStatus(mPath).getLen)
+      r.put("partition_spec_id", 0)
+      r.put("content", 0)
+      r.put("sequence_number", 1L)
+      r.put("min_sequence_number", 1L)
+      r.put("added_snapshot_id", 1L)
+      r.put("added_files_count", if (withDv) 2 else 1)
+      r.put("existing_files_count", 0)
+      r.put("deleted_files_count", 0)
+      r.put("added_rows_count", 3L)
+      r.put("existing_rows_count", 0L)
+      r.put("deleted_rows_count", 0L)
+      try w.append(r) finally w.close()
+    }
+    val metaJson =
+      s"""{"format-version":3,"table-uuid":"u","location":"$root",
+         |"last-sequence-number":1,"last-updated-ms":1,"last-column-id":2,
+         |"current-schema-id":0,
+         |"schemas":[{"type":"struct","schema-id":0,"fields":[$schemaFieldsJson]}],
+         |"partition-specs":[{"spec-id":0,"fields":[]}],"default-spec-id":0,
+         |"last-partition-id":999,"current-snapshot-id":1,
+         |"snapshots":[{"snapshot-id":1,"sequence-number":1,"timestamp-ms":1,
+         |  "manifest-list":"$listPath","schema-id":0}]}""".stripMargin
+    val out = fs.create(new Path(metaDir, "v1.metadata.json"), true)
+    out.write(metaJson.getBytes("UTF-8")); out.close()
+  }
+
+  private val defaultFields =
+    """{"id":1,"name":"id","required":false,"type":"long"},
+      |{"id":2,"name":"v","required":false,"type":"string"}""".stripMargin
+
+  test("a plain v3 table (no DVs, no defaults) reads fine") {
+    val root = tempDir("ice-v3-plain").toString + "/t"
+    buildV3(root, withDv = false)
+    val got = new IcebergTable("t", root)(spark, ReadArgs.empty)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(1L, 2L, 3L))
+  }
+
+  test("a v3 deletion-vector snapshot refuses loudly with the version named") {
+    val root = tempDir("ice-v3-dv").toString + "/t"
+    buildV3(root, withDv = true)
+    val e = intercept[UnsupportedOperationException] {
+      new IcebergTable("t", root)(spark, ReadArgs.empty).collect()
+    }
+    assert(e.getMessage.contains("format-version 3") &&
+      e.getMessage.toLowerCase.contains("deletion vector"), e.getMessage)
+  }
+
+  test("v3 initial-default column values refuse (silent nulls are wrong data)") {
+    val root = tempDir("ice-v3-def").toString + "/t"
+    buildV3(root, withDv = false, schemaFieldsJson =
+      """{"id":1,"name":"id","required":false,"type":"long"},
+        |{"id":2,"name":"v","required":false,"type":"string"},
+        |{"id":3,"name":"w","required":false,"type":"long","initial-default":7}""".stripMargin)
+    val e = intercept[UnsupportedOperationException] {
+      new IcebergTable("t", root)(spark, ReadArgs.empty).collect()
+    }
+    assert(e.getMessage.contains("initial-default") && e.getMessage.contains("'w'"),
+      e.getMessage)
+  }
+}
