@@ -136,6 +136,12 @@ object IcebergUniform {
           df.put("partition", p)
           df.put("record_count", n)
           df.put("file_size_in_bytes", f.size)
+          // Delta per-file stats → Iceberg column bounds: the
+          // exported table prunes non-partition predicates exactly
+          // like a natively written one
+          graft.tables.IcebergStats.putDeltaStatsFields(df, dfSchema,
+            f.stats, snap.metadata.schema,
+            snap.metadata.physicalName, c => ids.idOf(c))
           val e = new GenericData.Record(entrySchema)
           e.put("status", 1) // ADDED in this snapshot
           e.put("snapshot_id", snapshotId)

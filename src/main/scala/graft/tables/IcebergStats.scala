@@ -254,6 +254,88 @@ object IcebergStats {
     if (uppers.nonEmpty) dfr.put("upper_bounds", kvList(dfSchema, "upper_bounds", uppers))
   }
 
+  /** Translate one Delta AddFile's per-file stats JSON
+    * (numRecords/minValues/maxValues/nullCount, keyed by PHYSICAL
+    * column name) into the Iceberg bounds fields of an exported
+    * manifest entry — UniForm-exported tables skip files like native
+    * ones. Delta string maxValues may already be truncated+
+    * incremented; [[truncateUpper]] of a valid upper bound is still
+    * ≥ it (an incremented prefix exceeds everything sharing the
+    * prefix), so re-truncation stays sound. Unparseable pieces are
+    * skipped (fail-open), never fatal.
+    */
+  def putDeltaStatsFields(
+      dfr: GenericData.Record,
+      dfSchema: org.apache.avro.Schema,
+      statsJson: Option[String],
+      schema: StructType,
+      physOf: String => String,
+      idOf: String => Int): Unit = {
+    if (dfSchema.getField("lower_bounds") == null) return
+    val root = statsJson.flatMap { s =>
+      try Option(new com.fasterxml.jackson.databind.ObjectMapper().readTree(s))
+      catch { case _: Exception => None }
+    }.getOrElse(return)
+    val numRecords = Option(root.get("numRecords")).map(_.asLong())
+    def jsonValue(dt: DataType, n: com.fasterxml.jackson.databind.JsonNode): Option[Any] =
+      try {
+        if (n == null || n.isNull) None
+        else dt match {
+          case ByteType | ShortType | IntegerType => Some(n.asInt())
+          case LongType => Some(n.asLong())
+          case FloatType =>
+            Some(n.asText().toFloat).filterNot(f => f.isNaN)
+          case DoubleType =>
+            Some(n.asText().toDouble).filterNot(d => d.isNaN)
+          case _: DecimalType => Some(new java.math.BigDecimal(n.asText()))
+          case StringType => Some(n.asText())
+          case BooleanType => Some(n.asBoolean())
+          case DateType => Some(java.time.LocalDate.parse(n.asText()))
+          case TimestampType =>
+            // Delta renders instants ISO-8601 (with or without zone)
+            val t = n.asText()
+            Some(try java.time.Instant.parse(t)
+            catch {
+              case _: Exception =>
+                java.time.LocalDateTime.parse(t.replace(' ', 'T'))
+                  .toInstant(java.time.ZoneOffset.UTC)
+            })
+          case TimestampNTZType =>
+            Some(java.time.LocalDateTime.parse(n.asText().replace(' ', 'T')))
+          case _ => None
+        }
+      } catch { case _: Exception => None }
+    val tracked = schema.fields.toSeq.filter(f => eligible(f.dataType)).flatMap { f =>
+      val phys = physOf(f.name)
+      val lo = jsonValue(f.dataType, root.path("minValues").get(phys))
+      val hi = jsonValue(f.dataType, root.path("maxValues").get(phys))
+      val nulls = Option(root.path("nullCount").get(phys))
+        .filter(_.isNumber).map(_.asLong())
+      if (lo.isEmpty && hi.isEmpty && nulls.isEmpty) None
+      else Some((idOf(f.name), f.dataType, ColStat(lo, hi, nulls.getOrElse(-1L))))
+    }.sortBy(_._1)
+    if (tracked.isEmpty) return
+    val lowers = tracked.flatMap { case (id, dt, st) =>
+      st.lower.map { case s: String => truncateLower(s); case v => v }
+        .flatMap(v => encodeSingle(dt, v)).map(b => id -> (ByteBuffer.wrap(b): Any))
+    }
+    val uppers = tracked.flatMap { case (id, dt, st) =>
+      st.upper.flatMap { case s: String => truncateUpper(s); case v => Some(v) }
+        .flatMap(v => encodeSingle(dt, v)).map(b => id -> (ByteBuffer.wrap(b): Any))
+    }
+    val nulls = tracked.collect { case (id, _, st) if st.nullCount >= 0 =>
+      id -> (st.nullCount: Any)
+    }
+    val values = numRecords.toSeq.flatMap(n => tracked.map { case (id, _, _) =>
+      id -> (n: Any)
+    })
+    if (values.nonEmpty) dfr.put("value_counts", kvList(dfSchema, "value_counts", values))
+    if (nulls.nonEmpty)
+      dfr.put("null_value_counts", kvList(dfSchema, "null_value_counts", nulls))
+    if (lowers.nonEmpty) dfr.put("lower_bounds", kvList(dfSchema, "lower_bounds", lowers))
+    if (uppers.nonEmpty) dfr.put("upper_bounds", kvList(dfSchema, "upper_bounds", uppers))
+  }
+
   /** Carry the four stats fields from a read entry into a rewritten
     * one (maintenance EXISTING entries): k-v records are REBUILT
     * against the destination schema so rewrites never depend on the

@@ -198,6 +198,23 @@ class IcebergStatsPruneSpec extends SparkSpec {
     assert(got.toSeq == ((16L to 21L)))
   }
 
+  test("UniForm export translates Delta stats into bounds that prune") {
+    val dir = tempDir("ice-uniform-stats").toString + "/t"
+    DeltaWrite.append(spark,
+      (1L to 100L).map(i => (i, f"v$i%04d")).toDF("id", "v").repartition(1), dir)
+    DeltaWrite.append(spark,
+      (101L to 200L).map(i => (i, f"v$i%04d")).toDF("id", "v").repartition(1), dir)
+    graft.export.IcebergUniform.export(spark, dir)
+    assert(readFiles(dir, Seq.empty).size == 2)
+    // long bounds translated from the Delta stats JSON
+    val hi = readFiles(dir, Seq(Filter("id", ">", 150L)))
+    assert(hi.size == 1, s"exported bounds must prune the 1–100 file, got $hi")
+    // string bounds too (Delta truncation re-truncated soundly)
+    assert(readFiles(dir, Seq(Filter("v", "=", "v0150"))).size == 1)
+    assert(new IcebergTable("t", dir)(spark,
+      ReadArgs.where(Filter("id", ">", 150L))).count() == 50L)
+  }
+
   test("rewrite_manifests carries bounds; pruning survives the rewrite") {
     val dir = tempDir("ice-rwstats").toString + "/t"
     IcebergWrite.append(spark,
