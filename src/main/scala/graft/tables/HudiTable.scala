@@ -45,13 +45,44 @@ class HudiTable(
 
   val AsOfInstantKey = "asOfInstant"
 
+  /** Boolean: force slice planning distributed (true) or driver-side
+    * (false); unset = automatic above
+    * [[HudiTable.AutoDistributedBytesConf]] of completed commit JSON.
+    */
+  val DistributedPlanningKey = "distributedPlanning"
+
   override def apply(spark: SparkSession, args: ReadArgs): DataFrame = {
     val fs = new Path(uri).getFileSystem(spark.sparkContext.hadoopConfiguration)
     HudiWrite.readProps(fs, uri) // refuses non-Hudi paths
     val asOf = args.extra.get(AsOfInstantKey).map(_.toString)
-    val slices = HudiWrite.latestSlices(fs, uri, asOf)
-    var df = read(spark, fs, slices, args)
-      .drop(HudiWrite.CommitTimeCol, HudiWrite.RecordKeyCol)
+    // the driver's planning cost is parsing the commit JSONs, and
+    // their total size is an O(1) listing away — above the byte gate
+    // commits parse in parallel tasks, the replay shards by file
+    // group, pruning runs executor-side, and only surviving slices
+    // ever reach the driver (the R40 discipline for the third format)
+    val distributed = args.extra.get(DistributedPlanningKey).map {
+      case b: Boolean => b
+      case s: String  => s.toBoolean
+      case other => throw new IllegalArgumentException(
+        s"bad $DistributedPlanningKey: $other")
+    }.getOrElse {
+      val threshold = spark.conf.getOption(HudiTable.AutoDistributedBytesConf)
+        .map(_.toLong).getOrElse(HudiTable.DefaultAutoDistributedBytes)
+      HudiWrite.timelineBytes(fs, uri) > threshold
+    }
+    var df =
+      if (!distributed) read(spark, fs, HudiWrite.latestSlices(fs, uri, asOf), args)
+      else {
+        val (pruned, sample) =
+          HudiWrite.latestSlicesDistributed(spark, uri, asOf, HudiTable.keepSlice(args.filters))
+        if (pruned.isEmpty) {
+          val schemaSource = sample.orElse(anyHistoricalSlice(fs))
+            .getOrElse(throw new IllegalArgumentException(
+              s"Hudi table $uri has no completed commits with data"))
+          HudiWrite.readSlices(spark, uri, Seq(schemaSource)).limit(0)
+        } else HudiWrite.readSlicesMerged(spark, uri, pruned)
+      }
+    df = df.drop(HudiWrite.CommitTimeCol, HudiWrite.RecordKeyCol)
     Filters.toColumn(args.filters).foreach(p => df = df.filter(p))
     args.columns.foreach(cols => df = df.select(cols.map(col): _*))
     df
@@ -116,14 +147,11 @@ class HudiTable(
       slices: Seq[HudiWrite.FileSlice],
       args: ReadArgs
   ): DataFrame = {
-    val partCols = partitionFields(fs)
     // partition-path pruning + per-slice data-column range skipping
     // (the r9 key-range commit stats generalized): a selective data
     // predicate opens only the file groups whose recorded [min,max]
     // may hold matches — stats-less slices always read
-    val pruned = slices.filter(s =>
-      mayMatch(s.partition, partCols, args.filters) &&
-        HudiWrite.colStatsMayMatch(s.colStats, args.filters))
+    val pruned = slices.filter(HudiTable.keepSlice(args.filters))
     if (pruned.isEmpty) {
       // declared-empty frame with the table's real schema: zero rows
       // of any live slice — or, when every file group has been
@@ -153,35 +181,29 @@ class HudiTable(
     * (conservative: any parse ambiguity keeps the partition; the
     * exact predicate is re-applied on rows either way).
     */
-  private def mayMatch(
-      partitionPath: String, partCols: Seq[String],
-      filters: Filters.Normalized): Boolean = {
-    if (partitionPath.isEmpty || partCols.isEmpty) return true
-    val values: Map[String, String] = partitionPath.split('/').flatMap { seg =>
-      seg.split("=", 2) match {
-        case Array(k, v) => Some(k ->
-          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(v))
-        case _ => None
-      }
-    }.toMap
-    // DNF: OR over conjunctions; a partition survives if ANY
-    // conjunction may match
-    filters.isEmpty || filters.exists { conj =>
-      conj.forall { f =>
-        values.get(f.column) match {
-          case None => true // not a partition column (or missing) — keep
-          case Some(v) =>
-            f.op match {
-              case FilterOp.Eq => v == String.valueOf(f.value)
-              case FilterOp.In => f.value match {
-                case xs: Iterable[_] => xs.exists(x => String.valueOf(x) == v)
-                case xs: Array[_] => xs.exists(x => String.valueOf(x) == v)
-                case other => String.valueOf(other) == v
-              }
-              case _ => true // conservative may-match
-            }
-        }
-      }
-    }
-  }
+}
+
+object HudiTable {
+
+  /** Partition + column-stats pruning of one slice — the SAME
+    * predicate the driver path filters with and the distributed
+    * planner evaluates executor-side (both delegate to the static
+    * [[HudiWrite]] matchers, so the two paths cannot drift). Lives on
+    * the companion so the partial application captures only the
+    * filters, never a table instance (task serialization).
+    */
+  private[tables] def keepSlice(filters: Filters.Normalized)(s: HudiWrite.FileSlice): Boolean =
+    HudiWrite.partitionMayMatch(s.partition, filters) &&
+      HudiWrite.colStatsMayMatch(s.colStats, filters)
+
+  /** Completed-commit-JSON byte total above which slice planning goes
+    * distributed automatically: stats entries are proportional to
+    * those bytes, and 64 MiB of write stats (~hundreds of thousands
+    * of file entries) is where a driver-side parse stops being free.
+    * The same role as [[DeltaTable.AutoDistributedThresholdConf]] /
+    * [[IcebergTable.AutoDistributedThresholdConf]], expressed in the
+    * unit this format can estimate with one listing.
+    */
+  val AutoDistributedBytesConf = "spark.graft.hudi.autoDistributedPlanningBytes"
+  val DefaultAutoDistributedBytes: Long = 64L * 1024 * 1024
 }

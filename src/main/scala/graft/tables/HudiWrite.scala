@@ -1047,67 +1047,160 @@ object HudiWrite {
     }.sortBy(_._1)
   }
 
-  /** Latest file slice per file group from the timeline metadata
-    * alone (no directory listing): for each (partition, fileId) the
-    * base file written at the greatest completed instant ≤ `asOf`.
+  /** One timeline event in slice reconstruction: `kind` 0 = the
+    * file group was REPLACED at this instant (replacecommit — sorts
+    * before same-instant writes, as the driver fold applies removes
+    * first), 1 = a base or log file was written.
     */
-  private[tables] def latestSlices(
-      fs: FileSystem, tablePath: String, asOf: Option[String]): Seq[FileSlice] = {
-    val slices = scala.collection.mutable.Map.empty[(String, String), FileSlice]
-    completedInstants(fs, tablePath, asOf).foreach { case (instant, action) =>
-      val in = fs.open(new Path(new Path(tablePath, ".hoodie"), s"$instant.$action"))
-      val root = try mapper.readTree(in) finally in.close()
-      // replacecommit: the listed file groups cease to exist at this
-      // instant (all their records were deleted)
-      val replaced = root.path("partitionToReplaceFileIds")
-      replaced.fieldNames().forEachRemaining { part =>
-        IcebergMeta.elements(replaced.path(part)).foreach { fid =>
-          slices.remove((part, fid.asText()))
-        }
+  private[tables] final case class SliceEvent(
+      instant: String, kind: Int, part: String, fileId: String,
+      path: String, isLog: Boolean,
+      keyRange: Option[(String, String)],
+      colStats: Option[Map[String, ColRange]])
+
+  /** Parse ONE completed instant's commit JSON into slice events —
+    * the executor-safe primitive both the driver fold and the
+    * distributed planner share, so their semantics cannot drift.
+    */
+  private[tables] def commitEvents(
+      root: com.fasterxml.jackson.databind.JsonNode,
+      action: String, instant: String): Seq[SliceEvent] = {
+    val out = Seq.newBuilder[SliceEvent]
+    val replaced = root.path("partitionToReplaceFileIds")
+    replaced.fieldNames().forEachRemaining { part =>
+      IcebergMeta.elements(replaced.path(part)).foreach { fid =>
+        out += SliceEvent(instant, 0, part, fid.asText(), "", isLog = false, None, None)
       }
-      val parts = root.path("partitionToWriteStats")
-      parts.fieldNames().forEachRemaining { part =>
-        IcebergMeta.elements(parts.path(part)).foreach { st =>
-          val fileId = st.path("fileId").asText()
-          val p = st.path("path").asText()
-          val range: Option[(String, String)] =
-            if (st.has("minRecordKey") && st.has("maxRecordKey"))
-              Some((st.path("minRecordKey").asText(), st.path("maxRecordKey").asText()))
-            else None
-          val ranges: Option[Map[String, ColRange]] =
-            if (!st.has("columnStats")) None
-            else Some {
-              val b = Map.newBuilder[String, ColRange]
-              val cs = st.path("columnStats")
-              cs.fieldNames().forEachRemaining { c =>
-                val o = cs.path(c)
-                if (o.has("min") && o.has("max"))
-                  b += c -> ColRange(o.path("min").isNumber,
-                    o.path("min").asText(), o.path("max").asText())
-              }
-              b.result()
+    }
+    val parts = root.path("partitionToWriteStats")
+    parts.fieldNames().forEachRemaining { part =>
+      IcebergMeta.elements(parts.path(part)).foreach { st =>
+        val p = st.path("path").asText()
+        val range: Option[(String, String)] =
+          if (st.has("minRecordKey") && st.has("maxRecordKey"))
+            Some((st.path("minRecordKey").asText(), st.path("maxRecordKey").asText()))
+          else None
+        val ranges: Option[Map[String, ColRange]] =
+          if (!st.has("columnStats")) None
+          else Some {
+            val b = Map.newBuilder[String, ColRange]
+            val cs = st.path("columnStats")
+            cs.fieldNames().forEachRemaining { c =>
+              val o = cs.path(c)
+              if (o.has("min") && o.has("max"))
+                b += c -> ColRange(o.path("min").isNumber,
+                  o.path("min").asText(), o.path("max").asText())
             }
-          if (action == "deltacommit" && p.contains(".log.")) {
-            // MOR log file: attaches to the group's current base
-            // slice (a later base — compaction — resets the list)
-            val s = slices.getOrElse((part, fileId),
-              throw new UnsupportedOperationException(
-                s"Hudi MERGE_ON_READ log-only file groups are unsupported: deltacommit " +
-                  s"$instant logs to file group $fileId in '$part' which has no base " +
-                  "file (bucket/HBase-index log-only inserts); compact the table first"))
-            slices((part, fileId)) = s.copy(
-              logFiles = s.logFiles :+ (instant -> p),
-              keyRange = unionRange(s.keyRange, range),
-              colStats = unionColStats(s.colStats, ranges))
-          } else {
-            // ascending instant order: later slices simply replace
-            slices((part, fileId)) = FileSlice(part, fileId, instant, p,
-              keyRange = range, colStats = ranges)
+            b.result()
           }
-        }
+        out += SliceEvent(instant, 1, part, st.path("fileId").asText(), p,
+          isLog = action == "deltacommit" && p.contains(".log."),
+          keyRange = range, colStats = ranges)
+      }
+    }
+    out.result()
+  }
+
+  /** Replay slice events (ascending instant, removes before writes
+    * within an instant) into latest file slices. Touches only
+    * per-(partition, fileId) state, so replaying ONE group's events
+    * gives exactly that group's global-fold result — what lets the
+    * distributed planner shard the replay by group.
+    */
+  private[tables] def foldSlices(events: IterableOnce[SliceEvent]): Seq[FileSlice] = {
+    val slices = scala.collection.mutable.Map.empty[(String, String), FileSlice]
+    events.iterator.foreach { e =>
+      if (e.kind == 0) {
+        // replacecommit: the file group ceases to exist at this
+        // instant (all its records were deleted)
+        slices.remove((e.part, e.fileId)); ()
+      } else if (e.isLog) {
+        // MOR log file: attaches to the group's current base slice
+        // (a later base — compaction — resets the list)
+        val s = slices.getOrElse((e.part, e.fileId),
+          throw new UnsupportedOperationException(
+            s"Hudi MERGE_ON_READ log-only file groups are unsupported: deltacommit " +
+              s"${e.instant} logs to file group ${e.fileId} in '${e.part}' which has no base " +
+              "file (bucket/HBase-index log-only inserts); compact the table first"))
+        slices((e.part, e.fileId)) = s.copy(
+          logFiles = s.logFiles :+ (e.instant -> e.path),
+          keyRange = unionRange(s.keyRange, e.keyRange),
+          colStats = unionColStats(s.colStats, e.colStats))
+      } else {
+        // ascending instant order: later slices simply replace
+        slices((e.part, e.fileId)) = FileSlice(e.part, e.fileId, e.instant, e.path,
+          keyRange = e.keyRange, colStats = e.colStats)
       }
     }
     slices.values.toSeq.sortBy(s => (s.partition, s.fileId))
+  }
+
+  /** Latest file slice per file group from the timeline metadata
+    * alone (no directory listing): for each (partition, fileId) the
+    * base file written at the greatest completed instant ≤ `asOf`.
+    * Driver-side — O(total write-stat entries); above
+    * [[HudiTable.AutoDistributedBytesConf]] the read path uses
+    * [[latestSlicesDistributed]] instead.
+    */
+  private[tables] def latestSlices(
+      fs: FileSystem, tablePath: String, asOf: Option[String]): Seq[FileSlice] =
+    foldSlices(completedInstants(fs, tablePath, asOf).iterator.flatMap {
+      case (instant, action) =>
+        val in = fs.open(new Path(new Path(tablePath, ".hoodie"), s"$instant.$action"))
+        val root = try mapper.readTree(in) finally in.close()
+        commitEvents(root, action, instant)
+    })
+
+  /** Total bytes of completed commit JSONs — the O(1)-to-estimate
+    * proxy for driver slice-planning cost (stats entries ∝ bytes).
+    */
+  private[tables] def timelineBytes(fs: FileSystem, tablePath: String): Long = {
+    val Commit = "(\\d{17})\\.(commit|replacecommit|deltacommit)".r
+    fs.listStatus(new Path(tablePath, ".hoodie")).collect {
+      case s if Commit.matches(s.getPath.getName) => s.getLen
+    }.sum
+  }
+
+  /** DISTRIBUTED slice planning (the R40/Iceberg-planner discipline
+    * for the third format): commit JSONs parse in parallel tasks,
+    * events shuffle once by (partition, fileId), each group replays
+    * its own fold, and only slices passing `keep` (partition +
+    * column-stats pruning, evaluated executor-side) return to the
+    * driver — at 10⁷ file groups the driver never materializes the
+    * slice list. Returns (survivors, sample) where `sample` is an
+    * arbitrary live slice fetched ONLY when survivors are empty (the
+    * declared-empty read's schema source).
+    */
+  private[tables] def latestSlicesDistributed(
+      spark: SparkSession,
+      tablePath: String,
+      asOf: Option[String],
+      keep: FileSlice => Boolean): (Seq[FileSlice], Option[FileSlice]) = {
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val instants = completedInstants(fs, tablePath, asOf)
+    if (instants.isEmpty) return (Seq.empty, None)
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val tp = tablePath
+    def slicesRdd = spark.sparkContext
+      .parallelize(instants, math.max(1, math.min(instants.size, 32)))
+      .flatMap { case (instant, action) =>
+        val efs = new Path(tp).getFileSystem(conf.value)
+        val in = efs.open(new Path(new Path(tp, ".hoodie"), s"$instant.$action"))
+        val m = new com.fasterxml.jackson.databind.ObjectMapper()
+        val root = try m.readTree(in) finally in.close()
+        commitEvents(root, action, instant)
+      }
+      .groupBy(e => (e.part, e.fileId))
+      .flatMap { case (_, evs) =>
+        foldSlices(evs.toSeq.sortBy(e => (e.instant, e.kind)))
+      }
+    val survivors = slicesRdd.filter(keep).collect().toSeq
+      .sortBy(s => (s.partition, s.fileId))
+    val sample =
+      if (survivors.nonEmpty) None
+      else slicesRdd.take(1).headOption
+    (survivors, sample)
   }
 
   /** EVERY base file any completed commit ever wrote (including
@@ -1303,6 +1396,44 @@ object HudiWrite {
         Some((if (al <= bl) al else bl, if (ah >= bh) ah else bh))
       case _ => None
     }
+
+  /** Exact partition-path pruning on hive-style `k=v` segments
+    * (equality/IN; conservative may-match otherwise) — DNF over the
+    * Filter algebra, executor-safe (the distributed planner evaluates
+    * it inside tasks).
+    */
+  private[tables] def partitionMayMatch(
+      partitionPath: String,
+      filters: graft.core.Filters.Normalized): Boolean = {
+    import graft.core.FilterOp
+    if (partitionPath.isEmpty || filters.isEmpty) return true
+    val values: Map[String, String] = partitionPath.split('/').flatMap { seg =>
+      seg.split("=", 2) match {
+        case Array(k, v) => Some(k ->
+          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(v))
+        case _ => None
+      }
+    }.toMap
+    // DNF: OR over conjunctions; a partition survives if ANY
+    // conjunction may match
+    filters.exists { conj =>
+      conj.forall { f =>
+        values.get(f.column) match {
+          case None => true // not a partition column (or missing) — keep
+          case Some(v) =>
+            f.op match {
+              case FilterOp.Eq => v == String.valueOf(f.value)
+              case FilterOp.In => f.value match {
+                case xs: Iterable[_] => xs.exists(x => String.valueOf(x) == v)
+                case xs: Array[_] => xs.exists(x => String.valueOf(x) == v)
+                case other => String.valueOf(other) == v
+              }
+              case _ => true // conservative may-match
+            }
+        }
+      }
+    }
+  }
 
   // -------------------------------------------- column statistics
 

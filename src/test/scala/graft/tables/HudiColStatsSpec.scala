@@ -110,6 +110,46 @@ class HudiColStatsSpec extends SparkSpec {
     assert(readWhere(dir, Filter("v", "=", 3)).count() == 1)
   }
 
+  test("distributed slice planning: parity with the driver fold across logs/deletes/compaction") {
+    val dir = tempDir("hudi-dplan").toString + "/t"
+    HudiWrite.bulkInsert(spark,
+      (1 to 40).map(i => (f"k$i%03d", i, i % 2)).toDF("k", "v", "p")
+        .repartition(col("p")), dir, "k", Seq("p"), tableType = "MERGE_ON_READ")
+    // log-borne update + insert (new group), a tombstone, and a
+    // partition-scoped compaction (replacecommit machinery)
+    HudiWrite.upsert(spark, Seq(("k005", 500, 1), ("k900", 9, 0)).toDF("k", "v", "p"), dir)
+    HudiWrite.delete(spark, Seq("k002").toDF("k"), dir)
+    HudiWrite.compact(spark, dir, partitions = Some(Seq("p=1")))
+    val fs = fsOf(dir)
+
+    // planner-level parity, unpruned
+    val driver = HudiWrite.latestSlices(fs, dir, None)
+    val (dist, sample) = HudiWrite.latestSlicesDistributed(spark, dir, None, _ => true)
+    assert(dist == driver)
+    assert(sample.isEmpty) // survivors nonempty: no sample fetched
+
+    // read-level parity with pruning filters, both forced paths
+    val t = new HudiTable("t", dir)
+    def rows(distributed: Boolean) = t(spark, ReadArgs(
+      filters = Filters.normalize(Seq(Filter("v", ">", 3))),
+      extra = Map(t.DistributedPlanningKey -> distributed)))
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(rows(true) == rows(false) && rows(true).nonEmpty)
+
+    // the byte gate routes automatically
+    spark.conf.set(HudiTable.AutoDistributedBytesConf, "0")
+    try assert(t(spark, ReadArgs.empty).count() ==
+      t(spark, ReadArgs(extra = Map(t.DistributedPlanningKey -> false))).count())
+    finally spark.conf.unset(HudiTable.AutoDistributedBytesConf)
+
+    // all-pruned distributed read still yields the declared-empty
+    // frame with the real schema (sample path)
+    val empty = t(spark, ReadArgs(
+      filters = Filters.normalize(Seq(Filter("v", ">", 10000))),
+      extra = Map(t.DistributedPlanningKey -> true)))
+    assert(empty.columns.toSeq == Seq("k", "v", "p") && empty.count() == 0)
+  }
+
   test("unionColStats and colStatsMayMatch semantics") {
     import HudiWrite._
     val a = Map("v" -> ColRange(true, "1", "10"), "s" -> ColRange(false, "a", "c"))
