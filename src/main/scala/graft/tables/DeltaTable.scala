@@ -480,9 +480,14 @@ object DeltaFileSkipping {
       case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType |
           _: DecimalType =>
         Some(BigDecimal(sv).compare(BigDecimal(fv.toString)))
-      case StringType => Some(sv.compareTo(fv.toString))
-      case DateType   => Some(sv.compareTo(fv.toString)) // ISO dates compare lexically
-      case _          => None // timestamps/booleans/complex: don't prune
+      case StringType =>
+        // CODE-POINT order, not String.compareTo: the stats were
+        // min/max'd under Spark's UTF8String binary order (= code
+        // point), and UTF-16 unit order disagrees above the BMP —
+        // comparing in a different order could wrongly prune a file
+        Some(IcebergStats.codePointCompare(sv, fv.toString))
+      case DateType => Some(sv.compareTo(fv.toString)) // ISO dates compare lexically
+      case _        => None // timestamps/booleans/complex: don't prune
     } catch { case _: NumberFormatException => None }
 
   private def values(v: Any): Seq[Any] = v match {

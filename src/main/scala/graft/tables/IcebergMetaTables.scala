@@ -25,7 +25,14 @@ object IcebergMetaTables {
   final case class RefRow(name: String, ref_type: String, snapshot_id: Long)
   final case class FileRow(
       content: Int, file_path: String, record_count: Long,
-      sequence_number: Long, spec_id: Int, partition: Map[String, String])
+      sequence_number: Long, spec_id: Int, partition: Map[String, String],
+      /** READABLE per-column stats (the upstream `readable_metrics`
+        * idea): bounds decoded per the schema's field types, keyed by
+        * column NAME; empty for stats-less writers.
+        */
+      lower_bounds: Map[String, String] = Map.empty,
+      upper_bounds: Map[String, String] = Map.empty,
+      null_value_counts: Map[String, Long] = Map.empty)
 
   private def root(spark: SparkSession, tablePath: String) = {
     val table = new Path(tablePath)
@@ -99,6 +106,11 @@ object IcebergMetaTables {
     if (manifests.isEmpty) return Seq.empty[FileRow].toDF()
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
+    // (field id → name, type) for readable bounds decoding in tasks
+    val fieldMeta: Map[Int, (String, org.apache.spark.sql.types.DataType)] =
+      meta.schemaFieldIds.flatMap { case (id, name) =>
+        meta.schema.fields.find(_.name == name).map(f => id -> (name, f.dataType))
+      }
     spark.sparkContext
       .parallelize(manifests, math.max(1, math.min(manifests.size, 32)))
       .flatMap { case (mPath, mSeq, specId) =>
@@ -114,13 +126,23 @@ object IcebergMetaTables {
                 }.toMap
               case _ => Map.empty[String, String]
             }
+            def readable(field: String): Map[String, String] =
+              IcebergStats.boundsOf(df, field).flatMap { case (id, bytes) =>
+                fieldMeta.get(id).flatMap { case (name, dt) =>
+                  IcebergStats.decodeSingle(dt, bytes).map(v => name -> v.toString)
+                }
+              }
             FileRow(
               Option(df.get("content")).map(_.asInstanceOf[Number].intValue()).getOrElse(0),
               df.get("file_path").toString,
               Option(df.get("record_count")).map(_.asInstanceOf[Number].longValue()).getOrElse(0L),
               Option(e.get("sequence_number")).map(_.asInstanceOf[Number].longValue())
                 .getOrElse(mSeq),
-              specId, partition)
+              specId, partition,
+              lower_bounds = readable("lower_bounds"),
+              upper_bounds = readable("upper_bounds"),
+              null_value_counts = IcebergStats.countsOf(df, "null_value_counts")
+                .flatMap { case (id, n) => fieldMeta.get(id).map(_._1 -> n) })
         }
       }.toDS().toDF()
   }

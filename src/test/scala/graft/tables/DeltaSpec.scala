@@ -133,6 +133,20 @@ class DeltaSpec extends SparkSpec {
     assert(dnf.select("id").as[Long].collect().toSet == Set(1L, 4L))
   }
 
+  test("stats skipping compares strings by CODE POINT, never UTF-16 units") {
+    // the file's single value is a supplementary-plane char
+    // (U+10400 > U+E000 by code point / UTF-8 byte order — the order
+    // the stats were min/max'd under), but its UTF-16 lead surrogate
+    // 0xD801 sorts BELOW 0xE000: a compareTo-based matcher would
+    // wrongly prune the file for v > ''
+    val dir = tempDir("delta-cp").toString + "/t"
+    val sup = new String(Character.toChars(0x10400))
+    DeltaWrite.append(spark, Seq((1L, sup)).toDF("id", "v"), dir)
+    val got = new DeltaTable("t", dir)(spark,
+      ReadArgs.where(Filter("v", ">", "")))
+    assert(got.count() == 1L, "code-point order must keep the supplementary-plane file")
+  }
+
   test("unsupported protocol is refused loudly") {
     val dir = tempDir("delta-proto").toString + "/t"
     val schema = StructType(Seq(StructField("id", LongType)))

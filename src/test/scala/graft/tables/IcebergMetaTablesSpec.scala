@@ -51,5 +51,18 @@ class IcebergMetaTablesSpec extends SparkSpec {
     // time travel: the files of the pre-delete snapshot carry no deletes
     val before = IcebergMetaTables.files(spark, root, Some(s2))
     assert(before.where(col("content") =!= 0).count() == 0)
+
+    // readable per-column stats (the readable_metrics idea): bounds
+    // decode by schema type and key by column NAME
+    val p0 = files.where(col("content") === 0 &&
+        element_at(col("partition"), "p") === "0" &&
+        element_at(col("lower_bounds"), "id") === "1")
+      .collect().head
+    val lo = p0.getMap[String, String](p0.fieldIndex("lower_bounds"))
+    val hi = p0.getMap[String, String](p0.fieldIndex("upper_bounds"))
+    val nulls = p0.getMap[String, Long](p0.fieldIndex("null_value_counts"))
+    assert(lo("id") == "1" && hi("id") == "1", (lo, hi))
+    assert(lo("v") == "a" && hi("v") == "a")
+    assert(nulls("id") == 0L && nulls("v") == 0L)
   }
 }
