@@ -190,16 +190,25 @@ object NearDup {
           .select(col("a._id").as("a_id"), col("b._id").as("b_id"))
           .dropDuplicates("a_id", "b_id")
       } else {
-        val stats = banded.groupBy("band", "bh")
+        // only the HOT buckets materialize (≤ rows/maxBucket of them,
+        // and normally NONE): broadcast-anti-joining that tiny set
+        // keeps the default-on guard at near-zero cost on healthy
+        // corpora — the earlier shape joined the FULL per-bucket
+        // stats into every banded row and paid ~30% on the bench
+        val hot = banded.groupBy("band", "bh")
           .agg(count(lit(1)).as("_n"), min(col("_id")).as("_rep"))
-        val tagged = banded.join(stats, Seq("band", "bh"))
-        val small = tagged.where(col("_n") <= maxBucket)
+          .where(col("_n") > maxBucket)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        registerCache(hot)
+        val small = banded.join(
+          broadcast(hot.select("band", "bh")), Seq("band", "bh"), "left_anti")
         val allPairs = small.as("a")
           .join(small.select("band", "bh", "_id").as("b"), Seq("band", "bh"))
           .where(col("a._id") < col("b._id"))
           .select(col("a._id").as("a_id"), col("b._id").as("b_id"))
         // oversized buckets: star edges rep→member, one linear pass
-        val starPairs = tagged.where(col("_n") > maxBucket)
+        val starPairs = banded
+          .join(broadcast(hot.select("band", "bh", "_rep")), Seq("band", "bh"))
           .where(col("_id") =!= col("_rep"))
           .select(col("_rep").as("a_id"), col("_id").as("b_id"))
         allPairs.unionByName(starPairs).dropDuplicates("a_id", "b_id")
