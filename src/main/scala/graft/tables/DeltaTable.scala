@@ -490,10 +490,5 @@ object DeltaFileSkipping {
       case _        => None // timestamps/booleans/complex: don't prune
     } catch { case _: NumberFormatException => None }
 
-  private def values(v: Any): Seq[Any] = v match {
-    case xs: Seq[_]      => xs
-    case xs: Array[_]    => xs.toSeq
-    case xs: Iterable[_] => xs.toSeq
-    case other           => Seq(other)
-  }
+  private def values(v: Any): Seq[Any] = IcebergStats.inValues(v)
 }

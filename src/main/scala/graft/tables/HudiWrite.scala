@@ -770,16 +770,13 @@ object HudiWrite {
     val baseAggs = Seq(count(lit(1)).as("_n"),
       min(col(RecordKeyCol)).as("_kmin"), max(col(RecordKeyCol)).as("_kmax"))
     val aggs = baseAggs ++ statAggs
-    val counts: Map[String, (Long, Option[(String, String)], Map[String, ColRange])] =
+    val counts: Map[String, (Long, Option[(String, String)], Option[Map[String, ColRange]])] =
       spark.read.parquet(staging.toString)
         .groupBy(col("_metadata.file_path").as("_p"))
         .agg(aggs.head, aggs.tail: _*)
         .collect().map { r =>
-          val ranges = statFields.flatMap { f =>
-            val lo = r.get(r.fieldIndex(s"_lo_${f.name}"))
-            val hi = r.get(r.fieldIndex(s"_hi_${f.name}"))
-            colRangeOf(f.dataType, lo, hi).map(f.name -> _)
-          }.toMap
+          val ranges = colRangesOf(statFields, n =>
+            (r.get(r.fieldIndex(s"_lo_$n")), r.get(r.fieldIndex(s"_hi_$n"))))
           DvDeleted.normalizePath(r.getString(0)) ->
             ((r.getLong(r.fieldIndex("_n")),
               if (r.isNullAt(r.fieldIndex("_kmin")) || r.isNullAt(r.fieldIndex("_kmax"))) None
@@ -813,7 +810,7 @@ object HudiWrite {
         fs.mkdirs(dest.getParent)
         if (!fs.rename(f, dest))
           throw new IllegalStateException(s"could not move staged file $f to $dest")
-        WrittenFile(partition, fileId, relOut, n, range, Some(ranges))
+        WrittenFile(partition, fileId, relOut, n, range, ranges)
       }
     }
     val staged = counts.values.map(_._1).sum
@@ -1195,11 +1192,23 @@ object HudiWrite {
       .flatMap { case (_, evs) =>
         foldSlices(evs.toSeq.sortBy(e => (e.instant, e.kind)))
       }
-    val survivors = slicesRdd.filter(keep).collect().toSeq
+    // ONE job: survivors plus at most one non-survivor per partition
+    // (the schema sample for an all-pruned read) — never a second
+    // full parse+shuffle of the timeline
+    val collected = slicesRdd.mapPartitions { it =>
+      var sample: Option[FileSlice] = None
+      val out = Seq.newBuilder[(Boolean, FileSlice)]
+      it.foreach { sl =>
+        if (keep(sl)) out += ((true, sl))
+        else if (sample.isEmpty) sample = Some(sl)
+      }
+      (out.result() ++ sample.map((false, _))).iterator
+    }.collect()
+    val survivors = collected.collect { case (true, sl) => sl }.toSeq
       .sortBy(s => (s.partition, s.fileId))
     val sample =
       if (survivors.nonEmpty) None
-      else slicesRdd.take(1).headOption
+      else collected.collectFirst { case (false, sl) => sl }
     (survivors, sample)
   }
 
@@ -1453,20 +1462,47 @@ object HudiWrite {
     }
   }
 
-  /** Render one file's (min, max) agg values as a [[ColRange]]. None
-    * for all-null files or un-normalizable endpoints (NaN) — absence
-    * never prunes.
+  /** Render one file's (min, max) agg values as a [[ColRange]].
+    * Outer None = POISON (un-normalizable endpoints, e.g. NaN/Inf —
+    * the column has real values we cannot bound); inner None =
+    * all-null (no values at all). The distinction matters: absence
+    * from a PRESENT stats map is read as all-null and lets MOR unions
+    * keep the other contributor's range, so conflating NaN with
+    * all-null would let a log's range shadow live base rows.
     */
   private[tables] def colRangeOf(
-      dt: org.apache.spark.sql.types.DataType, lo: Any, hi: Any): Option[ColRange] =
-    colRangeKind(dt).flatMap { numeric =>
-      if (lo == null || hi == null) None
-      else if (numeric)
-        try Some(ColRange(isNumeric = true,
-          BigDecimal(lo.toString).toString, BigDecimal(hi.toString).toString))
-        catch { case _: NumberFormatException => None } // NaN/Inf endpoints
-      else Some(ColRange(isNumeric = false, lo.toString, hi.toString))
+      dt: org.apache.spark.sql.types.DataType,
+      lo: Any, hi: Any): Option[Option[ColRange]] =
+    colRangeKind(dt) match {
+      case None => Some(None) // untracked type: nothing to record
+      case Some(numeric) =>
+        if (lo == null || hi == null) Some(None) // all-null file
+        else if (numeric)
+          try Some(Some(ColRange(isNumeric = true,
+            BigDecimal(lo.toString).toString, BigDecimal(hi.toString).toString)))
+          catch { case _: NumberFormatException => None } // NaN/Inf: poison
+        else Some(Some(ColRange(isNumeric = false, lo.toString, hi.toString)))
     }
+
+  /** Build one file's stats map from per-column (lo, hi) endpoints:
+    * Some(map) omitting all-null columns, or None when ANY column
+    * poisons (the whole file records no stats — sound, never
+    * fast-wrong).
+    */
+  private[tables] def colRangesOf(
+      fields: Seq[org.apache.spark.sql.types.StructField],
+      endpoint: String => (Any, Any)): Option[Map[String, ColRange]] = {
+    val b = Map.newBuilder[String, ColRange]
+    fields.foreach { f =>
+      val (lo, hi) = endpoint(f.name)
+      colRangeOf(f.dataType, lo, hi) match {
+        case None          => return None // poison the file's stats
+        case Some(Some(r)) => b += f.name -> r
+        case Some(None)    => () // all-null: omit
+      }
+    }
+    Some(b.result())
+  }
 
   /** Per-column union for MOR slices: merged rows ⊆ base ∪ log rows,
     * so each column's union range contains them. None on either side
@@ -1522,15 +1558,9 @@ object HudiWrite {
         catch { case _: NumberFormatException => None }
       def inRange(v: Any): Boolean =
         cmp(cr.min, v).forall(_ <= 0) && cmp(cr.max, v).forall(_ >= 0)
-      def values(v: Any): Seq[Any] = v match {
-        case xs: Seq[_]      => xs
-        case xs: Array[_]    => xs.toSeq
-        case xs: Iterable[_] => xs.toSeq
-        case other           => Seq(other)
-      }
       f.op match {
         case FilterOp.Eq => inRange(f.value)
-        case FilterOp.In => values(f.value).exists(inRange)
+        case FilterOp.In => IcebergStats.inValues(f.value).exists(inRange)
         case FilterOp.Lt => cmp(cr.min, f.value).forall(_ < 0)
         case FilterOp.Le => cmp(cr.min, f.value).forall(_ <= 0)
         case FilterOp.Gt => cmp(cr.max, f.value).forall(_ > 0)
@@ -1745,7 +1775,7 @@ object HudiWrite {
     val statFields = dataSchema.fields
       .filterNot(f => f.name == CommitTimeCol || f.name == RecordKeyCol)
       .filter(f => colRangeKind(f.dataType).isDefined).toSeq
-    val logRanges: Map[String, Map[String, ColRange]] =
+    val logRanges: Map[String, Option[Map[String, ColRange]]] =
       if (statFields.isEmpty) Map.empty
       else {
         val aggs = statFields.flatMap { f =>
@@ -1754,17 +1784,14 @@ object HudiWrite {
         }
         updates.groupBy(col("_fg")).agg(aggs.head, aggs.tail: _*)
           .collect().map { r =>
-            r.getString(0) -> statFields.flatMap { f =>
-              colRangeOf(f.dataType,
-                r.get(r.fieldIndex(s"_lo_${f.name}")),
-                r.get(r.fieldIndex(s"_hi_${f.name}"))).map(f.name -> _)
-            }.toMap
+            r.getString(0) -> colRangesOf(statFields, n =>
+              (r.get(r.fieldIndex(s"_lo_$n")), r.get(r.fieldIndex(s"_hi_$n"))))
           }.toMap
       }
     written.map { case (fg, part, rel, n, lo, hi) =>
       WrittenFile(part, fg, rel, n,
         if (lo == null || hi == null) None else Some((lo, hi)),
-        colStats = Some(logRanges.getOrElse(fg, Map.empty)))
+        colStats = logRanges.getOrElse(fg, Some(Map.empty)))
     }
   }
 

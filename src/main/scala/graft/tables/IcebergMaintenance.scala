@@ -513,9 +513,14 @@ object IcebergMaintenance {
       }
       val dfSchema = entrySchema.getField("data_file").schema()
       val pSchema = dfSchema.getField("partition").schema()
-      val (committedSchema, idToName) =
+      val (committedSchema, _) =
         IcebergMeta.schemaFromJson(mapper.readTree(schemaJson))
-      val fieldIdByName = idToName.map(_.swap)
+      // top-level metadata ids only (see IcebergWrite's bounds note)
+      val fieldIdByName = committedSchema.fields.flatMap { f =>
+        if (f.metadata.contains(DeltaLog.FieldIdKey))
+          Some(f.name -> f.metadata.getLong(DeltaLog.FieldIdKey).toInt)
+        else None
+      }.toMap
       val typeByName = committedSchema.fields.map(f => f.name -> f.dataType).toMap
 
       // the compacted rows: one fresh ADDED manifest

@@ -86,7 +86,24 @@ object IcebergMeta {
       specs: Map[Int, Seq[SpecField]],
       defaultSpecId: Int,
       snapshots: Seq[SnapshotInfo],
-      refs: Map[String, SnapshotRef] = Map.empty)
+      refs: Map[String, SnapshotRef] = Map.empty) {
+
+    /** name → (field id, type) of TOP-LEVEL columns ONLY — the map
+      * stats pruning resolves filters through. Built from the
+      * per-field metadata ids, never by inverting [[schemaFieldIds]]:
+      * that map also registers NESTED leaves under their leaf names,
+      * and a nested field sharing a top-level column's name would
+      * bind the filter to the wrong bounds (silent wrong pruning).
+      * Computed once per plan, not per file; transient so executors
+      * rebuild it instead of shipping it.
+      */
+    @transient lazy val topFieldsByName: Map[String, (Int, DataType)] =
+      schema.fields.flatMap { f =>
+        if (f.metadata.contains(DeltaLog.FieldIdKey))
+          Some(f.name -> ((f.metadata.getLong(DeltaLog.FieldIdKey).toInt, f.dataType)))
+        else None
+      }.toMap
+  }
 
   // ---------------------------------------------------- discovery
 
@@ -417,11 +434,6 @@ object IcebergMeta {
       filters: Filters.Normalized
   ): Boolean = {
     if (filters.isEmpty) return true
-    // name → (field id, type) once per call, for the stats side
-    lazy val fieldByName: Map[String, (Int, DataType)] =
-      meta.schemaFieldIds.flatMap { case (id, name) =>
-        meta.schema.fields.find(_.name == name).map(f => name -> (id, f.dataType))
-      }
     filters.exists(conj => conj.forall { f =>
       val partitionOk = spec.forall { sf =>
         val source = meta.schemaFieldIds.getOrElse(sf.sourceId, sf.name)
@@ -442,7 +454,7 @@ object IcebergMeta {
       // manifest column bounds (fields 125/128/110/109): prune on any
       // recorded min/max/null-count evidence — the non-partition
       // complement of the spec check above, fail-open throughout
-      def statsOk: Boolean = fieldByName.get(f.column).forall { case (id, dt) =>
+      def statsOk: Boolean = meta.topFieldsByName.get(f.column).forall { case (id, dt) =>
         IcebergStats.statsMayMatch(f, dt, id,
           file.lowerBounds, file.upperBounds, file.nullCounts, file.valueCounts,
           file.recordCount)

@@ -106,11 +106,10 @@ object IcebergMetaTables {
     if (manifests.isEmpty) return Seq.empty[FileRow].toDF()
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
-    // (field id → name, type) for readable bounds decoding in tasks
+    // (field id → name, type) for readable bounds decoding in tasks —
+    // TOP-LEVEL columns only (nested leaf ids stay un-rendered)
     val fieldMeta: Map[Int, (String, org.apache.spark.sql.types.DataType)] =
-      meta.schemaFieldIds.flatMap { case (id, name) =>
-        meta.schema.fields.find(_.name == name).map(f => id -> (name, f.dataType))
-      }
+      meta.topFieldsByName.map { case (name, (id, dt)) => id -> ((name, dt)) }
     spark.sparkContext
       .parallelize(manifests, math.max(1, math.min(manifests.size, 32)))
       .flatMap { case (mPath, mSeq, specId) =>

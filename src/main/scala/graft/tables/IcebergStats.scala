@@ -434,7 +434,10 @@ object IcebergStats {
       case _                  => None
     } catch { case _: Exception => None }
 
-  private def inValues(v: Any): Seq[Any] = v match {
+  /** IN-list coercion shared by every stats matcher (Delta, Iceberg,
+    * Hudi) so the engines cannot drift on list-shaped literals.
+    */
+  private[tables] def inValues(v: Any): Seq[Any] = v match {
     case xs: Seq[_]      => xs
     case xs: Array[_]    => xs.toSeq
     case xs: Iterable[_] => xs.toSeq

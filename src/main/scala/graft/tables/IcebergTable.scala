@@ -225,7 +225,12 @@ class IcebergTable(
       estimated > threshold
     }
     val files: Seq[IcebergMeta.ContentFile] =
-      if (!distributed) IcebergMeta.planFiles(fs, snap)
+      if (!distributed) {
+        // the counter still ticks (this IS a driver plan) but the
+        // manifest list read above is reused, not re-fetched
+        IcebergMeta.driverContentFilePlans.incrementAndGet()
+        infos.flatMap(IcebergMeta.contentFilesOfManifest(fs, _))
+      }
       else if (infos.isEmpty) Seq.empty
       else {
         val conf = new org.apache.spark.util.SerializableConfiguration(

@@ -1008,10 +1008,17 @@ object IcebergWrite {
           val dfSchema = entrySchema.getField("data_file").schema()
           val pSchema = dfSchema.getField("partition").schema()
           // column ids/types from the COMMITTED schema JSON (covers
-          // both fresh and evolved schemas) for the bounds maps
-          val (committedSchema, idToName) =
+          // both fresh and evolved schemas) for the bounds maps —
+          // TOP-LEVEL metadata ids only, never an idToName inversion
+          // (nested leaves sharing a top-level name would misattribute
+          // bounds)
+          val (committedSchema, _) =
             IcebergMeta.schemaFromJson(mapper.readTree(schemaJson))
-          val fieldIdByName = idToName.map(_.swap)
+          val fieldIdByName = committedSchema.fields.flatMap { f =>
+            if (f.metadata.contains(DeltaLog.FieldIdKey))
+              Some(f.name -> f.metadata.getLong(DeltaLog.FieldIdKey).toInt)
+            else None
+          }.toMap
           val typeByName = committedSchema.fields.map(f => f.name -> f.dataType).toMap
           staged.foreach { sf =>
             val p = new GenericData.Record(pSchema)

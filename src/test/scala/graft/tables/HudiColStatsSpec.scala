@@ -76,6 +76,26 @@ class HudiColStatsSpec extends SparkSpec {
     assert(readWhere(dir, Filter("v", "=", 2)).count() == 1)
   }
 
+  test("NaN endpoints poison a file's stats instead of reading as all-null") {
+    // base group: d's max is NaN (Spark sorts NaN greatest) — d has
+    // REAL values we cannot bound, so the file must record NO stats;
+    // a later log range for d must NOT shadow the live base rows
+    val dir = tempDir("hudi-cs-nan").toString + "/t"
+    HudiWrite.bulkInsert(spark,
+      Seq(("k001", 7.0), ("k002", Double.NaN)).toDF("k", "d").repartition(1),
+      dir, "k", tableType = "MERGE_ON_READ")
+    val fs = fsOf(dir)
+    assert(HudiWrite.latestSlices(fs, dir, None).head.colStats.isEmpty,
+      "NaN endpoints must poison the file's stats map")
+    HudiWrite.upsert(spark, Seq(("k001", 1.5)).toDF("k", "d"), dir)
+    // union with a poisoned contributor stays poisoned: the filter
+    // d = NaN-free probe must still scan the group (k001 was updated
+    // to 1.5, so d = 1.5 lives ONLY in the log)
+    assert(HudiWrite.latestSlices(fs, dir, None)
+      .find(_.logFiles.nonEmpty).get.colStats.isEmpty)
+    assert(readWhere(dir, Filter("d", "=", 1.5)).count() == 1L)
+  }
+
   test("stats-less foreign commit poisons the slice's stats (fail-open)") {
     val dir = tempDir("hudi-cs-f").toString + "/t"
     HudiWrite.bulkInsert(spark,
