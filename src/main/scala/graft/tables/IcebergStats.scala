@@ -49,9 +49,8 @@ object IcebergStats {
     */
   final case class ColStat(lower: Option[Any], upper: Option[Any], nullCount: Long)
 
-  /** Types stats are collected and evaluated for. Timestamps are
-    * WRITTEN (foreign readers prune on them) but not yet evaluated on
-    * read (see [[compareValues]]).
+  /** Types stats are collected and evaluated for (timestamps compare
+    * as epoch micros against parsed literals — see [[Micros]]).
     */
   def eligible(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType |
@@ -128,12 +127,50 @@ object IcebergStats {
     case _ => None
   }
 
+  /** A decoded timestamp bound: epoch micros with a comparison type
+    * of its own, so filter literals parse as TIMESTAMPS (never as
+    * bare numbers) and the readable rendering is ISO.
+    */
+  final case class Micros(us: Long) {
+    override def toString: String = java.time.Instant
+      .ofEpochSecond(Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L)
+      .toString
+  }
+
+  /** Filter literal → epoch micros; None = unparseable (fail-open).
+    * Strings accept ISO instants and the engine's session-UTC
+    * `yyyy-MM-dd HH:mm:ss[.fff]` spelling.
+    */
+  private def literalMicros(v: Any): Option[Long] =
+    try v match {
+      case t: java.sql.Timestamp =>
+        Some(Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L)
+      case i: java.time.Instant =>
+        Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
+      case l: java.time.LocalDateTime =>
+        Some(l.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + l.getNano / 1000L)
+      case s: String =>
+        val t = s.trim
+        val inst =
+          try java.time.Instant.parse(t)
+          catch {
+            case _: Exception =>
+              java.time.LocalDateTime.parse(t.replace(' ', 'T'))
+                .toInstant(java.time.ZoneOffset.UTC)
+          }
+        Some(inst.getEpochSecond * 1000000L + inst.getNano / 1000L)
+      case _ => None
+    } catch { case _: Exception => None }
+
   /** Decode a bound buffer to a COMPARABLE value: BigDecimal for
-    * numerics, ISO string for dates, String for strings. None = type
-    * this reader does not prune on (booleans, timestamps, unknowns).
+    * numerics, [[Micros]] for timestamps, ISO string for dates,
+    * String for strings. None = type this reader does not prune on
+    * (booleans, unknowns).
     */
   def decodeSingle(dt: DataType, bytes: Array[Byte]): Option[Any] =
     try dt match {
+      case TimestampType | TimestampNTZType =>
+        Some(Micros(ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN).getLong))
       case ByteType | ShortType | IntegerType =>
         Some(BigDecimal(ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN).getInt))
       case LongType =>
@@ -410,7 +447,7 @@ object IcebergStats {
   /** Code-point lexicographic compare — equals unsigned UTF-8 byte
     * order, the order string bounds were computed under.
     */
-  private[tables] def codePointCompare(a: String, b: String): Int = {
+  private[graft] def codePointCompare(a: String, b: String): Int = {
     val x = a.codePoints().toArray
     val y = b.codePoints().toArray
     var i = 0
@@ -431,6 +468,7 @@ object IcebergStats {
     try (bound, fv) match {
       case (b: BigDecimal, v) => Some(b.compare(BigDecimal(v.toString)))
       case (b: String, v)     => Some(codePointCompare(b, v.toString))
+      case (Micros(b), v)     => literalMicros(v).map(java.lang.Long.compare(b, _))
       case _                  => None
     } catch { case _: Exception => None }
 

@@ -615,4 +615,57 @@ object GraftProperties extends Properties("graft") {
       back.size == rows.size && back.zip(rows).forall { case (g, w) => g == w }
     }
   }
+
+  property("Iceberg bound codec orders like the source values") = {
+    import graft.tables.IcebergStats
+    import org.apache.spark.sql.types._
+    // encode→decode→compare must agree with direct comparison for
+    // every pruned type — the soundness kernel of manifest skipping
+    val longs = forAll(Gen.chooseNum(Long.MinValue / 2, Long.MaxValue / 2),
+      Gen.chooseNum(Long.MinValue / 2, Long.MaxValue / 2)) { (a: Long, b: Long) =>
+      val da = IcebergStats.encodeSingle(LongType, a)
+        .flatMap(IcebergStats.decodeSingle(LongType, _)).get.asInstanceOf[BigDecimal]
+      da.compare(BigDecimal(b)).sign == java.lang.Long.compare(a, b).sign
+    }
+    val micros = forAll(Gen.chooseNum(-4000000000000L, 4000000000000L),
+      Gen.chooseNum(-4000000000000L, 4000000000000L)) { (ams: Long, bms: Long) =>
+      val a = new java.sql.Timestamp(ams)
+      val bound = IcebergStats.encodeSingle(TimestampType, a).get
+      val m = IcebergStats.decodeSingle(TimestampType, bound)
+        .get.asInstanceOf[IcebergStats.Micros]
+      // the floorDiv discipline holds even pre-1970, and the ISO
+      // rendering round-trips the instant exactly
+      val roundTrip = m.us == ams * 1000L &&
+        java.time.Instant.parse(m.toString).toEpochMilli == ams
+      // Eq may-match of a single-value file against the LITERAL path
+      // (ISO string, as the Filter algebra carries it) is true iff
+      // the instants are equal
+      val viaLiteral = IcebergStats.statsMayMatch(
+        Filter("c", "=", new java.sql.Timestamp(bms).toInstant.toString),
+        TimestampType, 1, Map(1 -> bound), Map(1 -> bound),
+        Map(1 -> 0L), Map(1 -> 1L), 1L)
+      roundTrip && viaLiteral == (ams == bms)
+    }
+    longs && micros
+  }
+
+  property("string bound truncation brackets every string (code-point order)") = {
+    import graft.tables.IcebergStats
+    // strings with supplementary-plane chars and long tails
+    val anyChar = Gen.frequency(
+      6 -> Gen.alphaNumChar,
+      2 -> Gen.oneOf('é', '中', '', '퟿'),
+      1 -> Gen.const('\uD801')) // paired below into a valid surrogate
+    val str = Gen.listOf(anyChar).map { cs =>
+      // make lone high surrogates valid pairs so codePoints() is sane
+      cs.mkString.replace("\uD801", new String(Character.toChars(0x10401)))
+    }
+    forAll(str) { s: String =>
+      val lower = IcebergStats.truncateLower(s)
+      val upperOk = IcebergStats.truncateUpper(s).forall(u =>
+        IcebergStats.codePointCompare(u, s) >= 0)
+      IcebergStats.codePointCompare(lower, s) <= 0 && upperOk &&
+        lower.codePointCount(0, lower.length) <= IcebergStats.TruncateWidth
+    }
+  }
 }

@@ -56,6 +56,26 @@ class IcebergStatsPruneSpec extends SparkSpec {
     assert(probe.size == 1, s"range probe must open exactly one sorted file, got $probe")
   }
 
+  test("timestamp bounds prune range probes on a time-sorted table") {
+    val dir = tempDir("ice-ts").toString + "/t"
+    val rows = (0 until 240).map { i =>
+      (i.toLong, java.sql.Timestamp.valueOf(f"2024-01-${i / 10 + 1}%02d 0${i % 10}:00:00"))
+    }.toDF("id", "ts").repartitionByRange(4, col("ts"))
+    IcebergWrite.append(spark, rows, dir, sortBy = Seq("ts"))
+    assert(readFiles(dir, Seq.empty).size == 4)
+    // the engine's session-UTC literal spelling, exactly as the
+    // Filter algebra carries it (see q_iceberg_transform)
+    val probe = readFiles(dir, Seq(
+      Filter("ts", ">=", "2024-01-20 00:00:00"),
+      Filter("ts", "<", "2024-01-21 00:00:00")))
+    assert(probe.size == 1, s"ts bounds must prune to one sorted file, got $probe")
+    val got = new IcebergTable("t", dir)(spark, ReadArgs(
+      filters = Filters.normalize(Seq(
+        Filter("ts", ">=", "2024-01-20 00:00:00"),
+        Filter("ts", "<", "2024-01-21 00:00:00"))))).count()
+    assert(got == 10L)
+  }
+
   test("all-null file prunes for null-rejecting operators; fail-open without stats") {
     val dir = tempDir("ice-nulls").toString + "/t"
     IcebergWrite.append(spark,
@@ -279,6 +299,10 @@ class IcebergStatsPruneSpec extends SparkSpec {
       .contains(BigDecimal("123.45")))
     assert(rt(DecimalType(10, 2), new java.math.BigDecimal("-0.01"))
       .contains(BigDecimal("-0.01")))
+    // timestamps decode to Micros and compare against string literals
+    val ts = java.sql.Timestamp.valueOf("2024-03-01 12:00:00")
+    val m = rt(TimestampType, ts).get.asInstanceOf[IcebergStats.Micros]
+    assert(m.toString == "2024-03-01T12:00:00Z")
     // NaN never becomes a bound
     assert(IcebergStats.encodeSingle(DoubleType, Double.NaN).isEmpty)
     // code-point compare equals UTF-8 byte order above the BMP
