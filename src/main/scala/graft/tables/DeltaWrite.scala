@@ -2336,6 +2336,11 @@ object DeltaWrite {
     walk(DataType.fromJson(schemaJson)).distinct
   }
 
+  /** String stats prefix width (code points) — the public
+    * delta-spark dataSkippingStringPrefixLength default.
+    */
+  private[tables] val StringStatsPrefix = 32
+
   private[tables] def computeStats(
       spark: SparkSession,
       paths: Seq[String],
@@ -2349,9 +2354,14 @@ object DeltaWrite {
     val aggs =
       Seq(count(lit(1)).as("_nr")) ++
         statable.flatMap { f =>
+          // strings ride as (cap+1)-code-point prefixes — bound-
+          // equivalent (IcebergStats.prefixCapped) and it keeps a
+          // multi-KB text column out of the shuffle and the log JSON
+          val c = IcebergStats.prefixCapped(
+            col(f.name), f.dataType, StringStatsPrefix)
           Seq(
-            min(col(f.name)).as(s"_min_${f.name}"),
-            max(col(f.name)).as(s"_max_${f.name}"),
+            min(c).as(s"_min_${f.name}"),
+            max(c).as(s"_max_${f.name}"),
             sum(when(col(f.name).isNull, 1L).otherwise(0L)).as(s"_nc_${f.name}"))
         }
     val statRows = spark.read.parquet(paths: _*)
@@ -2379,8 +2389,18 @@ object DeltaWrite {
       val maxV = node.putObject("maxValues")
       val nullC = node.putObject("nullCount")
       statable.foreach { f =>
-        putStat(minV, f, r.getAs[Any](s"_min_${f.name}"))
-        putStat(maxV, f, r.getAs[Any](s"_max_${f.name}"))
+        (r.getAs[Any](s"_min_${f.name}"), r.getAs[Any](s"_max_${f.name}")) match {
+          case (lo: String, hi: String) =>
+            // the delta-spark string discipline: 32-code-point lower
+            // prefix; upper incremented at the cap, OMITTED when no
+            // increment exists (absent max = unbounded, fail-open)
+            minV.put(f.name, IcebergStats.truncateLower(lo, StringStatsPrefix))
+            IcebergStats.truncateUpper(hi, StringStatsPrefix)
+              .foreach(u => maxV.put(f.name, u))
+          case (lo, hi) =>
+            putStat(minV, f, lo)
+            putStat(maxV, f, hi)
+        }
         nullC.put(f.name, r.getAs[Long](s"_nc_${f.name}"))
       }
       fileKey -> mapper.writeValueAsString(node)

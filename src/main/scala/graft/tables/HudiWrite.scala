@@ -764,7 +764,8 @@ object HudiWrite {
       .filter(f => colRangeKind(f.dataType).isDefined)
       .toSeq
     val statAggs = statFields.flatMap { f =>
-      val c = col("`" + f.name + "`")
+      val c = IcebergStats.prefixCapped(
+        col("`" + f.name + "`"), f.dataType, StringRangePrefix)
       Seq(min(c).as(s"_lo_${f.name}"), max(c).as(s"_hi_${f.name}"))
     }
     val baseAggs = Seq(count(lit(1)).as("_n"),
@@ -1470,6 +1471,11 @@ object HudiWrite {
     * keep the other contributor's range, so conflating NaN with
     * all-null would let a log's range shadow live base rows.
     */
+  /** String range prefix width (code points) — commit JSON carries
+    * prefixes, never multi-KB document bodies.
+    */
+  private[tables] val StringRangePrefix = 32
+
   private[tables] def colRangeOf(
       dt: org.apache.spark.sql.types.DataType,
       lo: Any, hi: Any): Option[Option[ColRange]] =
@@ -1481,7 +1487,16 @@ object HudiWrite {
           try Some(Some(ColRange(isNumeric = true,
             BigDecimal(lo.toString).toString, BigDecimal(hi.toString).toString)))
           catch { case _: NumberFormatException => None } // NaN/Inf: poison
-        else Some(Some(ColRange(isNumeric = false, lo.toString, hi.toString)))
+        else {
+          // strings: prefix lower + incremented upper (the Iceberg
+          // truncation discipline); an unincrementable upper poisons
+          // — the column has values we cannot bound
+          val lower = IcebergStats.truncateLower(lo.toString, StringRangePrefix)
+          IcebergStats.truncateUpper(hi.toString, StringRangePrefix) match {
+            case Some(upper) => Some(Some(ColRange(isNumeric = false, lower, upper)))
+            case None        => None // poison
+          }
+        }
     }
 
   /** Build one file's stats map from per-column (lo, hi) endpoints:
@@ -1779,7 +1794,8 @@ object HudiWrite {
       if (statFields.isEmpty) Map.empty
       else {
         val aggs = statFields.flatMap { f =>
-          val c = col("`" + f.name + "`")
+          val c = IcebergStats.prefixCapped(
+            col("`" + f.name + "`"), f.dataType, StringRangePrefix)
           Seq(min(c).as(s"_lo_${f.name}"), max(c).as(s"_hi_${f.name}"))
         }
         updates.groupBy(col("_fg")).agg(aggs.head, aggs.tail: _*)

@@ -68,7 +68,7 @@ object IcebergStats {
     */
   def aggColumns(fields: Seq[StructField]): Seq[Column] =
     fields.filter(f => eligible(f.dataType)).flatMap { f =>
-      val c = col("`" + f.name + "`")
+      val c = prefixCapped(col("`" + f.name + "`"), f.dataType)
       Seq(
         min(c).as(s"_lo_${f.name}"),
         max(c).as(s"_hi_${f.name}"),
@@ -192,25 +192,25 @@ object IcebergStats {
 
   // ------------------------------------------------- truncation
 
-  /** Lower-bound truncation: the first [[TruncateWidth]] code points
-    * (a strict prefix sorts ≤ the full value in code-point order).
+  /** Lower-bound truncation: the first `width` code points (a strict
+    * prefix sorts ≤ the full value in code-point order).
     */
-  def truncateLower(s: String): String = {
+  def truncateLower(s: String, width: Int = TruncateWidth): String = {
     val cps = s.codePoints().toArray
-    if (cps.length <= TruncateWidth) s
-    else new String(cps, 0, TruncateWidth)
+    if (cps.length <= width) s
+    else new String(cps, 0, width)
   }
 
-  /** Upper-bound truncation: [[TruncateWidth]]-code-point prefix with
-    * the last representable code point incremented (skipping the
-    * surrogate block), so the result sorts ≥ every string sharing the
-    * prefix. None when every prefix code point is U+10FFFF.
+  /** Upper-bound truncation: `width`-code-point prefix with the last
+    * representable code point incremented (skipping the surrogate
+    * block), so the result sorts ≥ every string sharing the prefix.
+    * None when every prefix code point is U+10FFFF.
     */
-  def truncateUpper(s: String): Option[String] = {
+  def truncateUpper(s: String, width: Int = TruncateWidth): Option[String] = {
     val cps = s.codePoints().toArray
-    if (cps.length <= TruncateWidth) return Some(s)
-    val prefix = cps.take(TruncateWidth)
-    var i = TruncateWidth - 1
+    if (cps.length <= width) return Some(s)
+    val prefix = cps.take(width)
+    var i = width - 1
     while (i >= 0) {
       val next =
         if (prefix(i) == 0xD7FF) 0xE000 // skip the surrogate block
@@ -223,6 +223,21 @@ object IcebergStats {
     }
     None
   }
+
+  /** Agg-side string cap: shipping a `width+1`-code-point PREFIX
+    * through min/max is bound-equivalent to the full value — prefix
+    * truncation is monotone in code-point order, so
+    * min(prefix(x)) = prefix(min x) ≤ min x, and the post-agg
+    * [[truncateUpper]] at `width` increments exactly when the prefix
+    * exceeds it, i.e. exactly when the true max did. Keeps multi-KB
+    * text columns (a training corpus' document bodies) out of the
+    * stats shuffle, the driver, and the metadata JSON.
+    */
+  def prefixCapped(c: Column, dt: DataType, width: Int = TruncateWidth): Column =
+    dt match {
+      case StringType => substring(c, 1, width + 1)
+      case _          => c
+    }
 
   // -------------------------------------------- manifest plumbing
 

@@ -147,6 +147,27 @@ class DeltaSpec extends SparkSpec {
     assert(got.count() == 1L, "code-point order must keep the supplementary-plane file")
   }
 
+  test("string stats are prefix-capped: multi-KB text never reaches the log JSON") {
+    val dir = tempDir("delta-cap").toString + "/t"
+    val big = "aaaa " * 2000 // ~10KB document body
+    DeltaWrite.append(spark,
+      Seq((1L, big + "alpha"), (2L, big + "omega")).toDF("id", "text").repartition(1), dir)
+    DeltaWrite.append(spark,
+      Seq((3L, "zzz tiny")).toDF("id", "text").repartition(1), dir)
+    val snap = DeltaLog.snapshot(spark, dir)
+    val stats = snap.files.flatMap(_.stats)
+    assert(stats.nonEmpty && stats.forall(_.length < 500),
+      s"stats JSON must stay small, got ${stats.map(_.length)}")
+    // pruning still works through the capped bounds: the big-text
+    // file's upper is an incremented 32-cp prefix, so a probe above
+    // it opens only the zzz file; an in-prefix probe keeps the file
+    val t = new DeltaTable("t", dir)
+    val hi = t(spark, ReadArgs.where(Filter("text", ">", "b")))
+    assert(hi.inputFiles.length == 1 && hi.count() == 1)
+    val in = t(spark, ReadArgs.where(Filter("text", "=", big + "alpha")))
+    assert(in.count() == 1)
+  }
+
   test("unsupported protocol is refused loudly") {
     val dir = tempDir("delta-proto").toString + "/t"
     val schema = StructType(Seq(StructField("id", LongType)))

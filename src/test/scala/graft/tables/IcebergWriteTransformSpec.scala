@@ -157,9 +157,11 @@ class IcebergWriteTransformSpec extends SparkSpec {
     assert(t(spark, ReadArgs.empty).count() == 3)
     val pre = t(spark, ReadArgs.where(Filter("ts", "<", "1970-01-01 00:00:00")))
     assert(pre.collect().map(_.getLong(0)).toSeq == Seq(1L))
-    // year-granular may-match keeps the boundary year-0 file
-    // (conservative), drops 2024; pre-epoch ordinal floors to -1
-    assert(pre.inputFiles.length == 2, pre.inputFiles.toSeq)
+    // the year-granular transform may-match would keep the boundary
+    // year-0 file conservatively, but r10's MANIFEST TS BOUNDS prune
+    // it exactly (its min ts is 1970-02-05 ≥ the probe): only the
+    // pre-epoch file (year ordinal floors to -1) opens
+    assert(pre.inputFiles.length == 1, pre.inputFiles.toSeq)
     assert(pre.inputFiles.exists(_.contains("ts_year=-1")), pre.inputFiles.toSeq)
     assert(!pre.inputFiles.exists(_.contains("ts_year=54")), pre.inputFiles.toSeq)
   }
