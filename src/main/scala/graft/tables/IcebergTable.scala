@@ -139,22 +139,43 @@ class IcebergTable(
       s"from snapshot $fromSnapshotId (seq ${from.sequenceNumber}) is newer than " +
         s"to snapshot $toSnapshotId (seq ${to.sequenceNumber})")
 
-    val fromFiles = IcebergMeta.planFiles(fs, from)
-    val toFiles = IcebergMeta.planFiles(fs, to)
-    val fromData = fromFiles.filter(_.content == 0).map(_.path).toSet
-    val fromDeletes = fromFiles.filter(_.content != 0).map(_.path).toSet
-    val removedData = fromData -- toFiles.filter(_.content == 0).map(_.path).toSet
-    val addedDeletes = toFiles.filter(f => f.content != 0 && !fromDeletes(f.path))
-    require(removedData.isEmpty,
-      s"snapshot range ($fromSnapshotId, $toSnapshotId] is not append-only: " +
-        s"${removedData.size} data file(s) removed (overwrite/compaction)")
+    // MANIFEST-LEVEL DIFF fast path: manifests are immutable and
+    // content-addressed, so when every `from` manifest is still in
+    // `to`'s list the shared ones contribute NOTHING to the diff —
+    // no data file they carry was removed (removal requires dropping
+    // or rewriting its manifest), and every entry of a NEW manifest
+    // is new. An incremental poll between adjacent snapshots then
+    // reads O(delta) manifests instead of planning BOTH snapshots in
+    // full — the shape the streaming source's tailing loop needs at
+    // 10⁷ files. Any dropped/rewritten manifest (overwrite, expire,
+    // rewrite_manifests, compaction) falls back to the exact
+    // full-set diff.
+    val fromInfos = IcebergMeta.manifestInfos(fs, from)
+    val toInfos = IcebergMeta.manifestInfos(fs, to)
+    val fromPaths = fromInfos.map(_.path).toSet
+    val (added, addedDeletes) =
+      if (fromPaths.subsetOf(toInfos.map(_.path).toSet)) {
+        val newFiles = toInfos.filterNot(mi => fromPaths(mi.path))
+          .flatMap(IcebergMeta.contentFilesOfManifest(fs, _))
+        (newFiles.filter(_.content == 0), newFiles.filter(_.content != 0))
+      } else {
+        val fromFiles = IcebergMeta.planFiles(fs, from)
+        val toFiles = IcebergMeta.planFiles(fs, to)
+        val fromData = fromFiles.filter(_.content == 0).map(_.path).toSet
+        val fromDeletes = fromFiles.filter(_.content != 0).map(_.path).toSet
+        val removedData = fromData -- toFiles.filter(_.content == 0).map(_.path).toSet
+        require(removedData.isEmpty,
+          s"snapshot range ($fromSnapshotId, $toSnapshotId] is not append-only: " +
+            s"${removedData.size} data file(s) removed (overwrite/compaction)")
+        (toFiles.filter(f => f.content == 0 && !fromData(f.path)),
+          toFiles.filter(f => f.content != 0 && !fromDeletes(f.path)))
+      }
     require(allowNewDeletes || addedDeletes.isEmpty,
       s"snapshot range ($fromSnapshotId, $toSnapshotId] is not append-only: " +
         s"${addedDeletes.size} delete file(s) added (upserts/deletes); pass " +
         "allowNewDeletes=true to read the added rows with the range's deletes applied")
 
     refuseDeletionVectors(meta, addedDeletes)
-    val added = toFiles.filter(f => f.content == 0 && !fromData(f.path))
     val pruned = added.filter(f =>
       IcebergMeta.mayMatch(
         f, meta.specs.getOrElse(f.specId, Seq.empty), meta, args.filters))

@@ -39,6 +39,42 @@ class IcebergIncrSpec extends SparkSpec {
     assert(e.getMessage.contains("newer"))
   }
 
+  test("manifest-diff fast path: O(delta) reads, never a full snapshot plan") {
+    val dir = tempDir("ice-incr-fast").toString + "/t"
+    val s1 = IcebergWrite.append(spark, Seq((1L, "a")).toDF("id", "v"), dir)
+    val s2 = IcebergWrite.append(spark, Seq((2L, "b")).toDF("id", "v"), dir)
+    val t = new IcebergTable("t", dir)
+    // appends carry base manifests verbatim: from's manifests are a
+    // subset of to's, so the diff reads only the NEW manifest and
+    // never calls the full planner
+    val before = IcebergMeta.driverContentFilePlans.get()
+    assert(t.incremental(spark, s1, s2).collect().map(_.getLong(0)).toSeq == Seq(2L))
+    assert(IcebergMeta.driverContentFilePlans.get() == before,
+      "append-only incremental must take the manifest-diff fast path")
+
+    // a manifest rewrite breaks subsetness: the exact full-set diff
+    // engages (and still answers correctly — nothing data-changed)
+    IcebergMaintenance.rewriteManifests(spark, dir)
+    val s3 = IcebergWrite.append(spark, Seq((3L, "c")).toDF("id", "v"), dir)
+    val b2 = IcebergMeta.driverContentFilePlans.get()
+    assert(t.incremental(spark, s1, s3).collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(2L, 3L))
+    assert(IcebergMeta.driverContentFilePlans.get() > b2,
+      "a rewritten-manifest range must fall back to the full diff")
+
+    // the equality-upsert shape stays fast-path too: the new
+    // snapshot's delete manifest is NEW, so allowNewDeletes tailing
+    // sees exactly the latest row versions
+    IcebergWrite.upsertEquality(spark,
+      Seq((2L, "B!"), (9L, "i")).toDF("id", "v"), dir, Seq("id"))
+    val head = IcebergMeta.load(fs(dir), dir).currentSnapshotId.get
+    val b3 = IcebergMeta.driverContentFilePlans.get()
+    val up = t.incremental(spark, s3, head, allowNewDeletes = true)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(up == Seq((2L, "B!"), (9L, "i")))
+    assert(IcebergMeta.driverContentFilePlans.get() == b3)
+  }
+
   test("a range that adds delete files refuses as non-append-only") {
     val delta = tempDir("ice-incr-dv").toString + "/t"
     DeltaWrite.append(spark,
