@@ -102,14 +102,27 @@ class HudiTable(
     val fs = new Path(uri).getFileSystem(spark.sparkContext.hadoopConfiguration)
     HudiWrite.readProps(fs, uri)
     // only file groups TOUCHED in the range can hold in-range rows:
-    // slices at `to` whose base OR any attached log was written > from
-    val all = HudiWrite.latestSlices(fs, uri, toInstant)
-    val touched = all.filter(s =>
-      s.instant > fromInstant || s.logFiles.exists(_._1 > fromInstant))
+    // slices at `to` whose base OR any attached log was written >
+    // from. Above the timeline byte gate the touched-set resolves
+    // DISTRIBUTED, with partition/stats pruning composed in — the
+    // tailing poller's planning stays O(survivors) on the driver
+    val threshold = spark.conf.getOption(HudiTable.AutoDistributedBytesConf)
+      .map(_.toLong).getOrElse(HudiTable.DefaultAutoDistributedBytes)
+    val distributed = HudiWrite.timelineBytes(fs, uri) > threshold
+    val (touched, sample) =
+      if (distributed)
+        HudiWrite.latestSlicesDistributed(spark, uri, toInstant,
+          HudiTable.incrementalKeep(fromInstant, args.filters))
+      else {
+        val all = HudiWrite.latestSlices(fs, uri, toInstant)
+        (all.filter(HudiTable.incrementalKeep(fromInstant, args.filters)),
+          all.headOption)
+      }
     if (touched.isEmpty) {
-      // nothing changed in the range: declared-empty frame with the
-      // table's schema
-      val src = all.headOption.orElse(HudiWrite.allWrittenSlices(fs, uri).headOption)
+      // nothing changed in the range (or everything pruned):
+      // declared-empty frame with the table's schema
+      val src = sample
+        .orElse(HudiWrite.allWrittenSlices(fs, uri).headOption)
         .getOrElse(throw new IllegalArgumentException(
           s"Hudi table $uri has no completed commits with data"))
       var empty = HudiWrite.readSlices(spark, uri, Seq(src)).limit(0)
@@ -117,7 +130,7 @@ class HudiTable(
       args.columns.foreach(cols => empty = empty.select(cols.map(col): _*))
       return empty
     }
-    var df = read(spark, fs, touched, args)
+    var df = HudiWrite.readSlicesMerged(spark, uri, touched)
       .where(col(HudiWrite.CommitTimeCol) > fromInstant)
     toInstant.foreach(to => df = df.where(col(HudiWrite.CommitTimeCol) <= to))
     df = df.drop(HudiWrite.RecordKeyCol)
@@ -195,6 +208,17 @@ object HudiTable {
   private[tables] def keepSlice(filters: Filters.Normalized)(s: HudiWrite.FileSlice): Boolean =
     HudiWrite.partitionMayMatch(s.partition, filters) &&
       HudiWrite.colStatsMayMatch(s.colStats, filters)
+
+  /** The incremental query's slice predicate: the file group was
+    * TOUCHED in the range (base or any log written after `from`) AND
+    * survives partition/stats pruning — companion-hosted for the
+    * same task-serialization reason as [[keepSlice]].
+    */
+  private[tables] def incrementalKeep(
+      fromInstant: String, filters: Filters.Normalized)(
+      s: HudiWrite.FileSlice): Boolean =
+    (s.instant > fromInstant || s.logFiles.exists(_._1 > fromInstant)) &&
+      keepSlice(filters)(s)
 
   /** Completed-commit-JSON byte total above which slice planning goes
     * distributed automatically: stats entries are proportional to
