@@ -60,16 +60,7 @@ class HudiTable(
     // commits parse in parallel tasks, the replay shards by file
     // group, pruning runs executor-side, and only surviving slices
     // ever reach the driver (the R40 discipline for the third format)
-    val distributed = args.extra.get(DistributedPlanningKey).map {
-      case b: Boolean => b
-      case s: String  => s.toBoolean
-      case other => throw new IllegalArgumentException(
-        s"bad $DistributedPlanningKey: $other")
-    }.getOrElse {
-      val threshold = spark.conf.getOption(HudiTable.AutoDistributedBytesConf)
-        .map(_.toLong).getOrElse(HudiTable.DefaultAutoDistributedBytes)
-      HudiWrite.timelineBytes(fs, uri) > threshold
-    }
+    val distributed = planDistributed(spark, fs, args)
     var df =
       if (!distributed) read(spark, fs, HudiWrite.latestSlices(fs, uri, asOf), args)
       else {
@@ -106,9 +97,7 @@ class HudiTable(
     // from. Above the timeline byte gate the touched-set resolves
     // DISTRIBUTED, with partition/stats pruning composed in — the
     // tailing poller's planning stays O(survivors) on the driver
-    val threshold = spark.conf.getOption(HudiTable.AutoDistributedBytesConf)
-      .map(_.toLong).getOrElse(HudiTable.DefaultAutoDistributedBytes)
-    val distributed = HudiWrite.timelineBytes(fs, uri) > threshold
+    val distributed = planDistributed(spark, fs, args)
     val (touched, sample) =
       if (distributed)
         HudiWrite.latestSlicesDistributed(spark, uri, toInstant,
@@ -149,6 +138,25 @@ class HudiTable(
   }
 
   // ------------------------------------------------------ internals
+
+  /** The plan-mode decision shared by `apply` and `incremental`: an
+    * explicit `extra(DistributedPlanningKey)` always wins; otherwise
+    * distributed above the timeline byte gate.
+    */
+  private def planDistributed(
+      spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      args: ReadArgs): Boolean =
+    args.extra.get(DistributedPlanningKey).map {
+      case b: Boolean => b
+      case s: String  => s.toBoolean
+      case other => throw new IllegalArgumentException(
+        s"bad $DistributedPlanningKey: $other")
+    }.getOrElse {
+      val threshold = spark.conf.getOption(HudiTable.AutoDistributedBytesConf)
+        .map(_.toLong).getOrElse(HudiTable.DefaultAutoDistributedBytes)
+      HudiWrite.timelineBytes(fs, uri) > threshold
+    }
 
   private def partitionFields(fs: org.apache.hadoop.fs.FileSystem): Seq[String] =
     HudiWrite.readProps(fs, uri).get("hoodie.table.partition.fields")

@@ -1463,19 +1463,21 @@ object HudiWrite {
     }
   }
 
+  /** String range prefix width (code points) — commit JSON carries
+    * prefixes, never multi-KB document bodies.
+    */
+  private[tables] val StringRangePrefix = 32
+
   /** Render one file's (min, max) agg values as a [[ColRange]].
     * Outer None = POISON (un-normalizable endpoints, e.g. NaN/Inf —
     * the column has real values we cannot bound); inner None =
     * all-null (no values at all). The distinction matters: absence
     * from a PRESENT stats map is read as all-null and lets MOR unions
     * keep the other contributor's range, so conflating NaN with
-    * all-null would let a log's range shadow live base rows.
+    * all-null would let a log's range shadow live base rows. Strings
+    * record [[StringRangePrefix]]-code-point prefixed bounds; an
+    * unincrementable upper poisons too.
     */
-  /** String range prefix width (code points) — commit JSON carries
-    * prefixes, never multi-KB document bodies.
-    */
-  private[tables] val StringRangePrefix = 32
-
   private[tables] def colRangeOf(
       dt: org.apache.spark.sql.types.DataType,
       lo: Any, hi: Any): Option[Option[ColRange]] =

@@ -131,10 +131,15 @@ object IcebergStats {
     * of its own, so filter literals parse as TIMESTAMPS (never as
     * bare numbers) and the readable rendering is ISO.
     */
-  final case class Micros(us: Long) {
-    override def toString: String = java.time.Instant
-      .ofEpochSecond(Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L)
-      .toString
+  final case class Micros(us: Long, ntz: Boolean = false) {
+    override def toString: String = {
+      val inst = java.time.Instant.ofEpochSecond(
+        Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L)
+      // NTZ values carry NO zone: render local (no 'Z'), or a user
+      // reading the files metadata table mis-shifts them as instants
+      if (ntz) java.time.LocalDateTime.ofInstant(inst, java.time.ZoneOffset.UTC).toString
+      else inst.toString
+    }
   }
 
   /** Filter literal → epoch micros; None = unparseable (fail-open).
@@ -170,7 +175,8 @@ object IcebergStats {
   def decodeSingle(dt: DataType, bytes: Array[Byte]): Option[Any] =
     try dt match {
       case TimestampType | TimestampNTZType =>
-        Some(Micros(ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN).getLong))
+        Some(Micros(ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN).getLong,
+          ntz = dt == TimestampNTZType))
       case ByteType | ShortType | IntegerType =>
         Some(BigDecimal(ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN).getInt))
       case LongType =>
@@ -483,7 +489,7 @@ object IcebergStats {
     try (bound, fv) match {
       case (b: BigDecimal, v) => Some(b.compare(BigDecimal(v.toString)))
       case (b: String, v)     => Some(codePointCompare(b, v.toString))
-      case (Micros(b), v)     => literalMicros(v).map(java.lang.Long.compare(b, _))
+      case (Micros(b, _), v)  => literalMicros(v).map(java.lang.Long.compare(b, _))
       case _                  => None
     } catch { case _: Exception => None }
 

@@ -159,8 +159,10 @@ class IcebergTable(
           .flatMap(IcebergMeta.contentFilesOfManifest(fs, _))
         (newFiles.filter(_.content == 0), newFiles.filter(_.content != 0))
       } else {
-        val fromFiles = IcebergMeta.planFiles(fs, from)
-        val toFiles = IcebergMeta.planFiles(fs, to)
+        // exact full-set diff, reusing the already-read lists
+        IcebergMeta.driverContentFilePlans.addAndGet(2)
+        val fromFiles = fromInfos.flatMap(IcebergMeta.contentFilesOfManifest(fs, _))
+        val toFiles = toInfos.flatMap(IcebergMeta.contentFilesOfManifest(fs, _))
         val fromData = fromFiles.filter(_.content == 0).map(_.path).toSet
         val fromDeletes = fromFiles.filter(_.content != 0).map(_.path).toSet
         val removedData = fromData -- toFiles.filter(_.content == 0).map(_.path).toSet
