@@ -75,6 +75,8 @@ object DeltaSql {
     val descDetail = s"""(?is)^DESCRIBE\\s+DETAIL\\s+$TableRef$$""".r
     val descHistory = s"""(?is)^DESCRIBE\\s+HISTORY\\s+$TableRef$$""".r
     val showProps = s"""(?is)^SHOW\\s+TBLPROPERTIES\\s+$TableRef$$""".r
+    val convert =
+      """(?is)^CONVERT\s+TO\s+DELTA\s+(parquet|iceberg|hudi)\.`([^`]+)`$""".r
 
     s match {
       case delete(path, where) =>
@@ -157,6 +159,15 @@ object DeltaSql {
       case showProps(path) =>
         DeltaLog.snapshot(spark, path, withFiles = false)
           .metadata.configuration.toSeq.sortBy(_._1).toDF("key", "value")
+      case convert(fmt, path) =>
+        // the delta-spark CONVERT TO DELTA statement, covering the
+        // whole triad: metadata-only in-place conversion (R54)
+        val v = fmt.toLowerCase match {
+          case "parquet" => DeltaConvert.fromParquet(spark, path)
+          case "iceberg" => DeltaConvert.fromIceberg(spark, path)
+          case _         => DeltaConvert.fromHudi(spark, path)
+        }
+        result(v)
       case _ =>
         throw new IllegalArgumentException(
           s"unsupported statement (see DeltaSql docs for the grammar): $s")

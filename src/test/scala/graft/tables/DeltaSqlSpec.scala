@@ -167,6 +167,26 @@ class DeltaSqlSpec extends SparkSpec {
     assert(conf.get("k2").contains("v2"))
   }
 
+  test("CONVERT TO DELTA routes all three source formats") {
+    import spark.implicits._
+    // parquet: hive-layout dir converts in place
+    val pq = tempDir("sql-conv-pq").toString + "/t"
+    Seq((1L, "a", 0), (2L, "b", 1)).toDF("id", "v", "p")
+      .write.partitionBy("p").parquet(pq)
+    DeltaSql.exec(spark, s"CONVERT TO DELTA parquet.`$pq`")
+    assert(new DeltaTable("t", pq)(spark, ReadArgs.empty).count() == 2)
+    // iceberg: native table converts
+    val ice = tempDir("sql-conv-ice").toString + "/t"
+    IcebergWrite.append(spark, Seq((1L, "x")).toDF("id", "v"), ice)
+    DeltaSql.exec(spark, s"CONVERT TO DELTA iceberg.`$ice`")
+    assert(new DeltaTable("t", ice)(spark, ReadArgs.empty).count() == 1)
+    // hudi: native table converts
+    val hud = tempDir("sql-conv-hud").toString + "/t"
+    HudiWrite.bulkInsert(spark, Seq((5L, "z")).toDF("id", "v"), hud, "id")
+    DeltaSql.exec(spark, s"CONVERT TO DELTA hudi.`$hud`")
+    assert(new DeltaTable("t", hud)(spark, ReadArgs.empty).count() == 1)
+  }
+
   test("predicates outside the filter algebra refuse loudly") {
     val dir = tempDir("sql-refuse").toString + "/t"
     DeltaWrite.append(spark, Seq((1L, "a")).toDF("id", "v"), dir)
