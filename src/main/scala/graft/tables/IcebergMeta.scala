@@ -343,23 +343,91 @@ object IcebergMeta {
     * file count without opening a single manifest — the distributed-
     * planning gate, [[IcebergTable]]).
     */
+  /** One partition-field summary off a manifest-list row (spec
+    * field_summary 509/510/511): whether the manifest holds null
+    * values and the [lower, upper] over its partition tuples, in
+    * spec-field order. Bounds absent = unbounded (fail-open).
+    */
+  final case class FieldSummary(
+      containsNull: Boolean,
+      lower: Option[Array[Byte]],
+      upper: Option[Array[Byte]])
+
   final case class ManifestInfo(
       path: String,
       sequenceNumber: Long,
       specId: Int,
       addedFiles: Option[Int],
-      existingFiles: Option[Int])
+      existingFiles: Option[Int],
+      content: Int = 0,
+      /** Manifest-list `partitions` summaries (field 507) — the FIRST
+        * level of the planning hierarchy: a manifest whose summaries
+        * cannot match the predicate is never even OPENED. None when
+        * the writer recorded none.
+        */
+      summaries: Option[Seq[FieldSummary]] = None)
 
   /** The snapshot's manifest list — O(manifests) driver work. */
   def manifestInfos(fs: FileSystem, snapshot: SnapshotInfo): Seq[ManifestInfo] =
     readAvro(fs, new Path(snapshot.manifestList)).map { m =>
+      val summaries: Option[Seq[FieldSummary]] =
+        if (m.getSchema.getField("partitions") == null) None
+        else Option(m.get("partitions")).collect {
+          case l: java.util.List[_] => l.asScalaAnySeq.collect {
+            case r: GenericRecord =>
+              def bytes(f: String): Option[Array[Byte]] =
+                Option(r.get(f)).collect { case b: java.nio.ByteBuffer =>
+                  val d = b.duplicate(); val out = new Array[Byte](d.remaining())
+                  d.get(out); out
+                }
+              FieldSummary(
+                Option(r.get("contains_null")).exists(_ == true),
+                bytes("lower_bound"), bytes("upper_bound"))
+          }
+        }
       ManifestInfo(
         m.get("manifest_path").toString,
         longField(m, "sequence_number").getOrElse(0L),
         intField(m, "partition_spec_id").getOrElse(0),
         intField(m, "added_files_count"),
-        intField(m, "existing_files_count"))
+        intField(m, "existing_files_count"),
+        content = intField(m, "content").getOrElse(0),
+        summaries = summaries)
     }
+
+  /** Manifest-level pruning off the list's partition summaries —
+    * evaluated BEFORE a manifest is opened. Conservative: identity
+    * spec fields only (transformed tuples would need transform-range
+    * reasoning), DNF may-match, absent summaries/bounds fail open;
+    * a field whose summary has NO bounds but containsNull holds only
+    * nulls, which every operator of the (null-rejecting) filter
+    * algebra fails. Delete manifests are never pruned — they apply
+    * globally under their sequence gates.
+    */
+  def manifestMayMatch(
+      mi: ManifestInfo,
+      spec: Seq[SpecField],
+      meta: TableMeta,
+      filters: Filters.Normalized): Boolean = {
+    if (filters.isEmpty || mi.content != 0) return true
+    mi.summaries match {
+      case None => true
+      case Some(sums) =>
+        filters.exists(conj => conj.forall { f =>
+          spec.zip(sums).forall { case (sf, sum) =>
+            val source = meta.schemaFieldIds.getOrElse(sf.sourceId, sf.name)
+            if (sf.transform != "identity" || source != f.column) true
+            else meta.topFieldsByName.get(source).forall { case (_, dt) =>
+              if (sum.lower.isEmpty && sum.upper.isEmpty) !sum.containsNull
+              else IcebergStats.statsMayMatch(f, dt, 1,
+                sum.lower.map(1 -> _).toMap, sum.upper.map(1 -> _).toMap,
+                nullCounts = if (sum.containsNull) Map.empty else Map(1 -> 0L),
+                valueCounts = Map.empty, recordCount = -1L)
+            }
+          }
+        })
+    }
+  }
 
   /** Live (non-DELETED-status) content files of ONE manifest, with v2
     * sequence-number inheritance (a null entry sequence number

@@ -245,6 +245,33 @@ object IcebergStats {
       case _          => c
     }
 
+  // ----------------------------------- manifest-list summaries
+
+  /** Encode one PARTITION-TUPLE value in its Avro manifest form
+    * (Int/Long/String/Boolean — dates are already epoch-day ints) as
+    * a summary bound. None = unbound (fail-open).
+    */
+  def encodePartitionBound(v: Any): Option[Array[Byte]] = v match {
+    case i: Int     => Some(le(4).putInt(i).array())
+    case l: Long    => Some(le(8).putLong(l).array())
+    case s: String  => Some(s.getBytes(StandardCharsets.UTF_8))
+    case b: Boolean => Some(Array(if (b) 1.toByte else 0.toByte))
+    case _          => None
+  }
+
+  /** Total order over the partition-tuple value forms (numeric,
+    * code-point strings, false < true) for summary min/max.
+    */
+  def comparePartitionValues(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (x: Int, y: Int)         => Some(Integer.compare(x, y))
+    case (x: Long, y: Long)       => Some(java.lang.Long.compare(x, y))
+    case (x: Int, y: Long)        => Some(java.lang.Long.compare(x.toLong, y))
+    case (x: Long, y: Int)        => Some(java.lang.Long.compare(x, y.toLong))
+    case (x: String, y: String)   => Some(codePointCompare(x, y))
+    case (x: Boolean, y: Boolean) => Some(java.lang.Boolean.compare(x, y))
+    case _                        => None
+  }
+
   // -------------------------------------------- manifest plumbing
 
   /** The four optional stats fields appended to the `data_file` Avro

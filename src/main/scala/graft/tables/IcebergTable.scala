@@ -234,7 +234,12 @@ class IcebergTable(
       snap: IcebergMeta.SnapshotInfo,
       args: ReadArgs
   ): (Seq[IcebergMeta.ContentFile], Seq[IcebergMeta.ContentFile]) = {
-    val infos = IcebergMeta.manifestInfos(fs, snap)
+    // FIRST pruning level: manifest-list partition summaries drop
+    // whole manifests before any of them opens (delete manifests and
+    // summary-less rows always survive — fail-open)
+    val infos = IcebergMeta.manifestInfos(fs, snap).filter(mi =>
+      IcebergMeta.manifestMayMatch(
+        mi, meta.specs.getOrElse(mi.specId, Seq.empty), meta, args.filters))
     val estimated = infos.map(mi =>
       (mi.addedFiles.getOrElse(0).toLong + mi.existingFiles.getOrElse(0).toLong)).sum
     val distributed = args.extra.get(DistributedPlanningKey).map {

@@ -1084,6 +1084,7 @@ object IcebergWrite {
           n.put("added_rows_count", staged.map(_.recordCount).sum)
           n.put("existing_rows_count", 0L)
           n.put("deleted_rows_count", 0L)
+          n.put("partitions", partitionSummariesList(s, partFields, staged))
           w.append(n)
           eqManifest.foreach { case (p, len, sid, _) =>
             val d = new GenericData.Record(s)
@@ -1434,6 +1435,42 @@ object IcebergWrite {
       case (t, dt) => throw new UnsupportedOperationException(
         s"partition transform $t is unsupported for ${dt.simpleString} column ${src.name} on write")
     }
+  }
+
+  /** Manifest-list `partitions` summaries (field 507) for one new
+    * data manifest: per spec field, contains_null + [lower, upper]
+    * over the staged partition tuples — what lets a reader SKIP this
+    * manifest without opening it. Null when there is nothing to
+    * summarize (unpartitioned, or no files).
+    */
+  private[tables] def partitionSummariesList(
+      listSchema: org.apache.avro.Schema,
+      partFields: Seq[org.apache.spark.sql.types.StructField],
+      staged: Seq[StagedFile]): AnyRef = {
+    val field = listSchema.getField("partitions")
+    if (field == null || partFields.isEmpty || staged.isEmpty) return null
+    val elem = field.schema().getTypes.get(1).getElementType
+    val recs = partFields.map { pf =>
+      val values = staged.map(sf =>
+        IcebergUniform.partitionValue(pf.dataType, sf.partitionValues(pf.name)))
+      val nonNull = values.filter(_ != null)
+      val r = new GenericData.Record(elem)
+      r.put("contains_null", nonNull.size != values.size)
+      if (nonNull.nonEmpty) {
+        val lo = nonNull.reduce((a, b) =>
+          if (IcebergStats.comparePartitionValues(a, b).exists(_ <= 0)) a else b)
+        val hi = nonNull.reduce((a, b) =>
+          if (IcebergStats.comparePartitionValues(a, b).exists(_ >= 0)) a else b)
+        IcebergStats.encodePartitionBound(lo)
+          .foreach(b => r.put("lower_bound", java.nio.ByteBuffer.wrap(b)))
+        IcebergStats.encodePartitionBound(hi)
+          .foreach(b => r.put("upper_bound", java.nio.ByteBuffer.wrap(b)))
+      }
+      r
+    }
+    val out = new java.util.ArrayList[GenericData.Record](recs.size)
+    recs.foreach(out.add)
+    out
   }
 
   private[tables] def stage(

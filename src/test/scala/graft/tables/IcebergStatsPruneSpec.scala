@@ -117,6 +117,38 @@ class IcebergStatsPruneSpec extends SparkSpec {
     assert(got == 1L)
   }
 
+  test("manifest-list partition summaries skip whole manifests (proof by corruption)") {
+    val dir = tempDir("ice-msum").toString + "/t"
+    // two appends, disjoint identity partition values → two manifests
+    // whose list rows carry per-field [lower, upper] summaries
+    IcebergWrite.append(spark,
+      Seq((1L, "a", 0), (2L, "b", 0)).toDF("id", "v", "p"), dir, Seq("p"))
+    IcebergWrite.append(spark,
+      Seq((3L, "c", 1), (4L, "d", 1)).toDF("id", "v", "p"), dir, Seq("p"))
+    val fsys = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val meta = IcebergMeta.load(fsys, dir)
+    val snap = IcebergMeta.selectSnapshot(meta, None, None)
+    val infos = IcebergMeta.manifestInfos(fsys, snap)
+    assert(infos.size == 2 && infos.forall(_.summaries.exists(_.nonEmpty)))
+
+    // DESTROY the p=0 manifest: a p=1 read must never open it — the
+    // summary prunes it at the LIST level, before any Avro read
+    val p0Manifest = infos.find(mi =>
+      IcebergMeta.contentFilesOfManifest(fsys, mi)
+        .exists(_.partition.get("p").contains(0))).get
+    fsys.delete(new Path(p0Manifest.path), false)
+    val got = new IcebergTable("t", dir)(spark,
+      ReadArgs.where(Filter("p", "=", 1))).collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == Seq(3L, 4L))
+    // an id probe (non-partition column) can't use the summaries and
+    // must fail on the destroyed manifest — proving the skip above
+    // was the summary, not luck
+    intercept[Exception] {
+      new IcebergTable("t", dir)(spark,
+        ReadArgs.where(Filter("id", "=", 4L))).collect()
+    }
+  }
+
   test("foreign-written bounds fixture prunes; missing stats fail open") {
     val root = tempDir("ice-fstats").toString + "/t"
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
