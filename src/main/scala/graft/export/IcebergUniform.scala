@@ -498,13 +498,74 @@ object IcebergUniform {
       |{"name":"added_rows_count","type":"long","field-id":512},
       |{"name":"existing_rows_count","type":"long","field-id":513},
       |{"name":"deleted_rows_count","type":"long","field-id":514},
-      |{"name":"partitions","type":["null",{"type":"array","items":{"type":"record","name":"r508","fields":[
+      |{"name":"partitions","type":["null",{"type":"array","element-id":508,"items":{"type":"record","name":"r508","fields":[
       |{"name":"contains_null","type":"boolean","field-id":509},
       |{"name":"contains_nan","type":["null","boolean"],"default":null,"field-id":518},
       |{"name":"lower_bound","type":["null","bytes"],"default":null,"field-id":510},
       |{"name":"upper_bound","type":["null","bytes"],"default":null,"field-id":511}
       |]}}],"default":null,"field-id":507}
       |]}""".stripMargin)
+
+  /** Carry one manifest-list row into graft's list schema, field by
+    * NAME. The `partitions` summaries are REBUILT record-by-record
+    * against graft's r508 element schema (also by name, optional
+    * fields defaulting) — Avro serializes nested generic records by
+    * the WRITER schema's field POSITIONS, so carrying a foreign
+    * writer's field_summary records verbatim (e.g. without the
+    * optional contains_nan) would crash the append. Unreadable
+    * summary shapes drop to null (fail-open pruning).
+    */
+  private[graft] def copyListRecord(
+      ls: AvroSchema,
+      prev: GenericRecord): GenericRecord = {
+    val c = new GenericData.Record(ls)
+    ls.getFields.forEach { f =>
+      val v =
+        if (prev.getSchema.getField(f.name()) == null)
+          // v1 lists lack content/sequence_number etc.: their v2
+          // semantics are 0 (data manifest, unassigned seq) — a null
+          // would crash serialization of the required int/long fields
+          f.schema().getType match {
+            case org.apache.avro.Schema.Type.INT  => Integer.valueOf(0)
+            case org.apache.avro.Schema.Type.LONG => java.lang.Long.valueOf(0L)
+            case _                                => null
+          }
+        else if (f.name() == "partitions") rebuildSummaries(ls, prev.get("partitions"))
+        else prev.get(f.name())
+      c.put(f.name(), v)
+    }
+    c
+  }
+
+  private def rebuildSummaries(ls: AvroSchema, src: Any): AnyRef =
+    try src match {
+      case l: java.util.List[_] =>
+        val elem = ls.getField("partitions").schema().getTypes.get(1).getElementType
+        val out = new java.util.ArrayList[GenericData.Record](l.size())
+        l.forEach {
+          case r: GenericRecord =>
+            def opt(n: String): Any =
+              if (r.getSchema.getField(n) == null) null else r.get(n)
+            val n = new GenericData.Record(elem)
+            n.put("contains_null", opt("contains_null") == true)
+            n.put("contains_nan", opt("contains_nan") match {
+              case b: java.lang.Boolean => b
+              case _ => null
+            })
+            n.put("lower_bound", opt("lower_bound") match {
+              case b: java.nio.ByteBuffer => b
+              case _ => null
+            })
+            n.put("upper_bound", opt("upper_bound") match {
+              case b: java.nio.ByteBuffer => b
+              case _ => null
+            })
+            out.add(n)
+          case _ => return null
+        }
+        out
+      case _ => null
+    } catch { case _: Exception => null }
 
   private def q(s: String): String = "\"" + s.replace("\"", "\\\"") + "\""
 

@@ -162,10 +162,11 @@ object DeltaSql {
       case convert(fmt, path) =>
         // the delta-spark CONVERT TO DELTA statement, covering the
         // whole triad: metadata-only in-place conversion (R54)
-        val v = fmt.toLowerCase match {
+        val v = fmt.toLowerCase(java.util.Locale.ROOT) match {
           case "parquet" => DeltaConvert.fromParquet(spark, path)
           case "iceberg" => DeltaConvert.fromIceberg(spark, path)
-          case _         => DeltaConvert.fromHudi(spark, path)
+          case "hudi"    => DeltaConvert.fromHudi(spark, path)
+          case other => throw new IllegalStateException(s"unreachable format $other")
         }
         result(v)
       case _ =>

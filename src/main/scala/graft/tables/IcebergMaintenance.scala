@@ -118,15 +118,13 @@ object IcebergMaintenance {
     n
   }
 
-  /** Carry a manifest-list row verbatim (schema-field-safe copy). */
+  /** Carry a manifest-list row (by-name copy; foreign summaries are
+    * rebuilt against graft's schema — see IcebergUniform).
+    */
   private def copyListRecord(
       ls: org.apache.avro.Schema,
-      prev: org.apache.avro.generic.GenericRecord): org.apache.avro.generic.GenericRecord = {
-    val c = new org.apache.avro.generic.GenericData.Record(ls)
-    ls.getFields.forEach(f => c.put(f.name(),
-      if (prev.getSchema.getField(f.name()) != null) prev.get(f.name()) else null))
-    c
-  }
+      prev: org.apache.avro.generic.GenericRecord): org.apache.avro.generic.GenericRecord =
+    graft.export.IcebergUniform.copyListRecord(ls, prev)
 
   /** REWRITE MANIFESTS (the public `rewrite_manifests` maintenance
     * action): consolidate the current snapshot's DATA manifests into

@@ -351,7 +351,11 @@ object IcebergMeta {
   final case class FieldSummary(
       containsNull: Boolean,
       lower: Option[Array[Byte]],
-      upper: Option[Array[Byte]])
+      upper: Option[Array[Byte]],
+      /** field 518; None = writer did not record it (pre-NaN-tracking
+        * writers) — unknown, so empty-bounds pruning must not fire.
+        */
+      containsNan: Option[Boolean] = None)
 
   final case class ManifestInfo(
       path: String,
@@ -376,13 +380,17 @@ object IcebergMeta {
           case l: java.util.List[_] => l.asScalaAnySeq.collect {
             case r: GenericRecord =>
               def bytes(f: String): Option[Array[Byte]] =
-                Option(r.get(f)).collect { case b: java.nio.ByteBuffer =>
-                  val d = b.duplicate(); val out = new Array[Byte](d.remaining())
-                  d.get(out); out
+                Option(r.get(f)).map(IcebergStats.toBytes).collect {
+                  case b: Array[Byte] => b
                 }
               FieldSummary(
                 Option(r.get("contains_null")).exists(_ == true),
-                bytes("lower_bound"), bytes("upper_bound"))
+                bytes("lower_bound"), bytes("upper_bound"),
+                containsNan =
+                  if (r.getSchema.getField("contains_nan") == null) None
+                  else Option(r.get("contains_nan")).collect {
+                    case b: java.lang.Boolean => b.booleanValue()
+                  })
           }
         }
       ManifestInfo(
@@ -418,7 +426,12 @@ object IcebergMeta {
             val source = meta.schemaFieldIds.getOrElse(sf.sourceId, sf.name)
             if (sf.transform != "identity" || source != f.column) true
             else meta.topFieldsByName.get(source).forall { case (_, dt) =>
-              if (sum.lower.isEmpty && sum.upper.isEmpty) !sum.containsNull
+              if (sum.lower.isEmpty && sum.upper.isEmpty)
+                // per the spec, absent bounds mean the values are all
+                // null OR NaN: prune only when the writer RECORDED
+                // no-NaN (Spark's NaN = NaN / NaN > x are TRUE, so a
+                // hidden NaN could match)
+                !(sum.containsNull && sum.containsNan.contains(false))
               else IcebergStats.statsMayMatch(f, dt, 1,
                 sum.lower.map(1 -> _).toMap, sum.upper.map(1 -> _).toMap,
                 nullCounts = if (sum.containsNull) Map.empty else Map(1 -> 0L),

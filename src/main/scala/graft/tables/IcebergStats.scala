@@ -252,10 +252,10 @@ object IcebergStats {
     * a summary bound. None = unbound (fail-open).
     */
   def encodePartitionBound(v: Any): Option[Array[Byte]] = v match {
-    case i: Int     => Some(le(4).putInt(i).array())
-    case l: Long    => Some(le(8).putLong(l).array())
-    case s: String  => Some(s.getBytes(StandardCharsets.UTF_8))
-    case b: Boolean => Some(Array(if (b) 1.toByte else 0.toByte))
+    case i: Int     => encodeSingle(IntegerType, i)
+    case l: Long    => encodeSingle(LongType, l)
+    case s: String  => encodeSingle(StringType, s)
+    case b: Boolean => encodeSingle(BooleanType, b)
     case _          => None
   }
 
@@ -445,7 +445,7 @@ object IcebergStats {
 
   // ---------------------------------------------- read: parsing
 
-  private def toBytes(v: Any): Any = v match {
+  private[tables] def toBytes(v: Any): Any = v match {
     case b: ByteBuffer =>
       val d = b.duplicate()
       val out = new Array[Byte](d.remaining())

@@ -315,10 +315,7 @@ object IcebergWrite {
           .create(ls, fs.create(listPath, true))
         try {
           currentManifestList(fs, baseRoot).foreach { prev =>
-            val c = new GenericData.Record(ls)
-            ls.getFields.forEach(f => c.put(f.name(),
-              if (prev.getSchema.getField(f.name()) != null) prev.get(f.name()) else null))
-            w.append(c)
+            w.append(IcebergUniform.copyListRecord(ls, prev))
           }
           val n = new GenericData.Record(ls)
           n.put("manifest_path", manifestPath.toString)
@@ -409,10 +406,7 @@ object IcebergWrite {
           .create(ls, fs.create(listPath, true))
         try {
           currentManifestList(fs, baseRoot).foreach { prev =>
-            val c = new GenericData.Record(ls)
-            ls.getFields.forEach(f => c.put(f.name(),
-              if (prev.getSchema.getField(f.name()) != null) prev.get(f.name()) else null))
-            w.append(c)
+            w.append(IcebergUniform.copyListRecord(ls, prev))
           }
           val n = new GenericData.Record(ls)
           n.put("manifest_path", manifestPath.toString)
@@ -1064,10 +1058,7 @@ object IcebergWrite {
           // branch (a missing branch forks from the current head)
           if (carryBase) baseRoot.foreach { r =>
             manifestListOf(fs, r, headIdFor(r, branch)).foreach { prev =>
-              val c = new GenericData.Record(s)
-              s.getFields.forEach(f => c.put(f.name(),
-                if (prev.getSchema.getField(f.name()) != null) prev.get(f.name()) else null))
-              w.append(c)
+              w.append(IcebergUniform.copyListRecord(s, prev))
             }
           }
           val n = new GenericData.Record(s)
@@ -1456,6 +1447,10 @@ object IcebergWrite {
       val nonNull = values.filter(_ != null)
       val r = new GenericData.Record(elem)
       r.put("contains_null", nonNull.size != values.size)
+      // supported partition tuple types (int/long/string/boolean/
+      // epoch-day date) can never be NaN — recording it lets readers
+      // prune null-only summaries
+      r.put("contains_nan", java.lang.Boolean.FALSE)
       if (nonNull.nonEmpty) {
         val lo = nonNull.reduce((a, b) =>
           if (IcebergStats.comparePartitionValues(a, b).exists(_ <= 0)) a else b)

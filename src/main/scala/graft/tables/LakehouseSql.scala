@@ -64,6 +64,7 @@ object LakehouseSql {
   private val sumIce = s"""(?is)^SUMMARIZE\\s+$Ice$$""".r
   private val sumHud = s"""(?is)^SUMMARIZE\\s+$Hud$$""".r
   private val sumDelta = """(?is)^SUMMARIZE\s+delta\.`([^`]+)`$""".r
+  private val conv = """(?is)^CONVERT\s+TO\s+DELTA\s+.+$""".r
 
   def exec(spark: SparkSession, sql: String): DataFrame = {
     import spark.implicits._
@@ -172,6 +173,10 @@ object LakehouseSql {
       case clean(path, keep) =>
         val removed = graft.tables.HudiMaintenance.clean(spark, path, keep.toInt)
         Seq(removed.size.toLong).toDF("files_removed")
+      case conv() =>
+        // the operand formats live here, the converter in DeltaSql —
+        // delegate so both front doors accept the statement
+        DeltaSql.exec(spark, s)
       case _ =>
         throw new IllegalArgumentException(
           s"unsupported lakehouse SQL statement: $s (Delta DML belongs to DeltaSql.exec)")

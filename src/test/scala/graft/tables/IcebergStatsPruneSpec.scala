@@ -149,6 +149,47 @@ class IcebergStatsPruneSpec extends SparkSpec {
     }
   }
 
+  test("foreign field_summary shapes carry by NAME (no positional re-serialization crash)") {
+    // an Iceberg <= 0.10-era summary record: no contains_nan, and the
+    // bounds ordered differently — carrying it verbatim would
+    // serialize by graft-schema POSITION and crash the commit
+    val foreignList = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"manifest_file","fields":[
+        |{"name":"manifest_path","type":"string"},
+        |{"name":"manifest_length","type":"long"},
+        |{"name":"partition_spec_id","type":"int"},
+        |{"name":"partitions","type":["null",{"type":"array","items":{"type":"record","name":"fs0","fields":[
+        |{"name":"upper_bound","type":["null","bytes"],"default":null},
+        |{"name":"contains_null","type":"boolean"},
+        |{"name":"lower_bound","type":["null","bytes"],"default":null}
+        |]}}],"default":null}
+        |]}""".stripMargin)
+    val sum = new GenericData.Record(
+      foreignList.getField("partitions").schema().getTypes.get(1).getElementType)
+    sum.put("contains_null", false)
+    sum.put("lower_bound", java.nio.ByteBuffer.wrap(Array[Byte](1, 0, 0, 0)))
+    sum.put("upper_bound", java.nio.ByteBuffer.wrap(Array[Byte](5, 0, 0, 0)))
+    val prev = new GenericData.Record(foreignList)
+    prev.put("manifest_path", "m.avro")
+    prev.put("manifest_length", 10L)
+    prev.put("partition_spec_id", 0)
+    prev.put("partitions", java.util.Collections.singletonList(sum))
+
+    val ls = IcebergUniform.manifestFileSchema
+    val copied = IcebergUniform.copyListRecord(ls, prev)
+    // serializing through graft's schema must succeed end-to-end
+    val bos = new java.io.ByteArrayOutputStream()
+    val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](ls))
+      .create(ls, bos)
+    w.append(copied); w.close()
+    // and the rebuilt summary keeps its values by NAME
+    val r = copied.get("partitions").asInstanceOf[java.util.List[_]]
+      .get(0).asInstanceOf[GenericRecord]
+    assert(r.get("contains_null") == false && r.get("contains_nan") == null)
+    assert(r.get("lower_bound").asInstanceOf[java.nio.ByteBuffer].get(0) == 1)
+    assert(r.get("upper_bound").asInstanceOf[java.nio.ByteBuffer].get(0) == 5)
+  }
+
   test("foreign-written bounds fixture prunes; missing stats fail open") {
     val root = tempDir("ice-fstats").toString + "/t"
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
