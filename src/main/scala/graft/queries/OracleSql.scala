@@ -2003,6 +2003,30 @@ object OracleSql {
           |  AND ts < TIMESTAMP '2024-01-06 00:00:00'
           |  AND user_id = 7
           |ORDER BY event_id""".stripMargin,
+      // typed changelog over the append → equality-upsert → equality-
+      // delete Iceberg nation table: the upsert commit (ordinal 1)
+      // replays as pre-image deletes + post-image inserts, the delete
+      // commit (ordinal 2) as deletes of the post-upsert state; the
+      // synthetic key 992 has no pre-image and 992 % 5 = 2 rows are
+      // absent from the delete probe set (it draws from the source
+      // nation only)
+      "q_iceberg_changelog" ->
+        """SELECT n_nationkey, n_name, n_regionkey, _change_type, _change_ordinal
+          |FROM (
+          |  SELECT n_nationkey, n_name || '_UP' AS n_name, n_regionkey,
+          |    'insert' AS _change_type, 1 AS _change_ordinal
+          |  FROM nation WHERE n_nationkey < 8
+          |  UNION ALL SELECT 992, 'mu', 3, 'insert', 1
+          |  UNION ALL
+          |  SELECT n_nationkey, n_name, n_regionkey, 'delete', 1
+          |  FROM nation WHERE n_nationkey < 8
+          |  UNION ALL
+          |  SELECT n_nationkey,
+          |    CASE WHEN n_nationkey < 8 THEN n_name || '_UP' ELSE n_name END,
+          |    n_regionkey, 'delete', 2
+          |  FROM nation WHERE n_nationkey % 5 = 2
+          |)
+          |ORDER BY _change_ordinal, _change_type, n_nationkey""".stripMargin,
       // incremental read of the two-snapshot Iceberg nation table:
       // the appended slice IS the second append's predicate
       "q_iceberg_incr" ->

@@ -1,0 +1,67 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-11 additions: typed CHANGELOG reads for Iceberg and Hudi
+  * (CDF parity — the triad-wide change-stream contract
+  * IncrementalView dispatches over), each oracle-checked by replaying
+  * the expected insert/delete rows relationally in DuckDB.
+  */
+object Wave7Queries {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.table(s, dir, n)
+
+  // ---------- Iceberg typed changelog ----------
+
+  private val icebergChangelog =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Three-snapshot native Iceberg nation table: append, then an
+    * atomic equality UPSERT (suffixed names for keys < 8 + a
+    * synthetic insert), then an equality DELETE of keys ≡ 2 (mod 5)
+    * — the upsert+delete shape a tailing consumer must decode into
+    * typed change rows.
+    */
+  private[queries] def writtenNationChangelog(s: SparkSession, dir: String): String =
+    icebergChangelog.getOrElseUpdate(dir, {
+      import graft.tables.IcebergWrite
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_iceberg_chg").toString + "/nation"
+      val nation = t(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+      IcebergWrite.append(s, nation, path, Seq("n_regionkey"))
+      val changes = nation.where(col("n_nationkey") < 8)
+        .withColumn("n_name", concat(col("n_name"), lit("_UP")))
+        .unionByName(s.createDataFrame(
+          java.util.List.of(org.apache.spark.sql.Row(992, "mu", 3)),
+          nation.schema))
+      IcebergWrite.upsertEquality(s, changes, path, Seq("n_nationkey"))
+      IcebergWrite.deleteEquality(s, path,
+        nation.where(col("n_nationkey") % 5 === 2).select("n_nationkey"))
+      path
+    })
+
+  /** Typed changelog across the upsert + delete commits: the upsert
+    * surfaces as pre-image deletes + post-image inserts (ordinal 1),
+    * the equality delete as post-upsert-state deletes (ordinal 2) —
+    * the oracle replays both relationally. Snapshot ids and
+    * timestamps are writer-dependent, so the gate pins the
+    * deterministic ordinal instead.
+    */
+  def qIcebergChangelog(s: SparkSession, dir: String): DataFrame = {
+    import graft.tables.{IcebergMeta, IcebergTable}
+    import org.apache.hadoop.fs.Path
+    val path = writtenNationChangelog(s, dir)
+    val fs = new Path(path).getFileSystem(s.sparkContext.hadoopConfiguration)
+    val snaps = IcebergMeta.load(fs, path).snapshots.sortBy(_.sequenceNumber)
+    require(snaps.size == 3, s"expected 3 snapshots, found ${snaps.size}")
+    new IcebergTable("nation_iceberg_chg", path)
+      .changes(s, snaps.head.id, snaps.last.id)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
+        col(IcebergTable.ChangeTypeCol),
+        col(IcebergTable.ChangeOrdinalCol))
+      .orderBy(col(IcebergTable.ChangeOrdinalCol),
+        col(IcebergTable.ChangeTypeCol), col("n_nationkey"))
+  }
+}

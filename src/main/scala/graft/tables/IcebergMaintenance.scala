@@ -346,7 +346,8 @@ object IcebergMaintenance {
     val current = new IcebergTable("compact", tablePath)(spark, ReadArgs.empty)
       .select(meta.schema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*)
     IcebergWrite.overwrite(spark,
-      zorderSorted(current, partCols, zorderBy), tablePath, partCols)
+      zorderSorted(current, partCols, zorderBy), tablePath, partCols,
+      operation = Some("replace"))
   }
 
   /** Rows routed one-reducer-per-partition and z-sorted within it (a

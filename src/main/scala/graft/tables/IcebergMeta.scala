@@ -36,7 +36,8 @@ object IcebergMeta {
       timestampMs: Long,
       manifestList: String,
       schemaId: Option[Int],
-      operation: Option[String] = None)
+      operation: Option[String] = None,
+      parentId: Option[Long] = None)
 
   /** A planned content file (data or delete) with the metadata the
     * scan needs. `content`: 0 = data, 1 = position deletes,
@@ -204,7 +205,9 @@ object IcebergMeta {
         s.path("timestamp-ms").asLong(),
         s.path("manifest-list").asText(),
         if (s.has("schema-id")) Some(s.path("schema-id").asInt()) else None,
-        Option(s.path("summary").path("operation").asText(null)))
+        Option(s.path("summary").path("operation").asText(null)),
+        if (s.has("parent-snapshot-id")) Some(s.path("parent-snapshot-id").asLong())
+        else None)
     }.toSeq
     val refs: Map[String, SnapshotRef] =
       if (!root.has("refs")) Map.empty
@@ -327,6 +330,47 @@ object IcebergMeta {
             meta.snapshots.find(_.id == id).getOrElse(throw new IllegalArgumentException(
               s"current-snapshot-id $id not in snapshots"))
         }
+    }
+  }
+
+  /** The snapshot chain `(from, to]` in commit order — the per-commit
+    * walk a changelog read replays. Resolved through the snapshots'
+    * `parent-snapshot-id` links (the only lineage the spec records;
+    * branch snapshots off the chain never appear); when some snapshot
+    * on the walk predates parent tracking (pre-r9 commits, foreign
+    * writers that omit it) the chain falls back to sequence-number
+    * order over ALL snapshots in the range — correct for the linear
+    * histories such writers produce, refused loudly when sequence
+    * numbers tie (concurrent branches are then indistinguishable).
+    */
+  def lineage(meta: TableMeta, fromId: Long, toId: Long): Seq[SnapshotInfo] = {
+    val byId = meta.snapshots.map(s => s.id -> s).toMap
+    val from = byId.getOrElse(fromId, throw new IllegalArgumentException(
+      s"snapshot $fromId not found"))
+    val to = byId.getOrElse(toId, throw new IllegalArgumentException(
+      s"snapshot $toId not found"))
+    if (fromId == toId) return Seq.empty
+    var chain = List.empty[SnapshotInfo]
+    var at: Option[SnapshotInfo] = Some(to)
+    var steps = 0
+    while (at.isDefined && at.get.id != fromId && steps <= meta.snapshots.size) {
+      chain = at.get :: chain
+      at = at.get.parentId.flatMap(byId.get)
+      steps += 1
+    }
+    if (at.exists(_.id == fromId)) chain
+    else {
+      val inRange = meta.snapshots
+        .filter(s => s.sequenceNumber > from.sequenceNumber &&
+          s.sequenceNumber <= to.sequenceNumber)
+        .sortBy(_.sequenceNumber)
+      val seqs = inRange.map(_.sequenceNumber)
+      require(seqs.distinct.size == seqs.size,
+        s"cannot order snapshots between $fromId and $toId: parent links are " +
+          s"incomplete and sequence numbers tie (${seqs.mkString(", ")})")
+      require(inRange.lastOption.exists(_.id == toId),
+        s"snapshot $toId does not descend from $fromId")
+      inRange
     }
   }
 

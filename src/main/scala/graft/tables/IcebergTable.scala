@@ -196,6 +196,208 @@ class IcebergTable(
     df
   }
 
+  /** Typed CHANGELOG read — the Iceberg analog of
+    * [[DeltaChanges.between]] and the upstream changelog scan's
+    * contract: every row-level change committed in
+    * `(fromSnapshotId, toSnapshotId]` as table rows plus
+    * `_change_type` ∈ {insert, delete}, `_commit_snapshot_id`,
+    * `_change_ordinal` (1-based position of the commit in the range)
+    * and `_commit_timestamp`. An update surfaces as its delete
+    * (pre-image) + insert (post-image) pair, so a signed-delta
+    * consumer ([[graft.operators.IncrementalView]]) applies changes
+    * without re-reading the table.
+    *
+    * Per-commit derivation (snapshot lineage walked through
+    * parent-snapshot-id, [[IcebergMeta.lineage]]):
+    *  - `replace` snapshots (compaction, rewrite_manifests) change
+    *    files, not rows — they contribute nothing;
+    *  - added data files → inserts, net of same-commit POSITION
+    *    deletes (seq ≥ data seq; same-commit equality deletes are
+    *    strictly-greater-gated and never hit their own commit's
+    *    rows — the atomic-upsert shape);
+    *  - removed data files → deletes, restricted to rows still live
+    *    at the parent snapshot (its delete files applied first);
+    *  - added delete files → deletes of retained-file rows they
+    *    kill: position deletes read ONLY the files they reference;
+    *    equality deletes prune candidate files by a min/max box
+    *    computed from the delete rows (one tiny agg) before any data
+    *    file opens. Rows already dead at the parent never re-emit,
+    *    and a row killed by several delete files emits once (the
+    *    dead set is live-before ∖ live-after on (file, pos)).
+    *
+    * Scale shape: metadata is the same bounded manifest walk every
+    * reader here uses (pure-append commits take the new-manifest
+    * fast path); data reads are ∝ changed rows + candidate files
+    * overlapping the deleted key range — never ∝ table size.
+    */
+  def changes(
+      spark: SparkSession,
+      fromSnapshotId: Long,
+      toSnapshotId: Long
+  ): DataFrame = {
+    import IcebergTable._
+    val fs = new Path(uri).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val meta = IcebergMeta.load(fs, uri)
+    val fromSnap = IcebergMeta.selectSnapshot(meta, Some(fromSnapshotId), None)
+    val chain = IcebergMeta.lineage(meta, fromSnapshotId, toSnapshotId)
+    val frames = chain.zipWithIndex.flatMap { case (snap, i) =>
+      val prev = if (i == 0) fromSnap else chain(i - 1)
+      commitChangeFrames(spark, fs, meta, prev, snap).map(_
+        .withColumn(CommitSnapshotCol, lit(snap.id))
+        .withColumn(ChangeOrdinalCol, lit(i + 1))
+        .withColumn(CommitTimestampCol, timestamp_millis(lit(snap.timestampMs))))
+    }
+    if (frames.isEmpty) {
+      val empty = StructType(meta.schema.fields ++ Seq(
+        StructField(ChangeTypeCol, StringType),
+        StructField(CommitSnapshotCol, LongType),
+        StructField(ChangeOrdinalCol, IntegerType),
+        StructField(CommitTimestampCol, TimestampType)))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], empty)
+    } else frames.reduce(_.unionByName(_))
+  }
+
+  /** One commit's change frames (each already carries `_change_type`;
+    * the caller stamps commit id/ordinal/timestamp).
+    */
+  private def commitChangeFrames(
+      spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      meta: IcebergMeta.TableMeta,
+      prev: IcebergMeta.SnapshotInfo,
+      cur: IcebergMeta.SnapshotInfo
+  ): Seq[DataFrame] = {
+    import IcebergTable.ChangeTypeCol
+    if (cur.operation.contains("replace")) return Seq.empty
+    val prevInfos = IcebergMeta.manifestInfos(fs, prev)
+    val curInfos = IcebergMeta.manifestInfos(fs, cur)
+    val prevPaths = prevInfos.map(_.path).toSet
+    // full prev content-file list only materializes when this commit
+    // removed or deleted something — a pure-append poll never pays it
+    lazy val prevFiles: Seq[IcebergMeta.ContentFile] = {
+      IcebergMeta.driverContentFilePlans.incrementAndGet()
+      prevInfos.flatMap(IcebergMeta.contentFilesOfManifest(fs, _))
+    }
+    val (addedData, addedDeletes, removedData) =
+      if (prevPaths.subsetOf(curInfos.map(_.path).toSet)) {
+        // manifest fast path: immutable manifests carried forward
+        // contribute nothing; every entry of a new manifest is new
+        val newFiles = curInfos.filterNot(mi => prevPaths(mi.path))
+          .flatMap(IcebergMeta.contentFilesOfManifest(fs, _))
+        (newFiles.filter(_.content == 0), newFiles.filter(_.content != 0),
+          Seq.empty[IcebergMeta.ContentFile])
+      } else {
+        IcebergMeta.driverContentFilePlans.incrementAndGet()
+        val curFiles = curInfos.flatMap(IcebergMeta.contentFilesOfManifest(fs, _))
+        val prevDataPaths = prevFiles.filter(_.content == 0).map(_.path).toSet
+        val prevDelPaths = prevFiles.filter(_.content != 0).map(_.path).toSet
+        val curPaths = curFiles.map(_.path).toSet
+        (curFiles.filter(f => f.content == 0 && !prevDataPaths(f.path)),
+          curFiles.filter(f => f.content != 0 && !prevDelPaths(f.path)),
+          prevFiles.filter(f => f.content == 0 && !curPaths(f.path)))
+      }
+    refuseDeletionVectors(meta, addedDeletes)
+    val schemaCols = meta.schema.fieldNames.map(col).toSeq
+    val frames = Seq.newBuilder[DataFrame]
+
+    if (addedData.nonEmpty) {
+      val samePos = addedDeletes.filter(_.content == 1)
+      var ins = readData(spark, meta, addedData, withDeletes = samePos.nonEmpty)
+      if (samePos.nonEmpty)
+        ins = applyPositionDeletes(spark, ins, addedData, samePos)
+          .select(schemaCols: _*)
+      frames += ins.withColumn(ChangeTypeCol, lit("insert"))
+    }
+
+    if (removedData.nonEmpty) {
+      val prevDeletes = prevFiles.filter(_.content != 0)
+      var d = readData(spark, meta, removedData, withDeletes = prevDeletes.nonEmpty)
+      if (prevDeletes.nonEmpty) {
+        d = applyPositionDeletes(spark, d, removedData, prevDeletes.filter(_.content == 1))
+        d = applyEqualityDeletes(spark, d, meta, prevDeletes.filter(_.content == 2))
+        d = d.select(schemaCols: _*)
+      }
+      frames += d.withColumn(ChangeTypeCol, lit("delete"))
+    }
+
+    if (addedDeletes.nonEmpty) {
+      val removedPaths = removedData.map(_.path).toSet
+      val prevData = prevFiles.filter(f => f.content == 0 && !removedPaths(f.path))
+      val posDel = addedDeletes.filter(_.content == 1)
+      val eqDel = addedDeletes.filter(_.content == 2)
+      val posCandidates: Seq[IcebergMeta.ContentFile] =
+        if (posDel.isEmpty) Seq.empty
+        else {
+          val refPaths = spark.read
+            .schema(StructType(Seq(StructField("file_path", StringType))))
+            .parquet(posDel.map(_.path): _*)
+            .select("file_path").distinct().collect()
+            .map(r => normalizePathStr(r.getString(0))).toSet
+          prevData.filter(f => refPaths(normalizePathStr(f.path)))
+        }
+      val eqCandidates =
+        if (eqDel.isEmpty) Seq.empty
+        else eqDeleteCandidates(spark, meta, prevData, eqDel)
+      val candidates = (posCandidates ++ eqCandidates).distinctBy(_.path)
+      if (candidates.nonEmpty) {
+        val prevDeletes = prevFiles.filter(_.content != 0)
+        var live = readData(spark, meta, candidates, withDeletes = true)
+        live = applyPositionDeletes(spark, live, candidates,
+          prevDeletes.filter(_.content == 1))
+        live = applyEqualityDeletes(spark, live, meta,
+          prevDeletes.filter(_.content == 2))
+        var after = applyPositionDeletes(spark, live, candidates, posDel)
+        after = applyEqualityDeletes(spark, after, meta, eqDel)
+        val dead = live.join(
+          after.select(col(PathCol).as("_s_path"), col(PosCol).as("_s_pos")),
+          live(PathCol) === col("_s_path") && live(PosCol) === col("_s_pos"),
+          "left_anti")
+        frames += dead.select(schemaCols: _*)
+          .withColumn(ChangeTypeCol, lit("delete"))
+      }
+    }
+    frames.result()
+  }
+
+  /** Candidate retained files an equality-delete commit could touch:
+    * pruned by a min/max box over the delete rows' prunable columns
+    * (one driver row) evaluated against manifest stats/partitions —
+    * fail-open to all retained files when no column is prunable.
+    */
+  private def eqDeleteCandidates(
+      spark: SparkSession,
+      meta: IcebergMeta.TableMeta,
+      prevData: Seq[IcebergMeta.ContentFile],
+      eqDel: Seq[IcebergMeta.ContentFile]
+  ): Seq[IcebergMeta.ContentFile] = {
+    eqDel.groupBy(_.equalityIds).toSeq.flatMap { case (ids, files) =>
+      val cols = ids.flatMap(id => meta.schemaFieldIds.get(id))
+      val prunable = cols.filter(c => meta.schema.fields.find(_.name == c)
+        .exists(f => f.dataType match {
+          case IntegerType | LongType | ShortType | ByteType |
+               FloatType | DoubleType | StringType => true
+          case _ => false
+        }))
+      if (prunable.isEmpty) prevData
+      else {
+        val delSchema = StructType(
+          prunable.map(c => meta.schema(c).copy(metadata = Metadata.empty)))
+        val aggs = prunable.flatMap(c => Seq(min(col(c)), max(col(c))))
+        val row = spark.read.schema(delSchema).parquet(files.map(_.path): _*)
+          .agg(aggs.head, aggs.drop(1): _*).head()
+        val bounds = graft.core.Filters.normalize(
+          prunable.zipWithIndex.flatMap { case (c, i) =>
+            val lo = row.get(2 * i); val hi = row.get(2 * i + 1)
+            if (lo == null || hi == null) Seq.empty
+            else Seq(Filter(c, ">=", lo), Filter(c, "<=", hi))
+          })
+        if (bounds.isEmpty) prevData
+        else prevData.filter(f => IcebergMeta.mayMatch(
+          f, meta.specs.getOrElse(f.specId, Seq.empty), meta, bounds))
+      }
+    }
+  }
+
   /** v3 Puffin-stored deletion vectors (the v3 spec's replacement
     * for position-delete FILES, data_file fields 143–145): this
     * reader applies v2 position/equality deletes only — a DV-bearing
@@ -429,6 +631,16 @@ class IcebergTable(
 }
 
 object IcebergTable {
+
+  /** Changelog column names — `_change_type` shared with
+    * [[DeltaChanges]] so a format-dispatching consumer
+    * ([[graft.operators.IncrementalView]]) reads one contract;
+    * ordinal/snapshot-id names follow the upstream changelog scan.
+    */
+  val ChangeTypeCol = DeltaChanges.ChangeTypeCol
+  val CommitSnapshotCol = "_commit_snapshot_id"
+  val ChangeOrdinalCol = "_change_ordinal"
+  val CommitTimestampCol = DeltaChanges.CommitTimestampCol
 
   /** File-count estimate (manifest-list added+existing counts) above
     * which scan planning goes distributed automatically — same

@@ -135,8 +135,14 @@ object IcebergWrite {
       spark: SparkSession,
       df: DataFrame,
       tablePath: String,
-      partitionBy: Seq[String] = Seq.empty
-  ): Long = commit(spark, df, tablePath, partitionBy, carryBase = false)
+      partitionBy: Seq[String] = Seq.empty,
+      /** Snapshot summary operation: `rewriteDataFiles` stamps
+        * "replace" (rows preserved — a changelog read skips the
+        * commit); a semantic overwrite keeps the default.
+        */
+      operation: Option[String] = None
+  ): Long = commit(spark, df, tablePath, partitionBy, carryBase = false,
+    operationOverride = operation)
 
   /** Row-level DELETE as merge-on-read POSITION DELETE files (the
     * Iceberg v2 write path [[IcebergTable]] already reads): matching
@@ -735,7 +741,8 @@ object IcebergWrite {
       txn: Option[(String, Long)] = None,
       branch: Option[String] = None,
       preStaged: Option[Seq[StagedFile]] = None,
-      sortBy: Seq[String] = Seq.empty
+      sortBy: Seq[String] = Seq.empty,
+      operationOverride: Option[String] = None
   ): Long = {
     val table = new Path(tablePath)
     val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1161,8 +1168,9 @@ object IcebergWrite {
       }
       appendSnapshotToRoot(root, snapshotId, seq, nowMs, listPath,
         // an upsert both adds and logically replaces rows: overwrite
-        operation = if (eqStaged.nonEmpty) "overwrite"
-          else if (carryBase) "append" else "overwrite",
+        operation = operationOverride.getOrElse(
+          if (eqStaged.nonEmpty) "overwrite"
+          else if (carryBase) "append" else "overwrite"),
         summaryExtras = Seq(
           "added-data-files" -> staged.size.toString,
           "added-records" -> staged.map(_.recordCount).sum.toString) ++

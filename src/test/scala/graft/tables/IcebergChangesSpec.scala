@@ -1,0 +1,108 @@
+package graft.tables
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Typed changelog read (IcebergTable.changes): CDF-parity
+  * insert/delete rows derived per commit from the snapshot lineage —
+  * appends, atomic equality upserts (pre-image delete + post-image
+  * insert), equality/position deletes, and `replace` commits
+  * contributing nothing.
+  */
+class IcebergChangesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def snaps(path: String): Seq[IcebergMeta.SnapshotInfo] = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    IcebergMeta.load(fs, path).snapshots.sortBy(_.sequenceNumber)
+  }
+
+  private def changed(path: String, from: Long, to: Long) =
+    new IcebergTable("t", path).changes(spark, from, to)
+      .select(col("id").as[Int], col("v").as[String],
+        col(IcebergTable.ChangeTypeCol).as[String],
+        col(IcebergTable.ChangeOrdinalCol).as[Int])
+      .collect().toSet
+
+  test("append commits emit inserts with per-commit ordinals") {
+    val path = tempDir("ice-chg-app").toString + "/t"
+    IcebergWrite.append(spark, Seq((1, "a"), (2, "b")).toDF("id", "v"), path)
+    IcebergWrite.append(spark, Seq((3, "c")).toDF("id", "v"), path)
+    IcebergWrite.append(spark, Seq((4, "d")).toDF("id", "v"), path)
+    val s = snaps(path)
+    assert(changed(path, s.head.id, s.last.id) == Set(
+      (3, "c", "insert", 1), (4, "d", "insert", 2)))
+    // full range includes the first commit's rows when walked from it
+    assert(changed(path, s(0).id, s(1).id) == Set((3, "c", "insert", 1)))
+    // empty range
+    assert(new IcebergTable("t", path).changes(spark, s.last.id, s.last.id).count() == 0)
+  }
+
+  test("equality upsert emits pre-image deletes + post-image inserts") {
+    val path = tempDir("ice-chg-up").toString + "/t"
+    IcebergWrite.append(spark,
+      Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v"), path)
+    // update id=2, insert id=9 — one atomic commit (eq delete + add)
+    IcebergWrite.upsertEquality(spark,
+      Seq((2, "B"), (9, "z")).toDF("id", "v"), path, Seq("id"))
+    val s = snaps(path)
+    assert(changed(path, s.head.id, s.last.id) == Set(
+      (2, "b", "delete", 1), // pre-image of the update
+      (2, "B", "insert", 1), // post-image: same-commit eq delete must NOT kill it
+      (9, "z", "insert", 1))) // fresh key: no pre-image delete emitted
+  }
+
+  test("equality delete emits only rows live at the parent") {
+    val path = tempDir("ice-chg-del").toString + "/t"
+    IcebergWrite.append(spark,
+      Seq((1, "a"), (2, "b"), (3, "c"), (4, "d")).toDF("id", "v"), path)
+    IcebergWrite.deleteEquality(spark, path, Seq(Tuple1(2)).toDF("id"))
+    // deleting {2, 3}: 2 is already dead — only 3's delete may emit
+    IcebergWrite.deleteEquality(spark, path, Seq(Tuple1(2), Tuple1(3)).toDF("id"))
+    val s = snaps(path)
+    assert(changed(path, s.head.id, s.last.id) == Set(
+      (2, "b", "delete", 1), (3, "c", "delete", 2)))
+  }
+
+  test("position delete (deleteWhere) emits deleted rows") {
+    val path = tempDir("ice-chg-pos").toString + "/t"
+    IcebergWrite.append(spark,
+      Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v"), path)
+    IcebergWrite.deleteWhere(spark, path,
+      graft.core.Filters.normalize(Seq(graft.core.Filter("id", ">=", 2))))
+    val s = snaps(path)
+    assert(changed(path, s.head.id, s.last.id) == Set(
+      (2, "b", "delete", 1), (3, "c", "delete", 1)))
+  }
+
+  test("replace (compaction) commits contribute no change rows") {
+    val path = tempDir("ice-chg-rep").toString + "/t"
+    IcebergWrite.append(spark, Seq((1, "a")).toDF("id", "v"), path)
+    IcebergWrite.append(spark, Seq((2, "b")).toDF("id", "v"), path)
+    val before = snaps(path)
+    IcebergMaintenance.rewriteDataFiles(spark, path)
+    val after = snaps(path)
+    assert(after.size == before.size + 1, "compact must commit a snapshot")
+    assert(after.last.operation.contains("replace"))
+    assert(changed(path, before.last.id, after.last.id).isEmpty)
+    // and across the whole range the appends still surface exactly once
+    assert(changed(path, before.head.id, after.last.id) ==
+      Set((2, "b", "insert", 1)))
+  }
+
+  test("changelog columns: snapshot id and timestamp ride every row") {
+    val path = tempDir("ice-chg-cols").toString + "/t"
+    IcebergWrite.append(spark, Seq((1, "a")).toDF("id", "v"), path)
+    IcebergWrite.append(spark, Seq((2, "b")).toDF("id", "v"), path)
+    val s = snaps(path)
+    val rows = new IcebergTable("t", path).changes(spark, s.head.id, s.last.id)
+    assert(rows.schema.fieldNames.toSeq == Seq("id", "v",
+      IcebergTable.ChangeTypeCol, IcebergTable.CommitSnapshotCol,
+      IcebergTable.ChangeOrdinalCol, IcebergTable.CommitTimestampCol))
+    val r = rows.head()
+    assert(r.getAs[Long](IcebergTable.CommitSnapshotCol) == s.last.id)
+    assert(r.getAs[java.sql.Timestamp](IcebergTable.CommitTimestampCol).getTime ==
+      s.last.timestampMs)
+  }
+}
