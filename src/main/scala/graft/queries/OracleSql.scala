@@ -2027,6 +2027,29 @@ object OracleSql {
           |  FROM nation WHERE n_nationkey % 5 = 2
           |)
           |ORDER BY _change_ordinal, _change_type, n_nationkey""".stripMargin,
+      // typed changelog over the MOR bulk-insert → log-upsert →
+      // tombstone-delete Hudi nation table: the upsert commit
+      // (ordinal 1) replays as pre-image deletes + post-image
+      // inserts, the tombstones (ordinal 2) as deletes of the
+      // post-upsert state; synthetic key 990 has no pre-image and
+      // 990 % 5 = 0 keeps it out of the delete probe set
+      "q_hudi_changelog" ->
+        """SELECT n_nationkey, n_name, n_regionkey, _change_type, _change_ordinal
+          |FROM (
+          |  SELECT n_nationkey, lower(n_name) AS n_name, n_regionkey,
+          |    'insert' AS _change_type, 1 AS _change_ordinal
+          |  FROM nation WHERE n_nationkey < 10
+          |  UNION ALL SELECT 990, 'atlantis', 2, 'insert', 1
+          |  UNION ALL
+          |  SELECT n_nationkey, n_name, n_regionkey, 'delete', 1
+          |  FROM nation WHERE n_nationkey < 10
+          |  UNION ALL
+          |  SELECT n_nationkey,
+          |    CASE WHEN n_nationkey < 10 THEN lower(n_name) ELSE n_name END,
+          |    n_regionkey, 'delete', 2
+          |  FROM nation WHERE n_nationkey % 5 = 3
+          |)
+          |ORDER BY _change_ordinal, _change_type, n_nationkey""".stripMargin,
       // incremental read of the two-snapshot Iceberg nation table:
       // the appended slice IS the second append's predicate
       "q_iceberg_incr" ->

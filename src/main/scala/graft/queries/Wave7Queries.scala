@@ -64,4 +64,54 @@ object Wave7Queries {
       .orderBy(col(IcebergTable.ChangeOrdinalCol),
         col(IcebergTable.ChangeTypeCol), col("n_nationkey"))
   }
+
+  // ---------- Hudi typed changelog ----------
+
+  private val hudiChangelog =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+
+  /** Three-commit native Hudi MOR nation table: bulk insert, a
+    * log-file UPSERT (lowercased names for keys < 10 + a synthetic
+    * insert), then tombstone DELETEs of keys ≡ 3 (mod 5) — the
+    * merge-on-read change shapes a tailing consumer must decode.
+    * Returns (path, bulk-insert instant).
+    */
+  private[queries] def writtenHudiChangelog(s: SparkSession, dir: String): (String, String) =
+    hudiChangelog.getOrElseUpdate(dir, {
+      import graft.tables.HudiWrite
+      import s.implicits._
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_hudi_chg").toString + "/nation"
+      val nation = t(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+      val i1 = HudiWrite.bulkInsert(s, nation, path, "n_nationkey",
+        Seq("n_regionkey"), tableType = "MERGE_ON_READ")
+      val changes = nation.where(col("n_nationkey") < 10)
+        .withColumn("n_name", lower(col("n_name")))
+        .unionByName(s.createDataFrame(
+          java.util.List.of(org.apache.spark.sql.Row(990, "atlantis", 2)),
+          nation.schema))
+      HudiWrite.upsert(s, changes, path)
+      val delKeys = nation.where(col("n_nationkey") % 5 === 3)
+        .select("n_nationkey")
+      HudiWrite.delete(s, delKeys, path)
+      (path, i1)
+    })
+
+  /** Typed changelog across the MOR upsert + tombstone commits: the
+    * upsert surfaces as pre-image deletes + post-image inserts
+    * (ordinal 1), the tombstones as deletes of the post-upsert state
+    * (ordinal 2) — replayed relationally by the oracle. Instants are
+    * wall-clock, so the gate pins the deterministic ordinal.
+    */
+  def qHudiChangelog(s: SparkSession, dir: String): DataFrame = {
+    import graft.tables.HudiTable
+    val (path, i1) = writtenHudiChangelog(s, dir)
+    new HudiTable("nation_hudi_chg", path)
+      .changes(s, i1)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
+        col(HudiTable.ChangeTypeCol), col(HudiTable.ChangeOrdinalCol))
+      .orderBy(col(HudiTable.ChangeOrdinalCol),
+        col(HudiTable.ChangeTypeCol), col("n_nationkey"))
+  }
 }

@@ -128,6 +128,112 @@ class HudiTable(
     df
   }
 
+  /** Typed CHANGELOG read — the Hudi leg of the triad's CDF contract
+    * ([[DeltaChanges.between]] / [[IcebergTable.changes]]): every
+    * row-level change committed in `(fromInstant, toInstant]` as
+    * table rows plus `_change_type` ∈ {insert, delete},
+    * `_commit_instant`, `_change_ordinal` and `_commit_timestamp`.
+    * Updates surface as pre-image delete + post-image insert.
+    *
+    * Per-commit derivation is a KEY DIFF of the commit's touched
+    * file groups only (the commit JSON names them): rows of the
+    * post-commit slice state stamped with this instant's
+    * `_hoodie_commit_time` are the post-images (COW rewrites
+    * preserve untouched rows' commit times; MOR log records carry
+    * their deltacommit instant — so the stamp identifies exactly the
+    * written rows); keys present before but absent after are deletes
+    * (COW rewrites dropping rows, MOR tombstones, retired groups in
+    * `partitionToReplaceFileIds`); pre-images of changed keys come
+    * from the pre-commit state of the same groups. Compaction and
+    * clustering rewrite files but preserve both keys and commit
+    * times, so they contribute nothing — no operation flag needed.
+    *
+    * Scale shape: each commit reads only its touched file groups,
+    * twice (before/after states) — cost ∝ changed data, never table
+    * size. Timeline parsing is one pass over the range's commit
+    * JSONs (the same driver-side metadata cost every Hudi reader
+    * here pays).
+    */
+  def changes(
+      spark: SparkSession,
+      fromInstant: String,
+      toInstant: Option[String] = None
+  ): DataFrame = {
+    import HudiTable.{ChangeOrdinalCol, ChangeTypeCol, CommitInstantCol, CommitTimestampCol}
+    val fs = new Path(uri).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    HudiWrite.readProps(fs, uri)
+    val all = HudiWrite.completedInstants(fs, uri, toInstant)
+    toInstant.foreach(to => require(all.exists(_._1 == to),
+      s"toInstant $to is not a completed instant of $uri"))
+    // one parse per commit JSON across the whole timeline ≤ to; the
+    // per-commit folds below filter this list, never re-read it
+    val eventsByInstant: Seq[(String, Seq[HudiWrite.SliceEvent])] =
+      all.map { case (i, action) =>
+        i -> HudiWrite.instantEvents(fs, uri, i, action)
+      }
+    val inRange = eventsByInstant.filter(_._1 > fromInstant)
+    val metaCols = Seq(HudiWrite.CommitTimeCol, HudiWrite.RecordKeyCol)
+
+    val frames = inRange.zipWithIndex.flatMap { case ((instant, events), ord) =>
+      val touched = events.map(e => (e.part, e.fileId)).toSet
+      if (touched.isEmpty) Seq.empty[DataFrame]
+      else {
+        val beforeEvents = eventsByInstant
+          .takeWhile(_._1 < instant)
+          .flatMap(_._2)
+          .filter(e => touched((e.part, e.fileId)))
+        val beforeSlices = HudiWrite.foldSlices(beforeEvents)
+        val afterSlices = HudiWrite.foldSlices(beforeEvents ++ events)
+        val after =
+          if (afterSlices.isEmpty) None
+          else Some(HudiWrite.readSlicesMerged(spark, uri, afterSlices))
+        val before =
+          if (beforeSlices.isEmpty) None
+          else Some(HudiWrite.readSlicesMerged(spark, uri, beforeSlices))
+        val posts = after.map(_.where(col(HudiWrite.CommitTimeCol) === instant))
+        val dataCols: Seq[String] = after.orElse(before)
+          .map(_.columns.toSeq.filterNot(metaCols.contains))
+          .getOrElse(Seq.empty)
+        def stamp(df: DataFrame, changeType: String): DataFrame =
+          df.select(dataCols.map(col): _*)
+            .withColumn(ChangeTypeCol, lit(changeType))
+            .withColumn(CommitInstantCol, lit(instant))
+            .withColumn(ChangeOrdinalCol, lit(ord + 1))
+            .withColumn(CommitTimestampCol,
+              to_timestamp(lit(instant), "yyyyMMddHHmmssSSS"))
+        val b = Seq.newBuilder[DataFrame]
+        posts.foreach(p => b += stamp(p, "insert"))
+        before.foreach { bf =>
+          val changedKeys = posts.map(_.select(col(HudiWrite.RecordKeyCol)))
+          val deletedKeys = after match {
+            case Some(a) => bf.select(col(HudiWrite.RecordKeyCol))
+              .join(a.select(col(HudiWrite.RecordKeyCol)),
+                Seq(HudiWrite.RecordKeyCol), "left_anti")
+            case None => bf.select(col(HudiWrite.RecordKeyCol))
+          }
+          val keys = changedKeys
+            .map(_.unionByName(deletedKeys)).getOrElse(deletedKeys).distinct()
+          b += stamp(bf.join(keys, Seq(HudiWrite.RecordKeyCol), "left_semi"),
+            "delete")
+        }
+        b.result()
+      }
+    }
+    if (frames.nonEmpty) frames.reduce(_.unionByName(_))
+    else {
+      // empty range: a declared-empty frame with the table's schema
+      val src = HudiWrite.allWrittenSlices(fs, uri).headOption
+        .getOrElse(throw new IllegalArgumentException(
+          s"Hudi table $uri has no completed commits with data"))
+      HudiWrite.readSlices(spark, uri, Seq(src)).limit(0)
+        .drop(metaCols: _*)
+        .withColumn(ChangeTypeCol, lit(null).cast("string"))
+        .withColumn(CommitInstantCol, lit(null).cast("string"))
+        .withColumn(ChangeOrdinalCol, lit(null).cast("int"))
+        .withColumn(CommitTimestampCol, lit(null).cast("timestamp"))
+    }
+  }
+
   override def getSchema(spark: SparkSession): TableSchema = {
     val df = apply(spark, ReadArgs.empty)
     val fs = new Path(uri).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -205,6 +311,15 @@ class HudiTable(
 }
 
 object HudiTable {
+
+  /** Changelog column names — `_change_type` shared across the triad
+    * ([[DeltaChanges]] / [[IcebergTable]]) so IncrementalView reads
+    * one contract; the commit key is the instant string.
+    */
+  val ChangeTypeCol = DeltaChanges.ChangeTypeCol
+  val CommitInstantCol = "_commit_instant"
+  val ChangeOrdinalCol = "_change_ordinal"
+  val CommitTimestampCol = DeltaChanges.CommitTimestampCol
 
   /** Partition + column-stats pruning of one slice — the SAME
     * predicate the driver path filters with and the distributed

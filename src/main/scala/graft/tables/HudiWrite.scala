@@ -1143,11 +1143,20 @@ object HudiWrite {
   private[tables] def latestSlices(
       fs: FileSystem, tablePath: String, asOf: Option[String]): Seq[FileSlice] =
     foldSlices(completedInstants(fs, tablePath, asOf).iterator.flatMap {
-      case (instant, action) =>
-        val in = fs.open(new Path(new Path(tablePath, ".hoodie"), s"$instant.$action"))
-        val root = try mapper.readTree(in) finally in.close()
-        commitEvents(root, action, instant)
+      case (instant, action) => instantEvents(fs, tablePath, instant, action)
     })
+
+  /** One completed instant's slice events (commit JSON parsed here,
+    * [[commitEvents]] decoded) — shared by [[latestSlices]] and the
+    * changelog read's per-commit walk.
+    */
+  private[tables] def instantEvents(
+      fs: FileSystem, tablePath: String,
+      instant: String, action: String): Seq[SliceEvent] = {
+    val in = fs.open(new Path(new Path(tablePath, ".hoodie"), s"$instant.$action"))
+    val root = try mapper.readTree(in) finally in.close()
+    commitEvents(root, action, instant)
+  }
 
   /** Total bytes of completed commit JSONs — the O(1)-to-estimate
     * proxy for driver slice-planning cost (stats entries ∝ bytes).
