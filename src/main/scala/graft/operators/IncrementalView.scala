@@ -1,12 +1,15 @@
 package graft.operators
 
 import graft.core.{Filter, Filters}
-import graft.tables.{DeltaChanges, DeltaLog, DeltaTable, DeltaWrite}
+import graft.tables.{ChangeFeed, DeltaChanges, DeltaLog, DeltaTable, DeltaWrite}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Incremental maintenance of a grouped-aggregate materialized view
-  * over a CDF-enabled Delta base table — the way aggregates stay fresh
+  * over a change-feed-capable base table — Delta (CDF), Iceberg or
+  * Hudi, dispatched through [[graft.tables.ChangeFeed]]; the view
+  * itself is always a Delta table (its atomic txn-watermark commit
+  * is what the exactly-once story rides on) — the way aggregates stay fresh
   * over a 100 TB base without recomputing: each refresh reads ONLY the
   * change feed since the last processed version and applies signed
   * deltas (insert/update_postimage count +, delete/update_preimage
@@ -46,9 +49,9 @@ object IncrementalView {
   ): Long = {
     require(DeltaLog.latestVersion(spark, viewPath).isEmpty,
       s"view $viewPath already exists — use refresh")
-    val baseVersion = DeltaLog.snapshot(spark, basePath, withFiles = false).version
-    val base = new DeltaTable("base", basePath)(spark,
-      graft.tables.ReadArgs(extra = Map("versionAsOf" -> baseVersion)))
+    val feed = ChangeFeed.forPath(spark, basePath)
+    val baseVersion = feed.head(spark)
+    val base = feed.snapshotAt(spark, baseVersion)
     DeltaWrite.append(spark, aggregate(base, keys, sums), viewPath,
       txn = Some((AppId, baseVersion)))
     baseVersion
@@ -73,10 +76,11 @@ object IncrementalView {
       throw new IllegalArgumentException(
         s"view $viewPath carries no $AppId transaction — initialize it first"))
     // metadata-only: the head version check reads no file lists
-    val head = DeltaLog.snapshot(spark, basePath, withFiles = false).version
+    val feed = ChangeFeed.forPath(spark, basePath)
+    val head = feed.head(spark)
     if (head <= last) return last
 
-    val delta = changesDelta(spark, basePath, last, head, keys, sums)
+    val delta = changesDelta(spark, feed, last, head, keys, sums)
 
     val current = new DeltaTable("view", viewPath)(spark,
       graft.tables.ReadArgs(extra = Map("versionAsOf" -> viewSnap.version)))
@@ -122,10 +126,11 @@ object IncrementalView {
     val last = viewSnap.txns.getOrElse(AppId,
       throw new IllegalArgumentException(
         s"view $viewPath carries no $AppId transaction — initialize it first"))
-    val head = DeltaLog.snapshot(spark, basePath, withFiles = false).version
+    val feed = ChangeFeed.forPath(spark, basePath)
+    val head = feed.head(spark)
     if (head <= last) return last
 
-    val delta = changesDelta(spark, basePath, last, head, keys, sums)
+    val delta = changesDelta(spark, feed, last, head, keys, sums)
     // one driver row: change count, per-key bounds, per-key null keys
     val k = keys.size
     val aggs =
@@ -178,21 +183,26 @@ object IncrementalView {
       basePath: String,
       keys: Seq[String],
       sums: Seq[(String, String)]
-  ): DataFrame =
-    aggregate(new DeltaTable("base", basePath)(spark), keys, sums)
+  ): DataFrame = {
+    val feed = ChangeFeed.forPath(spark, basePath)
+    aggregate(feed.snapshotAt(spark, feed.head(spark)), keys, sums)
+  }
 
-  /** Signed per-key delta of the base's CDF in `(last, head]`:
-    * insert/update_postimage count +1, delete/update_preimage −1.
+  /** Signed per-key delta of the base's change feed in `(last,
+    * head]`: insert/update_postimage count +1,
+    * delete/update_preimage −1 — Iceberg/Hudi feeds emit only
+    * insert/delete (updates arrive pre-split), so one sign rule
+    * covers all three formats.
     */
   private def changesDelta(
       spark: SparkSession,
-      basePath: String,
+      feed: ChangeFeed,
       last: Long,
       head: Long,
       keys: Seq[String],
       sums: Seq[(String, String)]
   ): DataFrame = {
-    val changes = DeltaChanges.between(spark, basePath, last + 1, head)
+    val changes = feed.changes(spark, last, head)
     val sign = when(
       col(DeltaChanges.ChangeTypeCol).isin("insert", "update_postimage"), 1L)
       .otherwise(-1L)

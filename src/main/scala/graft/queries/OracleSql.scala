@@ -2050,6 +2050,25 @@ object OracleSql {
           |  FROM nation WHERE n_nationkey % 5 = 3
           |)
           |ORDER BY _change_ordinal, _change_type, n_nationkey""".stripMargin,
+      // IncrementalView over an ICEBERG base: the Spark side folds an
+      // equality upsert (+1000 on keys ≡ 0 mod 3, inserted key 990)
+      // and an equality delete (keys ≡ 2 mod 5) into one
+      // changelog-fed refresh; the oracle recomputes the final
+      // per-region aggregate from scratch
+      "q_incr_view_iceberg" ->
+        """WITH base AS (
+          |  SELECT n_nationkey, n_regionkey,
+          |    CAST(n_nationkey * 10 AS BIGINT) AS v FROM nation),
+          |upserted AS (
+          |  SELECT n_nationkey, n_regionkey,
+          |    CASE WHEN n_nationkey % 3 = 0 THEN v + 1000 ELSE v END AS v
+          |  FROM base
+          |  UNION ALL SELECT 990, 2, CAST(777 AS BIGINT)),
+          |finalstate AS (SELECT * FROM upserted WHERE n_nationkey % 5 <> 2)
+          |SELECT n_regionkey, count(*) AS n_rows,
+          |  CAST(sum(v) AS BIGINT) AS sum_v
+          |FROM finalstate GROUP BY n_regionkey
+          |ORDER BY n_regionkey""".stripMargin,
       // incremental read of the two-snapshot Iceberg nation table:
       // the appended slice IS the second append's predicate
       "q_iceberg_incr" ->

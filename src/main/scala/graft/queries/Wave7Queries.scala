@@ -114,4 +114,53 @@ object Wave7Queries {
       .orderBy(col(HudiTable.ChangeOrdinalCol),
         col(HudiTable.ChangeTypeCol), col("n_nationkey"))
   }
+
+  // ---------- IncrementalView over an Iceberg base (E50 × R49) ----------
+
+  private val icebergIvm =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Per-region (count, sum) view over an ICEBERG base, maintained
+    * through the typed changelog: initialize, then an equality upsert
+    * (+1000 on keys ≡ 0 mod 3, one inserted key) and an equality
+    * delete (keys ≡ 2 mod 5) folded into ONE refresh that reads only
+    * the change feed — never the base table. Returns the VIEW path
+    * (a Delta table).
+    */
+  private[queries] def builtIcebergView(s: SparkSession, dir: String): String =
+    icebergIvm.getOrElseUpdate(dir, {
+      import graft.operators.IncrementalView
+      import graft.tables.IcebergWrite
+      val tmp = java.nio.file.Files.createTempDirectory("graft_iceberg_ivm").toString
+      val base = tmp + "/base"
+      val view = tmp + "/view"
+      val nation = t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_regionkey"),
+          (col("n_nationkey") * 10L).cast("long").as("v"))
+      IcebergWrite.append(s, nation, base)
+      val keys = Seq("n_regionkey"); val sums = Seq(("v", "sum_v"))
+      IncrementalView.initialize(s, base, view, keys, sums)
+      IcebergWrite.upsertEquality(s,
+        nation.where(col("n_nationkey") % 3 === 0)
+          .withColumn("v", col("v") + 1000L)
+          .unionByName(s.createDataFrame(
+            java.util.List.of(org.apache.spark.sql.Row(990, 2, 777L)),
+            nation.schema)),
+        base, Seq("n_nationkey"))
+      IcebergWrite.deleteEquality(s, base,
+        nation.where(col("n_nationkey") % 5 === 2).select("n_nationkey"))
+      IncrementalView.refresh(s, base, view, keys, sums)
+      view
+    })
+
+  /** The refreshed view's final state; the oracle recomputes it from
+    * scratch, so a hash match proves the Iceberg-changelog-fed
+    * signed-delta algebra.
+    */
+  def qIncrViewIceberg(s: SparkSession, dir: String): DataFrame = {
+    import graft.tables.{DeltaTable, ReadArgs}
+    new DeltaTable("iceberg_view", builtIcebergView(s, dir))(s, ReadArgs())
+      .select(col("n_regionkey"), col("n_rows"), col("sum_v"))
+      .orderBy("n_regionkey")
+  }
 }

@@ -1,0 +1,145 @@
+package graft.tables
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One change-stream contract over the lakehouse triad — the
+  * format-dispatch seam [[graft.operators.IncrementalView]] (and any
+  * other signed-delta consumer) reads through instead of importing a
+  * format's reader directly.
+  *
+  * Versions are format-native tokens squeezed into a MONOTONIC Long
+  * so a consumer can checkpoint one number: Delta's commit version,
+  * Iceberg's snapshot SEQUENCE number (ids are random for foreign
+  * writers; sequence numbers are spec-monotonic), Hudi's 17-digit
+  * instant parsed as a Long. [[changes]] emits the table's rows plus
+  * `_change_type` with insert/delete (+ update_preimage/postimage
+  * from Delta's CDF) — the shared column name across all three
+  * readers.
+  */
+trait ChangeFeed {
+
+  /** The table's current version token (monotonic). */
+  def head(spark: SparkSession): Long
+
+  /** Typed change rows committed in `(fromVersion, toVersion]`. */
+  def changes(spark: SparkSession, fromVersion: Long, toVersion: Long): DataFrame
+
+  /** Full snapshot pinned at `version` (initialize / recompute). */
+  def snapshotAt(spark: SparkSession, version: Long): DataFrame
+}
+
+object ChangeFeed {
+
+  /** Detect the table format from its on-disk layout: `_delta_log`
+    * → Delta, `.hoodie` → Hudi, `metadata/v*.metadata.json` →
+    * Iceberg — refused loudly otherwise.
+    */
+  def forPath(spark: SparkSession, path: String): ChangeFeed = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new Path(p, "_delta_log"))) new DeltaFeed(path)
+    else if (fs.exists(new Path(p, ".hoodie"))) new HudiFeed(path)
+    else if (fs.exists(new Path(p, "metadata")) &&
+      fs.listStatus(new Path(p, "metadata"))
+        .exists(_.getPath.getName.matches("v\\d+\\.metadata\\.json")))
+      new IcebergFeed(path)
+    else throw new IllegalArgumentException(
+      s"$path is not a Delta, Iceberg or Hudi table " +
+        "(no _delta_log, metadata/v*.metadata.json or .hoodie)")
+  }
+}
+
+/** Delta leg: versions ARE the commit versions; changes come from
+  * the change data feed ([[DeltaChanges.between]], from-exclusive
+  * adjusted to its inclusive contract).
+  */
+final class DeltaFeed(val path: String) extends ChangeFeed {
+  override def head(spark: SparkSession): Long =
+    DeltaLog.snapshot(spark, path, withFiles = false).version
+
+  override def changes(spark: SparkSession, fromVersion: Long, toVersion: Long): DataFrame =
+    DeltaChanges.between(spark, path, fromVersion + 1, toVersion)
+
+  override def snapshotAt(spark: SparkSession, version: Long): DataFrame =
+    new DeltaTable("base", path)(spark,
+      ReadArgs(extra = Map("versionAsOf" -> version)))
+}
+
+/** Iceberg leg: version tokens are snapshot SEQUENCE numbers
+  * (monotonic per the spec), resolved to snapshot ids through the
+  * current snapshot's ancestor chain before the changelog walk.
+  */
+final class IcebergFeed(val path: String) extends ChangeFeed {
+
+  private def meta(spark: SparkSession): IcebergMeta.TableMeta = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    IcebergMeta.load(fs, path)
+  }
+
+  private def current(m: IcebergMeta.TableMeta): IcebergMeta.SnapshotInfo =
+    IcebergMeta.selectSnapshot(m, None, None)
+
+  /** The main-lineage snapshot with sequence number `seq`: walked
+    * from the current snapshot through parent ids so a branch
+    * snapshot sharing the number never resolves.
+    */
+  private def snapshotOfSeq(m: IcebergMeta.TableMeta, seq: Long): IcebergMeta.SnapshotInfo = {
+    val byId = m.snapshots.map(s => s.id -> s).toMap
+    var at: Option[IcebergMeta.SnapshotInfo] = Some(current(m))
+    var steps = 0
+    while (at.isDefined && at.get.sequenceNumber > seq && steps <= m.snapshots.size) {
+      at = at.get.parentId.flatMap(byId.get)
+      steps += 1
+    }
+    at.filter(_.sequenceNumber == seq).getOrElse {
+      // parent links incomplete (foreign writer): fall back to the
+      // unique snapshot carrying the number
+      val hits = m.snapshots.filter(_.sequenceNumber == seq)
+      require(hits.size == 1,
+        s"cannot resolve sequence number $seq in $path " +
+          s"(${hits.size} snapshots carry it and parent links are incomplete)")
+      hits.head
+    }
+  }
+
+  override def head(spark: SparkSession): Long =
+    current(meta(spark)).sequenceNumber
+
+  override def changes(spark: SparkSession, fromVersion: Long, toVersion: Long): DataFrame = {
+    val m = meta(spark)
+    new IcebergTable("base", path).changes(spark,
+      snapshotOfSeq(m, fromVersion).id, snapshotOfSeq(m, toVersion).id)
+  }
+
+  override def snapshotAt(spark: SparkSession, version: Long): DataFrame = {
+    val m = meta(spark)
+    val table = new IcebergTable("base", path)
+    table(spark, ReadArgs(extra = Map(table.SnapshotIdKey -> snapshotOfSeq(m, version).id)))
+  }
+}
+
+/** Hudi leg: version tokens are the 17-digit commit instants parsed
+  * as Longs (wall-clock-ordered by construction).
+  */
+final class HudiFeed(val path: String) extends ChangeFeed {
+
+  private def instantStr(v: Long): String = f"$v%017d"
+
+  override def head(spark: SparkSession): Long = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    HudiWrite.completedInstants(fs, path, None).lastOption
+      .map(_._1.toLong)
+      .getOrElse(throw new IllegalArgumentException(
+        s"Hudi table $path has no completed commits"))
+  }
+
+  override def changes(spark: SparkSession, fromVersion: Long, toVersion: Long): DataFrame =
+    new HudiTable("base", path)
+      .changes(spark, instantStr(fromVersion), Some(instantStr(toVersion)))
+
+  override def snapshotAt(spark: SparkSession, version: Long): DataFrame = {
+    val table = new HudiTable("base", path)
+    table(spark, ReadArgs(extra = Map(table.AsOfInstantKey -> instantStr(version))))
+  }
+}
