@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Product quantization for ANN at corpus scale (Jégou et al. 2011,
   * "Product Quantization for Nearest Neighbor Search", IEEE TPAMI):
@@ -44,9 +45,21 @@ object Pq {
     val subDim: Int = dims / m
   }
 
-  /** Train one codebook per contiguous subvector slice. Deterministic
-    * and partitioning-invariant (inherits [[Similarity.kmeansCentroids]]'s
-    * guarantees), so two fits over the same data agree bit-for-bit.
+  /** Train one codebook per contiguous subvector slice — in ONE pass
+    * per Lloyd round shared by all m sub-learners (maxIter + 2 jobs
+    * total: count, sample collect, maxIter aggregations), not m
+    * independent k-means runs: each row's m subspace assignments are
+    * computed in the same scan and a single groupBy((j, cid, pos))
+    * aggregation feeds every codebook's mean update. At 100 TB,
+    * m × (maxIter + 2) corpus passes versus maxIter + 2 is the
+    * difference between an overnight job and a coffee break.
+    *
+    * Bit-identical to m per-subspace [[Similarity.kmeansCentroids]]
+    * runs (PqSpec asserts it): the init sample is gated by the SAME
+    * id hash (so every subspace sees the same rows — slicing the
+    * collected vectors locally equals collecting sliced vectors),
+    * the greedy seeding is the shared [[Similarity.greedySeeds]],
+    * and per-round means divide the same exact decimal sums.
     */
   def fit(
       corpus: DataFrame,
@@ -59,9 +72,64 @@ object Pq {
   ): Model = {
     require(dims % m == 0, s"dims $dims not divisible by m $m")
     val d = dims / m
-    val books = (0 until m).map { j =>
-      val sub = corpus.select(col(idCol), slice(col(vecCol), j * d + 1, d).as("_subv"))
-      Similarity.kmeansCentroids(sub, idCol, "_subv", ksub, maxIter)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    // ---- init: one count + one FULL-vector sample collect; each
+    // subspace's greedy seeding runs on the sliced sample ----
+    val n = corpus.count()
+    require(n > 0, "Pq.fit on an empty corpus")
+    def collectSample(fraction: Double): Array[(Long, Array[Double])] =
+      corpus.select(col(idCol).cast("long"), col(vecCol))
+        .where(
+          if (fraction >= 1.0) lit(true)
+          else Sampling.sampledBy(col(idCol), fraction, salt = "kmeans-init"))
+        .as[(Long, Seq[Float])]
+        .collect()
+        .map { case (id, v) => (id, v.map(_.toDouble).toArray) }
+        .sortBy(_._1)
+    val target = 4L * ksub // kmeansCentroids' default initOversample
+    var sample = collectSample(target.toDouble / n)
+    if (sample.length < ksub) sample = collectSample(1.0)
+    var books: Seq[Seq[(Long, Seq[Double])]] = (0 until m).map { j =>
+      Similarity.greedySeeds(
+        sample.map { case (id, v) => (id, v.slice(j * d, j * d + d)) }, ksub)
+    }
+
+    // ---- Lloyd rounds: ONE aggregation per round for all m books ----
+    (1 to maxIter).foreach { _ =>
+      val cids = array((0 until m).map(j =>
+        Similarity.nearestExpr(books(j), slice(col(vecCol), j * d + 1, d))
+          .getField("cid")): _*)
+      val sums = corpus
+        // two projections: the generator extraction re-analyzes its
+        // select, which strips the aliases inside nearestExpr's
+        // lambda struct — resolving _cids first keeps it an attribute
+        .select(cids.as("_cids"), col(vecCol))
+        .select(col("_cids"), posexplode(col(vecCol)).as(Seq("_pos", "_v")))
+        .select(
+          floor(col("_pos") / d).cast("int").as("_j"),
+          col("_cids"), (col("_pos") % d).as("_sp"), col("_v"))
+        .withColumn("_cid", element_at(col("_cids"), col("_j") + 1))
+        .groupBy("_j", "_cid", "_sp")
+        .agg(
+          sum(col("_v").cast(DecimalType(28, 10))).as("_s"),
+          count(lit(1)).as("_n"))
+        .select("_j", "_cid", "_sp", "_s", "_n")
+        .as[(Int, Long, Int, java.math.BigDecimal, Long)]
+        .collect()
+      val byJc = sums.groupBy(t => (t._1, t._2))
+      books = (0 until m).map { j =>
+        books(j).map { case (cid, old) =>
+          byJc.get((j, cid)) match {
+            case Some(rows) =>
+              (cid, rows.sortBy(_._3).map { case (_, _, _, s, cnt) =>
+                (BigDecimal(s) / cnt).toDouble
+              }.toSeq)
+            case None => (cid, old) // empty cluster keeps its centroid
+          }
+        }
+      }
     }
     Model(dims, m, books)
   }

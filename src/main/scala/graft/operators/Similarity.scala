@@ -170,27 +170,7 @@ object Similarity {
     // degenerate corpus / unlucky hash margin: fall back to everything
     if (sample.length < k) sample = collectSample(1.0)
 
-    val seeds = scala.collection.mutable.Buffer[Array[Double]](sample.head._2)
-    // min squared distance from each candidate to the chosen seed set
-    val minD = sample.map(p => l2sqLocal(p._2, seeds.head))
-    while (seeds.size < math.min(k, sample.length)) {
-      var best = 0
-      var i = 1
-      while (i < sample.length) {
-        if (minD(i) > minD(best)) best = i // ids ascending → ties keep lowest id
-        i += 1
-      }
-      val next = sample(best)._2
-      seeds += next
-      i = 0
-      while (i < sample.length) {
-        val d = l2sqLocal(sample(i)._2, next)
-        if (d < minD(i)) minD(i) = d
-        i += 1
-      }
-    }
-    var centroids: Seq[(Long, Seq[Double])] =
-      seeds.toSeq.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
+    var centroids: Seq[(Long, Seq[Double])] = greedySeeds(sample, k)
 
     (1 to maxIter).foreach { _ =>
       val assigned = assignNearest(corpus, vecCol, centroids)
@@ -215,6 +195,37 @@ object Similarity {
       }
     }
     centroids
+  }
+
+  /** Deterministic k-center greedy over an id-ascending sample (the
+    * farthest-point init every learner here shares): seed 0 is the
+    * lowest id, each next seed maximizes min-distance to the chosen
+    * set (ties keep the lowest id). Extracted so [[Pq.fit]] can init
+    * all m subspace codebooks from ONE sample collect and stay
+    * bit-identical to per-subspace [[kmeansCentroids]] runs.
+    */
+  private[operators] def greedySeeds(
+      sample: Array[(Long, Array[Double])], k: Int): Seq[(Long, Seq[Double])] = {
+    val seeds = scala.collection.mutable.Buffer[Array[Double]](sample.head._2)
+    // min squared distance from each candidate to the chosen seed set
+    val minD = sample.map(p => l2sqLocal(p._2, seeds.head))
+    while (seeds.size < math.min(k, sample.length)) {
+      var best = 0
+      var i = 1
+      while (i < sample.length) {
+        if (minD(i) > minD(best)) best = i // ids ascending → ties keep lowest id
+        i += 1
+      }
+      val next = sample(best)._2
+      seeds += next
+      i = 0
+      while (i < sample.length) {
+        val d = l2sqLocal(sample(i)._2, next)
+        if (d < minD(i)) minD(i) = d
+        i += 1
+      }
+    }
+    seeds.toSeq.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
   }
 
   private def l2sqLocal(a: Array[Double], b: Array[Double]): Double = {

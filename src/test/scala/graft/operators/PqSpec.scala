@@ -6,6 +6,21 @@ import org.apache.spark.sql.functions._
 class PqSpec extends SparkSpec {
   import spark.implicits._
 
+  private def countingJobs[A](body: => A): (A, Long) = {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val jobs = new java.util.concurrent.atomic.AtomicLong
+    val l = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = { jobs.incrementAndGet(); () }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val a = body
+      // listener events are async; give the bus a moment to drain
+      Thread.sleep(300)
+      (a, jobs.get())
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
   /** 8 vectors in 4 dims, m=2 subspaces of 2 dims. The subvectors take
     * only 2 distinct values per subspace, so with ksub=2 the learned
     * codebooks are EXACT (each centroid a distinct point) and ADC
@@ -108,5 +123,38 @@ class PqSpec extends SparkSpec {
     val b = graft.queries.Wave6Queries.qPqAnn(spark, sf()).collect().toSeq
     assert(a == b)
     assert(a.nonEmpty)
+  }
+
+  test("fit is bit-identical to m independent per-subspace k-means runs") {
+    // the m-fold reference learner the one-scan fit replaced: each
+    // subspace sliced out and trained alone — same init hash, same
+    // greedy seeding, same decimal means
+    val dims = 4; val m = 2; val ksub = 2; val maxIter = 3
+    val d = dims / m
+    val reference = (0 until m).map { j =>
+      val sub = corpus.select(col("vec_id"),
+        slice(col("embedding"), j * d + 1, d).as("_subv"))
+      Similarity.kmeansCentroids(sub, "vec_id", "_subv", ksub, maxIter)
+    }
+    val fitted = Pq.fit(corpus, "vec_id", "embedding", dims, m, ksub, maxIter)
+    assert(fitted.codebooks == reference)
+  }
+
+  test("fit shares each Lloyd round across all m codebooks: job count independent of m") {
+    val maxIter = 3
+    // warm up codegen/catalog so the counted runs are pure fit work
+    Pq.fit(corpus, "vec_id", "embedding", dims = 4, m = 2, ksub = 2, maxIter = 1)
+    val (_, jobsM2) = countingJobs {
+      Pq.fit(corpus, "vec_id", "embedding", dims = 4, m = 2, ksub = 2, maxIter = maxIter)
+    }
+    val (_, jobsM4) = countingJobs {
+      Pq.fit(corpus, "vec_id", "embedding", dims = 4, m = 4, ksub = 2, maxIter = maxIter)
+    }
+    // count + sample collect + one aggregation per Lloyd round (AQE
+    // materializes each round's shuffle as its own job, so the
+    // constant is small but AQE-dependent); the CLAIM is that m
+    // doesn't multiply it — the old learner paid m × everything
+    assert(jobsM4 == jobsM2, s"jobs must not grow with m: m=2 → $jobsM2, m=4 → $jobsM4")
+    assert(jobsM2 <= 2 + 2 * maxIter, s"per-round job budget blown: $jobsM2")
   }
 }
