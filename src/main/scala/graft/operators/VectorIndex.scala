@@ -127,6 +127,42 @@ object VectorIndex {
     }
   }
 
+  /** Delete corpus rows from the index by id — the lifecycle
+    * complement of [[addBatch]]: without it a row deleted from the
+    * source corpus keeps surfacing from the codes table until a full
+    * rebuild. The codes table IS a Delta table, so this is a keyed
+    * [[DeltaWrite.deleteWhere]]; on a coarse-partitioned index the
+    * deleted ids' OWNING buckets are resolved first (one pruned read
+    * of the ids' (id, centroid_id) pairs) and the delete predicate
+    * carries `centroid_id IN (owners)` — partition pruning then
+    * bounds the rewrite to exactly those bucket directories, never
+    * the whole codes table. Returns the number of owning buckets
+    * rewritten (0 = no id was present, no commit made).
+    */
+  def deleteByIds(
+      spark: SparkSession,
+      root: String,
+      ids: Seq[Any]
+  ): Int = {
+    require(ids.nonEmpty, "deleteByIds with no ids")
+    val idFilter = Filter("id", "in", ids)
+    val codes = new DeltaTable("vecindex_codes", codesPath(root))(
+      spark, ReadArgs.where(idFilter))
+    if (codes.columns.contains("centroid_id")) {
+      val owners = codes.select("centroid_id").distinct()
+        .collect().map(_.get(0)).toSeq
+      if (owners.isEmpty) return 0
+      DeltaWrite.deleteWhere(spark, codesPath(root), graft.core.Filters.normalize(
+        Seq(idFilter, Filter("centroid_id", "in", owners))))
+      owners.size
+    } else {
+      if (codes.limit(1).isEmpty) return 0
+      DeltaWrite.deleteWhere(spark, codesPath(root),
+        graft.core.Filters.normalize(Seq(idFilter)))
+      1
+    }
+  }
+
   /** The persisted coarse centroids, or None for a flat index. */
   def loadCoarse(spark: SparkSession, root: String): Option[Seq[(Long, Seq[Double])]] = {
     val p = new org.apache.hadoop.fs.Path(coarsePath(root), "_delta_log")

@@ -1267,6 +1267,15 @@ object HudiWrite {
   private[tables] def readSlices(
       spark: SparkSession, tablePath: String, slices: Seq[FileSlice]): DataFrame = {
     require(slices.nonEmpty, "no slices to read")
+    // non-parquet base files (ORC / HFile — legal Hudi, written by
+    // foreign engines) refuse LOUDLY with the file and format named
+    // instead of dying inside the parquet footer reader
+    slices.find(s => !s.relPath.endsWith(".parquet")).foreach { s =>
+      val ext = s.relPath.split('.').lastOption.getOrElse("?").toUpperCase
+      throw new UnsupportedOperationException(
+        s"$tablePath stores a non-parquet ($ext) base file for file group " +
+          s"${s.fileId}: ${s.relPath}; this reader scans PARQUET only")
+    }
     spark.read
       .option("basePath", tablePath)
       .parquet(slices.map(s => s"$tablePath/${s.relPath}"): _*)

@@ -417,6 +417,19 @@ class IcebergTable(
           s"writer first (e.g. ${dvs.head.path})")
   }
 
+  /** Non-PARQUET content files (ORC/AVRO data or delete files —
+    * legal Iceberg, written by foreign engines) refuse LOUDLY at
+    * plan time with the file and format named, instead of dying
+    * inside the parquet footer reader — the same honesty discipline
+    * as the v3 Puffin refusal above (DVs get that message, not this
+    * one).
+    */
+  private def requireParquet(files: Seq[IcebergMeta.ContentFile], role: String): Unit =
+    files.find(f => f.fileFormat != "PARQUET" && !f.isDeletionVector).foreach(f =>
+      throw new UnsupportedOperationException(
+        s"$uri stores ${f.fileFormat} $role files (e.g. ${f.path}); this reader " +
+          "scans PARQUET only — rewrite_data_files with a parquet-writing engine first"))
+
   /** Scan planning with the R40 discipline: BELOW the file gate the
     * driver loops manifests ([[IcebergMeta.planFiles]]); ABOVE it —
     * where even the content-file LIST outgrows the driver (10⁷ files
@@ -499,6 +512,7 @@ class IcebergTable(
     val helperFields = Seq(
       StructField(PathCol, StringType), StructField(PosCol, LongType),
       StructField(SeqCol, LongType))
+    requireParquet(files, "data")
     val outSchema =
       if (!withDeletes) schema else StructType(schema.fields ++ helperFields)
     if (files.isEmpty)
@@ -543,6 +557,7 @@ class IcebergTable(
       posDeletes: Seq[IcebergMeta.ContentFile]
   ): DataFrame = {
     if (posDeletes.isEmpty) return data
+    requireParquet(posDeletes, "position-delete")
     import spark.implicits._
     val delSchema = StructType(Seq(
       StructField("file_path", StringType), StructField("pos", LongType)))
@@ -575,6 +590,7 @@ class IcebergTable(
       eqDeletes: Seq[IcebergMeta.ContentFile]
   ): DataFrame = {
     if (eqDeletes.isEmpty) return data
+    requireParquet(eqDeletes, "equality-delete")
     eqDeletes.groupBy(_.equalityIds).foldLeft(data) { case (df, (ids, files)) =>
       require(ids.nonEmpty, s"equality delete file ${files.head.path} has no equality ids")
       val cols = ids.map(id => meta.schemaFieldIds.getOrElse(id,

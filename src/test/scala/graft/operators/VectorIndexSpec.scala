@@ -181,4 +181,62 @@ class VectorIndexSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("coarse"))
   }
+
+  test("deleteByIds: deleted ids never surface; only owning buckets rewritten") {
+    val root = tempDir("vecidx-del").toString + "/idx"
+    val corpus = vecs(0 until 60)
+    VectorIndex.create(spark, corpus, "vec_id", "embedding",
+      root, dims = 8, m = 4, ksub = 4, coarseK = 4, coarseIter = 2)
+    val coarse = VectorIndex.loadCoarse(spark, root).get
+    val queries = Pq.collectQueries(corpus, "vec_id", "embedding", 3)
+    val before = VectorIndex.search(spark, root, queries, 60, nprobe = 4)
+      .select("neighbor_id").as[Long].collect().toSet
+    // pick two ids the probed search actually returns
+    val victims = before.toSeq.sorted.take(2)
+    assert(victims.nonEmpty)
+    val codesPath = s"$root/codes"
+    val owners = new graft.tables.DeltaTable("c", codesPath)(
+      spark, graft.tables.ReadArgs.empty)
+      .where(col("id").isin(victims: _*))
+      .select("centroid_id").as[Long].collect().toSet
+
+    val preVersion = graft.tables.DeltaLog
+      .snapshot(spark, codesPath, withFiles = false).version
+    val rewritten = VectorIndex.deleteByIds(spark, root, victims)
+    assert(rewritten == owners.size)
+
+    // a deleted id never surfaces again, probed or exhaustive
+    val afterProbed = VectorIndex.search(spark, root, queries, 60, nprobe = 4)
+      .select("neighbor_id").as[Long].collect().toSet
+    val afterFlat = VectorIndex.search(spark, root, queries, 60)
+      .select("neighbor_id").as[Long].collect().toSet
+    victims.foreach { v =>
+      assert(!afterProbed.contains(v) && !afterFlat.contains(v))
+    }
+    assert(afterProbed == before -- victims)
+
+    // the delete commit's remove actions touch ONLY the owning buckets
+    val removed = graft.tables.DeltaLog
+      .changeActions(spark, codesPath, preVersion + 1, preVersion + 1)
+      .flatMap(_.removes).map(_.path)
+    assert(removed.nonEmpty)
+    assert(removed.forall(p => owners.exists(o => p.contains(s"centroid_id=$o"))),
+      s"rewrote outside owning buckets: $removed (owners $owners)")
+
+    // deleting absent ids is a no-op: no commit
+    assert(VectorIndex.deleteByIds(spark, root, Seq(99999L)) == 0)
+    assert(graft.tables.DeltaLog.snapshot(spark, codesPath, withFiles = false).version ==
+      preVersion + 1)
+  }
+
+  test("deleteByIds on a flat index removes the rows") {
+    val root = tempDir("vecidx-delf").toString + "/idx"
+    val corpus = vecs(0 until 20)
+    VectorIndex.create(spark, corpus, "vec_id", "embedding", root, dims = 8, m = 2, ksub = 3)
+    val queries = Pq.collectQueries(corpus, "vec_id", "embedding", 2)
+    assert(VectorIndex.deleteByIds(spark, root, Seq(7L)) == 1)
+    val got = VectorIndex.search(spark, root, queries, 20)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(!got.contains(7L))
+  }
 }
