@@ -118,8 +118,15 @@ object NearDup {
     md5(concat_ws("|", sigs: _*))
 
   /** Candidate near-duplicate pairs via banding, verified with exact
-    * shingle-set Jaccard; returns (a_id, b_id, jaccard) with
-    * jaccard >= threshold, a_id < b_id, rounded to 4 decimals.
+    * shingle-set Jaccard; returns (a_id, b_id, jaccard, star) with
+    * a_id < b_id and jaccard rounded to 4 decimals. Non-star rows
+    * carry jaccard >= threshold; `star = true` rows are the
+    * hot-bucket guard's connectivity edges (below) — they bypass the
+    * threshold filter so an oversized bucket stays one connected
+    * component, and their jaccard is still the exact verified value,
+    * so a consumer wanting threshold-only semantics filters
+    * `!star` (or `jaccard >= t`) explicitly instead of losing
+    * connectivity silently.
     *
     * Banding S-curve: a pair with true Jaccard J collides with
     * probability 1-(1-J^r)^b for r = numHashes/bands rows per band.
@@ -177,11 +184,14 @@ object NearDup {
     // pairs — one boilerplate bucket of 10⁶ identical docs at corpus
     // scale is 5·10¹¹ pairs and a dead executor. Buckets above
     // `maxBucket` switch from all-pairs to a STAR around the bucket's
-    // min id (B−1 pairs, linear): downstream connected components
-    // still merge everything the star's verified edges connect, so a
-    // bucket of exact/near-exact duplicates — which is what giant
-    // buckets are — keeps its one cluster. The only recall loss is a
-    // member near ANOTHER member but not near the representative.
+    // min id (B−1 pairs, linear). Star edges are TAGGED and exempt
+    // from the threshold filter below — the bucket stays one
+    // connected component even when a member's similarity to the
+    // representative verifies under the threshold (without the
+    // exemption a mixed hot bucket silently loses both pairs and
+    // connectivity). The remaining recall loss, documented: a member
+    // near ANOTHER member but not near the representative yields no
+    // member↔member pair.
     val candidates =
       if (maxBucket == Int.MaxValue) {
         banded.as("a")
@@ -189,6 +199,7 @@ object NearDup {
           .where(col("a._id") < col("b._id"))
           .select(col("a._id").as("a_id"), col("b._id").as("b_id"))
           .dropDuplicates("a_id", "b_id")
+          .withColumn("star", lit(false))
       } else {
         // only the HOT buckets materialize (≤ rows/maxBucket of them,
         // and normally NONE): broadcast-anti-joining that tiny set
@@ -206,12 +217,18 @@ object NearDup {
           .join(small.select("band", "bh", "_id").as("b"), Seq("band", "bh"))
           .where(col("a._id") < col("b._id"))
           .select(col("a._id").as("a_id"), col("b._id").as("b_id"))
+          .withColumn("star", lit(false))
         // oversized buckets: star edges rep→member, one linear pass
         val starPairs = banded
           .join(broadcast(hot.select("band", "bh", "_rep")), Seq("band", "bh"))
           .where(col("_id") =!= col("_rep"))
           .select(col("_rep").as("a_id"), col("_id").as("b_id"))
-        allPairs.unionByName(starPairs).dropDuplicates("a_id", "b_id")
+          .withColumn("star", lit(true))
+        // a pair can be both a small-bucket candidate (one band) and
+        // a star edge (another): min() keeps it a NON-star candidate
+        // so the threshold applies whenever ordinary banding found it
+        allPairs.unionByName(starPairs)
+          .groupBy("a_id", "b_id").agg(min(col("star")).as("star"))
       }
 
     // attach HASHED shingle sets (sorted distinct 48-bit md5 longs) only
@@ -238,8 +255,8 @@ object NearDup {
     val union = (size(col("a_sh")) + size(col("b_sh"))).cast("double") - inter
     withSets
       .withColumn("jaccard", round(inter / union, 4))
-      .where(col("jaccard") >= threshold)
-      .select("a_id", "b_id", "jaccard")
+      .where(col("jaccard") >= threshold || col("star"))
+      .select("a_id", "b_id", "jaccard", "star")
   }
 
   /** Asymmetric near-duplication by SHINGLE CONTAINMENT —

@@ -111,11 +111,16 @@ object PipelineQueries {
       .select((col("doc_id") +: (0 until 8).map(j => col(NearDup.sigCol(j)))): _*)
       .orderBy("doc_id")
 
-  /** P4+P5: LSH-banded near-duplicate pairs with exact Jaccard verify. */
+  /** P4+P5: LSH-banded near-duplicate pairs with exact Jaccard verify.
+    * The star tag is projected away: no sf-corpus bucket exceeds the
+    * guard, so these are all threshold-verified pairs (the oracle
+    * replays exactly that).
+    */
   def qMinhashPairs(s: SparkSession, dir: String): DataFrame =
     NearDup.minhashPairs(
       t(s, dir, "documents"), "doc_id", "text",
       k = 5, numHashes = 8, bands = 2, threshold = 0.5)
+      .select("a_id", "b_id", "jaccard")
       .orderBy("a_id", "b_id")
 
   /** Dedup clustering: connected components of the near-dup pair

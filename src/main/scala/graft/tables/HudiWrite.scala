@@ -1200,7 +1200,14 @@ object HudiWrite {
       }
       .groupBy(e => (e.part, e.fileId))
       .flatMap { case (_, evs) =>
-        foldSlices(evs.toSeq.sortBy(e => (e.instant, e.kind)))
+        // tertiary key: a commit can write a BASE and a LOG for the
+        // same file group at one instant (foreign deltacommit) —
+        // (instant, kind) alone orders those two nondeterministically
+        // after the shuffle, and log-before-base would either throw
+        // the log-only error or attach the log to a stale base. Base
+        // writes sort first, matching the driver fold's
+        // commit-JSON order.
+        foldSlices(evs.toSeq.sortBy(e => (e.instant, e.kind, e.isLog)))
       }
     // ONE job: survivors plus at most one non-survivor per partition
     // (the schema sample for an all-pruned read) — never a second
@@ -1450,17 +1457,43 @@ object HudiWrite {
           case None => true // not a partition column (or missing) — keep
           case Some(v) =>
             f.op match {
-              case FilterOp.Eq => v == String.valueOf(f.value)
+              case FilterOp.Eq => segmentMayEqual(v, f.value)
               case FilterOp.In => f.value match {
-                case xs: Iterable[_] => xs.exists(x => String.valueOf(x) == v)
-                case xs: Array[_] => xs.exists(x => String.valueOf(x) == v)
-                case other => String.valueOf(other) == v
+                case xs: Iterable[_] => xs.exists(x => segmentMayEqual(v, x))
+                case xs: Array[_] => xs.exists(x => segmentMayEqual(v, x))
+                case other => segmentMayEqual(v, other)
               }
               case _ => true // conservative may-match
             }
         }
       }
     }
+  }
+
+  /** TYPED may-equal of a raw partition path segment against a filter
+    * literal: a `String.valueOf` compare wrongly prunes when the
+    * renderings differ (filter 1.0 against an int-rendered segment
+    * '1'), and a wrongly-pruned partition is silent row loss in every
+    * composed path (snapshot read, incremental poll, executor-side
+    * planner). Numeric literals compare as decimals (so 1.0 == '1'
+    * and '1.10' == 1.1); strings/booleans/dates compare by their
+    * canonical rendering; an unparseable segment under a numeric
+    * filter — or an unrecognized literal type — fails OPEN (the exact
+    * predicate is re-applied on rows either way).
+    */
+  private def segmentMayEqual(seg: String, value: Any): Boolean = value match {
+    case null => true // Eq-null matches no rows; keeping is harmless
+    case s: String => seg == s
+    case b: java.lang.Boolean => seg.equalsIgnoreCase(b.toString)
+    case d: java.sql.Date => seg == d.toString
+    case d: java.time.LocalDate => seg == d.toString
+    case n @ (_: java.lang.Integer | _: java.lang.Long | _: java.lang.Short |
+        _: java.lang.Byte | _: java.lang.Float | _: java.lang.Double |
+        _: java.math.BigDecimal | _: scala.math.BigDecimal | _: scala.math.BigInt) =>
+      try new java.math.BigDecimal(seg)
+        .compareTo(new java.math.BigDecimal(n.toString)) == 0
+      catch { case _: NumberFormatException => true }
+    case _ => true // unrecognized literal type: ambiguous — keep
   }
 
   // -------------------------------------------- column statistics

@@ -73,7 +73,7 @@ class NearDupSpec extends SparkSpec {
       (2L, "the quick brown fox jumps over the lazy dog"),
       (3L, "completely different content with nothing shared")).toDF("doc_id", "text")
     val pairs = NearDup.minhashPairs(df, "doc_id", "text", threshold = 0.9)
-      .as[(Long, Long, Double)].collect().toSeq
+      .select("a_id", "b_id", "jaccard").as[(Long, Long, Double)].collect().toSeq
     assert(pairs == Seq((1L, 2L, 1.0)))
   }
 
@@ -90,7 +90,8 @@ class NearDupSpec extends SparkSpec {
     // RDD is deregistered synchronously
     assert((spark.sparkContext.getPersistentRDDs.keySet & added).isEmpty)
     // previously returned frames still work (recompute)
-    val pairs = NearDup.minhashPairs(df, "doc_id", "text").as[(Long, Long, Double)].collect().toSeq
+    val pairs = NearDup.minhashPairs(df, "doc_id", "text")
+      .select("a_id", "b_id", "jaccard").as[(Long, Long, Double)].collect().toSeq
     assert(pairs == Seq((1L, 2L, 1.0)))
     NearDup.releaseCaches()
   }
@@ -100,9 +101,9 @@ class NearDupSpec extends SparkSpec {
       (i, if (i < 6) s"the quick brown fox jumps over dog $i" else s"unrelated text body $i ${i * 7}")
     }.toDF("doc_id", "text")
     val plain = NearDup.minhashPairs(docs, "doc_id", "text")
-      .as[(Long, Long, Double)].collect().toSet
+      .select("a_id", "b_id", "jaccard").as[(Long, Long, Double)].collect().toSet
     val capped = NearDup.minhashPairs(docs, "doc_id", "text", maxBucket = 1000)
-      .as[(Long, Long, Double)].collect().toSet
+      .select("a_id", "b_id", "jaccard").as[(Long, Long, Double)].collect().toSet
     assert(capped == plain)
     NearDup.releaseCaches()
   }
@@ -113,11 +114,32 @@ class NearDupSpec extends SparkSpec {
     val docs = (1L to 40L).map(i => (i, "same boilerplate text repeated everywhere"))
       .toDF("doc_id", "text")
     val pairs = NearDup.minhashPairs(docs, "doc_id", "text", maxBucket = 10)
-    val got = pairs.as[(Long, Long, Double)].collect().toSeq
+    val got = pairs.select("a_id", "b_id", "jaccard", "star")
+      .as[(Long, Long, Double, Boolean)].collect().toSeq
     assert(got.length == 39, s"expected 39 star edges, got ${got.length}")
-    assert(got.forall { case (a, _, j) => a == 1L && j == 1.0 })
+    assert(got.forall { case (a, _, j, star) => a == 1L && j == 1.0 && star })
     val clusters = NearDup.dupClusters(pairs, "a_id", "b_id")
       .as[(Long, Long)].collect().toMap
+    assert(clusters == (1L to 40L).map(_ -> 1L).toMap)
+    NearDup.releaseCaches()
+  }
+
+  test("sub-threshold star edges survive verification tagged — connectivity holds") {
+    // threshold above every achievable jaccard: ordinary candidates
+    // all filter out, but the hot bucket's star edges must STILL
+    // emit (tagged, exact jaccard reported) or the bucket's cluster
+    // silently falls apart — the r10 guard's documented contract
+    val docs = (1L to 40L).map(i => (i, "same boilerplate text repeated everywhere"))
+      .toDF("doc_id", "text")
+    val pairs = NearDup.minhashPairs(docs, "doc_id", "text",
+      maxBucket = 10, threshold = 1.5)
+      .select("a_id", "b_id", "jaccard", "star")
+      .as[(Long, Long, Double, Boolean)].collect().toSeq
+    assert(pairs.length == 39, s"expected 39 star edges, got ${pairs.length}")
+    assert(pairs.forall { case (a, _, j, star) => a == 1L && j == 1.0 && star })
+    val clusters = NearDup.dupClusters(
+      NearDup.minhashPairs(docs, "doc_id", "text", maxBucket = 10, threshold = 1.5),
+      "a_id", "b_id").as[(Long, Long)].collect().toMap
     assert(clusters == (1L to 40L).map(_ -> 1L).toMap)
     NearDup.releaseCaches()
   }
