@@ -2003,6 +2003,17 @@ object OracleSql {
           |  AND ts < TIMESTAMP '2024-01-06 00:00:00'
           |  AND user_id = 7
           |ORDER BY event_id""".stripMargin,
+      // Delta leg of the triad's stats-pruning probes (the Spark side
+      // writes lineitem as 8 orderkey-ranged Delta files and reads
+      // bounds-pruned); parquet-direct relational replay
+      "q_delta_stats_prune" ->
+        s"""SELECT l_returnflag, count(*) AS n,
+           |  ${dsum(d4("l_quantity"))} AS sum_qty,
+           |  min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok
+           |FROM lineitem
+           |WHERE l_orderkey < 1200
+           |GROUP BY l_returnflag
+           |ORDER BY l_returnflag""".stripMargin,
       // typed changelog over the append → equality-upsert → equality-
       // delete Iceberg nation table: the upsert commit (ordinal 1)
       // replays as pre-image deletes + post-image inserts, the delete

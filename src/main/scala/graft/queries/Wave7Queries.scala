@@ -163,4 +163,51 @@ object Wave7Queries {
       .select(col("n_regionkey"), col("n_rows"), col("sum_v"))
       .orderBy("n_regionkey")
   }
+
+  // ---------- Delta stats-pruned read (the bench's planner probe) ----------
+
+  private val deltaStats =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Lineitem written natively as an UNPARTITIONED Delta table in 8
+    * orderkey-ranged files — the Delta leg of the triad's
+    * stats-pruning probes (writtenLineitemRanged / writtenOrdersRanged
+    * are the Iceberg/Hudi legs): only the commit log's per-file
+    * min/max stats keep a selective orderkey predicate from opening
+    * all 8 files. Headline-benched so a regression in log replay or
+    * stats evaluation shows up in BENCH, not just in specs.
+    */
+  private[queries] def writtenLineitemDelta(s: SparkSession, dir: String): String =
+    deltaStats.getOrElseUpdate(dir, {
+      import graft.tables.DeltaWrite
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_delta_stats").toString + "/lineitem"
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_quantity", "l_returnflag")
+        .repartitionByRange(8, col("l_orderkey"))
+        .sortWithinPartitions("l_orderkey")
+      DeltaWrite.append(s, li, path)
+      path
+    })
+
+  /** Bounds-pruned range probe + aggregate, the same probe shape as
+    * q_iceberg_stats_prune / q_hudi_stats_prune: `l_orderkey < 1200`
+    * must reach one of the 8 ranged files via the Delta log's file
+    * stats before any parquet opens.
+    */
+  def qDeltaStatsPrune(s: SparkSession, dir: String): DataFrame = {
+    import graft.core.Filter
+    import graft.tables.{DeltaTable, ReadArgs}
+    import Num.{d4, dsum}
+    val table = new DeltaTable("lineitem_delta_ranged", writtenLineitemDelta(s, dir))
+    table(s, ReadArgs(
+      filters = graft.core.Filters.normalize(Seq(Filter("l_orderkey", "<", 1200L)))))
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(d4(col("l_quantity"))).as("sum_qty"),
+        min(col("l_orderkey")).as("min_ok"),
+        max(col("l_orderkey")).as("max_ok"))
+      .orderBy("l_returnflag")
+  }
 }
