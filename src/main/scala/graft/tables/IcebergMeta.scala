@@ -61,12 +61,15 @@ object IcebergMeta {
       nullCounts: Map[Int, Long] = Map.empty,
       valueCounts: Map[Int, Long] = Map.empty,
       fileFormat: String = "PARQUET",
-      /** v3 deletion-vector fields: a position-delete entry whose
-        * format is PUFFIN (or that carries these) is a DV the v2
-        * reader must refuse, never misread.
+      /** v3 deletion-vector fields (data_file 143/144/145): a
+        * position-delete entry whose format is PUFFIN (or that
+        * carries these) is a DV — read via [[IcebergPuffin]] when all
+        * three are present, refused loudly otherwise (never misread
+        * as parquet).
         */
       referencedDataFile: Option[String] = None,
-      contentOffset: Option[Long] = None) {
+      contentOffset: Option[Long] = None,
+      contentSizeInBytes: Option[Long] = None) {
 
     /** A v3 Puffin-stored deletion vector (spec fields 143–145). */
     def isDeletionVector: Boolean =
@@ -521,11 +524,12 @@ object IcebergMeta {
           fileFormat = Option(df.get("file_format")).map(_.toString.toUpperCase)
             .getOrElse("PARQUET"),
           // v3 deletion-vector markers (data_file fields 143/144/145):
-          // their PRESENCE is what the reader refuses on — never a
-          // silent parquet read of a Puffin file
+          // presence routes the entry to the Puffin DV reader — never
+          // a silent parquet read of a Puffin file
           referencedDataFile =
             fieldOf(df, "referenced_data_file").map(_.toString),
-          contentOffset = longField(df, "content_offset"))
+          contentOffset = longField(df, "content_offset"),
+          contentSizeInBytes = longField(df, "content_size_in_bytes"))
     }
 
   /** Plan the snapshot's content files: live entries of every

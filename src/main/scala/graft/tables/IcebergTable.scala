@@ -85,13 +85,15 @@ class IcebergTable(
     val asOf = args.extra.get(TimestampKey).map(longArg(TimestampKey))
     val snap = IcebergMeta.selectSnapshot(meta, snapshotId, asOf)
     val (pruned, deleteFiles) = planPruned(spark, fs, meta, snap, args)
-    refuseDeletionVectors(meta, deleteFiles)
+    val (dvs, v2Deletes) = deleteFiles.partition(_.isDeletionVector)
+    refuseUnreadableDvs(meta, dvs)
 
     var df = readData(spark, meta, pruned, withDeletes = deleteFiles.nonEmpty)
     if (deleteFiles.nonEmpty) {
       if (pruned.nonEmpty) {
-        df = applyPositionDeletes(spark, df, pruned, deleteFiles.filter(_.content == 1))
-        df = applyEqualityDeletes(spark, df, meta, deleteFiles.filter(_.content == 2))
+        df = applyDeletionVectors(spark, fs, df, pruned, dvs)
+        df = applyPositionDeletes(spark, df, pruned, v2Deletes.filter(_.content == 1))
+        df = applyEqualityDeletes(spark, df, meta, v2Deletes.filter(_.content == 2))
       }
       df = df.select(meta.schema.fieldNames.map(col).toSeq: _*)
     }
@@ -398,12 +400,62 @@ class IcebergTable(
     }
   }
 
-  /** v3 Puffin-stored deletion vectors (the v3 spec's replacement
-    * for position-delete FILES, data_file fields 143–145): this
-    * reader applies v2 position/equality deletes only — a DV-bearing
-    * snapshot refuses LOUDLY with the version named instead of
-    * parquet-reading a Puffin file into garbage. Plain v3 tables
-    * (no DVs, no initial-defaults) read fine.
+  /** v3 Puffin deletion vectors (data_file fields 143–145) READ —
+    * snapshot scans apply them like Delta DVs: one portable roaring
+    * bitmap per referenced data file, loaded driver-side for the
+    * PRUNED survivors only ([[IcebergPuffin.readDvBlob]] — direct
+    * content_offset access, no footer parse), applied as a
+    * [[DvDeleted]] row-index anti-filter on the scan's normalized
+    * (path, pos) helper columns — no join, no shuffle, no rewrite.
+    * The position-delete sequence rule still gates (dv seq ≥ data
+    * seq). DVs referencing pruned-away files never load.
+    */
+  private def applyDeletionVectors(
+      spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      data: DataFrame,
+      dataFiles: Seq[IcebergMeta.ContentFile],
+      dvs: Seq[IcebergMeta.ContentFile]
+  ): DataFrame = {
+    if (dvs.isEmpty) return data
+    val survivorSeq: Map[String, Long] =
+      dataFiles.map(f => normalizePathStr(f.path) -> f.sequenceNumber).toMap
+    val dvBytes: Map[String, Array[Byte]] = dvs.flatMap { d =>
+      val ref = normalizePathStr(d.referencedDataFile.get)
+      survivorSeq.get(ref) match {
+        case Some(dataSeq) if d.sequenceNumber >= dataSeq =>
+          Some(ref -> IcebergPuffin.readDvBlob(fs,
+            new Path(d.path), d.contentOffset.get, d.contentSizeInBytes.get))
+        case _ => None
+      }
+    }.toMap
+    if (dvBytes.isEmpty) return data
+    val deleted = Bridge.column(DvDeleted(
+      Bridge.expression(col(PathCol)),
+      Bridge.expression(col(PosCol)),
+      dvBytes))
+    data.where(!deleted)
+  }
+
+  /** A DV entry missing any of its three fields cannot be read —
+    * refuse LOUDLY with the file named (the pre-r11 refusal, kept
+    * for malformed/unsupported shapes). [[incremental]] and
+    * [[changes]] also refuse DV-bearing ranges outright: their
+    * change-set algebra is defined over v2 delete FILES.
+    */
+  private def refuseUnreadableDvs(
+      meta: IcebergMeta.TableMeta,
+      dvs: Seq[IcebergMeta.ContentFile]): Unit =
+    dvs.find(d => d.referencedDataFile.isEmpty || d.contentOffset.isEmpty ||
+      d.contentSizeInBytes.isEmpty).foreach { d =>
+      throw new UnsupportedOperationException(
+        s"$uri (format-version ${meta.formatVersion}) carries a Puffin " +
+          s"deletion vector missing referenced_data_file/content_offset/" +
+          s"content_size_in_bytes (${d.path}) — unreadable v3 shape")
+    }
+
+  /** The v2-only refusal [[incremental]]/[[changes]] keep: their
+    * file-set diff algebra has no DV semantics yet.
     */
   private def refuseDeletionVectors(
       meta: IcebergMeta.TableMeta,
@@ -412,9 +464,9 @@ class IcebergTable(
     if (dvs.nonEmpty)
       throw new UnsupportedOperationException(
         s"$uri (format-version ${meta.formatVersion}) carries ${dvs.size} " +
-          "Puffin deletion vector(s) (Iceberg v3); this reader applies v2 " +
-          "position/equality deletes only — rewrite_data_files with a v2 " +
-          s"writer first (e.g. ${dvs.head.path})")
+          "Puffin deletion vector(s) (Iceberg v3); incremental/changelog " +
+          "reads apply v2 position/equality deletes only — rewrite_data_files " +
+          s"with a v2 writer first (e.g. ${dvs.head.path})")
   }
 
   /** Non-PARQUET content files (ORC/AVRO data or delete files —

@@ -7,12 +7,14 @@ import org.apache.avro.file.DataFileWriter
 import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
 import org.apache.hadoop.fs.Path
 
-/** Iceberg v3 ecosystem honesty: plain v3 tables read; snapshots
-  * carrying Puffin DELETION VECTORS (spec fields 143–145) refuse
-  * LOUDLY with the version named (this reader applies v2 deletes
-  * only — misreading a Puffin file as parquet would be silent
-  * garbage); v3 column `initial-default` values refuse too (reading
-  * pre-evolution files as null would be wrong data).
+/** Iceberg v3 ecosystem: plain v3 tables read; snapshots carrying
+  * Puffin DELETION VECTORS (spec fields 143–145) are READ — the
+  * deletion-vector-v1 blob parsed at content_offset and applied as a
+  * row-index anti-filter (r11) — while corrupt blobs and
+  * field-incomplete DV entries refuse LOUDLY (misreading a Puffin
+  * file would be silent garbage); v3 column `initial-default` values
+  * refuse too (reading pre-evolution files as null would be wrong
+  * data).
   */
 class IcebergV3Spec extends SparkSpec {
   import spark.implicits._
@@ -37,10 +39,12 @@ class IcebergV3Spec extends SparkSpec {
       |]}}]}""".stripMargin)
 
   /** Build a v3 table: one parquet data file, optionally one
-    * Puffin-DV delete entry referencing it.
+    * Puffin-DV delete entry referencing it (a REAL deletion-vector-v1
+    * blob deleting row positions 1 — or corrupt bytes when
+    * `corruptDv`, the loud-refusal shape).
     */
   private def buildV3(root: String, withDv: Boolean,
-      schemaFieldsJson: String = defaultFields): Unit = {
+      schemaFieldsJson: String = defaultFields, corruptDv: Boolean = false): Unit = {
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val metaDir = new Path(root, "metadata")
     fs.mkdirs(metaDir)
@@ -49,10 +53,20 @@ class IcebergV3Spec extends SparkSpec {
     val dataFile = fs.listStatus(new Path(root + "/data"))
       .find(_.getPath.getName.endsWith(".parquet")).get
     val puffin = new Path(root, "deletes/dv.puffin")
+    var dvOffset = 4L
+    var dvSize = 20L
     if (withDv) {
       fs.mkdirs(puffin.getParent)
-      val o = fs.create(puffin, true)
-      o.write("PFA1not-actually-parquet".getBytes("UTF-8")); o.close()
+      if (corruptDv) {
+        val o = fs.create(puffin, true)
+        o.write("PFA1not-actually-parquet".getBytes("UTF-8")); o.close()
+        dvOffset = 4L; dvSize = 20L
+      } else {
+        val (off, size) = IcebergPuffin.writeDvPuffin(fs, puffin,
+          RoaringBitmapArray.fromSorted(Array(1L)),
+          dataFile.getPath.toUri.getPath)
+        dvOffset = off; dvSize = size
+      }
     }
 
     val mPath = new Path(metaDir, "m1.avro")
@@ -71,8 +85,8 @@ class IcebergV3Spec extends SparkSpec {
         d.put("file_size_in_bytes", 10L)
         if (dv) {
           d.put("referenced_data_file", dataFile.getPath.toUri.getPath)
-          d.put("content_offset", 4L)
-          d.put("content_size_in_bytes", 20L)
+          d.put("content_offset", dvOffset)
+          d.put("content_size_in_bytes", dvSize)
         }
         val e = new GenericData.Record(v3EntrySchema)
         e.put("status", 1)
@@ -133,14 +147,41 @@ class IcebergV3Spec extends SparkSpec {
     assert(got == Seq(1L, 2L, 3L))
   }
 
-  test("a v3 deletion-vector snapshot refuses loudly with the version named") {
+  test("a v3 deletion-vector snapshot READS: the DV's positions drop") {
     val root = tempDir("ice-v3-dv").toString + "/t"
     buildV3(root, withDv = true)
-    val e = intercept[UnsupportedOperationException] {
+    val got = new IcebergTable("t", root)(spark, ReadArgs.empty)
+      .select("id", "v").as[(Long, String)].collect().sorted.toSeq
+    // position 1 (id 2) is deleted by the Puffin bitmap
+    assert(got == Seq((1L, "a"), (3L, "c")))
+    // filters/projections compose over the DV-filtered scan
+    val filtered = new IcebergTable("t", root)(spark, ReadArgs(
+      filters = graft.core.Filters.normalize(Seq(graft.core.Filter("id", ">=", 2L))),
+      columns = Some(Seq("id"))))
+      .as[Long].collect().sorted.toSeq
+    assert(filtered == Seq(3L))
+  }
+
+  test("a corrupt deletion-vector-v1 blob refuses loudly, file named") {
+    val root = tempDir("ice-v3-dvc").toString + "/t"
+    buildV3(root, withDv = true, corruptDv = true)
+    val e = intercept[IllegalArgumentException] {
       new IcebergTable("t", root)(spark, ReadArgs.empty).collect()
     }
-    assert(e.getMessage.contains("format-version 3") &&
-      e.getMessage.toLowerCase.contains("deletion vector"), e.getMessage)
+    assert(e.getMessage.contains("deletion-vector-v1") &&
+      e.getMessage.contains("dv.puffin"), e.getMessage)
+  }
+
+  test("the DV blob round-trips through the Puffin codec bit-exactly") {
+    val fs = new Path(tempDir("ice-v3-rt").toString)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new Path(tempDir("ice-v3-rt2").toString, "x.puffin")
+    val bm = RoaringBitmapArray.fromSorted(
+      Array(0L, 5L, 65536L, (1L << 32) + 7L, (1L << 33)))
+    val (off, size) = IcebergPuffin.writeDvPuffin(fs, p, bm, "/data/f.parquet")
+    val back = RoaringBitmapArray.deserialize(IcebergPuffin.readDvBlob(fs, p, off, size))
+    assert(back.toArray.toSeq == bm.toArray.toSeq)
+    assert(back.cardinality == 5)
   }
 
   test("v3 initial-default column values refuse (silent nulls are wrong data)") {
