@@ -211,24 +211,37 @@ object NearDup {
           .where(col("_n") > maxBucket)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         registerCache(hot)
-        val small = banded.join(
-          broadcast(hot.select("band", "bh")), Seq("band", "bh"), "left_anti")
-        val allPairs = small.as("a")
-          .join(small.select("band", "bh", "_id").as("b"), Seq("band", "bh"))
-          .where(col("a._id") < col("b._id"))
-          .select(col("a._id").as("a_id"), col("b._id").as("b_id"))
-          .withColumn("star", lit(false))
-        // oversized buckets: star edges rep→member, one linear pass
-        val starPairs = banded
-          .join(broadcast(hot.select("band", "bh", "_rep")), Seq("band", "bh"))
-          .where(col("_id") =!= col("_rep"))
-          .select(col("_rep").as("a_id"), col("_id").as("b_id"))
-          .withColumn("star", lit(true))
-        // a pair can be both a small-bucket candidate (one band) and
-        // a star edge (another): min() keeps it a NON-star candidate
-        // so the threshold applies whenever ordinary banding found it
-        allPairs.unionByName(starPairs)
-          .groupBy("a_id", "b_id").agg(min(col("star")).as("star"))
+        // healthy corpora have ZERO hot buckets: one driver check on
+        // the (cached-input, tiny-output) aggregate skips both
+        // anti-joins and the star union entirely — the guard's
+        // default-on cost collapses to this aggregation
+        if (hot.isEmpty) {
+          banded.as("a")
+            .join(banded.as("b"), Seq("band", "bh"))
+            .where(col("a._id") < col("b._id"))
+            .select(col("a._id").as("a_id"), col("b._id").as("b_id"))
+            .dropDuplicates("a_id", "b_id")
+            .withColumn("star", lit(false))
+        } else {
+          val small = banded.join(
+            broadcast(hot.select("band", "bh")), Seq("band", "bh"), "left_anti")
+          val allPairs = small.as("a")
+            .join(small.select("band", "bh", "_id").as("b"), Seq("band", "bh"))
+            .where(col("a._id") < col("b._id"))
+            .select(col("a._id").as("a_id"), col("b._id").as("b_id"))
+            .withColumn("star", lit(false))
+          // oversized buckets: star edges rep→member, one linear pass
+          val starPairs = banded
+            .join(broadcast(hot.select("band", "bh", "_rep")), Seq("band", "bh"))
+            .where(col("_id") =!= col("_rep"))
+            .select(col("_rep").as("a_id"), col("_id").as("b_id"))
+            .withColumn("star", lit(true))
+          // a pair can be both a small-bucket candidate (one band) and
+          // a star edge (another): min() keeps it a NON-star candidate
+          // so the threshold applies whenever ordinary banding found it
+          allPairs.unionByName(starPairs)
+            .groupBy("a_id", "b_id").agg(min(col("star")).as("star"))
+        }
       }
 
     // attach HASHED shingle sets (sorted distinct 48-bit md5 longs) only
