@@ -2080,6 +2080,24 @@ object OracleSql {
           |  CAST(sum(v) AS BIGINT) AS sum_v
           |FROM finalstate GROUP BY n_regionkey
           |ORDER BY n_regionkey""".stripMargin,
+      // IncrementalView over a HUDI MOR base: same mutation script as
+      // the Iceberg leg (log-upsert +1000 on keys ≡ 0 mod 3 + insert
+      // 990, tombstone delete keys ≡ 2 mod 5), so the same relational
+      // recompute is the oracle
+      "q_incr_view_hudi" ->
+        """WITH base AS (
+          |  SELECT n_nationkey, n_regionkey,
+          |    CAST(n_nationkey * 10 AS BIGINT) AS v FROM nation),
+          |upserted AS (
+          |  SELECT n_nationkey, n_regionkey,
+          |    CASE WHEN n_nationkey % 3 = 0 THEN v + 1000 ELSE v END AS v
+          |  FROM base
+          |  UNION ALL SELECT 990, 2, CAST(777 AS BIGINT)),
+          |finalstate AS (SELECT * FROM upserted WHERE n_nationkey % 5 <> 2)
+          |SELECT n_regionkey, count(*) AS n_rows,
+          |  CAST(sum(v) AS BIGINT) AS sum_v
+          |FROM finalstate GROUP BY n_regionkey
+          |ORDER BY n_regionkey""".stripMargin,
       // incremental read of the two-snapshot Iceberg nation table:
       // the appended slice IS the second append's predicate
       "q_iceberg_incr" ->

@@ -164,6 +164,52 @@ object Wave7Queries {
       .orderBy("n_regionkey")
   }
 
+  // ---------- IncrementalView over a Hudi MOR base (E50 × R53) ----------
+
+  private val hudiIvm =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** The same per-region view over a HUDI MERGE_ON_READ base: a
+    * log-file upsert (+1000 on keys ≡ 0 mod 3, inserted key 990) and
+    * a tombstone delete (keys ≡ 2 mod 5) folded into ONE changelog-fed
+    * refresh — the final state is identical to the Iceberg leg's, so
+    * the oracle is the same relational recompute.
+    */
+  private[queries] def builtHudiView(s: SparkSession, dir: String): String =
+    hudiIvm.getOrElseUpdate(dir, {
+      import graft.operators.IncrementalView
+      import graft.tables.HudiWrite
+      val tmp = java.nio.file.Files.createTempDirectory("graft_hudi_ivm").toString
+      val base = tmp + "/base"
+      val view = tmp + "/view"
+      val nation = t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_regionkey"),
+          (col("n_nationkey") * 10L).cast("long").as("v"))
+      HudiWrite.bulkInsert(s, nation, base, "n_nationkey", Seq("n_regionkey"),
+        tableType = "MERGE_ON_READ")
+      val keys = Seq("n_regionkey"); val sums = Seq(("v", "sum_v"))
+      IncrementalView.initialize(s, base, view, keys, sums)
+      HudiWrite.upsert(s,
+        nation.where(col("n_nationkey") % 3 === 0)
+          .withColumn("v", col("v") + 1000L)
+          .unionByName(s.createDataFrame(
+            java.util.List.of(org.apache.spark.sql.Row(990, 2, 777L)),
+            nation.schema)),
+        base)
+      import s.implicits._
+      HudiWrite.delete(s,
+        nation.where(col("n_nationkey") % 5 === 2).select("n_nationkey"), base)
+      IncrementalView.refresh(s, base, view, keys, sums)
+      view
+    })
+
+  def qIncrViewHudi(s: SparkSession, dir: String): DataFrame = {
+    import graft.tables.{DeltaTable, ReadArgs}
+    new DeltaTable("hudi_view", builtHudiView(s, dir))(s, ReadArgs())
+      .select(col("n_regionkey"), col("n_rows"), col("sum_v"))
+      .orderBy("n_regionkey")
+  }
+
   // ---------- Delta stats-pruned read (the bench's planner probe) ----------
 
   private val deltaStats =

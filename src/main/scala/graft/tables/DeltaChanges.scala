@@ -43,8 +43,6 @@ object DeltaChanges {
     require(meta.configuration.get("delta.enableChangeDataFeed").contains("true"),
       s"change data feed is not enabled on $tablePath " +
         "(set delta.enableChangeDataFeed=true)")
-    require(!meta.isColumnMapped,
-      s"change data feed on column-mapped Delta tables is not supported ($tablePath)")
 
     val to = math.min(toVersion, snap.version)
     // a start past the table head is an empty feed, not an error
@@ -86,7 +84,12 @@ object DeltaChanges {
 
   /** Read `_change_data` files: table data columns + `_change_type`
     * stored in the file, partition columns re-attached as literals
-    * (same layout contract as data files).
+    * (same layout contract as data files). Under COLUMN MAPPING the
+    * cdc files carry PHYSICAL column names (and `partitionValues`
+    * keys are physical) exactly like data files — read physically,
+    * rename to the logical schema after the scan, the [[DeltaRead]]
+    * discipline; `_change_type` itself is never mapped (it is not a
+    * schema column).
     */
   private def readCdc(
       spark: SparkSession,
@@ -96,17 +99,24 @@ object DeltaChanges {
   ): DataFrame = {
     val schema = meta.schema
     val partCols = meta.partitionColumns
-    val fileSchema = StructType(
-      schema.fields.filterNot(f => partCols.contains(f.name)) :+
-        StructField(ChangeTypeCol, StringType))
+    val physPart = partCols.map(meta.physicalName).toSet
+    val physData = meta.physicalSchema.fields.filterNot(f => physPart.contains(f.name))
+    val logData = schema.fields.filterNot(f => partCols.contains(f.name))
+    val fileSchema = StructType(physData :+ StructField(ChangeTypeCol, StringType))
+    if (meta.columnMappingMode == "id")
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     val base = tableUri.stripSuffix("/")
     files.groupBy(_.partitionValues).map { case (pv, group) =>
       var part = spark.read.schema(fileSchema)
         .parquet(group.map(f => s"$base/${f.path}"): _*)
+        .select(logData.zip(physData).map { case (lf, pf) =>
+          col(pf.name).cast(lf.dataType).as(lf.name)
+        }.toSeq :+ col(ChangeTypeCol): _*)
       partCols.foreach { c =>
         val t = schema(c).dataType
         part = part.withColumn(c,
-          pv.get(c).flatten.map(v => lit(v).cast(t)).getOrElse(lit(null).cast(t)))
+          pv.get(meta.physicalName(c)).flatten
+            .map(v => lit(v).cast(t)).getOrElse(lit(null).cast(t)))
       }
       part.select((schema.fieldNames :+ ChangeTypeCol).map(col).toSeq: _*)
     }.reduce(_.unionByName(_))

@@ -298,58 +298,74 @@ class IcebergTable(
           curFiles.filter(f => f.content != 0 && !prevDelPaths(f.path)),
           prevFiles.filter(f => f.content == 0 && !curPaths(f.path)))
       }
-    refuseDeletionVectors(meta, addedDeletes)
+    // v3 deletion vectors participate in the diff: an added DV is a
+    // position-delete by reference (a REPLACEMENT DV carries the old
+    // DV's positions, so live-before ∖ live-after emits exactly the
+    // newly-dead rows); unreadable DV shapes still refuse
+    val addedDvs = addedDeletes.filter(_.isDeletionVector)
+    refuseUnreadableDvs(meta, addedDvs)
+    val addedPos = addedDeletes.filter(f => f.content == 1 && !f.isDeletionVector)
+    val addedEq = addedDeletes.filter(f => f.content == 2 && !f.isDeletionVector)
     val schemaCols = meta.schema.fieldNames.map(col).toSeq
     val frames = Seq.newBuilder[DataFrame]
 
     if (addedData.nonEmpty) {
-      val samePos = addedDeletes.filter(_.content == 1)
-      var ins = readData(spark, meta, addedData, withDeletes = samePos.nonEmpty)
-      if (samePos.nonEmpty)
-        ins = applyPositionDeletes(spark, ins, addedData, samePos)
+      val needDel = addedPos.nonEmpty || addedDvs.nonEmpty
+      var ins = readData(spark, meta, addedData, withDeletes = needDel)
+      if (needDel) {
+        ins = applyDeletionVectors(spark, fs, ins, addedData, addedDvs)
+        ins = applyPositionDeletes(spark, ins, addedData, addedPos)
           .select(schemaCols: _*)
+      }
       frames += ins.withColumn(ChangeTypeCol, lit("insert"))
     }
 
+    // prev's delete files, split once: applied wherever "live at the
+    // parent" must be established
+    lazy val prevDeletes = prevFiles.filter(_.content != 0)
+    lazy val prevDvs = prevDeletes.filter(_.isDeletionVector)
+    lazy val prevPos = prevDeletes.filter(f => f.content == 1 && !f.isDeletionVector)
+    lazy val prevEq = prevDeletes.filter(f => f.content == 2 && !f.isDeletionVector)
+    def liveAtPrev(df: DataFrame, files: Seq[IcebergMeta.ContentFile]): DataFrame = {
+      refuseUnreadableDvs(meta, prevDvs)
+      var d = applyDeletionVectors(spark, fs, df, files, prevDvs)
+      d = applyPositionDeletes(spark, d, files, prevPos)
+      applyEqualityDeletes(spark, d, meta, prevEq)
+    }
+
     if (removedData.nonEmpty) {
-      val prevDeletes = prevFiles.filter(_.content != 0)
       var d = readData(spark, meta, removedData, withDeletes = prevDeletes.nonEmpty)
-      if (prevDeletes.nonEmpty) {
-        d = applyPositionDeletes(spark, d, removedData, prevDeletes.filter(_.content == 1))
-        d = applyEqualityDeletes(spark, d, meta, prevDeletes.filter(_.content == 2))
-        d = d.select(schemaCols: _*)
-      }
+      if (prevDeletes.nonEmpty)
+        d = liveAtPrev(d, removedData).select(schemaCols: _*)
       frames += d.withColumn(ChangeTypeCol, lit("delete"))
     }
 
     if (addedDeletes.nonEmpty) {
       val removedPaths = removedData.map(_.path).toSet
       val prevData = prevFiles.filter(f => f.content == 0 && !removedPaths(f.path))
-      val posDel = addedDeletes.filter(_.content == 1)
-      val eqDel = addedDeletes.filter(_.content == 2)
       val posCandidates: Seq[IcebergMeta.ContentFile] =
-        if (posDel.isEmpty) Seq.empty
+        if (addedPos.isEmpty) Seq.empty
         else {
           val refPaths = spark.read
             .schema(StructType(Seq(StructField("file_path", StringType))))
-            .parquet(posDel.map(_.path): _*)
+            .parquet(addedPos.map(_.path): _*)
             .select("file_path").distinct().collect()
             .map(r => normalizePathStr(r.getString(0))).toSet
           prevData.filter(f => refPaths(normalizePathStr(f.path)))
         }
       val eqCandidates =
-        if (eqDel.isEmpty) Seq.empty
-        else eqDeleteCandidates(spark, meta, prevData, eqDel)
-      val candidates = (posCandidates ++ eqCandidates).distinctBy(_.path)
+        if (addedEq.isEmpty) Seq.empty
+        else eqDeleteCandidates(spark, meta, prevData, addedEq)
+      // DVs name their target file in the manifest — no data read
+      val dvRefs = addedDvs.flatMap(_.referencedDataFile).map(normalizePathStr).toSet
+      val dvCandidates = prevData.filter(f => dvRefs(normalizePathStr(f.path)))
+      val candidates = (posCandidates ++ eqCandidates ++ dvCandidates).distinctBy(_.path)
       if (candidates.nonEmpty) {
-        val prevDeletes = prevFiles.filter(_.content != 0)
-        var live = readData(spark, meta, candidates, withDeletes = true)
-        live = applyPositionDeletes(spark, live, candidates,
-          prevDeletes.filter(_.content == 1))
-        live = applyEqualityDeletes(spark, live, meta,
-          prevDeletes.filter(_.content == 2))
-        var after = applyPositionDeletes(spark, live, candidates, posDel)
-        after = applyEqualityDeletes(spark, after, meta, eqDel)
+        val live = liveAtPrev(
+          readData(spark, meta, candidates, withDeletes = true), candidates)
+        var after = applyDeletionVectors(spark, fs, live, candidates, addedDvs)
+        after = applyPositionDeletes(spark, after, candidates, addedPos)
+        after = applyEqualityDeletes(spark, after, meta, addedEq)
         val dead = live.join(
           after.select(col(PathCol).as("_s_path"), col(PosCol).as("_s_pos")),
           live(PathCol) === col("_s_path") && live(PosCol) === col("_s_pos"),
@@ -439,9 +455,9 @@ class IcebergTable(
 
   /** A DV entry missing any of its three fields cannot be read —
     * refuse LOUDLY with the file named (the pre-r11 refusal, kept
-    * for malformed/unsupported shapes). [[incremental]] and
-    * [[changes]] also refuse DV-bearing ranges outright: their
-    * change-set algebra is defined over v2 delete FILES.
+    * for malformed shapes). Snapshot scans AND [[changes]] read
+    * well-formed DVs; [[incremental]] alone keeps the v2-only
+    * refusal (its allowNewDeletes fold applies v2 delete files).
     */
   private def refuseUnreadableDvs(
       meta: IcebergMeta.TableMeta,
@@ -454,8 +470,9 @@ class IcebergTable(
           s"content_size_in_bytes (${d.path}) — unreadable v3 shape")
     }
 
-  /** The v2-only refusal [[incremental]]/[[changes]] keep: their
-    * file-set diff algebra has no DV semantics yet.
+  /** The v2-only refusal [[incremental]] keeps: its allowNewDeletes
+    * fold applies v2 delete FILES (use [[changes]] for typed DV-aware
+    * change reads).
     */
   private def refuseDeletionVectors(
       meta: IcebergMeta.TableMeta,
@@ -464,9 +481,9 @@ class IcebergTable(
     if (dvs.nonEmpty)
       throw new UnsupportedOperationException(
         s"$uri (format-version ${meta.formatVersion}) carries ${dvs.size} " +
-          "Puffin deletion vector(s) (Iceberg v3); incremental/changelog " +
-          "reads apply v2 position/equality deletes only — rewrite_data_files " +
-          s"with a v2 writer first (e.g. ${dvs.head.path})")
+          "Puffin deletion vector(s) (Iceberg v3); incremental reads apply " +
+          "v2 position/equality deletes only — use changes() for a typed " +
+          s"DV-aware change read (e.g. ${dvs.head.path})")
   }
 
   /** Non-PARQUET content files (ORC/AVRO data or delete files —

@@ -291,4 +291,47 @@ class DeltaColumnMappingSpec extends SparkSpec {
     }
     assert(d.getMessage.contains("column-mapped"))
   }
+
+  test("change data feed on a mapped table: cdc files read physically, surface logically") {
+    val dir = tempDir("delta-cmcdf").toString + "/t"
+    val s0 = putFile(dataDf(Seq((1L, "a", 10L), (2L, "b", 20L))), dir, "part=0/f0.parquet")
+    // metaData with mapping mode=name AND the change data feed enabled
+    val m = mapper.createObjectNode()
+    m.put("id", "11111111-2222-3333-4444-555555555555")
+    m.putObject("format").put("provider", "parquet")
+    m.put("schemaString", logicalSchema.json)
+    m.putArray("partitionColumns").add("part")
+    m.putObject("configuration")
+      .put("delta.columnMapping.mode", "name")
+      .put("delta.columnMapping.maxColumnId", "10")
+      .put("delta.enableChangeDataFeed", "true")
+    putCommit(dir, 0, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":${mapper.writeValueAsString(m)}}""",
+      addJson("part=0/f0.parquet", Map("col-03" -> "0"), s0)))
+    // v1: a cdc commit — PHYSICAL-named change file carrying
+    // _change_type, partitionValues keyed by the physical name
+    val cdcSize = putFile(
+      dataDf(Seq((2L, "b", 20L))).withColumn(DeltaChanges.ChangeTypeCol,
+        lit("update_preimage"))
+        .union(dataDf(Seq((2L, "B", 21L))).withColumn(DeltaChanges.ChangeTypeCol,
+          lit("update_postimage"))),
+      dir, "_change_data/part=0/c0.parquet")
+    val c = mapper.createObjectNode()
+    c.put("path", "_change_data/part=0/c0.parquet")
+    c.putObject("partitionValues").put("col-03", "0")
+    c.put("size", cdcSize)
+    c.put("dataChange", false)
+    putCommit(dir, 1, Seq(s"""{"cdc":${mapper.writeValueAsString(c)}}"""))
+
+    val rows = DeltaChanges.between(spark, dir, 1, 1)
+    assert(rows.columns.take(4).toSeq == Seq("id", "v", "s", "part"))
+    val got = rows
+      .select(col("id"), col("v"), col("s.x"), col("part"),
+        col(DeltaChanges.ChangeTypeCol))
+      .as[(Long, String, Long, Int, String)].collect().toSet
+    assert(got == Set(
+      (2L, "b", 20L, 0, "update_preimage"),
+      (2L, "B", 21L, 0, "update_postimage")))
+  }
 }

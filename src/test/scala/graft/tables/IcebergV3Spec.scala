@@ -6,6 +6,7 @@ import org.apache.avro.{Schema => AvroSchema}
 import org.apache.avro.file.DataFileWriter
 import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
 import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions.col
 
 /** Iceberg v3 ecosystem: plain v3 tables read; snapshots carrying
   * Puffin DELETION VECTORS (spec fields 143–145) are READ — the
@@ -138,6 +139,114 @@ class IcebergV3Spec extends SparkSpec {
   private val defaultFields =
     """{"id":1,"name":"id","required":false,"type":"long"},
       |{"id":2,"name":"v","required":false,"type":"string"}""".stripMargin
+
+  test("changelog over DV commits: new and REPLACEMENT DVs emit exactly the newly-dead rows") {
+    val root = tempDir("ice-v3-chg").toString + "/t"
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val metaDir = new Path(root, "metadata")
+    fs.mkdirs(metaDir)
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+      .coalesce(1).write.mode("overwrite").parquet(root + "/data")
+    val dataPath = fs.listStatus(new Path(root + "/data"))
+      .find(_.getPath.getName.endsWith(".parquet")).get.getPath.toUri.getPath
+    // snap2 adds a DV deleting position 1; snap3 REPLACES it with a
+    // DV deleting positions {1, 2} (per the v3 spec a new DV carries
+    // the old one's positions) — the changelog must emit only the
+    // newly-dead row per commit
+    val p1 = new Path(root, "deletes/dv1.puffin")
+    val (o1, s1) = IcebergPuffin.writeDvPuffin(fs, p1,
+      RoaringBitmapArray.fromSorted(Array(1L)), dataPath)
+    val p2 = new Path(root, "deletes/dv2.puffin")
+    val (o2, s2) = IcebergPuffin.writeDvPuffin(fs, p2,
+      RoaringBitmapArray.fromSorted(Array(1L, 2L)), dataPath)
+
+    def mkEntry(path: String, content: Int, seq: Long,
+        dv: Option[(Long, Long)]): GenericRecord = {
+      val dfSchema = v3EntrySchema.getField("data_file").schema()
+      val d = new GenericData.Record(dfSchema)
+      d.put("content", content)
+      d.put("file_path", path)
+      d.put("file_format", if (dv.isDefined) "PUFFIN" else "PARQUET")
+      d.put("partition", new GenericData.Record(dfSchema.getField("partition").schema()))
+      d.put("record_count", 3L)
+      d.put("file_size_in_bytes", 10L)
+      dv.foreach { case (off, size) =>
+        d.put("referenced_data_file", dataPath)
+        d.put("content_offset", off)
+        d.put("content_size_in_bytes", size)
+      }
+      val e = new GenericData.Record(v3EntrySchema)
+      e.put("status", 1); e.put("snapshot_id", seq)
+      e.put("sequence_number", seq); e.put("file_sequence_number", seq)
+      e.put("data_file", d)
+      e
+    }
+    def writeManifest(name: String, entries: Seq[GenericRecord]): Path = {
+      val p = new Path(metaDir, name)
+      val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](v3EntrySchema))
+      w.setMeta("format-version", "2")
+      w.create(v3EntrySchema, fs.create(p, true))
+      try entries.foreach(w.append) finally w.close()
+      p
+    }
+    def writeList(name: String, manifests: Seq[(Path, Int, Long)]): Path = {
+      val p = new Path(metaDir, name)
+      val s = IcebergUniform.manifestFileSchema
+      val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](s))
+        .create(s, fs.create(p, true))
+      try manifests.foreach { case (mp, content, seq) =>
+        val r = new GenericData.Record(s)
+        r.put("manifest_path", mp.toString)
+        r.put("manifest_length", fs.getFileStatus(mp).getLen)
+        r.put("partition_spec_id", 0)
+        r.put("content", content)
+        r.put("sequence_number", seq)
+        r.put("min_sequence_number", seq)
+        r.put("added_snapshot_id", seq)
+        r.put("added_files_count", 1)
+        r.put("existing_files_count", 0)
+        r.put("deleted_files_count", 0)
+        r.put("added_rows_count", 3L)
+        r.put("existing_rows_count", 0L)
+        r.put("deleted_rows_count", 0L)
+        w.append(r)
+      } finally w.close()
+      p
+    }
+    val m1 = writeManifest("m1.avro", Seq(mkEntry(dataPath, 0, 1L, None)))
+    val m2 = writeManifest("m2.avro", Seq(mkEntry(p1.toUri.getPath, 1, 2L, Some((o1, s1)))))
+    val m3 = writeManifest("m3.avro", Seq(mkEntry(p2.toUri.getPath, 1, 3L, Some((o2, s2)))))
+    val l1 = writeList("snap-1.avro", Seq((m1, 0, 1L)))
+    val l2 = writeList("snap-2.avro", Seq((m1, 0, 1L), (m2, 1, 2L)))
+    val l3 = writeList("snap-3.avro", Seq((m1, 0, 1L), (m3, 1, 3L)))
+    val metaJson =
+      s"""{"format-version":3,"table-uuid":"u","location":"$root",
+         |"last-sequence-number":3,"last-updated-ms":3,"last-column-id":2,
+         |"current-schema-id":0,
+         |"schemas":[{"type":"struct","schema-id":0,"fields":[$defaultFields]}],
+         |"partition-specs":[{"spec-id":0,"fields":[]}],"default-spec-id":0,
+         |"last-partition-id":999,"current-snapshot-id":3,
+         |"snapshots":[
+         | {"snapshot-id":1,"sequence-number":1,"timestamp-ms":1,
+         |  "manifest-list":"$l1","schema-id":0},
+         | {"snapshot-id":2,"sequence-number":2,"timestamp-ms":2,
+         |  "parent-snapshot-id":1,"manifest-list":"$l2","schema-id":0},
+         | {"snapshot-id":3,"sequence-number":3,"timestamp-ms":3,
+         |  "parent-snapshot-id":2,"manifest-list":"$l3","schema-id":0}]}""".stripMargin
+    val out = fs.create(new Path(metaDir, "v1.metadata.json"), true)
+    out.write(metaJson.getBytes("UTF-8")); out.close()
+
+    val t = new IcebergTable("t", root)
+    // snapshot read at head applies the replacement DV
+    assert(t(spark, ReadArgs.empty).select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L))
+    val got = t.changes(spark, 1L, 3L)
+      .select(col("id").as[Long],
+        col(IcebergTable.ChangeTypeCol).as[String],
+        col(IcebergTable.ChangeOrdinalCol).as[Int])
+      .collect().toSet
+    assert(got == Set((2L, "delete", 1), (3L, "delete", 2)), got)
+  }
 
   test("a plain v3 table (no DVs, no defaults) reads fine") {
     val root = tempDir("ice-v3-plain").toString + "/t"
