@@ -27,6 +27,30 @@ trait ChangeFeed {
 
   /** Full snapshot pinned at `version` (initialize / recompute). */
   def snapshotAt(spark: SparkSession, version: Long): DataFrame
+
+  /** The table's data schema (no change columns). */
+  def tableSchema(spark: SparkSession): org.apache.spark.sql.types.StructType
+
+  /** Commit version tokens in `(fromVersion, toVersion]`, ascending —
+    * what a bounded-catch-up consumer caps a batch with.
+    */
+  def versions(spark: SparkSession, fromVersion: Long, toVersion: Long): Seq[Long]
+
+  /** [[changes]] projected to the UNIFORM cdc contract every leg
+    * shares: table columns + `_change_type` + `_commit_version`
+    * (this feed's version Long per row) + `_commit_timestamp` — the
+    * schema a format-agnostic streaming consumer reads.
+    */
+  def changesUniform(spark: SparkSession, fromVersion: Long, toVersion: Long): DataFrame
+
+  /** The uniform cdc schema ([[changesUniform]]'s). */
+  final def uniformSchema(spark: SparkSession): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(tableSchema(spark).fields ++ Seq(
+      StructField(DeltaChanges.ChangeTypeCol, StringType),
+      StructField(DeltaChanges.CommitVersionCol, LongType),
+      StructField(DeltaChanges.CommitTimestampCol, TimestampType)))
+  }
 }
 
 object ChangeFeed {
@@ -55,6 +79,8 @@ object ChangeFeed {
   * adjusted to its inclusive contract).
   */
 final class DeltaFeed(val path: String) extends ChangeFeed {
+  import org.apache.spark.sql.functions.col
+
   override def head(spark: SparkSession): Long =
     DeltaLog.snapshot(spark, path, withFiles = false).version
 
@@ -64,6 +90,21 @@ final class DeltaFeed(val path: String) extends ChangeFeed {
   override def snapshotAt(spark: SparkSession, version: Long): DataFrame =
     new DeltaTable("base", path)(spark,
       ReadArgs(extra = Map("versionAsOf" -> version)))
+
+  override def tableSchema(spark: SparkSession): org.apache.spark.sql.types.StructType =
+    DeltaLog.snapshot(spark, path, withFiles = false).schema
+
+  override def versions(spark: SparkSession, fromVersion: Long, toVersion: Long): Seq[Long] =
+    (fromVersion + 1) to toVersion // Delta versions are dense
+
+  override def changesUniform(
+      spark: SparkSession, fromVersion: Long, toVersion: Long): DataFrame = {
+    val cols = tableSchema(spark).fieldNames.map(col).toSeq ++ Seq(
+      col(DeltaChanges.ChangeTypeCol),
+      col(DeltaChanges.CommitVersionCol),
+      col(DeltaChanges.CommitTimestampCol))
+    changes(spark, fromVersion, toVersion).select(cols: _*)
+  }
 }
 
 /** Iceberg leg: version tokens are snapshot SEQUENCE numbers
@@ -117,6 +158,31 @@ final class IcebergFeed(val path: String) extends ChangeFeed {
     val table = new IcebergTable("base", path)
     table(spark, ReadArgs(extra = Map(table.SnapshotIdKey -> snapshotOfSeq(m, version).id)))
   }
+
+  override def tableSchema(spark: SparkSession): org.apache.spark.sql.types.StructType =
+    meta(spark).schema
+
+  override def versions(spark: SparkSession, fromVersion: Long, toVersion: Long): Seq[Long] = {
+    val m = meta(spark)
+    IcebergMeta.lineage(m, snapshotOfSeq(m, fromVersion).id, snapshotOfSeq(m, toVersion).id)
+      .map(_.sequenceNumber)
+  }
+
+  override def changesUniform(
+      spark: SparkSession, fromVersion: Long, toVersion: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val m = meta(spark)
+    // per-row snapshot id → sequence number through a literal map
+    // (snapshot count is metadata-bounded)
+    val idToSeq = m.snapshots.map(s => s.id -> s.sequenceNumber).toMap
+    val cols = m.schema.fieldNames.map(col).toSeq ++ Seq(
+      col(IcebergTable.ChangeTypeCol),
+      element_at(
+        typedlit(idToSeq), col(IcebergTable.CommitSnapshotCol))
+        .as(DeltaChanges.CommitVersionCol),
+      col(IcebergTable.CommitTimestampCol))
+    changes(spark, fromVersion, toVersion).select(cols: _*)
+  }
 }
 
 /** Hudi leg: version tokens are the 17-digit commit instants parsed
@@ -141,5 +207,28 @@ final class HudiFeed(val path: String) extends ChangeFeed {
   override def snapshotAt(spark: SparkSession, version: Long): DataFrame = {
     val table = new HudiTable("base", path)
     table(spark, ReadArgs(extra = Map(table.AsOfInstantKey -> instantStr(version))))
+  }
+
+  override def tableSchema(spark: SparkSession): org.apache.spark.sql.types.StructType =
+    new HudiTable("base", path)(spark, ReadArgs.empty).schema
+
+  override def versions(spark: SparkSession, fromVersion: Long, toVersion: Long): Seq[Long] = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    HudiWrite.completedInstants(fs, path, Some(instantStr(toVersion)))
+      .map(_._1.toLong).filter(_ > fromVersion)
+  }
+
+  override def changesUniform(
+      spark: SparkSession, fromVersion: Long, toVersion: Long): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val raw = changes(spark, fromVersion, toVersion)
+    val dataCols = raw.columns.filterNot(Set(
+      HudiTable.ChangeTypeCol, HudiTable.CommitInstantCol,
+      HudiTable.ChangeOrdinalCol, HudiTable.CommitTimestampCol)).toSeq
+    raw.select(dataCols.map(col) ++ Seq(
+      col(HudiTable.ChangeTypeCol),
+      col(HudiTable.CommitInstantCol).cast("long")
+        .as(DeltaChanges.CommitVersionCol),
+      col(HudiTable.CommitTimestampCol)): _*)
   }
 }

@@ -194,13 +194,18 @@ class HudiTable(
         val dataCols: Seq[String] = after.orElse(before)
           .map(_.columns.toSeq.filterNot(metaCols.contains))
           .getOrElse(Seq.empty)
+        // instant → epoch millis on the DRIVER (instants are UTC
+        // yyyyMMddHHmmssSSS); an executor-side to_timestamp parse
+        // trips streaming microbatches' stricter parser policy
+        val instantMs = java.time.LocalDateTime
+          .parse(instant, HudiTable.InstantFormat)
+          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
         def stamp(df: DataFrame, changeType: String): DataFrame =
           df.select(dataCols.map(col): _*)
             .withColumn(ChangeTypeCol, lit(changeType))
             .withColumn(CommitInstantCol, lit(instant))
             .withColumn(ChangeOrdinalCol, lit(ord + 1))
-            .withColumn(CommitTimestampCol,
-              to_timestamp(lit(instant), "yyyyMMddHHmmssSSS"))
+            .withColumn(CommitTimestampCol, timestamp_millis(lit(instantMs)))
         val b = Seq.newBuilder[DataFrame]
         posts.foreach(p => b += stamp(p, "insert"))
         before.foreach { bf =>
@@ -320,6 +325,10 @@ object HudiTable {
   val CommitInstantCol = "_commit_instant"
   val ChangeOrdinalCol = "_change_ordinal"
   val CommitTimestampCol = DeltaChanges.CommitTimestampCol
+
+  /** UTC instant parser (the writer's yyyyMMddHHmmssSSS). */
+  private[tables] val InstantFormat =
+    java.time.format.DateTimeFormatter.ofPattern("yyyyMMddHHmmssSSS")
 
   /** Partition + column-stats pruning of one slice — the SAME
     * predicate the driver path filters with and the distributed

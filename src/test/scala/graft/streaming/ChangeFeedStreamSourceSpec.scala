@@ -1,0 +1,121 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.tables.{DeltaDdl, DeltaWrite, HudiWrite, IcebergWrite}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** Streaming CDC source over the ChangeFeed triad: the first batch is
+  * the full table as inserts, every later micro-batch is the typed
+  * change stream (pre-image deletes + post-image inserts for
+  * upserts), uniform across Delta/Iceberg/Hudi; checkpoint restarts
+  * resume after the committed version.
+  */
+class ChangeFeedStreamSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val fmt = classOf[ChangeFeedStreamSourceProvider].getName
+
+  private def collected(name: String): Set[(Long, String, String)] =
+    spark.sql(s"SELECT id, v, _change_type FROM $name")
+      .as[(Long, String, String)].collect().toSet
+
+  test("iceberg: typed upsert/delete changes stream after the snapshot batch") {
+    val dir = tempDir("cdc-ice").toString + "/t"
+    IcebergWrite.append(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)
+    val q = spark.readStream.format(fmt).option("path", dir).load()
+      .writeStream.format("memory").queryName("cdcice")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      assert(collected("cdcice") == Set(
+        (1L, "a", "insert"), (2L, "b", "insert")))
+      IcebergWrite.upsertEquality(spark,
+        Seq((2L, "B"), (3L, "c")).toDF("id", "v"), dir, Seq("id"))
+      IcebergWrite.deleteEquality(spark, dir, Seq(Tuple1(1L)).toDF("id"))
+      q.processAllAvailable()
+      assert(collected("cdcice") == Set(
+        (1L, "a", "insert"), (2L, "b", "insert"),
+        (2L, "b", "delete"), (2L, "B", "insert"), (3L, "c", "insert"),
+        (1L, "a", "delete")))
+      // commit versions rode along, monotone nonzero for the changes
+      val vs = spark.sql("SELECT _commit_version FROM cdcice WHERE _change_type = 'delete'")
+        .as[Long].collect()
+      assert(vs.forall(_ > 0))
+    } finally q.stop()
+  }
+
+  test("hudi MOR: log upserts and tombstones stream as typed changes") {
+    val dir = tempDir("cdc-hudi").toString + "/t"
+    HudiWrite.bulkInsert(spark,
+      Seq((1L, "a", 0), (2L, "b", 0)).toDF("id", "v", "part"),
+      dir, "id", Seq("part"), tableType = "MERGE_ON_READ")
+    val q = spark.readStream.format(fmt).option("path", dir).load()
+      .writeStream.format("memory").queryName("cdchudi")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      assert(collected("cdchudi") == Set(
+        (1L, "a", "insert"), (2L, "b", "insert")))
+      HudiWrite.upsert(spark, Seq((2L, "B", 0)).toDF("id", "v", "part"), dir)
+      HudiWrite.delete(spark, Seq(Tuple1(1L)).toDF("id"), dir)
+      q.processAllAvailable()
+      assert(collected("cdchudi") == Set(
+        (1L, "a", "insert"), (2L, "b", "insert"),
+        (2L, "b", "delete"), (2L, "B", "insert"),
+        (1L, "a", "delete")))
+    } finally q.stop()
+  }
+
+  test("delta: CDF update pre/post-images stream; checkpoint restart resumes") {
+    val dir = tempDir("cdc-delta").toString + "/t"
+    val ckpt = tempDir("cdc-delta-c").toString
+    val out = tempDir("cdc-delta-o").toString
+    DeltaDdl.createTable(spark, dir,
+      StructType(Seq(StructField("id", LongType), StructField("v", StringType))),
+      configuration = Map("delta.enableChangeDataFeed" -> "true"))
+    DeltaWrite.append(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)
+
+    def drain(): Unit = {
+      val q = spark.readStream.format(fmt).option("path", dir).load()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000))
+    }
+    drain()
+    def rows() = spark.read.parquet(out).select("id", "v", "_change_type")
+      .as[(Long, String, String)].collect().toSet
+    assert(rows() == Set((1L, "a", "insert"), (2L, "b", "insert")))
+
+    DeltaWrite.updateWhere(spark, dir,
+      graft.core.Filters.normalize(Seq(graft.core.Filter("id", "=", 2L))),
+      Seq("v" -> "'Z'"))
+    drain() // restart resumes from the checkpointed version
+    assert(rows() == Set(
+      (1L, "a", "insert"), (2L, "b", "insert"),
+      (2L, "b", "update_preimage"), (2L, "Z", "update_postimage")))
+  }
+
+  test("maxCommitsPerTrigger bounds catch-up batches by commit") {
+    val dir = tempDir("cdc-max").toString + "/t"
+    IcebergWrite.append(spark, Seq((1L, "a")).toDF("id", "v"), dir)
+    val q = spark.readStream.format(fmt).option("path", dir)
+      .option("maxCommitsPerTrigger", "1").load()
+      .writeStream.format("memory").queryName("cdcmax")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      IcebergWrite.append(spark, Seq((2L, "b")).toDF("id", "v"), dir)
+      IcebergWrite.append(spark, Seq((3L, "c")).toDF("id", "v"), dir)
+      q.processAllAvailable()
+      // both commits eventually arrive (in ≥2 batches), none skipped
+      assert(spark.sql("SELECT id FROM cdcmax").as[Long].collect().sorted.toSeq ==
+        Seq(1L, 2L, 3L))
+      // and they were delivered under at least two distinct versions
+      assert(spark.sql("SELECT DISTINCT _commit_version FROM cdcmax")
+        .as[Long].collect().length >= 3)
+    } finally q.stop()
+  }
+}
