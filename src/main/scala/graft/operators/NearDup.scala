@@ -237,10 +237,14 @@ object NearDup {
             .select(col("_rep").as("a_id"), col("_id").as("b_id"))
             .withColumn("star", lit(true))
           // a pair can be both a small-bucket candidate (one band) and
-          // a star edge (another): min() keeps it a NON-star candidate
-          // so the threshold applies whenever ordinary banding found it
+          // a star edge (another): max() keeps the STAR provenance —
+          // an extra banding collision must never REDUCE connectivity
+          // (min() would re-drop a sub-threshold star edge and
+          // disconnect the hot bucket, the exact loss the exemption
+          // exists to prevent); the output tag below narrows to pairs
+          // actually kept by the exemption
           allPairs.unionByName(starPairs)
-            .groupBy("a_id", "b_id").agg(min(col("star")).as("star"))
+            .groupBy("a_id", "b_id").agg(max(col("star")).as("star"))
         }
       }
 
@@ -269,6 +273,12 @@ object NearDup {
     withSets
       .withColumn("jaccard", round(inter / union, 4))
       .where(col("jaccard") >= threshold || col("star"))
+      // the tag narrows to pairs the exemption ALONE kept: a
+      // threshold-passing pair is an ordinary verified near-dup
+      // regardless of which buckets surfaced it (so `!star` consumers
+      // never lose verified pairs), and star = true ⟺ kept only for
+      // hot-bucket connectivity
+      .withColumn("star", col("star") && col("jaccard") < lit(threshold))
       .select("a_id", "b_id", "jaccard", "star")
   }
 

@@ -26,8 +26,15 @@ import org.apache.spark.sql.types.{StructType, TimestampType}
   * rows (`_commit_timestamp` null — the snapshot is not one commit).
   * Offsets are the feed's version Longs; restarts resume from the
   * engine checkpoint exactly-once. `maxCommitsPerTrigger` bounds
-  * catch-up batches per the feed's commit list. Per batch: one
-  * driver metadata diff + scans ∝ changed data.
+  * catch-up batches per the feed's commit list — declared boundary:
+  * the Source v1 API surfaces the checkpointed offset only in
+  * getBatch, so the FIRST offset of a restarted query with a fully
+  * committed checkpoint has no base to cap from and may span the
+  * whole backlog; the cap engages from the next trigger on (getBatch
+  * seeds the base either way). Per batch: one driver metadata diff +
+  * scans ∝ changed data; the schema-drift check runs once per
+  * ADVANCED version, not per trigger (for Hudi it costs a snapshot
+  * plan).
   */
 class ChangeFeedStreamSourceProvider extends StreamSourceProvider {
   private def pathOf(p: Map[String, String]): String =
@@ -70,6 +77,7 @@ class ChangeFeedStreamSource(
   }
 
   @volatile private var lastSeen: Option[Long] = None
+  @volatile private var validatedThrough: Long = Long.MinValue
 
   override def getOffset: Option[Offset] = {
     val head = feed.head(spark)
@@ -84,9 +92,12 @@ class ChangeFeedStreamSource(
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    require(feed.tableSchema(spark) == StructType(pinned.fields.dropRight(3)),
-      s"schema of $tablePath changed mid-stream; restart the query to pick it up")
     val to = versionOf(end)
+    if (to > validatedThrough) {
+      require(feed.tableSchema(spark) == StructType(pinned.fields.dropRight(3)),
+        s"schema of $tablePath changed mid-stream; restart the query to pick it up")
+      validatedThrough = to
+    }
     lastSeen = Some(math.max(to, lastSeen.getOrElse(Long.MinValue)))
     val df = start match {
       case None =>

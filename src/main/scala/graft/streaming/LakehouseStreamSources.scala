@@ -193,7 +193,11 @@ class HudiStreamSource(
   @volatile private var lastSeen: Option[Long] = None
 
   override def getOffset: Option[Offset] = {
-    val instants = HudiWrite.completedInstants(fs, tablePath, None).map(_._1)
+    // fenced at the earliest PENDING instant (safeHeadInstant): a
+    // racing writer whose lower instant completes later must not be
+    // skipped forever by this stream's advancing offset
+    val fence = HudiWrite.safeHeadInstant(fs, tablePath)
+    val instants = HudiWrite.completedInstants(fs, tablePath, fence).map(_._1)
     val latest = instants.lastOption.map(_.toLong)
     val capped = latest.map { l =>
       (lastSeen, maxCommitsPerTrigger) match {

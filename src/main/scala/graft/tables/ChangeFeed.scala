@@ -194,10 +194,12 @@ final class HudiFeed(val path: String) extends ChangeFeed {
 
   override def head(spark: SparkSession): Long = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    HudiWrite.completedInstants(fs, path, None).lastOption
-      .map(_._1.toLong)
+    // fenced at the earliest PENDING instant: a racing writer whose
+    // lower instant completes later must not be skipped forever
+    HudiWrite.safeHeadInstant(fs, path)
+      .map(_.toLong)
       .getOrElse(throw new IllegalArgumentException(
-        s"Hudi table $path has no completed commits"))
+        s"Hudi table $path has no completed commits below its pending instants"))
   }
 
   override def changes(spark: SparkSession, fromVersion: Long, toVersion: Long): DataFrame =

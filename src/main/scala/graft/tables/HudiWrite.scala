@@ -1036,6 +1036,36 @@ object HudiWrite {
     * (insert/upsert) or `.replacecommit` (file groups replaced —
     * delete of whole groups), ascending.
     */
+  /** The incremental-read FENCE: the greatest completed instant
+    * strictly below every PENDING instant (a requested/inflight
+    * marker without its completed action). A consumer advancing its
+    * watermark to the bare max completed instant can permanently
+    * skip a racing writer whose LOWER instant completes later —
+    * changelog/incremental reads filter `instant > from`, so the
+    * late commit would never surface (upstream Hudi's
+    * earliest-pending fence). Crashed writers' stale markers hold
+    * the fence until [[HudiMaintenance.rollbackPending]] clears them
+    * — liveness deferred to maintenance, never a silent skip.
+    */
+  private[graft] def safeHeadInstant(fs: FileSystem, tablePath: String): Option[String] = {
+    val hoodieDir = new Path(tablePath, ".hoodie")
+    val names = fs.listStatus(hoodieDir).map(_.getPath.getName)
+    val Completed = "(\\d{17})\\.(?:commit|replacecommit|deltacommit)".r
+    val PendingA = "(\\d{17})\\.(?:commit|replacecommit|deltacommit)\\.(?:requested|inflight)".r
+    val PendingB = "(\\d{17})\\.inflight".r
+    val completed = names.collect { case Completed(i) => i }
+    val done = completed.toSet
+    val pending = names.collect {
+      case PendingA(i) if !done(i) => i
+      case PendingB(i) if !done(i) => i
+    }
+    val eligible = pending.minOption match {
+      case Some(p) => completed.filter(_ < p)
+      case None    => completed
+    }
+    eligible.maxOption
+  }
+
   private[graft] def completedInstants(
       fs: FileSystem, tablePath: String, asOf: Option[String]): Seq[(String, String)] = {
     val hoodieDir = new Path(tablePath, ".hoodie")

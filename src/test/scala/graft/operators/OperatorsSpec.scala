@@ -117,7 +117,9 @@ class NearDupSpec extends SparkSpec {
     val got = pairs.select("a_id", "b_id", "jaccard", "star")
       .as[(Long, Long, Double, Boolean)].collect().toSeq
     assert(got.length == 39, s"expected 39 star edges, got ${got.length}")
-    assert(got.forall { case (a, _, j, star) => a == 1L && j == 1.0 && star })
+    // these star edges VERIFY above the threshold, so they surface as
+    // ordinary pairs: the tag marks only exemption-kept pairs
+    assert(got.forall { case (a, _, j, star) => a == 1L && j == 1.0 && !star })
     val clusters = NearDup.dupClusters(pairs, "a_id", "b_id")
       .as[(Long, Long)].collect().toMap
     assert(clusters == (1L to 40L).map(_ -> 1L).toMap)
