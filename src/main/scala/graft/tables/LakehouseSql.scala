@@ -24,6 +24,16 @@ import org.apache.spark.sql.functions.col
   * DELETE FROM hudi.`/p` WHERE a = 1           -- key-indexed delete
   * DESCRIBE SNAPSHOTS|HISTORY|REFS|FILES iceberg.`/p`
   * DESCRIBE TIMELINE|SLICES hudi.`/p`
+  * DESCRIBE CHANGES delta|iceberg|hudi.`/p` AFTER 3 [TO 7]
+  *                                               -- the typed change
+  *                                               -- stream (R61/R62 +
+  *                                               -- Delta CDF) under
+  *                                               -- the uniform cdc
+  *                                               -- schema; AFTER is
+  *                                               -- EXCLUSIVE (the
+  *                                               -- ChangeFeed
+  *                                               -- watermark shape),
+  *                                               -- TO defaults to head
   * EXPIRE SNAPSHOTS iceberg.`/p` KEEP 3
   * CLEAN hudi.`/p` KEEP 3
   * }}}
@@ -51,6 +61,8 @@ object LakehouseSql {
   private val upsHud = s"""(?is)^(?:UPSERT|MERGE)\\s+INTO\\s+$Hud\\s+USING\\s+(\\w+)$$""".r
   private val delIce = s"""(?is)^DELETE\\s+FROM\\s+$Ice\\s+WHERE\\s+(.+)$$""".r
   private val delHud = s"""(?is)^DELETE\\s+FROM\\s+$Hud\\s+WHERE\\s+(.+)$$""".r
+  private val chgAny =
+    """(?is)^DESCRIBE\s+CHANGES\s+(delta|iceberg|hudi)\.`([^`]+)`\s+AFTER\s+(\d+)(?:\s+TO\s+(\d+))?$""".r
   private val descIce = s"""(?is)^DESCRIBE\\s+(SNAPSHOTS|HISTORY|REFS|FILES)\\s+$Ice$$""".r
   private val descHud = s"""(?is)^DESCRIBE\\s+(TIMELINE|SLICES)\\s+$Hud$$""".r
   private val expire = s"""(?is)^EXPIRE\\s+SNAPSHOTS\\s+$Ice\\s+KEEP\\s+(\\d+)$$""".r
@@ -77,6 +89,16 @@ object LakehouseSql {
       columns = parseCols(cols))
 
     s match {
+      case chgAny(fmt, path, after, to) =>
+        val feed = ChangeFeed.forPath(spark, path)
+        val ok = fmt.toLowerCase match {
+          case "delta"   => feed.isInstanceOf[DeltaFeed]
+          case "iceberg" => feed.isInstanceOf[IcebergFeed]
+          case _         => feed.isInstanceOf[HudiFeed]
+        }
+        require(ok, s"$path is not a ${fmt.toLowerCase} table")
+        feed.changesUniform(spark, after.toLong,
+          Option(to).map(_.toLong).getOrElse(feed.head(spark)))
       case selIce(cols, path, snap, ref, where) =>
         val t = new IcebergTable(name(path), path)
         val extra: Map[String, Any] =

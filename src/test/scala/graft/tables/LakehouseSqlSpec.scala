@@ -194,4 +194,25 @@ class LakehouseSqlSpec extends SparkSpec {
       LakehouseSql.exec(spark, "TRUNCATE iceberg.`/p`")
     }
   }
+
+  test("DESCRIBE CHANGES serves the typed change stream through SQL") {
+    import org.apache.spark.sql.functions.col
+    val dir = tempDir("lhsql-chg").toString + "/t"
+    IcebergWrite.append(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)
+    IcebergWrite.upsertEquality(spark, Seq((2L, "B")).toDF("id", "v"), dir, Seq("id"))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val firstSeq = IcebergMeta.load(fs, dir).snapshots.map(_.sequenceNumber).min
+    val got = LakehouseSql.exec(spark,
+      s"DESCRIBE CHANGES iceberg.`$dir` AFTER $firstSeq")
+      .select(col("id").as[Long], col("v").as[String],
+        col(DeltaChanges.ChangeTypeCol).as[String])
+      .collect().toSet
+    assert(got == Set((2L, "b", "delete"), (2L, "B", "insert")))
+    // format mismatch refuses
+    val e = intercept[IllegalArgumentException] {
+      LakehouseSql.exec(spark, s"DESCRIBE CHANGES hudi.`$dir` AFTER 0")
+    }
+    assert(e.getMessage.contains("not a hudi table"))
+  }
 }
