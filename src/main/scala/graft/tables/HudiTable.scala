@@ -173,15 +173,19 @@ class HudiTable(
       }
     val inRange = eventsByInstant.filter(_._1 > fromInstant)
     val metaCols = Seq(HudiWrite.CommitTimeCol, HudiWrite.RecordKeyCol)
+    // events indexed by file group ONCE (ascending instant preserved),
+    // so each commit's before/after folds touch O(its groups' events),
+    // not O(timeline) — the shape that keeps a short poll over a long
+    // timeline cheap
+    val byGroup: Map[(String, String), Seq[HudiWrite.SliceEvent]] =
+      eventsByInstant.flatMap(_._2).groupBy(e => (e.part, e.fileId))
 
     val frames = inRange.zipWithIndex.flatMap { case ((instant, events), ord) =>
       val touched = events.map(e => (e.part, e.fileId)).toSet
       if (touched.isEmpty) Seq.empty[DataFrame]
       else {
-        val beforeEvents = eventsByInstant
-          .takeWhile(_._1 < instant)
-          .flatMap(_._2)
-          .filter(e => touched((e.part, e.fileId)))
+        val beforeEvents = touched.toSeq.sorted.flatMap(g =>
+          byGroup.getOrElse(g, Seq.empty).filter(_.instant < instant))
         val beforeSlices = HudiWrite.foldSlices(beforeEvents)
         val afterSlices = HudiWrite.foldSlices(beforeEvents ++ events)
         val after =

@@ -188,6 +188,7 @@ object HudiWrite {
       unmatched.select(dataCols.map(col) :+ fgExpr.as("_fg"): _*)
     }
 
+    requirePartitionStable(updatedTarget, affectedSlices, partCols, tablePath)
     val out = survivors.unionByName(updatedTarget).unionByName(newTarget)
     val written = stageByGroup(spark, out, fs, tablePath, partCols, instant,
       freshGroupPerLeaf = false)
@@ -203,6 +204,64 @@ object HudiWrite {
     * The snapshot reader ([[readSlicesMerged]]) serves latest-per-key
     * over base ∪ logs until [[compact]] folds the logs down.
     */
+  /** Refuse an upsert that MOVES an existing key to a different
+    * partition path. Routing is by key (global-index semantics), so
+    * the update lands in its original file group while its partition
+    * columns say otherwise — COW staging would then rewrite the
+    * group's base into the NEW partition directory leaving the old
+    * base live under (oldPart, fileId), and a MOR log record would
+    * serve correct snapshots only until compaction re-partitions the
+    * row the same way: either way the key DUPLICATES (caught by the
+    * changelog replay-invariant property). Upstream Hudi's global
+    * index refuses the same shape unless partition-path updating is
+    * explicitly enabled; here it refuses loudly — delete the key,
+    * then insert. Rendering mismatches refuse too (a false refusal
+    * is loud and safe; a false acceptance re-creates the duplicate).
+    */
+  private def requirePartitionStable(
+      matchedWithFg: DataFrame,
+      affectedSlices: Seq[FileSlice],
+      partCols: Seq[String],
+      tablePath: String): Unit = {
+    if (partCols.isEmpty || affectedSlices.isEmpty) return
+    val ownerEnc: Map[String, String] = affectedSlices.map { sl =>
+      sl.fileId -> partitionValuesOf(sl.partition, partCols).mkString("\u0001")
+    }.toMap
+    val rowEnc = concat_ws("\u0001", partCols.map(c =>
+      coalesce(col(c).cast("string"), lit("\u0000"))): _*)
+    val moved = matchedWithFg
+      .where(rowEnc =!= element_at(typedLit(ownerEnc), col("_fg")))
+      .select(col(RecordKeyCol).cast("string"))
+      .limit(1).collect()
+    moved.headOption.foreach { r =>
+      throw new UnsupportedOperationException(
+        s"upsert into $tablePath changes the partition path of existing " +
+          s"key '${r.getString(0)}'; partition-path updates are " +
+          "unsupported (keys route to their original file group) — " +
+          "delete the key, then insert it under the new partition")
+    }
+  }
+
+  /** Partition-column VALUES of a hive partition path, rendered the
+    * way `col.cast("string")` renders them (nulls and missing columns
+    * as the `\u0000` sentinel) — the comparison key
+    * [[requirePartitionStable]] matches against.
+    */
+  private def partitionValuesOf(partitionPath: String, partCols: Seq[String]): Seq[String] = {
+    val m: Map[String, String] = partitionPath.split('/').toSeq.flatMap { seg =>
+      seg.split("=", 2) match {
+        case Array(k, v) => Some(k ->
+          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(v))
+        case _ => None
+      }
+    }.toMap
+    partCols.map(c => m.get(c) match {
+      case Some("__HIVE_DEFAULT_PARTITION__") => "\u0000"
+      case Some(v)                            => v
+      case None                               => "\u0000"
+    })
+  }
+
   private def morUpsertOnce(
       spark: SparkSession,
       df: DataFrame,
@@ -272,6 +331,7 @@ object HudiWrite {
     val unmatched = incomingPrepared.join(keyToFg,
       incomingPrepared(RecordKeyCol) === col("_k0"), "leftanti")
 
+    requirePartitionStable(matchedIncoming, affectedSlices, partCols, tablePath)
     val logWritten = writeLogFiles(spark, matchedIncoming, tablePath,
       affectedSlices, instant)
     val newWritten =

@@ -57,6 +57,67 @@ class HudiChangesSpec extends SparkSpec {
     assert(empty.columns.contains(HudiTable.ChangeTypeCol))
   }
 
+  test("REPLAY INVARIANT: initial state + inserts − deletes == final state (randomized MOR ops)") {
+    for (seed <- Seq(7, 23, 59)) {
+      val rnd = new scala.util.Random(seed)
+      val dir = tempDir(s"hudi-chg-prop$seed").toString + "/t"
+      def batch(n: Int): Seq[(Long, String, Int)] =
+        Seq.fill(n)((rnd.nextInt(20).toLong, s"v${rnd.nextInt(1000)}"))
+          .groupBy(_._1).map(_._2.head).toSeq // hudi record keys unique per batch
+          // partition derives from the KEY: partition paths are
+          // stable per key (partition-changing upserts refuse)
+          .map { case (id, v) => (id, v, (id % 2).toInt) }
+      val i1 = HudiWrite.bulkInsert(spark, batch(8).toDF("id", "v", "part"),
+        dir, "id", Seq("part"), tableType = "MERGE_ON_READ")
+      (1 to 6).foreach { _ =>
+        rnd.nextInt(3) match {
+          case 0 => HudiWrite.upsert(spark, batch(4).toDF("id", "v", "part"), dir)
+          case 1 => HudiWrite.delete(spark,
+            batch(3).map(_._1).distinct.toDF("id"), dir)
+          case _ => HudiWrite.compact(spark, dir); ()
+        }
+      }
+      val t = new HudiTable("t", dir)
+      def multiset(rows: Seq[(Long, String)]): Map[(Long, String), Int] =
+        rows.groupBy(identity).view.mapValues(_.size).toMap
+      val initial = t(spark, ReadArgs(extra = Map(t.AsOfInstantKey -> i1)))
+        .select(col("id").as[Long], col("v").as[String]).collect().toSeq
+      val fin = t(spark, ReadArgs.empty)
+        .select(col("id").as[Long], col("v").as[String]).collect().toSeq
+      val chg = t.changes(spark, i1)
+        .select(col("id").as[Long], col("v").as[String],
+          col(HudiTable.ChangeTypeCol).as[String]).collect().toSeq
+      val inserts = chg.collect { case (i, v, "insert") => (i, v) }
+      val deletes = chg.collect { case (i, v, "delete") => (i, v) }
+      val replayed = (multiset(initial ++ inserts).toSeq ++
+        multiset(deletes).toSeq.map { case (k, n) => k -> -n })
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).filter(_._2 != 0).toMap
+      assert(replayed == multiset(fin),
+        s"seed $seed: replay diverged\nreplayed=$replayed\nfinal=${multiset(fin)}")
+    }
+  }
+
+  test("partition-changing upserts refuse loudly (COW and MOR)") {
+    // routing is by key: moving a key's partition would duplicate it
+    // (old group's base stays live under its original path) — refused
+    for (tt <- Seq("COPY_ON_WRITE", "MERGE_ON_READ")) {
+      val dir = tempDir(s"hudi-chg-move-$tt").toString + "/t"
+      HudiWrite.bulkInsert(spark,
+        Seq((1L, "a", 0), (2L, "b", 1)).toDF("id", "v", "part"),
+        dir, "id", Seq("part"), tableType = tt)
+      val e = intercept[UnsupportedOperationException] {
+        HudiWrite.upsert(spark, Seq((2L, "B", 0)).toDF("id", "v", "part"), dir)
+      }
+      assert(e.getMessage.contains("partition path") &&
+        e.getMessage.contains("'2'"), e.getMessage)
+      // same-partition updates still work
+      HudiWrite.upsert(spark, Seq((2L, "B2", 1)).toDF("id", "v", "part"), dir)
+      val got = new HudiTable("t", dir)(spark, ReadArgs.empty)
+        .select(col("id").as[Long], col("v").as[String]).collect().toSet
+      assert(got == Set((1L, "a"), (2L, "B2")))
+    }
+  }
+
   test("changelog columns: instant and timestamp ride every row") {
     val dir = tempDir("hudi-chg-cols").toString + "/t"
     HudiWrite.bulkInsert(spark,

@@ -91,6 +91,49 @@ class IcebergChangesSpec extends SparkSpec {
       Set((2, "b", "insert", 1)))
   }
 
+  test("REPLAY INVARIANT: initial state + inserts − deletes == final state (randomized ops)") {
+    // the changelog's defining property, checked over random op
+    // sequences (fixed seeds — deterministic): folding the typed
+    // change stream into the range's initial snapshot reconstructs
+    // the final snapshot EXACTLY, as a multiset of full rows
+    for (seed <- Seq(11, 42, 77)) {
+      val rnd = new scala.util.Random(seed)
+      val dir = tempDir(s"ice-chg-prop$seed").toString + "/t"
+      def batch(n: Int): Seq[(Long, String)] =
+        Seq.fill(n)((rnd.nextInt(30).toLong, s"v${rnd.nextInt(1000)}"))
+          .groupBy(_._1).map(_._2.head).toSeq // distinct keys per batch
+      IcebergWrite.append(spark, batch(8).toDF("id", "v"), dir)
+      (1 to 6).foreach { _ =>
+        rnd.nextInt(4) match {
+          case 0 => IcebergWrite.append(spark, batch(3).toDF("id", "v"), dir)
+          case 1 => IcebergWrite.upsertEquality(spark,
+            batch(4).toDF("id", "v"), dir, Seq("id"))
+          case 2 => IcebergWrite.deleteEquality(spark, dir,
+            batch(3).map(_._1).distinct.toDF("id"))
+          case _ => IcebergMaintenance.rewriteDataFiles(spark, dir)
+        }
+      }
+      val s = snaps(dir)
+      val t = new IcebergTable("t", dir)
+      def multiset(rows: Seq[(Long, String)]): Map[(Long, String), Int] =
+        rows.groupBy(identity).view.mapValues(_.size).toMap
+      val initial = t(spark, ReadArgs(extra = Map(t.SnapshotIdKey -> s.head.id)))
+        .select(col("id").as[Long], col("v").as[String]).collect().toSeq
+      val fin = t(spark, ReadArgs.empty)
+        .select(col("id").as[Long], col("v").as[String]).collect().toSeq
+      val chg = t.changes(spark, s.head.id, s.last.id)
+        .select(col("id").as[Long], col("v").as[String],
+          col(IcebergTable.ChangeTypeCol).as[String]).collect().toSeq
+      val inserts = chg.collect { case (i, v, "insert") => (i, v) }
+      val deletes = chg.collect { case (i, v, "delete") => (i, v) }
+      val replayed = (multiset(initial ++ inserts).toSeq ++
+        multiset(deletes).toSeq.map { case (k, n) => k -> -n })
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).filter(_._2 != 0).toMap
+      assert(replayed == multiset(fin),
+        s"seed $seed: replay diverged\nreplayed=$replayed\nfinal=${multiset(fin)}")
+    }
+  }
+
   test("changelog columns: snapshot id and timestamp ride every row") {
     val path = tempDir("ice-chg-cols").toString + "/t"
     IcebergWrite.append(spark, Seq((1, "a")).toDF("id", "v"), path)
