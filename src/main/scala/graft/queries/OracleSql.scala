@@ -2038,6 +2038,26 @@ object OracleSql {
           |  FROM nation WHERE n_nationkey % 5 = 2
           |)
           |ORDER BY _change_ordinal, _change_type, n_nationkey""".stripMargin,
+      // the same Iceberg changelog served through SQL (DESCRIBE
+      // CHANGES, uniform cdc schema): _commit_version is the snapshot
+      // sequence number — 2 for the upsert commit, 3 for the delete
+      "q_lakehouse_changes" ->
+        """SELECT n_nationkey, n_name, n_regionkey, _change_type, _commit_version
+          |FROM (
+          |  SELECT n_nationkey, n_name || '_UP' AS n_name, n_regionkey,
+          |    'insert' AS _change_type, CAST(2 AS BIGINT) AS _commit_version
+          |  FROM nation WHERE n_nationkey < 8
+          |  UNION ALL SELECT 992, 'mu', 3, 'insert', 2
+          |  UNION ALL
+          |  SELECT n_nationkey, n_name, n_regionkey, 'delete', 2
+          |  FROM nation WHERE n_nationkey < 8
+          |  UNION ALL
+          |  SELECT n_nationkey,
+          |    CASE WHEN n_nationkey < 8 THEN n_name || '_UP' ELSE n_name END,
+          |    n_regionkey, 'delete', 3
+          |  FROM nation WHERE n_nationkey % 5 = 2
+          |)
+          |ORDER BY _commit_version, _change_type, n_nationkey""".stripMargin,
       // typed changelog over the MOR bulk-insert → log-upsert →
       // tombstone-delete Hudi nation table: the upsert commit
       // (ordinal 1) replays as pre-image deletes + post-image

@@ -65,6 +65,22 @@ object Wave7Queries {
         col(IcebergTable.ChangeTypeCol), col("n_nationkey"))
   }
 
+  /** The same changelog served through the SQL front door (E53's
+    * DESCRIBE CHANGES) under the UNIFORM cdc schema: `_commit_version`
+    * is the snapshot SEQUENCE number — deterministic (1,2,3) for this
+    * fixture's linear history, so the oracle pins it.
+    */
+  def qLakehouseChanges(s: SparkSession, dir: String): DataFrame = {
+    import graft.tables.{DeltaChanges, LakehouseSql}
+    val path = writtenNationChangelog(s, dir)
+    LakehouseSql.exec(s, s"DESCRIBE CHANGES iceberg.`$path` AFTER 1")
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
+        col(DeltaChanges.ChangeTypeCol),
+        col(DeltaChanges.CommitVersionCol))
+      .orderBy(col(DeltaChanges.CommitVersionCol),
+        col(DeltaChanges.ChangeTypeCol), col("n_nationkey"))
+  }
+
   // ---------- Hudi typed changelog ----------
 
   private val hudiChangelog =
