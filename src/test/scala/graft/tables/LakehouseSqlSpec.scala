@@ -214,5 +214,30 @@ class LakehouseSqlSpec extends SparkSpec {
       LakehouseSql.exec(spark, s"DESCRIBE CHANGES hudi.`$dir` AFTER 0")
     }
     assert(e.getMessage.contains("not a hudi table"))
+
+    // Delta leg: CDF versions ride as _commit_version
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val ddir = tempDir("lhsql-chg-d").toString + "/t"
+    DeltaDdl.createTable(spark, ddir,
+      StructType(Seq(StructField("id", LongType), StructField("v", StringType))),
+      configuration = Map("delta.enableChangeDataFeed" -> "true"))
+    DeltaWrite.append(spark, Seq((1L, "a")).toDF("id", "v"), ddir) // v1
+    DeltaWrite.append(spark, Seq((2L, "b")).toDF("id", "v"), ddir) // v2
+    val dgot = LakehouseSql.exec(spark, s"DESCRIBE CHANGES delta.`$ddir` AFTER 1 TO 2")
+      .select(col("id").as[Long], col(DeltaChanges.ChangeTypeCol).as[String],
+        col(DeltaChanges.CommitVersionCol).as[Long])
+      .collect().toSet
+    assert(dgot == Set((2L, "insert", 2L)))
+
+    // Hudi leg: instants ride as _commit_version Longs
+    val hdir = tempDir("lhsql-chg-h").toString + "/t"
+    val hi1 = HudiWrite.bulkInsert(spark,
+      Seq((1L, "a", 0)).toDF("id", "v", "part"), hdir, "id", Seq("part"))
+    HudiWrite.upsert(spark, Seq((1L, "A", 0)).toDF("id", "v", "part"), hdir)
+    val hgot = LakehouseSql.exec(spark, s"DESCRIBE CHANGES hudi.`$hdir` AFTER $hi1")
+      .select(col("id").as[Long], col("v").as[String],
+        col(DeltaChanges.ChangeTypeCol).as[String])
+      .collect().toSet
+    assert(hgot == Set((1L, "a", "delete"), (1L, "A", "insert")))
   }
 }
