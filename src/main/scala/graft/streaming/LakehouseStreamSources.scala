@@ -193,11 +193,14 @@ class HudiStreamSource(
   @volatile private var lastSeen: Option[Long] = None
 
   override def getOffset: Option[Offset] = {
-    // fenced at the earliest PENDING instant (safeHeadInstant): a
-    // racing writer whose lower instant completes later must not be
-    // skipped forever by this stream's advancing offset
-    val fence = HudiWrite.safeHeadInstant(fs, tablePath)
-    val instants = HudiWrite.completedInstants(fs, tablePath, fence).map(_._1)
+    // fenced at the earliest PENDING instant: a racing writer whose
+    // lower instant completes later must not be skipped forever by
+    // this stream's advancing offset. A None fence means NOTHING is
+    // safely consumable yet — hold the previous offset, never fall
+    // open to the unfenced timeline
+    val (fence, fenced) = HudiWrite.fencedTimeline(fs, tablePath)
+    if (fence.isEmpty) return lastSeen.map(LongOffset(_))
+    val instants = fenced.map(_._1)
     val latest = instants.lastOption.map(_.toLong)
     val capped = latest.map { l =>
       (lastSeen, maxCommitsPerTrigger) match {

@@ -195,7 +195,9 @@ final class HudiFeed(val path: String) extends ChangeFeed {
   override def head(spark: SparkSession): Long = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     // fenced at the earliest PENDING instant: a racing writer whose
-    // lower instant completes later must not be skipped forever
+    // lower instant completes later must not be skipped forever —
+    // a poller seeing this refusal simply retries after the pending
+    // write completes (or rollbackPending clears its crash markers)
     HudiWrite.safeHeadInstant(fs, path)
       .map(_.toLong)
       .getOrElse(throw new IllegalArgumentException(

@@ -224,13 +224,24 @@ object HudiWrite {
       partCols: Seq[String],
       tablePath: String): Unit = {
     if (partCols.isEmpty || affectedSlices.isEmpty) return
-    val ownerEnc: Map[String, String] = affectedSlices.map { sl =>
-      sl.fileId -> partitionValuesOf(sl.partition, partCols).mkString("\u0001")
-    }.toMap
-    val rowEnc = concat_ws("\u0001", partCols.map(c =>
-      coalesce(col(c).cast("string"), lit("\u0000"))): _*)
+    // one owner map PER COLUMN (never a delimiter-joined encoding: a
+    // delimiter inside a partition value could make a moved row encode
+    // like its owner); a null/absent owner value is absent from the
+    // map, element_at yields null, and the null-safe compare handles
+    // it. Cost note: one extra bounded job re-running the matched join
+    // (limit-1 short-circuited); folding the check into the staged
+    // write's own metadata would be free but needs rollback plumbing —
+    // acceptable while upserts stay O(delta)
+    val ownerByCol: Seq[Map[String, String]] = partCols.map { c =>
+      affectedSlices.flatMap { sl =>
+        partitionValueOf(sl.partition, c).map(v => sl.fileId -> v)
+      }.toMap
+    }
+    val movedCond = partCols.zip(ownerByCol).map { case (c, owners) =>
+      !(col(c).cast("string") <=> element_at(typedLit(owners), col("_fg")))
+    }.reduce(_ || _)
     val moved = matchedWithFg
-      .where(rowEnc =!= element_at(typedLit(ownerEnc), col("_fg")))
+      .where(movedCond)
       .select(col(RecordKeyCol).cast("string"))
       .limit(1).collect()
     moved.headOption.foreach { r =>
@@ -242,25 +253,18 @@ object HudiWrite {
     }
   }
 
-  /** Partition-column VALUES of a hive partition path, rendered the
-    * way `col.cast("string")` renders them (nulls and missing columns
-    * as the `\u0000` sentinel) — the comparison key
-    * [[requirePartitionStable]] matches against.
+  /** One partition column's VALUE in a hive partition path, rendered
+    * the way `col.cast("string")` renders it; None for null/absent —
+    * the per-column comparison key [[requirePartitionStable]] uses.
     */
-  private def partitionValuesOf(partitionPath: String, partCols: Seq[String]): Seq[String] = {
-    val m: Map[String, String] = partitionPath.split('/').toSeq.flatMap { seg =>
+  private def partitionValueOf(partitionPath: String, partCol: String): Option[String] =
+    partitionPath.split('/').toSeq.flatMap { seg =>
       seg.split("=", 2) match {
-        case Array(k, v) => Some(k ->
+        case Array(k, v) if k == partCol => Some(
           org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(v))
         case _ => None
       }
-    }.toMap
-    partCols.map(c => m.get(c) match {
-      case Some("__HIVE_DEFAULT_PARTITION__") => "\u0000"
-      case Some(v)                            => v
-      case None                               => "\u0000"
-    })
-  }
+    }.headOption.filter(_ != "__HIVE_DEFAULT_PARTITION__")
 
   private def morUpsertOnce(
       spark: SparkSession,
@@ -1107,23 +1111,37 @@ object HudiWrite {
     * the fence until [[HudiMaintenance.rollbackPending]] clears them
     * — liveness deferred to maintenance, never a silent skip.
     */
-  private[graft] def safeHeadInstant(fs: FileSystem, tablePath: String): Option[String] = {
+  private[graft] def safeHeadInstant(fs: FileSystem, tablePath: String): Option[String] =
+    fencedTimeline(fs, tablePath)._1
+
+  /** ONE `.hoodie` listing → (the fence instant, the completed
+    * timeline AT OR BELOW it, ascending with actions) — so pollers
+    * (streaming getOffset, ChangeFeed.head + versions) never pay a
+    * second directory list, and the completed/pending grammars live
+    * beside each other instead of drifting apart. A `None` fence
+    * means NOTHING is safely consumable yet (no completed instants,
+    * or a pending marker below every completed one) — callers must
+    * treat it as "no new offset", NEVER as "unfenced".
+    */
+  private[graft] def fencedTimeline(
+      fs: FileSystem, tablePath: String): (Option[String], Seq[(String, String)]) = {
     val hoodieDir = new Path(tablePath, ".hoodie")
     val names = fs.listStatus(hoodieDir).map(_.getPath.getName)
-    val Completed = "(\\d{17})\\.(?:commit|replacecommit|deltacommit)".r
-    val PendingA = "(\\d{17})\\.(?:commit|replacecommit|deltacommit)\\.(?:requested|inflight)".r
-    val PendingB = "(\\d{17})\\.inflight".r
-    val completed = names.collect { case Completed(i) => i }
-    val done = completed.toSet
-    val pending = names.collect {
-      case PendingA(i) if !done(i) => i
-      case PendingB(i) if !done(i) => i
-    }
-    val eligible = pending.minOption match {
-      case Some(p) => completed.filter(_ < p)
+    val Completed = "(\\d{17})\\.(commit|replacecommit|deltacommit)".r
+    // pending = a requested/inflight marker for an instant with NO
+    // completed action; matches any action spelling (the same
+    // open grammar HudiMaintenance.rollbackPending reconciles)
+    val Pending = "(\\d{17})\\.(?:[a-z]+\\.)?(?:requested|inflight)".r
+    val completed = names.collect { case Completed(i, a) => (i, a) }.sortBy(_._1)
+    val done = completed.map(_._1).toSet
+    val pendingMin = names.collect {
+      case Pending(i) if !done(i) => i
+    }.minOption
+    val eligible = pendingMin match {
+      case Some(p) => completed.filter(_._1 < p)
       case None    => completed
     }
-    eligible.maxOption
+    (eligible.lastOption.map(_._1), eligible)
   }
 
   private[graft] def completedInstants(

@@ -118,6 +118,32 @@ class HudiChangesSpec extends SparkSpec {
     }
   }
 
+  test("pending-instant fence: a lower pending marker fences completed instants out") {
+    val dir = tempDir("hudi-chg-fence").toString + "/t"
+    val i1 = HudiWrite.bulkInsert(spark,
+      Seq((1L, "a", 0)).toDF("id", "v", "part"), dir, "id", Seq("part"))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(HudiWrite.fencedTimeline(fs, dir)._1.contains(i1))
+
+    // a pending marker BELOW the completed instant fences everything:
+    // None must mean "nothing safely consumable", never "unfenced"
+    val low = new org.apache.hadoop.fs.Path(dir, ".hoodie/00000000000000001.commit.requested")
+    fs.create(low, true).close()
+    val (fenceLow, listLow) = HudiWrite.fencedTimeline(fs, dir)
+    assert(fenceLow.isEmpty && listLow.isEmpty)
+    intercept[IllegalArgumentException] {
+      new HudiFeed(dir).head(spark)
+    }
+    fs.delete(low, false)
+
+    // a pending marker ABOVE it fences only the future
+    val high = new org.apache.hadoop.fs.Path(dir, ".hoodie/99999999999999999.deltacommit.inflight")
+    fs.create(high, true).close()
+    val (fenceHigh, listHigh) = HudiWrite.fencedTimeline(fs, dir)
+    assert(fenceHigh.contains(i1) && listHigh.map(_._1) == Seq(i1))
+  }
+
   test("changelog columns: instant and timestamp ride every row") {
     val dir = tempDir("hudi-chg-cols").toString + "/t"
     HudiWrite.bulkInsert(spark,
