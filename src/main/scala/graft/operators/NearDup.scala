@@ -282,6 +282,28 @@ object NearDup {
       .select("a_id", "b_id", "jaccard", "star")
   }
 
+  /** [[minhashPairs]] restricted to VERIFIED threshold-passing pairs —
+    * the original three-column (a_id, b_id, jaccard) contract, without
+    * the hot-bucket guard's connectivity-only star edges. Use this
+    * when consuming pairs positionally or aggregating jaccard; use
+    * [[minhashPairs]] (and keep the star edges) when feeding a
+    * connected-components clustering, where dropping them would
+    * silently split oversized buckets.
+    */
+  def minhashPairsVerified(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 5,
+      numHashes: Int = 8,
+      bands: Int = 2,
+      threshold: Double = 0.5,
+      maxBucket: Int = DefaultMaxBucket
+  ): DataFrame =
+    minhashPairs(df, idCol, textCol, k, numHashes, bands, threshold, maxBucket)
+      .where(!col("star"))
+      .select("a_id", "b_id", "jaccard")
+
   /** Asymmetric near-duplication by SHINGLE CONTAINMENT —
     * `|A∩B| / min(|A|, |B|)` — the subset/quote detector Jaccard
     * misses: a 50-word passage copied verbatim into a 5000-word doc

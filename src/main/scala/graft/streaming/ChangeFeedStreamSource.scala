@@ -80,15 +80,22 @@ class ChangeFeedStreamSource(
   @volatile private var validatedThrough: Long = Long.MinValue
 
   override def getOffset: Option[Offset] = {
-    val head = feed.head(spark)
-    val capped = (lastSeen, maxCommitsPerTrigger) match {
-      case (Some(base), Some(n)) if head > base =>
-        feed.versions(spark, base, head).take(math.max(n, 1))
-          .lastOption.getOrElse(head)
-      case _ => head
+    // a feed with no safely-consumable head yet (e.g. the Hudi
+    // pending-instant fence below every completed commit) HOLDS the
+    // previous offset instead of failing the query — the same
+    // non-exceptional shape HudiStreamSource.getOffset uses
+    feed.headOption(spark) match {
+      case None => lastSeen.map(LongOffset(_))
+      case Some(head) =>
+        val capped = (lastSeen, maxCommitsPerTrigger) match {
+          case (Some(base), Some(n)) if head > base =>
+            feed.versions(spark, base, head).take(math.max(n, 1))
+              .lastOption.getOrElse(head)
+          case _ => head
+        }
+        lastSeen = Some(math.max(capped, lastSeen.getOrElse(Long.MinValue)))
+        Some(LongOffset(capped))
     }
-    lastSeen = Some(math.max(capped, lastSeen.getOrElse(Long.MinValue)))
-    Some(LongOffset(capped))
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {

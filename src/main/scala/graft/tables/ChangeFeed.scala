@@ -22,6 +22,14 @@ trait ChangeFeed {
   /** The table's current version token (monotonic). */
   def head(spark: SparkSession): Long
 
+  /** [[head]] as an Option: `None` when NO version is safely
+    * consumable yet (e.g. a Hudi pending-instant fence below every
+    * completed commit) — a polling consumer holds its previous
+    * offset instead of failing, the same non-exceptional shape
+    * [[graft.streaming.HudiStreamSource.getOffset]] uses.
+    */
+  def headOption(spark: SparkSession): Option[Long] = Some(head(spark))
+
   /** Typed change rows committed in `(fromVersion, toVersion]`. */
   def changes(spark: SparkSession, fromVersion: Long, toVersion: Long): DataFrame
 
@@ -115,7 +123,16 @@ final class IcebergFeed(val path: String) extends ChangeFeed {
 
   private def meta(spark: SparkSession): IcebergMeta.TableMeta = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    IcebergMeta.load(fs, path)
+    val m = IcebergMeta.load(fs, path)
+    // v1 tables are spec-legal but OMIT sequence numbers (parsed as 0
+    // for every snapshot): head() would sit at 0 forever and every
+    // consumer would silently report "no changes" — refuse loudly
+    // instead, the same honesty discipline as the unreadable-DV path
+    require(m.formatVersion >= 2,
+      s"Iceberg table $path is format-version ${m.formatVersion}: v1 " +
+        "snapshots carry no sequence numbers, so a monotonic ChangeFeed " +
+        "version token cannot be derived — upgrade the table to v2+")
+    m
   }
 
   private def current(m: IcebergMeta.TableMeta): IcebergMeta.SnapshotInfo =
@@ -192,17 +209,18 @@ final class HudiFeed(val path: String) extends ChangeFeed {
 
   private def instantStr(v: Long): String = f"$v%017d"
 
-  override def head(spark: SparkSession): Long = {
+  override def headOption(spark: SparkSession): Option[Long] = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     // fenced at the earliest PENDING instant: a racing writer whose
     // lower instant completes later must not be skipped forever —
-    // a poller seeing this refusal simply retries after the pending
-    // write completes (or rollbackPending clears its crash markers)
-    HudiWrite.safeHeadInstant(fs, path)
-      .map(_.toLong)
-      .getOrElse(throw new IllegalArgumentException(
-        s"Hudi table $path has no completed commits below its pending instants"))
+    // None means nothing is safely consumable YET (empty table, or a
+    // crashed writer's stale marker until rollbackPending clears it)
+    HudiWrite.safeHeadInstant(fs, path).map(_.toLong)
   }
+
+  override def head(spark: SparkSession): Long =
+    headOption(spark).getOrElse(throw new IllegalArgumentException(
+      s"Hudi table $path has no completed commits below its pending instants"))
 
   override def changes(spark: SparkSession, fromVersion: Long, toVersion: Long): DataFrame =
     new HudiTable("base", path)

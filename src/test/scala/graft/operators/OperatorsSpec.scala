@@ -146,6 +146,25 @@ class NearDupSpec extends SparkSpec {
     NearDup.releaseCaches()
   }
 
+  test("minhashPairsVerified drops star edges — the 3-column contract") {
+    val docs = (1L to 40L).map(i => (i, "same boilerplate text repeated everywhere"))
+      .toDF("doc_id", "text")
+    // threshold above every achievable jaccard: minhashPairs keeps 39
+    // star edges for connectivity; the verified view must be EMPTY
+    val verified = NearDup.minhashPairsVerified(docs, "doc_id", "text",
+      maxBucket = 10, threshold = 1.5)
+    assert(verified.columns.toSeq == Seq("a_id", "b_id", "jaccard"))
+    assert(verified.count() == 0)
+    // with a reachable threshold it equals the !star projection
+    val all = NearDup.minhashPairs(docs, "doc_id", "text", maxBucket = 10)
+      .where(!col("star")).select("a_id", "b_id", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val v = NearDup.minhashPairsVerified(docs, "doc_id", "text", maxBucket = 10)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(v == all)
+    NearDup.releaseCaches()
+  }
+
   test("DEFAULT maxBucket engages the star guard on a synthetic hot bucket") {
     // 10001 identical docs exceed DefaultMaxBucket (10000): the default
     // call must take the star path — 10000 linear edges around id 0 —

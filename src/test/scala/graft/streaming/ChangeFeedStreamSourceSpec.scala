@@ -98,6 +98,62 @@ class ChangeFeedStreamSourceSpec extends SparkSpec {
       (2L, "b", "update_preimage"), (2L, "Z", "update_postimage")))
   }
 
+  test("iceberg v1 tables refuse loudly (no sequence numbers to token from)") {
+    val dir = tempDir("cdc-v1").toString + "/t"
+    IcebergWrite.append(spark, Seq((1L, "a")).toDF("id", "v"), dir)
+    // doctor the metadata to format-version 1 — spec-legal v1 writers
+    // omit sequence-number, which parses as 0 for EVERY snapshot:
+    // head() would sit at 0 forever and consumers would silently
+    // report "no changes" instead of failing
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val metaDir = new org.apache.hadoop.fs.Path(dir, "metadata")
+    val latest = fs.listStatus(metaDir).map(_.getPath)
+      .filter(_.getName.matches("v\\d+\\.metadata\\.json"))
+      .maxBy(_.getName.stripPrefix("v").stripSuffix(".metadata.json").toInt)
+    val txt = {
+      val in = fs.open(latest)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    }
+    val out = fs.create(latest, true)
+    try out.write(txt.replaceAll(
+      "\"format-version\"\\s*:\\s*\\d+", "\"format-version\":1").getBytes("UTF-8"))
+    finally out.close()
+    val e = intercept[IllegalArgumentException] {
+      graft.tables.ChangeFeed.forPath(spark, dir).head(spark)
+    }
+    assert(e.getMessage.contains("format-version 1"))
+  }
+
+  test("hudi: a stale pending marker below head HOLDS the offset, not fails") {
+    val dir = tempDir("cdc-fence").toString + "/t"
+    HudiWrite.bulkInsert(spark,
+      Seq((1L, "a", 0)).toDF("id", "v", "part"), dir, "id", Seq("part"))
+    val q = spark.readStream.format(fmt).option("path", dir).load()
+      .writeStream.format("memory").queryName("cdcfence")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      assert(collected("cdcfence") == Set((1L, "a", "insert")))
+      // a crashed writer's stale marker below every completed instant:
+      // nothing is safely consumable — getOffset must hold the last
+      // offset (previously: feed.head threw and the query died)
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val marker = new org.apache.hadoop.fs.Path(
+        dir, ".hoodie/00000000000000001.commit.requested")
+      fs.create(marker, true).close()
+      q.processAllAvailable() // must not throw
+      assert(collected("cdcfence") == Set((1L, "a", "insert")))
+      assert(q.exception.isEmpty)
+      // marker cleared → the stream advances again
+      fs.delete(marker, false)
+      HudiWrite.upsert(spark, Seq((1L, "A", 0)).toDF("id", "v", "part"), dir)
+      q.processAllAvailable()
+      assert(collected("cdcfence").contains((1L, "A", "insert")))
+    } finally q.stop()
+  }
+
   test("maxCommitsPerTrigger bounds catch-up batches by commit") {
     val dir = tempDir("cdc-max").toString + "/t"
     IcebergWrite.append(spark, Seq((1L, "a")).toDF("id", "v"), dir)
