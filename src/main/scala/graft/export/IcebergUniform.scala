@@ -457,13 +457,30 @@ object IcebergUniform {
     * from `last-partition-id` instead of restarting at 1000.
     */
   private[graft] def manifestEntrySchema(
-      partFields: Seq[StructField], fieldIds: Seq[Int]): AvroSchema = {
+      partFields: Seq[StructField], fieldIds: Seq[Int]): AvroSchema =
+    manifestEntrySchema(partFields, fieldIds, withDvFields = false)
+
+  /** `withDvFields` appends the v3 deletion-vector data_file fields
+    * (143 referenced_data_file, 144 content_offset, 145
+    * content_size_in_bytes) — used only for DV delete manifests
+    * ([[graft.tables.IcebergWrite.deleteWhereDv]]); v2 manifests keep
+    * the v2 field set.
+    */
+  private[graft] def manifestEntrySchema(
+      partFields: Seq[StructField], fieldIds: Seq[Int],
+      withDvFields: Boolean): AvroSchema = {
     require(fieldIds.size == partFields.size,
       s"${fieldIds.size} field ids for ${partFields.size} partition fields")
     val pFields = partFields.zip(fieldIds).map { case (f, id) =>
       s"""{"name":${q(f.name)},"type":["null","${avroPartitionType(f.dataType)}"],
          |"default":null,"field-id":$id}""".stripMargin
     }.mkString(",")
+    val dvFields =
+      if (!withDvFields) ""
+      else
+        """,{"name":"referenced_data_file","type":["null","string"],"default":null,"field-id":143},
+          |{"name":"content_offset","type":["null","long"],"default":null,"field-id":144},
+          |{"name":"content_size_in_bytes","type":["null","long"],"default":null,"field-id":145}""".stripMargin
     val json =
       s"""{"type":"record","name":"manifest_entry","fields":[
          |{"name":"status","type":"int","field-id":0},
@@ -478,7 +495,7 @@ object IcebergUniform {
          |{"name":"record_count","type":"long","field-id":103},
          |{"name":"file_size_in_bytes","type":"long","field-id":104},
          |${graft.tables.IcebergStats.manifestFieldsJson},
-         |{"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null,"field-id":135}
+         |{"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null,"field-id":135}$dvFields
          |]}}]}""".stripMargin
     new AvroSchema.Parser().parse(json)
   }

@@ -2015,6 +2015,28 @@ object OracleSql {
            |GROUP BY l_returnflag
            |ORDER BY l_returnflag""".stripMargin,
       // typed changelog over the append → equality-upsert → equality-
+      // graft-written Iceberg v3 deletion-vector table: two DV delete
+      // rounds (the second REPLACES the first round's DV on shared
+      // files) — survivors only
+      "q_iceberg_dv" -> {
+        val keys = Wave8Queries.IcebergDvParams.Round2Keys.mkString(", ")
+        s"""SELECT n_nationkey, n_name, n_regionkey
+           |FROM nation
+           |WHERE n_nationkey >= ${Wave8Queries.IcebergDvParams.Round1Below}
+           |  AND n_nationkey NOT IN ($keys)
+           |ORDER BY n_nationkey""".stripMargin
+      },
+      // net-rows incremental over a compaction + DV-delete range:
+      // second-append rows minus the in-range DV deletes; the delete
+      // of a pre-range row (key 2) contributes nothing
+      "q_iceberg_incr_dv" -> {
+        val keys = Wave8Queries.IcebergIncrDvParams.DeleteKeys.mkString(", ")
+        s"""SELECT n_nationkey, n_name, n_regionkey
+           |FROM nation
+           |WHERE n_nationkey >= ${Wave8Queries.IcebergIncrDvParams.SplitAt}
+           |  AND n_nationkey NOT IN ($keys)
+           |ORDER BY n_nationkey""".stripMargin
+      },
       // delete Iceberg nation table: the upsert commit (ordinal 1)
       // replays as pre-image deletes + post-image inserts, the delete
       // commit (ordinal 2) as deletes of the post-upsert state; the

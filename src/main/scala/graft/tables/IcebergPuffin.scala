@@ -87,18 +87,44 @@ object IcebergPuffin {
       referencedDataFile: String,
       snapshotId: Long = 1L,
       sequenceNumber: Long = 1L
-  ): (Long, Long) = {
-    val blob = dvBlobBytes(bitmap)
-    val offset = FileMagic.length.toLong
-    val payload = (s"""{"blobs":[{"type":"deletion-vector-v1","fields":[],""" +
-      s""""snapshot-id":$snapshotId,"sequence-number":$sequenceNumber,""" +
-      s""""offset":$offset,"length":${blob.length},""" +
-      s""""properties":{"referenced-data-file":${jsonStr(referencedDataFile)},""" +
-      s""""cardinality":"${bitmap.cardinality}"}}]}""").getBytes("UTF-8")
+  ): (Long, Long) =
+    writeDvPuffinMulti(fs, path,
+      Seq(referencedDataFile -> bitmap), snapshotId, sequenceNumber)(referencedDataFile)
+
+  /** Write a Puffin container with one deletion-vector-v1 blob PER
+    * referenced data file — a DV delete commit packs every affected
+    * file's bitmap into ONE container ([[IcebergWrite.deleteWhereDv]]).
+    * Returns each data file's (content_offset, content_size_in_bytes)
+    * for its manifest entry. Blobs stream out back to back; the
+    * footer payload lists all of them for foreign footer readers.
+    */
+  def writeDvPuffinMulti(
+      fs: FileSystem,
+      path: Path,
+      dvs: Seq[(String, RoaringBitmapArray)],
+      snapshotId: Long = 1L,
+      sequenceNumber: Long = 1L
+  ): Map[String, (Long, Long)] = {
+    require(dvs.nonEmpty, "writeDvPuffinMulti requires at least one bitmap")
     val out = fs.create(path, true)
+    val offsets = Map.newBuilder[String, (Long, Long)]
     try {
       out.write(FileMagic)
-      out.write(blob)
+      var offset = FileMagic.length.toLong
+      val blobJsons = Seq.newBuilder[String]
+      dvs.foreach { case (ref, bm) =>
+        val blob = dvBlobBytes(bm)
+        out.write(blob)
+        blobJsons += (s"""{"type":"deletion-vector-v1","fields":[],""" +
+          s""""snapshot-id":$snapshotId,"sequence-number":$sequenceNumber,""" +
+          s""""offset":$offset,"length":${blob.length},""" +
+          s""""properties":{"referenced-data-file":${jsonStr(ref)},""" +
+          s""""cardinality":"${bm.cardinality}"}}""")
+        offsets += ref -> (offset, blob.length.toLong)
+        offset += blob.length
+      }
+      val payload =
+        s"""{"blobs":[${blobJsons.result().mkString(",")}]}""".getBytes("UTF-8")
       out.write(FileMagic) // footer opens with the magic
       out.write(payload)
       val tail = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
@@ -107,7 +133,7 @@ object IcebergPuffin {
       out.write(tail.array())
       out.write(FileMagic)
     } finally out.close()
-    (offset, blob.length.toLong)
+    offsets.result()
   }
 
   private def jsonStr(s: String): String =

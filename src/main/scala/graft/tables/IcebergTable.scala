@@ -117,19 +117,25 @@ class IcebergTable(
     * summary strings (which some writers mislabel): any data file
     * REMOVED across the range, or any delete file ADDED, means an
     * overwrite/delete happened and the append diff would be wrong, so
-    * the read refuses.
+    * the read refuses — unless `allowNewDeletes` opts into the
+    * net-rows contract (v2 delete fold where it suffices, changelog
+    * fold for rewrites and deletion vectors).
     */
   def incremental(
       spark: SparkSession,
       fromSnapshotId: Long,
       toSnapshotId: Long,
       args: ReadArgs = ReadArgs(),
-      /** Tolerate NEW delete files in the range (the equality-upsert
-        * commit shape): the added data files' rows emit with the
-        * range's own deletes applied, i.e. exactly the LATEST version
-        * of every row that changed — what a key-upserting downstream
-        * consumer needs. Removed data files (overwrites, compaction)
-        * still refuse: their change set cannot be derived from adds.
+      /** Tolerate NON-append commit shapes in the range: the result is
+        * the range's NET NEW rows — exactly the latest version of
+        * every row that changed, what a key-upserting downstream
+        * consumer needs. Plain new-delete ranges (the equality-upsert
+        * commit shape) keep the cheap v2 path (added files' rows with
+        * the range's own deletes applied); ranges the v2 fold cannot
+        * serve — removed data files (overwrites, rewrites), v3
+        * deletion vectors — fall back to the typed changelog
+        * ([[changes]]) folded to net rows (inserts ∖ deletes as a
+        * full-row multiset difference), instead of refusing.
         */
       allowNewDeletes: Boolean = false
   ): DataFrame = {
@@ -155,11 +161,11 @@ class IcebergTable(
     val fromInfos = IcebergMeta.manifestInfos(fs, from)
     val toInfos = IcebergMeta.manifestInfos(fs, to)
     val fromPaths = fromInfos.map(_.path).toSet
-    val (added, addedDeletes) =
+    val diff: Option[(Seq[IcebergMeta.ContentFile], Seq[IcebergMeta.ContentFile])] =
       if (fromPaths.subsetOf(toInfos.map(_.path).toSet)) {
         val newFiles = toInfos.filterNot(mi => fromPaths(mi.path))
           .flatMap(IcebergMeta.contentFilesOfManifest(fs, _))
-        (newFiles.filter(_.content == 0), newFiles.filter(_.content != 0))
+        Some((newFiles.filter(_.content == 0), newFiles.filter(_.content != 0)))
       } else {
         // exact full-set diff, reusing the already-read lists
         IcebergMeta.driverContentFilePlans.addAndGet(2)
@@ -168,18 +174,31 @@ class IcebergTable(
         val fromData = fromFiles.filter(_.content == 0).map(_.path).toSet
         val fromDeletes = fromFiles.filter(_.content != 0).map(_.path).toSet
         val removedData = fromData -- toFiles.filter(_.content == 0).map(_.path).toSet
-        require(removedData.isEmpty,
-          s"snapshot range ($fromSnapshotId, $toSnapshotId] is not append-only: " +
-            s"${removedData.size} data file(s) removed (overwrite/compaction)")
-        (toFiles.filter(f => f.content == 0 && !fromData(f.path)),
-          toFiles.filter(f => f.content != 0 && !fromDeletes(f.path)))
+        if (removedData.nonEmpty && allowNewDeletes)
+          None // rewrite-bearing range: fold the changelog to net rows
+        else {
+          require(removedData.isEmpty,
+            s"snapshot range ($fromSnapshotId, $toSnapshotId] is not append-only: " +
+              s"${removedData.size} data file(s) removed (overwrite/compaction)")
+          Some((toFiles.filter(f => f.content == 0 && !fromData(f.path)),
+            toFiles.filter(f => f.content != 0 && !fromDeletes(f.path))))
+        }
       }
+    if (diff.isEmpty)
+      return netChangedRows(spark, meta, fromSnapshotId, toSnapshotId, args)
+    val (added, addedDeletes) = diff.get
     require(allowNewDeletes || addedDeletes.isEmpty,
       s"snapshot range ($fromSnapshotId, $toSnapshotId] is not append-only: " +
         s"${addedDeletes.size} delete file(s) added (upserts/deletes); pass " +
         "allowNewDeletes=true to read the added rows with the range's deletes applied")
 
-    refuseDeletionVectors(meta, addedDeletes)
+    if (addedDeletes.exists(_.isDeletionVector)) {
+      // allowNewDeletes is true here (the require above fired
+      // otherwise): the v2 fold can't apply Puffin DVs to an
+      // adds-only frame, but the changelog derives exact rows —
+      // fold it to net rows instead of refusing
+      return netChangedRows(spark, meta, fromSnapshotId, toSnapshotId, args)
+    }
     val pruned = added.filter(f =>
       IcebergMeta.mayMatch(
         f, meta.specs.getOrElse(f.specId, Seq.empty), meta, args.filters))
@@ -257,6 +276,44 @@ class IcebergTable(
         StructField(CommitTimestampCol, TimestampType)))
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], empty)
     } else frames.reduce(_.unionByName(_))
+  }
+
+  /** Net NEW rows over an arbitrary range, derived from the typed
+    * changelog: inserts ∖ deletes as a FULL-ROW multiset difference
+    * (group on every data column, keep groups whose insert count
+    * exceeds their delete count, re-expand the surplus). Serves the
+    * ranges the v2 adds-only fold refuses — removed data files,
+    * deletion vectors — with the same consumer contract: exactly the
+    * latest version of every row that changed; a row inserted and
+    * deleted within the range nets out, a delete of a pre-existing
+    * row (no matching in-range insert) contributes nothing.
+    *
+    * Scale shape: the changelog's reads are ∝ changed rows; the fold
+    * adds ONE shuffle on the changed rows only — never ∝ table size.
+    */
+  private def netChangedRows(
+      spark: SparkSession,
+      meta: IcebergMeta.TableMeta,
+      fromSnapshotId: Long,
+      toSnapshotId: Long,
+      args: ReadArgs
+  ): DataFrame = {
+    import IcebergTable.ChangeTypeCol
+    meta.schema.fields.find(_.dataType.isInstanceOf[MapType]).foreach(f =>
+      throw new UnsupportedOperationException(
+        s"$uri: net-rows incremental folds group on every data column, and map " +
+          s"column '${f.name}' is not groupable — read changes() directly"))
+    val dataCols = meta.schema.fieldNames.toSeq
+    val sign = when(col(ChangeTypeCol) === "insert", lit(1L)).otherwise(lit(-1L))
+    var df = changes(spark, fromSnapshotId, toSnapshotId)
+      .groupBy(dataCols.map(col): _*)
+      .agg(sum(sign).as("_net"))
+      .where(col("_net") > 0)
+      .withColumn("_dup", explode(sequence(lit(1L), col("_net"))))
+      .select(dataCols.map(col): _*)
+    Filters.toColumn(args.filters).foreach(p => df = df.filter(p))
+    args.columns.foreach(cols => df = df.select(cols.map(col): _*))
+    df
   }
 
   /** One commit's change frames (each already carries `_change_type`;
@@ -455,9 +512,9 @@ class IcebergTable(
 
   /** A DV entry missing any of its three fields cannot be read —
     * refuse LOUDLY with the file named (the pre-r11 refusal, kept
-    * for malformed shapes). Snapshot scans AND [[changes]] read
-    * well-formed DVs; [[incremental]] alone keeps the v2-only
-    * refusal (its allowNewDeletes fold applies v2 delete files).
+    * for malformed shapes). Snapshot scans, [[changes]] and (via the
+    * changelog net-rows fold) [[incremental]] all read well-formed
+    * DVs.
     */
   private def refuseUnreadableDvs(
       meta: IcebergMeta.TableMeta,
@@ -469,22 +526,6 @@ class IcebergTable(
           s"deletion vector missing referenced_data_file/content_offset/" +
           s"content_size_in_bytes (${d.path}) — unreadable v3 shape")
     }
-
-  /** The v2-only refusal [[incremental]] keeps: its allowNewDeletes
-    * fold applies v2 delete FILES (use [[changes]] for typed DV-aware
-    * change reads).
-    */
-  private def refuseDeletionVectors(
-      meta: IcebergMeta.TableMeta,
-      deleteFiles: Seq[IcebergMeta.ContentFile]): Unit = {
-    val dvs = deleteFiles.filter(_.isDeletionVector)
-    if (dvs.nonEmpty)
-      throw new UnsupportedOperationException(
-        s"$uri (format-version ${meta.formatVersion}) carries ${dvs.size} " +
-          "Puffin deletion vector(s) (Iceberg v3); incremental reads apply " +
-          "v2 position/equality deletes only — use changes() for a typed " +
-          s"DV-aware change read (e.g. ${dvs.head.path})")
-  }
 
   /** Non-PARQUET content files (ORC/AVRO data or delete files —
     * legal Iceberg, written by foreign engines) refuse LOUDLY at

@@ -172,6 +172,11 @@ object IcebergWrite {
       s"$tablePath is a Delta table; delete via DeltaWrite")
     val metaDir = new Path(table, "metadata")
     val meta0 = IcebergMeta.load(fs, tablePath)
+    // the v3 spec forbids ADDING position-delete files (deletion
+    // vectors replace them); existing v2 deletes keep applying
+    require(meta0.formatVersion <= 2,
+      s"$tablePath is format-version ${meta0.formatVersion}: v3 tables take " +
+        "position deletes as deletion vectors — use deleteWhereDv")
     val snap0 = meta0.currentSnapshotId
       .flatMap(id => meta0.snapshots.find(_.id == id))
       .getOrElse(throw new IllegalArgumentException(s"$tablePath has no current snapshot"))
@@ -349,6 +354,325 @@ object IcebergWrite {
           "added-position-deletes" -> staged.map(_.recordCount).sum.toString),
         parentId = Option(baseRoot.path("current-snapshot-id").asLong(-1L)).filter(_ >= 0))
       (root, Seq(manifestPath, listPath), snapshotId)
+    }
+  }
+
+  /** Row-level DELETE as Iceberg v3 PUFFIN DELETION VECTORS — the
+    * format's headline O(deleted-rows) delete shape (public v3 spec:
+    * data_file fields 143–145 + the Puffin `deletion-vector-v1` blob
+    * type; the Delta analog is [[DeltaWrite.deleteWhereDv]]):
+    *
+    *  - ONE distributed scan of the partition-pruned candidates folds
+    *    matching row positions into a compressed roaring bitmap PER
+    *    file on the executors ([[DvBitmapAgg]]) — the driver collects
+    *    O(affected files) serialized bitmaps, never raw positions;
+    *  - all bitmaps write into ONE Puffin container
+    *    ([[IcebergPuffin.writeDvPuffinMulti]]), each addressed by its
+    *    manifest entry's content_offset/content_size_in_bytes;
+    *  - REPLACEMENT semantics per the spec's at-most-one-DV-per-file
+    *    rule: a file deleted from again gets a new DV carrying the
+    *    UNION of old + new positions, and the superseded DV's
+    *    manifest entry is dropped in the same commit (its manifest
+    *    rewritten — kept entries carried as EXISTING with explicit
+    *    sequence numbers, the superseded one recorded DELETED);
+    *  - the commit stamps `format-version: 3` (DVs are v3-only) and
+    *    rebase-validates both the target files' liveness AND that no
+    *    racing writer replaced a DV this delete merged from.
+    *
+    * Pre-existing v2 position/equality delete files keep applying
+    * independently (readers union all delete shapes), as the v3
+    * upgrade path prescribes. Returns the committed snapshot id — or
+    * the current one unchanged when nothing matches.
+    */
+  def deleteWhereDv(
+      spark: SparkSession,
+      tablePath: String,
+      filters: graft.core.Filters.Normalized
+  ): Long = {
+    require(filters.nonEmpty,
+      "deleteWhereDv requires a predicate; use overwrite to replace all rows")
+    import spark.implicits._
+    val table = new Path(tablePath)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(new Path(table, "_delta_log")),
+      s"$tablePath is a Delta table; delete via DeltaWrite")
+    val metaDir = new Path(table, "metadata")
+    val meta0 = IcebergMeta.load(fs, tablePath)
+    val snap0 = meta0.currentSnapshotId
+      .flatMap(id => meta0.snapshots.find(_.id == id))
+      .getOrElse(throw new IllegalArgumentException(s"$tablePath has no current snapshot"))
+    val spec = meta0.specs.getOrElse(meta0.defaultSpecId, Seq.empty)
+    require(spec.forall(_.transform == "identity"),
+      s"deleteWhereDv supports identity partition specs only")
+    val partCols = spec.map(_.name)
+    val partFields = partCols.map(c => meta0.schema.fields.find(_.name == c).get)
+
+    val all0 = IcebergMeta.planFiles(fs, snap0)
+    val dataFiles = all0.filter(_.content == 0)
+    val pruned = dataFiles.filter(f => IcebergMeta.mayMatch(f, spec, meta0, filters))
+    if (pruned.isEmpty) return snap0.id
+    require(pruned.forall(_.specId == meta0.defaultSpecId),
+      s"deleteWhereDv targets files under evolved partition specs in $tablePath; " +
+        "rewrite them to the current spec first")
+
+    // one job: matching (file, row_index) → per-file roaring bitmaps
+    // on the executors; the scan mirrors deleteWhere's (partition
+    // columns re-attached from manifest tuples, stored values win)
+    val base = spark.read.parquet(pruned.map(_.path): _*)
+    var scan = base
+      .withColumn("_del_path", PathNorm.normalizeCol(col("_metadata.file_path")))
+      .withColumn("_del_pos", col("_metadata.row_index"))
+    partFields.foreach { pf =>
+      val m: Map[String, String] = pruned.map { f =>
+        PathNorm.normalize(f.path) -> renderPartition(pf.dataType, f.partition.get(pf.name).orNull)
+      }.toMap
+      val attached = element_at(typedLit(m), col("_del_path")).cast(pf.dataType)
+      scan = scan.withColumn(pf.name,
+        if (base.columns.contains(pf.name))
+          org.apache.spark.sql.functions.coalesce(col(pf.name), attached)
+        else attached)
+    }
+    val pred = graft.core.Filters.toColumn(filters).getOrElse(lit(true))
+    val matched: Array[(String, Array[Byte])] = scan.where(pred)
+      .groupBy(col("_del_path"))
+      .agg(DvBitmapAgg.bitmap(col("_del_pos")).as("dv"))
+      .select(col("_del_path"), col("dv.dv"))
+      .collect()
+      .map(r => (r.getString(0), r.getAs[Array[Byte]](1)))
+    if (matched.isEmpty) return snap0.id
+
+    // replacement: union in the file's CURRENT DV positions (the new
+    // DV must carry them — at most one DV per file after the commit)
+    val dvByRef: Map[String, IcebergMeta.ContentFile] = all0
+      .filter(_.isDeletionVector)
+      .flatMap(d => d.referencedDataFile.map(r => PathNorm.normalize(r) -> d)).toMap
+    def dvBytesOf(d: IcebergMeta.ContentFile): Array[Byte] = {
+      require(d.contentOffset.isDefined && d.contentSizeInBytes.isDefined,
+        s"unreadable deletion vector entry ${d.path} (missing offset/size)")
+      IcebergPuffin.readDvBlob(fs, new Path(d.path),
+        d.contentOffset.get, d.contentSizeInBytes.get)
+    }
+    val prunedByNorm = pruned.map(f => PathNorm.normalize(f.path) -> f).toMap
+    val targets: Seq[(IcebergMeta.ContentFile, RoaringBitmapArray)] =
+      matched.toSeq.map { case (key, bytes) =>
+        val fresh = RoaringBitmapArray.deserialize(bytes)
+        val bm = dvByRef.get(key) match {
+          case Some(old) =>
+            val prev = RoaringBitmapArray.deserialize(dvBytesOf(old)).toArray
+            RoaringBitmapArray.fromSorted((prev ++ fresh.toArray).distinct.sorted)
+          case None => fresh
+        }
+        prunedByNorm(key) -> bm
+      }
+    val targetKeys = targets.map { case (f, _) => PathNorm.normalize(f.path) }.toSet
+
+    // ---- optimistic commit --------------------------------------
+    publishLoop(fs, metaDir, tablePath, "delete-dv") { (baseVOpt, baseRootOpt) =>
+      val baseRoot = baseRootOpt
+        .getOrElse(throw new IllegalStateException(s"metadata vanished under $metaDir"))
+      val uuid = java.util.UUID.randomUUID().toString
+      val nowMs = System.currentTimeMillis()
+      val prevSnapshots = IcebergMeta.elements(baseRoot.path("snapshots"))
+      val snapshotId = prevSnapshots.map(_.path("snapshot-id").asLong()).maxOption.getOrElse(0L) + 1
+      val seq = baseRoot.path("last-sequence-number").asLong(0L) + 1
+
+      // rebase validation: every targeted data file must still be
+      // live, AND its current DV must still be the one this delete
+      // merged from (a racing DV write would otherwise be lost)
+      val baseMeta = IcebergMeta.parse(baseRoot, tablePath)
+      val baseSnap = baseMeta.currentSnapshotId
+        .flatMap(id => baseMeta.snapshots.find(_.id == id))
+        .getOrElse(throw new java.util.ConcurrentModificationException(
+          s"$tablePath lost its current snapshot while deleting"))
+      val baseFiles = IcebergMeta.planFiles(fs, baseSnap)
+      val live = baseFiles.filter(_.content == 0)
+        .map(f => PathNorm.normalize(f.path)).toSet
+      val vanished = targets.map { case (f, _) => PathNorm.normalize(f.path) }
+        .filterNot(live)
+      if (vanished.nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"deleteWhereDv on $tablePath raced a rewrite of ${vanished.size} " +
+            "candidate file(s); replan against the new snapshot")
+      val baseDvByRef = baseFiles.filter(_.isDeletionVector)
+        .flatMap(d => d.referencedDataFile.map(r => PathNorm.normalize(r) -> d)).toMap
+      targets.foreach { case (f, _) =>
+        val key = PathNorm.normalize(f.path)
+        val sameDv = (dvByRef.get(key), baseDvByRef.get(key)) match {
+          case (Some(a), Some(b)) =>
+            a.path == b.path && a.contentOffset == b.contentOffset
+          case (None, None) => true
+          case _            => false
+        }
+        if (!sameDv)
+          throw new java.util.ConcurrentModificationException(
+            s"deleteWhereDv on $tablePath raced another deletion-vector " +
+              s"write for ${f.path}; replan against the new snapshot")
+      }
+
+      // one Puffin container for the whole commit
+      val puffinPath = new Path(table, s"data/dv-$snapshotId-$uuid.puffin")
+      val offs = IcebergPuffin.writeDvPuffinMulti(fs, puffinPath,
+        targets.map { case (f, bm) => f.path -> bm }, snapshotId, seq)
+      val puffinLen = fs.getFileStatus(puffinPath).getLen
+
+      val schemas = baseRoot.path("schemas")
+      val cur = baseRoot.path("current-schema-id").asInt(0)
+      val schemaJson = mapper.writeValueAsString(
+        IcebergMeta.elements(schemas).find(_.path("schema-id").asInt(-1) == cur)
+          .getOrElse(schemas.get(0)))
+      val specs = baseRoot.path("partition-specs")
+      val specNode = IcebergMeta.elements(specs)
+        .find(_.path("spec-id").asInt(0) == baseRoot.path("default-spec-id").asInt(0))
+        .getOrElse(specs.get(0))
+      val specFieldsJson = mapper.writeValueAsString(specNode.path("fields"))
+      val specId = specNode.path("spec-id").asInt(0)
+
+      val entrySchema = IcebergUniform.manifestEntrySchema(partFields,
+        IcebergMeta.elements(specNode.path("fields")).map(_.path("field-id").asInt()),
+        withDvFields = true)
+      val manifestPath = new Path(metaDir, s"dv-manifest-$snapshotId-$uuid.avro")
+      locally {
+        val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](entrySchema))
+        w.setMeta("schema", schemaJson)
+        w.setMeta("partition-spec", specFieldsJson)
+        w.setMeta("partition-spec-id", specId.toString)
+        w.setMeta("format-version", "2")
+        w.setMeta("content", "deletes")
+        w.create(entrySchema, fs.create(manifestPath, true))
+        try {
+          val dfSchema = entrySchema.getField("data_file").schema()
+          val pSchema = dfSchema.getField("partition").schema()
+          targets.foreach { case (f, bm) =>
+            val p = new GenericData.Record(pSchema)
+            partFields.foreach { pf =>
+              p.put(pf.name, IcebergUniform.partitionValue(pf.dataType,
+                Option(renderPartition(pf.dataType, f.partition.get(pf.name).orNull))))
+            }
+            val (off, size) = offs(f.path)
+            val dfr = new GenericData.Record(dfSchema)
+            dfr.put("content", 1) // DVs are position deletes by reference
+            dfr.put("file_path", puffinPath.toString)
+            dfr.put("file_format", "PUFFIN")
+            dfr.put("partition", p)
+            dfr.put("record_count", bm.cardinality)
+            dfr.put("file_size_in_bytes", puffinLen)
+            dfr.put("referenced_data_file", f.path)
+            dfr.put("content_offset", off)
+            dfr.put("content_size_in_bytes", size)
+            val e = new GenericData.Record(entrySchema)
+            e.put("status", 1) // ADDED
+            e.put("snapshot_id", snapshotId)
+            e.put("sequence_number", seq)
+            e.put("file_sequence_number", seq)
+            e.put("data_file", dfr)
+            w.append(e)
+          }
+        } finally w.close()
+      }
+      val manifestLen = fs.getFileStatus(manifestPath).getLen
+
+      // superseded DVs drop in the same commit: rewrite every delete
+      // manifest carrying a DV for a targeted file (kept entries ride
+      // as EXISTING with explicit sequence numbers, superseded ones
+      // recorded DELETED)
+      final case class RewrittenManifest(path: Path, len: Long,
+          kept: Int, dropped: Int, keptRows: Long, droppedRows: Long)
+      def rowsOf(es: Seq[GenericRecord]): Long = es.map { e =>
+        Option(e.get("data_file").asInstanceOf[GenericRecord].get("record_count"))
+          .map(_.asInstanceOf[Number].longValue).getOrElse(0L)
+      }.sum
+      val rewritten: Map[String, RewrittenManifest] =
+        IcebergMeta.manifestInfos(fs, baseSnap).filter(_.content == 1).flatMap { mi =>
+          val raws = IcebergMeta.readAvro(fs, new Path(mi.path))
+          def refOf(e: GenericRecord): Option[String] = {
+            val df = e.get("data_file").asInstanceOf[GenericRecord]
+            if (df.getSchema.getField("referenced_data_file") == null) None
+            else Option(df.get("referenced_data_file")).map(_.toString)
+          }
+          def statusOf(e: GenericRecord): Int =
+            Option(e.get("status")).map(_.asInstanceOf[Number].intValue).getOrElse(0)
+          val (drop, keep) = raws.partition(e => statusOf(e) != 2 &&
+            refOf(e).exists(r => targetKeys(PathNorm.normalize(r))))
+          if (drop.isEmpty) None
+          else {
+            val keepLive = keep.filter(e => statusOf(e) != 2)
+            val es = raws.head.getSchema
+            val p = new Path(metaDir, s"rw-manifest-$snapshotId-$uuid-${mi.path.hashCode.toHexString}.avro")
+            val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](es))
+            w.setMeta("schema", schemaJson)
+            w.setMeta("partition-spec", specFieldsJson)
+            w.setMeta("partition-spec-id", mi.specId.toString)
+            w.setMeta("format-version", "2")
+            w.setMeta("content", "deletes")
+            w.create(es, fs.create(p, true))
+            try {
+              // explicit sequence numbers first: EXISTING/DELETED
+              // entries don't inherit the rewritten manifest's
+              def fixSeq(e: GenericRecord): Unit =
+                if (e.get("sequence_number") == null)
+                  e.put("sequence_number", mi.sequenceNumber)
+              keepLive.foreach { e => fixSeq(e); e.put("status", 0); w.append(e) }
+              drop.foreach { e =>
+                fixSeq(e); e.put("status", 2)
+                e.put("snapshot_id", snapshotId) // the deleting snapshot
+                w.append(e)
+              }
+            } finally w.close()
+            Some(mi.path -> RewrittenManifest(p, fs.getFileStatus(p).getLen,
+              keepLive.size, drop.size, rowsOf(keepLive), rowsOf(drop)))
+          }
+        }.toMap
+
+      val listPath = new Path(metaDir, s"snap-$snapshotId-$uuid.avro")
+      locally {
+        val ls = IcebergUniform.manifestFileSchema
+        val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](ls))
+          .create(ls, fs.create(listPath, true))
+        try {
+          currentManifestList(fs, baseRoot).foreach { prev =>
+            rewritten.get(prev.get("manifest_path").toString) match {
+              case None => w.append(IcebergUniform.copyListRecord(ls, prev))
+              case Some(rw) =>
+                val n = IcebergUniform.copyListRecord(ls, prev)
+                n.put("manifest_path", rw.path.toString)
+                n.put("manifest_length", rw.len)
+                n.put("added_files_count", 0)
+                n.put("existing_files_count", rw.kept)
+                n.put("deleted_files_count", rw.dropped)
+                n.put("added_rows_count", 0L)
+                n.put("existing_rows_count", rw.keptRows)
+                n.put("deleted_rows_count", rw.droppedRows)
+                w.append(n)
+            }
+          }
+          val n = new GenericData.Record(ls)
+          n.put("manifest_path", manifestPath.toString)
+          n.put("manifest_length", manifestLen)
+          n.put("partition_spec_id", specId)
+          n.put("content", 1) // deletes
+          n.put("sequence_number", seq)
+          n.put("min_sequence_number", seq)
+          n.put("added_snapshot_id", snapshotId)
+          n.put("added_files_count", targets.size)
+          n.put("existing_files_count", 0)
+          n.put("deleted_files_count", 0)
+          n.put("added_rows_count", targets.map(_._2.cardinality).sum)
+          n.put("existing_rows_count", 0L)
+          n.put("deleted_rows_count", 0L)
+          w.append(n)
+        } finally w.close()
+      }
+
+      val root = baseRoot.deepCopy[ObjectNode]()
+      root.put("format-version", 3) // DVs are an Iceberg v3 feature
+      appendSnapshotToRoot(root, snapshotId, seq, nowMs, listPath,
+        operation = "delete",
+        summaryExtras = Seq(
+          "added-dvs" -> targets.size.toString,
+          "added-position-deletes" -> targets.map(_._2.cardinality).sum.toString),
+        parentId = Option(baseRoot.path("current-snapshot-id").asLong(-1L)).filter(_ >= 0))
+      (root, Seq(puffinPath, manifestPath, listPath) ++
+        rewritten.values.map(_.path), snapshotId)
     }
   }
 

@@ -142,6 +142,39 @@ class LakehouseStreamSourcesSpec extends SparkSpec {
       Seq((1L, "a"), (2L, "B2"), (2L, "b"), (3L, "c3")))
   }
 
+  test("iceberg: upsertChanges stream survives a rewrite + DV commit (net-rows fold)") {
+    val dir = tempDir("ice-stream-dv").toString + "/t"
+    val ckpt = tempDir("ice-stream-dv-c").toString
+    val out = tempDir("ice-stream-dv-o").toString
+    IcebergWrite.append(spark,
+      (1L to 4L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1), dir)
+
+    def drain(): Unit = {
+      val q = spark.readStream.format(iceFmt).option("path", dir)
+        .option("upsertChanges", "true").load()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000))
+    }
+    drain()
+    assert(spark.read.parquet(out).count() == 4)
+
+    // one catch-up range containing a COMPACTION (rewrite) and a v3
+    // DELETION-VECTOR delete: both previously refused the stream dead;
+    // the net-rows fold serves the appended survivors instead
+    graft.tables.IcebergMaintenance.rewriteDataFiles(spark, dir)
+    IcebergWrite.append(spark,
+      Seq((5L, "x5"), (6L, "x6")).toDF("id", "v").coalesce(1), dir)
+    IcebergWrite.deleteWhereDv(spark, dir, graft.core.Filters.normalize(
+      Seq(graft.core.Filter("id", "in", Seq(1L, 5L)))))
+    drain()
+    // net new rows of the range: {5,6} ∖ {5 deleted in-range} = {6};
+    // the delete of pre-existing id 1 is not an append — ignored
+    assert(spark.read.parquet(out).as[(Long, String)].collect().sorted.toSeq ==
+      (1L to 4L).map(i => (i, s"v$i")) :+ ((6L, "x6")))
+  }
+
   test("hudi: checkpoint restart resumes after the committed instant") {
     val dir = tempDir("hudi-stream-ckpt").toString + "/t"
     val ckpt = tempDir("hudi-stream-ckpt-c").toString

@@ -93,6 +93,39 @@ class IcebergIncrSpec extends SparkSpec {
     assert(e.getMessage.contains("not append-only"))
   }
 
+  test("net-rows fallback: DV and rewrite ranges fold instead of refusing") {
+    val dir = tempDir("ice-incr-net").toString + "/t"
+    val s1 = IcebergWrite.append(spark,
+      (1L to 8L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1), dir)
+    val s2 = IcebergWrite.append(spark,
+      Seq((9L, "i"), (10L, "j")).toDF("id", "v").coalesce(1), dir)
+    // v3 Puffin DV deleting a pre-existing row (1) AND an in-range one (9)
+    val s3 = IcebergWrite.deleteWhereDv(spark, dir,
+      Filters.normalize(Seq(Filter("id", "in", Seq(1L, 9L)))))
+    val t = new IcebergTable("t", dir)
+    // without the opt-in the DV range still refuses (append-only contract)
+    val e = intercept[IllegalArgumentException] {
+      t.incremental(spark, s1, s3).collect()
+    }
+    assert(e.getMessage.contains("not append-only"))
+    // with it: net rows = appends {9,10} ∖ in-range delete of 9 → {10};
+    // the delete of pre-existing id 1 contributes nothing
+    assert(t.incremental(spark, s1, s3, allowNewDeletes = true)
+      .select("id").as[Long].collect().sorted.toSeq == Seq(10L))
+
+    // rewrite (replace) commits fold too: compaction changes files,
+    // not rows, so only the follow-up append emits
+    IcebergMaintenance.rewriteDataFiles(spark, dir)
+    val s5 = IcebergWrite.append(spark, Seq((11L, "k")).toDF("id", "v"), dir)
+    assert(t.incremental(spark, s3, s5, allowNewDeletes = true)
+      .select("id").as[Long].collect().sorted.toSeq == Seq(11L))
+    // filters and projections compose over the fold
+    assert(t.incremental(spark, s1, s3,
+      ReadArgs(filters = Filters.normalize(Seq(Filter("id", ">", 5L))),
+        columns = Some(Seq("id"))), allowNewDeletes = true)
+      .as[Long].collect().sorted.toSeq == Seq(10L))
+  }
+
   test("qIcebergIncr equals the second append's slice on real testdata") {
     val got = graft.queries.Wave6Queries.qIcebergIncr(spark, sf())
       .collect().map(_.getInt(0)).toSeq

@@ -248,6 +248,86 @@ class IcebergV3Spec extends SparkSpec {
     assert(got == Set((2L, "delete", 1), (3L, "delete", 2)), got)
   }
 
+  test("deleteWhereDv round-trips: write → snapshot read → changelog → replacement") {
+    import graft.core.{Filter, Filters}
+    val root = tempDir("ice-dvw").toString + "/t"
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val s0 = IcebergWrite.append(spark,
+      (1L to 10L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1), root)
+    def ids(): Seq[Long] = new IcebergTable("t", root)(spark, ReadArgs.empty)
+      .select("id").as[Long].collect().sorted.toSeq
+
+    val s1 = IcebergWrite.deleteWhereDv(spark, root,
+      Filters.normalize(Seq(Filter("id", "<=", 3L))))
+    assert(s1 != s0)
+    assert(ids() == (4L to 10L))
+    val meta1 = IcebergMeta.load(fs, root)
+    assert(meta1.formatVersion == 3)
+    val dvs1 = IcebergMeta.planFiles(fs,
+      meta1.snapshots.find(_.id == s1).get).filter(_.isDeletionVector)
+    assert(dvs1.size == 1 && dvs1.head.fileFormat == "PUFFIN")
+    assert(dvs1.head.recordCount == 3L)
+    assert(dvs1.head.referencedDataFile.isDefined)
+    // changelog emits exactly the newly-dead rows
+    val t = new IcebergTable("t", root)
+    assert(t.changes(spark, s0, s1)
+      .select(col("id").as[Long], col(IcebergTable.ChangeTypeCol).as[String])
+      .collect().toSet == (1L to 3L).map((_, "delete")).toSet)
+
+    // second delete of the SAME file → replacement: still exactly one
+    // DV, carrying the union of old + new positions
+    val s2 = IcebergWrite.deleteWhereDv(spark, root,
+      Filters.normalize(Seq(Filter("id", "<=", 5L))))
+    assert(ids() == (6L to 10L))
+    val meta2 = IcebergMeta.load(fs, root)
+    val dvs2 = IcebergMeta.planFiles(fs,
+      meta2.snapshots.find(_.id == s2).get).filter(_.isDeletionVector)
+    assert(dvs2.size == 1, s"expected ONE dv after replacement, got ${dvs2.size}")
+    assert(dvs2.head.recordCount == 5L)
+    // the changelog sees only the NEWLY-dead rows of the replacement
+    assert(t.changes(spark, s1, s2)
+      .select(col("id").as[Long], col(IcebergTable.ChangeTypeCol).as[String])
+      .collect().toSet == Set((4L, "delete"), (5L, "delete")))
+
+    // v2 position-delete writes refuse on the now-v3 table
+    val e = intercept[IllegalArgumentException] {
+      IcebergWrite.deleteWhere(spark, root,
+        Filters.normalize(Seq(Filter("id", "=", 9L))))
+    }
+    assert(e.getMessage.contains("deleteWhereDv"), e.getMessage)
+    // no-match predicates commit nothing
+    assert(IcebergWrite.deleteWhereDv(spark, root,
+      Filters.normalize(Seq(Filter("id", ">", 99L)))) == s2)
+  }
+
+  test("deleteWhereDv across partitions: one Puffin container, one DV per file") {
+    import graft.core.{Filter, Filters}
+    val root = tempDir("ice-dvw-p").toString + "/t"
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val s0 = IcebergWrite.append(spark,
+      (1L to 20L).map(i => (i, (i % 2).toInt, s"v$i")).toDF("id", "p", "v"),
+      root, partitionBy = Seq("p"))
+    val s1 = IcebergWrite.deleteWhereDv(spark, root,
+      Filters.normalize(Seq(Filter("id", "<=", 4L))))
+    val t = new IcebergTable("t", root)
+    assert(t(spark, ReadArgs.empty).select("id").as[Long].collect().sorted.toSeq ==
+      (5L to 20L))
+    val meta = IcebergMeta.load(fs, root)
+    val dvs = IcebergMeta.planFiles(fs,
+      meta.snapshots.find(_.id == s1).get).filter(_.isDeletionVector)
+    // ids 1..4 live in both parity partitions → one DV per data file,
+    // all blobs in ONE Puffin container
+    assert(dvs.size == 2, s"expected 2 DVs, got ${dvs.size}")
+    assert(dvs.map(_.path).distinct.size == 1, "expected one shared Puffin container")
+    assert(dvs.map(_.recordCount).sum == 4L)
+    // partition tuples rode along (DV entries are partition-scoped)
+    assert(dvs.flatMap(_.partition.get("p")).toSet == Set(0, 1))
+    // partition-pruned read composes with the DVs
+    val even = t(spark, ReadArgs(filters = Filters.normalize(Seq(Filter("p", "=", 0)))))
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(even == (6L to 20L by 2))
+  }
+
   test("a plain v3 table (no DVs, no defaults) reads fine") {
     val root = tempDir("ice-v3-plain").toString + "/t"
     buildV3(root, withDv = false)
