@@ -57,13 +57,23 @@ class ChangeFeedStreamSourceProvider extends StreamSourceProvider {
       providerName: String,
       parameters: Map[String, String]): Source =
     new ChangeFeedStreamSource(sqlContext.sparkSession, pathOf(parameters),
-      maxCommitsPerTrigger = parameters.get("maxCommitsPerTrigger").map(_.toInt))
+      maxCommitsPerTrigger = parameters.get("maxCommitsPerTrigger").map(_.toInt),
+      additiveSchemaTolerance =
+        parameters.get("additiveSchemaTolerance").exists(_.toBoolean))
 }
 
 class ChangeFeedStreamSource(
     spark: SparkSession,
     tablePath: String,
-    maxCommitsPerTrigger: Option[Int] = None
+    maxCommitsPerTrigger: Option[Int] = None,
+    /** Opt-in ADDITIVE schema-drift tolerance: a table that gains
+      * columns mid-stream keeps streaming — batches stay under the
+      * stream's START schema (Spark streams cannot change schema
+      * mid-query; the new columns surface after a restart). Renames,
+      * drops and type changes of pinned columns still refuse loudly.
+      * Without the opt-in ANY drift refuses (the pre-r12 contract).
+      */
+    additiveSchemaTolerance: Boolean = false
 ) extends Source {
 
   private val feed = ChangeFeed.forPath(spark, tablePath)
@@ -101,8 +111,16 @@ class ChangeFeedStreamSource(
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val to = versionOf(end)
     if (to > validatedThrough) {
-      require(feed.tableSchema(spark) == StructType(pinned.fields.dropRight(3)),
-        s"schema of $tablePath changed mid-stream; restart the query to pick it up")
+      val live = feed.tableSchema(spark)
+      val pinnedData = StructType(pinned.fields.dropRight(3))
+      val ok =
+        if (!additiveSchemaTolerance) live == pinnedData
+        else pinnedData.fields.forall(f =>
+          live.fields.exists(lf => lf.name == f.name && lf.dataType == f.dataType))
+      require(ok,
+        s"schema of $tablePath changed ${
+          if (additiveSchemaTolerance) "non-additively " else ""
+        }mid-stream; restart the query to pick it up")
       validatedThrough = to
     }
     lastSeen = Some(math.max(to, lastSeen.getOrElse(Long.MinValue)))

@@ -228,8 +228,23 @@ class HudiTable(
         b.result()
       }
     }
-    if (frames.nonEmpty) frames.reduce(_.unionByName(_))
-    else {
+    if (frames.nonEmpty) {
+      // DECLARED evolution contract: a range crossing an ADDITIVE
+      // schema change (commits whose file groups carry new columns —
+      // e.g. new-key upserts with a wider frame, or a foreign
+      // writer's evolution) emits under the WIDEST in-range schema:
+      // frames union by NAME with pre-evolution rows null-filled in
+      // the newer columns, data columns ordered by first appearance
+      // (= evolution order), change columns last. Ranges that DROP a
+      // column just null-fill it on the post-drop rows — the union is
+      // total either way, never a mid-range analysis error.
+      val changeCols =
+        Seq(ChangeTypeCol, CommitInstantCol, ChangeOrdinalCol, CommitTimestampCol)
+      val dataOrder =
+        frames.flatMap(_.columns).distinct.filterNot(changeCols.contains)
+      frames.reduce(_.unionByName(_, allowMissingColumns = true))
+        .select((dataOrder ++ changeCols).map(col): _*)
+    } else {
       // empty range: a declared-empty frame with the table's schema
       val src = HudiWrite.allWrittenSlices(fs, uri).headOption
         .getOrElse(throw new IllegalArgumentException(

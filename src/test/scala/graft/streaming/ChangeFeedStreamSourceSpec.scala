@@ -98,6 +98,39 @@ class ChangeFeedStreamSourceSpec extends SparkSpec {
       (2L, "b", "update_preimage"), (2L, "Z", "update_postimage")))
   }
 
+  test("additiveSchemaTolerance: a mid-stream added column keeps streaming under the start schema") {
+    val dir = tempDir("cdc-evo").toString + "/t"
+    IcebergWrite.append(spark, Seq((1L, "a")).toDF("id", "v"), dir)
+    val q = spark.readStream.format(fmt).option("path", dir)
+      .option("additiveSchemaTolerance", "true").load()
+      .writeStream.format("memory").queryName("cdcevo")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      // additive evolution mid-stream: column w appears; batches keep
+      // flowing under the pinned start schema (w surfaces on restart)
+      IcebergWrite.append(spark, Seq((2L, "b", 9L)).toDF("id", "v", "w"), dir)
+      q.processAllAvailable()
+      assert(q.exception.isEmpty)
+      assert(collected("cdcevo") == Set(
+        (1L, "a", "insert"), (2L, "b", "insert")))
+    } finally q.stop()
+
+    // without the opt-in the same drift still refuses (a fresh table,
+    // so the new stream pins the pre-evolution schema)
+    val dir2 = tempDir("cdc-evo2").toString + "/t"
+    IcebergWrite.append(spark, Seq((1L, "a")).toDF("id", "v"), dir2)
+    val q2 = spark.readStream.format(fmt).option("path", dir2).load()
+      .writeStream.format("memory").queryName("cdcevo2")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q2.processAllAvailable()
+      IcebergWrite.append(spark, Seq((2L, "b", 9L)).toDF("id", "v", "w"), dir2)
+      intercept[Exception] { q2.processAllAvailable() }
+      assert(q2.exception.nonEmpty)
+    } finally q2.stop()
+  }
+
   test("iceberg v1 tables refuse loudly (no sequence numbers to token from)") {
     val dir = tempDir("cdc-v1").toString + "/t"
     IcebergWrite.append(spark, Seq((1L, "a")).toDF("id", "v"), dir)

@@ -30,6 +30,26 @@ class HudiChangesSpec extends SparkSpec {
       (1L, "a", "delete", 2)))
   }
 
+  test("additive evolution: frames union under the widest schema, old rows null-filled") {
+    val dir = tempDir("hudi-chg-evo").toString + "/t"
+    val i1 = HudiWrite.bulkInsert(spark,
+      Seq((1L, "a", 0), (2L, "b", 0)).toDF("id", "v", "part"), dir, "id", Seq("part"))
+    // NEW keys carrying a NEW column open fresh file groups under the
+    // wider schema — the reachable additive-evolution shape; a later
+    // delete touches only an OLD-schema group, so the range's frames
+    // genuinely differ in columns (pre-r12 this union threw)
+    HudiWrite.upsert(spark, Seq((3L, "c", 7L, 0)).toDF("id", "v", "w", "part"), dir)
+    HudiWrite.delete(spark, Seq(Tuple1(1L)).toDF("id"), dir)
+    val got = new HudiTable("t", dir).changes(spark, i1)
+      .select("id", "v", "w", HudiTable.ChangeTypeCol)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.get(2)), r.getString(3)))
+      .toSet
+    assert(got == Set(
+      (3L, "c", Some(7L), "insert"),
+      (1L, "a", None, "delete")), got)
+  }
+
   test("MOR: log upserts and tombstones; compaction contributes nothing") {
     val dir = tempDir("hudi-chg-mor").toString + "/t"
     val i1 = HudiWrite.bulkInsert(spark,

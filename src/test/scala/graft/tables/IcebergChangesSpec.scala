@@ -65,6 +65,25 @@ class IcebergChangesSpec extends SparkSpec {
       (2, "b", "delete", 1), (3, "c", "delete", 2)))
   }
 
+  test("additive evolution mid-range: changes emit under the evolved schema, old rows null-filled") {
+    val path = tempDir("ice-chg-evo").toString + "/t"
+    IcebergWrite.append(spark, Seq((1, "a"), (2, "b")).toDF("id", "v"), path)
+    // additive evolution: the second append carries a NEW column w
+    IcebergWrite.append(spark, Seq((3, "c", 30L)).toDF("id", "v", "w"), path)
+    // a post-evolution delete of a PRE-evolution row: its change row
+    // reads the old file under the evolved schema (w null-filled)
+    IcebergWrite.deleteEquality(spark, path, Seq(Tuple1(1)).toDF("id"))
+    val s = snaps(path)
+    val got = new IcebergTable("t", path).changes(spark, s.head.id, s.last.id)
+      .select("id", "v", "w", IcebergTable.ChangeTypeCol)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), Option(r.get(2)), r.getString(3)))
+      .toSet
+    assert(got == Set(
+      (3, "c", Some(30L), "insert"),
+      (1, "a", None, "delete")), got)
+  }
+
   test("position delete (deleteWhere) emits deleted rows") {
     val path = tempDir("ice-chg-pos").toString + "/t"
     IcebergWrite.append(spark,
