@@ -46,6 +46,50 @@ object HudiMetaTables {
     }.toDF()
   }
 
+  final case class ColStatRow(
+      partition: String, file_id: String, base_instant: String,
+      column: String, is_numeric: Boolean, min: String, max: String)
+
+  /** Per-file-group COLUMN STATISTICS — the Iceberg readable_metrics
+    * parity surface ([[IcebergMetaTables]]'s discipline): the
+    * [min, max] ranges the planner already prunes slices with
+    * (graft's commit-JSON write stats, unioned base ∪ logs under the
+    * tri-state absence rule), rendered as an ordinary DataFrame so a
+    * user can SEE why a predicate did or didn't skip a group. One row
+    * per (live file group, column); the record-key range rides as a
+    * row under the `_hoodie_record_key` column name. A slice with NO
+    * sound union (any stats-less contributor — foreign writers,
+    * pre-stats commits — poisons it) emits NO rows: absence here is
+    * exactly absence for the pruner, never a fabricated range.
+    *
+    * Values render as strings with `is_numeric` tagging the compare
+    * order, matching the planner's own representation — what prunes
+    * is what shows. Upstream `.hoodie/metadata` col-stats written by
+    * foreign engines are OUT OF SCOPE by declared decision (SURVEY
+    * §1): that index is an HFile-format HBase artifact; graft prunes
+    * from the commit JSONs it already parses and fails open on
+    * foreign tables.
+    */
+  def colStats(
+      spark: SparkSession,
+      tablePath: String,
+      asOf: Option[String] = None
+  ): DataFrame = {
+    import spark.implicits._
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    HudiWrite.latestSlices(fs, tablePath, asOf).flatMap { s =>
+      val keyRow = s.keyRange.map { case (lo, hi) =>
+        ColStatRow(s.partition, s.fileId, s.instant,
+          HudiWrite.RecordKeyCol, is_numeric = false, lo, hi)
+      }
+      val colRows = s.colStats.toSeq.flatMap(_.toSeq.sortBy(_._1).map {
+        case (c, r) =>
+          ColStatRow(s.partition, s.fileId, s.instant, c, r.isNumeric, r.min, r.max)
+      })
+      keyRow.toSeq ++ colRows
+    }.toDF()
+  }
+
   /** The current (or as-of) file-slice layout: one row per live file
     * group, with its base file and attached log-file count.
     */

@@ -23,7 +23,7 @@ import org.apache.spark.sql.functions.col
   * DELETE FROM iceberg.`/p` WHERE a = 1        -- position deletes
   * DELETE FROM hudi.`/p` WHERE a = 1           -- key-indexed delete
   * DESCRIBE SNAPSHOTS|HISTORY|REFS|FILES iceberg.`/p`
-  * DESCRIBE TIMELINE|SLICES hudi.`/p`
+  * DESCRIBE TIMELINE|SLICES|STATS hudi.`/p`
   * DESCRIBE CHANGES delta|iceberg|hudi.`/p` AFTER 3 [TO 7]
   *                                               -- the typed change
   *                                               -- stream (R61/R62 +
@@ -64,7 +64,7 @@ object LakehouseSql {
   private val chgAny =
     """(?is)^DESCRIBE\s+CHANGES\s+(delta|iceberg|hudi)\.`([^`]+)`\s+AFTER\s+(\d+)(?:\s+TO\s+(\d+))?$""".r
   private val descIce = s"""(?is)^DESCRIBE\\s+(SNAPSHOTS|HISTORY|REFS|FILES)\\s+$Ice$$""".r
-  private val descHud = s"""(?is)^DESCRIBE\\s+(TIMELINE|SLICES)\\s+$Hud$$""".r
+  private val descHud = s"""(?is)^DESCRIBE\\s+(TIMELINE|SLICES|STATS)\\s+$Hud$$""".r
   private val expire = s"""(?is)^EXPIRE\\s+SNAPSHOTS\\s+$Ice\\s+KEEP\\s+(\\d+)$$""".r
   private val clean = s"""(?is)^CLEAN\\s+$Hud\\s+KEEP\\s+(\\d+)$$""".r
   private val optIce = (s"""(?is)^OPTIMIZE\\s+$Ice(?:\\s+WHERE\\s+(.+?))?""" +
@@ -163,6 +163,7 @@ object LakehouseSql {
       }
       case descHud(what, path) =>
         if (what.equalsIgnoreCase("TIMELINE")) HudiMetaTables.timeline(spark, path)
+        else if (what.equalsIgnoreCase("STATS")) HudiMetaTables.colStats(spark, path)
         else HudiMetaTables.fileSlices(spark, path)
       case optIce(path, wherePred, zcols) =>
         val scoped = Option(wherePred)
