@@ -89,8 +89,17 @@ object Pq {
         .map { case (id, v) => (id, v.map(_.toDouble).toArray) }
         .sortBy(_._1)
     val target = 4L * ksub // kmeansCentroids' default initOversample
-    var sample = collectSample(target.toDouble / n)
-    if (sample.length < ksub) sample = collectSample(1.0)
+    var fraction = math.min(1.0, target.toDouble / n)
+    var sample = collectSample(fraction)
+    // an under-filled hash margin escalates GEOMETRICALLY (each retry
+    // collects an expected 4× the previous target) instead of jumping
+    // to an unbounded full-corpus collect; fraction 1.0 means the
+    // corpus itself is ≤ the requested sample — driver-small by
+    // construction, so the final full collect is always bounded
+    while (sample.length < ksub && fraction < 1.0) {
+      fraction = math.min(1.0, fraction * 4)
+      sample = collectSample(fraction)
+    }
     var books: Seq[Seq[(Long, Seq[Double])]] = (0 until m).map { j =>
       Similarity.greedySeeds(
         sample.map { case (id, v) => (id, v.slice(j * d, j * d + d)) }, ksub)

@@ -166,9 +166,17 @@ object Similarity {
         .map { case (id, v) => (id, v.map(_.toDouble).toArray) }
         .sortBy(_._1)
     val target = initOversample.toLong * k
-    var sample = collectSample(target.toDouble / n)
-    // degenerate corpus / unlucky hash margin: fall back to everything
-    if (sample.length < k) sample = collectSample(1.0)
+    var fraction = math.min(1.0, target.toDouble / n)
+    var sample = collectSample(fraction)
+    // an under-filled hash margin escalates GEOMETRICALLY (each retry
+    // collects an expected 4× the previous target) instead of jumping
+    // to an unbounded full-corpus collect; fraction 1.0 means the
+    // corpus itself is ≤ the requested sample — driver-small by
+    // construction, so the final full collect is always bounded
+    while (sample.length < k && fraction < 1.0) {
+      fraction = math.min(1.0, fraction * 4)
+      sample = collectSample(fraction)
+    }
 
     var centroids: Seq[(Long, Seq[Double])] = greedySeeds(sample, k)
 

@@ -163,6 +163,65 @@ object VectorIndex {
     }
   }
 
+  /** Re-train the IVF coarse layer over the CURRENT codes and
+    * repartition the codes table by the new assignments — the
+    * maintenance op that restores `search(nprobe)` pruning after many
+    * [[addBatch]] rounds have skewed the frozen buckets (the standard
+    * IVF serving contract: assignment quality decays as the corpus
+    * drifts from the training distribution, so the coarse layer is
+    * periodically retrained while the PQ codebooks stay frozen).
+    *
+    * Vectors are RECONSTRUCTED from the PQ codes (the FAISS
+    * re-cluster shape — the float corpus is never re-read): decode is
+    * a scan-only expression against the literal codebooks, so the
+    * whole op costs one k-means fit over reconstructions plus one
+    * partitioned rewrite of the codes table.
+    *
+    * Concurrency/atomicity contract: the codes rewrite is ONE Delta
+    * overwrite guarded by `requireBase` — a racing [[addBatch]]
+    * between the read and the commit raises ConcurrentWriteException
+    * instead of losing its rows (retry the rebalance). The coarse
+    * swap is a second, metadata-sized commit; a searcher in that
+    * one-commit window (or after a crash between the two) sees
+    * mismatched centroids — returned rows stay exact-ADC correct,
+    * only probe recall degrades — and re-running rebalance converges
+    * it. Returns the new coarse centroids.
+    */
+  def rebalance(
+      spark: SparkSession,
+      root: String,
+      /** New bucket count; 0 keeps the existing one. */
+      coarseK: Int = 0,
+      coarseIter: Int = 5
+  ): Seq[(Long, Seq[Double])] = {
+    val coarse = loadCoarse(spark, root).getOrElse(throw new IllegalArgumentException(
+      s"$root is a flat index (created without coarseK); nothing to rebalance"))
+    val model = loadModel(spark, root)
+    val base = graft.tables.DeltaLog
+      .snapshot(spark, codesPath(root), withFiles = false).version
+    val codes = new DeltaTable("vecindex_codes", codesPath(root))(spark, ReadArgs.empty)
+    val payloadCols = codes.columns.filterNot(Set("id", "pq_codes", "centroid_id")).toSeq
+    // positional decode: cid i is row i of each sorted codebook (the
+    // same dense-cid invariant the ADC LUT indexes by)
+    val books: Seq[Seq[Seq[Double]]] = model.codebooks.map(_.sortBy(_._1).map(_._2))
+    // float32, the corpus embedding convention every k-means path here
+    // consumes (reconstructions are centroid copies — float-exact)
+    val decoded = codes.drop("centroid_id").withColumn("_vec",
+      flatten(transform(col("pq_codes"),
+        (c, j) => element_at(element_at(typedlit(books), j + lit(1)), c + lit(1))))
+        .cast("array<float>"))
+    val k = if (coarseK > 0) coarseK else coarse.size
+    val newCoarse = Similarity.kmeansCentroids(decoded, "id", "_vec", k, coarseIter)
+    val reassigned = Similarity.assignNearest(decoded, "_vec", newCoarse).drop("_vec")
+    DeltaWrite.overwrite(spark,
+      reassigned.select(col("id") +: col("pq_codes") +: col("centroid_id") +:
+        payloadCols.map(col): _*),
+      codesPath(root), partitionBy = Seq("centroid_id"), requireBase = Some(base))
+    DeltaWrite.overwrite(spark,
+      spark.createDataFrame(newCoarse).toDF("cid", "centroid"), coarsePath(root))
+    newCoarse
+  }
+
   /** The persisted coarse centroids, or None for a flat index. */
   def loadCoarse(spark: SparkSession, root: String): Option[Seq[(Long, Seq[Double])]] = {
     val p = new org.apache.hadoop.fs.Path(coarsePath(root), "_delta_log")

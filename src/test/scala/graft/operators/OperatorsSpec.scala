@@ -276,6 +276,31 @@ class SimilaritySpec extends SparkSpec {
     (2L, Seq(0.0f, 1.0f)), (100L, Seq(-1.0f, 0.0f))
   ).toDF("vec_id", "embedding")
 
+  test("k-means init escalates an under-filled sample geometrically") {
+    // adversarial ids: almost none pass the hash gate at the INITIAL
+    // fraction (4k/n), forcing the escalation loop that replaced the
+    // unconditional full-corpus fallback — the loop must converge by
+    // widening the fraction ×4 per retry, never by collecting n rows
+    // while the fraction is still < 1
+    val k = 8
+    val n = 600
+    val fraction = 4.0 * k / n
+    val cands = spark.range(0, 20000).toDF("id")
+    val failing = cands
+      .where(!Sampling.sampledBy(col("id"), fraction, salt = "kmeans-init"))
+      .as[Long].take(n - 2)
+    val passing = cands
+      .where(Sampling.sampledBy(col("id"), fraction, salt = "kmeans-init"))
+      .as[Long].take(2) // 2 < k survive the initial gate
+    assert(failing.length == n - 2 && passing.length == 2)
+    val corpus = (failing ++ passing).toSeq.toDF("vec_id")
+      .withColumn("embedding", array((0 until 4).map(d =>
+        (pmod(col("vec_id"), lit(5)) + lit(d * 0.25)).cast("float")): _*))
+    val cs = Similarity.kmeansCentroids(corpus, "vec_id", "embedding", k, maxIter = 1)
+    assert(cs.size == k)
+    assert(cs.forall(_._2.length == 4))
+  }
+
   test("native cosine/l2sq match the declarative HOF formulation on real data") {
     val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet").limit(50)
     val pairs = emb.select(col("vec_id").as("a_id"), col("embedding").as("a"))

@@ -171,6 +171,58 @@ class VectorIndexSpec extends SparkSpec {
     assert(hits.nonEmpty)
   }
 
+  test("rebalance: retrained coarse layer de-skews buckets; exhaustive parity holds") {
+    val root = tempDir("vecidx-reb").toString + "/idx"
+    // three well-separated clusters; the index trains on ONE of them,
+    // so the frozen coarse layer funnels the two addBatch clusters
+    // into a single hot bucket (the documented drift failure)
+    VectorIndex.create(spark, vecs(0 until 90), "vec_id", "embedding", root,
+      dims = 8, m = 4, ksub = 4, coarseK = 3, coarseIter = 3)
+    VectorIndex.addBatch(spark, vecs(200 until 290, shift = 40.0f),
+      "vec_id", "embedding", root)
+    VectorIndex.addBatch(spark, vecs(400 until 490, shift = 80.0f),
+      "vec_id", "embedding", root)
+    def bucketSizes(): Seq[Long] = new graft.tables.DeltaTable(
+      "c", s"$root/codes")(spark, graft.tables.ReadArgs.empty)
+      .groupBy("centroid_id").count().collect().map(_.getLong(1)).sorted.toSeq
+    val before = bucketSizes()
+    assert(before.max >= 180, s"expected a skewed hot bucket, got $before")
+
+    val q = Seq((0L, Seq.tabulate(8)(d => 42.0 + d * 0.25)))
+    def exhaustive() = VectorIndex.search(spark, root, q, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val exhaustiveBefore = exhaustive()
+
+    val newCoarse = VectorIndex.rebalance(spark, root)
+    val after = bucketSizes()
+    assert(after.sum == before.sum, s"rows lost/duplicated: $before -> $after")
+    assert(after.max < before.max,
+      s"rebalance must shrink the hot bucket: $before -> $after")
+    assert(newCoarse.size == 3 &&
+      VectorIndex.loadCoarse(spark, root).get == newCoarse)
+
+    // codes are untouched — exhaustive ADC results identical pre/post
+    assert(exhaustive() == exhaustiveBefore)
+    // probed search prunes to the RETRAINED buckets and agrees with the
+    // exhaustive ranking for an in-cluster query (nprobe=1 now suffices:
+    // the query's whole cluster shares one rebalanced bucket)
+    val probed = VectorIndex.search(spark, root, q, 5, nprobe = 1)
+    val opened = probed.inputFiles.toSeq
+    val got = probed.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(got == exhaustiveBefore, s"probed $got vs exhaustive $exhaustiveBefore")
+    assert(opened.nonEmpty && opened.forall(_.contains("centroid_id=")))
+
+    // a flat (coarse-less) index refuses
+    val e = intercept[IllegalArgumentException] {
+      val flat = tempDir("vecidx-rebflat").toString + "/idx"
+      VectorIndex.create(spark, vecs(0 until 20), "vec_id", "embedding", flat,
+        dims = 8, m = 4, ksub = 4)
+      VectorIndex.rebalance(spark, flat)
+    }
+    assert(e.getMessage.contains("flat"), e.getMessage)
+  }
+
   test("nprobe on a flat index refuses loudly") {
     val root = tempDir("vecidx-np").toString + "/idx"
     val corpus = vecs(0 until 20)
