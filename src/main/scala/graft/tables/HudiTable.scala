@@ -157,9 +157,17 @@ class HudiTable(
   def changes(
       spark: SparkSession,
       fromInstant: String,
-      toInstant: Option[String] = None
+      toInstant: Option[String] = None,
+      /** Commits per analyzed sub-plan PAGE (see
+        * [[IcebergTable.changes]]'s twin parameter): wider ranges
+        * materialize each page before the cross-page union, bounding
+        * plan width on a whole-history `DESCRIBE CHANGES` while a
+        * normal poll never pages.
+        */
+      pageCommits: Int = IcebergTable.DefaultChangePageCommits
   ): DataFrame = {
     import HudiTable.{ChangeOrdinalCol, ChangeTypeCol, CommitInstantCol, CommitTimestampCol}
+    require(pageCommits >= 1, s"pageCommits must be >= 1, got $pageCommits")
     val fs = new Path(uri).getFileSystem(spark.sparkContext.hadoopConfiguration)
     HudiWrite.readProps(fs, uri)
     val all = HudiWrite.completedInstants(fs, uri, toInstant)
@@ -180,7 +188,7 @@ class HudiTable(
     val byGroup: Map[(String, String), Seq[HudiWrite.SliceEvent]] =
       eventsByInstant.flatMap(_._2).groupBy(e => (e.part, e.fileId))
 
-    val frames = inRange.zipWithIndex.flatMap { case ((instant, events), ord) =>
+    val commitFrames: Seq[Seq[DataFrame]] = inRange.zipWithIndex.map { case ((instant, events), ord) =>
       val touched = events.map(e => (e.part, e.fileId)).toSet
       if (touched.isEmpty) Seq.empty[DataFrame]
       else {
@@ -228,6 +236,7 @@ class HudiTable(
         b.result()
       }
     }
+    val frames = commitFrames.flatten
     if (frames.nonEmpty) {
       // DECLARED evolution contract: a range crossing an ADDITIVE
       // schema change (commits whose file groups carry new columns —
@@ -242,8 +251,18 @@ class HudiTable(
         Seq(ChangeTypeCol, CommitInstantCol, ChangeOrdinalCol, CommitTimestampCol)
       val dataOrder =
         frames.flatMap(_.columns).distinct.filterNot(changeCols.contains)
-      frames.reduce(_.unionByName(_, allowMissingColumns = true))
-        .select((dataOrder ++ changeCols).map(col): _*)
+      val unioned =
+        if (commitFrames.size <= pageCommits)
+          frames.reduce(_.unionByName(_, allowMissingColumns = true))
+        else commitFrames.grouped(pageCommits).toSeq
+          .flatMap { page =>
+            val fs0 = page.flatten
+            if (fs0.isEmpty) None
+            else Some(fs0.reduce(_.unionByName(_, allowMissingColumns = true))
+              .localCheckpoint())
+          }
+          .reduce(_.unionByName(_, allowMissingColumns = true))
+      unioned.select((dataOrder ++ changeCols).map(col): _*)
     } else {
       // empty range: a declared-empty frame with the table's schema
       val src = HudiWrite.allWrittenSlices(fs, uri).headOption

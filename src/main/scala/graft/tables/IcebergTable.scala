@@ -254,20 +254,32 @@ class IcebergTable(
   def changes(
       spark: SparkSession,
       fromSnapshotId: Long,
-      toSnapshotId: Long
+      toSnapshotId: Long,
+      /** Commits per analyzed sub-plan PAGE: a range wider than this
+        * materializes each page (`localCheckpoint`) before the
+        * cross-page union, so plan WIDTH — and Catalyst analysis
+        * time — stays bounded on a 1000-commit
+        * `DESCRIBE CHANGES … AFTER 0` instead of growing O(commits)
+        * joins+unions in one tree. Total work is unchanged (∝ changed
+        * data — every page's rows compute either way); only eagerness
+        * moves to page boundaries.
+        */
+      pageCommits: Int = IcebergTable.DefaultChangePageCommits
   ): DataFrame = {
     import IcebergTable._
+    require(pageCommits >= 1, s"pageCommits must be >= 1, got $pageCommits")
     val fs = new Path(uri).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val meta = IcebergMeta.load(fs, uri)
     val fromSnap = IcebergMeta.selectSnapshot(meta, Some(fromSnapshotId), None)
     val chain = IcebergMeta.lineage(meta, fromSnapshotId, toSnapshotId)
-    val frames = chain.zipWithIndex.flatMap { case (snap, i) =>
+    val commitFrames: Seq[Seq[DataFrame]] = chain.zipWithIndex.map { case (snap, i) =>
       val prev = if (i == 0) fromSnap else chain(i - 1)
       commitChangeFrames(spark, fs, meta, prev, snap).map(_
         .withColumn(CommitSnapshotCol, lit(snap.id))
         .withColumn(ChangeOrdinalCol, lit(i + 1))
         .withColumn(CommitTimestampCol, timestamp_millis(lit(snap.timestampMs))))
     }
+    val frames = commitFrames.flatten
     if (frames.isEmpty) {
       val empty = StructType(meta.schema.fields ++ Seq(
         StructField(ChangeTypeCol, StringType),
@@ -275,7 +287,14 @@ class IcebergTable(
         StructField(ChangeOrdinalCol, IntegerType),
         StructField(CommitTimestampCol, TimestampType)))
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], empty)
-    } else frames.reduce(_.unionByName(_))
+    } else if (commitFrames.size <= pageCommits) frames.reduce(_.unionByName(_))
+    else commitFrames.grouped(pageCommits).toSeq
+      .flatMap { page =>
+        val fs0 = page.flatten
+        if (fs0.isEmpty) None
+        else Some(fs0.reduce(_.unionByName(_)).localCheckpoint())
+      }
+      .reduce(_.unionByName(_))
   }
 
   /** Net NEW rows over an arbitrary range, derived from the typed
@@ -777,4 +796,11 @@ object IcebergTable {
     */
   val AutoDistributedThresholdConf = "spark.graft.iceberg.autoDistributedPlanningThreshold"
   val DefaultAutoDistributedThreshold = 100000L
+
+  /** Default [[IcebergTable.changes]] page size (commits per analyzed
+    * sub-plan) — shared by the Hudi leg. 16 keeps a page's
+    * union+join tree comfortably inside Catalyst's comfort zone while
+    * a typical CDC poll (a handful of commits) never pages at all.
+    */
+  val DefaultChangePageCommits = 16
 }

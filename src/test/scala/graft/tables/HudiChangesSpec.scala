@@ -30,6 +30,28 @@ class HudiChangesSpec extends SparkSpec {
       (1L, "a", "delete", 2)))
   }
 
+  test("a wide range PAGES with bounded plan width (whole-history DESCRIBE CHANGES shape)") {
+    val dir = tempDir("hudi-chg-page").toString + "/t"
+    val i1 = HudiWrite.bulkInsert(spark,
+      Seq((0L, "z", 0)).toDF("id", "v", "part"), dir, "id", Seq("part"))
+    (1 to 20).foreach(i => HudiWrite.upsert(spark,
+      Seq((i.toLong, s"v$i", 0)).toDF("id", "v", "part"), dir))
+    val t = new HudiTable("t", dir)
+    val paged = t.changes(spark, i1, None, pageCommits = 5)
+    val leaves = paged.queryExecution.logical.collectLeaves()
+    assert(leaves.size <= 4, s"expected <= ceil(20/5) leaves, got ${leaves.size}")
+    assert(leaves.forall(_.getClass.getSimpleName.contains("LogicalRDD")),
+      leaves.map(_.getClass.getSimpleName).distinct.mkString(","))
+    val got = paged
+      .select(col("id").as[Long], col(HudiTable.ChangeTypeCol).as[String])
+      .collect().toSet
+    assert(got == (1 to 20).map(i => (i.toLong, "insert")).toSet)
+    // row parity with the unpaged read
+    assert(got == t.changes(spark, i1)
+      .select(col("id").as[Long], col(HudiTable.ChangeTypeCol).as[String])
+      .collect().toSet)
+  }
+
   test("additive evolution: frames union under the widest schema, old rows null-filled") {
     val dir = tempDir("hudi-chg-evo").toString + "/t"
     val i1 = HudiWrite.bulkInsert(spark,

@@ -65,6 +65,30 @@ class IcebergChangesSpec extends SparkSpec {
       (2, "b", "delete", 1), (3, "c", "delete", 2)))
   }
 
+  test("a wide range PAGES: bounded plan width, identical rows") {
+    val path = tempDir("ice-chg-page").toString + "/t"
+    (1 to 40).foreach(i =>
+      IcebergWrite.append(spark, Seq((i, s"v$i")).toDF("id", "v"), path))
+    val s = snaps(path)
+    val t = new IcebergTable("t", path)
+    val paged = t.changes(spark, s.head.id, s.last.id, pageCommits = 8)
+    // every leaf of the final tree is a MATERIALIZED page — no parquet
+    // relation and no O(commits)-wide analysis ride into one plan
+    val leaves = paged.queryExecution.logical.collectLeaves()
+    assert(leaves.size <= 5, s"expected <= ceil(39/8) leaves, got ${leaves.size}")
+    assert(leaves.forall(_.getClass.getSimpleName.contains("LogicalRDD")),
+      leaves.map(_.getClass.getSimpleName).distinct.mkString(","))
+    val got = paged
+      .select(col("id").as[Int], col(IcebergTable.ChangeOrdinalCol).as[Int])
+      .collect().toSet
+    assert(got == (2 to 40).map(i => (i, i - 1)).toSet)
+    // row parity with the unpaged read
+    val plain = t.changes(spark, s.head.id, s.last.id, pageCommits = 1000)
+      .select(col("id").as[Int], col(IcebergTable.ChangeOrdinalCol).as[Int])
+      .collect().toSet
+    assert(plain == got)
+  }
+
   test("additive evolution mid-range: changes emit under the evolved schema, old rows null-filled") {
     val path = tempDir("ice-chg-evo").toString + "/t"
     IcebergWrite.append(spark, Seq((1, "a"), (2, "b")).toDF("id", "v"), path)
