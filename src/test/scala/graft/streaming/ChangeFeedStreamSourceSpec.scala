@@ -187,6 +187,96 @@ class ChangeFeedStreamSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("delta CDC matrix: row-tracked and column-mapped tables stream through the feed") {
+    import graft.tables.DeltaChanges
+    // ---- row-tracked + CDF: updates flow as pre/post images ----
+    val dir = tempDir("cdc-rt").toString + "/t"
+    DeltaWrite.append(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)
+    DeltaWrite.setTableProperties(spark, dir, Map(
+      "delta.enableRowTracking" -> "true",
+      "delta.enableChangeDataFeed" -> "true"))
+    val q = spark.readStream.format(fmt).option("path", dir).load()
+      .writeStream.format("memory").queryName("cdcrt")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      assert(collected("cdcrt") == Set((1L, "a", "insert"), (2L, "b", "insert")))
+      DeltaWrite.updateWhere(spark, dir,
+        graft.core.Filters.normalize(Seq(graft.core.Filter("id", "=", 2L))),
+        Seq("v" -> "'Z'"))
+      q.processAllAvailable()
+      assert(collected("cdcrt") == Set(
+        (1L, "a", "insert"), (2L, "b", "insert"),
+        (2L, "b", "update_preimage"), (2L, "Z", "update_postimage")))
+    } finally q.stop()
+
+    // ---- column-mapped (mode=name) + CDF: change files read under
+    // PHYSICAL names, rows stream under LOGICAL names ----
+    val fsys = new org.apache.hadoop.fs.Path("/")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def putFile(df: org.apache.spark.sql.DataFrame, tableDir: String, rel: String): Long = {
+      val tmp = tempDir("cdccm-f").toString + "/out"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = fsys.listStatus(new org.apache.hadoop.fs.Path(tmp)).map(_.getPath)
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = new org.apache.hadoop.fs.Path(tableDir, rel)
+      fsys.mkdirs(dest.getParent)
+      fsys.rename(part, dest)
+      fsys.getFileStatus(dest).getLen
+    }
+    def putCommit(tableDir: String, version: Long, lines: Seq[String]): Unit = {
+      val log = new org.apache.hadoop.fs.Path(tableDir, "_delta_log")
+      fsys.mkdirs(log)
+      val out = fsys.create(
+        new org.apache.hadoop.fs.Path(log, f"$version%020d.json"), true)
+      try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+      finally out.close()
+    }
+    val dir2 = tempDir("cdc-cm").toString + "/t"
+    val schemaJson =
+      """{"type":"struct","fields":[
+        |{"name":"id","type":"long","nullable":true,"metadata":
+        |  {"delta.columnMapping.id":1,"delta.columnMapping.physicalName":"col-01"}},
+        |{"name":"v","type":"string","nullable":true,"metadata":
+        |  {"delta.columnMapping.id":2,"delta.columnMapping.physicalName":"col-02"}}
+        |]}""".stripMargin.replaceAll("\n", "")
+    val metaJson =
+      s"""{"metaData":{"id":"11111111-2222-3333-4444-555555555555",
+         |"format":{"provider":"parquet","options":{}},
+         |"schemaString":${com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+           .writeValueAsString(schemaJson)},
+         |"partitionColumns":[],"configuration":{
+         |"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"10",
+         |"delta.enableChangeDataFeed":"true"},"createdTime":1}}""".stripMargin
+        .replaceAll("\n", "")
+    val s0 = putFile(Seq((1L, "a"), (2L, "b")).toDF("col-01", "col-02"), dir2, "f0.parquet")
+    putCommit(dir2, 0, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      metaJson,
+      s"""{"add":{"path":"f0.parquet","partitionValues":{},"size":$s0,
+         |"modificationTime":1,"dataChange":true}}""".stripMargin.replaceAll("\n", "")))
+
+    val q2 = spark.readStream.format(fmt).option("path", dir2).load()
+      .writeStream.format("memory").queryName("cdccm")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q2.processAllAvailable()
+      assert(collected("cdccm") == Set((1L, "a", "insert"), (2L, "b", "insert")))
+      // a cdc commit lands mid-stream: physical-named change file
+      val c0 = putFile(
+        Seq((2L, "b", "update_preimage"), (2L, "B", "update_postimage"))
+          .toDF("col-01", "col-02", DeltaChanges.ChangeTypeCol),
+        dir2, "_change_data/c0.parquet")
+      putCommit(dir2, 1, Seq(
+        s"""{"cdc":{"path":"_change_data/c0.parquet","partitionValues":{},
+           |"size":$c0,"dataChange":false}}""".stripMargin.replaceAll("\n", "")))
+      q2.processAllAvailable()
+      assert(collected("cdccm") == Set(
+        (1L, "a", "insert"), (2L, "b", "insert"),
+        (2L, "b", "update_preimage"), (2L, "B", "update_postimage")))
+    } finally q2.stop()
+  }
+
   test("maxCommitsPerTrigger bounds catch-up batches by commit") {
     val dir = tempDir("cdc-max").toString + "/t"
     IcebergWrite.append(spark, Seq((1L, "a")).toDF("id", "v"), dir)
