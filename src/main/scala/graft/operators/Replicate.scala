@@ -1,0 +1,243 @@
+package graft.operators
+
+import graft.tables.{ChangeFeed, DeltaChanges, DeltaLog, DeltaWrite, HudiWrite, IcebergWrite}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Cross-format CDC replication — the APPLY CHANGES INTO shape (SCD
+  * Type 1, the public Delta Live Tables semantics) generalized over
+  * the lakehouse triad: tail ANY Delta/Iceberg/Hudi table's typed
+  * change stream through [[graft.tables.ChangeFeed]] and apply it as
+  * keyed upserts + deletes to a replica in ANY of the three formats.
+  * The piece that closes the change-stream story: sources (R61/R62 +
+  * Delta CDF) and exactly-once sinks existed; this is the
+  * source→target bridge that keeps a REPLICA table current.
+  *
+  * Semantics per sync batch over the source range `(watermark, head]`:
+  * the change rows FOLD to each key's net effect first — the row
+  * whose `_commit_version` is the key's maximum wins; a key whose
+  * final change is a delete (or an update pre-image with no
+  * post-image, i.e. a key-changing update's OLD key) is removed from
+  * the replica; everything else upserts. Intermediate versions never
+  * touch the target, so a key churned 1000× in the range costs one
+  * write. Cost ∝ changed rows (one window shuffle + the keyed apply),
+  * never source or target size — the property that makes minute-cadence
+  * replication of a 100 TB table affordable.
+  *
+  * Exactly-once / crash-safety: the applied watermark rides the
+  * TARGET's own commit metadata (Delta `SetTransaction`, Iceberg
+  * snapshot-summary `graft.txn-*` keys, Hudi commit `extraMetadata`)
+  * under `appId`. The Delta leg applies upserts AND deletes in ONE
+  * atomic merge commit (`deleteKeys`); the Iceberg/Hudi legs use two
+  * commits (deletes first, then the watermark-carrying upsert) and
+  * recover through IDEMPOTENCE — the fold is deterministic for a
+  * committed range and keyed deletes/upserts are idempotent, so a
+  * crash between the two commits replays the same batch to the same
+  * state. The watermark never moves except on the batch's final
+  * commit.
+  *
+  * Requirements, refused loudly: the source must be KEYED (at most
+  * one live row per key — two surviving rows for one key in a fold
+  * refuse) with non-null keys; `sync` must be called with the keys
+  * `initialize` used (the fold is keyed by them); a Hudi replica
+  * needs a single key column (the Hudi record key); a Delta source
+  * needs `delta.enableChangeDataFeed` (checked at initialize, not
+  * first sync).
+  */
+object Replicate {
+
+  /** Default watermark app id; override per pipeline when several
+    * replications target the same table.
+    */
+  val AppId = "graft-replicate"
+
+  /** Full snapshot at the source's head → CREATE the replica in
+    * `format` ("delta" | "iceberg" | "hudi") carrying the initial
+    * watermark. Returns the source version captured.
+    */
+  def initialize(
+      spark: SparkSession,
+      sourcePath: String,
+      targetPath: String,
+      keys: Seq[String],
+      format: String,
+      partitionBy: Seq[String] = Seq.empty,
+      appId: String = AppId
+  ): Long = {
+    require(keys.nonEmpty, "replication needs at least one key column")
+    require(ChangeFeed.detectFormat(spark, targetPath).isEmpty,
+      s"target $targetPath already exists — use sync")
+    val feed = ChangeFeed.forPath(spark, sourcePath)
+    // a Delta source without CDF would pass initialize and refuse on
+    // the FIRST sync, after the replica exists — fail here instead
+    feed match {
+      case d: graft.tables.DeltaFeed =>
+        val meta = DeltaLog.snapshot(spark, d.path, withFiles = false).metadata
+        require(meta.configuration.get("delta.enableChangeDataFeed").contains("true"),
+          s"Delta source $sourcePath has no change data feed " +
+            "(set delta.enableChangeDataFeed=true) — sync would refuse")
+      case _ =>
+    }
+    val head = feed.head(spark)
+    val snap = feed.snapshotAt(spark, head)
+    keys.foreach(k => require(snap.columns.contains(k),
+      s"key column $k is not a column of $sourcePath"))
+    // keyed + non-null proof over the snapshot: one bounded agg (the
+    // per-sync fold re-checks only the CHANGED keys)
+    requireKeyed(snap, keys, s"source $sourcePath at version $head")
+    val empty = snap.limit(1).isEmpty
+    require(!empty,
+      s"source $sourcePath is empty at version $head — an empty create " +
+        "cannot carry the watermark commit on every format; initialize " +
+        "once the source has rows")
+    format match {
+      case "delta" =>
+        DeltaWrite.append(spark, snap, targetPath, partitionBy,
+          txn = Some(appId -> head))
+      case "iceberg" =>
+        IcebergWrite.append(spark, snap, targetPath, partitionBy,
+          txn = Some(appId -> head))
+      case "hudi" =>
+        require(keys.size == 1,
+          s"a Hudi replica is keyed by its single record key, got ${keys.size}")
+        require(partitionBy.forall(p => !keys.contains(p)),
+          "Hudi partition columns cannot overlap the record key")
+        HudiWrite.bulkInsert(spark, snap, targetPath, keys.head, partitionBy,
+          txn = Some(appId -> head))
+      case other =>
+        throw new IllegalArgumentException(
+          s"unknown replica format $other (delta | iceberg | hudi)")
+    }
+    head
+  }
+
+  /** Apply the source's changes in `(watermark, head]` to the replica;
+    * a no-op when already current (or when the source has no safely
+    * consumable head yet). Returns the new watermark.
+    */
+  def sync(
+      spark: SparkSession,
+      sourcePath: String,
+      targetPath: String,
+      keys: Seq[String],
+      appId: String = AppId
+  ): Long = {
+    val targetFormat = ChangeFeed.detectFormat(spark, targetPath).getOrElse(
+      throw new IllegalArgumentException(
+        s"target $targetPath is not a Delta, Iceberg or Hudi table"))
+    val last = watermark(spark, targetPath, appId).getOrElse(
+      throw new IllegalArgumentException(
+        s"replica $targetPath carries no $appId watermark — initialize it first"))
+    val feed = ChangeFeed.forPath(spark, sourcePath)
+    val head = feed.headOption(spark) match {
+      case Some(h) if h > last => h
+      case _                   => return last // current, or no safe head yet
+    }
+
+    val dataCols = feed.tableSchema(spark).fieldNames.toSeq
+    val atMax = foldAtMax(
+      feed.changesUniform(spark, last, head), keys,
+      s"source $sourcePath range ($last, $head]")
+    try {
+      if (atMax.limit(1).isEmpty) return last // metadata-only commits
+      val survivors = atMax.where(col("_is_post"))
+        .select(dataCols.map(col): _*)
+      val dead = atMax.groupBy(keys.map(col): _*)
+        .agg(max(when(col("_is_post"), 1).otherwise(0)).as("_p"))
+        .where(col("_p") === 0).select(keys.map(col): _*)
+      val hasSurvivors = !survivors.limit(1).isEmpty
+      val hasDead = !dead.limit(1).isEmpty
+      val wm = Some(appId -> head)
+      targetFormat match {
+        case "delta" =>
+          // one atomic commit: upserts + deletes + watermark
+          DeltaWrite.merge(spark, targetPath, survivors, keys,
+            txn = wm, deleteKeys = if (hasDead) Some(dead) else None)
+        case "iceberg" =>
+          if (hasDead)
+            IcebergWrite.deleteEquality(spark, targetPath, dead,
+              txn = if (hasSurvivors) None else wm)
+          if (hasSurvivors)
+            IcebergWrite.upsertEquality(spark, survivors, targetPath, keys,
+              txn = wm)
+        case "hudi" =>
+          require(keys.size == 1,
+            s"a Hudi replica is keyed by its single record key, got ${keys.size}")
+          if (hasDead)
+            HudiWrite.delete(spark, dead, targetPath,
+              txn = if (hasSurvivors) None else wm)
+          if (hasSurvivors)
+            HudiWrite.upsert(spark, survivors, targetPath, txn = wm)
+      }
+      head
+    } finally atMax.unpersist()
+  }
+
+  /** The source version the replica reflects (its `appId` marker in
+    * the target's own commit metadata).
+    */
+  def watermark(
+      spark: SparkSession, targetPath: String, appId: String = AppId): Option[Long] =
+    ChangeFeed.detectFormat(spark, targetPath) match {
+      case Some("delta") =>
+        DeltaLog.snapshot(spark, targetPath, withFiles = false).txns.get(appId)
+      case Some("iceberg") =>
+        IcebergWrite.lastCommittedBatch(spark, targetPath, appId)
+      case Some("hudi") =>
+        HudiWrite.lastCommittedBatch(spark, targetPath, appId)
+      case _ => None
+    }
+
+  /** The change rows at each key's MAXIMUM version in the range,
+    * `_is_post` marking rows that survive (insert/update_postimage),
+    * PERSISTED (the caller unpersists); refuses null keys and keys
+    * with more than one surviving row (un-keyed source) in one
+    * bounded job over the changed keys.
+    */
+  private def foldAtMax(
+      changes: DataFrame, keys: Seq[String], what: String): DataFrame = {
+    val ver = DeltaChanges.CommitVersionCol
+    val w = Window.partitionBy(keys.map(col): _*)
+    val atMax = changes
+      .withColumn("_vmax", max(col(ver)).over(w))
+      .where(col(ver) === col("_vmax"))
+      .withColumn("_is_post",
+        col(DeltaChanges.ChangeTypeCol).isin("insert", "update_postimage"))
+      .persist()
+    val nullKey = keys.map(col(_).isNull).reduce(_ || _)
+    val bad = atMax.groupBy(keys.map(col): _*)
+      .agg(sum(when(col("_is_post"), 1L).otherwise(0L)).as("_np"),
+        max(when(nullKey, 1).otherwise(0)).as("_null"))
+      .where(col("_np") > 1 || col("_null") === 1)
+      .limit(1).collect()
+    if (bad.nonEmpty) {
+      atMax.unpersist()
+      val r = bad.head
+      if (r.getAs[Int]("_null") == 1) throw new IllegalArgumentException(
+        s"$what takes null values in a key column (${keys.mkString(",")}); " +
+          "keyed replication cannot match null keys")
+      else throw new IllegalArgumentException(
+        s"$what leaves ${r.getAs[Long]("_np")} live rows for one key " +
+          s"(${keys.mkString(",")}) — replication requires a keyed source " +
+          "(at most one live row per key)")
+    }
+    atMax
+  }
+
+  /** Refuse duplicate or null keys in a full frame (initialize). */
+  private def requireKeyed(df: DataFrame, keys: Seq[String], what: String): Unit = {
+    val nullKey = keys.map(col(_).isNull).reduce(_ || _)
+    val bad = df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("_n"), max(when(nullKey, 1).otherwise(0)).as("_null"))
+      .where(col("_n") > 1 || col("_null") === 1)
+      .limit(1).collect()
+    if (bad.nonEmpty) {
+      if (bad.head.getAs[Int]("_null") == 1) throw new IllegalArgumentException(
+        s"$what takes null values in a key column (${keys.mkString(",")})")
+      else throw new IllegalArgumentException(
+        s"$what holds ${bad.head.getAs[Long]("_n")} rows for one key " +
+          s"(${keys.mkString(",")}) — replication requires a keyed source")
+    }
+  }
+}

@@ -2037,6 +2037,40 @@ object OracleSql {
            |  AND n_nationkey NOT IN ($keys)
            |ORDER BY n_nationkey""".stripMargin
       },
+      // cross-format CDC replication (Delta CDF → Iceberg replica):
+      // the replica's final state replayed relationally — updates
+      // applied, inserted keys appended, deleted keys (which apply
+      // LAST, so they beat same-range updates) removed
+      "q_replicate" -> {
+        import Wave8Queries.{ReplicateParams => P}
+        s"""SELECT s_suppkey, s_name, s_nationkey FROM (
+           |  SELECT s_suppkey,
+           |    CASE WHEN s_suppkey % ${P.UpdateMod} = 0 THEN 'UPDATED'
+           |         ELSE s_name END AS s_name,
+           |    s_nationkey
+           |  FROM supplier
+           |  WHERE s_suppkey >= ${P.DeleteBelow}
+           |  UNION ALL
+           |  SELECT s_suppkey + ${P.InsertOffset}, 'NEW', s_nationkey
+           |  FROM supplier WHERE s_suppkey % ${P.InsertMod} = 0
+           |) ORDER BY s_suppkey""".stripMargin
+      },
+      // the reverse leg (Hudi MOR source → Delta replica): log
+      // upserts + tombstones folded into the one-commit Delta apply
+      "q_replicate_hudi" -> {
+        import Wave8Queries.{ReplicateHudiParams => P}
+        val del = P.DeleteKeys.mkString(", ")
+        s"""SELECT n_nationkey, n_name, n_regionkey FROM (
+           |  SELECT n_nationkey,
+           |    CASE WHEN n_regionkey = ${P.UpdateRegion} THEN 'REPL_UP'
+           |         ELSE n_name END AS n_name,
+           |    n_regionkey
+           |  FROM nation WHERE n_nationkey NOT IN ($del)
+           |  UNION ALL
+           |  SELECT n_nationkey + ${P.InsertOffset}, 'NEW', n_regionkey
+           |  FROM nation WHERE n_regionkey = ${P.InsertRegion}
+           |) ORDER BY n_nationkey""".stripMargin
+      },
       // delete Iceberg nation table: the upsert commit (ordinal 1)
       // replays as pre-image deletes + post-image inserts, the delete
       // commit (ordinal 2) as deletes of the post-upsert state; the

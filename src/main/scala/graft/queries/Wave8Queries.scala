@@ -105,4 +105,105 @@ object Wave8Queries {
       .incremental(s, s1, head, allowNewDeletes = true)
       .orderBy("n_nationkey")
   }
+
+  // ---------- cross-format CDC replication (Replicate) ----------
+
+  object ReplicateParams {
+    /** `s_suppkey % UpdateMod == 0` rows get `s_name = 'UPDATED'`. */
+    val UpdateMod = 7
+    /** `s_suppkey % InsertMod == 0` spawns a NEW key `+InsertOffset`. */
+    val InsertMod = 13
+    val InsertOffset = 100000L
+    /** Final commit deletes original keys below this bound. */
+    val DeleteBelow = 10
+  }
+
+  private val replicaIce = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Delta-CDF supplier source → churn (MERGE updates + inserts, then
+    * a DELETE) → one [[graft.operators.Replicate.sync]] folds the
+    * whole range into the ICEBERG replica; returns the replica path.
+    */
+  private def replicatedSupplier(s: SparkSession, dir: String): String =
+    replicaIce.getOrElseUpdate(dir, {
+      import graft.core.Filter
+      import graft.tables.{DeltaDdl, DeltaWrite}
+      import org.apache.spark.sql.functions._
+      import ReplicateParams._
+      val root = java.nio.file.Files.createTempDirectory("graft_replicate").toString
+      val src = root + "/src"
+      val tgt = root + "/replica"
+      val sup = t(s, dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+      DeltaDdl.createTable(s, src, sup.schema,
+        configuration = Map("delta.enableChangeDataFeed" -> "true"))
+      DeltaWrite.append(s, sup, src)
+      graft.operators.Replicate.initialize(s, src, tgt, Seq("s_suppkey"), "iceberg")
+      val upd = sup.where(col("s_suppkey") % UpdateMod === 0)
+        .select(col("s_suppkey"), lit("UPDATED").as("s_name"), col("s_nationkey"))
+      val ins = sup.where(col("s_suppkey") % InsertMod === 0)
+        .select((col("s_suppkey") + InsertOffset).as("s_suppkey"),
+          lit("NEW").as("s_name"), col("s_nationkey"))
+      DeltaWrite.merge(s, src, upd.unionByName(ins), Seq("s_suppkey"))
+      DeltaWrite.deleteWhere(s, src, graft.core.Filters.normalize(
+        Seq(Filter("s_suppkey", "<", DeleteBelow))))
+      graft.operators.Replicate.sync(s, src, tgt, Seq("s_suppkey"))
+      tgt
+    })
+
+  /** The Iceberg replica after one sync over the churn range — must
+    * equal the source's final state replayed relationally.
+    */
+  def qReplicate(s: SparkSession, dir: String): DataFrame = {
+    import graft.tables.{IcebergTable, ReadArgs}
+    new IcebergTable("supplier_replica", replicatedSupplier(s, dir))(s, ReadArgs.empty)
+      .orderBy("s_suppkey")
+  }
+
+  object ReplicateHudiParams {
+    /** Rows of this region get `n_name = 'REPL_UP'` via a MOR log upsert. */
+    val UpdateRegion = 2
+    /** Rows of region 0 spawn NEW keys `+InsertOffset`. */
+    val InsertRegion = 0
+    val InsertOffset = 100
+    /** Tombstoned record keys. */
+    val DeleteKeys: Seq[Int] = Seq(1, 4)
+  }
+
+  private val replicaDelta = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Hudi MERGE_ON_READ nation source (log upserts + DELETE_BLOCK
+    * tombstones) → one sync into a DELTA replica (the atomic
+    * merge+deleteKeys commit); returns the replica path.
+    */
+  private def replicatedNation(s: SparkSession, dir: String): String =
+    replicaDelta.getOrElseUpdate(dir, {
+      import graft.tables.HudiWrite
+      import org.apache.spark.sql.functions._
+      import ReplicateHudiParams._
+      val root = java.nio.file.Files.createTempDirectory("graft_replicate_hudi").toString
+      val src = root + "/src"
+      val tgt = root + "/replica"
+      val nation = t(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+      HudiWrite.bulkInsert(s, nation, src, "n_nationkey",
+        tableType = "MERGE_ON_READ")
+      graft.operators.Replicate.initialize(s, src, tgt, Seq("n_nationkey"), "delta")
+      val upd = nation.where(col("n_regionkey") === UpdateRegion)
+        .select(col("n_nationkey"), lit("REPL_UP").as("n_name"), col("n_regionkey"))
+      val ins = nation.where(col("n_regionkey") === InsertRegion)
+        .select((col("n_nationkey") + InsertOffset).as("n_nationkey"),
+          lit("NEW").as("n_name"), col("n_regionkey"))
+      HudiWrite.upsert(s, upd.unionByName(ins), src)
+      import s.implicits._
+      HudiWrite.delete(s, DeleteKeys.toDF("n_nationkey"), src)
+      graft.operators.Replicate.sync(s, src, tgt, Seq("n_nationkey"))
+      tgt
+    })
+
+  /** The Delta replica of the Hudi MOR source after one sync. */
+  def qReplicateHudi(s: SparkSession, dir: String): DataFrame = {
+    import graft.tables.DeltaTable
+    new DeltaTable("nation_replica", replicatedNation(s, dir))(s)
+      .select("n_nationkey", "n_name", "n_regionkey")
+      .orderBy("n_nationkey")
+  }
 }

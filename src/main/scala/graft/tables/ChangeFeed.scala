@@ -64,22 +64,33 @@ trait ChangeFeed {
 object ChangeFeed {
 
   /** Detect the table format from its on-disk layout: `_delta_log`
-    * → Delta, `.hoodie` → Hudi, `metadata/v*.metadata.json` →
-    * Iceberg — refused loudly otherwise.
+    * → `"delta"`, `.hoodie` → `"hudi"`, `metadata/v*.metadata.json`
+    * → `"iceberg"` — `None` when the path matches none of them.
     */
-  def forPath(spark: SparkSession, path: String): ChangeFeed = {
+  def detectFormat(spark: SparkSession, path: String): Option[String] = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new Path(p, "_delta_log"))) new DeltaFeed(path)
-    else if (fs.exists(new Path(p, ".hoodie"))) new HudiFeed(path)
+    if (fs.exists(new Path(p, "_delta_log"))) Some("delta")
+    else if (fs.exists(new Path(p, ".hoodie"))) Some("hudi")
     else if (fs.exists(new Path(p, "metadata")) &&
       fs.listStatus(new Path(p, "metadata"))
         .exists(_.getPath.getName.matches("v\\d+\\.metadata\\.json")))
-      new IcebergFeed(path)
-    else throw new IllegalArgumentException(
-      s"$path is not a Delta, Iceberg or Hudi table " +
-        "(no _delta_log, metadata/v*.metadata.json or .hoodie)")
+      Some("iceberg")
+    else None
   }
+
+  /** The [[ChangeFeed]] leg for a table, by on-disk layout — refused
+    * loudly when the path is none of the three formats.
+    */
+  def forPath(spark: SparkSession, path: String): ChangeFeed =
+    detectFormat(spark, path) match {
+      case Some("delta")   => new DeltaFeed(path)
+      case Some("hudi")    => new HudiFeed(path)
+      case Some("iceberg") => new IcebergFeed(path)
+      case _ => throw new IllegalArgumentException(
+        s"$path is not a Delta, Iceberg or Hudi table " +
+          "(no _delta_log, metadata/v*.metadata.json or .hoodie)")
+    }
 }
 
 /** Delta leg: versions ARE the commit versions; changes come from

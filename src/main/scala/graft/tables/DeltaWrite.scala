@@ -965,6 +965,16 @@ object DeltaWrite {
     * the table still being at that version — the read-modify-write
     * guard incremental view refresh pins its CDF watermark with.
     * An empty source returns without committing (no txn marker).
+    *
+    * `deleteKeys` is the CDC-apply delete clause (the shape a change
+    * replicator needs, where a deleted key has NO row values to put in
+    * `source`): a frame of exactly the key columns whose matched
+    * target rows are removed in the SAME atomic commit as the upsert —
+    * and, unlike a `deleteWhenMatched` row, a delete key absent from
+    * the target is IGNORED (no insert fallthrough; a replayed delete
+    * is a no-op). Null key values never match (standard `ON t.k = s.k`
+    * semantics). Single-column key pruning spans source ∪ deleteKeys,
+    * and an empty source with non-empty deleteKeys still commits.
     */
   def merge(
       spark: SparkSession,
@@ -973,9 +983,13 @@ object DeltaWrite {
       keyCols: Seq[String],
       deleteWhenMatched: Option[String] = None,
       txn: Option[(String, Long)] = None,
-      requireBase: Option[Long] = None
+      requireBase: Option[Long] = None,
+      deleteKeys: Option[DataFrame] = None
   ): CommitResult = {
     require(keyCols.nonEmpty, "merge needs at least one key column")
+    deleteKeys.foreach(dk => require(dk.columns.toSet == keyCols.toSet,
+      s"deleteKeys columns ${dk.columns.mkString(",")} must be exactly the " +
+        s"merge keys (${keyCols.mkString(",")})"))
     val snap = DeltaLog.snapshot(spark, tablePath)
     requireBase.foreach { base =>
       if (snap.version != base)
@@ -1009,6 +1023,10 @@ object DeltaWrite {
     // satisfied them when they were written
     val src = DeltaPolicy.prepare(source, meta, tablePath)
       .select(meta.schema.fieldNames.map(col).toSeq: _*)
+    // delete keys cast to the table's key types, deduped (a CDC
+    // replicator's key frame arrives in the SOURCE table's types)
+    val dk = deleteKeys.map(d => d.select(keyCols.map(c =>
+      col(c).cast(meta.schema(c).dataType).as(c)): _*).distinct())
     // WHEN MATCHED AND <cond> THEN DELETE: the clause fires only when
     // the condition is TRUE (SQL clause semantics — null falls through
     // to the update clause). Evaluated over the source row, whose
@@ -1023,7 +1041,11 @@ object DeltaWrite {
     // once (driver-side min/max) and skip files whose stats exclude it
     val candidates: Seq[DeltaLog.AddFile] = keyCols match {
       case Seq(k) =>
-        val r = src.agg(min(col(k)), max(col(k)), count(lit(1))).head()
+        // the key range spans source ∪ deleteKeys: a file holding only
+        // delete-matched keys must stay a rewrite candidate
+        val keyVals = dk.map(d => src.select(col(k)).unionByName(d))
+          .getOrElse(src.select(col(k)))
+        val r = keyVals.agg(min(col(k)), max(col(k)), count(lit(1))).head()
         if (r.getLong(2) == 0L) return CommitResult(snap.version, 0, 0) // empty source
         // all-null keys: SQL equality never matches → pure insert
         else if (r.isNullAt(0)) Seq.empty
@@ -1062,11 +1084,15 @@ object DeltaWrite {
     // "same row, updated at this version"); inserts materialize
     // neither and mint fresh ids (a delete-matched key's id dies with
     // the row, like copy-on-write DELETE).
+    // delete-key-matched target rows vanish from the kept set (their
+    // row ids die with the rows, like delete-condition matches)
+    def dropDeleteKeys(f: DataFrame): DataFrame =
+      dk.map(d => f.join(d, keySeq, "left_anti")).getOrElse(f)
     val content = (targetRaw, target) match {
       case (Some(traw), Some(t)) if tracked =>
         val matId = meta.configuration(MatRowIdKey)
         val matRcv = meta.configuration(MatRcvKey)
-        val kept = traw.join(src, keySeq, "left_anti")
+        val kept = dropDeleteKeys(traw.join(src, keySeq, "left_anti"))
           .withColumnRenamed(DeltaRead.RowIdCol, matId)
           .withColumnRenamed(DeltaRead.RowCommitVersionCol, matRcv)
         // the old row id each source key replaces (min-id tie-break if
@@ -1078,7 +1104,8 @@ object DeltaWrite {
         val upserts = writeSrc.join(keyIds, keySeq, "left")
           .withColumn(matRcv, lit(null).cast(org.apache.spark.sql.types.LongType))
         kept.unionByName(upserts)
-      case (_, Some(t)) => t.join(src, keySeq, "left_anti").unionByName(writeSrc)
+      case (_, Some(t)) =>
+        dropDeleteKeys(t.join(src, keySeq, "left_anti")).unionByName(writeSrc)
       case _            => writeSrc
     }
 
@@ -1093,14 +1120,12 @@ object DeltaWrite {
               .withColumn(DeltaChanges.ChangeTypeCol, lit("update_postimage"))
             val ins = writeSrc.join(t, keySeq, "left_anti")
               .withColumn(DeltaChanges.ChangeTypeCol, lit("insert"))
-            val withDel = delSrc match {
-              case Some(d) =>
-                val del = t.join(d, keySeq, "left_semi")
-                  .withColumn(DeltaChanges.ChangeTypeCol, lit("delete"))
-                pre.unionByName(post).unionByName(ins).unionByName(del)
-              case None => pre.unionByName(post).unionByName(ins)
-            }
-            withDel
+            val del1 = delSrc.map(d => t.join(d, keySeq, "left_semi")
+              .withColumn(DeltaChanges.ChangeTypeCol, lit("delete")))
+            val del2 = dk.map(d => t.join(d, keySeq, "left_semi")
+              .withColumn(DeltaChanges.ChangeTypeCol, lit("delete")))
+            (Seq(pre.unionByName(post).unionByName(ins)) ++ del1 ++ del2)
+              .reduce(_.unionByName(_))
           case None =>
             writeSrc.withColumn(DeltaChanges.ChangeTypeCol, lit("insert"))
         }

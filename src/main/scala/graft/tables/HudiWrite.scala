@@ -56,7 +56,8 @@ object HudiWrite {
       tablePath: String,
       recordKeyCol: String,
       partitionBy: Seq[String] = Seq.empty,
-      tableType: String = "COPY_ON_WRITE"
+      tableType: String = "COPY_ON_WRITE",
+      txn: Option[(String, Long)] = None
   ): String = {
     require(tableType == "COPY_ON_WRITE" || tableType == "MERGE_ON_READ",
       s"unknown Hudi table type $tableType")
@@ -71,7 +72,7 @@ object HudiWrite {
     val written = stageByGroup(spark, prepared, fs, tablePath, partitionBy,
       instant, freshGroupPerLeaf = true)
     completeCommit(fs, tablePath, instant, "bulkinsert", written,
-      actionOverride = Some(action))
+      actionOverride = Some(action), extraMetadata = txnMeta(txn))
     instant
   }
 
@@ -359,7 +360,8 @@ object HudiWrite {
       keys: DataFrame,
       tablePath: String,
       fs: FileSystem,
-      props: Map[String, String]
+      props: Map[String, String],
+      txn: Option[(String, Long)]
   ): String = {
     require(keys.columns.length == 1,
       s"delete takes a single-column key frame, got ${keys.columns.mkString(", ")}")
@@ -368,7 +370,7 @@ object HudiWrite {
     val instant = mintInstant(fs, new Path(tablePath, ".hoodie"), "deltacommit")
     if (slices.isEmpty) {
       completeCommit(fs, tablePath, instant, "delete", Seq.empty,
-        actionOverride = Some("deltacommit"))
+        actionOverride = Some("deltacommit"), extraMetadata = txnMeta(txn))
       return instant
     }
     val delKeys = keys.select(col(keys.columns.head).cast("string").as("_k")).distinct()
@@ -377,7 +379,7 @@ object HudiWrite {
     val affectedSlices = slices.filter(sl => affected(sl.fileId))
     if (affectedSlices.isEmpty) {
       completeCommit(fs, tablePath, instant, "delete", Seq.empty,
-        actionOverride = Some("deltacommit"))
+        actionOverride = Some("deltacommit"), extraMetadata = txnMeta(txn))
       return instant
     }
     // only keys that actually exist tombstone (their owning group is
@@ -388,7 +390,7 @@ object HudiWrite {
       .select(col("_k").as(RecordKeyCol), col("_fg"))
     val written = writeDeleteLogs(spark, targets, tablePath, affectedSlices, instant)
     completeCommitGuarded(fs, tablePath, base, instant, "delete", written,
-      Map.empty, actionOverride = Some("deltacommit"))
+      Map.empty, actionOverride = Some("deltacommit"), extraMetadata = txnMeta(txn))
     instant
   }
 
@@ -460,13 +462,21 @@ object HudiWrite {
     * it. Unmatched keys are ignored. Old slices stay time-travelable.
     * Returns the completed instant time.
     */
-  def delete(spark: SparkSession, keys: DataFrame, tablePath: String): String =
-    retryOnConflict("delete", tablePath)(deleteOnce(spark, keys, tablePath))
+  def delete(
+      spark: SparkSession,
+      keys: DataFrame,
+      tablePath: String,
+      txn: Option[(String, Long)] = None): String =
+    retryOnConflict("delete", tablePath)(deleteOnce(spark, keys, tablePath, txn))
 
-  private def deleteOnce(spark: SparkSession, keys: DataFrame, tablePath: String): String = {
+  private def deleteOnce(
+      spark: SparkSession,
+      keys: DataFrame,
+      tablePath: String,
+      txn: Option[(String, Long)]): String = {
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val props = readProps(fs, tablePath)
-    if (isMor(props)) return morDeleteOnce(spark, keys, tablePath, fs, props)
+    if (isMor(props)) return morDeleteOnce(spark, keys, tablePath, fs, props, txn)
     val keyCol = props("hoodie.table.recordkey.fields")
     val partCols = props.get("hoodie.table.partition.fields")
       .filter(_.nonEmpty).map(_.split(",").toSeq).getOrElse(Seq.empty)
@@ -477,7 +487,8 @@ object HudiWrite {
     val slices = latestSlices(fs, tablePath, None)
     val instant = mintInstant(fs, new Path(tablePath, ".hoodie"))
     if (slices.isEmpty) {
-      completeCommit(fs, tablePath, instant, "delete", Seq.empty)
+      completeCommit(fs, tablePath, instant, "delete", Seq.empty,
+        extraMetadata = txnMeta(txn))
       return instant
     }
 
@@ -486,7 +497,8 @@ object HudiWrite {
       keyBounds(keys, keys.columns.head))
     val affectedSlices = slices.filter(sl => affected(sl.fileId))
     if (affectedSlices.isEmpty) {
-      completeCommit(fs, tablePath, instant, "delete", Seq.empty)
+      completeCommit(fs, tablePath, instant, "delete", Seq.empty,
+        extraMetadata = txnMeta(txn))
       return instant
     }
 
@@ -507,7 +519,8 @@ object HudiWrite {
     val rewritten = written.map(_.fileId).toSet
     val replaced = affectedSlices.filterNot(sl => rewritten(sl.fileId))
       .groupBy(_.partition).map { case (part, sls) => part -> sls.map(_.fileId) }
-    completeCommitGuarded(fs, tablePath, base, instant, "delete", written, replaced)
+    completeCommitGuarded(fs, tablePath, base, instant, "delete", written, replaced,
+      extraMetadata = txnMeta(txn))
     instant
   }
 

@@ -695,7 +695,11 @@ object IcebergWrite {
     * Scale shape: one distributed write of the key tuples; no data
     * scan; O(manifests) driver metadata.
     */
-  def deleteEquality(spark: SparkSession, tablePath: String, keys: DataFrame): Long = {
+  def deleteEquality(
+      spark: SparkSession,
+      tablePath: String,
+      keys: DataFrame,
+      txn: Option[(String, Long)] = None): Long = {
     require(keys.columns.nonEmpty, "deleteEquality requires at least one key column")
     val table = new Path(tablePath)
     val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -762,7 +766,9 @@ object IcebergWrite {
         operation = "delete",
         summaryExtras = Seq(
           "added-delete-files" -> staged.size.toString,
-          "added-equality-deletes" -> staged.map(_.recordCount).sum.toString),
+          "added-equality-deletes" -> staged.map(_.recordCount).sum.toString) ++
+          txn.toSeq.flatMap { case (app, id) => Seq(
+            TxnAppKey -> app, TxnBatchKey -> id.toString) },
         parentId = Option(baseRoot.path("current-snapshot-id").asLong(-1L)).filter(_ >= 0))
       (root, Seq(manifestPath, listPath), snapshotId)
     }

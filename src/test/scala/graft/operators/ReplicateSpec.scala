@@ -1,0 +1,263 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.core.{Filter, Filters}
+import graft.tables.{DeltaDdl, DeltaLog, DeltaTable, DeltaWrite, HudiWrite, IcebergTable, IcebergWrite, ReadArgs}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** Cross-format CDC replication: every source-format leg feeding
+  * every different target format, the net-per-key fold, the
+  * atomic/idempotent watermark story, and the loud refusals.
+  */
+class ReplicateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows(n: Int, off: Int = 0) =
+    Seq.tabulate(n)(i => ((i + off).toLong, s"name${i + off}", (i + off).toLong * 10))
+      .toDF("id", "name", "v")
+
+  private def mkDeltaSource(tag: String, n: Int = 20): String = {
+    val dir = tempDir(s"repl-$tag").toString + "/src"
+    DeltaDdl.createTable(spark, dir,
+      StructType(Seq(
+        StructField("id", LongType),
+        StructField("name", StringType),
+        StructField("v", LongType))),
+      configuration = Map("delta.enableChangeDataFeed" -> "true"))
+    DeltaWrite.append(spark, rows(n), dir)
+    dir
+  }
+
+  private def readTarget(path: String): Set[(Long, String, Long)] = {
+    val fmt = graft.tables.ChangeFeed.detectFormat(spark, path).get
+    val df: DataFrame = fmt match {
+      case "delta"   => new DeltaTable("t", path)(spark)
+      case "iceberg" => new IcebergTable("t", path)(spark, ReadArgs.empty)
+      case "hudi"    => new graft.tables.HudiTable("t", path)(spark, ReadArgs.empty)
+    }
+    df.select("id", "name", "v").as[(Long, String, Long)].collect().toSet
+  }
+
+  private def readSource(path: String): Set[(Long, String, Long)] = {
+    val feed = graft.tables.ChangeFeed.forPath(spark, path)
+    feed.snapshotAt(spark, feed.head(spark))
+      .select("id", "name", "v").as[(Long, String, Long)].collect().toSet
+  }
+
+  test("Delta CDF source replicates into an Iceberg target (one fold per churned key)") {
+    val src = mkDeltaSource("d2i")
+    val tgt = tempDir("repl-d2i-t").toString + "/replica"
+    val v0 = Replicate.initialize(spark, src, tgt, Seq("id"), "iceberg")
+    assert(readTarget(tgt) == readSource(src))
+    assert(Replicate.watermark(spark, tgt).contains(v0))
+
+    // churn: update a key twice across commits, insert, delete
+    DeltaWrite.merge(spark, src,
+      Seq((3L, "first", 1L)).toDF("id", "name", "v"), Seq("id"))
+    DeltaWrite.merge(spark, src,
+      Seq((3L, "final", 2L), (100L, "new", 5L)).toDF("id", "name", "v"), Seq("id"))
+    DeltaWrite.deleteWhere(spark, src,
+      Filters.normalize(Seq(Filter("id", "in", Seq(5, 6)))))
+
+    val v1 = Replicate.sync(spark, src, tgt, Seq("id"))
+    assert(v1 > v0)
+    assert(readTarget(tgt) == readSource(src))
+    assert(readTarget(tgt).exists(r => r._1 == 3L && r._2 == "final"))
+    assert(!readTarget(tgt).exists(r => r._1 == 5L || r._1 == 6L))
+    // already current → no-op, watermark unchanged
+    assert(Replicate.sync(spark, src, tgt, Seq("id")) == v1)
+  }
+
+  test("a key inserted and deleted inside the range never lands") {
+    val src = mkDeltaSource("net")
+    val tgt = tempDir("repl-net-t").toString + "/replica"
+    Replicate.initialize(spark, src, tgt, Seq("id"), "iceberg")
+    DeltaWrite.append(spark, Seq((500L, "ghost", 1L)).toDF("id", "name", "v"), src)
+    DeltaWrite.deleteWhere(spark, src,
+      Filters.normalize(Seq(Filter("id", "=", 500))))
+    Replicate.sync(spark, src, tgt, Seq("id"))
+    assert(readTarget(tgt) == readSource(src))
+    assert(!readTarget(tgt).exists(_._1 == 500L))
+  }
+
+  test("a key-changing UPDATE deletes the old key and inserts the new one") {
+    val src = mkDeltaSource("keymove")
+    val tgt = tempDir("repl-keymove-t").toString + "/replica"
+    Replicate.initialize(spark, src, tgt, Seq("id"), "delta")
+    DeltaWrite.updateWhere(spark, src,
+      Filters.normalize(Seq(Filter("id", "=", 7))),
+      Seq("id" -> "id + 1000"))
+    Replicate.sync(spark, src, tgt, Seq("id"))
+    val t = readTarget(tgt)
+    assert(t == readSource(src))
+    assert(!t.exists(_._1 == 7L) && t.exists(_._1 == 1007L))
+  }
+
+  test("Delta target applies upserts AND deletes in ONE atomic commit") {
+    val src = mkDeltaSource("atomic")
+    val tgt = tempDir("repl-atomic-t").toString + "/replica"
+    Replicate.initialize(spark, src, tgt, Seq("id"), "delta")
+    val vBefore = DeltaLog.snapshot(spark, tgt, withFiles = false).version
+    DeltaWrite.merge(spark, src,
+      Seq((1L, "upd", 9L), (200L, "ins", 9L)).toDF("id", "name", "v"), Seq("id"))
+    DeltaWrite.deleteWhere(spark, src, Filters.normalize(Seq(Filter("id", "=", 2))))
+    Replicate.sync(spark, src, tgt, Seq("id"))
+    val vAfter = DeltaLog.snapshot(spark, tgt, withFiles = false).version
+    assert(vAfter == vBefore + 1, "upserts + deletes + watermark ride one commit")
+    assert(readTarget(tgt) == readSource(src))
+  }
+
+  test("Iceberg equality-upsert source replicates into a Hudi target") {
+    val src = tempDir("repl-i2h").toString + "/src"
+    val tgt = tempDir("repl-i2h-t").toString + "/replica"
+    IcebergWrite.append(spark, rows(15), src)
+    Replicate.initialize(spark, src, tgt, Seq("id"), "hudi")
+    assert(readTarget(tgt) == readSource(src))
+
+    IcebergWrite.upsertEquality(spark,
+      Seq((4L, "upd4", 99L), (300L, "new", 1L)).toDF("id", "name", "v"),
+      src, Seq("id"))
+    IcebergWrite.deleteEquality(spark, src, Seq(Tuple1(9L)).toDF("id"))
+    Replicate.sync(spark, src, tgt, Seq("id"))
+    assert(readTarget(tgt) == readSource(src))
+    assert(readTarget(tgt).exists(r => r._1 == 4L && r._2 == "upd4"))
+    assert(!readTarget(tgt).exists(_._1 == 9L))
+  }
+
+  test("Hudi MOR source (log upserts + tombstones) replicates into a Delta target") {
+    val src = tempDir("repl-h2d").toString + "/src"
+    val tgt = tempDir("repl-h2d-t").toString + "/replica"
+    HudiWrite.bulkInsert(spark, rows(15), src, "id", tableType = "MERGE_ON_READ")
+    Replicate.initialize(spark, src, tgt, Seq("id"), "delta")
+    assert(readTarget(tgt) == readSource(src))
+
+    HudiWrite.upsert(spark,
+      Seq((2L, "logged", 77L), (400L, "fresh", 3L)).toDF("id", "name", "v"), src)
+    HudiWrite.delete(spark, Seq(Tuple1(11L)).toDF("id"), src)
+    Replicate.sync(spark, src, tgt, Seq("id"))
+    assert(readTarget(tgt) == readSource(src))
+    assert(readTarget(tgt).exists(r => r._1 == 2L && r._2 == "logged"))
+    assert(!readTarget(tgt).exists(_._1 == 11L))
+  }
+
+  test("a crash between the Iceberg delete and upsert commits replays idempotently") {
+    val src = mkDeltaSource("crash")
+    val tgt = tempDir("repl-crash-t").toString + "/replica"
+    Replicate.initialize(spark, src, tgt, Seq("id"), "iceberg")
+    DeltaWrite.merge(spark, src,
+      Seq((1L, "upd", 42L)).toDF("id", "name", "v"), Seq("id"))
+    DeltaWrite.deleteWhere(spark, src, Filters.normalize(Seq(Filter("id", "=", 8))))
+    // simulate the first half of the two-commit apply landing WITHOUT
+    // the watermark (crash before the upsert commit)
+    IcebergWrite.deleteEquality(spark, tgt, Seq(Tuple1(8L)).toDF("id"))
+    // replay: the full batch re-applies (delete of 8 again = no-op)
+    Replicate.sync(spark, src, tgt, Seq("id"))
+    assert(readTarget(tgt) == readSource(src))
+    // and the watermark landed, so a further sync is a no-op
+    val wm = Replicate.watermark(spark, tgt).get
+    assert(Replicate.sync(spark, src, tgt, Seq("id")) == wm)
+  }
+
+  test("refusals: unkeyed source, null keys, existing target, missing watermark, no CDF") {
+    val src = mkDeltaSource("refuse")
+    val tgt = tempDir("repl-refuse-t").toString + "/replica"
+    Replicate.initialize(spark, src, tgt, Seq("id"), "iceberg")
+
+    // duplicate key arriving through the feed refuses the sync
+    DeltaWrite.append(spark,
+      Seq((900L, "a", 1L), (900L, "b", 2L)).toDF("id", "name", "v"), src)
+    val eDup = intercept[IllegalArgumentException](
+      Replicate.sync(spark, src, tgt, Seq("id")))
+    assert(eDup.getMessage.contains("keyed source"))
+
+    // existing target refuses initialize
+    val eExists = intercept[IllegalArgumentException](
+      Replicate.initialize(spark, src, tgt, Seq("id"), "iceberg"))
+    assert(eExists.getMessage.contains("already exists"))
+
+    // missing watermark refuses sync
+    val bare = tempDir("repl-bare").toString + "/t"
+    IcebergWrite.append(spark, rows(3), bare)
+    val eWm = intercept[IllegalArgumentException](
+      Replicate.sync(spark, src, bare, Seq("id")))
+    assert(eWm.getMessage.contains("initialize"))
+
+    // a Delta source without CDF refuses at initialize, not first sync
+    val noCdf = tempDir("repl-nocdf").toString + "/src"
+    DeltaWrite.append(spark, rows(5), noCdf)
+    val eCdf = intercept[IllegalArgumentException](
+      Replicate.initialize(spark, noCdf,
+        tempDir("repl-nocdf-t").toString + "/t", Seq("id"), "delta"))
+    assert(eCdf.getMessage.contains("change data feed"))
+
+    // null keys refuse at initialize
+    val nullSrc = tempDir("repl-null").toString + "/src"
+    DeltaDdl.createTable(spark, nullSrc,
+      StructType(Seq(
+        StructField("id", LongType),
+        StructField("name", StringType),
+        StructField("v", LongType))),
+      configuration = Map("delta.enableChangeDataFeed" -> "true"))
+    DeltaWrite.append(spark,
+      Seq((Some(1L), "a", 1L), (None, "b", 2L)).toDF("id", "name", "v"), nullSrc)
+    val eNull = intercept[IllegalArgumentException](
+      Replicate.initialize(spark, nullSrc,
+        tempDir("repl-null-t").toString + "/t", Seq("id"), "delta"))
+    assert(eNull.getMessage.contains("null values"))
+
+    // Hudi replicas are single-key
+    val eMulti = intercept[IllegalArgumentException](
+      Replicate.initialize(spark, src,
+        tempDir("repl-multi-t").toString + "/t", Seq("id", "name"), "hudi"))
+    assert(eMulti.getMessage.contains("single record key"))
+  }
+
+  test("merge deleteKeys: absent keys are ignored, present keys die, one commit, CDC classified") {
+    val dir = tempDir("mrg-dk").toString + "/t"
+    DeltaDdl.createTable(spark, dir,
+      StructType(Seq(
+        StructField("id", LongType),
+        StructField("name", StringType),
+        StructField("v", LongType))),
+      configuration = Map("delta.enableChangeDataFeed" -> "true"))
+    DeltaWrite.append(spark, rows(10), dir)
+    val v0 = DeltaLog.snapshot(spark, dir, withFiles = false).version
+
+    DeltaWrite.merge(spark, dir,
+      Seq((0L, "upd0", 100L), (50L, "new", 1L)).toDF("id", "name", "v"),
+      Seq("id"),
+      deleteKeys = Some(Seq(3L, 4L, 999L).toDF("id"))) // 999 absent → ignored
+    val v1 = DeltaLog.snapshot(spark, dir, withFiles = false).version
+    assert(v1 == v0 + 1)
+    val t = new DeltaTable("t", dir)(spark)
+      .select("id", "name", "v").as[(Long, String, Long)].collect().toSet
+    assert(!t.exists(r => r._1 == 3L || r._1 == 4L))
+    assert(t.exists(r => r._1 == 0L && r._2 == "upd0"))
+    assert(t.exists(_._1 == 50L))
+    assert(t.size == 10 - 2 + 1)
+
+    // CDC classified the delete-key rows as deletes (no insert fallthrough)
+    val cdc = graft.tables.DeltaChanges.between(spark, dir, v1, v1)
+    val byType = cdc.groupBy("_change_type").count()
+      .as[(String, Long)].collect().toMap
+    assert(byType.get("delete").contains(2L), s"got $byType")
+    assert(byType.get("insert").contains(1L))
+
+    // empty source + non-empty deleteKeys still commits (and deletes)
+    DeltaWrite.merge(spark, dir,
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("id", LongType),
+          StructField("name", StringType),
+          StructField("v", LongType)))),
+      Seq("id"),
+      txn = Some("dk-test" -> 7L),
+      deleteKeys = Some(Seq(Tuple1(0L)).toDF("id")))
+    val after = new DeltaTable("t", dir)(spark)
+      .select("id").as[Long].collect().toSet
+    assert(!after.contains(0L))
+    assert(DeltaLog.snapshot(spark, dir, withFiles = false)
+      .txns.get("dk-test").contains(7L), "empty-source delete carries the txn")
+  }
+}
