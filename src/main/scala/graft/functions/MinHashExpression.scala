@@ -75,4 +75,49 @@ object MinHashSigs {
   /** Column API: array of `numHashes` signature minima. */
   def minhash(text: Column, k: Int, numHashes: Int): Column =
     Bridge.column(MinHashSigs(Bridge.expression(text), k, numHashes))
+
+  /** Signatures from an ALREADY-HASHED shingle array (the
+    * [[TextHashExpressions.shingleHashSet]] output). */
+  def minhashFromHashes(hashes: Column, numHashes: Int): Column =
+    Bridge.column(MinHashFromHashes(Bridge.expression(hashes), numHashes))
+}
+
+/** [[MinHashSigs]] over a pre-hashed shingle array: folds the affine
+  * seed minima over 48-bit hashes that were already computed (e.g. by
+  * [[ShingleHashSet]]). MinHash is a min over a SET — duplicate
+  * shingles never change a minimum — so signatures from the sorted
+  * DISTINCT hash set are bit-identical to [[MinHashSigs]] over the
+  * raw text (asserted in MinHashSpec). The point: a pipeline that
+  * needs both the signature bands and the exact verification sets
+  * (near-dup detection) md5-hashes each document ONCE instead of
+  * twice — at corpus scale the md5 pass over the text dominates, and
+  * this fold is plain integer arithmetic over the cached array.
+  */
+case class MinHashFromHashes(child: Expression, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_from_hashes"
+
+  override def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val mins = Array.fill(numHashes)(PortableHash.Prime)
+    val n = hs.numElements()
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i)
+      var j = 0
+      while (j < numHashes) {
+        val v = ((PortableHash.A0 + PortableHash.DA * j) * h +
+          PortableHash.B0 + PortableHash.DB * j) % PortableHash.Prime
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashFromHashes =
+    copy(child = newChild)
 }

@@ -164,11 +164,30 @@ object NearDup {
     require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
     val rowsPerBand = numHashes / bands
 
-    val signed = minhashSignatures(df, textCol, k, numHashes)
+    // HASHED shingle sets (sorted distinct 48-bit md5 longs) — the ONE
+    // md5 pass over the corpus text. Both stages derive from it: the
+    // signatures fold the affine minima over the cached hash arrays
+    // (MinHash over the distinct set == over all shingles — a
+    // duplicate never changes a min), and the verify stage joins the
+    // same relation, so each document is shingled+hashed exactly once
+    // instead of once per stage. Hashed sets have identical
+    // cardinalities to the string sets in every engine and make the
+    // verify a merge walk over longs.
+    val shsets = df.select(
+      col(idCol).as("_sid"),
+      graft.functions.TextHashExpressions.shingleHashSet(col(textCol), k).as("_sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    registerCache(shsets)
+
+    val signed = (0 until numHashes).foldLeft(
+      shsets.select(col("_sid").as(idCol),
+        graft.functions.MinHashSigs.minhashFromHashes(col("_sh"), numHashes).as("_sigs"))
+    ) { (d, j) => d.withColumn(sigCol(j), element_at(col("_sigs"), j + 1)) }
+      .drop("_sigs")
 
     // skinny band relation: (band, bh, id) — persisted so the self-join
-    // (and its two join sides) hash each shingle exactly once instead of
-    // re-evaluating the whole signature subtree per side.
+    // (and its two join sides) reads the cached hash sets exactly once
+    // instead of re-evaluating the signature subtree per side.
     val banded = signed.select(
       col(idCol).as("_id"),
       array((0 until bands).map { b =>
@@ -248,19 +267,9 @@ object NearDup {
         }
       }
 
-    // attach HASHED shingle sets (sorted distinct 48-bit md5 longs) only
-    // to surviving candidates; persisted so the two id-joins below
-    // shingle the corpus once. Hashed sets have identical cardinalities
-    // to the string sets in every engine and make the verify a merge
-    // walk over longs instead of a per-row string hash-set build.
+    // attach the cached hash sets only to surviving candidates
     // (no broadcast hint: at corpus scale this must stay a shuffle join;
     // AQE upgrades it to broadcast when runtime stats allow)
-    val shsets = df.select(
-      col(idCol).as("_sid"),
-      graft.functions.TextHashExpressions.shingleHashSet(col(textCol), k).as("_sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    registerCache(shsets)
-
     val withSets = candidates
       .join(shsets, col("a_id") === col("_sid"))
       .withColumnRenamed("_sh", "a_sh").drop("_sid")
@@ -390,19 +399,10 @@ object NearDup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
 
-    def banded(df: DataFrame): DataFrame = {
-      val b = minhashSignatures(df, textCol, k, numHashes).select(
-        col(idCol).as("_id"),
-        array((0 until bands).map { band =>
-          val sigs = (band * rowsPerBand until (band + 1) * rowsPerBand).map(j => col(sigCol(j)))
-          struct(lit(band).as("band"), bandKey(sigs).as("bh"))
-        }: _*).as("_bands"))
-        .select(col("_id"), explode(col("_bands")).as("_b"))
-        .select(col("_id"), col("_b.band").as("band"), col("_b.bh").as("bh"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      registerCache(b)
-      b
-    }
+    // one md5 pass per side (same discipline as minhashPairs): the
+    // cached hash sets feed BOTH the banding (signatures folded from
+    // the distinct set — bit-identical, a duplicate never moves a min)
+    // and the verification joins
     def shsets(df: DataFrame): DataFrame = {
       val s = df.select(
         col(idCol).as("_sid"),
@@ -411,16 +411,32 @@ object NearDup {
       registerCache(s)
       s
     }
+    def banded(sets: DataFrame): DataFrame = {
+      val signed = (0 until numHashes).foldLeft(
+        sets.select(col("_sid").as("_id"),
+          graft.functions.MinHashSigs.minhashFromHashes(col("_sh"), numHashes).as("_sigs"))
+      ) { (d, j) => d.withColumn(sigCol(j), element_at(col("_sigs"), j + 1)) }
+      signed.select(
+        col("_id"),
+        array((0 until bands).map { band =>
+          val sigs = (band * rowsPerBand until (band + 1) * rowsPerBand).map(j => col(sigCol(j)))
+          struct(lit(band).as("band"), bandKey(sigs).as("bh"))
+        }: _*).as("_bands"))
+        .select(col("_id"), explode(col("_bands")).as("_b"))
+        .select(col("_id"), col("_b.band").as("band"), col("_b.bh").as("bh"))
+    }
 
-    val candidates = banded(corpus).as("c")
-      .join(banded(probe).as("p"), Seq("band", "bh"))
+    val corpusSets = shsets(corpus)
+    val probeSets = shsets(probe)
+    val candidates = banded(corpusSets).as("c")
+      .join(banded(probeSets).as("p"), Seq("band", "bh"))
       .select(col("c._id").as("c_id"), col("p._id").as("p_id"))
       .dropDuplicates("c_id", "p_id")
 
     val withSets = candidates
-      .join(shsets(corpus), col("c_id") === col("_sid"))
+      .join(corpusSets, col("c_id") === col("_sid"))
       .withColumnRenamed("_sh", "c_sh").drop("_sid")
-      .join(shsets(probe), col("p_id") === col("_sid"))
+      .join(probeSets, col("p_id") === col("_sid"))
       .withColumnRenamed("_sh", "p_sh").drop("_sid")
 
     val inter = graft.functions.TextHashExpressions

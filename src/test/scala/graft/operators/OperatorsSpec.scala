@@ -58,6 +58,22 @@ class NearDupSpec extends SparkSpec {
     assert(fast.exceptAll(slow).isEmpty && slow.exceptAll(fast).isEmpty)
   }
 
+  test("signatures folded from the hashed shingle SET are bit-identical to the text pass") {
+    // the one-md5-pass near-dup pipeline: MinHash over the sorted
+    // DISTINCT hash set must equal MinHash over the raw text (a
+    // duplicate shingle never changes a min) — including the n<k
+    // whole-string shingle and repeated-shingle texts
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet").limit(100)
+      .select("doc_id", "text")
+      .unionByName(Seq((100001L, "abc"), (100002L, "aaaaaaaaaaaa")).toDF("doc_id", "text"))
+    val fromText = NearDup.minhashSignatures(docs, "text")
+      .select(col("doc_id"), array((0 until 8).map(j => col(s"sig_$j")): _*).as("s"))
+    val fromSet = docs.select(col("doc_id"),
+      graft.functions.MinHashSigs.minhashFromHashes(
+        graft.functions.TextHashExpressions.shingleHashSet(col("text"), 5), 8).as("s"))
+    assert(fromText.exceptAll(fromSet).isEmpty && fromSet.exceptAll(fromText).isEmpty)
+  }
+
   test("identical docs share all minhash signatures; disjoint docs do not") {
     val df = Seq((1L, "the quick brown fox jumps"), (2L, "the quick brown fox jumps"),
       (3L, "zzzz yyyy xxxx wwww vvvv")).toDF("doc_id", "text")
