@@ -141,36 +141,162 @@ object Replicate {
       s"source $sourcePath range ($last, $head]")
     try {
       if (atMax.limit(1).isEmpty) return last // metadata-only commits
-      val survivors = atMax.where(col("_is_post"))
-        .select(dataCols.map(col): _*)
-      val dead = atMax.groupBy(keys.map(col): _*)
-        .agg(max(when(col("_is_post"), 1).otherwise(0)).as("_p"))
-        .where(col("_p") === 0).select(keys.map(col): _*)
-      val hasSurvivors = !survivors.limit(1).isEmpty
-      val hasDead = !dead.limit(1).isEmpty
-      val wm = Some(appId -> head)
-      targetFormat match {
-        case "delta" =>
-          // one atomic commit: upserts + deletes + watermark
-          DeltaWrite.merge(spark, targetPath, survivors, keys,
-            txn = wm, deleteKeys = if (hasDead) Some(dead) else None)
-        case "iceberg" =>
-          if (hasDead)
-            IcebergWrite.deleteEquality(spark, targetPath, dead,
-              txn = if (hasSurvivors) None else wm)
-          if (hasSurvivors)
-            IcebergWrite.upsertEquality(spark, survivors, targetPath, keys,
-              txn = wm)
-        case "hudi" =>
-          require(keys.size == 1,
-            s"a Hudi replica is keyed by its single record key, got ${keys.size}")
-          if (hasDead)
-            HudiWrite.delete(spark, dead, targetPath,
-              txn = if (hasSurvivors) None else wm)
-          if (hasSurvivors)
-            HudiWrite.upsert(spark, survivors, targetPath, txn = wm)
-      }
+      applyNet(spark, atMax, dataCols, targetFormat, targetPath, keys,
+        appId -> head)
       head
+    } finally atMax.unpersist()
+  }
+
+  /** Apply a folded change batch's net effect to the replica: the
+    * surviving rows upsert, the all-dead keys delete, and the
+    * `marker` rides the final commit. The Delta leg is ONE atomic
+    * merge commit; Iceberg/Hudi use two (deletes first) and recover
+    * through idempotent replay of the same folded batch.
+    */
+  private def applyNet(
+      spark: SparkSession,
+      atMax: DataFrame,
+      dataCols: Seq[String],
+      targetFormat: String,
+      targetPath: String,
+      keys: Seq[String],
+      marker: (String, Long)): Unit = {
+    val survivors = atMax.where(col("_is_post"))
+      .select(dataCols.map(col): _*)
+    val dead = atMax.groupBy(keys.map(col): _*)
+      .agg(max(when(col("_is_post"), 1).otherwise(0)).as("_p"))
+      .where(col("_p") === 0).select(keys.map(col): _*)
+    val hasSurvivors = !survivors.limit(1).isEmpty
+    val hasDead = !dead.limit(1).isEmpty
+    val wm = Some(marker)
+    targetFormat match {
+      case "delta" =>
+        // one atomic commit: upserts + deletes + watermark
+        DeltaWrite.merge(spark, targetPath, survivors, keys,
+          txn = wm, deleteKeys = if (hasDead) Some(dead) else None)
+      case "iceberg" =>
+        if (hasDead)
+          IcebergWrite.deleteEquality(spark, targetPath, dead,
+            txn = if (hasSurvivors) None else wm)
+        if (hasSurvivors)
+          IcebergWrite.upsertEquality(spark, survivors, targetPath, keys,
+            txn = wm)
+      case "hudi" =>
+        require(keys.size == 1,
+          s"a Hudi replica is keyed by its single record key, got ${keys.size}")
+        if (hasDead)
+          HudiWrite.delete(spark, dead, targetPath,
+            txn = if (hasSurvivors) None else wm)
+        if (hasSurvivors)
+          HudiWrite.upsert(spark, survivors, targetPath, txn = wm)
+    }
+  }
+
+  /** CONTINUOUS replication: a Structured Streaming pipeline tailing
+    * the source's typed change stream (the E63
+    * [[graft.streaming.ChangeFeedStreamSource]]) and applying each
+    * micro-batch's folded net effect to the replica — the streaming
+    * form of poll-driven [[sync]]. Returns a configured
+    * `DataStreamWriter`; the caller picks the trigger and calls
+    * `.start()` (use `Trigger.AvailableNow` for a catch-up-and-stop
+    * run, `ProcessingTime` for minute-cadence replication).
+    *
+    * Lifecycle: the target must NOT exist at first start — the
+    * stream's FIRST batch (the source snapshot surfaced as inserts)
+    * CREATES the replica; every later batch applies folded
+    * upserts + deletes exactly like `sync`. Offsets ride the stream
+    * CHECKPOINT (`checkpointDir`); exactly-once re-delivery is
+    * guarded by the epoch marker — each batch's id commits with the
+    * apply (SetTransaction / snapshot-summary / extraMetadata under
+    * `appId`), and a replayed batch with `id <= marker` is skipped.
+    * The Iceberg/Hudi legs' two-commit applies recover through
+    * idempotence (the fold is deterministic for a checkpointed
+    * range), the same argument as `sync`.
+    *
+    * The marker holds BATCH IDS here, not source versions — do not
+    * mix `sync` and `stream` on one replica under one `appId` (reads
+    * of either still work; the watermarks just aren't comparable).
+    * A target that exists WITHOUT the `appId` marker refuses — the
+    * stream never clobbers a foreign table.
+    */
+  def stream(
+      spark: SparkSession,
+      sourcePath: String,
+      targetPath: String,
+      keys: Seq[String],
+      format: String,
+      checkpointDir: String,
+      partitionBy: Seq[String] = Seq.empty,
+      appId: String = AppId,
+      maxCommitsPerTrigger: Option[Int] = None
+  ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(keys.nonEmpty, "replication needs at least one key column")
+    require(Set("delta", "iceberg", "hudi")(format),
+      s"unknown replica format $format (delta | iceberg | hudi)")
+    if (format == "hudi") require(keys.size == 1,
+      s"a Hudi replica is keyed by its single record key, got ${keys.size}")
+    val reader = spark.readStream
+      .format("graft.streaming.ChangeFeedStreamSourceProvider")
+      .option("path", sourcePath)
+    val src = maxCommitsPerTrigger
+      .fold(reader)(n => reader.option("maxCommitsPerTrigger", n.toString))
+      .load()
+    keys.foreach(k => require(src.columns.contains(k),
+      s"key column $k is not a column of $sourcePath"))
+    val dataCols = src.columns.toSeq.dropRight(3) // minus the 3 cdc columns
+    src.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyStreamBatch(spark, batch, batchId, dataCols, targetPath, keys,
+          format, partitionBy, appId)
+      }
+  }
+
+  private def applyStreamBatch(
+      spark: SparkSession,
+      batch: DataFrame,
+      batchId: Long,
+      dataCols: Seq[String],
+      targetPath: String,
+      keys: Seq[String],
+      format: String,
+      partitionBy: Seq[String],
+      appId: String): Unit = {
+    val existing = ChangeFeed.detectFormat(spark, targetPath)
+    existing.foreach { f =>
+      require(f == format,
+        s"replica $targetPath is a $f table, not the configured $format")
+      val last = watermark(spark, targetPath, appId).getOrElse(
+        throw new IllegalArgumentException(
+          s"$targetPath exists but carries no $appId marker — " +
+            "refusing to stream into a table this pipeline did not create"))
+      if (batchId <= last) return // replayed batch: already applied
+    }
+    val atMax = foldAtMax(batch, keys, s"stream batch $batchId")
+    try {
+      if (atMax.limit(1).isEmpty) return // empty batch: marker holds
+      if (existing.isEmpty) {
+        // first batch: the source snapshot as inserts CREATES the replica
+        val dead = atMax.where(!col("_is_post")).limit(1)
+        require(dead.isEmpty,
+          s"stream batch $batchId would create $targetPath but carries " +
+            "deletes — the replica's first batch must be the snapshot")
+        val snap = atMax.select(dataCols.map(col): _*)
+        format match {
+          case "delta" =>
+            DeltaWrite.append(spark, snap, targetPath, partitionBy,
+              txn = Some(appId -> batchId))
+          case "iceberg" =>
+            IcebergWrite.append(spark, snap, targetPath, partitionBy,
+              txn = Some(appId -> batchId))
+          case "hudi" =>
+            HudiWrite.bulkInsert(spark, snap, targetPath, keys.head,
+              partitionBy, txn = Some(appId -> batchId))
+        }
+      } else {
+        applyNet(spark, atMax, dataCols, format, targetPath, keys,
+          appId -> batchId)
+      }
     } finally atMax.unpersist()
   }
 
