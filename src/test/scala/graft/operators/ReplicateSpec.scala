@@ -260,4 +260,57 @@ class ReplicateSpec extends SparkSpec {
     assert(DeltaLog.snapshot(spark, dir, withFiles = false)
       .txns.get("dk-test").contains(7L), "empty-source delete carries the txn")
   }
+
+  test("REPLAY INVARIANT: random churn + interleaved syncs converge every format pair") {
+    // the 3x3 matrix under one randomized property: whatever keyed
+    // churn the source takes, and WHENEVER syncs land between ops,
+    // the replica after a final sync equals the source's final state
+    val rnd = new scala.util.Random(41)
+    def someRows(): DataFrame =
+      Seq.fill(4)((rnd.nextInt(15).toLong, s"v${rnd.nextInt(1000)}", rnd.nextInt(50).toLong))
+        .groupBy(_._1).map(_._2.head).toSeq // one row per key per batch
+        .toDF("id", "name", "v")
+    def someKeys(): DataFrame =
+      Seq.fill(3)(rnd.nextInt(15).toLong).distinct.toDF("id")
+    def churn(fmt: String, src: String): Unit = (fmt, rnd.nextInt(2)) match {
+      case ("delta", 0)   => DeltaWrite.merge(spark, src, someRows(), Seq("id"))
+      case ("delta", _)   =>
+        val ks = someKeys().as[Long].collect().toSeq
+        DeltaWrite.deleteWhere(spark, src,
+          Filters.normalize(Seq(Filter("id", "in", ks))))
+      case ("iceberg", 0) => IcebergWrite.upsertEquality(spark, someRows(), src, Seq("id"))
+      case ("iceberg", _) => IcebergWrite.deleteEquality(spark, src, someKeys())
+      case ("hudi", 0)    => HudiWrite.upsert(spark, someRows(), src)
+      case ("hudi", _)    => HudiWrite.delete(spark, someKeys(), src)
+    }
+    def mkSource(fmt: String, dir: String): Unit = fmt match {
+      case "delta" =>
+        DeltaDdl.createTable(spark, dir, StructType(Seq(
+          StructField("id", LongType),
+          StructField("name", StringType),
+          StructField("v", LongType))),
+          configuration = Map("delta.enableChangeDataFeed" -> "true"))
+        DeltaWrite.append(spark, rows(12), dir)
+      case "iceberg" => IcebergWrite.append(spark, rows(12), dir)
+      case "hudi" =>
+        HudiWrite.bulkInsert(spark, rows(12), dir, "id", tableType = "MERGE_ON_READ")
+    }
+    val formats = Seq("delta", "iceberg", "hudi")
+    for (sf <- formats; tf <- formats) {
+      val base = tempDir(s"repl-prop-$sf-$tf").toString
+      val (src, tgt) = (base + "/src", base + "/replica")
+      mkSource(sf, src)
+      Replicate.initialize(spark, src, tgt, Seq("id"), tf)
+      (1 to 4).foreach { _ =>
+        churn(sf, src)
+        if (rnd.nextBoolean()) Replicate.sync(spark, src, tgt, Seq("id"))
+      }
+      Replicate.sync(spark, src, tgt, Seq("id"))
+      assert(readTarget(tgt) == readSource(src),
+        s"$sf -> $tf diverged after randomized churn")
+      // syncing again with no new commits is a commitless no-op
+      val wm = Replicate.watermark(spark, tgt)
+      assert(Replicate.sync(spark, src, tgt, Seq("id")) == wm.get)
+    }
+  }
 }
