@@ -36,6 +36,12 @@ import org.apache.spark.sql.functions.col
   *                                               -- TO defaults to head
   * EXPIRE SNAPSHOTS iceberg.`/p` KEEP 3
   * CLEAN hudi.`/p` KEEP 3
+  * CREATE REPLICA iceberg.`/t` FROM delta.`/s` ON (k1, k2)
+  *                                             -- snapshot + watermark
+  * SYNC REPLICA iceberg.`/t` FROM delta.`/s` ON (k1, k2)
+  *                                             -- fold changes since
+  *                                             -- the watermark
+  * DESCRIBE REPLICA iceberg.`/t`               -- format + watermark
   * }}}
   *
   * The WHERE clause parses through Spark's SQL parser into the
@@ -73,6 +79,12 @@ object LakehouseSql {
     s"""(?is)^COMPACT\\s+$Hud(?:\\s+PARTITIONS\\s+\\(([^)]+)\\))?$$""".r
   private val cluHud =
     s"""(?is)^CLUSTER\\s+$Hud\\s+BY\\s+\\(([^)]+)\\)(?:\\s+PARTITIONS\\s+\\(([^)]+)\\))?$$""".r
+  private val AnyTbl = """(delta|iceberg|hudi)\.`([^`]+)`"""
+  private val createRepl =
+    s"""(?is)^CREATE\\s+REPLICA\\s+$AnyTbl\\s+FROM\\s+$AnyTbl\\s+ON\\s+\\(([^)]+)\\)$$""".r
+  private val syncRepl =
+    s"""(?is)^SYNC\\s+REPLICA\\s+$AnyTbl\\s+FROM\\s+$AnyTbl\\s+ON\\s+\\(([^)]+)\\)$$""".r
+  private val descRepl = s"""(?is)^DESCRIBE\\s+REPLICA\\s+$AnyTbl$$""".r
   private val sumIce = s"""(?is)^SUMMARIZE\\s+$Ice$$""".r
   private val sumHud = s"""(?is)^SUMMARIZE\\s+$Hud$$""".r
   private val sumDelta = """(?is)^SUMMARIZE\s+delta\.`([^`]+)`$""".r
@@ -184,6 +196,26 @@ object LakehouseSql {
         val instant = HudiWrite.cluster(spark, path, sortCols,
           partitions = Option(parts).map(parsePartitions))
         Seq(instant).toDF("instant")
+      case createRepl(tfmt, tpath, sfmt, spath, keys) =>
+        requireFormat(spark, spath, sfmt)
+        val keyCols = keys.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val wm = graft.operators.Replicate.initialize(
+          spark, spath, tpath, keyCols, tfmt.toLowerCase)
+        Seq(wm).toDF("watermark")
+      case syncRepl(tfmt, tpath, sfmt, spath, keys) =>
+        requireFormat(spark, spath, sfmt)
+        requireFormat(spark, tpath, tfmt)
+        val keyCols = keys.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val wm = graft.operators.Replicate.sync(spark, spath, tpath, keyCols)
+        Seq(wm).toDF("watermark")
+      case descRepl(fmt, path) =>
+        requireFormat(spark, path, fmt)
+        graft.operators.Replicate.watermark(spark, path) match {
+          case Some(wm) => Seq((fmt.toLowerCase, wm)).toDF("format", "watermark")
+          case None => throw new IllegalArgumentException(
+            s"$path carries no replication watermark — not a replica " +
+              "this pipeline created")
+        }
       case sumIce(path) =>
         summarizeAll(new IcebergTable(name(path), path)(spark, ReadArgs.empty))
       case sumHud(path) =>
@@ -235,6 +267,17 @@ object LakehouseSql {
 
   private def name(path: String): String =
     path.split('/').lastOption.filter(_.nonEmpty).getOrElse("table")
+
+  /** The REPLICA verbs name formats explicitly (`delta.`p``); the
+    * on-disk layout must agree — a mislabeled statement refuses
+    * instead of dispatching to the wrong engine.
+    */
+  private def requireFormat(spark: SparkSession, path: String, fmt: String): Unit = {
+    val detected = ChangeFeed.detectFormat(spark, path)
+    require(detected.contains(fmt.toLowerCase),
+      s"$path is ${detected.getOrElse("not a lakehouse table")}, " +
+        s"not ${fmt.toLowerCase}")
+  }
 
   /** `*` → all columns; else a comma list of bare identifiers (no
     * expressions — SELECT-list computation belongs to the DataFrame

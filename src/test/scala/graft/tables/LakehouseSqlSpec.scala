@@ -240,4 +240,47 @@ class LakehouseSqlSpec extends SparkSpec {
       .collect().toSet
     assert(hgot == Set((1L, "a", "delete"), (1L, "A", "insert")))
   }
+
+  test("CREATE / SYNC / DESCRIBE REPLICA drive cross-format replication from SQL") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val base = tempDir("lhsql-repl").toString
+    val (src, tgt) = (base + "/src", base + "/replica")
+    DeltaDdl.createTable(spark, src,
+      StructType(Seq(StructField("id", LongType), StructField("v", StringType))),
+      configuration = Map("delta.enableChangeDataFeed" -> "true"))
+    DeltaWrite.append(spark, Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"), src)
+
+    val wm0 = LakehouseSql.exec(spark,
+      s"CREATE REPLICA iceberg.`$tgt` FROM delta.`$src` ON (id)")
+      .select("watermark").as[Long].head()
+    assert(new IcebergTable("t", tgt)(spark, ReadArgs.empty)
+      .select(col("id").as[Long], col("v").as[String]).collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+
+    DeltaWrite.merge(spark, src,
+      Seq((2L, "B"), (9L, "new")).toDF("id", "v"), Seq("id"))
+    DeltaWrite.deleteWhere(spark, src,
+      graft.core.Filters.normalize(Seq(graft.core.Filter("id", "=", 1))))
+    val wm1 = LakehouseSql.exec(spark,
+      s"SYNC REPLICA iceberg.`$tgt` FROM delta.`$src` ON (id)")
+      .select("watermark").as[Long].head()
+    assert(wm1 > wm0)
+    assert(new IcebergTable("t", tgt)(spark, ReadArgs.empty)
+      .select(col("id").as[Long], col("v").as[String]).collect().toSet ==
+      Set((2L, "B"), (3L, "c"), (9L, "new")))
+
+    val d = LakehouseSql.exec(spark, s"DESCRIBE REPLICA iceberg.`$tgt`")
+      .as[(String, Long)].head()
+    assert(d == ("iceberg", wm1))
+
+    // format mislabels refuse before any engine dispatch
+    val e = intercept[IllegalArgumentException] {
+      LakehouseSql.exec(spark, s"SYNC REPLICA hudi.`$tgt` FROM delta.`$src` ON (id)")
+    }
+    assert(e.getMessage.contains("not hudi"))
+    val e2 = intercept[IllegalArgumentException] {
+      LakehouseSql.exec(spark, s"DESCRIBE REPLICA delta.`$src`")
+    }
+    assert(e2.getMessage.contains("no replication watermark"))
+  }
 }
