@@ -171,6 +171,25 @@ object Replicate {
     val wm = Some(marker)
     targetFormat match {
       case "delta" =>
+        // ADDITIVE source evolution propagates: columns the replica
+        // lacks are added by explicit DDL before the apply (the
+        // Iceberg/Hudi legs evolve inside their own upsert paths); a
+        // replica column the source no longer carries refuses loudly
+        // — replication is additive-only, like the formats' own
+        // evolution contracts
+        if (hasSurvivors) {
+          val tgtSchema = DeltaLog.snapshot(spark, targetPath, withFiles = false)
+            .metadata.schema
+          val dropped = tgtSchema.fieldNames
+            .filterNot(n => dataCols.contains(n))
+          require(dropped.isEmpty,
+            s"replica $targetPath carries column(s) ${dropped.mkString(", ")} " +
+              "the source no longer has — replication is additive-only")
+          val added = survivors.schema.fields
+            .filterNot(f => tgtSchema.fieldNames.contains(f.name))
+          if (added.nonEmpty)
+            graft.tables.DeltaDdl.addColumns(spark, targetPath, added.toSeq)
+        }
         // one atomic commit: upserts + deletes + watermark
         DeltaWrite.merge(spark, targetPath, survivors, keys,
           txn = wm, deleteKeys = if (hasDead) Some(dead) else None)

@@ -331,6 +331,43 @@ object DeltaDdl {
     (cs ++ gs).toSeq
   }
 
+  /** ALTER TABLE ADD COLUMNS — a metadata-only commit appending
+    * NULLABLE columns to the logical schema; every pre-existing row
+    * reads them as null (the same additive-evolution contract appends
+    * already follow, expressed as explicit DDL so a writer can evolve
+    * the table BEFORE the first frame carrying the column arrives —
+    * e.g. a CDC replicator propagating a source evolution). Declared
+    * NOT NULL fields are demoted to nullable for the reason the
+    * append path documents: existing rows would contradict the
+    * constraint. Refused on column-mapped tables (new fields need
+    * fresh field ids / physical names — the boundary the append
+    * evolution declares) and for names that already exist
+    * case-insensitively (Spark resolves names case-insensitively, so
+    * adding `V` beside `v` would poison every later select).
+    */
+  def addColumns(
+      spark: SparkSession,
+      tablePath: String,
+      columns: Seq[org.apache.spark.sql.types.StructField]
+  ): CommitResult = alter(spark, tablePath) { snap =>
+    require(columns.nonEmpty, "ADD COLUMNS needs at least one column")
+    val meta = snap.metadata
+    require(!meta.isColumnMapped,
+      s"ADD COLUMNS on a column-mapped Delta table is not supported: " +
+        "new fields would need fresh field ids and physical names")
+    val lower = meta.schema.fieldNames.map(_.toLowerCase).toSet
+    val dupIn = columns.groupBy(_.name.toLowerCase).collect {
+      case (_, fs) if fs.size > 1 => fs.head.name
+    }
+    require(dupIn.isEmpty, s"duplicate new column(s): ${dupIn.mkString(", ")}")
+    val clash = columns.map(_.name).filter(n => lower(n.toLowerCase))
+    require(clash.isEmpty,
+      s"column(s) ${clash.mkString(", ")} already exist in $tablePath")
+    val newSchema = StructType(
+      meta.schema.fields ++ columns.map(_.copy(nullable = true)))
+    Some((newSchema.json, meta.partitionColumns, meta.configuration, Seq.empty))
+  }
+
   /** ALTER TABLE RENAME COLUMN — metadata-only, column mapping
     * required: the logical name changes while the physical name (and
     * field id) riding the field metadata stay, so no data file is

@@ -378,6 +378,59 @@ object HudiLog {
       s.getTypes.asScala.find(_.getType != Schema.Type.NULL).getOrElse(s)
     else s
 
+  /** Inverse of [[avroSchema]]: the Spark schema an Avro record
+    * schema describes — the shape commit metadata records under its
+    * `schema` key (this engine's and upstream Hudi's). Unions with
+    * null map to nullable fields; logical date / timestamp-micros /
+    * local-timestamp-micros / decimal types round-trip; Avro has no
+    * 8/16-bit integers, so byte/short columns surface as int (the
+    * declared round-trip loss, noted where the schema is recorded).
+    */
+  def structType(avro: Schema): StructType = {
+    require(avro.getType == Schema.Type.RECORD,
+      s"expected an Avro record schema, got ${avro.getType}")
+    StructType(avro.getFields.asScala.map { f =>
+      val nullable = f.schema().getType == Schema.Type.UNION &&
+        f.schema().getTypes.asScala.exists(_.getType == Schema.Type.NULL)
+      StructField(f.name(), sparkType(nonNull(f.schema())), nullable)
+    }.toSeq)
+  }
+
+  private def sparkType(s: Schema): DataType = {
+    val logical = Option(s.getLogicalType)
+    s.getType match {
+      case Schema.Type.BOOLEAN => BooleanType
+      case Schema.Type.INT =>
+        if (logical.exists(_.getName == "date")) DateType else IntegerType
+      case Schema.Type.LONG => logical.map(_.getName) match {
+        case Some("timestamp-micros")       => TimestampType
+        case Some("local-timestamp-micros") => TimestampNTZType
+        case Some("timestamp-millis")       => TimestampType
+        case _                              => LongType
+      }
+      case Schema.Type.FLOAT  => FloatType
+      case Schema.Type.DOUBLE => DoubleType
+      case Schema.Type.STRING | Schema.Type.ENUM => StringType
+      case Schema.Type.BYTES | Schema.Type.FIXED =>
+        logical match {
+          case Some(d: org.apache.avro.LogicalTypes.Decimal) =>
+            DecimalType(d.getPrecision, d.getScale)
+          case _ => BinaryType
+        }
+      case Schema.Type.ARRAY =>
+        val e = s.getElementType
+        ArrayType(sparkType(nonNull(e)),
+          containsNull = e.getType == Schema.Type.UNION)
+      case Schema.Type.MAP =>
+        val v = s.getValueType
+        MapType(StringType, sparkType(nonNull(v)),
+          valueContainsNull = v.getType == Schema.Type.UNION)
+      case Schema.Type.RECORD => structType(s)
+      case other => throw new UnsupportedOperationException(
+        s"Avro type $other in a recorded Hudi schema is unsupported")
+    }
+  }
+
   private def toAvro(row: Row, schema: StructType, avro: Schema): GenericRecord = {
     val rec = new GenericData.Record(avro)
     schema.fields.zipWithIndex.foreach { case (f, i) =>

@@ -72,7 +72,8 @@ object HudiWrite {
     val written = stageByGroup(spark, prepared, fs, tablePath, partitionBy,
       instant, freshGroupPerLeaf = true)
     completeCommit(fs, tablePath, instant, "bulkinsert", written,
-      actionOverride = Some(action), extraMetadata = txnMeta(txn))
+      actionOverride = Some(action),
+      extraMetadata = txnMeta(txn) ++ schemaMeta(df))
     instant
   }
 
@@ -114,7 +115,7 @@ object HudiWrite {
       val written = stageByGroup(spark, prepared, fs, tablePath, partCols,
         instant, freshGroupPerLeaf = true)
       completeCommit(fs, tablePath, instant, "upsert", written,
-        extraMetadata = txnMeta(txn))
+        extraMetadata = txnMeta(txn) ++ schemaMeta(df))
       return instant
     }
 
@@ -137,11 +138,29 @@ object HudiWrite {
       val written = stageByGroup(spark, incomingPrepared, fs, tablePath,
         partCols, instant, freshGroupPerLeaf = true)
       completeCommit(fs, tablePath, instant, "upsert", written,
-        extraMetadata = txnMeta(txn))
+        extraMetadata = txnMeta(txn) ++ schemaMeta(df))
       return instant
     }
 
-    val affectedDf = readSlicesMerged(spark, tablePath, affectedSlices, withFg = true)
+    val affectedRaw = readSlicesMerged(spark, tablePath, affectedSlices, withFg = true)
+    // ADDITIVE evolution: the incoming frame may ADD columns — the
+    // rewritten groups' pre-existing rows null-fill them, and the
+    // commit records the widened writer schema so un-rewritten
+    // groups' reads widen too (readSlices declared-schema path).
+    // DROPPING a table column refuses loudly: the copy-on-write
+    // rewrite would silently lose the column from every surviving
+    // row of the affected groups.
+    locally {
+      val missing = affectedRaw.columns
+        .filterNot(c => c == "_fg" || incomingPrepared.columns.contains(c))
+      require(missing.isEmpty,
+        s"upsert frame is missing table column(s) ${missing.mkString(", ")}: " +
+          "upserts may ADD columns, never drop them")
+    }
+    val affectedDf = incomingPrepared.schema.fields
+      .filterNot(f => affectedRaw.columns.contains(f.name))
+      .foldLeft(affectedRaw)((d, f) =>
+        d.withColumn(f.name, lit(null).cast(f.dataType)))
     // a matched key's group is affected by construction, so the
     // affected groups alone decide matched vs unmatched
     val matchedKeys = affectedDf.select(col(RecordKeyCol).as("_k")).distinct()
@@ -194,7 +213,7 @@ object HudiWrite {
     val written = stageByGroup(spark, out, fs, tablePath, partCols, instant,
       freshGroupPerLeaf = false)
     completeCommitGuarded(fs, tablePath, base, instant, "upsert", written, Map.empty,
-      extraMetadata = txnMeta(txn))
+      extraMetadata = txnMeta(txn) ++ schemaMeta(df))
     instant
   }
 
@@ -290,7 +309,7 @@ object HudiWrite {
       val written = stageByGroup(spark, prepared, fs, tablePath, partCols,
         instant, freshGroupPerLeaf = true)
       completeCommit(fs, tablePath, instant, "upsert", written,
-        actionOverride = Some("deltacommit"), extraMetadata = txnMeta(txn))
+        actionOverride = Some("deltacommit"), extraMetadata = txnMeta(txn) ++ schemaMeta(df))
       return instant
     }
 
@@ -309,21 +328,24 @@ object HudiWrite {
       val written = stageByGroup(spark, incomingPrepared, fs, tablePath,
         partCols, instant, freshGroupPerLeaf = true)
       completeCommit(fs, tablePath, instant, "upsert", written,
-        actionOverride = Some("deltacommit"), extraMetadata = txnMeta(txn))
+        actionOverride = Some("deltacommit"), extraMetadata = txnMeta(txn) ++ schemaMeta(df))
       return instant
     }
 
-    // log records decode BY NAME against the base schema at read
-    // time, so a column-set mismatch would silently drop (extra) or
-    // null out (missing) values — refuse loudly instead
+    // log records decode BY NAME against the declared read schema:
+    // EXTRA incoming columns are ADDITIVE evolution (the log's writer
+    // schema carries them, this commit records the widened schema,
+    // and the declared-schema read path serves pre-evolution rows as
+    // null) — but a frame MISSING a table column refuses loudly (its
+    // log records would silently null the column for every key they
+    // update).
     locally {
       val tableCols = readSlices(spark, tablePath, affectedSlices.take(1))
         .schema.fieldNames.toSet
-      val incomingCols = incomingPrepared.columns.toSet
-      require(incomingCols == tableCols,
-        s"MOR upsert frame columns must match the table schema exactly; " +
-          s"extra: ${(incomingCols -- tableCols).mkString(", ")}; " +
-          s"missing: ${(tableCols -- incomingCols).mkString(", ")}")
+      val missing = tableCols -- incomingPrepared.columns.toSet
+      require(missing.isEmpty,
+        s"MOR upsert frame is missing table column(s) ${missing.mkString(", ")}: " +
+          "upserts may ADD columns, never drop them")
     }
 
     // distinct: a key updated by an earlier log AND present in base
@@ -345,7 +367,7 @@ object HudiWrite {
         instant, freshGroupPerLeaf = true)
     completeCommitGuarded(fs, tablePath, base, instant, "upsert",
       logWritten ++ newWritten, Map.empty, actionOverride = Some("deltacommit"),
-      extraMetadata = txnMeta(txn))
+      extraMetadata = txnMeta(txn) ++ schemaMeta(df))
     instant
   }
 
@@ -1078,6 +1100,43 @@ object HudiWrite {
       Map(TxnAppKey -> app, TxnBatchKey -> id.toString)
     }.getOrElse(Map.empty)
 
+  /** Commit-metadata key recording the writer's Avro schema —
+    * upstream HoodieCommitMetadata's own `SCHEMA_KEY`, so foreign
+    * Hudi readers see the table's declared schema where they expect
+    * it and foreign-written tables feed [[latestTableSchema]].
+    */
+  val SchemaKey = "schema"
+
+  /** The writer-schema entry data-bearing commits record: the frame's
+    * DATA columns (hoodie meta columns excluded, matching upstream's
+    * data-schema intent) rendered as the Avro record schema. Avro has
+    * no 8/16-bit integers, so byte/short surface as int in the
+    * declared schema — the documented round-trip loss.
+    */
+  private def schemaMeta(df: DataFrame): Map[String, String] =
+    Map(SchemaKey -> HudiLog.avroSchema(org.apache.spark.sql.types.StructType(
+      df.schema.fields.filterNot(_.name.startsWith("_hoodie_")))).toString)
+
+  /** The table's DECLARED data schema: the newest completed commit
+    * recording a writer schema (ours or a foreign writer's). `None`
+    * on tables whose timeline never recorded one — readers then fall
+    * back to parquet-sampled schemas, the pre-evolution behavior.
+    * Driver cost: newest-first commit-JSON reads, normally ONE.
+    */
+  def latestTableSchema(
+      fs: FileSystem, tablePath: String): Option[org.apache.spark.sql.types.StructType] = {
+    val hoodieDir = new Path(tablePath, ".hoodie")
+    completedInstants(fs, tablePath, None).reverseIterator.flatMap {
+      case (instant, action) =>
+        val in = fs.open(new Path(hoodieDir, s"$instant.$action"))
+        val root = try mapper.readTree(in) finally in.close()
+        Option(root.path("extraMetadata").path(SchemaKey).asText(null))
+          .filter(_.nonEmpty)
+    }.take(1).toSeq.headOption.map { s =>
+      HudiLog.structType(new org.apache.avro.Schema.Parser().parse(s))
+    }
+  }
+
   /** Highest batch id any completed instant's extraMetadata records
     * for `appId` — None when the table is absent or unmarked.
     */
@@ -1404,9 +1463,27 @@ object HudiWrite {
         s"$tablePath stores a non-parquet ($ext) base file for file group " +
           s"${s.fileId}: ${s.relPath}; this reader scans PARQUET only")
     }
-    spark.read
-      .option("basePath", tablePath)
-      .parquet(slices.map(s => s"$tablePath/${s.relPath}"): _*)
+    val paths = slices.map(s => s"$tablePath/${s.relPath}")
+    val sampled = spark.read.option("basePath", tablePath).parquet(paths: _*)
+    // DECLARED-SCHEMA read: after an additive evolution the sampled
+    // footer may come from a PRE-evolution file, which would silently
+    // drop the new columns from every file. When the timeline records
+    // a writer schema (this engine's commits; upstream writers record
+    // the same key) with columns the sample lacks, re-read under the
+    // widened schema — parquet readers null-fill requested columns a
+    // file doesn't store, so mixed-schema slices read correctly.
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    latestTableSchema(fs, tablePath) match {
+      case Some(declared) =>
+        val have = sampled.schema.fieldNames.toSet
+        val extras = declared.fields.filterNot(f => have(f.name))
+        if (extras.isEmpty) sampled
+        else spark.read.option("basePath", tablePath)
+          .schema(org.apache.spark.sql.types.StructType(
+            sampled.schema.fields ++ extras.map(_.copy(nullable = true))))
+          .parquet(paths: _*)
+      case None => sampled
+    }
   }
 
   /** MERGE_ON_READ snapshot read: groups WITHOUT logs stream straight

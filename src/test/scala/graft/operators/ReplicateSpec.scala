@@ -261,6 +261,52 @@ class ReplicateSpec extends SparkSpec {
       .txns.get("dk-test").contains(7L), "empty-source delete carries the txn")
   }
 
+  test("ADDITIVE source evolution propagates to every replica format") {
+    // the Delta source gains a column mid-replication; the synced
+    // replica evolves additively in each target format — old rows
+    // null-filled, new rows carrying values
+    for (tf <- Seq("delta", "iceberg", "hudi")) {
+      val base = tempDir(s"repl-evo-$tf").toString
+      val (src, tgt) = (base + "/src", base + "/replica")
+      DeltaDdl.createTable(spark, src, StructType(Seq(
+        StructField("id", LongType),
+        StructField("name", StringType))),
+        configuration = Map("delta.enableChangeDataFeed" -> "true"))
+      DeltaWrite.append(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "name"), src)
+      Replicate.initialize(spark, src, tgt, Seq("id"), tf)
+
+      DeltaDdl.addColumns(spark, src, Seq(StructField("score", LongType)))
+      DeltaWrite.merge(spark, src,
+        Seq((2L, "B", 20L), (3L, "new", 30L)).toDF("id", "name", "score"), Seq("id"))
+      Replicate.sync(spark, src, tgt, Seq("id"))
+
+      val got = (tf match {
+        case "delta"   => new DeltaTable("t", tgt)(spark)
+        case "iceberg" => new IcebergTable("t", tgt)(spark, ReadArgs.empty)
+        case "hudi"    => new graft.tables.HudiTable("t", tgt)(spark, ReadArgs.empty)
+      }).select("id", "name", "score")
+        .as[(Long, String, Option[Long])].collect().toSet
+      assert(got == Set((1L, "a", None), (2L, "B", Some(20L)), (3L, "new", Some(30L))),
+        s"target format $tf diverged after evolution: $got")
+
+      // deletes still apply after the evolution
+      DeltaWrite.deleteWhere(spark, src,
+        Filters.normalize(Seq(Filter("id", "=", 1))))
+      Replicate.sync(spark, src, tgt, Seq("id"))
+      assert(readTarget2(tgt).map(_._1) == Set(2L, 3L))
+    }
+  }
+
+  private def readTarget2(path: String): Set[(Long, String)] = {
+    val fmt = graft.tables.ChangeFeed.detectFormat(spark, path).get
+    val df: DataFrame = fmt match {
+      case "delta"   => new DeltaTable("t", path)(spark)
+      case "iceberg" => new IcebergTable("t", path)(spark, ReadArgs.empty)
+      case "hudi"    => new graft.tables.HudiTable("t", path)(spark, ReadArgs.empty)
+    }
+    df.select("id", "name").as[(Long, String)].collect().toSet
+  }
+
   test("REPLAY INVARIANT: random churn + interleaved syncs converge every format pair") {
     // the 3x3 matrix under one randomized property: whatever keyed
     // churn the source takes, and WHENEVER syncs land between ops,

@@ -274,6 +274,36 @@ class DeltaDdlSpec extends SparkSpec {
     path
   }
 
+  test("ADD COLUMNS is metadata-only: old rows null-fill, appends carry the column") {
+    val path = tempDir("ddl_addcol").toString + "/t"
+    DeltaWrite.append(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "v"), path)
+    val before = DeltaLog.snapshot(spark, path)
+    DeltaDdl.addColumns(spark, path,
+      Seq(StructField("score", LongType, nullable = false))) // demoted to nullable
+    val snap = DeltaLog.snapshot(spark, path)
+    assert(snap.files.map(_.path).toSet === before.files.map(_.path).toSet,
+      "no data file may change")
+    assert(snap.schema.fieldNames.toSeq === Seq("id", "v", "score"))
+    assert(snap.schema("score").nullable, "evolved-in columns must be nullable")
+    val got = readAll(path).select("id", "v", "score")
+      .as[(Long, String, Option[Long])].collect().toSet
+    assert(got === Set((1L, "a", None), (2L, "b", None)))
+    DeltaWrite.append(spark, Seq((3L, "c", 30L)).toDF("id", "v", "score"), path)
+    assert(readAll(path).where(col("score") === 30L).count() === 1)
+    // existing names (case-insensitively), dups and mapped tables refuse
+    intercept[IllegalArgumentException] {
+      DeltaDdl.addColumns(spark, path, Seq(StructField("V", StringType)))
+    }
+    intercept[IllegalArgumentException] {
+      DeltaDdl.addColumns(spark, path,
+        Seq(StructField("x", LongType), StructField("X", StringType)))
+    }
+    intercept[IllegalArgumentException] {
+      DeltaDdl.addColumns(spark, mappedTable("ddl_addcol_m"),
+        Seq(StructField("x", LongType)))
+    }
+  }
+
   test("RENAME COLUMN is metadata-only: physical files keep matching") {
     val path = mappedTable("ddl_ren")
     val before = DeltaLog.snapshot(spark, path)

@@ -307,21 +307,26 @@ class HudiMorSpec extends SparkSpec {
       .collect().sortBy(_._1).toSeq == Seq((1L, "a2"), (2L, "b4")))
   }
 
-  test("MOR upsert refuses column-set drift (avro-by-name decode would silently lose data)") {
+  test("MOR upsert refuses MISSING columns; extra columns are additive evolution") {
     val dir = tempDir("hudi-mor-schema").toString + "/t"
     HudiWrite.bulkInsert(spark, Seq((1L, "a")).toDF("id", "v"), dir, "id",
       tableType = "MERGE_ON_READ")
-    val extra = intercept[IllegalArgumentException] {
-      HudiWrite.upsert(spark, Seq((1L, "A", 9)).toDF("id", "v", "n"), dir)
-    }
-    assert(extra.getMessage.contains("extra: n"), extra.getMessage)
+    // a frame missing a table column would silently null it for every
+    // key its log records update — refused loudly
     val missing = intercept[IllegalArgumentException] {
       HudiWrite.upsert(spark, Seq(Tuple1(1L)).toDF("id"), dir)
     }
-    assert(missing.getMessage.contains("missing: v"), missing.getMessage)
-    // the table is untouched by the refused attempts
+    assert(missing.getMessage.contains("missing table column"), missing.getMessage)
+    assert(missing.getMessage.contains("v"), missing.getMessage)
+    // the table is untouched by the refused attempt
     assert(new HudiTable("t", dir)(spark, ReadArgs.empty)
       .select("id", "v").as[(Long, String)].collect().toSeq == Seq((1L, "a")))
+    // EXTRA columns evolve additively (HudiEvolutionSpec covers the
+    // read-side widening in depth)
+    HudiWrite.upsert(spark, Seq((1L, "A", 9)).toDF("id", "v", "n"), dir)
+    assert(new HudiTable("t", dir)(spark, ReadArgs.empty)
+      .select("id", "v", "n").as[(Long, String, Option[Int])].collect().toSeq ==
+      Seq((1L, "A", Some(9))))
   }
 
   test("rollbackPending removes crashed writes' files and markers, never live data") {
