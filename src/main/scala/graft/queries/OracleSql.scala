@@ -2071,6 +2071,23 @@ object OracleSql {
            |  FROM nation WHERE n_regionkey = ${P.InsertRegion}
            |) ORDER BY n_nationkey""".stripMargin
       },
+      // deletion-vector MERGE: the post-merge customer state replayed
+      // relationally — %UpdateMod keys renamed, %InsertMod keys
+      // duplicated at +InsertOffset, keys below DeleteBelow removed
+      "q_merge_dv" -> {
+        import Wave8Queries.{MergeDvParams => P}
+        s"""SELECT c_custkey, c_name, c_nationkey FROM (
+           |  SELECT c_custkey,
+           |    CASE WHEN c_custkey % ${P.UpdateMod} = 0 THEN 'DVUP'
+           |         ELSE c_name END AS c_name,
+           |    c_nationkey
+           |  FROM customer
+           |  WHERE NOT (c_custkey BETWEEN 1 AND ${P.DeleteBelow - 1})
+           |  UNION ALL
+           |  SELECT c_custkey + ${P.InsertOffset}, 'NEW', c_nationkey
+           |  FROM customer WHERE c_custkey % ${P.InsertMod} = 0
+           |) ORDER BY c_custkey""".stripMargin
+      },
       // delete Iceberg nation table: the upsert commit (ordinal 1)
       // replays as pre-image deletes + post-image inserts, the delete
       // commit (ordinal 2) as deletes of the post-upsert state; the

@@ -206,4 +206,55 @@ object Wave8Queries {
       .select("n_nationkey", "n_name", "n_regionkey")
       .orderBy("n_nationkey")
   }
+
+  // ---------- deletion-vector MERGE (the low-write-amplification apply) ----------
+
+  object MergeDvParams {
+    /** `c_custkey % UpdateMod == 0` rows get `c_name = 'DVUP'`. */
+    val UpdateMod = 9
+    /** New keys minted at `c_custkey + InsertOffset` for `% InsertMod == 0`. */
+    val InsertMod = 17
+    val InsertOffset = 500000L
+    /** Keys 1..DeleteBelow-1 are deleted (via deleteKeys) in the SAME
+      * mergeDv commit — starting at 1, not 0, because custkey 0 is an
+      * update+insert key (%9 == %17 == 0) and overlapping the clauses
+      * would complicate the relational oracle.
+      */
+    val DeleteBelow = 8
+  }
+
+  private val mergeDvTables = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Delta customer table upserted ONCE through [[graft.tables.
+    * DeltaWrite.mergeDv]]: updates + inserts land as new files while
+    * matched and deleted rows die via per-file deletion vectors — no
+    * candidate file rewritten. The read then applies the DVs.
+    */
+  private def mergeDvCustomer(s: SparkSession, dir: String): String =
+    mergeDvTables.getOrElseUpdate(dir, {
+      import graft.tables.DeltaWrite
+      import org.apache.spark.sql.functions._
+      import MergeDvParams._
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_merge_dv").toString + "/customer"
+      val cust = t(s, dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+      DeltaWrite.append(s, cust, path)
+      val upd = cust.where(col("c_custkey") % UpdateMod === 0)
+        .select(col("c_custkey"), lit("DVUP").as("c_name"), col("c_nationkey"))
+      val ins = cust.where(col("c_custkey") % InsertMod === 0)
+        .select((col("c_custkey") + InsertOffset).as("c_custkey"),
+          lit("NEW").as("c_name"), col("c_nationkey"))
+      import s.implicits._
+      DeltaWrite.mergeDv(s, path, upd.unionByName(ins), Seq("c_custkey"),
+        deleteKeys = Some((1L until DeleteBelow).toDF("c_custkey")))
+      path
+    })
+
+  /** The post-merge state read through the DV-applying snapshot. */
+  def qMergeDv(s: SparkSession, dir: String): DataFrame = {
+    import graft.tables.DeltaTable
+    new DeltaTable("customer_dv", mergeDvCustomer(s, dir))(s)
+      .select("c_custkey", "c_name", "c_nationkey")
+      .orderBy("c_custkey")
+  }
 }

@@ -1145,6 +1145,222 @@ object DeltaWrite {
       requireBase = Some(snap.version))
   }
 
+  /** MERGE via DELETION VECTORS — the low-write-amplification merge
+    * (upstream's "low-shuffle merge" shape): instead of REWRITING
+    * every candidate file (write cost ∝ file size × touched files),
+    * the matched target rows' positions fold into per-file roaring
+    * bitmaps and ONLY the source rows append as new files. Identical
+    * semantics to [[merge]] — same clauses (`deleteWhenMatched`,
+    * `deleteKeys`), same CDF classification, same policies — but:
+    * kept rows never move (their files, stats and `baseRowId`s
+    * survive untouched — row-tracked tables keep kept-row ids stable
+    * FOR FREE, where the rewrite path must re-materialize them), and
+    * write amplification is O(source rows + matched-row bitmaps).
+    * Choose this for sparse upserts into wide files (the CDC-apply
+    * shape); choose [[merge]] when most of every candidate file
+    * changes (a DV'd file still scans its dead rows until OPTIMIZE
+    * rewrites it). The commit stamps the `deletionVectors` feature.
+    *
+    * Rows already dead under a PRE-existing DV never classify as
+    * matches (reads apply DVs), and their positions re-unioning into
+    * the replacement bitmap is a no-op by construction.
+    */
+  def mergeDv(
+      spark: SparkSession,
+      tablePath: String,
+      source: DataFrame,
+      keyCols: Seq[String],
+      deleteWhenMatched: Option[String] = None,
+      txn: Option[(String, Long)] = None,
+      requireBase: Option[Long] = None,
+      deleteKeys: Option[DataFrame] = None
+  ): CommitResult = {
+    require(keyCols.nonEmpty, "merge needs at least one key column")
+    deleteKeys.foreach(dk => require(dk.columns.toSet == keyCols.toSet,
+      s"deleteKeys columns ${dk.columns.mkString(",")} must be exactly the " +
+        s"merge keys (${keyCols.mkString(",")})"))
+    val snap = DeltaLog.snapshot(spark, tablePath)
+    requireBase.foreach { base =>
+      if (snap.version != base)
+        throw new ConcurrentWriteException(
+          s"table $tablePath is at version ${snap.version}, caller required $base")
+    }
+    val meta = snap.metadata
+    DeltaPolicy.requireNotAppendOnly(meta, "MERGE", tablePath)
+    require(!meta.isColumnMapped,
+      s"this operation is not supported on column-mapped Delta tables ($tablePath)")
+    val tracked = rowTrackingEnabled(meta)
+    if (tracked)
+      require(meta.configuration.contains(MatRowIdKey) &&
+        meta.configuration.contains(MatRcvKey),
+        s"row-tracked table $tablePath names no materialized row-id columns; " +
+          "refusing to MERGE (row ids would be re-minted)")
+    require(source.columns.toSet == meta.schema.fieldNames.toSet,
+      s"merge source schema ${source.columns.mkString(",")} must match the table " +
+        s"(${meta.schema.fieldNames.mkString(",")})")
+    DeltaPolicy.identityColumns(meta).foreach { spec =>
+      require(spec.allowExplicitInsert,
+        s"MERGE into $tablePath provides explicit values for identity column " +
+          s"${spec.column}, which is GENERATED ALWAYS (allowExplicitInsert=false)")
+    }
+    val partCols = meta.partitionColumns
+    val schema = meta.schema
+    val src = DeltaPolicy.prepare(source, meta, tablePath)
+      .select(meta.schema.fieldNames.map(col).toSeq: _*)
+    val dk = deleteKeys.map(d => d.select(keyCols.map(c =>
+      col(c).cast(meta.schema(c).dataType).as(c)): _*).distinct())
+    val delCond = deleteWhenMatched.map(c => coalesce(expr(c), lit(false)))
+    val upsertSrc = delCond.map(c => src.where(!c)).getOrElse(src)
+    val delSrc = delCond.map(c => src.where(c))
+
+    // same key-range candidate pruning as merge
+    val candidates: Seq[DeltaLog.AddFile] = keyCols match {
+      case Seq(k) =>
+        val keyVals = dk.map(d => src.select(col(k)).unionByName(d))
+          .getOrElse(src.select(col(k)))
+        val r = keyVals.agg(min(col(k)), max(col(k)), count(lit(1))).head()
+        if (r.getLong(2) == 0L) return CommitResult(snap.version, 0, 0)
+        else if (r.isNullAt(0)) Seq.empty
+        else {
+          import graft.core.{Filter, Filters}
+          val f = Filters.normalize(Seq(
+            Filter(k, ">=", r.get(0)), Filter(k, "<=", r.get(1))))
+          snap.files.filter(f0 => DeltaFileSkipping.mayMatch(f0, f, meta))
+        }
+      case _ => snap.files
+    }
+
+    val targetRaw =
+      if (candidates.isEmpty) None
+      else Some(DeltaRead.readFiles(spark, tablePath, meta, candidates,
+        withRowIds = tracked))
+    val target = targetRaw.map(t =>
+      if (tracked) t.drop(DeltaRead.RowIdCol, DeltaRead.RowCommitVersionCol) else t)
+    val keySeq = keyCols.toSeq
+
+    val writeSrc = (delSrc, target) match {
+      case (Some(d), Some(t)) => upsertSrc.unionByName(d.join(t, keySeq, "left_anti"))
+      case (Some(d), None)    => upsertSrc.unionByName(d)
+      case _                  => upsertSrc
+    }
+
+    // content = the source rows ONLY — kept rows never move. Tracked
+    // tables materialize the matched key's old row id onto the upsert
+    // (same-row-updated semantics); kept rows need nothing, their
+    // files and baseRowIds survive.
+    val content = (targetRaw, target) match {
+      case (Some(traw), Some(_)) if tracked =>
+        val matId = meta.configuration(MatRowIdKey)
+        val matRcv = meta.configuration(MatRcvKey)
+        val keyIds = traw
+          .groupBy(keySeq.map(col): _*)
+          .agg(min(col(DeltaRead.RowIdCol)).as(matId))
+        writeSrc.join(keyIds, keySeq, "left")
+          .withColumn(matRcv, lit(null).cast(org.apache.spark.sql.types.LongType))
+      case _ => writeSrc
+    }
+
+    // DYING target rows: every visible row whose key the source
+    // matches (updates kill the old version), is delete-matched, or
+    // is a present delete key. Folded to per-file bitmaps in ONE
+    // distributed job over the candidates — raw positional scan
+    // semi-joined against the dying key set (the raw scan may touch
+    // already-dead rows; the union with the file's existing DV makes
+    // re-marking them a no-op).
+    val dvUpdated: Seq[(String, RoaringBitmapArray)] = targetRaw match {
+      case None => Seq.empty
+      case Some(_) =>
+        val dyingKeys = (Seq(src.select(keySeq.map(col): _*)) ++
+          dk.map(_.select(keySeq.map(col): _*)))
+          .reduce(_.unionByName(_)).distinct()
+        val base = tablePath.stripSuffix("/")
+        val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val byPath = candidates.map(f =>
+          DvDeleted.normalizePath(s"$base/${f.path}") -> f).toMap
+        val dataSchema = StructType(schema.fields.filterNot(f => partCols.contains(f.name)))
+        val matched = candidates.groupBy(_.partitionValues).map { case (pv, files) =>
+          var part = spark.read.schema(dataSchema)
+            .parquet(files.map(f => s"$base/${f.path}"): _*)
+            .withColumn("__graft_file", col("_metadata.file_path"))
+            .withColumn("__graft_row", col("_metadata.row_index"))
+          partCols.foreach { c =>
+            val t = schema(c).dataType
+            part = part.withColumn(c,
+              pv.get(c).flatten.map(v => lit(v).cast(t)).getOrElse(lit(null).cast(t)))
+          }
+          part.join(dyingKeys, keySeq, "left_semi")
+            .select(col("__graft_file"), col("__graft_row"))
+        }.reduce(_.unionByName(_))
+          .groupBy(col("__graft_file"))
+          .agg(DvBitmapAgg.bitmap(col("__graft_row")).as("dv"))
+          .select(col("__graft_file"), col("dv.dv"))
+          .collect()
+          .map(r => (DvDeleted.normalizePath(r.getString(0)), r.getAs[Array[Byte]](1)))
+        matched.toSeq.map { case (key, bytes) =>
+          val fresh = RoaringBitmapArray.deserialize(bytes)
+          val bm = byPath(key).dv.map(_.readData(fs, base)) match {
+            case Some(oldBytes) =>
+              val old = RoaringBitmapArray.deserialize(oldBytes).toArray
+              RoaringBitmapArray.fromSorted((old ++ fresh.toArray).distinct.sorted)
+            case None => fresh
+          }
+          key -> bm
+        }
+    }
+
+    val cdcActions =
+      if (!cdfEnabled(meta)) Seq.empty
+      else {
+        val changeRows = target match {
+          case Some(t) =>
+            val pre = t.join(upsertSrc, keySeq, "left_semi")
+              .withColumn(DeltaChanges.ChangeTypeCol, lit("update_preimage"))
+            val post = upsertSrc.join(t, keySeq, "left_semi")
+              .withColumn(DeltaChanges.ChangeTypeCol, lit("update_postimage"))
+            val ins = writeSrc.join(t, keySeq, "left_anti")
+              .withColumn(DeltaChanges.ChangeTypeCol, lit("insert"))
+            val del1 = delSrc.map(d => t.join(d, keySeq, "left_semi")
+              .withColumn(DeltaChanges.ChangeTypeCol, lit("delete")))
+            val del2 = dk.map(d => t.join(d, keySeq, "left_semi")
+              .withColumn(DeltaChanges.ChangeTypeCol, lit("delete")))
+            (Seq(pre.unionByName(post).unionByName(ins)) ++ del1 ++ del2)
+              .reduce(_.unionByName(_))
+          case None =>
+            writeSrc.withColumn(DeltaChanges.ChangeTypeCol, lit("insert"))
+        }
+        stageFiles(spark, changeRows, tablePath, partCols,
+          destPrefix = "_change_data/", withStats = false).map(cdcJson)
+      }
+
+    val matEx: Set[String] =
+      if (tracked && target.isDefined)
+        Set(meta.configuration(MatRowIdKey), meta.configuration(MatRcvKey))
+      else Set.empty
+    val newAdds = stageFiles(spark, content, tablePath, partCols, statsExclude = matEx)
+    val (dvAdds, dvRemoves) =
+      if (dvUpdated.isEmpty) (Seq.empty[StagedAdd], Seq.empty[DeltaLog.AddFile])
+      else {
+        val base = tablePath.stripSuffix("/")
+        val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val byPath = candidates.map(f =>
+          DvDeleted.normalizePath(s"$base/${f.path}") -> f).toMap
+        val descriptors = DeletionVectors.writeDvFile(fs, base, dvUpdated)
+        val adds = dvUpdated.map { case (key, _) =>
+          val f = byPath(key)
+          StagedAdd(f.path, f.partitionValues, f.size, f.stats, Some(descriptors(key)),
+            f.tags, f.baseRowId, f.defaultRowCommitVersion)
+        }
+        (adds, dvUpdated.map { case (key, _) => byPath(key) })
+      }
+    if (newAdds.isEmpty && dvAdds.isEmpty) return CommitResult(snap.version, 0, 0)
+    commitLoop(spark, tablePath, newAdds ++ dvAdds, dvRemoves,
+      bumpIdentityHwm(meta.schemaString, DeltaPolicy.identityColumns(meta), newAdds),
+      partCols, overwrite = false,
+      extraActions = Seq(DvProtocolAction) ++
+        txn.map { case (a, v) => txnJson(a, v) }.toSeq ++ cdcActions,
+      requireBase = Some(snap.version))
+  }
+
   private val DvProtocolAction =
     """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
       """"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}"""
