@@ -229,6 +229,11 @@ object DeltaWrite {
   ): CommitResult = {
     import graft.core.Filters
     val snap = DeltaLog.snapshot(spark, tablePath, withFiles = !distributedPlanning)
+    // the public writer contract: a table that sets
+    // delta.enableDeletionVectors routes its row-removing DML through
+    // deletion vectors — same semantics, O(deleted rows) writes
+    if (dvRoutingEnabled(snap.metadata))
+      return deleteWhereDv(spark, tablePath, filters, distributedPlanning)
     val schema = snap.schema
     val partCols = snap.metadata.partitionColumns
     val predicate = Filters.toColumn(filters).getOrElse(lit(true))
@@ -285,6 +290,8 @@ object DeltaWrite {
     require(set.nonEmpty, "UPDATE needs at least one SET assignment")
     val snap = DeltaLog.snapshot(spark, tablePath, withFiles = !distributedPlanning)
     val meta = snap.metadata
+    if (dvRoutingEnabled(meta))
+      return updateWhereDv(spark, tablePath, filters, set, distributedPlanning)
     val schema = snap.schema
     val partCols = meta.partitionColumns
     DeltaPolicy.requireNotAppendOnly(meta, "UPDATE", tablePath)
@@ -353,6 +360,146 @@ object DeltaWrite {
     val adds = stageFiles(spark, content, tablePath, partCols, statsExclude = matEx)
     commitLoop(spark, tablePath, adds, candidates,
       meta.schemaString, partCols, overwrite = false, extraActions = cdcActions,
+      requireBase = Some(snap.version))
+  }
+
+  /** UPDATE via DELETION VECTORS — [[updateWhere]]'s
+    * low-write-amplification form (the same trade [[mergeDv]] makes
+    * against [[merge]]): the matched rows' positions fold into
+    * per-file bitmaps and ONLY their updated versions append; the
+    * candidate files — and every unmatched row in them, stats, and
+    * `baseRowId`s — survive untouched. A selective UPDATE on wide
+    * files writes O(matched rows), not O(candidate file bytes).
+    * Updated versions are computed from the DV-APPLIED read, so rows
+    * already dead under an existing DV never resurrect as updates;
+    * their positions re-unioning into the replacement bitmap is a
+    * no-op. Same CDF pre/post classification, policies, identity
+    * refusals and row-id preservation as the rewrite path. The
+    * commit stamps the `deletionVectors` feature.
+    */
+  def updateWhereDv(
+      spark: SparkSession,
+      tablePath: String,
+      filters: graft.core.Filters.Normalized,
+      set: Seq[(String, String)],
+      distributedPlanning: Boolean = false
+  ): CommitResult = {
+    import graft.core.Filters
+    require(set.nonEmpty, "UPDATE needs at least one SET assignment")
+    val snap = DeltaLog.snapshot(spark, tablePath, withFiles = !distributedPlanning)
+    val meta = snap.metadata
+    val schema = snap.schema
+    val partCols = meta.partitionColumns
+    DeltaPolicy.requireNotAppendOnly(meta, "UPDATE", tablePath)
+    require(!meta.isColumnMapped,
+      s"writes to column-mapped Delta tables are not supported ($tablePath)")
+    set.foreach { case (c, _) =>
+      require(schema.fieldNames.contains(c), s"SET column $c is not in the table schema")
+    }
+    require(set.map(_._1).distinct.size == set.size, "duplicate SET column")
+    val idCols = DeltaPolicy.identityColumns(meta).map(_.column).toSet
+    set.foreach { case (c, _) =>
+      require(!idCols.contains(c), s"cannot UPDATE identity column $c")
+    }
+    val setMap = set.toMap
+    val predicate = Filters.toColumn(filters).getOrElse(lit(true))
+    val matched = coalesce(predicate, lit(false))
+
+    val candidates = candidateFiles(spark, tablePath, filters, snap, distributedPlanning)
+    if (candidates.isEmpty) return CommitResult(snap.version, 0, 0)
+
+    val tracked = rowTrackingEnabled(meta)
+    if (tracked)
+      require(meta.configuration.contains(MatRowIdKey) &&
+        meta.configuration.contains(MatRcvKey),
+        s"row-tracked table $tablePath names no materialized row-id columns; " +
+          "refusing to UPDATE (row ids would be re-minted)")
+    val t = DeltaRead.readFiles(spark, tablePath, meta, candidates, withRowIds = tracked)
+    val hit = t.where(matched)
+
+    def updatedCols(src: DataFrame): Seq[org.apache.spark.sql.Column] =
+      schema.fieldNames.toSeq.map { c =>
+        setMap.get(c) match {
+          case Some(sql) => expr(sql).cast(schema(c).dataType).as(c)
+          case None      => col(c)
+        }
+      }
+    val content0 =
+      if (!tracked) hit.select(updatedCols(hit): _*)
+      else {
+        val matId = meta.configuration(MatRowIdKey)
+        val matRcv = meta.configuration(MatRcvKey)
+        hit.select(updatedCols(hit) ++ Seq(
+          col(DeltaRead.RowIdCol).as(matId),
+          lit(null).cast(org.apache.spark.sql.types.LongType).as(matRcv)): _*)
+      }
+    val content = DeltaPolicy.prepare(content0, meta, tablePath)
+
+    // matched positions → per-file bitmaps in one distributed job
+    // (raw positional scan; a pre-existing DV's dead rows re-marking
+    // is a no-op under the union below)
+    val base = tablePath.stripSuffix("/")
+    val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val byPath = candidates.map(f =>
+      DvDeleted.normalizePath(s"$base/${f.path}") -> f).toMap
+    val dataSchema = StructType(schema.fields.filterNot(f => partCols.contains(f.name)))
+    val positions = candidates.groupBy(_.partitionValues).map { case (pv, files) =>
+      var part = spark.read.schema(dataSchema)
+        .parquet(files.map(f => s"$base/${f.path}"): _*)
+        .withColumn("__graft_file", col("_metadata.file_path"))
+        .withColumn("__graft_row", col("_metadata.row_index"))
+      partCols.foreach { c =>
+        val dt = schema(c).dataType
+        part = part.withColumn(c,
+          pv.get(c).flatten.map(v => lit(v).cast(dt)).getOrElse(lit(null).cast(dt)))
+      }
+      part.filter(matched).select(col("__graft_file"), col("__graft_row"))
+    }.reduce(_.unionByName(_))
+      .groupBy(col("__graft_file"))
+      .agg(DvBitmapAgg.bitmap(col("__graft_row")).as("dv"))
+      .select(col("__graft_file"), col("dv.dv"))
+      .collect()
+      .map(r => (DvDeleted.normalizePath(r.getString(0)), r.getAs[Array[Byte]](1)))
+    if (positions.isEmpty) return CommitResult(snap.version, 0, 0)
+
+    val bitmaps: Seq[(String, RoaringBitmapArray)] = positions.toSeq.map {
+      case (key, bytes) =>
+        val fresh = RoaringBitmapArray.deserialize(bytes)
+        val bm = byPath(key).dv.map(_.readData(fs, base)) match {
+          case Some(oldBytes) =>
+            val old = RoaringBitmapArray.deserialize(oldBytes).toArray
+            RoaringBitmapArray.fromSorted((old ++ fresh.toArray).distinct.sorted)
+          case None => fresh
+        }
+        key -> bm
+    }
+
+    val cdcActions =
+      if (!cdfEnabled(meta)) Seq.empty
+      else {
+        val dataCols = schema.fieldNames.map(col).toSeq
+        val pre = hit.select(dataCols: _*)
+          .withColumn(DeltaChanges.ChangeTypeCol, lit("update_preimage"))
+        val post = hit.select(updatedCols(hit): _*)
+          .withColumn(DeltaChanges.ChangeTypeCol, lit("update_postimage"))
+        stageFiles(spark, pre.unionByName(post), tablePath, partCols,
+          destPrefix = "_change_data/", withStats = false).map(cdcJson)
+      }
+
+    val descriptors = DeletionVectors.writeDvFile(fs, base, bitmaps)
+    val dvAdds = bitmaps.map { case (key, _) =>
+      val f = byPath(key)
+      StagedAdd(f.path, f.partitionValues, f.size, f.stats, Some(descriptors(key)),
+        f.tags, f.baseRowId, f.defaultRowCommitVersion)
+    }
+    val matEx: Set[String] =
+      if (tracked) Set(meta.configuration(MatRowIdKey), meta.configuration(MatRcvKey))
+      else Set.empty
+    val newAdds = stageFiles(spark, content, tablePath, partCols, statsExclude = matEx)
+    commitLoop(spark, tablePath, newAdds ++ dvAdds,
+      bitmaps.map { case (key, _) => byPath(key) },
+      meta.schemaString, partCols, overwrite = false,
+      extraActions = Seq(DvProtocolAction) ++ cdcActions,
       requireBase = Some(snap.version))
   }
 
@@ -781,6 +928,14 @@ object DeltaWrite {
   private def cdfEnabled(meta: DeltaLog.Metadata): Boolean =
     meta.configuration.get("delta.enableChangeDataFeed").contains("true")
 
+  /** `delta.enableDeletionVectors=true` routes DELETE / UPDATE / MERGE
+    * through the deletion-vector paths (the public writer contract;
+    * the `*Dv` methods stay directly callable for per-statement
+    * choice on un-flagged tables).
+    */
+  private def dvRoutingEnabled(meta: DeltaLog.Metadata): Boolean =
+    meta.configuration.get("delta.enableDeletionVectors").contains("true")
+
   private[tables] val IctKey = "delta.enableInCommitTimestamps"
 
   /** The commitInfo action carrying this commit's in-commit timestamp,
@@ -991,6 +1146,9 @@ object DeltaWrite {
       s"deleteKeys columns ${dk.columns.mkString(",")} must be exactly the " +
         s"merge keys (${keyCols.mkString(",")})"))
     val snap = DeltaLog.snapshot(spark, tablePath)
+    if (dvRoutingEnabled(snap.metadata))
+      return mergeDv(spark, tablePath, source, keyCols, deleteWhenMatched,
+        txn, requireBase, deleteKeys)
     requireBase.foreach { base =>
       if (snap.version != base)
         throw new ConcurrentWriteException(

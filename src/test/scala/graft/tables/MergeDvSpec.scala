@@ -136,6 +136,84 @@ class MergeDvSpec extends SparkSpec {
     assert(got.count(_._1 == 2L) == 1 && got.count(_._1 == 4L) == 1)
   }
 
+  test("updateWhereDv: no rewrite, parity with updateWhere, CDF pre/post, DV on file") {
+    val conf = Map("delta.enableChangeDataFeed" -> "true")
+    val dvDir = mkTable("upd", conf)
+    val rwDir = mkTable("upd-rw", conf)
+    val f = Filters.normalize(Seq(Filter("id", "<", 5)))
+    val set = Seq("name" -> "'UPDATED'", "v" -> "v + 1000")
+
+    val before = dataFiles(dvDir)
+    DeltaWrite.updateWhereDv(spark, dvDir, f, set)
+    DeltaWrite.updateWhere(spark, rwDir, f, set)
+    assert(readState(dvDir) == readState(rwDir))
+    assert(readState(dvDir).count(_._2 == "UPDATED") == 5)
+    assert(before.subsetOf(dataFiles(dvDir)), "updateWhereDv must not rewrite files")
+    assert(DeltaLog.snapshot(spark, dvDir).files.exists(_.dv.nonEmpty))
+
+    def cdc(dir: String) = {
+      val v = DeltaLog.snapshot(spark, dir, withFiles = false).version
+      DeltaChanges.between(spark, dir, v, v)
+        .select(col("id").as[Long], col("name").as[String],
+          col("_change_type").as[String]).collect().toSet
+    }
+    assert(cdc(dvDir) == cdc(rwDir))
+
+    // a second DV update over an overlapping range: dead rows never
+    // resurrect as updates; the replacement bitmap unions
+    DeltaWrite.updateWhereDv(spark, dvDir,
+      Filters.normalize(Seq(Filter("id", "<", 8))), Seq("v" -> "v + 1"))
+    DeltaWrite.updateWhere(spark, rwDir,
+      Filters.normalize(Seq(Filter("id", "<", 8))), Seq("v" -> "v + 1"))
+    assert(readState(dvDir) == readState(rwDir))
+    assert(readState(dvDir).size == 20)
+    // no-match predicate: commitless no-op
+    val v0 = DeltaLog.snapshot(spark, dvDir, withFiles = false).version
+    DeltaWrite.updateWhereDv(spark, dvDir,
+      Filters.normalize(Seq(Filter("id", "=", 99999))), set)
+    assert(DeltaLog.snapshot(spark, dvDir, withFiles = false).version == v0)
+  }
+
+  test("updateWhereDv preserves row ids on row-tracked tables") {
+    val dir = tempDir("mergedv-updrt").toString + "/t"
+    DeltaWrite.append(spark,
+      Seq.empty[(Long, String, Long)].toDF("id", "name", "v"), dir)
+    DeltaWrite.setTableProperties(spark, dir, Map("delta.enableRowTracking" -> "true"))
+    DeltaWrite.append(spark,
+      Seq.tabulate(10)(i => (i.toLong, s"n$i", i.toLong)).toDF("id", "name", "v"), dir)
+    def ids(): Map[Long, Long] = {
+      val snap = DeltaLog.snapshot(spark, dir)
+      DeltaRead.readFiles(spark, dir, snap.metadata, snap.files, withRowIds = true)
+        .select(col("id").as[Long], col(DeltaRead.RowIdCol).as[Long])
+        .collect().toMap
+    }
+    val before = ids()
+    DeltaWrite.updateWhereDv(spark, dir,
+      Filters.normalize(Seq(Filter("id", "=", 4))), Seq("name" -> "'X'"))
+    val after = ids()
+    assert(after == before, "every row id (kept AND updated) must survive a DV update")
+  }
+
+  test("delta.enableDeletionVectors routes DELETE/UPDATE/MERGE through DVs") {
+    val dir = mkTable("routing",
+      Map("delta.enableDeletionVectors" -> "true"))
+    val before = dataFiles(dir)
+    DeltaWrite.merge(spark, dir,
+      Seq((3L, "M", 33L)).toDF("id", "name", "v"), Seq("id"))
+    DeltaWrite.updateWhere(spark, dir,
+      Filters.normalize(Seq(Filter("id", "=", 5))), Seq("name" -> "'U'"))
+    DeltaWrite.deleteWhere(spark, dir,
+      Filters.normalize(Seq(Filter("id", "=", 7))))
+    assert(before.subsetOf(dataFiles(dir)),
+      "flagged-table DML must never rewrite a data file")
+    assert(DeltaLog.snapshot(spark, dir).files.exists(_.dv.nonEmpty))
+    val got = readState(dir)
+    assert(got.exists(r => r._1 == 3L && r._2 == "M"))
+    assert(got.exists(r => r._1 == 5L && r._2 == "U"))
+    assert(!got.exists(_._1 == 7L))
+    assert(got.size == 19)
+  }
+
   test("PARITY property: random merges via DV and rewrite converge identically") {
     val rnd = new scala.util.Random(17)
     val dvDir = mkTable("prop")
