@@ -261,6 +261,29 @@ class ReplicateSpec extends SparkSpec {
       .txns.get("dk-test").contains(7L), "empty-source delete carries the txn")
   }
 
+  test("a DV-flagged Delta replica applies syncs without rewriting data files") {
+    val src = mkDeltaSource("dvrepl")
+    val tgt = tempDir("repl-dvrepl-t").toString + "/replica"
+    Replicate.initialize(spark, src, tgt, Seq("id"), "delta")
+    // opt the replica into deletion vectors: every later sync's merge
+    // routes through mergeDv — O(changed rows) applies on wide replicas
+    DeltaWrite.setTableProperties(spark, tgt,
+      Map("delta.enableDeletionVectors" -> "true"))
+    val filesBefore = DeltaLog.snapshot(spark, tgt).files.map(_.path).toSet
+
+    DeltaWrite.merge(spark, src,
+      Seq((3L, "upd", 1L), (300L, "new", 2L)).toDF("id", "name", "v"), Seq("id"))
+    DeltaWrite.deleteWhere(spark, src,
+      Filters.normalize(Seq(Filter("id", "=", 8))))
+    Replicate.sync(spark, src, tgt, Seq("id"))
+
+    assert(readTarget(tgt) == readSource(src))
+    val snap = DeltaLog.snapshot(spark, tgt)
+    assert(filesBefore.subsetOf(snap.files.map(_.path).toSet),
+      "a DV-flagged replica must never rewrite a data file on sync")
+    assert(snap.files.exists(_.dv.nonEmpty))
+  }
+
   test("ADDITIVE source evolution propagates to every replica format") {
     // the Delta source gains a column mid-replication; the synced
     // replica evolves additively in each target format — old rows
@@ -318,16 +341,22 @@ class ReplicateSpec extends SparkSpec {
         .toDF("id", "name", "v")
     def someKeys(): DataFrame =
       Seq.fill(3)(rnd.nextInt(15).toLong).distinct.toDF("id")
-    def churn(fmt: String, src: String): Unit = (fmt, rnd.nextInt(2)) match {
+    def churn(fmt: String, src: String): Unit = (fmt, rnd.nextInt(3)) match {
       case ("delta", 0)   => DeltaWrite.merge(spark, src, someRows(), Seq("id"))
-      case ("delta", _)   =>
+      case ("delta", 1)   =>
         val ks = someKeys().as[Long].collect().toSeq
         DeltaWrite.deleteWhere(spark, src,
           Filters.normalize(Seq(Filter("id", "in", ks))))
+      // maintenance rewrites move rows between files without changing
+      // them — they must contribute NOTHING to the replicated stream
+      case ("delta", _)   => DeltaWrite.optimize(spark, src, smallFileBytes = 1L << 30)
       case ("iceberg", 0) => IcebergWrite.upsertEquality(spark, someRows(), src, Seq("id"))
-      case ("iceberg", _) => IcebergWrite.deleteEquality(spark, src, someKeys())
+      case ("iceberg", 1) => IcebergWrite.deleteEquality(spark, src, someKeys())
+      case ("iceberg", _) =>
+        graft.tables.IcebergMaintenance.rewriteDataFiles(spark, src); ()
       case ("hudi", 0)    => HudiWrite.upsert(spark, someRows(), src)
-      case ("hudi", _)    => HudiWrite.delete(spark, someKeys(), src)
+      case ("hudi", 1)    => HudiWrite.delete(spark, someKeys(), src)
+      case ("hudi", _)    => HudiWrite.compact(spark, src); ()
     }
     def mkSource(fmt: String, dir: String): Unit = fmt match {
       case "delta" =>
