@@ -247,7 +247,14 @@ object Replicate {
       checkpointDir: String,
       partitionBy: Seq[String] = Seq.empty,
       appId: String = AppId,
-      maxCommitsPerTrigger: Option[Int] = None
+      maxCommitsPerTrigger: Option[Int] = None,
+      /** Opt-in pass-through of the CDC source's additive-drift
+        * tolerance: a source that GAINS columns mid-stream keeps
+        * streaming under the pinned start schema (the replica evolves
+        * on the next restart, when the stream re-pins); without it a
+        * mid-stream evolution refuses, the source's default.
+        */
+      additiveSchemaTolerance: Boolean = false
   ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     require(keys.nonEmpty, "replication needs at least one key column")
     require(Set("delta", "iceberg", "hudi")(format),
@@ -257,6 +264,7 @@ object Replicate {
     val reader = spark.readStream
       .format("graft.streaming.ChangeFeedStreamSourceProvider")
       .option("path", sourcePath)
+      .option("additiveSchemaTolerance", additiveSchemaTolerance.toString)
     val src = maxCommitsPerTrigger
       .fold(reader)(n => reader.option("maxCommitsPerTrigger", n.toString))
       .load()

@@ -138,7 +138,17 @@ class ChangeFeedStreamSource(
       case Some(s) =>
         feed.changesUniform(spark, versionOf(s), to)
     }
-    val aligned = df.select(pinned.fieldNames.map(col).toSeq: _*)
+    // align to the pinned schema, NULL-FILLING pinned columns the
+    // frame lacks: a restart replays its last batch via
+    // getBatch(None, oldOffset) — a time-traveled snapshot that
+    // predates an additive evolution would otherwise fail to resolve
+    // the evolved-in columns (the replayed frame is discarded by any
+    // idempotent sink; it must still analyze)
+    val have = df.columns.toSet
+    val aligned = df.select(pinned.fields.map { f =>
+      if (have(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }.toSeq: _*)
     Bridge.internalCreateDataFrame(
       spark, aligned.queryExecution.toRdd, pinned, isStreaming = true)
   }

@@ -24,6 +24,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * VACUUM delta.`/p` [RETAIN 24 HOURS] [DRY RUN]
   * ALTER TABLE delta.`/p` ADD CONSTRAINT nm CHECK (sql)
   * ALTER TABLE delta.`/p` DROP CONSTRAINT nm
+  * ALTER TABLE delta.`/p` ADD COLUMNS (c1 BIGINT, c2 STRING)
   * ALTER TABLE delta.`/p` SET TBLPROPERTIES ('k' = 'v', ...)
   * ALTER TABLE delta.`/p` CLUSTER BY (c1, c2)
   * RESTORE delta.`/p` TO VERSION AS OF 3
@@ -66,6 +67,8 @@ object DeltaSql {
     val addCk = (s"""(?is)^ALTER\\s+TABLE\\s+$TableRef\\s+ADD\\s+CONSTRAINT\\s+(\\w+)""" +
       s"""\\s+CHECK\\s*\\((.+)\\)$$""").r
     val dropCk = s"""(?is)^ALTER\\s+TABLE\\s+$TableRef\\s+DROP\\s+CONSTRAINT\\s+(\\w+)$$""".r
+    val addCols = (s"""(?is)^ALTER\\s+TABLE\\s+$TableRef\\s+ADD\\s+COLUMNS?""" +
+      s"""\\s*\\(([^)]+)\\)$$""").r
     val setProps = (s"""(?is)^ALTER\\s+TABLE\\s+$TableRef\\s+SET\\s+TBLPROPERTIES""" +
       s"""\\s*\\((.+)\\)$$""").r
     val clusterBy = s"""(?is)^ALTER\\s+TABLE\\s+$TableRef\\s+CLUSTER\\s+BY\\s+\\(([^)]+)\\)$$""".r
@@ -124,6 +127,12 @@ object DeltaSql {
         result(DeltaDdl.addCheckConstraint(spark, path, name, pred).version)
       case dropCk(path, name) =>
         result(DeltaDdl.dropCheckConstraint(spark, path, name).version)
+      case addCols(path, colDefs) =>
+        // `name TYPE` pairs parsed through Spark's own DDL parser so
+        // every SQL type spelling works
+        val fields = org.apache.spark.sql.types.StructType
+          .fromDDL(colDefs).fields.toSeq
+        result(DeltaDdl.addColumns(spark, path, fields).version)
       case setProps(path, props) =>
         result(DeltaWrite.setTableProperties(spark, path, parseProps(props)).version)
       case clusterBy(path, cols) =>

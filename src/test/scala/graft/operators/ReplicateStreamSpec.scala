@@ -120,6 +120,30 @@ class ReplicateStreamSpec extends SparkSpec {
     assert(readTarget(tgt).exists { case (id, n, _) => id == 4L && n == "upserted" })
   }
 
+  test("a source evolution between runs reaches the replica on the next run") {
+    val src = mkDeltaSource("evo", n = 5)
+    val base = tempDir("replstream-evo-t").toString
+    val (tgt, ckpt) = (base + "/replica", base + "/ckpt")
+    runOnce(src, tgt, ckpt, "delta")
+
+    // evolve + churn while the stream is down; the restart re-pins
+    // the evolved schema and the apply evolves the replica
+    graft.tables.DeltaDdl.addColumns(spark, src,
+      Seq(org.apache.spark.sql.types.StructField("score",
+        org.apache.spark.sql.types.LongType)))
+    DeltaWrite.merge(spark, src,
+      Seq((2L, "B", 22L, 200L), (9L, "new", 9L, 900L))
+        .toDF("id", "name", "v", "score"), Seq("id"))
+    runOnce(src, tgt, ckpt, "delta")
+
+    val got = new DeltaTable("t", tgt)(spark)
+      .select("id", "name", "score")
+      .as[(Long, String, Option[Long])].collect().toSet
+    assert(got.contains((2L, "B", Some(200L))))
+    assert(got.contains((9L, "new", Some(900L))))
+    assert(got.contains((0L, "name0", None)), "pre-evolution rows null-fill")
+  }
+
   test("existing target without the marker refuses; wrong-format target refuses") {
     val src = mkDeltaSource("foreign", n = 4)
     val base = tempDir("replstream-foreign-t").toString

@@ -99,6 +99,12 @@ class DeltaSqlSpec extends SparkSpec {
     }
     DeltaSql.exec(spark, s"ALTER TABLE ${ref(dir)} DROP CONSTRAINT xpos")
 
+    DeltaSql.exec(spark,
+      s"ALTER TABLE ${ref(dir)} ADD COLUMNS (note STRING, score BIGINT)")
+    val evolved = DeltaLog.snapshot(spark, dir).schema
+    assert(evolved.fieldNames.toSeq == Seq("id", "x", "note", "score"))
+    assert(t(dir)(spark, ReadArgs()).where("note IS NULL").count() == 4L)
+
     DeltaSql.exec(spark, s"ALTER TABLE ${ref(dir)} CLUSTER BY (x)")
     assert(DeltaDdl.clusteringColumns(DeltaLog.snapshot(spark, dir)) == Seq("x"))
     // plain OPTIMIZE now clusters (delta-spark parity on clustered tables)
