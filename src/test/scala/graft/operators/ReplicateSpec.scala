@@ -261,6 +261,61 @@ class ReplicateSpec extends SparkSpec {
       .txns.get("dk-test").contains(7L), "empty-source delete carries the txn")
   }
 
+  test("a PARTITIONED replica lands partition-pruned reads after syncs") {
+    // the replica is a real table of its format: partitionBy at
+    // initialize must produce a layout the format's planner prunes
+    for (tf <- Seq("delta", "iceberg", "hudi")) {
+      val base = tempDir(s"repl-part-$tf").toString
+      val (src, tgt) = (base + "/src", base + "/replica")
+      DeltaDdl.createTable(spark, src, StructType(Seq(
+        StructField("id", LongType),
+        StructField("name", StringType),
+        StructField("part", LongType))),
+        configuration = Map("delta.enableChangeDataFeed" -> "true"))
+      DeltaWrite.append(spark,
+        Seq.tabulate(12)(i => (i.toLong, s"n$i", (i % 3).toLong))
+          .toDF("id", "name", "part"), src)
+      Replicate.initialize(spark, src, tgt, Seq("id"), tf,
+        partitionBy = Seq("part"))
+      DeltaWrite.merge(spark, src,
+        Seq((1L, "U", 1L), (100L, "N", 2L)).toDF("id", "name", "part"), Seq("id"))
+      Replicate.sync(spark, src, tgt, Seq("id"))
+
+      val fs = graft.core.Filters.normalize(Seq(Filter("part", "=", 1)))
+      val pruned: DataFrame = tf match {
+        case "delta"   => new DeltaTable("t", tgt)(spark, ReadArgs(filters = fs))
+        case "iceberg" => new IcebergTable("t", tgt)(spark, ReadArgs(filters = fs))
+        case "hudi"    => new graft.tables.HudiTable("t", tgt)(spark, ReadArgs(filters = fs))
+      }
+      // DATA files must prune to the filtered partition (an Iceberg
+      // scan also lists the upsert's equality-DELETE files — they
+      // apply to the pruned candidates and are not data)
+      val dataFiles = tf match {
+        case "iceberg" =>
+          val deletes = graft.tables.IcebergMetaTables.files(spark, tgt)
+            .where(org.apache.spark.sql.functions.col("content") =!= 0)
+            .select("file_path")
+            .as[String].collect().map(_.split('/').last).toSet
+          pruned.inputFiles.filterNot(f => deletes(f.split('/').last))
+        case _ => pruned.inputFiles
+      }
+      assert(dataFiles.nonEmpty && dataFiles.forall(_.contains("part=1")),
+        s"$tf replica reads are not partition-pruned: ${dataFiles.toSeq}")
+      assert(pruned.select("id").as[Long].collect().toSet ==
+        Set(1L, 4L, 7L, 10L))
+      val full: DataFrame = tf match {
+        case "delta"   => new DeltaTable("t", tgt)(spark)
+        case "iceberg" => new IcebergTable("t", tgt)(spark, ReadArgs.empty)
+        case "hudi"    => new graft.tables.HudiTable("t", tgt)(spark, ReadArgs.empty)
+      }
+      val feed = graft.tables.ChangeFeed.forPath(spark, src)
+      val want = feed.snapshotAt(spark, feed.head(spark))
+        .select("id", "name", "part").as[(Long, String, Long)].collect().toSet
+      assert(full.select("id", "name", "part")
+        .as[(Long, String, Long)].collect().toSet == want)
+    }
+  }
+
   test("a DV-flagged Delta replica applies syncs without rewriting data files") {
     val src = mkDeltaSource("dvrepl")
     val tgt = tempDir("repl-dvrepl-t").toString + "/replica"

@@ -214,6 +214,19 @@ class MergeDvSpec extends SparkSpec {
     assert(got.size == 19)
   }
 
+  test("checkpoint + VACUUM after DV merges: state survives, replaced DVs reclaimed") {
+    val dir = mkTable("ckpt")
+    DeltaWrite.mergeDv(spark, dir, Seq((2L, "A", 1L)).toDF("id", "name", "v"), Seq("id"))
+    DeltaWrite.mergeDv(spark, dir, Seq((2L, "B", 2L)).toDF("id", "name", "v"), Seq("id"),
+      deleteKeys = Some(Seq(11L).toDF("id")))
+    val expected = readState(dir)
+    DeltaWrite.checkpoint(spark, dir)
+    assert(readState(dir) == expected, "checkpointed DV state must round-trip")
+    val reclaimed = DeltaWrite.vacuum(spark, dir, retentionMs = 0L)
+    assert(readState(dir) == expected, "vacuum must keep live DVs and files")
+    assert(reclaimed > 0, "the replaced first-merge DV file must be reclaimable")
+  }
+
   test("PARITY property: random merges via DV and rewrite converge identically") {
     val rnd = new scala.util.Random(17)
     val dvDir = mkTable("prop")
