@@ -1,0 +1,114 @@
+package graft.spark
+
+import graft.SparkSpec
+import graft.tables.{DeltaWrite, HudiWrite, IcebergWrite}
+import org.apache.spark.sql.functions.col
+
+/** The graft DataSource: Spark SQL reads native Delta/Iceberg/Hudi
+  * tables as first-class relations, with WHERE clauses pruning
+  * through the graft Filter algebra and projections pruning columns.
+  */
+class GraftSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows = Seq.tabulate(12)(i =>
+    (i.toLong, s"n$i", (i % 3).toLong)).toDF("id", "name", "part")
+
+  test("reader API + SQL view + direct-path SQL over all three formats, auto-detected") {
+    val base = tempDir("graft-src").toString
+    val (d, i, h) = (base + "/d", base + "/i", base + "/h")
+    DeltaWrite.append(spark, rows, d, Seq("part"))
+    IcebergWrite.append(spark, rows, i, Seq("part"))
+    HudiWrite.bulkInsert(spark, rows, h, "id", Seq("part"))
+
+    for (p <- Seq(d, i, h)) {
+      // DataFrame reader, format auto-detected from the layout
+      val df = spark.read.format("graft").load(p)
+      assert(df.select("id").as[Long].collect().sorted.toSeq == (0L to 11L))
+      // SQL view: arbitrary Spark SQL over the relation
+      spark.read.format("graft").load(p).createOrReplaceTempView("gsrc")
+      val agg = spark.sql(
+        "SELECT part, count(*) AS n FROM gsrc GROUP BY part ORDER BY part")
+        .as[(Long, Long)].collect().toSeq
+      assert(agg == Seq((0L, 4L), (1L, 4L), (2L, 4L)))
+      // SQL DDL form: USING graft OPTIONS
+      spark.sql("DROP VIEW IF EXISTS gddl")
+      spark.sql(s"CREATE TEMPORARY VIEW gddl USING graft OPTIONS (path '$p')")
+      assert(spark.sql("SELECT count(*) FROM gddl").as[Long].head() == 12L)
+      spark.sql("DROP VIEW gddl")
+    }
+  }
+
+  test("WHERE pushes into the graft pruning planner: only matching partitions open") {
+    val base = tempDir("graft-src-prune").toString
+    val (d, i, h) = (base + "/d", base + "/i", base + "/h")
+    DeltaWrite.append(spark, rows, d, Seq("part"))
+    IcebergWrite.append(spark, rows, i, Seq("part"))
+    HudiWrite.bulkInsert(spark, rows, h, "id", Seq("part"))
+
+    def scanRows(q: org.apache.spark.sql.DataFrame): Long = {
+      q.collect()
+      q.queryExecution.executedPlan.collectLeaves()
+        .collectFirst {
+          case s: org.apache.spark.sql.execution.RowDataSourceScanExec =>
+            s.metrics("numOutputRows").value
+        }.getOrElse(fail("no data-source scan in the plan"))
+    }
+    for (p <- Seq(d, i, h)) {
+      val q = spark.read.format("graft").load(p)
+        .where(col("part") === 1).select("id", "name")
+      // the translated filter is HANDLED by the relation: no Spark
+      // re-filter, and the scan itself emits only the matching rows —
+      // proof the predicate reached the graft pruning planner
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters") && plan.contains("EqualTo(part,1"),
+        s"filter not pushed for $p:\n$plan")
+      assert(q.select("id").as[Long].collect().toSet == Set(1L, 4L, 7L, 10L))
+      assert(scanRows(q) == 4L, s"$p scan emitted unfiltered rows")
+      // IN-lists translate too
+      val in = spark.read.format("graft").load(p).where("part IN (0, 2)")
+      assert(in.count() == 8L)
+      assert(scanRows(in.select("id")) == 8L)
+    }
+  }
+
+  test("untranslatable predicates stay with Spark and results remain exact") {
+    val dir = tempDir("graft-src-resid").toString + "/d"
+    DeltaWrite.append(spark, rows, dir, Seq("part"))
+    spark.sql(s"CREATE TEMPORARY VIEW gresid USING graft OPTIONS (path '$dir')")
+    val q = spark.sql(
+      "SELECT id FROM gresid WHERE part = 1 AND name LIKE '%1%'")
+    // LIKE is not in the algebra: Spark applies it over the pruned read
+    assert(q.as[Long].collect().toSet == Set(1L, 10L))
+  }
+
+  test("time-travel options route to each format's reader") {
+    val base = tempDir("graft-src-tt").toString
+    val (d, i2) = (base + "/d", base + "/i")
+    DeltaWrite.append(spark, Seq((1L, "a")).toDF("id", "v"), d)
+    DeltaWrite.append(spark, Seq((2L, "b")).toDF("id", "v"), d)
+    assert(spark.read.format("graft").option("versionAsOf", "0")
+      .load(d).count() == 1L)
+
+    IcebergWrite.append(spark, Seq((1L, "a")).toDF("id", "v"), i2)
+    IcebergWrite.append(spark, Seq((2L, "b")).toDF("id", "v"), i2)
+    val firstSnap = graft.tables.IcebergMetaTables.snapshots(spark, i2)
+      .orderBy("snapshot_id").select("snapshot_id").as[Long].head()
+    assert(spark.read.format("graft").option("snapshotId", firstSnap.toString)
+      .load(i2).count() == 1L)
+  }
+
+  test("refusals: non-lakehouse path, format mislabel") {
+    val dir = tempDir("graft-src-bad").toString
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graft").load(dir + "/nope")
+    }
+    assert(e.getMessage.contains("not a Delta, Iceberg or Hudi"))
+    val d = dir + "/d"
+    DeltaWrite.append(spark, Seq((1L, "a")).toDF("id", "v"), d)
+    val e2 = intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("format", "hudi").load(d)
+    }
+    assert(e2.getMessage.contains("delta table, not the requested hudi"))
+  }
+}
