@@ -34,8 +34,72 @@ import org.apache.spark.sql.types.StructType
   * (delta), `snapshotId`/`ref`/`asOfTimestampMs` (iceberg),
   * `asOfInstant` (hudi).
   */
-class GraftSource extends RelationProvider with DataSourceRegister {
+class GraftSource extends RelationProvider
+    with CreatableRelationProvider with DataSourceRegister {
   override def shortName(): String = "graft"
+
+  /** Write side: `df.write.format("graft").option("format", f)
+    * .save(path)` — Append appends (additively evolving where the
+    * format's writer does), Overwrite replaces contents,
+    * ErrorIfExists/Ignore follow their SaveMode contracts. A NEW
+    * table needs an explicit `format` (plus `recordKey` for hudi,
+    * optional comma-separated `partitionBy`); an existing table
+    * auto-detects and refuses a mismatched label.
+    */
+  override def createRelation(
+      sqlContext: SQLContext,
+      mode: org.apache.spark.sql.SaveMode,
+      parameters: Map[String, String],
+      data: org.apache.spark.sql.DataFrame): BaseRelation = {
+    import org.apache.spark.sql.SaveMode
+    val path = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "the graft source requires a 'path' option"))
+    val spark = sqlContext.sparkSession
+    val detected = ChangeFeed.detectFormat(spark, path)
+    val format = parameters.get("format").map(_.toLowerCase).orElse(detected)
+      .getOrElse(throw new IllegalArgumentException(
+        s"writing a NEW table at $path needs an explicit 'format' option " +
+          "(delta | iceberg | hudi)"))
+    require(Set("delta", "iceberg", "hudi")(format),
+      s"unknown format '$format' (delta | iceberg | hudi)")
+    detected.foreach(d => require(d == format,
+      s"$path is a $d table, not the requested $format"))
+    val partitionBy = parameters.get("partitionBy").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    val exists = detected.isDefined
+    val write = mode match {
+      case SaveMode.ErrorIfExists if exists =>
+        throw new IllegalArgumentException(
+          s"$path already exists (SaveMode.ErrorIfExists)")
+      case SaveMode.Ignore if exists => false
+      case _                         => true
+    }
+    if (write) {
+      val overwrite = mode == org.apache.spark.sql.SaveMode.Overwrite
+      format match {
+        case "delta" =>
+          if (overwrite) graft.tables.DeltaWrite.overwrite(spark, data, path, partitionBy)
+          else graft.tables.DeltaWrite.append(spark, data, path, partitionBy)
+        case "iceberg" =>
+          if (overwrite && exists)
+            graft.tables.IcebergWrite.overwrite(spark, data, path)
+          else graft.tables.IcebergWrite.append(spark, data, path, partitionBy)
+        case "hudi" =>
+          require(!overwrite || !exists,
+            "Overwrite of an existing Hudi table is not supported; " +
+              "delete + bulkInsert, or use upsert semantics via HudiWrite")
+          if (exists) graft.tables.HudiWrite.upsert(spark, data, path)
+          else {
+            val key = parameters.getOrElse("recordKey",
+              throw new IllegalArgumentException(
+                "creating a Hudi table needs a 'recordKey' option"))
+            graft.tables.HudiWrite.bulkInsert(spark, data, path, key, partitionBy,
+              parameters.getOrElse("tableType", "COPY_ON_WRITE"))
+          }
+      }
+    }
+    createRelation(sqlContext, parameters + ("format" -> format))
+  }
 
   override def createRelation(
       sqlContext: SQLContext, parameters: Map[String, String]): BaseRelation = {

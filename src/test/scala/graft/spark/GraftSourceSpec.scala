@@ -98,6 +98,56 @@ class GraftSourceSpec extends SparkSpec {
       .load(i2).count() == 1L)
   }
 
+  test("write side: save modes create/append/overwrite across formats") {
+    import org.apache.spark.sql.SaveMode
+    val base = tempDir("graft-src-w").toString
+    def readAll(p: String) = spark.read.format("graft").load(p)
+      .select("id", "v").as[(Long, String)].collect().toSet
+
+    // delta: create (explicit format) → append (auto-detect) → overwrite
+    val d = base + "/d"
+    Seq((1L, "a")).toDF("id", "v").write.format("graft")
+      .option("format", "delta").save(d)
+    Seq((2L, "b")).toDF("id", "v").write.format("graft")
+      .mode(SaveMode.Append).save(d)
+    assert(readAll(d) == Set((1L, "a"), (2L, "b")))
+    Seq((9L, "z")).toDF("id", "v").write.format("graft")
+      .mode(SaveMode.Overwrite).save(d)
+    assert(readAll(d) == Set((9L, "z")))
+
+    // iceberg create + append
+    val i = base + "/i"
+    Seq((1L, "a")).toDF("id", "v").write.format("graft")
+      .option("format", "iceberg").save(i)
+    Seq((2L, "b")).toDF("id", "v").write.format("graft")
+      .mode(SaveMode.Append).save(i)
+    assert(readAll(i) == Set((1L, "a"), (2L, "b")))
+
+    // hudi create needs recordKey; appends are key-merged upserts
+    val h = base + "/h"
+    intercept[IllegalArgumentException] {
+      Seq((1L, "a")).toDF("id", "v").write.format("graft")
+        .option("format", "hudi").save(h)
+    }
+    Seq((1L, "a")).toDF("id", "v").write.format("graft")
+      .option("format", "hudi").option("recordKey", "id").save(h)
+    Seq((1L, "A"), (2L, "b")).toDF("id", "v").write.format("graft")
+      .mode(SaveMode.Append).save(h)
+    assert(readAll(h) == Set((1L, "A"), (2L, "b")))
+
+    // mode contracts
+    intercept[IllegalArgumentException] {
+      Seq((3L, "c")).toDF("id", "v").write.format("graft")
+        .mode(SaveMode.ErrorIfExists).save(d)
+    }
+    Seq((3L, "c")).toDF("id", "v").write.format("graft")
+      .mode(SaveMode.Ignore).save(d) // no-op on existing
+    assert(readAll(d) == Set((9L, "z")))
+    intercept[IllegalArgumentException] {
+      Seq((3L, "c")).toDF("id", "v").write.format("graft").save(base + "/new")
+    } // new table without explicit format refuses
+  }
+
   test("refusals: non-lakehouse path, format mislabel") {
     val dir = tempDir("graft-src-bad").toString
     val e = intercept[IllegalArgumentException] {
