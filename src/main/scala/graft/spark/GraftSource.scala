@@ -35,8 +35,59 @@ import org.apache.spark.sql.types.StructType
   * `asOfInstant` (hudi).
   */
 class GraftSource extends RelationProvider
-    with CreatableRelationProvider with DataSourceRegister {
+    with CreatableRelationProvider
+    with org.apache.spark.sql.sources.StreamSourceProvider
+    with DataSourceRegister {
   override def shortName(): String = "graft"
+
+  /** Streaming reads under the same format name:
+    * `spark.readStream.format("graft").load(p)` tails NET ROWS
+    * through the format's own incremental source (Delta commit-log
+    * tail incl. `readChangeFeed`, Iceberg snapshot diffs incl.
+    * `upsertChanges`, pending-instant-fenced Hudi increments — each
+    * source's own options pass through); `.option("cdc", "true")`
+    * tails the TYPED change stream (the E63 uniform cdc schema)
+    * instead, for any of the three formats.
+    */
+  private def streamDelegate(
+      spark: SparkSession,
+      parameters: Map[String, String]): org.apache.spark.sql.sources.StreamSourceProvider = {
+    if (parameters.get("cdc").exists(_.toBoolean))
+      new graft.streaming.ChangeFeedStreamSourceProvider
+    else {
+      val path = parameters.getOrElse("path", throw new IllegalArgumentException(
+        "the graft source requires a 'path' option"))
+      val format = parameters.get("format").map(_.toLowerCase)
+        .orElse(ChangeFeed.detectFormat(spark, path))
+        .getOrElse(throw new IllegalArgumentException(
+          s"$path is not a Delta, Iceberg or Hudi table"))
+      format match {
+        case "delta"   => new graft.streaming.DeltaStreamSourceProvider
+        case "iceberg" => new graft.streaming.IcebergStreamSourceProvider
+        case "hudi"    => new graft.streaming.HudiStreamSourceProvider
+        case other => throw new IllegalArgumentException(
+          s"unknown format '$other' (delta | iceberg | hudi)")
+      }
+    }
+  }
+
+  override def sourceSchema(
+      sqlContext: SQLContext,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    streamDelegate(sqlContext.sparkSession, parameters)
+      .sourceSchema(sqlContext, schema, providerName, parameters)
+
+  override def createSource(
+      sqlContext: SQLContext,
+      metadataPath: String,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String])
+  : org.apache.spark.sql.execution.streaming.Source =
+    streamDelegate(sqlContext.sparkSession, parameters)
+      .createSource(sqlContext, metadataPath, schema, providerName, parameters)
 
   /** Write side: `df.write.format("graft").option("format", f)
     * .save(path)` — Append appends (additively evolving where the

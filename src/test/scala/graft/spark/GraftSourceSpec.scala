@@ -148,6 +148,51 @@ class GraftSourceSpec extends SparkSpec {
     } // new table without explicit format refuses
   }
 
+  test("streaming reads: net rows by default, typed changes with cdc=true") {
+    import org.apache.spark.sql.streaming.OutputMode
+    val base = tempDir("graft-src-stream").toString
+    val d = base + "/d"
+    DeltaWrite.append(spark, Seq((1L, "a")).toDF("id", "v"), d)
+
+    // net-rows tail (delta auto-detected)
+    val sink1 = s"netsink_${System.nanoTime()}"
+    val q1 = spark.readStream.format("graft").load(d)
+      .writeStream.format("memory").queryName(sink1)
+      .option("checkpointLocation", base + "/ck1")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q1.processAllAvailable()
+      DeltaWrite.append(spark, Seq((2L, "b")).toDF("id", "v"), d)
+      q1.processAllAvailable()
+      assert(spark.table(sink1).select("id").as[Long].collect().toSet == Set(1L, 2L))
+    } finally q1.stop()
+
+    // typed cdc tail over a CDF-enabled table
+    val c = base + "/c"
+    graft.tables.DeltaDdl.createTable(spark, c,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.StringType))),
+      configuration = Map("delta.enableChangeDataFeed" -> "true"))
+    DeltaWrite.append(spark, Seq((1L, "a")).toDF("id", "v"), c)
+    val sink2 = s"cdcsink_${System.nanoTime()}"
+    val q2 = spark.readStream.format("graft").option("cdc", "true").load(c)
+      .writeStream.format("memory").queryName(sink2)
+      .option("checkpointLocation", base + "/ck2")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q2.processAllAvailable()
+      DeltaWrite.deleteWhere(spark, c,
+        graft.core.Filters.normalize(Seq(graft.core.Filter("id", "=", 1))))
+      q2.processAllAvailable()
+      val types = spark.table(sink2).select("_change_type")
+        .as[String].collect().toSet
+      assert(types == Set("insert", "delete"))
+    } finally q2.stop()
+  }
+
   test("refusals: non-lakehouse path, format mislabel") {
     val dir = tempDir("graft-src-bad").toString
     val e = intercept[IllegalArgumentException] {
