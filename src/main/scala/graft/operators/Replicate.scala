@@ -38,12 +38,19 @@ import org.apache.spark.sql.functions._
   * commit.
   *
   * Requirements, refused loudly: the source must be KEYED (at most
-  * one live row per key — two surviving rows for one key in a fold
-  * refuse) with non-null keys; `sync` must be called with the keys
+  * one live row per key — the full snapshot is proven at initialize,
+  * and two surviving rows for one key within a batch's fold refuse)
+  * with non-null keys; `sync` must be called with the keys
   * `initialize` used (the fold is keyed by them); a Hudi replica
   * needs a single key column (the Hudi record key); a Delta source
   * needs `delta.enableChangeDataFeed` (checked at initialize, not
-  * first sync).
+  * first sync). Declared boundary: a source that BECOMES un-keyed
+  * after initialize through duplicate inserts in SEPARATE commits is
+  * out of contract and not detectable from the change stream alone
+  * (full re-proof would scan the source per sync); the fold then
+  * converges last-writer-wins — the replica keeps exactly one row
+  * per key, which is the keyed-apply semantic, but it no longer
+  * mirrors the (un-keyed) source row-for-row.
   */
 object Replicate {
 
@@ -176,8 +183,11 @@ object Replicate {
         // Iceberg/Hudi legs evolve inside their own upsert paths); a
         // replica column the source no longer carries refuses loudly
         // — replication is additive-only, like the formats' own
-        // evolution contracts
-        if (hasSurvivors) {
+        // evolution contracts. Gated on the batch SCHEMA, not on the
+        // batch having survivors: a delete-only batch after an
+        // evolution still passes the evolved (empty) survivors frame
+        // to merge, whose schema check needs the evolved replica.
+        locally {
           val tgtSchema = DeltaLog.snapshot(spark, targetPath, withFiles = false)
             .metadata.schema
           val dropped = tgtSchema.fieldNames

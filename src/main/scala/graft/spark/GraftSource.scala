@@ -91,7 +91,10 @@ class GraftSource extends RelationProvider
 
   /** Write side: `df.write.format("graft").option("format", f)
     * .save(path)` — Append appends (additively evolving where the
-    * format's writer does), Overwrite replaces contents,
+    * format's writer does; a Hudi "append" is the format's own
+    * KEY-MERGED upsert — Hudi forbids duplicate record keys, so rows
+    * whose keys exist REPLACE the old versions rather than
+    * duplicating them), Overwrite replaces contents,
     * ErrorIfExists/Ignore follow their SaveMode contracts. A NEW
     * table needs an explicit `format` (plus `recordKey` for hudi,
     * optional comma-separated `partitionBy`); an existing table
@@ -202,7 +205,26 @@ class GraftRelation(
     case _         => new HudiTable(name, path)(spark, args)
   }
 
-  override val schema: StructType = frame(ReadArgs(extra = extra)).schema
+  // metadata-only schema resolution when no time travel is requested
+  // (a full frame would plan the whole scan — snapshot file state,
+  // manifests, slices — just to read column names; Hudi has no
+  // metadata-only schema, its declared-schema read IS the cheap
+  // path); time-traveled relations derive the schema from the
+  // versioned frame, which may legitimately differ from the current
+  // one. Direct per-format resolution, NOT ChangeFeed.tableSchema —
+  // the Iceberg feed refuses v1 tables (its changelog needs sequence
+  // numbers) while batch reads serve them fine.
+  override val schema: StructType =
+    if (extra.nonEmpty) frame(ReadArgs(extra = extra)).schema
+    else format match {
+      case "delta" =>
+        graft.tables.DeltaLog.snapshot(spark, path, withFiles = false).schema
+      case "iceberg" =>
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        graft.tables.IcebergMeta.load(fs, path).schema
+      case _ => frame(ReadArgs.empty).schema
+    }
 
   // buildScan returns the DataFrame's InternalRow RDD directly — the
   // standard no-copy seam (Spark skips the Row re-encoding)

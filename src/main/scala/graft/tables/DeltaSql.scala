@@ -67,8 +67,10 @@ object DeltaSql {
     val addCk = (s"""(?is)^ALTER\\s+TABLE\\s+$TableRef\\s+ADD\\s+CONSTRAINT\\s+(\\w+)""" +
       s"""\\s+CHECK\\s*\\((.+)\\)$$""").r
     val dropCk = s"""(?is)^ALTER\\s+TABLE\\s+$TableRef\\s+DROP\\s+CONSTRAINT\\s+(\\w+)$$""".r
+    // greedy capture to the LAST ')': parameterized types —
+    // DECIMAL(10,2), VARCHAR(n) — carry parentheses of their own
     val addCols = (s"""(?is)^ALTER\\s+TABLE\\s+$TableRef\\s+ADD\\s+COLUMNS?""" +
-      s"""\\s*\\(([^)]+)\\)$$""").r
+      s"""\\s*\\((.+)\\)$$""").r
     val setProps = (s"""(?is)^ALTER\\s+TABLE\\s+$TableRef\\s+SET\\s+TBLPROPERTIES""" +
       s"""\\s*\\((.+)\\)$$""").r
     val clusterBy = s"""(?is)^ALTER\\s+TABLE\\s+$TableRef\\s+CLUSTER\\s+BY\\s+\\(([^)]+)\\)$$""".r

@@ -1510,7 +1510,12 @@ object DeltaWrite {
         }
         (adds, dvUpdated.map { case (key, _) => byPath(key) })
       }
-    if (newAdds.isEmpty && dvAdds.isEmpty) return CommitResult(snap.version, 0, 0)
+    // nothing staged AND no marker to record → commitless no-op; with
+    // a txn the commit still lands (merge's contract: a CDC replicator
+    // whose batch nets to deletes of absent keys must still advance
+    // its watermark — dropping it would refold the same range forever)
+    if (newAdds.isEmpty && dvAdds.isEmpty && txn.isEmpty)
+      return CommitResult(snap.version, 0, 0)
     commitLoop(spark, tablePath, newAdds ++ dvAdds, dvRemoves,
       bumpIdentityHwm(meta.schemaString, DeltaPolicy.identityColumns(meta), newAdds),
       partCols, overwrite = false,

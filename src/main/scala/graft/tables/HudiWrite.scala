@@ -1121,12 +1121,20 @@ object HudiWrite {
     * recording a writer schema (ours or a foreign writer's). `None`
     * on tables whose timeline never recorded one — readers then fall
     * back to parquet-sampled schemas, the pre-evolution behavior.
-    * Driver cost: newest-first commit-JSON reads, normally ONE.
+    * Driver cost: newest-first commit-JSON reads, normally ONE — and
+    * CACHED per (table, newest instant): commit JSONs are immutable,
+    * so the same timeline state always resolves the same answer; a
+    * schema-LESS table (pre-feature graft) pays its full walk once
+    * per commit, not once per read.
     */
   def latestTableSchema(
       fs: FileSystem, tablePath: String): Option[org.apache.spark.sql.types.StructType] = {
+    val instants = completedInstants(fs, tablePath, None)
+    val cacheKey = (tablePath, instants.lastOption.map(_._1).getOrElse(""))
+    val cached = declaredSchemaCache.get(cacheKey)
+    if (cached != null) return cached
     val hoodieDir = new Path(tablePath, ".hoodie")
-    completedInstants(fs, tablePath, None).reverseIterator.flatMap {
+    val resolved = instants.reverseIterator.flatMap {
       case (instant, action) =>
         val in = fs.open(new Path(hoodieDir, s"$instant.$action"))
         val root = try mapper.readTree(in) finally in.close()
@@ -1135,7 +1143,14 @@ object HudiWrite {
     }.take(1).toSeq.headOption.map { s =>
       HudiLog.structType(new org.apache.avro.Schema.Parser().parse(s))
     }
+    if (declaredSchemaCache.size > 512) declaredSchemaCache.clear() // bound
+    declaredSchemaCache.put(cacheKey, resolved)
+    resolved
   }
+
+  private val declaredSchemaCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (String, String), Option[org.apache.spark.sql.types.StructType]]()
 
   /** Highest batch id any completed instant's extraMetadata records
     * for `appId` — None when the table is absent or unmarked.

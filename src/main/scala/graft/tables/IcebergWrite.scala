@@ -173,10 +173,13 @@ object IcebergWrite {
     val metaDir = new Path(table, "metadata")
     val meta0 = IcebergMeta.load(fs, tablePath)
     // the v3 spec forbids ADDING position-delete files (deletion
-    // vectors replace them); existing v2 deletes keep applying
-    require(meta0.formatVersion <= 2,
-      s"$tablePath is format-version ${meta0.formatVersion}: v3 tables take " +
-        "position deletes as deletion vectors — use deleteWhereDv")
+    // vectors replace them); ROUTE v3 tables to the DV writer — the
+    // same auto-dispatch shape as Delta's enableDeletionVectors, so
+    // callers (incl. SQL DELETE) keep working after the first
+    // deleteWhereDv stamps the table v3. Existing v2 deletes keep
+    // applying independently per the upgrade contract.
+    if (meta0.formatVersion >= 3)
+      return deleteWhereDv(spark, tablePath, filters)
     val snap0 = meta0.currentSnapshotId
       .flatMap(id => meta0.snapshots.find(_.id == id))
       .getOrElse(throw new IllegalArgumentException(s"$tablePath has no current snapshot"))
@@ -607,10 +610,18 @@ object IcebergWrite {
             w.create(es, fs.create(p, true))
             try {
               // explicit sequence numbers first: EXISTING/DELETED
-              // entries don't inherit the rewritten manifest's
-              def fixSeq(e: GenericRecord): Unit =
+              // entries don't inherit the rewritten manifest's — and
+              // the spec permits a null file_sequence_number only on
+              // ADDED entries, so the inherited value (the sequence
+              // number of the manifest that added the file) must be
+              // materialized here too or a conforming foreign reader
+              // would re-inherit the NEW snapshot's
+              def fixSeq(e: GenericRecord): Unit = {
                 if (e.get("sequence_number") == null)
                   e.put("sequence_number", mi.sequenceNumber)
+                if (e.get("file_sequence_number") == null)
+                  e.put("file_sequence_number", mi.sequenceNumber)
+              }
               keepLive.foreach { e => fixSeq(e); e.put("status", 0); w.append(e) }
               drop.foreach { e =>
                 fixSeq(e); e.put("status", 2)

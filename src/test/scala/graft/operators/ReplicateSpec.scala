@@ -375,6 +375,28 @@ class ReplicateSpec extends SparkSpec {
     }
   }
 
+  test("a DELETE-ONLY batch carrying a fresh source evolution still applies (delta)") {
+    // evolution + delete in ONE un-synced range: the batch's
+    // survivors are EMPTY but their schema is evolved — the replica
+    // must evolve before the merge's schema check, not crash
+    val base = tempDir("repl-evo-delonly").toString
+    val (src, tgt) = (base + "/src", base + "/replica")
+    DeltaDdl.createTable(spark, src, StructType(Seq(
+      StructField("id", LongType),
+      StructField("name", StringType))),
+      configuration = Map("delta.enableChangeDataFeed" -> "true"))
+    DeltaWrite.append(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "name"), src)
+    Replicate.initialize(spark, src, tgt, Seq("id"), "delta")
+    DeltaDdl.addColumns(spark, src, Seq(StructField("score", LongType)))
+    DeltaWrite.deleteWhere(spark, src,
+      Filters.normalize(Seq(Filter("id", "=", 1))))
+    Replicate.sync(spark, src, tgt, Seq("id"))
+    assert(readTarget2(tgt).map(_._1) == Set(2L))
+    assert(DeltaLog.snapshot(spark, tgt, withFiles = false)
+      .schema.fieldNames.contains("score"),
+      "the evolution must reach the replica even on a delete-only batch")
+  }
+
   private def readTarget2(path: String): Set[(Long, String)] = {
     val fmt = graft.tables.ChangeFeed.detectFormat(spark, path).get
     val df: DataFrame = fmt match {

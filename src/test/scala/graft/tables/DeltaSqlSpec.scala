@@ -104,6 +104,10 @@ class DeltaSqlSpec extends SparkSpec {
     val evolved = DeltaLog.snapshot(spark, dir).schema
     assert(evolved.fieldNames.toSeq == Seq("id", "x", "note", "score"))
     assert(t(dir)(spark, ReadArgs()).where("note IS NULL").count() == 4L)
+    // parameterized types carry their own parentheses
+    DeltaSql.exec(spark, s"ALTER TABLE ${ref(dir)} ADD COLUMNS (amt DECIMAL(10,2))")
+    assert(DeltaLog.snapshot(spark, dir).schema("amt").dataType ==
+      org.apache.spark.sql.types.DecimalType(10, 2))
 
     DeltaSql.exec(spark, s"ALTER TABLE ${ref(dir)} CLUSTER BY (x)")
     assert(DeltaDdl.clusteringColumns(DeltaLog.snapshot(spark, dir)) == Seq("x"))

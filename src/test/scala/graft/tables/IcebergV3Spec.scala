@@ -289,15 +289,23 @@ class IcebergV3Spec extends SparkSpec {
       .select(col("id").as[Long], col(IcebergTable.ChangeTypeCol).as[String])
       .collect().toSet == Set((4L, "delete"), (5L, "delete")))
 
-    // v2 position-delete writes refuse on the now-v3 table
-    val e = intercept[IllegalArgumentException] {
-      IcebergWrite.deleteWhere(spark, root,
-        Filters.normalize(Seq(Filter("id", "=", 9L))))
-    }
-    assert(e.getMessage.contains("deleteWhereDv"), e.getMessage)
+    // v2 deleteWhere on the now-v3 table AUTO-ROUTES to the DV writer
+    // (the spec forbids new position-delete files there; refusing
+    // outright would dead-end SQL DELETE after the first DV commit)
+    val s3 = IcebergWrite.deleteWhere(spark, root,
+      Filters.normalize(Seq(Filter("id", "=", 9L))))
+    assert(s3 > s2)
+    assert(new IcebergTable("t", root)(spark, ReadArgs.empty)
+      .select(col("id").as[Long]).collect().toSet.intersect(Set(9L)).isEmpty)
+    // the routed delete wrote a DV (a content=1 entry addressing a
+    // Puffin blob per the v3 spec), never a position-delete PARQUET
+    assert(IcebergMetaTables.files(spark, root)
+      .where(col("content") === 1).select("file_path")
+      .collect().forall(!_.getString(0).endsWith(".parquet")),
+      "a v3 routed delete must never add position-delete parquet files")
     // no-match predicates commit nothing
     assert(IcebergWrite.deleteWhereDv(spark, root,
-      Filters.normalize(Seq(Filter("id", ">", 99L)))) == s2)
+      Filters.normalize(Seq(Filter("id", ">", 99L)))) == s3)
   }
 
   test("deleteWhereDv across partitions: one Puffin container, one DV per file") {

@@ -214,6 +214,21 @@ class MergeDvSpec extends SparkSpec {
     assert(got.size == 19)
   }
 
+  test("an all-absent-keys DV merge still commits its txn marker (CDC watermark)") {
+    val dir = mkTable("wm")
+    val v0 = DeltaLog.snapshot(spark, dir, withFiles = false).version
+    // nothing stages: no survivors, delete keys match no target row —
+    // the marker must land anyway or a replicator refolds forever
+    DeltaWrite.mergeDv(spark, dir,
+      Seq.empty[(Long, String, Long)].toDF("id", "name", "v"), Seq("id"),
+      txn = Some("wm-app" -> 42L),
+      deleteKeys = Some(Seq(777L, 888L).toDF("id")))
+    val snap = DeltaLog.snapshot(spark, dir, withFiles = false)
+    assert(snap.version == v0 + 1)
+    assert(snap.txns.get("wm-app").contains(42L))
+    assert(readState(dir).size == 20, "no rows may change")
+  }
+
   test("checkpoint + VACUUM after DV merges: state survives, replaced DVs reclaimed") {
     val dir = mkTable("ckpt")
     DeltaWrite.mergeDv(spark, dir, Seq((2L, "A", 1L)).toDF("id", "name", "v"), Seq("id"))
