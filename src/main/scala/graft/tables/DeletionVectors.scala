@@ -2,7 +2,7 @@ package graft.tables
 
 import com.fasterxml.jackson.databind.JsonNode
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.types.{BooleanType, DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -479,7 +479,7 @@ case class DvDeleted(
     val path = fileAny.asInstanceOf[UTF8String].toString
     if (path != lastPath) {
       lastPath = path
-      lastBitmap = parsed.getOrElse(DvDeleted.normalizePath(path), null)
+      lastBitmap = parsed.getOrElse(DvDeleted.decodeMetadataPath(path), null)
     }
     lastBitmap != null && lastBitmap.contains(idxAny.asInstanceOf[Long])
   }
@@ -489,6 +489,44 @@ case class DvDeleted(
     copy(file = newLeft, rowIndex = newRight)
 }
 
+/** Per-file CONSTANT attribute attached at scan time — the any-typed
+  * sibling of [[FileLongAttr]]: resolves the normalized
+  * `_metadata.file_path` to a pre-computed CATALYST value (partition
+  * values for the file, which the data files of Delta/Iceberg tables
+  * do not store). This is what lets the scan assembly read ALL
+  * surviving files in ONE parquet relation instead of one union
+  * branch per distinct partition tuple: the plan width stays flat as
+  * partition count grows, and the per-row cost is a memoized map
+  * probe (metadata file_path repeats for every row of a file).
+  */
+case class FileConstAttr(
+    file: Expression,
+    attrs: Map[String, Any],
+    override val dataType: DataType
+) extends UnaryExpression with CodegenFallback {
+
+  override def child: Expression = file
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_file_const_attr"
+
+  @transient private var lastPath: String = null
+  @transient private var lastVal: Any = null
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val fileAny = file.eval(input)
+    if (fileAny == null) return null
+    val path = fileAny.asInstanceOf[UTF8String].toString
+    if (path != lastPath) {
+      lastPath = path
+      lastVal = attrs.getOrElse(DvDeleted.decodeMetadataPath(path), null)
+    }
+    lastVal
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(file = newChild)
+}
+
 object DvDeleted {
   /** `file:///tmp/t/seg=1/part-0.parquet` → `/tmp/t/seg=1/part-0.parquet`:
     * both the metadata column and add-action paths reduce to the same
@@ -496,6 +534,17 @@ object DvDeleted {
     */
   def normalizePath(p: String): String =
     new org.apache.hadoop.fs.Path(p).toUri.getPath
+
+  /** `_metadata.file_path` strings are URI-ENCODED (a directory named
+    * `part=c d` arrives as `part=c%20d`), while log/manifest paths
+    * keep the raw on-disk spelling — so the PROBE side of every
+    * file-keyed map must percent-decode ONCE to land on the same key
+    * [[normalizePath]] produced from the raw path. Strict URI
+    * decoding ('%XX' only — '+' stays '+', unlike URLDecoder).
+    */
+  def decodeMetadataPath(p: String): String =
+    try new java.net.URI(p).getPath
+    catch { case _: java.net.URISyntaxException => normalizePath(p) }
 }
 
 /** Per-file long attribute attached at scan time, keyed like
@@ -529,7 +578,7 @@ case class FileLongAttr(
     val path = fileAny.asInstanceOf[UTF8String].toString
     if (path != lastPath) {
       lastPath = path
-      lastAttr = attrs.get(DvDeleted.normalizePath(path))
+      lastAttr = attrs.get(DvDeleted.decodeMetadataPath(path))
         .map(java.lang.Long.valueOf).orNull
     }
     if (lastAttr == null) null

@@ -106,19 +106,26 @@ object DeltaChanges {
     if (meta.columnMappingMode == "id")
       spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     val base = tableUri.stripSuffix("/")
-    files.groupBy(_.partitionValues).map { case (pv, group) =>
-      var part = spark.read.schema(fileSchema)
-        .parquet(group.map(f => s"$base/${f.path}"): _*)
-        .select(logData.zip(physData).map { case (lf, pf) =>
-          col(pf.name).cast(lf.dataType).as(lf.name)
-        }.toSeq :+ col(ChangeTypeCol): _*)
-      partCols.foreach { c =>
-        val t = schema(c).dataType
-        part = part.withColumn(c,
-          pv.get(meta.physicalName(c)).flatten
-            .map(v => lit(v).cast(t)).getOrElse(lit(null).cast(t)))
-      }
-      part.select((schema.fieldNames :+ ChangeTypeCol).map(col).toSeq: _*)
-    }.reduce(_.unionByName(_))
+    // ONE parquet relation over all cdc files of the range; partition
+    // values ride as per-file constants ([[FileConstAttr]]) so plan
+    // width stays flat in partition cardinality — the DeltaRead scan
+    // discipline applied to the _change_data leg.
+    val zone = PartitionAttach.sessionZone(spark)
+    var df = spark.read.schema(fileSchema)
+      .parquet(files.map(f => s"$base/${f.path}"): _*)
+    partCols.foreach { c =>
+      val t = schema(c).dataType
+      val phys = meta.physicalName(c)
+      val attrs: Map[String, Any] = files.map { f =>
+        DvDeleted.normalizePath(s"$base/${f.path}") ->
+          f.partitionValues.get(phys).flatten
+            .map(v => PartitionAttach.fromString(v, t, zone)).orNull
+      }.toMap
+      df = PartitionAttach.attach(df, c, attrs, t)
+    }
+    df.select(logData.zip(physData).map { case (lf, pf) =>
+        col(pf.name).cast(lf.dataType).as(lf.name)
+      }.toSeq ++ partCols.map(col) :+ col(ChangeTypeCol): _*)
+      .select((schema.fieldNames :+ ChangeTypeCol).map(col).toSeq: _*)
   }
 }

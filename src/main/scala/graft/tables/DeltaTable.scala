@@ -271,7 +271,8 @@ private[graft] object DeltaRead {
       if (!meta.isColumnMapped) df
       else {
         val extras = df.columns
-          .filter(c => c == RowIdCol || c == RowCommitVersionCol).toSeq.map(col)
+          .filter(c => c == RowIdCol || c == RowCommitVersionCol ||
+            partCols.contains(c)).toSeq.map(col)
         df.select(logDataFields.zip(physDataSchema.fields).map {
           case (lf, pf) => col(pf.name).cast(lf.dataType).as(lf.name)
         }.toSeq ++ extras: _*)
@@ -323,39 +324,54 @@ private[graft] object DeltaRead {
       physDataSchema.fieldNames.toSeq ++
         (if (withRowIds) Seq(RowIdCol, RowCommitVersionCol) else Seq.empty)
 
-    files.groupBy(_.partitionValues).map { case (pv, group) =>
-      val (dvFiles, plainFiles) = group.partition(_.dv.exists(_.cardinality > 0))
-      val scans = Seq.newBuilder[DataFrame]
-      if (plainFiles.nonEmpty)
-        scans += toLogical(attachRowIds(spark.read.schema(readSchema)
-          .parquet(plainFiles.map(f => DeltaLog.resolvePath(base, f.path)): _*))
-          .select(dataCols.map(col): _*))
-      if (dvFiles.nonEmpty) {
-        val fs = new org.apache.hadoop.fs.Path(base)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val dvBytes: Map[String, Array[Byte]] = dvFiles.map { f =>
-          DvDeleted.normalizePath(DeltaLog.resolvePath(base, f.path)) ->
-            f.dv.get.readData(fs, base)
-        }.toMap
-        val deleted = Bridge.column(DvDeleted(
-          Bridge.expression(col("_metadata.file_path")),
-          Bridge.expression(col("_metadata.row_index")),
-          dvBytes))
-        scans += toLogical(attachRowIds(spark.read.schema(readSchema)
-          .parquet(dvFiles.map(f => DeltaLog.resolvePath(base, f.path)): _*))
-          .where(!deleted)
-          .select(dataCols.map(col): _*))
+    // Partition values ride the scan as per-file constants resolved
+    // against _metadata.file_path ([[FileConstAttr]]): partitionValues
+    // are keyed by PHYSICAL name under mapping, converted once on the
+    // driver with the same string→type cast the old per-partition
+    // literal column did. The whole snapshot reads as AT MOST TWO
+    // parquet relations (plain + DV-bearing) — plan width is flat in
+    // partition cardinality, so Catalyst analysis cost no longer grows
+    // with the table's partition count.
+    val zone = PartitionAttach.sessionZone(spark)
+    val pvAttrs: Seq[(String, Map[String, Any])] = partCols.map { c =>
+      val t = schema(c).dataType
+      val phys = meta.physicalName(c)
+      c -> files.map { f =>
+        DvDeleted.normalizePath(DeltaLog.resolvePath(base, f.path)) ->
+          f.partitionValues.get(phys).flatten
+            .map(v => PartitionAttach.fromString(v, t, zone)).orNull
+      }.toMap
+    }
+    def attachParts(df: DataFrame): DataFrame =
+      pvAttrs.foldLeft(df) { case (d, (c, attrs)) =>
+        PartitionAttach.attach(d, c, attrs, schema(c).dataType)
       }
-      var part = scans.result().reduce(_.unionByName(_))
-      partCols.foreach { c =>
-        val t = schema(c).dataType
-        // partitionValues are keyed by physical name under mapping
-        part = part.withColumn(c,
-          pv.get(meta.physicalName(c)).flatten
-            .map(v => lit(v).cast(t)).getOrElse(lit(null).cast(t)))
-      }
-      part.select(outSchema.fieldNames.map(col).toSeq: _*)
-    }.reduce(_.unionByName(_))
+    def oneScan(group: Seq[DeltaLog.AddFile], dvFilter: Option[Column]): DataFrame = {
+      var df: DataFrame = spark.read.schema(readSchema)
+        .parquet(group.map(f => DeltaLog.resolvePath(base, f.path)): _*)
+      df = attachRowIds(df)
+      dvFilter.foreach(p => df = df.where(p))
+      toLogical(attachParts(df).select((dataCols ++ partCols).map(col): _*))
+        .select(outSchema.fieldNames.map(col).toSeq: _*)
+    }
+
+    val (dvFiles, plainFiles) = files.partition(_.dv.exists(_.cardinality > 0))
+    val scans = Seq.newBuilder[DataFrame]
+    if (plainFiles.nonEmpty) scans += oneScan(plainFiles, None)
+    if (dvFiles.nonEmpty) {
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val dvBytes: Map[String, Array[Byte]] = dvFiles.map { f =>
+        DvDeleted.normalizePath(DeltaLog.resolvePath(base, f.path)) ->
+          f.dv.get.readData(fs, base)
+      }.toMap
+      val deleted = Bridge.column(DvDeleted(
+        Bridge.expression(col("_metadata.file_path")),
+        Bridge.expression(col("_metadata.row_index")),
+        dvBytes))
+      scans += oneScan(dvFiles, Some(!deleted))
+    }
+    scans.result().reduce(_.unionByName(_))
   }
 }
 

@@ -221,6 +221,42 @@ object DeltaWrite {
       snap.files.filter(f => DeltaFileSkipping.mayMatch(f, skipFilters, snap.metadata))
     }
 
+  /** ONE positional scan over candidate files — the frame every DV
+    * builder (DELETE/UPDATE/MERGE) filters for matching (file, row)
+    * pairs: data columns + partition columns (per-file constants via
+    * [[FileConstAttr]], keyed on `_metadata.file_path`) +
+    * `__graft_file`/`__graft_row`. One parquet relation regardless of
+    * partition cardinality — the DeltaRead plan-width discipline on
+    * the write side. `physName` maps logical→physical for
+    * column-mapped tables (partitionValues keys are physical).
+    */
+  private def positionalScan(
+      spark: SparkSession,
+      base: String,
+      schema: StructType,
+      partCols: Seq[String],
+      candidates: Seq[DeltaLog.AddFile],
+      physName: String => String = identity
+  ): DataFrame = {
+    val dataSchema = StructType(schema.fields.filterNot(f => partCols.contains(f.name)))
+    var df = spark.read.schema(dataSchema)
+      .parquet(candidates.map(f => s"$base/${f.path}"): _*)
+      .withColumn("__graft_file", col("_metadata.file_path"))
+      .withColumn("__graft_row", col("_metadata.row_index"))
+    val zone = PartitionAttach.sessionZone(spark)
+    partCols.foreach { c =>
+      val t = schema(c).dataType
+      val phys = physName(c)
+      val attrs: Map[String, Any] = candidates.map { f =>
+        DvDeleted.normalizePath(s"$base/${f.path}") ->
+          f.partitionValues.get(phys).flatten
+            .map(v => PartitionAttach.fromString(v, t, zone)).orNull
+      }.toMap
+      df = PartitionAttach.attach(df, c, attrs, t)
+    }
+    df
+  }
+
   def deleteWhere(
       spark: SparkSession,
       tablePath: String,
@@ -442,24 +478,13 @@ object DeltaWrite {
     val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val byPath = candidates.map(f =>
       DvDeleted.normalizePath(s"$base/${f.path}") -> f).toMap
-    val dataSchema = StructType(schema.fields.filterNot(f => partCols.contains(f.name)))
-    val positions = candidates.groupBy(_.partitionValues).map { case (pv, files) =>
-      var part = spark.read.schema(dataSchema)
-        .parquet(files.map(f => s"$base/${f.path}"): _*)
-        .withColumn("__graft_file", col("_metadata.file_path"))
-        .withColumn("__graft_row", col("_metadata.row_index"))
-      partCols.foreach { c =>
-        val dt = schema(c).dataType
-        part = part.withColumn(c,
-          pv.get(c).flatten.map(v => lit(v).cast(dt)).getOrElse(lit(null).cast(dt)))
-      }
-      part.filter(matched).select(col("__graft_file"), col("__graft_row"))
-    }.reduce(_.unionByName(_))
+    val positions = positionalScan(spark, base, schema, partCols, candidates)
+      .filter(matched).select(col("__graft_file"), col("__graft_row"))
       .groupBy(col("__graft_file"))
       .agg(DvBitmapAgg.bitmap(col("__graft_row")).as("dv"))
       .select(col("__graft_file"), col("dv.dv"))
       .collect()
-      .map(r => (DvDeleted.normalizePath(r.getString(0)), r.getAs[Array[Byte]](1)))
+      .map(r => (DvDeleted.decodeMetadataPath(r.getString(0)), r.getAs[Array[Byte]](1)))
     if (positions.isEmpty) return CommitResult(snap.version, 0, 0)
 
     val bitmaps: Seq[(String, RoaringBitmapArray)] = positions.toSeq.map {
@@ -1031,26 +1056,15 @@ object DeltaWrite {
     // ([[DvBitmapAgg]]) — the driver collects O(affected files) rows
     // of (path, dv bytes), never the raw row indexes. A wide DELETE's
     // driver payload is the same bytes the .bin DV file will hold.
-    val dataSchema = StructType(schema.fields.filterNot(f => partCols.contains(f.name)))
     val matched: Array[(String, Array[Byte])] =
-      candidates.groupBy(_.partitionValues).map { case (pv, files) =>
-        var part = spark.read.schema(dataSchema)
-          .parquet(files.map(f => s"$base/${f.path}"): _*)
-          .withColumn("__graft_file", col("_metadata.file_path"))
-          .withColumn("__graft_row", col("_metadata.row_index"))
-        partCols.foreach { c =>
-          val t = schema(c).dataType
-          part = part.withColumn(c,
-            pv.get(c).flatten.map(v => lit(v).cast(t)).getOrElse(lit(null).cast(t)))
-        }
-        part.filter(coalesce(predicate, lit(false)))
-          .select(col("__graft_file"), col("__graft_row"))
-      }.reduce(_.unionByName(_))
+      positionalScan(spark, base, schema, partCols, candidates)
+        .filter(coalesce(predicate, lit(false)))
+        .select(col("__graft_file"), col("__graft_row"))
         .groupBy(col("__graft_file"))
         .agg(DvBitmapAgg.bitmap(col("__graft_row")).as("dv"))
         .select(col("__graft_file"), col("dv.dv"))
         .collect()
-        .map(r => (DvDeleted.normalizePath(r.getString(0)), r.getAs[Array[Byte]](1)))
+        .map(r => (DvDeleted.decodeMetadataPath(r.getString(0)), r.getAs[Array[Byte]](1)))
 
     if (matched.isEmpty) return CommitResult(snap.version, 0, 0)
 
@@ -1435,25 +1449,14 @@ object DeltaWrite {
         val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
         val byPath = candidates.map(f =>
           DvDeleted.normalizePath(s"$base/${f.path}") -> f).toMap
-        val dataSchema = StructType(schema.fields.filterNot(f => partCols.contains(f.name)))
-        val matched = candidates.groupBy(_.partitionValues).map { case (pv, files) =>
-          var part = spark.read.schema(dataSchema)
-            .parquet(files.map(f => s"$base/${f.path}"): _*)
-            .withColumn("__graft_file", col("_metadata.file_path"))
-            .withColumn("__graft_row", col("_metadata.row_index"))
-          partCols.foreach { c =>
-            val t = schema(c).dataType
-            part = part.withColumn(c,
-              pv.get(c).flatten.map(v => lit(v).cast(t)).getOrElse(lit(null).cast(t)))
-          }
-          part.join(dyingKeys, keySeq, "left_semi")
-            .select(col("__graft_file"), col("__graft_row"))
-        }.reduce(_.unionByName(_))
+        val matched = positionalScan(spark, base, schema, partCols, candidates)
+          .join(dyingKeys, keySeq, "left_semi")
+          .select(col("__graft_file"), col("__graft_row"))
           .groupBy(col("__graft_file"))
           .agg(DvBitmapAgg.bitmap(col("__graft_row")).as("dv"))
           .select(col("__graft_file"), col("dv.dv"))
           .collect()
-          .map(r => (DvDeleted.normalizePath(r.getString(0)), r.getAs[Array[Byte]](1)))
+          .map(r => (DvDeleted.decodeMetadataPath(r.getString(0)), r.getAs[Array[Byte]](1)))
         matched.toSeq.map { case (key, bytes) =>
           val fresh = RoaringBitmapArray.deserialize(bytes)
           val bm = byPath(key).dv.map(_.readData(fs, base)) match {

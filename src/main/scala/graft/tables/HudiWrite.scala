@@ -877,7 +877,7 @@ object HudiWrite {
         .collect().map { r =>
           val ranges = colRangesOf(statFields, n =>
             (r.get(r.fieldIndex(s"_lo_$n")), r.get(r.fieldIndex(s"_hi_$n"))))
-          DvDeleted.normalizePath(r.getString(0)) ->
+          DvDeleted.decodeMetadataPath(r.getString(0)) ->
             ((r.getLong(r.fieldIndex("_n")),
               if (r.isNullAt(r.fieldIndex("_kmin")) || r.isNullAt(r.fieldIndex("_kmax"))) None
               else Some((r.getString(r.fieldIndex("_kmin")),

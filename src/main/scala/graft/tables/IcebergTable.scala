@@ -651,27 +651,50 @@ class IcebergTable(
     val seqByPath: Map[String, Long] = files.map(f =>
       DvDeleted.normalizePath(f.path) -> f.sequenceNumber).toMap
 
-    files.groupBy(f => (f.specId, f.partition)).map { case ((specId, partition), group) =>
-      var part = spark.read.schema(schema).parquet(group.map(_.path): _*)
-      // identity partition values from the manifest back-fill columns
-      // the data files don't store (stored values win via coalesce)
-      val spec = meta.specs.getOrElse(specId, Seq.empty)
-      spec.filter(_.transform == "identity").foreach { sf =>
-        schema.fields.find(_.name == sf.name).foreach { field =>
-          val v = literalValue(partition.get(sf.name).orNull, field.dataType)
-          part = part.withColumn(sf.name, coalesce(col(sf.name), v))
-        }
-      }
-      if (withDeletes)
-        part = part
-          .withColumn(PathCol, normalizePathCol(col("_metadata.file_path")))
-          .withColumn(PosCol, col("_metadata.row_index"))
-          .withColumn(SeqCol, Bridge.column(FileLongAttr(
-            Bridge.expression(col("_metadata.file_path")),
-            Bridge.expression(col("_metadata.row_index")),
-            seqByPath, addIndex = false)))
-      part.select(outSchema.fieldNames.map(col).toSeq: _*)
-    }.reduce(_.unionByName(_))
+    // ONE parquet relation over every surviving data file — plan width
+    // is flat in partition cardinality. Identity partition values from
+    // the manifests back-fill columns the data files don't store,
+    // riding the scan as per-file constants ([[FileConstAttr]] keyed
+    // on _metadata.file_path); stored values win via coalesce, and a
+    // file whose spec lacks the identity field contributes null (the
+    // old per-(spec, partition) group semantics, without the unions).
+    val zone = PartitionAttach.sessionZone(spark)
+    val specIdentity: Map[Int, Set[String]] = meta.specs.map { case (id, fs) =>
+      id -> fs.filter(_.transform == "identity").map(_.name).toSet
+    }
+    val idCols = files.flatMap(f => specIdentity.getOrElse(f.specId, Set.empty))
+      .distinct.filter(c => schema.fieldNames.contains(c))
+
+    var df = spark.read.schema(schema).parquet(files.map(_.path): _*)
+    idCols.foreach { c =>
+      val dt = schema(c).dataType
+      val attrs: Map[String, Any] = files.map { f =>
+        DvDeleted.normalizePath(f.path) ->
+          (if (specIdentity.getOrElse(f.specId, Set.empty).contains(c))
+            PartitionAttach.fromAvro(f.partition.get(c).orNull, dt, zone)
+          else null)
+      }.toMap
+      df = df.withColumn(c, coalesce(col(c), PartitionAttach.constCol(attrs, dt)))
+    }
+    if (withDeletes) {
+      // PathCol carries the MANIFEST's (scheme-stripped) spelling of
+      // each file, attached per-file — delete rows spell data-file
+      // paths the way the writing engine's manifests do, so matching
+      // against the manifest spelling is exact even where the
+      // URI-encoded _metadata rendering would drift (escaped dirs)
+      val pathAttrs: Map[String, Any] = files.map(f =>
+        DvDeleted.normalizePath(f.path) ->
+          org.apache.spark.unsafe.types.UTF8String.fromString(
+            normalizePathStr(f.path))).toMap
+      df = df
+        .withColumn(PathCol, PartitionAttach.constCol(pathAttrs, StringType))
+        .withColumn(PosCol, col("_metadata.row_index"))
+        .withColumn(SeqCol, Bridge.column(FileLongAttr(
+          Bridge.expression(col("_metadata.file_path")),
+          Bridge.expression(col("_metadata.row_index")),
+          seqByPath, addIndex = false)))
+    }
+    df.select(outSchema.fieldNames.map(col).toSeq: _*)
   }
 
   /** Position delete files are parquet (file_path, pos) at data
@@ -690,10 +713,16 @@ class IcebergTable(
     import spark.implicits._
     val delSchema = StructType(Seq(
       StructField("file_path", StringType), StructField("pos", LongType)))
-    val dels = posDeletes.map { f =>
-      spark.read.schema(delSchema).parquet(f.path)
-        .withColumn("_del_seq", lit(f.sequenceNumber))
-    }.reduce(_.unionByName(_))
+    // one scan over ALL position-delete files; each delete row's
+    // sequence number rides as a per-file constant instead of one
+    // union branch per delete file
+    val delSeq: Map[String, Long] = posDeletes.map(f =>
+      DvDeleted.normalizePath(f.path) -> f.sequenceNumber).toMap
+    val dels = spark.read.schema(delSchema).parquet(posDeletes.map(_.path): _*)
+      .withColumn("_del_seq", Bridge.column(FileLongAttr(
+        Bridge.expression(col("_metadata.file_path")),
+        Bridge.expression(col("_metadata.row_index")),
+        delSeq, addIndex = false)))
       .withColumn("file_path", normalizePathCol(col("file_path")))
     val fileSeq = dataFiles
       .map(f => (normalizePathStr(f.path), f.sequenceNumber))
@@ -725,10 +754,15 @@ class IcebergTable(
       val cols = ids.map(id => meta.schemaFieldIds.getOrElse(id,
         throw new IllegalArgumentException(s"equality field id $id not in schema")))
       val delSchema = StructType(cols.map(c => meta.schema(c).copy(metadata = Metadata.empty)))
-      val dels = files.map { f =>
-        spark.read.schema(delSchema).parquet(f.path)
-          .withColumn("_del_seq", lit(f.sequenceNumber))
-      }.reduce(_.unionByName(_))
+      // one scan per distinct equality-id SET (schema-bounded), never
+      // per file: sequence numbers ride as per-file constants
+      val delSeq: Map[String, Long] = files.map(f =>
+        DvDeleted.normalizePath(f.path) -> f.sequenceNumber).toMap
+      val dels = spark.read.schema(delSchema).parquet(files.map(_.path): _*)
+        .withColumn("_del_seq", Bridge.column(FileLongAttr(
+          Bridge.expression(col("_metadata.file_path")),
+          Bridge.expression(col("_metadata.row_index")),
+          delSeq, addIndex = false)))
       val cond = cols.map(c => df(c) <=> dels(c))
         .reduce(_ && _) && dels("_del_seq") > df(SeqCol)
       df.join(dels, cond, "left_anti")
