@@ -1,0 +1,107 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Round-13 additions: DML on a COLUMN-MAPPED Delta table through the
+  * gate — the first thing a real Delta user hits after `ALTER TABLE
+  * RENAME COLUMN` (rename requires mapping; every later UPDATE /
+  * DV-DELETE / MERGE then routes through physical names). The whole
+  * lifecycle (create mapped → append → rename → update → DV delete →
+  * merge upsert+insert) runs against one table and the final rollup
+  * only matches the oracle if every step wrote exactly the right rows
+  * under the renamed logical schema.
+  */
+object Wave9Queries {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.table(s, dir, n)
+  import Num.{d4, dsum}
+
+  object MappedDml {
+    /** UPDATE predicate bound (p_partkey < this gets the SET). */
+    val UpdateBelow = 500
+    /** DV DELETE bound (p_partkey >= this is deleted). */
+    val DeleteFrom = 1500
+    /** MERGE upsert bound (raw part rows below this re-enter with
+      * doubled size).
+      */
+    val MergeBelow = 100
+    /** The MERGE-inserted row. */
+    val InsertKey = 999999L
+    val InsertBrand = "Brand#99"
+    val InsertSize = 7
+    val InsertPrice = 42.5
+  }
+
+  private val mappedTables = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def mappedField(name: String, dt: DataType, id: Int): StructField =
+    StructField(name, dt, nullable = true,
+      metadata = new MetadataBuilder()
+        .putLong("delta.columnMapping.id", id.toLong)
+        .putString(graft.tables.DeltaLog.PhysicalNameKey, f"col-$id%02d")
+        .build())
+
+  /** Column-mapped part table driven through the full DML ladder. */
+  private def mappedDmlTable(s: SparkSession, dir: String): String =
+    mappedTables.getOrElseUpdate(dir, {
+      import graft.core.{Filter, Filters}
+      import graft.tables.{DeltaDdl, DeltaWrite}
+      import MappedDml._
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_delta_mapped").toString + "/part"
+      val schema = StructType(Seq(
+        mappedField("p_partkey", LongType, 1),
+        mappedField("p_brand", StringType, 2),
+        mappedField("p_size", IntegerType, 3),
+        mappedField("p_retailprice", DoubleType, 4)))
+      DeltaDdl.createTable(s, path, schema, configuration = Map(
+        "delta.columnMapping.mode" -> "name",
+        "delta.columnMapping.maxColumnId" -> "4"))
+      DeltaWrite.append(s,
+        t(s, dir, "part").select("p_partkey", "p_brand", "p_size", "p_retailprice"),
+        path)
+      // rename p_size -> sz: metadata-only, physical col-03 stays
+      DeltaDdl.renameColumn(s, path, "p_size", "sz")
+      // UPDATE through the renamed logical name (CoW rewrite)
+      DeltaWrite.updateWhere(s, path,
+        Filters.normalize(Seq(Filter("p_partkey", "<", UpdateBelow))),
+        Seq("sz" -> "sz + 100", "p_retailprice" -> "p_retailprice + 10"))
+      // merge-on-read DELETE via deletion vectors
+      DeltaWrite.deleteWhereDv(s, path,
+        Filters.normalize(Seq(Filter("p_partkey", ">=", DeleteFrom))))
+      // MERGE: upsert the low keys from RAW part with doubled size,
+      // plus one brand-new row
+      val src = t(s, dir, "part")
+        .filter(col("p_partkey") < MergeBelow)
+        .select(col("p_partkey"), col("p_brand"),
+          (col("p_size") * 2).as("sz"), col("p_retailprice"))
+        .unionByName(s.createDataFrame(
+          java.util.Arrays.asList(org.apache.spark.sql.Row(
+            InsertKey, InsertBrand, InsertSize, InsertPrice)),
+          StructType(Seq(
+            StructField("p_partkey", LongType),
+            StructField("p_brand", StringType),
+            StructField("sz", IntegerType),
+            StructField("p_retailprice", DoubleType)))))
+      DeltaWrite.merge(s, path, src, Seq("p_partkey"))
+      path
+    })
+
+  /** Per-brand rollup of the mapped table after the DML ladder: the
+    * sums only match the oracle if rename routing, the UPDATE's SET,
+    * the DV delete's bitmap and the MERGE's upsert/insert all hit
+    * exactly the right rows.
+    */
+  def qMappedDml(s: SparkSession, dir: String): DataFrame = {
+    import graft.tables.{DeltaTable, ReadArgs}
+    new DeltaTable("part_mapped", mappedDmlTable(s, dir))(s, ReadArgs.empty)
+      .groupBy(col("p_brand"))
+      .agg(
+        count(lit(1)).as("n_parts"),
+        sum(col("sz").cast(LongType)).as("sum_sz"),
+        dsum(d4(col("p_retailprice"))).as("sum_price"))
+      .orderBy("p_brand")
+  }
+}

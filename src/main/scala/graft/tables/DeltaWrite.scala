@@ -233,20 +233,27 @@ object DeltaWrite {
   private def positionalScan(
       spark: SparkSession,
       base: String,
-      schema: StructType,
-      partCols: Seq[String],
-      candidates: Seq[DeltaLog.AddFile],
-      physName: String => String = identity
+      meta: DeltaLog.Metadata,
+      candidates: Seq[DeltaLog.AddFile]
   ): DataFrame = {
-    val dataSchema = StructType(schema.fields.filterNot(f => partCols.contains(f.name)))
-    var df = spark.read.schema(dataSchema)
+    val schema = meta.schema
+    val partCols = meta.partitionColumns
+    // files store PHYSICAL names under column mapping: read
+    // physically, rename to the logical schema after the scan
+    if (meta.columnMappingMode == "id")
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    val physPart = partCols.map(meta.physicalName).toSet
+    val physData = StructType(
+      meta.physicalSchema.fields.filterNot(f => physPart.contains(f.name)))
+    val logData = schema.fields.filterNot(f => partCols.contains(f.name))
+    var df = spark.read.schema(physData)
       .parquet(candidates.map(f => s"$base/${f.path}"): _*)
       .withColumn("__graft_file", col("_metadata.file_path"))
       .withColumn("__graft_row", col("_metadata.row_index"))
     val zone = PartitionAttach.sessionZone(spark)
     partCols.foreach { c =>
       val t = schema(c).dataType
-      val phys = physName(c)
+      val phys = meta.physicalName(c)
       val attrs: Map[String, Any] = candidates.map { f =>
         DvDeleted.normalizePath(s"$base/${f.path}") ->
           f.partitionValues.get(phys).flatten
@@ -254,7 +261,11 @@ object DeltaWrite {
       }.toMap
       df = PartitionAttach.attach(df, c, attrs, t)
     }
-    df
+    if (!meta.isColumnMapped) df
+    else df.select(logData.zip(physData.fields).map {
+      case (lf, pf) => col(pf.name).cast(lf.dataType).as(lf.name)
+    }.toSeq ++ partCols.map(col) ++
+      Seq(col("__graft_file"), col("__graft_row")): _*)
   }
 
   def deleteWhere(
@@ -275,8 +286,6 @@ object DeltaWrite {
     val predicate = Filters.toColumn(filters).getOrElse(lit(true))
 
     DeltaPolicy.requireNotAppendOnly(snap.metadata, "DELETE", tablePath)
-    require(!snap.metadata.isColumnMapped,
-      s"writes to column-mapped Delta tables are not supported ($tablePath)")
     val candidates = candidateFiles(spark, tablePath, filters, snap, distributedPlanning)
     if (candidates.isEmpty)
       return CommitResult(snap.version, 0, 0)
@@ -297,10 +306,11 @@ object DeltaWrite {
         stageCdcDeletes(spark, tablePath, snap, candidates, predicate)
       else Seq.empty
 
-    val adds = stageFiles(spark, kept, tablePath, partCols, statsExclude = matEx)
+    val adds = stageFilesFor(spark, kept, tablePath, snap.metadata, statsExclude = matEx)
     commitLoop(spark, tablePath, adds, candidates,
       snap.metadata.schemaString, partCols, overwrite = false,
-      extraActions = cdcActions, requireBase = Some(snap.version))
+      extraActions = cdcActions, allowMapped = true,
+      requireBase = Some(snap.version))
   }
 
   /** UPDATE ... SET: copy-on-write rewrite of the files that may hold
@@ -331,8 +341,6 @@ object DeltaWrite {
     val schema = snap.schema
     val partCols = meta.partitionColumns
     DeltaPolicy.requireNotAppendOnly(meta, "UPDATE", tablePath)
-    require(!meta.isColumnMapped,
-      s"writes to column-mapped Delta tables are not supported ($tablePath)")
     set.foreach { case (c, _) =>
       require(schema.fieldNames.contains(c), s"SET column $c is not in the table schema")
     }
@@ -386,17 +394,17 @@ object DeltaWrite {
           .withColumn(DeltaChanges.ChangeTypeCol, lit("update_preimage"))
         val post = t.where(matched).select(updatedCols(t): _*)
           .withColumn(DeltaChanges.ChangeTypeCol, lit("update_postimage"))
-        stageFiles(spark, pre.unionByName(post), tablePath, partCols,
+        stageFilesFor(spark, pre.unionByName(post), tablePath, meta,
           destPrefix = "_change_data/", withStats = false).map(cdcJson)
       }
 
     val matEx: Set[String] =
       if (tracked) Set(meta.configuration(MatRowIdKey), meta.configuration(MatRcvKey))
       else Set.empty
-    val adds = stageFiles(spark, content, tablePath, partCols, statsExclude = matEx)
+    val adds = stageFilesFor(spark, content, tablePath, meta, statsExclude = matEx)
     commitLoop(spark, tablePath, adds, candidates,
       meta.schemaString, partCols, overwrite = false, extraActions = cdcActions,
-      requireBase = Some(snap.version))
+      allowMapped = true, requireBase = Some(snap.version))
   }
 
   /** UPDATE via DELETION VECTORS — [[updateWhere]]'s
@@ -427,8 +435,6 @@ object DeltaWrite {
     val schema = snap.schema
     val partCols = meta.partitionColumns
     DeltaPolicy.requireNotAppendOnly(meta, "UPDATE", tablePath)
-    require(!meta.isColumnMapped,
-      s"writes to column-mapped Delta tables are not supported ($tablePath)")
     set.foreach { case (c, _) =>
       require(schema.fieldNames.contains(c), s"SET column $c is not in the table schema")
     }
@@ -478,7 +484,7 @@ object DeltaWrite {
     val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val byPath = candidates.map(f =>
       DvDeleted.normalizePath(s"$base/${f.path}") -> f).toMap
-    val positions = positionalScan(spark, base, schema, partCols, candidates)
+    val positions = positionalScan(spark, base, meta, candidates)
       .filter(matched).select(col("__graft_file"), col("__graft_row"))
       .groupBy(col("__graft_file"))
       .agg(DvBitmapAgg.bitmap(col("__graft_row")).as("dv"))
@@ -507,7 +513,7 @@ object DeltaWrite {
           .withColumn(DeltaChanges.ChangeTypeCol, lit("update_preimage"))
         val post = hit.select(updatedCols(hit): _*)
           .withColumn(DeltaChanges.ChangeTypeCol, lit("update_postimage"))
-        stageFiles(spark, pre.unionByName(post), tablePath, partCols,
+        stageFilesFor(spark, pre.unionByName(post), tablePath, meta,
           destPrefix = "_change_data/", withStats = false).map(cdcJson)
       }
 
@@ -520,12 +526,12 @@ object DeltaWrite {
     val matEx: Set[String] =
       if (tracked) Set(meta.configuration(MatRowIdKey), meta.configuration(MatRcvKey))
       else Set.empty
-    val newAdds = stageFiles(spark, content, tablePath, partCols, statsExclude = matEx)
+    val newAdds = stageFilesFor(spark, content, tablePath, meta, statsExclude = matEx)
     commitLoop(spark, tablePath, newAdds ++ dvAdds,
       bitmaps.map { case (key, _) => byPath(key) },
       meta.schemaString, partCols, overwrite = false,
       extraActions = Seq(DvProtocolAction) ++ cdcActions,
-      requireBase = Some(snap.version))
+      allowMapped = true, requireBase = Some(snap.version))
   }
 
   /** Predicate-scoped overwrite (the `replaceWhere` surface of the
@@ -561,8 +567,6 @@ object DeltaWrite {
     val predicate = Filters.toColumn(filters).getOrElse(lit(true))
 
     DeltaPolicy.requireNotAppendOnly(meta, "replaceWhere", tablePath)
-    require(!meta.isColumnMapped,
-      s"writes to column-mapped Delta tables are not supported ($tablePath)")
 
     // incoming rows go through the same preparation as append: policy
     // validation, generated columns, identity minting, declared order
@@ -574,13 +578,15 @@ object DeltaWrite {
         prepared0.columns.toSeq != snap.schema.fieldNames.toSeq)
         prepared0.select(snap.schema.fieldNames.map(col).toSeq: _*)
       else prepared0
-    require(prepared.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
-      snap.schema.fields.map(f => (f.name, f.dataType)).toSeq,
+    // structural comparison: mapped tables carry field ids/physical
+    // names as NESTED field metadata, which exact equality would trip
+    require(prepared.schema.fieldNames.toSeq == snap.schema.fieldNames.toSeq &&
+      DataType.equalsStructurally(prepared.schema, snap.schema, ignoreNullability = true),
       s"replaceWhere into $tablePath cannot change the table schema")
 
     val candidates = candidateFiles(spark, tablePath, filters, snap, distributedPlanning)
 
-    val newAdds = stageFiles(spark, prepared, tablePath, partCols)
+    val newAdds = stageFilesFor(spark, prepared, tablePath, meta)
     val stagedNew = DeltaRead.readFiles(spark, tablePath, meta,
       newAdds.map(a => DeltaLog.AddFile(a.rel, a.pv, a.size, a.stats)))
     val outside = stagedNew.filter(!coalesce(predicate, lit(false))).limit(1).count()
@@ -594,8 +600,8 @@ object DeltaWrite {
       if (candidates.isEmpty) Seq.empty
       else {
         val (src, matEx) = readForRewrite(spark, tablePath, snap, candidates)
-        stageFiles(spark, src.filter(!coalesce(predicate, lit(false))),
-          tablePath, partCols, statsExclude = matEx)
+        stageFilesFor(spark, src.filter(!coalesce(predicate, lit(false))),
+          tablePath, meta, statsExclude = matEx)
       }
 
     val cdcActions =
@@ -605,14 +611,15 @@ object DeltaWrite {
           if (candidates.isEmpty) Seq.empty
           else stageCdcDeletes(spark, tablePath, snap, candidates, predicate)
         val inserts = stagedNew.withColumn(DeltaChanges.ChangeTypeCol, lit("insert"))
-        deletes ++ stageFiles(spark, inserts, tablePath, partCols,
+        deletes ++ stageFilesFor(spark, inserts, tablePath, meta,
           destPrefix = "_change_data/", withStats = false).map(cdcJson)
       }
 
     val schemaJson = bumpIdentityHwm(meta.schemaString, idSpecs, newAdds)
     commitLoop(spark, tablePath, newAdds ++ survivorAdds, candidates,
       schemaJson, partCols, overwrite = false,
-      extraActions = cdcActions, requireBase = Some(snap.version))
+      extraActions = cdcActions, allowMapped = true,
+      requireBase = Some(snap.version))
   }
 
   private def commit(
@@ -881,18 +888,58 @@ object DeltaWrite {
     * positionally and carries the target type's metadata — including
     * `parquet.field.id` — into the write schema).
     */
-  private def toPhysicalDf(df: DataFrame, meta: DeltaLog.Metadata): DataFrame = {
+  private def toPhysicalDf(df: DataFrame, meta: DeltaLog.Metadata): DataFrame =
+    toPhysicalKeep(df, meta, Seq.empty)
+
+  /** [[toPhysicalDf]] with PASS-THROUGH columns that are not schema
+    * columns — materialized row-id columns and `_change_type` are
+    * written under their own (unmapped) names, exactly as the read
+    * path expects them (DeltaRead matCols, DeltaChanges fileSchema).
+    */
+  private def toPhysicalKeep(
+      df: DataFrame, meta: DeltaLog.Metadata, passthrough: Seq[String]): DataFrame = {
     val logical = meta.schema
-    require(df.columns.toSet == logical.fieldNames.toSet,
+    require(df.columns.toSet -- passthrough == logical.fieldNames.toSet,
       s"schema evolution on a column-mapped Delta table is not supported: " +
         s"table has ${logical.fieldNames.mkString(",")}, frame has ${df.columns.mkString(",")}")
     val phys = meta.physicalSchema
     val packed = struct(logical.fields.map(f => col(f.name).cast(f.dataType)).toSeq: _*)
       .cast(phys).as("_graft_row")
-    df.select(packed)
+    df.select(packed +: passthrough.map(col): _*)
       .select(phys.fields.map(pf =>
-        col(s"_graft_row.${pf.name}").as(pf.name, pf.metadata)).toSeq: _*)
+        col(s"_graft_row.${pf.name}").as(pf.name, pf.metadata)).toSeq ++
+        passthrough.map(col): _*)
   }
+
+  /** [[stageFiles]] for a table that MAY be column-mapped: mapped
+    * frames translate logical→physical first (column names, partition
+    * directory names, partitionValues keys and stats keys all use
+    * physical names — the commitMapped discipline, applied to the DML
+    * rewrite/CDC legs), while non-schema columns pass through
+    * unmapped. Unmapped tables stage exactly as before.
+    */
+  private def stageFilesFor(
+      spark: SparkSession,
+      df: DataFrame,
+      tablePath: String,
+      meta: DeltaLog.Metadata,
+      destPrefix: String = "",
+      withStats: Boolean = true,
+      statsExclude: Set[String] = Set.empty
+  ): Seq[StagedAdd] =
+    if (!meta.isColumnMapped)
+      stageFiles(spark, df, tablePath, meta.partitionColumns,
+        destPrefix, withStats, statsExclude)
+    else {
+      require(DeltaPolicy.identityColumns(meta).isEmpty,
+        s"identity columns on column-mapped Delta tables are not supported ($tablePath)")
+      if (meta.columnMappingMode == "id")
+        spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+      val passthrough = df.columns.filterNot(meta.schema.fieldNames.contains).toSeq
+      stageFiles(spark, toPhysicalKeep(df, meta, passthrough), tablePath,
+        meta.partitionColumns.map(meta.physicalName),
+        destPrefix, withStats, statsExclude)
+    }
 
   /** Serialize a remove action for `f` (extended file metadata so
     * readers see partitionValues/size, and the entry's deletion vector
@@ -1013,7 +1060,7 @@ object DeltaWrite {
     val deleted = DeltaRead.readFiles(spark, tablePath, snap.metadata, candidates)
       .filter(coalesce(predicate, lit(false)))
       .withColumn(DeltaChanges.ChangeTypeCol, lit("delete"))
-    stageFiles(spark, deleted, tablePath, snap.metadata.partitionColumns,
+    stageFilesFor(spark, deleted, tablePath, snap.metadata,
       destPrefix = "_change_data/", withStats = false)
       .map(cdcJson)
   }
@@ -1039,8 +1086,6 @@ object DeltaWrite {
     val predicate = Filters.toColumn(filters).getOrElse(lit(true))
 
     DeltaPolicy.requireNotAppendOnly(snap.metadata, "DELETE", tablePath)
-    require(!snap.metadata.isColumnMapped,
-      s"writes to column-mapped Delta tables are not supported ($tablePath)")
     val candidates = candidateFiles(spark, tablePath, filters, snap, distributedPlanning)
     if (candidates.isEmpty) return CommitResult(snap.version, 0, 0)
 
@@ -1057,7 +1102,7 @@ object DeltaWrite {
     // of (path, dv bytes), never the raw row indexes. A wide DELETE's
     // driver payload is the same bytes the .bin DV file will hold.
     val matched: Array[(String, Array[Byte])] =
-      positionalScan(spark, base, schema, partCols, candidates)
+      positionalScan(spark, base, snap.metadata, candidates)
         .filter(coalesce(predicate, lit(false)))
         .select(col("__graft_file"), col("__graft_row"))
         .groupBy(col("__graft_file"))
@@ -1103,7 +1148,7 @@ object DeltaWrite {
     commitLoop(spark, tablePath, adds, bitmaps.map { case (key, _) => byPath(key) },
       snap.metadata.schemaString, partCols, overwrite = false,
       extraActions = Seq(DvProtocolAction) ++ cdcActions,
-      requireBase = Some(snap.version))
+      allowMapped = true, requireBase = Some(snap.version))
   }
 
   /** MERGE (upsert): rows of `source` replace target rows with the
@@ -1171,8 +1216,6 @@ object DeltaWrite {
     val meta = snap.metadata
     // MERGE rewrites matched files (data-removing change)
     DeltaPolicy.requireNotAppendOnly(meta, "MERGE", tablePath)
-    require(!meta.isColumnMapped,
-      s"this operation is not supported on column-mapped Delta tables ($tablePath)")
     val tracked = rowTrackingEnabled(meta)
     if (tracked)
       require(meta.configuration.contains(MatRowIdKey) &&
@@ -1301,7 +1344,7 @@ object DeltaWrite {
           case None =>
             writeSrc.withColumn(DeltaChanges.ChangeTypeCol, lit("insert"))
         }
-        stageFiles(spark, changeRows, tablePath, partCols,
+        stageFilesFor(spark, changeRows, tablePath, meta,
           destPrefix = "_change_data/", withStats = false).map(cdcJson)
       }
 
@@ -1309,12 +1352,12 @@ object DeltaWrite {
       if (tracked && target.isDefined)
         Set(meta.configuration(MatRowIdKey), meta.configuration(MatRcvKey))
       else Set.empty
-    val adds = stageFiles(spark, content, tablePath, partCols, statsExclude = matEx)
+    val adds = stageFilesFor(spark, content, tablePath, meta, statsExclude = matEx)
     commitLoop(spark, tablePath, adds, candidates,
       bumpIdentityHwm(meta.schemaString, DeltaPolicy.identityColumns(meta), adds),
       partCols, overwrite = false,
       extraActions = txn.map { case (a, v) => txnJson(a, v) }.toSeq ++ cdcActions,
-      requireBase = Some(snap.version))
+      allowMapped = true, requireBase = Some(snap.version))
   }
 
   /** MERGE via DELETION VECTORS — the low-write-amplification merge
@@ -1359,8 +1402,6 @@ object DeltaWrite {
     }
     val meta = snap.metadata
     DeltaPolicy.requireNotAppendOnly(meta, "MERGE", tablePath)
-    require(!meta.isColumnMapped,
-      s"this operation is not supported on column-mapped Delta tables ($tablePath)")
     val tracked = rowTrackingEnabled(meta)
     if (tracked)
       require(meta.configuration.contains(MatRowIdKey) &&
@@ -1449,7 +1490,7 @@ object DeltaWrite {
         val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
         val byPath = candidates.map(f =>
           DvDeleted.normalizePath(s"$base/${f.path}") -> f).toMap
-        val matched = positionalScan(spark, base, schema, partCols, candidates)
+        val matched = positionalScan(spark, base, meta, candidates)
           .join(dyingKeys, keySeq, "left_semi")
           .select(col("__graft_file"), col("__graft_row"))
           .groupBy(col("__graft_file"))
@@ -1489,7 +1530,7 @@ object DeltaWrite {
           case None =>
             writeSrc.withColumn(DeltaChanges.ChangeTypeCol, lit("insert"))
         }
-        stageFiles(spark, changeRows, tablePath, partCols,
+        stageFilesFor(spark, changeRows, tablePath, meta,
           destPrefix = "_change_data/", withStats = false).map(cdcJson)
       }
 
@@ -1497,7 +1538,7 @@ object DeltaWrite {
       if (tracked && target.isDefined)
         Set(meta.configuration(MatRowIdKey), meta.configuration(MatRcvKey))
       else Set.empty
-    val newAdds = stageFiles(spark, content, tablePath, partCols, statsExclude = matEx)
+    val newAdds = stageFilesFor(spark, content, tablePath, meta, statsExclude = matEx)
     val (dvAdds, dvRemoves) =
       if (dvUpdated.isEmpty) (Seq.empty[StagedAdd], Seq.empty[DeltaLog.AddFile])
       else {
@@ -1524,7 +1565,7 @@ object DeltaWrite {
       partCols, overwrite = false,
       extraActions = Seq(DvProtocolAction) ++
         txn.map { case (a, v) => txnJson(a, v) }.toSeq ++ cdcActions,
-      requireBase = Some(snap.version))
+      allowMapped = true, requireBase = Some(snap.version))
   }
 
   private val DvProtocolAction =
@@ -1711,8 +1752,6 @@ object DeltaWrite {
       where: graft.core.Filters.Normalized = Seq.empty
   ): CommitResult = {
     val snap = DeltaLog.snapshot(spark, tablePath)
-    require(!snap.metadata.isColumnMapped,
-      s"writes to column-mapped Delta tables are not supported ($tablePath)")
     val partCols = snap.metadata.partitionColumns
 
     // OPTIMIZE WHERE scopes the rewrite to matching PARTITIONS (the
@@ -1743,10 +1782,10 @@ object DeltaWrite {
       if (partCols.nonEmpty) kept.repartition(partCols.map(col): _*)
       else kept.coalesce(
         math.max(1, (candidates.map(_.size).sum / math.max(1L, smallFileBytes)).toInt))
-    val adds = stageFiles(spark, kept, tablePath, partCols, statsExclude = matEx)
+    val adds = stageFilesFor(spark, kept, tablePath, snap.metadata, statsExclude = matEx)
     commitLoop(spark, tablePath, adds, candidates,
       snap.metadata.schemaString, partCols, overwrite = false,
-      dataChange = false, requireBase = Some(snap.version))
+      allowMapped = true, dataChange = false, requireBase = Some(snap.version))
   }
 
   /** OPTIMIZE ZORDER BY: rewrite the table (all partitions' files)
@@ -1802,8 +1841,6 @@ object DeltaWrite {
       incremental: Boolean = false
   ): CommitResult = {
     val snap = DeltaLog.snapshot(spark, tablePath)
-    require(!snap.metadata.isColumnMapped,
-      s"this operation is not supported on column-mapped Delta tables ($tablePath)")
     val partCols = snap.metadata.partitionColumns
     require(zorderBy.nonEmpty, "optimizeZorder needs at least one column")
     zorderBy.foreach(c => require(snap.schema.fieldNames.contains(c),
@@ -1828,11 +1865,11 @@ object DeltaWrite {
       .repartitionByRange(numFiles, rangeCols: _*)
       .sortWithinPartitions(rangeCols: _*)
       .drop("_graft_zval")
-    val adds = stageFiles(spark, clustered, tablePath, partCols, statsExclude = matEx)
+    val adds = stageFilesFor(spark, clustered, tablePath, snap.metadata, statsExclude = matEx)
       .map(_.copy(tags = Map(ZOrderTag -> spec)))
     commitLoop(spark, tablePath, adds, candidates,
       snap.metadata.schemaString, partCols, overwrite = false,
-      dataChange = false, requireBase = Some(snap.version))
+      allowMapped = true, dataChange = false, requireBase = Some(snap.version))
   }
 
   /** VACUUM: physically delete data files (and DV files) under the

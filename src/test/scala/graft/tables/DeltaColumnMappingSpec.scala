@@ -280,16 +280,101 @@ class DeltaColumnMappingSpec extends SparkSpec {
       Set((1L, "a"), (2L, "b")))
   }
 
-  test("schema evolution and DELETE on mapped tables are refused loudly") {
+  test("schema evolution on mapped tables is refused loudly") {
     val mdir = mappedTable()
     val w = intercept[IllegalArgumentException] {
       DeltaWrite.append(spark, Seq((99L, "z")).toDF("id", "v"), mdir)
     }
     assert(w.getMessage.contains("schema evolution"))
-    val d = intercept[IllegalArgumentException] {
-      DeltaWrite.deleteWhereDv(spark, mdir, Filters.normalize(Seq(Filter("id", "=", 1L))))
-    }
-    assert(d.getMessage.contains("column-mapped"))
+  }
+
+  test("DML on a name-mapped table: rename -> UPDATE -> DV DELETE -> CDF parity") {
+    val dir = mappedTable()
+    DeltaWrite.setTableProperties(spark, dir,
+      Map("delta.enableChangeDataFeed" -> "true")) // v1
+    // metadata-only rename: physical name col-02 stays, files untouched
+    DeltaDdl.renameColumn(spark, dir, "v", "label") // v2
+    assert(DeltaLog.snapshot(spark, dir).schema.fieldNames.toSeq ==
+      Seq("id", "label", "s", "part"))
+
+    // UPDATE over the RENAMED logical name (CoW rewrite, physical files)
+    DeltaWrite.updateWhere(spark, dir,
+      Filters.normalize(Seq(Filter("id", "=", 2L))),
+      Seq("label" -> "'B'")) // v3
+    // merge-on-read DELETE via deletion vector
+    DeltaWrite.deleteWhereDv(spark, dir,
+      Filters.normalize(Seq(Filter("id", "=", 11L)))) // v4
+
+    val t = new DeltaTable("t", dir)
+    val got = t(spark, ReadArgs())
+      .select(col("id"), col("label"), col("s.x"), col("part"))
+      .as[(Long, String, Long, Int)].collect().toSet
+    assert(got == Set((1L, "a", 10L, 0), (2L, "B", 20L, 0), (21L, "d", 40L, 1)))
+
+    // every post-DML add keeps PHYSICAL partitionValues keys and
+    // physical parquet columns
+    val snap = DeltaLog.snapshot(spark, dir)
+    snap.files.foreach(f =>
+      assert(f.partitionValues.keySet == Set("col-03"), f.partitionValues))
+    val rewritten = snap.files.filterNot(f => Set(
+      "part=0/f0.parquet", "part=1/f1.parquet", "part=1/f2.parquet")(f.path))
+    assert(rewritten.nonEmpty)
+    val raw = spark.read.parquet(dir + "/" + rewritten.head.path)
+    assert(raw.columns.toSet == Set("col-01", "col-02", "col-04"))
+
+    // CDF parity: update pre/post images at v3 (logical names), the
+    // DV delete's rows at v4
+    val upd = DeltaChanges.between(spark, dir, 3, 3)
+      .select(col("id"), col("label"), col(DeltaChanges.ChangeTypeCol))
+      .as[(Long, String, String)].collect().toSet
+    assert(upd == Set((2L, "b", "update_preimage"), (2L, "B", "update_postimage")))
+    val del = DeltaChanges.between(spark, dir, 4, 4)
+      .select(col("id"), col(DeltaChanges.ChangeTypeCol))
+      .as[(Long, String)].collect().toSet
+    assert(del == Set((11L, "delete")))
+  }
+
+  test("CoW DELETE, MERGE and replaceWhere work on a name-mapped table") {
+    val dir = mappedTable()
+    // CoW DELETE (no DV routing property set)
+    DeltaWrite.deleteWhere(spark, dir, Filters.normalize(Seq(Filter("id", "=", 21L))))
+    val t = new DeltaTable("t", dir)
+    assert(t(spark, ReadArgs()).select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 11L))
+
+    // MERGE: update id=2, insert id=31
+    DeltaWrite.merge(spark, dir,
+      logicalDf(Seq((2L, "B2", 99L, 0), (31L, "e", 50L, 2))), Seq("id"))
+    val afterMerge = t(spark, ReadArgs())
+      .select(col("id"), col("v"), col("s.x"), col("part"))
+      .as[(Long, String, Long, Int)].collect().toSet
+    assert(afterMerge == Set((1L, "a", 10L, 0), (2L, "B2", 99L, 0),
+      (11L, "c", 30L, 1), (31L, "e", 50L, 2)))
+
+    // replaceWhere the part=1 slice
+    DeltaWrite.replaceWhere(spark, logicalDf(Seq((12L, "cc", 31L, 1))), dir,
+      Filters.normalize(Seq(Filter("part", "=", 1))))
+    val afterRw = t(spark, ReadArgs()).select("id").as[Long].collect().sorted.toSeq
+    assert(afterRw == Seq(1L, 2L, 12L, 31L))
+
+    // stats skipping still keys physically after the rewrites
+    val s = t(spark, ReadArgs(filters = Filters.normalize(Seq(Filter("id", ">=", 31L)))))
+    assert(s.select("id").as[Long].collect().toSeq == Seq(31L))
+  }
+
+  test("mergeDv on a name-mapped table: DV bitmaps + physical new files") {
+    val dir = mappedTable()
+    DeltaWrite.setTableProperties(spark, dir,
+      Map("delta.enableDeletionVectors" -> "true"))
+    // routed to mergeDv by the table property
+    DeltaWrite.merge(spark, dir, logicalDf(Seq((2L, "B", 21L, 0))), Seq("id"))
+    val snap = DeltaLog.snapshot(spark, dir)
+    assert(snap.files.exists(_.dv.exists(_.cardinality > 0)),
+      "expected a deletion vector on the matched file")
+    val t = new DeltaTable("t", dir)
+    val got = t(spark, ReadArgs()).select(col("id"), col("v"))
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "a"), (2L, "B"), (11L, "c"), (21L, "d")))
   }
 
   test("change data feed on a mapped table: cdc files read physically, surface logically") {
