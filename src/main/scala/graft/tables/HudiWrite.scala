@@ -1469,36 +1469,50 @@ object HudiWrite {
   private[tables] def readSlices(
       spark: SparkSession, tablePath: String, slices: Seq[FileSlice]): DataFrame = {
     require(slices.nonEmpty, "no slices to read")
-    // non-parquet base files (ORC / HFile — legal Hudi, written by
-    // foreign engines) refuse LOUDLY with the file and format named
-    // instead of dying inside the parquet footer reader
-    slices.find(s => !s.relPath.endsWith(".parquet")).foreach { s =>
-      val ext = s.relPath.split('.').lastOption.getOrElse("?").toUpperCase
-      throw new UnsupportedOperationException(
-        s"$tablePath stores a non-parquet ($ext) base file for file group " +
-          s"${s.fileId}: ${s.relPath}; this reader scans PARQUET only")
-    }
-    val paths = slices.map(s => s"$tablePath/${s.relPath}")
-    val sampled = spark.read.option("basePath", tablePath).parquet(paths: _*)
-    // DECLARED-SCHEMA read: after an additive evolution the sampled
-    // footer may come from a PRE-evolution file, which would silently
-    // drop the new columns from every file. When the timeline records
-    // a writer schema (this engine's commits; upstream writers record
-    // the same key) with columns the sample lacks, re-read under the
-    // widened schema — parquet readers null-fill requested columns a
-    // file doesn't store, so mixed-schema slices read correctly.
+    // parquet AND orc base files read natively (one relation per
+    // format — at most two, flat in slice count); anything else
+    // (HFile — legal Hudi, written by foreign engines) refuses
+    // LOUDLY with the file and format named instead of dying inside
+    // a footer reader
+    slices.find(s => !s.relPath.endsWith(".parquet") && !s.relPath.endsWith(".orc"))
+      .foreach { s =>
+        val ext = s.relPath.split('.').lastOption.getOrElse("?").toUpperCase
+        throw new UnsupportedOperationException(
+          s"$tablePath stores a non-parquet ($ext) base file for file group " +
+            s"${s.fileId}: ${s.relPath}; this reader scans PARQUET and ORC only")
+      }
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    latestTableSchema(fs, tablePath) match {
-      case Some(declared) =>
-        val have = sampled.schema.fieldNames.toSet
-        val extras = declared.fields.filterNot(f => have(f.name))
-        if (extras.isEmpty) sampled
-        else spark.read.option("basePath", tablePath)
-          .schema(org.apache.spark.sql.types.StructType(
-            sampled.schema.fields ++ extras.map(_.copy(nullable = true))))
-          .parquet(paths: _*)
-      case None => sampled
+    val declared = latestTableSchema(fs, tablePath)
+    def legOf(group: Seq[FileSlice], orc: Boolean): DataFrame = {
+      val paths = group.map(s => s"$tablePath/${s.relPath}")
+      def rd = spark.read.option("basePath", tablePath)
+      def scan(schema: Option[org.apache.spark.sql.types.StructType]) = {
+        val r = schema.fold(rd)(rd.schema)
+        if (orc) r.orc(paths: _*) else r.parquet(paths: _*)
+      }
+      val sampled = scan(None)
+      // DECLARED-SCHEMA read: after an additive evolution the sampled
+      // footer may come from a PRE-evolution file, which would
+      // silently drop the new columns from every file. When the
+      // timeline records a writer schema (this engine's commits;
+      // upstream writers record the same key) with columns the sample
+      // lacks, re-read under the widened schema — both readers
+      // null-fill requested columns a file doesn't store, so
+      // mixed-schema slices read correctly.
+      declared match {
+        case Some(d) =>
+          val have = sampled.schema.fieldNames.toSet
+          val extras = d.fields.filterNot(f => have(f.name))
+          if (extras.isEmpty) sampled
+          else scan(Some(org.apache.spark.sql.types.StructType(
+            sampled.schema.fields ++ extras.map(_.copy(nullable = true)))))
+        case None => sampled
+      }
     }
+    val (orcSlices, parqSlices) = slices.partition(_.relPath.endsWith(".orc"))
+    Seq((parqSlices, false), (orcSlices, true)).filter(_._1.nonEmpty)
+      .map { case (g, orc) => legOf(g, orc) }
+      .reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** MERGE_ON_READ snapshot read: groups WITHOUT logs stream straight

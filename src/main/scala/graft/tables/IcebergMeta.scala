@@ -246,30 +246,35 @@ object IcebergMeta {
     */
   def schemaFromJson(node: JsonNode): (StructType, Map[Int, String]) = {
     val ids = Map.newBuilder[Int, String]
-    def field(f: JsonNode): StructField = {
+    def field(f: JsonNode, topLevel: Boolean): StructField = {
       val name = f.path("name").asText()
       val id = f.path("id").asInt(-1)
       if (id >= 0) ids += id -> name
       // v3 default values: files written BEFORE the column existed
-      // must read the declared default — silently reading null would
-      // be wrong data, so refuse until defaults are implemented
-      if (f.has("initial-default"))
+      // must read the declared default (silently reading null would be
+      // wrong data). Top-level primitive defaults are stashed in the
+      // field metadata ([[InitialDefaultKey]]) for the read path to
+      // fill per-file; nested/complex defaults stay refused loudly.
+      val hasDefault = f.has("initial-default") && !f.path("initial-default").isNull
+      if (hasDefault && (!topLevel || !f.path("type").isTextual))
         throw new UnsupportedOperationException(
           s"column '$name' declares a v3 initial-default value " +
-            s"(${f.path("initial-default")}); this reader would " +
-            "misread pre-evolution files as null — unsupported")
+            s"(${f.path("initial-default")}) on a nested or complex " +
+            "field — only top-level primitive defaults are supported")
+      val mb = new MetadataBuilder()
+      if (id >= 0) mb.putLong(DeltaLog.FieldIdKey, id.toLong)
+      if (hasDefault) mb.putString(InitialDefaultKey, f.path("initial-default").asText())
       StructField(
         name,
         dataType(f.path("type")),
         nullable = !f.path("required").asBoolean(false),
-        metadata =
-          if (id >= 0) new MetadataBuilder().putLong(DeltaLog.FieldIdKey, id.toLong).build()
-          else Metadata.empty)
+        metadata = mb.build())
     }
     def dataType(t: JsonNode): DataType =
       if (t.isTextual) primitive(t.asText())
       else t.path("type").asText() match {
-        case "struct" => StructType(elements(t.path("fields")).map(field).toArray)
+        case "struct" =>
+          StructType(elements(t.path("fields")).map(field(_, topLevel = false)).toArray)
         case "list" =>
           ArrayType(dataType(t.path("element")),
             containsNull = !t.path("element-required").asBoolean(false))
@@ -280,9 +285,16 @@ object IcebergMeta {
       }
     val top = node.path("fields")
     require(!top.isMissingNode, "Iceberg schema node has no fields")
-    val st = StructType(elements(top).map(field).toArray)
+    val st = StructType(elements(top).map(field(_, topLevel = true)).toArray)
     (st, ids.result())
   }
+
+  /** Column-metadata key carrying a v3 `initial-default` value (the
+    * JSON single-value serialization's text form): rows of data files
+    * that PREDATE the column read this value instead of null
+    * (iceberg.apache.org/spec "Default values").
+    */
+  val InitialDefaultKey = "iceberg.initial-default"
 
   private val DecimalRe = "decimal\\(\\s*(\\d+)\\s*,\\s*(\\d+)\\s*\\)".r
   private val FixedRe = "fixed\\[\\d+\\]".r

@@ -30,7 +30,7 @@ import org.apache.spark.sql.types._
   *    equality columns — both gated by Iceberg's sequence-number
   *    rules (position: delete seq ≥ data seq; equality: delete seq >
   *    data seq), with per-data-file sequence numbers attached by a
-  *    scan-time [[FileLongAttr]] (driver metadata in the expression,
+  *    scan-time [[FileConstAttr]] (driver metadata in the expression,
   *    no extra shuffle on the data side),
   *  - partition columns absent from the data files (e.g. files
   *    exported from a Delta table, which never stores them) are
@@ -546,18 +546,20 @@ class IcebergTable(
           s"content_size_in_bytes (${d.path}) — unreadable v3 shape")
     }
 
-  /** Non-PARQUET content files (ORC/AVRO data or delete files —
-    * legal Iceberg, written by foreign engines) refuse LOUDLY at
-    * plan time with the file and format named, instead of dying
-    * inside the parquet footer reader — the same honesty discipline
-    * as the v3 Puffin refusal above (DVs get that message, not this
-    * one).
+  /** Content files outside the readable set (PARQUET + ORC via
+    * Spark's native readers; AVRO data/delete files are legal Iceberg
+    * written by foreign engines but unread here) refuse LOUDLY at
+    * plan time with the file, role and format named, instead of dying
+    * inside a footer reader — the same honesty discipline as the v3
+    * Puffin refusal above (DVs get that message, not this one).
     */
-  private def requireParquet(files: Seq[IcebergMeta.ContentFile], role: String): Unit =
-    files.find(f => f.fileFormat != "PARQUET" && !f.isDeletionVector).foreach(f =>
+  private def requireReadable(files: Seq[IcebergMeta.ContentFile], role: String): Unit =
+    files.find(f => f.fileFormat != "PARQUET" && f.fileFormat != "ORC" &&
+        !f.isDeletionVector).foreach(f =>
       throw new UnsupportedOperationException(
         s"$uri stores ${f.fileFormat} $role files (e.g. ${f.path}); this reader " +
-          "scans PARQUET only — rewrite_data_files with a parquet-writing engine first"))
+          "scans PARQUET and ORC content only — rewrite_data_files with a " +
+          "parquet-writing engine first"))
 
   /** Scan planning with the R40 discipline: BELOW the file gate the
     * driver loops manifests ([[IcebergMeta.planFiles]]); ABOVE it —
@@ -641,60 +643,117 @@ class IcebergTable(
     val helperFields = Seq(
       StructField(PathCol, StringType), StructField(PosCol, LongType),
       StructField(SeqCol, LongType))
-    requireParquet(files, "data")
+    requireReadable(files, "data")
     val outSchema =
       if (!withDeletes) schema else StructType(schema.fields ++ helperFields)
     if (files.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
 
-    val seqByPath: Map[String, Long] = files.map(f =>
-      DvDeleted.normalizePath(f.path) -> f.sequenceNumber).toMap
-
-    // ONE parquet relation over every surviving data file — plan width
-    // is flat in partition cardinality. Identity partition values from
-    // the manifests back-fill columns the data files don't store,
-    // riding the scan as per-file constants ([[FileConstAttr]] keyed
-    // on _metadata.file_path); stored values win via coalesce, and a
-    // file whose spec lacks the identity field contributes null (the
-    // old per-(spec, partition) group semantics, without the unions).
+    // ONE relation PER CONTENT FORMAT (parquet + optional ORC — at
+    // most two, flat in both partition and file count). Identity
+    // partition values from the manifests back-fill columns the data
+    // files don't store, riding the scan as per-file constants
+    // ([[FileConstAttr]] keyed on _metadata.file_path); stored values
+    // win via coalesce, and a file whose spec lacks the identity
+    // field contributes null. Sequence numbers attach the same way
+    // (no _metadata.row_index dependence, so the ORC leg carries them
+    // too); the physical row POSITION is parquet-only — the ORC leg
+    // reads PosCol as null, and [[applyPositionDeletes]] refuses
+    // before that could lose a delete.
     val zone = PartitionAttach.sessionZone(spark)
     val specIdentity: Map[Int, Set[String]] = meta.specs.map { case (id, fs) =>
       id -> fs.filter(_.transform == "identity").map(_.name).toSet
     }
-    val idCols = files.flatMap(f => specIdentity.getOrElse(f.specId, Set.empty))
-      .distinct.filter(c => schema.fieldNames.contains(c))
+    val (orcFiles, parqFiles) = files.partition(_.fileFormat == "ORC")
 
-    var df = spark.read.schema(schema).parquet(files.map(_.path): _*)
-    idCols.foreach { c =>
-      val dt = schema(c).dataType
-      val attrs: Map[String, Any] = files.map { f =>
-        DvDeleted.normalizePath(f.path) ->
-          (if (specIdentity.getOrElse(f.specId, Set.empty).contains(c))
-            PartitionAttach.fromAvro(f.partition.get(c).orNull, dt, zone)
-          else null)
-      }.toMap
-      df = df.withColumn(c, coalesce(col(c), PartitionAttach.constCol(attrs, dt)))
+    val defaulted = schema.fields.filter(_.metadata.contains(IcebergMeta.InitialDefaultKey))
+    orcFiles.headOption.filter(_ => defaulted.nonEmpty).foreach(f =>
+      throw new UnsupportedOperationException(
+        s"$uri declares v3 initial-default columns AND stores ORC data files " +
+          s"(e.g. ${f.path}); per-file default fill reads parquet footers only"))
+
+    // v3 initial-default support data: does each (parquet) file's
+    // footer carry the field — by field id, falling back to name for
+    // id-less writers? Footer opens are per surviving file and only
+    // on tables that declare defaults at all.
+    val footers: Map[String, (Set[Int], Set[String])] =
+      if (defaulted.isEmpty) Map.empty
+      else {
+        import scala.jdk.CollectionConverters._
+        val conf = spark.sparkContext.hadoopConfiguration
+        parqFiles.map { f =>
+          val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(f.path), conf))
+          try {
+            val fs2 = rd.getFileMetaData.getSchema.getFields.asScala
+            DvDeleted.normalizePath(f.path) ->
+              ((fs2.flatMap(t => Option(t.getId).map(_.intValue())).toSet,
+                fs2.map(_.getName).toSet))
+          } finally rd.close()
+        }.toMap
+      }
+
+    def leg(group: Seq[IcebergMeta.ContentFile], orc: Boolean): DataFrame = {
+      var df =
+        if (orc) spark.read.schema(schema).orc(group.map(_.path): _*)
+        else spark.read.schema(schema).parquet(group.map(_.path): _*)
+      val idCols = group.flatMap(f => specIdentity.getOrElse(f.specId, Set.empty))
+        .distinct.filter(c => schema.fieldNames.contains(c))
+      idCols.foreach { c =>
+        val dt = schema(c).dataType
+        val attrs: Map[String, Any] = group.map { f =>
+          DvDeleted.normalizePath(f.path) ->
+            (if (specIdentity.getOrElse(f.specId, Set.empty).contains(c))
+              PartitionAttach.fromAvro(f.partition.get(c).orNull, dt, zone)
+            else null)
+        }.toMap
+        df = df.withColumn(c, coalesce(col(c), PartitionAttach.constCol(attrs, dt)))
+      }
+      // v3 initial-default columns: a file that PREDATES the column
+      // (footer lacks the field) reads the declared default for every
+      // row; files that carry the field keep their stored values,
+      // nulls included — the per-file constant under coalesce, the
+      // identity back-fill mechanism.
+      defaulted.foreach { sf =>
+        val fid = if (sf.metadata.contains(DeltaLog.FieldIdKey))
+          Some(sf.metadata.getLong(DeltaLog.FieldIdKey).toInt) else None
+        val dv = PartitionAttach.fromString(
+          sf.metadata.getString(IcebergMeta.InitialDefaultKey), sf.dataType, zone)
+        val attrs: Map[String, Any] = group.map { f =>
+          val key = DvDeleted.normalizePath(f.path)
+          val (idsIn, namesIn) = footers(key)
+          val present = fid.exists(idsIn.contains) ||
+            (idsIn.isEmpty && namesIn.contains(sf.name))
+          key -> (if (present) null else dv)
+        }.toMap
+        df = df.withColumn(sf.name,
+          coalesce(col(sf.name), PartitionAttach.constCol(attrs, sf.dataType)))
+      }
+      if (withDeletes) {
+        // PathCol carries the MANIFEST's (scheme-stripped) spelling of
+        // each file, attached per-file — delete rows spell data-file
+        // paths the way the writing engine's manifests do, so matching
+        // against the manifest spelling is exact even where the
+        // URI-encoded _metadata rendering would drift (escaped dirs)
+        val pathAttrs: Map[String, Any] = group.map(f =>
+          DvDeleted.normalizePath(f.path) ->
+            org.apache.spark.unsafe.types.UTF8String.fromString(
+              normalizePathStr(f.path))).toMap
+        val seqAttrs: Map[String, Any] = group.map(f =>
+          DvDeleted.normalizePath(f.path) -> (f.sequenceNumber: Any)).toMap
+        df = df
+          .withColumn(PathCol, PartitionAttach.constCol(pathAttrs, StringType))
+          .withColumn(PosCol,
+            if (orc) lit(null).cast(LongType) else col("_metadata.row_index"))
+          .withColumn(SeqCol, PartitionAttach.constCol(seqAttrs, LongType))
+      }
+      df.select(outSchema.fieldNames.map(col).toSeq: _*)
     }
-    if (withDeletes) {
-      // PathCol carries the MANIFEST's (scheme-stripped) spelling of
-      // each file, attached per-file — delete rows spell data-file
-      // paths the way the writing engine's manifests do, so matching
-      // against the manifest spelling is exact even where the
-      // URI-encoded _metadata rendering would drift (escaped dirs)
-      val pathAttrs: Map[String, Any] = files.map(f =>
-        DvDeleted.normalizePath(f.path) ->
-          org.apache.spark.unsafe.types.UTF8String.fromString(
-            normalizePathStr(f.path))).toMap
-      df = df
-        .withColumn(PathCol, PartitionAttach.constCol(pathAttrs, StringType))
-        .withColumn(PosCol, col("_metadata.row_index"))
-        .withColumn(SeqCol, Bridge.column(FileLongAttr(
-          Bridge.expression(col("_metadata.file_path")),
-          Bridge.expression(col("_metadata.row_index")),
-          seqByPath, addIndex = false)))
-    }
-    df.select(outSchema.fieldNames.map(col).toSeq: _*)
+
+    Seq((parqFiles, false), (orcFiles, true)).filter(_._1.nonEmpty)
+      .map { case (g, orc) => leg(g, orc) }
+      .reduce(_.unionByName(_))
   }
 
   /** Position delete files are parquet (file_path, pos) at data
@@ -709,20 +768,32 @@ class IcebergTable(
       posDeletes: Seq[IcebergMeta.ContentFile]
   ): DataFrame = {
     if (posDeletes.isEmpty) return data
-    requireParquet(posDeletes, "position-delete")
+    requireReadable(posDeletes, "position-delete")
+    // position deletes address rows by PHYSICAL POSITION, which the
+    // scan surfaces via parquet's _metadata.row_index — an ORC data
+    // file has no row_index, so applying a position delete to it
+    // would silently keep deleted rows: refuse loudly instead
+    dataFiles.find(_.fileFormat == "ORC").foreach(f =>
+      throw new UnsupportedOperationException(
+        s"$uri has position-delete files AND ORC data files (e.g. ${f.path}); " +
+          "position deletes need parquet row indexes — rewrite_data_files first"))
     import spark.implicits._
     val delSchema = StructType(Seq(
       StructField("file_path", StringType), StructField("pos", LongType)))
-    // one scan over ALL position-delete files; each delete row's
-    // sequence number rides as a per-file constant instead of one
-    // union branch per delete file
-    val delSeq: Map[String, Long] = posDeletes.map(f =>
-      DvDeleted.normalizePath(f.path) -> f.sequenceNumber).toMap
-    val dels = spark.read.schema(delSchema).parquet(posDeletes.map(_.path): _*)
-      .withColumn("_del_seq", Bridge.column(FileLongAttr(
-        Bridge.expression(col("_metadata.file_path")),
-        Bridge.expression(col("_metadata.row_index")),
-        delSeq, addIndex = false)))
+    // one scan PER FORMAT over the position-delete files; each delete
+    // row's sequence number rides as a per-file constant instead of
+    // one union branch per delete file
+    def delScan(group: Seq[IcebergMeta.ContentFile], orc: Boolean): DataFrame = {
+      val delSeq: Map[String, Any] = group.map(f =>
+        DvDeleted.normalizePath(f.path) -> (f.sequenceNumber: Any)).toMap
+      val base =
+        if (orc) spark.read.schema(delSchema).orc(group.map(_.path): _*)
+        else spark.read.schema(delSchema).parquet(group.map(_.path): _*)
+      base.withColumn("_del_seq", PartitionAttach.constCol(delSeq, LongType))
+    }
+    val (orcDel, parqDel) = posDeletes.partition(_.fileFormat == "ORC")
+    val dels = Seq((parqDel, false), (orcDel, true)).filter(_._1.nonEmpty)
+      .map { case (g, orc) => delScan(g, orc) }.reduce(_.unionByName(_))
       .withColumn("file_path", normalizePathCol(col("file_path")))
     val fileSeq = dataFiles
       .map(f => (normalizePathStr(f.path), f.sequenceNumber))
@@ -748,21 +819,26 @@ class IcebergTable(
       eqDeletes: Seq[IcebergMeta.ContentFile]
   ): DataFrame = {
     if (eqDeletes.isEmpty) return data
-    requireParquet(eqDeletes, "equality-delete")
+    requireReadable(eqDeletes, "equality-delete")
     eqDeletes.groupBy(_.equalityIds).foldLeft(data) { case (df, (ids, files)) =>
       require(ids.nonEmpty, s"equality delete file ${files.head.path} has no equality ids")
       val cols = ids.map(id => meta.schemaFieldIds.getOrElse(id,
         throw new IllegalArgumentException(s"equality field id $id not in schema")))
       val delSchema = StructType(cols.map(c => meta.schema(c).copy(metadata = Metadata.empty)))
-      // one scan per distinct equality-id SET (schema-bounded), never
-      // per file: sequence numbers ride as per-file constants
-      val delSeq: Map[String, Long] = files.map(f =>
-        DvDeleted.normalizePath(f.path) -> f.sequenceNumber).toMap
-      val dels = spark.read.schema(delSchema).parquet(files.map(_.path): _*)
-        .withColumn("_del_seq", Bridge.column(FileLongAttr(
-          Bridge.expression(col("_metadata.file_path")),
-          Bridge.expression(col("_metadata.row_index")),
-          delSeq, addIndex = false)))
+      // one scan per distinct (equality-id set, format) — both
+      // schema-bounded, never per file: sequence numbers ride as
+      // per-file constants
+      def eqScan(group: Seq[IcebergMeta.ContentFile], orc: Boolean): DataFrame = {
+        val delSeq: Map[String, Any] = group.map(f =>
+          DvDeleted.normalizePath(f.path) -> (f.sequenceNumber: Any)).toMap
+        val base =
+          if (orc) spark.read.schema(delSchema).orc(group.map(_.path): _*)
+          else spark.read.schema(delSchema).parquet(group.map(_.path): _*)
+        base.withColumn("_del_seq", PartitionAttach.constCol(delSeq, LongType))
+      }
+      val (orcDel, parqDel) = files.partition(_.fileFormat == "ORC")
+      val dels = Seq((parqDel, false), (orcDel, true)).filter(_._1.nonEmpty)
+        .map { case (g, orc) => eqScan(g, orc) }.reduce(_.unionByName(_))
       val cond = cols.map(c => df(c) <=> dels(c))
         .reduce(_ && _) && dels("_del_seq") > df(SeqCol)
       df.join(dels, cond, "left_anti")

@@ -3,10 +3,14 @@ package graft.tables
 import graft.SparkSpec
 import org.apache.hadoop.fs.Path
 
-/** Loud refusals for non-PARQUET content files: an Iceberg manifest
-  * declaring ORC data files and a Hudi timeline naming an .orc base
-  * file must fail at PLAN time with the file and format named —
-  * never inside the parquet footer reader with a cryptic error.
+/** Content-format handling at the read seam: ORC data files (legal
+  * Iceberg/Hudi, common in foreign installs) read NATIVELY through
+  * Spark's ORC reader — one extra relation per format, values equal
+  * to the parquet path's; formats with no native reader (AVRO
+  * content, HFile bases) and shapes that would lose data (position
+  * deletes over ORC, which has no _metadata.row_index) refuse at
+  * PLAN time with the file, role and format named — never inside a
+  * footer reader with a cryptic error.
   */
 class FormatRefusalSpec extends SparkSpec {
   import spark.implicits._
@@ -25,16 +29,58 @@ class FormatRefusalSpec extends SparkSpec {
     rewriteFormatOf(table, IcebergMeta.manifestInfos(fs, snap).head.path, fmt)
   }
 
-  test("Iceberg: ORC data files refuse at plan time, format and file named") {
+  /** Swap the snapshot's FIRST manifest's data file for a real ORC
+    * encoding of the same rows: writes the ORC file next to the
+    * parquet one and rewrites file_path + file_format in the
+    * manifest — the layout a foreign ORC-writing engine leaves.
+    */
+  private def convertFirstFileToOrc(table: String): Unit = {
+    val fs = fsOf(table)
+    val meta = IcebergMeta.load(fs, table)
+    val snap = IcebergMeta.selectSnapshot(meta, None, None)
+    val mi = IcebergMeta.manifestInfos(fs, snap).head
+    IcebergMeta.contentFilesOfManifest(fs, mi).filter(_.content == 0).foreach { cf =>
+      val orcTmp = tempDir("fmt-orc-out").toString + "/o"
+      spark.read.parquet(cf.path).coalesce(1).write.mode("overwrite").orc(orcTmp)
+      val orcPart = fs.listStatus(new Path(orcTmp)).map(_.getPath)
+        .find(_.getName.endsWith(".orc")).get
+      val orcDest = new Path(cf.path.stripSuffix(".parquet") + ".orc")
+      assert(fs.rename(orcPart, orcDest), s"rename $orcPart -> $orcDest failed")
+      fs.delete(new Path(cf.path), false); ()
+    }
+    rewriteFormatOf(table, mi.path, "ORC",
+      pathMap = p => p.stripSuffix(".parquet") + ".orc")
+  }
+
+  test("Iceberg: ORC data files read natively, mixed with parquet files") {
     val dir = tempDir("fmt-ice").toString + "/t"
     IcebergWrite.append(spark, Seq((1, "a"), (2, "b")).toDF("id", "v"), dir)
-    rewriteManifestFormat(dir, "ORC")
+    IcebergWrite.append(spark, Seq((3, "c"), (4, "d")).toDF("id", "v"), dir)
+    convertFirstFileToOrc(dir)
+    val got = new IcebergTable("t", dir)(spark, ReadArgs.empty)
+      .as[(Int, String)].collect().toSet
+    assert(got == Set((1, "a"), (2, "b"), (3, "c"), (4, "d")))
+    // equality deletes still apply across the mixed-format scan
+    IcebergWrite.deleteEquality(spark, dir, Seq(Tuple1(1), Tuple1(3)).toDF("id"))
+    val after = new IcebergTable("t", dir)(spark, ReadArgs.empty)
+      .select("id").as[Int].collect().sorted.toSeq
+    assert(after == Seq(2, 4))
+  }
+
+  test("Iceberg: position deletes over ORC data files refuse loudly") {
+    val dir = tempDir("fmt-ice-pos").toString + "/t"
+    IcebergWrite.append(spark, Seq((1, "a"), (2, "b")).toDF("id", "v"), dir)
+    // position delete FIRST (targets the parquet file), then convert
+    // the data file to ORC: applying that delete by row position is
+    // impossible without parquet row indexes
+    IcebergWrite.deleteWhere(spark, dir, graft.core.Filters.normalize(
+      Seq(graft.core.Filter("id", "=", 1))))
+    convertFirstFileToOrc(dir)
     val e = intercept[UnsupportedOperationException] {
       new IcebergTable("t", dir)(spark, ReadArgs.empty).collect()
     }
-    assert(e.getMessage.contains("ORC") && e.getMessage.contains("PARQUET only"),
+    assert(e.getMessage.contains("ORC") && e.getMessage.contains("position-delete"),
       e.getMessage)
-    assert(e.getMessage.contains("data"), e.getMessage)
   }
 
   test("Iceberg: AVRO equality-delete files refuse with their role named") {
@@ -56,7 +102,8 @@ class FormatRefusalSpec extends SparkSpec {
       e.getMessage.contains("equality-delete"), e.getMessage)
   }
 
-  private def rewriteFormatOf(table: String, manifestPath: String, fmt: String): Unit = {
+  private def rewriteFormatOf(table: String, manifestPath: String, fmt: String,
+      pathMap: String => String = identity): Unit = {
     val fs = fsOf(table)
     val mPath = new Path(manifestPath)
     val local = java.io.File.createTempFile("fmt-c", ".avro")
@@ -76,6 +123,7 @@ class FormatRefusalSpec extends SparkSpec {
     try records.result().foreach { e =>
       val df = e.get("data_file").asInstanceOf[org.apache.avro.generic.GenericRecord]
       df.put("file_format", new org.apache.avro.util.Utf8(fmt))
+      df.put("file_path", new org.apache.avro.util.Utf8(pathMap(df.get("file_path").toString)))
       w.append(e)
     } finally w.close()
     val os = fs.create(mPath, true)
@@ -83,14 +131,12 @@ class FormatRefusalSpec extends SparkSpec {
     local.delete(); out.delete(); ()
   }
 
-  test("Hudi: an .orc base file refuses at plan time, format and group named") {
-    val dir = tempDir("fmt-hudi").toString + "/t"
-    HudiWrite.bulkInsert(spark,
-      Seq((1L, "a", 0), (2L, "b", 0)).toDF("id", "v", "part"),
-      dir, "id", Seq("part"))
+  /** Convert every base file of a Hudi table to a REAL ORC encoding
+    * of the same rows and patch the commit JSON — the layout an
+    * ORC-writing Hudi engine produces.
+    */
+  private def convertHudiBasesToOrc(dir: String): Unit = {
     val fs = fsOf(dir)
-    // rename the base file to .orc and patch the commit JSON to match
-    // — the layout an ORC-writing Hudi engine produces
     val hoodie = new Path(dir, ".hoodie")
     val commit = fs.listStatus(hoodie).map(_.getPath)
       .find(_.getName.endsWith(".commit")).get
@@ -98,19 +144,67 @@ class FormatRefusalSpec extends SparkSpec {
     val json = try new String(inS.readAllBytes(), "UTF-8") finally inS.close()
     assert(json.contains(".parquet"), "fixture sanity")
     val it = fs.listFiles(new Path(dir), true)
+    val bases = Seq.newBuilder[Path]
+    while (it.hasNext) {
+      val p = it.next().getPath
+      if (p.getName.endsWith(".parquet") && !p.toString.contains("/.hoodie/"))
+        bases += p
+    }
+    bases.result().foreach { p =>
+      val orcTmp = tempDir("fmt-hudi-orc").toString + "/o"
+      spark.read.parquet(p.toString).coalesce(1).write.mode("overwrite").orc(orcTmp)
+      val orcPart = fs.listStatus(new Path(orcTmp)).map(_.getPath)
+        .find(_.getName.endsWith(".orc")).get
+      fs.rename(orcPart, new Path(p.getParent,
+        p.getName.stripSuffix(".parquet") + ".orc"))
+      fs.delete(p, false); ()
+    }
+    val os = fs.create(commit, true)
+    try os.write(json.replace(".parquet", ".orc").getBytes("UTF-8")) finally os.close()
+  }
+
+  test("Hudi: ORC base files read natively; MOR logs merge over them") {
+    val dir = tempDir("fmt-hudi").toString + "/t"
+    HudiWrite.bulkInsert(spark,
+      Seq((1L, "a", 0), (2L, "b", 0)).toDF("id", "v", "part"),
+      dir, "id", Seq("part"))
+    convertHudiBasesToOrc(dir)
+    val t = new HudiTable("t", dir)
+    assert(t(spark, ReadArgs.empty).select("id", "v")
+      .as[(Long, String)].collect().toSet == Set((1L, "a"), (2L, "b")))
+    // a MOR upsert logs against the ORC base; the snapshot read
+    // merges the log over the ORC scan
+    HudiWrite.upsert(spark, Seq((2L, "B", 0), (3L, "c", 0)).toDF("id", "v", "part"), dir)
+    assert(t(spark, ReadArgs.empty).select("id", "v")
+      .as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "B"), (3L, "c")))
+  }
+
+  test("Hudi: an HFile base still refuses at plan time, format and group named") {
+    val dir = tempDir("fmt-hudi-hf").toString + "/t"
+    HudiWrite.bulkInsert(spark,
+      Seq((1L, "a", 0), (2L, "b", 0)).toDF("id", "v", "part"),
+      dir, "id", Seq("part"))
+    val fs = fsOf(dir)
+    val hoodie = new Path(dir, ".hoodie")
+    val commit = fs.listStatus(hoodie).map(_.getPath)
+      .find(_.getName.endsWith(".commit")).get
+    val inS = fs.open(commit)
+    val json = try new String(inS.readAllBytes(), "UTF-8") finally inS.close()
+    val it = fs.listFiles(new Path(dir), true)
     while (it.hasNext) {
       val p = it.next().getPath
       if (p.getName.endsWith(".parquet") && !p.toString.contains("/.hoodie/")) {
         fs.rename(p, new Path(p.getParent,
-          p.getName.stripSuffix(".parquet") + ".orc")); ()
+          p.getName.stripSuffix(".parquet") + ".hfile")); ()
       }
     }
     val os = fs.create(commit, true)
-    try os.write(json.replace(".parquet", ".orc").getBytes("UTF-8")) finally os.close()
+    try os.write(json.replace(".parquet", ".hfile").getBytes("UTF-8")) finally os.close()
     val e = intercept[UnsupportedOperationException] {
       new HudiTable("t", dir)(spark, ReadArgs.empty).collect()
     }
-    assert(e.getMessage.contains("ORC") && e.getMessage.contains("PARQUET only"),
+    assert(e.getMessage.contains("HFILE") && e.getMessage.contains("PARQUET and ORC only"),
       e.getMessage)
   }
 }

@@ -45,12 +45,16 @@ class IcebergV3Spec extends SparkSpec {
     * `corruptDv`, the loud-refusal shape).
     */
   private def buildV3(root: String, withDv: Boolean,
-      schemaFieldsJson: String = defaultFields, corruptDv: Boolean = false): Unit = {
+      schemaFieldsJson: String = defaultFields, corruptDv: Boolean = false,
+      withW: Boolean = false): Unit = {
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val metaDir = new Path(root, "metadata")
     fs.mkdirs(metaDir)
-    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
-      .coalesce(1).write.mode("overwrite").parquet(root + "/data")
+    val dataDf =
+      if (!withW) Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+      else Seq((1L, "a", Some(9L)), (2L, "b", None), (3L, "c", Some(5L)))
+        .toDF("id", "v", "w")
+    dataDf.coalesce(1).write.mode("overwrite").parquet(root + "/data")
     val dataFile = fs.listStatus(new Path(root + "/data"))
       .find(_.getPath.getName.endsWith(".parquet")).get
     val puffin = new Path(root, "deletes/dv.puffin")
@@ -381,16 +385,41 @@ class IcebergV3Spec extends SparkSpec {
     assert(back.cardinality == 5)
   }
 
-  test("v3 initial-default column values refuse (silent nulls are wrong data)") {
+  private val defaultWFields =
+    """{"id":1,"name":"id","required":false,"type":"long"},
+      |{"id":2,"name":"v","required":false,"type":"string"},
+      |{"id":3,"name":"w","required":false,"type":"long","initial-default":7}""".stripMargin
+
+  test("v3 initial-default: pre-evolution files read the default, not null") {
     val root = tempDir("ice-v3-def").toString + "/t"
+    // the data file carries only (id, v) — column w postdates it
+    buildV3(root, withDv = false, schemaFieldsJson = defaultWFields)
+    val got = new IcebergTable("t", root)(spark, ReadArgs.empty)
+      .select("id", "w").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 7L), (2L, 7L), (3L, 7L)))
+  }
+
+  test("v3 initial-default: files that CARRY the field keep stored values, nulls included") {
+    val root = tempDir("ice-v3-defw").toString + "/t"
+    // the data file has w with an explicit null — the default must NOT
+    // overwrite genuine post-evolution nulls
+    buildV3(root, withDv = false, schemaFieldsJson = defaultWFields, withW = true)
+    val got = new IcebergTable("t", root)(spark, ReadArgs.empty)
+      .select("id", "w").as[(Long, Option[Long])].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, Some(9L)), (2L, None), (3L, Some(5L))))
+  }
+
+  test("v3 initial-default on a NESTED field still refuses loudly") {
+    val root = tempDir("ice-v3-defn").toString + "/t"
     buildV3(root, withDv = false, schemaFieldsJson =
       """{"id":1,"name":"id","required":false,"type":"long"},
         |{"id":2,"name":"v","required":false,"type":"string"},
-        |{"id":3,"name":"w","required":false,"type":"long","initial-default":7}""".stripMargin)
+        |{"id":3,"name":"s","required":false,"type":{"type":"struct","fields":[
+        |  {"id":4,"name":"x","required":false,"type":"long","initial-default":7}]}}""".stripMargin)
     val e = intercept[UnsupportedOperationException] {
       new IcebergTable("t", root)(spark, ReadArgs.empty).collect()
     }
-    assert(e.getMessage.contains("initial-default") && e.getMessage.contains("'w'"),
+    assert(e.getMessage.contains("initial-default") && e.getMessage.contains("'x'"),
       e.getMessage)
   }
 }
