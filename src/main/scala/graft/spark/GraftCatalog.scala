@@ -1,0 +1,187 @@
+package graft.spark
+
+import graft.core.{Filters => GFilters}
+import graft.tables.ChangeFeed
+import org.apache.spark.sql.{Row, SQLContext, SparkSession}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.sources.{BaseRelation, Filter, TableScan}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import java.util
+
+/** DSv2 catalog plugin: direct path SQL over graft's native lakehouse
+  * readers, no USING view needed —
+  *
+  * {{{
+  * spark.conf.set("spark.sql.catalog.graft", "graft.spark.GraftCatalog")
+  * spark.sql("SELECT * FROM graft.`/warehouse/events`")          // auto-detect
+  * spark.sql("SELECT * FROM graft.iceberg.`/warehouse/events`")  // pinned format
+  * }}}
+  *
+  * The optional one-level namespace pins the format (`delta` |
+  * `iceberg` | `hudi`); without it the table layout is auto-detected
+  * ([[ChangeFeed.detectFormat]]). Scans push filters (translated into
+  * the graft [[graft.core.Filter]] algebra → Delta stats, Iceberg
+  * manifest, Hudi slice pruning), required columns (parquet
+  * ReadSchema) and LIMIT (applied inside the produced plan, so `LIMIT
+  * 1` probes never scan a table) down into the native readers through
+  * the same seam the `format("graft")` DSv1 relation uses — the scan
+  * executes as a [[V1Scan]] over that proven path, so both entries
+  * stay plan-identical. Writes keep the DSv1
+  * `df.write.format("graft")` surface ([[GraftSource]]).
+  */
+class GraftCatalog extends TableCatalog {
+
+  private var catalogName: String = "graft"
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+  }
+
+  override def name(): String = catalogName
+
+  private def spark: SparkSession = SparkSession.active
+
+  private def formatOf(ident: Identifier): Option[String] = ident.namespace() match {
+    case Array()  => None
+    case Array(f) if Set("delta", "iceberg", "hudi")(f.toLowerCase) =>
+      Some(f.toLowerCase)
+    case other => throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+      Seq(catalogName) ++ other.toSeq :+ ident.name())
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val path = ident.name()
+    val format = formatOf(ident)
+      .orElse(ChangeFeed.detectFormat(spark, path))
+      .getOrElse(throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        Seq(catalogName, path)))
+    formatOf(ident).foreach(f => ChangeFeed.detectFormat(spark, path).foreach(d =>
+      require(d == f, s"$path is a $d table, not the requested $f")))
+    new GraftV2Table(path, format)
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    Array.empty // path-addressed: there is no enumerable namespace
+
+  override def tableExists(ident: Identifier): Boolean =
+    try { loadTable(ident); true }
+    catch { case _: Exception => false }
+
+  override def createTable(
+      ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table =
+    throw new UnsupportedOperationException(
+      s"CREATE TABLE through the $catalogName catalog is not supported — " +
+        "write with df.write.format(\"graft\") or the format's native writer")
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      s"ALTER TABLE through the $catalogName catalog is not supported")
+
+  override def dropTable(ident: Identifier): Boolean =
+    throw new UnsupportedOperationException(
+      s"DROP TABLE through the $catalogName catalog is not supported")
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      s"RENAME TABLE through the $catalogName catalog is not supported")
+}
+
+/** One graft-read lakehouse table surfaced to DSv2. */
+private[spark] class GraftV2Table(path: String, format: String)
+    extends Table with SupportsRead {
+
+  private def spark: SparkSession = SparkSession.active
+
+  override def name(): String = s"graft.$format.`$path`"
+
+  override def schema(): StructType =
+    new GraftRelation(spark, path, format, Map("path" -> path),
+      spark.sqlContext).schema
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(path, format, schema())
+}
+
+/** Pushdown seam: filters → graft algebra (pruning + exact residual
+  * inside the readers, so translated filters are fully handled),
+  * column pruning → ReadArgs.columns, LIMIT → `.limit(n)` on the
+  * produced frame (exact, so it reports fully-pushed and Spark drops
+  * its own Limit node).
+  */
+private[spark] class GraftScanBuilder(path: String, format: String, full: StructType)
+    extends ScanBuilder
+    with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = full
+  private var limit: Option[Int] = None
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ok, rest) = filters.partition(f => GraftRelation.translate(f).isDefined)
+    pushed = ok
+    rest
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    required = requiredSchema
+  }
+
+  override def pushLimit(n: Int): Boolean = {
+    limit = Some(n)
+    true // applied exactly via .limit(n) — fully pushed
+  }
+
+  override def build(): Scan = new GraftV1ScanBridge(path, format, required, pushed, limit)
+}
+
+/** The scan executes through the DSv1 relation seam ([[V1Scan]] — the
+  * same bridge Spark's own JDBC source migrated through): one
+  * InternalRow RDD from the native reader, no extra copy.
+  */
+private[spark] class GraftV1ScanBridge(
+    path: String,
+    format: String,
+    required: StructType,
+    filters: Array[Filter],
+    limit: Option[Int]
+) extends V1Scan {
+
+  /** Test-visible: the LIMIT the builder pushed into this scan. */
+  private[spark] def pushedLimit: Option[Int] = limit
+
+  override def readSchema(): StructType = required
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: SQLContext): T = {
+    val relation = new BaseRelation with TableScan {
+      override def sqlContext: SQLContext = context
+      override def schema: StructType = required
+      override def needConversion: Boolean = false
+      override def buildScan(): org.apache.spark.rdd.RDD[Row] = {
+        val translated = filters.flatMap(GraftRelation.translate).toSeq
+        val cols = required.fieldNames.toSeq
+        val args = graft.tables.ReadArgs(
+          filters = GFilters.normalize(translated),
+          columns = if (cols.nonEmpty) Some(cols) else None)
+        var df = new GraftRelation(context.sparkSession, path, format,
+          Map("path" -> path), context).frame(args)
+          .select(cols.map(org.apache.spark.sql.functions.col): _*)
+        limit.foreach(n => df = df.limit(n))
+        df.queryExecution.toRdd.asInstanceOf[org.apache.spark.rdd.RDD[Row]]
+      }
+    }
+    relation.asInstanceOf[T]
+  }
+}

@@ -199,7 +199,7 @@ class GraftRelation(
       parameters.get("asOfInstant").map(v => t.AsOfInstantKey -> (v: Any)).toMap
   }
 
-  private def frame(args: ReadArgs): DataFrame = format match {
+  private[spark] def frame(args: ReadArgs): DataFrame = format match {
     case "delta"   => new DeltaTable(name, path)(spark, args)
     case "iceberg" => new IcebergTable(name, path)(spark, args)
     case _         => new HudiTable(name, path)(spark, args)
@@ -230,8 +230,34 @@ class GraftRelation(
   // standard no-copy seam (Spark skips the Row re-encoding)
   override def needConversion: Boolean = false
 
-  /** Spark filter → graft algebra; None = Spark keeps it. */
-  private def translate(f: org.apache.spark.sql.sources.Filter): Option[GFilter] = f match {
+  override def unhandledFilters(
+      filters: Array[org.apache.spark.sql.sources.Filter])
+  : Array[org.apache.spark.sql.sources.Filter] =
+    filters.filter(f => GraftRelation.translate(f).isEmpty)
+
+  override def buildScan(
+      requiredColumns: Array[String],
+      filters: Array[org.apache.spark.sql.sources.Filter]): RDD[Row] = {
+    val translated = filters.flatMap(GraftRelation.translate).toSeq
+    val args = ReadArgs(
+      filters = GFilters.normalize(translated),
+      columns = if (requiredColumns.nonEmpty) Some(requiredColumns.toSeq) else None,
+      extra = extra)
+    val df0 = frame(args)
+    // exact required order; zero columns (count(*)) yields arity-0 rows
+    val df = df0.select(requiredColumns.map(c =>
+      org.apache.spark.sql.functions.col(c)).toIndexedSeq: _*)
+    df.queryExecution.toRdd.asInstanceOf[RDD[Row]]
+  }
+}
+
+object GraftRelation {
+  /** Spark filter → graft algebra; None = Spark keeps it. Shared by
+    * the DSv1 relation and the DSv2 catalog's scan builder
+    * ([[GraftScanBuilder]]) so both entries prune identically.
+    */
+  private[spark] def translate(
+      f: org.apache.spark.sql.sources.Filter): Option[GFilter] = f match {
     case EqualTo(c, v)            => Some(GFilter(c, "=", v))
     case Not(EqualTo(c, v))       => Some(GFilter(c, "!=", v))
     case GreaterThan(c, v)        => Some(GFilter(c, ">", v))
@@ -242,25 +268,5 @@ class GraftRelation(
     case Not(In(c, vs))           => Some(GFilter(c, "not in", vs.toSeq))
     case StringContains(c, v)     => Some(GFilter(c, "contains", v))
     case _                        => None
-  }
-
-  override def unhandledFilters(
-      filters: Array[org.apache.spark.sql.sources.Filter])
-  : Array[org.apache.spark.sql.sources.Filter] =
-    filters.filter(f => translate(f).isEmpty)
-
-  override def buildScan(
-      requiredColumns: Array[String],
-      filters: Array[org.apache.spark.sql.sources.Filter]): RDD[Row] = {
-    val translated = filters.flatMap(translate).toSeq
-    val args = ReadArgs(
-      filters = GFilters.normalize(translated),
-      columns = if (requiredColumns.nonEmpty) Some(requiredColumns.toSeq) else None,
-      extra = extra)
-    val df0 = frame(args)
-    // exact required order; zero columns (count(*)) yields arity-0 rows
-    val df = df0.select(requiredColumns.map(c =>
-      org.apache.spark.sql.functions.col(c)).toIndexedSeq: _*)
-    df.queryExecution.toRdd.asInstanceOf[RDD[Row]]
   }
 }

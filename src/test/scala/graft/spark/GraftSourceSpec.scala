@@ -206,4 +206,74 @@ class GraftSourceSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("delta table, not the requested hudi"))
   }
+
+  // ---------------- DSv2 catalog plugin ----------------
+
+  private def withCatalog[A](body: => A): A = {
+    spark.conf.set("spark.sql.catalog.graft", "graft.spark.GraftCatalog")
+    try body finally spark.conf.unset("spark.sql.catalog.graft")
+  }
+
+  test("DSv2 catalog: direct path SQL, auto-detected and format-pinned") {
+    val base = tempDir("graft-cat").toString
+    val (d, i, h) = (base + "/d", base + "/i", base + "/h")
+    DeltaWrite.append(spark, rows, d, Seq("part"))
+    IcebergWrite.append(spark, rows, i, Seq("part"))
+    HudiWrite.bulkInsert(spark, rows, h, "id", Seq("part"))
+    withCatalog {
+      for (p <- Seq(d, i, h)) {
+        val got = spark.sql(s"SELECT id FROM graft.`$p` ORDER BY id")
+          .as[Long].collect().toSeq
+        assert(got == (0L to 11L), s"direct SQL failed for $p")
+      }
+      // pinned-format namespace
+      assert(spark.sql(s"SELECT count(*) FROM graft.delta.`$d`").as[Long].head() == 12L)
+      assert(spark.sql(s"SELECT count(*) FROM graft.iceberg.`$i`").as[Long].head() == 12L)
+      assert(spark.sql(s"SELECT count(*) FROM graft.hudi.`$h`").as[Long].head() == 12L)
+      // mismatched pin refuses
+      val e = intercept[Exception] {
+        spark.sql(s"SELECT * FROM graft.hudi.`$d`").collect()
+      }
+      assert(e.getMessage.contains("delta table, not the requested hudi"))
+      // arbitrary SQL composes (join through the catalog)
+      val j = spark.sql(
+        s"""SELECT a.part, count(*) AS n FROM graft.`$d` a
+           |JOIN graft.`$i` b ON a.id = b.id GROUP BY a.part ORDER BY a.part""".stripMargin)
+        .as[(Long, Long)].collect().toSeq
+      assert(j == Seq((0L, 4L), (1L, 4L), (2L, 4L)))
+    }
+  }
+
+  test("DSv2 catalog: filter, column and LIMIT pushdown reach the scan") {
+    val dir = tempDir("graft-cat-push").toString + "/d"
+    DeltaWrite.append(spark, rows, dir, Seq("part"))
+    withCatalog {
+      // filter + projection: the pushed filter is visible on the scan
+      // node and the scan emits only matching rows
+      val q = spark.sql(s"SELECT id FROM graft.`$dir` WHERE part = 1")
+      q.collect()
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters") && plan.contains("EqualTo(part,1"),
+        s"filter not pushed:\n$plan")
+      assert(q.as[Long].collect().toSet == Set(1L, 4L, 7L, 10L))
+
+      // LIMIT lands inside the scan (the V1Scan bridge carries it), so
+      // a LIMIT 1 probe never plans a full-table pass
+      val lim = spark.sql(s"SELECT id FROM graft.`$dir` LIMIT 3")
+      val scans = lim.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.scan
+      }
+      assert(scans.nonEmpty, "no DSv2 scan in the optimized plan")
+      scans.map {
+        case w: org.apache.spark.sql.execution.datasources.v2.V1ScanWrapper => w.v1Scan
+        case other => other
+      }.foreach {
+        case b: GraftV1ScanBridge => // accessible: same package
+          assert(b.pushedLimit.contains(3), s"limit not pushed: ${b.pushedLimit}")
+        case other => fail(s"unexpected scan ${other.getClass}")
+      }
+      assert(lim.as[Long].collect().length == 3)
+    }
+  }
 }
