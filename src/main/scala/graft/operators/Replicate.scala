@@ -59,6 +59,63 @@ object Replicate {
     */
   val AppId = "graft-replicate"
 
+  /** What a sync does when the SOURCE dropped a column the replica
+    * still carries (non-additive evolution — outside the formats' own
+    * additive contracts, so it needs a declared policy).
+    */
+  sealed trait DropPolicy
+  object DropPolicy {
+    /** Refuse loudly with a recreate hint (the default): dropping a
+      * replica column in place is destructive, so it must be an
+      * explicit operator decision.
+      */
+    case object Refuse extends DropPolicy
+    /** Keep the dropped column as a TOMBSTONE: it stays in the
+      * replica's schema and every row this and later batches upsert
+      * writes null into it; historical rows keep their old values.
+      * The replica remains a superset of the source — the safe
+      * automatic policy for pipelines that must not stop.
+      */
+    case object Tombstone extends DropPolicy
+  }
+
+  /** One table of a [[syncAll]] pipeline. */
+  final case class TableSpec(
+      sourcePath: String,
+      targetPath: String,
+      keys: Seq[String],
+      format: String,
+      partitionBy: Seq[String] = Seq.empty)
+
+  /** Multi-table driver: keep N replicas current under ONE watermark
+    * namespace (`appId`) — each table's watermark still rides its own
+    * target's commit metadata, so tables advance independently and a
+    * failure in one leaves the others' exactly-once state untouched.
+    * A missing target initializes (snapshot create), an existing one
+    * syncs; returns the new per-target watermarks. Cost is the sum of
+    * the per-table syncs — each ∝ that table's changed rows, never
+    * its size.
+    */
+  def syncAll(
+      spark: SparkSession,
+      tables: Seq[TableSpec],
+      appId: String = AppId,
+      onDrop: DropPolicy = DropPolicy.Refuse
+  ): Map[String, Long] = {
+    require(tables.map(_.targetPath).distinct.size == tables.size,
+      "syncAll table specs name a duplicate targetPath")
+    tables.map { t =>
+      val wm = ChangeFeed.detectFormat(spark, t.targetPath) match {
+        case None =>
+          initialize(spark, t.sourcePath, t.targetPath, t.keys, t.format,
+            t.partitionBy, appId)
+        case Some(_) =>
+          sync(spark, t.sourcePath, t.targetPath, t.keys, appId, onDrop)
+      }
+      t.targetPath -> wm
+    }.toMap
+  }
+
   /** Full snapshot at the source's head → CREATE the replica in
     * `format` ("delta" | "iceberg" | "hudi") carrying the initial
     * watermark. Returns the source version captured.
@@ -128,7 +185,8 @@ object Replicate {
       sourcePath: String,
       targetPath: String,
       keys: Seq[String],
-      appId: String = AppId
+      appId: String = AppId,
+      onDrop: DropPolicy = DropPolicy.Refuse
   ): Long = {
     val targetFormat = ChangeFeed.detectFormat(spark, targetPath).getOrElse(
       throw new IllegalArgumentException(
@@ -149,7 +207,7 @@ object Replicate {
     try {
       if (atMax.limit(1).isEmpty) return last // metadata-only commits
       applyNet(spark, atMax, dataCols, targetFormat, targetPath, keys,
-        appId -> head)
+        appId -> head, onDrop)
       head
     } finally atMax.unpersist()
   }
@@ -163,12 +221,40 @@ object Replicate {
   private def applyNet(
       spark: SparkSession,
       atMax: DataFrame,
-      dataCols: Seq[String],
+      dataCols0: Seq[String],
       targetFormat: String,
       targetPath: String,
       keys: Seq[String],
-      marker: (String, Long)): Unit = {
-    val survivors = atMax.where(col("_is_post"))
+      marker: (String, Long),
+      onDrop: DropPolicy = DropPolicy.Refuse): Unit = {
+    // Non-additive evolution gate, uniform across the triad: columns
+    // the replica carries but the source no longer has follow the
+    // declared [[DropPolicy]] — refuse with a recreate hint, or keep
+    // them as null-filled tombstones. Gated on the batch SCHEMA, not
+    // on the batch having survivors: a delete-only batch after an
+    // evolution still passes the evolved frame to the keyed apply.
+    val tgtFields: Seq[org.apache.spark.sql.types.StructField] = targetFormat match {
+      case "delta" =>
+        DeltaLog.snapshot(spark, targetPath, withFiles = false).metadata.schema.fields.toSeq
+      case _ => ChangeFeed.forPath(spark, targetPath).tableSchema(spark).fields.toSeq
+    }
+    val droppedFields = tgtFields.filterNot(f => dataCols0.contains(f.name))
+    val dataCols: Seq[String] = onDrop match {
+      case _ if droppedFields.isEmpty => dataCols0
+      case DropPolicy.Refuse =>
+        throw new IllegalArgumentException(
+          s"replica $targetPath carries column(s) " +
+            s"${droppedFields.map(_.name).mkString(", ")} the source no longer " +
+            "has — replication is additive-only under DropPolicy.Refuse; " +
+            "recreate the replica (drop it and initialize again) or sync with " +
+            "DropPolicy.Tombstone to keep the columns null-filled")
+      case DropPolicy.Tombstone => dataCols0 ++ droppedFields.map(_.name)
+    }
+    val tombstoned =
+      if (droppedFields.isEmpty) atMax
+      else droppedFields.foldLeft(atMax)((d, f) =>
+        d.withColumn(f.name, lit(null).cast(f.dataType)))
+    val survivors = tombstoned.where(col("_is_post"))
       .select(dataCols.map(col): _*)
     val dead = atMax.groupBy(keys.map(col): _*)
       .agg(max(when(col("_is_post"), 1).otherwise(0)).as("_p"))
@@ -180,23 +266,10 @@ object Replicate {
       case "delta" =>
         // ADDITIVE source evolution propagates: columns the replica
         // lacks are added by explicit DDL before the apply (the
-        // Iceberg/Hudi legs evolve inside their own upsert paths); a
-        // replica column the source no longer carries refuses loudly
-        // — replication is additive-only, like the formats' own
-        // evolution contracts. Gated on the batch SCHEMA, not on the
-        // batch having survivors: a delete-only batch after an
-        // evolution still passes the evolved (empty) survivors frame
-        // to merge, whose schema check needs the evolved replica.
+        // Iceberg/Hudi legs evolve inside their own upsert paths).
         locally {
-          val tgtSchema = DeltaLog.snapshot(spark, targetPath, withFiles = false)
-            .metadata.schema
-          val dropped = tgtSchema.fieldNames
-            .filterNot(n => dataCols.contains(n))
-          require(dropped.isEmpty,
-            s"replica $targetPath carries column(s) ${dropped.mkString(", ")} " +
-              "the source no longer has — replication is additive-only")
           val added = survivors.schema.fields
-            .filterNot(f => tgtSchema.fieldNames.contains(f.name))
+            .filterNot(f => tgtFields.exists(_.name == f.name))
           if (added.nonEmpty)
             graft.tables.DeltaDdl.addColumns(spark, targetPath, added.toSeq)
         }

@@ -465,4 +465,82 @@ class ReplicateSpec extends SparkSpec {
       assert(Replicate.sync(spark, src, tgt, Seq("id")) == wm.get)
     }
   }
+
+  test("DROPPED source column: Refuse names the column and the way out; Tombstone null-fills") {
+    // a COLUMN-MAPPED Delta source (rename/drop need mapping) with CDF
+    val dir = tempDir("repl-drop").toString + "/src"
+    def mapped(name: String, dt: org.apache.spark.sql.types.DataType, id: Int) =
+      StructField(name, dt, nullable = true,
+        metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong("delta.columnMapping.id", id.toLong)
+          .putString(DeltaLog.PhysicalNameKey, f"col-$id%02d").build())
+    DeltaDdl.createTable(spark, dir,
+      StructType(Seq(mapped("id", LongType, 1), mapped("name", StringType, 2),
+        mapped("v", LongType, 3))),
+      configuration = Map(
+        "delta.enableChangeDataFeed" -> "true",
+        "delta.columnMapping.mode" -> "name",
+        "delta.columnMapping.maxColumnId" -> "3"))
+    DeltaWrite.append(spark, rows(6), dir)
+
+    val tgt = tempDir("repl-drop-t").toString + "/replica"
+    Replicate.initialize(spark, dir, tgt, Seq("id"), "delta")
+
+    // the source DROPS v (metadata-only under mapping), then churns
+    graft.tables.DeltaDdl.dropColumn(spark, dir, "v")
+    DeltaWrite.merge(spark, dir,
+      Seq((1L, "ONE"), (100L, "new")).toDF("id", "name"), Seq("id"))
+
+    // default policy: refuse, naming the column and both ways out
+    val e = intercept[IllegalArgumentException] {
+      Replicate.sync(spark, dir, tgt, Seq("id"))
+    }
+    assert(e.getMessage.contains("v") && e.getMessage.contains("Tombstone") &&
+      e.getMessage.contains("recreate"), e.getMessage)
+
+    // tombstone policy: the replica keeps v; churned rows write null,
+    // untouched rows keep their historical values
+    Replicate.sync(spark, dir, tgt, Seq("id"),
+      onDrop = Replicate.DropPolicy.Tombstone)
+    val got = new DeltaTable("t", tgt)(spark)
+      .select("id", "name", "v").as[(Long, String, Option[Long])].collect().toSet
+    assert(got.contains((1L, "ONE", None)) && got.contains((100L, "new", None)))
+    assert(got.contains((2L, "name2", Some(20L))), s"historical value lost: $got")
+    // steady state: another churned batch keeps tombstoning
+    DeltaWrite.merge(spark, dir, Seq((2L, "TWO")).toDF("id", "name"), Seq("id"))
+    Replicate.sync(spark, dir, tgt, Seq("id"),
+      onDrop = Replicate.DropPolicy.Tombstone)
+    assert(new DeltaTable("t", tgt)(spark)
+      .select("id", "name", "v").as[(Long, String, Option[Long])]
+      .collect().toSet.contains((2L, "TWO", None)))
+  }
+
+  test("syncAll keeps two tables current under one watermark namespace") {
+    val srcA = mkDeltaSource("multi-a")
+    val srcB = mkDeltaSource("multi-b", n = 8)
+    val base = tempDir("repl-multi-t").toString
+    val specs = Seq(
+      Replicate.TableSpec(srcA, base + "/a", Seq("id"), "iceberg"),
+      Replicate.TableSpec(srcB, base + "/b", Seq("id"), "delta"))
+
+    // first call initializes BOTH
+    val wm0 = Replicate.syncAll(spark, specs)
+    assert(wm0.keySet == Set(base + "/a", base + "/b"))
+    assert(readTarget(base + "/a") == readSource(srcA))
+    assert(readTarget(base + "/b") == readSource(srcB))
+
+    // churn only A; the second call advances A and no-ops B
+    DeltaWrite.merge(spark, srcA,
+      Seq((1L, "A1", 7L), (900L, "new", 9L)).toDF("id", "name", "v"), Seq("id"))
+    val wm1 = Replicate.syncAll(spark, specs)
+    assert(wm1(base + "/a") > wm0(base + "/a"))
+    assert(wm1(base + "/b") == wm0(base + "/b"))
+    assert(readTarget(base + "/a") == readSource(srcA))
+    assert(readTarget(base + "/b") == readSource(srcB))
+
+    // duplicate target refuses
+    intercept[IllegalArgumentException] {
+      Replicate.syncAll(spark, specs :+ specs.head)
+    }
+  }
 }
