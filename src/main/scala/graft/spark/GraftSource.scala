@@ -37,8 +37,42 @@ import org.apache.spark.sql.types.StructType
 class GraftSource extends RelationProvider
     with CreatableRelationProvider
     with org.apache.spark.sql.sources.StreamSourceProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider
     with DataSourceRegister {
   override def shortName(): String = "graft"
+
+  /** Streaming WRITES under the same format name —
+    * `df.writeStream.format("graft").option("path", p)
+    * .option("txnAppId", id).start()` — delegate to the exactly-once
+    * lakehouse sink triad (E56): `format` picks the leg for a NEW
+    * table (an existing one auto-detects and refuses a mismatch), and
+    * the sink options pass through (`txnAppId` required; `mode` =
+    * append | merge/upsert with `keyCols` on the Delta/Iceberg legs).
+    */
+  override def createSink(
+      sqlContext: SQLContext,
+      parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+  : org.apache.spark.sql.execution.streaming.Sink = {
+    val path = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "the graft sink requires a 'path' option"))
+    val detected = ChangeFeed.detectFormat(sqlContext.sparkSession, path)
+    val format = parameters.get("format").map(_.toLowerCase).orElse(detected)
+      .getOrElse(throw new IllegalArgumentException(
+        s"streaming into a NEW table at $path needs an explicit 'format' option " +
+          "(delta | iceberg | hudi)"))
+    require(Set("delta", "iceberg", "hudi")(format),
+      s"unknown format '$format' (delta | iceberg | hudi)")
+    detected.foreach(d => require(d == format,
+      s"$path is a $d table, not the requested $format"))
+    val delegate: org.apache.spark.sql.sources.StreamSinkProvider = format match {
+      case "delta"   => new graft.streaming.DeltaStreamSinkProvider
+      case "iceberg" => new graft.streaming.IcebergStreamSinkProvider
+      case _         => new graft.streaming.HudiStreamSinkProvider
+    }
+    delegate.createSink(sqlContext, parameters, partitionColumns, outputMode)
+  }
 
   /** Streaming reads under the same format name:
     * `spark.readStream.format("graft").load(p)` tails NET ROWS

@@ -207,6 +207,71 @@ class GraftSourceSpec extends SparkSpec {
     assert(e2.getMessage.contains("delta table, not the requested hudi"))
   }
 
+  test("streaming writes: format(\"graft\") delegates to the exactly-once sink triad") {
+    import org.apache.spark.sql.streaming.OutputMode
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.SparkSession
+    val base = tempDir("graft-sink").toString
+
+    // delta leg: append through the graft name, replay-safe via txnAppId
+    locally {
+      implicit val sqlCtx = spark.sqlContext
+      val in = MemoryStream[(Long, String)]
+      val d = base + "/d"
+      val q = in.toDF().toDF("id", "v").writeStream
+        .format("graft")
+        .option("format", "delta")
+        .option("path", d)
+        .option("txnAppId", "graft-sink-spec")
+        .option("checkpointLocation", base + "/ck-d")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        in.addData((1L, "a"), (2L, "b"))
+        q.processAllAvailable()
+        in.addData((3L, "c"))
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.read.format("graft").load(d)
+        .as[(Long, String)].collect().toSet
+      assert(got == Set((1L, "a"), (2L, "b"), (3L, "c")))
+      // the sink really is the E56 delta sink: batch ids ride txn marks
+      assert(graft.tables.DeltaLog.snapshot(spark, d, withFiles = false)
+        .txns.contains("graft-sink-spec"))
+    }
+
+    // iceberg leg through the same name
+    locally {
+      implicit val sqlCtx = spark.sqlContext
+      val in = MemoryStream[(Long, String)]
+      val i = base + "/i"
+      val q = in.toDF().toDF("id", "v").writeStream
+        .format("graft")
+        .option("format", "iceberg")
+        .option("path", i)
+        .option("txnAppId", "graft-sink-spec")
+        .option("checkpointLocation", base + "/ck-i")
+        .outputMode(OutputMode.Append()).start()
+      try { in.addData((7L, "x")); q.processAllAvailable() } finally q.stop()
+      assert(spark.read.format("graft").load(i)
+        .as[(Long, String)].collect().toSet == Set((7L, "x")))
+    }
+
+    // a NEW table without an explicit format refuses at start
+    locally {
+      implicit val sqlCtx = spark.sqlContext
+      val in = MemoryStream[(Long, String)]
+      val e = intercept[Exception] {
+        in.toDF().toDF("id", "v").writeStream
+          .format("graft")
+          .option("path", base + "/nowhere")
+          .option("txnAppId", "x")
+          .option("checkpointLocation", base + "/ck-n")
+          .outputMode(OutputMode.Append()).start()
+      }
+      assert(e.getMessage.contains("format"), e.getMessage)
+    }
+  }
+
   // ---------------- DSv2 catalog plugin ----------------
 
   private def withCatalog[A](body: => A): A = {
