@@ -32,27 +32,80 @@ case class ShingleHashSet(child: Expression, k: Int)
   override def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String].toString
     val digest = md.get()
+    val out16 = new Array[Byte](16)
 
-    def h48(sh: String): Long = {
+    // md5 of a byte slice into a REUSED output buffer — same value as
+    // digest(sh.getBytes), without the per-shingle String/array churn
+    // (this expression is the corpus-wide hash pass: its constant
+    // factor IS the near-dup pipeline's floor)
+    def h48(bytes: Array[Byte], off: Int, len: Int): Long = {
       digest.reset()
-      val d = digest.digest(sh.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      digest.update(bytes, off, len)
+      digest.digest(out16, 0, 16)
       var h = 0L
       var i = 0
-      while (i < 6) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+      while (i < 6) { h = (h << 8) | (out16(i) & 0xffL); i += 1 }
       h % PortableHash.Prime
     }
 
-    val n = s.length
-    val set = new java.util.TreeSet[java.lang.Long]()
-    if (n >= k) {
+    // primitive sort + in-place dedup replaces the boxed TreeSet
+    def finish(arr: Array[Long], m: Int): GenericArrayData = {
+      java.util.Arrays.sort(arr, 0, m)
+      var w = 0
       var i = 0
-      while (i + k <= n) { set.add(h48(s.substring(i, i + k))); i += 1 }
-    } else set.add(h48(s))
-    val out = new Array[Long](set.size)
-    var i = 0
-    val it = set.iterator()
-    while (it.hasNext) { out(i) = it.next(); i += 1 }
-    new GenericArrayData(out)
+      while (i < m) {
+        if (w == 0 || arr(w - 1) != arr(i)) { arr(w) = arr(i); w += 1 }
+        i += 1
+      }
+      val res = new Array[Long](w)
+      System.arraycopy(arr, 0, res, 0, w)
+      new GenericArrayData(res)
+    }
+
+    val n = s.length
+    var hasSurrogate = false
+    var si = 0
+    while (si < n && !hasSurrogate) {
+      if (Character.isSurrogate(s.charAt(si))) hasSurrogate = true
+      si += 1
+    }
+    if (!hasSurrogate && n >= k) {
+      // fast path (no surrogates, i.e. virtually all corpus text): one
+      // UTF-8 encode of the whole string + per-char byte offsets, each
+      // k-char window hashed as a byte SLICE — byte-identical to
+      // substring(i, i+k).getBytes because BMP chars encode
+      // independently; zero per-shingle allocation
+      val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val offs = new Array[Int](n + 1)
+      var i = 0
+      var b = 0
+      while (i < n) {
+        val c = s.charAt(i)
+        b += (if (c < 0x80) 1 else if (c < 0x800) 2 else 3)
+        i += 1
+        offs(i) = b
+      }
+      val m = n - k + 1
+      val hs = new Array[Long](m)
+      i = 0
+      while (i < m) { hs(i) = h48(bytes, offs(i), offs(i + k) - offs(i)); i += 1 }
+      finish(hs, m)
+    } else if (n >= k) {
+      // surrogate text: substring windows (a window may split a pair,
+      // whose getBytes replacement-char encoding the hash must match)
+      val m = n - k + 1
+      val hs = new Array[Long](m)
+      var i = 0
+      while (i < m) {
+        val sb = s.substring(i, i + k).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        hs(i) = h48(sb, 0, sb.length)
+        i += 1
+      }
+      finish(hs, m)
+    } else {
+      val sb = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      finish(Array(h48(sb, 0, sb.length)), 1)
+    }
   }
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHashSet =

@@ -145,6 +145,21 @@ object NearDup {
     * buckets above it emit a linear STAR of candidates around the
     * bucket's min id instead of all pairs (see the inline note).
     */
+
+  /** The md5 shingle pass is CPU-bound and its parallelism is capped
+    * by the INPUT's partition count — a small corpus arriving as one
+    * parquet split would hash on one core while the rest idle. Widen
+    * narrow inputs to the session's parallelism (the skinny
+    * projection's shuffle is pennies next to the hashing);
+    * already-wide corpus inputs pass through untouched, so the 100 TB
+    * shape gains no extra shuffle.
+    */
+  private def widened(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    val src = df.select(cols.map(col): _*)
+    if (src.rdd.getNumPartitions < target) src.repartition(target) else src
+  }
+
   def minhashPairs(
       df: DataFrame,
       idCol: String,
@@ -173,7 +188,7 @@ object NearDup {
     // instead of once per stage. Hashed sets have identical
     // cardinalities to the string sets in every engine and make the
     // verify a merge walk over longs.
-    val shsets = df.select(
+    val shsets = widened(df, Seq(idCol, textCol)).select(
       col(idCol).as("_sid"),
       graft.functions.TextHashExpressions.shingleHashSet(col(textCol), k).as("_sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -342,7 +357,7 @@ object NearDup {
       maxDf: Int = 20
   ): DataFrame = {
     require(maxDf >= 2, s"maxDf must be >= 2, got $maxDf")
-    val shsets = df.select(
+    val shsets = widened(df, Seq(idCol, textCol)).select(
       col(idCol).as("_sid"),
       graft.functions.TextHashExpressions.shingleHashSet(col(textCol), k).as("_sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
