@@ -352,9 +352,6 @@ object DeltaDdl {
   ): CommitResult = alter(spark, tablePath) { snap =>
     require(columns.nonEmpty, "ADD COLUMNS needs at least one column")
     val meta = snap.metadata
-    require(!meta.isColumnMapped,
-      s"ADD COLUMNS on a column-mapped Delta table is not supported: " +
-        "new fields would need fresh field ids and physical names")
     val lower = meta.schema.fieldNames.map(_.toLowerCase).toSet
     val dupIn = columns.groupBy(_.name.toLowerCase).collect {
       case (_, fs) if fs.size > 1 => fs.head.name
@@ -363,9 +360,113 @@ object DeltaDdl {
     val clash = columns.map(_.name).filter(n => lower(n.toLowerCase))
     require(clash.isEmpty,
       s"column(s) ${clash.mkString(", ")} already exist in $tablePath")
-    val newSchema = StructType(
-      meta.schema.fields ++ columns.map(_.copy(nullable = true)))
-    Some((newSchema.json, meta.partitionColumns, meta.configuration, Seq.empty))
+    if (!meta.isColumnMapped) {
+      val newSchema = StructType(
+        meta.schema.fields ++ columns.map(_.copy(nullable = true)))
+      Some((newSchema.json, meta.partitionColumns, meta.configuration, Seq.empty))
+    } else {
+      // column-mapped tables: every new field mints a FRESH field id
+      // above the table's maxColumnId and a UUID physical name (the
+      // delta-spark convention — physical names must never be reused,
+      // even after a drop, or old files' columns would resurrect), and
+      // the configuration advances maxColumnId atomically in the same
+      // metadata commit. Nested new fields are refused: their ids
+      // would need recursive assignment and no caller needs it yet.
+      def hasStruct(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+        case _: StructType => true
+        case a: org.apache.spark.sql.types.ArrayType => hasStruct(a.elementType)
+        case m: org.apache.spark.sql.types.MapType =>
+          hasStruct(m.keyType) || hasStruct(m.valueType)
+        case _ => false
+      }
+      columns.foreach(c => require(!hasStruct(c.dataType),
+        s"ADD COLUMNS on a mapped table supports primitive/array/map " +
+          s"columns; ${c.name} contains a struct (nested fields would " +
+          "need recursive id assignment)"))
+      var nextId = meta.configuration.get("delta.columnMapping.maxColumnId")
+        .map(_.toLong).getOrElse {
+          // absent key: derive from the schema's own ids (foreign
+          // writers always record the key, but be safe)
+          meta.schema.fields.map(f =>
+            if (f.metadata.contains("delta.columnMapping.id"))
+              f.metadata.getLong("delta.columnMapping.id") else 0L).max
+        }
+      val mappedCols = columns.map { c =>
+        nextId += 1
+        c.copy(nullable = true, metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(c.metadata)
+          .putLong("delta.columnMapping.id", nextId)
+          .putString(DeltaLog.PhysicalNameKey,
+            s"col-${java.util.UUID.randomUUID()}")
+          .build())
+      }
+      val newSchema = StructType(meta.schema.fields ++ mappedCols)
+      Some((newSchema.json, meta.partitionColumns,
+        meta.configuration + ("delta.columnMapping.maxColumnId" -> nextId.toString),
+        Seq.empty))
+    }
+  }
+
+  /** ALTER TABLE SET TBLPROPERTIES ('delta.columnMapping.mode'='name')
+    * — the upstream UPGRADE path an unmapped table takes to unlock
+    * RENAME/DROP COLUMN: every (nested) field gets a fresh field id
+    * and a physical name equal to its CURRENT logical name (existing
+    * data files already store exactly those names, so not a byte is
+    * rewritten and existing partitionValues/stats keys stay valid),
+    * the configuration records the mode + maxColumnId, and the
+    * protocol rises to reader 2 / writer 5 (or gains the
+    * `columnMapping` feature on a v7 table). After the upgrade a
+    * rename changes only the logical name.
+    */
+  def enableColumnMapping(
+      spark: SparkSession,
+      tablePath: String
+  ): CommitResult = alter(spark, tablePath) { snap =>
+    val meta = snap.metadata
+    require(!meta.isColumnMapped,
+      s"$tablePath already has column mapping (${meta.columnMappingMode})")
+    var nextId = 0L
+    def walk(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType =
+      dt match {
+        case s: StructType => StructType(s.fields.map { f =>
+          nextId += 1
+          val md = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putLong("delta.columnMapping.id", nextId)
+            .putString(DeltaLog.PhysicalNameKey, f.name)
+            .build()
+          f.copy(dataType = walk(f.dataType), metadata = md)
+        })
+        case a: org.apache.spark.sql.types.ArrayType =>
+          a.copy(elementType = walk(a.elementType))
+        case m: org.apache.spark.sql.types.MapType =>
+          m.copy(keyType = walk(m.keyType), valueType = walk(m.valueType))
+        case other => other
+      }
+    val newSchema = walk(meta.schema).asInstanceOf[StructType]
+    val conf = meta.configuration +
+      ("delta.columnMapping.mode" -> "name") +
+      ("delta.columnMapping.maxColumnId" -> nextId.toString)
+    val p = snap.protocol
+    val protoActs: Seq[String] =
+      if (p.minWriterVersion >= 7) {
+        val wf = p.writerFeatures.getOrElse(Seq.empty)
+        if (wf.contains("columnMapping")) Seq.empty
+        else {
+          // columnMapping is a reader-writer feature: on feature-form
+          // protocols it must appear in readerFeatures when the reader
+          // version is 3 (feature-listing form)
+          val rf =
+            if (p.minReaderVersion >= 3)
+              Some(p.readerFeatures.getOrElse(Seq.empty) :+ "columnMapping")
+            else p.readerFeatures
+          Seq(protocolJson(DeltaLog.Protocol(
+            math.max(p.minReaderVersion, 2), 7, rf, Some(wf :+ "columnMapping"))))
+        }
+      } else if (p.minReaderVersion >= 2 && p.minWriterVersion >= 5) Seq.empty
+      else Seq(protocolJson(DeltaLog.Protocol(
+        math.max(p.minReaderVersion, 2), math.max(p.minWriterVersion, 5), None, None)))
+    Some((newSchema.json, meta.partitionColumns, conf, protoActs))
   }
 
   /** ALTER TABLE RENAME COLUMN — metadata-only, column mapping

@@ -902,9 +902,20 @@ object DeltaWrite {
     require(df.columns.toSet -- passthrough == logical.fieldNames.toSet,
       s"schema evolution on a column-mapped Delta table is not supported: " +
         s"table has ${logical.fieldNames.mkString(",")}, frame has ${df.columns.mkString(",")}")
+    // cast target must be nullable throughout: a table schema with
+    // NOT NULL fields (normal for upgraded tables whose appends
+    // inferred non-null) would otherwise fail the struct cast —
+    // nullability is enforced by DeltaPolicy, not by this rename
+    def nullSafe(dt: DataType): DataType = dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        f.copy(dataType = nullSafe(f.dataType), nullable = true)))
+      case a: ArrayType => a.copy(elementType = nullSafe(a.elementType))
+      case m: MapType   => m.copy(valueType = nullSafe(m.valueType))
+      case other        => other
+    }
     val phys = meta.physicalSchema
     val packed = struct(logical.fields.map(f => col(f.name).cast(f.dataType)).toSeq: _*)
-      .cast(phys).as("_graft_row")
+      .cast(nullSafe(phys)).as("_graft_row")
     df.select(packed +: passthrough.map(col): _*)
       .select(phys.fields.map(pf =>
         col(s"_graft_row.${pf.name}").as(pf.name, pf.metadata)).toSeq ++
@@ -1731,6 +1742,9 @@ object DeltaWrite {
     commitLoop(spark, tablePath, adds, removes,
       old.metadata.schemaString, old.metadata.partitionColumns,
       overwrite = false, extraActions = extra,
+      // RESTORE never transforms data — re-adding the old version's
+      // files is mapping-agnostic, so mapped tables restore too
+      allowMapped = true,
       requireBase = Some(cur.version),
       // RESTORE recreates the old version's whole metadata action —
       // configuration included (delta-spark RestoreTableCommand parity)

@@ -377,6 +377,87 @@ class DeltaColumnMappingSpec extends SparkSpec {
     assert(got == Set((1L, "a"), (2L, "B"), (11L, "c"), (21L, "d")))
   }
 
+  test("ADD COLUMNS on a mapped table mints fresh ids + physical names; restore works") {
+    val dir = mappedTable()
+    DeltaDdl.addColumns(spark, dir,
+      Seq(StructField("score", DoubleType), StructField("tag", StringType)))
+    val snap = DeltaLog.snapshot(spark, dir)
+    // fresh ids above the recorded maxColumnId, UUID physical names,
+    // and the config advanced in the SAME commit
+    val score = snap.metadata.schema("score")
+    val tag = snap.metadata.schema("tag")
+    assert(score.metadata.getLong("delta.columnMapping.id") == 11L &&
+      tag.metadata.getLong("delta.columnMapping.id") == 12L)
+    assert(score.metadata.getString(DeltaLog.PhysicalNameKey).startsWith("col-") &&
+      score.metadata.getString(DeltaLog.PhysicalNameKey).length > 10)
+    assert(snap.metadata.configuration("delta.columnMapping.maxColumnId") == "12")
+
+    // old files read typed nulls; an append carrying the new columns
+    // writes them under the fresh PHYSICAL names
+    val t = new DeltaTable("t", dir)
+    assert(t(spark, ReadArgs()).where(col("score").isNotNull).count() == 0)
+    val withNew = Seq((31L, "e", 0.5, "x")).toDF("id", "v", "score", "tag")
+      .withColumn("s", lit(null).cast("struct<x:bigint>"))
+      .withColumn("part", lit(2))
+      .select("id", "v", "s", "part", "score", "tag")
+    DeltaWrite.append(spark, withNew, dir)
+    val got = t(spark, ReadArgs()).where(col("id") === 31L)
+      .select(col("score"), col("tag")).as[(Double, String)].collect().toSeq
+    assert(got == Seq((0.5, "x")))
+    val newAdd = DeltaLog.snapshot(spark, dir).files
+      .filterNot(f => f.path.startsWith("part="))
+      .maxBy(_.path)
+    val raw = spark.read.parquet(dir + "/" + newAdd.path)
+    assert(raw.columns.count(_.startsWith("col-")) == raw.columns.length,
+      s"physical names expected, got ${raw.columns.mkString(",")}")
+
+    // RESTORE to the pre-evolution version brings back the old schema
+    val preVersion = 0L
+    DeltaWrite.restore(spark, dir, preVersion)
+    val restored = DeltaLog.snapshot(spark, dir)
+    assert(!restored.metadata.schema.fieldNames.contains("score"))
+    assert(t(spark, ReadArgs()).select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 11L, 21L))
+  }
+
+  test("UPGRADE: enableColumnMapping on an unmapped table, then the full DML ladder") {
+    val dir = tempDir("delta-cmup").toString + "/t"
+    // plain unmapped partitioned table with real data files
+    DeltaWrite.append(spark,
+      Seq((1L, "a", 0), (2L, "b", 0), (11L, "c", 1)).toDF("id", "v", "part"),
+      dir, partitionBy = Seq("part"))
+
+    DeltaDdl.enableColumnMapping(spark, dir)
+    val snap = DeltaLog.snapshot(spark, dir)
+    assert(snap.metadata.columnMappingMode == "name")
+    assert(snap.metadata.configuration("delta.columnMapping.maxColumnId") == "3")
+    assert(snap.protocol.minReaderVersion >= 2 && snap.protocol.minWriterVersion >= 5)
+    // physical names = pre-upgrade logical names: old files + old
+    // partitionValues keys keep matching with zero rewrites
+    assert(snap.metadata.physicalName("v") == "v")
+    val t = new DeltaTable("t", dir)
+    assert(t(spark, ReadArgs()).select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 11L))
+
+    // double-upgrade refuses
+    intercept[IllegalArgumentException] { DeltaDdl.enableColumnMapping(spark, dir) }
+
+    // the unlock: rename + DML over the renamed name
+    DeltaDdl.renameColumn(spark, dir, "v", "label")
+    DeltaWrite.updateWhere(spark, dir,
+      Filters.normalize(Seq(Filter("id", "=", 2L))), Seq("label" -> "'B'"))
+    DeltaWrite.deleteWhereDv(spark, dir,
+      Filters.normalize(Seq(Filter("id", "=", 11L))))
+    DeltaWrite.append(spark, Seq((21L, "d", 1)).toDF("id", "label", "part"), dir)
+    val got = t(spark, ReadArgs()).select("id", "label", "part")
+      .as[(Long, String, Int)].collect().toSet
+    assert(got == Set((1L, "a", 0), (2L, "B", 0), (21L, "d", 1)))
+    // partition pruning still exact post-upgrade (pv keys = physical = old names)
+    val pruned = t(spark, ReadArgs(filters =
+      Filters.normalize(Seq(Filter("part", "=", 1)))))
+    assert(pruned.select("id").as[Long].collect().toSeq == Seq(21L))
+  }
+
   test("change data feed on a mapped table: cdc files read physically, surface logically") {
     val dir = tempDir("delta-cmcdf").toString + "/t"
     val s0 = putFile(dataDf(Seq((1L, "a", 10L), (2L, "b", 20L))), dir, "part=0/f0.parquet")

@@ -290,7 +290,7 @@ class DeltaDdlSpec extends SparkSpec {
     assert(got === Set((1L, "a", None), (2L, "b", None)))
     DeltaWrite.append(spark, Seq((3L, "c", 30L)).toDF("id", "v", "score"), path)
     assert(readAll(path).where(col("score") === 30L).count() === 1)
-    // existing names (case-insensitively), dups and mapped tables refuse
+    // existing names (case-insensitively) and dups refuse
     intercept[IllegalArgumentException] {
       DeltaDdl.addColumns(spark, path, Seq(StructField("V", StringType)))
     }
@@ -298,10 +298,13 @@ class DeltaDdlSpec extends SparkSpec {
       DeltaDdl.addColumns(spark, path,
         Seq(StructField("x", LongType), StructField("X", StringType)))
     }
-    intercept[IllegalArgumentException] {
-      DeltaDdl.addColumns(spark, mappedTable("ddl_addcol_m"),
-        Seq(StructField("x", LongType)))
-    }
+    // mapped tables mint a fresh id + UUID physical name (full
+    // behavior asserted in DeltaColumnMappingSpec)
+    val mPath = mappedTable("ddl_addcol_m")
+    DeltaDdl.addColumns(spark, mPath, Seq(StructField("x", LongType)))
+    val xf = DeltaLog.snapshot(spark, mPath).metadata.schema("x")
+    assert(xf.metadata.contains(DeltaLog.PhysicalNameKey) &&
+      xf.metadata.getString(DeltaLog.PhysicalNameKey).startsWith("col-"))
   }
 
   test("RENAME COLUMN is metadata-only: physical files keep matching") {
