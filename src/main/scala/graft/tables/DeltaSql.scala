@@ -25,7 +25,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * ALTER TABLE delta.`/p` ADD CONSTRAINT nm CHECK (sql)
   * ALTER TABLE delta.`/p` DROP CONSTRAINT nm
   * ALTER TABLE delta.`/p` ADD COLUMNS (c1 BIGINT, c2 STRING)
+  * ALTER TABLE delta.`/p` RENAME COLUMN a TO b      (column mapping required)
+  * ALTER TABLE delta.`/p` DROP COLUMN a              (column mapping required)
   * ALTER TABLE delta.`/p` SET TBLPROPERTIES ('k' = 'v', ...)
+  *   -- setting delta.columnMapping.mode on an unmapped table IS the
+  *   -- mapping upgrade (ids + physical names assigned, protocol bumped)
   * ALTER TABLE delta.`/p` CLUSTER BY (c1, c2)
   * RESTORE delta.`/p` TO VERSION AS OF 3
   * RESTORE delta.`/p` TO TIMESTAMP AS OF '2026-01-01T00:00:00Z'
@@ -74,6 +78,10 @@ object DeltaSql {
     val setProps = (s"""(?is)^ALTER\\s+TABLE\\s+$TableRef\\s+SET\\s+TBLPROPERTIES""" +
       s"""\\s*\\((.+)\\)$$""").r
     val clusterBy = s"""(?is)^ALTER\\s+TABLE\\s+$TableRef\\s+CLUSTER\\s+BY\\s+\\(([^)]+)\\)$$""".r
+    val renameCol = (s"""(?is)^ALTER\\s+TABLE\\s+$TableRef\\s+RENAME\\s+COLUMN\\s+""" +
+      s"""(\\w+)\\s+TO\\s+(\\w+)$$""").r
+    val dropCol =
+      s"""(?is)^ALTER\\s+TABLE\\s+$TableRef\\s+DROP\\s+COLUMN\\s+(\\w+)$$""".r
     val restore = s"""(?is)^RESTORE\\s+$TableRef\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)$$""".r
     val restoreTs =
       s"""(?is)^RESTORE\\s+$TableRef\\s+TO\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)'$$""".r
@@ -135,8 +143,27 @@ object DeltaSql {
         val fields = org.apache.spark.sql.types.StructType
           .fromDDL(colDefs).fields.toSeq
         result(DeltaDdl.addColumns(spark, path, fields).version)
+      case renameCol(path, from, to) =>
+        result(DeltaDdl.renameColumn(spark, path, from, to).version)
+      case dropCol(path, name) =>
+        result(DeltaDdl.dropColumn(spark, path, name).version)
       case setProps(path, props) =>
-        result(DeltaWrite.setTableProperties(spark, path, parseProps(props)).version)
+        // delta-spark parity: setting delta.columnMapping.mode on an
+        // UNMAPPED table is the upgrade DDL — field ids + physical
+        // names are assigned and the protocol rises, not just a config
+        // write (which would corrupt reads: mapped mode with no
+        // physical names)
+        val parsed = parseProps(props)
+        val wantsMapping = parsed.get("delta.columnMapping.mode")
+          .exists(m => m.nonEmpty && m != "none")
+        val unmapped = !DeltaLog.snapshot(spark, path, withFiles = false)
+          .metadata.isColumnMapped
+        if (wantsMapping && unmapped) {
+          val up = DeltaDdl.enableColumnMapping(spark, path)
+          val rest = parsed - "delta.columnMapping.mode"
+          if (rest.isEmpty) result(up.version)
+          else result(DeltaWrite.setTableProperties(spark, path, rest).version)
+        } else result(DeltaWrite.setTableProperties(spark, path, parsed).version)
       case clusterBy(path, cols) =>
         result(DeltaDdl.clusterBy(spark, path,
           cols.split(",").map(_.trim).toSeq).version)

@@ -212,4 +212,28 @@ class DeltaSqlSpec extends SparkSpec {
       DeltaSql.exec(spark, s"CREATE TABLE ${ref(dir)} (x INT)")
     }
   }
+
+  test("mapping lifecycle through SQL: upgrade via SET TBLPROPERTIES, rename, drop") {
+    val dir = tempDir("sql-map").toString + "/t"
+    DeltaWrite.append(spark,
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "v", "x"), dir)
+    // upgrade: the property write routes through enableColumnMapping
+    DeltaSql.exec(spark,
+      s"ALTER TABLE ${ref(dir)} SET TBLPROPERTIES ('delta.columnMapping.mode' = 'name')")
+    val snap = DeltaLog.snapshot(spark, dir)
+    assert(snap.metadata.isColumnMapped && snap.protocol.minWriterVersion >= 5)
+    assert(snap.metadata.schema("id").metadata
+      .contains(DeltaLog.PhysicalNameKey))
+
+    DeltaSql.exec(spark, s"ALTER TABLE ${ref(dir)} RENAME COLUMN v TO label")
+    DeltaSql.exec(spark, s"ALTER TABLE ${ref(dir)} DROP COLUMN x")
+    val t = new DeltaTable("t", dir)
+    assert(t(spark, ReadArgs.empty).columns.toSeq == Seq("id", "label"))
+    assert(t(spark, ReadArgs.empty).select("id", "label")
+      .as[(Long, String)].collect().toSet == Set((1L, "a"), (2L, "b")))
+    // DML over the renamed column through SQL
+    DeltaSql.exec(spark, s"UPDATE ${ref(dir)} SET label = 'B' WHERE id = 2")
+    assert(t(spark, ReadArgs.empty).where(col("id") === 2L)
+      .select("label").as[String].head() == "B")
+  }
 }
