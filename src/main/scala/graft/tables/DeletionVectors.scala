@@ -527,6 +527,35 @@ case class FileConstAttr(
     copy(file = newChild)
 }
 
+/** Column form of [[DvDeleted.decodeMetadataPath]]: the scan's
+  * URI-ENCODED `_metadata.file_path` decoded to the raw on-disk
+  * spelling (scheme-stripped), so string comparisons against
+  * log/timeline paths match even for escaped partition directories.
+  * Apply ONLY to metadata-derived columns — decoding a raw path that
+  * happens to contain literal '%XX' would corrupt it.
+  */
+case class MetadataPathDecode(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def prettyName: String = "graft_metadata_path_decode"
+
+  @transient private var lastPath: String = null
+  @transient private var lastVal: UTF8String = null
+
+  override def nullSafeEval(input: Any): Any = {
+    val path = input.asInstanceOf[UTF8String].toString
+    if (path != lastPath) {
+      lastPath = path
+      lastVal = UTF8String.fromString(DvDeleted.decodeMetadataPath(path))
+    }
+    lastVal
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object DvDeleted {
   /** `file:///tmp/t/seg=1/part-0.parquet` → `/tmp/t/seg=1/part-0.parquet`:
     * both the metadata column and add-action paths reduce to the same

@@ -2112,7 +2112,13 @@ object HudiWrite {
       literalMax: Int = FgLiteralMax
   ): DataFrame = {
     val pairs = slices.map(s => (normalizeScheme(s"$tablePath/${s.relPath}"), s.fileId))
-    val pathCol = normalizePathCol(col("_metadata.file_path"))
+    // _metadata.file_path is URI-ENCODED while timeline relPaths keep
+    // the raw on-disk spelling: decode the column once so escaped
+    // partition directories resolve their file group (the same probe
+    // discipline as DvDeleted/FileConstAttr)
+    import org.apache.spark.sql.graftbridge.Bridge
+    val pathCol = Bridge.column(MetadataPathDecode(
+      Bridge.expression(col("_metadata.file_path"))))
     if (pairs.size <= literalMax)
       scan.withColumn("_fg", element_at(typedLit(pairs.toMap), pathCol))
     else {
