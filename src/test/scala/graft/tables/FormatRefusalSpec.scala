@@ -67,6 +67,27 @@ class FormatRefusalSpec extends SparkSpec {
     assert(after == Seq(2, 4))
   }
 
+  test("rewrite_data_files migrates an ORC table to parquet, unlocking position deletes") {
+    val dir = tempDir("fmt-ice-mig").toString + "/t"
+    IcebergWrite.append(spark, Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v"), dir)
+    convertFirstFileToOrc(dir)
+    // the migration the position-delete refusal points at: compaction
+    // reads the ORC content natively and rewrites it as parquet
+    IcebergMaintenance.rewriteDataFiles(spark, dir)
+    val fs = fsOf(dir)
+    val meta = IcebergMeta.load(fs, dir)
+    val snap = IcebergMeta.selectSnapshot(meta, None, None)
+    val files = IcebergMeta.manifestInfos(fs, snap)
+      .flatMap(IcebergMeta.contentFilesOfManifest(fs, _)).filter(_.content == 0)
+    assert(files.nonEmpty && files.forall(_.fileFormat == "PARQUET"),
+      files.map(f => f.fileFormat -> f.path).mkString(", "))
+    // position deletes now work
+    IcebergWrite.deleteWhere(spark, dir, graft.core.Filters.normalize(
+      Seq(graft.core.Filter("id", "=", 2))))
+    assert(new IcebergTable("t", dir)(spark, ReadArgs.empty)
+      .select("id").as[Int].collect().sorted.toSeq == Seq(1, 3))
+  }
+
   test("Iceberg: position deletes over ORC data files refuse loudly") {
     val dir = tempDir("fmt-ice-pos").toString + "/t"
     IcebergWrite.append(spark, Seq((1, "a"), (2, "b")).toDF("id", "v"), dir)
