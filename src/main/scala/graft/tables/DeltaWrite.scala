@@ -247,7 +247,7 @@ object DeltaWrite {
       meta.physicalSchema.fields.filterNot(f => physPart.contains(f.name)))
     val logData = schema.fields.filterNot(f => partCols.contains(f.name))
     var df = spark.read.schema(physData)
-      .parquet(candidates.map(f => s"$base/${f.path}"): _*)
+      .parquet(candidates.map(f => DeltaLog.resolvePath(base, f.path)): _*)
       .withColumn("__graft_file", col("_metadata.file_path"))
       .withColumn("__graft_row", col("_metadata.row_index"))
     val zone = PartitionAttach.sessionZone(spark)
@@ -255,7 +255,7 @@ object DeltaWrite {
       val t = schema(c).dataType
       val phys = meta.physicalName(c)
       val attrs: Map[String, Any] = candidates.map { f =>
-        DvDeleted.normalizePath(s"$base/${f.path}") ->
+        DvDeleted.normalizePath(DeltaLog.resolvePath(base, f.path)) ->
           f.partitionValues.get(phys).flatten
             .map(v => PartitionAttach.fromString(v, t, zone)).orNull
       }.toMap
@@ -483,7 +483,7 @@ object DeltaWrite {
     val base = tablePath.stripSuffix("/")
     val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val byPath = candidates.map(f =>
-      DvDeleted.normalizePath(s"$base/${f.path}") -> f).toMap
+      DvDeleted.normalizePath(DeltaLog.resolvePath(base, f.path)) -> f).toMap
     val positions = positionalScan(spark, base, meta, candidates)
       .filter(matched).select(col("__graft_file"), col("__graft_row"))
       .groupBy(col("__graft_file"))
@@ -1105,7 +1105,7 @@ object DeltaWrite {
     // keyed by scheme-stripped absolute path (bare names collide: one
     // partitioned write emits the same part-file name per partition dir)
     val byPath = candidates.map(f =>
-      DvDeleted.normalizePath(s"$base/${f.path}") -> f).toMap
+      DvDeleted.normalizePath(DeltaLog.resolvePath(base, f.path)) -> f).toMap
 
     // one job: matching (file, row_index) pairs are folded into a
     // compressed roaring bitmap PER FILE on the executors
@@ -1500,7 +1500,7 @@ object DeltaWrite {
         val base = tablePath.stripSuffix("/")
         val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
         val byPath = candidates.map(f =>
-          DvDeleted.normalizePath(s"$base/${f.path}") -> f).toMap
+          DvDeleted.normalizePath(DeltaLog.resolvePath(base, f.path)) -> f).toMap
         val matched = positionalScan(spark, base, meta, candidates)
           .join(dyingKeys, keySeq, "left_semi")
           .select(col("__graft_file"), col("__graft_row"))
@@ -1556,7 +1556,7 @@ object DeltaWrite {
         val base = tablePath.stripSuffix("/")
         val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
         val byPath = candidates.map(f =>
-          DvDeleted.normalizePath(s"$base/${f.path}") -> f).toMap
+          DvDeleted.normalizePath(DeltaLog.resolvePath(base, f.path)) -> f).toMap
         val descriptors = DeletionVectors.writeDvFile(fs, base, dvUpdated)
         val adds = dvUpdated.map { case (key, _) =>
           val f = byPath(key)

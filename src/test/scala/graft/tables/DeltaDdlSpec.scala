@@ -375,4 +375,24 @@ class DeltaDdlSpec extends SparkSpec {
     // cloning onto an existing table refuses
     intercept[IllegalArgumentException] { DeltaDdl.cloneShallow(spark, src, dst) }
   }
+
+  test("DV DML on a shallow clone resolves the source's ABSOLUTE file paths") {
+    val src = tempDir("ddl_clone_dv_src").toString + "/t"
+    DeltaWrite.append(spark, (1L to 8L).toDF("id").withColumn("v", col("id") * 10), src)
+    val dst = tempDir("ddl_clone_dv_dst").toString + "/t"
+    DeltaDdl.cloneShallow(spark, src, dst)
+    // the clone's add actions reference the SOURCE files absolutely;
+    // the DV positional scan and bitmap keying must resolve them the
+    // protocol's way, never concatenate base + absolute path
+    DeltaWrite.deleteWhereDv(spark, dst, norm(Filter("id", "in", Seq(2, 5))))
+    assert(readAll(dst).select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 3L, 4L, 6L, 7L, 8L))
+    // the DV rides the clone; the source is untouched
+    assert(readAll(src).count() === 8)
+    // update via DV on the clone too (same positional machinery)
+    DeltaWrite.updateWhereDv(spark, dst, norm(Filter("id", "=", 3)),
+      Seq("v" -> "999"))
+    assert(readAll(dst).where(col("id") === 3L).select("v").as[Long].head() == 999L)
+    assert(readAll(src).where(col("id") === 3L).select("v").as[Long].head() == 30L)
+  }
 }
