@@ -91,9 +91,16 @@ class GraftCatalog extends TableCatalog {
       s"RENAME TABLE through the $catalogName catalog is not supported")
 }
 
-/** One graft-read lakehouse table surfaced to DSv2. */
+/** One graft-read lakehouse table surfaced to DSv2. Writable too:
+  * `INSERT INTO graft.\`/p\` SELECT …` appends through the format's
+  * native writer and `INSERT OVERWRITE` replaces contents — the write
+  * executes through the [[org.apache.spark.sql.connector.write.V1Write]]
+  * bridge into the same code the `format("graft")` SaveMode writes
+  * use (a Hudi "append" is the format's own key-merged upsert).
+  */
 private[spark] class GraftV2Table(path: String, format: String)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
   private def spark: SparkSession = SparkSession.active
 
@@ -104,10 +111,44 @@ private[spark] class GraftV2Table(path: String, format: String)
       spark.sqlContext).schema
 
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(path, format, schema())
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+  : org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder
+      with org.apache.spark.sql.connector.write.SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+        overwrite = true; this
+      }
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation
+          : org.apache.spark.sql.sources.InsertableRelation =
+            (data: org.apache.spark.sql.DataFrame, overwriteFlag: Boolean) => {
+              val ow = overwrite || overwriteFlag
+              format match {
+                case "delta" =>
+                  if (ow) graft.tables.DeltaWrite.overwrite(data.sparkSession, data, path)
+                  else graft.tables.DeltaWrite.append(data.sparkSession, data, path)
+                case "iceberg" =>
+                  if (ow) graft.tables.IcebergWrite.overwrite(data.sparkSession, data, path)
+                  else graft.tables.IcebergWrite.append(data.sparkSession, data, path)
+                case _ =>
+                  require(!ow,
+                    "INSERT OVERWRITE of a Hudi table is not supported; " +
+                      "upsert through HudiWrite, or delete + bulkInsert")
+                  graft.tables.HudiWrite.upsert(data.sparkSession, data, path)
+              }
+              ()
+            }
+        }
+    }
 }
 
 /** Pushdown seam: filters → graft algebra (pruning + exact residual

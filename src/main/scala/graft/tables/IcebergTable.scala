@@ -34,9 +34,10 @@ import org.apache.spark.sql.types._
   *    no extra shuffle on the data side),
   *  - partition columns absent from the data files (e.g. files
   *    exported from a Delta table, which never stores them) are
-  *    re-attached from the manifest's partition tuple via
-  *    `coalesce(col, literal)` per partition group — files that DO
-  *    store them (normal Iceberg writers) win.
+  *    re-attached from the manifest's partition tuple as PER-FILE
+  *    constants under `coalesce` (r13: one relation per content
+  *    format, plan width flat in partition cardinality) — files that
+  *    DO store them (normal Iceberg writers) win.
   *
   * Columns are resolved by NAME; tables whose data files carry only
   * field-id-renamed physical columns (e.g. exported from a
@@ -869,13 +870,6 @@ class IcebergTable(
   private def normalizePathCol(c: Column): Column = PathNorm.normalizeCol(c)
 
   private def normalizePathStr(p: String): String = PathNorm.normalize(p)
-
-  private def literalValue(v: Any, dt: DataType): Column = v match {
-    case null => lit(null).cast(dt)
-    case i: Int if dt == DateType =>
-      lit(java.time.LocalDate.ofEpochDay(i.toLong).toString).cast(dt)
-    case other => lit(IcebergMeta.avroValue(other)).cast(dt)
-  }
 
   private def longArg(key: String)(v: Any): Long = v match {
     case l: Long   => l

@@ -32,7 +32,7 @@ private[graft] object PartitionAttach {
       dt, Option(zone), EvalMode.LEGACY).eval(null)
 
   /** Iceberg manifest partition values are typed Avro values —
-    * mirrors [[IcebergTable]]'s `literalValue`: epoch-day ints ARE the
+    * mirrors the pre-r13 per-partition literal column: epoch-day ints ARE the
     * Catalyst DateType encoding; everything else goes through the
     * same literal+cast the per-partition column used.
     */

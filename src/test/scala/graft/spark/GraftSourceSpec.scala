@@ -309,6 +309,34 @@ class GraftSourceSpec extends SparkSpec {
     }
   }
 
+  test("DSv2 catalog: INSERT INTO appends, INSERT OVERWRITE replaces") {
+    val base = tempDir("graft-cat-ins").toString
+    val (d, i, h) = (base + "/d", base + "/i", base + "/h")
+    DeltaWrite.append(spark, Seq((1L, "a")).toDF("id", "v"), d)
+    IcebergWrite.append(spark, Seq((1L, "a")).toDF("id", "v"), i)
+    HudiWrite.bulkInsert(spark, Seq((1L, "a")).toDF("id", "v"), h, "id")
+    withCatalog {
+      spark.sql(s"INSERT INTO graft.`$d` VALUES (2, 'b')")
+      spark.sql(s"INSERT INTO graft.`$i` VALUES (2, 'b')")
+      // hudi INSERT is the format's own key-merged upsert
+      spark.sql(s"INSERT INTO graft.`$h` VALUES (1, 'A'), (2, 'b')")
+      def readIds(p: String) = spark.sql(s"SELECT id, v FROM graft.`$p`")
+        .as[(Long, String)].collect().toSet
+      assert(readIds(d) == Set((1L, "a"), (2L, "b")))
+      assert(readIds(i) == Set((1L, "a"), (2L, "b")))
+      assert(readIds(h) == Set((1L, "A"), (2L, "b")))
+
+      spark.sql(s"INSERT OVERWRITE graft.`$d` VALUES (9, 'z')")
+      assert(readIds(d) == Set((9L, "z")))
+      spark.sql(s"INSERT OVERWRITE graft.`$i` VALUES (9, 'z')")
+      assert(readIds(i) == Set((9L, "z")))
+      val e = intercept[Exception] {
+        spark.sql(s"INSERT OVERWRITE graft.`$h` VALUES (9, 'z')")
+      }
+      assert(e.getMessage.contains("Hudi"), e.getMessage)
+    }
+  }
+
   test("DSv2 catalog: filter, column and LIMIT pushdown reach the scan") {
     val dir = tempDir("graft-cat-push").toString + "/d"
     DeltaWrite.append(spark, rows, dir, Seq("part"))
