@@ -100,9 +100,48 @@ class GraftCatalog extends TableCatalog {
   */
 private[spark] class GraftV2Table(path: String, format: String)
     extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   private def spark: SparkSession = SparkSession.active
+
+  /** `DELETE FROM graft.\`/p\` WHERE …` — filter-based DSv2 delete
+    * routed to each format's native DELETE (Delta picks CoW or DV per
+    * table property; Iceberg writes position deletes; Hudi reads the
+    * matching record keys and issues its key-deleting replacecommit).
+    * Only predicates expressible in the graft filter algebra qualify
+    * ([[canDeleteWhere]]); anything else fails at analysis instead of
+    * silently deleting the wrong rows.
+    */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall {
+      case org.apache.spark.sql.sources.AlwaysTrue() => format == "delta"
+      case f => GraftRelation.translate(f).isDefined
+    }
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val translated = filters.filterNot(
+      _.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue])
+      .flatMap(GraftRelation.translate).toSeq
+    val normalized = GFilters.normalize(translated)
+    format match {
+      case "delta"   => graft.tables.DeltaWrite.deleteWhere(spark, path, normalized)
+      case "iceberg" => graft.tables.IcebergWrite.deleteWhere(spark, path, normalized)
+      case _ =>
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val keyCol = graft.tables.HudiWrite.readProps(fs, path)
+          .getOrElse("hoodie.table.recordkey.fields",
+            throw new IllegalArgumentException(
+              s"$path has no hoodie.table.recordkey.fields"))
+        require(!keyCol.contains(","), s"composite record keys unsupported: $keyCol")
+        val keys = new graft.tables.HudiTable(path.split('/').last, path)(spark,
+          graft.tables.ReadArgs(filters = normalized))
+          .select(org.apache.spark.sql.functions.col(keyCol)).distinct()
+        graft.tables.HudiWrite.delete(spark, keys, path)
+    }
+    ()
+  }
 
   override def name(): String = s"graft.$format.`$path`"
 

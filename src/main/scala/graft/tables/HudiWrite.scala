@@ -1172,7 +1172,7 @@ object HudiWrite {
 
   // ------------------------------------------------- timeline reads
 
-  private[tables] def readProps(fs: FileSystem, tablePath: String): Map[String, String] = {
+  private[graft] def readProps(fs: FileSystem, tablePath: String): Map[String, String] = {
     val p = new Path(new Path(tablePath, ".hoodie"), "hoodie.properties")
     require(fs.exists(p), s"$tablePath is not a Hudi table (no hoodie.properties)")
     val in = fs.open(p)

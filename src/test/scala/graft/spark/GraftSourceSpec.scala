@@ -337,6 +337,33 @@ class GraftSourceSpec extends SparkSpec {
     }
   }
 
+  test("DSv2 catalog: DELETE FROM routes to each format's native delete") {
+    val base = tempDir("graft-cat-del").toString
+    val (d, i, h) = (base + "/d", base + "/i", base + "/h")
+    DeltaWrite.append(spark, rows, d, Seq("part"))
+    IcebergWrite.append(spark, rows, i, Seq("part"))
+    HudiWrite.bulkInsert(spark, rows, h, "id", Seq("part"))
+    withCatalog {
+      spark.sql(s"DELETE FROM graft.`$d` WHERE part = 1")
+      spark.sql(s"DELETE FROM graft.`$i` WHERE id >= 8")
+      spark.sql(s"DELETE FROM graft.`$h` WHERE part = 2")
+      def ids(p: String) = spark.sql(s"SELECT id FROM graft.`$p`")
+        .as[Long].collect().toSet
+      assert(ids(d) == (0L to 11L).filterNot(_ % 3 == 1).toSet)
+      assert(ids(i) == (0L to 7L).toSet)
+      assert(ids(h) == (0L to 11L).filterNot(_ % 3 == 2).toSet)
+      // predicates outside the algebra fail at analysis, not silently
+      val e = intercept[Exception] {
+        spark.sql(s"DELETE FROM graft.`$d` WHERE name LIKE 'n1%'")
+      }
+      assert(e.getMessage.toLowerCase.contains("delete"), e.getMessage)
+      // DELETE without WHERE: delta supports it, iceberg refuses via
+      // its own contract
+      spark.sql(s"DELETE FROM graft.`$d`")
+      assert(ids(d).isEmpty)
+    }
+  }
+
   test("DSv2 catalog: filter, column and LIMIT pushdown reach the scan") {
     val dir = tempDir("graft-cat-push").toString + "/d"
     DeltaWrite.append(spark, rows, dir, Seq("part"))
