@@ -615,7 +615,8 @@ object DeltaWrite {
           destPrefix = "_change_data/", withStats = false).map(cdcJson)
       }
 
-    val schemaJson = bumpIdentityHwm(meta.schemaString, idSpecs, newAdds)
+    val schemaJson = bumpIdentityHwm(meta.schemaString, idSpecs, newAdds,
+      meta.physicalName)
     commitLoop(spark, tablePath, newAdds ++ survivorAdds, candidates,
       schemaJson, partCols, overwrite = false,
       extraActions = cdcActions, allowMapped = true,
@@ -658,7 +659,18 @@ object DeltaWrite {
       DeltaPolicy.requireNotAppendOnly(s.metadata, "overwrite", tablePath))
     snapOpt.filter(_.metadata.isColumnMapped) match {
       case Some(snap) =>
-        val prepared = DeltaPolicy.prepare(df, snap.metadata, tablePath)
+        // identity minting happens on the LOGICAL frame, exactly as on
+        // unmapped tables; the physical translation follows inside
+        // commitMapped and the high-water mark bump reads the staged
+        // stats under the PHYSICAL key
+        val idSpecs = DeltaPolicy.identityColumns(snap.metadata)
+        val p0 = assignIdentity(
+          DeltaPolicy.prepare(df, snap.metadata, tablePath), idSpecs, tablePath)
+        val prepared =
+          if (p0.columns.toSet == snap.schema.fieldNames.toSet &&
+            p0.columns.toSeq != snap.schema.fieldNames.toSeq)
+            p0.select(snap.schema.fieldNames.map(col).toSeq: _*)
+          else p0
         commitMapped(spark, prepared, tablePath, snap, partitionBy, overwrite, txnActions,
           requireBase = callerBase)
       case None =>
@@ -816,7 +828,10 @@ object DeltaWrite {
   private def bumpIdentityHwm(
       schemaJson: String,
       specs: Seq[DeltaPolicy.IdentitySpec],
-      adds: Seq[StagedAdd]
+      adds: Seq[StagedAdd],
+      // stats are keyed by PHYSICAL column name under column mapping;
+      // identity on unmapped tables passes the identity function
+      statsName: String => String = identity
   ): String = {
     if (specs.isEmpty || adds.isEmpty) return schemaJson
     var schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
@@ -824,7 +839,7 @@ object DeltaWrite {
     specs.foreach { spec =>
       val statsKey = if (spec.step > 0) "maxValues" else "minValues"
       val extremes = adds.flatMap(_.stats).flatMap { s =>
-        Option(mapper.readTree(s).path(statsKey).get(spec.column))
+        Option(mapper.readTree(s).path(statsKey).get(statsName(spec.column)))
           .filterNot(_.isNull).map(_.asLong())
       }
       if (extremes.nonEmpty) {
@@ -867,8 +882,6 @@ object DeltaWrite {
     require(partitionBy.isEmpty || partitionBy == meta.partitionColumns,
       s"a column-mapped table's partitioning is fixed by its metadata " +
         s"(${meta.partitionColumns.mkString(",")}); got ${partitionBy.mkString(",")}")
-    require(DeltaPolicy.identityColumns(meta).isEmpty,
-      s"identity columns on column-mapped Delta tables are not supported ($tablePath)")
     // field ids land in the parquet footers via schema metadata; the
     // conf is default-true but cheap to pin for id-mode round trips
     if (meta.columnMappingMode == "id")
@@ -876,8 +889,10 @@ object DeltaWrite {
     val physDf = toPhysicalDf(df, meta)
     val physParts = meta.partitionColumns.map(meta.physicalName)
     val adds = stageFiles(spark, physDf, tablePath, physParts)
+    val schemaJson = bumpIdentityHwm(meta.schemaString,
+      DeltaPolicy.identityColumns(meta), adds, meta.physicalName)
     commitLoop(spark, tablePath, adds, Seq.empty,
-      meta.schemaString, meta.partitionColumns, overwrite,
+      schemaJson, meta.partitionColumns, overwrite,
       extraActions = extraActions, allowMapped = true, snapHint = Some(snap),
       requireBase = requireBase)
   }
@@ -942,8 +957,6 @@ object DeltaWrite {
       stageFiles(spark, df, tablePath, meta.partitionColumns,
         destPrefix, withStats, statsExclude)
     else {
-      require(DeltaPolicy.identityColumns(meta).isEmpty,
-        s"identity columns on column-mapped Delta tables are not supported ($tablePath)")
       if (meta.columnMappingMode == "id")
         spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
       val passthrough = df.columns.filterNot(meta.schema.fieldNames.contains).toSeq
@@ -1365,7 +1378,8 @@ object DeltaWrite {
       else Set.empty
     val adds = stageFilesFor(spark, content, tablePath, meta, statsExclude = matEx)
     commitLoop(spark, tablePath, adds, candidates,
-      bumpIdentityHwm(meta.schemaString, DeltaPolicy.identityColumns(meta), adds),
+      bumpIdentityHwm(meta.schemaString, DeltaPolicy.identityColumns(meta), adds,
+        meta.physicalName),
       partCols, overwrite = false,
       extraActions = txn.map { case (a, v) => txnJson(a, v) }.toSeq ++ cdcActions,
       allowMapped = true, requireBase = Some(snap.version))
@@ -1572,7 +1586,8 @@ object DeltaWrite {
     if (newAdds.isEmpty && dvAdds.isEmpty && txn.isEmpty)
       return CommitResult(snap.version, 0, 0)
     commitLoop(spark, tablePath, newAdds ++ dvAdds, dvRemoves,
-      bumpIdentityHwm(meta.schemaString, DeltaPolicy.identityColumns(meta), newAdds),
+      bumpIdentityHwm(meta.schemaString, DeltaPolicy.identityColumns(meta), newAdds,
+        meta.physicalName),
       partCols, overwrite = false,
       extraActions = Seq(DvProtocolAction) ++
         txn.map { case (a, v) => txnJson(a, v) }.toSeq ++ cdcActions,

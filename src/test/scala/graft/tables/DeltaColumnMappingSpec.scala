@@ -458,6 +458,40 @@ class DeltaColumnMappingSpec extends SparkSpec {
     assert(pruned.select("id").as[Long].collect().toSeq == Seq(21L))
   }
 
+  test("identity columns mint on a mapped table; HWM reads the PHYSICAL stats key") {
+    val dir = tempDir("delta-cmid2").toString + "/t"
+    val idMeta = new org.apache.spark.sql.types.MetadataBuilder()
+      .withMetadata(DeltaDdl.identityMetadata(start = 10L, step = 2L))
+      .putLong("delta.columnMapping.id", 1L)
+      .putString(DeltaLog.PhysicalNameKey, "col-01").build()
+    DeltaDdl.createTable(spark, dir,
+      StructType(Seq(
+        StructField("rid", LongType, nullable = true, idMeta),
+        mapped("v", StringType, 2, "col-02"))),
+      configuration = Map(
+        "delta.columnMapping.mode" -> "name",
+        "delta.columnMapping.maxColumnId" -> "2"))
+
+    DeltaWrite.append(spark, Seq(Tuple1("a"), Tuple1("b")).toDF("v"), dir)
+    DeltaWrite.append(spark, Seq(Tuple1("c")).toDF("v"), dir)
+    val t = new DeltaTable("t", dir)
+    val got = t(spark, ReadArgs()).select("rid", "v")
+      .as[(Long, String)].collect()
+    // unique, start/step honored, SECOND append continues past the
+    // first's high-water mark (the bump read the physical stats key —
+    // a logical-key lookup would find nothing and re-mint duplicates)
+    val ids = got.map(_._1)
+    assert(ids.distinct.length == 3, s"duplicate identity values: ${ids.toSeq}")
+    assert(ids.forall(i => i >= 10L && (i - 10L) % 2 == 0), ids.toSeq)
+    val cId = got.find(_._2 == "c").get._1
+    assert(cId > got.filter(_._2 != "c").map(_._1).max,
+      s"second append re-minted low ids: ${got.toSeq}")
+    // HWM recorded in the schema metadata
+    val hwm = DeltaLog.snapshot(spark, dir).metadata.schema("rid")
+      .metadata.getLong(DeltaPolicy.IdentityHwmKey)
+    assert(hwm == ids.max, s"hwm $hwm != ${ids.max}")
+  }
+
   test("change data feed on a mapped table: cdc files read physically, surface logically") {
     val dir = tempDir("delta-cmcdf").toString + "/t"
     val s0 = putFile(dataDf(Seq((1L, "a", 10L), (2L, "b", 20L))), dir, "part=0/f0.parquet")
