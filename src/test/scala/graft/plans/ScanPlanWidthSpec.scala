@@ -104,6 +104,69 @@ class ScanPlanWidthSpec extends SparkSpec {
     assert(got.forall { case (id, p) => p == id % 4 })
   }
 
+  test("Iceberg read: mixed parquet+ORC content stays at one relation PER FORMAT") {
+    val dir = tempDir("width-ice-orc").toString + "/t"
+    // many parquet appends (files/partitions), then convert ONE
+    // manifest's files to real ORC — the width must be exactly 2
+    // relations (one per format), not per file or partition
+    IcebergWrite.append(spark,
+      (0 until 12).map(i => (i.toLong, i % 6)).toDF("id", "p"), dir, Seq("p"))
+    IcebergWrite.append(spark,
+      (12 until 24).map(i => (i.toLong, i % 6)).toDF("id", "p"), dir, Seq("p"))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val meta = graft.tables.IcebergMeta.load(fs, dir)
+    val snap = graft.tables.IcebergMeta.selectSnapshot(meta, None, None)
+    val mi = graft.tables.IcebergMeta.manifestInfos(fs, snap).head
+    graft.tables.IcebergMeta.contentFilesOfManifest(fs, mi)
+      .filter(_.content == 0).foreach { cf =>
+        val tmp = tempDir("width-orc-out").toString + "/o"
+        spark.read.parquet(cf.path).coalesce(1).write.mode("overwrite").orc(tmp)
+        val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+          .map(_.getPath).find(_.getName.endsWith(".orc")).get
+        assert(fs.rename(part,
+          new org.apache.hadoop.fs.Path(cf.path.stripSuffix(".parquet") + ".orc")))
+        fs.delete(new org.apache.hadoop.fs.Path(cf.path), false); ()
+      }
+    rewriteManifestToOrc(dir, mi.path)
+    val df = new IcebergTable("t", dir)(spark, ReadArgs.empty)
+    val (u, r) = width(df)
+    assert(r == 2, s"expected one relation per format, got $r")
+    assert(u <= 2, s"union width $u")
+    assert(df.select("id").as[Long].collect().sorted.toSeq == (0L until 24L))
+  }
+
+  /** Minimal manifest format rewrite (mirrors FormatRefusalSpec's). */
+  private def rewriteManifestToOrc(table: String, manifestPath: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mPath = new org.apache.hadoop.fs.Path(manifestPath)
+    val local = java.io.File.createTempFile("width-c", ".avro")
+    val in = fs.open(mPath)
+    try java.nio.file.Files.copy(in, local.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    finally in.close()
+    val rd = new org.apache.avro.file.DataFileReader(local,
+      new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
+    val schema = rd.getSchema
+    val records = Seq.newBuilder[org.apache.avro.generic.GenericRecord]
+    try { while (rd.hasNext) records += rd.next() } finally rd.close()
+    val out = java.io.File.createTempFile("width-c-out", ".avro")
+    val w = new org.apache.avro.file.DataFileWriter(
+      new org.apache.avro.generic.GenericDatumWriter[org.apache.avro.generic.GenericRecord](schema))
+    w.create(schema, out)
+    try records.result().foreach { e =>
+      val df = e.get("data_file").asInstanceOf[org.apache.avro.generic.GenericRecord]
+      df.put("file_format", new org.apache.avro.util.Utf8("ORC"))
+      df.put("file_path", new org.apache.avro.util.Utf8(
+        df.get("file_path").toString.stripSuffix(".parquet") + ".orc"))
+      w.append(e)
+    } finally w.close()
+    val os = fs.create(mPath, true)
+    try java.nio.file.Files.copy(out.toPath, os) finally os.close()
+    local.delete(); out.delete(); ()
+  }
+
   test("Delta CDF range read: one cdc relation regardless of partition count") {
     val dir = tempDir("width-cdf").toString + "/t"
     DeltaWrite.append(spark,
