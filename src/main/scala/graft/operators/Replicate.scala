@@ -337,7 +337,15 @@ object Replicate {
         * on the next restart, when the stream re-pins); without it a
         * mid-stream evolution refuses, the source's default.
         */
-      additiveSchemaTolerance: Boolean = false
+      additiveSchemaTolerance: Boolean = false,
+      /** Non-additive policy, exactly as in [[sync]]. It matters at
+        * RESTART: a mid-stream DROP stops the source (schema pinning),
+        * and the restarted stream re-pins the narrower schema — under
+        * the default Refuse the first batch then stalls the pipeline
+        * permanently; Tombstone lets it continue with the dropped
+        * replica column null-filled.
+        */
+      onDrop: DropPolicy = DropPolicy.Refuse
   ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     require(keys.nonEmpty, "replication needs at least one key column")
     require(Set("delta", "iceberg", "hudi")(format),
@@ -358,7 +366,7 @@ object Replicate {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyStreamBatch(spark, batch, batchId, dataCols, targetPath, keys,
-          format, partitionBy, appId)
+          format, partitionBy, appId, onDrop)
       }
   }
 
@@ -371,7 +379,8 @@ object Replicate {
       keys: Seq[String],
       format: String,
       partitionBy: Seq[String],
-      appId: String): Unit = {
+      appId: String,
+      onDrop: DropPolicy = DropPolicy.Refuse): Unit = {
     val existing = ChangeFeed.detectFormat(spark, targetPath)
     existing.foreach { f =>
       require(f == format,
@@ -405,7 +414,7 @@ object Replicate {
         }
       } else {
         applyNet(spark, atMax, dataCols, format, targetPath, keys,
-          appId -> batchId)
+          appId -> batchId, onDrop)
       }
     } finally atMax.unpersist()
   }

@@ -144,6 +144,50 @@ class ReplicateStreamSpec extends SparkSpec {
     assert(got.contains((0L, "name0", None)), "pre-evolution rows null-fill")
   }
 
+  test("restart after a source DROP: Refuse stalls, Tombstone continues") {
+    // a COLUMN-MAPPED delta source so the drop is possible
+    val dir = tempDir("replstream-drop").toString + "/src"
+    def mapped(name: String, dt: org.apache.spark.sql.types.DataType, id: Int) =
+      StructField(name, dt, nullable = true,
+        metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong("delta.columnMapping.id", id.toLong)
+          .putString(graft.tables.DeltaLog.PhysicalNameKey, f"col-$id%02d").build())
+    DeltaDdl.createTable(spark, dir,
+      StructType(Seq(mapped("id", LongType, 1), mapped("name", StringType, 2),
+        mapped("v", LongType, 3))),
+      configuration = Map(
+        "delta.enableChangeDataFeed" -> "true",
+        "delta.columnMapping.mode" -> "name",
+        "delta.columnMapping.maxColumnId" -> "3"))
+    DeltaWrite.append(spark, rows(5), dir)
+
+    val base = tempDir("replstream-drop-t").toString
+    val tgt = base + "/replica"
+    val ckpt = base + "/ckpt"
+    runOnce(dir, tgt, ckpt, "delta") // creates the replica with (id, name, v)
+
+    // the source DROPS v between runs, then churns
+    DeltaDdl.dropColumn(spark, dir, "v")
+    DeltaWrite.merge(spark, dir, Seq((1L, "ONE")).toDF("id", "name"), Seq("id"))
+
+    // default policy: the restarted stream's batch fails loudly
+    val q1 = Replicate.stream(spark, dir, tgt, Seq("id"), "delta", ckpt).start()
+    val e = intercept[Exception] { try q1.processAllAvailable() finally q1.stop() }
+    assert(e.getMessage.contains("Tombstone") || 
+      Option(e.getCause).exists(_.getMessage.contains("Tombstone")), e.getMessage)
+
+    // Tombstone: the pipeline continues, replica keeps v as nulls for
+    // churned rows and historical values elsewhere
+    val q2 = Replicate.stream(spark, dir, tgt, Seq("id"), "delta", ckpt,
+      onDrop = Replicate.DropPolicy.Tombstone).start()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = new DeltaTable("t", tgt)(spark)
+      .select("id", "name", "v").as[(Long, String, Option[Long])].collect().toSet
+    assert(got.contains((1L, "ONE", None)), s"tombstone apply missing: $got")
+    assert(got.exists { case (i, _, v) => i != 1L && v.isDefined },
+      s"historical values lost: $got")
+  }
+
   test("existing target without the marker refuses; wrong-format target refuses") {
     val src = mkDeltaSource("foreign", n = 4)
     val base = tempDir("replstream-foreign-t").toString
