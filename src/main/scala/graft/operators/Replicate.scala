@@ -104,17 +104,40 @@ object Replicate {
   ): Map[String, Long] = {
     require(tables.map(_.targetPath).distinct.size == tables.size,
       "syncAll table specs name a duplicate targetPath")
-    tables.map { t =>
-      val wm = ChangeFeed.detectFormat(spark, t.targetPath) match {
-        case None =>
-          initialize(spark, t.sourcePath, t.targetPath, t.keys, t.format,
-            t.partitionBy, appId)
-        case Some(_) =>
-          sync(spark, t.sourcePath, t.targetPath, t.keys, appId, onDrop)
+    // each table syncs independently: one failure must not discard the
+    // watermarks of replicas that already advanced in this call, so
+    // every table is attempted and failures surface TOGETHER with the
+    // partial result ([[SyncAllException]]) instead of aborting mid-list
+    val attempts: Seq[(String, scala.util.Try[Long])] = tables.map { t =>
+      t.targetPath -> scala.util.Try {
+        ChangeFeed.detectFormat(spark, t.targetPath) match {
+          case None =>
+            initialize(spark, t.sourcePath, t.targetPath, t.keys, t.format,
+              t.partitionBy, appId)
+          case Some(_) =>
+            sync(spark, t.sourcePath, t.targetPath, t.keys, appId, onDrop)
+        }
       }
-      t.targetPath -> wm
-    }.toMap
+    }
+    val advanced = attempts.collect { case (p, scala.util.Success(w)) => p -> w }.toMap
+    val failed = attempts.collect { case (p, scala.util.Failure(e)) => p -> e }.toMap
+    if (failed.nonEmpty) throw new SyncAllException(advanced, failed)
+    advanced
   }
+
+  /** Thrown when [[syncAll]] fails on one or more tables: carries the
+    * watermarks of every replica that DID advance in the same call
+    * (exactly-once state is already committed on those targets) plus
+    * the per-table causes, so callers can tell which replicas moved.
+    */
+  final class SyncAllException(
+      val advanced: Map[String, Long],
+      val failures: Map[String, Throwable]
+  ) extends RuntimeException(
+    s"syncAll failed on ${failures.size} of ${advanced.size + failures.size} " +
+      s"table(s): ${failures.map { case (p, e) => s"$p (${e.getMessage})" }.mkString("; ")}" +
+      (if (advanced.isEmpty) "" else s"; advanced: ${advanced.keys.mkString(", ")}"),
+    failures.values.head)
 
   /** Full snapshot at the source's head → CREATE the replica in
     * `format` ("delta" | "iceberg" | "hudi") carrying the initial

@@ -68,8 +68,14 @@ class GraftCatalog extends TableCatalog {
     Array.empty // path-addressed: there is no enumerable namespace
 
   override def tableExists(ident: Identifier): Boolean =
+    // only "this is not a table" outcomes mean false — a transient
+    // IO/permission failure during format detection must PROPAGATE,
+    // or callers would treat a flaky filesystem as a missing table
     try { loadTable(ident); true }
-    catch { case _: Exception => false }
+    catch {
+      case _: org.apache.spark.sql.catalyst.analysis.NoSuchTableException => false
+      case _: IllegalArgumentException => false
+    }
 
   override def createTable(
       ident: Identifier, schema: StructType,

@@ -385,11 +385,25 @@ object DeltaDdl {
           "need recursive id assignment)"))
       var nextId = meta.configuration.get("delta.columnMapping.maxColumnId")
         .map(_.toLong).getOrElse {
-          // absent key: derive from the schema's own ids (foreign
-          // writers always record the key, but be safe)
-          meta.schema.fields.map(f =>
-            if (f.metadata.contains("delta.columnMapping.id"))
-              f.metadata.getLong("delta.columnMapping.id") else 0L).max
+          // absent key: derive from the schema's own ids — walked
+          // RECURSIVELY, because enableColumnMapping assigns ids in
+          // DFS order so a nested struct field can carry a HIGHER id
+          // than any top-level field; a top-level-only max would mint
+          // a duplicate id on such a foreign table
+          var maxSeen = 0L
+          def walkIds(dt: org.apache.spark.sql.types.DataType): Unit = dt match {
+            case s: StructType => s.fields.foreach { f =>
+              if (f.metadata.contains("delta.columnMapping.id"))
+                maxSeen = math.max(maxSeen, f.metadata.getLong("delta.columnMapping.id"))
+              walkIds(f.dataType)
+            }
+            case a: org.apache.spark.sql.types.ArrayType => walkIds(a.elementType)
+            case m: org.apache.spark.sql.types.MapType =>
+              walkIds(m.keyType); walkIds(m.valueType)
+            case _ => ()
+          }
+          walkIds(meta.schema)
+          maxSeen
         }
       val mappedCols = columns.map { c =>
         nextId += 1

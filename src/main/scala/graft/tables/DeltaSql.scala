@@ -154,10 +154,21 @@ object DeltaSql {
         // write (which would corrupt reads: mapped mode with no
         // physical names)
         val parsed = parseProps(props)
-        val wantsMapping = parsed.get("delta.columnMapping.mode")
-          .exists(m => m.nonEmpty && m != "none")
+        val requestedMode = parsed.get("delta.columnMapping.mode")
+          .filter(m => m.nonEmpty && m != "none")
+        val wantsMapping = requestedMode.isDefined
         val unmapped = !DeltaLog.snapshot(spark, path, withFiles = false)
           .metadata.isColumnMapped
+        // delta-spark parity: only the none->name upgrade exists;
+        // none->id would need data-file rewrites (parquet field ids),
+        // so silently substituting 'name' would leave the table in a
+        // mode the user never asked for — refuse instead
+        if (wantsMapping && unmapped)
+          require(requestedMode.contains("name"),
+            s"cannot upgrade $path to column mapping mode " +
+              s"'${requestedMode.get}': only 'name' mode can be enabled on an " +
+              "existing table (id mode requires parquet field ids in every " +
+              "data file — recreate the table with id mapping instead)")
         if (wantsMapping && unmapped) {
           val up = DeltaDdl.enableColumnMapping(spark, path)
           val rest = parsed - "delta.columnMapping.mode"

@@ -668,32 +668,27 @@ class IcebergTable(
     }
     val (orcFiles, parqFiles) = files.partition(_.fileFormat == "ORC")
 
-    val defaulted = schema.fields.filter(_.metadata.contains(IcebergMeta.InitialDefaultKey))
+    val defaulted = IcebergTable.defaultedFields(schema)
     orcFiles.headOption.filter(_ => defaulted.nonEmpty).foreach(f =>
       throw new UnsupportedOperationException(
         s"$uri declares v3 initial-default columns AND stores ORC data files " +
           s"(e.g. ${f.path}); per-file default fill reads parquet footers only"))
 
-    // v3 initial-default support data: does each (parquet) file's
-    // footer carry the field — by field id, falling back to name for
-    // id-less writers? Footer opens are per surviving file and only
-    // on tables that declare defaults at all.
-    val footers: Map[String, (Set[Int], Set[String])] =
-      if (defaulted.isEmpty) Map.empty
-      else {
-        import scala.jdk.CollectionConverters._
-        val conf = spark.sparkContext.hadoopConfiguration
-        parqFiles.map { f =>
-          val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
-            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(f.path), conf))
-          try {
-            val fs2 = rd.getFileMetaData.getSchema.getFields.asScala
-            DvDeleted.normalizePath(f.path) ->
-              ((fs2.flatMap(t => Option(t.getId).map(_.intValue())).toSet,
-                fs2.map(_.getName).toSet))
-          } finally rd.close()
-        }.toMap
-      }
+    // v3 initial-default support data: which surviving parquet files
+    // LACK each defaulted field (by field id, falling back to the
+    // dotted name whenever the id is absent — id-less or mixed
+    // writers store columns by name). Probing is executor-side above
+    // a handful of files and cached per (field set, file) —
+    // see [[IcebergTable.probeFooterAbsence]].
+    val defaultProbes = defaulted.map { case (fpath, sf) =>
+      (fpath, sf, IcebergTable.FieldProbe(
+        if (sf.metadata.contains(DeltaLog.FieldIdKey))
+          Some(sf.metadata.getLong(DeltaLog.FieldIdKey).toInt) else None,
+        fpath))
+    }
+    val absentByFile: Map[String, Set[String]] =
+      IcebergTable.probeFooterAbsence(
+        spark, parqFiles.map(_.path), defaultProbes.map(_._3))
 
     def leg(group: Seq[IcebergMeta.ContentFile], orc: Boolean): DataFrame = {
       var df =
@@ -711,25 +706,30 @@ class IcebergTable(
         }.toMap
         df = df.withColumn(c, coalesce(col(c), PartitionAttach.constCol(attrs, dt)))
       }
-      // v3 initial-default columns: a file that PREDATES the column
-      // (footer lacks the field) reads the declared default for every
-      // row; files that carry the field keep their stored values,
-      // nulls included — the per-file constant under coalesce, the
-      // identity back-fill mechanism.
-      defaulted.foreach { sf =>
-        val fid = if (sf.metadata.contains(DeltaLog.FieldIdKey))
-          Some(sf.metadata.getLong(DeltaLog.FieldIdKey).toInt) else None
+      // v3 initial-default columns: a file that PREDATES the field
+      // (footer lacks it) reads the declared default for every row;
+      // files that carry the field keep their stored values, nulls
+      // included — the per-file constant under coalesce, the identity
+      // back-fill mechanism. Struct-nested defaults rebuild only the
+      // affected subfield via withField: a row whose whole struct is
+      // null stays null (the struct's absence, not the field's).
+      defaultProbes.foreach { case (fpath, sf, probe) =>
         val dv = PartitionAttach.fromString(
           sf.metadata.getString(IcebergMeta.InitialDefaultKey), sf.dataType, zone)
-        val attrs: Map[String, Any] = group.map { f =>
+        val attrs: Map[String, Any] = group.flatMap { f =>
           val key = DvDeleted.normalizePath(f.path)
-          val (idsIn, namesIn) = footers(key)
-          val present = fid.exists(idsIn.contains) ||
-            (idsIn.isEmpty && namesIn.contains(sf.name))
-          key -> (if (present) null else dv)
+          if (absentByFile.getOrElse(key, Set.empty).contains(probe.key))
+            Some(key -> dv)
+          else None
         }.toMap
-        df = df.withColumn(sf.name,
-          coalesce(col(sf.name), PartitionAttach.constCol(attrs, sf.dataType)))
+        if (attrs.nonEmpty) {
+          val fill = coalesce(col(fpath.mkString(".")),
+            PartitionAttach.constCol(attrs, sf.dataType))
+          df =
+            if (fpath.size == 1) df.withColumn(sf.name, fill)
+            else df.withColumn(fpath.head,
+              col(fpath.head).withField(fpath.tail.mkString("."), fill))
+        }
       }
       if (withDeletes) {
         // PathCol carries the MANIFEST's (scheme-stripped) spelling of
@@ -907,4 +907,131 @@ object IcebergTable {
     * a typical CDC poll (a handful of commits) never pages at all.
     */
   val DefaultChangePageCommits = 16
+
+  // ------------------------------------ v3 initial-default probing
+
+  /** How one defaulted field is looked up in a parquet footer: by
+    * field id when the footer carries ids, falling back to the dotted
+    * name whenever the SPECIFIC id is absent (a file can store this
+    * column by name next to id-bearing columns).
+    */
+  private[tables] final case class FieldProbe(fid: Option[Int], path: Seq[String]) {
+    def key: String = fid.map(_.toString).getOrElse("-") + ":" + path.mkString(".")
+  }
+
+  /** Every schema field carrying a v3 `initial-default`, with its
+    * struct path — parse ([[IcebergMeta.schemaFromJson]]) already
+    * refused defaults under list/map, so paths are pure struct chains.
+    */
+  private[tables] def defaultedFields(
+      schema: StructType): Seq[(Seq[String], StructField)] = {
+    def walk(st: StructType, prefix: Seq[String]): Seq[(Seq[String], StructField)] =
+      st.fields.toSeq.flatMap { f =>
+        val here =
+          if (f.metadata.contains(IcebergMeta.InitialDefaultKey))
+            Seq((prefix :+ f.name, f)) else Seq.empty
+        here ++ (f.dataType match {
+          case s: StructType => walk(s, prefix :+ f.name)
+          case _             => Seq.empty
+        })
+      }
+    walk(schema, Seq.empty)
+  }
+
+  /** Driver-side footer opens (taken only when ≤
+    * [[DriverFooterProbeMax]] uncached files need probing) — specs
+    * assert this stays ZERO on many-file defaulted tables, the same
+    * counter discipline as [[IcebergMeta.driverContentFilePlans]].
+    */
+  private[tables] val driverFooterProbes = new java.util.concurrent.atomic.AtomicLong
+  private[tables] val DriverFooterProbeMax = 4
+
+  private val FooterCacheMax = 200000
+  /** `(probe-set signature | normalized path)` → probe keys ABSENT
+    * from that file's footer. Iceberg data files are immutable, so an
+    * entry never invalidates — queries and snapshots share it.
+    */
+  private val footerAbsence =
+    new java.util.concurrent.ConcurrentHashMap[String, Set[String]]()
+
+  /** Which defaulted fields are MISSING from which surviving parquet
+    * files — the per-file gate for v3 initial-default fill, keyed by
+    * normalized path, values = absent [[FieldProbe]] keys (files with
+    * nothing absent are omitted). A handful of uncached files probe
+    * on the driver (cheaper than a job); above that the file list
+    * parallelizes across executors and ONLY absences return —
+    * O(absent) driver transfer, so a defaulted 100k-file table costs
+    * one executor job instead of 100k sequential driver footer reads.
+    */
+  private[tables] def probeFooterAbsence(
+      spark: org.apache.spark.sql.SparkSession,
+      paths: Seq[String],
+      probes: Seq[FieldProbe]): Map[String, Set[String]] = {
+    if (paths.isEmpty || probes.isEmpty) return Map.empty
+    val sig = probes.map(_.key).sorted.mkString(";")
+    def ck(np: String) = sig + "|" + np
+    val norm = paths.map(p => p -> DvDeleted.normalizePath(p))
+    val unknown = norm.collect {
+      case (p, np) if !footerAbsence.containsKey(ck(np)) => (p, np)
+    }
+    if (unknown.nonEmpty) {
+      if (footerAbsence.size() > FooterCacheMax) footerAbsence.clear()
+      val found: Map[String, Set[String]] =
+        if (unknown.size <= DriverFooterProbeMax) {
+          driverFooterProbes.addAndGet(unknown.size.toLong)
+          val conf = spark.sparkContext.hadoopConfiguration
+          unknown.map { case (p, np) => np -> footerAbsentIn(p, conf, probes) }
+            .filter(_._2.nonEmpty).toMap
+        } else {
+          val conf = new org.apache.spark.util.SerializableConfiguration(
+            spark.sparkContext.hadoopConfiguration)
+          val probesB = probes
+          spark.sparkContext
+            .parallelize(unknown, math.max(1, math.min(unknown.size, 32)))
+            .flatMap { case (p, np) =>
+              val a = footerAbsentIn(p, conf.value, probesB)
+              if (a.isEmpty) None else Some(np -> a)
+            }.collect().toMap
+        }
+      unknown.foreach { case (_, np) =>
+        footerAbsence.put(ck(np), found.getOrElse(np, Set.empty))
+      }
+    }
+    norm.flatMap { case (_, np) =>
+      Option(footerAbsence.get(ck(np))).filter(_.nonEmpty).map(np -> _)
+    }.toMap
+  }
+
+  /** Open ONE parquet footer and report which probes it lacks —
+    * runs driver- or executor-side; ids and dotted names collected
+    * over the FULL schema tree (struct-nested defaults probe by
+    * their dotted path).
+    */
+  private def footerAbsentIn(
+      pathStr: String,
+      conf: org.apache.hadoop.conf.Configuration,
+      probes: Seq[FieldProbe]): Set[String] = {
+    import scala.jdk.CollectionConverters._
+    val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(pathStr), conf))
+    try {
+      val ids = scala.collection.mutable.Set[Int]()
+      val names = scala.collection.mutable.Set[String]()
+      def walk(t: org.apache.parquet.schema.Type, prefix: String): Unit = {
+        Option(t.getId).foreach(id => ids += id.intValue())
+        val full = if (prefix.isEmpty) t.getName else prefix + "." + t.getName
+        names += full
+        t match {
+          case g: org.apache.parquet.schema.GroupType =>
+            g.getFields.asScala.foreach(walk(_, full))
+          case _ => ()
+        }
+      }
+      rd.getFileMetaData.getSchema.getFields.asScala.foreach(walk(_, ""))
+      probes.filterNot(p =>
+        p.fid.exists(ids.contains) || names.contains(p.path.mkString(".")))
+        .map(_.key).toSet
+    } finally rd.close()
+  }
 }

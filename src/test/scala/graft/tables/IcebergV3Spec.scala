@@ -14,8 +14,9 @@ import org.apache.spark.sql.functions.col
   * row-index anti-filter (r11) — while corrupt blobs and
   * field-incomplete DV entries refuse LOUDLY (misreading a Puffin
   * file would be silent garbage); v3 column `initial-default` values
-  * refuse too (reading pre-evolution files as null would be wrong
-  * data).
+  * fill pre-evolution files per-file — top-level AND struct-nested,
+  * probed executor-side above a handful of files — while defaults
+  * under list/map elements refuse loudly.
   */
 class IcebergV3Spec extends SparkSpec {
   import spark.implicits._
@@ -46,17 +47,22 @@ class IcebergV3Spec extends SparkSpec {
     */
   private def buildV3(root: String, withDv: Boolean,
       schemaFieldsJson: String = defaultFields, corruptDv: Boolean = false,
-      withW: Boolean = false): Unit = {
+      withW: Boolean = false,
+      dataOverride: Seq[org.apache.spark.sql.DataFrame] = Seq.empty): Unit = {
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val metaDir = new Path(root, "metadata")
     fs.mkdirs(metaDir)
-    val dataDf =
-      if (!withW) Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
-      else Seq((1L, "a", Some(9L)), (2L, "b", None), (3L, "c", Some(5L)))
-        .toDF("id", "v", "w")
-    dataDf.coalesce(1).write.mode("overwrite").parquet(root + "/data")
-    val dataFile = fs.listStatus(new Path(root + "/data"))
-      .find(_.getPath.getName.endsWith(".parquet")).get
+    val dataDfs =
+      if (dataOverride.nonEmpty) dataOverride
+      else if (!withW) Seq(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+      else Seq(Seq((1L, "a", Some(9L)), (2L, "b", None), (3L, "c", Some(5L)))
+        .toDF("id", "v", "w"))
+    val dataFiles = dataDfs.zipWithIndex.map { case (df, i) =>
+      df.coalesce(1).write.mode("overwrite").parquet(root + s"/data$i")
+      fs.listStatus(new Path(root + s"/data$i"))
+        .find(_.getPath.getName.endsWith(".parquet")).get
+    }
+    val dataFile = dataFiles.head
     val puffin = new Path(root, "deletes/dv.puffin")
     var dvOffset = 4L
     var dvSize = 20L
@@ -102,7 +108,7 @@ class IcebergV3Spec extends SparkSpec {
         e
       }
       try {
-        w.append(entry(dataFile.getPath.toUri.getPath, 0, dv = false))
+        dataFiles.foreach(f => w.append(entry(f.getPath.toUri.getPath, 0, dv = false)))
         if (withDv) w.append(entry(puffin.toUri.getPath, 1, dv = true))
       } finally w.close()
     }
@@ -119,7 +125,7 @@ class IcebergV3Spec extends SparkSpec {
       r.put("sequence_number", 1L)
       r.put("min_sequence_number", 1L)
       r.put("added_snapshot_id", 1L)
-      r.put("added_files_count", if (withDv) 2 else 1)
+      r.put("added_files_count", dataFiles.size + (if (withDv) 1 else 0))
       r.put("existing_files_count", 0)
       r.put("deleted_files_count", 0)
       r.put("added_rows_count", 3L)
@@ -409,17 +415,70 @@ class IcebergV3Spec extends SparkSpec {
     assert(got == Seq((1L, Some(9L)), (2L, None), (3L, Some(5L))))
   }
 
-  test("v3 initial-default on a NESTED field still refuses loudly") {
+  test("v3 initial-default on a STRUCT-NESTED field fills pre-evolution files") {
     val root = tempDir("ice-v3-defn").toString + "/t"
+    // the data file's struct s carries only y — subfield x postdates
+    // it and must read its default 7 wherever s itself is non-null
+    // (a null STRUCT stays null: the struct's absence, not the
+    // field's); the second file carries x with an explicit null that
+    // the default must NOT overwrite
+    val pre = Seq((1L, Some(10L)), (2L, None))
+      .toDF("id", "y")
+      .selectExpr("id", "if(y is null, null, named_struct('y', y)) as s")
+    val post = Seq((3L, 30L, Some(77L)), (4L, 40L, None))
+      .toDF("id", "y", "x").selectExpr("id", "named_struct('y', y, 'x', x) as s")
     buildV3(root, withDv = false, schemaFieldsJson =
       """{"id":1,"name":"id","required":false,"type":"long"},
-        |{"id":2,"name":"v","required":false,"type":"string"},
-        |{"id":3,"name":"s","required":false,"type":{"type":"struct","fields":[
-        |  {"id":4,"name":"x","required":false,"type":"long","initial-default":7}]}}""".stripMargin)
+        |{"id":2,"name":"s","required":false,"type":{"type":"struct","fields":[
+        |  {"id":3,"name":"y","required":false,"type":"long"},
+        |  {"id":4,"name":"x","required":false,"type":"long","initial-default":7}]}}""".stripMargin,
+      dataOverride = Seq(pre, post))
+    val got = new IcebergTable("t", root)(spark, ReadArgs.empty)
+      .select(col("id"), col("s.y"), col("s.x"))
+      .as[(Long, Option[Long], Option[Long])].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, Some(10L), Some(7L)), // pre-evolution: default fills
+      (2L, None, None),          // null struct stays null
+      (3L, Some(30L), Some(77L)),// stored value wins
+      (4L, Some(40L), None)))    // genuine post-evolution null kept
+  }
+
+  test("v3 initial-default under a LIST element still refuses loudly") {
+    val root = tempDir("ice-v3-defl").toString + "/t"
+    buildV3(root, withDv = false, schemaFieldsJson =
+      """{"id":1,"name":"id","required":false,"type":"long"},
+        |{"id":2,"name":"a","required":false,"type":{"type":"list","element-id":3,
+        |  "element":{"type":"struct","fields":[
+        |    {"id":4,"name":"x","required":false,"type":"long","initial-default":7}]}}}""".stripMargin)
     val e = intercept[UnsupportedOperationException] {
       new IcebergTable("t", root)(spark, ReadArgs.empty).collect()
     }
     assert(e.getMessage.contains("initial-default") && e.getMessage.contains("'x'"),
       e.getMessage)
+  }
+
+  test("many-file defaulted table: footer probe runs EXECUTOR-side (zero driver opens)") {
+    val root = tempDir("ice-v3-defm").toString + "/t"
+    // 6 files (> DriverFooterProbeMax): 3 pre-evolution (no w), 3 with w
+    val dfs = (0 until 6).map { i =>
+      if (i < 3) Seq((i.toLong, s"v$i")).toDF("id", "v")
+      else Seq((i.toLong, s"v$i", i.toLong * 100)).toDF("id", "v", "w")
+    }
+    buildV3(root, withDv = false, schemaFieldsJson = defaultWFields,
+      dataOverride = dfs)
+    val before = IcebergTable.driverFooterProbes.get()
+    val got = new IcebergTable("t", root)(spark, ReadArgs.empty)
+      .select("id", "w").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((0L, 7L), (1L, 7L), (2L, 7L),
+      (3L, 300L), (4L, 400L), (5L, 500L)))
+    assert(IcebergTable.driverFooterProbes.get() == before,
+      "a >DriverFooterProbeMax-file defaulted table must probe footers " +
+        "executor-side, never on the driver")
+    // second read: the per-(field set, file) cache answers — still no
+    // driver opens, and correctness unchanged
+    val again = new IcebergTable("t", root)(spark, ReadArgs.empty)
+      .select("id", "w").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(again == got)
+    assert(IcebergTable.driverFooterProbes.get() == before)
   }
 }
