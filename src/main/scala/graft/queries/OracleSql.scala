@@ -1790,6 +1790,16 @@ object OracleSql {
         |WHERE c_mktsegment = 'BUILDING' AND c_acctbal >= 0
         |ORDER BY c_custkey""".stripMargin,
 
+    // R49 Avro content leg: the fixture splits nation across a native
+    // parquet append and an add_files AVRO import (one snapshot, two
+    // content formats) — the mixed scan must equal the plain
+    // predicate over the source table
+    "q_iceberg_avro" ->
+      """SELECT n_nationkey, n_name, n_regionkey
+        |FROM nation
+        |WHERE n_regionkey >= 1
+        |ORDER BY n_nationkey""".stripMargin,
+
     // R49 manifest column-bounds skipping: the engine reads lineitem
     // through a natively written, orderkey-range-sorted Iceberg table
     // whose manifests carry per-file lower/upper bounds — values must

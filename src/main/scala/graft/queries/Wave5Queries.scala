@@ -315,6 +315,43 @@ object Wave5Queries {
       .orderBy("c_custkey")
   }
 
+  private val icebergAvroTables = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Mixed-format Iceberg fixture: nation split in two — low keys
+    * appended natively (parquet), high keys re-encoded as Avro and
+    * imported IN PLACE via add_files (file_format=AVRO in the
+    * manifest) — the layout a foreign Avro-writing engine leaves.
+    */
+  private def icebergNationAvro(s: SparkSession, dir: String): String =
+    icebergAvroTables.getOrElseUpdate(dir, {
+      import graft.tables.IcebergWrite
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_ice_avro").toString
+      val path = base + "/nation"
+      val nat = t(s, dir, "nation")
+      IcebergWrite.append(s, nat.filter(col("n_nationkey") < 12), path)
+      val avroDir = base + "/nation_avro"
+      nat.filter(col("n_nationkey") >= 12).coalesce(1)
+        .write.format(graft.tables.IcebergTable.AvroProvider).save(avroDir)
+      IcebergWrite.addFiles(s, avroDir, path, format = "AVRO")
+      path
+    })
+
+  /** R49 Avro content leg: the snapshot mixes PARQUET and AVRO data
+    * files; the scan plans one relation per format and filters /
+    * prunes across both — values must equal the plain predicate over
+    * the source table.
+    */
+  def qIcebergAvro(s: SparkSession, dir: String): DataFrame = {
+    import graft.core.Filter
+    import graft.tables.{IcebergTable, ReadArgs}
+    val table = new IcebergTable("nation_avro", icebergNationAvro(s, dir))
+    table(s, ReadArgs(
+      filters = graft.core.Filters.normalize(Seq(Filter("n_regionkey", ">=", 1))),
+      columns = Some(Seq("n_nationkey", "n_name", "n_regionkey"))))
+      .orderBy("n_nationkey")
+  }
+
   // ---------- R50: native Iceberg write (append) ----------
 
   private val icebergWritten = scala.collection.concurrent.TrieMap.empty[String, String]

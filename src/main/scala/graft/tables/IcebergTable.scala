@@ -423,9 +423,8 @@ class IcebergTable(
       val posCandidates: Seq[IcebergMeta.ContentFile] =
         if (addedPos.isEmpty) Seq.empty
         else {
-          val refPaths = spark.read
-            .schema(StructType(Seq(StructField("file_path", StringType))))
-            .parquet(addedPos.map(_.path): _*)
+          val refPaths = contentScan(spark, addedPos,
+            StructType(Seq(StructField("file_path", StringType))), withSeq = false)
             .select("file_path").distinct().collect()
             .map(r => normalizePathStr(r.getString(0))).toSet
           prevData.filter(f => refPaths(normalizePathStr(f.path)))
@@ -478,7 +477,7 @@ class IcebergTable(
         val delSchema = StructType(
           prunable.map(c => meta.schema(c).copy(metadata = Metadata.empty)))
         val aggs = prunable.flatMap(c => Seq(min(col(c)), max(col(c))))
-        val row = spark.read.schema(delSchema).parquet(files.map(_.path): _*)
+        val row = contentScan(spark, files, delSchema, withSeq = false)
           .agg(aggs.head, aggs.drop(1): _*).head()
         val bounds = graft.core.Filters.normalize(
           prunable.zipWithIndex.flatMap { case (c, i) =>
@@ -547,20 +546,58 @@ class IcebergTable(
           s"content_size_in_bytes (${d.path}) — unreadable v3 shape")
     }
 
-  /** Content files outside the readable set (PARQUET + ORC via
-    * Spark's native readers; AVRO data/delete files are legal Iceberg
-    * written by foreign engines but unread here) refuse LOUDLY at
-    * plan time with the file, role and format named, instead of dying
-    * inside a footer reader — the same honesty discipline as the v3
-    * Puffin refusal above (DVs get that message, not this one).
+  /** Content files outside the readable set (PARQUET + ORC + AVRO —
+    * all three legal Iceberg content formats — via Spark's native
+    * readers) refuse LOUDLY at plan time with the file, role and
+    * format named, instead of dying inside a footer reader — the same
+    * honesty discipline as the v3 Puffin refusal above (DVs get that
+    * message, not this one).
     */
   private def requireReadable(files: Seq[IcebergMeta.ContentFile], role: String): Unit =
-    files.find(f => f.fileFormat != "PARQUET" && f.fileFormat != "ORC" &&
+    files.find(f => !IcebergTable.ReadableFormats.contains(f.fileFormat) &&
         !f.isDeletionVector).foreach(f =>
       throw new UnsupportedOperationException(
         s"$uri stores ${f.fileFormat} $role files (e.g. ${f.path}); this reader " +
-          "scans PARQUET and ORC content only — rewrite_data_files with a " +
+          "scans PARQUET, ORC and AVRO content only — rewrite_data_files with a " +
           "parquet-writing engine first"))
+
+  /** One relation per CONTENT FORMAT present (≤3, flat in file count)
+    * over same-schema content files — the shared scan for delete
+    * files and candidate probes. Parquet/ORC take the schema as a
+    * reader projection; Avro files embed their writer schema, so the
+    * Avro leg aligns by NAME (missing columns null-fill, types cast —
+    * Spark's avro reader has no field-id story). `withSeq` rides each
+    * file's sequence number as a per-file constant `_del_seq`.
+    */
+  private def contentScan(
+      spark: SparkSession,
+      files: Seq[IcebergMeta.ContentFile],
+      schema: StructType,
+      withSeq: Boolean): DataFrame = {
+    def leg(group: Seq[IcebergMeta.ContentFile], fmt: String): DataFrame = {
+      var df = fmt match {
+        case "ORC"  => spark.read.schema(schema).orc(group.map(_.path): _*)
+        case "AVRO" =>
+          val raw = spark.read.format(IcebergTable.AvroProvider).load(group.map(_.path): _*)
+          schema.fields.foldLeft(raw) { (d, f) =>
+            if (d.columns.contains(f.name))
+              d.withColumn(f.name, col(f.name).cast(f.dataType))
+            else d.withColumn(f.name, lit(null).cast(f.dataType))
+          }
+        case _ => spark.read.schema(schema).parquet(group.map(_.path): _*)
+      }
+      if (withSeq) {
+        val delSeq: Map[String, Any] = group.map(f =>
+          DvDeleted.normalizePath(f.path) -> (f.sequenceNumber: Any)).toMap
+        df = df.withColumn("_del_seq", PartitionAttach.constCol(delSeq, LongType))
+      }
+      df.select((schema.fieldNames.toSeq ++
+        (if (withSeq) Seq("_del_seq") else Seq.empty)).map(col): _*)
+    }
+    files.groupBy(_.fileFormat).toSeq.sortBy(_._1)
+      .map { case (fmt, g) => leg(g, fmt) }
+      .reduce(_.unionByName(_))
+  }
 
   /** Scan planning with the R40 discipline: BELOW the file gate the
     * driver loops manifests ([[IcebergMeta.planFiles]]); ABOVE it —
@@ -651,28 +688,30 @@ class IcebergTable(
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
 
-    // ONE relation PER CONTENT FORMAT (parquet + optional ORC — at
-    // most two, flat in both partition and file count). Identity
+    // ONE relation PER CONTENT FORMAT (parquet / ORC / Avro — at
+    // most three, flat in both partition and file count). Identity
     // partition values from the manifests back-fill columns the data
     // files don't store, riding the scan as per-file constants
     // ([[FileConstAttr]] keyed on _metadata.file_path); stored values
     // win via coalesce, and a file whose spec lacks the identity
     // field contributes null. Sequence numbers attach the same way
-    // (no _metadata.row_index dependence, so the ORC leg carries them
-    // too); the physical row POSITION is parquet-only — the ORC leg
-    // reads PosCol as null, and [[applyPositionDeletes]] refuses
+    // (no _metadata.row_index dependence, so the ORC/Avro legs carry
+    // them too); the physical row POSITION is parquet-only — other
+    // legs read PosCol as null, and [[applyPositionDeletes]] refuses
     // before that could lose a delete.
     val zone = PartitionAttach.sessionZone(spark)
     val specIdentity: Map[Int, Set[String]] = meta.specs.map { case (id, fs) =>
       id -> fs.filter(_.transform == "identity").map(_.name).toSet
     }
-    val (orcFiles, parqFiles) = files.partition(_.fileFormat == "ORC")
+    val byFormat = files.groupBy(_.fileFormat)
+    val parqFiles = byFormat.getOrElse("PARQUET", Seq.empty)
 
     val defaulted = IcebergTable.defaultedFields(schema)
-    orcFiles.headOption.filter(_ => defaulted.nonEmpty).foreach(f =>
+    files.find(f => f.fileFormat != "PARQUET" && defaulted.nonEmpty).foreach(f =>
       throw new UnsupportedOperationException(
-        s"$uri declares v3 initial-default columns AND stores ORC data files " +
-          s"(e.g. ${f.path}); per-file default fill reads parquet footers only"))
+        s"$uri declares v3 initial-default columns AND stores " +
+          s"${f.fileFormat} data files (e.g. ${f.path}); per-file default " +
+          "fill reads parquet footers only"))
 
     // v3 initial-default support data: which surviving parquet files
     // LACK each defaulted field (by field id, falling back to the
@@ -690,10 +729,22 @@ class IcebergTable(
       IcebergTable.probeFooterAbsence(
         spark, parqFiles.map(_.path), defaultProbes.map(_._3))
 
-    def leg(group: Seq[IcebergMeta.ContentFile], orc: Boolean): DataFrame = {
-      var df =
-        if (orc) spark.read.schema(schema).orc(group.map(_.path): _*)
-        else spark.read.schema(schema).parquet(group.map(_.path): _*)
+    def leg(group: Seq[IcebergMeta.ContentFile], fmt: String): DataFrame = {
+      var df = fmt match {
+        case "ORC"  => spark.read.schema(schema).orc(group.map(_.path): _*)
+        case "AVRO" =>
+          // Avro data files embed their writer schema — align by NAME
+          // to the table schema (a pre-evolution file's missing
+          // columns null-fill; types cast), Spark's avro reader has
+          // no field-id resolution
+          val raw = spark.read.format(IcebergTable.AvroProvider).load(group.map(_.path): _*)
+          schema.fields.foldLeft(raw) { (d, f) =>
+            if (d.columns.contains(f.name))
+              d.withColumn(f.name, col(f.name).cast(f.dataType))
+            else d.withColumn(f.name, lit(null).cast(f.dataType))
+          }
+        case _ => spark.read.schema(schema).parquet(group.map(_.path): _*)
+      }
       val idCols = group.flatMap(f => specIdentity.getOrElse(f.specId, Set.empty))
         .distinct.filter(c => schema.fieldNames.contains(c))
       idCols.foreach { c =>
@@ -746,14 +797,15 @@ class IcebergTable(
         df = df
           .withColumn(PathCol, PartitionAttach.constCol(pathAttrs, StringType))
           .withColumn(PosCol,
-            if (orc) lit(null).cast(LongType) else col("_metadata.row_index"))
+            if (fmt == "PARQUET") col("_metadata.row_index")
+            else lit(null).cast(LongType))
           .withColumn(SeqCol, PartitionAttach.constCol(seqAttrs, LongType))
       }
       df.select(outSchema.fieldNames.map(col).toSeq: _*)
     }
 
-    Seq((parqFiles, false), (orcFiles, true)).filter(_._1.nonEmpty)
-      .map { case (g, orc) => leg(g, orc) }
+    byFormat.toSeq.sortBy(_._1)
+      .map { case (fmt, g) => leg(g, fmt) }
       .reduce(_.unionByName(_))
   }
 
@@ -774,27 +826,18 @@ class IcebergTable(
     // scan surfaces via parquet's _metadata.row_index — an ORC data
     // file has no row_index, so applying a position delete to it
     // would silently keep deleted rows: refuse loudly instead
-    dataFiles.find(_.fileFormat == "ORC").foreach(f =>
+    dataFiles.find(_.fileFormat != "PARQUET").foreach(f =>
       throw new UnsupportedOperationException(
-        s"$uri has position-delete files AND ORC data files (e.g. ${f.path}); " +
-          "position deletes need parquet row indexes — rewrite_data_files first"))
+        s"$uri has position-delete files AND ${f.fileFormat} data files " +
+          s"(e.g. ${f.path}); position deletes need parquet row indexes — " +
+          "rewrite_data_files first"))
     import spark.implicits._
     val delSchema = StructType(Seq(
       StructField("file_path", StringType), StructField("pos", LongType)))
     // one scan PER FORMAT over the position-delete files; each delete
     // row's sequence number rides as a per-file constant instead of
     // one union branch per delete file
-    def delScan(group: Seq[IcebergMeta.ContentFile], orc: Boolean): DataFrame = {
-      val delSeq: Map[String, Any] = group.map(f =>
-        DvDeleted.normalizePath(f.path) -> (f.sequenceNumber: Any)).toMap
-      val base =
-        if (orc) spark.read.schema(delSchema).orc(group.map(_.path): _*)
-        else spark.read.schema(delSchema).parquet(group.map(_.path): _*)
-      base.withColumn("_del_seq", PartitionAttach.constCol(delSeq, LongType))
-    }
-    val (orcDel, parqDel) = posDeletes.partition(_.fileFormat == "ORC")
-    val dels = Seq((parqDel, false), (orcDel, true)).filter(_._1.nonEmpty)
-      .map { case (g, orc) => delScan(g, orc) }.reduce(_.unionByName(_))
+    val dels = contentScan(spark, posDeletes, delSchema, withSeq = true)
       .withColumn("file_path", normalizePathCol(col("file_path")))
     val fileSeq = dataFiles
       .map(f => (normalizePathStr(f.path), f.sequenceNumber))
@@ -829,17 +872,7 @@ class IcebergTable(
       // one scan per distinct (equality-id set, format) — both
       // schema-bounded, never per file: sequence numbers ride as
       // per-file constants
-      def eqScan(group: Seq[IcebergMeta.ContentFile], orc: Boolean): DataFrame = {
-        val delSeq: Map[String, Any] = group.map(f =>
-          DvDeleted.normalizePath(f.path) -> (f.sequenceNumber: Any)).toMap
-        val base =
-          if (orc) spark.read.schema(delSchema).orc(group.map(_.path): _*)
-          else spark.read.schema(delSchema).parquet(group.map(_.path): _*)
-        base.withColumn("_del_seq", PartitionAttach.constCol(delSeq, LongType))
-      }
-      val (orcDel, parqDel) = files.partition(_.fileFormat == "ORC")
-      val dels = Seq((parqDel, false), (orcDel, true)).filter(_._1.nonEmpty)
-        .map { case (g, orc) => eqScan(g, orc) }.reduce(_.unionByName(_))
+      val dels = contentScan(spark, files, delSchema, withSeq = true)
       val cond = cols.map(c => df(c) <=> dels(c))
         .reduce(_ && _) && dels("_del_seq") > df(SeqCol)
       df.join(dels, cond, "left_anti")
@@ -900,6 +933,17 @@ object IcebergTable {
     */
   val AutoDistributedThresholdConf = "spark.graft.iceberg.autoDistributedPlanningThreshold"
   val DefaultAutoDistributedThreshold = 100000L
+
+  /** Content formats this reader scans natively (spec §Appendix:
+    * PARQUET, ORC, AVRO are the three legal Iceberg content formats).
+    */
+  private[tables] val ReadableFormats = Set("PARQUET", "ORC", "AVRO")
+
+  /** Spark's bundled Avro FileFormat, addressed by CLASS — the `avro`
+    * short name only resolves when the separate spark-avro artifact
+    * registers it (same addressing as the R19 generic source).
+    */
+  private[graft] val AvroProvider = "org.apache.spark.sql.avro.AvroFileFormat"
 
   /** Default [[IcebergTable.changes]] page size (commits per analyzed
     * sub-plan) — shared by the Hudi leg. 16 keeps a page's

@@ -61,43 +61,53 @@ object IcebergWrite {
   ): Long = commit(spark, df, tablePath, partitionBy, carryBase = true, txn = txn,
     sortBy = sortBy)
 
-  /** Import an existing (optionally hive-partitioned) parquet
-    * directory into an Iceberg table IN PLACE — the public
+  /** Import an existing (optionally hive-partitioned) parquet, ORC
+    * or Avro directory into an Iceberg table IN PLACE — the public
     * `add_files` migration action: the data files are NOT copied or
     * rewritten, a new snapshot's manifest simply references them at
-    * their original absolute paths. At lake scale this is the
-    * difference between a metadata-only migration and rewriting
-    * 100 TB. Identity partitioning only (transform layouts need a
-    * rewrite by definition); partition values parse from the hive
-    * path segments; per-file record counts come from ONE grouped
-    * metadata job. Create-or-extend with the same schema rules as
-    * [[append]]. NOTE (as upstream): the files become table-managed —
-    * snapshot expiration may delete them once unreferenced.
+    * their original absolute paths (with their original encoding as
+    * the manifest's file_format — all three legal Iceberg content
+    * formats). At lake scale this is the difference between a
+    * metadata-only migration and rewriting 100 TB. Identity
+    * partitioning only (transform layouts need a rewrite by
+    * definition); partition values parse from the hive path segments;
+    * per-file record counts come from ONE grouped metadata job.
+    * Create-or-extend with the same schema rules as [[append]].
+    * NOTE (as upstream): the files become table-managed — snapshot
+    * expiration may delete them once unreferenced.
     */
   def addFiles(
       spark: SparkSession,
       srcDir: String,
       tablePath: String,
-      partitionBy: Seq[String] = Seq.empty
+      partitionBy: Seq[String] = Seq.empty,
+      format: String = "PARQUET"
   ): Long = {
     partitionBy.foreach(p => require(!p.contains("("),
       s"addFiles imports the existing layout — identity partitioning only, got $p"))
+    val fmt = format.toUpperCase
+    require(Set("PARQUET", "ORC", "AVRO").contains(fmt),
+      s"addFiles imports PARQUET, ORC or AVRO layouts, got $format")
     val src = new Path(srcDir)
     val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(src), s"source directory $srcDir not found")
     require(!fs.exists(new Path(src, "_delta_log")),
       s"$srcDir is a Delta table; use CONVERT or export, not addFiles")
-    val df = spark.read.parquet(srcDir)
+    val df = fmt match {
+      case "ORC"  => spark.read.orc(srcDir)
+      case "AVRO" => spark.read.format(IcebergTable.AvroProvider).load(srcDir)
+      case _      => spark.read.parquet(srcDir)
+    }
     partitionBy.foreach(c => require(df.columns.contains(c),
       s"partition column $c not found in $srcDir (have ${df.columns.mkString(", ")})"))
     // skip hidden/_-prefixed segments (_temporary leftovers, _SUCCESS
-    // dirs): spark.read.parquet excludes them from the counts job, so
+    // dirs): the format reader excludes them from the counts job, so
     // importing them would stage phantom files with record_count 0
-    val files = listParquet(fs, src).filter { f =>
+    val files = listByExt(fs, src, "." + fmt.toLowerCase).filter { f =>
       val rel = DeltaWrite.relativize(src, f)
       rel.split('/').forall(seg => !seg.startsWith("_") && !seg.startsWith("."))
     }
-    require(files.nonEmpty, s"no parquet files under $srcDir")
+    require(files.nonEmpty, s"no ${fmt.toLowerCase} files under $srcDir")
     // counts AND column bounds in the same grouped metadata job, so
     // in-place imports get file skipping like native appends
     val dataFields = df.schema.fields.filterNot(f => partitionBy.contains(f.name)).toSeq
@@ -118,7 +128,8 @@ object IcebergWrite {
         fs.getFileStatus(f).getLen,
         n,
         partitionValuesFromRel(rel, partitionBy),
-        colStats = cs)
+        colStats = cs,
+        fileFormat = fmt)
     }
     commit(spark, df, tablePath, partitionBy, carryBase = true,
       preStaged = Some(staged))
@@ -1371,7 +1382,7 @@ object IcebergWrite {
             val dfr = new GenericData.Record(dfSchema)
             dfr.put("content", 0)
             dfr.put("file_path", sf.path)
-            dfr.put("file_format", "PARQUET")
+            dfr.put("file_format", sf.fileFormat)
             dfr.put("partition", p)
             dfr.put("record_count", sf.recordCount)
             dfr.put("file_size_in_bytes", sf.size)
@@ -1693,7 +1704,11 @@ object IcebergWrite {
         * becomes the manifest's lower/upper_bounds + null_value_counts
         * ([[IcebergStats]]); empty for delete-file staging.
         */
-      colStats: Map[String, IcebergStats.ColStat] = Map.empty)
+      colStats: Map[String, IcebergStats.ColStat] = Map.empty,
+      /** Manifest file_format: native staging always writes PARQUET;
+        * [[addFiles]] imports keep their source encoding (ORC/AVRO).
+        */
+      fileFormat: String = "PARQUET")
 
   /** Write `df` under a staging dir, compute per-file record counts
     * in ONE grouped job, then move files under `data/`.
@@ -1890,12 +1905,15 @@ object IcebergWrite {
     partCols.map(c => c -> fromPath.getOrElse(c, None)).toMap
   }
 
-  private def listParquet(fs: FileSystem, dir: Path): Seq[Path] = {
+  private def listParquet(fs: FileSystem, dir: Path): Seq[Path] =
+    listByExt(fs, dir, ".parquet")
+
+  private def listByExt(fs: FileSystem, dir: Path, ext: String): Seq[Path] = {
     val b = Seq.newBuilder[Path]
     val it = fs.listFiles(dir, true)
     while (it.hasNext) {
       val s = it.next()
-      if (s.isFile && s.getPath.getName.endsWith(".parquet")) b += s.getPath
+      if (s.isFile && s.getPath.getName.endsWith(ext)) b += s.getPath
     }
     b.result()
   }

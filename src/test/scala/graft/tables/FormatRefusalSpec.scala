@@ -3,14 +3,15 @@ package graft.tables
 import graft.SparkSpec
 import org.apache.hadoop.fs.Path
 
-/** Content-format handling at the read seam: ORC data files (legal
-  * Iceberg/Hudi, common in foreign installs) read NATIVELY through
-  * Spark's ORC reader — one extra relation per format, values equal
-  * to the parquet path's; formats with no native reader (AVRO
-  * content, HFile bases) and shapes that would lose data (position
-  * deletes over ORC, which has no _metadata.row_index) refuse at
-  * PLAN time with the file, role and format named — never inside a
-  * footer reader with a cryptic error.
+/** Content-format handling at the read seam: ORC and AVRO content
+  * files (all three legal Iceberg formats; common in foreign
+  * installs) read NATIVELY through Spark's bundled readers — one
+  * extra relation per format, values equal to the parquet path's —
+  * for DATA files and position/equality DELETE files alike; formats
+  * with no native reader (HFile bases) and shapes that would lose
+  * data (position deletes over ORC/Avro, which have no
+  * _metadata.row_index) refuse at PLAN time with the file, role and
+  * format named — never inside a footer reader with a cryptic error.
   */
 class FormatRefusalSpec extends SparkSpec {
   import spark.implicits._
@@ -34,22 +35,38 @@ class FormatRefusalSpec extends SparkSpec {
     * parquet one and rewrites file_path + file_format in the
     * manifest — the layout a foreign ORC-writing engine leaves.
     */
-  private def convertFirstFileToOrc(table: String): Unit = {
+  private def convertFirstFileToOrc(table: String): Unit =
+    convertFirstManifest(table, "ORC")
+
+  /** Re-encode every content file of the snapshot's FIRST manifest
+    * as `fmt` ("ORC" | "AVRO") and rewrite file_path + file_format —
+    * the layout a foreign engine writing that format leaves.
+    */
+  private def convertFirstManifest(table: String, fmt: String): Unit = {
     val fs = fsOf(table)
     val meta = IcebergMeta.load(fs, table)
     val snap = IcebergMeta.selectSnapshot(meta, None, None)
-    val mi = IcebergMeta.manifestInfos(fs, snap).head
-    IcebergMeta.contentFilesOfManifest(fs, mi).filter(_.content == 0).foreach { cf =>
-      val orcTmp = tempDir("fmt-orc-out").toString + "/o"
-      spark.read.parquet(cf.path).coalesce(1).write.mode("overwrite").orc(orcTmp)
-      val orcPart = fs.listStatus(new Path(orcTmp)).map(_.getPath)
-        .find(_.getName.endsWith(".orc")).get
-      val orcDest = new Path(cf.path.stripSuffix(".parquet") + ".orc")
-      assert(fs.rename(orcPart, orcDest), s"rename $orcPart -> $orcDest failed")
+    convertManifest(table, IcebergMeta.manifestInfos(fs, snap).head, fmt)
+  }
+
+  private def convertManifest(
+      table: String, mi: IcebergMeta.ManifestInfo, fmt: String): Unit = {
+    val fs = fsOf(table)
+    val ext = "." + fmt.toLowerCase
+    IcebergMeta.contentFilesOfManifest(fs, mi).foreach { cf =>
+      val tmp = tempDir("fmt-conv-out").toString + "/o"
+      val src = spark.read.parquet(cf.path).coalesce(1)
+      if (fmt == "ORC") src.write.mode("overwrite").orc(tmp)
+      else src.write.mode("overwrite")
+        .format(IcebergTable.AvroProvider).save(tmp)
+      val part = fs.listStatus(new Path(tmp)).map(_.getPath)
+        .find(_.getName.endsWith(ext)).get
+      val dest = new Path(cf.path.stripSuffix(".parquet") + ext)
+      assert(fs.rename(part, dest), s"rename $part -> $dest failed")
       fs.delete(new Path(cf.path), false); ()
     }
-    rewriteFormatOf(table, mi.path, "ORC",
-      pathMap = p => p.stripSuffix(".parquet") + ".orc")
+    rewriteFormatOf(table, mi.path, fmt,
+      pathMap = p => p.stripSuffix(".parquet") + ext)
   }
 
   test("Iceberg: ORC data files read natively, mixed with parquet files") {
@@ -104,23 +121,84 @@ class FormatRefusalSpec extends SparkSpec {
       e.getMessage)
   }
 
-  test("Iceberg: AVRO equality-delete files refuse with their role named") {
+  test("Iceberg: AVRO data files read natively, mixed with parquet files") {
+    val dir = tempDir("fmt-ice-av").toString + "/t"
+    IcebergWrite.append(spark, Seq((1, "a"), (2, "b")).toDF("id", "v"), dir)
+    IcebergWrite.append(spark, Seq((3, "c"), (4, "d")).toDF("id", "v"), dir)
+    convertFirstManifest(dir, "AVRO")
+    val got = new IcebergTable("t", dir)(spark, ReadArgs.empty)
+      .as[(Int, String)].collect().toSet
+    assert(got == Set((1, "a"), (2, "b"), (3, "c"), (4, "d")))
+    // filters + pruning compose over the mixed-format scan
+    val filtered = new IcebergTable("t", dir)(spark, ReadArgs(
+      filters = graft.core.Filters.normalize(Seq(graft.core.Filter("id", ">=", 2))),
+      columns = Some(Seq("id"))))
+      .as[Int].collect().sorted.toSeq
+    assert(filtered == Seq(2, 3, 4))
+    // equality deletes still apply across the mixed-format scan
+    IcebergWrite.deleteEquality(spark, dir, Seq(Tuple1(1), Tuple1(3)).toDF("id"))
+    val after = new IcebergTable("t", dir)(spark, ReadArgs.empty)
+      .select("id").as[Int].collect().sorted.toSeq
+    assert(after == Seq(2, 4))
+  }
+
+  test("Iceberg: AVRO equality-delete files read natively") {
     val dir = tempDir("fmt-ice-del").toString + "/t"
     IcebergWrite.append(spark, Seq((1, "a"), (2, "b")).toDF("id", "v"), dir)
     IcebergWrite.deleteEquality(spark, dir, Seq(Tuple1(1)).toDF("id"))
-    // corrupt the DELETE manifest (the second snapshot's new manifest)
+    // re-encode the DELETE manifest's file as real Avro — the shape a
+    // foreign Flink-style writer (whose eq-deletes are Avro) leaves
     val fs = fsOf(dir)
     val meta = IcebergMeta.load(fs, dir)
     val snap = IcebergMeta.selectSnapshot(meta, None, None)
     val delManifest = IcebergMeta.manifestInfos(fs, snap)
       .find(mi => IcebergMeta.contentFilesOfManifest(fs, mi).exists(_.content == 2))
     assert(delManifest.nonEmpty, "fixture must carry an equality-delete manifest")
-    rewriteFormatOf(dir, delManifest.get.path, "AVRO")
+    convertManifest(dir, delManifest.get, "AVRO")
+    val after = new IcebergTable("t", dir)(spark, ReadArgs.empty)
+      .select("id").as[Int].collect().sorted.toSeq
+    assert(after == Seq(2))
+  }
+
+  test("Iceberg: AVRO position-delete files read natively over parquet data") {
+    val dir = tempDir("fmt-ice-posav").toString + "/t"
+    IcebergWrite.append(spark, Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v"), dir)
+    IcebergWrite.deleteWhere(spark, dir, graft.core.Filters.normalize(
+      Seq(graft.core.Filter("id", "=", 2))))
+    val fs = fsOf(dir)
+    val meta = IcebergMeta.load(fs, dir)
+    val snap = IcebergMeta.selectSnapshot(meta, None, None)
+    val delManifest = IcebergMeta.manifestInfos(fs, snap)
+      .find(mi => IcebergMeta.contentFilesOfManifest(fs, mi)
+        .exists(f => f.content == 1 && !f.isDeletionVector))
+    assert(delManifest.nonEmpty, "fixture must carry a position-delete manifest")
+    convertManifest(dir, delManifest.get, "AVRO")
+    assert(new IcebergTable("t", dir)(spark, ReadArgs.empty)
+      .select("id").as[Int].collect().sorted.toSeq == Seq(1, 3))
+  }
+
+  test("Iceberg: position deletes over AVRO data files refuse loudly") {
+    val dir = tempDir("fmt-ice-posavd").toString + "/t"
+    IcebergWrite.append(spark, Seq((1, "a"), (2, "b")).toDF("id", "v"), dir)
+    IcebergWrite.deleteWhere(spark, dir, graft.core.Filters.normalize(
+      Seq(graft.core.Filter("id", "=", 1))))
+    convertFirstManifest(dir, "AVRO")
     val e = intercept[UnsupportedOperationException] {
       new IcebergTable("t", dir)(spark, ReadArgs.empty).collect()
     }
-    assert(e.getMessage.contains("AVRO") &&
-      e.getMessage.contains("equality-delete"), e.getMessage)
+    assert(e.getMessage.contains("AVRO") && e.getMessage.contains("position-delete"),
+      e.getMessage)
+  }
+
+  test("Iceberg: an unreadable content format (HFILE) refuses with role named") {
+    val dir = tempDir("fmt-ice-hf").toString + "/t"
+    IcebergWrite.append(spark, Seq((1, "a"), (2, "b")).toDF("id", "v"), dir)
+    rewriteManifestFormat(dir, "HFILE")
+    val e = intercept[UnsupportedOperationException] {
+      new IcebergTable("t", dir)(spark, ReadArgs.empty).collect()
+    }
+    assert(e.getMessage.contains("HFILE") && e.getMessage.contains("data"),
+      e.getMessage)
   }
 
   private def rewriteFormatOf(table: String, manifestPath: String, fmt: String,
