@@ -3,7 +3,8 @@ package graft.tables
 import com.fasterxml.jackson.databind.JsonNode
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, EmptyBlock, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.types.{BooleanType, DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -453,14 +454,16 @@ object RoaringBitmapArray {
   * bytes ship with the expression to every task; parsed once per task
   * via the transient lazy val, and the path→bitmap resolution is
   * memoized per file (metadata file_path repeats for every row of a
-  * file). CodegenFallback: two field reads + a bitmap probe per row,
-  * off the codegen hot path only for DV-bearing files.
+  * file). CODEGEN'D (r14): the generated code keeps the per-file
+  * cached bitmap in mutable state — a path-equality branch plus a
+  * bitmap probe per row, inside the whole-stage span, so DV-bearing
+  * scans stay fused with the rest of the stage.
   */
 case class DvDeleted(
     file: Expression,
     rowIndex: Expression,
     dvBytes: Map[String, Array[Byte]]
-) extends BinaryExpression with CodegenFallback {
+) extends BinaryExpression {
 
   override def left: Expression = file
   override def right: Expression = rowIndex
@@ -469,6 +472,13 @@ case class DvDeleted(
 
   @transient private lazy val parsed: Map[String, RoaringBitmapArray] =
     dvBytes.map { case (k, v) => k -> RoaringBitmapArray.deserialize(v) }
+
+  /** Per-file resolution, called once per distinct file_path (from
+    * both the interpreted memo and the generated code's cached
+    * branch); null = no DV for the file.
+    */
+  def bitmapFor(path: UTF8String): RoaringBitmapArray =
+    parsed.get(DvDeleted.decodeMetadataPath(path.toString)).orNull
 
   // single-entry memo: scans feed rows file-by-file, so the same
   // file_path string arrives millions of times in a row
@@ -482,6 +492,30 @@ case class DvDeleted(
       lastBitmap = parsed.getOrElse(DvDeleted.decodeMetadataPath(path), null)
     }
     lastBitmap != null && lastBitmap.contains(idxAny.asInstanceOf[Long])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fileEv = file.genCode(ctx)
+    val idxEv = rowIndex.genCode(ctx)
+    val self = ctx.addReferenceObj("dvDeleted", this, classOf[DvDeleted].getName)
+    val lastPath = ctx.addMutableState(
+      "org.apache.spark.unsafe.types.UTF8String", "dvLastPath")
+    val lastBm = ctx.addMutableState("Object", "dvLastBm")
+    val bm = classOf[RoaringBitmapArray].getName
+    // lastPath is CLONED: the scan may reuse the UTF8String buffer,
+    // and a stale reference into it would defeat the equality check
+    ev.copy(code = code"""
+      ${fileEv.code}
+      ${idxEv.code}
+      boolean ${ev.isNull} = ${fileEv.isNull} || ${idxEv.isNull};
+      boolean ${ev.value} = false;
+      if (!${ev.isNull}) {
+        if ($lastPath == null || !$lastPath.equals(${fileEv.value})) {
+          $lastPath = ${fileEv.value}.clone();
+          $lastBm = $self.bitmapFor(${fileEv.value});
+        }
+        ${ev.value} = $lastBm != null && (($bm) $lastBm).contains(${idxEv.value});
+      }""")
   }
 
   override protected def withNewChildrenInternal(
@@ -498,16 +532,25 @@ case class DvDeleted(
   * branch per distinct partition tuple: the plan width stays flat as
   * partition count grows, and the per-row cost is a memoized map
   * probe (metadata file_path repeats for every row of a file).
+  * CODEGEN'D (r14): the map reference and per-file cached value live
+  * in the generated class's state — steady-state rows pay one
+  * UTF8String equality check and a cast, inside the whole-stage span.
+  * k columns attached through [[PartitionAttach.tupleField]] share
+  * ONE map object (struct-typed tuple, one probe, k field reads).
   */
 case class FileConstAttr(
     file: Expression,
     attrs: Map[String, Any],
     override val dataType: DataType
-) extends UnaryExpression with CodegenFallback {
+) extends UnaryExpression {
 
   override def child: Expression = file
   override def nullable: Boolean = true
   override def prettyName: String = "graft_file_const_attr"
+
+  /** Per-file resolution, once per distinct file_path. */
+  def lookup(path: UTF8String): Any =
+    attrs.getOrElse(DvDeleted.decodeMetadataPath(path.toString), null)
 
   @transient private var lastPath: String = null
   @transient private var lastVal: Any = null
@@ -523,6 +566,33 @@ case class FileConstAttr(
     lastVal
   }
 
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fileEv = file.genCode(ctx)
+    val self = ctx.addReferenceObj("fileConst", this, classOf[FileConstAttr].getName)
+    val lastPath = ctx.addMutableState(
+      "org.apache.spark.unsafe.types.UTF8String", "fcaLastPath")
+    val lastVal = ctx.addMutableState("Object", "fcaLastVal")
+    val javaType = CodeGenerator.javaType(dataType)
+    val extract =
+      if (CodeGenerator.isPrimitiveType(dataType))
+        s"((${CodeGenerator.boxedType(dataType)}) $lastVal).${javaType}Value()"
+      else s"($javaType) $lastVal"
+    ev.copy(code = code"""
+      ${fileEv.code}
+      boolean ${ev.isNull} = true;
+      $javaType ${ev.value} = ${CodeGenerator.defaultValue(dataType)};
+      if (!${fileEv.isNull}) {
+        if ($lastPath == null || !$lastPath.equals(${fileEv.value})) {
+          $lastPath = ${fileEv.value}.clone();
+          $lastVal = $self.lookup(${fileEv.value});
+        }
+        if ($lastVal != null) {
+          ${ev.isNull} = false;
+          ${ev.value} = $extract;
+        }
+      }""")
+  }
+
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(file = newChild)
 }
@@ -535,10 +605,14 @@ case class FileConstAttr(
   * happens to contain literal '%XX' would corrupt it.
   */
 case class MetadataPathDecode(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = org.apache.spark.sql.types.StringType
   override def prettyName: String = "graft_metadata_path_decode"
+
+  /** Per-file decode, once per distinct file_path. */
+  def decoded(path: UTF8String): UTF8String =
+    UTF8String.fromString(DvDeleted.decodeMetadataPath(path.toString))
 
   @transient private var lastPath: String = null
   @transient private var lastVal: UTF8String = null
@@ -550,6 +624,26 @@ case class MetadataPathDecode(child: Expression)
       lastVal = UTF8String.fromString(DvDeleted.decodeMetadataPath(path))
     }
     lastVal
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childEv = child.genCode(ctx)
+    val self = ctx.addReferenceObj("pathDecode", this, classOf[MetadataPathDecode].getName)
+    val lastPath = ctx.addMutableState(
+      "org.apache.spark.unsafe.types.UTF8String", "mpdLastPath")
+    val lastVal = ctx.addMutableState(
+      "org.apache.spark.unsafe.types.UTF8String", "mpdLastVal")
+    ev.copy(code = code"""
+      ${childEv.code}
+      boolean ${ev.isNull} = ${childEv.isNull};
+      org.apache.spark.unsafe.types.UTF8String ${ev.value} = null;
+      if (!${ev.isNull}) {
+        if ($lastPath == null || !$lastPath.equals(${childEv.value})) {
+          $lastPath = ${childEv.value}.clone();
+          $lastVal = $self.decoded(${childEv.value});
+        }
+        ${ev.value} = $lastVal;
+      }""")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -590,13 +684,18 @@ case class FileLongAttr(
     rowIndex: Expression,
     attrs: Map[String, Long],
     addIndex: Boolean
-) extends BinaryExpression with CodegenFallback {
+) extends BinaryExpression {
 
   override def left: Expression = file
   override def right: Expression = rowIndex
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
   override def prettyName: String = "graft_file_long_attr"
+
+  /** Per-file resolution, once per distinct file_path. */
+  def lookup(path: UTF8String): java.lang.Long =
+    attrs.get(DvDeleted.decodeMetadataPath(path.toString))
+      .map(java.lang.Long.valueOf).orNull
 
   @transient private var lastPath: String = null
   @transient private var lastAttr: java.lang.Long = null
@@ -615,6 +714,38 @@ case class FileLongAttr(
       val idx = rowIndex.eval(input)
       if (idx == null) null else lastAttr.longValue() + idx.asInstanceOf[Long]
     } else lastAttr.longValue()
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fileEv = file.genCode(ctx)
+    val idxEv = rowIndex.genCode(ctx)
+    val self = ctx.addReferenceObj("fileLong", this, classOf[FileLongAttr].getName)
+    val lastPath = ctx.addMutableState(
+      "org.apache.spark.unsafe.types.UTF8String", "flaLastPath")
+    val lastVal = ctx.addMutableState("java.lang.Long", "flaLastVal")
+    // mirror eval: the row index gates the result only when addIndex
+    val idxCode = if (addIndex) idxEv.code else EmptyBlock
+    val compute =
+      if (addIndex)
+        code"""
+        if ($lastVal == null || ${idxEv.isNull}) { ${ev.isNull} = true; }
+        else { ${ev.value} = $lastVal.longValue() + ${idxEv.value}; }"""
+      else
+        code"""
+        if ($lastVal == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = $lastVal.longValue(); }"""
+    ev.copy(code = code"""
+      ${fileEv.code}
+      $idxCode
+      boolean ${ev.isNull} = ${fileEv.isNull};
+      long ${ev.value} = -1L;
+      if (!${ev.isNull}) {
+        if ($lastPath == null || !$lastPath.equals(${fileEv.value})) {
+          $lastPath = ${fileEv.value}.clone();
+          $lastVal = $self.lookup(${fileEv.value});
+        }
+        $compute
+      }""")
   }
 
   override protected def withNewChildrenInternal(

@@ -113,15 +113,20 @@ object DeltaChanges {
     val zone = PartitionAttach.sessionZone(spark)
     var df = spark.read.schema(fileSchema)
       .parquet(files.map(f => s"$base/${f.path}"): _*)
-    partCols.foreach { c =>
-      val t = schema(c).dataType
-      val phys = meta.physicalName(c)
-      val attrs: Map[String, Any] = files.map { f =>
-        DvDeleted.normalizePath(s"$base/${f.path}") ->
+    // one shared path→tuple map for ALL partition columns
+    val pvFields = StructType(partCols.map(c => StructField(c, schema(c).dataType)))
+    val pvPhys = partCols.map(meta.physicalName)
+    val pvTuple: Map[String, Any] =
+      if (partCols.isEmpty) Map.empty
+      else files.map { f =>
+        val vs = partCols.zip(pvPhys).map { case (c, phys) =>
           f.partitionValues.get(phys).flatten
-            .map(v => PartitionAttach.fromString(v, t, zone)).orNull
+            .map(v => PartitionAttach.fromString(v, schema(c).dataType, zone)).orNull
+        }
+        DvDeleted.normalizePath(s"$base/${f.path}") -> PartitionAttach.tupleRow(vs)
       }.toMap
-      df = PartitionAttach.attach(df, c, attrs, t)
+    partCols.zipWithIndex.foreach { case (c, i) =>
+      df = df.withColumn(c, PartitionAttach.tupleField(pvTuple, pvFields, i))
     }
     df.select(logData.zip(physData).map { case (lf, pf) =>
         col(pf.name).cast(lf.dataType).as(lf.name)

@@ -333,18 +333,25 @@ private[graft] object DeltaRead {
     // partition cardinality, so Catalyst analysis cost no longer grows
     // with the table's partition count.
     val zone = PartitionAttach.sessionZone(spark)
-    val pvAttrs: Seq[(String, Map[String, Any])] = partCols.map { c =>
-      val t = schema(c).dataType
-      val phys = meta.physicalName(c)
-      c -> files.map { f =>
-        DvDeleted.normalizePath(DeltaLog.resolvePath(base, f.path)) ->
+    // ONE path→partition-tuple map per scan (not one map per
+    // partition column): k columns extract struct fields from the
+    // same shared map object, so driver heap and closure weight stay
+    // O(files) however many partition columns the table has
+    val pvFields = StructType(partCols.map(c => StructField(c, schema(c).dataType)))
+    val pvPhys = partCols.map(meta.physicalName)
+    val pvTuple: Map[String, Any] =
+      if (partCols.isEmpty) Map.empty
+      else files.map { f =>
+        val vs = partCols.zip(pvPhys).map { case (c, phys) =>
           f.partitionValues.get(phys).flatten
-            .map(v => PartitionAttach.fromString(v, t, zone)).orNull
+            .map(v => PartitionAttach.fromString(v, schema(c).dataType, zone)).orNull
+        }
+        DvDeleted.normalizePath(DeltaLog.resolvePath(base, f.path)) ->
+          PartitionAttach.tupleRow(vs)
       }.toMap
-    }
     def attachParts(df: DataFrame): DataFrame =
-      pvAttrs.foldLeft(df) { case (d, (c, attrs)) =>
-        PartitionAttach.attach(d, c, attrs, schema(c).dataType)
+      partCols.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
+        d.withColumn(c, PartitionAttach.tupleField(pvTuple, pvFields, i))
       }
     def oneScan(group: Seq[DeltaLog.AddFile], dvFilter: Option[Column]): DataFrame = {
       var df: DataFrame = spark.read.schema(readSchema)

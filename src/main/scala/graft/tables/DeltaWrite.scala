@@ -251,15 +251,21 @@ object DeltaWrite {
       .withColumn("__graft_file", col("_metadata.file_path"))
       .withColumn("__graft_row", col("_metadata.row_index"))
     val zone = PartitionAttach.sessionZone(spark)
-    partCols.foreach { c =>
-      val t = schema(c).dataType
-      val phys = meta.physicalName(c)
-      val attrs: Map[String, Any] = candidates.map { f =>
-        DvDeleted.normalizePath(DeltaLog.resolvePath(base, f.path)) ->
+    // one shared path→tuple map for ALL partition columns
+    val pvFields = StructType(partCols.map(c => StructField(c, schema(c).dataType)))
+    val pvPhys = partCols.map(meta.physicalName)
+    val pvTuple: Map[String, Any] =
+      if (partCols.isEmpty) Map.empty
+      else candidates.map { f =>
+        val vs = partCols.zip(pvPhys).map { case (c, phys) =>
           f.partitionValues.get(phys).flatten
-            .map(v => PartitionAttach.fromString(v, t, zone)).orNull
+            .map(v => PartitionAttach.fromString(v, schema(c).dataType, zone)).orNull
+        }
+        DvDeleted.normalizePath(DeltaLog.resolvePath(base, f.path)) ->
+          PartitionAttach.tupleRow(vs)
       }.toMap
-      df = PartitionAttach.attach(df, c, attrs, t)
+    partCols.zipWithIndex.foreach { case (c, i) =>
+      df = df.withColumn(c, PartitionAttach.tupleField(pvTuple, pvFields, i))
     }
     if (!meta.isColumnMapped) df
     else df.select(logData.zip(physData.fields).map {

@@ -510,6 +510,18 @@ class IcebergTable(
       dvs: Seq[IcebergMeta.ContentFile]
   ): DataFrame = {
     if (dvs.isEmpty) return data
+    // DVs address rows by PHYSICAL POSITION exactly like position
+    // deletes: a non-parquet data file reads PosCol as null, and the
+    // null-gated filter below would then drop EVERY row of that file
+    // (not just deleted ones) — and a DV whose referenced path no
+    // longer matches a (converted) survivor would silently resurrect
+    // its deleted rows. Refuse loudly whenever a DV-bearing snapshot
+    // scans non-parquet data, same contract as [[applyPositionDeletes]].
+    dataFiles.find(_.fileFormat != "PARQUET").foreach(f =>
+      throw new UnsupportedOperationException(
+        s"$uri has deletion vectors AND ${f.fileFormat} data files " +
+          s"(e.g. ${f.path}); deletion vectors address rows by parquet " +
+          "row index — rewrite_data_files first"))
     val survivorSeq: Map[String, Long] =
       dataFiles.map(f => normalizePathStr(f.path) -> f.sequenceNumber).toMap
     val dvBytes: Map[String, Array[Byte]] = dvs.flatMap { d =>
@@ -747,15 +759,36 @@ class IcebergTable(
       }
       val idCols = group.flatMap(f => specIdentity.getOrElse(f.specId, Set.empty))
         .distinct.filter(c => schema.fieldNames.contains(c))
-      idCols.foreach { c =>
-        val dt = schema(c).dataType
-        val attrs: Map[String, Any] = group.map { f =>
+      // ONE path→tuple map per leg carries every identity column plus
+      // (under deletes) the manifest path spelling and sequence number
+      // — k+2 struct extractions from one shared map object instead of
+      // k+2 maps each keyed by the full path string
+      val tupleFields = StructType(
+        idCols.map(c => StructField(c, schema(c).dataType)) ++
+          (if (withDeletes)
+            Seq(StructField(PathCol, StringType), StructField(SeqCol, LongType))
+          else Seq.empty))
+      val tuple: Map[String, Any] =
+        if (tupleFields.isEmpty) Map.empty
+        else group.map { f =>
+          val idVals = idCols.map { c =>
+            if (specIdentity.getOrElse(f.specId, Set.empty).contains(c))
+              PartitionAttach.fromAvro(
+                f.partition.get(c).orNull, schema(c).dataType, zone)
+            else null
+          }
+          val extra =
+            if (!withDeletes) Seq.empty
+            else Seq(
+              org.apache.spark.unsafe.types.UTF8String.fromString(
+                normalizePathStr(f.path)),
+              f.sequenceNumber: Any)
           DvDeleted.normalizePath(f.path) ->
-            (if (specIdentity.getOrElse(f.specId, Set.empty).contains(c))
-              PartitionAttach.fromAvro(f.partition.get(c).orNull, dt, zone)
-            else null)
+            PartitionAttach.tupleRow(idVals ++ extra)
         }.toMap
-        df = df.withColumn(c, coalesce(col(c), PartitionAttach.constCol(attrs, dt)))
+      idCols.zipWithIndex.foreach { case (c, i) =>
+        df = df.withColumn(c,
+          coalesce(col(c), PartitionAttach.tupleField(tuple, tupleFields, i)))
       }
       // v3 initial-default columns: a file that PREDATES the field
       // (footer lacks it) reads the declared default for every row;
@@ -788,18 +821,14 @@ class IcebergTable(
         // paths the way the writing engine's manifests do, so matching
         // against the manifest spelling is exact even where the
         // URI-encoded _metadata rendering would drift (escaped dirs)
-        val pathAttrs: Map[String, Any] = group.map(f =>
-          DvDeleted.normalizePath(f.path) ->
-            org.apache.spark.unsafe.types.UTF8String.fromString(
-              normalizePathStr(f.path))).toMap
-        val seqAttrs: Map[String, Any] = group.map(f =>
-          DvDeleted.normalizePath(f.path) -> (f.sequenceNumber: Any)).toMap
         df = df
-          .withColumn(PathCol, PartitionAttach.constCol(pathAttrs, StringType))
+          .withColumn(PathCol,
+            PartitionAttach.tupleField(tuple, tupleFields, idCols.size))
           .withColumn(PosCol,
             if (fmt == "PARQUET") col("_metadata.row_index")
             else lit(null).cast(LongType))
-          .withColumn(SeqCol, PartitionAttach.constCol(seqAttrs, LongType))
+          .withColumn(SeqCol,
+            PartitionAttach.tupleField(tuple, tupleFields, idCols.size + 1))
       }
       df.select(outSchema.fieldNames.map(col).toSeq: _*)
     }

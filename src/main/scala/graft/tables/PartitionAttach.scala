@@ -59,4 +59,25 @@ private[graft] object PartitionAttach {
   def constCol(attrs: Map[String, Any], dt: DataType): Column =
     Bridge.column(FileConstAttr(
       Bridge.expression(col("_metadata.file_path")), attrs, dt))
+
+  /** ONE path→tuple map for k attached columns: `attrs` values are
+    * [[tupleRow]]s laid out as `fields`; each column extracts its
+    * ordinal from the SAME shared map object through a struct-typed
+    * [[FileConstAttr]] — driver memory and closure weight are
+    * O(files), not O(k·files), and whole-stage codegen's
+    * subexpression elimination folds the k probes into one cached
+    * per-file lookup.
+    */
+  def tupleField(
+      attrs: Map[String, Any],
+      fields: org.apache.spark.sql.types.StructType,
+      i: Int): Column =
+    Bridge.column(org.apache.spark.sql.catalyst.expressions.GetStructField(
+      FileConstAttr(
+        Bridge.expression(col("_metadata.file_path")), attrs, fields),
+      i, Some(fields(i).name)))
+
+  def tupleRow(values: Seq[Any]): Any =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      values.toArray)
 }

@@ -117,8 +117,10 @@ class FormatRefusalSpec extends SparkSpec {
     val e = intercept[UnsupportedOperationException] {
       new IcebergTable("t", dir)(spark, ReadArgs.empty).collect()
     }
-    assert(e.getMessage.contains("ORC") && e.getMessage.contains("position-delete"),
-      e.getMessage)
+    // the PERMANENT refusal contract (SURVEY §1): format + role named,
+    // migration path pointed at — never a silent wrong read
+    assert(e.getMessage.contains("ORC") && e.getMessage.contains("position-delete") &&
+      e.getMessage.contains("rewrite_data_files"), e.getMessage)
   }
 
   test("Iceberg: AVRO data files read natively, mixed with parquet files") {
@@ -186,8 +188,30 @@ class FormatRefusalSpec extends SparkSpec {
     val e = intercept[UnsupportedOperationException] {
       new IcebergTable("t", dir)(spark, ReadArgs.empty).collect()
     }
-    assert(e.getMessage.contains("AVRO") && e.getMessage.contains("position-delete"),
-      e.getMessage)
+    assert(e.getMessage.contains("AVRO") && e.getMessage.contains("position-delete") &&
+      e.getMessage.contains("rewrite_data_files"), e.getMessage)
+  }
+
+  test("Iceberg: deletion vectors over ORC data files refuse loudly (no silent row loss)") {
+    val dir = tempDir("fmt-ice-dvorc").toString + "/t"
+    IcebergWrite.append(spark, Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"), dir)
+    IcebergWrite.deleteWhereDv(spark, dir, graft.core.Filters.normalize(
+      Seq(graft.core.Filter("id", "=", 2L))))
+    // convert the DATA manifest (content=0 files) to ORC — the DV now
+    // references a file whose scan has no row_index; before the r14
+    // guard this silently dropped EVERY ORC row, not just deleted ones
+    val fs = fsOf(dir)
+    val meta = IcebergMeta.load(fs, dir)
+    val snap = IcebergMeta.selectSnapshot(meta, None, None)
+    val dataManifest = IcebergMeta.manifestInfos(fs, snap)
+      .find(mi => IcebergMeta.contentFilesOfManifest(fs, mi).exists(_.content == 0))
+    assert(dataManifest.nonEmpty)
+    convertManifest(dir, dataManifest.get, "ORC")
+    val e = intercept[UnsupportedOperationException] {
+      new IcebergTable("t", dir)(spark, ReadArgs.empty).collect()
+    }
+    assert(e.getMessage.contains("ORC") && e.getMessage.contains("deletion vector") &&
+      e.getMessage.contains("rewrite_data_files"), e.getMessage)
   }
 
   test("Iceberg: an unreadable content format (HFILE) refuses with role named") {
