@@ -20,6 +20,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftExtensions.definitions.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // SQL UPDATE / MERGE INTO over graft-catalog tables (E66): Spark's
+    // built-in planner only serves SupportsRowLevelOperations tables;
+    // this strategy routes the statements to the native writers.
+    // (GraftCatalog.initialize also self-registers it, so catalog
+    // users get DML without configuring extensions.)
+    ext.injectPlannerStrategy(_ => graft.spark.GraftDmlStrategy)
     // The window-top-k → bounded-heap rewrite
     // (graft.plans.RowNumberTopKRewrite) is deliberately NOT injected
     // here: Spark 4's InferWindowGroupLimit already bounds the shuffle

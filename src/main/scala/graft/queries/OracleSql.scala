@@ -2110,6 +2110,31 @@ object OracleSql {
            |  ${dsum(d4("p_retailprice"))} AS sum_price
            |FROM merged GROUP BY p_brand ORDER BY p_brand""".stripMargin
       },
+      // the SAME ladder driven through catalog SQL (UPDATE graft.`p`,
+      // DELETE FROM, MERGE INTO via GraftDmlStrategy) — one oracle,
+      // two front doors
+      "q_catalog_dml" -> {
+        import Wave9Queries.{MappedDml => P}
+        s"""WITH u AS (
+           |  SELECT p_partkey, p_brand,
+           |    CASE WHEN p_partkey < ${P.UpdateBelow} THEN p_size + 100 ELSE p_size END AS sz,
+           |    CASE WHEN p_partkey < ${P.UpdateBelow} THEN p_retailprice + 10 ELSE p_retailprice END AS p_retailprice
+           |  FROM part),
+           |d AS (SELECT * FROM u WHERE p_partkey < ${P.DeleteFrom}),
+           |src AS (
+           |  SELECT p_partkey, p_brand, p_size * 2 AS sz, p_retailprice
+           |  FROM part WHERE p_partkey < ${P.MergeBelow}
+           |  UNION ALL
+           |  SELECT ${P.InsertKey}, '${P.InsertBrand}', ${P.InsertSize}, ${P.InsertPrice}),
+           |merged AS (
+           |  SELECT * FROM src
+           |  UNION ALL
+           |  SELECT * FROM d WHERE p_partkey NOT IN (SELECT p_partkey FROM src))
+           |SELECT p_brand, count(*) AS n_parts,
+           |  CAST(sum(sz) AS BIGINT) AS sum_sz,
+           |  ${dsum(d4("p_retailprice"))} AS sum_price
+           |FROM merged GROUP BY p_brand ORDER BY p_brand""".stripMargin
+      },
       "q_merge_dv" -> {
         import Wave8Queries.{MergeDvParams => P}
         s"""SELECT c_custkey, c_name, c_nationkey FROM (

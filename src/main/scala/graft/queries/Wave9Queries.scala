@@ -104,4 +104,78 @@ object Wave9Queries {
         dsum(d4(col("p_retailprice"))).as("sum_price"))
       .orderBy("p_brand")
   }
+
+  private val catalogDmlTables = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** The SAME mapped-table DML ladder as [[mappedDmlTable]], but every
+    * DML statement issued as CATALOG SQL (r14, E66): `UPDATE graft.\`p\``
+    * plans through [[graft.spark.GraftDmlStrategy]], `DELETE FROM`
+    * through DSv2 SupportsDelete, `MERGE INTO` through the strategy's
+    * key-upsert routing — all against a COLUMN-MAPPED table with DV
+    * routing enabled mid-ladder, so the catalog front door proves the
+    * full physical-name path end to end.
+    */
+  private def catalogDmlTable(s: SparkSession, dir: String): String =
+    catalogDmlTables.getOrElseUpdate(dir, {
+      import graft.tables.{DeltaDdl, DeltaWrite}
+      import MappedDml._
+      s.conf.set("spark.sql.catalog.graft", "graft.spark.GraftCatalog")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_catalog_dml").toString + "/part"
+      val schema = StructType(Seq(
+        mappedField("p_partkey", LongType, 1),
+        mappedField("p_brand", StringType, 2),
+        mappedField("p_size", IntegerType, 3),
+        mappedField("p_retailprice", DoubleType, 4)))
+      DeltaDdl.createTable(s, path, schema, configuration = Map(
+        "delta.columnMapping.mode" -> "name",
+        "delta.columnMapping.maxColumnId" -> "4"))
+      DeltaWrite.append(s,
+        t(s, dir, "part").select("p_partkey", "p_brand", "p_size", "p_retailprice"),
+        path)
+      DeltaDdl.renameColumn(s, path, "p_size", "sz")
+      // UPDATE through catalog SQL (CoW — DV routing not yet enabled)
+      s.sql(s"UPDATE graft.`$path` SET sz = sz + 100, " +
+        s"p_retailprice = p_retailprice + 10 WHERE p_partkey < $UpdateBelow")
+      // flip on DV routing so the catalog DELETE is merge-on-read,
+      // mirroring the API ladder's deleteWhereDv step
+      DeltaWrite.setTableProperties(s, path,
+        Map("delta.enableDeletionVectors" -> "true"))
+      s.sql(s"DELETE FROM graft.`$path` WHERE p_partkey >= $DeleteFrom")
+      // MERGE through catalog SQL (routes to mergeDv under the flag)
+      t(s, dir, "part")
+        .filter(col("p_partkey") < MergeBelow)
+        .select(col("p_partkey"), col("p_brand"),
+          (col("p_size") * 2).as("sz"), col("p_retailprice"))
+        .unionByName(s.createDataFrame(
+          java.util.Arrays.asList(org.apache.spark.sql.Row(
+            InsertKey, InsertBrand, InsertSize, InsertPrice)),
+          StructType(Seq(
+            StructField("p_partkey", LongType),
+            StructField("p_brand", StringType),
+            StructField("sz", IntegerType),
+            StructField("p_retailprice", DoubleType)))))
+        .createOrReplaceTempView("graft_catalog_dml_src")
+      s.sql(
+        s"""MERGE INTO graft.`$path` t USING graft_catalog_dml_src s
+           |ON t.p_partkey = s.p_partkey
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      path
+    })
+
+  /** Rollup identical to [[qMappedDml]]'s, read back through catalog
+    * SQL — matches the same oracle only if the three catalog-issued
+    * DML statements hit exactly the rows the API ladder does.
+    */
+  def qCatalogDml(s: SparkSession, dir: String): DataFrame = {
+    val path = catalogDmlTable(s, dir)
+    s.sql(s"SELECT * FROM graft.delta.`$path`")
+      .groupBy(col("p_brand"))
+      .agg(
+        count(lit(1)).as("n_parts"),
+        sum(col("sz").cast(LongType)).as("sum_sz"),
+        dsum(d4(col("p_retailprice"))).as("sum_price"))
+      .orderBy("p_brand")
+  }
 }

@@ -39,6 +39,11 @@ class GraftCatalog extends TableCatalog {
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
+    // SQL UPDATE / MERGE INTO over this catalog's tables plan through
+    // [[GraftDmlStrategy]] (Spark's built-in planner only serves
+    // SupportsRowLevelOperations tables) — registering alongside the
+    // catalog makes every session that can SELECT also able to DML
+    GraftDmlStrategy.register(spark)
   }
 
   override def name(): String = catalogName
@@ -104,7 +109,7 @@ class GraftCatalog extends TableCatalog {
   * bridge into the same code the `format("graft")` SaveMode writes
   * use (a Hudi "append" is the format's own key-merged upsert).
   */
-private[spark] class GraftV2Table(path: String, format: String)
+private[spark] class GraftV2Table(val path: String, val format: String)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete {

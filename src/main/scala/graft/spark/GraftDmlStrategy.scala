@@ -1,0 +1,243 @@
+package graft.spark
+
+import graft.tables.{DeltaSql, DeltaWrite, HudiTable, HudiWrite, IcebergWrite, ReadArgs}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.{EliminateSubqueryAliases, UnresolvedAttribute}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.graftbridge.Bridge
+
+/** Planner strategy serving SQL `UPDATE` and `MERGE INTO` over
+  * [[GraftCatalog]] tables — the last asymmetry between graft SQL and
+  * native-connector SQL (Spark's built-in planner only rewrites
+  * row-level commands for SupportsRowLevelOperations tables; every
+  * other table hits "not supported"). Registered automatically when
+  * the catalog initializes, or via [[graft.GraftExtensions]].
+  *
+  * Routing (the SAME proven writers the DeltaSql/LakehouseSql front
+  * doors call — minimal-IO copy-on-write / DV updates, not a
+  * whole-table rewrite):
+  *
+  *  - `UPDATE graft.\`/p\` SET c = e, ... [WHERE pred]` →
+  *    [[DeltaWrite.updateWhere]] (Delta only — the other formats have
+  *    no targeted UPDATE; MERGE is the spelling that exists there).
+  *    The WHERE must sit in the pruning filter algebra
+  *    ([[DeltaSql.exprToFilters]]) — same bar as DSv2 DELETE.
+  *  - `MERGE INTO graft.\`/p\` t USING src ON t.k = src.k
+  *     WHEN MATCHED [AND c] THEN DELETE / WHEN MATCHED THEN UPDATE SET *
+  *     WHEN NOT MATCHED THEN INSERT *` →
+  *    [[DeltaWrite.merge]] / [[IcebergWrite.upsertEquality]] /
+  *    [[HudiWrite.upsert]]. The key-upsert shape (equality ON, SET *,
+  *    INSERT *) is what the native writers implement; other merge
+  *    shapes refuse LOUDLY with the supported form named — never a
+  *    silently different semantics.
+  */
+object GraftDmlStrategy extends SparkStrategy {
+
+  /** Idempotently add this strategy to a session's planner. */
+  def register(spark: SparkSession): Unit =
+    if (!spark.experimental.extraStrategies.contains(this))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ this
+
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case UpdateTable(GraftTarget(t), assignments, condition) =>
+      planUpdate(t, assignments, condition) :: Nil
+    case m: MergeIntoTable =>
+      EliminateSubqueryAliases(m.targetTable) match {
+        case GraftTarget(t) => planMerge(t, m) :: Nil
+        case _              => Nil
+      }
+    case _ => Nil
+  }
+
+  private object GraftTarget {
+    def unapply(plan: LogicalPlan): Option[(GraftV2Table, LogicalPlan)] =
+      EliminateSubqueryAliases(plan) match {
+        // the optimizer may have already rewritten the relation into a
+        // scan (V2ScanRelationPushDown runs before planning) — match both
+        case r: DataSourceV2Relation => r.table match {
+          case t: GraftV2Table => Some((t, r))
+          case _               => None
+        }
+        case s: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          s.relation.table match {
+            case t: GraftV2Table => Some((t, s))
+            case _               => None
+          }
+        case _ => None
+      }
+  }
+
+  // ------------------------------------------------------- UPDATE
+
+  private def planUpdate(
+      target: (GraftV2Table, LogicalPlan),
+      assignments: Seq[Assignment],
+      condition: Option[Expression]): SparkPlan = {
+    val (t, _) = target
+    require(t.format == "delta",
+      s"UPDATE through the graft catalog serves Delta tables; ${t.path} is " +
+        s"${t.format} — use MERGE INTO (the ${t.format} row-change spelling) " +
+        "or the format's native writer")
+    val set = assignments.map { a =>
+      val name = a.key match {
+        case ar: AttributeReference => ar.name
+        case other => throw new UnsupportedOperationException(
+          s"UPDATE SET supports top-level columns, got ${other.sql}")
+      }
+      name -> unqualifiedSql(a.value)
+    }
+    // commands execute from the ANALYZED plan (no optimizer pass), so
+    // type coercion's Cast(Literal) wrappers are still present — fold
+    // them so the algebra translator sees plain literals
+    val filters = condition.map(c => DeltaSql.exprToFilters(foldCastLiterals(c)))
+      .getOrElse(graft.core.Filters.normalize(Seq.empty))
+    GraftDmlExec(s"UPDATE delta.`${t.path}`", { spark =>
+      DeltaWrite.updateWhere(spark, t.path, filters, set); ()
+    })
+  }
+
+  // -------------------------------------------------------- MERGE
+
+  private def planMerge(
+      target: (GraftV2Table, LogicalPlan),
+      m: MergeIntoTable): SparkPlan = {
+    val (t, relation) = target
+    val shapeHint =
+      "the graft catalog serves the key-upsert MERGE shape: ON equality " +
+        "keys, WHEN MATCHED [AND c] THEN DELETE, WHEN MATCHED THEN UPDATE " +
+        "SET *, WHEN NOT MATCHED THEN INSERT *"
+    require(!m.withSchemaEvolution,
+      s"MERGE WITH SCHEMA EVOLUTION is not supported through the graft catalog")
+    require(m.notMatchedBySourceActions.isEmpty,
+      s"WHEN NOT MATCHED BY SOURCE is not supported — $shapeHint")
+
+    // ON: conjunction of target-column = source-column equalities,
+    // names matching pairwise (the native writers join by name)
+    val targetAttrs = relation.outputSet
+    def keys(e: Expression): Seq[String] = e match {
+      case And(l, r) => keys(l) ++ keys(r)
+      case EqualTo(a: AttributeReference, b: AttributeReference) =>
+        val (tc, sc) =
+          if (targetAttrs.contains(a)) (a, b)
+          else if (targetAttrs.contains(b)) (b, a)
+          else throw new UnsupportedOperationException(
+            s"MERGE ON must compare target to source columns — $shapeHint")
+        require(tc.name == sc.name,
+          s"MERGE ON joins ${tc.name} to ${sc.name}; the native writers join " +
+            "by NAME — alias the source column to match")
+        Seq(tc.name)
+      case other => throw new UnsupportedOperationException(
+        s"MERGE ON must be a conjunction of column equalities, got " +
+          s"${other.sql} — $shapeHint")
+    }
+    val keyCols = keys(m.mergeCondition).distinct
+
+    // WHEN MATCHED: UPDATE SET * (identity assignments) and at most
+    // one conditional DELETE
+    var deleteWhen: Option[String] = None
+    var sawUpdate = false
+    def isIdentity(as: Seq[Assignment]): Boolean = as.forall {
+      case Assignment(k: AttributeReference, v: AttributeReference) =>
+        k.name == v.name
+      case _ => false
+    }
+    m.matchedActions.foreach {
+      case UpdateAction(None, as, _) if isIdentity(as) => sawUpdate = true
+      case UpdateStarAction(None)                   => sawUpdate = true
+      case DeleteAction(cond) =>
+        require(deleteWhen.isEmpty, s"at most one WHEN MATCHED DELETE — $shapeHint")
+        deleteWhen = Some(cond.map(unqualifiedSql).getOrElse("true"))
+      case other => throw new UnsupportedOperationException(
+        s"unsupported WHEN MATCHED action $other — $shapeHint")
+    }
+    require(sawUpdate || deleteWhen.isDefined,
+      s"MERGE needs a WHEN MATCHED clause — $shapeHint")
+    m.notMatchedActions match {
+      case Seq(InsertAction(None, as)) if isIdentity(as) => ()
+      case Seq(InsertStarAction(None))                   => ()
+      case Seq() => throw new UnsupportedOperationException(
+        "MERGE without WHEN NOT MATCHED THEN INSERT is not supported — the " +
+          s"native writers always upsert; $shapeHint")
+      case other => throw new UnsupportedOperationException(
+        s"unsupported WHEN NOT MATCHED action(s) $other — $shapeHint")
+    }
+
+    val sourcePlan = m.sourceTable
+    GraftDmlExec(s"MERGE INTO ${t.format}.`${t.path}`", { spark =>
+      val source = Bridge.ofRows(spark, sourcePlan)
+      t.format match {
+        case "delta" =>
+          DeltaWrite.merge(spark, t.path, source, keyCols,
+            deleteWhenMatched = deleteWhen)
+        case "iceberg" =>
+          require(deleteWhen.isEmpty,
+            "WHEN MATCHED THEN DELETE is Delta-only through the graft catalog")
+          IcebergWrite.upsertEquality(spark, source, t.path, keyCols)
+        case _ =>
+          require(deleteWhen.isEmpty,
+            "WHEN MATCHED THEN DELETE is Delta-only through the graft catalog")
+          // Hudi upserts on the table's declared record key — a MERGE
+          // keyed differently would silently change semantics: refuse
+          val fs = new org.apache.hadoop.fs.Path(t.path)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val keyCol = HudiWrite.readProps(fs, t.path)
+            .getOrElse("hoodie.table.recordkey.fields",
+              throw new IllegalArgumentException(
+                s"${t.path} has no hoodie.table.recordkey.fields"))
+          require(keyCols == Seq(keyCol),
+            s"MERGE into a Hudi table must join on its record key ($keyCol), " +
+              s"got ${keyCols.mkString(", ")}")
+          HudiWrite.upsert(spark, source, t.path)
+      }
+      ()
+    })
+  }
+
+  private def foldCastLiterals(e: Expression): Expression = e.transformUp {
+    case c: org.apache.spark.sql.catalyst.expressions.Cast
+        if c.child.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal] =>
+      org.apache.spark.sql.catalyst.expressions.Literal.create(c.eval(null), c.dataType)
+  }
+
+  /** Render an expression as SQL over bare column names (the native
+    * writers evaluate SET / delete conditions against unqualified
+    * frames, so `t.c` qualifiers must not survive).
+    */
+  private def unqualifiedSql(e: Expression): String =
+    e.transform {
+      case a: AttributeReference => UnresolvedAttribute(Seq(a.name))
+    }.sql
+}
+
+/** Physical node for an eagerly-executed graft DML statement: the
+  * side effect runs exactly once (commands execute via
+  * executeCollect), returns no rows.
+  */
+case class GraftDmlExec(label: String, effect: SparkSession => Unit)
+    extends SparkPlan {
+
+  override def output: Seq[Attribute] = Nil
+  override def children: Seq[SparkPlan] = Nil
+
+  @transient private lazy val done: Array[InternalRow] = {
+    effect(SparkSession.active); Array.empty
+  }
+
+  override def executeCollect(): Array[InternalRow] = done
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    done
+    sparkContext.parallelize(Seq.empty[InternalRow], 1)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[SparkPlan]): SparkPlan = this
+
+  override def simpleString(maxFields: Int): String = s"GraftDmlExec $label"
+}

@@ -283,6 +283,13 @@ object DeltaSql {
     toDnf(e)
   }
 
+  /** An already-parsed (resolved or not) predicate → the pruning
+    * filter algebra — the DSv2 UPDATE path ([[graft.spark]]) hands
+    * Catalyst conditions straight in; shapes outside the algebra
+    * refuse loudly exactly like a SQL-string WHERE would.
+    */
+  private[graft] def exprToFilters(e: Expression): Filters.Normalized = toDnf(e)
+
   private def toDnf(e: Expression): Filters.Normalized = e match {
     case Or(l, r) => toDnf(l) ++ toDnf(r)
     case And(l, r) =>

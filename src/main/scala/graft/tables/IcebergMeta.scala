@@ -155,6 +155,19 @@ object IcebergMeta {
     parse(root, tableRoot)
   }
 
+  /** Load from an EXPLICIT metadata JSON (the `metadata-location` a
+    * Hive/REST catalog returns) — no version-hint / v<N> discovery,
+    * so UUID-named metadata files written by foreign engines read
+    * directly once a resolver names them.
+    */
+  def loadAt(fs: FileSystem, tableRoot: String, metadataJson: String): TableMeta = {
+    val in = fs.open(new Path(metadataJson))
+    val root =
+      try mapper.readTree(in)
+      finally in.close()
+    parse(root, tableRoot)
+  }
+
   /** snapshot-id → parent-snapshot-id (None for parentless snapshots
     * — pre-r9 commits and foreign writers that omit it).
     */

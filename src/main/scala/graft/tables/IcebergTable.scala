@@ -51,11 +51,22 @@ class IcebergTable(
     val name: String,
     val uri: String,
     description: String = "",
-    docsFilters: Seq[Filter] = Seq.empty
+    docsFilters: Seq[Filter] = Seq.empty,
+    /** Exact metadata JSON to read (what a Hive/REST catalog returns
+      * as the table's `metadata-location`) — overrides the
+      * filesystem-catalog discovery (version-hint / v<N> scan), so
+      * foreign deployments whose metadata files carry UUID names are
+      * readable once a [[graft.catalog.MetadataResolver]] names them.
+      */
+    val metadataLocation: Option[String] = None
 ) extends TableProtocol {
 
   override val tableMetadata: TableMetadata =
     TableMetadata("ICEBERG", description, docsFilters)
+
+  private def loadMeta(fs: org.apache.hadoop.fs.FileSystem): IcebergMeta.TableMeta =
+    metadataLocation.fold(IcebergMeta.load(fs, uri))(
+      IcebergMeta.loadAt(fs, uri, _))
 
   val SnapshotIdKey = "snapshotId"
   val TimestampKey = "asOfTimestampMs"
@@ -74,7 +85,7 @@ class IcebergTable(
 
   override def apply(spark: SparkSession, args: ReadArgs): DataFrame = {
     val fs = new Path(uri).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val meta = IcebergMeta.load(fs, uri)
+    val meta = loadMeta(fs)
     val refId: Option[Long] = args.extra.get(RefKey).map { n =>
       meta.refs.getOrElse(n.toString, throw new IllegalArgumentException(
         s"ref '$n' not found in $uri (have ${meta.refs.keys.mkString(", ")})")).snapshotId
@@ -141,7 +152,7 @@ class IcebergTable(
       allowNewDeletes: Boolean = false
   ): DataFrame = {
     val fs = new Path(uri).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val meta = IcebergMeta.load(fs, uri)
+    val meta = loadMeta(fs)
     val from = IcebergMeta.selectSnapshot(meta, Some(fromSnapshotId), None)
     val to = IcebergMeta.selectSnapshot(meta, Some(toSnapshotId), None)
     require(from.sequenceNumber <= to.sequenceNumber,
@@ -270,7 +281,7 @@ class IcebergTable(
     import IcebergTable._
     require(pageCommits >= 1, s"pageCommits must be >= 1, got $pageCommits")
     val fs = new Path(uri).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val meta = IcebergMeta.load(fs, uri)
+    val meta = loadMeta(fs)
     val fromSnap = IcebergMeta.selectSnapshot(meta, Some(fromSnapshotId), None)
     val chain = IcebergMeta.lineage(meta, fromSnapshotId, toSnapshotId)
     val commitFrames: Seq[Seq[DataFrame]] = chain.zipWithIndex.map { case (snap, i) =>
@@ -910,7 +921,7 @@ class IcebergTable(
 
   override def getSchema(spark: SparkSession): TableSchema = {
     val fs = new Path(uri).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val meta = IcebergMeta.load(fs, uri)
+    val meta = loadMeta(fs)
     val spec = meta.specs.getOrElse(meta.defaultSpecId, Seq.empty)
     val partitions = spec.flatMap(sf =>
       meta.schema.fields.find(_.name == sf.name).map(f =>

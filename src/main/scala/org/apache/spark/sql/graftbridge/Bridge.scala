@@ -12,6 +12,17 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** private[sql] Dataset.ofRows — wrap an analyzed LogicalPlan back
+    * into a DataFrame (the MERGE source plan → the native writers'
+    * source frame).
+    */
+  def ofRows(
+      spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+  : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** private[sql] SparkSession.internalCreateDataFrame — the only way
     * a V1 streaming Source can hand back a batch whose plan is marked
     * `isStreaming` (the same call Spark's own FileStreamSource makes).

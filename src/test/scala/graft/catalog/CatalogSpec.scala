@@ -72,4 +72,62 @@ class CatalogSpec extends SparkSpec {
     val ts = mkTable(7).getSchema(spark)
     assert(ts.columns.map(_.column) == Seq("v", "tag"))
   }
+
+  test("WarehouseResolver: names resolve through the seam into native reads") {
+    import graft.tables.{DeltaWrite, HudiWrite, IcebergWrite}
+    val wh = tempDir("cat-wh").toString
+    DeltaWrite.append(spark, Seq((1L, "d")).toDF("id", "v"), s"$wh/sales/orders")
+    IcebergWrite.append(spark, Seq((2L, "i")).toDF("id", "v"), s"$wh/sales/events")
+    HudiWrite.bulkInsert(spark, Seq((3L, "h")).toDF("id", "v"),
+      s"$wh/ops/logs", "id")
+    val db = MetadataResolver.database(
+      new WarehouseResolver(wh, spark.sparkContext.hadoopConfiguration))
+    assert(db.tables() == Seq("ops.logs", "sales.events", "sales.orders"))
+    // each name reads through its format's native reader
+    assert(db.table("sales.events", spark).select("id", "v")
+      .as[(Long, String)].head() == ((2L, "i")))
+    assert(db.table("sales.orders", spark).select("v").as[String].head() == "d")
+    assert(db.table("ops.logs", spark).select("v").as[String].head() == "h")
+    // the resolver database composes into a Catalog like any other
+    val cat = new Catalog(Map("wh" -> db))
+    assert(cat.db("wh").tables().size == 3)
+    // unknown names miss cleanly
+    intercept[NoSuchElementException] { db.table("sales.nope", spark) }
+  }
+
+  test("REST-shaped resolver: pinned metadata-location reads a foreign-named Iceberg table") {
+    import graft.tables.{IcebergTable, IcebergWrite, ReadArgs}
+    import org.apache.hadoop.fs.Path
+    val root = tempDir("cat-rest").toString + "/t"
+    IcebergWrite.append(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "v"), root)
+    // forge the foreign deployment shape: UUID-named metadata file,
+    // no version-hint — graft's filesystem discovery cannot see it
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val metaDir = new Path(root, "metadata")
+    val cur = fs.listStatus(metaDir).map(_.getPath)
+      .filter(_.getName.matches("v\\d+\\.metadata\\.json")).maxBy(_.getName)
+    val foreign = new Path(metaDir, "00001-6f4f9c3e-ab.metadata.json")
+    assert(fs.rename(cur, foreign))
+    fs.listStatus(metaDir).map(_.getPath)
+      .filter(p => p.getName.matches("v\\d+\\.metadata\\.json") ||
+        p.getName == "version-hint.text")
+      .foreach(p => fs.delete(p, false))
+    intercept[Exception] {
+      new IcebergTable("t", root)(spark, ReadArgs.empty).collect()
+    }
+    // the REST catalog contract in miniature: LoadTableResponse's
+    // metadata-location, served from an in-memory map
+    val rest = new MetadataResolver {
+      private val tables = Map(
+        "prod.t" -> MetadataResolver.Resolved(
+          root, Some("iceberg"), Some(foreign.toString)))
+      override def list(): Seq[String] = tables.keys.toSeq.sorted
+      override def resolve(name: String) = tables.get(name)
+    }
+    val db = MetadataResolver.database(
+      rest, spark.sparkContext.hadoopConfiguration)
+    val got = db.table("prod.t", spark).select("id", "v")
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "a"), (2L, "b")))
+  }
 }

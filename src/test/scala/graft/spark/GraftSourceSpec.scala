@@ -396,4 +396,102 @@ class GraftSourceSpec extends SparkSpec {
       assert(lim.as[Long].collect().length == 3)
     }
   }
+
+  test("DSv2 catalog: UPDATE routes to the native copy-on-write writer") {
+    val dir = tempDir("graft-cat-upd").toString + "/d"
+    DeltaWrite.append(spark, rows, dir, Seq("part"))
+    withCatalog {
+      spark.sql(s"UPDATE graft.`$dir` SET name = concat(name, '!') WHERE id >= 10")
+      val got = spark.sql(s"SELECT id, name FROM graft.`$dir` ORDER BY id")
+        .as[(Long, String)].collect().toSeq
+      assert(got.filter(_._1 >= 10).map(_._2) == Seq("n10!", "n11!"))
+      assert(got.filter(_._1 < 10).forall(r => r._2 == s"n${r._1}"))
+      // SET expressions see PRE-update values; unconditioned UPDATE
+      // touches every row
+      spark.sql(s"UPDATE graft.delta.`$dir` SET id = id + 100")
+      assert(spark.sql(s"SELECT min(id) FROM graft.`$dir`").as[Long].head() == 100L)
+      // non-Delta targets refuse with the MERGE hint
+      val i = tempDir("graft-cat-updi").toString + "/i"
+      IcebergWrite.append(spark, Seq((1L, "a")).toDF("id", "v"), i)
+      val e = intercept[Exception] {
+        spark.sql(s"UPDATE graft.`$i` SET v = 'x'")
+      }
+      assert(e.getMessage.contains("MERGE INTO"), e.getMessage)
+    }
+  }
+
+  test("DSv2 catalog: MERGE INTO upserts through each format's native writer") {
+    val base = tempDir("graft-cat-mrg").toString
+    val (d, i, h) = (base + "/d", base + "/i", base + "/h")
+    val init = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    DeltaWrite.append(spark, init, d)
+    IcebergWrite.append(spark, init, i)
+    HudiWrite.bulkInsert(spark, init, h, "id")
+    Seq((2L, "B"), (3L, "c")).toDF("id", "v").createOrReplaceTempView("mrg_src")
+    withCatalog {
+      for (p <- Seq(d, i, h)) {
+        spark.sql(
+          s"""MERGE INTO graft.`$p` t USING mrg_src s ON t.id = s.id
+             |WHEN MATCHED THEN UPDATE SET *
+             |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        val got = spark.sql(s"SELECT id, v FROM graft.`$p`")
+          .as[(Long, String)].collect().toSet
+        assert(got == Set((1L, "a"), (2L, "B"), (3L, "c")), s"merge failed for $p")
+      }
+    }
+  }
+
+  test("DSv2 catalog: MERGE WHEN MATCHED AND cond THEN DELETE (Delta)") {
+    val d = tempDir("graft-cat-mrgd").toString + "/d"
+    DeltaWrite.append(spark, Seq((1L, "a", 0), (2L, "b", 0), (3L, "c", 0))
+      .toDF("id", "v", "dead"), d)
+    Seq((2L, "B", 1), (3L, "C", 0), (4L, "d", 0)).toDF("id", "v", "dead")
+      .createOrReplaceTempView("mrg_del_src")
+    withCatalog {
+      spark.sql(
+        s"""MERGE INTO graft.`$d` t USING mrg_del_src s ON t.id = s.id
+           |WHEN MATCHED AND s.dead = 1 THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      val got = spark.sql(s"SELECT id, v FROM graft.`$d`")
+        .as[(Long, String)].collect().toSet
+      assert(got == Set((1L, "a"), (3L, "C"), (4L, "d")))
+    }
+  }
+
+  test("DSv2 catalog: unsupported MERGE shapes refuse with the shape named") {
+    val d = tempDir("graft-cat-mrgr").toString + "/d"
+    DeltaWrite.append(spark, Seq((1L, "a")).toDF("id", "v"), d)
+    Seq((1L, "A")).toDF("id", "v").createOrReplaceTempView("mrg_bad_src")
+    withCatalog {
+      // partial SET (not SET *) silently changing semantics is refused
+      val e1 = intercept[Exception] {
+        spark.sql(
+          s"""MERGE INTO graft.`$d` t USING mrg_bad_src s ON t.id = s.id
+             |WHEN MATCHED THEN UPDATE SET v = 'fixed'
+             |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      }
+      assert(e1.getMessage.contains("key-upsert MERGE shape"), e1.getMessage)
+      // non-equality ON
+      val e2 = intercept[Exception] {
+        spark.sql(
+          s"""MERGE INTO graft.`$d` t USING mrg_bad_src s ON t.id >= s.id
+             |WHEN MATCHED THEN UPDATE SET *
+             |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      }
+      assert(e2.getMessage.contains("conjunction of column equalities"),
+        e2.getMessage)
+      // MERGE into a Hudi table keyed off its record key
+      val h = tempDir("graft-cat-mrgrh").toString + "/h"
+      HudiWrite.bulkInsert(spark, Seq((1L, "a")).toDF("id", "v"), h, "id")
+      Seq(("a", 9L)).toDF("v", "id").createOrReplaceTempView("mrg_bad_hudi")
+      val e3 = intercept[Exception] {
+        spark.sql(
+          s"""MERGE INTO graft.`$h` t USING mrg_bad_hudi s ON t.v = s.v
+             |WHEN MATCHED THEN UPDATE SET *
+             |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      }
+      assert(e3.getMessage.contains("record key"), e3.getMessage)
+    }
+  }
 }
