@@ -543,4 +543,25 @@ class ReplicateSpec extends SparkSpec {
       Replicate.syncAll(spark, specs :+ specs.head)
     }
   }
+
+  test("syncAll: one failing table does not discard the others' advanced watermarks") {
+    val srcA = mkDeltaSource("multi-fail-a")
+    val srcB = mkDeltaSource("multi-fail-b", n = 8)
+    val base = tempDir("repl-multi-f").toString
+    val good = Replicate.TableSpec(srcA, base + "/a", Seq("id"), "iceberg")
+    val bad = Replicate.TableSpec(
+      base + "/nowhere", base + "/b", Seq("id"), "delta") // source missing
+    // every table is ATTEMPTED: A advances (initializes), B's failure
+    // surfaces in the same exception WITH A's watermark attached
+    val e = intercept[Replicate.SyncAllException] {
+      Replicate.syncAll(spark, Seq(good, bad))
+    }
+    assert(e.advanced.keySet == Set(base + "/a"))
+    assert(e.failures.keySet == Set(base + "/b"))
+    assert(readTarget(base + "/a") == readSource(srcA))
+    // A's replica is committed and exactly-once state intact: a retry
+    // with only the good spec no-ops (same watermark, no double apply)
+    val wm = Replicate.syncAll(spark, Seq(good))
+    assert(wm(base + "/a") == e.advanced(base + "/a"))
+  }
 }

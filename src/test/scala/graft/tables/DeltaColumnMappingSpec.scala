@@ -420,6 +420,28 @@ class DeltaColumnMappingSpec extends SparkSpec {
       Seq(1L, 2L, 11L, 21L))
   }
 
+  test("ADD COLUMNS maxColumnId fallback walks NESTED ids (no duplicate minting)") {
+    // a foreign mapped table with NO delta.columnMapping.maxColumnId
+    // config key, whose HIGHEST field id sits on a struct-nested
+    // field (enableColumnMapping assigns ids in DFS order, so this is
+    // the normal upgraded shape) — the fallback must derive the max
+    // recursively, or the new column would duplicate id 3
+    val dir = tempDir("delta-cm-nested").toString + "/t"
+    val nested = StructField("s", StructType(Seq(
+      mapped("x", LongType, 3, "col-03"))), nullable = true,
+      metadata = new MetadataBuilder()
+        .putLong("delta.columnMapping.id", 2L)
+        .putString(DeltaLog.PhysicalNameKey, "col-02").build())
+    DeltaDdl.createTable(spark, dir,
+      StructType(Seq(mapped("id", LongType, 1, "col-01"), nested)),
+      configuration = Map("delta.columnMapping.mode" -> "name"))
+    DeltaDdl.addColumns(spark, dir, Seq(StructField("z", LongType)))
+    val snap = DeltaLog.snapshot(spark, dir, withFiles = false)
+    val zId = snap.metadata.schema("z").metadata.getLong("delta.columnMapping.id")
+    assert(zId == 4L, s"expected fresh id 4 above the NESTED max 3, got $zId")
+    assert(snap.metadata.configuration("delta.columnMapping.maxColumnId") == "4")
+  }
+
   test("UPGRADE: enableColumnMapping on an unmapped table, then the full DML ladder") {
     val dir = tempDir("delta-cmup").toString + "/t"
     // plain unmapped partitioned table with real data files

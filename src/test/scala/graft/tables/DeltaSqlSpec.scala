@@ -236,4 +236,20 @@ class DeltaSqlSpec extends SparkSpec {
     assert(t(spark, ReadArgs.empty).where(col("id") === 2L)
       .select("label").as[String].head() == "B")
   }
+
+  test("SET TBLPROPERTIES mode='id' on an UNMAPPED table refuses (delta-spark parity)") {
+    val dir = tempDir("sql-map-id").toString + "/t"
+    DeltaWrite.append(spark, Seq((1L, "a")).toDF("id", "v"), dir)
+    // upstream refuses the none->id upgrade (id mode needs parquet
+    // field ids in every data file); silently substituting 'name'
+    // would leave the table in a mode the user never asked for
+    val e = intercept[IllegalArgumentException] {
+      DeltaSql.exec(spark,
+        s"ALTER TABLE ${ref(dir)} SET TBLPROPERTIES ('delta.columnMapping.mode' = 'id')")
+    }
+    assert(e.getMessage.contains("'id'") && e.getMessage.contains("name"),
+      e.getMessage)
+    assert(!DeltaLog.snapshot(spark, dir, withFiles = false).metadata.isColumnMapped,
+      "the refused upgrade must not have committed anything")
+  }
 }

@@ -443,6 +443,26 @@ class IcebergV3Spec extends SparkSpec {
       (4L, Some(40L), None)))    // genuine post-evolution null kept
   }
 
+  test("v3 initial-default TWO struct levels deep fills via the dotted path") {
+    val root = tempDir("ice-v3-defn2").toString + "/t"
+    val pre = Seq((1L, Some(10L)), (2L, None)).toDF("id", "y").selectExpr(
+      "id",
+      "if(y is null, null, named_struct('inner', named_struct('y', y))) as s")
+    buildV3(root, withDv = false, schemaFieldsJson =
+      """{"id":1,"name":"id","required":false,"type":"long"},
+        |{"id":2,"name":"s","required":false,"type":{"type":"struct","fields":[
+        |  {"id":3,"name":"inner","required":false,"type":{"type":"struct","fields":[
+        |    {"id":4,"name":"y","required":false,"type":"long"},
+        |    {"id":5,"name":"x","required":false,"type":"long","initial-default":7}]}}]}}""".stripMargin,
+      dataOverride = Seq(pre))
+    val got = new IcebergTable("t", root)(spark, ReadArgs.empty)
+      .select(col("id"), col("s.inner.y"), col("s.inner.x"))
+      .as[(Long, Option[Long], Option[Long])].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, Some(10L), Some(7L)), // pre-evolution: default fills 2 deep
+      (2L, None, None)))         // null outer struct stays null
+  }
+
   test("v3 initial-default under a LIST element still refuses loudly") {
     val root = tempDir("ice-v3-defl").toString + "/t"
     buildV3(root, withDv = false, schemaFieldsJson =
