@@ -60,12 +60,15 @@ class GraftCatalog extends TableCatalog {
 
   override def loadTable(ident: Identifier): Table = {
     val path = ident.name()
-    val format = formatOf(ident)
-      .orElse(ChangeFeed.detectFormat(spark, path))
-      .getOrElse(throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+    // a pinned namespace names the EXPECTED format, but existence is
+    // the on-disk layout's call — otherwise tableExists would be true
+    // for any path and CREATE TABLE could never run
+    val detected = ChangeFeed.detectFormat(spark, path)
+    val format = detected.getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
         Seq(catalogName, path)))
-    formatOf(ident).foreach(f => ChangeFeed.detectFormat(spark, path).foreach(d =>
-      require(d == f, s"$path is a $d table, not the requested $f")))
+    formatOf(ident).foreach(f =>
+      require(format == f, s"$path is a $format table, not the requested $f"))
     new GraftV2Table(path, format)
   }
 
@@ -82,16 +85,126 @@ class GraftCatalog extends TableCatalog {
       case _: IllegalArgumentException => false
     }
 
+  /** `CREATE TABLE graft.delta.\`/p\` (…) [PARTITIONED BY (…)]
+    * [TBLPROPERTIES (…)]` — and, because the write builder already
+    * appends, CTAS comes free. The format is the pinned namespace or
+    * `USING delta|iceberg|hudi`; identity partitioning only (transform
+    * layouts go through the native writers). Hudi needs a
+    * `recordKey` table property (its tables are key-addressed).
+    */
   override def createTable(
       ident: Identifier, schema: StructType,
-      partitions: Array[Transform], properties: util.Map[String, String]): Table =
-    throw new UnsupportedOperationException(
-      s"CREATE TABLE through the $catalogName catalog is not supported — " +
-        "write with df.write.format(\"graft\") or the format's native writer")
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    val path = ident.name()
+    ChangeFeed.detectFormat(spark, path).foreach(f =>
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        Array(catalogName, path)))
+    val partCols = partitions.toSeq.map {
+      case tr if tr.name() == "identity" && tr.references().length == 1 =>
+        tr.references()(0).fieldNames().mkString(".")
+      case other => throw new UnsupportedOperationException(
+        s"CREATE TABLE through the $catalogName catalog supports identity " +
+          s"PARTITIONED BY only, got $other — use the format's native writer " +
+          "for transform layouts")
+    }
+    // Spark stuffs statement metadata into properties — keep only
+    // genuine TBLPROPERTIES for the table configuration
+    val reserved = Set("provider", "location", "comment", "owner",
+      "external", "option.path", "path", "is_managed_location")
+    import scala.jdk.CollectionConverters._
+    val props = properties.asScala.toMap.filterNot { case (k, _) =>
+      reserved.contains(k.toLowerCase) || k.startsWith("option.")
+    }
+    val fmt = formatOf(ident)
+      .orElse(Option(properties.get("provider")).map(_.toLowerCase))
+      .getOrElse(throw new IllegalArgumentException(
+        s"CREATE TABLE $catalogName.`$path` needs a format: pin the " +
+          s"namespace ($catalogName.delta.`$path`) or add USING " +
+          "delta|iceberg|hudi"))
+    def emptyDf = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], schema)
+    fmt match {
+      case "delta" =>
+        graft.tables.DeltaDdl.createTable(spark, path, schema, partCols, props)
+      case "iceberg" =>
+        require(props.isEmpty,
+          s"TBLPROPERTIES are not carried onto Iceberg tables here, got " +
+            props.keys.mkString(", "))
+        graft.tables.IcebergWrite.append(spark, emptyDf, path, partCols)
+      case "hudi" =>
+        val key = props.get("recordKey")
+          .orElse(props.get("hoodie.table.recordkey.fields"))
+          .getOrElse(throw new IllegalArgumentException(
+            "CREATE TABLE of a Hudi table needs TBLPROPERTIES " +
+              "('recordKey'='<col>') — Hudi tables are key-addressed"))
+        graft.tables.HudiWrite.bulkInsert(spark, emptyDf, path, key, partCols)
+      case other => throw new IllegalArgumentException(
+        s"unknown format $other — delta | iceberg | hudi")
+    }
+    loadTable(ident)
+  }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      s"ALTER TABLE through the $catalogName catalog is not supported")
+  /** `ALTER TABLE graft.delta.\`/p\` ADD COLUMNS / RENAME COLUMN /
+    * DROP COLUMN / SET TBLPROPERTIES` — routed to the native Delta
+    * DDL (the proven DeltaSql verbs); setting
+    * `delta.columnMapping.mode` on an unmapped table is the upgrade
+    * DDL ('name' only, delta-spark parity). Iceberg/Hudi ALTER stays
+    * refused: their schema evolution is append-time by design here.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    import graft.tables.{DeltaDdl, DeltaLog, DeltaWrite}
+    val t = loadTable(ident).asInstanceOf[GraftV2Table]
+    require(t.format == "delta",
+      s"ALTER TABLE through the $catalogName catalog serves Delta tables; " +
+        s"${t.path} is ${t.format} — its schema evolves on append")
+    val path = t.path
+    val adds = Seq.newBuilder[org.apache.spark.sql.types.StructField]
+    val setProps = Map.newBuilder[String, String]
+    changes.foreach {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames().length == 1,
+          s"ADD COLUMNS supports top-level columns, got " +
+            a.fieldNames().mkString("."))
+        adds += org.apache.spark.sql.types.StructField(
+          a.fieldNames()(0), a.dataType(), a.isNullable)
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames().length == 1,
+          s"RENAME COLUMN supports top-level columns, got " +
+            r.fieldNames().mkString("."))
+        DeltaDdl.renameColumn(spark, path, r.fieldNames()(0), r.newName())
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames().length == 1,
+          s"DROP COLUMN supports top-level columns, got " +
+            d.fieldNames().mkString("."))
+        DeltaDdl.dropColumn(spark, path, d.fieldNames()(0))
+      case s: TableChange.SetProperty =>
+        setProps += s.property() -> s.value()
+      case other => throw new UnsupportedOperationException(
+        s"unsupported ALTER TABLE change $other — ADD/RENAME/DROP COLUMN " +
+          "and SET TBLPROPERTIES are served")
+    }
+    val newCols = adds.result()
+    if (newCols.nonEmpty) DeltaDdl.addColumns(spark, path, newCols)
+    val props = setProps.result()
+    if (props.nonEmpty) {
+      // same contract as the SQL front door: setting the mapping mode
+      // on an unmapped table IS the upgrade DDL (name mode only)
+      val requestedMode = props.get("delta.columnMapping.mode")
+        .filter(m => m.nonEmpty && m != "none")
+      val unmapped = !DeltaLog.snapshot(spark, path, withFiles = false)
+        .metadata.isColumnMapped
+      if (requestedMode.isDefined && unmapped) {
+        require(requestedMode.contains("name"),
+          s"cannot upgrade $path to column mapping mode " +
+            s"'${requestedMode.get}': only 'name' mode can be enabled on an " +
+            "existing table")
+        DeltaDdl.enableColumnMapping(spark, path)
+        val rest = props - "delta.columnMapping.mode"
+        if (rest.nonEmpty) DeltaWrite.setTableProperties(spark, path, rest)
+      } else DeltaWrite.setTableProperties(spark, path, props)
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     throw new UnsupportedOperationException(

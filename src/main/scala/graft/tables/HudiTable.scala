@@ -326,12 +326,19 @@ class HudiTable(
       // declared-empty frame with the table's real schema: zero rows
       // of any live slice — or, when every file group has been
       // deleted (a fully-emptied table is a legitimate state), zero
-      // rows of any HISTORICAL slice
-      val schemaSource = slices.headOption
-        .orElse(anyHistoricalSlice(fs))
-        .getOrElse(throw new IllegalArgumentException(
-          s"Hudi table $uri has no completed commits with data"))
-      return HudiWrite.readSlices(spark, uri, Seq(schemaSource)).limit(0)
+      // rows of any HISTORICAL slice — or, on a table that has never
+      // held a data file (a freshly CREATEd empty table), the writer
+      // schema the commit metadata declares
+      slices.headOption.orElse(anyHistoricalSlice(fs)) match {
+        case Some(src) =>
+          return HudiWrite.readSlices(spark, uri, Seq(src)).limit(0)
+        case None =>
+          val declared = HudiWrite.latestTableSchema(fs, uri)
+            .getOrElse(throw new IllegalArgumentException(
+              s"Hudi table $uri has no completed commits with data"))
+          return spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], declared)
+      }
     }
     // merged: MOR slices serve latest-per-key over base ∪ logs; COW
     // slices (no logs) take the plain parquet fast path

@@ -494,4 +494,83 @@ class GraftSourceSpec extends SparkSpec {
       assert(e3.getMessage.contains("record key"), e3.getMessage)
     }
   }
+
+  test("DSv2 catalog: CREATE TABLE + CTAS across the triad") {
+    val base = tempDir("graft-cat-create").toString
+    withCatalog {
+      // plain CREATE, pinned namespace, partitioned
+      spark.sql(s"CREATE TABLE graft.delta.`$base/d` (id BIGINT, v STRING, p INT) " +
+        "PARTITIONED BY (p)")
+      spark.sql(s"INSERT INTO graft.`$base/d` VALUES (1, 'a', 0), (2, 'b', 1)")
+      assert(spark.sql(s"SELECT id FROM graft.`$base/d` WHERE p = 1")
+        .as[Long].collect().toSeq == Seq(2L))
+      // USING spelling + TBLPROPERTIES land in the Delta config
+      spark.sql(s"CREATE TABLE graft.`$base/d2` (id BIGINT) USING delta " +
+        "TBLPROPERTIES ('delta.appendOnly' = 'true')")
+      assert(graft.tables.DeltaLog.snapshot(spark, s"$base/d2", withFiles = false)
+        .metadata.configuration.get("delta.appendOnly").contains("true"))
+      // iceberg CREATE: empty first snapshot, then INSERT
+      spark.sql(s"CREATE TABLE graft.iceberg.`$base/i` (id BIGINT, v STRING)")
+      spark.sql(s"INSERT INTO graft.`$base/i` VALUES (7, 'x')")
+      assert(spark.sql(s"SELECT id, v FROM graft.`$base/i`")
+        .as[(Long, String)].head() == ((7L, "x")))
+      // hudi CREATE needs the record key property
+      val eh = intercept[Exception] {
+        spark.sql(s"CREATE TABLE graft.hudi.`$base/h0` (id BIGINT)")
+      }
+      assert(eh.getMessage.contains("recordKey"), eh.getMessage)
+      spark.sql(s"CREATE TABLE graft.hudi.`$base/h` (id BIGINT, v STRING) " +
+        "TBLPROPERTIES ('recordKey' = 'id')")
+      spark.sql(s"INSERT INTO graft.`$base/h` VALUES (1, 'a'), (2, 'b')")
+      // hudi insert is the key-merged upsert: a second insert of an
+      // existing key replaces it
+      spark.sql(s"INSERT INTO graft.`$base/h` VALUES (1, 'A2')")
+      assert(spark.sql(s"SELECT id, v FROM graft.`$base/h`")
+        .as[(Long, String)].collect().toSet == Set((1L, "A2"), (2L, "b")))
+      // CTAS
+      spark.sql(s"CREATE TABLE graft.delta.`$base/ctas` AS " +
+        s"SELECT id, v FROM graft.`$base/i`")
+      assert(spark.sql(s"SELECT id, v FROM graft.`$base/ctas`")
+        .as[(Long, String)].head() == ((7L, "x")))
+      // existing table refuses CREATE
+      val e = intercept[Exception] {
+        spark.sql(s"CREATE TABLE graft.delta.`$base/d` (id BIGINT)")
+      }
+      assert(e.getMessage.toLowerCase.contains("already exists"), e.getMessage)
+    }
+  }
+
+  test("DSv2 catalog: ALTER TABLE DDL routes to the native Delta DDL") {
+    val d = tempDir("graft-cat-alter").toString + "/d"
+    DeltaWrite.append(spark, Seq((1L, "a", 10L), (2L, "b", 20L))
+      .toDF("id", "v", "x"), d)
+    withCatalog {
+      // mapping upgrade via SET TBLPROPERTIES (the delta-spark shape)
+      spark.sql(s"ALTER TABLE graft.`$d` SET TBLPROPERTIES " +
+        "('delta.columnMapping.mode' = 'name')")
+      assert(graft.tables.DeltaLog.snapshot(spark, d, withFiles = false)
+        .metadata.isColumnMapped)
+      spark.sql(s"ALTER TABLE graft.`$d` RENAME COLUMN v TO label")
+      spark.sql(s"ALTER TABLE graft.`$d` DROP COLUMN x")
+      spark.sql(s"ALTER TABLE graft.`$d` ADD COLUMNS (score DOUBLE)")
+      val got = spark.sql(s"SELECT id, label, score FROM graft.`$d` ORDER BY id")
+        .as[(Long, String, Option[Double])].collect().toSeq
+      assert(got == Seq((1L, "a", None), (2L, "b", None)))
+      // id-mode upgrade refuses here too
+      val d2 = tempDir("graft-cat-alter2").toString + "/d"
+      DeltaWrite.append(spark, Seq((1L, "a")).toDF("id", "v"), d2)
+      val e = intercept[Exception] {
+        spark.sql(s"ALTER TABLE graft.`$d2` SET TBLPROPERTIES " +
+          "('delta.columnMapping.mode' = 'id')")
+      }
+      assert(e.getMessage.contains("'id'"), e.getMessage)
+      // non-delta ALTER refuses with the append-evolution hint
+      val i = tempDir("graft-cat-alter3").toString + "/i"
+      IcebergWrite.append(spark, Seq((1L, "a")).toDF("id", "v"), i)
+      val e2 = intercept[Exception] {
+        spark.sql(s"ALTER TABLE graft.`$i` ADD COLUMNS (z INT)")
+      }
+      assert(e2.getMessage.contains("evolves on append"), e2.getMessage)
+    }
+  }
 }
