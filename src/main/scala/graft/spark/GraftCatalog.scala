@@ -179,9 +179,12 @@ class GraftCatalog extends TableCatalog {
         DeltaDdl.dropColumn(spark, path, d.fieldNames()(0))
       case s: TableChange.SetProperty =>
         setProps += s.property() -> s.value()
+      case r: TableChange.RemoveProperty =>
+        DeltaWrite.setTableProperties(spark, path, Map.empty,
+          remove = Set(r.property()))
       case other => throw new UnsupportedOperationException(
         s"unsupported ALTER TABLE change $other — ADD/RENAME/DROP COLUMN " +
-          "and SET TBLPROPERTIES are served")
+          "and SET/UNSET TBLPROPERTIES are served")
     }
     val newCols = adds.result()
     if (newCols.nonEmpty) DeltaDdl.addColumns(spark, path, newCols)
@@ -268,6 +271,21 @@ private[spark] class GraftV2Table(val path: String, val format: String)
   }
 
   override def name(): String = s"graft.$format.`$path`"
+
+  /** DESCRIBE EXTENDED / SHOW TBLPROPERTIES surface: provider +
+    * location always; Delta tables add their live configuration
+    * (the same map SET TBLPROPERTIES writes).
+    */
+  override def properties(): util.Map[String, String] = {
+    val base = Map("provider" -> format, "location" -> path)
+    val conf =
+      if (format != "delta") Map.empty[String, String]
+      else scala.util.Try(graft.tables.DeltaLog
+        .snapshot(spark, path, withFiles = false)
+        .metadata.configuration).getOrElse(Map.empty)
+    import scala.jdk.CollectionConverters._
+    (base ++ conf).asJava
+  }
 
   override def schema(): StructType =
     new GraftRelation(spark, path, format, Map("path" -> path),

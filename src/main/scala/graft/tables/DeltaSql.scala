@@ -28,6 +28,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * ALTER TABLE delta.`/p` RENAME COLUMN a TO b      (column mapping required)
   * ALTER TABLE delta.`/p` DROP COLUMN a              (column mapping required)
   * ALTER TABLE delta.`/p` SET TBLPROPERTIES ('k' = 'v', ...)
+  * ALTER TABLE delta.`/p` UNSET TBLPROPERTIES ('k', ...)
   *   -- setting delta.columnMapping.mode on an unmapped table IS the
   *   -- mapping upgrade (ids + physical names assigned, protocol bumped)
   * ALTER TABLE delta.`/p` CLUSTER BY (c1, c2)
@@ -76,6 +77,8 @@ object DeltaSql {
     val addCols = (s"""(?is)^ALTER\\s+TABLE\\s+$TableRef\\s+ADD\\s+COLUMNS?""" +
       s"""\\s*\\((.+)\\)$$""").r
     val setProps = (s"""(?is)^ALTER\\s+TABLE\\s+$TableRef\\s+SET\\s+TBLPROPERTIES""" +
+      s"""\\s*\\((.+)\\)$$""").r
+    val unsetProps = (s"""(?is)^ALTER\\s+TABLE\\s+$TableRef\\s+UNSET\\s+TBLPROPERTIES""" +
       s"""\\s*\\((.+)\\)$$""").r
     val clusterBy = s"""(?is)^ALTER\\s+TABLE\\s+$TableRef\\s+CLUSTER\\s+BY\\s+\\(([^)]+)\\)$$""".r
     val renameCol = (s"""(?is)^ALTER\\s+TABLE\\s+$TableRef\\s+RENAME\\s+COLUMN\\s+""" +
@@ -175,6 +178,12 @@ object DeltaSql {
           if (rest.isEmpty) result(up.version)
           else result(DeltaWrite.setTableProperties(spark, path, rest).version)
         } else result(DeltaWrite.setTableProperties(spark, path, parsed).version)
+      case unsetProps(path, keys) =>
+        // keys as 'k1', 'k2' (quoted, comma-separated); mapping keys
+        // refuse inside setTableProperties — they are load-bearing
+        val ks = keys.split(",").map(_.trim.stripPrefix("'").stripSuffix("'")).toSet
+        result(DeltaWrite.setTableProperties(
+          spark, path, Map.empty, remove = ks).version)
       case clusterBy(path, cols) =>
         result(DeltaDdl.clusterBy(spark, path,
           cols.split(",").map(_.trim).toSeq).version)

@@ -1614,14 +1614,24 @@ object DeltaWrite {
   def setTableProperties(
       spark: SparkSession,
       tablePath: String,
-      props: Map[String, String]
+      props: Map[String, String],
+      /** Keys to REMOVE in the same commit (ALTER TABLE UNSET
+        * TBLPROPERTIES). Mapping keys refuse: dropping the mode or
+        * maxColumnId from a mapped table would corrupt every read
+        * (physical names would stop resolving) and re-minting ids.
+        */
+      remove: Set[String] = Set.empty
   ): CommitResult = {
+    remove.find(_.startsWith("delta.columnMapping.")).foreach(k =>
+      throw new IllegalArgumentException(
+        s"cannot UNSET $k: column-mapping configuration is load-bearing " +
+          "for every read of a mapped table"))
     val fs = DeltaLog.logDir(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     var attempt = 0
     while (true) {
       val snap = DeltaLog.snapshot(spark, tablePath)
       val meta = snap.metadata
-      var newConf = meta.configuration ++ props
+      var newConf = meta.configuration ++ props -- remove
       if (newConf == meta.configuration) return CommitResult(snap.version, 0, 0)
       val version = snap.version + 1
 

@@ -509,8 +509,9 @@ class GraftSourceSpec extends SparkSpec {
         "TBLPROPERTIES ('delta.appendOnly' = 'true')")
       assert(graft.tables.DeltaLog.snapshot(spark, s"$base/d2", withFiles = false)
         .metadata.configuration.get("delta.appendOnly").contains("true"))
-      // iceberg CREATE: empty first snapshot, then INSERT
+      // iceberg CREATE: empty first snapshot reads as zero rows
       spark.sql(s"CREATE TABLE graft.iceberg.`$base/i` (id BIGINT, v STRING)")
+      assert(spark.sql(s"SELECT count(*) FROM graft.`$base/i`").as[Long].head() == 0L)
       spark.sql(s"INSERT INTO graft.`$base/i` VALUES (7, 'x')")
       assert(spark.sql(s"SELECT id, v FROM graft.`$base/i`")
         .as[(Long, String)].head() == ((7L, "x")))
@@ -571,6 +572,17 @@ class GraftSourceSpec extends SparkSpec {
         spark.sql(s"ALTER TABLE graft.`$i` ADD COLUMNS (z INT)")
       }
       assert(e2.getMessage.contains("evolves on append"), e2.getMessage)
+      // SHOW TBLPROPERTIES surfaces the live Delta configuration
+      // (provider/location are Spark-reserved keys SHOW hides; the
+      // live Delta configuration is the point)
+      val props = spark.sql(s"SHOW TBLPROPERTIES graft.`$d`")
+        .as[(String, String)].collect().toMap
+      assert(props.get("delta.columnMapping.mode").contains("name"), props)
+      // UNSET TBLPROPERTIES routes too
+      spark.sql(s"ALTER TABLE graft.`$d` SET TBLPROPERTIES ('tier' = 'gold')")
+      spark.sql(s"ALTER TABLE graft.`$d` UNSET TBLPROPERTIES ('tier')")
+      assert(!spark.sql(s"SHOW TBLPROPERTIES graft.`$d`")
+        .as[(String, String)].collect().toMap.contains("tier"))
     }
   }
 }

@@ -237,6 +237,28 @@ class DeltaSqlSpec extends SparkSpec {
       .select("label").as[String].head() == "B")
   }
 
+  test("UNSET TBLPROPERTIES removes keys; mapping keys refuse (load-bearing)") {
+    val dir = tempDir("sql-unset").toString + "/t"
+    DeltaWrite.append(spark, Seq((1L, "a")).toDF("id", "v"), dir)
+    DeltaSql.exec(spark,
+      s"ALTER TABLE ${ref(dir)} SET TBLPROPERTIES ('team' = 'ml', 'tier' = 'gold')")
+    DeltaSql.exec(spark, s"ALTER TABLE ${ref(dir)} UNSET TBLPROPERTIES ('tier')")
+    val conf = DeltaLog.snapshot(spark, dir, withFiles = false).metadata.configuration
+    assert(conf.get("team").contains("ml") && !conf.contains("tier"), conf)
+    // removing an absent key is a no-op commit-wise
+    val v = DeltaLog.snapshot(spark, dir, withFiles = false).version
+    DeltaSql.exec(spark, s"ALTER TABLE ${ref(dir)} UNSET TBLPROPERTIES ('nope')")
+    assert(DeltaLog.snapshot(spark, dir, withFiles = false).version == v)
+    // column-mapping configuration is load-bearing: never removable
+    DeltaSql.exec(spark,
+      s"ALTER TABLE ${ref(dir)} SET TBLPROPERTIES ('delta.columnMapping.mode' = 'name')")
+    val e = intercept[IllegalArgumentException] {
+      DeltaSql.exec(spark,
+        s"ALTER TABLE ${ref(dir)} UNSET TBLPROPERTIES ('delta.columnMapping.mode')")
+    }
+    assert(e.getMessage.contains("load-bearing"), e.getMessage)
+  }
+
   test("SET TBLPROPERTIES mode='id' on an UNMAPPED table refuses (delta-spark parity)") {
     val dir = tempDir("sql-map-id").toString + "/t"
     DeltaWrite.append(spark, Seq((1L, "a")).toDF("id", "v"), dir)
