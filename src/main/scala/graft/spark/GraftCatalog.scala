@@ -72,6 +72,40 @@ class GraftCatalog extends TableCatalog {
     new GraftV2Table(path, format)
   }
 
+  /** SQL time travel: `SELECT … FROM graft.\`/p\` VERSION AS OF v` —
+    * v is a Delta version, an Iceberg snapshot id or ref NAME, or a
+    * Hudi instant, routed to each reader's own time-travel key.
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val t = loadTable(ident).asInstanceOf[GraftV2Table]
+    val opts = t.format match {
+      case "delta"   => Map("versionAsOf" -> version)
+      case "iceberg" =>
+        if (version.nonEmpty && version.forall(_.isDigit))
+          Map("snapshotId" -> version)
+        else Map("ref" -> version)
+      case _ => Map("asOfInstant" -> version)
+    }
+    new GraftV2Table(t.path, t.format, opts)
+  }
+
+  /** `TIMESTAMP AS OF` — Spark hands epoch MICROseconds. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val t = loadTable(ident).asInstanceOf[GraftV2Table]
+    val millis = Math.floorDiv(timestamp, 1000L)
+    val opts = t.format match {
+      case "delta"   =>
+        Map("timestampAsOf" -> java.time.Instant.ofEpochMilli(millis).toString)
+      case "iceberg" => Map("asOfTimestampMs" -> millis.toString)
+      case _ =>
+        // Hudi instants are UTC yyyyMMddHHmmssSSS strings
+        Map("asOfInstant" -> java.time.format.DateTimeFormatter
+          .ofPattern("yyyyMMddHHmmssSSS").withZone(java.time.ZoneOffset.UTC)
+          .format(java.time.Instant.ofEpochMilli(millis)))
+    }
+    new GraftV2Table(t.path, t.format, opts)
+  }
+
   override def listTables(namespace: Array[String]): Array[Identifier] =
     Array.empty // path-addressed: there is no enumerable namespace
 
@@ -225,7 +259,14 @@ class GraftCatalog extends TableCatalog {
   * bridge into the same code the `format("graft")` SaveMode writes
   * use (a Hudi "append" is the format's own key-merged upsert).
   */
-private[spark] class GraftV2Table(val path: String, val format: String)
+private[spark] class GraftV2Table(
+    val path: String, val format: String,
+    /** Time-travel reader options (versionAsOf / snapshotId / ref /
+      * asOfTimestampMs / timestampAsOf / asOfInstant) from the
+      * VERSION/TIMESTAMP AS OF loadTable overloads — read-only: the
+      * write/delete seams refuse on a pinned-version table.
+      */
+    val travelOpts: Map[String, String] = Map.empty)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
@@ -247,6 +288,8 @@ private[spark] class GraftV2Table(val path: String, val format: String)
     }
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(travelOpts.isEmpty,
+      s"cannot DELETE FROM a time-traveled table ($name)")
     val translated = filters.filterNot(
       _.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue])
       .flatMap(GraftRelation.translate).toSeq
@@ -288,7 +331,7 @@ private[spark] class GraftV2Table(val path: String, val format: String)
   }
 
   override def schema(): StructType =
-    new GraftRelation(spark, path, format, Map("path" -> path),
+    new GraftRelation(spark, path, format, Map("path" -> path) ++ travelOpts,
       spark.sqlContext).schema
 
   override def capabilities(): util.Set[TableCapability] =
@@ -296,11 +339,13 @@ private[spark] class GraftV2Table(val path: String, val format: String)
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(path, format, schema())
+    new GraftScanBuilder(path, format, schema(), travelOpts)
 
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
-  : org.apache.spark.sql.connector.write.WriteBuilder =
+  : org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(travelOpts.isEmpty,
+      s"cannot write to a time-traveled table ($name)")
     new org.apache.spark.sql.connector.write.WriteBuilder
       with org.apache.spark.sql.connector.write.SupportsTruncate {
       private var overwrite = false
@@ -330,6 +375,7 @@ private[spark] class GraftV2Table(val path: String, val format: String)
             }
         }
     }
+  }
 }
 
 /** Pushdown seam: filters → graft algebra (pruning + exact residual
@@ -338,7 +384,9 @@ private[spark] class GraftV2Table(val path: String, val format: String)
   * produced frame (exact, so it reports fully-pushed and Spark drops
   * its own Limit node).
   */
-private[spark] class GraftScanBuilder(path: String, format: String, full: StructType)
+private[spark] class GraftScanBuilder(
+    path: String, format: String, full: StructType,
+    travelOpts: Map[String, String] = Map.empty)
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
@@ -365,7 +413,8 @@ private[spark] class GraftScanBuilder(path: String, format: String, full: Struct
     true // applied exactly via .limit(n) — fully pushed
   }
 
-  override def build(): Scan = new GraftV1ScanBridge(path, format, required, pushed, limit)
+  override def build(): Scan =
+    new GraftV1ScanBridge(path, format, required, pushed, limit, travelOpts)
 }
 
 /** The scan executes through the DSv1 relation seam ([[V1Scan]] — the
@@ -377,7 +426,8 @@ private[spark] class GraftV1ScanBridge(
     format: String,
     required: StructType,
     filters: Array[Filter],
-    limit: Option[Int]
+    limit: Option[Int],
+    travelOpts: Map[String, String] = Map.empty
 ) extends V1Scan {
 
   /** Test-visible: the LIMIT the builder pushed into this scan. */
@@ -394,11 +444,13 @@ private[spark] class GraftV1ScanBridge(
       override def buildScan(): org.apache.spark.rdd.RDD[Row] = {
         val translated = filters.flatMap(GraftRelation.translate).toSeq
         val cols = required.fieldNames.toSeq
+        val rel = new GraftRelation(context.sparkSession, path, format,
+          Map("path" -> path) ++ travelOpts, context)
         val args = graft.tables.ReadArgs(
           filters = GFilters.normalize(translated),
-          columns = if (cols.nonEmpty) Some(cols) else None)
-        var df = new GraftRelation(context.sparkSession, path, format,
-          Map("path" -> path), context).frame(args)
+          columns = if (cols.nonEmpty) Some(cols) else None,
+          extra = rel.travelExtra)
+        var df = rel.frame(args)
           .select(cols.map(org.apache.spark.sql.functions.col): _*)
         limit.foreach(n => df = df.limit(n))
         df.queryExecution.toRdd.asInstanceOf[org.apache.spark.rdd.RDD[Row]]

@@ -217,7 +217,11 @@ class GraftRelation(
 
   private def name = path.split('/').lastOption.filter(_.nonEmpty).getOrElse("table")
 
-  /** Time-travel options forwarded to the table's own extra keys. */
+  /** Time-travel options forwarded to the table's own extra keys
+    * (exposed for the DSv2 VERSION/TIMESTAMP AS OF bridge).
+    */
+  private[spark] def travelExtra: Map[String, Any] = extra
+
   private val extra: Map[String, Any] = format match {
     case "delta" =>
       val t = new DeltaTable(name, path)

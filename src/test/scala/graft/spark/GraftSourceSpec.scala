@@ -585,4 +585,54 @@ class GraftSourceSpec extends SparkSpec {
         .as[(String, String)].collect().toMap.contains("tier"))
     }
   }
+
+  test("DSv2 catalog: VERSION/TIMESTAMP AS OF time travel across the triad") {
+    val base = tempDir("graft-cat-tt").toString
+    val d = base + "/d"
+    DeltaWrite.append(spark, Seq((1L, "a")).toDF("id", "v"), d)
+    DeltaWrite.append(spark, Seq((2L, "b")).toDF("id", "v"), d)
+    withCatalog {
+      // delta: numeric version
+      assert(spark.sql(s"SELECT id FROM graft.`$d` VERSION AS OF 0")
+        .as[Long].collect().toSeq == Seq(1L))
+      assert(spark.sql(s"SELECT id FROM graft.`$d`")
+        .as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+      // TIMESTAMP AS OF "now" resolves to the head version
+      val now = java.sql.Timestamp.from(java.time.Instant.now().plusSeconds(1))
+      assert(spark.sql(s"SELECT count(*) FROM graft.`$d` TIMESTAMP AS OF '$now'")
+        .as[Long].head() == 2L)
+      // time-traveled tables are read-only through the catalog
+      val ew = intercept[Exception] {
+        spark.sql(s"DELETE FROM graft.`$d` VERSION AS OF 0 WHERE id = 1")
+      }
+      assert(ew.getMessage.toLowerCase.contains("time-traveled") ||
+        ew.getMessage.toLowerCase.contains("syntax"), ew.getMessage)
+
+      // iceberg: snapshot id AND named ref through VERSION AS OF
+      val i = base + "/i"
+      val s0 = IcebergWrite.append(spark, Seq((1L, "a")).toDF("id", "v"), i)
+      IcebergWrite.setRef(spark, i, "audit", snapshotId = Some(s0))
+      IcebergWrite.append(spark, Seq((2L, "b")).toDF("id", "v"), i)
+      assert(spark.sql(s"SELECT id FROM graft.`$i` VERSION AS OF $s0")
+        .as[Long].collect().toSeq == Seq(1L))
+      assert(spark.sql(s"SELECT id FROM graft.`$i` VERSION AS OF 'audit'")
+        .as[Long].collect().toSeq == Seq(1L))
+      assert(spark.sql(s"SELECT id FROM graft.`$i`")
+        .as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+
+      // hudi: instant travel (first commit's instant)
+      val h = base + "/h"
+      HudiWrite.bulkInsert(spark, Seq((1L, "a")).toDF("id", "v"), h, "id")
+      val fs = new org.apache.hadoop.fs.Path(h)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val first = fs.listStatus(new org.apache.hadoop.fs.Path(h, ".hoodie"))
+        .map(_.getPath.getName).filter(_.endsWith(".commit"))
+        .map(_.stripSuffix(".commit")).min
+      HudiWrite.upsert(spark, Seq((2L, "b")).toDF("id", "v"), h)
+      assert(spark.sql(s"SELECT id FROM graft.`$h` VERSION AS OF '$first'")
+        .as[Long].collect().toSeq == Seq(1L))
+      assert(spark.sql(s"SELECT id FROM graft.`$h`")
+        .as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    }
+  }
 }
