@@ -96,6 +96,19 @@ object MetadataResolver {
       override def getTables(showDeprecated: Boolean): Map[String, TableProtocol] =
         resolver.list().flatMap(n =>
           resolver.resolve(n).map(r => n -> tableFor(n, r, conf))).toMap
+
+      // POINT lookup: one resolve, never an enumeration — reading one
+      // table of a 10⁵-table warehouse must not list (and format-sniff)
+      // the other 99 999
+      override def table(
+          name: String,
+          spark: org.apache.spark.sql.SparkSession,
+          args: graft.tables.ReadArgs): org.apache.spark.sql.DataFrame =
+        resolver.resolve(name) match {
+          case Some(r) => tableFor(name, r, conf)(spark, args)
+          case None => throw new NoSuchElementException(
+            s"Table '$name' not found in database")
+        }
     }
 }
 

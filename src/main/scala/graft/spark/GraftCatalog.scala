@@ -74,14 +74,21 @@ class GraftCatalog extends TableCatalog {
 
   /** SQL time travel: `SELECT … FROM graft.\`/p\` VERSION AS OF v` —
     * v is a Delta version, an Iceberg snapshot id or ref NAME, or a
-    * Hudi instant, routed to each reader's own time-travel key.
+    * Hudi instant, routed to each reader's own time-travel key. An
+    * Iceberg v is checked against the table's DECLARED refs first, so
+    * an all-digit ref name (a '2024' tag) still resolves by name and
+    * can never silently collide with a snapshot id.
     */
   override def loadTable(ident: Identifier, version: String): Table = {
     val t = loadTable(ident).asInstanceOf[GraftV2Table]
     val opts = t.format match {
       case "delta"   => Map("versionAsOf" -> version)
       case "iceberg" =>
-        if (version.nonEmpty && version.forall(_.isDigit))
+        val fs = new org.apache.hadoop.fs.Path(t.path)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val refs = graft.tables.IcebergMeta.load(fs, t.path).refs
+        if (refs.contains(version)) Map("ref" -> version)
+        else if (version.nonEmpty && version.forall(_.isDigit))
           Map("snapshotId" -> version)
         else Map("ref" -> version)
       case _ => Map("asOfInstant" -> version)
@@ -110,13 +117,15 @@ class GraftCatalog extends TableCatalog {
     Array.empty // path-addressed: there is no enumerable namespace
 
   override def tableExists(ident: Identifier): Boolean =
-    // only "this is not a table" outcomes mean false — a transient
-    // IO/permission failure during format detection must PROPAGATE,
-    // or callers would treat a flaky filesystem as a missing table
-    try { loadTable(ident); true }
+    // existence = the PATH holds a graft-readable table (whatever the
+    // pinned namespace expected — a format MISMATCH is still an
+    // occupied path, so IF NOT EXISTS must no-op, not re-create).
+    // Only a bad namespace means false; a transient IO/permission
+    // failure during format detection PROPAGATES, or callers would
+    // treat a flaky filesystem as a missing table.
+    try { formatOf(ident); ChangeFeed.detectFormat(spark, ident.name()).isDefined }
     catch {
       case _: org.apache.spark.sql.catalyst.analysis.NoSuchTableException => false
-      case _: IllegalArgumentException => false
     }
 
   /** `CREATE TABLE graft.delta.\`/p\` (…) [PARTITIONED BY (…)]
@@ -171,6 +180,10 @@ class GraftCatalog extends TableCatalog {
           .getOrElse(throw new IllegalArgumentException(
             "CREATE TABLE of a Hudi table needs TBLPROPERTIES " +
               "('recordKey'='<col>') — Hudi tables are key-addressed"))
+        val extra = props -- Seq("recordKey", "hoodie.table.recordkey.fields")
+        require(extra.isEmpty,
+          "TBLPROPERTIES other than recordKey are not carried onto Hudi " +
+            s"tables here, got ${extra.keys.mkString(", ")}")
         graft.tables.HudiWrite.bulkInsert(spark, emptyDf, path, key, partCols)
       case other => throw new IllegalArgumentException(
         s"unknown format $other — delta | iceberg | hudi")

@@ -152,12 +152,24 @@ object GraftDmlStrategy extends SparkStrategy {
       case UpdateStarAction(None)                   => sawUpdate = true
       case DeleteAction(cond) =>
         require(deleteWhen.isEmpty, s"at most one WHEN MATCHED DELETE — $shapeHint")
+        // the native writers evaluate the delete condition over the
+        // SOURCE row only — a target-column reference would silently
+        // evaluate against the wrong side, so refuse it
+        cond.foreach(c => c.references.toSeq.find(targetAttrs.contains).foreach(a =>
+          throw new UnsupportedOperationException(
+            s"WHEN MATCHED AND … THEN DELETE must reference SOURCE columns " +
+              s"only (got target column ${a.name}) — the native writers " +
+              "evaluate the condition over the source row")))
         deleteWhen = Some(cond.map(unqualifiedSql).getOrElse("true"))
       case other => throw new UnsupportedOperationException(
         s"unsupported WHEN MATCHED action $other — $shapeHint")
     }
-    require(sawUpdate || deleteWhen.isDefined,
-      s"MERGE needs a WHEN MATCHED clause — $shapeHint")
+    // DeltaWrite.merge UPSERTS every matched row the delete clause
+    // spares: without UPDATE SET *, matched rows that do not satisfy
+    // the delete condition would be silently overwritten with source
+    // values — so the update clause is REQUIRED, never implied
+    require(sawUpdate,
+      s"MERGE needs WHEN MATCHED THEN UPDATE SET * — $shapeHint")
     m.notMatchedActions match {
       case Seq(InsertAction(None, as)) if isIdentity(as) => ()
       case Seq(InsertStarAction(None))                   => ()

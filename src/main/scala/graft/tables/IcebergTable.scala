@@ -584,6 +584,23 @@ class IcebergTable(
           "scans PARQUET, ORC and AVRO content only — rewrite_data_files with a " +
           "parquet-writing engine first"))
 
+  /** Avro files embed their writer schema — align by NAME to the
+    * requested schema (a pre-evolution file's missing columns
+    * null-fill; types cast): Spark's avro reader has no field-id
+    * resolution. Shared by the data-scan and delete-file legs.
+    */
+  private def avroAligned(
+      spark: SparkSession,
+      paths: Seq[String],
+      schema: StructType): DataFrame = {
+    val raw = spark.read.format(IcebergTable.AvroProvider).load(paths: _*)
+    schema.fields.foldLeft(raw) { (d, f) =>
+      if (d.columns.contains(f.name))
+        d.withColumn(f.name, col(f.name).cast(f.dataType))
+      else d.withColumn(f.name, lit(null).cast(f.dataType))
+    }
+  }
+
   /** One relation per CONTENT FORMAT present (≤3, flat in file count)
     * over same-schema content files — the shared scan for delete
     * files and candidate probes. Parquet/ORC take the schema as a
@@ -600,13 +617,7 @@ class IcebergTable(
     def leg(group: Seq[IcebergMeta.ContentFile], fmt: String): DataFrame = {
       var df = fmt match {
         case "ORC"  => spark.read.schema(schema).orc(group.map(_.path): _*)
-        case "AVRO" =>
-          val raw = spark.read.format(IcebergTable.AvroProvider).load(group.map(_.path): _*)
-          schema.fields.foldLeft(raw) { (d, f) =>
-            if (d.columns.contains(f.name))
-              d.withColumn(f.name, col(f.name).cast(f.dataType))
-            else d.withColumn(f.name, lit(null).cast(f.dataType))
-          }
+        case "AVRO" => avroAligned(spark, group.map(_.path), schema)
         case _ => spark.read.schema(schema).parquet(group.map(_.path): _*)
       }
       if (withSeq) {
@@ -755,17 +766,7 @@ class IcebergTable(
     def leg(group: Seq[IcebergMeta.ContentFile], fmt: String): DataFrame = {
       var df = fmt match {
         case "ORC"  => spark.read.schema(schema).orc(group.map(_.path): _*)
-        case "AVRO" =>
-          // Avro data files embed their writer schema — align by NAME
-          // to the table schema (a pre-evolution file's missing
-          // columns null-fill; types cast), Spark's avro reader has
-          // no field-id resolution
-          val raw = spark.read.format(IcebergTable.AvroProvider).load(group.map(_.path): _*)
-          schema.fields.foldLeft(raw) { (d, f) =>
-            if (d.columns.contains(f.name))
-              d.withColumn(f.name, col(f.name).cast(f.dataType))
-            else d.withColumn(f.name, lit(null).cast(f.dataType))
-          }
+        case "AVRO" => avroAligned(spark, group.map(_.path), schema)
         case _ => spark.read.schema(schema).parquet(group.map(_.path): _*)
       }
       val idCols = group.flatMap(f => specIdentity.getOrElse(f.specId, Set.empty))

@@ -492,6 +492,26 @@ class GraftSourceSpec extends SparkSpec {
              |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
       }
       assert(e3.getMessage.contains("record key"), e3.getMessage)
+      // delete-only MERGE refuses: the native writer upserts every
+      // matched row the delete spares, so without UPDATE SET * the
+      // non-deleted matches would be silently overwritten
+      val e4 = intercept[Exception] {
+        spark.sql(
+          s"""MERGE INTO graft.`$d` t USING mrg_bad_src s ON t.id = s.id
+             |WHEN MATCHED THEN DELETE
+             |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      }
+      assert(e4.getMessage.contains("UPDATE SET *"), e4.getMessage)
+      // a delete condition referencing TARGET columns refuses (the
+      // writer evaluates it over the source row)
+      val e5 = intercept[Exception] {
+        spark.sql(
+          s"""MERGE INTO graft.`$d` t USING mrg_bad_src s ON t.id = s.id
+             |WHEN MATCHED AND t.v = 'a' THEN DELETE
+             |WHEN MATCHED THEN UPDATE SET *
+             |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      }
+      assert(e5.getMessage.contains("SOURCE columns"), e5.getMessage)
     }
   }
 
