@@ -23,8 +23,10 @@ import org.apache.spark.sql.graftbridge.Bridge
   * whole-table rewrite):
   *
   *  - `UPDATE graft.\`/p\` SET c = e, ... [WHERE pred]` →
-  *    [[DeltaWrite.updateWhere]] (Delta only — the other formats have
-  *    no targeted UPDATE; MERGE is the spelling that exists there).
+  *    [[DeltaWrite.updateWhere]] (Delta, CoW/DV per table policy) or
+  *    a one-commit Hudi key-merged upsert of the rewritten matches
+  *    (key/partition columns must not be SET); Iceberg refuses toward
+  *    MERGE — its write path has no atomic delete+append rewrite.
   *    The WHERE must sit in the pruning filter algebra
   *    ([[DeltaSql.exprToFilters]]) — same bar as DSv2 DELETE.
   *  - `MERGE INTO graft.\`/p\` t USING src ON t.k = src.k
@@ -80,10 +82,10 @@ object GraftDmlStrategy extends SparkStrategy {
       assignments: Seq[Assignment],
       condition: Option[Expression]): SparkPlan = {
     val (t, _) = target
-    require(t.format == "delta",
-      s"UPDATE through the graft catalog serves Delta tables; ${t.path} is " +
-        s"${t.format} — use MERGE INTO (the ${t.format} row-change spelling) " +
-        "or the format's native writer")
+    require(t.format != "iceberg",
+      s"UPDATE through the graft catalog serves Delta and Hudi tables; " +
+        s"${t.path} is iceberg — use MERGE INTO (the atomic equality-upsert " +
+        "spelling) or the format's native writer")
     val set = assignments.map { a =>
       val name = a.key match {
         case ar: AttributeReference => ar.name
@@ -97,9 +99,42 @@ object GraftDmlStrategy extends SparkStrategy {
     // them so the algebra translator sees plain literals
     val filters = condition.map(c => DeltaSql.exprToFilters(foldCastLiterals(c)))
       .getOrElse(graft.core.Filters.normalize(Seq.empty))
-    GraftDmlExec(s"UPDATE delta.`${t.path}`", { spark =>
-      DeltaWrite.updateWhere(spark, t.path, filters, set); ()
-    })
+    if (t.format == "delta")
+      GraftDmlExec(s"UPDATE delta.`${t.path}`", { spark =>
+        DeltaWrite.updateWhere(spark, t.path, filters, set); ()
+      })
+    else
+      // Hudi: rewrite the (pruned) matching rows and key-merge them
+      // back in ONE atomic upsert commit. The record key and the
+      // partition fields must not be SET — a changed key would insert
+      // a new row instead of updating, a moved partition would
+      // duplicate the key across partitions.
+      GraftDmlExec(s"UPDATE hudi.`${t.path}`", { spark =>
+        val fs = new org.apache.hadoop.fs.Path(t.path)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val props = HudiWrite.readProps(fs, t.path)
+        val keyCol = props.getOrElse("hoodie.table.recordkey.fields",
+          throw new IllegalArgumentException(
+            s"${t.path} has no hoodie.table.recordkey.fields"))
+        val partFields = props.get("hoodie.table.partition.fields").toSeq
+          .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+        set.map(_._1).foreach(c => require(
+          !keyCol.split(',').map(_.trim).contains(c) && !partFields.contains(c),
+          s"cannot UPDATE key/partition column $c of a Hudi table"))
+        val matching = new HudiTable(t.path.split('/').last, t.path)(
+          spark, ReadArgs(filters = filters))
+        set.map(_._1).foreach(c => require(matching.columns.contains(c),
+          s"SET column $c is not in the table schema"))
+        // every assignment sees the PRE-update row (SQL UPDATE
+        // semantics): one select, never chained withColumns
+        val setMap = set.toMap
+        val updated = matching.select(matching.columns.toSeq.map(c =>
+          setMap.get(c)
+            .map(e => org.apache.spark.sql.functions.expr(e).as(c))
+            .getOrElse(org.apache.spark.sql.functions.col(c))): _*)
+        if (!updated.isEmpty) HudiWrite.upsert(spark, updated, t.path)
+        ()
+      })
   }
 
   // -------------------------------------------------------- MERGE

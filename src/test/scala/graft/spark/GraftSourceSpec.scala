@@ -410,13 +410,36 @@ class GraftSourceSpec extends SparkSpec {
       // touches every row
       spark.sql(s"UPDATE graft.delta.`$dir` SET id = id + 100")
       assert(spark.sql(s"SELECT min(id) FROM graft.`$dir`").as[Long].head() == 100L)
-      // non-Delta targets refuse with the MERGE hint
+      // Iceberg targets refuse with the MERGE hint
       val i = tempDir("graft-cat-updi").toString + "/i"
       IcebergWrite.append(spark, Seq((1L, "a")).toDF("id", "v"), i)
       val e = intercept[Exception] {
         spark.sql(s"UPDATE graft.`$i` SET v = 'x'")
       }
       assert(e.getMessage.contains("MERGE INTO"), e.getMessage)
+
+      // Hudi UPDATE: one atomic key-merged upsert of the rewritten
+      // matches; SET sees pre-update values
+      val h = tempDir("graft-cat-updh").toString + "/h"
+      HudiWrite.bulkInsert(spark,
+        Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)).toDF("id", "v", "x"),
+        h, "id")
+      spark.sql(s"UPDATE graft.`$h` SET v = concat(v, '!'), x = x + 1 WHERE id >= 2")
+      assert(spark.sql(s"SELECT id, v, x FROM graft.`$h`")
+        .as[(Long, String, Long)].collect().toSet ==
+        Set((1L, "a", 10L), (2L, "b!", 21L), (3L, "c!", 31L)))
+      // the record key is not updatable (a changed key would insert)
+      val ek = intercept[Exception] {
+        spark.sql(s"UPDATE graft.`$h` SET id = id + 100")
+      }
+      assert(ek.getMessage.contains("key/partition column"), ek.getMessage)
+      // no-match UPDATE commits nothing
+      val commits = new org.apache.hadoop.fs.Path(h, ".hoodie")
+      val fs2 = commits.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val n0 = fs2.listStatus(commits).count(_.getPath.getName.endsWith(".commit"))
+      spark.sql(s"UPDATE graft.`$h` SET v = 'z' WHERE id = 999")
+      assert(fs2.listStatus(commits)
+        .count(_.getPath.getName.endsWith(".commit")) == n0)
     }
   }
 
