@@ -588,6 +588,12 @@ class IcebergTable(
     * requested schema (a pre-evolution file's missing columns
     * null-fill; types cast): Spark's avro reader has no field-id
     * resolution. Shared by the data-scan and delete-file legs.
+    * SCOPE (the class doc's name-resolution contract applied to this
+    * leg): Avro files written BEFORE a column RENAME still carry the
+    * old name and would null-fill under the new one — renamed-column
+    * Avro tables need a rewrite_data_files pass first, exactly like
+    * the column-mapped-Delta-export shape the reader already
+    * declares out of scope.
     */
   private def avroAligned(
       spark: SparkSession,
