@@ -87,6 +87,42 @@ class AttachCodegenSpec extends SparkSpec {
     }
   }
 
+  test("CDF range read (tuple attach on the _change_data leg) survives codegen-only mode") {
+    val dir = tempDir("acg-cdf").toString + "/t"
+    DeltaWrite.append(spark,
+      (1L to 8L).map(i => (i, (i % 2).toInt, s"v$i")).toDF("id", "p", "v"),
+      dir, partitionBy = Seq("p"))
+    DeltaWrite.setTableProperties(spark, dir,
+      Map("delta.enableChangeDataFeed" -> "true"))
+    DeltaWrite.updateWhere(spark, dir,
+      Seq(Seq(Filter("id", "=", 3L))), Seq("v" -> "'V3'"))
+    noFallback {
+      val changes = DeltaChanges.between(spark, dir, 2, 2)
+        .select("id", "p", "_change_type")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      assert(changes.toSet == Set(
+        (3L, 1, "update_preimage"), (3L, 1, "update_postimage")), changes.toSeq)
+    }
+  }
+
+  test("DML positional scan (DV delete on a partitioned table) survives codegen-only mode") {
+    val dir = tempDir("acg-dml").toString + "/t"
+    DeltaWrite.append(spark,
+      (1L to 12L).map(i => (i, (i % 3).toInt, s"v$i")).toDF("id", "p", "v"),
+      dir, partitionBy = Seq("p"))
+    noFallback {
+      // the delete's candidate scan attaches partition tuples and
+      // row positions; the surviving read applies the DV filter —
+      // both inside generated code
+      DeltaWrite.deleteWhereDv(spark, dir,
+        Seq(Seq(Filter("id", "in", Seq(2L, 7L, 12L)))))
+      val got = new DeltaTable("t", dir)(spark, ReadArgs.empty)
+        .select("id", "p").as[(Long, Int)].collect().sortBy(_._1).toSeq
+      assert(got.map(_._1) == (1L to 12L).filterNot(Set(2L, 7L, 12L)))
+      got.foreach { case (i, p) => assert(p == (i % 3).toInt) }
+    }
+  }
+
   test("Hudi MOR upsert read (MetadataPathDecode) survives codegen-only mode") {
     val dir = tempDir("acg-hudi").toString + "/t"
     HudiWrite.bulkInsert(spark,
