@@ -70,6 +70,26 @@ object IcebergUniform {
     require(counts.forall(_ >= 0),
       s"$tablePath has files without numRecords stats; Iceberg requires record_count")
 
+    // column-mapped tables store PHYSICAL column names in their data
+    // files while the exported Iceberg schema speaks LOGICAL names —
+    // resolvable only through parquet footer FIELD IDS (upstream
+    // UniForm's IcebergCompat enforces the same invariant: ids in
+    // every data file). A file without footer ids would read as
+    // all-null through any Iceberg reader, so it refuses HERE, at
+    // export time, with the fix named. Probe is per-file cached
+    // (graft.tables.IcebergTable.probeMissingFooterIds), executor-side
+    // above a bounded driver fast path.
+    if (snap.metadata.isColumnMapped) {
+      val idless = graft.tables.IcebergTable.probeMissingFooterIds(
+        spark, snap.files.map(f => DeltaLog.resolvePath(tablePath, f.path)))
+      require(idless.isEmpty,
+        s"$tablePath is column-mapped but ${idless.size} data file(s) carry no " +
+          s"parquet field ids (e.g. ${idless.headOption.getOrElse("")}): an " +
+          "Iceberg reader can only resolve physical-name columns by field id " +
+          "— use id-mode column mapping (files written with parquet.field.id) " +
+          "or rewrite the files with field ids before exporting")
+    }
+
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val metaDir = new Path(tablePath, "metadata")
     fs.mkdirs(metaDir)

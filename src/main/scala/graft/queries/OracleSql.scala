@@ -1800,6 +1800,15 @@ object OracleSql {
         |WHERE n_regionkey >= 1
         |ORDER BY n_nationkey""".stripMargin,
 
+    // R49 r15 rename leg: the fixture reads pre-rename parquet AND
+    // Avro files (old column name on disk, resolved by field id) plus
+    // a post-rename append — values must equal the source table with
+    // the renamed column aliased
+    "q_iceberg_rename" ->
+      """SELECT n_nationkey, n_name AS nation_label, n_regionkey
+        |FROM nation
+        |ORDER BY n_nationkey""".stripMargin,
+
     // R49 manifest column-bounds skipping: the engine reads lineitem
     // through a natively written, orderkey-range-sorted Iceberg table
     // whose manifests carry per-file lower/upper bounds — values must

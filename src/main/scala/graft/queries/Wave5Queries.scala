@@ -352,6 +352,64 @@ object Wave5Queries {
       .orderBy("n_nationkey")
   }
 
+  private val icebergRenamed = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Nation assembled across a column RENAME (r15): parquet appended
+    * natively PRE-rename (footers carry field ids), an AVRO import
+    * whose writer schema stamps Iceberg `field-id` props (what a
+    * foreign Avro writer leaves) also pre-rename, then
+    * `renameColumn(n_name → nation_label)` — metadata-only — and a
+    * post-rename parquet append. Every pre-rename file stores the OLD
+    * column name; the read must resolve all of them by FIELD ID.
+    */
+  private def icebergNationRenamed(s: SparkSession, dir: String): String =
+    icebergRenamed.getOrElseUpdate(dir, {
+      import graft.tables.{IcebergMeta, IcebergWrite}
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_ice_rename").toString
+      val path = base + "/nation"
+      val nat = t(s, dir, "nation")
+      IcebergWrite.append(s, nat.filter(col("n_nationkey") < 8), path)
+      // AVRO leg, pre-rename, field-id props from the committed ids
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val ids = IcebergMeta.load(fs, path).schema.fields.map(f =>
+        f.name -> f.metadata.getLong(graft.tables.DeltaLog.FieldIdKey)).toMap
+      val mid = nat.filter(col("n_nationkey") >= 8 && col("n_nationkey") < 16)
+      val avroFields = mid.schema.fields.map { f =>
+        val tj = f.dataType match {
+          case org.apache.spark.sql.types.IntegerType => "\"int\""
+          case org.apache.spark.sql.types.LongType    => "\"long\""
+          case _                                      => "\"string\""
+        }
+        s"""{"name":"${f.name}","type":$tj,"field-id":${ids(f.name)}}"""
+      }.mkString(",")
+      val avroDir = base + "/nation_avro"
+      mid.coalesce(1).write.format(graft.tables.IcebergTable.AvroProvider)
+        .option("avroSchema", s"""{"type":"record","name":"r","fields":[$avroFields]}""")
+        .save(avroDir)
+      IcebergWrite.addFiles(s, avroDir, path, format = "AVRO")
+      IcebergWrite.renameColumn(s, path, "n_name", "nation_label")
+      IcebergWrite.append(s,
+        nat.filter(col("n_nationkey") >= 16).withColumnRenamed("n_name", "nation_label"),
+        path)
+      path
+    })
+
+  /** R49 r15 rename leg: parquet and Avro files written BEFORE a
+    * column rename must read their values under the NEW name via
+    * recorded field ids — the exact shape a name-resolving reader
+    * silently null-fills. Values must equal the source table with the
+    * column aliased.
+    */
+  def qIcebergRename(s: SparkSession, dir: String): DataFrame = {
+    import graft.tables.{IcebergTable, ReadArgs}
+    val table = new IcebergTable("nation_renamed", icebergNationRenamed(s, dir))
+    table(s, ReadArgs(
+      columns = Some(Seq("n_nationkey", "nation_label", "n_regionkey"))))
+      .orderBy("n_nationkey")
+  }
+
   // ---------- R50: native Iceberg write (append) ----------
 
   private val icebergWritten = scala.collection.concurrent.TrieMap.empty[String, String]

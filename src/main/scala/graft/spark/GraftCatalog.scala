@@ -195,12 +195,30 @@ class GraftCatalog extends TableCatalog {
     * DROP COLUMN / SET TBLPROPERTIES` — routed to the native Delta
     * DDL (the proven DeltaSql verbs); setting
     * `delta.columnMapping.mode` on an unmapped table is the upgrade
-    * DDL ('name' only, delta-spark parity). Iceberg/Hudi ALTER stays
-    * refused: their schema evolution is append-time by design here.
+    * DDL ('name' only, delta-spark parity). Iceberg ALTER serves
+    * RENAME COLUMN (metadata-only schema evolution, r15 —
+    * [[graft.tables.IcebergWrite.renameColumn]]; recorded field ids
+    * keep pre-rename files reading correctly); other Iceberg/Hudi
+    * ALTER stays refused: their schema evolution is append-time by
+    * design here.
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     import graft.tables.{DeltaDdl, DeltaLog, DeltaWrite}
     val t = loadTable(ident).asInstanceOf[GraftV2Table]
+    if (t.format == "iceberg") {
+      changes.foreach {
+        case r: TableChange.RenameColumn =>
+          require(r.fieldNames().length == 1,
+            s"RENAME COLUMN supports top-level columns, got " +
+              r.fieldNames().mkString("."))
+          graft.tables.IcebergWrite.renameColumn(
+            spark, t.path, r.fieldNames()(0), r.newName())
+        case other => throw new UnsupportedOperationException(
+          s"ALTER TABLE on an Iceberg table serves RENAME COLUMN only, " +
+            s"got $other — its schema otherwise evolves on append")
+      }
+      return loadTable(ident)
+    }
     require(t.format == "delta",
       s"ALTER TABLE through the $catalogName catalog serves Delta tables; " +
         s"${t.path} is ${t.format} — its schema evolves on append")

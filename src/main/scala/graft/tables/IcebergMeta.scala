@@ -90,7 +90,15 @@ object IcebergMeta {
       specs: Map[Int, Seq[SpecField]],
       defaultSpecId: Int,
       snapshots: Seq[SnapshotInfo],
-      refs: Map[String, SnapshotRef] = Map.empty) {
+      refs: Map[String, SnapshotRef] = Map.empty,
+      /** Every LEAF name each field id has EVER carried, across the
+        * metadata's full `schemas` history (current included) — the
+        * rename detector: an id mapping to more than one name was
+        * renamed at some point, so data files written BEFORE the
+        * rename may still store the column under an old name. Empty
+        * for v1 single-`schema` metadata (no history to consult).
+        */
+      fieldNameHistory: Map[Int, Set[String]] = Map.empty) {
 
     /** name → (field id, type) of TOP-LEVEL columns ONLY — the map
       * stats pruning resolves filters through. Built from the
@@ -247,7 +255,35 @@ object IcebergMeta {
       specs = specs,
       defaultSpecId = root.path("default-spec-id").asInt(0),
       snapshots = snapshots,
-      refs = refs)
+      refs = refs,
+      fieldNameHistory =
+        if (root.has("schemas")) fieldNameHistoryOf(elements(root.path("schemas")))
+        else Map.empty)
+  }
+
+  /** (field id → every leaf name it has carried) over a set of schema
+    * JSON nodes — a TOLERANT raw-JSON walk (never [[schemaFromJson]]:
+    * historical schemas may carry since-dropped columns whose types or
+    * defaults the current parser refuses, and history collection must
+    * not fail a table whose CURRENT schema is readable). Recurses
+    * through struct fields and list/map element types.
+    */
+  private[tables] def fieldNameHistoryOf(
+      schemaNodes: Seq[JsonNode]): Map[Int, Set[String]] = {
+    val acc = scala.collection.mutable.Map.empty[Int, Set[String]]
+    def walkType(t: JsonNode): Unit =
+      if (t != null && t.isObject) {
+        elements(t.path("fields")).foreach { f =>
+          val id = f.path("id").asInt(-1)
+          val name = f.path("name").asText(null)
+          if (id >= 0 && name != null)
+            acc(id) = acc.getOrElse(id, Set.empty) + name
+          walkType(f.path("type"))
+        }
+        Seq("element", "key", "value").foreach(k => walkType(t.path(k)))
+      }
+    schemaNodes.foreach(walkType)
+    acc.toMap
   }
 
   // ---------------------------------------------------- schema

@@ -39,9 +39,17 @@ import org.apache.spark.sql.types._
   *    format, plan width flat in partition cardinality) — files that
   *    DO store them (normal Iceberg writers) win.
   *
-  * Columns are resolved by NAME; tables whose data files carry only
-  * field-id-renamed physical columns (e.g. exported from a
-  * column-mapped Delta table) are out of scope for this reader.
+  * Columns are resolved by FIELD ID wherever the file records ids —
+  * parquet footers via Spark's native `parquet.field.id` matching,
+  * Avro via the embedded writer schema's `field-id` props — so
+  * renamed columns (and column-mapped Delta exports, whose files
+  * carry physical names + ids) read their pre-rename data correctly.
+  * Files WITHOUT recorded ids (add_files imports from non-Iceberg
+  * writers) fall back to name resolution per file; when the metadata's
+  * schema history shows a rename, that fallback would be silently
+  * wrong, so id-less files on renamed tables refuse loudly — as do
+  * ORC content files (Spark's ORC reader is name-only) and
+  * Avro-nested renames (alias resolution is top-level).
   *
   * Snapshot selection: `extra(SnapshotIdKey)` pins a snapshot id,
   * `extra(TimestampKey)` reads the last snapshot committed at or
@@ -104,7 +112,7 @@ class IcebergTable(
     if (deleteFiles.nonEmpty) {
       if (pruned.nonEmpty) {
         df = applyDeletionVectors(spark, fs, df, pruned, dvs)
-        df = applyPositionDeletes(spark, df, pruned, v2Deletes.filter(_.content == 1))
+        df = applyPositionDeletes(spark, meta, df, pruned, v2Deletes.filter(_.content == 1))
         df = applyEqualityDeletes(spark, df, meta, v2Deletes.filter(_.content == 2))
       }
       df = df.select(meta.schema.fieldNames.map(col).toSeq: _*)
@@ -220,7 +228,7 @@ class IcebergTable(
       // a row upserted twice WITHIN the range is superseded by the
       // later commit's equality delete (delete seq > data seq), so
       // exactly one — the latest — version of each changed key emits
-      df = applyPositionDeletes(spark, df, pruned, addedDeletes.filter(_.content == 1))
+      df = applyPositionDeletes(spark, meta, df, pruned, addedDeletes.filter(_.content == 1))
       df = applyEqualityDeletes(spark, df, meta, addedDeletes.filter(_.content == 2))
       df = df.select(meta.schema.fieldNames.map(col).toSeq: _*)
     }
@@ -402,7 +410,7 @@ class IcebergTable(
       var ins = readData(spark, meta, addedData, withDeletes = needDel)
       if (needDel) {
         ins = applyDeletionVectors(spark, fs, ins, addedData, addedDvs)
-        ins = applyPositionDeletes(spark, ins, addedData, addedPos)
+        ins = applyPositionDeletes(spark, meta, ins, addedData, addedPos)
           .select(schemaCols: _*)
       }
       frames += ins.withColumn(ChangeTypeCol, lit("insert"))
@@ -417,7 +425,7 @@ class IcebergTable(
     def liveAtPrev(df: DataFrame, files: Seq[IcebergMeta.ContentFile]): DataFrame = {
       refuseUnreadableDvs(meta, prevDvs)
       var d = applyDeletionVectors(spark, fs, df, files, prevDvs)
-      d = applyPositionDeletes(spark, d, files, prevPos)
+      d = applyPositionDeletes(spark, meta, d, files, prevPos)
       applyEqualityDeletes(spark, d, meta, prevEq)
     }
 
@@ -434,7 +442,7 @@ class IcebergTable(
       val posCandidates: Seq[IcebergMeta.ContentFile] =
         if (addedPos.isEmpty) Seq.empty
         else {
-          val refPaths = contentScan(spark, addedPos,
+          val refPaths = contentScan(spark, meta, addedPos,
             StructType(Seq(StructField("file_path", StringType))), withSeq = false)
             .select("file_path").distinct().collect()
             .map(r => normalizePathStr(r.getString(0))).toSet
@@ -451,7 +459,7 @@ class IcebergTable(
         val live = liveAtPrev(
           readData(spark, meta, candidates, withDeletes = true), candidates)
         var after = applyDeletionVectors(spark, fs, live, candidates, addedDvs)
-        after = applyPositionDeletes(spark, after, candidates, addedPos)
+        after = applyPositionDeletes(spark, meta, after, candidates, addedPos)
         after = applyEqualityDeletes(spark, after, meta, addedEq)
         val dead = live.join(
           after.select(col(PathCol).as("_s_path"), col(PosCol).as("_s_pos")),
@@ -488,7 +496,7 @@ class IcebergTable(
         val delSchema = StructType(
           prunable.map(c => meta.schema(c).copy(metadata = Metadata.empty)))
         val aggs = prunable.flatMap(c => Seq(min(col(c)), max(col(c))))
-        val row = contentScan(spark, files, delSchema, withSeq = false)
+        val row = contentScan(spark, meta, files, delSchema, withSeq = false)
           .agg(aggs.head, aggs.drop(1): _*).head()
         val bounds = graft.core.Filters.normalize(
           prunable.zipWithIndex.flatMap { case (c, i) =>
@@ -584,46 +592,111 @@ class IcebergTable(
           "scans PARQUET, ORC and AVRO content only — rewrite_data_files with a " +
           "parquet-writing engine first"))
 
-  /** Avro files embed their writer schema — align by NAME to the
-    * requested schema (a pre-evolution file's missing columns
-    * null-fill; types cast): Spark's avro reader has no field-id
-    * resolution. Shared by the data-scan and delete-file legs.
-    * SCOPE (the class doc's name-resolution contract applied to this
-    * leg): Avro files written BEFORE a column RENAME still carry the
-    * old name and would null-fill under the new one — renamed-column
-    * Avro tables need a rewrite_data_files pass first, exactly like
-    * the column-mapped-Delta-export shape the reader already
-    * declares out of scope.
+  /** Avro files embed their writer schema: files group by DISTINCT
+    * writer schema (header probe, executor-side + cached above a
+    * handful — mixed-writer-schema groups from separate add_files
+    * imports each align independently) and each group's columns
+    * resolve by ICEBERG FIELD ID via the schema's `field-id` props
+    * (required of Iceberg Avro writers): a renamed column reads its
+    * values from the file's old name, a field id the file predates
+    * null-fills, types cast. A writer schema with NO `field-id`
+    * props (an add_files import from a non-Iceberg writer) falls
+    * back to name resolution — refused loudly when the metadata's
+    * schema history shows renames, because a pre-rename file would
+    * silently null-fill. Nested renames/reorders refuse (alias
+    * resolution is the top-level projection; the nested struct cast
+    * is positional). Shared by the data-scan and delete-file legs.
     */
   private def avroAligned(
       spark: SparkSession,
       paths: Seq[String],
-      schema: StructType): DataFrame = {
-    val raw = spark.read.format(IcebergTable.AvroProvider).load(paths: _*)
-    schema.fields.foldLeft(raw) { (d, f) =>
-      if (d.columns.contains(f.name))
-        d.withColumn(f.name, col(f.name).cast(f.dataType))
-      else d.withColumn(f.name, lit(null).cast(f.dataType))
-    }
+      schema: StructType,
+      meta: IcebergMeta.TableMeta): DataFrame = {
+    val writerJsons = IcebergTable.probeAvroWriterSchemas(spark, paths)
+    val renamed = IcebergTable.renamedFields(meta.fieldNameHistory, schema)
+    val groups = paths.groupBy(p => writerJsons(DvDeleted.normalizePath(p)))
+    groups.toSeq.sortBy(_._1).map { case (wjson, ps) =>
+      val writer = new org.apache.avro.Schema.Parser().parse(wjson)
+      val raw = spark.read.format(IcebergTable.AvroProvider).load(ps: _*)
+      raw.select(
+        IcebergTable.avroProjection(writer, schema, renamed, uri, ps.head): _*)
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Parquet files split by FOOTER-ID presence into the two read
+    * legs: files recording ids (Iceberg writers are required to, and
+    * graft stamps its own) read through the id-resolving relation —
+    * Spark's `parquet.field.id` matching, which keeps renamed columns
+    * and physical-name files (column-mapped Delta exports) correct —
+    * while id-less files (add_files imports, pre-r15 graft tables)
+    * keep the proven name-resolving relation. Spark has no per-file
+    * fallback between the two (an id-bearing read schema over an
+    * id-less file yields nulls or an error, never a name match), so
+    * the split is decided up front by the cached footer probe
+    * ([[IcebergTable.probeMissingFooterIds]]).
+    *
+    * Rename refusals live here too: when any REQUESTED field carried
+    * a different name in the schema history, ORC files (name-only
+    * reader) and id-less parquet files (provenance unknowable: a
+    * pre-rename file holds the old name = silent null-fill) refuse
+    * loudly, naming rewrite_data_files.
+    */
+  private def splitParquetByFooterIds(
+      spark: SparkSession,
+      meta: IcebergMeta.TableMeta,
+      schema: StructType,
+      files: Seq[IcebergMeta.ContentFile],
+      role: String
+  ): (Seq[IcebergMeta.ContentFile], Seq[IcebergMeta.ContentFile]) = {
+    val renamed = IcebergTable.renamedFields(meta.fieldNameHistory, schema)
+    lazy val what = renamed.map { case (id, path, old) =>
+      s"$path (field id $id, formerly ${old.mkString("/")})"
+    }.mkString(", ")
+    if (renamed.nonEmpty)
+      files.find(f => f.fileFormat == "ORC" && !f.isDeletionVector).foreach(f =>
+        throw new UnsupportedOperationException(
+          s"$uri renamed column(s) $what and stores ORC $role files (e.g. " +
+            s"${f.path}): Spark's ORC reader resolves columns by NAME, so a " +
+            "pre-rename file would silently null-fill — rewrite_data_files " +
+            "with a parquet-writing engine first"))
+    val parq = files.filter(_.fileFormat == "PARQUET")
+    if (parq.isEmpty || !IcebergTable.hasFieldIds(schema))
+      return (Seq.empty, parq)
+    val idless =
+      IcebergTable.probeMissingFooterIds(spark, parq.map(_.path)).toSet
+    if (renamed.nonEmpty && idless.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"$uri renamed column(s) $what, but ${idless.size} parquet $role " +
+          s"file(s) carry no footer field ids (e.g. ${idless.head}) — " +
+          "written before the rename such a file holds the OLD name " +
+          "(silent null-fill under the new one) and nothing records which " +
+          "side of the rename it came from; rewrite_data_files first")
+    parq.partition(f => !idless(f.path))
   }
 
   /** One relation per CONTENT FORMAT present (≤3, flat in file count)
     * over same-schema content files — the shared scan for delete
     * files and candidate probes. Parquet/ORC take the schema as a
-    * reader projection; Avro files embed their writer schema, so the
-    * Avro leg aligns by NAME (missing columns null-fill, types cast —
-    * Spark's avro reader has no field-id story). `withSeq` rides each
-    * file's sequence number as a per-file constant `_del_seq`.
+    * reader projection (parquet matching by FIELD ID when the schema
+    * carries ids — [[IcebergTable.stampParquetFieldIds]]); Avro files
+    * resolve per writer schema ([[avroAligned]]). `withSeq` rides
+    * each file's sequence number as a per-file constant `_del_seq`.
     */
   private def contentScan(
       spark: SparkSession,
+      meta: IcebergMeta.TableMeta,
       files: Seq[IcebergMeta.ContentFile],
       schema: StructType,
       withSeq: Boolean): DataFrame = {
+    val (pqId, pqNoId) =
+      splitParquetByFooterIds(spark, meta, schema, files, "delete")
+    val stamped = IcebergTable.stampParquetFieldIds(schema)
+    if (pqId.nonEmpty) IcebergTable.enableFieldIdRead(spark)
     def leg(group: Seq[IcebergMeta.ContentFile], fmt: String): DataFrame = {
       var df = fmt match {
-        case "ORC"  => spark.read.schema(schema).orc(group.map(_.path): _*)
-        case "AVRO" => avroAligned(spark, group.map(_.path), schema)
+        case "ORC"     => spark.read.schema(schema).orc(group.map(_.path): _*)
+        case "AVRO"    => avroAligned(spark, group.map(_.path), schema, meta)
+        case "PQ_ID"   => spark.read.schema(stamped).parquet(group.map(_.path): _*)
         case _ => spark.read.schema(schema).parquet(group.map(_.path): _*)
       }
       if (withSeq) {
@@ -634,7 +707,9 @@ class IcebergTable(
       df.select((schema.fieldNames.toSeq ++
         (if (withSeq) Seq("_del_seq") else Seq.empty)).map(col): _*)
     }
-    files.groupBy(_.fileFormat).toSeq.sortBy(_._1)
+    (files.filterNot(_.fileFormat == "PARQUET").groupBy(_.fileFormat).toSeq ++
+      Seq("PQ_ID" -> pqId, "PARQUET" -> pqNoId).filter(_._2.nonEmpty))
+      .sortBy(_._1)
       .map { case (fmt, g) => leg(g, fmt) }
       .reduce(_.unionByName(_))
   }
@@ -722,6 +797,15 @@ class IcebergTable(
       StructField(PathCol, StringType), StructField(PosCol, LongType),
       StructField(SeqCol, LongType))
     requireReadable(files, "data")
+    // field-id parquet resolution: footer-id-bearing files read
+    // through a relation whose schema carries each column's Iceberg
+    // field id as `parquet.field.id` (Spark matches by ID — renamed
+    // columns and physical-name files read correctly); id-less files
+    // keep the name-resolving relation ([[splitParquetByFooterIds]]).
+    val (pqIdFiles, pqNoIdFiles) =
+      splitParquetByFooterIds(spark, meta, schema, files, "data")
+    val stamped = IcebergTable.stampParquetFieldIds(schema)
+    if (pqIdFiles.nonEmpty) IcebergTable.enableFieldIdRead(spark)
     val outSchema =
       if (!withDeletes) schema else StructType(schema.fields ++ helperFields)
     if (files.isEmpty)
@@ -771,8 +855,9 @@ class IcebergTable(
 
     def leg(group: Seq[IcebergMeta.ContentFile], fmt: String): DataFrame = {
       var df = fmt match {
-        case "ORC"  => spark.read.schema(schema).orc(group.map(_.path): _*)
-        case "AVRO" => avroAligned(spark, group.map(_.path), schema)
+        case "ORC"   => spark.read.schema(schema).orc(group.map(_.path): _*)
+        case "AVRO"  => avroAligned(spark, group.map(_.path), schema, meta)
+        case "PQ_ID" => spark.read.schema(stamped).parquet(group.map(_.path): _*)
         case _ => spark.read.schema(schema).parquet(group.map(_.path): _*)
       }
       val idCols = group.flatMap(f => specIdentity.getOrElse(f.specId, Set.empty))
@@ -843,7 +928,9 @@ class IcebergTable(
           .withColumn(PathCol,
             PartitionAttach.tupleField(tuple, tupleFields, idCols.size))
           .withColumn(PosCol,
-            if (fmt == "PARQUET") col("_metadata.row_index")
+            // both parquet legs (id-resolving and name-resolving)
+            // surface the physical row position
+            if (fmt == "PQ_ID" || fmt == "PARQUET") col("_metadata.row_index")
             else lit(null).cast(LongType))
           .withColumn(SeqCol,
             PartitionAttach.tupleField(tuple, tupleFields, idCols.size + 1))
@@ -851,7 +938,9 @@ class IcebergTable(
       df.select(outSchema.fieldNames.map(col).toSeq: _*)
     }
 
-    byFormat.toSeq.sortBy(_._1)
+    (byFormat.view.filterKeys(_ != "PARQUET").toSeq ++
+      Seq("PQ_ID" -> pqIdFiles, "PARQUET" -> pqNoIdFiles).filter(_._2.nonEmpty))
+      .sortBy(_._1)
       .map { case (fmt, g) => leg(g, fmt) }
       .reduce(_.unionByName(_))
   }
@@ -863,6 +952,7 @@ class IcebergTable(
     */
   private def applyPositionDeletes(
       spark: SparkSession,
+      meta: IcebergMeta.TableMeta,
       data: DataFrame,
       dataFiles: Seq[IcebergMeta.ContentFile],
       posDeletes: Seq[IcebergMeta.ContentFile]
@@ -884,7 +974,7 @@ class IcebergTable(
     // one scan PER FORMAT over the position-delete files; each delete
     // row's sequence number rides as a per-file constant instead of
     // one union branch per delete file
-    val dels = contentScan(spark, posDeletes, delSchema, withSeq = true)
+    val dels = contentScan(spark, meta, posDeletes, delSchema, withSeq = true)
       .withColumn("file_path", normalizePathCol(col("file_path")))
     val fileSeq = dataFiles
       .map(f => (normalizePathStr(f.path), f.sequenceNumber))
@@ -915,11 +1005,20 @@ class IcebergTable(
       require(ids.nonEmpty, s"equality delete file ${files.head.path} has no equality ids")
       val cols = ids.map(id => meta.schemaFieldIds.getOrElse(id,
         throw new IllegalArgumentException(s"equality field id $id not in schema")))
-      val delSchema = StructType(cols.map(c => meta.schema(c).copy(metadata = Metadata.empty)))
+      // delete-file columns carry the SAME field ids as the table
+      // schema (spec): keep the id so the parquet/Avro legs resolve
+      // renamed equality columns; other metadata (defaults) drops
+      val delSchema = StructType(cols.map { c =>
+        val f = meta.schema(c)
+        val mb = new MetadataBuilder()
+        if (f.metadata.contains(DeltaLog.FieldIdKey))
+          mb.putLong(DeltaLog.FieldIdKey, f.metadata.getLong(DeltaLog.FieldIdKey))
+        f.copy(metadata = mb.build())
+      })
       // one scan per distinct (equality-id set, format) — both
       // schema-bounded, never per file: sequence numbers ride as
       // per-file constants
-      val dels = contentScan(spark, files, delSchema, withSeq = true)
+      val dels = contentScan(spark, meta, files, delSchema, withSeq = true)
       val cond = cols.map(c => df(c) <=> dels(c))
         .reduce(_ && _) && dels("_del_seq") > df(SeqCol)
       df.join(dels, cond, "left_anti")
@@ -1038,12 +1137,41 @@ object IcebergTable {
   private[tables] val DriverFooterProbeMax = 4
 
   private val FooterCacheMax = 200000
+
+  /** Insertion-order-bounded concurrent cache: at the capacity
+    * boundary the OLDEST entries evict one by one (never a wholesale
+    * clear — a scan fleet hovering at the boundary keeps its working
+    * set instead of re-probing everything). Entries are immutable
+    * facts about immutable files, so there is no invalidation.
+    */
+  private[tables] final class BoundedCache[V](max: Int) {
+    private val map = new java.util.concurrent.ConcurrentHashMap[String, V]()
+    private val order = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    def contains(k: String): Boolean = map.containsKey(k)
+    def get(k: String): Option[V] = Option(map.get(k))
+    def put(k: String, v: V): Unit =
+      if (map.put(k, v) == null) {
+        order.add(k)
+        while (map.size() > max) {
+          val old = order.poll()
+          if (old == null) return else map.remove(old)
+        }
+      }
+    def size: Int = map.size()
+  }
+
+  /** Probe-job width: the session's default parallelism, never a
+    * literal — a small local session shouldn't fan 32 tasks over 5
+    * files, a big cluster shouldn't cap at 32.
+    */
+  private def probeParallelism(spark: org.apache.spark.sql.SparkSession, n: Int): Int =
+    math.max(1, math.min(n, spark.sparkContext.defaultParallelism))
+
   /** `(probe-set signature | normalized path)` → probe keys ABSENT
     * from that file's footer. Iceberg data files are immutable, so an
     * entry never invalidates — queries and snapshots share it.
     */
-  private val footerAbsence =
-    new java.util.concurrent.ConcurrentHashMap[String, Set[String]]()
+  private val footerAbsence = new BoundedCache[Set[String]](FooterCacheMax)
 
   /** Which defaulted fields are MISSING from which surviving parquet
     * files — the per-file gate for v3 initial-default fill, keyed by
@@ -1063,10 +1191,9 @@ object IcebergTable {
     def ck(np: String) = sig + "|" + np
     val norm = paths.map(p => p -> DvDeleted.normalizePath(p))
     val unknown = norm.collect {
-      case (p, np) if !footerAbsence.containsKey(ck(np)) => (p, np)
+      case (p, np) if !footerAbsence.contains(ck(np)) => (p, np)
     }
     if (unknown.nonEmpty) {
-      if (footerAbsence.size() > FooterCacheMax) footerAbsence.clear()
       val found: Map[String, Set[String]] =
         if (unknown.size <= DriverFooterProbeMax) {
           driverFooterProbes.addAndGet(unknown.size.toLong)
@@ -1078,7 +1205,7 @@ object IcebergTable {
             spark.sparkContext.hadoopConfiguration)
           val probesB = probes
           spark.sparkContext
-            .parallelize(unknown, math.max(1, math.min(unknown.size, 32)))
+            .parallelize(unknown, probeParallelism(spark, unknown.size))
             .flatMap { case (p, np) =>
               val a = footerAbsentIn(p, conf.value, probesB)
               if (a.isEmpty) None else Some(np -> a)
@@ -1089,7 +1216,7 @@ object IcebergTable {
       }
     }
     norm.flatMap { case (_, np) =>
-      Option(footerAbsence.get(ck(np))).filter(_.nonEmpty).map(np -> _)
+      footerAbsence.get(ck(np)).filter(_.nonEmpty).map(np -> _)
     }.toMap
   }
 
@@ -1124,5 +1251,334 @@ object IcebergTable {
         p.fid.exists(ids.contains) || names.contains(p.path.mkString(".")))
         .map(_.key).toSet
     } finally rd.close()
+  }
+
+  // ------------------------------ field-id column resolution (r15)
+
+  /** Copy each field's Iceberg id ([[DeltaLog.FieldIdKey]] metadata,
+    * stashed by the schema parse) to Spark's `parquet.field.id` key,
+    * recursively — with `spark.sql.parquet.fieldId.read.enabled` the
+    * parquet reader then matches columns by ID wherever the footer
+    * records ids, which is how renamed columns keep reading their
+    * pre-rename data. Returns the SAME instance when no field carries
+    * an id (nothing to resolve; callers skip the conf).
+    */
+  private[tables] def stampParquetFieldIds(schema: StructType): StructType = {
+    var changed = false
+    def walk(dt: DataType): DataType = dt match {
+      case st: StructType => StructType(st.fields.map { f =>
+        val md =
+          if (f.metadata.contains(DeltaLog.FieldIdKey)) {
+            changed = true
+            new MetadataBuilder().withMetadata(f.metadata)
+              .putLong(DeltaLog.ParquetFieldIdKey,
+                f.metadata.getLong(DeltaLog.FieldIdKey)).build()
+          } else f.metadata
+        f.copy(dataType = walk(f.dataType), metadata = md)
+      })
+      case a: ArrayType => a.copy(elementType = walk(a.elementType))
+      case m: MapType =>
+        m.copy(keyType = walk(m.keyType), valueType = walk(m.valueType))
+      case other => other
+    }
+    val out = walk(schema).asInstanceOf[StructType]
+    if (changed) out else schema
+  }
+
+  /** Enable Spark's parquet field-id matching for this session. The
+    * conf only affects scans whose READ SCHEMA carries
+    * `parquet.field.id` metadata — graft's Iceberg id-leg scans and
+    * Delta id-mode scans (which set the same conf,
+    * DeltaTable.readFiles) — so setting it session-wide is
+    * side-effect-free for every other scan. `ignoreMissing` stays at
+    * its FALSE default deliberately: the id leg only ever receives
+    * footer-id-bearing files (probe-verified), and if that invariant
+    * ever broke, Spark erroring loudly beats the conf's alternative
+    * of silently nulling every column.
+    */
+  private[tables] def enableFieldIdRead(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+
+  /** Whether any (nested) field carries an Iceberg field id. */
+  private[tables] def hasFieldIds(schema: StructType): Boolean = {
+    def any(dt: DataType): Boolean = dt match {
+      case st: StructType => st.fields.exists(f =>
+        f.metadata.contains(DeltaLog.FieldIdKey) || any(f.dataType))
+      case a: ArrayType => any(a.elementType)
+      case m: MapType   => any(m.keyType) || any(m.valueType)
+      case _            => false
+    }
+    any(schema)
+  }
+
+  /** Requested fields whose id carried a DIFFERENT leaf name anywhere
+    * in the metadata's schema history: (field id, dotted path in the
+    * current schema, the former names). Walks struct chains and the
+    * structs under list/map (parquet resolves those by id too).
+    */
+  private[tables] def renamedFields(
+      history: Map[Int, Set[String]],
+      schema: StructType): Seq[(Int, String, Set[String])] = {
+    if (history.isEmpty) return Seq.empty
+    val out = Seq.newBuilder[(Int, String, Set[String])]
+    def walk(st: StructType, prefix: String): Unit = st.fields.foreach { f =>
+      val dotted = if (prefix.isEmpty) f.name else prefix + "." + f.name
+      if (f.metadata.contains(DeltaLog.FieldIdKey)) {
+        val id = f.metadata.getLong(DeltaLog.FieldIdKey).toInt
+        val others = history.getOrElse(id, Set.empty) - f.name
+        if (others.nonEmpty) out += ((id, dotted, others))
+      }
+      f.dataType match {
+        case s: StructType                 => walk(s, dotted)
+        case ArrayType(s: StructType, _)   => walk(s, dotted + ".element")
+        case MapType(_, s: StructType, _)  => walk(s, dotted + ".value")
+        case _                             => ()
+      }
+    }
+    walk(schema, "")
+    out.result()
+  }
+
+  /** Original paths of parquet files whose footers record NO field
+    * ids at all — the population that must stay on the name-resolving
+    * leg ([[splitParquetByFooterIds]]). Runs on every id-bearing scan,
+    * so its cost discipline is tighter than the defaults probe's:
+    * per-file cached forever (files are immutable), a BOUNDED
+    * driver fast path (≤ [[DriverIdProbeMax]] uncached files open on
+    * the driver through a small thread pool — no job for the
+    * interactive/small-table case, still O(1) in table size), and ONE
+    * executor job above that where only the (rare) id-less survivors
+    * return — O(id-less) driver transfer. Its own counter
+    * ([[driverIdProbes]]) keeps the defaults-probe discipline
+    * independently assertable.
+    */
+  private val footerNoIds = new BoundedCache[Boolean](FooterCacheMax)
+  private[tables] val driverIdProbes = new java.util.concurrent.atomic.AtomicLong
+  private[tables] val DriverIdProbeMax = 32
+  private[graft] def probeMissingFooterIds(
+      spark: org.apache.spark.sql.SparkSession,
+      paths: Seq[String]): Seq[String] = {
+    if (paths.isEmpty) return Seq.empty
+    val norm = paths.map(p => p -> DvDeleted.normalizePath(p))
+    val unknown = norm.filterNot { case (_, np) => footerNoIds.contains(np) }
+    if (unknown.nonEmpty) {
+      val idless: Set[String] =
+        if (unknown.size <= DriverIdProbeMax) {
+          driverIdProbes.addAndGet(unknown.size.toLong)
+          val conf = spark.sparkContext.hadoopConfiguration
+          if (unknown.size == 1) {
+            val (p, np) = unknown.head
+            if (footerHasAnyIds(p, conf)) Set.empty else Set(np)
+          } else {
+            val pool = java.util.concurrent.Executors.newFixedThreadPool(
+              math.min(8, unknown.size))
+            try {
+              implicit val ec: scala.concurrent.ExecutionContext =
+                scala.concurrent.ExecutionContext.fromExecutor(pool)
+              val fut = scala.concurrent.Future.traverse(unknown) { case (p, np) =>
+                scala.concurrent.Future(
+                  if (footerHasAnyIds(p, conf)) None else Some(np))
+              }
+              scala.concurrent.Await
+                .result(fut, scala.concurrent.duration.Duration.Inf)
+                .flatten.toSet
+            } finally pool.shutdown()
+          }
+        } else {
+          val conf = new org.apache.spark.util.SerializableConfiguration(
+            spark.sparkContext.hadoopConfiguration)
+          spark.sparkContext
+            .parallelize(unknown, probeParallelism(spark, unknown.size))
+            .flatMap { case (p, np) =>
+              if (footerHasAnyIds(p, conf.value)) None else Some(np)
+            }.collect().toSet
+        }
+      unknown.foreach { case (_, np) => footerNoIds.put(np, !idless(np)) }
+    }
+    norm.collect { case (p, np) if !footerNoIds.get(np).getOrElse(true) => p }
+  }
+
+  private def footerHasAnyIds(
+      pathStr: String,
+      conf: org.apache.hadoop.conf.Configuration): Boolean = {
+    import scala.jdk.CollectionConverters._
+    val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(pathStr), conf))
+    try {
+      def walk(t: org.apache.parquet.schema.Type): Boolean =
+        t.getId != null || (t match {
+          case g: org.apache.parquet.schema.GroupType =>
+            g.getFields.asScala.exists(walk)
+          case _ => false
+        })
+      rd.getFileMetaData.getSchema.getFields.asScala.exists(walk)
+    } finally rd.close()
+  }
+
+  // ---------------------------------- Avro writer-schema resolution
+
+  /** normalized path → embedded writer-schema JSON for a set of Avro
+    * content files (the container header's `avro.schema` entry) —
+    * cached per immutable file; driver-side for a handful, one
+    * executor job above that. Unlike the parquet absence probes the
+    * transfer is O(files) by necessity (each file's group assignment
+    * must come back), so schema TEXT is deduplicated per task
+    * partition: files ship a digest, each distinct schema ships once
+    * per partition.
+    */
+  private val avroWriterSchemaCache = new BoundedCache[String](20000)
+  private[tables] def probeAvroWriterSchemas(
+      spark: org.apache.spark.sql.SparkSession,
+      paths: Seq[String]): Map[String, String] = {
+    if (paths.isEmpty) return Map.empty
+    val norm = paths.map(p => p -> DvDeleted.normalizePath(p))
+    val unknown = norm.filterNot { case (_, np) => avroWriterSchemaCache.contains(np) }
+    if (unknown.nonEmpty) {
+      if (unknown.size <= DriverFooterProbeMax) {
+        driverFooterProbes.addAndGet(unknown.size.toLong)
+        val conf = spark.sparkContext.hadoopConfiguration
+        unknown.foreach { case (p, np) =>
+          avroWriterSchemaCache.put(np, avroSchemaOf(p, conf))
+        }
+      } else {
+        val conf = new org.apache.spark.util.SerializableConfiguration(
+          spark.sparkContext.hadoopConfiguration)
+        val rows: Array[(String, String, Option[String])] = spark.sparkContext
+          .parallelize(unknown, probeParallelism(spark, unknown.size))
+          .mapPartitions { it =>
+            val seen = scala.collection.mutable.Map.empty[String, String]
+            val assigned = it.map { case (p, np) =>
+              val json = avroSchemaOf(p, conf.value)
+              val digest = java.util.UUID.nameUUIDFromBytes(
+                json.getBytes("UTF-8")).toString
+              val first = if (seen.contains(digest)) None else Some(json)
+              seen(digest) = json
+              (np, digest, first)
+            }.toVector
+            assigned.iterator
+          }.collect()
+        val byDigest: Map[String, String] =
+          rows.flatMap { case (_, d, j) => j.map(d -> _) }.toMap
+        rows.foreach { case (np, d, _) =>
+          avroWriterSchemaCache.put(np, byDigest(d))
+        }
+      }
+    }
+    norm.map { case (p, np) =>
+      np -> avroWriterSchemaCache.get(np).getOrElse(
+        avroSchemaOf(p, spark.sparkContext.hadoopConfiguration))
+    }.toMap
+  }
+
+  private def avroSchemaOf(
+      pathStr: String,
+      conf: org.apache.hadoop.conf.Configuration): String = {
+    val path = new org.apache.hadoop.fs.Path(pathStr)
+    val in = path.getFileSystem(conf).open(path)
+    val stream = new org.apache.avro.file.DataFileStream(
+      in, new org.apache.avro.generic.GenericDatumReader[AnyRef]())
+    try stream.getSchema.toString
+    finally stream.close() // closes `in`
+  }
+
+  /** The projection aligning ONE writer-schema group to the requested
+    * schema. Writer schemas WITH `field-id` props (required of
+    * Iceberg Avro writers) resolve per Spark's parquet semantics —
+    * by id for every field, a missing id null-fills (the field
+    * postdates the file), nested trees must align by id (else refuse:
+    * the struct cast is positional). Writer schemas with NO props
+    * fall back by name — refused when the table's history shows
+    * renames (a pre-rename file would silently null-fill).
+    */
+  private[tables] def avroProjection(
+      writer: org.apache.avro.Schema,
+      schema: StructType,
+      renamed: Seq[(Int, String, Set[String])],
+      uri: String,
+      samplePath: String): Seq[org.apache.spark.sql.Column] = {
+    import scala.jdk.CollectionConverters._
+    require(writer.getType == org.apache.avro.Schema.Type.RECORD,
+      s"Avro content file $samplePath is not a record: ${writer.getType}")
+    val wFields = writer.getFields.asScala.toSeq
+    val hasIds = wFields.exists(f => avroFieldId(f).isDefined)
+    if (!hasIds && renamed.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"$uri renamed column(s) ${renamed.map(_._2).mkString(", ")}, but " +
+          s"Avro file $samplePath embeds a writer schema with no field-id " +
+          "props — written before the rename it holds the OLD name (silent " +
+          "null-fill under the new one); rewrite_data_files first")
+    schema.fields.toSeq.map { rf =>
+      val rid =
+        if (rf.metadata.contains(DeltaLog.FieldIdKey))
+          Some(rf.metadata.getLong(DeltaLog.FieldIdKey).toInt)
+        else None
+      val src =
+        if (hasIds) rid.flatMap(id => wFields.find(f => avroFieldId(f).contains(id)))
+        else wFields.find(_.name == rf.name)
+      src match {
+        case None => lit(null).cast(rf.dataType).as(rf.name)
+        case Some(wf) =>
+          requireAvroNestedAligned(wf.schema(), rf.dataType, rf.name, uri, samplePath)
+          col(wf.name).cast(rf.dataType).as(rf.name)
+      }
+    }
+  }
+
+  private def avroFieldId(f: org.apache.avro.Schema.Field): Option[Int] =
+    Option(f.getObjectProp("field-id")).collect { case n: Number => n.intValue }
+
+  /** The nested guard behind [[avroProjection]]'s positional struct
+    * cast: writer and requested struct trees must pair up field by
+    * field — equal ids when both sides record them, equal names
+    * otherwise (a POSITION-aligned id match is a nested rename and
+    * reads correctly through the cast). Any reorder, drop, add or
+    * un-inferable pairing refuses loudly.
+    */
+  private def requireAvroNestedAligned(
+      w: org.apache.avro.Schema,
+      r: DataType,
+      path: String,
+      uri: String,
+      samplePath: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    def unwrap(s: org.apache.avro.Schema): org.apache.avro.Schema =
+      if (s.getType == org.apache.avro.Schema.Type.UNION)
+        s.getTypes.asScala.find(_.getType != org.apache.avro.Schema.Type.NULL)
+          .getOrElse(s)
+      else s
+    def refuse(why: String): Nothing =
+      throw new UnsupportedOperationException(
+        s"$uri: Avro content file $samplePath cannot align nested field " +
+          s"'$path' with the table schema ($why) — rewrite_data_files first")
+    (unwrap(w).getType, r) match {
+      case (org.apache.avro.Schema.Type.RECORD, st: StructType) =>
+        val wf = unwrap(w).getFields.asScala.toSeq
+        if (wf.size != st.fields.length)
+          refuse(s"writer has ${wf.size} subfields, schema has ${st.fields.length}")
+        wf.zip(st.fields.toSeq).foreach { case (a, b) =>
+          val aid = avroFieldId(a)
+          val bid =
+            if (b.metadata.contains(DeltaLog.FieldIdKey))
+              Some(b.metadata.getLong(DeltaLog.FieldIdKey).toInt)
+            else None
+          (aid, bid) match {
+            case (Some(x), Some(y)) if x != y =>
+              refuse(s"subfield '${a.name}' has field id $x, schema expects $y")
+            case (Some(_), Some(_)) => () // id-aligned (rename-safe)
+            case _ if a.name == b.name => ()
+            case _ => refuse(s"subfield '${a.name}' vs '${b.name}' with no ids")
+          }
+          requireAvroNestedAligned(a.schema(), b.dataType, path + "." + b.name,
+            uri, samplePath)
+        }
+      case (org.apache.avro.Schema.Type.ARRAY, at: ArrayType) =>
+        requireAvroNestedAligned(
+          unwrap(w).getElementType, at.elementType, path + ".element", uri, samplePath)
+      case (org.apache.avro.Schema.Type.MAP, mt: MapType) =>
+        requireAvroNestedAligned(
+          unwrap(w).getValueType, mt.valueType, path + ".value", uri, samplePath)
+      case _ => () // primitives: the cast handles type promotion
+    }
   }
 }

@@ -733,8 +733,14 @@ object IcebergWrite {
     val keyCols = keys.columns.toSeq
     keyCols.foreach(c => require(meta0.schema.fieldNames.contains(c),
       s"equality column $c is not a column of $tablePath"))
+    // delete files carry the SAME field ids as the columns they
+    // address (spec) — stamp the staged footers like data appends do
+    val stamped = IcebergTable.stampParquetFieldIds(
+      StructType(keyCols.map(c => meta0.schema(c))))
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
     val casted = keys.select(keyCols.map(c =>
-      col(c).cast(meta0.schema(c).dataType).as(c)): _*).distinct()
+      col(c).cast(meta0.schema(c).dataType).as(c, stamped(c).metadata)): _*)
+      .distinct()
 
     val staged = stage(spark, casted, fs, table, Seq.empty)
     if (staged.isEmpty || staged.forall(_.recordCount == 0L)) {
@@ -1050,6 +1056,132 @@ object IcebergWrite {
     }
   }
 
+  /** RENAME a top-level column — a METADATA-ONLY schema-evolution
+    * commit per the spec's evolution rules: the field keeps its id,
+    * a new schema (fresh schema-id) joins the `schemas` history and
+    * becomes current. No data rewrites: readers resolve pre-rename
+    * files through recorded field ids (parquet footers / Avro header
+    * props — [[IcebergTable]]'s r15 contract), and id-less imported
+    * files refuse loudly at read rather than null-fill. Refuses when
+    * the column sources any partition-spec field (the spec field's
+    * NAME would go stale against identity back-fill and pruning —
+    * evolve the spec away from the column first) and when `newName`
+    * already names a column.
+    */
+  def renameColumn(
+      spark: SparkSession,
+      tablePath: String,
+      oldName: String,
+      newName: String): Unit = {
+    require(oldName != newName, s"rename to the same name: $oldName")
+    val table = new Path(tablePath)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val metaDir = new Path(table, "metadata")
+    publishLoop(fs, metaDir, tablePath, "rename column") { (_, baseRootOpt) =>
+      val baseRoot = baseRootOpt.getOrElse(throw new IllegalArgumentException(
+        s"$tablePath is not an Iceberg table (no metadata)"))
+      require(baseRoot.has("schemas"),
+        s"$tablePath uses the v1 single-`schema` metadata layout; rename " +
+          "needs the `schemas` history list (readers detect renames from it)")
+      val root = baseRoot.deepCopy[ObjectNode]()
+      val schemas = root.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("schemas")
+      val cur = root.path("current-schema-id").asInt(0)
+      val sj = IcebergMeta.elements(schemas)
+        .find(_.path("schema-id").asInt(-1) == cur)
+        .getOrElse(throw new IllegalArgumentException(
+          s"current-schema-id $cur not found in $tablePath schemas"))
+      val names = IcebergMeta.elements(sj.path("fields")).map(_.path("name").asText())
+      require(names.contains(oldName),
+        s"no column '$oldName' in $tablePath (have ${names.mkString(", ")})")
+      require(!names.contains(newName),
+        s"column '$newName' already exists in $tablePath")
+      val copy = sj.deepCopy[ObjectNode]()
+      var renamedId = -1
+      IcebergMeta.elements(copy.path("fields")).foreach {
+        case f: ObjectNode if f.path("name").asText() == oldName =>
+          renamedId = f.path("id").asInt(-1)
+          f.put("name", newName)
+        case _ => ()
+      }
+      IcebergMeta.elements(root.path("partition-specs")).foreach { sp =>
+        IcebergMeta.elements(sp.path("fields")).foreach { f =>
+          require(f.path("source-id").asInt(-1) != renamedId,
+            s"cannot rename $oldName: partition spec ${sp.path("spec-id").asInt(0)} " +
+              s"field '${f.path("name").asText()}' sources it — partition-field " +
+              "names do not follow column renames, so identity back-fill and " +
+              "pruning would go stale; evolve the partitioning off the column first")
+        }
+      }
+      val newSid = IcebergMeta.elements(schemas)
+        .map(_.path("schema-id").asInt(0)).max + 1
+      copy.put("schema-id", newSid)
+      schemas.add(copy)
+      root.put("current-schema-id", newSid)
+      root.put("last-updated-ms", System.currentTimeMillis())
+      (root, Seq.empty, root.path("current-snapshot-id").asLong(-1L))
+    }
+    ()
+  }
+
+  /** (dotted field path → Iceberg field id) over a parsed schema —
+    * the staged-footer-vs-committed-schema verification key set.
+    */
+  private[tables] def dottedFieldIds(schema: StructType): Map[String, Long] = {
+    val out = Map.newBuilder[String, Long]
+    def walk(st: StructType, prefix: String): Unit = st.fields.foreach { f =>
+      val dotted = if (prefix.isEmpty) f.name else prefix + "." + f.name
+      if (f.metadata.contains(DeltaLog.FieldIdKey))
+        out += dotted -> f.metadata.getLong(DeltaLog.FieldIdKey)
+      f.dataType match {
+        case s: StructType => walk(s, dotted)
+        case org.apache.spark.sql.types.ArrayType(s: StructType, _) =>
+          walk(s, dotted + ".element")
+        case org.apache.spark.sql.types.MapType(_, s: StructType, _) =>
+          walk(s, dotted + ".value")
+        case _ => ()
+      }
+    }
+    walk(schema, "")
+    out.result()
+  }
+
+  /** Copy [[DeltaLog.FieldIdKey]] metadata from `src` onto the
+    * SHAPE-IDENTICAL `dst` field by position — `src` is the
+    * round-trip parse of the schema JSON a fresh table is about to
+    * commit (authoritative ids) and `dst` keeps the exact Spark types
+    * of the frame being staged (the round trip narrows e.g.
+    * short→int, which must not leak into the written files).
+    */
+  private[tables] def copyFieldIdsByPosition(
+      src: StructType, dst: StructType): StructType =
+    StructType(src.fields.zip(dst.fields).map { case (sf, df) =>
+      val md =
+        if (sf.metadata.contains(DeltaLog.FieldIdKey))
+          new org.apache.spark.sql.types.MetadataBuilder().withMetadata(df.metadata)
+            .putLong(DeltaLog.FieldIdKey, sf.metadata.getLong(DeltaLog.FieldIdKey))
+            .build()
+        else df.metadata
+      val dt = (sf.dataType, df.dataType) match {
+        case (ss: StructType, ds: StructType) => copyFieldIdsByPosition(ss, ds)
+        case (sa: org.apache.spark.sql.types.ArrayType,
+              da: org.apache.spark.sql.types.ArrayType) =>
+          (sa.elementType, da.elementType) match {
+            case (ss: StructType, ds: StructType) =>
+              da.copy(elementType = copyFieldIdsByPosition(ss, ds))
+            case _ => da
+          }
+        case (sm: org.apache.spark.sql.types.MapType,
+              dm: org.apache.spark.sql.types.MapType) =>
+          (sm.valueType, dm.valueType) match {
+            case (ss: StructType, ds: StructType) =>
+              dm.copy(valueType = copyFieldIdsByPosition(ss, ds))
+            case _ => dm
+          }
+        case _ => df.dataType
+      }
+      df.copy(dataType = dt, metadata = md)
+    })
+
   /** Remove a named ref; returns the snapshot id it pointed at. */
   def dropRef(spark: SparkSession, tablePath: String, name: String): Long = {
     val table = new Path(tablePath)
@@ -1114,7 +1246,7 @@ object IcebergWrite {
     // column casts up with no schema change. Everything else refuses.
     val existingV = latestVersionByScan(fs, metaDir)
     val existing = existingV.map(v => readRoot(fs, metaDir, v))
-    val (schema, partCols) = existing match {
+    val (schema, partCols, stampableIds) = existing match {
       case Some(root) =>
         val meta = IcebergMeta.parse(root, tablePath)
         val byName = df.schema.fields.map(f => f.name -> f).toMap
@@ -1150,9 +1282,9 @@ object IcebergWrite {
         val srcCols = effective.map(_.sourceCol)
         require(srcCols.forall(c => !widened.contains(c)),
           s"cannot widen partition column(s) ${srcCols.filter(widened.contains).mkString(", ")}")
-        (StructType(evolvedExisting ++ added), effective)
+        (StructType(evolvedExisting ++ added), effective, added.isEmpty)
       case None =>
-        (df.schema, partitionBy.map(parsePartitionField))
+        (df.schema, partitionBy.map(parsePartitionField), true)
     }
     partCols.foreach { f =>
       require(schema.fieldNames.contains(f.sourceCol),
@@ -1200,12 +1332,46 @@ object IcebergWrite {
       (acc, f) => acc.withColumn(f.name,
         transformColumn(f.transform, schema.fields.find(_.name == f.sourceCol).get))
     }
+    // parquet footer FIELD IDS (spec: required of Iceberg writers):
+    // staged footers record each column's Iceberg field id, so
+    // field-id readers (IcebergTable r15, upstream engines) keep
+    // resolving these files correctly across column RENAMES. Ids come
+    // from the committed metadata (existing table) or the
+    // deterministic FieldIds assignment a fresh table is about to
+    // commit; an append that ADDS columns skips stamping entirely —
+    // the new ids mint inside the publish attempt, and a PARTIALLY
+    // id'd footer would null-fill its id-less columns under id
+    // resolution, so those files stay on the whole-file name fallback.
+    val stampedSchema: Option[StructType] =
+      if (!stampableIds) None
+      else {
+        val withIds =
+          if (existing.isDefined) schema
+          else {
+            val ids = new IcebergUniform.FieldIds(schema)
+            copyFieldIdsByPosition(
+              IcebergMeta.schemaFromJson(
+                mapper.readTree(ids.icebergSchemaJson(0)))._1, schema)
+          }
+        Some(IcebergTable.stampParquetFieldIds(withIds)).filter(_ ne withIds)
+      }
+    val assumedIds: Option[Map[String, Long]] = stampedSchema.map(dottedFieldIds)
+    stampedSchema.foreach(_ =>
+      // default-true; pinned for the round trip, same as DeltaWrite's
+      // id-mode commits — only schemas carrying the metadata react
+      spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true"))
+    def stampDf(d: DataFrame): DataFrame = stampedSchema.fold(d) { st =>
+      val extra = d.columns.filterNot(st.fieldNames.contains).toSeq.map(col)
+      d.select(st.fields.toSeq.map(f =>
+        col(f.name).cast(f.dataType).as(f.name, f.metadata)) ++ extra: _*)
+    }
     // partition columns LEAD the sort so the staged write's own
     // dynamic-partition ordering requirement is already satisfied and
     // Spark's writer inserts no tie-reordering sort of its own
+    val stampedDerived = stampDf(derived)
     val stagingDf =
-      if (effectiveSort.isEmpty) derived
-      else derived.sortWithinPartitions(
+      if (effectiveSort.isEmpty) stampedDerived
+      else stampedDerived.sortWithinPartitions(
         (partCols.map(_.name) ++ effectiveSort).distinct.map(col): _*)
     val partFields = partCols.map(f => org.apache.spark.sql.types.StructField(f.name,
       transformResultType(f.transform, schema.fields.find(_.name == f.sourceCol).get.dataType)))
@@ -1220,8 +1386,12 @@ object IcebergWrite {
       case Some(cols) if existing.isDefined =>
         cols.foreach(c => require(schema.fieldNames.contains(c),
           s"key column $c is not a column of $tablePath"))
-        val keys = df.select(cols.map(c =>
-          col(c).cast(schema(c).dataType).as(c)): _*).distinct()
+        // equality-delete files carry the same field ids as the
+        // table columns they address (spec) — stamp them too
+        val keys = df.select(cols.map { c =>
+          val f = stampedSchema.map(_(c)).getOrElse(schema(c))
+          col(c).cast(f.dataType).as(c, f.metadata)
+        }: _*).distinct()
         stage(spark, keys, fs, table, Seq.empty)
       case _ => Seq.empty
     }
@@ -1345,6 +1515,21 @@ object IcebergWrite {
             (sj, fieldsJson, 0, None, partCols.indices.map(1000 + _),
               ids.lastColumnId, None)
         }
+
+      // staged footers were stamped with PRE-LOOP id assumptions; a
+      // raced concurrent commit (another writer created the table
+      // first with a different column order) could make them stale,
+      // and a stale footer id binds columns WRONGLY under field-id
+      // readers — verify against the schema actually being committed
+      // and abort loudly, never silently
+      assumedIds.foreach { assumed =>
+        val committed = dottedFieldIds(
+          IcebergMeta.schemaFromJson(mapper.readTree(schemaJson))._1)
+        val bad = assumed.filter { case (fp, id) => !committed.get(fp).contains(id) }
+        require(bad.isEmpty,
+          s"concurrent schema change on $tablePath invalidated the staged " +
+            s"files' parquet field ids (${bad.keys.mkString(", ")}); retry the write")
+      }
 
       // new data manifest (uuid-named: attempts never collide)
       val entrySchema = IcebergUniform.manifestEntrySchema(partFields, manifestFieldIds)

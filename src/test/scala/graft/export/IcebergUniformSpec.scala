@@ -129,6 +129,113 @@ class IcebergUniformSpec extends SparkSpec {
     assert(elementId > 2, s"array element-id $elementId collides with explicit column ids")
   }
 
+  test("id-mode column-mapped export reads back through the Iceberg field-id leg") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions.col
+    val dir = tempDir("uniform-idmap").toString + "/t"
+    // id-mode mapped table: logical (id, v), physical (col-01, col-02),
+    // data files written WITH parquet footer field ids (the id-mode
+    // writer contract) — previously the declared out-of-scope shape,
+    // now the reader's id leg resolves physical names by id
+    def mapped(name: String, dt: DataType, id: Int, phys: String) =
+      StructField(name, dt, nullable = true,
+        new MetadataBuilder()
+          .putLong(DeltaLog.FieldIdKey, id.toLong)
+          .putString(DeltaLog.PhysicalNameKey, phys).build())
+    val logical = StructType(Seq(
+      mapped("id", LongType, 1, "col-01"), mapped("v", StringType, 2, "col-02")))
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val meta = m.createObjectNode()
+    meta.put("id", java.util.UUID.randomUUID().toString)
+    meta.putObject("format").put("provider", "parquet")
+    meta.put("schemaString", logical.json)
+    meta.putArray("partitionColumns")
+    meta.putObject("configuration")
+      .put("delta.columnMapping.mode", "id")
+      .put("delta.columnMapping.maxColumnId", "2")
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    val pmd1 = new MetadataBuilder().putLong("parquet.field.id", 1L).build()
+    val pmd2 = new MetadataBuilder().putLong("parquet.field.id", 2L).build()
+    val data = (1L to 4L).map(i => (i, s"v$i")).toDF("col-01", "col-02")
+      .select(col("col-01").as("col-01", pmd1), col("col-02").as("col-02", pmd2))
+      .coalesce(1)
+    data.write.parquet(dir + "/d0")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val file = fs.listStatus(new org.apache.hadoop.fs.Path(dir + "/d0"))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    fs.rename(file, new org.apache.hadoop.fs.Path(dir + "/f0.parquet"))
+    fs.delete(new org.apache.hadoop.fs.Path(dir + "/d0"), true)
+    val add = m.createObjectNode()
+    add.put("path", "f0.parquet")
+    add.putObject("partitionValues")
+    add.put("size", fs.getFileStatus(new org.apache.hadoop.fs.Path(dir + "/f0.parquet")).getLen)
+    add.put("modificationTime", 0L)
+    add.put("dataChange", true)
+    add.put("stats", """{"numRecords":4}""")
+    val logDir = new org.apache.hadoop.fs.Path(dir, "_delta_log")
+    fs.mkdirs(logDir)
+    val out0 = fs.create(new org.apache.hadoop.fs.Path(logDir, "00000000000000000000.json"), true)
+    try out0.write((Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":${m.writeValueAsString(meta)}}""",
+      s"""{"add":${m.writeValueAsString(add)}}""").mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out0.close()
+
+    IcebergUniform.export(spark, dir)
+    val got = new graft.tables.IcebergTable("t", dir)(spark, graft.tables.ReadArgs())
+      .orderBy("id").collect()
+    assert(got.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      (1L to 4L).map(i => (i, s"v$i")))
+  }
+
+  test("column-mapped export REFUSES when data files lack footer field ids") {
+    import org.apache.spark.sql.types._
+    val dir = tempDir("uniform-namemap").toString + "/t"
+    def mapped(name: String, dt: DataType, id: Int, phys: String) =
+      StructField(name, dt, nullable = true,
+        new MetadataBuilder()
+          .putLong(DeltaLog.FieldIdKey, id.toLong)
+          .putString(DeltaLog.PhysicalNameKey, phys).build())
+    val logical = StructType(Seq(
+      mapped("id", LongType, 1, "col-01"), mapped("v", StringType, 2, "col-02")))
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val meta = m.createObjectNode()
+    meta.put("id", java.util.UUID.randomUUID().toString)
+    meta.putObject("format").put("provider", "parquet")
+    meta.put("schemaString", logical.json)
+    meta.putArray("partitionColumns")
+    meta.putObject("configuration")
+      .put("delta.columnMapping.mode", "name")
+      .put("delta.columnMapping.maxColumnId", "2")
+    // id-LESS physical-name file: the unreadable-after-export shape
+    val data = (1L to 4L).map(i => (i, s"v$i")).toDF("col-01", "col-02").coalesce(1)
+    data.write.parquet(dir + "/d0")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val file = fs.listStatus(new org.apache.hadoop.fs.Path(dir + "/d0"))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    fs.rename(file, new org.apache.hadoop.fs.Path(dir + "/f0.parquet"))
+    fs.delete(new org.apache.hadoop.fs.Path(dir + "/d0"), true)
+    val add = m.createObjectNode()
+    add.put("path", "f0.parquet")
+    add.putObject("partitionValues")
+    add.put("size", fs.getFileStatus(new org.apache.hadoop.fs.Path(dir + "/f0.parquet")).getLen)
+    add.put("modificationTime", 0L)
+    add.put("dataChange", true)
+    add.put("stats", """{"numRecords":4}""")
+    val logDir = new org.apache.hadoop.fs.Path(dir, "_delta_log")
+    fs.mkdirs(logDir)
+    val out0 = fs.create(new org.apache.hadoop.fs.Path(logDir, "00000000000000000000.json"), true)
+    try out0.write((Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":${m.writeValueAsString(meta)}}""",
+      s"""{"add":${m.writeValueAsString(add)}}""").mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out0.close()
+    val e = intercept[IllegalArgumentException](IcebergUniform.export(spark, dir))
+    assert(e.getMessage.contains("no") && e.getMessage.contains("field ids"))
+  }
+
   test("deletion-vector tables export position deletes, not a refusal") {
     val dir = tempDir("uniform-dv").toString + "/t"
     DeltaWrite.append(spark,
