@@ -2120,8 +2120,10 @@ object OracleSql {
            |FROM merged GROUP BY p_brand ORDER BY p_brand""".stripMargin
       },
       // the SAME ladder driven through catalog SQL (UPDATE graft.`p`,
-      // DELETE FROM, MERGE INTO via GraftDmlStrategy) — one oracle,
-      // two front doors
+      // DELETE FROM, MERGE INTO via GraftDmlStrategy), plus the r15
+      // CONDITIONAL matched-update leg: keys < CondMergeBelow pair
+      // with the target but only keys ≡ 0 (mod 3) take the SET — every
+      // other matched row must come through untouched
       "q_catalog_dml" -> {
         import Wave9Queries.{MappedDml => P}
         s"""WITH u AS (
@@ -2138,12 +2140,26 @@ object OracleSql {
            |merged AS (
            |  SELECT * FROM src
            |  UNION ALL
-           |  SELECT * FROM d WHERE p_partkey NOT IN (SELECT p_partkey FROM src))
+           |  SELECT * FROM d WHERE p_partkey NOT IN (SELECT p_partkey FROM src)),
+           |cond AS (
+           |  SELECT p_partkey, p_brand, sz,
+           |    CASE WHEN p_partkey < ${P.CondMergeBelow} AND p_partkey % 3 = 0
+           |      THEN p_retailprice + 5 ELSE p_retailprice END AS p_retailprice
+           |  FROM merged)
            |SELECT p_brand, count(*) AS n_parts,
            |  CAST(sum(sz) AS BIGINT) AS sum_sz,
            |  ${dsum(d4("p_retailprice"))} AS sum_price
-           |FROM merged GROUP BY p_brand ORDER BY p_brand""".stripMargin
+           |FROM cond GROUP BY p_brand ORDER BY p_brand""".stripMargin
       },
+      // r15: Iceberg UPDATE through catalog SQL — MoR position deletes
+      // first (rows >= 20 gone), then a copy-on-write UPDATE of the
+      // region-1 names; the oracle is the plain transformation
+      "q_iceberg_update" ->
+        """SELECT n_nationkey,
+          |  CASE WHEN n_regionkey = 1 THEN n_name || '_EU' ELSE n_name END AS n_name,
+          |  n_regionkey
+          |FROM nation WHERE n_nationkey < 20
+          |ORDER BY n_nationkey""".stripMargin,
       "q_merge_dv" -> {
         import Wave8Queries.{MergeDvParams => P}
         s"""SELECT c_custkey, c_name, c_nationkey FROM (

@@ -32,6 +32,11 @@ object Wave9Queries {
     val InsertBrand = "Brand#99"
     val InsertSize = 7
     val InsertPrice = 42.5
+    /** Conditional-MERGE bound (r15): source keys below this pair
+      * with the target; only keys ≡ 0 (mod 3) satisfy the matched
+      * condition and take the price bump — the rest stay UNTOUCHED.
+      */
+    val CondMergeBelow = 60
   }
 
   private val mappedTables = scala.collection.concurrent.TrieMap.empty[String, String]
@@ -161,8 +166,53 @@ object Wave9Queries {
            |ON t.p_partkey = s.p_partkey
            |WHEN MATCHED THEN UPDATE SET *
            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      // r15: CONDITIONAL matched update with an expression-valued SET
+      // referencing BOTH sides — only keys ≡ 0 (mod 3) under the bound
+      // change; every other matched row must stay byte-identical
+      // (no rewrite-induced drift on the mapped physical path)
+      t(s, dir, "part")
+        .filter(col("p_partkey") < CondMergeBelow)
+        .select(col("p_partkey"), col("p_brand"),
+          col("p_size").as("sz"), col("p_retailprice"))
+        .createOrReplaceTempView("graft_catalog_dml_cond_src")
+      s.sql(
+        s"""MERGE INTO graft.`$path` t USING graft_catalog_dml_cond_src s
+           |ON t.p_partkey = s.p_partkey
+           |WHEN MATCHED AND s.p_partkey % 3 = 0
+           |  THEN UPDATE SET p_retailprice = t.p_retailprice + 5
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
       path
     })
+
+  private val icebergUpdated = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Nation as a native Iceberg table, a merge-on-read position
+    * DELETE, then catalog-SQL `UPDATE` (r15: copy-on-write rewrite of
+    * the matched files in ONE snapshot, the MoR deletes materialized
+    * into it — a resurrected deleted row or a touched unmatched row
+    * breaks the oracle).
+    */
+  private def icebergUpdatedTable(s: SparkSession, dir: String): String =
+    icebergUpdated.getOrElseUpdate(dir, {
+      import graft.tables.IcebergWrite
+      import graft.core.{Filter, Filters}
+      s.conf.set("spark.sql.catalog.graft", "graft.spark.GraftCatalog")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_ice_upd").toString + "/nation"
+      IcebergWrite.append(s,
+        t(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey"), path)
+      IcebergWrite.deleteWhere(s, path,
+        Filters.normalize(Seq(Filter("n_nationkey", ">=", 20))))
+      s.sql(s"UPDATE graft.`$path` SET n_name = concat(n_name, '_EU') " +
+        "WHERE n_regionkey = 1")
+      path
+    })
+
+  def qIcebergUpdate(s: SparkSession, dir: String): DataFrame = {
+    import graft.tables.{IcebergTable, ReadArgs}
+    new IcebergTable("nation_upd", icebergUpdatedTable(s, dir))(s, ReadArgs())
+      .orderBy("n_nationkey")
+  }
 
   /** Rollup identical to [[qMappedDml]]'s, read back through catalog
     * SQL — matches the same oracle only if the three catalog-issued

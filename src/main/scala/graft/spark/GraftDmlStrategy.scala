@@ -82,10 +82,6 @@ object GraftDmlStrategy extends SparkStrategy {
       assignments: Seq[Assignment],
       condition: Option[Expression]): SparkPlan = {
     val (t, _) = target
-    require(t.format != "iceberg",
-      s"UPDATE through the graft catalog serves Delta and Hudi tables; " +
-        s"${t.path} is iceberg — use MERGE INTO (the atomic equality-upsert " +
-        "spelling) or the format's native writer")
     val set = assignments.map { a =>
       val name = a.key match {
         case ar: AttributeReference => ar.name
@@ -102,6 +98,12 @@ object GraftDmlStrategy extends SparkStrategy {
     if (t.format == "delta")
       GraftDmlExec(s"UPDATE delta.`${t.path}`", { spark =>
         DeltaWrite.updateWhere(spark, t.path, filters, set); ()
+      })
+    else if (t.format == "iceberg")
+      // copy-on-write rewrite of the matched files, one snapshot,
+      // existing MoR deletes/DVs materialized (r15)
+      GraftDmlExec(s"UPDATE iceberg.`${t.path}`", { spark =>
+        IcebergWrite.updateWhere(spark, t.path, filters, set); ()
       })
     else
       // Hudi: rewrite the (pruned) matching rows and key-merge them
@@ -145,8 +147,8 @@ object GraftDmlStrategy extends SparkStrategy {
     val (t, relation) = target
     val shapeHint =
       "the graft catalog serves the key-upsert MERGE shape: ON equality " +
-        "keys, WHEN MATCHED [AND c] THEN DELETE, WHEN MATCHED THEN UPDATE " +
-        "SET *, WHEN NOT MATCHED THEN INSERT *"
+        "keys, WHEN MATCHED [AND c] THEN DELETE, WHEN MATCHED [AND c] THEN " +
+        "UPDATE SET * / SET x = expr, WHEN NOT MATCHED THEN INSERT *"
     require(!m.withSchemaEvolution,
       s"MERGE WITH SCHEMA EVOLUTION is not supported through the graft catalog")
     require(m.notMatchedBySourceActions.isEmpty,
@@ -173,18 +175,25 @@ object GraftDmlStrategy extends SparkStrategy {
     }
     val keyCols = keys(m.mergeCondition).distinct
 
-    // WHEN MATCHED: UPDATE SET * (identity assignments) and at most
-    // one conditional DELETE
+    // WHEN MATCHED: at most one UPDATE — unconditional SET *
+    // (identity assignments, the direct key-upsert fast path) OR a
+    // conditional / expression-valued clause (r15: WHEN MATCHED
+    // [AND c] THEN UPDATE SET x = expr, both sides referenceable) —
+    // and at most one conditional DELETE
     var deleteWhen: Option[String] = None
-    var sawUpdate = false
+    var update: Option[(Option[Expression], Seq[Assignment])] = None
     def isIdentity(as: Seq[Assignment]): Boolean = as.forall {
       case Assignment(k: AttributeReference, v: AttributeReference) =>
         k.name == v.name
       case _ => false
     }
     m.matchedActions.foreach {
-      case UpdateAction(None, as, _) if isIdentity(as) => sawUpdate = true
-      case UpdateStarAction(None)                   => sawUpdate = true
+      case UpdateAction(cond, as, _) =>
+        require(update.isEmpty, s"at most one WHEN MATCHED UPDATE — $shapeHint")
+        update = Some((cond, as))
+      case u: UpdateStarAction =>
+        require(update.isEmpty, s"at most one WHEN MATCHED UPDATE — $shapeHint")
+        update = Some((u.condition, Seq.empty))
       case DeleteAction(cond) =>
         require(deleteWhen.isEmpty, s"at most one WHEN MATCHED DELETE — $shapeHint")
         // the native writers evaluate the delete condition over the
@@ -200,11 +209,43 @@ object GraftDmlStrategy extends SparkStrategy {
         s"unsupported WHEN MATCHED action $other — $shapeHint")
     }
     // DeltaWrite.merge UPSERTS every matched row the delete clause
-    // spares: without UPDATE SET *, matched rows that do not satisfy
-    // the delete condition would be silently overwritten with source
-    // values — so the update clause is REQUIRED, never implied
-    require(sawUpdate,
-      s"MERGE needs WHEN MATCHED THEN UPDATE SET * — $shapeHint")
+    // spares: without an UPDATE clause, matched rows that do not
+    // satisfy the delete condition would be silently overwritten with
+    // source values — so the update clause is REQUIRED, never implied
+    require(update.isDefined,
+      s"MERGE needs a WHEN MATCHED THEN UPDATE clause — $shapeHint")
+    val (updateCond, updateAssigns) = update.get
+    // the direct key-upsert fast path needs no target read — only
+    // for an UNconditional SET * (explicit star, or identity
+    // assignments covering EVERY column: a partial identity SET like
+    // `SET x = s.x` keeps the other columns' TARGET values, which is
+    // NOT an upsert). Conditions, expressions and partial SETs pair
+    // matched rows below.
+    val directUpsert = updateCond.isEmpty &&
+      (updateAssigns.isEmpty ||
+        (isIdentity(updateAssigns) &&
+          updateAssigns.flatMap(_.key match {
+            case ar: AttributeReference => Some(ar.name)
+            case _ => None
+          }).toSet == relation.output.map(_.name).toSet))
+    // SET keys must be top-level target columns; values may reference
+    // BOTH sides (rendered over source names and _tgt_-prefixed
+    // target names below)
+    val setExprs: Seq[(String, String)] =
+      if (directUpsert) Seq.empty
+      else if (updateAssigns.isEmpty)
+        // conditional SET *: every column from the SOURCE row (plain
+        // names resolve to the source side of the paired frame)
+        relation.output.map(a => a.name -> UnresolvedAttribute(Seq(a.name)).sql)
+      else updateAssigns.map { a =>
+        val name = a.key match {
+          case ar: AttributeReference => ar.name
+          case other => throw new UnsupportedOperationException(
+            s"UPDATE SET supports top-level columns, got ${other.sql}")
+        }
+        name -> mergePairSql(a.value, targetAttrs)
+      }
+    val updateCondSql = updateCond.map(c => mergePairSql(c, targetAttrs))
     m.notMatchedActions match {
       case Seq(InsertAction(None, as)) if isIdentity(as) => ()
       case Seq(InsertStarAction(None))                   => ()
@@ -217,34 +258,103 @@ object GraftDmlStrategy extends SparkStrategy {
 
     val sourcePlan = m.sourceTable
     GraftDmlExec(s"MERGE INTO ${t.format}.`${t.path}`", { spark =>
+      import org.apache.spark.sql.functions.{coalesce, col, expr, lit}
       val source = Bridge.ofRows(spark, sourcePlan)
+      // conditional / expression-valued update: pair matched rows with
+      // the target ONCE (target columns under _tgt_ names), project the
+      // updated rows (SET columns from the expressions, the rest from
+      // the TARGET — SQL UPDATE semantics), and hand the proven
+      // key-upsert writers an EFFECTIVE source of exactly the rows
+      // that change: matched rows failing the update condition never
+      // appear, so they stay untouched (no rewrite, no CDC row, no
+      // row-id churn). Delete-matched rows split off FIRST (clause
+      // precedence) — matched ones delete by key, unmatched ones fall
+      // through to INSERT per SQL clause semantics.
+      val (effectiveSource, deleteKeys): (org.apache.spark.sql.DataFrame,
+          Option[org.apache.spark.sql.DataFrame]) =
+        if (directUpsert) (source, None)
+        else {
+          val tgt = spark.read.format("graft").load(t.path)
+          require(tgt.columns.forall(c => !c.startsWith("_tgt_")),
+            "conditional MERGE reserves the _tgt_ column-name prefix")
+          val delCond = deleteWhen.map(c => coalesce(expr(c), lit(false)))
+          val srcDel = delCond.map(c => source.where(c))
+          val srcUpd = delCond.map(c => source.where(!c)).getOrElse(source)
+          val tgtR = tgt.select(tgt.columns.toSeq.map(c =>
+            col(c).as("_tgt_" + c)): _*)
+          val pairCond = keyCols.map(k => srcUpd(k) === tgtR("_tgt_" + k))
+            .reduce(_ && _)
+          val pairs = srcUpd.join(tgtR, pairCond, "inner")
+          val updated = updateCondSql.map(c => pairs.where(expr(c)))
+            .getOrElse(pairs)
+            .select(tgt.columns.toSeq.map { c =>
+              setExprs.toMap.get(c)
+                .map(e => expr(e).cast(tgt.schema(c).dataType).as(c))
+                .getOrElse(col("_tgt_" + c).as(c))
+            }: _*)
+          val tgtKeys = tgt.select(keyCols.map(col): _*)
+          val inserts = srcUpd.join(tgtKeys, keyCols, "left_anti")
+            .select(tgt.columns.map(col).toSeq: _*)
+          val delMatched = srcDel.map(d =>
+            d.join(tgtKeys, keyCols, "left_semi")
+              .select(keyCols.map(col): _*).distinct())
+          val delInserts = srcDel.map(d =>
+            d.join(tgtKeys, keyCols, "left_anti")
+              .select(tgt.columns.map(col).toSeq: _*))
+          val eff = delInserts.foldLeft(updated.unionByName(inserts))(_ unionByName _)
+          (eff, delMatched)
+        }
       t.format match {
         case "delta" =>
-          DeltaWrite.merge(spark, t.path, source, keyCols,
-            deleteWhenMatched = deleteWhen)
+          DeltaWrite.merge(spark, t.path, effectiveSource, keyCols,
+            deleteWhenMatched = if (directUpsert) deleteWhen else None,
+            deleteKeys = deleteKeys)
         case "iceberg" =>
           require(deleteWhen.isEmpty,
             "WHEN MATCHED THEN DELETE is Delta-only through the graft catalog")
-          IcebergWrite.upsertEquality(spark, source, t.path, keyCols)
+          IcebergWrite.upsertEquality(spark, effectiveSource, t.path, keyCols)
         case _ =>
           require(deleteWhen.isEmpty,
             "WHEN MATCHED THEN DELETE is Delta-only through the graft catalog")
           // Hudi upserts on the table's declared record key — a MERGE
-          // keyed differently would silently change semantics: refuse
+          // keyed differently would silently change semantics: refuse.
+          // The property is comma-joined for composite keys; compare
+          // as a set so multi-key ON clauses can ever satisfy it
           val fs = new org.apache.hadoop.fs.Path(t.path)
             .getFileSystem(spark.sparkContext.hadoopConfiguration)
           val keyCol = HudiWrite.readProps(fs, t.path)
             .getOrElse("hoodie.table.recordkey.fields",
               throw new IllegalArgumentException(
                 s"${t.path} has no hoodie.table.recordkey.fields"))
-          require(keyCols == Seq(keyCol),
-            s"MERGE into a Hudi table must join on its record key ($keyCol), " +
-              s"got ${keyCols.mkString(", ")}")
-          HudiWrite.upsert(spark, source, t.path)
+          val declared = keyCol.split(',').map(_.trim).filter(_.nonEmpty).toSet
+          require(keyCols.toSet == declared,
+            s"MERGE into a Hudi table must join on its record key " +
+              s"(${declared.mkString(", ")}), got ${keyCols.mkString(", ")}")
+          // the underlying writer upserts on ONE key column; a
+          // composite-key table refuses with the real limitation
+          // named, not an unsatisfiable join-key demand
+          require(declared.size == 1,
+            s"Hudi MERGE supports single-column record keys; ${t.path} " +
+              s"declares the composite key (${declared.mkString(", ")})")
+          HudiWrite.upsert(spark, effectiveSource, t.path)
       }
       ()
     })
   }
+
+  /** Render a merge-clause expression over the PAIRED frame: target
+    * attributes become `_tgt_<name>`, source attributes keep their
+    * names — both sides of a matched pair stay referenceable without
+    * qualifier ambiguity.
+    */
+  private def mergePairSql(
+      e: Expression,
+      targetAttrs: org.apache.spark.sql.catalyst.expressions.AttributeSet): String =
+    e.transform {
+      case a: AttributeReference if targetAttrs.contains(a) =>
+        UnresolvedAttribute(Seq("_tgt_" + a.name))
+      case a: AttributeReference => UnresolvedAttribute(Seq(a.name))
+    }.sql
 
   private def foldCastLiterals(e: Expression): Expression = e.transformUp {
     case c: org.apache.spark.sql.catalyst.expressions.Cast

@@ -42,9 +42,9 @@ object IcebergMaintenance {
   private val mapper = new ObjectMapper()
   private val MaxAttempts = 10
 
-  private def intOf(r: org.apache.avro.generic.GenericRecord, f: String, d: Int): Int =
+  private[tables] def intOf(r: org.apache.avro.generic.GenericRecord, f: String, d: Int): Int =
     Option(r.get(f)).map(_.asInstanceOf[Number].intValue()).getOrElse(d)
-  private def longOf(r: org.apache.avro.generic.GenericRecord, f: String): Option[Long] =
+  private[tables] def longOf(r: org.apache.avro.generic.GenericRecord, f: String): Option[Long] =
     Option(r.get(f)).map(_.asInstanceOf[Number].longValue())
 
   /** Copy one live source entry into `w` as status=EXISTING with its
@@ -54,7 +54,7 @@ object IcebergMaintenance {
     * metadata logic in the file lives exactly once. Returns the
     * entry's (data sequence number, record count) for the list row.
     */
-  private def writeExistingEntry(
+  private[tables] def writeExistingEntry(
       w: org.apache.avro.file.DataFileWriter[org.apache.avro.generic.GenericRecord],
       entrySchema: org.apache.avro.Schema,
       e: org.apache.avro.generic.GenericRecord,
@@ -96,7 +96,7 @@ object IcebergMaintenance {
   }
 
   /** One content=0 manifest-list row. */
-  private def dataListRecord(
+  private[tables] def dataListRecord(
       ls: org.apache.avro.Schema, path: Path, len: Long, specId: Int,
       seq: Long, minSeq: Long, snapshotId: Long,
       addedFiles: Int, existingFiles: Int,
@@ -121,7 +121,7 @@ object IcebergMaintenance {
   /** Carry a manifest-list row (by-name copy; foreign summaries are
     * rebuilt against graft's schema — see IcebergUniform).
     */
-  private def copyListRecord(
+  private[tables] def copyListRecord(
       ls: org.apache.avro.Schema,
       prev: org.apache.avro.generic.GenericRecord): org.apache.avro.generic.GenericRecord =
     graft.export.IcebergUniform.copyListRecord(ls, prev)
@@ -453,6 +453,51 @@ object IcebergMaintenance {
         IcebergWrite.transformResultType(sf.transform, srcType))
     }
 
+    replaceFilesCommit(fs, tablePath, metaDir, scopePaths, staged,
+      spec0 = spec, specId0 = meta0.defaultSpecId,
+      partFields = partFields, entryPartFields = entryPartFields,
+      operation = "replace",
+      summaryExtras = Seq(
+        "rewritten-data-files" -> scopePaths.size.toString,
+        "added-data-files" -> staged.size.toString),
+      // the staged rows must still be the truth for the in-scope
+      // files: a concurrent delete/overwrite voids the compaction plan
+      validateBase = (_, cur) =>
+        if (cur.exists(_.content != 0)) Some("a delete file appeared")
+        else if (!scopePaths.subsetOf(cur.filter(_.content == 0).map(_.path).toSet))
+          Some("an in-scope file was rewritten")
+        else None,
+      what = "the scoped rewrite")
+  }
+
+  /** The shared REPLACE-commit loop behind [[scopedRewrite]] and
+    * [[IcebergWrite.updateWhere]]: one snapshot that drops
+    * `scopePaths` and adds `staged` — untouched manifests carry
+    * verbatim into the new manifest list (delete manifests always
+    * carry: their entries are delete files, never in scope), manifests
+    * that lose files are rewritten with kept entries as EXISTING
+    * (per-entry sequence numbers preserved), and the staged files land
+    * as ADDED entries of one fresh manifest at the new sequence
+    * number. Each optimistic attempt re-validates against the
+    * freshest base: the built-in spec-stability check plus the
+    * caller's `validateBase` (Some(reason) aborts loudly — never a
+    * silent no-op).
+    */
+  private[tables] def replaceFilesCommit(
+      fs: org.apache.hadoop.fs.FileSystem,
+      tablePath: String,
+      metaDir: Path,
+      scopePaths: Set[String],
+      staged: Seq[IcebergWrite.StagedFile],
+      spec0: Seq[IcebergMeta.SpecField],
+      specId0: Int,
+      partFields: Seq[org.apache.spark.sql.types.StructField],
+      entryPartFields: Seq[org.apache.spark.sql.types.StructField],
+      operation: String,
+      summaryExtras: Seq[(String, String)],
+      validateBase: (IcebergMeta.TableMeta, Seq[IcebergMeta.ContentFile]) => Option[String],
+      what: String
+  ): Long = {
     var attempt = 0
     while (true) {
       attempt += 1
@@ -463,23 +508,21 @@ object IcebergMaintenance {
       val snap = meta.currentSnapshotId
         .flatMap(id => meta.snapshots.find(_.id == id))
         .getOrElse(throw new IllegalStateException(s"$tablePath lost its current snapshot"))
-      // the staged rows must still be the truth for the in-scope files
-      // (a concurrent delete/overwrite voids the plan) AND the spec
-      // must not have evolved: the staged partition records and field
-      // ids were minted under meta0's spec — stamping them with a new
-      // default-spec-id would bind partition tuples to the wrong spec
+      // the spec must not have evolved: the staged partition records
+      // and field ids were minted under the planning spec — stamping
+      // them with a new default-spec-id would bind partition tuples
+      // to the wrong spec
       val cur = IcebergMeta.planFiles(fs, snap)
-      def abortStale(): Nothing = {
+      def abortStale(why: String): Nothing = {
         staged.foreach(sf => fs.delete(new Path(sf.path), false))
         throw new java.util.ConcurrentModificationException(
-          s"a concurrent commit changed the in-scope files or partition spec of " +
-            s"$tablePath during the scoped rewrite; re-run rewriteDataFiles")
+          s"a concurrent commit invalidated $what on $tablePath ($why); " +
+            "replan against the new snapshot")
       }
-      if (cur.exists(_.content != 0) ||
-        !scopePaths.subsetOf(cur.filter(_.content == 0).map(_.path).toSet) ||
-        meta.defaultSpecId != meta0.defaultSpecId ||
-        meta.specs.getOrElse(meta.defaultSpecId, Seq.empty) != spec)
-        abortStale()
+      if (meta.defaultSpecId != specId0 ||
+        meta.specs.getOrElse(meta.defaultSpecId, Seq.empty) != spec0)
+        abortStale("the partition spec evolved")
+      validateBase(meta, cur).foreach(abortStale)
 
       val uuid = java.util.UUID.randomUUID().toString
       val nowMs = System.currentTimeMillis()
@@ -494,7 +537,7 @@ object IcebergMaintenance {
         .map(sn => mapper.writeValueAsString(sn.path("fields")))
         .getOrElse("[]")
       val entrySchema = graft.export.IcebergUniform.manifestEntrySchema(
-        entryPartFields, spec.map(_.fieldId))
+        entryPartFields, spec0.map(_.fieldId))
       val created = scala.collection.mutable.ListBuffer.empty[Path]
 
       def newWriter(out: Path) = {
@@ -596,10 +639,8 @@ object IcebergMaintenance {
 
       val root2 = root.deepCopy[ObjectNode]()
       IcebergWrite.appendSnapshotToRoot(root2, snapshotId, seq, nowMs, listPath,
-        operation = "replace",
-        summaryExtras = Seq(
-          "rewritten-data-files" -> scopePaths.size.toString,
-          "added-data-files" -> staged.size.toString),
+        operation = operation,
+        summaryExtras = summaryExtras,
         parentId = Option(root.path("current-snapshot-id").asLong(-1L)).filter(_ >= 0))
       val target = new Path(metaDir, s"v${baseV + 1}.metadata.json")
       if (IcebergWrite.publishIfAbsent(fs, target,
@@ -612,7 +653,7 @@ object IcebergMaintenance {
       if (attempt >= MaxAttempts) {
         staged.foreach(sf => fs.delete(new Path(sf.path), false))
         throw new java.util.ConcurrentModificationException(
-          s"could not commit the scoped rewrite to $tablePath after $MaxAttempts attempts")
+          s"could not commit $what to $tablePath after $MaxAttempts attempts")
       }
     }
     -1L // unreachable

@@ -105,20 +105,37 @@ class IcebergTable(
     val asOf = args.extra.get(TimestampKey).map(longArg(TimestampKey))
     val snap = IcebergMeta.selectSnapshot(meta, snapshotId, asOf)
     val (pruned, deleteFiles) = planPruned(spark, fs, meta, snap, args)
+    var df = readLive(spark, fs, meta, pruned, deleteFiles)
+    Filters.toColumn(args.filters).foreach(p => df = df.filter(p))
+    args.columns.foreach(cols => df = df.select(cols.map(col): _*))
+    df
+  }
+
+  /** The schema-shaped LIVE rows of `files` — every delete kind the
+    * snapshot carries (Puffin DVs, position deletes, equality deletes)
+    * applied. The shared read core behind [[apply]], and the
+    * writer-side read for copy-on-write rewrites
+    * ([[IcebergWrite.updateWhere]] must rewrite exactly the rows a
+    * reader would see — re-materializing an already-deleted row would
+    * resurrect it).
+    */
+  private[tables] def readLive(
+      spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      meta: IcebergMeta.TableMeta,
+      files: Seq[IcebergMeta.ContentFile],
+      deleteFiles: Seq[IcebergMeta.ContentFile]): DataFrame = {
     val (dvs, v2Deletes) = deleteFiles.partition(_.isDeletionVector)
     refuseUnreadableDvs(meta, dvs)
-
-    var df = readData(spark, meta, pruned, withDeletes = deleteFiles.nonEmpty)
+    var df = readData(spark, meta, files, withDeletes = deleteFiles.nonEmpty)
     if (deleteFiles.nonEmpty) {
-      if (pruned.nonEmpty) {
-        df = applyDeletionVectors(spark, fs, df, pruned, dvs)
-        df = applyPositionDeletes(spark, meta, df, pruned, v2Deletes.filter(_.content == 1))
+      if (files.nonEmpty) {
+        df = applyDeletionVectors(spark, fs, df, files, dvs)
+        df = applyPositionDeletes(spark, meta, df, files, v2Deletes.filter(_.content == 1))
         df = applyEqualityDeletes(spark, df, meta, v2Deletes.filter(_.content == 2))
       }
       df = df.select(meta.schema.fieldNames.map(col).toSeq: _*)
     }
-    Filters.toColumn(args.filters).foreach(p => df = df.filter(p))
-    args.columns.foreach(cols => df = df.select(cols.map(col): _*))
     df
   }
 

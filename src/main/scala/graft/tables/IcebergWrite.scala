@@ -155,6 +155,108 @@ object IcebergWrite {
   ): Long = commit(spark, df, tablePath, partitionBy, carryBase = false,
     operationOverride = operation)
 
+  /** Row-level UPDATE as a COPY-ON-WRITE rewrite of the matched data
+    * files, committed as ONE snapshot: the candidate files (exact
+    * manifest pruning on the predicate, partition tuples + column
+    * bounds) are read through the full delete-applying read path —
+    * Puffin DVs, position deletes and equality deletes materialize
+    * into the rewrite, so an already-deleted row can never resurrect
+    * — their LIVE rows re-written with the SET expressions applied
+    * where the predicate holds, and the snapshot drops the old files
+    * and adds the new ones at one fresh sequence number
+    * ([[IcebergMaintenance.replaceFilesCommit]], the scoped-rewrite
+    * commit shape). Files the predicate cannot touch are never read
+    * or rewritten. Every assignment sees the PRE-update row (SQL
+    * UPDATE semantics); expressions are Spark SQL over the table's
+    * columns, cast to the column type. The commit re-validates per
+    * attempt that the candidates are still live AND the delete-file
+    * set is unchanged (both were materialized into the staged rows) —
+    * a race aborts loudly, never silently drops a concurrent delete.
+    * Returns the committed snapshot id, or the current one when no
+    * file can match.
+    */
+  def updateWhere(
+      spark: SparkSession,
+      tablePath: String,
+      filters: graft.core.Filters.Normalized,
+      set: Seq[(String, String)]): Long = {
+    require(set.nonEmpty, "updateWhere needs at least one SET assignment")
+    val table = new Path(tablePath)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(new Path(table, "_delta_log")),
+      s"$tablePath is a Delta table; update via DeltaWrite")
+    val metaDir = new Path(table, "metadata")
+    val meta0 = IcebergMeta.load(fs, tablePath)
+    val snap0 = meta0.currentSnapshotId
+      .flatMap(id => meta0.snapshots.find(_.id == id))
+      .getOrElse(throw new IllegalArgumentException(s"$tablePath has no current snapshot"))
+    val spec = meta0.specs.getOrElse(meta0.defaultSpecId, Seq.empty)
+    require(spec.forall(_.transform == "identity"),
+      "updateWhere supports identity partition specs only")
+    val partCols = spec.map(_.name)
+    val schema = meta0.schema
+    set.foreach { case (c, _) =>
+      require(schema.fieldNames.contains(c),
+        s"SET column $c is not a column of $tablePath")
+    }
+
+    val all0 = IcebergMeta.planFiles(fs, snap0)
+    require(all0.forall(_.specId == meta0.defaultSpecId),
+      "updateWhere requires every file under the current partition spec; " +
+        "run rewriteDataFiles to unify spec generations first")
+    val deleteFiles0 = all0.filter(_.content != 0)
+    val candidates = all0.filter(f =>
+      f.content == 0 && IcebergMeta.mayMatch(f, spec, meta0, filters))
+    if (candidates.isEmpty) return snap0.id
+    val scopePaths = candidates.map(_.path).toSet
+
+    val live = new IcebergTable("update", tablePath)
+      .readLive(spark, fs, meta0, candidates, deleteFiles0)
+    val pred = graft.core.Filters.toColumn(filters)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    val setMap = set.toMap
+    val stamped = IcebergTable.stampParquetFieldIds(schema)
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    val updated = live.select(stamped.fields.toSeq.map { f =>
+      setMap.get(f.name)
+        .map(e => org.apache.spark.sql.functions
+          .when(pred, org.apache.spark.sql.functions.expr(e).cast(f.dataType))
+          .otherwise(col(f.name)).as(f.name, f.metadata))
+        .getOrElse(col(f.name).as(f.name, f.metadata))
+    }: _*)
+    val stagingDf =
+      if (partCols.isEmpty) updated
+      else updated.sortWithinPartitions(partCols.map(col): _*)
+    val staged = stage(spark, stagingDf, fs, table, partCols)
+
+    val partFields = partCols.map(c => schema.fields.find(_.name == c).get)
+    val entryPartFields = spec.map { sf =>
+      val srcName = meta0.schemaFieldIds.getOrElse(sf.sourceId, sf.name)
+      val srcType = schema.fields.find(_.name == srcName).get.dataType
+      org.apache.spark.sql.types.StructField(sf.name,
+        transformResultType(sf.transform, srcType))
+    }
+    val deletePaths0 = deleteFiles0.map(_.path).toSet
+    IcebergMaintenance.replaceFilesCommit(fs, tablePath, metaDir,
+      scopePaths, staged,
+      spec0 = spec, specId0 = meta0.defaultSpecId,
+      partFields = partFields, entryPartFields = entryPartFields,
+      // data CHANGES (unlike compaction's "replace"), so changelog and
+      // incremental readers must treat this snapshot as an overwrite
+      operation = "overwrite",
+      summaryExtras = Seq(
+        "updated-data-files" -> scopePaths.size.toString,
+        "added-data-files" -> staged.size.toString),
+      validateBase = (_, cur) =>
+        if (!scopePaths.subsetOf(cur.filter(_.content == 0).map(_.path).toSet))
+          Some("a matched file was rewritten")
+        else if (cur.filter(_.content != 0).map(_.path).toSet != deletePaths0)
+          Some("the delete-file set changed (its effect is already " +
+            "materialized in the staged rows)")
+        else None,
+      what = "updateWhere")
+  }
+
   /** Row-level DELETE as merge-on-read POSITION DELETE files (the
     * Iceberg v2 write path [[IcebergTable]] already reads): matching
     * rows' (file_path, pos) pairs are computed by ONE distributed

@@ -410,13 +410,16 @@ class GraftSourceSpec extends SparkSpec {
       // touches every row
       spark.sql(s"UPDATE graft.delta.`$dir` SET id = id + 100")
       assert(spark.sql(s"SELECT min(id) FROM graft.`$dir`").as[Long].head() == 100L)
-      // Iceberg targets refuse with the MERGE hint
+      // Iceberg UPDATE (r15): copy-on-write rewrite of the matched
+      // files in one snapshot — values, predicates and the untouched
+      // rows all exact
       val i = tempDir("graft-cat-updi").toString + "/i"
-      IcebergWrite.append(spark, Seq((1L, "a")).toDF("id", "v"), i)
-      val e = intercept[Exception] {
-        spark.sql(s"UPDATE graft.`$i` SET v = 'x'")
-      }
-      assert(e.getMessage.contains("MERGE INTO"), e.getMessage)
+      IcebergWrite.append(spark,
+        Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)).toDF("id", "v", "x"), i)
+      spark.sql(s"UPDATE graft.`$i` SET v = concat(v, '!'), x = x + 1 WHERE id >= 2")
+      assert(spark.sql(s"SELECT id, v, x FROM graft.`$i`")
+        .as[(Long, String, Long)].collect().toSet ==
+        Set((1L, "a", 10L), (2L, "b!", 21L), (3L, "c!", 31L)))
 
       // Hudi UPDATE: one atomic key-merged upsert of the rewritten
       // matches; SET sees pre-update values
@@ -482,19 +485,71 @@ class GraftSourceSpec extends SparkSpec {
     }
   }
 
+  test("DSv2 catalog: MERGE WHEN MATCHED AND cond THEN UPDATE SET x = expr (triad)") {
+    val base = tempDir("graft-cat-mrgc").toString
+    val (d, i, h) = (base + "/d", base + "/i", base + "/h")
+    val init = Seq((1L, "a", 5L), (2L, "b", 20L), (3L, "c", 30L)).toDF("id", "v", "x")
+    DeltaWrite.append(spark, init, d)
+    IcebergWrite.append(spark, init, i)
+    HudiWrite.bulkInsert(spark, init, h, "id")
+    // source: id=1 (s.x>t.x → updated), id=2 (s.x<t.x → kept
+    // UNTOUCHED), id=4 (unmatched → inserted)
+    Seq((1L, "A", 7L), (2L, "B", 6L), (4L, "d", 40L)).toDF("id", "v", "x")
+      .createOrReplaceTempView("mrg_cond_src")
+    withCatalog {
+      for (p <- Seq(d, i, h)) {
+        spark.sql(
+          s"""MERGE INTO graft.`$p` t USING mrg_cond_src s ON t.id = s.id
+             |WHEN MATCHED AND s.x > t.x THEN UPDATE SET v = upper(s.v), x = s.x + t.x
+             |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        val got = spark.sql(s"SELECT id, v, x FROM graft.`$p`")
+          .as[(Long, String, Long)].collect().toSet
+        // id=1: SET sees both sides (x = 7+5); id=2 untouched (its
+        // matched source row fails the condition); id=3 untouched
+        // (unmatched by source); id=4 inserted verbatim
+        assert(got == Set((1L, "A", 12L), (2L, "b", 20L),
+          (3L, "c", 30L), (4L, "d", 40L)), s"conditional merge failed for $p")
+      }
+      // conditional SET *: the whole source row, only where cond holds
+      spark.sql(
+        s"""MERGE INTO graft.`$d` t USING mrg_cond_src s ON t.id = s.id
+           |WHEN MATCHED AND s.id = 2 THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      assert(spark.sql(s"SELECT id, v, x FROM graft.`$d` WHERE id IN (1, 2)")
+        .as[(Long, String, Long)].collect().toSet ==
+        Set((1L, "A", 12L), (2L, "B", 6L)))
+      // conditional update COMPOSES with the conditional delete
+      Seq((1L, "kill", 0L), (4L, "up", 99L), (9L, "kill", 0L))
+        .toDF("id", "v", "x").createOrReplaceTempView("mrg_cond_del_src")
+      spark.sql(
+        s"""MERGE INTO graft.`$d` t USING mrg_cond_del_src s ON t.id = s.id
+           |WHEN MATCHED AND s.v = 'kill' THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET x = s.x
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      val after = spark.sql(s"SELECT id, v, x FROM graft.`$d`")
+        .as[(Long, String, Long)].collect().toSet
+      // id=1 delete-matched → gone; id=4 updated (x=99, v kept);
+      // id=9 delete-conditioned but UNMATCHED → inserts (SQL clause
+      // fall-through); others untouched
+      assert(after == Set((2L, "B", 6L), (3L, "c", 30L),
+        (4L, "d", 99L), (9L, "kill", 0L)), after.toString)
+    }
+  }
+
   test("DSv2 catalog: unsupported MERGE shapes refuse with the shape named") {
     val d = tempDir("graft-cat-mrgr").toString + "/d"
     DeltaWrite.append(spark, Seq((1L, "a")).toDF("id", "v"), d)
     Seq((1L, "A")).toDF("id", "v").createOrReplaceTempView("mrg_bad_src")
     withCatalog {
-      // partial SET (not SET *) silently changing semantics is refused
+      // WHEN NOT MATCHED BY SOURCE stays refused with the shape named
       val e1 = intercept[Exception] {
         spark.sql(
           s"""MERGE INTO graft.`$d` t USING mrg_bad_src s ON t.id = s.id
-             |WHEN MATCHED THEN UPDATE SET v = 'fixed'
-             |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+             |WHEN MATCHED THEN UPDATE SET *
+             |WHEN NOT MATCHED THEN INSERT *
+             |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
       }
-      assert(e1.getMessage.contains("key-upsert MERGE shape"), e1.getMessage)
+      assert(e1.getMessage.contains("NOT MATCHED BY SOURCE"), e1.getMessage)
       // non-equality ON
       val e2 = intercept[Exception] {
         spark.sql(
@@ -524,7 +579,7 @@ class GraftSourceSpec extends SparkSpec {
              |WHEN MATCHED THEN DELETE
              |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
       }
-      assert(e4.getMessage.contains("UPDATE SET *"), e4.getMessage)
+      assert(e4.getMessage.contains("UPDATE clause"), e4.getMessage)
       // a delete condition referencing TARGET columns refuses (the
       // writer evaluates it over the source row)
       val e5 = intercept[Exception] {

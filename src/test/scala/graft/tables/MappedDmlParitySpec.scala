@@ -96,4 +96,24 @@ class MappedDmlParitySpec extends SparkSpec {
     DeltaLog.snapshot(spark, m).files.foreach(f =>
       assert(f.partitionValues.keySet == Set("col-03"), f.partitionValues))
   }
+
+  test("conditional catalog MERGE converges identically on mapped and unmapped twins") {
+    val (plain, m) = freshPair("condmerge")
+    spark.conf.set("spark.sql.catalog.graft", "graft.spark.GraftCatalog")
+    // force catalog init so the DML strategy registers
+    spark.sql(s"SELECT count(*) FROM graft.`$plain`").collect()
+    Seq((1L, "up", 1), (2L, "skip", 2), (77L, "ins", 1)).toDF("id", "v", "p")
+      .createOrReplaceTempView("mapped_cond_src")
+    for (d <- Seq(plain, m))
+      spark.sql(
+        s"""MERGE INTO graft.`$d` t USING mapped_cond_src s ON t.id = s.id
+           |WHEN MATCHED AND s.v = 'up'
+           |  THEN UPDATE SET v = concat(t.v, '+', s.v)
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(contents(plain) == contents(m))
+    val c = contents(m)
+    assert(c.contains((1L, "v1+up", 1)))   // matched, condition true
+    assert(c.contains((2L, "v2", 2)))      // matched, condition false: untouched
+    assert(c.contains((77L, "ins", 1)))    // unmatched: inserted
+  }
 }
