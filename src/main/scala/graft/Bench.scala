@@ -34,7 +34,10 @@ object Bench {
         val p = src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
         val idle = p(3) + (if (p.length > 4) p(4) else 0L)
         val steal = if (p.length > 7) p(7) else 0L
-        (p.sum, idle, steal)
+        // fields 8/9 (guest, guest_nice) are ALREADY included in
+        // user/nice — summing them double-counts VM guest time,
+        // inflating the total and deflating other-CPU%
+        (p.take(8).sum, idle, steal)
       } finally src.close()
     } catch { case _: Throwable => (-1L, 0L, 0L) }
 

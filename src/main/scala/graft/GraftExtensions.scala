@@ -26,6 +26,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // (GraftCatalog.initialize also self-registers it, so catalog
     // users get DML without configuring extensions.)
     ext.injectPlannerStrategy(_ => graft.spark.GraftDmlStrategy)
+    // streaming reads THROUGH the catalog (E66/r15):
+    // spark.readStream.table("graft.`/p`") plants the DSv1 source
+    // triad as the relation's v1 fallback
+    ext.injectResolutionRule(s => graft.spark.GraftStreamingRule(s))
     // The window-top-k → bounded-heap rewrite
     // (graft.plans.RowNumberTopKRewrite) is deliberately NOT injected
     // here: Spark 4's InferWindowGroupLimit already bounds the shuffle

@@ -125,24 +125,49 @@ class WarehouseResolver(
 
   private def fs = new Path(warehouse).getFileSystem(conf)
 
+  /** POSITIVE sniffs cache per path — a directory that IS a delta/
+    * iceberg/hudi table never changes format, so repeated listings
+    * (and getTables' re-resolution) cost one directory walk each, not
+    * O(tables) filesystem sniffs per enumeration. Non-tables are NOT
+    * cached (an empty directory can become a table later), and a
+    * cached table that was deleted surfaces loudly at read time.
+    */
+  private val sniffed = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def sniff(p: Path): Option[String] =
+    Option(sniffed.get(p.toString)).orElse {
+      val f = MetadataResolver.sniffFormat(p.toString, conf)
+      f.foreach(sniffed.put(p.toString, _))
+      f
+    }
+
   override def list(): Seq[String] = {
     val root = new Path(warehouse)
     if (!fs.exists(root)) return Seq.empty
     def dirs(p: Path): Seq[Path] =
       fs.listStatus(p).filter(_.isDirectory).map(_.getPath).toSeq
         .filterNot(_.getName.startsWith("_"))
-    val found =
-      if (levels == 1) dirs(root).map(d => d.getName)
-      else dirs(root).flatMap(db => dirs(db).map(t => s"${db.getName}.${t.getName}"))
-    found.filter(n => resolve(n).isDefined).sorted
+    // one walk; each directory sniffs at most once EVER (cache above)
+    // instead of a resolve() round (exists probes + sniff) per name
+    // per enumeration
+    val found: Seq[(String, Path)] =
+      if (levels == 1) dirs(root).map(d => d.getName -> d)
+      else dirs(root).flatMap(db =>
+        dirs(db).map(t => s"${db.getName}.${t.getName}" -> t))
+    found.collect { case (n, p) if sniff(p).isDefined => n }.sorted
   }
 
   override def resolve(name: String): Option[MetadataResolver.Resolved] = {
     val rel = name.split('.')
     if (rel.length != levels) return None
     val p = rel.foldLeft(new Path(warehouse))(new Path(_, _))
-    if (!fs.exists(p)) None
-    else MetadataResolver.sniffFormat(p.toString, conf)
-      .map(f => MetadataResolver.Resolved(p.toString, Some(f)))
+    // cached positive: no filesystem round at all (deletion is the
+    // read path's loud problem, not the resolver's)
+    Option(sniffed.get(p.toString)) match {
+      case Some(f) => Some(MetadataResolver.Resolved(p.toString, Some(f)))
+      case None =>
+        if (!fs.exists(p)) None
+        else sniff(p).map(f => MetadataResolver.Resolved(p.toString, Some(f)))
+    }
   }
 }

@@ -274,13 +274,44 @@ class GraftCatalog extends TableCatalog {
     loadTable(ident)
   }
 
+  /** This catalog is PATH-addressed: the identifier IS the table
+    * directory, so there is no catalog entry to unregister separately
+    * from the data — a metadata-only DROP would be a silent no-op.
+    * Plain DROP therefore refuses toward the explicit destructive
+    * spelling; `DROP TABLE … PURGE` ([[purgeTable]]) deletes the
+    * directory.
+    */
   override def dropTable(ident: Identifier): Boolean =
     throw new UnsupportedOperationException(
-      s"DROP TABLE through the $catalogName catalog is not supported")
+      s"the $catalogName catalog is path-addressed — DROP TABLE has no " +
+        "catalog entry to remove apart from the data itself; use " +
+        "DROP TABLE … PURGE to delete the table directory (destructive)")
 
+  /** `DROP TABLE … PURGE`: delete the table directory. Routed through
+    * [[loadTable]] first, so only a path that actually IS a
+    * delta/iceberg/hudi table can be purged — an arbitrary directory
+    * refuses there instead of being recursively deleted.
+    */
+  override def purgeTable(ident: Identifier): Boolean = {
+    val t = loadTable(ident).asInstanceOf[GraftV2Table]
+    val p = new org.apache.hadoop.fs.Path(t.path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+  }
+
+  /** PERMANENT refusal: renaming a path-addressed table means moving
+    * its directory, and both Delta (absolute-path add/remove actions —
+    * shallow clones) and Iceberg (absolute file paths in manifests +
+    * absolute `location` in metadata) legally reference files OUTSIDE
+    * or BY ABSOLUTE PATH inside it — a directory move silently breaks
+    * those tables. Copy-based migration (CTAS / replicate) is the
+    * supported spelling.
+    */
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException(
-      s"RENAME TABLE through the $catalogName catalog is not supported")
+      s"RENAME TABLE through the $catalogName catalog is permanently " +
+        "unsupported: tables are path-addressed and Delta clones / Iceberg " +
+        "manifests legally hold absolute file paths a directory move would " +
+        "break — copy instead (CREATE TABLE … AS SELECT, or replicate)")
 }
 
 /** One graft-read lakehouse table surfaced to DSv2. Writable too:
@@ -366,7 +397,13 @@ private[spark] class GraftV2Table(
       spark.sqlContext).schema
 
   override def capabilities(): util.Set[TableCapability] =
+    // MICRO_BATCH_READ admits the table into streaming ANALYSIS;
+    // execution is rewritten onto the DSv1 source triad by
+    // graft.spark.GraftStreamingRule (spark.sql.extensions) — without
+    // the extensions the scan refuses with the config named
+    // (GraftScan.toMicroBatchStream), never a cryptic abstract error
     util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -460,6 +497,18 @@ private[spark] class GraftV1ScanBridge(
     limit: Option[Int],
     travelOpts: Map[String, String] = Map.empty
 ) extends V1Scan {
+
+  /** Streaming admission is capability-level (MICRO_BATCH_READ) and
+    * execution is the analyzer rewrite onto the DSv1 source triad
+    * ([[GraftStreamingRule]]); reaching THIS method means the rewrite
+    * never ran — name the fix instead of an abstract-method error.
+    */
+  override def toMicroBatchStream(checkpointLocation: String)
+  : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    throw new UnsupportedOperationException(
+      "streaming reads through the graft catalog need the analyzer " +
+        "rewrite: set spark.sql.extensions=graft.GraftExtensions " +
+        "(or read with spark.readStream.format(\"graft\").load(path))")
 
   /** Test-visible: the LIMIT the builder pushed into this scan. */
   private[spark] def pushedLimit: Option[Int] = limit

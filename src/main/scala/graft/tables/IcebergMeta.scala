@@ -295,50 +295,51 @@ object IcebergMeta {
     */
   def schemaFromJson(node: JsonNode): (StructType, Map[Int, String]) = {
     val ids = Map.newBuilder[Int, String]
-    def field(f: JsonNode, underCollection: Boolean): StructField = {
+    def field(f: JsonNode, collectionHops: Int): StructField = {
       val name = f.path("name").asText()
       val id = f.path("id").asInt(-1)
       if (id >= 0) ids += id -> name
       // v3 default values: files written BEFORE the column existed
       // must read the declared default (silently reading null would be
-      // wrong data). Primitive defaults — top-level AND struct-nested
-      // — are stashed in the field metadata ([[InitialDefaultKey]])
-      // for the read path to fill per-file; defaults under list/map
-      // elements (no per-row fill point: the element count is data)
-      // and on complex-typed fields stay refused loudly.
+      // wrong data). Primitive defaults are stashed in the field
+      // metadata ([[InitialDefaultKey]]) for the read path to fill
+      // per-file — top-level, struct-nested, and (r15) under ONE
+      // list/map hop (array-of-struct elements / map struct values
+      // fill per element via `transform`). Deeper collection nesting
+      // and complex-typed defaults stay refused loudly.
       val hasDefault = f.has("initial-default") && !f.path("initial-default").isNull
-      if (hasDefault && (underCollection || !f.path("type").isTextual))
+      if (hasDefault && (collectionHops > 1 || !f.path("type").isTextual))
         throw new UnsupportedOperationException(
           s"column '$name' declares a v3 initial-default value " +
             s"(${f.path("initial-default")}) on a " +
-            (if (underCollection) "list/map-nested" else "complex-typed") +
-            " field — defaults fill top-level and struct-nested primitives only")
+            (if (collectionHops > 1) "multiply-collection-nested" else "complex-typed") +
+            " field — defaults fill primitives down to one list/map level")
       val mb = new MetadataBuilder()
       if (id >= 0) mb.putLong(DeltaLog.FieldIdKey, id.toLong)
       if (hasDefault) mb.putString(InitialDefaultKey, f.path("initial-default").asText())
       StructField(
         name,
-        dataType(f.path("type"), underCollection),
+        dataType(f.path("type"), collectionHops),
         nullable = !f.path("required").asBoolean(false),
         metadata = mb.build())
     }
-    def dataType(t: JsonNode, underCollection: Boolean): DataType =
+    def dataType(t: JsonNode, collectionHops: Int): DataType =
       if (t.isTextual) primitive(t.asText())
       else t.path("type").asText() match {
         case "struct" =>
-          StructType(elements(t.path("fields")).map(field(_, underCollection)).toArray)
+          StructType(elements(t.path("fields")).map(field(_, collectionHops)).toArray)
         case "list" =>
-          ArrayType(dataType(t.path("element"), underCollection = true),
+          ArrayType(dataType(t.path("element"), collectionHops + 1),
             containsNull = !t.path("element-required").asBoolean(false))
         case "map" =>
-          MapType(dataType(t.path("key"), underCollection = true),
-            dataType(t.path("value"), underCollection = true),
+          MapType(dataType(t.path("key"), collectionHops + 1),
+            dataType(t.path("value"), collectionHops + 1),
             valueContainsNull = !t.path("value-required").asBoolean(false))
         case other => throw new IllegalArgumentException(s"unsupported Iceberg type $other")
       }
     val top = node.path("fields")
     require(!top.isMissingNode, "Iceberg schema node has no fields")
-    val st = StructType(elements(top).map(field(_, underCollection = false)).toArray)
+    val st = StructType(elements(top).map(field(_, collectionHops = 0)).toArray)
     (st, ids.result())
   }
 

@@ -864,7 +864,7 @@ class IcebergTable(
       (fpath, sf, IcebergTable.FieldProbe(
         if (sf.metadata.contains(DeltaLog.FieldIdKey))
           Some(sf.metadata.getLong(DeltaLog.FieldIdKey).toInt) else None,
-        fpath))
+        IcebergTable.probeNameOf(fpath)))
     }
     val absentByFile: Map[String, Set[String]] =
       IcebergTable.probeFooterAbsence(
@@ -915,24 +915,38 @@ class IcebergTable(
       // files that carry the field keep their stored values, nulls
       // included — the per-file constant under coalesce, the identity
       // back-fill mechanism. Struct-nested defaults rebuild only the
-      // affected subfield via withField: a row whose whole struct is
-      // null stays null (the struct's absence, not the field's).
+      // affected subfield via withField (a row whose whole struct is
+      // null stays null — the struct's absence, not the field's);
+      // defaults under ONE list/map hop fill per ELEMENT via
+      // transform/transform_values, null elements preserved the same
+      // way (r15).
       defaultProbes.foreach { case (fpath, sf, probe) =>
-        val dv = PartitionAttach.fromString(
+        val dvVal = PartitionAttach.fromString(
           sf.metadata.getString(IcebergMeta.InitialDefaultKey), sf.dataType, zone)
         val attrs: Map[String, Any] = group.flatMap { f =>
           val key = DvDeleted.normalizePath(f.path)
           if (absentByFile.getOrElse(key, Set.empty).contains(probe.key))
-            Some(key -> dv)
+            Some(key -> dvVal)
           else None
         }.toMap
         if (attrs.nonEmpty) {
-          val fill = coalesce(col(fpath.mkString(".")),
-            PartitionAttach.constCol(attrs, sf.dataType))
-          df =
-            if (fpath.size == 1) df.withColumn(sf.name, fill)
-            else df.withColumn(fpath.head,
-              col(fpath.head).withField(fpath.tail.mkString("."), fill))
+          import IcebergTable.PathStep._
+          val dv = PartitionAttach.constCol(attrs, sf.dataType)
+          def build(cur: Column, rest: List[IcebergTable.PathStep]): Column =
+            rest match {
+              case F(leaf) :: Nil =>
+                cur.withField(leaf, coalesce(cur.getField(leaf), dv))
+              case F(n) :: more => cur.withField(n, build(cur.getField(n), more))
+              case ListElem :: more => transform(cur, x => build(x, more))
+              case MapVal :: more => transform_values(cur, (_, v) => build(v, more))
+              case Nil => cur
+            }
+          df = fpath.toList match {
+            case F(top) :: Nil  => df.withColumn(top, coalesce(col(top), dv))
+            case F(top) :: more => df.withColumn(top, build(col(top), more))
+            case other => throw new IllegalStateException(
+              s"default path must start at a column, got $other")
+          }
         }
       }
       if (withDeletes) {
@@ -1117,29 +1131,55 @@ object IcebergTable {
 
   // ------------------------------------ v3 initial-default probing
 
+  /** One hop of a defaulted field's path: a struct field by name, a
+    * list-element descent, or a map-value descent — the fill builder
+    * turns the collection hops into `transform` / `transform_values`
+    * lambdas (per-ELEMENT fill), struct hops into `withField`.
+    */
+  private[tables] sealed trait PathStep
+  private[tables] object PathStep {
+    final case class F(name: String) extends PathStep
+    case object ListElem extends PathStep
+    case object MapVal extends PathStep
+  }
+
   /** How one defaulted field is looked up in a parquet footer: by
     * field id when the footer carries ids, falling back to the dotted
     * name whenever the SPECIFIC id is absent (a file can store this
-    * column by name next to id-bearing columns).
+    * column by name next to id-bearing columns). The name spelling
+    * for collection hops is parquet's STANDARD encoding
+    * (`list.element` / `key_value.value`); legacy 2-level writers
+    * don't match by name — their files carry ids in practice.
     */
   private[tables] final case class FieldProbe(fid: Option[Int], path: Seq[String]) {
     def key: String = fid.map(_.toString).getOrElse("-") + ":" + path.mkString(".")
   }
 
+  private[tables] def probeNameOf(steps: Seq[PathStep]): Seq[String] =
+    steps.flatMap {
+      case PathStep.F(n)      => Seq(n)
+      case PathStep.ListElem  => Seq("list", "element")
+      case PathStep.MapVal    => Seq("key_value", "value")
+    }
+
   /** Every schema field carrying a v3 `initial-default`, with its
-    * struct path — parse ([[IcebergMeta.schemaFromJson]]) already
-    * refused defaults under list/map, so paths are pure struct chains.
+    * path — struct chains plus (r15) at most one list/map hop, the
+    * shapes the parse admits ([[IcebergMeta.schemaFromJson]]).
     */
   private[tables] def defaultedFields(
-      schema: StructType): Seq[(Seq[String], StructField)] = {
-    def walk(st: StructType, prefix: Seq[String]): Seq[(Seq[String], StructField)] =
+      schema: StructType): Seq[(Seq[PathStep], StructField)] = {
+    import PathStep._
+    def walk(st: StructType, prefix: Seq[PathStep]): Seq[(Seq[PathStep], StructField)] =
       st.fields.toSeq.flatMap { f =>
-        val here =
+        val here = prefix :+ F(f.name)
+        val self =
           if (f.metadata.contains(IcebergMeta.InitialDefaultKey))
-            Seq((prefix :+ f.name, f)) else Seq.empty
-        here ++ (f.dataType match {
-          case s: StructType => walk(s, prefix :+ f.name)
-          case _             => Seq.empty
+            Seq((here, f)) else Seq.empty
+        self ++ (f.dataType match {
+          case s: StructType => walk(s, here)
+          case ArrayType(s: StructType, _)  => walk(s, here :+ ListElem)
+          case MapType(_, s: StructType, _) => walk(s, here :+ MapVal)
+          case _ => Seq.empty
         })
       }
     walk(schema, Seq.empty)

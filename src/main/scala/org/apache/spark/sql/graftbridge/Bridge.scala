@@ -23,6 +23,25 @@ object Bridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** A V1 streaming relation over a DSv1 StreamSourceProvider (the
+    * plan `spark.readStream.format(provider).options(…).load()`
+    * builds) — the v1Relation fallback graft's analyzer rule plants
+    * into a catalog table's StreamingRelationV2, so
+    * `spark.readStream.table("graft.…")` executes through the proven
+    * DSv1 stream sources. Constructed here because DataSource is
+    * private[sql].
+    */
+  def v1StreamingRelation(
+      spark: org.apache.spark.sql.SparkSession,
+      provider: String,
+      options: Map[String, String])
+  : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    org.apache.spark.sql.execution.streaming.runtime.StreamingRelation(
+      org.apache.spark.sql.execution.datasources.DataSource(
+        spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+        className = provider,
+        options = options))
+
   /** private[sql] SparkSession.internalCreateDataFrame — the only way
     * a V1 streaming Source can hand back a batch whose plan is marked
     * `isStreaming` (the same call Spark's own FileStreamSource makes).

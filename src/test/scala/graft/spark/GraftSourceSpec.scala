@@ -193,6 +193,61 @@ class GraftSourceSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("streaming read THROUGH the catalog: readStream.table with checkpoint restart") {
+    import org.apache.spark.sql.streaming.OutputMode
+    val base = tempDir("graft-cat-stream").toString
+    val d = base + "/d"
+    val ck = base + "/ck"
+    DeltaWrite.append(spark, Seq((1L, "a")).toDF("id", "v"), d)
+    withCatalog {
+      // file sink (recovery-capable) so the restart leg is exact
+      val out = base + "/out"
+      def run(): Unit = {
+        val q = spark.readStream.table(s"graft.`$d`")
+          .writeStream.format("parquet")
+          .option("path", out)
+          .option("checkpointLocation", ck)
+          .outputMode(OutputMode.Append()).start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      run()
+      DeltaWrite.append(spark, Seq((2L, "b")).toDF("id", "v"), d)
+      run()
+      assert(spark.read.parquet(out).select("id").as[Long].collect().toSet ==
+        Set(1L, 2L))
+      // restart from the SAME checkpoint: rows appended while the
+      // query was down arrive exactly once, nothing replays
+      DeltaWrite.append(spark, Seq((3L, "c")).toDF("id", "v"), d)
+      run()
+      val rows = spark.read.parquet(out).select("id").as[Long].collect().toSeq
+      assert(rows.sorted == Seq(1L, 2L, 3L),
+        s"checkpoint restart must resume, not replay: $rows")
+      // the typed cdc stream has a different schema — loudly routed to
+      // the format reader instead of mis-binding the table's columns
+      val e = intercept[Exception] {
+        spark.readStream.option("cdc", "true").table(s"graft.`$d`")
+          .writeStream.format("memory").queryName("nope")
+          .option("checkpointLocation", base + "/ck2").start()
+      }
+      assert(e.getMessage.contains("cdc"), e.getMessage)
+      // iceberg leg through the catalog too
+      val i = base + "/i"
+      IcebergWrite.append(spark, Seq((10L, "x")).toDF("id", "v"), i)
+      val sink3 = s"catstream3_${System.nanoTime()}"
+      val q3 = spark.readStream.table(s"graft.iceberg.`$i`")
+        .writeStream.format("memory").queryName(sink3)
+        .option("checkpointLocation", base + "/cki")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        q3.processAllAvailable()
+        IcebergWrite.append(spark, Seq((11L, "y")).toDF("id", "v"), i)
+        q3.processAllAvailable()
+        assert(spark.table(sink3).select("id").as[Long].collect().toSet ==
+          Set(10L, 11L))
+      } finally q3.stop()
+    }
+  }
+
   test("refusals: non-lakehouse path, format mislabel") {
     val dir = tempDir("graft-src-bad").toString
     val e = intercept[IllegalArgumentException] {
@@ -681,6 +736,28 @@ class GraftSourceSpec extends SparkSpec {
       spark.sql(s"ALTER TABLE graft.`$d` UNSET TBLPROPERTIES ('tier')")
       assert(!spark.sql(s"SHOW TBLPROPERTIES graft.`$d`")
         .as[(String, String)].collect().toMap.contains("tier"))
+    }
+  }
+
+  test("DSv2 catalog: DROP refuses, DROP PURGE deletes, RENAME refuses permanently") {
+    val d = tempDir("graft-cat-drop").toString + "/d"
+    DeltaWrite.append(spark, Seq((1L, "a")).toDF("id", "v"), d)
+    withCatalog {
+      val e = intercept[Exception](spark.sql(s"DROP TABLE graft.`$d`"))
+      assert(e.getMessage.contains("PURGE"), e.getMessage)
+      assert(new java.io.File(d).exists)
+      spark.sql(s"DROP TABLE graft.`$d` PURGE")
+      assert(!new java.io.File(d).exists)
+      // a non-table path cannot be purged (loadTable gates it)
+      val plain = tempDir("graft-cat-nodrop").toString + "/x"
+      new java.io.File(plain).mkdirs()
+      intercept[Exception](spark.sql(s"DROP TABLE graft.`$plain` PURGE"))
+      assert(new java.io.File(plain).exists)
+      val d2 = tempDir("graft-cat-ren").toString + "/d2"
+      DeltaWrite.append(spark, Seq((1L, "a")).toDF("id", "v"), d2)
+      val er = intercept[Exception](
+        spark.sql(s"ALTER TABLE graft.`$d2` RENAME TO graft.`${d2}x`"))
+      assert(er.getMessage.contains("permanently"), er.getMessage)
     }
   }
 

@@ -463,13 +463,64 @@ class IcebergV3Spec extends SparkSpec {
       (2L, None, None)))         // null outer struct stays null
   }
 
-  test("v3 initial-default under a LIST element still refuses loudly") {
+  test("v3 initial-default under a LIST element fills per element (r15)") {
     val root = tempDir("ice-v3-defl").toString + "/t"
+    import org.apache.spark.sql.functions.{col, expr}
+    // pre-evolution file: elements carry only y; x postdates it
+    val pre = Seq((1L, Seq(10L, 20L)), (2L, Seq.empty[Long])).toDF("id", "ys")
+      .select(col("id"), expr("transform(ys, t -> named_struct('y', t))").as("a"))
+    // post-evolution file: x present, one element with an EXPLICIT null
+    val post = Seq(3L).toDF("id").select(col("id"),
+      expr("array(named_struct('y', 1L, 'x', 100L), " +
+        "named_struct('y', 2L, 'x', cast(null as long)))").as("a"))
     buildV3(root, withDv = false, schemaFieldsJson =
       """{"id":1,"name":"id","required":false,"type":"long"},
         |{"id":2,"name":"a","required":false,"type":{"type":"list","element-id":3,
         |  "element":{"type":"struct","fields":[
-        |    {"id":4,"name":"x","required":false,"type":"long","initial-default":7}]}}}""".stripMargin)
+        |    {"id":4,"name":"y","required":false,"type":"long"},
+        |    {"id":5,"name":"x","required":false,"type":"long","initial-default":7}]}}}""".stripMargin,
+      dataOverride = Seq(pre, post))
+    val got = new IcebergTable("t", root)(spark, ReadArgs.empty)
+      .selectExpr("id", "transform(a, e -> e.x) AS xs")
+      .as[(Long, Seq[Option[Long]])].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, Seq(Some(7L), Some(7L))),   // pre-evolution: default per element
+      (2L, Seq.empty),                  // empty array stays empty
+      (3L, Seq(Some(100L), None))),     // stored values win, explicit null kept
+      got.toString)
+  }
+
+  test("v3 initial-default under a MAP value fills per entry (r15)") {
+    val root = tempDir("ice-v3-defm").toString + "/t"
+    import org.apache.spark.sql.functions.{col, expr}
+    val pre = Seq(1L).toDF("id").select(col("id"),
+      expr("map('k1', named_struct('y', 10L), 'k2', named_struct('y', 20L))").as("m"))
+    val post = Seq(2L).toDF("id").select(col("id"),
+      expr("map('k3', named_struct('y', 1L, 'x', 100L))").as("m"))
+    buildV3(root, withDv = false, schemaFieldsJson =
+      """{"id":1,"name":"id","required":false,"type":"long"},
+        |{"id":2,"name":"m","required":false,"type":{"type":"map","key-id":3,"value-id":4,
+        |  "key":"string",
+        |  "value":{"type":"struct","fields":[
+        |    {"id":5,"name":"y","required":false,"type":"long"},
+        |    {"id":6,"name":"x","required":false,"type":"long","initial-default":7}]}}}""".stripMargin,
+      dataOverride = Seq(pre, post))
+    val got = new IcebergTable("t", root)(spark, ReadArgs.empty)
+      .selectExpr("id", "transform_values(m, (k, v) -> v.x) AS xs")
+      .as[(Long, Map[String, Long])].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, Map("k1" -> 7L, "k2" -> 7L)),
+      (2L, Map("k3" -> 100L))), got.toString)
+  }
+
+  test("v3 initial-default under TWO collection levels still refuses loudly") {
+    val root = tempDir("ice-v3-defll").toString + "/t"
+    buildV3(root, withDv = false, schemaFieldsJson =
+      """{"id":1,"name":"id","required":false,"type":"long"},
+        |{"id":2,"name":"a","required":false,"type":{"type":"list","element-id":3,
+        |  "element":{"type":"list","element-id":4,
+        |    "element":{"type":"struct","fields":[
+        |      {"id":5,"name":"x","required":false,"type":"long","initial-default":7}]}}}}""".stripMargin)
     val e = intercept[UnsupportedOperationException] {
       new IcebergTable("t", root)(spark, ReadArgs.empty).collect()
     }
