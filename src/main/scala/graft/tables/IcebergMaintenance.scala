@@ -424,20 +424,22 @@ object IcebergMaintenance {
     // ---- read in-scope rows once; partition columns re-attached from
     // the manifest tuples (graft-staged hive files don't store them);
     // one output file per partition — the compaction goal ----
-    val base = spark.read.parquet(inScope.map(_.path): _*)
+    // r15: the compaction scan follows the read path's field-id
+    // discipline (id-bearing files via the stamped schema — renamed /
+    // physical-name columns keep their values through the rewrite;
+    // id-less files by name, refused on renamed tables): an
+    // inferred-schema read would silently null-fill a renamed column
+    // INTO the rewritten files — data loss, not just a wrong read
     var rows: org.apache.spark.sql.DataFrame =
-      base.withColumn("_rw_path", PathNorm.normalizeCol(col("_metadata.file_path")))
+      IcebergTable
+        .writerSplitScan(spark, meta0, inScope, tablePath)(
+          _.withColumn("_rw_path", PathNorm.normalizeCol(col("_metadata.file_path"))))
     partFields.foreach { pf =>
       val m: Map[String, String] = inScope.map(f =>
         PathNorm.normalize(f.path) ->
           IcebergWrite.renderPartition(pf.dataType, f.partition.get(pf.name).orNull)).toMap
       val attached = element_at(typedLit(m), col("_rw_path")).cast(pf.dataType)
-      rows = rows.withColumn(pf.name,
-        if (base.columns.contains(pf.name)) coalesce(col(pf.name), attached) else attached)
-    }
-    meta0.schema.fields.foreach { f => // columns added by later schema evolution
-      if (!rows.columns.contains(f.name))
-        rows = rows.withColumn(f.name, org.apache.spark.sql.functions.lit(null).cast(f.dataType))
+      rows = rows.withColumn(pf.name, coalesce(col(pf.name), attached))
     }
     val stagingDf = zorderSorted(
       rows.select(

@@ -1473,6 +1473,43 @@ object IcebergTable {
     } finally rd.close()
   }
 
+  /** WRITER-side candidate scan with the SAME field-id discipline as
+    * the read path: id-bearing parquet files read through the stamped
+    * schema (renamed columns and physical-name files bind their
+    * predicates correctly), id-less files by name, id-less files on
+    * RENAMED tables refuse loudly — a deleteWhere predicate that
+    * silently misses pre-rename rows would be wrong data by omission.
+    * `decorate` attaches `_metadata`-derived columns per leg BEFORE
+    * the union (metadata columns only exist on the scan relation).
+    * Parquet only: the writer-side scans (deleteWhere, deleteWhereDv,
+    * scoped rewrite) already refuse non-parquet candidates upstream.
+    */
+  private[graft] def writerSplitScan(
+      spark: org.apache.spark.sql.SparkSession,
+      meta: IcebergMeta.TableMeta,
+      files: Seq[IcebergMeta.ContentFile],
+      uri: String)(
+      decorate: DataFrame => DataFrame): DataFrame = {
+    val renamed = renamedFields(meta.fieldNameHistory, meta.schema)
+    val idless = probeMissingFooterIds(spark, files.map(_.path)).toSet
+    if (renamed.nonEmpty && idless.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"$uri renamed column(s) ${renamed.map(_._2).mkString(", ")}, but " +
+          s"${idless.size} candidate parquet file(s) carry no footer field " +
+          s"ids (e.g. ${idless.head}) — a pre-rename file holds the OLD " +
+          "column name, so this operation could silently miss its rows; " +
+          "rewrite_data_files first")
+    val stamped = stampParquetFieldIds(meta.schema)
+    val (noid, withId) = files.partition(f => idless(f.path))
+    if (withId.nonEmpty && (stamped ne meta.schema)) enableFieldIdRead(spark)
+    Seq(withId -> stamped, noid -> meta.schema)
+      .filter(_._1.nonEmpty)
+      .map { case (g, sch) =>
+        decorate(spark.read.schema(sch).parquet(g.map(_.path): _*))
+      }
+      .reduce(_.unionByName(_))
+  }
+
   // ---------------------------------- Avro writer-schema resolution
 
   /** normalized path → embedded writer-schema JSON for a set of Avro

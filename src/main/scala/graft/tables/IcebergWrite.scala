@@ -312,19 +312,24 @@ object IcebergWrite {
     // file (coalesce: files that STORE the column — foreign writers —
     // win; graft-staged hive files don't store it, so an
     // all-or-nothing schema check would null them out in mixed tables)
-    val base = spark.read.parquet(pruned.map(_.path): _*)
-    var scan = base
-      .withColumn("_del_path", PathNorm.normalizeCol(col("_metadata.file_path")))
-      .withColumn("_del_pos", col("_metadata.row_index"))
+    // r15: the candidate scan follows the read path's field-id
+    // discipline (id-bearing files via the stamped schema — renamed
+    // columns bind the predicate correctly; id-less files by name,
+    // refused on renamed tables): a name-only scan would silently
+    // MISS pre-rename rows
+    var scan = IcebergTable
+      .writerSplitScan(spark, meta0, pruned, tablePath) { base =>
+        base
+          .withColumn("_del_path", PathNorm.normalizeCol(col("_metadata.file_path")))
+          .withColumn("_del_pos", col("_metadata.row_index"))
+      }
     partFields.foreach { pf =>
       val m: Map[String, String] = pruned.map { f =>
         PathNorm.normalize(f.path) -> renderPartition(pf.dataType, f.partition.get(pf.name).orNull)
       }.toMap
       val attached = element_at(typedLit(m), col("_del_path")).cast(pf.dataType)
       scan = scan.withColumn(pf.name,
-        if (base.columns.contains(pf.name))
-          org.apache.spark.sql.functions.coalesce(col(pf.name), attached)
-        else attached)
+        org.apache.spark.sql.functions.coalesce(col(pf.name), attached))
     }
     val pred = graft.core.Filters.toColumn(filters).getOrElse(lit(true))
     // delete rows must record the MANIFEST-spelled data-file path
@@ -534,19 +539,24 @@ object IcebergWrite {
     // one job: matching (file, row_index) → per-file roaring bitmaps
     // on the executors; the scan mirrors deleteWhere's (partition
     // columns re-attached from manifest tuples, stored values win)
-    val base = spark.read.parquet(pruned.map(_.path): _*)
-    var scan = base
-      .withColumn("_del_path", PathNorm.normalizeCol(col("_metadata.file_path")))
-      .withColumn("_del_pos", col("_metadata.row_index"))
+    // r15: the candidate scan follows the read path's field-id
+    // discipline (id-bearing files via the stamped schema — renamed
+    // columns bind the predicate correctly; id-less files by name,
+    // refused on renamed tables): a name-only scan would silently
+    // MISS pre-rename rows
+    var scan = IcebergTable
+      .writerSplitScan(spark, meta0, pruned, tablePath) { base =>
+        base
+          .withColumn("_del_path", PathNorm.normalizeCol(col("_metadata.file_path")))
+          .withColumn("_del_pos", col("_metadata.row_index"))
+      }
     partFields.foreach { pf =>
       val m: Map[String, String] = pruned.map { f =>
         PathNorm.normalize(f.path) -> renderPartition(pf.dataType, f.partition.get(pf.name).orNull)
       }.toMap
       val attached = element_at(typedLit(m), col("_del_path")).cast(pf.dataType)
       scan = scan.withColumn(pf.name,
-        if (base.columns.contains(pf.name))
-          org.apache.spark.sql.functions.coalesce(col(pf.name), attached)
-        else attached)
+        org.apache.spark.sql.functions.coalesce(col(pf.name), attached))
     }
     val pred = graft.core.Filters.toColumn(filters).getOrElse(lit(true))
     val matched: Array[(String, Array[Byte])] = scan.where(pred)

@@ -229,6 +229,52 @@ class IcebergRenameSpec extends SparkSpec {
     assert(got.forall(r => r.getString(1) == s"a-${r.getLong(0)}"))
   }
 
+  test("deleteWhere binds its predicate by field id on renamed tables") {
+    val t = freshTable("ice_rendel")
+    IcebergWrite.append(spark, rows("a", 0, 8), t)
+    IcebergWrite.renameColumn(spark, t, "name", "label")
+    // predicate over the RENAMED column must hit pre-rename rows — a
+    // name-resolving candidate scan would silently miss all of them
+    IcebergWrite.deleteWhere(spark, t,
+      graft.core.Filters.normalize(Seq(graft.core.Filter("label", "=", "a-3"))))
+    val got = new IcebergTable("t", t)(spark, ReadArgs())
+      .orderBy("id").select("id").as[Long].collect()
+    assert(got.toSeq == Seq(0L, 1L, 2L, 4L, 5L, 6L, 7L))
+    // DV flavor too (upgrades the table to v3)
+    IcebergWrite.deleteWhereDv(spark, t,
+      graft.core.Filters.normalize(Seq(graft.core.Filter("label", "=", "a-5"))))
+    val got2 = new IcebergTable("t", t)(spark, ReadArgs())
+      .orderBy("id").select("id").as[Long].collect()
+    assert(got2.toSeq == Seq(0L, 1L, 2L, 4L, 6L, 7L))
+  }
+
+  test("deleteWhere refuses on renamed tables with id-less candidates") {
+    val t = freshTable("ice_rendel2")
+    IcebergWrite.append(spark, rows("a", 0, 4), t)
+    val pqDir = tempDir("ice_rendel2_src").toString + "/pq"
+    rows("i", 4, 4).coalesce(1).write.parquet(pqDir)
+    IcebergWrite.addFiles(spark, pqDir, t)
+    IcebergWrite.renameColumn(spark, t, "name", "label")
+    val e = intercept[UnsupportedOperationException](
+      IcebergWrite.deleteWhere(spark, t,
+        graft.core.Filters.normalize(Seq(graft.core.Filter("id", ">=", 0L)))))
+    assert(e.getMessage.contains("no footer field ids"), e.getMessage)
+  }
+
+  test("scoped rewrite preserves renamed-column values (field-id read)") {
+    val t = freshTable("ice_renrw")
+    val df = (0 until 8).map(i => (i.toLong, s"a-$i", (i % 2))).toDF("id", "name", "p")
+    IcebergWrite.append(spark, df, t, Seq("p"))
+    IcebergWrite.renameColumn(spark, t, "name", "label")
+    // compact ONE partition: a name-resolving compaction scan would
+    // null-fill the renamed column INTO the rewritten files
+    IcebergMaintenance.rewriteDataFiles(spark, t,
+      graft.core.Filters.normalize(Seq(graft.core.Filter("p", "=", 0))))
+    val got = new IcebergTable("t", t)(spark, ReadArgs())
+      .orderBy("id").select("id", "label").as[(Long, String)].collect()
+    assert(got.toSeq == (0 until 8).map(i => (i.toLong, s"a-$i")), got.toSeq)
+  }
+
   test("BoundedCache evicts oldest at the boundary, never wholesale") {
     val c = new IcebergTable.BoundedCache[Int](4)
     (1 to 4).foreach(i => c.put(s"k$i", i))
