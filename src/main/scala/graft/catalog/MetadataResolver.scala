@@ -134,10 +134,16 @@ class WarehouseResolver(
     */
   private val sniffed = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** One cache-key spelling for both entry points: list() sees
+    * fs-qualified paths (file:/wh/db/t), resolve() builds raw ones
+    * (/wh/db/t) — qualify both or every resolve-after-list misses.
+    */
+  private def ck(p: Path): String = fs.makeQualified(p).toString
+
   private def sniff(p: Path): Option[String] =
-    Option(sniffed.get(p.toString)).orElse {
+    Option(sniffed.get(ck(p))).orElse {
       val f = MetadataResolver.sniffFormat(p.toString, conf)
-      f.foreach(sniffed.put(p.toString, _))
+      f.foreach(sniffed.put(ck(p), _))
       f
     }
 
@@ -163,7 +169,7 @@ class WarehouseResolver(
     val p = rel.foldLeft(new Path(warehouse))(new Path(_, _))
     // cached positive: no filesystem round at all (deletion is the
     // read path's loud problem, not the resolver's)
-    Option(sniffed.get(p.toString)) match {
+    Option(sniffed.get(ck(p))) match {
       case Some(f) => Some(MetadataResolver.Resolved(p.toString, Some(f)))
       case None =>
         if (!fs.exists(p)) None

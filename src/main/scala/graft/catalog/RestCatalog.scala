@@ -38,11 +38,17 @@ class RestCatalogResolver(
   private val mapper = new ObjectMapper()
   private val base = baseUri.stripSuffix("/")
 
-  private def get(pathAndQuery: String): JsonNode = {
+  /** `tolerate404` distinguishes the two kinds of miss: a LOAD-TABLE
+    * or CONFIG 404 is a legitimate not-found (→ null → None/no
+    * prefix), but a 404 on an ENUMERATION route means the prefix or
+    * base URL is wrong — reading that as an empty catalog would be
+    * silent emptiness, so it throws with the URL named.
+    */
+  private def get(pathAndQuery: String, tolerate404: Boolean): JsonNode = {
     val b = HttpRequest.newBuilder(URI.create(s"$base$pathAndQuery")).GET()
     headers.foreach { case (k, v) => b.header(k, v) }
     val resp = client.send(b.build(), HttpResponse.BodyHandlers.ofString())
-    if (resp.statusCode() == 404) return null
+    if (resp.statusCode() == 404 && tolerate404) return null
     require(resp.statusCode() / 100 == 2,
       s"REST catalog GET $pathAndQuery failed: HTTP ${resp.statusCode()} ${resp.body()}")
     mapper.readTree(resp.body())
@@ -54,13 +60,16 @@ class RestCatalogResolver(
   /** `overrides` win over `defaults` per the spec's config contract. */
   private val prefix: String = {
     val q = warehouse.map(w => s"?warehouse=${enc(w)}").getOrElse("")
-    val cfg = get(s"/v1/config$q")
+    val cfg = get(s"/v1/config$q", tolerate404 = true)
     if (cfg == null) ""
     else {
       val p = Option(cfg.path("overrides").path("prefix").asText(null))
         .orElse(Option(cfg.path("defaults").path("prefix").asText(null)))
         .getOrElse("")
-      if (p.isEmpty) "" else s"/${enc(p)}"
+      // the prefix is a PATH FRAGMENT: servers may return
+      // multi-segment values ("a/b") — encode per segment, keep '/'
+      if (p.isEmpty) ""
+      else "/" + p.split("/").map(enc).mkString("/")
     }
   }
 
@@ -76,8 +85,7 @@ class RestCatalogResolver(
     while (more) {
       val q = token.map(t => (if (path.contains("?")) "&" else "?") +
         s"pageToken=${enc(t)}").getOrElse("")
-      val node = get(path + q)
-      if (node == null) return Seq.empty
+      val node = get(path + q, tolerate404 = false)
       graft.tables.IcebergMeta.elements(node.path(arrayField)).foreach(out += _)
       token = Option(node.path("next-page-token").asText(null)).filter(_.nonEmpty)
       more = token.isDefined
@@ -109,7 +117,8 @@ class RestCatalogResolver(
     val parts = name.split('.')
     if (parts.length < 2) return None
     val (ns, table) = (parts.init.toSeq, parts.last)
-    val node = get(s"/v1$prefix/namespaces/${nsPath(ns)}/tables/${enc(table)}")
+    val node = get(s"/v1$prefix/namespaces/${nsPath(ns)}/tables/${enc(table)}",
+      tolerate404 = true)
     if (node == null) return None
     val metadataLocation = Option(node.path("metadata-location").asText(null))
     // table root: the embedded metadata's `location`, else derived

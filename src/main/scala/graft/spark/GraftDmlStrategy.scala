@@ -179,60 +179,69 @@ object GraftDmlStrategy extends SparkStrategy {
     // (identity assignments, the direct key-upsert fast path) OR a
     // conditional / expression-valued clause (r15: WHEN MATCHED
     // [AND c] THEN UPDATE SET x = expr, both sides referenceable) —
-    // and at most one conditional DELETE
-    var deleteWhen: Option[String] = None
+    // and at most one conditional DELETE. STATEMENT ORDER is honored
+    // per SQL: for each matched row the FIRST clause whose condition
+    // holds applies.
+    var deleteCondE: Option[Option[Expression]] = None
     var update: Option[(Option[Expression], Seq[Assignment])] = None
+    var deleteIdx = -1
+    var updateIdx = -1
     def isIdentity(as: Seq[Assignment]): Boolean = as.forall {
       case Assignment(k: AttributeReference, v: AttributeReference) =>
         k.name == v.name
       case _ => false
     }
-    m.matchedActions.foreach {
-      case UpdateAction(cond, as, _) =>
+    m.matchedActions.zipWithIndex.foreach {
+      case (UpdateAction(cond, as, _), i) =>
         require(update.isEmpty, s"at most one WHEN MATCHED UPDATE — $shapeHint")
-        update = Some((cond, as))
-      case u: UpdateStarAction =>
+        update = Some((cond, as)); updateIdx = i
+      case (u: UpdateStarAction, i) =>
         require(update.isEmpty, s"at most one WHEN MATCHED UPDATE — $shapeHint")
-        update = Some((u.condition, Seq.empty))
-      case DeleteAction(cond) =>
-        require(deleteWhen.isEmpty, s"at most one WHEN MATCHED DELETE — $shapeHint")
-        // the native writers evaluate the delete condition over the
-        // SOURCE row only — a target-column reference would silently
-        // evaluate against the wrong side, so refuse it
-        cond.foreach(c => c.references.toSeq.find(targetAttrs.contains).foreach(a =>
-          throw new UnsupportedOperationException(
-            s"WHEN MATCHED AND … THEN DELETE must reference SOURCE columns " +
-              s"only (got target column ${a.name}) — the native writers " +
-              "evaluate the condition over the source row")))
-        deleteWhen = Some(cond.map(unqualifiedSql).getOrElse("true"))
-      case other => throw new UnsupportedOperationException(
+        update = Some((u.condition, Seq.empty)); updateIdx = i
+      case (DeleteAction(cond), i) =>
+        require(deleteCondE.isEmpty, s"at most one WHEN MATCHED DELETE — $shapeHint")
+        deleteCondE = Some(cond); deleteIdx = i
+      case (other, _) => throw new UnsupportedOperationException(
         s"unsupported WHEN MATCHED action $other — $shapeHint")
     }
-    // DeltaWrite.merge UPSERTS every matched row the delete clause
-    // spares: without an UPDATE clause, matched rows that do not
-    // satisfy the delete condition would be silently overwritten with
-    // source values — so the update clause is REQUIRED, never implied
-    require(update.isDefined,
-      s"MERGE needs a WHEN MATCHED THEN UPDATE clause — $shapeHint")
-    val (updateCond, updateAssigns) = update.get
-    // the direct key-upsert fast path needs no target read — only
-    // for an UNconditional SET * (explicit star, or identity
-    // assignments covering EVERY column: a partial identity SET like
-    // `SET x = s.x` keeps the other columns' TARGET values, which is
-    // NOT an upsert). Conditions, expressions and partial SETs pair
-    // matched rows below.
-    val directUpsert = updateCond.isEmpty &&
+    require(update.isDefined || deleteCondE.isDefined,
+      s"MERGE needs a WHEN MATCHED clause — $shapeHint")
+    val (updateCond, updateAssigns) =
+      update.getOrElse((None, Seq.empty[Assignment]))
+    val deleteRefsTarget = deleteCondE.exists(
+      _.exists(_.references.toSeq.exists(targetAttrs.contains)))
+    // the direct key-upsert fast path needs no target read — only for
+    // an UNconditional SET * (explicit star, or identity assignments
+    // covering EVERY column: a partial identity SET like `SET x = s.x`
+    // keeps the other columns' TARGET values, which is NOT an upsert)
+    // whose optional DELETE clause PRECEDES it (the writers evaluate
+    // the delete first) over SOURCE columns only (they evaluate it on
+    // the source row). Everything else pairs matched rows below in
+    // statement-clause order.
+    val directUpsert = update.isDefined && updateCond.isEmpty &&
       (updateAssigns.isEmpty ||
         (isIdentity(updateAssigns) &&
           updateAssigns.flatMap(_.key match {
             case ar: AttributeReference => Some(ar.name)
             case _ => None
-          }).toSet == relation.output.map(_.name).toSet))
+          }).toSet == relation.output.map(_.name).toSet)) &&
+      (deleteCondE.isEmpty || (deleteIdx < updateIdx && !deleteRefsTarget))
+    // fast-path delete condition: rendered over bare source names
+    val deleteWhen: Option[String] =
+      if (!directUpsert) None
+      else deleteCondE.map(_.map(unqualifiedSql).getOrElse("true"))
+    // pairing-path clause conditions in STATEMENT order: the later
+    // clause only fires where the earlier one did not (SQL
+    // first-match-wins); both may reference both sides
+    val delPairSql: Option[String] =
+      deleteCondE.map(_.map(c => mergePairSql(c, targetAttrs)).getOrElse("true"))
+    val updPairSql: Option[String] =
+      update.map(_._1.map(c => mergePairSql(c, targetAttrs)).getOrElse("true"))
     // SET keys must be top-level target columns; values may reference
     // BOTH sides (rendered over source names and _tgt_-prefixed
     // target names below)
     val setExprs: Seq[(String, String)] =
-      if (directUpsert) Seq.empty
+      if (directUpsert || update.isEmpty) Seq.empty
       else if (updateAssigns.isEmpty)
         // conditional SET *: every column from the SOURCE row (plain
         // names resolve to the source side of the paired frame)
@@ -245,7 +254,6 @@ object GraftDmlStrategy extends SparkStrategy {
         }
         name -> mergePairSql(a.value, targetAttrs)
       }
-    val updateCondSql = updateCond.map(c => mergePairSql(c, targetAttrs))
     m.notMatchedActions match {
       case Seq(InsertAction(None, as)) if isIdentity(as) => ()
       case Seq(InsertStarAction(None))                   => ()
@@ -270,6 +278,16 @@ object GraftDmlStrategy extends SparkStrategy {
       // row-id churn). Delete-matched rows split off FIRST (clause
       // precedence) — matched ones delete by key, unmatched ones fall
       // through to INSERT per SQL clause semantics.
+      // the pairing read is a SNAPSHOT of the target: capture the
+      // Delta version first and commit with requireBase, so a
+      // concurrent write between the read and the commit aborts
+      // loudly (ConcurrentWriteException) instead of silently writing
+      // stale _tgt_ values back (Iceberg/Hudi keep their documented
+      // snapshot-isolation caveat — same as deleteWhere's)
+      val requireBase: Option[Long] =
+        if (directUpsert || t.format != "delta") None
+        else Some(graft.tables.DeltaLog
+          .snapshot(spark, t.path, withFiles = false).version)
       val (effectiveSource, deleteKeys): (org.apache.spark.sql.DataFrame,
           Option[org.apache.spark.sql.DataFrame]) =
         if (directUpsert) (source, None)
@@ -277,44 +295,52 @@ object GraftDmlStrategy extends SparkStrategy {
           val tgt = spark.read.format("graft").load(t.path)
           require(tgt.columns.forall(c => !c.startsWith("_tgt_")),
             "conditional MERGE reserves the _tgt_ column-name prefix")
-          val delCond = deleteWhen.map(c => coalesce(expr(c), lit(false)))
-          val srcDel = delCond.map(c => source.where(c))
-          val srcUpd = delCond.map(c => source.where(!c)).getOrElse(source)
           val tgtR = tgt.select(tgt.columns.toSeq.map(c =>
             col(c).as("_tgt_" + c)): _*)
-          val pairCond = keyCols.map(k => srcUpd(k) === tgtR("_tgt_" + k))
+          val pairCond = keyCols.map(k => source(k) === tgtR("_tgt_" + k))
             .reduce(_ && _)
-          val pairs = srcUpd.join(tgtR, pairCond, "inner")
-          val updated = updateCondSql.map(c => pairs.where(expr(c)))
-            .getOrElse(pairs)
-            .select(tgt.columns.toSeq.map { c =>
-              setExprs.toMap.get(c)
-                .map(e => expr(e).cast(tgt.schema(c).dataType).as(c))
-                .getOrElse(col("_tgt_" + c).as(c))
-            }: _*)
+          val pairs = source.join(tgtR, pairCond, "inner")
+          // clause conditions in STATEMENT order: the later clause
+          // fires only where the earlier one did not
+          def cond(sql: Option[String]) =
+            sql.map(c => coalesce(expr(c), lit(false))).getOrElse(lit(false))
+          val delC = cond(delPairSql)
+          val updC = cond(updPairSql)
+          val (delFires, updFires) =
+            if (deleteIdx >= 0 && updateIdx >= 0 && deleteIdx < updateIdx)
+              (delC, !delC && updC)
+            else if (deleteIdx >= 0 && updateIdx >= 0)
+              (!updC && delC, updC)
+            else (delC, updC)
+          val updated =
+            if (update.isEmpty) None
+            else Some(pairs.where(updFires)
+              .select(tgt.columns.toSeq.map { c =>
+                setExprs.toMap.get(c)
+                  .map(e => expr(e).cast(tgt.schema(c).dataType).as(c))
+                  .getOrElse(col("_tgt_" + c).as(c))
+              }: _*))
+          val delMatched = deleteCondE.map(_ => pairs.where(delFires)
+            .select(keyCols.map(col): _*).distinct())
+          // WHEN NOT MATCHED applies to every unmatched source row,
+          // clause conditions notwithstanding (they only gate MATCHED)
           val tgtKeys = tgt.select(keyCols.map(col): _*)
-          val inserts = srcUpd.join(tgtKeys, keyCols, "left_anti")
+          val inserts = source.join(tgtKeys, keyCols, "left_anti")
             .select(tgt.columns.map(col).toSeq: _*)
-          val delMatched = srcDel.map(d =>
-            d.join(tgtKeys, keyCols, "left_semi")
-              .select(keyCols.map(col): _*).distinct())
-          val delInserts = srcDel.map(d =>
-            d.join(tgtKeys, keyCols, "left_anti")
-              .select(tgt.columns.map(col).toSeq: _*))
-          val eff = delInserts.foldLeft(updated.unionByName(inserts))(_ unionByName _)
-          (eff, delMatched)
+          (updated.fold(inserts)(_ unionByName inserts), delMatched)
         }
       t.format match {
         case "delta" =>
           DeltaWrite.merge(spark, t.path, effectiveSource, keyCols,
             deleteWhenMatched = if (directUpsert) deleteWhen else None,
-            deleteKeys = deleteKeys)
+            deleteKeys = deleteKeys,
+            requireBase = requireBase)
         case "iceberg" =>
-          require(deleteWhen.isEmpty,
+          require(deleteCondE.isEmpty,
             "WHEN MATCHED THEN DELETE is Delta-only through the graft catalog")
           IcebergWrite.upsertEquality(spark, effectiveSource, t.path, keyCols)
         case _ =>
-          require(deleteWhen.isEmpty,
+          require(deleteCondE.isEmpty,
             "WHEN MATCHED THEN DELETE is Delta-only through the graft catalog")
           // Hudi upserts on the table's declared record key — a MERGE
           // keyed differently would silently change semantics: refuse.

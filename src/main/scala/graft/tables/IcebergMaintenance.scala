@@ -42,9 +42,9 @@ object IcebergMaintenance {
   private val mapper = new ObjectMapper()
   private val MaxAttempts = 10
 
-  private[tables] def intOf(r: org.apache.avro.generic.GenericRecord, f: String, d: Int): Int =
+  private def intOf(r: org.apache.avro.generic.GenericRecord, f: String, d: Int): Int =
     Option(r.get(f)).map(_.asInstanceOf[Number].intValue()).getOrElse(d)
-  private[tables] def longOf(r: org.apache.avro.generic.GenericRecord, f: String): Option[Long] =
+  private def longOf(r: org.apache.avro.generic.GenericRecord, f: String): Option[Long] =
     Option(r.get(f)).map(_.asInstanceOf[Number].longValue())
 
   /** Copy one live source entry into `w` as status=EXISTING with its
@@ -54,7 +54,7 @@ object IcebergMaintenance {
     * metadata logic in the file lives exactly once. Returns the
     * entry's (data sequence number, record count) for the list row.
     */
-  private[tables] def writeExistingEntry(
+  private def writeExistingEntry(
       w: org.apache.avro.file.DataFileWriter[org.apache.avro.generic.GenericRecord],
       entrySchema: org.apache.avro.Schema,
       e: org.apache.avro.generic.GenericRecord,
@@ -96,7 +96,7 @@ object IcebergMaintenance {
   }
 
   /** One content=0 manifest-list row. */
-  private[tables] def dataListRecord(
+  private def dataListRecord(
       ls: org.apache.avro.Schema, path: Path, len: Long, specId: Int,
       seq: Long, minSeq: Long, snapshotId: Long,
       addedFiles: Int, existingFiles: Int,
@@ -121,7 +121,7 @@ object IcebergMaintenance {
   /** Carry a manifest-list row (by-name copy; foreign summaries are
     * rebuilt against graft's schema — see IcebergUniform).
     */
-  private[tables] def copyListRecord(
+  private def copyListRecord(
       ls: org.apache.avro.Schema,
       prev: org.apache.avro.generic.GenericRecord): org.apache.avro.generic.GenericRecord =
     graft.export.IcebergUniform.copyListRecord(ls, prev)

@@ -295,7 +295,7 @@ object IcebergMeta {
     */
   def schemaFromJson(node: JsonNode): (StructType, Map[Int, String]) = {
     val ids = Map.newBuilder[Int, String]
-    def field(f: JsonNode, collectionHops: Int): StructField = {
+    def field(f: JsonNode, collectionHops: Int, underMapKey: Boolean = false): StructField = {
       val name = f.path("name").asText()
       val id = f.path("id").asInt(-1)
       if (id >= 0) ids += id -> name
@@ -308,12 +308,15 @@ object IcebergMeta {
       // fill per element via `transform`). Deeper collection nesting
       // and complex-typed defaults stay refused loudly.
       val hasDefault = f.has("initial-default") && !f.path("initial-default").isNull
-      if (hasDefault && (collectionHops > 1 || !f.path("type").isTextual))
+      if (hasDefault && (collectionHops > 1 || underMapKey || !f.path("type").isTextual))
         throw new UnsupportedOperationException(
           s"column '$name' declares a v3 initial-default value " +
             s"(${f.path("initial-default")}) on a " +
-            (if (collectionHops > 1) "multiply-collection-nested" else "complex-typed") +
-            " field — defaults fill primitives down to one list/map level")
+            (if (underMapKey) "map-KEY-nested"
+             else if (collectionHops > 1) "multiply-collection-nested"
+             else "complex-typed") +
+            " field — defaults fill primitives down to one list/map level " +
+            "(map VALUES, never keys: filling a key would rewrite the key)")
       val mb = new MetadataBuilder()
       if (id >= 0) mb.putLong(DeltaLog.FieldIdKey, id.toLong)
       if (hasDefault) mb.putString(InitialDefaultKey, f.path("initial-default").asText())
@@ -323,17 +326,18 @@ object IcebergMeta {
         nullable = !f.path("required").asBoolean(false),
         metadata = mb.build())
     }
-    def dataType(t: JsonNode, collectionHops: Int): DataType =
+    def dataType(t: JsonNode, collectionHops: Int, underMapKey: Boolean = false): DataType =
       if (t.isTextual) primitive(t.asText())
       else t.path("type").asText() match {
         case "struct" =>
-          StructType(elements(t.path("fields")).map(field(_, collectionHops)).toArray)
+          StructType(elements(t.path("fields"))
+            .map(field(_, collectionHops, underMapKey)).toArray)
         case "list" =>
-          ArrayType(dataType(t.path("element"), collectionHops + 1),
+          ArrayType(dataType(t.path("element"), collectionHops + 1, underMapKey),
             containsNull = !t.path("element-required").asBoolean(false))
         case "map" =>
-          MapType(dataType(t.path("key"), collectionHops + 1),
-            dataType(t.path("value"), collectionHops + 1),
+          MapType(dataType(t.path("key"), collectionHops + 1, underMapKey = true),
+            dataType(t.path("value"), collectionHops + 1, underMapKey),
             valueContainsNull = !t.path("value-required").asBoolean(false))
         case other => throw new IllegalArgumentException(s"unsupported Iceberg type $other")
       }

@@ -1499,6 +1499,31 @@ object IcebergTable {
           s"ids (e.g. ${idless.head}) — a pre-rename file holds the OLD " +
           "column name, so this operation could silently miss its rows; " +
           "rewrite_data_files first")
+    // v3 initial-defaults: the writer-side scan does NOT apply the
+    // per-file default fill, so a candidate file predating a
+    // defaulted column would evaluate predicates against null — and a
+    // compaction would MATERIALIZE nulls over the default into the
+    // rewritten files. Refuse loudly with the exit named: the
+    // unscoped rewriteDataFiles reads through the full (filling) read
+    // path and materializes the defaults.
+    val defaulted = defaultedFields(meta.schema)
+    if (defaulted.nonEmpty) {
+      val probes = defaulted.map { case (steps, sf) =>
+        FieldProbe(
+          if (sf.metadata.contains(DeltaLog.FieldIdKey))
+            Some(sf.metadata.getLong(DeltaLog.FieldIdKey).toInt) else None,
+          probeNameOf(steps))
+      }
+      val absent = probeFooterAbsence(spark, files.map(_.path), probes)
+      if (absent.nonEmpty)
+        throw new UnsupportedOperationException(
+          s"$uri declares initial-default column(s) " +
+            s"${defaulted.map(d => probeNameOf(d._1).mkString(".")).mkString(", ")} " +
+            s"and ${absent.size} candidate file(s) predate them — this " +
+            "operation would read the default as NULL (and a rewrite would " +
+            "materialize that null); run rewriteDataFiles without a filter " +
+            "first (the full read path fills defaults)")
+    }
     val stamped = stampParquetFieldIds(meta.schema)
     val (noid, withId) = files.partition(f => idless(f.path))
     if (withId.nonEmpty && (stamped ne meta.schema)) enableFieldIdRead(spark)
@@ -1607,8 +1632,13 @@ object IcebergTable {
         if (rf.metadata.contains(DeltaLog.FieldIdKey))
           Some(rf.metadata.getLong(DeltaLog.FieldIdKey).toInt)
         else None
+      // a requested field WITHOUT an id resolves by name even in an
+      // id-bearing file: position-delete schemas (file_path/pos —
+      // spec-fixed names, no ids in the requested projection) must
+      // keep matching Avro delete files that stamp the reserved ids
       val src =
-        if (hasIds) rid.flatMap(id => wFields.find(f => avroFieldId(f).contains(id)))
+        if (hasIds && rid.isDefined)
+          wFields.find(f => avroFieldId(f).contains(rid.get))
         else wFields.find(_.name == rf.name)
       src match {
         case None => lit(null).cast(rf.dataType).as(rf.name)

@@ -591,6 +591,54 @@ class GraftSourceSpec extends SparkSpec {
     }
   }
 
+  test("DSv2 catalog: MERGE honors matched-clause STATEMENT ORDER; delete-only works") {
+    val base = tempDir("graft-cat-mrgo").toString
+    // UPDATE before DELETE: SQL first-match-wins — rows satisfying the
+    // update condition update; only the REST delete
+    val d1 = base + "/d1"
+    DeltaWrite.append(spark,
+      Seq((1L, 5L), (2L, 20L), (3L, 30L)).toDF("id", "x"), d1)
+    Seq((1L, 7L), (2L, 6L), (9L, 90L)).toDF("id", "x")
+      .createOrReplaceTempView("mrg_ord_src")
+    withCatalog {
+      spark.sql(
+        s"""MERGE INTO graft.`$d1` t USING mrg_ord_src s ON t.id = s.id
+           |WHEN MATCHED AND s.x > t.x THEN UPDATE SET x = s.x
+           |WHEN MATCHED THEN DELETE
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      assert(spark.sql(s"SELECT id, x FROM graft.`$d1`")
+        .as[(Long, Long)].collect().toSet ==
+        Set((1L, 7L),            // update clause fired first (s.x > t.x)
+          (3L, 30L),             // unmatched by source: untouched
+          (9L, 90L)))            // inserted; id=2 fell through to DELETE
+      // DELETE before UPDATE: the delete wins where its condition holds
+      val d2 = base + "/d2"
+      DeltaWrite.append(spark,
+        Seq((1L, 5L), (2L, 20L)).toDF("id", "x"), d2)
+      spark.sql(
+        s"""MERGE INTO graft.`$d2` t USING mrg_ord_src s ON t.id = s.id
+           |WHEN MATCHED AND s.x > t.x THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET x = s.x + 100
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      assert(spark.sql(s"SELECT id, x FROM graft.`$d2`")
+        .as[(Long, Long)].collect().toSet ==
+        Set((2L, 106L), (9L, 90L))) // id=1 deleted (7 > 5); id=2 updated
+      // delete-ONLY merge (no update clause): matched rows delete,
+      // unmatched insert, everything else untouched
+      val d3 = base + "/d3"
+      DeltaWrite.append(spark,
+        Seq((1L, 5L), (2L, 20L)).toDF("id", "x"), d3)
+      spark.sql(
+        s"""MERGE INTO graft.`$d3` t USING mrg_ord_src s ON t.id = s.id
+           |WHEN MATCHED AND s.x < t.x THEN DELETE
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      assert(spark.sql(s"SELECT id, x FROM graft.`$d3`")
+        .as[(Long, Long)].collect().toSet ==
+        Set((1L, 5L),            // matched but condition false: kept
+          (9L, 90L)))            // inserted; id=2 deleted (6 < 20)
+    }
+  }
+
   test("DSv2 catalog: unsupported MERGE shapes refuse with the shape named") {
     val d = tempDir("graft-cat-mrgr").toString + "/d"
     DeltaWrite.append(spark, Seq((1L, "a")).toDF("id", "v"), d)
@@ -625,26 +673,23 @@ class GraftSourceSpec extends SparkSpec {
              |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
       }
       assert(e3.getMessage.contains("record key"), e3.getMessage)
-      // delete-only MERGE refuses: the native writer upserts every
-      // matched row the delete spares, so without UPDATE SET * the
-      // non-deleted matches would be silently overwritten
+      // a MERGE with no WHEN MATCHED clause at all refuses
       val e4 = intercept[Exception] {
         spark.sql(
           s"""MERGE INTO graft.`$d` t USING mrg_bad_src s ON t.id = s.id
-             |WHEN MATCHED THEN DELETE
              |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
       }
-      assert(e4.getMessage.contains("UPDATE clause"), e4.getMessage)
-      // a delete condition referencing TARGET columns refuses (the
-      // writer evaluates it over the source row)
-      val e5 = intercept[Exception] {
-        spark.sql(
-          s"""MERGE INTO graft.`$d` t USING mrg_bad_src s ON t.id = s.id
-             |WHEN MATCHED AND t.v = 'a' THEN DELETE
-             |WHEN MATCHED THEN UPDATE SET *
-             |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
-      }
-      assert(e5.getMessage.contains("SOURCE columns"), e5.getMessage)
+      assert(e4.getMessage.contains("WHEN MATCHED clause"), e4.getMessage)
+      // a delete condition referencing TARGET columns routes through
+      // the pairing path and evaluates correctly (r15 — previously a
+      // refusal): target row (1,'a') matches t.v = 'a' and deletes
+      spark.sql(
+        s"""MERGE INTO graft.`$d` t USING mrg_bad_src s ON t.id = s.id
+           |WHEN MATCHED AND t.v = 'a' THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      assert(spark.sql(s"SELECT count(*) FROM graft.`$d` WHERE v = 'a'")
+        .as[Long].head() == 0L)
     }
   }
 

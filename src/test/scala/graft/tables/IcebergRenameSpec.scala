@@ -275,6 +275,23 @@ class IcebergRenameSpec extends SparkSpec {
     assert(got.toSeq == (0 until 8).map(i => (i.toLong, s"a-$i")), got.toSeq)
   }
 
+  test("avroProjection: id-less REQUESTED fields match by name in id-bearing files") {
+    // the position-delete projection (file_path/pos — spec-fixed
+    // names, NO ids in the requested schema) must keep matching Avro
+    // delete files that stamp the reserved ids 2147483546/2147483545
+    import org.apache.spark.sql.types._
+    val writer = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"r","fields":[
+        |{"name":"file_path","type":"string","field-id":2147483546},
+        |{"name":"pos","type":"long","field-id":2147483545}]}""".stripMargin)
+    val requested = StructType(Seq(
+      StructField("file_path", StringType), StructField("pos", LongType)))
+    val proj = IcebergTable.avroProjection(
+      writer, requested, Seq.empty, "t", "f.avro")
+    // both columns must project from the writer fields, never null
+    assert(!proj.map(_.toString).exists(_.contains("NULL")), proj.mkString(", "))
+  }
+
   test("BoundedCache evicts oldest at the boundary, never wholesale") {
     val c = new IcebergTable.BoundedCache[Int](4)
     (1 to 4).foreach(i => c.put(s"k$i", i))

@@ -513,6 +513,41 @@ class IcebergV3Spec extends SparkSpec {
       (2L, Map("k3" -> 100L))), got.toString)
   }
 
+  test("v3 initial-default under a MAP KEY refuses loudly (filling would rewrite keys)") {
+    val root = tempDir("ice-v3-defk").toString + "/t"
+    buildV3(root, withDv = false, schemaFieldsJson =
+      """{"id":1,"name":"id","required":false,"type":"long"},
+        |{"id":2,"name":"m","required":false,"type":{"type":"map","key-id":3,"value-id":4,
+        |  "key":{"type":"struct","fields":[
+        |    {"id":5,"name":"x","required":false,"type":"long","initial-default":7}]},
+        |  "value":"string"}}""".stripMargin)
+    val e = intercept[UnsupportedOperationException] {
+      new IcebergTable("t", root)(spark, ReadArgs.empty).collect()
+    }
+    assert(e.getMessage.contains("map-KEY"), e.getMessage)
+  }
+
+  test("writer-side scans refuse files predating a defaulted column (no silent null)") {
+    val root = tempDir("ice-v3-defdel").toString + "/t"
+    buildV3(root, withDv = false, schemaFieldsJson = defaultWFields)
+    // deleteWhere's candidate scan would read w as NULL for the
+    // pre-evolution file — predicate silently misses; refuse instead
+    val e = intercept[UnsupportedOperationException] {
+      IcebergWrite.deleteWhere(spark, root,
+        graft.core.Filters.normalize(Seq(graft.core.Filter("w", "=", 7L))))
+    }
+    assert(e.getMessage.contains("initial-default") &&
+      e.getMessage.contains("rewriteDataFiles"), e.getMessage)
+    // the named exit works: the unscoped rewrite reads through the
+    // FILLING read path, materializes the default, then DML proceeds
+    IcebergMaintenance.rewriteDataFiles(spark, root)
+    IcebergWrite.deleteWhere(spark, root,
+      graft.core.Filters.normalize(Seq(graft.core.Filter("id", "=", 2L))))
+    val got = new IcebergTable("t", root)(spark, ReadArgs.empty)
+      .select("id", "w").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 7L), (3L, 7L)))
+  }
+
   test("v3 initial-default under TWO collection levels still refuses loudly") {
     val root = tempDir("ice-v3-defll").toString + "/t"
     buildV3(root, withDv = false, schemaFieldsJson =
