@@ -275,6 +275,41 @@ class IcebergRenameSpec extends SparkSpec {
     assert(got.toSeq == (0 until 8).map(i => (i.toLong, s"a-$i")), got.toSeq)
   }
 
+  test("many-file tables probe footer ids EXECUTOR-side (zero driver opens); plan width flat") {
+    val t = freshTable("ice_probe")
+    // 40 files > DriverIdProbeMax(32): the id probe must go executor-side
+    IcebergWrite.append(spark,
+      (0 until 200).map(i => (i.toLong, s"v-$i", i * 1.0))
+        .toDF("id", "name", "v").repartition(40), t)
+    val before = IcebergTable.driverIdProbes.get()
+    val df = new IcebergTable("t", t)(spark, ReadArgs())
+    assert(df.count() == 200)
+    assert(IcebergTable.driverIdProbes.get() == before,
+      "a >DriverIdProbeMax-file table must probe footer ids executor-side")
+    // second read answers from the cache — still zero driver opens
+    assert(new IcebergTable("t", t)(spark, ReadArgs()).count() == 200)
+    assert(IcebergTable.driverIdProbes.get() == before)
+    // uniform id-bearing files = ONE parquet relation (no no-id leg)
+    val scans = df.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.size == 1, s"expected one scan leg, got ${scans.size}")
+  }
+
+  test("mixed id/no-id files split into exactly two parquet legs (flat in file count)") {
+    val t = freshTable("ice_mix")
+    IcebergWrite.append(spark, rows("a", 0, 4).repartition(3), t)
+    val pqDir = tempDir("ice_mix_src").toString + "/pq"
+    rows("i", 4, 4).repartition(3).write.parquet(pqDir)
+    IcebergWrite.addFiles(spark, pqDir, t)
+    val df = new IcebergTable("t", t)(spark, ReadArgs())
+    assert(df.count() == 8)
+    val scans = df.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.size == 2, s"expected two scan legs (id + no-id), got ${scans.size}")
+  }
+
   test("avroProjection: id-less REQUESTED fields match by name in id-bearing files") {
     // the position-delete projection (file_path/pos — spec-fixed
     // names, NO ids in the requested schema) must keep matching Avro
