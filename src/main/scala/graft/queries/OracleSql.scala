@@ -2151,14 +2151,27 @@ object OracleSql {
            |  ${dsum(d4("p_retailprice"))} AS sum_price
            |FROM cond GROUP BY p_brand ORDER BY p_brand""".stripMargin
       },
-      // r15: Iceberg UPDATE through catalog SQL — MoR position deletes
-      // first (rows >= 20 gone), then a copy-on-write UPDATE of the
-      // region-1 names; the oracle is the plain transformation
+      // r15: Iceberg DML ladder through catalog SQL — MoR position
+      // deletes (rows >= 20 gone), a copy-on-write UPDATE of region-1
+      // names, then a CONDITIONAL matched MERGE (keys ≡ 0 mod 4 under
+      // 12 bump n_regionkey using BOTH sides; key 990 inserts; every
+      // other matched row untouched)
       "q_iceberg_update" ->
-        """SELECT n_nationkey,
-          |  CASE WHEN n_regionkey = 1 THEN n_name || '_EU' ELSE n_name END AS n_name,
-          |  n_regionkey
-          |FROM nation WHERE n_nationkey < 20
+        """WITH u AS (
+          |  SELECT n_nationkey,
+          |    CASE WHEN n_regionkey = 1 THEN n_name || '_EU' ELSE n_name END AS n_name,
+          |    n_regionkey
+          |  FROM nation WHERE n_nationkey < 20),
+          |m AS (
+          |  SELECT n_nationkey, n_name,
+          |    CASE WHEN n_nationkey < 12 AND n_nationkey % 4 = 0
+          |      THEN (SELECT x.n_regionkey + 10 FROM nation x
+          |            WHERE x.n_nationkey = u.n_nationkey) + n_regionkey
+          |      ELSE n_regionkey END AS n_regionkey
+          |  FROM u)
+          |SELECT * FROM m
+          |UNION ALL
+          |SELECT 990, 'SYNTHESIA', 9
           |ORDER BY n_nationkey""".stripMargin,
       "q_merge_dv" -> {
         import Wave8Queries.{MergeDvParams => P}

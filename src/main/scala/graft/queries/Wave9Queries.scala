@@ -205,6 +205,27 @@ object Wave9Queries {
         Filters.normalize(Seq(Filter("n_nationkey", ">=", 20))))
       s.sql(s"UPDATE graft.`$path` SET n_name = concat(n_name, '_EU') " +
         "WHERE n_regionkey = 1")
+      // r15: conditional matched MERGE on the ICEBERG leg too — only
+      // keys ≡ 0 (mod 4) under 12 take the SET (referencing BOTH
+      // sides); every other matched row must stay untouched and the
+      // source's synthetic key inserts
+      t(s, dir, "nation")
+        .filter(col("n_nationkey") < 12)
+        .select(col("n_nationkey"), col("n_name"),
+          (col("n_regionkey") + 10).as("n_regionkey"))
+        .unionByName(s.createDataFrame(
+          java.util.Arrays.asList(org.apache.spark.sql.Row(990, "SYNTHESIA", 9)),
+          StructType(Seq(
+            StructField("n_nationkey", IntegerType),
+            StructField("n_name", StringType),
+            StructField("n_regionkey", IntegerType)))))
+        .createOrReplaceTempView("graft_ice_upd_src")
+      s.sql(
+        s"""MERGE INTO graft.`$path` t USING graft_ice_upd_src s
+           |ON t.n_nationkey = s.n_nationkey
+           |WHEN MATCHED AND s.n_nationkey % 4 = 0
+           |  THEN UPDATE SET n_regionkey = s.n_regionkey + t.n_regionkey
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
       path
     })
 
