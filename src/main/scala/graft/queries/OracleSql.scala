@@ -2121,9 +2121,13 @@ object OracleSql {
       },
       // the SAME ladder driven through catalog SQL (UPDATE graft.`p`,
       // DELETE FROM, MERGE INTO via GraftDmlStrategy), plus the r15
-      // CONDITIONAL matched-update leg: keys < CondMergeBelow pair
-      // with the target but only keys ≡ 0 (mod 3) take the SET — every
-      // other matched row must come through untouched
+      // CONDITIONAL matched-update leg (keys ≡ 0 mod 3 under
+      // CondMergeBelow take the SET) and the r15 clause-surface leg:
+      // overlapping matched clauses first-match-wins (mod-10 update
+      // shadows the mod-5 delete), a conditional column-list INSERT
+      // NULL-fills, and NOT MATCHED BY SOURCE deletes
+      // [BsDeleteFrom, DeleteFrom) then bumps [BsTouchFrom,
+      // BsDeleteFrom)
       "q_catalog_dml" -> {
         import Wave9Queries.{MappedDml => P}
         s"""WITH u AS (
@@ -2145,11 +2149,34 @@ object OracleSql {
            |  SELECT p_partkey, p_brand, sz,
            |    CASE WHEN p_partkey < ${P.CondMergeBelow} AND p_partkey % 3 = 0
            |      THEN p_retailprice + 5 ELSE p_retailprice END AS p_retailprice
-           |  FROM merged)
+           |  FROM merged),
+           |bs_src AS (
+           |  SELECT p_partkey, p_brand FROM part WHERE p_partkey < ${P.BsMergeBelow}
+           |  UNION ALL SELECT ${P.BsInsertKey}, 'Brand#98'
+           |  UNION ALL SELECT ${P.BsSkipKey}, 'Brand#99'),
+           |bs AS (
+           |  SELECT c.p_partkey, c.p_brand, c.sz, c.p_retailprice,
+           |    EXISTS (SELECT 1 FROM bs_src s WHERE s.p_partkey = c.p_partkey) AS matched
+           |  FROM cond c),
+           |bs2 AS (
+           |  SELECT p_partkey, p_brand,
+           |    CASE WHEN matched AND p_partkey % 10 = 0 THEN sz + 1 ELSE sz END AS sz,
+           |    CASE WHEN NOT matched AND p_partkey >= ${P.BsTouchFrom} AND p_partkey < ${P.BsDeleteFrom}
+           |      THEN p_retailprice + 1 ELSE p_retailprice END AS p_retailprice
+           |  FROM bs
+           |  WHERE NOT (matched AND p_partkey % 5 = 0 AND p_partkey % 10 <> 0)
+           |    AND NOT (NOT matched AND p_partkey >= ${P.BsDeleteFrom} AND p_partkey < ${P.DeleteFrom})),
+           |ins AS (
+           |  SELECT s.p_partkey, s.p_brand, CAST(NULL AS INTEGER) AS sz,
+           |    CAST(NULL AS DOUBLE) AS p_retailprice
+           |  FROM bs_src s
+           |  WHERE s.p_partkey % 2 = 0
+           |    AND NOT EXISTS (SELECT 1 FROM cond c WHERE c.p_partkey = s.p_partkey)),
+           |fin AS (SELECT * FROM bs2 UNION ALL SELECT * FROM ins)
            |SELECT p_brand, count(*) AS n_parts,
            |  CAST(sum(sz) AS BIGINT) AS sum_sz,
            |  ${dsum(d4("p_retailprice"))} AS sum_price
-           |FROM cond GROUP BY p_brand ORDER BY p_brand""".stripMargin
+           |FROM fin GROUP BY p_brand ORDER BY p_brand""".stripMargin
       },
       // r15: Iceberg DML ladder through catalog SQL — MoR position
       // deletes (rows >= 20 gone), a copy-on-write UPDATE of region-1

@@ -37,6 +37,25 @@ object Wave9Queries {
       * condition and take the price bump — the rest stay UNTOUCHED.
       */
     val CondMergeBelow = 60
+    /** Clause-surface MERGE leg (r15): source keys below this, plus
+      * two synthetic unmatched keys, drive overlapping matched
+      * clauses (first-match-wins), a conditional column-list INSERT
+      * (NULL-fill), and NOT MATCHED BY SOURCE DELETE/UPDATE bands.
+      */
+    val BsMergeBelow = 40
+    /** NOT MATCHED BY SOURCE: keys in [BsDeleteFrom, DeleteFrom) are
+      * deleted; [BsTouchFrom, DeleteFrom) takes the price bump where
+      * the delete clause did not fire first (net: [BsTouchFrom,
+      * BsDeleteFrom)).
+      */
+    val BsDeleteFrom = 1400
+    val BsTouchFrom = 1300
+    /** The synthetic unmatched source keys: the even one inserts via
+      * the conditional column-list clause, the odd one fires no
+      * clause and must NOT insert.
+      */
+    val BsInsertKey = 1999998L
+    val BsSkipKey = 1999999L
   }
 
   private val mappedTables = scala.collection.concurrent.TrieMap.empty[String, String]
@@ -181,6 +200,38 @@ object Wave9Queries {
            |WHEN MATCHED AND s.p_partkey % 3 = 0
            |  THEN UPDATE SET p_retailprice = t.p_retailprice + 5
            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      // r15: the full clause surface in one statement — overlapping
+      // matched clauses resolve first-match-wins (k ≡ 0 mod 10
+      // updates BEFORE the mod-5 delete can fire), a conditional
+      // column-list INSERT NULL-fills unassigned columns (the odd
+      // synthetic key fires no clause and must not insert), and NOT
+      // MATCHED BY SOURCE bands delete [BsDeleteFrom, DeleteFrom)
+      // then bump [BsTouchFrom, BsDeleteFrom) — all against the
+      // mapped, DV-routed physical path
+      t(s, dir, "part")
+        .filter(col("p_partkey") < BsMergeBelow)
+        .select(col("p_partkey"), col("p_brand"))
+        .unionByName(s.createDataFrame(
+          java.util.Arrays.asList(
+            org.apache.spark.sql.Row(BsInsertKey, "Brand#98"),
+            org.apache.spark.sql.Row(BsSkipKey, "Brand#99")),
+          StructType(Seq(
+            StructField("p_partkey", LongType),
+            StructField("p_brand", StringType)))))
+        .createOrReplaceTempView("graft_catalog_dml_bs_src")
+      s.sql(
+        s"""MERGE INTO graft.`$path` t USING graft_catalog_dml_bs_src s
+           |ON t.p_partkey = s.p_partkey
+           |WHEN MATCHED AND s.p_partkey % 10 = 0 THEN UPDATE SET sz = t.sz + 1
+           |WHEN MATCHED AND s.p_partkey % 5 = 0 THEN DELETE
+           |WHEN NOT MATCHED AND s.p_partkey % 2 = 0
+           |  THEN INSERT (p_partkey, p_brand) VALUES (s.p_partkey, s.p_brand)
+           |WHEN NOT MATCHED BY SOURCE
+           |  AND t.p_partkey >= $BsDeleteFrom AND t.p_partkey < $DeleteFrom
+           |  THEN DELETE
+           |WHEN NOT MATCHED BY SOURCE
+           |  AND t.p_partkey >= $BsTouchFrom AND t.p_partkey < $DeleteFrom
+           |  THEN UPDATE SET p_retailprice = t.p_retailprice + 1""".stripMargin)
       path
     })
 

@@ -29,14 +29,23 @@ import org.apache.spark.sql.graftbridge.Bridge
   *    MERGE — its write path has no atomic delete+append rewrite.
   *    The WHERE must sit in the pruning filter algebra
   *    ([[DeltaSql.exprToFilters]]) — same bar as DSv2 DELETE.
-  *  - `MERGE INTO graft.\`/p\` t USING src ON t.k = src.k
-  *     WHEN MATCHED [AND c] THEN DELETE / WHEN MATCHED THEN UPDATE SET *
-  *     WHEN NOT MATCHED THEN INSERT *` →
+  *  - `MERGE INTO graft.\`/p\` t USING src ON t.k = src.k ...` →
   *    [[DeltaWrite.merge]] / [[IcebergWrite.upsertEquality]] /
-  *    [[HudiWrite.upsert]]. The key-upsert shape (equality ON, SET *,
-  *    INSERT *) is what the native writers implement; other merge
-  *    shapes refuse LOUDLY with the supported form named — never a
-  *    silently different semantics.
+  *    [[HudiWrite.upsert]]. The ON clause must be a conjunction of
+  *    key equalities (the native writers join by name). Clause
+  *    surface (SQL first-match-wins semantics, statement order): any
+  *    number of `WHEN MATCHED [AND c] THEN UPDATE SET * / SET x =
+  *    expr / DELETE`, `WHEN NOT MATCHED [AND c] THEN INSERT * /
+  *    INSERT (cols) VALUES (exprs)` (unassigned columns NULL-fill),
+  *    and `WHEN NOT MATCHED BY SOURCE [AND c] THEN UPDATE SET /
+  *    DELETE` (target-only expressions). The unconditional SET * /
+  *    INSERT * key-upsert shape routes straight to the writers with
+  *    no target read; every other shape pairs rows against a target
+  *    snapshot and feeds the writers exactly the changed rows.
+  *    DELETE clauses are Delta-only (the Iceberg/Hudi merge writers
+  *    are pure key-upserts); unsupported shapes refuse LOUDLY with
+  *    the supported form named — never a silently different
+  *    semantics.
   */
 object GraftDmlStrategy extends SparkStrategy {
 
@@ -147,12 +156,13 @@ object GraftDmlStrategy extends SparkStrategy {
     val (t, relation) = target
     val shapeHint =
       "the graft catalog serves the key-upsert MERGE shape: ON equality " +
-        "keys, WHEN MATCHED [AND c] THEN DELETE, WHEN MATCHED [AND c] THEN " +
-        "UPDATE SET * / SET x = expr, WHEN NOT MATCHED THEN INSERT *"
+        "keys; any number of WHEN MATCHED [AND c] THEN UPDATE SET * / SET " +
+        "x = expr / DELETE clauses (first match wins, statement order); " +
+        "WHEN NOT MATCHED [AND c] THEN INSERT * / INSERT (cols) VALUES " +
+        "(exprs); WHEN NOT MATCHED BY SOURCE [AND c] THEN UPDATE SET / " +
+        "DELETE"
     require(!m.withSchemaEvolution,
       s"MERGE WITH SCHEMA EVOLUTION is not supported through the graft catalog")
-    require(m.notMatchedBySourceActions.isEmpty,
-      s"WHEN NOT MATCHED BY SOURCE is not supported — $shapeHint")
 
     // ON: conjunction of target-column = source-column equalities,
     // names matching pairwise (the native writers join by name)
@@ -175,109 +185,106 @@ object GraftDmlStrategy extends SparkStrategy {
     }
     val keyCols = keys(m.mergeCondition).distinct
 
-    // WHEN MATCHED: at most one UPDATE — unconditional SET *
-    // (identity assignments, the direct key-upsert fast path) OR a
-    // conditional / expression-valued clause (r15: WHEN MATCHED
-    // [AND c] THEN UPDATE SET x = expr, both sides referenceable) —
-    // and at most one conditional DELETE. STATEMENT ORDER is honored
-    // per SQL: for each matched row the FIRST clause whose condition
-    // holds applies.
-    var deleteCondE: Option[Option[Expression]] = None
-    var update: Option[(Option[Expression], Seq[Assignment])] = None
-    var deleteIdx = -1
-    var updateIdx = -1
+    // clause model — STATEMENT order kept everywhere; SQL semantics:
+    // for each row the FIRST clause whose condition holds applies,
+    // later clauses only see rows no earlier clause took
+    sealed trait Clause
+    case class UpdClause(cond: Option[Expression], assigns: Seq[Assignment])
+        extends Clause // assigns empty = SET *
+    case class DelClause(cond: Option[Expression]) extends Clause
+
+    def assignName(a: Assignment): String = a.key match {
+      case ar: AttributeReference => ar.name
+      case other => throw new UnsupportedOperationException(
+        s"UPDATE SET supports top-level columns, got ${other.sql}")
+    }
     def isIdentity(as: Seq[Assignment]): Boolean = as.forall {
       case Assignment(k: AttributeReference, v: AttributeReference) =>
         k.name == v.name
       case _ => false
     }
-    m.matchedActions.zipWithIndex.foreach {
-      case (UpdateAction(cond, as, _), i) =>
-        require(update.isEmpty, s"at most one WHEN MATCHED UPDATE — $shapeHint")
-        update = Some((cond, as)); updateIdx = i
-      case (u: UpdateStarAction, i) =>
-        require(update.isEmpty, s"at most one WHEN MATCHED UPDATE — $shapeHint")
-        update = Some((u.condition, Seq.empty)); updateIdx = i
-      case (DeleteAction(cond), i) =>
-        require(deleteCondE.isEmpty, s"at most one WHEN MATCHED DELETE — $shapeHint")
-        deleteCondE = Some(cond); deleteIdx = i
-      case (other, _) => throw new UnsupportedOperationException(
+    val matchedClauses: Seq[Clause] = m.matchedActions.map {
+      case UpdateAction(cond, as, _) => UpdClause(cond, as)
+      case u: UpdateStarAction       => UpdClause(u.condition, Seq.empty)
+      case DeleteAction(cond)        => DelClause(cond)
+      case other => throw new UnsupportedOperationException(
         s"unsupported WHEN MATCHED action $other — $shapeHint")
     }
-    require(update.isDefined || deleteCondE.isDefined,
-      s"MERGE needs a WHEN MATCHED clause — $shapeHint")
-    val (updateCond, updateAssigns) =
-      update.getOrElse((None, Seq.empty[Assignment]))
-    val deleteRefsTarget = deleteCondE.exists(
-      _.exists(_.references.toSeq.exists(targetAttrs.contains)))
-    // the direct key-upsert fast path needs no target read — only for
-    // an UNconditional SET * (explicit star, or identity assignments
-    // covering EVERY column: a partial identity SET like `SET x = s.x`
-    // keeps the other columns' TARGET values, which is NOT an upsert)
-    // whose optional DELETE clause PRECEDES it (the writers evaluate
-    // the delete first) over SOURCE columns only (they evaluate it on
-    // the source row). Everything else pairs matched rows below in
+    val insertClauses: Seq[(Option[Expression], Seq[Assignment])] =
+      m.notMatchedActions.map {
+        case InsertAction(cond, as) => (cond, as)
+        case i: InsertStarAction    => (i.condition, Seq.empty)
+        case other => throw new UnsupportedOperationException(
+          s"unsupported WHEN NOT MATCHED action $other — $shapeHint")
+      }
+    // NOT MATCHED BY SOURCE clauses see only the target row (SQL:
+    // there is no source row — the analyzer rejects source
+    // references; SET * has nothing to take a star from)
+    val bySourceClauses: Seq[Clause] = m.notMatchedBySourceActions.map {
+      case UpdateAction(cond, as, _) =>
+        require(as.nonEmpty,
+          "WHEN NOT MATCHED BY SOURCE UPDATE needs explicit SET columns — " +
+            "there is no source row to take * from")
+        UpdClause(cond, as)
+      case DeleteAction(cond) => DelClause(cond)
+      case other => throw new UnsupportedOperationException(
+        s"unsupported WHEN NOT MATCHED BY SOURCE action $other — $shapeHint")
+    }
+    require(matchedClauses.nonEmpty || insertClauses.nonEmpty ||
+      bySourceClauses.nonEmpty, s"MERGE needs at least one clause — $shapeHint")
+    // deletes route through the writers' delete-keys path — Delta
+    // implements it; the Iceberg/Hudi merge writers are pure
+    // key-upserts, so a delete-bearing MERGE refuses at PLAN time
+    val hasDelete =
+      (matchedClauses ++ bySourceClauses).exists(_.isInstanceOf[DelClause])
+    require(!hasDelete || t.format == "delta",
+      "WHEN [NOT] MATCHED ... THEN DELETE is Delta-only through the graft " +
+        s"catalog — $shapeHint")
+
+    def fullIdentity(as: Seq[Assignment]): Boolean =
+      as.isEmpty || (isIdentity(as) &&
+        as.map(assignName).toSet == relation.output.map(_.name).toSet)
+    def srcOnly(cond: Option[Expression]): Boolean =
+      !cond.exists(_.references.toSeq.exists(targetAttrs.contains))
+    // the direct key-upsert fast path needs no target read — exactly
+    // the native writers' own shape: one UNconditional SET * (explicit
+    // star, or identity assignments covering EVERY column: a partial
+    // identity SET like `SET x = s.x` keeps the other columns' TARGET
+    // values, which is NOT an upsert), optionally preceded by one
+    // DELETE conditioned on SOURCE columns only (the writers evaluate
+    // it on the source row), one unconditional full-width INSERT, and
+    // nothing by source. Everything else pairs rows below in
     // statement-clause order.
-    val directUpsert = update.isDefined && updateCond.isEmpty &&
-      (updateAssigns.isEmpty ||
-        (isIdentity(updateAssigns) &&
-          updateAssigns.flatMap(_.key match {
-            case ar: AttributeReference => Some(ar.name)
-            case _ => None
-          }).toSet == relation.output.map(_.name).toSet)) &&
-      (deleteCondE.isEmpty || (deleteIdx < updateIdx && !deleteRefsTarget))
+    val directUpsert = bySourceClauses.isEmpty &&
+      (insertClauses match {
+        case Seq((None, as)) => fullIdentity(as)
+        case _               => false
+      }) &&
+      (matchedClauses match {
+        case Seq(UpdClause(None, as)) => fullIdentity(as)
+        case Seq(DelClause(dc), UpdClause(None, as)) =>
+          fullIdentity(as) && srcOnly(dc)
+        case _ => false
+      })
     // fast-path delete condition: rendered over bare source names
     val deleteWhen: Option[String] =
       if (!directUpsert) None
-      else deleteCondE.map(_.map(unqualifiedSql).getOrElse("true"))
-    // pairing-path clause conditions in STATEMENT order: the later
-    // clause only fires where the earlier one did not (SQL
-    // first-match-wins); both may reference both sides
-    val delPairSql: Option[String] =
-      deleteCondE.map(_.map(c => mergePairSql(c, targetAttrs)).getOrElse("true"))
-    val updPairSql: Option[String] =
-      update.map(_._1.map(c => mergePairSql(c, targetAttrs)).getOrElse("true"))
-    // SET keys must be top-level target columns; values may reference
-    // BOTH sides (rendered over source names and _tgt_-prefixed
-    // target names below)
-    val setExprs: Seq[(String, String)] =
-      if (directUpsert || update.isEmpty) Seq.empty
-      else if (updateAssigns.isEmpty)
-        // conditional SET *: every column from the SOURCE row (plain
-        // names resolve to the source side of the paired frame)
-        relation.output.map(a => a.name -> UnresolvedAttribute(Seq(a.name)).sql)
-      else updateAssigns.map { a =>
-        val name = a.key match {
-          case ar: AttributeReference => ar.name
-          case other => throw new UnsupportedOperationException(
-            s"UPDATE SET supports top-level columns, got ${other.sql}")
-        }
-        name -> mergePairSql(a.value, targetAttrs)
+      else matchedClauses.collectFirst {
+        case DelClause(c) => c.map(unqualifiedSql).getOrElse("true")
       }
-    m.notMatchedActions match {
-      case Seq(InsertAction(None, as)) if isIdentity(as) => ()
-      case Seq(InsertStarAction(None))                   => ()
-      case Seq() => throw new UnsupportedOperationException(
-        "MERGE without WHEN NOT MATCHED THEN INSERT is not supported — the " +
-          s"native writers always upsert; $shapeHint")
-      case other => throw new UnsupportedOperationException(
-        s"unsupported WHEN NOT MATCHED action(s) $other — $shapeHint")
-    }
 
     val sourcePlan = m.sourceTable
     GraftDmlExec(s"MERGE INTO ${t.format}.`${t.path}`", { spark =>
-      import org.apache.spark.sql.functions.{coalesce, col, expr, lit}
+      import org.apache.spark.sql.functions.{coalesce, col, expr, lit, when}
       val source = Bridge.ofRows(spark, sourcePlan)
-      // conditional / expression-valued update: pair matched rows with
-      // the target ONCE (target columns under _tgt_ names), project the
-      // updated rows (SET columns from the expressions, the rest from
-      // the TARGET — SQL UPDATE semantics), and hand the proven
-      // key-upsert writers an EFFECTIVE source of exactly the rows
-      // that change: matched rows failing the update condition never
-      // appear, so they stay untouched (no rewrite, no CDC row, no
-      // row-id churn). Delete-matched rows split off FIRST (clause
-      // precedence) — matched ones delete by key, unmatched ones fall
-      // through to INSERT per SQL clause semantics.
+      // pairing path: hand the proven key-upsert writers an EFFECTIVE
+      // source of exactly the rows that change — matched rows whose
+      // firing clause is an update project through their SET
+      // expressions, unmatched source rows project through their
+      // insert clause, unmatched-by-source target rows through their
+      // BY SOURCE update clause; rows firing no clause never appear,
+      // so they stay untouched (no rewrite, no CDC row, no row-id
+      // churn). Delete-firing rows contribute key tuples instead.
       // the pairing read is a SNAPSHOT of the target: capture the
       // Delta version first and commit with requireBase, so a
       // concurrent write between the read and the commit aborts
@@ -297,37 +304,126 @@ object GraftDmlStrategy extends SparkStrategy {
             "conditional MERGE reserves the _tgt_ column-name prefix")
           val tgtR = tgt.select(tgt.columns.toSeq.map(c =>
             col(c).as("_tgt_" + c)): _*)
-          val pairCond = keyCols.map(k => source(k) === tgtR("_tgt_" + k))
-            .reduce(_ && _)
-          val pairs = source.join(tgtR, pairCond, "inner")
-          // clause conditions in STATEMENT order: the later clause
-          // fires only where the earlier one did not
-          def cond(sql: Option[String]) =
-            sql.map(c => coalesce(expr(c), lit(false))).getOrElse(lit(false))
-          val delC = cond(delPairSql)
-          val updC = cond(updPairSql)
-          val (delFires, updFires) =
-            if (deleteIdx >= 0 && updateIdx >= 0 && deleteIdx < updateIdx)
-              (delC, !delC && updC)
-            else if (deleteIdx >= 0 && updateIdx >= 0)
-              (!updC && delC, updC)
-            else (delC, updC)
-          val updated =
-            if (update.isEmpty) None
-            else Some(pairs.where(updFires)
+          // exclusive first-match-wins firing columns for an ordered
+          // clause list (a null condition is SQL-false); `pair` picks
+          // the rendering frame — paired rows carry _tgt_ names,
+          // insert rows carry bare source names
+          def fires(conds: Seq[Option[Expression]], pair: Boolean)
+              : Seq[org.apache.spark.sql.Column] = {
+            var prior: org.apache.spark.sql.Column = lit(false)
+            conds.map { c =>
+              val rendered = c
+                .map(e => if (pair) mergePairSql(e, targetAttrs)
+                          else unqualifiedSql(e))
+                .map(s => coalesce(expr(s), lit(false))).getOrElse(lit(true))
+              val f = rendered && !prior
+              prior = prior || rendered
+              f
+            }
+          }
+          def clauseCond(c: Clause): Option[Expression] = c match {
+            case UpdClause(cond, _) => cond
+            case DelClause(cond)    => cond
+          }
+          def updSets(clauses: Seq[Clause],
+              fs: Seq[org.apache.spark.sql.Column])
+              : Seq[(org.apache.spark.sql.Column, Map[String, String])] =
+            clauses.zip(fs).collect {
+              case (UpdClause(_, as), f) =>
+                val sets: Map[String, String] =
+                  if (as.isEmpty)
+                    // SET *: every column from the SOURCE row (plain
+                    // names resolve to the source side of the pair)
+                    relation.output.map(a =>
+                      a.name -> UnresolvedAttribute(Seq(a.name)).sql).toMap
+                  else as.map(a =>
+                    assignName(a) -> mergePairSql(a.value, targetAttrs)).toMap
+                (f, sets)
+            }
+          def delAny(clauses: Seq[Clause],
+              fs: Seq[org.apache.spark.sql.Column])
+              : Option[org.apache.spark.sql.Column] =
+            clauses.zip(fs).collect { case (DelClause(_), f) => f }
+              .reduceOption(_ || _)
+          // updated-row projection: SET columns from the (exclusive)
+          // firing clause that sets them, everything else the TARGET
+          // value (SQL UPDATE semantics)
+          def updateProjection(rows: org.apache.spark.sql.DataFrame,
+              us: Seq[(org.apache.spark.sql.Column, Map[String, String])])
+              : org.apache.spark.sql.DataFrame =
+            rows.where(us.map(_._1).reduce(_ || _))
               .select(tgt.columns.toSeq.map { c =>
-                setExprs.toMap.get(c)
-                  .map(e => expr(e).cast(tgt.schema(c).dataType).as(c))
-                  .getOrElse(col("_tgt_" + c).as(c))
-              }: _*))
-          val delMatched = deleteCondE.map(_ => pairs.where(delFires)
-            .select(keyCols.map(col): _*).distinct())
-          // WHEN NOT MATCHED applies to every unmatched source row,
-          // clause conditions notwithstanding (they only gate MATCHED)
-          val tgtKeys = tgt.select(keyCols.map(col): _*)
-          val inserts = source.join(tgtKeys, keyCols, "left_anti")
-            .select(tgt.columns.map(col).toSeq: _*)
-          (updated.fold(inserts)(_ unionByName inserts), delMatched)
+                us.foldRight(col("_tgt_" + c)) { case ((f, sets), acc) =>
+                  sets.get(c).map(e =>
+                    when(f, expr(e).cast(tgt.schema(c).dataType)).otherwise(acc))
+                    .getOrElse(acc)
+                }.as(c)
+              }: _*)
+
+          // WHEN MATCHED: pair matched rows with the target ONCE
+          // (target columns under _tgt_ names), split by the firing
+          // clause — updates project, deletes contribute key tuples,
+          // no-clause rows stay untouched (no rewrite, no CDC row)
+          val (updated, delMatched) =
+            if (matchedClauses.isEmpty) (None, None)
+            else {
+              val pairCond = keyCols.map(k => source(k) === tgtR("_tgt_" + k))
+                .reduce(_ && _)
+              val pairs = source.join(tgtR, pairCond, "inner")
+              val fs = fires(matchedClauses.map(clauseCond), pair = true)
+              val us = updSets(matchedClauses, fs)
+              (if (us.isEmpty) None else Some(updateProjection(pairs, us)),
+                delAny(matchedClauses, fs).map(f => pairs.where(f)
+                  .select(keyCols.map(col): _*).distinct()))
+            }
+          // WHEN NOT MATCHED: unmatched source rows, the first firing
+          // insert clause projects them (explicit column lists
+          // NULL-fill unassigned columns); rows firing no clause do
+          // not insert
+          val inserts =
+            if (insertClauses.isEmpty) None
+            else {
+              val tgtKeys = tgt.select(keyCols.map(col): _*)
+              val un = source.join(tgtKeys, keyCols, "left_anti")
+              val fs = fires(insertClauses.map(_._1), pair = false)
+              Some(insertClauses.zip(fs).map { case ((_, as), f) =>
+                val rows = un.where(f)
+                if (as.isEmpty || (isIdentity(as) &&
+                    as.map(assignName).toSet == tgt.columns.toSet))
+                  rows.select(tgt.columns.toSeq.map(c => col(c).as(c)): _*)
+                else {
+                  val sets = as.map(a =>
+                    assignName(a) -> unqualifiedSql(a.value)).toMap
+                  rows.select(tgt.columns.toSeq.map { c =>
+                    sets.get(c)
+                      .map(e => expr(e).cast(tgt.schema(c).dataType).as(c))
+                      .getOrElse(lit(null).cast(tgt.schema(c).dataType).as(c))
+                  }: _*)
+                }
+              }.reduce(_ unionByName _))
+            }
+          // WHEN NOT MATCHED BY SOURCE: target rows whose key has no
+          // source row — conditions and SET values see the target only
+          val (bySrcUpd, bySrcDel) =
+            if (bySourceClauses.isEmpty) (None, None)
+            else {
+              val srcKeys = source.select(keyCols.map(k =>
+                col(k).as("_tgt_" + k)): _*)
+              val un = tgtR.join(srcKeys, keyCols.map("_tgt_" + _), "left_anti")
+              val fs = fires(bySourceClauses.map(clauseCond), pair = true)
+              val us = updSets(bySourceClauses, fs)
+              (if (us.isEmpty) None else Some(updateProjection(un, us)),
+                delAny(bySourceClauses, fs).map(f => un.where(f)
+                  .select(keyCols.map(k => col("_tgt_" + k).as(k)): _*)
+                  .distinct()))
+            }
+          val effective = Seq(updated, bySrcUpd, inserts).flatten
+            .reduceOption(_ unionByName _)
+            .getOrElse(spark.createDataFrame(
+              new java.util.ArrayList[org.apache.spark.sql.Row](), tgt.schema))
+          val delKeys = Seq(delMatched, bySrcDel).flatten
+            .reduceOption(_ unionByName _)
+          (effective, delKeys)
         }
       t.format match {
         case "delta" =>
@@ -336,12 +432,8 @@ object GraftDmlStrategy extends SparkStrategy {
             deleteKeys = deleteKeys,
             requireBase = requireBase)
         case "iceberg" =>
-          require(deleteCondE.isEmpty,
-            "WHEN MATCHED THEN DELETE is Delta-only through the graft catalog")
           IcebergWrite.upsertEquality(spark, effectiveSource, t.path, keyCols)
         case _ =>
-          require(deleteCondE.isEmpty,
-            "WHEN MATCHED THEN DELETE is Delta-only through the graft catalog")
           // Hudi upserts on the table's declared record key — a MERGE
           // keyed differently would silently change semantics: refuse.
           // The property is comma-joined for composite keys; compare

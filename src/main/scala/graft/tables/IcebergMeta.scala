@@ -303,20 +303,19 @@ object IcebergMeta {
       // must read the declared default (silently reading null would be
       // wrong data). Primitive defaults are stashed in the field
       // metadata ([[InitialDefaultKey]]) for the read path to fill
-      // per-file — top-level, struct-nested, and (r15) under ONE
-      // list/map hop (array-of-struct elements / map struct values
-      // fill per element via `transform`). Deeper collection nesting
-      // and complex-typed defaults stay refused loudly.
+      // per-file — top-level, struct-nested, and (r15) under any
+      // chain of list/map hops (array elements / map struct values
+      // fill per element via nested `transform` lambdas). Map-KEY
+      // placement and complex-typed defaults stay refused loudly.
       val hasDefault = f.has("initial-default") && !f.path("initial-default").isNull
-      if (hasDefault && (collectionHops > 1 || underMapKey || !f.path("type").isTextual))
+      if (hasDefault && (underMapKey || !f.path("type").isTextual))
         throw new UnsupportedOperationException(
           s"column '$name' declares a v3 initial-default value " +
             s"(${f.path("initial-default")}) on a " +
-            (if (underMapKey) "map-KEY-nested"
-             else if (collectionHops > 1) "multiply-collection-nested"
-             else "complex-typed") +
-            " field — defaults fill primitives down to one list/map level " +
-            "(map VALUES, never keys: filling a key would rewrite the key)")
+            (if (underMapKey) "map-KEY-nested" else "complex-typed") +
+            " field — defaults fill primitive fields (under any list/map " +
+            "nesting of map VALUES, never keys: filling a key would " +
+            "rewrite the key)")
       val mb = new MetadataBuilder()
       if (id >= 0) mb.putLong(DeltaLog.FieldIdKey, id.toLong)
       if (hasDefault) mb.putString(InitialDefaultKey, f.path("initial-default").asText())

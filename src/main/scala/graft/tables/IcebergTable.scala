@@ -917,9 +917,9 @@ class IcebergTable(
       // back-fill mechanism. Struct-nested defaults rebuild only the
       // affected subfield via withField (a row whose whole struct is
       // null stays null — the struct's absence, not the field's);
-      // defaults under ONE list/map hop fill per ELEMENT via
-      // transform/transform_values, null elements preserved the same
-      // way (r15).
+      // defaults under list/map hops — any depth — fill per ELEMENT
+      // via nested transform/transform_values lambdas, null elements
+      // and null containers preserved the same way (r15).
       defaultProbes.foreach { case (fpath, sf, probe) =>
         val dvVal = PartitionAttach.fromString(
           sf.metadata.getString(IcebergMeta.InitialDefaultKey), sf.dataType, zone)
@@ -1163,24 +1163,27 @@ object IcebergTable {
     }
 
   /** Every schema field carrying a v3 `initial-default`, with its
-    * path — struct chains plus (r15) at most one list/map hop, the
-    * shapes the parse admits ([[IcebergMeta.schemaFromJson]]).
+    * path — struct chains under any depth of list/map nesting, the
+    * shapes the parse admits ([[IcebergMeta.schemaFromJson]]; map
+    * keys carry no defaults).
     */
   private[tables] def defaultedFields(
       schema: StructType): Seq[(Seq[PathStep], StructField)] = {
     import PathStep._
+    def descend(dt: DataType, prefix: Seq[PathStep]): Seq[(Seq[PathStep], StructField)] =
+      dt match {
+        case s: StructType    => walk(s, prefix)
+        case ArrayType(e, _)  => descend(e, prefix :+ ListElem)
+        case MapType(_, v, _) => descend(v, prefix :+ MapVal)
+        case _                => Seq.empty
+      }
     def walk(st: StructType, prefix: Seq[PathStep]): Seq[(Seq[PathStep], StructField)] =
       st.fields.toSeq.flatMap { f =>
         val here = prefix :+ F(f.name)
         val self =
           if (f.metadata.contains(IcebergMeta.InitialDefaultKey))
             Seq((here, f)) else Seq.empty
-        self ++ (f.dataType match {
-          case s: StructType => walk(s, here)
-          case ArrayType(s: StructType, _)  => walk(s, here :+ ListElem)
-          case MapType(_, s: StructType, _) => walk(s, here :+ MapVal)
-          case _ => Seq.empty
-        })
+        self ++ descend(f.dataType, here)
       }
     walk(schema, Seq.empty)
   }

@@ -548,19 +548,55 @@ class IcebergV3Spec extends SparkSpec {
     assert(got == Seq((1L, 7L), (3L, 7L)))
   }
 
-  test("v3 initial-default under TWO collection levels still refuses loudly") {
+  test("v3 initial-default under TWO collection levels fills per inner element (r15)") {
     val root = tempDir("ice-v3-defll").toString + "/t"
+    import org.apache.spark.sql.functions.{col, expr}
+    val pre = Seq(1L).toDF("id").select(col("id"),
+      expr("array(array(named_struct('y', 10L)), array(), array(named_struct('y', 20L)))")
+        .as("a"))
+    val post = Seq(2L).toDF("id").select(col("id"),
+      expr("array(array(named_struct('y', 1L, 'x', 100L)))").as("a"))
     buildV3(root, withDv = false, schemaFieldsJson =
       """{"id":1,"name":"id","required":false,"type":"long"},
         |{"id":2,"name":"a","required":false,"type":{"type":"list","element-id":3,
         |  "element":{"type":"list","element-id":4,
         |    "element":{"type":"struct","fields":[
-        |      {"id":5,"name":"x","required":false,"type":"long","initial-default":7}]}}}}""".stripMargin)
-    val e = intercept[UnsupportedOperationException] {
-      new IcebergTable("t", root)(spark, ReadArgs.empty).collect()
-    }
-    assert(e.getMessage.contains("initial-default") && e.getMessage.contains("'x'"),
-      e.getMessage)
+        |      {"id":5,"name":"y","required":false,"type":"long"},
+        |      {"id":6,"name":"x","required":false,"type":"long","initial-default":7}]}}}}""".stripMargin,
+      dataOverride = Seq(pre, post))
+    val got = new IcebergTable("t", root)(spark, ReadArgs.empty)
+      .selectExpr("id",
+        "transform(a, inner -> transform(inner, e -> e.x)) AS xs")
+      .as[(Long, Seq[Seq[Option[Long]]])].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, Seq(Seq(Some(7L)), Seq.empty, Seq(Some(7L)))), // default per inner element
+      (2L, Seq(Seq(Some(100L))))),                        // stored values win
+      got.toString)
+  }
+
+  test("v3 initial-default under a MAP-of-LIST chain fills per element (r15)") {
+    val root = tempDir("ice-v3-defml").toString + "/t"
+    import org.apache.spark.sql.functions.{col, expr}
+    val pre = Seq(1L).toDF("id").select(col("id"),
+      expr("map('k', array(named_struct('y', 10L)))").as("m"))
+    val post = Seq(2L).toDF("id").select(col("id"),
+      expr("map('k2', array(named_struct('y', 1L, 'x', 100L)))").as("m"))
+    buildV3(root, withDv = false, schemaFieldsJson =
+      """{"id":1,"name":"id","required":false,"type":"long"},
+        |{"id":2,"name":"m","required":false,"type":{"type":"map","key-id":3,"value-id":4,
+        |  "key":"string",
+        |  "value":{"type":"list","element-id":5,
+        |    "element":{"type":"struct","fields":[
+        |      {"id":6,"name":"y","required":false,"type":"long"},
+        |      {"id":7,"name":"x","required":false,"type":"long","initial-default":7}]}}}}""".stripMargin,
+      dataOverride = Seq(pre, post))
+    val got = new IcebergTable("t", root)(spark, ReadArgs.empty)
+      .selectExpr("id",
+        "transform_values(m, (k, v) -> transform(v, e -> e.x)) AS xs")
+      .as[(Long, Map[String, Seq[Option[Long]]])].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, Map("k" -> Seq(Some(7L)))),
+      (2L, Map("k2" -> Seq(Some(100L))))), got.toString)
   }
 
   test("many-file defaulted table: footer probe runs EXECUTOR-side (zero driver opens)") {
