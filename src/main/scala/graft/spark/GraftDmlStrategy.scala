@@ -277,6 +277,14 @@ object GraftDmlStrategy extends SparkStrategy {
     GraftDmlExec(s"MERGE INTO ${t.format}.`${t.path}`", { spark =>
       import org.apache.spark.sql.functions.{coalesce, col, expr, lit, when}
       val source = Bridge.ofRows(spark, sourcePlan)
+      // the pairing path consumes the source plan several times (pair
+      // join, cardinality probe, insert anti-join, BY SOURCE key
+      // anti-join, then the writer's own pruning/content scans) —
+      // persist it once so an expensive or NON-DETERMINISTIC source
+      // cannot route the same row through different clauses on
+      // different scans
+      if (!directUpsert) source.persist()
+      try {
       // pairing path: hand the proven key-upsert writers an EFFECTIVE
       // source of exactly the rows that change — matched rows whose
       // firing clause is an update project through their SET
@@ -371,6 +379,20 @@ object GraftDmlStrategy extends SparkStrategy {
                 .reduce(_ && _)
               val pairs = source.join(tgtR, pairCond, "inner")
               val fs = fires(matchedClauses.map(clauseCond), pair = true)
+              // SQL MERGE cardinality rule: a target row matched by
+              // MORE than one clause-firing source row is an ERROR —
+              // proceeding would update the row twice (duplicate key
+              // rows written) or both delete and update it with
+              // arbitrary first-row-wins semantics
+              val anyFire = fs.reduce(_ || _)
+              val viol = pairs.where(anyFire)
+                .groupBy(keyCols.map(c => col("_tgt_" + c)): _*)
+                .count().where(col("count") > 1).limit(1).count() > 0
+              if (viol) throw new UnsupportedOperationException(
+                s"MERGE INTO ${t.path}: a target row matches more than one " +
+                  "source row with an applying WHEN MATCHED clause " +
+                  "(cardinality violation) — deduplicate the source on the " +
+                  s"join keys (${keyCols.mkString(", ")})")
               val us = updSets(matchedClauses, fs)
               (if (us.isEmpty) None else Some(updateProjection(pairs, us)),
                 delAny(matchedClauses, fs).map(f => pairs.where(f)
@@ -390,7 +412,11 @@ object GraftDmlStrategy extends SparkStrategy {
                 val rows = un.where(f)
                 if (as.isEmpty || (isIdentity(as) &&
                     as.map(assignName).toSet == tgt.columns.toSet))
-                  rows.select(tgt.columns.toSeq.map(c => col(c).as(c)): _*)
+                  // cast like the column-list branch below — an
+                  // INT-typed source column must not write int32
+                  // physical pages into a LONG table column
+                  rows.select(tgt.columns.toSeq.map(c =>
+                    col(c).cast(tgt.schema(c).dataType).as(c)): _*)
                 else {
                   val sets = as.map(a =>
                     assignName(a) -> unqualifiedSql(a.value)).toMap
@@ -456,6 +482,7 @@ object GraftDmlStrategy extends SparkStrategy {
               s"declares the composite key (${declared.mkString(", ")})")
           HudiWrite.upsert(spark, effectiveSource, t.path)
       }
+      } finally if (!directUpsert) { source.unpersist(); () }
       ()
     })
   }

@@ -295,7 +295,7 @@ object IcebergMeta {
     */
   def schemaFromJson(node: JsonNode): (StructType, Map[Int, String]) = {
     val ids = Map.newBuilder[Int, String]
-    def field(f: JsonNode, collectionHops: Int, underMapKey: Boolean = false): StructField = {
+    def field(f: JsonNode, underMapKey: Boolean = false): StructField = {
       val name = f.path("name").asText()
       val id = f.path("id").asInt(-1)
       if (id >= 0) ids += id -> name
@@ -321,28 +321,28 @@ object IcebergMeta {
       if (hasDefault) mb.putString(InitialDefaultKey, f.path("initial-default").asText())
       StructField(
         name,
-        dataType(f.path("type"), collectionHops),
+        dataType(f.path("type")),
         nullable = !f.path("required").asBoolean(false),
         metadata = mb.build())
     }
-    def dataType(t: JsonNode, collectionHops: Int, underMapKey: Boolean = false): DataType =
+    def dataType(t: JsonNode, underMapKey: Boolean = false): DataType =
       if (t.isTextual) primitive(t.asText())
       else t.path("type").asText() match {
         case "struct" =>
           StructType(elements(t.path("fields"))
-            .map(field(_, collectionHops, underMapKey)).toArray)
+            .map(field(_, underMapKey)).toArray)
         case "list" =>
-          ArrayType(dataType(t.path("element"), collectionHops + 1, underMapKey),
+          ArrayType(dataType(t.path("element"), underMapKey),
             containsNull = !t.path("element-required").asBoolean(false))
         case "map" =>
-          MapType(dataType(t.path("key"), collectionHops + 1, underMapKey = true),
-            dataType(t.path("value"), collectionHops + 1, underMapKey),
+          MapType(dataType(t.path("key"), underMapKey = true),
+            dataType(t.path("value"), underMapKey),
             valueContainsNull = !t.path("value-required").asBoolean(false))
         case other => throw new IllegalArgumentException(s"unsupported Iceberg type $other")
       }
     val top = node.path("fields")
     require(!top.isMissingNode, "Iceberg schema node has no fields")
-    val st = StructType(elements(top).map(field(_, collectionHops = 0)).toArray)
+    val st = StructType(elements(top).map(field(_)).toArray)
     (st, ids.result())
   }
 

@@ -146,6 +146,31 @@ class MergeClauseSurfaceSpec extends SparkSpec {
     }
   }
 
+  test("a target row matched by two clause-firing source rows refuses (cardinality)") {
+    withCatalog {
+      val d = tempDir("mcs-card").toString + "/t"
+      DeltaWrite.append(spark,
+        Seq((1L, "a", Option(10L))).toDF("id", "v", "x"), d)
+      // two source rows share key 1 and BOTH fire a matched clause
+      Seq((1L, "x1", Option(1L)), (1L, "x2", Option(2L))).toDF("id", "v", "x")
+        .createOrReplaceTempView("mcs_card_src")
+      val e = intercept[Exception] {
+        spark.sql(
+          s"""MERGE INTO graft.`$d` t USING mcs_card_src s ON t.id = s.id
+             |WHEN MATCHED AND s.x = 1 THEN UPDATE SET v = s.v
+             |WHEN MATCHED THEN DELETE""".stripMargin)
+      }
+      assert(e.getMessage.contains("cardinality"), e.getMessage)
+      // duplicate source keys where only ONE row fires stay legal
+      Seq((1L, "y1", Option(1L)), (1L, "y2", Option(99L))).toDF("id", "v", "x")
+        .createOrReplaceTempView("mcs_card_src2")
+      spark.sql(
+        s"""MERGE INTO graft.`$d` t USING mcs_card_src2 s ON t.id = s.id
+           |WHEN MATCHED AND s.x = 1 THEN UPDATE SET v = s.v""".stripMargin)
+      assert(rows(d) == Set((1L, "y1", Some(10L))))
+    }
+  }
+
   test("Hudi: conditional INSERT routes through the pairing path") {
     withCatalog {
       val d = tempDir("mcs-hudi").toString + "/t"
