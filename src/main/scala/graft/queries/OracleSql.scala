@@ -2172,11 +2172,17 @@ object OracleSql {
            |  FROM bs_src s
            |  WHERE s.p_partkey % 2 = 0
            |    AND NOT EXISTS (SELECT 1 FROM cond c WHERE c.p_partkey = s.p_partkey)),
-           |fin AS (SELECT * FROM bs2 UNION ALL SELECT * FROM ins)
+           |fin AS (SELECT * FROM bs2 UNION ALL SELECT * FROM ins),
+           |resid AS (
+           |  SELECT p_partkey, p_brand, sz,
+           |    CASE WHEN p_partkey % 7 = 0 AND p_partkey < ${P.UpdateBelow}
+           |      THEN p_retailprice + 2 ELSE p_retailprice END AS p_retailprice
+           |  FROM fin
+           |  WHERE NOT (p_partkey % 11 = 3 AND p_partkey >= ${P.BsTouchFrom}))
            |SELECT p_brand, count(*) AS n_parts,
            |  CAST(sum(sz) AS BIGINT) AS sum_sz,
            |  ${dsum(d4("p_retailprice"))} AS sum_price
-           |FROM fin GROUP BY p_brand ORDER BY p_brand""".stripMargin
+           |FROM resid GROUP BY p_brand ORDER BY p_brand""".stripMargin
       },
       // r15: Iceberg DML ladder through catalog SQL — MoR position
       // deletes (rows >= 20 gone), a copy-on-write UPDATE of region-1

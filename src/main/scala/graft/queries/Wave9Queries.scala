@@ -232,6 +232,13 @@ object Wave9Queries {
            |WHEN NOT MATCHED BY SOURCE
            |  AND t.p_partkey >= $BsTouchFrom AND t.p_partkey < $DeleteFrom
            |  THEN UPDATE SET p_retailprice = t.p_retailprice + 1""".stripMargin)
+      // r15: RESIDUAL predicates — modulo shapes sit outside the
+      // pruning algebra, so the algebra conjunct prunes files and the
+      // full predicate evaluates row-by-row inside the DV writers
+      s.sql(s"UPDATE graft.`$path` SET p_retailprice = p_retailprice + 2 " +
+        s"WHERE p_partkey % 7 = 0 AND p_partkey < $UpdateBelow")
+      s.sql(s"DELETE FROM graft.`$path` " +
+        s"WHERE p_partkey % 11 = 3 AND p_partkey >= $BsTouchFrom")
       path
     })
 

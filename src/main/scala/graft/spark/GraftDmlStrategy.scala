@@ -63,7 +63,78 @@ object GraftDmlStrategy extends SparkStrategy {
         case GraftTarget(t) => planMerge(t, m) :: Nil
         case _              => Nil
       }
+    case DeleteFromTable(target, cond) =>
+      EliminateSubqueryAliases(target) match {
+        case GraftTarget(t) =>
+          // predicates INSIDE the pruning algebra keep the proven
+          // DSv2 SupportsDelete route (planned by Spark's own
+          // strategy); this strategy takes over only the shapes that
+          // would otherwise fail at analysis — algebra conjuncts
+          // prune files, the full predicate selects rows (r15)
+          val folded = foldCastLiterals(cond)
+          val translatable =
+            try { DeltaSql.exprToFilters(folded); true }
+            catch { case _: IllegalArgumentException => false }
+          if (translatable) Nil else planDelete(t, folded) :: Nil
+        case _ => Nil
+      }
     case _ => Nil
+  }
+
+  /** Residual (outside-the-algebra) predicates evaluate as SQL
+    * expressions inside the writers' scans — shapes that can't do
+    * that soundly refuse loudly: a subquery doesn't render to a
+    * writer-evaluable expression, and a non-deterministic predicate
+    * would pick DIFFERENT rows in the writers' multiple passes
+    * (content, CDC, DV bitmap).
+    */
+  private def requireResidualSafe(c: Expression, op: String): Unit = {
+    require(!c.exists(_.isInstanceOf[
+      org.apache.spark.sql.catalyst.expressions.SubqueryExpression]),
+      s"$op ... WHERE with a subquery is not supported through the graft " +
+        "catalog — materialize the subquery and use MERGE")
+    require(c.deterministic,
+      s"$op ... WHERE must be deterministic — the predicate evaluates in " +
+        "more than one writer scan")
+  }
+
+  private def planDelete(
+      target: (GraftV2Table, LogicalPlan),
+      cond: Expression): SparkPlan = {
+    val (t, _) = target
+    require(t.travelOpts.isEmpty,
+      s"cannot DELETE FROM a time-traveled table (${t.path})")
+    requireResidualSafe(cond, "DELETE")
+    val pruning = DeltaSql.exprToPruningFilters(cond)
+    val predSql = unqualifiedSql(cond)
+    GraftDmlExec(s"DELETE FROM ${t.format}.`${t.path}`", { spark =>
+      t.format match {
+        case "delta" =>
+          DeltaWrite.deleteWhere(spark, t.path, pruning,
+            predicateSql = Some(predSql))
+        case "iceberg" =>
+          IcebergWrite.deleteWhere(spark, t.path, pruning, Some(predSql))
+        case _ =>
+          // Hudi: read the matching record keys (algebra prunes, the
+          // full predicate selects) and issue the key-deleting
+          // replacecommit — the same route the DSv2 algebra path takes
+          import org.apache.spark.sql.functions.{coalesce, col, expr, lit}
+          val fs = new org.apache.hadoop.fs.Path(t.path)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val keyCol = HudiWrite.readProps(fs, t.path)
+            .getOrElse("hoodie.table.recordkey.fields",
+              throw new IllegalArgumentException(
+                s"${t.path} has no hoodie.table.recordkey.fields"))
+          require(!keyCol.contains(","),
+            s"composite record keys unsupported: $keyCol")
+          val keys = new HudiTable(t.path.split('/').last, t.path)(spark,
+            ReadArgs(filters = pruning))
+            .where(coalesce(expr(predSql), lit(false)))
+            .select(col(keyCol)).distinct()
+          HudiWrite.delete(spark, keys, t.path)
+      }
+      ()
+    })
   }
 
   private object GraftTarget {
@@ -101,18 +172,31 @@ object GraftDmlStrategy extends SparkStrategy {
     }
     // commands execute from the ANALYZED plan (no optimizer pass), so
     // type coercion's Cast(Literal) wrappers are still present — fold
-    // them so the algebra translator sees plain literals
-    val filters = condition.map(c => DeltaSql.exprToFilters(foldCastLiterals(c)))
-      .getOrElse(graft.core.Filters.normalize(Seq.empty))
+    // them so the algebra translator sees plain literals. Predicates
+    // OUTSIDE the pruning algebra no longer refuse (r15): the
+    // algebra-expressible conjuncts OVER-approximate for file pruning
+    // and the FULL predicate evaluates row-by-row in the writers.
+    val folded = condition.map(foldCastLiterals)
+    val (filters, predicateSql) = folded match {
+      case None => (graft.core.Filters.normalize(Seq.empty), None)
+      case Some(c) =>
+        try (DeltaSql.exprToFilters(c), None)
+        catch {
+          case _: IllegalArgumentException =>
+            requireResidualSafe(c, "UPDATE")
+            (DeltaSql.exprToPruningFilters(c), Some(unqualifiedSql(c)))
+        }
+    }
     if (t.format == "delta")
       GraftDmlExec(s"UPDATE delta.`${t.path}`", { spark =>
-        DeltaWrite.updateWhere(spark, t.path, filters, set); ()
+        DeltaWrite.updateWhere(spark, t.path, filters, set,
+          predicateSql = predicateSql); ()
       })
     else if (t.format == "iceberg")
       // copy-on-write rewrite of the matched files, one snapshot,
       // existing MoR deletes/DVs materialized (r15)
       GraftDmlExec(s"UPDATE iceberg.`${t.path}`", { spark =>
-        IcebergWrite.updateWhere(spark, t.path, filters, set); ()
+        IcebergWrite.updateWhere(spark, t.path, filters, set, predicateSql); ()
       })
     else
       // Hudi: rewrite the (pruned) matching rows and key-merge them
@@ -132,8 +216,14 @@ object GraftDmlStrategy extends SparkStrategy {
         set.map(_._1).foreach(c => require(
           !keyCol.split(',').map(_.trim).contains(c) && !partFields.contains(c),
           s"cannot UPDATE key/partition column $c of a Hudi table"))
-        val matching = new HudiTable(t.path.split('/').last, t.path)(
+        val matching0 = new HudiTable(t.path.split('/').last, t.path)(
           spark, ReadArgs(filters = filters))
+        // residual predicate: the algebra filters only PRUNED — apply
+        // the full predicate to pick exactly the rows to rewrite
+        val matching = predicateSql.map(ps => matching0.where(
+          org.apache.spark.sql.functions.coalesce(
+            org.apache.spark.sql.functions.expr(ps),
+            org.apache.spark.sql.functions.lit(false)))).getOrElse(matching0)
         set.map(_._1).foreach(c => require(matching.columns.contains(c),
           s"SET column $c is not in the table schema"))
         // every assignment sees the PRE-update row (SQL UPDATE

@@ -96,15 +96,19 @@ object DeltaSql {
 
     s match {
       case delete(path, where) =>
-        val r = DeltaWrite.deleteWhere(spark, path, parseWhere(spark, where))
+        val (f, residual) = parseWhereSplit(spark, where,
+          DeltaLog.snapshot(spark, path, withFiles = false).schema)
+        val r = DeltaWrite.deleteWhere(spark, path, f, predicateSql = residual)
         result(r.version, r.filesRemoved)
       case deleteAll(path) =>
         // DELETE without WHERE: every row (empty filter list = true)
         val r = DeltaWrite.deleteWhere(spark, path, Seq.empty)
         result(r.version, r.filesRemoved)
       case update(path, sets, where) =>
-        val r = DeltaWrite.updateWhere(spark, path,
-          parseWhere(spark, where), parseAssignments(sets))
+        val (f, residual) = parseWhereSplit(spark, where,
+          DeltaLog.snapshot(spark, path, withFiles = false).schema)
+        val r = DeltaWrite.updateWhere(spark, path, f, parseAssignments(sets),
+          predicateSql = residual)
         result(r.version, r.filesRemoved)
       case merge(path, view, keys, delPred) =>
         val r = DeltaWrite.merge(spark, path, spark.table(view),
@@ -298,6 +302,78 @@ object DeltaSql {
     * refuse loudly exactly like a SQL-string WHERE would.
     */
   private[graft] def exprToFilters(e: Expression): Filters.Normalized = toDnf(e)
+
+  /** Parse a WHERE clause and SPLIT it for residual DML (r15): a
+    * fully algebra-expressible predicate returns `(filters, None)` —
+    * the proven exact route; anything else returns the fail-open
+    * pruning over-approximation plus the ORIGINAL SQL for the writer
+    * to evaluate row-by-row. The residual is validated by ANALYZING
+    * it against the table schema, so unresolvable columns refuse at
+    * statement time, and subqueries / non-deterministic functions
+    * refuse loudly (the writers evaluate the predicate in more than
+    * one scan — content, CDC, DV bitmap — so a non-deterministic one
+    * would pick different rows per scan).
+    */
+  private[graft] def parseWhereSplit(
+      spark: SparkSession,
+      where: String,
+      schema: org.apache.spark.sql.types.StructType
+  ): (Filters.Normalized, Option[String]) = {
+    val e = spark.sessionState.sqlParser.parseExpression(where)
+    try (toDnf(e), None)
+    catch {
+      case _: IllegalArgumentException =>
+        val probe = spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+          .where(org.apache.spark.sql.graftbridge.Bridge.column(e))
+        val cond = probe.queryExecution.analyzed.collectFirst {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+        }.getOrElse(throw new IllegalStateException(
+          s"analysis probe lost the WHERE predicate: $where"))
+        require(!cond.exists(_.isInstanceOf[
+          org.apache.spark.sql.catalyst.expressions.SubqueryExpression]),
+          "WHERE with a subquery is not supported — materialize it and use MERGE")
+        require(cond.deterministic,
+          "WHERE must be deterministic — the predicate evaluates in more " +
+            "than one writer scan")
+        // derive the pruning approximation from the ANALYZED condition
+        // with type coercion's Cast(Literal) wrappers folded — an
+        // un-coerced Int literal against Long column stats would
+        // fail-open and prune nothing
+        val folded = cond.transformUp {
+          case c: org.apache.spark.sql.catalyst.expressions.Cast
+              if c.child.isInstanceOf[Literal] =>
+            Literal.create(c.eval(null), c.dataType)
+        }
+        (exprToPruningFilters(folded), Some(where))
+    }
+  }
+
+  /** Best-effort OVER-approximation of an arbitrary predicate in the
+    * pruning algebra — the residual-DML seam (r15): conjuncts outside
+    * the algebra DROP (widening the candidate set — sound for FILE
+    * PRUNING, never for row selection), and an OR branch outside the
+    * algebra widens the whole disjunction to match-all (the empty
+    * Normalized). Callers MUST still evaluate the full predicate
+    * row-by-row on the scanned candidates.
+    */
+  private[graft] def exprToPruningFilters(e: Expression): Filters.Normalized = {
+    def dnf(e: Expression): Filters.Normalized = e match {
+      case Or(l, r) =>
+        val (dl, dr) = (dnf(l), dnf(r))
+        if (dl.isEmpty || dr.isEmpty) Seq.empty else dl ++ dr
+      case And(l, r) =>
+        (dnf(l), dnf(r)) match {
+          case (Seq(), d) => d
+          case (d, Seq()) => d
+          case (dl, dr)   => for (lc <- dl; rc <- dr) yield lc ++ rc
+        }
+      case other =>
+        try Seq(Seq(toFilter(other)))
+        catch { case _: IllegalArgumentException => Seq.empty }
+    }
+    dnf(e)
+  }
 
   private def toDnf(e: Expression): Filters.Normalized = e match {
     case Or(l, r) => toDnf(l) ++ toDnf(r)

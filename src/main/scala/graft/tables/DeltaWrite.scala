@@ -278,7 +278,8 @@ object DeltaWrite {
       spark: SparkSession,
       tablePath: String,
       filters: graft.core.Filters.Normalized,
-      distributedPlanning: Boolean = false
+      distributedPlanning: Boolean = false,
+      predicateSql: Option[String] = None
   ): CommitResult = {
     import graft.core.Filters
     val snap = DeltaLog.snapshot(spark, tablePath, withFiles = !distributedPlanning)
@@ -286,10 +287,15 @@ object DeltaWrite {
     // delta.enableDeletionVectors routes its row-removing DML through
     // deletion vectors — same semantics, O(deleted rows) writes
     if (dvRoutingEnabled(snap.metadata))
-      return deleteWhereDv(spark, tablePath, filters, distributedPlanning)
+      return deleteWhereDv(spark, tablePath, filters, distributedPlanning,
+        predicateSql)
     val schema = snap.schema
     val partCols = snap.metadata.partitionColumns
-    val predicate = Filters.toColumn(filters).getOrElse(lit(true))
+    // residual-DML seam (r15): with predicateSql set, `filters` drive
+    // FILE PRUNING ONLY and must OVER-approximate the predicate's
+    // matching rows; the SQL expression is the row-level truth
+    val predicate = predicateSql.map(expr)
+      .getOrElse(Filters.toColumn(filters).getOrElse(lit(true)))
 
     DeltaPolicy.requireNotAppendOnly(snap.metadata, "DELETE", tablePath)
     val candidates = candidateFiles(spark, tablePath, filters, snap, distributedPlanning)
@@ -336,14 +342,16 @@ object DeltaWrite {
       tablePath: String,
       filters: graft.core.Filters.Normalized,
       set: Seq[(String, String)],
-      distributedPlanning: Boolean = false
+      distributedPlanning: Boolean = false,
+      predicateSql: Option[String] = None
   ): CommitResult = {
     import graft.core.Filters
     require(set.nonEmpty, "UPDATE needs at least one SET assignment")
     val snap = DeltaLog.snapshot(spark, tablePath, withFiles = !distributedPlanning)
     val meta = snap.metadata
     if (dvRoutingEnabled(meta))
-      return updateWhereDv(spark, tablePath, filters, set, distributedPlanning)
+      return updateWhereDv(spark, tablePath, filters, set, distributedPlanning,
+        predicateSql)
     val schema = snap.schema
     val partCols = meta.partitionColumns
     DeltaPolicy.requireNotAppendOnly(meta, "UPDATE", tablePath)
@@ -356,7 +364,10 @@ object DeltaWrite {
       require(!idCols.contains(c), s"cannot UPDATE identity column $c")
     }
     val setMap = set.toMap
-    val predicate = Filters.toColumn(filters).getOrElse(lit(true))
+    // residual-DML seam (r15): see deleteWhere — filters prune files,
+    // predicateSql (when set) selects rows
+    val predicate = predicateSql.map(expr)
+      .getOrElse(Filters.toColumn(filters).getOrElse(lit(true)))
     val matched = coalesce(predicate, lit(false))
 
     val candidates = candidateFiles(spark, tablePath, filters, snap, distributedPlanning)
@@ -432,7 +443,8 @@ object DeltaWrite {
       tablePath: String,
       filters: graft.core.Filters.Normalized,
       set: Seq[(String, String)],
-      distributedPlanning: Boolean = false
+      distributedPlanning: Boolean = false,
+      predicateSql: Option[String] = None
   ): CommitResult = {
     import graft.core.Filters
     require(set.nonEmpty, "UPDATE needs at least one SET assignment")
@@ -450,7 +462,10 @@ object DeltaWrite {
       require(!idCols.contains(c), s"cannot UPDATE identity column $c")
     }
     val setMap = set.toMap
-    val predicate = Filters.toColumn(filters).getOrElse(lit(true))
+    // residual-DML seam (r15): see deleteWhere — filters prune files,
+    // predicateSql (when set) selects rows
+    val predicate = predicateSql.map(expr)
+      .getOrElse(Filters.toColumn(filters).getOrElse(lit(true)))
     val matched = coalesce(predicate, lit(false))
 
     val candidates = candidateFiles(spark, tablePath, filters, snap, distributedPlanning)
@@ -1107,13 +1122,16 @@ object DeltaWrite {
       spark: SparkSession,
       tablePath: String,
       filters: graft.core.Filters.Normalized,
-      distributedPlanning: Boolean = false
+      distributedPlanning: Boolean = false,
+      predicateSql: Option[String] = None
   ): CommitResult = {
     import graft.core.Filters
     val snap = DeltaLog.snapshot(spark, tablePath, withFiles = !distributedPlanning)
     val schema = snap.schema
     val partCols = snap.metadata.partitionColumns
-    val predicate = Filters.toColumn(filters).getOrElse(lit(true))
+    // residual-DML seam (r15): see deleteWhere
+    val predicate = predicateSql.map(expr)
+      .getOrElse(Filters.toColumn(filters).getOrElse(lit(true)))
 
     DeltaPolicy.requireNotAppendOnly(snap.metadata, "DELETE", tablePath)
     val candidates = candidateFiles(spark, tablePath, filters, snap, distributedPlanning)

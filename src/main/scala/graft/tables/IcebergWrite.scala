@@ -179,7 +179,8 @@ object IcebergWrite {
       spark: SparkSession,
       tablePath: String,
       filters: graft.core.Filters.Normalized,
-      set: Seq[(String, String)]): Long = {
+      set: Seq[(String, String)],
+      predicateSql: Option[String] = None): Long = {
     require(set.nonEmpty, "updateWhere needs at least one SET assignment")
     val table = new Path(tablePath)
     val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -212,8 +213,12 @@ object IcebergWrite {
 
     val live = new IcebergTable("update", tablePath)
       .readLive(spark, fs, meta0, candidates, deleteFiles0)
-    val pred = graft.core.Filters.toColumn(filters)
-      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    // residual-DML seam (r15): with predicateSql set, `filters` drive
+    // FILE PRUNING ONLY and must OVER-approximate the predicate's
+    // matching rows; the SQL expression is the row-level truth
+    val pred = predicateSql.map(org.apache.spark.sql.functions.expr)
+      .getOrElse(graft.core.Filters.toColumn(filters)
+        .getOrElse(org.apache.spark.sql.functions.lit(true)))
     val setMap = set.toMap
     val stamped = IcebergTable.stampParquetFieldIds(schema)
     spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
@@ -275,9 +280,11 @@ object IcebergWrite {
   def deleteWhere(
       spark: SparkSession,
       tablePath: String,
-      filters: graft.core.Filters.Normalized
+      filters: graft.core.Filters.Normalized,
+      predicateSql: Option[String] = None
   ): Long = {
-    require(filters.nonEmpty, "deleteWhere requires a predicate; use overwrite to replace all rows")
+    require(filters.nonEmpty || predicateSql.isDefined,
+      "deleteWhere requires a predicate; use overwrite to replace all rows")
     import spark.implicits._
     val table = new Path(tablePath)
     val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -292,7 +299,7 @@ object IcebergWrite {
     // deleteWhereDv stamps the table v3. Existing v2 deletes keep
     // applying independently per the upgrade contract.
     if (meta0.formatVersion >= 3)
-      return deleteWhereDv(spark, tablePath, filters)
+      return deleteWhereDv(spark, tablePath, filters, predicateSql)
     val snap0 = meta0.currentSnapshotId
       .flatMap(id => meta0.snapshots.find(_.id == id))
       .getOrElse(throw new IllegalArgumentException(s"$tablePath has no current snapshot"))
@@ -331,7 +338,9 @@ object IcebergWrite {
       scan = scan.withColumn(pf.name,
         org.apache.spark.sql.functions.coalesce(col(pf.name), attached))
     }
-    val pred = graft.core.Filters.toColumn(filters).getOrElse(lit(true))
+    // residual-DML seam (r15): see updateWhere
+    val pred = predicateSql.map(org.apache.spark.sql.functions.expr)
+      .getOrElse(graft.core.Filters.toColumn(filters).getOrElse(lit(true)))
     // delete rows must record the MANIFEST-spelled data-file path
     // byte-for-byte: external Iceberg readers compare file_path
     // exactly, so a scheme-stripped normalization (file:/ → /) would
@@ -508,9 +517,10 @@ object IcebergWrite {
   def deleteWhereDv(
       spark: SparkSession,
       tablePath: String,
-      filters: graft.core.Filters.Normalized
+      filters: graft.core.Filters.Normalized,
+      predicateSql: Option[String] = None
   ): Long = {
-    require(filters.nonEmpty,
+    require(filters.nonEmpty || predicateSql.isDefined,
       "deleteWhereDv requires a predicate; use overwrite to replace all rows")
     import spark.implicits._
     val table = new Path(tablePath)
@@ -558,7 +568,9 @@ object IcebergWrite {
       scan = scan.withColumn(pf.name,
         org.apache.spark.sql.functions.coalesce(col(pf.name), attached))
     }
-    val pred = graft.core.Filters.toColumn(filters).getOrElse(lit(true))
+    // residual-DML seam (r15): see updateWhere
+    val pred = predicateSql.map(org.apache.spark.sql.functions.expr)
+      .getOrElse(graft.core.Filters.toColumn(filters).getOrElse(lit(true)))
     val matched: Array[(String, Array[Byte])] = scan.where(pred)
       .groupBy(col("_del_path"))
       .agg(DvBitmapAgg.bitmap(col("_del_pos")).as("dv"))

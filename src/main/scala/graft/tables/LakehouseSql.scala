@@ -151,8 +151,11 @@ object LakehouseSql {
         val instant = HudiWrite.upsert(spark, spark.table(view), path)
         Seq(instant).toDF("instant")
       case delIce(path, where) =>
-        val snap = IcebergWrite.deleteWhere(spark, path,
-          DeltaSql.parseWhere(spark, where))
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val (f, residual) = DeltaSql.parseWhereSplit(spark, where,
+          IcebergMeta.load(fs, path).schema)
+        val snap = IcebergWrite.deleteWhere(spark, path, f, residual)
         Seq(snap).toDF("snapshot_id")
       case delHud(path, where) =>
         val fs = new org.apache.hadoop.fs.Path(path)
@@ -162,9 +165,14 @@ object LakehouseSql {
             throw new IllegalArgumentException(
               s"$path has no hoodie.table.recordkey.fields"))
         require(!keyCol.contains(","), s"composite record keys unsupported: $keyCol")
-        val keys = new HudiTable(name(path), path)(spark,
-          ReadArgs(filters = DeltaSql.parseWhere(spark, where)))
-          .select(col(keyCol)).distinct()
+        val (f, residual) = DeltaSql.parseWhereSplit(spark, where,
+          new HudiTable(name(path), path)(spark, ReadArgs()).schema)
+        val base = new HudiTable(name(path), path)(spark, ReadArgs(filters = f))
+        val rows = residual.map(r => base.where(
+          org.apache.spark.sql.functions.coalesce(
+            org.apache.spark.sql.functions.expr(r),
+            org.apache.spark.sql.functions.lit(false)))).getOrElse(base)
+        val keys = rows.select(col(keyCol)).distinct()
         val instant = HudiWrite.delete(spark, keys, path)
         Seq(instant).toDF("instant")
       case descIce(what, path) => what.toUpperCase match {
