@@ -104,6 +104,14 @@ object Filters {
     if (filters.isEmpty) None
     else Some(filters.map(fs => conjunctionColumn(fs).getOrElse(lit(true))).reduce(_ || _))
 
+  /** Row-level predicate for the residual-DML seam (r15): the SQL
+    * residual — when present — is the truth the writers evaluate
+    * (`filters` then only OVER-approximate for file pruning);
+    * otherwise the algebra compiles exactly.
+    */
+  def rowPredicate(filters: Normalized, predicateSql: Option[String]): Column =
+    predicateSql.map(expr).getOrElse(toColumn(filters).getOrElse(lit(true)))
+
   /** DNF → ANSI SQL predicate ("true" when empty), same output grammar
     * as the reference's filters_to_sql_predicate (util.py:152-295).
     * `schema` validates columns and drives string quoting.

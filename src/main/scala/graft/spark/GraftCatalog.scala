@@ -339,9 +339,12 @@ private[spark] class GraftV2Table(
     * routed to each format's native DELETE (Delta picks CoW or DV per
     * table property; Iceberg writes position deletes; Hudi reads the
     * matching record keys and issues its key-deleting replacecommit).
-    * Only predicates expressible in the graft filter algebra qualify
-    * ([[canDeleteWhere]]); anything else fails at analysis instead of
-    * silently deleting the wrong rows.
+    * Predicates expressible in the graft filter algebra qualify here
+    * ([[canDeleteWhere]]); shapes outside the algebra are planned by
+    * [[GraftDmlStrategy]]'s residual route instead (algebra conjuncts
+    * prune, the full predicate selects rows) — EXCEPT delete-all,
+    * which this gate deliberately refuses on Iceberg/Hudi (a
+    * position-delete/key-delete row per table row).
     */
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     filters.forall {
@@ -360,17 +363,7 @@ private[spark] class GraftV2Table(
       case "delta"   => graft.tables.DeltaWrite.deleteWhere(spark, path, normalized)
       case "iceberg" => graft.tables.IcebergWrite.deleteWhere(spark, path, normalized)
       case _ =>
-        val fs = new org.apache.hadoop.fs.Path(path)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val keyCol = graft.tables.HudiWrite.readProps(fs, path)
-          .getOrElse("hoodie.table.recordkey.fields",
-            throw new IllegalArgumentException(
-              s"$path has no hoodie.table.recordkey.fields"))
-        require(!keyCol.contains(","), s"composite record keys unsupported: $keyCol")
-        val keys = new graft.tables.HudiTable(path.split('/').last, path)(spark,
-          graft.tables.ReadArgs(filters = normalized))
-          .select(org.apache.spark.sql.functions.col(keyCol)).distinct()
-        graft.tables.HudiWrite.delete(spark, keys, path)
+        graft.tables.HudiWrite.deleteMatching(spark, path, normalized)
     }
     ()
   }

@@ -23,12 +23,19 @@ import org.apache.spark.sql.graftbridge.Bridge
   * whole-table rewrite):
   *
   *  - `UPDATE graft.\`/p\` SET c = e, ... [WHERE pred]` →
-  *    [[DeltaWrite.updateWhere]] (Delta, CoW/DV per table policy) or
-  *    a one-commit Hudi key-merged upsert of the rewritten matches
-  *    (key/partition columns must not be SET); Iceberg refuses toward
-  *    MERGE — its write path has no atomic delete+append rewrite.
-  *    The WHERE must sit in the pruning filter algebra
-  *    ([[DeltaSql.exprToFilters]]) — same bar as DSv2 DELETE.
+  *    [[DeltaWrite.updateWhere]] (Delta, CoW/DV per table policy),
+  *    [[IcebergWrite.updateWhere]] (CoW rewrite of the matched files
+  *    in one snapshot), or a one-commit Hudi key-merged upsert of the
+  *    rewritten matches (key/partition columns must not be SET). The
+  *    WHERE may be ANY deterministic, subquery-free predicate (r15):
+  *    shapes inside the pruning algebra ([[DeltaSql.exprToFilters]])
+  *    route exactly; anything else splits — the algebra-expressible
+  *    conjuncts prune files ([[DeltaSql.exprToPruningFilters]]) and
+  *    the full predicate evaluates row-by-row in the writers.
+  *  - `DELETE FROM graft.\`/p\` WHERE pred` with a predicate OUTSIDE
+  *    the algebra takes the same split route here; algebra-shaped
+  *    (and foldable/no-WHERE) deletes stay with the proven DSv2
+  *    SupportsDelete path and its delete-all refusals.
   *  - `MERGE INTO graft.\`/p\` t USING src ON t.k = src.k ...` →
   *    [[DeltaWrite.merge]] / [[IcebergWrite.upsertEquality]] /
   *    [[HudiWrite.upsert]]. The ON clause must be a conjunction of
@@ -70,32 +77,21 @@ object GraftDmlStrategy extends SparkStrategy {
           // DSv2 SupportsDelete route (planned by Spark's own
           // strategy); this strategy takes over only the shapes that
           // would otherwise fail at analysis — algebra conjuncts
-          // prune files, the full predicate selects rows (r15)
-          val folded = foldCastLiterals(cond)
-          val translatable =
+          // prune files, the full predicate selects rows (r15).
+          // FOLDABLE conditions (the parser's no-WHERE TrueLiteral,
+          // `WHERE 1=1`) also stay with the DSv2 route: its
+          // canDeleteWhere gate deliberately REFUSES delete-all on
+          // Iceberg/Hudi (a position-delete/key-delete row per table
+          // row), and the residual seam must not bypass that.
+          val folded = DeltaSql.foldCastLiterals(cond)
+          val translatable = folded.foldable || {
             try { DeltaSql.exprToFilters(folded); true }
             catch { case _: IllegalArgumentException => false }
+          }
           if (translatable) Nil else planDelete(t, folded) :: Nil
         case _ => Nil
       }
     case _ => Nil
-  }
-
-  /** Residual (outside-the-algebra) predicates evaluate as SQL
-    * expressions inside the writers' scans — shapes that can't do
-    * that soundly refuse loudly: a subquery doesn't render to a
-    * writer-evaluable expression, and a non-deterministic predicate
-    * would pick DIFFERENT rows in the writers' multiple passes
-    * (content, CDC, DV bitmap).
-    */
-  private def requireResidualSafe(c: Expression, op: String): Unit = {
-    require(!c.exists(_.isInstanceOf[
-      org.apache.spark.sql.catalyst.expressions.SubqueryExpression]),
-      s"$op ... WHERE with a subquery is not supported through the graft " +
-        "catalog — materialize the subquery and use MERGE")
-    require(c.deterministic,
-      s"$op ... WHERE must be deterministic — the predicate evaluates in " +
-        "more than one writer scan")
   }
 
   private def planDelete(
@@ -104,7 +100,7 @@ object GraftDmlStrategy extends SparkStrategy {
     val (t, _) = target
     require(t.travelOpts.isEmpty,
       s"cannot DELETE FROM a time-traveled table (${t.path})")
-    requireResidualSafe(cond, "DELETE")
+    DeltaSql.requireResidualSafe(cond, "DELETE")
     val pruning = DeltaSql.exprToPruningFilters(cond)
     val predSql = unqualifiedSql(cond)
     GraftDmlExec(s"DELETE FROM ${t.format}.`${t.path}`", { spark =>
@@ -115,23 +111,9 @@ object GraftDmlStrategy extends SparkStrategy {
         case "iceberg" =>
           IcebergWrite.deleteWhere(spark, t.path, pruning, Some(predSql))
         case _ =>
-          // Hudi: read the matching record keys (algebra prunes, the
-          // full predicate selects) and issue the key-deleting
-          // replacecommit — the same route the DSv2 algebra path takes
-          import org.apache.spark.sql.functions.{coalesce, col, expr, lit}
-          val fs = new org.apache.hadoop.fs.Path(t.path)
-            .getFileSystem(spark.sparkContext.hadoopConfiguration)
-          val keyCol = HudiWrite.readProps(fs, t.path)
-            .getOrElse("hoodie.table.recordkey.fields",
-              throw new IllegalArgumentException(
-                s"${t.path} has no hoodie.table.recordkey.fields"))
-          require(!keyCol.contains(","),
-            s"composite record keys unsupported: $keyCol")
-          val keys = new HudiTable(t.path.split('/').last, t.path)(spark,
-            ReadArgs(filters = pruning))
-            .where(coalesce(expr(predSql), lit(false)))
-            .select(col(keyCol)).distinct()
-          HudiWrite.delete(spark, keys, t.path)
+          // Hudi: the shared delete-by-predicate route (algebra
+          // prunes, the full predicate selects, key replacecommit)
+          HudiWrite.deleteMatching(spark, t.path, pruning, Some(predSql))
       }
       ()
     })
@@ -176,14 +158,14 @@ object GraftDmlStrategy extends SparkStrategy {
     // OUTSIDE the pruning algebra no longer refuse (r15): the
     // algebra-expressible conjuncts OVER-approximate for file pruning
     // and the FULL predicate evaluates row-by-row in the writers.
-    val folded = condition.map(foldCastLiterals)
+    val folded = condition.map(DeltaSql.foldCastLiterals)
     val (filters, predicateSql) = folded match {
       case None => (graft.core.Filters.normalize(Seq.empty), None)
       case Some(c) =>
         try (DeltaSql.exprToFilters(c), None)
         catch {
           case _: IllegalArgumentException =>
-            requireResidualSafe(c, "UPDATE")
+            DeltaSql.requireResidualSafe(c, "UPDATE")
             (DeltaSql.exprToPruningFilters(c), Some(unqualifiedSql(c)))
         }
     }
@@ -590,12 +572,6 @@ object GraftDmlStrategy extends SparkStrategy {
         UnresolvedAttribute(Seq("_tgt_" + a.name))
       case a: AttributeReference => UnresolvedAttribute(Seq(a.name))
     }.sql
-
-  private def foldCastLiterals(e: Expression): Expression = e.transformUp {
-    case c: org.apache.spark.sql.catalyst.expressions.Cast
-        if c.child.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal] =>
-      org.apache.spark.sql.catalyst.expressions.Literal.create(c.eval(null), c.dataType)
-  }
 
   /** Render an expression as SQL over bare column names (the native
     * writers evaluate SET / delete conditions against unqualified

@@ -317,12 +317,14 @@ object DeltaSql {
   private[graft] def parseWhereSplit(
       spark: SparkSession,
       where: String,
-      schema: org.apache.spark.sql.types.StructType
+      schema: => org.apache.spark.sql.types.StructType
   ): (Filters.Normalized, Option[String]) = {
     val e = spark.sessionState.sqlParser.parseExpression(where)
     try (toDnf(e), None)
     catch {
       case _: IllegalArgumentException =>
+        // the schema (a log replay / metadata load) is fetched ONLY on
+        // this residual branch — the algebraic fast path never needs it
         val probe = spark.createDataFrame(
           java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
           .where(org.apache.spark.sql.graftbridge.Bridge.column(e))
@@ -330,23 +332,40 @@ object DeltaSql {
           case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
         }.getOrElse(throw new IllegalStateException(
           s"analysis probe lost the WHERE predicate: $where"))
-        require(!cond.exists(_.isInstanceOf[
-          org.apache.spark.sql.catalyst.expressions.SubqueryExpression]),
-          "WHERE with a subquery is not supported — materialize it and use MERGE")
-        require(cond.deterministic,
-          "WHERE must be deterministic — the predicate evaluates in more " +
-            "than one writer scan")
+        requireResidualSafe(cond, "the")
         // derive the pruning approximation from the ANALYZED condition
         // with type coercion's Cast(Literal) wrappers folded — an
         // un-coerced Int literal against Long column stats would
         // fail-open and prune nothing
-        val folded = cond.transformUp {
-          case c: org.apache.spark.sql.catalyst.expressions.Cast
-              if c.child.isInstanceOf[Literal] =>
-            Literal.create(c.eval(null), c.dataType)
-        }
-        (exprToPruningFilters(folded), Some(where))
+        (exprToPruningFilters(foldCastLiterals(cond)), Some(where))
     }
+  }
+
+  /** Residual (outside-the-algebra) predicates evaluate as SQL
+    * expressions inside the writers' scans — shapes that can't do
+    * that soundly refuse loudly: a subquery doesn't render to a
+    * writer-evaluable expression, and a non-deterministic predicate
+    * would pick DIFFERENT rows in the writers' multiple passes
+    * (content, CDC, DV bitmap).
+    */
+  private[graft] def requireResidualSafe(c: Expression, op: String): Unit = {
+    require(!c.exists(_.isInstanceOf[
+      org.apache.spark.sql.catalyst.expressions.SubqueryExpression]),
+      s"$op WHERE with a subquery is not supported — materialize the " +
+        "subquery and use MERGE")
+    require(c.deterministic,
+      s"$op WHERE must be deterministic — the predicate evaluates in " +
+        "more than one writer scan")
+  }
+
+  /** Commands see the ANALYZED plan (no optimizer pass), so type
+    * coercion's Cast(Literal) wrappers are still present — fold them
+    * so the algebra translators see plain, correctly-typed literals.
+    */
+  private[graft] def foldCastLiterals(e: Expression): Expression = e.transformUp {
+    case c: org.apache.spark.sql.catalyst.expressions.Cast
+        if c.child.isInstanceOf[Literal] =>
+      Literal.create(c.eval(null), c.dataType)
   }
 
   /** Best-effort OVER-approximation of an arbitrary predicate in the

@@ -291,11 +291,7 @@ object DeltaWrite {
         predicateSql)
     val schema = snap.schema
     val partCols = snap.metadata.partitionColumns
-    // residual-DML seam (r15): with predicateSql set, `filters` drive
-    // FILE PRUNING ONLY and must OVER-approximate the predicate's
-    // matching rows; the SQL expression is the row-level truth
-    val predicate = predicateSql.map(expr)
-      .getOrElse(Filters.toColumn(filters).getOrElse(lit(true)))
+    val predicate = Filters.rowPredicate(filters, predicateSql)
 
     DeltaPolicy.requireNotAppendOnly(snap.metadata, "DELETE", tablePath)
     val candidates = candidateFiles(spark, tablePath, filters, snap, distributedPlanning)
@@ -364,10 +360,7 @@ object DeltaWrite {
       require(!idCols.contains(c), s"cannot UPDATE identity column $c")
     }
     val setMap = set.toMap
-    // residual-DML seam (r15): see deleteWhere — filters prune files,
-    // predicateSql (when set) selects rows
-    val predicate = predicateSql.map(expr)
-      .getOrElse(Filters.toColumn(filters).getOrElse(lit(true)))
+    val predicate = Filters.rowPredicate(filters, predicateSql)
     val matched = coalesce(predicate, lit(false))
 
     val candidates = candidateFiles(spark, tablePath, filters, snap, distributedPlanning)
@@ -462,10 +455,7 @@ object DeltaWrite {
       require(!idCols.contains(c), s"cannot UPDATE identity column $c")
     }
     val setMap = set.toMap
-    // residual-DML seam (r15): see deleteWhere — filters prune files,
-    // predicateSql (when set) selects rows
-    val predicate = predicateSql.map(expr)
-      .getOrElse(Filters.toColumn(filters).getOrElse(lit(true)))
+    val predicate = Filters.rowPredicate(filters, predicateSql)
     val matched = coalesce(predicate, lit(false))
 
     val candidates = candidateFiles(spark, tablePath, filters, snap, distributedPlanning)
@@ -1129,9 +1119,7 @@ object DeltaWrite {
     val snap = DeltaLog.snapshot(spark, tablePath, withFiles = !distributedPlanning)
     val schema = snap.schema
     val partCols = snap.metadata.partitionColumns
-    // residual-DML seam (r15): see deleteWhere
-    val predicate = predicateSql.map(expr)
-      .getOrElse(Filters.toColumn(filters).getOrElse(lit(true)))
+    val predicate = Filters.rowPredicate(filters, predicateSql)
 
     DeltaPolicy.requireNotAppendOnly(snap.metadata, "DELETE", tablePath)
     val candidates = candidateFiles(spark, tablePath, filters, snap, distributedPlanning)

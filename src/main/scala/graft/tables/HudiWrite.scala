@@ -491,6 +491,32 @@ object HudiWrite {
       txn: Option[(String, Long)] = None): String =
     retryOnConflict("delete", tablePath)(deleteOnce(spark, keys, tablePath, txn))
 
+  /** Read the record keys matching `filters` (plus the optional
+    * residual predicate — the r15 seam: filters then only PRUNE) and
+    * issue the key-deleting replacecommit. The ONE delete-by-predicate
+    * route shared by the DSv2 SupportsDelete path, the catalog DML
+    * strategy and the string SQL front door. Refuses composite record
+    * keys (the key-delete writer addresses one key column).
+    */
+  def deleteMatching(
+      spark: SparkSession,
+      tablePath: String,
+      filters: graft.core.Filters.Normalized,
+      predicateSql: Option[String] = None): String = {
+    import org.apache.spark.sql.functions.{coalesce, col, expr, lit}
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val keyCol = readProps(fs, tablePath)
+      .getOrElse("hoodie.table.recordkey.fields",
+        throw new IllegalArgumentException(
+          s"$tablePath has no hoodie.table.recordkey.fields"))
+    require(!keyCol.contains(","), s"composite record keys unsupported: $keyCol")
+    val base = new HudiTable(tablePath.split('/').last, tablePath)(
+      spark, ReadArgs(filters = filters))
+    val rows = predicateSql.map(ps =>
+      base.where(coalesce(expr(ps), lit(false)))).getOrElse(base)
+    delete(spark, rows.select(col(keyCol)).distinct(), tablePath)
+  }
+
   private def deleteOnce(
       spark: SparkSession,
       keys: DataFrame,

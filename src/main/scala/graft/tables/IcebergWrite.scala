@@ -213,12 +213,7 @@ object IcebergWrite {
 
     val live = new IcebergTable("update", tablePath)
       .readLive(spark, fs, meta0, candidates, deleteFiles0)
-    // residual-DML seam (r15): with predicateSql set, `filters` drive
-    // FILE PRUNING ONLY and must OVER-approximate the predicate's
-    // matching rows; the SQL expression is the row-level truth
-    val pred = predicateSql.map(org.apache.spark.sql.functions.expr)
-      .getOrElse(graft.core.Filters.toColumn(filters)
-        .getOrElse(org.apache.spark.sql.functions.lit(true)))
+    val pred = graft.core.Filters.rowPredicate(filters, predicateSql)
     val setMap = set.toMap
     val stamped = IcebergTable.stampParquetFieldIds(schema)
     spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
@@ -338,9 +333,7 @@ object IcebergWrite {
       scan = scan.withColumn(pf.name,
         org.apache.spark.sql.functions.coalesce(col(pf.name), attached))
     }
-    // residual-DML seam (r15): see updateWhere
-    val pred = predicateSql.map(org.apache.spark.sql.functions.expr)
-      .getOrElse(graft.core.Filters.toColumn(filters).getOrElse(lit(true)))
+    val pred = graft.core.Filters.rowPredicate(filters, predicateSql)
     // delete rows must record the MANIFEST-spelled data-file path
     // byte-for-byte: external Iceberg readers compare file_path
     // exactly, so a scheme-stripped normalization (file:/ → /) would
@@ -568,9 +561,7 @@ object IcebergWrite {
       scan = scan.withColumn(pf.name,
         org.apache.spark.sql.functions.coalesce(col(pf.name), attached))
     }
-    // residual-DML seam (r15): see updateWhere
-    val pred = predicateSql.map(org.apache.spark.sql.functions.expr)
-      .getOrElse(graft.core.Filters.toColumn(filters).getOrElse(lit(true)))
+    val pred = graft.core.Filters.rowPredicate(filters, predicateSql)
     val matched: Array[(String, Array[Byte])] = scan.where(pred)
       .groupBy(col("_del_path"))
       .agg(DvBitmapAgg.bitmap(col("_del_pos")).as("dv"))

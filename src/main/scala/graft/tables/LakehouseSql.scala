@@ -158,22 +158,9 @@ object LakehouseSql {
         val snap = IcebergWrite.deleteWhere(spark, path, f, residual)
         Seq(snap).toDF("snapshot_id")
       case delHud(path, where) =>
-        val fs = new org.apache.hadoop.fs.Path(path)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val keyCol = HudiWrite.readProps(fs, path)
-          .getOrElse("hoodie.table.recordkey.fields",
-            throw new IllegalArgumentException(
-              s"$path has no hoodie.table.recordkey.fields"))
-        require(!keyCol.contains(","), s"composite record keys unsupported: $keyCol")
         val (f, residual) = DeltaSql.parseWhereSplit(spark, where,
           new HudiTable(name(path), path)(spark, ReadArgs()).schema)
-        val base = new HudiTable(name(path), path)(spark, ReadArgs(filters = f))
-        val rows = residual.map(r => base.where(
-          org.apache.spark.sql.functions.coalesce(
-            org.apache.spark.sql.functions.expr(r),
-            org.apache.spark.sql.functions.lit(false)))).getOrElse(base)
-        val keys = rows.select(col(keyCol)).distinct()
-        val instant = HudiWrite.delete(spark, keys, path)
+        val instant = HudiWrite.deleteMatching(spark, path, f, residual)
         Seq(instant).toDF("instant")
       case descIce(what, path) => what.toUpperCase match {
         case "SNAPSHOTS" => IcebergMetaTables.snapshots(spark, path)

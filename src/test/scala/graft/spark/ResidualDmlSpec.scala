@@ -107,6 +107,20 @@ class ResidualDmlSpec extends SparkSpec {
     }
   }
 
+  test("delete-all shapes keep the DSv2 refusal on Iceberg (not hijacked)") {
+    withCatalog {
+      val d = tempDir("res-delall").toString + "/t"
+      IcebergWrite.append(spark, seed.toDF("id", "v", "x"), d)
+      // foldable conditions must stay with the DSv2 route, whose
+      // canDeleteWhere gate refuses delete-all on Iceberg/Hudi — the
+      // residual route must NOT write a position delete per table row
+      intercept[Exception] { spark.sql(s"DELETE FROM graft.`$d` WHERE 1 = 1") }
+      assert(rows(d).size == 5)
+      intercept[Exception] { spark.sql(s"DELETE FROM graft.`$d`") }
+      assert(rows(d).size == 5)
+    }
+  }
+
   test("string front doors take residual predicates; algebra conjuncts still prune") {
     withCatalog {
       val d = tempDir("res-doors").toString + "/t"
