@@ -407,11 +407,11 @@ class GraftSourceSpec extends SparkSpec {
       assert(ids(d) == (0L to 11L).filterNot(_ % 3 == 1).toSet)
       assert(ids(i) == (0L to 7L).toSet)
       assert(ids(h) == (0L to 11L).filterNot(_ % 3 == 2).toSet)
-      // predicates outside the algebra fail at analysis, not silently
-      val e = intercept[Exception] {
-        spark.sql(s"DELETE FROM graft.`$d` WHERE name LIKE 'n1%'")
-      }
-      assert(e.getMessage.toLowerCase.contains("delete"), e.getMessage)
+      // predicates outside the algebra run residually (r15): the full
+      // predicate selects rows even though nothing prunes
+      spark.sql(s"DELETE FROM graft.`$d` WHERE name LIKE 'n1%'")
+      assert(ids(d) == Set(0L, 2L, 3L, 5L, 6L, 8L, 9L),
+        "LIKE must delete n11 (n1/n10 were already gone)")
       // DELETE without WHERE: delta supports it, iceberg refuses via
       // its own contract
       spark.sql(s"DELETE FROM graft.`$d`")
@@ -644,15 +644,15 @@ class GraftSourceSpec extends SparkSpec {
     DeltaWrite.append(spark, Seq((1L, "a")).toDF("id", "v"), d)
     Seq((1L, "A")).toDF("id", "v").createOrReplaceTempView("mrg_bad_src")
     withCatalog {
-      // WHEN NOT MATCHED BY SOURCE stays refused with the shape named
-      val e1 = intercept[Exception] {
-        spark.sql(
-          s"""MERGE INTO graft.`$d` t USING mrg_bad_src s ON t.id = s.id
-             |WHEN MATCHED THEN UPDATE SET *
-             |WHEN NOT MATCHED THEN INSERT *
-             |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
-      }
-      assert(e1.getMessage.contains("NOT MATCHED BY SOURCE"), e1.getMessage)
+      // WHEN NOT MATCHED BY SOURCE is served since late r15 — with
+      // every target row matched, the clause is a no-op here
+      spark.sql(
+        s"""MERGE INTO graft.`$d` t USING mrg_bad_src s ON t.id = s.id
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *
+           |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+      assert(spark.sql(s"SELECT id, v FROM graft.`$d`")
+        .as[(Long, String)].collect().toSeq == Seq((1L, "A")))
       // non-equality ON
       val e2 = intercept[Exception] {
         spark.sql(
@@ -673,13 +673,13 @@ class GraftSourceSpec extends SparkSpec {
              |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
       }
       assert(e3.getMessage.contains("record key"), e3.getMessage)
-      // a MERGE with no WHEN MATCHED clause at all refuses
-      val e4 = intercept[Exception] {
-        spark.sql(
-          s"""MERGE INTO graft.`$d` t USING mrg_bad_src s ON t.id = s.id
-             |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
-      }
-      assert(e4.getMessage.contains("WHEN MATCHED clause"), e4.getMessage)
+      // an insert-only MERGE (no WHEN MATCHED clause) is served since
+      // late r15: matched rows stay untouched, unmatched rows insert
+      spark.sql(
+        s"""MERGE INTO graft.`$d` t USING mrg_bad_src s ON t.id = s.id
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      assert(spark.sql(s"SELECT id, v FROM graft.`$d`")
+        .as[(Long, String)].collect().toSeq == Seq((1L, "A")))
       // a delete condition referencing TARGET columns routes through
       // the pairing path and evaluates correctly (r15 — previously a
       // refusal): target row (1,'a') matches t.v = 'a' and deletes

@@ -197,17 +197,20 @@ class DeltaSqlSpec extends SparkSpec {
     assert(new DeltaTable("t", hud)(spark, ReadArgs.empty).count() == 1)
   }
 
-  test("predicates outside the filter algebra refuse loudly") {
+  test("predicates outside the filter algebra run residually (r15)") {
     val dir = tempDir("sql-refuse").toString + "/t"
     DeltaWrite.append(spark, Seq((1L, "a")).toDF("id", "v"), dir)
-    val e1 = intercept[IllegalArgumentException] {
-      DeltaSql.exec(spark, s"DELETE FROM ${ref(dir)} WHERE length(v) > 3")
+    // non-matching residual: nothing deleted ('a' has length 1)
+    DeltaSql.exec(spark, s"DELETE FROM ${ref(dir)} WHERE length(v) > 3")
+    assert(new DeltaTable("t", dir)(spark, ReadArgs.empty).count() == 1)
+    // non-deterministic predicates still refuse (more than one scan)
+    val e = intercept[IllegalArgumentException] {
+      DeltaSql.exec(spark, s"DELETE FROM ${ref(dir)} WHERE rand() < 2")
     }
-    assert(e1.getMessage.contains("column reference"))
-    val e2 = intercept[IllegalArgumentException] {
-      DeltaSql.exec(spark, s"DELETE FROM ${ref(dir)} WHERE v LIKE 'a%'")
-    }
-    assert(e2.getMessage.contains("filter algebra"))
+    assert(e.getMessage.contains("deterministic"))
+    // matching residual deletes the row
+    DeltaSql.exec(spark, s"DELETE FROM ${ref(dir)} WHERE v LIKE 'a%'")
+    assert(new DeltaTable("t", dir)(spark, ReadArgs.empty).count() == 0)
     intercept[IllegalArgumentException] {
       DeltaSql.exec(spark, s"CREATE TABLE ${ref(dir)} (x INT)")
     }
