@@ -2186,9 +2186,11 @@ object OracleSql {
       },
       // r15: Iceberg DML ladder through catalog SQL — MoR position
       // deletes (rows >= 20 gone), a copy-on-write UPDATE of region-1
-      // names, then a CONDITIONAL matched MERGE (keys ≡ 0 mod 4 under
+      // names, a CONDITIONAL matched MERGE (keys ≡ 0 mod 4 under
       // 12 bump n_regionkey using BOTH sides; key 990 inserts; every
-      // other matched row untouched)
+      // other matched row untouched), then a RESIDUAL UPDATE
+      // (keys ≡ 2 mod 5 under 20 take the _R suffix — the modulo
+      // evaluates row-by-row in the CoW rewrite)
       "q_iceberg_update" ->
         """WITH u AS (
           |  SELECT n_nationkey,
@@ -2201,8 +2203,14 @@ object OracleSql {
           |      THEN (SELECT x.n_regionkey + 10 FROM nation x
           |            WHERE x.n_nationkey = u.n_nationkey) + n_regionkey
           |      ELSE n_regionkey END AS n_regionkey
-          |  FROM u)
-          |SELECT * FROM m
+          |  FROM u),
+          |r AS (
+          |  SELECT n_nationkey,
+          |    CASE WHEN n_nationkey % 5 = 2 AND n_nationkey < 20
+          |      THEN n_name || '_R' ELSE n_name END AS n_name,
+          |    n_regionkey
+          |  FROM m)
+          |SELECT * FROM r
           |UNION ALL
           |SELECT 990, 'SYNTHESIA', 9
           |ORDER BY n_nationkey""".stripMargin,

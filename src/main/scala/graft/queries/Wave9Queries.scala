@@ -284,6 +284,11 @@ object Wave9Queries {
            |WHEN MATCHED AND s.n_nationkey % 4 = 0
            |  THEN UPDATE SET n_regionkey = s.n_regionkey + t.n_regionkey
            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      // r15: RESIDUAL catalog UPDATE on the Iceberg leg — the modulo
+      // predicate sits outside the pruning algebra, so the CoW
+      // rewrite evaluates it row-by-row (keys ≡ 2 mod 5 get a suffix)
+      s.sql(s"UPDATE graft.`$path` SET n_name = concat(n_name, '_R') " +
+        "WHERE n_nationkey % 5 = 2 AND n_nationkey < 20")
       path
     })
 
