@@ -29,7 +29,11 @@ object Dedup {
     // doesn't need), and the row struct is only materialized when a
     // row improves on the incumbent.
     val ord: Column = order.map(col).getOrElse(lit(0))
-    df.groupBy(keys.map(col): _*)
+    // narrow inputs (single-row-group files) would run the whole fused
+    // scan+partial-minBy stage on one core — widen by the dedup key
+    // (replaces the aggregate's own exchange; no-op on wide inputs)
+    Widen.byKeys(df, keys.map(col))
+      .groupBy(keys.map(col): _*)
       .agg(graft.functions.ExtremumBy.minBy(struct(allCols.map(col): _*), ord).as("_row"))
       .select(allCols.map(c => col(s"_row.$c").as(c)): _*)
   }
@@ -65,7 +69,11 @@ object Dedup {
   def exactByContent(df: DataFrame, contentCol: String, idCol: String): DataFrame = {
     val fp = md5(trim(lower(col(contentCol))))
     val allCols = df.columns.toSeq
-    df.withColumn("_fp", fp)
+    // widen by the fingerprint: replaces the group-by's own exchange
+    // (same shuffle count) and runs the keep-min aggregate at session
+    // parallelism when the scan is narrow (no-op on wide inputs — the
+    // 100 TB corpus shape; see operators.Widen)
+    Widen.byKeys(df.withColumn("_fp", fp), Seq(col("_fp")))
       .groupBy(col("_fp"))
       .agg(graft.functions.ExtremumBy.minBy(struct(allCols.map(col): _*), col(idCol)).as("_row"))
       .select(allCols.map(c => col(s"_row.$c").as(c)): _*)

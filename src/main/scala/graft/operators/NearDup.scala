@@ -160,6 +160,27 @@ object NearDup {
     if (src.rdd.getNumPartitions < target) src.repartition(target) else src
   }
 
+  /** Pin the candidate-pair shuffle at the session's parallelism.
+    *
+    * The exact-verify stage downstream does heavy per-ROW work
+    * (sorted-set intersections over shingle arrays) on skinny
+    * (idA, idB) rows, so AQE's BYTE-based partition coalescing is
+    * blind to its cost: a few MB of candidate pairs coalesce to ONE
+    * post-shuffle partition and the whole verify runs on one core
+    * (measured: a 1.05 s single-task stage inside a 2.8 s
+    * q_minhash_pairs — the bench's slowest stage). An explicit
+    * numbered repartition on the pair key replaces the implicit
+    * ENSURE_REQUIREMENTS exchange the pair-dedup needs anyway (same
+    * exchange count, same key, so the dedup reuses it) and —
+    * because REPARTITION_BY_NUM exchanges are exempt from AQE
+    * coalescing — keeps the verify at full parallelism at every
+    * scale. defaultParallelism is the total core count on a cluster
+    * too, the right width for a CPU-bound stage.
+    */
+  private def spreadPairs(pairs: DataFrame, keyA: String, keyB: String): DataFrame =
+    pairs.repartition(
+      pairs.sparkSession.sparkContext.defaultParallelism, col(keyA), col(keyB))
+
   def minhashPairs(
       df: DataFrame,
       idCol: String,
@@ -228,10 +249,10 @@ object NearDup {
     // member↔member pair.
     val candidates =
       if (maxBucket == Int.MaxValue) {
-        banded.as("a")
+        spreadPairs(banded.as("a")
           .join(banded.as("b"), Seq("band", "bh"))
           .where(col("a._id") < col("b._id"))
-          .select(col("a._id").as("a_id"), col("b._id").as("b_id"))
+          .select(col("a._id").as("a_id"), col("b._id").as("b_id")), "a_id", "b_id")
           .dropDuplicates("a_id", "b_id")
           .withColumn("star", lit(false))
       } else {
@@ -250,10 +271,10 @@ object NearDup {
         // anti-joins and the star union entirely — the guard's
         // default-on cost collapses to this aggregation
         if (hot.isEmpty) {
-          banded.as("a")
+          spreadPairs(banded.as("a")
             .join(banded.as("b"), Seq("band", "bh"))
             .where(col("a._id") < col("b._id"))
-            .select(col("a._id").as("a_id"), col("b._id").as("b_id"))
+            .select(col("a._id").as("a_id"), col("b._id").as("b_id")), "a_id", "b_id")
             .dropDuplicates("a_id", "b_id")
             .withColumn("star", lit(false))
         } else {
@@ -277,7 +298,7 @@ object NearDup {
           // disconnect the hot bucket, the exact loss the exemption
           // exists to prevent); the output tag below narrows to pairs
           // actually kept by the exemption
-          allPairs.unionByName(starPairs)
+          spreadPairs(allPairs.unionByName(starPairs), "a_id", "b_id")
             .groupBy("a_id", "b_id").agg(max(col("star")).as("star"))
         }
       }
@@ -367,9 +388,9 @@ object NearDup {
     val dfreq = inv.groupBy("_g").agg(count(lit(1)).as("_df"))
       .where(col("_df").between(2, maxDf))
     val blocked = inv.join(dfreq, "_g").select("_g", "_sid")
-    val candidates = blocked.as("a").join(blocked.as("b"), Seq("_g"))
+    val candidates = spreadPairs(blocked.as("a").join(blocked.as("b"), Seq("_g"))
       .where(col("a._sid") < col("b._sid"))
-      .select(col("a._sid").as("a_id"), col("b._sid").as("b_id"))
+      .select(col("a._sid").as("a_id"), col("b._sid").as("b_id")), "a_id", "b_id")
       .dropDuplicates("a_id", "b_id")
 
     val withSets = candidates
@@ -443,9 +464,9 @@ object NearDup {
 
     val corpusSets = shsets(corpus)
     val probeSets = shsets(probe)
-    val candidates = banded(corpusSets).as("c")
+    val candidates = spreadPairs(banded(corpusSets).as("c")
       .join(banded(probeSets).as("p"), Seq("band", "bh"))
-      .select(col("c._id").as("c_id"), col("p._id").as("p_id"))
+      .select(col("c._id").as("c_id"), col("p._id").as("p_id")), "c_id", "p_id")
       .dropDuplicates("c_id", "p_id")
 
     val withSets = candidates

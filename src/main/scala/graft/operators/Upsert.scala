@@ -25,8 +25,10 @@ object Upsert {
     val tagged = base.withColumn("_v", lit(0))
       .unionByName(updates.select(cols.map(col): _*).withColumn("_v", lit(1)))
     // ExtremumBy orders by (version, full row): deterministic even if
-    // `updates` carries duplicate keys
-    val picked = tagged
+    // `updates` carries duplicate keys. Narrow inputs widen by key
+    // first (single-row-group scans would run the fused partial maxBy
+    // on one core; no-op on wide inputs — see operators.Widen)
+    val picked = Widen.byKeys(tagged, keys.map(col))
       .groupBy(keys.map(col): _*)
       .agg(graft.functions.ExtremumBy.maxBy(struct(cols.map(col): _*), col("_v")).as("_row"))
       .select(cols.map(c => col(s"_row.$c").as(c)): _*)

@@ -20,6 +20,17 @@ object PipelineQueries {
 
   private def t(s: SparkSession, dir: String, n: String) = Tables.table(s, dir, n)
 
+  /** The documents corpus widened to session parallelism when its scan
+    * is narrow (single-row-group files): the md5 shingle pass otherwise
+    * runs entirely inside a one-core scan stage. No-op on a
+    * cluster-shaped corpus layout (operators.Widen); keyed by doc_id so
+    * the spread is uniform. Used only where the per-row work outweighs
+    * the extra exchange (q_minhash measured 0.29→0.17 s; the lighter
+    * token/quality scans measured WORSE with it and stay unwidened).
+    */
+  private def widedocs(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Widen.byKeys(t(s, dir, "documents"), Seq(col("doc_id")))
+
   /** E8: gap-based sessionization of the event log (30-min gap).
     * Timestamps exported as epoch micros (engine-neutral).
     */
@@ -107,7 +118,7 @@ object PipelineQueries {
 
   /** P3: MinHash signatures (8 hashes over 5-char shingles). */
   def qMinhash(s: SparkSession, dir: String): DataFrame =
-    NearDup.minhashSignatures(t(s, dir, "documents"), "text", k = 5, numHashes = 8)
+    NearDup.minhashSignatures(widedocs(s, dir), "text", k = 5, numHashes = 8)
       .select((col("doc_id") +: (0 until 8).map(j => col(NearDup.sigCol(j)))): _*)
       .orderBy("doc_id")
 

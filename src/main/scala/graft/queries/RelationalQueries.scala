@@ -42,7 +42,12 @@ object RelationalQueries {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
-  /** TPC-H Q3-style shipping priority: 3-way join, agg, top-10. */
+  /** TPC-H Q3-style shipping priority: 3-way join, agg, top-10.
+    * (r15 note: widening the narrow probe-side scan was measured and
+    * REJECTED here — the extra exchange+stage cost ~0.1-0.4 s against
+    * a probe stage worth ~0.13 s; the single-row-group scan narrowness
+    * is a bench-corpus artifact the join itself tolerates.)
+    */
   def q03ShippingPriority(s: SparkSession, dir: String): DataFrame = {
     val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
     val ord  = t(s, dir, "orders").filter(col("o_orderdate") < to_timestamp(lit("1996-03-15 00:00:00")))

@@ -14,14 +14,24 @@ object Tables {
   val TpchTables = Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
   val PipelineTables = Seq("events", "documents", "embeddings")
 
-  def forDir(dir: String): Catalog = {
-    def pt(n: String): (String, TableProtocol) =
-      n -> new ParquetTable(n, s"$dir/$n.parquet", partitioning = Seq.empty)
-    new Catalog(Map(
-      "tpch"     -> new MapDatabase(TpchTables.map(pt).toMap),
-      "pipeline" -> new MapDatabase(PipelineTables.map(pt).toMap)
-    ))
-  }
+  /** One Catalog per data dir, memoized: table METADATA (and the
+    * ParquetTable instances' footer-schema cache) persists across
+    * query constructions the way a real catalog's does — rebuilding it
+    * per call re-paid a schema-inference Spark job per table per query
+    * run (driver fixed cost, not data work).
+    */
+  private val catalogs =
+    new java.util.concurrent.ConcurrentHashMap[String, Catalog]()
+
+  def forDir(dir: String): Catalog =
+    catalogs.computeIfAbsent(dir, d => {
+      def pt(n: String): (String, TableProtocol) =
+        n -> new ParquetTable(n, s"$d/$n.parquet", partitioning = Seq.empty)
+      new Catalog(Map(
+        "tpch"     -> new MapDatabase(TpchTables.map(pt).toMap),
+        "pipeline" -> new MapDatabase(PipelineTables.map(pt).toMap)
+      ))
+    })
 
   def table(spark: SparkSession, dir: String, name: String,
             args: ReadArgs = ReadArgs.empty): DataFrame = {

@@ -234,7 +234,7 @@ class ParquetTable(
         if (plan.remaining.nonEmpty)
           spark.read.option("basePath", plan.prefix).parquet(plan.prefix)
         else
-          spark.read.parquet(plan.prefix)
+          readCachingSchema(spark, plan.prefix)
       case PartitioningScheme.Directory =>
         readDirectoryLayout(spark, plan) match {
           case Some(d) => d
@@ -264,6 +264,29 @@ class ParquetTable(
     Filters.toColumn(plan.residual).foreach(pred => df = df.filter(pred))
     args.columns.foreach(cols => df = df.select(cols.map(col): _*))
     df
+  }
+
+  /** Footer-inferred schemas per (session, prefix) — SCHEMA metadata
+    * only, never data or results. Re-reading an immutable table's
+    * footer and re-running schema inference on every query run is pure
+    * driver fixed cost (one Spark job per table per query — measured
+    * 30-50 ms each at bench scale); real catalogs (HMS, Glue, Spark's
+    * own filesource relation cache) hold exactly this. Keyed by the
+    * session identity because schema-affecting session confs
+    * (nanosAsLong, timestamp inference) may differ across sessions.
+    */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), org.apache.spark.sql.types.StructType]()
+
+  private def readCachingSchema(spark: SparkSession, prefix: String): DataFrame = {
+    val key = (System.identityHashCode(spark), prefix)
+    val cached = schemaCache.get(key)
+    if (cached != null) spark.read.schema(cached).parquet(prefix)
+    else {
+      val d = spark.read.parquet(prefix)
+      if (schemaCache.size < 64) schemaCache.put(key, d.schema)
+      d
+    }
   }
 
   /** Directory layout: enumerate remaining partition levels, prune
