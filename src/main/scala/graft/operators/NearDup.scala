@@ -74,15 +74,14 @@ object NearDup {
       textCol: String,
       k: Int = 5,
       numHashes: Int = 8
-  ): DataFrame = {
-    val withSigs = df.withColumn("_sigs",
-      graft.functions.MinHashSigs.minhash(col(textCol), k, numHashes))
-    (0 until numHashes)
-      .foldLeft(withSigs) { (d, j) =>
-        d.withColumn(sigCol(j), element_at(col("_sigs"), j + 1))
-      }
-      .drop("_sigs")
-  }
+  ): DataFrame =
+    // two selects, not numHashes withColumns: every withColumn is a
+    // full re-analysis of the growing plan — measured driver cost at
+    // bench scale (construction is single-threaded, guide §7.3)
+    df.withColumn("_sigs",
+        graft.functions.MinHashSigs.minhash(col(textCol), k, numHashes))
+      .select((df.columns.map(col) ++
+        (0 until numHashes).map(j => element_at(col("_sigs"), j + 1).as(sigCol(j)))): _*)
 
   /** Declarative (higher-order-function) formulation of the signature
     * computation — the reference semantics [[graft.functions.MinHashSigs]]
@@ -215,11 +214,12 @@ object NearDup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     registerCache(shsets)
 
-    val signed = (0 until numHashes).foldLeft(
-      shsets.select(col("_sid").as(idCol),
+    // two selects, not numHashes withColumns (each is a re-analysis)
+    val signed = shsets
+      .select(col("_sid").as(idCol),
         graft.functions.MinHashSigs.minhashFromHashes(col("_sh"), numHashes).as("_sigs"))
-    ) { (d, j) => d.withColumn(sigCol(j), element_at(col("_sigs"), j + 1)) }
-      .drop("_sigs")
+      .select((col(idCol) +:
+        (0 until numHashes).map(j => element_at(col("_sigs"), j + 1).as(sigCol(j)))): _*)
 
     // skinny band relation: (band, bh, id) — persisted so the self-join
     // (and its two join sides) reads the cached hash sets exactly once
@@ -448,10 +448,11 @@ object NearDup {
       s
     }
     def banded(sets: DataFrame): DataFrame = {
-      val signed = (0 until numHashes).foldLeft(
-        sets.select(col("_sid").as("_id"),
+      val signed = sets
+        .select(col("_sid").as("_id"),
           graft.functions.MinHashSigs.minhashFromHashes(col("_sh"), numHashes).as("_sigs"))
-      ) { (d, j) => d.withColumn(sigCol(j), element_at(col("_sigs"), j + 1)) }
+        .select((col("_id") +:
+          (0 until numHashes).map(j => element_at(col("_sigs"), j + 1).as(sigCol(j)))): _*)
       signed.select(
         col("_id"),
         array((0 until bands).map { band =>

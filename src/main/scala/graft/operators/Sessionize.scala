@@ -25,7 +25,12 @@ object Sessionize {
     val isBreak = when(
       prevTs.isNull.or(tsUs(col(tsCol)) - tsUs(prevTs) > gapSeconds * 1000000L),
       1L).otherwise(0L)
-    events
+    // narrow inputs widen by the user key: the keyed repartition
+    // replaces the window's own exchange (same shuffle count), is
+    // exempt from AQE's byte-based coalescing (which collapsed this
+    // CPU-dense sort+window stage to ONE task on MB-sized logs), and
+    // no-ops on wide cluster inputs (operators.Widen)
+    Widen.byKeys(events, Seq(col(userCol)))
       .withColumn("_brk", isBreak)
       .withColumn("session_seq", sum(col("_brk")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
       .drop("_brk")

@@ -51,7 +51,7 @@ class LakehouseTable(
     // declared schema (deltalake_table.py:_empty_normalized_df) rather
     // than a schema-inference failure.
     var df =
-      try spark.read.parquet(uri)
+      try SchemaCache.readParquet(spark, uri) // footer schema cached per (session, path)
       catch {
         case e: org.apache.spark.sql.AnalysisException
             if e.getCondition == "UNABLE_TO_INFER_SCHEMA" ||

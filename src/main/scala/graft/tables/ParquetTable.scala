@@ -266,28 +266,11 @@ class ParquetTable(
     df
   }
 
-  /** Footer-inferred schemas per (session, prefix) — SCHEMA metadata
-    * only, never data or results. Re-reading an immutable table's
-    * footer and re-running schema inference on every query run is pure
-    * driver fixed cost (one Spark job per table per query — measured
-    * 30-50 ms each at bench scale); real catalogs (HMS, Glue, Spark's
-    * own filesource relation cache) hold exactly this. Keyed by the
-    * session identity because schema-affecting session confs
-    * (nanosAsLong, timestamp inference) may differ across sessions.
+  /** Footer-schema caching read for the unpartitioned fast path —
+    * rationale on [[SchemaCache]].
     */
-  private val schemaCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), org.apache.spark.sql.types.StructType]()
-
-  private def readCachingSchema(spark: SparkSession, prefix: String): DataFrame = {
-    val key = (System.identityHashCode(spark), prefix)
-    val cached = schemaCache.get(key)
-    if (cached != null) spark.read.schema(cached).parquet(prefix)
-    else {
-      val d = spark.read.parquet(prefix)
-      if (schemaCache.size < 64) schemaCache.put(key, d.schema)
-      d
-    }
-  }
+  private def readCachingSchema(spark: SparkSession, prefix: String): DataFrame =
+    SchemaCache.readParquet(spark, prefix)
 
   /** Directory layout: enumerate remaining partition levels, prune
     * against remaining filters driver-side (this is partition pruning
