@@ -55,15 +55,26 @@ object ConnectedComponents {
       .where(col("u") =!= col("v"))
       .distinct()
 
-    // every endpoint, fixed up front: star contraction drops nodes
-    // from the edge set as they become roots, but each keeps a label
-    val nodes = raw.select(col("u").as("id"))
-      .unionByName(raw.select(col("v").as("id")))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    nodes.count()
+    // materialize the input FIRST and derive everything from the
+    // checkpoint: `pairs` is typically an expensive unpersisted plan
+    // (an LSH verify), and the previous shape executed it three times
+    // (once per union branch of `nodes`, once for the edge
+    // checkpoint — measured 2/3 of q_cc_labels' task time)
+    val edges0 = raw.localCheckpoint(true)
 
-    var edges = raw.localCheckpoint(true)
+    // every endpoint, fixed up front: star contraction drops nodes
+    // from the edge set as they become roots, but each keeps a label.
+    // Derived from the checkpoint and only consumed by the final
+    // join, so it needs no persist/count of its own.
+    val nodes = edges0.select(col("u").as("id"))
+      .unionByName(edges0.select(col("v").as("id")))
+      .distinct()
+
+    var edges = edges0
+    // carried across rounds: this round's edge count IS next round's
+    // — re-counting the checkpointed previous set was one driver job
+    // per round for a number already in hand
+    var edgeCount = edges.count()
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxIter) {
@@ -85,20 +96,23 @@ object ConnectedComponents {
         .distinct()
       val smallMins = oriented.groupBy("hi").agg(min(col("lo")).as("m"))
       val withM = oriented.join(smallMins, "hi")
+      // LAZY checkpoint: the count below materializes it — one job
+      // per round instead of an eager-checkpoint job plus a count job
       val small = withM
         .where(col("lo") =!= col("m"))
         .select(col("lo").as("u"), col("m").as("v"))
         .unionByName(withM.select(col("hi").as("u"), col("m").as("v")))
         .distinct()
-        .localCheckpoint(true)
+        .localCheckpoint(false)
+      val smallCount = small.count()
 
       // fixpoint: both star ops leave a set of minimum-rooted stars
       // unchanged. Both sides are distinct sets, so equal counts plus
       // an empty one-sided difference proves equality (A⊆B ∧ |A|=|B|)
       // — one difference job instead of two
-      converged = small.count() == edges.count() &&
-        small.exceptAll(edges).isEmpty
+      converged = smallCount == edgeCount && small.exceptAll(edges).isEmpty
       edges = small
+      edgeCount = smallCount
       rounds += 1
     }
     if (!converged)
@@ -108,7 +122,6 @@ object ConnectedComponents {
     // final edges are (node, componentMin) stars; roots carry no edge
     val out = nodes.join(edges.withColumnRenamed("u", "id"), Seq("id"), "left")
       .select(col("id"), coalesce(col("v"), col("id")).as("cluster_id"))
-    nodes.unpersist(blocking = false)
     (out, rounds)
   }
 }

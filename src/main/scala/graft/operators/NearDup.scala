@@ -499,8 +499,21 @@ object NearDup {
     * round and unpersisted after — no lineage blowup.
     */
   def dupClusters(pairs: DataFrame, aCol: String, bCol: String, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col(aCol).as("s"), col(bCol).as("t"))
-      .unionByName(pairs.select(col(bCol).as("s"), col(aCol).as("t")))
+    // materialize the (typically expensive, unpersisted) pair plan
+    // ONCE before symmetrizing: the union's two branches each
+    // re-executed it (an LSH verify pass per branch). PERSIST, not
+    // localCheckpoint — a checkpoint's LogicalRDD carries
+    // default (effectively infinite) size stats that explode every
+    // downstream join estimate and silently kill broadcast planning
+    // (softDedup's skinny-map join regressed to SMJ of the corpus);
+    // the materialized InMemoryRelation keeps ACTUAL sizes, and the
+    // block manager computes each cached partition once even with
+    // both union branches reading it in one stage.
+    val base = pairs.select(col(aCol).as("s"), col(bCol).as("t"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    registerCache(base)
+    val edges = base
+      .unionByName(base.select(col("t").as("s"), col("s").as("t")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     var labels = edges.select(col("s").as("id")).distinct()
