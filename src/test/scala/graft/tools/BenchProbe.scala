@@ -8,9 +8,10 @@ import org.apache.spark.sql.SparkSession
   * best-of-2 is too noisy to adjudicate single-query changes on a
   * shared host).
   *
-  * Usage: runMain graft.tools.BenchProbe <sfDir> <q,...> [reps] [k=v;k=v]
-  * Times the same `.count()` action as Bench after the same sf0.001
-  * warmup; prints min/median per query.
+  * Usage: Test/runMain graft.tools.BenchProbe <sfDir> <q,...> [reps] [k=v;k=v] [warmupDir]
+  * Times the same `.count()` action as Bench after the same
+  * smallest-SF warmup; prints min/median per query. (Test scope — dev
+  * tooling stays out of the production artifact.)
   */
 object BenchProbe {
   def main(args: Array[String]): Unit = {
@@ -19,6 +20,8 @@ object BenchProbe {
     val reps = args.lift(2).map(_.toInt).getOrElse(5)
     val confs = args.lift(3).toSeq.flatMap(_.split(";")).filter(_.nonEmpty)
       .map { kv => val Array(k, v) = kv.split("=", 2); (k, v) }
+    val warmupDir = args.lift(4).getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val b = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -33,8 +36,13 @@ object BenchProbe {
     spark.sparkContext.setLogLevel("WARN")
 
     names.foreach { n =>
-      try QueryCatalog.queries(n)(spark, "/root/testdata/sf0.001").count()
-      catch { case _: Throwable => () }
+      // warmup failures are logged, never fatal — but only NonFatal:
+      // an OOM/linkage error must not be masked into a bogus timing
+      try QueryCatalog.queries(n)(spark, warmupDir).count()
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[probe] warmup of $n failed: $e")
+      }
     }
     names.foreach { n =>
       val fn = QueryCatalog.queries(n)
