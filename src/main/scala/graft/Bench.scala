@@ -20,10 +20,17 @@ import org.apache.spark.sql.SparkSession
   * together), so the JSON line now carries the evidence to adjudicate
   * itself: machine-wide CPU spent by OTHER processes during the
   * measured section (/proc/stat busy minus this JVM's own CPU time),
-  * steal%, loadavg before/after, and the per-query best-of-N spread.
-  * `"load_verdict"` is "load-clean" when other-process CPU < 10% of
-  * machine capacity and steal < 2%, else "load-skewed" — a skewed run
-  * is machine-detectable without a judge rerun.
+  * steal%, loadavg before/after, the per-query best-of-N spread, and
+  * (r16) a fixed single-core calibration task timed before and after
+  * the measured section against a committed quiet-window reference.
+  * `"load_verdict"` is "load-clean" only when other-process CPU < 10%
+  * of machine capacity AND steal < 2% AND the median TRIMMED spread
+  * (worst rep dropped — first-run sf-scale codegen makes one rep an
+  * outlier even on a provably idle host) ≤ 20% AND both calibration
+  * samples are within 1.5× of the reference; any failing criterion
+  * prints "load-skewed" — the r15 window (3-4× inflated minima, 53%
+  * median spread, counters clean) is now machine-detectable without a
+  * judge rerun.
   */
 object Bench {
   /** (totalJiffies across all cpus, idle+iowait, steal) from /proc/stat. */
@@ -53,6 +60,38 @@ object Bench {
       case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime
       case _ => -1L
     }
+
+  /** Fixed single-core calibration task: a deterministic xorshift64
+    * checksum loop whose wall time on THIS host's quiet windows is the
+    * committed [[CalibrationRefSec]]. Run before and after the measured
+    * section; a ratio well above 1 means the window itself was degraded
+    * (hypervisor steal, frequency contention, oversubscription) even
+    * when other-process CPU and steal counters look clean — the r15
+    * failure mode, where untouched queries inflated 3-4× under a
+    * "load-clean" verdict.
+    */
+  private def calibrate(): Double = {
+    val t0 = System.nanoTime()
+    var x = 0x9E3779B97F4A7C15L
+    var acc = 0L
+    var i = 0L
+    while (i < 400000000L) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      acc += x
+      i += 1
+    }
+    // keep `acc` observable so the loop cannot be eliminated
+    if (acc == 0x5DEECE66DL) System.err.println("calibration checksum collision")
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Quiet-window wall seconds of [[calibrate]] on the reference host
+    * (steady-state of repeated runs at loadavg 0.06, committed r16; a
+    * contended window measured 1.06-2.53 s for the same loop). The
+    * verdict flags the window when either calibration sample exceeds
+    * this by >50%.
+    */
+  val CalibrationRefSec = 0.90
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -88,25 +127,40 @@ object Bench {
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val spreads = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val trimSpreads = scala.collection.mutable.LinkedHashMap[String, Double]()
 
     val loadStart = loadavg()
+    val calibPre = calibrate()
     val (statT0, statI0, statS0) = procStat()
     val ownT0 = ownCpuNanos()
 
-    // two measured runs per query, report the best: steady-state cost
-    // (first-run whole-stage-codegen compilation is JVM warmup, not
-    // query cost). The (max-min)/min spread per query is load
-    // telemetry: on a quiet host steady-state reruns repeat within a
-    // few percent, so a wide spread flags external contention.
+    // three measured runs per query, report the best: steady-state
+    // cost (first-run whole-stage-codegen compilation is JVM warmup,
+    // not query cost). r15's best-of-2 left the official record one
+    // contended sample away from garbage; the third rep (VERDICT r15
+    // #2c) is additions-only — the metric is still the per-query
+    // minimum of steady-state reruns. The (max-min)/min spread per
+    // query is load telemetry: on a quiet host steady-state reruns
+    // repeat within a few percent, so a wide spread flags external
+    // contention.
     def measure(name: String)(run: => Unit): Unit =
       try {
-        val times = (1 to 2).map { _ =>
+        val times = (1 to 3).map { _ =>
           val t0 = System.nanoTime()
           run
           (System.nanoTime() - t0) / 1e9
         }
         results(name) = times.min
         spreads(name) = math.rint((times.max - times.min) / times.min * 1000) / 10
+        // trimmed spread: drop the single worst rep (first-run sf-scale
+        // codegen routinely makes one rep several times the min even on
+        // a PROVABLY quiet host — measured 90.7% raw median spread with
+        // other-cpu 0.0%/steal 0.0%, r16 baseline). The two best reps
+        // agreeing within a few % is the steady-state stability signal;
+        // genuine contention inflates them too.
+        val trimmed = times.sorted.dropRight(1)
+        trimSpreads(name) =
+          math.rint((trimmed.max - trimmed.min) / trimmed.min * 1000) / 10
       } catch {
         case e: Throwable =>
           errors(name) = jsonSafe(s"${e.getClass.getSimpleName}: ${e.getMessage}")
@@ -142,6 +196,7 @@ object Bench {
     val loadEnd = loadavg()
     val (statT1, statI1, statS1) = procStat()
     val ownT1 = ownCpuNanos()
+    val calibPost = calibrate()
     val (otherPct, stealPct) =
       if (statT0 < 0 || statT1 <= statT0) (-1.0, -1.0)
       else {
@@ -157,17 +212,34 @@ object Bench {
       val s = spreads.values.toSeq.sorted
       if (s.isEmpty) 0.0 else s(s.size / 2)
     }
+    val medianTrimSpread = {
+      val s = trimSpreads.values.toSeq.sorted
+      if (s.isEmpty) 0.0 else s(s.size / 2)
+    }
+    // The verdict now has teeth the counters alone lacked (r15: 3-4×
+    // inflated minima under "load-clean"): a wide median best-of-N
+    // spread or a slowed single-core calibration loop flags the window
+    // regardless of whose CPU the counters blame.
+    val calibWorst = math.max(calibPre, calibPost) / CalibrationRefSec
     val loadVerdict =
       if (otherPct < 0) "load-unknown"
-      else if (otherPct < 10.0 && stealPct < 2.0) "load-clean"
-      else "load-skewed"
+      else if (otherPct >= 10.0 || stealPct >= 2.0) "load-skewed"
+      else if (medianTrimSpread > 20.0) "load-skewed"
+      else if (calibWorst > 1.5) "load-skewed"
+      else "load-clean"
     def r1(d: Double): Double = math.rint(d * 10) / 10
+    def r2(d: Double): Double = math.rint(d * 100) / 100
     val spreadJson = spreads.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val trimSpreadJson = trimSpreads.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val loadJson =
       s""","load":{"loadavg_start":${r1(loadStart)},"loadavg_end":${r1(loadEnd)},""" +
         s""""other_cpu_pct":${r1(otherPct)},"steal_pct":${r1(stealPct)},""" +
-        s""""median_spread_pct":$medianSpread,"spread_pct":$spreadJson},""" +
+        s""""median_spread_pct":$medianSpread,"spread_pct":$spreadJson,""" +
+        s""""median_trim_spread_pct":$medianTrimSpread,"trim_spread_pct":$trimSpreadJson,""" +
+        s""""calibration":{"ref_sec":$CalibrationRefSec,"pre_ratio":${r2(calibPre / CalibrationRefSec)},""" +
+        s""""post_ratio":${r2(calibPost / CalibrationRefSec)}}},""" +
         s""""load_verdict":"$loadVerdict""""
     println(s"""{"metric":"total","value":$total,"unit":"sec","status":"$status","queries":$qs$errJson$loadJson,"sf":"$sfDir"}""")
     spark.stop()
