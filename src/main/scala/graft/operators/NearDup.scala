@@ -42,9 +42,24 @@ object NearDup {
   private val cachedFrames = scala.collection.mutable.Queue.empty[DataFrame]
 
   private[graft] def registerCache(df: DataFrame): DataFrame = synchronized {
-    cachedFrames.enqueue(df)
-    while (cachedFrames.size > MaxCachedFrames)
-      cachedFrames.dequeue().unpersist(blocking = false)
+    // dedupe by PLAN, not object: repeated calls over the same input
+    // build fresh DataFrames whose persist() CacheManager dedupes to
+    // one shared copy — but each naive enqueue still consumed a queue
+    // slot, so the 3rd call over the same corpus EVICTED the shared
+    // blocks the running query was using (measured: q_minhash_pairs
+    // reps 1-2 ≈ 0.83 s, reps 3+ ≈ 1.9 s, every rep after the queue
+    // first overflowed). Re-registering an equivalent plan refreshes
+    // its LRU position instead.
+    val dup = cachedFrames.dequeueAll(
+      _.queryExecution.analyzed.sameResult(df.queryExecution.analyzed))
+    if (dup.nonEmpty) {
+      cachedFrames.enqueue(dup.head)
+      dup.drop(1).foreach(_.unpersist(blocking = false))
+    } else {
+      cachedFrames.enqueue(df)
+      while (cachedFrames.size > MaxCachedFrames)
+        cachedFrames.dequeue().unpersist(blocking = false)
+    }
     df
   }
 
@@ -153,11 +168,10 @@ object NearDup {
     * already-wide corpus inputs pass through untouched, so the 100 TB
     * shape gains no extra shuffle.
     */
-  private def widened(df: DataFrame, cols: Seq[String]): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    val src = df.select(cols.map(col): _*)
-    if (src.rdd.getNumPartitions < target) src.repartition(target) else src
-  }
+  private def widened(df: DataFrame, cols: Seq[String]): DataFrame =
+    // static narrowness check (no Dataset.rdd: that builds the executed
+    // plan — and runs jobs under AQE — at query-construction time)
+    Widen.toParallelism(df.select(cols.map(col): _*))
 
   /** Pin the candidate-pair shuffle at the session's parallelism.
     *
@@ -174,11 +188,25 @@ object NearDup {
     * because REPARTITION_BY_NUM exchanges are exempt from AQE
     * coalescing — keeps the verify at full parallelism at every
     * scale. defaultParallelism is the total core count on a cluster
-    * too, the right width for a CPU-bound stage.
+    * too, the right width for a CPU-bound stage — and the FLOOR here:
+    * at corpus scale billions of skinny pairs over exactly core-count
+    * partitions would make multi-GB fixed partitions with both AQE
+    * coalescing and skew-splitting opted out, so the width scales with
+    * the corpus scan bytes: pair rows are two ids (~32 B) against a
+    * ~1 KB document row, so pair bytes ≈ scan bytes / 32, and one
+    * partition per 2 GB of corpus keeps pair partitions in the tens of
+    * MB. At bench scale (MB-sized corpora) the floor binds and plans
+    * are byte-identical to the pinned-parallelism shape.
     */
-  private def spreadPairs(pairs: DataFrame, keyA: String, keyB: String): DataFrame =
-    pairs.repartition(
-      pairs.sparkSession.sparkContext.defaultParallelism, col(keyA), col(keyB))
+  private def spreadPairs(pairs: DataFrame, keyA: String, keyB: String): DataFrame = {
+    val par = pairs.sparkSession.sparkContext.defaultParallelism
+    val n = Widen.scanBytes(pairs) match {
+      case Some(bytes) =>
+        math.max(par.toLong, (bytes / (2L * 1024 * 1024 * 1024)).toLong).toInt
+      case None => par
+    }
+    pairs.repartition(n, col(keyA), col(keyB))
+  }
 
   def minhashPairs(
       df: DataFrame,
@@ -266,41 +294,39 @@ object NearDup {
           .where(col("_n") > maxBucket)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         registerCache(hot)
-        // healthy corpora have ZERO hot buckets: one driver check on
-        // the (cached-input, tiny-output) aggregate skips both
-        // anti-joins and the star union entirely — the guard's
-        // default-on cost collapses to this aggregation
-        if (hot.isEmpty) {
-          spreadPairs(banded.as("a")
-            .join(banded.as("b"), Seq("band", "bh"))
-            .where(col("a._id") < col("b._id"))
-            .select(col("a._id").as("a_id"), col("b._id").as("b_id")), "a_id", "b_id")
-            .dropDuplicates("a_id", "b_id")
-            .withColumn("star", lit(false))
-        } else {
-          val small = banded.join(
-            broadcast(hot.select("band", "bh")), Seq("band", "bh"), "left_anti")
-          val allPairs = small.as("a")
-            .join(small.select("band", "bh", "_id").as("b"), Seq("band", "bh"))
-            .where(col("a._id") < col("b._id"))
-            .select(col("a._id").as("a_id"), col("b._id").as("b_id"))
-            .withColumn("star", lit(false))
-          // oversized buckets: star edges rep→member, one linear pass
-          val starPairs = banded
-            .join(broadcast(hot.select("band", "bh", "_rep")), Seq("band", "bh"))
-            .where(col("_id") =!= col("_rep"))
-            .select(col("_rep").as("a_id"), col("_id").as("b_id"))
-            .withColumn("star", lit(true))
-          // a pair can be both a small-bucket candidate (one band) and
-          // a star edge (another): max() keeps the STAR provenance —
-          // an extra banding collision must never REDUCE connectivity
-          // (min() would re-drop a sub-threshold star edge and
-          // disconnect the hot bucket, the exact loss the exemption
-          // exists to prevent); the output tag below narrows to pairs
-          // actually kept by the exemption
-          spreadPairs(allPairs.unionByName(starPairs), "a_id", "b_id")
-            .groupBy("a_id", "b_id").agg(max(col("star")).as("star"))
-        }
+        // healthy corpora have ZERO hot buckets, and the plan below
+        // already collapses to near-nothing for them AT RUN TIME: the
+        // tiny `hot` aggregate broadcasts empty, so the anti-join
+        // passes every banded row through a probe of an empty hash
+        // relation and AQE's empty-relation propagation prunes the
+        // star branch outright. r15 gated this shape behind a driver
+        // `hot.isEmpty` action instead — one extra SYNCHRONOUS job
+        // (plus its scheduling floor) per pipeline construction, paid
+        // mid-plan on every run (guide §7.3); folding the existence
+        // check into the plan gives identical results with one fewer
+        // job (measured on q_minhash_pairs, OPTIMIZATION_r16.md)
+        val small = banded.join(
+          broadcast(hot.select("band", "bh")), Seq("band", "bh"), "left_anti")
+        val allPairs = small.as("a")
+          .join(small.select("band", "bh", "_id").as("b"), Seq("band", "bh"))
+          .where(col("a._id") < col("b._id"))
+          .select(col("a._id").as("a_id"), col("b._id").as("b_id"))
+          .withColumn("star", lit(false))
+        // oversized buckets: star edges rep→member, one linear pass
+        val starPairs = banded
+          .join(broadcast(hot.select("band", "bh", "_rep")), Seq("band", "bh"))
+          .where(col("_id") =!= col("_rep"))
+          .select(col("_rep").as("a_id"), col("_id").as("b_id"))
+          .withColumn("star", lit(true))
+        // a pair can be both a small-bucket candidate (one band) and
+        // a star edge (another): max() keeps the STAR provenance —
+        // an extra banding collision must never REDUCE connectivity
+        // (min() would re-drop a sub-threshold star edge and
+        // disconnect the hot bucket, the exact loss the exemption
+        // exists to prevent); the output tag below narrows to pairs
+        // actually kept by the exemption
+        spreadPairs(allPairs.unionByName(starPairs), "a_id", "b_id")
+          .groupBy("a_id", "b_id").agg(max(col("star")).as("star"))
       }
 
     // attach the cached hash sets only to surviving candidates
@@ -500,20 +526,26 @@ object NearDup {
     */
   def dupClusters(pairs: DataFrame, aCol: String, bCol: String, maxIter: Int = 20): DataFrame = {
     // materialize the (typically expensive, unpersisted) pair plan
-    // ONCE before symmetrizing: the union's two branches each
-    // re-executed it (an LSH verify pass per branch). PERSIST, not
-    // localCheckpoint — a checkpoint's LogicalRDD carries
-    // default (effectively infinite) size stats that explode every
-    // downstream join estimate and silently kill broadcast planning
-    // (softDedup's skinny-map join regressed to SMJ of the corpus);
-    // the materialized InMemoryRelation keeps ACTUAL sizes, and the
-    // block manager computes each cached partition once even with
-    // both union branches reading it in one stage.
+    // ONCE before symmetrizing — the union's two branches each
+    // re-executed it (an LSH verify pass per branch) — and then
+    // TRUNCATE its lineage: every round below re-analyzes its full
+    // logical plan twice (once per edge direction), a driver cost
+    // that grew with the r16 hot-bucket fold (StageProfile: 0.3-1.1 s
+    // inter-job planning gaps, ~40% of the query, guide §3.3 "very
+    // large plans … materialising an intermediate truncates"). Order
+    // matters for the r15 stats pitfall: checkpointing the
+    // UNMATERIALIZED plan captures its join-product size estimates
+    // (~10^29 bytes — SoftDedupPlanProbe documents the broadcast
+    // regression); persist + count FIRST, so the checkpoint's origin
+    // stats are the InMemoryRelation's ACTUAL materialized bytes and
+    // downstream join planning keeps real sizes.
     val base = pairs.select(col(aCol).as("s"), col(bCol).as("t"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    registerCache(base)
-    val edges = base
-      .unionByName(base.select(col("t").as("s"), col("s").as("t")))
+    base.count()
+    val baseT = base.localCheckpoint(true) // plan-truncated, true stats
+    base.unpersist(blocking = false)       // checkpoint blocks carry the data
+    val edges = baseT
+      .unionByName(baseT.select(col("t").as("s"), col("s").as("t")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     var labels = edges.select(col("s").as("id")).distinct()
@@ -534,8 +566,16 @@ object NearDup {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val changed = next.as("n").join(labels.as("l"), "id")
         .where(col("n.comp") =!= col("l.comp")).count()
-      labels.unpersist()
-      labels = next
+      // truncate the round's lineage: labels' logical plan otherwise
+      // DOUBLES per round (next embeds the previous labels twice), so
+      // per-round analysis grows exponentially. The count above
+      // materialized the persist, so the checkpoint captures actual
+      // stats; the checkpoint read job is one cached pass over a
+      // skinny frame — pennies against the planning it removes.
+      val nextT = next.localCheckpoint(true)
+      next.unpersist(blocking = false)
+      labels.unpersist(blocking = false)
+      labels = nextT
       converged = changed == 0
       iter += 1
     }

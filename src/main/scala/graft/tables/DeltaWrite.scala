@@ -2384,6 +2384,9 @@ object DeltaWrite {
                   s"[graft] periodic checkpoint of $tablePath at version $version failed: $e")
             }
           }
+        // a committed (possibly schema-evolving) write makes any cached
+        // footer schema for this location stale — purge before returning
+        SchemaCache.invalidate(tablePath)
         return CommitResult(version, adds.size, removes.size)
       } catch {
         case _: java.io.IOException if attempt < 10 =>

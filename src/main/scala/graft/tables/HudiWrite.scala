@@ -1112,6 +1112,9 @@ object HudiWrite {
     require(IcebergWrite.publishIfAbsent(fs, target,
       mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root)),
       s"instant $instant already completed under $tablePath")
+    // committed (possibly schema-evolving) write: purge any cached
+    // footer schema covering this location
+    SchemaCache.invalidate(tablePath)
   }
 
   /** Commit extraMetadata keys carrying the streaming sink's

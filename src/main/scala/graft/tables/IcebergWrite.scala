@@ -1876,6 +1876,9 @@ object IcebergWrite {
         mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))) {
         val hint = fs.create(new Path(metaDir, "version-hint.text"), true)
         try hint.write(newV.toString.getBytes("UTF-8")) finally hint.close()
+        // committed (possibly schema-evolving) write: purge any cached
+        // footer schema covering this location
+        SchemaCache.invalidate(tablePath)
         return snapshotId
       }
       temps.foreach(fs.delete(_, false))

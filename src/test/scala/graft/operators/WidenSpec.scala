@@ -58,6 +58,100 @@ class WidenSpec extends SparkSpec {
       s"candidate-pair exchange must be exempt from AQE coalescing; plan:\n$plan")
   }
 
+  test("byKeys construction launches zero Spark jobs (no Dataset.rdd probe)") {
+    val dir = tempDir("widen-nojobs").toString
+    spark.range(200).selectExpr("id as k", "id * 3 as v")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/t.parquet")
+    // resolve the inputs BEFORE counting: footer inference may itself
+    // schedule work — the claim under test is about Widen, not read
+    val scan = spark.read.parquet(s"$dir/t.parquet")
+    val joined = scan.as("a").join(scan.as("b"), "k")
+    // job-group attribution (not a raw counter): unrelated background
+    // work in the shared test session must not fail the assertion, and
+    // any job launched BY construction runs on this thread and
+    // inherits its group
+    val probeJobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val sentinelSeen = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val g = Option(j.properties)
+          .map(_.getProperty("spark.jobGroup.id", "")).getOrElse("")
+        if (g == "widen-construction-probe") probeJobs.incrementAndGet()
+        if (g == "widen-sentinel") sentinelSeen.incrementAndGet()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      spark.sparkContext.setJobGroup("widen-construction-probe", "probe")
+      val widened = Widen.byKeys(scan, Seq(col("k")))
+      assert(widened.queryExecution.analyzed ne null)
+      // shuffle/broadcast-bearing input: the r15 .rdd probe would have
+      // materialized stages here under AQE; the static walk must not
+      Widen.byKeys(joined, Seq(col("k")))
+      // sentinel job: the listener bus is FIFO, so once it lands, any
+      // construction-launched job would already have been counted
+      spark.sparkContext.setJobGroup("widen-sentinel", "sentinel")
+      spark.range(1).count()
+      val deadline = System.nanoTime() + 10e9.toLong
+      while (sentinelSeen.get() < 1 && System.nanoTime() < deadline) Thread.sleep(10)
+      assert(sentinelSeen.get() >= 1) // flush marker only (AQE may split it)
+      assert(probeJobs.get() == 0,
+        s"query construction must launch zero jobs, saw ${probeJobs.get()}")
+    } finally {
+      spark.sparkContext.clearJobGroup()
+      spark.sparkContext.removeSparkListener(listener)
+    }
+  }
+
+  test("byKeys byte bound: a narrow-but-oversized input keeps its plan") {
+    val dir = tempDir("widen-bound").toString
+    spark.range(60000)
+      .selectExpr("id as k", "repeat('x', 40) as pad")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/t.parquet")
+    val key = "spark.sql.files.maxPartitionBytes"
+    val saved = spark.conf.get(key)
+    try {
+      // budget = maxPartitionBytes * defaultParallelism; shrink it
+      // under the file size so the coalesced scan is narrow (1 planned
+      // partition) yet oversized — the widen must refuse (the shuffle
+      // would carry every row un-reduced, guide §5)
+      spark.conf.set(key, "8k")
+      val narrowOversized = spark.read.parquet(s"$dir/t.parquet").coalesce(1)
+      assert(Widen.byKeys(narrowOversized, Seq(col("k"))) eq narrowOversized)
+      // with the budget restored the same input widens again
+      spark.conf.set(key, saved)
+      val widened = Widen.byKeys(
+        spark.read.parquet(s"$dir/t.parquet").coalesce(1), Seq(col("k")))
+      assert(widened.rdd.getNumPartitions ==
+        spark.sparkContext.defaultParallelism)
+    } finally spark.conf.set(key, saved)
+  }
+
+  test("SchemaCache invalidation: a committed write purges the stale footer schema") {
+    val dir = tempDir("schemacache-inval").toString
+    val p = s"$dir/t"
+    spark.range(5).selectExpr("id", "id * 2 as a").write.parquet(p)
+    val first = graft.tables.SchemaCache.readParquet(spark, p)
+    assert(first.schema.fieldNames.toSeq == Seq("id", "a"))
+    assert(graft.tables.SchemaCache.cachedSchema(spark, p).isDefined)
+    // a Delta commit to the same location purges the cached entry
+    graft.tables.DeltaWrite.append(
+      spark, spark.range(5).selectExpr("id", "id * 2 as a", "id * 3 as b"), p)
+    assert(graft.tables.SchemaCache.cachedSchema(spark, p).isEmpty,
+      "commit must invalidate the cached footer schema for its location")
+    // an explicit invalidate + rewrite is re-inferred (schema B visible)
+    val q = s"$dir/u"
+    spark.range(3).selectExpr("id").write.parquet(q)
+    assert(graft.tables.SchemaCache.readParquet(spark, q)
+      .schema.fieldNames.toSeq == Seq("id"))
+    spark.range(3).selectExpr("id", "id * 5 as c")
+      .write.mode("overwrite").parquet(q)
+    graft.tables.SchemaCache.invalidate(q)
+    assert(graft.tables.SchemaCache.readParquet(spark, q)
+      .schema.fieldNames.toSeq == Seq("id", "c"))
+  }
+
   test("SchemaCache: cached read returns identical schema and rows") {
     val dir = tempDir("schemacache").toString
     spark.range(10).selectExpr("id", "id * 2 as d").write.mode("overwrite")
