@@ -100,6 +100,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // real catalog statistics for the bench tables (queries.Tables
+      // registers + ANALYZEs them once per session) — fixes the
+      // estimate-driven backwards broadcast side in q03/q05
+      .config("spark.sql.cbo.enabled", "true")
       .config("spark.sql.adaptive.enabled", "true")
       // scan-split size tuned to the measured fixed-cost floor: sf0.1
       // parquet files are 10-100 MB, so the 128 MB default planned 1-2

@@ -36,8 +36,63 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String,
             args: ReadArgs = ReadArgs.empty): DataFrame = {
     val dbName = if (TpchTables.contains(name)) "tpch" else "pipeline"
-    val df = forDir(dir).db(dbName).table(name, spark, args)
+    val df =
+      if (args == ReadArgs.empty) statsTable(spark, dir, name)
+        .getOrElse(forDir(dir).db(dbName).table(name, spark, args))
+      else forDir(dir).db(dbName).table(name, spark, args)
     if (name == "events") normalizeEventTime(df) else df
+  }
+
+  /** CBO path: when the session runs with `spark.sql.cbo.enabled`, the
+    * bare-table reads go through an external catalog table ANALYZEd
+    * once per (session, dir) — REAL row/column statistics (ndv,
+    * min/max) instead of the file-size heuristics that mis-pick join
+    * build sides (q03/q05 broadcast the 325k-row filtered lineitem and
+    * stream the far smaller c⨝o side because the basic estimator
+    * prices a join at the PRODUCT of its inputs). This is what a
+    * production catalog (HMS/Glue) holds persistently; the in-memory
+    * catalog rebuilds it per session — one ANALYZE scan per table per
+    * session, session-scoped METADATA only (never results; every query
+    * still reads all parquet data per run). Non-CBO sessions (the
+    * default) keep the original ParquetTable path untouched.
+    */
+  private val statsReady =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Boolean]()
+
+  private def statsTable(
+      spark: SparkSession, dir: String, name: String): Option[DataFrame] = {
+    if (!spark.sessionState.conf.cboEnabled) return None
+    val db = "graft_stats_" +
+      java.lang.Integer.toHexString(dir.hashCode).replace('-', 'n')
+    val key = (graft.tables.SchemaCache.sessionId(spark), dir + "#" + name)
+    if (!statsReady.containsKey(key)) synchronized {
+      if (!statsReady.containsKey(key)) {
+        spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+        spark.sql(s"CREATE TABLE IF NOT EXISTS $db.$name USING parquet " +
+          s"LOCATION '$dir/$name.parquet'")
+        // explicit column list: TIMESTAMP_NTZ column stats crash
+        // Spark 4.1's FilterEstimation (MatchError in evaluateBinary)
+        // — the bench tables' date columns are NTZ, so analyze the
+        // CBO-safe types only (join keys and filter columns are all
+        // numeric/string here; an attribute without column stats falls
+        // back to default selectivity instead of crashing)
+        import org.apache.spark.sql.types._
+        val safe = spark.table(s"$db.$name").schema.fields.collect {
+          case f if f.dataType.isInstanceOf[NumericType] ||
+            f.dataType == StringType || f.dataType == BooleanType ||
+            f.dataType == DateType || f.dataType == TimestampType => f.name
+        }
+        if (safe.nonEmpty)
+          spark.sql(s"ANALYZE TABLE $db.$name COMPUTE STATISTICS " +
+            s"FOR COLUMNS ${safe.mkString(", ")}")
+        else
+          spark.sql(s"ANALYZE TABLE $db.$name COMPUTE STATISTICS")
+        statsReady.put(key, true)
+        // bound: dead sessions' keys are garbage but tiny; clear at 4k
+        if (statsReady.size > 4096) statsReady.clear()
+      }
+    }
+    Some(spark.table(s"$db.$name"))
   }
 
   /** The events table stores TIMESTAMP(NANOS) parquet, which Spark's

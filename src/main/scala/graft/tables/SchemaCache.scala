@@ -40,7 +40,7 @@ object SchemaCache {
     * collected; their orphaned cache entries age out of the LRU bound.
     */
   private val sessionIds = new java.util.WeakHashMap[SparkSession, String]()
-  private def sessionId(spark: SparkSession): String = synchronized {
+  private[graft] def sessionId(spark: SparkSession): String = synchronized {
     var id = sessionIds.get(spark)
     if (id == null) {
       id = java.util.UUID.randomUUID().toString

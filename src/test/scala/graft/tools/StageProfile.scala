@@ -21,6 +21,10 @@ object StageProfile {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // real catalog statistics for the bench tables (queries.Tables
+      // registers + ANALYZEs them once per session) — fixes the
+      // estimate-driven backwards broadcast side in q03/q05
+      .config("spark.sql.cbo.enabled", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.files.maxPartitionBytes", "8m")
       .config("spark.ui.enabled", "false")
