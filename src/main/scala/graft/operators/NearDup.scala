@@ -198,7 +198,7 @@ object NearDup {
     * MB. At bench scale (MB-sized corpora) the floor binds and plans
     * are byte-identical to the pinned-parallelism shape.
     */
-  private def spreadPairs(pairs: DataFrame, keyA: String, keyB: String): DataFrame = {
+  private[operators] def spreadPairs(pairs: DataFrame, keyA: String, keyB: String): DataFrame = {
     val par = pairs.sparkSession.sparkContext.defaultParallelism
     val n = Widen.scanBytes(pairs) match {
       case Some(bytes) =>
@@ -414,7 +414,15 @@ object NearDup {
     val dfreq = inv.groupBy("_g").agg(count(lit(1)).as("_df"))
       .where(col("_df").between(2, maxDf))
     val blocked = inv.join(dfreq, "_g").select("_g", "_sid")
-    val candidates = spreadPairs(blocked.as("a").join(blocked.as("b"), Seq("_g"))
+    // the inverted-index self-join is pinned to sort-merge: its sides
+    // grow with the corpus (every blocking (gram, id) row), so a
+    // broadcast is never scale-safe — and CBO sessions were measured
+    // picking exactly that (cardinality under-estimate through the
+    // explode): q_containment_dups 0.93 → 1.36 s when the whole
+    // blocked relation broadcast. The hint restores the measured-good
+    // shuffled shape in every session type.
+    val candidates = spreadPairs(
+      blocked.as("a").hint("merge").join(blocked.as("b"), Seq("_g"))
       .where(col("a._sid") < col("b._sid"))
       .select(col("a._sid").as("a_id"), col("b._sid").as("b_id")), "a_id", "b_id")
       .dropDuplicates("a_id", "b_id")

@@ -370,7 +370,12 @@ object Similarity {
     val rowsPerBand = nbits / bands
     val matrix = graft.functions.Srp.signMatrix(nbits, dim, seed)
 
-    val banded = corpus
+    // the SRP signature is a dense matrix multiply per row — CPU-bound
+    // scan work whose parallelism is capped by the input's partition
+    // count. Widen narrow embedding scans to session parallelism
+    // (StageProfile: a 1-task 0.29 s signature stage inside a 1.6 s
+    // q_srp_pairs); no-op on cluster-shaped inputs (operators.Widen).
+    val banded = Widen.toParallelism(corpus.select(col(idCol), col(vecCol)))
       .select(
         col(idCol).as("_id"),
         graft.functions.Srp.signature(col(vecCol), matrix).as("_sig"))
@@ -383,10 +388,14 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     NearDup.registerCache(banded)
 
-    val candidates = banded.as("a")
+    // pin the candidate-pair shuffle (same rationale as
+    // NearDup.spreadPairs: the cosine verify downstream is CPU-dense
+    // per skinny row, and AQE's byte-based coalescing collapsed it to
+    // 3 post-shuffle partitions at bench scale)
+    val candidates = NearDup.spreadPairs(banded.as("a")
       .join(banded.as("b"), Seq("band", "bh"))
       .where(col("a._id") < col("b._id"))
-      .select(col("a._id").as("a_id"), col("b._id").as("b_id"))
+      .select(col("a._id").as("a_id"), col("b._id").as("b_id")), "a_id", "b_id")
       .dropDuplicates("a_id", "b_id")
 
     // vectors attach to surviving candidates only (no broadcast hint:

@@ -34,9 +34,16 @@ object SubstringDedup {
       grpCol: String,
       k: Int,
       minDocs: Int = 2): DataFrame = {
-    val grams = docs.select(
-      col(idCol), col(grpCol),
-      explode(TextHashExpressions.charGramHashes(col(textCol), k)).as("h"))
+    // char-gram hashing is CPU-bound scan work evaluated once per
+    // consumer below; a narrow (single-split) corpus would run every
+    // pass on one core — widen to session parallelism, no-op on
+    // cluster-shaped inputs (StageProfile: 0.94 s of 1-task md5 stages
+    // inside a 1.5 s q_substr_dedup)
+    val grams = Widen.toParallelism(
+      docs.select(col(idCol), col(grpCol), col(textCol)))
+      .select(
+        col(idCol), col(grpCol),
+        explode(TextHashExpressions.charGramHashes(col(textCol), k)).as("h"))
     // distinct docs per gram: two-level exact (gram, doc) distinct then
     // count — both shuffles are on the skinny hash key
     val byGram = grams.select(col("h"), col(idCol)).distinct()
