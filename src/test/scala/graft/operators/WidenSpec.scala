@@ -128,6 +128,23 @@ class WidenSpec extends SparkSpec {
     } finally spark.conf.set(key, saved)
   }
 
+  test("spreadPairs width: defaultParallelism floor at bench scale, scan-byte scaling above") {
+    val dir = tempDir("spread").toString
+    spark.range(500).selectExpr("id as a_id", "id + 1 as b_id")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/p.parquet")
+    val pairs = spark.read.parquet(s"$dir/p.parquet")
+    // bench-scale input: the floor binds — exactly defaultParallelism
+    val spread = NearDup.spreadPairs(pairs, "a_id", "b_id")
+    assert(spread.rdd.getNumPartitions == spark.sparkContext.defaultParallelism)
+    // the byte-derived width: scanBytes sums the leaf file sizes, and
+    // the spread adds one partition per 2 GB of corpus above the floor
+    val bytes = Widen.scanBytes(pairs)
+    assert(bytes.isDefined && bytes.get > 0)
+    val par = spark.sparkContext.defaultParallelism.toLong
+    assert(math.max(par, (bytes.get / (2L * 1024 * 1024 * 1024)).toLong) == par,
+      "a KB-scale input must stay at the parallelism floor")
+  }
+
   test("SchemaCache invalidation: a committed write purges the stale footer schema") {
     val dir = tempDir("schemacache-inval").toString
     val p = s"$dir/t"
