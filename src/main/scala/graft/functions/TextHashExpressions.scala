@@ -116,9 +116,15 @@ case class ShingleHashSet(child: Expression, k: Int)
   * single merge walk — O(|a|+|b|) with zero allocation, vs the
   * hash-set build generic array_intersect does per row. Value equals
   * `len(list_intersect(a, b))` on the same lists.
+  *
+  * Full codegen (r16): this is the near-dup VERIFY hot loop, evaluated
+  * once per candidate pair; as a CodegenFallback it paid interpreted
+  * dispatch + boxed results per row inside the pipeline's hottest
+  * stage (guide: prefer whole-stage-codegen-friendly expressions in
+  * the hot path).
   */
 case class SortedIntersectCount(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = IntegerType
   override def prettyName: String = "graft_sorted_intersect_count"
@@ -136,6 +142,32 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     }
     n
   }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val xn = ctx.freshName("xn")
+      val yn = ctx.freshName("yn")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      s"""
+         |int $i = 0, $j = 0, $n = 0;
+         |final int $xn = $a.numElements(), $yn = $b.numElements();
+         |while ($i < $xn && $j < $yn) {
+         |  final long $x = $a.getLong($i);
+         |  final long $y = $b.getLong($j);
+         |  if ($x == $y) { $n++; $i++; $j++; }
+         |  else if ($x < $y) $i++;
+         |  else $j++;
+         |}
+         |${ev.value} = $n;
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedIntersectCount =
     copy(left = l, right = r)
