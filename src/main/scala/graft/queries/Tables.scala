@@ -62,6 +62,12 @@ object Tables {
   private def statsTable(
       spark: SparkSession, dir: String, name: String): Option[DataFrame] = {
     if (!spark.sessionState.conf.cboEnabled) return None
+    // relational (join-ordering) tables only: the pipeline operators'
+    // plans are hand-shaped (widen/spread/persist discipline) and
+    // measured WORSE under cost-based re-planning (q_containment_dups
+    // 0.93 → 1.36 s same-window A/B) — stats there disturb plans the
+    // operators already pin
+    if (!TpchTables.contains(name)) return None
     val db = "graft_stats_" +
       java.lang.Integer.toHexString(dir.hashCode).replace('-', 'n')
     val key = (graft.tables.SchemaCache.sessionId(spark), dir + "#" + name)
